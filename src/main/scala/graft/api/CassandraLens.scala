@@ -1,0 +1,214 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.model._
+import graft.operators._
+
+/** The public query surface (SURVEY §2.1 Q1–Q11) over one column family's
+  * cell store. Each method compiles to a single declarative Catalyst plan:
+  * key/token predicates land on the parquet scan (pushdown + bloom +
+  * min/max pruning), reconciliation is a codegen'd hash aggregate, slices
+  * are window ranks — no driver-side iteration anywhere.
+  *
+  * Validation mirrors thrift/ThriftValidation.java:230-391.
+  */
+class CassandraLens(val cells: DataFrame, val meta: CfMeta) {
+  GraftFunctions.register(cells.sparkSession)
+
+  private def topCmp: ComparatorType.Value = meta.comparator
+  private def subCmp: ComparatorType.Value = meta.subComparator
+
+  /** Reconciled live view of the whole CF. */
+  def live: DataFrame = Reconcile.liveView(cells)
+
+  private def liveOf(pred: Column): DataFrame = Reconcile.liveView(cells.filter(pred))
+
+  private def withToken(df: DataFrame): DataFrame =
+    df.withColumn("token", Tokens.token(meta.partitioner, col("key")))
+
+  // ---- validation (thrift/ThriftValidation.java) ----
+
+  private def validateRange(r: SliceRange, cmp: ComparatorType.Value): Unit = {
+    require(r.count >= 0, "get_slice requires non-negative count")
+    if (r.start.nonEmpty && r.finish.nonEmpty) {
+      val ord = JComparators.ordering(cmp)
+      val (lo, hi) = if (r.reversed) (r.finish, r.start) else (r.start, r.finish)
+      require(ord.compare(lo, hi) <= 0,
+        "range finish must come after start in the comparator order (ThriftValidation:230-258)")
+    }
+  }
+
+  private def validateNames(names: Seq[Array[Byte]]): Unit = {
+    require(names.nonEmpty, "slice by names requires at least one name")
+    names.foreach(n => require(n != null && n.nonEmpty, "zero-length column name"))
+  }
+
+  private def validatePredicate(p: SlicePredicate, cmp: ComparatorType.Value): Unit = p match {
+    case r: SliceRange => validateRange(r, cmp)
+    case SliceByNames(ns) => validateNames(ns)
+  }
+
+  // ---- Q1/Q2/Q3/Q4: point + slice reads ----
+
+  /** Q1 `get` (thrift:300-304): one column / subcolumn / supercolumn. */
+  def get(key: String, superName: Option[Array[Byte]], colName: Array[Byte]): DataFrame = {
+    require(key.nonEmpty, "zero-length key")
+    val base = liveOf(col("key") === key)
+    superName match {
+      case Some(sc) => base.filter(col("super_name") === lit(sc) && col("col_name") === lit(colName))
+      case None => base.filter(col("super_name").isNull && col("col_name") === lit(colName))
+    }
+  }
+
+  /** Q2 `get_slice` (thrift:310-315) for one key = Q4 over a single key. */
+  def getSlice(key: String, superName: Option[Array[Byte]], pred: SlicePredicate): DataFrame =
+    multigetSlice(Seq(key), superName, pred)
+
+  /** Q3/Q4 `multiget_slice` (thrift:332-337): one slice per key.
+    * For a super CF with no supercolumn parent, the sliced entities are the
+    * supercolumns; with a parent, its subcolumns (subcomparator order).
+    */
+  def multigetSlice(keys: Seq[String], superName: Option[Array[Byte]], pred: SlicePredicate): DataFrame = {
+    keys.foreach(k => require(k.nonEmpty, "zero-length key"))
+    val keyPred = if (keys.size == 1) col("key") === keys.head else col("key").isin(keys: _*)
+    sliceOver(liveOf(keyPred), superName, pred)
+  }
+
+  /** Slice machinery shared by point reads and range scans. */
+  private def sliceOver(live: DataFrame, superName: Option[Array[Byte]], pred: SlicePredicate): DataFrame =
+    superName match {
+      case Some(sc) =>
+        validatePredicate(pred, subCmp)
+        Slice(live.filter(col("super_name") === lit(sc)), subCmp, "col_name", pred,
+          perKey = Seq("key", "super_name"))
+      case None if meta.isSuper =>
+        validatePredicate(pred, topCmp)
+        Slice(live, topCmp, "super_name", pred)
+      case None =>
+        validatePredicate(pred, topCmp)
+        Slice(live.filter(col("super_name").isNull), topCmp, "col_name", pred)
+    }
+
+  /** Q5 `get_count` (thrift:342-346): live column count per key. */
+  def getCount(keys: Seq[String], superName: Option[Array[Byte]]): DataFrame = {
+    val keyPred = col("key").isin(keys: _*)
+    superName match {
+      case Some(sc) =>
+        Slice.count(liveOf(keyPred).filter(col("super_name") === lit(sc)),
+          isSuper = false, perKey = Seq("key", "super_name"))
+      case None =>
+        Slice.count(liveOf(keyPred), meta.isSuper)
+    }
+  }
+
+  // ---- Q6: range scans ----
+
+  /** Q6 `get_range_slices` over key BOUNDS (start/end inclusive).
+    * The key predicate is applied to the RAW cells (it commutes with
+    * per-key reconciliation), so it pushes down into the parquet scan;
+    * only the restricted range is reconciled.
+    */
+  def rangeSliceByKeys(
+      startKey: Option[String], endKey: Option[String],
+      superName: Option[Array[Byte]], pred: SlicePredicate, maxKeys: Int): DataFrame = {
+    val pre = cells.filter(RangeScan.keyBoundsPredicate(col("key"), startKey, endKey))
+    val bounded = RangeScan.limitKeys(withToken(Reconcile.liveView(pre)), maxKeys)
+    sliceOver(bounded, superName, pred)
+  }
+
+  /** Q6 `get_range_slices` over a TOKEN range (start-exclusive,
+    * end-inclusive; wrap-around splits into two scans). Token predicates
+    * also evaluate on the raw cells before any shuffle.
+    */
+  def rangeSliceByToken(
+      startToken: Option[Column], endToken: Option[Column],
+      superName: Option[Array[Byte]], pred: SlicePredicate, maxKeys: Int): DataFrame = {
+    val pre = withToken(cells)
+      .filter(RangeScan.tokenRangePredicate(col("token"), startToken, endToken))
+    val bounded = RangeScan.limitKeys(
+      withToken(Reconcile.liveView(pre.drop("token"))), maxKeys)
+    sliceOver(bounded, superName, pred)
+  }
+
+  // ---- Q7/Q8/Q9: mutations (return the new store view) ----
+
+  /** Q7 insert/batch_insert: timestamped upsert cells. */
+  def insert(mutations: DataFrame): CassandraLens =
+    new CassandraLens(Mutations(cells, Mutations.asInserts(mutations)), meta)
+
+  /** Q8 batch_mutate: pre-built cell mutations (inserts + deletions). */
+  def batchMutate(mutations: DataFrame*): CassandraLens =
+    new CassandraLens(Mutations(cells, mutations: _*), meta)
+
+  /** Q9 remove at column granularity. */
+  def removeColumns(df: DataFrame, localDeletionTimeSec: Int): CassandraLens =
+    batchMutate(Mutations.asColumnDeletes(df, localDeletionTimeSec))
+
+  /** Q9 remove at row granularity. */
+  def removeRows(df: DataFrame, localDeletionTimeSec: Int): CassandraLens =
+    batchMutate(Mutations.asRowDeletes(df, localDeletionTimeSec))
+
+  /** Q9 remove at supercolumn granularity. */
+  def removeSuperColumns(df: DataFrame, localDeletionTimeSec: Int): CassandraLens =
+    batchMutate(Mutations.asSuperDeletes(df, localDeletionTimeSec))
+
+  // ---- Q11 / maintenance ----
+
+  /** describe_splits(n) (thrift:429-463, CassandraServer.java:644-655). */
+  def describeSplits(n: Int): DataFrame =
+    RangeScan.describeSplits(withToken(live), n)
+
+  /** Major compaction (SURVEY §2.7). */
+  def compact(gcBeforeSeconds: Int, processors: Seq[Compaction.RowProcessor] = Nil): CassandraLens =
+    new CassandraLens(Compaction.compact(cells, gcBeforeSeconds, processors), meta)
+}
+
+/** Driver-side comparators mirroring the reference byte orders — used for
+  * request validation and for property-testing the Column sort keys against
+  * the same vectors (db/NameSortTest, db/TimeSortTest, TypeCompareTest).
+  */
+object JComparators {
+  private val unsignedLex: Ordering[Array[Byte]] = (a: Array[Byte], b: Array[Byte]) => {
+    // FBUtilities.compareByteArrays semantics
+    var i = 0
+    val n = math.min(a.length, b.length)
+    var r = 0
+    while (i < n && r == 0) { r = (a(i) & 0xFF) - (b(i) & 0xFF); i += 1 }
+    if (r != 0) r else a.length - b.length
+  }
+
+  def ordering(cmp: ComparatorType.Value): Ordering[Array[Byte]] = cmp match {
+    case ComparatorType.Bytes | ComparatorType.Ascii | ComparatorType.Utf8 => unsignedLex
+    case ComparatorType.Long_ => (a, b) =>
+      if (a.isEmpty || b.isEmpty) a.length - b.length
+      else java.lang.Long.compare(
+        graft.functions.ExprHelpers.beLong(a), graft.functions.ExprHelpers.beLong(b))
+    case ComparatorType.TimeUuid => (a, b) =>
+      if (a.isEmpty || b.isEmpty) a.length - b.length
+      else {
+        val c = java.lang.Long.compare(
+          graft.functions.ExprHelpers.timeUuidTimestamp(a),
+          graft.functions.ExprHelpers.timeUuidTimestamp(b))
+        if (c != 0) c else unsignedLex.compare(a, b)
+      }
+    case ComparatorType.LexicalUuid => (a, b) =>
+      if (a.isEmpty || b.isEmpty) a.length - b.length
+      else {
+        val (am, al) = (java.nio.ByteBuffer.wrap(a).getLong(0), java.nio.ByteBuffer.wrap(a).getLong(8))
+        val (bm, bl) = (java.nio.ByteBuffer.wrap(b).getLong(0), java.nio.ByteBuffer.wrap(b).getLong(8))
+        val c = java.lang.Long.compare(am, bm)
+        if (c != 0) c else java.lang.Long.compare(al, bl)
+      }
+    case ComparatorType.FreshTimestamp => (a, b) =>
+      // descending, empty first (fork FreshTimestampType)
+      if (a.isEmpty || b.isEmpty) a.length - b.length
+      else -unsignedLex.compare(a, b)
+    case ComparatorType.Collating => (a, b) =>
+      graft.functions.CollatorHolder.collator.compare(
+        new String(a, java.nio.charset.StandardCharsets.UTF_8),
+        new String(b, java.nio.charset.StandardCharsets.UTF_8))
+  }
+}

@@ -1,0 +1,170 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+
+/** Runtime helpers invoked both by interpreted eval and by generated code.
+  * Kept as a top-level object so codegen can call the static forwarders
+  * (`graft.functions.ExprHelpers.beLong(...)`).
+  */
+object ExprHelpers {
+
+  /** Signed numeric value of an 8-byte big-endian long (reference
+    * db/marshal/LongType.java:30-46 — first byte signed, rest unsigned ⇒
+    * exactly big-endian two's-complement order).
+    */
+  def beLong(b: Array[Byte]): Long = {
+    if (b.length != 8)
+      throw new IllegalArgumentException(s"A long is exactly 8 bytes: ${b.length}")
+    java.nio.ByteBuffer.wrap(b).getLong
+  }
+
+  def longBytes(v: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8).putLong(v).array()
+
+  /** Order-reversing byte encoding for the fork's FreshTimestampType
+    * (descending byte order with the EMPTY array sorting first = "freshest";
+    * db/marshal/FreshTimestampType.java:22-60). Ascending unsigned-lex
+    * comparison of the encoded form reproduces that order exactly:
+    *   empty → [0x00]            (sorts before everything)
+    *   b     → 0x01 ++ ~b ++ 0xFF (complement reverses order; the 0xFF
+    *            terminator makes a longer run sort BEFORE its prefix,
+    *            i.e. prefix-extension order is reversed too)
+    */
+  def binaryNot(b: Array[Byte]): Array[Byte] = {
+    if (b.length == 0) return Array[Byte](0)
+    val out = new Array[Byte](b.length + 2)
+    out(0) = 1.toByte
+    var i = 0
+    while (i < b.length) { out(i + 1) = (~b(i)).toByte; i += 1 }
+    out(b.length + 1) = 0xFF.toByte
+    out
+  }
+
+  /** RandomPartitioner token: abs(BigInteger(md5(key))) as a 16-byte
+    * big-endian unsigned value, so plain BinaryType comparison equals
+    * BigInteger comparison (dht/RandomPartitioner.java:35-130; `hash` uses
+    * FBUtilities.hash = md5, token = hash.abs()).
+    */
+  def md5AbsToken(key: Array[Byte]): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val big = new java.math.BigInteger(md.digest(key)).abs()
+    val raw = big.toByteArray // <= 17 bytes (sign byte), big-endian
+    val out = new Array[Byte](16)
+    val src = if (raw.length > 16) raw.length - 16 else 0
+    val dst = if (raw.length > 16) 0 else 16 - raw.length
+    System.arraycopy(raw, src, out, dst, raw.length - src)
+    out
+  }
+
+  /** 60-bit timestamp of a version-1 UUID given its 16 raw bytes
+    * (db/marshal/TimeUUIDType.java:28-93 compares the reordered timestamp
+    * fields: time_hi, time_mid, time_low).
+    */
+  def timeUuidTimestamp(b: Array[Byte]): Long = {
+    if (b.length != 16)
+      throw new IllegalArgumentException(s"UUIDs must be exactly 16 bytes: ${b.length}")
+    val bb = java.nio.ByteBuffer.wrap(b)
+    val msb = bb.getLong
+    // v1 layout: time_low(32) time_mid(16) version(4) time_hi(12)
+    val timeLow = (msb >>> 32) & 0xFFFFFFFFL
+    val timeMid = (msb >>> 16) & 0xFFFFL
+    val timeHi = msb & 0x0FFFL
+    (timeHi << 48) | (timeMid << 32) | timeLow
+  }
+
+  /** en_US collation key bytes (dht/CollatingOrderPreservingPartitioner). */
+  def collationKey(s: org.apache.spark.unsafe.types.UTF8String): Array[Byte] =
+    CollatorHolder.collator.getCollationKey(s.toString).toByteArray
+
+  /** OdklDomainPartitioner token: the 2-hex-char "domain" (last two chars of
+    * the key) moved to the front (dht/OdklDomainPartitioner.java:36-120).
+    */
+  def odklDomainToken(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    val dom = if (str.length >= 2) str.substring(str.length - 2) else str
+    org.apache.spark.unsafe.types.UTF8String.fromString(dom + str)
+  }
+}
+
+object CollatorHolder {
+  val collator: java.text.Collator = java.text.Collator.getInstance(java.util.Locale.US)
+}
+
+/** binary(8, big-endian) → signed long. Codegen-friendly. */
+case class BigEndianLong(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "be_long"
+  override protected def nullSafeEval(v: Any): Any =
+    ExprHelpers.beLong(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprHelpers.beLong($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** long → binary(8, big-endian). */
+case class LongToBytesBE(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "be_bytes"
+  override protected def nullSafeEval(v: Any): Any =
+    ExprHelpers.longBytes(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprHelpers.longBytes($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** binary → bitwise-NOT binary (+0x00 sentinel) for descending byte order. */
+case class BinaryNot(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "binary_not"
+  override protected def nullSafeEval(v: Any): Any =
+    ExprHelpers.binaryNot(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprHelpers.binaryNot($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** binary key bytes → 16-byte abs(BigInteger(md5)) RandomPartitioner token. */
+case class Md5AbsToken(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "md5_abs_token"
+  override protected def nullSafeEval(v: Any): Any =
+    ExprHelpers.md5AbsToken(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprHelpers.md5AbsToken($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** binary(16) v1 UUID → embedded 60-bit timestamp (long). */
+case class TimeUuidTimestamp(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "timeuuid_ts"
+  override protected def nullSafeEval(v: Any): Any =
+    ExprHelpers.timeUuidTimestamp(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprHelpers.timeUuidTimestamp($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** string → en_US collation key bytes. */
+case class CollationKeyBytes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "collation_key"
+  override protected def nullSafeEval(v: Any): Any =
+    ExprHelpers.collationKey(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprHelpers.collationKey($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** string key → OdklDomain token string. */
+case class OdklDomainToken(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "odkl_domain_token"
+  override protected def nullSafeEval(v: Any): Any =
+    ExprHelpers.odklDomainToken(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprHelpers.odklDomainToken($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Session registration of the engine's native Catalyst expressions plus
+  * `Column`-level helpers. All helpers resolve through the function
+  * registry (`call_function`), so `Graft.register(spark)` must run once per
+  * session — every public API entry point does this idempotently.
+  */
+object GraftFunctions {
+
+  private val builders: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)] =
+    Seq(
+      "graft_be_long" -> (es => BigEndianLong(es.head)),
+      "graft_be_bytes" -> (es => LongToBytesBE(es.head)),
+      "graft_binary_not" -> (es => BinaryNot(es.head)),
+      "graft_md5_abs_token" -> (es => Md5AbsToken(es.head)),
+      "graft_timeuuid_ts" -> (es => TimeUuidTimestamp(es.head)),
+      "graft_collation_key" -> (es => CollationKeyBytes(es.head)),
+      "graft_odkl_domain_token" -> (es => OdklDomainToken(es.head)))
+
+  def register(spark: SparkSession): Unit = synchronized {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+  }
+
+  /** binary(8) big-endian → signed long (LongType comparator decode). */
+  def beLong(c: Column): Column = call_function("graft_be_long", c)
+
+  /** long → binary(8) big-endian (LongType comparator encode). */
+  def beBytes(c: Column): Column = call_function("graft_be_bytes", c)
+
+  /** Descending-order binary encoding (FreshTimestampType). */
+  def binaryNot(c: Column): Column = call_function("graft_binary_not", c)
+
+  /** RandomPartitioner md5-abs token bytes of a string key. */
+  def md5AbsToken(c: Column): Column =
+    call_function("graft_md5_abs_token", encode(c, "UTF-8"))
+
+  /** Embedded 60-bit timestamp of a v1 time-UUID (16 bytes). */
+  def timeUuidTs(c: Column): Column = call_function("graft_timeuuid_ts", c)
+
+  /** en_US collation key bytes of a string. */
+  def collationKey(c: Column): Column = call_function("graft_collation_key", c)
+
+  /** OdklDomainPartitioner token string of a string key. */
+  def odklDomainToken(c: Column): Column = call_function("graft_odkl_domain_token", c)
+}

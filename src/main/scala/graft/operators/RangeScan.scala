@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.{PartitionerType, Tokens}
+
+/** Key/token range scans (SURVEY §2.4 `getKeyRange`,
+  * db/ColumnFamilyStore.java:1125-1239) and split computation
+  * (`describe_splits` → StorageService.getSplits, consumed by
+  * hadoop/ColumnFamilyInputFormat.java:147-192).
+  *
+  * Semantics (thrift:233-246): a KeyRange holds either
+  *  - start_key/end_key — BOUNDS: start-inclusive, end-inclusive; or
+  *  - start_token/end_token — RANGE: start-EXCLUSIVE, end-inclusive, and it
+  *    may wrap around the ring (dht/Range.java `isWrapAround`), in which
+  *    case the planner splits it into two ordinary scans (SURVEY §2.8
+  *    `getRestrictedRanges`).
+  * Keys surface in token order; `count` limits the number of KEYS.
+  */
+object RangeScan {
+
+  /** Token-range predicate: start-EXCLUSIVE, end-inclusive; a wrap-around
+    * range (start >= end — dht/Range.java `isWrapAround`) is split into two
+    * ordinary ranges: (start, MAX] ∪ (MIN, end].
+    */
+  def tokenRangePredicate(token: Column, start: Option[Column], end: Option[Column]): Column =
+    (start, end) match {
+      case (None, None) => lit(true)
+      case (Some(s), None) => token > s
+      case (None, Some(e)) => token <= e
+      case (Some(s), Some(e)) =>
+        (s < e && token > s && token <= e) ||
+          (s >= e && (token > s || token <= e))
+    }
+
+  /** Key-BOUNDS predicate: start-key-inclusive, end-key-inclusive
+    * (thrift:233-239; dht/Bounds.java vs Range.java distinction).
+    */
+  def keyBoundsPredicate(key: Column, startKey: Option[String], endKey: Option[String]): Column = {
+    val lo = startKey.filter(_.nonEmpty).map(key >= _).getOrElse(lit(true))
+    val hi = endKey.filter(_.nonEmpty).map(key <= _).getOrElse(lit(true))
+    lo && hi
+  }
+
+  /** Keep only the first `maxKeys` keys in token order — the reference's
+    * per-scan key limit (ColumnFamilyStore.getKeyRange maxResults,
+    * :1219-1222), while retaining every cell of each selected key.
+    *
+    * Scale note: the selected-key set is computed as a distributed top-K
+    * (TakeOrderedAndProject over the distinct keys) and then applied with a
+    * broadcast semi-join — NOT a global window over the cells, which would
+    * funnel the whole scan through one partition.
+    */
+  def limitKeys(df: DataFrame, maxKeys: Int): DataFrame = {
+    val picked = df
+      .select(col("token"), col("key"))
+      .distinct()
+      .orderBy(col("token"), col("key"))
+      .limit(maxKeys)
+      .select(col("key"))
+    df.join(broadcast(picked), Seq("key"), "left_semi")
+  }
+
+  /** describe_splits(n): decompose the key population into n contiguous
+    * token ranges of ~equal key count — exact ntile quantiles (deterministic,
+    * so it is SQL-oracle checkable; the reference samples its key index
+    * instead, StorageService.getSplits). The global window runs over the
+    * DISTINCT KEY projection (|keys|, after a map-side distinct), not the
+    * cells; at 100 TB the sampled path is `repartitionByRange(n, token)`,
+    * which this method's output co-locates with.
+    */
+  def describeSplits(live: DataFrame, n: Int): DataFrame = {
+    val keys = live.select(col("token"), col("key")).distinct()
+    val w = Window.orderBy(col("token"), col("key"))
+    keys
+      .withColumn("split_id", ntile(n).over(w))
+      .groupBy(col("split_id"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        min(col("key")).as("start_key"),
+        max(col("key")).as("end_key"))
+  }
+}

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Merge & reconciliation operators (SURVEY §2.3) — the heart of the engine.
+  *
+  * The reference merges N versions of each column (memtables + SSTables +
+  * replicas) with a deterministic, order-insensitive priority rule
+  * (db/Column.java:196-210 `comparePriority`):
+  *   1. the tombstone wins timestamp ties;
+  *   2. otherwise the higher timestamp wins;
+  *   3. equal-timestamp live columns tie-break on unsigned value bytes
+  *      (FBUtilities.compareByteArrays — greater value wins).
+  *
+  * Spark realization: `max(struct(ts, tombstone::int, value))` — struct
+  * comparison evaluates the fields in order, and Spark's BinaryType
+  * comparison is unsigned lexicographic, so the struct maximum IS
+  * comparePriority. A single hash aggregation with map-side partial
+  * aggregation; no custom code in the hot path, full whole-stage codegen.
+  *
+  * Container tombstones (row-level / supercolumn-level deletes,
+  * db/ColumnFamilyStore.java:663-717 `removeDeleted*`) shadow any column
+  * whose timestamp is <= the container's markedForDeleteAt. They are carried
+  * as marker cells (`col_name IS NULL`) and applied by joining each cell
+  * against the per-key (and per-supercolumn) maximum deletion timestamp.
+  */
+object Reconcile {
+
+  /** comparePriority as an orderable struct. `value` is coalesced to the
+    * empty array: a NULL inside a struct would otherwise sort *below*
+    * non-null and could flip an equal-ts tie the wrong way.
+    */
+  private def priority =
+    struct(
+      col("ts"),
+      col("tombstone").cast("int").as("tb"),
+      coalesce(col("value"), lit(Array.emptyByteArray)).as("value"),
+      col("local_del_time").as("ldt"))
+
+  /** One winning version per (key, super_name, col_name), tombstones
+    * included (the caller decides whether to GC or surface them).
+    * Marker cells (col_name NULL) pass through reduced the same way.
+    *
+    * Exactly one shuffle; partial aggregation runs map-side, so at 100 TB
+    * the shuffled volume is one cell per distinct column per map partition,
+    * not one per version.
+    */
+  def latestCells(cells: DataFrame): DataFrame = {
+    cells
+      .groupBy(col("key"), col("super_name"), col("col_name"))
+      .agg(max(priority).as("w"))
+      .select(
+        col("key"),
+        col("super_name"),
+        col("col_name"),
+        col("w.value").as("value"),
+        col("w.ts").as("ts"),
+        (col("w.tb") === 1).as("tombstone"),
+        col("w.ldt").as("local_del_time"))
+  }
+
+  /** Row-level deletion horizon per key: (key, row_del_ts, row_del_ldt).
+    * Marker = col_name NULL and super_name NULL
+    * (ColumnFamily.markedForDeleteAt, db/ColumnFamily.java:233-252).
+    */
+  def rowTombstones(cells: DataFrame): DataFrame =
+    cells
+      .filter(col("col_name").isNull && col("super_name").isNull && col("tombstone"))
+      .groupBy(col("key"))
+      .agg(max(struct(col("ts"), col("local_del_time"))).as("w"))
+      .select(col("key"), col("w.ts").as("row_del_ts"), col("w.local_del_time").as("row_del_ldt"))
+
+  /** Supercolumn-level deletion horizon per (key, super_name)
+    * (SuperColumn.markedForDeleteAt, db/SuperColumn.java:84-92).
+    */
+  def superTombstones(cells: DataFrame): DataFrame =
+    cells
+      .filter(col("col_name").isNull && col("super_name").isNotNull && col("tombstone"))
+      .groupBy(col("key"), col("super_name"))
+      .agg(max(struct(col("ts"), col("local_del_time"))).as("w"))
+      .select(
+        col("key"), col("super_name"),
+        col("w.ts").as("sc_del_ts"), col("w.local_del_time").as("sc_del_ldt"))
+
+  /** Drop cells shadowed by their containing row / supercolumn tombstone:
+    * keep a column iff ts > max(row_del_ts, sc_del_ts)
+    * (db/ColumnFamilyStore.java:663-717: `column.timestamp() <=
+    * cf.getMarkedForDeleteAt()` ⇒ removed; subcolumns additionally against
+    * the supercolumn's markedForDeleteAt).
+    *
+    * The tombstone-marker sets are tiny relative to the data (they are
+    * deletes, not data); Spark/AQE broadcasts them when small, otherwise
+    * this is a shuffle join on the same `key` the caller already groups by.
+    */
+  def shadowByContainers(cells: DataFrame): DataFrame = {
+    val rowDel = rowTombstones(cells)
+    val scDel = superTombstones(cells)
+    cells
+      .filter(col("col_name").isNotNull)
+      .join(rowDel, Seq("key"), "left")
+      // null super_name never equi-joins ⇒ standard cells skip SC horizon — correct
+      .join(scDel, Seq("key", "super_name"), "left")
+      .filter(
+        col("ts") > coalesce(
+          greatest(col("row_del_ts"), col("sc_del_ts")),
+          lit(Long.MinValue)))
+      .drop("row_del_ts", "row_del_ldt", "sc_del_ts", "sc_del_ldt")
+  }
+
+  /** The user-visible reconciled LIVE view: LWW per column, container
+    * shadowing applied, tombstones consumed. This is the dataframe every
+    * read operator (get / get_slice / get_count / get_range_slices) runs on.
+    */
+  def liveView(cells: DataFrame): DataFrame =
+    shadowByContainers(latestCells(cells)).filter(!col("tombstone"))
+
+  /** Compaction output view (SURVEY §2.7): winning versions with tombstones
+    * RETAINED unless expired — a tombstone (column-level or marker) is
+    * purged only when local_del_time < gcBefore (db/CompactionManager.java:
+    * 636-643; gcBefore = now - gcGraceSeconds). Shadowed live cells are
+    * dropped outright (they lost to a container delete).
+    */
+  def compacted(cells: DataFrame, gcBeforeSeconds: Int): DataFrame = {
+    val latest = latestCells(cells)
+    val live = shadowByContainers(latest)
+    val keptColumns = live.filter(
+      !col("tombstone") || col("local_del_time") >= gcBeforeSeconds)
+    // container markers survive GC the same way (ColumnFamilyStore.removeDeleted)
+    val keptMarkers = latest.filter(
+      col("col_name").isNull && col("local_del_time") >= gcBeforeSeconds)
+    keptColumns.unionByName(keptMarkers)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{CfMeta, Comparators, Tokens}
+
+/** The SSTable analog (SURVEY §2.4): immutable sorted parquet runs.
+  *
+  * Write layout mirrors what made SSTables fast and maps it onto what makes
+  * parquet scans fast at 100 TB:
+  *  - range-partitioned by token (ring placement ⇒ partition pruning for
+  *    token/key ranges, `repartitionByRange` co-locates each key's cells);
+  *  - sorted within partitions by (token, key, super_name-sortkey,
+  *    col_name-sortkey) ⇒ parquet page min/max stats prune row groups for
+  *    key point-reads and column slices — the IndexSummary + 64KB column
+  *    index of io/SSTableReader.java:399-560, for free;
+  *  - parquet bloom filters on `key` (row bloom, utils/BloomFilter.java) and
+  *    `col_name` (the fork's column-level blooms, io/BloomFilterWriter.java).
+  *
+  * Merge-on-read: a read unions base runs with the in-memory delta
+  * ("memtable") and reconciles — db/ColumnFamilyStore.getTopLevelColumns'
+  * collated merge is replaced by unionByName + the Reconcile aggregate.
+  */
+object CellStore {
+
+  def write(cells: DataFrame, meta: CfMeta, path: String, numPartitions: Int = 32): Unit = {
+    val sk = Comparators.sortKey(meta.comparator, col("col_name"))
+    cells
+      .withColumn("token", Tokens.token(meta.partitioner, col("key")))
+      .repartitionByRange(numPartitions, col("token"), col("key"))
+      .sortWithinPartitions(col("token"), col("key"), col("super_name"), sk)
+      .drop("token")
+      .write
+      .option("parquet.bloom.filter.enabled#key", "true")
+      .option("parquet.bloom.filter.enabled#col_name", "true")
+      .mode("overwrite")
+      .parquet(path)
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Read view over base runs + an unflushed delta (memtable analog). */
+  def mergeOnRead(base: DataFrame, delta: DataFrame): DataFrame =
+    base.unionByName(delta)
+}
