@@ -1,13 +1,381 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.api.CassandraLens
+import graft.functions.{ExprHelpers, GraftFunctions}
+import graft.functions.GraftFunctions.beLong
+import graft.model._
+import graft.operators._
+import graft.sources.CellEncodings
+import graft.sources.CellEncodings._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry runs a SURVEY §2 operator of the Spark-native engine over a
+  * deterministic cell encoding of the driver's parquet tables
+  * (CellEncodings), and has a DuckDB-SQL oracle computing the identical
+  * reconciled result.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  // ---- shared fixture lenses ----
+
+  private def ordersRawLens(s: SparkSession, dir: String): CassandraLens =
+    new CassandraLens(ordersCells(s, dir), ordersMeta)
+
+  /** orders cells + tombstones deleting every status-'F' order (LWW). */
+  private def ordersLiveLens(s: SparkSession, dir: String,
+      partitioner: PartitionerType.Value = PartitionerType.OrderPreserving): CassandraLens =
+    new CassandraLens(
+      ordersCells(s, dir).unionByName(ordersStatusFTombstones(s, dir)),
+      ordersMeta.copy(partitioner = partitioner))
+
+  // ---- output decoders (cells → oracle-comparable typed columns) ----
+
+  private def ordersDecoded(df: DataFrame): DataFrame =
+    df.select(
+      col("key").cast("bigint").as("custkey"),
+      beLong(col("col_name")).as("orderkey"),
+      decode(col("value"), "UTF-8").as("status"))
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * a reconciled range slice (merge → LWW → shadow → slice → per-key limit)
+    * over the orders cell store.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val lens = ordersLiveLens(spark, "/root/testdata/sf0.001")
+    ordersDecoded(lens.rangeSliceByKeys(None, None, None, SliceRange(count = 5), Int.MaxValue))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q1 `get` (thrift:300-304): point lookup of one column after reconcile.
+    "q01_get" -> ((s, dir) => {
+      val lens = ordersLiveLens(s, dir)
+      val minCust = table(s, dir, "orders").agg(min("o_custkey")).first().getLong(0)
+      val key = f"$minCust%010d"
+      val maxOkRow = table(s, dir, "orders")
+        .filter(col("o_custkey") === minCust && col("o_orderstatus") =!= "F")
+        .agg(max("o_orderkey")).first()
+      val maxOk = if (maxOkRow.isNullAt(0)) -1L else maxOkRow.getLong(0)
+      ordersDecoded(lens.get(key, None, ExprHelpers.longBytes(maxOk)))
+    }),
+
+    // Q2 get_slice by NAMES (NamesQueryFilter, db/filter/NamesQueryFilter.java:31-91).
+    "q02_slice_names" -> ((s, dir) => {
+      val lens = ordersLiveLens(s, dir)
+      val minCust = table(s, dir, "orders").agg(min("o_custkey")).first().getLong(0)
+      val key = f"$minCust%010d"
+      val names = table(s, dir, "orders")
+        .filter(col("o_custkey") === minCust && col("o_orderkey") % 3 === 0)
+        .select("o_orderkey").collect().map(_.getLong(0)).sorted
+      if (names.isEmpty) ordersDecoded(lens.live).filter(lit(false))
+      else ordersDecoded(lens.getSlice(key, None, SliceByNames(names.map(ExprHelpers.longBytes).toSeq)))
+    }),
+
+    // Q2/Q4 slice RANGE with per-key live-count limit over every key
+    // (SliceQueryFilter semantics, db/filter/SliceQueryFilter.java:39-148).
+    "q03_slice_per_key" -> ((s, dir) => {
+      val lens = ordersLiveLens(s, dir)
+      ordersDecoded(lens.rangeSliceByKeys(None, None, None, SliceRange(count = 3), Int.MaxValue))
+    }),
+
+    // Q2 REVERSED slice (SliceRange.reversed, thrift:202-213).
+    "q04_slice_reversed" -> ((s, dir) => {
+      val lens = ordersLiveLens(s, dir)
+      ordersDecoded(lens.rangeSliceByKeys(None, None, None,
+        SliceRange(reversed = true, count = 2), Int.MaxValue))
+    }),
+
+    // Q5 get_count: live column count per key (CassandraServer.java:321-333).
+    "q05_get_count" -> ((s, dir) => {
+      val lens = ordersLiveLens(s, dir)
+      lens.getCountAll.select(col("key").cast("bigint").as("custkey"), col("n"))
+    }),
+
+    // Q6 get_range_slices over key BOUNDS (start/end inclusive) with key
+    // limit + per-key slice (ColumnFamilyStore.getKeyRange, :1125-1239).
+    "q06_range_bounds" -> ((s, dir) => {
+      val lens = ordersLiveLens(s, dir)
+      ordersDecoded(lens.rangeSliceByKeys(Some("0000000100"), Some("0000000300"),
+        None, SliceRange(count = 2), 50))
+    }),
+
+    // Q6 over the fork's OdklDomainPartitioner token order (domain-sharded
+    // placement, dht/OdklDomainPartitioner.java:36-120).
+    "q07_range_domain" -> ((s, dir) => {
+      val lens = ordersLiveLens(s, dir, PartitionerType.OdklDomain)
+      ordersDecoded(lens.rangeSliceByToken(Some(lit("42")), Some(lit("60")),
+        None, SliceRange(count = 1), 40))
+    }),
+
+    // Q6 over hash-token order (RandomPartitioner shape; md5-hex variant so
+    // the oracle can compute identical tokens).
+    "q08_range_md5" -> ((s, dir) => {
+      val lens = ordersLiveLens(s, dir, PartitionerType.Md5Hex)
+      val start = org.apache.spark.sql.functions.md5(encode(lit("0000000050"), "UTF-8"))
+      ordersDecoded(lens.rangeSliceByToken(Some(start), None, None, SliceRange(count = 1), 20))
+    }),
+
+    // Q8/Q9 deletion matrix: column tombstones + whole-ROW tombstone
+    // markers shadowing older cells (removeDeleted semantics,
+    // db/ColumnFamilyStore.java:663-717).
+    "q09_row_tombstones" -> ((s, dir) => {
+      val lens = ordersLiveLens(s, dir)
+      val rowDels = Mutations.asRowDeletes(
+        table(s, dir, "orders")
+          .filter(col("o_custkey") % 10 === 0)
+          .select(key10(col("o_custkey")).as("key")).distinct()
+          .withColumn("ts", lit(804556800000L)), // 1995-07-01 UTC millis
+        localDeletionTimeSec = 2000000000)
+      ordersDecoded(lens.batchMutate(rowDels)
+        .rangeSliceByKeys(None, None, None, SliceRange(count = Int.MaxValue), Int.MaxValue))
+    }),
+
+    // Super-CF top-level slice: first 3 supercolumns per key, all
+    // subcolumns (SliceQueryFilter.filterSuperColumn, :66-96).
+    "q10_super_slice" -> ((s, dir) => {
+      val lens = new CassandraLens(lineitemSuperCells(s, dir), lineitemSuperMeta)
+      lens.rangeSliceByKeys(Some("0000000001"), Some("0000000500"),
+        None, SliceRange(count = 3), 100)
+        .select(
+          col("key").cast("bigint").as("orderkey"),
+          beLong(col("super_name")).as("linenumber"),
+          beLong(col("col_name")).as("ordinal"),
+          decode(col("value"), "UTF-8").as("val"))
+    }),
+
+    // Q5 get_count on a super CF: counts SUPERCOLUMNS per key.
+    "q11_count_super" -> ((s, dir) => {
+      val lens = new CassandraLens(lineitemSuperCells(s, dir), lineitemSuperMeta)
+      lens.getCountAll.select(col("key").cast("bigint").as("orderkey"), col("n"))
+    }),
+
+    // Q11 describe_splits: n contiguous token ranges of ~equal key count
+    // (CassandraServer.java:644-655 → StorageService.getSplits).
+    "q12_describe_splits" -> ((s, dir) => {
+      val lens = ordersLiveLens(s, dir)
+      lens.describeSplits(8)
+        .select(col("split_id").cast("bigint").as("split_id"), col("n_keys"),
+          col("start_key"), col("end_key"))
+    }),
+
+    // Q7 upsert + LWW priority matrix (db/Column.java:196-210): higher ts
+    // wins; equal-ts live columns tie-break on greater value bytes.
+    "q13_upsert_lww" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      def up(pred: Column, v: String, dts: Long) = Mutations.asInserts(
+        o.filter(pred).select(
+          key10(col("o_custkey")).as("key"),
+          graft.functions.GraftFunctions.beBytes(col("o_orderkey")).as("col_name"),
+          encode(lit(v), "UTF-8").as("value"),
+          (unix_millis(col("o_orderdate").cast("timestamp")) + dts).as("ts")))
+      val lens = ordersRawLens(s, dir).batchMutate(
+        up(col("o_custkey") % 7 === 0, "X", 2L),
+        up(col("o_custkey") % 13 === 0, "Z", 0L),
+        up(col("o_custkey") % 17 === 0, "A", 0L))
+      ordersDecoded(lens.rangeSliceByKeys(None, None, None, SliceRange(count = Int.MaxValue), Int.MaxValue))
+    }),
+
+    // Fork FreshTimestampType comparator: newest-first column order —
+    // slice count=2 ⇒ "latest 2 events per user"
+    // (db/marshal/FreshTimestampType.java:22-60).
+    "q14_fresh_latest" -> ((s, dir) => {
+      val lens = new CassandraLens(eventsFreshCells(s, dir), eventsFreshMeta)
+      lens.rangeSliceByKeys(None, None, None, SliceRange(count = 2), Int.MaxValue)
+        .select(
+          col("key").cast("bigint").as("uid"),
+          // µs precision: DuckDB 1.0 reads parquet ns-timestamps as µs
+          expr("graft_be_long(col_name) div 1000").as("ts_us"),
+          decode(col("value"), "UTF-8").as("etype"))
+    }),
+
+    // Event-time tumbling-window aggregation (streaming-shaped analytics
+    // over the events table; Structured Streaming runs the same plan).
+    "q15_events_window" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      table(s, dir, "events")
+        .groupBy(expr("ts div 3600000000000").as("hour_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+    }),
+
+    // Broadcast-join enrichment rollup (analytics-connector shape: small
+    // dims broadcast, fact shuffled once into the aggregate).
+    "q16_enrich_join" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val n = table(s, dir, "nation")
+      val r = table(s, dir, "region")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+    }),
+
+    // Plain aggregation pushdown sanity (driver's stub example).
+    "q1_agg" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+    }))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_get" ->
+      """WITH mk AS (SELECT min(o_custkey) AS k FROM orders),
+        |live AS (SELECT o.* FROM orders o, mk WHERE o.o_custkey = mk.k AND o.o_orderstatus <> 'F')
+        |SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
+        |       o_orderstatus AS status
+        |FROM live WHERE o_orderkey = (SELECT max(o_orderkey) FROM live)""".stripMargin,
+
+    "q02_slice_names" ->
+      """WITH mk AS (SELECT min(o_custkey) AS k FROM orders)
+        |SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
+        |       o_orderstatus AS status
+        |FROM orders, mk
+        |WHERE o_custkey = mk.k AND o_orderkey % 3 = 0 AND o_orderstatus <> 'F'""".stripMargin,
+
+    "q03_slice_per_key" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+        |  FROM orders WHERE o_orderstatus <> 'F')
+        |SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
+        |       o_orderstatus AS status
+        |FROM r WHERE rn <= 3""".stripMargin,
+
+    "q04_slice_reversed" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders WHERE o_orderstatus <> 'F')
+        |SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
+        |       o_orderstatus AS status
+        |FROM r WHERE rn <= 2""".stripMargin,
+
+    "q05_get_count" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS custkey, count(*) AS n
+        |FROM orders WHERE o_orderstatus <> 'F' GROUP BY 1""".stripMargin,
+
+    "q06_range_bounds" ->
+      """WITH live AS (
+        |  SELECT lpad(CAST(o_custkey AS VARCHAR),10,'0') AS k, o_custkey, o_orderkey, o_orderstatus
+        |  FROM orders WHERE o_orderstatus <> 'F' AND o_custkey BETWEEN 100 AND 300),
+        |pick AS (SELECT k FROM (SELECT DISTINCT k FROM live) ORDER BY k LIMIT 50),
+        |r AS (SELECT l.*, row_number() OVER (PARTITION BY l.k ORDER BY l.o_orderkey) AS rn
+        |      FROM live l JOIN pick USING (k))
+        |SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
+        |       o_orderstatus AS status
+        |FROM r WHERE rn <= 2""".stripMargin,
+
+    "q07_range_domain" ->
+      """WITH live AS (
+        |  SELECT lpad(CAST(o_custkey AS VARCHAR),10,'0') AS k, o_custkey, o_orderkey, o_orderstatus
+        |  FROM orders WHERE o_orderstatus <> 'F'),
+        |tk AS (SELECT k, substr(k,9,2) || k AS token FROM (SELECT DISTINCT k FROM live)),
+        |pick AS (SELECT k FROM tk WHERE token > '42' AND token <= '60' ORDER BY token, k LIMIT 40),
+        |r AS (SELECT l.*, row_number() OVER (PARTITION BY l.k ORDER BY l.o_orderkey) AS rn
+        |      FROM live l JOIN pick USING (k))
+        |SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
+        |       o_orderstatus AS status
+        |FROM r WHERE rn <= 1""".stripMargin,
+
+    "q08_range_md5" ->
+      """WITH live AS (
+        |  SELECT lpad(CAST(o_custkey AS VARCHAR),10,'0') AS k, o_custkey, o_orderkey, o_orderstatus
+        |  FROM orders WHERE o_orderstatus <> 'F'),
+        |tk AS (SELECT k, md5(k) AS token FROM (SELECT DISTINCT k FROM live)),
+        |pick AS (SELECT k FROM tk WHERE token > md5('0000000050') ORDER BY token, k LIMIT 20),
+        |r AS (SELECT l.*, row_number() OVER (PARTITION BY l.k ORDER BY l.o_orderkey) AS rn
+        |      FROM live l JOIN pick USING (k))
+        |SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
+        |       o_orderstatus AS status
+        |FROM r WHERE rn <= 1""".stripMargin,
+
+    "q09_row_tombstones" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
+        |       o_orderstatus AS status
+        |FROM orders
+        |WHERE o_orderstatus <> 'F'
+        |  AND NOT (o_custkey % 10 = 0 AND epoch_ms(o_orderdate) <= 804556800000)""".stripMargin,
+
+    // NOTE: lineitem contains duplicate (l_orderkey, l_linenumber) rows —
+    // the engine LWW-merges equal-ts duplicates per subcolumn (greater value
+    // bytes win, db/Column.java:205-207), so the oracle reconciles with
+    // max(val) per (key, super, ordinal) too.
+    "q10_super_slice" ->
+      """WITH pick AS (
+        |  SELECT l_orderkey FROM (SELECT DISTINCT l_orderkey FROM lineitem
+        |                          WHERE l_orderkey BETWEEN 1 AND 500)
+        |  ORDER BY l_orderkey LIMIT 100),
+        |li AS (SELECT l.* FROM lineitem l JOIN pick USING (l_orderkey)),
+        |u AS (
+        |  SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |         1 AS ordinal, CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS val FROM li
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber,
+        |         2, CAST(CAST(round(l_extendedprice*100) AS BIGINT) AS VARCHAR) FROM li
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber,
+        |         3, CAST(CAST(round(l_discount*100) AS BIGINT) AS VARCHAR) FROM li
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 4, l_returnflag FROM li),
+        |m AS (SELECT ok, ln, ordinal, max(val) AS val FROM u GROUP BY 1, 2, 3),
+        |r AS (SELECT *, dense_rank() OVER (PARTITION BY ok ORDER BY ln) AS dr FROM m)
+        |SELECT CAST(ok AS BIGINT) AS orderkey, CAST(ln AS BIGINT) AS linenumber,
+        |       CAST(ordinal AS BIGINT) AS ordinal, val
+        |FROM r WHERE dr <= 3""".stripMargin,
+
+    "q11_count_super" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS orderkey, count(DISTINCT l_linenumber) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q12_describe_splits" ->
+      """WITH k AS (SELECT DISTINCT lpad(CAST(o_custkey AS VARCHAR),10,'0') AS key
+        |           FROM orders WHERE o_orderstatus <> 'F'),
+        |t AS (SELECT key, ntile(8) OVER (ORDER BY key) AS split_id FROM k)
+        |SELECT CAST(split_id AS BIGINT) AS split_id, count(*) AS n_keys,
+        |       min(key) AS start_key, max(key) AS end_key
+        |FROM t GROUP BY 1""".stripMargin,
+
+    "q13_upsert_lww" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
+        |       CASE WHEN o_custkey % 7 = 0 THEN 'X'
+        |            WHEN o_custkey % 13 = 0 THEN 'Z'
+        |            WHEN o_custkey % 17 = 0 THEN greatest(o_orderstatus, 'A')
+        |            ELSE o_orderstatus END AS status
+        |FROM orders""".stripMargin,
+
+    "q14_fresh_latest" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS tus, max(event_type) AS etype
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY tus DESC) AS rn FROM c)
+        |SELECT CAST(user_id AS BIGINT) AS uid, tus AS ts_us, etype FROM r WHERE rn <= 2""".stripMargin,
+
+    "q15_events_window" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,
+        |       count(*) AS n, sum(CAST(round(value*100) AS BIGINT)) AS sum_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q16_enrich_join" ->
+      """SELECT r_name AS region, n_name AS nation, count(*) AS n_orders,
+        |       sum(CAST(round(o_totalprice*100) AS BIGINT)) AS rev_cents
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q1_agg" ->
+      "SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1")
 }

@@ -92,6 +92,11 @@ class CassandraLens(val cells: DataFrame, val meta: CfMeta) {
         Slice(live.filter(col("super_name").isNull), topCmp, "col_name", pred)
     }
 
+  /** Q5 `get_count` over every key (the hadoop-connector-style full scan
+    * shape): live top-level-entity count per key.
+    */
+  def getCountAll: DataFrame = Slice.count(live, meta.isSuper)
+
   /** Q5 `get_count` (thrift:342-346): live column count per key. */
   def getCount(keys: Seq[String], superName: Option[Array[Byte]]): DataFrame = {
     val keyPred = col("key").isin(keys: _*)

@@ -57,6 +57,12 @@ object PartitionerType extends Enumeration {
   val OrderPreserving = Value
   /** last-2-hex-chars "domain" moved to front — dht/OdklDomainPartitioner.java:36-120 (fork) */
   val OdklDomain = Value
+  /** md5 hex-string token: same hash placement idea as Random but without
+    * the BigInteger.abs() fold, so any SQL engine computes the identical
+    * token — used by oracle-checked scans; abs() ordering is covered by
+    * property tests.
+    */
+  val Md5Hex = Value
 }
 
 /** Per-column-family metadata (config/CFMetaData.java:30-88). */

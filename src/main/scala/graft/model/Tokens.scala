@@ -23,6 +23,8 @@ object Tokens {
     case PartitionerType.OdklDomain =>
       // 2-hex-char domain moved to front (fork dht/OdklDomainPartitioner.java:36-120)
       odklDomainToken(key)
+    case PartitionerType.Md5Hex =>
+      md5HexToken(key)
   }
 
   /** Hex-string md5 token — same ordering as [[PartitionerType.Random]]

@@ -54,6 +54,7 @@ object RangeScan {
     * funnel the whole scan through one partition.
     */
   def limitKeys(df: DataFrame, maxKeys: Int): DataFrame = {
+    if (maxKeys == Int.MaxValue) return df // unbounded scan: no top-K step
     val picked = df
       .select(col("token"), col("key"))
       .distinct()

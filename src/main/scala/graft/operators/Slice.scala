@@ -55,12 +55,15 @@ object Slice {
       var out = live.withColumn("_sk", sk)
       if (lo.nonEmpty) out = out.filter(col("_sk") >= skLit(lo))
       if (hi.nonEmpty) out = out.filter(col("_sk") <= skLit(hi))
-      val order = if (reversed) col("_sk").desc_nulls_last else col("_sk").asc_nulls_first
-      val w = Window.partitionBy(perKey.map(col): _*).orderBy(order)
-      out
-        .withColumn("_rank", dense_rank().over(w))
-        .filter(col("_rank") <= count)
-        .drop("_rank")
+      if (count == Int.MaxValue) out.drop("_sk") // unlimited slice: skip the rank
+      else {
+        val order = if (reversed) col("_sk").desc_nulls_last else col("_sk").asc_nulls_first
+        val w = Window.partitionBy(perKey.map(col): _*).orderBy(order)
+        out
+          .withColumn("_rank", dense_rank().over(w))
+          .filter(col("_rank") <= count)
+          .drop("_rank", "_sk")
+      }
   }
 
   /** Live top-level-entity count per key — get_count (thrift:342-346,

@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local dev harness mirroring the driver's correctness gate:
+runs DuckDB on each oracle_sql.json entry over the sf tables and compares
+against the parquet the engine's Verify main dumped.
+
+Usage: python3 tools/check_oracle.py <sfDir> <outDir>
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(rows, cols):
+    # driver compare: sort columns by name, then sort rows; stringify values
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in idx:
+            v = r[i]
+            if isinstance(v, float):
+                v = f"{v:.6g}"
+            vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failed = []
+    for name, sql in sorted(oracle.items()):
+        try:
+            ocur = con.execute(sql)
+            ocols = [d[0].lower() for d in ocur.description]
+            orows = ocur.fetchall()
+            gcur = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            gcols = [d[0].lower() for d in gcur.description]
+            grows = gcur.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            failed.append(name)
+            continue
+        if sorted(ocols) != sorted(gcols):
+            print(f"FAIL {name}: cols oracle={sorted(ocols)} got={sorted(gcols)}")
+            failed.append(name)
+            continue
+        oc, gc = canon(orows, ocols), canon(grows, gcols)
+        if oc != gc:
+            print(f"FAIL {name}: rows oracle={len(oc)} got={len(gc)}")
+            o_only = [r for r in oc if r not in set(gc)][:3]
+            g_only = [r for r in gc if r not in set(oc)][:3]
+            print(f"  oracle-only: {o_only}")
+            print(f"  engine-only: {g_only}")
+            failed.append(name)
+        else:
+            print(f"PASS {name} ({len(gc)} rows)")
+    print(f"\n{len(oracle) - len(failed)}/{len(oracle)} passed")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
