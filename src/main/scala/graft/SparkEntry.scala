@@ -225,6 +225,114 @@ object SparkEntry {
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(sum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // ---- training-data pipeline operators (SURVEY extension) ----
+
+    // Exact dedup: representative id + copy count per normalized text.
+    "p01_dedup_exact" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Dedup.exact(table(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // Document fingerprint: md5 of whitespace-normalized lowercase text.
+    "p02_fingerprint" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      table(s, dir, "documents").select(col("doc_id"),
+        graft.pipeline.TextAnalysis.fingerprint(col("text")).as("fp"))
+    }),
+
+    // Token counting (whitespace tokenizer).
+    "p03_token_count" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      table(s, dir, "documents").select(col("doc_id"),
+        graft.pipeline.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    }),
+
+    // Quality scoring: integer char-class features + keep flag.
+    "p04_quality" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val t = graft.pipeline.TextAnalysis
+      table(s, dir, "documents").select(col("doc_id"),
+        t.nChars(col("text")).as("n_chars"),
+        t.nAlpha(col("text")).as("n_alpha"),
+        t.nDigit(col("text")).as("n_digit"),
+        t.nWhitespace(col("text")).as("n_ws"),
+        t.keepFlag(col("text")).as("keep"))
+    }),
+
+    // Language id: stopword-score argmax (deterministic tie-break).
+    "p05_langid" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      table(s, dir, "documents").select(col("doc_id"),
+        graft.pipeline.TextAnalysis.langId(col("text")).as("pred_lang"))
+    }),
+
+    // n-gram Jaccard near-duplicate pairs (exact, candidates by shared
+    // shingle): word-3-grams, threshold 0.8 in integer arithmetic.
+    "p06_jaccard_neardup" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Dedup.nearDuplicates(table(s, dir, "documents"),
+        "doc_id", "text", n = 3, num = 4, den = 5)
+        .select(col("ia"), col("ib"), col("inter"), col("uni"))
+    }),
+
+    // MinHash+LSH near-dups, exact-verified: must equal the brute-force
+    // result at threshold 0.8 (recall via 32 hashes × 8 bands, precision
+    // via exact verification of candidates).
+    "p07_minhash_lsh" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Dedup.minhashNearDuplicates(table(s, dir, "documents"),
+        "doc_id", "text", n = 3, numHashes = 32, bands = 8, num = 4, den = 5)
+        .select(col("ia"), col("ib"), col("inter"), col("uni"))
+    }),
+
+    // SimHash 64-bit sketches (hash-dependent: rows-only check).
+    "p08_simhash" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Dedup.simhash(table(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("simhash"))
+    }),
+
+    // Brute-force cosine top-10 for query vector vec_id=0.
+    "p09_ann_topk" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+      graft.pipeline.Similarity.bruteForceTopK(
+        e.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
+        .select(col("rank").cast("long").as("rank"), col("id").as("vec_id"))
+    }),
+
+    // IVF-style ANN: search only the query's coarse cell (label).
+    "p10_ann_ivf" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q"), col("label").as("qcell"))
+      graft.pipeline.Similarity.ivfTopK(
+        e.filter(col("vec_id") =!= 0), "vec_id", "embedding", "label", q, 10)
+        .select(col("rank").cast("long").as("rank"), col("id").as("vec_id"))
+    }),
+
+    // Embedding near-dup mining: most-similar pair per label cell.
+    "p11_embed_pairs" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Similarity.topPairPerCell(
+        table(s, dir, "embeddings"), "vec_id", "embedding", "label")
+        .select(col("cell").cast("long").as("cell"), col("ia"), col("ib"))
+    }),
+
+    // Multimodal plumbing: opaque binary column → batched feature
+    // extraction (decode step STUBBED — see Multimodal.decodeStub).
+    "p12_multimodal" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val media = table(s, dir, "documents").select(
+        col("doc_id").as("id"), col("source").as("kind"),
+        encode(col("text"), "UTF-8").as("media"))
+      graft.pipeline.Multimodal.featurize(media)
+        .select(col("id").as("doc_id"), col("kind"), col("n_bytes"),
+          col("header_hex"), col("content_hash"))
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -377,5 +485,98 @@ object SparkEntry {
         |GROUP BY 1, 2""".stripMargin,
 
     "q1_agg" ->
-      "SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1")
+      "SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1",
+
+    "p01_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))""".stripMargin,
+
+    "p02_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+
+    "p03_token_count" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n_tokens
+        |FROM documents""".stripMargin,
+
+    "p04_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        |  CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_ws,
+        |  (length(text) >= 50 AND 2 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) >= length(text)) AS keep
+        |FROM documents""".stripMargin,
+
+    "p05_langid" ->
+      """WITH s AS (SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|ein)\b')) AS s_de,
+        |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS s_en,
+        |  len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en)\b')) AS s_es,
+        |  len(regexp_extract_all(lower(text), '\b(le|la|de|et|les|un)\b')) AS s_fr
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_fr THEN 'es'
+        |       ELSE 'fr' END AS pred_lang
+        |FROM s""".stripMargin,
+
+    "p06_jaccard_neardup" ->
+      """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |g AS (SELECT id, unnest(list_transform(generate_series(1, len(toks)-2),
+        |                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |      FROM t WHERE len(toks) >= 3),
+        |d AS (SELECT DISTINCT id, sh FROM g),
+        |sz AS (SELECT id, count(*) AS sz FROM d GROUP BY 1),
+        |p AS (SELECT a.id AS ia, b.id AS ib, count(*) AS inter
+        |      FROM d a JOIN d b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+        |j AS (SELECT ia, ib, inter, sa.sz + sb.sz - inter AS uni
+        |      FROM p JOIN sz sa ON sa.id = ia JOIN sz sb ON sb.id = ib)
+        |SELECT ia, ib, inter, uni FROM j WHERE inter * 5 >= uni * 4""".stripMargin,
+
+    // claim under test: exact-verified LSH equals brute force at J>=0.8
+    "p07_minhash_lsh" ->
+      """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |g AS (SELECT id, unnest(list_transform(generate_series(1, len(toks)-2),
+        |                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |      FROM t WHERE len(toks) >= 3),
+        |d AS (SELECT DISTINCT id, sh FROM g),
+        |sz AS (SELECT id, count(*) AS sz FROM d GROUP BY 1),
+        |p AS (SELECT a.id AS ia, b.id AS ib, count(*) AS inter
+        |      FROM d a JOIN d b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+        |j AS (SELECT ia, ib, inter, sa.sz + sb.sz - inter AS uni
+        |      FROM p JOIN sz sa ON sa.id = ia JOIN sz sb ON sb.id = ib)
+        |SELECT ia, ib, inter, uni FROM j WHERE inter * 5 >= uni * 4""".stripMargin,
+
+    "p09_ann_topk" ->
+      """WITH s AS (SELECT vec_id,
+        |  list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS sim
+        |  FROM embeddings WHERE vec_id <> 0),
+        |r AS (SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank FROM s)
+        |SELECT rank, vec_id FROM r WHERE rank <= 10""".stripMargin,
+
+    "p10_ann_ivf" ->
+      """WITH s AS (SELECT vec_id,
+        |  list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS sim
+        |  FROM embeddings
+        |  WHERE vec_id <> 0 AND label = (SELECT label FROM embeddings WHERE vec_id = 0)),
+        |r AS (SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank FROM s)
+        |SELECT rank, vec_id FROM r WHERE rank <= 10""".stripMargin,
+
+    "p11_embed_pairs" ->
+      """WITH p AS (
+        |  SELECT a.label AS cell, a.vec_id AS ia, b.vec_id AS ib,
+        |         list_cosine_similarity(a.embedding, b.embedding) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |r AS (SELECT cell, ia, ib,
+        |        row_number() OVER (PARTITION BY cell ORDER BY sim DESC, ia, ib) AS rn FROM p)
+        |SELECT CAST(cell AS BIGINT) AS cell, ia, ib FROM r WHERE rn = 1""".stripMargin,
+
+    "p12_multimodal" ->
+      """SELECT doc_id, source AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  lower(substring(hex(encode(text)), 1, 16)) AS header_hex,
+        |  md5(text) AS content_hash
+        |FROM documents""".stripMargin)
 }

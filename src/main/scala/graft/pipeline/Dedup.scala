@@ -1,0 +1,163 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the 100 TB shape:
+  *  - exact: one hash-aggregate on the normalized text (map-side combine);
+  *  - n-gram Jaccard: candidates-by-shared-shingle join (never all-pairs);
+  *  - MinHash+LSH: signature → banded buckets → candidate pairs → EXACT
+  *    verification of candidates only (the classic recall/precision split);
+  *  - SimHash: 64-bit sign-sum sketch + banded near-match.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized text: representative = min(id), plus the
+    * duplicate count. One shuffle, partial-aggregated.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextAnalysis.normalized(col(textCol)).as("norm"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .drop("norm")
+
+  /** Distinct (id, shingle) pairs using word n-grams of the normalized
+    * text. Documents shorter than n tokens produce no shingles.
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("_toks"))
+    toks
+      .filter(size(col("_toks")) >= n)
+      .select(col("id"), explode(expr(
+        s"transform(sequence(1, size(_toks) - ${n - 1}), i -> concat_ws(' ', slice(_toks, i, $n)))"
+      )).as("sh"))
+      .distinct()
+  }
+
+  /** Pairwise n-gram Jaccard stats for every pair sharing ≥1 shingle:
+    * (ia, ib, inter, uni) with ia < ib. The shared-shingle equi-join is the
+    * candidate generator — pairs sharing nothing never materialize, so cost
+    * is Σ_shingle freq², not |docs|². (Skewed ultra-frequent shingles would
+    * dominate at scale; pass maxDocFreq to drop them — a standard LSH-side
+    * stoplist — at the cost of slightly under-counting inter.)
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val d = shingles(df, idCol, textCol, n)
+    val dd = maxDocFreq match {
+      case Some(f) =>
+        val freq = d.groupBy("sh").agg(count(lit(1)).as("_df")).filter(col("_df") <= f)
+        d.join(freq.select("sh"), Seq("sh"), "left_semi")
+      case None => d
+    }
+    val sizes = dd.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = dd.select(col("id").as("ia"), col("sh"))
+      .join(dd.select(col("id").as("ib"), col("sh")), Seq("sh"))
+      .filter(col("ia") < col("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnsRenamed(Map("id" -> "ia", "sz" -> "sza")), Seq("ia"))
+      .join(sizes.withColumnsRenamed(Map("id" -> "ib", "sz" -> "szb")), Seq("ib"))
+      .select(col("ia"), col("ib"), col("inter"),
+        (col("sza") + col("szb") - col("inter")).as("uni"))
+  }
+
+  /** Near-duplicate pairs with Jaccard ≥ num/den (integer arithmetic — no
+    * float threshold drift between engines).
+    */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String, n: Int,
+      num: Int, den: Int): DataFrame =
+    jaccardPairs(df, idCol, textCol, n)
+      .filter(col("inter") * den >= col("uni") * num)
+
+  /** MinHash signatures: numHashes seeded xxhash64 min-aggregates over the
+    * shingle set — one shuffle, all partial-aggregated, no UDFs.
+    */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.groupBy("id").agg(
+      min(xxhash64(lit(0), col("sh"))).as("h0"),
+      (1 until numHashes).map(k => min(xxhash64(lit(k), col("sh"))).as(s"h$k")): _*)
+
+  /** LSH candidate pairs: split the signature into `bands` bands of
+    * numHashes/bands rows, hash each band, bucket-join — pairs agreeing on
+    * at least one full band become candidates.
+    */
+  def lshCandidates(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(((b * r) until ((b + 1) * r)).map(k => col(s"h$k")): _*).as("bh"))
+    }
+    val exploded = sig.select(col("id"), explode(array(bandCols: _*)).as("bd"))
+      .select(col("id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+    exploded.select(col("id").as("ia"), col("band"), col("bh"))
+      .join(exploded.select(col("id").as("ib"), col("band"), col("bh")), Seq("band", "bh"))
+      .filter(col("ia") < col("ib"))
+      .select("ia", "ib").distinct()
+  }
+
+  /** Exact verification of candidate pairs only: join candidates back to
+    * the shingle sets, count intersections, attach set sizes. This is what
+    * keeps MinHash honest — reported pairs carry TRUE Jaccard stats.
+    */
+  def verifyCandidates(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.select(col("id").as("ia"), col("sh")), Seq("ia"))
+      .join(sh.select(col("id").as("ib"), col("sh")), Seq("ib", "sh"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnsRenamed(Map("id" -> "ia", "sz" -> "sza")), Seq("ia"))
+      .join(sizes.withColumnsRenamed(Map("id" -> "ib", "sz" -> "szb")), Seq("ib"))
+      .select(col("ia"), col("ib"), col("inter"),
+        (col("sza") + col("szb") - col("inter")).as("uni"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → candidate
+    * → exact-verify → threshold.
+    */
+  def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int, num: Int, den: Int): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val cand = lshCandidates(minhashSignatures(sh, numHashes), numHashes, bands)
+    verifyCandidates(cand, sh)
+      .filter(col("inter") * den >= col("uni") * num)
+  }
+
+  /** 64-bit SimHash of the token multiset: per-bit sign sums of token
+    * hashes. 64 partial-aggregated sums — a single shuffle.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val sums = tok.groupBy("id").agg(
+      sum(when(col("h").bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as("b0"),
+      (1 until 64).map(j =>
+        sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"b$j")): _*)
+    sums.select(col("id"),
+      (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: bucket by 16-bit bands (any matching band →
+    * candidate), then keep pairs within `maxHamming` (bit_count of xor).
+    */
+  def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val sh = simhash(df, idCol, textCol)
+    val banded = sh.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          col("simhash").cast("long").bitwiseAND(lit(0xFFFFL << (16 * b))).as("bh"))): _*)).as("bd"))
+      .select(col("id"), col("simhash"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+    banded.select(col("id").as("ia"), col("simhash").as("sa"), col("band"), col("bh"))
+      .join(banded.select(col("id").as("ib"), col("simhash").as("sb"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  * All pure `functions._` / codegen'd expressions — no UDFs — so they run
+  * inside whole-stage codegen and scale linearly with input splits.
+  */
+object TextAnalysis {
+
+  /** Whitespace-collapse + lowercase normalization (dedup canonical form). */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), lit("\\s+"), lit(" ")))
+
+  /** Deterministic document fingerprint: md5 of the normalized text. */
+  def fingerprint(text: Column): Column = md5(encode(normalized(text), "UTF-8"))
+
+  /** Non-empty whitespace-separated tokens. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("\\S+"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Count of matches of a word-alternation regex (language scoring). */
+  def stopwordScore(text: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(lower(text), lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
+
+  /** Tiny deterministic stopword-based language id over {de,en,es,fr}:
+    * argmax of stopword hits, ties resolved alphabetically-first (the CASE
+    * chain makes the tie-break explicit and portable to any SQL oracle).
+    */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "un"))
+
+  def langId(text: Column): Column = {
+    val s = langStopwords.map { case (l, ws) => l -> stopwordScore(text, ws) }.toMap
+    when(s("de") >= s("en") && s("de") >= s("es") && s("de") >= s("fr"), "de")
+      .when(s("en") >= s("es") && s("en") >= s("fr"), "en")
+      .when(s("es") >= s("fr"), "es")
+      .otherwise("fr")
+  }
+
+  /** Integer quality features (exact, no float drift): char/alpha/digit/
+    * whitespace counts + a keep flag (≥50 chars and ≥50% alphabetic).
+    */
+  def nChars(text: Column): Column = length(text).cast("long")
+  def nAlpha(text: Column): Column = length(regexp_replace(text, lit("[^a-zA-Z]"), lit(""))).cast("long")
+  def nDigit(text: Column): Column = length(regexp_replace(text, lit("[^0-9]"), lit(""))).cast("long")
+  def nWhitespace(text: Column): Column = (length(text) - length(regexp_replace(text, lit("\\s"), lit("")))).cast("long")
+  def keepFlag(text: Column): Column = nChars(text) >= 50 && nAlpha(text) * 2 >= nChars(text)
+}
