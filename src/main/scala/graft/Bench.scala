@@ -1,24 +1,120 @@
 package graft
+
+import java.nio.file.Files
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.api.CassandraLens
+import graft.model.PartitionerType
+import graft.operators.SliceRange
+import graft.sources.{CellEncodings, CellStore}
+
+/** Headline benchmark (driver-run per round; BASELINE.md protocol).
+  *
+  * stress.py's three workloads (contrib/py_stress/stress.py:168-260)
+  * re-expressed as Spark jobs over the cell store:
+  *  - insert:     bulk cell-store write (sorted, bloom-filtered parquet —
+  *                the SSTable flush path);
+  *  - read:       point slices (get_slice count=5) for a sampled key set
+  *                over the reconciled live view;
+  *  - rangeslice: token-ordered range scan, 1000-key batch, per-key slice.
+  * Plus the heaviest pipeline operators (dedup joins, minhash, ANN) and
+  * the reconciled full-table slice.
+  *
+  * Prints ONE JSON line: {"metric":...,"queries":{name:sec,...}}.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = GraftSession.create()
+
+    def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val ordersLens = new CassandraLens(
+      CellEncodings.ordersCells(spark, sfDir)
+        .unionByName(CellEncodings.ordersStatusFTombstones(spark, sfDir)),
+      CellEncodings.ordersMeta)
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var rows = scala.collection.mutable.LinkedHashMap[String, Long]()
+
+    // 1. insert: cell-store write path (SSTable-flush analog)
+    val tmp = Files.createTempDirectory("graft_bench").toString
+    val (tIns, nIns) = time {
+      val cells = CellEncodings.ordersCells(spark, sfDir)
+      CellStore.write(cells, CellEncodings.ordersMeta, s"$tmp/orders_cells",
+        numPartitions = GraftSession.cpus.toInt)
+      spark.read.parquet(s"$tmp/orders_cells").count()
+    }
+    results += "insert" -> tIns; rows += "insert" -> nIns
+
+    // 2. read: point-slice batch (gaussian-ish sample: every 20th key)
+    val (tRead, nRead) = time {
+      val keys = (0L until 3000L by 20L).map(i => f"$i%010d")
+      ordersLens.multigetSlice(keys, None, SliceRange(count = 5)).count()
+    }
+    results += "read" -> tRead; rows += "read" -> nRead
+
+    // 3. rangeslice: token-ordered scan, 1000-key batch, count=5 slices
+    val (tRange, nRange) = time {
+      ordersLens.rangeSliceByKeys(Some("0000000000"), None, None,
+        SliceRange(count = 5), 1000).count()
+    }
+    results += "rangeslice" -> tRange; rows += "rangeslice" -> nRange
+
+    // 4. reconcile_scan: full LWW reconcile + shadow + slice over every key
+    val (tScan, nScan) = time {
+      ordersLens.rangeSliceByKeys(None, None, None, SliceRange(count = 3), Int.MaxValue).count()
+    }
+    results += "reconcile_scan" -> tScan; rows += "reconcile_scan" -> nScan
+
+    // 5. compaction: table-wide merge + GC (major compaction analog)
+    val (tComp, nComp) = time {
+      ordersLens.compact(gcBeforeSeconds = 1000000000).cells.count()
+    }
+    results += "compaction" -> tComp; rows += "compaction" -> nComp
+
+    // pipeline headliners
+    val docs = CellEncodings.table(spark, sfDir, "documents")
+    val (tJac, nJac) = time {
+      graft.pipeline.Dedup.nearDuplicates(docs, "doc_id", "text", 3, 4, 5).count()
+    }
+    results += "jaccard_neardup" -> tJac; rows += "jaccard_neardup" -> nJac
+
+    val (tMh, nMh) = time {
+      graft.pipeline.Dedup.minhashNearDuplicates(docs, "doc_id", "text", 3, 32, 8, 4, 5).count()
+    }
+    results += "minhash_lsh" -> tMh; rows += "minhash_lsh" -> nMh
+
+    val emb = CellEncodings.table(spark, sfDir, "embeddings")
+    val (tAnn, nAnn) = time {
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+      graft.pipeline.Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10).count()
+    }
+    results += "ann_topk" -> tAnn; rows += "ann_topk" -> nAnn
+
+    val (tWin, nWin) = time {
+      CellEncodings.table(spark, sfDir, "events")
+        .groupBy(expr("ts div 3600000000000"), col("event_type"))
+        .agg(count(lit(1)), sum(col("value"))).count()
+    }
+    results += "events_window" -> tWin; rows += "events_window" -> nWin
+
+    // cleanup
+    try {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    } catch { case _: Throwable => () }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = results.values.sum
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators: planted near-dups must be found by
+  * every dedup family; ANN sanity; text features; multimodal stub.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+      (2L, "completely different content about spark catalyst optimizer rules engine"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+      (4L, "yet another unrelated document mentioning parquet bloom filters and scans"))
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical normalized texts") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) == 2L) // doc 0 representative covers docs {0,3}
+    assert(out.values.sum == 5L)
+  }
+
+  test("ngram jaccard finds the planted near-dup pair and the exact dup") {
+    val pairs = Dedup.nearDuplicates(docs, "doc_id", "text", n = 3, num = 4, den = 5)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 3L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
+  test("minhash-LSH verified pairs equal brute-force at the same threshold") {
+    val brute = Dedup.nearDuplicates(docs, "doc_id", "text", 3, 4, 5)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDuplicates(docs, "doc_id", "text", 3, 32, 8, 4, 5)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute)
+  }
+
+  test("simhash: near-dups land within small hamming distance, unrelated far") {
+    val pairs = Dedup.simhashNearDuplicates(docs, "doc_id", "text", maxHamming = 8)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L))) // exact dup: hamming 0
+    assert(pairs.contains((0L, 1L))) // near dup
+  }
+
+  test("simhash of identical docs is identical; deterministic across runs") {
+    val s1 = Dedup.simhash(docs, "doc_id", "text").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s2 = Dedup.simhash(docs, "doc_id", "text").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s1 == s2 && s1(0L) == s1(3L))
+  }
+
+  test("brute-force ANN ranks the identical vector first") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)), (3L, Array(1.0f, 0.0f, 0.001f)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0).select($"embedding".as("q"))
+    val top = Similarity.bruteForceTopK(vecs.filter($"vec_id" =!= 0), "vec_id", "embedding", q, 2)
+      .orderBy("rank").select("id").collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(3L, 1L))
+  }
+
+  test("language id picks the stopword-heavy language deterministically") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "el perro y el gato de la casa que ladra en la noche"),
+      (2L, "the cat and the dog of the house in the night"),
+      (3L, "der hund und die katze ist ein tier das bellt")).toDF("doc_id", "text")
+    val out = d.select($"doc_id", TextAnalysis.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "es", 2L -> "en", 3L -> "de"))
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    import spark.implicits._
+    val d = Seq((1L, "Hello   World"), (2L, "hello world"), (3L, "hello worlds")).toDF("id", "text")
+    val fps = d.select(TextAnalysis.fingerprint($"text")).collect().map(_.getString(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("multimodal stub features are deterministic and length-faithful") {
+    import spark.implicits._
+    val media = Seq((1L, "img", "abcdefghij".getBytes("UTF-8"))).toDF("id", "kind", "media")
+    val f = Multimodal.featurize(media).head()
+    assert(f.getAs[Long]("n_bytes") == 10L)
+    assert(f.getAs[String]("header_hex") == "6162636465666768")
+    assert(f.getAs[String]("content_hash").length == 32)
+  }
+}

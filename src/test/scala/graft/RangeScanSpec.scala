@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api.CassandraLens
+import graft.model.{CfMeta, PartitionerType}
+import graft.operators.SliceRange
+
+/** Range-scan conformance: bounds inclusivity, token order, wrap-around
+  * ranges (test_wrapped_range_slices, test_server.py:937), key limits,
+  * describe_splits.
+  */
+class RangeScanSpec extends SparkSpec {
+
+  private val cells = ('a' to 'j').map(c => ins(c.toString, "c1", s"v$c", 1))
+  private def lens(p: PartitionerType.Value = PartitionerType.OrderPreserving) =
+    new CassandraLens(cellsDf(cells), CfMeta("t", partitioner = p))
+
+  private def keysOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.select("key").distinct().collect().map(_.getString(0)).sorted.toSeq
+
+  test("key bounds are start- and end-inclusive (Bounds semantics)") {
+    val r = lens().rangeSliceByKeys(Some("c"), Some("f"), None, SliceRange(count = 5), 100)
+    assert(keysOf(r) == Seq("c", "d", "e", "f"))
+  }
+
+  test("maxKeys limits keys in token order") {
+    val r = lens().rangeSliceByKeys(Some("c"), None, None, SliceRange(count = 5), 3)
+    assert(keysOf(r) == Seq("c", "d", "e"))
+  }
+
+  test("token range is start-EXCLUSIVE, end-inclusive (Range semantics)") {
+    val r = lens().rangeSliceByToken(Some(lit("c")), Some(lit("f")), None, SliceRange(count = 5), 100)
+    assert(keysOf(r) == Seq("d", "e", "f"))
+  }
+
+  test("wrap-around token range splits into (start,MAX] ∪ (MIN,end]") {
+    val r = lens().rangeSliceByToken(Some(lit("h")), Some(lit("b")), None, SliceRange(count = 5), 100)
+    assert(keysOf(r) == Seq("a", "b", "i", "j"))
+  }
+
+  test("degenerate wrap (start == end) covers the full ring") {
+    val r = lens().rangeSliceByToken(Some(lit("e")), Some(lit("e")), None, SliceRange(count = 5), 100)
+    assert(keysOf(r) == ('a' to 'j').map(_.toString))
+  }
+
+  test("tombstoned keys disappear from range scans") {
+    val l = new CassandraLens(
+      cellsDf(cells ++ Seq(delRow("d", 9), delRow("e", 9))), CfMeta("t"))
+    val r = l.rangeSliceByKeys(Some("c"), Some("f"), None, SliceRange(count = 5), 100)
+    assert(keysOf(r) == Seq("c", "f"))
+  }
+
+  test("md5-hex token order differs from key order but is deterministic") {
+    val r = lens(PartitionerType.Md5Hex).rangeSliceByKeys(None, None, None, SliceRange(count = 5), 4)
+    // first 4 keys in md5 order
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = ('a' to 'j').map(_.toString).sortBy(hex).take(4).sorted
+    assert(keysOf(r) == expected)
+  }
+
+  test("describe_splits partitions keys into contiguous ranges of ~equal count") {
+    val splits = lens().describeSplits(3).orderBy("split_id").collect()
+    assert(splits.length == 3)
+    assert(splits.map(_.getAs[Long]("n_keys")).sum == 10)
+    val ends = splits.map(r => (r.getAs[String]("start_key"), r.getAs[String]("end_key")))
+    assert(ends.head._1 == "a" && ends.last._2 == "j")
+    // contiguous, non-overlapping
+    ends.sliding(2).foreach { case Array((_, e1), (s2, _)) => assert(e1 < s2) }
+  }
+}
