@@ -227,6 +227,39 @@ object SparkEntry {
         .agg(sum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // ColumnsMayExistQueryFilter (fork): bulk existence probe via
+    // LEFT SEMI JOIN (exact refinement of the bloom-based "may exist").
+    "q17_columns_exist" -> ((s, dir) => {
+      val lens = ordersLiveLens(s, dir)
+      val probe = table(s, dir, "orders")
+        .filter(col("o_orderkey") % 5 === 0)
+        .select(key10(col("o_custkey")).as("key"),
+          graft.functions.GraftFunctions.beBytes(col("o_orderkey")).as("col_name"))
+      lens.columnsExist(probe)
+        .select(col("key").cast("bigint").as("custkey"),
+          beLong(col("col_name")).as("orderkey"))
+    }),
+
+    // Commit-log point-in-time replay: the reconciled live view as of
+    // 1995-07-01 (recover(maxReplayTimestamp), CommitLog.java:168-173).
+    "q18_replay_pit" -> ((s, dir) => {
+      val lens = ordersLiveLens(s, dir).replayAt(804556800000L)
+      ordersDecoded(lens.rangeSliceByKeys(None, None, None, SliceRange(count = Int.MaxValue), Int.MaxValue))
+    }),
+
+    // Anti-entropy validation scan: per-bucket order-insensitive digests
+    // (Merkle row-hash scan collapsed to bucket checksums).
+    "q19_integrity" -> ((s, dir) => {
+      val lens = ordersLiveLens(s, dir)
+      val live = lens.live
+      graft.operators.Validation.bucketChecksums(
+        live,
+        pmod(col("key").cast("bigint"), lit(16)),
+        col("key").cast("bigint") * 1000003L + beLong(col("col_name")) * 31L +
+          ascii(decode(col("value"), "UTF-8")))
+        .select(col("bucket"), col("n"), col("checksum"))
+    }),
+
     // ---- training-data pipeline operators (SURVEY extension) ----
 
     // Exact dedup: representative id + copy count per normalized text.
@@ -486,6 +519,23 @@ object SparkEntry {
 
     "q1_agg" ->
       "SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1",
+
+    "q17_columns_exist" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey
+        |FROM orders WHERE o_orderkey % 5 = 0 AND o_orderstatus <> 'F'""".stripMargin,
+
+    "q18_replay_pit" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
+        |       o_orderstatus AS status
+        |FROM orders
+        |WHERE epoch_ms(o_orderdate) <= 804556800000
+        |  AND (o_orderstatus <> 'F' OR epoch_ms(o_orderdate) + 1 > 804556800000)""".stripMargin,
+
+    "q19_integrity" ->
+      """SELECT CAST(o_custkey % 16 AS BIGINT) AS bucket, count(*) AS n,
+        |       sum(CAST(o_custkey AS BIGINT) * 1000003 + CAST(o_orderkey AS BIGINT) * 31
+        |           + ascii(o_orderstatus)) AS checksum
+        |FROM orders WHERE o_orderstatus <> 'F' GROUP BY 1""".stripMargin,
 
     "p01_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies

@@ -166,6 +166,40 @@ class CassandraLens(val cells: DataFrame, val meta: CfMeta) {
   def describeSplits(n: Int): DataFrame =
     RangeScan.describeSplits(withToken(live), n)
 
+  /** ColumnsMayExistQueryFilter (fork, db/filter/ColumnsMayExistQueryFilter
+    * .java:28-157): bulk existence probe for (key, col_name) pairs. The
+    * reference answers probabilistically from memtable + column blooms;
+    * the exact LEFT SEMI JOIN here is a correct refinement ("may exist" ⊇
+    * exact), with parquet blooms doing the probabilistic pruning below.
+    */
+  def columnsExist(probe: DataFrame): DataFrame =
+    probe.join(live.select(col("key"), col("super_name"), col("col_name")),
+      probe.columns.toSeq.intersect(Seq("key", "super_name", "col_name")),
+      "left_semi")
+
+  /** FastRowMayExistQueryFilter (fork, :27-107): row-existence probe. */
+  def rowsExist(keys: DataFrame): DataFrame =
+    keys.join(live.select("key").distinct(), Seq("key"), "left_semi")
+
+  /** Commit-log point-in-time replay (db/commitlog/CommitLog.java:168-173
+    * `recover(maxReplayTimestamp)`, tools/ReplayLogs.java): the store as of
+    * mutation timestamp <= maxTs — mutations are timestamped cells, so
+    * recovery is a timestamp-bounded reconcile.
+    */
+  def replayAt(maxTs: Long): CassandraLens =
+    new CassandraLens(cells.filter(col("ts") <= maxTs), meta)
+
+  /** Cleanup / anti-compaction (db/CompactionManager.java:453-612): keep
+    * only cells whose token falls in the given predicate's ranges (drop
+    * keys no longer owned), as a partitioned rewrite source.
+    */
+  def cleanup(tokenPredicate: Column => Column): CassandraLens =
+    new CassandraLens(
+      withToken(cells).filter(tokenPredicate(col("token"))).drop("token"), meta)
+
+  /** Anti-entropy digests (read-only validation compaction). */
+  def digests(buckets: Int): DataFrame = Validation.cellDigests(cells, buckets)
+
   /** Major compaction (SURVEY §2.7). */
   def compact(gcBeforeSeconds: Int, processors: Seq[Compaction.RowProcessor] = Nil): CassandraLens =
     new CassandraLens(Compaction.compact(cells, gcBeforeSeconds, processors), meta)

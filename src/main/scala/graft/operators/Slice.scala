@@ -66,6 +66,22 @@ object Slice {
       }
   }
 
+  /** Read-amplification guard (fork ReadColumnsLimit,
+    * db/filter/SliceQueryFilter.java:113-146 + DatabaseDescriptor:2114-2120):
+    * hard-error when any row's live column count exceeds `limit` — surfaces
+    * pathological wide rows instead of silently burning executor memory.
+    */
+  def withReadGuard(live: DataFrame, limit: Int, perKey: Seq[String] = Seq("key")): DataFrame = {
+    val w = Window.partitionBy(perKey.map(col): _*)
+    live
+      .withColumn("_cnt", org.apache.spark.sql.functions.count(lit(1)).over(w))
+      .filter(
+        when(col("_cnt") > limit,
+          raise_error(concat(lit("ReadColumnsLimit exceeded for key "), col("key"))))
+          .otherwise(lit(true)).cast("boolean"))
+      .drop("_cnt")
+  }
+
   /** Live top-level-entity count per key — get_count (thrift:342-346,
     * CassandraServer.java:321-333 implements it literally as slice + size;
     * here it is a codegen'd count(distinct) aggregate instead).

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.Row
+
+import graft.model.Cell
+import graft.operators.Reconcile
+
+/** Structured-Streaming ingestion — the write path of SURVEY §2.10 mapped
+  * onto Spark's streaming model:
+  *
+  *   memtable (db/Memtable.java:49-125)  → streaming state / micro-batch delta
+  *   flush (Memtable.switchMemtable)     → foreachBatch sorted parquet append
+  *   commit log (db/commitlog/)          → checkpoint WAL (exactly-once)
+  *   gcGrace horizon                     → watermark + state TTL
+  *
+  * A mutation stream is simply a stream of cells (inserts + tombstones);
+  * because reconciliation is order-insensitive (ReconcileSpec), appending
+  * micro-batches preserves read-path semantics exactly.
+  */
+object CellStream {
+
+  /** Flush pipeline: append each micro-batch of mutation cells to the base
+    * store as sorted parquet runs (the SSTable-flush analog). Reads see
+    * base ∪ delta via CellStore.mergeOnRead; compaction folds runs later.
+    */
+  def writeToStore(mutations: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
+    mutations.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch
+          .sortWithinPartitions(col("key"), col("super_name"), col("col_name"))
+          .write.mode("append").parquet(path)
+      }
+
+  /** Streaming reconciled view of one key's newest cells held in state:
+    * keeps the winning version per column per key as mutations arrive —
+    * the memtable's in-place `ColumnFamily.resolve` (db/Memtable.java:120-140)
+    * as flatMapGroupsWithState.
+    */
+  def latestPerKey(cells: Dataset[Cell], maxColumns: Int = 10000): Dataset[Cell] = {
+    import cells.sparkSession.implicits._
+    cells
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Map[String, Cell], Cell](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[Cell], state: GroupState[Map[String, Cell]]) =>
+          val cur = state.getOption.getOrElse(Map.empty)
+          val merged = it.foldLeft(cur) { (m, c) =>
+            val ck = (Option(c.super_name).map(_.toSeq).getOrElse(Nil),
+              Option(c.col_name).map(_.toSeq).getOrElse(Nil)).toString()
+            m.get(ck) match {
+              case Some(old) if !losesTo(old, c) => m
+              case _ => m.updated(ck, c)
+            }
+          }
+          state.update(merged.takeRight(maxColumns))
+          merged.valuesIterator
+      }
+  }
+
+  /** comparePriority (db/Column.java:196-210): does `old` lose to `c`? */
+  private def losesTo(old: Cell, c: Cell): Boolean = {
+    if (old.ts != c.ts) old.ts < c.ts
+    else if (old.tombstone != c.tombstone) c.tombstone
+    else {
+      val (a, b) = (old.value, c.value)
+      var i = 0
+      val n = math.min(a.length, b.length)
+      var r = 0
+      while (i < n && r == 0) { r = (a(i) & 0xFF) - (b(i) & 0xFF); i += 1 }
+      if (r != 0) r < 0 else a.length < b.length
+    }
+  }
+
+  /** Event-time windowed aggregation with a watermark over a cell stream —
+    * the streaming twin of the batch q15 plan (same logical shape).
+    */
+  def windowedCounts(cells: DataFrame, watermark: String, window_ : String): DataFrame =
+    cells
+      .withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_), col("key"))
+      .agg(count(lit(1)).as("n"))
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api.CassandraLens
+import graft.model.CfMeta
+import graft.operators.Slice
+
+/** Fork maintenance/probe operators: existence filters, point-in-time
+  * replay, cleanup, anti-entropy digests, read-amplification guard.
+  */
+class MaintenanceSpec extends SparkSpec {
+
+  private val cells = Seq(
+    ins("a", "c1", "v", 1), ins("a", "c2", "v", 1), del("a", "c2", 2),
+    ins("b", "c1", "v", 5), ins("c", "c1", "v", 9))
+  private def lens = new CassandraLens(cellsDf(cells), CfMeta("t"))
+
+  test("columnsExist: live pairs only (deleted column excluded)") {
+    import spark.implicits._
+    val probe = Seq(("a", "c1"), ("a", "c2"), ("b", "c1"), ("z", "c1"))
+      .map { case (k, c) => (k, b(c)) }.toDF("key", "col_name")
+    val got = lens.columnsExist(probe)
+      .select(col("key"), decode(col("col_name"), "UTF-8"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a", "c1"), ("b", "c1")))
+  }
+
+  test("rowsExist: keys with any live cell") {
+    import spark.implicits._
+    val l = new CassandraLens(cellsDf(cells :+ delRow("c", 10)), CfMeta("t"))
+    val got = l.rowsExist(Seq("a", "c", "z").toDF("key"))
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("a"))
+    // "c" fully shadowed by row tombstone, "z" never existed
+  }
+
+  test("replayAt: point-in-time recovery sees only mutations <= maxTs") {
+    val l = lens
+    assert(liveValues(l.replayAt(1).getSlice("a", None,
+      graft.operators.SliceRange(count = 10))) == Map("c1" -> "v", "c2" -> "v"))
+    assert(liveValues(l.replayAt(3).getSlice("a", None,
+      graft.operators.SliceRange(count = 10))) == Map("c1" -> "v"))
+    assert(l.replayAt(4).rowsExist(cellsDf(Seq(ins("b", "x", "x", 1))).select("key")).count() == 0)
+  }
+
+  test("cleanup drops keys outside the owned token ranges") {
+    val cleaned = lens.cleanup(t => t >= lit("b"))
+    assert(cleaned.live.select("key").distinct().collect().map(_.getString(0)).sorted.toSeq
+      == Seq("b", "c"))
+  }
+
+  test("digests: identical stores agree, divergent stores differ") {
+    val d1 = lens.digests(4).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val d2 = new CassandraLens(cellsDf(cells.reverse), CfMeta("t"))
+      .digests(4).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(d1 == d2) // order-insensitive
+    val d3 = new CassandraLens(cellsDf(cells :+ ins("b", "c9", "w", 7)), CfMeta("t"))
+      .digests(4).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(d1 != d3)
+  }
+
+  test("ReadColumnsLimit guard raises on pathological wide rows") {
+    val wide = (1 to 20).map(i => ins("w", f"c$i%03d", "v", 1))
+    val live = new CassandraLens(cellsDf(wide), CfMeta("t")).live
+    assert(Slice.withReadGuard(live, 50).count() == 20)
+    val e = intercept[Exception] { Slice.withReadGuard(live, 10).count() }
+    assert(e.getMessage.contains("ReadColumnsLimit") ||
+      Option(e.getCause).exists(_.getMessage.contains("ReadColumnsLimit")))
+  }
+}
