@@ -18,7 +18,9 @@ object GraftFunctions {
       "graft_md5_abs_token" -> (es => Md5AbsToken(es.head)),
       "graft_timeuuid_ts" -> (es => TimeUuidTimestamp(es.head)),
       "graft_collation_key" -> (es => CollationKeyBytes(es.head)),
-      "graft_odkl_domain_token" -> (es => OdklDomainToken(es.head)))
+      "graft_odkl_domain_token" -> (es => OdklDomainToken(es.head)),
+      "graft_reconcile" -> (es =>
+        ReconcileMax(es(0), es(1), es(2), es(3)).toAggregateExpression()))
 
   def register(spark: SparkSession): Unit = synchronized {
     val reg = spark.sessionState.functionRegistry

@@ -27,37 +27,33 @@ import org.apache.spark.sql.functions._
   */
 object Reconcile {
 
-  /** comparePriority as an orderable struct. `value` is coalesced to the
-    * empty array: a NULL inside a struct would otherwise sort *below*
-    * non-null and could flip an equal-ts tie the wrong way.
-    */
-  private def priority =
-    struct(
-      col("ts"),
-      col("tombstone").cast("int").as("tb"),
-      coalesce(col("value"), lit(Array.emptyByteArray)).as("value"),
-      col("local_del_time").as("ldt"))
-
   /** One winning version per (key, super_name, col_name), tombstones
     * included (the caller decides whether to GC or surface them).
     * Marker cells (col_name NULL) pass through reduced the same way.
     *
     * Exactly one shuffle; partial aggregation runs map-side, so at 100 TB
     * the shuffled volume is one cell per distinct column per map partition,
-    * not one per version.
+    * not one per version. The aggregate is the native ReconcileMax
+    * TypedImperativeAggregate (graft.functions.ReconcileMax): declarative
+    * struct-max/max_by formulations fall back to SortAggregate (a
+    * per-partition sort of the whole scan), while this plans as
+    * ObjectHashAggregate — hash-based, no sort — the plan that survives a
+    * 100× scale-up.
     */
   def latestCells(cells: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(cells.sparkSession)
     cells
       .groupBy(col("key"), col("super_name"), col("col_name"))
-      .agg(max(priority).as("w"))
+      .agg(call_function("graft_reconcile",
+        col("value"), col("ts"), col("tombstone"), col("local_del_time")).as("w"))
       .select(
         col("key"),
         col("super_name"),
         col("col_name"),
         col("w.value").as("value"),
         col("w.ts").as("ts"),
-        (col("w.tb") === 1).as("tombstone"),
-        col("w.ldt").as("local_del_time"))
+        col("w.tombstone").as("tombstone"),
+        col("w.local_del_time").as("local_del_time"))
   }
 
   /** Row-level deletion horizon per key: (key, row_del_ts, row_del_ldt).

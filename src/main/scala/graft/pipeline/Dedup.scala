@@ -51,10 +51,16 @@ object Dedup {
       case None => d
     }
     val sizes = dd.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = dd.select(col("id").as("ia"), col("sh"))
-      .join(dd.select(col("id").as("ib"), col("sh")), Seq("sh"))
-      .filter(col("ia") < col("ib"))
-      .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
+    // pairs per shingle via sorted-id-array combination emission: one
+    // shuffle (group by shingle) instead of a two-sided self-join — the
+    // emitted pair count is identical (Σ_shingle C(freq,2))
+    val inter = dd
+      .groupBy("sh").agg(sort_array(collect_list(col("id"))).as("ids"))
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS ia, y AS ib))))"
+      )).as("p"))
+      .groupBy(col("p.ia").as("ia"), col("p.ib").as("ib"))
+      .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnsRenamed(Map("id" -> "ia", "sz" -> "sza")), Seq("ia"))
       .join(sizes.withColumnsRenamed(Map("id" -> "ib", "sz" -> "szb")), Seq("ib"))
