@@ -49,4 +49,37 @@ object Multimodal {
       col("kind").cast("string").as("kind"),
       col("media").cast("binary").as("media")).as[MediaItem]).toDF()
   }
+
+  /** Resize stub: a real implementation decodes, resamples to w×h, and
+    * re-encodes; the stub deterministically downsamples the BYTE stream to
+    * w*h bytes (every k-th byte) so output sizes, schema, and partitioning
+    * behave exactly like the real operator.
+    */
+  def resizeStub(ds: Dataset[MediaItem], w: Int, h: Int): Dataset[MediaItem] = {
+    import ds.sparkSession.implicits._
+    val target = w * h
+    ds.mapPartitions(_.map { m =>
+      val n = m.media.length
+      val out =
+        if (n <= target) m.media
+        else Array.tabulate(target)(i => m.media((i.toLong * n / target).toInt))
+      m.copy(media = out)
+    })
+  }
+
+  /** Frame-sampling stub for video-shaped blobs: emits `frames` evenly
+    * spaced fixed-size "frames" (byte windows) per input — the 1→N
+    * flatMap shape (and output volume) of real frame extraction.
+    */
+  def sampleFramesStub(ds: Dataset[MediaItem], frames: Int, frameBytes: Int): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { m =>
+      val n = m.media.length
+      (0 until frames).iterator.map { f =>
+        val start = if (frames == 1) 0 else ((n.toLong - frameBytes).max(0) * f / (frames - 1)).toInt
+        val end = math.min(start + frameBytes, n)
+        (m.id, f, m.media.slice(start.max(0), end))
+      }
+    }.toDF("id", "frame", "frame_bytes")
+  }
 }

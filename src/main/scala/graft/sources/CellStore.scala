@@ -44,4 +44,51 @@ object CellStore {
   /** Read view over base runs + an unflushed delta (memtable analog). */
   def mergeOnRead(base: DataFrame, delta: DataFrame): DataFrame =
     base.unionByName(delta)
+
+  /** Bucketed catalog table variant — the 100 TB layout. `bucketBy(key)`
+    * co-locates every version of a key in one bucket file set, so the
+    * reconcile groupBy(key, …) and all per-key windows run WITHOUT a
+    * shuffle (Catalyst recognizes the bucketing as satisfying the required
+    * hash distribution). This is the Spark-native equivalent of the ring:
+    * placement by key hash, reads local to the owning bucket.
+    */
+  def writeBucketed(cells: DataFrame, meta: CfMeta, tableName: String, buckets: Int): Unit = {
+    val sk = Comparators.sortKey(meta.comparator, col("col_name"))
+    cells
+      .write
+      .bucketBy(buckets, "key")
+      .sortBy("key")
+      .option("parquet.bloom.filter.enabled#key", "true")
+      .format("parquet")
+      .mode("overwrite")
+      .saveAsTable(tableName)
+  }
+
+  def readTable(spark: SparkSession, tableName: String): DataFrame =
+    spark.table(tableName)
+
+  /** SSTable JSON export (tools/SSTableExport.java analog): golden-file
+    * round-trip format — binary columns hex-encoded for portability.
+    */
+  def exportJson(cells: DataFrame, path: String): Unit =
+    cells.select(
+      col("key"),
+      hex(col("super_name")).as("super_name"),
+      hex(col("col_name")).as("col_name"),
+      hex(col("value")).as("value"),
+      col("ts"), col("tombstone"), col("local_del_time"))
+      .write.mode("overwrite").json(path)
+
+  /** SSTable JSON import (tools/SSTableImport.java analog). */
+  def importJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(
+      "key STRING, super_name STRING, col_name STRING, value STRING, " +
+        "ts LONG, tombstone BOOLEAN, local_del_time INT")
+      .json(path)
+      .select(
+        col("key"),
+        unhex(col("super_name")).as("super_name"),
+        unhex(col("col_name")).as("col_name"),
+        unhex(col("value")).as("value"),
+        col("ts"), col("tombstone"), col("local_del_time"))
 }

@@ -85,6 +85,17 @@ class PipelineSpec extends SparkSpec {
     assert(fps(0) == fps(1) && fps(0) != fps(2))
   }
 
+  test("multimodal resize/frame-sample stubs keep plumbing shape") {
+    import spark.implicits._
+    val items = Seq(Multimodal.MediaItem(1L, "video", Array.tabulate(1000)(_.toByte))).toDS()
+    val resized = Multimodal.resizeStub(items, 8, 8).head()
+    assert(resized.media.length == 64)
+    val frames = Multimodal.sampleFramesStub(items, frames = 4, frameBytes = 100)
+    assert(frames.count() == 4)
+    val lens = frames.select(length($"frame_bytes")).collect().map(_.getInt(0))
+    assert(lens.forall(_ == 100))
+  }
+
   test("multimodal stub features are deterministic and length-faithful") {
     import spark.implicits._
     val media = Seq((1L, "img", "abcdefghij".getBytes("UTF-8"))).toDF("id", "kind", "media")

@@ -67,6 +67,29 @@ class ReconcileSpec extends SparkSpec {
     assert(live.count() == 0)
   }
 
+  test("reconcile distributes over partitioning (partial-aggregation law)") {
+    // reconcile(A ∪ B) == reconcile(reconcile(A) ∪ reconcile(B)) — the
+    // property map-side partial aggregation and multi-SSTable merge rely on
+    val rnd = new scala.util.Random(7)
+    val all = (1 to 200).map { _ =>
+      val key = s"k${rnd.nextInt(5)}"
+      val c = s"c${rnd.nextInt(8)}"
+      if (rnd.nextInt(4) == 0) del(key, c, rnd.nextInt(10).toLong, rnd.nextInt(100))
+      else ins(key, c, s"v${rnd.nextInt(26)}", rnd.nextInt(10).toLong)
+    }
+    val (a, b) = all.splitAt(97)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      import org.apache.spark.sql.functions._
+      df.select(col("key"), decode(col("col_name"), "UTF-8"),
+        decode(col("value"), "UTF-8"), col("ts"), col("tombstone"), col("local_del_time"))
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val whole = canon(Reconcile.latestCells(cellsDf(all)))
+    val parts = canon(Reconcile.latestCells(
+      Reconcile.latestCells(cellsDf(a)).unionByName(Reconcile.latestCells(cellsDf(b)))))
+    assert(whole == parts)
+  }
+
   test("gcGrace: compaction keeps young tombstones, purges expired ones") {
     val cells = cellsDf(Seq(
       ins("k1", "c1", "v", 1), del("k1", "c1", 2, ldt = 100),
