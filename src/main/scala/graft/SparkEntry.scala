@@ -227,6 +227,61 @@ object SparkEntry {
         .agg(sum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // UTF8Type comparator slice over every key (part_names fixture):
+    // name-range predicate in raw utf8-byte order.
+    "q20_utf8_slice" -> ((s, dir) => {
+      val lens = new CassandraLens(partNameCells(s, dir), partNamesMeta)
+      lens.rangeSliceByKeys(None, None, None,
+        SliceRange(start = "forest".getBytes("UTF-8"), finish = "lace".getBytes("UTF-8"),
+          count = Int.MaxValue), Int.MaxValue)
+        .select(
+          col("key").cast("bigint").as("partkey"),
+          decode(col("col_name"), "UTF-8").as("name"),
+          decode(col("value"), "UTF-8").cast("bigint").as("cents"))
+    }),
+
+    // Bulk NamesQueryFilter across every row (LongType names): the
+    // per-row named-column projection of the hadoop connector's
+    // SlicePredicate pushdown (hadoop/ConfigHelper.java:134-160).
+    "q21_names_bulk" -> ((s, dir) => {
+      val lens = new CassandraLens(eventsCells(s, dir), eventsMeta)
+      val names = table(s, dir, "events")
+        .filter(col("event_id") % 100 === 0)
+        .select("event_id").collect().map(r => ExprHelpers.longBytes(r.getLong(0)))
+      lens.rangeSliceByKeys(None, None, None, SliceByNames(names.toSeq), Int.MaxValue)
+        .select(
+          col("key").cast("bigint").as("uid"),
+          beLong(col("col_name")).as("event_id"),
+          decode(col("value"), "UTF-8").as("etype"))
+    }),
+
+    // Gap-based sessionization (30-min inactivity) — the batch twin of
+    // streaming session windows; lag + running-sum windows.
+    "q22_sessionize" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val e = table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tus"))
+      val wOrd = Window.partitionBy("user_id").orderBy("tus")
+      e.withColumn("brk",
+          when(lag(col("tus"), 1).over(wOrd).isNull ||
+            col("tus") - lag(col("tus"), 1).over(wOrd) > 1800000000L, 1).otherwise(0))
+        .withColumn("sid", sum(col("brk")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id").cast("bigint").as("uid"), col("sid").cast("bigint").as("session_id"))
+        .agg(count(lit(1)).as("n"), min(col("tus")).as("start_us"), max(col("tus")).as("end_us"))
+    }),
+
+    // Global top-k (distributed TakeOrdered): busiest users.
+    "q23_top_users" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      table(s, dir, "events")
+        .groupBy(col("user_id").cast("bigint").as("uid"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("uid"))
+        .limit(20)
+    }),
+
     // ColumnsMayExistQueryFilter (fork): bulk existence probe via
     // LEFT SEMI JOIN (exact refinement of the bloom-based "may exist").
     "q17_columns_exist" -> ((s, dir) => {
@@ -519,6 +574,34 @@ object SparkEntry {
 
     "q1_agg" ->
       "SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1",
+
+    "q20_utf8_slice" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS partkey, p_name AS name,
+        |       CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+        |FROM part WHERE p_name >= 'forest' AND p_name <= 'lace'""".stripMargin,
+
+    "q21_names_bulk" ->
+      """SELECT CAST(user_id AS BIGINT) AS uid, CAST(event_id AS BIGINT) AS event_id,
+        |       event_type AS etype
+        |FROM events WHERE event_id % 100 = 0""".stripMargin,
+
+    "q22_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        |x AS (SELECT user_id, tus,
+        |        CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+        |               OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) > 1800000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |s AS (SELECT user_id, tus,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM x)
+        |SELECT CAST(user_id AS BIGINT) AS uid, CAST(sid AS BIGINT) AS session_id,
+        |       count(*) AS n, min(tus) AS start_us, max(tus) AS end_us
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q23_top_users" ->
+      """SELECT CAST(user_id AS BIGINT) AS uid, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY n DESC, uid LIMIT 20""".stripMargin,
 
     "q17_columns_exist" ->
       """SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey
