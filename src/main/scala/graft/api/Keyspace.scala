@@ -1,0 +1,67 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.CfMeta
+import graft.sources.CellStore
+
+/** Keyspace = Spark catalog namespace (SURVEY §1.1: db/Table.java:52-60 →
+  * `spark.catalog` database). Column families live as bucketed tables
+  * inside the namespace; CF metadata is carried in table properties via a
+  * naming convention so a lens can be re-opened from the catalog alone —
+  * the describe_keyspace(s) surface (thrift:429-443).
+  */
+class Keyspace(val spark: SparkSession, val name: String) {
+  spark.sql(s"CREATE DATABASE IF NOT EXISTS $name")
+
+  private def tableName(cf: String) = s"$name.$cf"
+
+  /** Create/replace a column family from a cell DataFrame (bucketed by key
+    * — per-key reads and reconcile run shuffle-free).
+    */
+  def saveColumnFamily(cells: DataFrame, meta: CfMeta, buckets: Int = 32): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${tableName(meta.name)}")
+    CellStore.writeBucketed(cells, meta, tableName(meta.name), buckets)
+  }
+
+  /** Open a lens over a stored column family. */
+  def columnFamily(meta: CfMeta): CassandraLens =
+    new CassandraLens(spark.table(tableName(meta.name)), meta)
+
+  /** describe_keyspace: list column families in the namespace. */
+  def describe(): DataFrame =
+    spark.sql(s"SHOW TABLES IN $name").select(col("tableName").as("column_family"))
+
+  def drop(): Unit = spark.sql(s"DROP DATABASE IF EXISTS $name CASCADE")
+}
+
+object Keyspace {
+  def apply(spark: SparkSession, name: String): Keyspace = new Keyspace(spark, name)
+}
+
+/** Thrift-shaped result materialization (SURVEY §1.4): rows as
+  * key → comparator-ordered array of columns — the `thriftifyColumns`
+  * sink (thrift/CassandraServer.java:112-208) as one aggregation.
+  */
+object Thriftify {
+  import graft.model.{Comparators, ComparatorType}
+
+  /** (key, columns: array<struct<name,value,ts>>) — array sorted by the
+    * comparator's order via a sort-key-first struct (sort_array orders by
+    * the leading fields; reversal applied at materialization, matching the
+    * reference).
+    */
+  def rows(live: DataFrame, cmp: ComparatorType.Value, reversed: Boolean = false): DataFrame = {
+    val sorted = sort_array(
+      collect_list(struct(
+        Comparators.sortKey(cmp, col("col_name")).as("_sk"),
+        col("col_name").as("name"), col("value").as("value"), col("ts").as("ts"))),
+      asc = !reversed)
+    live.groupBy(col("key"))
+      .agg(sorted.as("_cols"))
+      .select(col("key"),
+        expr("transform(_cols, c -> struct(c.name AS name, c.value AS value, c.ts AS ts))")
+          .as("columns"))
+  }
+}

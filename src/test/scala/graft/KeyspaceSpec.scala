@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api.{Keyspace, Thriftify}
+import graft.model.{CfMeta, ComparatorType}
+import graft.operators.Reconcile
+
+class KeyspaceSpec extends SparkSpec {
+
+  test("keyspace namespace: save, describe, reopen, query") {
+    val loc = new java.io.File("spark-warehouse/graft_ks.db")
+    if (loc.exists()) new scala.reflect.io.Directory(loc).deleteRecursively()
+    val ks = Keyspace(spark, "graft_ks")
+    try {
+      val meta = CfMeta("cf1")
+      ks.saveColumnFamily(cellsDf(Seq(
+        ins("k1", "c1", "v1", 1), ins("k1", "c1", "v2", 5), ins("k2", "c1", "w", 1))),
+        meta, buckets = 4)
+      assert(ks.describe().collect().map(_.getString(0)).contains("cf1"))
+      val lens = ks.columnFamily(meta)
+      assert(liveValues(lens.getSlice("k1", None, graft.operators.SliceRange(count = 10)))
+        == Map("c1" -> "v2"))
+    } finally ks.drop()
+  }
+
+  test("thriftify: comparator-ordered column arrays per key, reversal at sink") {
+    val live = Reconcile.liveView(cellsDf(Seq(
+      ins("k1", "b", "2", 1), ins("k1", "a", "1", 1), ins("k1", "c", "3", 1))))
+    def names(reversed: Boolean): Seq[String] = {
+      val row = Thriftify.rows(live, ComparatorType.Bytes, reversed).head()
+      row.getSeq[org.apache.spark.sql.Row](1).map(r => new String(r.getAs[Array[Byte]]("name"), "UTF-8"))
+    }
+    assert(names(reversed = false) == Seq("a", "b", "c"))
+    assert(names(reversed = true) == Seq("c", "b", "a"))
+  }
+}
