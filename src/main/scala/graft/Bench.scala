@@ -53,25 +53,38 @@ object Bench {
     }
     results += "insert" -> tIns; rows += "insert" -> nIns
 
+    // reads run against the store written in step 1 — sorted runs + blooms
+    // + pushdown actually exercised (stress.py inserts then reads)
+    val storedLens = new CassandraLens(
+      spark.read.parquet(s"$tmp/orders_cells")
+        .unionByName(CellEncodings.ordersStatusFTombstones(spark, sfDir)),
+      CellEncodings.ordersMeta)
+
     // 2. read: point-slice batch (gaussian-ish sample: every 20th key)
     val (tRead, nRead) = time {
       val keys = (0L until 3000L by 20L).map(i => f"$i%010d")
-      ordersLens.multigetSlice(keys, None, SliceRange(count = 5)).count()
+      storedLens.multigetSlice(keys, None, SliceRange(count = 5)).count()
     }
     results += "read" -> tRead; rows += "read" -> nRead
 
     // 3. rangeslice: token-ordered scan, 1000-key batch, count=5 slices
     val (tRange, nRange) = time {
-      ordersLens.rangeSliceByKeys(Some("0000000000"), None, None,
+      storedLens.rangeSliceByKeys(Some("0000000000"), None, None,
         SliceRange(count = 5), 1000).count()
     }
     results += "rangeslice" -> tRange; rows += "rangeslice" -> nRange
 
     // 4. reconcile_scan: full LWW reconcile + shadow + slice over every key
     val (tScan, nScan) = time {
-      ordersLens.rangeSliceByKeys(None, None, None, SliceRange(count = 3), Int.MaxValue).count()
+      storedLens.rangeSliceByKeys(None, None, None, SliceRange(count = 3), Int.MaxValue).count()
     }
     results += "reconcile_scan" -> tScan; rows += "reconcile_scan" -> nScan
+
+    // 4b. sessionize: gap-based session windows over 100k events
+    val (tSess, nSess) = time {
+      SparkEntry.queries("q22_sessionize")(spark, sfDir).count()
+    }
+    results += "sessionize" -> tSess; rows += "sessionize" -> nSess
 
     // 5. compaction: table-wide merge + GC (major compaction analog)
     val (tComp, nComp) = time {
