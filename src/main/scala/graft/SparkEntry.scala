@@ -282,6 +282,44 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // TimeUUIDType comparator: columns named by v1 time-UUIDs (timestamp
+    // = event µs, clockseq/node = event_id) — slice count=2 ascending =
+    // earliest 2 events per user, ordered by embedded timestamp then
+    // bytes (db/marshal/TimeUUIDType.java:28-93; test_time_uuid shape).
+    "q24_timeuuid_slice" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val ts60 = expr("ts div 1000") // µs as the 60-bit uuid timestamp
+      val msb = shiftleft(ts60.bitwiseAND(lit(0xFFFFFFFFL)), 32)
+        .bitwiseOR(shiftleft(shiftrightunsigned(ts60, 32).bitwiseAND(lit(0xFFFFL)), 16))
+        .bitwiseOR(lit(0x1000L))
+        .bitwiseOR(shiftrightunsigned(ts60, 48).bitwiseAND(lit(0x0FFFL)))
+      val uuidCells = table(s, dir, "events").select(
+        key10(col("user_id")).as("key"),
+        lit(null).cast("binary").as("super_name"),
+        concat(graft.functions.GraftFunctions.beBytes(msb),
+          graft.functions.GraftFunctions.beBytes(col("event_id"))).as("col_name"),
+        encode(col("event_type"), "UTF-8").as("value"),
+        col("ts").as("ts"), lit(false).as("tombstone"), lit(0).as("local_del_time"))
+      val lens = new CassandraLens(uuidCells,
+        CfMeta("events_by_uuid", comparator = ComparatorType.TimeUuid))
+      lens.rangeSliceByKeys(None, None, None, SliceRange(count = 2), Int.MaxValue)
+        .select(
+          col("key").cast("bigint").as("uid"),
+          graft.functions.GraftFunctions.timeUuidTs(col("col_name")).as("ts_us"),
+          beLong(substring(col("col_name"), 9, 8)).as("event_id"),
+          decode(col("value"), "UTF-8").as("etype"))
+    }),
+
+    // Wrap-around token scan with a key limit: the post-start arc is
+    // consumed FIRST (ring order), then the wrapped arc
+    // (test_wrapped_range_slices, test_server.py:937; dht/Range.java).
+    "q25_range_wrap" -> ((s, dir) => {
+      val lens = ordersLiveLens(s, dir, PartitionerType.Md5Hex)
+      val st = md5(encode(lit("0000000700"), "UTF-8"))
+      val en = md5(encode(lit("0000000050"), "UTF-8"))
+      ordersDecoded(lens.rangeSliceByToken(Some(st), Some(en), None, SliceRange(count = 1), 25))
+    }),
+
     // ColumnsMayExistQueryFilter (fork): bulk existence probe via
     // LEFT SEMI JOIN (exact refinement of the bloom-based "may exist").
     "q17_columns_exist" -> ((s, dir) => {
@@ -602,6 +640,29 @@ object SparkEntry {
     "q23_top_users" ->
       """SELECT CAST(user_id AS BIGINT) AS uid, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY n DESC, uid LIMIT 20""".stripMargin,
+
+    "q24_timeuuid_slice" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY tus, event_id) AS rn FROM e)
+        |SELECT CAST(user_id AS BIGINT) AS uid, tus AS ts_us,
+        |       CAST(event_id AS BIGINT) AS event_id, event_type AS etype
+        |FROM r WHERE rn <= 2""".stripMargin,
+
+    "q25_range_wrap" ->
+      """WITH live AS (
+        |  SELECT lpad(CAST(o_custkey AS VARCHAR),10,'0') AS k, o_custkey, o_orderkey, o_orderstatus
+        |  FROM orders WHERE o_orderstatus <> 'F'),
+        |tk AS (SELECT k, md5(k) AS t FROM (SELECT DISTINCT k FROM live)),
+        |s AS (SELECT md5('0000000700') AS st, md5('0000000050') AS en),
+        |f AS (SELECT k, t FROM tk, s
+        |      WHERE CASE WHEN st < en THEN t > st AND t <= en ELSE t > st OR t <= en END),
+        |pick AS (SELECT k FROM f, s
+        |         ORDER BY (CASE WHEN t > st THEN 0 ELSE 1 END), t, k LIMIT 25),
+        |r AS (SELECT l.*, row_number() OVER (PARTITION BY l.k ORDER BY l.o_orderkey) AS rn
+        |      FROM live l JOIN pick USING (k))
+        |SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
+        |       o_orderstatus AS status
+        |FROM r WHERE rn <= 1""".stripMargin,
 
     "q17_columns_exist" ->
       """SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey

@@ -134,7 +134,7 @@ class CassandraLens(val cells: DataFrame, val meta: CfMeta) {
     val pre = withToken(cells)
       .filter(RangeScan.tokenRangePredicate(col("token"), startToken, endToken))
     val bounded = RangeScan.limitKeys(
-      withToken(Reconcile.liveView(pre.drop("token"))), maxKeys)
+      withToken(Reconcile.liveView(pre.drop("token"))), maxKeys, startToken)
     sliceOver(bounded, superName, pred)
   }
 

@@ -44,21 +44,34 @@ object RangeScan {
     lo && hi
   }
 
-  /** Keep only the first `maxKeys` keys in token order — the reference's
-    * per-scan key limit (ColumnFamilyStore.getKeyRange maxResults,
-    * :1219-1222), while retaining every cell of each selected key.
+  /** Ring position of a token relative to a scan's start token: on a
+    * wrap-around scan the reference walks the post-start arc FIRST, then
+    * the wrapped arc past the ring origin (StorageProxy.getRangeSlice scans
+    * restricted ranges sequentially, :805-864) — so the key limit must
+    * consume keys in that order, not in global token order.
+    */
+  def ringOrder(token: Column, startToken: Option[Column]): Column =
+    startToken match {
+      case Some(s) => struct(when(token > s, 0).otherwise(1).as("arc"), token.as("t"))
+      case None => struct(lit(0).as("arc"), token.as("t"))
+    }
+
+  /** Keep only the first `maxKeys` keys in (ring-)token order — the
+    * reference's per-scan key limit (ColumnFamilyStore.getKeyRange
+    * maxResults, :1219-1222), while retaining every cell of each selected
+    * key.
     *
     * Scale note: the selected-key set is computed as a distributed top-K
     * (TakeOrderedAndProject over the distinct keys) and then applied with a
     * broadcast semi-join — NOT a global window over the cells, which would
     * funnel the whole scan through one partition.
     */
-  def limitKeys(df: DataFrame, maxKeys: Int): DataFrame = {
+  def limitKeys(df: DataFrame, maxKeys: Int, startToken: Option[Column] = None): DataFrame = {
     if (maxKeys == Int.MaxValue) return df // unbounded scan: no top-K step
     val picked = df
       .select(col("token"), col("key"))
       .distinct()
-      .orderBy(col("token"), col("key"))
+      .orderBy(ringOrder(col("token"), startToken), col("key"))
       .limit(maxKeys)
       .select(col("key"))
     df.join(broadcast(picked), Seq("key"), "left_semi")

@@ -39,6 +39,14 @@ class RangeScanSpec extends SparkSpec {
     assert(keysOf(r) == Seq("a", "b", "i", "j"))
   }
 
+  test("wrap-around + maxKeys consumes the post-start arc FIRST (ring order)") {
+    // scan (h, b] with maxKeys=2: reference walks i, j before wrapping to a, b
+    val r = lens().rangeSliceByToken(Some(lit("h")), Some(lit("b")), None, SliceRange(count = 5), 2)
+    assert(keysOf(r) == Seq("i", "j"))
+    val r3 = lens().rangeSliceByToken(Some(lit("h")), Some(lit("b")), None, SliceRange(count = 5), 3)
+    assert(keysOf(r3) == Seq("a", "i", "j"))
+  }
+
   test("degenerate wrap (start == end) covers the full ring") {
     val r = lens().rangeSliceByToken(Some(lit("e")), Some(lit("e")), None, SliceRange(count = 5), 100)
     assert(keysOf(r) == ('a' to 'j').map(_.toString))
