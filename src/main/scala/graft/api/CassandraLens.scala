@@ -77,6 +77,17 @@ class CassandraLens(val cells: DataFrame, val meta: CfMeta) {
     sliceOver(liveOf(keyPred), superName, pred)
   }
 
+  /** multiget_slice for a LARGE key set carried as a DataFrame: a broadcast
+    * LEFT SEMI JOIN replaces the literal isin list (which stops scaling
+    * past a few thousand keys), keeping the probe fully distributed.
+    */
+  def multigetSlice(keysDf: DataFrame, superName: Option[Array[Byte]], pred: SlicePredicate): DataFrame = {
+    val restricted = cells.join(
+      org.apache.spark.sql.functions.broadcast(keysDf.select(col("key")).distinct()),
+      Seq("key"), "left_semi")
+    sliceOver(Reconcile.liveView(restricted), superName, pred)
+  }
+
   /** Slice machinery shared by point reads and range scans. */
   private def sliceOver(live: DataFrame, superName: Option[Array[Byte]], pred: SlicePredicate): DataFrame =
     superName match {

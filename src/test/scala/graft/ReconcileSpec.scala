@@ -90,6 +90,17 @@ class ReconcileSpec extends SparkSpec {
     assert(whole == parts)
   }
 
+  test("reconcile is idempotent: latestCells ∘ latestCells = latestCells") {
+    val cells = cellsDf(Seq(
+      ins("k1", "c1", "a", 1), ins("k1", "c1", "b", 2), del("k1", "c2", 3),
+      ins("k2", "c1", "x", 1)))
+    val once = Reconcile.latestCells(cells)
+    val twice = Reconcile.latestCells(once)
+    val c1 = liveValues(once.filter(!org.apache.spark.sql.functions.col("tombstone")))
+    val c2 = liveValues(twice.filter(!org.apache.spark.sql.functions.col("tombstone")))
+    assert(c1 == c2 && once.count() == twice.count())
+  }
+
   test("gcGrace: compaction keeps young tombstones, purges expired ones") {
     val cells = cellsDf(Seq(
       ins("k1", "c1", "v", 1), del("k1", "c1", 2, ldt = 100),

@@ -55,6 +55,14 @@ class SliceSpec extends SparkSpec {
     assert(liveNames(r).sorted == Seq("c1", "d1"))
   }
 
+  test("multiget_slice via keys-DataFrame (broadcast semi-join path)") {
+    import spark.implicits._
+    val cells = row ++ Seq(ins("k2", "d1", "w1", 1), ins("k3", "e1", "x", 1))
+    val keysDf = Seq("k1", "k3", "zz").toDF("key")
+    val r = lens(cells).multigetSlice(keysDf, None, SliceRange(count = 1))
+    assert(liveNames(r).sorted == Seq("c1", "e1"))
+  }
+
   test("get returns exactly one column; absent name returns empty") {
     val l = lens(row)
     assert(liveValues(l.get("k1", None, b("c3"))) == Map("c3" -> "v3"))
