@@ -17,6 +17,26 @@ import graft.functions.GraftFunctions._
   */
 object Comparators {
 
+  /** Scan-pushable raw-byte predicate equivalent to (or implied by) the
+    * comparator range [lo, hi]. The sort key for decoded comparators
+    * (e.g. LongType's `graft_be_long(col_name)`) is opaque to parquet
+    * filter pushdown, so slices over such CFs would scan every page of a
+    * row group; this hint restores page/row-group pruning.
+    *
+    * LongType: signed-numeric order equals unsigned big-endian byte order
+    * exactly while the sign bit is clear — so when BOTH bounds are present
+    * and non-negative, the raw BETWEEN is EXACTLY the numeric range
+    * (negatives sort above all positives in byte order and below `lo`
+    * numerically, hence excluded by both). Any other case: no safe hint.
+    */
+  def pushdownRange(cmp: ComparatorType.Value, nameCol: Column,
+      lo: Array[Byte], hi: Array[Byte]): Option[Column] = cmp match {
+    case ComparatorType.Long_
+        if lo.length == 8 && hi.length == 8 && lo(0) >= 0 && hi(0) >= 0 =>
+      Some(nameCol >= lit(lo) && nameCol <= lit(hi))
+    case _ => None
+  }
+
   /** Sort key Column for `col` (binary column-name bytes) under `cmp`.
     * The empty byte-array (slice sentinel / degenerate name) sorts FIRST for
     * every comparator (reference AbstractType compare: length-0 first), which

@@ -55,6 +55,11 @@ object Slice {
       var out = live.withColumn("_sk", sk)
       if (lo.nonEmpty) out = out.filter(col("_sk") >= skLit(lo))
       if (hi.nonEmpty) out = out.filter(col("_sk") <= skLit(hi))
+      if (lo.nonEmpty && hi.nonEmpty)
+        // redundant raw-byte range that parquet CAN push (page pruning on
+        // the decoded-comparator sort key's source column)
+        Comparators.pushdownRange(cmp, col(nameCol), lo, hi)
+          .foreach(p => out = out.filter(p))
       if (count == Int.MaxValue) out.drop("_sk") // unlimited slice: skip the rank
       else {
         val order = if (reversed) col("_sk").desc_nulls_last else col("_sk").asc_nulls_first

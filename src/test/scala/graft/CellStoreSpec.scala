@@ -42,6 +42,28 @@ class CellStoreSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("EqualTo(key,a)"))
   }
 
+  test("LongType slice range pushes a raw-byte predicate to the scan") {
+    import graft.api.CassandraLens
+    import graft.model.ComparatorType
+    import graft.operators.SliceRange
+    val dir = Files.createTempDirectory("graft_cs_push").toString
+    val longCells = (1L to 50L).map(v =>
+      graft.model.Cell("k1", null, bl(v), b(s"v$v"), 1, tombstone = false, 0))
+    val meta = CfMeta("t", comparator = ComparatorType.Long_)
+    CellStore.write(cellsDf(longCells), meta, s"$dir/s", numPartitions = 2)
+    val lens = new CassandraLens(CellStore.read(spark, s"$dir/s"), meta)
+    val q = lens.getSlice("k1", None, SliceRange(start = bl(10L), finish = bl(20L), count = 100))
+    // executedPlan.toString truncates PushedFilters; the formatted explain keeps them
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("GreaterThanOrEqual(col_name") && plan.contains("LessThanOrEqual(col_name"),
+      s"slice bounds must reach the parquet scan:\n${plan.take(3000)}")
+    import org.apache.spark.sql.functions._
+    val names = q.select(graft.functions.GraftFunctions.beLong(col("col_name")))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(names == (10L to 20L))
+  }
+
   test("bucketed table: reconcile reads run WITHOUT a shuffle") {
     spark.sql("DROP TABLE IF EXISTS graft_bucket_test")
     // a previous JVM's warehouse dir may linger after the catalog forgot it
