@@ -34,6 +34,19 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 2L || b == 2L })
   }
 
+  test("jaccard maxDocFreq stoplist drops ultra-frequent shingles from candidates") {
+    // every doc shares the planted shingle; capping doc-freq at 2 removes it
+    import spark.implicits._
+    val d = Seq(
+      (0L, "common shared phrase alpha beta gamma"),
+      (1L, "common shared phrase delta epsilon zeta"),
+      (2L, "common shared phrase eta theta iota")).toDF("doc_id", "text")
+    val all = Dedup.jaccardPairs(d, "doc_id", "text", n = 3)
+    val capped = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, maxDocFreq = Some(2))
+    assert(all.count() == 3) // all pairs share "common shared phrase"
+    assert(capped.count() == 0) // the only shared shingle has doc-freq 3
+  }
+
   test("minhash-LSH verified pairs equal brute-force at the same threshold") {
     val brute = Dedup.nearDuplicates(docs, "doc_id", "text", 3, 4, 5)
       .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
