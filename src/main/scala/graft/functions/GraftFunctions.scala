@@ -20,7 +20,8 @@ object GraftFunctions {
       "graft_collation_key" -> (es => CollationKeyBytes(es.head)),
       "graft_odkl_domain_token" -> (es => OdklDomainToken(es.head)),
       "graft_reconcile" -> (es =>
-        ReconcileMax(es(0), es(1), es(2), es(3)).toAggregateExpression()))
+        ReconcileMax(es(0), es(1), es(2), es(3)).toAggregateExpression()),
+      "graft_cosine" -> (es => CosineSimilarity(es(0), es(1))))
 
   def register(spark: SparkSession): Unit = synchronized {
     val reg = spark.sessionState.functionRegistry

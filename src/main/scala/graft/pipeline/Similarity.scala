@@ -17,10 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two array<float> columns, accumulated in double,
-    * left-to-right (deterministic).
+  /** Cosine similarity of two array<float> columns via the native fused
+    * CosineSimilarity expression (double accumulation, left-to-right —
+    * bit-identical to the SQL `aggregate(zip_with(...))` formulation, see
+    * cosineSql, but without the per-row product-array allocation).
     */
-  def cosine(a: String, b: String): Column = expr(
+  def cosine(a: String, b: String): Column =
+    org.apache.spark.sql.functions.call_function("graft_cosine", col(a), col(b))
+
+  /** Reference SQL formulation (kept for the equivalence spec). */
+  def cosineSql(a: String, b: String): Column = expr(
     s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
        | CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
        | / (sqrt(aggregate($a, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
@@ -31,6 +37,7 @@ object Similarity {
     */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
       queryDf: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val scored = df.crossJoin(broadcast(queryDf))
       .withColumn("sim", cosine(vecCol, "q"))
       .select(col(idCol).as("id"), col("sim"))
@@ -55,6 +62,7 @@ object Similarity {
     * (all-pairs within a cell — cells bound the quadratic term).
     */
   def topPairPerCell(df: DataFrame, idCol: String, vecCol: String, cellCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val a = df.select(col(cellCol).as("cell"), col(idCol).as("ia"), col(vecCol).as("va"))
     val b = df.select(col(cellCol).as("cell"), col(idCol).as("ib"), col(vecCol).as("vb"))
     val pairs = a.join(b, Seq("cell")).filter(col("ia") < col("ib"))

@@ -68,6 +68,18 @@ class PipelineSpec extends SparkSpec {
     assert(s1 == s2 && s1(0L) == s1(3L))
   }
 
+  test("native cosine expression is bit-identical to the SQL formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("id", "v")
+    val paired = vecs.crossJoin(vecs.select($"v".as("w")).limit(1))
+    val diff = paired.select(
+      (Similarity.cosine("v", "w") - Similarity.cosineSql("v", "w")).as("d"))
+      .agg(max(abs($"d"))).head().getDouble(0)
+    assert(diff == 0.0, s"native vs SQL cosine diverged by $diff")
+  }
+
   test("brute-force ANN ranks the identical vector first") {
     import spark.implicits._
     val vecs = Seq(
