@@ -282,6 +282,40 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Supercolumn tombstones + resurrection (test_super_cf_resurrect_
+    // subcolumn, test_server.py:757): delete supercolumns linenumber>=4
+    // at ts=2, then re-insert ordinal 1 of linenumber 5 at ts=3 — only
+    // the resurrected subcolumn survives inside deleted supercolumns.
+    "q26_super_resurrect" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val li = table(s, dir, "lineitem").filter(col("l_orderkey") <= 500)
+      val base = lineitemSuperCells(s, dir)
+        .filter(col("key") <= key10(lit(500)))
+      val scDels = Mutations.asSuperDeletes(
+        li.filter(col("l_linenumber") >= 4)
+          .select(key10(col("l_orderkey")).as("key"),
+            graft.functions.GraftFunctions.beBytes(col("l_linenumber").cast("long")).as("super_name"))
+          .distinct()
+          .withColumn("ts", lit(2L)),
+        localDeletionTimeSec = 2000000000)
+      val resurrect = Mutations.asInserts(
+        li.filter(col("l_linenumber") === 5)
+          .select(key10(col("l_orderkey")).as("key"),
+            graft.functions.GraftFunctions.beBytes(lit(5L)).as("super_name"),
+            graft.functions.GraftFunctions.beBytes(lit(1L)).as("col_name"),
+            encode(lit("R"), "UTF-8").as("value"))
+          .distinct()
+          .withColumn("ts", lit(3L)))
+      val lens = new CassandraLens(
+        Mutations(base, scDels, resurrect), lineitemSuperMeta)
+      lens.rangeSliceByKeys(None, None, None, SliceRange(count = Int.MaxValue), Int.MaxValue)
+        .select(
+          col("key").cast("bigint").as("orderkey"),
+          beLong(col("super_name")).as("linenumber"),
+          beLong(col("col_name")).as("ordinal"),
+          decode(col("value"), "UTF-8").as("val"))
+    }),
+
     // TimeUUIDType comparator: columns named by v1 time-UUIDs (timestamp
     // = event µs, clockseq/node = event_id) — slice count=2 ascending =
     // earliest 2 events per user, ordered by embedded timestamp then
@@ -640,6 +674,26 @@ object SparkEntry {
     "q23_top_users" ->
       """SELECT CAST(user_id AS BIGINT) AS uid, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY n DESC, uid LIMIT 20""".stripMargin,
+
+    "q26_super_resurrect" ->
+      """WITH li AS (SELECT * FROM lineitem WHERE l_orderkey <= 500),
+        |u AS (
+        |  SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |         1 AS ordinal, CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS val FROM li WHERE l_linenumber <= 3
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber,
+        |         2, CAST(CAST(round(l_extendedprice*100) AS BIGINT) AS VARCHAR) FROM li WHERE l_linenumber <= 3
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber,
+        |         3, CAST(CAST(round(l_discount*100) AS BIGINT) AS VARCHAR) FROM li WHERE l_linenumber <= 3
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 4, l_returnflag FROM li WHERE l_linenumber <= 3),
+        |m AS (SELECT ok, ln, ordinal, max(val) AS val FROM u GROUP BY 1, 2, 3)
+        |SELECT CAST(ok AS BIGINT) AS orderkey, CAST(ln AS BIGINT) AS linenumber,
+        |       CAST(ordinal AS BIGINT) AS ordinal, val FROM m
+        |UNION ALL
+        |SELECT DISTINCT CAST(l_orderkey AS BIGINT), CAST(5 AS BIGINT), CAST(1 AS BIGINT), 'R'
+        |FROM li WHERE l_linenumber = 5""".stripMargin,
 
     "q24_timeuuid_slice" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type FROM events),
