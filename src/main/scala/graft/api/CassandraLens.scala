@@ -15,16 +15,36 @@ import graft.operators._
   *
   * Validation mirrors thrift/ThriftValidation.java:230-391.
   */
-class CassandraLens(val cells: DataFrame, val meta: CfMeta) {
+class CassandraLens(
+    val cells: DataFrame,
+    val meta: CfMeta,
+    /** Precomputed tombstone horizons (row, supercolumn) from a sidecar
+      * store (CellStore.writeWithHorizons). When present, reads join the
+      * tiny horizon tables instead of re-aggregating marker cells from the
+      * full store. Mutating operations drop the sidecar (it would be
+      * stale) and fall back to self-computed horizons.
+      */
+    val horizons: Option[(DataFrame, DataFrame)] = None) {
   GraftFunctions.register(cells.sparkSession)
+
+  def this(cells: DataFrame, meta: CfMeta) = this(cells, meta, None)
 
   private def topCmp: ComparatorType.Value = meta.comparator
   private def subCmp: ComparatorType.Value = meta.subComparator
 
   /** Reconciled live view of the whole CF. */
-  def live: DataFrame = Reconcile.liveView(cells)
+  def live: DataFrame = horizons match {
+    case Some((rowDel, scDel)) => Reconcile.liveViewGiven(cells, rowDel, scDel)
+    case None => Reconcile.liveView(cells)
+  }
 
-  private def liveOf(pred: Column): DataFrame = Reconcile.liveView(cells.filter(pred))
+  /** Live view of a restricted cell set, using the sidecar when present. */
+  private def liveFrom(restricted: DataFrame): DataFrame = horizons match {
+    case Some((rowDel, scDel)) => Reconcile.liveViewGiven(restricted, rowDel, scDel)
+    case None => Reconcile.liveView(restricted)
+  }
+
+  private def liveOf(pred: Column): DataFrame = liveFrom(cells.filter(pred))
 
   private def withToken(df: DataFrame): DataFrame =
     df.withColumn("token", Tokens.token(meta.partitioner, col("key")))
@@ -85,7 +105,7 @@ class CassandraLens(val cells: DataFrame, val meta: CfMeta) {
     val restricted = cells.join(
       org.apache.spark.sql.functions.broadcast(keysDf.select(col("key")).distinct()),
       Seq("key"), "left_semi")
-    sliceOver(Reconcile.liveView(restricted), superName, pred)
+    sliceOver(liveFrom(restricted), superName, pred)
   }
 
   /** Slice machinery shared by point reads and range scans. */
@@ -131,7 +151,7 @@ class CassandraLens(val cells: DataFrame, val meta: CfMeta) {
       startKey: Option[String], endKey: Option[String],
       superName: Option[Array[Byte]], pred: SlicePredicate, maxKeys: Int): DataFrame = {
     val pre = cells.filter(RangeScan.keyBoundsPredicate(col("key"), startKey, endKey))
-    val bounded = RangeScan.limitKeys(withToken(Reconcile.liveView(pre)), maxKeys)
+    val bounded = RangeScan.limitKeys(withToken(liveFrom(pre)), maxKeys)
     sliceOver(bounded, superName, pred)
   }
 
@@ -145,7 +165,7 @@ class CassandraLens(val cells: DataFrame, val meta: CfMeta) {
     val pre = withToken(cells)
       .filter(RangeScan.tokenRangePredicate(col("token"), startToken, endToken))
     val bounded = RangeScan.limitKeys(
-      withToken(Reconcile.liveView(pre.drop("token"))), maxKeys, startToken)
+      withToken(liveFrom(pre.drop("token"))), maxKeys, startToken)
     sliceOver(bounded, superName, pred)
   }
 

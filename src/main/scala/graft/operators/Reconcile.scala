@@ -89,9 +89,15 @@ object Reconcile {
     * deletes, not data); Spark/AQE broadcasts them when small, otherwise
     * this is a shuffle join on the same `key` the caller already groups by.
     */
-  def shadowByContainers(cells: DataFrame): DataFrame = {
-    val rowDel = rowTombstones(cells)
-    val scDel = superTombstones(cells)
+  def shadowByContainers(cells: DataFrame): DataFrame =
+    shadowByContainersGiven(cells, rowTombstones(cells), superTombstones(cells))
+
+  /** Shadowing against PRECOMPUTED horizons — the sidecar path: compaction
+    * persists the (tiny) horizon tables next to the runs, so reads join
+    * against them instead of re-aggregating marker cells out of the full
+    * store (CellStore.writeWithHorizons).
+    */
+  def shadowByContainersGiven(cells: DataFrame, rowDel: DataFrame, scDel: DataFrame): DataFrame = {
     cells
       .filter(col("col_name").isNotNull)
       .join(rowDel, Seq("key"), "left")
@@ -110,6 +116,10 @@ object Reconcile {
     */
   def liveView(cells: DataFrame): DataFrame =
     shadowByContainers(latestCells(cells)).filter(!col("tombstone"))
+
+  /** Live view with precomputed horizons (sidecar read path). */
+  def liveViewGiven(cells: DataFrame, rowDel: DataFrame, scDel: DataFrame): DataFrame =
+    shadowByContainersGiven(latestCells(cells), rowDel, scDel).filter(!col("tombstone"))
 
   /** Compaction output view (SURVEY §2.7): winning versions with tombstones
     * RETAINED unless expired — a tombstone (column-level or marker) is

@@ -45,6 +45,30 @@ object CellStore {
   def mergeOnRead(base: DataFrame, delta: DataFrame): DataFrame =
     base.unionByName(delta)
 
+  /** Write the store PLUS the tombstone-horizon sidecar: the per-key and
+    * per-supercolumn deletion horizons are tiny (they are deletes), and
+    * persisting them means every read joins two small tables instead of
+    * re-aggregating marker cells out of the full store — at 100 TB that
+    * removes two scans of the big table per query. The sidecar is valid
+    * for exactly the runs written here; appended deltas require either a
+    * sidecar refresh (compaction does this) or the self-computing path.
+    */
+  def writeWithHorizons(cells: DataFrame, meta: CfMeta, path: String, numPartitions: Int = 32): Unit = {
+    write(cells, meta, s"$path/runs", numPartitions)
+    graft.operators.Reconcile.rowTombstones(cells)
+      .write.mode("overwrite").parquet(s"$path/horizons_row")
+    graft.operators.Reconcile.superTombstones(cells)
+      .write.mode("overwrite").parquet(s"$path/horizons_sc")
+  }
+
+  /** Open a lens over a store written by [[writeWithHorizons]]. */
+  def openWithHorizons(spark: SparkSession, path: String, meta: CfMeta): graft.api.CassandraLens =
+    new graft.api.CassandraLens(
+      spark.read.parquet(s"$path/runs"), meta,
+      horizons = Some((
+        spark.read.parquet(s"$path/horizons_row"),
+        spark.read.parquet(s"$path/horizons_sc"))))
+
   /** Bucketed catalog table variant — the 100 TB layout. `bucketBy(key)`
     * co-locates every version of a key in one bucket file set, so the
     * reconcile groupBy(key, …) and all per-key windows run WITHOUT a

@@ -76,6 +76,26 @@ class CellStoreSpec extends SparkSpec {
     assert(liveValues(Reconcile.liveView(table).filter(col("key") === "b")) == Map("c1" -> "w"))
   }
 
+  test("horizon sidecar: same results, marker scan replaced by sidecar join") {
+    val dir = Files.createTempDirectory("graft_cs5").toString
+    val withMarkers = cells ++ Seq(
+      delRow("a", 5), ins("a", "c9", "late", 9),
+      ins("s", "x", "v", 1, sup = "sc1"), delSuper("s", "sc1", 2))
+    CellStore.writeWithHorizons(cellsDf(withMarkers), CfMeta("t"), s"$dir/s", numPartitions = 2)
+    val lens = CellStore.openWithHorizons(spark, s"$dir/s", CfMeta("t"))
+    // row marker at ts=5 shadows a's older cells; c9@9 survives; b untouched;
+    // sc1 supercolumn fully shadowed
+    assert(liveValues(lens.live) == Map("c9" -> "late", "c1" -> "w"))
+    // equivalence with the self-computing path
+    val plain = new graft.api.CassandraLens(
+      spark.read.parquet(s"$dir/s/runs"), CfMeta("t"))
+    assert(liveValues(plain.live) == liveValues(lens.live))
+    // the sidecar plan scans the horizon parquet, not the full store, for shadowing
+    val plan = lens.live.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("horizons_row") && plan.contains("horizons_sc"))
+  }
+
   test("JSON export/import round-trips binary-faithfully (SSTableExport analog)") {
     val dir = Files.createTempDirectory("graft_cs4").toString
     CellStore.exportJson(cellsDf(cells), s"$dir/j")
