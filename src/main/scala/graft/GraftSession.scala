@@ -23,6 +23,7 @@ object GraftSession {
     val spark = builder(master).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
+    graft.plans.GraftOptimizations.install(spark)
     spark
   }
 }
