@@ -58,6 +58,75 @@ object Similarity {
       idCol, vecCol, queryDf, k)
   }
 
+  // ---- real IVF: k-means|| -style coarse quantizer + nprobe search ----
+
+  /** Squared-L2 distance of a vector column to a centroid literal —
+    * expression-only (codegen'd), no UDF.
+    */
+  private def l2sq(vecCol: String, centroid: Array[Float]): Column = {
+    val c = centroid.map(v => f"CAST($v%.9ed AS DOUBLE)").mkString("array(", ",", ")")
+    expr(
+      s"""aggregate(zip_with($vecCol, $c, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+         | CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+  }
+
+  /** Nearest-centroid assignment as a `least(struct(dist, idx))` over the
+    * (small) codebook — ties resolve to the lowest centroid id.
+    */
+  def assignCell(df: DataFrame, vecCol: String, centroids: Array[Array[Float]]): DataFrame = {
+    val cands = centroids.zipWithIndex.map { case (c, i) =>
+      struct(l2sq(vecCol, c).as("d"), lit(i).as("cell"))
+    }
+    df.withColumn("cell", least(cands: _*).getField("cell"))
+  }
+
+  /** Train a k-centroid codebook with Lloyd iterations expressed as
+    * DataFrame aggregations: assign (expression argmin) → elementwise mean
+    * per cell (posexplode + avg) → collect the k×dim codebook (tiny).
+    * Deterministic: seeds are the first k vectors in id order.
+    */
+  def trainCodebook(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): Array[Array[Float]] = {
+    var centroids = df.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    for (_ <- 0 until iters) {
+      val assigned = assignCell(df, vecCol, centroids)
+      val means = assigned
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ms"))
+        .select(col("cell"), expr("transform(ms, s -> CAST(s.m AS FLOAT))").as("centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
+    }
+    centroids
+  }
+
+  /** IVF search with a trained codebook: scan only the `nprobe` cells
+    * nearest to the query, exact cosine top-k within them. At 100 TB the
+    * assignment is precomputed (a partition column), so the scan prunes to
+    * nprobe/k of the data before any distance math.
+    */
+  def ivfSearch(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], queryVec: Array[Float], k: Int, nprobe: Int): DataFrame = {
+    val probeCells = centroids.zipWithIndex.map { case (c, i) =>
+      var d = 0.0
+      var j = 0
+      while (j < math.min(c.length, queryVec.length)) {
+        val t = c(j).toDouble - queryVec(j).toDouble; d += t * t; j += 1
+      }
+      (d, i)
+    }.sortBy(p => (p._1, p._2)).take(nprobe).map(_._2).toSet
+    val spark = df.sparkSession
+    import spark.implicits._
+    val assigned = assignCell(df, vecCol, centroids)
+      .filter(col("cell").isin(probeCells.toSeq: _*))
+    val q = Seq(Tuple1(queryVec)).toDF("q")
+    bruteForceTopK(assigned, idCol, vecCol, q, k)
+  }
+
   /** Embedding near-dup mining: the single most-similar pair per cell
     * (all-pairs within a cell — cells bound the quadratic term).
     */

@@ -92,6 +92,29 @@ class PipelineSpec extends SparkSpec {
     assert(top == Seq(3L, 1L))
   }
 
+  test("IVF: trained codebook separates clusters; nprobe search finds the neighbor") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    // two well-separated gaussian blobs around (±5, 0, 0, ...)
+    def blob(center: Float, n: Int, base: Long) = (0 until n).map { i =>
+      (base + i, Array.tabulate(8)(d =>
+        (if (d == 0) center else 0f) + rnd.nextFloat() * 0.2f))
+    }
+    val vecs = (blob(5f, 30, 0L) ++ blob(-5f, 30, 100L)).toDF("vec_id", "embedding")
+    val codebook = Similarity.trainCodebook(vecs, "vec_id", "embedding", k = 2, iters = 3)
+    val assigned = Similarity.assignCell(vecs, "embedding", codebook)
+      .select($"vec_id", $"cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // each blob lands in one cell
+    assert((0L until 30L).map(assigned).toSet.size == 1)
+    assert((100L until 130L).map(assigned).toSet.size == 1)
+    assert(assigned(0L) != assigned(100L))
+    // nprobe=1 search for a query near the positive blob returns positive ids only
+    val query = Array.tabulate(8)(d => if (d == 0) 5f else 0f)
+    val top = Similarity.ivfSearch(vecs, "vec_id", "embedding", codebook, query, k = 5, nprobe = 1)
+      .select("id").collect().map(_.getLong(0))
+    assert(top.length == 5 && top.forall(_ < 100L))
+  }
+
   test("language id picks the stopword-heavy language deterministically") {
     import spark.implicits._
     val d = Seq(
