@@ -41,7 +41,8 @@ object CellStream {
     * the memtable's in-place `ColumnFamily.resolve` (db/Memtable.java:120-140)
     * as flatMapGroupsWithState.
     */
-  def latestPerKey(cells: Dataset[Cell], maxColumns: Int = 10000): Dataset[Cell] = {
+  def latestPerKey(cells: Dataset[Cell], maxColumns: Int = 10000,
+      gcBeforeSeconds: Int = Int.MinValue): Dataset[Cell] = {
     import cells.sparkSession.implicits._
     cells
       .groupByKey(_.key)
@@ -57,7 +58,15 @@ object CellStream {
               case _ => m.updated(ck, c)
             }
           }
-          state.update(merged.takeRight(maxColumns))
+          // gcGrace as state TTL (db/CompactionManager.java:636-643): expired
+          // tombstones leave the state — bounding it — with the SAME
+          // consequence the reference documents: a slower writer can
+          // resurrect the column afterwards ("zombie"), which is why
+          // gcGraceSeconds must exceed the repair/delivery horizon.
+          val kept = merged.filter { case (_, c) =>
+            !(c.tombstone && c.local_del_time < gcBeforeSeconds)
+          }
+          state.update(kept.takeRight(maxColumns))
           merged.valuesIterator
       }
   }

@@ -53,6 +53,25 @@ class StreamingSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("tombstone")))
   }
 
+  test("gcGrace state TTL purges expired tombstones (then zombies can resurrect)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Cell]
+    val out = CellStream.latestPerKey(mem.toDS(), gcBeforeSeconds = 500)
+    val q = out.writeStream.format("memory").queryName("gcttl")
+      .outputMode("append").start()
+    try {
+      mem.addData(ins("k1", "c1", "v", 1), del("k1", "c1", 10, ldt = 100)) // expired tombstone
+      q.processAllAvailable()
+      // tombstone won batch 1 but was purged from state; an OLDER write now
+      // resurrects — the documented gcGrace zombie semantics
+      mem.addData(ins("k1", "c1", "zombie", 5))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("gcttl").filter(col("ts") === 5).collect()
+    assert(last.length == 1 && new String(last.head.getAs[Array[Byte]]("value"), "UTF-8") == "zombie")
+  }
+
   test("windowed counts with watermark run on a cell stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
