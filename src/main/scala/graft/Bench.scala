@@ -80,6 +80,29 @@ object Bench {
     }
     results += "reconcile_scan" -> tScan; rows += "reconcile_scan" -> nScan
 
+    // 3b. bucketed layout: write once co-located by key, then the same
+    // point-slice batch runs with a SHUFFLE-FREE reconcile
+    spark.sql("DROP TABLE IF EXISTS graft_bench_bucketed")
+    val wh = new java.io.File("spark-warehouse/graft_bench_bucketed")
+    if (wh.exists()) new scala.reflect.io.Directory(wh).deleteRecursively()
+    val (tInsB, nInsB) = time {
+      CellStore.writeBucketed(
+        CellEncodings.ordersCells(spark, sfDir)
+          .unionByName(CellEncodings.ordersStatusFTombstones(spark, sfDir)),
+        CellEncodings.ordersMeta, "graft_bench_bucketed", GraftSession.cpus.toInt)
+      spark.table("graft_bench_bucketed").count()
+    }
+    results += "insert_bucketed" -> tInsB; rows += "insert_bucketed" -> nInsB
+
+    val bucketLens = new CassandraLens(
+      spark.table("graft_bench_bucketed"), CellEncodings.ordersMeta)
+    val (tReadB, nReadB) = time {
+      val keys = (0L until 3000L by 20L).map(i => f"$i%010d")
+      bucketLens.multigetSlice(keys, None, SliceRange(count = 5)).count()
+    }
+    results += "read_bucketed" -> tReadB; rows += "read_bucketed" -> nReadB
+    spark.sql("DROP TABLE IF EXISTS graft_bench_bucketed")
+
     // 4b. sessionize: gap-based session windows over 100k events
     val (tSess, nSess) = time {
       SparkEntry.queries("q22_sessionize")(spark, sfDir).count()
