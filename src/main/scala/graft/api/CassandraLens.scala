@@ -46,6 +46,15 @@ class CassandraLens(
 
   private def liveOf(pred: Column): DataFrame = liveFrom(cells.filter(pred))
 
+  /** domainSplit routing (fork CFMetaData.domainSplit): keyed reads derive
+    * the 2-char domain of each requested key, so a domain-partitioned
+    * store prunes directories via PartitionFilters.
+    */
+  private def domainPredicate(keys: Seq[String]): Column =
+    if (meta.domainSplit && cells.columns.contains("domain"))
+      col("domain").isin(keys.map(_.takeRight(2)).distinct: _*)
+    else lit(true)
+
   private def withToken(df: DataFrame): DataFrame =
     df.withColumn("token", Tokens.token(meta.partitioner, col("key")))
 
@@ -76,7 +85,7 @@ class CassandraLens(
   /** Q1 `get` (thrift:300-304): one column / subcolumn / supercolumn. */
   def get(key: String, superName: Option[Array[Byte]], colName: Array[Byte]): DataFrame = {
     require(key.nonEmpty, "zero-length key")
-    val base = liveOf(col("key") === key)
+    val base = liveOf(col("key") === key && domainPredicate(Seq(key)))
     superName match {
       case Some(sc) => base.filter(col("super_name") === lit(sc) && col("col_name") === lit(colName))
       case None => base.filter(col("super_name").isNull && col("col_name") === lit(colName))
@@ -94,7 +103,7 @@ class CassandraLens(
   def multigetSlice(keys: Seq[String], superName: Option[Array[Byte]], pred: SlicePredicate): DataFrame = {
     keys.foreach(k => require(k.nonEmpty, "zero-length key"))
     val keyPred = if (keys.size == 1) col("key") === keys.head else col("key").isin(keys: _*)
-    sliceOver(liveOf(keyPred), superName, pred)
+    sliceOver(liveOf(keyPred && domainPredicate(keys)), superName, pred)
   }
 
   /** multiget_slice for a LARGE key set carried as a DataFrame: a broadcast

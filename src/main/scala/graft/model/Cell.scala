@@ -65,11 +65,17 @@ object PartitionerType extends Enumeration {
   val Md5Hex = Value
 }
 
-/** Per-column-family metadata (config/CFMetaData.java:30-88). */
+/** Per-column-family metadata (config/CFMetaData.java:30-88).
+  * `domainSplit` mirrors the fork's sharding of one logical CF into 256
+  * physical CFs by the 2-char key domain (config/CFMetaData.java:49-53):
+  * here the domain is a Spark PARTITION COLUMN, so keyed reads prune whole
+  * directories before any file IO.
+  */
 case class CfMeta(
     name: String,
     comparator: ComparatorType.Value = ComparatorType.Bytes,
     subComparator: ComparatorType.Value = ComparatorType.Bytes,
     isSuper: Boolean = false,
     partitioner: PartitionerType.Value = PartitionerType.OrderPreserving,
-    gcGraceSeconds: Int = 864000)
+    gcGraceSeconds: Int = 864000,
+    domainSplit: Boolean = false)

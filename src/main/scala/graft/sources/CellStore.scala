@@ -45,6 +45,32 @@ object CellStore {
   def mergeOnRead(base: DataFrame, delta: DataFrame): DataFrame =
     base.unionByName(delta)
 
+  /** Domain-split layout (fork CFMetaData.domainSplit,
+    * config/CFMetaData.java:49-53 + dht/OdklDomainPartitioner): the 2-char
+    * key domain becomes a parquet PARTITION COLUMN — the Spark moral
+    * equivalent of sharding one logical CF into 256 physical CFs. Keyed
+    * reads derive the domain from the key and prune whole directories
+    * (PartitionFilters) before any file is opened.
+    */
+  def writeDomainSplit(cells: DataFrame, meta: CfMeta, path: String): Unit = {
+    val sk = Comparators.sortKey(meta.comparator, col("col_name"))
+    cells
+      .withColumn("domain", substring(col("key"), -2, 2))
+      .repartition(col("domain"))
+      .sortWithinPartitions(col("key"), col("super_name"), sk)
+      .write
+      .partitionBy("domain")
+      .option("parquet.bloom.filter.enabled#key", "true")
+      .mode("overwrite")
+      .parquet(path)
+  }
+
+  /** Read a domain-split store, keeping the `domain` partition column so
+    * lens-derived domain predicates reach PartitionFilters.
+    */
+  def readDomainSplit(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Write the store PLUS the tombstone-horizon sidecar: the per-key and
     * per-supercolumn deletion horizons are tiny (they are deletes), and
     * persisting them means every read joins two small tables instead of

@@ -76,6 +76,25 @@ class CellStoreSpec extends SparkSpec {
     assert(liveValues(Reconcile.liveView(table).filter(col("key") === "b")) == Map("c1" -> "w"))
   }
 
+  test("domainSplit store: keyed reads prune partitions via the domain column") {
+    import graft.api.CassandraLens
+    import graft.operators.SliceRange
+    val dir = Files.createTempDirectory("graft_cs_dom").toString
+    val many = (0 until 200).map(i => ins(f"k$i%08d", "c1", s"v$i", 1))
+    val meta = CfMeta("t", domainSplit = true)
+    CellStore.writeDomainSplit(cellsDf(many), meta, s"$dir/s")
+    val lens = new CassandraLens(CellStore.readDomainSplit(spark, s"$dir/s"), meta)
+    val q = lens.getSlice("k00000042", None, SliceRange(count = 10))
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") && plan.contains("domain"), plan.take(2500))
+    assert(liveValues(q) == Map("c1" -> "v42"))
+    // multiget across domains still answers correctly
+    val m = lens.multigetSlice(Seq("k00000042", "k00000199"), None, SliceRange(count = 10))
+    assert(liveValues(m) == Map("c1" -> "v199")) // last wins in map; check rows
+    assert(m.count() == 2)
+  }
+
   test("horizon sidecar: same results, marker scan replaced by sidecar join") {
     val dir = Files.createTempDirectory("graft_cs5").toString
     val withMarkers = cells ++ Seq(
