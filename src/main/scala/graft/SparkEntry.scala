@@ -483,6 +483,15 @@ object SparkEntry {
         .select(col("cell").cast("long").as("cell"), col("ia"), col("ib"))
     }),
 
+    // SimHash banded near-dup pairs (hash-dependent: rows-only check —
+    // xxhash64 has no DuckDB twin; semantics spec-tested on planted dups).
+    "p13_simhash_pairs" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Dedup.simhashNearDuplicates(
+        table(s, dir, "documents"), "doc_id", "text", maxHamming = 6)
+        .select(col("ia"), col("ib"), col("hamming"))
+    }),
+
     // Multimodal plumbing: opaque binary column → batched feature
     // extraction (decode step STUBBED — see Multimodal.decodeStub).
     "p12_multimodal" -> ((s, dir) => {

@@ -159,6 +159,7 @@ class CassandraLens(
   def rangeSliceByKeys(
       startKey: Option[String], endKey: Option[String],
       superName: Option[Array[Byte]], pred: SlicePredicate, maxKeys: Int): DataFrame = {
+    require(maxKeys > 0, "get_range_slices requires a positive key count (thrift:240-246)")
     val pre = cells.filter(RangeScan.keyBoundsPredicate(col("key"), startKey, endKey))
     val bounded = RangeScan.limitKeys(withToken(liveFrom(pre)), maxKeys)
     sliceOver(bounded, superName, pred)
@@ -171,6 +172,7 @@ class CassandraLens(
   def rangeSliceByToken(
       startToken: Option[Column], endToken: Option[Column],
       superName: Option[Array[Byte]], pred: SlicePredicate, maxKeys: Int): DataFrame = {
+    require(maxKeys > 0, "get_range_slices requires a positive key count (thrift:240-246)")
     val pre = withToken(cells)
       .filter(RangeScan.tokenRangePredicate(col("token"), startToken, endToken))
     val bounded = RangeScan.limitKeys(

@@ -109,6 +109,17 @@ class SliceSpec extends SparkSpec {
     assert(names == Seq(10L, 33L))
   }
 
+  test("wide row: 5k columns slice + reversed + count stay correct") {
+    val wide = (0 until 5000).map(i => ins("w", f"c$i%05d", s"v$i", 1))
+    val l = lens(wide)
+    assert(liveNames(l.getSlice("w", None, SliceRange(count = 7))).sorted ==
+      (0 until 7).map(i => f"c$i%05d"))
+    assert(liveNames(l.getSlice("w", None, SliceRange(reversed = true, count = 3))).sorted ==
+      (4997 until 5000).map(i => f"c$i%05d"))
+    val mid = l.getSlice("w", None, SliceRange(b("c01000"), b("c01999"), count = Int.MaxValue))
+    assert(mid.count() == 1000)
+  }
+
   test("validation: start after finish rejected unless reversed (ThriftValidation:230-258)") {
     val l = lens(row)
     intercept[IllegalArgumentException] {
