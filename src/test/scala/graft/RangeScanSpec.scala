@@ -68,6 +68,23 @@ class RangeScanSpec extends SparkSpec {
     assert(keysOf(r) == expected)
   }
 
+  test("paged scan: exclusive continuation covers every key exactly once") {
+    val pages = graft.operators.PagedScan.pages(lens(), SliceRange(count = 5), pageSize = 4).toSeq
+    assert(pages.length == 3) // 4 + 4 + 2 keys
+    val pageKeys = pages.map(keysOf)
+    assert(pageKeys(0) == Seq("a", "b", "c", "d"))
+    assert(pageKeys(1) == Seq("e", "f", "g", "h"))
+    assert(pageKeys(2) == Seq("i", "j"))
+  }
+
+  test("paged scan over hash-token order pages in token space") {
+    val all = graft.operators.PagedScan
+      .pages(lens(PartitionerType.Md5Hex), SliceRange(count = 5), pageSize = 3)
+      .flatMap(keysOf).toSeq
+    assert(all.sorted == ('a' to 'j').map(_.toString))
+    assert(all.length == 10) // no duplicates across pages
+  }
+
   test("describe_splits partitions keys into contiguous ranges of ~equal count") {
     val splits = lens().describeSplits(3).orderBy("split_id").collect()
     assert(splits.length == 3)
