@@ -92,6 +92,16 @@ class CassandraLens(
     }
   }
 
+  /** Q1 `get` with a ColumnPath naming only a SUPERCOLUMN (column unset):
+    * returns the whole supercolumn — all live subcolumns
+    * (CassandraServer.java:259-275 path for super_column-only ColumnPath).
+    */
+  def getSuperColumn(key: String, superName: Array[Byte]): DataFrame = {
+    require(key.nonEmpty, "zero-length key")
+    liveOf(col("key") === key && domainPredicate(Seq(key)))
+      .filter(col("super_name") === lit(superName))
+  }
+
   /** Q2 `get_slice` (thrift:310-315) for one key = Q4 over a single key. */
   def getSlice(key: String, superName: Option[Array[Byte]], pred: SlicePredicate): DataFrame =
     multigetSlice(Seq(key), superName, pred)

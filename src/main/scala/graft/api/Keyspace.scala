@@ -64,4 +64,30 @@ object Thriftify {
         expr("transform(_cols, c -> struct(c.name AS name, c.value AS value, c.ts AS ts))")
           .as("columns"))
   }
+
+  /** Super-CF rows: key → comparator-ordered array of supercolumns, each
+    * holding its subcomparator-ordered subcolumn array — the two-level
+    * ColumnOrSuperColumn nesting (thrift:72-90) as nested arrays.
+    */
+  def superRows(live: DataFrame, cmp: ComparatorType.Value,
+      subCmp: ComparatorType.Value): DataFrame = {
+    val subSorted = sort_array(
+      collect_list(struct(
+        Comparators.sortKey(subCmp, col("col_name")).as("_sk"),
+        col("col_name").as("name"), col("value").as("value"), col("ts").as("ts"))))
+    val perSuper = live
+      .groupBy(col("key"), col("super_name"))
+      .agg(subSorted.as("_cols"))
+      .select(col("key"), col("super_name"),
+        expr("transform(_cols, c -> struct(c.name AS name, c.value AS value, c.ts AS ts))")
+          .as("columns"))
+    perSuper
+      .groupBy(col("key"))
+      .agg(sort_array(collect_list(struct(
+        Comparators.sortKey(cmp, col("super_name")).as("_sk"),
+        col("super_name").as("name"), col("columns").as("columns")))).as("_sc"))
+      .select(col("key"),
+        expr("transform(_sc, s -> struct(s.name AS name, s.columns AS columns))")
+          .as("super_columns"))
+  }
 }

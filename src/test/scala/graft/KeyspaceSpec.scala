@@ -24,6 +24,40 @@ class KeyspaceSpec extends SparkSpec {
     } finally ks.drop()
   }
 
+  test("thriftify super rows: two-level nesting in both comparator orders") {
+    val live = Reconcile.liveView(cellsDf(Seq(
+      ins("k1", "c2", "v2", 1, sup = "sc2"), ins("k1", "c1", "v1", 1, sup = "sc2"),
+      ins("k1", "c9", "v9", 1, sup = "sc1"))))
+    val row = Thriftify.superRows(live, ComparatorType.Bytes, ComparatorType.Bytes).head()
+    val sc = row.getSeq[org.apache.spark.sql.Row](1)
+    assert(sc.map(r => new String(r.getAs[Array[Byte]]("name"), "UTF-8")) == Seq("sc1", "sc2"))
+    val sub2 = sc(1).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => new String(r.getAs[Array[Byte]]("name"), "UTF-8"))
+    assert(sub2 == Seq("c1", "c2"))
+  }
+
+  test("get on a supercolumn path returns the whole live supercolumn") {
+    val cells = Seq(
+      ins("k1", "c1", "v1", 1, sup = "sc1"), ins("k1", "c2", "v2", 1, sup = "sc1"),
+      del("k1", "c2", 2, sup = "sc1"), ins("k1", "cX", "w", 1, sup = "sc2"))
+    val lens = new graft.api.CassandraLens(cellsDf(cells),
+      CfMeta("s", isSuper = true))
+    assert(liveValues(lens.getSuperColumn("k1", b("sc1"))) == Map("c1" -> "v1"))
+  }
+
+  test("reversed top-level super slice: supercolumns from the top") {
+    val cells = Seq(
+      ins("k1", "c1", "v", 1, sup = "sc1"), ins("k1", "c1", "v", 1, sup = "sc2"),
+      ins("k1", "c1", "v", 1, sup = "sc3"))
+    val lens = new graft.api.CassandraLens(cellsDf(cells), CfMeta("s", isSuper = true))
+    val r = lens.getSlice("k1", None,
+      graft.operators.SliceRange(reversed = true, count = 2))
+    val supers = r.select(org.apache.spark.sql.functions.decode(
+      org.apache.spark.sql.functions.col("super_name"), "UTF-8"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(supers == Seq("sc2", "sc3"))
+  }
+
   test("thriftify: comparator-ordered column arrays per key, reversal at sink") {
     val live = Reconcile.liveView(cellsDf(Seq(
       ins("k1", "b", "2", 1), ins("k1", "a", "1", 1), ins("k1", "c", "3", 1))))
