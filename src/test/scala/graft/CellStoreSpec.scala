@@ -115,6 +115,19 @@ class CellStoreSpec extends SparkSpec {
     assert(plan.contains("horizons_row") && plan.contains("horizons_sc"))
   }
 
+  test("bloom probe: present keys may-exist, absent keys answer false from metadata only") {
+    val dir = Files.createTempDirectory("graft_bloom").toString
+    val many = (0 until 500).map(i => ins(f"key$i%06d", "c1", "v", 1))
+    CellStore.write(cellsDf(many), CfMeta("t"), s"$dir/s", numPartitions = 2)
+    import graft.sources.BloomProbe
+    assert(BloomProbe.keyMayExist(spark, s"$dir/s", "key000042"))
+    assert(BloomProbe.keyMayExist(spark, s"$dir/s", "key000499"))
+    // absent keys: blooms should reject (false positives possible but
+    // wildly unlikely across 20 distinct probes at default fpp)
+    val absent = (0 until 20).count(i => BloomProbe.keyMayExist(spark, s"$dir/s", s"nope$i"))
+    assert(absent <= 2, s"$absent/20 absent keys false-positived")
+  }
+
   test("JSON export/import round-trips binary-faithfully (SSTableExport analog)") {
     val dir = Files.createTempDirectory("graft_cs4").toString
     CellStore.exportJson(cellsDf(cells), s"$dir/j")
