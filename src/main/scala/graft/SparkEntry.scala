@@ -641,12 +641,13 @@ object SparkEntry {
 
     "q15_events_window" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,
-        |       count(*) AS n, sum(CAST(round(value*100) AS BIGINT)) AS sum_cents
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q16_enrich_join" ->
       """SELECT r_name AS region, n_name AS nation, count(*) AS n_orders,
-        |       sum(CAST(round(o_totalprice*100) AS BIGINT)) AS rev_cents
+        |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -740,8 +741,8 @@ object SparkEntry {
 
     "q19_integrity" ->
       """SELECT CAST(o_custkey % 16 AS BIGINT) AS bucket, count(*) AS n,
-        |       sum(CAST(o_custkey AS BIGINT) * 1000003 + CAST(o_orderkey AS BIGINT) * 31
-        |           + ascii(o_orderstatus)) AS checksum
+        |       CAST(sum(CAST(o_custkey AS BIGINT) * 1000003 + CAST(o_orderkey AS BIGINT) * 31
+        |                 + ascii(o_orderstatus)) AS BIGINT) AS checksum
         |FROM orders WHERE o_orderstatus <> 'F' GROUP BY 1""".stripMargin,
 
     "p01_dedup_exact" ->
