@@ -447,10 +447,13 @@ object SparkEntry {
         .select(col("ia"), col("ib"), col("inter"), col("uni"))
     }),
 
-    // SimHash 64-bit sketches (hash-dependent: rows-only check).
+    // SimHash 64-bit sketches over md5-derived token hashes — the hash is
+    // reproducible in DuckDB (md5 hex → nibble bits), so this is fully
+    // oracle-checked, not rows-only.
     "p08_simhash" -> ((s, dir) => {
       GraftFunctions.register(s)
-      graft.pipeline.Dedup.simhash(table(s, dir, "documents"), "doc_id", "text")
+      graft.pipeline.Dedup.simhash(table(s, dir, "documents"), "doc_id", "text",
+        graft.pipeline.Dedup.md5Hash64)
         .select(col("id").as("doc_id"), col("simhash"))
     }),
 
@@ -483,13 +486,22 @@ object SparkEntry {
         .select(col("cell").cast("long").as("cell"), col("ia"), col("ib"))
     }),
 
-    // SimHash banded near-dup pairs (hash-dependent: rows-only check —
-    // xxhash64 has no DuckDB twin; semantics spec-tested on planted dups).
+    // SimHash banded near-dup pairs over the md5-derived hash (oracle-
+    // checked end-to-end: sketch, banding, hamming filter).
     "p13_simhash_pairs" -> ((s, dir) => {
       GraftFunctions.register(s)
       graft.pipeline.Dedup.simhashNearDuplicates(
-        table(s, dir, "documents"), "doc_id", "text", maxHamming = 6)
-        .select(col("ia"), col("ib"), col("hamming"))
+        table(s, dir, "documents"), "doc_id", "text", maxHamming = 6,
+        tokenHash = graft.pipeline.Dedup.md5Hash64)
+        .select(col("ia"), col("ib"), col("hamming").cast("long").as("hamming"))
+    }),
+
+    // Near-dup clusters: Jaccard pairs → connected components (min-label
+    // + pointer jumping) → every doc labeled with its cluster rep.
+    "p14_dup_clusters" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Dedup.dupClusters(table(s, dir, "documents"),
+        "doc_id", "text", n = 3, num = 4, den = 5)
     }),
 
     // Multimodal plumbing: opaque binary column → batched feature
@@ -507,6 +519,36 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** DuckDB twin of Dedup.simhash with Dedup.md5Hash64 token hashes: the
+    * engine's 64-bit hash is the big-endian read of md5's first 16 hex
+    * chars, so bit j lives in hex char 16 - j/4 at nibble bit j%4 — each
+    * of the 64 sign-sums is reconstructed from the hex string directly.
+    * (Generated SQL: 64 sum terms + a 64-term bit recombination; the j=63
+    * weight is Long.MinValue, written as -9223372036854775807 - 1.)
+    */
+  private lazy val simhashOracleCte: String = {
+    val bitSums = (0 until 64).map { j =>
+      val pos = 16 - j / 4
+      val div = 1 << (j % 4)
+      s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(m, $pos, 1)) - 1) // $div) % 2 = 1 THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(",\n    ")
+    val combine = ((0 until 63).map { j =>
+      s"CASE WHEN b$j > 0 THEN ${1L << j}::BIGINT ELSE 0::BIGINT END"
+    } :+ "CASE WHEN b63 > 0 THEN (-9223372036854775807 - 1)::BIGINT ELSE 0::BIGINT END")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok FROM documents
+       |), h AS (
+       |  SELECT doc_id, md5(tok) AS m FROM toks
+       |), bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM h GROUP BY doc_id
+       |), sim AS (
+       |  SELECT doc_id, $combine AS simhash FROM bits
+       |)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_get" ->
       """WITH mk AS (SELECT min(o_custkey) AS k FROM orders),
@@ -807,6 +849,23 @@ object SparkEntry {
         |      FROM p JOIN sz sa ON sa.id = ia JOIN sz sb ON sb.id = ib)
         |SELECT ia, ib, inter, uni FROM j WHERE inter * 5 >= uni * 4""".stripMargin,
 
+    "p08_simhash" ->
+      s"""$simhashOracleCte
+        |SELECT doc_id, simhash FROM sim""".stripMargin,
+
+    "p13_simhash_pairs" ->
+      s"""$simhashOracleCte,
+        |banded AS (
+        |  -- band masks as signed-long literals: DuckDB overflow-checks <<
+        |  -- and band 3's mask (0xFFFF << 48) wraps the sign bit
+        |  SELECT doc_id, simhash, b.band, simhash & b.mask AS bh
+        |  FROM sim, (SELECT unnest([${(0 until 4).map(b => s"{'band': $b, 'mask': ${0xFFFFL << (16 * b)}::BIGINT}").mkString(", ")}],
+        |                           recursive := true)) b)
+        |SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin,
+
     "p09_ann_topk" ->
       """WITH s AS (SELECT vec_id,
         |  list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS sim
@@ -830,6 +889,28 @@ object SparkEntry {
         |r AS (SELECT cell, ia, ib,
         |        row_number() OVER (PARTITION BY cell ORDER BY sim DESC, ia, ib) AS rn FROM p)
         |SELECT CAST(cell AS BIGINT) AS cell, ia, ib FROM r WHERE rn = 1""".stripMargin,
+
+    "p14_dup_clusters" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |g AS (SELECT id, unnest(list_transform(generate_series(1, len(toks)-2),
+        |                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |      FROM t WHERE len(toks) >= 3),
+        |d AS (SELECT DISTINCT id, sh FROM g),
+        |sz AS (SELECT id, count(*) AS sz FROM d GROUP BY 1),
+        |p AS (SELECT a.id AS ia, b.id AS ib, count(*) AS inter
+        |      FROM d a JOIN d b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+        |j AS (SELECT ia, ib, inter, sa.sz + sb.sz - inter AS uni
+        |      FROM p JOIN sz sa ON sa.id = ia JOIN sz sb ON sb.id = ib),
+        |pr AS (SELECT ia, ib FROM j WHERE inter * 5 >= uni * 4),
+        |e AS (SELECT ia AS a, ib AS b FROM pr UNION SELECT ib AS a, ia AS b FROM pr),
+        |walk(id, comp) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+        |  UNION
+        |  SELECT e.b, walk.comp FROM walk JOIN e ON e.a = walk.id),
+        |cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
+        |SELECT doc.doc_id, coalesce(cc.comp, doc.doc_id) AS cluster
+        |FROM documents doc LEFT JOIN cc ON cc.id = doc.doc_id""".stripMargin,
 
     "p12_multimodal" ->
       """SELECT doc_id, source AS kind,

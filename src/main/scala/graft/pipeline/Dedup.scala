@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, each designed for
@@ -130,13 +130,71 @@ object Dedup {
       .filter(col("inter") * den >= col("uni") * num)
   }
 
+  /** Connected components over an undirected pair list (ia, ib) →
+    * (id, comp) with comp = min id reachable. Min-label propagation plus
+    * pointer jumping (comp := comp(comp)) per round, which converges in
+    * O(log n) rounds instead of O(diameter) — the property that matters
+    * when a 100 TB corpus chains near-dups into long paths. Each round is
+    * two shuffles (neighbor min + jump join); lineage is truncated with
+    * localCheckpoint so plans don't grow with iterations.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val adj = pairs.select(col("ia").as("a"), col("ib").as("b"))
+      .union(pairs.select(col("ib").as("a"), col("ia").as("b")))
+      .distinct().localCheckpoint()
+    var labels = adj.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = adj
+        .join(labels.select(col("id").as("b"), col("comp").as("bcomp")), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min(col("bcomp")).as("nmin"))
+      val propagated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+      val jumped = propagated.alias("l")
+        .join(propagated.select(col("id").as("cid"), col("comp").as("ccomp")).alias("r"),
+          col("l.comp") === col("r.cid"), "left")
+        .select(col("l.id").as("id"), coalesce(col("ccomp"), col("l.comp")).as("comp"))
+        .localCheckpoint()
+      converged = jumped.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.comp") =!= col("o.comp")).isEmpty
+      labels = jumped
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-duplicate clusters: Jaccard pairs → connected components →
+    * every document labeled with its cluster representative (min doc id;
+    * docs with no near-dup are their own singleton cluster). This is the
+    * "keep one per cluster" step of corpus dedup.
+    */
+  def dupClusters(df: DataFrame, idCol: String, textCol: String, n: Int,
+      num: Int, den: Int): DataFrame = {
+    val cc = connectedComponents(nearDuplicates(df, idCol, textCol, n, num, den))
+    df.select(col(idCol).as("id"))
+      .join(cc, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("comp"), col("id")).as("cluster"))
+  }
+
+  /** 64-bit token hash from the first 16 hex chars of md5, decoded
+    * big-endian — reproducible in any SQL engine with an md5 function
+    * (the DuckDB oracle twin), unlike xxhash64. Slower than xxhash64;
+    * use it when cross-engine verifiability matters more than speed.
+    */
+  def md5Hash64(c: Column): Column =
+    graft.functions.GraftFunctions.beLong(unhex(substring(md5(c), 1, 16)))
+
   /** 64-bit SimHash of the token multiset: per-bit sign sums of token
     * hashes. 64 partial-aggregated sums — a single shuffle.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val tok = df.select(col(idCol).as("id"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", tokenHash(col("tok")))
     val sums = tok.groupBy("id").agg(
       sum(when(col("h").bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as("b0"),
       (1 until 64).map(j =>
@@ -150,8 +208,8 @@ object Dedup {
     * candidate), then keep pairs within `maxHamming` (bit_count of xor).
     */
   def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int): DataFrame = {
-    val sh = simhash(df, idCol, textCol)
+      maxHamming: Int, tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    val sh = simhash(df, idCol, textCol, tokenHash)
     val banded = sh.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

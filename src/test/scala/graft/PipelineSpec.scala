@@ -68,6 +68,24 @@ class PipelineSpec extends SparkSpec {
     assert(s1 == s2 && s1(0L) == s1(3L))
   }
 
+  test("connected components: chain needs propagation, min label wins") {
+    import spark.implicits._
+    // path 1-2-3-4 (only CC propagation links 1 and 4) + isolated pair 7-6
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 6L)).toDF("ia", "ib")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comps(_) == 1L))
+    assert(comps(6L) == 6L && comps(7L) == 6L)
+  }
+
+  test("dup clusters: planted dups share a cluster, singletons keep their id") {
+    val cl = Dedup.dupClusters(docs, "doc_id", "text", n = 3, num = 4, den = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl(0L) == 0L && cl(1L) == 0L && cl(3L) == 0L) // near/exact dups of 0
+    assert(cl(2L) == 2L && cl(4L) == 4L)                 // singletons
+    assert(cl.size == 5)
+  }
+
   test("native cosine expression is bit-identical to the SQL formulation") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
