@@ -42,6 +42,31 @@ object Bench {
       (math.min(a._1, b._1), b._2)
     }
 
+    // Untimed warmup over reduced inputs: first execution of each operator
+    // shape pays classloading + whole-stage-codegen compilation + parquet
+    // reader init (up to 4× per BASELINE.md) — run every workload's shape
+    // small and cold ONCE so the timed best-of-two below measures the
+    // engine. ~3s total, not counted.
+    locally {
+      val wtmp = Files.createTempDirectory("graft_warm").toString
+      val some = CellEncodings.ordersCells(spark, sfDir).limit(20000)
+      CellStore.write(some, CellEncodings.ordersMeta, s"$wtmp/w", numPartitions = 4)
+      val wl = new CassandraLens(spark.read.parquet(s"$wtmp/w"), CellEncodings.ordersMeta)
+      wl.multigetSlice((0L until 100L).map(i => f"$i%010d"), None, SliceRange(count = 5)).count()
+      wl.rangeSliceByKeys(Some("0000000000"), None, None, SliceRange(count = 5), 100).count()
+      wl.compact(gcBeforeSeconds = 1000000000).cells.count()
+      spark.sql("DROP TABLE IF EXISTS graft_warm_bucketed")
+      CellStore.writeBucketed(some, CellEncodings.ordersMeta, "graft_warm_bucketed", 4)
+      spark.table("graft_warm_bucketed").count()
+      spark.sql("DROP TABLE IF EXISTS graft_warm_bucketed")
+      val wdocs = CellEncodings.table(spark, sfDir, "documents").limit(400)
+      graft.pipeline.Dedup.nearDuplicates(wdocs, "doc_id", "text", 3, 4, 5).count()
+      graft.pipeline.Dedup.minhashNearDuplicates(wdocs, "doc_id", "text", 3, 32, 8, 4, 5).count()
+      SparkEntry.queries("q22_sessionize")(spark, sfDir).limit(10).count()
+      try new scala.reflect.io.Directory(new java.io.File(wtmp)).deleteRecursively()
+      catch { case _: Throwable => () }
+    }
+
     val ordersLens = new CassandraLens(
       CellEncodings.ordersCells(spark, sfDir)
         .unionByName(CellEncodings.ordersStatusFTombstones(spark, sfDir)),

@@ -171,8 +171,20 @@ class CassandraLens(
       superName: Option[Array[Byte]], pred: SlicePredicate, maxKeys: Int): DataFrame = {
     require(maxKeys > 0, "get_range_slices requires a positive key count (thrift:240-246)")
     val pre = cells.filter(RangeScan.keyBoundsPredicate(col("key"), startKey, endKey))
-    val bounded = RangeScan.limitKeys(withToken(liveFrom(pre)), maxKeys)
+    val bounded = restrictToPickedKeys(pre, None, maxKeys)
     sliceOver(bounded, superName, pred)
+  }
+
+  /** Key-limited live view: pick the first maxKeys LIVE keys in ring order
+    * (one reconcile over the range), then reconcile only the raw cells of
+    * the picked keys — the broadcast semi-join lands on the parquet scan,
+    * so the second pass reads and reconciles maxKeys keys, not the range.
+    */
+  private def restrictToPickedKeys(pre: DataFrame, startToken: Option[Column],
+      maxKeys: Int): DataFrame = {
+    if (maxKeys == Int.MaxValue) return withToken(liveFrom(pre))
+    val picked = RangeScan.pickKeys(withToken(liveFrom(pre)), maxKeys, startToken)
+    withToken(liveFrom(pre.join(broadcast(picked), Seq("key"), "left_semi")))
   }
 
   /** Q6 `get_range_slices` over a TOKEN range (start-exclusive,
@@ -185,8 +197,8 @@ class CassandraLens(
     require(maxKeys > 0, "get_range_slices requires a positive key count (thrift:240-246)")
     val pre = withToken(cells)
       .filter(RangeScan.tokenRangePredicate(col("token"), startToken, endToken))
-    val bounded = RangeScan.limitKeys(
-      withToken(liveFrom(pre.drop("token"))), maxKeys, startToken)
+      .drop("token")
+    val bounded = restrictToPickedKeys(pre, startToken, maxKeys)
     sliceOver(bounded, superName, pred)
   }
 

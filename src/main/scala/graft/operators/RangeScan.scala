@@ -68,14 +68,23 @@ object RangeScan {
     */
   def limitKeys(df: DataFrame, maxKeys: Int, startToken: Option[Column] = None): DataFrame = {
     if (maxKeys == Int.MaxValue) return df // unbounded scan: no top-K step
-    val picked = df
-      .select(col("token"), col("key"))
+    df.join(broadcast(pickKeys(df, maxKeys, startToken)), Seq("key"), "left_semi")
+  }
+
+  /** The first `maxKeys` keys of `df` in (ring-)token order, as a
+    * single-column DataFrame — a distributed top-K
+    * (TakeOrderedAndProject over the distinct keys), never a global
+    * window. Callers semi-join this against the RAW cell store so the
+    * expensive reconcile runs once over the range for key selection and
+    * once over only the selected keys — not twice over the full range
+    * (per-key reconcile commutes with key restriction).
+    */
+  def pickKeys(df: DataFrame, maxKeys: Int, startToken: Option[Column] = None): DataFrame =
+    df.select(col("token"), col("key"))
       .distinct()
       .orderBy(ringOrder(col("token"), startToken), col("key"))
       .limit(maxKeys)
       .select(col("key"))
-    df.join(broadcast(picked), Seq("key"), "left_semi")
-  }
 
   /** describe_splits(n): decompose the key population into n contiguous
     * token ranges of ~equal key count — exact ntile quantiles (deterministic,

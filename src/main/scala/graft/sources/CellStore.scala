@@ -87,6 +87,62 @@ object CellStore {
       .write.mode("overwrite").parquet(s"$path/horizons_sc")
   }
 
+  /** Compact a horizon-sidecar store in place, folding in an optional
+    * unflushed delta (CompactionManager.submitMajor analog over the
+    * sidecar layout).
+    *
+    * The sidecar is refreshed INCREMENTALLY: horizons only change through
+    * new marker cells, and the horizon aggregate (max (ts, ldt) per
+    * container, then the gcGrace cutoff) is associative — so
+    * `new = gc(merge(old_sidecar, markers(delta)))` is exactly
+    * `recompute(compacted runs)` without ever scanning the runs for the
+    * sidecar. At 100 TB that's the difference between two small-table
+    * aggregates and two extra full-store passes per compaction.
+    *
+    * Publish is by directory rename — the atomic-commit primitive on
+    * HDFS-compatible filesystems (write runs_next, swap, drop old).
+    */
+  def compactWithHorizons(spark: SparkSession, path: String, delta: Option[DataFrame],
+      meta: CfMeta, gcBeforeSeconds: Int, numPartitions: Int = 32): Unit = {
+    val base = spark.read.parquet(s"$path/runs")
+    val all = delta.map(d => base.unionByName(d)).getOrElse(base)
+    val compacted = graft.operators.Compaction.compact(all, gcBeforeSeconds)
+    write(compacted, meta, s"$path/runs_next", numPartitions)
+
+    // old sidecar rows re-shaped as marker cells, merged with the delta's
+    // markers only — max-of-max equals max-over-all
+    def mergeHorizons(old: DataFrame, deltaMarkers: DataFrame,
+        groupCols: Seq[String], tsCol: String, ldtCol: String): DataFrame =
+      old.unionByName(deltaMarkers)
+        .groupBy(groupCols.map(col): _*)
+        .agg(max(struct(col(tsCol), col(ldtCol))).as("w"))
+        .filter(col(s"w.$ldtCol") >= gcBeforeSeconds)
+        .select(groupCols.map(col) ++ Seq(col(s"w.$tsCol").as(tsCol), col(s"w.$ldtCol").as(ldtCol)): _*)
+
+    val newRow = mergeHorizons(
+      spark.read.parquet(s"$path/horizons_row"),
+      delta.map(graft.operators.Reconcile.rowTombstones)
+        .getOrElse(spark.read.parquet(s"$path/horizons_row").limit(0)),
+      Seq("key"), "row_del_ts", "row_del_ldt")
+    val newSc = mergeHorizons(
+      spark.read.parquet(s"$path/horizons_sc"),
+      delta.map(graft.operators.Reconcile.superTombstones)
+        .getOrElse(spark.read.parquet(s"$path/horizons_sc").limit(0)),
+      Seq("key", "super_name"), "sc_del_ts", "sc_del_ldt")
+    newRow.write.mode("overwrite").parquet(s"$path/horizons_row_next")
+    newSc.write.mode("overwrite").parquet(s"$path/horizons_sc_next")
+
+    // atomic-ish publish: rename next over current
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    Seq("runs", "horizons_row", "horizons_sc").foreach { d =>
+      val cur = new org.apache.hadoop.fs.Path(s"$path/$d")
+      val next = new org.apache.hadoop.fs.Path(s"$path/${d}_next")
+      fs.delete(cur, true)
+      fs.rename(next, cur)
+    }
+  }
+
   /** Open a lens over a store written by [[writeWithHorizons]]. */
   def openWithHorizons(spark: SparkSession, path: String, meta: CfMeta): graft.api.CassandraLens =
     new graft.api.CassandraLens(

@@ -115,6 +115,37 @@ class CellStoreSpec extends SparkSpec {
     assert(plan.contains("horizons_row") && plan.contains("horizons_sc"))
   }
 
+  test("incremental sidecar compaction: delta-merge equals recompute; expired horizons purged") {
+    val dir = Files.createTempDirectory("graft_cs6").toString
+    val base = cells ++ Seq(
+      delRow("old", 1, ldt = 10), // will fall past the gc horizon
+      ins("s", "x", "v", 1, sup = "sc1"))
+    CellStore.writeWithHorizons(cellsDf(base), CfMeta("t"), s"$dir/s", numPartitions = 2)
+    // delta: a new row delete shadowing b, a new SC delete, fresh data
+    val delta = cellsDf(Seq(
+      delRow("b", 9, ldt = 5000), delSuper("s", "sc1", 7, ldt = 5000),
+      ins("a", "c3", "new", 8)))
+    CellStore.compactWithHorizons(spark, s"$dir/s", Some(delta), CfMeta("t"),
+      gcBeforeSeconds = 100, numPartitions = 2)
+
+    val lens = CellStore.openWithHorizons(spark, s"$dir/s", CfMeta("t"))
+    // b's row delete (ts=9 > ts=3) and sc1's delete took effect; a's cells live
+    assert(liveValues(lens.live) == Map("c2" -> "v2", "c3" -> "new"))
+
+    // the incremental sidecar must EQUAL a recompute from the compacted runs
+    val runs = spark.read.parquet(s"$dir/s/runs")
+    val recomputedRow = Reconcile.rowTombstones(runs)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val sidecarRow = spark.read.parquet(s"$dir/s/horizons_row")
+      .select("key", "row_del_ts")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(sidecarRow == recomputedRow, s"sidecar $sidecarRow != recompute $recomputedRow")
+    // the gc-expired horizon for "old" is gone from sidecar and runs alike
+    assert(!sidecarRow.exists(_._1 == "old"))
+    val recomputedSc = Reconcile.superTombstones(runs).count()
+    assert(spark.read.parquet(s"$dir/s/horizons_sc").count() == recomputedSc)
+  }
+
   test("bloom probe: present keys may-exist, absent keys answer false from metadata only") {
     val dir = Files.createTempDirectory("graft_bloom").toString
     val many = (0 until 500).map(i => ins(f"key$i%06d", "c1", "v", 1))
