@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Cell
+import graft.sources.CellEncodings
+import graft.streaming.CellStream
+
+/** Streaming ingest benchmark: drives the mutation stream → sorted-run
+  * flush path (memtable→SSTable analog) with arriving file batches and
+  * reports sustained rows/sec plus per-micro-batch latency percentiles
+  * from StreamingQueryProgress — the numbers SCALE.md cites for the
+  * Structured Streaming extension (SURVEY §8.10).
+  *
+  * Prints ONE JSON line like Bench.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.create()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dir = Files.createTempDirectory("graft_streambench").toString
+    val stage = s"$dir/incoming"
+    val store = s"$dir/store"
+    new java.io.File(stage).mkdirs()
+
+    val nBatches = 5
+    // pre-materialize arrival batches (staged OUTSIDE the timed window)
+    val cells = CellEncodings.eventsCells(spark, sfDir)
+    val total = cells.count()
+    (0 until nBatches).foreach { i =>
+      cells.filter(pmod(col("ts"), lit(nBatches)) === i)
+        .write.mode("overwrite").parquet(s"$dir/batch_$i")
+    }
+
+    val stream = spark.readStream.schema(Cell.schema).parquet(stage)
+    val q = CellStream.writeToStore(stream, store, s"$dir/ckpt").start()
+
+    val t0 = System.nanoTime()
+    (0 until nBatches).foreach { i =>
+      // batch arrival = atomic move of the staged files into the source dir
+      val src = new java.io.File(s"$dir/batch_$i")
+      src.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(stage, s"b${i}_${f.getName}"))
+      }
+      q.processAllAvailable()
+    }
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    q.stop()
+
+    val stored = spark.read.parquet(store).count()
+    assert(stored == total, s"streamed $stored of $total cells")
+
+    val durs = q.recentProgress.toSeq
+      .filter(_.numInputRows > 0).map(_.batchDuration.toDouble).sorted
+    def pct(p: Double): Double =
+      if (durs.isEmpty) 0 else durs(math.min(durs.size - 1, (p * durs.size).toInt))
+
+    val rate = total / elapsed
+    println(f"""{"metric":"stream_ingest","rows":$total,"sec":$elapsed%.3f,"rows_per_sec":$rate%.0f,"batches":${durs.size},"batch_ms_p50":${pct(0.5)}%.0f,"batch_ms_max":${durs.lastOption.getOrElse(0.0)}%.0f,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
