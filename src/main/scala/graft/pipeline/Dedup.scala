@@ -41,21 +41,36 @@ object Dedup {
     * dominate at scale; pass maxDocFreq to drop them — a standard LSH-side
     * stoplist — at the cost of slightly under-counting inter.)
     */
+  /** Raw (id, shingle) pairs WITHOUT the distinct — set semantics are
+    * recovered downstream by collect_set / count_distinct aggregates,
+    * which dedup during map-side partial aggregation: one shuffle fewer
+    * than distinct-then-group, on the operator's hottest path.
+    */
+  private def shinglesRaw(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("_toks"))
+    toks
+      .filter(size(col("_toks")) >= n)
+      .select(col("id"), explode(expr(
+        s"transform(sequence(1, size(_toks) - ${n - 1}), i -> concat_ws(' ', slice(_toks, i, $n)))"
+      )).as("sh"))
+  }
+
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       maxDocFreq: Option[Int] = None): DataFrame = {
-    val d = shingles(df, idCol, textCol, n)
+    val raw = shinglesRaw(df, idCol, textCol, n)
     val dd = maxDocFreq match {
       case Some(f) =>
-        val freq = d.groupBy("sh").agg(count(lit(1)).as("_df")).filter(col("_df") <= f)
-        d.join(freq.select("sh"), Seq("sh"), "left_semi")
-      case None => d
+        val freq = raw.groupBy("sh").agg(count_distinct(col("id")).as("_df")).filter(col("_df") <= f)
+        raw.join(freq.select("sh"), Seq("sh"), "left_semi")
+      case None => raw
     }
-    val sizes = dd.groupBy("id").agg(count(lit(1)).as("sz"))
-    // pairs per shingle via sorted-id-array combination emission: one
-    // shuffle (group by shingle) instead of a two-sided self-join — the
-    // emitted pair count is identical (Σ_shingle C(freq,2))
+    val sizes = dd.groupBy("id").agg(count_distinct(col("sh")).as("sz"))
+    // pairs per shingle via sorted-id-set combination emission: one
+    // shuffle (group by shingle, set-dedup in the partial aggregate)
+    // instead of a two-sided self-join — the emitted pair count is
+    // identical (Σ_shingle C(freq,2))
     val inter = dd
-      .groupBy("sh").agg(sort_array(collect_list(col("id"))).as("ids"))
+      .groupBy("sh").agg(sort_array(collect_set(col("id"))).as("ids"))
       .select(explode(expr(
         "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS ia, y AS ib))))"
       )).as("p"))
