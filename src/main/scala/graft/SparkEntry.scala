@@ -496,6 +496,15 @@ object SparkEntry {
         .select(col("ia"), col("ib"), col("hamming").cast("long").as("hamming"))
     }),
 
+    // Paged full-CF iteration (hadoop/ColumnFamilyRecordReader pattern):
+    // token-space continuation, 400 keys per page; the union of pages must
+    // equal the single-pass scan (same oracle as q03).
+    "q27_paged_scan" -> ((s, dir) => {
+      val lens = ordersLiveLens(s, dir)
+      val pages = graft.operators.PagedScan.pages(lens, SliceRange(count = 3), 400).toSeq
+      ordersDecoded(pages.reduce(_ unionByName _))
+    }),
+
     // Near-dup clusters: Jaccard pairs → connected components (min-label
     // + pointer jumping) → every doc labeled with its cluster rep.
     "p14_dup_clusters" -> ((s, dir) => {
@@ -889,6 +898,15 @@ object SparkEntry {
         |r AS (SELECT cell, ia, ib,
         |        row_number() OVER (PARTITION BY cell ORDER BY sim DESC, ia, ib) AS rn FROM p)
         |SELECT CAST(cell AS BIGINT) AS cell, ia, ib FROM r WHERE rn = 1""".stripMargin,
+
+    "q27_paged_scan" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+        |  FROM orders WHERE o_orderstatus <> 'F')
+        |SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
+        |       o_orderstatus AS status
+        |FROM r WHERE rn <= 3""".stripMargin,
 
     "p14_dup_clusters" ->
       """WITH RECURSIVE

@@ -78,6 +78,29 @@ class PipelineSpec extends SparkSpec {
     assert(comps(6L) == 6L && comps(7L) == 6L)
   }
 
+  test("connected components match driver-side union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 3) {
+      val n = 60
+      val edges = Seq.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // reference: union-find with min-label roots
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v.toInt).toLong).toMap
+      val got = Dedup.connectedComponents(edges.toDF("ia", "ib"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected)
+    }
+  }
+
   test("dup clusters: planted dups share a cluster, singletons keep their id") {
     val cl = Dedup.dupClusters(docs, "doc_id", "text", n = 3, num = 4, den = 5)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
