@@ -496,6 +496,17 @@ object SparkEntry {
         .select(col("ia"), col("ib"), col("hamming").cast("long").as("hamming"))
     }),
 
+    // Compaction-time row processor (fork IRowProcessor, db/proc/*): a
+    // RetentionProcessor drops cells below a ts horizon as rows flow
+    // through compaction — the flatMapGroups UDTF surface, oracle-checked.
+    "q28_row_processor" -> ((s, dir) => {
+      val lens = ordersLiveLens(s, dir)
+      val compacted = graft.operators.Compaction.compact(
+        lens.cells, gcBeforeSeconds = 0,
+        processors = Seq(graft.operators.Compaction.RetentionProcessor(788918400000L)))
+      ordersDecoded(new CassandraLens(compacted, lens.meta).live)
+    }),
+
     // Paged full-CF iteration (hadoop/ColumnFamilyRecordReader pattern):
     // token-space continuation, 400 keys per page; the union of pages must
     // equal the single-pass scan (same oracle as q03).
@@ -898,6 +909,12 @@ object SparkEntry {
         |r AS (SELECT cell, ia, ib,
         |        row_number() OVER (PARTITION BY cell ORDER BY sim DESC, ia, ib) AS rn FROM p)
         |SELECT CAST(cell AS BIGINT) AS cell, ia, ib FROM r WHERE rn = 1""".stripMargin,
+
+    "q28_row_processor" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
+        |       o_orderstatus AS status
+        |FROM orders
+        |WHERE o_orderstatus <> 'F' AND epoch_ms(o_orderdate) >= 788918400000""".stripMargin,
 
     "q27_paged_scan" ->
       """WITH r AS (
