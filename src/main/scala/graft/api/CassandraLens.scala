@@ -184,7 +184,18 @@ class CassandraLens(
       maxKeys: Int): DataFrame = {
     if (maxKeys == Int.MaxValue) return withToken(liveFrom(pre))
     val picked = RangeScan.pickKeys(withToken(liveFrom(pre)), maxKeys, startToken)
-    withToken(liveFrom(pre.join(broadcast(picked), Seq("key"), "left_semi")))
+    val restricted =
+      if (maxKeys <= 10000) {
+        // materialize the page's key list (the reference's coordinator does
+        // exactly this per get_range_slices page): the picking plan runs
+        // ONCE as an action instead of being re-executed inside every
+        // branch of the slice pass, and the key list pushes into the
+        // parquet scan as an In filter (blooms + row-group pruning)
+        val keys = picked.collect().map(_.getString(0)).toSeq
+        if (keys.isEmpty) pre.filter(lit(false))
+        else pre.filter(col("key").isin(keys: _*))
+      } else pre.join(broadcast(picked), Seq("key"), "left_semi")
+    withToken(liveFrom(restricted))
   }
 
   /** Q6 `get_range_slices` over a TOKEN range (start-exclusive,
