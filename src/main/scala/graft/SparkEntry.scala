@@ -409,6 +409,26 @@ object SparkEntry {
         graft.pipeline.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
     }),
 
+    // BPE-ish subword pre-tokenization counts (letter runs / digit runs /
+    // punctuation marks) alongside the whitespace count.
+    "p15_token_bpe" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val t = graft.pipeline.TextAnalysis
+      table(s, dir, "documents").select(col("doc_id"),
+        t.tokenCountBpeIsh(col("text")).cast("long").as("n_subtokens"),
+        t.tokenCount(col("text")).cast("long").as("n_tokens"))
+    }),
+
+    // Winnowing-style rolling-hash fingerprint: min over 16-char sliding
+    // window hashes of the normalized text.
+    "p16_rolling_fp" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val t = graft.pipeline.TextAnalysis
+      table(s, dir, "documents")
+        .select(col("doc_id"), t.normalized(col("text")).as("_norm"))
+        .select(col("doc_id"), t.rollingFingerprint("_norm", 16).as("rolling_fp"))
+    }),
+
     // Quality scoring: integer char-class features + keep flag.
     "p04_quality" -> ((s, dir) => {
       GraftFunctions.register(s)
@@ -569,7 +589,24 @@ object SparkEntry {
        |)""".stripMargin
   }
 
+  /** DuckDB twin of TextAnalysis.rollingFingerprint: the 60-bit window
+    * hash is md5's first 15 hex chars read as an integer — reconstructed
+    * in SQL as a positional nibble sum (strpos into the hex alphabet).
+    */
+  private lazy val rollingFpOracle: String = {
+    val nibbleSum = (1 to 15).map { p =>
+      s"(strpos('0123456789abcdef', substr(m, $p, 1)) - 1) * ${java.math.BigInteger.valueOf(16L).pow(15 - p)}::BIGINT"
+    }.mkString(" + ")
+    s"""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents)
+       |SELECT doc_id,
+       |  list_min(list_transform(
+       |    list_transform(generate_series(1, greatest(length(t) - 15, 1)), i -> md5(substr(t, i, 16))),
+       |    m -> $nibbleSum)) AS rolling_fp
+       |FROM n""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "p16_rolling_fp" -> rollingFpOracle,
     "q01_get" ->
       """WITH mk AS (SELECT min(o_custkey) AS k FROM orders),
         |live AS (SELECT o.* FROM orders o, mk WHERE o.o_custkey = mk.k AND o.o_orderstatus <> 'F')
@@ -817,6 +854,12 @@ object SparkEntry {
 
     "p03_token_count" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n_tokens
+        |FROM documents""".stripMargin,
+
+    "p15_token_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_subtokens,
+        |  CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n_tokens
         |FROM documents""".stripMargin,
 
     "p04_quality" ->

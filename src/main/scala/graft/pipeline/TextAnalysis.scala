@@ -22,6 +22,31 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish subword pre-tokenization: letter runs, digit runs, and single
+    * non-alphanumeric marks as separate tokens (the GPT-2-style pre-split
+    * that BPE merges start from, without the learned merges). The pattern
+    * uses only constructs with identical semantics in Java regex and RE2,
+    * so a SQL oracle reproduces it exactly.
+    */
+  def tokensBpeIsh(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  def tokenCountBpeIsh(text: Column): Column = size(tokensBpeIsh(text))
+
+  /** Winnowing-style rolling-hash fingerprint (Schleimer et al.: min over
+    * the hashes of every k-char sliding window — robust to reordering and
+    * local edits in a way the whole-document md5 is not). The window hash
+    * is the 60-bit value of md5's first 15 hex chars, so any SQL engine
+    * reproduces it; the whole computation is one codegen'd expression —
+    * no shuffle, no UDF. `textCol` must reference an (already normalized)
+    * string column by name.
+    */
+  def rollingFingerprint(textCol: String, k: Int = 16): Column =
+    expr(
+      s"""array_min(transform(
+         |  sequence(1, greatest(length($textCol) - ${k - 1}, 1)),
+         |  i -> cast(conv(substring(md5(substring($textCol, i, $k)), 1, 15), 16, 10) as bigint)))""".stripMargin)
+
   /** Count of matches of a word-alternation regex (language scoring). */
   def stopwordScore(text: Column, words: Seq[String]): Column =
     size(regexp_extract_all(lower(text), lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
