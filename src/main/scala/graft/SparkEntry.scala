@@ -516,6 +516,25 @@ object SparkEntry {
         .select(col("ia"), col("ib"), col("hamming").cast("long").as("hamming"))
     }),
 
+    // Bucketed catalog-table layout (the ring analog / 100 TB default):
+    // write bucketBy(key), slice through the shuffle-free reconcile —
+    // results must be identical to the sorted-runs path (q03 oracle).
+    "q29_bucketed_slice" -> ((s, dir) => {
+      val lens = ordersLiveLens(s, dir)
+      s.sql("DROP TABLE IF EXISTS graft_verify_bucketed")
+      // the in-memory catalog is per-session: a previous session's DROP
+      // can't have removed the managed location — clear it explicitly
+      val loc = new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        "graft_verify_bucketed")
+      if (loc.exists()) new scala.reflect.io.Directory(loc).deleteRecursively()
+      graft.sources.CellStore.writeBucketed(lens.cells, lens.meta,
+        "graft_verify_bucketed", buckets = 8)
+      val bucketLens = new CassandraLens(s.table("graft_verify_bucketed"), lens.meta)
+      ordersDecoded(bucketLens.rangeSliceByKeys(None, None, None,
+        SliceRange(count = 3), Int.MaxValue))
+    }),
+
     // Compaction-time row processor (fork IRowProcessor, db/proc/*): a
     // RetentionProcessor drops cells below a ts horizon as rows flow
     // through compaction — the flatMapGroups UDTF surface, oracle-checked.
@@ -952,6 +971,15 @@ object SparkEntry {
         |r AS (SELECT cell, ia, ib,
         |        row_number() OVER (PARTITION BY cell ORDER BY sim DESC, ia, ib) AS rn FROM p)
         |SELECT CAST(cell AS BIGINT) AS cell, ia, ib FROM r WHERE rn = 1""".stripMargin,
+
+    "q29_bucketed_slice" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+        |  FROM orders WHERE o_orderstatus <> 'F')
+        |SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
+        |       o_orderstatus AS status
+        |FROM r WHERE rn <= 3""".stripMargin,
 
     "q28_row_processor" ->
       """SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
