@@ -30,6 +30,30 @@ object ScaleProbe {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[scale] mult=$mult%2d cells=${223000L * mult}%9d live_out=$n%8d reconcile_scan=$dt%6.2f s")
     }
+
+    // Skew probe: ONE key holding 500k columns (the pathological wide row).
+    // The slice's per-key window is hash-partitioned by key, so the hot key
+    // lands in one task — but WindowGroupLimit pre-filters each map
+    // partition to `count` candidates BEFORE the shuffle, so the single
+    // task sees ≤ count × partitions rows, not 500k. The probe times the
+    // count=5 slice against the full-row scan to show the difference.
+    val wide = spark.range(500000).select(
+      lit("hot").as("key"),
+      lit(null).cast("binary").as("super_name"),
+      graft.functions.GraftFunctions.beBytes(col("id")).as("col_name"),
+      encode(concat(lit("v"), col("id")), "UTF-8").as("value"),
+      col("id").as("ts"),
+      lit(false).as("tombstone"),
+      lit(0).as("local_del_time"))
+    val wideLens = new CassandraLens(wide,
+      CellEncodings.ordersMeta.copy(partitioner = graft.model.PartitionerType.OrderPreserving))
+    val t1 = System.nanoTime()
+    val sliced = wideLens.getSlice("hot", None, SliceRange(count = 5)).count()
+    val dtSlice = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime()
+    val full = wideLens.getSlice("hot", None, SliceRange(count = Int.MaxValue)).count()
+    val dtFull = (System.nanoTime() - t2) / 1e9
+    println(f"[scale] wide-row 500k cols: count=5 slice -> $sliced rows in $dtSlice%5.2f s; unlimited -> $full%d rows in $dtFull%5.2f s")
     spark.stop()
   }
 }

@@ -35,6 +35,42 @@ object Compaction {
       cells.filter(c => c.ts >= minTs || c.col_name == null)
   }
 
+  /** Size-tiered bucketing of immutable runs by file size — the minor-
+    * compaction candidate selector (CompactionManager.getBuckets,
+    * db/CompactionManager.java:614-660): after sorting by size, a run
+    * joins a bucket when it is within 50% of the bucket's running average,
+    * or when run and bucket are both "small" (< minSmall, default 50 MB);
+    * otherwise it opens a new bucket. Deterministic refinement: buckets
+    * are probed in creation order (the reference probes HashMap iteration
+    * order — deterministic only per-JVM; CHANGES.txt 0.6.9 made the sort
+    * deterministic, this makes the probe order deterministic too).
+    */
+  def sizeTieredBuckets[T](runs: Seq[(T, Long)], minSmall: Long = 50L << 20): Seq[Seq[T]] = {
+    case class Bucket(var members: Vector[T], var avg: Long)
+    val buckets = scala.collection.mutable.ArrayBuffer.empty[Bucket]
+    runs.sortBy(_._2).foreach { case (run, size) =>
+      buckets.find(b =>
+        (size > b.avg / 2 && size < 3 * b.avg / 2) || (size < minSmall && b.avg < minSmall)
+      ) match {
+        case Some(b) =>
+          b.avg = (b.avg * b.members.size + size) / (b.members.size + 1)
+          b.members :+= run
+        case None => buckets += Bucket(Vector(run), size)
+      }
+    }
+    buckets.map(_.members).toSeq
+  }
+
+  /** Minor-compaction plan (submitMinorIfNeeded, :87-141): buckets with at
+    * least `minThreshold` runs are compacted, at most `maxThreshold` runs
+    * per job (smallest first, like the reference's subList cap).
+    */
+  def minorCompactionPlan[T](runs: Seq[(T, Long)], minThreshold: Int = 4,
+      maxThreshold: Int = 32, minSmall: Long = 50L << 20): Seq[Seq[T]] =
+    sizeTieredBuckets(runs, minSmall)
+      .filter(_.size >= minThreshold)
+      .map(_.take(maxThreshold))
+
   def compact(
       cells: DataFrame,
       gcBeforeSeconds: Int,

@@ -45,4 +45,24 @@ class CompactionSpec extends SparkSpec {
       gcBeforeSeconds = 0, processors = Seq(UpperValue, DropEmptyRows))
     assert(liveValues(out) == Map("c1" -> "V"))
   }
+
+  test("size-tiered buckets group similar sizes; smalls pool together (getBuckets)") {
+    val runs = Seq("a" -> 10L, "b" -> 12L, "c" -> 11L, "d" -> 100L, "e" -> 110L, "f" -> 400L)
+    val buckets = Compaction.sizeTieredBuckets(runs, minSmall = 20L)
+    assert(buckets.map(_.toSet) == Seq(Set("a", "c", "b"), Set("d", "e"), Set("f")))
+    // 50%-of-average rule: 100 joins avg-100's bucket, 160 does not
+    assert(Compaction.sizeTieredBuckets(Seq("x" -> 100L, "y" -> 160L), minSmall = 1L)
+      .map(_.toSet) == Seq(Set("x"), Set("y")))
+    assert(Compaction.sizeTieredBuckets(Seq("x" -> 100L, "y" -> 140L), minSmall = 1L)
+      .map(_.toSet) == Seq(Set("x", "y")))
+  }
+
+  test("minor-compaction plan: only buckets at minThreshold, capped at maxThreshold") {
+    val runs = (1 to 6).map(i => s"r$i" -> (100L + i)) ++ Seq("big" -> 100000L)
+    val plan = Compaction.minorCompactionPlan(runs, minThreshold = 4, maxThreshold = 5,
+      minSmall = 1L)
+    assert(plan.size == 1)
+    assert(plan.head.size == 5 && plan.head.toSet.subsetOf((1 to 6).map(i => s"r$i").toSet))
+    assert(Compaction.minorCompactionPlan(Seq("a" -> 10L, "b" -> 11L), minThreshold = 4).isEmpty)
+  }
 }
