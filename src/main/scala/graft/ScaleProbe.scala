@@ -54,6 +54,38 @@ object ScaleProbe {
     val full = wideLens.getSlice("hot", None, SliceRange(count = Int.MaxValue)).count()
     val dtFull = (System.nanoTime() - t2) / 1e9
     println(f"[scale] wide-row 500k cols: count=5 slice -> $sliced rows in $dtSlice%5.2f s; unlimited -> $full%d rows in $dtFull%5.2f s")
+
+    // ANN recall/latency tradeoff: IVF with a trained codebook vs brute
+    // force, recall@10 averaged over 20 queries for nprobe ∈ {1, 2, 4}.
+    // The scale story: brute force scans |vectors| per query; IVF scans
+    // ~|vectors| × nprobe / k — the knob that keeps per-query cost flat
+    // as the corpus grows.
+    import graft.pipeline.Similarity
+    val emb = CellEncodings.table(spark, dir, "embeddings").cache()
+    emb.count()
+    val centroids = Similarity.trainCodebook(emb, "vec_id", "embedding", k = 16, iters = 3)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def topIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select(col("id")).collect().map(_.getLong(0)).toSet
+    import spark.implicits._
+    val truth = queries.map { case (qid, qv) =>
+      val q = Seq(Tuple1(qv)).toDF("q")
+      qid -> topIds(Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") =!= qid), "vec_id", "embedding", q, 10))
+    }.toMap
+    for (nprobe <- Seq(1, 2, 4)) {
+      val t = System.nanoTime()
+      val recalls = queries.map { case (qid, qv) =>
+        val got = topIds(Similarity.ivfSearch(
+          emb.filter(col("vec_id") =!= qid), "vec_id", "embedding",
+          centroids, qv, k = 10, nprobe = nprobe))
+        got.intersect(truth(qid)).size / 10.0
+      }
+      val dtq = (System.nanoTime() - t) / 1e9 / queries.length
+      println(f"[scale] ivf nprobe=$nprobe recall@10=${recalls.sum / recalls.length}%5.3f  per-query=$dtq%5.3f s")
+    }
     spark.stop()
   }
 }
