@@ -33,6 +33,19 @@ class Keyspace(val spark: SparkSession, val name: String) {
   def describe(): DataFrame =
     spark.sql(s"SHOW TABLES IN $name").select(col("tableName").as("column_family"))
 
+  /** Q8 `batch_mutate` across column families (thrift:415-418 —
+    * map<key, map<cf, list<Mutation>>>; RowMutation folds all CFs of one
+    * key into one commit-log entry, db/RowMutation.java:270-289). Every
+    * CF's mutation cells are applied in ONE logical batch; the returned
+    * lenses all observe the batch or none of it (the caller swaps views
+    * together) — the structural analog of the reference's atomic-per-row
+    * multi-CF apply.
+    */
+  def batchMutate(batch: Map[CfMeta, Seq[DataFrame]]): Map[String, CassandraLens] =
+    batch.map { case (meta, muts) =>
+      meta.name -> columnFamily(meta).batchMutate(muts: _*)
+    }
+
   def drop(): Unit = spark.sql(s"DROP DATABASE IF EXISTS $name CASCADE")
 }
 

@@ -24,6 +24,28 @@ class KeyspaceSpec extends SparkSpec {
     } finally ks.drop()
   }
 
+  test("multi-CF batch_mutate: one batch lands in every column family's view") {
+    val loc = new java.io.File("spark-warehouse/graft_ks2.db")
+    if (loc.exists()) new scala.reflect.io.Directory(loc).deleteRecursively()
+    val ks = Keyspace(spark, "graft_ks2")
+    try {
+      val m1 = CfMeta("cfa")
+      val m2 = CfMeta("cfb")
+      ks.saveColumnFamily(cellsDf(Seq(ins("k1", "c1", "old", 1))), m1, buckets = 2)
+      ks.saveColumnFamily(cellsDf(Seq(ins("k1", "d1", "keep", 1), ins("k1", "d2", "gone", 1))),
+        m2, buckets = 2)
+      // one batch: upsert into cfa, delete a column of the SAME key in cfb
+      val updated = ks.batchMutate(Map(
+        m1 -> Seq(graft.operators.Mutations.asInserts(cellsDf(Seq(ins("k1", "c1", "new", 9))))),
+        m2 -> Seq(graft.operators.Mutations.asColumnDeletes(
+          cellsDf(Seq(del("k1", "d2", 9))), localDeletionTimeSec = 100))))
+      assert(liveValues(updated("cfa").getSlice("k1", None, graft.operators.SliceRange(count = 10)))
+        == Map("c1" -> "new"))
+      assert(liveValues(updated("cfb").getSlice("k1", None, graft.operators.SliceRange(count = 10)))
+        == Map("d1" -> "keep"))
+    } finally ks.drop()
+  }
+
   test("thriftify super rows: two-level nesting in both comparator orders") {
     val live = Reconcile.liveView(cellsDf(Seq(
       ins("k1", "c2", "v2", 1, sup = "sc2"), ins("k1", "c1", "v1", 1, sup = "sc2"),
