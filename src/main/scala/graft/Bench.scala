@@ -135,6 +135,26 @@ object Bench {
     results += "read_bucketed" -> tReadB; rows += "read_bucketed" -> nReadB
     spark.sql("DROP TABLE IF EXISTS graft_bench_bucketed")
 
+    // 3c. domainSplit layout (fork CFMetaData.domainSplit): the 2-char key
+    // domain is a parquet partition column; keyed reads derive domains from
+    // the requested keys and prune whole directories (PartitionFilters)
+    val domainMeta = CellEncodings.ordersMeta.copy(domainSplit = true)
+    val (tInsD, nInsD) = time {
+      CellStore.writeDomainSplit(
+        CellEncodings.ordersCells(spark, sfDir)
+          .unionByName(CellEncodings.ordersStatusFTombstones(spark, sfDir)),
+        domainMeta, s"$tmp/orders_domain")
+      spark.read.parquet(s"$tmp/orders_domain").count()
+    }
+    results += "insert_domain" -> tInsD; rows += "insert_domain" -> nInsD
+    val domainLens = new CassandraLens(
+      CellStore.readDomainSplit(spark, s"$tmp/orders_domain"), domainMeta)
+    val (tReadD, nReadD) = time {
+      val keys = (0L until 3000L by 20L).map(i => f"$i%010d")
+      domainLens.multigetSlice(keys, None, SliceRange(count = 5)).count()
+    }
+    results += "read_domain" -> tReadD; rows += "read_domain" -> nReadD
+
     // 4b. sessionize: gap-based session windows over 100k events
     val (tSess, nSess) = time {
       SparkEntry.queries("q22_sessionize")(spark, sfDir).count()
