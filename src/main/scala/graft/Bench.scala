@@ -59,6 +59,11 @@ object Bench {
       CellStore.writeBucketed(some, CellEncodings.ordersMeta, "graft_warm_bucketed", 4)
       spark.table("graft_warm_bucketed").count()
       spark.sql("DROP TABLE IF EXISTS graft_warm_bucketed")
+      CellStore.writeDomainSplit(some, CellEncodings.ordersMeta.copy(domainSplit = true),
+        s"$wtmp/wd")
+      new CassandraLens(CellStore.readDomainSplit(spark, s"$wtmp/wd"),
+        CellEncodings.ordersMeta.copy(domainSplit = true))
+        .multigetSlice((0L until 100L).map(i => f"$i%010d"), None, SliceRange(count = 5)).count()
       val wdocs = CellEncodings.table(spark, sfDir, "documents").limit(400)
       graft.pipeline.Dedup.nearDuplicates(wdocs, "doc_id", "text", 3, 4, 5).count()
       graft.pipeline.Dedup.minhashNearDuplicates(wdocs, "doc_id", "text", 3, 32, 8, 4, 5).count()
