@@ -24,19 +24,38 @@ class CassandraLens(
       * full store. Mutating operations drop the sidecar (it would be
       * stale) and fall back to self-computed horizons.
       */
-    val horizons: Option[(DataFrame, DataFrame)] = None) {
+    val horizons: Option[(DataFrame, DataFrame)] = None,
+    /** Row-cache analog (ColumnFamilyStore.cacheRow / InstrumentedCache,
+      * cache/InstrumentedCache.java): when set, keyed reads serve slices
+      * from this cached reconciled view (InMemoryTableScan) instead of
+      * re-running the reconcile. Built by [[withRowCache]]; valid only
+      * while the underlying cells are unchanged — mutations return lenses
+      * WITHOUT the cache, like the reference invalidating on write.
+      */
+    private val cachedLive: Option[DataFrame] = None) {
   GraftFunctions.register(cells.sparkSession)
 
-  def this(cells: DataFrame, meta: CfMeta) = this(cells, meta, None)
+  def this(cells: DataFrame, meta: CfMeta, horizons: Option[(DataFrame, DataFrame)]) =
+    this(cells, meta, horizons, None)
+
+  def this(cells: DataFrame, meta: CfMeta) = this(cells, meta, None, None)
 
   private def topCmp: ComparatorType.Value = meta.comparator
   private def subCmp: ComparatorType.Value = meta.subComparator
 
+  /** Cache the reconciled live view in executor memory and serve keyed
+    * reads from it — the row cache. All lens predicates at [[liveOf]]
+    * call sites are key-scoped, so filtering the cached view is exactly
+    * equivalent to reconciling the filtered cells.
+    */
+  def withRowCache(): CassandraLens =
+    new CassandraLens(cells, meta, horizons, Some(live.cache()))
+
   /** Reconciled live view of the whole CF. */
-  def live: DataFrame = horizons match {
+  def live: DataFrame = cachedLive.getOrElse(horizons match {
     case Some((rowDel, scDel)) => Reconcile.liveViewGiven(cells, rowDel, scDel)
     case None => Reconcile.liveView(cells)
-  }
+  })
 
   /** Live view of a restricted cell set, using the sidecar when present. */
   private def liveFrom(restricted: DataFrame): DataFrame = horizons match {
@@ -44,7 +63,10 @@ class CassandraLens(
     case None => Reconcile.liveView(restricted)
   }
 
-  private def liveOf(pred: Column): DataFrame = liveFrom(cells.filter(pred))
+  private def liveOf(pred: Column): DataFrame = cachedLive match {
+    case Some(c) => c.filter(pred) // key-scoped predicate: filter the cached view
+    case None => liveFrom(cells.filter(pred))
+  }
 
   /** domainSplit routing (fork CFMetaData.domainSplit): keyed reads derive
     * the 2-char domain of each requested key, so a domain-partitioned

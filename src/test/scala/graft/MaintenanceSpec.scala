@@ -60,6 +60,21 @@ class MaintenanceSpec extends SparkSpec {
     assert(d1 != d3)
   }
 
+  test("row cache: same slice results, served from InMemoryTableScan; mutation drops it") {
+    val cached = lens.withRowCache()
+    val plain = lens.getSlice("a", None, graft.operators.SliceRange(count = 10))
+    val viaCache = cached.getSlice("a", None, graft.operators.SliceRange(count = 10))
+    assert(liveValues(viaCache) == liveValues(plain))
+    val plan = viaCache.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"), s"expected cache scan:\n${plan.take(1500)}")
+    // a mutation returns a lens WITHOUT the cache (write invalidation)
+    val mutated = cached.insert(graft.operators.Mutations.asInserts(
+      cellsDf(Seq(ins("a", "cN", "fresh", 99)))))
+    val after = mutated.getSlice("a", None, graft.operators.SliceRange(count = 10))
+    assert(liveValues(after).get("cN").contains("fresh"))
+    assert(!after.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+  }
+
   test("ReadColumnsLimit guard raises on pathological wide rows") {
     val wide = (1 to 20).map(i => ins("w", f"c$i%03d", "v", 1))
     val live = new CassandraLens(cellsDf(wide), CfMeta("t")).live
