@@ -555,6 +555,21 @@ object SparkEntry {
       ordersDecoded(pages.reduce(_ unionByName _))
     }),
 
+    // Multimodal frame sampling: the 1→N flatMap fan-out over binary
+    // media (video frame extraction shape), deterministic byte windows —
+    // oracle-checked via hex-string slicing.
+    "p17_frame_sample" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      import s.implicits._
+      val media = table(s, dir, "documents").select(
+        col("doc_id").as("id"), col("source").as("kind"),
+        encode(col("text"), "UTF-8").as("media"))
+      graft.pipeline.Multimodal.sampleFramesStub(
+        media.as[graft.pipeline.Multimodal.MediaItem], frames = 4, frameBytes = 100)
+        .select(col("id").as("doc_id"), col("frame").cast("long").as("frame"),
+          lower(hex(col("frame_bytes"))).as("frame_hex"))
+    }),
+
     // Near-dup clusters: Jaccard pairs → connected components (min-label
     // + pointer jumping) → every doc labeled with its cluster rep.
     "p14_dup_clusters" -> ((s, dir) => {
@@ -1017,6 +1032,15 @@ object SparkEntry {
         |cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
         |SELECT doc.doc_id, coalesce(cc.comp, doc.doc_id) AS cluster
         |FROM documents doc LEFT JOIN cc ON cc.id = doc.doc_id""".stripMargin,
+
+    "p17_frame_sample" ->
+      """WITH m AS (SELECT doc_id, encode(text) AS b, octet_length(encode(text)) AS n FROM documents),
+        |f AS (SELECT doc_id, b, n, unnest([0, 1, 2, 3]) AS frame FROM m),
+        |s AS (SELECT doc_id, frame, n, b,
+        |        greatest(n - 100, 0) * frame // 3 AS fstart FROM f)
+        |SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+        |  lower(substr(hex(b), fstart * 2 + 1, (least(fstart + 100, n) - fstart) * 2)) AS frame_hex
+        |FROM s""".stripMargin,
 
     "p12_multimodal" ->
       """SELECT doc_id, source AS kind,
