@@ -55,6 +55,25 @@ object ScaleProbe {
     val dtFull = (System.nanoTime() - t2) / 1e9
     println(f"[scale] wide-row 500k cols: count=5 slice -> $sliced rows in $dtSlice%5.2f s; unlimited -> $full%d rows in $dtFull%5.2f s")
 
+    // Version-skew probe: 500k timestamped versions of ONE cell (the
+    // pathological LWW write pattern — a counter-like hot column). The
+    // reconcile group key is (key, super, col), so all 500k rows target a
+    // single group: correctness requires the winner, scale requires the
+    // map-side partial aggregate to collapse each scan partition to ONE
+    // candidate before the shuffle — the wire carries ~#partitions rows.
+    val hot = spark.range(500000).select(
+      lit("hotkey").as("key"),
+      lit(null).cast("binary").as("super_name"),
+      graft.functions.GraftFunctions.beBytes(lit(7L)).as("col_name"),
+      encode(concat(lit("v"), col("id")), "UTF-8").as("value"),
+      col("id").as("ts"),
+      lit(false).as("tombstone"),
+      lit(0).as("local_del_time"))
+    val t3 = System.nanoTime()
+    val winners = graft.operators.Reconcile.liveView(hot).count()
+    val dtHot = (System.nanoTime() - t3) / 1e9
+    println(f"[scale] version-skew 500k versions of one cell -> $winners winner in $dtHot%5.2f s (partial-agg collapse)")
+
     // ANN recall/latency tradeoff: IVF with a trained codebook vs brute
     // force, recall@10 averaged over 20 queries for nprobe ∈ {1, 2, 4}.
     // The scale story: brute force scans |vectors| per query; IVF scans
