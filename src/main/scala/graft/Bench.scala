@@ -56,6 +56,10 @@ object Bench {
       wl.rangeSliceByKeys(Some("0000000000"), None, None, SliceRange(count = 5), 100).count()
       wl.compact(gcBeforeSeconds = 1000000000).cells.count()
       spark.sql("DROP TABLE IF EXISTS graft_warm_bucketed")
+      // in-memory catalog: a killed prior run leaves the managed location
+      // behind with no catalog entry — clear the directory explicitly
+      val warmLoc = new java.io.File("spark-warehouse/graft_warm_bucketed")
+      if (warmLoc.exists()) new scala.reflect.io.Directory(warmLoc).deleteRecursively()
       CellStore.writeBucketed(some, CellEncodings.ordersMeta, "graft_warm_bucketed", 4)
       spark.table("graft_warm_bucketed").count()
       spark.sql("DROP TABLE IF EXISTS graft_warm_bucketed")

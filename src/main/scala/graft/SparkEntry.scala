@@ -892,7 +892,7 @@ object SparkEntry {
 
     "p15_token_bpe" ->
       """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_subtokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS n_subtokens,
         |  CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n_tokens
         |FROM documents""".stripMargin,
 

@@ -51,6 +51,17 @@ class CassandraLens(
   def withRowCache(): CassandraLens =
     new CassandraLens(cells, meta, horizons, Some(live.cache()))
 
+  /** Release this lens's row cache (InstrumentedCache eviction analog).
+    * Mutations drop the cache REFERENCE automatically but cannot unpersist
+    * it — the caller owns the cache lifetime, exactly like the reference's
+    * explicitly-sized row cache; call this before discarding a cached lens
+    * in a long-lived session.
+    */
+  def dropRowCache(): CassandraLens = {
+    cachedLive.foreach(_.unpersist())
+    new CassandraLens(cells, meta, horizons, None)
+  }
+
   /** Reconciled live view of the whole CF. */
   def live: DataFrame = cachedLive.getOrElse(horizons match {
     case Some((rowDel, scDel)) => Reconcile.liveViewGiven(cells, rowDel, scDel)
@@ -73,7 +84,9 @@ class CassandraLens(
     * store prunes directories via PartitionFilters.
     */
   private def domainPredicate(keys: Seq[String]): Column =
-    if (meta.domainSplit && cells.columns.contains("domain"))
+    // the domain column is a raw-scan pruning aid only: the cached live
+    // view (row cache) does not carry it, and needs no directory pruning
+    if (cachedLive.isEmpty && meta.domainSplit && cells.columns.contains("domain"))
       col("domain").isin(keys.map(_.takeRight(2)).distinct: _*)
     else lit(true)
 
@@ -201,6 +214,13 @@ class CassandraLens(
     * (one reconcile over the range), then reconcile only the raw cells of
     * the picked keys — the broadcast semi-join lands on the parquet scan,
     * so the second pass reads and reconciles maxKeys keys, not the range.
+    *
+    * NOTE: for maxKeys <= 10000 the key list is materialized EAGERLY at
+    * call time (one Spark job) — deliberately mirroring the reference,
+    * whose coordinator materializes each get_range_slices page before
+    * answering; the returned DataFrame then embeds the page as an In
+    * filter instead of re-running the picking plan in every branch.
+    * Above 10000 keys the plan stays fully lazy via a broadcast semi-join.
     */
   private def restrictToPickedKeys(pre: DataFrame, startToken: Option[Column],
       maxKeys: Int): DataFrame = {

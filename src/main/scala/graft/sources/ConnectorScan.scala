@@ -34,7 +34,5 @@ object ConnectorScan {
     * quantiles over the live keys (describe_splits, thrift:452-456).
     */
   def splits(lens: CassandraLens, nSplits: Int): DataFrame =
-    RangeScan.describeSplits(
-      lens.live.withColumn("token",
-        graft.model.Tokens.token(lens.meta.partitioner, col("key"))), nSplits)
+    lens.describeSplits(nSplits)
 }

@@ -93,6 +93,12 @@ class CellStoreSpec extends SparkSpec {
     val m = lens.multigetSlice(Seq("k00000042", "k00000199"), None, SliceRange(count = 10))
     assert(liveValues(m) == Map("c1" -> "v199")) // last wins in map; check rows
     assert(m.count() == 2)
+    // regression: a row-cached domain-split lens must not reference the
+    // domain column on the cached live view (it does not carry it)
+    val cached = lens.withRowCache()
+    assert(liveValues(cached.getSlice("k00000042", None, SliceRange(count = 10)))
+      == Map("c1" -> "v42"))
+    cached.dropRowCache()
   }
 
   test("horizon sidecar: same results, marker scan replaced by sidecar join") {
