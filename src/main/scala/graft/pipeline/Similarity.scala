@@ -130,6 +130,50 @@ object Similarity {
   /** Embedding near-dup mining: the single most-similar pair per cell
     * (all-pairs within a cell — cells bound the quadratic term).
     */
+  /** Persist an IVF index: the codebook as a tiny parquet table and every
+    * vector under its coarse cell as a PARTITION COLUMN. nprobe search
+    * then reads only the probed cells' directories (PartitionFilters) —
+    * the on-disk layout that keeps per-query IO at nprobe/k of the corpus
+    * no matter how large the corpus grows (the sharded-vector-search
+    * pattern).
+    */
+  def saveIndex(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], path: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    assignCell(df, vecCol, centroids)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cell"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/vectors")
+  }
+
+  /** Search a persisted IVF index: rank cells by query-to-centroid
+    * distance on the driver (codebook is tiny), then scan ONLY the nprobe
+    * nearest cells' partitions for the exact top-k.
+    */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queryVec: Array[Float], k: Int, nprobe: Int): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/codebook")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Float](r.fieldIndex("centroid")).toArray)
+    val probeCells = centroids.zipWithIndex.map { case (c, i) =>
+      var d = 0.0
+      var j = 0
+      while (j < math.min(c.length, queryVec.length)) {
+        val t = c(j).toDouble - queryVec(j).toDouble; d += t * t; j += 1
+      }
+      (d, i)
+    }.sortBy(p => (p._1, p._2)).take(nprobe).map(_._2).toSeq
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(probeCells: _*))
+    val q = Seq(Tuple1(queryVec)).toDF("q")
+    bruteForceTopK(vecs.withColumnRenamed("vec", "embedding"), "id", "embedding", q, k)
+  }
+
   def topPairPerCell(df: DataFrame, idCol: String, vecCol: String, cellCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val a = df.select(col(cellCol).as("cell"), col(idCol).as("ia"), col(vecCol).as("va"))

@@ -109,6 +109,25 @@ class PipelineSpec extends SparkSpec {
     assert(cl.size == 5)
   }
 
+  test("persisted IVF index: search equals in-memory ivfSearch and prunes partitions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val vecs = (0L until 200L).map(i => (i, Array.fill(16)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val centroids = Similarity.trainCodebook(vecs, "vec_id", "embedding", k = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.saveIndex(vecs, "vec_id", "embedding", centroids, s"$dir/idx")
+    val qv = vecs.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0).toArray
+    val fromIndex = Similarity.searchIndex(spark, s"$dir/idx", qv, k = 5, nprobe = 2)
+    val direct = Similarity.ivfSearch(vecs, "vec_id", "embedding", centroids, qv, k = 5, nprobe = 2)
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.orderBy("rank").select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids(fromIndex) == ids(direct))
+    // the probed-cell filter reaches PartitionFilters (directory pruning)
+    val plan = fromIndex.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan.take(2000))
+  }
+
   test("native cosine expression is bit-identical to the SQL formulation") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
