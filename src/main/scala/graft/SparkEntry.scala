@@ -498,6 +498,18 @@ object SparkEntry {
         .select(col("rank").cast("long").as("rank"), col("id").as("vec_id"))
     }),
 
+    // Batched ANN: exact top-3 per query for five query vectors at once
+    // (per-query window rank, WindowGroupLimit pre-filter).
+    "p18_ann_batch" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = table(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.pipeline.Similarity.topKPerQuery(
+        e.filter(col("vec_id") >= 5), "vec_id", "embedding", queries, "qid", "qv", 3)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("id").as("vec_id"))
+    }),
+
     // Embedding near-dup mining: most-similar pair per label cell.
     "p11_embed_pairs" -> ((s, dir) => {
       GraftFunctions.register(s)
@@ -977,6 +989,17 @@ object SparkEntry {
         |  WHERE vec_id <> 0 AND label = (SELECT label FROM embeddings WHERE vec_id = 0)),
         |r AS (SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank FROM s)
         |SELECT rank, vec_id FROM r WHERE rank <= 10""".stripMargin,
+
+    "p18_ann_batch" ->
+      """WITH s AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+        |         list_cosine_similarity(c.embedding, q.embedding) AS sim
+        |  FROM embeddings c, embeddings q
+        |  WHERE q.vec_id < 5 AND c.vec_id >= 5),
+        |r AS (SELECT qid, vec_id,
+        |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        |      FROM s)
+        |SELECT qid, rank, vec_id FROM r WHERE rank <= 3""".stripMargin,
 
     "p11_embed_pairs" ->
       """WITH p AS (

@@ -58,6 +58,28 @@ object Similarity {
       idCol, vecCol, queryDf, k)
   }
 
+  /** Batched ANN: exact top-k per QUERY for a whole query set at once —
+    * the training-pipeline shape (dedup a new shard against the corpus,
+    * retrieve neighbors for every example). Queries broadcast; the
+    * per-query rank is a window partitioned BY QUERY, so WindowGroupLimit
+    * pre-filters each map partition to k candidates per query before the
+    * shuffle — cost is |corpus| × |queries| scores but only k × |queries|
+    * shuffled rows.
+    */
+  def topKPerQuery(df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val scored = df.crossJoin(broadcast(
+        queries.select(col(queryIdCol).as("qid"), col(queryVecCol).as("q"))))
+      .withColumn("sim", cosine(vecCol, "q"))
+      .select(col("qid"), col(idCol).as("id"), col("sim"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"))
+  }
+
   // ---- real IVF: k-means|| -style coarse quantizer + nprobe search ----
 
   /** Squared-L2 distance of a vector column to a centroid literal —
