@@ -441,6 +441,29 @@ object SparkEntry {
         t.keepFlag(col("text")).as("keep"))
     }),
 
+    // Stopword-ratio quality feature: per-1000-token English stopword
+    // density (integer arithmetic — no float drift).
+    "p19_stopword_ratio" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val t = graft.pipeline.TextAnalysis
+      table(s, dir, "documents").select(col("doc_id"),
+        t.stopwordScore(col("text"), t.langStopwords.toMap.apply("en")).cast("long").as("n_stop"),
+        t.tokenCount(col("text")).cast("long").as("n_tokens"))
+        // `div` (integer division) — Spark's `/` on longs is DOUBLE division
+        .withColumn("stop_per_mille", expr("n_stop * 1000 div greatest(n_tokens, 1)"))
+    }),
+
+    // n-gram Jaccard near-dups THROUGH the document-frequency stoplist
+    // (maxDocFreq): ultra-frequent shingles dropped before the pair join —
+    // the skew guard at scale, oracle-checked end-to-end.
+    "p20_jaccard_stoplist" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Dedup.jaccardPairs(table(s, dir, "documents"),
+        "doc_id", "text", n = 3, maxDocFreq = Some(3))
+        .filter(col("inter") * 5 >= col("uni") * 4)
+        .select(col("ia"), col("ib"), col("inter"), col("uni"))
+    }),
+
     // Language id: stopword-score argmax (deterministic tie-break).
     "p05_langid" -> ((s, dir) => {
       GraftFunctions.register(s)
@@ -930,6 +953,29 @@ object SparkEntry {
         |       WHEN s_es >= s_fr THEN 'es'
         |       ELSE 'fr' END AS pred_lang
         |FROM s""".stripMargin,
+
+    "p19_stopword_ratio" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS BIGINT) AS n_stop,
+        |  CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS BIGINT) * 1000
+        |    // greatest(CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT), 1) AS stop_per_mille
+        |FROM documents""".stripMargin,
+
+    "p20_jaccard_stoplist" ->
+      """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |g AS (SELECT id, unnest(list_transform(generate_series(1, len(toks)-2),
+        |                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |      FROM t WHERE len(toks) >= 3),
+        |d0 AS (SELECT DISTINCT id, sh FROM g),
+        |keep AS (SELECT sh FROM d0 GROUP BY sh HAVING count(*) <= 3),
+        |d AS (SELECT d0.id, d0.sh FROM d0 JOIN keep USING (sh)),
+        |sz AS (SELECT id, count(*) AS sz FROM d GROUP BY 1),
+        |p AS (SELECT a.id AS ia, b.id AS ib, count(*) AS inter
+        |      FROM d a JOIN d b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+        |j AS (SELECT ia, ib, inter, sa.sz + sb.sz - inter AS uni
+        |      FROM p JOIN sz sa ON sa.id = ia JOIN sz sb ON sb.id = ib)
+        |SELECT ia, ib, inter, uni FROM j WHERE inter * 5 >= uni * 4""".stripMargin,
 
     "p06_jaccard_neardup" ->
       """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
