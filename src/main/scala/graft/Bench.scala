@@ -57,8 +57,11 @@ object Bench {
       wl.compact(gcBeforeSeconds = 1000000000).cells.count()
       spark.sql("DROP TABLE IF EXISTS graft_warm_bucketed")
       // in-memory catalog: a killed prior run leaves the managed location
-      // behind with no catalog entry — clear the directory explicitly
-      val warmLoc = new java.io.File("spark-warehouse/graft_warm_bucketed")
+      // behind with no catalog entry — clear the directory explicitly,
+      // derived from the session's warehouse config (not a hardcoded path)
+      val warmLoc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        "graft_warm_bucketed")
       if (warmLoc.exists()) new scala.reflect.io.Directory(warmLoc).deleteRecursively()
       CellStore.writeBucketed(some, CellEncodings.ordersMeta, "graft_warm_bucketed", 4)
       spark.table("graft_warm_bucketed").count()
@@ -124,7 +127,9 @@ object Bench {
     // 3b. bucketed layout: write once co-located by key, then the same
     // point-slice batch runs with a SHUFFLE-FREE reconcile
     spark.sql("DROP TABLE IF EXISTS graft_bench_bucketed")
-    val wh = new java.io.File("spark-warehouse/graft_bench_bucketed")
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "graft_bench_bucketed")
     if (wh.exists()) new scala.reflect.io.Directory(wh).deleteRecursively()
     val (tInsB, nInsB) = time {
       CellStore.writeBucketed(

@@ -55,8 +55,10 @@ object StreamBench {
 
     val durs = q.recentProgress.toSeq
       .filter(_.numInputRows > 0).map(_.batchDuration.toDouble).sorted
+    // nearest-rank percentile: ceil(p*N)-1 on the ascending list
     def pct(p: Double): Double =
-      if (durs.isEmpty) 0 else durs(math.min(durs.size - 1, (p * durs.size).toInt))
+      if (durs.isEmpty) 0
+      else durs(math.max(0, math.min(durs.size - 1, math.ceil(p * durs.size).toInt - 1)))
 
     val rate = total / elapsed
     println(f"""{"metric":"stream_ingest","rows":$total,"sec":$elapsed%.3f,"rows_per_sec":$rate%.0f,"batches":${durs.size},"batch_ms_p50":${pct(0.5)}%.0f,"batch_ms_max":${durs.lastOption.getOrElse(0.0)}%.0f,"sf":"$sfDir"}""")

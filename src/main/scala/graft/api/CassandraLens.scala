@@ -156,10 +156,13 @@ class CassandraLens(
     * past a few thousand keys), keeping the probe fully distributed.
     */
   def multigetSlice(keysDf: DataFrame, superName: Option[Array[Byte]], pred: SlicePredicate): DataFrame = {
-    val restricted = cells.join(
-      org.apache.spark.sql.functions.broadcast(keysDf.select(col("key")).distinct()),
-      Seq("key"), "left_semi")
-    sliceOver(liveFrom(restricted), superName, pred)
+    val keySet = org.apache.spark.sql.functions.broadcast(keysDf.select(col("key")).distinct())
+    val restricted = cachedLive match {
+      // row cache serves this path too: semi-join the cached live view
+      case Some(c) => c.join(keySet, Seq("key"), "left_semi")
+      case None => liveFrom(cells.join(keySet, Seq("key"), "left_semi"))
+    }
+    sliceOver(restricted, superName, pred)
   }
 
   /** Slice machinery shared by point reads and range scans. */
@@ -221,6 +224,9 @@ class CassandraLens(
     * answering; the returned DataFrame then embeds the page as an In
     * filter instead of re-running the picking plan in every branch.
     * Above 10000 keys the plan stays fully lazy via a broadcast semi-join.
+    * Consequence: the page is a SNAPSHOT — re-executing the returned
+    * DataFrame after new runs land reuses the frozen key list (consistent
+    * with the reference, where a served page never retro-updates).
     */
   private def restrictToPickedKeys(pre: DataFrame, startToken: Option[Column],
       maxKeys: Int): DataFrame = {

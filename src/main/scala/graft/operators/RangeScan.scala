@@ -56,28 +56,16 @@ object RangeScan {
       case None => struct(lit(0).as("arc"), token.as("t"))
     }
 
-  /** Keep only the first `maxKeys` keys in (ring-)token order — the
-    * reference's per-scan key limit (ColumnFamilyStore.getKeyRange
-    * maxResults, :1219-1222), while retaining every cell of each selected
-    * key.
-    *
-    * Scale note: the selected-key set is computed as a distributed top-K
-    * (TakeOrderedAndProject over the distinct keys) and then applied with a
-    * broadcast semi-join — NOT a global window over the cells, which would
-    * funnel the whole scan through one partition.
-    */
-  def limitKeys(df: DataFrame, maxKeys: Int, startToken: Option[Column] = None): DataFrame = {
-    if (maxKeys == Int.MaxValue) return df // unbounded scan: no top-K step
-    df.join(broadcast(pickKeys(df, maxKeys, startToken)), Seq("key"), "left_semi")
-  }
-
   /** The first `maxKeys` keys of `df` in (ring-)token order, as a
-    * single-column DataFrame — a distributed top-K
-    * (TakeOrderedAndProject over the distinct keys), never a global
-    * window. Callers semi-join this against the RAW cell store so the
-    * expensive reconcile runs once over the range for key selection and
-    * once over only the selected keys — not twice over the full range
-    * (per-key reconcile commutes with key restriction).
+    * single-column DataFrame — the reference's per-scan key limit
+    * (ColumnFamilyStore.getKeyRange maxResults, :1219-1222) as a
+    * distributed top-K (TakeOrderedAndProject over the distinct keys),
+    * never a global window over cells. Callers apply the picked set to
+    * the RAW cell store (literal In page or broadcast semi-join —
+    * CassandraLens.restrictToPickedKeys) so the expensive reconcile runs
+    * once over the range for key selection and once over only the
+    * selected keys — not twice over the full range (per-key reconcile
+    * commutes with key restriction).
     */
   def pickKeys(df: DataFrame, maxKeys: Int, startToken: Option[Column] = None): DataFrame =
     df.select(col("token"), col("key"))

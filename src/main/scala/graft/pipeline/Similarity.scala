@@ -131,20 +131,27 @@ object Similarity {
     * assignment is precomputed (a partition column), so the scan prunes to
     * nprobe/k of the data before any distance math.
     */
-  def ivfSearch(df: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Float]], queryVec: Array[Float], k: Int, nprobe: Int): DataFrame = {
-    val probeCells = centroids.zipWithIndex.map { case (c, i) =>
+  /** The nprobe cells nearest to the query (driver-side — the codebook is
+    * tiny); shared by the in-memory and persisted-index search paths.
+    */
+  private def nearestCells(centroids: Array[Array[Float]], queryVec: Array[Float],
+      nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex.map { case (c, i) =>
       var d = 0.0
       var j = 0
       while (j < math.min(c.length, queryVec.length)) {
         val t = c(j).toDouble - queryVec(j).toDouble; d += t * t; j += 1
       }
       (d, i)
-    }.sortBy(p => (p._1, p._2)).take(nprobe).map(_._2).toSet
+    }.sortBy(p => (p._1, p._2)).take(nprobe).map(_._2).toSeq
+
+  def ivfSearch(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], queryVec: Array[Float], k: Int, nprobe: Int): DataFrame = {
+    val probeCells = nearestCells(centroids, queryVec, nprobe)
     val spark = df.sparkSession
     import spark.implicits._
     val assigned = assignCell(df, vecCol, centroids)
-      .filter(col("cell").isin(probeCells.toSeq: _*))
+      .filter(col("cell").isin(probeCells: _*))
     val q = Seq(Tuple1(queryVec)).toDF("q")
     bruteForceTopK(assigned, idCol, vecCol, q, k)
   }
@@ -181,14 +188,7 @@ object Similarity {
     val centroids = spark.read.parquet(s"$path/codebook")
       .orderBy("cell").collect()
       .map(r => r.getSeq[Float](r.fieldIndex("centroid")).toArray)
-    val probeCells = centroids.zipWithIndex.map { case (c, i) =>
-      var d = 0.0
-      var j = 0
-      while (j < math.min(c.length, queryVec.length)) {
-        val t = c(j).toDouble - queryVec(j).toDouble; d += t * t; j += 1
-      }
-      (d, i)
-    }.sortBy(p => (p._1, p._2)).take(nprobe).map(_._2).toSeq
+    val probeCells = nearestCells(centroids, queryVec, nprobe)
     import spark.implicits._
     val vecs = spark.read.parquet(s"$path/vectors")
       .filter(col("cell").isin(probeCells: _*))
