@@ -613,6 +613,15 @@ object SparkEntry {
         "doc_id", "text", n = 3, num = 4, den = 5)
     }),
 
+    // End-to-end corpus dedup: keep one representative per near-dup
+    // cluster (doc survives iff it IS its cluster's min id).
+    "p21_deduplicated" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Dedup.deduplicated(table(s, dir, "documents"),
+        "doc_id", "text", n = 3, num = 4, den = 5)
+        .select(col("doc_id"), col("source"))
+    }),
+
     // Multimodal plumbing: opaque binary column → batched feature
     // extraction (decode step STUBBED — see Multimodal.decodeStub).
     "p12_multimodal" -> ((s, dir) => {
@@ -1110,6 +1119,29 @@ object SparkEntry {
         |SELECT doc_id, CAST(frame AS BIGINT) AS frame,
         |  lower(substr(hex(b), fstart * 2 + 1, (least(fstart + 100, n) - fstart) * 2)) AS frame_hex
         |FROM s""".stripMargin,
+
+    "p21_deduplicated" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |g AS (SELECT id, unnest(list_transform(generate_series(1, len(toks)-2),
+        |                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |      FROM t WHERE len(toks) >= 3),
+        |d AS (SELECT DISTINCT id, sh FROM g),
+        |sz AS (SELECT id, count(*) AS sz FROM d GROUP BY 1),
+        |p AS (SELECT a.id AS ia, b.id AS ib, count(*) AS inter
+        |      FROM d a JOIN d b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+        |j AS (SELECT ia, ib, inter, sa.sz + sb.sz - inter AS uni
+        |      FROM p JOIN sz sa ON sa.id = ia JOIN sz sb ON sb.id = ib),
+        |pr AS (SELECT ia, ib FROM j WHERE inter * 5 >= uni * 4),
+        |e AS (SELECT ia AS a, ib AS b FROM pr UNION SELECT ib AS a, ia AS b FROM pr),
+        |walk(id, comp) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+        |  UNION
+        |  SELECT e.b, walk.comp FROM walk JOIN e ON e.a = walk.id),
+        |cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
+        |SELECT doc.doc_id, doc.source
+        |FROM documents doc LEFT JOIN cc ON cc.id = doc.doc_id
+        |WHERE coalesce(cc.comp, doc.doc_id) = doc.doc_id""".stripMargin,
 
     "p12_multimodal" ->
       """SELECT doc_id, source AS kind,

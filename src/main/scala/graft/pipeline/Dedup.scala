@@ -199,6 +199,19 @@ object Dedup {
       .select(col("id").as(idCol), coalesce(col("comp"), col("id")).as("cluster"))
   }
 
+  /** Deduplicate the corpus: keep exactly one document per near-dup
+    * cluster (the representative = min doc id). The end-to-end "drop the
+    * duplicates" operator: shingle → candidate pairs → connected
+    * components → anti-join the non-representatives away.
+    */
+  def deduplicated(df: DataFrame, idCol: String, textCol: String, n: Int,
+      num: Int, den: Int): DataFrame = {
+    val clusters = dupClusters(df, idCol, textCol, n, num, den)
+    df.join(
+      clusters.filter(col(idCol) === col("cluster")).select(idCol),
+      Seq(idCol), "left_semi")
+  }
+
   /** 64-bit token hash from the first 16 hex chars of md5, decoded
     * big-endian — reproducible in any SQL engine with an md5 function
     * (the DuckDB oracle twin), unlike xxhash64. Slower than xxhash64;
