@@ -1,0 +1,42 @@
+package graft
+
+import graft.api.CassandraLens
+import graft.model.CfMeta
+import graft.operators.{Reconcile, SliceRange}
+
+/** Plan-shape assertions for the properties SCALE.md's arguments rest on:
+  * these fail if a refactor silently degrades the physical plan even
+  * while results stay correct.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private val cells = (0 until 50).flatMap { i =>
+    Seq(ins(f"k$i%03d", "c1", "a", 1), ins(f"k$i%03d", "c2", "b", 1),
+      ins(f"k$i%03d", "c3", "c", 2))
+  }
+  private def lens = new CassandraLens(cellsDf(cells), CfMeta("t"))
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("reconcile is a hash aggregate (ObjectHashAggregate), never sort-based") {
+    val plan = planOf(Reconcile.liveView(cellsDf(cells)))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(1200))
+    assert(!plan.contains("SortAggregate"), plan.take(1200))
+  }
+
+  test("per-key slice limit applies WindowGroupLimit before the shuffle") {
+    val plan = planOf(
+      lens.rangeSliceByKeys(None, None, None, SliceRange(count = 2), Int.MaxValue))
+    assert(plan.contains("WindowGroupLimit"), plan.take(1500))
+    // partial mode runs on the map side (pre-shuffle candidate pruning)
+    assert(plan.contains("Partial") || "WindowGroupLimit.*\n.*Sort".r.findFirstIn(plan).isDefined,
+      plan.take(1500))
+  }
+
+  test("unlimited slices skip the rank window entirely") {
+    val plan = planOf(
+      lens.rangeSliceByKeys(None, None, None, SliceRange(count = Int.MaxValue), Int.MaxValue))
+    assert(!plan.contains("WindowGroupLimit") && !plan.contains("Window "), plan.take(1500))
+  }
+}
