@@ -196,6 +196,40 @@ object Similarity {
     bruteForceTopK(vecs.withColumnRenamed("vec", "embedding"), "id", "embedding", q, k)
   }
 
+  /** Batched nprobe search over a persisted IVF index: every query in ONE
+    * plan. Per-query probe cells are computed as an EXPRESSION (sorted
+    * distance-to-centroid array, sliced to nprobe) so the query set stays
+    * distributed; only the tiny union of probed cell ids is collected to
+    * prune the vector partitions statically. Scan cost: the probed cells'
+    * directories once, scored only against the queries probing each cell.
+    */
+  def searchIndexBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val centroids = spark.read.parquet(s"$path/codebook")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Float](r.fieldIndex("centroid")).toArray)
+    val cands = centroids.zipWithIndex.map { case (c, i) =>
+      struct(l2sq(queryVecCol, c).as("d"), lit(i).as("cell"))
+    }
+    val probes = queries
+      .select(col(queryIdCol).as("qid"), col(queryVecCol).as(queryVecCol))
+      .withColumn("_cand", sort_array(array(cands: _*)))
+      .withColumn("cell", explode(expr(s"transform(slice(_cand, 1, $nprobe), s -> s.cell)")))
+      .select(col("qid"), col(queryVecCol).as("qv"), col("cell"))
+    // static partition pruning: the probed-cell union is tiny — collect it
+    val probedCells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val vecs = spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(probedCells: _*))
+    vecs.join(broadcast(probes), Seq("cell"))
+      .withColumn("sim", cosine("vec", "qv"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"))
+  }
+
   def topPairPerCell(df: DataFrame, idCol: String, vecCol: String, cellCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val a = df.select(col(cellCol).as("cell"), col(idCol).as("ia"), col(vecCol).as("va"))

@@ -128,6 +128,25 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan.take(2000))
   }
 
+  test("batched index search equals per-query searchIndex") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val vecs = (0L until 200L).map(i => (i, Array.fill(16)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val centroids = Similarity.trainCodebook(vecs, "vec_id", "embedding", k = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfb").toString
+    Similarity.saveIndex(vecs, "vec_id", "embedding", centroids, s"$dir/idx")
+    val queries = vecs.filter($"vec_id" < 3).select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val batch = Similarity.searchIndexBatch(spark, s"$dir/idx", queries, "qid", "qv", k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val perQuery = queries.collect().flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Float](1).toArray
+      Similarity.searchIndex(spark, s"$dir/idx", qv, k = 5, nprobe = 2)
+        .collect().map(x => (qid, x.getAs[Int]("rank"), x.getAs[Long]("id")))
+    }.toSet
+    assert(batch == perQuery)
+  }
+
   test("native cosine expression is bit-identical to the SQL formulation") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
