@@ -61,7 +61,29 @@ object StreamBench {
       else durs(math.max(0, math.min(durs.size - 1, math.ceil(p * durs.size).toInt - 1)))
 
     val rate = total / elapsed
-    println(f"""{"metric":"stream_ingest","rows":$total,"sec":$elapsed%.3f,"rows_per_sec":$rate%.0f,"batches":${durs.size},"batch_ms_p50":${pct(0.5)}%.0f,"batch_ms_max":${durs.lastOption.getOrElse(0.0)}%.0f,"sf":"$sfDir"}""")
+
+    // Stateful leg: the same cell stream through latestPerKey
+    // (flatMapGroupsWithState LWW state — the memtable-resolve path),
+    // feeding a memory sink. State size is bounded by live keys.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Cell]
+    val stateQ = graft.streaming.CellStream.latestPerKey(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_streambench_state")
+      .option("checkpointLocation", s"$dir/ckpt_state").start()
+    val allCells = cells.as[Cell].collect()
+    val t1 = System.nanoTime()
+    allCells.grouped((allCells.length + nBatches - 1) / nBatches).foreach { b =>
+      mem.addData(b.toIndexedSeq)
+      stateQ.processAllAvailable()
+    }
+    val stateElapsed = (System.nanoTime() - t1) / 1e9
+    stateQ.stop()
+    val stateRate = total / stateElapsed
+
+    println(f"""{"metric":"stream_ingest","rows":$total,"sec":$elapsed%.3f,"rows_per_sec":$rate%.0f,"batches":${durs.size},"batch_ms_p50":${pct(0.5)}%.0f,"batch_ms_max":${durs.lastOption.getOrElse(0.0)}%.0f,"stateful_sec":$stateElapsed%.3f,"stateful_rows_per_sec":$stateRate%.0f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
