@@ -184,7 +184,10 @@ object Bench {
     // pipeline headliners
     val docs = CellEncodings.table(spark, sfDir, "documents")
     val (tJac, nJac) = time {
-      graft.pipeline.Dedup.nearDuplicates(docs, "doc_id", "text", 3, 4, 5).count()
+      // scale path: 8-byte hashed shingle shuffle keys (oracle queries
+      // keep exact strings; spec asserts equal results)
+      graft.pipeline.Dedup.nearDuplicates(docs, "doc_id", "text", 3, 4, 5,
+        hashShingles = true).count()
     }
     results += "jaccard_neardup" -> tJac; rows += "jaccard_neardup" -> nJac
 

@@ -55,9 +55,17 @@ object Dedup {
       )).as("sh"))
   }
 
+  /** @param hashShingles replace each shingle string with its xxhash64
+    *   BEFORE the shuffles: the shuffle key shrinks from a ~20-byte
+    *   3-gram string to 8 bytes — the scale path for 100 TB corpora.
+    *   Counts are exact modulo 64-bit collisions (P ≈ m²/2⁶⁵ — about
+    *   1e-13 even at a billion distinct shingles); keep it off when
+    *   comparing against a string-keyed external oracle.
+    */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
-      maxDocFreq: Option[Int] = None): DataFrame = {
-    val raw = shinglesRaw(df, idCol, textCol, n)
+      maxDocFreq: Option[Int] = None, hashShingles: Boolean = false): DataFrame = {
+    val rawStr = shinglesRaw(df, idCol, textCol, n)
+    val raw = if (hashShingles) rawStr.withColumn("sh", xxhash64(col("sh"))) else rawStr
     val dd = maxDocFreq match {
       case Some(f) =>
         val freq = raw.groupBy("sh").agg(count_distinct(col("id")).as("_df")).filter(col("_df") <= f)
@@ -87,8 +95,8 @@ object Dedup {
     * float threshold drift between engines).
     */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String, n: Int,
-      num: Int, den: Int): DataFrame =
-    jaccardPairs(df, idCol, textCol, n)
+      num: Int, den: Int, hashShingles: Boolean = false): DataFrame =
+    jaccardPairs(df, idCol, textCol, n, hashShingles = hashShingles)
       .filter(col("inter") * den >= col("uni") * num)
 
   /** MinHash signatures: numHashes seeded xxhash64 min-aggregates over the

@@ -47,6 +47,13 @@ class PipelineSpec extends SparkSpec {
     assert(capped.count() == 0) // the only shared shingle has doc-freq 3
   }
 
+  test("hashed-shingle jaccard equals the string-keyed computation") {
+    def stats(hash: Boolean): Set[(Long, Long, Long, Long)] =
+      Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, hashShingles = hash)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(stats(hash = true) == stats(hash = false))
+  }
+
   test("minhash-LSH verified pairs equal brute-force at the same threshold") {
     val brute = Dedup.nearDuplicates(docs, "doc_id", "text", 3, 4, 5)
       .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
