@@ -156,9 +156,65 @@ object Similarity {
     bruteForceTopK(assigned, idCol, vecCol, q, k)
   }
 
-  /** Embedding near-dup mining: the single most-similar pair per cell
-    * (all-pairs within a cell — cells bound the quadratic term).
+  // ---- random-hyperplane LSH (the other scale path besides IVF) ----
+
+  /** Deterministic pseudo-random hyperplanes: component (p, d) is derived
+    * from md5(seed, p, d) — reproducible across runs/engines, no RNG
+    * state. Values uniform in [-1, 1).
     */
+  def randomHyperplanes(dim: Int, nPlanes: Int, seed: Long): Array[Array[Float]] = {
+    require(nPlanes <= 64, "signature packs into one long")
+    Array.tabulate(nPlanes) { p =>
+      Array.tabulate(dim) { d =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val bytes = md.digest(s"$seed:$p:$d".getBytes("UTF-8"))
+        val v = java.nio.ByteBuffer.wrap(bytes).getLong(0)
+        ((v >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat
+      }
+    }
+  }
+
+  /** Sign-of-dot-product signature of an embedding against the
+    * hyperplanes, packed into one long — expression-only (codegen'd).
+    */
+  def hyperplaneSignature(vecCol: String, planes: Array[Array[Float]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      val arrLit = plane.map(v => f"CAST($v%.9ed AS DOUBLE)").mkString("array(", ",", ")")
+      val dot = expr(
+        s"""aggregate(zip_with($vecCol, $arrLit, (x, y) -> CAST(x AS DOUBLE) * y),
+           | CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Embedding near-dup pairs via banded hyperplane-LSH candidates +
+    * EXACT cosine verification — the LSH-bucketed alternative to the IVF
+    * cell restriction: no training step, recall tuned by planes/bands.
+    * Never all-pairs: candidates only through matching signature bands.
+    */
+  def embeddingNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, nPlanes: Int = 32, bands: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val planes = randomHyperplanes(dim, nPlanes, seed)
+    val r = nPlanes / bands
+    val mask = (1L << r) - 1
+    val signed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      hyperplaneSignature(vecCol, planes).as("sig"))
+    val banded = signed.select(col("id"), col("v"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * r).bitwiseAND(lit(mask)).as("bh"))): _*)).as("bd"))
+      .select(col("id"), col("v"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+    banded.select(col("id").as("ia"), col("v").as("va"), col("band"), col("bh"))
+      .join(banded.select(col("id").as("ib"), col("v").as("vb"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), cosine("va", "vb").as("cos"))
+      .distinct()
+      .filter(col("cos") >= minCosine)
+  }
+
   /** Persist an IVF index: the codebook as a tiny parquet table and every
     * vector under its coarse cell as a PARTITION COLUMN. nprobe search
     * then reads only the probed cells' directories (PartitionFilters) —
@@ -230,6 +286,9 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"))
   }
 
+  /** Embedding near-dup mining: the single most-similar pair per cell
+    * (all-pairs within a cell — cells bound the quadratic term).
+    */
   def topPairPerCell(df: DataFrame, idCol: String, vecCol: String, cellCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val a = df.select(col(cellCol).as("cell"), col(idCol).as("ia"), col(vecCol).as("va"))

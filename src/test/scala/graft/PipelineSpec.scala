@@ -135,6 +135,24 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan.take(2000))
   }
 
+  test("hyperplane-LSH near-dup: planted pairs found, verification exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // 40 random base vectors; 5 of them get a tiny-perturbation twin
+    val base = (0 until 40).map(i => (i.toLong, Array.fill(32)(rnd.nextFloat() * 2 - 1)))
+    val twins = (0 until 5).map { i =>
+      (100L + i, base(i)._2.map(v => v + rnd.nextFloat() * 0.01f))
+    }
+    val vecs = (base ++ twins).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDupLsh(vecs, "vec_id", "embedding",
+      minCosine = 0.99, nPlanes = 32, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted twin pair survives (banding recall + exact verify)
+    (0 until 5).foreach(i => assert(pairs.contains((i.toLong, 100L + i)), s"missing twin $i"))
+    // nothing else passes the exact cosine >= 0.99 verification
+    assert(pairs.size == 5, s"unexpected pairs: $pairs")
+  }
+
   test("batched index search equals per-query searchIndex") {
     import spark.implicits._
     val rnd = new scala.util.Random(9)
