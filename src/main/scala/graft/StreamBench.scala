@@ -82,6 +82,13 @@ object StreamBench {
     val stateElapsed = (System.nanoTime() - t1) / 1e9
     stateQ.stop()
     val stateRate = total / stateElapsed
+    // correctness guard (like the flush leg's stored==total): every input
+    // key must have produced at least one state-resolved emission
+    val emittedKeys = spark.table("graft_streambench_state")
+      .select("key").distinct().count()
+    val inputKeys = allCells.map(_.key).distinct.length
+    assert(emittedKeys == inputKeys,
+      s"stateful leg emitted $emittedKeys keys of $inputKeys")
 
     println(f"""{"metric":"stream_ingest","rows":$total,"sec":$elapsed%.3f,"rows_per_sec":$rate%.0f,"batches":${durs.size},"batch_ms_p50":${pct(0.5)}%.0f,"batch_ms_max":${durs.lastOption.getOrElse(0.0)}%.0f,"stateful_sec":$stateElapsed%.3f,"stateful_rows_per_sec":$stateRate%.0f,"sf":"$sfDir"}""")
     spark.stop()

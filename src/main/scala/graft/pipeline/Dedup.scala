@@ -112,6 +112,8 @@ object Dedup {
     * at least one full band become candidates.
     */
   def lshCandidates(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
     val r = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),

@@ -85,8 +85,18 @@ object Similarity {
   /** Squared-L2 distance of a vector column to a centroid literal —
     * expression-only (codegen'd), no UDF.
     */
+  /** A SQL DOUBLE literal EXACTLY equal to the float's double value:
+    * 17 significant digits round-trip any double, and Locale.ROOT keeps
+    * the decimal point a '.' on comma-decimal JVMs (the f"" interpolator
+    * is locale-sensitive). Driver-side arithmetic (nearestCells) uses
+    * .toDouble on the same floats, so literal-based and driver-based
+    * distance ranking agree bit-for-bit.
+    */
+  private def doubleLit(v: Float): String =
+    "CAST(" + String.format(java.util.Locale.ROOT, "%.17e", Double.box(v.toDouble)) + " AS DOUBLE)"
+
   private def l2sq(vecCol: String, centroid: Array[Float]): Column = {
-    val c = centroid.map(v => f"CAST($v%.9ed AS DOUBLE)").mkString("array(", ",", ")")
+    val c = centroid.map(doubleLit).mkString("array(", ",", ")")
     expr(
       s"""aggregate(zip_with($vecCol, $c, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
          | CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
@@ -179,7 +189,7 @@ object Similarity {
     */
   def hyperplaneSignature(vecCol: String, planes: Array[Array[Float]]): Column =
     planes.zipWithIndex.map { case (plane, p) =>
-      val arrLit = plane.map(v => f"CAST($v%.9ed AS DOUBLE)").mkString("array(", ",", ")")
+      val arrLit = plane.map(doubleLit).mkString("array(", ",", ")")
       val dot = expr(
         s"""aggregate(zip_with($vecCol, $arrLit, (x, y) -> CAST(x AS DOUBLE) * y),
            | CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
@@ -194,24 +204,35 @@ object Similarity {
   def embeddingNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, nPlanes: Int = 32, bands: Int = 8,
       seed: Long = 42L): DataFrame = {
+    require(bands >= 1 && bands <= nPlanes && nPlanes % bands == 0,
+      s"bands ($bands) must divide nPlanes ($nPlanes) — r=0 would degenerate to all-pairs, " +
+        "a non-dividing bands silently drops planes")
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
-    val planes = randomHyperplanes(dim, nPlanes, seed)
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val firstRow = vecs.filter(col("v").isNotNull).select(size(col("v"))).head(1)
+    if (firstRow.isEmpty) // empty shard: no pairs, don't crash the pipeline
+      return vecs.select(col("id").as("ia"), col("id").as("ib"),
+        lit(0.0).as("cos")).limit(0)
+    val planes = randomHyperplanes(firstRow.head.getInt(0), nPlanes, seed)
     val r = nPlanes / bands
     val mask = (1L << r) - 1
-    val signed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      hyperplaneSignature(vecCol, planes).as("sig"))
-    val banded = signed.select(col("id"), col("v"),
+    val signed = vecs.select(col("id"), col("v"),
+      hyperplaneSignature("v", planes).as("sig"))
+    val banded = signed.select(col("id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * r).bitwiseAND(lit(mask)).as("bh"))): _*)).as("bd"))
-      .select(col("id"), col("v"), col("bd.band").as("band"), col("bd.bh").as("bh"))
-    banded.select(col("id").as("ia"), col("v").as("va"), col("band"), col("bh"))
-      .join(banded.select(col("id").as("ib"), col("v").as("vb"), col("band"), col("bh")),
-        Seq("band", "bh"))
+      .select(col("id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+    // candidate ids first, ONE cosine per distinct pair after the dedup —
+    // a pair agreeing on all bands must not be scored `bands` times
+    val cand = banded.select(col("id").as("ia"), col("band"), col("bh"))
+      .join(banded.select(col("id").as("ib"), col("band"), col("bh")), Seq("band", "bh"))
       .filter(col("ia") < col("ib"))
+      .select("ia", "ib").distinct()
+    cand
+      .join(vecs.select(col("id").as("ia"), col("v").as("va")), Seq("ia"))
+      .join(vecs.select(col("id").as("ib"), col("v").as("vb")), Seq("ib"))
       .select(col("ia"), col("ib"), cosine("va", "vb").as("cos"))
-      .distinct()
       .filter(col("cos") >= minCosine)
   }
 
@@ -274,11 +295,18 @@ object Similarity {
       .withColumn("_cand", sort_array(array(cands: _*)))
       .withColumn("cell", explode(expr(s"transform(slice(_cand, 1, $nprobe), s -> s.cell)")))
       .select(col("qid"), col(queryVecCol).as("qv"), col("cell"))
+      // materialize once: the probe assignment feeds both the pruning
+      // collect and the join — without this the k×|queries| distance
+      // expressions would evaluate twice
+      .localCheckpoint()
     // static partition pruning: the probed-cell union is tiny — collect it
     val probedCells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSeq
     val vecs = spark.read.parquet(s"$path/vectors")
       .filter(col("cell").isin(probedCells: _*))
-    vecs.join(broadcast(probes), Seq("cell"))
+    // plain equi-join on cell: AQE broadcasts the probe side when it is
+    // small and falls back to a shuffle join for huge query sets — an
+    // unconditional broadcast would pin every query vector on the driver
+    vecs.join(probes, Seq("cell"))
       .withColumn("sim", cosine("vec", "qv"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))))

@@ -29,9 +29,10 @@ class PlanQualitySpec extends SparkSpec {
     val plan = planOf(
       lens.rangeSliceByKeys(None, None, None, SliceRange(count = 2), Int.MaxValue))
     assert(plan.contains("WindowGroupLimit"), plan.take(1500))
-    // partial mode runs on the map side (pre-shuffle candidate pruning)
-    assert(plan.contains("Partial") || "WindowGroupLimit.*\n.*Sort".r.findFirstIn(plan).isDefined,
-      plan.take(1500))
+    // the PARTIAL-mode node is the map-side pre-shuffle candidate pruning —
+    // assert it on the WindowGroupLimit line itself, not anywhere in the plan
+    assert(plan.linesIterator.exists(l => l.contains("WindowGroupLimit") && l.contains("Partial")),
+      plan.linesIterator.filter(_.contains("WindowGroupLimit")).mkString("\n"))
   }
 
   test("unlimited slices skip the rank window entirely") {
