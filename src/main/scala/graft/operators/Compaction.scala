@@ -71,6 +71,27 @@ object Compaction {
       .filter(_.size >= minThreshold)
       .map(_.take(maxThreshold))
 
+  /** On-disk sizes of a set of run directories (the SSTable manifest the
+    * size-tiered planner consumes) — one filesystem call per run, no data
+    * read.
+    */
+  def runSizes(spark: org.apache.spark.sql.SparkSession, runPaths: Seq[String]): Seq[(String, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    runPaths.map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      p -> hp.getFileSystem(conf).getContentSummary(hp).getLength
+    }
+  }
+
+  /** Minor-compaction plan over real run directories: measure sizes, pick
+    * size-tiered buckets, return the groups of run paths to merge (each
+    * group = one compact() + rewrite job).
+    */
+  def planMinor(spark: org.apache.spark.sql.SparkSession, runPaths: Seq[String],
+      minThreshold: Int = 4, maxThreshold: Int = 32,
+      minSmall: Long = 50L << 20): Seq[Seq[String]] =
+    minorCompactionPlan(runSizes(spark, runPaths), minThreshold, maxThreshold, minSmall)
+
   def compact(
       cells: DataFrame,
       gcBeforeSeconds: Int,

@@ -57,6 +57,27 @@ class CompactionSpec extends SparkSpec {
       .map(_.toSet) == Seq(Set("x", "y")))
   }
 
+  test("planMinor over real run directories groups the similar-sized runs") {
+    import graft.model.CfMeta
+    import graft.sources.CellStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_minor").toString
+    // four small runs of similar size + one much larger run
+    val paths = (0 until 4).map { i =>
+      val p = s"$dir/run_$i"
+      CellStore.write(cellsDf(Seq(ins(s"k$i", "c1", "v", 1))), CfMeta("t"), p, numPartitions = 1)
+      p
+    } :+ {
+      val p = s"$dir/run_big"
+      CellStore.write(cellsDf((0 until 3000).map(j => ins(f"k$j%05d", "c1", "v" * 50, 1))),
+        CfMeta("t"), p, numPartitions = 1)
+      p
+    }
+    val plan = graft.operators.Compaction.planMinor(spark, paths,
+      minThreshold = 3, maxThreshold = 32, minSmall = 1L << 20)
+    assert(plan.size == 1)
+    assert(plan.head.toSet == (0 until 4).map(i => s"$dir/run_$i").toSet)
+  }
+
   test("minor-compaction plan: only buckets at minThreshold, capped at maxThreshold") {
     val runs = (1 to 6).map(i => s"r$i" -> (100L + i)) ++ Seq("big" -> 100000L)
     val plan = Compaction.minorCompactionPlan(runs, minThreshold = 4, maxThreshold = 5,
