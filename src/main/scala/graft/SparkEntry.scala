@@ -570,6 +570,24 @@ object SparkEntry {
         SliceRange(count = 3), Int.MaxValue))
     }),
 
+    // Tombstone-horizon sidecar store: write runs + precomputed deletion
+    // horizons (row deletes for every 7th custkey), read through
+    // openWithHorizons — the sidecar-join read path under the gate.
+    "q30_sidecar_slice" -> ((s, dir) => {
+      val cells = ordersCells(s, dir)
+        .unionByName(ordersStatusFTombstones(s, dir))
+        .unionByName(graft.operators.Mutations.asRowDeletes(
+          table(s, dir, "orders").filter(col("o_custkey") % 7 === 0)
+            .select(key10(col("o_custkey")).as("key")).distinct()
+            .withColumn("ts", lit(99999999999999L)),
+          localDeletionTimeSec = 2000000000))
+      val store = java.nio.file.Files.createTempDirectory("graft_q30").toString
+      graft.sources.CellStore.writeWithHorizons(cells, ordersMeta, s"$store/s", numPartitions = 8)
+      val lens = graft.sources.CellStore.openWithHorizons(s, s"$store/s", ordersMeta)
+      ordersDecoded(lens.rangeSliceByKeys(None, None, None,
+        SliceRange(count = Int.MaxValue), Int.MaxValue))
+    }),
+
     // Compaction-time row processor (fork IRowProcessor, db/proc/*): a
     // RetentionProcessor drops cells below a ts horizon as rows flow
     // through compaction — the flatMapGroups UDTF surface, oracle-checked.
@@ -1064,6 +1082,12 @@ object SparkEntry {
         |r AS (SELECT cell, ia, ib,
         |        row_number() OVER (PARTITION BY cell ORDER BY sim DESC, ia, ib) AS rn FROM p)
         |SELECT CAST(cell AS BIGINT) AS cell, ia, ib FROM r WHERE rn = 1""".stripMargin,
+
+    "q30_sidecar_slice" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
+        |       o_orderstatus AS status
+        |FROM orders
+        |WHERE o_custkey % 7 <> 0 AND o_orderstatus <> 'F'""".stripMargin,
 
     "q29_bucketed_slice" ->
       """WITH r AS (
