@@ -45,6 +45,19 @@ object StreamDemo {
     val compacted = Compaction.compact(spark.read.parquet(store), gcBeforeSeconds = 0)
     CellStore.writeWithHorizons(compacted, CellEncodings.eventsMeta, s"$dir/compacted",
       numPartitions = 4)
+    // a late row-delete delta folds in INCREMENTALLY: compaction merges
+    // runs+delta and refreshes the sidecar from old-sidecar ⊕ delta
+    // markers only (never re-scanning the runs for the sidecar)
+    val victim = "0000000007"
+    val victimCells = spark.read.parquet(store)
+      .filter(col("key") === victim).count()
+    val lateDelta = graft.operators.Mutations.asRowDeletes(
+      spark.range(1).select(lit(victim).as("key"),
+        lit(Long.MaxValue - 1).as("ts")),
+      localDeletionTimeSec = 2000000000)
+    CellStore.compactWithHorizons(spark, s"$dir/compacted", Some(lateDelta),
+      CellEncodings.eventsMeta, gcBeforeSeconds = 0, numPartitions = 4)
+    println(s"[stream] incremental compaction folded a row delete for $victim ($victimCells cells shadowed)")
     val lens = CellStore.openWithHorizons(spark, s"$dir/compacted", CellEncodings.eventsMeta)
     val total = lens.live.count()
     val users = lens.getCountAll.count()
@@ -52,7 +65,8 @@ object StreamDemo {
     val sample = lens.getSlice("0000000012", None, graft.operators.SliceRange(count = 3))
       .select(col("key"), decode(col("value"), "UTF-8")).collect()
     sample.foreach(r => println(s"[stream] sample ${r.getString(0)} -> ${r.getString(1)}"))
-    assert(total == 1000, s"expected all 1000 event cells, got $total")
+    assert(total == 1000 - victimCells,
+      s"expected ${1000 - victimCells} live cells after the row delete, got $total")
     spark.stop()
   }
 }
