@@ -114,6 +114,41 @@ object ExprHelpers {
   }
 }
 
+object RollingHash {
+  /** Min over the 60-bit md5-prefix hashes of every k-codepoint sliding
+    * window of `s` — the winnowing fingerprint, single pass, no per-row
+    * array. Semantics identical to the SQL formulation
+    * `array_min(transform(sequence(1, greatest(len-k+1, 1)),
+    *   i -> conv(substring(md5(substring(s, i, k)), 1, 15), 16, 10)))`:
+    * windows are code-point slices (Spark substring semantics), hashed as
+    * UTF-8 bytes, and the hash is the big-endian 60-bit digest prefix
+    * (= the first 15 hex chars read as an integer).
+    */
+  def rollingMin(s: org.apache.spark.unsafe.types.UTF8String, k: Int): Long = {
+    val str = s.toString
+    val cps = str.codePointCount(0, str.length)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val nWindows = math.max(cps - k + 1, 1)
+    var minV = Long.MaxValue
+    var i = 0
+    var startIdx = 0 // UTF-16 index of code point i
+    while (i < nWindows) {
+      val endCp = math.min(i + k, cps)
+      val endIdx = str.offsetByCodePoints(startIdx, endCp - i)
+      md.reset()
+      val d = md.digest(str.substring(startIdx, endIdx).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var j = 0
+      while (j < 7) { v = (v << 8) | (d(j) & 0xFFL); j += 1 }
+      v = (v << 4) | ((d(7) & 0xFFL) >>> 4) // 60-bit big-endian prefix
+      if (v < minV) minV = v
+      if (i + 1 < nWindows) startIdx = str.offsetByCodePoints(startIdx, 1)
+      i += 1
+    }
+    minV
+  }
+}
+
 object CollatorHolder {
   val collator: java.text.Collator = java.text.Collator.getInstance(java.util.Locale.US)
 }
@@ -126,6 +161,20 @@ case class BigEndianLong(child: Expression) extends UnaryExpression {
     ExprHelpers.beLong(v.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.ExprHelpers.beLong($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Winnowing rolling-hash fingerprint of a string (min 60-bit md5-prefix
+  * over k-codepoint windows) — one fused pass in codegen instead of the
+  * transform + array_min allocation per row.
+  */
+case class RollingMinHash(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_min_hash"
+  override protected def nullSafeEval(v: Any): Any =
+    RollingHash.rollingMin(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHash.rollingMin($c, $k)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

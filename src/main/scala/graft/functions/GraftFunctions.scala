@@ -21,7 +21,9 @@ object GraftFunctions {
       "graft_odkl_domain_token" -> (es => OdklDomainToken(es.head)),
       "graft_reconcile" -> (es =>
         ReconcileMax(es(0), es(1), es(2), es(3)).toAggregateExpression()),
-      "graft_cosine" -> (es => CosineSimilarity(es(0), es(1))))
+      "graft_cosine" -> (es => CosineSimilarity(es(0), es(1))),
+      "graft_rolling_min_hash" -> (es =>
+        RollingMinHash(es.head, es(1).eval().asInstanceOf[Number].intValue())))
 
   def register(spark: SparkSession): Unit = synchronized {
     val reg = spark.sessionState.functionRegistry
@@ -38,6 +40,12 @@ object GraftFunctions {
 
   /** Descending-order binary encoding (FreshTimestampType). */
   def binaryNot(c: Column): Column = call_function("graft_binary_not", c)
+
+  /** Winnowing rolling fingerprint: min 60-bit md5-prefix hash over
+    * k-codepoint sliding windows, fused (no per-row window array).
+    */
+  def rollingMinHash(c: Column, k: Int): Column =
+    call_function("graft_rolling_min_hash", c, lit(k))
 
   /** RandomPartitioner md5-abs token bytes of a string key. */
   def md5AbsToken(c: Column): Column =

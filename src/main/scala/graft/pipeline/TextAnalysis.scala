@@ -47,6 +47,13 @@ object TextAnalysis {
     * string column by name.
     */
   def rollingFingerprint(textCol: String, k: Int = 16): Column =
+    graft.functions.GraftFunctions.rollingMinHash(col(textCol), k)
+
+  /** SQL formulation of [[rollingFingerprint]] — kept for the equivalence
+    * spec (the native RollingMinHash expression must match it bit-for-bit;
+    * this is also the shape the DuckDB oracle mirrors).
+    */
+  def rollingFingerprintSql(textCol: String, k: Int = 16): Column =
     expr(
       s"""array_min(transform(
          |  sequence(1, greatest(length($textCol) - ${k - 1}, 1)),

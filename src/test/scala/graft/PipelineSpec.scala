@@ -172,6 +172,19 @@ class PipelineSpec extends SparkSpec {
     assert(batch == perQuery)
   }
 
+  test("native rolling fingerprint is bit-identical to the SQL formulation") {
+    import spark.implicits._
+    val texts = Seq(
+      "", "a", "short", "exactly sixteen!", "a longer document with many sliding windows inside it",
+      "unicode: äöü 漢字 🙂 mixed with ascii", "repeat " * 40).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val t = graft.pipeline.TextAnalysis
+    val diff = texts.select(
+      (t.rollingFingerprint("t", 16) - t.rollingFingerprintSql("t", 16)).as("d"))
+      .agg(max(abs($"d"))).head().getLong(0)
+    assert(diff == 0L, s"native vs SQL rolling fingerprint diverged by $diff")
+  }
+
   test("native cosine expression is bit-identical to the SQL formulation") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
