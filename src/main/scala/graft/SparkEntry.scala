@@ -581,7 +581,9 @@ object SparkEntry {
             .select(key10(col("o_custkey")).as("key")).distinct()
             .withColumn("ts", lit(99999999999999L)),
           localDeletionTimeSec = 2000000000))
-      val store = java.nio.file.Files.createTempDirectory("graft_q30").toString
+      // deterministic per-sf path + overwrite mode: repeated invocations
+      // replace the store instead of accumulating temp copies
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_q30_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
       graft.sources.CellStore.writeWithHorizons(cells, ordersMeta, s"$store/s", numPartitions = 8)
       val lens = graft.sources.CellStore.openWithHorizons(s, s"$store/s", ordersMeta)
       ordersDecoded(lens.rangeSliceByKeys(None, None, None,

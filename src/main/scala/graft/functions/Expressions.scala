@@ -115,35 +115,52 @@ object ExprHelpers {
 }
 
 object RollingHash {
+  private val digestTL = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** Min over the 60-bit md5-prefix hashes of every k-codepoint sliding
-    * window of `s` — the winnowing fingerprint, single pass, no per-row
-    * array. Semantics identical to the SQL formulation
+    * window of `s` — the winnowing fingerprint, single pass. Semantics
+    * identical to the SQL formulation
     * `array_min(transform(sequence(1, greatest(len-k+1, 1)),
     *   i -> conv(substring(md5(substring(s, i, k)), 1, 15), 16, 10)))`:
-    * windows are code-point slices (Spark substring semantics), hashed as
-    * UTF-8 bytes, and the hash is the big-endian 60-bit digest prefix
-    * (= the first 15 hex chars read as an integer).
+    * windows are slices over the RAW UTF-8 bytes at the same code-point
+    * boundaries UTF8String.substringSQL walks (numBytesForFirstByte —
+    * also correct on invalid UTF-8, where a String round-trip would
+    * substitute U+FFFD and diverge), and the hash is the big-endian
+    * 60-bit digest prefix (= the first 15 hex chars read as an integer).
+    * Hot-path clean: thread-local digest, no per-window allocation.
     */
   def rollingMin(s: org.apache.spark.unsafe.types.UTF8String, k: Int): Long = {
-    val str = s.toString
-    val cps = str.codePointCount(0, str.length)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val nWindows = math.max(cps - k + 1, 1)
-    var minV = Long.MaxValue
+    val bytes = s.getBytes
+    // code-point start offsets via the same lead-byte walk UTF8String uses
+    val starts = new Array[Int](bytes.length + 1)
     var i = 0
-    var startIdx = 0 // UTF-16 index of code point i
-    while (i < nWindows) {
-      val endCp = math.min(i + k, cps)
-      val endIdx = str.offsetByCodePoints(startIdx, endCp - i)
+    var n = 0
+    while (i < bytes.length) {
+      starts(n) = i
+      n += 1
+      i += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(bytes(i))
+    }
+    starts(n) = bytes.length
+    val md = digestTL.get()
+    val out = new Array[Byte](16)
+    val nWindows = math.max(n - k + 1, 1)
+    var minV = Long.MaxValue
+    var w = 0
+    while (w < nWindows) {
+      val start = starts(w)
+      val end = starts(math.min(w + k, n))
       md.reset()
-      val d = md.digest(str.substring(startIdx, endIdx).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(bytes, start, end - start)
+      md.digest(out, 0, 16)
       var v = 0L
       var j = 0
-      while (j < 7) { v = (v << 8) | (d(j) & 0xFFL); j += 1 }
-      v = (v << 4) | ((d(7) & 0xFFL) >>> 4) // 60-bit big-endian prefix
+      while (j < 7) { v = (v << 8) | (out(j) & 0xFFL); j += 1 }
+      v = (v << 4) | ((out(7) & 0xFFL) >>> 4) // 60-bit big-endian prefix
       if (v < minV) minV = v
-      if (i + 1 < nWindows) startIdx = str.offsetByCodePoints(startIdx, 1)
-      i += 1
+      w += 1
     }
     minV
   }

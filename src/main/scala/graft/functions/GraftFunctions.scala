@@ -22,8 +22,17 @@ object GraftFunctions {
       "graft_reconcile" -> (es =>
         ReconcileMax(es(0), es(1), es(2), es(3)).toAggregateExpression()),
       "graft_cosine" -> (es => CosineSimilarity(es(0), es(1))),
-      "graft_rolling_min_hash" -> (es =>
-        RollingMinHash(es.head, es(1).eval().asInstanceOf[Number].intValue())))
+      "graft_rolling_min_hash" -> { es =>
+        require(es.length == 2 && es(1).foldable,
+          "graft_rolling_min_hash(text, k): k must be a literal")
+        val k = es(1).eval() match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_rolling_min_hash: k must be numeric, got $other")
+        }
+        require(k >= 1, s"graft_rolling_min_hash: k must be >= 1, got $k")
+        RollingMinHash(es.head, k)
+      })
 
   def register(spark: SparkSession): Unit = synchronized {
     val reg = spark.sessionState.functionRegistry

@@ -6,6 +6,10 @@ import org.apache.spark.sql.functions._
 /** Text-analysis operators for large-scale training-data pipelines.
   * All pure `functions._` / codegen'd expressions — no UDFs — so they run
   * inside whole-stage codegen and scale linearly with input splits.
+  * ([[rollingFingerprint]] resolves through the graft function registry —
+  * `GraftFunctions.register(spark)` must have run, which every engine
+  * entry point does; [[rollingFingerprintSql]] is the registration-free
+  * equivalent.)
   */
 object TextAnalysis {
 

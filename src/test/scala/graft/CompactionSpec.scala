@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.model.Cell
 import graft.operators.Compaction
 
@@ -67,13 +69,28 @@ class CompactionSpec extends SparkSpec {
       CellStore.write(cellsDf(Seq(ins(s"k$i", "c1", "v", 1))), CfMeta("t"), p, numPartitions = 1)
       p
     } :+ {
+      // genuinely big: 200k rows of incompressible md5 values — tiny runs
+      // carry ~2 MB of parquet bloom filter alone, so "big" must dominate
+      // that floor, not the row count
       val p = s"$dir/run_big"
-      CellStore.write(cellsDf((0 until 3000).map(j => ins(f"k$j%05d", "c1", "v" * 50, 1))),
-        CfMeta("t"), p, numPartitions = 1)
+      val bigCells = spark.range(200000).select(
+        format_string("k%08d", col("id")).as("key"),
+        lit(null).cast("binary").as("super_name"),
+        graft.functions.GraftFunctions.beBytes(col("id")).as("col_name"),
+        encode(md5(col("id").cast("string")), "UTF-8").as("value"),
+        lit(1L).as("ts"), lit(false).as("tombstone"), lit(0).as("local_del_time"))
+      CellStore.write(bigCells, CfMeta("t"), p, numPartitions = 1)
       p
     }
+    // derive the small-run threshold from the MEASURED sizes so the spec
+    // doesn't depend on parquet's physical encoding staying put: anything
+    // between the small runs and the big run separates the buckets
+    val sizes = graft.operators.Compaction.runSizes(spark, paths).toMap
+    val smallMax = (0 until 4).map(i => sizes(s"$dir/run_$i")).max
+    val bigSize = sizes(s"$dir/run_big")
+    assert(smallMax * 2 < bigSize, s"fixture degenerate: small=$smallMax big=$bigSize")
     val plan = graft.operators.Compaction.planMinor(spark, paths,
-      minThreshold = 3, maxThreshold = 32, minSmall = 1L << 20)
+      minThreshold = 3, maxThreshold = 32, minSmall = (smallMax + bigSize) / 2)
     assert(plan.size == 1)
     assert(plan.head.toSet == (0 until 4).map(i => s"$dir/run_$i").toSet)
   }
