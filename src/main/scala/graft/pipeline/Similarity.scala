@@ -82,9 +82,6 @@ object Similarity {
 
   // ---- real IVF: k-means|| -style coarse quantizer + nprobe search ----
 
-  /** Squared-L2 distance of a vector column to a centroid literal —
-    * expression-only (codegen'd), no UDF.
-    */
   /** A SQL DOUBLE literal EXACTLY equal to the float's double value:
     * 17 significant digits round-trip any double, and Locale.ROOT keeps
     * the decimal point a '.' on comma-decimal JVMs (the f"" interpolator
@@ -95,6 +92,9 @@ object Similarity {
   private def doubleLit(v: Float): String =
     "CAST(" + String.format(java.util.Locale.ROOT, "%.17e", Double.box(v.toDouble)) + " AS DOUBLE)"
 
+  /** Squared-L2 distance of a vector column to a centroid literal —
+    * expression-only (codegen'd), no UDF.
+    */
   private def l2sq(vecCol: String, centroid: Array[Float]): Column = {
     val c = centroid.map(doubleLit).mkString("array(", ",", ")")
     expr(
@@ -106,7 +106,7 @@ object Similarity {
     * (small) codebook — ties resolve to the lowest centroid id.
     */
   def assignCell(df: DataFrame, vecCol: String, centroids: Array[Array[Float]]): DataFrame = {
-    val cands = centroids.zipWithIndex.map { case (c, i) =>
+    val cands = centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       struct(l2sq(vecCol, c).as("d"), lit(i).as("cell"))
     }
     df.withColumn("cell", least(cands: _*).getField("cell"))
@@ -136,11 +136,6 @@ object Similarity {
     centroids
   }
 
-  /** IVF search with a trained codebook: scan only the `nprobe` cells
-    * nearest to the query, exact cosine top-k within them. At 100 TB the
-    * assignment is precomputed (a partition column), so the scan prunes to
-    * nprobe/k of the data before any distance math.
-    */
   /** The nprobe cells nearest to the query (driver-side — the codebook is
     * tiny); shared by the in-memory and persisted-index search paths.
     */
@@ -155,6 +150,11 @@ object Similarity {
       (d, i)
     }.sortBy(p => (p._1, p._2)).take(nprobe).map(_._2).toSeq
 
+  /** IVF search with a trained codebook: scan only the `nprobe` cells
+    * nearest to the query, exact cosine top-k within them. At 100 TB the
+    * assignment is precomputed (a partition column — see saveIndex), so
+    * the scan prunes to nprobe/k of the data before any distance math.
+    */
   def ivfSearch(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Float]], queryVec: Array[Float], k: Int, nprobe: Int): DataFrame = {
     val probeCells = nearestCells(centroids, queryVec, nprobe)
@@ -287,7 +287,7 @@ object Similarity {
     val centroids = spark.read.parquet(s"$path/codebook")
       .orderBy("cell").collect()
       .map(r => r.getSeq[Float](r.fieldIndex("centroid")).toArray)
-    val cands = centroids.zipWithIndex.map { case (c, i) =>
+    val cands = centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       struct(l2sq(queryVecCol, c).as("d"), lit(i).as("cell"))
     }
     val probes = queries
