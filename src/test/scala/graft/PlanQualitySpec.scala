@@ -35,6 +35,28 @@ class PlanQualitySpec extends SparkSpec {
       plan.linesIterator.filter(_.contains("WindowGroupLimit")).mkString("\n"))
   }
 
+  test("bucketed store: the range-scan reconcile runs without an Exchange") {
+    val loc = new java.io.File("spark-warehouse/graft_pq_bucketed")
+    if (loc.exists()) new scala.reflect.io.Directory(loc).deleteRecursively()
+    spark.sql("DROP TABLE IF EXISTS graft_pq_bucketed")
+    graft.sources.CellStore.writeBucketed(cellsDf(cells), CfMeta("t"),
+      "graft_pq_bucketed", buckets = 4)
+    try {
+      val lens = new CassandraLens(spark.table("graft_pq_bucketed"), CfMeta("t"))
+      val scan = lens.rangeSliceByKeys(None, None, None, SliceRange(count = 2), Int.MaxValue)
+      val plan = planOf(scan)
+      // bucketBy(key) satisfies ClusteredDistribution for the reconcile's
+      // groupBy(key, super, col) AND the per-key window — the only shuffle
+      // permitted is AQE plumbing around the horizon broadcast joins
+      val aggExchanges = plan.linesIterator
+        .filter(l => l.contains("Exchange hashpartitioning"))
+        .filter(_.contains("key")).toSeq
+      assert(aggExchanges.isEmpty,
+        s"bucketed reconcile should not re-shuffle by key:\n${aggExchanges.mkString("\n")}")
+      assert(liveValues(scan).nonEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_pq_bucketed")
+  }
+
   test("unlimited slices skip the rank window entirely") {
     val plan = planOf(
       lens.rangeSliceByKeys(None, None, None, SliceRange(count = Int.MaxValue), Int.MaxValue))
