@@ -570,6 +570,14 @@ object SparkEntry {
         SliceRange(count = 3), Int.MaxValue))
     }),
 
+    // Hadoop-connector-shaped split-parallel scan: 8 token-contiguous
+    // splits with a fixed count=3 SlicePredicate projection — must equal
+    // the plain scan (q03 oracle).
+    "q31_connector_scan" -> ((s, dir) => {
+      val lens = ordersLiveLens(s, dir)
+      ordersDecoded(graft.sources.ConnectorScan.scan(lens, SliceRange(count = 3), 8))
+    }),
+
     // Tombstone-horizon sidecar store: write runs + precomputed deletion
     // horizons (row deletes for every 7th custkey), read through
     // openWithHorizons — the sidecar-join read path under the gate.
@@ -1084,6 +1092,15 @@ object SparkEntry {
         |r AS (SELECT cell, ia, ib,
         |        row_number() OVER (PARTITION BY cell ORDER BY sim DESC, ia, ib) AS rn FROM p)
         |SELECT CAST(cell AS BIGINT) AS cell, ia, ib FROM r WHERE rn = 1""".stripMargin,
+
+    "q31_connector_scan" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+        |  FROM orders WHERE o_orderstatus <> 'F')
+        |SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
+        |       o_orderstatus AS status
+        |FROM r WHERE rn <= 3""".stripMargin,
 
     "q30_sidecar_slice" ->
       """SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
