@@ -570,6 +570,22 @@ object SparkEntry {
         SliceRange(count = 3), Int.MaxValue))
     }),
 
+    // In-place major compaction of the bucketed catalog layout
+    // (CellStore.compactBucketed = shuffle-free reconcile + gcGrace purge +
+    // staging-table rename publish): tombstones physically purged past the
+    // horizon, live results identical to the uncompacted view.
+    "q32_bucketed_compaction" -> ((s, dir) => {
+      val lens = ordersLiveLens(s, dir)
+      graft.sources.CellStore.dropManaged(s, "graft_verify_bct")
+      graft.sources.CellStore.writeBucketed(lens.cells, lens.meta,
+        "graft_verify_bct", buckets = 8)
+      graft.sources.CellStore.compactBucketed(s, "graft_verify_bct", lens.meta,
+        gcBeforeSeconds = 2100000000, buckets = 8)
+      val compLens = new CassandraLens(s.table("graft_verify_bct"), lens.meta)
+      ordersDecoded(compLens.rangeSliceByKeys(None, None, None,
+        SliceRange(count = Int.MaxValue), Int.MaxValue))
+    }),
+
     // Hadoop-connector-shaped split-parallel scan: 8 token-contiguous
     // splits with a fixed count=3 SlicePredicate projection — must equal
     // the plain scan (q03 oracle).
@@ -783,6 +799,12 @@ object SparkEntry {
         |SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
         |       o_orderstatus AS status
         |FROM r WHERE rn <= 1""".stripMargin,
+
+    // after purge, the live view is exactly the non-'F' orders
+    "q32_bucketed_compaction" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
+        |       o_orderstatus AS status
+        |FROM orders WHERE o_orderstatus <> 'F'""".stripMargin,
 
     "q09_row_tombstones" ->
       """SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,

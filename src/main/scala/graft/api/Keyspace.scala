@@ -21,9 +21,17 @@ class Keyspace(val spark: SparkSession, val name: String) {
     * — per-key reads and reconcile run shuffle-free).
     */
   def saveColumnFamily(cells: DataFrame, meta: CfMeta, buckets: Int = 32): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS ${tableName(meta.name)}")
+    CellStore.dropManaged(spark, tableName(meta.name))
     CellStore.writeBucketed(cells, meta, tableName(meta.name), buckets)
   }
+
+  /** Major compaction of a stored CF in place (reconcile + gcGrace purge,
+    * shuffle-free over the bucketed layout; see CellStore.compactBucketed).
+    */
+  def compactColumnFamily(meta: CfMeta, gcBeforeSeconds: Int, buckets: Int = 32,
+      processors: Seq[graft.operators.Compaction.RowProcessor] = Nil): Unit =
+    CellStore.compactBucketed(spark, tableName(meta.name), meta, gcBeforeSeconds,
+      buckets, processors)
 
   /** Open a lens over a stored column family. */
   def columnFamily(meta: CfMeta): CassandraLens =

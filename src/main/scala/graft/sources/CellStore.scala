@@ -183,6 +183,45 @@ object CellStore {
   def readTable(spark: SparkSession, tableName: String): DataFrame =
     spark.table(tableName)
 
+  /** Drop a managed table AND its warehouse location. The in-memory
+    * catalog is per-session, so a previous session's DROP cannot have
+    * removed the directory — saveAsTable would then fail on the leftover.
+    */
+  def dropManaged(spark: SparkSession, tableName: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val parts = tableName.split('.')
+    val rel = if (parts.length == 2) s"${parts(0)}.db/${parts(1)}" else parts(0)
+    val loc = new java.io.File(wh, rel)
+    if (loc.exists()) new scala.reflect.io.Directory(loc).deleteRecursively()
+  }
+
+  /** Major compaction of a bucketed catalog CF IN PLACE
+    * (CompactionManager.submitMajor, db/CompactionManager.java:192-280,
+    * over the ring-placed layout): reconcile + container shadowing +
+    * gcGrace purge run WITHOUT a shuffle — the table's bucketing already
+    * satisfies the reconcile's required hash distribution — and because a
+    * bucketed read yields one partition per bucket, each output task holds
+    * exactly one bucket's keys and the bucketed rewrite emits one file per
+    * bucket, also exchange-free. At 100 TB this makes major compaction a
+    * single scan+rewrite with zero network movement.
+    *
+    * Publish swaps a staging table into the name via catalog rename — the
+    * managed-table analog of compactWithHorizons' directory-rename commit:
+    * a failure before the final rename leaves the original table intact.
+    */
+  def compactBucketed(spark: SparkSession, tableName: String, meta: CfMeta,
+      gcBeforeSeconds: Int, buckets: Int,
+      processors: Seq[graft.operators.Compaction.RowProcessor] = Nil): Unit = {
+    val staged = s"${tableName}__compacting"
+    dropManaged(spark, staged)
+    writeBucketed(
+      graft.operators.Compaction.compact(spark.table(tableName), gcBeforeSeconds, processors),
+      meta, staged, buckets)
+    spark.sql(s"DROP TABLE $tableName")
+    spark.sql(s"ALTER TABLE $staged RENAME TO $tableName")
+  }
+
   /** SSTable JSON export (tools/SSTableExport.java analog): golden-file
     * round-trip format — binary columns hex-encoded for portability.
     */

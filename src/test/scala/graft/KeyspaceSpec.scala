@@ -46,6 +46,46 @@ class KeyspaceSpec extends SparkSpec {
     } finally ks.drop()
   }
 
+  test("bucketed compaction in place: purge, equality, layout preserved") {
+    val loc = new java.io.File("spark-warehouse/graft_ks3.db")
+    if (loc.exists()) new scala.reflect.io.Directory(loc).deleteRecursively()
+    val ks = Keyspace(spark, "graft_ks3")
+    try {
+      val meta = CfMeta("cfc")
+      val cells = Seq(
+        ins("k1", "c1", "old", 1), ins("k1", "c1", "new", 5),
+        ins("k1", "c2", "keep", 10), del("k1", "c2", 9, ldt = 100), // tombstone loses + purges
+        ins("k2", "c1", "x", 1), delRow("k2", 7, ldt = 100), // row shadowed+purged
+        ins("k3", "c1", "alive", 3))
+      ks.saveColumnFamily(cellsDf(cells), meta, buckets = 4)
+      ks.compactColumnFamily(meta, gcBeforeSeconds = 500, buckets = 4)
+
+      // physical state: tombstones purged, LWW losers gone
+      val stored = spark.table("graft_ks3.cfc")
+      assert(stored.filter(col("tombstone")).count() == 0, "tombstones must be GC'd")
+      def canon(df: org.apache.spark.sql.DataFrame): Set[(String, String, String, Long)] =
+        df.select(col("key"), decode(col("col_name"), "UTF-8"),
+          decode(col("value"), "UTF-8"), col("ts"))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+      val expected = graft.operators.Compaction.compact(cellsDf(cells), gcBeforeSeconds = 500)
+      assert(canon(stored) == canon(expected),
+        "in-place compaction must equal the plain compaction result")
+
+      // layout preserved: still bucketed, and the staging table is gone
+      val bucketSpec = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("cfc", Some("graft_ks3"))).bucketSpec
+      assert(bucketSpec.exists(s => s.numBuckets == 4 && s.bucketColumnNames == Seq("key")),
+        s"compacted table must keep its bucket spec, got $bucketSpec")
+      assert(!spark.catalog.tableExists("graft_ks3.cfc__compacting"))
+
+      // reads after the swap still answer correctly
+      val lens = ks.columnFamily(meta)
+      assert(liveValues(lens.getSlice("k1", None, graft.operators.SliceRange(count = 10)))
+        == Map("c1" -> "new", "c2" -> "keep"))
+      assert(lens.getSlice("k2", None, graft.operators.SliceRange(count = 10)).isEmpty)
+    } finally ks.drop()
+  }
+
   test("thriftify super rows: two-level nesting in both comparator orders") {
     val live = Reconcile.liveView(cellsDf(Seq(
       ins("k1", "c2", "v2", 1, sup = "sc2"), ins("k1", "c1", "v1", 1, sup = "sc2"),

@@ -57,6 +57,25 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_pq_bucketed")
   }
 
+  test("bucketed store: compaction reconcile reads and aggregates without an Exchange") {
+    val loc = new java.io.File("spark-warehouse/graft_pq_compact")
+    if (loc.exists()) new scala.reflect.io.Directory(loc).deleteRecursively()
+    spark.sql("DROP TABLE IF EXISTS graft_pq_compact")
+    graft.sources.CellStore.writeBucketed(cellsDf(cells), CfMeta("t"),
+      "graft_pq_compact", buckets = 4)
+    try {
+      val plan = planOf(graft.operators.Compaction.compact(
+        spark.table("graft_pq_compact"), gcBeforeSeconds = 0))
+      // compaction over the bucketed layout = scan + in-place hash agg; the
+      // only joins are the tiny tombstone-horizon broadcasts
+      val keyExchanges = plan.linesIterator
+        .filter(l => l.contains("Exchange hashpartitioning") && l.contains("key")).toSeq
+      assert(keyExchanges.isEmpty,
+        s"bucketed compaction should not shuffle by key:\n${keyExchanges.mkString("\n")}")
+      assert(plan.contains("ObjectHashAggregate"), plan.take(1500))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_pq_compact")
+  }
+
   test("unlimited slices skip the rank window entirely") {
     val plan = planOf(
       lens.rangeSliceByKeys(None, None, None, SliceRange(count = Int.MaxValue), Int.MaxValue))
