@@ -314,6 +314,210 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"))
   }
 
+  // ---- IVF-PQ: residual product quantization over the coarse cells ----
+
+  /** Per-subspace codebooks trained on coarse-cell RESIDUALS
+    * (vec − centroid[cell]), split into `m` contiguous subspaces of
+    * `dsub` dims each: books(s)(j) is sub-centroid j of subspace s.
+    * Doubles throughout — the executor-side assignment expressions and
+    * the driver-side query LUT must rank identically.
+    */
+  case class ProductCodebook(dsub: Int, books: Array[Array[Array[Double]]]) {
+    def m: Int = books.length
+    def ksub: Int = books.headOption.map(_.length).getOrElse(0)
+  }
+
+  private def doubleLitD(v: Double): String =
+    "CAST(" + String.format(java.util.Locale.ROOT, "%.17e", Double.box(v)) + " AS DOUBLE)"
+
+  private def arrayLitD(a: Array[Double]): String =
+    a.map(doubleLitD).mkString("array(", ",", ")")
+
+  /** Residual of `vecCol` against its coarse cell's centroid, as a
+    * `cell → centroid` map literal lookup — expression-only, evaluated
+    * after [[assignCell]] has produced the `cell` column.
+    */
+  private def residualExpr(vecCol: String, centroids: Array[Array[Float]]): Column = {
+    val entries = centroids.zipWithIndex
+      .map { case (c, i) => s"$i, ${c.map(doubleLit).mkString("array(", ",", ")")}" }
+      .mkString(", ")
+    expr(s"zip_with($vecCol, element_at(map($entries), cell), (x, c) -> CAST(x AS DOUBLE) - c)")
+  }
+
+  private def l2sqSub(subExpr: String, centroid: Array[Double]): Column =
+    expr(
+      s"""aggregate(zip_with($subExpr, ${arrayLitD(centroid)}, (x, y) -> (x - y) * (x - y)),
+         | CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+
+  /** Train the per-subspace residual codebooks: Lloyd iterations on each
+    * subspace's residual slices, expressed as DataFrame aggregations like
+    * [[trainCodebook]] (assign = expression argmin; recenter = posexplode
+    * + avg). Deterministic: seeds are the first ksub residuals in id
+    * order. The residual table is localCheckpointed once — m × iters
+    * passes read the materialized slices, never recompute the assignment
+    * expressions.
+    */
+  def trainProductCodebook(df: DataFrame, idCol: String, vecCol: String,
+      coarse: Array[Array[Float]], m: Int, ksub: Int, iters: Int): ProductCodebook = {
+    val resid = assignCell(df, vecCol, coarse)
+      .select(col(idCol).as("id"), residualExpr(vecCol, coarse).as("r"))
+      .localCheckpoint()
+    val dim = resid.select(size(col("r"))).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val books = Array.tabulate(m) { s =>
+      val subExpr = s"slice(r, ${s * dsub + 1}, $dsub)"
+      val sub = resid.select(col("id"), expr(subExpr).as("sub"))
+      var cents = sub.orderBy(col("id")).limit(ksub)
+        .select(col("sub")).collect().map(_.getSeq[Double](0).toArray)
+      for (_ <- 0 until iters) {
+        val cands = cents.zipWithIndex.toIndexedSeq.map { case (c, j) =>
+          struct(l2sqSub("sub", c).as("d"), lit(j).as("j"))
+        }
+        val means = sub
+          .withColumn("j", least(cands: _*).getField("j"))
+          .select(col("j"), posexplode(col("sub")).as(Seq("pos", "x")))
+          .groupBy(col("j"), col("pos"))
+          .agg(avg(col("x")).as("mu"))
+          .groupBy(col("j"))
+          .agg(sort_array(collect_list(struct(col("pos"), col("mu")))).as("ms"))
+          .select(col("j"), expr("transform(ms, s -> s.mu)").as("c"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        cents = cents.indices.map(j => means.getOrElse(j, cents(j))).toArray
+      }
+      cents
+    }
+    ProductCodebook(dsub, books)
+  }
+
+  /** Encode every vector as its coarse cell + the m sub-centroid indices
+    * of its residual — expression-only (codegen'd argmin per subspace).
+    * The `code` column is what the candidate scan reads at search time:
+    * m small ints instead of dim floats.
+    */
+  def encodePq(df: DataFrame, vecCol: String, coarse: Array[Array[Float]],
+      pq: ProductCodebook): DataFrame = {
+    val withResid = assignCell(df, vecCol, coarse)
+      .withColumn("_r", residualExpr(vecCol, coarse))
+    val codeCols = (0 until pq.m).map { s =>
+      val subExpr = s"slice(_r, ${s * pq.dsub + 1}, ${pq.dsub})"
+      val cands = pq.books(s).zipWithIndex.toIndexedSeq.map { case (c, j) =>
+        struct(l2sqSub(subExpr, c).as("d"), lit(j).as("j"))
+      }
+      least(cands: _*).getField("j")
+    }
+    withResid.withColumn("code", array(codeCols: _*)).drop("_r")
+  }
+
+  /** Asymmetric-distance candidate scan: for each probed cell the driver
+    * computes the query's per-subspace lookup table (‖residual-slice −
+    * sub-centroid‖², m × ksub doubles — tiny), and the scan sums m table
+    * lookups per row over the CODE column alone. Returns the `rerank`
+    * best candidate ids by approximate distance.
+    */
+  def pqCandidates(encoded: DataFrame, idCol: String,
+      coarse: Array[Array[Float]], pq: ProductCodebook,
+      queryVec: Array[Float], nprobe: Int, rerank: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val probeCells = nearestCells(coarse, queryVec, nprobe)
+    val lutRows = probeCells.map { cell =>
+      val rq = queryVec.indices.map(i => queryVec(i).toDouble - coarse(cell)(i).toDouble)
+      val lut = Seq.tabulate(pq.m) { s =>
+        Seq.tabulate(pq.ksub) { j =>
+          var d = 0.0; var t = 0
+          while (t < pq.dsub) {
+            val x = rq(s * pq.dsub + t) - pq.books(s)(j)(t); d += x * x; t += 1
+          }
+          d
+        }
+      }
+      (cell, lut)
+    }
+    val luts = lutRows.toDF("cell", "lut")
+    encoded
+      .filter(col("cell").isin(probeCells: _*))
+      .join(broadcast(luts), Seq("cell"))
+      .withColumn("adist", expr(
+        "aggregate(zip_with(code, lut, (cd, t) -> element_at(t, cd + 1)), " +
+          "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+      .orderBy(col("adist"), col(idCol))
+      .limit(rerank)
+      .select(col(idCol).as("id"), col("adist"))
+  }
+
+  /** IVF-PQ search (in-memory form): encode, approximate-scan the probed
+    * cells for `rerank` candidates, then EXACT cosine rerank of only those
+    * — result shape matches [[bruteForceTopK]]. With rerank covering the
+    * probed cells this equals [[ivfSearch]] exactly; smaller rerank trades
+    * recall for a scan that never touches the vectors.
+    */
+  def pqSearch(df: DataFrame, idCol: String, vecCol: String,
+      coarse: Array[Array[Float]], pq: ProductCodebook,
+      queryVec: Array[Float], k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val encoded = encodePq(df, vecCol, coarse, pq)
+    val candidateIds = pqCandidates(encoded, idCol, coarse, pq, queryVec, nprobe, rerank)
+      .select(col("id")).collect().map(_.get(0))
+    val q = Seq(Tuple1(queryVec)).toDF("q")
+    bruteForceTopK(df.filter(col(idCol).isin(candidateIds: _*)), idCol, vecCol, q, k)
+  }
+
+  /** Persist an IVF-PQ index: coarse codebook + subspace books + the
+    * vector table (id, vec, code) partitioned by cell. The candidate scan
+    * reads only (id, code) of the probed partitions — at 100 TB the hot
+    * search path reads m bytes-ish per vector, directory-pruned to
+    * nprobe/k of the corpus; full vectors are read only for the `rerank`
+    * finalists.
+    */
+  def savePqIndex(df: DataFrame, idCol: String, vecCol: String,
+      coarse: Array[Array[Float]], pq: ProductCodebook, path: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    (for (s <- pq.books.indices; j <- pq.books(s).indices)
+      yield (s, j, pq.dsub, pq.books(s)(j).toSeq)).toDF("s", "j", "dsub", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_books")
+    encodePq(df, vecCol, coarse, pq)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("code"), col("cell"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/vectors")
+  }
+
+  private def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Array[Array[Float]], ProductCodebook) = {
+    val coarse = spark.read.parquet(s"$path/codebook")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Float](r.fieldIndex("centroid")).toArray)
+    val bookRows = spark.read.parquet(s"$path/pq_books").collect()
+    val dsub = bookRows.head.getAs[Int]("dsub")
+    val books = bookRows.map(r => (r.getAs[Int]("s"), r.getAs[Int]("j"),
+        r.getSeq[Double](r.fieldIndex("centroid")).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3)).toArray
+    (coarse, ProductCodebook(dsub, books))
+  }
+
+  /** Search a persisted IVF-PQ index: codes-only candidate scan over the
+    * probed partitions, exact cosine rerank of the finalists.
+    */
+  def searchPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queryVec: Array[Float], k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val (coarse, pq) = loadPqIndex(spark, path)
+    val codes = spark.read.parquet(s"$path/vectors").select("id", "code", "cell")
+    val candidateIds = pqCandidates(codes, "id", coarse, pq, queryVec, nprobe, rerank)
+      .select(col("id")).collect().map(_.get(0))
+    val finalists = spark.read.parquet(s"$path/vectors")
+      .filter(col("id").isin(candidateIds: _*))
+    val q = Seq(Tuple1(queryVec)).toDF("q")
+    bruteForceTopK(finalists.withColumnRenamed("vec", "embedding"), "id", "embedding", q, k)
+  }
+
   /** Embedding near-dup mining: the single most-similar pair per cell
     * (all-pairs within a cell — cells bound the quadratic term).
     */

@@ -135,6 +135,43 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan.take(2000))
   }
 
+  test("IVF-PQ: full-rerank equals ivfSearch; codes-only scan; self-query recall") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 200L).map(i => (i, Array.fill(16)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val coarse = Similarity.trainCodebook(vecs, "vec_id", "embedding", k = 4, iters = 2)
+    val pq = Similarity.trainProductCodebook(vecs, "vec_id", "embedding",
+      coarse, m = 4, ksub = 8, iters = 2)
+    val qv = vecs.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0).toArray
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.orderBy("rank").select("id").collect().map(_.getLong(0)).toSeq
+
+    // rerank covering the probed cells => exact-rerank restores ivfSearch exactly
+    val exact = ids(Similarity.ivfSearch(vecs, "vec_id", "embedding", coarse, qv, k = 5, nprobe = 2))
+    val pqFull = ids(Similarity.pqSearch(vecs, "vec_id", "embedding", coarse, pq, qv,
+      k = 5, nprobe = 2, rerank = 200))
+    assert(pqFull == exact, s"full-rerank PQ must equal exact IVF: $pqFull vs $exact")
+
+    // modest rerank: the query's own vector must surface at rank 1, sim 1.0
+    val self = Similarity.pqSearch(vecs, "vec_id", "embedding", coarse, pq, qv,
+      k = 3, nprobe = 2, rerank = 20)
+    val top = self.orderBy("rank").head()
+    assert(top.getLong(top.fieldIndex("id")) == 0L &&
+      math.abs(top.getDouble(top.fieldIndex("sim")) - 1.0) < 1e-9)
+
+    // persisted index: same results, and the candidate scan reads codes, not vectors
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    Similarity.savePqIndex(vecs, "vec_id", "embedding", coarse, pq, s"$dir/idx")
+    assert(ids(Similarity.searchPqIndex(spark, s"$dir/idx", qv, k = 5, nprobe = 2, rerank = 200))
+      == exact)
+    val codes = spark.read.parquet(s"$dir/idx/vectors").select("id", "code", "cell")
+    val candPlan = Similarity.pqCandidates(codes, "id", coarse, pq, qv, nprobe = 2, rerank = 20)
+      .queryExecution.executedPlan.toString
+    val scanLines = candPlan.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scanLines.exists(l => l.contains("code") && !l.contains("vec:")),
+      s"candidate scan must not read the vector column:\n${scanLines.mkString("\n")}")
+  }
+
   test("hyperplane-LSH near-dup: planted pairs found, verification exact") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
