@@ -666,6 +666,33 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // PII redaction scrub (URL → email → phone). The corpus has no PII,
+    // so the entry plants deterministic PII derived from doc_id in BOTH
+    // engines — the redaction regexes are genuinely exercised, and any
+    // over- or under-match breaks the hash.
+    "p22_pii_redact" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val withPii = table(s, dir, "documents").withColumn("t",
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"),
+          lit("@example.com or see http://ex.org/d/"), col("doc_id"),
+          lit(" call +1-555-"), lpad(col("doc_id").cast("string"), 4, "0"),
+          lit(" now")))
+      withPii.select(col("doc_id"),
+        graft.pipeline.TextAnalysis.redactPii(col("t")).as("clean"))
+    }),
+
+    // Corpus-wide paragraph-level exact dedup: each distinct paragraph
+    // survives only at its first (doc, pos) occurrence; docs reassemble
+    // from survivors. Paragraph boundary = the word 'merge' (the corpus
+    // has no newlines; any delimiter regex works the same way).
+    "p23_paragraph_dedup" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Dedup.dedupParagraphs(table(s, dir, "documents"),
+        "doc_id", "text", delimRegex = " merge ")
+        .select(col("id").as("doc_id"), col("text_dedup"))
+    }),
+
     // Multimodal plumbing: opaque binary column → batched feature
     // extraction (decode step STUBBED — see Multimodal.decodeStub).
     "p12_multimodal" -> ((s, dir) => {
@@ -1207,6 +1234,32 @@ object SparkEntry {
         |SELECT doc.doc_id, doc.source
         |FROM documents doc LEFT JOIN cc ON cc.id = doc.doc_id
         |WHERE coalesce(cc.comp, doc.doc_id) = doc.doc_id""".stripMargin,
+
+    "p22_pii_redact" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || doc_id || '@example.com or see http://ex.org/d/'
+        |              || doc_id || ' call +1-555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+        |              || ' now' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    'https?://[^ \t\n\r]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{4}', '<PHONE>', 'g') AS clean
+        |FROM t""".stripMargin,
+
+    "p23_paragraph_dedup" ->
+      """WITH ps AS (
+        |  SELECT doc_id, string_split_regex(text, ' merge ') AS arr FROM documents),
+        |p0 AS (
+        |  SELECT doc_id, trim(unnest(arr)) AS para, unnest(range(len(arr))) AS pos FROM ps),
+        |p AS (SELECT * FROM p0 WHERE para <> ''),
+        |w AS (SELECT doc_id, pos, para,
+        |        row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        |      FROM p)
+        |SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text_dedup
+        |FROM w WHERE rn = 1 GROUP BY doc_id""".stripMargin,
 
     "p12_multimodal" ->
       """SELECT doc_id, source AS kind,

@@ -222,6 +222,40 @@ object Dedup {
       Seq(idCol), "left_semi")
   }
 
+  /** Documents exploded into trimmed, position-tagged paragraphs:
+    * (id, pos, para), split on `delimRegex`, empty fragments dropped.
+    */
+  def paragraphs(df: DataFrame, idCol: String, textCol: String,
+      delimRegex: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), delimRegex)).as(Seq("pos", "para")))
+      .withColumn("para", trim(col("para")))
+      .filter(col("para") =!= "")
+
+  /** Corpus-wide paragraph-level exact dedup (the repeated-paragraph
+    * removal pass of C4/RefinedWeb-style pipelines): every distinct
+    * paragraph survives only at its FIRST occurrence — argmin (id, pos)
+    * across the whole corpus — and each document is reassembled from its
+    * surviving paragraphs in original order, joined with `joinWith`.
+    * Documents left with no surviving paragraphs drop out.
+    *
+    * Two shuffles at any scale: the winner argmin groups by paragraph
+    * (partial-aggregated min(struct)), and reassembly groups by doc id.
+    * The self-semi-join routes on the same paragraph key.
+    */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+      delimRegex: String, joinWith: String = "\n"): DataFrame = {
+    val p = paragraphs(df, idCol, textCol, delimRegex)
+    val winners = p.groupBy(col("para"))
+      .agg(min(struct(col("id"), col("pos"))).as("w"))
+      .select(col("para"), col("w.id").as("id"), col("w.pos").as("pos"))
+    p.join(winners, Seq("para", "id", "pos"), "left_semi")
+      .groupBy(col("id"))
+      .agg(concat_ws(joinWith,
+        expr("transform(sort_array(collect_list(struct(pos, para))), s -> s.para)"))
+        .as("text_dedup"))
+  }
+
   /** 64-bit token hash from the first 16 hex chars of md5, decoded
     * big-endian — reproducible in any SQL engine with an md5 function
     * (the DuckDB oracle twin), unlike xxhash64. Slower than xxhash64;

@@ -93,4 +93,32 @@ object TextAnalysis {
   def nDigit(text: Column): Column = length(regexp_replace(text, lit("[^0-9]"), lit(""))).cast("long")
   def nWhitespace(text: Column): Column = (length(text) - length(regexp_replace(text, lit("\\s"), lit("")))).cast("long")
   def keepFlag(text: Column): Column = nChars(text) >= 50 && nAlpha(text) * 2 >= nChars(text)
+
+  // ---- PII redaction (training-data scrubbing pass) ----
+  //
+  // All three patterns use only constructs with identical semantics in
+  // Java regex and RE2 (char classes, bounded repeats, alternation-free),
+  // so a SQL oracle reproduces the redaction byte-for-byte. Whitespace is
+  // an explicit class, not \s (see tokensBpeIsh). Order matters: URLs
+  // first (an email-shaped userinfo inside a URL must redact as part of
+  // the URL), then emails, then phone numbers.
+
+  def redactUrls(text: Column): Column =
+    regexp_replace(text, lit("https?://[^ \\t\\n\\r]+"), lit("<URL>"))
+
+  def redactEmails(text: Column): Column =
+    regexp_replace(text,
+      lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>"))
+
+  /** International-ish phone shapes: optional +CC, dash/space separated
+    * 3+4 groups (the common NANP writing). Deliberately conservative —
+    * a looser digit-run pattern would eat ids and timestamps.
+    */
+  def redactPhones(text: Column): Column =
+    regexp_replace(text,
+      lit("\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{4}"), lit("<PHONE>"))
+
+  /** Full scrub: URL → email → phone, each replaced by a typed tag. */
+  def redactPii(text: Column): Column =
+    redactPhones(redactEmails(redactUrls(text)))
 }

@@ -135,6 +135,40 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan.take(2000))
   }
 
+  test("PII redaction: URLs, emails, phones replaced; order protects URL userinfo") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "mail me at jo.doe+x@corp-mail.co or visit https://a.b/c?d=e#f today"),
+      (2L, "ftp://not-a-match and user@@bad and 12-345-6789x"),
+      (3L, "call +44-202-5551 0199 or 1-555-123-4567"),
+      (4L, "creds http://user:pw@host.com/p kept whole"))
+      .toDF("id", "text")
+    val out = rows.select($"id", TextAnalysis.redactPii($"text").as("clean"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "mail me at <EMAIL> or visit <URL> today")
+    // ftp scheme and the malformed email stay; the dashed 3+4 group redacts
+    assert(out(2L) == "ftp://not-a-match and user@@bad and <PHONE>x")
+    // space-separated tail group doesn't extend the match; the NANP-style
+    // number redacts from its 3-digit group (leading '1-' is not consumed)
+    assert(out(3L) == "call <PHONE> 0199 or 1-<PHONE>")
+    // URL-first ordering: the email-shaped userinfo redacts as URL, not EMAIL
+    assert(out(4L) == "creds <URL> kept whole")
+  }
+
+  test("paragraph dedup: first occurrence wins corpus-wide, docs reassemble in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha\n\nshared para\n\nbeta"),
+      (2L, "shared para\n\ngamma\n\nshared para"),
+      (3L, "shared para"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs, "doc_id", "text", delimRegex = "\n\n")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "alpha\nshared para\nbeta") // owns the first occurrence
+    assert(out(2L) == "gamma")                    // both copies lose to doc 1
+    assert(!out.contains(3L))                     // nothing survives
+  }
+
   test("IVF-PQ: full-rerank equals ivfSearch; codes-only scan; self-query recall") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
