@@ -105,6 +105,61 @@ object ScaleProbe {
       val dtq = (System.nanoTime() - t) / 1e9 / queries.length
       println(f"[scale] ivf nprobe=$nprobe recall@10=${recalls.sum / recalls.length}%5.3f  per-query=$dtq%5.3f s")
     }
+
+    // IVF-PQ rerank/recall tradeoff at fixed nprobe: the codes-only
+    // candidate scan + exact rerank of `rerank` finalists vs the exact
+    // in-cell scan. The knob that removes vector IO from the hot path.
+    val pqBook = Similarity.trainProductCodebook(emb, "vec_id", "embedding",
+      centroids, m = 8, ksub = 16, iters = 2)
+    for (rerank <- Seq(20, 50)) {
+      val recalls = queries.map { case (qid, qv) =>
+        val got = topIds(Similarity.pqSearch(
+          emb.filter(col("vec_id") =!= qid), "vec_id", "embedding",
+          centroids, pqBook, qv, k = 10, nprobe = 4, rerank = rerank))
+        got.intersect(truth(qid)).size / 10.0
+      }
+      println(f"[scale] ivf-pq nprobe=4 rerank=$rerank%3d recall@10=${recalls.sum / recalls.length}%5.3f (vs ivf nprobe=4 exact)")
+    }
+
+    // Shuffle-elimination probe: major compaction over the bucketed
+    // catalog layout vs over plain parquet runs, measured in actual
+    // shuffle-write bytes (task metrics). The bucketed path's reconcile +
+    // horizon aggregates all run in place — at 100 TB the difference is
+    // the entire table crossing the network vs nothing.
+    def withShuffleBytes(body: => Unit): (Long, Long) = {
+      val written = new java.util.concurrent.atomic.AtomicLong()
+      val read = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            written.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          }
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        Thread.sleep(2000) // let the listener bus drain
+      } finally spark.sparkContext.removeSparkListener(listener)
+      (written.get(), read.get())
+    }
+    val probeDir = java.nio.file.Files.createTempDirectory("graft_probe").toString
+    graft.sources.CellStore.write(base, CellEncodings.ordersMeta, s"$probeDir/runs")
+    graft.sources.CellStore.dropManaged(spark, "graft_probe_bucketed")
+    graft.sources.CellStore.writeBucketed(base, CellEncodings.ordersMeta,
+      "graft_probe_bucketed", buckets = 32)
+    val (wPlain, _) = withShuffleBytes {
+      graft.operators.Compaction.compact(
+        spark.read.parquet(s"$probeDir/runs"), gcBeforeSeconds = 0).count()
+    }
+    val (wBucketed, _) = withShuffleBytes {
+      graft.operators.Compaction.compact(
+        spark.table("graft_probe_bucketed"), gcBeforeSeconds = 0).count()
+    }
+    println(f"[scale] compaction shuffle-write bytes: plain-runs=$wPlain%,d  bucketed=$wBucketed%,d")
+    spark.sql("DROP TABLE IF EXISTS graft_probe_bucketed")
     spark.stop()
   }
 }
