@@ -693,6 +693,25 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("text_dedup"))
     }),
 
+    // Token-window chunking: 32-token windows every 16 tokens (the
+    // context-length preparation fan-out), final partial window kept.
+    "p24_token_chunks" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.TextAnalysis.chunkByTokens(table(s, dir, "documents"),
+        "doc_id", "text", maxTokens = 32, stride = 16)
+        .select(col("id").as("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("chunk_text"))
+    }),
+
+    // Gopher-style repetition quality signals, exact integer per-mille.
+    "p25_repetition" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.TextAnalysis.repetitionSignals(table(s, dir, "documents"),
+        "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          col("dup_token_permille"), col("top_bigram_permille"))
+    }),
+
     // Multimodal plumbing: opaque binary column → batched feature
     // extraction (decode step STUBBED — see Multimodal.decodeStub).
     "p12_multimodal" -> ((s, dir) => {
@@ -1260,6 +1279,30 @@ object SparkEntry {
         |      FROM p)
         |SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text_dedup
         |FROM w WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+
+    "p24_token_chunks" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+        |           FROM documents),
+        |d1 AS (SELECT * FROM d WHERE len(toks) >= 1),
+        |e AS (SELECT doc_id, unnest(range((len(toks) - 1) // 16 + 1)) AS chunk_id, toks
+        |      FROM d1)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       array_to_string(toks[chunk_id * 16 + 1 : chunk_id * 16 + 32], ' ') AS chunk_text
+        |FROM e""".stripMargin,
+
+    "p25_repetition" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+        |           FROM documents),
+        |b AS (SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd,
+        |             list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bg
+        |      FROM d WHERE len(toks) >= 2),
+        |c AS (SELECT doc_id, bgx, count(*) AS c
+        |      FROM (SELECT doc_id, unnest(bg) AS bgx FROM b) GROUP BY 1, 2),
+        |t AS (SELECT doc_id, max(c) AS top FROM c GROUP BY 1)
+        |SELECT b.doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |       CAST(((n - nd) * 1000) // n AS BIGINT) AS dup_token_permille,
+        |       CAST((top * 1000) // (n - 1) AS BIGINT) AS top_bigram_permille
+        |FROM b JOIN t ON t.doc_id = b.doc_id""".stripMargin,
 
     "p12_multimodal" ->
       """SELECT doc_id, source AS kind,

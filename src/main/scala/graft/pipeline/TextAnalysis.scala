@@ -121,4 +121,50 @@ object TextAnalysis {
   /** Full scrub: URL → email → phone, each replaced by a typed tag. */
   def redactPii(text: Column): Column =
     redactPhones(redactEmails(redactUrls(text)))
+
+  /** Fixed-size token-window chunking (context-length preparation for
+    * training pipelines): windows of `maxTokens` whitespace tokens
+    * starting every `stride` tokens, final partial window kept, empty
+    * documents dropped. Output (id, chunk_id, chunk_text). Pure
+    * expressions — the 1→N fan-out is a posexplode over a transform'd
+    * window list, no shuffle at all.
+    */
+  def chunkByTokens(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(maxTokens >= 1 && stride >= 1, "maxTokens and stride must be >= 1")
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) >= 1)
+      .select(col("id"),
+        posexplode(expr(
+          s"""transform(sequence(0, (size(_toks) - 1) DIV $stride),
+             | i -> array_join(slice(_toks, i * $stride + 1, $maxTokens), ' '))""".stripMargin))
+          .as(Seq("chunk_id", "chunk_text")))
+  }
+
+  /** Gopher-style repetition signals per document (integer per-mille —
+    * no float drift, SQL-oracle exact): duplicate-token fraction and the
+    * share of bigram slots taken by the single most repeated bigram.
+    * Documents under 2 tokens are dropped (no bigram denominator).
+    * One shuffle (the per-doc bigram count); everything else is
+    * expression-level.
+    */
+  def repetitionSignals(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) >= 2)
+      .select(col("id"),
+        size(col("_toks")).as("n"),
+        size(array_distinct(col("_toks"))).as("nd"),
+        expr("""transform(sequence(1, size(_toks) - 1),
+               | i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))""".stripMargin)
+          .as("_bg"))
+    val top = base.select(col("id"), explode(col("_bg")).as("bg"))
+      .groupBy(col("id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id")).agg(max(col("c")).as("top"))
+    base.join(top, Seq("id"))
+      .select(col("id"),
+        col("n").cast("long").as("n_tokens"),
+        expr("CAST((n - nd) * 1000 DIV n AS BIGINT)").as("dup_token_permille"),
+        expr("CAST(top * 1000 DIV (n - 1) AS BIGINT)").as("top_bigram_permille"))
+  }
 }

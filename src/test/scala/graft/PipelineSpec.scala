@@ -169,6 +169,32 @@ class PipelineSpec extends SparkSpec {
     assert(!out.contains(3L))                     // nothing survives
   }
 
+  test("token chunking: stride windows, partial tail kept, empty doc dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6"), // 7 tokens
+      (2L, "a b"),
+      (3L, "   "))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkByTokens(docs, "doc_id", "text", maxTokens = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(out == Map(
+      (1L, 0) -> "t0 t1 t2 t3", (1L, 1) -> "t3 t4 t5 t6", (1L, 2) -> "t6",
+      (2L, 0) -> "a b"))
+  }
+
+  test("repetition signals: dup-token and top-bigram per-mille are exact") {
+    import spark.implicits._
+    // "x y x y x": n=5, distinct=2 -> dup=600; bigrams: "x y"×2,"y x"×2 -> 2*1000/4=500
+    val docs = Seq((1L, "x y x y x"), (2L, "all words differ here"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((5L, 600L, 500L)))
+    assert(out(2L) == ((4L, 0L, 333L))) // every bigram unique: 1000/3
+    assert(!out.contains(3L))           // <2 tokens: no bigram denominator
+  }
+
   test("IVF-PQ: full-rerank equals ivfSearch; codes-only scan; self-query recall") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
