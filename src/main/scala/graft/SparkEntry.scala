@@ -354,6 +354,17 @@ object SparkEntry {
       ordersDecoded(lens.rangeSliceByToken(Some(st), Some(en), None, SliceRange(count = 1), 25))
     }),
 
+    // Q3/Q4 multiget_slice with the key set as a DATAFRAME (the large-
+    // key-set broadcast semi-join path — literal isin stops scaling past
+    // a few thousand keys): every key divisible by 3, count=2 slice.
+    "q33_multiget_semijoin" -> ((s, dir) => {
+      val lens = ordersLiveLens(s, dir)
+      val keysDf = table(s, dir, "orders")
+        .filter(col("o_custkey") % 3 === 0)
+        .select(key10(col("o_custkey")).as("key")).distinct()
+      ordersDecoded(lens.multigetSlice(keysDf, None, SliceRange(count = 2)))
+    }),
+
     // ColumnsMayExistQueryFilter (fork): bulk existence probe via
     // LEFT SEMI JOIN (exact refinement of the bloom-based "may exist").
     "q17_columns_exist" -> ((s, dir) => {
@@ -703,6 +714,23 @@ object SparkEntry {
           col("chunk_text"))
     }),
 
+    // Sequence packing: disjoint 32-token chunks packed into 256-token
+    // bins per shard (doc_id % 8) at their running token offset — the
+    // concat-and-split pass after chunking.
+    "p26_sequence_packing" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val chunks = graft.pipeline.TextAnalysis.chunkByTokens(
+        table(s, dir, "documents"), "doc_id", "text", maxTokens = 32, stride = 32)
+        .withColumn("n_tokens",
+          graft.pipeline.TextAnalysis.tokenCount(col("chunk_text")).cast("long"))
+        .withColumn("shard", col("id") % 8)
+      graft.pipeline.TextAnalysis.packChunks(chunks, "shard",
+        Seq("id", "chunk_id"), "n_tokens", binTokens = 256)
+        .select(col("shard").cast("bigint").as("shard"), col("bin_id"),
+          col("id").as("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("n_tokens"), col("off"))
+    }),
+
     // Gopher-style repetition quality signals, exact integer per-mille.
     "p25_repetition" -> ((s, dir) => {
       GraftFunctions.register(s)
@@ -845,6 +873,15 @@ object SparkEntry {
         |SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
         |       o_orderstatus AS status
         |FROM r WHERE rn <= 1""".stripMargin,
+
+    "q33_multiget_semijoin" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+        |  FROM orders WHERE o_orderstatus <> 'F' AND o_custkey % 3 = 0)
+        |SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
+        |       o_orderstatus AS status
+        |FROM r WHERE rn <= 2""".stripMargin,
 
     // after purge, the live view is exactly the non-'F' orders
     "q32_bucketed_compaction" ->
@@ -1289,6 +1326,23 @@ object SparkEntry {
         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
         |       array_to_string(toks[chunk_id * 16 + 1 : chunk_id * 16 + 32], ' ') AS chunk_text
         |FROM e""".stripMargin,
+
+    "p26_sequence_packing" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+        |           FROM documents),
+        |d1 AS (SELECT doc_id, len(toks) AS n FROM d WHERE len(toks) >= 1),
+        |e AS (SELECT doc_id, n, unnest(range((n - 1) // 32 + 1)) AS chunk_id FROM d1),
+        |p AS (SELECT doc_id % 8 AS shard, doc_id, chunk_id,
+        |             LEAST(32, n - chunk_id * 32) AS nt
+        |      FROM e),
+        |w AS (SELECT shard, doc_id, chunk_id, nt,
+        |             COALESCE(sum(nt) OVER (PARTITION BY shard ORDER BY doc_id, chunk_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |      FROM p)
+        |SELECT CAST(shard AS BIGINT) AS shard, CAST(off // 256 AS BIGINT) AS bin_id,
+        |       doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       CAST(nt AS BIGINT) AS n_tokens, CAST(off AS BIGINT) AS off
+        |FROM w""".stripMargin,
 
     "p25_repetition" ->
       """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks

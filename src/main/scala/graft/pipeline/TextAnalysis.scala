@@ -141,6 +141,29 @@ object TextAnalysis {
           .as(Seq("chunk_id", "chunk_text")))
   }
 
+  /** Concat-and-split sequence packing: within each shard, chunks are
+    * laid out in a deterministic order, each at the running token offset
+    * of everything before it, and bin_id = offset DIV binTokens — the
+    * "concatenate the stream, cut every binTokens tokens" packing that
+    * training pipelines run after chunking. Whole chunks are assigned to
+    * the bin their span STARTS in.
+    *
+    * The running sum is a window per SHARD, not a global one — a global
+    * total order is a single-task bottleneck at scale, so callers shard
+    * (doc hash, domain, worker id) exactly like real packing runs do.
+    */
+  def packChunks(chunks: org.apache.spark.sql.DataFrame, shardCol: String,
+      orderCols: Seq[String], tokenCol: String, binTokens: Int): org.apache.spark.sql.DataFrame = {
+    require(binTokens >= 1, "binTokens must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    chunks
+      .withColumn("off", coalesce(sum(col(tokenCol)).over(w), lit(0L)).cast("long"))
+      .withColumn("bin_id", expr(s"off DIV $binTokens"))
+  }
+
   /** Gopher-style repetition signals per document (integer per-mille —
     * no float drift, SQL-oracle exact): duplicate-token fraction and the
     * share of bigram slots taken by the single most repeated bigram.

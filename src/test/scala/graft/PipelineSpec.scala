@@ -195,6 +195,25 @@ class PipelineSpec extends SparkSpec {
     assert(!out.contains(3L))           // <2 tokens: no bigram denominator
   }
 
+  test("sequence packing: running offsets per shard, bins cut every binTokens") {
+    import spark.implicits._
+    val chunks = Seq(
+      // shard 0: offsets 0,3,7 -> bins 0,0,1 with binTokens=5
+      (0L, 1L, 0, 3L), (0L, 1L, 1, 4L), (0L, 2L, 0, 2L),
+      // shard 1: independent stream
+      (1L, 3L, 0, 6L), (1L, 4L, 0, 1L))
+      .toDF("shard", "doc_id", "chunk_id", "n_tokens")
+    val out = TextAnalysis.packChunks(chunks, "shard",
+      Seq("doc_id", "chunk_id"), "n_tokens", binTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)) ->
+        (r.getAs[Long]("off"), r.getAs[Long]("bin_id"))).toMap
+    assert(out((0L, 1L, 0)) == ((0L, 0L)))
+    assert(out((0L, 1L, 1)) == ((3L, 0L)))
+    assert(out((0L, 2L, 0)) == ((7L, 1L)))
+    assert(out((1L, 3L, 0)) == ((0L, 0L)))
+    assert(out((1L, 4L, 0)) == ((6L, 1L)))
+  }
+
   test("IVF-PQ: full-rerank equals ivfSearch; codes-only scan; self-query recall") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
