@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.TextAnalysis
+
+/** Streaming faces of the training-data pipeline operators: the same
+  * semantics as the batch ops in graft.pipeline, expressed on unbounded
+  * inputs with Structured Streaming's state machinery. Used when the
+  * corpus arrives as a feed (crawl output, log tail) and dedup/quality
+  * must gate ingestion, not run as a later batch pass.
+  */
+object PipelineStream {
+
+  /** Streaming exact dedup, first-seen-wins: fingerprint each document
+    * (md5 of the whitespace/lowercase-normalized text — identical to the
+    * batch `Dedup.exact` grouping key) and keep only the first arrival of
+    * each fingerprint. `dropDuplicates` carries the seen-fingerprint set
+    * in the state store — at scale the state is one small row per
+    * DISTINCT document, hash-partitioned like any aggregation.
+    */
+  def dedupExact(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .dropDuplicates("fp")
+
+  /** Bounded-state variant: dedup only within the event-time watermark
+    * (dropDuplicatesWithinWatermark) — the gcGrace analog for dedup
+    * state. Use when the feed is unbounded and exact global dedup would
+    * grow state forever; duplicates farther apart than the delay are
+    * passed through (and caught by the periodic batch dedup pass).
+    */
+  def dedupExactWithinWatermark(docs: DataFrame, textCol: String,
+      eventTimeCol: String, delay: String): DataFrame =
+    docs.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Streaming quality gate: the batch keep-flag + repetition-free checks
+    * as a stateless filter (no state at all — quality signals are
+    * per-document expressions, so the gate composes with any stream).
+    */
+  def qualityGate(docs: DataFrame, textCol: String): DataFrame =
+    docs.filter(TextAnalysis.keepFlag(col(textCol)))
+}

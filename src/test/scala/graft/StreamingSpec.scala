@@ -72,6 +72,26 @@ class StreamingSpec extends SparkSpec {
     assert(last.length == 1 && new String(last.head.getAs[Array[Byte]]("value"), "UTF-8") == "zombie")
   }
 
+  test("streaming exact dedup: first-seen fingerprint wins across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.PipelineStream.dedupExact(
+      mem.toDS().toDF("doc_id", "text"), "text")
+    val q = out.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      mem.addData((0L, "alpha beta"), (1L, "gamma"))
+      q.processAllAvailable()
+      // batch 2: an exact dup of doc 0 (normalization-equal, not byte-equal)
+      // and one genuinely new doc
+      mem.addData((2L, "  Alpha   BETA "), (3L, "delta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("sdedup").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 1L, 3L), s"dup doc 2 must be dropped, got $ids")
+  }
+
   test("windowed counts with watermark run on a cell stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
