@@ -23,19 +23,61 @@ class Keyspace(val spark: SparkSession, val name: String) {
   def saveColumnFamily(cells: DataFrame, meta: CfMeta, buckets: Int = 32): Unit = {
     CellStore.dropManaged(spark, tableName(meta.name))
     CellStore.writeBucketed(cells, meta, tableName(meta.name), buckets)
+    setMetaProperties(meta)
   }
 
   /** Major compaction of a stored CF in place (reconcile + gcGrace purge,
     * shuffle-free over the bucketed layout; see CellStore.compactBucketed).
+    * Metadata properties are re-applied — the rename-published staging
+    * table starts without them.
     */
   def compactColumnFamily(meta: CfMeta, gcBeforeSeconds: Int, buckets: Int = 32,
-      processors: Seq[graft.operators.Compaction.RowProcessor] = Nil): Unit =
+      processors: Seq[graft.operators.Compaction.RowProcessor] = Nil): Unit = {
     CellStore.compactBucketed(spark, tableName(meta.name), meta, gcBeforeSeconds,
       buckets, processors)
+    setMetaProperties(meta)
+  }
 
   /** Open a lens over a stored column family. */
   def columnFamily(meta: CfMeta): CassandraLens =
     new CassandraLens(spark.table(tableName(meta.name)), meta)
+
+  // ---- CF metadata in the catalog (config/CFMetaData.java:30-88 →
+  // table properties; describe_keyspace returns real metadata, and a lens
+  // re-opens from the catalog alone) ----
+
+  private def setMetaProperties(meta: CfMeta): Unit = {
+    val props = Map(
+      "graft.comparator" -> meta.comparator.toString,
+      "graft.subComparator" -> meta.subComparator.toString,
+      "graft.isSuper" -> meta.isSuper.toString,
+      "graft.partitioner" -> meta.partitioner.toString,
+      "graft.gcGraceSeconds" -> meta.gcGraceSeconds.toString,
+      "graft.domainSplit" -> meta.domainSplit.toString)
+      .map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
+    spark.sql(s"ALTER TABLE ${tableName(meta.name)} SET TBLPROPERTIES ($props)")
+  }
+
+  /** Reconstruct a CF's metadata from its catalog table properties. */
+  def columnFamilyMeta(cf: String): CfMeta = {
+    val props = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(cf, Some(name))).properties
+    CfMeta(cf,
+      comparator = graft.model.ComparatorType.withName(
+        props.getOrElse("graft.comparator", "Bytes")),
+      subComparator = graft.model.ComparatorType.withName(
+        props.getOrElse("graft.subComparator", "Bytes")),
+      isSuper = props.getOrElse("graft.isSuper", "false").toBoolean,
+      partitioner = graft.model.PartitionerType.withName(
+        props.getOrElse("graft.partitioner", "OrderPreserving")),
+      gcGraceSeconds = props.getOrElse("graft.gcGraceSeconds", "864000").toInt,
+      domainSplit = props.getOrElse("graft.domainSplit", "false").toBoolean)
+  }
+
+  /** Open a lens by NAME alone — metadata comes from the catalog, the
+    * describe_keyspace round trip (thrift:429-443).
+    */
+  def columnFamily(cf: String): CassandraLens = columnFamily(columnFamilyMeta(cf))
 
   /** describe_keyspace: list column families in the namespace. */
   def describe(): DataFrame =

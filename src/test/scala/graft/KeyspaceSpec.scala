@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.api.{Keyspace, Thriftify}
-import graft.model.{CfMeta, ComparatorType}
+import graft.model.{Cell, CfMeta, ComparatorType}
 import graft.operators.Reconcile
 
 class KeyspaceSpec extends SparkSpec {
@@ -84,6 +84,50 @@ class KeyspaceSpec extends SparkSpec {
         == Map("c1" -> "new", "c2" -> "keep"))
       assert(lens.getSlice("k2", None, graft.operators.SliceRange(count = 10)).isEmpty)
     } finally ks.drop()
+  }
+
+  test("CF metadata round-trips through catalog table properties") {
+    val loc = new java.io.File("spark-warehouse/graft_ks4.db")
+    if (loc.exists()) new scala.reflect.io.Directory(loc).deleteRecursively()
+    val ks = Keyspace(spark, "graft_ks4")
+    try {
+      val meta = CfMeta("cfm",
+        comparator = ComparatorType.Long_,
+        subComparator = ComparatorType.TimeUuid,
+        isSuper = true,
+        partitioner = graft.model.PartitionerType.OdklDomain,
+        gcGraceSeconds = 1234,
+        domainSplit = true)
+      ks.saveColumnFamily(cellsDf(Seq(
+        Cell("k1", b("sc"), bl(1L), b("v"), 1, tombstone = false, 0))), meta, buckets = 2)
+      assert(ks.columnFamilyMeta("cfm") == meta)
+      // the by-name lens observes the metadata (super slicing works)
+      val lens = ks.columnFamily("cfm")
+      assert(lens.meta.isSuper && lens.meta.comparator == ComparatorType.Long_)
+      // compaction keeps the properties through the staging-table rename
+      ks.compactColumnFamily(meta, gcBeforeSeconds = 0, buckets = 2)
+      assert(ks.columnFamilyMeta("cfm") == meta)
+    } finally ks.drop()
+  }
+
+  test("anti-entropy diffRanges flags only the buckets that differ") {
+    val a = cellsDf((0 until 64).map(i => ins(f"k$i%03d", "c", "v", 1)))
+    // b: one key's value changed, one key missing entirely
+    val b0 = (0 until 64).filterNot(_ == 50).map { i =>
+      if (i == 7) ins(f"k$i%03d", "c", "CHANGED", 1) else ins(f"k$i%03d", "c", "v", 1)
+    }
+    val diff = graft.operators.Validation.diffRanges(a, cellsDf(b0), buckets = 16)
+      .collect()
+    val expect = Set("k007", "k050").map { k =>
+      Math.floorMod(
+        a.filter(org.apache.spark.sql.functions.col("key") === k)
+          .select(org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col("key"))).head().getLong(0), 16L)
+    }
+    assert(diff.map(_.getLong(0)).toSet == expect,
+      s"differing buckets must be exactly those of k007/k050: got ${diff.mkString(",")}")
+    // identical stores: no differing ranges
+    assert(graft.operators.Validation.diffRanges(a, a, buckets = 16).isEmpty)
   }
 
   test("thriftify super rows: two-level nesting in both comparator orders") {
