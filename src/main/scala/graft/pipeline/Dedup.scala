@@ -239,22 +239,25 @@ object Dedup {
     * surviving paragraphs in original order, joined with `joinWith`.
     * Documents left with no surviving paragraphs drop out.
     *
-    * Two shuffles at any scale: the winner argmin groups by paragraph
-    * (partial-aggregated min(struct)), and reassembly groups by doc id.
-    * The self-semi-join routes on the same paragraph key.
+    * Two shuffles at any scale, ONE scan: winner selection is a
+    * rank-1-per-paragraph window (row_number ≡ argmin (id, pos)), so the
+    * exploded paragraphs are consumed once — no self-join, no duplicated
+    * explode subtree — and WindowGroupLimit prunes each map partition to
+    * one candidate per paragraph before the shuffle, which also defuses
+    * the hot-boilerplate-paragraph skew case. Reassembly is the second
+    * shuffle (by doc id).
     */
   def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
-      delimRegex: String, joinWith: String = "\n"): DataFrame = {
-    val p = paragraphs(df, idCol, textCol, delimRegex)
-    val winners = p.groupBy(col("para"))
-      .agg(min(struct(col("id"), col("pos"))).as("w"))
-      .select(col("para"), col("w.id").as("id"), col("w.pos").as("pos"))
-    p.join(winners, Seq("para", "id", "pos"), "left_semi")
+      delimRegex: String, joinWith: String = "\n"): DataFrame =
+    paragraphs(df, idCol, textCol, delimRegex)
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("para")).orderBy(col("id"), col("pos"))))
+      .filter(col("_rn") === 1)
       .groupBy(col("id"))
       .agg(concat_ws(joinWith,
         expr("transform(sort_array(collect_list(struct(pos, para))), s -> s.para)"))
         .as("text_dedup"))
-  }
 
   /** 64-bit token hash from the first 16 hex chars of md5, decoded
     * big-endian — reproducible in any SQL engine with an md5 function

@@ -168,26 +168,27 @@ object TextAnalysis {
     * no float drift, SQL-oracle exact): duplicate-token fraction and the
     * share of bigram slots taken by the single most repeated bigram.
     * Documents under 2 tokens are dropped (no bigram denominator).
-    * One shuffle (the per-doc bigram count); everything else is
-    * expression-level.
+    * ONE scan, two partial-aggregated shuffles (per-(doc,bigram) count,
+    * then per-doc max): n/nd ride along as grouping-invariant firsts, so
+    * the tokenization never runs twice.
     */
   def repetitionSignals(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String): org.apache.spark.sql.DataFrame = {
-    val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
       .filter(size(col("_toks")) >= 2)
       .select(col("id"),
         size(col("_toks")).as("n"),
         size(array_distinct(col("_toks"))).as("nd"),
-        expr("""transform(sequence(1, size(_toks) - 1),
-               | i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))""".stripMargin)
-          .as("_bg"))
-    val top = base.select(col("id"), explode(col("_bg")).as("bg"))
-      .groupBy(col("id"), col("bg")).agg(count(lit(1)).as("c"))
-      .groupBy(col("id")).agg(max(col("c")).as("top"))
-    base.join(top, Seq("id"))
+        explode(expr(
+          """transform(sequence(1, size(_toks) - 1),
+            | i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))""".stripMargin))
+          .as("bg"))
+      .groupBy(col("id"), col("bg"))
+      .agg(count(lit(1)).as("c"), first(col("n")).as("n"), first(col("nd")).as("nd"))
+      .groupBy(col("id"))
+      .agg(max(col("c")).as("top"), first(col("n")).as("n"), first(col("nd")).as("nd"))
       .select(col("id"),
         col("n").cast("long").as("n_tokens"),
         expr("CAST((n - nd) * 1000 DIV n AS BIGINT)").as("dup_token_permille"),
         expr("CAST(top * 1000 DIV (n - 1) AS BIGINT)").as("top_bigram_permille"))
-  }
 }

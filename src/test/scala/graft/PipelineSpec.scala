@@ -167,6 +167,13 @@ class PipelineSpec extends SparkSpec {
     assert(out(1L) == "alpha\nshared para\nbeta") // owns the first occurrence
     assert(out(2L) == "gamma")                    // both copies lose to doc 1
     assert(!out.contains(3L))                     // nothing survives
+    // plan shape: winner selection is a rank-1 window, so the hot-paragraph
+    // skew case is pre-filtered map-side (WindowGroupLimit), and the
+    // explode subtree exists ONCE (no self-join)
+    val plan = Dedup.dedupParagraphs(docs, "doc_id", "text", delimRegex = "\n\n")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(1500))
+    assert(!plan.contains("Join"), plan.take(1500))
   }
 
   test("token chunking: stride windows, partial tail kept, empty doc dropped") {
