@@ -625,6 +625,25 @@ object SparkEntry {
         SliceRange(count = Int.MaxValue), Int.MaxValue))
     }),
 
+    // Keyspace catalog store with horizon sidecar tables: save writes the
+    // bucketed CF + tiny row/sc deletion-horizon tables; columnFamily(name)
+    // re-opens from catalog metadata alone and reads join the sidecar
+    // (ONE scan of the store) — the whole catalog lifecycle under the gate.
+    "q34_keyspace_horizons" -> ((s, dir) => {
+      val cells = ordersCells(s, dir)
+        .unionByName(ordersStatusFTombstones(s, dir))
+        .unionByName(graft.operators.Mutations.asRowDeletes(
+          table(s, dir, "orders").filter(col("o_custkey") % 7 === 0)
+            .select(key10(col("o_custkey")).as("key")).distinct()
+            .withColumn("ts", lit(99999999999999L)),
+          localDeletionTimeSec = 2000000000))
+      val ks = graft.api.Keyspace(s, "graft_verify_ks")
+      ks.saveColumnFamily(cells, ordersMeta.copy(name = "orders_h"), buckets = 8)
+      val lens = ks.columnFamily("orders_h")
+      ordersDecoded(lens.rangeSliceByKeys(None, None, None,
+        SliceRange(count = Int.MaxValue), Int.MaxValue))
+    }),
+
     // Compaction-time row processor (fork IRowProcessor, db/proc/*): a
     // RetentionProcessor drops cells below a ts horizon as rows flow
     // through compaction — the flatMapGroups UDTF surface, oracle-checked.
@@ -1208,6 +1227,12 @@ object SparkEntry {
         |FROM r WHERE rn <= 3""".stripMargin,
 
     "q30_sidecar_slice" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
+        |       o_orderstatus AS status
+        |FROM orders
+        |WHERE o_custkey % 7 <> 0 AND o_orderstatus <> 'F'""".stripMargin,
+
+    "q34_keyspace_horizons" ->
       """SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
         |       o_orderstatus AS status
         |FROM orders

@@ -20,10 +20,26 @@ class Keyspace(val spark: SparkSession, val name: String) {
   /** Create/replace a column family from a cell DataFrame (bucketed by key
     * — per-key reads and reconcile run shuffle-free).
     */
+  private def hrowTable(cf: String) = s"${tableName(cf)}__hrow"
+  private def hscTable(cf: String) = s"${tableName(cf)}__hsc"
+
+  /** Create/replace a column family plus its tombstone-horizon sidecar
+    * tables. The horizons are tiny (they are deletes); persisting them
+    * means every read joins two small tables instead of re-aggregating
+    * marker cells out of the big table — the keyspace face of
+    * CellStore.writeWithHorizons, and at 100 TB the difference between
+    * one scan of the store per query and three.
+    */
   def saveColumnFamily(cells: DataFrame, meta: CfMeta, buckets: Int = 32): Unit = {
     CellStore.dropManaged(spark, tableName(meta.name))
     CellStore.writeBucketed(cells, meta, tableName(meta.name), buckets)
     setMetaProperties(meta)
+    CellStore.dropManaged(spark, hrowTable(meta.name))
+    CellStore.dropManaged(spark, hscTable(meta.name))
+    graft.operators.Reconcile.rowTombstones(cells)
+      .write.format("parquet").saveAsTable(hrowTable(meta.name))
+    graft.operators.Reconcile.superTombstones(cells)
+      .write.format("parquet").saveAsTable(hscTable(meta.name))
   }
 
   /** Major compaction of a stored CF in place (reconcile + gcGrace purge,
@@ -36,11 +52,28 @@ class Keyspace(val spark: SparkSession, val name: String) {
     CellStore.compactBucketed(spark, tableName(meta.name), meta, gcBeforeSeconds,
       buckets, processors)
     setMetaProperties(meta)
+    // incremental sidecar refresh: horizons only shrink under compaction
+    // (entries past the gcGrace horizon purge; no new markers appear), so
+    // the refresh filters the OLD sidecar — never rescans the store
+    if (spark.catalog.tableExists(hrowTable(meta.name)))
+      CellStore.replaceTable(spark, hrowTable(meta.name),
+        spark.table(hrowTable(meta.name)).filter(col("row_del_ldt") >= gcBeforeSeconds))
+    if (spark.catalog.tableExists(hscTable(meta.name)))
+      CellStore.replaceTable(spark, hscTable(meta.name),
+        spark.table(hscTable(meta.name)).filter(col("sc_del_ldt") >= gcBeforeSeconds))
   }
 
-  /** Open a lens over a stored column family. */
-  def columnFamily(meta: CfMeta): CassandraLens =
-    new CassandraLens(spark.table(tableName(meta.name)), meta)
+  /** Open a lens over a stored column family; when the horizon sidecar
+    * tables exist, reads join them instead of re-aggregating markers.
+    */
+  def columnFamily(meta: CfMeta): CassandraLens = {
+    val horizons =
+      if (spark.catalog.tableExists(hrowTable(meta.name)) &&
+        spark.catalog.tableExists(hscTable(meta.name)))
+        Some((spark.table(hrowTable(meta.name)), spark.table(hscTable(meta.name))))
+      else None
+    new CassandraLens(spark.table(tableName(meta.name)), meta, horizons)
+  }
 
   // ---- CF metadata in the catalog (config/CFMetaData.java:30-88 →
   // table properties; describe_keyspace returns real metadata, and a lens
@@ -79,9 +112,12 @@ class Keyspace(val spark: SparkSession, val name: String) {
     */
   def columnFamily(cf: String): CassandraLens = columnFamily(columnFamilyMeta(cf))
 
-  /** describe_keyspace: list column families in the namespace. */
+  /** describe_keyspace: list column families in the namespace (horizon
+    * sidecar and staging tables are internal — filtered out).
+    */
   def describe(): DataFrame =
     spark.sql(s"SHOW TABLES IN $name").select(col("tableName").as("column_family"))
+      .filter(!col("column_family").rlike("__(hrow|hsc|compacting|staging)$"))
 
   /** Q8 `batch_mutate` across column families (thrift:415-418 —
     * map<key, map<cf, list<Mutation>>>; RowMutation folds all CFs of one

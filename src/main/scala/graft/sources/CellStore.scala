@@ -196,6 +196,18 @@ object CellStore {
     if (loc.exists()) new scala.reflect.io.Directory(loc).deleteRecursively()
   }
 
+  /** Replace a managed table's contents via a staging table + catalog
+    * rename (safe when `df` READS from the table being replaced — the
+    * staging write completes before the old table drops).
+    */
+  def replaceTable(spark: SparkSession, tableName: String, df: DataFrame): Unit = {
+    val staged = s"${tableName}__staging"
+    dropManaged(spark, staged)
+    df.write.mode("overwrite").format("parquet").saveAsTable(staged)
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    spark.sql(s"ALTER TABLE $staged RENAME TO $tableName")
+  }
+
   /** Major compaction of a bucketed catalog CF IN PLACE
     * (CompactionManager.submitMajor, db/CompactionManager.java:192-280,
     * over the ring-placed layout): reconcile + container shadowing +

@@ -110,6 +110,44 @@ class KeyspaceSpec extends SparkSpec {
     } finally ks.drop()
   }
 
+  test("keyspace horizon sidecar: one store scan, equal results, compaction purge") {
+    val loc = new java.io.File("spark-warehouse/graft_ks5.db")
+    if (loc.exists()) new scala.reflect.io.Directory(loc).deleteRecursively()
+    val ks = Keyspace(spark, "graft_ks5")
+    try {
+      val meta = CfMeta("cfh")
+      val cells = Seq(
+        ins("k1", "c1", "v1", 5), ins("k2", "c1", "dead", 1),
+        delRow("k2", 7, ldt = 100),
+        ins("k3", "c1", "v3", 3))
+      ks.saveColumnFamily(cellsDf(cells), meta, buckets = 2)
+      val lens = ks.columnFamily("cfh")
+      assert(lens.horizons.isDefined, "sidecar tables must be picked up")
+      val plain = new graft.api.CassandraLens(spark.table("graft_ks5.cfh"), meta)
+      def canon(df: org.apache.spark.sql.DataFrame): Set[(String, String)] =
+        df.select(col("key"), decode(col("value"), "UTF-8"))
+          .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(canon(lens.live) == canon(plain.live))
+      assert(canon(lens.live) == Set("k1" -> "v1", "k3" -> "v3")) // k2 row-shadowed
+      // plan: the sidecar lens scans the BIG table once; the self-computing
+      // lens scans it for data + row horizons + sc horizons
+      def storeScans(p: String): Int =
+        p.linesIterator.count(l => l.contains("FileScan") && l.contains("cfh[")
+          && !l.contains("__h"))
+      assert(storeScans(lens.live.queryExecution.executedPlan.toString) == 1)
+      assert(storeScans(plain.live.queryExecution.executedPlan.toString) == 3)
+
+      // compaction refreshes the sidecar by FILTERING it (no store rescan):
+      // the purged row marker leaves both the store and the sidecar
+      ks.compactColumnFamily(meta, gcBeforeSeconds = 500, buckets = 2)
+      assert(spark.table("graft_ks5.cfh__hrow").isEmpty)
+      val after = ks.columnFamily("cfh")
+      assert(after.getSlice("k2", None, graft.operators.SliceRange(count = 10)).isEmpty)
+      assert(liveValues(after.getSlice("k1", None, graft.operators.SliceRange(count = 10)))
+        == Map("c1" -> "v1"))
+    } finally ks.drop()
+  }
+
   test("anti-entropy diffRanges flags only the buckets that differ") {
     val a = cellsDf((0 until 64).map(i => ins(f"k$i%03d", "c", "v", 1)))
     // b: one key's value changed, one key missing entirely
