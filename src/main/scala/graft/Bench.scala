@@ -71,6 +71,10 @@ object Bench {
       new CassandraLens(CellStore.readDomainSplit(spark, s"$wtmp/wd"),
         CellEncodings.ordersMeta.copy(domainSplit = true))
         .multigetSlice((0L until 100L).map(i => f"$i%010d"), None, SliceRange(count = 5)).count()
+      CellStore.writeWithHorizons(some, CellEncodings.ordersMeta, s"$wtmp/ws",
+        numPartitions = 4)
+      CellStore.openWithHorizons(spark, s"$wtmp/ws", CellEncodings.ordersMeta)
+        .multigetSlice((0L until 100L).map(i => f"$i%010d"), None, SliceRange(count = 5)).count()
       val wdocs = CellEncodings.table(spark, sfDir, "documents").limit(400)
       graft.pipeline.Dedup.nearDuplicates(wdocs, "doc_id", "text", 3, 4, 5,
         hashShingles = true).count() // warm the SAME path the timed run measures
@@ -169,6 +173,23 @@ object Bench {
       domainLens.multigetSlice(keys, None, SliceRange(count = 5)).count()
     }
     results += "read_domain" -> tReadD; rows += "read_domain" -> nReadD
+
+    // 3d. horizon-sidecar store: runs + precomputed deletion horizons;
+    // reads join two tiny tables instead of re-aggregating marker cells
+    // out of the store (setup untimed — the write path is `insert` plus
+    // two small aggregates; the READ is what the sidecar changes)
+    CellStore.writeWithHorizons(
+      CellEncodings.ordersCells(spark, sfDir)
+        .unionByName(CellEncodings.ordersStatusFTombstones(spark, sfDir)),
+      CellEncodings.ordersMeta, s"$tmp/orders_sidecar",
+      numPartitions = GraftSession.cpus.toInt)
+    val sideLens = CellStore.openWithHorizons(spark, s"$tmp/orders_sidecar",
+      CellEncodings.ordersMeta)
+    val (tReadS, nReadS) = time {
+      val keys = (0L until 3000L by 20L).map(i => f"$i%010d")
+      sideLens.multigetSlice(keys, None, SliceRange(count = 5)).count()
+    }
+    results += "read_sidecar" -> tReadS; rows += "read_sidecar" -> nReadS
 
     // 4b. sessionize: gap-based session windows over 100k events
     val (tSess, nSess) = time {
