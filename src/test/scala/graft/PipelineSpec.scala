@@ -258,6 +258,34 @@ class PipelineSpec extends SparkSpec {
       s"candidate scan must not read the vector column:\n${scanLines.mkString("\n")}")
   }
 
+  test("IVF-PQ on clustered vectors: high recall at small rerank") {
+    import spark.implicits._
+    // 8 well-separated cluster centers, 40 members each with small noise —
+    // the realistic embedding shape (uniform-random is PQ's worst case)
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextFloat() * 10 - 5))
+    val vecs = (0 until 320).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(v => v + rnd.nextFloat() * 0.5f - 0.25f))
+    }.toDF("vec_id", "embedding")
+    val coarse = Similarity.trainCodebook(vecs, "vec_id", "embedding", k = 8, iters = 3)
+    val pq = Similarity.trainProductCodebook(vecs, "vec_id", "embedding",
+      coarse, m = 4, ksub = 16, iters = 3)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    val recalls = (0L until 5L).map { qid =>
+      val qv = vecs.filter($"vec_id" === qid).select($"embedding").head().getSeq[Float](0).toArray
+      val rest = vecs.filter($"vec_id" =!= qid)
+      val truth = ids(Similarity.bruteForceTopK(rest, "vec_id", "embedding",
+        Seq(Tuple1(qv)).toDF("q"), 10))
+      val got = ids(Similarity.pqSearch(rest, "vec_id", "embedding", coarse, pq, qv,
+        k = 10, nprobe = 2, rerank = 20))
+      got.intersect(truth).size / 10.0
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.8, s"clustered-data PQ recall@10 should be high, got $mean ($recalls)")
+  }
+
   test("hyperplane-LSH near-dup: planted pairs found, verification exact") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)

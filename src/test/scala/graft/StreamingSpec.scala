@@ -92,6 +92,31 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(0L, 1L, 3L), s"dup doc 2 must be dropped, got $ids")
   }
 
+  test("watermark-bounded streaming dedup: dups inside the delay drop, state expires") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = graft.streaming.PipelineStream.dedupExactWithinWatermark(
+      mem.toDS().toDF("doc_id", "text", "ets"), "text", "ets", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("swdedup")
+      .outputMode("append").start()
+    try {
+      mem.addData((0L, "alpha", ts(0)), (1L, "beta", ts(0)))
+      q.processAllAvailable()
+      // dup inside the delay window drops; the late doc pushes the
+      // watermark to minute 50 (60 - 10 delay), expiring alpha's state
+      mem.addData((2L, "alpha", ts(5)), (3L, "pusher", ts(60)))
+      q.processAllAvailable()
+      // alpha's state is gone: the same text is emitted again — the
+      // bounded-state tradeoff the batch dedup pass mops up
+      mem.addData((4L, "alpha", ts(65)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("swdedup").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 1L, 3L, 4L), s"got $ids")
+  }
+
   test("windowed counts with watermark run on a cell stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
