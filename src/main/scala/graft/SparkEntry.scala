@@ -597,6 +597,20 @@ object SparkEntry {
         SliceRange(count = Int.MaxValue), Int.MaxValue))
     }),
 
+    // domainSplit COMPOSED with bucketing: domain partition directories
+    // (pruned on keyed reads) + bucketBy(key) co-location (shuffle-free
+    // reconcile) in one table — results identical to the plain path.
+    "q35_domain_bucketed" -> ((s, dir) => {
+      val lens = ordersLiveLens(s, dir)
+      graft.sources.CellStore.dropManaged(s, "graft_verify_domb")
+      graft.sources.CellStore.writeDomainBucketed(lens.cells,
+        lens.meta.copy(domainSplit = true), "graft_verify_domb", buckets = 8)
+      val dbLens = new CassandraLens(s.table("graft_verify_domb"),
+        lens.meta.copy(domainSplit = true))
+      ordersDecoded(dbLens.rangeSliceByKeys(None, None, None,
+        SliceRange(count = 3), Int.MaxValue))
+    }),
+
     // Hadoop-connector-shaped split-parallel scan: 8 token-contiguous
     // splits with a fixed count=3 SlicePredicate projection — must equal
     // the plain scan (q03 oracle).
@@ -892,6 +906,16 @@ object SparkEntry {
         |SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
         |       o_orderstatus AS status
         |FROM r WHERE rn <= 1""".stripMargin,
+
+    // same live slice as q03/q29 — the layout must not change results
+    "q35_domain_bucketed" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+        |  FROM orders WHERE o_orderstatus <> 'F')
+        |SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
+        |       o_orderstatus AS status
+        |FROM r WHERE rn <= 3""".stripMargin,
 
     "q33_multiget_semijoin" ->
       """WITH r AS (

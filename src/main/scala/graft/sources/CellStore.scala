@@ -234,6 +234,29 @@ object CellStore {
     spark.sql(s"ALTER TABLE $staged RENAME TO $tableName")
   }
 
+  /** domainSplit COMPOSED with the ring layout: the 2-char key domain is
+    * a partition column (whole-directory pruning on keyed reads, fork
+    * CFMetaData.domainSplit) AND rows are bucketed by key within each
+    * domain (shuffle-free reconcile/windows — the bucketed scan unifies
+    * each bucket id across domain directories into one partition, so the
+    * HashPartitioning contract still holds). The layout the fork would
+    * have wanted: OdklDomainPartitioner placement with co-located keys.
+    */
+  def writeDomainBucketed(cells: DataFrame, meta: CfMeta, tableName: String,
+      buckets: Int): Unit = {
+    cells
+      .withColumn("domain", substring(col("key"), -2, 2))
+      .repartition(col("domain"))
+      .write
+      .partitionBy("domain")
+      .bucketBy(buckets, "key")
+      .sortBy("key")
+      .option("parquet.bloom.filter.enabled#key", "true")
+      .format("parquet")
+      .mode("overwrite")
+      .saveAsTable(tableName)
+  }
+
   /** SSTable JSON export (tools/SSTableExport.java analog): golden-file
     * round-trip format — binary columns hex-encoded for portability.
     */

@@ -76,6 +76,30 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_pq_compact")
   }
 
+  test("domain-bucketed store: keyed reads prune directories AND skip the Exchange") {
+    val loc = new java.io.File("spark-warehouse/graft_pq_domb")
+    if (loc.exists()) new scala.reflect.io.Directory(loc).deleteRecursively()
+    spark.sql("DROP TABLE IF EXISTS graft_pq_domb")
+    graft.sources.CellStore.writeDomainBucketed(cellsDf(cells),
+      CfMeta("t", domainSplit = true), "graft_pq_domb", buckets = 4)
+    try {
+      val lens = new CassandraLens(spark.table("graft_pq_domb"),
+        CfMeta("t", domainSplit = true))
+      val read = lens.multigetSlice(Seq("k003", "k017"), None, SliceRange(count = 2))
+      val plan = read.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // the derived 2-char domains reach PartitionFilters (directory prune)
+      assert(plan.contains("PartitionFilters") && plan.contains("domain"),
+        plan.take(2500))
+      // and the bucketing still hands the reconcile its distribution
+      val exec = read.queryExecution.executedPlan.toString
+      val keyEx = exec.linesIterator
+        .filter(l => l.contains("Exchange hashpartitioning") && l.contains("key")).toSeq
+      assert(keyEx.isEmpty, s"domain-bucketed read should not shuffle:\n${keyEx.mkString("\n")}")
+      assert(liveValues(read) == Map("c1" -> "a", "c2" -> "b"))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_pq_domb")
+  }
+
   test("unlimited slices skip the rank window entirely") {
     val plan = planOf(
       lens.rangeSliceByKeys(None, None, None, SliceRange(count = Int.MaxValue), Int.MaxValue))
