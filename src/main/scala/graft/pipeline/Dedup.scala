@@ -66,19 +66,22 @@ object Dedup {
       maxDocFreq: Option[Int] = None, hashShingles: Boolean = false): DataFrame = {
     val rawStr = shinglesRaw(df, idCol, textCol, n)
     val raw = if (hashShingles) rawStr.withColumn("sh", xxhash64(col("sh"))) else rawStr
-    val dd = maxDocFreq match {
-      case Some(f) =>
-        val freq = raw.groupBy("sh").agg(count_distinct(col("id")).as("_df")).filter(col("_df") <= f)
-        raw.join(freq.select("sh"), Seq("sh"), "left_semi")
-      case None => raw
-    }
-    val sizes = dd.groupBy("id").agg(count_distinct(col("sh")).as("sz"))
-    // pairs per shingle via sorted-id-set combination emission: one
-    // shuffle (group by shingle, set-dedup in the partial aggregate)
-    // instead of a two-sided self-join — the emitted pair count is
-    // identical (Σ_shingle C(freq,2))
-    val inter = dd
-      .groupBy("sh").agg(sort_array(collect_set(col("id"))).as("ids"))
+    // ONE tokenize+explode+shuffle pass builds the per-shingle sorted id
+    // sets, materialized once (localCheckpoint) to feed all consumers —
+    // sizes, doc-frequency stoplist, and pair emission previously each
+    // re-derived the exploded shingles (the subtree-duplication trap).
+    // The stoplist is now a plain size(ids) filter: count_distinct(id)
+    // per shingle IS the set size — no second aggregation, no semi-join.
+    val grouped0 = raw.groupBy("sh").agg(sort_array(collect_set(col("id"))).as("ids"))
+    val grouped = maxDocFreq
+      .map(f => grouped0.filter(size(col("ids")) <= f)).getOrElse(grouped0)
+      .localCheckpoint()
+    val sizes = grouped
+      .select(explode(col("ids")).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("sz"))
+    // pairs per shingle via sorted-id-set combination emission: the
+    // emitted pair count is Σ_shingle C(freq,2), never a self-join
+    val inter = grouped
       .select(explode(expr(
         "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS ia, y AS ib))))"
       )).as("p"))
@@ -119,8 +122,13 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64(((b * r) until ((b + 1) * r)).map(k => col(s"h$k")): _*).as("bh"))
     }
+    // materialize the banded signatures once: the bucket self-join below
+    // references them on BOTH sides, and without this the full signature
+    // aggregation (the min-hash pass over every shingle) is in two plan
+    // branches — tiny table (docs × bands rows), big recompute saved
     val exploded = sig.select(col("id"), explode(array(bandCols: _*)).as("bd"))
       .select(col("id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+      .localCheckpoint()
     exploded.select(col("id").as("ia"), col("band"), col("bh"))
       .join(exploded.select(col("id").as("ib"), col("band"), col("bh")), Seq("band", "bh"))
       .filter(col("ia") < col("ib"))
@@ -149,7 +157,10 @@ object Dedup {
     */
   def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, bands: Int, num: Int, den: Int): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+    // one tokenize+explode+distinct pass: the shingle set feeds the
+    // signature aggregation AND three joins inside verification — without
+    // the checkpoint it re-derives in every branch
+    val sh = shingles(df, idCol, textCol, n).localCheckpoint()
     val cand = lshCandidates(minhashSignatures(sh, numHashes), numHashes, bands)
     verifyCandidates(cand, sh)
       .filter(col("inter") * den >= col("uni") * num)
