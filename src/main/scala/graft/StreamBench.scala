@@ -90,7 +90,35 @@ object StreamBench {
     assert(emittedKeys == inputKeys,
       s"stateful leg emitted $emittedKeys keys of $inputKeys")
 
-    println(f"""{"metric":"stream_ingest","rows":$total,"sec":$elapsed%.3f,"rows_per_sec":$rate%.0f,"batches":${durs.size},"batch_ms_p50":${pct(0.5)}%.0f,"batch_ms_max":${durs.lastOption.getOrElse(0.0)}%.0f,"stateful_sec":$stateElapsed%.3f,"stateful_rows_per_sec":$stateRate%.0f,"sf":"$sfDir"}""")
+    // Dedup leg: documents through the streaming first-seen-wins exact
+    // dedup (dropDuplicates fingerprint state — the ingestion-gating
+    // PipelineStream path). Docs stream in batches with a planted full
+    // duplicate of every batch (each batch sent twice), so the state is
+    // genuinely exercised: exactly half the arrivals must be dropped.
+    val memD = MemoryStream[(Long, String)]
+    val dedupQ = graft.streaming.PipelineStream.dedupExact(
+        memD.toDS().toDF("doc_id", "text"), "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_streambench_dedup")
+      .option("checkpointLocation", s"$dir/ckpt_dedup").start()
+    val docs = CellEncodings.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val t2 = System.nanoTime()
+    docs.grouped((docs.length + nBatches - 1) / nBatches).foreach { b =>
+      memD.addData(b.toIndexedSeq)
+      memD.addData(b.map { case (id, t) => (id + 1000000L, t) }.toIndexedSeq) // dup wave
+      dedupQ.processAllAvailable()
+    }
+    val dedupElapsed = (System.nanoTime() - t2) / 1e9
+    dedupQ.stop()
+    val dedupIn = docs.length * 2L
+    val dedupRate = dedupIn / dedupElapsed
+    val distinctTexts = docs.map(d => d._2.toLowerCase.replaceAll("\\s+", " ").trim).distinct.length
+    val dedupOut = spark.table("graft_streambench_dedup").count()
+    assert(dedupOut == distinctTexts,
+      s"streaming dedup emitted $dedupOut of $distinctTexts distinct docs")
+
+    println(f"""{"metric":"stream_ingest","rows":$total,"sec":$elapsed%.3f,"rows_per_sec":$rate%.0f,"batches":${durs.size},"batch_ms_p50":${pct(0.5)}%.0f,"batch_ms_max":${durs.lastOption.getOrElse(0.0)}%.0f,"stateful_sec":$stateElapsed%.3f,"stateful_rows_per_sec":$stateRate%.0f,"dedup_docs_in":$dedupIn,"dedup_docs_kept":$dedupOut,"dedup_docs_per_sec":$dedupRate%.0f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
