@@ -29,10 +29,18 @@ class Keyspace(val spark: SparkSession, val name: String) {
     * marker cells out of the big table — the keyspace face of
     * CellStore.writeWithHorizons, and at 100 TB the difference between
     * one scan of the store per query and three.
+    *
+    * `meta.domainSplit` drives the physical layout, exactly like the
+    * fork's CFMetaData flag: domain-partitioned + bucketed when set
+    * (directory pruning AND shuffle-free reconcile), plain bucketed
+    * otherwise. Compaction preserves whichever layout the metadata names.
     */
   def saveColumnFamily(cells: DataFrame, meta: CfMeta, buckets: Int = 32): Unit = {
     CellStore.dropManaged(spark, tableName(meta.name))
-    CellStore.writeBucketed(cells, meta, tableName(meta.name), buckets)
+    if (meta.domainSplit)
+      CellStore.writeDomainBucketed(cells, meta, tableName(meta.name), buckets)
+    else
+      CellStore.writeBucketed(cells, meta, tableName(meta.name), buckets)
     setMetaProperties(meta)
     CellStore.dropManaged(spark, hrowTable(meta.name))
     CellStore.dropManaged(spark, hscTable(meta.name))

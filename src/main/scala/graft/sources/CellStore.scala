@@ -227,11 +227,20 @@ object CellStore {
       processors: Seq[graft.operators.Compaction.RowProcessor] = Nil): Unit = {
     val staged = s"${tableName}__compacting"
     dropManaged(spark, staged)
-    writeBucketed(
-      graft.operators.Compaction.compact(spark.table(tableName), gcBeforeSeconds, processors),
-      meta, staged, buckets)
+    // compaction reduces to the canonical cell columns; the rewrite
+    // re-derives the layout — domain-partitioned when the CF metadata
+    // says so, plain bucketed otherwise
+    val compacted = graft.operators.Compaction.compact(
+      spark.table(tableName).select(graft.model.Cell.columns.map(org.apache.spark.sql.functions.col): _*),
+      gcBeforeSeconds, processors)
+    if (meta.domainSplit) writeDomainBucketed(compacted, meta, staged, buckets)
+    else writeBucketed(compacted, meta, staged, buckets)
     spark.sql(s"DROP TABLE $tableName")
     spark.sql(s"ALTER TABLE $staged RENAME TO $tableName")
+    // a partitioned table's per-partition locations are registered in the
+    // catalog ABSOLUTELY — the rename moves the directory but not those
+    // entries, so recover them from the filesystem
+    if (meta.domainSplit) spark.sql(s"MSCK REPAIR TABLE $tableName")
   }
 
   /** domainSplit COMPOSED with the ring layout: the 2-char key domain is

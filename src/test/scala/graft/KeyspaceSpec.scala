@@ -148,6 +148,41 @@ class KeyspaceSpec extends SparkSpec {
     } finally ks.drop()
   }
 
+  test("domainSplit metadata drives the keyspace layout; compaction preserves it") {
+    val loc = new java.io.File("spark-warehouse/graft_ks6.db")
+    if (loc.exists()) new scala.reflect.io.Directory(loc).deleteRecursively()
+    val ks = Keyspace(spark, "graft_ks6")
+    try {
+      val meta = CfMeta("cfd", domainSplit = true)
+      val cells = Seq(
+        ins("alpha01", "c1", "v1", 5), ins("beta02", "c1", "v2", 3),
+        ins("gamma01", "c1", "dead", 1), delRow("gamma01", 7, ldt = 100))
+      ks.saveColumnFamily(cellsDf(cells), meta, buckets = 2)
+      def cat() = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("cfd", Some("graft_ks6")))
+      assert(cat().partitionColumnNames == Seq("domain"))
+      assert(cat().bucketSpec.exists(_.numBuckets == 2))
+
+      val lens = ks.columnFamily("cfd") // domainSplit arrives via properties
+      assert(lens.meta.domainSplit)
+      val read = lens.multigetSlice(Seq("alpha01"), None, graft.operators.SliceRange(count = 5))
+      val formatted = read.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(formatted.contains("PartitionFilters") && formatted.contains("domain"),
+        formatted.take(2500))
+      assert(liveValues(read) == Map("c1" -> "v1"))
+
+      // compaction keeps the composed layout AND the results
+      ks.compactColumnFamily(meta, gcBeforeSeconds = 500, buckets = 2)
+      assert(cat().partitionColumnNames == Seq("domain"))
+      assert(cat().bucketSpec.exists(_.numBuckets == 2))
+      val after = ks.columnFamily("cfd")
+      assert(after.getSlice("gamma01", None, graft.operators.SliceRange(count = 5)).isEmpty)
+      assert(liveValues(after.getSlice("beta02", None, graft.operators.SliceRange(count = 5)))
+        == Map("c1" -> "v2"))
+    } finally ks.drop()
+  }
+
   test("anti-entropy diffRanges flags only the buckets that differ") {
     val a = cellsDf((0 until 64).map(i => ins(f"k$i%03d", "c", "v", 1)))
     // b: one key's value changed, one key missing entirely
