@@ -31,6 +31,30 @@ object ExplainCheck {
     println("\n================ RANGE SLICE maxKeys=1000 ================")
     stored.rangeSliceByKeys(Some("0000000100"), None, None, SliceRange(count = 5), 1000).explain("formatted")
 
+    println("\n================ SIDECAR READ (horizon-join multiget) ================")
+    CellStore.writeWithHorizons(CellEncodings.ordersCells(spark, dir),
+      CellEncodings.ordersMeta, s"$tmp/side", numPartitions = 4)
+    CellStore.openWithHorizons(spark, s"$tmp/side", CellEncodings.ordersMeta)
+      .getSlice("0000000042", None, SliceRange(count = 5)).explain("formatted")
+
+    println("\n================ BUCKETED COMPACTION (Exchange-free) ================")
+    CellStore.dropManaged(spark, "graft_explain_bct")
+    CellStore.writeBucketed(CellEncodings.ordersCells(spark, dir),
+      CellEncodings.ordersMeta, "graft_explain_bct", buckets = 4)
+    graft.operators.Compaction.compact(spark.table("graft_explain_bct"), 0).explain("formatted")
+    spark.sql("DROP TABLE graft_explain_bct")
+
+    println("\n================ IVF-PQ CANDIDATE SCAN (codes only) ================")
+    import graft.pipeline.Similarity
+    val emb = CellEncodings.table(spark, dir, "embeddings")
+    val coarse = Similarity.trainCodebook(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val pq = Similarity.trainProductCodebook(emb, "vec_id", "embedding", coarse, m = 4, ksub = 8, iters = 1)
+    Similarity.savePqIndex(emb, "vec_id", "embedding", coarse, pq, s"$tmp/pq")
+    val codes = spark.read.parquet(s"$tmp/pq/vectors").select("id", "code", "cell")
+    val qv = emb.limit(1).select(col("embedding")).head().getSeq[Float](0).toArray
+    Similarity.pqCandidates(codes, "id", coarse, pq, qv, nprobe = 2, rerank = 20)
+      .explain("formatted")
+
     spark.stop()
   }
 }

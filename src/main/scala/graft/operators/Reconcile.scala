@@ -115,7 +115,14 @@ object Reconcile {
     * read operator (get / get_slice / get_count / get_range_slices) runs on.
     */
   def liveView(cells: DataFrame): DataFrame =
-    shadowByContainers(latestCells(cells)).filter(!col("tombstone"))
+    // horizons from the RAW cells, not the reconciled stream: max(ts, ldt)
+    // is associative so the horizons are identical (this is exactly what
+    // the persisted sidecar computes), and it keeps the two horizon
+    // branches to a marker filter + max agg — without this they each ran
+    // the full ReconcileMax, dragging `value` (the widest column) into
+    // their scans; now column pruning drops it from both
+    shadowByContainersGiven(latestCells(cells),
+      rowTombstones(cells), superTombstones(cells)).filter(!col("tombstone"))
 
   /** Live view with precomputed horizons (sidecar read path). */
   def liveViewGiven(cells: DataFrame, rowDel: DataFrame, scDel: DataFrame): DataFrame =
@@ -129,7 +136,10 @@ object Reconcile {
     */
   def compacted(cells: DataFrame, gcBeforeSeconds: Int): DataFrame = {
     val latest = latestCells(cells)
-    val live = shadowByContainers(latest)
+    // raw-derived horizons for the same reason as liveView: the marker
+    // branches stay value-free (column-pruned scans)
+    val live = shadowByContainersGiven(latest,
+      rowTombstones(cells), superTombstones(cells))
     val keptColumns = live.filter(
       !col("tombstone") || col("local_del_time") >= gcBeforeSeconds)
     // container markers survive GC the same way (ColumnFamilyStore.removeDeleted)
