@@ -127,6 +127,21 @@ class Keyspace(val spark: SparkSession, val name: String) {
     spark.sql(s"SHOW TABLES IN $name").select(col("tableName").as("column_family"))
       .filter(!col("column_family").rlike("__(hrow|hsc|compacting|staging)$"))
 
+  /** describe_keyspace with full CF metadata (thrift:437-443 returns the
+    * CfDef fields; here they come back out of the table properties).
+    */
+  def describeDetailed(): DataFrame = {
+    import spark.implicits._
+    describe().collect().map(_.getString(0))
+      .map { cf =>
+        val m = columnFamilyMeta(cf)
+        (cf, m.comparator.toString, m.subComparator.toString, m.isSuper,
+          m.partitioner.toString, m.gcGraceSeconds, m.domainSplit)
+      }.toSeq
+      .toDF("column_family", "comparator", "sub_comparator", "is_super",
+        "partitioner", "gc_grace_seconds", "domain_split")
+  }
+
   /** Q8 `batch_mutate` across column families (thrift:415-418 —
     * map<key, map<cf, list<Mutation>>>; RowMutation folds all CFs of one
     * key into one commit-log entry, db/RowMutation.java:270-289). Every

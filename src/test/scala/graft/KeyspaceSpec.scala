@@ -101,6 +101,9 @@ class KeyspaceSpec extends SparkSpec {
       ks.saveColumnFamily(cellsDf(Seq(
         Cell("k1", b("sc"), bl(1L), b("v"), 1, tombstone = false, 0))), meta, buckets = 2)
       assert(ks.columnFamilyMeta("cfm") == meta)
+      val det = ks.describeDetailed().collect()
+        .map(r => r.getString(0) -> ((r.getString(1), r.getBoolean(3), r.getBoolean(6)))).toMap
+      assert(det("cfm") == (("Long_", true, true)))
       // the by-name lens observes the metadata (super slicing works)
       val lens = ks.columnFamily("cfm")
       assert(lens.meta.isSuper && lens.meta.comparator == ComparatorType.Long_)
