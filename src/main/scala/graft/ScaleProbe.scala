@@ -141,7 +141,9 @@ object ScaleProbe {
       spark.sparkContext.addSparkListener(listener)
       try {
         body
-        Thread.sleep(2000) // let the listener bus drain
+        // deterministic drain — a fixed sleep can undercount when the bus
+        // is still queueing onTaskEnd events under load
+        org.apache.spark.graft.ListenerDrain.waitUntilEmpty(spark.sparkContext)
       } finally spark.sparkContext.removeSparkListener(listener)
       (written.get(), read.get())
     }

@@ -113,7 +113,10 @@ object StreamBench {
     dedupQ.stop()
     val dedupIn = docs.length * 2L
     val dedupRate = dedupIn / dedupElapsed
-    val distinctTexts = docs.map(d => d._2.toLowerCase.replaceAll("\\s+", " ").trim).distinct.length
+    // Locale.ROOT mirrors Spark's locale-independent lower() — the default-
+    // locale overload diverges on e.g. Turkish dotted-I
+    val distinctTexts = docs.map(d =>
+      d._2.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ").trim).distinct.length
     val dedupOut = spark.table("graft_streambench_dedup").count()
     assert(dedupOut == distinctTexts,
       s"streaming dedup emitted $dedupOut of $distinctTexts distinct docs")

@@ -189,6 +189,8 @@ object TextAnalysis {
       .agg(max(col("c")).as("top"), first(col("n")).as("n"), first(col("nd")).as("nd"))
       .select(col("id"),
         col("n").cast("long").as("n_tokens"),
-        expr("CAST((n - nd) * 1000 DIV n AS BIGINT)").as("dup_token_permille"),
-        expr("CAST(top * 1000 DIV (n - 1) AS BIGINT)").as("top_bigram_permille"))
+        expr("(CAST(n AS BIGINT) - CAST(nd AS BIGINT)) * 1000L DIV CAST(n AS BIGINT)")
+          .as("dup_token_permille"),
+        expr("CAST(top AS BIGINT) * 1000L DIV (CAST(n AS BIGINT) - 1L)")
+          .as("top_bigram_permille"))
 }

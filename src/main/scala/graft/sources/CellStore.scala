@@ -189,23 +189,34 @@ object CellStore {
     */
   def dropManaged(spark: SparkSession, tableName: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
     val parts = tableName.split('.')
     val rel = if (parts.length == 2) s"${parts(0)}.db/${parts(1)}" else parts(0)
-    val loc = new java.io.File(wh, rel)
-    if (loc.exists()) new scala.reflect.io.Directory(loc).deleteRecursively()
+    // Hadoop FS API so a non-local warehouse (hdfs://, s3a://) is handled
+    // too, not just file: paths
+    val loc = new org.apache.hadoop.fs.Path(wh.stripSuffix("/") + "/" + rel)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
   }
 
   /** Replace a managed table's contents via a staging table + catalog
     * rename (safe when `df` READS from the table being replaced — the
-    * staging write completes before the old table drops).
+    * staging write completes before the old table drops). Publish is
+    * rename-aside: the old table is renamed out of the way, staging is
+    * renamed in, and only then is the old copy dropped — a failure at any
+    * point leaves a complete table reachable (under the name, or under
+    * `__old` for the one-statement window between the two renames).
     */
   def replaceTable(spark: SparkSession, tableName: String, df: DataFrame): Unit = {
     val staged = s"${tableName}__staging"
+    val old = s"${tableName}__old"
     dropManaged(spark, staged)
+    dropManaged(spark, old)
     df.write.mode("overwrite").format("parquet").saveAsTable(staged)
-    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    if (spark.catalog.tableExists(tableName))
+      spark.sql(s"ALTER TABLE $tableName RENAME TO $old")
     spark.sql(s"ALTER TABLE $staged RENAME TO $tableName")
+    spark.sql(s"DROP TABLE IF EXISTS $old")
   }
 
   /** Major compaction of a bucketed catalog CF IN PLACE
@@ -218,15 +229,20 @@ object CellStore {
     * bucket, also exchange-free. At 100 TB this makes major compaction a
     * single scan+rewrite with zero network movement.
     *
-    * Publish swaps a staging table into the name via catalog rename — the
+    * Publish swaps a staging table into the name via rename-aside — the
     * managed-table analog of compactWithHorizons' directory-rename commit:
-    * a failure before the final rename leaves the original table intact.
+    * the pre-compaction table is renamed to `__old`, staging renamed in,
+    * and only then is `__old` dropped, so a failure at any step leaves a
+    * complete copy reachable (never a missing name with data stranded in
+    * the staging table).
     */
   def compactBucketed(spark: SparkSession, tableName: String, meta: CfMeta,
       gcBeforeSeconds: Int, buckets: Int,
       processors: Seq[graft.operators.Compaction.RowProcessor] = Nil): Unit = {
     val staged = s"${tableName}__compacting"
+    val old = s"${tableName}__old"
     dropManaged(spark, staged)
+    dropManaged(spark, old)
     // compaction reduces to the canonical cell columns; the rewrite
     // re-derives the layout — domain-partitioned when the CF metadata
     // says so, plain bucketed otherwise
@@ -235,12 +251,35 @@ object CellStore {
       gcBeforeSeconds, processors)
     if (meta.domainSplit) writeDomainBucketed(compacted, meta, staged, buckets)
     else writeBucketed(compacted, meta, staged, buckets)
-    spark.sql(s"DROP TABLE $tableName")
-    spark.sql(s"ALTER TABLE $staged RENAME TO $tableName")
     // a partitioned table's per-partition locations are registered in the
-    // catalog ABSOLUTELY — the rename moves the directory but not those
-    // entries, so recover them from the filesystem
-    if (meta.domainSplit) spark.sql(s"MSCK REPAIR TABLE $tableName")
+    // catalog ABSOLUTELY and survive the rename unchanged, so after each
+    // rename the moved table's entries point at the PREVIOUS directory —
+    // for the renamed-aside old copy that is the LIVE name's directory, and
+    // DROP TABLE deletes by partition location. Purge the stale entries
+    // metadata-only (retainData) before any drop can see them, then
+    // re-register the live table's partitions from the filesystem.
+    spark.sql(s"ALTER TABLE $tableName RENAME TO $old")
+    if (meta.domainSplit) dropPartitionMetadata(spark, old)
+    spark.sql(s"ALTER TABLE $staged RENAME TO $tableName")
+    if (meta.domainSplit) {
+      dropPartitionMetadata(spark, tableName)
+      spark.sql(s"MSCK REPAIR TABLE $tableName")
+    }
+    spark.sql(s"DROP TABLE $old")
+  }
+
+  /** Remove a table's partition registrations WITHOUT touching data —
+    * catalog partition locations are absolute, so after a table rename they
+    * still point at the pre-rename directory and a managed DROP (table or
+    * partition) would delete whatever now lives there.
+    */
+  private def dropPartitionMetadata(spark: SparkSession, tableName: String): Unit = {
+    val id = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
+    val cat = spark.sessionState.catalog
+    val specs = cat.listPartitions(id).map(_.spec)
+    if (specs.nonEmpty)
+      cat.dropPartitions(id, specs, ignoreIfNotExists = true, purge = false,
+        retainData = true)
   }
 
   /** domainSplit COMPOSED with the ring layout: the 2-char key domain is
