@@ -17,6 +17,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       // events.parquet carries INT64 TIMESTAMP(NANOS) — surfaces as Long nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // task-side output commit (v2): v1 renames every task's files
+      // SEQUENTIALLY on the driver at job end, which dominates partitioned
+      // writes (domainSplit emits ~100 directories) and grows with file
+      // count at scale
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false")
 
   def create(master: String = s"local[$cpus]"): SparkSession = {

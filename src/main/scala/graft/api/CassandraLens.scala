@@ -231,19 +231,59 @@ class CassandraLens(
   private def restrictToPickedKeys(pre: DataFrame, startToken: Option[Column],
       maxKeys: Int): DataFrame = {
     if (maxKeys == Int.MaxValue) return withToken(liveFrom(pre))
-    val picked = RangeScan.pickKeys(withToken(liveFrom(pre)), maxKeys, startToken)
-    val restricted =
-      if (maxKeys <= 10000) {
-        // materialize the page's key list (the reference's coordinator does
-        // exactly this per get_range_slices page): the picking plan runs
-        // ONCE as an action instead of being re-executed inside every
-        // branch of the slice pass, and the key list pushes into the
-        // parquet scan as an In filter (blooms + row-group pruning)
-        val keys = picked.collect().map(_.getString(0)).toSeq
+    // no pickKeys here: liveKeySet is already key-distinct, so a second
+    // distinct() would add a redundant exchange+aggregate stage
+    val picked = withToken(liveKeySet(pre))
+      .orderBy(RangeScan.ringOrder(col("token"), startToken), col("key"))
+      .limit(maxKeys)
+      .select(col("key"))
+    if (maxKeys <= 10000) {
+      // materialize the page's key list (the reference's coordinator does
+      // exactly this per get_range_slices page): the picking plan runs
+      // ONCE as an action instead of being re-executed inside every
+      // branch of the slice pass, and the key list pushes into the
+      // parquet scan as an In filter (blooms + row-group pruning)
+      val keys = picked.collect().map(_.getString(0)).toSeq
+      val restricted =
         if (keys.isEmpty) pre.filter(lit(false))
         else pre.filter(col("key").isin(keys: _*))
-      } else pre.join(broadcast(picked), Seq("key"), "left_semi")
-    withToken(liveFrom(restricted))
+      withToken(liveFrom(restricted))
+    } else {
+      withToken(liveFrom(pre.join(broadcast(picked), Seq("key"), "left_semi")))
+    }
+  }
+
+  /** The set of LIVE keys of a raw cell range, computed WITHOUT values:
+    * reconcile priority is (ts, tombstone, value) with the value bytes only
+    * breaking ties BETWEEN live cells, so whether a column's winner is live
+    * never depends on the value — encode the winner as max(ts<<1 |
+    * tombstone) (one long buffer: plans as a plain HashAggregate; a struct
+    * buffer would fall back to SortAggregate) and compare it against the
+    * container deletion horizons. The value column — the bulk of the bytes
+    * at 100 TB — is never read, and the whole pick is ONE column-pruned
+    * aggregation instead of a full reconcile.
+    */
+  private def liveKeySet(pre: DataFrame): DataFrame = {
+    val win = pre
+      .filter(col("col_name").isNotNull)
+      .groupBy(col("key"), col("super_name"), col("col_name"))
+      .agg(max(shiftleft(col("ts"), 1) + col("tombstone").cast("long")).as("enc"))
+    val (rowH, scH) = horizons match {
+      case Some((r, s)) =>
+        (r.select(col("key"), col("row_del_ts")),
+          s.select(col("key"), col("super_name"), col("sc_del_ts")))
+      case None =>
+        (Reconcile.rowTombstones(pre).select(col("key"), col("row_del_ts")),
+          Reconcile.superTombstones(pre)
+            .select(col("key"), col("super_name"), col("sc_del_ts")))
+    }
+    win
+      .join(rowH, Seq("key"), "left")
+      .join(scH, Seq("key", "super_name"), "left")
+      .filter(col("enc").bitwiseAND(1) === 0 &&
+        shiftright(col("enc"), 1) > coalesce(
+          greatest(col("row_del_ts"), col("sc_del_ts")), lit(Long.MinValue)))
+      .select(col("key")).distinct()
   }
 
   /** Q6 `get_range_slices` over a TOKEN range (start-exclusive,
