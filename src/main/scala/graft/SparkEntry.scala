@@ -773,6 +773,46 @@ object SparkEntry {
           col("dup_token_permille"), col("top_bigram_permille"))
     }),
 
+    // Benchmark decontamination: train docs sharing any word 5-gram with
+    // the eval slice (doc_id % 20 == 0); eval n-grams broadcast.
+    "p27_decontaminate" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      graft.pipeline.TextAnalysis.decontaminate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 5)
+        .select(col("id").as("doc_id"), col("n_matched_grams"))
+    }),
+
+    // Deterministic mixture sampling: per-language per-mille keep rates on
+    // the 60-bit md5 hash of the doc id — map-side only, no shuffle.
+    "p28_mixture_sample" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.TextAnalysis.mixtureSample(table(s, dir, "documents"),
+        "doc_id", "text", Seq("en" -> 700, "de" -> 400, "es" -> 550),
+        defaultPermille = 250)
+        .select(col("id").as("doc_id"), col("lang"), col("bucket"))
+    }),
+
+    // Deterministic global shuffle + sharding: hash-derived shard and
+    // within-shard position (per-shard windows, no global sort).
+    "p29_shuffle_shard" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.TextAnalysis.shuffleShard(table(s, dir, "documents"),
+        "doc_id", nShards = 16)
+        .select(col("id").as("doc_id"), col("shard"), col("pos"))
+    }),
+
+    // Top-3 distinctive terms per doc by exact-integer tf/df score.
+    "p30_distinctive_terms" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.TextAnalysis.distinctiveTerms(table(s, dir, "documents"),
+        "doc_id", "text", k = 3)
+        .select(col("id").as("doc_id"), col("term"), col("tf"), col("df"),
+          col("score"))
+    }),
+
     // Multimodal plumbing: opaque binary column → batched feature
     // extraction (decode step STUBBED — see Multimodal.decodeStub).
     "p12_multimodal" -> ((s, dir) => {
@@ -822,6 +862,14 @@ object SparkEntry {
     * hash is md5's first 15 hex chars read as an integer — reconstructed
     * in SQL as a positional nibble sum (strpos into the hex alphabet).
     */
+  /** DuckDB expression for the 60-bit value of md5(inner)'s first 15 hex
+    * chars — mirrors TextAnalysis.hash60 (DuckDB has no conv()).
+    */
+  private def hash60Sql(inner: String): String =
+    (1 to 15).map { p =>
+      s"(strpos('0123456789abcdef', substr(md5($inner), $p, 1)) - 1) * ${java.math.BigInteger.valueOf(16L).pow(15 - p)}::BIGINT"
+    }.mkString("(", " + ", ")")
+
   private lazy val rollingFpOracle: String = {
     val nibbleSum = (1 to 15).map { p =>
       s"(strpos('0123456789abcdef', substr(m, $p, 1)) - 1) * ${java.math.BigInteger.valueOf(16L).pow(15 - p)}::BIGINT"
@@ -1406,6 +1454,58 @@ object SparkEntry {
         |       CAST(((n - nd) * 1000) // n AS BIGINT) AS dup_token_permille,
         |       CAST((top * 1000) // (n - 1) AS BIGINT) AS top_bigram_permille
         |FROM b JOIN t ON t.doc_id = b.doc_id""".stripMargin,
+
+    "p27_decontaminate" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 3),
+        |        i -> array_to_string(toks[i:i+4], ' '))) AS grams
+        |      FROM t WHERE len(toks) >= 5),
+        |eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0),
+        |dg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 20 <> 0)
+        |SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_matched_grams
+        |FROM dg JOIN eg USING (gram) GROUP BY 1""".stripMargin,
+
+    "p28_mixture_sample" ->
+      s"""WITH s AS (SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist|ein)\\b')) AS s_de,
+        |  len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is)\\b')) AS s_en,
+        |  len(regexp_extract_all(lower(text), '\\b(el|la|de|que|y|en)\\b')) AS s_es,
+        |  len(regexp_extract_all(lower(text), '\\b(le|la|de|et|les|un)\\b')) AS s_fr
+        |  FROM documents),
+        |l AS (SELECT doc_id,
+        |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_fr THEN 'es'
+        |       ELSE 'fr' END AS lang
+        |  FROM s),
+        |h AS (SELECT doc_id, lang,
+        |        ${hash60Sql("CAST(doc_id AS VARCHAR)")} % 1000 AS bucket
+        |      FROM l)
+        |SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket FROM h
+        |WHERE bucket < CASE lang WHEN 'en' THEN 700 WHEN 'de' THEN 400
+        |                         WHEN 'es' THEN 550 ELSE 250 END""".stripMargin,
+
+    "p29_shuffle_shard" ->
+      s"""WITH h AS (SELECT doc_id,
+        |        ${hash60Sql("CAST(doc_id AS VARCHAR)")} AS h60
+        |      FROM documents)
+        |SELECT doc_id, CAST(h60 % 16 AS BIGINT) AS shard,
+        |       CAST(row_number() OVER (PARTITION BY h60 % 16 ORDER BY h60, doc_id)
+        |            AS BIGINT) AS pos
+        |FROM h""".stripMargin,
+
+    "p30_distinctive_terms" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |           FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |d AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
+        |s AS (SELECT doc_id, term, tf, df, (tf * 1000000000) // df AS score FROM d),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, term) AS rn FROM s)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |       CAST(score AS BIGINT) AS score
+        |FROM r WHERE rn <= 3""".stripMargin,
 
     "p12_multimodal" ->
       """SELECT doc_id, source AS kind,

@@ -193,4 +193,98 @@ object TextAnalysis {
           .as("dup_token_permille"),
         expr("CAST(top AS BIGINT) * 1000L DIV (CAST(n AS BIGINT) - 1L)")
           .as("top_bigram_permille"))
+
+  // ---- corpus-level training-data operators ----
+
+  /** 60-bit deterministic hash of any column (md5 of its string form, first
+    * 15 hex chars) — the cross-engine-reproducible sampling/sharding hash
+    * (same trick as [[rollingFingerprint]]; always non-negative).
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(encode(c.cast("string"), "UTF-8")), 1, 15), 16, 10).cast("long")
+
+  /** Benchmark decontamination (GPT-3 appx C / The Pile style): flag every
+    * training document sharing at least one word n-gram with the eval set.
+    * Returns (id, n_matched_grams) for CONTAMINATED docs only. The eval
+    * set is tiny next to the corpus, so its distinct n-grams BROADCAST and
+    * the train side stays a single pass: tokenize → explode distinct
+    * n-grams → broadcast semi-join → per-doc count. The only shuffle is the
+    * per-doc count of MATCHED rows (rare by construction at 100 TB).
+    */
+  def decontaminate(docs: org.apache.spark.sql.DataFrame,
+      evalDocs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    def grams(df: org.apache.spark.sql.DataFrame, keepId: Boolean) = {
+      val base = df.select(
+        (if (keepId) col(idCol) else lit(0L)).as("id"), tokens(col(textCol)).as("_toks"))
+        .filter(size(col("_toks")) >= n)
+        .select(col("id"), explode(array_distinct(
+          transform(sequence(lit(1), size(col("_toks")) - (n - 1)),
+            i => concat_ws(" ", slice(col("_toks"), i, lit(n)))))).as("gram"))
+      if (keepId) base else base.select(col("gram")).distinct()
+    }
+    grams(docs, keepId = true)
+      .join(broadcast(grams(evalDocs, keepId = false)), Seq("gram"), "left_semi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_matched_grams"))
+  }
+
+  /** Deterministic mixture sampling (training-data domain mixing): keep a
+    * document iff hash60(id) mod 1000 falls under its language's per-mille
+    * rate. Pure map-side filter — NO shuffle, no randomness, reproducible
+    * and resumable at any scale; rates are a literal CASE chain so the
+    * filter stays inside whole-stage codegen.
+    */
+  def mixtureSample(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, ratesPermille: Seq[(String, Int)],
+      defaultPermille: Int): org.apache.spark.sql.DataFrame = {
+    val rate = ratesPermille.foldRight(lit(defaultPermille): Column) {
+      case ((lang, r), acc) => when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+    docs
+      .select(col(idCol).as("id"), langId(col(textCol)).as("lang"),
+        (hash60(col(idCol)) % 1000).as("bucket"))
+      .filter(col("bucket") < rate)
+  }
+
+  /** Deterministic global shuffle + sharding (training-order
+    * randomization): shard = hash60(id) mod nShards, position = rank of
+    * (hash60, id) WITHIN the shard. Per-shard windows, never a global
+    * sort — each shard sorts independently, so the operation scales out
+    * with executors instead of funnelling into one partition.
+    */
+  def shuffleShard(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      nShards: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col("id"))
+    docs
+      .select(col(idCol).as("id"), hash60(col(idCol)).as("h"))
+      .withColumn("shard", col("h") % nShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("h")
+  }
+
+  /** Top-k distinctive terms per document, scored by the EXACT rational
+    * tf/df (integer-scaled; tf and df ride along so any idf weighting is
+    * derivable downstream — a float tf·idf would not survive cross-engine
+    * hash comparison). ONE tokenize pass: tf aggregation, then df as a
+    * count over a term-partitioned window (re-joining the tf aggregate
+    * would run it twice — the subtree-duplication gotcha), then a per-doc
+    * rank that WindowGroupLimit prunes map-side.
+    */
+  def distinctiveTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("score").desc, col("term"))
+    docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(wDf))
+      .withColumn("score", expr("tf * 1000000000L DIV df"))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
 }

@@ -401,6 +401,67 @@ class PipelineSpec extends SparkSpec {
     assert(fps(0) == fps(1) && fps(0) != fps(2))
   }
 
+  test("decontamination flags exactly the docs sharing an eval n-gram") {
+    import spark.implicits._
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // shares the eval 5-gram
+      (11L, "alpha beta gamma DELTA epsilon zeta"), // case-insensitive match
+      (12L, "one two three four five six seven"), // clean
+      (13L, "short text")) // below n tokens
+      .toDF("doc_id", "text")
+    val eval = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminate(train, eval, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(10L -> 1L, 11L -> 1L))
+  }
+
+  test("mixture sampling is a deterministic per-language hash filter") {
+    import spark.implicits._
+    val d = (0L until 200L).map(i =>
+      (i, if (i % 2 == 0) "the cat and the dog of the house in the night"
+          else "el perro y el gato de la casa que ladra en la noche"))
+      .toDF("doc_id", "text")
+    val keep = TextAnalysis.mixtureSample(d, "doc_id", "text",
+      Seq("en" -> 1000, "es" -> 0), defaultPermille = 0)
+    val kept = keep.collect()
+    // es rate 0 => only english docs survive; en rate 1000 => ALL of them
+    assert(kept.forall(_.getString(1) == "en"))
+    assert(kept.length == 100)
+    // deterministic: a second run yields the identical id set
+    assert(keep.collect().map(_.getLong(0)).toSet == kept.map(_.getLong(0)).toSet)
+    // buckets come from hash60 mod 1000
+    assert(kept.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 1000))
+  }
+
+  test("shuffle-shard assigns every doc a unique (shard, pos) with dense pos") {
+    import spark.implicits._
+    val d = (0L until 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = TextAnalysis.shuffleShard(d, "doc_id", nShards = 8).collect()
+    assert(out.length == 500)
+    val byShard = out.groupBy(_.getLong(1))
+    assert(byShard.keySet.subsetOf((0L until 8L).toSet))
+    // positions within a shard are 1..n (dense ranks, no gaps/dupes)
+    byShard.values.foreach { rs =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // the order is a real permutation: not simply sorted by doc_id
+    val shard0 = out.filter(_.getLong(1) == 0L).sortBy(_.getLong(2)).map(_.getLong(0))
+    assert(shard0.length > 2 && shard0.toSeq != shard0.sorted.toSeq)
+  }
+
+  test("distinctive terms rank the document-specific token first") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the the the zebra"), // 'zebra' unique to doc 1, 'the' everywhere
+      (2L, "the the quokka"),
+      (3L, "the wombat wombat")).toDF("doc_id", "text")
+    val out = TextAnalysis.distinctiveTerms(d, "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(2L) == (("quokka", 1L, 1L))) // 1/1 = 1e9 beats the's 2/3
+    assert(out(3L) == (("wombat", 2L, 1L))) // 2/1 = 2e9 tops
+    assert(out(1L) == (("the", 3L, 3L))) // zebra ties at 1e9; term-asc tiebreak
+  }
+
   test("multimodal resize/frame-sample stubs keep plumbing shape") {
     import spark.implicits._
     val items = Seq(Multimodal.MediaItem(1L, "video", Array.tabulate(1000)(_.toByte))).toDS()
