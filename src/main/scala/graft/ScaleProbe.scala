@@ -126,15 +126,17 @@ object ScaleProbe {
     // shuffle-write bytes (task metrics). The bucketed path's reconcile +
     // horizon aggregates all run in place — at 100 TB the difference is
     // the entire table crossing the network vs nothing.
-    def withShuffleBytes(body: => Unit): (Long, Long) = {
+    def withTaskBytes(body: => Unit): (Long, Long, Long) = {
       val written = new java.util.concurrent.atomic.AtomicLong()
       val read = new java.util.concurrent.atomic.AtomicLong()
+      val input = new java.util.concurrent.atomic.AtomicLong()
       val listener = new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = te.taskMetrics
           if (m != null) {
             written.addAndGet(m.shuffleWriteMetrics.bytesWritten)
             read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            input.addAndGet(m.inputMetrics.bytesRead)
           }
         }
       }
@@ -145,7 +147,11 @@ object ScaleProbe {
         // is still queueing onTaskEnd events under load
         org.apache.spark.graft.ListenerDrain.waitUntilEmpty(spark.sparkContext)
       } finally spark.sparkContext.removeSparkListener(listener)
-      (written.get(), read.get())
+      (written.get(), read.get(), input.get())
+    }
+    def withShuffleBytes(body: => Unit): (Long, Long) = {
+      val (w, r, _) = withTaskBytes(body)
+      (w, r)
     }
     val probeDir = java.nio.file.Files.createTempDirectory("graft_probe").toString
     graft.sources.CellStore.write(base, CellEncodings.ordersMeta, s"$probeDir/runs")
@@ -162,6 +168,34 @@ object ScaleProbe {
     }
     println(f"[scale] compaction shuffle-write bytes: plain-runs=$wPlain%,d  bucketed=$wBucketed%,d")
     spark.sql("DROP TABLE IF EXISTS graft_probe_bucketed")
+
+    // Range-pick probe: bytes a get_range_slices page pays to FIND its
+    // first 1000 live keys. The old pick reconciled the whole range
+    // (values included); the value-free pick aggregates (ts<<1|tombstone)
+    // per column — the value bytes never leave the parquet reader.
+    val scan = spark.read.parquet(s"$probeDir/runs")
+    val probeLens = new CassandraLens(scan, CellEncodings.ordersMeta)
+    def timed(body: => Unit): (Double, (Long, Long, Long)) = {
+      val t0 = System.nanoTime()
+      val b = withTaskBytes(body)
+      (((System.nanoTime() - t0) / 1e9), b)
+    }
+    def readSchemas(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        .linesIterator.filter(_.contains("ReadSchema")).map(_.trim).mkString(" | ")
+    val oldPick = graft.operators.RangeScan.pickKeys(
+      graft.operators.Reconcile.liveView(scan).withColumn("token",
+        graft.model.Tokens.token(CellEncodings.ordersMeta.partitioner, col("key"))),
+      1000)
+    val newPick = probeLens.liveKeySet(scan).withColumn("token",
+      graft.model.Tokens.token(CellEncodings.ordersMeta.partitioner, col("key")))
+      .orderBy(col("token"), col("key")).limit(1000)
+    val (dtOld, (_, _, inOld)) = timed { oldPick.collect() }
+    val (dtNew, (_, _, inNew)) = timed { newPick.collect() }
+    println(f"[scale] range-pick 1000 keys: full-reconcile in=$inOld%,d B $dtOld%5.2f s; value-free in=$inNew%,d B $dtNew%5.2f s")
+    println(s"[scale] range-pick ReadSchema old: ${readSchemas(oldPick)}")
+    println(s"[scale] range-pick ReadSchema new: ${readSchemas(newPick)}")
     spark.stop()
   }
 }

@@ -263,7 +263,7 @@ class CassandraLens(
     * at 100 TB — is never read, and the whole pick is ONE column-pruned
     * aggregation instead of a full reconcile.
     */
-  private def liveKeySet(pre: DataFrame): DataFrame = {
+  private[graft] def liveKeySet(pre: DataFrame): DataFrame = {
     val win = pre
       .filter(col("col_name").isNotNull)
       .groupBy(col("key"), col("super_name"), col("col_name"))

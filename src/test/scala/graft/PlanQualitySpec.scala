@@ -35,6 +35,20 @@ class PlanQualitySpec extends SparkSpec {
       plan.linesIterator.filter(_.contains("WindowGroupLimit")).mkString("\n"))
   }
 
+  test("range-pick live-key set never reads the value column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_pick").toString
+    graft.sources.CellStore.write(cellsDf(cells), CfMeta("t"), dir, numPartitions = 2)
+    val stored = new CassandraLens(spark.read.parquet(dir), CfMeta("t"))
+    val formatted = stored.liveKeySet(spark.read.parquet(dir)).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val schemas = formatted.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.nonEmpty, formatted.take(1500))
+    // the pick aggregates (ts<<1|tombstone) winners and horizon markers —
+    // the value column (the bulk of the bytes at scale) must be pruned
+    // from every scan the pick performs
+    assert(schemas.forall(!_.contains("value")), schemas.mkString("\n"))
+  }
+
   test("bucketed store: the range-scan reconcile runs without an Exchange") {
     val loc = new java.io.File("spark-warehouse/graft_pq_bucketed")
     if (loc.exists()) new scala.reflect.io.Directory(loc).deleteRecursively()
