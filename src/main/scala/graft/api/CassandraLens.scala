@@ -181,19 +181,32 @@ class CassandraLens(
     }
 
   /** Q5 `get_count` over every key (the hadoop-connector-style full scan
-    * shape): live top-level-entity count per key.
+    * shape): live top-level-entity count per key. Counting never needs the
+    * cell VALUES (liveness is decided by ts/tombstone/horizons alone), so
+    * the uncached path counts over the value-free [[liveColumns]] frame —
+    * the value column stays pruned out of the scan.
     */
-  def getCountAll: DataFrame = Slice.count(live, meta.isSuper)
+  def getCountAll: DataFrame = cachedLive match {
+    case Some(c) => Slice.count(c, meta.isSuper)
+    case None => Slice.count(liveColumns(cells), meta.isSuper)
+  }
 
-  /** Q5 `get_count` (thrift:342-346): live column count per key. */
+  /** Q5 `get_count` (thrift:342-346): live column count per key —
+    * value-free like [[getCountAll]] unless the row cache already holds
+    * the reconciled view.
+    */
   def getCount(keys: Seq[String], superName: Option[Array[Byte]]): DataFrame = {
     val keyPred = col("key").isin(keys: _*)
+    val base = cachedLive match {
+      case Some(c) => c.filter(keyPred)
+      case None => liveColumns(cells.filter(keyPred))
+    }
     superName match {
       case Some(sc) =>
-        Slice.count(liveOf(keyPred).filter(col("super_name") === lit(sc)),
+        Slice.count(base.filter(col("super_name") === lit(sc)),
           isSuper = false, perKey = Seq("key", "super_name"))
       case None =>
-        Slice.count(liveOf(keyPred), meta.isSuper)
+        Slice.count(base, meta.isSuper)
     }
   }
 
@@ -263,7 +276,14 @@ class CassandraLens(
     * at 100 TB — is never read, and the whole pick is ONE column-pruned
     * aggregation instead of a full reconcile.
     */
-  private[graft] def liveKeySet(pre: DataFrame): DataFrame = {
+  private[graft] def liveKeySet(pre: DataFrame): DataFrame =
+    liveColumns(pre).select(col("key")).distinct()
+
+  /** The live (key, super_name, col_name) set of a raw cell range,
+    * computed WITHOUT values — the shared metadata-only liveness frame
+    * behind [[liveKeySet]] and the value-free get_count paths.
+    */
+  private[graft] def liveColumns(pre: DataFrame): DataFrame = {
     val win = pre
       .filter(col("col_name").isNotNull)
       .groupBy(col("key"), col("super_name"), col("col_name"))
@@ -283,7 +303,7 @@ class CassandraLens(
       .filter(col("enc").bitwiseAND(1) === 0 &&
         shiftright(col("enc"), 1) > coalesce(
           greatest(col("row_del_ts"), col("sc_del_ts")), lit(Long.MinValue)))
-      .select(col("key")).distinct()
+      .select(col("key"), col("super_name"), col("col_name"))
   }
 
   /** Q6 `get_range_slices` over a TOKEN range (start-exclusive,

@@ -47,6 +47,12 @@ class PlanQualitySpec extends SparkSpec {
     // the value column (the bulk of the bytes at scale) must be pruned
     // from every scan the pick performs
     assert(schemas.forall(!_.contains("value")), schemas.mkString("\n"))
+    // get_count rides the same value-free frame
+    val countSchemas = stored.getCount(Seq("k001", "k002"), None).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(countSchemas.nonEmpty && countSchemas.forall(!_.contains("value")),
+      countSchemas.mkString("\n"))
   }
 
   test("bucketed store: the range-scan reconcile runs without an Exchange") {
