@@ -174,6 +174,25 @@ object Bench {
     }
     results += "read_domain" -> tReadD; rows += "read_domain" -> nReadD
 
+    // 3e. composed domainSplit ∘ bucketed catalog layout (the 100 TB
+    // layout: directory pruning AND shuffle-free reconcile in one table;
+    // write is insert_domain plus the bucket spec — setup untimed, the
+    // READ is what the composition changes)
+    CellStore.dropManaged(spark, "graft_bench_domain_bucketed")
+    val dbMeta = CellEncodings.ordersMeta.copy(domainSplit = true)
+    CellStore.writeDomainBucketed(
+      CellEncodings.ordersCells(spark, sfDir)
+        .unionByName(CellEncodings.ordersStatusFTombstones(spark, sfDir)),
+      dbMeta, "graft_bench_domain_bucketed", GraftSession.cpus.toInt)
+    val dbLens = new CassandraLens(
+      spark.table("graft_bench_domain_bucketed"), dbMeta)
+    val (tReadDb, nReadDb) = time {
+      val keys = (0L until 3000L by 20L).map(i => f"$i%010d")
+      dbLens.multigetSlice(keys, None, SliceRange(count = 5)).count()
+    }
+    results += "read_domain_bucketed" -> tReadDb; rows += "read_domain_bucketed" -> nReadDb
+    spark.sql("DROP TABLE IF EXISTS graft_bench_domain_bucketed")
+
     // 3d. horizon-sidecar store: runs + precomputed deletion horizons;
     // reads join two tiny tables instead of re-aggregating marker cells
     // out of the store (setup untimed — the write path is `insert` plus
