@@ -121,6 +121,21 @@ object ScaleProbe {
       println(f"[scale] ivf-pq nprobe=4 rerank=$rerank%3d recall@10=${recalls.sum / recalls.length}%5.3f (vs ivf nprobe=4 exact)")
     }
 
+    // OPQ-lite: same sweep with the variance-balancing dimension
+    // permutation — measures what the cheap rotation substitute buys on
+    // THIS corpus (isotropic embeddings gain little; skewed ones more).
+    val opqBook = Similarity.trainProductCodebook(emb, "vec_id", "embedding",
+      centroids, m = 8, ksub = 16, iters = 2, opq = true)
+    for (rerank <- Seq(20, 50)) {
+      val recalls = queries.map { case (qid, qv) =>
+        val got = topIds(Similarity.pqSearch(
+          emb.filter(col("vec_id") =!= qid), "vec_id", "embedding",
+          centroids, opqBook, qv, k = 10, nprobe = 4, rerank = rerank))
+        got.intersect(truth(qid)).size / 10.0
+      }
+      println(f"[scale] ivf-opq nprobe=4 rerank=$rerank%3d recall@10=${recalls.sum / recalls.length}%5.3f (permuted subspaces)")
+    }
+
     // Shuffle-elimination probe: major compaction over the bucketed
     // catalog layout vs over plain parquet runs, measured in actual
     // shuffle-write bytes (task metrics). The bucketed path's reconcile +

@@ -322,7 +322,15 @@ object Similarity {
     * Doubles throughout — the executor-side assignment expressions and
     * the driver-side query LUT must rank identically.
     */
-  case class ProductCodebook(dsub: Int, books: Array[Array[Array[Double]]]) {
+  /** `perm` is the OPQ-lite dimension permutation: residuals are reordered
+    * as permuted(i) = residual(perm(i)) BEFORE the contiguous subspace
+    * split, so each subspace gets a balanced share of the residual
+    * variance instead of whatever the storage order happens to group
+    * (full OPQ learns a rotation matrix; the permutation is its cheap,
+    * expression-only diagonal cousin). None = identity (plain PQ).
+    */
+  case class ProductCodebook(dsub: Int, books: Array[Array[Array[Double]]],
+      perm: Option[Array[Int]] = None) {
     def m: Int = books.length
     def ksub: Int = books.headOption.map(_.length).getOrElse(0)
   }
@@ -344,6 +352,35 @@ object Similarity {
     expr(s"zip_with($vecCol, element_at(map($entries), cell), (x, c) -> CAST(x AS DOUBLE) - c)")
   }
 
+  /** permuted(i) = r(perm(i)) as one codegen'd expression. */
+  private def permuteExpr(rCol: String, perm: Array[Int]): Column =
+    expr(s"transform(array(${perm.mkString(",")}), p -> element_at($rCol, p + 1))")
+
+  /** OPQ-lite: a variance-balancing dimension permutation. Greedy
+    * longest-processing-time assignment: dims sorted by residual variance
+    * descending, each placed in the subspace with the smallest variance
+    * sum that still has a free slot — deterministic, one aggregation over
+    * the residuals (per-dim var_pop), no learned rotation.
+    */
+  private def balancedPermutation(resid: DataFrame, m: Int, dsub: Int): Array[Int] = {
+    val vars = resid
+      .select(posexplode(col("r")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(var_pop(col("x")).as("v"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val order = (0 until m * dsub).sortBy(d => (-vars.getOrElse(d, 0.0), d))
+    val sums = Array.fill(m)(0.0)
+    val slots = Array.fill(m)(0)
+    val groups = Array.fill(m)(List.empty[Int])
+    for (d <- order) {
+      val s = (0 until m).filter(slots(_) < dsub)
+        .minBy(s => (sums(s), s))
+      sums(s) += vars.getOrElse(d, 0.0)
+      slots(s) += 1
+      groups(s) = d :: groups(s)
+    }
+    groups.flatMap(_.reverse)
+  }
+
   private def l2sqSub(subExpr: String, centroid: Array[Double]): Column =
     expr(
       s"""aggregate(zip_with($subExpr, ${arrayLitD(centroid)}, (x, y) -> (x - y) * (x - y)),
@@ -358,13 +395,20 @@ object Similarity {
     * expressions.
     */
   def trainProductCodebook(df: DataFrame, idCol: String, vecCol: String,
-      coarse: Array[Array[Float]], m: Int, ksub: Int, iters: Int): ProductCodebook = {
-    val resid = assignCell(df, vecCol, coarse)
+      coarse: Array[Array[Float]], m: Int, ksub: Int, iters: Int,
+      opq: Boolean = false): ProductCodebook = {
+    val resid0 = assignCell(df, vecCol, coarse)
       .select(col(idCol).as("id"), residualExpr(vecCol, coarse).as("r"))
       .localCheckpoint()
-    val dim = resid.select(size(col("r"))).head().getInt(0)
+    val dim = resid0.select(size(col("r"))).head().getInt(0)
     require(dim % m == 0, s"embedding dim $dim must divide into m=$m subspaces")
     val dsub = dim / m
+    val perm = if (opq) Some(balancedPermutation(resid0, m, dsub)) else None
+    val resid = perm match {
+      case Some(p) =>
+        resid0.select(col("id"), permuteExpr("r", p).as("r")).localCheckpoint()
+      case None => resid0
+    }
     val books = Array.tabulate(m) { s =>
       val subExpr = s"slice(r, ${s * dsub + 1}, $dsub)"
       val sub = resid.select(col("id"), expr(subExpr).as("sub"))
@@ -387,7 +431,7 @@ object Similarity {
       }
       cents
     }
-    ProductCodebook(dsub, books)
+    ProductCodebook(dsub, books, perm)
   }
 
   /** Encode every vector as its coarse cell + the m sub-centroid indices
@@ -397,8 +441,11 @@ object Similarity {
     */
   def encodePq(df: DataFrame, vecCol: String, coarse: Array[Array[Float]],
       pq: ProductCodebook): DataFrame = {
+    val rawResid = residualExpr(vecCol, coarse)
     val withResid = assignCell(df, vecCol, coarse)
-      .withColumn("_r", residualExpr(vecCol, coarse))
+      .withColumn("_r0", rawResid)
+      .withColumn("_r", pq.perm.map(permuteExpr("_r0", _)).getOrElse(col("_r0")))
+      .drop("_r0")
     val codeCols = (0 until pq.m).map { s =>
       val subExpr = s"slice(_r, ${s * pq.dsub + 1}, ${pq.dsub})"
       val cands = pq.books(s).zipWithIndex.toIndexedSeq.map { case (c, j) =>
@@ -422,7 +469,10 @@ object Similarity {
     import spark.implicits._
     val probeCells = nearestCells(coarse, queryVec, nprobe)
     val lutRows = probeCells.map { cell =>
-      val rq = queryVec.indices.map(i => queryVec(i).toDouble - coarse(cell)(i).toDouble)
+      val rq0 = queryVec.indices.map(i => queryVec(i).toDouble - coarse(cell)(i).toDouble)
+      // the query residual walks through the SAME OPQ permutation the
+      // stored codes were encoded under
+      val rq = pq.perm.map(p => p.toIndexedSeq.map(rq0)).getOrElse(rq0)
       val lut = Seq.tabulate(pq.m) { s =>
         Seq.tabulate(pq.ksub) { j =>
           var d = 0.0; var t = 0
@@ -481,6 +531,10 @@ object Similarity {
     (for (s <- pq.books.indices; j <- pq.books(s).indices)
       yield (s, j, pq.dsub, pq.books(s)(j).toSeq)).toDF("s", "j", "dsub", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_books")
+    pq.perm.foreach { p =>
+      p.zipWithIndex.map { case (d, i) => (i, d) }.toSeq.toDF("pos", "dim")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_perm")
+    }
     encodePq(df, vecCol, coarse, pq)
       .select(col(idCol).as("id"), col(vecCol).as("vec"), col("code"), col("cell"))
       .repartition(col("cell"))
@@ -498,7 +552,14 @@ object Similarity {
         r.getSeq[Double](r.fieldIndex("centroid")).toArray))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3)).toArray
-    (coarse, ProductCodebook(dsub, books))
+    val perm =
+      if (new org.apache.hadoop.fs.Path(s"$path/pq_perm").getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(s"$path/pq_perm")))
+        Some(spark.read.parquet(s"$path/pq_perm").orderBy("pos")
+          .collect().map(_.getAs[Int]("dim")))
+      else None
+    (coarse, ProductCodebook(dsub, books, perm))
   }
 
   /** Search a persisted IVF-PQ index: codes-only candidate scan over the

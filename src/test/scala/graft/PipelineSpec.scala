@@ -286,6 +286,38 @@ class PipelineSpec extends SparkSpec {
     assert(mean >= 0.8, s"clustered-data PQ recall@10 should be high, got $mean ($recalls)")
   }
 
+  test("OPQ-lite: valid permutation, balanced subspace variance, exactness kept") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // dims 0-3 carry 100x the variance of dims 4-15: the contiguous split
+    // would put ALL of it in subspace 0
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.tabulate(16)(d =>
+        if (d < 4) rnd.nextFloat() * 10 else rnd.nextFloat() * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val coarse = Similarity.trainCodebook(vecs, "vec_id", "embedding", k = 2, iters = 2)
+    val pq = Similarity.trainProductCodebook(vecs, "vec_id", "embedding",
+      coarse, m = 4, ksub = 8, iters = 2, opq = true)
+    val perm = pq.perm.get
+    assert(perm.sorted.toSeq == (0 until 16), s"not a permutation: ${perm.mkString(",")}")
+    // the four high-variance dims must spread across the four subspaces
+    val highVarHomes = (0 until 4).map(d => perm.indexOf(d) / 4)
+    assert(highVarHomes.toSet.size == 4,
+      s"high-variance dims all in subspaces $highVarHomes — not balanced")
+    // full-rerank search stays exact under the permutation
+    val qv = vecs.filter($"vec_id" === 3).select($"embedding").head().getSeq[Float](0).toArray
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.orderBy("rank").select("id").collect().map(_.getLong(0)).toSeq
+    val exact = ids(Similarity.ivfSearch(vecs, "vec_id", "embedding", coarse, qv, k = 5, nprobe = 2))
+    assert(ids(Similarity.pqSearch(vecs, "vec_id", "embedding", coarse, pq, qv,
+      k = 5, nprobe = 2, rerank = 200)) == exact)
+    // permutation survives the save/load round-trip
+    val dir = java.nio.file.Files.createTempDirectory("graft_opq").toString
+    Similarity.savePqIndex(vecs, "vec_id", "embedding", coarse, pq, s"$dir/idx")
+    assert(ids(Similarity.searchPqIndex(spark, s"$dir/idx", qv, k = 5, nprobe = 2,
+      rerank = 200)) == exact)
+  }
+
   test("hyperplane-LSH near-dup: planted pairs found, verification exact") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
