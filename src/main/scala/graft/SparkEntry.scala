@@ -813,6 +813,15 @@ object SparkEntry {
           col("score"))
     }),
 
+    // Corpus n-gram statistics: 50 most frequent word trigrams with
+    // occurrence and document-frequency counts.
+    "p31_ngram_stats" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.TextAnalysis.ngramStats(table(s, dir, "documents"),
+        "doc_id", "text", n = 3, k = 50)
+        .select(col("gram"), col("occurrences"), col("doc_freq"))
+    }),
+
     // Multimodal plumbing: opaque binary column → batched feature
     // extraction (decode step STUBBED — see Multimodal.decodeStub).
     "p12_multimodal" -> ((s, dir) => {
@@ -1506,6 +1515,19 @@ object SparkEntry {
         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
         |       CAST(score AS BIGINT) AS score
         |FROM r WHERE rn <= 3""".stripMargin,
+
+    "p31_ngram_stats" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+        |        i -> array_to_string(toks[i:i+2], ' '))) AS gram
+        |      FROM t WHERE len(toks) >= 3),
+        |c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        |a AS (SELECT gram, CAST(sum(c) AS BIGINT) AS occurrences,
+        |             CAST(count(*) AS BIGINT) AS doc_freq
+        |      FROM c GROUP BY 1)
+        |SELECT gram, occurrences, doc_freq FROM a
+        |ORDER BY occurrences DESC, gram LIMIT 50""".stripMargin,
 
     "p12_multimodal" ->
       """SELECT doc_id, source AS kind,

@@ -264,6 +264,29 @@ object TextAnalysis {
       .drop("h")
   }
 
+  /** Corpus n-gram statistics: the k most frequent word n-grams overall,
+    * with total occurrences and document frequency. One tokenize pass:
+    * per-(doc, gram) counts partial-aggregate map-side, the per-gram
+    * rollup sums them and counts the carrying docs in the same aggregate,
+    * and the global top-k is a TakeOrdered merge — no global sort, no
+    * second scan. The workhorse for stopword mining / contamination-risk
+    * audits over a whole corpus.
+    */
+  def ngramStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int, k: Int): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) >= n)
+      .select(col("id"), explode(
+        transform(sequence(lit(1), size(col("_toks")) - (n - 1)),
+          i => concat_ws(" ", slice(col("_toks"), i, lit(n))))).as("gram"))
+      .groupBy(col("id"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("gram"))
+      .agg(sum(col("c")).as("occurrences"), count(lit(1)).as("doc_freq"))
+      .orderBy(col("occurrences").desc, col("gram"))
+      .limit(k)
+
   /** Top-k distinctive terms per document, scored by the EXACT rational
     * tf/df (integer-scaled; tf and df ride along so any idf weighting is
     * derivable downstream — a float tf·idf would not survive cross-engine

@@ -494,6 +494,19 @@ class PipelineSpec extends SparkSpec {
     assert(out(1L) == (("the", 3L, 3L))) // zebra ties at 1e9; term-asc tiebreak
   }
 
+  test("ngram stats count occurrences and doc frequency with deterministic top-k") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c a b c"), // 'a b c' twice ('a b' twice, 'b c' twice too)
+      (2L, "a b c x y z"),
+      (3L, "x y z only here")).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramStats(d, "doc_id", "text", n = 3, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // 'a b c': 3 occurrences across 2 docs tops; then ties at 2 break on gram asc
+    assert(out.head == (("a b c", 3L, 2L)), out.mkString("; "))
+    assert(out.length == 2 && out(1)._2 <= 3L)
+  }
+
   test("multimodal resize/frame-sample stubs keep plumbing shape") {
     import spark.implicits._
     val items = Seq(Multimodal.MediaItem(1L, "video", Array.tabulate(1000)(_.toByte))).toDS()
