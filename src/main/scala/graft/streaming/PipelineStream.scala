@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.pipeline.TextAnalysis
@@ -42,4 +42,19 @@ object PipelineStream {
     */
   def qualityGate(docs: DataFrame, textCol: String): DataFrame =
     docs.filter(TextAnalysis.keepFlag(col(textCol)))
+
+  /** Streaming mixture sampling: the batch `mixtureSample` decision is a
+    * deterministic per-document hash, so it needs NO state on a stream —
+    * the same document admits or rejects identically whether it arrives
+    * in a feed or sits in a batch table (replays and retries included),
+    * which is exactly why the sampler hashes ids instead of using RNG.
+    */
+  def sampleGate(docs: DataFrame, idCol: String, textCol: String,
+      ratesPermille: Seq[(String, Int)], defaultPermille: Int): DataFrame = {
+    val rate = ratesPermille.foldRight(lit(defaultPermille): Column) {
+      case ((lang, r), acc) => when(TextAnalysis.langId(col(textCol)) === lang,
+        lit(r)).otherwise(acc)
+    }
+    docs.filter(TextAnalysis.hash60(col(idCol)) % 1000 < rate)
+  }
 }

@@ -92,6 +92,31 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(0L, 1L, 3L), s"dup doc 2 must be dropped, got $ids")
   }
 
+  test("streaming sample gate admits exactly the batch mixtureSample ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0L until 120L).map(i =>
+      (i, if (i % 2 == 0) "the cat and the dog of the house in the night"
+          else "el perro y el gato de la casa que ladra en la noche"))
+    val rates = Seq("en" -> 600, "es" -> 300)
+    val batchKept = graft.pipeline.TextAnalysis.mixtureSample(
+      docs.toDF("doc_id", "text"), "doc_id", "text", rates, defaultPermille = 0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.PipelineStream.sampleGate(
+      mem.toDS().toDF("doc_id", "text"), "doc_id", "text", rates, defaultPermille = 0)
+    val q = out.writeStream.format("memory").queryName("ssample")
+      .outputMode("append").start()
+    try {
+      docs.grouped(40).foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val streamKept = spark.table("ssample").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(streamKept == batchKept,
+      s"stream/batch sampling diverged: ${streamKept.diff(batchKept)} / ${batchKept.diff(streamKept)}")
+    assert(batchKept.nonEmpty && batchKept.size < 120)
+  }
+
   test("watermark-bounded streaming dedup: dups inside the delay drop, state expires") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
