@@ -76,9 +76,12 @@ object Dedup {
     val grouped = maxDocFreq
       .map(f => grouped0.filter(size(col("ids")) <= f)).getOrElse(grouped0)
       .localCheckpoint()
+    // one row per doc, referenced by BOTH size joins below — materialize
+    // once or the explode+aggregate over the shingle sets runs twice
     val sizes = grouped
       .select(explode(col("ids")).as("id"))
       .groupBy("id").agg(count(lit(1)).as("sz"))
+      .localCheckpoint()
     // pairs per shingle via sorted-id-set combination emission: the
     // emitted pair count is Σ_shingle C(freq,2), never a self-join
     val inter = grouped
