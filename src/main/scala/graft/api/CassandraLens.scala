@@ -345,24 +345,39 @@ class CassandraLens(
 
   // ---- Q11 / maintenance ----
 
-  /** describe_splits(n) (thrift:429-463, CassandraServer.java:644-655). */
+  /** The live (key, super, col) name set without values: existence and
+    * split computations only need NAMES, and running them through the full
+    * `live` reconcile would scan the value column just to drop it (the
+    * reconcile aggregate consumes values internally, so projection pruning
+    * cannot remove the read). The row cache, when present, is already
+    * materialized — use it directly.
+    */
+  private def liveNames: DataFrame = cachedLive match {
+    case Some(c) => c.select(col("key"), col("super_name"), col("col_name"))
+    case None => liveColumns(cells)
+  }
+
+  /** describe_splits(n) (thrift:429-463, CassandraServer.java:644-655) —
+    * value-free: splits depend on the live key population only.
+    */
   def describeSplits(n: Int): DataFrame =
-    RangeScan.describeSplits(withToken(live), n)
+    RangeScan.describeSplits(withToken(liveNames.select(col("key")).distinct()), n)
 
   /** ColumnsMayExistQueryFilter (fork, db/filter/ColumnsMayExistQueryFilter
     * .java:28-157): bulk existence probe for (key, col_name) pairs. The
     * reference answers probabilistically from memtable + column blooms;
     * the exact LEFT SEMI JOIN here is a correct refinement ("may exist" ⊇
-    * exact), with parquet blooms doing the probabilistic pruning below.
+    * exact), with parquet blooms doing the probabilistic pruning below —
+    * and the refinement never reads cell values.
     */
   def columnsExist(probe: DataFrame): DataFrame =
-    probe.join(live.select(col("key"), col("super_name"), col("col_name")),
+    probe.join(liveNames,
       probe.columns.toSeq.intersect(Seq("key", "super_name", "col_name")),
       "left_semi")
 
   /** FastRowMayExistQueryFilter (fork, :27-107): row-existence probe. */
   def rowsExist(keys: DataFrame): DataFrame =
-    keys.join(live.select("key").distinct(), Seq("key"), "left_semi")
+    keys.join(liveNames.select("key").distinct(), Seq("key"), "left_semi")
 
   /** Commit-log point-in-time replay (db/commitlog/CommitLog.java:168-173
     * `recover(maxReplayTimestamp)`, tools/ReplayLogs.java): the store as of

@@ -47,12 +47,19 @@ class PlanQualitySpec extends SparkSpec {
     // the value column (the bulk of the bytes at scale) must be pruned
     // from every scan the pick performs
     assert(schemas.forall(!_.contains("value")), schemas.mkString("\n"))
-    // get_count rides the same value-free frame
-    val countSchemas = stored.getCount(Seq("k001", "k002"), None).queryExecution
-      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      .linesIterator.filter(_.contains("ReadSchema")).toSeq
-    assert(countSchemas.nonEmpty && countSchemas.forall(!_.contains("value")),
-      countSchemas.mkString("\n"))
+    // get_count, existence probes, and describe_splits ride the same
+    // value-free frame
+    import spark.implicits._
+    val probes = Seq(
+      stored.getCount(Seq("k001", "k002"), None),
+      stored.rowsExist(Seq("k001").toDF("key")),
+      stored.describeSplits(2))
+    probes.foreach { df =>
+      val ss = df.queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        .linesIterator.filter(_.contains("ReadSchema")).toSeq
+      assert(ss.nonEmpty && ss.forall(!_.contains("value")), ss.mkString("\n"))
+    }
   }
 
   test("bucketed store: the range-scan reconcile runs without an Exchange") {
