@@ -203,6 +203,18 @@ object TextAnalysis {
   def hash60(c: Column): Column =
     conv(substring(md5(encode(c.cast("string"), "UTF-8")), 1, 15), 16, 10).cast("long")
 
+  /** Word n-grams (space-joined) of the whitespace tokenization as one
+    * expression; docs shorter than n yield an empty array. (The explicit
+    * short-doc guard matters: Spark's sequence(1, 0) counts DOWN.)
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Benchmark decontamination (GPT-3 appx C / The Pile style): flag every
     * training document sharing at least one word n-gram with the eval set.
     * Returns (id, n_matched_grams) for CONTAMINATED docs only. The eval

@@ -43,6 +43,23 @@ object PipelineStream {
   def qualityGate(docs: DataFrame, textCol: String): DataFrame =
     docs.filter(TextAnalysis.keepFlag(col(textCol)))
 
+  /** Streaming decontamination: emit the id of each arriving document
+    * that shares a word n-gram with the (static) eval-set gram table —
+    * once, on first discovery. Eval benchmarks are fixed while the crawl
+    * streams, so this is a stream-STATIC left-semi equi-join (stateless,
+    * broadcast below AQE's threshold) plus a `dropDuplicates(id)` state
+    * row per CONTAMINATED doc only — contamination is rare by
+    * construction, so state stays tiny on an unbounded feed.
+    */
+  def contaminatedIds(docs: DataFrame, evalGrams: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        explode(array_distinct(TextAnalysis.wordNgrams(col(textCol), n))).as("gram"))
+      .join(evalGrams.select(col("gram")), Seq("gram"), "left_semi")
+      .select(col("id"))
+      .dropDuplicates("id")
+
   /** Streaming mixture sampling: the batch `mixtureSample` decision is a
     * deterministic per-document hash, so it needs NO state on a stream —
     * the same document admits or rejects identically whether it arrives

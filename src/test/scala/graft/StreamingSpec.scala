@@ -92,6 +92,35 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(0L, 1L, 3L), s"dup doc 2 must be dropped, got $ids")
   }
 
+  test("streaming decontamination flags exactly the batch-contaminated ids, once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "alpha beta gamma DELTA epsilon zeta"),
+      (12L, "one two three four five six seven"),
+      (13L, "short text"))
+    val evalDocs = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val evalGrams = evalDocs.select(
+      explode(graft.pipeline.TextAnalysis.wordNgrams(col("text"), 5)).as("gram")).distinct()
+    val batchFlagged = graft.pipeline.TextAnalysis.decontaminate(
+      train.toDF("doc_id", "text"), evalDocs, "doc_id", "text", n = 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.PipelineStream.contaminatedIds(
+      mem.toDS().toDF("doc_id", "text"), evalGrams, "doc_id", "text", n = 5)
+    val q = out.writeStream.format("memory").queryName("sdecon")
+      .outputMode("append").start()
+    try {
+      mem.addData(train.take(2)); q.processAllAvailable()
+      // re-deliver doc 10 (at-least-once feed) plus the rest
+      mem.addData(train.drop(2) :+ train.head: _*); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sdecon").select("id").collect().map(_.getLong(0))
+    assert(rows.toSet == batchFlagged, s"stream flagged ${rows.toSet}, batch $batchFlagged")
+    assert(rows.length == rows.toSet.size, s"re-delivered doc flagged twice: ${rows.toSeq}")
+  }
+
   test("streaming sample gate admits exactly the batch mixtureSample ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
