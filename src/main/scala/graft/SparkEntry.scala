@@ -813,6 +813,15 @@ object SparkEntry {
           col("score"))
     }),
 
+    // Corpus profile: per-language doc counts, token totals, exact
+    // (lower) median doc length — the data-card numbers.
+    "p32_corpus_profile" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.TextAnalysis.corpusProfile(table(s, dir, "documents"), "text")
+        .select(col("lang"), col("n_docs"), col("total_tokens"),
+          col("median_tokens"))
+    }),
+
     // Corpus n-gram statistics: 50 most frequent word trigrams with
     // occurrence and document-frequency counts.
     "p31_ngram_stats" -> ((s, dir) => {
@@ -1515,6 +1524,30 @@ object SparkEntry {
         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
         |       CAST(score AS BIGINT) AS score
         |FROM r WHERE rn <= 3""".stripMargin,
+
+    "p32_corpus_profile" ->
+      """WITH s AS (SELECT doc_id, text,
+        |  len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|ein)\b')) AS s_de,
+        |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS s_en,
+        |  len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en)\b')) AS s_es,
+        |  len(regexp_extract_all(lower(text), '\b(le|la|de|et|les|un)\b')) AS s_fr
+        |  FROM documents),
+        |b AS (SELECT
+        |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_fr THEN 'es'
+        |       ELSE 'fr' END AS lang,
+        |  len(regexp_extract_all(lower(text), '\S+')) AS nt
+        |  FROM s),
+        |w AS (SELECT lang, nt,
+        |        row_number() OVER (PARTITION BY lang ORDER BY nt) AS rn,
+        |        count(*) OVER (PARTITION BY lang) AS cnt
+        |      FROM b)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |       CAST(max(CASE WHEN rn = (cnt + 1) // 2 THEN nt END) AS BIGINT)
+        |         AS median_tokens
+        |FROM w GROUP BY 1""".stripMargin,
 
     "p31_ngram_stats" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks

@@ -299,6 +299,30 @@ object TextAnalysis {
       .orderBy(col("occurrences").desc, col("gram"))
       .limit(k)
 
+  /** Corpus profile (the data-card numbers): per detected language, doc
+    * count, total token count, and the EXACT median doc length (lower
+    * median — rank (n+1) DIV 2 of the per-language length order, so any
+    * SQL engine reproduces it bit-for-bit; interpolating percentile
+    * functions differ across engines). One pass + one per-language window
+    * sort; exact medians inherently sort each group — swap in
+    * percentile_approx for a shuffle-free estimate when profiling at full
+    * corpus scale.
+    */
+  def corpusProfile(docs: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    val ws = w.orderBy(col("nt"))
+    docs
+      .select(langId(col(textCol)).as("lang"),
+        tokenCount(col(textCol)).cast("long").as("nt"))
+      .withColumn("rn", row_number().over(ws))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_tokens"),
+        max(when(col("rn") === expr("(cnt + 1) DIV 2"), col("nt")))
+          .as("median_tokens"))
+  }
+
   /** Top-k distinctive terms per document, scored by the EXACT rational
     * tf/df (integer-scaled; tf and df ride along so any idf weighting is
     * derivable downstream — a float tf·idf would not survive cross-engine

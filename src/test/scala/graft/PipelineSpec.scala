@@ -507,6 +507,21 @@ class PipelineSpec extends SparkSpec {
     assert(out.length == 2 && out(1)._2 <= 3L)
   }
 
+  test("corpus profile: per-language counts and the exact lower median") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the cat and the dog"), // en, 5 tokens
+      (2L, "the cat and the dog of the house in the night today now"), // en, 13
+      (3L, "the and of to in is"), // en, 6
+      (4L, "el perro y el gato de la casa que ladra")) // es, 10
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.corpusProfile(d, "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // en lengths sorted: 5, 6, 13 -> median rank (3+1) DIV 2 = 2 -> 6
+    assert(out("en") == ((3L, 24L, 6L)), out)
+    assert(out("es") == ((1L, 10L, 10L)), out)
+  }
+
   test("multimodal resize/frame-sample stubs keep plumbing shape") {
     import spark.implicits._
     val items = Seq(Multimodal.MediaItem(1L, "video", Array.tabulate(1000)(_.toByte))).toDS()
