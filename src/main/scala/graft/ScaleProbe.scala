@@ -186,14 +186,20 @@ object ScaleProbe {
 
     // Range-pick probe: bytes a get_range_slices page pays to FIND its
     // first 1000 live keys. The old pick reconciled the whole range
-    // (values included); the value-free pick aggregates (ts<<1|tombstone)
+    // (values included); the value-free pick aggregates live/tombstone ts
     // per column — the value bytes never leave the parquet reader.
     val scan = spark.read.parquet(s"$probeDir/runs")
     val probeLens = new CassandraLens(scan, CellEncodings.ordersMeta)
     def timed(body: => Unit): (Double, (Long, Long, Long)) = {
-      val t0 = System.nanoTime()
-      val b = withTaskBytes(body)
-      (((System.nanoTime() - t0) / 1e9), b)
+      // time the body alone — withTaskBytes blocks on the listener-bus
+      // drain after it, which must not count as query time
+      var dt = 0.0
+      val b = withTaskBytes {
+        val t0 = System.nanoTime()
+        body
+        dt = (System.nanoTime() - t0) / 1e9
+      }
+      (dt, b)
     }
     def readSchemas(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.explainString(

@@ -269,25 +269,33 @@ class CassandraLens(
   /** The set of LIVE keys of a raw cell range, computed WITHOUT values:
     * reconcile priority is (ts, tombstone, value) with the value bytes only
     * breaking ties BETWEEN live cells, so whether a column's winner is live
-    * never depends on the value — encode the winner as max(ts<<1 |
-    * tombstone) (one long buffer: plans as a plain HashAggregate; a struct
-    * buffer would fall back to SortAggregate) and compare it against the
-    * container deletion horizons. The value column — the bulk of the bytes
-    * at 100 TB — is never read, and the whole pick is ONE column-pruned
-    * aggregation instead of a full reconcile.
+    * never depends on the value — aggregate the best live and best
+    * tombstone ts per column (two long buffers: plans as a plain
+    * HashAggregate; a struct buffer would fall back to SortAggregate) and
+    * compare them against each other and the container deletion horizons.
+    * The value column — the bulk of the bytes at 100 TB — is never read,
+    * and the whole pick is ONE column-pruned aggregation instead of a
+    * full reconcile.
     */
   private[graft] def liveKeySet(pre: DataFrame): DataFrame =
     liveColumns(pre).select(col("key")).distinct()
 
   /** The live (key, super_name, col_name) set of a raw cell range,
     * computed WITHOUT values — the shared metadata-only liveness frame
-    * behind [[liveKeySet]] and the value-free get_count paths.
+    * behind [[liveKeySet]] and the value-free get_count paths. Tombstone
+    * wins timestamp ties, so a column is live iff its best LIVE ts
+    * strictly exceeds both its best tombstone ts and the container
+    * horizons — two scalar max buffers (plain HashAggregate; a struct
+    * buffer would be a SortAggregate, and a ts<<1|tomb bit-pack would
+    * overflow for sentinel-huge timestamps like Long.MaxValue).
     */
   private[graft] def liveColumns(pre: DataFrame): DataFrame = {
     val win = pre
       .filter(col("col_name").isNotNull)
       .groupBy(col("key"), col("super_name"), col("col_name"))
-      .agg(max(shiftleft(col("ts"), 1) + col("tombstone").cast("long")).as("enc"))
+      .agg(
+        max(when(!col("tombstone"), col("ts"))).as("lmax"),
+        max(when(col("tombstone"), col("ts"))).as("tmax"))
     val (rowH, scH) = horizons match {
       case Some((r, s)) =>
         (r.select(col("key"), col("row_del_ts")),
@@ -300,8 +308,8 @@ class CassandraLens(
     win
       .join(rowH, Seq("key"), "left")
       .join(scH, Seq("key", "super_name"), "left")
-      .filter(col("enc").bitwiseAND(1) === 0 &&
-        shiftright(col("enc"), 1) > coalesce(
+      .filter(col("lmax") > coalesce(col("tmax"), lit(Long.MinValue)) &&
+        col("lmax") > coalesce(
           greatest(col("row_del_ts"), col("sc_del_ts")), lit(Long.MinValue)))
       .select(col("key"), col("super_name"), col("col_name"))
   }
@@ -361,7 +369,8 @@ class CassandraLens(
     * value-free: splits depend on the live key population only.
     */
   def describeSplits(n: Int): DataFrame =
-    RangeScan.describeSplits(withToken(liveNames.select(col("key")).distinct()), n)
+    // no distinct here — describeSplits distincts (token, key) itself
+    RangeScan.describeSplits(withToken(liveNames.select(col("key"))), n)
 
   /** ColumnsMayExistQueryFilter (fork, db/filter/ColumnsMayExistQueryFilter
     * .java:28-157): bulk existence probe for (key, col_name) pairs. The

@@ -406,7 +406,10 @@ object Similarity {
     val perm = if (opq) Some(balancedPermutation(resid0, m, dsub)) else None
     val resid = perm match {
       case Some(p) =>
-        resid0.select(col("id"), permuteExpr("r", p).as("r")).localCheckpoint()
+        val permuted = resid0.select(col("id"), permuteExpr("r", p).as("r"))
+          .localCheckpoint()
+        resid0.unpersist() // superseded — don't hold both residual copies
+        permuted
       case None => resid0
     }
     val books = Array.tabulate(m) { s =>

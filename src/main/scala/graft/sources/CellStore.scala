@@ -213,9 +213,21 @@ object CellStore {
     dropManaged(spark, staged)
     dropManaged(spark, old)
     df.write.mode("overwrite").format("parquet").saveAsTable(staged)
-    if (spark.catalog.tableExists(tableName))
+    if (spark.catalog.tableExists(tableName)) {
       spark.sql(s"ALTER TABLE $tableName RENAME TO $old")
+      // partition registrations are ABSOLUTE and survive the rename — for
+      // a partitioned table they now point INTO the live name's directory,
+      // and the DROP below deletes by partition location (the
+      // compactBucketed lesson; guard the generic helper the same way)
+      dropPartitionMetadata(spark, old)
+    }
     spark.sql(s"ALTER TABLE $staged RENAME TO $tableName")
+    if (spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(tableName))
+      .partitionColumnNames.nonEmpty) {
+      dropPartitionMetadata(spark, tableName)
+      spark.sql(s"MSCK REPAIR TABLE $tableName")
+    }
     spark.sql(s"DROP TABLE IF EXISTS $old")
   }
 
@@ -276,10 +288,12 @@ object CellStore {
   private def dropPartitionMetadata(spark: SparkSession, tableName: String): Unit = {
     val id = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
     val cat = spark.sessionState.catalog
-    val specs = cat.listPartitions(id).map(_.spec)
-    if (specs.nonEmpty)
-      cat.dropPartitions(id, specs, ignoreIfNotExists = true, purge = false,
-        retainData = true)
+    if (cat.getTableMetadata(id).partitionColumnNames.nonEmpty) {
+      val specs = cat.listPartitions(id).map(_.spec)
+      if (specs.nonEmpty)
+        cat.dropPartitions(id, specs, ignoreIfNotExists = true, purge = false,
+          retainData = true)
+    }
   }
 
   /** domainSplit COMPOSED with the ring layout: the 2-char key domain is

@@ -43,7 +43,7 @@ class PlanQualitySpec extends SparkSpec {
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     val schemas = formatted.linesIterator.filter(_.contains("ReadSchema")).toSeq
     assert(schemas.nonEmpty, formatted.take(1500))
-    // the pick aggregates (ts<<1|tombstone) winners and horizon markers —
+    // the pick aggregates live/tombstone ts maxima and horizon markers —
     // the value column (the bulk of the bytes at scale) must be pruned
     // from every scan the pick performs
     assert(schemas.forall(!_.contains("value")), schemas.mkString("\n"))
@@ -60,6 +60,22 @@ class PlanQualitySpec extends SparkSpec {
         .linesIterator.filter(_.contains("ReadSchema")).toSeq
       assert(ss.nonEmpty && ss.forall(!_.contains("value")), ss.mkString("\n"))
     }
+  }
+
+  test("value-free liveness survives sentinel-huge timestamps") {
+    import spark.implicits._
+    // ts = Long.MaxValue is the 'pin forever' sentinel; a ts<<1 bit-pack
+    // would overflow negative and invert these verdicts
+    val sentinel = new CassandraLens(cellsDf(Seq(
+      ins("kDead", "c1", "v", 5), del("kDead", "c1", Long.MaxValue),
+      ins("kPinned", "c1", "v", Long.MaxValue), del("kPinned", "c1", 7))),
+      CfMeta("t"))
+    val counts = sentinel.getCount(Seq("kDead", "kPinned"), None)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("kPinned" -> 1L), counts)
+    val exist = sentinel.rowsExist(Seq("kDead", "kPinned").toDF("key"))
+      .collect().map(_.getString(0)).toSet
+    assert(exist == Set("kPinned"), exist)
   }
 
   test("bucketed store: the range-scan reconcile runs without an Exchange") {
