@@ -378,6 +378,17 @@ object SparkEntry {
           beLong(col("col_name")).as("orderkey"))
     }),
 
+    // FastRowMayExist refinement (value-free liveNames path): which probed
+    // customer keys still have at least one live order after tombstoning.
+    "q36_rows_exist" -> ((s, dir) => {
+      val lens = ordersLiveLens(s, dir)
+      val probe = table(s, dir, "orders")
+        .filter(col("o_custkey") % 7 === 0)
+        .select(key10(col("o_custkey")).as("key")).distinct()
+      lens.rowsExist(probe)
+        .select(col("key").cast("bigint").as("custkey"))
+    }),
+
     // Commit-log point-in-time replay: the reconciled live view as of
     // 1995-07-01 (recover(maxReplayTimestamp), CommitLog.java:168-173).
     "q18_replay_pit" -> ((s, dir) => {
@@ -1150,6 +1161,10 @@ object SparkEntry {
     "q17_columns_exist" ->
       """SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey
         |FROM orders WHERE o_orderkey % 5 = 0 AND o_orderstatus <> 'F'""".stripMargin,
+
+    "q36_rows_exist" ->
+      """SELECT DISTINCT CAST(o_custkey AS BIGINT) AS custkey
+        |FROM orders WHERE o_custkey % 7 = 0 AND o_orderstatus <> 'F'""".stripMargin,
 
     "q18_replay_pit" ->
       """SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
