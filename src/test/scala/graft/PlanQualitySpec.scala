@@ -62,6 +62,41 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("value-free liveness equals the full reconcile on random cell soups") {
+    import spark.implicits._
+    // collision-heavy generator: few keys/cols/supers, ts drawn from a
+    // small set INCLUDING Long.MaxValue, mixed inserts / column & SC & row
+    // tombstones — everything the liveness-equivalence argument covers
+    val rnd = new scala.util.Random(2026)
+    val tsChoices = Seq(1L, 2L, 3L, 5L, 100L, Long.MaxValue)
+    def t() = tsChoices(rnd.nextInt(tsChoices.size))
+    for (_ <- 1 to 6) {
+      val cells = (1 to 150).map { _ =>
+        val key = s"k${rnd.nextInt(4)}"
+        rnd.nextInt(12) match {
+          case 0 => delRow(key, t())
+          case 1 => delSuper(key, s"s${rnd.nextInt(2)}", t())
+          case n =>
+            val sup = if (n % 3 == 0) s"s${rnd.nextInt(2)}" else null
+            val c = s"c${rnd.nextInt(3)}"
+            if (n < 5) del(key, c, t(), sup = sup)
+            else ins(key, c, s"v$n", t(), sup = sup)
+        }
+      }
+      val df = cellsDf(cells)
+      val lens = new CassandraLens(df, CfMeta("t"))
+      def names(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+        (r.getString(0), Option(r.getAs[Array[Byte]](1)).map(new String(_, "UTF-8")),
+          new String(r.getAs[Array[Byte]](2), "UTF-8"))
+      }.toSet
+      val expected = names(Reconcile.liveView(df)
+        .select("key", "super_name", "col_name").distinct().collect())
+      val got = names(lens.liveColumns(df).collect())
+      assert(got == expected,
+        s"value-free diverged: extra=${got.diff(expected)} missing=${expected.diff(got)}")
+    }
+  }
+
   test("value-free liveness survives sentinel-huge timestamps") {
     import spark.implicits._
     // ts = Long.MaxValue is the 'pin forever' sentinel; a ts<<1 bit-pack
