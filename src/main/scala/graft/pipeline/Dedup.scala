@@ -46,6 +46,15 @@ object Dedup {
     * which dedup during map-side partial aggregation: one shuffle fewer
     * than distinct-then-group, on the operator's hottest path.
     */
+  /** The corpus's k most frequent shingles as a stoplist artifact —
+    * `TextAnalysis.ngramStats` output in shingle-column form, meant to be
+    * persisted once (tiny) and fed to [[jaccardPairs]]' `stoplist` on
+    * every subsequent dedup run.
+    */
+  def corpusStoplist(df: DataFrame, idCol: String, textCol: String, n: Int,
+      k: Int): DataFrame =
+    TextAnalysis.ngramStats(df, idCol, textCol, n, k).select(col("gram").as("sh"))
+
   private def shinglesRaw(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("_toks"))
     toks
@@ -63,8 +72,17 @@ object Dedup {
     *   comparing against a string-keyed external oracle.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
-      maxDocFreq: Option[Int] = None, hashShingles: Boolean = false): DataFrame = {
-    val rawStr = shinglesRaw(df, idCol, textCol, n)
+      maxDocFreq: Option[Int] = None, hashShingles: Boolean = false,
+      stoplist: Option[DataFrame] = None): DataFrame = {
+    val rawStr0 = shinglesRaw(df, idCol, textCol, n)
+    // external stoplist (e.g. corpusStoplist's top-k frequent n-grams,
+    // persisted once per corpus): broadcast anti-join BEFORE hashing, so
+    // the artifact stays a readable string table either way. Unlike
+    // maxDocFreq (computed per run), the artifact makes the cut
+    // REPRODUCIBLE across incremental runs over a growing corpus.
+    val rawStr = stoplist.map(s => rawStr0.join(
+      broadcast(s.select(col(s.columns.head).as("sh"))), Seq("sh"), "left_anti"))
+      .getOrElse(rawStr0)
     val raw = if (hashShingles) rawStr.withColumn("sh", xxhash64(col("sh"))) else rawStr
     // ONE tokenize+explode+shuffle pass builds the per-shingle sorted id
     // sets, materialized once (localCheckpoint) to feed all consumers —

@@ -47,6 +47,23 @@ class PipelineSpec extends SparkSpec {
     assert(capped.count() == 0) // the only shared shingle has doc-freq 3
   }
 
+  test("persisted corpus stoplist artifact cuts jaccard candidates like maxDocFreq") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "common shared phrase alpha beta gamma"),
+      (1L, "common shared phrase delta epsilon zeta"),
+      (2L, "common shared phrase eta theta iota")).toDF("doc_id", "text")
+    // the artifact: corpus top-1 trigram IS the planted connector
+    val stop = Dedup.corpusStoplist(d, "doc_id", "text", n = 3, k = 1)
+    assert(stop.head().getString(0) == "common shared phrase")
+    val cut = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, stoplist = Some(stop))
+    assert(cut.count() == 0) // nothing else is shared
+    // and it composes with the hashed-shingle scale path
+    val cutHashed = Dedup.jaccardPairs(d, "doc_id", "text", n = 3,
+      hashShingles = true, stoplist = Some(stop))
+    assert(cutHashed.count() == 0)
+  }
+
   test("hashed-shingle jaccard equals the string-keyed computation") {
     def stats(hash: Boolean): Set[(Long, Long, Long, Long)] =
       Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, hashShingles = hash)
