@@ -502,6 +502,20 @@ object SparkEntry {
         .select(col("ia"), col("ib"), col("inter"), col("uni"))
     }),
 
+    // Jaccard near-dup with the PERSISTED corpus-stoplist artifact: the
+    // top-20 most frequent trigrams are anti-joined out of candidate
+    // generation (the reproducible cut, vs p20's per-run doc-freq cap).
+    "p33_jaccard_corpus_stoplist" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val stop = graft.pipeline.Dedup.corpusStoplist(docs, "doc_id", "text",
+        n = 3, k = 20)
+      graft.pipeline.Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+        stoplist = Some(stop))
+        .filter(col("inter") * lit(2) >= col("uni"))
+        .select(col("ia"), col("ib"), col("inter"), col("uni"))
+    }),
+
     // MinHash+LSH near-dups, exact-verified: must equal the brute-force
     // result at threshold 0.8 (recall via 32 hashes × 8 bands, precision
     // via exact verification of candidates).
@@ -1228,6 +1242,21 @@ object SparkEntry {
         |    // greatest(CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT), 1) AS stop_per_mille
         |FROM documents""".stripMargin,
 
+    "p33_jaccard_corpus_stoplist" ->
+      """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |g AS (SELECT id, unnest(list_transform(generate_series(1, len(toks)-2),
+        |                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |      FROM t WHERE len(toks) >= 3),
+        |stop AS (SELECT sh FROM (SELECT sh, count(*) AS occ FROM g GROUP BY 1)
+        |         ORDER BY occ DESC, sh LIMIT 20),
+        |d AS (SELECT DISTINCT id, sh FROM g WHERE sh NOT IN (SELECT sh FROM stop)),
+        |sz AS (SELECT id, count(*) AS sz FROM d GROUP BY 1),
+        |p AS (SELECT a.id AS ia, b.id AS ib, count(*) AS inter
+        |      FROM d a JOIN d b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+        |j AS (SELECT ia, ib, inter, sa.sz + sb.sz - inter AS uni
+        |      FROM p JOIN sz sa ON sa.id = ia JOIN sz sb ON sb.id = ib)
+        |SELECT ia, ib, inter, uni FROM j WHERE inter * 2 >= uni""".stripMargin,
+
     "p20_jaccard_stoplist" ->
       """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
         |g AS (SELECT id, unnest(list_transform(generate_series(1, len(toks)-2),
@@ -1552,7 +1581,7 @@ object SparkEntry {
         |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
         |       WHEN s_es >= s_fr THEN 'es'
         |       ELSE 'fr' END AS lang,
-        |  len(regexp_extract_all(lower(text), '\S+')) AS nt
+        |  COALESCE(len(regexp_extract_all(lower(text), '\S+')), 0) AS nt
         |  FROM s),
         |w AS (SELECT lang, nt,
         |        row_number() OVER (PARTITION BY lang ORDER BY nt) AS rn,

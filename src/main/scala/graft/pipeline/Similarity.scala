@@ -397,21 +397,21 @@ object Similarity {
   def trainProductCodebook(df: DataFrame, idCol: String, vecCol: String,
       coarse: Array[Array[Float]], m: Int, ksub: Int, iters: Int,
       opq: Boolean = false): ProductCodebook = {
-    val resid0 = assignCell(df, vecCol, coarse)
-      .select(col(idCol).as("id"), residualExpr(vecCol, coarse).as("r"))
-      .localCheckpoint()
-    val dim = resid0.select(size(col("r"))).head().getInt(0)
+    // dim from the source directly; the residual frame is only
+    // materialized ONCE, after the (optional) permutation is known —
+    // checkpointing the unpermuted residuals first would pin BOTH copies
+    // in the block manager (Dataset.unpersist cannot free localCheckpoint
+    // blocks: they live at the RDD level, not in the CacheManager)
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"embedding dim $dim must divide into m=$m subspaces")
     val dsub = dim / m
+    def resid0 = assignCell(df, vecCol, coarse)
+      .select(col(idCol).as("id"), residualExpr(vecCol, coarse).as("r"))
     val perm = if (opq) Some(balancedPermutation(resid0, m, dsub)) else None
-    val resid = perm match {
-      case Some(p) =>
-        val permuted = resid0.select(col("id"), permuteExpr("r", p).as("r"))
-          .localCheckpoint()
-        resid0.unpersist() // superseded — don't hold both residual copies
-        permuted
+    val resid = (perm match {
+      case Some(p) => resid0.select(col("id"), permuteExpr("r", p).as("r"))
       case None => resid0
-    }
+    }).localCheckpoint()
     val books = Array.tabulate(m) { s =>
       val subExpr = s"slice(r, ${s * dsub + 1}, $dsub)"
       val sub = resid.select(col("id"), expr(subExpr).as("sub"))

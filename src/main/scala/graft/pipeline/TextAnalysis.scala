@@ -247,17 +247,27 @@ object TextAnalysis {
     * and resumable at any scale; rates are a literal CASE chain so the
     * filter stays inside whole-stage codegen.
     */
+  /** Per-language keep rate as ONE map-literal lookup: a when-chain would
+    * mention the language expression once per configured language, and
+    * predicate pushdown inlines whatever it references — with langId (4
+    * regex scans) that multiplies real work. Languages must be unique in
+    * `ratesPermille` (Spark map literals reject duplicate keys).
+    */
+  def rateFor(lang: Column, ratesPermille: Seq[(String, Int)],
+      defaultPermille: Int): Column =
+    if (ratesPermille.isEmpty) lit(defaultPermille)
+    else coalesce(
+      element_at(map(ratesPermille.flatMap { case (l, r) => Seq(lit(l), lit(r)) }: _*),
+        lang),
+      lit(defaultPermille))
+
   def mixtureSample(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, ratesPermille: Seq[(String, Int)],
-      defaultPermille: Int): org.apache.spark.sql.DataFrame = {
-    val rate = ratesPermille.foldRight(lit(defaultPermille): Column) {
-      case ((lang, r), acc) => when(col("lang") === lang, lit(r)).otherwise(acc)
-    }
+      defaultPermille: Int): org.apache.spark.sql.DataFrame =
     docs
       .select(col(idCol).as("id"), langId(col(textCol)).as("lang"),
         (hash60(col(idCol)) % 1000).as("bucket"))
-      .filter(col("bucket") < rate)
-  }
+      .filter(col("bucket") < rateFor(col("lang"), ratesPermille, defaultPermille))
 
   /** Deterministic global shuffle + sharding (training-order
     * randomization): shard = hash60(id) mod nShards, position = rank of
@@ -313,8 +323,10 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
     val ws = w.orderBy(col("nt"))
     docs
+      // NULL text counts as 0 tokens: leaving nt NULL would rank it
+      // nulls-first in Spark but nulls-last in DuckDB, shifting the median
       .select(langId(col(textCol)).as("lang"),
-        tokenCount(col(textCol)).cast("long").as("nt"))
+        coalesce(tokenCount(col(textCol)).cast("long"), lit(0L)).as("nt"))
       .withColumn("rn", row_number().over(ws))
       .withColumn("cnt", count(lit(1)).over(w))
       .groupBy(col("lang"))

@@ -221,13 +221,10 @@ object CellStore {
       // compactBucketed lesson; guard the generic helper the same way)
       dropPartitionMetadata(spark, old)
     }
+    // the staged table is written unpartitioned just above, so unlike
+    // compactBucketed no partition re-registration is needed on the live
+    // name — only the renamed-aside OLD copy can carry stale entries
     spark.sql(s"ALTER TABLE $staged RENAME TO $tableName")
-    if (spark.sessionState.catalog.getTableMetadata(
-      spark.sessionState.sqlParser.parseTableIdentifier(tableName))
-      .partitionColumnNames.nonEmpty) {
-      dropPartitionMetadata(spark, tableName)
-      spark.sql(s"MSCK REPAIR TABLE $tableName")
-    }
     spark.sql(s"DROP TABLE IF EXISTS $old")
   }
 

@@ -67,15 +67,8 @@ object PipelineStream {
     * which is exactly why the sampler hashes ids instead of using RNG.
     */
   def sampleGate(docs: DataFrame, idCol: String, textCol: String,
-      ratesPermille: Seq[(String, Int)], defaultPermille: Int): DataFrame = {
-    // project the language ONCE: folding langId into each rate branch
-    // would re-run its 4 stopword regex scans per configured language
-    val rate = ratesPermille.foldRight(lit(defaultPermille): Column) {
-      case ((lang, r), acc) => when(col("_lang") === lang, lit(r)).otherwise(acc)
-    }
-    docs
-      .withColumn("_lang", TextAnalysis.langId(col(textCol)))
-      .filter(TextAnalysis.hash60(col(idCol)) % 1000 < rate)
-      .drop("_lang")
-  }
+      ratesPermille: Seq[(String, Int)], defaultPermille: Int): DataFrame =
+    docs.filter(TextAnalysis.hash60(col(idCol)) % 1000 <
+      TextAnalysis.rateFor(TextAnalysis.langId(col(textCol)), ratesPermille,
+        defaultPermille))
 }
