@@ -27,7 +27,7 @@ import graft.sources.{CellEncodings, CellStore}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = GraftSession.create()
+    val spark = GraftSession.create(taskSideCommit = true)
 
     // best-of-two: the container's noisy neighbors add ±30% on join-heavy
     // workloads; min-of-2 reports the engine's cost, not the noise

@@ -13,7 +13,7 @@ import graft.sources.CellEncodings
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.create()
+    val spark = GraftSession.create(taskSideCommit = true)
     val dir = "/root/testdata/sf0.1"
     val base = CellEncodings.ordersCells(spark, dir)
       .unionByName(CellEncodings.ordersStatusFTombstones(spark, dir))

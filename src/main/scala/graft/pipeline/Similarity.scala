@@ -534,9 +534,18 @@ object Similarity {
     (for (s <- pq.books.indices; j <- pq.books(s).indices)
       yield (s, j, pq.dsub, pq.books(s)(j).toSeq)).toDF("s", "j", "dsub", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_books")
-    pq.perm.foreach { p =>
-      p.zipWithIndex.map { case (d, i) => (i, d) }.toSeq.toDF("pos", "dim")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_perm")
+    // pq_perm presence is the load-time OPQ signal — a permutation-less
+    // save over a previous OPQ index at the same path must REMOVE the stale
+    // permutation, or searches would permute queries against codes encoded
+    // unpermuted
+    val permPath = new org.apache.hadoop.fs.Path(s"$path/pq_perm")
+    pq.perm match {
+      case Some(p) =>
+        p.zipWithIndex.map { case (d, i) => (i, d) }.toSeq.toDF("pos", "dim")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_perm")
+      case None =>
+        permPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(permPath, true)
     }
     encodePq(df, vecCol, coarse, pq)
       .select(col(idCol).as("id"), col(vecCol).as("vec"), col("code"), col("cell"))

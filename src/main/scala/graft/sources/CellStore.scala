@@ -210,6 +210,7 @@ object CellStore {
   def replaceTable(spark: SparkSession, tableName: String, df: DataFrame): Unit = {
     val staged = s"${tableName}__staging"
     val old = s"${tableName}__old"
+    recoverRenamedAside(spark, tableName)
     dropManaged(spark, staged)
     dropManaged(spark, old)
     df.write.mode("overwrite").format("parquet").saveAsTable(staged)
@@ -250,6 +251,7 @@ object CellStore {
       processors: Seq[graft.operators.Compaction.RowProcessor] = Nil): Unit = {
     val staged = s"${tableName}__compacting"
     val old = s"${tableName}__old"
+    recoverRenamedAside(spark, tableName)
     dropManaged(spark, staged)
     dropManaged(spark, old)
     // compaction reduces to the canonical cell columns; the rewrite
@@ -275,6 +277,24 @@ object CellStore {
       spark.sql(s"MSCK REPAIR TABLE $tableName")
     }
     spark.sql(s"DROP TABLE $old")
+  }
+
+  /** Crash recovery for the rename-aside publish: a run that died between
+    * the two renames left NO table under the live name and the only
+    * complete copy under `__old`. The entry-point `dropManaged(old)` of a
+    * rerun would destroy that copy and then fail reading the missing live
+    * table — so first rename `__old` back in. Partition registrations were
+    * purged before the aside-rename (they point into the live directory),
+    * so a partitioned recovered table re-registers from the filesystem.
+    */
+  private def recoverRenamedAside(spark: SparkSession, tableName: String): Unit = {
+    val old = s"${tableName}__old"
+    if (!spark.catalog.tableExists(tableName) && spark.catalog.tableExists(old)) {
+      spark.sql(s"ALTER TABLE $old RENAME TO $tableName")
+      val id = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
+      if (spark.sessionState.catalog.getTableMetadata(id).partitionColumnNames.nonEmpty)
+        spark.sql(s"MSCK REPAIR TABLE $tableName")
+    }
   }
 
   /** Remove a table's partition registrations WITHOUT touching data —

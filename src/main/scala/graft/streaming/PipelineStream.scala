@@ -60,6 +60,27 @@ object PipelineStream {
       .select(col("id"))
       .dropDuplicates("id")
 
+  /** Bounded-state decontamination: like [[contaminatedIds]] but the
+    * per-contaminated-doc dedup row is dropped once the watermark passes —
+    * the gcGrace analog for contamination state. For a feed where
+    * contamination is NOT rare (an eval-overlapping crawl burst),
+    * unwatermarked `dropDuplicates` would retain one state row per
+    * contaminated doc forever; here state is bounded by the delay window.
+    * A doc re-delivered farther apart than `delay` re-emits its id —
+    * downstream sinks that need exactly-once over longer horizons dedup
+    * idempotently on write (the id IS the key).
+    */
+  def contaminatedIdsWithinWatermark(docs: DataFrame, evalGrams: DataFrame,
+      idCol: String, textCol: String, n: Int, eventTimeCol: String,
+      delay: String): DataFrame =
+    docs
+      .withWatermark(eventTimeCol, delay)
+      .select(col(idCol).as("id"), col(eventTimeCol),
+        explode(array_distinct(TextAnalysis.wordNgrams(col(textCol), n))).as("gram"))
+      .join(evalGrams.select(col("gram")), Seq("gram"), "left_semi")
+      .dropDuplicatesWithinWatermark("id")
+      .select(col("id"))
+
   /** Streaming mixture sampling: the batch `mixtureSample` decision is a
     * deterministic per-document hash, so it needs NO state on a stream —
     * the same document admits or rejects identically whether it arrives

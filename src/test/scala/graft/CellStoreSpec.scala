@@ -165,6 +165,51 @@ class CellStoreSpec extends SparkSpec {
     assert(absent <= 2, s"$absent/20 absent keys false-positived")
   }
 
+  test("rename-aside publish: a rerun after a mid-publish crash recovers __old") {
+    val meta = CfMeta("t", domainSplit = true)
+    for (t <- Seq("graft_recov", "graft_recov__old", "graft_recov__compacting"))
+      CellStore.dropManaged(spark, t)
+    CellStore.writeDomainBucketed(cellsDf(cells), meta, "graft_recov", buckets = 2)
+
+    // simulate the crash window between the two publish renames: the live
+    // name is gone and __old holds the only complete copy, its partition
+    // registrations already purged (exactly the state compactBucketed
+    // leaves if it dies after the aside-rename)
+    spark.sql("ALTER TABLE graft_recov RENAME TO graft_recov__old")
+    val cat = spark.sessionState.catalog
+    val oldId = spark.sessionState.sqlParser.parseTableIdentifier("graft_recov__old")
+    val specs = cat.listPartitions(oldId).map(_.spec)
+    if (specs.nonEmpty)
+      cat.dropPartitions(oldId, specs, ignoreIfNotExists = true, purge = false,
+        retainData = true)
+    assert(!spark.catalog.tableExists("graft_recov"))
+
+    // the rerun must recover the copy instead of dropping it at entry
+    CellStore.compactBucketed(spark, "graft_recov", meta, gcBeforeSeconds = 500,
+      buckets = 2)
+    assert(spark.catalog.tableExists("graft_recov"))
+    assert(!spark.catalog.tableExists("graft_recov__old"))
+    assert(liveValues(Reconcile.liveView(spark.table("graft_recov")))
+      == Map("c2" -> "v2", "c1" -> "w"))
+    CellStore.dropManaged(spark, "graft_recov")
+  }
+
+  test("replaceTable after a mid-publish crash recovers before staging") {
+    for (t <- Seq("graft_recov2", "graft_recov2__old", "graft_recov2__staging"))
+      CellStore.dropManaged(spark, t)
+    cellsDf(cells).write.format("parquet").saveAsTable("graft_recov2")
+    spark.sql("ALTER TABLE graft_recov2 RENAME TO graft_recov2__old")
+    // recovery restores the live name FIRST, so the replacement df can be
+    // derived from the surviving copy by readers between the crash and the
+    // rerun, and the rerun itself never observes a missing live table
+    CellStore.replaceTable(spark, "graft_recov2",
+      cellsDf(Seq(ins("z", "c9", "fresh", 50))))
+    assert(spark.catalog.tableExists("graft_recov2"))
+    assert(!spark.catalog.tableExists("graft_recov2__old"))
+    assert(liveValues(spark.table("graft_recov2")) == Map("c9" -> "fresh"))
+    CellStore.dropManaged(spark, "graft_recov2")
+  }
+
   test("JSON export/import round-trips binary-faithfully (SSTableExport analog)") {
     val dir = Files.createTempDirectory("graft_cs4").toString
     CellStore.exportJson(cellsDf(cells), s"$dir/j")

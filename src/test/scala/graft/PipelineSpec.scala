@@ -335,6 +335,34 @@ class PipelineSpec extends SparkSpec {
       rerank = 200)) == exact)
   }
 
+  test("perm-less save over an OPQ index removes the stale pq_perm") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vecs = (0L until 100L).map { i =>
+      (i, Array.tabulate(16)(d =>
+        if (d < 4) rnd.nextFloat() * 10 else rnd.nextFloat() * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val coarse = Similarity.trainCodebook(vecs, "vec_id", "embedding", k = 2, iters = 2)
+    val opq = Similarity.trainProductCodebook(vecs, "vec_id", "embedding",
+      coarse, m = 4, ksub = 8, iters = 2, opq = true)
+    val plain = Similarity.trainProductCodebook(vecs, "vec_id", "embedding",
+      coarse, m = 4, ksub = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stale_perm").toString
+    Similarity.savePqIndex(vecs, "vec_id", "embedding", coarse, opq, s"$dir/idx")
+    assert(new java.io.File(s"$dir/idx/pq_perm").exists())
+    // overwrite the SAME path with a permutation-less index: the stale
+    // permutation must not survive to be applied against unpermuted codes
+    Similarity.savePqIndex(vecs, "vec_id", "embedding", coarse, plain, s"$dir/idx")
+    assert(!new java.io.File(s"$dir/idx/pq_perm").exists(),
+      "stale pq_perm from the previous OPQ save must be deleted")
+    val qv = vecs.filter($"vec_id" === 3).select($"embedding").head().getSeq[Float](0).toArray
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.orderBy("rank").select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids(Similarity.searchPqIndex(spark, s"$dir/idx", qv, k = 5, nprobe = 2,
+      rerank = 100))
+      == ids(Similarity.ivfSearch(vecs, "vec_id", "embedding", coarse, qv, k = 5, nprobe = 2)))
+  }
+
   test("hyperplane-LSH near-dup: planted pairs found, verification exact") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)

@@ -121,6 +121,37 @@ class StreamingSpec extends SparkSpec {
     assert(rows.length == rows.toSet.size, s"re-delivered doc flagged twice: ${rows.toSeq}")
   }
 
+  test("watermark-bounded decontamination: dup flags drop in-window, state expires") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val dirty = "alpha beta gamma delta epsilon zeta"
+    val clean = "one two three four five six seven"
+    val evalGrams = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+      .select(explode(graft.pipeline.TextAnalysis.wordNgrams(col("text"), 5)).as("gram"))
+      .distinct()
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = graft.streaming.PipelineStream.contaminatedIdsWithinWatermark(
+      mem.toDS().toDF("doc_id", "text", "ets"), evalGrams, "doc_id", "text",
+      n = 5, "ets", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("swdecon")
+      .outputMode("append").start()
+    try {
+      mem.addData((10L, dirty, ts(0)), (12L, clean, ts(0)))
+      q.processAllAvailable()
+      // re-delivery inside the delay dedups; the late clean doc pushes the
+      // watermark to minute 50, expiring doc 10's state row
+      mem.addData((10L, dirty, ts(5)), (99L, clean, ts(60)))
+      q.processAllAvailable()
+      // state expired: the same id re-emits — the bounded-state tradeoff;
+      // sinks dedup idempotently on the id
+      mem.addData((10L, dirty, ts(65)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("swdecon").select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids.count(_ == 10L) == 2 && ids.toSet == Set(10L), s"got $ids")
+  }
+
   test("streaming sample gate admits exactly the batch mixtureSample ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
