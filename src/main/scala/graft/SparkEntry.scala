@@ -516,6 +516,43 @@ object SparkEntry {
         .select(col("ia"), col("ib"), col("inter"), col("uni"))
     }),
 
+    // Incremental dedup against a persisted corpus snapshot: docs with
+    // doc_id % 5 <> 0 play the already-ingested corpus (as its fingerprint
+    // artifact), the rest arrive as the new batch — survivors are the batch
+    // docs unseen in the snapshot AND first-seen within the batch.
+    "p34_dedup_snapshot" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val snap = graft.pipeline.Dedup.snapshotFingerprints(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      graft.pipeline.Dedup.dedupAgainstSnapshot(
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", snap)
+        .select(col("doc_id"))
+    }),
+
+    // Hashed-feature linear classifier inference (fastText-style quality
+    // scorer): 4096 weight buckets, deterministic seeded per-mille weights,
+    // exact-integer doc score.
+    "p35_classifier_score" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.TextAnalysis.classifierScore(
+        table(s, dir, "documents"), "doc_id", "text", dim = 4096, seed = "w0")
+        .select(col("id"), col("score_sum").cast("long").as("score_sum"),
+          col("n_tokens").cast("long").as("n_tokens"))
+    }),
+
+    // SemDeDup-style semantic clustering: within-cell cosine pairs at
+    // >= 0.42 chained into components, min-id representative per doc
+    // (label = the deterministic cell for cross-engine verification; the
+    // IVF-codebook cell is the production path, spec-gated).
+    "p36_semantic_clusters" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Similarity.semanticClusters(
+        table(s, dir, "embeddings"), "vec_id", "embedding", col("label"),
+        tauPermille = 420)
+        .select(col("vec_id"), col("cluster"))
+    }),
+
     // MinHash+LSH near-dups, exact-verified: must equal the brute-force
     // result at threshold 0.8 (recall via 32 hashes × 8 bands, precision
     // via exact verification of candidates).
@@ -1256,6 +1293,45 @@ object SparkEntry {
         |j AS (SELECT ia, ib, inter, sa.sz + sb.sz - inter AS uni
         |      FROM p JOIN sz sa ON sa.id = ia JOIN sz sb ON sb.id = ib)
         |SELECT ia, ib, inter, uni FROM j WHERE inter * 2 >= uni""".stripMargin,
+
+    "p34_dedup_snapshot" ->
+      """WITH snap AS (
+        |  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |batch AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |fresh AS (
+        |  SELECT b.doc_id, b.fp FROM batch b
+        |  WHERE NOT EXISTS (SELECT 1 FROM snap s WHERE s.fp = b.fp)),
+        |r AS (SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |      FROM fresh)
+        |SELECT doc_id FROM r WHERE rn = 1""".stripMargin,
+
+    "p35_classifier_score" ->
+      s"""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+        |           FROM documents),
+        |b AS (SELECT doc_id, ${hash60Sql("tok")} % 4096 AS bk FROM t),
+        |w AS (SELECT doc_id, ${hash60Sql("'w0:' || CAST(bk AS VARCHAR)")} % 2001 - 1000 AS w
+        |      FROM b)
+        |SELECT doc_id AS id, CAST(sum(w) AS BIGINT) AS score_sum,
+        |       count(*) AS n_tokens
+        |FROM w GROUP BY doc_id""".stripMargin,
+
+    "p36_semantic_clusters" ->
+      """WITH RECURSIVE
+        |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+        |      FROM embeddings a JOIN embeddings b
+        |        ON a.label = b.label AND a.vec_id < b.vec_id
+        |      WHERE list_cosine_similarity(a.embedding, b.embedding) * 1000 >= 420),
+        |e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib AS a, ia AS b FROM p),
+        |walk(id, comp) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+        |  UNION
+        |  SELECT e.b, walk.comp FROM walk JOIN e ON e.a = walk.id),
+        |cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
+        |SELECT v.vec_id, coalesce(cc.comp, v.vec_id) AS cluster
+        |FROM embeddings v LEFT JOIN cc ON cc.id = v.vec_id""".stripMargin,
 
     "p20_jaccard_stoplist" ->
       """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),

@@ -254,6 +254,34 @@ object Dedup {
       Seq(idCol), "left_semi")
   }
 
+  /** Distinct fingerprint table of a corpus — the tiny persisted artifact
+    * (≈32 bytes/distinct doc) that incremental dedup joins against, so
+    * the corpus itself is NEVER rescanned on later ingests.
+    */
+  def snapshotFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(TextAnalysis.fingerprint(col(textCol)).as("fp")).distinct()
+
+  /** Incremental exact dedup of a NEW batch against a persisted corpus
+    * snapshot: keep the batch rows whose text is unseen BOTH in the
+    * snapshot (anti-join on the fingerprint) and within the batch
+    * (first-seen = min id, a rank-1 window so WindowGroupLimit prunes
+    * map-side — no second scan of the anti-join subtree). This is the
+    * realistic 100 TB dedup mode — each crawl increment joins the
+    * fingerprint artifact, hash-partitioned on fp on both sides, instead
+    * of re-deduping the whole corpus; advance the snapshot by unioning
+    * the survivors' fingerprints back in.
+    */
+  def dedupAgainstSnapshot(newDocs: DataFrame, idCol: String, textCol: String,
+      snapshot: DataFrame): DataFrame =
+    newDocs
+      .withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
+      .join(snapshot.select(col(snapshot.columns.head).as("_fp")), Seq("_fp"), "left_anti")
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_fp")).orderBy(col(idCol))))
+      .filter(col("_rn") === 1)
+      .drop("_fp", "_rn")
+
   /** Documents exploded into trimmed, position-tagged paragraphs:
     * (id, pos, para), split on `delimRegex`, empty fragments dropped.
     */

@@ -606,4 +606,48 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("cell"), col("ia"), col("ib"))
   }
+
+  /** SemDeDup-style semantic clustering: within-cell pairwise cosine,
+    * pairs at or above `tauPermille`/1000 chain into connected components,
+    * every doc labeled with its representative (min id; no-near-dup docs
+    * are their own singleton). `cellExpr` is any deterministic cell
+    * assignment — the cells bound the quadratic term, which is the scale
+    * lever: an IVF codebook cell in production ([[semanticClustersIvf]]),
+    * a hash bucket or metadata column for cross-engine verification.
+    * Near-identical vectors landing in different cells lose their pair —
+    * the recall/cost tradeoff every ANN-backed dedup accepts.
+    */
+  def semanticClusters(df: DataFrame, idCol: String, vecCol: String,
+      cellExpr: Column, tauPermille: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"), cellExpr.as("cell"))
+    val a = v.select(col("cell"), col("id").as("ia"), col("vec").as("va"))
+    val b = v.select(col("cell"), col("id").as("ib"), col("vec").as("vb"))
+    val pairs = a.join(b, Seq("cell")).filter(col("ia") < col("ib"))
+      .filter(cosine("va", "vb") * 1000 >= tauPermille)
+      .select(col("ia"), col("ib"))
+    val cc = Dedup.connectedComponents(pairs)
+    df.select(col(idCol).as("id"))
+      .join(cc, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("comp"), col("id")).as("cluster"))
+  }
+
+  /** [[semanticClusters]] with IVF-codebook cells — train once
+    * ([[trainCodebook]]), then cluster within coarse cells.
+    */
+  def semanticClustersIvf(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], tauPermille: Int): DataFrame =
+    semanticClusters(
+      assignCell(df, vecCol, centroids), idCol, vecCol, col("cell"), tauPermille)
+
+  /** Semantic dedup: keep exactly one document per semantic cluster (the
+    * min-id representative) — the SemDeDup "drop the rest" step.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      cellExpr: Column, tauPermille: Int): DataFrame = {
+    val clusters = semanticClusters(df, idCol, vecCol, cellExpr, tauPermille)
+    df.join(
+      clusters.filter(col(idCol) === col("cluster")).select(idCol),
+      Seq(idCol), "left_semi")
+  }
 }

@@ -269,6 +269,29 @@ object TextAnalysis {
         (hash60(col(idCol)) % 1000).as("bucket"))
       .filter(col("bucket") < rateFor(col("lang"), ratesPermille, defaultPermille))
 
+  /** Hashed-feature linear classifier INFERENCE (the fastText-style
+    * quality-classifier shape): each token hashes into one of `dim` weight
+    * buckets, the document score is the weight sum over its tokens —
+    * tokenize → bucket → weight as pure EXPRESSIONS, one partial-aggregated
+    * sum per doc, so the whole pass is map-side until the final per-doc
+    * reduce and stays inside whole-stage codegen. The weight table here is
+    * a DETERMINISTIC seeded stub (hash of `seed:bucket` mapped to
+    * [-1000, 1000] per-mille) standing in for trained weights — swap in a
+    * real model by replacing the weight expression with a broadcast-map
+    * lookup of the same shape. Integer per-mille weights make the score an
+    * exact BIGINT, reproducible across engines (no float-sum order drift);
+    * consumers threshold on `score_sum * 1000 >= min_mean * n_tokens`.
+    * Docs with no tokens produce no row (they have no score).
+    */
+  def classifierScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, dim: Int = 4096, seed: String = "w0"): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("w",
+        hash60(concat_ws(":", lit(seed), hash60(col("tok")) % dim)) % 2001 - 1000)
+      .groupBy(col("id"))
+      .agg(sum(col("w")).as("score_sum"), count(lit(1)).as("n_tokens"))
+
   /** Deterministic global shuffle + sharding (training-order
     * randomization): shard = hash60(id) mod nShards, position = rank of
     * (hash60, id) WITHIN the shard. Per-shard windows, never a global

@@ -64,6 +64,77 @@ class PipelineSpec extends SparkSpec {
     assert(cutHashed.count() == 0)
   }
 
+  test("incremental dedup vs snapshot: seen text dropped, batch keeps first-seen") {
+    import spark.implicits._
+    // snapshot corpus contains doc 0's text; batch re-delivers it (id 10),
+    // carries an in-batch dup pair (11, 13), and one genuinely new doc 12
+    val corpus = docs.filter($"doc_id" <= 1)
+    val snap = Dedup.snapshotFingerprints(corpus, "doc_id", "text")
+    assert(snap.count() == 2)
+    val batch = Seq(
+      (10L, "The  quick brown fox jumps over the lazy dog near the river bank today"),
+      (11L, "brand new crawl content for the incremental pass"),
+      (12L, "another brand new document arriving in this increment"),
+      (13L, "brand  NEW crawl content for the incremental pass"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstSnapshot(batch, "doc_id", "text", snap)
+    assert(out.columns.toSeq == Seq("doc_id", "text"), "full rows survive")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(11L, 12L))
+    // advancing the snapshot with the survivors makes a re-run a no-op
+    val snap2 = snap.unionByName(Dedup.snapshotFingerprints(out, "doc_id", "text"))
+    assert(Dedup.dedupAgainstSnapshot(batch, "doc_id", "text", snap2).isEmpty)
+  }
+
+  test("classifier score: exact integers, reproducible, order-independent") {
+    import spark.implicits._
+    val out = TextAnalysis.classifierScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // exact dups score identically; every doc scores all its tokens
+    assert(out(0L) == out(3L))
+    assert(out(0L)._2 == 14L, s"token count ${out(0L)._2}")
+    // per-mille weights bound the sum by ±1000 per token
+    out.values.foreach { case (s, n) => assert(math.abs(s) <= 1000L * n) }
+    // deterministic across runs and input order
+    val again = TextAnalysis.classifierScore(
+      docs.orderBy(col("doc_id").desc), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(again == out)
+    // a different seed is a different model
+    val reseeded = TextAnalysis.classifierScore(docs, "doc_id", "text", seed = "w1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.exists { case (id, (s, _)) => reseeded(id) != s })
+  }
+
+  test("semantic dedup: planted twin collapses within its IVF cell, rest survive") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // 4 well-separated centers, 20 members each; vec 100 is a near-copy
+    // of vec 0 (same cell by construction), vec 101 a near-copy of vec 1
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextFloat() * 10 - 5))
+    val base = (0 until 80).map { i =>
+      (i.toLong, centers(i % 4).map(v => v + rnd.nextFloat() * 0.5f - 0.25f))
+    }
+    val twins = Seq(
+      (100L, base(0)._2.map(v => v + rnd.nextFloat() * 0.005f)),
+      (101L, base(1)._2.map(v => v + rnd.nextFloat() * 0.005f)))
+    val vecs = (base ++ twins).toDF("vec_id", "embedding")
+    val coarse = Similarity.trainCodebook(vecs, "vec_id", "embedding", k = 4, iters = 3)
+    val clusters = Similarity.semanticClustersIvf(vecs, "vec_id", "embedding",
+      coarse, tauPermille = 999)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(100L) == 0L && clusters(101L) == 1L,
+      s"twins must join their originals: ${clusters(100L)}, ${clusters(101L)}")
+    assert(clusters(2L) == 2L, "non-dup stays its own singleton")
+    // keep-one: the twins drop, their originals and everyone else survive
+    val assigned = Similarity.assignCell(vecs, "embedding", coarse)
+    val kept = Similarity.semanticDedup(assigned, "vec_id", "embedding",
+      col("cell"), tauPermille = 999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val reps = clusters.values.toSet // cluster label IS the min-id representative
+    assert(kept == reps, s"keep-one must keep exactly the representatives")
+    assert(!kept.contains(100L) && !kept.contains(101L) && kept.contains(0L) && kept.contains(1L))
+  }
+
   test("hashed-shingle jaccard equals the string-keyed computation") {
     def stats(hash: Boolean): Set[(Long, Long, Long, Long)] =
       Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, hashShingles = hash)
