@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 import graft.pipeline.TextAnalysis
 
@@ -80,6 +81,84 @@ object PipelineStream {
       .join(evalGrams.select(col("gram")), Seq("gram"), "left_semi")
       .dropDuplicatesWithinWatermark("id")
       .select(col("id"))
+
+  /** One emitted near-dup pair, exact-verified (inter/uni over the hashed
+    * shingle sets — exact modulo 64-bit collisions, like the batch
+    * `hashShingles` path).
+    */
+  case class NearDupPair(ia: Long, ib: Long, inter: Long, uni: Long)
+
+  /** Streaming MinHash-LSH near-duplicate detection: each arriving
+    * document's signature is computed AS AN EXPRESSION (min of seeded
+    * xxhash64 over its shingle set — no aggregation, unlike the batch
+    * groupBy path), banded exactly like [[graft.pipeline.Dedup.lshCandidates]],
+    * and matched against per-band-bucket state holding every prior
+    * bucket member's hashed shingle set. Matches are exact-verified
+    * against state before emission, so emitted pairs satisfy TRUE
+    * Jaccard ≥ num/den — the same pairs the batch pipeline finds, as
+    * they arrive.
+    *
+    * Semantics/scale notes:
+    *  - a pair sharing several band buckets emits once PER BUCKET
+    *    (buckets can't see each other); downstream `dropDuplicates` or a
+    *    set-union sink collapses them,
+    *  - re-delivered ids are ignored (exactly-once per bucket under
+    *    at-least-once feeds),
+    *  - state is the bucket's (id, shingle-hash set) list — bounded by
+    *    bucket occupancy, which LSH keeps small by construction (a hot
+    *    bucket means those docs ARE near-dups of each other; cap growth
+    *    upstream with the stoplist/gating passes if a boilerplate-heavy
+    *    feed bends that assumption).
+    */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
+      numHashes: Int, bands: Int, num: Int, den: Int): DataFrame = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val r = numHashes / bands
+    val sh = array_distinct(TextAnalysis.wordNgrams(col(textCol), n))
+    // per-row signature: h_k = min over shingles of xxhash64(k, shingle) —
+    // identical values to the batch minhashSignatures aggregate
+    val sigCols = (0 until numHashes).map(k =>
+      array_min(transform(col("_shs"), s => xxhash64(lit(k), s))).as(s"h$k"))
+    val banded = docs
+      .select(col(idCol).as("id"), sh.as("_shs"))
+      .filter(size(col("_shs")) > 0)
+      .select(Seq(col("id"),
+        transform(col("_shs"), s => xxhash64(s)).as("shh")) ++ sigCols: _*)
+      .select(col("id"), col("shh"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(((b * r) until ((b + 1) * r)).map(k => col(s"h$k")): _*).as("bh"))
+      }: _*)).as("bd"))
+      .select(col("id"), col("bd.band").as("band"), col("bd.bh").as("bh"), col("shh"))
+      .as[(Long, Int, Long, Seq[Long])]
+    banded
+      .groupByKey { case (_, band, bh, _) => (band, bh) }
+      .flatMapGroupsWithState[Seq[(Long, Seq[Long])], NearDupPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          var seen = state.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[NearDupPair]
+          rows.foreach { case (id, _, _, shh) =>
+            if (!seen.exists(_._1 == id)) {
+              val rs = shh.toSet
+              seen.foreach { case (oid, oshh) =>
+                val inter = oshh.count(rs.contains)
+                val uni = rs.size + oshh.size - inter
+                if (inter.toLong * den >= uni.toLong * num) {
+                  val (ia, ib) = if (oid < id) (oid, id) else (id, oid)
+                  out += NearDupPair(ia, ib, inter.toLong, uni.toLong)
+                }
+              }
+              seen = seen :+ ((id, rs.toSeq))
+            }
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+      .toDF()
+  }
 
   /** Streaming mixture sampling: the batch `mixtureSample` decision is a
     * deterministic per-document hash, so it needs NO state on a stream —

@@ -121,6 +121,43 @@ class StreamingSpec extends SparkSpec {
     assert(rows.length == rows.toSet.size, s"re-delivered doc flagged twice: ${rows.toSeq}")
   }
 
+  test("streaming minhash-LSH near-dups: batch pair set, exact stats, redelivery-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (2L, "completely different content about spark catalyst optimizer rules engine"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (4L, "yet another unrelated document mentioning parquet bloom filters and scans"))
+    val batchPairs = graft.pipeline.Dedup.minhashNearDuplicates(
+      corpus.toDF("doc_id", "text"), "doc_id", "text",
+      n = 3, numHashes = 32, bands = 8, num = 4, den = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batchPairs.map(p => (p._1, p._2)) == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.PipelineStream.nearDupPairs(
+      mem.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      n = 3, numHashes = 32, bands = 8, num = 4, den = 5)
+    val q = out.writeStream.format("memory").queryName("sneardup")
+      .outputMode("append").start()
+    try {
+      // near-dup pair arriving within one micro-batch
+      mem.addData(corpus.take(2): _*); q.processAllAvailable()
+      // exact dup of doc 0 in a LATER batch, plus a redelivery of doc 0
+      mem.addData(corpus.drop(2) :+ corpus.head: _*); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sneardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the stream finds exactly the batch pairs with identical exact stats
+    // (pairs may repeat once per shared band bucket, never more)
+    assert(rows.toSet == batchPairs, s"stream ${rows.toSet} vs batch $batchPairs")
+    val byPair = rows.groupBy(p => (p._1, p._2)).view.mapValues(_.length)
+    byPair.foreach { case (p, c) =>
+      assert(c <= 8, s"pair $p emitted $c times (> bands)") }
+  }
+
   test("watermark-bounded decontamination: dup flags drop in-window, state expires") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
