@@ -29,23 +29,32 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.create(taskSideCommit = true)
 
-    // best-of-two: the container's noisy neighbors add ±30% on join-heavy
-    // workloads; min-of-2 reports the engine's cost, not the noise
-    def time(f: => Long): (Double, Long) = {
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val rows = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val spreads = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+
+    // median-of-3 with min/max recorded per leg: the driver container's
+    // noisy neighbors have swung join-heavy legs 2.5-3.8x round-over-round
+    // with ZERO code change (BENCH_r05 vs r06). The median is the reported
+    // cost; the printed spread makes a wide run self-identify as noise so
+    // a regression is attributable to code, not the container.
+    def leg(name: String)(f: => Long): Unit = {
       def once(): (Double, Long) = {
         val t0 = System.nanoTime()
         val n = f
         ((System.nanoTime() - t0) / 1e9, n)
       }
-      val a = once()
-      val b = once()
-      (math.min(a._1, b._1), b._2)
+      val runs = Seq(once(), once(), once())
+      val ts = runs.map(_._1).sorted
+      results += name -> ts(1)
+      rows += name -> runs.last._2
+      spreads += name -> ((ts.head, ts.last))
     }
 
     // Untimed warmup over reduced inputs: first execution of each operator
     // shape pays classloading + whole-stage-codegen compilation + parquet
     // reader init (up to 4× per BASELINE.md) — run every workload's shape
-    // small and cold ONCE so the timed best-of-two below measures the
+    // small and cold ONCE so the timed median-of-3 below measures the
     // engine. ~3s total, not counted.
     locally {
       val wtmp = Files.createTempDirectory("graft_warm").toString
@@ -89,18 +98,14 @@ object Bench {
         .unionByName(CellEncodings.ordersStatusFTombstones(spark, sfDir)),
       CellEncodings.ordersMeta)
 
-    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    var rows = scala.collection.mutable.LinkedHashMap[String, Long]()
-
     // 1. insert: cell-store write path (SSTable-flush analog)
     val tmp = Files.createTempDirectory("graft_bench").toString
-    val (tIns, nIns) = time {
+    leg("insert") {
       val cells = CellEncodings.ordersCells(spark, sfDir)
       CellStore.write(cells, CellEncodings.ordersMeta, s"$tmp/orders_cells",
         numPartitions = GraftSession.cpus.toInt)
       spark.read.parquet(s"$tmp/orders_cells").count()
     }
-    results += "insert" -> tIns; rows += "insert" -> nIns
 
     // reads run against the store written in step 1 — sorted runs + blooms
     // + pushdown actually exercised (stress.py inserts then reads)
@@ -109,25 +114,35 @@ object Bench {
         .unionByName(CellEncodings.ordersStatusFTombstones(spark, sfDir)),
       CellEncodings.ordersMeta)
 
-    // 2. read: point-slice batch (gaussian-ish sample: every 20th key)
-    val (tRead, nRead) = time {
+    // 2. read: point-slice batch (uniform sample: every 20th key)
+    leg("read") {
       val keys = (0L until 3000L by 20L).map(i => f"$i%010d")
       storedLens.multigetSlice(keys, None, SliceRange(count = 5)).count()
     }
-    results += "read" -> tRead; rows += "read" -> nRead
+
+    // 2b. read_gaussian: stress.py reads keys gaussian-distributed around
+    // the keyspace midpoint (contrib/py_stress/stress.py:74-78 — mean N/2,
+    // stdev 0.1*N). Hot keys cluster on a narrow token band, which is
+    // exactly what blooms / sorted runs / row-group pruning get graded on.
+    // Fixed seed so every round reads the identical key set.
+    leg("read_gaussian") {
+      val rnd = new java.util.Random(42)
+      val keys = Seq.fill(600)(
+        math.max(0L, math.min(2999L, math.round(1500.0 + rnd.nextGaussian() * 300.0))))
+        .distinct.map(i => f"$i%010d")
+      storedLens.multigetSlice(keys, None, SliceRange(count = 5)).count()
+    }
 
     // 3. rangeslice: token-ordered scan, 1000-key batch, count=5 slices
-    val (tRange, nRange) = time {
+    leg("rangeslice") {
       storedLens.rangeSliceByKeys(Some("0000000000"), None, None,
         SliceRange(count = 5), 1000).count()
     }
-    results += "rangeslice" -> tRange; rows += "rangeslice" -> nRange
 
     // 4. reconcile_scan: full LWW reconcile + shadow + slice over every key
-    val (tScan, nScan) = time {
+    leg("reconcile_scan") {
       storedLens.rangeSliceByKeys(None, None, None, SliceRange(count = 3), Int.MaxValue).count()
     }
-    results += "reconcile_scan" -> tScan; rows += "reconcile_scan" -> nScan
 
     // 3b. bucketed layout: write once co-located by key, then the same
     // point-slice batch runs with a SHUFFLE-FREE reconcile
@@ -136,43 +151,39 @@ object Bench {
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
       "graft_bench_bucketed")
     if (wh.exists()) new scala.reflect.io.Directory(wh).deleteRecursively()
-    val (tInsB, nInsB) = time {
+    leg("insert_bucketed") {
       CellStore.writeBucketed(
         CellEncodings.ordersCells(spark, sfDir)
           .unionByName(CellEncodings.ordersStatusFTombstones(spark, sfDir)),
         CellEncodings.ordersMeta, "graft_bench_bucketed", GraftSession.cpus.toInt)
       spark.table("graft_bench_bucketed").count()
     }
-    results += "insert_bucketed" -> tInsB; rows += "insert_bucketed" -> nInsB
 
     val bucketLens = new CassandraLens(
       spark.table("graft_bench_bucketed"), CellEncodings.ordersMeta)
-    val (tReadB, nReadB) = time {
+    leg("read_bucketed") {
       val keys = (0L until 3000L by 20L).map(i => f"$i%010d")
       bucketLens.multigetSlice(keys, None, SliceRange(count = 5)).count()
     }
-    results += "read_bucketed" -> tReadB; rows += "read_bucketed" -> nReadB
     spark.sql("DROP TABLE IF EXISTS graft_bench_bucketed")
 
     // 3c. domainSplit layout (fork CFMetaData.domainSplit): the 2-char key
     // domain is a parquet partition column; keyed reads derive domains from
     // the requested keys and prune whole directories (PartitionFilters)
     val domainMeta = CellEncodings.ordersMeta.copy(domainSplit = true)
-    val (tInsD, nInsD) = time {
+    leg("insert_domain") {
       CellStore.writeDomainSplit(
         CellEncodings.ordersCells(spark, sfDir)
           .unionByName(CellEncodings.ordersStatusFTombstones(spark, sfDir)),
         domainMeta, s"$tmp/orders_domain")
       spark.read.parquet(s"$tmp/orders_domain").count()
     }
-    results += "insert_domain" -> tInsD; rows += "insert_domain" -> nInsD
     val domainLens = new CassandraLens(
       CellStore.readDomainSplit(spark, s"$tmp/orders_domain"), domainMeta)
-    val (tReadD, nReadD) = time {
+    leg("read_domain") {
       val keys = (0L until 3000L by 20L).map(i => f"$i%010d")
       domainLens.multigetSlice(keys, None, SliceRange(count = 5)).count()
     }
-    results += "read_domain" -> tReadD; rows += "read_domain" -> nReadD
 
     // 3e. composed domainSplit ∘ bucketed catalog layout (the 100 TB
     // layout: directory pruning AND shuffle-free reconcile in one table;
@@ -186,11 +197,10 @@ object Bench {
       dbMeta, "graft_bench_domain_bucketed", GraftSession.cpus.toInt)
     val dbLens = new CassandraLens(
       spark.table("graft_bench_domain_bucketed"), dbMeta)
-    val (tReadDb, nReadDb) = time {
+    leg("read_domain_bucketed") {
       val keys = (0L until 3000L by 20L).map(i => f"$i%010d")
       dbLens.multigetSlice(keys, None, SliceRange(count = 5)).count()
     }
-    results += "read_domain_bucketed" -> tReadDb; rows += "read_domain_bucketed" -> nReadDb
     spark.sql("DROP TABLE IF EXISTS graft_bench_domain_bucketed")
 
     // 3d. horizon-sidecar store: runs + precomputed deletion horizons;
@@ -204,53 +214,46 @@ object Bench {
       numPartitions = GraftSession.cpus.toInt)
     val sideLens = CellStore.openWithHorizons(spark, s"$tmp/orders_sidecar",
       CellEncodings.ordersMeta)
-    val (tReadS, nReadS) = time {
+    leg("read_sidecar") {
       val keys = (0L until 3000L by 20L).map(i => f"$i%010d")
       sideLens.multigetSlice(keys, None, SliceRange(count = 5)).count()
     }
-    results += "read_sidecar" -> tReadS; rows += "read_sidecar" -> nReadS
 
     // 4b. sessionize: gap-based session windows over 100k events
-    val (tSess, nSess) = time {
+    leg("sessionize") {
       SparkEntry.queries("q22_sessionize")(spark, sfDir).count()
     }
-    results += "sessionize" -> tSess; rows += "sessionize" -> nSess
 
     // 5. compaction: table-wide merge + GC (major compaction analog)
-    val (tComp, nComp) = time {
+    leg("compaction") {
       ordersLens.compact(gcBeforeSeconds = 1000000000).cells.count()
     }
-    results += "compaction" -> tComp; rows += "compaction" -> nComp
 
     // pipeline headliners
     val docs = CellEncodings.table(spark, sfDir, "documents")
-    val (tJac, nJac) = time {
+    leg("jaccard_neardup") {
       // scale path: 8-byte hashed shingle shuffle keys (oracle queries
       // keep exact strings; spec asserts equal results)
       graft.pipeline.Dedup.nearDuplicates(docs, "doc_id", "text", 3, 4, 5,
         hashShingles = true).count()
     }
-    results += "jaccard_neardup" -> tJac; rows += "jaccard_neardup" -> nJac
 
-    val (tMh, nMh) = time {
+    leg("minhash_lsh") {
       graft.pipeline.Dedup.minhashNearDuplicates(docs, "doc_id", "text", 3, 32, 8, 4, 5).count()
     }
-    results += "minhash_lsh" -> tMh; rows += "minhash_lsh" -> nMh
 
     val emb = CellEncodings.table(spark, sfDir, "embeddings")
-    val (tAnn, nAnn) = time {
+    leg("ann_topk") {
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q"))
       graft.pipeline.Similarity.bruteForceTopK(
         emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10).count()
     }
-    results += "ann_topk" -> tAnn; rows += "ann_topk" -> nAnn
 
-    val (tWin, nWin) = time {
+    leg("events_window") {
       CellEncodings.table(spark, sfDir, "events")
         .groupBy(expr("ts div 3600000000000"), col("event_type"))
         .agg(count(lit(1)), sum(col("value"))).count()
     }
-    results += "events_window" -> tWin; rows += "events_window" -> nWin
 
     // cleanup
     try {
@@ -260,8 +263,11 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val rs = rows.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val sp = spreads.map { case (k, (lo, hi)) =>
+      "\"" + k + "\":[" + f"$lo%.3f" + "," + f"$hi%.3f" + "]"
+    }.mkString("{", ",", "}")
     val total = results.values.sum
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"rows":$rs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"rows":$rs,"spread":$sp,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -389,6 +389,29 @@ object SparkEntry {
         .select(col("key").cast("bigint").as("custkey"))
     }),
 
+    // IStoreApplyListener analog (fork db/IStoreApplyListener.java:1-30,
+    // wired db/Table.java:568-605): pre-apply chain on the write path —
+    // a VETO listener drops mutations for keys ending in '0' (preapply →
+    // false) and a TRANSFORM listener stamps every surviving value with a
+    // '+' suffix, both before the cells reach the store. Mutations write
+    // status 'W' (ts+5, strictly newer) for custkey%3==0 orders, so the
+    // live view shows 'W+' exactly where the chain let the write through.
+    "q37_apply_listener" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val muts = o.filter(col("o_custkey") % 3 === 0).select(
+        key10(col("o_custkey")).as("key"),
+        GraftFunctions.beBytes(col("o_orderkey")).as("col_name"),
+        encode(lit("W"), "UTF-8").as("value"),
+        (unix_millis(col("o_orderdate").cast("timestamp")) + 5L).as("ts"))
+      val lens = ordersRawLens(s, dir)
+        .withApplyListener(_.filter(substring(col("key"), 10, 1) =!= "0"))
+        .withApplyListener(_.withColumn("value",
+          concat(col("value"), encode(lit("+"), "UTF-8"))))
+        .insert(muts)
+      ordersDecoded(lens.rangeSliceByKeys(None, None, None,
+        SliceRange(count = Int.MaxValue), Int.MaxValue))
+    }),
+
     // Commit-log point-in-time replay: the reconciled live view as of
     // 1995-07-01 (recover(maxReplayTimestamp), CommitLog.java:168-173).
     "q18_replay_pit" -> ((s, dir) => {
@@ -1216,6 +1239,12 @@ object SparkEntry {
     "q36_rows_exist" ->
       """SELECT DISTINCT CAST(o_custkey AS BIGINT) AS custkey
         |FROM orders WHERE o_custkey % 7 = 0 AND o_orderstatus <> 'F'""".stripMargin,
+
+    "q37_apply_listener" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
+        |       CASE WHEN o_custkey % 3 = 0 AND o_custkey % 10 <> 0 THEN 'W+'
+        |            ELSE o_orderstatus END AS status
+        |FROM orders""".stripMargin,
 
     "q18_replay_pit" ->
       """SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,

@@ -32,13 +32,41 @@ class CassandraLens(
       * while the underlying cells are unchanged — mutations return lenses
       * WITHOUT the cache, like the reference invalidating on write.
       */
-    private val cachedLive: Option[DataFrame] = None) {
+    private val cachedLive: Option[DataFrame] = None,
+    /** IStoreApplyListener analog (fork db/IStoreApplyListener.java:1-30,
+      * invoked from db/Table.java:568-605 before the commit-log/memtable
+      * critical section): a pre-apply chain run on every mutation batch
+      * BEFORE it reaches the store. The reference hook can only veto
+      * (preapply → false drops that row's CF mutation); a listener here is
+      * a whole-batch transform, so a veto is a `filter` and rewrites (TTL
+      * stamping, value normalization) compose in the same Catalyst plan —
+      * strictly more expressive, still entirely pre-write. Like the
+      * compaction RowProcessor chain, listeners run ONLY when attached:
+      * the unhooked write path is byte-identical to before.
+      */
+    private val applyListeners: Seq[DataFrame => DataFrame] = Nil) {
   GraftFunctions.register(cells.sparkSession)
 
   def this(cells: DataFrame, meta: CfMeta, horizons: Option[(DataFrame, DataFrame)]) =
-    this(cells, meta, horizons, None)
+    this(cells, meta, horizons, None, Nil)
 
-  def this(cells: DataFrame, meta: CfMeta) = this(cells, meta, None, None)
+  def this(cells: DataFrame, meta: CfMeta) = this(cells, meta, None, None, Nil)
+
+  /** Attach a pre-apply listener (ColumnFamilyStore.setStoreApplyListener
+    * analog). Listeners are store configuration: they persist across
+    * mutations and derived lenses, in attach order.
+    */
+  def withApplyListener(listener: DataFrame => DataFrame): CassandraLens =
+    new CassandraLens(cells, meta, horizons, cachedLive, applyListeners :+ listener)
+
+  /** Run the attached listener chain over one mutation batch, then re-conform
+    * to the canonical cell schema (a transform may add helper columns; the
+    * store never sees them). No-op when nothing is attached.
+    */
+  private def preApply(mutation: DataFrame): DataFrame =
+    if (applyListeners.isEmpty) mutation
+    else Mutations.conform(
+      applyListeners.foldLeft(Mutations.conform(mutation))((df, l) => l(df)))
 
   private def topCmp: ComparatorType.Value = meta.comparator
   private def subCmp: ComparatorType.Value = meta.subComparator
@@ -49,7 +77,7 @@ class CassandraLens(
     * equivalent to reconciling the filtered cells.
     */
   def withRowCache(): CassandraLens =
-    new CassandraLens(cells, meta, horizons, Some(live.cache()))
+    new CassandraLens(cells, meta, horizons, Some(live.cache()), applyListeners)
 
   /** Release this lens's row cache (InstrumentedCache eviction analog).
     * Mutations drop the cache REFERENCE automatically but cannot unpersist
@@ -59,7 +87,7 @@ class CassandraLens(
     */
   def dropRowCache(): CassandraLens = {
     cachedLive.foreach(_.unpersist())
-    new CassandraLens(cells, meta, horizons, None)
+    new CassandraLens(cells, meta, horizons, None, applyListeners)
   }
 
   /** Reconciled live view of the whole CF. */
@@ -333,11 +361,13 @@ class CassandraLens(
 
   /** Q7 insert/batch_insert: timestamped upsert cells. */
   def insert(mutations: DataFrame): CassandraLens =
-    new CassandraLens(Mutations(cells, Mutations.asInserts(mutations)), meta)
+    new CassandraLens(Mutations(cells, preApply(Mutations.asInserts(mutations))),
+      meta, None, None, applyListeners)
 
   /** Q8 batch_mutate: pre-built cell mutations (inserts + deletions). */
   def batchMutate(mutations: DataFrame*): CassandraLens =
-    new CassandraLens(Mutations(cells, mutations: _*), meta)
+    new CassandraLens(Mutations(cells, mutations.map(preApply): _*),
+      meta, None, None, applyListeners)
 
   /** Q9 remove at column granularity. */
   def removeColumns(df: DataFrame, localDeletionTimeSec: Int): CassandraLens =

@@ -25,13 +25,24 @@ object CellStream {
   /** Flush pipeline: append each micro-batch of mutation cells to the base
     * store as sorted parquet runs (the SSTable-flush analog). Reads see
     * base ∪ delta via CellStore.mergeOnRead; compaction folds runs later.
+    *
+    * `listeners` is the IStoreApplyListener analog on the streaming ingest
+    * path (fork db/IStoreApplyListener.java:1-30 — see
+    * CassandraLens.withApplyListener for the batch twin): each micro-batch
+    * runs through the chain BEFORE the flush, so a veto (filter) or
+    * transform (TTL stamping) applies exactly once per delivered batch.
+    * The reference warns the same hook fires on redeliveries (hinted
+    * handoff); here foreachBatch replays carry the same batchId and the
+    * checkpoint WAL makes the append exactly-once, so listeners must
+    * simply be deterministic.
     */
-  def writeToStore(mutations: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
+  def writeToStore(mutations: DataFrame, path: String, checkpoint: String,
+      listeners: Seq[DataFrame => DataFrame] = Nil): DataStreamWriter[Row] =
     mutations.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch
+        listeners.foldLeft(batch)((df, l) => l(df))
           .sortWithinPartitions(col("key"), col("super_name"), col("col_name"))
           .write.mode("append").parquet(path)
       }
