@@ -217,6 +217,100 @@ object ScaleProbe {
     println(f"[scale] range-pick 1000 keys: full-reconcile in=$inOld%,d B $dtOld%5.2f s; value-free in=$inNew%,d B $dtNew%5.2f s")
     println(s"[scale] range-pick ReadSchema old: ${readSchemas(oldPick)}")
     println(s"[scale] range-pick ReadSchema new: ${readSchemas(newPick)}")
+
+    // Connected-components round shape: since round 7 the convergence
+    // check is a `changed` column inside each round's ONE materializing
+    // job — the probe just scans the freshly cached labels (no join, no
+    // shuffle). Count jobs and the shuffle traffic of single-stage jobs
+    // (the probes) on a 20k-node chain + 5k isolated pairs.
+    locally {
+      import scala.jdk.CollectionConverters._
+      val stagesByJob = new java.util.concurrent.ConcurrentHashMap[Int, Seq[Int]]()
+      val startByJob = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+      val durByJob = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+      val shuffleByStage = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          stagesByJob.put(js.jobId, js.stageIds)
+          startByJob.put(js.jobId, js.time)
+        }
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          Option(startByJob.get(je.jobId)).foreach(t0 =>
+            durByJob.put(je.jobId, je.time - t0))
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null) shuffleByStage.put(sc.stageInfo.stageId,
+            m.shuffleReadMetrics.totalBytesRead + m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+      val chain = spark.range(0, 20000)
+        .select(col("id").as("ia"), (col("id") + 1).as("ib"))
+        .unionByName(spark.range(0, 5000)
+          .select((col("id") * 2 + 100000).as("ia"), (col("id") * 2 + 100001).as("ib")))
+      spark.sparkContext.addSparkListener(listener)
+      val t0cc = System.nanoTime()
+      val nComps = graft.pipeline.Dedup.connectedComponents(chain)
+        .select(countDistinct(col("comp"))).head().getLong(0)
+      val dtCc = (System.nanoTime() - t0cc) / 1e9
+      org.apache.spark.graft.ListenerDrain.waitUntilEmpty(spark.sparkContext)
+      spark.sparkContext.removeSparkListener(listener)
+      // a convergence probe scans only the round's cached labels: zero
+      // shuffle traffic across all its stages (AQE materialization jobs
+      // always carry shuffle bytes, so this classification separates them)
+      val jobs = stagesByJob.asScala.toSeq
+      def shuffled(stages: Seq[Int]): Long =
+        stages.map(id => Option(shuffleByStage.get(id)).map(_.longValue).getOrElse(0L)).sum
+      val (probes, heavy) = jobs.partition { case (_, st) => shuffled(st) == 0L }
+      def totalMs(js: Seq[(Int, Seq[Int])]): Long =
+        js.map { case (id, _) => Option(durByJob.get(id)).map(_.longValue).getOrElse(0L) }.sum
+      println(f"[scale] cc 20k-chain+5k-pairs: components=$nComps%,d in $dtCc%5.2f s; " +
+        f"jobs=${jobs.size} zero-shuffle probe jobs=${probes.size} taking ${totalMs(probes)}%,d ms " +
+        f"vs ${totalMs(heavy)}%,d ms shuffle-bearing (convergence folded into the round's cached labels)")
+    }
+
+    // Streaming near-dup state growth: how the per-band-bucket state
+    // scales with documents ingested, unbounded vs watermark-bounded
+    // (PipelineStream.nearDupPairsWithinWatermark). Event time advances
+    // one hour per 10k-doc batch; the 30-minute delay keeps only the
+    // newest batch's buckets live — the eviction story SCALE.md documents.
+    locally {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      def text(i: Long): String =
+        (0 until 40).map(j => "w" + (((i * 31 + j * 7) ^ (i >> 3)) % 5000)).mkString(" ")
+      def run(watermarked: Boolean): Seq[(Long, Long)] = {
+        val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, java.sql.Timestamp)]
+        val src = mem.toDS().toDF("doc_id", "text", "ets")
+        val out =
+          if (watermarked) graft.streaming.PipelineStream.nearDupPairsWithinWatermark(
+            src, "doc_id", "text", "ets", "30 minutes", n = 3, numHashes = 16,
+            bands = 4, num = 4, den = 5)
+          else graft.streaming.PipelineStream.nearDupPairs(
+            src, "doc_id", "text", n = 3, numHashes = 16, bands = 4, num = 4, den = 5)
+        val name = if (watermarked) "sp_ndwm" else "sp_nd"
+        val q = out.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        val sizes = Seq.newBuilder[(Long, Long)]
+        try {
+          for (b <- 0 until 5) {
+            val t0 = 1700000000000L + b * 3600000L
+            mem.addData((0 until 10000).map(i =>
+              ((b * 10000L + i), text(b * 10000L + i), new java.sql.Timestamp(t0))): _*)
+            q.processAllAvailable()
+            val so = q.lastProgress.stateOperators(0)
+            sizes += ((so.numRowsTotal, so.memoryUsedBytes))
+          }
+        } finally q.stop()
+        sizes.result()
+      }
+      val unbounded = run(watermarked = false)
+      val bounded = run(watermarked = true)
+      def fmt(s: Seq[(Long, Long)]): String =
+        s.map { case (r, m) => f"$r%,d rows/${m / 1024 / 1024}%d MiB" }.mkString(" -> ")
+      println(s"[scale] stream near-dup state, 5x10k docs: unbounded ${fmt(unbounded)}")
+      println(s"[scale] stream near-dup state, watermarked 30m/1h batches: ${fmt(bounded)}")
+    }
     spark.stop()
   }
 }

@@ -207,17 +207,23 @@ object Dedup {
       val nbrMin = adj
         .join(labels.select(col("id").as("b"), col("comp").as("bcomp")), Seq("b"))
         .groupBy(col("a").as("id")).agg(min(col("bcomp")).as("nmin"))
+      // carry the round's OLD label through, so the convergence check is a
+      // column computed inside this round's one materializing job — not a
+      // second old-vs-new join job per round (which doubled round latency)
       val propagated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .select(col("id"), col("comp").as("ocomp"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
       val jumped = propagated.alias("l")
         .join(propagated.select(col("id").as("cid"), col("comp").as("ccomp")).alias("r"),
           col("l.comp") === col("r.cid"), "left")
-        .select(col("l.id").as("id"), coalesce(col("ccomp"), col("l.comp")).as("comp"))
+        .select(col("l.id").as("id"),
+          coalesce(col("ccomp"), col("l.comp")).as("comp"),
+          (coalesce(col("ccomp"), col("l.comp")) =!= col("l.ocomp")).as("changed"))
         .localCheckpoint()
-      converged = jumped.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.comp") =!= col("o.comp")).isEmpty
-      labels = jumped
+      // probe reads the just-cached blocks: Scan ExistingRDD + Filter, no
+      // Exchange, no recompute (ConnectedComponents probe-plan spec)
+      converged = jumped.where(col("changed")).isEmpty
+      labels = jumped.select(col("id"), col("comp"))
       iter += 1
     }
     // partial labels would silently split real clusters downstream —

@@ -591,14 +591,42 @@ object Similarity {
     bruteForceTopK(finalists.withColumnRenamed("vec", "embedding"), "id", "embedding", q, k)
   }
 
-  /** Embedding near-dup mining: the single most-similar pair per cell
-    * (all-pairs within a cell — cells bound the quadratic term).
+  /** Cell-size guard for the within-cell all-pairs joins: any cell larger
+    * than `maxCellSize` is split into ceil(n/max) subcells by a secondary
+    * hash of the id, so one degenerate cell (a codebook centroid attracting
+    * 1% of a 100 TB corpus) keeps a bounded quadratic term instead of an
+    * unbounded one — per-cell pair work drops from n² to ~n·maxCellSize.
+    * Pairs never form across subcells: the same recall/cost tradeoff the
+    * cell partition itself already accepts, now also bounded from above.
+    * Only the oversized cells' counts are joined (broadcast — there can
+    * only be corpus/maxCellSize of them); normal cells take subcell 0 and
+    * are completely unaffected. maxCellSize <= 0 disables the guard.
     */
-  def topPairPerCell(df: DataFrame, idCol: String, vecCol: String, cellCol: String): DataFrame = {
+  private def withSubcell(v: DataFrame, idC: String, maxCellSize: Int): DataFrame =
+    if (maxCellSize <= 0) v.withColumn("__sub", lit(0))
+    else {
+      val over = v.groupBy("cell").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxCellSize)
+      v.join(broadcast(over), Seq("cell"), "left")
+        .withColumn("__sub",
+          when(col("__n").isNull, lit(0)).otherwise(
+            pmod(xxhash64(col(idC)),
+              ceil(col("__n").cast("double") / maxCellSize)).cast("int")))
+        .drop("__n")
+    }
+
+  /** Embedding near-dup mining: the single most-similar pair per cell
+    * (all-pairs within a cell — cells bound the quadratic term, and
+    * `maxCellSize` bounds a degenerate cell; see [[withSubcell]]).
+    */
+  def topPairPerCell(df: DataFrame, idCol: String, vecCol: String, cellCol: String,
+      maxCellSize: Int = 1 << 14): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val a = df.select(col(cellCol).as("cell"), col(idCol).as("ia"), col(vecCol).as("va"))
-    val b = df.select(col(cellCol).as("cell"), col(idCol).as("ib"), col(vecCol).as("vb"))
-    val pairs = a.join(b, Seq("cell")).filter(col("ia") < col("ib"))
+    val v = withSubcell(df.select(col(cellCol).as("cell"), col(idCol).as("id"),
+      col(vecCol).as("vec")), "id", maxCellSize)
+    val a = v.select(col("cell"), col("__sub"), col("id").as("ia"), col("vec").as("va"))
+    val b = v.select(col("cell"), col("__sub"), col("id").as("ib"), col("vec").as("vb"))
+    val pairs = a.join(b, Seq("cell", "__sub")).filter(col("ia") < col("ib"))
       .withColumn("sim", cosine("va", "vb"))
     pairs
       .withColumn("rn", row_number().over(
@@ -618,34 +646,49 @@ object Similarity {
     * the recall/cost tradeoff every ANN-backed dedup accepts.
     */
   def semanticClusters(df: DataFrame, idCol: String, vecCol: String,
-      cellExpr: Column, tauPermille: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(df.sparkSession)
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"), cellExpr.as("cell"))
-    val a = v.select(col("cell"), col("id").as("ia"), col("vec").as("va"))
-    val b = v.select(col("cell"), col("id").as("ib"), col("vec").as("vb"))
-    val pairs = a.join(b, Seq("cell")).filter(col("ia") < col("ib"))
-      .filter(cosine("va", "vb") * 1000 >= tauPermille)
-      .select(col("ia"), col("ib"))
-    val cc = Dedup.connectedComponents(pairs)
+      cellExpr: Column, tauPermille: Int, maxCellSize: Int = 1 << 14): DataFrame = {
+    val cc = Dedup.connectedComponents(
+      semanticPairs(df, idCol, vecCol, cellExpr, tauPermille, maxCellSize))
     df.select(col(idCol).as("id"))
       .join(cc, Seq("id"), "left")
       .select(col("id").as(idCol), coalesce(col("comp"), col("id")).as("cluster"))
+  }
+
+  /** The pair-emission stage of [[semanticClusters]]: all within-cell pairs
+    * at or above the cosine threshold, as (ia, ib). Public both as a usable
+    * near-dup-pair miner and so the cell-size guard's pair bound is
+    * directly observable.
+    */
+  def semanticPairs(df: DataFrame, idCol: String, vecCol: String,
+      cellExpr: Column, tauPermille: Int, maxCellSize: Int = 1 << 14): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val v = withSubcell(
+      df.select(col(idCol).as("id"), col(vecCol).as("vec"), cellExpr.as("cell")),
+      "id", maxCellSize)
+    val a = v.select(col("cell"), col("__sub"), col("id").as("ia"), col("vec").as("va"))
+    val b = v.select(col("cell"), col("__sub"), col("id").as("ib"), col("vec").as("vb"))
+    a.join(b, Seq("cell", "__sub")).filter(col("ia") < col("ib"))
+      .filter(cosine("va", "vb") * 1000 >= tauPermille)
+      .select(col("ia"), col("ib"))
   }
 
   /** [[semanticClusters]] with IVF-codebook cells — train once
     * ([[trainCodebook]]), then cluster within coarse cells.
     */
   def semanticClustersIvf(df: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Float]], tauPermille: Int): DataFrame =
+      centroids: Array[Array[Float]], tauPermille: Int,
+      maxCellSize: Int = 1 << 14): DataFrame =
     semanticClusters(
-      assignCell(df, vecCol, centroids), idCol, vecCol, col("cell"), tauPermille)
+      assignCell(df, vecCol, centroids), idCol, vecCol, col("cell"), tauPermille,
+      maxCellSize)
 
   /** Semantic dedup: keep exactly one document per semantic cluster (the
     * min-id representative) — the SemDeDup "drop the rest" step.
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      cellExpr: Column, tauPermille: Int): DataFrame = {
-    val clusters = semanticClusters(df, idCol, vecCol, cellExpr, tauPermille)
+      cellExpr: Column, tauPermille: Int, maxCellSize: Int = 1 << 14): DataFrame = {
+    val clusters = semanticClusters(df, idCol, vecCol, cellExpr, tauPermille,
+      maxCellSize)
     df.join(
       clusters.filter(col(idCol) === col("cluster")).select(idCol),
       Seq(idCol), "left_semi")

@@ -160,6 +160,85 @@ object PipelineStream {
       .toDF()
   }
 
+  /** Bounded-state streaming near-dup: like [[nearDupPairs]] but each band
+    * bucket's member list carries its event time and is evicted once the
+    * watermark passes — the gcGrace analog for near-dup state, and the
+    * answer to "what bounds this on an unbounded feed". Semantics traded
+    * for the bound: pairs are found only between documents whose event
+    * times are within the delay of each other (a near-dup arriving LATER
+    * than the delay is missed here and caught by the periodic batch
+    * pass), and a redelivery farther apart than the delay re-compares
+    * like a new document. Empty/expired buckets remove their state row
+    * entirely via the event-time timeout, so state size tracks the
+    * in-window document count, not the corpus.
+    */
+  def nearDupPairsWithinWatermark(docs: DataFrame, idCol: String,
+      textCol: String, eventTimeCol: String, delay: String, n: Int,
+      numHashes: Int, bands: Int, num: Int, den: Int): DataFrame = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val r = numHashes / bands
+    val sh = array_distinct(TextAnalysis.wordNgrams(col(textCol), n))
+    val sigCols = (0 until numHashes).map(k =>
+      array_min(transform(col("_shs"), s => xxhash64(lit(k), s))).as(s"h$k"))
+    val banded = docs
+      // cast BEFORE the watermark: a cast after it would produce a fresh
+      // attribute without the event-time tag (EventTimeTimeout then fails
+      // analysis); the un-renamed column carries the tag through selects
+      .withColumn("__et", col(eventTimeCol).cast("timestamp"))
+      .withWatermark("__et", delay)
+      .select(col(idCol).as("id"), col("__et"), sh.as("_shs"))
+      .filter(size(col("_shs")) > 0)
+      .select(Seq(col("id"), col("__et"),
+        transform(col("_shs"), s => xxhash64(s)).as("shh")) ++ sigCols: _*)
+      .select(col("id"), col("__et"), col("shh"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(((b * r) until ((b + 1) * r)).map(k => col(s"h$k")): _*).as("bh"))
+        }: _*)).as("bd"))
+      .select(col("id"), col("bd.band").as("band"), col("bd.bh").as("bh"),
+        col("shh"), col("__et"))
+      .as[(Long, Int, Long, Seq[Long], java.sql.Timestamp)]
+    banded
+      .groupByKey { case (_, band, bh, _, _) => (band, bh) }
+      .flatMapGroupsWithState[Seq[(Long, Seq[Long], Long)], NearDupPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            var seen = state.getOption.getOrElse(Seq.empty).filter(_._3 >= wm)
+            val out = Seq.newBuilder[NearDupPair]
+            rows.foreach { case (id, _, _, shh, et) =>
+              if (!seen.exists(_._1 == id)) {
+                val rs = shh.toSet
+                seen.foreach { case (oid, oshh, _) =>
+                  val inter = oshh.count(rs.contains)
+                  val uni = rs.size + oshh.size - inter
+                  if (inter.toLong * den >= uni.toLong * num) {
+                    val (ia, ib) = if (oid < id) (oid, id) else (id, oid)
+                    out += NearDupPair(ia, ib, inter.toLong, uni.toLong)
+                  }
+                }
+                seen = seen :+ ((id, rs.toSeq, et.getTime))
+              }
+            }
+            if (seen.isEmpty) state.remove()
+            else {
+              state.update(seen)
+              // the whole bucket expires when the watermark passes its
+              // NEWEST member (each member is individually filtered above
+              // on earlier visits; the timeout reaps untouched buckets)
+              state.setTimeoutTimestamp(math.max(seen.map(_._3).max, wm + 1))
+            }
+            out.result().iterator
+          }
+      }
+      .toDF()
+  }
+
   /** Streaming mixture sampling: the batch `mixtureSample` decision is a
     * deterministic per-document hash, so it needs NO state on a stream —
     * the same document admits or rejects identically whether it arrives

@@ -135,6 +135,55 @@ class PipelineSpec extends SparkSpec {
     assert(!kept.contains(100L) && !kept.contains(101L) && kept.contains(0L) && kept.contains(1L))
   }
 
+  test("cell-size guard: a planted mega-cell splits, bounded pairs, others unchanged") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val center = Array.fill(16)(rnd.nextFloat() * 10 - 5)
+    def near(c: Array[Float]): Array[Float] = c.map(v => v + rnd.nextFloat() * 0.004f)
+    // one degenerate cell attracting 40 near-identical vectors, plus two
+    // healthy cells with one near-dup pair each
+    val c1 = Array.fill(16)(rnd.nextFloat() * 10 - 5)
+    val c2 = Array.fill(16)(rnd.nextFloat() * 10 - 5)
+    val mega = (0L until 40L).map(i => (i, near(center)))
+    val small = Seq((100L, near(c1)), (101L, near(c1)), (102L, c2.map(-_)),
+      (200L, near(c2)), (201L, near(c2)))
+    val vecs = (mega ++ small).toDF("vec_id", "embedding")
+    val cellOf = when(col("vec_id") < 100L, 0).otherwise((col("vec_id") / 100L).cast("int"))
+
+    def pairSet(cap: Int): Set[(Long, Long)] =
+      Similarity.semanticPairs(vecs, "vec_id", "embedding", cellOf,
+        tauPermille = 999, maxCellSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unguarded = pairSet(0)
+    val guarded = pairSet(8)
+
+    // the mega-cell's quadratic term is bounded: exactly sum nc-choose-2
+    // over the ceil(40/8)=5 hash subcells, strictly below 40*39/2
+    val subSizes = vecs.filter(col("vec_id") < 100L)
+      .groupBy(pmod(xxhash64(col("vec_id")), lit(5L))).count()
+      .collect().map(_.getLong(1))
+    val expectedMega = subSizes.map(n => n * (n - 1) / 2).sum
+    assert(unguarded.count(_._1 < 100L) == 40L * 39 / 2)
+    assert(guarded.count(_._1 < 100L) == expectedMega,
+      s"mega pairs must be hash-subcell-bounded: got ${guarded.count(_._1 < 100L)}")
+    assert(expectedMega < 40L * 39 / 2)
+
+    // non-skewed cells are completely unaffected by the guard
+    assert(guarded.filter(_._1 >= 100L) == unguarded.filter(_._1 >= 100L))
+    assert(guarded.contains((100L, 101L)) && guarded.contains((200L, 201L)))
+    assert(!guarded.exists(p => p._1 == 102L || p._2 == 102L),
+      "opposed vector stays pairless")
+
+    // clusters: healthy cells unchanged; every mega cluster fits a subcell
+    val clusters = Similarity.semanticClusters(vecs, "vec_id", "embedding",
+      cellOf, tauPermille = 999, maxCellSize = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(101L) == 100L && clusters(201L) == 200L && clusters(102L) == 102L)
+    val megaSizes = clusters.filter(_._1 < 100L).groupBy(_._2).map(_._2.size)
+    assert(megaSizes.sum == 40 && megaSizes.max <= subSizes.max,
+      s"mega clusters bounded by their subcells: $megaSizes vs ${subSizes.toSeq}")
+  }
+
   test("hashed-shingle jaccard equals the string-keyed computation") {
     def stats(hash: Boolean): Set[(Long, Long, Long, Long)] =
       Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, hashShingles = hash)

@@ -189,6 +189,44 @@ class StreamingSpec extends SparkSpec {
     assert(ids.count(_ == 10L) == 2 && ids.toSet == Set(10L), s"got $ids")
   }
 
+  test("watermark-bounded near-dup: in-window twin found, expired bucket forgets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val textA = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val textB = "a completely different document about spark catalyst optimizer internals"
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = graft.streaming.PipelineStream.nearDupPairsWithinWatermark(
+      mem.toDS().toDF("doc_id", "text", "ets"), "doc_id", "text",
+      "ets", "10 minutes", n = 3, numHashes = 32, bands = 8, num = 4, den = 5)
+    val q = out.writeStream.format("memory").queryName("swneardup")
+      .outputMode("append").start()
+    try {
+      // twin within the delay window: pair (1,2) must be found
+      mem.addData((1L, textA, ts(0)), (5L, textB, ts(0)))
+      q.processAllAvailable()
+      mem.addData((2L, textA, ts(5)))
+      q.processAllAvailable()
+      // push the watermark far past every bucket's newest member
+      mem.addData((6L, textB + " and more words here", ts(120)))
+      q.processAllAvailable()
+      // same text re-arrives AFTER eviction: its bucket forgot doc 1/2 —
+      // no pair emits (the bounded-state tradeoff; the batch pass catches it)
+      mem.addData((3L, textA, ts(125)))
+      q.processAllAvailable()
+      // but a twin of doc 3 inside the NEW window pairs with it
+      mem.addData((4L, textA, ts(130)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("swneardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)), s"got $pairs")
+    // state is bounded: after the evictions, rows track the in-window
+    // docs' band buckets only (not every doc ever seen)
+    val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+    assert(stateRows <= 3 * 8, s"state must hold only in-window buckets: $stateRows")
+  }
+
   test("streaming sample gate admits exactly the batch mixtureSample ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
