@@ -766,16 +766,29 @@ object SparkEntry {
     // Multimodal frame sampling: the 1→N flatMap fan-out over binary
     // media (video frame extraction shape), deterministic byte windows —
     // oracle-checked via hex-string slicing.
+    // REAL video-frame sampling: each doc becomes a length-prefixed frame
+    // container of nf deterministic gray PNGs; the engine parses the
+    // container, picks 3 evenly spaced frames, and decodes each through
+    // javax.imageio. The oracle recomputes every decoded pixel sum from
+    // the closed-form pixel formula — container parsing, frame picking,
+    // and the PNG decoder are all under the gate.
     "p17_frame_sample" -> ((s, dir) => {
       GraftFunctions.register(s)
       import s.implicits._
-      val media = table(s, dir, "documents").select(
-        col("doc_id").as("id"), col("source").as("kind"),
-        encode(col("text"), "UTF-8").as("media"))
-      graft.pipeline.Multimodal.sampleFramesStub(
-        media.as[graft.pipeline.Multimodal.MediaItem], frames = 4, frameBytes = 100)
-        .select(col("id").as("doc_id"), col("frame").cast("long").as("frame"),
-          lower(hex(col("frame_bytes"))).as("frame_hex"))
+      val media = table(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val nf = (3 + id % 4).toInt
+          val w = (8 + id % 5).toInt
+          val h = (8 + id % 3).toInt
+          val frames = (0 until nf).map(f =>
+            graft.pipeline.Multimodal.encodeGrayPng(w, h,
+              (x, y) => ((id * 31 + f * 17 + x * 7 + y * 13) % 256).toInt))
+          graft.pipeline.Multimodal.MediaItem(id, "video",
+            graft.pipeline.Multimodal.packFrames(frames))
+        }
+      graft.pipeline.Multimodal.sampleDecodedFrames(media, frames = 3)
+        .select(col("id").as("doc_id"), col("frame"), col("frame_index"),
+          col("width"), col("height"), col("gray_sum"))
     }),
 
     // Near-dup clusters: Jaccard pairs → connected components (min-label
@@ -918,14 +931,44 @@ object SparkEntry {
 
     // Multimodal plumbing: opaque binary column → batched feature
     // extraction (decode step STUBBED — see Multimodal.decodeStub).
+    // REAL image decode (javax.imageio): per-doc deterministic gray PNG
+    // (w/h/pixels all closed-form in doc_id), decoded back through the
+    // raster; DuckDB computes the same width/height/pixel-sum from the
+    // formula alone — a decoder misreading any pixel fails the hash.
     "p12_multimodal" -> ((s, dir) => {
       GraftFunctions.register(s)
-      val media = table(s, dir, "documents").select(
-        col("doc_id").as("id"), col("source").as("kind"),
-        encode(col("text"), "UTF-8").as("media"))
-      graft.pipeline.Multimodal.featurize(media)
-        .select(col("id").as("doc_id"), col("kind"), col("n_bytes"),
-          col("header_hex"), col("content_hash"))
+      import s.implicits._
+      val media = table(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (8 + id % 9).toInt
+          val h = (8 + id % 7).toInt
+          graft.pipeline.Multimodal.MediaItem(id, "png",
+            graft.pipeline.Multimodal.encodeGrayPng(w, h,
+              (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt))
+        }
+      graft.pipeline.Multimodal.extractDecoded(media).toDF()
+        .select(col("id").as("doc_id"), col("decoder"), col("width"),
+          col("height"), col("gray_sum"))
+    }),
+
+    // REAL nearest-neighbor resize: decode → resample on the raster with
+    // floor((dst·src)/dstDim) source coords → re-encode gray PNG → decode
+    // again for the stats. The oracle replays the same integer resample.
+    "p37_image_resize" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      import s.implicits._
+      val media = table(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (8 + id % 9).toInt
+          val h = (8 + id % 7).toInt
+          graft.pipeline.Multimodal.MediaItem(id, "png",
+            graft.pipeline.Multimodal.encodeGrayPng(w, h,
+              (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt))
+        }
+      val resized = graft.pipeline.Multimodal.resizeImage(media, 6, 5)
+      graft.pipeline.Multimodal.extractDecoded(resized).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("gray_sum"))
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1524,13 +1567,19 @@ object SparkEntry {
         |FROM documents doc LEFT JOIN cc ON cc.id = doc.doc_id""".stripMargin,
 
     "p17_frame_sample" ->
-      """WITH m AS (SELECT doc_id, encode(text) AS b, octet_length(encode(text)) AS n FROM documents),
-        |f AS (SELECT doc_id, b, n, unnest([0, 1, 2, 3]) AS frame FROM m),
-        |s AS (SELECT doc_id, frame, n, b,
-        |        greatest(n - 100, 0) * frame // 3 AS fstart FROM f)
+      """WITH d AS (SELECT doc_id, 3 + doc_id % 4 AS nf, 8 + doc_id % 5 AS w,
+        |                  8 + doc_id % 3 AS h FROM documents),
+        |f AS (SELECT doc_id, nf, w, h, unnest([0, 1, 2]) AS frame FROM d),
+        |fi AS (SELECT doc_id, w, h, frame, (nf - 1) * frame // 2 AS fidx FROM f),
+        |xs AS (SELECT doc_id, w, h, frame, fidx,
+        |              unnest(generate_series(0, w - 1)) AS x FROM fi),
+        |px AS (SELECT doc_id, w, h, frame, fidx, x,
+        |              unnest(generate_series(0, h - 1)) AS y FROM xs)
         |SELECT doc_id, CAST(frame AS BIGINT) AS frame,
-        |  lower(substr(hex(b), fstart * 2 + 1, (least(fstart + 100, n) - fstart) * 2)) AS frame_hex
-        |FROM s""".stripMargin,
+        |       CAST(fidx AS BIGINT) AS frame_index,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(sum((doc_id * 31 + fidx * 17 + x * 7 + y * 13) % 256) AS BIGINT) AS gray_sum
+        |FROM px GROUP BY 1, 2, 3, 4, 5""".stripMargin,
 
     "p21_deduplicated" ->
       """WITH RECURSIVE
@@ -1712,9 +1761,19 @@ object SparkEntry {
         |ORDER BY occurrences DESC, gram LIMIT 50""".stripMargin,
 
     "p12_multimodal" ->
-      """SELECT doc_id, source AS kind,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  lower(substring(hex(encode(text)), 1, 16)) AS header_hex,
-        |  md5(text) AS content_hash
-        |FROM documents""".stripMargin)
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+        |px AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs)
+        |SELECT doc_id, 'imageio' AS decoder,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(sum((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS gray_sum
+        |FROM px GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "p37_image_resize" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(generate_series(0, 5)) AS x FROM d),
+        |px AS (SELECT doc_id, w, h, x, unnest(generate_series(0, 4)) AS y FROM xs)
+        |SELECT doc_id, CAST(6 AS BIGINT) AS width, CAST(5 AS BIGINT) AS height,
+        |       CAST(sum((doc_id * 31 + ((x * w) // 6) * 7 + ((y * h) // 5) * 13) % 256) AS BIGINT) AS gray_sum
+        |FROM px GROUP BY 1, 2, 3""".stripMargin)
 }

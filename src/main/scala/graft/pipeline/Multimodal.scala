@@ -6,13 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: image/audio/video as opaque `binary`
   * columns + typed metadata, processed in partition-sized batches.
   *
-  * The Spark-side plumbing here is real — schema, batched mapPartitions
-  * over a typed Dataset, deterministic output — but the DECODE step is a
-  * STUB: this container has no image/audio codecs, so `decodeStub`
-  * computes deterministic pseudo-features (length, header bytes, digest)
-  * instead of pixels/samples. A real deployment swaps `decodeStub` for a
-  * codec call (e.g. a JNI decoder or an Arrow-batched Python UDF) without
-  * touching the surrounding plumbing.
+  * The IMAGE decode path is REAL since round 7: `decodeImage` decodes
+  * PNG/JPEG/BMP/GIF through `javax.imageio` (the readers ship with the
+  * JDK — pure JVM, no native codecs), reads pixels via the raster (NOT
+  * `getRGB`, whose gray→sRGB color conversion is not the identity), and
+  * falls back to the original `decodeStub` pseudo-features for media no
+  * installed reader understands (audio/video codecs are still absent in
+  * this container). Exact-pixel correctness is oracle-gated: p12/p37
+  * generate deterministic gray PNGs from a closed-form pixel formula and
+  * DuckDB recomputes the decoded sums from the formula alone — a decoder
+  * misreading any pixel fails the gate.
   */
 object Multimodal {
 
@@ -20,12 +23,164 @@ object Multimodal {
   case class MediaFeatures(
       id: Long, kind: String, n_bytes: Long, header_hex: String, content_hash: String)
 
-  /** STUB decode: deterministic pseudo-decode of an opaque blob. */
+  /** Decoded media features: `decoder` records which path produced them —
+    * "imageio" (real pixels; width/height/gray_sum are exact) or "stub"
+    * (no installed reader; dimensions are -1, hash/length still real).
+    */
+  case class DecodedMedia(id: Long, kind: String, n_bytes: Long, decoder: String,
+      width: Long, height: Long, gray_sum: Long, content_hash: String)
+
+  /** STUB decode: deterministic pseudo-decode of an opaque blob. Kept as
+    * the fallback for media without a pure-JVM reader.
+    */
   def decodeStub(item: MediaItem): MediaFeatures = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val digest = md.digest(item.media).map("%02x".format(_)).mkString
     val header = item.media.take(8).map("%02x".format(_)).mkString
     MediaFeatures(item.id, item.kind, item.media.length.toLong, header, digest)
+  }
+
+  // ---- real image path (javax.imageio) ----
+
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    catch { case _: Exception => null } // corrupt/truncated media → fallback
+
+  /** Mean of the color bands (alpha excluded) at one pixel, read from the
+    * raster: exact for gray images (1 band, sample = stored byte) and
+    * deterministic integer math for RGB.
+    */
+  private def graySample(raster: java.awt.image.Raster, x: Int, y: Int): Int = {
+    val bands = math.min(raster.getNumBands, 3)
+    var s = 0
+    var b = 0
+    while (b < bands) { s += raster.getSample(x, y, b); b += 1 }
+    s / bands
+  }
+
+  /** REAL decode: pixels via javax.imageio, stub fallback otherwise. */
+  def decodeImage(item: MediaItem): DecodedMedia = {
+    val stub = decodeStub(item)
+    val img = readImage(item.media)
+    if (img == null)
+      DecodedMedia(item.id, item.kind, stub.n_bytes, "stub", -1L, -1L, -1L,
+        stub.content_hash)
+    else {
+      val raster = img.getRaster
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { sum += graySample(raster, x, y); x += 1 }
+        y += 1
+      }
+      DecodedMedia(item.id, item.kind, stub.n_bytes, "imageio",
+        img.getWidth.toLong, img.getHeight.toLong, sum, stub.content_hash)
+    }
+  }
+
+  /** Batched REAL decode — same per-partition shape as [[extractFeatures]]. */
+  def extractDecoded(ds: Dataset[MediaItem]): Dataset[DecodedMedia] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+      it.map(decodeImage)
+    }
+  }
+
+  /** [[featurize]]'s real-decode twin over (id, kind, media) frames. */
+  def decodeFrame(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    extractDecoded(df.select(
+      col("id").cast("long").as("id"),
+      col("kind").cast("string").as("kind"),
+      col("media").cast("binary").as("media")).as[MediaItem]).toDF()
+  }
+
+  /** Deterministic gray PNG encoder (8-bit, one band): pixel values are
+    * written straight into the raster, so encode→decode round-trips
+    * bit-exactly — the fixture generator for the decode oracles/specs.
+    */
+  def encodeGrayPng(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, pixel(x, y) & 0xFF); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Length-prefixed frame container (4-byte big-endian length + payload
+    * per frame) — the synthetic "video" format: container parsing is real,
+    * per-frame decode is real; only the codec zoo is out of scope.
+    */
+  def packFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    frames.foreach { f => dos.writeInt(f.length); dos.write(f) }
+    dos.flush()
+    bos.toByteArray
+  }
+
+  def unpackFrames(blob: Array[Byte]): Seq[Array[Byte]] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    var off = 0
+    while (off + 4 <= blob.length) {
+      val len = java.nio.ByteBuffer.wrap(blob, off, 4).getInt
+      require(len >= 0 && off + 4 + len <= blob.length,
+        s"corrupt frame container at offset $off")
+      out += java.util.Arrays.copyOfRange(blob, off + 4, off + 4 + len)
+      off += 4 + len
+    }
+    out.result()
+  }
+
+  /** REAL frame sampling: parse the frame container, pick `frames` evenly
+    * spaced frames (floor((n-1)·j/(k-1)) — first and last always chosen),
+    * decode each through javax.imageio. The 1→N flatMap shape of
+    * [[sampleFramesStub]] with actual decoded pixels.
+    */
+  def sampleDecodedFrames(ds: Dataset[MediaItem], frames: Int): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { m =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val fs = unpackFrames(m.media)
+      (0 until frames).iterator.map { j =>
+        val idx =
+          if (frames == 1 || fs.size == 1) 0
+          else ((fs.size - 1).toLong * j / (frames - 1)).toInt
+        val d = decodeImage(MediaItem(m.id, m.kind, fs(idx)))
+        (m.id, j.toLong, idx.toLong, d.width, d.height, d.gray_sum)
+      }
+    }.toDF("id", "frame", "frame_index", "width", "height", "gray_sum")
+  }
+
+  /** REAL resize: decode, nearest-neighbor resample on the raster
+    * (src = (dst·srcDim) / dstDim, integer floor — deterministic and
+    * SQL-reproducible, unlike AffineTransformOp's rounding), re-encode as
+    * gray PNG. Undecodable media passes through unchanged.
+    */
+  def resizeImage(ds: Dataset[MediaItem], w: Int, h: Int): Dataset[MediaItem] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val img = readImage(m.media)
+        if (img == null) m
+        else {
+          val (sw, sh) = (img.getWidth, img.getHeight)
+          val src = img.getRaster
+          m.copy(media = encodeGrayPng(w, h, (x, y) =>
+            graySample(src, x * sw / w, y * sh / h)))
+        }
+      }
+    }
   }
 
   /** Batched feature extraction: one decoder instance per partition (the

@@ -706,4 +706,68 @@ class PipelineSpec extends SparkSpec {
     assert(f.getAs[String]("header_hex") == "6162636465666768")
     assert(f.getAs[String]("content_hash").length == 32)
   }
+
+  test("real PNG decode: known pixels round-trip bit-exactly through imageio") {
+    import spark.implicits._
+    // 3x2 gray PNG with explicit pixel values
+    val px = Array(Array(0, 255, 17), Array(128, 64, 200)) // [y][x]
+    val png = Multimodal.encodeGrayPng(3, 2, (x, y) => px(y)(x))
+    val d = Multimodal.extractDecoded(
+      Seq(Multimodal.MediaItem(7L, "png", png)).toDS()).head()
+    assert(d.decoder == "imageio")
+    assert(d.width == 3 && d.height == 2)
+    assert(d.gray_sum == px.flatten.sum.toLong)
+    // undecodable media falls back to the stub (hash/length real, dims -1)
+    val junk = Multimodal.extractDecoded(
+      Seq(Multimodal.MediaItem(8L, "bin", "notanimage".getBytes("UTF-8"))).toDS()).head()
+    assert(junk.decoder == "stub" && junk.width == -1L && junk.gray_sum == -1L)
+    assert(junk.content_hash ==
+      Multimodal.decodeStub(Multimodal.MediaItem(8L, "bin",
+        "notanimage".getBytes("UTF-8"))).content_hash)
+  }
+
+  test("real JPEG decode: JDK reader reports exact dimensions") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(
+      5, 4, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val d = Multimodal.extractDecoded(
+      Seq(Multimodal.MediaItem(9L, "jpg", bos.toByteArray)).toDS()).head()
+    assert(d.decoder == "imageio" && d.width == 5 && d.height == 4)
+  }
+
+  test("real nearest-neighbor resize picks floor((dst*src)/dstDim) sources") {
+    import spark.implicits._
+    // 4x4 source where pixel = 16*y + x: resize to 2x2 must pick
+    // sources (0,0),(2,0),(0,2),(2,2) -> values 0, 2, 32, 34
+    val src = Multimodal.encodeGrayPng(4, 4, (x, y) => 16 * y + x)
+    val out = Multimodal.resizeImage(
+      Seq(Multimodal.MediaItem(1L, "png", src)).toDS(), 2, 2)
+    val d = Multimodal.extractDecoded(out).head()
+    assert(d.width == 2 && d.height == 2)
+    assert(d.gray_sum == (0 + 2 + 32 + 34).toLong)
+    // undecodable media passes through resize unchanged
+    val junkIn = Multimodal.MediaItem(2L, "bin", Array[Byte](1, 2, 3))
+    val junkOut = Multimodal.resizeImage(Seq(junkIn).toDS(), 2, 2).head()
+    assert(junkOut.media.toSeq == junkIn.media.toSeq)
+  }
+
+  test("frame container: pack/unpack round-trip, evenly spaced real decode") {
+    import spark.implicits._
+    // 4 one-pixel frames with values 10,20,30,40; sampling 3 picks
+    // indices floor(3*j/2) = 0, 1, 3
+    val frames = Seq(10, 20, 30, 40).map(v =>
+      Multimodal.encodeGrayPng(1, 1, (_, _) => v))
+    val blob = Multimodal.packFrames(frames)
+    assert(Multimodal.unpackFrames(blob).map(_.toSeq) == frames.map(_.toSeq))
+    val out = Multimodal.sampleDecodedFrames(
+      Seq(Multimodal.MediaItem(3L, "video", blob)).toDS(), frames = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(5))).toSet
+    assert(out == Set((0L, 0L, 10L), (1L, 1L, 20L), (2L, 3L, 40L)), s"got $out")
+    // corrupt container refuses instead of decoding garbage
+    intercept[Exception] {
+      Multimodal.unpackFrames(Array[Byte](0, 0, 0, 99, 1, 2))
+    }
+  }
 }
