@@ -564,6 +564,25 @@ object SparkEntry {
           col("n_tokens").cast("long").as("n_tokens"))
     }),
 
+    // Classifier with a PERSISTED weight artifact: train bucket-contrast
+    // weights on the even-id half (label: doc_id % 3 == 0), save/reload
+    // the parquet weight table, score the whole corpus through the
+    // broadcast model join. The oracle retrains and rescores in SQL.
+    "p38_classifier_artifact" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val labeled = docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("y", col("doc_id") % 3 === 0)
+      val w = graft.pipeline.TextAnalysis.trainClassifierWeights(
+        labeled, "doc_id", "text", "y", dim = 4096)
+      val path = java.nio.file.Files.createTempDirectory("graft_clf").toString
+      w.write.mode("overwrite").parquet(s"$path/weights")
+      graft.pipeline.TextAnalysis.classifierScoreWith(
+        docs, "doc_id", "text", s.read.parquet(s"$path/weights"), dim = 4096)
+        .select(col("id"), col("score_sum").cast("long").as("score_sum"),
+          col("n_tokens").cast("long").as("n_tokens"))
+    }),
+
     // SemDeDup-style semantic clustering: within-cell cosine pairs at
     // >= 0.42 chained into components, min-id representative per doc
     // (label = the deterministic cell for cross-engine verification; the
@@ -1389,6 +1408,19 @@ object SparkEntry {
         |SELECT doc_id AS id, CAST(sum(w) AS BIGINT) AS score_sum,
         |       count(*) AS n_tokens
         |FROM w GROUP BY doc_id""".stripMargin,
+
+    "p38_classifier_artifact" ->
+      s"""WITH lt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+        |            FROM documents WHERE doc_id % 2 = 0),
+        |lw AS (SELECT ${hash60Sql("tok")} % 4096 AS bucket,
+        |              CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS w
+        |       FROM lt GROUP BY 1),
+        |t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+        |      FROM documents),
+        |b AS (SELECT doc_id, ${hash60Sql("tok")} % 4096 AS bucket FROM t)
+        |SELECT doc_id AS id, CAST(sum(coalesce(w, 0)) AS BIGINT) AS score_sum,
+        |       count(*) AS n_tokens
+        |FROM b LEFT JOIN lw USING (bucket) GROUP BY doc_id""".stripMargin,
 
     "p36_semantic_clusters" ->
       """WITH RECURSIVE

@@ -292,6 +292,43 @@ object TextAnalysis {
       .groupBy(col("id"))
       .agg(sum(col("w")).as("score_sum"), count(lit(1)).as("n_tokens"))
 
+  /** Weight-table trainer for [[classifierScoreWith]]: per hashed bucket,
+    * the signed occurrence contrast between positive- and negative-labeled
+    * docs (w = pos occurrences − neg occurrences). Division-free integer
+    * weights stay exact BIGINTs across engines — Spark's `div` truncates
+    * toward zero while DuckDB's `//` floors, so avoiding division
+    * sidesteps the negative-weight rounding mismatch entirely. The
+    * artifact is tiny (≤ dim rows): persist it once (parquet, like
+    * [[graft.pipeline.Dedup.corpusStoplist]]) and feed every scoring run.
+    */
+  def trainClassifierWeights(labeled: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, labelCol: String,
+      dim: Int = 4096): org.apache.spark.sql.DataFrame =
+    labeled
+      .select(col(labelCol).cast("boolean").as("y"),
+        explode(tokens(col(textCol))).as("tok"))
+      .withColumn("bucket", hash60(col("tok")) % dim)
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("y"), 1L).otherwise(-1L)).as("w"))
+
+  /** [[classifierScore]] with TRAINED weights from a persisted (bucket, w)
+    * artifact: one broadcast hash-join on the bucket id, so the scoring
+    * pass stays a single map-side join + per-doc sum — the same plan shape
+    * as the stub-weight path with the weight expression swapped for the
+    * model lookup. Buckets absent from the artifact weigh 0 (a pruned or
+    * partially trained table is a valid model).
+    */
+  def classifierScoreWith(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, weights: org.apache.spark.sql.DataFrame,
+      dim: Int = 4096): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("bucket", hash60(col("tok")) % dim)
+      .join(broadcast(weights.select(col("bucket"), col("w"))), Seq("bucket"), "left")
+      .groupBy(col("id"))
+      .agg(sum(coalesce(col("w"), lit(0L))).as("score_sum"),
+        count(lit(1)).as("n_tokens"))
+
   /** Deterministic global shuffle + sharding (training-order
     * randomization): shard = hash60(id) mod nShards, position = rank of
     * (hash60, id) WITHIN the shard. Per-shard windows, never a global

@@ -85,6 +85,35 @@ class PipelineSpec extends SparkSpec {
     assert(Dedup.dedupAgainstSnapshot(batch, "doc_id", "text", snap2).isEmpty)
   }
 
+  test("trained weight artifact: contrast weights, broadcast scoring, unseen weighs 0") {
+    import spark.implicits._
+    val labeled = Seq(
+      (0L, "good good fine", true),
+      (1L, "bad bad good", false)).toDF("doc_id", "text", "y")
+    val w = TextAnalysis.trainClassifierWeights(labeled, "doc_id", "text", "y", dim = 4096)
+    val buckets = Seq("good", "bad", "fine", "zzz").map { tok =>
+      tok -> spark.range(1).select((TextAnalysis.hash60(lit(tok)) % 4096).as("b"))
+        .head().getLong(0)
+    }.toMap
+    assert(buckets.values.toSet.size == 4, "fixture tokens must not collide")
+    val wm = w.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wm(buckets("good")) == 1L) // 2 pos occurrences - 1 neg
+    assert(wm(buckets("bad")) == -2L)
+    assert(wm(buckets("fine")) == 1L)
+    assert(!wm.contains(buckets("zzz")))
+    // scoring through a PERSISTED artifact; unseen token weighs 0
+    val dir = java.nio.file.Files.createTempDirectory("graft_clfw").toString
+    w.write.mode("overwrite").parquet(s"$dir/w")
+    val docs = Seq((10L, "good bad zzz")).toDF("doc_id", "text")
+    val scored = TextAnalysis.classifierScoreWith(docs, "doc_id", "text",
+      spark.read.parquet(s"$dir/w"))
+    val out = scored.head()
+    assert(out.getAs[Long]("score_sum") == 1L - 2L + 0L)
+    assert(out.getAs[Long]("n_tokens") == 3L)
+    // the model lookup is a broadcast join, not a shuffle
+    assert(scored.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("classifier score: exact integers, reproducible, order-independent") {
     import spark.implicits._
     val out = TextAnalysis.classifierScore(docs, "doc_id", "text")
