@@ -90,16 +90,20 @@ object Dedup {
     // re-derived the exploded shingles (the subtree-duplication trap).
     // The stoplist is now a plain size(ids) filter: count_distinct(id)
     // per shingle IS the set size — no second aggregation, no semi-join.
+    // LAZY checkpoints (round 7): eager ones paid a standalone blocking
+    // job per frame before the main action; lazy keeps the compute-once
+    // guarantee (the RDD caches on first materialization inside the one
+    // final job) without the extra jobs the bench was charged for
     val grouped0 = raw.groupBy("sh").agg(sort_array(collect_set(col("id"))).as("ids"))
     val grouped = maxDocFreq
       .map(f => grouped0.filter(size(col("ids")) <= f)).getOrElse(grouped0)
-      .localCheckpoint()
-    // one row per doc, referenced by BOTH size joins below — materialize
+      .localCheckpoint(eager = false)
+    // one row per doc, referenced by BOTH size joins below — cache
     // once or the explode+aggregate over the shingle sets runs twice
     val sizes = grouped
       .select(explode(col("ids")).as("id"))
       .groupBy("id").agg(count(lit(1)).as("sz"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // pairs per shingle via sorted-id-set combination emission: the
     // emitted pair count is Σ_shingle C(freq,2), never a self-join
     val inter = grouped
@@ -149,7 +153,7 @@ object Dedup {
     // branches — tiny table (docs × bands rows), big recompute saved
     val exploded = sig.select(col("id"), explode(array(bandCols: _*)).as("bd"))
       .select(col("id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     exploded.select(col("id").as("ia"), col("band"), col("bh"))
       .join(exploded.select(col("id").as("ib"), col("band"), col("bh")), Seq("band", "bh"))
       .filter(col("ia") < col("ib"))
@@ -181,7 +185,7 @@ object Dedup {
     // one tokenize+explode+distinct pass: the shingle set feeds the
     // signature aggregation AND three joins inside verification — without
     // the checkpoint it re-derives in every branch
-    val sh = shingles(df, idCol, textCol, n).localCheckpoint()
+    val sh = shingles(df, idCol, textCol, n).localCheckpoint(eager = false)
     val cand = lshCandidates(minhashSignatures(sh, numHashes), numHashes, bands)
     verifyCandidates(cand, sh)
       .filter(col("inter") * den >= col("uni") * num)
