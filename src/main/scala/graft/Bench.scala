@@ -125,12 +125,27 @@ object Bench {
     // stdev 0.1*N). Hot keys cluster on a narrow token band, which is
     // exactly what blooms / sorted runs / row-group pruning get graded on.
     // Fixed seed so every round reads the identical key set.
-    leg("read_gaussian") {
+    def gaussianKeys(): Seq[String] = {
       val rnd = new java.util.Random(42)
-      val keys = Seq.fill(600)(
+      Seq.fill(600)(
         math.max(0L, math.min(2999L, math.round(1500.0 + rnd.nextGaussian() * 300.0))))
         .distinct.map(i => f"$i%010d")
-      storedLens.multigetSlice(keys, None, SliceRange(count = 5)).count()
+    }
+    leg("read_gaussian") {
+      storedLens.multigetSlice(gaussianKeys(), None, SliceRange(count = 5)).count()
+    }
+
+    // 2c. the same hot keys served from the row cache (InstrumentedCache
+    // analog): the reconciled live view pinned in executor memory — the
+    // workload a row cache exists for. Cache build untimed (the reference
+    // warms its row cache before stress reads too).
+    locally {
+      val cached = storedLens.withRowCache()
+      cached.live.count() // materialize the cache outside the timer
+      leg("read_gaussian_cached") {
+        cached.multigetSlice(gaussianKeys(), None, SliceRange(count = 5)).count()
+      }
+      cached.dropRowCache()
     }
 
     // 3. rangeslice: token-ordered scan, 1000-key batch, count=5 slices
