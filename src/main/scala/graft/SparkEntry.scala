@@ -564,6 +564,16 @@ object SparkEntry {
           col("n_tokens").cast("long").as("n_tokens"))
     }),
 
+    // Substring-level dedup: 5-token windows occurring in >=2 distinct
+    // docs are removed everywhere except the lowest-id doc; docs
+    // reassemble from surviving tokens (string span keys for the oracle;
+    // the bench/scale path uses 8-byte hashed keys, spec-asserted equal).
+    "p39_span_dedup" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Dedup.removeRepeatedSpans(table(s, dir, "documents"),
+        "doc_id", "text", k = 5, minDocs = 2, hashSpans = false)
+    }),
+
     // Classifier with a PERSISTED weight artifact: train bucket-contrast
     // weights on the even-id half (label: doc_id % 3 == 0), save/reload
     // the parquet weight table, score the whole corpus through the
@@ -1408,6 +1418,30 @@ object SparkEntry {
         |SELECT doc_id AS id, CAST(sum(w) AS BIGINT) AS score_sum,
         |       count(*) AS n_tokens
         |FROM w GROUP BY doc_id""".stripMargin,
+
+    "p39_span_dedup" ->
+      """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks
+        |           FROM documents),
+        |tok AS (SELECT id, unnest(toks) AS tok,
+        |               unnest(generate_series(1, len(toks))) - 1 AS pos FROM t),
+        |sg AS (SELECT id, unnest(generate_series(1, len(toks) - 4)) - 1 AS start,
+        |              unnest(list_transform(generate_series(1, len(toks) - 4),
+        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |                     toks[i+3] || ' ' || toks[i+4])) AS span
+        |       FROM t WHERE len(toks) >= 5),
+        |st AS (SELECT span, count(DISTINCT id) AS nd, min(id) AS mind
+        |       FROM sg GROUP BY 1),
+        |rm AS (SELECT DISTINCT id, pos FROM (
+        |         SELECT s.id, s.start + unnest([0, 1, 2, 3, 4]) AS pos
+        |         FROM sg s JOIN st ON s.span = st.span
+        |         WHERE st.nd >= 2 AND s.id <> st.mind)),
+        |kept AS (SELECT tok.id, tok.pos, tok.tok
+        |         FROM tok LEFT JOIN rm ON tok.id = rm.id AND tok.pos = rm.pos
+        |         WHERE rm.id IS NULL),
+        |agg AS (SELECT id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        |        FROM kept GROUP BY 1)
+        |SELECT t.id AS doc_id, coalesce(agg.clean_text, '') AS clean_text
+        |FROM t LEFT JOIN agg USING (id)""".stripMargin,
 
     "p38_classifier_artifact" ->
       s"""WITH lt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok

@@ -329,6 +329,63 @@ object Dedup {
         expr("transform(sort_array(collect_list(struct(pos, para))), s -> s.para)"))
         .as("text_dedup"))
 
+  /** Exact repeated-SPAN dedup (substring-level — the "deduplicating
+    * training data makes LMs better" pass; Lee et al. 2022 operate on raw
+    * byte suffixes, this is the token-window variant every Spark-shaped
+    * pipeline ships): a window of `k` consecutive tokens occurring in at
+    * least `minDocs` DISTINCT documents is removed from every document
+    * except the lowest-id one (the kept "first copy" — deterministic,
+    * order-free). Documents are reassembled from their surviving tokens
+    * in original order (whitespace-tokenized and lowercased, so output
+    * text is single-spaced lowercase — the standard lossy normalization
+    * of token-level span dedup).
+    *
+    * Scale shape: one tokenize pass feeds positions AND spans; the span
+    * stats (distinct-doc count + min doc) are ONE aggregate keyed by the
+    * span (8-byte hash on the scale path); only REPEATED span occurrences
+    * explode into covered positions (rare by construction), and removal
+    * is a left-anti join on (doc, pos) — never a self-join, never
+    * all-pairs. Intra-doc repetition (nd=1) is deliberately untouched:
+    * that is repetitionSignals' domain.
+    *
+    * @param hashSpans 8-byte xxhash64 span keys (the 100 TB shuffle-key
+    *   path); keep off when comparing against a string-keyed external
+    *   oracle. Spec asserts both paths produce identical output.
+    */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minDocs: Int = 2, hashSpans: Boolean = true): DataFrame = {
+    require(k >= 1 && minDocs >= 2, "k >= 1; minDocs >= 2")
+    val toks = df.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("_toks"))
+    val pos = toks.select(col("id"),
+      posexplode(col("_toks")).as(Seq("pos", "tok")))
+    val spanStr = toks.filter(size(col("_toks")) >= k)
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(1, size(_toks) - ${k - 1}), i -> concat_ws(' ', slice(_toks, i, $k)))"
+      )).as(Seq("start", "sp")))
+    val spans = if (hashSpans) spanStr.withColumn("sp", xxhash64(col("sp"))) else spanStr
+    // one aggregate per span: how many distinct docs carry it + who keeps it
+    val repeated = spans.groupBy("sp")
+      .agg(count_distinct(col("id")).as("nd"), min(col("id")).as("mind"))
+      .filter(col("nd") >= minDocs)
+    // positions to remove: occurrences of repeated spans OUTSIDE the
+    // keeper doc, exploded to their k covered token positions
+    val remove = spans.join(repeated.select("sp", "mind"), Seq("sp"))
+      .filter(col("id") =!= col("mind"))
+      .select(col("id"),
+        explode(sequence(col("start"), col("start") + lit(k - 1))).as("pos"))
+      .distinct()
+    val cleaned = pos.join(remove, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(concat_ws(" ",
+        expr("transform(sort_array(collect_list(struct(pos, tok))), s -> s.tok)"))
+        .as("clean_text"))
+    // fully-removed (or token-less) docs survive as empty strings
+    df.select(col(idCol).as("id"))
+      .join(cleaned, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** 64-bit token hash from the first 16 hex chars of md5, decoded
     * big-endian — reproducible in any SQL engine with an md5 function
     * (the DuckDB oracle twin), unlike xxhash64. Slower than xxhash64;

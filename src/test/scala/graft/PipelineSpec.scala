@@ -85,6 +85,32 @@ class PipelineSpec extends SparkSpec {
     assert(Dedup.dedupAgainstSnapshot(batch, "doc_id", "text", snap2).isEmpty)
   }
 
+  test("repeated-span dedup: first doc keeps the span, others lose exactly it") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon unique zero tail"),
+      (1L, "intro words alpha beta gamma delta epsilon more stuff"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "totally different text here now")).toDF("doc_id", "text")
+    def run(hash: Boolean): Map[Long, String] =
+      Dedup.removeRepeatedSpans(corpus, "doc_id", "text", k = 5, minDocs = 2,
+        hashSpans = hash)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = run(hash = false)
+    assert(out(0L) == "alpha beta gamma delta epsilon unique zero tail",
+      "lowest-id doc keeps the first copy")
+    assert(out(1L) == "intro words more stuff", s"got '${out(1L)}'")
+    assert(out(2L) == "", "fully-covered doc empties but stays present")
+    assert(out(3L) == "totally different text here now")
+    // scale path (hashed 8-byte span keys) is output-identical
+    assert(run(hash = true) == out)
+    // intra-doc repetition alone (nd=1) is NOT removed
+    val solo = Seq((7L, "x y z w v x y z w v")).toDF("doc_id", "text")
+    val soloOut = Dedup.removeRepeatedSpans(solo, "doc_id", "text", k = 5)
+      .head().getString(1)
+    assert(soloOut == "x y z w v x y z w v")
+  }
+
   test("trained weight artifact: contrast weights, broadcast scoring, unseen weighs 0") {
     import spark.implicits._
     val labeled = Seq(
