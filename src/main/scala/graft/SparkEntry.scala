@@ -828,6 +828,15 @@ object SparkEntry {
         "doc_id", "text", n = 3, num = 4, den = 5)
     }),
 
+    // Leakage-safe 80/10/10 split: the split hashes the near-dup CLUSTER
+    // representative, so near-duplicates can never straddle train/eval.
+    "p40_leakage_safe_split" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Dedup.leakageSafeSplit(table(s, dir, "documents"),
+        "doc_id", "text", n = 3, num = 4, den = 5,
+        trainPermille = 800, valPermille = 100)
+    }),
+
     // End-to-end corpus dedup: keep one representative per near-dup
     // cluster (doc survives iff it IS its cluster's min id).
     "p21_deduplicated" -> ((s, dir) => {
@@ -1037,6 +1046,31 @@ object SparkEntry {
     * hash is md5's first 15 hex chars read as an integer — reconstructed
     * in SQL as a positional nibble sum (strpos into the hex alphabet).
     */
+  /** Near-dup clustering oracle (3-gram Jaccard >= 4/5 pairs → recursive
+    * min-label walk) — p14's full query, shared with p40's split wrapper.
+    */
+  private lazy val dupClustersOracle: String =
+    """WITH RECURSIVE
+      |t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+      |g AS (SELECT id, unnest(list_transform(generate_series(1, len(toks)-2),
+      |                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |      FROM t WHERE len(toks) >= 3),
+      |d AS (SELECT DISTINCT id, sh FROM g),
+      |sz AS (SELECT id, count(*) AS sz FROM d GROUP BY 1),
+      |p AS (SELECT a.id AS ia, b.id AS ib, count(*) AS inter
+      |      FROM d a JOIN d b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+      |j AS (SELECT ia, ib, inter, sa.sz + sb.sz - inter AS uni
+      |      FROM p JOIN sz sa ON sa.id = ia JOIN sz sb ON sb.id = ib),
+      |pr AS (SELECT ia, ib FROM j WHERE inter * 5 >= uni * 4),
+      |e AS (SELECT ia AS a, ib AS b FROM pr UNION SELECT ib AS a, ia AS b FROM pr),
+      |walk(id, comp) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+      |  UNION
+      |  SELECT e.b, walk.comp FROM walk JOIN e ON e.a = walk.id),
+      |cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
+      |SELECT doc.doc_id, coalesce(cc.comp, doc.doc_id) AS cluster
+      |FROM documents doc LEFT JOIN cc ON cc.id = doc.doc_id""".stripMargin
+
   /** DuckDB expression for the 60-bit value of md5(inner)'s first 15 hex
     * chars — mirrors TextAnalysis.hash60 (DuckDB has no conv()).
     */
@@ -1610,27 +1644,15 @@ object SparkEntry {
         |       o_orderstatus AS status
         |FROM r WHERE rn <= 3""".stripMargin,
 
-    "p14_dup_clusters" ->
-      """WITH RECURSIVE
-        |t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
-        |g AS (SELECT id, unnest(list_transform(generate_series(1, len(toks)-2),
-        |                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-        |      FROM t WHERE len(toks) >= 3),
-        |d AS (SELECT DISTINCT id, sh FROM g),
-        |sz AS (SELECT id, count(*) AS sz FROM d GROUP BY 1),
-        |p AS (SELECT a.id AS ia, b.id AS ib, count(*) AS inter
-        |      FROM d a JOIN d b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
-        |j AS (SELECT ia, ib, inter, sa.sz + sb.sz - inter AS uni
-        |      FROM p JOIN sz sa ON sa.id = ia JOIN sz sb ON sb.id = ib),
-        |pr AS (SELECT ia, ib FROM j WHERE inter * 5 >= uni * 4),
-        |e AS (SELECT ia AS a, ib AS b FROM pr UNION SELECT ib AS a, ia AS b FROM pr),
-        |walk(id, comp) AS (
-        |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
-        |  UNION
-        |  SELECT e.b, walk.comp FROM walk JOIN e ON e.a = walk.id),
-        |cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
-        |SELECT doc.doc_id, coalesce(cc.comp, doc.doc_id) AS cluster
-        |FROM documents doc LEFT JOIN cc ON cc.id = doc.doc_id""".stripMargin,
+    "p14_dup_clusters" -> dupClustersOracle,
+
+    "p40_leakage_safe_split" ->
+      s"""WITH base AS ($dupClustersOracle)
+        |SELECT doc_id, cluster,
+        |       CASE WHEN ${hash60Sql("CAST(cluster AS VARCHAR)")} % 1000 < 800 THEN 'train'
+        |            WHEN ${hash60Sql("CAST(cluster AS VARCHAR)")} % 1000 < 900 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM base""".stripMargin,
 
     "p17_frame_sample" ->
       """WITH d AS (SELECT doc_id, 3 + doc_id % 4 AS nf, 8 + doc_id % 5 AS w,

@@ -251,6 +251,26 @@ object Dedup {
       .select(col("id").as(idCol), coalesce(col("comp"), col("id")).as("cluster"))
   }
 
+  /** Leakage-safe train/val/test split: the split decision hashes the
+    * near-dup CLUSTER representative, not the document, so near-duplicates
+    * can never straddle train and eval — the contamination mode a plain
+    * per-doc hash split ships (an eval doc whose near-twin trains).
+    * Fractions are exact per-mille on the deterministic 60-bit md5 hash:
+    * reproducible, resumable, engine-independent (same contract as
+    * mixtureSample). Output: (id, cluster, split).
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String, n: Int,
+      num: Int, den: Int, trainPermille: Int, valPermille: Int): DataFrame = {
+    require(trainPermille >= 0 && valPermille >= 0
+      && trainPermille + valPermille <= 1000, "permille fractions must fit in 1000")
+    val h = TextAnalysis.hash60(col("cluster")) % 1000
+    dupClusters(df, idCol, textCol, n, num, den)
+      .select(col(idCol), col("cluster"),
+        when(h < trainPermille, "train")
+          .when(h < trainPermille + valPermille, "val")
+          .otherwise("test").as("split"))
+  }
+
   /** Deduplicate the corpus: keep exactly one document per near-dup
     * cluster (the representative = min doc id). The end-to-end "drop the
     * duplicates" operator: shingle → candidate pairs → connected

@@ -85,6 +85,28 @@ class PipelineSpec extends SparkSpec {
     assert(Dedup.dedupAgainstSnapshot(batch, "doc_id", "text", snap2).isEmpty)
   }
 
+  test("leakage-safe split: a near-dup cluster never straddles splits") {
+    val out = Dedup.leakageSafeSplit(docs, "doc_id", "text", n = 3, num = 4,
+      den = 5, trainPermille = 800, valPermille = 100)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // docs 0/1/3 are one near-dup cluster: same cluster, same split
+    assert(Set(0L, 1L, 3L).map(out(_)).size == 1)
+    assert(out.values.map(_._2).forall(Set("train", "val", "test")))
+    // the split is the hash of the CLUSTER representative, per-mille exact
+    val expected = spark.range(1).select(
+      (graft.pipeline.TextAnalysis.hash60(
+        org.apache.spark.sql.functions.lit(out(0L)._1)) % 1000).as("h"))
+      .head().getLong(0)
+    val want = if (expected < 800) "train" else if (expected < 900) "val" else "test"
+    assert(out(0L)._2 == want)
+    // deterministic across runs and input order
+    val again = Dedup.leakageSafeSplit(docs.orderBy(col("doc_id").desc),
+      "doc_id", "text", n = 3, num = 4, den = 5, trainPermille = 800,
+      valPermille = 100)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(again == out)
+  }
+
   test("repeated-span dedup: first doc keeps the span, others lose exactly it") {
     import spark.implicits._
     val corpus = Seq(
