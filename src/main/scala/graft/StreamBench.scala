@@ -121,7 +121,35 @@ object StreamBench {
     assert(dedupOut == distinctTexts,
       s"streaming dedup emitted $dedupOut of $distinctTexts distinct docs")
 
-    println(f"""{"metric":"stream_ingest","rows":$total,"sec":$elapsed%.3f,"rows_per_sec":$rate%.0f,"batches":${durs.size},"batch_ms_p50":${pct(0.5)}%.0f,"batch_ms_max":${durs.lastOption.getOrElse(0.0)}%.0f,"stateful_sec":$stateElapsed%.3f,"stateful_rows_per_sec":$stateRate%.0f,"dedup_docs_in":$dedupIn,"dedup_docs_kept":$dedupOut,"dedup_docs_per_sec":$dedupRate%.0f,"sf":"$sfDir"}""")
+    // Near-dup leg: documents through the watermark-bounded streaming
+    // MinHash-LSH (the unbounded-feed configuration — band-bucket state
+    // evicted behind the watermark). Event time advances one hour per
+    // batch with a 30-minute delay, so cross-batch pairs are NOT sought:
+    // this measures the steady-state per-batch signature+match cost.
+    val memN = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val nearQ = graft.streaming.PipelineStream.nearDupPairsWithinWatermark(
+        memN.toDS().toDF("doc_id", "text", "ets"), "doc_id", "text",
+        "ets", "30 minutes", n = 3, numHashes = 16, bands = 4, num = 4, den = 5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_streambench_neardup")
+      .option("checkpointLocation", s"$dir/ckpt_neardup").start()
+    val t3 = System.nanoTime()
+    var batchIdx = 0
+    docs.grouped((docs.length + nBatches - 1) / nBatches).foreach { b =>
+      val ts = new java.sql.Timestamp(1700000000000L + batchIdx * 3600000L)
+      memN.addData(b.map { case (id, t) => (id, t, ts) }.toIndexedSeq)
+      nearQ.processAllAvailable()
+      batchIdx += 1
+    }
+    val nearElapsed = (System.nanoTime() - t3) / 1e9
+    val nearState = nearQ.lastProgress.stateOperators(0).numRowsTotal
+    nearQ.stop()
+    val nearPairs = spark.table("graft_streambench_neardup")
+      .select("ia", "ib").distinct().count()
+    val nearRate = docs.length / nearElapsed
+    assert(nearPairs > 0, "planted near-dups in documents must be found in-window")
+
+    println(f"""{"metric":"stream_ingest","rows":$total,"sec":$elapsed%.3f,"rows_per_sec":$rate%.0f,"batches":${durs.size},"batch_ms_p50":${pct(0.5)}%.0f,"batch_ms_max":${durs.lastOption.getOrElse(0.0)}%.0f,"stateful_sec":$stateElapsed%.3f,"stateful_rows_per_sec":$stateRate%.0f,"dedup_docs_in":$dedupIn,"dedup_docs_kept":$dedupOut,"dedup_docs_per_sec":$dedupRate%.0f,"neardup_docs_per_sec":$nearRate%.0f,"neardup_pairs":$nearPairs,"neardup_state_rows":$nearState,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
