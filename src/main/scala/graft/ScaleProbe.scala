@@ -311,6 +311,40 @@ object ScaleProbe {
       println(s"[scale] stream near-dup state, 5x10k docs: unbounded ${fmt(unbounded)}")
       println(s"[scale] stream near-dup state, watermarked 30m/1h batches: ${fmt(bounded)}")
     }
+
+    // Row cache at DEPTH: the bench's read_gaussian_cached runs over a
+    // shallow store (1-2 versions/key) where the reconcile is cheap. Here
+    // every key carries 64 LWW versions — the multi-run store a week of
+    // un-compacted ingest produces — so the uncached read pays a real
+    // per-read reconcile and the cached view's win is the reconcile
+    // itself, not just plan overhead.
+    locally {
+      val deep = base.crossJoin(
+        spark.range(64).select(col("id").as("v")))
+        .withColumn("ts", col("ts") + col("v")).drop("v")
+      val deepLens = new CassandraLens(deep, CellEncodings.ordersMeta)
+      val keys = {
+        val rnd = new java.util.Random(42)
+        Seq.fill(300)(
+          math.max(0L, math.min(2999L, math.round(1500.0 + rnd.nextGaussian() * 300.0))))
+          .distinct.map(i => f"$i%010d")
+      }
+      def time2(f: => Long): Double = {
+        f // warm
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val dtUncached = time2 {
+        deepLens.multigetSlice(keys, None, SliceRange(count = 5)).count()
+      }
+      val cached = deepLens.withRowCache()
+      cached.live.count() // build the cache (untimed, like the bench leg)
+      val dtCached = time2 {
+        cached.multigetSlice(keys, None, SliceRange(count = 5)).count()
+      }
+      cached.dropRowCache()
+      println(f"[scale] row cache at depth (64 versions/key, ~150 hot keys): " +
+        f"uncached=$dtUncached%5.2f s cached=$dtCached%5.2f s")
+    }
     spark.stop()
   }
 }
