@@ -183,4 +183,33 @@ class PlanQualitySpec extends SparkSpec {
       lens.rangeSliceByKeys(None, None, None, SliceRange(count = Int.MaxValue), Int.MaxValue))
     assert(!plan.contains("WindowGroupLimit") && !plan.contains("Window "), plan.take(1500))
   }
+
+  test("span dedup: hash aggregates and equi-joins only — no cartesian, no sort-agg") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i =>
+      (i, s"tok$i alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val plan = planOf(graft.pipeline.Dedup.removeRepeatedSpans(docs, "doc_id", "text", 5))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(1500))
+    assert(!plan.contains("SortAggregate"), plan.take(1500))
+  }
+
+  test("cell-size guard: only oversized-cell counts join; unguarded plan join-free pre-pairs") {
+    import spark.implicits._
+    val vecs = (0L until 30L).map(i => (i, Array.fill(4)(i.toFloat))).toDF("vec_id", "embedding")
+    // guard ON: the subcell assignment joins a BROADCAST of the (tiny)
+    // oversized-cell count table — never a shuffle of the vector side
+    val guarded = graft.pipeline.Similarity.semanticPairs(
+      vecs, "vec_id", "embedding", org.apache.spark.sql.functions.lit(0),
+      tauPermille = 999, maxCellSize = 8)
+    val gp = planOf(guarded)
+    assert(gp.contains("BroadcastHashJoin"), gp.take(2000))
+    assert(!gp.contains("CartesianProduct"), gp.take(2000))
+    // guard OFF (maxCellSize=0): no count subtree at all
+    val plain = graft.pipeline.Similarity.semanticPairs(
+      vecs, "vec_id", "embedding", org.apache.spark.sql.functions.lit(0),
+      tauPermille = 999, maxCellSize = 0)
+    assert(planOf(plain).linesIterator.count(_.contains("HashAggregate")) <
+      gp.linesIterator.count(_.contains("HashAggregate")))
+  }
 }
