@@ -412,6 +412,41 @@ object SparkEntry {
         SliceRange(count = Int.MaxValue), Int.MaxValue))
     }),
 
+    // Streaming twin of q37: the same veto + transform listener chain runs
+    // per micro-batch inside CellStream.writeToStore (the flush-path
+    // IStoreApplyListener wiring, fork db/Table.java:568-605) BEFORE each
+    // delta run is appended. The mutation stream is file-fed in 3 parquet
+    // files with maxFilesPerTrigger=1, so the chain demonstrably applies
+    // once per delivered batch; the reconciled view over base ∪ streamed
+    // delta must equal q37's batch-ingested result exactly.
+    "q38_stream_listener" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val muts = graft.operators.Mutations.asInserts(
+        o.filter(col("o_custkey") % 3 === 0).select(
+          key10(col("o_custkey")).as("key"),
+          GraftFunctions.beBytes(col("o_orderkey")).as("col_name"),
+          encode(lit("W"), "UTF-8").as("value"),
+          (unix_millis(col("o_orderdate").cast("timestamp")) + 5L).as("ts")))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q38_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      // checkpoint state must not survive across invocations (a stale WAL
+      // would mark the input files already-committed and skip the append)
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      muts.repartition(3).write.parquet(s"$base/in")
+      val stream = s.readStream.schema(Cell.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = graft.streaming.CellStream.writeToStore(
+        stream, s"$base/delta", s"$base/ckpt", Seq(
+          _.filter(substring(col("key"), 10, 1) =!= "0"),
+          _.withColumn("value", concat(col("value"), encode(lit("+"), "UTF-8")))))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val lens = new CassandraLens(
+        ordersCells(s, dir).unionByName(s.read.parquet(s"$base/delta")), ordersMeta)
+      ordersDecoded(lens.rangeSliceByKeys(None, None, None,
+        SliceRange(count = Int.MaxValue), Int.MaxValue))
+    }),
+
     // Commit-log point-in-time replay: the reconciled live view as of
     // 1995-07-01 (recover(maxReplayTimestamp), CommitLog.java:168-173).
     "q18_replay_pit" -> ((s, dir) => {
@@ -1347,6 +1382,12 @@ object SparkEntry {
         |FROM orders WHERE o_custkey % 7 = 0 AND o_orderstatus <> 'F'""".stripMargin,
 
     "q37_apply_listener" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
+        |       CASE WHEN o_custkey % 3 = 0 AND o_custkey % 10 <> 0 THEN 'W+'
+        |            ELSE o_orderstatus END AS status
+        |FROM orders""".stripMargin,
+
+    "q38_stream_listener" ->
       """SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
         |       CASE WHEN o_custkey % 3 = 0 AND o_custkey % 10 <> 0 THEN 'W+'
         |            ELSE o_orderstatus END AS status
