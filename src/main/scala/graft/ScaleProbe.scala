@@ -136,6 +136,22 @@ object ScaleProbe {
       println(f"[scale] ivf-opq nprobe=4 rerank=$rerank%3d recall@10=${recalls.sum / recalls.length}%5.3f (permuted subspaces)")
     }
 
+    // Per-cell OPQ: each coarse cell balances its OWN residual spectrum
+    // (cell-keyed permutation map, still expression-only). Gains over
+    // global OPQ appear when cells have different dominant directions;
+    // on isotropic corpora the three variants should tie.
+    val cellOpqBook = Similarity.trainProductCodebook(emb, "vec_id", "embedding",
+      centroids, m = 8, ksub = 16, iters = 2, opqPerCell = true)
+    for (rerank <- Seq(20, 50)) {
+      val recalls = queries.map { case (qid, qv) =>
+        val got = topIds(Similarity.pqSearch(
+          emb.filter(col("vec_id") =!= qid), "vec_id", "embedding",
+          centroids, cellOpqBook, qv, k = 10, nprobe = 4, rerank = rerank))
+        got.intersect(truth(qid)).size / 10.0
+      }
+      println(f"[scale] ivf-opq-cell nprobe=4 rerank=$rerank%3d recall@10=${recalls.sum / recalls.length}%5.3f (per-cell permutations)")
+    }
+
     // Shuffle-elimination probe: major compaction over the bucketed
     // catalog layout vs over plain parquet runs, measured in actual
     // shuffle-write bytes (task metrics). The bucketed path's reconcile +

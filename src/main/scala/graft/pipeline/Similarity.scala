@@ -328,11 +328,23 @@ object Similarity {
     * variance instead of whatever the storage order happens to group
     * (full OPQ learns a rotation matrix; the permutation is its cheap,
     * expression-only diagonal cousin). None = identity (plain PQ).
+    *
+    * `cellPerms` is the per-cell refinement (FAISS's OPQ-per-IVF-list
+    * analog): cellPerms(cell) permutes THAT cell's residuals, so each
+    * coarse cell balances its own residual variance — different cells
+    * have different dominant directions, and one global permutation can
+    * only balance their average. When set it takes precedence over
+    * `perm`; encode and the query LUT both key the permutation by cell,
+    * which stays expression-only (a cell→perm map literal).
     */
   case class ProductCodebook(dsub: Int, books: Array[Array[Array[Double]]],
-      perm: Option[Array[Int]] = None) {
+      perm: Option[Array[Int]] = None,
+      cellPerms: Option[Array[Array[Int]]] = None) {
     def m: Int = books.length
     def ksub: Int = books.headOption.map(_.length).getOrElse(0)
+    /** The permutation in effect for one coarse cell (identity = None). */
+    def permFor(cell: Int): Option[Array[Int]] =
+      cellPerms.map(_(cell)).orElse(perm)
   }
 
   private def doubleLitD(v: Double): String =
@@ -356,17 +368,21 @@ object Similarity {
   private def permuteExpr(rCol: String, perm: Array[Int]): Column =
     expr(s"transform(array(${perm.mkString(",")}), p -> element_at($rCol, p + 1))")
 
-  /** OPQ-lite: a variance-balancing dimension permutation. Greedy
-    * longest-processing-time assignment: dims sorted by residual variance
-    * descending, each placed in the subspace with the smallest variance
-    * sum that still has a free slot — deterministic, one aggregation over
-    * the residuals (per-dim var_pop), no learned rotation.
+  /** Per-cell permute: the row's `cell` column selects its permutation
+    * from a map literal (numCells × dim ints — codebook-scale, inlined).
     */
-  private def balancedPermutation(resid: DataFrame, m: Int, dsub: Int): Array[Int] = {
-    val vars = resid
-      .select(posexplode(col("r")).as(Seq("pos", "x")))
-      .groupBy(col("pos")).agg(var_pop(col("x")).as("v"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+  private def permuteByCellExpr(rCol: String, perms: Array[Array[Int]]): Column = {
+    val entries = perms.zipWithIndex
+      .map { case (p, c) => s"$c, array(${p.mkString(",")})" }.mkString(", ")
+    expr(s"transform(element_at(map($entries), cell), p -> element_at($rCol, p + 1))")
+  }
+
+  /** Greedy longest-processing-time assignment of dims to subspaces:
+    * dims sorted by variance descending, each placed in the subspace with
+    * the smallest variance sum that still has a free slot — deterministic,
+    * no learned rotation.
+    */
+  private def lptPermutation(vars: Map[Int, Double], m: Int, dsub: Int): Array[Int] = {
     val order = (0 until m * dsub).sortBy(d => (-vars.getOrElse(d, 0.0), d))
     val sums = Array.fill(m)(0.0)
     val slots = Array.fill(m)(0)
@@ -379,6 +395,39 @@ object Similarity {
       groups(s) = d :: groups(s)
     }
     groups.flatMap(_.reverse)
+  }
+
+  /** OPQ-lite: one variance-balancing permutation from a single
+    * per-dim var_pop aggregation over all residuals.
+    */
+  private def balancedPermutation(resid: DataFrame, m: Int, dsub: Int): Array[Int] = {
+    val vars = resid
+      .select(posexplode(col("r")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(var_pop(col("x")).as("v"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    lptPermutation(vars, m, dsub)
+  }
+
+  /** Per-cell OPQ-lite: one permutation per coarse cell from a single
+    * (cell, dim) variance aggregation. Cells with no residuals (or a
+    * single vector, where var_pop is 0 everywhere) get the identity.
+    */
+  private def balancedCellPermutations(resid: DataFrame, numCells: Int,
+      m: Int, dsub: Int): Array[Array[Int]] = {
+    val byCell = resid
+      .select(col("cell"), posexplode(col("r")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos")).agg(var_pop(col("x")).as("v"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (c, rows) =>
+        c -> rows.map(r => r.getInt(1) -> r.getDouble(2)).toMap
+      }
+    Array.tabulate(numCells) { c =>
+      byCell.get(c) match {
+        case Some(vars) => lptPermutation(vars, m, dsub)
+        case None => Array.range(0, m * dsub)
+      }
+    }
   }
 
   private def l2sqSub(subExpr: String, centroid: Array[Double]): Column =
@@ -396,7 +445,7 @@ object Similarity {
     */
   def trainProductCodebook(df: DataFrame, idCol: String, vecCol: String,
       coarse: Array[Array[Float]], m: Int, ksub: Int, iters: Int,
-      opq: Boolean = false): ProductCodebook = {
+      opq: Boolean = false, opqPerCell: Boolean = false): ProductCodebook = {
     // dim from the source directly; the residual frame is only
     // materialized ONCE, after the (optional) permutation is known —
     // checkpointing the unpermuted residuals first would pin BOTH copies
@@ -406,11 +455,21 @@ object Similarity {
     require(dim % m == 0, s"embedding dim $dim must divide into m=$m subspaces")
     val dsub = dim / m
     def resid0 = assignCell(df, vecCol, coarse)
-      .select(col(idCol).as("id"), residualExpr(vecCol, coarse).as("r"))
-    val perm = if (opq) Some(balancedPermutation(resid0, m, dsub)) else None
-    val resid = (perm match {
-      case Some(p) => resid0.select(col("id"), permuteExpr("r", p).as("r"))
-      case None => resid0
+      .select(col(idCol).as("id"), col("cell"), residualExpr(vecCol, coarse).as("r"))
+    val cellPerms =
+      if (opqPerCell) Some(balancedCellPermutations(resid0, coarse.length, m, dsub))
+      else None
+    val perm = if (opq && !opqPerCell) Some(balancedPermutation(resid0, m, dsub)) else None
+    // codebooks are shared across cells but trained on the PERMUTED
+    // residuals — with per-cell perms each subspace sees each cell's own
+    // variance-balanced slice, which is exactly what it will quantize at
+    // encode time
+    val resid = (cellPerms match {
+      case Some(ps) => resid0.select(col("id"), permuteByCellExpr("r", ps).as("r"))
+      case None => perm match {
+        case Some(p) => resid0.select(col("id"), permuteExpr("r", p).as("r"))
+        case None => resid0.select(col("id"), col("r"))
+      }
     }).localCheckpoint()
     val books = Array.tabulate(m) { s =>
       val subExpr = s"slice(r, ${s * dsub + 1}, $dsub)"
@@ -434,7 +493,7 @@ object Similarity {
       }
       cents
     }
-    ProductCodebook(dsub, books, perm)
+    ProductCodebook(dsub, books, perm, cellPerms)
   }
 
   /** Encode every vector as its coarse cell + the m sub-centroid indices
@@ -445,9 +504,11 @@ object Similarity {
   def encodePq(df: DataFrame, vecCol: String, coarse: Array[Array[Float]],
       pq: ProductCodebook): DataFrame = {
     val rawResid = residualExpr(vecCol, coarse)
+    val permuted = pq.cellPerms.map(permuteByCellExpr("_r0", _))
+      .orElse(pq.perm.map(permuteExpr("_r0", _)))
     val withResid = assignCell(df, vecCol, coarse)
       .withColumn("_r0", rawResid)
-      .withColumn("_r", pq.perm.map(permuteExpr("_r0", _)).getOrElse(col("_r0")))
+      .withColumn("_r", permuted.getOrElse(col("_r0")))
       .drop("_r0")
     val codeCols = (0 until pq.m).map { s =>
       val subExpr = s"slice(_r, ${s * pq.dsub + 1}, ${pq.dsub})"
@@ -473,9 +534,10 @@ object Similarity {
     val probeCells = nearestCells(coarse, queryVec, nprobe)
     val lutRows = probeCells.map { cell =>
       val rq0 = queryVec.indices.map(i => queryVec(i).toDouble - coarse(cell)(i).toDouble)
-      // the query residual walks through the SAME OPQ permutation the
-      // stored codes were encoded under
-      val rq = pq.perm.map(p => p.toIndexedSeq.map(rq0)).getOrElse(rq0)
+      // the query residual walks through the SAME permutation the stored
+      // codes were encoded under — per-cell when the index has one, so
+      // each probed cell gets its own LUT under its own dimension order
+      val rq = pq.permFor(cell).map(p => p.toIndexedSeq.map(rq0)).getOrElse(rq0)
       val lut = Seq.tabulate(pq.m) { s =>
         Seq.tabulate(pq.ksub) { j =>
           var d = 0.0; var t = 0
@@ -537,13 +599,19 @@ object Similarity {
     // pq_perm presence is the load-time OPQ signal — a permutation-less
     // save over a previous OPQ index at the same path must REMOVE the stale
     // permutation, or searches would permute queries against codes encoded
-    // unpermuted
+    // unpermuted. Per-cell indexes add a `cell` column (its presence is
+    // the per-cell signal), and overwrite mode replaces a stale global
+    // permutation file in place.
     val permPath = new org.apache.hadoop.fs.Path(s"$path/pq_perm")
-    pq.perm match {
-      case Some(p) =>
+    (pq.cellPerms, pq.perm) match {
+      case (Some(ps), _) =>
+        (for ((p, c) <- ps.zipWithIndex; (d, i) <- p.zipWithIndex)
+          yield (c, i, d)).toSeq.toDF("cell", "pos", "dim")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_perm")
+      case (None, Some(p)) =>
         p.zipWithIndex.map { case (d, i) => (i, d) }.toSeq.toDF("pos", "dim")
           .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_perm")
-      case None =>
+      case (None, None) =>
         permPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(permPath, true)
     }
@@ -564,14 +632,23 @@ object Similarity {
         r.getSeq[Double](r.fieldIndex("centroid")).toArray))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3)).toArray
-    val perm =
-      if (new org.apache.hadoop.fs.Path(s"$path/pq_perm").getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-        .exists(new org.apache.hadoop.fs.Path(s"$path/pq_perm")))
-        Some(spark.read.parquet(s"$path/pq_perm").orderBy("pos")
-          .collect().map(_.getAs[Int]("dim")))
-      else None
-    (coarse, ProductCodebook(dsub, books, perm))
+    val permPath = new org.apache.hadoop.fs.Path(s"$path/pq_perm")
+    val (perm, cellPerms) =
+      if (permPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(permPath)) {
+        val df = spark.read.parquet(s"$path/pq_perm")
+        if (df.columns.contains("cell")) {
+          val byCell = df.collect()
+            .groupBy(_.getAs[Int]("cell"))
+            .map { case (c, rows) =>
+              c -> rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Int]("dim"))
+            }
+          (None, Some(Array.tabulate(coarse.length)(c =>
+            byCell.getOrElse(c, Array.range(0, books.length * dsub)))))
+        } else
+          (Some(df.orderBy("pos").collect().map(_.getAs[Int]("dim"))), None)
+      } else (None, None)
+    (coarse, ProductCodebook(dsub, books, perm, cellPerms))
   }
 
   /** Search a persisted IVF-PQ index: codes-only candidate scan over the

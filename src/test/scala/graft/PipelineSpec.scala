@@ -532,6 +532,63 @@ class PipelineSpec extends SparkSpec {
       rerank = 200)) == exact)
   }
 
+  test("per-cell OPQ: each cell balances its own variance, exactness and round-trip kept") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // two well-separated clusters with DIFFERENT dominant dims: cluster A
+    // (even ids) carries its variance in dims 0-3, cluster B (odd ids) in
+    // dims 12-15. One global permutation can only balance their average;
+    // per-cell permutations must balance each cell's own spectrum.
+    val ca = Array.tabulate(16)(d => if (d < 8) 20f else -20f)
+    val cb = ca.map(-_)
+    val vecs = (0L until 200L).map { i =>
+      val (c, lo, hi) = if (i % 2 == 0) (ca, 0, 4) else (cb, 12, 16)
+      (i, Array.tabulate(16) { d =>
+        c(d) + (if (d >= lo && d < hi) rnd.nextFloat() * 10 - 5
+                else rnd.nextFloat() * 0.1f - 0.05f)
+      })
+    }.toDF("vec_id", "embedding")
+    val coarse = Similarity.trainCodebook(vecs, "vec_id", "embedding", k = 2, iters = 2)
+    val pq = Similarity.trainProductCodebook(vecs, "vec_id", "embedding",
+      coarse, m = 4, ksub = 8, iters = 2, opqPerCell = true)
+    val perms = pq.cellPerms.get
+    perms.foreach(p => assert(p.sorted.toSeq == (0 until 16),
+      s"not a permutation: ${p.mkString(",")}"))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_cell_opq").toString
+    Similarity.savePqIndex(vecs, "vec_id", "embedding", coarse, pq, s"$dir/idx")
+    val enc = spark.read.parquet(s"$dir/idx/vectors")
+    val cellA = enc.filter($"id" === 0L).head().getAs[Int]("cell")
+    val cellB = enc.filter($"id" === 1L).head().getAs[Int]("cell")
+    assert(cellA != cellB, "clusters must land in different coarse cells")
+    // cell A's high-variance dims (0-3) spread across the 4 subspaces
+    // under ITS permutation; cell B's (12-15) under its own
+    val homesA = (0 until 4).map(d => perms(cellA).indexOf(d) / 4)
+    val homesB = (12 until 16).map(d => perms(cellB).indexOf(d) / 4)
+    assert(homesA.toSet.size == 4, s"cell A high-var dims in subspaces $homesA")
+    assert(homesB.toSet.size == 4, s"cell B high-var dims in subspaces $homesB")
+    assert(!perms(cellA).sameElements(perms(cellB)),
+      "the two cells' spectra differ — so must their permutations")
+
+    // full-rerank search stays exact under per-cell permutations, both
+    // in-memory and through the persisted per-cell pq_perm (cell column)
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.orderBy("rank").select("id").collect().map(_.getLong(0)).toSeq
+    val qv = vecs.filter($"vec_id" === 3).select($"embedding").head().getSeq[Float](0).toArray
+    val exact = ids(Similarity.ivfSearch(vecs, "vec_id", "embedding", coarse, qv, k = 5, nprobe = 2))
+    assert(ids(Similarity.pqSearch(vecs, "vec_id", "embedding", coarse, pq, qv,
+      k = 5, nprobe = 2, rerank = 200)) == exact)
+    assert(spark.read.parquet(s"$dir/idx/pq_perm").columns.contains("cell"))
+    assert(ids(Similarity.searchPqIndex(spark, s"$dir/idx", qv, k = 5, nprobe = 2,
+      rerank = 200)) == exact)
+
+    // a permutation-less save over the per-cell index removes pq_perm too
+    val plain = Similarity.trainProductCodebook(vecs, "vec_id", "embedding",
+      coarse, m = 4, ksub = 8, iters = 2)
+    Similarity.savePqIndex(vecs, "vec_id", "embedding", coarse, plain, s"$dir/idx")
+    assert(!new java.io.File(s"$dir/idx/pq_perm").exists())
+  }
+
   test("perm-less save over an OPQ index removes the stale pq_perm") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
