@@ -1042,6 +1042,46 @@ object SparkEntry {
       graft.pipeline.Multimodal.extractDecoded(resized).toDF()
         .select(col("id").as("doc_id"), col("width"), col("height"),
           col("gray_sum"))
+    }),
+
+    // REAL audio decode (javax.sound.sampled — WAV parsing ships with the
+    // JDK): per-doc mono PCM16 WAVs with formula samples
+    // s(i) = (doc_id·131 + i·17) mod 4001 − 2000, length 160 + doc_id%41.
+    // The engine encodes→decodes through the JDK's RIFF reader; the
+    // oracle recomputes rate/length/sum/peak from the closed form alone —
+    // a decoder misreading any sample or header field fails the gate.
+    "p41_audio_decode" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      import s.implicits._
+      val media = table(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = (160 + id % 41).toInt
+          graft.pipeline.Multimodal.MediaItem(id, "wav",
+            graft.pipeline.Multimodal.encodePcmWav(8000,
+              Array.tabulate(n)(i => (((id * 131 + i * 17) % 4001) - 2000).toShort)))
+        }
+      graft.pipeline.Multimodal.extractAudio(media).toDF()
+        .select(col("id").as("doc_id"), col("decoder"), col("sample_rate"),
+          col("n_channels"), col("n_samples"), col("sample_sum"), col("abs_max"))
+    }),
+
+    // REAL audio window framing: 32-sample windows every 16 over the same
+    // decoded PCM (STFT framing without padding — the last partial window
+    // drops). 1→N flatMap over media rows, shuffle-free; the oracle
+    // rebuilds every (window, sample) pair from the formula.
+    "p42_audio_windows" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      import s.implicits._
+      val media = table(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = (160 + id % 41).toInt
+          graft.pipeline.Multimodal.MediaItem(id, "wav",
+            graft.pipeline.Multimodal.encodePcmWav(8000,
+              Array.tabulate(n)(i => (((id * 131 + i * 17) % 4001) - 2000).toShort)))
+        }
+      graft.pipeline.Multimodal.audioWindows(media, window = 32, hop = 16)
+        .select(col("id").as("doc_id"), col("win"), col("start_sample"),
+          col("sample_sum"), col("abs_max"))
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1904,5 +1944,27 @@ object SparkEntry {
         |px AS (SELECT doc_id, w, h, x, unnest(generate_series(0, 4)) AS y FROM xs)
         |SELECT doc_id, CAST(6 AS BIGINT) AS width, CAST(5 AS BIGINT) AS height,
         |       CAST(sum((doc_id * 31 + ((x * w) // 6) * 7 + ((y * h) // 5) * 13) % 256) AS BIGINT) AS gray_sum
-        |FROM px GROUP BY 1, 2, 3""".stripMargin)
+        |FROM px GROUP BY 1, 2, 3""".stripMargin,
+
+    "p41_audio_decode" ->
+      """WITH d AS (SELECT doc_id, 160 + doc_id % 41 AS n FROM documents),
+        |s AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM d),
+        |v AS (SELECT doc_id, n, (doc_id * 131 + i * 17) % 4001 - 2000 AS x FROM s)
+        |SELECT doc_id, 'javasound' AS decoder,
+        |       CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS n_channels,
+        |       CAST(n AS BIGINT) AS n_samples,
+        |       CAST(sum(x) AS BIGINT) AS sample_sum,
+        |       CAST(max(abs(x)) AS BIGINT) AS abs_max
+        |FROM v GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+
+    "p42_audio_windows" ->
+      """WITH d AS (SELECT doc_id, 160 + doc_id % 41 AS n FROM documents),
+        |w AS (SELECT doc_id, n, unnest(generate_series(0, n - 32, 16)) AS start FROM d),
+        |i AS (SELECT doc_id, start, unnest(generate_series(start, start + 31)) AS i FROM w),
+        |v AS (SELECT doc_id, start, (doc_id * 131 + i * 17) % 4001 - 2000 AS x FROM i)
+        |SELECT doc_id, CAST(start // 16 AS BIGINT) AS win,
+        |       CAST(start AS BIGINT) AS start_sample,
+        |       CAST(sum(x) AS BIGINT) AS sample_sum,
+        |       CAST(max(abs(x)) AS BIGINT) AS abs_max
+        |FROM v GROUP BY 1, 2, 3""".stripMargin)
 }

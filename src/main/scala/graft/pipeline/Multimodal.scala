@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   * JDK — pure JVM, no native codecs), reads pixels via the raster (NOT
   * `getRGB`, whose gray→sRGB color conversion is not the identity), and
   * falls back to the original `decodeStub` pseudo-features for media no
-  * installed reader understands (audio/video codecs are still absent in
-  * this container). Exact-pixel correctness is oracle-gated: p12/p37
-  * generate deterministic gray PNGs from a closed-form pixel formula and
-  * DuckDB recomputes the decoded sums from the formula alone — a decoder
-  * misreading any pixel fails the gate.
+  * installed reader understands. The AUDIO path is equally real:
+  * `decodeAudio`/`audioWindows` parse WAV/AU/AIFF and expand µ-law/a-law
+  * through `javax.sound.sampled` (also JDK-shipped) into 16-bit PCM.
+  * Only the compressed codec zoo (JPEG2000, MP3/AAC, H.26x) is out of
+  * scope for this container. Correctness is oracle-gated: p12/p37/p41/p42
+  * generate fixtures from closed-form pixel/sample formulas and DuckDB
+  * recomputes the decoded sums from the formula alone — a decoder
+  * misreading any pixel or sample fails the gate.
   */
 object Multimodal {
 
@@ -181,6 +184,124 @@ object Multimodal {
         }
       }
     }
+  }
+
+  // ---- real audio path (javax.sound.sampled) ----
+
+  /** Decoded audio features: `decoder` is "javasound" (real PCM samples;
+    * rate/channels/sums exact) or "stub" (no installed reader; -1 metrics,
+    * hash/length still real). `sample_sum`/`abs_max` are over all channels
+    * of the 16-bit signed PCM the stream normalizes to.
+    */
+  case class DecodedAudio(id: Long, kind: String, n_bytes: Long, decoder: String,
+      sample_rate: Long, n_channels: Long, n_samples: Long, sample_sum: Long,
+      abs_max: Long, content_hash: String)
+
+  /** Deterministic 16-bit PCM mono WAV encoder (canonical RIFF container
+    * via the JDK's WAVE writer) — the fixture generator for the audio
+    * oracles/specs: encode→decode round-trips samples bit-exactly.
+    */
+  def encodePcmWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xFF).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Parse an audio container through javax.sound.sampled and normalize to
+    * 16-bit signed little-endian PCM — a REAL decode: WAV/AU/AIFF parsing
+    * and µ-law/a-law expansion ship with the JDK. Returns
+    * (sampleRate, channels, interleaved samples), or None for media no
+    * installed reader understands.
+    */
+  private def pcmSamples(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] =
+    try {
+      val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val f0 = src.getFormat
+      val target = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        f0.getSampleRate, 16, f0.getChannels, f0.getChannels * 2,
+        f0.getSampleRate, false)
+      val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, src)
+      val data = pcm.readAllBytes()
+      val out = new Array[Short](data.length / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = ((data(2 * i) & 0xFF) | (data(2 * i + 1) << 8)).toShort
+        i += 1
+      }
+      Some((f0.getSampleRate.toInt, f0.getChannels, out))
+    } catch { case _: Exception => None } // unknown container → fallback
+
+  /** REAL audio decode: samples via javax.sound, stub fallback otherwise. */
+  def decodeAudio(item: MediaItem): DecodedAudio = {
+    val stub = decodeStub(item)
+    pcmSamples(item.media) match {
+      case None =>
+        DecodedAudio(item.id, item.kind, stub.n_bytes, "stub",
+          -1L, -1L, -1L, -1L, -1L, stub.content_hash)
+      case Some((rate, ch, samples)) =>
+        var sum = 0L
+        var absMax = 0L
+        var i = 0
+        while (i < samples.length) {
+          val v = samples(i).toLong
+          sum += v
+          if (math.abs(v) > absMax) absMax = math.abs(v)
+          i += 1
+        }
+        DecodedAudio(item.id, item.kind, stub.n_bytes, "javasound",
+          rate.toLong, ch.toLong, samples.length.toLong / ch, sum, absMax,
+          stub.content_hash)
+    }
+  }
+
+  /** Batched REAL audio decode — per-partition shape like [[extractDecoded]]. */
+  def extractAudio(ds: Dataset[MediaItem]): Dataset[DecodedAudio] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(decodeAudio))
+  }
+
+  /** Fixed-size window framing over the decoded mono samples (the
+    * spectrogram/feature-frame shape): windows of `window` samples every
+    * `hop`, each with exact integer stats. Windows never straddle the end
+    * (last partial window dropped, like STFT framing without padding);
+    * undecodable or multi-channel media yields no windows. 1→N flatMap —
+    * distributed over media rows, no shuffle.
+    */
+  def audioWindows(ds: Dataset[MediaItem], window: Int, hop: Int): DataFrame = {
+    import ds.sparkSession.implicits._
+    require(window > 0 && hop > 0, "window and hop must be positive")
+    ds.flatMap { m =>
+      pcmSamples(m.media) match {
+        case Some((_, 1, samples)) =>
+          Iterator.range(0, samples.length - window + 1, hop).zipWithIndex
+            .map { case (start, w) =>
+              var sum = 0L
+              var absMax = 0L
+              var i = start
+              while (i < start + window) {
+                val v = samples(i).toLong
+                sum += v
+                if (math.abs(v) > absMax) absMax = math.abs(v)
+                i += 1
+              }
+              (m.id, w.toLong, start.toLong, sum, absMax)
+            }
+        case _ => Iterator.empty
+      }
+    }.toDF("id", "win", "start_sample", "sample_sum", "abs_max")
   }
 
   /** Batched feature extraction: one decoder instance per partition (the

@@ -904,4 +904,62 @@ class PipelineSpec extends SparkSpec {
       Multimodal.unpackFrames(Array[Byte](0, 0, 0, 99, 1, 2))
     }
   }
+
+  test("real WAV decode: known samples round-trip bit-exactly through javasound") {
+    import spark.implicits._
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768, 17)
+    val wav = Multimodal.encodePcmWav(8000, samples)
+    val d = Multimodal.extractAudio(
+      Seq(Multimodal.MediaItem(1L, "wav", wav)).toDS()).head()
+    assert(d.decoder == "javasound")
+    assert(d.sample_rate == 8000L && d.n_channels == 1L && d.n_samples == 6L)
+    assert(d.sample_sum == samples.map(_.toLong).sum)
+    assert(d.abs_max == 32768L)
+    // non-audio bytes fall back to the stub (hash/length real, metrics -1)
+    val junk = Multimodal.extractAudio(
+      Seq(Multimodal.MediaItem(2L, "bin", "notaudio".getBytes("UTF-8"))).toDS()).head()
+    assert(junk.decoder == "stub" && junk.n_samples == -1L)
+    assert(junk.content_hash ==
+      Multimodal.decodeStub(Multimodal.MediaItem(2L, "bin",
+        "notaudio".getBytes("UTF-8"))).content_hash)
+  }
+
+  test("µ-law WAV expands through the JDK's real companding decoder") {
+    // PCM16 → µ-law WAV (8-bit log compressed) → decodeAudio must expand
+    // it back: lossy by design, so assert structure exactly and amplitude
+    // within µ-law's quantization error (~3% near peak)
+    val peak = 8000
+    val samples = Array.tabulate(64)(i => (peak * math.sin(i / 4.0)).toShort)
+    val pcmFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples.flatMap(s =>
+        Array((s & 0xFF).toByte, ((s >> 8) & 0xFF).toByte))),
+      pcmFmt, samples.length.toLong)
+    val ulawFmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false)
+    val ulaw = javax.sound.sampled.AudioSystem.getAudioInputStream(ulawFmt, pcm)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ulaw,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val d = Multimodal.decodeAudio(Multimodal.MediaItem(3L, "wav", bos.toByteArray))
+    assert(d.decoder == "javasound")
+    assert(d.sample_rate == 8000L && d.n_samples == 64L)
+    assert(math.abs(d.abs_max - peak) <= peak / 16,
+      s"µ-law peak ${d.abs_max} too far from $peak")
+  }
+
+  test("audio window framing: exact stats per window, last partial dropped") {
+    import spark.implicits._
+    val wav = Multimodal.encodePcmWav(8000, Array.tabulate[Short](10)(_.toShort))
+    val rows = Multimodal.audioWindows(
+      Seq(Multimodal.MediaItem(5L, "wav", wav)).toDS(), window = 4, hop = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // starts 0,3,6 (9+4 > 10 drops the partial); sums 6, 18, 30
+    assert(rows == Set((0L, 0L, 6L, 3L), (1L, 3L, 18L, 6L), (2L, 6L, 30L, 9L)),
+      s"got $rows")
+    // junk media yields no windows rather than garbage
+    assert(Multimodal.audioWindows(
+      Seq(Multimodal.MediaItem(6L, "bin", Array[Byte](1, 2))).toDS(), 4, 3).count() == 0L)
+  }
 }
