@@ -447,6 +447,48 @@ object SparkEntry {
         SliceRange(count = Int.MaxValue), Int.MaxValue))
     }),
 
+    // Streaming sessionization under the oracle: the q22 gaps-and-islands
+    // result recomputed by Spark's native session_window on a file-fed
+    // event stream (CellStream.sessionize). Sessions close exactly once
+    // the watermark passes their end, so two far-future sentinel events
+    // (dropped from the result) push the watermark past every real
+    // session — the second closes sessions even if no no-data batch runs
+    // after the last file. The per-user session ordinal is a tiny batch
+    // window over the emitted SESSION rows (not the raw events).
+    "q39_stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = table(s, dir, "events")
+        .select(col("user_id").cast("long").as("user_id"), col("ts").cast("long").as("ts"))
+      val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val (minTs, maxTs) = (bounds.getLong(0), bounds.getLong(1))
+      val dayNs = 86400L * 1000000000L
+      // watermark delay covers the full data span: file-source batch order
+      // is mod-time-based, so any real event may arrive after any other
+      val delayNs = (maxTs - minTs) + dayNs
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q39_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      ev.repartition(3).write.parquet(s"$base/in")
+      Seq((-1L, maxTs + delayNs + dayNs)).toDF("user_id", "ts")
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+      Seq((-1L, maxTs + 2L * (delayNs + dayNs))).toDF("user_id", "ts")
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val sess = graft.streaming.CellStream.sessionize(stream,
+        gapMicros = 1800000000L, watermark = s"${delayNs / 1000} microseconds")
+      val q = sess.writeStream.option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").format("parquet").option("path", s"$base/out")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out").filter(col("user_id") >= 0L)
+        .withColumn("session_id", row_number().over(
+          Window.partitionBy("user_id").orderBy("start_us")).cast("bigint"))
+        .select(col("user_id").cast("bigint").as("uid"), col("session_id"),
+          col("n"), col("start_us"), col("end_us"))
+    }),
+
     // Commit-log point-in-time replay: the reconciled live view as of
     // 1995-07-01 (recover(maxReplayTimestamp), CommitLog.java:168-173).
     "q18_replay_pit" -> ((s, dir) => {
@@ -1432,6 +1474,20 @@ object SparkEntry {
         |       CASE WHEN o_custkey % 3 = 0 AND o_custkey % 10 <> 0 THEN 'W+'
         |            ELSE o_orderstatus END AS status
         |FROM orders""".stripMargin,
+
+    "q39_stream_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        |x AS (SELECT user_id, tus,
+        |        CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+        |               OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) > 1800000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |s AS (SELECT user_id, tus,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM x)
+        |SELECT CAST(user_id AS BIGINT) AS uid, CAST(sid AS BIGINT) AS session_id,
+        |       count(*) AS n, min(tus) AS start_us, max(tus) AS end_us
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     "q18_replay_pit" ->
       """SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,

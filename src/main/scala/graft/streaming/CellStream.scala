@@ -96,6 +96,39 @@ object CellStream {
     }
   }
 
+  /** Event-time sessionization on an unbounded event stream — the
+    * streaming twin of the batch gaps-and-islands plan (q22), expressed
+    * with Spark's native `session_window`: the state store merges
+    * overlapping per-event windows, and a session emits exactly once when
+    * the watermark passes its end (Append mode).
+    *
+    * Gap semantics: the batch rule breaks a session when the inter-event
+    * gap is STRICTLY greater than `gapMicros`. Spark merges an event into
+    * a session when `session.end >= event.start` with end = ts + gap —
+    * INCLUSIVE at the boundary (MergingSessionsIterator), so the gap
+    * parameter maps 1:1: an exact-tie gap stays in-session on both paths
+    * (spec-pinned — an off-by-one here is invisible on data without exact
+    * ties, which is why the tie case is planted).
+    *
+    * `ts` is nanoseconds (the events table encoding); sums/bounds are on
+    * the µs integer `tus`, so outputs are exact integers, not timestamps.
+    * The watermark delay bounds accepted disorder AND session-state
+    * lifetime: an event later than `watermark` behind the max seen is
+    * dropped, and a session closes (emits, state freed) once the
+    * watermark passes its end — unbounded gap tolerance would mean
+    * unbounded state, the same tradeoff every op here makes.
+    */
+  def sessionize(events: DataFrame, gapMicros: Long, watermark: String): DataFrame =
+    events
+      .withColumn("tus", expr("ts div 1000"))
+      .withColumn("event_time", timestamp_micros(col("tus")))
+      .withWatermark("event_time", watermark)
+      .groupBy(col("user_id"),
+        session_window(col("event_time"), s"$gapMicros microseconds"))
+      .agg(count(lit(1)).as("n"), min(col("tus")).as("start_us"),
+        max(col("tus")).as("end_us"))
+      .select(col("user_id"), col("n"), col("start_us"), col("end_us"))
+
   /** Event-time windowed aggregation with a watermark over a cell stream —
     * the streaming twin of the batch q15 plan (same logical shape).
     */

@@ -34,6 +34,39 @@ class StreamingSpec extends SparkSpec {
     assert(liveValues(live) == Map("c2" -> "v2", "c1" -> "w"))
   }
 
+  test("session_window sessionize: exact-tie gap merges, gap+1 splits, late events drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapNs = 1800000000L * 1000L // 30 min in ns
+    val mem = MemoryStream[(Long, Long)]
+    val sess = CellStream.sessionize(
+      mem.toDS().toDF("user_id", "ts"), gapMicros = 1800000000L, watermark = "1 hour")
+    val q = sess.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: e2 exactly one gap after e1 (same session — the batch rule
+      // breaks only on STRICTLY greater), e3 one gap + 1µs after e2 (splits)
+      mem.addData((1L, 0L), (1L, gapNs), (1L, 2L * gapNs + 1000L))
+      q.processAllAvailable()
+      // sentinels push the watermark past every real session end
+      mem.addData((-1L, 20L * gapNs))
+      q.processAllAvailable()
+      mem.addData((-1L, 40L * gapNs))
+      q.processAllAvailable()
+      // user 2 arrives far below the advanced watermark: dropped, no session
+      mem.addData((2L, 0L))
+      q.processAllAvailable()
+      mem.addData((-1L, 60L * gapNs))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sessions").filter(col("user_id") >= 0L)
+      .select("user_id", "n", "start_us", "end_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows == Set(
+      (1L, 2L, 0L, 1800000000L),
+      (1L, 1L, 3600000001L, 3600000001L)), s"got $rows")
+  }
+
   test("stateful latestPerKey maintains LWW winners incrementally") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
