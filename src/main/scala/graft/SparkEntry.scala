@@ -692,6 +692,26 @@ object SparkEntry {
         .select(col("ia"), col("ib"), col("inter"), col("uni"))
     }),
 
+    // Canonical text normalization (NFC + lowercase + whitespace collapse):
+    // the ingest front door. The corpus is ASCII, so the oracle gates the
+    // lowercase/whitespace/trim plumbing exactly; the NFC leg (identity on
+    // ASCII by definition) is pinned by the unicode spec instead.
+    "p44_normalize" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      table(s, dir, "documents").select(col("doc_id"),
+        graft.pipeline.TextAnalysis.normalizeText(col("text")).as("norm"))
+    }),
+
+    // Edit-distance fuzzy near-dup: shared-shingle candidates verified by
+    // levenshtein over the 200-char token-normalized prefix — the
+    // candidates-then-verify shape with an edit metric. Both engines ship
+    // the same character-level levenshtein; dist is exact on both sides.
+    "p43_edit_neardup" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Dedup.editDistanceNearDuplicates(table(s, dir, "documents"),
+        "doc_id", "text", n = 3, maxDist = 50, prefixChars = 200)
+    }),
+
     // SimHash 64-bit sketches over md5-derived token hashes — the hash is
     // reproducible in DuckDB (md5 hex → nibble bits), so this is fully
     // oracle-checked, not rows-only.
@@ -2001,6 +2021,22 @@ object SparkEntry {
         |SELECT doc_id, CAST(6 AS BIGINT) AS width, CAST(5 AS BIGINT) AS height,
         |       CAST(sum((doc_id * 31 + ((x * w) // 6) * 7 + ((y * h) // 5) * 13) % 256) AS BIGINT) AS gray_sum
         |FROM px GROUP BY 1, 2, 3""".stripMargin,
+
+    "p44_normalize" ->
+      """SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm
+        |FROM documents""".stripMargin,
+
+    "p43_edit_neardup" ->
+      """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |nrm AS (SELECT id, substr(array_to_string(toks, ' '), 1, 200) AS txt FROM t),
+        |g AS (SELECT id, unnest(list_transform(generate_series(1, len(toks)-2),
+        |                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |      FROM t WHERE len(toks) >= 3),
+        |d AS (SELECT DISTINCT id, sh FROM g),
+        |p AS (SELECT a.id AS ia, b.id AS ib FROM d a JOIN d b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+        |l AS (SELECT ia, ib, levenshtein(na.txt, nb.txt) AS dist
+        |      FROM p JOIN nrm na ON na.id = ia JOIN nrm nb ON nb.id = ib)
+        |SELECT ia, ib, CAST(dist AS BIGINT) AS dist FROM l WHERE dist <= 50""".stripMargin,
 
     "p41_audio_decode" ->
       """WITH d AS (SELECT doc_id, 160 + doc_id % 41 AS n FROM documents),

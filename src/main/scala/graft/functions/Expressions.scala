@@ -104,6 +104,18 @@ object ExprHelpers {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Unicode NFC normalization (canonical composition). ASCII fast path:
+    * Normalizer.isNormalized is O(n) with no allocation, and ASCII (the
+    * bulk of web text) is always NFC — the common row never pays the
+    * String round-trip.
+    */
+  def nfcNormalize(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** OdklDomainPartitioner token: the 2-hex-char "domain" (last two chars of
     * the key) moved to the front (dht/OdklDomainPartitioner.java:36-120).
     */
@@ -269,6 +281,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprHelpers.cosine($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** string → Unicode-NFC-normalized string (codegen'd; ASCII rows pass
+  * through without allocation).
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+  override protected def nullSafeEval(v: Any): Any =
+    ExprHelpers.nfcNormalize(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprHelpers.nfcNormalize($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** string key → OdklDomain token string. */

@@ -19,6 +19,7 @@ object GraftFunctions {
       "graft_timeuuid_ts" -> (es => TimeUuidTimestamp(es.head)),
       "graft_collation_key" -> (es => CollationKeyBytes(es.head)),
       "graft_odkl_domain_token" -> (es => OdklDomainToken(es.head)),
+      "graft_nfc" -> (es => NfcNormalize(es.head)),
       "graft_reconcile" -> (es =>
         ReconcileMax(es(0), es(1), es(2), es(3)).toAggregateExpression()),
       "graft_cosine" -> (es => CosineSimilarity(es(0), es(1))),
@@ -68,4 +69,7 @@ object GraftFunctions {
 
   /** OdklDomainPartitioner token string of a string key. */
   def odklDomainToken(c: Column): Column = call_function("graft_odkl_domain_token", c)
+
+  /** Unicode NFC normalization of a string. */
+  def nfc(c: Column): Column = call_function("graft_nfc", c)
 }

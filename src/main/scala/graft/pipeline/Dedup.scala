@@ -191,6 +191,47 @@ object Dedup {
       .filter(col("inter") * den >= col("uni") * num)
   }
 
+  /** Distinct shared-shingle candidate pairs — the jaccardPairs candidate
+    * rule without its size/intersection branches: per-shingle sorted id
+    * sets, combination emission (Σ_sh C(freq,2), never a doc self-join),
+    * distinct. The recall set for any verify metric over candidates.
+    */
+  def sharedShingleCandidates(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    shinglesRaw(df, idCol, textCol, n)
+      .groupBy("sh").agg(sort_array(collect_set(col("id"))).as("ids"))
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS ia, y AS ib))))"
+      )).as("p"))
+      .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
+      .distinct()
+
+  /** Edit-distance fuzzy near-dup: shared-shingle candidates verified by
+    * levenshtein over the first `prefixChars` chars of the
+    * token-normalized text (lowercased, single-spaced — the same
+    * normalization the shingles see). The candidates-then-verify shape of
+    * MinHash with an edit metric instead of a set metric: it scores
+    * in-place character edits that token-level Jaccard over-penalizes
+    * (one typo kills n shingles). Bounding the prefix bounds the O(p²)
+    * verify cost per pair regardless of document length — the knob that
+    * keeps the metric affordable when documents are megabytes.
+    */
+  def editDistanceNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDist: Int, prefixChars: Int): DataFrame = {
+    val cand = sharedShingleCandidates(df, idCol, textCol, n)
+    // tiny (id, prefix) frame referenced on BOTH sides of the pair join —
+    // lazy-checkpointed or the tokenize runs in two plan branches
+    val norm = df.select(col(idCol).as("id"),
+      substring(concat_ws(" ", TextAnalysis.tokens(col(textCol))), 1, prefixChars).as("txt"))
+      .localCheckpoint(eager = false)
+    cand
+      .join(norm.select(col("id").as("ia"), col("txt").as("ta")), Seq("ia"))
+      .join(norm.select(col("id").as("ib"), col("txt").as("tb")), Seq("ib"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("ia"), col("ib"), col("dist").cast("long").as("dist"))
+  }
+
   /** Connected components over an undirected pair list (ia, ib) →
     * (id, comp) with comp = min id reachable. Min-label propagation plus
     * pointer jumping (comp := comp(comp)) per round, which converges in

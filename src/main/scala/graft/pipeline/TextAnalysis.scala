@@ -28,6 +28,17 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("\\S+"), lit(0))
 
+  /** Canonical text normalization — the ingest front door every dedup /
+    * fingerprint / shingle stage assumes has already run: Unicode NFC
+    * (composed forms, so "é" and "e"+combining-accent fingerprint
+    * identically), lowercase, whitespace runs collapsed to single spaces,
+    * trimmed. Expression-only (NFC is the native graft_nfc expression
+    * with an allocation-free ASCII fast path), codegen'd end to end.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(graft.functions.GraftFunctions.nfc(text)),
+      lit("\\s+"), lit(" ")))
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword pre-tokenization: letter runs, digit runs, and single

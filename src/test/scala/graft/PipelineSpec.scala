@@ -905,6 +905,41 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("normalizeText: NFC composes, case folds, whitespace collapses") {
+    import spark.implicits._
+    // "é" decomposed (e + U+0301) must compose to the single NFC code
+    // point; tabs/newlines/runs collapse; ends trim
+    val docs = Seq(
+      (1L, "  Café \t du\n\n Parc  "),
+      (2L, "Café du Parc"),
+      (3L, "ALL  CAPS")
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+      TextAnalysis.normalizeText(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "café du parc", s"got '${out(1L)}'")
+    assert(out(1L) == out(2L), "decomposed and precomposed must normalize identically")
+    assert(out(3L) == "all caps")
+  }
+
+  test("edit-distance near-dup: verified dist exact, candidate-bound pins recall") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // dist 3 (dog→cat)
+      (3L, "the quick brown creature of unrelated verbiage keeps talking about entirely different things at considerable length"),
+      (4L, "aa bb cc"), // single 3-gram, not shared with doc 5
+      (5L, "aa bb cd")  // dist 1 to doc 4 but ZERO shared shingles → no pair
+    ).toDF("doc_id", "text")
+    val out = Dedup.editDistanceNearDuplicates(docs, "doc_id", "text",
+      n = 3, maxDist = 5, prefixChars = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // (1,2): shares shingles, levenshtein 3. (1,3)/(2,3): share "the quick
+    // brown" but dist >> 5. (4,5): dist 1 yet never a candidate — the
+    // operator is explicitly "edit-close AMONG shingle-sharing candidates"
+    assert(out == Set((1L, 2L, 3L)), s"got $out")
+  }
+
   test("real WAV decode: known samples round-trip bit-exactly through javasound") {
     import spark.implicits._
     val samples = Array[Short](0, 1000, -1000, 32767, -32768, 17)
