@@ -149,7 +149,50 @@ object StreamBench {
     val nearRate = docs.length / nearElapsed
     assert(nearPairs > 0, "planted near-dups in documents must be found in-window")
 
-    println(f"""{"metric":"stream_ingest","rows":$total,"sec":$elapsed%.3f,"rows_per_sec":$rate%.0f,"batches":${durs.size},"batch_ms_p50":${pct(0.5)}%.0f,"batch_ms_max":${durs.lastOption.getOrElse(0.0)}%.0f,"stateful_sec":$stateElapsed%.3f,"stateful_rows_per_sec":$stateRate%.0f,"dedup_docs_in":$dedupIn,"dedup_docs_kept":$dedupOut,"dedup_docs_per_sec":$dedupRate%.0f,"neardup_docs_per_sec":$nearRate%.0f,"neardup_pairs":$nearPairs,"neardup_state_rows":$nearState,"sf":"$sfDir"}""")
+    // Sessionize leg: the events table through native session_window
+    // (CellStream.sessionize), fed in event-time order so the watermark
+    // advances every batch and sessions close progressively — the
+    // steady-state cost of merging-session state. Two sentinels close the
+    // trailing sessions; the guard pins the emitted count to the batch
+    // gaps-and-islands session count (q22 logic).
+    val memS = MemoryStream[(Long, Long)]
+    val sessQ = CellStream.sessionize(memS.toDS().toDF("user_id", "ts"),
+        gapMicros = 1800000000L, watermark = "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_streambench_sessions")
+      .option("checkpointLocation", s"$dir/ckpt_sess").start()
+    val events = CellEncodings.table(spark, sfDir, "events")
+      .select(col("user_id").cast("long"), col("ts").cast("long"))
+      .orderBy("ts").as[(Long, Long)].collect()
+    val maxEvTs = events.last._2
+    val t4 = System.nanoTime()
+    events.grouped((events.length + nBatches - 1) / nBatches).foreach { b =>
+      memS.addData(b.toIndexedSeq)
+      sessQ.processAllAvailable()
+    }
+    memS.addData((-1L, maxEvTs + 48L * 3600L * 1000000000L))
+    sessQ.processAllAvailable()
+    memS.addData((-1L, maxEvTs + 96L * 3600L * 1000000000L))
+    sessQ.processAllAvailable()
+    val sessElapsed = (System.nanoTime() - t4) / 1e9
+    val sessState = sessQ.lastProgress.stateOperators(0).numRowsTotal
+    sessQ.stop()
+    val sessionsOut = spark.table("graft_streambench_sessions")
+      .filter(col("user_id") >= 0L).count()
+    val batchSessions = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("tus")
+      CellEncodings.table(spark, sfDir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tus"))
+        .withColumn("brk", when(lag(col("tus"), 1).over(w).isNull ||
+          col("tus") - lag(col("tus"), 1).over(w) > 1800000000L, 1).otherwise(0))
+        .agg(sum(col("brk"))).head().getLong(0)
+    }
+    assert(sessionsOut == batchSessions,
+      s"streamed $sessionsOut sessions, batch computes $batchSessions")
+    val sessRate = events.length / sessElapsed
+
+    println(f"""{"metric":"stream_ingest","rows":$total,"sec":$elapsed%.3f,"rows_per_sec":$rate%.0f,"batches":${durs.size},"batch_ms_p50":${pct(0.5)}%.0f,"batch_ms_max":${durs.lastOption.getOrElse(0.0)}%.0f,"stateful_sec":$stateElapsed%.3f,"stateful_rows_per_sec":$stateRate%.0f,"dedup_docs_in":$dedupIn,"dedup_docs_kept":$dedupOut,"dedup_docs_per_sec":$dedupRate%.0f,"neardup_docs_per_sec":$nearRate%.0f,"neardup_pairs":$nearPairs,"neardup_state_rows":$nearState,"session_events_per_sec":$sessRate%.0f,"sessions":$sessionsOut,"session_state_rows":$sessState,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
