@@ -692,6 +692,24 @@ object SparkEntry {
         .select(col("ia"), col("ib"), col("inter"), col("uni"))
     }),
 
+    // Incremental NEAR-dup ingest: even-id docs are the persisted corpus
+    // (MinHash snapshot: buckets + shingles + sizes), odd-id docs the new
+    // shard checked against it without rescanning corpus text. Oracle =
+    // all cross-parity pairs at true Jaccard >= 4/5 — equality holds
+    // because 32x8 banding recalls everything at that threshold (the p07
+    // argument) and verification is exact.
+    "p45_neardup_snapshot" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val path = java.nio.file.Files.createTempDirectory("graft_mh_snap").toString
+      graft.pipeline.Dedup.saveMinhashSnapshot(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        n = 3, numHashes = 32, bands = 8, path = s"$path/snap")
+      graft.pipeline.Dedup.nearDupsAgainstSnapshot(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", s"$path/snap",
+        n = 3, numHashes = 32, bands = 8, num = 4, den = 5)
+    }),
+
     // Canonical text normalization (NFC + lowercase + whitespace collapse):
     // the ingest front door. The corpus is ASCII, so the oracle gates the
     // lowercase/whitespace/trim plumbing exactly; the NFC leg (identity on
@@ -2025,6 +2043,19 @@ object SparkEntry {
     "p44_normalize" ->
       """SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm
         |FROM documents""".stripMargin,
+
+    "p45_neardup_snapshot" ->
+      """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |g AS (SELECT id, unnest(list_transform(generate_series(1, len(toks)-2),
+        |                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |      FROM t WHERE len(toks) >= 3),
+        |d AS (SELECT DISTINCT id, sh FROM g),
+        |sz AS (SELECT id, count(*) AS sz FROM d GROUP BY 1),
+        |p AS (SELECT a.id AS nid, b.id AS cid, count(*) AS inter
+        |      FROM d a JOIN d b ON a.sh = b.sh AND a.id % 2 = 1 AND b.id % 2 = 0 GROUP BY 1, 2),
+        |j AS (SELECT nid, cid, inter, sa.sz + sb.sz - inter AS uni
+        |      FROM p JOIN sz sa ON sa.id = nid JOIN sz sb ON sb.id = cid)
+        |SELECT nid, cid, inter, uni FROM j WHERE inter * 5 >= uni * 4""".stripMargin,
 
     "p43_edit_neardup" ->
       """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),

@@ -139,7 +139,11 @@ object Dedup {
     * numHashes/bands rows, hash each band, bucket-join — pairs agreeing on
     * at least one full band become candidates.
     */
-  def lshCandidates(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  /** (id, band, bh) banded bucket rows of a signature table — the join key
+    * LSH candidates bucket on, and the corpus-side artifact a snapshot
+    * persists.
+    */
+  private def bandedBuckets(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     val r = numHashes / bands
@@ -147,13 +151,16 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64(((b * r) until ((b + 1) * r)).map(k => col(s"h$k")): _*).as("bh"))
     }
+    sig.select(col("id"), explode(array(bandCols: _*)).as("bd"))
+      .select(col("id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+  }
+
+  def lshCandidates(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     // materialize the banded signatures once: the bucket self-join below
     // references them on BOTH sides, and without this the full signature
     // aggregation (the min-hash pass over every shingle) is in two plan
     // branches — tiny table (docs × bands rows), big recompute saved
-    val exploded = sig.select(col("id"), explode(array(bandCols: _*)).as("bd"))
-      .select(col("id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
-      .localCheckpoint(eager = false)
+    val exploded = bandedBuckets(sig, numHashes, bands).localCheckpoint(eager = false)
     exploded.select(col("id").as("ia"), col("band"), col("bh"))
       .join(exploded.select(col("id").as("ib"), col("band"), col("bh")), Seq("band", "bh"))
       .filter(col("ia") < col("ib"))
@@ -188,6 +195,60 @@ object Dedup {
     val sh = shingles(df, idCol, textCol, n).localCheckpoint(eager = false)
     val cand = lshCandidates(minhashSignatures(sh, numHashes), numHashes, bands)
     verifyCandidates(cand, sh)
+      .filter(col("inter") * den >= col("uni") * num)
+  }
+
+  /** Persist the corpus-side MinHash-LSH state for incremental NEAR-dup
+    * ingest (the fuzzy twin of [[snapshotFingerprints]]):
+    *   buckets/  (id, band, bh) — the LSH bucket table new shards probe
+    *   shingles/ (id, sh)       — read ONLY for candidate ids at verify
+    *   sizes/    (id, sz)       — shingle-set sizes (exact Jaccard denom)
+    * The corpus text itself is never needed again: one ingest batch costs
+    * the bucket join plus the matched candidates' shingle rows.
+    */
+  def saveMinhashSnapshot(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int, path: String): Unit = {
+    val sh = shingles(df, idCol, textCol, n).localCheckpoint(eager = false)
+    bandedBuckets(minhashSignatures(sh, numHashes), numHashes, bands)
+      .write.mode("overwrite").parquet(s"$path/buckets")
+    sh.write.mode("overwrite").parquet(s"$path/shingles")
+    sh.groupBy("id").agg(count(lit(1)).as("sz"))
+      .write.mode("overwrite").parquet(s"$path/sizes")
+  }
+
+  /** Near-dup pairs (new doc, corpus doc) of a new shard against a
+    * persisted [[saveMinhashSnapshot]] corpus, exact-verified at
+    * Jaccard ≥ num/den. The 100 TB ingest shape: the corpus contributes
+    * its (tiny) bucket rows to the candidate join and the shingle rows of
+    * MATCHED candidates only (left-semi pruning) — never a rescan, never
+    * an all-pairs product. Sketch parameters must match the snapshot's.
+    */
+  def nearDupsAgainstSnapshot(newDf: DataFrame, idCol: String, textCol: String,
+      path: String, n: Int, numHashes: Int, bands: Int,
+      num: Int, den: Int): DataFrame = {
+    val spark = newDf.sparkSession
+    val newSh = shingles(newDf, idCol, textCol, n).localCheckpoint(eager = false)
+    val newBk = bandedBuckets(minhashSignatures(newSh, numHashes), numHashes, bands)
+    // candidate pairs feed the semi-join AND the intersection count —
+    // lazy-checkpointed so the bucket join runs once in the final action
+    val cand = newBk.select(col("id").as("nid"), col("band"), col("bh"))
+      .join(spark.read.parquet(s"$path/buckets")
+        .select(col("id").as("cid"), col("band"), col("bh")), Seq("band", "bh"))
+      .select("nid", "cid").distinct()
+      .localCheckpoint(eager = false)
+    val corpusSh = spark.read.parquet(s"$path/shingles")
+      .join(cand.select(col("cid").as("id")), Seq("id"), "left_semi")
+    val inter = cand
+      .join(newSh.select(col("id").as("nid"), col("sh")), Seq("nid"))
+      .join(corpusSh.select(col("id").as("cid"), col("sh")), Seq("cid", "sh"))
+      .groupBy("nid", "cid").agg(count(lit(1)).as("inter"))
+    val newSz = newSh.groupBy("id").agg(count(lit(1)).as("sz"))
+    inter
+      .join(newSz.withColumnsRenamed(Map("id" -> "nid", "sz" -> "szn")), Seq("nid"))
+      .join(spark.read.parquet(s"$path/sizes")
+        .withColumnsRenamed(Map("id" -> "cid", "sz" -> "szc")), Seq("cid"))
+      .select(col("nid"), col("cid"), col("inter"),
+        (col("szn") + col("szc") - col("inter")).as("uni"))
       .filter(col("inter") * den >= col("uni") * num)
   }
 

@@ -905,6 +905,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("minhash snapshot: incremental shard-vs-corpus near-dups, exact verified") {
+    import spark.implicits._
+    // corpus doc 2 vs shard doc 1: 30 tokens, last one edited — 28
+    // 3-gram shingles each, exactly one differs → inter 27, uni 29
+    val base = (1 to 30).map(i => s"a$i").mkString(" ")
+    val edited = ((1 to 29).map(i => s"a$i") :+ "zz").mkString(" ")
+    val corpus = Seq((2L, base),
+      (4L, (1 to 30).map(i => s"b$i").mkString(" "))).toDF("doc_id", "text")
+    val shard = Seq((1L, edited),
+      (3L, (1 to 30).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_snap_spec").toString
+    Dedup.saveMinhashSnapshot(corpus, "doc_id", "text",
+      n = 3, numHashes = 32, bands = 8, path = s"$dir/snap")
+    assert(new java.io.File(s"$dir/snap/buckets").exists)
+    assert(new java.io.File(s"$dir/snap/shingles").exists)
+    assert(new java.io.File(s"$dir/snap/sizes").exists)
+    val out = Dedup.nearDupsAgainstSnapshot(shard, "doc_id", "text", s"$dir/snap",
+      n = 3, numHashes = 32, bands = 8, num = 4, den = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // (1,2) found with TRUE Jaccard stats; unrelated docs 3/4 pair with
+    // nothing; corpus-corpus and shard-shard pairs are out of scope by
+    // construction (the snapshot holds only the corpus side)
+    assert(out == Set((1L, 2L, 27L, 29L)), s"got $out")
+  }
+
   test("normalizeText: NFC composes, case folds, whitespace collapses") {
     import spark.implicits._
     // "é" decomposed (e + U+0301) must compose to the single NFC code
