@@ -209,9 +209,15 @@ object Dedup {
   def saveMinhashSnapshot(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, bands: Int, path: String): Unit = {
     val sh = shingles(df, idCol, textCol, n).localCheckpoint(eager = false)
+    // both artifacts are laid out range-partitioned + sorted on their join
+    // key: parquet row-group min/max stats then let the ingest-side joins
+    // (and Spark's injected runtime bloom filters) SKIP the corpus rows a
+    // given shard never touches, instead of scanning the whole artifact
     bandedBuckets(minhashSignatures(sh, numHashes), numHashes, bands)
+      .repartitionByRange(col("bh")).sortWithinPartitions("bh")
       .write.mode("overwrite").parquet(s"$path/buckets")
-    sh.write.mode("overwrite").parquet(s"$path/shingles")
+    sh.repartitionByRange(col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(s"$path/shingles")
     sh.groupBy("id").agg(count(lit(1)).as("sz"))
       .write.mode("overwrite").parquet(s"$path/sizes")
   }
