@@ -55,6 +55,15 @@ object ExplainCheck {
     Similarity.pqCandidates(codes, "id", coarse, pq, qv, nprobe = 2, rerank = 20)
       .explain("formatted")
 
+    println("\n================ SNAPSHOT NEAR-DUP INGEST (no corpus rescan) ================")
+    import graft.pipeline.Dedup
+    val docs = CellEncodings.table(spark, dir, "documents")
+    Dedup.saveMinhashSnapshot(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", n = 3, numHashes = 32, bands = 8, path = s"$tmp/snap")
+    Dedup.nearDupsAgainstSnapshot(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", s"$tmp/snap", n = 3, numHashes = 32, bands = 8, num = 4, den = 5)
+      .explain("formatted")
+
     spark.stop()
   }
 }
