@@ -83,6 +83,15 @@ object SparkEntry {
       ordersDecoded(lens.rangeSliceByKeys(None, None, None, SliceRange(count = 3), Int.MaxValue))
     }),
 
+    // Row-cache read path (ColumnFamilyStore.cacheRow /
+    // InstrumentedCache): the q03 per-key slice served from the cached
+    // reconciled live view (InMemoryTableScan) instead of re-reconciling —
+    // the oracle certifies cache-hit reads are byte-identical to cold ones.
+    "q40_row_cache" -> ((s, dir) => {
+      val lens = ordersLiveLens(s, dir).withRowCache()
+      ordersDecoded(lens.rangeSliceByKeys(None, None, None, SliceRange(count = 3), Int.MaxValue))
+    }),
+
     // Q2 REVERSED slice (SliceRange.reversed, thrift:202-213).
     "q04_slice_reversed" -> ((s, dir) => {
       val lens = ordersLiveLens(s, dir)
@@ -1263,6 +1272,15 @@ object SparkEntry {
         |WHERE o_custkey = mk.k AND o_orderkey % 3 = 0 AND o_orderstatus <> 'F'""".stripMargin,
 
     "q03_slice_per_key" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+        |  FROM orders WHERE o_orderstatus <> 'F')
+        |SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
+        |       o_orderstatus AS status
+        |FROM r WHERE rn <= 3""".stripMargin,
+
+    "q40_row_cache" ->
       """WITH r AS (
         |  SELECT o_custkey, o_orderkey, o_orderstatus,
         |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
