@@ -498,6 +498,76 @@ object SparkEntry {
           col("n"), col("start_us"), col("end_us"))
     }),
 
+    // Streaming LWW state under the oracle: the q13 mutation set (base
+    // cells + three upsert waves) through latestPerKey
+    // (flatMapGroupsWithState — the memtable-resolve path). Emissions are
+    // the per-batch winners; reading them back through the lens reconciles
+    // them to the final view, which must equal batch q13 exactly (LWW is
+    // order-insensitive, so arbitrary file-batch boundaries are safe).
+    "q41_stream_lww" -> ((s, dir) => {
+      import s.implicits._
+      val o = table(s, dir, "orders")
+      def up(pred: Column, v: String, dts: Long) = Mutations.asInserts(
+        o.filter(pred).select(
+          key10(col("o_custkey")).as("key"),
+          GraftFunctions.beBytes(col("o_orderkey")).as("col_name"),
+          encode(lit(v), "UTF-8").as("value"),
+          (unix_millis(col("o_orderdate").cast("timestamp")) + dts).as("ts")))
+      val all = ordersCells(s, dir)
+        .unionByName(up(col("o_custkey") % 7 === 0, "X", 2L))
+        .unionByName(up(col("o_custkey") % 13 === 0, "Z", 0L))
+        .unionByName(up(col("o_custkey") % 17 === 0, "A", 0L))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q41_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      all.repartition(3).write.parquet(s"$base/in")
+      val stream = s.readStream.schema(Cell.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in").as[Cell]
+      val q = graft.streaming.CellStream.latestPerKey(stream).toDF()
+        .writeStream.option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").format("parquet").option("path", s"$base/out")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val lens = new CassandraLens(s.read.parquet(s"$base/out"), ordersMeta)
+      ordersDecoded(lens.rangeSliceByKeys(None, None, None,
+        SliceRange(count = Int.MaxValue), Int.MaxValue))
+    }),
+
+    // Streaming tumbling-window rollup under the oracle: q15's plan run
+    // by Structured Streaming with a watermark (eventWindowStats) over a
+    // file-fed events stream. Sentinel events (filtered from the result)
+    // push the watermark past the last real window so Append mode closes
+    // every window; hour_id is derived from the emitted window start.
+    "q42_stream_window" -> ((s, dir) => {
+      import s.implicits._
+      val ev = table(s, dir, "events")
+        .select(col("ts").cast("long").as("ts"), col("event_type").cast("string").as("event_type"),
+          col("value").cast("double").as("value"))
+      val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val (minTs, maxTs) = (bounds.getLong(0), bounds.getLong(1))
+      val dayNs = 86400L * 1000000000L
+      val delayNs = (maxTs - minTs) + dayNs
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q42_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      ev.repartition(3).write.parquet(s"$base/in")
+      Seq((maxTs + delayNs + dayNs, "__sentinel", 0.0d)).toDF("ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+      Seq((maxTs + 2L * (delayNs + dayNs), "__sentinel", 0.0d)).toDF("ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val agg = graft.streaming.CellStream.eventWindowStats(stream,
+        watermark = s"${delayNs / 1000} microseconds", window_ = "1 hour")
+      val q = agg.writeStream.option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").format("parquet").option("path", s"$base/out")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out").filter(col("event_type") =!= "__sentinel")
+        .select((unix_micros(col("window.start")) / 3600000000L).cast("long").as("hour_id"),
+          col("event_type"), col("n"), col("sum_cents"))
+    }),
+
     // Commit-log point-in-time replay: the reconciled live view as of
     // 1995-07-01 (recover(maxReplayTimestamp), CommitLog.java:168-173).
     "q18_replay_pit" -> ((s, dir) => {
@@ -1530,6 +1600,20 @@ object SparkEntry {
         |       CASE WHEN o_custkey % 3 = 0 AND o_custkey % 10 <> 0 THEN 'W+'
         |            ELSE o_orderstatus END AS status
         |FROM orders""".stripMargin,
+
+    "q41_stream_lww" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
+        |       CASE WHEN o_custkey % 7 = 0 THEN 'X'
+        |            WHEN o_custkey % 13 = 0 THEN 'Z'
+        |            WHEN o_custkey % 17 = 0 THEN greatest(o_orderstatus, 'A')
+        |            ELSE o_orderstatus END AS status
+        |FROM orders""".stripMargin,
+
+    "q42_stream_window" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q39_stream_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),

@@ -138,4 +138,17 @@ object CellStream {
       .withWatermark("event_time", watermark)
       .groupBy(window(col("event_time"), window_), col("key"))
       .agg(count(lit(1)).as("n"))
+
+  /** The batch q15 rollup (tumbling window × event_type, count + exact
+    * cent sum) on an unbounded event stream: watermark-bounded state, one
+    * emission per closed window (Append mode). Integer cents make the sum
+    * order-insensitive — streaming and batch agree exactly.
+    */
+  def eventWindowStats(events: DataFrame, watermark: String, window_ : String): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
 }
