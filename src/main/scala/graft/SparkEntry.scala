@@ -49,6 +49,26 @@ object SparkEntry {
     ordersDecoded(lens.rangeSliceByKeys(None, None, None, SliceRange(count = 5), Int.MaxValue))
   }
 
+  /** File-feed `input` as `nFiles` micro-batches through the streaming
+    * transform `f` and return the parquet-sink output. Fresh checkpoint
+    * per invocation — a stale WAL would mark the input files committed
+    * and silently skip them.
+    */
+  private def runStream(s: SparkSession, tag: String, dir: String,
+      input: DataFrame, nFiles: Int)(f: DataFrame => DataFrame): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    input.repartition(nFiles).write.parquet(s"$base/in")
+    val stream = s.readStream.schema(input.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val q = f(stream).writeStream.option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").format("parquet").option("path", s"$base/out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/out")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1125,6 +1145,48 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("lang"), col("bucket"))
     }),
 
+    // Streaming decontamination under the oracle: eval grams static,
+    // train docs file-fed; the flagged-id SET is arrival-order-insensitive
+    // (per-id dedup state), so the batch oracle applies directly.
+    "p46_stream_decontaminate" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val evalGrams = docs.filter(col("doc_id") % 20 === 0)
+        .select(explode(array_distinct(
+          graft.pipeline.TextAnalysis.wordNgrams(col("text"), 5))).as("gram"))
+        .distinct()
+      runStream(s, "p46", dir,
+        docs.filter(col("doc_id") % 20 =!= 0).select(col("doc_id"), col("text")), 3)(
+        st => graft.streaming.PipelineStream.contaminatedIds(
+          st, evalGrams, "doc_id", "text", n = 5))
+        .select(col("id").as("doc_id"))
+    }),
+
+    // Streaming mixture gate under the oracle: the admit decision is a
+    // pure hash of the id (NO state), so the streamed admit set equals
+    // the batch mixtureSample set whatever the batch boundaries.
+    "p47_stream_sample" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      runStream(s, "p47", dir,
+        table(s, dir, "documents").select(col("doc_id"), col("text")), 3)(
+        st => graft.streaming.PipelineStream.sampleGate(st, "doc_id", "text",
+          Seq("en" -> 700, "de" -> 400, "es" -> 550), defaultPermille = 250))
+        .select(col("doc_id"))
+    }),
+
+    // Streaming MinHash-LSH near-dup under the oracle: per-band-bucket
+    // state with exact verification on arrival; the normalized pair set
+    // (distinct — a pair may emit once per shared bucket) equals the
+    // batch p07 result, which itself equals true-Jaccard brute force.
+    "p48_stream_neardup" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      runStream(s, "p48", dir,
+        table(s, dir, "documents").select(col("doc_id"), col("text")), 3)(
+        st => graft.streaming.PipelineStream.nearDupPairs(st, "doc_id", "text",
+          n = 3, numHashes = 32, bands = 8, num = 4, den = 5))
+        .select(col("ia"), col("ib"), col("inter"), col("uni")).distinct()
+    }),
+
     // Deterministic global shuffle + sharding: hash-derived shard and
     // within-shard position (per-shard windows, no global sort).
     "p29_shuffle_shard" -> ((s, dir) => {
@@ -2066,6 +2128,49 @@ object SparkEntry {
         |SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket FROM h
         |WHERE bucket < CASE lang WHEN 'en' THEN 700 WHEN 'de' THEN 400
         |                         WHEN 'es' THEN 550 ELSE 250 END""".stripMargin,
+
+    "p46_stream_decontaminate" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 3),
+        |        i -> array_to_string(toks[i:i+4], ' '))) AS grams
+        |      FROM t WHERE len(toks) >= 5),
+        |eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0),
+        |dg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 20 <> 0)
+        |SELECT DISTINCT dg.doc_id FROM dg JOIN eg USING (gram)""".stripMargin,
+
+    "p47_stream_sample" ->
+      s"""WITH s AS (SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist|ein)\\b')) AS s_de,
+        |  len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is)\\b')) AS s_en,
+        |  len(regexp_extract_all(lower(text), '\\b(el|la|de|que|y|en)\\b')) AS s_es,
+        |  len(regexp_extract_all(lower(text), '\\b(le|la|de|et|les|un)\\b')) AS s_fr
+        |  FROM documents),
+        |l AS (SELECT doc_id,
+        |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_fr THEN 'es'
+        |       ELSE 'fr' END AS lang
+        |  FROM s),
+        |h AS (SELECT doc_id, lang,
+        |        ${hash60Sql("CAST(doc_id AS VARCHAR)")} % 1000 AS bucket
+        |      FROM l)
+        |SELECT doc_id FROM h
+        |WHERE bucket < CASE lang WHEN 'en' THEN 700 WHEN 'de' THEN 400
+        |                         WHEN 'es' THEN 550 ELSE 250 END""".stripMargin,
+
+    "p48_stream_neardup" ->
+      """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |g AS (SELECT id, unnest(list_transform(generate_series(1, len(toks)-2),
+        |                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |      FROM t WHERE len(toks) >= 3),
+        |d AS (SELECT DISTINCT id, sh FROM g),
+        |sz AS (SELECT id, count(*) AS sz FROM d GROUP BY 1),
+        |p AS (SELECT a.id AS ia, b.id AS ib, count(*) AS inter
+        |      FROM d a JOIN d b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+        |j AS (SELECT ia, ib, inter, sa.sz + sb.sz - inter AS uni
+        |      FROM p JOIN sz sa ON sa.id = ia JOIN sz sb ON sb.id = ib)
+        |SELECT ia, ib, inter, uni FROM j WHERE inter * 5 >= uni * 4""".stripMargin,
 
     "p29_shuffle_shard" ->
       s"""WITH h AS (SELECT doc_id,
