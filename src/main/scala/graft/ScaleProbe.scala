@@ -361,6 +361,32 @@ object ScaleProbe {
       println(f"[scale] row cache at depth (64 versions/key, ~150 hot keys): " +
         f"uncached=$dtUncached%5.2f s cached=$dtCached%5.2f s")
     }
+
+    // Incremental near-dup ingest: one shard checked against a persisted
+    // MinHash snapshot vs re-running the full-corpus near-dup over
+    // corpus+shard. The snapshot path's corpus cost is the bucket join +
+    // candidate shingles; the rerun re-shingles and re-buckets everything
+    // — the gap is what a daily 100 TB ingest pays per shard.
+    locally {
+      import graft.pipeline.Dedup
+      val docs = CellEncodings.table(spark, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val shard = docs.filter(col("doc_id") % 10 === 0)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_snap_probe").toString
+      val tSave = System.nanoTime()
+      Dedup.saveMinhashSnapshot(corpus, "doc_id", "text", 3, 32, 8, s"$tmp/snap")
+      val dtSave = (System.nanoTime() - tSave) / 1e9
+      val tInc = System.nanoTime()
+      val incPairs = Dedup.nearDupsAgainstSnapshot(shard, "doc_id", "text",
+        s"$tmp/snap", 3, 32, 8, 4, 5).count()
+      val dtInc = (System.nanoTime() - tInc) / 1e9
+      val tFull = System.nanoTime()
+      val fullPairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+        3, 32, 8, 4, 5).count()
+      val dtFull2 = (System.nanoTime() - tFull) / 1e9
+      println(f"[scale] snapshot ingest (10%% shard vs full rerun): snapshot-build=$dtSave%5.2f s " +
+        f"shard-check=$dtInc%5.2f s ($incPairs pairs) full-rerun=$dtFull2%5.2f s ($fullPairs pairs)")
+    }
     spark.stop()
   }
 }
