@@ -770,4 +770,31 @@ object Similarity {
       clusters.filter(col(idCol) === col("cluster")).select(idCol),
       Seq(idCol), "left_semi")
   }
+
+  /** Hybrid retrieval: lexical (integer-idf keyword) and vector (cosine)
+    * candidate pools of `poolK` each, fused by RANK SUM — an id absent
+    * from one pool takes the poolK+1 penalty rank. Rank-sum fusion is the
+    * integer-exact cousin of reciprocal-rank fusion: fully reproducible
+    * across engines (no float score mixing), and the usual first choice
+    * when lexical and vector scores live on incomparable scales. Both
+    * pools are distributed top-K; the fuse is a full-outer join of two
+    * poolK-row frames — driver-scale, not corpus-scale.
+    */
+  def hybridTopK(docs: DataFrame, docIdCol: String, textCol: String,
+      emb: DataFrame, vecIdCol: String, vecCol: String,
+      queryText: String, queryVec: Array[Float], k: Int, poolK: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lex = TextAnalysis.lexicalTopK(docs, docIdCol, textCol, queryText, poolK)
+      .select(col("id"), col("rank").as("lrank"))
+    val vec = bruteForceTopK(emb, vecIdCol, vecCol, Seq(Tuple1(queryVec)).toDF("q"), poolK)
+      .select(col("id"), col("rank").as("vrank"))
+    lex.join(vec, Seq("id"), "full_outer")
+      .na.fill(poolK + 1, Seq("lrank", "vrank"))
+      .withColumn("rank_sum", (col("lrank") + col("vrank")).cast("long"))
+      .orderBy(col("rank_sum"), col("id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rank_sum"), col("id"))))
+      .select(col("rank"), col("id"), col("rank_sum"))
+  }
 }

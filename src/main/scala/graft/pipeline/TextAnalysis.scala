@@ -429,4 +429,37 @@ object TextAnalysis {
       .filter(col("rn") <= k)
       .drop("rn")
   }
+
+  /** Lexical top-k retrieval (the keyword search primitive): docs scored
+    * by Σ over matched DISTINCT query terms of the integer idf weight
+    * floor(1000·N / df) — rare terms dominate, exact integers keep the
+    * ranking reproducible across engines. One explode pass filtered to
+    * query terms (broadcast), df computed over those terms only,
+    * distributed TakeOrdered top-k — no global sort, no corpus-wide
+    * aggregation beyond the handful of query terms.
+    */
+  def lexicalTopK(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, queryText: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qTerms = queryText.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(qTerms.nonEmpty, "query must contain at least one term")
+    val nDocs = docs.count()
+    // (doc, matched query term) pairs feed BOTH the df aggregate and the
+    // score join — lazy checkpoint keeps the tokenize single-pass
+    val matched = docs
+      .select(col(idCol).as("id"), explode(array_distinct(tokens(col(textCol)))).as("term"))
+      .join(broadcast(qTerms.toDF("term")), Seq("term"))
+      .localCheckpoint(eager = false)
+    val df = matched.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = matched
+      .join(broadcast(df), Seq("term"))
+      .withColumn("w", expr(s"(${nDocs}L * 1000L) div df"))
+      .groupBy("id").agg(sum(col("w")).as("score"))
+    scored.orderBy(col("score").desc, col("id")).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("score").desc, col("id"))))
+      .select(col("rank"), col("id"), col("score"))
+  }
 }

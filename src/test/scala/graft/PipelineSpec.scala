@@ -905,6 +905,29 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("lexical + hybrid retrieval: integer idf, rank-sum fusion with penalties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple banana"),
+      (3L, "apple zebra"),
+      (4L, "unrelated words here")).toDF("doc_id", "text")
+    // N=4; df: apple 3, banana 2, cherry 1 → weights 1333, 2000, 4000
+    val lex = TextAnalysis.lexicalTopK(docs, "doc_id", "text", "apple banana cherry", 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(lex == Set((1, 1L, 7333L), (2, 2L, 3333L), (3, 3L, 1333L)), s"got $lex")
+
+    // vector pool ranks id4 then id3; lexical pool (poolK=2) ranks id1
+    // then id2 — fusion with penalty 3: id1=1+3, id4=3+1, id2=2+3, id3=3+2
+    val emb = Seq(
+      (1L, Array(0f, 1f)), (2L, Array(0.5f, 0.5f)),
+      (3L, Array(0.9f, 0.1f)), (4L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val hyb = Similarity.hybridTopK(docs, "doc_id", "text", emb, "vec_id", "embedding",
+      "apple banana cherry", Array(1f, 0f), k = 3, poolK = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hyb == Set((1, 1L, 4L), (2, 4L, 4L), (3, 2L, 5L)), s"got $hyb")
+  }
+
   test("minhash snapshot: incremental shard-vs-corpus near-dups, exact verified") {
     import spark.implicits._
     // corpus doc 2 vs shard doc 1: 30 tokens, last one edited — 28
