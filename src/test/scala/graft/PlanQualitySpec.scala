@@ -194,6 +194,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortAggregate"), plan.take(1500))
   }
 
+  test("normalizeText and audioWindows stay shuffle-free; lexicalTopK ends in TakeOrdered") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, s"alpha beta doc$i gamma")).toDF("doc_id", "text")
+    // normalization is a pure projection: no Exchange, no aggregate
+    import org.apache.spark.sql.functions.col
+    val np = planOf(docs.select(col("doc_id"),
+      graft.pipeline.TextAnalysis.normalizeText(col("text")).as("n")))
+    assert(!np.contains("Exchange") && !np.contains("Aggregate"), np.take(1200))
+    // window framing is a 1→N flatMap over media rows: no Exchange
+    val wav = graft.pipeline.Multimodal.encodePcmWav(8000, Array.tabulate[Short](64)(_.toShort))
+    val ap = planOf(graft.pipeline.Multimodal.audioWindows(
+      Seq(graft.pipeline.Multimodal.MediaItem(1L, "wav", wav)).toDS(), 16, 8))
+    assert(!ap.contains("Exchange"), ap.take(1200))
+    // lexical retrieval's final k rows come from a distributed TakeOrdered,
+    // never a global Sort of the scored corpus
+    val lp = planOf(graft.pipeline.TextAnalysis.lexicalTopK(
+      docs, "doc_id", "text", "alpha gamma", 5))
+    assert(lp.contains("TakeOrderedAndProject"), lp.take(2000))
+  }
+
   test("cell-size guard: only oversized-cell counts join; unguarded plan join-free pre-pairs") {
     import spark.implicits._
     val vecs = (0L until 30L).map(i => (i, Array.fill(4)(i.toFloat))).toDF("vec_id", "embedding")
