@@ -67,6 +67,36 @@ class StreamingSpec extends SparkSpec {
       (1L, 1L, 3600000001L, 3600000001L)), s"got $rows")
   }
 
+  test("sessionize: a late in-watermark event BRIDGES two state sessions into one") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapNs = 1800000000L * 1000L // 30 min
+    val mem = MemoryStream[(Long, Long)]
+    val sess = CellStream.sessionize(
+      mem.toDS().toDF("user_id", "ts"), gapMicros = 1800000000L, watermark = "2 hours")
+    val q = sess.writeStream.format("memory").queryName("sessions_bridge")
+      .outputMode("append").start()
+    try {
+      // two events 50 min apart: TWO open sessions in state
+      mem.addData((1L, 0L), (1L, (50L * 60L) * 1000000000L))
+      q.processAllAvailable()
+      // a late event at +25 min lands within the 2h watermark and within
+      // one gap of BOTH: the state store must merge all three into ONE
+      // session — the window-merging behavior that distinguishes session
+      // state from plain keyed aggregation
+      mem.addData((1L, (25L * 60L) * 1000000000L))
+      q.processAllAvailable()
+      mem.addData((-1L, 100L * gapNs))
+      q.processAllAvailable()
+      mem.addData((-1L, 200L * gapNs))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sessions_bridge").filter(col("user_id") >= 0L)
+      .select("n", "start_us", "end_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((3L, 0L, 3000000000L)), s"got $rows")
+  }
+
   test("stateful latestPerKey maintains LWW winners incrementally") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
