@@ -69,6 +69,27 @@ object SparkEntry {
     s.read.parquet(s"$base/out")
   }
 
+  /** Pin the parquet files under `path` whose mod time exceeds `afterMs`
+    * (i.e. the just-written ones) to exactly `mtimeMs`. FileStreamSource
+    * orders batches by mod time with ARBITRARY tie order at ms
+    * granularity — a sentinel file tying with a real-event file could be
+    * processed FIRST, advance the watermark, and drop every later real
+    * event as late. Explicit mtimes (reals < sentinel1 < sentinel2, all
+    * within the source's max-age window) make the order a fact instead
+    * of a race.
+    */
+  private def pinNewFiles(s: SparkSession, path: String, afterMs: Long,
+      mtimeMs: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filter(st => st.getPath.getName.endsWith(".parquet") &&
+        st.getModificationTime > afterMs)
+      .foreach(st => fs.setTimes(st.getPath, mtimeMs, -1))
+  }
+  private val MtReal = 1000000L      // 1970-01-01T00:16:40Z
+  private val MtSentinel1 = 2000000L
+  private val MtSentinel2 = 3000000L
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -499,10 +520,13 @@ object SparkEntry {
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
       ev.repartition(3).write.parquet(s"$base/in")
+      pinNewFiles(s, s"$base/in", MtSentinel2, MtReal)
       Seq((-1L, maxTs + delayNs + dayNs)).toDF("user_id", "ts")
         .coalesce(1).write.mode("append").parquet(s"$base/in")
+      pinNewFiles(s, s"$base/in", MtSentinel2, MtSentinel1)
       Seq((-1L, maxTs + 2L * (delayNs + dayNs))).toDF("user_id", "ts")
         .coalesce(1).write.mode("append").parquet(s"$base/in")
+      pinNewFiles(s, s"$base/in", MtSentinel2, MtSentinel2)
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
       val sess = graft.streaming.CellStream.sessionize(stream,
@@ -537,18 +561,9 @@ object SparkEntry {
         .unionByName(up(col("o_custkey") % 7 === 0, "X", 2L))
         .unionByName(up(col("o_custkey") % 13 === 0, "Z", 0L))
         .unionByName(up(col("o_custkey") % 17 === 0, "A", 0L))
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q41_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(base), true)
-      all.repartition(3).write.parquet(s"$base/in")
-      val stream = s.readStream.schema(Cell.schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$base/in").as[Cell]
-      val q = graft.streaming.CellStream.latestPerKey(stream).toDF()
-        .writeStream.option("checkpointLocation", s"$base/ckpt")
-        .outputMode("append").format("parquet").option("path", s"$base/out")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      val lens = new CassandraLens(s.read.parquet(s"$base/out"), ordersMeta)
+      val out = runStream(s, "q41", dir, all, 3)(st =>
+        graft.streaming.CellStream.latestPerKey(st.as[Cell]).toDF())
+      val lens = new CassandraLens(out, ordersMeta)
       ordersDecoded(lens.rangeSliceByKeys(None, None, None,
         SliceRange(count = Int.MaxValue), Int.MaxValue))
     }),
@@ -571,10 +586,13 @@ object SparkEntry {
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
       ev.repartition(3).write.parquet(s"$base/in")
+      pinNewFiles(s, s"$base/in", MtSentinel2, MtReal)
       Seq((maxTs + delayNs + dayNs, "__sentinel", 0.0d)).toDF("ts", "event_type", "value")
         .coalesce(1).write.mode("append").parquet(s"$base/in")
+      pinNewFiles(s, s"$base/in", MtSentinel2, MtSentinel1)
       Seq((maxTs + 2L * (delayNs + dayNs), "__sentinel", 0.0d)).toDF("ts", "event_type", "value")
         .coalesce(1).write.mode("append").parquet(s"$base/in")
+      pinNewFiles(s, s"$base/in", MtSentinel2, MtSentinel2)
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
       val agg = graft.streaming.CellStream.eventWindowStats(stream,

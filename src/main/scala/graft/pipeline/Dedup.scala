@@ -135,10 +135,6 @@ object Dedup {
       min(xxhash64(lit(0), col("sh"))).as("h0"),
       (1 until numHashes).map(k => min(xxhash64(lit(k), col("sh"))).as(s"h$k")): _*)
 
-  /** LSH candidate pairs: split the signature into `bands` bands of
-    * numHashes/bands rows, hash each band, bucket-join — pairs agreeing on
-    * at least one full band become candidates.
-    */
   /** (id, band, bh) banded bucket rows of a signature table — the join key
     * LSH candidates bucket on, and the corpus-side artifact a snapshot
     * persists.
@@ -155,6 +151,10 @@ object Dedup {
       .select(col("id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
   }
 
+  /** LSH candidate pairs: split the signature into `bands` bands of
+    * numHashes/bands rows, hash each band, bucket-join — pairs agreeing on
+    * at least one full band become candidates.
+    */
   def lshCandidates(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     // materialize the banded signatures once: the bucket self-join below
     // references them on BOTH sides, and without this the full signature
@@ -262,16 +262,22 @@ object Dedup {
     * rule without its size/intersection branches: per-shingle sorted id
     * sets, combination emission (Σ_sh C(freq,2), never a doc self-join),
     * distinct. The recall set for any verify metric over candidates.
+    * `maxDocFreq` is the same skew guard jaccardPairs exposes: a shingle
+    * in f docs emits C(f,2) pairs, so a stock phrase shared by 10k docs
+    * would alone emit ~5·10⁷ — cap f and boilerplate shingles stop
+    * nominating pairs at all.
     */
   def sharedShingleCandidates(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
-    shinglesRaw(df, idCol, textCol, n)
+      n: Int, maxDocFreq: Option[Int] = None): DataFrame = {
+    val grouped0 = shinglesRaw(df, idCol, textCol, n)
       .groupBy("sh").agg(sort_array(collect_set(col("id"))).as("ids"))
+    maxDocFreq.map(f => grouped0.filter(size(col("ids")) <= f)).getOrElse(grouped0)
       .select(explode(expr(
         "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS ia, y AS ib))))"
       )).as("p"))
       .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
       .distinct()
+  }
 
   /** Edit-distance fuzzy near-dup: shared-shingle candidates verified by
     * levenshtein over the first `prefixChars` chars of the
@@ -280,12 +286,14 @@ object Dedup {
     * MinHash with an edit metric instead of a set metric: it scores
     * in-place character edits that token-level Jaccard over-penalizes
     * (one typo kills n shingles). Bounding the prefix bounds the O(p²)
-    * verify cost per pair regardless of document length — the knob that
-    * keeps the metric affordable when documents are megabytes.
+    * verify cost per pair regardless of document length, and `maxDocFreq`
+    * bounds how many pairs a boilerplate shingle may nominate — the two
+    * knobs that keep the metric affordable when documents are megabytes.
     */
   def editDistanceNearDuplicates(df: DataFrame, idCol: String, textCol: String,
-      n: Int, maxDist: Int, prefixChars: Int): DataFrame = {
-    val cand = sharedShingleCandidates(df, idCol, textCol, n)
+      n: Int, maxDist: Int, prefixChars: Int,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val cand = sharedShingleCandidates(df, idCol, textCol, n, maxDocFreq)
     // tiny (id, prefix) frame referenced on BOTH sides of the pair join —
     // lazy-checkpointed or the tokenize runs in two plan branches
     val norm = df.select(col(idCol).as("id"),

@@ -36,8 +36,7 @@ object TextAnalysis {
     * with an allocation-free ASCII fast path), codegen'd end to end.
     */
   def normalizeText(text: Column): Column =
-    trim(regexp_replace(lower(graft.functions.GraftFunctions.nfc(text)),
-      lit("\\s+"), lit(" ")))
+    normalized(graft.functions.GraftFunctions.nfc(text))
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
