@@ -986,6 +986,14 @@ class PipelineSpec extends SparkSpec {
     // brown" but dist >> 5. (4,5): dist 1 yet never a candidate — the
     // operator is explicitly "edit-close AMONG shingle-sharing candidates"
     assert(out == Set((1L, 2L, 3L)), s"got $out")
+    // maxDocFreq skew guard: docs 1-3 all share "the quick brown" (df=3);
+    // capping df at 2 stops that boilerplate shingle nominating pairs, and
+    // (1,2) must survive via their OTHER (df=2) shared shingles
+    val guarded = Dedup.editDistanceNearDuplicates(docs, "doc_id", "text",
+      n = 3, maxDist = 5, prefixChars = 200, maxDocFreq = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded == Set((1L, 2L)), s"got $guarded")
+    assert(Dedup.sharedShingleCandidates(docs, "doc_id", "text", 3, Some(1)).count() == 0L)
   }
 
   test("real WAV decode: known samples round-trip bit-exactly through javasound") {
