@@ -288,8 +288,10 @@ object ScaleProbe {
     // Streaming near-dup state growth: how the per-band-bucket state
     // scales with documents ingested, unbounded vs watermark-bounded
     // (PipelineStream.nearDupPairsWithinWatermark). Event time advances
-    // one hour per 10k-doc batch; the 30-minute delay keeps only the
-    // newest batch's buckets live — the eviction story SCALE.md documents.
+    // one hour per 10k-doc batch; with the 30-minute delay the watermark
+    // (which lags one batch) keeps roughly the last batch-and-a-half of
+    // buckets live — the plateau the probe prints, and the eviction
+    // story SCALE.md documents.
     locally {
       import spark.implicits._
       implicit val sqlCtx = spark.sqlContext

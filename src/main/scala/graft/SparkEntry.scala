@@ -779,7 +779,9 @@ object SparkEntry {
         .withColumn("y", col("doc_id") % 3 === 0)
       val w = graft.pipeline.TextAnalysis.trainClassifierWeights(
         labeled, "doc_id", "text", "y", dim = 4096)
-      val path = java.nio.file.Files.createTempDirectory("graft_clf").toString
+      // deterministic per-sf path + overwrite: repeated verify/bench runs
+      // replace the artifact instead of leaking a fresh tmp dir each time
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_p38_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
       w.write.mode("overwrite").parquet(s"$path/weights")
       graft.pipeline.TextAnalysis.classifierScoreWith(
         docs, "doc_id", "text", s.read.parquet(s"$path/weights"), dim = 4096)
@@ -793,9 +795,12 @@ object SparkEntry {
     // IVF-codebook cell is the production path, spec-gated).
     "p36_semantic_clusters" -> ((s, dir) => {
       GraftFunctions.register(s)
+      // guard OFF (see p11): the oracle's recursive-CTE clustering models
+      // unsplit within-cell pairs — exact at any scale with the guard
+      // disabled; the default-on guard stays for production callers
       graft.pipeline.Similarity.semanticClusters(
         table(s, dir, "embeddings"), "vec_id", "embedding", col("label"),
-        tauPermille = 420)
+        tauPermille = 420, maxCellSize = 0)
         .select(col("vec_id"), col("cluster"))
     }),
 
@@ -818,7 +823,8 @@ object SparkEntry {
     "p45_neardup_snapshot" -> ((s, dir) => {
       GraftFunctions.register(s)
       val docs = table(s, dir, "documents")
-      val path = java.nio.file.Files.createTempDirectory("graft_mh_snap").toString
+      // deterministic per-sf path + overwrite (no tmp-dir leak per run)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_p45_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
       graft.pipeline.Dedup.saveMinhashSnapshot(
         docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
         n = 3, numHashes = 32, bands = 8, path = s"$path/snap")
@@ -893,8 +899,13 @@ object SparkEntry {
     // Embedding near-dup mining: most-similar pair per label cell.
     "p11_embed_pairs" -> ((s, dir) => {
       GraftFunctions.register(s)
+      // guard OFF here: the oracle models UNSPLIT within-cell pairs, so a
+      // cell ever exceeding the default maxCellSize would silently diverge
+      // (subcell split drops cross-subcell pairs). Production callers keep
+      // the default-on guard; the gated entry is exact at any scale.
       graft.pipeline.Similarity.topPairPerCell(
-        table(s, dir, "embeddings"), "vec_id", "embedding", "label")
+        table(s, dir, "embeddings"), "vec_id", "embedding", "label",
+        maxCellSize = 0)
         .select(col("cell").cast("long").as("cell"), col("ia"), col("ib"))
     }),
 

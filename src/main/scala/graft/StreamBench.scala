@@ -124,8 +124,11 @@ object StreamBench {
     // Near-dup leg: documents through the watermark-bounded streaming
     // MinHash-LSH (the unbounded-feed configuration — band-bucket state
     // evicted behind the watermark). Event time advances one hour per
-    // batch with a 30-minute delay, so cross-batch pairs are NOT sought:
-    // this measures the steady-state per-batch signature+match cost.
+    // batch with a 30-minute delay; the watermark LAGS one batch (it is
+    // computed from the previous batch's max event time), so state holds
+    // ~2 batches of buckets and ADJACENT-batch pairs are still found —
+    // only pairs two or more batches apart are out of reach. This
+    // measures the steady-state per-batch signature+match cost.
     val memN = MemoryStream[(Long, String, java.sql.Timestamp)]
     val nearQ = graft.streaming.PipelineStream.nearDupPairsWithinWatermark(
         memN.toDS().toDF("doc_id", "text", "ets"), "doc_id", "text",

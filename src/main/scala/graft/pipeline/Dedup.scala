@@ -491,15 +491,21 @@ object Dedup {
   def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int, minDocs: Int = 2, hashSpans: Boolean = true): DataFrame = {
     require(k >= 1 && minDocs >= 2, "k >= 1; minDocs >= 2")
+    // toks feeds the position explode AND the span explode; spans feeds
+    // the repeated-span aggregate AND the removal join — lazy-checkpoint
+    // both shared frames or the tokenize subtree executes once per branch
+    // (the subtree-duplication trap jaccardPairs documents)
     val toks = df.select(col(idCol).as("id"),
       TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .localCheckpoint(eager = false)
     val pos = toks.select(col("id"),
       posexplode(col("_toks")).as(Seq("pos", "tok")))
     val spanStr = toks.filter(size(col("_toks")) >= k)
       .select(col("id"), posexplode(expr(
         s"transform(sequence(1, size(_toks) - ${k - 1}), i -> concat_ws(' ', slice(_toks, i, $k)))"
       )).as(Seq("start", "sp")))
-    val spans = if (hashSpans) spanStr.withColumn("sp", xxhash64(col("sp"))) else spanStr
+    val spans = (if (hashSpans) spanStr.withColumn("sp", xxhash64(col("sp"))) else spanStr)
+      .localCheckpoint(eager = false)
     // one aggregate per span: how many distinct docs carry it + who keeps it
     val repeated = spans.groupBy("sp")
       .agg(count_distinct(col("id")).as("nd"), min(col("id")).as("mind"))

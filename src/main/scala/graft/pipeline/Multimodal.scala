@@ -49,17 +49,26 @@ object Multimodal {
     try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     catch { case _: Exception => null } // corrupt/truncated media → fallback
 
-  /** Mean of the color bands (alpha excluded) at one pixel, read from the
-    * raster: exact for gray images (1 band, sample = stored byte) and
-    * deterministic integer math for RGB.
+  /** Mean of the color bands (alpha excluded) at one pixel: exact for
+    * gray images (1 band, raster sample = stored byte) and deterministic
+    * integer math for RGB. Palette-indexed images (GIF, indexed PNG)
+    * store PALETTE INDICES in the raster — summing those would be
+    * confidently wrong — so the index is resolved through the
+    * IndexColorModel to its RGB entry first.
     */
-  private def graySample(raster: java.awt.image.Raster, x: Int, y: Int): Int = {
-    val bands = math.min(raster.getNumBands, 3)
-    var s = 0
-    var b = 0
-    while (b < bands) { s += raster.getSample(x, y, b); b += 1 }
-    s / bands
-  }
+  private def graySample(img: java.awt.image.BufferedImage, x: Int, y: Int): Int =
+    img.getColorModel match {
+      case icm: java.awt.image.IndexColorModel =>
+        val idx = img.getRaster.getSample(x, y, 0)
+        (icm.getRed(idx) + icm.getGreen(idx) + icm.getBlue(idx)) / 3
+      case _ =>
+        val raster = img.getRaster
+        val bands = math.min(raster.getNumBands, 3)
+        var s = 0
+        var b = 0
+        while (b < bands) { s += raster.getSample(x, y, b); b += 1 }
+        s / bands
+    }
 
   /** REAL decode: pixels via javax.imageio, stub fallback otherwise. */
   def decodeImage(item: MediaItem): DecodedMedia = {
@@ -69,12 +78,11 @@ object Multimodal {
       DecodedMedia(item.id, item.kind, stub.n_bytes, "stub", -1L, -1L, -1L,
         stub.content_hash)
     else {
-      val raster = img.getRaster
       var sum = 0L
       var y = 0
       while (y < img.getHeight) {
         var x = 0
-        while (x < img.getWidth) { sum += graySample(raster, x, y); x += 1 }
+        while (x < img.getWidth) { sum += graySample(img, x, y); x += 1 }
         y += 1
       }
       DecodedMedia(item.id, item.kind, stub.n_bytes, "imageio",
@@ -154,7 +162,11 @@ object Multimodal {
     ds.flatMap { m =>
       javax.imageio.ImageIO.setUseCache(false)
       val fs = unpackFrames(m.media)
-      (0 until frames).iterator.map { j =>
+      // an empty/headerless blob parses to zero frames: emit no rows
+      // (the flatMap analog of the stub fallback) instead of indexing
+      // into an empty container and killing the job
+      if (fs.isEmpty) Iterator.empty
+      else (0 until frames).iterator.map { j =>
         val idx =
           if (frames == 1 || fs.size == 1) 0
           else ((fs.size - 1).toLong * j / (frames - 1)).toInt
@@ -178,9 +190,8 @@ object Multimodal {
         if (img == null) m
         else {
           val (sw, sh) = (img.getWidth, img.getHeight)
-          val src = img.getRaster
           m.copy(media = encodeGrayPng(w, h, (x, y) =>
-            graySample(src, x * sw / w, y * sh / h)))
+            graySample(img, x * sw / w, y * sh / h)))
         }
       }
     }

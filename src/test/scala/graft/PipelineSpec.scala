@@ -852,12 +852,37 @@ class PipelineSpec extends SparkSpec {
     assert(d.width == 3 && d.height == 2)
     assert(d.gray_sum == px.flatten.sum.toLong)
     // undecodable media falls back to the stub (hash/length real, dims -1)
-    val junk = Multimodal.extractDecoded(
-      Seq(Multimodal.MediaItem(8L, "bin", "notanimage".getBytes("UTF-8"))).toDS()).head()
-    assert(junk.decoder == "stub" && junk.width == -1L && junk.gray_sum == -1L)
-    assert(junk.content_hash ==
+    // — driven through the DataFrame-shaped decodeFrame twin
+    val junk = Multimodal.decodeFrame(
+      Seq((8L, "bin", "notanimage".getBytes("UTF-8"))).toDF("id", "kind", "media"))
+      .head()
+    assert(junk.getAs[String]("decoder") == "stub" &&
+      junk.getAs[Long]("width") == -1L && junk.getAs[Long]("gray_sum") == -1L)
+    assert(junk.getAs[String]("content_hash") ==
       Multimodal.decodeStub(Multimodal.MediaItem(8L, "bin",
         "notanimage".getBytes("UTF-8"))).content_hash)
+  }
+
+  test("palette-indexed GIF decodes palette COLORS, not palette indices") {
+    import spark.implicits._
+    // 2-entry palette: index 0 -> white, index 1 -> black. A raster-sample
+    // reader would sum indices (≈ black-pixel count); the decoder must
+    // resolve through the IndexColorModel
+    val palette = new java.awt.image.IndexColorModel(1, 2,
+      Array(255.toByte, 0.toByte), Array(255.toByte, 0.toByte),
+      Array(255.toByte, 0.toByte))
+    val img = new java.awt.image.BufferedImage(4, 1,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY, palette)
+    // pixels: white, black, white, white → gray_sum 3*255
+    img.getRaster.setSample(1, 0, 0, 1)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    val d = Multimodal.decodeImage(Multimodal.MediaItem(11L, "gif", bos.toByteArray))
+    assert(d.decoder == "imageio" && d.width == 4 && d.height == 1)
+    assert(d.gray_sum == 3L * 255L, s"got ${d.gray_sum} — palette indices summed?")
+    // empty/headerless frame containers yield zero frames, not a crash
+    assert(Multimodal.sampleDecodedFrames(
+      Seq(Multimodal.MediaItem(12L, "video", Array.emptyByteArray)).toDS(), 3).count() == 0L)
   }
 
   test("real JPEG decode: JDK reader reports exact dimensions") {
