@@ -52,14 +52,18 @@ object SparkEntry {
   /** File-feed `input` as `nFiles` micro-batches through the streaming
     * transform `f` and return the parquet-sink output. Fresh checkpoint
     * per invocation — a stale WAL would mark the input files committed
-    * and silently skip them.
+    * and silently skip them. `prepareIn` runs after the input write and
+    * before the stream starts (sentinel-file injection + mtime pinning
+    * for the watermark-flush entries).
     */
   private def runStream(s: SparkSession, tag: String, dir: String,
-      input: DataFrame, nFiles: Int)(f: DataFrame => DataFrame): DataFrame = {
+      input: DataFrame, nFiles: Int,
+      prepareIn: String => Unit = _ => ())(f: DataFrame => DataFrame): DataFrame = {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
     input.repartition(nFiles).write.parquet(s"$base/in")
+    prepareIn(s"$base/in")
     val stream = s.readStream.schema(input.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
     val q = f(stream).writeStream.option("checkpointLocation", s"$base/ckpt")
@@ -516,26 +520,17 @@ object SparkEntry {
       // watermark delay covers the full data span: file-source batch order
       // is mod-time-based, so any real event may arrive after any other
       val delayNs = (maxTs - minTs) + dayNs
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q39_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(base), true)
-      ev.repartition(3).write.parquet(s"$base/in")
-      pinNewFiles(s, s"$base/in", MtSentinel2, MtReal)
-      Seq((-1L, maxTs + delayNs + dayNs)).toDF("user_id", "ts")
-        .coalesce(1).write.mode("append").parquet(s"$base/in")
-      pinNewFiles(s, s"$base/in", MtSentinel2, MtSentinel1)
-      Seq((-1L, maxTs + 2L * (delayNs + dayNs))).toDF("user_id", "ts")
-        .coalesce(1).write.mode("append").parquet(s"$base/in")
-      pinNewFiles(s, s"$base/in", MtSentinel2, MtSentinel2)
-      val stream = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
-      val sess = graft.streaming.CellStream.sessionize(stream,
-        gapMicros = 1800000000L, watermark = s"${delayNs / 1000} microseconds")
-      val q = sess.writeStream.option("checkpointLocation", s"$base/ckpt")
-        .outputMode("append").format("parquet").option("path", s"$base/out")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.read.parquet(s"$base/out").filter(col("user_id") >= 0L)
+      val out = runStream(s, "q39", dir, ev, 3, prepareIn = { in =>
+        pinNewFiles(s, in, MtSentinel2, MtReal)
+        Seq((-1L, maxTs + delayNs + dayNs)).toDF("user_id", "ts")
+          .coalesce(1).write.mode("append").parquet(in)
+        pinNewFiles(s, in, MtSentinel2, MtSentinel1)
+        Seq((-1L, maxTs + 2L * (delayNs + dayNs))).toDF("user_id", "ts")
+          .coalesce(1).write.mode("append").parquet(in)
+        pinNewFiles(s, in, MtSentinel2, MtSentinel2)
+      })(st => graft.streaming.CellStream.sessionize(st,
+        gapMicros = 1800000000L, watermark = s"${delayNs / 1000} microseconds"))
+      out.filter(col("user_id") >= 0L)
         .withColumn("session_id", row_number().over(
           Window.partitionBy("user_id").orderBy("start_us")).cast("bigint"))
         .select(col("user_id").cast("bigint").as("uid"), col("session_id"),
@@ -582,26 +577,17 @@ object SparkEntry {
       val (minTs, maxTs) = (bounds.getLong(0), bounds.getLong(1))
       val dayNs = 86400L * 1000000000L
       val delayNs = (maxTs - minTs) + dayNs
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q42_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(base), true)
-      ev.repartition(3).write.parquet(s"$base/in")
-      pinNewFiles(s, s"$base/in", MtSentinel2, MtReal)
-      Seq((maxTs + delayNs + dayNs, "__sentinel", 0.0d)).toDF("ts", "event_type", "value")
-        .coalesce(1).write.mode("append").parquet(s"$base/in")
-      pinNewFiles(s, s"$base/in", MtSentinel2, MtSentinel1)
-      Seq((maxTs + 2L * (delayNs + dayNs), "__sentinel", 0.0d)).toDF("ts", "event_type", "value")
-        .coalesce(1).write.mode("append").parquet(s"$base/in")
-      pinNewFiles(s, s"$base/in", MtSentinel2, MtSentinel2)
-      val stream = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
-      val agg = graft.streaming.CellStream.eventWindowStats(stream,
-        watermark = s"${delayNs / 1000} microseconds", window_ = "1 hour")
-      val q = agg.writeStream.option("checkpointLocation", s"$base/ckpt")
-        .outputMode("append").format("parquet").option("path", s"$base/out")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.read.parquet(s"$base/out").filter(col("event_type") =!= "__sentinel")
+      val out = runStream(s, "q42", dir, ev, 3, prepareIn = { in =>
+        pinNewFiles(s, in, MtSentinel2, MtReal)
+        Seq((maxTs + delayNs + dayNs, "__sentinel", 0.0d)).toDF("ts", "event_type", "value")
+          .coalesce(1).write.mode("append").parquet(in)
+        pinNewFiles(s, in, MtSentinel2, MtSentinel1)
+        Seq((maxTs + 2L * (delayNs + dayNs), "__sentinel", 0.0d)).toDF("ts", "event_type", "value")
+          .coalesce(1).write.mode("append").parquet(in)
+        pinNewFiles(s, in, MtSentinel2, MtSentinel2)
+      })(st => graft.streaming.CellStream.eventWindowStats(st,
+        watermark = s"${delayNs / 1000} microseconds", window_ = "1 hour"))
+      out.filter(col("event_type") =!= "__sentinel")
         .select((unix_micros(col("window.start")) / 3600000000L).cast("long").as("hour_id"),
           col("event_type"), col("n"), col("sum_cents"))
     }),

@@ -55,6 +55,17 @@ object Dedup {
       k: Int): DataFrame =
     TextAnalysis.ngramStats(df, idCol, textCol, n, k).select(col("gram").as("sh"))
 
+  /** Combination emission over per-shingle SORTED id sets: Σ_sh C(freq,2)
+    * (ia < ib) pairs, never a doc self-join — the one pair-emission rule
+    * both jaccardPairs and the edit-distance candidate set use, so the
+    * two can never disagree on which pairs exist.
+    */
+  private def emitPairs(grouped: DataFrame): DataFrame =
+    grouped.select(explode(expr(
+      "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS ia, y AS ib))))"
+    )).as("p"))
+      .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
+
   private def shinglesRaw(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("_toks"))
     toks
@@ -106,11 +117,8 @@ object Dedup {
       .localCheckpoint(eager = false)
     // pairs per shingle via sorted-id-set combination emission: the
     // emitted pair count is Σ_shingle C(freq,2), never a self-join
-    val inter = grouped
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS ia, y AS ib))))"
-      )).as("p"))
-      .groupBy(col("p.ia").as("ia"), col("p.ib").as("ib"))
+    val inter = emitPairs(grouped)
+      .groupBy(col("ia"), col("ib"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnsRenamed(Map("id" -> "ia", "sz" -> "sza")), Seq("ia"))
@@ -271,11 +279,8 @@ object Dedup {
       n: Int, maxDocFreq: Option[Int] = None): DataFrame = {
     val grouped0 = shinglesRaw(df, idCol, textCol, n)
       .groupBy("sh").agg(sort_array(collect_set(col("id"))).as("ids"))
-    maxDocFreq.map(f => grouped0.filter(size(col("ids")) <= f)).getOrElse(grouped0)
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS ia, y AS ib))))"
-      )).as("p"))
-      .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
+    emitPairs(
+      maxDocFreq.map(f => grouped0.filter(size(col("ids")) <= f)).getOrElse(grouped0))
       .distinct()
   }
 

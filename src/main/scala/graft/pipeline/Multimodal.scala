@@ -61,9 +61,12 @@ object Multimodal {
       case icm: java.awt.image.IndexColorModel =>
         val idx = img.getRaster.getSample(x, y, 0)
         (icm.getRed(idx) + icm.getGreen(idx) + icm.getBlue(idx)) / 3
-      case _ =>
+      case cm =>
+        // color components only — numBands would average the ALPHA band
+        // into the gray value on 2-band gray+alpha rasters (PNG color
+        // type 4), where min(numBands, 3) = 2 includes it
         val raster = img.getRaster
-        val bands = math.min(raster.getNumBands, 3)
+        val bands = math.min(cm.getNumColorComponents, raster.getNumBands)
         var s = 0
         var b = 0
         while (b < bands) { s += raster.getSample(x, y, b); b += 1 }
@@ -161,10 +164,12 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.flatMap { m =>
       javax.imageio.ImageIO.setUseCache(false)
-      val fs = unpackFrames(m.media)
-      // an empty/headerless blob parses to zero frames: emit no rows
-      // (the flatMap analog of the stub fallback) instead of indexing
-      // into an empty container and killing the job
+      // a corrupt, truncated, or empty container yields zero frames —
+      // the flatMap analog of the stub fallback. unpackFrames itself
+      // still refuses loudly for direct callers; here one bad blob must
+      // not kill the whole job (decodeImage/pcmSamples set the pattern)
+      val fs = try unpackFrames(m.media)
+        catch { case _: IllegalArgumentException => Seq.empty }
       if (fs.isEmpty) Iterator.empty
       else (0 until frames).iterator.map { j =>
         val idx =

@@ -110,28 +110,41 @@ object PipelineStream {
     *    upstream with the stoplist/gating passes if a boilerplate-heavy
     *    feed bends that assumption).
     */
-  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
-      numHashes: Int, bands: Int, num: Int, den: Int): DataFrame = {
+  /** (id, band, bh, shh[, carried cols]) banded per-row signatures:
+    * h_k = min over shingles of xxhash64(k, shingle) — identical values
+    * to the batch minhashSignatures aggregate — banded into
+    * numHashes/bands-hash band keys. Shared by the unbounded and
+    * watermark-bounded near-dup paths so the banding can never diverge
+    * between them; `carry` columns (the event-time attribute) pass
+    * through un-renamed, which keeps their watermark tag.
+    */
+  private def bandedSignatures(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int, carry: Seq[String] = Nil): DataFrame = {
     require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
-    val spark = docs.sparkSession
-    import spark.implicits._
     val r = numHashes / bands
     val sh = array_distinct(TextAnalysis.wordNgrams(col(textCol), n))
-    // per-row signature: h_k = min over shingles of xxhash64(k, shingle) —
-    // identical values to the batch minhashSignatures aggregate
     val sigCols = (0 until numHashes).map(k =>
       array_min(transform(col("_shs"), s => xxhash64(lit(k), s))).as(s"h$k"))
-    val banded = docs
-      .select(col(idCol).as("id"), sh.as("_shs"))
+    val carryCols = carry.map(col)
+    docs
+      .select(Seq(col(idCol).as("id"), sh.as("_shs")) ++ carryCols: _*)
       .filter(size(col("_shs")) > 0)
       .select(Seq(col("id"),
-        transform(col("_shs"), s => xxhash64(s)).as("shh")) ++ sigCols: _*)
-      .select(col("id"), col("shh"), explode(array((0 until bands).map { b =>
+        transform(col("_shs"), s => xxhash64(s)).as("shh")) ++ carryCols ++ sigCols: _*)
+      .select(Seq(col("id"), col("shh"), explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64(((b * r) until ((b + 1) * r)).map(k => col(s"h$k")): _*).as("bh"))
-      }: _*)).as("bd"))
-      .select(col("id"), col("bd.band").as("band"), col("bd.bh").as("bh"), col("shh"))
+      }: _*)).as("bd")) ++ carryCols: _*)
+      .select(Seq(col("id"), col("bd.band").as("band"), col("bd.bh").as("bh"),
+        col("shh")) ++ carryCols: _*)
+  }
+
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
+      numHashes: Int, bands: Int, num: Int, den: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = bandedSignatures(docs, idCol, textCol, n, numHashes, bands)
       .as[(Long, Int, Long, Seq[Long])]
     banded
       .groupByKey { case (_, band, bh, _) => (band, bh) }
@@ -175,31 +188,17 @@ object PipelineStream {
   def nearDupPairsWithinWatermark(docs: DataFrame, idCol: String,
       textCol: String, eventTimeCol: String, delay: String, n: Int,
       numHashes: Int, bands: Int, num: Int, den: Int): DataFrame = {
-    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
-      s"bands ($bands) must divide numHashes ($numHashes)")
     val spark = docs.sparkSession
     import spark.implicits._
-    val r = numHashes / bands
-    val sh = array_distinct(TextAnalysis.wordNgrams(col(textCol), n))
-    val sigCols = (0 until numHashes).map(k =>
-      array_min(transform(col("_shs"), s => xxhash64(lit(k), s))).as(s"h$k"))
-    val banded = docs
+    val withWm = docs
       // cast BEFORE the watermark: a cast after it would produce a fresh
       // attribute without the event-time tag (EventTimeTimeout then fails
-      // analysis); the un-renamed column carries the tag through selects
+      // analysis); bandedSignatures carries the column un-renamed, which
+      // keeps the tag through its selects
       .withColumn("__et", col(eventTimeCol).cast("timestamp"))
       .withWatermark("__et", delay)
-      .select(col(idCol).as("id"), col("__et"), sh.as("_shs"))
-      .filter(size(col("_shs")) > 0)
-      .select(Seq(col("id"), col("__et"),
-        transform(col("_shs"), s => xxhash64(s)).as("shh")) ++ sigCols: _*)
-      .select(col("id"), col("__et"), col("shh"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64(((b * r) until ((b + 1) * r)).map(k => col(s"h$k")): _*).as("bh"))
-        }: _*)).as("bd"))
-      .select(col("id"), col("bd.band").as("band"), col("bd.bh").as("bh"),
-        col("shh"), col("__et"))
+    val banded = bandedSignatures(withWm, idCol, textCol, n, numHashes, bands,
+      carry = Seq("__et"))
       .as[(Long, Int, Long, Seq[Long], java.sql.Timestamp)]
     banded
       .groupByKey { case (_, band, bh, _, _) => (band, bh) }
