@@ -863,6 +863,27 @@ class PipelineSpec extends SparkSpec {
         "notanimage".getBytes("UTF-8"))).content_hash)
   }
 
+  test("gray+alpha PNG decode excludes the alpha band from the gray value") {
+    // PNG color type 4 → 2-band raster (gray, alpha). Averaging both
+    // bands would report (0+255)/2 = 127 per pixel on opaque black.
+    val cs = java.awt.color.ColorSpace.getInstance(java.awt.color.ColorSpace.CS_GRAY)
+    val cm = new java.awt.image.ComponentColorModel(cs, true, false,
+      java.awt.Transparency.TRANSLUCENT, java.awt.image.DataBuffer.TYPE_BYTE)
+    val raster = cm.createCompatibleWritableRaster(3, 1)
+    val img = new java.awt.image.BufferedImage(cm, raster, false, null)
+    val grays = Seq(0, 17, 200)
+    grays.zipWithIndex.foreach { case (g, x) =>
+      raster.setSample(x, 0, 0, g)
+      raster.setSample(x, 0, 1, 255) // fully opaque
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val d = Multimodal.decodeImage(Multimodal.MediaItem(13L, "png", bos.toByteArray))
+    assert(d.decoder == "imageio" && d.width == 3 && d.height == 1)
+    assert(d.gray_sum == grays.sum.toLong,
+      s"got ${d.gray_sum} — alpha band averaged in?")
+  }
+
   test("palette-indexed GIF decodes palette COLORS, not palette indices") {
     import spark.implicits._
     // 2-entry palette: index 0 -> white, index 1 -> black. A raster-sample
