@@ -97,6 +97,47 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((3L, 0L, 3000000000L)), s"got $rows")
   }
 
+  test("sessionize equals an independent batch reference on random event soups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapUs = 1800000000L // 30 min
+    val rnd = new scala.util.Random(2027)
+    for (round <- 1 to 3) {
+      // timestamps drawn from multiples of HALF the gap so exact-tie
+      // inter-event gaps (the boundary case) occur constantly; duplicate
+      // (user, ts) events allowed
+      val events = Seq.fill(120)(
+        (rnd.nextInt(4).toLong, rnd.nextInt(40).toLong * (gapUs / 2) * 1000L))
+      // independent reference: plain Scala gaps-and-islands (no Spark)
+      val expected = events.groupBy(_._1).flatMap { case (uid, evs) =>
+        val ts = evs.map(_._2 / 1000L).sorted
+        val sessions = ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
+          if (t - acc.head.head <= gapUs) (t :: acc.head) :: acc.tail
+          else List(t) :: acc
+        }
+        sessions.map(s => (uid, s.size.toLong, s.min, s.max))
+      }.toSet
+      val mem = MemoryStream[(Long, Long)]
+      val q = CellStream.sessionize(mem.toDS().toDF("user_id", "ts"),
+        gapMicros = gapUs, watermark = "30 days")
+        .writeStream.format("memory").queryName(s"sessions_rand_$round")
+        .outputMode("append").start()
+      try {
+        // arbitrary batch boundaries; 30-day watermark accepts any order
+        events.grouped(40).foreach { b => mem.addData(b); q.processAllAvailable() }
+        val maxNs = events.map(_._2).max
+        mem.addData((-1L, maxNs + 40L * 86400L * 1000000000L))
+        q.processAllAvailable()
+        mem.addData((-1L, maxNs + 80L * 86400L * 1000000000L))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table(s"sessions_rand_$round").filter(col("user_id") >= 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expected,
+        s"round $round: extra=${got.diff(expected)} missing=${expected.diff(got)}")
+    }
+  }
+
   test("stateful latestPerKey maintains LWW winners incrementally") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
