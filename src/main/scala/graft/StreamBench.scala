@@ -195,7 +195,42 @@ object StreamBench {
       s"streamed $sessionsOut sessions, batch computes $batchSessions")
     val sessRate = events.length / sessElapsed
 
-    println(f"""{"metric":"stream_ingest","rows":$total,"sec":$elapsed%.3f,"rows_per_sec":$rate%.0f,"batches":${durs.size},"batch_ms_p50":${pct(0.5)}%.0f,"batch_ms_max":${durs.lastOption.getOrElse(0.0)}%.0f,"stateful_sec":$stateElapsed%.3f,"stateful_rows_per_sec":$stateRate%.0f,"dedup_docs_in":$dedupIn,"dedup_docs_kept":$dedupOut,"dedup_docs_per_sec":$dedupRate%.0f,"neardup_docs_per_sec":$nearRate%.0f,"neardup_pairs":$nearPairs,"neardup_state_rows":$nearState,"session_events_per_sec":$sessRate%.0f,"sessions":$sessionsOut,"session_state_rows":$sessState,"sf":"$sfDir"}""")
+    // Out-of-order variant: the same events with seeded positional jitter
+    // (displacement ≤ 1/8 of a batch), under a watermark that covers one
+    // batch's time span — the bounded-disorder contract. The result must
+    // STILL equal the batch computation exactly: late-but-in-watermark
+    // events merge into (or bridge) their sessions in state.
+    val spanNs = events.last._2 - events.head._2
+    val batchLen = (events.length + nBatches - 1) / nBatches
+    val rndJ = new scala.util.Random(7)
+    val jittered = events.zipWithIndex
+      .map { case (e, i) => (e, i + rndJ.nextInt(batchLen / 4 + 1) - batchLen / 8) }
+      .sortBy(_._2).map(_._1)
+    val memO = MemoryStream[(Long, Long)]
+    val oooQ = CellStream.sessionize(memO.toDS().toDF("user_id", "ts"),
+        gapMicros = 1800000000L,
+        watermark = s"${spanNs / nBatches / 1000L + 3600000000L} microseconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_streambench_sessions_ooo")
+      .option("checkpointLocation", s"$dir/ckpt_sess_ooo").start()
+    val t5 = System.nanoTime()
+    jittered.grouped(batchLen).foreach { b =>
+      memO.addData(b.toIndexedSeq)
+      oooQ.processAllAvailable()
+    }
+    memO.addData((-1L, maxEvTs + 480L * 3600L * 1000000000L))
+    oooQ.processAllAvailable()
+    memO.addData((-1L, maxEvTs + 960L * 3600L * 1000000000L))
+    oooQ.processAllAvailable()
+    val oooElapsed = (System.nanoTime() - t5) / 1e9
+    oooQ.stop()
+    val oooSessions = spark.table("graft_streambench_sessions_ooo")
+      .filter(col("user_id") >= 0L).count()
+    assert(oooSessions == batchSessions,
+      s"out-of-order streamed $oooSessions sessions, batch computes $batchSessions")
+    val oooRate = events.length / oooElapsed
+
+    println(f"""{"metric":"stream_ingest","rows":$total,"sec":$elapsed%.3f,"rows_per_sec":$rate%.0f,"batches":${durs.size},"batch_ms_p50":${pct(0.5)}%.0f,"batch_ms_max":${durs.lastOption.getOrElse(0.0)}%.0f,"stateful_sec":$stateElapsed%.3f,"stateful_rows_per_sec":$stateRate%.0f,"dedup_docs_in":$dedupIn,"dedup_docs_kept":$dedupOut,"dedup_docs_per_sec":$dedupRate%.0f,"neardup_docs_per_sec":$nearRate%.0f,"neardup_pairs":$nearPairs,"neardup_state_rows":$nearState,"session_events_per_sec":$sessRate%.0f,"sessions":$sessionsOut,"session_state_rows":$sessState,"session_ooo_events_per_sec":$oooRate%.0f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
