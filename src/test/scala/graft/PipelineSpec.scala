@@ -1061,6 +1061,25 @@ class PipelineSpec extends SparkSpec {
         "notaudio".getBytes("UTF-8"))).content_hash)
   }
 
+  test("PCM16 WAV round-trips random sample arrays bit-exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2029)
+    val fixtures = (1L to 8L).map { id =>
+      val n = 1 + rnd.nextInt(300)
+      id -> Array.fill(n)((rnd.nextInt(65536) - 32768).toShort)
+    }
+    val decoded = Multimodal.extractAudio(fixtures.map { case (id, s) =>
+      Multimodal.MediaItem(id, "wav", Multimodal.encodePcmWav(16000, s))
+    }.toDS()).collect().map(d => d.id -> d).toMap
+    fixtures.foreach { case (id, s) =>
+      val d = decoded(id)
+      assert(d.decoder == "javasound" && d.sample_rate == 16000L)
+      assert(d.n_samples == s.length.toLong, s"doc $id length")
+      assert(d.sample_sum == s.map(_.toLong).sum, s"doc $id sum")
+      assert(d.abs_max == s.map(v => math.abs(v.toLong)).max, s"doc $id peak")
+    }
+  }
+
   test("µ-law WAV expands through the JDK's real companding decoder") {
     // PCM16 → µ-law WAV (8-bit log compressed) → decodeAudio must expand
     // it back: lossy by design, so assert structure exactly and amplitude

@@ -225,6 +225,42 @@ class StreamingSpec extends SparkSpec {
     assert(rows.length == rows.toSet.size, s"re-delivered doc flagged twice: ${rows.toSeq}")
   }
 
+  test("streaming near-dups equal the batch pipeline on random doc soups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // random docs over a small vocabulary with a planted template family:
+    // enough shared shingles for candidates and verified pairs to occur
+    // at random, including across batch boundaries
+    val rnd = new scala.util.Random(2028)
+    for (round <- 1 to 2) {
+      val docs = (0L until 40L).map { i =>
+        val base = Seq.tabulate(12)(j => s"w${(j * 3 + rnd.nextInt(3)) % 30}")
+        val mutated =
+          if (i % 3 == 0) base.updated(rnd.nextInt(12), s"x${rnd.nextInt(5)}")
+          else Seq.fill(12)(s"w${rnd.nextInt(30)}")
+        (i, mutated.mkString(" "))
+      }
+      val batchPairs = graft.pipeline.Dedup.minhashNearDuplicates(
+        docs.toDF("doc_id", "text"), "doc_id", "text",
+        n = 3, numHashes = 32, bands = 8, num = 4, den = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val mem = MemoryStream[(Long, String)]
+      val q = graft.streaming.PipelineStream.nearDupPairs(
+        mem.toDS().toDF("doc_id", "text"), "doc_id", "text",
+        n = 3, numHashes = 32, bands = 8, num = 4, den = 5)
+        .writeStream.format("memory").queryName(s"sneardup_rand_$round")
+        .outputMode("append").start()
+      try {
+        docs.grouped(13).foreach { b => mem.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      val got = spark.table(s"sneardup_rand_$round")
+        .select("ia", "ib", "inter", "uni").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == batchPairs,
+        s"round $round: extra=${got.diff(batchPairs)} missing=${batchPairs.diff(got)}")
+    }
+  }
+
   test("streaming minhash-LSH near-dups: batch pair set, exact stats, redelivery-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
