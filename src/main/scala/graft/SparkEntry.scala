@@ -1245,6 +1245,19 @@ object SparkEntry {
         .select(col("rank").cast("long").as("rank"), col("id"), col("rank_sum"))
     }),
 
+    // BPE tokenizer training statistics: the adjacent-character-pair
+    // counts of the char-level start state — the exact aggregation the
+    // merge loop (trainBpeMerges, spec-gated: iterations depend on
+    // engine-side replace semantics) runs once per merge.
+    "p51_bpe_pairs" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.TextAnalysis.bpePairStats(
+        graft.pipeline.TextAnalysis.bpeInitRepr(table(s, dir, "documents"), "text"),
+        "repr", k = 50)
+        .select(col("rank").cast("long").as("rank"), col("sym_l"), col("sym_r"),
+          col("cnt"))
+    }),
+
     // Top-3 distinctive terms per doc by exact-integer tf/df score.
     "p30_distinctive_terms" -> ((s, dir) => {
       GraftFunctions.register(s)
@@ -2220,6 +2233,19 @@ object SparkEntry {
         |j AS (SELECT ia, ib, inter, sa.sz + sb.sz - inter AS uni
         |      FROM p JOIN sz sa ON sa.id = ia JOIN sz sb ON sb.id = ib)
         |SELECT ia, ib, inter, uni FROM j WHERE inter * 5 >= uni * 4""".stripMargin,
+
+    "p51_bpe_pairs" ->
+      """WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),
+        |i AS (SELECT tok, unnest(generate_series(1, length(tok) - 1)) AS i
+        |      FROM t WHERE length(tok) >= 2),
+        |p AS (SELECT substr(tok, CAST(i AS INT), 1) AS sym_l,
+        |             substr(tok, CAST(i + 1 AS INT), 1) AS sym_r FROM i),
+        |c AS (SELECT sym_l, sym_r, count(*) AS cnt FROM p GROUP BY 1, 2),
+        |rk AS (SELECT sym_l, sym_r, CAST(cnt AS BIGINT) AS cnt,
+        |              row_number() OVER (ORDER BY cnt DESC, sym_l, sym_r) AS rank
+        |       FROM c)
+        |SELECT CAST(rank AS BIGINT) AS rank, sym_l, sym_r, cnt FROM rk
+        |WHERE rank <= 50""".stripMargin,
 
     "p49_lexical_topk" ->
       """WITH q AS (SELECT DISTINCT unnest(list_distinct((regexp_extract_all(lower(text), '\S+'))[1:8])) AS term

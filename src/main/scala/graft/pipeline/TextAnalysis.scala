@@ -429,6 +429,68 @@ object TextAnalysis {
       .drop("rn")
   }
 
+  // ---- BPE tokenizer training (merge learning) ----
+
+  /** Character-level BPE start state: one row per TOKEN OCCURRENCE, the
+    * token's characters space-joined ("hello" → "h e l l o") — the
+    * symbolization every merge step rewrites in place.
+    */
+  def bpeInitRepr(df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(explode(tokens(col(textCol))).as("tok"))
+      .select(concat_ws(" ", expr(
+        "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))")).as("repr"))
+
+  /** Adjacent-symbol pair counts of a symbolization — THE aggregation a
+    * BPE trainer runs once per merge: top-k pairs by (count desc, pair
+    * asc), exact integers, distributed TakeOrdered. One corpus pass per
+    * call; the trainer's total cost is merges × this.
+    */
+  def bpePairStats(repr: org.apache.spark.sql.DataFrame, reprCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val ordered = repr.select(split(col(reprCol), " ").as("syms"))
+      .filter(size(col("syms")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(syms) - 1), i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"
+      )).as("p"))
+      .groupBy(col("p.l").as("sym_l"), col("p.r").as("sym_r"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("sym_l"), col("sym_r")).limit(k)
+    ordered.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("sym_l"), col("sym_r"))))
+      .select(col("rank"), col("sym_l"), col("sym_r"), col("cnt"))
+  }
+
+  /** Learn up to `merges` BPE merges: count adjacent symbol pairs, fuse
+    * the (count desc, pair asc) argmax corpus-wide, repeat. The fuse is a
+    * padded literal `replace` — left-to-right non-overlapping, greedy,
+    * exactly classic BPE — and each step localCheckpoints the rewritten
+    * symbolization (the driver loop reads pair stats immediately, and
+    * plans must not grow with merge count). Stops early when no pair
+    * occurs at least twice (singleton pairs are noise, not vocabulary).
+    */
+  def trainBpeMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
+      merges: Int): Seq[(String, String, Long)] = {
+    var repr = bpeInitRepr(df, textCol).localCheckpoint()
+    val out = Seq.newBuilder[(String, String, Long)]
+    var done = false
+    for (_ <- 0 until merges if !done) {
+      val top = bpePairStats(repr, "repr", 1).collect()
+      if (top.isEmpty || top.head.getAs[Long]("cnt") < 2L) done = true
+      else {
+        val (l, r, c) = (top.head.getAs[String]("sym_l"),
+          top.head.getAs[String]("sym_r"), top.head.getAs[Long]("cnt"))
+        out += ((l, r, c))
+        repr = repr.select(
+          trim(expr(s"replace(concat(' ', repr, ' '), ' ${l} ${r} ', ' ${l}${r} ')"))
+            .as("repr"))
+          .localCheckpoint()
+      }
+    }
+    out.result()
+  }
+
   /** Lexical top-k retrieval (the keyword search primitive): docs scored
     * by Σ over matched DISTINCT query terms of the integer idf weight
     * floor(1000·N / df) — rare terms dominate, exact integers keep the

@@ -951,6 +951,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("BPE merge learning: greedy pair fusion with deterministic tie-breaks") {
+    import spark.implicits._
+    // "ab ab ab cd cd abd": char pairs a-b x4 (3 + one in abd), c-d x2,
+    // b-d x1 → merge 1 = (a,b,4). After fusing: "ab ab ab c d c d ab d":
+    // pairs c-d x2, ab-d x1 → merge 2 = (c,d,2). Then ab-d occurs once
+    // (< 2) → early stop despite merges=5.
+    val docs = Seq((1L, "ab ab ab cd cd abd")).toDF("doc_id", "text")
+    val merges = TextAnalysis.trainBpeMerges(docs, "text", merges = 5)
+    assert(merges == Seq(("a", "b", 4L), ("c", "d", 2L)), s"got $merges")
+
+    // greedy left-to-right fusion on overlapping runs: "aaa" has a-a x2;
+    // fusing (a,a) pairs the FIRST two, leaving "aa a" — classic BPE
+    val runs = Seq((1L, "aaa aaa aaa")).toDF("doc_id", "text")
+    val m2 = TextAnalysis.trainBpeMerges(runs, "text", merges = 2)
+    // step 1: a-a count 6 (2 per token) → merge. repr: "aa a" x3 →
+    // step 2: aa-a count 3 → merge
+    assert(m2 == Seq(("a", "a", 6L), ("aa", "a", 3L)), s"got $m2")
+
+    // the oracle-gated stats: rank 1 must be the corpus argmax pair
+    val stats = TextAnalysis.bpePairStats(
+      TextAnalysis.bpeInitRepr(docs, "text"), "repr", 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(stats.head == ((1, "a", "b", 4L)), s"got ${stats.head}")
+  }
+
   test("lexical + hybrid retrieval: integer idf, rank-sum fusion with penalties") {
     import spark.implicits._
     val docs = Seq(
