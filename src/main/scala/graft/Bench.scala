@@ -2,8 +2,10 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 
 import graft.api.CassandraLens
 import graft.model.PartitionerType
@@ -32,6 +34,35 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val rows = scala.collection.mutable.LinkedHashMap[String, Long]()
     val spreads = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    val ios = scala.collection.mutable.LinkedHashMap[String, Map[String, Long]]()
+
+    // ---- per-leg SQL metrics (VERDICT r7 task 1): read straight off the
+    // executed plan AFTER the action returns — SQL metrics are driver-side
+    // accumulators merged at task completion, so this is synchronous (no
+    // listener-bus race). AQE hides the final plan inside
+    // AdaptiveSparkPlanExec/QueryStageExec wrappers — unwrap both.
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(allNodes)
+    }
+    def harvest(df: DataFrame): Map[String, Long] = {
+      val nodes = allNodes(df.queryExecution.executedPlan)
+      def sumMetric(key: String, onlyScans: Boolean = false): Long =
+        nodes.iterator
+          .filter(n => !onlyScans || n.getClass.getSimpleName.contains("Scan"))
+          .flatMap(_.metrics.get(key)).map(_.value).sum
+      Map(
+        "files" -> sumMetric("numFiles"),       // parquet files actually opened
+        "scanBytes" -> sumMetric("filesSize"),  // bytes of those files (post-pruning)
+        "scanRows" -> sumMetric("numOutputRows", onlyScans = true), // rows out of the scan
+        "scanMs" -> sumMetric("scanTime"),      // summed columnar scan wall (ms)
+        "shuffleBytes" -> sumMetric("shuffleBytesWritten"),
+        "shuffleWriteMs" -> sumMetric("shuffleWriteTime") / 1000000L)
+    }
 
     // median-of-3 with min/max recorded per leg: the driver container's
     // noisy neighbors have swung join-heavy legs 2.5-3.8x round-over-round
@@ -49,6 +80,27 @@ object Bench {
       results += name -> ts(1)
       rows += name -> runs.last._2
       spreads += name -> ((ts.head, ts.last))
+    }
+
+    // Like `leg`, but the workload is a DataFrame whose OWN plan is executed
+    // (queryExecution.toRdd.count() — same distributed row count as
+    // .count(), minus the final 1-row agg), so per-leg scan/shuffle metrics
+    // can be harvested from the executed plan of the LAST run.
+    def legDf(name: String)(mk: => DataFrame): Unit = {
+      var last: DataFrame = null
+      def once(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val df = mk
+        val n = df.queryExecution.toRdd.count()
+        last = df
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val runs = Seq(once(), once(), once())
+      val ts = runs.map(_._1).sorted
+      results += name -> ts(1)
+      rows += name -> runs.last._2
+      spreads += name -> ((ts.head, ts.last))
+      ios += name -> harvest(last)
     }
 
     // Untimed warmup over reduced inputs: first execution of each operator
@@ -115,9 +167,9 @@ object Bench {
       CellEncodings.ordersMeta)
 
     // 2. read: point-slice batch (uniform sample: every 20th key)
-    leg("read") {
+    legDf("read") {
       val keys = (0L until 3000L by 20L).map(i => f"$i%010d")
-      storedLens.multigetSlice(keys, None, SliceRange(count = 5)).count()
+      storedLens.multigetSlice(keys, None, SliceRange(count = 5))
     }
 
     // 2b. read_gaussian: stress.py reads keys gaussian-distributed around
@@ -131,8 +183,8 @@ object Bench {
         math.max(0L, math.min(2999L, math.round(1500.0 + rnd.nextGaussian() * 300.0))))
         .distinct.map(i => f"$i%010d")
     }
-    leg("read_gaussian") {
-      storedLens.multigetSlice(gaussianKeys(), None, SliceRange(count = 5)).count()
+    legDf("read_gaussian") {
+      storedLens.multigetSlice(gaussianKeys(), None, SliceRange(count = 5))
     }
 
     // 2c. the same hot keys served from the row cache (InstrumentedCache
@@ -142,21 +194,21 @@ object Bench {
     locally {
       val cached = storedLens.withRowCache()
       cached.live.count() // materialize the cache outside the timer
-      leg("read_gaussian_cached") {
-        cached.multigetSlice(gaussianKeys(), None, SliceRange(count = 5)).count()
+      legDf("read_gaussian_cached") {
+        cached.multigetSlice(gaussianKeys(), None, SliceRange(count = 5))
       }
       cached.dropRowCache()
     }
 
     // 3. rangeslice: token-ordered scan, 1000-key batch, count=5 slices
-    leg("rangeslice") {
+    legDf("rangeslice") {
       storedLens.rangeSliceByKeys(Some("0000000000"), None, None,
-        SliceRange(count = 5), 1000).count()
+        SliceRange(count = 5), 1000)
     }
 
     // 4. reconcile_scan: full LWW reconcile + shadow + slice over every key
-    leg("reconcile_scan") {
-      storedLens.rangeSliceByKeys(None, None, None, SliceRange(count = 3), Int.MaxValue).count()
+    legDf("reconcile_scan") {
+      storedLens.rangeSliceByKeys(None, None, None, SliceRange(count = 3), Int.MaxValue)
     }
 
     // 3b. bucketed layout: write once co-located by key, then the same
@@ -176,9 +228,9 @@ object Bench {
 
     val bucketLens = new CassandraLens(
       spark.table("graft_bench_bucketed"), CellEncodings.ordersMeta)
-    leg("read_bucketed") {
+    legDf("read_bucketed") {
       val keys = (0L until 3000L by 20L).map(i => f"$i%010d")
-      bucketLens.multigetSlice(keys, None, SliceRange(count = 5)).count()
+      bucketLens.multigetSlice(keys, None, SliceRange(count = 5))
     }
     spark.sql("DROP TABLE IF EXISTS graft_bench_bucketed")
 
@@ -195,9 +247,9 @@ object Bench {
     }
     val domainLens = new CassandraLens(
       CellStore.readDomainSplit(spark, s"$tmp/orders_domain"), domainMeta)
-    leg("read_domain") {
+    legDf("read_domain") {
       val keys = (0L until 3000L by 20L).map(i => f"$i%010d")
-      domainLens.multigetSlice(keys, None, SliceRange(count = 5)).count()
+      domainLens.multigetSlice(keys, None, SliceRange(count = 5))
     }
 
     // 3e. composed domainSplit ∘ bucketed catalog layout (the 100 TB
@@ -212,9 +264,9 @@ object Bench {
       dbMeta, "graft_bench_domain_bucketed", GraftSession.cpus.toInt)
     val dbLens = new CassandraLens(
       spark.table("graft_bench_domain_bucketed"), dbMeta)
-    leg("read_domain_bucketed") {
+    legDf("read_domain_bucketed") {
       val keys = (0L until 3000L by 20L).map(i => f"$i%010d")
-      dbLens.multigetSlice(keys, None, SliceRange(count = 5)).count()
+      dbLens.multigetSlice(keys, None, SliceRange(count = 5))
     }
     spark.sql("DROP TABLE IF EXISTS graft_bench_domain_bucketed")
 
@@ -229,9 +281,9 @@ object Bench {
       numPartitions = GraftSession.cpus.toInt)
     val sideLens = CellStore.openWithHorizons(spark, s"$tmp/orders_sidecar",
       CellEncodings.ordersMeta)
-    leg("read_sidecar") {
+    legDf("read_sidecar") {
       val keys = (0L until 3000L by 20L).map(i => f"$i%010d")
-      sideLens.multigetSlice(keys, None, SliceRange(count = 5)).count()
+      sideLens.multigetSlice(keys, None, SliceRange(count = 5))
     }
 
     // 4b. sessionize: gap-based session windows over 100k events
@@ -246,15 +298,15 @@ object Bench {
 
     // pipeline headliners
     val docs = CellEncodings.table(spark, sfDir, "documents")
-    leg("jaccard_neardup") {
+    legDf("jaccard_neardup") {
       // scale path: 8-byte hashed shingle shuffle keys (oracle queries
       // keep exact strings; spec asserts equal results)
       graft.pipeline.Dedup.nearDuplicates(docs, "doc_id", "text", 3, 4, 5,
-        hashShingles = true).count()
+        hashShingles = true)
     }
 
-    leg("minhash_lsh") {
-      graft.pipeline.Dedup.minhashNearDuplicates(docs, "doc_id", "text", 3, 32, 8, 4, 5).count()
+    legDf("minhash_lsh") {
+      graft.pipeline.Dedup.minhashNearDuplicates(docs, "doc_id", "text", 3, 32, 8, 4, 5)
     }
 
     val emb = CellEncodings.table(spark, sfDir, "embeddings")
@@ -282,7 +334,11 @@ object Bench {
       "\"" + k + "\":[" + f"$lo%.3f" + "," + f"$hi%.3f" + "]"
     }.mkString("{", ",", "}")
     val total = results.values.sum
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"rows":$rs,"spread":$sp,"sf":"$sfDir"}""")
+    val io = ios.map { case (k, m) =>
+      "\"" + k + "\":" + m.toSeq.map { case (f, v) => "\"" + f + "\":" + v }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"rows":$rs,"spread":$sp,"io":$io,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

