@@ -486,18 +486,40 @@ object TextAnalysis {
   }
 
   /** Learn up to `merges` BPE merges: count adjacent symbol pairs, fuse
-    * the (count desc, pair asc) argmax corpus-wide, repeat. The fuse is a
-    * padded literal `replace` — left-to-right non-overlapping, greedy,
-    * exactly classic BPE — and each step localCheckpoints the rewritten
-    * symbolization (the driver loop reads pair stats immediately, and
-    * plans must not grow with merge count). Stops early when no pair
-    * occurs at least twice (singleton pairs are noise, not vocabulary).
+    * the (count desc, pair asc) argmax corpus-wide, repeat. The fuse
+    * DOUBLES every separator first so adjacent occurrences never share a
+    * delimiter space — one non-overlapping left-to-right `replace` then
+    * merges EVERY occurrence ("x y x y" → "xy xy", and an overlapping run
+    * "a a a" still pairs greedily to "aa a" — exactly classic BPE). All
+    * three rewrite steps take the corpus-derived symbols as Column
+    * LITERALS (never interpolated into parsed SQL text, so quotes and
+    * backslashes in real text can't break or alter the pattern). Each
+    * step localCheckpoints the rewritten symbolization (the driver loop
+    * reads pair stats immediately, and plans must not grow with merge
+    * count). Stops early when no pair occurs at least twice (singleton
+    * pairs are noise, not vocabulary).
+    *
+    * Cost contract at scale: each merge is ONE full pass over the
+    * (sampled) symbolization, so a V-merge vocabulary costs V passes —
+    * fine for corpus analysis, but a production 30k-merge vocab is
+    * trained on a SAMPLE (the standard practice: merge ranks stabilize
+    * long before the full corpus is counted). `samplePermille` keeps a
+    * deterministic content-hashed fraction of the docs
+    * (hash60(text) mod 1000 < samplePermille) — reproducible across
+    * engines, partitionings, and reruns, never a row-order coin flip.
     */
   def trainBpeMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
-      merges: Int): Seq[(String, String, Long)] = {
-    var repr = bpeInitRepr(df, textCol).localCheckpoint()
+      merges: Int, samplePermille: Int = 1000): Seq[(String, String, Long)] = {
+    require(samplePermille > 0 && samplePermille <= 1000,
+      "samplePermille must be in (0, 1000]")
+    val sampled =
+      if (samplePermille >= 1000) df
+      else df.filter(hash60(col(textCol)) % 1000 < samplePermille)
+    var repr = bpeInitRepr(sampled, textCol).localCheckpoint()
     val out = Seq.newBuilder[(String, String, Long)]
     var done = false
+    val rep = (src: Column, search: String, to: String) =>
+      org.apache.spark.sql.functions.replace(src, lit(search), lit(to))
     for (_ <- 0 until merges if !done) {
       val top = bpePairStats(repr, "repr", 1).collect()
       if (top.isEmpty || top.head.getAs[Long]("cnt") < 2L) done = true
@@ -505,9 +527,12 @@ object TextAnalysis {
         val (l, r, c) = (top.head.getAs[String]("sym_l"),
           top.head.getAs[String]("sym_r"), top.head.getAs[Long]("cnt"))
         out += ((l, r, c))
-        repr = repr.select(
-          trim(expr(s"replace(concat(' ', repr, ' '), ' ${l} ${r} ', ' ${l}${r} ')"))
-            .as("repr"))
+        // " a b a b " –double→ "  a  b  a  b  " –fuse→ "  ab  ab  "
+        // –undouble→ " ab ab "; the fused "␣xy␣" keeps one space per side
+        // so the doubled-delimiter invariant holds for later occurrences
+        val doubled = concat(lit(" "), rep(col("repr"), " ", "  "), lit(" "))
+        val fused = rep(doubled, s" $l  $r ", s" $l$r ")
+        repr = repr.select(trim(rep(fused, "  ", " ")).as("repr"))
           .localCheckpoint()
       }
     }

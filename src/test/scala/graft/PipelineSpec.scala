@@ -992,6 +992,44 @@ class PipelineSpec extends SparkSpec {
       TextAnalysis.bpeInitRepr(docs, "text"), "repr", 3)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(stats.head == ((1, "a", "b", 4L)), s"got ${stats.head}")
+
+    // back-to-back NON-overlapping occurrences all merge in one step:
+    // "abab" symbolizes to [a,b,a,b] — classic BPE fuses BOTH a-b pairs
+    // ("ab ab"), so step 2 sees ab-ab x2 (plus the standalone "ab" docs)
+    val backToBack = Seq((1L, "abab abab ab")).toDF("doc_id", "text")
+    val m3 = TextAnalysis.trainBpeMerges(backToBack, "text", merges = 2)
+    // a-b x5 (2+2+1) → fuse ALL → "ab ab", "ab ab", "ab"; ab-ab x2 → merge
+    assert(m3 == Seq(("a", "b", 5L), ("ab", "ab", 2L)), s"got $m3")
+
+    // corpus symbols that are SQL-hostile (quote, backslash) flow through
+    // the literal replace unharmed — no expr-string parsing anywhere
+    val quoted = Seq((1L, "d's d's it's a\\b a\\b")).toDF("doc_id", "text")
+    val mq = TextAnalysis.trainBpeMerges(quoted, "text", merges = 1)
+    assert(mq.nonEmpty && mq.head._3 >= 2L, s"got $mq")
+  }
+
+  test("BPE training on a content-hashed sample reproduces the full-corpus merges") {
+    import spark.implicits._
+    // every doc carries the SAME token multiset (orderings differ, so the
+    // content hash differs per doc and the sample keeps a strict subset);
+    // pair counts then scale proportionally and the merge sequence —
+    // argmax by (count desc, pair asc) — is identical on any subset
+    val perms = Seq("ab ab cd abd", "ab cd ab abd", "cd ab abd ab",
+      "abd ab ab cd", "ab abd cd ab", "cd abd ab ab",
+      "ab ab abd cd", "abd cd ab ab")
+    val docs = perms.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val full = TextAnalysis.trainBpeMerges(docs, "text", merges = 3)
+      .map { case (l, r, _) => (l, r) }
+    val sampled = TextAnalysis.trainBpeMerges(docs, "text", merges = 3,
+      samplePermille = 500)
+    // the sample must be a real subset for the test to mean anything
+    val kept = docs.filter(TextAnalysis.hash60(col("text")) % 1000 < 500).count()
+    assert(kept > 0 && kept < perms.size, s"degenerate sample: $kept/${perms.size}")
+    assert(sampled.map { case (l, r, _) => (l, r) } == full,
+      s"sampled $sampled vs full $full")
+    // and the sampled counts are the per-doc counts × kept docs (a-b x3/doc)
+    assert(sampled.head._3 == kept * 3, s"got ${sampled.head}")
   }
 
   test("lexical + hybrid retrieval: integer idf, rank-sum fusion with penalties") {
