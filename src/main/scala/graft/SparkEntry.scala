@@ -134,7 +134,14 @@ object SparkEntry {
     // the oracle certifies cache-hit reads are byte-identical to cold ones.
     "q40_row_cache" -> ((s, dir) => {
       val lens = ordersLiveLens(s, dir).withRowCache()
-      ordersDecoded(lens.rangeSliceByKeys(None, None, None, SliceRange(count = 3), Int.MaxValue))
+      // materialize THROUGH the cache, then release it — the entry owns
+      // the cache lifetime (repeated Verify/Bench invocations must not
+      // accumulate cached views in executor memory for the session's life)
+      val out = ordersDecoded(
+        lens.rangeSliceByKeys(None, None, None, SliceRange(count = 3), Int.MaxValue))
+        .localCheckpoint()
+      lens.dropRowCache()
+      out
     }),
 
     // Q2 REVERSED slice (SliceRange.reversed, thrift:202-213).

@@ -90,6 +90,31 @@ class CassandraLens(
     new CassandraLens(cells, meta, horizons, None, applyListeners)
   }
 
+  /** Persist the row cache's reconciled view next to the store — the
+    * saved-cache analog (db/ColumnFamilyStore.java:305 submitKeyCacheWrite
+    * writes cached keys at shutdown so a restart preloads instead of
+    * starting cold). The engine's row cache holds the whole reconciled
+    * view, so the natural save unit is that view: one sorted parquet
+    * snapshot a reopening session can serve reads from WITHOUT re-running
+    * the reconcile. Valid exactly as long as the in-memory cache would be
+    * (same cells); writers must re-save after compaction/mutation.
+    */
+  def saveRowCache(path: String): Unit = {
+    require(cachedLive.nonEmpty, "no row cache attached — call withRowCache() first")
+    cachedLive.get.sortWithinPartitions("key", "super_name", "col_name")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Reopen-preheat (db/ColumnFamilyStore.java:190-264 readSavedCache
+    * analog): attach a row cache served from a [[saveRowCache]] snapshot —
+    * the reconcile never re-runs; the snapshot parquet loads lazily into
+    * executor memory on first read, exactly like the reference warming its
+    * row cache from the saved key set at startup.
+    */
+  def withRowCacheFrom(path: String): CassandraLens =
+    new CassandraLens(cells, meta, horizons,
+      Some(cells.sparkSession.read.parquet(path).cache()), applyListeners)
+
   /** Reconciled live view of the whole CF. */
   def live: DataFrame = cachedLive.getOrElse(horizons match {
     case Some((rowDel, scDel)) => Reconcile.liveViewGiven(cells, rowDel, scDel)
@@ -249,8 +274,14 @@ class CassandraLens(
       startKey: Option[String], endKey: Option[String],
       superName: Option[Array[Byte]], pred: SlicePredicate, maxKeys: Int): DataFrame = {
     require(maxKeys > 0, "get_range_slices requires a positive key count (thrift:240-246)")
-    val pre = cells.filter(RangeScan.keyBoundsPredicate(col("key"), startKey, endKey))
-    val bounded = restrictToPickedKeys(pre, None, maxKeys)
+    val bounds = RangeScan.keyBoundsPredicate(col("key"), startKey, endKey)
+    val bounded = cachedLive match {
+      // row cache: the bounds predicate commutes with per-key reconcile,
+      // so filtering the cached reconciled view is the cache-hit range scan
+      case Some(c) => restrictCachedToPickedKeys(c.filter(bounds), None, maxKeys)
+      case None =>
+        restrictToPickedKeys(cells.filter(bounds), None, maxKeys)
+    }
     sliceOver(bounded, superName, pred)
   }
 
@@ -292,6 +323,26 @@ class CassandraLens(
     } else {
       withToken(liveFrom(pre.join(broadcast(picked), Seq("key"), "left_semi")))
     }
+  }
+
+  /** [[restrictToPickedKeys]] for a row-cached lens: the cached view is
+    * ALREADY reconciled (every row live), so the key page is a distinct()
+    * over it and the restricted slice input is a plain filter — no
+    * reconcile, no marker aggregates, the cache-hit path end to end.
+    */
+  private def restrictCachedToPickedKeys(c: DataFrame, startToken: Option[Column],
+      maxKeys: Int): DataFrame = {
+    if (maxKeys == Int.MaxValue) return withToken(c)
+    val picked = withToken(c.select(col("key")).distinct())
+      .orderBy(RangeScan.ringOrder(col("token"), startToken), col("key"))
+      .limit(maxKeys)
+      .select(col("key"))
+    if (maxKeys <= 10000) {
+      // same eager page materialization as the cold path (see NOTE above)
+      val keys = picked.collect().map(_.getString(0)).toSeq
+      if (keys.isEmpty) withToken(c.filter(lit(false)))
+      else withToken(c.filter(col("key").isin(keys: _*)))
+    } else withToken(c.join(broadcast(picked), Seq("key"), "left_semi"))
   }
 
   /** The set of LIVE keys of a raw cell range, computed WITHOUT values:
@@ -350,10 +401,13 @@ class CassandraLens(
       startToken: Option[Column], endToken: Option[Column],
       superName: Option[Array[Byte]], pred: SlicePredicate, maxKeys: Int): DataFrame = {
     require(maxKeys > 0, "get_range_slices requires a positive key count (thrift:240-246)")
-    val pre = withToken(cells)
+    def inRange(df: DataFrame): DataFrame = withToken(df)
       .filter(RangeScan.tokenRangePredicate(col("token"), startToken, endToken))
       .drop("token")
-    val bounded = restrictToPickedKeys(pre, startToken, maxKeys)
+    val bounded = cachedLive match {
+      case Some(c) => restrictCachedToPickedKeys(inRange(c), startToken, maxKeys)
+      case None => restrictToPickedKeys(inRange(cells), startToken, maxKeys)
+    }
     sliceOver(bounded, superName, pred)
   }
 

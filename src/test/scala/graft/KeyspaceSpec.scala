@@ -240,6 +240,39 @@ class KeyspaceSpec extends SparkSpec {
     assert(supers == Seq("sc2", "sc3"))
   }
 
+  test("row cache save + reopen-preheat: reads equal cold, reconcile never re-runs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rowcache").toString
+    val cells = Seq(
+      ins("k1", "c1", "old", 1), ins("k1", "c1", "new", 5),
+      ins("k2", "c1", "x", 2), del("k2", "c1", 7, ldt = 100), // tombstoned
+      ins("k3", "c1", "alive", 3))
+    val lens = new graft.api.CassandraLens(cellsDf(cells), CfMeta("t"))
+    // session 1: warm the cache, persist it beside the store
+    val warm = lens.withRowCache()
+    warm.live.count()
+    warm.saveRowCache(s"$dir/rowcache")
+    warm.dropRowCache()
+    // session 2 (fresh lens over the same cells): preheat from the snapshot
+    val reopened = new graft.api.CassandraLens(cellsDf(cells), CfMeta("t"))
+      .withRowCacheFrom(s"$dir/rowcache")
+    val q = reopened.rangeSliceByKeys(None, None, None,
+      graft.operators.SliceRange(count = 10), Int.MaxValue)
+    // byte-identical to the cold read path
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(String, String, String)] =
+      df.select(col("key"), decode(col("col_name"), "UTF-8"), decode(col("value"), "UTF-8"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows(q) == rows(lens.rangeSliceByKeys(None, None, None,
+      graft.operators.SliceRange(count = 10), Int.MaxValue)))
+    assert(rows(q) == Set(("k1", "c1", "new"), ("k3", "c1", "alive"))) // k2 shadowed
+    // the preheated plan serves from the cached snapshot scan — the
+    // reconcile (marker-horizon aggregates over the cell store) is absent
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"), plan.take(2000))
+    assert(!plan.contains("graft_reconcile"),
+      s"preheated read must not re-reconcile:\n${plan.take(2000)}")
+    reopened.dropRowCache()
+  }
+
   test("thriftify: comparator-ordered column arrays per key, reversal at sink") {
     val live = Reconcile.liveView(cellsDf(Seq(
       ins("k1", "b", "2", 1), ins("k1", "a", "1", 1), ins("k1", "c", "3", 1))))
