@@ -294,6 +294,24 @@ class PipelineSpec extends SparkSpec {
     assert(lsh == brute)
   }
 
+  test("minhash-LSH recall on the realistic corpus: equals brute force (margin regression)") {
+    // 32x8 banding recalls an exactly-at-threshold pair only with
+    // probability ~0.985, so oracle equality (p07/p45/p48) rests on the
+    // FIXTURE's margin: the sf0.001 gate corpus has no qualifying pair
+    // below J=0.889 (measured round 8). This pins that fact against
+    // regenerated testdata or a reseeded hash family — if it ever fails,
+    // loosen the p45/p48 oracles instead of chasing the seed.
+    val dir = new java.io.File("/root/testdata/sf0.001/documents.parquet")
+    assume(dir.exists(), "driver testdata not present")
+    val real = spark.read.parquet(dir.toString)
+    val brute = Dedup.nearDuplicates(real, "doc_id", "text", 3, 4, 5)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDuplicates(real, "doc_id", "text", 3, 32, 8, 4, 5)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture should contain near-dup pairs")
+    assert(lsh == brute, s"LSH missed ${(brute -- lsh).take(5)}")
+  }
+
   test("simhash: near-dups land within small hamming distance, unrelated far") {
     val pairs = Dedup.simhashNearDuplicates(docs, "doc_id", "text", maxHamming = 8)
       .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
