@@ -60,6 +60,45 @@ class MaintenanceSpec extends SparkSpec {
     assert(d1 != d3)
   }
 
+  test("adaptive Merkle depth + token-range leaves isolate repairs on a skewed store") {
+    import graft.operators.Validation
+    // depth sizing: smallest 16^d covering rows at <= target rows/leaf
+    assert(Validation.merkleDepthFor(1000L) == 1)
+    assert(Validation.merkleDepthFor(16L * (1L << 17)) == 1) // exactly full leaves
+    assert(Validation.merkleDepthFor(16L * (1L << 17) + 1) == 2)
+    assert(Validation.merkleDepthFor(Long.MaxValue) == 8) // capped
+
+    // adversarial skew: 200 keys crowd the "aa" prefix of an
+    // ORDER-PRESERVING ring (token = key, so key clustering IS token
+    // clustering); one divergent cell hides among them
+    val crowd = (0 until 200).map(i => ins(f"aa$i%04d", "c1", s"v$i", 1))
+    val spread = Seq(ins("q1", "c1", "v", 1), ins("z9", "c1", "v", 1))
+    val sa = cellsDf(crowd ++ spread)
+    val sb = cellsDf(crowd.map(c =>
+      if (c.key == "aa0042") c.copy(value = b("CORRUPT")) else c) ++ spread)
+
+    // depth 1: the whole crowded "a" range is one leaf — repair re-streams
+    // 200 keys for one bad cell
+    val d1 = Validation.merkleDiffRanges(sa, sb, col("key"), depthHex = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(d1.keySet == Set("a"), s"got $d1")
+    assert(d1("a") == 200L)
+
+    // depth 4: one more level of digits isolates the divergence to the
+    // "aa00" quarter of the crowd — 100 keys, and only that leaf flagged
+    val d4 = Validation.merkleDiffRanges(sa, sb, col("key"), depthHex = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(d4.keySet == Set("aa00"), s"got $d4")
+    assert(d4("aa00") == 100L)
+
+    // identical stores agree at every depth; and on the md5 ring one
+    // mutation flags exactly one contiguous leaf
+    assert(Validation.merkleDiffRanges(sa, sa, col("key"), 4).isEmpty)
+    val md5Tok = graft.model.Tokens.md5HexToken(col("key"))
+    val dm = Validation.merkleDiffRanges(sa, sb, md5Tok, depthHex = 2).collect()
+    assert(dm.length == 1, s"got ${dm.toSeq}")
+  }
+
   test("row cache: same slice results, served from InMemoryTableScan; mutation drops it") {
     val cached = lens.withRowCache()
     val plain = lens.getSlice("a", None, graft.operators.SliceRange(count = 10))
