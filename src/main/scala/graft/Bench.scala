@@ -200,6 +200,27 @@ object Bench {
       cached.dropRowCache()
     }
 
+    // 2d. the same hot reads against a DEEP store — 64 versions per cell,
+    // the shape un-compacted ingest produces (ScaleProbe's depth probe as
+    // a driver-visible leg): the uncached read pays a real 64-way LWW
+    // reconcile per key; the cached leg shows what the row cache actually
+    // buys when the store is deep, not just plan overhead.
+    locally {
+      val deep = spark.read.parquet(s"$tmp/orders_cells")
+        .crossJoin(spark.range(64).select(col("id").as("__v")))
+        .withColumn("ts", col("ts") + col("__v")).drop("__v")
+      val deepLens = new CassandraLens(deep, CellEncodings.ordersMeta)
+      legDf("read_gaussian_deep") {
+        deepLens.multigetSlice(gaussianKeys(), None, SliceRange(count = 5))
+      }
+      val cachedDeep = deepLens.withRowCache()
+      cachedDeep.live.count() // cache build untimed (reference warms too)
+      legDf("read_gaussian_deep_cached") {
+        cachedDeep.multigetSlice(gaussianKeys(), None, SliceRange(count = 5))
+      }
+      cachedDeep.dropRowCache()
+    }
+
     // 3. rangeslice: token-ordered scan, 1000-key batch, count=5 slices
     legDf("rangeslice") {
       storedLens.rangeSliceByKeys(Some("0000000000"), None, None,

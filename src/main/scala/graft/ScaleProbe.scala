@@ -152,6 +152,10 @@ object ScaleProbe {
       println(f"[scale] ivf-opq-cell nprobe=4 rerank=$rerank%3d recall@10=${recalls.sum / recalls.length}%5.3f (per-cell permutations)")
     }
 
+    // SemDeDup prefilter probe (round 8) — see [[semdedupPrefilterProbe]];
+    // also runnable alone via `runMain graft.PrefilterProbe`.
+    semdedupPrefilterProbe(spark)
+
     // Shuffle-elimination probe: major compaction over the bucketed
     // catalog layout vs over plain parquet runs, measured in actual
     // shuffle-write bytes (task metrics). The bucketed path's reconcile +
@@ -389,6 +393,91 @@ object ScaleProbe {
       println(f"[scale] snapshot ingest (10%% shard vs full rerun): snapshot-build=$dtSave%5.2f s " +
         f"shard-check=$dtInc%5.2f s ($incPairs pairs) full-rerun=$dtFull2%5.2f s ($fullPairs pairs)")
     }
+    spark.stop()
+  }
+
+  /** SemDeDup prefilter probe: within-cell pair mining at a REALISTIC
+    * embedding shape — 256 dims with a decaying spectrum (real embedding
+    * spectra are PCA-like; the sf embeddings are only 16-dim and
+    * isotropic, the prefilter's worst case, so the probe builds its own
+    * corpus). Exact all-pairs cosine vs the slim-join head-dot +
+    * Cauchy-Schwarz-tail prefilter (h=32 of 256, variance order): the
+    * bound is exact math, so the pair sets must be IDENTICAL — the probe
+    * measures what the O(h) slim join saves over carrying O(d) vectors
+    * through the quadratic join.
+    */
+  def semdedupPrefilterProbe(spark: org.apache.spark.sql.SparkSession): Unit =
+    Seq(256, 1024, 3072).foreach(semdedupPrefilterProbeAt(spark, _))
+
+  def semdedupPrefilterProbeAt(spark: org.apache.spark.sql.SparkSession,
+      dim: Int): Unit = {
+    import graft.pipeline.Similarity
+    val n = 12000
+    val nCells = 24
+    val mk = (idExpr: String) => expr(
+      s"""transform(sequence(1, $dim), i -> CAST(
+         |  (((xxhash64(($idExpr) * $dim + i) % 1000) + 1000) % 1000 / 1000.0 - 0.5)
+         |  / (1.0 + (i - 1) / 16.0) AS FLOAT))""".stripMargin)
+    val base = spark.range(n).select(col("id"), mk("id").as("vec"))
+    // 50 planted twins (ids n+s duplicate s) so qualifying pairs exist
+    val twins = spark.range(50).select((col("id") + n).as("id"), mk("id").as("vec"))
+    val corpus = base.unionByName(twins).cache()
+    corpus.count()
+    val cellExpr = pmod(col("id"), lit(n)) % nCells
+    def pairsOf(head: Int, order: Array[Int]): (Double, Set[(Long, Long)]) = {
+      val t = System.nanoTime()
+      val got = Similarity.semanticPairs(corpus, "id", "vec", cellExpr,
+        tauPermille = 800, maxCellSize = 0, prefilterHeadDims = head,
+        headOrder = order)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      ((System.nanoTime() - t) / 1e9, got)
+    }
+    pairsOf(0, Array.empty) // warm both shapes once (codegen + cache)
+    val (dtExact, exact) = pairsOf(0, Array.empty)
+    val order = Similarity.varianceOrder(corpus, "vec")
+    pairsOf(32, order)
+    val (dtPre, pre) = pairsOf(32, order)
+    assert(pre == exact, s"prefilter changed results: ${pre.size} vs ${exact.size}")
+    println(f"[scale] semdedup prefilter d=$dim%4d h=32 (3M pairs): exact=$dtExact%5.2f s " +
+      f"prefiltered=$dtPre%5.2f s pairs=${exact.size}%d (sets identical)")
+    if (sys.env.contains("GRAFT_PROBE_DEBUG")) {
+      val dotF = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.functions.call_function("graft_dot", x, y)
+      val nrm = sqrt(dotF(col("vec"), col("vec")))
+      val slim = corpus
+        .select(col("id"), (pmod(col("id"), lit(n)) % nCells).as("cell"), col("vec"))
+        .withColumn("__h", array(
+          order.take(32).map(i => element_at(col("vec"), lit(i)).cast("double") / nrm): _*))
+        .withColumn("__ht", sqrt(greatest(lit(0.0d), lit(1.0d) - dotF(col("__h"), col("__h")))))
+        .select(col("id"), col("cell"), col("__h"), col("__ht"))
+      var t0 = System.nanoTime()
+      slim.queryExecution.toRdd.count()
+      println(f"[scale-debug] slim build alone: ${(System.nanoTime() - t0) / 1e9}%5.2f s")
+      val sa = slim.select(col("cell"), col("id").as("ia"), col("__h").as("__ha"), col("__ht").as("__hta"))
+      val sb = slim.select(col("cell"), col("id").as("ib"), col("__h").as("__hb"), col("__ht").as("__htb"))
+      val surv = sa.join(sb, Seq("cell")).filter(col("ia") < col("ib"))
+        .filter((dotF(col("__ha"), col("__hb")) + col("__hta") * col("__htb")) * 1000 >= 800)
+      t0 = System.nanoTime()
+      val nSurv = surv.queryExecution.toRdd.count()
+      println(f"[scale-debug] bound join alone: ${(System.nanoTime() - t0) / 1e9}%5.2f s survivors=$nSurv")
+      // and the raw pair-join floor: no condition beyond ia<ib, count only
+      val floor = sa.select("cell", "ia").join(sb.select("cell", "ib"), Seq("cell"))
+        .filter(col("ia") < col("ib"))
+      t0 = System.nanoTime()
+      floor.queryExecution.toRdd.count()
+      println(f"[scale-debug] bare id-only pair join: ${(System.nanoTime() - t0) / 1e9}%5.2f s")
+    }
+    corpus.unpersist()
+  }
+}
+
+/** Focused runner for the SemDeDup prefilter probe (fast iteration —
+  * the full ScaleProbe takes minutes).
+  */
+object PrefilterProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.create(taskSideCommit = true)
+    ScaleProbe.semdedupPrefilterProbe(spark)
     spark.stop()
   }
 }

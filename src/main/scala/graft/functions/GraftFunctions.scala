@@ -23,6 +23,7 @@ object GraftFunctions {
       "graft_reconcile" -> (es =>
         ReconcileMax(es(0), es(1), es(2), es(3)).toAggregateExpression()),
       "graft_cosine" -> (es => CosineSimilarity(es(0), es(1))),
+      "graft_dot" -> (es => DotProduct(es(0), es(1))),
       "graft_rolling_min_hash" -> { es =>
         require(es.length == 2 && es(1).foldable,
           "graft_rolling_min_hash(text, k): k must be a literal")

@@ -279,6 +279,30 @@ class PipelineSpec extends SparkSpec {
       s"mega clusters bounded by their subcells: $megaSizes vs ${subSizes.toSeq}")
   }
 
+  test("semantic pair prefilter: identical pairs with the head-dot bound on or off") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // decaying spectrum (prefilter-favorable) + a planted twin + an
+    // adversarial pair sitting just above/below the threshold
+    def vec(): Array[Float] =
+      Array.tabulate(32)(i => ((rnd.nextFloat() - 0.5f) / (1f + i / 4f)))
+    val base = (0L until 200L).map(i => (i, vec()))
+    val twin = (503L, base(7)._2.clone()) // 503 % 4 == 7 % 4: same cell
+    val all = (base :+ twin).toDF("id", "vec")
+    val cell = pmod(col("id"), lit(4))
+    def pairs(head: Int, order: Array[Int]): Set[(Long, Long)] =
+      Similarity.semanticPairs(all, "id", "vec", cell, tauPermille = 420,
+        maxCellSize = 0, prefilterHeadDims = head, headOrder = order)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(0, Array.empty)
+    assert(exact.contains((7L, 503L)), "planted twin must qualify")
+    // bound is exact math: same pairs with identity order AND variance order
+    assert(pairs(8, Array.empty) == exact)
+    val order = Similarity.varianceOrder(all, "vec")
+    assert(order.length == 32 && order.toSet == (1 to 32).toSet)
+    assert(pairs(8, order) == exact)
+  }
+
   test("hashed-shingle jaccard equals the string-keyed computation") {
     def stats(hash: Boolean): Set[(Long, Long, Long, Long)] =
       Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, hashShingles = hash)
