@@ -59,6 +59,11 @@ object StreamBench {
     def pct(p: Double): Double =
       if (durs.isEmpty) 0
       else durs(math.max(0, math.min(durs.size - 1, math.ceil(p * durs.size).toInt - 1)))
+    // the reference's per-operator latency surface (EstimatedHistogram):
+    // geometric buckets, constant memory however many batches run — the
+    // estimates sit within one ~20% bucket of the exact ranks above
+    val hist = new graft.util.EstimatedHistogram
+    durs.foreach(d => hist.add(math.max(1L, d.toLong)))
 
     val rate = total / elapsed
 
@@ -230,7 +235,7 @@ object StreamBench {
       s"out-of-order streamed $oooSessions sessions, batch computes $batchSessions")
     val oooRate = events.length / oooElapsed
 
-    println(f"""{"metric":"stream_ingest","rows":$total,"sec":$elapsed%.3f,"rows_per_sec":$rate%.0f,"batches":${durs.size},"batch_ms_p50":${pct(0.5)}%.0f,"batch_ms_max":${durs.lastOption.getOrElse(0.0)}%.0f,"stateful_sec":$stateElapsed%.3f,"stateful_rows_per_sec":$stateRate%.0f,"dedup_docs_in":$dedupIn,"dedup_docs_kept":$dedupOut,"dedup_docs_per_sec":$dedupRate%.0f,"neardup_docs_per_sec":$nearRate%.0f,"neardup_pairs":$nearPairs,"neardup_state_rows":$nearState,"session_events_per_sec":$sessRate%.0f,"sessions":$sessionsOut,"session_state_rows":$sessState,"session_ooo_events_per_sec":$oooRate%.0f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"stream_ingest","rows":$total,"sec":$elapsed%.3f,"rows_per_sec":$rate%.0f,"batches":${durs.size},"batch_ms_p50":${pct(0.5)}%.0f,"batch_ms_max":${durs.lastOption.getOrElse(0.0)}%.0f,"batch_ms_p50_est":${hist.percentile(0.5)},"batch_ms_p95_est":${hist.percentile(0.95)},"batch_ms_p99_est":${hist.percentile(0.99)},"batch_ms_mean_est":${hist.mean},"stateful_sec":$stateElapsed%.3f,"stateful_rows_per_sec":$stateRate%.0f,"dedup_docs_in":$dedupIn,"dedup_docs_kept":$dedupOut,"dedup_docs_per_sec":$dedupRate%.0f,"neardup_docs_per_sec":$nearRate%.0f,"neardup_pairs":$nearPairs,"neardup_state_rows":$nearState,"session_events_per_sec":$sessRate%.0f,"sessions":$sessionsOut,"session_state_rows":$sessState,"session_ooo_events_per_sec":$oooRate%.0f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
