@@ -1275,6 +1275,17 @@ object SparkEntry {
           col("cnt"))
     }),
 
+    // Bigram-LM perplexity-proxy scoring (the KenLM-filter shape of
+    // CCNet/RedPajama, integer-exact): self-trained corpus bigram model,
+    // per-doc sum of floor(1000*c(w1,w2)/c(w1·)) over transitions.
+    "p52_bigram_lm" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.TextAnalysis.bigramLmScoreSelf(
+        table(s, dir, "documents"), "doc_id", "text")
+        .select(col("id"), col("lm_sum").cast("long").as("lm_sum"),
+          col("n_bigrams").cast("long").as("n_bigrams"))
+    }),
+
     // Top-3 distinctive terms per doc by exact-integer tf/df score.
     "p30_distinctive_terms" -> ((s, dir) => {
       GraftFunctions.register(s)
@@ -2269,6 +2280,20 @@ object SparkEntry {
         |       FROM c)
         |SELECT CAST(rank AS BIGINT) AS rank, sym_l, sym_r, cnt FROM rk
         |WHERE rank <= 50""".stripMargin,
+
+    "p52_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1])) AS gram
+        |      FROM t WHERE len(toks) >= 2),
+        |bi AS (SELECT gram, CAST(count(*) AS BIGINT) AS c2 FROM g GROUP BY 1),
+        |w1t AS (SELECT split_part(gram, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+        |        FROM bi GROUP BY 1),
+        |m AS (SELECT gram, (c2 * 1000) // c1 AS w
+        |      FROM bi JOIN w1t ON split_part(bi.gram, ' ', 1) = w1t.w1)
+        |SELECT g.doc_id AS id, CAST(sum(coalesce(m.w, 0)) AS BIGINT) AS lm_sum,
+        |       count(*) AS n_bigrams
+        |FROM g LEFT JOIN m USING (gram) GROUP BY g.doc_id""".stripMargin,
 
     "p49_lexical_topk" ->
       """WITH q AS (SELECT DISTINCT unnest(list_distinct((regexp_extract_all(lower(text), '\S+'))[1:8])) AS term

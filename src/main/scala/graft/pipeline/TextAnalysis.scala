@@ -362,6 +362,58 @@ object TextAnalysis {
       .agg(sum(coalesce(col("w"), lit(0L))).as("score_sum"),
         count(lit(1)).as("n_tokens"))
 
+  /** Bigram-LM training — the perplexity-filtering shape of the CCNet /
+    * RedPajama quality pipelines (a KenLM scores docs; low-probability
+    * docs are gibberish/OOD), reduced to exact integer arithmetic. One
+    * tokenize pass: corpus bigram counts c(w1,w2), conditioned on the
+    * bigram-FIRST occurrence count c(w1·) = Σ_w2 c(w1,w2) (so the
+    * conditional masses sum to ≤1000 exactly — no end-of-doc fudge), and
+    * the model row is (gram, floor(1000·c2/c1)). Non-negative operands
+    * make Spark's truncating `div` equal DuckDB's flooring `//`. The
+    * artifact is corpus-vocabulary-sized: persist it like the classifier
+    * weights (p38 pattern) and feed every scoring run.
+    */
+  def trainBigramLm(docs: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val bi = docs
+      .select(explode(wordNgrams(col(textCol), 2)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c2"))
+    val byW1 = bi
+      .withColumn("w1", element_at(split(col("gram"), " "), 1))
+      .groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    bi.withColumn("w1", element_at(split(col("gram"), " "), 1))
+      .join(byW1, Seq("w1"))
+      .select(col("gram"), expr("c2 * 1000L div c1").as("w_permille"))
+  }
+
+  /** Bigram-LM scoring: each doc's transitions join the model on the
+    * bigram key (a plain shuffle join — the model is corpus-vocabulary-
+    * sized, NOT broadcastable at 100 TB) and sum their integer
+    * conditional probabilities; consumers threshold on the per-transition
+    * mean `lm_sum * 1 >= min_mean * n_bigrams`. Unseen bigrams weigh 0 —
+    * the hard-zero MLE; smoothing would need float logs and is exactly
+    * what the integer contract trades away (rank order at the filtering
+    * threshold is what matters, and hard-zero PENALIZES unseen
+    * transitions harder than any smoothing). Docs with <2 tokens have no
+    * transitions and produce no row.
+    */
+  def bigramLmScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String,
+      model: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col(idCol).as("id"), explode(wordNgrams(col(textCol), 2)).as("gram"))
+      .join(model.select(col("gram"), col("w_permille")), Seq("gram"), "left")
+      .groupBy(col("id"))
+      .agg(sum(coalesce(col("w_permille"), lit(0L))).as("lm_sum"),
+        count(lit(1)).as("n_bigrams"))
+
+  /** Self-trained bigram-LM scoring: train on the corpus, score the
+    * corpus — the one-shot audit shape (production persists the model).
+    */
+  def bigramLmScoreSelf(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    bigramLmScore(docs, idCol, textCol, trainBigramLm(docs, textCol))
+
   /** Deterministic global shuffle + sharding (training-order
     * randomization): shard = hash60(id) mod nShards, position = rank of
     * (hash60, id) WITHIN the shard. Per-shard windows, never a global

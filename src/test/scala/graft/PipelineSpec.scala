@@ -1074,6 +1074,37 @@ class PipelineSpec extends SparkSpec {
     assert(sampled.head._3 == kept * 3, s"got ${sampled.head}")
   }
 
+  test("bigram LM: hand-computed conditionals; fluent beats shuffled; hard-zero unseen") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "the dog sat"),
+      (4L, "one")) // <2 tokens: no transitions, no row
+    val docs = corpus.toDF("doc_id", "text")
+    val model = TextAnalysis.trainBigramLm(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // c(the ·)=3: the->cat 2/3 -> 666, the->dog 1/3 -> 333
+    // c(cat ·)=2: cat->sat 500, cat->ran 500; dog->sat 1000
+    assert(model == Map("the cat" -> 666L, "the dog" -> 333L,
+      "cat sat" -> 500L, "cat ran" -> 500L, "dog sat" -> 1000L), s"got $model")
+    val scores = TextAnalysis.bigramLmScoreSelf(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(scores(1L) == ((666L + 500L, 2L)))
+    assert(scores(3L) == ((333L + 1000L, 2L)))
+    assert(!scores.contains(4L))
+    // scoring NEW text against the trained model: unseen bigrams weigh 0
+    val probe = Seq((9L, "the cat zzz")).toDF("doc_id", "text")
+    val m = TextAnalysis.trainBigramLm(docs, "text")
+    val p9 = TextAnalysis.bigramLmScore(probe, "doc_id", "text", m).head()
+    assert(p9.getLong(1) == 666L && p9.getLong(2) == 2L)
+    // the filtering property: a doc of corpus-fluent transitions
+    // outscores its own shuffled (gibberish) permutation per transition
+    val fluent = TextAnalysis.bigramLmScore(
+      Seq((10L, "the cat sat")).toDF("doc_id", "text"), "doc_id", "text", m).head()
+    val garbled = TextAnalysis.bigramLmScore(
+      Seq((11L, "sat the cat")).toDF("doc_id", "text"), "doc_id", "text", m).head()
+    assert(fluent.getLong(1) * garbled.getLong(2) > garbled.getLong(1) * fluent.getLong(2))
+  }
+
   test("lexical + hybrid retrieval: integer idf, rank-sum fusion with penalties") {
     import spark.implicits._
     val docs = Seq(
