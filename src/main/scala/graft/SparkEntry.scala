@@ -1262,6 +1262,25 @@ object SparkEntry {
         .select(col("rank").cast("long").as("rank"), col("id"), col("rank_sum"))
     }),
 
+    // Hybrid retrieval with the IVF-restricted vector pool (the 100 TB
+    // path: vector side scans one coarse cell, not the corpus; label =
+    // the deterministic cell, as in p10). Fusion identical to p50.
+    "p53_hybrid_ivf" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val emb = table(s, dir, "embeddings")
+      val qText = docs.filter(col("doc_id") === 0).select(col("text")).head()
+        .getString(0).toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty).take(8).mkString(" ")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q"), col("label").as("qcell"))
+      graft.pipeline.Similarity.hybridTopKIvf(
+        docs.filter(col("doc_id") =!= 0), "doc_id", "text",
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", "label",
+        qText, q, k = 10, poolK = 20)
+        .select(col("rank").cast("long").as("rank"), col("id"), col("rank_sum"))
+    }),
+
     // BPE tokenizer training statistics: the adjacent-character-pair
     // counts of the char-level start state — the exact aggregation the
     // merge loop (trainBpeMerges, spec-gated: iterations depend on
@@ -2267,6 +2286,32 @@ object SparkEntry {
         |j AS (SELECT ia, ib, inter, sa.sz + sb.sz - inter AS uni
         |      FROM p JOIN sz sa ON sa.id = ia JOIN sz sb ON sb.id = ib)
         |SELECT ia, ib, inter, uni FROM j WHERE inter * 5 >= uni * 4""".stripMargin,
+
+    "p53_hybrid_ivf" ->
+      """WITH q AS (SELECT DISTINCT unnest(list_distinct((regexp_extract_all(lower(text), '\S+'))[1:8])) AS term
+        |           FROM documents WHERE doc_id = 0),
+        |n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id <> 0),
+        |t AS (SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '\S+'))) AS term
+        |      FROM documents WHERE doc_id <> 0),
+        |m AS (SELECT t.doc_id, t.term FROM t JOIN q USING (term)),
+        |df AS (SELECT term, count(*) AS df FROM m GROUP BY 1),
+        |sc AS (SELECT m.doc_id, sum(((SELECT n_docs FROM n) * 1000) // df.df) AS score
+        |       FROM m JOIN df USING (term) GROUP BY 1),
+        |lr0 AS (SELECT doc_id AS id, row_number() OVER (ORDER BY score DESC, doc_id) AS lrank FROM sc),
+        |lr AS (SELECT id, lrank FROM lr0 WHERE lrank <= 20),
+        |vs AS (SELECT vec_id,
+        |         list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS sim
+        |       FROM embeddings
+        |       WHERE vec_id <> 0
+        |         AND label = (SELECT label FROM embeddings WHERE vec_id = 0)),
+        |vr0 AS (SELECT vec_id AS id, row_number() OVER (ORDER BY sim DESC, vec_id) AS vrank FROM vs),
+        |vr AS (SELECT id, vrank FROM vr0 WHERE vrank <= 20),
+        |f AS (SELECT COALESCE(lr.id, vr.id) AS id,
+        |             COALESCE(lrank, 21) + COALESCE(vrank, 21) AS rank_sum
+        |      FROM lr FULL JOIN vr ON lr.id = vr.id),
+        |r AS (SELECT id, rank_sum, row_number() OVER (ORDER BY rank_sum, id) AS rank FROM f)
+        |SELECT CAST(rank AS BIGINT) AS rank, id, CAST(rank_sum AS BIGINT) AS rank_sum
+        |FROM r WHERE rank <= 10""".stripMargin,
 
     "p51_bpe_pairs" ->
       """WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),

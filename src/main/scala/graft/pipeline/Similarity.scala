@@ -873,10 +873,37 @@ object Similarity {
       queryText: String, queryVec: Array[Float], k: Int, poolK: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val lex = TextAnalysis.lexicalTopK(docs, docIdCol, textCol, queryText, poolK)
-      .select(col("id"), col("rank").as("lrank"))
-    val vec = bruteForceTopK(emb, vecIdCol, vecCol, Seq(Tuple1(queryVec)).toDF("q"), poolK)
-      .select(col("id"), col("rank").as("vrank"))
+    rankFuse(
+      TextAnalysis.lexicalTopK(docs, docIdCol, textCol, queryText, poolK),
+      bruteForceTopK(emb, vecIdCol, vecCol, Seq(Tuple1(queryVec)).toDF("q"), poolK),
+      k, poolK)
+  }
+
+  /** [[hybridTopK]] with an IVF-RESTRICTED vector pool — the 100 TB
+    * retrieval path: the vector side probes only the query's coarse cell
+    * ([[ivfTopK]]; `queryDf` carries `q` + `qcell` exactly as there)
+    * instead of brute-force scanning the corpus, so per-query vector cost
+    * is |corpus| × nprobe / nCells while the fusion semantics stay
+    * byte-identical to [[hybridTopK]] (rank-sum over poolK pools with
+    * poolK+1 absence penalties). With trained centroids, build `queryDf`
+    * via [[assignCell]] of the query vector; with a metadata cell
+    * (cross-engine verification) pass it directly.
+    */
+  def hybridTopKIvf(docs: DataFrame, docIdCol: String, textCol: String,
+      emb: DataFrame, vecIdCol: String, vecCol: String, cellCol: String,
+      queryText: String, queryDf: DataFrame, k: Int, poolK: Int): DataFrame =
+    rankFuse(
+      TextAnalysis.lexicalTopK(docs, docIdCol, textCol, queryText, poolK),
+      ivfTopK(emb, vecIdCol, vecCol, cellCol, queryDf, poolK),
+      k, poolK)
+
+  /** Rank-sum fusion core shared by the hybrid variants: both pools
+    * arrive as (id, rank ≤ poolK); absence from a pool costs poolK+1.
+    */
+  private def rankFuse(lexPool: DataFrame, vecPool: DataFrame,
+      k: Int, poolK: Int): DataFrame = {
+    val lex = lexPool.select(col("id"), col("rank").as("lrank"))
+    val vec = vecPool.select(col("id"), col("rank").as("vrank"))
     lex.join(vec, Seq("id"), "full_outer")
       .na.fill(poolK + 1, Seq("lrank", "vrank"))
       .withColumn("rank_sum", (col("lrank") + col("vrank")).cast("long"))

@@ -1126,6 +1126,23 @@ class PipelineSpec extends SparkSpec {
       "apple banana cherry", Array(1f, 0f), k = 3, poolK = 2)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
     assert(hyb == Set((1, 1L, 4L), (2, 4L, 4L), (3, 2L, 5L)), s"got $hyb")
+
+    // IVF-pooled variant: cell 0 = {3, 4}, cell 1 = {1, 2}; a query in
+    // cell 0 can only pool vectors 4 and 3 — vector ranks 1 and 2 stay,
+    // but ids 1/2 now take the vector-absence penalty instead of ranking
+    val embCells = Seq(
+      (1L, Array(0f, 1f), 1L), (2L, Array(0.5f, 0.5f), 1L),
+      (3L, Array(0.9f, 0.1f), 0L), (4L, Array(1f, 0f), 0L))
+      .toDF("vec_id", "embedding", "cell")
+    val q = Seq((Array(1f, 0f), 0L)).toDF("q", "qcell")
+    val hybIvf = Similarity.hybridTopKIvf(docs, "doc_id", "text",
+      embCells, "vec_id", "embedding", "cell",
+      "apple banana cherry", q, k = 4, poolK = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    // lex pool: id1 r1, id2 r2; vec pool (cell 0): id4 r1, id3 r2
+    // sums: id1 1+3=4, id2 2+3=5, id3 3+2=5, id4 3+1=4
+    assert(hybIvf == Set((1, 1L, 4L), (2, 4L, 4L), (3, 2L, 5L), (4, 3L, 5L)),
+      s"got $hybIvf")
   }
 
   test("minhash snapshot: incremental shard-vs-corpus near-dups, exact verified") {
