@@ -1281,6 +1281,19 @@ object SparkEntry {
         .select(col("rank").cast("long").as("rank"), col("id"), col("rank_sum"))
     }),
 
+    // BPE tokenizer APPLICATION: per-doc subword counts under a fixed
+    // literal merge list (the inference side of p51's training; the
+    // trained-merge path is spec-gated — rank-greedy fold mechanics are
+    // identical, only the list differs). Oracle = the same five merges
+    // as chained doubling replaces in SQL.
+    "p54_bpe_apply" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.TextAnalysis.bpeTokenCount(table(s, dir, "documents"),
+        "doc_id", "text",
+        Seq("t" -> "h", "th" -> "e", "a" -> "n", "i" -> "n", "e" -> "r"))
+        .select(col("id"), col("n_subwords"), col("n_words").cast("long").as("n_words"))
+    }),
+
     // BPE tokenizer training statistics: the adjacent-character-pair
     // counts of the char-level start state — the exact aggregation the
     // merge loop (trainBpeMerges, spec-gated: iterations depend on
@@ -2312,6 +2325,21 @@ object SparkEntry {
         |r AS (SELECT id, rank_sum, row_number() OVER (ORDER BY rank_sum, id) AS rank FROM f)
         |SELECT CAST(rank AS BIGINT) AS rank, id, CAST(rank_sum AS BIGINT) AS rank_sum
         |FROM r WHERE rank <= 10""".stripMargin,
+
+    "p54_bpe_apply" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |           FROM documents),
+        |s AS (SELECT doc_id, array_to_string(list_transform(
+        |        generate_series(1, length(tok)), i -> substring(tok, CAST(i AS INT), 1)), ' ') AS r
+        |      FROM t),
+        |m1 AS (SELECT doc_id, trim(replace(replace(' ' || replace(r, ' ', '  ') || ' ', ' t  h ', ' th '), '  ', ' ')) AS r FROM s),
+        |m2 AS (SELECT doc_id, trim(replace(replace(' ' || replace(r, ' ', '  ') || ' ', ' th  e ', ' the '), '  ', ' ')) AS r FROM m1),
+        |m3 AS (SELECT doc_id, trim(replace(replace(' ' || replace(r, ' ', '  ') || ' ', ' a  n ', ' an '), '  ', ' ')) AS r FROM m2),
+        |m4 AS (SELECT doc_id, trim(replace(replace(' ' || replace(r, ' ', '  ') || ' ', ' i  n ', ' in '), '  ', ' ')) AS r FROM m3),
+        |m5 AS (SELECT doc_id, trim(replace(replace(' ' || replace(r, ' ', '  ') || ' ', ' e  r ', ' er '), '  ', ' ')) AS r FROM m4)
+        |SELECT doc_id AS id, CAST(sum(len(string_split(r, ' '))) AS BIGINT) AS n_subwords,
+        |       count(*) AS n_words
+        |FROM m5 GROUP BY 1""".stripMargin,
 
     "p51_bpe_pairs" ->
       """WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),

@@ -560,6 +560,22 @@ object TextAnalysis {
     * (hash60(text) mod 1000 < samplePermille) — reproducible across
     * engines, partitionings, and reruns, never a row-order coin flip.
     */
+  /** One BPE merge applied to a space-separated symbolization column:
+    * " a b a b " –double→ "  a  b  a  b  " –fuse→ "  ab  ab  "
+    * –undouble→ " ab ab ". Doubling the separators means adjacent
+    * occurrences never share a delimiter, so ONE non-overlapping
+    * left-to-right replace merges every occurrence; the fused "␣xy␣"
+    * keeps one space per side so the doubled-delimiter invariant holds
+    * for later occurrences in the same pass. Column LITERALS throughout —
+    * corpus symbols never reach a SQL parser.
+    */
+  private def fuseMerge(c: Column, l: String, r: String): Column = {
+    val rep = (src: Column, search: String, to: String) =>
+      org.apache.spark.sql.functions.replace(src, lit(search), lit(to))
+    val doubled = concat(lit(" "), rep(c, " ", "  "), lit(" "))
+    trim(rep(rep(doubled, s" $l  $r ", s" $l$r "), "  ", " "))
+  }
+
   def trainBpeMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
       merges: Int, samplePermille: Int = 1000): Seq[(String, String, Long)] = {
     require(samplePermille > 0 && samplePermille <= 1000,
@@ -570,8 +586,6 @@ object TextAnalysis {
     var repr = bpeInitRepr(sampled, textCol).localCheckpoint()
     val out = Seq.newBuilder[(String, String, Long)]
     var done = false
-    val rep = (src: Column, search: String, to: String) =>
-      org.apache.spark.sql.functions.replace(src, lit(search), lit(to))
     for (_ <- 0 until merges if !done) {
       val top = bpePairStats(repr, "repr", 1).collect()
       if (top.isEmpty || top.head.getAs[Long]("cnt") < 2L) done = true
@@ -579,17 +593,48 @@ object TextAnalysis {
         val (l, r, c) = (top.head.getAs[String]("sym_l"),
           top.head.getAs[String]("sym_r"), top.head.getAs[Long]("cnt"))
         out += ((l, r, c))
-        // " a b a b " –double→ "  a  b  a  b  " –fuse→ "  ab  ab  "
-        // –undouble→ " ab ab "; the fused "␣xy␣" keeps one space per side
-        // so the doubled-delimiter invariant holds for later occurrences
-        val doubled = concat(lit(" "), rep(col("repr"), " ", "  "), lit(" "))
-        val fused = rep(doubled, s" $l  $r ", s" $l$r ")
-        repr = repr.select(trim(rep(fused, "  ", " ")).as("repr"))
+        repr = repr.select(fuseMerge(col("repr"), l, r).as("repr"))
           .localCheckpoint()
       }
     }
     out.result()
   }
+
+  /** BPE tokenizer APPLICATION — the inference side of
+    * [[trainBpeMerges]]: symbolize each token occurrence to characters
+    * and fold the learned merges over it IN RANK ORDER (BPE apply is
+    * rank-greedy: earlier merges rewrite before later ones see the
+    * string — the same order training discovered them). The whole fold
+    * is an EXPRESSION CHAIN — no shuffle, no UDF, embarrassingly
+    * parallel over docs; `checkpointEvery` bounds plan depth for long
+    * merge lists (a 30k-merge production vocab is ~2k checkpoint
+    * segments — each a map-only stage).
+    */
+  def applyBpe(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, merges: Seq[(String, String)],
+      checkpointEvery: Int = 64): org.apache.spark.sql.DataFrame = {
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    var repr = df
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .select(col("id"), concat_ws(" ", expr(
+        "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))")).as("repr"))
+    merges.grouped(checkpointEvery).foreach { chunk =>
+      val folded = chunk.foldLeft(col("repr")) { case (c, (l, r)) => fuseMerge(c, l, r) }
+      repr = repr.select(col("id"), folded.as("repr")).localCheckpoint(eager = false)
+    }
+    repr.select(col("id"), split(col("repr"), " ").as("subwords"))
+  }
+
+  /** Per-doc subword count under a trained merge list — the exact
+    * training-cost estimator ("how many tokens is this corpus under MY
+    * tokenizer"), one aggregation over [[applyBpe]].
+    */
+  def bpeTokenCount(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame =
+    applyBpe(df, idCol, textCol, merges)
+      .groupBy(col("id"))
+      .agg(sum(size(col("subwords"))).cast("long").as("n_subwords"),
+        count(lit(1)).as("n_words"))
 
   /** Lexical top-k retrieval (the keyword search primitive): docs scored
     * by Σ over matched DISTINCT query terms of the integer idf weight

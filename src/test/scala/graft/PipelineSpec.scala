@@ -1050,6 +1050,34 @@ class PipelineSpec extends SparkSpec {
     assert(mq.nonEmpty && mq.head._3 >= 2L, s"got $mq")
   }
 
+  test("BPE apply: rank-greedy fold, hierarchical merges, train-apply consistency") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world")).toDF("doc_id", "text")
+    // (l,l): "h e ll o"; (h,e): "he ll o"; (he,ll): "hell o" — later merges
+    // build on earlier merges' symbols (rank-greedy, like training)
+    val sub = TextAnalysis.applyBpe(docs, "doc_id", "text",
+      Seq("l" -> "l", "h" -> "e", "he" -> "ll"))
+      .collect().map(r => r.getSeq[String](1).toList).toSet
+    assert(sub == Set(List("hell", "o"), List("w", "o", "r", "l", "d")), s"got $sub")
+    val counts = TextAnalysis.bpeTokenCount(docs, "doc_id", "text",
+      Seq("l" -> "l", "h" -> "e", "he" -> "ll")).head()
+    assert(counts.getLong(1) == 7L && counts.getLong(2) == 2L)
+    // applying the TRAINED merges reproduces training's fused end state
+    val runs = Seq((1L, "aaa aaa aaa")).toDF("doc_id", "text")
+    val trained = TextAnalysis.trainBpeMerges(runs, "text", merges = 2)
+      .map { case (l, r, _) => (l, r) }
+    val applied = TextAnalysis.bpeTokenCount(runs, "doc_id", "text", trained).head()
+    assert(applied.getLong(1) == 3L && applied.getLong(2) == 3L) // "aaa" x3, 1 subword each
+    // checkpointEvery must not change results (plan-depth bounding only)
+    val chunked = TextAnalysis.bpeTokenCount(docs, "doc_id", "text",
+      Seq("l" -> "l", "h" -> "e", "he" -> "ll")).collect().toSeq
+    val chunked1 = TextAnalysis.applyBpe(docs, "doc_id", "text",
+      Seq("l" -> "l", "h" -> "e", "he" -> "ll"), checkpointEvery = 1)
+      .groupBy("id").agg(sum(size(col("subwords"))).cast("long").as("n_subwords"),
+        count(lit(1)).as("n_words")).collect().toSeq
+    assert(chunked.map(_.toSeq) == chunked1.map(_.toSeq))
+  }
+
   test("BPE training on a content-hashed sample reproduces the full-corpus merges") {
     import spark.implicits._
     // every doc carries the SAME token multiset (orderings differ, so the
