@@ -1281,6 +1281,24 @@ object SparkEntry {
         .select(col("rank").cast("long").as("rank"), col("id"), col("rank_sum"))
     }),
 
+    // Streaming bigram-LM scoring: docs stream through the stateless
+    // stream-static model join (p52's batch model trained up front);
+    // per-transition scores roll up batch-side after collection. The
+    // output is arrival-order-insensitive, so the batch p52 oracle
+    // gates the streaming leg exactly.
+    "p55_stream_bigram_lm" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val model = graft.pipeline.TextAnalysis.trainBigramLm(docs, "text")
+        .localCheckpoint() // static side: train once, not per micro-batch
+      runStream(s, "p55", dir, docs.select(col("doc_id"), col("text")), 3)(
+        st => graft.streaming.PipelineStream.scoreTransitions(
+          st, "doc_id", "text", model))
+        .groupBy(col("id"))
+        .agg(sum(col("w")).cast("long").as("lm_sum"),
+          count(lit(1)).as("n_bigrams"))
+    }),
+
     // BPE tokenizer APPLICATION: per-doc subword counts under a fixed
     // literal merge list (the inference side of p51's training; the
     // trained-merge path is spec-gated — rank-greedy fold mechanics are
@@ -2325,6 +2343,20 @@ object SparkEntry {
         |r AS (SELECT id, rank_sum, row_number() OVER (ORDER BY rank_sum, id) AS rank FROM f)
         |SELECT CAST(rank AS BIGINT) AS rank, id, CAST(rank_sum AS BIGINT) AS rank_sum
         |FROM r WHERE rank <= 10""".stripMargin,
+
+    "p55_stream_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1])) AS gram
+        |      FROM t WHERE len(toks) >= 2),
+        |bi AS (SELECT gram, CAST(count(*) AS BIGINT) AS c2 FROM g GROUP BY 1),
+        |w1t AS (SELECT split_part(gram, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+        |        FROM bi GROUP BY 1),
+        |m AS (SELECT gram, (c2 * 1000) // c1 AS w
+        |      FROM bi JOIN w1t ON split_part(bi.gram, ' ', 1) = w1t.w1)
+        |SELECT g.doc_id AS id, CAST(sum(coalesce(m.w, 0)) AS BIGINT) AS lm_sum,
+        |       count(*) AS n_bigrams
+        |FROM g LEFT JOIN m USING (gram) GROUP BY g.doc_id""".stripMargin,
 
     "p54_bpe_apply" ->
       """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok

@@ -249,4 +249,22 @@ object PipelineStream {
     docs.filter(TextAnalysis.hash60(col(idCol)) % 1000 <
       TextAnalysis.rateFor(TextAnalysis.langId(col(textCol)), ratesPermille,
         defaultPermille))
+
+  /** Streaming bigram-LM transition scoring: each arriving doc's
+    * transitions join the STATIC trained model
+    * ([[TextAnalysis.trainBigramLm]] artifact — a stream-static left
+    * join, completely STATELESS) and emit their integer conditional
+    * scores append-mode. The per-doc rollup (sum, count) happens
+    * downstream wherever convenient — a doc's transitions all arrive in
+    * its own row's batch, so any consumer-side aggregation sees them
+    * together; the scoring itself needs no watermark and no state,
+    * which is what lets the filter run at ingest line rate.
+    */
+  def scoreTransitions(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.wordNgrams(col(textCol), 2)).as("gram"))
+      .join(model.select(col("gram"), col("w_permille")), Seq("gram"), "left")
+      .select(col("id"), coalesce(col("w_permille"), lit(0L)).as("w"))
 }
