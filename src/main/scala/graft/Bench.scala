@@ -47,14 +47,18 @@ object Bench {
         case q: QueryStageExec => Seq(q.plan)
         case other => other.children
       }
-      p +: kids.flatMap(allNodes)
+      // subqueries hang off expressions, not children — a scalar-subquery
+      // scan would otherwise vanish from the io block
+      p +: (kids ++ p.subqueries).flatMap(allNodes)
     }
     def harvest(df: DataFrame): Map[String, Long] = {
       val nodes = allNodes(df.queryExecution.executedPlan)
       def sumMetric(key: String, onlyScans: Boolean = false): Long =
         nodes.iterator
           .filter(n => !onlyScans || n.getClass.getSimpleName.contains("Scan"))
-          .flatMap(_.metrics.get(key)).map(_.value).sum
+          .flatMap(_.metrics.get(key)).map(_.value)
+          .filter(_ >= 0L) // never-executed branches leave -1 sentinels
+          .sum
       Map(
         "files" -> sumMetric("numFiles"),       // parquet files actually opened
         "scanBytes" -> sumMetric("filesSize"),  // bytes of those files (post-pruning)

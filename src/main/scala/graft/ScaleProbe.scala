@@ -440,33 +440,6 @@ object ScaleProbe {
     assert(pre == exact, s"prefilter changed results: ${pre.size} vs ${exact.size}")
     println(f"[scale] semdedup prefilter d=$dim%4d h=32 (3M pairs): exact=$dtExact%5.2f s " +
       f"prefiltered=$dtPre%5.2f s pairs=${exact.size}%d (sets identical)")
-    if (sys.env.contains("GRAFT_PROBE_DEBUG")) {
-      val dotF = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
-        org.apache.spark.sql.functions.call_function("graft_dot", x, y)
-      val nrm = sqrt(dotF(col("vec"), col("vec")))
-      val slim = corpus
-        .select(col("id"), (pmod(col("id"), lit(n)) % nCells).as("cell"), col("vec"))
-        .withColumn("__h", array(
-          order.take(32).map(i => element_at(col("vec"), lit(i)).cast("double") / nrm): _*))
-        .withColumn("__ht", sqrt(greatest(lit(0.0d), lit(1.0d) - dotF(col("__h"), col("__h")))))
-        .select(col("id"), col("cell"), col("__h"), col("__ht"))
-      var t0 = System.nanoTime()
-      slim.queryExecution.toRdd.count()
-      println(f"[scale-debug] slim build alone: ${(System.nanoTime() - t0) / 1e9}%5.2f s")
-      val sa = slim.select(col("cell"), col("id").as("ia"), col("__h").as("__ha"), col("__ht").as("__hta"))
-      val sb = slim.select(col("cell"), col("id").as("ib"), col("__h").as("__hb"), col("__ht").as("__htb"))
-      val surv = sa.join(sb, Seq("cell")).filter(col("ia") < col("ib"))
-        .filter((dotF(col("__ha"), col("__hb")) + col("__hta") * col("__htb")) * 1000 >= 800)
-      t0 = System.nanoTime()
-      val nSurv = surv.queryExecution.toRdd.count()
-      println(f"[scale-debug] bound join alone: ${(System.nanoTime() - t0) / 1e9}%5.2f s survivors=$nSurv")
-      // and the raw pair-join floor: no condition beyond ia<ib, count only
-      val floor = sa.select("cell", "ia").join(sb.select("cell", "ib"), Seq("cell"))
-        .filter(col("ia") < col("ib"))
-      t0 = System.nanoTime()
-      floor.queryExecution.toRdd.count()
-      println(f"[scale-debug] bare id-only pair join: ${(System.nanoTime() - t0) / 1e9}%5.2f s")
-    }
     corpus.unpersist()
   }
 }

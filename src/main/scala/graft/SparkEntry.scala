@@ -1527,6 +1527,23 @@ object SparkEntry {
        |FROM n""".stripMargin
   }
 
+  /** Shared by p52 (batch) and p55 (streaming twin of the same
+    * computation): one definition, no drift.
+    */
+  private val bigramLmOracleSql: String =
+    """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+      |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+      |        i -> toks[i] || ' ' || toks[i+1])) AS gram
+      |      FROM t WHERE len(toks) >= 2),
+      |bi AS (SELECT gram, CAST(count(*) AS BIGINT) AS c2 FROM g GROUP BY 1),
+      |w1t AS (SELECT split_part(gram, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+      |        FROM bi GROUP BY 1),
+      |m AS (SELECT gram, (c2 * 1000) // c1 AS w
+      |      FROM bi JOIN w1t ON split_part(bi.gram, ' ', 1) = w1t.w1)
+      |SELECT g.doc_id AS id, CAST(sum(coalesce(m.w, 0)) AS BIGINT) AS lm_sum,
+      |       count(*) AS n_bigrams
+      |FROM g LEFT JOIN m USING (gram) GROUP BY g.doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "p16_rolling_fp" -> rollingFpOracle,
     "q01_get" ->
@@ -2344,19 +2361,11 @@ object SparkEntry {
         |SELECT CAST(rank AS BIGINT) AS rank, id, CAST(rank_sum AS BIGINT) AS rank_sum
         |FROM r WHERE rank <= 10""".stripMargin,
 
-    "p55_stream_bigram_lm" ->
-      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
-        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
-        |        i -> toks[i] || ' ' || toks[i+1])) AS gram
-        |      FROM t WHERE len(toks) >= 2),
-        |bi AS (SELECT gram, CAST(count(*) AS BIGINT) AS c2 FROM g GROUP BY 1),
-        |w1t AS (SELECT split_part(gram, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
-        |        FROM bi GROUP BY 1),
-        |m AS (SELECT gram, (c2 * 1000) // c1 AS w
-        |      FROM bi JOIN w1t ON split_part(bi.gram, ' ', 1) = w1t.w1)
-        |SELECT g.doc_id AS id, CAST(sum(coalesce(m.w, 0)) AS BIGINT) AS lm_sum,
-        |       count(*) AS n_bigrams
-        |FROM g LEFT JOIN m USING (gram) GROUP BY g.doc_id""".stripMargin,
+    // p55 streams the SAME computation p52 runs in batch (stateless
+    // stream-static model join; arrival-order-insensitive), so both gate
+    // against one shared oracle definition — two hand-maintained copies
+    // would silently drift apart.
+    "p55_stream_bigram_lm" -> bigramLmOracleSql,
 
     "p54_bpe_apply" ->
       """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
@@ -2386,19 +2395,7 @@ object SparkEntry {
         |SELECT CAST(rank AS BIGINT) AS rank, sym_l, sym_r, cnt FROM rk
         |WHERE rank <= 50""".stripMargin,
 
-    "p52_bigram_lm" ->
-      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
-        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
-        |        i -> toks[i] || ' ' || toks[i+1])) AS gram
-        |      FROM t WHERE len(toks) >= 2),
-        |bi AS (SELECT gram, CAST(count(*) AS BIGINT) AS c2 FROM g GROUP BY 1),
-        |w1t AS (SELECT split_part(gram, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
-        |        FROM bi GROUP BY 1),
-        |m AS (SELECT gram, (c2 * 1000) // c1 AS w
-        |      FROM bi JOIN w1t ON split_part(bi.gram, ' ', 1) = w1t.w1)
-        |SELECT g.doc_id AS id, CAST(sum(coalesce(m.w, 0)) AS BIGINT) AS lm_sum,
-        |       count(*) AS n_bigrams
-        |FROM g LEFT JOIN m USING (gram) GROUP BY g.doc_id""".stripMargin,
+    "p52_bigram_lm" -> bigramLmOracleSql,
 
     "p49_lexical_topk" ->
       """WITH q AS (SELECT DISTINCT unnest(list_distinct((regexp_extract_all(lower(text), '\S+'))[1:8])) AS term

@@ -78,10 +78,6 @@ object ExprHelpers {
   def collationKey(s: org.apache.spark.unsafe.types.UTF8String): Array[Byte] =
     CollatorHolder.collator.getCollationKey(s.toString).toByteArray
 
-  /** Fused cosine similarity over two float ArrayData, double accumulation
-    * left-to-right — numerically identical to
-    * `aggregate(zip_with(a,b,(x,y)->x*y), 0d, (acc,v)->acc+v) / (sqrt(...)*sqrt(...))`.
-    */
   /** Fused dot product of two numeric arrays (shorter length wins —
     * mirrors the zip_with truncation semantics it replaces). Element
     * types are resolved at ANALYSIS time (ArrayData does not carry
@@ -102,6 +98,10 @@ object ExprHelpers {
     acc
   }
 
+  /** Fused cosine similarity over two float ArrayData, double accumulation
+    * left-to-right — numerically identical to
+    * `aggregate(zip_with(a,b,(x,y)->x*y), 0d, (acc,v)->acc+v) / (sqrt(...)*sqrt(...))`.
+    */
   def cosine(a: org.apache.spark.sql.catalyst.util.ArrayData,
       b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())

@@ -817,12 +817,18 @@ object Similarity {
         col("__h").as("__hb"), col("__ht").as("__htb"))
       // per-PAIR cost: one fused O(head) dot (native graft_dot — a
       // zip_with/aggregate bound allocates the product array per pair
-      // and measured SLOWER than no prefilter at all) + one multiply
+      // and measured SLOWER than no prefilter at all) + one multiply.
+      // The 1e-6 slack covers floating-point evaluation-order drift
+      // between the bound and the exact cosine: Cauchy-Schwarz holds in
+      // exact arithmetic, but a pair EXACTLY at the threshold could
+      // round an ulp below it here and above it in graft_cosine — the
+      // slack admits boundary pairs to the exact re-check (which decides
+      // truth) instead of losing them, keeping on/off results identical.
       val bound = org.apache.spark.sql.functions.call_function(
         "graft_dot", col("__ha"), col("__hb")) + col("__hta") * col("__htb")
       val survivors = a.join(b, Seq("cell", "__sub"))
         .filter(col("ia") < col("ib"))
-        .filter(bound * 1000 >= tauPermille)
+        .filter((bound + lit(1e-6d)) * 1000 >= tauPermille)
         .select(col("ia"), col("ib"))
       // only survivors (few, by construction) fetch their full vectors
       // back for the exact check — two joins over a tiny frame

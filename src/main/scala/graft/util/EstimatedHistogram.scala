@@ -89,8 +89,9 @@ final class EstimatedHistogram {
     val out = new Array[Long](buckets.length())
     var i = 0
     while (i < out.length) {
-      out(i) = buckets.get(i)
-      if (reset) buckets.set(i, 0L)
+      // getAndSet drains atomically per bucket — a concurrent add lands
+      // either in this snapshot or in the next one, never in neither
+      out(i) = if (reset) buckets.getAndSet(i, 0L) else buckets.get(i)
       i += 1
     }
     out

@@ -195,9 +195,21 @@ class PipelineSpec extends SparkSpec {
     // exact dups score identically; tokens all counted
     assert(out(0L) == out(3L))
     assert(out(0L)._2 == 14L)
-    // the learned signal is real, not a constant: a clearly-kept long doc
-    // scores strictly above a clearly-dropped short one per token
-    assert(out.values.map(_._1).toSet.size > 1)
+    // the weak-supervision signal must actually SEPARATE: on a corpus
+    // whose kept and dropped docs use disjoint vocabularies, every kept
+    // doc's per-token mean score exceeds every dropped doc's (a
+    // sign-flip or junk-weights regression fails this, not just
+    // constancy)
+    val keepText = "quality content flows with proper sentences and many letters here"
+    val dropText = "0 1 2 3 44 55"
+    val sep = (
+      (0L until 4L).map(i => (i, s"$keepText v$i")) ++
+      (10L until 14L).map(i => (i, s"$dropText $i"))).toDF("doc_id", "text")
+    val sepScores = TextAnalysis.classifierScore(sep, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1).toDouble / r.getLong(2))).toMap
+    val keptMin = (0L until 4L).map(sepScores).min
+    val dropMax = (10L until 14L).map(sepScores).max
+    assert(keptMin > dropMax, s"kept min $keptMin vs dropped max $dropMax")
   }
 
   test("semantic dedup: planted twin collapses within its IVF cell, rest survive") {
