@@ -1281,6 +1281,26 @@ object SparkEntry {
         .select(col("rank").cast("long").as("rank"), col("id"), col("rank_sum"))
     }),
 
+    // Perceptual image hashing (dHash): REAL imageio decode of synthetic
+    // gray PNGs (p12's fixture formula), nearest-neighbor 9x8 grid,
+    // horizontal-neighbor comparison bits. The oracle recomputes the
+    // pixel formula + sampling + packing in SQL, so the 64-bit hash is
+    // gated bit-exactly (sign bit special-cased: DuckDB 1<<63 overflows).
+    "p56_image_dhash" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      import s.implicits._
+      val media = table(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (8 + id % 9).toInt
+          val h = (8 + id % 7).toInt
+          graft.pipeline.Multimodal.MediaItem(id, "png",
+            graft.pipeline.Multimodal.encodeGrayPng(w, h,
+              (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt))
+        }
+      graft.pipeline.Multimodal.dHashes(media)
+        .select(col("id").as("doc_id"), col("dhash"))
+    }),
+
     // Streaming bigram-LM scoring: docs stream through the stateless
     // stream-static model join (p52's batch model trained up front);
     // per-transition scores roll up batch-side after collection. The
@@ -2360,6 +2380,20 @@ object SparkEntry {
         |r AS (SELECT id, rank_sum, row_number() OVER (ORDER BY rank_sum, id) AS rank FROM f)
         |SELECT CAST(rank AS BIGINT) AS rank, id, CAST(rank_sum AS BIGINT) AS rank_sum
         |FROM r WHERE rank <= 10""".stripMargin,
+
+    "p56_image_dhash" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(generate_series(0, 7)) AS x FROM d),
+        |px AS (SELECT doc_id, w, h, x, unnest(generate_series(0, 7)) AS y FROM xs),
+        |b AS (SELECT doc_id, x, y,
+        |        (doc_id * 31 + (((x + 1) * w) // 9) * 7 + ((y * h) // 8) * 13) % 256 AS gr,
+        |        (doc_id * 31 + ((x * w) // 9) * 7 + ((y * h) // 8) * 13) % 256 AS gl
+        |      FROM px)
+        |SELECT doc_id, CAST(sum(CASE WHEN gr > gl THEN
+        |         CASE WHEN y * 8 + x = 63 THEN -9223372036854775807 - 1
+        |              ELSE 1::BIGINT << CAST(y * 8 + x AS INT) END
+        |       ELSE 0 END) AS BIGINT) AS dhash
+        |FROM b GROUP BY 1""".stripMargin,
 
     // p55 streams the SAME computation p52 runs in batch (stateless
     // stream-static model join; arrival-order-insensitive), so both gate

@@ -562,15 +562,25 @@ object Dedup {
     * candidate), then keep pairs within `maxHamming` (bit_count of xor).
     */
   def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int, tokenHash: Column => Column = xxhash64(_)): DataFrame = {
-    val sh = simhash(df, idCol, textCol, tokenHash)
-    val banded = sh.select(col("id"), col("simhash"),
+      maxHamming: Int, tokenHash: Column => Column = xxhash64(_)): DataFrame =
+    hammingPairs(simhash(df, idCol, textCol, tokenHash), "id", "simhash", maxHamming)
+
+  /** Banded hamming-distance pairs over ANY 64-bit sketch column (text
+    * SimHash, image dHash, …): 16-bit bands recall (maxHamming ≤ 3 is
+    * certain by pigeonhole — 4 bands, ≤3 flipped bits leave one band
+    * intact; beyond 3 recall is the banding heuristic), exact bit_count
+    * verification of candidates only. Never all-pairs.
+    */
+  def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int): DataFrame = {
+    val sh = hashes.select(col(idCol).as("id"), col(hashCol).cast("long").as("h"))
+    val banded = sh.select(col("id"), col("h"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
-          col("simhash").cast("long").bitwiseAND(lit(0xFFFFL << (16 * b))).as("bh"))): _*)).as("bd"))
-      .select(col("id"), col("simhash"), col("bd.band").as("band"), col("bd.bh").as("bh"))
-    banded.select(col("id").as("ia"), col("simhash").as("sa"), col("band"), col("bh"))
-      .join(banded.select(col("id").as("ib"), col("simhash").as("sb"), col("band"), col("bh")),
+          col("h").bitwiseAND(lit(0xFFFFL << (16 * b))).as("bh"))): _*)).as("bd"))
+      .select(col("id"), col("h"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+    banded.select(col("id").as("ia"), col("h").as("sa"), col("band"), col("bh"))
+      .join(banded.select(col("id").as("ib"), col("h").as("sb"), col("band"), col("bh")),
         Seq("band", "bh"))
       .filter(col("ia") < col("ib"))
       .select(col("ia"), col("ib"),

@@ -102,6 +102,56 @@ object Multimodal {
     }
   }
 
+  /** Perceptual difference hash (dHash) of one image — the near-dup
+    * IMAGE dedup primitive (robust to re-encoding, scaling, mild noise;
+    * classic 64-bit form): gray decode, nearest-neighbor sample onto a
+    * (hashW+1)×hashH grid using the SAME `(x·W) div (hashW+1)` rule as
+    * [[resizeImage]], one bit per horizontal neighbor comparison
+    * `g(x+1,y) > g(x,y)`, packed at bit index `y·hashW + x`. None when
+    * no reader can decode the blob (callers route those to the stub
+    * path like [[decodeImage]] does).
+    */
+  def dHashImage(item: MediaItem, hashW: Int = 8, hashH: Int = 8): Option[Long] = {
+    val img = readImage(item.media)
+    if (img == null) None
+    else {
+      val (iw, ih) = (img.getWidth, img.getHeight)
+      def g(x: Int, y: Int): Int =
+        graySample(img, x * iw / (hashW + 1), y * ih / hashH)
+      var hash = 0L
+      var y = 0
+      while (y < hashH) {
+        var x = 0
+        while (x < hashW) {
+          if (g(x + 1, y) > g(x, y)) hash |= 1L << (y * hashW + x)
+          x += 1
+        }
+        y += 1
+      }
+      Some(hash)
+    }
+  }
+
+  /** Batched [[dHashImage]] over a media frame → (id, dhash) rows;
+    * undecodable blobs are dropped (they have no perceptual content to
+    * compare — route them through [[decodeStub]]'s exact-hash dedup
+    * instead).
+    */
+  def dHashes(ds: Dataset[MediaItem], hashW: Int = 8, hashH: Int = 8): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap(i => dHashImage(i, hashW, hashH).map(h => (i.id, h)))
+    }.toDF("id", "dhash")
+  }
+
+  /** Near-duplicate IMAGES: dHash + banded hamming pairs (the SimHash
+    * pair machinery — 16-bit bands recall, exact bit_count verify).
+    * Scale shape is the text SimHash one: never all-pairs.
+    */
+  def imageNearDuplicates(ds: Dataset[MediaItem], maxHamming: Int): DataFrame =
+    graft.pipeline.Dedup.hammingPairs(dHashes(ds), "id", "dhash", maxHamming)
+
   /** [[featurize]]'s real-decode twin over (id, kind, media) frames. */
   def decodeFrame(df: DataFrame): DataFrame = {
     import df.sparkSession.implicits._

@@ -935,6 +935,49 @@ class PipelineSpec extends SparkSpec {
         "notanimage".getBytes("UTF-8"))).content_hash)
   }
 
+  test("image dHash: hand-computed bits, scale/noise robustness, banded pairs") {
+    import spark.implicits._
+    // identity grid: a 9x8 image samples onto itself, so every bit is a
+    // direct neighbor comparison. Row y: pixels x alternate high/low for
+    // even y (bits 10101010 -> set where g(x+1)>g(x): x odd -> 0xAA per
+    // row? compute: g = (x%2)*200 -> g(1)>g(0) TRUE at even x), so bits
+    // at even x = 0b01010101 = 0x55 per row; odd rows flat -> 0x00
+    val alt = Multimodal.MediaItem(1L, "png",
+      Multimodal.encodeGrayPng(9, 8, (x, y) => if (y % 2 == 0) (x % 2) * 200 else 7))
+    val h1 = Multimodal.dHashImage(alt).get
+    val expected = (0 until 8).filter(_ % 2 == 0)
+      .map(y => 0x55L << (y * 8)).reduce(_ | _)
+    assert(h1 == expected, s"got ${h1.toHexString}, want ${expected.toHexString}")
+    // scale invariance: the same pattern at 2x size hashes identically
+    // (nearest-neighbor sampling lands on the same logical pixels)
+    val big = Multimodal.MediaItem(2L, "png",
+      Multimodal.encodeGrayPng(18, 16, (x, y) => if ((y / 2) % 2 == 0) ((x / 2) % 2) * 200 else 7))
+    assert(Multimodal.dHashImage(big).get == h1)
+    // corrupt blob: no hash, not a crash
+    assert(Multimodal.dHashImage(Multimodal.MediaItem(3L, "png",
+      Array[Byte](1, 2, 3))).isEmpty)
+    // near-dup mining: a mild-noise copy stays within small hamming of
+    // its source; an unrelated gradient is far
+    val rnd = new scala.util.Random(5)
+    val base = (x: Int, y: Int) => ((x * 29 + y * 53) % 256)
+    val noisy = (x: Int, y: Int) => math.min(255, math.max(0,
+      base(x, y) + (if (rnd.nextInt(20) == 0) 3 else 0)))
+    val items = Seq(
+      Multimodal.MediaItem(10L, "png", Multimodal.encodeGrayPng(36, 32, base)),
+      Multimodal.MediaItem(11L, "png", Multimodal.encodeGrayPng(36, 32, noisy)),
+      Multimodal.MediaItem(12L, "png", Multimodal.encodeGrayPng(36, 32, (x, y) => 255 - base(x, y))))
+    val pairs = Multimodal.imageNearDuplicates(items.toDS(), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 11L)), s"got $pairs")
+    // the factored hammingPairs equals the original simhash pair path
+    val docsHash = Dedup.simhash(docs, "doc_id", "text")
+    val viaShared = Dedup.hammingPairs(docsHash, "id", "simhash", 8)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaText = Dedup.simhashNearDuplicates(docs, "doc_id", "text", 8)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaShared == viaText)
+  }
+
   test("gray+alpha PNG decode excludes the alpha band from the gray value") {
     // PNG color type 4 → 2-band raster (gray, alpha). Averaging both
     // bands would report (0+255)/2 = 127 per pixel on opaque black.
