@@ -1281,6 +1281,24 @@ object SparkEntry {
         .select(col("rank").cast("long").as("rank"), col("id"), col("rank_sum"))
     }),
 
+    // Perceptual AUDIO hashing: L1-energy-envelope dHash over real
+    // PCM-WAV decode of the p42 fixture clips (window 16, hop 8 — ~19
+    // windows per clip); the oracle recomputes the sample formula,
+    // window L1 sums, comparisons and packing in SQL. Bit-exact gate.
+    "p57_audio_dhash" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      import s.implicits._
+      val media = table(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = (160 + id % 41).toInt
+          graft.pipeline.Multimodal.MediaItem(id, "wav",
+            graft.pipeline.Multimodal.encodePcmWav(8000,
+              Array.tabulate(n)(i => (((id * 131 + i * 17) % 4001) - 2000).toShort)))
+        }
+      graft.pipeline.Multimodal.audioDHashes(media, window = 16, hop = 8)
+        .select(col("id").as("doc_id"), col("ahash"))
+    }),
+
     // Perceptual image hashing (dHash): REAL imageio decode of synthetic
     // gray PNGs (p12's fixture formula), nearest-neighbor 9x8 grid,
     // horizontal-neighbor comparison bits. The oracle recomputes the
@@ -2380,6 +2398,19 @@ object SparkEntry {
         |r AS (SELECT id, rank_sum, row_number() OVER (ORDER BY rank_sum, id) AS rank FROM f)
         |SELECT CAST(rank AS BIGINT) AS rank, id, CAST(rank_sum AS BIGINT) AS rank_sum
         |FROM r WHERE rank <= 10""".stripMargin,
+
+    "p57_audio_dhash" ->
+      """WITH d AS (SELECT doc_id, 160 + doc_id % 41 AS n FROM documents),
+        |wn AS (SELECT doc_id, n, unnest(generate_series(0, (n - 16) // 8)) AS w FROM d),
+        |wi AS (SELECT doc_id, n, w, unnest(generate_series(0, 15)) AS j FROM wn),
+        |e AS (SELECT doc_id, w,
+        |        sum(abs(((doc_id * 131 + (w * 8 + j) * 17) % 4001) - 2000)) AS l1
+        |      FROM wi GROUP BY 1, 2),
+        |b AS (SELECT a.doc_id,
+        |        CASE WHEN nx.l1 > a.l1 AND a.w < 64 THEN 1::BIGINT << CAST(a.w AS INT)
+        |             ELSE 0 END AS bit
+        |      FROM e a JOIN e nx ON a.doc_id = nx.doc_id AND nx.w = a.w + 1)
+        |SELECT doc_id, CAST(sum(bit) AS BIGINT) AS ahash FROM b GROUP BY 1""".stripMargin,
 
     "p56_image_dhash" ->
       """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),

@@ -370,6 +370,46 @@ object Multimodal {
     }.toDF("id", "win", "start_sample", "sample_sum", "abs_max")
   }
 
+  /** Perceptual AUDIO hash — the dHash idea on the L1-energy envelope:
+    * per-window abs-sample sums over the [[audioWindows]] framing
+    * (window/hop), bit w = 1 iff L1(w+1) > L1(w), packed LSB-first.
+    * ≤64 comparisons used; clips with fewer windows simply set fewer
+    * bits (≥2 windows → a defined hash; a loudness-envelope shape
+    * survives re-encoding and level-preserving edits, which is what
+    * makes it the near-dup mining key — pair via
+    * [[graft.pipeline.Dedup.hammingPairs]]). None when the blob has no
+    * decodable mono PCM.
+    */
+  def audioDHash(item: MediaItem, window: Int, hop: Int): Option[Long] = {
+    require(window > 0 && hop > 0, "window and hop must be positive")
+    pcmSamples(item.media) match {
+      case Some((_, 1, samples)) =>
+        val l1 = Iterator.range(0, samples.length - window + 1, hop).map { start =>
+          var s = 0L
+          var i = start
+          while (i < start + window) { s += math.abs(samples(i).toLong); i += 1 }
+          s
+        }.toArray
+        var hash = 0L
+        var w = 0
+        while (w < l1.length - 1 && w < 64) {
+          if (l1(w + 1) > l1(w)) hash |= 1L << w
+          w += 1
+        }
+        Some(hash)
+      case _ => None
+    }
+  }
+
+  /** Batched [[audioDHash]] → (id, ahash) rows; undecodable audio drops
+    * to the exact-hash stub path, like [[dHashes]] for images.
+    */
+  def audioDHashes(ds: Dataset[MediaItem], window: Int, hop: Int): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.flatMap(i => audioDHash(i, window, hop).map(h => (i.id, h)))
+      .toDF("id", "ahash")
+  }
+
   /** Batched feature extraction: one decoder instance per partition (the
     * shape a real codec needs), rows streamed — no per-row setup cost.
     */

@@ -978,6 +978,32 @@ class PipelineSpec extends SparkSpec {
     assert(viaShared == viaText)
   }
 
+  test("audio dHash: hand-computed envelope bits; noise-robust pairing") {
+    import spark.implicits._
+    // 4 non-overlapping windows of 4, L1 envelope [8, 100, 12, 120]:
+    // bits = [1 (100>8), 0 (12<100), 1 (120>12)] -> 0b101 = 5
+    val env = Array(2, 25, 3, 30).flatMap(v => Array.fill(4)(v.toShort))
+    val clip = Multimodal.MediaItem(1L, "wav", Multimodal.encodePcmWav(8000, env))
+    assert(Multimodal.audioDHash(clip, window = 4, hop = 4).contains(5L))
+    // corrupt blob: no hash
+    assert(Multimodal.audioDHash(
+      Multimodal.MediaItem(2L, "wav", Array[Byte](9, 9)), 4, 4).isEmpty)
+    // near-dup mining: same loudness envelope with small sample noise
+    // hashes identically; an inverted envelope is far
+    val rnd = new scala.util.Random(3)
+    val base = Array.tabulate(256)(i => (math.sin(i / 8.0) * 1000).toInt)
+    def wav(f: Int => Int): Array[Byte] =
+      Multimodal.encodePcmWav(8000, Array.tabulate(256)(i => f(i).toShort))
+    val items = Seq(
+      Multimodal.MediaItem(10L, "wav", wav(i => base(i))),
+      Multimodal.MediaItem(11L, "wav", wav(i => base(i) + rnd.nextInt(7) - 3)),
+      Multimodal.MediaItem(12L, "wav", wav(i => 1500 - math.abs(base(i)))))
+    val hashes = Multimodal.audioDHashes(items.toDS(), window = 16, hop = 8)
+    val pairs = Dedup.hammingPairs(hashes, "id", "ahash", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 11L)) && !pairs.contains((10L, 12L)), s"got $pairs")
+  }
+
   test("gray+alpha PNG decode excludes the alpha band from the gray value") {
     // PNG color type 4 → 2-band raster (gray, alpha). Averaging both
     // bands would report (0+255)/2 = 127 per pixel on opaque black.
