@@ -1287,15 +1287,7 @@ object SparkEntry {
     // window L1 sums, comparisons and packing in SQL. Bit-exact gate.
     "p57_audio_dhash" -> ((s, dir) => {
       GraftFunctions.register(s)
-      import s.implicits._
-      val media = table(s, dir, "documents").select(col("doc_id")).as[Long]
-        .map { id =>
-          val n = (160 + id % 41).toInt
-          graft.pipeline.Multimodal.MediaItem(id, "wav",
-            graft.pipeline.Multimodal.encodePcmWav(8000,
-              Array.tabulate(n)(i => (((id * 131 + i * 17) % 4001) - 2000).toShort)))
-        }
-      graft.pipeline.Multimodal.audioDHashes(media, window = 16, hop = 8)
+      graft.pipeline.Multimodal.audioDHashes(pcmWavFixture(s, dir), window = 16, hop = 8)
         .select(col("id").as("doc_id"), col("ahash"))
     }),
 
@@ -1306,16 +1298,7 @@ object SparkEntry {
     // gated bit-exactly (sign bit special-cased: DuckDB 1<<63 overflows).
     "p56_image_dhash" -> ((s, dir) => {
       GraftFunctions.register(s)
-      import s.implicits._
-      val media = table(s, dir, "documents").select(col("doc_id")).as[Long]
-        .map { id =>
-          val w = (8 + id % 9).toInt
-          val h = (8 + id % 7).toInt
-          graft.pipeline.Multimodal.MediaItem(id, "png",
-            graft.pipeline.Multimodal.encodeGrayPng(w, h,
-              (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt))
-        }
-      graft.pipeline.Multimodal.dHashes(media)
+      graft.pipeline.Multimodal.dHashes(grayPngFixture(s, dir))
         .select(col("id").as("doc_id"), col("dhash"))
     }),
 
@@ -1409,16 +1392,7 @@ object SparkEntry {
     // formula alone — a decoder misreading any pixel fails the hash.
     "p12_multimodal" -> ((s, dir) => {
       GraftFunctions.register(s)
-      import s.implicits._
-      val media = table(s, dir, "documents").select(col("doc_id")).as[Long]
-        .map { id =>
-          val w = (8 + id % 9).toInt
-          val h = (8 + id % 7).toInt
-          graft.pipeline.Multimodal.MediaItem(id, "png",
-            graft.pipeline.Multimodal.encodeGrayPng(w, h,
-              (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt))
-        }
-      graft.pipeline.Multimodal.extractDecoded(media).toDF()
+      graft.pipeline.Multimodal.extractDecoded(grayPngFixture(s, dir)).toDF()
         .select(col("id").as("doc_id"), col("decoder"), col("width"),
           col("height"), col("gray_sum"))
     }),
@@ -1428,16 +1402,7 @@ object SparkEntry {
     // again for the stats. The oracle replays the same integer resample.
     "p37_image_resize" -> ((s, dir) => {
       GraftFunctions.register(s)
-      import s.implicits._
-      val media = table(s, dir, "documents").select(col("doc_id")).as[Long]
-        .map { id =>
-          val w = (8 + id % 9).toInt
-          val h = (8 + id % 7).toInt
-          graft.pipeline.Multimodal.MediaItem(id, "png",
-            graft.pipeline.Multimodal.encodeGrayPng(w, h,
-              (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt))
-        }
-      val resized = graft.pipeline.Multimodal.resizeImage(media, 6, 5)
+      val resized = graft.pipeline.Multimodal.resizeImage(grayPngFixture(s, dir), 6, 5)
       graft.pipeline.Multimodal.extractDecoded(resized).toDF()
         .select(col("id").as("doc_id"), col("width"), col("height"),
           col("gray_sum"))
@@ -1451,15 +1416,7 @@ object SparkEntry {
     // a decoder misreading any sample or header field fails the gate.
     "p41_audio_decode" -> ((s, dir) => {
       GraftFunctions.register(s)
-      import s.implicits._
-      val media = table(s, dir, "documents").select(col("doc_id")).as[Long]
-        .map { id =>
-          val n = (160 + id % 41).toInt
-          graft.pipeline.Multimodal.MediaItem(id, "wav",
-            graft.pipeline.Multimodal.encodePcmWav(8000,
-              Array.tabulate(n)(i => (((id * 131 + i * 17) % 4001) - 2000).toShort)))
-        }
-      graft.pipeline.Multimodal.extractAudio(media).toDF()
+      graft.pipeline.Multimodal.extractAudio(pcmWavFixture(s, dir)).toDF()
         .select(col("id").as("doc_id"), col("decoder"), col("sample_rate"),
           col("n_channels"), col("n_samples"), col("sample_sum"), col("abs_max"))
     }),
@@ -1470,18 +1427,43 @@ object SparkEntry {
     // rebuilds every (window, sample) pair from the formula.
     "p42_audio_windows" -> ((s, dir) => {
       GraftFunctions.register(s)
-      import s.implicits._
-      val media = table(s, dir, "documents").select(col("doc_id")).as[Long]
-        .map { id =>
-          val n = (160 + id % 41).toInt
-          graft.pipeline.Multimodal.MediaItem(id, "wav",
-            graft.pipeline.Multimodal.encodePcmWav(8000,
-              Array.tabulate(n)(i => (((id * 131 + i * 17) % 4001) - 2000).toShort)))
-        }
-      graft.pipeline.Multimodal.audioWindows(media, window = 32, hop = 16)
+      graft.pipeline.Multimodal.audioWindows(pcmWavFixture(s, dir), window = 32, hop = 16)
         .select(col("id").as("doc_id"), col("win"), col("start_sample"),
           col("sample_sum"), col("abs_max"))
     }))
+
+  /** ONE definition of the synthetic gray-PNG fixture shared by
+    * p12/p37/p56: w = 8+id%9, h = 8+id%7, pixel = (id·31+x·7+y·13)%256.
+    * The matching oracle SQL inlines the SAME constants — an edit here
+    * must edit all three oracles (grep `doc_id * 31`), which is exactly
+    * why there is one builder instead of three.
+    */
+  private def grayPngFixture(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[graft.pipeline.Multimodal.MediaItem] = {
+    import s.implicits._
+    table(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val w = (8 + id % 9).toInt
+      val h = (8 + id % 7).toInt
+      graft.pipeline.Multimodal.MediaItem(id, "png",
+        graft.pipeline.Multimodal.encodeGrayPng(w, h,
+          (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt))
+    }
+  }
+
+  /** ONE definition of the synthetic PCM-WAV fixture shared by
+    * p41/p42/p57: n = 160+id%41 samples of (id·131+i·17)%4001 − 2000 at
+    * 8 kHz. Same single-builder contract as [[grayPngFixture]].
+    */
+  private def pcmWavFixture(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[graft.pipeline.Multimodal.MediaItem] = {
+    import s.implicits._
+    table(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val n = (160 + id % 41).toInt
+      graft.pipeline.Multimodal.MediaItem(id, "wav",
+        graft.pipeline.Multimodal.encodePcmWav(8000,
+          Array.tabulate(n)(i => (((id * 131 + i * 17) % 4001) - 2000).toShort)))
+    }
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

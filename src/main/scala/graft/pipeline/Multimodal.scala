@@ -390,13 +390,20 @@ object Multimodal {
           while (i < start + window) { s += math.abs(samples(i).toLong); i += 1 }
           s
         }.toArray
-        var hash = 0L
-        var w = 0
-        while (w < l1.length - 1 && w < 64) {
-          if (l1(w + 1) > l1(w)) hash |= 1L << w
-          w += 1
+        // fewer than 2 windows = no envelope to compare: a defined-but-
+        // constant hash would pair every short clip with every other at
+        // hamming 0 (and pile them into one band bucket) — exclude them
+        // like undecodable blobs instead
+        if (l1.length < 2) None
+        else {
+          var hash = 0L
+          var w = 0
+          while (w < l1.length - 1 && w < 64) {
+            if (l1(w + 1) > l1(w)) hash |= 1L << w
+            w += 1
+          }
+          Some(hash)
         }
-        Some(hash)
       case _ => None
     }
   }

@@ -938,10 +938,9 @@ class PipelineSpec extends SparkSpec {
   test("image dHash: hand-computed bits, scale/noise robustness, banded pairs") {
     import spark.implicits._
     // identity grid: a 9x8 image samples onto itself, so every bit is a
-    // direct neighbor comparison. Row y: pixels x alternate high/low for
-    // even y (bits 10101010 -> set where g(x+1)>g(x): x odd -> 0xAA per
-    // row? compute: g = (x%2)*200 -> g(1)>g(0) TRUE at even x), so bits
-    // at even x = 0b01010101 = 0x55 per row; odd rows flat -> 0x00
+    // direct neighbor comparison. Even rows alternate 0,200,0,200,…:
+    // g(x+1) > g(x) exactly at even x, so bits {0,2,4,6} set = 0x55 per
+    // even row; odd rows are flat (7) -> 0x00
     val alt = Multimodal.MediaItem(1L, "png",
       Multimodal.encodeGrayPng(9, 8, (x, y) => if (y % 2 == 0) (x % 2) * 200 else 7))
     val h1 = Multimodal.dHashImage(alt).get
@@ -969,13 +968,22 @@ class PipelineSpec extends SparkSpec {
     val pairs = Multimodal.imageNearDuplicates(items.toDS(), maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((10L, 11L)), s"got $pairs")
-    // the factored hammingPairs equals the original simhash pair path
+    // hammingPairs vs a driver-side brute-force reference: candidates
+    // must share a 16-bit band (banding recall), survivors are exactly
+    // the <= maxHamming pairs among those (exact verify + distinct)
     val docsHash = Dedup.simhash(docs, "doc_id", "text")
-    val viaShared = Dedup.hammingPairs(docsHash, "id", "simhash", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    def bands(h: Long): Set[(Int, Long)] =
+      (0 until 4).map(b => b -> (h & (0xFFFFL << (16 * b)))).toSet
+    val brute = (for {
+      (ia, ha) <- docsHash; (ib, hb) <- docsHash
+      if ia < ib && bands(ha).intersect(bands(hb)).nonEmpty &&
+        java.lang.Long.bitCount(ha ^ hb) <= 8
+    } yield (ia, ib)).toSet
+    val viaShared = Dedup.hammingPairs(
+      Dedup.simhash(docs, "doc_id", "text"), "id", "simhash", 8)
       .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val viaText = Dedup.simhashNearDuplicates(docs, "doc_id", "text", 8)
-      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(viaShared == viaText)
+    assert(viaShared == brute, s"got $viaShared want $brute")
   }
 
   test("audio dHash: hand-computed envelope bits; noise-robust pairing") {
