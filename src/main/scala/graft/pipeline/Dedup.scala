@@ -565,6 +565,32 @@ object Dedup {
       maxHamming: Int, tokenHash: Column => Column = xxhash64(_)): DataFrame =
     hammingPairs(simhash(df, idCol, textCol, tokenHash), "id", "simhash", maxHamming)
 
+  /** Perceptual-hash CLUSTERS with the identical-hash masses collapsed
+    * FIRST — the scale fix [[hammingPairs]] alone does not have: a
+    * corpus full of blank pages / black frames produces thousands of
+    * ids with the SAME sketch, and pairing them directly is C(N,2)
+    * rows in one band bucket. Here each distinct hash elects its min-id
+    * representative, ONLY representatives pair (candidate count bounded
+    * by DISTINCT hashes, not ids), rep pairs chain through
+    * [[connectedComponents]], and every id inherits its hash's rep
+    * cluster. With `maxHamming` ≤ 3 recall is certain (pigeonhole on
+    * the 4 bands), so the output is exactly "ids whose sketches chain
+    * within maxHamming" — SQL-expressible and oracle-gated (p58).
+    */
+  def hammingClusters(hashes: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int): DataFrame = {
+    val h = hashes.select(col(idCol).as("id"), col(hashCol).cast("long").as("h"))
+      .localCheckpoint(eager = false) // shared by reps + final label join
+    val reps = h.groupBy(col("h")).agg(min(col("id")).as("rep"))
+      .localCheckpoint(eager = false)
+    val pairs = hammingPairs(reps.select(col("rep").as("id"), col("h")),
+      "id", "h", maxHamming).select(col("ia"), col("ib"))
+    val cc = connectedComponents(pairs)
+    h.join(reps, Seq("h"))
+      .join(cc.withColumnRenamed("id", "rep"), Seq("rep"), "left")
+      .select(col("id"), coalesce(col("comp"), col("rep")).as("cluster"))
+  }
+
   /** Banded hamming-distance pairs over ANY 64-bit sketch column (text
     * SimHash, image dHash, …): 16-bit bands recall (maxHamming ≤ 3 is
     * certain by pigeonhole — 4 bands, ≤3 flipped bits leave one band

@@ -152,6 +152,15 @@ object Multimodal {
   def imageNearDuplicates(ds: Dataset[MediaItem], maxHamming: Int): DataFrame =
     graft.pipeline.Dedup.hammingPairs(dHashes(ds), "id", "dhash", maxHamming)
 
+  /** Near-duplicate image CLUSTERS — [[imageNearDuplicates]] taken to
+    * its scale-safe conclusion: identical sketches (blank pages, black
+    * frames — the real-corpus mass case) collapse to one representative
+    * BEFORE any pairing, so candidate count is bounded by distinct
+    * hashes; see [[graft.pipeline.Dedup.hammingClusters]].
+    */
+  def imageDupClusters(ds: Dataset[MediaItem], maxHamming: Int = 3): DataFrame =
+    graft.pipeline.Dedup.hammingClusters(dHashes(ds), "id", "dhash", maxHamming)
+
   /** [[featurize]]'s real-decode twin over (id, kind, media) frames. */
   def decodeFrame(df: DataFrame): DataFrame = {
     import df.sparkSession.implicits._

@@ -986,6 +986,31 @@ class PipelineSpec extends SparkSpec {
     assert(viaShared == brute, s"got $viaShared want $brute")
   }
 
+  test("hamming clusters: identical-hash mass collapses to reps; chains transitive") {
+    import spark.implicits._
+    // 100 ids share hash A (the blank-page mass), B is 2 bits from A,
+    // C is 2 bits from B but 4 from A (chain: A-B-C connects only
+    // transitively), D is far from everything
+    val A = 0x0F0F0F0FL
+    val B = A ^ 0x3L          // hamming(A,B) = 2
+    val C = B ^ 0x30L         // hamming(B,C) = 2, hamming(A,C) = 4
+    val D = 0x7FFFFFFFFFL
+    val hashes = ((0L until 100L).map(i => (i, A)) ++
+      Seq((200L, B), (201L, C), (300L, D))).toDF("id", "hash")
+    val clusters = Dedup.hammingClusters(hashes, "id", "hash", maxHamming = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the whole A-mass + B + C chain labels with the global min id 0
+    (0L until 100L).foreach(i => assert(clusters(i) == 0L, s"id $i"))
+    assert(clusters(200L) == 0L && clusters(201L) == 0L)
+    assert(clusters(300L) == 300L) // far hash stays its own singleton
+    // pairing happened over DISTINCT hashes only: 4 reps -> at most
+    // C(4,2)=6 candidate pairs regardless of the 100-id mass
+    val repPairs = Dedup.hammingPairs(
+      Seq((0L, A), (200L, B), (201L, C), (300L, D)).toDF("id", "hash"),
+      "id", "hash", 3).count()
+    assert(repPairs == 2L) // (A,B) and (B,C) only
+  }
+
   test("audio dHash: hand-computed envelope bits; noise-robust pairing") {
     import spark.implicits._
     // 4 non-overlapping windows of 4, L1 envelope [8, 100, 12, 120]:
