@@ -1304,6 +1304,35 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("cluster"))
     }),
 
+    // STREAMING perceptual dedup clusters over the same planted image
+    // groups, gated under the p58 oracle: images decode and dHash inside
+    // the stream (stateless map), pairs come from the mass-safe
+    // band-bucket state (one entry per DISTINCT sketch — blank-page
+    // floods grow state/emissions linearly, not C(N,2)), and the
+    // arrival-order-dependent pair set closes to the SAME components as
+    // batch hammingClusters (rep links at hamming 0 + pigeonhole band
+    // recall), so clusters are deterministic whatever the batch split.
+    "p59_stream_dhash_clusters" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      import s.implicits._
+      val ids = table(s, dir, "documents").select(col("doc_id"))
+      val pairs = runStream(s, "p59", dir, ids, 3)( st =>
+        graft.streaming.PipelineStream.sketchPairs(
+          graft.pipeline.Multimodal.dHashes(
+            st.select(col("doc_id")).as[Long].map { id =>
+              val gid = id - id % 5
+              val w = (8 + gid % 9).toInt
+              val h = (8 + gid % 7).toInt
+              graft.pipeline.Multimodal.MediaItem(id, "png",
+                graft.pipeline.Multimodal.encodeGrayPng(w, h,
+                  (x, y) => ((gid * 31 + x * 7 + y * 13) % 256).toInt))
+            }), "id", "dhash", maxHamming = 3))
+        .select(col("ia"), col("ib")).distinct()
+      val cc = graft.pipeline.Dedup.connectedComponents(pairs)
+      ids.join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster"))
+    }),
+
     // Perceptual AUDIO hashing: L1-energy-envelope dHash over real
     // PCM-WAV decode of the p42 fixture clips (window 16, hop 8 — ~19
     // windows per clip); the oracle recomputes the sample formula,
@@ -1586,6 +1615,38 @@ object SparkEntry {
       |SELECT g.doc_id AS id, CAST(sum(coalesce(m.w, 0)) AS BIGINT) AS lm_sum,
       |       count(*) AS n_bigrams
       |FROM g LEFT JOIN m USING (gram) GROUP BY g.doc_id""".stripMargin
+
+  /** Shared by p58 (batch) and p59 (streaming): both compute the same
+    * cluster assignment over the same planted image groups — one oracle
+    * definition, no drift (the p52/p55 pattern).
+    */
+  private val dhashClustersOracleSql: String =
+    """WITH RECURSIVE
+      |d AS (SELECT doc_id, doc_id - doc_id % 5 AS gid FROM documents),
+      |dd AS (SELECT doc_id, gid, 8 + gid % 9 AS w, 8 + gid % 7 AS h FROM d),
+      |xs AS (SELECT doc_id, gid, w, h, unnest(generate_series(0, 7)) AS x FROM dd),
+      |px AS (SELECT doc_id, gid, w, h, x, unnest(generate_series(0, 7)) AS y FROM xs),
+      |bt AS (SELECT doc_id, x, y,
+      |        (gid * 31 + (((x + 1) * w) // 9) * 7 + ((y * h) // 8) * 13) % 256 AS gr,
+      |        (gid * 31 + ((x * w) // 9) * 7 + ((y * h) // 8) * 13) % 256 AS gl
+      |      FROM px),
+      |hsh AS (SELECT doc_id, CAST(sum(CASE WHEN gr > gl THEN
+      |          CASE WHEN y * 8 + x = 63 THEN -9223372036854775807 - 1
+      |               ELSE 1::BIGINT << CAST(y * 8 + x AS INT) END
+      |        ELSE 0 END) AS BIGINT) AS dhash
+      |       FROM bt GROUP BY 1),
+      |r AS (SELECT dhash, min(doc_id) AS rep FROM hsh GROUP BY 1),
+      |p AS (SELECT a.rep AS ia, b.rep AS ib FROM r a JOIN r b
+      |      ON a.rep < b.rep AND bit_count(xor(a.dhash, b.dhash)) <= 3),
+      |e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib AS a, ia AS b FROM p),
+      |walk(id, comp) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+      |  UNION
+      |  SELECT e.b, walk.comp FROM walk JOIN e ON e.a = walk.id),
+      |cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
+      |SELECT h.doc_id, coalesce(cc.comp, r.rep) AS cluster
+      |FROM hsh h JOIN r ON h.dhash = r.dhash
+      |LEFT JOIN cc ON cc.id = r.rep""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "p16_rolling_fp" -> rollingFpOracle,
@@ -2404,33 +2465,9 @@ object SparkEntry {
         |SELECT CAST(rank AS BIGINT) AS rank, id, CAST(rank_sum AS BIGINT) AS rank_sum
         |FROM r WHERE rank <= 10""".stripMargin,
 
-    "p58_dhash_clusters" ->
-      """WITH RECURSIVE
-        |d AS (SELECT doc_id, doc_id - doc_id % 5 AS gid FROM documents),
-        |dd AS (SELECT doc_id, gid, 8 + gid % 9 AS w, 8 + gid % 7 AS h FROM d),
-        |xs AS (SELECT doc_id, gid, w, h, unnest(generate_series(0, 7)) AS x FROM dd),
-        |px AS (SELECT doc_id, gid, w, h, x, unnest(generate_series(0, 7)) AS y FROM xs),
-        |bt AS (SELECT doc_id, x, y,
-        |        (gid * 31 + (((x + 1) * w) // 9) * 7 + ((y * h) // 8) * 13) % 256 AS gr,
-        |        (gid * 31 + ((x * w) // 9) * 7 + ((y * h) // 8) * 13) % 256 AS gl
-        |      FROM px),
-        |hsh AS (SELECT doc_id, CAST(sum(CASE WHEN gr > gl THEN
-        |          CASE WHEN y * 8 + x = 63 THEN -9223372036854775807 - 1
-        |               ELSE 1::BIGINT << CAST(y * 8 + x AS INT) END
-        |        ELSE 0 END) AS BIGINT) AS dhash
-        |       FROM bt GROUP BY 1),
-        |r AS (SELECT dhash, min(doc_id) AS rep FROM hsh GROUP BY 1),
-        |p AS (SELECT a.rep AS ia, b.rep AS ib FROM r a JOIN r b
-        |      ON a.rep < b.rep AND bit_count(xor(a.dhash, b.dhash)) <= 3),
-        |e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib AS a, ia AS b FROM p),
-        |walk(id, comp) AS (
-        |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
-        |  UNION
-        |  SELECT e.b, walk.comp FROM walk JOIN e ON e.a = walk.id),
-        |cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
-        |SELECT h.doc_id, coalesce(cc.comp, r.rep) AS cluster
-        |FROM hsh h JOIN r ON h.dhash = r.dhash
-        |LEFT JOIN cc ON cc.id = r.rep""".stripMargin,
+    "p58_dhash_clusters" -> dhashClustersOracleSql,
+
+    "p59_stream_dhash_clusters" -> dhashClustersOracleSql,
 
     "p57_audio_dhash" ->
       """WITH d AS (SELECT doc_id, 160 + doc_id % 41 AS n FROM documents),

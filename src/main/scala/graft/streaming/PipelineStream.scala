@@ -250,6 +250,69 @@ object PipelineStream {
       TextAnalysis.rateFor(TextAnalysis.langId(col(textCol)), ratesPermille,
         defaultPermille))
 
+  case class SketchPair(ia: Long, ib: Long)
+
+  /** Streaming MASS-SAFE perceptual pairing over 64-bit sketches (image
+    * dHash, audio dHash, SimHash) — the streaming face of the batch
+    * [[graft.pipeline.Dedup.hammingClusters]] lineage (p58). Sketches
+    * band into 4×16-bit keys (maxHamming ≤ 3 ⇒ one band survives by
+    * pigeonhole, so recall is certain); per band bucket the state keeps
+    * one entry per DISTINCT sketch — (sketch, representative id) — never
+    * the member list, so a feed of blank pages / black frames grows state
+    * and emissions LINEARLY (one rep-link pair per arrival), not C(N,2):
+    *  - an arrival whose sketch is already in state emits one
+    *    (rep, id) link (hamming 0) and stores nothing;
+    *  - a new sketch compares against the bucket's distinct sketches
+    *    only and emits rep-level pairs within `maxHamming`.
+    * The emitted pair set depends on arrival order (which member becomes
+    * rep), but its transitive closure does not: connected components over
+    * the pairs equal the batch hammingClusters components for any order,
+    * because identical-sketch members chain through their rep and each
+    * nearby sketch pair shares a band where the later arrival always sees
+    * the earlier one. Consumers distinct() the pairs (one emission per
+    * shared band) and run the batch connectedComponents rollup.
+    */
+  def sketchPairs(hashes: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming ($maxHamming) beyond 3 loses the 4-band pigeonhole recall guarantee")
+    val spark = hashes.sparkSession
+    import spark.implicits._
+    val banded = hashes
+      .select(col(idCol).as("id"), col(hashCol).cast("long").as("h"))
+      .select(col("id"), col("h"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            col("h").bitwiseAND(lit(0xFFFFL << (16 * b))).as("bh"))): _*)).as("bd"))
+      .select(col("id"), col("h"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+      .as[(Long, Long, Int, Long)]
+    banded
+      .groupByKey { case (_, _, band, bh) => (band, bh) }
+      .flatMapGroupsWithState[Seq[(Long, Long)], SketchPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          var seen = state.getOption.getOrElse(Seq.empty) // (sketch, rep id)
+          val out = Seq.newBuilder[SketchPair]
+          def ordered(a: Long, b: Long): SketchPair =
+            if (a < b) SketchPair(a, b) else SketchPair(b, a)
+          rows.foreach { case (id, h, _, _) =>
+            seen.find(_._1 == h) match {
+              case Some((_, rep)) =>
+                if (rep != id) out += ordered(rep, id) // redelivery of rep: no-op
+              case None =>
+                seen.foreach { case (oh, orep) =>
+                  if (java.lang.Long.bitCount(h ^ oh) <= maxHamming)
+                    out += ordered(orep, id)
+                }
+                seen = seen :+ ((h, id))
+            }
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+      .toDF()
+  }
+
   /** Streaming bigram-LM transition scoring: each arriving doc's
     * transitions join the STATIC trained model
     * ([[TextAnalysis.trainBigramLm]] artifact — a stream-static left

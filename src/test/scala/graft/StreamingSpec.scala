@@ -417,6 +417,59 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(0L, 1L, 3L, 4L), s"got $ids")
   }
 
+  test("sketchPairs: streaming closure equals batch hammingClusters; identical-sketch flood stays linear") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val A = 0x0123456789abcdefL
+    val B = A ^ (1L << 3) ^ (1L << 40)  // hamming 2 from A (bands 0 and 2)
+    val D = B ^ (1L << 17) ^ (1L << 18) // hamming 2 from B, 4 from A: chains only via B
+    val C = 0x0F0F0F0F0F0F0F0FL        // no band shared with A/B/D
+    val items = Map(1L -> A, 2L -> A, 3L -> A, 4L -> B, 5L -> C, 6L -> D)
+    val mem = MemoryStream[(Long, Long)]
+    val out = graft.streaming.PipelineStream.sketchPairs(
+      mem.toDS().toDF("id", "h"), "id", "h", maxHamming = 3)
+    val q = out.writeStream.format("memory").queryName("sketch_pairs")
+      .outputMode("append").start()
+    try {
+      // adversarial arrival order: the B-bridge first, the A-mass split
+      // across batches, the singleton in the middle
+      mem.addData((4L, B)); q.processAllAvailable()
+      mem.addData((3L, A), (6L, D)); q.processAllAvailable()
+      mem.addData((1L, A), (5L, C), (2L, A)); q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("sketch_pairs").select("ia", "ib").distinct()
+    val cc = graft.pipeline.Dedup.connectedComponents(pairs)
+    val streamed = items.keys.toSeq.toDF("id")
+      .join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("cluster"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = graft.pipeline.Dedup.hammingClusters(
+      items.toSeq.toDF("id", "h"), "id", "h", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(batch == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 6L -> 1L, 5L -> 5L),
+      s"batch fixture drifted: $batch")
+    assert(streamed == batch, s"streamed $streamed vs batch $batch")
+
+    // a flood of identical sketches: state holds one entry, emissions are
+    // rep links — at most 4 (one per band) per arrival, never C(N,2)
+    val mem2 = MemoryStream[(Long, Long)]
+    val out2 = graft.streaming.PipelineStream.sketchPairs(
+      mem2.toDS().toDF("id", "h"), "id", "h", maxHamming = 3)
+    val q2 = out2.writeStream.format("memory").queryName("sketch_flood")
+      .outputMode("append").start()
+    try {
+      (1L to 10L).grouped(3).foreach { g =>
+        mem2.addData(g.map(i => (i, A)): _*); q2.processAllAvailable()
+      }
+    } finally q2.stop()
+    val flood = spark.table("sketch_flood")
+    assert(flood.count() <= 4L * 9L, s"flood emitted ${flood.count()} rows — quadratic?")
+    val oneComp = graft.pipeline.Dedup.connectedComponents(
+      flood.select("ia", "ib").distinct())
+      .agg(countDistinct(col("comp"))).head().getLong(0)
+    assert(oneComp == 1L)
+  }
+
   test("windowed counts with watermark run on a cell stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
