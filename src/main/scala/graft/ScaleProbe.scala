@@ -407,7 +407,7 @@ object ScaleProbe {
     * through the quadratic join.
     */
   def semdedupPrefilterProbe(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(256, 1024, 3072).foreach(semdedupPrefilterProbeAt(spark, _))
+    Seq(256, 1024, 1536, 3072).foreach(semdedupPrefilterProbeAt(spark, _))
 
   def semdedupPrefilterProbeAt(spark: org.apache.spark.sql.SparkSession,
       dim: Int): Unit = {

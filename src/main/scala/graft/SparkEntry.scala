@@ -1304,6 +1304,72 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("cluster"))
     }),
 
+    // HTML -> text extraction over deterministically synthesized pages
+    // (each doc's text wrapped in a page with script/style blocks, nav and
+    // footer boilerplate tags, and encoded entities): script/style contents
+    // dropped, tags stripped to spaces, entities decoded AFTER stripping,
+    // whitespace collapsed. The oracle re-synthesizes the same page and
+    // extracts with the same RE2-compatible regexes.
+    "p60_html_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>doc</title><style>p { color: red; }</style>" +
+          "</head><body><script type=\"text/javascript\">var x = 1 < 2;</script>" +
+          "<nav>Home &gt; Docs</nav><p>"),
+        replace(replace(col("text"),
+          lit(" the "), lit(" &amp;the&#39;s ")),
+          lit(" data "), lit(" <b>data</b>&nbsp;")),
+        lit("</p><footer>&quot;graft&quot; 2026</footer></body></html>"))
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.pipeline.TextAnalysis.extractHtmlText(html).as("extracted"))
+        .withColumn("n_extracted", length(col("extracted")).cast("long"))
+    }),
+
+    // Character-level Shannon entropy per document (gibberish/binary-spill
+    // detector): explode to chars but the (id, char) partial aggregate
+    // combines map-side, so the shuffle carries the distinct-char profile,
+    // not the character stream. Double entropy compares at %.6g — both
+    // engines compute log2(n) - sum(c*log2(c))/n over identical integer
+    // counts; FP summation-order noise sits ~1e-15 relative, far below
+    // the comparator's 6 significant digits.
+    "p61_char_entropy" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.charEntropy(
+        table(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_chars"), col("entropy"))),
+
+    // Per-source quota sampling (domain balancing): keep <= 30 docs per
+    // source, picked by the cross-engine hash60 order so the SAME docs
+    // survive on any engine/partitioning; rank<=k compiles to
+    // WindowGroupLimit (map-side top-k per group before the shuffle).
+    "p62_group_quota" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.groupQuota(
+        table(s, dir, "documents"), "doc_id", "source", k = 30)
+        .select(col("id").as("doc_id"), col("grp").as("source"), col("pick"))),
+
+    // SEMANTIC decontamination: eval set = vec_id % 10 == 0 (benchmark-
+    // sized, broadcasts), train = the rest; flag train vectors with ANY
+    // eval cosine >= 0.400 (margin probe: nearest pair to the threshold
+    // sits 0.10 permille away at every SF — FP-noise-proof). Recall-1 by
+    // construction (brute force against the broadcast eval set).
+    "p63_semantic_decontam" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val emb = table(s, dir, "embeddings")
+      graft.pipeline.Similarity.semanticDecontaminate(
+        emb.filter(col("vec_id") % 10 =!= 0), emb.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", tauPermille = 400)
+        .select(col("id").as("vec_id"), col("n_hits"))
+    }),
+
+    // Tokenizer-vocabulary coverage: vocab = top-100 corpus tokens
+    // (count desc, token asc — deterministic), per-doc OOV rate as exact
+    // integers; one tokenize pass feeds vocab AND coverage (lazy local
+    // checkpoint), vocab broadcasts back.
+    "p64_vocab_coverage" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.vocabCoverage(
+        table(s, dir, "documents"), "doc_id", "text", vocabSize = 100)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_oov"),
+          col("oov_permille"))),
+
     // STREAMING perceptual dedup clusters over the same planted image
     // groups, gated under the p58 oracle: images decode and dHash inside
     // the stream (stateless map), pairs come from the mass-safe
@@ -2468,6 +2534,65 @@ object SparkEntry {
     "p58_dhash_clusters" -> dhashClustersOracleSql,
 
     "p59_stream_dhash_clusters" -> dhashClustersOracleSql,
+
+    "p60_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>doc</title><style>p { color: red; }</style>' ||
+        |  '</head><body><script type="text/javascript">var x = 1 < 2;</script>' ||
+        |  '<nav>Home &gt; Docs</nav><p>' ||
+        |  replace(replace(text, ' the ', ' &amp;the&#39;s '),
+        |          ' data ', ' <b>data</b>&nbsp;') ||
+        |  '</p><footer>&quot;graft&quot; 2026</footer></body></html>' AS page
+        |FROM documents),
+        |x AS (SELECT doc_id, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(page, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |        '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '<[^>]*>', ' ', 'g'),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&nbsp;', ' '), '&amp;', '&'),
+        |  '\s+', ' ', 'g')) AS extracted FROM h)
+        |SELECT doc_id, extracted, CAST(length(extracted) AS BIGINT) AS n_extracted
+        |FROM x""".stripMargin,
+
+    "p61_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, substr(text, i, 1) AS ch
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text))) AS i FROM documents)),
+        |c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+        |       log2(CAST(sum(c) AS DOUBLE))
+        |         - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+        |           / CAST(sum(c) AS DOUBLE) AS entropy
+        |FROM c GROUP BY doc_id""".stripMargin,
+
+    "p62_group_quota" ->
+      s"""WITH h AS (SELECT doc_id, source,
+         |  ${hash60Sql("CAST(doc_id AS VARCHAR)")} AS h FROM documents),
+         |r AS (SELECT doc_id, source,
+         |        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS pick
+         |      FROM h)
+         |SELECT doc_id, source, CAST(pick AS BIGINT) AS pick
+         |FROM r WHERE pick <= 30""".stripMargin,
+
+    "p63_semantic_decontam" ->
+      """WITH e AS (SELECT embedding AS q FROM embeddings WHERE vec_id % 10 = 0),
+        |t AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0)
+        |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM t JOIN e ON list_cosine_similarity(t.embedding, e.q) * 1000 >= 400
+        |GROUP BY vec_id""".stripMargin,
+
+    "p64_vocab_coverage" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),
+        |v AS (SELECT tok FROM t GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 100)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) - count(v.tok) AS BIGINT) AS n_oov,
+        |       CAST((count(*) - count(v.tok)) * 1000 // count(*) AS BIGINT) AS oov_permille
+        |FROM t LEFT JOIN v ON t.tok = v.tok
+        |GROUP BY t.doc_id""".stripMargin,
 
     "p57_audio_dhash" ->
       """WITH d AS (SELECT doc_id, 160 + doc_id % 41 AS n FROM documents),

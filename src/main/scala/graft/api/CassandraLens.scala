@@ -494,6 +494,24 @@ class CassandraLens(
   /** Major compaction (SURVEY §2.7). */
   def compact(gcBeforeSeconds: Int, processors: Seq[Compaction.RowProcessor] = Nil): CassandraLens =
     new CassandraLens(Compaction.compact(cells, gcBeforeSeconds, processors), meta)
+
+  /** Compact AND refresh the row cache in one step (the reference
+    * invalidates and rewarms its row cache as compaction replaces
+    * sstables — db/ColumnFamilyStore.java row-cache invalidation on
+    * sstable replacement): the old cache (if any) is unpersisted, the
+    * compacted lens comes back cache-attached, and when `savedCachePath`
+    * is given the fresh snapshot is re-saved so a reopen preheats from
+    * post-compaction state instead of a stale one (the [[saveRowCache]]
+    * "writers must re-save after compaction" contract, automated).
+    */
+  def compactWithCacheRefresh(gcBeforeSeconds: Int,
+      savedCachePath: Option[String] = None,
+      processors: Seq[Compaction.RowProcessor] = Nil): CassandraLens = {
+    cachedLive.foreach(_.unpersist())
+    val refreshed = compact(gcBeforeSeconds, processors).withRowCache()
+    savedCachePath.foreach(refreshed.saveRowCache)
+    refreshed
+  }
 }
 
 /** Driver-side comparators mirroring the reference byte orders — used for

@@ -903,6 +903,30 @@ object Similarity {
       ivfTopK(emb, vecIdCol, vecCol, cellCol, queryDf, poolK),
       k, poolK)
 
+  /** SEMANTIC decontamination (the embedding twin of the n-gram
+    * [[TextAnalysis.decontaminate]]): flag every train vector whose
+    * cosine against ANY eval vector reaches `tauPermille`/1000 —
+    * paraphrased eval leakage that shares no 8-gram with the benchmark
+    * still lands next to it in embedding space. Recall must be 1 (a
+    * missed contamination poisons the benchmark), so there is no ANN
+    * shortcut here: the eval set is benchmark-sized (thousands, driver-
+    * bounded by contract) and BROADCASTS; the train side stays one
+    * linear pass — broadcast nested-loop join, per-row cosine against
+    * each eval vector, map-side-combined per-id count. No shuffle ever
+    * carries more than one row per CONTAMINATED train id. Returns
+    * (id, n_hits) for contaminated train vectors only, n_hits = how many
+    * eval vectors sit at/above the threshold.
+    */
+  def semanticDecontaminate(train: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String, tauPermille: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    train.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(broadcast(evalSet.select(col(vecCol).as("q"))),
+        cosine("v", "q") * 1000 >= tauPermille)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Rank-sum fusion core shared by the hybrid variants: both pools
     * arrive as (id, rank ≤ poolK); absence from a pool costs poolK+1.
     */

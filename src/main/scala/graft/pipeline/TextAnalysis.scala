@@ -668,4 +668,99 @@ object TextAnalysis {
         org.apache.spark.sql.expressions.Window.orderBy(col("score").desc, col("id"))))
       .select(col("rank"), col("id"), col("score"))
   }
+
+  /** HTML → text extraction (the web-crawl ingest front door; what
+    * trafilatura/jusText do before any quality/dedup stage runs): drop
+    * `<script>`/`<style>` blocks WITH their contents (their text is code,
+    * not prose), strip remaining tags to spaces (a tag boundary separates
+    * words — `</p><p>` must not glue sentences), decode the five XML
+    * entities + `&nbsp;`/`&#39;`, collapse whitespace, trim. Pure
+    * chained regexp_replace/replace — codegen'd, linear per row, and the
+    * regexes (`(?s)`, lazy `.*?`, `[^>]*`) mean the same thing in Java
+    * regex and RE2 so a SQL oracle reproduces the extraction exactly.
+    * Entity decode runs AFTER tag stripping, so `&lt;p&gt;` in the source
+    * text stays literal text (never becomes a strippable tag) — the
+    * order a correct extractor requires.
+    */
+  def extractHtmlText(html: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(html, lit("(?s)<script[^>]*>.*?</script>"), lit(" ")),
+      lit("(?s)<style[^>]*>.*?</style>"), lit(" "))
+    val noTags = regexp_replace(noBlocks, lit("<[^>]*>"), lit(" "))
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&" // ampersand LAST: &amp;lt; → &lt; literal
+    ).foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, lit("\\s+"), lit(" ")))
+  }
+
+  /** Per-document character-level Shannon entropy in bits — the cheap
+    * gibberish/binary-spill detector (natural prose sits ~4 bits/char;
+    * base64 blobs ~6; single-char floods ~0). Computed as
+    * log2(n) − Σ c·log2(c)/n over per-character counts: explode to one
+    * row per character, but the (id, char) partial aggregate combines
+    * map-side, so the shuffle carries ≤ |alphabet| rows per doc per
+    * partition — at 100 TB that is the distinct-char profile, not the
+    * character stream. Returns (id, n_chars, entropy).
+    */
+  def charEntropy(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col(idCol).as("id"), explode(split(col(textCol), "")).as("ch"))
+      .filter(length(col("ch")) === 1) // guard split("")'s empty-string edge
+      .groupBy(col("id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_chars"),
+        (log2(sum(col("c")).cast("double")) -
+          sum(col("c").cast("double") * log2(col("c").cast("double"))) /
+            sum(col("c")).cast("double")).as("entropy"))
+
+  /** Per-group quota sampling (domain/source balancing — cap any one
+    * crawl source's share of the mixture): keep at most `k` docs per
+    * group, chosen by the deterministic cross-engine [[hash60]] order
+    * (id tie-break), so the SAME docs survive on any engine and any
+    * partitioning. The rank-≤-k predicate compiles to WindowGroupLimit:
+    * each map task keeps only its local top-k per group BEFORE the
+    * shuffle, so a 100 TB group costs k rows per upstream partition, not
+    * a full-group sort. Returns (id, group, pick) with pick ∈ [1, k].
+    */
+  def groupQuota(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      groupCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("h"), col("id"))
+    docs
+      .select(col(idCol).as("id"), col(groupCol).as("grp"),
+        hash60(col(idCol)).as("h"))
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= k)
+      .select(col("id"), col("grp"), col("pick").cast("long").as("pick"))
+  }
+
+  /** Per-document coverage of the top-`vocabSize` corpus vocabulary — the
+    * tokenizer-fit check (a slice whose OOV rate spikes is the wrong
+    * corpus for the vocab): vocab = the `vocabSize` most frequent
+    * whitespace tokens (count desc, token asc — deterministic), coverage
+    * = how many of a doc's token OCCURRENCES are in it. The vocab is
+    * driver-small by construction (`vocabSize` rows out of a TakeOrdered
+    * over the token aggregate) and BROADCASTS back; the doc side is one
+    * tokenize + explode with map-side (id, in-vocab) counting. Returns
+    * (id, n_tokens, n_oov, oov_permille) with the rate an exact integer.
+    */
+  def vocabCoverage(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, vocabSize: Int): org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .localCheckpoint(eager = false) // feeds vocab AND coverage: one pass
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"))
+    toks
+      .join(broadcast(vocab.withColumn("inv", lit(1L))), Seq("tok"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (count(lit(1)) - count(col("inv"))).as("n_oov"))
+      .select(col("id"), col("n_tokens"), col("n_oov"),
+        expr("n_oov * 1000 DIV n_tokens").as("oov_permille"))
+  }
 }

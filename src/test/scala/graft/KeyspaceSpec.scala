@@ -273,6 +273,38 @@ class KeyspaceSpec extends SparkSpec {
     reopened.dropRowCache()
   }
 
+  test("compactWithCacheRefresh: cache serves post-compaction state; snapshot re-saved") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compactcache").toString
+    val cells = Seq(
+      ins("k1", "c1", "old", 1), ins("k1", "c1", "new", 5),
+      ins("k2", "c1", "x", 2), del("k2", "c1", 7, ldt = 100),
+      ins("k3", "c1", "alive", 3))
+    val warm = new graft.api.CassandraLens(cellsDf(cells), CfMeta("t")).withRowCache()
+    warm.live.count()
+    warm.saveRowCache(s"$dir/rowcache")
+    // compact with the cache attached: old cache dropped, new one serves
+    // the GC'd view, snapshot re-saved in the same step
+    val compacted = warm.compactWithCacheRefresh(gcBeforeSeconds = 1000,
+      savedCachePath = Some(s"$dir/rowcache"))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(String, String, String)] =
+      df.select(col("key"), decode(col("col_name"), "UTF-8"), decode(col("value"), "UTF-8"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val expect = Set(("k1", "c1", "new"), ("k3", "c1", "alive"))
+    assert(rows(compacted.rangeSliceByKeys(None, None, None,
+      graft.operators.SliceRange(count = 10), Int.MaxValue)) == expect)
+    // a reopen preheating from the re-saved snapshot sees the SAME state
+    // without re-reconciling (stale-snapshot hazard closed)
+    val reopened = new graft.api.CassandraLens(
+      compacted.cells, CfMeta("t")).withRowCacheFrom(s"$dir/rowcache")
+    val q = reopened.rangeSliceByKeys(None, None, None,
+      graft.operators.SliceRange(count = 10), Int.MaxValue)
+    assert(rows(q) == expect)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan") && !plan.contains("graft_reconcile"),
+      plan.take(2000))
+    compacted.dropRowCache(); reopened.dropRowCache()
+  }
+
   test("thriftify: comparator-ordered column arrays per key, reversal at sink") {
     val live = Reconcile.liveView(cellsDf(Seq(
       ins("k1", "b", "2", 1), ins("k1", "a", "1", 1), ins("k1", "c", "3", 1))))

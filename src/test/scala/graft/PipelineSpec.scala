@@ -1431,4 +1431,79 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.audioWindows(
       Seq(Multimodal.MediaItem(6L, "bin", Array[Byte](1, 2))).toDS(), 4, 3).count() == 0L)
   }
+
+  test("extractHtmlText: blocks dropped, tags split words, entities decode after strip") {
+    import spark.implicits._
+    val cases = Seq(
+      // script/style contents vanish INCLUDING embedded '<'; tag boundary
+      // becomes a word boundary; five entities + nbsp/#39 decode
+      (1L, "<p>a</p><p>b</p><script>if (1 < 2) alert('x');</script>" +
+        "<style>p>em { x: y }</style>c &amp; d&nbsp;&#39;e&quot;"),
+      // encoded markup in TEXT stays literal text — decode must run after
+      // stripping or &lt;b&gt; would become a strippable tag
+      (2L, "<div>say &lt;b&gt;hi&lt;/b&gt; &amp;lt;never twice&amp;gt;</div>"),
+      // whitespace runs (incl. the spaces tags leave behind) collapse
+      (3L, "  <br/>x   y\t z  <hr>  "))
+    val out = cases.toDF("id", "html")
+      .select(col("id"), TextAnalysis.extractHtmlText(col("html")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a b c & d 'e\"", s"got '${out(1L)}'")
+    assert(out(2L) == "say <b>hi</b> &lt;never twice&gt;", s"got '${out(2L)}'")
+    assert(out(3L) == "x y z", s"got '${out(3L)}'")
+  }
+
+  test("charEntropy: uniform alphabet hits log2(k) exactly; single-char floods to 0") {
+    import spark.implicits._
+    val out = TextAnalysis.charEntropy(
+      Seq((1L, "abcdabcdabcdabcd"), (2L, "zzzzzzzz"), (3L, "ab")).toDF("id", "t"),
+      "id", "t")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((16L, 2.0)), s"got ${out(1L)}") // 4 chars uniform = 2 bits
+    assert(out(2L) == ((8L, 0.0)), s"got ${out(2L)}")
+    assert(out(3L) == ((2L, 1.0)), s"got ${out(3L)}")
+  }
+
+  test("groupQuota: cap enforced per group, deterministic picks, WindowGroupLimit plan") {
+    import spark.implicits._
+    val d = (0L until 40L).map(i => (i, if (i < 30) "big" else "small")).toDF("id", "src")
+    val q = TextAnalysis.groupQuota(d, "id", "src", k = 5)
+    val rows = q.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.count(_._2 == "big") == 5 && rows.count(_._2 == "small") == 5)
+    assert(rows.forall(_._3 <= 5L))
+    // same picks on a different partitioning (hash order, not arrival order)
+    val again = TextAnalysis.groupQuota(d.repartition(7), "id", "src", k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSet == again.toSet)
+    // the rank<=k predicate must prune map-side at 100 TB
+    assert(q.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      q.queryExecution.executedPlan.toString.take(2000))
+  }
+
+  test("semanticDecontaminate: paraphrase-leak flagged, orthogonal doc clean") {
+    import spark.implicits._
+    val evalSet = Seq((100L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, Array(0.99f, 0.14f, 0f, 0f)), // near-copy of the eval vector
+      (2L, Array(0f, 1f, 0f, 0f)),       // orthogonal
+      (3L, Array(-1f, 0f, 0f, 0f)))      // opposite
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontaminate(train, evalSet,
+      "vec_id", "embedding", tauPermille = 900)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L), s"got $out")
+  }
+
+  test("vocabCoverage: OOV counted per occurrence; all-OOV doc at 1000 permille") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "aa aa aa bb"),  // aa,bb make the top-2 vocab
+      (2L, "aa bb xx"),     // one OOV occurrence of three
+      (3L, "xx yy zz"))     // fully OOV
+      .toDF("id", "t")
+    val out = TextAnalysis.vocabCoverage(d, "id", "t", vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((4L, 0L, 0L)), s"got ${out(1L)}")
+    assert(out(2L) == ((3L, 1L, 333L)), s"got ${out(2L)}")
+    assert(out(3L) == ((3L, 3L, 1000L)), s"got ${out(3L)}")
+  }
 }
