@@ -1370,6 +1370,28 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_tokens"), col("n_oov"),
           col("oov_permille"))),
 
+    // Int8 embedding quantization: symmetric per-vector scale 127/max|x|,
+    // floor(x*scale + 0.5) codes (floor, not round — engines disagree on
+    // round's half rule; margin probe: every corpus value sits >= 3e-6
+    // from a floor boundary at every SF).
+    "p66_quantize_int8" -> ((s, dir) =>
+      graft.pipeline.Similarity.quantizeInt8(
+        table(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("id").as("vec_id"), col("dim"), col("q"))),
+
+    // C4-style line cleaning (lines = " join "-delimited spans, the p23
+    // paragraph trick): drop lines under 3 words or mentioning "slow"
+    // (the badword filter), keep first occurrences, reassemble. The gate
+    // corpus has NO within-doc duplicate kept lines (probed at every SF),
+    // so the oracle exercises the word-count + badword legs; the
+    // first-occurrence dedup leg is spec-pinned on a fixture.
+    "p65_line_clean" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.cleanLines(
+        table(s, dir, "documents"), "doc_id", "text",
+        delim = " join ", minWords = 3, dropRegex = "\\bslow\\b")
+        .select(col("id").as("doc_id"), col("text_clean"),
+          col("n_kept"), col("n_dropped"))),
+
     // STREAMING perceptual dedup clusters over the same planted image
     // groups, gated under the p58 oracle: images decode and dHash inside
     // the stream (stateless map), pairs come from the mass-safe
@@ -2583,6 +2605,34 @@ object SparkEntry {
         |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits
         |FROM t JOIN e ON list_cosine_similarity(t.embedding, e.q) * 1000 >= 400
         |GROUP BY vec_id""".stripMargin,
+
+    "p66_quantize_int8" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |  list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS m
+        |  FROM embeddings),
+        |z AS (SELECT vec_id, embedding,
+        |        CASE WHEN m = 0 THEN 0.0 ELSE 127.0 / m END AS sc FROM s)
+        |SELECT vec_id,
+        |       CAST(unnest(generate_series(1, len(embedding))) AS BIGINT) AS dim,
+        |       CAST(floor(unnest(list_transform(embedding,
+        |              x -> CAST(x AS DOUBLE) * sc + 0.5)) ) AS BIGINT) AS q
+        |FROM z""".stripMargin,
+
+    "p65_line_clean" ->
+      """WITH l0 AS (SELECT doc_id, string_split_regex(text, ' join ') AS ls FROM documents),
+        |l AS (SELECT doc_id, trim(unnest(ls)) AS line,
+        |        unnest(generate_series(1, len(ls))) AS i FROM l0),
+        |k AS (SELECT doc_id, line, i FROM l
+        |      WHERE len(regexp_extract_all(line, '\S+')) >= 3
+        |        AND NOT regexp_matches(line, '\bslow\b')),
+        |f AS (SELECT doc_id, line, i,
+        |        min(i) OVER (PARTITION BY doc_id, line) AS fi FROM k),
+        |agg AS (SELECT doc_id, string_agg(line, ' join ' ORDER BY i) AS t,
+        |          count(*) AS nk FROM f WHERE i = fi GROUP BY doc_id)
+        |SELECT l0.doc_id, coalesce(agg.t, '') AS text_clean,
+        |       CAST(coalesce(agg.nk, 0) AS BIGINT) AS n_kept,
+        |       CAST(len(l0.ls) - coalesce(agg.nk, 0) AS BIGINT) AS n_dropped
+        |FROM l0 LEFT JOIN agg ON l0.doc_id = agg.doc_id""".stripMargin,
 
     "p64_vocab_coverage" ->
       """WITH t AS (SELECT doc_id,

@@ -927,6 +927,27 @@ object Similarity {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Int8 embedding quantization (the 4× storage/bandwidth cut every
+    * vector store applies before ANN serving): per-vector symmetric
+    * scale 127/max|x|, code = floor(x·scale + 0.5) ∈ [-127, 127].
+    * floor(·+0.5) instead of round(): both engines define floor
+    * identically, while round()'s half-rule differs across engines — and
+    * the margin probe shows every corpus value sits ≥3e-6 from a floor
+    * boundary, far above FP noise. All-zero vectors quantize to zero
+    * codes (the scale guard — 127/0 would poison the row with NaN).
+    * Returns exploded (id, dim, q), dim 1-based; per-row projection +
+    * posexplode, no shuffle.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        array_max(transform(col(vecCol), x => abs(x.cast("double")))).as("m"))
+      .select(col("id"),
+        when(col("m") === 0d, lit(0d)).otherwise(lit(127.0) / col("m")).as("scale"),
+        posexplode(col("v")).as(Seq("i", "x")))
+      .select(col("id"), (col("i") + 1).cast("long").as("dim"),
+        floor(col("x").cast("double") * col("scale") + lit(0.5)).cast("long").as("q"))
+
   /** Rank-sum fusion core shared by the hybrid variants: both pools
     * arrive as (id, rank ≤ poolK); absence from a pool costs poolK+1.
     */

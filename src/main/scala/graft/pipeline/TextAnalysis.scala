@@ -737,6 +737,36 @@ object TextAnalysis {
       .select(col("id"), col("grp"), col("pick").cast("long").as("pick"))
   }
 
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2 — the cleanup
+    * pass every web corpus runs before doc-level quality filters): split
+    * on `delim`, trim each line, drop lines under `minWords` words or
+    * matching `dropRegex` (the "javascript"/policy-boilerplate filter),
+    * keep only each surviving line's FIRST occurrence within the doc, and
+    * reassemble in order. Expression-only — the per-doc line work rides
+    * the projection (no explode, no shuffle; lines-per-doc is bounded, so
+    * the O(L²) first-occurrence array_position is constant per row).
+    * Returns (id, text_clean, n_kept, n_dropped); a fully-cleaned doc
+    * keeps an empty string, not a dropped row.
+    */
+  def cleanLines(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, delim: String, minWords: Int,
+      dropRegex: String): org.apache.spark.sql.DataFrame =
+    df
+      .select(col(idCol).as("id"),
+        // delim is a LITERAL separator: quoted for the split regex, used
+        // verbatim for the reassembly join below
+        transform(split(col(textCol), java.util.regex.Pattern.quote(delim)),
+          x => trim(x)).as("_lines"))
+      .withColumn("_kept", filter(col("_lines"), l =>
+        size(regexp_extract_all(l, lit("\\S+"), lit(0))) >= minWords &&
+          !(l rlike dropRegex)))
+      .withColumn("_dedup", filter(col("_kept"), (l, i) =>
+        array_position(col("_kept"), l) === i + 1))
+      .select(col("id"),
+        array_join(col("_dedup"), delim).as("text_clean"),
+        size(col("_dedup")).cast("long").as("n_kept"),
+        (size(col("_lines")) - size(col("_dedup"))).cast("long").as("n_dropped"))
+
   /** Per-document coverage of the top-`vocabSize` corpus vocabulary — the
     * tokenizer-fit check (a slice whose OOV rate spikes is the wrong
     * corpus for the vocab): vocab = the `vocabSize` most frequent

@@ -1493,6 +1493,35 @@ class PipelineSpec extends SparkSpec {
     assert(out == Map(1L -> 1L), s"got $out")
   }
 
+  test("cleanLines: short/badword lines dropped, first occurrence kept, order preserved") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma|x y|alpha beta gamma|bad slow line here|delta epsilon zeta"),
+      (2L, "slow one two|a b")) // everything filtered
+      .toDF("id", "t")
+    val out = TextAnalysis.cleanLines(d, "id", "t", delim = "|",
+      minWords = 3, dropRegex = "\\bslow\\b")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // dup "alpha beta gamma" keeps its FIRST slot; "x y" short; slow line dropped
+    assert(out(1L) == (("alpha beta gamma|delta epsilon zeta", 2L, 3L)), s"got ${out(1L)}")
+    assert(out(2L) == (("", 0L, 2L)), s"got ${out(2L)}")
+  }
+
+  test("quantizeInt8: max maps to ±127, zero vector to zero codes, floor-half-up") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Array(2.0f, -1.0f, 0.5f)),  // scale 63.5: codes 127, -63 (floor(-63)), 32 (floor 32.25)
+      (2L, Array(0f, 0f, 0f)))         // zero vector: guard, all 0
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(d, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (1L, 1L) -> 127L, (1L, 2L) -> -63L, (1L, 3L) -> 32L,
+      (2L, 1L) -> 0L, (2L, 2L) -> 0L, (2L, 3L) -> 0L), s"got $out")
+    // codes bounded by construction
+    assert(out.values.forall(q => q >= -127L && q <= 127L))
+  }
+
   test("vocabCoverage: OOV counted per occurrence; all-OOV doc at 1000 permille") {
     import spark.implicits._
     val d = Seq(
