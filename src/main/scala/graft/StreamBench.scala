@@ -79,8 +79,14 @@ object StreamBench {
       .queryName("graft_streambench_state")
       .option("checkpointLocation", s"$dir/ckpt_state").start()
     val allCells = cells.as[Cell].collect()
+    // optional ingest throttle (utils/RateControl.java analog — the
+    // reference caps stream-IN rate the same way): one control() per
+    // fed BATCH; off unless the env sets a positive batches/sec limit
+    val throttle = sys.env.get("SPARK_GRAFT_INGEST_BATCHES_SEC")
+      .map(_.toInt).filter(_ > 0).map(new graft.util.RateControl(_))
     val t1 = System.nanoTime()
     allCells.grouped((allCells.length + nBatches - 1) / nBatches).foreach { b =>
+      throttle.foreach(_.control())
       mem.addData(b.toIndexedSeq)
       stateQ.processAllAvailable()
     }
@@ -235,7 +241,7 @@ object StreamBench {
       s"out-of-order streamed $oooSessions sessions, batch computes $batchSessions")
     val oooRate = events.length / oooElapsed
 
-    println(f"""{"metric":"stream_ingest","rows":$total,"sec":$elapsed%.3f,"rows_per_sec":$rate%.0f,"batches":${durs.size},"batch_ms_p50":${pct(0.5)}%.0f,"batch_ms_max":${durs.lastOption.getOrElse(0.0)}%.0f,"batch_ms_p50_est":${hist.percentile(0.5)},"batch_ms_p95_est":${hist.percentile(0.95)},"batch_ms_p99_est":${hist.percentile(0.99)},"batch_ms_mean_est":${hist.mean},"stateful_sec":$stateElapsed%.3f,"stateful_rows_per_sec":$stateRate%.0f,"dedup_docs_in":$dedupIn,"dedup_docs_kept":$dedupOut,"dedup_docs_per_sec":$dedupRate%.0f,"neardup_docs_per_sec":$nearRate%.0f,"neardup_pairs":$nearPairs,"neardup_state_rows":$nearState,"session_events_per_sec":$sessRate%.0f,"sessions":$sessionsOut,"session_state_rows":$sessState,"session_ooo_events_per_sec":$oooRate%.0f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"stream_ingest","rows":$total,"sec":$elapsed%.3f,"rows_per_sec":$rate%.0f,"batches":${durs.size},"batch_ms_p50":${pct(0.5)}%.0f,"batch_ms_max":${durs.lastOption.getOrElse(0.0)}%.0f,"batch_ms_p50_est":${hist.percentile(0.5)},"batch_ms_p95_est":${hist.percentile(0.95)},"batch_ms_p99_est":${hist.percentile(0.99)},"batch_ms_mean_est":${hist.mean},"stateful_sec":$stateElapsed%.3f,"throttle_slept_ms":${throttle.map(_.sleptNanos / 1000000L).getOrElse(0L)},"stateful_rows_per_sec":$stateRate%.0f,"dedup_docs_in":$dedupIn,"dedup_docs_kept":$dedupOut,"dedup_docs_per_sec":$dedupRate%.0f,"neardup_docs_per_sec":$nearRate%.0f,"neardup_pairs":$nearPairs,"neardup_state_rows":$nearState,"session_events_per_sec":$sessRate%.0f,"sessions":$sessionsOut,"session_state_rows":$sessState,"session_ooo_events_per_sec":$oooRate%.0f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

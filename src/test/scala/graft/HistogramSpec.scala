@@ -77,4 +77,61 @@ class HistogramSpec extends AnyFunSuite {
     assert(a.snapshot(reset = true).sum == 800L)
     assert(a.count == 0L)
   }
+
+  test("RateControl: fast producer paced to the limit, slow producer never slept") {
+    import graft.util.RateControl
+    // virtual clock: each op arrives 1 ms apart against a 100 ops/s limit
+    // (10 ms budget/op) -> the loop must sleep ~9 ms per op on average
+    var now = 1000000L
+    var slept = 0L
+    val rc = new RateControl(100,
+      nanoTime = () => now,
+      sleeper = n => { slept += n; now += n }) // sleeping advances the clock
+    (1 to 50).foreach { _ => now += 1000000L; rc.control() }
+    // after pacing, elapsed must cover ~ops*nanosPerOp within the 10% slack
+    val elapsed = now - 1000000L
+    assert(elapsed >= 49L * 10000000L * 9 / 10, s"elapsed $elapsed under-paced")
+    assert(slept > 0L && rc.sleptNanos == slept)
+
+    // a slow producer (20 ms between ops at a 10 ms budget) never sleeps
+    var now2 = 1000000L
+    var slept2 = 0L
+    val rc2 = new RateControl(100,
+      nanoTime = () => now2, sleeper = n => { slept2 += n; now2 += n })
+    (1 to 50).foreach { _ => now2 += 20000000L; rc2.control() }
+    assert(slept2 == 0L, s"slow producer slept $slept2")
+  }
+
+  test("RateControl: 10s window reset forgives banked burst credit") {
+    import graft.util.RateControl
+    var now = 1000000L
+    var slept = 0L
+    val rc = new RateControl(100,
+      nanoTime = () => now, sleeper = n => { slept += n; now += n })
+    rc.control() // anchor
+    // a long quiet gap (15 s) would bank 1500 ops of credit without the
+    // reset; after it, a fast burst must STILL be paced
+    now += 15L * 1000000000L
+    rc.control() // crosses the window: counter re-anchors here
+    val sleptBefore = slept
+    (1 to 100).foreach { _ => now += 1000000L; rc.control() }
+    assert(slept > sleptBefore, "burst after window reset was not paced")
+  }
+
+  test("RateControl: sub-10% jitter is never paid for") {
+    import graft.util.RateControl
+    var now = 1000000L
+    var slept = 0L
+    val rc = new RateControl(100,
+      nanoTime = () => now, sleeper = n => { slept += n; now += n })
+    rc.control()
+    // arriving exactly on budget (10 ms/op): after the reference's one-op
+    // startup correction (op 2 pays the first op's budget slot), an
+    // on-budget producer is never slept again
+    now += 10000000L; rc.control()
+    val startup = slept
+    assert(startup <= 10000000L, s"startup correction too large: $startup")
+    (1 to 50).foreach { _ => now += 10000000L; rc.control() }
+    assert(slept == startup, s"on-budget producer slept beyond startup: ${slept - startup}")
+  }
 }
