@@ -1370,6 +1370,24 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_tokens"), col("n_oov"),
           col("oov_permille"))),
 
+    // Incremental SEMANTIC near-dup vs a persisted snapshot (embedding
+    // twin of p45): even vec_ids are the corpus snapshot (cell = label,
+    // partitioned on disk), odd vec_ids the arriving shard joined
+    // cell-to-cell with exact cosine >= 0.350 (margin probe: nearest
+    // pair sits 0.19 permille from the threshold at every SF).
+    "p67_semantic_snapshot" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val emb = table(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_p67_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.pipeline.Similarity.saveSemanticSnapshot(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        col("label"), path)
+      graft.pipeline.Similarity.semanticDupsAgainstSnapshot(
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        col("label"), path, tauPermille = 350)
+        .select(col("snap_id"), col("new_id"))
+    }),
+
     // Int8 embedding quantization: symmetric per-vector scale 127/max|x|,
     // floor(x*scale + 0.5) codes (floor, not round — engines disagree on
     // round's half rule; margin probe: every corpus value sits >= 3e-6
@@ -2605,6 +2623,12 @@ object SparkEntry {
         |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits
         |FROM t JOIN e ON list_cosine_similarity(t.embedding, e.q) * 1000 >= 400
         |GROUP BY vec_id""".stripMargin,
+
+    "p67_semantic_snapshot" ->
+      """SELECT a.vec_id AS snap_id, b.vec_id AS new_id
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) * 1000 >= 350""".stripMargin,
 
     "p66_quantize_int8" ->
       """WITH s AS (SELECT vec_id, embedding,

@@ -927,6 +927,41 @@ object Similarity {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Persist a cell-assigned vector snapshot for incremental semantic
+    * dedup — the embedding twin of `Dedup.saveMinhashSnapshot`: (id, vec)
+    * partitioned by the caller's cell column, so a later shard ingest
+    * joins cell-to-cell against a layout that PRUNES to the shard's
+    * cells (directory-level PartitionFilters) instead of rescanning the
+    * corpus.
+    */
+  def saveSemanticSnapshot(df: DataFrame, idCol: String, vecCol: String,
+      cellCol: Column, path: String): Unit =
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"), cellCol.as("cell"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** Incremental SEMANTIC near-dup: check an arriving shard against a
+    * [[saveSemanticSnapshot]] corpus without an all-pairs pass — the
+    * SemDeDup contract (same-cell exact cosine, recall within cells)
+    * applied cross-generation. The join key is the cell, so only the
+    * shard's cells' snapshot partitions are read; within a matched cell
+    * the exact `graft_cosine` filter runs per candidate pair (skewed
+    * cells re-split by AQE skew-join; the within-cell pair count is the
+    * cost driver, exactly as in batch semanticPairs). Returns
+    * (snap_id, new_id) pairs at `tauPermille`.
+    */
+  def semanticDupsAgainstSnapshot(shard: DataFrame, idCol: String,
+      vecCol: String, cellCol: Column, path: String,
+      tauPermille: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(shard.sparkSession)
+    val snap = shard.sparkSession.read.parquet(path)
+    snap.select(col("cell"), col("id").as("snap_id"), col("vec").as("va"))
+      .join(shard.select(cellCol.as("cell"), col(idCol).as("new_id"),
+        col(vecCol).as("vb")), Seq("cell"))
+      .filter(cosine("va", "vb") * 1000 >= tauPermille)
+      .select(col("snap_id"), col("new_id"))
+  }
+
   /** Int8 embedding quantization (the 4× storage/bandwidth cut every
     * vector store applies before ANN serving): per-vector symmetric
     * scale 127/max|x|, code = floor(x·scale + 0.5) ∈ [-127, 127].

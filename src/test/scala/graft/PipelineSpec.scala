@@ -1522,6 +1522,37 @@ class PipelineSpec extends SparkSpec {
     assert(out.values.forall(q => q >= -127L && q <= 127L))
   }
 
+  test("semanticDupsAgainstSnapshot: planted twin found, cross-cell twin invisible, pruned scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_semsnap").toString
+    val corpus = Seq(
+      (0L, Array(1f, 0f, 0f), 0),   // snapshot, cell 0
+      (2L, Array(0f, 1f, 0f), 1),   // snapshot, cell 1
+      (4L, Array(0f, 0f, 1f), 2))   // snapshot, cell 2 — shard never probes it
+      .toDF("id", "vec", "cell")
+    Similarity.saveSemanticSnapshot(corpus, "id", "vec", col("cell"), s"$dir/snap")
+    val shard = Seq(
+      (1L, Array(0.99f, 0.1f, 0f), 0), // twin of 0 in the right cell
+      (3L, Array(1f, 0f, 0f), 1),      // twin of 0 but WRONG cell: invisible by contract
+      (5L, Array(0f, -1f, 0f), 1))     // anti-twin of 2: below threshold
+      .toDF("id", "vec", "cell")
+    val q = Similarity.semanticDupsAgainstSnapshot(shard, "id", "vec",
+      col("cell"), s"$dir/snap", tauPermille = 900)
+    val pairs = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)), s"got $pairs")
+    // the snapshot layout prunes by cell at the directory level: a shard
+    // restricted to cell 0 must scan only that partition
+    val restricted = Similarity.semanticDupsAgainstSnapshot(
+      shard.filter(col("cell") === 0), "id", "vec", col("cell"),
+      s"$dir/snap", tauPermille = 900)
+    restricted.collect()
+    // not just the (always-printed) header: the filter list must actually
+    // name the cell column
+    val scan = restricted.queryExecution.executedPlan.toString
+    assert(scan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*\\].*"),
+      scan.take(3000))
+  }
+
   test("vocabCoverage: OOV counted per occurrence; all-OOV doc at 1000 permille") {
     import spark.implicits._
     val d = Seq(
