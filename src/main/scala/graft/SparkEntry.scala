@@ -1370,6 +1370,15 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_tokens"), col("n_oov"),
           col("oov_permille"))),
 
+    // Corpus duplication profile: cluster-size histogram over the p14
+    // near-dup clusters (shared oracle lineage — the profile oracle wraps
+    // the SAME recursive-CTE clustering, no drift).
+    "p68_dup_profile" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Dedup.duplicationProfile(table(s, dir, "documents"),
+        "doc_id", "text", n = 3, num = 4, den = 5)
+    }),
+
     // Incremental SEMANTIC near-dup vs a persisted snapshot (embedding
     // twin of p45): even vec_ids are the corpus snapshot (cell = label,
     // partitioned on disk), odd vec_ids the arriving shard joined
@@ -2623,6 +2632,15 @@ object SparkEntry {
         |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits
         |FROM t JOIN e ON list_cosine_similarity(t.embedding, e.q) * 1000 >= 400
         |GROUP BY vec_id""".stripMargin,
+
+    "p68_dup_profile" -> {
+      s"""SELECT CAST(s.sz AS BIGINT) AS cluster_size,
+         |       CAST(count(*) AS BIGINT) AS n_clusters,
+         |       CAST(s.sz * count(*) AS BIGINT) AS n_docs
+         |FROM (SELECT cluster, count(*) AS sz
+         |      FROM ($dupClustersOracle) base GROUP BY cluster) s
+         |GROUP BY s.sz""".stripMargin
+    },
 
     "p67_semantic_snapshot" ->
       """SELECT a.vec_id AS snap_id, b.vec_id AS new_id

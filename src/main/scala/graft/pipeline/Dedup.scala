@@ -372,6 +372,23 @@ object Dedup {
       .select(col("id").as(idCol), coalesce(col("comp"), col("id")).as("cluster"))
   }
 
+  /** Corpus duplication profile (the data-card stat every dedup run
+    * reports): cluster-size histogram over the near-dup clusters —
+    * (cluster_size, n_clusters, n_docs). n_docs − n_clusters summed over
+    * rows is exactly the document count a keep-one dedup would remove;
+    * size-1 rows are the unique tail. Two tiny aggregations over the
+    * cluster assignment — the histogram is at most |distinct sizes| rows.
+    */
+  def duplicationProfile(df: DataFrame, idCol: String, textCol: String,
+      n: Int, num: Int, den: Int): DataFrame =
+    dupClusters(df, idCol, textCol, n, num, den)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("sz").cast("long").as("cluster_size"),
+        col("n_clusters"),
+        (col("sz") * col("n_clusters")).cast("long").as("n_docs"))
+
   /** Leakage-safe train/val/test split: the split decision hashes the
     * near-dup CLUSTER representative, not the document, so near-duplicates
     * can never straddle train and eval — the contamination mode a plain

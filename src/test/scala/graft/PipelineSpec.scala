@@ -1432,6 +1432,16 @@ class PipelineSpec extends SparkSpec {
       Seq(Multimodal.MediaItem(6L, "bin", Array[Byte](1, 2))).toDS(), 4, 3).count() == 0L)
   }
 
+  test("duplicationProfile: histogram over dup clusters; removal count derivable") {
+    // docs: {0,1,3} one near-dup cluster, {2} and {4} unique singletons
+    val prof = Dedup.duplicationProfile(docs, "doc_id", "text", n = 3, num = 4, den = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(prof == Map(3L -> ((1L, 3L)), 1L -> ((2L, 2L))), s"got $prof")
+    // keep-one dedup removes n_docs - n_clusters = (3-1) + (2-2) = 2 docs
+    val removed = prof.map { case (_, (nc, nd)) => nd - nc }.sum
+    assert(removed == 2L)
+  }
+
   test("extractHtmlText: blocks dropped, tags split words, entities decode after strip") {
     import spark.implicits._
     val cases = Seq(
