@@ -1397,6 +1397,52 @@ object SparkEntry {
         .select(col("snap_id"), col("new_id"))
     }),
 
+    // DSIR importance weighting (Xie et al. 2023): target = the English
+    // slice of the corpus, source = the whole corpus; hashed-unigram
+    // bag-of-buckets log-likelihood ratios in integer micro-nats, so the
+    // per-doc sum is exact integer arithmetic (no FP summation-order
+    // noise) and the cross-engine gate is bit-stable. Rank on
+    // weight_micro = the selection step.
+    "p69_dsir_weights" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.pipeline.TextAnalysis.dsirWeights(
+        docs, docs.filter(col("lang") === "en"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"), col("weight_micro"))
+    }),
+
+    // URL-level dedup over deterministically synthesized crawl variants
+    // (case/www/port/trailing-slash/utm/fragment noise keyed by doc_id
+    // residues): canonicalize, then keeper + variant census per canonical
+    // form. Docs sharing (source, id%40, id%5) collapse across the
+    // variant axes.
+    "p70_url_dedup" -> ((s, dir) => {
+      val url = concat(
+        lit("HTTPS://"),
+        when(col("doc_id") % 2 === 0, lit("WWW.")).otherwise(lit("")),
+        upper(col("source")), lit(".Example.COM"),
+        when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+        lit("/Docs/"), (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 2 === 1, lit("/")).otherwise(lit("")),
+        lit("?utm_source=crawl&id="), (col("doc_id") % 5).cast("string"),
+        lit("&utm_campaign=x"),
+        when(col("doc_id") % 7 === 0, lit("#sec")).otherwise(lit("")))
+      graft.pipeline.Dedup.urlDedup(
+        table(s, dir, "documents").select(col("doc_id"), url.as("url")),
+        "doc_id", "url")
+        .select(col("id").as("doc_id"), col("url_canon"),
+          col("keeper"), col("n_variants"))
+    }),
+
+    // Blocklist safety signals (C4 badword pass): exact-token hits against
+    // a small inlined list — "spam" never occurs in the corpus, so the
+    // zero-hit leg is exercised alongside real "dup"/"slow" hits.
+    "p71_blocklist" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.blocklistSignals(
+        table(s, dir, "documents"), "doc_id", "text",
+        Seq("dup", "slow", "spam"))
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          col("n_flagged"), col("flagged_permille"))),
+
     // Int8 embedding quantization: symmetric per-vector scale 127/max|x|,
     // floor(x*scale + 0.5) codes (floor, not round — engines disagree on
     // round's half rule; margin probe: every corpus value sits >= 3e-6
@@ -2647,6 +2693,67 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b
         |  ON a.label = b.label AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
         |WHERE list_cosine_similarity(a.embedding, b.embedding) * 1000 >= 350""".stripMargin,
+
+    "p70_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |  'HTTPS://' || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END ||
+        |  upper(source) || '.Example.COM' ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END ||
+        |  '/Docs/' || CAST(doc_id % 40 AS VARCHAR) ||
+        |  CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END ||
+        |  '?utm_source=crawl&id=' || CAST(doc_id % 5 AS VARCHAR) ||
+        |  '&utm_campaign=x' ||
+        |  CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END AS url
+        |  FROM documents),
+        |n1 AS (SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS nf FROM u),
+        |n2 AS (SELECT doc_id,
+        |        replace(regexp_replace(lower(regexp_extract(nf, '^[^/]*//[^/?#]*')),
+        |                ':443$|:80$', '', 'g'), '://www.', '://') AS a,
+        |        regexp_replace(nf, '^[^/]*//[^/?#]*', '', 'g') AS rest FROM n1),
+        |n3 AS (SELECT doc_id, a,
+        |        regexp_replace(regexp_replace(regexp_replace(rest,
+        |          '&utm_[^&#]*', '', 'g'), '\?utm_[^&#]*&', '?', 'g'),
+        |          '\?utm_[^&#]*$', '', 'g') AS r FROM n2),
+        |n4 AS (SELECT doc_id,
+        |        a || regexp_replace(replace(r, '/?', '?'), '/$', '', 'g') AS url_canon
+        |      FROM n3)
+        |SELECT doc_id, url_canon,
+        |       min(doc_id) OVER (PARTITION BY url_canon) AS keeper,
+        |       CAST(count(*) OVER (PARTITION BY url_canon) AS BIGINT) AS n_variants
+        |FROM n4""".stripMargin,
+
+    "p71_blocklist" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '\S+') AS ts FROM documents)
+        |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_filter(ts, x -> list_contains(['dup','slow','spam'], x))) AS BIGINT) AS n_flagged,
+        |       CAST(CASE WHEN len(ts) = 0 THEN 0
+        |            ELSE len(list_filter(ts, x -> list_contains(['dup','slow','spam'], x))) * 1000 // len(ts)
+        |            END AS BIGINT) AS flagged_permille
+        |FROM t""".stripMargin,
+
+    "p69_dsir_weights" ->
+      s"""WITH st AS (SELECT doc_id AS id, ${hash60Sql("tok")} % 1024 AS b
+         |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+         |        FROM documents)),
+         |tg AS (SELECT ${hash60Sql("tok")} % 1024 AS b
+         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+         |        FROM documents WHERE lang = 'en')),
+         |tcnt AS (SELECT b, count(*) AS tc FROM tg GROUP BY b),
+         |scnt AS (SELECT b, count(*) AS sc FROM st GROUP BY b),
+         |c AS (SELECT coalesce(tcnt.b, scnt.b) AS b,
+         |        coalesce(tcnt.tc, 0) AS tc, coalesce(scnt.sc, 0) AS sc
+         |      FROM tcnt FULL OUTER JOIN scnt ON tcnt.b = scnt.b),
+         |tot AS (SELECT CAST(sum(tc) AS BIGINT) AS ttot,
+         |               CAST(sum(sc) AS BIGINT) AS stot FROM c),
+         |llr AS (SELECT b,
+         |          CAST(round((ln((tc + 1.0) / (ttot + 1024.0))
+         |                    - ln((sc + 1.0) / (stot + 1024.0))) * 1000000) AS BIGINT) AS lm
+         |        FROM c, tot)
+         |SELECT st.id AS doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(sum(lm) AS BIGINT) AS weight_micro
+         |FROM st JOIN llr ON st.b = llr.b
+         |GROUP BY st.id""".stripMargin,
 
     "p66_quantize_int8" ->
       """WITH s AS (SELECT vec_id, embedding,

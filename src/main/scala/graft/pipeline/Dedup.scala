@@ -21,6 +21,25 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .drop("norm")
 
+  /** URL-level dedup (the RefinedWeb/CCNet crawl-frontier pass — the SAME
+    * page arrives under tracking-param, port, fragment, case and
+    * trailing-slash variants, and URL dedup removes them for free BEFORE
+    * any content hash runs): canonicalize with
+    * [[TextAnalysis.canonicalizeUrl]], then keeper = min(id) and the
+    * variant count per canonical form. One window shuffle on the canonical
+    * key (min+count share the partition — a single exchange), exactly the
+    * [[exact]] cost model; a hot canonical URL (link-farm skew) lands in
+    * one partition, which is the correct place for its variant census.
+    * Returns every input row: (id, url_canon, keeper, n_variants).
+    */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("url_canon"))
+    df.select(col(idCol).as("id"),
+        TextAnalysis.canonicalizeUrl(col(urlCol)).as("url_canon"))
+      .withColumn("keeper", min(col("id")).over(w))
+      .withColumn("n_variants", count(lit(1)).over(w))
+  }
+
   /** Distinct (id, shingle) pairs using word n-grams of the normalized
     * text. Documents shorter than n tokens produce no shingles.
     */

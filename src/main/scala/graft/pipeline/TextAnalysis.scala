@@ -793,4 +793,116 @@ object TextAnalysis {
       .select(col("id"), col("n_tokens"), col("n_oov"),
         expr("n_oov * 1000 DIV n_tokens").as("oov_permille"))
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — the hashed-n-gram
+    * data-selection pass): score every source document by the
+    * log-likelihood ratio of its hashed-UNIGRAM features under
+    * bag-of-buckets models of the target vs the source distribution.
+    * A token's feature is [[hash60]](token) % `buckets` (the paper's
+    * hashing trick — model size is bounded by `buckets` regardless of
+    * vocabulary); bucket counts are Laplace-smoothed (+1 count, +`buckets`
+    * total). Each bucket's LLR is quantized to integer MICRO-nats
+    * (round(llr·1e6)) BEFORE the per-doc sum, so the distributed sum is
+    * exact integer arithmetic — no FP-summation-order noise, bit-stable
+    * across engines and partitionings (a flip needs a bucket's llr·1e6
+    * within ~1e-11 of a .5 rounding boundary). Returns
+    * (id, n_tokens, weight_micro); rank / Gumbel-top-k on weight_micro is
+    * the actual selection step. Token-less docs drop out (no features →
+    * no weight), as in [[vocabCoverage]].
+    *
+    * Scale shape: ONE tokenize+bucket pass over the source feeds both the
+    * source bucket counts and the scoring join (lazy localCheckpoint —
+    * the subtree-duplication trap); both count aggregates partial-combine
+    * map-side to ≤ `buckets` rows per upstream partition; the
+    * ≤`buckets`-row LLR table BROADCASTS back onto the token stream, so
+    * the only full shuffle is the per-doc weight sum. The target corpus
+    * is benchmark/domain-sized by contract but is never collected — only
+    * its `buckets`-row count profile is.
+    */
+  def dsirWeights(source: org.apache.spark.sql.DataFrame,
+      target: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, buckets: Int = 1024): org.apache.spark.sql.DataFrame = {
+    require(buckets >= 2, "buckets >= 2")
+    val srcToks = source
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .select(col("id"), (hash60(col("tok")) % buckets).as("b"))
+      .localCheckpoint(eager = false) // feeds source counts AND scoring
+    val tgtCnt = target
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy((hash60(col("tok")) % buckets).as("b"))
+      .agg(count(lit(1)).as("tc"))
+    val srcCnt = srcToks.groupBy(col("b")).agg(count(lit(1)).as("sc"))
+    val cnts = tgtCnt.join(srcCnt, Seq("b"), "full_outer")
+      .select(col("b"), coalesce(col("tc"), lit(0L)).as("tc"),
+        coalesce(col("sc"), lit(0L)).as("sc"))
+      .localCheckpoint(eager = false) // feeds totals AND the LLR table
+    val totals = cnts.agg(sum(col("tc")).as("tt"), sum(col("sc")).as("st"))
+    val llr = cnts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        round((log((col("tc") + 1).cast("double") /
+                   (col("tt") + buckets).cast("double")) -
+               log((col("sc") + 1).cast("double") /
+                   (col("st") + buckets).cast("double"))) * 1e6)
+          .cast("long").as("llr_micro"))
+    srcToks.join(broadcast(llr), Seq("b"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("llr_micro")).as("weight_micro"))
+  }
+
+  /** Blocklist safety signals (the C4 "bad words" pass — Raffel et al.
+    * 2020 §2.2 drop documents containing any listed word; shipping the
+    * counts instead of a hard drop lets the caller pick drop vs downweight
+    * vs route-to-review): per-doc count of token OCCURRENCES whose exact
+    * lowercased form is in `blockWords`. Pure expression projection — the
+    * list inlines as an array literal into whole-stage codegen, so there
+    * is NO join, NO shuffle, and the cost is one array-contains per token
+    * at any corpus size (blocklists are hundreds of words by contract;
+    * for 100k-word lists switch to a broadcast join on the token hash).
+    * Returns (id, n_tokens, n_flagged, flagged_permille) — a token-less
+    * doc reports 0 tokens / 0 permille.
+    */
+  def blocklistSignals(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, blockWords: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(blockWords.nonEmpty, "empty blocklist")
+    val list = array(blockWords.map(w => lit(w.toLowerCase)): _*)
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
+      .select(col("id"),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        size(filter(col("_toks"), t => array_contains(list, t)))
+          .cast("long").as("n_flagged"))
+      .withColumn("flagged_permille",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(expr("n_flagged * 1000 DIV n_tokens")))
+  }
+
+  /** Canonical URL form (the RefinedWeb/CCNet URL-dedup key — crawls see
+    * the same page under tracking-param, port, fragment, case and
+    * trailing-slash variants): lowercase the scheme+authority, drop the
+    * default :443/:80 port and a leading www., strip the fragment, remove
+    * utm_* tracking params, and strip a trailing path slash. Pure chained
+    * regexp/replace expression (RE2-compatible, NO replacement
+    * backreferences — Spark says `$1` where DuckDB says `\\1`, so
+    * portable canonicalization must avoid them); rides the projection,
+    * nothing to shuffle. Query-param ORDER is preserved (sorting params
+    * can change semantics; out of scope by design).
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    // fragment first: nothing after it matters
+    val noFrag = regexp_replace(url, lit("#.*"), lit(""))
+    // lowercase ONLY scheme://host[:port] — path and query are case-significant
+    val auth = lower(regexp_extract(noFrag, "^[^/]*//[^/?#]*", 0))
+    val rest = regexp_replace(noFrag, lit("^[^/]*//[^/?#]*"), lit(""))
+    val authNoPort = regexp_replace(auth, lit(":443$|:80$"), lit(""))
+    val authNoWww = org.apache.spark.sql.functions.replace(
+      authNoPort, lit("://www."), lit("://"))
+    // utm params: interior (&utm_x=..), leading-with-follower (?utm_x=..&), lone (?utm_x=..$)
+    val q1 = regexp_replace(rest, lit("&utm_[^&#]*"), lit(""))
+    val q2 = regexp_replace(q1, lit("\\?utm_[^&#]*&"), lit("?"))
+    val q3 = regexp_replace(q2, lit("\\?utm_[^&#]*$"), lit(""))
+    // trailing path slash: "/?"→"?" is a literal replace; "/$" needs no backref
+    val q4 = org.apache.spark.sql.functions.replace(q3, lit("/?"), lit("?"))
+    concat(authNoWww, regexp_replace(q4, lit("/$"), lit("")))
+  }
 }

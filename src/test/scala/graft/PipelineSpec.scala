@@ -1576,4 +1576,82 @@ class PipelineSpec extends SparkSpec {
     assert(out(2L) == ((3L, 1L, 333L)), s"got ${out(2L)}")
     assert(out(3L) == ((3L, 3L, 1000L)), s"got ${out(3L)}")
   }
+
+  test("canonicalizeUrl: variant axes collapse, semantic distinctions survive") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "HTTPS://WWW.Ex.COM:443/A/b/?utm_source=x&id=3&utm_campaign=y#frag"),
+      (2L, "https://ex.com/A/b?id=3"),   // canonical twin of 1
+      (3L, "https://ex.com/A/b?id=4"),   // different query VALUE: distinct
+      (4L, "https://ex.com/a/b?id=3"),   // path case differs: distinct
+      (5L, "http://ex.com:80/A/b?id=3")) // scheme differs: distinct, port stripped
+      .toDF("id", "url")
+    val byId = Dedup.urlDedup(urls, "id", "url")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(byId(1L)._1 == "https://ex.com/A/b?id=3", byId(1L)._1)
+    assert(byId(2L)._1 == byId(1L)._1 && byId(1L)._2 == 1L && byId(1L)._3 == 2L)
+    assert(byId(3L) == (("https://ex.com/A/b?id=4", 3L, 1L)))
+    assert(byId(4L)._1 == "https://ex.com/a/b?id=3")
+    assert(byId(5L)._1 == "http://ex.com/A/b?id=3")
+  }
+
+  test("blocklistSignals: occurrence counting, zero-hit and token-less docs, no shuffle") {
+    import spark.implicits._
+    val d = Seq((1L, "spam and SPAM again"), (2L, "clean text only"), (3L, "  "))
+      .toDF("id", "t")
+    val sig = TextAnalysis.blocklistSignals(d, "id", "t", Seq("Spam"))
+    val out = sig.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((4L, 2L, 500L)), s"got ${out(1L)}") // case-folded both sides
+    assert(out(2L) == ((3L, 0L, 0L)))
+    assert(out(3L) == ((0L, 0L, 0L)))
+    // pure projection: the blocklist inlines, nothing shuffles
+    assert(!sig.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("dsirWeights: matches a collision-aware reference model; partition-invariant; broadcast scoring join") {
+    import spark.implicits._
+    val src = Seq(
+      (1L, "good clean prose good clean prose"),
+      (2L, "junk junk junk spam junk"),
+      (3L, "good prose spam"))
+      .toDF("id", "t")
+    val tgt = src.filter(col("id") === 1L) // the "domain we want" sample
+    val buckets = 64
+    val out = TextAnalysis.dsirWeights(src, tgt, "id", "t", buckets)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    // reference model in plain Scala, sharing nothing with the Spark path
+    // but the spec of hash60 (first 15 md5 hex chars) — collision-aware
+    def h60(s: String): Long =
+      java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    def toks(s: String) = s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val srcDocs = Map(1L -> "good clean prose good clean prose",
+      2L -> "junk junk junk spam junk", 3L -> "good prose spam")
+    val bkt = (s: String) => h60(s) % buckets
+    val sCnt = srcDocs.values.flatMap(toks).groupBy(bkt).map { case (b, g) => b -> g.size }
+    val tCnt = toks(srcDocs(1L)).groupBy(bkt).map { case (b, g) => b -> g.size }
+    val (tt, st) = (tCnt.values.sum, sCnt.values.sum)
+    def lm(b: Long): Long = math.round(
+      (math.log((tCnt.getOrElse(b, 0) + 1.0) / (tt + buckets)) -
+        math.log((sCnt.getOrElse(b, 0) + 1.0) / (st + buckets))) * 1e6)
+    val expected = srcDocs.map { case (id, t) =>
+      id -> ((toks(t).size.toLong, toks(t).map(w => lm(bkt(w))).sum))
+    }
+    assert(out == expected, s"got $out expected $expected")
+    // target-like doc outranks the off-domain doc
+    assert(out(1L)._2 > out(2L)._2)
+
+    // bit-identical on any partitioning (integer micro-nat sums)
+    val again = TextAnalysis.dsirWeights(src.repartition(7), tgt, "id", "t", buckets)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(again == out)
+
+    // the LLR table must broadcast back onto the token stream
+    val plan = TextAnalysis.dsirWeights(src, tgt, "id", "t", buckets)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
 }
