@@ -1410,6 +1410,25 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_tokens"), col("weight_micro"))
     }),
 
+    // Gopher quality rules over synthesized 3-line pages (bullet intro,
+    // corpus body, %4-keyed ellipsis tail) so the line-fraction legs see
+    // nonzero values; every signal an exact integer, keep = the paper's
+    // thresholds (most toy docs fail the 50-word floor — the signal
+    // columns are the value).
+    "p72_gopher_rules" -> ((s, dir) => {
+      val syn = concat_ws("\n",
+        lit("- intro line"), col("text"),
+        when(col("doc_id") % 4 === 0, lit("trailing words ..."))
+          .otherwise(lit("plain end")))
+      graft.pipeline.TextAnalysis.gopherRules(
+        table(s, dir, "documents").select(col("doc_id"), syn.as("page")),
+        "doc_id", "page")
+        .select(col("id").as("doc_id"), col("n_words"),
+          col("mean_word_len_permille"), col("symbol_word_permille"),
+          col("bullet_line_permille"), col("ellipsis_line_permille"),
+          col("alpha_word_permille"), col("n_required_stopwords"), col("keep"))
+    }),
+
     // URL-level dedup over deterministically synthesized crawl variants
     // (case/www/port/trailing-slash/utm/fragment noise keyed by doc_id
     // residues): canonicalize, then keeper + variant census per canonical
@@ -2693,6 +2712,42 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b
         |  ON a.label = b.label AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
         |WHERE list_cosine_similarity(a.embedding, b.embedding) * 1000 >= 350""".stripMargin,
+
+    "p72_gopher_rules" ->
+      """WITH d AS (SELECT doc_id,
+        |  '- intro line' || chr(10) || text || chr(10) ||
+        |  CASE WHEN doc_id % 4 = 0 THEN 'trailing words ...' ELSE 'plain end' END AS t
+        |  FROM documents),
+        |w AS (SELECT doc_id,
+        |        regexp_extract_all(lower(t), '\S+') AS ts,
+        |        list_transform(string_split(t, chr(10)), x -> trim(x)) AS ls FROM d),
+        |m AS (SELECT doc_id, len(ts) AS nw,
+        |        CAST(coalesce(list_sum(list_transform(ts, x -> length(x))), 0) AS BIGINT) AS ch,
+        |        len(list_filter(ts, x -> contains(x, '#') OR contains(x, '...'))) AS sym,
+        |        len(list_filter(ls, x -> starts_with(x, '- ') OR starts_with(x, '* ')
+        |              OR starts_with(x, '• '))) AS bul,
+        |        len(list_filter(ls, x -> ends_with(x, '...'))) AS ell,
+        |        len(ls) AS nl,
+        |        len(list_filter(ts, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+        |        len(list_intersect(list_distinct(ts),
+        |              ['the','be','to','of','and','that','have','with'])) AS stw
+        |      FROM w),
+        |r AS (SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+        |        CAST(CASE WHEN nw = 0 THEN 0 ELSE ch * 1000 // nw END AS BIGINT) AS mean_word_len_permille,
+        |        CAST(CASE WHEN nw = 0 THEN 0 ELSE sym * 1000 // nw END AS BIGINT) AS symbol_word_permille,
+        |        CAST(CASE WHEN nl = 0 THEN 0 ELSE bul * 1000 // nl END AS BIGINT) AS bullet_line_permille,
+        |        CAST(CASE WHEN nl = 0 THEN 0 ELSE ell * 1000 // nl END AS BIGINT) AS ellipsis_line_permille,
+        |        CAST(CASE WHEN nw = 0 THEN 0 ELSE alpha * 1000 // nw END AS BIGINT) AS alpha_word_permille,
+        |        CAST(stw AS BIGINT) AS n_required_stopwords
+        |      FROM m)
+        |SELECT *, CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+        |       AND mean_word_len_permille BETWEEN 3000 AND 10000
+        |       AND symbol_word_permille <= 100
+        |       AND bullet_line_permille <= 900
+        |       AND ellipsis_line_permille <= 300
+        |       AND alpha_word_permille >= 800
+        |       AND n_required_stopwords >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM r""".stripMargin,
 
     "p70_url_dedup" ->
       """WITH u AS (SELECT doc_id,

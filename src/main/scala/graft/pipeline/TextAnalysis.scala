@@ -877,6 +877,64 @@ object TextAnalysis {
           .otherwise(expr("n_flagged * 1000 DIV n_tokens")))
   }
 
+  /** Gopher quality rules (Rae et al. 2021, Appendix A1.1 — the published
+    * rule bundle MassiveWeb shipped and later web corpora reuse): word
+    * count bounds, mean word length bounds, symbol-to-word ratio
+    * ("#"/"..." tokens), bullet-start and ellipsis-end line fractions,
+    * alphabetic-word fraction, and the ≥2-required-stopwords rule. Every
+    * signal is an exact integer (counts / permille ratios via integer
+    * division), so the cross-engine gate is bit-stable, and `keep` is the
+    * conjunction at the paper's thresholds. Expression-only projection —
+    * NO join, NO shuffle at any corpus size (the per-token filter lambdas
+    * are interpreted HOFs, fine in a projection; the char total uses
+    * codegen'd array_join instead of an aggregate lambda). `lineDelim` is
+    * a literal line separator (corpora that kept real newlines pass "\n").
+    * Returns (id, n_words, mean_word_len_permille, symbol_word_permille,
+    * bullet_line_permille, ellipsis_line_permille, alpha_word_permille,
+    * n_required_stopwords, keep∈{0,1}).
+    */
+  def gopherRules(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, lineDelim: String = "\n"): org.apache.spark.sql.DataFrame = {
+    val required = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"),
+        transform(split(col(textCol),
+          java.util.regex.Pattern.quote(lineDelim)), l => trim(l)).as("_lines"))
+      .select(col("id"),
+        size(col("_toks")).cast("long").as("n_words"),
+        length(array_join(col("_toks"), "")).cast("long").as("_chars"),
+        size(filter(col("_toks"), t =>
+          t.contains("#") || t.contains("..."))).cast("long").as("_sym"),
+        size(filter(col("_lines"), l =>
+          l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• ")))
+          .cast("long").as("_bul"),
+        size(filter(col("_lines"), l => l.endsWith("..."))).cast("long").as("_ell"),
+        size(col("_lines")).cast("long").as("_nl"),
+        size(filter(col("_toks"), t => t.rlike("[a-z]"))).cast("long").as("_alpha"),
+        size(array_intersect(array_distinct(col("_toks")),
+          array(required.map(lit(_)): _*))).cast("long").as("n_required_stopwords"))
+      .select(col("id"), col("n_words"),
+        when(col("n_words") === 0, lit(0L))
+          .otherwise(expr("_chars * 1000 DIV n_words")).as("mean_word_len_permille"),
+        when(col("n_words") === 0, lit(0L))
+          .otherwise(expr("_sym * 1000 DIV n_words")).as("symbol_word_permille"),
+        when(col("_nl") === 0, lit(0L))
+          .otherwise(expr("_bul * 1000 DIV _nl")).as("bullet_line_permille"),
+        when(col("_nl") === 0, lit(0L))
+          .otherwise(expr("_ell * 1000 DIV _nl")).as("ellipsis_line_permille"),
+        when(col("n_words") === 0, lit(0L))
+          .otherwise(expr("_alpha * 1000 DIV n_words")).as("alpha_word_permille"),
+        col("n_required_stopwords"))
+      .withColumn("keep",
+        (col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_len_permille") >= 3000 &&
+          col("mean_word_len_permille") <= 10000 &&
+          col("symbol_word_permille") <= 100 &&
+          col("bullet_line_permille") <= 900 &&
+          col("ellipsis_line_permille") <= 300 &&
+          col("alpha_word_permille") >= 800 &&
+          col("n_required_stopwords") >= 2).cast("long"))
+  }
+
   /** Canonical URL form (the RefinedWeb/CCNet URL-dedup key — crawls see
     * the same page under tracking-param, port, fragment, case and
     * trailing-slash variants): lowercase the scheme+authority, drop the

@@ -1577,6 +1577,37 @@ class PipelineSpec extends SparkSpec {
     assert(out(3L) == ((3L, 3L, 1000L)), s"got ${out(3L)}")
   }
 
+  test("gopherRules: paper thresholds; each rule flips keep alone; no shuffle") {
+    import spark.implicits._
+    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val good = (stop ++ Seq.fill(42)("quality")).mkString(" ") // 50 words
+    val bulletDoc = (1 to 10)
+      .map(_ => "- " + (stop ++ Seq.fill(2)("quality")).mkString(" ")).mkString("\n")
+    val ellLine = (stop ++ Seq.fill(5)("quality")).mkString(" ") + " more..."
+    val plainLine = Seq.fill(12)("quality").mkString(" ")
+    val ellipsisDoc = Seq(ellLine, ellLine, plainLine, plainLine).mkString("\n")
+    val d = Seq(
+      (1L, good),                                           // passes everything
+      (2L, Seq.fill(49)("the").mkString(" ")),              // word-count floor
+      (3L, Seq.fill(50)("a b").mkString(" ")),              // mean word length 1.0
+      (4L, good + " " + Seq.fill(6)("####").mkString(" ")), // symbol ratio
+      (5L, Seq.fill(50)("12345").mkString(" ")),            // no alphabetic words
+      (6L, bulletDoc),                                      // all-bullet lines
+      (7L, ellipsisDoc))                                    // half lines end ...
+      .toDF("id", "t")
+    val out = TextAnalysis.gopherRules(d, "id", "t")
+    val rows = out.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7), r.getLong(8)))).toMap
+    assert(rows(1L) == ((50L, 6360L, 0L, 0L, 0L, 1000L, 8L, 1L)), s"got ${rows(1L)}")
+    assert(rows.filter(_._2._8 == 1L).keySet == Set(1L), s"keeps: $rows")
+    assert(rows(4L)._3 > 100L)    // symbol permille is the failing rule
+    assert(rows(6L)._4 == 1000L)  // bullet fraction
+    assert(rows(7L)._5 == 500L)   // ellipsis fraction
+    assert(rows(5L)._6 == 0L)     // alpha fraction
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("canonicalizeUrl: variant axes collapse, semantic distinctions survive") {
     import spark.implicits._
     val urls = Seq(
