@@ -1429,6 +1429,18 @@ object SparkEntry {
           col("alpha_word_permille"), col("n_required_stopwords"), col("keep"))
     }),
 
+    // DSIR selection step: Gumbel-top-50 over the p69 weights with
+    // derandomized hash-seeded noise, both quantized to integer
+    // micro-nats — the selection key is a BIGINT, so the top-k set and
+    // its order are bit-stable across engines. TakeOrderedAndProject,
+    // never a global sort.
+    "p73_dsir_resample" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.pipeline.TextAnalysis.dsirResample(
+        docs, docs.filter(col("lang") === "en"), "doc_id", "text", k = 50)
+        .select(col("pick"), col("id").as("doc_id"), col("key_micro"))
+    }),
+
     // URL-level dedup over deterministically synthesized crawl variants
     // (case/www/port/trailing-slash/utm/fragment noise keyed by doc_id
     // residues): canonicalize, then keeper + variant census per canonical
@@ -1762,6 +1774,33 @@ object SparkEntry {
   /** DuckDB expression for the 60-bit value of md5(inner)'s first 15 hex
     * chars — mirrors TextAnalysis.hash60 (DuckDB has no conv()).
     */
+  /** Shared DuckDB lineage for the DSIR hashed-unigram LLR weights —
+    * p69 gates it directly, p73's Gumbel-top-k selection wraps it (one
+    * definition, no oracle drift).
+    */
+  private lazy val dsirWeightsOracle: String =
+    s"""WITH st AS (SELECT doc_id AS id, ${hash60Sql("tok")} % 1024 AS b
+       |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+       |        FROM documents)),
+       |tg AS (SELECT ${hash60Sql("tok")} % 1024 AS b
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+       |        FROM documents WHERE lang = 'en')),
+       |tcnt AS (SELECT b, count(*) AS tc FROM tg GROUP BY b),
+       |scnt AS (SELECT b, count(*) AS sc FROM st GROUP BY b),
+       |c AS (SELECT coalesce(tcnt.b, scnt.b) AS b,
+       |        coalesce(tcnt.tc, 0) AS tc, coalesce(scnt.sc, 0) AS sc
+       |      FROM tcnt FULL OUTER JOIN scnt ON tcnt.b = scnt.b),
+       |tot AS (SELECT CAST(sum(tc) AS BIGINT) AS ttot,
+       |               CAST(sum(sc) AS BIGINT) AS stot FROM c),
+       |llr AS (SELECT b,
+       |          CAST(round((ln((tc + 1.0) / (ttot + 1024.0))
+       |                    - ln((sc + 1.0) / (stot + 1024.0))) * 1000000) AS BIGINT) AS lm
+       |        FROM c, tot)
+       |SELECT st.id AS doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |       CAST(sum(lm) AS BIGINT) AS weight_micro
+       |FROM st JOIN llr ON st.b = llr.b
+       |GROUP BY st.id""".stripMargin
+
   private def hash60Sql(inner: String): String =
     (1 to 15).map { p =>
       s"(strpos('0123456789abcdef', substr(md5($inner), $p, 1)) - 1) * ${java.math.BigInteger.valueOf(16L).pow(15 - p)}::BIGINT"
@@ -2787,28 +2826,18 @@ object SparkEntry {
         |            END AS BIGINT) AS flagged_permille
         |FROM t""".stripMargin,
 
-    "p69_dsir_weights" ->
-      s"""WITH st AS (SELECT doc_id AS id, ${hash60Sql("tok")} % 1024 AS b
-         |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
-         |        FROM documents)),
-         |tg AS (SELECT ${hash60Sql("tok")} % 1024 AS b
-         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
-         |        FROM documents WHERE lang = 'en')),
-         |tcnt AS (SELECT b, count(*) AS tc FROM tg GROUP BY b),
-         |scnt AS (SELECT b, count(*) AS sc FROM st GROUP BY b),
-         |c AS (SELECT coalesce(tcnt.b, scnt.b) AS b,
-         |        coalesce(tcnt.tc, 0) AS tc, coalesce(scnt.sc, 0) AS sc
-         |      FROM tcnt FULL OUTER JOIN scnt ON tcnt.b = scnt.b),
-         |tot AS (SELECT CAST(sum(tc) AS BIGINT) AS ttot,
-         |               CAST(sum(sc) AS BIGINT) AS stot FROM c),
-         |llr AS (SELECT b,
-         |          CAST(round((ln((tc + 1.0) / (ttot + 1024.0))
-         |                    - ln((sc + 1.0) / (stot + 1024.0))) * 1000000) AS BIGINT) AS lm
-         |        FROM c, tot)
-         |SELECT st.id AS doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         |       CAST(sum(lm) AS BIGINT) AS weight_micro
-         |FROM st JOIN llr ON st.b = llr.b
-         |GROUP BY st.id""".stripMargin,
+    "p69_dsir_weights" -> dsirWeightsOracle,
+
+    "p73_dsir_resample" ->
+      s"""WITH w AS ($dsirWeightsOracle),
+         |k AS (SELECT doc_id, weight_micro +
+         |        CAST(round(-ln(-ln((${hash60Sql("'dsir|' || CAST(doc_id AS VARCHAR)")} + 0.5)
+         |          / 1152921504606846976.0)) * 1000000) AS BIGINT) AS key_micro
+         |      FROM w),
+         |r AS (SELECT row_number() OVER (ORDER BY key_micro DESC, doc_id) AS pick,
+         |        doc_id, key_micro FROM k)
+         |SELECT CAST(pick AS BIGINT) AS pick, doc_id, key_micro
+         |FROM r WHERE pick <= 50""".stripMargin,
 
     "p66_quantize_int8" ->
       """WITH s AS (SELECT vec_id, embedding,

@@ -851,6 +851,38 @@ object TextAnalysis {
         sum(col("llr_micro")).as("weight_micro"))
   }
 
+  /** DSIR selection step — Gumbel-top-k importance resampling over
+    * [[dsirWeights]] (sampling WITHOUT replacement ∝ exp(weight) is
+    * exactly "add independent Gumbel noise to each log-weight and take
+    * the top k" — the Gumbel-max trick, so one distributed TakeOrdered
+    * replaces sequential sampling). The noise is derandomized:
+    * u = (hash60(seed‖id)+0.5)/2^60 ∈ (0,1), g = −ln(−ln(u)), and g is
+    * quantized to integer micro-nats like the weights, so the selection
+    * key (weight_micro + g_micro) is a BIGINT — bit-stable across
+    * engines, partitionings and reruns. orderBy+limit compiles to
+    * TakeOrderedAndProject (per-partition heaps, merge of k×partitions
+    * rows at the driver — no global sort at any corpus size). Returns the
+    * k selected docs as (pick ∈ [1,k], id, key_micro), pick ordered by
+    * (key desc, id).
+    */
+  def dsirResample(source: org.apache.spark.sql.DataFrame,
+      target: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int, buckets: Int = 1024,
+      seed: String = "dsir"): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "k >= 1")
+    val u = (hash60(concat(lit(seed + "|"), col("id").cast("string")))
+      .cast("double") + 0.5) / math.pow(2.0, 60)
+    val keyed = dsirWeights(source, target, idCol, textCol, buckets)
+      .withColumn("key_micro",
+        col("weight_micro") + round(-log(-log(u)) * 1e6).cast("long"))
+      .orderBy(col("key_micro").desc, col("id"))
+      .limit(k)
+    keyed.select(
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("key_micro").desc, col("id"))).cast("long").as("pick"),
+      col("id"), col("key_micro"))
+  }
+
   /** Blocklist safety signals (the C4 "bad words" pass — Raffel et al.
     * 2020 §2.2 drop documents containing any listed word; shipping the
     * counts instead of a hard drop lets the caller pick drop vs downweight

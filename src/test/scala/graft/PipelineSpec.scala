@@ -1577,6 +1577,34 @@ class PipelineSpec extends SparkSpec {
     assert(out(3L) == ((3L, 3L, 1000L)), s"got ${out(3L)}")
   }
 
+  /** Plain-Scala twin of TextAnalysis.hash60 (first 15 md5 hex chars). */
+  private def h60(s: String): Long =
+    java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+
+  test("dsirResample: partition-invariant Gumbel-top-k, key lineage, TakeOrdered plan") {
+    import spark.implicits._
+    val src = (0L until 40L)
+      .map(i => (i, if (i % 4 == 0) "good clean prose" else "junk spam words"))
+      .toDF("id", "t")
+    val tgt = src.filter(col("id") % 4 === 0)
+    val sel = TextAnalysis.dsirResample(src, tgt, "id", "t", k = 10)
+    val rows = sel.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).sorted.toSeq == (1L to 10L))
+    assert(rows.sortBy(r => (-r._3, r._2)).map(_._1).toSeq == (1L to 10L).toSeq)
+    val again = TextAnalysis.dsirResample(src.repartition(7), tgt, "id", "t", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSet == again.toSet)
+    // key lineage: key_micro − weight_micro is exactly the seeded Gumbel
+    val w = TextAnalysis.dsirWeights(src, tgt, "id", "t").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def gum(id: Long): Long = math.round(-math.log(-math.log(
+      (h60(s"dsir|$id") + 0.5) / math.pow(2, 60))) * 1e6)
+    rows.foreach { case (_, id, key) => assert(key == w(id) + gum(id), s"id $id") }
+    // per-partition heaps + driver merge, never a global sort
+    assert(sel.queryExecution.executedPlan.toString.contains("TakeOrdered"))
+  }
+
   test("gopherRules: paper thresholds; each rule flips keep alone; no shuffle") {
     import spark.implicits._
     val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
@@ -1655,9 +1683,6 @@ class PipelineSpec extends SparkSpec {
 
     // reference model in plain Scala, sharing nothing with the Spark path
     // but the spec of hash60 (first 15 md5 hex chars) — collision-aware
-    def h60(s: String): Long =
-      java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
     def toks(s: String) = s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
     val srcDocs = Map(1L -> "good clean prose good clean prose",
       2L -> "junk junk junk spam junk", 3L -> "good prose spam")
