@@ -1429,6 +1429,25 @@ object SparkEntry {
           col("alpha_word_permille"), col("n_required_stopwords"), col("keep"))
     }),
 
+    // STREAMING DSIR scoring: docs stream through the stateless
+    // stream-static broadcast join against the batch-trained total
+    // bucket model (p55's pattern); per-token micro-nat LLRs roll up
+    // batch-side. Arrival-order-insensitive integer sums, so the batch
+    // p69 oracle gates the streaming leg exactly.
+    "p74_stream_dsir" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val model = graft.pipeline.TextAnalysis.dsirModel(
+        docs, docs.filter(col("lang") === "en"), "text")
+        .localCheckpoint() // static side: train once, not per micro-batch
+      runStream(s, "p74", dir, docs.select(col("doc_id"), col("text")), 3)(
+        st => graft.streaming.PipelineStream.scoreBuckets(
+          st, "doc_id", "text", model))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("llr_micro")).as("weight_micro"))
+        .select(col("id").as("doc_id"), col("n_tokens"), col("weight_micro"))
+    }),
+
     // DSIR selection step: Gumbel-top-50 over the p69 weights with
     // derandomized hash-seeded noise, both quantized to integer
     // micro-nats — the selection key is a BIGINT, so the top-k set and
@@ -2827,6 +2846,11 @@ object SparkEntry {
         |FROM t""".stripMargin,
 
     "p69_dsir_weights" -> dsirWeightsOracle,
+
+    // p74 streams the SAME scoring p69 runs in batch (stateless
+    // stream-static model join; integer sums are arrival-order-free),
+    // so one oracle definition gates both — no drift.
+    "p74_stream_dsir" -> dsirWeightsOracle,
 
     "p73_dsir_resample" ->
       s"""WITH w AS ($dsirWeightsOracle),

@@ -828,27 +828,47 @@ object TextAnalysis {
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
       .select(col("id"), (hash60(col("tok")) % buckets).as("b"))
       .localCheckpoint(eager = false) // feeds source counts AND scoring
+    srcToks.join(broadcast(dsirLlr(srcToks, target, textCol, buckets)), Seq("b"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("llr_micro")).as("weight_micro"))
+  }
+
+  /** The `buckets`-row DSIR model on its own — per-bucket micro-nat LLRs,
+    * TOTAL over the bucket domain (never-seen buckets carry their
+    * smoothing-floor LLR, so a scoring join can be inner without dropping
+    * tokens). Train once, persist/broadcast anywhere — the static side of
+    * streaming DSIR scoring; [[dsirWeights]] builds the same table but
+    * shares its source tokenize pass with the scoring join.
+    */
+  def dsirModel(source: org.apache.spark.sql.DataFrame,
+      target: org.apache.spark.sql.DataFrame, textCol: String,
+      buckets: Int = 1024): org.apache.spark.sql.DataFrame =
+    dsirLlr(source.select(explode(tokens(col(textCol))).as("tok"))
+      .select((hash60(col("tok")) % buckets).as("b")), target, textCol, buckets)
+
+  private def dsirLlr(srcB: org.apache.spark.sql.DataFrame,
+      target: org.apache.spark.sql.DataFrame, textCol: String,
+      buckets: Int): org.apache.spark.sql.DataFrame = {
     val tgtCnt = target
       .select(explode(tokens(col(textCol))).as("tok"))
       .groupBy((hash60(col("tok")) % buckets).as("b"))
       .agg(count(lit(1)).as("tc"))
-    val srcCnt = srcToks.groupBy(col("b")).agg(count(lit(1)).as("sc"))
-    val cnts = tgtCnt.join(srcCnt, Seq("b"), "full_outer")
+    val srcCnt = srcB.groupBy(col("b")).agg(count(lit(1)).as("sc"))
+    // complete the bucket domain so the model is TOTAL (buckets rows)
+    val cnts = target.sparkSession.range(buckets).select(col("id").as("b"))
+      .join(tgtCnt, Seq("b"), "left").join(srcCnt, Seq("b"), "left")
       .select(col("b"), coalesce(col("tc"), lit(0L)).as("tc"),
         coalesce(col("sc"), lit(0L)).as("sc"))
       .localCheckpoint(eager = false) // feeds totals AND the LLR table
     val totals = cnts.agg(sum(col("tc")).as("tt"), sum(col("sc")).as("st"))
-    val llr = cnts.crossJoin(broadcast(totals))
+    cnts.crossJoin(broadcast(totals))
       .select(col("b"),
         round((log((col("tc") + 1).cast("double") /
                    (col("tt") + buckets).cast("double")) -
                log((col("sc") + 1).cast("double") /
                    (col("st") + buckets).cast("double"))) * 1e6)
           .cast("long").as("llr_micro"))
-    srcToks.join(broadcast(llr), Seq("b"))
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("llr_micro")).as("weight_micro"))
   }
 
   /** DSIR selection step — Gumbel-top-k importance resampling over

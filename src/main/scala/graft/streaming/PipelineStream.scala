@@ -330,4 +330,21 @@ object PipelineStream {
         explode(TextAnalysis.wordNgrams(col(textCol), 2)).as("gram"))
       .join(model.select(col("gram"), col("w_permille")), Seq("gram"), "left")
       .select(col("id"), coalesce(col("w_permille"), lit(0L)).as("w"))
+
+  /** Stateless streaming DSIR scoring (the [[scoreTransitions]] shape for
+    * importance weights): bucket each token and look its micro-nat LLR up
+    * in the static [[TextAnalysis.dsirModel]] via a broadcast
+    * stream-static join — no state, no watermark; the model is TOTAL over
+    * the bucket domain, so the inner join never drops a token. Emits one
+    * (id, llr_micro) row per token occurrence; the batch-side rollup
+    * sums per doc.
+    */
+  def scoreBuckets(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, buckets: Int = 1024): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .select(col("id"), (TextAnalysis.hash60(col("tok")) % buckets).as("b"))
+      .join(broadcast(model), Seq("b"))
+      .select(col("id"), col("llr_micro"))
 }

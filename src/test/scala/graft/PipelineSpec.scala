@@ -1582,6 +1582,22 @@ class PipelineSpec extends SparkSpec {
     java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
 
+  test("dsirModel: total over the bucket domain; scoreBuckets reproduces dsirWeights") {
+    import spark.implicits._
+    val src = Seq((1L, "good clean prose"), (2L, "junk spam words")).toDF("id", "t")
+    val tgt = src.filter(col("id") === 1L)
+    val model = TextAnalysis.dsirModel(src, tgt, "t", buckets = 64)
+    assert(model.count() == 64L) // unseen buckets carry the smoothing floor
+    assert(model.select(count_distinct(col("llr_micro"))).first().getLong(0) >= 2L)
+    val viaModel = graft.streaming.PipelineStream.scoreBuckets(src, "id", "t", model, 64)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n"), sum(col("llr_micro")).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = TextAnalysis.dsirWeights(src, tgt, "id", "t", buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaModel == direct, s"model path $viaModel vs direct $direct")
+  }
+
   test("dsirResample: partition-invariant Gumbel-top-k, key lineage, TakeOrdered plan") {
     import spark.implicits._
     val src = (0L until 40L)
