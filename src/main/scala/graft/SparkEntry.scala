@@ -1429,6 +1429,27 @@ object SparkEntry {
           col("alpha_word_permille"), col("n_required_stopwords"), col("keep"))
     }),
 
+    // Mixture/epoch planning: per-source inventory × literal target
+    // weights at a 1M-token budget; integer shares and milli-epochs
+    // (epochs > 1000 milli = the source must repeat). Sources outside
+    // the weight table plan at 0 but keep their census row.
+    "p75_mixture_plan" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.mixturePlan(
+        table(s, dir, "documents"), "doc_id", "text", "source",
+        Map("src0" -> 300L, "src1" -> 200L, "src2" -> 100L),
+        budgetTokens = 1000000L)),
+
+    // Contamination REPORT (the p27 transpose): for each eval doc, how
+    // many distinct train docs share a 5-gram — eval docs with no leak
+    // report 0 (absence ≠ clean in a contamination report).
+    "p76_contamination_report" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.pipeline.TextAnalysis.contaminationReport(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 5)
+    }),
+
     // STREAMING DSIR scoring: docs stream through the stateless
     // stream-static broadcast join against the batch-trained total
     // bucket model (p55's pattern); per-token micro-nat LLRs roll up
@@ -2844,6 +2865,33 @@ object SparkEntry {
         |            ELSE len(list_filter(ts, x -> list_contains(['dup','slow','spam'], x))) * 1000 // len(ts)
         |            END AS BIGINT) AS flagged_permille
         |FROM t""".stripMargin,
+
+    "p75_mixture_plan" ->
+      """WITH inv AS (SELECT source, count(*) AS n_docs,
+        |        CAST(sum(len(regexp_extract_all(lower(text), '\S+'))) AS BIGINT) AS n_tokens
+        |      FROM documents GROUP BY source),
+        |w(src, wp) AS (VALUES ('src0', 300), ('src1', 200), ('src2', 100))
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+        |       CAST(coalesce(wp, 0) AS BIGINT) AS weight_permille,
+        |       CAST(1000000 * coalesce(wp, 0) // 1000 AS BIGINT) AS share_tokens,
+        |       CAST(CASE WHEN n_tokens = 0 THEN 0
+        |            ELSE (1000000 * coalesce(wp, 0) // 1000) * 1000 // n_tokens
+        |            END AS BIGINT) AS epochs_milli
+        |FROM inv LEFT JOIN w ON inv.source = w.src""".stripMargin,
+
+    "p76_contamination_report" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 3),
+        |        i -> array_to_string(toks[i:i+4], ' '))) AS grams
+        |      FROM t WHERE len(toks) >= 5),
+        |eg AS (SELECT doc_id AS eval_id, unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0),
+        |dg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 20 <> 0),
+        |hits AS (SELECT eval_id, CAST(count(DISTINCT dg.doc_id) AS BIGINT) AS n
+        |         FROM eg JOIN dg USING (gram) GROUP BY eval_id)
+        |SELECT e.doc_id AS eval_id, CAST(coalesce(hits.n, 0) AS BIGINT) AS n_train_docs
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 = 0) e
+        |LEFT JOIN hits ON e.doc_id = hits.eval_id""".stripMargin,
 
     "p69_dsir_weights" -> dsirWeightsOracle,
 

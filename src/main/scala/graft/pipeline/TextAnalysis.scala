@@ -235,20 +235,46 @@ object TextAnalysis {
     */
   def decontaminate(docs: org.apache.spark.sql.DataFrame,
       evalDocs: org.apache.spark.sql.DataFrame,
-      idCol: String, textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
-    def grams(df: org.apache.spark.sql.DataFrame, keepId: Boolean) = {
-      val base = df.select(
-        (if (keepId) col(idCol) else lit(0L)).as("id"), tokens(col(textCol)).as("_toks"))
-        .filter(size(col("_toks")) >= n)
-        .select(col("id"), explode(array_distinct(
-          transform(sequence(lit(1), size(col("_toks")) - (n - 1)),
-            i => concat_ws(" ", slice(col("_toks"), i, lit(n)))))).as("gram"))
-      if (keepId) base else base.select(col("gram")).distinct()
-    }
-    grams(docs, keepId = true)
-      .join(broadcast(grams(evalDocs, keepId = false)), Seq("gram"), "left_semi")
+      idCol: String, textCol: String, n: Int): org.apache.spark.sql.DataFrame =
+    docGrams(docs, idCol, textCol, n)
+      .join(broadcast(docGrams(evalDocs, idCol, textCol, n)
+        .select(col("gram")).distinct()), Seq("gram"), "left_semi")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_matched_grams"))
+
+  /** Distinct (id, word-n-gram) pairs — the candidate unit both
+    * decontamination directions share. */
+  private def docGrams(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) >= n)
+      .select(col("id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("_toks")) - (n - 1)),
+          i => concat_ws(" ", slice(col("_toks"), i, lit(n)))))).as("gram"))
+
+  /** The eval-owner's view of decontamination — for each EVAL document,
+    * how many distinct TRAIN documents share at least one word n-gram
+    * (the report that decides whether a benchmark is burned and which
+    * items to retire). [[decontaminate]] transposed: the eval (gram, id)
+    * pairs are benchmark-sized and BROADCAST with their ids kept; the
+    * train side is the same single tokenize pass; only MATCHED
+    * (train-id, eval-id) rows shuffle into the per-eval distinct count
+    * (map-side partial dedup). Eval docs with no leak report 0 via the
+    * left join — absence of a row and "clean" must not be conflated in
+    * a contamination report. Returns (eval_id, n_train_docs).
+    */
+  def contaminationReport(docs: org.apache.spark.sql.DataFrame,
+      evalDocs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val hits = docGrams(docs, idCol, textCol, n)
+      .join(broadcast(docGrams(evalDocs, idCol, textCol, n)
+        .select(col("id").as("eval_id"), col("gram"))), Seq("gram"))
+      .groupBy(col("eval_id"))
+      .agg(count_distinct(col("id")).as("n_train_docs"))
+    evalDocs.select(col(idCol).as("eval_id"))
+      .join(hits, Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"))
   }
 
   /** Deterministic mixture sampling (training-data domain mixing): keep a
@@ -792,6 +818,38 @@ object TextAnalysis {
         (count(lit(1)) - count(col("inv"))).as("n_oov"))
       .select(col("id"), col("n_tokens"), col("n_oov"),
         expr("n_oov * 1000 DIV n_tokens").as("oov_permille"))
+  }
+
+  /** Data-recipe planning (the mixture table of LLaMA-style training
+    * runs — given target mixture weights per source and a total token
+    * budget, how much of each source do we need and how many EPOCHS of it
+    * exist to be had): per-source inventory (docs, tokens) joined with
+    * the literal weight table, share_tokens = budget·weight/1000 and
+    * epochs_milli = 1000·share/inventory, all integer division — repeat
+    * counts over 1000 milli-epochs mean the source must be upsampled.
+    * ONE partial-aggregated shuffle to |sources| rows, then a broadcast
+    * of the weight literals; sources absent from `weightsPermille` plan
+    * at weight 0 (the census still shows their inventory).
+    */
+  def mixturePlan(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, sourceCol: String,
+      weightsPermille: Map[String, Long],
+      budgetTokens: Long): org.apache.spark.sql.DataFrame = {
+    require(weightsPermille.nonEmpty && budgetTokens > 0, "weights + budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weightsPermille.toSeq.toDF("source", "wp")
+    docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col(textCol)))).cast("long").as("n_tokens"))
+      .join(broadcast(w), Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        coalesce(col("wp"), lit(0L)).as("weight_permille"))
+      .withColumn("share_tokens",
+        expr(s"${budgetTokens}L * weight_permille DIV 1000L"))
+      .withColumn("epochs_milli",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(expr("share_tokens * 1000L DIV n_tokens")))
   }
 
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for

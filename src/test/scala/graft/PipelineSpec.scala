@@ -1582,6 +1582,37 @@ class PipelineSpec extends SparkSpec {
     java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
 
+  test("mixturePlan: shares, epochs, and the zero-weight census row") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d", "web"), (2L, "e f g", "web"), // web: 2 docs, 7 tokens
+      (3L, "h i", "code"))                          // code: unweighted
+      .toDF("id", "t", "src")
+    val out = TextAnalysis.mixturePlan(d, "id", "t", "src",
+      Map("web" -> 600L), budgetTokens = 1000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // share = 1000·600/1000 = 600 tokens; epochs = 600·1000/7 = 85714 milli
+    assert(out("web") == ((2L, 7L, 600L, 600L, 85714L)), s"got ${out("web")}")
+    assert(out("code") == ((1L, 2L, 0L, 0L, 0L)), s"got ${out("code")}")
+  }
+
+  test("contaminationReport: per-eval distinct train counts, clean evals report 0") {
+    import spark.implicits._
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "alpha beta gamma DELTA epsilon zeta"), // case-folds to the same gram
+      (12L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // leaked into 10 and 11
+      (2L, "eight nine ten eleven twelve"))   // clean — must still appear
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.contaminationReport(train, eval, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 0L), s"got $out")
+  }
+
   test("dsirModel: total over the bucket domain; scoreBuckets reproduces dsirWeights") {
     import spark.implicits._
     val src = Seq((1L, "good clean prose"), (2L, "junk spam words")).toDF("id", "t")
