@@ -1429,6 +1429,33 @@ object SparkEntry {
           col("alpha_word_permille"), col("n_required_stopwords"), col("keep"))
     }),
 
+    // VIDEO near-dup by frame-hash overlap: videos = synthesized frame
+    // sequences where groups of 4 share their first 4 frames (key =
+    // group*131+f) and keep 1-2 unique tail frames (key = vid*977+f);
+    // REAL png decode → per-frame dHash → frame-set Jaccard >= 0.4.
+    // In-group pairs land at 500-666 permille, cross-group pairs share
+    // nothing — the oracle replays pixels → hashes → pairs bit-exactly.
+    "p77_video_dup" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      import s.implicits._
+      val frames = table(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { vid =>
+          val g = vid - vid % 4
+          (0L to (4 + vid % 2)).map { f =>
+            val key = if (f < 4) g * 131 + f else vid * 977 + f
+            val w = (8 + key % 9).toInt
+            val h = (8 + key % 7).toInt
+            graft.pipeline.Multimodal.MediaItem(vid * 1000 + f, "png",
+              graft.pipeline.Multimodal.encodeGrayPng(w, h,
+                (x, y) => ((key * 31 + x * 7 + y * 13) % 256).toInt))
+          }
+        }
+      val fh = graft.pipeline.Multimodal.dHashes(frames)
+        .select(expr("id DIV 1000").as("vid"), col("dhash"))
+      graft.pipeline.Multimodal.videoDupPairs(fh, "vid", "dhash",
+        tauPermille = 400)
+    }),
+
     // Mixture/epoch planning: per-source inventory × literal target
     // weights at a 1M-token budget; integer shares and milli-epochs
     // (epochs > 1000 milli = the source must repeat). Sources outside
@@ -2865,6 +2892,36 @@ object SparkEntry {
         |            ELSE len(list_filter(ts, x -> list_contains(['dup','slow','spam'], x))) * 1000 // len(ts)
         |            END AS BIGINT) AS flagged_permille
         |FROM t""".stripMargin,
+
+    "p77_video_dup" ->
+      """WITH f0 AS (SELECT doc_id AS vid, doc_id - doc_id % 4 AS g,
+        |        unnest(generate_series(0, 4 + doc_id % 2)) AS f
+        |      FROM documents),
+        |fk AS (SELECT vid, f,
+        |        CASE WHEN f < 4 THEN g * 131 + f ELSE vid * 977 + f END AS key
+        |      FROM f0),
+        |kd AS (SELECT vid, key, 8 + key % 9 AS w, 8 + key % 7 AS h FROM fk),
+        |xs AS (SELECT vid, key, w, h, unnest(generate_series(0, 7)) AS x FROM kd),
+        |px AS (SELECT vid, key, w, h, x, unnest(generate_series(0, 7)) AS y FROM xs),
+        |bt AS (SELECT vid, key, x, y,
+        |        (key * 31 + (((x + 1) * w) // 9) * 7 + ((y * h) // 8) * 13) % 256 AS gr,
+        |        (key * 31 + ((x * w) // 9) * 7 + ((y * h) // 8) * 13) % 256 AS gl
+        |      FROM px),
+        |hsh AS (SELECT vid, key, CAST(sum(CASE WHEN gr > gl THEN
+        |          CASE WHEN y * 8 + x = 63 THEN -9223372036854775807 - 1
+        |               ELSE 1::BIGINT << CAST(y * 8 + x AS INT) END
+        |        ELSE 0 END) AS BIGINT) AS dhash
+        |        FROM bt GROUP BY 1, 2),
+        |v AS (SELECT DISTINCT vid, dhash FROM hsh),
+        |sz AS (SELECT vid, count(*) AS s FROM v GROUP BY 1),
+        |pr AS (SELECT a.vid AS ia, b.vid AS ib, CAST(count(*) AS BIGINT) AS inter
+        |       FROM v a JOIN v b ON a.dhash = b.dhash AND a.vid < b.vid
+        |       GROUP BY 1, 2),
+        |j AS (SELECT ia, ib, inter, CAST(sa.s + sb.s - inter AS BIGINT) AS uni
+        |      FROM pr JOIN sz sa ON sa.vid = ia JOIN sz sb ON sb.vid = ib)
+        |SELECT ia, ib, inter, uni,
+        |       CAST(inter * 1000 // uni AS BIGINT) AS jaccard_permille
+        |FROM j WHERE inter * 1000 // uni >= 400""".stripMargin,
 
     "p75_mixture_plan" ->
       """WITH inv AS (SELECT source, count(*) AS n_docs,

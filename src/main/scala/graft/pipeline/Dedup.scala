@@ -114,28 +114,34 @@ object Dedup {
       broadcast(s.select(col(s.columns.head).as("sh"))), Seq("sh"), "left_anti"))
       .getOrElse(rawStr0)
     val raw = if (hashShingles) rawStr.withColumn("sh", xxhash64(col("sh"))) else rawStr
-    // ONE tokenize+explode+shuffle pass builds the per-shingle sorted id
-    // sets, materialized once (localCheckpoint) to feed all consumers —
-    // sizes, doc-frequency stoplist, and pair emission previously each
-    // re-derived the exploded shingles (the subtree-duplication trap).
-    // The stoplist is now a plain size(ids) filter: count_distinct(id)
-    // per shingle IS the set size — no second aggregation, no semi-join.
-    // LAZY checkpoints (round 7): eager ones paid a standalone blocking
-    // job per frame before the main action; lazy keeps the compute-once
-    // guarantee (the RDD caches on first materialization inside the one
-    // final job) without the extra jobs the bench was charged for
+    setOverlapPairs(raw, maxDocFreq)
+  }
+
+  /** (ia, ib, inter, uni) for every id pair sharing ≥1 element of the
+    * (id, sh) relation `raw` — the candidate-generation + exact-verify
+    * core jaccardPairs is built on, exposed because ANY set-overlap
+    * near-dup (text shingles, video frame hashes, …) is this same plan.
+    * ONE explode+shuffle pass builds the per-element sorted id sets,
+    * materialized once (lazy localCheckpoint) to feed sizes, the
+    * frequency cap, and pair emission — previously each re-derived the
+    * exploded elements (the subtree-duplication trap). The cap is a
+    * plain size(ids) filter; pair count is Σ_element C(freq,2) via
+    * sorted-set combination emission, never a self-join. LAZY
+    * checkpoints (round 7): eager ones paid a standalone blocking job
+    * per frame before the main action; lazy keeps the compute-once
+    * guarantee without the extra jobs the bench was charged for.
+    */
+  def setOverlapPairs(raw: DataFrame, maxFreq: Option[Int] = None): DataFrame = {
     val grouped0 = raw.groupBy("sh").agg(sort_array(collect_set(col("id"))).as("ids"))
-    val grouped = maxDocFreq
+    val grouped = maxFreq
       .map(f => grouped0.filter(size(col("ids")) <= f)).getOrElse(grouped0)
       .localCheckpoint(eager = false)
     // one row per doc, referenced by BOTH size joins below — cache
-    // once or the explode+aggregate over the shingle sets runs twice
+    // once or the explode+aggregate over the element sets runs twice
     val sizes = grouped
       .select(explode(col("ids")).as("id"))
       .groupBy("id").agg(count(lit(1)).as("sz"))
       .localCheckpoint(eager = false)
-    // pairs per shingle via sorted-id-set combination emission: the
-    // emitted pair count is Σ_shingle C(freq,2), never a self-join
     val inter = emitPairs(grouped)
       .groupBy(col("ia"), col("ib"))
       .agg(count(lit(1)).as("inter"))

@@ -161,6 +161,25 @@ object Multimodal {
   def imageDupClusters(ds: Dataset[MediaItem], maxHamming: Int = 3): DataFrame =
     graft.pipeline.Dedup.hammingClusters(dHashes(ds), "id", "dhash", maxHamming)
 
+  /** VIDEO near-dup by frame-fingerprint overlap — the per-frame
+    * perceptual-hash pass video corpora dedup with (a re-encode shifts
+    * no frame boundary, so re-uploads and container changes share most
+    * frame hashes): input is the (video, frame-hash) relation (one
+    * [[dHashes]] row per sampled frame), videos pair through
+    * [[graft.pipeline.Dedup.setOverlapPairs]] — candidates come ONLY
+    * from videos sharing an exact frame hash (a blank-frame flood is the
+    * skew case: cap it upstream with maxFreq or drop all-constant hashes
+    * like [[dHashes]]' short-clip rule) — and survive at frame-set
+    * Jaccard ≥ tauPermille, exact integer arithmetic end to end.
+    * Returns (ia, ib, inter, uni, jaccard_permille).
+    */
+  def videoDupPairs(frameHashes: DataFrame, videoCol: String,
+      hashCol: String, tauPermille: Int): DataFrame =
+    graft.pipeline.Dedup.setOverlapPairs(
+      frameHashes.select(col(videoCol).as("id"), col(hashCol).as("sh")))
+      .withColumn("jaccard_permille", expr("inter * 1000 DIV uni"))
+      .filter(col("jaccard_permille") >= tauPermille)
+
   /** [[featurize]]'s real-decode twin over (id, kind, media) frames. */
   def decodeFrame(df: DataFrame): DataFrame = {
     import df.sparkSession.implicits._

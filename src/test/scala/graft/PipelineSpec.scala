@@ -1582,6 +1582,33 @@ class PipelineSpec extends SparkSpec {
     java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
 
+  test("videoDupPairs: frame-hash overlap pairs exactly the planted groups") {
+    import spark.implicits._
+    val frames = spark.range(8).as[Long].flatMap { vid =>
+      val g = vid - vid % 4
+      (0L to (4 + vid % 2)).map { f =>
+        val key = if (f < 4) g * 131 + f else vid * 977 + f
+        val w = (8 + key % 9).toInt
+        val h = (8 + key % 7).toInt
+        Multimodal.MediaItem(vid * 1000 + f, "png",
+          Multimodal.encodeGrayPng(w, h,
+            (x, y) => ((key * 31 + x * 7 + y * 13) % 256).toInt))
+      }
+    }
+    val fh = Multimodal.dHashes(frames)
+      .select(expr("id DIV 1000").as("vid"), col("dhash"))
+    val pairs = Multimodal.videoDupPairs(fh, "vid", "dhash", 400)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    val want = (for {
+      g <- Seq(0L, 4L); a <- g until g + 4; b <- (a + 1) until g + 4
+    } yield (a, b)).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet == want, pairs.mkString(","))
+    // nominal overlap is 4 shared frames of 5-6, but 8x8 dHashes can
+    // collide WITHIN a video (shrinking its distinct-hash set), so only
+    // the filter's own bound is a stable fact here
+    assert(pairs.forall(p => p._3 >= 400 && p._3 <= 1000), pairs.mkString(","))
+  }
+
   test("mixturePlan: shares, epochs, and the zero-weight census row") {
     import spark.implicits._
     val d = Seq(
