@@ -2868,15 +2868,22 @@ object SparkEntry {
         |  FROM documents),
         |n1 AS (SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS nf FROM u),
         |n2 AS (SELECT doc_id,
-        |        replace(regexp_replace(lower(regexp_extract(nf, '^[^/]*//[^/?#]*')),
-        |                ':443$|:80$', '', 'g'), '://www.', '://') AS a,
+        |        lower(regexp_extract(nf, '^[^/]*//[^/?#]*')) AS a0,
         |        regexp_replace(nf, '^[^/]*//[^/?#]*', '', 'g') AS rest FROM n1),
-        |n3 AS (SELECT doc_id, a,
-        |        regexp_replace(regexp_replace(regexp_replace(rest,
+        |n2b AS (SELECT doc_id,
+        |        replace(CASE WHEN starts_with(a0, 'https://')
+        |                     THEN regexp_replace(a0, ':443$', '')
+        |                     WHEN starts_with(a0, 'http://')
+        |                     THEN regexp_replace(a0, ':80$', '')
+        |                     ELSE a0 END, '://www.', '://') AS a,
+        |        regexp_extract(rest, '^[^?]*') AS p0,
+        |        regexp_replace(rest, '^[^?]*', '') AS q0 FROM n2),
+        |n3 AS (SELECT doc_id, a, p0,
+        |        regexp_replace(regexp_replace(regexp_replace(q0,
         |          '&utm_[^&#]*', '', 'g'), '\?utm_[^&#]*&', '?', 'g'),
-        |          '\?utm_[^&#]*$', '', 'g') AS r FROM n2),
+        |          '\?utm_[^&#]*$', '', 'g') AS q FROM n2b),
         |n4 AS (SELECT doc_id,
-        |        a || regexp_replace(replace(r, '/?', '?'), '/$', '', 'g') AS url_canon
+        |        a || regexp_replace(p0, '/$', '') || q AS url_canon
         |      FROM n3)
         |SELECT doc_id, url_canon,
         |       min(doc_id) OVER (PARTITION BY url_canon) AS keeper,
@@ -2928,13 +2935,15 @@ object SparkEntry {
         |        CAST(sum(len(regexp_extract_all(lower(text), '\S+'))) AS BIGINT) AS n_tokens
         |      FROM documents GROUP BY source),
         |w(src, wp) AS (VALUES ('src0', 300), ('src1', 200), ('src2', 100))
-        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+        |SELECT coalesce(source, src) AS source,
+        |       CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs,
+        |       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
         |       CAST(coalesce(wp, 0) AS BIGINT) AS weight_permille,
         |       CAST(1000000 * coalesce(wp, 0) // 1000 AS BIGINT) AS share_tokens,
-        |       CAST(CASE WHEN n_tokens = 0 THEN 0
+        |       CAST(CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0
         |            ELSE (1000000 * coalesce(wp, 0) // 1000) * 1000 // n_tokens
         |            END AS BIGINT) AS epochs_milli
-        |FROM inv LEFT JOIN w ON inv.source = w.src""".stripMargin,
+        |FROM inv FULL OUTER JOIN w ON inv.source = w.src""".stripMargin,
 
     "p76_contamination_report" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks

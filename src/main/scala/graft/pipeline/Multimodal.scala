@@ -168,15 +168,17 @@ object Multimodal {
     * [[dHashes]] row per sampled frame), videos pair through
     * [[graft.pipeline.Dedup.setOverlapPairs]] — candidates come ONLY
     * from videos sharing an exact frame hash (a blank-frame flood is the
-    * skew case: cap it upstream with maxFreq or drop all-constant hashes
-    * like [[dHashes]]' short-clip rule) — and survive at frame-set
-    * Jaccard ≥ tauPermille, exact integer arithmetic end to end.
+    * skew case: `maxFreq` drops hashes shared by more videos than that,
+    * the shingle-stoplist move) — and survive at frame-set Jaccard ≥
+    * tauPermille, exact integer arithmetic end to end.
     * Returns (ia, ib, inter, uni, jaccard_permille).
     */
   def videoDupPairs(frameHashes: DataFrame, videoCol: String,
-      hashCol: String, tauPermille: Int): DataFrame =
+      hashCol: String, tauPermille: Int,
+      maxFreq: Option[Int] = None): DataFrame =
     graft.pipeline.Dedup.setOverlapPairs(
-      frameHashes.select(col(videoCol).as("id"), col(hashCol).as("sh")))
+      frameHashes.select(col(videoCol).as("id"), col(hashCol).as("sh")),
+      maxFreq)
       .withColumn("jaccard_permille", expr("inter * 1000 DIV uni"))
       .filter(col("jaccard_permille") >= tauPermille)
 

@@ -235,22 +235,26 @@ object TextAnalysis {
     */
   def decontaminate(docs: org.apache.spark.sql.DataFrame,
       evalDocs: org.apache.spark.sql.DataFrame,
-      idCol: String, textCol: String, n: Int): org.apache.spark.sql.DataFrame =
+      idCol: String, textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    // the eval side needs no ids here — tolerate text-only eval frames
+    val evalWithId =
+      if (evalDocs.columns.contains(idCol)) evalDocs
+      else evalDocs.withColumn(idCol, lit(0L))
     docGrams(docs, idCol, textCol, n)
-      .join(broadcast(docGrams(evalDocs, idCol, textCol, n)
+      .join(broadcast(docGrams(evalWithId, idCol, textCol, n)
         .select(col("gram")).distinct()), Seq("gram"), "left_semi")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_matched_grams"))
+  }
 
   /** Distinct (id, word-n-gram) pairs — the candidate unit both
-    * decontamination directions share. */
+    * decontamination directions share, on the one [[wordNgrams]]
+    * definition (short docs yield the empty array, which explode drops).
+    */
   private def docGrams(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, n: Int): org.apache.spark.sql.DataFrame =
-    df.select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
-      .filter(size(col("_toks")) >= n)
-      .select(col("id"), explode(array_distinct(
-        transform(sequence(lit(1), size(col("_toks")) - (n - 1)),
-          i => concat_ws(" ", slice(col("_toks"), i, lit(n)))))).as("gram"))
+    df.select(col(idCol).as("id"),
+      explode(array_distinct(wordNgrams(col(textCol), n))).as("gram"))
 
   /** The eval-owner's view of decontamination — for each EVAL document,
     * how many distinct TRAIN documents share at least one word n-gram
@@ -839,11 +843,16 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val w = weightsPermille.toSeq.toDF("source", "wp")
+    // FULL outer: a weight entry whose source has no corpus rows must
+    // surface as a zero-inventory row, not silently drop its share of
+    // the budget (the typo'd-source failure mode)
     docs.groupBy(col(sourceCol).as("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(tokens(col(textCol)))).cast("long").as("n_tokens"))
-      .join(broadcast(w), Seq("source"), "left")
-      .select(col("source"), col("n_docs"), col("n_tokens"),
+      .join(broadcast(w), Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("wp"), lit(0L)).as("weight_permille"))
       .withColumn("share_tokens",
         expr(s"${budgetTokens}L * weight_permille DIV 1000L"))
@@ -1062,15 +1071,24 @@ object TextAnalysis {
     // lowercase ONLY scheme://host[:port] — path and query are case-significant
     val auth = lower(regexp_extract(noFrag, "^[^/]*//[^/?#]*", 0))
     val rest = regexp_replace(noFrag, lit("^[^/]*//[^/?#]*"), lit(""))
-    val authNoPort = regexp_replace(auth, lit(":443$|:80$"), lit(""))
+    // default port is SCHEME-relative: https:80 / http:443 are real
+    // distinctions and must survive
+    val authNoPort = when(auth.startsWith("https://"),
+        regexp_replace(auth, lit(":443$"), lit("")))
+      .when(auth.startsWith("http://"),
+        regexp_replace(auth, lit(":80$"), lit("")))
+      .otherwise(auth)
     val authNoWww = org.apache.spark.sql.functions.replace(
       authNoPort, lit("://www."), lit("://"))
+    // split path from query BEFORE touching either: a query VALUE may
+    // contain '/?' or end in '/', and those are semantics, not noise
+    val path0 = regexp_extract(rest, "^[^?]*", 0)
+    val query0 = regexp_replace(rest, lit("^[^?]*"), lit(""))
     // utm params: interior (&utm_x=..), leading-with-follower (?utm_x=..&), lone (?utm_x=..$)
-    val q1 = regexp_replace(rest, lit("&utm_[^&#]*"), lit(""))
+    val q1 = regexp_replace(query0, lit("&utm_[^&#]*"), lit(""))
     val q2 = regexp_replace(q1, lit("\\?utm_[^&#]*&"), lit("?"))
     val q3 = regexp_replace(q2, lit("\\?utm_[^&#]*$"), lit(""))
-    // trailing path slash: "/?"→"?" is a literal replace; "/$" needs no backref
-    val q4 = org.apache.spark.sql.functions.replace(q3, lit("/?"), lit("?"))
-    concat(authNoWww, regexp_replace(q4, lit("/$"), lit("")))
+    // trailing slash: PATH-only (the query keeps its bytes)
+    concat(authNoWww, regexp_replace(path0, lit("/$"), lit("")), q3)
   }
 }

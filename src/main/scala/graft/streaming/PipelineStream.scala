@@ -335,16 +335,22 @@ object PipelineStream {
     * importance weights): bucket each token and look its micro-nat LLR up
     * in the static [[TextAnalysis.dsirModel]] via a broadcast
     * stream-static join — no state, no watermark; the model is TOTAL over
-    * the bucket domain, so the inner join never drops a token. Emits one
-    * (id, llr_micro) row per token occurrence; the batch-side rollup
-    * sums per doc.
+    * the bucket domain, so the inner join never drops a token. The bucket
+    * count is DERIVED from the model (one tiny batch count at plan-build
+    * time — a caller-supplied number that disagreed with training would
+    * silently hash tokens into bucket ids the model lacks and drop them).
+    * Emits one (id, llr_micro) row per token occurrence; the batch-side
+    * rollup sums per doc.
     */
   def scoreBuckets(docs: DataFrame, idCol: String, textCol: String,
-      model: DataFrame, buckets: Int = 1024): DataFrame =
+      model: DataFrame): DataFrame = {
+    val buckets = model.count().toInt
+    require(buckets >= 2, s"model has $buckets rows — not a dsirModel")
     docs
       .select(col(idCol).as("id"),
         explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .select(col("id"), (TextAnalysis.hash60(col("tok")) % buckets).as("b"))
       .join(broadcast(model), Seq("b"))
       .select(col("id"), col("llr_micro"))
+  }
 }

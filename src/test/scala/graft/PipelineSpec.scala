@@ -1616,12 +1616,15 @@ class PipelineSpec extends SparkSpec {
       (3L, "h i", "code"))                          // code: unweighted
       .toDF("id", "t", "src")
     val out = TextAnalysis.mixturePlan(d, "id", "t", "src",
-      Map("web" -> 600L), budgetTokens = 1000L)
+      Map("web" -> 600L, "ghost" -> 400L), budgetTokens = 1000L)
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
     // share = 1000·600/1000 = 600 tokens; epochs = 600·1000/7 = 85714 milli
     assert(out("web") == ((2L, 7L, 600L, 600L, 85714L)), s"got ${out("web")}")
     assert(out("code") == ((1L, 2L, 0L, 0L, 0L)), s"got ${out("code")}")
+    // a weight entry with NO corpus rows surfaces as zero inventory —
+    // 40% of the budget visibly unfillable, not silently dropped
+    assert(out("ghost") == ((0L, 0L, 400L, 400L, 0L)), s"got ${out("ghost")}")
   }
 
   test("contaminationReport: per-eval distinct train counts, clean evals report 0") {
@@ -1647,7 +1650,7 @@ class PipelineSpec extends SparkSpec {
     val model = TextAnalysis.dsirModel(src, tgt, "t", buckets = 64)
     assert(model.count() == 64L) // unseen buckets carry the smoothing floor
     assert(model.select(count_distinct(col("llr_micro"))).first().getLong(0) >= 2L)
-    val viaModel = graft.streaming.PipelineStream.scoreBuckets(src, "id", "t", model, 64)
+    val viaModel = graft.streaming.PipelineStream.scoreBuckets(src, "id", "t", model)
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n"), sum(col("llr_micro")).as("w"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -1717,7 +1720,10 @@ class PipelineSpec extends SparkSpec {
       (2L, "https://ex.com/A/b?id=3"),   // canonical twin of 1
       (3L, "https://ex.com/A/b?id=4"),   // different query VALUE: distinct
       (4L, "https://ex.com/a/b?id=3"),   // path case differs: distinct
-      (5L, "http://ex.com:80/A/b?id=3")) // scheme differs: distinct, port stripped
+      (5L, "http://ex.com:80/A/b?id=3"),  // scheme differs: distinct, port stripped
+      (6L, "https://ex.com:80/A/b?id=3"), // NON-default port survives
+      (7L, "https://ex.com/a?next=/b/?x=1"), // '/?' inside a query VALUE survives
+      (8L, "https://ex.com/a?d=/tmp/"))      // trailing '/' in a query VALUE survives
       .toDF("id", "url")
     val byId = Dedup.urlDedup(urls, "id", "url")
       .collect().map(r => r.getLong(0) ->
@@ -1727,6 +1733,9 @@ class PipelineSpec extends SparkSpec {
     assert(byId(3L) == (("https://ex.com/A/b?id=4", 3L, 1L)))
     assert(byId(4L)._1 == "https://ex.com/a/b?id=3")
     assert(byId(5L)._1 == "http://ex.com/A/b?id=3")
+    assert(byId(6L)._1 == "https://ex.com:80/A/b?id=3", byId(6L)._1)
+    assert(byId(7L)._1 == "https://ex.com/a?next=/b/?x=1", byId(7L)._1)
+    assert(byId(8L)._1 == "https://ex.com/a?d=/tmp/", byId(8L)._1)
   }
 
   test("blocklistSignals: occurrence counting, zero-hit and token-less docs, no shuffle") {
