@@ -1592,6 +1592,32 @@ object SparkEntry {
         .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster"))
     }),
 
+    // STREAMING perceptual AUDIO dedup clusters — the p59 pattern over
+    // p57's energy-envelope dHash: clips decode and hash inside the
+    // stream (stateless map over planted gid-keyed PCM groups), pairs
+    // come from the mass-safe band-bucket sketch state, and the
+    // arrival-order-dependent pair set closes to the same components as
+    // batch hammingClusters (rep links + pigeonhole band recall).
+    "p78_stream_audio_clusters" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      import s.implicits._
+      val ids = table(s, dir, "documents").select(col("doc_id"))
+      val pairs = runStream(s, "p78", dir, ids, 3)( st =>
+        graft.streaming.PipelineStream.sketchPairs(
+          graft.pipeline.Multimodal.audioDHashes(
+            st.select(col("doc_id")).as[Long].map { id =>
+              val gid = id - id % 5
+              val n = (160 + gid % 41).toInt
+              graft.pipeline.Multimodal.MediaItem(id, "wav",
+                graft.pipeline.Multimodal.encodePcmWav(8000,
+                  Array.tabulate(n)(i => (((gid * 131 + i * 17) % 4001) - 2000).toShort)))
+            }, window = 16, hop = 8), "id", "ahash", maxHamming = 3))
+        .select(col("ia"), col("ib")).distinct()
+      val cc = graft.pipeline.Dedup.connectedComponents(pairs)
+      ids.join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster"))
+    }),
+
     // Perceptual AUDIO hashing: L1-energy-envelope dHash over real
     // PCM-WAV decode of the p42 fixture clips (window 16, hop 8 — ~19
     // windows per clip); the oracle recomputes the sample formula,
@@ -1934,7 +1960,39 @@ object SparkEntry {
       |FROM hsh h JOIN r ON h.dhash = r.dhash
       |LEFT JOIN cc ON cc.id = r.rep""".stripMargin
 
+  /** Streaming-audio cluster oracle: p57's envelope-hash lineage keyed
+    * by the planted gid groups, closed over the dhashClustersOracleSql
+    * rep/pair/walk tail (bit positions stay < 24, so no sign-bit case).
+    */
+  private val audioClustersOracleSql: String =
+    """WITH RECURSIVE
+      |d AS (SELECT doc_id, doc_id - doc_id % 5 AS gid FROM documents),
+      |dn AS (SELECT doc_id, gid, 160 + gid % 41 AS n FROM d),
+      |wn AS (SELECT doc_id, gid, n, unnest(generate_series(0, (n - 16) // 8)) AS w FROM dn),
+      |wi AS (SELECT doc_id, gid, w, unnest(generate_series(0, 15)) AS j FROM wn),
+      |en AS (SELECT doc_id, gid, w,
+      |        sum(abs(((gid * 131 + (w * 8 + j) * 17) % 4001) - 2000)) AS l1
+      |      FROM wi GROUP BY 1, 2, 3),
+      |bt AS (SELECT a.doc_id,
+      |        CASE WHEN nx.l1 > a.l1 AND a.w < 64 THEN 1::BIGINT << CAST(a.w AS INT)
+      |             ELSE 0 END AS bit
+      |      FROM en a JOIN en nx ON a.doc_id = nx.doc_id AND nx.w = a.w + 1),
+      |hsh AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS ahash FROM bt GROUP BY 1),
+      |r AS (SELECT ahash, min(doc_id) AS rep FROM hsh GROUP BY 1),
+      |p AS (SELECT a.rep AS ia, b.rep AS ib FROM r a JOIN r b
+      |      ON a.rep < b.rep AND bit_count(xor(a.ahash, b.ahash)) <= 3),
+      |e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib AS a, ia AS b FROM p),
+      |walk(id, comp) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+      |  UNION
+      |  SELECT e.b, walk.comp FROM walk JOIN e ON e.a = walk.id),
+      |cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
+      |SELECT h.doc_id, coalesce(cc.comp, r.rep) AS cluster
+      |FROM hsh h JOIN r ON h.ahash = r.ahash
+      |LEFT JOIN cc ON cc.id = r.rep""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "p78_stream_audio_clusters" -> audioClustersOracleSql,
     "p16_rolling_fp" -> rollingFpOracle,
     "q01_get" ->
       """WITH mk AS (SELECT min(o_custkey) AS k FROM orders),
