@@ -1429,6 +1429,20 @@ object SparkEntry {
           col("alpha_word_permille"), col("n_required_stopwords"), col("keep"))
     }),
 
+    // The corpus-cleanse FUNNEL: exact -> near-dup -> quality floor ->
+    // decontaminate as one report table (train = doc_id%20 != 0, eval =
+    // the %20 slice, the p27 split). Oracle chains the SAME stage
+    // lineages (normalized keep-one, the p14 cluster walk, token floor,
+    // the p27 gram join) into per-stage counts.
+    "p79_cleanse_funnel" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      graft.pipeline.Dedup.cleanseFunnel(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text")
+    }),
+
     // VIDEO near-dup by frame-hash overlap: videos = synthesized frame
     // sequences where groups of 4 share their first 4 frames (key =
     // group*131+f) and keep 1-2 unique tail frames (key = vid*977+f);
@@ -2957,6 +2971,57 @@ object SparkEntry {
         |            ELSE len(list_filter(ts, x -> list_contains(['dup','slow','spam'], x))) * 1000 // len(ts)
         |            END AS BIGINT) AS flagged_permille
         |FROM t""".stripMargin,
+
+    "p79_cleanse_funnel" ->
+      """WITH RECURSIVE
+        |tr AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 20 <> 0),
+        |nrm AS (SELECT id, text, min(id) OVER (PARTITION BY
+        |          trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS k FROM tr),
+        |s1 AS (SELECT id, text FROM nrm WHERE id = k),
+        |t1 AS (SELECT id, regexp_extract_all(lower(text), '\S+') AS toks FROM s1),
+        |g3 AS (SELECT id, unnest(list_transform(generate_series(1, len(toks) - 2),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |       FROM t1 WHERE len(toks) >= 3),
+        |d2 AS (SELECT DISTINCT id, sh FROM g3),
+        |sz AS (SELECT id, count(*) AS sz FROM d2 GROUP BY 1),
+        |pp AS (SELECT a.id AS ia, b.id AS ib, count(*) AS inter
+        |       FROM d2 a JOIN d2 b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+        |jj AS (SELECT ia, ib, inter, sa.sz + sb.sz - inter AS uni
+        |       FROM pp JOIN sz sa ON sa.id = ia JOIN sz sb ON sb.id = ib),
+        |pr AS (SELECT ia, ib FROM jj WHERE inter * 5 >= uni * 4),
+        |ee AS (SELECT ia AS a, ib AS b FROM pr UNION SELECT ib AS a, ia AS b FROM pr),
+        |walk(id, comp) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM ee)
+        |  UNION
+        |  SELECT ee.b, walk.comp FROM walk JOIN ee ON ee.a = walk.id),
+        |cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+        |s2 AS (SELECT s1.id, s1.text FROM s1 LEFT JOIN cc ON cc.id = s1.id
+        |       WHERE coalesce(cc.comp, s1.id) = s1.id),
+        |s3 AS (SELECT id, text FROM s2
+        |       WHERE len(regexp_extract_all(lower(text), '\S+')) >= 15),
+        |t3 AS (SELECT id, regexp_extract_all(lower(text), '\S+') AS toks FROM s3),
+        |g5 AS (SELECT id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+        |          i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+        |       FROM t3 WHERE len(toks) >= 5),
+        |ev AS (SELECT regexp_extract_all(lower(text), '\S+') AS toks
+        |       FROM documents WHERE doc_id % 20 = 0),
+        |eg AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+        |          i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+        |       FROM ev WHERE len(toks) >= 5),
+        |cont AS (SELECT DISTINCT g5.id FROM g5 JOIN eg USING (gram)),
+        |s4 AS (SELECT id FROM s3 WHERE id NOT IN (SELECT id FROM cont)),
+        |cnt AS (SELECT (SELECT count(*) FROM tr) AS c0, (SELECT count(*) FROM s1) AS c1,
+        |               (SELECT count(*) FROM s2) AS c2, (SELECT count(*) FROM s3) AS c3,
+        |               (SELECT count(*) FROM s4) AS c4)
+        |SELECT CAST(1 AS BIGINT) AS stage, '1_exact' AS stage_name,
+        |       CAST(c0 AS BIGINT) AS n_in, CAST(c1 AS BIGINT) AS n_out,
+        |       CAST(c0 - c1 AS BIGINT) AS n_removed FROM cnt
+        |UNION ALL SELECT CAST(2 AS BIGINT), '2_neardup', CAST(c1 AS BIGINT),
+        |       CAST(c2 AS BIGINT), CAST(c1 - c2 AS BIGINT) FROM cnt
+        |UNION ALL SELECT CAST(3 AS BIGINT), '3_quality', CAST(c2 AS BIGINT),
+        |       CAST(c3 AS BIGINT), CAST(c2 - c3 AS BIGINT) FROM cnt
+        |UNION ALL SELECT CAST(4 AS BIGINT), '4_decontaminate', CAST(c3 AS BIGINT),
+        |       CAST(c4 AS BIGINT), CAST(c3 - c4 AS BIGINT) FROM cnt""".stripMargin,
 
     "p77_video_dup" ->
       """WITH f0 AS (SELECT doc_id AS vid, doc_id - doc_id % 4 AS g,

@@ -447,6 +447,46 @@ object Dedup {
       Seq(idCol), "left_semi")
   }
 
+  /** The corpus-cleanse FUNNEL — the composite every pipeline actually
+    * runs, as one reportable table: exact keep-one → near-dup cluster
+    * reps ([[deduplicated]]) → token-count floor → decontamination
+    * ([[TextAnalysis.decontaminate]] against `evalDocs`), with per-stage
+    * (n_in, n_out, n_removed). All four stage frames are lazily
+    * checkpointed, so each shared subplan computes once even though
+    * every stage feeds both its own count and the next stage — the
+    * funnel is ONE job over a union of four tiny aggregates, not four
+    * recomputations. Returns (stage, stage_name, n_in, n_out, n_removed)
+    * ordered by stage.
+    */
+  def cleanseFunnel(docs: DataFrame, evalDocs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, num: Int = 4, den: Int = 5,
+      minTokens: Int = 15, evalGramN: Int = 5): DataFrame = {
+    val s0 = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .localCheckpoint(eager = false)
+    val s1 = s0.withColumn("_k", min(col("id")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(TextAnalysis.normalized(col("text")))))
+      .filter(col("id") === col("_k")).select(col("id"), col("text"))
+      .localCheckpoint(eager = false)
+    val s2 = deduplicated(s1, "id", "text", n, num, den)
+      .localCheckpoint(eager = false)
+    val s3 = s2.filter(size(TextAnalysis.tokens(col("text"))) >= minTokens)
+      .localCheckpoint(eager = false)
+    val contaminated = TextAnalysis
+      .decontaminate(s3, evalDocs, "id", "text", evalGramN).select(col("id"))
+    val s4 = s3.join(contaminated, Seq("id"), "left_anti")
+      .localCheckpoint(eager = false)
+    Seq(("1_exact", s0, s1), ("2_neardup", s1, s2),
+        ("3_quality", s2, s3), ("4_decontaminate", s3, s4))
+      .zipWithIndex.map { case ((name, in, out), i) =>
+        in.agg(count(lit(1)).as("n_in"))
+          .crossJoin(out.agg(count(lit(1)).as("n_out")))
+          .select(lit((i + 1).toLong).as("stage"), lit(name).as("stage_name"),
+            col("n_in"), col("n_out"),
+            (col("n_in") - col("n_out")).as("n_removed"))
+      }.reduce(_.unionByName(_))
+  }
+
   /** Distinct fingerprint table of a corpus — the tiny persisted artifact
     * (≈32 bytes/distinct doc) that incremental dedup joins against, so
     * the corpus itself is NEVER rescanned on later ingests.

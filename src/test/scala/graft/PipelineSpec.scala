@@ -1582,6 +1582,29 @@ class PipelineSpec extends SparkSpec {
     java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
 
+  test("cleanseFunnel: each stage removes exactly its planted victim") {
+    import spark.implicits._
+    val a = (1 to 20).map(i => s"w$i").mkString(" ")          // 20 tokens
+    val aNear = (1 to 19).map(i => s"w$i").mkString(" ") + " zz" // last token differs
+    val evalGram = "alpha beta gamma delta epsilon"
+    val train = Seq(
+      (1L, a), (2L, a),                                   // 2 = exact dup of 1
+      (3L, aNear),                                        // near-dup of 1 (J≈0.89)
+      (4L, "tiny doc"),                                   // under the 15-token floor
+      (5L, s"$evalGram " + (1 to 11).map(i => s"x$i").mkString(" ")), // leaks eval gram
+      (6L, (1 to 16).map(i => s"y$i").mkString(" ")))     // clean survivor
+      .toDF("doc_id", "text")
+    val evalDocs = Seq((100L, evalGram)).toDF("doc_id", "text")
+    val rows = Dedup.cleanseFunnel(train, evalDocs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (1L, "1_exact", 6L, 5L, 1L),
+      (2L, "2_neardup", 5L, 4L, 1L),
+      (3L, "3_quality", 4L, 3L, 1L),
+      (4L, "4_decontaminate", 3L, 2L, 1L)), rows.mkString(","))
+  }
+
   test("videoDupPairs: frame-hash overlap pairs exactly the planted groups") {
     import spark.implicits._
     val frames = spark.range(8).as[Long].flatMap { vid =>
