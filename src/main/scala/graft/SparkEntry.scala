@@ -1429,6 +1429,15 @@ object SparkEntry {
           col("alpha_word_permille"), col("n_required_stopwords"), col("keep"))
     }),
 
+    // Memorization-risk scoring: per-doc share of distinct 5-grams that
+    // occur in >= 3 docs corpus-wide (the dedup-memorization signal);
+    // one gram pass, plain gram-keyed semi-join — exact integers.
+    "p80_memorization_risk" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.memorizationRisk(
+        table(s, dir, "documents"), "doc_id", "text", n = 5, minDf = 3)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_risky"),
+          col("risky_permille"))),
+
     // The corpus-cleanse FUNNEL: exact -> near-dup -> quality floor ->
     // decontaminate as one report table (train = doc_id%20 != 0, eval =
     // the %20 slice, the p27 split). Oracle chains the SAME stage
@@ -2971,6 +2980,19 @@ object SparkEntry {
         |            ELSE len(list_filter(ts, x -> list_contains(['dup','slow','spam'], x))) * 1000 // len(ts)
         |            END AS BIGINT) AS flagged_permille
         |FROM t""".stripMargin,
+
+    "p80_memorization_risk" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+        |        i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+        |      FROM t WHERE len(toks) >= 5),
+        |r AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 3)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(count(r.gram) AS BIGINT) AS n_risky,
+        |       CAST(count(r.gram) * 1000 // count(*) AS BIGINT) AS risky_permille
+        |FROM g LEFT JOIN r USING (gram)
+        |GROUP BY g.doc_id""".stripMargin,
 
     "p79_cleanse_funnel" ->
       """WITH RECURSIVE

@@ -256,6 +256,30 @@ object TextAnalysis {
     df.select(col(idCol).as("id"),
       explode(array_distinct(wordNgrams(col(textCol), n))).as("gram"))
 
+  /** Memorization-risk scoring (the dedup↔memorization link of Lee et
+    * al. 2022 / Carlini et al.: text repeated across many training docs
+    * is what models regurgitate): per document, the share of its
+    * distinct word n-grams that occur in at least `minDf` documents
+    * corpus-wide. ONE gram pass (lazy localCheckpoint) feeds the
+    * document-frequency aggregate AND both per-doc counts; the risky
+    * set joins back by gram — a plain shuffle semi-join, NOT broadcast,
+    * because common phrases make the risky set corpus-scale in real
+    * data. Returns (id, n_grams, n_risky, risky_permille) for docs with
+    * ≥n tokens (gram-less docs drop, as in [[decontaminate]]).
+    */
+  def memorizationRisk(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int, minDf: Int): org.apache.spark.sql.DataFrame = {
+    require(minDf >= 2, "minDf >= 2")
+    val g = docGrams(docs, idCol, textCol, n).localCheckpoint(eager = false)
+    val risky = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select(col("gram"))
+    g.join(risky.withColumn("_r", lit(1L)), Seq("gram"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("_r")).as("n_risky"))
+      .select(col("id"), col("n_grams"), col("n_risky"),
+        expr("n_risky * 1000 DIV n_grams").as("risky_permille"))
+  }
+
   /** The eval-owner's view of decontamination — for each EVAL document,
     * how many distinct TRAIN documents share at least one word n-gram
     * (the report that decides whether a benchmark is burned and which

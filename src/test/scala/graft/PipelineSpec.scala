@@ -1582,6 +1582,22 @@ class PipelineSpec extends SparkSpec {
     java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
 
+  test("memorizationRisk: duplicated grams counted, unique docs at 0") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon"
+    val d = Seq(
+      (1L, s"$shared one two"),   // grams: 3 distinct, 1 shared with 2 and 3
+      (2L, s"$shared six seven"),
+      (3L, s"$shared eight nine"),
+      (4L, "ten eleven twelve thirteen fourteen fifteen")) // all unique grams
+      .toDF("id", "t")
+    val out = TextAnalysis.memorizationRisk(d, "id", "t", n = 5, minDf = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((3L, 1L, 333L)), s"got ${out(1L)}") // only the shared gram is in >=3 docs
+    assert(out(4L) == ((2L, 0L, 0L)), s"got ${out(4L)}")
+  }
+
   test("cleanseFunnel: each stage removes exactly its planted victim") {
     import spark.implicits._
     val a = (1 to 20).map(i => s"w$i").mkString(" ")          // 20 tokens
