@@ -1438,6 +1438,24 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_grams"), col("n_risky"),
           col("risky_permille"))),
 
+    // ANN recall EVALUATION: recall@k of the label-cell IVF restriction
+    // vs exact brute force, per query — the index-acceptance test an ANN
+    // deployment runs before trusting its cell/nprobe parameters.
+    // Queries = vec_id < 5 (a SAMPLE — the exact side is ground truth and
+    // scans once for the whole broadcast batch), corpus = the rest,
+    // k = 10; hits/permille are exact integers (both engines' top-k sets
+    // tie-break by ascending id).
+    "p81_ann_recall" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = table(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("label").as("qc"))
+      graft.pipeline.Similarity.recallAtK(
+        e.filter(col("vec_id") >= 5), "vec_id", "embedding", "label",
+        queries, "qid", "qv", "qc", k = 10)
+    }),
+
     // The corpus-cleanse FUNNEL: exact -> near-dup -> quality floor ->
     // decontaminate as one report table (train = doc_id%20 != 0, eval =
     // the %20 slice, the p27 split). Oracle chains the SAME stage
@@ -2993,6 +3011,29 @@ object SparkEntry {
         |       CAST(count(r.gram) * 1000 // count(*) AS BIGINT) AS risky_permille
         |FROM g LEFT JOIN r USING (gram)
         |GROUP BY g.doc_id""".stripMargin,
+
+    "p81_ann_recall" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qc
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 5),
+        |es AS (SELECT q.qid, c.vec_id,
+        |         list_cosine_similarity(c.embedding, q.qv) AS sim FROM c, q),
+        |er AS (SELECT qid, vec_id,
+        |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        |       FROM es),
+        |asq AS (SELECT q.qid, c.vec_id,
+        |          list_cosine_similarity(c.embedding, q.qv) AS sim
+        |        FROM c JOIN q ON c.label = q.qc),
+        |ar AS (SELECT qid, vec_id,
+        |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        |       FROM asq)
+        |SELECT e.qid, CAST(10 AS BIGINT) AS k,
+        |       CAST(count(a.vec_id) AS BIGINT) AS hits,
+        |       CAST(count(a.vec_id) * 1000 // 10 AS BIGINT) AS recall_permille
+        |FROM er e LEFT JOIN ar a
+        |  ON a.qid = e.qid AND a.vec_id = e.vec_id AND a.rank <= 10
+        |WHERE e.rank <= 10
+        |GROUP BY e.qid""".stripMargin,
 
     "p79_cleanse_funnel" ->
       """WITH RECURSIVE

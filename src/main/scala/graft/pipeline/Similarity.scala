@@ -80,6 +80,49 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"))
   }
 
+  /** Recall@k EVALUATION of a cell-restricted (IVF-style) search against
+    * exact brute force, per query: `hits` = |approx top-k ∩ exact top-k|,
+    * `recall_permille` = 1000·hits/k (floor). The eval every ANN
+    * deployment needs before trusting its index parameters (nprobe /
+    * cell count): run it on a query SAMPLE, not the corpus — the exact
+    * side is a full scan per query batch, which is the point (ground
+    * truth), and queries broadcast so the scan happens ONCE for all of
+    * them (|corpus| × |queries| scores, k × |queries| shuffled rows via
+    * WindowGroupLimit, same shape as [[topKPerQuery]]). The approx side
+    * joins corpus to queries on the cell key — a broadcast hash join that
+    * prunes to the query's cell before any distance math, exactly what
+    * the index does at serve time.
+    *
+    * Ties in cosine break by ascending id on BOTH sides, so the compared
+    * top-k SETS are deterministic. Queries with an empty cell (or fewer
+    * than k cell-mates) score hits over whatever the approx side returned
+    * — recall degrades honestly rather than erroring.
+    */
+  def recallAtK(df: DataFrame, idCol: String, vecCol: String, cellCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      queryCellCol: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    require(k >= 1, "k >= 1")
+    val exact = topKPerQuery(df, idCol, vecCol, queries, queryIdCol, queryVecCol, k)
+    val q = broadcast(queries.select(col(queryIdCol).as("qid"),
+      col(queryVecCol).as("q"), col(queryCellCol).as("qcell")))
+    val approx = df.join(q, df(cellCol) === col("qcell"))
+      .withColumn("sim", cosine(vecCol, "q"))
+      .select(col("qid"), col(idCol).as("id"), col("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"))
+    val hits = exact.select(col("qid"), col("id"))
+      .join(approx, Seq("qid", "id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+    queries.select(col(queryIdCol).as("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), lit(k.toLong).as("k"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall_permille", expr(s"hits * 1000 DIV $k"))
+  }
+
   // ---- real IVF: k-means|| -style coarse quantizer + nprobe search ----
 
   /** A SQL DOUBLE literal EXACTLY equal to the float's double value:

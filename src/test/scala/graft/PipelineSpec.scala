@@ -572,6 +572,29 @@ class PipelineSpec extends SparkSpec {
     assert(mean >= 0.8, s"clustered-data PQ recall@10 should be high, got $mean ($recalls)")
   }
 
+  test("recallAtK: cell restriction misses cross-cell neighbors honestly") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Array(1f, 0.10f, 0f, 0f), 0),
+      (1L, Array(1f, 0.20f, 0f, 0f), 0),
+      (2L, Array(1f, 0.30f, 0f, 0f), 0),
+      (3L, Array(0f, 1f, 0f, 0f), 0),
+      (4L, Array(1f, 0f, 0f, 0f), 1)) // the true best match, in the wrong cell
+      .toDF("vec_id", "embedding", "label")
+    val q = Seq((99L, Array(1f, 0f, 0f, 0f), 0)).toDF("qid", "qv", "qc")
+    // exact top-3 = {4, 0, 1}; cell-0 top-3 = {0, 1, 2} -> hits 2 of 3
+    val r = Similarity.recallAtK(corpus, "vec_id", "embedding", "label",
+      q, "qid", "qv", "qc", k = 3).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("hits") == 2L)
+    assert(r.head.getAs[Long]("recall_permille") == 666L)
+    // a single cell restricts to the whole corpus: recall is exactly 1
+    val one = Similarity.recallAtK(corpus.withColumn("label", lit(0)),
+      "vec_id", "embedding", "label", q, "qid", "qv", "qc", k = 3).collect().head
+    assert(one.getAs[Long]("hits") == 3L)
+    assert(one.getAs[Long]("recall_permille") == 1000L)
+  }
+
   test("OPQ-lite: valid permutation, balanced subspace variance, exactness kept") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
