@@ -82,7 +82,9 @@ object Bench {
       val runs = Seq(once(), once(), once())
       val ts = runs.map(_._1).sorted
       results += name -> ts(1)
-      rows += name -> runs.last._2
+      // rows from the MEDIAN-time run, matching the reported time (a leg
+      // whose row count varied between runs would otherwise mis-attribute)
+      rows += name -> runs.sortBy(_._1).apply(1)._2
       spreads += name -> ((ts.head, ts.last))
     }
 
@@ -102,7 +104,7 @@ object Bench {
       val runs = Seq(once(), once(), once())
       val ts = runs.map(_._1).sorted
       results += name -> ts(1)
-      rows += name -> runs.last._2
+      rows += name -> runs.sortBy(_._1).apply(1)._2
       spreads += name -> ((ts.head, ts.last))
       ios += name -> harvest(last)
     }
@@ -363,7 +365,19 @@ object Bench {
       "\"" + k + "\":" + m.toSeq.map { case (f, v) => "\"" + f + "\":" + v }
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"rows":$rs,"spread":$sp,"io":$io,"sf":"$sfDir"}""")
+    // The driver captures only a TAIL of stdout: round 8's single fat line
+    // (queries+rows+spread+io) overflowed it and the head — with the
+    // "metric" key — was truncated away (BENCH_r08 parsed:null). The io
+    // block (the round-8 addition that tipped it over) moves to its own
+    // PRECEDING line plus a sidecar file the end-of-round commit picks up;
+    // the final line keeps the round-7-sized queries/rows/spread maps that
+    // always parsed, stays LAST and bare on stdout (CLAUDE.md rule).
+    val detail = s"""{"detail":{"io":$io},"sf":"$sfDir"}"""
+    try Files.write(java.nio.file.Paths.get("BENCH_SIDECAR.json"),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(detail)
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"rows":$rs,"spread":$sp,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

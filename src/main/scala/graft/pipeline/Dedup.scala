@@ -472,8 +472,16 @@ object Dedup {
       .localCheckpoint(eager = false)
     val s3 = s2.filter(size(TextAnalysis.tokens(col("text"))) >= minTokens)
       .localCheckpoint(eager = false)
+    // normalize the eval side to the same canonical column names as docs:
+    // decontaminate addresses BOTH frames via textCol, which here is the
+    // literal "text" — a caller whose textCol differs would otherwise get
+    // an AnalysisException on the eval frame (id is optional there)
+    val evalNorm =
+      if (evalDocs.columns.contains(idCol))
+        evalDocs.select(col(idCol).as("id"), col(textCol).as("text"))
+      else evalDocs.select(col(textCol).as("text"))
     val contaminated = TextAnalysis
-      .decontaminate(s3, evalDocs, "id", "text", evalGramN).select(col("id"))
+      .decontaminate(s3, evalNorm, "id", "text", evalGramN).select(col("id"))
     val s4 = s3.join(contaminated, Seq("id"), "left_anti")
       .localCheckpoint(eager = false)
     Seq(("1_exact", s0, s1), ("2_neardup", s1, s2),

@@ -836,8 +836,14 @@ object Similarity {
         .filter(cosine("va", "vb") * 1000 >= tauPermille)
         .select(col("ia"), col("ib"))
     } else {
+      require(headOrder.isEmpty || headOrder.length >= prefilterHeadDims,
+        s"headOrder has ${headOrder.length} positions but prefilterHeadDims=" +
+          s"$prefilterHeadDims — supply at least prefilterHeadDims positions")
       val headPos = (if (headOrder.nonEmpty) headOrder
         else (1 to prefilterHeadDims).toArray).take(prefilterHeadDims)
+      require(headPos.forall(p => p >= 1),
+        s"headOrder positions are 1-based; got ${headPos.filter(_ < 1).mkString(",")}")
+      val maxPos = headPos.max
       val dotF = (x: Column, y: Column) =>
         org.apache.spark.sql.functions.call_function("graft_dot", x, y)
       // per-VECTOR precompute (linear, once): full-norm-scaled head slice
@@ -848,7 +854,16 @@ object Similarity {
       // pushdown INLINES the alias into the per-side scans — measured as
       // the dominant cost of the whole prefilter before this shape.
       val nrm = sqrt(dotF(col("vec"), col("vec")))
+      // head positions past a vector's end would yield null slots in __h,
+      // which graft_dot reads as garbage — fail LOUDLY per row instead
+      // (checks every row, so ragged vector lengths can't slip through;
+      // cost is one comparison in a linear per-vector pass)
+      val guarded = when(size(col("vec")) >= lit(maxPos), col("vec"))
+        .otherwise(raise_error(concat(
+          lit(s"graft.semanticPairs: prefilter head position $maxPos exceeds vector length "),
+          size(col("vec")).cast("string"))))
       val slim = v0
+        .withColumn("vec", guarded)
         .withColumn("__h", array(
           headPos.map(i => element_at(col("vec"), lit(i)).cast("double") / nrm): _*))
         .withColumn("__ht", sqrt(greatest(lit(0.0d),

@@ -7,8 +7,12 @@ import java.util.concurrent.atomic.AtomicLongArray
   * bucket series growing ×1.2 from 1 to ~33M, lock-free adds via binary
   * search, percentiles estimated at bucket granularity). The boundary
   * series here is REGENERATED from the same growth rule (start 1, next =
-  * max(n+1, ⌊n·1.2⌋), capped past 33M), not copied — identical semantics,
-  * ~90 buckets covering µs→30s with ~20% relative resolution.
+  * max(n+1, ⌊n·1.2⌋), capped past 33M), not copied — same ~20% relative
+  * resolution and estimation behavior, but the boundary VALUES drift from
+  * the reference's ⌊1.2^k⌋-with-dedup table (e.g. 9,10,12,14,… here vs
+  * 10,12,15,18,… there), so snapshot bucket vectors are NOT
+  * interchangeable with reference-format ones — merge only among
+  * histograms from this class. ~90 buckets covering µs→30s.
   *
   * Concurrency matches the reference: adds are atomic per bucket, so any
   * thread can record while another snapshots. Reads (`percentile`,

@@ -313,6 +313,14 @@ class PipelineSpec extends SparkSpec {
     val order = Similarity.varianceOrder(all, "vec")
     assert(order.length == 32 && order.toSet == (1 to 32).toSet)
     assert(pairs(8, order) == exact)
+
+    // misconfiguration fails LOUDLY, not by silently weakening the bound:
+    // head dims past the vector end raise at execution; a short headOrder
+    // and non-1-based positions are rejected at plan build
+    val oob = intercept[Exception](pairs(40, Array.empty))
+    assert(oob.getMessage != null) // SparkRuntimeException from raise_error
+    intercept[IllegalArgumentException](pairs(8, Array(1, 2, 3)))
+    intercept[IllegalArgumentException](pairs(2, Array(0, 1)))
   }
 
   test("hashed-shingle jaccard equals the string-keyed computation") {
