@@ -1016,6 +1016,26 @@ object SparkEntry {
         SliceRange(count = Int.MaxValue), Int.MaxValue))
     }),
 
+    // Snapshot/restore maintenance (fork nightly cluster snapshots,
+    // maint/ClusterSnapshotTask.java:34-124; db/ColumnFamilyStore.java:
+    // 1283-1330 hard-linked clones): save a CF, snapshot it, clobber the
+    // live table, restore from the snapshot — the restored read must equal
+    // the pre-clobber live view (data AND horizon sidecars come back from
+    // the links alone, never a data rewrite).
+    "q43_snapshot_read" -> ((s, dir) => {
+      val cells = ordersCells(s, dir).unionByName(ordersStatusFTombstones(s, dir))
+      val ks = graft.api.Keyspace(s, "graft_verify_snap")
+      ks.saveColumnFamily(cells, ordersMeta.copy(name = "orders_snap"), buckets = 8)
+      val snap = ks.snapshot("orders_snap", "q43", atMillis = 1000000L)
+      // clobber: replace the live CF with an unrelated tiny store
+      ks.saveColumnFamily(cells.limit(50), ordersMeta.copy(name = "orders_snap"),
+        buckets = 8)
+      ks.restoreSnapshot(snap, "orders_snap")
+      val lens = ks.columnFamily("orders_snap")
+      ordersDecoded(lens.rangeSliceByKeys(None, None, None,
+        SliceRange(count = Int.MaxValue), Int.MaxValue))
+    }),
+
     // Compaction-time row processor (fork IRowProcessor, db/proc/*): a
     // RetentionProcessor drops cells below a ts horizon as rows flow
     // through compaction — the flatMapGroups UDTF surface, oracle-checked.
@@ -2610,6 +2630,12 @@ object SparkEntry {
         |       o_orderstatus AS status
         |FROM orders
         |WHERE o_custkey % 7 <> 0 AND o_orderstatus <> 'F'""".stripMargin,
+
+    "q43_snapshot_read" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
+        |       o_orderstatus AS status
+        |FROM orders
+        |WHERE o_orderstatus <> 'F'""".stripMargin,
 
     "q29_bucketed_slice" ->
       """WITH r AS (

@@ -156,6 +156,197 @@ class Keyspace(val spark: SparkSession, val name: String) {
     }
 
   def drop(): Unit = spark.sql(s"DROP DATABASE IF EXISTS $name CASCADE")
+
+  // ---- snapshot / backup maintenance (the fork's nightly cluster
+  // snapshots: maint/ClusterSnapshotTask.java:34-124 tag(cfRegExp) config +
+  // window-manager trigger, maint/CleanOldSnapshotsTask.java:55-115
+  // retention by the directory name's leading millis, db/Table.java:283-330
+  // snapshot naming `<millis>-<tag>`, db/ColumnFamilyStore.java:1283-1330
+  // hard-linked SSTable clones).
+  //
+  // A snapshot clones the CF's current parquet runs (data + the two horizon
+  // sidecars) into `<warehouse>/<ks>.db/__snapshots/<millis>-<tag>/<cf>/`
+  // by HARD LINK — parquet files are immutable once published, so a link
+  // is a complete, consistent, O(#files) copy that costs no data IO and
+  // survives compaction's rename-aside replace of the live table (links
+  // keep the inodes alive), exactly the reference's hard-link semantics.
+  // On object stores without link support each file falls back to a copy;
+  // at 100 TB the same contract is a manifest pin + deferred deletion
+  // (immutability is what makes both correct). A manifest records the
+  // CfMeta + bucket count so restore needs nothing but the snapshot dir.
+
+  import org.apache.hadoop.fs.{FileUtil, Path}
+
+  private def hconf = spark.sparkContext.hadoopConfiguration
+
+  private def snapshotsRoot: Path = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    new Path(wh.stripSuffix("/") + "/" + name + ".db/__snapshots")
+  }
+
+  private def tableLocation(table: String): Path =
+    new Path(spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+
+  /** Recursively clone `src` into `dst`, hard-linking files when the
+    * filesystem supports it (local/posix), copying otherwise.
+    */
+  private def linkTree(src: Path, dst: Path): Unit = {
+    val fs = src.getFileSystem(hconf)
+    fs.mkdirs(dst)
+    fs.listStatus(src).foreach { st =>
+      val target = new Path(dst, st.getPath.getName)
+      if (st.isDirectory) linkTree(st.getPath, target)
+      else {
+        val linkable = {
+          val s = st.getPath.toUri.getScheme
+          (s == null || s == "file") && target.toUri.getScheme == st.getPath.toUri.getScheme
+        }
+        def copy(): Unit =
+          FileUtil.copy(fs, st.getPath, target.getFileSystem(hconf), target, false, hconf)
+        if (linkable)
+          try java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(st.getPath.toUri.getPath))
+          catch { case _: UnsupportedOperationException | _: java.io.IOException => copy() }
+        else copy()
+      }
+    }
+  }
+
+  private def writeManifest(dir: Path, meta: CfMeta, buckets: Int): Unit = {
+    val fs = dir.getFileSystem(hconf)
+    val out = fs.create(new Path(dir, "manifest.json"), true)
+    out.write((s"""{"name":"${meta.name}","comparator":"${meta.comparator}",""" +
+      s""""subComparator":"${meta.subComparator}","isSuper":${meta.isSuper},""" +
+      s""""partitioner":"${meta.partitioner}","gcGraceSeconds":${meta.gcGraceSeconds},""" +
+      s""""domainSplit":${meta.domainSplit},"buckets":$buckets}""").getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def readManifest(dir: Path): (CfMeta, Int) = {
+    val fs = dir.getFileSystem(hconf)
+    val in = fs.open(new Path(dir, "manifest.json"))
+    val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    in.close()
+    def str(k: String) = s""""$k":"([^"]*)"""".r.findFirstMatchIn(txt).get.group(1)
+    def raw(k: String) = (s""""$k":([^,}]*)""").r.findFirstMatchIn(txt).get.group(1)
+    (CfMeta(str("name"),
+      comparator = graft.model.ComparatorType.withName(str("comparator")),
+      subComparator = graft.model.ComparatorType.withName(str("subComparator")),
+      isSuper = raw("isSuper").toBoolean,
+      partitioner = graft.model.PartitionerType.withName(str("partitioner")),
+      gcGraceSeconds = raw("gcGraceSeconds").toInt,
+      domainSplit = raw("domainSplit").toBoolean), raw("buckets").toInt)
+  }
+
+  /** Snapshot one column family under `<millis>-<tag>` (Table.snapshot's
+    * name scheme, db/Table.java:288-298). Idempotent per name: an existing
+    * snapshot of the same name+CF is replaced. Returns the snapshot name.
+    */
+  def snapshot(cf: String, tag: String = "",
+      atMillis: Long = System.currentTimeMillis()): String = {
+    val meta = columnFamilyMeta(cf)
+    val buckets = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(tableName(cf)))
+      .bucketSpec.map(_.numBuckets).getOrElse(0)
+    val snapName = if (tag.nonEmpty) s"$atMillis-$tag" else atMillis.toString
+    val cfDir = new Path(snapshotsRoot, s"$snapName/$cf")
+    val fs = cfDir.getFileSystem(hconf)
+    if (fs.exists(cfDir)) fs.delete(cfDir, true)
+    for ((t, sub) <- Seq((tableName(cf), "data"), (hrowTable(cf), "hrow"),
+        (hscTable(cf), "hsc")) if spark.catalog.tableExists(t))
+      linkTree(tableLocation(t), new Path(cfDir, sub))
+    writeManifest(cfDir, meta, buckets)
+    snapName
+  }
+
+  /** Snapshot every CF in the keyspace whose name matches `cfRegExp` under
+    * one snapshot name — ClusterSnapshotTask's `tag(cfRegExp)` config
+    * (maint/ClusterSnapshotTask.java:34-52; null regex = all CFs).
+    */
+  def snapshotAll(tag: String = "", cfRegExp: Option[String] = None,
+      atMillis: Long = System.currentTimeMillis()): String = {
+    val cfs = describe().collect().map(_.getString(0))
+      .filter(cf => cfRegExp.forall(cf.matches))
+    val snapName = if (tag.nonEmpty) s"$atMillis-$tag" else atMillis.toString
+    cfs.foreach(snapshot(_, tag, atMillis))
+    snapName
+  }
+
+  /** Restore a CF from a snapshot: recreate the table EMPTY with the
+    * snapshot's metadata (schema + bucket spec from the manifest), then
+    * hard-link the snapshot's immutable runs back into the table location —
+    * restore is a metadata + link operation, never a data rewrite, the
+    * inverse of ColumnFamilyStore.snapshot's link direction.
+    */
+  def restoreSnapshot(snapshotName: String, cf: String): Unit = {
+    val cfDir = new Path(snapshotsRoot, s"$snapshotName/$cf")
+    val fs = cfDir.getFileSystem(hconf)
+    require(fs.exists(cfDir), s"no snapshot $snapshotName for $cf")
+    val (meta, buckets) = readManifest(cfDir)
+    val dataDir = new Path(cfDir, "data")
+    // bucket-spec'd empty write: bucket ids live in the part-file NAMES,
+    // which the links preserve, so the restored table's catalog bucketing
+    // matches the files and shuffle-free reads still hold
+    CellStore.dropManaged(spark, tableName(cf))
+    val empty = spark.read.parquet(dataDir.toString)
+      .select(graft.model.Cell.columns.map(col): _*).limit(0)
+    if (meta.domainSplit)
+      CellStore.writeDomainBucketed(empty, meta, tableName(cf), buckets)
+    else CellStore.writeBucketed(empty, meta, tableName(cf), buckets)
+    linkTree(dataDir, tableLocation(tableName(cf)))
+    if (meta.domainSplit) spark.sql(s"MSCK REPAIR TABLE ${tableName(cf)}")
+    setMetaProperties(meta)
+    for ((sub, t) <- Seq(("hrow", hrowTable(cf)), ("hsc", hscTable(cf)))) {
+      CellStore.dropManaged(spark, t)
+      val subDir = new Path(cfDir, sub)
+      if (fs.exists(subDir)) {
+        spark.read.parquet(subDir.toString).limit(0)
+          .write.format("parquet").saveAsTable(t)
+        linkTree(subDir, tableLocation(t))
+      }
+    }
+  }
+
+  /** List snapshots: name, leading millis, tag, column families inside.
+    * Directories whose name has no parseable leading millis are listed
+    * with millis = null (and are never retention-deleted — the reference
+    * warns and skips them, CleanOldSnapshotsTask.java:92-98).
+    */
+  def snapshots(): DataFrame = {
+    import spark.implicits._
+    val fs = snapshotsRoot.getFileSystem(hconf)
+    val rows =
+      if (!fs.exists(snapshotsRoot)) Seq.empty
+      else fs.listStatus(snapshotsRoot).filter(_.isDirectory).toSeq.map { st =>
+        val n = st.getPath.getName
+        val millis = scala.util.Try(n.split("-")(0).toLong).toOption
+        val tag = n.split("-").drop(1).mkString("-")
+        val cfs = fs.listStatus(st.getPath).filter(_.isDirectory)
+          .map(_.getPath.getName).sorted.toSeq
+        (n, millis, tag, cfs)
+      }
+    rows.toDF("snapshot", "millis", "tag", "column_families")
+      .withColumn("millis", col("millis").cast("long"))
+  }
+
+  /** Retention: delete snapshots whose leading millis <= `earliestMillis`
+    * (CleanOldSnapshotsTask.cleanDir, maint/CleanOldSnapshotsTask.java:
+    * 84-115 — unparseable directory names are skipped with a warning, not
+    * deleted). Returns the deleted snapshot names.
+    */
+  def cleanOldSnapshots(earliestMillis: Long): Seq[String] = {
+    val fs = snapshotsRoot.getFileSystem(hconf)
+    if (!fs.exists(snapshotsRoot)) return Seq.empty
+    fs.listStatus(snapshotsRoot).filter(_.isDirectory).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      scala.util.Try(n.split("-")(0).toLong).toOption match {
+        case Some(m) if m <= earliestMillis => fs.delete(st.getPath, true); Some(n)
+        case _ => None
+      }
+    }
+  }
 }
 
 object Keyspace {

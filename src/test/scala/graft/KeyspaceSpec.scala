@@ -305,6 +305,78 @@ class KeyspaceSpec extends SparkSpec {
     compacted.dropRowCache(); reopened.dropRowCache()
   }
 
+  test("snapshot/restore/retention: hard-link clone survives table replace") {
+    val loc = new java.io.File("spark-warehouse/graft_ks7.db")
+    if (loc.exists()) new scala.reflect.io.Directory(loc).deleteRecursively()
+    val ks = Keyspace(spark, "graft_ks7")
+    try {
+      val meta = CfMeta("cfs")
+      val cells = Seq(
+        ins("k1", "c1", "v1", 5),
+        ins("k2", "c1", "dead", 1), delRow("k2", 7, ldt = 100), // row-shadowed (sidecar)
+        ins("k3", "c1", "v3", 3))
+      ks.saveColumnFamily(cellsDf(cells), meta, buckets = 2)
+      val snap = ks.snapshot("cfs", "night", atMillis = 2000L)
+      assert(snap == "2000-night")
+      // clobber the live CF AFTER the snapshot (drops the original table
+      // location — the hard links must keep the snapshot's files alive)
+      ks.saveColumnFamily(cellsDf(Seq(ins("zz", "c9", "junk", 1))), meta, buckets = 2)
+      ks.snapshot("cfs", "old", atMillis = 1000L)
+      ks.snapshot("cfs", "new", atMillis = 3000L)
+      // unparseable snapshot dir: listed with null millis, never deleted
+      new java.io.File(loc, "__snapshots/notasnap").mkdirs()
+
+      val deleted = ks.cleanOldSnapshots(1500L)
+      assert(deleted == Seq("1000-old"))
+      val listed = ks.snapshots().collect()
+        .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(listed == Map("2000-night" -> 2000L, "3000-new" -> 3000L, "notasnap" -> -1L))
+
+      ks.restoreSnapshot("2000-night", "cfs")
+      val lens = ks.columnFamily("cfs")
+      assert(lens.horizons.isDefined, "horizon sidecars must restore too")
+      assert(liveValues(lens.getSlice("k1", None, graft.operators.SliceRange(count = 10)))
+        == Map("c1" -> "v1"))
+      assert(lens.getSlice("k2", None, graft.operators.SliceRange(count = 10)).isEmpty,
+        "restored row tombstone must still shadow k2")
+      assert(liveValues(lens.getSlice("k3", None, graft.operators.SliceRange(count = 10)))
+        == Map("c1" -> "v3"))
+      assert(lens.getSlice("zz", None, graft.operators.SliceRange(count = 10)).isEmpty,
+        "post-snapshot junk must be gone after restore")
+      // restored table keeps the bucket spec (shuffle-free reads hold)
+      val bucketSpec = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("cfs", Some("graft_ks7"))).bucketSpec
+      assert(bucketSpec.exists(s => s.numBuckets == 2 && s.bucketColumnNames == Seq("key")),
+        s"restored table must keep its bucket spec, got $bucketSpec")
+    } finally ks.drop()
+  }
+
+  test("snapshotAll regex + domainSplit restore keeps the composed layout") {
+    val loc = new java.io.File("spark-warehouse/graft_ks8.db")
+    if (loc.exists()) new scala.reflect.io.Directory(loc).deleteRecursively()
+    val ks = Keyspace(spark, "graft_ks8")
+    try {
+      val meta = CfMeta("cfd", domainSplit = true)
+      ks.saveColumnFamily(cellsDf(Seq(
+        ins("alpha01", "c1", "v1", 5), ins("beta02", "c1", "v2", 3))), meta, buckets = 2)
+      ks.saveColumnFamily(cellsDf(Seq(ins("k1", "c1", "x", 1))), CfMeta("other"), buckets = 2)
+      // tag(cfRegExp) selection: only cfd matches (ClusterSnapshotTask.java:34-52)
+      val snap = ks.snapshotAll("night", cfRegExp = Some("cfd.*"), atMillis = 4000L)
+      val fs = new java.io.File(loc, s"__snapshots/$snap")
+      assert(new java.io.File(fs, "cfd").exists() && !new java.io.File(fs, "other").exists())
+      ks.saveColumnFamily(cellsDf(Seq(ins("gamma03", "c1", "junk", 1))), meta, buckets = 2)
+      ks.restoreSnapshot(snap, "cfd")
+      def cat() = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("cfd", Some("graft_ks8")))
+      assert(cat().partitionColumnNames == Seq("domain"))
+      assert(cat().bucketSpec.exists(_.numBuckets == 2))
+      val lens = ks.columnFamily("cfd")
+      assert(liveValues(lens.getSlice("alpha01", None, graft.operators.SliceRange(count = 5)))
+        == Map("c1" -> "v1"))
+      assert(lens.getSlice("gamma03", None, graft.operators.SliceRange(count = 5)).isEmpty)
+    } finally ks.drop()
+  }
+
   test("thriftify: comparator-ordered column arrays per key, reversal at sink") {
     val live = Reconcile.liveView(cellsDf(Seq(
       ins("k1", "b", "2", 1), ins("k1", "a", "1", 1), ins("k1", "c", "3", 1))))
