@@ -456,6 +456,13 @@ class CassandraLens(
     // no distinct here — describeSplits distincts (token, key) itself
     RangeScan.describeSplits(withToken(liveNames.select(col("key"))), n)
 
+  /** describe_splits from a deterministic key SAMPLE (the reference's
+    * IndexSummary path, io/IndexSummary.java:1-150) — the 100× variant of
+    * `describeSplits`: no global window over the full key population.
+    */
+  def describeSplitsSampled(n: Int, interval: Int = 128): DataFrame =
+    RangeScan.describeSplitsSampled(withToken(liveNames.select(col("key"))), n, interval)
+
   /** ColumnsMayExistQueryFilter (fork, db/filter/ColumnsMayExistQueryFilter
     * .java:28-157): bulk existence probe for (key, col_name) pairs. The
     * reference answers probabilistically from memtable + column blooms;

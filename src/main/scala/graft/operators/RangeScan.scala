@@ -93,4 +93,31 @@ object RangeScan {
         min(col("key")).as("start_key"),
         max(col("key")).as("end_key"))
   }
+
+  /** describe_splits over a SAMPLED key population — the production path
+    * at scale (the reference computes splits from its sampled key index,
+    * io/IndexSummary.java:1-150 keeps every 128th index entry;
+    * StorageService.getSplits walks that sample, never the full key set).
+    *
+    * The sample is content-deterministic — keys whose xxhash64 lands in
+    * 1/interval of the hash space — so it is reproducible across runs and
+    * engines, unbiased for any token order, and computed by a map-side
+    * filter: the exact path's global window over ALL distinct keys shrinks
+    * to one over |keys|/interval sampled rows, the same memory contract as
+    * the reference's index summary (10^9 keys at interval 128 → ~8M
+    * sample rows). Split i covers the token arc (end_{i-1}, end_i], with
+    * split 1 open below and split n open above; `est_keys` estimates the
+    * split's population as sample-count × interval.
+    */
+  def describeSplitsSampled(live: DataFrame, n: Int, interval: Int = 128): DataFrame = {
+    val sample = live.select(col("token"), col("key")).distinct()
+      .filter(pmod(xxhash64(col("key")), lit(interval)) === 0)
+    val w = Window.orderBy(col("token"), col("key"))
+    sample
+      .withColumn("split_id", ntile(n).over(w))
+      .groupBy(col("split_id"))
+      .agg(
+        (count(lit(1)) * interval).as("est_keys"),
+        max(col("key")).as("end_key"))
+  }
 }

@@ -94,4 +94,30 @@ class RangeScanSpec extends SparkSpec {
     // contiguous, non-overlapping
     ends.sliding(2).foreach { case Array((_, e1), (s2, _)) => assert(e1 < s2) }
   }
+
+  test("sampled describe_splits bounds key-count skew vs exact on the sf0.01 store") {
+    val dir = "/root/testdata/sf0.01"
+    val cells = graft.sources.CellEncodings.ordersCells(spark, dir)
+    val l = new CassandraLens(cells, graft.sources.CellEncodings.ordersMeta)
+    val n = 4
+    val splits = l.describeSplitsSampled(n, interval = 16).orderBy("split_id").collect()
+    assert(splits.length == n)
+    // assign every REAL key to its sampled split: split i covers
+    // (end_{i-1}, end_i], last split open above (OrderPreserving: token=key)
+    val keys = cells.select("key").distinct().collect().map(_.getString(0)).sorted
+    val ends = splits.map(_.getAs[String]("end_key"))
+    assert(ends.sliding(2).forall { case Array(a, b) => a < b; case _ => true })
+    val counts = keys.groupBy { k =>
+      val i = ends.indexWhere(k <= _); if (i < 0) n - 1 else i
+    }.view.mapValues(_.length.toLong).toMap
+    val ideal = keys.length.toDouble / n
+    (0 until n).foreach { i =>
+      val c = counts.getOrElse(i, 0L).toDouble
+      assert(c > ideal / 3 && c < ideal * 3,
+        s"split $i holds $c keys vs ideal $ideal — sampling skew out of bounds")
+      // the reported estimate tracks the real population within the same bound
+      val est = splits(i).getAs[Long]("est_keys").toDouble
+      assert(est > c / 3 && est < c * 3, s"split $i est $est vs actual $c")
+    }
+  }
 }
