@@ -142,6 +142,10 @@ object Bench {
         numPartitions = 4)
       CellStore.openWithHorizons(spark, s"$wtmp/ws", CellEncodings.ordersMeta)
         .multigetSlice((0L until 100L).map(i => f"$i%010d"), None, SliceRange(count = 5)).count()
+      val wsup = CellEncodings.lineitemSuperCells(spark, sfDir).limit(20000)
+      CellStore.write(wsup, CellEncodings.lineitemSuperMeta, s"$wtmp/wsup", numPartitions = 4)
+      new CassandraLens(spark.read.parquet(s"$wtmp/wsup"), CellEncodings.lineitemSuperMeta)
+        .multigetSlice((1L until 100L).map(i => f"$i%010d"), None, SliceRange(count = 5)).count()
       val wdocs = CellEncodings.table(spark, sfDir, "documents").limit(400)
       graft.pipeline.Dedup.nearDuplicates(wdocs, "doc_id", "text", 3, 4, 5,
         hashShingles = true).count() // warm the SAME path the timed run measures
@@ -311,6 +315,26 @@ object Bench {
     legDf("read_sidecar") {
       val keys = (0L until 3000L by 20L).map(i => f"$i%010d")
       sideLens.multigetSlice(keys, None, SliceRange(count = 5))
+    }
+
+    // 3f. super-CF path (stress.py --supercolumns mode,
+    // contrib/py_stress/stress.py:87-88): insert writes the two-level
+    // (key, super_name, sub) cell layout; read runs the two-level slice
+    // assembly (the q10/q11 machinery) — supercolumn-limited slices over
+    // a sampled key batch against the store written here.
+    leg("insert_super") {
+      CellStore.write(CellEncodings.lineitemSuperCells(spark, sfDir),
+        CellEncodings.lineitemSuperMeta, s"$tmp/li_super",
+        numPartitions = GraftSession.cpus.toInt)
+      spark.read.parquet(s"$tmp/li_super").count()
+    }
+    val superLens = new CassandraLens(
+      spark.read.parquet(s"$tmp/li_super"), CellEncodings.lineitemSuperMeta)
+    legDf("read_super") {
+      // lineitem orderkeys are sparse (TPC-H keeps 8 of every 32): step 4
+      // lands on a present/absent mix like stress.py's uniform reads
+      val keys = (1L until 12000L by 4L).map(i => f"$i%010d")
+      superLens.multigetSlice(keys, None, SliceRange(count = 5))
     }
 
     // 4b. sessionize: gap-based session windows over 100k events

@@ -280,14 +280,6 @@ object SparkEntry {
           sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
     }),
 
-    // Plain aggregation pushdown sanity (driver's stub example).
-    "q1_agg" -> ((s, dir) => {
-      GraftFunctions.register(s)
-      table(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(sum(col("l_quantity")).as("sum_qty"))
-    }),
-
     // UTF8Type comparator slice over every key (part_names fixture):
     // name-range predicate in raw utf8-byte order.
     "q20_utf8_slice" -> ((s, dir) => {
@@ -701,6 +693,18 @@ object SparkEntry {
       GraftFunctions.register(s)
       table(s, dir, "documents").select(col("doc_id"),
         graft.pipeline.TextAnalysis.langId(col("text")).as("pred_lang"))
+    }),
+
+    // TRAINED language id (CCNet weak supervision, the p35 recipe on the
+    // langid task): the stopword heuristic labels the corpus, one pass
+    // distills hashed-unigram one-vs-rest weights (total over bucket ×
+    // lang — the DSIR total-model pattern), every doc scores through the
+    // broadcast model join, per-doc argmax with alphabetical tie-break.
+    // The oracle retrains and rescores the whole lineage in SQL.
+    "p83_langid_trained" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.TextAnalysis.langIdTrained(
+        table(s, dir, "documents"), "doc_id", "text")
     }),
 
     // n-gram Jaccard near-duplicate pairs (exact, candidates by shared
@@ -1299,6 +1303,28 @@ object SparkEntry {
         emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", "label",
         qText, q, k = 10, poolK = 20)
         .select(col("rank").cast("long").as("rank"), col("id"), col("rank_sum"))
+    }),
+
+    // BATCHED hybrid retrieval (p53 over a query SET — the production
+    // shape): 3 queries share ONE corpus tokenize and ONE cell-pruned
+    // vector scan; per-query rank-sum fusion identical to the
+    // single-query path (PipelineSpec pins batch ≡ per-query singles).
+    "p82_hybrid_batch" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val emb = table(s, dir, "embeddings")
+      val queries = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"),
+          slice(graft.pipeline.TextAnalysis.tokens(col("text")), 1, 8).as("qterms"))
+        .join(emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding").as("q"),
+            col("label").as("qcell")), Seq("qid"))
+      graft.pipeline.Similarity.hybridTopKIvfBatch(
+        docs.filter(col("doc_id") >= 3), "doc_id", "text",
+        emb.filter(col("vec_id") >= 3), "vec_id", "embedding", "label",
+        queries, k = 10, poolK = 20)
+        .select(col("qid").cast("long").as("qid"),
+          col("rank").cast("long").as("rank"), col("id"), col("rank_sum"))
     }),
 
     // Perceptual-dedup CLUSTERS over real decoded images: groups of 5
@@ -2235,9 +2261,6 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2""".stripMargin,
 
-    "q1_agg" ->
-      "SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1",
-
     "q20_utf8_slice" ->
       """SELECT CAST(p_partkey AS BIGINT) AS partkey, p_name AS name,
         |       CAST(round(p_retailprice * 100) AS BIGINT) AS cents
@@ -2410,6 +2433,38 @@ object SparkEntry {
         |       WHEN s_es >= s_fr THEN 'es'
         |       ELSE 'fr' END AS pred_lang
         |FROM s""".stripMargin,
+
+    "p83_langid_trained" ->
+      s"""WITH s AS (SELECT doc_id, text,
+        |    len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist|ein)\\b')) AS s_de,
+        |    len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is)\\b')) AS s_en,
+        |    len(regexp_extract_all(lower(text), '\\b(el|la|de|que|y|en)\\b')) AS s_es,
+        |    len(regexp_extract_all(lower(text), '\\b(le|la|de|et|les|un)\\b')) AS s_fr
+        |  FROM documents),
+        |lab AS (SELECT doc_id, text,
+        |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_fr THEN 'es'
+        |       ELSE 'fr' END AS lang
+        |  FROM s),
+        |occ AS (SELECT lang, ${hash60Sql("tok")} % 4096 AS bucket
+        |  FROM (SELECT lang, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok FROM lab)),
+        |pl AS (SELECT bucket, lang, count(*) AS c FROM occ GROUP BY 1, 2),
+        |tot AS (SELECT bucket, count(*) AS t FROM occ GROUP BY 1),
+        |langs AS (SELECT unnest(['de', 'en', 'es', 'fr']) AS lang),
+        |w AS (SELECT tot.bucket, langs.lang,
+        |        CAST(2 * coalesce(pl.c, 0) - tot.t AS BIGINT) AS w
+        |      FROM tot CROSS JOIN langs
+        |      LEFT JOIN pl ON pl.bucket = tot.bucket AND pl.lang = langs.lang),
+        |b AS (SELECT doc_id, ${hash60Sql("tok")} % 4096 AS bucket
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+        |        FROM documents)),
+        |sc AS (SELECT b.doc_id, w.lang, CAST(sum(w.w) AS BIGINT) AS score
+        |       FROM b JOIN w USING (bucket) GROUP BY 1, 2),
+        |r AS (SELECT doc_id, lang, score,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+        |      FROM sc)
+        |SELECT doc_id AS id, lang AS pred_lang, score FROM r WHERE rn = 1""".stripMargin,
 
     "p19_stopword_ratio" ->
       """SELECT doc_id,
@@ -2874,6 +2929,40 @@ object SparkEntry {
         |      FROM lr FULL JOIN vr ON lr.id = vr.id),
         |r AS (SELECT id, rank_sum, row_number() OVER (ORDER BY rank_sum, id) AS rank FROM f)
         |SELECT CAST(rank AS BIGINT) AS rank, id, CAST(rank_sum AS BIGINT) AS rank_sum
+        |FROM r WHERE rank <= 10""".stripMargin,
+
+    "p82_hybrid_batch" ->
+      """WITH qd AS (SELECT doc_id AS qid,
+        |              list_distinct((regexp_extract_all(lower(text), '\S+'))[1:8]) AS qterms
+        |            FROM documents WHERE doc_id < 3),
+        |q AS (SELECT qid, unnest(qterms) AS term FROM qd),
+        |n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id >= 3),
+        |t AS (SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '\S+'))) AS term
+        |      FROM documents WHERE doc_id >= 3),
+        |ts AS (SELECT DISTINCT term FROM q),
+        |md AS (SELECT t.doc_id, t.term FROM t JOIN ts USING (term)),
+        |df AS (SELECT term, count(*) AS df FROM md GROUP BY 1),
+        |m AS (SELECT q.qid, md.doc_id, md.term FROM md JOIN q USING (term)),
+        |sc AS (SELECT m.qid, m.doc_id, sum(((SELECT n_docs FROM n) * 1000) // df.df) AS score
+        |       FROM m JOIN df USING (term) GROUP BY 1, 2),
+        |lr0 AS (SELECT qid, doc_id AS id,
+        |          row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS lrank FROM sc),
+        |lr AS (SELECT qid, id, lrank FROM lr0 WHERE lrank <= 20),
+        |qv AS (SELECT vec_id AS qid, embedding AS qe, label AS qcell
+        |       FROM embeddings WHERE vec_id < 3),
+        |vs AS (SELECT qv.qid, c.vec_id, list_cosine_similarity(c.embedding, qv.qe) AS sim
+        |       FROM embeddings c JOIN qv ON c.label = qv.qcell
+        |       WHERE c.vec_id >= 3),
+        |vr0 AS (SELECT qid, vec_id AS id,
+        |          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS vrank FROM vs),
+        |vr AS (SELECT qid, id, vrank FROM vr0 WHERE vrank <= 20),
+        |f AS (SELECT COALESCE(lr.qid, vr.qid) AS qid, COALESCE(lr.id, vr.id) AS id,
+        |             COALESCE(lrank, 21) + COALESCE(vrank, 21) AS rank_sum
+        |      FROM lr FULL JOIN vr ON lr.qid = vr.qid AND lr.id = vr.id),
+        |r AS (SELECT qid, id, rank_sum,
+        |        row_number() OVER (PARTITION BY qid ORDER BY rank_sum, id) AS rank FROM f)
+        |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank, id,
+        |       CAST(rank_sum AS BIGINT) AS rank_sum
         |FROM r WHERE rank <= 10""".stripMargin,
 
     "p58_dhash_clusters" -> dhashClustersOracleSql,

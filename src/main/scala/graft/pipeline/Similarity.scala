@@ -961,6 +961,69 @@ object Similarity {
       ivfTopK(emb, vecIdCol, vecCol, cellCol, queryDf, poolK),
       k, poolK)
 
+  /** BATCHED [[hybridTopKIvf]] — production retrieval is a query SET, not
+    * one query. `queries` carries one row per query: `qid`, `qterms`
+    * (array of lexical terms, pre-lowercased), `q` (query vector),
+    * `qcell` (coarse IVF cell). Per-query fusion semantics are
+    * byte-identical to the single-query path (rank-sum over poolK pools,
+    * poolK+1 absence penalty), asserted by PipelineSpec against
+    * [[hybridTopKIvf]] run query-by-query.
+    *
+    * The batch shape is what changes the cost: the corpus tokenize runs
+    * ONCE for all queries (docs explode → broadcast semi-join on the
+    * UNION of query terms, then the per-query term map re-joins the
+    * already-matched rows); term df is computed once per term over that
+    * matched set (df is query-independent); the vector side is ONE
+    * pruned scan — the corpus joins the broadcast query set on the cell
+    * key, so only the union of query cells is scored, |cell| × nprobe
+    * rows per query, and every per-query rank is a window PARTITIONED BY
+    * QUERY (WindowGroupLimit pre-filters each map partition to poolK
+    * rows per query before the shuffle). Queries are driver-bounded by
+    * contract (they broadcast); pools are poolK × |queries| rows.
+    */
+  def hybridTopKIvfBatch(docs: DataFrame, docIdCol: String, textCol: String,
+      emb: DataFrame, vecIdCol: String, vecCol: String, cellCol: String,
+      queries: DataFrame, k: Int, poolK: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // referenced by the lexical AND vector branches of one final action
+    val q = queries.select(col("qid"), col("qterms"), col("q"), col("qcell"))
+      .localCheckpoint(eager = false)
+    val qTerms = q.select(col("qid"), explode(array_distinct(col("qterms"))).as("term"))
+    val termSet = qTerms.select(col("term")).distinct()
+    val nDocs = docs.count()
+    val matchedDocs = docs
+      .select(col(docIdCol).as("id"),
+        explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("term"))
+      .join(broadcast(termSet), Seq("term"))
+      .localCheckpoint(eager = false) // feeds df agg AND the score join
+    val dfc = matchedDocs.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val lex = matchedDocs
+      .join(broadcast(qTerms), Seq("term"))
+      .join(broadcast(dfc), Seq("term"))
+      .withColumn("w", expr(s"(${nDocs}L * 1000L) div df"))
+      .groupBy(col("qid"), col("id")).agg(sum(col("w")).as("score"))
+      .withColumn("lrank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))))
+      .filter(col("lrank") <= poolK)
+      .select(col("qid"), col("id"), col("lrank"))
+    val vec = emb
+      .join(broadcast(q.select(col("qid"), col("q"), col("qcell"))),
+        emb(cellCol) === col("qcell"))
+      .withColumn("sim", cosine(vecCol, "q"))
+      .select(col("qid"), col(vecIdCol).as("id"), col("sim"))
+      .withColumn("vrank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))))
+      .filter(col("vrank") <= poolK)
+      .select(col("qid"), col("id"), col("vrank"))
+    lex.join(vec, Seq("qid", "id"), "full_outer")
+      .na.fill(poolK + 1, Seq("lrank", "vrank"))
+      .withColumn("rank_sum", (col("lrank") + col("vrank")).cast("long"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rank_sum"), col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("rank_sum"))
+  }
+
   /** SEMANTIC decontamination (the embedding twin of the n-gram
     * [[TextAnalysis.decontaminate]]): flag every train vector whose
     * cosine against ANY eval vector reaches `tauPermille`/1000 —

@@ -416,6 +416,83 @@ object TextAnalysis {
       .agg(sum(coalesce(col("w"), lit(0L))).as("score_sum"),
         count(lit(1)).as("n_tokens"))
 
+  /** MULTI-CLASS weight trainer for [[langIdTrained]] — the one-vs-rest
+    * generalization of [[trainClassifierWeights]]: for each hashed token
+    * bucket b and language l, w(b,l) = occurrences of b under label l
+    * minus occurrences under every other label (= 2·c(b,l) − T(b)).
+    * The table is TOTAL over (observed bucket) × (declared language set)
+    * — the DSIR total-model pattern: an unseen (bucket, language) cell
+    * carries w = −T(b), not an implicit 0, so the scoring join stays
+    * INNER without dropping per-class mass. Division-free integer
+    * weights: exact BIGINTs, reproducible across engines. Artifact size
+    * ≤ dim × |langs| rows — broadcastable at any corpus scale; persist
+    * it once (p38 pattern) for recurring scoring runs.
+    */
+  def trainLangIdWeights(labeled: org.apache.spark.sql.DataFrame,
+      textCol: String, langCol: String, langs: Seq[String],
+      dim: Int = 4096): org.apache.spark.sql.DataFrame = {
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val occ = labeled
+      .select(col(langCol).as("lang"), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("bucket", hash60(col("tok")) % dim)
+      .localCheckpoint(eager = false) // feeds the per-lang AND total aggs
+    val perLang = occ.groupBy(col("bucket"), col("lang")).agg(count(lit(1)).as("c"))
+    val total = occ.groupBy(col("bucket")).agg(count(lit(1)).as("t"))
+    total
+      .crossJoin(broadcast(langs.toDF("lang"))) // bucket × lang grid
+      .join(perLang, Seq("bucket", "lang"), "left")
+      .select(col("bucket"), col("lang"),
+        (coalesce(col("c"), lit(0L)) * 2 - col("t")).as("w"))
+  }
+
+  /** Language-id scoring through a [[trainLangIdWeights]] model: tokenize
+    * → bucket → broadcast model join (INNER — the model is total per
+    * bucket, so a bucket absent from it contributes 0 to EVERY class
+    * equally and dropping it cannot change the argmax) → per-(doc, lang)
+    * integer sum → per-doc argmax with the alphabetically-first tie-break
+    * (the same convention as the heuristic [[langId]] CASE chain). The
+    * per-doc rank is a window PARTITIONED BY doc over ≤|langs| rows.
+    * Docs with no model-bucketed tokens produce no row (no evidence, no
+    * prediction — callers fall back to [[langId]]). Returns
+    * (id, pred_lang, score).
+    */
+  def langIdScoreWith(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, weights: org.apache.spark.sql.DataFrame,
+      dim: Int = 4096): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("bucket", hash60(col("tok")) % dim)
+      .join(broadcast(weights.select(col("bucket"), col("lang"), col("w"))),
+        Seq("bucket"))
+      .groupBy(col("id"), col("lang"))
+      .agg(sum(col("w")).as("score"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("score").desc, col("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("lang").as("pred_lang"), col("score"))
+
+  /** TRAINED language id as the default path — the CCNet weak-supervision
+    * recipe applied to langid exactly as [[classifierScore]] applies it
+    * to quality: the stopword heuristic [[langId]] provides the weak
+    * label, one training pass distills it into hashed-unigram one-vs-rest
+    * weights over the WHOLE vocabulary ([[trainLangIdWeights]]), then
+    * every doc scores through the broadcast model join. The trained model
+    * generalizes past the 6-stopword lists (any token whose usage skews
+    * by language becomes evidence). Two corpus scans as written;
+    * recurring workloads persist the weight artifact once. The heuristic
+    * [[langId]] stays available as the explicit model-free fallback.
+    */
+  def langIdTrained(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, dim: Int = 4096): org.apache.spark.sql.DataFrame = {
+    val labeled = docs.select(col(idCol), col(textCol))
+      .withColumn("__lang", langId(col(textCol)))
+    langIdScoreWith(docs, idCol, textCol,
+      trainLangIdWeights(labeled, textCol, "__lang", langStopwords.map(_._1), dim),
+      dim)
+  }
+
   /** Bigram-LM training — the perplexity-filtering shape of the CCNet /
     * RedPajama quality pipelines (a KenLM scores docs; low-probability
     * docs are gibberish/OOD), reduced to exact integer arithmetic. One

@@ -1318,6 +1318,60 @@ class PipelineSpec extends SparkSpec {
       s"got $hybIvf")
   }
 
+  test("trained langid: reproduces heuristic labels and generalizes past stopwords") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "der hund und die katze ist ein tier das"),
+      (2L, "the quick fox and the dog of to in is"),
+      (3L, "el perro que corre y la casa en madrid"),
+      (4L, "le chien et les chats un paris de")).toDF("doc_id", "text")
+    val out = TextAnalysis.langIdTrained(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val heur = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out == heur, s"trained $out vs heuristic $heur")
+    // the trained model generalizes: a probe of purely NON-stopword tokens
+    // seen only under one language's docs still classifies to that language
+    // (the heuristic scores it 0-0-0-0 and defaults to 'de' only by
+    // tie-break; here the model has real evidence)
+    val w = TextAnalysis.trainLangIdWeights(
+      docs.withColumn("__lang", TextAnalysis.langId(col("text"))), "text", "__lang",
+      TextAnalysis.langStopwords.map(_._1))
+    val probe = Seq((9L, "perro corre casa madrid")).toDF("doc_id", "text")
+    val p = TextAnalysis.langIdScoreWith(probe, "doc_id", "text", w)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(p == Map(9L -> "es"), s"got $p")
+  }
+
+  test("batched hybrid retrieval: batch == per-query singles") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple banana"),
+      (3L, "apple zebra"),
+      (4L, "unrelated words here")).toDF("doc_id", "text")
+    val embCells = Seq(
+      (1L, Array(0f, 1f), 1L), (2L, Array(0.5f, 0.5f), 1L),
+      (3L, Array(0.9f, 0.1f), 0L), (4L, Array(1f, 0f), 0L))
+      .toDF("vec_id", "embedding", "cell")
+    val qs = Seq(
+      (100L, Seq("apple", "banana", "cherry"), Array(1f, 0f), 0L),
+      (200L, Seq("zebra", "words"), Array(0f, 1f), 1L))
+      .toDF("qid", "qterms", "q", "qcell")
+    val batch = Similarity.hybridTopKIvfBatch(docs, "doc_id", "text",
+      embCells, "vec_id", "embedding", "cell", qs, k = 4, poolK = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val singles = Seq(
+      (100L, "apple banana cherry", Array(1f, 0f), 0L),
+      (200L, "zebra words", Array(0f, 1f), 1L)).flatMap { case (qid, qt, qv, qc) =>
+      val q = Seq((qv, qc)).toDF("q", "qcell")
+      Similarity.hybridTopKIvf(docs, "doc_id", "text", embCells, "vec_id", "embedding",
+        "cell", qt, q, k = 4, poolK = 2)
+        .collect().map(r => (qid, r.getInt(0), r.getLong(1), r.getLong(2)))
+    }.toSet
+    assert(batch == singles, s"batch $batch vs singles $singles")
+  }
+
   test("minhash snapshot: incremental shard-vs-corpus near-dups, exact verified") {
     import spark.implicits._
     // corpus doc 2 vs shard doc 1: 30 tokens, last one edited — 28
