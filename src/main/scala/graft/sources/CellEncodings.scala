@@ -16,8 +16,25 @@ import graft.model.{CfMeta, ComparatorType, PartitionerType}
   */
 object CellEncodings {
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Loads a driver parquet table, normalizing any `ts` column to epoch
+    * NANOS as BIGINT regardless of the file's physical type. The driver has
+    * shipped events.ts as both INT64 TIMESTAMP(NANOS) (reads as Long under
+    * nanosAsLong) and timestamp[us] (reads as TIMESTAMP_NTZ); every
+    * downstream encoding and oracle treats ts as a Long nanos value, so the
+    * conversion happens once here. Session timezone is UTC (GraftSession),
+    * so the NTZ→timestamp cast is identity on the wall-clock value — the
+    * same naive-UTC reading DuckDB's epoch_us(ts) applies on the oracle
+    * side.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampType) |
+           Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+      case _ => df
+    }
+  }
 
   def key10(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     lpad(c.cast("string"), 10, "0")
