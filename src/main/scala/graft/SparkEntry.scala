@@ -707,6 +707,29 @@ object SparkEntry {
         table(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // Temperature-based mixture sampling (XLM-R/mT5 α-rebalancing):
+    // per-language keep rates ∝ n^α/n toward a 200-doc budget, then the
+    // deterministic hash gate. α=0.5 so the one float step is IEEE-exact
+    // sqrt; everything after is BIGINT (the DSIR quantization pattern).
+    "p84_temperature_mix" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.TextAnalysis.temperatureSample(
+        table(s, dir, "documents"), "doc_id", "lang",
+        alpha = 0.5, targetDocs = 200L)
+        .select(col("id").as("doc_id"), col("grp").as("lang"),
+          col("bucket"), col("rate_permille"))
+    }),
+
+    // CCNet-style perplexity bucketing: self-trained bigram-LM score →
+    // exact-rank equi-depth head/middle/tail tiers, ranked WITHOUT a
+    // single-partition global window (range repartition + per-partition
+    // offsets — exactRankBuckets).
+    "p85_perplexity_buckets" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.TextAnalysis.perplexityBuckets(
+        table(s, dir, "documents"), "doc_id", "text", nBuckets = 3)
+    }),
+
     // n-gram Jaccard near-duplicate pairs (exact, candidates by shared
     // shingle): word-3-grams, threshold 0.8 in integer arithmetic.
     "p06_jaccard_neardup" -> ((s, dir) => {
@@ -2465,6 +2488,38 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
         |      FROM sc)
         |SELECT doc_id AS id, lang AS pred_lang, score FROM r WHERE rn = 1""".stripMargin,
+
+    "p84_temperature_mix" ->
+      s"""WITH c AS (SELECT lang AS grp, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT grp, n,
+        |        CAST(floor(1000000 * sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
+        |      FROM c),
+        |z AS (SELECT CAST(sum(w) AS BIGINT) AS z FROM w),
+        |r AS (SELECT grp, n,
+        |        least(1000, (1000 * 200 * w) // (z * n)) AS rate_permille
+        |      FROM w CROSS JOIN z),
+        |h AS (SELECT doc_id, lang,
+        |        ${hash60Sql("CAST(doc_id AS VARCHAR)")} % 1000 AS bucket
+        |      FROM documents)
+        |SELECT doc_id, h.lang, CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(rate_permille AS BIGINT) AS rate_permille
+        |FROM h JOIN r ON h.lang = r.grp
+        |WHERE bucket < rate_permille""".stripMargin,
+
+    "p85_perplexity_buckets" ->
+      s"""WITH sc AS ($bigramLmOracleSql),
+        |k AS (SELECT id, (lm_sum * 1000) // n_bigrams AS mean_milli FROM sc),
+        |nn AS (SELECT count(*) AS n FROM k),
+        |r AS (SELECT id, mean_milli,
+        |        row_number() OVER (ORDER BY mean_milli DESC, id) AS rank
+        |      FROM k)
+        |SELECT id, CAST(mean_milli AS BIGINT) AS mean_milli,
+        |       CAST(rank AS BIGINT) AS rank,
+        |       CAST(((rank - 1) * 3) // n AS BIGINT) AS bucket,
+        |       CASE ((rank - 1) * 3) // n WHEN 0 THEN 'head'
+        |            WHEN 1 THEN 'middle' ELSE 'tail' END AS tier
+        |FROM r CROSS JOIN nn""".stripMargin,
 
     "p19_stopword_ratio" ->
       """SELECT doc_id,

@@ -333,6 +333,124 @@ object TextAnalysis {
         (hash60(col(idCol)) % 1000).as("bucket"))
       .filter(col("bucket") < rateFor(col("lang"), ratesPermille, defaultPermille))
 
+  /** Temperature-based mixture rates (multilingual rebalancing, the
+    * XLM-R / mT5 recipe: sample group g with probability ∝ (n_g/N)^α,
+    * α<1 flattening the head): per-group keep-rate in PERMILLE such that
+    * the expected kept total is `targetDocs`. Rates can only downsample
+    * (cap 1000‰); α-upsampling of tail groups is expressed as the head
+    * groups' rates shrinking relative to the tail's.
+    *
+    * Exactness contract (the DSIR micro-quantization pattern): the only
+    * float step is the per-group weight w_g = floor(1e6·n_g^α); everything
+    * after — Z = Σw_g, rate = min(1000, 1000·T·w_g DIV (Z·n_g)) — is exact
+    * BIGINT arithmetic, so the result is bit-stable across engines and
+    * partitionings. For α = 0.5 the weight uses `sqrt`, which IEEE-754
+    * requires correctly rounded in every engine, making even the float
+    * step cross-engine exact; other α go through `pow` (≤1 ulp, not
+    * guaranteed identical across engines — fine for production, but
+    * oracle-gated entries should use α = 0.5).
+    *
+    * Scale: one count aggregate over the corpus → a #groups-row frame;
+    * Z is summed over that tiny frame. No corpus-sized shuffle beyond the
+    * group count itself.
+    */
+  def temperatureRates(docs: org.apache.spark.sql.DataFrame, groupCol: String,
+      alpha: Double, targetDocs: Long): org.apache.spark.sql.DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha in (0, 1]")
+    require(targetDocs > 0, "targetDocs > 0")
+    val counts = docs.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"))
+    val wExpr = if (alpha == 0.5) sqrt(col("n").cast("double"))
+      else pow(col("n").cast("double"), alpha)
+    val weighted = counts.withColumn("w", floor(lit(1e6) * wExpr).cast("long"))
+    val z = weighted.agg(sum(col("w")).as("z"))
+    weighted.crossJoin(broadcast(z))
+      .select(col("grp"), col("n"),
+        least(lit(1000L),
+          expr(s"CAST(1000 * ${targetDocs}L * w DIV (z * n) AS BIGINT)"))
+          .as("rate_permille"))
+  }
+
+  /** Deterministic temperature-mixture sampling: [[temperatureRates]] per
+    * `groupCol`, then the [[mixtureSample]] hash gate — keep a doc iff
+    * hash60(id) mod 1000 falls under its group's rate. The rate table is
+    * #groups rows and BROADCASTS; the corpus side is one map-side join +
+    * filter, no shuffle, resumable at any scale.
+    */
+  def temperatureSample(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      groupCol: String, alpha: Double, targetDocs: Long): org.apache.spark.sql.DataFrame = {
+    val rates = temperatureRates(docs, groupCol, alpha, targetDocs)
+    docs.select(col(idCol).as("id"), col(groupCol).as("grp"),
+        (hash60(col(idCol)) % 1000).as("bucket"))
+      .join(broadcast(rates), Seq("grp"))
+      .filter(col("bucket") < col("rate_permille"))
+      .select(col("id"), col("grp"), col("bucket"), col("rate_permille"))
+  }
+
+  /** Exact global rank + equi-depth bucket WITHOUT a single-partition
+    * window — the scalable form of `ntile`. Range-repartition on the sort
+    * key, pin the partitioning (eager localCheckpoint — range bounds are
+    * sampled per execution, so the offsets read below and the final pass
+    * must see the SAME partitioning), read the per-partition counts
+    * (#partitions rows — bounded driver collect), then rank = partition
+    * offset + within-partition row_number. The within-partition window
+    * shuffles by partition id only — every partition sorts locally in
+    * parallel, nothing funnels through one task, which is what `ntile`
+    * over a global ORDER BY would do (the describeSplits lesson).
+    * Bucket b = (rank-1)·nBuckets DIV n ∈ [0, nBuckets).
+    *
+    * Ties: callers must pass a total order (append a unique id to the
+    * sort key) or ranks within a tie are partition-placement-dependent.
+    */
+  def exactRankBuckets(df: org.apache.spark.sql.DataFrame,
+      sortExprs: Seq[Column], nBuckets: Int): org.apache.spark.sql.DataFrame = {
+    require(nBuckets >= 1, "nBuckets >= 1")
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(parts, sortExprs: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val cnts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = cnts.map(_._2).sum
+    require(n > 0, "exactRankBuckets: empty input")
+    val offsets = cnts.map(_._1).zip(
+      cnts.map(_._2).scanLeft(0L)(_ + _).init)
+    val offMap = map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(sortExprs: _*)
+    ranged
+      .withColumn("rank",
+        row_number().over(w).cast("long") + element_at(offMap, col("__pid")))
+      .withColumn("bucket", expr(s"CAST((rank - 1) * $nBuckets DIV ${n}L AS BIGINT)"))
+      .drop("__pid")
+  }
+
+  /** CCNet-style perplexity bucketing: score every doc with the
+    * self-trained bigram LM ([[bigramLmScoreSelf]] — higher mean
+    * transition weight ≈ lower perplexity), then split the scored corpus
+    * into `nBuckets` equi-depth tiers by exact rank (head = most fluent).
+    * mean_milli = lm_sum·1000 DIV n_bigrams keeps the sort key an exact
+    * BIGINT; (mean_milli DESC, id) is a total order so ranks are
+    * deterministic. Docs with no bigrams carry no score and are excluded
+    * (consistent with p52). Scale: the LM train+score passes are the p52
+    * plan; the bucketing adds one range shuffle + one pid-local window
+    * ([[exactRankBuckets]] — no global-window funnel).
+    */
+  def perplexityBuckets(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, nBuckets: Int = 3): org.apache.spark.sql.DataFrame = {
+    val scored = bigramLmScoreSelf(docs, idCol, textCol)
+      .withColumn("mean_milli",
+        expr("CAST(lm_sum * 1000 DIV n_bigrams AS BIGINT)"))
+    val tierExpr =
+      if (nBuckets == 3)
+        element_at(map(Seq(lit(0L), lit("head"), lit(1L), lit("middle"),
+          lit(2L), lit("tail")): _*), col("bucket"))
+      else col("bucket").cast("string")
+    exactRankBuckets(scored, Seq(col("mean_milli").desc, col("id").asc), nBuckets)
+      .withColumn("tier", tierExpr)
+      .select(col("id"), col("mean_milli"), col("rank"), col("bucket"), col("tier"))
+  }
+
   /** Quality-classifier scoring with TRAINED weights as the DEFAULT path:
     * weakly-supervised distillation of the heuristic keep signal
     * ([[keepFlag]]) into a hashed-feature linear model — the CCNet/DCLM

@@ -1917,4 +1917,77 @@ class PipelineSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
+
+  test("temperature rates: α=0.5 flattens the head, exact integers, expected total ≤ budget") {
+    import spark.implicits._
+    // 80/15/5 split: α=0.5 should keep a LARGER fraction of the tail
+    val d = (0 until 80).map(i => (i.toLong, "en")) ++
+      (80 until 95).map(i => (i.toLong, "de")) ++ (95 until 100).map(i => (i.toLong, "fr"))
+    val docs = d.toDF("doc_id", "lang")
+    val rates = TextAnalysis.temperatureRates(docs, "lang", alpha = 0.5, targetDocs = 50L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // reference model in plain Scala (same integer contract)
+    val n = Map("en" -> 80L, "de" -> 15L, "fr" -> 5L)
+    val w = n.map { case (g, c) => g -> math.floor(1e6 * math.sqrt(c.toDouble)).toLong }
+    val z = w.values.sum
+    val exp = n.map { case (g, c) => g -> ((c, math.min(1000L, 1000L * 50L * w(g) / (z * c)))) }
+    assert(rates == exp, s"got $rates expected $exp")
+    // flattening: tail keep-rate strictly above head keep-rate
+    assert(rates("fr")._2 > rates("de")._2 && rates("de")._2 > rates("en")._2)
+    // expected kept total Σ n_g·r_g/1000 lands at/under the budget
+    val expTotal = rates.map { case (_, (c, r)) => c * r / 1000.0 }.sum
+    assert(expTotal <= 50.0 + 1e-9 && expTotal > 40.0, s"expected-kept $expTotal")
+    // the gate only ever keeps a subset, deterministically
+    val kept = TextAnalysis.temperatureSample(docs, "doc_id", "lang", 0.5, 50L)
+    val a = kept.collect().map(_.getLong(0)).toSet
+    val b = TextAnalysis.temperatureSample(docs.repartition(7), "doc_id", "lang", 0.5, 50L)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b && a.size <= 100)
+  }
+
+  test("exactRankBuckets equals the global-window rank without a global window") {
+    import spark.implicits._
+    val df = (0 until 97).map(i => (i.toLong, (i * 37 % 13).toLong)).toDF("id", "score")
+    val out = TextAnalysis.exactRankBuckets(
+      df, Seq(col("score").desc, col("id").asc), nBuckets = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // reference: plain Scala global sort
+    val sorted = (0 until 97).map(i => (i.toLong, (i * 37 % 13).toLong))
+      .sortBy { case (id, s) => (-s, id) }
+    val exp = sorted.zipWithIndex.map { case ((id, _), ix) =>
+      id -> (((ix + 1).toLong, (ix.toLong * 3) / 97)) }.toMap
+    assert(out == exp)
+    // equi-depth: bucket sizes differ by at most 1
+    val sizes = out.values.groupBy(_._2).view.mapValues(_.size).values.toSeq
+    assert(sizes.max - sizes.min <= 1, s"bucket sizes $sizes")
+    // the plan must NOT contain a single-partition global sort window:
+    // every Window sees the pid-partitioned frame (SinglePartition absent)
+    val plan = TextAnalysis.exactRankBuckets(
+      df, Seq(col("score").desc, col("id").asc), 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan.take(3000))
+  }
+
+  test("perplexity buckets: deterministic exact-rank tiers; singleton transitions top out") {
+    import spark.implicits._
+    val fluent = "the cat sat on the mat and the cat sat on the mat again"
+    val d = Seq((1L, fluent), (2L, fluent),
+      (3L, "zebra quartz vortex nymph jigsaw phlegm crwth zest blitz fjord"),
+      (4L, "one two three four five six seven eight nine ten eleven twelve"),
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (6L, "the cat sat on a mat near the cat on the mat"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityBuckets(d, "doc_id", "text", nBuckets = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+    assert(out.map(_._3).sorted.toSeq == (1L to 6L).toSeq) // ranks are a permutation
+    val byId = out.map(t => t._1 -> t._4).toMap
+    // singleton-transition docs have P(w2|w1)=1 everywhere → mean 1000, the
+    // exact top of the unsmoothed bigram LM; ids 3,4 take the head tier
+    assert(byId(3L) == "head" && byId(4L) == "head" && byId(5L) == "middle")
+    // identical texts: identical mean, adjacent ranks (id tie-break)
+    val m = out.map(t => t._1 -> t._2).toMap
+    val rk = out.map(t => t._1 -> t._3).toMap
+    assert(m(1L) == m(2L) && rk(2L) == rk(1L) + 1)
+    assert(Set("head", "middle", "tail").subsetOf(out.map(_._4).toSet))
+  }
 }
