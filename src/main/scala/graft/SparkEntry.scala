@@ -730,6 +730,17 @@ object SparkEntry {
         table(s, dir, "documents"), "doc_id", "text", nBuckets = 3)
     }),
 
+    // Distributed Lloyd iteration in exact integer micro-space: k=8 seeds
+    // from the smallest vec_ids, broadcast-join assignment, per-cluster
+    // component sums + counts (mergeable sufficient statistics, not
+    // divided means). Bit-stable across engines by the DSIR quantization
+    // pattern.
+    "p86_kmeans_step" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Similarity.kmeansStepExact(
+        table(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+    }),
+
     // n-gram Jaccard near-duplicate pairs (exact, candidates by shared
     // shingle): word-3-grams, threshold 0.8 in integer arithmetic.
     "p06_jaccard_neardup" -> ((s, dir) => {
@@ -2520,6 +2531,27 @@ object SparkEntry {
         |       CASE ((rank - 1) * 3) // n WHEN 0 THEN 'head'
         |            WHEN 1 THEN 'middle' ELSE 'tail' END AS tier
         |FROM r CROSS JOIN nn""".stripMargin,
+
+    "p86_kmeans_step" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |sd AS (SELECT vec_id, embedding,
+        |         row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        |       FROM e ORDER BY vec_id LIMIT 8),
+        |comp AS (SELECT vec_id,
+        |           unnest(generate_series(0, len(embedding) - 1)) AS pos,
+        |           CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS m
+        |         FROM e),
+        |cc AS (SELECT cid,
+        |         unnest(generate_series(0, len(embedding) - 1)) AS pos,
+        |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS cm
+        |       FROM sd),
+        |d AS (SELECT comp.vec_id, cc.cid,
+        |        CAST(sum((m - cm) * (m - cm)) AS BIGINT) AS d2
+        |      FROM comp JOIN cc USING (pos) GROUP BY 1, 2),
+        |a AS (SELECT vec_id, min(d2 * 8 + cid) % 8 AS cluster FROM d GROUP BY 1)
+        |SELECT CAST(cluster AS BIGINT) AS cluster, CAST(pos AS BIGINT) AS pos,
+        |       CAST(sum(m) AS BIGINT) AS sum_micro, count(*) AS n
+        |FROM comp JOIN a USING (vec_id) GROUP BY 1, 2""".stripMargin,
 
     "p19_stopword_ratio" ->
       """SELECT doc_id,

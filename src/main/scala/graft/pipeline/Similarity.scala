@@ -179,6 +179,59 @@ object Similarity {
     centroids
   }
 
+  /** One DISTRIBUTED Lloyd iteration in exact integer arithmetic — the
+    * form that survives both 100 TB and a cross-engine oracle. Where
+    * [[trainCodebook]] assigns through a k-wide literal expression and
+    * collects the means (right for small codebooks), this never moves a
+    * vector to the driver and assigns through a broadcast JOIN on the
+    * component table, so k can grow far past expression-width limits.
+    *
+    * Exactness (the DSIR micro-quantization pattern): every component is
+    * quantized once to round(x·1e6) BIGINT; squared-L2 distances, the
+    * argmin key (d²·k + rank — min gives nearest centroid, lowest rank on
+    * ties), and the per-cluster component sums are then pure integer
+    * arithmetic — bit-stable across engines, partitionings, and
+    * aggregation orders. Overflow headroom: |micro| ≤ ~1e7 for unit-scale
+    * embeddings → d² ≤ dim·4e14 ≤ ~1e17·k « 2^63.
+    *
+    * Seeds are the k smallest-id vectors (rank = id order, 0-based).
+    * Returns the new-centroid SUFFICIENT STATISTICS (cluster, pos,
+    * sum_micro, n) — k·dim rows; callers derive means as sum_micro/(1e6·n)
+    * (kept un-divided so the result stays exact and mergeable across
+    * shards, the EstimatedHistogram-snapshot idea applied to centroids).
+    *
+    * Plan shape: one posexplode of the corpus (n·dim rows), one broadcast
+    * join against the k·dim component table with map-side partial
+    * aggregation of (id, rank) distances, one per-id min, one broadcast
+    * join back, one (cluster, pos) aggregate. No shuffle is corpus-wide
+    * more than twice (the two aggregates), both key-balanced.
+    */
+  def kmeansStepExact(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val micro = (c: Column) => round(c.cast("double") * lit(1e6)).cast("long")
+    val comp = df
+      .select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col("id"), col("pos").cast("long").as("pos"), micro(col("x")).as("m"))
+      .localCheckpoint(eager = false) // feeds assignment AND the stats join
+    val seeds = df.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("sid"), col(vecCol).as("v"))
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("sid")))
+          .cast("long") - 1L) // k-row frame: the single-partition window is bounded
+      .select(col("rank"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("rank"), col("pos").cast("long").as("pos"), micro(col("x")).as("cm"))
+    val assign = comp.join(broadcast(seeds), Seq("pos"))
+      .groupBy(col("id"), col("rank"))
+      .agg(sum((col("m") - col("cm")) * (col("m") - col("cm"))).as("d2"))
+      .groupBy(col("id"))
+      .agg(min(col("d2") * lit(k.toLong) + col("rank")).as("key"))
+      .select(col("id"), (col("key") % k).as("cluster"))
+    comp.join(assign, Seq("id"))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("m")).as("sum_micro"), count(lit(1)).as("n"))
+      .select(col("cluster"), col("pos"), col("sum_micro"), col("n"))
+  }
+
   /** The nprobe cells nearest to the query (driver-side — the codebook is
     * tiny); shared by the in-memory and persisted-index search paths.
     */

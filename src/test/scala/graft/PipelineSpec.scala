@@ -1968,6 +1968,34 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), plan.take(3000))
   }
 
+  test("kmeans exact step: planted clusters separate, stats bit-stable, codebook broadcasts") {
+    import spark.implicits._
+    // two tight planted clusters around (0,0,0,0) and (10,10,10,10);
+    // seeds = ids 0,1 land one in each cluster
+    val vecs = Seq(
+      (0L, Seq(0.1f, 0.2f, 0.0f, 0.1f)), (1L, Seq(10.0f, 9.9f, 10.1f, 10.0f)),
+      (2L, Seq(0.0f, 0.1f, 0.2f, 0.0f)), (3L, Seq(9.8f, 10.2f, 10.0f, 9.9f)),
+      (4L, Seq(0.2f, 0.0f, 0.1f, 0.2f)), (5L, Seq(10.1f, 10.0f, 9.9f, 10.1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansStepExact(vecs, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out.size == 8) // 2 clusters × 4 dims
+    // each cluster holds exactly its 3 planted members
+    assert(out.values.forall(_._2 == 3L))
+    // cluster means recover the planted centers (micro-sums / (1e6·n))
+    val mean0 = out((0L, 0L))._1 / (1e6 * 3)
+    val mean1 = out((1L, 0L))._1 / (1e6 * 3)
+    assert(math.abs(mean0 - 0.1) < 0.2 && math.abs(mean1 - 9.97) < 0.2, s"$mean0 $mean1")
+    // bit-stable on any partitioning (pure-integer distances and sums)
+    val again = Similarity.kmeansStepExact(vecs.repartition(7), "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(again == out)
+    // the seed component table must broadcast onto the corpus side
+    val plan = Similarity.kmeansStepExact(vecs, "vec_id", "embedding", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
   test("perplexity buckets: deterministic exact-rank tiers; singleton transitions top out") {
     import spark.implicits._
     val fluent = "the cat sat on the mat and the cat sat on the mat again"
