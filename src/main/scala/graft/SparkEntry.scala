@@ -741,6 +741,18 @@ object SparkEntry {
         table(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
     }),
 
+    // Second Lloyd iteration entirely in integer space + migration
+    // report: refined centroids = floor-divided micro-mean of the p86
+    // statistics (floor spelled engine-portably), reassign, emit
+    // (id, cluster0, cluster1, moved) — the convergence signal.
+    "p87_kmeans_refine" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Similarity.kmeansRefineDelta(
+        table(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+        .select(col("id"), col("cluster0"), col("cluster1"),
+          col("moved").cast("long").as("moved"))
+    }),
+
     // n-gram Jaccard near-duplicate pairs (exact, candidates by shared
     // shingle): word-3-grams, threshold 0.8 in integer arithmetic.
     "p06_jaccard_neardup" -> ((s, dir) => {
@@ -2552,6 +2564,35 @@ object SparkEntry {
         |SELECT CAST(cluster AS BIGINT) AS cluster, CAST(pos AS BIGINT) AS pos,
         |       CAST(sum(m) AS BIGINT) AS sum_micro, count(*) AS n
         |FROM comp JOIN a USING (vec_id) GROUP BY 1, 2""".stripMargin,
+
+    "p87_kmeans_refine" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |sd AS (SELECT vec_id, embedding,
+        |         row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        |       FROM e ORDER BY vec_id LIMIT 8),
+        |comp AS (SELECT vec_id,
+        |           unnest(generate_series(0, len(embedding) - 1)) AS pos,
+        |           CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS m
+        |         FROM e),
+        |cc AS (SELECT cid,
+        |         unnest(generate_series(0, len(embedding) - 1)) AS pos,
+        |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS cm
+        |       FROM sd),
+        |d AS (SELECT comp.vec_id, cc.cid,
+        |        CAST(sum((m - cm) * (m - cm)) AS BIGINT) AS d2
+        |      FROM comp JOIN cc USING (pos) GROUP BY 1, 2),
+        |a AS (SELECT vec_id, min(d2 * 8 + cid) % 8 AS cluster FROM d GROUP BY 1),
+        |st AS (SELECT cluster, pos, CAST(sum(m) AS BIGINT) AS s, count(*) AS n
+        |       FROM comp JOIN a USING (vec_id) GROUP BY 1, 2),
+        |rc AS (SELECT cluster, pos, (s - ((s % n + n) % n)) // n AS cm FROM st),
+        |d1 AS (SELECT comp.vec_id, rc.cluster,
+        |         CAST(sum((m - cm) * (m - cm)) AS BIGINT) AS d2
+        |       FROM comp JOIN rc USING (pos) GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, min(d2 * 8 + cluster) % 8 AS c1 FROM d1 GROUP BY 1)
+        |SELECT a.vec_id AS id, CAST(a.cluster AS BIGINT) AS cluster0,
+        |       CAST(a1.c1 AS BIGINT) AS cluster1,
+        |       CAST(a.cluster <> a1.c1 AS BIGINT) AS moved
+        |FROM a JOIN a1 USING (vec_id)""".stripMargin,
 
     "p19_stopword_ratio" ->
       """SELECT doc_id,

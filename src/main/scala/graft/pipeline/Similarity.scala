@@ -232,6 +232,67 @@ object Similarity {
       .select(col("cluster"), col("pos"), col("sum_micro"), col("n"))
   }
 
+  /** Nearest-centroid assignment against an integer micro-component
+    * centroid table `(cluster, pos, cm)` — the join-based counterpart of
+    * [[assignCell]], usable with centroids that exist only as a DataFrame
+    * (e.g. derived from [[kmeansStepExact]] statistics). Returns
+    * (id, cluster, d2). Same argmin-key determinism as the step.
+    */
+  def assignExact(df: DataFrame, idCol: String, vecCol: String,
+      centroidComp: DataFrame, k: Int): DataFrame = {
+    val micro = (c: Column) => round(c.cast("double") * lit(1e6)).cast("long")
+    df.select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col("id"), col("pos").cast("long").as("pos"), micro(col("x")).as("m"))
+      .join(broadcast(centroidComp), Seq("pos"))
+      .groupBy(col("id"), col("cluster"))
+      .agg(sum((col("m") - col("cm")) * (col("m") - col("cm"))).as("d2"))
+      .groupBy(col("id"))
+      .agg(min(col("d2") * lit(k.toLong) + col("cluster")).as("key"))
+      .select(col("id"), (col("key") % k).as("cluster"),
+        expr(s"CAST(key DIV ${k}L AS BIGINT)").as("d2"))
+  }
+
+  /** Second Lloyd iteration ENTIRELY in integer space + the migration
+    * report: refined centroids are the floor-divided means of
+    * [[kmeansStepExact]]'s sufficient statistics (floor semantics spelled
+    * out as (s - ((s % n + n) % n)) / n so Spark's truncate-toward-zero
+    * `DIV` and an engine with floored `//` compute the SAME value on
+    * negative sums), then every vector reassigns against the refined
+    * table. Output (id, cluster0, cluster1, moved) — the per-iteration
+    * convergence signal (Σ moved is the Lloyd stopping criterion) that a
+    * production curation run logs each round. The corpus is read twice
+    * (the stats pass and the checkpointed component table feeding both
+    * assignments); every centroid table stays k·dim rows and broadcasts.
+    */
+  def kmeansRefineDelta(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val stats = kmeansStepExact(df, idCol, vecCol, k)
+    val refined = stats.select(col("cluster"), col("pos"),
+      expr("CAST((sum_micro - ((sum_micro % n + n) % n)) DIV n AS BIGINT)").as("cm"))
+    val micro = (c: Column) => round(c.cast("double") * lit(1e6)).cast("long")
+    val comp = df
+      .select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col("id"), col("pos").cast("long").as("pos"), micro(col("x")).as("m"))
+      .localCheckpoint(eager = false) // two assignment branches, one tokenize
+    val seeds = df.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("sid"), col(vecCol).as("v"))
+      .withColumn("cluster",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("sid")))
+          .cast("long") - 1L)
+      .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("cluster"), col("pos").cast("long").as("pos"), micro(col("x")).as("cm"))
+    def assign(centroids: DataFrame): DataFrame =
+      comp.join(broadcast(centroids), Seq("pos"))
+        .groupBy(col("id"), col("cluster"))
+        .agg(sum((col("m") - col("cm")) * (col("m") - col("cm"))).as("d2"))
+        .groupBy(col("id"))
+        .agg(min(col("d2") * lit(k.toLong) + col("cluster")).as("key"))
+        .select(col("id"), (col("key") % k).as("cluster"))
+    assign(seeds).withColumnRenamed("cluster", "cluster0")
+      .join(assign(refined).withColumnRenamed("cluster", "cluster1"), Seq("id"))
+      .select(col("id"), col("cluster0"), col("cluster1"),
+        (col("cluster0") =!= col("cluster1")).as("moved"))
+  }
+
   /** The nprobe cells nearest to the query (driver-side — the codebook is
     * tiny); shared by the in-memory and persisted-index search paths.
     */

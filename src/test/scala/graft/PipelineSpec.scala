@@ -1996,6 +1996,35 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
+  test("kmeans refine delta: tight clusters don't move; assignExact agrees with the refine pass") {
+    import spark.implicits._
+    // seeds 0,1 start inside the two tight planted clusters → the refined
+    // centroids stay inside them and NO vector migrates
+    val vecs = Seq(
+      (0L, Seq(0.1f, 0.2f, 0.0f, 0.1f)), (1L, Seq(10.0f, 9.9f, 10.1f, 10.0f)),
+      (2L, Seq(0.0f, 0.1f, 0.2f, 0.0f)), (3L, Seq(9.8f, 10.2f, 10.0f, 9.9f)),
+      (4L, Seq(0.2f, 0.0f, 0.1f, 0.2f)), (5L, Seq(10.1f, 10.0f, 9.9f, 10.1f)))
+      .toDF("vec_id", "embedding")
+    val delta = Similarity.kmeansRefineDelta(vecs, "vec_id", "embedding", k = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(delta.size == 6 && delta.values.forall(!_._3)) // nothing moved
+    assert(delta.values.count(_._1 == 0L) == 3)
+    // assignExact against the refined integer centroid table reproduces
+    // the refine pass's second assignment (the persisted-codebook path)
+    val stats = Similarity.kmeansStepExact(vecs, "vec_id", "embedding", 2)
+    val refined = stats.select(col("cluster"), col("pos"),
+      expr("CAST((sum_micro - ((sum_micro % n + n) % n)) DIV n AS BIGINT)").as("cm"))
+    val re = Similarity.assignExact(vecs, "vec_id", "embedding", refined, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == delta.view.mapValues(_._2).toMap)
+    // a NEW vector near the second cluster assigns there
+    val nu = Seq((99L, Seq(9.9f, 10.0f, 10.0f, 10.0f))).toDF("vec_id", "embedding")
+    val c = Similarity.assignExact(nu, "vec_id", "embedding", refined, 2)
+      .collect().head
+    assert(c.getLong(1) == delta(1L)._2)
+  }
+
   test("perplexity buckets: deterministic exact-rank tiers; singleton transitions top out") {
     import spark.implicits._
     val fluent = "the cat sat on the mat and the cat sat on the mat again"
