@@ -753,6 +753,22 @@ object SparkEntry {
           col("moved").cast("long").as("moved"))
     }),
 
+    // Streaming twin of p84: batch-trained temperature rates applied to
+    // the document feed as a stateless stream-static broadcast gate —
+    // same deterministic hash decision, gated under the p84 oracle.
+    "p88_stream_temperature" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val rates = graft.pipeline.TextAnalysis.temperatureRates(
+        docs, "lang", alpha = 0.5, targetDocs = 200L)
+        .localCheckpoint() // static side: census once, not per micro-batch
+      runStream(s, "p88", dir, docs.select(col("doc_id"), col("lang")), 3)(
+        st => graft.streaming.PipelineStream.temperatureGate(
+          st, "doc_id", "lang", rates))
+        .select(col("id").as("doc_id"), col("grp").as("lang"),
+          col("bucket"), col("rate_permille"))
+    }),
+
     // n-gram Jaccard near-duplicate pairs (exact, candidates by shared
     // shingle): word-3-grams, threshold 0.8 in integer arithmetic.
     "p06_jaccard_neardup" -> ((s, dir) => {
@@ -2047,6 +2063,27 @@ object SparkEntry {
   /** Shared by p52 (batch) and p55 (streaming twin of the same
     * computation): one definition, no drift.
     */
+  /** Shared by p84 (batch) and p88 (streaming twin): one oracle
+    * definition, no drift (the p52/p55 pattern).
+    */
+  private lazy val temperatureMixOracleSql: String =
+    s"""WITH c AS (SELECT lang AS grp, CAST(count(*) AS BIGINT) AS n
+      |           FROM documents GROUP BY 1),
+      |w AS (SELECT grp, n,
+      |        CAST(floor(1000000 * sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
+      |      FROM c),
+      |z AS (SELECT CAST(sum(w) AS BIGINT) AS z FROM w),
+      |r AS (SELECT grp, n,
+      |        least(1000, (1000 * 200 * w) // (z * n)) AS rate_permille
+      |      FROM w CROSS JOIN z),
+      |h AS (SELECT doc_id, lang,
+      |        ${hash60Sql("CAST(doc_id AS VARCHAR)")} % 1000 AS bucket
+      |      FROM documents)
+      |SELECT doc_id, h.lang, CAST(bucket AS BIGINT) AS bucket,
+      |       CAST(rate_permille AS BIGINT) AS rate_permille
+      |FROM h JOIN r ON h.lang = r.grp
+      |WHERE bucket < rate_permille""".stripMargin
+
   private val bigramLmOracleSql: String =
     """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
       |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
@@ -2512,23 +2549,8 @@ object SparkEntry {
         |      FROM sc)
         |SELECT doc_id AS id, lang AS pred_lang, score FROM r WHERE rn = 1""".stripMargin,
 
-    "p84_temperature_mix" ->
-      s"""WITH c AS (SELECT lang AS grp, CAST(count(*) AS BIGINT) AS n
-        |           FROM documents GROUP BY 1),
-        |w AS (SELECT grp, n,
-        |        CAST(floor(1000000 * sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
-        |      FROM c),
-        |z AS (SELECT CAST(sum(w) AS BIGINT) AS z FROM w),
-        |r AS (SELECT grp, n,
-        |        least(1000, (1000 * 200 * w) // (z * n)) AS rate_permille
-        |      FROM w CROSS JOIN z),
-        |h AS (SELECT doc_id, lang,
-        |        ${hash60Sql("CAST(doc_id AS VARCHAR)")} % 1000 AS bucket
-        |      FROM documents)
-        |SELECT doc_id, h.lang, CAST(bucket AS BIGINT) AS bucket,
-        |       CAST(rate_permille AS BIGINT) AS rate_permille
-        |FROM h JOIN r ON h.lang = r.grp
-        |WHERE bucket < rate_permille""".stripMargin,
+    "p84_temperature_mix" -> temperatureMixOracleSql,
+    "p88_stream_temperature" -> temperatureMixOracleSql,
 
     "p85_perplexity_buckets" ->
       s"""WITH sc AS ($bigramLmOracleSql),

@@ -250,6 +250,26 @@ object PipelineStream {
       TextAnalysis.rateFor(TextAnalysis.langId(col(textCol)), ratesPermille,
         defaultPermille))
 
+  /** Streaming temperature-mixture gate: `rates` is the BATCH-trained
+    * [[graft.pipeline.TextAnalysis.temperatureRates]] artifact (grp, n,
+    * rate_permille) — the production shape where α-rebalancing rates come
+    * from the historical corpus census and the feed applies them. The
+    * static side broadcasts into every micro-batch (stream-static
+    * equi-join, stateless, Append-clean); the keep decision is the same
+    * deterministic hash gate as the batch sampler, so a document admits
+    * identically in feed or backfill. Groups unseen at training time
+    * carry no rate and are DROPPED by the inner join — the conservative
+    * default for a budgeted mixture (an unbudgeted group has no quota).
+    */
+  def temperatureGate(docs: DataFrame, idCol: String, groupCol: String,
+      rates: DataFrame): DataFrame =
+    docs.select(col(idCol).as("id"), col(groupCol).as("grp"),
+        (TextAnalysis.hash60(col(idCol)) % 1000).as("bucket"))
+      .join(org.apache.spark.sql.functions.broadcast(rates.select(col("grp"),
+        col("rate_permille"))), Seq("grp"))
+      .filter(col("bucket") < col("rate_permille"))
+      .select(col("id"), col("grp"), col("bucket"), col("rate_permille"))
+
   case class SketchPair(ia: Long, ib: Long)
 
   /** Streaming MASS-SAFE perceptual pairing over 64-bit sketches (image

@@ -1945,6 +1945,23 @@ class PipelineSpec extends SparkSpec {
     assert(a == b && a.size <= 100)
   }
 
+  test("temperature gate: applies trained rates, drops groups without a budget") {
+    import spark.implicits._
+    val hist = ((0 until 90).map(i => (i.toLong, "en")) ++
+      (90 until 100).map(i => (i.toLong, "de"))).toDF("doc_id", "lang")
+    val rates = TextAnalysis.temperatureRates(hist, "lang", 0.5, 40L)
+    val feed = Seq((200L, "en"), (201L, "de"), (202L, "fr")).toDF("doc_id", "lang")
+    val out = graft.streaming.PipelineStream.temperatureGate(feed, "doc_id", "lang", rates)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!out.values.toSet.contains("fr")) // no trained budget → dropped
+    // gate decision ≡ the batch sampler's on the same rates
+    val batch = feed.select(col("doc_id").as("id"), col("lang").as("grp"),
+        (TextAnalysis.hash60(col("doc_id")) % 1000).as("bucket"))
+      .join(rates, Seq("grp")).filter(col("bucket") < col("rate_permille"))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(out.keySet == batch)
+  }
+
   test("exactRankBuckets equals the global-window rank without a global window") {
     import spark.implicits._
     val df = (0 until 97).map(i => (i.toLong, (i * 37 % 13).toLong)).toDF("id", "score")
