@@ -333,6 +333,46 @@ object TextAnalysis {
         (hash60(col(idCol)) % 1000).as("bucket"))
       .filter(col("bucket") < rateFor(col("lang"), ratesPermille, defaultPermille))
 
+  /** Quality-audit bitmap: ONE keep/drop decision per document with a
+    * per-rule-family REASONS bitmask — the corpus-debugging view a
+    * curation run ships next to its filtered output (why did this doc
+    * drop; which rule family dominates; how do families overlap). Bits:
+    * 1 = Gopher bundle rejects ([[gopherRules]] keep=0), 2 = repetition
+    * ([[repetitionSignals]] thresholds), 4 = blocklist hit
+    * ([[blocklistSignals]]), 8 = stopword ratio under `stopMinPermille`
+    * (the p19 lineage). keep = (reasons == 0). Each family is computed by
+    * the SAME gated lineage as its standalone operator (reuse over
+    * fusion: auditability beats saving re-scans; each extra pass is a
+    * linear map-side scan). The only shuffles are the per-doc-id joins
+    * plus repetition's bigram aggregate; docs with <2 tokens have no
+    * repetition signal and drop from the audit (the p25 contract).
+    */
+  def qualityAudit(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, blockWords: Seq[String], stopwords: Seq[String],
+      stopMinPermille: Int = 10, dupMaxPermille: Int = 300,
+      topBigramMaxPermille: Int = 180): org.apache.spark.sql.DataFrame = {
+    val g = gopherRules(docs, idCol, textCol)
+      .select(col("id"), (lit(1L) - col("keep")).as("f_gopher"))
+    val rep = repetitionSignals(docs, idCol, textCol)
+      .select(col("id"),
+        (col("dup_token_permille") > dupMaxPermille ||
+          col("top_bigram_permille") > topBigramMaxPermille)
+          .cast("long").as("f_rep"))
+    val bl = blocklistSignals(docs, idCol, textCol, blockWords)
+      .select(col("id"), (col("n_flagged") > 0L).cast("long").as("f_block"))
+    val sw = docs.select(col(idCol).as("id"),
+        stopwordScore(col(textCol), stopwords).cast("long").as("_stop"),
+        tokenCount(col(textCol)).cast("long").as("_n"))
+      .select(col("id"),
+        (expr("_stop * 1000 div greatest(_n, 1)") < stopMinPermille)
+          .cast("long").as("f_stop"))
+    g.join(rep, Seq("id")).join(bl, Seq("id")).join(sw, Seq("id"))
+      .withColumn("reasons",
+        col("f_gopher") + col("f_rep") * 2 + col("f_block") * 4 + col("f_stop") * 8)
+      .select(col("id"), col("reasons"),
+        (col("reasons") === 0L).cast("long").as("keep"))
+  }
+
   /** Temperature-based mixture rates (multilingual rebalancing, the
     * XLM-R / mT5 recipe: sample group g with probability ∝ (n_g/N)^α,
     * α<1 flattening the head): per-group keep-rate in PERMILLE such that

@@ -1945,6 +1945,37 @@ class PipelineSpec extends SparkSpec {
     assert(a == b && a.size <= 100)
   }
 
+  test("quality audit bitmap: reasons decompose into the standalone rule lineages") {
+    import spark.implicits._
+    // 60 distinct content words + each stopword once: zero token dup,
+    // every bigram unique, all gopher bounds satisfied
+    val en = ("the and of to in is that have be with" +:
+      (1 to 60).map(i => s"word$i")).mkString(" ")
+    val d = Seq(
+      (1L, en),
+      (2L, en + " spam"),
+      (3L, ("spam " * 60).trim), // repetition + blocklist + gopher + stopword
+      (4L, "alpha beta gamma delta " * 15)) // no stopwords → stopword + gopher bits
+      .toDF("doc_id", "text")
+    val t = TextAnalysis
+    val out = t.qualityAudit(d, "doc_id", "text",
+      blockWords = Seq("spam"), stopwords = t.langStopwords.toMap.apply("en"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((0L, 1L))) // clean doc keeps
+    assert(out(2L)._1 == 4L && out(2L)._2 == 0L) // blocklist bit only
+    assert((out(3L)._1 & 2L) == 2L && (out(3L)._1 & 4L) == 4L && out(3L)._2 == 0L)
+    assert((out(4L)._1 & 8L) == 8L && out(4L)._2 == 0L)
+    // bit decomposition ≡ the standalone lineages, doc by doc
+    val g = t.gopherRules(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (1L - r.getLong(8))).toMap
+    val bl = t.blocklistSignals(d, "doc_id", "text", Seq("spam"))
+      .collect().map(r => r.getLong(0) -> (if (r.getLong(2) > 0) 1L else 0L)).toMap
+    out.foreach { case (id, (reasons, _)) =>
+      assert((reasons & 1L) == g(id), s"gopher bit for $id")
+      assert(((reasons >> 2) & 1L) == bl(id), s"blocklist bit for $id")
+    }
+  }
+
   test("temperature gate: applies trained rates, drops groups without a budget") {
     import spark.implicits._
     val hist = ((0 until 90).map(i => (i.toLong, "en")) ++
