@@ -152,6 +152,30 @@ object ScaleProbe {
       println(f"[scale] ivf-opq-cell nprobe=4 rerank=$rerank%3d recall@10=${recalls.sum / recalls.length}%5.3f (per-cell permutations)")
     }
 
+    // Exact-rank probe (round 9): pid-offset ranking (exactRankBuckets)
+    // vs the single-partition global window on the same 5M-row frame.
+    // Both produce identical ranks (checksum-asserted); the difference is
+    // WHERE the sort happens — 32 parallel range partitions vs one task.
+    {
+      import org.apache.spark.sql.expressions.Window
+      val rdf = spark.range(5000000L)
+        .select(col("id"), (hash(col("id")) % 100000L).cast("long").as("score"))
+        .localCheckpoint() // identical pinned input for both paths
+      def run(mk: => org.apache.spark.sql.DataFrame): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val cs = mk.agg(sum(col("rank") * (col("id") % 997L))).head().getLong(0)
+        ((System.nanoTime() - t0) / 1e9, cs)
+      }
+      val (dtE, csE) = run(graft.pipeline.TextAnalysis.exactRankBuckets(
+        rdf, Seq(col("score").asc, col("id").asc), 3).select(col("id"), col("rank")))
+      val (dtG, csG) = run(rdf.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").asc, col("id").asc)).cast("long"))
+        .select(col("id"), col("rank")))
+      assert(csE == csG, s"rank checksum mismatch: $csE vs $csG")
+      println(f"[scale] exact-rank 5M rows: pid-offset=$dtE%5.2f s " +
+        f"single-partition-window=$dtG%5.2f s (identical ranks)")
+    }
+
     // SemDeDup prefilter probe (round 8) — see [[semdedupPrefilterProbe]];
     // also runnable alone via `runMain graft.PrefilterProbe`.
     semdedupPrefilterProbe(spark)

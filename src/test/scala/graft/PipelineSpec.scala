@@ -2044,6 +2044,41 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
+  test("kmeans stats merge law: shard partials sum to the whole-corpus statistics") {
+    import spark.implicits._
+    val vecs = (0L until 20L).map(i =>
+      (i, Seq((i % 4).toFloat, (i % 3).toFloat, (i % 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    // centroids must be IDENTICAL across shards for partials to merge:
+    // fix them to the global seeds by keeping ids 0..k-1 in every shard
+    val k = 2
+    val whole = Similarity.kmeansStepExact(vecs, "vec_id", "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val seeds = vecs.filter(col("vec_id") < k)
+    val shardA = Similarity.kmeansStepExact(
+      seeds.unionByName(vecs.filter(col("vec_id") >= k && col("vec_id") % 2 === 0)),
+      "vec_id", "embedding", k)
+    val shardB = Similarity.kmeansStepExact(
+      seeds.unionByName(vecs.filter(col("vec_id") >= k && col("vec_id") % 2 === 1)),
+      "vec_id", "embedding", k)
+    // merge = element-wise sum, minus one double-counted seed contribution
+    val merged = shardA.unionByName(shardB)
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("sum_micro")).as("s"), sum(col("n")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val seedComp = seeds.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        round(col("x").cast("double") * lit(1e6)).cast("long").as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    whole.foreach { case ((c, p), (s, n)) =>
+      val (ms, mn) = merged((c, p))
+      // each seed assigns to its own cluster in every shard → subtract one copy
+      assert(ms - seedComp((c, p)) == s && mn - 1 == n,
+        s"cluster $c pos $p: merged ($ms,$mn) vs whole ($s,$n)")
+    }
+  }
+
   test("kmeans refine delta: tight clusters don't move; assignExact agrees with the refine pass") {
     import spark.implicits._
     // seeds 0,1 start inside the two tight planted clusters → the refined
