@@ -753,6 +753,16 @@ object SparkEntry {
           col("moved").cast("long").as("moved"))
     }),
 
+    // Passage-granular exact dedup (RAG unit): p24's sliding chunks →
+    // md5 fingerprint → keep-first flag + copy census per chunk.
+    "p90_chunk_dedup" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Dedup.dedupChunks(table(s, dir, "documents"),
+        "doc_id", "text", maxTokens = 32, stride = 16)
+        .select(col("id").as("doc_id"), col("chunk_id"), col("dup"),
+          col("n_copies"))
+    }),
+
     // Quality-audit bitmap: one keep/drop per doc with per-rule-family
     // reason bits (1 gopher, 2 repetition, 4 blocklist, 8 low-stopword) —
     // every family literally its gated lineage (p72/p25/p71/p19).
@@ -2560,6 +2570,22 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
         |      FROM sc)
         |SELECT doc_id AS id, lang AS pred_lang, score FROM r WHERE rn = 1""".stripMargin,
+
+    "p90_chunk_dedup" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+        |           FROM documents),
+        |d1 AS (SELECT * FROM d WHERE len(toks) >= 1),
+        |e AS (SELECT doc_id, unnest(range((len(toks) - 1) // 16 + 1)) AS chunk_id, toks
+        |      FROM d1),
+        |c AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |        md5(array_to_string(toks[chunk_id * 16 + 1 : chunk_id * 16 + 32], ' ')) AS fp
+        |      FROM e)
+        |SELECT doc_id, chunk_id,
+        |       CAST(CASE WHEN row_number() OVER
+        |           (PARTITION BY fp ORDER BY doc_id, chunk_id) > 1
+        |         THEN 1 ELSE 0 END AS BIGINT) AS dup,
+        |       CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies
+        |FROM c""".stripMargin,
 
     "p89_quality_audit" ->
       """WITH d AS (SELECT doc_id,

@@ -439,6 +439,35 @@ object Dedup {
     * duplicates" operator: shingle → candidate pairs → connected
     * components → anti-join the non-representatives away.
     */
+  /** Passage-granular exact dedup (the RAG / context-window unit): chunk
+    * every document with [[graft.pipeline.TextAnalysis.chunkByTokens]]
+    * (sliding token windows), fingerprint each chunk, keep the FIRST
+    * occurrence in (doc, chunk) order and flag every other copy. Returns
+    * (id, chunk_id, dup, n_copies) — the downstream pipeline drops
+    * dup=1 passages before indexing/packing, and n_copies is the
+    * boilerplate census (navigation chrome, license headers, repeated
+    * footers surface as high-copy fingerprints).
+    *
+    * Scale: one tokenize+chunk projection, then one hash-partitioned
+    * window per fingerprint — the [[exact]]/[[deduplicated]] shuffle
+    * shape on the chunk key. A boilerplate chunk shared by millions of
+    * docs concentrates its fingerprint in one partition (same cost model
+    * as exact doc dedup: the census belongs where the copies are); AQE
+    * skew split handles pathological fingerprints.
+    */
+  def dedupChunks(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int = 32, stride: Int = 16): DataFrame = {
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("id"), col("chunk_id"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    graft.pipeline.TextAnalysis.chunkByTokens(df, idCol, textCol, maxTokens, stride)
+      .withColumn("fp", md5(col("chunk_text")))
+      .withColumn("chunk_id", col("chunk_id").cast("long"))
+      .withColumn("dup", (row_number().over(wOrd) > 1).cast("long"))
+      .withColumn("n_copies", count(lit(1)).over(wAll))
+      .select(col("id"), col("chunk_id"), col("dup"), col("n_copies"))
+  }
+
   def deduplicated(df: DataFrame, idCol: String, textCol: String, n: Int,
       num: Int, den: Int): DataFrame = {
     val clusters = dupClusters(df, idCol, textCol, n, num, den)

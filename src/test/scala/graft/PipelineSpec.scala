@@ -1945,6 +1945,24 @@ class PipelineSpec extends SparkSpec {
     assert(a == b && a.size <= 100)
   }
 
+  test("chunk dedup: shared boilerplate flags every copy after the first, copies counted") {
+    import spark.implicits._
+    val boiler = (1 to 8).map(i => s"boiler$i").mkString(" ") // one full chunk
+    val d = Seq(
+      (1L, boiler + " unique one text here"),
+      (2L, boiler + " other content entirely"),
+      (3L, "standalone document with no shared passage at all"))
+      .toDF("doc_id", "text")
+    // maxTokens=8, stride=8: doc 1/2 chunk 0 = the boilerplate, identical
+    val out = Dedup.dedupChunks(d, "doc_id", "text", maxTokens = 8, stride = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out((1L, 0L)) == ((0L, 2L))) // first occurrence kept, 2 copies
+    assert(out((2L, 0L)) == ((1L, 2L))) // second copy flagged
+    assert(out((3L, 0L)) == ((0L, 1L))) // unshared chunk untouched
+    // doc 1/2 tail chunks are distinct → not dup
+    assert(out((1L, 1L))._1 == 0L && out((2L, 1L))._1 == 0L)
+  }
+
   test("quality audit bitmap: reasons decompose into the standalone rule lineages") {
     import spark.implicits._
     // 60 distinct content words + each stopword once: zero token dup,
