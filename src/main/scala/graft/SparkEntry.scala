@@ -2082,9 +2082,6 @@ object SparkEntry {
        |FROM n""".stripMargin
   }
 
-  /** Shared by p52 (batch) and p55 (streaming twin of the same
-    * computation): one definition, no drift.
-    */
   /** Shared by p84 (batch) and p88 (streaming twin): one oracle
     * definition, no drift (the p52/p55 pattern).
     */
@@ -2096,7 +2093,8 @@ object SparkEntry {
       |      FROM c),
       |z AS (SELECT CAST(sum(w) AS BIGINT) AS z FROM w),
       |r AS (SELECT grp, n,
-      |        least(1000, (1000 * 200 * w) // (z * n)) AS rate_permille
+      |        CAST(least(1000, (1000::HUGEINT * 200 * w) // (CAST(z AS HUGEINT) * n))
+      |          AS BIGINT) AS rate_permille
       |      FROM w CROSS JOIN z),
       |h AS (SELECT doc_id, lang,
       |        ${hash60Sql("CAST(doc_id AS VARCHAR)")} % 1000 AS bucket
@@ -2106,6 +2104,9 @@ object SparkEntry {
       |FROM h JOIN r ON h.lang = r.grp
       |WHERE bucket < rate_permille""".stripMargin
 
+  /** Shared by p52 (batch) and p55 (streaming twin of the same
+    * computation): one definition, no drift.
+    */
   private val bigramLmOracleSql: String =
     """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
       |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
@@ -2630,10 +2631,10 @@ object SparkEntry {
         |          // greatest(len(ts), 1) < 10 THEN 1 ELSE 0 END AS f_stop
         |       FROM d)
         |SELECT g.doc_id,
-        |       CAST(f_gopher + 2 * f_rep + 4 * f_block + 8 * f_stop AS BIGINT) AS reasons,
-        |       CAST(CASE WHEN f_gopher + 2 * f_rep + 4 * f_block + 8 * f_stop = 0
+        |       CAST(f_gopher + 2 * coalesce(f_rep, 0) + 4 * f_block + 8 * f_stop AS BIGINT) AS reasons,
+        |       CAST(CASE WHEN f_gopher + 2 * coalesce(f_rep, 0) + 4 * f_block + 8 * f_stop = 0
         |            THEN 1 ELSE 0 END AS BIGINT) AS keep
-        |FROM g JOIN r USING (doc_id) JOIN bl USING (doc_id) JOIN sw USING (doc_id)""".stripMargin,
+        |FROM g LEFT JOIN r USING (doc_id) JOIN bl USING (doc_id) JOIN sw USING (doc_id)""".stripMargin,
 
     "p84_temperature_mix" -> temperatureMixOracleSql,
     "p88_stream_temperature" -> temperatureMixOracleSql,

@@ -179,6 +179,43 @@ object Similarity {
     centroids
   }
 
+  /** Micro-quantized component table: one row per (vector, dimension)
+    * with the component as round(x·1e6) BIGINT — the single quantization
+    * step every integer-k-means path shares (one definition, no drift).
+    */
+  private def microComp(df: DataFrame, idCol: String, vecCol: String,
+      idOut: String, valOut: String): DataFrame =
+    df.select(col(idCol).as(idOut), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col(idOut), col("pos").cast("long").as("pos"),
+        round(col("x").cast("double") * lit(1e6)).cast("long").as(valOut))
+
+  /** Seed centroid component table (cluster, pos, cm): the k smallest-id
+    * vectors, cluster = 0-based id order. k-row frame — the
+    * single-partition rank window is bounded by construction.
+    */
+  private def seedComp(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    microComp(
+      df.orderBy(col(idCol)).limit(k)
+        .withColumn("cluster",
+          row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col(idCol)))
+            .cast("long") - 1L),
+      "cluster", vecCol, "cluster", "cm")
+
+  /** Argmin assignment of a component table against a centroid component
+    * table: broadcast join on dimension, map-side partial aggregation of
+    * per-(id, cluster) squared-L2 distances, then min over the
+    * (d2, cluster) STRUCT — lexicographic struct ordering gives nearest
+    * centroid with lowest-cluster tie-break and, unlike a packed
+    * d2·k+cluster key, cannot overflow however large k·dim·|micro| grow.
+    */
+  private def assignComp(comp: DataFrame, centroidComp: DataFrame): DataFrame =
+    comp.join(broadcast(centroidComp), Seq("pos"))
+      .groupBy(col("id"), col("cluster"))
+      .agg(sum((col("m") - col("cm")) * (col("m") - col("cm"))).as("d2"))
+      .groupBy(col("id"))
+      .agg(min(struct(col("d2"), col("cluster"))).as("km"))
+      .select(col("id"), col("km.cluster").as("cluster"), col("km.d2").as("d2"))
+
   /** One DISTRIBUTED Lloyd iteration in exact integer arithmetic — the
     * form that survives both 100 TB and a cross-engine oracle. Where
     * [[trainCodebook]] assigns through a k-wide literal expression and
@@ -188,11 +225,11 @@ object Similarity {
     *
     * Exactness (the DSIR micro-quantization pattern): every component is
     * quantized once to round(x·1e6) BIGINT; squared-L2 distances, the
-    * argmin key (d²·k + rank — min gives nearest centroid, lowest rank on
-    * ties), and the per-cluster component sums are then pure integer
-    * arithmetic — bit-stable across engines, partitionings, and
-    * aggregation orders. Overflow headroom: |micro| ≤ ~1e7 for unit-scale
-    * embeddings → d² ≤ dim·4e14 ≤ ~1e17·k « 2^63.
+    * struct argmin, and the per-cluster component sums are then pure
+    * integer arithmetic — bit-stable across engines, partitionings, and
+    * aggregation orders. The only magnitude bound is the distance sum
+    * itself: dim·(2·maxAbs·1e6)² < 2^63, i.e. fine through dim ~4096 at
+    * |x| ≤ ~20 — far beyond embedding norms.
     *
     * Seeds are the k smallest-id vectors (rank = id order, 0-based).
     * Returns the new-centroid SUFFICIENT STATISTICS (cluster, pos,
@@ -202,93 +239,62 @@ object Similarity {
     *
     * Plan shape: one posexplode of the corpus (n·dim rows), one broadcast
     * join against the k·dim component table with map-side partial
-    * aggregation of (id, rank) distances, one per-id min, one broadcast
+    * aggregation of (id, cluster) distances, one per-id min, one broadcast
     * join back, one (cluster, pos) aggregate. No shuffle is corpus-wide
     * more than twice (the two aggregates), both key-balanced.
     */
   def kmeansStepExact(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     require(k >= 1, "k >= 1")
-    val micro = (c: Column) => round(c.cast("double") * lit(1e6)).cast("long")
-    val comp = df
-      .select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-      .select(col("id"), col("pos").cast("long").as("pos"), micro(col("x")).as("m"))
+    val comp = microComp(df, idCol, vecCol, "id", "m")
       .localCheckpoint(eager = false) // feeds assignment AND the stats join
-    val seeds = df.orderBy(col(idCol)).limit(k)
-      .select(col(idCol).as("sid"), col(vecCol).as("v"))
-      .withColumn("rank",
-        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("sid")))
-          .cast("long") - 1L) // k-row frame: the single-partition window is bounded
-      .select(col("rank"), posexplode(col("v")).as(Seq("pos", "x")))
-      .select(col("rank"), col("pos").cast("long").as("pos"), micro(col("x")).as("cm"))
-    val assign = comp.join(broadcast(seeds), Seq("pos"))
-      .groupBy(col("id"), col("rank"))
-      .agg(sum((col("m") - col("cm")) * (col("m") - col("cm"))).as("d2"))
-      .groupBy(col("id"))
-      .agg(min(col("d2") * lit(k.toLong) + col("rank")).as("key"))
-      .select(col("id"), (col("key") % k).as("cluster"))
-    comp.join(assign, Seq("id"))
+    clusterStats(comp, assignComp(comp, seedComp(df, idCol, vecCol, k)))
+  }
+
+  private def clusterStats(comp: DataFrame, assign: DataFrame): DataFrame =
+    comp.join(assign.select(col("id"), col("cluster")), Seq("id"))
       .groupBy(col("cluster"), col("pos"))
       .agg(sum(col("m")).as("sum_micro"), count(lit(1)).as("n"))
       .select(col("cluster"), col("pos"), col("sum_micro"), col("n"))
-  }
 
   /** Nearest-centroid assignment against an integer micro-component
     * centroid table `(cluster, pos, cm)` — the join-based counterpart of
     * [[assignCell]], usable with centroids that exist only as a DataFrame
-    * (e.g. derived from [[kmeansStepExact]] statistics). Returns
-    * (id, cluster, d2). Same argmin-key determinism as the step.
+    * (e.g. derived from [[kmeansStepExact]] statistics — the
+    * persisted-codebook path for assigning NEW vectors). Returns
+    * (id, cluster, d2). Same struct-argmin determinism as the step.
     */
   def assignExact(df: DataFrame, idCol: String, vecCol: String,
       centroidComp: DataFrame, k: Int): DataFrame = {
-    val micro = (c: Column) => round(c.cast("double") * lit(1e6)).cast("long")
-    df.select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-      .select(col("id"), col("pos").cast("long").as("pos"), micro(col("x")).as("m"))
-      .join(broadcast(centroidComp), Seq("pos"))
-      .groupBy(col("id"), col("cluster"))
-      .agg(sum((col("m") - col("cm")) * (col("m") - col("cm"))).as("d2"))
-      .groupBy(col("id"))
-      .agg(min(col("d2") * lit(k.toLong) + col("cluster")).as("key"))
-      .select(col("id"), (col("key") % k).as("cluster"),
-        expr(s"CAST(key DIV ${k}L AS BIGINT)").as("d2"))
+    require(k >= 1, "k >= 1")
+    assignComp(microComp(df, idCol, vecCol, "id", "m"), centroidComp)
   }
 
   /** Second Lloyd iteration ENTIRELY in integer space + the migration
-    * report: refined centroids are the floor-divided means of
-    * [[kmeansStepExact]]'s sufficient statistics (floor semantics spelled
-    * out as (s - ((s % n + n) % n)) / n so Spark's truncate-toward-zero
-    * `DIV` and an engine with floored `//` compute the SAME value on
-    * negative sums), then every vector reassigns against the refined
-    * table. Output (id, cluster0, cluster1, moved) — the per-iteration
+    * report: refined centroids are the floor-divided means of the first
+    * iteration's sufficient statistics (floor semantics spelled out as
+    * (s - ((s % n + n) % n)) / n so Spark's truncate-toward-zero `DIV`
+    * and an engine with floored `//` compute the SAME value on negative
+    * sums), then every vector reassigns against the refined table.
+    * Output (id, cluster0, cluster1, moved) — the per-iteration
     * convergence signal (Σ moved is the Lloyd stopping criterion) that a
-    * production curation run logs each round. The corpus is read twice
-    * (the stats pass and the checkpointed component table feeding both
-    * assignments); every centroid table stays k·dim rows and broadcasts.
+    * production curation run logs each round. The corpus explodes ONCE
+    * (the checkpointed component table); the seed assignment is computed
+    * once and reused for both the statistics and cluster0; the only
+    * second corpus-wide pass is the inherent reassignment. Every
+    * centroid table stays k·dim rows and broadcasts.
     */
   def kmeansRefineDelta(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val stats = kmeansStepExact(df, idCol, vecCol, k)
-    val refined = stats.select(col("cluster"), col("pos"),
+    require(k >= 1, "k >= 1")
+    val comp = microComp(df, idCol, vecCol, "id", "m")
+      .localCheckpoint(eager = false) // one explode feeds all three passes
+    val a0 = assignComp(comp, seedComp(df, idCol, vecCol, k))
+      .select(col("id"), col("cluster"))
+      .localCheckpoint(eager = false) // feeds the stats AND the delta join
+    val refined = clusterStats(comp, a0).select(col("cluster"), col("pos"),
       expr("CAST((sum_micro - ((sum_micro % n + n) % n)) DIV n AS BIGINT)").as("cm"))
-    val micro = (c: Column) => round(c.cast("double") * lit(1e6)).cast("long")
-    val comp = df
-      .select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-      .select(col("id"), col("pos").cast("long").as("pos"), micro(col("x")).as("m"))
-      .localCheckpoint(eager = false) // two assignment branches, one tokenize
-    val seeds = df.orderBy(col(idCol)).limit(k)
-      .select(col(idCol).as("sid"), col(vecCol).as("v"))
-      .withColumn("cluster",
-        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("sid")))
-          .cast("long") - 1L)
-      .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
-      .select(col("cluster"), col("pos").cast("long").as("pos"), micro(col("x")).as("cm"))
-    def assign(centroids: DataFrame): DataFrame =
-      comp.join(broadcast(centroids), Seq("pos"))
-        .groupBy(col("id"), col("cluster"))
-        .agg(sum((col("m") - col("cm")) * (col("m") - col("cm"))).as("d2"))
-        .groupBy(col("id"))
-        .agg(min(col("d2") * lit(k.toLong) + col("cluster")).as("key"))
-        .select(col("id"), (col("key") % k).as("cluster"))
-    assign(seeds).withColumnRenamed("cluster", "cluster0")
-      .join(assign(refined).withColumnRenamed("cluster", "cluster1"), Seq("id"))
+    a0.withColumnRenamed("cluster", "cluster0")
+      .join(assignComp(comp, refined).select(col("id"), col("cluster").as("cluster1")),
+        Seq("id"))
       .select(col("id"), col("cluster0"), col("cluster1"),
         (col("cluster0") =!= col("cluster1")).as("moved"))
   }

@@ -344,8 +344,9 @@ object TextAnalysis {
     * the SAME gated lineage as its standalone operator (reuse over
     * fusion: auditability beats saving re-scans; each extra pass is a
     * linear map-side scan). The only shuffles are the per-doc-id joins
-    * plus repetition's bigram aggregate; docs with <2 tokens have no
-    * repetition signal and drop from the audit (the p25 contract).
+    * plus repetition's bigram aggregate. Docs with <2 tokens have no
+    * repetition signal (the p25 contract) — they join LEFT with the bit
+    * at 0, so every document gets exactly one audit row.
     */
   def qualityAudit(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, blockWords: Seq[String], stopwords: Seq[String],
@@ -366,9 +367,10 @@ object TextAnalysis {
       .select(col("id"),
         (expr("_stop * 1000 div greatest(_n, 1)") < stopMinPermille)
           .cast("long").as("f_stop"))
-    g.join(rep, Seq("id")).join(bl, Seq("id")).join(sw, Seq("id"))
+    g.join(rep, Seq("id"), "left").join(bl, Seq("id")).join(sw, Seq("id"))
       .withColumn("reasons",
-        col("f_gopher") + col("f_rep") * 2 + col("f_block") * 4 + col("f_stop") * 8)
+        col("f_gopher") + coalesce(col("f_rep"), lit(0L)) * 2 +
+          col("f_block") * 4 + col("f_stop") * 8)
       .select(col("id"), col("reasons"),
         (col("reasons") === 0L).cast("long").as("keep"))
   }
@@ -404,12 +406,33 @@ object TextAnalysis {
       else pow(col("n").cast("double"), alpha)
     val weighted = counts.withColumn("w", floor(lit(1e6) * wExpr).cast("long"))
     val z = weighted.agg(sum(col("w")).as("z"))
+    // rate arithmetic in DECIMAL(38,0) (int128 on the DuckDB side): the
+    // BIGINT products 1000·T·w and z·n overflow 2^63 once a group holds
+    // ~4e8 docs (z·n ~ 1e6·n^1.5) — exactly the scale the operator is
+    // for. 38 digits cover n,T ≤ 1e12 with room; result still an exact
+    // integer division, so bit-stability is preserved.
     weighted.crossJoin(broadcast(z))
       .select(col("grp"), col("n"),
         least(lit(1000L),
-          expr(s"CAST(1000 * ${targetDocs}L * w DIV (z * n) AS BIGINT)"))
+          expr("CAST(CAST(1000 AS DECIMAL(38,0)) * " +
+            s"${targetDocs}L * w DIV (CAST(z AS DECIMAL(38,0)) * n) AS BIGINT)"))
           .as("rate_permille"))
   }
+
+  /** The deterministic admission decision shared by the batch sampler
+    * ([[temperatureSample]]) and the streaming gate
+    * ([[graft.streaming.PipelineStream.temperatureGate]]) — one
+    * definition so batch and feed can never desynchronize: keep a doc
+    * iff hash60(id) mod 1000 falls under its group's broadcast rate;
+    * groups absent from the rate table drop (no budget → no quota).
+    */
+  def applyTemperatureRates(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      groupCol: String, rates: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).as("id"), col(groupCol).as("grp"),
+        (hash60(col(idCol)) % 1000).as("bucket"))
+      .join(broadcast(rates.select(col("grp"), col("rate_permille"))), Seq("grp"))
+      .filter(col("bucket") < col("rate_permille"))
+      .select(col("id"), col("grp"), col("bucket"), col("rate_permille"))
 
   /** Deterministic temperature-mixture sampling: [[temperatureRates]] per
     * `groupCol`, then the [[mixtureSample]] hash gate — keep a doc iff
@@ -418,14 +441,9 @@ object TextAnalysis {
     * filter, no shuffle, resumable at any scale.
     */
   def temperatureSample(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      groupCol: String, alpha: Double, targetDocs: Long): org.apache.spark.sql.DataFrame = {
-    val rates = temperatureRates(docs, groupCol, alpha, targetDocs)
-    docs.select(col(idCol).as("id"), col(groupCol).as("grp"),
-        (hash60(col(idCol)) % 1000).as("bucket"))
-      .join(broadcast(rates), Seq("grp"))
-      .filter(col("bucket") < col("rate_permille"))
-      .select(col("id"), col("grp"), col("bucket"), col("rate_permille"))
-  }
+      groupCol: String, alpha: Double, targetDocs: Long): org.apache.spark.sql.DataFrame =
+    applyTemperatureRates(docs, idCol, groupCol,
+      temperatureRates(docs, groupCol, alpha, targetDocs))
 
   /** Exact global rank + equi-depth bucket WITHOUT a single-partition
     * window — the scalable form of `ntile`. Range-repartition on the sort
@@ -452,7 +470,9 @@ object TextAnalysis {
     val cnts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val n = cnts.map(_._2).sum
-    require(n > 0, "exactRankBuckets: empty input")
+    if (n == 0) // empty in, empty out — like every other operator (and the SQL twin)
+      return ranged.withColumn("rank", lit(0L)).withColumn("bucket", lit(0L))
+        .drop("__pid")
     val offsets = cnts.map(_._1).zip(
       cnts.map(_._2).scanLeft(0L)(_ + _).init)
     val offMap = map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*)

@@ -263,12 +263,7 @@ object PipelineStream {
     */
   def temperatureGate(docs: DataFrame, idCol: String, groupCol: String,
       rates: DataFrame): DataFrame =
-    docs.select(col(idCol).as("id"), col(groupCol).as("grp"),
-        (TextAnalysis.hash60(col(idCol)) % 1000).as("bucket"))
-      .join(org.apache.spark.sql.functions.broadcast(rates.select(col("grp"),
-        col("rate_permille"))), Seq("grp"))
-      .filter(col("bucket") < col("rate_permille"))
-      .select(col("id"), col("grp"), col("bucket"), col("rate_permille"))
+    TextAnalysis.applyTemperatureRates(docs, idCol, groupCol, rates)
 
   case class SketchPair(ia: Long, ib: Long)
 

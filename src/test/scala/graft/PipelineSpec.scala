@@ -1973,7 +1973,8 @@ class PipelineSpec extends SparkSpec {
       (1L, en),
       (2L, en + " spam"),
       (3L, ("spam " * 60).trim), // repetition + blocklist + gopher + stopword
-      (4L, "alpha beta gamma delta " * 15)) // no stopwords → stopword + gopher bits
+      (4L, "alpha beta gamma delta " * 15), // no stopwords → stopword + gopher bits
+      (5L, "solo")) // <2 tokens: still audited, repetition bit simply 0
       .toDF("doc_id", "text")
     val t = TextAnalysis
     val out = t.qualityAudit(d, "doc_id", "text",
@@ -1983,6 +1984,8 @@ class PipelineSpec extends SparkSpec {
     assert(out(2L)._1 == 4L && out(2L)._2 == 0L) // blocklist bit only
     assert((out(3L)._1 & 2L) == 2L && (out(3L)._1 & 4L) == 4L && out(3L)._2 == 0L)
     assert((out(4L)._1 & 8L) == 8L && out(4L)._2 == 0L)
+    // one-token doc: one audit row, gopher+stopword bits, repetition 0
+    assert(out(5L)._1 == 9L && out(5L)._2 == 0L)
     // bit decomposition ≡ the standalone lineages, doc by doc
     val g = t.gopherRules(d, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> (1L - r.getLong(8))).toMap
@@ -2026,6 +2029,10 @@ class PipelineSpec extends SparkSpec {
     // equi-depth: bucket sizes differ by at most 1
     val sizes = out.values.groupBy(_._2).view.mapValues(_.size).values.toSeq
     assert(sizes.max - sizes.min <= 1, s"bucket sizes $sizes")
+    // empty input → empty output with the rank/bucket schema, no throw
+    val empty = TextAnalysis.exactRankBuckets(
+      df.filter(col("id") < 0), Seq(col("score").asc), 3)
+    assert(empty.columns.contains("rank") && empty.count() == 0)
     // the plan must NOT contain a single-partition global sort window:
     // every Window sees the pid-partitioned frame (SinglePartition absent)
     val plan = TextAnalysis.exactRankBuckets(
