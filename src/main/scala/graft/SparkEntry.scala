@@ -753,6 +753,16 @@ object SparkEntry {
           col("moved").cast("long").as("moved"))
     }),
 
+    // Token-length histogram in the EstimatedHistogram bucket space:
+    // the reference's ~20% geometric buckets over a corpus statistic —
+    // ~90 rows at any corpus size, shard-summable. Oracle shares the
+    // regenerated boundary table via one literal.
+    "p91_length_histogram" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.TextAnalysis.tokenLengthHistogram(
+        table(s, dir, "documents"), "text")
+    }),
+
     // Passage-granular exact dedup (RAG unit): p24's sliding chunks →
     // md5 fingerprint → keep-first flag + copy census per chunk.
     "p90_chunk_dedup" -> ((s, dir) => {
@@ -2571,6 +2581,18 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
         |      FROM sc)
         |SELECT doc_id AS id, lang AS pred_lang, score FROM r WHERE rn = 1""".stripMargin,
+
+    "p91_length_histogram" -> {
+      val off = graft.util.EstimatedHistogram.bucketOffsets
+      val lst = off.mkString("[", ", ", "]")
+      s"""WITH v AS (SELECT CAST(len(regexp_extract_all(lower(text), '\\S+')) AS BIGINT) AS v
+        |           FROM documents),
+        |b AS (SELECT CAST(len(list_filter($lst, o -> o <= v)) AS BIGINT) AS bucket
+        |      FROM v)
+        |SELECT bucket, CAST(($lst)[CAST(least(bucket + 1, ${off.length}) AS INT)] AS BIGINT) AS hi,
+        |       count(*) AS n_docs
+        |FROM b GROUP BY 1""".stripMargin
+    },
 
     "p90_chunk_dedup" ->
       """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks

@@ -333,6 +333,35 @@ object TextAnalysis {
         (hash60(col(idCol)) % 1000).as("bucket"))
       .filter(col("bucket") < rateFor(col("lang"), ratesPermille, defaultPermille))
 
+  /** Corpus token-length histogram in the [[graft.util.EstimatedHistogram]]
+    * bucket space — the reference's ~20%-resolution geometric buckets
+    * (utils/EstimatedHistogram.java growth rule) applied to a corpus
+    * statistic instead of latencies: the data-card length distribution at
+    * a resolution that stays ~90 rows whether the corpus is 1 GB or
+    * 100 TB, element-wise summable across shards like the histogram's
+    * snapshot vectors. bucket(v) = #{offsets ≤ v} (the class's binary-
+    * search `add` rule, spelled as a filter over the literal boundary
+    * array — a ~90-element interpreted lambda per row, fine in a
+    * projection feeding an aggregate; never reference it from a join
+    * condition, where pushdown would inline it into scans); `hi` is the
+    * bucket's upper boundary, overflow reporting the last boundary
+    * exactly as `percentile` does.
+    */
+  def tokenLengthHistogram(docs: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val off = graft.util.EstimatedHistogram.bucketOffsets
+    val offArr = array(off.map(lit(_)): _*)
+    docs
+      .select(tokenCount(col(textCol)).cast("long").as("v"))
+      .select(size(filter(offArr, o => o <= col("v"))).cast("long").as("bucket"),
+        col("v"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("hi",
+        element_at(offArr, least(col("bucket") + 1, lit(off.length.toLong)).cast("int")))
+      .select(col("bucket"), col("hi"), col("n_docs"))
+  }
+
   /** Quality-audit bitmap: ONE keep/drop decision per document with a
     * per-rule-family REASONS bitmask — the corpus-debugging view a
     * curation run ships next to its filtered output (why did this doc

@@ -1945,6 +1945,23 @@ class PipelineSpec extends SparkSpec {
     assert(a == b && a.size <= 100)
   }
 
+  test("token-length histogram: buckets follow the EstimatedHistogram add rule, totals conserved") {
+    import spark.implicits._
+    val off = graft.util.EstimatedHistogram.bucketOffsets
+    val lens = Seq(0, 1, 2, 9, 10, 11, 12, 100, 100, 144)
+    val d = lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, Seq.fill(n)("w").mkString(" ")) }.toDF("doc_id", "text")
+    val out = TextAnalysis.tokenLengthHistogram(d, "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.values.map(_._2).sum == lens.size) // every doc lands somewhere
+    // reference rule: bucket(v) = #{offsets <= v}, hi = its upper edge
+    lens.foreach { v =>
+      val b = off.count(_ <= v).toLong
+      val hi = off(math.min(b, off.length - 1).toInt)
+      assert(out(b)._1 == hi, s"v=$v bucket=$b")
+    }
+  }
+
   test("chunk dedup: shared boilerplate flags every copy after the first, copies counted") {
     import spark.implicits._
     val boiler = (1 to 8).map(i => s"boiler$i").mkString(" ") // one full chunk
