@@ -373,6 +373,10 @@ object Bench {
         .agg(count(lit(1)), sum(col("value"))).count()
     }
 
+    legDf("kmeans_step") {
+      graft.pipeline.Similarity.kmeansStepExact(emb, "vec_id", "embedding", k = 8)
+    }
+
     // cleanup
     try {
       import scala.reflect.io.Directory
