@@ -753,6 +753,26 @@ object SparkEntry {
           col("moved").cast("long").as("moved"))
     }),
 
+    // IVF/codebook index REFRESH: the standing corpus (vec_id%10!=0)
+    // trains integer centroids (p86 stats → engine-portable floor-div
+    // means — the persistable artifact); the NEW batch (vec_id%10==0)
+    // assigns against that codebook via assignExact without touching the
+    // standing corpus again. Gates the persisted-codebook assignment
+    // path directly.
+    "p92_index_refresh" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val emb = table(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") % 10 =!= 0)
+      val refined = graft.pipeline.Similarity.kmeansStepExact(
+        base, "vec_id", "embedding", k = 8)
+        .select(col("cluster"), col("pos"),
+          expr("CAST((sum_micro - ((sum_micro % n + n) % n)) DIV n AS BIGINT)").as("cm"))
+        .localCheckpoint() // the persisted-codebook stand-in: built once
+      graft.pipeline.Similarity.assignExact(
+        emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding", refined, k = 8)
+        .select(col("id").as("vec_id"), col("cluster"), col("d2"))
+    }),
+
     // Token-length histogram in the EstimatedHistogram bucket space:
     // the reference's ~20% geometric buckets over a corpus statistic —
     // ~90 rows at any corpus size, shard-summable. Oracle shares the
@@ -2581,6 +2601,40 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
         |      FROM sc)
         |SELECT doc_id AS id, lang AS pred_lang, score FROM r WHERE rn = 1""".stripMargin,
+
+    "p92_index_refresh" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |base AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+        |sd AS (SELECT vec_id, embedding,
+        |         row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        |       FROM base ORDER BY vec_id LIMIT 8),
+        |comp AS (SELECT vec_id,
+        |           unnest(generate_series(0, len(embedding) - 1)) AS pos,
+        |           CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS m
+        |         FROM base),
+        |cc AS (SELECT cid,
+        |         unnest(generate_series(0, len(embedding) - 1)) AS pos,
+        |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS cm
+        |       FROM sd),
+        |d AS (SELECT comp.vec_id, cc.cid,
+        |        CAST(sum((m - cm) * (m - cm)) AS BIGINT) AS d2
+        |      FROM comp JOIN cc USING (pos) GROUP BY 1, 2),
+        |a AS (SELECT vec_id, min(d2 * 8 + cid) % 8 AS cluster FROM d GROUP BY 1),
+        |st AS (SELECT cluster, pos, CAST(sum(m) AS BIGINT) AS s, count(*) AS n
+        |       FROM comp JOIN a USING (vec_id) GROUP BY 1, 2),
+        |rc AS (SELECT cluster, pos, (s - ((s % n + n) % n)) // n AS cm FROM st),
+        |nb AS (SELECT vec_id,
+        |         unnest(generate_series(0, len(embedding) - 1)) AS pos,
+        |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS m
+        |       FROM e WHERE vec_id % 10 = 0),
+        |d1 AS (SELECT nb.vec_id, rc.cluster,
+        |         CAST(sum((m - cm) * (m - cm)) AS BIGINT) AS d2
+        |       FROM nb JOIN rc USING (pos) GROUP BY 1, 2),
+        |r AS (SELECT vec_id, cluster, d2,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        |      FROM d1)
+        |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, d2
+        |FROM r WHERE rn = 1""".stripMargin,
 
     "p91_length_histogram" -> {
       val off = graft.util.EstimatedHistogram.bucketOffsets
