@@ -763,10 +763,8 @@ object SparkEntry {
       GraftFunctions.register(s)
       val emb = table(s, dir, "embeddings")
       val base = emb.filter(col("vec_id") % 10 =!= 0)
-      val refined = graft.pipeline.Similarity.kmeansStepExact(
-        base, "vec_id", "embedding", k = 8)
-        .select(col("cluster"), col("pos"),
-          expr("CAST((sum_micro - ((sum_micro % n + n) % n)) DIV n AS BIGINT)").as("cm"))
+      val refined = graft.pipeline.Similarity.refinedCentroids(
+        graft.pipeline.Similarity.kmeansStepExact(base, "vec_id", "embedding", k = 8))
         .localCheckpoint() // the persisted-codebook stand-in: built once
       graft.pipeline.Similarity.assignExact(
         emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding", refined, k = 8)
@@ -2112,6 +2110,34 @@ object SparkEntry {
        |FROM n""".stripMargin
   }
 
+  /** Shared CTE prologue of the integer-k-means oracles (p86/p87/p92):
+    * quantize to micro BIGINT, seed from the k smallest ids of `base`,
+    * assign via the overflow-free row_number argmin (the NOTES.md
+    * struct-min rule on the SQL side — never a packed d2*k+cid key).
+    * One definition, no drift (the bigramLmOracleSql pattern).
+    */
+  private def kmeansOracleCtes(baseWhere: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |base AS (SELECT * FROM e $baseWhere),
+      |sd AS (SELECT vec_id, embedding,
+      |         row_number() OVER (ORDER BY vec_id) - 1 AS cid
+      |       FROM base ORDER BY vec_id LIMIT 8),
+      |comp AS (SELECT vec_id,
+      |           unnest(generate_series(0, len(embedding) - 1)) AS pos,
+      |           CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS m
+      |         FROM base),
+      |cc AS (SELECT cid,
+      |         unnest(generate_series(0, len(embedding) - 1)) AS pos,
+      |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS cm
+      |       FROM sd),
+      |d AS (SELECT comp.vec_id, cc.cid,
+      |        CAST(sum((m - cm) * (m - cm)) AS BIGINT) AS d2
+      |      FROM comp JOIN cc USING (pos) GROUP BY 1, 2),
+      |ar AS (SELECT vec_id, cid AS cluster, d2,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |       FROM d),
+      |a AS (SELECT vec_id, cluster FROM ar WHERE rn = 1)""".stripMargin
+
   /** Shared by p84 (batch) and p88 (streaming twin): one oracle
     * definition, no drift (the p52/p55 pattern).
     */
@@ -2602,24 +2628,8 @@ object SparkEntry {
         |      FROM sc)
         |SELECT doc_id AS id, lang AS pred_lang, score FROM r WHERE rn = 1""".stripMargin,
 
-    "p92_index_refresh" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |base AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
-        |sd AS (SELECT vec_id, embedding,
-        |         row_number() OVER (ORDER BY vec_id) - 1 AS cid
-        |       FROM base ORDER BY vec_id LIMIT 8),
-        |comp AS (SELECT vec_id,
-        |           unnest(generate_series(0, len(embedding) - 1)) AS pos,
-        |           CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS m
-        |         FROM base),
-        |cc AS (SELECT cid,
-        |         unnest(generate_series(0, len(embedding) - 1)) AS pos,
-        |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS cm
-        |       FROM sd),
-        |d AS (SELECT comp.vec_id, cc.cid,
-        |        CAST(sum((m - cm) * (m - cm)) AS BIGINT) AS d2
-        |      FROM comp JOIN cc USING (pos) GROUP BY 1, 2),
-        |a AS (SELECT vec_id, min(d2 * 8 + cid) % 8 AS cluster FROM d GROUP BY 1),
+    "p92_index_refresh" -> (kmeansOracleCtes("WHERE vec_id % 10 <> 0") +
+      """,
         |st AS (SELECT cluster, pos, CAST(sum(m) AS BIGINT) AS s, count(*) AS n
         |       FROM comp JOIN a USING (vec_id) GROUP BY 1, 2),
         |rc AS (SELECT cluster, pos, (s - ((s % n + n) % n)) // n AS cm FROM st),
@@ -2634,7 +2644,7 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
         |      FROM d1)
         |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, d2
-        |FROM r WHERE rn = 1""".stripMargin,
+        |FROM r WHERE rn = 1""".stripMargin),
 
     "p91_length_histogram" -> {
       val off = graft.util.EstimatedHistogram.bucketOffsets
@@ -2729,55 +2739,28 @@ object SparkEntry {
         |            WHEN 1 THEN 'middle' ELSE 'tail' END AS tier
         |FROM r CROSS JOIN nn""".stripMargin,
 
-    "p86_kmeans_step" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |sd AS (SELECT vec_id, embedding,
-        |         row_number() OVER (ORDER BY vec_id) - 1 AS cid
-        |       FROM e ORDER BY vec_id LIMIT 8),
-        |comp AS (SELECT vec_id,
-        |           unnest(generate_series(0, len(embedding) - 1)) AS pos,
-        |           CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS m
-        |         FROM e),
-        |cc AS (SELECT cid,
-        |         unnest(generate_series(0, len(embedding) - 1)) AS pos,
-        |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS cm
-        |       FROM sd),
-        |d AS (SELECT comp.vec_id, cc.cid,
-        |        CAST(sum((m - cm) * (m - cm)) AS BIGINT) AS d2
-        |      FROM comp JOIN cc USING (pos) GROUP BY 1, 2),
-        |a AS (SELECT vec_id, min(d2 * 8 + cid) % 8 AS cluster FROM d GROUP BY 1)
+    "p86_kmeans_step" -> (kmeansOracleCtes("WHERE 1 = 1") +
+      """
         |SELECT CAST(cluster AS BIGINT) AS cluster, CAST(pos AS BIGINT) AS pos,
         |       CAST(sum(m) AS BIGINT) AS sum_micro, count(*) AS n
-        |FROM comp JOIN a USING (vec_id) GROUP BY 1, 2""".stripMargin,
+        |FROM comp JOIN a USING (vec_id) GROUP BY 1, 2""".stripMargin),
 
-    "p87_kmeans_refine" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |sd AS (SELECT vec_id, embedding,
-        |         row_number() OVER (ORDER BY vec_id) - 1 AS cid
-        |       FROM e ORDER BY vec_id LIMIT 8),
-        |comp AS (SELECT vec_id,
-        |           unnest(generate_series(0, len(embedding) - 1)) AS pos,
-        |           CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS m
-        |         FROM e),
-        |cc AS (SELECT cid,
-        |         unnest(generate_series(0, len(embedding) - 1)) AS pos,
-        |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS cm
-        |       FROM sd),
-        |d AS (SELECT comp.vec_id, cc.cid,
-        |        CAST(sum((m - cm) * (m - cm)) AS BIGINT) AS d2
-        |      FROM comp JOIN cc USING (pos) GROUP BY 1, 2),
-        |a AS (SELECT vec_id, min(d2 * 8 + cid) % 8 AS cluster FROM d GROUP BY 1),
+    "p87_kmeans_refine" -> (kmeansOracleCtes("WHERE 1 = 1") +
+      """,
         |st AS (SELECT cluster, pos, CAST(sum(m) AS BIGINT) AS s, count(*) AS n
         |       FROM comp JOIN a USING (vec_id) GROUP BY 1, 2),
         |rc AS (SELECT cluster, pos, (s - ((s % n + n) % n)) // n AS cm FROM st),
         |d1 AS (SELECT comp.vec_id, rc.cluster,
         |         CAST(sum((m - cm) * (m - cm)) AS BIGINT) AS d2
         |       FROM comp JOIN rc USING (pos) GROUP BY 1, 2),
-        |a1 AS (SELECT vec_id, min(d2 * 8 + cluster) % 8 AS c1 FROM d1 GROUP BY 1)
+        |a1r AS (SELECT vec_id, cluster, d2,
+        |          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        |        FROM d1),
+        |a1 AS (SELECT vec_id, cluster AS c1 FROM a1r WHERE rn = 1)
         |SELECT a.vec_id AS id, CAST(a.cluster AS BIGINT) AS cluster0,
         |       CAST(a1.c1 AS BIGINT) AS cluster1,
         |       CAST(a.cluster <> a1.c1 AS BIGINT) AS moved
-        |FROM a JOIN a1 USING (vec_id)""".stripMargin,
+        |FROM a JOIN a1 USING (vec_id)""".stripMargin),
 
     "p19_stopword_ratio" ->
       """SELECT doc_id,

@@ -283,6 +283,18 @@ object Similarity {
     * second corpus-wide pass is the inherent reassignment. Every
     * centroid table stays k·dim rows and broadcasts.
     */
+  /** Refined centroid component table from [[kmeansStepExact]]-shaped
+    * sufficient statistics: the floor-divided micro-mean, with floor
+    * semantics spelled engine-portably — (s - ((s % n + n) % n)) DIV n
+    * gives the SAME value under Spark's truncate-toward-zero DIV and a
+    * floored `//` even on negative sums. The ONE definition of this
+    * spelling (kmeansRefineDelta, the p92 refresh entry and specs all
+    * call it).
+    */
+  def refinedCentroids(stats: DataFrame): DataFrame =
+    stats.select(col("cluster"), col("pos"),
+      expr("CAST((sum_micro - ((sum_micro % n + n) % n)) DIV n AS BIGINT)").as("cm"))
+
   def kmeansRefineDelta(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     require(k >= 1, "k >= 1")
     val comp = microComp(df, idCol, vecCol, "id", "m")
@@ -290,8 +302,7 @@ object Similarity {
     val a0 = assignComp(comp, seedComp(df, idCol, vecCol, k))
       .select(col("id"), col("cluster"))
       .localCheckpoint(eager = false) // feeds the stats AND the delta join
-    val refined = clusterStats(comp, a0).select(col("cluster"), col("pos"),
-      expr("CAST((sum_micro - ((sum_micro % n + n) % n)) DIV n AS BIGINT)").as("cm"))
+    val refined = refinedCentroids(clusterStats(comp, a0))
     a0.withColumnRenamed("cluster", "cluster0")
       .join(assignComp(comp, refined).select(col("id"), col("cluster").as("cluster1")),
         Seq("id"))

@@ -353,8 +353,7 @@ object TextAnalysis {
     val offArr = array(off.map(lit(_)): _*)
     docs
       .select(tokenCount(col(textCol)).cast("long").as("v"))
-      .select(size(filter(offArr, o => o <= col("v"))).cast("long").as("bucket"),
-        col("v"))
+      .select(size(filter(offArr, o => o <= col("v"))).cast("long").as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("hi",

@@ -1954,11 +1954,19 @@ class PipelineSpec extends SparkSpec {
     val out = TextAnalysis.tokenLengthHistogram(d, "text")
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(out.values.map(_._2).sum == lens.size) // every doc lands somewhere
-    // reference rule: bucket(v) = #{offsets <= v}, hi = its upper edge
-    lens.foreach { v =>
-      val b = off.count(_ <= v).toLong
-      val hi = off(math.min(b, off.length - 1).toInt)
-      assert(out(b)._1 == hi, s"v=$v bucket=$b")
+    // drive the ACTUAL histogram class with the same values: the
+    // DataFrame bucket vector must equal the instance's snapshot —
+    // per-bucket counts included, not just the bucket rule
+    val h = new graft.util.EstimatedHistogram
+    lens.foreach(v => h.add(v.toLong))
+    val snap = h.snapshot()
+    snap.zipWithIndex.filter(_._1 > 0).foreach { case (c, b) =>
+      assert(out(b.toLong)._2 == c, s"bucket $b: df=${out.get(b.toLong)} hist=$c")
+    }
+    assert(out.keySet == snap.zipWithIndex.filter(_._1 > 0).map(_._2.toLong).toSet)
+    // hi = the bucket's upper boundary from the shared offsets table
+    out.foreach { case (b, (hi, _)) =>
+      assert(hi == off(math.min(b, off.length - 1).toInt), s"bucket $b hi=$hi")
     }
   }
 
@@ -2137,9 +2145,8 @@ class PipelineSpec extends SparkSpec {
     assert(delta.values.count(_._1 == 0L) == 3)
     // assignExact against the refined integer centroid table reproduces
     // the refine pass's second assignment (the persisted-codebook path)
-    val stats = Similarity.kmeansStepExact(vecs, "vec_id", "embedding", 2)
-    val refined = stats.select(col("cluster"), col("pos"),
-      expr("CAST((sum_micro - ((sum_micro % n + n) % n)) DIV n AS BIGINT)").as("cm"))
+    val refined = Similarity.refinedCentroids(
+      Similarity.kmeansStepExact(vecs, "vec_id", "embedding", 2))
     val re = Similarity.assignExact(vecs, "vec_id", "embedding", refined, 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(re == delta.view.mapValues(_._2).toMap)
