@@ -176,6 +176,24 @@ object ScaleProbe {
         f"single-partition-window=$dtG%5.2f s (identical ranks)")
     }
 
+    // Integer k-means scaling probe (round 9): the Lloyd step over 10k →
+    // 40k → 160k synthetic 64-dim vectors, k=8. Cost model says ~linear
+    // in n (component explode + broadcast join + two key-balanced
+    // aggregates); the probe checks the measured growth stays near 4×
+    // per 4× input, the property that matters before trusting it on
+    // 1e9-vector corpora.
+    for (n <- Seq(10000L, 40000L, 160000L)) {
+      val vecs = spark.range(n).select(col("id").as("vec_id"),
+        expr("transform(sequence(1, 64), j -> CAST(sin(id * j) AS FLOAT))").as("embedding"))
+        .localCheckpoint() // pin the synthetic input; time only the step
+      val t0 = System.nanoTime()
+      val rows = graft.pipeline.Similarity.kmeansStepExact(
+        vecs, "vec_id", "embedding", k = 8).queryExecution.toRdd.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] kmeans-step n=$n%7d k=8 dim=64 stats_rows=$rows%4d  $dt%5.2f s")
+      vecs.unpersist()
+    }
+
     // SemDeDup prefilter probe (round 8) — see [[semdedupPrefilterProbe]];
     // also runnable alone via `runMain graft.PrefilterProbe`.
     semdedupPrefilterProbe(spark)
