@@ -803,6 +803,18 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("reasons"), col("keep"))
     }),
 
+    // FUSED audit: the three projection rule families in ONE tokenize
+    // pass (repetition still joined — its aggregate is irreducible);
+    // same output, half the corpus scans, same oracle as p89.
+    "p93_quality_audit_fused" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val t = graft.pipeline.TextAnalysis
+      t.qualityAuditFused(table(s, dir, "documents"), "doc_id", "text",
+        blockWords = Seq("dup", "slow", "spam"),
+        stopwords = t.langStopwords.toMap.apply("en"))
+        .select(col("id").as("doc_id"), col("reasons"), col("keep"))
+    }),
+
     // Streaming twin of p84: batch-trained temperature rates applied to
     // the document feed as a stateless stream-static broadcast gate —
     // same deterministic hash decision, gated under the p84 oracle.
@@ -2110,6 +2122,57 @@ object SparkEntry {
        |FROM n""".stripMargin
   }
 
+  /** Shared by p89 (lineage-reuse default) and p93 (fused single-pass
+    * variant): identical output contract, one oracle definition.
+    */
+  private val qualityAuditOracleSql: String =
+    """WITH d AS (SELECT doc_id,
+      |        regexp_extract_all(lower(text), '\S+') AS ts,
+      |        list_transform(string_split(text, chr(10)), x -> trim(x)) AS ls,
+      |        text FROM documents),
+      |gm AS (SELECT doc_id, len(ts) AS nw,
+      |        CAST(coalesce(list_sum(list_transform(ts, x -> length(x))), 0) AS BIGINT) AS ch,
+      |        len(list_filter(ts, x -> contains(x, '#') OR contains(x, '...'))) AS sym,
+      |        len(list_filter(ls, x -> starts_with(x, '- ') OR starts_with(x, '* ')
+      |              OR starts_with(x, '• '))) AS bul,
+      |        len(list_filter(ls, x -> ends_with(x, '...'))) AS ell,
+      |        len(ls) AS nl,
+      |        len(list_filter(ts, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+      |        len(list_intersect(list_distinct(ts),
+      |              ['the','be','to','of','and','that','have','with'])) AS stw
+      |      FROM d),
+      |g AS (SELECT doc_id, CASE WHEN nw >= 50 AND nw <= 100000
+      |        AND (CASE WHEN nw = 0 THEN 0 ELSE ch * 1000 // nw END) BETWEEN 3000 AND 10000
+      |        AND (CASE WHEN nw = 0 THEN 0 ELSE sym * 1000 // nw END) <= 100
+      |        AND (CASE WHEN nl = 0 THEN 0 ELSE bul * 1000 // nl END) <= 900
+      |        AND (CASE WHEN nl = 0 THEN 0 ELSE ell * 1000 // nl END) <= 300
+      |        AND (CASE WHEN nw = 0 THEN 0 ELSE alpha * 1000 // nw END) >= 800
+      |        AND stw >= 2 THEN 0 ELSE 1 END AS f_gopher
+      |      FROM gm),
+      |rb AS (SELECT doc_id, len(ts) AS n, len(list_distinct(ts)) AS nd,
+      |        list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]) AS bg
+      |       FROM d WHERE len(ts) >= 2),
+      |rc AS (SELECT doc_id, bgx, count(*) AS c
+      |       FROM (SELECT doc_id, unnest(bg) AS bgx FROM rb) GROUP BY 1, 2),
+      |rt AS (SELECT doc_id, max(c) AS top FROM rc GROUP BY 1),
+      |r AS (SELECT rb.doc_id,
+      |        CASE WHEN ((n - nd) * 1000) // n > 300
+      |          OR (top * 1000) // (n - 1) > 180 THEN 1 ELSE 0 END AS f_rep
+      |      FROM rb JOIN rt ON rt.doc_id = rb.doc_id),
+      |bl AS (SELECT doc_id,
+      |        CASE WHEN len(list_filter(ts, x ->
+      |          list_contains(['dup','slow','spam'], x))) > 0 THEN 1 ELSE 0 END AS f_block
+      |       FROM d),
+      |sw AS (SELECT doc_id,
+      |        CASE WHEN len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) * 1000
+      |          // greatest(len(ts), 1) < 10 THEN 1 ELSE 0 END AS f_stop
+      |       FROM d)
+      |SELECT g.doc_id,
+      |       CAST(f_gopher + 2 * coalesce(f_rep, 0) + 4 * f_block + 8 * f_stop AS BIGINT) AS reasons,
+      |       CAST(CASE WHEN f_gopher + 2 * coalesce(f_rep, 0) + 4 * f_block + 8 * f_stop = 0
+      |            THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM g LEFT JOIN r USING (doc_id) JOIN bl USING (doc_id) JOIN sw USING (doc_id)""".stripMargin
+
   /** Shared CTE prologue of the integer-k-means oracles (p86/p87/p92):
     * quantize to micro BIGINT, seed from the k smallest ids of `base`,
     * assign via the overflow-free row_number argmin (the NOTES.md
@@ -2674,53 +2737,8 @@ object SparkEntry {
         |       CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies
         |FROM c""".stripMargin,
 
-    "p89_quality_audit" ->
-      """WITH d AS (SELECT doc_id,
-        |        regexp_extract_all(lower(text), '\S+') AS ts,
-        |        list_transform(string_split(text, chr(10)), x -> trim(x)) AS ls,
-        |        text FROM documents),
-        |gm AS (SELECT doc_id, len(ts) AS nw,
-        |        CAST(coalesce(list_sum(list_transform(ts, x -> length(x))), 0) AS BIGINT) AS ch,
-        |        len(list_filter(ts, x -> contains(x, '#') OR contains(x, '...'))) AS sym,
-        |        len(list_filter(ls, x -> starts_with(x, '- ') OR starts_with(x, '* ')
-        |              OR starts_with(x, '• '))) AS bul,
-        |        len(list_filter(ls, x -> ends_with(x, '...'))) AS ell,
-        |        len(ls) AS nl,
-        |        len(list_filter(ts, x -> regexp_matches(x, '[a-z]'))) AS alpha,
-        |        len(list_intersect(list_distinct(ts),
-        |              ['the','be','to','of','and','that','have','with'])) AS stw
-        |      FROM d),
-        |g AS (SELECT doc_id, CASE WHEN nw >= 50 AND nw <= 100000
-        |        AND (CASE WHEN nw = 0 THEN 0 ELSE ch * 1000 // nw END) BETWEEN 3000 AND 10000
-        |        AND (CASE WHEN nw = 0 THEN 0 ELSE sym * 1000 // nw END) <= 100
-        |        AND (CASE WHEN nl = 0 THEN 0 ELSE bul * 1000 // nl END) <= 900
-        |        AND (CASE WHEN nl = 0 THEN 0 ELSE ell * 1000 // nl END) <= 300
-        |        AND (CASE WHEN nw = 0 THEN 0 ELSE alpha * 1000 // nw END) >= 800
-        |        AND stw >= 2 THEN 0 ELSE 1 END AS f_gopher
-        |      FROM gm),
-        |rb AS (SELECT doc_id, len(ts) AS n, len(list_distinct(ts)) AS nd,
-        |        list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]) AS bg
-        |       FROM d WHERE len(ts) >= 2),
-        |rc AS (SELECT doc_id, bgx, count(*) AS c
-        |       FROM (SELECT doc_id, unnest(bg) AS bgx FROM rb) GROUP BY 1, 2),
-        |rt AS (SELECT doc_id, max(c) AS top FROM rc GROUP BY 1),
-        |r AS (SELECT rb.doc_id,
-        |        CASE WHEN ((n - nd) * 1000) // n > 300
-        |          OR (top * 1000) // (n - 1) > 180 THEN 1 ELSE 0 END AS f_rep
-        |      FROM rb JOIN rt ON rt.doc_id = rb.doc_id),
-        |bl AS (SELECT doc_id,
-        |        CASE WHEN len(list_filter(ts, x ->
-        |          list_contains(['dup','slow','spam'], x))) > 0 THEN 1 ELSE 0 END AS f_block
-        |       FROM d),
-        |sw AS (SELECT doc_id,
-        |        CASE WHEN len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) * 1000
-        |          // greatest(len(ts), 1) < 10 THEN 1 ELSE 0 END AS f_stop
-        |       FROM d)
-        |SELECT g.doc_id,
-        |       CAST(f_gopher + 2 * coalesce(f_rep, 0) + 4 * f_block + 8 * f_stop AS BIGINT) AS reasons,
-        |       CAST(CASE WHEN f_gopher + 2 * coalesce(f_rep, 0) + 4 * f_block + 8 * f_stop = 0
-        |            THEN 1 ELSE 0 END AS BIGINT) AS keep
-        |FROM g LEFT JOIN r USING (doc_id) JOIN bl USING (doc_id) JOIN sw USING (doc_id)""".stripMargin,
+    "p89_quality_audit" -> qualityAuditOracleSql,
+    "p93_quality_audit_fused" -> qualityAuditOracleSql,
 
     "p84_temperature_mix" -> temperatureMixOracleSql,
     "p88_stream_temperature" -> temperatureMixOracleSql,

@@ -403,6 +403,71 @@ object TextAnalysis {
         (col("reasons") === 0L).cast("long").as("keep"))
   }
 
+  /** FUSED variant of [[qualityAudit]]: the three projection-family rule
+    * bits (Gopher, blocklist, stopword) computed in ONE pass over a
+    * single tokenize, with only the repetition lineage joined in (its
+    * bigram aggregate is irreducible). Same output, half the corpus
+    * scans — the production shape once the audit definition is frozen;
+    * [[qualityAudit]] remains the default because its bits are literally
+    * the standalone operators (auditability). Output equality with the
+    * default path is spec-pinned and both gate under the SAME oracle
+    * (the p52/p55 shared-definition pattern applied to a fusion).
+    */
+  def qualityAuditFused(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, blockWords: Seq[String], stopwords: Seq[String],
+      stopMinPermille: Int = 10, dupMaxPermille: Int = 300,
+      topBigramMaxPermille: Int = 180): org.apache.spark.sql.DataFrame = {
+    require(blockWords.nonEmpty, "empty blocklist")
+    val required = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val blockList = array(blockWords.map(w => lit(w.toLowerCase)): _*)
+    val rep = repetitionSignals(docs, idCol, textCol)
+      .select(col("id"),
+        (col("dup_token_permille") > dupMaxPermille ||
+          col("top_bigram_permille") > topBigramMaxPermille)
+          .cast("long").as("f_rep"))
+    docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"),
+        transform(split(col(textCol), "\n"), l => trim(l)).as("_lines"),
+        stopwordScore(col(textCol), stopwords).cast("long").as("_stop"))
+      .select(col("id"), col("_stop"),
+        size(col("_toks")).cast("long").as("_nw"),
+        length(array_join(col("_toks"), "")).cast("long").as("_chars"),
+        size(filter(col("_toks"), t =>
+          t.contains("#") || t.contains("..."))).cast("long").as("_sym"),
+        size(filter(col("_lines"), l =>
+          l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• ")))
+          .cast("long").as("_bul"),
+        size(filter(col("_lines"), l => l.endsWith("..."))).cast("long").as("_ell"),
+        size(col("_lines")).cast("long").as("_nl"),
+        size(filter(col("_toks"), t => t.rlike("[a-z]"))).cast("long").as("_alpha"),
+        size(array_intersect(array_distinct(col("_toks")),
+          array(required.map(lit(_)): _*))).cast("long").as("_stw"),
+        size(filter(col("_toks"), t => array_contains(blockList, t)))
+          .cast("long").as("_blocked"))
+      .select(col("id"),
+        (lit(1L) - (col("_nw") >= 50 && col("_nw") <= 100000 &&
+          when(col("_nw") === 0, lit(0L))
+            .otherwise(expr("_chars * 1000 DIV _nw")).between(3000, 10000) &&
+          when(col("_nw") === 0, lit(0L))
+            .otherwise(expr("_sym * 1000 DIV _nw")) <= 100 &&
+          when(col("_nl") === 0, lit(0L))
+            .otherwise(expr("_bul * 1000 DIV _nl")) <= 900 &&
+          when(col("_nl") === 0, lit(0L))
+            .otherwise(expr("_ell * 1000 DIV _nl")) <= 300 &&
+          when(col("_nw") === 0, lit(0L))
+            .otherwise(expr("_alpha * 1000 DIV _nw")) >= 800 &&
+          col("_stw") >= 2).cast("long")).as("f_gopher"),
+        (col("_blocked") > 0L).cast("long").as("f_block"),
+        (expr("_stop * 1000 div greatest(_nw, 1)") < stopMinPermille)
+          .cast("long").as("f_stop"))
+      .join(rep, Seq("id"), "left")
+      .withColumn("reasons",
+        col("f_gopher") + coalesce(col("f_rep"), lit(0L)) * 2 +
+          col("f_block") * 4 + col("f_stop") * 8)
+      .select(col("id"), col("reasons"),
+        (col("reasons") === 0L).cast("long").as("keep"))
+  }
+
   /** Temperature-based mixture rates (multilingual rebalancing, the
     * XLM-R / mT5 recipe: sample group g with probability ∝ (n_g/N)^α,
     * α<1 flattening the head): per-group keep-rate in PERMILLE such that

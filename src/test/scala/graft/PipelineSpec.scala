@@ -2022,6 +2022,30 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("fused audit ≡ lineage audit doc-for-doc, with half the source scans") {
+    import spark.implicits._
+    val en = ("the and of to in is that have be with" +:
+      (1 to 60).map(i => s"word$i")).mkString(" ")
+    val d = Seq((1L, en), (2L, en + " spam"), (3L, ("spam " * 60).trim),
+      (4L, "alpha beta gamma delta " * 15), (5L, "solo"))
+      .toDF("doc_id", "text")
+    val t = TextAnalysis
+    def run(f: (org.apache.spark.sql.DataFrame, String, String, Seq[String],
+        Seq[String], Int, Int, Int) => org.apache.spark.sql.DataFrame) =
+      f(d, "doc_id", "text", Seq("spam"), t.langStopwords.toMap.apply("en"), 10, 300, 180)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(run(t.qualityAuditFused) == run(t.qualityAudit))
+    // the fused plan reads the source twice (flags pass + repetition),
+    // the lineage plan four times — count the local scans
+    def scans(df: org.apache.spark.sql.DataFrame) =
+      "LocalTableScan".r.findAllIn(df.queryExecution.executedPlan.toString).size
+    val fusedScans = scans(t.qualityAuditFused(d, "doc_id", "text",
+      Seq("spam"), t.langStopwords.toMap.apply("en")))
+    val lineageScans = scans(t.qualityAudit(d, "doc_id", "text",
+      Seq("spam"), t.langStopwords.toMap.apply("en")))
+    assert(fusedScans == 2 && lineageScans == 4, s"$fusedScans vs $lineageScans")
+  }
+
   test("temperature gate: applies trained rates, drops groups without a budget") {
     import spark.implicits._
     val hist = ((0 until 90).map(i => (i.toLong, "en")) ++
