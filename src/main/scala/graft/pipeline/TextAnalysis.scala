@@ -418,7 +418,7 @@ object TextAnalysis {
       stopMinPermille: Int = 10, dupMaxPermille: Int = 300,
       topBigramMaxPermille: Int = 180): org.apache.spark.sql.DataFrame = {
     require(blockWords.nonEmpty, "empty blocklist")
-    val required = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val required = gopherRequired
     val blockList = array(blockWords.map(w => lit(w.toLowerCase)): _*)
     val rep = repetitionSignals(docs, idCol, textCol)
       .select(col("id"),
@@ -445,18 +445,21 @@ object TextAnalysis {
         size(filter(col("_toks"), t => array_contains(blockList, t)))
           .cast("long").as("_blocked"))
       .select(col("id"),
-        (lit(1L) - (col("_nw") >= 50 && col("_nw") <= 100000 &&
+        (lit(1L) - (col("_nw") >= GopherBounds.minWords &&
+          col("_nw") <= GopherBounds.maxWords &&
           when(col("_nw") === 0, lit(0L))
-            .otherwise(expr("_chars * 1000 DIV _nw")).between(3000, 10000) &&
+            .otherwise(expr("_chars * 1000 DIV _nw"))
+            .between(GopherBounds.minMeanWordLenPermille,
+              GopherBounds.maxMeanWordLenPermille) &&
           when(col("_nw") === 0, lit(0L))
-            .otherwise(expr("_sym * 1000 DIV _nw")) <= 100 &&
+            .otherwise(expr("_sym * 1000 DIV _nw")) <= GopherBounds.maxSymbolPermille &&
           when(col("_nl") === 0, lit(0L))
-            .otherwise(expr("_bul * 1000 DIV _nl")) <= 900 &&
+            .otherwise(expr("_bul * 1000 DIV _nl")) <= GopherBounds.maxBulletPermille &&
           when(col("_nl") === 0, lit(0L))
-            .otherwise(expr("_ell * 1000 DIV _nl")) <= 300 &&
+            .otherwise(expr("_ell * 1000 DIV _nl")) <= GopherBounds.maxEllipsisPermille &&
           when(col("_nw") === 0, lit(0L))
-            .otherwise(expr("_alpha * 1000 DIV _nw")) >= 800 &&
-          col("_stw") >= 2).cast("long")).as("f_gopher"),
+            .otherwise(expr("_alpha * 1000 DIV _nw")) >= GopherBounds.minAlphaPermille &&
+          col("_stw") >= GopherBounds.minRequiredStopwords).cast("long")).as("f_gopher"),
         (col("_blocked") > 0L).cast("long").as("f_block"),
         (expr("_stop * 1000 div greatest(_nw, 1)") < stopMinPermille)
           .cast("long").as("f_stop"))
@@ -1384,9 +1387,23 @@ object TextAnalysis {
     * bullet_line_permille, ellipsis_line_permille, alpha_word_permille,
     * n_required_stopwords, keep∈{0,1}).
     */
+  /** The Gopher A1.1 bundle's constants — ONE definition shared by the
+    * lineage path ([[gopherRules]]) and the fused audit
+    * ([[qualityAuditFused]]) so a tuning change cannot desynchronize them.
+    */
+  private[pipeline] val gopherRequired: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  private[pipeline] object GopherBounds {
+    val minWords = 50L; val maxWords = 100000L
+    val minMeanWordLenPermille = 3000L; val maxMeanWordLenPermille = 10000L
+    val maxSymbolPermille = 100L; val maxBulletPermille = 900L
+    val maxEllipsisPermille = 300L; val minAlphaPermille = 800L
+    val minRequiredStopwords = 2L
+  }
+
   def gopherRules(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, lineDelim: String = "\n"): org.apache.spark.sql.DataFrame = {
-    val required = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val required = gopherRequired
     df.select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"),
         transform(split(col(textCol),
           java.util.regex.Pattern.quote(lineDelim)), l => trim(l)).as("_lines"))
@@ -1416,14 +1433,15 @@ object TextAnalysis {
           .otherwise(expr("_alpha * 1000 DIV n_words")).as("alpha_word_permille"),
         col("n_required_stopwords"))
       .withColumn("keep",
-        (col("n_words") >= 50 && col("n_words") <= 100000 &&
-          col("mean_word_len_permille") >= 3000 &&
-          col("mean_word_len_permille") <= 10000 &&
-          col("symbol_word_permille") <= 100 &&
-          col("bullet_line_permille") <= 900 &&
-          col("ellipsis_line_permille") <= 300 &&
-          col("alpha_word_permille") >= 800 &&
-          col("n_required_stopwords") >= 2).cast("long"))
+        (col("n_words") >= GopherBounds.minWords &&
+          col("n_words") <= GopherBounds.maxWords &&
+          col("mean_word_len_permille") >= GopherBounds.minMeanWordLenPermille &&
+          col("mean_word_len_permille") <= GopherBounds.maxMeanWordLenPermille &&
+          col("symbol_word_permille") <= GopherBounds.maxSymbolPermille &&
+          col("bullet_line_permille") <= GopherBounds.maxBulletPermille &&
+          col("ellipsis_line_permille") <= GopherBounds.maxEllipsisPermille &&
+          col("alpha_word_permille") >= GopherBounds.minAlphaPermille &&
+          col("n_required_stopwords") >= GopherBounds.minRequiredStopwords).cast("long"))
   }
 
   /** Canonical URL form (the RefinedWeb/CCNet URL-dedup key — crawls see

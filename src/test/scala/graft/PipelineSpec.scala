@@ -2030,20 +2030,20 @@ class PipelineSpec extends SparkSpec {
       (4L, "alpha beta gamma delta " * 15), (5L, "solo"))
       .toDF("doc_id", "text")
     val t = TextAnalysis
-    def run(f: (org.apache.spark.sql.DataFrame, String, String, Seq[String],
-        Seq[String], Int, Int, Int) => org.apache.spark.sql.DataFrame) =
-      f(d, "doc_id", "text", Seq("spam"), t.langStopwords.toMap.apply("en"), 10, 300, 180)
-        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    assert(run(t.qualityAuditFused) == run(t.qualityAudit))
-    // the fused plan reads the source twice (flags pass + repetition),
-    // the lineage plan four times — count the local scans
+    val fused = t.qualityAuditFused(d, "doc_id", "text",
+      Seq("spam"), t.langStopwords.toMap.apply("en"))
+    val lineage = t.qualityAudit(d, "doc_id", "text",
+      Seq("spam"), t.langStopwords.toMap.apply("en"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(fused) == rows(lineage))
+    // the SAME fused plan reads the source twice (flags pass +
+    // repetition), the lineage plan four times — count source relations
+    // in the optimized plan (stable before/after AQE finalization)
     def scans(df: org.apache.spark.sql.DataFrame) =
-      "LocalTableScan".r.findAllIn(df.queryExecution.executedPlan.toString).size
-    val fusedScans = scans(t.qualityAuditFused(d, "doc_id", "text",
-      Seq("spam"), t.langStopwords.toMap.apply("en")))
-    val lineageScans = scans(t.qualityAudit(d, "doc_id", "text",
-      Seq("spam"), t.langStopwords.toMap.apply("en")))
-    assert(fusedScans == 2 && lineageScans == 4, s"$fusedScans vs $lineageScans")
+      "LocalRelation".r.findAllIn(df.queryExecution.optimizedPlan.toString).size
+    assert(scans(fused) == 2 && scans(lineage) == 4,
+      s"${scans(fused)} vs ${scans(lineage)}")
   }
 
   test("temperature gate: applies trained rates, drops groups without a budget") {
