@@ -2046,6 +2046,21 @@ class PipelineSpec extends SparkSpec {
       s"${scans(fused)} vs ${scans(lineage)}")
   }
 
+  test("temperature gate corpus pass is shuffle-free: broadcast join + filter only") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val rates = Seq(("en", 90L, 500L), ("de", 110L, 700L))
+      .toDF("grp", "n", "rate_permille")
+    val plan = TextAnalysis.applyTemperatureRates(docs, "doc_id", "lang", rates)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // the 100 TB contract: the corpus side never repartitions — the only
+    // exchange anywhere is the broadcast of the tiny rate table
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"), plan.take(3000))
+  }
+
   test("temperature gate: applies trained rates, drops groups without a budget") {
     import spark.implicits._
     val hist = ((0 until 90).map(i => (i.toLong, "en")) ++
