@@ -803,6 +803,16 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("reasons"), col("keep"))
     }),
 
+    // Per-source curation report: audit verdicts rolled up by source —
+    // the data-card keep-rate table, exact integers, |sources| rows.
+    "p94_source_report" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val t = graft.pipeline.TextAnalysis
+      t.sourceQualityReport(table(s, dir, "documents"), "doc_id", "text",
+        "source", blockWords = Seq("dup", "slow", "spam"),
+        stopwords = t.langStopwords.toMap.apply("en"))
+    }),
+
     // FUSED audit: the three projection rule families in ONE tokenize
     // pass (repetition still joined — its aggregate is irreducible);
     // same output, half the corpus scans, same oracle as p89.
@@ -2738,6 +2748,12 @@ object SparkEntry {
         |FROM c""".stripMargin,
 
     "p89_quality_audit" -> qualityAuditOracleSql,
+    "p94_source_report" ->
+      (s"""WITH audit AS ($qualityAuditOracleSql),
+        |src AS (SELECT doc_id, source FROM documents)
+        |SELECT source, count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_keep,
+        |       CAST(CAST(sum(keep) AS BIGINT) * 1000 // count(*) AS BIGINT) AS keep_permille
+        |FROM audit JOIN src USING (doc_id) GROUP BY 1""".stripMargin),
     "p93_quality_audit_fused" -> qualityAuditOracleSql,
 
     "p84_temperature_mix" -> temperatureMixOracleSql,

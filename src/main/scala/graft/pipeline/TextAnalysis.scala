@@ -471,6 +471,21 @@ object TextAnalysis {
         (col("reasons") === 0L).cast("long").as("keep"))
   }
 
+  /** Per-source curation report (the data-card / dashboard aggregate):
+    * the [[qualityAudit]] verdicts rolled up by a grouping column —
+    * docs, kept docs, exact keep-permille per source. One id-keyed join
+    * of the audit onto the (id, source) projection, then a |sources|-row
+    * aggregate; every number is an exact integer.
+    */
+  def sourceQualityReport(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, sourceCol: String, blockWords: Seq[String],
+      stopwords: Seq[String]): org.apache.spark.sql.DataFrame =
+    qualityAudit(docs, idCol, textCol, blockWords, stopwords)
+      .join(docs.select(col(idCol).as("id"), col(sourceCol).as("source")), Seq("id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_keep"))
+      .withColumn("keep_permille", expr("n_keep * 1000 DIV n_docs"))
+
   /** Temperature-based mixture rates (multilingual rebalancing, the
     * XLM-R / mT5 recipe: sample group g with probability ∝ (n_g/N)^α,
     * α<1 flattening the head): per-group keep-rate in PERMILLE such that

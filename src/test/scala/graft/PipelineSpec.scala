@@ -2046,6 +2046,22 @@ class PipelineSpec extends SparkSpec {
       s"${scans(fused)} vs ${scans(lineage)}")
   }
 
+  test("source report: keep rates roll up the audit verdicts exactly") {
+    import spark.implicits._
+    val en = ("the and of to in is that have be with" +:
+      (1 to 60).map(i => s"word$i")).mkString(" ")
+    val d = Seq((1L, en, "a"), (2L, en + " junk", "a"),
+      (3L, ("spam " * 60).trim, "b"), (4L, en, "b"), (5L, en, "b"))
+      .toDF("doc_id", "text", "source")
+    val t = TextAnalysis
+    val out = t.sourceQualityReport(d, "doc_id", "text", "source",
+      Seq("spam"), t.langStopwords.toMap.apply("en"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out("a") == ((2L, 2L, 1000L))) // both clean docs keep
+    assert(out("b") == ((3L, 2L, 666L)))  // the spam doc drops, floor permille
+  }
+
   test("temperature gate corpus pass is shuffle-free: broadcast join + filter only") {
     import spark.implicits._
     val docs = (0L until 200L).map(i => (i, if (i % 3 == 0) "en" else "de"))
