@@ -841,6 +841,19 @@ object SparkEntry {
           col("bucket"), col("rate_permille"))
     }),
 
+    // Temperature mixture at α = 3/4 with EXACT cross-engine arithmetic:
+    // the weight floor(1e3·n^¾) is the integer 4th root of 1e12·n³ —
+    // float candidate + exact integer correction, so no step depends on
+    // pow rounding (lifts the α=1/2-only oracle-exactness contract).
+    "p95_temperature_rational" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.TextAnalysis.temperatureSampleRational(
+        table(s, dir, "documents"), "doc_id", "lang",
+        alphaNum = 3, alphaDen = 4, targetDocs = 200L)
+        .select(col("id").as("doc_id"), col("grp").as("lang"),
+          col("bucket"), col("rate_permille"))
+    }),
+
     // n-gram Jaccard near-duplicate pairs (exact, candidates by shared
     // shingle): word-3-grams, threshold 0.8 in integer arithmetic.
     "p06_jaccard_neardup" -> ((s, dir) => {
@@ -2233,6 +2246,40 @@ object SparkEntry {
       |FROM h JOIN r ON h.lang = r.grp
       |WHERE bucket < rate_permille""".stripMargin
 
+  /** p95: same mixture lineage as [[temperatureMixOracleSql]] but the
+    * weight is the exact integer 4th root of 1e12·n³ (= floor(1e3·n^¾)),
+    * recomputed in DuckDB with the same float-candidate + HUGEINT
+    * correction the engine uses in DECIMAL(38,0).
+    */
+  private lazy val temperatureRationalOracleSql: String =
+    s"""WITH c AS (SELECT lang AS grp, CAST(count(*) AS BIGINT) AS n
+      |           FROM documents GROUP BY 1),
+      |xx AS (SELECT grp, n, CAST(n AS HUGEINT) * n * n * 1000000000000 AS x
+      |       FROM c),
+      |cd AS (SELECT grp, n, x,
+      |         CAST(floor(power(CAST(x AS DOUBLE), 0.25)) AS HUGEINT) AS cand
+      |       FROM xx),
+      |w AS (SELECT grp, n,
+      |        CAST(CASE
+      |          WHEN (cand+2)*(cand+2)*(cand+2)*(cand+2) <= x THEN cand+2
+      |          WHEN (cand+1)*(cand+1)*(cand+1)*(cand+1) <= x THEN cand+1
+      |          WHEN cand*cand*cand*cand <= x THEN cand
+      |          WHEN (cand-1)*(cand-1)*(cand-1)*(cand-1) <= x THEN cand-1
+      |          ELSE cand-2 END AS BIGINT) AS w
+      |      FROM cd),
+      |z AS (SELECT CAST(sum(w) AS BIGINT) AS z FROM w),
+      |r AS (SELECT grp, n,
+      |        CAST(least(1000, (1000::HUGEINT * 200 * w) // (CAST(z AS HUGEINT) * n))
+      |          AS BIGINT) AS rate_permille
+      |      FROM w CROSS JOIN z),
+      |h AS (SELECT doc_id, lang,
+      |        ${hash60Sql("CAST(doc_id AS VARCHAR)")} % 1000 AS bucket
+      |      FROM documents)
+      |SELECT doc_id, h.lang, CAST(bucket AS BIGINT) AS bucket,
+      |       CAST(rate_permille AS BIGINT) AS rate_permille
+      |FROM h JOIN r ON h.lang = r.grp
+      |WHERE bucket < rate_permille""".stripMargin
+
   /** Shared by p52 (batch) and p55 (streaming twin of the same
     * computation): one definition, no drift.
     */
@@ -2758,6 +2805,7 @@ object SparkEntry {
 
     "p84_temperature_mix" -> temperatureMixOracleSql,
     "p88_stream_temperature" -> temperatureMixOracleSql,
+    "p95_temperature_rational" -> temperatureRationalOracleSql,
 
     "p85_perplexity_buckets" ->
       s"""WITH sc AS ($bigramLmOracleSql),

@@ -500,8 +500,9 @@ object TextAnalysis {
     * partitionings. For α = 0.5 the weight uses `sqrt`, which IEEE-754
     * requires correctly rounded in every engine, making even the float
     * step cross-engine exact; other α go through `pow` (≤1 ulp, not
-    * guaranteed identical across engines — fine for production, but
-    * oracle-gated entries should use α = 0.5).
+    * guaranteed identical across engines — fine for production; for
+    * cross-engine-exact quarter-power α use
+    * [[temperatureRatesRational]]).
     *
     * Scale: one count aggregate over the corpus → a #groups-row frame;
     * Z is summed over that tiny frame. No corpus-sized shuffle beyond the
@@ -510,18 +511,27 @@ object TextAnalysis {
   def temperatureRates(docs: org.apache.spark.sql.DataFrame, groupCol: String,
       alpha: Double, targetDocs: Long): org.apache.spark.sql.DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha in (0, 1]")
-    require(targetDocs > 0, "targetDocs > 0")
     val counts = docs.groupBy(col(groupCol).as("grp"))
       .agg(count(lit(1)).as("n"))
     val wExpr = if (alpha == 0.5) sqrt(col("n").cast("double"))
       else pow(col("n").cast("double"), alpha)
-    val weighted = counts.withColumn("w", floor(lit(1e6) * wExpr).cast("long"))
+    ratesFromWeights(
+      counts.withColumn("w", floor(lit(1e6) * wExpr).cast("long")), targetDocs)
+  }
+
+  /** Rate step shared by the float-α ([[temperatureRates]]) and
+    * exact-rational-α ([[temperatureRatesRational]]) paths: given
+    * (grp, n, w) weights, rate_g = min(1000, 1000·T·w_g DIV (Z·n_g))
+    * with Z = Σw. Arithmetic in DECIMAL(38,0) (int128 on the DuckDB
+    * side): the BIGINT products 1000·T·w and z·n overflow 2^63 once a
+    * group holds ~4e8 docs (z·n ~ 1e6·n^1.5) — exactly the scale the
+    * operator is for. 38 digits cover n,T ≤ 1e12 with room; result
+    * still an exact integer division, so bit-stability is preserved.
+    */
+  private def ratesFromWeights(weighted: org.apache.spark.sql.DataFrame,
+      targetDocs: Long): org.apache.spark.sql.DataFrame = {
+    require(targetDocs > 0, "targetDocs > 0")
     val z = weighted.agg(sum(col("w")).as("z"))
-    // rate arithmetic in DECIMAL(38,0) (int128 on the DuckDB side): the
-    // BIGINT products 1000·T·w and z·n overflow 2^63 once a group holds
-    // ~4e8 docs (z·n ~ 1e6·n^1.5) — exactly the scale the operator is
-    // for. 38 digits cover n,T ≤ 1e12 with room; result still an exact
-    // integer division, so bit-stability is preserved.
     weighted.crossJoin(broadcast(z))
       .select(col("grp"), col("n"),
         least(lit(1000L),
@@ -529,6 +539,79 @@ object TextAnalysis {
             s"${targetDocs}L * w DIV (CAST(z AS DECIMAL(38,0)) * n) AS BIGINT)"))
           .as("rate_permille"))
   }
+
+  /** Exact-rational-α temperature rates — the oracle-safe path for
+    * α ≠ 1/2 that [[temperatureRates]]'s scaladoc promises is possible:
+    * for α = p/q (q ∈ {2,4}) the weight floor(S·n^(p/q)) equals the
+    * integer q-th root of the exact integer S^q·n^p, and an integer
+    * root is computable bit-identically in ANY engine as a float
+    * candidate plus exact integer correction — floor(x^(1/q)) is the
+    * largest r in [cand−2, cand+2] with r^q ≤ x, because the candidate
+    * (double pow over an x ≤ 1e38, root ≤ 3.2e12 « 2^53) carries
+    * absolute error « 1. No step depends on pow being correctly
+    * rounded, so the contract that only α = 1/2 is cross-engine exact
+    * is lifted to every quarter-power α.
+    *
+    * Scale S per α keeps S^q·n^p inside DECIMAL(38,0)/HUGEINT:
+    * α=1/2 → S=1e6 (any BIGINT n); α=1/4 → S=1e6 (n ≤ 9.9e13);
+    * α=3/4 → S=1e3 (n ≤ 4.6e8 docs PER GROUP — the corpus can be any
+    * size across groups). S cancels in rate = 1000·T·w DIV (Z·n), so
+    * mixing S across α never matters within one rate table, and at
+    * S=1e3 the floor granularity is ≤ 1/(1e3·2^{3/4}) ≈ 0.06 % for
+    * n ≥ 2 — below the permille resolution of the rate itself. A group
+    * beyond its bound raises (raise_error) instead of silently
+    * overflowing to null.
+    */
+  def temperatureRatesRational(docs: org.apache.spark.sql.DataFrame,
+      groupCol: String, alphaNum: Int, alphaDen: Int,
+      targetDocs: Long): org.apache.spark.sql.DataFrame = {
+    require(alphaDen == 2 || alphaDen == 4, "alphaDen in {2, 4}")
+    require(alphaNum >= 1 && alphaNum < alphaDen, "alpha in (0, 1)")
+    val (p, q) = if (alphaNum % 2 == 0 && alphaDen % 2 == 0)
+      (alphaNum / 2, alphaDen / 2) else (alphaNum, alphaDen)
+    // S^q · n^p as DECIMAL(38,0), with the per-α group-count bound that
+    // keeps the product (and the correction candidates' q-th powers)
+    // inside 38 digits. (1,2) needs no guard: n ≤ Long.Max < 8.1e19.
+    val (xSql, nBound) = (p, q) match {
+      case (1, 2) => ("CAST(n AS DECIMAL(38,0)) * 1000000000000", 0L)
+      case (1, 4) => ("CAST(n AS DECIMAL(38,0)) * 1000000000000000000000000",
+        99000000000000L)
+      case (3, 4) => ("CAST(n AS DECIMAL(38,0)) * n * n * 1000000000000",
+        460000000L)
+      case other => throw new IllegalArgumentException(
+        s"unsupported reduced alpha $other")
+    }
+    val guarded = if (nBound == 0L) s"($xSql)"
+      else s"(CASE WHEN n <= ${nBound}L THEN ($xSql) ELSE " +
+        s"CAST(raise_error('temperatureRatesRational: group count exceeds " +
+        s"the exact-arithmetic bound $nBound for alpha $p/$q') " +
+        "AS DECIMAL(38,0)) END)"
+    val candSql = if (q == 2) "CAST(FLOOR(SQRT(CAST(x AS DOUBLE))) AS DECIMAL(38,0))"
+      else "CAST(FLOOR(POWER(CAST(x AS DOUBLE), 0.25)) AS DECIMAL(38,0))"
+    def pw(r: String) = Seq.fill(q)(s"($r)").mkString(" * ")
+    val rootSql =
+      s"""CASE WHEN ${pw("c + 2")} <= x THEN c + 2
+         |     WHEN ${pw("c + 1")} <= x THEN c + 1
+         |     WHEN ${pw("c")} <= x THEN c
+         |     WHEN ${pw("c - 1")} <= x THEN c - 1
+         |     ELSE c - 2 END""".stripMargin
+    val weighted = docs.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("x", expr(guarded))
+      .withColumn("c", expr(candSql))
+      .withColumn("w", expr(rootSql).cast("long"))
+      .drop("x", "c")
+    ratesFromWeights(weighted, targetDocs)
+  }
+
+  /** [[temperatureSample]] on the exact-rational-α rates: same hash
+    * gate, same broadcast shape — only the weight arithmetic differs.
+    */
+  def temperatureSampleRational(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, groupCol: String, alphaNum: Int, alphaDen: Int,
+      targetDocs: Long): org.apache.spark.sql.DataFrame =
+    applyTemperatureRates(docs, idCol, groupCol,
+      temperatureRatesRational(docs, groupCol, alphaNum, alphaDen, targetDocs))
 
   /** The deterministic admission decision shared by the batch sampler
     * ([[temperatureSample]]) and the streaming gate

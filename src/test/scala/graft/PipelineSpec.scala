@@ -1945,6 +1945,60 @@ class PipelineSpec extends SparkSpec {
     assert(a == b && a.size <= 100)
   }
 
+  test("temperature rates rational: α=3/4 weights are exact integer 4th roots, boundary-safe") {
+    import spark.implicits._
+    // n=10000 makes 1e12·n³ = (1e6)^4 a PERFECT 4th power — the exact
+    // boundary where a float candidate one ulp low would floor wrong;
+    // 9999/10001 bracket it; 7 and 1 exercise the small-n end.
+    val sizes = Seq("en" -> 10000, "de" -> 10001, "fr" -> 9999, "it" -> 7, "zz" -> 1)
+    val docs = sizes.zipWithIndex.flatMap { case ((g, c), gi) =>
+      (0 until c).map(i => (gi * 1000000L + i, g)) }.toDF("doc_id", "lang")
+    val rates = TextAnalysis.temperatureRatesRational(
+      docs, "lang", alphaNum = 3, alphaDen = 4, targetDocs = 5000L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // plain-BigInt reference: w = floor((1e12·n³)^¼) by binary search
+    def iroot4(x: BigInt): BigInt = {
+      var lo = BigInt(0); var hi = BigInt(1)
+      while (hi * hi * hi * hi <= x) hi *= 2
+      while (lo < hi - 1) { val m = (lo + hi) / 2
+        if (m * m * m * m <= x) lo = m else hi = m }
+      lo
+    }
+    val w = sizes.map { case (g, c) =>
+      g -> iroot4(BigInt("1000000000000") * BigInt(c).pow(3)) }.toMap
+    assert(w("en") == BigInt(1000000)) // the perfect-power case, exactly
+    val z = w.values.sum
+    val exp = sizes.map { case (g, c) =>
+      g -> ((c.toLong,
+        (BigInt(1000) * 5000 * w(g) / (z * c)).min(1000).toLong)) }.toMap
+    assert(rates == exp, s"got $rates expected $exp")
+    // α<1 flattening: the 1-doc tail group keeps a higher rate than the head
+    assert(rates("zz")._2 > rates("en")._2)
+    // the α=1/2 rational path must agree with the IEEE-exact float path
+    val d2 = ((0 until 80).map(i => (i.toLong, "en")) ++
+      (80 until 95).map(i => (i.toLong, "de")) ++
+      (95 until 100).map(i => (i.toLong, "fr"))).toDF("doc_id", "lang")
+    val viaFloat = TextAnalysis.temperatureRates(d2, "lang", 0.5, 50L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val viaRoot = TextAnalysis.temperatureRatesRational(d2, "lang", 1, 2, 50L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaFloat == viaRoot)
+    // 2/4 reduces to 1/2 — same result again
+    val via24 = TextAnalysis.temperatureRatesRational(d2, "lang", 2, 4, 50L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(via24 == viaFloat)
+    // partitioning invariance of the full sample
+    val a = TextAnalysis.temperatureSampleRational(docs, "doc_id", "lang", 3, 4, 5000L)
+      .collect().map(_.getLong(0)).toSet
+    val b = TextAnalysis.temperatureSampleRational(
+      docs.repartition(7), "doc_id", "lang", 3, 4, 5000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.temperatureRatesRational(docs, "lang", 1, 3, 100L)
+    }
+  }
+
   test("token-length histogram: buckets follow the EstimatedHistogram add rule, totals conserved") {
     import spark.implicits._
     val off = graft.util.EstimatedHistogram.bucketOffsets
