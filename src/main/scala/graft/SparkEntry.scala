@@ -841,6 +841,19 @@ object SparkEntry {
           col("bucket"), col("rate_permille"))
     }),
 
+    // Streaming twin of p90 at registry grain: the seen-passage state an
+    // ingestion gate maintains. Registry contents (distinct fp + token
+    // count) are arrival-order-INSENSITIVE, so the batch chunk census
+    // gates the stream exactly; keep-first flags (order-dependent by
+    // nature) are pinned by StreamingSpec on an ordered feed instead.
+    "p96_stream_chunk_registry" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      runStream(s, "p96", dir,
+        table(s, dir, "documents").select(col("doc_id"), col("text")), 3)(
+        st => graft.streaming.PipelineStream.chunkRegistry(
+          st, "doc_id", "text", maxTokens = 32, stride = 16))
+    }),
+
     // Temperature mixture at α = 3/4 with EXACT cross-engine arithmetic:
     // the weight floor(1e3·n^¾) is the integer 4th root of 1e12·n³ —
     // float candidate + exact integer correction, so no step depends on
@@ -2792,6 +2805,19 @@ object SparkEntry {
         |           (PARTITION BY fp ORDER BY doc_id, chunk_id) > 1
         |         THEN 1 ELSE 0 END AS BIGINT) AS dup,
         |       CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies
+        |FROM c""".stripMargin,
+
+    // p96 streams the registry whose contents are the DISTINCT rows of
+    // the p90 chunk lineage — same chunk construction, census grain.
+    "p96_stream_chunk_registry" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+        |           FROM documents),
+        |d1 AS (SELECT * FROM d WHERE len(toks) >= 1),
+        |e AS (SELECT doc_id, unnest(range((len(toks) - 1) // 16 + 1)) AS chunk_id, toks
+        |      FROM d1),
+        |c AS (SELECT toks[chunk_id * 16 + 1 : chunk_id * 16 + 32] AS ctoks FROM e)
+        |SELECT DISTINCT md5(array_to_string(ctoks, ' ')) AS fp,
+        |       CAST(len(ctoks) AS BIGINT) AS n_tokens
         |FROM c""".stripMargin,
 
     "p89_quality_audit" -> qualityAuditOracleSql,

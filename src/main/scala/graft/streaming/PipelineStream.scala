@@ -37,6 +37,30 @@ object PipelineStream {
       .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming passage-fingerprint registry — the ingestion-state twin
+    * of batch [[graft.pipeline.Dedup.dedupChunks]]: chunk each arriving
+    * document (the same chunkByTokens lineage), fingerprint each chunk,
+    * and admit first arrivals into the seen-passage registry
+    * (`dropDuplicates` state keyed by fp — one state row per DISTINCT
+    * passage, the [[dedupExact]] shape at passage grain). Emits the
+    * registry contents as (fp, n_tokens): WHICH copy registered first
+    * is arrival-order-dependent, but the distinct fingerprint set and
+    * each passage's token count are not — so the batch chunk-census
+    * oracle gates the stream exactly on ANY feed order, while
+    * keep-first flag semantics are pinned by StreamingSpec on an
+    * explicitly ordered feed. State is one small row per distinct
+    * passage; for unbounded feeds compose with a watermark the same way
+    * as [[dedupExactWithinWatermark]].
+    */
+  def chunkRegistry(docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, stride: Int): DataFrame =
+    TextAnalysis.chunkByTokens(docs, idCol, textCol, maxTokens, stride)
+      .withColumn("fp", md5(col("chunk_text")))
+      .withColumn("n_tokens",
+        size(TextAnalysis.tokens(col("chunk_text"))).cast("long"))
+      .dropDuplicates("fp")
+      .select(col("fp"), col("n_tokens"))
+
   /** Streaming quality gate: the batch keep-flag + repetition-free checks
     * as a stateless filter (no state at all — quality signals are
     * per-document expressions, so the gate composes with any stream).

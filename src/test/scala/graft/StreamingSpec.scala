@@ -196,6 +196,43 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(0L, 1L, 3L), s"dup doc 2 must be dropped, got $ids")
   }
 
+  test("streaming chunk registry: passages register once, contents equal the batch census") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val boiler = (1 to 8).map(i => s"boiler$i").mkString(" ") // one full chunk
+    val docs = Seq(
+      (1L, boiler + " unique one text here"),
+      (2L, boiler + " other content entirely"),
+      (3L, "standalone document with no shared passage at all"))
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.PipelineStream.chunkRegistry(
+      mem.toDS().toDF("doc_id", "text"), "doc_id", "text", maxTokens = 8, stride = 8)
+    val q = out.writeStream.format("memory").queryName("schunks")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs.take(1)); q.processAllAvailable()
+      // doc 1 contributes its boilerplate chunk + its tail chunk
+      assert(spark.table("schunks").count() == 2L)
+      mem.addData(docs.drop(1)); q.processAllAvailable()
+    } finally q.stop()
+    val reg = spark.table("schunks").collect()
+      .map(r => (r.getString(r.fieldIndex("fp")), r.getLong(r.fieldIndex("n_tokens"))))
+    // doc 2's boilerplate chunk was already registered in batch 1 — it
+    // must NOT re-emit; only doc 2's tail and doc 3's single chunk are new
+    assert(reg.length == 4, s"got ${reg.length} rows: ${reg.toSeq}")
+    assert(reg.distinct.length == reg.length) // each fp exactly once
+    // registry contents == DISTINCT rows of the batch chunk lineage,
+    // whatever the arrival order put first
+    val batch = graft.pipeline.TextAnalysis.chunkByTokens(
+      docs.toDF("doc_id", "text"), "doc_id", "text", 8, 8)
+      .withColumn("fp", md5(col("chunk_text")))
+      .withColumn("n_tokens",
+        size(graft.pipeline.TextAnalysis.tokens(col("chunk_text"))).cast("long"))
+      .select("fp", "n_tokens").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(reg.toSet == batch.toSet)
+  }
+
   test("streaming decontamination flags exactly the batch-contaminated ids, once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
