@@ -841,6 +841,18 @@ object SparkEntry {
           col("bucket"), col("rate_permille"))
     }),
 
+    // Exact-count stratified train/val/test split: per-group ranks by
+    // deterministic hash (exactGroupRanks — no per-group single-task
+    // window), boundaries at floored cumulative permilles, so the split
+    // counts are exact per group, not expected values.
+    "p97_stratified_split" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.TextAnalysis.stratifiedExactSplit(
+        table(s, dir, "documents"), "doc_id", "lang",
+        Seq("train" -> 800, "val" -> 100, "test" -> 100))
+        .select(col("id").as("doc_id"), col("grp").as("lang"), col("split"))
+    }),
+
     // Streaming twin of p90 at registry grain: the seen-passage state an
     // ingestion gate maintains. Registry contents (distinct fp + token
     // count) are arrival-order-INSENSITIVE, so the batch chunk census
@@ -2806,6 +2818,20 @@ object SparkEntry {
         |         THEN 1 ELSE 0 END AS BIGINT) AS dup,
         |       CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies
         |FROM c""".stripMargin,
+
+    "p97_stratified_split" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+        |        ${hash60Sql("CAST(doc_id AS VARCHAR)")} AS hk
+        |      FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rk,
+        |        count(*) OVER (PARTITION BY lang) AS n
+        |      FROM h)
+        |SELECT doc_id, lang,
+        |       CASE WHEN rk <= n * 800 // 1000 THEN 'train'
+        |            WHEN rk <= n * 900 // 1000 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM r""".stripMargin,
 
     // p96 streams the registry whose contents are the DISTINCT rows of
     // the p90 chunk lineage — same chunk construction, census grain.

@@ -679,6 +679,90 @@ object TextAnalysis {
       .drop("__pid")
   }
 
+  /** Per-GROUP exact rank, scalably — [[exactRankBuckets]] generalized
+    * to a partitioned rank: range-repartition on (group, sort key), pin
+    * the partitioning, read per-(partition, group) counts (≤ #partitions
+    * × #groups rows — the driver collect stays bounded for the
+    * mixture-sized group cardinalities this serves, same premise as
+    * [[temperatureRates]]), then rank = (pid, group) offset +
+    * within-(pid, group) row_number. A plain `PARTITION BY group` window
+    * would funnel each group through ONE task — a head group holding
+    * half the corpus becomes a half-corpus sort on one core; here every
+    * range partition sorts locally and a group spans as many partitions
+    * as its mass needs. Offsets and group totals come back via a
+    * broadcast join (no key-encoding games). Appends `rank` (1-based
+    * within group) and `n` (group total). Callers pass a total order
+    * (append a unique id to the sort key) for deterministic ranks.
+    */
+  def exactGroupRanks(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      sortExprs: Seq[Column]): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(parts, col(groupCol) +: sortExprs: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val cnts = ranged.groupBy(col("__pid"), col(groupCol))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+    val outCols = df.columns.map(col).toSeq :+ col("rank") :+ col("n")
+    if (cnts.isEmpty) // empty in, empty out
+      return ranged.withColumn("rank", lit(0L)).withColumn("n", lit(0L))
+        .select(outCols: _*)
+    // per-group totals and per-(group, pid) offsets in pid order
+    val totals = cnts.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val offRows = cnts.sortBy(_._1).groupBy(_._2).toSeq.flatMap {
+      case (g, rows) =>
+        rows.map(_._3).scanLeft(0L)(_ + _).init.zip(rows).map {
+          case (off, (pid, _, _)) => org.apache.spark.sql.Row(
+            pid, g, off, totals(g))
+        }
+    }
+    val gField = df.schema(groupCol)
+    val offs = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__pid",
+          org.apache.spark.sql.types.IntegerType),
+        gField.copy(name = groupCol),
+        org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid"), col(groupCol)).orderBy(sortExprs: _*)
+    ranged.join(broadcast(offs), Seq("__pid", groupCol))
+      .withColumn("rank", row_number().over(w).cast("long") + col("__off"))
+      .select(outCols: _*)
+  }
+
+  /** Exact-count stratified split (train/val/test): within each group,
+    * docs order by the deterministic hash (hash60(id), id — a total
+    * order) and split boundaries sit at the FLOORED CUMULATIVE permille
+    * marks, so split i holds ranks (floor(n·cum_{i-1}/1000),
+    * floor(n·cum_i/1000)] and the counts are exact to the floor rule
+    * with the last split absorbing the remainder (cum_last = 1000 ⇒
+    * boundary = n). Unlike the hash-threshold split
+    * ([[mixtureSample]]'s gate), the proportions here are EXACT per
+    * group, not expected values — the shape eval suites need. Ranks
+    * come from [[exactGroupRanks]]: no per-group single-task window,
+    * deterministic on any partitioning.
+    */
+  def stratifiedExactSplit(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, groupCol: String,
+      splits: Seq[(String, Int)]): org.apache.spark.sql.DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0) &&
+      splits.map(_._2).sum == 1000, "split permilles must be > 0 and sum to 1000")
+    val src = docs.select(col(idCol).as("id"), col(groupCol).as("grp"),
+      hash60(col(idCol)).as("hk"))
+    val ranked = exactGroupRanks(src, "grp", Seq(col("hk"), col("id")))
+    val cums = splits.map(_._2).scanLeft(0)(_ + _).tail
+    val caseSql = splits.zip(cums).init.map { case ((name, _), c) =>
+      s"WHEN rank <= n * $c DIV 1000 THEN '$name'" }
+      .mkString("CASE ", " ", s" ELSE '${splits.last._1}' END")
+    ranked.withColumn("split", expr(caseSql))
+      .select(col("id"), col("grp"), col("split"))
+  }
+
   /** CCNet-style perplexity bucketing: score every doc with the
     * self-trained bigram LM ([[bigramLmScoreSelf]] — higher mean
     * transition weight ≈ lower perplexity), then split the scored corpus

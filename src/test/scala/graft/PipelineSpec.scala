@@ -1999,6 +1999,55 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("exactGroupRanks: ranks equal the per-group sort order; empty in, empty out") {
+    import spark.implicits._
+    val d = Seq((1L, "a", 30L), (2L, "a", 10L), (3L, "a", 20L),
+      (4L, "b", 5L), (5L, "b", 1L)).toDF("id", "g", "k")
+    val out = TextAnalysis.exactGroupRanks(d, "g", Seq(col("k"), col("id")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(2L -> ((1L, 3L)), 3L -> ((2L, 3L)), 1L -> ((3L, 3L)),
+      5L -> ((1L, 2L)), 4L -> ((2L, 2L))), s"got $out")
+    // invariant under input partitioning
+    val again = TextAnalysis.exactGroupRanks(
+      d.repartition(7), "g", Seq(col("k"), col("id")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(again == out)
+    assert(TextAnalysis.exactGroupRanks(
+      d.filter(col("id") > 100), "g", Seq(col("k"))).count() == 0L)
+  }
+
+  test("stratified exact split: per-group counts hit the floored permille marks exactly") {
+    import spark.implicits._
+    val sizes = Seq("en" -> 137, "de" -> 40, "fr" -> 7, "zz" -> 1)
+    val docs = sizes.zipWithIndex.flatMap { case ((g, c), gi) =>
+      (0 until c).map(i => (gi * 1000L + i, g)) }.toDF("doc_id", "lang")
+    val splits = Seq("train" -> 800, "val" -> 100, "test" -> 100)
+    val out = TextAnalysis.stratifiedExactSplit(docs, "doc_id", "lang", splits)
+      .localCheckpoint()
+    val counts = out.groupBy("grp", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    sizes.foreach { case (g, n) =>
+      val b1 = n * 800 / 1000; val b2 = n * 900 / 1000
+      assert(counts.getOrElse((g, "train"), 0L) == b1, s"$g train")
+      assert(counts.getOrElse((g, "val"), 0L) == b2 - b1, s"$g val")
+      assert(counts.getOrElse((g, "test"), 0L) == n - b2, s"$g test")
+    }
+    // the floor-cumulative rule sends a 1-doc group's doc to the LAST split
+    assert(counts((("zz", "test"))) == 1L)
+    // exactly one split per doc
+    assert(out.count() == docs.count() &&
+      out.select("id").distinct().count() == docs.count())
+    // deterministic on any partitioning
+    val a = out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b = TextAnalysis.stratifiedExactSplit(
+      docs.repartition(7), "doc_id", "lang", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.stratifiedExactSplit(docs, "doc_id", "lang", Seq("a" -> 500))
+    }
+  }
+
   test("token-length histogram: buckets follow the EstimatedHistogram add rule, totals conserved") {
     import spark.implicits._
     val off = graft.util.EstimatedHistogram.bucketOffsets
