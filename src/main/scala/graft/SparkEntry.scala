@@ -841,6 +841,16 @@ object SparkEntry {
           col("bucket"), col("rate_permille"))
     }),
 
+    // Data-card length quantiles: exact equi-depth deciles of per-doc
+    // token count with exact boundary lengths — the inverse view of the
+    // p91 histogram (fixed depths instead of fixed buckets). 10 rows at
+    // any corpus size; ranks via exactRankBuckets, no global window.
+    "p98_length_quantiles" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.TextAnalysis.lengthQuantiles(
+        table(s, dir, "documents"), "doc_id", "text", nBuckets = 10)
+    }),
+
     // Exact-count stratified train/val/test split: per-group ranks by
     // deterministic hash (exactGroupRanks — no per-group single-task
     // window), boundaries at floored cumulative permilles, so the split
@@ -2818,6 +2828,20 @@ object SparkEntry {
         |         THEN 1 ELSE 0 END AS BIGINT) AS dup,
         |       CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies
         |FROM c""".stripMargin,
+
+    "p98_length_quantiles" ->
+      """WITH t AS (SELECT doc_id,
+        |        CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n_tokens
+        |      FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |        row_number() OVER (ORDER BY n_tokens, doc_id) AS rk,
+        |        count(*) OVER () AS n
+        |      FROM t)
+        |SELECT CAST((rk - 1) * 10 // n AS BIGINT) AS bucket,
+        |       count(*) AS n_docs,
+        |       CAST(min(n_tokens) AS BIGINT) AS lo,
+        |       CAST(max(n_tokens) AS BIGINT) AS hi
+        |FROM r GROUP BY 1""".stripMargin,
 
     "p97_stratified_split" ->
       s"""WITH h AS (SELECT doc_id, lang,

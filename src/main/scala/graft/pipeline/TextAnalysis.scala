@@ -789,6 +789,26 @@ object TextAnalysis {
       .select(col("id"), col("mean_milli"), col("rank"), col("bucket"), col("tier"))
   }
 
+  /** Data-card length-quantile table: exact equi-depth tiers of the
+    * per-doc token count — (bucket, n_docs, lo, hi), where [lo, hi] are
+    * the tier's exact boundary lengths. Complements the p91 histogram
+    * (fixed geometric buckets, counts) with the inverse view (fixed
+    * depths, exact boundaries) — the "p10/p50/p90 length" row a corpus
+    * data card reports. (n_tokens, id) is a total order so the tiers
+    * are deterministic; ranks come from [[exactRankBuckets]] (range
+    * shuffle + pid-local windows, no global-window funnel), then an
+    * `nBuckets`-row aggregate.
+    */
+  def lengthQuantiles(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, nBuckets: Int = 10): org.apache.spark.sql.DataFrame =
+    exactRankBuckets(
+      docs.select(col(idCol).as("id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens")),
+      Seq(col("n_tokens").asc, col("id").asc), nBuckets)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("lo"), max(col("n_tokens")).as("hi"))
+
   /** Quality-classifier scoring with TRAINED weights as the DEFAULT path:
     * weakly-supervised distillation of the heuristic keep signal
     * ([[keepFlag]]) into a hashed-feature linear model — the CCNet/DCLM

@@ -2048,6 +2048,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("length quantiles: exact equi-depth tiers with boundary lengths from the sorted order") {
+    import spark.implicits._
+    val lens = Seq(0, 1, 1, 2, 3, 5, 8, 8, 8, 13, 21, 34, 55)
+    val d = lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, Seq.fill(n)("w").mkString(" ")) }.toDF("doc_id", "text")
+    val out = TextAnalysis.lengthQuantiles(d, "doc_id", "text", nBuckets = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // reference: sort by (len, id), bucket = (rank-1)*4 DIV n
+    val ref = lens.zipWithIndex.map { case (n, i) => (n.toLong, i.toLong) }
+      .sorted.zipWithIndex
+      .groupBy { case (_, i) => i.toLong * 4 / lens.size }
+      .view.mapValues { rows =>
+        (rows.size.toLong, rows.map(_._1._1).min, rows.map(_._1._1).max) }.toMap
+    assert(out == ref, s"got $out expected $ref")
+    assert(out.values.map(_._1).sum == lens.size.toLong)
+    // deterministic on any partitioning
+    val again = TextAnalysis.lengthQuantiles(d.repartition(5), "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(again == out)
+  }
+
   test("token-length histogram: buckets follow the EstimatedHistogram add rule, totals conserved") {
     import spark.implicits._
     val off = graft.util.EstimatedHistogram.bucketOffsets
