@@ -176,6 +176,33 @@ object ScaleProbe {
         f"single-partition-window=$dtG%5.2f s (identical ranks)")
     }
 
+    // Prefix-sum probe (round 9): pid-offset running totals
+    // (exactPrefixSums) vs the single-partition SUM OVER (ORDER BY)
+    // window on the same 5M-row frame — the budget-select (p99) data
+    // path. Identical cums (checksum-asserted); the global window has
+    // no PARTITION BY, so one task accumulates everything.
+    {
+      import org.apache.spark.sql.expressions.Window
+      val rdf = spark.range(5000000L)
+        .select(col("id"), (hash(col("id")) % 100000L).cast("long").as("score"),
+          (col("id") % 512L + 1L).as("v"))
+        .localCheckpoint() // identical pinned input for both paths
+      def run(mk: => org.apache.spark.sql.DataFrame): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val cs = mk.agg(sum(col("cum") * (col("id") % 997L))).head().getLong(0)
+        ((System.nanoTime() - t0) / 1e9, cs)
+      }
+      val (dtE, csE) = run(graft.pipeline.TextAnalysis.exactPrefixSums(
+        rdf, Seq(col("score").asc, col("id").asc), "v").select(col("id"), col("cum")))
+      val (dtG, csG) = run(rdf.withColumn("cum",
+        sum(col("v")).over(Window.orderBy(col("score").asc, col("id").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+        .select(col("id"), col("cum")))
+      assert(csE == csG, s"prefix-sum checksum mismatch: $csE vs $csG")
+      println(f"[scale] prefix-sum 5M rows: pid-offset=$dtE%5.2f s " +
+        f"single-partition-window=$dtG%5.2f s (identical cums)")
+    }
+
     // Integer k-means scaling probe (round 9): the Lloyd step over 10k →
     // 40k → 160k synthetic 64-dim vectors, k=8. Cost model says ~linear
     // in n (component explode + broadcast join + two key-balanced

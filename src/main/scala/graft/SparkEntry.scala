@@ -841,6 +841,17 @@ object SparkEntry {
           col("bucket"), col("rate_permille"))
     }),
 
+    // Budget-constrained deterministic selection: a reproducible B-token
+    // subset — docs in hash order until the running token total hits the
+    // budget. Prefix sums via exactPrefixSums (range repartition +
+    // per-partition offsets), not a single-task global window.
+    "p99_budget_select" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.TextAnalysis.budgetSelect(
+        table(s, dir, "documents"), "doc_id", "text", tokenBudget = 20000L)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("cum"))
+    }),
+
     // Data-card length quantiles: exact equi-depth deciles of per-doc
     // token count with exact boundary lengths — the inverse view of the
     // p91 histogram (fixed depths instead of fixed buckets). 10 rows at
@@ -2828,6 +2839,17 @@ object SparkEntry {
         |         THEN 1 ELSE 0 END AS BIGINT) AS dup,
         |       CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies
         |FROM c""".stripMargin,
+
+    "p99_budget_select" ->
+      s"""WITH t AS (SELECT doc_id,
+        |        CAST(len(regexp_extract_all(lower(text), '\\S+')) AS BIGINT) AS n_tokens,
+        |        ${hash60Sql("CAST(doc_id AS VARCHAR)")} AS hk
+        |      FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |        CAST(sum(n_tokens) OVER (ORDER BY hk, doc_id) AS BIGINT) AS cum
+        |      FROM t)
+        |SELECT doc_id, n_tokens, cum FROM r
+        |WHERE cum - n_tokens < 20000""".stripMargin,
 
     "p98_length_quantiles" ->
       """WITH t AS (SELECT doc_id,

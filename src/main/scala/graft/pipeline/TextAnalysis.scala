@@ -679,6 +679,63 @@ object TextAnalysis {
       .drop("__pid")
   }
 
+  /** Exact global (inclusive) prefix sum WITHOUT a single-partition
+    * window — the running-total sibling of [[exactRankBuckets]], same
+    * skeleton: range-repartition on the sort key, PIN the partitioning
+    * (range bounds resample per execution), read per-partition VALUE
+    * SUMS (#partitions rows — driver-bounded by configuration), then
+    * cum = partition offset + within-partition running sum. A
+    * `SUM OVER (ORDER BY …)` window would serialize the whole corpus
+    * through one task; here each range partition accumulates locally.
+    * Appends `cum` (inclusive: includes the row's own value). Callers
+    * pass a total order; `valueCol` must be integral (sums are exact
+    * BIGINTs).
+    */
+  def exactPrefixSums(df: org.apache.spark.sql.DataFrame,
+      sortExprs: Seq[Column], valueCol: String): org.apache.spark.sql.DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(parts, sortExprs: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val sums = ranged.groupBy(col("__pid"))
+      .agg(sum(col(valueCol)).cast("long").as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    if (sums.isEmpty) // empty in, empty out
+      return ranged.withColumn("cum", lit(0L)).drop("__pid")
+    val offsets = sums.map(_._1).zip(sums.map(_._2).scanLeft(0L)(_ + _).init)
+    val offMap = map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(sortExprs: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    ranged
+      .withColumn("cum",
+        sum(col(valueCol)).over(w).cast("long") + element_at(offMap, col("__pid")))
+      .drop("__pid")
+  }
+
+  /** Budget-constrained deterministic selection: take documents in
+    * hash order (hash60(id), id — the reproducible shuffle every
+    * sampler here uses) until the running token total reaches
+    * `tokenBudget` — "give me a B-token subset of the corpus,
+    * reproducibly" (scaling-law subsets, pilot corpora, eval slices).
+    * A document is kept iff it STARTS strictly inside the budget
+    * (cum − n_tokens < B), so the kept set is a prefix of the hash
+    * order and exceeds B by at most one document — the concat-and-cut
+    * convention [[packChunks]] uses for bins. Running totals come from
+    * [[exactPrefixSums]]: exact BIGINTs, no global-window funnel,
+    * deterministic on any partitioning.
+    */
+  def budgetSelect(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, tokenBudget: Long): org.apache.spark.sql.DataFrame = {
+    require(tokenBudget > 0, "tokenBudget > 0")
+    val src = docs.select(col(idCol).as("id"),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"),
+      hash60(col(idCol)).as("hk"))
+    exactPrefixSums(src, Seq(col("hk").asc, col("id").asc), "n_tokens")
+      .filter(col("cum") - col("n_tokens") < tokenBudget)
+      .select(col("id"), col("n_tokens"), col("cum"))
+  }
+
   /** Per-GROUP exact rank, scalably — [[exactRankBuckets]] generalized
     * to a partitioned rank: range-repartition on (group, sort key), pin
     * the partitioning, read per-(partition, group) counts (≤ #partitions

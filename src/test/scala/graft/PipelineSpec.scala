@@ -2048,6 +2048,39 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("budget select: kept set is the exact hash-order prefix, overrun at most one doc") {
+    import spark.implicits._
+    val d = (0 until 50).map(i =>
+      (i.toLong, Seq.fill(3 + i % 7)("w").mkString(" "))).toDF("doc_id", "text")
+    val budget = 60L
+    val out = TextAnalysis.budgetSelect(d, "doc_id", "text", budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // reference: hash order + running sum in plain Scala (hash values
+    // read back through the engine's own hash60 expression)
+    val hashed = d.select(col("doc_id"),
+        TextAnalysis.hash60(col("doc_id")).as("hk"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val expected = hashed.scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (_, id, n)) =>
+      (id, n, cum + n) }.tail
+      .takeWhile { case (_, n, cum) => cum - n < budget }
+      .map { case (id, n, cum) => (id, n, cum) }
+    assert(out.sortBy(_._3).toSeq == expected.toSeq,
+      s"got ${out.sortBy(_._3).toSeq} expected ${expected.toSeq}")
+    // budget semantics: the kept set covers the budget, overrunning by
+    // less than the last doc
+    val total = out.map(_._2).sum
+    assert(total >= budget && total - out.sortBy(_._3).last._2 < budget)
+    // deterministic on any partitioning
+    val again = TextAnalysis.budgetSelect(d.repartition(7), "doc_id", "text", budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sortBy(_._3).toSeq == out.sortBy(_._3).toSeq)
+    // empty input → empty output (the exactPrefixSums empty branch)
+    assert(TextAnalysis.budgetSelect(
+      d.filter(col("doc_id") < 0), "doc_id", "text", budget).count() == 0L)
+  }
+
   test("length quantiles: exact equi-depth tiers with boundary lengths from the sorted order") {
     import spark.implicits._
     val lens = Seq(0, 1, 1, 2, 3, 5, 8, 8, 8, 13, 21, 34, 55)
