@@ -841,6 +841,23 @@ object SparkEntry {
           col("bucket"), col("rate_permille"))
     }),
 
+    // Epoch expansion: the p75 mixture plan realized into the actual
+    // (doc, epoch) training list — full epochs unconditional, the
+    // fractional tail via the per-epoch-salted hash gate. 10k-token
+    // budget exercises BOTH regimes (multi-epoch at sf0.001, fractional
+    // at sf0.01) without row blowup.
+    "p100_epoch_expand" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val plan = graft.pipeline.TextAnalysis.mixturePlan(
+        docs, "doc_id", "text", "source",
+        Map("src0" -> 300L, "src1" -> 200L, "src2" -> 100L),
+        budgetTokens = 10000L)
+        .localCheckpoint() // the plan artifact: census once
+      graft.pipeline.TextAnalysis.epochExpand(docs, "doc_id", "source", plan)
+        .select(col("id").as("doc_id"), col("source"), col("epoch"))
+    }),
+
     // Budget-constrained deterministic selection: a reproducible B-token
     // subset — docs in hash order until the running token total hits the
     // budget. Prefix sums via exactPrefixSums (range repartition +
@@ -2839,6 +2856,31 @@ object SparkEntry {
         |         THEN 1 ELSE 0 END AS BIGINT) AS dup,
         |       CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies
         |FROM c""".stripMargin,
+
+    // p100 realizes the p75 plan (10k budget): full epochs + the
+    // hash-gated fractional tail, per-epoch salt in the hash key.
+    "p100_epoch_expand" ->
+      s"""WITH inv AS (SELECT source, count(*) AS n_docs,
+        |        CAST(sum(len(regexp_extract_all(lower(text), '\\S+'))) AS BIGINT) AS n_tokens
+        |      FROM documents GROUP BY source),
+        |w(src, wp) AS (VALUES ('src0', 300), ('src1', 200), ('src2', 100)),
+        |plan AS (SELECT source,
+        |        CAST(CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0
+        |             ELSE (10000 * coalesce(wp, 0) // 1000) * 1000 // n_tokens
+        |             END AS BIGINT) AS epochs_milli
+        |      FROM inv FULL OUTER JOIN w ON inv.source = w.src),
+        |e AS (SELECT doc_id, d.source, epochs_milli
+        |      FROM documents d JOIN plan p ON d.source = p.source
+        |      WHERE epochs_milli > 0),
+        |-- gate INSIDE list_filter: a WHERE on an unnest-aliased column
+        |-- after this CTE chain trips a DuckDB internal binder error
+        |x AS (SELECT doc_id, source,
+        |        list_filter(range((epochs_milli + 999) // 1000),
+        |          ep -> ep * 1000 +
+        |            ${hash60Sql("CAST(doc_id AS VARCHAR) || ':' || CAST(ep AS VARCHAR)")} % 1000
+        |            < epochs_milli) AS eps
+        |      FROM e)
+        |SELECT doc_id, source, CAST(unnest(eps) AS BIGINT) AS epoch FROM x""".stripMargin,
 
     "p99_budget_select" ->
       s"""WITH t AS (SELECT doc_id,

@@ -1495,6 +1495,34 @@ object TextAnalysis {
           .otherwise(expr("share_tokens * 1000L DIV n_tokens")))
   }
 
+  /** Realize a [[mixturePlan]] into the training list: one output row
+    * per (document, epoch) the plan calls for. A source planned at
+    * epochs_milli = 2500 repeats every doc twice and keeps a
+    * deterministic half for the third pass: epoch e survives iff
+    * e·1000 + hash60(id:e) mod 1000 < epochs_milli — full epochs pass
+    * unconditionally, the fractional tail is the same hash gate as
+    * every sampler here (per-epoch salt, so different epochs keep
+    * DIFFERENT doc subsets — a repeat of the identical subset would
+    * double those docs' gradient weight instead of approximating the
+    * fractional epoch). Zero-epoch sources emit nothing. The plan
+    * broadcasts (|sources| rows); the corpus pass is one map-side
+    * join + bounded explode (ceil(epochs) ≤ plan maximum), no shuffle.
+    */
+  def epochExpand(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      sourceCol: String,
+      plan: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).as("id"), col(sourceCol).as("source"))
+      .join(broadcast(plan.select(col("source"), col("epochs_milli"))),
+        Seq("source"))
+      .withColumn("epoch", explode(
+        when(col("epochs_milli") > 0,
+          expr("sequence(0L, (epochs_milli + 999) DIV 1000 - 1)"))
+          .otherwise(array().cast("array<bigint>"))))
+      .filter(col("epoch") * 1000 +
+        hash60(concat_ws(":", col("id"), col("epoch"))) % 1000 <
+        col("epochs_milli"))
+      .select(col("id"), col("source"), col("epoch"))
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling" — the hashed-n-gram
     * data-selection pass): score every source document by the

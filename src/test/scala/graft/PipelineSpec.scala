@@ -2048,6 +2048,38 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("epoch expand: full epochs unconditional, fractional tail hash-gated with per-epoch salt") {
+    import spark.implicits._
+    val docs = ((0 until 20).map(i => (i.toLong, "a")) ++
+      (20 until 40).map(i => (i.toLong, "b")) ++
+      (40 until 45).map(i => (i.toLong, "c"))).toDF("doc_id", "src")
+    val plan = Seq(("a", 2500L), ("b", 700L), ("c", 0L)).toDF("source", "epochs_milli")
+    val out = TextAnalysis.epochExpand(docs, "doc_id", "src", plan)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // independent reference: the same md5-nibble hash in plain Java
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15), 16)
+    val milli = Map("a" -> 2500L, "b" -> 700L, "c" -> 0L)
+    val expected = (for {
+      (id, src) <- (0 until 20).map(i => (i.toLong, "a")) ++
+        (20 until 40).map(i => (i.toLong, "b")) ++
+        (40 until 45).map(i => (i.toLong, "c"))
+      m = milli(src)
+      e <- 0L until (m + 999L) / 1000L
+      if e * 1000L + h60(s"$id:$e") % 1000L < m
+    } yield (id, src, e)).toSet
+    assert(out == expected, s"diff ${out.diff(expected)} / ${expected.diff(out)}")
+    // structure: a-docs carry epochs 0 and 1 unconditionally
+    (0 until 20).foreach { i =>
+      assert(out.contains((i.toLong, "a", 0L)) && out.contains((i.toLong, "a", 1L))) }
+    // zero-epoch source emits nothing
+    assert(!out.exists(_._2 == "c"))
+    // fractional tails are proper subsets (gates are real, not all-pass)
+    assert(out.count(t => t._2 == "a" && t._3 == 2L) < 20)
+    assert(out.count(_._2 == "b") < 20 && out.exists(_._2 == "b"))
+  }
+
   test("budget select: kept set is the exact hash-order prefix, overrun at most one doc") {
     import spark.implicits._
     val d = (0 until 50).map(i =>
