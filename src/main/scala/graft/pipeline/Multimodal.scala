@@ -182,6 +182,35 @@ object Multimodal {
       .withColumn("jaccard_permille", expr("inter * 1000 DIV uni"))
       .filter(col("jaccard_permille") >= tauPermille)
 
+  /** Scene-cut detection over a video's frame fingerprints — the shot
+    * segmentation video curation samples frames by (one keyframe per
+    * scene beats every-Nth-frame for training coverage): a cut is a
+    * frame whose perceptual hash differs from its predecessor by ≥
+    * `minHamming` bits; `scene` is the running cut count, so frames
+    * between cuts share a scene id. The window is per VIDEO over the
+    * frame index — videos have bounded frame counts (the sampled-frame
+    * relation, not raw footage), so the per-key window is skew-safe,
+    * unlike corpus-wide windows. First frame: hamming 0, cut 0, scene
+    * 0. Returns (video, frame, hamming, cut, scene).
+    */
+  def sceneCuts(frameHashes: DataFrame, videoCol: String, frameCol: String,
+      hashCol: String, minHamming: Int = 1): DataFrame = {
+    require(minHamming >= 1, "minHamming >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("video")).orderBy(col("frame"))
+    val wRun = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    frameHashes
+      .select(col(videoCol).as("video"), col(frameCol).cast("long").as("frame"),
+        col(hashCol).cast("long").as("h"))
+      .withColumn("hamming",
+        coalesce(bit_count(col("h").bitwiseXOR(lag(col("h"), 1).over(w)))
+          .cast("long"), lit(0L)))
+      .withColumn("cut", (col("hamming") >= minHamming).cast("long"))
+      .withColumn("scene", sum(col("cut")).over(wRun).cast("long"))
+      .select(col("video"), col("frame"), col("hamming"), col("cut"), col("scene"))
+  }
+
   /** [[featurize]]'s real-decode twin over (id, kind, media) frames. */
   def decodeFrame(df: DataFrame): DataFrame = {
     import df.sparkSession.implicits._

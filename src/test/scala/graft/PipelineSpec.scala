@@ -2048,6 +2048,43 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("scene cuts: boundaries where consecutive frame hashes differ, running scene ids") {
+    import spark.implicits._
+    // video 5: frames 0-2 / 3-5 / 6-7 share per-scene keys (identical
+    // pixels within a scene); video 9: a single frame
+    def frame(vid: Long, f: Long): Multimodal.MediaItem = {
+      val key = vid * 977 + (f / 3) * 131
+      val w = (8 + key % 9).toInt
+      val h = (8 + key % 7).toInt
+      Multimodal.MediaItem(vid * 1000 + f, "png",
+        Multimodal.encodeGrayPng(w, h,
+          (x, y) => ((key * 31 + x * 7 + y * 13) % 256).toInt))
+    }
+    val items = (0L to 7L).map(frame(5L, _)) :+ frame(9L, 0L)
+    val fh = Multimodal.dHashes(items.toDS())
+      .select(expr("id DIV 1000").as("vid"), expr("id % 1000").as("f"), col("dhash"))
+    val out = Multimodal.sceneCuts(fh, "vid", "f", "dhash", minHamming = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // within-scene frames are pixel-identical → hamming 0, no cut
+    Seq(0L, 1L, 2L, 4L, 5L, 7L).foreach { f =>
+      assert(out((5L, f))._1 == 0L && out((5L, f))._2 == 0L, s"f=$f") }
+    // the planted boundaries really differ (factual, not assumed)
+    assert(out((5L, 3L))._1 > 0L && out((5L, 6L))._1 > 0L)
+    // scene = running cut count: 0,0,0,1,1,1,2,2
+    assert((0L to 7L).map(f => out((5L, f))._3) == Seq(0L, 0L, 0L, 1L, 1L, 1L, 2L, 2L))
+    // single-frame video: one row, scene 0, no cut
+    assert(out((9L, 0L)) == ((0L, 0L, 0L)))
+    // frame arrival order doesn't matter (the window orders by frame)
+    val again = Multimodal.sceneCuts(fh.orderBy(col("dhash")).repartition(7),
+      "vid", "f", "dhash", minHamming = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(again == out)
+  }
+
   test("epoch expand: full epochs unconditional, fractional tail hash-gated with per-epoch salt") {
     import spark.implicits._
     val docs = ((0 until 20).map(i => (i.toLong, "a")) ++
