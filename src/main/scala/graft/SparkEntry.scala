@@ -1738,25 +1738,20 @@ object SparkEntry {
     // running cut count. Oracle replays pixels → hashes → cuts exactly.
     "p101_scene_cuts" -> ((s, dir) => {
       GraftFunctions.register(s)
-      import s.implicits._
-      val frames = table(s, dir, "documents").select(col("doc_id")).as[Long]
-        .flatMap { vid =>
-          (0L to 7L).map { f =>
-            val key = vid * 977 + (f / 3) * 131
-            val w = (8 + key % 9).toInt
-            val h = (8 + key % 7).toInt
-            graft.pipeline.Multimodal.MediaItem(vid * 1000 + f, "png",
-              graft.pipeline.Multimodal.encodeGrayPng(w, h,
-                (x, y) => ((key * 31 + x * 7 + y * 13) % 256).toInt))
-          }
-        }
-      val fh = graft.pipeline.Multimodal.dHashes(frames)
-        .select(expr("id DIV 1000").as("vid"), expr("id % 1000").as("f"),
-          col("dhash"))
-      graft.pipeline.Multimodal.sceneCuts(fh, "vid", "f", "dhash",
-        minHamming = 1)
+      graft.pipeline.Multimodal.sceneCuts(
+        plantedSceneFrameHashes(s, dir), "vid", "f", "dhash", minHamming = 1)
         .select(col("video").as("vid"), col("frame").as("f"),
           col("hamming"), col("cut"), col("scene"))
+    }),
+
+    // Keyframe extraction: the p101 scenes rolled to one representative
+    // (first) frame per scene — the frame a captioner/embedder actually
+    // consumes. Shared planted fixture + oracle prefix with p101.
+    "p102_keyframes" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Multimodal.keyframes(
+        plantedSceneFrameHashes(s, dir), "vid", "f", "dhash", minHamming = 1)
+        .select(col("video").as("vid"), col("scene"), col("frame").as("f"))
     }),
 
     "p77_video_dup" -> ((s, dir) => {
@@ -2369,6 +2364,63 @@ object SparkEntry {
       |       CAST(rate_permille AS BIGINT) AS rate_permille
       |FROM h JOIN r ON h.lang = r.grp
       |WHERE bucket < rate_permille""".stripMargin
+
+  /** Planted scene fixture shared by p101/p102: per document id an
+    * 8-frame video whose frames 0-2 / 3-5 / 6-7 share a per-scene pixel
+    * key — real png encode + decode on the engine side, the arithmetic
+    * twin lives in [[sceneCutsOracleSql]].
+    */
+  private def plantedSceneFrameHashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val frames = table(s, dir, "documents").select(col("doc_id")).as[Long]
+      .flatMap { vid =>
+        (0L to 7L).map { f =>
+          val key = vid * 977 + (f / 3) * 131
+          val w = (8 + key % 9).toInt
+          val h = (8 + key % 7).toInt
+          graft.pipeline.Multimodal.MediaItem(vid * 1000 + f, "png",
+            graft.pipeline.Multimodal.encodeGrayPng(w, h,
+              (x, y) => ((key * 31 + x * 7 + y * 13) % 256).toInt))
+        }
+      }
+    graft.pipeline.Multimodal.dHashes(frames)
+      .select(expr("id DIV 1000").as("vid"), expr("id % 1000").as("f"),
+        col("dhash"))
+  }
+
+  /** Shared by p101 (scene cuts) and p102 (keyframes — the same lineage
+    * rolled up): one pixel→hash→cut replay, no drift.
+    */
+  private lazy val sceneCutsOracleSql: String =
+    """WITH f0 AS (SELECT doc_id AS vid, unnest(generate_series(0, 7)) AS f
+      |      FROM documents),
+      |fk AS (SELECT vid, f, vid * 977 + (f // 3) * 131 AS key FROM f0),
+      |kd AS (SELECT vid, f, key, 8 + key % 9 AS w, 8 + key % 7 AS h FROM fk),
+      |xs AS (SELECT vid, f, key, w, h, unnest(generate_series(0, 7)) AS x FROM kd),
+      |px AS (SELECT vid, f, key, w, h, x, unnest(generate_series(0, 7)) AS y FROM xs),
+      |bt AS (SELECT vid, f, x, y,
+      |        (key * 31 + (((x + 1) * w) // 9) * 7 + ((y * h) // 8) * 13) % 256 AS gr,
+      |        (key * 31 + ((x * w) // 9) * 7 + ((y * h) // 8) * 13) % 256 AS gl
+      |      FROM px),
+      |hsh AS (SELECT vid, f, CAST(sum(CASE WHEN gr > gl THEN
+      |          CASE WHEN y * 8 + x = 63 THEN -9223372036854775807 - 1
+      |               ELSE 1::BIGINT << CAST(y * 8 + x AS INT) END
+      |        ELSE 0 END) AS BIGINT) AS dhash
+      |       FROM bt GROUP BY 1, 2),
+      |lg AS (SELECT vid, f, dhash,
+      |        lag(dhash) OVER (PARTITION BY vid ORDER BY f) AS prev
+      |      FROM hsh),
+      |hm AS (SELECT vid, f,
+      |        CASE WHEN prev IS NULL THEN 0
+      |             ELSE bit_count(xor(dhash, prev)) END AS hamming
+      |      FROM lg),
+      |c AS (SELECT vid, f, hamming,
+      |        CASE WHEN hamming >= 1 THEN 1 ELSE 0 END AS cut
+      |      FROM hm)
+      |SELECT vid, CAST(f AS BIGINT) AS f, CAST(hamming AS BIGINT) AS hamming,
+      |       CAST(cut AS BIGINT) AS cut,
+      |       CAST(sum(cut) OVER (PARTITION BY vid ORDER BY f) AS BIGINT) AS scene
+      |FROM c""".stripMargin
 
   /** Shared by p52 (batch) and p55 (streaming twin of the same
     * computation): one definition, no drift.
@@ -3746,36 +3798,14 @@ object SparkEntry {
         |UNION ALL SELECT CAST(4 AS BIGINT), '4_decontaminate', CAST(c3 AS BIGINT),
         |       CAST(c4 AS BIGINT), CAST(c3 - c4 AS BIGINT) FROM cnt""".stripMargin,
 
-    "p101_scene_cuts" ->
-      """WITH f0 AS (SELECT doc_id AS vid, unnest(generate_series(0, 7)) AS f
-        |      FROM documents),
-        |fk AS (SELECT vid, f, vid * 977 + (f // 3) * 131 AS key FROM f0),
-        |kd AS (SELECT vid, f, key, 8 + key % 9 AS w, 8 + key % 7 AS h FROM fk),
-        |xs AS (SELECT vid, f, key, w, h, unnest(generate_series(0, 7)) AS x FROM kd),
-        |px AS (SELECT vid, f, key, w, h, x, unnest(generate_series(0, 7)) AS y FROM xs),
-        |bt AS (SELECT vid, f, x, y,
-        |        (key * 31 + (((x + 1) * w) // 9) * 7 + ((y * h) // 8) * 13) % 256 AS gr,
-        |        (key * 31 + ((x * w) // 9) * 7 + ((y * h) // 8) * 13) % 256 AS gl
-        |      FROM px),
-        |hsh AS (SELECT vid, f, CAST(sum(CASE WHEN gr > gl THEN
-        |          CASE WHEN y * 8 + x = 63 THEN -9223372036854775807 - 1
-        |               ELSE 1::BIGINT << CAST(y * 8 + x AS INT) END
-        |        ELSE 0 END) AS BIGINT) AS dhash
-        |       FROM bt GROUP BY 1, 2),
-        |lg AS (SELECT vid, f, dhash,
-        |        lag(dhash) OVER (PARTITION BY vid ORDER BY f) AS prev
-        |      FROM hsh),
-        |hm AS (SELECT vid, f,
-        |        CASE WHEN prev IS NULL THEN 0
-        |             ELSE bit_count(xor(dhash, prev)) END AS hamming
-        |      FROM lg),
-        |c AS (SELECT vid, f, hamming,
-        |        CASE WHEN hamming >= 1 THEN 1 ELSE 0 END AS cut
-        |      FROM hm)
-        |SELECT vid, CAST(f AS BIGINT) AS f, CAST(hamming AS BIGINT) AS hamming,
-        |       CAST(cut AS BIGINT) AS cut,
-        |       CAST(sum(cut) OVER (PARTITION BY vid ORDER BY f) AS BIGINT) AS scene
-        |FROM c""".stripMargin,
+    "p101_scene_cuts" -> sceneCutsOracleSql,
+
+    // p102 = the p101 lineage rolled to one keyframe (min frame) per
+    // (video, scene) — shared oracle prefix, no drift.
+    "p102_keyframes" ->
+      s"""WITH sc AS ($sceneCutsOracleSql)
+        |SELECT vid, scene, CAST(min(f) AS BIGINT) AS f
+        |FROM sc GROUP BY 1, 2""".stripMargin,
 
     "p77_video_dup" ->
       """WITH f0 AS (SELECT doc_id AS vid, doc_id - doc_id % 4 AS g,

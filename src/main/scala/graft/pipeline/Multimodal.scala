@@ -211,6 +211,17 @@ object Multimodal {
       .select(col("video"), col("frame"), col("hamming"), col("cut"), col("scene"))
   }
 
+  /** One keyframe per scene — [[sceneCuts]] rolled to its consumer
+    * shape: the FIRST frame of each scene (vision-language pipelines
+    * caption/embed one representative frame per shot, not every Nth
+    * frame). Returns (video, scene, frame).
+    */
+  def keyframes(frameHashes: DataFrame, videoCol: String, frameCol: String,
+      hashCol: String, minHamming: Int = 1): DataFrame =
+    sceneCuts(frameHashes, videoCol, frameCol, hashCol, minHamming)
+      .groupBy(col("video"), col("scene"))
+      .agg(min(col("frame")).as("frame"))
+
   /** [[featurize]]'s real-decode twin over (id, kind, media) frames. */
   def decodeFrame(df: DataFrame): DataFrame = {
     import df.sparkSession.implicits._

@@ -2083,6 +2083,11 @@ class PipelineSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) ->
         ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     assert(again == out)
+    // keyframes = the first frame of each scene
+    val kf = Multimodal.keyframes(fh, "vid", "f", "dhash", minHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(kf == Map((5L, 0L) -> 0L, (5L, 1L) -> 3L, (5L, 2L) -> 6L,
+      (9L, 0L) -> 0L), s"got $kf")
   }
 
   test("epoch expand: full epochs unconditional, fractional tail hash-gated with per-epoch salt") {
