@@ -858,6 +858,19 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("source"), col("epoch"))
     }),
 
+    // Corpus snapshot delta census: base (doc_id%10≠0) vs next
+    // (doc_id%10≠1) at the exact-dedup fingerprint grain —
+    // added/removed/retained with per-side copy counts, the
+    // crawl-to-crawl diff before reprocessing.
+    "p103_corpus_delta" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      graft.pipeline.Dedup.corpusDelta(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 =!= 1),
+        "doc_id", "text")
+    }),
+
     // Budget-constrained deterministic selection: a reproducible B-token
     // subset — docs in hash order until the running token total hits the
     // budget. Prefix sums via exactPrefixSums (range repartition +
@@ -2960,6 +2973,21 @@ object SparkEntry {
         |            < epochs_milli) AS eps
         |      FROM e)
         |SELECT doc_id, source, CAST(unnest(eps) AS BIGINT) AS epoch FROM x""".stripMargin,
+
+    "p103_corpus_delta" ->
+      """WITH nb AS (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |      FROM documents WHERE doc_id % 10 <> 0),
+        |nn AS (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |      FROM documents WHERE doc_id % 10 <> 1),
+        |cb AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_base FROM nb GROUP BY 1),
+        |cn AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_next FROM nn GROUP BY 1)
+        |SELECT coalesce(cb.fp, cn.fp) AS fp,
+        |       CASE WHEN cb.fp IS NULL THEN 'added'
+        |            WHEN cn.fp IS NULL THEN 'removed'
+        |            ELSE 'retained' END AS status,
+        |       coalesce(n_base, 0) AS n_base,
+        |       coalesce(n_next, 0) AS n_next
+        |FROM cb FULL OUTER JOIN cn ON cb.fp = cn.fp""".stripMargin,
 
     "p99_budget_select" ->
       s"""WITH t AS (SELECT doc_id,

@@ -476,6 +476,31 @@ object Dedup {
       Seq(idCol), "left_semi")
   }
 
+  /** Corpus snapshot DELTA census — the crawl-to-crawl diff a recurring
+    * ingestion run reports before reprocessing: fingerprint both corpus
+    * versions at the exact-dedup grain ([[TextAnalysis.fingerprint]])
+    * and full-outer join the two distinct-fingerprint censuses. Status
+    * per fingerprint: 'added' (only in next), 'removed' (only in base),
+    * 'retained' (both, with copy counts on each side — a count change
+    * at 'retained' is re-crawled duplication, not new content). Two
+    * hash aggregates + one fp-keyed join, each side one pass; at 100 TB
+    * the join carries one row per DISTINCT document, not per document.
+    */
+  def corpusDelta(base: DataFrame, next: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def census(df: DataFrame) = df
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("n"))
+    census(base).withColumnRenamed("n", "n_base")
+      .join(census(next).withColumnRenamed("n", "n_next"), Seq("fp"), "full_outer")
+      .select(col("fp"),
+        when(col("n_base").isNull, lit("added"))
+          .when(col("n_next").isNull, lit("removed"))
+          .otherwise(lit("retained")).as("status"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_next"), lit(0L)).as("n_next"))
+  }
+
   /** The corpus-cleanse FUNNEL — the composite every pipeline actually
     * runs, as one reportable table: exact keep-one → near-dup cluster
     * reps ([[deduplicated]]) → token-count floor → decontamination

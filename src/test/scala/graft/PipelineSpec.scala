@@ -2048,6 +2048,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("corpus delta: added/removed/retained at fingerprint grain with copy counts") {
+    import spark.implicits._
+    val base = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "  ALPHA   beta "),
+      (4L, "going away")).toDF("doc_id", "text")
+    val next = Seq((10L, "alpha beta"), (11L, "gamma"), (12L, "brand new"),
+      (13L, "gamma")).toDF("doc_id", "text")
+    val out = Dedup.corpusDelta(base, next, "doc_id", "text")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    def fp(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    // "alpha beta" retained — base has TWO normalization-equal copies
+    assert(out(fp("alpha beta")) == (("retained", 2L, 1L)))
+    // "gamma" retained, duplicated in next
+    assert(out(fp("gamma")) == (("retained", 1L, 2L)))
+    assert(out(fp("going away")) == (("removed", 1L, 0L)))
+    assert(out(fp("brand new")) == (("added", 0L, 1L)))
+    assert(out.size == 4)
+  }
+
   test("scene cuts: boundaries where consecutive frame hashes differ, running scene ids") {
     import spark.implicits._
     // video 5: frames 0-2 / 3-5 / 6-7 share per-scene keys (identical
