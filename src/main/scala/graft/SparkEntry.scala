@@ -3026,7 +3026,8 @@ object SparkEntry {
         |       CASE WHEN rk <= n * 800 // 1000 THEN 'train'
         |            WHEN rk <= n * 900 // 1000 THEN 'val'
         |            ELSE 'test' END AS split
-        |FROM r""".stripMargin,
+        |FROM r""".stripMargin, // PARTITION BY groups NULL langs like the
+                                // engine's null-safe join does
 
     // p96 streams the registry whose contents are the DISTINCT rows of
     // the p90 chunk lineage — same chunk construction, census grain.

@@ -654,22 +654,43 @@ object TextAnalysis {
     * Ties: callers must pass a total order (append a unique id to the
     * sort key) or ranks within a tie are partition-placement-dependent.
     */
+  /** Shared skeleton of the pid-offset family ([[exactRankBuckets]] /
+    * [[exactPrefixSums]] / [[exactGroupRanks]]): range-repartition on
+    * the sort key and PIN the partitioning (eager localCheckpoint —
+    * range bounds are resampled per execution, so every later pass must
+    * observe the SAME partition assignment), with the partition id
+    * materialized as `__pid`. The pin is load-bearing: without it the
+    * driver-read offsets and the final pass can see different bounds
+    * and silently corrupt results.
+    */
+  private def pinnedRanged(df: org.apache.spark.sql.DataFrame,
+      sortExprs: Seq[Column]): org.apache.spark.sql.DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartitionByRange(parts, sortExprs: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+  }
+
+  /** Exclusive prefix offsets of a per-partition Long aggregate, in pid
+    * order — the #partitions-row driver-side step the family shares.
+    */
+  private def pidOffsets(perPid: Array[(Int, Long)]): Array[(Int, Long)] = {
+    val sorted = perPid.sortBy(_._1)
+    sorted.map(_._1).zip(sorted.map(_._2).scanLeft(0L)(_ + _).init)
+  }
+
   def exactRankBuckets(df: org.apache.spark.sql.DataFrame,
       sortExprs: Seq[Column], nBuckets: Int): org.apache.spark.sql.DataFrame = {
     require(nBuckets >= 1, "nBuckets >= 1")
-    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df.repartitionByRange(parts, sortExprs: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+    val ranged = pinnedRanged(df, sortExprs)
     val cnts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
     val n = cnts.map(_._2).sum
     if (n == 0) // empty in, empty out — like every other operator (and the SQL twin)
       return ranged.withColumn("rank", lit(0L)).withColumn("bucket", lit(0L))
         .drop("__pid")
-    val offsets = cnts.map(_._1).zip(
-      cnts.map(_._2).scanLeft(0L)(_ + _).init)
-    val offMap = map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*)
+    val offMap = map(pidOffsets(cnts)
+      .flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid")).orderBy(sortExprs: _*)
     ranged
@@ -693,17 +714,14 @@ object TextAnalysis {
     */
   def exactPrefixSums(df: org.apache.spark.sql.DataFrame,
       sortExprs: Seq[Column], valueCol: String): org.apache.spark.sql.DataFrame = {
-    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df.repartitionByRange(parts, sortExprs: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+    val ranged = pinnedRanged(df, sortExprs)
     val sums = ranged.groupBy(col("__pid"))
       .agg(sum(col(valueCol)).cast("long").as("s"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
     if (sums.isEmpty) // empty in, empty out
       return ranged.withColumn("cum", lit(0L)).drop("__pid")
-    val offsets = sums.map(_._1).zip(sums.map(_._2).scanLeft(0L)(_ + _).init)
-    val offMap = map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*)
+    val offMap = map(pidOffsets(sums)
+      .flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid")).orderBy(sortExprs: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -754,10 +772,7 @@ object TextAnalysis {
   def exactGroupRanks(df: org.apache.spark.sql.DataFrame, groupCol: String,
       sortExprs: Seq[Column]): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df.repartitionByRange(parts, col(groupCol) +: sortExprs: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+    val ranged = pinnedRanged(df, col(groupCol) +: sortExprs)
     val cnts = ranged.groupBy(col("__pid"), col(groupCol))
       .agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2)))
@@ -778,16 +793,20 @@ object TextAnalysis {
     val offs = spark.createDataFrame(
       spark.sparkContext.parallelize(offRows, 1),
       org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__pid",
+        org.apache.spark.sql.types.StructField("__opid",
           org.apache.spark.sql.types.IntegerType),
-        gField.copy(name = groupCol),
+        gField.copy(name = "__ogrp", nullable = true),
         org.apache.spark.sql.types.StructField("__off",
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("n",
           org.apache.spark.sql.types.LongType))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid"), col(groupCol)).orderBy(sortExprs: _*)
-    ranged.join(broadcast(offs), Seq("__pid", groupCol))
+    // null-safe group equality: a NULL group is a group like any other
+    // (windows and the SQL twin's PARTITION BY agree) — a plain equi-join
+    // would silently drop those rows
+    ranged.join(broadcast(offs),
+      col("__pid") === col("__opid") && col(groupCol) <=> col("__ogrp"))
       .withColumn("rank", row_number().over(w).cast("long") + col("__off"))
       .select(outCols: _*)
   }
@@ -813,10 +832,13 @@ object TextAnalysis {
       hash60(col(idCol)).as("hk"))
     val ranked = exactGroupRanks(src, "grp", Seq(col("hk"), col("id")))
     val cums = splits.map(_._2).scanLeft(0)(_ + _).tail
-    val caseSql = splits.zip(cums).init.map { case ((name, _), c) =>
-      s"WHEN rank <= n * $c DIV 1000 THEN '$name'" }
-      .mkString("CASE ", " ", s" ELSE '${splits.last._1}' END")
-    ranked.withColumn("split", expr(caseSql))
+    // when-chain, not an interpolated CASE string: split names are
+    // caller data and must never pass through the SQL parser
+    val splitCol = splits.zip(cums).init
+      .foldRight(lit(splits.last._1): Column) { case (((name, _), c), rest) =>
+        when(col("rank") <= expr(s"n * $c DIV 1000"), lit(name)).otherwise(rest)
+      }
+    ranked.withColumn("split", splitCol)
       .select(col("id"), col("grp"), col("split"))
   }
 

@@ -56,8 +56,10 @@ object PipelineStream {
       maxTokens: Int, stride: Int): DataFrame =
     TextAnalysis.chunkByTokens(docs, idCol, textCol, maxTokens, stride)
       .withColumn("fp", md5(col("chunk_text")))
-      .withColumn("n_tokens",
-        size(TextAnalysis.tokens(col("chunk_text"))).cast("long"))
+      // chunk_text is space-joined tokens, so a single-space split
+      // inverts it exactly — no need to re-run the tokenizer regex on
+      // every chunk of the ingestion hot path
+      .withColumn("n_tokens", size(split(col("chunk_text"), " ")).cast("long"))
       .dropDuplicates("fp")
       .select(col("fp"), col("n_tokens"))
 

@@ -2014,6 +2014,14 @@ class PipelineSpec extends SparkSpec {
     assert(again == out)
     assert(TextAnalysis.exactGroupRanks(
       d.filter(col("id") > 100), "g", Seq(col("k"))).count() == 0L)
+    // a NULL group is a group like any other (the null-safe join): no
+    // silent row loss, ranks within the NULL group
+    val dn = Seq((1L, Some("a"), 30L), (2L, None, 10L), (3L, None, 20L))
+      .toDF("id", "g", "k")
+    val outN = TextAnalysis.exactGroupRanks(dn, "g", Seq(col("k"), col("id")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(outN == Map(1L -> ((1L, 1L)), 2L -> ((1L, 2L)), 3L -> ((2L, 2L))),
+      s"got $outN")
   }
 
   test("stratified exact split: per-group counts hit the floored permille marks exactly") {
