@@ -858,6 +858,24 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("source"), col("epoch"))
     }),
 
+    // Cluster-drift matrix: the p87 refine lineage rolled to the k×k
+    // migration table (diagonal = stable mass, off-diagonal = drift) —
+    // the index-refresh health check, ≤ k² rows at any corpus size.
+    "p104_kmeans_drift" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Similarity.kmeansDriftMatrix(
+        table(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+    }),
+
+    // Distillation-fidelity report: the trained classifier's 2×2
+    // agreement table against its heuristic teacher label — the
+    // hand-off artifact for the p35/p38 classifier family.
+    "p105_classifier_agreement" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.TextAnalysis.classifierAgreement(
+        table(s, dir, "documents"), "doc_id", "text", dim = 4096)
+    }),
+
     // Corpus snapshot delta census: base (doc_id%10≠0) vs next
     // (doc_id%10≠1) at the exact-dedup fingerprint grain —
     // added/removed/retained with per-side copy counts, the
@@ -2401,6 +2419,46 @@ object SparkEntry {
         col("dhash"))
   }
 
+  /** Shared by p87 (refine + delta) and p104 (drift matrix rollup of the
+    * same lineage): one integer-k-means replay, no drift.
+    */
+  private lazy val kmeansRefineOracleSql: String =
+    kmeansOracleCtes("WHERE 1 = 1") +
+      """,
+        |st AS (SELECT cluster, pos, CAST(sum(m) AS BIGINT) AS s, count(*) AS n
+        |       FROM comp JOIN a USING (vec_id) GROUP BY 1, 2),
+        |rc AS (SELECT cluster, pos, (s - ((s % n + n) % n)) // n AS cm FROM st),
+        |d1 AS (SELECT comp.vec_id, rc.cluster,
+        |         CAST(sum((m - cm) * (m - cm)) AS BIGINT) AS d2
+        |       FROM comp JOIN rc USING (pos) GROUP BY 1, 2),
+        |a1r AS (SELECT vec_id, cluster, d2,
+        |          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        |        FROM d1),
+        |a1 AS (SELECT vec_id, cluster AS c1 FROM a1r WHERE rn = 1)
+        |SELECT a.vec_id AS id, CAST(a.cluster AS BIGINT) AS cluster0,
+        |       CAST(a1.c1 AS BIGINT) AS cluster1,
+        |       CAST(a.cluster <> a1.c1 AS BIGINT) AS moved
+        |FROM a JOIN a1 USING (vec_id)""".stripMargin
+
+  /** Shared by p35 (scoring) and p105 (agreement rollup against the
+    * teacher label): one train+rescore replay, no drift.
+    */
+  private lazy val classifierScoreOracleSql: String =
+    s"""WITH lab AS (SELECT doc_id, text,
+      |    (length(text) >= 50 AND
+      |     2 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) >= length(text)) AS y
+      |  FROM documents),
+      |lt AS (SELECT y, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok FROM lab),
+      |lw AS (SELECT ${hash60Sql("tok")} % 4096 AS bucket,
+      |              CAST(sum(CASE WHEN y THEN 1 ELSE -1 END) AS BIGINT) AS w
+      |       FROM lt GROUP BY 1),
+      |t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+      |      FROM documents),
+      |b AS (SELECT doc_id, ${hash60Sql("tok")} % 4096 AS bucket FROM t)
+      |SELECT doc_id AS id, CAST(sum(coalesce(w, 0)) AS BIGINT) AS score_sum,
+      |       count(*) AS n_tokens
+      |FROM b LEFT JOIN lw USING (bucket) GROUP BY doc_id""".stripMargin
+
   /** Shared by p101 (scene cuts) and p102 (keyframes — the same lineage
     * rolled up): one pixel→hash→cut replay, no drift.
     */
@@ -3075,22 +3133,13 @@ object SparkEntry {
         |       CAST(sum(m) AS BIGINT) AS sum_micro, count(*) AS n
         |FROM comp JOIN a USING (vec_id) GROUP BY 1, 2""".stripMargin),
 
-    "p87_kmeans_refine" -> (kmeansOracleCtes("WHERE 1 = 1") +
-      """,
-        |st AS (SELECT cluster, pos, CAST(sum(m) AS BIGINT) AS s, count(*) AS n
-        |       FROM comp JOIN a USING (vec_id) GROUP BY 1, 2),
-        |rc AS (SELECT cluster, pos, (s - ((s % n + n) % n)) // n AS cm FROM st),
-        |d1 AS (SELECT comp.vec_id, rc.cluster,
-        |         CAST(sum((m - cm) * (m - cm)) AS BIGINT) AS d2
-        |       FROM comp JOIN rc USING (pos) GROUP BY 1, 2),
-        |a1r AS (SELECT vec_id, cluster, d2,
-        |          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
-        |        FROM d1),
-        |a1 AS (SELECT vec_id, cluster AS c1 FROM a1r WHERE rn = 1)
-        |SELECT a.vec_id AS id, CAST(a.cluster AS BIGINT) AS cluster0,
-        |       CAST(a1.c1 AS BIGINT) AS cluster1,
-        |       CAST(a.cluster <> a1.c1 AS BIGINT) AS moved
-        |FROM a JOIN a1 USING (vec_id)""".stripMargin),
+    "p87_kmeans_refine" -> kmeansRefineOracleSql,
+
+    // p104 = the p87 refine lineage rolled to the k×k migration table.
+    "p104_kmeans_drift" ->
+      s"""WITH refine AS ($kmeansRefineOracleSql)
+        |SELECT cluster0, cluster1, count(*) AS n_vecs
+        |FROM refine GROUP BY 1, 2""".stripMargin,
 
     "p19_stopword_ratio" ->
       """SELECT doc_id,
@@ -3129,21 +3178,20 @@ object SparkEntry {
         |      FROM fresh)
         |SELECT doc_id FROM r WHERE rn = 1""".stripMargin,
 
-    "p35_classifier_score" ->
-      s"""WITH lab AS (SELECT doc_id, text,
-        |    (length(text) >= 50 AND
-        |     2 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) >= length(text)) AS y
-        |  FROM documents),
-        |lt AS (SELECT y, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok FROM lab),
-        |lw AS (SELECT ${hash60Sql("tok")} % 4096 AS bucket,
-        |              CAST(sum(CASE WHEN y THEN 1 ELSE -1 END) AS BIGINT) AS w
-        |       FROM lt GROUP BY 1),
-        |t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
-        |      FROM documents),
-        |b AS (SELECT doc_id, ${hash60Sql("tok")} % 4096 AS bucket FROM t)
-        |SELECT doc_id AS id, CAST(sum(coalesce(w, 0)) AS BIGINT) AS score_sum,
-        |       count(*) AS n_tokens
-        |FROM b LEFT JOIN lw USING (bucket) GROUP BY doc_id""".stripMargin,
+    "p35_classifier_score" -> classifierScoreOracleSql,
+
+    // p105 = the p35 scoring lineage joined back on its own teacher
+    // label — the 2×2 distillation-fidelity table.
+    "p105_classifier_agreement" ->
+      s"""WITH sc AS ($classifierScoreOracleSql),
+        |lb AS (SELECT doc_id AS id,
+        |         CAST(length(text) >= 50 AND
+        |           2 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) >= length(text)
+        |           AS BIGINT) AS label
+        |       FROM documents)
+        |SELECT label, CAST(score_sum > 0 AS BIGINT) AS pred,
+        |       count(*) AS n_docs
+        |FROM sc JOIN lb USING (id) GROUP BY 1, 2""".stripMargin,
 
     "p39_span_dedup" ->
       """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks

@@ -310,6 +310,18 @@ object Similarity {
         (col("cluster0") =!= col("cluster1")).as("moved"))
   }
 
+  /** Cluster-drift matrix — [[kmeansRefineDelta]] rolled to the ops
+    * dashboard shape: per (cluster0, cluster1) vector counts, the
+    * k×k migration table that says whether an index refresh moved mass
+    * (diagonal = stable, off-diagonal = drift). ≤ k² rows at any corpus
+    * size; the rollup adds one tiny aggregate to the refine lineage.
+    */
+  def kmeansDriftMatrix(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame =
+    kmeansRefineDelta(df, idCol, vecCol, k)
+      .groupBy(col("cluster0"), col("cluster1"))
+      .agg(count(lit(1)).as("n_vecs"))
+
   /** The nprobe cells nearest to the query (driver-side — the codebook is
     * tiny); shared by the in-memory and persisted-index search paths.
     */

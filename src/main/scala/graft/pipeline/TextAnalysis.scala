@@ -888,6 +888,23 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         min(col("n_tokens")).as("lo"), max(col("n_tokens")).as("hi"))
 
+  /** Distillation-fidelity report for the trained quality classifier:
+    * the 2×2 agreement table between the heuristic teacher label
+    * ([[keepFlag]] — what [[classifierScore]] trains on) and the
+    * model's prediction (score_sum > 0). The table every classifier
+    * hand-off ships: diagonal = recovered labels, off-diagonal = where
+    * the distilled model disagrees with its teacher (which is where a
+    * human looks first). ≤ 4 rows; one extra label projection over the
+    * scoring lineage.
+    */
+  def classifierAgreement(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, dim: Int = 4096): org.apache.spark.sql.DataFrame =
+    classifierScore(docs, idCol, textCol, dim)
+      .join(docs.select(col(idCol).as("id"),
+        keepFlag(col(textCol)).cast("long").as("label")), Seq("id"))
+      .groupBy(col("label"), (col("score_sum") > 0).cast("long").as("pred"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Quality-classifier scoring with TRAINED weights as the DEFAULT path:
     * weakly-supervised distillation of the heuristic keep signal
     * ([[keepFlag]]) into a hashed-feature linear model — the CCNet/DCLM

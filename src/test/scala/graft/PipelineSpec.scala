@@ -2056,6 +2056,36 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("kmeans drift matrix: rollup of the refine delta, mass conserved") {
+    import spark.implicits._
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(j => (math.sin(i * 3 + j) * (1 + i % 4)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val delta = Similarity.kmeansRefineDelta(vecs, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val matrix = Similarity.kmeansDriftMatrix(vecs, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expected = delta.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(matrix == expected, s"got $matrix expected $expected")
+    assert(matrix.values.sum == 60L) // every vector lands in exactly one cell
+  }
+
+  test("classifier agreement: 2x2 table against the teacher label, counts conserved") {
+    import spark.implicits._
+    // separable corpus: long clean prose (keep) vs short/symbol junk (drop)
+    val docs = ((0 until 12).map(i =>
+      (i.toLong, s"this is a long and perfectly ordinary sentence number $i " +
+        "with plenty of alphabetic words to clear the keep heuristic easily")) ++
+      (12 until 20).map(i => (i.toLong, s"@@## $i ++__ ~~"))).toDF("doc_id", "text")
+    val out = TextAnalysis.classifierAgreement(docs, "doc_id", "text", dim = 512)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.values.sum == 20L)
+    // on separable data the distilled model reproduces its teacher:
+    // only diagonal cells
+    assert(out.keySet.forall { case (l, p) => l == p }, s"got $out")
+    assert(out((1L, 1L)) == 12L && out((0L, 0L)) == 8L)
+  }
+
   test("corpus delta: added/removed/retained at fingerprint grain with copy counts") {
     import spark.implicits._
     val base = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "  ALPHA   beta "),
