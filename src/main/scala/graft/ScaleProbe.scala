@@ -203,6 +203,38 @@ object ScaleProbe {
         f"single-partition-window=$dtG%5.2f s (identical cums)")
     }
 
+    // Grouped-rank skew probe (round 9): exactGroupRanks vs the
+    // PARTITION BY group window on a 5M-row frame where ONE group holds
+    // 90% of the rows — the head-group case where a per-group window
+    // serializes most of the corpus through one task. Identical
+    // (rank, n) checksums asserted.
+    {
+      import org.apache.spark.sql.expressions.Window
+      val rdf = spark.range(5000000L)
+        .select(col("id"),
+          when(col("id") % 10L < 9L, lit("head")).otherwise(lit("tail")).as("g"),
+          (hash(col("id")) % 100000L).cast("long").as("score"))
+        .localCheckpoint()
+      def run(mk: => org.apache.spark.sql.DataFrame): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val cs = mk.agg(sum((col("rank") + col("n")) * (col("id") % 997L)))
+          .head().getLong(0)
+        ((System.nanoTime() - t0) / 1e9, cs)
+      }
+      val (dtE, csE) = run(graft.pipeline.TextAnalysis.exactGroupRanks(
+        rdf, "g", Seq(col("score").asc, col("id").asc))
+        .select(col("id"), col("rank"), col("n")))
+      val (dtG, csG) = run {
+        val w = Window.partitionBy(col("g")).orderBy(col("score").asc, col("id").asc)
+        rdf.withColumn("rank", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))).cast("long"))
+          .select(col("id"), col("rank"), col("n"))
+      }
+      assert(csE == csG, s"grouped-rank checksum mismatch: $csE vs $csG")
+      println(f"[scale] grouped-rank 5M rows (90%% one group): pid-offset=$dtE%5.2f s " +
+        f"per-group-window=$dtG%5.2f s (identical ranks)")
+    }
+
     // Integer k-means scaling probe (round 9): the Lloyd step over 10k →
     // 40k → 160k synthetic 64-dim vectors, k=8. Cost model says ~linear
     // in n (component explode + broadcast join + two key-balanced
