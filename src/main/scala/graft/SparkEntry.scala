@@ -858,6 +858,23 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("source"), col("epoch"))
     }),
 
+    // Streaming twin of p92: the persisted codebook serves a vector
+    // FEED — stateless broadcast argmin with engine-side quantization,
+    // gated under the batch p92 oracle (arrival-order-insensitive).
+    "p106_stream_assign" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val emb = table(s, dir, "embeddings")
+      val refined = graft.pipeline.Similarity.refinedCentroids(
+        graft.pipeline.Similarity.kmeansStepExact(
+          emb.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding", k = 8))
+        .localCheckpoint() // the persisted codebook: built once
+      runStream(s, "p106", dir,
+        emb.filter(col("vec_id") % 10 === 0).select(col("vec_id"), col("embedding")), 3)(
+        st => graft.streaming.PipelineStream.assignStream(
+          st, "vec_id", "embedding", refined))
+        .select(col("id").as("vec_id"), col("cluster"), col("d2"))
+    }),
+
     // Cluster-drift matrix: the p87 refine lineage rolled to the k×k
     // migration table (diagonal = stable mass, off-diagonal = drift) —
     // the index-refresh health check, ≤ k² rows at any corpus size.
@@ -2440,6 +2457,28 @@ object SparkEntry {
         |       CAST(a.cluster <> a1.c1 AS BIGINT) AS moved
         |FROM a JOIN a1 USING (vec_id)""".stripMargin
 
+  /** Shared by p92 (batch index refresh) and p106 (streaming face of
+    * the same persisted-codebook assignment): one replay, no drift.
+    */
+  private lazy val indexRefreshOracleSql: String =
+    kmeansOracleCtes("WHERE vec_id % 10 <> 0") +
+      """,
+        |st AS (SELECT cluster, pos, CAST(sum(m) AS BIGINT) AS s, count(*) AS n
+        |       FROM comp JOIN a USING (vec_id) GROUP BY 1, 2),
+        |rc AS (SELECT cluster, pos, (s - ((s % n + n) % n)) // n AS cm FROM st),
+        |nb AS (SELECT vec_id,
+        |         unnest(generate_series(0, len(embedding) - 1)) AS pos,
+        |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS m
+        |       FROM e WHERE vec_id % 10 = 0),
+        |d1 AS (SELECT nb.vec_id, rc.cluster,
+        |         CAST(sum((m - cm) * (m - cm)) AS BIGINT) AS d2
+        |       FROM nb JOIN rc USING (pos) GROUP BY 1, 2),
+        |r AS (SELECT vec_id, cluster, d2,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        |      FROM d1)
+        |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, d2
+        |FROM r WHERE rn = 1""".stripMargin
+
   /** Shared by p35 (scoring) and p105 (agreement rollup against the
     * teacher label): one train+rescore replay, no drift.
     */
@@ -2961,23 +3000,12 @@ object SparkEntry {
         |      FROM sc)
         |SELECT doc_id AS id, lang AS pred_lang, score FROM r WHERE rn = 1""".stripMargin,
 
-    "p92_index_refresh" -> (kmeansOracleCtes("WHERE vec_id % 10 <> 0") +
-      """,
-        |st AS (SELECT cluster, pos, CAST(sum(m) AS BIGINT) AS s, count(*) AS n
-        |       FROM comp JOIN a USING (vec_id) GROUP BY 1, 2),
-        |rc AS (SELECT cluster, pos, (s - ((s % n + n) % n)) // n AS cm FROM st),
-        |nb AS (SELECT vec_id,
-        |         unnest(generate_series(0, len(embedding) - 1)) AS pos,
-        |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS m
-        |       FROM e WHERE vec_id % 10 = 0),
-        |d1 AS (SELECT nb.vec_id, rc.cluster,
-        |         CAST(sum((m - cm) * (m - cm)) AS BIGINT) AS d2
-        |       FROM nb JOIN rc USING (pos) GROUP BY 1, 2),
-        |r AS (SELECT vec_id, cluster, d2,
-        |        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
-        |      FROM d1)
-        |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, d2
-        |FROM r WHERE rn = 1""".stripMargin),
+    "p92_index_refresh" -> indexRefreshOracleSql,
+
+    // p106 streams the SAME persisted-codebook assignment p92 computes
+    // in batch (stateless broadcast argmin, arrival-order-insensitive
+    // integer arithmetic) — one oracle, no drift.
+    "p106_stream_assign" -> indexRefreshOracleSql,
 
     "p91_length_histogram" -> {
       val off = graft.util.EstimatedHistogram.bucketOffsets

@@ -291,6 +291,62 @@ object PipelineStream {
       rates: DataFrame): DataFrame =
     TextAnalysis.applyTemperatureRates(docs, idCol, groupCol, rates)
 
+  /** Streaming nearest-centroid assignment — the ANN index serving a
+    * vector FEED: new vectors assign against the persisted integer
+    * codebook ([[graft.pipeline.Similarity.refinedCentroids]] output,
+    * k·dim rows) without touching the standing corpus. The batch
+    * [[graft.pipeline.Similarity.assignExact]] is two chained
+    * aggregations (per-(id, cluster) distance sums, then the struct
+    * argmin) — not expressible in Append-mode streaming — so the
+    * stream collects the tiny codebook once, broadcasts it as plain
+    * data, and runs a stateless per-row argmin. Bit-identical
+    * semantics: micro quantization happens in the SAME engine
+    * expression (round(x·1e6) via transform — no JVM-side rounding
+    * reimplementation to drift), d2 is pure integer arithmetic over
+    * the codebook's positions, ties break to the lowest cluster.
+    * Returns (id, cluster, d2).
+    */
+  def assignStream(vectors: DataFrame, idCol: String, vecCol: String,
+      centroidComp: DataFrame): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val rows = centroidComp
+      .select(col("cluster").cast("long"), col("pos").cast("long"),
+        col("cm").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    require(rows.nonEmpty, "empty codebook")
+    val dim = rows.map(_._2).max.toInt + 1
+    val table: Array[(Long, Array[Long])] =
+      rows.groupBy(_._1).toArray.sortBy(_._1).map { case (c, rs) =>
+        val arr = new Array[Long](dim)
+        rs.foreach { case (_, p, cm) => arr(p.toInt) = cm }
+        (c, arr)
+      }
+    val bc = spark.sparkContext.broadcast(table)
+    vectors
+      .select(col(idCol).cast("long").as("id"),
+        expr(s"transform(CAST(`$vecCol` AS ARRAY<DOUBLE>), " +
+          "x -> CAST(round(x * 1000000) AS BIGINT))").as("mv"))
+      .as[(Long, Array[Long])]
+      .map { case (id, mv) =>
+        val cb = bc.value
+        var bestC = Long.MaxValue
+        var bestD = Long.MaxValue
+        var i = 0
+        while (i < cb.length) {
+          val (c, cm) = cb(i)
+          val n = math.min(mv.length, cm.length)
+          var d = 0L
+          var j = 0
+          while (j < n) { val diff = mv(j) - cm(j); d += diff * diff; j += 1 }
+          if (d < bestD) { bestD = d; bestC = c }
+          i += 1
+        }
+        (id, bestC, bestD)
+      }
+      .toDF("id", "cluster", "d2")
+  }
+
   case class SketchPair(ia: Long, ib: Long)
 
   /** Streaming MASS-SAFE perceptual pairing over 64-bit sketches (image

@@ -233,6 +233,32 @@ class StreamingSpec extends SparkSpec {
     assert(reg.toSet == batch.toSet)
   }
 
+  test("streaming codebook assignment equals batch assignExact bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Array.tabulate(6)(j => (math.sin(i * 7 + j) * 2).toFloat)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val refined = graft.pipeline.Similarity.refinedCentroids(
+      graft.pipeline.Similarity.kmeansStepExact(emb, "vec_id", "embedding", k = 4))
+      .localCheckpoint()
+    val batch = graft.pipeline.Similarity.assignExact(
+      emb, "vec_id", "embedding", refined, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val mem = MemoryStream[(Long, Array[Float])]
+    val out = graft.streaming.PipelineStream.assignStream(
+      mem.toDS().toDF("vec_id", "embedding"), "vec_id", "embedding", refined)
+    val q = out.writeStream.format("memory").queryName("sassign")
+      .outputMode("append").start()
+    try {
+      mem.addData(vecs.take(15)); q.processAllAvailable()
+      mem.addData(vecs.drop(15)); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("sassign").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stream == batch, s"stream ${stream.size} rows vs batch ${batch.size}")
+  }
+
   test("streaming decontamination flags exactly the batch-contaminated ids, once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
