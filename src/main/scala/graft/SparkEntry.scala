@@ -875,6 +875,65 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cluster"), col("d2"))
     }),
 
+    // HyperLogLog register table per language over the CONTENT
+    // fingerprint — the dedup-aware cardinality observable: one
+    // hash-aggregate, ≤ langs·2^b rows at any corpus size, shards merge
+    // by max (idempotent, so at-least-once reprocessing can't inflate).
+    "p107_hll_sketch" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      graft.pipeline.Sketches.hllRegisters(
+        docs.select(col("lang"),
+          graft.pipeline.TextAnalysis.fingerprint(col("text")).as("fp")),
+        "fp", "lang", b = 6)
+        .select(col("grp").as("lang"), col("register"), col("rho"))
+    }),
+
+    // Count-min sketch of corpus token frequencies: d·w counter cells
+    // from one tokenize pass — the heavy-hitter / stopword-drift
+    // observable, shard-merged by plain SUM.
+    "p108_cms_sketch" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Sketches.countMinSketch(
+        table(s, dir, "documents"), "text", d = 4, w = 512)
+    }),
+
+    // As-of attribution join: each purchase matched to the user's
+    // latest click at-or-before it (left semantics). One shuffle on
+    // user_id — union + running last, never a range join. The oracle is
+    // DuckDB's NATIVE ASOF JOIN: an independent algorithm agreeing on
+    // every row. Times pre-divided to µs so both engines compare the
+    // same granularity.
+    "p109_asof_attrib" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tus"),
+          col("event_type"), col("event_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tus"), col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tus"), col("event_id").as("purchase_id"))
+      graft.operators.EventOps.asOfJoin(purchases, clicks, Seq("user_id"), "tus")
+        .select(col("purchase_id"),
+          col("user_id").cast("bigint").as("uid"),
+          col("tus").as("purchase_us"),
+          col("q_click_id").as("click_id"),
+          col("q_tus").as("click_us"))
+    }),
+
+    // Ordered-funnel conversion over the event stream: sequential-min
+    // stage times (each stage strictly after the user's previous stage),
+    // one co-partitioned min-aggregate per stage.
+    "p110_funnel" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.operators.EventOps.funnel(
+        table(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("tus"),
+            col("event_type")),
+        "user_id", "tus", "event_type",
+        Seq("signup", "view", "click", "purchase"))
+    }),
+
     // Cluster-drift matrix: the p87 refine lineage rolled to the k×k
     // migration table (diagonal = stable mass, off-diagonal = drift) —
     // the index-refresh health check, ≤ k² rows at any corpus size.
@@ -3220,6 +3279,58 @@ object SparkEntry {
         |SELECT label, CAST(score_sum > 0 AS BIGINT) AS pred,
         |       count(*) AS n_docs
         |FROM sc JOIN lb USING (id) GROUP BY 1, 2""".stripMargin,
+
+    // HLL registers: b=6 → register = h mod 64, 54 remaining hash bits,
+    // rho = 55 − bit-length of the rest (55 when the rest is zero).
+    // Exact integer arithmetic on both engines (bin() agrees on
+    // non-negative BIGINT; never a float log2).
+    "p107_hll_sketch" ->
+      s"""WITH d AS (SELECT lang,
+        |             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        |           FROM documents),
+        |h AS (SELECT lang, ${hash60Sql("fp")} AS h FROM d),
+        |r AS (SELECT lang, h % 64 AS register, h // 64 AS rest FROM h)
+        |SELECT lang, register,
+        |       CAST(max(CASE WHEN rest = 0 THEN 55
+        |                     ELSE 55 - length(bin(rest)) END) AS BIGINT) AS rho
+        |FROM r GROUP BY 1, 2""".stripMargin,
+
+    "p108_cms_sketch" ->
+      s"""WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+        |           FROM documents),
+        |x AS (SELECT r,
+        |        ${hash60Sql("CAST(r AS VARCHAR) || ':' || tok")} % 512 AS bucket
+        |      FROM t, (SELECT unnest([0, 1, 2, 3]) AS r) rr)
+        |SELECT CAST(r AS BIGINT) AS "row", bucket, count(*) AS cnt
+        |FROM x GROUP BY 1, 2""".stripMargin,
+
+    // Independent algorithm check: DuckDB's native ASOF JOIN vs the
+    // engine's union+running-last shape.
+    "p109_asof_attrib" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS cus, event_id AS click_id
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS pus, event_id AS purchase_id
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, CAST(p.user_id AS BIGINT) AS uid,
+        |       p.pus AS purchase_us, c.click_id, c.cus AS click_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.pus >= c.cus""".stripMargin,
+
+    "p110_funnel" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et
+        |           FROM events),
+        |s1 AS (SELECT u, min(t) AS t FROM e WHERE et = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.u AS u, min(e.t) AS t FROM e JOIN s1 ON e.u = s1.u
+        |       AND e.t > s1.t WHERE e.et = 'view' GROUP BY 1),
+        |s3 AS (SELECT e.u AS u, min(e.t) AS t FROM e JOIN s2 ON e.u = s2.u
+        |       AND e.t > s2.t WHERE e.et = 'click' GROUP BY 1),
+        |s4 AS (SELECT e.u AS u, min(e.t) AS t FROM e JOIN s3 ON e.u = s3.u
+        |       AND e.t > s3.t WHERE e.et = 'purchase' GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage,
+        |       (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+        |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)""".stripMargin,
 
     "p39_span_dedup" ->
       """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-analytics operators over timestamped streams: point-in-time
+  * (as-of) join and ordered-funnel conversion. Both are shapes Spark has
+  * no built-in operator for; both are expressed here in the one form
+  * that survives 100 TB:
+  *  - asOfJoin: union + per-key running `last` — ONE shuffle on the key,
+  *    never a range join (whose per-key candidate set is
+  *    |probe|·|quote| before the bound filter);
+  *  - funnel: per-stage chained min-aggregates on the SAME key (each
+  *    stage a co-partitioned join + partial-agg min), never a per-user
+  *    collect_list (a whale user's full history never materializes in
+  *    one row).
+  */
+object EventOps {
+
+  /** As-of (point-in-time) join: for every probe row, the latest quote
+    * row with the same key and quote ts ≤ probe ts (the classic
+    * attribution / mark-to-market join). Left semantics: probes with no
+    * prior quote keep nulls.
+    *
+    * Shape: tag quotes 0 / probes 1, union, one window per key ordered
+    * by (ts, tag, quote-payload) with a running `last(quote, ignoreNulls)`
+    * over UNBOUNDED PRECEDING..CURRENT ROW — an incremental frame (no
+    * per-key buffering beyond the sort), one exchange on `keyCols`, zero
+    * row amplification. Quotes sort BEFORE probes at equal ts, so a
+    * same-instant quote is visible (ts ≥ quote-ts inclusive, the DuckDB
+    * ASOF convention). Several quotes at the same (key, ts) resolve to
+    * the lexicographically greatest payload struct — deterministic under
+    * any partitioning.
+    *
+    * Output: keyCols, tsCol (probe ts), probe payload columns, and each
+    * quote payload column (its ts included) prefixed with `quotePrefix`.
+    */
+  def asOfJoin(probe: DataFrame, quote: DataFrame, keyCols: Seq[String],
+      tsCol: String, quotePrefix: String = "q_"): DataFrame = {
+    require(keyCols.nonEmpty, "asOfJoin needs at least one key column")
+    val qPayload = quote.columns.toSeq.filterNot(keyCols.contains)
+    val pPayload = probe.columns.toSeq.filterNot(c =>
+      keyCols.contains(c) || c == tsCol)
+    val q2 = quote.select(
+      keyCols.map(col) ++ Seq(
+        col(tsCol).cast("long").as("__ts"), lit(0).as("__tag"),
+        struct(qPayload.map(col): _*).as("__q")): _*)
+    val p2 = probe.select(
+      keyCols.map(col) ++ Seq(
+        col(tsCol).cast("long").as("__ts"), lit(1).as("__tag"),
+        struct(pPayload.map(col): _*).as("__p")): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts"), col("__tag"), col("__q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q2.unionByName(p2, allowMissingColumns = true)
+      .withColumn("__m", last(col("__q"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(
+        keyCols.map(col) ++
+          Seq(col("__ts").as(tsCol)) ++
+          pPayload.map(c => col(s"__p.$c").as(c)) ++
+          qPayload.map(c => col(s"__m.$c").as(s"$quotePrefix$c")): _*)
+  }
+
+  /** Ordered-funnel conversion: how many users complete stage k of
+    * `stages` in order, where stage k counts only at a ts STRICTLY after
+    * the user's stage-(k−1) time and each stage time is the EARLIEST
+    * qualifying event (the standard sequential-min funnel semantics).
+    * Returns one row per stage: (stage_idx, stage, n_users).
+    *
+    * Each stage is a filter (tiny slice of the corpus) + co-partitioned
+    * join against the previous stage's (user, t) frame + min-aggregate —
+    * all on the same key, so AQE coalesces the exchanges; intermediate
+    * stage frames are lazily checkpointed so the k-stage union computes
+    * each lineage ONCE (the subtree-duplication rule).
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val e = events.select(col(userCol).as("user"),
+      col(tsCol).cast("long").as("t"), col(typeCol).as("et"))
+    var reached = e.filter(col("et") === stages.head)
+      .groupBy(col("user")).agg(min(col("t")).as("t"))
+      .localCheckpoint(false)
+    val perStage = Seq.newBuilder[DataFrame]
+    perStage += reached
+    stages.drop(1).foreach { st =>
+      reached = e.filter(col("et") === st)
+        .join(reached.select(col("user"), col("t").as("tprev")), Seq("user"))
+        .filter(col("t") > col("tprev"))
+        .groupBy(col("user")).agg(min(col("t")).as("t"))
+        .localCheckpoint(false)
+      perStage += reached
+    }
+    perStage.result().zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).cast("long").as("stage_idx"),
+          lit(stages(i)).as("stage"), col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+}

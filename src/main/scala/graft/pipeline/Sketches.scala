@@ -1,0 +1,149 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shard-mergeable cardinality / frequency sketches — the corpus
+  * observability layer a 100 TB pipeline runs ALONGSIDE the data passes
+  * (Flajolet et al. HyperLogLog; Cormode & Muthukrishnan count-min).
+  *
+  * The engine deliberately materializes the SKETCH STATE as a small
+  * relation rather than hiding it in an opaque binary blob (what
+  * `approx_count_distinct` does): a (group, register, rho) /
+  * (row, bucket, count) table is
+  *  - exactly mergeable across shards/days with one `max` / `sum`
+  *    aggregate (the sketch laws, spec-pinned),
+  *  - engine-portable (any SQL engine recomputes it bit-for-bit — the
+  *    correctness gate runs the same lineage in DuckDB), and
+  *  - bounded: ≤ groups·2^b rows (HLL) or d·w rows (CMS) at ANY corpus
+  *    size, so the daily sketch of a 100 TB crawl is kilobytes.
+  *
+  * All hashing is [[TextAnalysis.hash60]] (md5-derived 60-bit), so the
+  * register/bucket assignment is deterministic across engines, shards,
+  * partitionings and rounds — no JVM hashCode anywhere.
+  */
+object Sketches {
+
+  /** HyperLogLog register table over the distinct values of `keyCol`,
+    * one sketch per `groupCol` value: (group, register, rho) where
+    * register = hash60 mod 2^b and rho = leading-zero-count + 1 of the
+    * remaining 60−b hash bits (the classic HLL observable). Sparse —
+    * only registers that were hit appear; [[hllEstimate]] treats absent
+    * registers as rho 0.
+    *
+    * One hash-aggregate (map-side combined max), output ≤ groups·2^b
+    * rows regardless of input size. Day-over-day / shard-over-shard
+    * union is [[hllMerge]] — max per register, associative and
+    * idempotent, so re-processing a shard cannot inflate the estimate
+    * (the property that makes HLL the right distinct-counter for
+    * at-least-once pipelines).
+    *
+    * rho is exact integer arithmetic on both engines: bit-length via
+    * `length(bin(x))` (Spark and DuckDB `bin` agree on non-negative
+    * BIGINT), never a float log2.
+    */
+  def hllRegisters(df: DataFrame, keyCol: String, groupCol: String,
+      b: Int): DataFrame = {
+    require(b >= 1 && b <= 16, s"register bits b=$b outside [1,16]")
+    val m = 1L << b
+    val w = 60 - b
+    val h = TextAnalysis.hash60(col(keyCol))
+    val rest = shiftright(h, b) // h >= 0: arithmetic shift == logical
+    df.select(col(groupCol).as("grp"),
+        (h % m).as("register"),
+        when(rest === 0L, lit(w + 1).cast("long"))
+          .otherwise(lit(w + 1).cast("long") - length(bin(rest)))
+          .as("rho0"))
+      .groupBy(col("grp"), col("register"))
+      .agg(max(col("rho0")).as("rho"))
+  }
+
+  /** Merge two register tables (max per (group, register)) — the HLL
+    * union law: estimate(merge(a,b)) counts distinct(a ∪ b).
+    */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("grp"), col("register"))
+      .agg(max(col("rho")).as("rho"))
+
+  /** Cardinality estimate per group from a register table: the standard
+    * HLL estimator (α_m·m²/Σ2^−rho with the small-range linear-counting
+    * correction). Floats — an OBSERVABILITY readout, deliberately not an
+    * oracle surface; the register table itself is the exact artifact.
+    */
+  def hllEstimate(registers: DataFrame, b: Int): DataFrame = {
+    val m = 1L << b
+    val alpha = b match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    registers
+      .groupBy(col("grp"))
+      .agg(sum(pow(lit(2.0), -col("rho"))).as("hit_sum"),
+        count(lit(1)).as("nonzero"))
+      .select(col("grp"), col("nonzero"),
+        {
+          val zeros = lit(m.toDouble) - col("nonzero")
+          val raw = lit(alpha * m * m) / (col("hit_sum") + zeros)
+          // linear counting below 2.5m when empty registers remain
+          when(raw <= lit(2.5 * m) && zeros > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / zeros))
+            .otherwise(raw).as("estimate")
+        })
+  }
+
+  /** Count-min sketch of token frequencies over `textCol`: d salted
+    * hash rows × w buckets, cell = total occurrences of the tokens
+    * mapping there. Output (row, bucket, cnt) — d·w rows at any corpus
+    * size, shard-mergeable by plain SUM ([[cmsMerge]]).
+    *
+    * One tokenize pass: per token, its d buckets are computed as one
+    * codegen'd array and `posexplode`d (d small), then a single
+    * hash-aggregate with map-side combine. No per-row state, no
+    * driver-side anything.
+    */
+  def countMinSketch(df: DataFrame, textCol: String, d: Int = 4,
+      w: Int = 512): DataFrame = {
+    require(d >= 1 && d <= 16, s"depth d=$d outside [1,16]")
+    require(w >= 2, s"width w=$w < 2")
+    val tok = explode(TextAnalysis.tokens(col(textCol))).as("tok")
+    val buckets = array((0 until d).map { r =>
+      TextAnalysis.hash60(concat(lit(s"$r:"), col("tok"))) % w
+    }: _*)
+    df.select(tok)
+      .select(posexplode(buckets).as(Seq("row", "bucket")))
+      .groupBy(col("row").cast("long").as("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge two count-min sketches of identical (d, w): cell-wise sum —
+    * exact because each cell is a plain counter.
+    */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("row"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-query readout: estimated frequency of each query token =
+    * min over the d cells it maps to (the count-min guarantee:
+    * estimate ≥ true count, overshoot bounded by collisions). The
+    * sketch is d·w rows → broadcast; the query side is one pass.
+    * Returns (tok, est).
+    */
+  def cmsLookup(sketch: DataFrame, queries: DataFrame, tokCol: String,
+      d: Int = 4, w: Int = 512): DataFrame = {
+    val buckets = array((0 until d).map { r =>
+      TextAnalysis.hash60(concat(lit(s"$r:"), col("tok"))) % w
+    }: _*)
+    val q = queries.select(col(tokCol).as("tok")).distinct()
+      .select(col("tok"), posexplode(buckets).as(Seq("qrow", "qbucket")))
+    q.join(broadcast(sketch),
+        q("qrow").cast("long") === sketch("row") &&
+          q("qbucket") === sketch("bucket"), "left")
+      .groupBy(col("tok"))
+      // a row/bucket absent from the sketch is a zero cell
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+}

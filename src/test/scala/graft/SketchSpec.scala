@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Sketches
+import graft.operators.EventOps
+
+/** HLL / count-min sketch laws and the event-analytics operators
+  * (as-of join, funnel) against brute-force references.
+  */
+class SketchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Scala reference for the engine's rho: leading-zero count + 1 of the
+    * top 60−b bits of hash60.
+    */
+  private def refRho(h: Long, b: Int): Long = {
+    val rest = h >>> b
+    val w = 60 - b
+    if (rest == 0) w + 1L else w + 1L - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+  }
+
+  private def hash60Ref(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  test("hll registers: engine rho/register match the per-key reference") {
+    val keys = (0 until 300).map(i => (s"k$i", if (i % 2 == 0) "a" else "bb"))
+    val df = keys.toDF("k", "g")
+    val got = Sketches.hllRegisters(df, "k", "g", b = 6)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = keys.groupBy { case (k, g) => (g, hash60Ref(k) % 64) }
+      .map { case ((g, reg), ks) =>
+        (g, reg) -> ks.map { case (k, _) => refRho(hash60Ref(k), 6) }.max }
+    assert(got == want)
+  }
+
+  test("hll merge law: shard max equals the whole-corpus sketch; idempotent") {
+    val all = (0 until 500).map(i => (s"key$i", "g")).toDF("k", "g")
+    val s1 = Sketches.hllRegisters(all.filter($"k".substr(4, 9).cast("int") % 2 === 0), "k", "g", 6)
+    val s2 = Sketches.hllRegisters(all.filter($"k".substr(4, 9).cast("int") % 2 === 1), "k", "g", 6)
+    val merged = Sketches.hllMerge(s1, s2).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val whole = Sketches.hllRegisters(all, "k", "g", 6).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == whole)
+    // idempotent: re-merging a shard cannot change the union sketch
+    val again = Sketches.hllMerge(Sketches.hllMerge(s1, s2), s1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == whole)
+  }
+
+  test("hll estimate: within the b=6 error envelope; duplicates don't inflate") {
+    val distinct = (0 until 4000).map(i => (s"v$i", "g"))
+    // every key duplicated 3x — the estimate must track DISTINCT, not rows
+    val df = (distinct ++ distinct ++ distinct).toDF("k", "g")
+    val est = Sketches.hllEstimate(Sketches.hllRegisters(df, "k", "g", 6), 6)
+      .collect().head.getAs[Double]("estimate")
+    // standard error ~1.04/sqrt(64) = 13%; allow 3 sigma
+    assert(math.abs(est - 4000.0) / 4000.0 < 0.39, s"estimate $est")
+  }
+
+  test("hll estimate small range: linear counting is near-exact") {
+    val df = (0 until 12).map(i => (s"s$i", "g")).toDF("k", "g")
+    val est = Sketches.hllEstimate(Sketches.hllRegisters(df, "k", "g", 6), 6)
+      .collect().head.getAs[Double]("estimate")
+    assert(math.abs(est - 12.0) < 3.0, s"estimate $est")
+  }
+
+  test("cms: one-sided error, row-total conservation, merge-by-sum law") {
+    val docs = (0 until 100).map(i => (i.toLong, s"tok${i % 7} tok${i % 3} filler"))
+      .toDF("id", "text")
+    val sk = Sketches.countMinSketch(docs, "text", d = 4, w = 64)
+    val cells = sk.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // each of the d rows partitions ALL token occurrences: per-row sums equal
+    val totals = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    assert(totals.values.toSet.size == 1 && totals.size == 4)
+    assert(totals.values.head == 300L) // 3 tokens per doc
+    // one-sided: estimate >= true for every distinct token
+    val trueCounts = (0 until 100).flatMap(i => Seq(s"tok${i % 7}", s"tok${i % 3}", "filler"))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val est = Sketches.cmsLookup(sk, trueCounts.keys.toSeq.toDF("tok"), "tok", d = 4, w = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    trueCounts.foreach { case (t, n) => assert(est(t) >= n, s"$t est ${est(t)} < $n") }
+    // merge law: shard sketches sum to the whole-corpus sketch
+    val m = Sketches.cmsMerge(
+      Sketches.countMinSketch(docs.filter($"id" % 2 === 0), "text", 4, 64),
+      Sketches.countMinSketch(docs.filter($"id" % 2 === 1), "text", 4, 64))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m == cells)
+  }
+
+  test("cms lookup: token absent from the corpus estimates 0 when its cells are empty") {
+    val docs = Seq((1L, "a a b")).toDF("id", "text")
+    val sk = Sketches.countMinSketch(docs, "text", d = 4, w = 512)
+    val est = Sketches.cmsLookup(sk, Seq("zzz-not-there").toDF("tok"), "tok", 4, 512)
+      .collect().head.getLong(1)
+    // with w=512 and 2 distinct tokens a 4-way collision is impossible
+    assert(est == 0L)
+  }
+
+  test("asOfJoin: inclusive same-ts quote, left nulls, max-struct tiebreak") {
+    val quotes = Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 20L, 99L), (2L, 50L, 200L))
+      .toDF("k", "ts", "qid")
+    val probes = Seq((1L, 9L, 900L), (1L, 20L, 901L), (1L, 25L, 902L), (2L, 40L, 903L), (3L, 5L, 904L))
+      .toDF("k", "ts", "pid")
+    val got = EventOps.asOfJoin(probes, quotes, Seq("k"), "ts")
+      .select($"pid", $"q_qid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got(900L) == -1L)  // before any quote
+    // same-instant: quote at ts=20 visible; two quotes at ts=20 → greater
+    // payload struct (ts equal, then qid) wins deterministically
+    assert(got(901L) == 101L)
+    assert(got(902L) == 101L)
+    assert(got(903L) == -1L)  // quote for k=2 is later
+    assert(got(904L) == -1L)  // key never quoted
+  }
+
+  test("asOfJoin: agrees with the brute-force reference on a generated set") {
+    val quotes = (0 until 200).map { i =>
+      (i % 7L, (i * 13 % 101).toLong, 1000L + i) }.toDF("k", "ts", "qid")
+    val probes = (0 until 150).map { i =>
+      (i % 9L, (i * 17 % 101).toLong, 2000L + i) }.toDF("k", "ts", "pid")
+    val got = EventOps.asOfJoin(probes, quotes, Seq("k"), "ts")
+      .select($"pid", $"q_qid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val qs = quotes.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    probes.collect().foreach { r =>
+      val (k, ts, pid) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val cand = qs.filter(q => q._1 == k && q._2 <= ts)
+      val want = if (cand.isEmpty) -1L
+        else { val m = cand.map(q => (q._2, q._3)).max; m._2 }
+      assert(got(pid) == want, s"probe $pid")
+    }
+    assert(got.size == 150)
+  }
+
+  test("asOfJoin plan: exactly one exchange — the key shuffle, no range join") {
+    val quotes = Seq((1L, 10L, 100L)).toDF("k", "ts", "qid")
+    val probes = Seq((1L, 9L, 900L)).toDF("k", "ts", "pid")
+    val plan = EventOps.asOfJoin(probes, quotes, Seq("k"), "ts")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
+  test("funnel: sequential-min semantics — strictly-after, order, monotone counts") {
+    // u1 completes all 3; u2 does B before A (B must not count);
+    // u3 has B at the SAME ts as A (strictly-after excludes it);
+    // u4 only A.
+    val ev = Seq(
+      (1L, 10L, "A"), (1L, 20L, "B"), (1L, 30L, "C"),
+      (2L, 10L, "B"), (2L, 20L, "A"), (2L, 30L, "B"), (2L, 31L, "C"),
+      (3L, 10L, "A"), (3L, 10L, "B"),
+      (4L, 10L, "A")
+    ).toDF("u", "t", "et")
+    val got = EventOps.funnel(ev, "u", "t", "et", Seq("A", "B", "C"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList
+      .sortBy(_._1)
+    assert(got == List((1L, "A", 4L), (2L, "B", 2L), (3L, "C", 2L)))
+    // monotone: each stage's cohort is a subset of the previous one
+    assert(got.map(_._3) == got.map(_._3).sorted.reverse)
+  }
+
+  test("funnel: earliest qualifying time feeds the next stage (not any later one)") {
+    // A at 10; B at 15 and 40; C at 20. If stage B greedily took 40, C
+    // at 20 would be missed — sequential-min must use B=15.
+    val ev = Seq((7L, 10L, "A"), (7L, 15L, "B"), (7L, 40L, "B"), (7L, 20L, "C"))
+      .toDF("u", "t", "et")
+    val got = EventOps.funnel(ev, "u", "t", "et", Seq("A", "B", "C"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map("A" -> 1L, "B" -> 1L, "C" -> 1L))
+  }
+}
