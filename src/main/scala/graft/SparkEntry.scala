@@ -921,6 +921,21 @@ object SparkEntry {
           col("q_tus").as("click_us"))
     }),
 
+    // Streaming twin of p107: arriving docs fold into per-(lang,
+    // register) max state, emitting only on increase — the appended
+    // changelog compacts by max to the batch register table for any
+    // arrival order (gated under the SAME oracle).
+    "p111_stream_hll" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+        .select(col("lang"),
+          graft.pipeline.TextAnalysis.fingerprint(col("text")).as("fp"))
+      runStream(s, "p111", dir, docs, 3)(st =>
+        graft.streaming.PipelineStream.hllStream(st, "fp", "lang", b = 6))
+        .groupBy(col("grp").as("lang"), col("register"))
+        .agg(max(col("rho")).as("rho"))
+    }),
+
     // Ordered-funnel conversion over the event stream: sequential-min
     // stage times (each stage strictly after the user's previous stage),
     // one co-partitioned min-aggregate per stage.
@@ -2320,6 +2335,21 @@ object SparkEntry {
        |FROM st JOIN llr ON st.b = llr.b
        |GROUP BY st.id""".stripMargin
 
+  /** Shared DuckDB lineage for the per-language HLL register table —
+    * p107 gates the batch aggregate, p111 the streaming changelog's max
+    * compaction (same registers for any arrival order).
+    */
+  private lazy val hllOracleSql: String =
+    s"""WITH d AS (SELECT lang,
+      |             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      |           FROM documents),
+      |h AS (SELECT lang, ${hash60Sql("fp")} AS h FROM d),
+      |r AS (SELECT lang, h % 64 AS register, h // 64 AS rest FROM h)
+      |SELECT lang, register,
+      |       CAST(max(CASE WHEN rest = 0 THEN 55
+      |                     ELSE 55 - length(bin(rest)) END) AS BIGINT) AS rho
+      |FROM r GROUP BY 1, 2""".stripMargin
+
   private def hash60Sql(inner: String): String =
     (1 to 15).map { p =>
       s"(strpos('0123456789abcdef', substr(md5($inner), $p, 1)) - 1) * ${java.math.BigInteger.valueOf(16L).pow(15 - p)}::BIGINT"
@@ -3283,17 +3313,11 @@ object SparkEntry {
     // HLL registers: b=6 → register = h mod 64, 54 remaining hash bits,
     // rho = 55 − bit-length of the rest (55 when the rest is zero).
     // Exact integer arithmetic on both engines (bin() agrees on
-    // non-negative BIGINT; never a float log2).
-    "p107_hll_sketch" ->
-      s"""WITH d AS (SELECT lang,
-        |             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-        |           FROM documents),
-        |h AS (SELECT lang, ${hash60Sql("fp")} AS h FROM d),
-        |r AS (SELECT lang, h % 64 AS register, h // 64 AS rest FROM h)
-        |SELECT lang, register,
-        |       CAST(max(CASE WHEN rest = 0 THEN 55
-        |                     ELSE 55 - length(bin(rest)) END) AS BIGINT) AS rho
-        |FROM r GROUP BY 1, 2""".stripMargin,
+    // non-negative BIGINT; never a float log2). Shared with the p111
+    // streaming twin (arrival-order-insensitive by the max-fold law).
+    "p107_hll_sketch" -> hllOracleSql,
+
+    "p111_stream_hll" -> hllOracleSql,
 
     "p108_cms_sketch" ->
       s"""WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS tok

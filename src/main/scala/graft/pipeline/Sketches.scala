@@ -43,6 +43,18 @@ object Sketches {
     * BIGINT), never a float log2.
     */
   def hllRegisters(df: DataFrame, keyCol: String, groupCol: String,
+      b: Int): DataFrame =
+    hllObservables(df, keyCol, groupCol, b)
+      .groupBy(col("grp"), col("register"))
+      .agg(max(col("rho0")).as("rho"))
+
+  /** The per-row HLL observable BEFORE aggregation: (grp, register,
+    * rho0) for each input row — the ONE definition the batch max
+    * ([[hllRegisters]]) and the streaming register state
+    * ([[graft.streaming.PipelineStream.hllStream]]) both fold, so the
+    * two paths cannot drift.
+    */
+  def hllObservables(df: DataFrame, keyCol: String, groupCol: String,
       b: Int): DataFrame = {
     require(b >= 1 && b <= 16, s"register bits b=$b outside [1,16]")
     val m = 1L << b
@@ -50,12 +62,10 @@ object Sketches {
     val h = TextAnalysis.hash60(col(keyCol))
     val rest = shiftright(h, b) // h >= 0: arithmetic shift == logical
     df.select(col(groupCol).as("grp"),
-        (h % m).as("register"),
-        when(rest === 0L, lit(w + 1).cast("long"))
-          .otherwise(lit(w + 1).cast("long") - length(bin(rest)))
-          .as("rho0"))
-      .groupBy(col("grp"), col("register"))
-      .agg(max(col("rho0")).as("rho"))
+      (h % m).as("register"),
+      when(rest === 0L, lit(w + 1).cast("long"))
+        .otherwise(lit(w + 1).cast("long") - length(bin(rest)))
+        .as("rho0"))
   }
 
   /** Merge two register tables (max per (group, register)) — the HLL

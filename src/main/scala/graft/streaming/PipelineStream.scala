@@ -410,6 +410,38 @@ object PipelineStream {
       .toDF()
   }
 
+  case class HllReg(grp: String, register: Long, rho: Long)
+
+  /** Streaming HyperLogLog register maintenance — the ingestion face of
+    * [[graft.pipeline.Sketches.hllRegisters]]: each arrival folds its
+    * per-row observable ([[graft.pipeline.Sketches.hllObservables]] —
+    * the SAME expression as the batch path) into per-(group, register)
+    * max state and emits a row ONLY when the register's max increases.
+    * The appended output is therefore a monotone changelog — ≤ 55
+    * emissions per register EVER, regardless of stream length — whose
+    * per-register last (= max) value equals the batch register table for
+    * ANY arrival order; state is one long per (group, register), bounded
+    * by groups·2^b. Consumers compact with a max rollup (metrics-sized).
+    */
+  def hllStream(docs: DataFrame, keyCol: String, groupCol: String,
+      b: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.pipeline.Sketches.hllObservables(docs, keyCol, groupCol, b)
+      .as[(String, Long, Long)]
+      .groupByKey { case (grp, register, _) => (grp, register) }
+      .flatMapGroupsWithState[Long, HllReg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((grp, register), rows, state) =>
+          val mx = rows.map(_._3).max
+          if (mx > state.getOption.getOrElse(Long.MinValue)) {
+            state.update(mx)
+            Iterator(HllReg(grp, register, mx))
+          } else Iterator.empty
+      }
+      .toDF()
+  }
+
   /** Streaming bigram-LM transition scoring: each arriving doc's
     * transitions join the STATIC trained model
     * ([[TextAnalysis.trainBigramLm]] artifact — a stream-static left

@@ -533,6 +533,34 @@ class StreamingSpec extends SparkSpec {
     assert(oneComp == 1L)
   }
 
+  test("streaming HLL: changelog compacts to the batch registers; emissions monotone and bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val keys = (0 until 400).map(i => (s"k$i", if (i % 3 == 0) "en" else "de"))
+    val batch = graft.pipeline.Sketches.hllRegisters(
+      keys.toDF("k", "g"), "k", "g", b = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val mem = MemoryStream[(String, String)]
+    val out = graft.streaming.PipelineStream.hllStream(
+      mem.toDS().toDF("k", "g"), "k", "g", b = 4)
+    val q = out.writeStream.format("memory").queryName("shll")
+      .outputMode("append").start()
+    try {
+      // reversed arrival order + a redelivered prefix (at-least-once feed)
+      mem.addData(keys.reverse.take(150): _*); q.processAllAvailable()
+      mem.addData(keys.reverse.drop(150) ++ keys.take(50): _*); q.processAllAvailable()
+    } finally q.stop()
+    val log = spark.table("shll")
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+    val compacted = log.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(compacted == batch)
+    // monotone changelog: a register never emits the same or a lower rho
+    // twice, so per-register emission count == distinct rho count
+    log.groupBy(_._1).foreach { case (reg, rows) =>
+      assert(rows.map(_._2).distinct.length == rows.length, s"dup emission at $reg")
+    }
+  }
+
   test("windowed counts with watermark run on a cell stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
