@@ -921,6 +921,30 @@ object SparkEntry {
           col("q_tus").as("click_us"))
     }),
 
+    // Count-min point-query readout: estimated frequency of a bounded
+    // deterministic query set (the tokens of every 100th doc) = min over
+    // the d cells each maps to — the sketch's one-sided estimate, gated
+    // cell-for-cell against SQL recomputation.
+    "p112_cms_lookup" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val sk = graft.pipeline.Sketches.countMinSketch(docs, "text", d = 4, w = 512)
+      val queries = docs.filter(col("doc_id") % 100 === 0)
+        .select(explode(graft.pipeline.TextAnalysis.tokens(col("text"))).as("tok"))
+      graft.pipeline.Sketches.cmsLookup(sk, queries, "tok", d = 4, w = 512)
+    }),
+
+    // Retention cohorts over the event stream: users bucketed by
+    // first-event day, counted once per active day offset — the
+    // engagement matrix, ≤ days² rows at any scale.
+    "p113_retention" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.operators.EventOps.retentionCohorts(
+        table(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("tus")),
+        "user_id", "tus", bucketSize = 86400000000L)
+    }),
+
     // Streaming twin of p107: arriving docs fold into per-(lang,
     // register) max state, emitting only on increase — the appended
     // changelog compacts by max to the batch register table for any
@@ -3327,6 +3351,29 @@ object SparkEntry {
         |      FROM t, (SELECT unnest([0, 1, 2, 3]) AS r) rr)
         |SELECT CAST(r AS BIGINT) AS "row", bucket, count(*) AS cnt
         |FROM x GROUP BY 1, 2""".stripMargin,
+
+    "p112_cms_lookup" ->
+      s"""WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+        |           FROM documents),
+        |cells AS (SELECT r,
+        |            ${hash60Sql("CAST(r AS VARCHAR) || ':' || tok")} % 512 AS bucket,
+        |            count(*) AS cnt
+        |          FROM t, (SELECT unnest([0, 1, 2, 3]) AS r) rr GROUP BY 1, 2),
+        |q AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+        |      FROM documents WHERE doc_id % 100 = 0),
+        |qb AS (SELECT tok, r,
+        |         ${hash60Sql("CAST(r AS VARCHAR) || ':' || tok")} % 512 AS bucket
+        |       FROM q, (SELECT unnest([0, 1, 2, 3]) AS r) rr)
+        |SELECT tok, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+        |FROM qb LEFT JOIN cells USING (r, bucket) GROUP BY 1""".stripMargin,
+
+    "p113_retention" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) // 86400000000 AS bucket
+        |           FROM events),
+        |f AS (SELECT u, min(bucket) AS cohort FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT u, bucket FROM e)
+        |SELECT f.cohort, a.bucket - f.cohort AS "offset", count(*) AS n_users
+        |FROM a JOIN f ON a.u = f.u GROUP BY 1, 2""".stripMargin,
 
     // Independent algorithm check: DuckDB's native ASOF JOIN vs the
     // engine's union+running-last shape.

@@ -63,6 +63,29 @@ object EventOps {
           qPayload.map(c => col(s"__m.$c").as(s"$quotePrefix$c")): _*)
   }
 
+  /** Retention cohorts: users bucketed by the time bucket of their FIRST
+    * event (the cohort), counted once per (cohort, offset) bucket they
+    * were active in. Returns (cohort, offset, n_users) — ≤ buckets² rows
+    * at any scale. Two hash-aggregates ((user) first-bucket, then
+    * (user, bucket) distinct-activity) and one join on user; every
+    * intermediate is user- or bucket-bounded, nothing global.
+    *
+    * `tsCol` is divided by `bucketSize` with truncating `div` — callers
+    * pass non-negative times (epoch µs), where truncation == floor and a
+    * SQL engine's flooring `//` agrees.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String,
+      bucketSize: Long): DataFrame = {
+    require(bucketSize > 0, s"bucketSize $bucketSize must be positive")
+    val e = events.select(col(userCol).as("user"),
+      expr(s"CAST(`$tsCol` AS BIGINT) div ${bucketSize}L").as("bucket"))
+    val first = e.groupBy(col("user")).agg(min(col("bucket")).as("cohort"))
+    e.groupBy(col("user"), col("bucket")).agg(lit(1))
+      .join(first, Seq("user"))
+      .groupBy(col("cohort"), (col("bucket") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Ordered-funnel conversion: how many users complete stage k of
     * `stages` in order, where stage k counts only at a ts STRICTLY after
     * the user's stage-(k−1) time and each stage time is the EARLIEST

@@ -162,6 +162,22 @@ class SketchSpec extends SparkSpec {
     assert(got.map(_._3) == got.map(_._3).sorted.reverse)
   }
 
+  test("retention cohorts: hand case, offset-0 totality, multi-event days count once") {
+    // day buckets of size 10: u1 first day 0, active days 0,1,3 (day 1
+    // twice — counts once); u2 first day 1, active 1 only; u3 first day
+    // 0, active 0 and 1.
+    val ev = Seq(
+      (1L, 5L), (1L, 12L), (1L, 13L), (1L, 35L),
+      (2L, 15L),
+      (3L, 9L), (3L, 11L)
+    ).toDF("u", "t")
+    val got = EventOps.retentionCohorts(ev, "u", "t", bucketSize = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 0L) -> 2L, (0L, 1L) -> 2L, (0L, 3L) -> 1L, (1L, 0L) -> 1L))
+    // offset 0 rows cover every user exactly once (by definition of cohort)
+    assert(got.collect { case ((_, 0L), n) => n }.sum == 3L)
+  }
+
   test("funnel: earliest qualifying time feeds the next stage (not any later one)") {
     // A at 10; B at 15 and 40; C at 20. If stage B greedily took 40, C
     // at 20 would be missed — sequential-min must use B=15.
