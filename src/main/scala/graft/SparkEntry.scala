@@ -921,6 +921,20 @@ object SparkEntry {
           col("q_tus").as("click_us"))
     }),
 
+    // Cross-corpus margin alignment mining (bitext-mining criterion):
+    // even/odd vector halves as source/target corpora, label as the
+    // shared coarse cell; best target per source kept iff the ratio
+    // margin over both sides' top-4 neighborhoods ≥ 1.1 — all integer
+    // arithmetic after per-pair micro-quantization.
+    "p114_margin_mine" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val emb = table(s, dir, "embeddings")
+      graft.pipeline.Similarity.marginMine(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", "label", kMargin = 4, tauPermille = 1100)
+    }),
+
     // Count-min point-query readout: estimated frequency of a bounded
     // deterministic query set (the tokens of every 100th doc) = min over
     // the d cells each maps to — the sketch's one-sided estimate, gated
@@ -3351,6 +3365,36 @@ object SparkEntry {
         |      FROM t, (SELECT unnest([0, 1, 2, 3]) AS r) rr)
         |SELECT CAST(r AS BIGINT) AS "row", bucket, count(*) AS cnt
         |FROM x GROUP BY 1, 2""".stripMargin,
+
+    // Margin gate as the cross-multiplied integer inequality; passed
+    // rows have positive num/den, where DuckDB's flooring // equals
+    // Spark's truncating div. The DOUBLE[] casts matter at 1e6
+    // quantization: DuckDB's list_cosine_similarity on FLOAT[] computes
+    // in float32 and drifts one micro-unit from the engine's double
+    // cosine (coarser ×1000 gates never see this; round(1e6·x) does).
+    "p114_margin_mine" ->
+      """WITH a AS (SELECT label AS cell, vec_id AS ia, embedding AS va
+        |           FROM embeddings WHERE vec_id % 2 = 0),
+        |b AS (SELECT label AS cell, vec_id AS ib, embedding AS vb
+        |      FROM embeddings WHERE vec_id % 2 = 1),
+        |p AS (SELECT cell, ia, ib,
+        |        CAST(round(list_cosine_similarity(va::DOUBLE[], vb::DOUBLE[])
+        |                   * 1000000) AS BIGINT) AS s
+        |      FROM a JOIN b USING (cell)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY ia ORDER BY s DESC, ib) AS ra,
+        |             row_number() OVER (PARTITION BY ib ORDER BY s DESC, ia) AS rb
+        |      FROM p),
+        |sa AS (SELECT ia, CAST(sum(s) AS BIGINT) AS suma, count(*) AS ka
+        |       FROM r WHERE ra <= 4 GROUP BY 1),
+        |sb AS (SELECT ib, CAST(sum(s) AS BIGINT) AS sumb, count(*) AS kb
+        |       FROM r WHERE rb <= 4 GROUP BY 1),
+        |m AS (SELECT best.ia, best.ib, best.s,
+        |        2*best.s*1000*ka*kb AS num, suma*kb + sumb*ka AS den
+        |      FROM (SELECT ia, ib, s FROM r WHERE ra = 1) best
+        |      JOIN sa USING (ia) JOIN sb USING (ib))
+        |SELECT ia AS src_id, ib AS dst_id, s AS s_micro,
+        |       CAST(num // den AS BIGINT) AS margin_permille
+        |FROM m WHERE den > 0 AND num >= 1100 * den""".stripMargin,
 
     "p112_cms_lookup" ->
       s"""WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS tok

@@ -80,6 +80,61 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"))
   }
 
+  /** Cross-corpus margin-based alignment mining (the bitext-mining
+    * criterion of Artetxe & Schwenk: a pair is aligned when its
+    * similarity clearly exceeds what each side scores against its OTHER
+    * near neighbors — a raw cosine threshold can't separate "true
+    * translation" from "dense hub region", the ratio margin can).
+    * For each source vector: its best target in the shared coarse cell,
+    * kept iff  s(x,y) / ((avgK(x)+avgK(y))/2) ≥ τ, where avgK is the
+    * mean of the side's top-`kMargin` scores. Returns
+    * (src_id, dst_id, s_micro, margin_permille).
+    *
+    * Scale shape: candidates ONLY within the shared cell (the IVF-style
+    * pruning every part of this engine's ANN family uses — Σ|cellA|·
+    * |cellB| pairs, never |A|·|B|); two per-side WindowGroupLimit-shaped
+    * rank windows and two bounded sum-aggregates; the scored frame is
+    * lazily checkpointed once for its three consumers.
+    *
+    * Cross-engine exactness: per-pair scores micro-quantize to
+    * round(1e6·cos) BEFORE any sum (the integer-quantization contract —
+    * top-k sums become exact BIGINT arithmetic), and the margin gate is
+    * the cross-multiplied integer inequality
+    * 2·s·1000·ka·kb ≥ τ‰·(sumA·kb + sumB·ka), so no float division
+    * anywhere. Passed rows have both sides positive, where Spark's
+    * truncating `div` and a flooring SQL `//` agree on margin_permille.
+    */
+  def marginMine(src: DataFrame, dst: DataFrame, idCol: String,
+      vecCol: String, cellCol: String, kMargin: Int,
+      tauPermille: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(src.sparkSession)
+    require(kMargin >= 1, "kMargin >= 1")
+    val a = src.select(col(cellCol).as("cell"), col(idCol).as("ia"),
+      col(vecCol).as("va"))
+    val b = dst.select(col(cellCol).as("cell"), col(idCol).as("ib"),
+      col(vecCol).as("vb"))
+    val ranked = a.join(b, Seq("cell"))
+      .withColumn("s", round(cosine("va", "vb") * lit(1e6)).cast("long"))
+      .select(col("ia"), col("ib"), col("s"))
+      .withColumn("ra", row_number().over(
+        Window.partitionBy(col("ia")).orderBy(col("s").desc, col("ib"))))
+      .withColumn("rb", row_number().over(
+        Window.partitionBy(col("ib")).orderBy(col("s").desc, col("ia"))))
+      .localCheckpoint(false) // three consumers below — compute once
+    val sumA = ranked.filter(col("ra") <= kMargin).groupBy(col("ia"))
+      .agg(sum(col("s")).as("suma"), count(lit(1)).as("ka"))
+    val sumB = ranked.filter(col("rb") <= kMargin).groupBy(col("ib"))
+      .agg(sum(col("s")).as("sumb"), count(lit(1)).as("kb"))
+    ranked.filter(col("ra") === 1)
+      .join(sumA, Seq("ia")).join(sumB, Seq("ib"))
+      .withColumn("num", lit(2L) * col("s") * 1000L * col("ka") * col("kb"))
+      .withColumn("den", col("suma") * col("kb") + col("sumb") * col("ka"))
+      .filter(col("den") > 0L && col("num") >= lit(tauPermille.toLong) * col("den"))
+      .select(col("ia").as("src_id"), col("ib").as("dst_id"),
+        col("s").as("s_micro"),
+        expr("num DIV den").as("margin_permille"))
+  }
+
   /** Recall@k EVALUATION of a cell-restricted (IVF-style) search against
     * exact brute force, per query: `hits` = |approx top-k ∩ exact top-k|,
     * `recall_permille` = 1000·hits/k (floor). The eval every ANN

@@ -2524,4 +2524,33 @@ class PipelineSpec extends SparkSpec {
     assert(m(1L) == m(2L) && rk(2L) == rk(1L) + 1)
     assert(Set("head", "middle", "tail").subsetOf(out.map(_._4).toSet))
   }
+
+  test("margin mining: planted alignment passes, hub region fails, cells prune") {
+    import spark.implicits._
+    // cell 0: src 1 aligns with dst 11 (identical direction), while dst
+    // 12/13 are its other neighborhood (orthogonal-ish) — high margin.
+    // cell 1: a HUB — src 2 and all dsts nearly identical, so the best
+    // score barely exceeds the neighborhood average → margin ≈ 1 < τ.
+    // cell 2: src only (no dst) — pruned by the cell join, no output.
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val src = Seq(
+      (1L, 0L, v(1, 0, 0, 0)), (2L, 1L, v(1, 1, 1, 0)), (3L, 2L, v(0, 0, 0, 1)))
+      .toDF("vec_id", "label", "embedding")
+    val dst = Seq(
+      (11L, 0L, v(0.99, 0.1, 0, 0)), (12L, 0L, v(0.1, 0.99, 0, 0)),
+      (13L, 0L, v(0, 0.1, 0.99, 0)),
+      (21L, 1L, v(1, 1, 0.99, 0)), (22L, 1L, v(1, 0.99, 1, 0)),
+      (23L, 1L, v(0.99, 1, 1, 0)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.marginMine(src, dst, "vec_id", "embedding", "label",
+      kMargin = 3, tauPermille = 1100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.map(_._1).toSet == Set(1L), got.mkString(","))
+    assert(got.head._2 == 11L && got.head._3 >= 1100L)
+    // hub margin really was computed and rejected (≈1000‰), not missing
+    val all = Similarity.marginMine(src, dst, "vec_id", "embedding", "label",
+      kMargin = 3, tauPermille = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(all.keySet == Set(1L, 2L) && all(2L) < 1100L)
+  }
 }
