@@ -377,6 +377,33 @@ object Bench {
       graft.pipeline.Similarity.kmeansStepExact(emb, "vec_id", "embedding", k = 8)
     }
 
+    // sketch observability: both corpus sketches in one leg (HLL register
+    // max-agg + CMS cell sum-agg — the per-shard census cost)
+    legDf("sketches") {
+      graft.pipeline.Sketches.hllRegisters(
+        docs.select(col("lang"),
+          graft.pipeline.TextAnalysis.fingerprint(col("text")).as("fp")),
+        "fp", "lang", b = 6)
+        .unionByName(
+          graft.pipeline.Sketches.countMinSketch(docs, "text", d = 4, w = 512)
+            .select(lit("cms").as("grp"), col("bucket").as("register"),
+              col("cnt").as("rho")))
+    }
+
+    // event analytics: as-of attribution over the full event table
+    // (union + per-key running last — the one-shuffle path)
+    legDf("asof_join") {
+      val ev = CellEncodings.table(spark, sfDir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tus"),
+          col("event_type"), col("event_id"))
+      graft.operators.EventOps.asOfJoin(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("tus"), col("event_id").as("purchase_id")),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("tus"), col("event_id").as("click_id")),
+        Seq("user_id"), "tus")
+    }
+
     // cleanup
     try {
       import scala.reflect.io.Directory

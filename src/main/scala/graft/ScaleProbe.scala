@@ -235,6 +235,46 @@ object ScaleProbe {
         f"per-group-window=$dtG%5.2f s (identical ranks)")
     }
 
+    // As-of join probe (round 9): union + running-last vs the naive
+    // equi-join + ts-filter + per-probe argmax on 100 keys × 1k quotes ×
+    // 1k probes. The naive shape materializes ~n·m/2 candidate rows per
+    // key (~5e7 here) before its aggregate; the union shape sorts n+m
+    // rows per key once. Identical matched-quote checksums asserted —
+    // the gap is the 100 TB argument for EventOps.asOfJoin.
+    {
+      val quotes = spark.range(100000L).select(
+        (col("id") % 100L).as("k"), (col("id") * 7919L % 1000000L).as("ts"),
+        col("id").as("qid")).localCheckpoint()
+      val probes = spark.range(100000L).select(
+        (col("id") % 100L).as("k"), (col("id") * 104729L % 1000000L).as("ts"),
+        col("id").as("pid")).localCheckpoint()
+      def run(mk: => org.apache.spark.sql.DataFrame): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val cs = mk.agg(sum(col("qid") * (col("pid") % 997L))).head().getLong(0)
+        ((System.nanoTime() - t0) / 1e9, cs)
+      }
+      val (dtU, csU) = run(graft.operators.EventOps
+        .asOfJoin(probes, quotes, Seq("k"), "ts")
+        .select(col("pid"), coalesce(col("q_qid"), lit(0L)).as("qid")))
+      val (dtN, csN) = run {
+        val q = quotes.select(col("k"), col("ts").as("qts"), col("qid"))
+        probes.join(q, Seq("k"), "left")
+          .filter(col("qts") <= col("ts"))
+          .groupBy(col("pid"))
+          .agg(max(struct(col("qts"), col("qid"))).as("m"))
+          .select(col("pid"), col("m.qid").as("qid"))
+          // probes with no prior quote drop out of the naive inner path;
+          // re-add as 0 to align checksums with the left-semantics shape
+          .unionByName(probes.join(
+            q.groupBy(col("k")).agg(min(col("qts")).as("minq")), Seq("k"), "left")
+            .filter(col("minq").isNull || col("minq") > col("ts"))
+            .select(col("pid"), lit(0L).as("qid")))
+      }
+      assert(csU == csN, s"asof checksum mismatch: $csU vs $csN")
+      println(f"[scale] asof 100k+100k rows/100 keys: union+last=$dtU%5.2f s " +
+        f"naive join+argmax=$dtN%5.2f s (identical matches)")
+    }
+
     // Integer k-means scaling probe (round 9): the Lloyd step over 10k →
     // 40k → 160k synthetic 64-dim vectors, k=8. Cost model says ~linear
     // in n (component explode + broadcast join + two key-balanced

@@ -948,6 +948,33 @@ object SparkEntry {
       graft.pipeline.Sketches.cmsLookup(sk, queries, "tok", d = 4, w = 512)
     }),
 
+    // Sliding-window distinct sketch: per-day HLL registers of active
+    // users, each day's trailing 7-day union via register-wise max ON
+    // THE REGISTER TABLE (metrics-space window) — "distinct users, last
+    // 7 days, every day" with one corpus pass.
+    "p116_hll_sliding" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Sketches.hllSliding(
+        table(s, dir, "events")
+          .select(col("user_id"),
+            expr("(ts div 1000) div 86400000000").as("day")),
+        "user_id", "day", b = 6, windowBuckets = 7)
+    }),
+
+    // Streaming twin of p108: each micro-batch appends its own partial
+    // cell counts (no retraction needed — counters are additive), and
+    // the SUM rollup equals the batch sketch for any batch slicing —
+    // the cmsMerge shard law realized as micro-batches, gated under the
+    // SAME oracle.
+    "p115_stream_cms" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents").select(col("text"))
+      runStream(s, "p115", dir, docs, 3)(st =>
+        graft.streaming.PipelineStream.cmsStream(st, "text", d = 4, w = 512))
+        .groupBy(col("row"), col("bucket"))
+        .agg(sum(col("cnt")).as("cnt"))
+    }),
+
     // Retention cohorts over the event stream: users bucketed by
     // first-event day, counted once per active day offset — the
     // engagement matrix, ≤ days² rows at any scale.
@@ -2388,6 +2415,19 @@ object SparkEntry {
       |                     ELSE 55 - length(bin(rest)) END) AS BIGINT) AS rho
       |FROM r GROUP BY 1, 2""".stripMargin
 
+  /** Shared DuckDB lineage for the corpus count-min cell table — p108
+    * gates the batch aggregate, p115 the streaming partials' sum
+    * compaction (additive counters are slicing-invariant).
+    */
+  private lazy val cmsOracleSql: String =
+    s"""WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+      |           FROM documents),
+      |x AS (SELECT r,
+      |        ${hash60Sql("CAST(r AS VARCHAR) || ':' || tok")} % 512 AS bucket
+      |      FROM t, (SELECT unnest([0, 1, 2, 3]) AS r) rr)
+      |SELECT CAST(r AS BIGINT) AS "row", bucket, count(*) AS cnt
+      |FROM x GROUP BY 1, 2""".stripMargin
+
   private def hash60Sql(inner: String): String =
     (1 to 15).map { p =>
       s"(strpos('0123456789abcdef', substr(md5($inner), $p, 1)) - 1) * ${java.math.BigInteger.valueOf(16L).pow(15 - p)}::BIGINT"
@@ -3357,14 +3397,9 @@ object SparkEntry {
 
     "p111_stream_hll" -> hllOracleSql,
 
-    "p108_cms_sketch" ->
-      s"""WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
-        |           FROM documents),
-        |x AS (SELECT r,
-        |        ${hash60Sql("CAST(r AS VARCHAR) || ':' || tok")} % 512 AS bucket
-        |      FROM t, (SELECT unnest([0, 1, 2, 3]) AS r) rr)
-        |SELECT CAST(r AS BIGINT) AS "row", bucket, count(*) AS cnt
-        |FROM x GROUP BY 1, 2""".stripMargin,
+    "p108_cms_sketch" -> cmsOracleSql,
+
+    "p115_stream_cms" -> cmsOracleSql,
 
     // Margin gate as the cross-multiplied integer inequality; passed
     // rows have positive num/den, where DuckDB's flooring // equals
@@ -3410,6 +3445,26 @@ object SparkEntry {
         |       FROM q, (SELECT unnest([0, 1, 2, 3]) AS r) rr)
         |SELECT tok, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
         |FROM qb LEFT JOIN cells USING (r, bucket) GROUP BY 1""".stripMargin,
+
+    "p116_hll_sliding" ->
+      s"""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS bucket,
+        |             CAST(user_id AS VARCHAR) AS u FROM events),
+        |h AS (SELECT bucket, ${hash60Sql("u")} AS h FROM e),
+        |r0 AS (SELECT bucket, h % 64 AS register,
+        |         max(CASE WHEN h // 64 = 0 THEN 55
+        |                  ELSE 55 - length(bin(h // 64)) END) AS rho
+        |       FROM h GROUP BY 1, 2),
+        |bk AS (SELECT DISTINCT bucket FROM r0),
+        |rg AS (SELECT DISTINCT register FROM r0),
+        |dens AS (SELECT bk.bucket, rg.register, r0.rho
+        |         FROM bk CROSS JOIN rg
+        |         LEFT JOIN r0 ON r0.bucket = bk.bucket AND r0.register = rg.register),
+        |w AS (SELECT bucket, register,
+        |        max(rho) OVER (PARTITION BY register ORDER BY bucket
+        |                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rho
+        |      FROM dens)
+        |SELECT bucket, register, CAST(rho AS BIGINT) AS rho
+        |FROM w WHERE rho IS NOT NULL""".stripMargin,
 
     "p113_retention" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts) // 86400000000 AS bucket

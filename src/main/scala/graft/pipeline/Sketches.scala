@@ -104,6 +104,67 @@ object Sketches {
         })
   }
 
+  /** Sliding-window distinct sketch: HLL registers per time bucket
+    * (`bucketCol` — e.g. epoch day), then each bucket's TRAILING-window
+    * union via register-wise max over the previous `windowBuckets`
+    * buckets — "distinct users, last 7 days, every day" in one pass
+    * plus one tiny window. Returns (bucket, register, rho) of the
+    * WINDOWED sketch; feed to [[hllEstimate]] (grp = bucket) for the
+    * numeric series.
+    *
+    * The range window runs on the REGISTER TABLE (≤ buckets·2^b rows),
+    * not the data — the corpus pass is the one hash-aggregate of
+    * [[hllRegisters]]; sliding re-aggregation of raw data never
+    * happens. Exact integer output: oracle-able as SQL end to end.
+    */
+  def hllSliding(df: DataFrame, keyCol: String, bucketCol: String,
+      b: Int, windowBuckets: Int): DataFrame = {
+    require(windowBuckets >= 1, s"windowBuckets $windowBuckets < 1")
+    val perBucket = hllRegisters(df, keyCol, bucketCol, b)
+      .select(col("grp").cast("long").as("bucket"), col("register"), col("rho"))
+    // union over the trailing window = max over buckets in range; sparse
+    // registers stay sparse (absent = never hit in the window)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("register"))
+      .orderBy(col("bucket"))
+      .rangeBetween(-(windowBuckets - 1).toLong, 0L)
+    // a register absent in bucket t but present at t-1 must still appear
+    // in t's window: densify buckets per register to every bucket in the
+    // table's range before the max (register table is tiny — this is
+    // metrics-space work)
+    val buckets = perBucket.select(col("bucket")).distinct()
+    val regs = perBucket.select(col("register")).distinct()
+    buckets.crossJoin(regs)
+      .join(perBucket, Seq("bucket", "register"), "left")
+      .withColumn("wrho", max(col("rho")).over(w))
+      .filter(col("wrho").isNotNull)
+      .select(col("bucket"), col("register"), col("wrho").as("rho"))
+  }
+
+  /** Audience-overlap readout between two groups' register tables:
+    * |A ∩ B| estimated by inclusion–exclusion over the HLL estimates
+    * (est(A) + est(B) − est(A ∪ B), union = register-wise max — the
+    * merge law applied across groups instead of shards; floored at 0).
+    * One row out; everything operates on ≤ 2·2^b register rows, so this
+    * is a metrics readout like [[hllEstimate]], not an oracle surface.
+    */
+  def hllIntersect(registers: DataFrame, b: Int, grpA: String,
+      grpB: String): DataFrame = {
+    val sel = registers.filter(col("grp").isin(grpA, grpB))
+    val per = hllEstimate(sel, b)
+    val ea = per.filter(col("grp") === grpA).select(col("estimate").as("est_a"))
+    val eb = per.filter(col("grp") === grpB).select(col("estimate").as("est_b"))
+    val eu = hllEstimate(
+      sel.groupBy(lit("__union").as("grp"), col("register"))
+        .agg(max(col("rho")).as("rho")), b)
+      .select(col("estimate").as("est_union"))
+    ea.crossJoin(eb).crossJoin(eu)
+      .select(lit(grpA).as("grp_a"), lit(grpB).as("grp_b"),
+        col("est_a"), col("est_b"), col("est_union"),
+        greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union"))
+          .as("est_intersect"))
+  }
+
   /** Count-min sketch of token frequencies over `textCol`: d salted
     * hash rows × w buckets, cell = total occurrences of the tokens
     * mapping there. Output (row, bucket, cnt) — d·w rows at any corpus
@@ -115,7 +176,18 @@ object Sketches {
     * driver-side anything.
     */
   def countMinSketch(df: DataFrame, textCol: String, d: Int = 4,
-      w: Int = 512): DataFrame = {
+      w: Int = 512): DataFrame =
+    cmsObservables(df, textCol, d, w)
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The per-token-occurrence CMS observable BEFORE aggregation: one
+    * (row, bucket) cell hit per (token, hash row) — the ONE definition
+    * the batch count ([[countMinSketch]]) and the streaming partials
+    * ([[graft.streaming.PipelineStream.cmsStream]]) both aggregate.
+    */
+  def cmsObservables(df: DataFrame, textCol: String, d: Int,
+      w: Int): DataFrame = {
     require(d >= 1 && d <= 16, s"depth d=$d outside [1,16]")
     require(w >= 2, s"width w=$w < 2")
     val tok = explode(TextAnalysis.tokens(col(textCol))).as("tok")
@@ -124,8 +196,7 @@ object Sketches {
     }: _*)
     df.select(tok)
       .select(posexplode(buckets).as(Seq("row", "bucket")))
-      .groupBy(col("row").cast("long").as("row"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+      .select(col("row").cast("long").as("row"), col("bucket"))
   }
 
   /** Merge two count-min sketches of identical (d, w): cell-wise sum —

@@ -442,6 +442,41 @@ object PipelineStream {
       .toDF()
   }
 
+  case class CmsCell(row: Long, bucket: Long, cnt: Long)
+
+  /** Streaming count-min maintenance — the ingestion face of
+    * [[graft.pipeline.Sketches.countMinSketch]]: each micro-batch emits
+    * its OWN batch-local cell counts (the per-row observable is the same
+    * hash/bucket expression as the batch path), making the appended
+    * output a stream of shard partials that compacts by SUM — exactly
+    * the [[graft.pipeline.Sketches.cmsMerge]] law, so the rollup equals
+    * the batch sketch for ANY arrival order or batch slicing. No state
+    * at all (counters are additive; the state IS the downstream sum) —
+    * group state exists only because append-mode streaming aggregation
+    * requires the flatMapGroupsWithState operator shape, and stays
+    * empty.
+    *
+    * Delivery contract differs from [[hllStream]] on purpose: max-fold
+    * registers are idempotent (at-least-once feeds are safe), additive
+    * counters are NOT — redelivered input double-counts, so cmsStream
+    * belongs behind an exactly-once source/sink pair (which Structured
+    * Streaming's checkpointed file source provides).
+    */
+  def cmsStream(docs: DataFrame, textCol: String, d: Int = 4,
+      w: Int = 512): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.pipeline.Sketches.cmsObservables(docs, textCol, d, w)
+      .as[(Long, Long)]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Byte, CmsCell](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((row, bucket), rows, _) =>
+          Iterator(CmsCell(row, bucket, rows.size.toLong))
+      }
+      .toDF()
+  }
+
   /** Streaming bigram-LM transition scoring: each arriving doc's
     * transitions join the STATIC trained model
     * ([[TextAnalysis.trainBigramLm]] artifact — a stream-static left

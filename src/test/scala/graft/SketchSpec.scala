@@ -67,6 +67,41 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(est - 12.0) < 3.0, s"estimate $est")
   }
 
+  test("hll intersect: inclusion-exclusion tracks the true overlap") {
+    // A = 0..2999, B = 2000..4999 → true intersection 1000 of 3000 each
+    val rows = (0 until 3000).map(i => (s"x$i", "A")) ++
+      (2000 until 5000).map(i => (s"x$i", "B"))
+    val regs = Sketches.hllRegisters(rows.toDF("k", "g"), "k", "g", b = 6)
+    val r = Sketches.hllIntersect(regs, 6, "A", "B").collect().head
+    val (ea, eb, eu, ei) = (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(math.abs(ea - 3000) / 3000.0 < 0.39, s"est_a $ea")
+    assert(math.abs(eu - 5000) / 5000.0 < 0.39, s"est_union $eu")
+    // intersection compounds three estimates' errors — generous envelope,
+    // but it must land in the right order of magnitude and below |A|
+    assert(ei > 100 && ei < 2500, s"est_intersect $ei (true 1000)")
+    assert(eb > 0 && eu >= math.max(ea, eb) - 1e-9)
+  }
+
+  test("hll sliding: every bucket's window equals the registers of its trailing slice") {
+    // keys active on scattered days 0..9 with gaps (no activity on 4, 7)
+    val rows = (0 until 600).map { i =>
+      val day = Seq(0L, 1L, 2L, 3L, 5L, 6L, 8L, 9L)(i % 8)
+      (s"u${i % 97}-${i % 3}", day)
+    }
+    val df = rows.toDF("k", "day")
+    val got = Sketches.hllSliding(df, "k", "day", b = 5, windowBuckets = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // reference: for each present day d, hllRegisters over data in [d-2, d]
+    val days = rows.map(_._2).distinct.sorted
+    val want = days.flatMap { d =>
+      Sketches.hllRegisters(
+        df.filter($"day" >= d - 2 && $"day" <= d).withColumn("g", lit("x")),
+        "k", "g", 5)
+        .collect().map(r => (d, r.getLong(1)) -> r.getLong(2))
+    }.toMap
+    assert(got == want)
+  }
+
   test("cms: one-sided error, row-total conservation, merge-by-sum law") {
     val docs = (0 until 100).map(i => (i.toLong, s"tok${i % 7} tok${i % 3} filler"))
       .toDF("id", "text")

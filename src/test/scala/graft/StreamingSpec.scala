@@ -561,6 +561,30 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming CMS: per-batch partials sum to the batch sketch for any slicing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0 until 60).map(i => s"tok${i % 5} tok${i % 11} shared filler$i")
+    val batch = graft.pipeline.Sketches.countMinSketch(
+      docs.toDF("text"), "text", d = 4, w = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val mem = MemoryStream[String]
+    val out = graft.streaming.PipelineStream.cmsStream(
+      mem.toDS().toDF("text"), "text", d = 4, w = 64)
+    val q = out.writeStream.format("memory").queryName("scms")
+      .outputMode("append").start()
+    try {
+      // uneven slices, reversed order — additivity is slicing-invariant
+      mem.addData(docs.reverse.take(7): _*); q.processAllAvailable()
+      mem.addData(docs.reverse.slice(7, 40): _*); q.processAllAvailable()
+      mem.addData(docs.reverse.drop(40): _*); q.processAllAvailable()
+    } finally q.stop()
+    val compacted = spark.table("scms")
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(compacted == batch)
+  }
+
   test("windowed counts with watermark run on a cell stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
