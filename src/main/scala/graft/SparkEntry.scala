@@ -948,6 +948,54 @@ object SparkEntry {
       graft.pipeline.Sketches.cmsLookup(sk, queries, "tok", d = 4, w = 512)
     }),
 
+    // Funnel with conversion-lag observables: per stage, the count plus
+    // exact integer sum/max of (stage time − previous-stage time) over
+    // converting users — avg lag = sum div n stays engine-portable.
+    "p117_funnel_timing" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.operators.EventOps.funnelTiming(
+        table(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("tus"),
+            col("event_type")),
+        "user_id", "tus", "event_type",
+        Seq("signup", "view", "click", "purchase"))
+    }),
+
+    // As-of attribution with a bounded lookback window (1 h): matches
+    // older than the window null out — "purchase with no attributable
+    // click" — while the purchase row itself stays.
+    "p118_asof_window" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tus"),
+          col("event_type"), col("event_id"))
+      graft.operators.EventOps.asOfJoin(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("tus"), col("event_id").as("purchase_id")),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("tus"), col("event_id").as("click_id")),
+        Seq("user_id"), "tus", maxLookback = 3600000000L)
+        .select(col("purchase_id"),
+          col("user_id").cast("bigint").as("uid"),
+          col("tus").as("purchase_us"),
+          col("q_click_id").as("click_id"),
+          col("q_tus").as("click_us"))
+    }),
+
+    // Exact two-sample KS drift between the even/odd corpus halves on
+    // per-doc token count — the distribution-shift monitor, one
+    // integer-exact row out.
+    "p119_ks_drift" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.pipeline.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.pipeline.Sketches.ksDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "n_tokens")
+        .withColumn("d_scaled", col("d_scaled").cast("long"))
+    }),
+
     // Sliding-window distinct sketch: per-day HLL registers of active
     // users, each day's trailing 7-day union via register-wise max ON
     // THE REGISTER TABLE (metrics-space window) — "distinct users, last
@@ -3445,6 +3493,62 @@ object SparkEntry {
         |       FROM q, (SELECT unnest([0, 1, 2, 3]) AS r) rr)
         |SELECT tok, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
         |FROM qb LEFT JOIN cells USING (r, bucket) GROUP BY 1""".stripMargin,
+
+    "p117_funnel_timing" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et
+        |           FROM events),
+        |s1 AS (SELECT u, min(t) AS t FROM e WHERE et = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.u AS u, min(e.t) AS t, s1.t AS tp FROM e JOIN s1
+        |       ON e.u = s1.u AND e.t > s1.t WHERE e.et = 'view' GROUP BY e.u, s1.t),
+        |s3 AS (SELECT e.u AS u, min(e.t) AS t, s2.t AS tp FROM e JOIN s2
+        |       ON e.u = s2.u AND e.t > s2.t WHERE e.et = 'click' GROUP BY e.u, s2.t),
+        |s4 AS (SELECT e.u AS u, min(e.t) AS t, s3.t AS tp FROM e JOIN s3
+        |       ON e.u = s3.u AND e.t > s3.t WHERE e.et = 'purchase' GROUP BY e.u, s3.t)
+        |SELECT CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage,
+        |       (SELECT count(*) FROM s1) AS n_users,
+        |       CAST(0 AS BIGINT) AS sum_gap, CAST(0 AS BIGINT) AS max_gap
+        |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2),
+        |       (SELECT CAST(coalesce(sum(t - tp), 0) AS BIGINT) FROM s2),
+        |       (SELECT CAST(coalesce(max(t - tp), 0) AS BIGINT) FROM s2)
+        |UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3),
+        |       (SELECT CAST(coalesce(sum(t - tp), 0) AS BIGINT) FROM s3),
+        |       (SELECT CAST(coalesce(max(t - tp), 0) AS BIGINT) FROM s3)
+        |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4),
+        |       (SELECT CAST(coalesce(sum(t - tp), 0) AS BIGINT) FROM s4),
+        |       (SELECT CAST(coalesce(max(t - tp), 0) AS BIGINT) FROM s4)""".stripMargin,
+
+    "p118_asof_window" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS cus, event_id AS click_id
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS pus, event_id AS purchase_id
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, CAST(p.user_id AS BIGINT) AS uid,
+        |       p.pus AS purchase_us,
+        |       CASE WHEN p.pus - c.cus <= 3600000000 THEN c.click_id END AS click_id,
+        |       CASE WHEN p.pus - c.cus <= 3600000000 THEN c.cus END AS click_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.pus >= c.cus""".stripMargin,
+
+    "p119_ks_drift" ->
+      """WITH a AS (SELECT CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS v
+        |           FROM documents WHERE doc_id % 2 = 0),
+        |b AS (SELECT CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS v
+        |      FROM documents WHERE doc_id % 2 = 1),
+        |ha AS (SELECT v, count(*) AS ca FROM a GROUP BY 1),
+        |hb AS (SELECT v, count(*) AS cb FROM b GROUP BY 1),
+        |j AS (SELECT coalesce(ha.v, hb.v) AS v, coalesce(ca, 0) AS ca,
+        |             coalesce(cb, 0) AS cb
+        |      FROM ha FULL OUTER JOIN hb ON ha.v = hb.v),
+        |c AS (SELECT v,
+        |        sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+        |        sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb,
+        |        sum(ca) OVER () AS na, sum(cb) OVER () AS nb FROM j),
+        |g AS (SELECT v, abs(cuma * nb - cumb * na) AS gap, na, nb FROM c),
+        |top AS (SELECT * FROM g ORDER BY gap DESC, v ASC LIMIT 1)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |       v AS at_value, CAST(gap AS BIGINT) AS d_scaled,
+        |       CAST(gap * 1000 // (na * nb) AS BIGINT) AS d_permille
+        |FROM top""".stripMargin,
 
     "p116_hll_sliding" ->
       s"""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS bucket,

@@ -35,9 +35,16 @@ object EventOps {
     *
     * Output: keyCols, tsCol (probe ts), probe payload columns, and each
     * quote payload column (its ts included) prefixed with `quotePrefix`.
+    *
+    * `maxLookback` bounds the attribution window: a matched quote older
+    * than probe ts − maxLookback nulls out (the row stays — "purchase
+    * with no attributable click", not a dropped purchase). The bound
+    * applies AFTER the running last, so it costs one per-row comparison
+    * and no plan change.
     */
   def asOfJoin(probe: DataFrame, quote: DataFrame, keyCols: Seq[String],
-      tsCol: String, quotePrefix: String = "q_"): DataFrame = {
+      tsCol: String, quotePrefix: String = "q_",
+      maxLookback: Long = Long.MaxValue): DataFrame = {
     require(keyCols.nonEmpty, "asOfJoin needs at least one key column")
     val qPayload = quote.columns.toSeq.filterNot(keyCols.contains)
     val pPayload = probe.columns.toSeq.filterNot(c =>
@@ -55,6 +62,9 @@ object EventOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     q2.unionByName(p2, allowMissingColumns = true)
       .withColumn("__m", last(col("__q"), ignoreNulls = true).over(w))
+      .withColumn("__m", when(
+        col("__ts") - col(s"__m.$tsCol").cast("long") <= maxLookback,
+        col("__m"))) // else null: match outside the attribution window
       .filter(col("__tag") === 1)
       .select(
         keyCols.map(col) ++
@@ -99,12 +109,38 @@ object EventOps {
     * each lineage ONCE (the subtree-duplication rule).
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, stages: Seq[String]): DataFrame = {
+      typeCol: String, stages: Seq[String]): DataFrame =
+    rollupStages(stages, funnelStages(events, userCol, tsCol, typeCol, stages)) {
+      df => df.agg(count(lit(1)).as("n_users"))
+    }
+
+  /** [[funnel]] plus conversion-lag observables per stage: `sum_gap` =
+    * Σ over converting users of (their stage time − their previous-stage
+    * time) and `max_gap` — exact integers in the caller's time unit, so
+    * avg lag = sum_gap div n_users stays engine-portable. Stage 1's gap
+    * is 0 by definition.
+    */
+  def funnelTiming(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame =
+    rollupStages(stages, funnelStages(events, userCol, tsCol, typeCol, stages)) {
+      df => df.agg(count(lit(1)).as("n_users"),
+        coalesce(sum(col("gap")), lit(0L)).as("sum_gap"),
+        coalesce(max(col("gap")), lit(0L)).as("max_gap"))
+    }
+
+  /** The shared sequential-min stage chain: stage k's frame holds one
+    * row per user who reached it — (user, t, gap), gap = t − t_{k−1}
+    * (0 at stage 1). Each frame is lazily checkpointed: it feeds both
+    * stage k+1 and its own rollup (the subtree-duplication rule).
+    */
+  private def funnelStages(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String, stages: Seq[String]): Seq[DataFrame] = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val e = events.select(col(userCol).as("user"),
       col(tsCol).cast("long").as("t"), col(typeCol).as("et"))
     var reached = e.filter(col("et") === stages.head)
       .groupBy(col("user")).agg(min(col("t")).as("t"))
+      .withColumn("gap", lit(0L))
       .localCheckpoint(false)
     val perStage = Seq.newBuilder[DataFrame]
     perStage += reached
@@ -112,14 +148,20 @@ object EventOps {
       reached = e.filter(col("et") === st)
         .join(reached.select(col("user"), col("t").as("tprev")), Seq("user"))
         .filter(col("t") > col("tprev"))
-        .groupBy(col("user")).agg(min(col("t")).as("t"))
+        .groupBy(col("user"))
+        .agg(min(col("t")).as("t"), (min(col("t")) - first(col("tprev"))).as("gap"))
         .localCheckpoint(false)
       perStage += reached
     }
-    perStage.result().zipWithIndex.map { case (df, i) =>
-      df.agg(count(lit(1)).as("n_users"))
-        .select(lit(i + 1).cast("long").as("stage_idx"),
-          lit(stages(i)).as("stage"), col("n_users"))
-    }.reduce(_ unionByName _)
+    perStage.result()
   }
+
+  private def rollupStages(stages: Seq[String], frames: Seq[DataFrame])(
+      agg: DataFrame => DataFrame): DataFrame =
+    frames.zipWithIndex.map { case (df, i) =>
+      val a = agg(df)
+      a.select(
+        lit(i + 1).cast("long").as("stage_idx") +: lit(stages(i)).as("stage") +:
+          a.columns.toSeq.map(col): _*)
+    }.reduce(_ unionByName _)
 }

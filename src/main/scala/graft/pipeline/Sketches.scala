@@ -165,6 +165,52 @@ object Sketches {
           .as("est_intersect"))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov drift statistic between two
+    * corpora over an integer-valued per-row observable (token count,
+    * quality score, …): D = max over values v of |F_A(v) − F_B(v)|,
+    * computed and returned ENTIRELY in integer space —
+    * `d_scaled = max |cumA(v)·n_B − cumB(v)·n_A|` (DECIMAL(38,0), exact
+    * past 2^63), `d_permille = 1000·d_scaled / (n_A·n_B)` and the
+    * arg-max value — so two engines agree bit-for-bit, unlike any
+    * float-CDF formulation. One row out: (n_a, n_b, at_value,
+    * d_scaled, d_permille).
+    *
+    * Shape: per-side value-histogram aggregates (bounded by the
+    * VALUE DOMAIN, not the corpus), a full-outer join of the two
+    * histograms, one running-sum window over distinct values. That
+    * window is a single global order — correct because the frame is
+    * histogram-sized (the p91 contract: lengths/scores have ≤ ~1e4
+    * distinct values at any corpus size); for an unbounded continuous
+    * observable, bucket it first (`EstimatedHistogram` bounds) exactly
+    * as p91 does.
+    */
+  def ksDrift(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val ha = a.groupBy(col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("ca"))
+    val hb = b.groupBy(col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("cb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    ha.join(hb, Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .withColumn("cuma", sum(col("ca")).over(w).cast("decimal(38,0)"))
+      .withColumn("cumb", sum(col("cb")).over(w).cast("decimal(38,0)"))
+      .withColumn("na", sum(col("ca")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()).cast("decimal(38,0)"))
+      .withColumn("nb", sum(col("cb")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()).cast("decimal(38,0)"))
+      .withColumn("gap", abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+      // arg-max by (gap desc, v asc) via one struct-max — deterministic
+      .select(max(struct(col("gap"), (-col("v")).as("negv"),
+        col("na"), col("nb"))).as("m"))
+      .select(col("m.na").cast("long").as("n_a"),
+        col("m.nb").cast("long").as("n_b"),
+        (-col("m.negv")).cast("long").as("at_value"),
+        col("m.gap").as("d_scaled"),
+        expr("CAST(m.gap * 1000 DIV (m.na * m.nb) AS BIGINT)").as("d_permille"))
+  }
+
   /** Count-min sketch of token frequencies over `textCol`: d salted
     * hash rows × w buckets, cell = total occurrences of the tokens
     * mapping there. Output (row, bucket, cnt) — d·w rows at any corpus

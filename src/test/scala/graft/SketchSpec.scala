@@ -213,6 +213,43 @@ class SketchSpec extends SparkSpec {
     assert(got.collect { case ((_, 0L), n) => n }.sum == 3L)
   }
 
+  test("asOfJoin lookback window: stale match nulls out, row survives") {
+    val quotes = Seq((1L, 10L, 100L), (2L, 10L, 200L)).toDF("k", "ts", "qid")
+    val probes = Seq((1L, 15L, 900L), (2L, 50L, 901L)).toDF("k", "ts", "pid")
+    val got = EventOps.asOfJoin(probes, quotes, Seq("k"), "ts", maxLookback = 20L)
+      .select($"pid", $"q_qid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(900L -> 100L, 901L -> -1L)) // 40 > 20: attribution expired
+  }
+
+  test("funnelTiming: exact per-stage gap sums and maxima; stage 1 zero") {
+    // u1: A@10 B@25 C@30 (gaps 15, 5); u2: A@100 B@160 (gap 60)
+    val ev = Seq((1L, 10L, "A"), (1L, 25L, "B"), (1L, 30L, "C"),
+      (2L, 100L, "A"), (2L, 160L, "B")).toDF("u", "t", "et")
+    val got = EventOps.funnelTiming(ev, "u", "t", "et", Seq("A", "B", "C"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(1L -> (2L, 0L, 0L), 2L -> (2L, 75L, 60L), 3L -> (1L, 5L, 5L)))
+    // counts agree with the plain funnel on the same input
+    val plain = EventOps.funnel(ev, "u", "t", "et", Seq("A", "B", "C"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(plain == got.view.mapValues(_._1).toMap)
+  }
+
+  test("ksDrift: zero on identical corpora, 1000 permille on disjoint, exact hand case") {
+    val a = Seq(1L, 2L, 2L, 3L).toDF("v")
+    assert(Sketches.ksDrift(a, a, "v").collect().head.getLong(4) == 0L)
+    val b = Seq(10L, 11L).toDF("v")
+    val disjoint = Sketches.ksDrift(a, b, "v").collect().head
+    assert(disjoint.getLong(4) == 1000L && disjoint.getLong(2) == 3L)
+    // hand case: A = {1,2,2,3}, B = {2,3,3,4}: cdf gaps at v=1:|1*4-0|=4,
+    // v=2: |3*4-1*4|=8, v=3: |4*4-3*4|=4, v=4: 0 → max 8 at v=2
+    val c = Seq(2L, 3L, 3L, 4L).toDF("v")
+    val r = Sketches.ksDrift(a, c, "v").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)) ==
+      ((4L, 4L, 2L, 500L)))
+    assert(r.getDecimal(3).longValueExact() == 8L)
+  }
+
   test("funnel: earliest qualifying time feeds the next stage (not any later one)") {
     // A at 10; B at 15 and 40; C at 20. If stage B greedily took 40, C
     // at 20 would be missed — sequential-min must use B=15.
