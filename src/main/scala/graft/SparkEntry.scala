@@ -948,6 +948,33 @@ object SparkEntry {
       graft.pipeline.Sketches.cmsLookup(sk, queries, "tok", d = 4, w = 512)
     }),
 
+    // Top-20 session paths (product path analysis): 30-min gap sessions
+    // (the q22 rule) rolled to ordered event-type strings, counted and
+    // ranked — composition of the sessionize lineage.
+    "p121_event_paths" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.operators.EventOps.topEventPaths(
+        table(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("tus"),
+            col("event_type")),
+        "user_id", "tus", "event_type", gap = 1800000000L, k = 20)
+    }),
+
+    // BM25 top-k lexical retrieval in fixed-point arithmetic (Lucene
+    // positive idf micro-quantized; k1=6/5, b=3/4 cleared to integers
+    // by ×20T) — the ranking standard, bit-identical across engines.
+    "p120_bm25_topk" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val qText = docs.filter(col("doc_id") === 0).select(col("text")).head()
+        .getString(0).toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty).take(8).mkString(" ")
+      graft.pipeline.TextAnalysis.bm25TopK(
+        docs.filter(col("doc_id") =!= 0), "doc_id", "text", qText, k = 10)
+        .select(col("rank").cast("long").as("rank"), col("id").as("doc_id"),
+          col("score"))
+    }),
+
     // Funnel with conversion-lag observables: per stage, the count plus
     // exact integer sum/max of (stage time − previous-stage time) over
     // converting users — avg lag = sum div n stays engine-portable.
@@ -3493,6 +3520,54 @@ object SparkEntry {
         |       FROM q, (SELECT unnest([0, 1, 2, 3]) AS r) rr)
         |SELECT tok, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
         |FROM qb LEFT JOIN cells USING (r, bucket) GROUP BY 1""".stripMargin,
+
+    "p121_event_paths" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et
+        |           FROM events),
+        |x AS (SELECT u, t, et,
+        |        CASE WHEN lag(t) OVER (PARTITION BY u ORDER BY t, et) IS NULL
+        |               OR t - lag(t) OVER (PARTITION BY u ORDER BY t, et) > 1800000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |s AS (SELECT u, t, et,
+        |        sum(brk) OVER (PARTITION BY u ORDER BY t, et ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM x),
+        |p AS (SELECT u, sid, string_agg(et, '>' ORDER BY t, et) AS path
+        |      FROM s GROUP BY 1, 2),
+        |c AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY 1),
+        |r AS (SELECT path, n_sessions,
+        |        row_number() OVER (ORDER BY n_sessions DESC, path) AS rank FROM c)
+        |SELECT CAST(rank AS BIGINT) AS rank, path, n_sessions
+        |FROM r WHERE rank <= 20""".stripMargin,
+
+    "p120_bm25_topk" ->
+      """WITH q AS (SELECT DISTINCT unnest(list_distinct((regexp_extract_all(lower(text), '\S+'))[1:8])) AS term
+        |           FROM documents WHERE doc_id = 0),
+        |n AS (SELECT count(*) AS nd,
+        |        CAST(sum(len(regexp_extract_all(lower(text), '\S+'))) AS BIGINT) AS tt
+        |      FROM documents WHERE doc_id <> 0),
+        |t AS (SELECT doc_id,
+        |        CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS dl,
+        |        unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |      FROM documents WHERE doc_id <> 0),
+        |m AS (SELECT doc_id, term, max(dl) AS len, count(*) AS tf
+        |      FROM t JOIN q USING (term) GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM m GROUP BY 1),
+        |idf AS (SELECT term,
+        |          CAST(round(1000000 * ln(1 + ((SELECT nd FROM n) - df + 0.5)
+        |                                      / (df + 0.5))) AS BIGINT) AS idf
+        |        FROM dfq),
+        |sc AS (SELECT m.doc_id,
+        |         CAST(sum((CAST(idf AS HUGEINT) * 44 * (SELECT tt FROM n) * tf)
+        |              // (CAST(20 AS HUGEINT) * (SELECT tt FROM n) * tf
+        |                  + CAST(6 AS HUGEINT) * (SELECT tt FROM n)
+        |                  + CAST(18 AS HUGEINT) * len * (SELECT nd FROM n)))
+        |           AS BIGINT) AS score
+        |       FROM m JOIN idf USING (term) GROUP BY 1),
+        |r AS (SELECT doc_id, score,
+        |        row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
+        |SELECT CAST(rank AS BIGINT) AS rank, doc_id, score
+        |FROM r WHERE rank <= 10""".stripMargin,
 
     "p117_funnel_timing" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et

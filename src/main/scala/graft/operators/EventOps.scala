@@ -73,6 +73,40 @@ object EventOps {
           qPayload.map(c => col(s"__m.$c").as(s"$quotePrefix$c")): _*)
   }
 
+  /** Top-k most common event-type paths per session (the product
+    * path-analysis query): sessions by the same gap rule as the batch
+    * sessionizer (break when the inactivity gap exceeds `gap`), each
+    * session rolled to its ordered type string, counted, ranked.
+    * Returns (rank, path, n_sessions).
+    *
+    * Per-session collect is the sessionize contract (a session is
+    * humanly bounded — the one place a per-group list is safe); ties in
+    * time order break by type then, and count ties rank by path, so the
+    * table is deterministic under any partitioning. The count and the
+    * final top-k are bounded by DISTINCT paths, not sessions.
+    */
+  def topEventPaths(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, gap: Long, k: Int): DataFrame = {
+    val e = events.select(col(userCol).as("user"),
+      col(tsCol).cast("long").as("t"), col(typeCol).as("et"))
+    val wOrd = Window.partitionBy(col("user")).orderBy(col("t"), col("et"))
+    val sessions = e
+      .withColumn("brk",
+        when(lag(col("t"), 1).over(wOrd).isNull ||
+          col("t") - lag(col("t"), 1).over(wOrd) > gap, 1).otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user"), col("sid"))
+      .agg(concat_ws(">", transform(
+        sort_array(collect_list(struct(col("t"), col("et")))),
+        x => x("et"))).as("path"))
+    sessions.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path"))).cast("long"))
+      .select(col("rank"), col("path"), col("n_sessions"))
+  }
+
   /** Retention cohorts: users bucketed by the time bucket of their FIRST
     * event (the cohort), counted once per (cohort, offset) bucket they
     * were active in. Returns (cohort, offset, n_users) — ≤ buckets² rows

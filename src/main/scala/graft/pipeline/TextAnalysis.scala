@@ -1339,6 +1339,68 @@ object TextAnalysis {
       .agg(sum(size(col("subwords"))).cast("long").as("n_subwords"),
         count(lit(1)).as("n_words"))
 
+  /** BM25 top-k retrieval — the de facto lexical ranking standard
+    * (Robertson–Spärck Jones idf, tf saturation k1, length
+    * normalization b), in FIXED-POINT integer arithmetic so the ranking
+    * is bit-identical across engines:
+    *
+    *   idf_micro(t) = round(1e6·ln(1 + (N − df + 0.5)/(df + 0.5)))
+    *     [the Lucene variant — ALWAYS positive, which matters twice: no
+    *     stopword-penalty sign flips, and a negative numerator would
+    *     split Spark's truncating div from a flooring SQL `//`; the one
+    *     float, micro-quantized at the model boundary — the DSIR
+    *     contract];
+    *   with k1 = 6/5 and b = 3/4 (the standard parameters as exact
+    *     rationals), multiplying the per-term fraction through by 20·T
+    *     (T = total corpus tokens) clears all denominators:
+    *   score(t, d) = idf_micro · (44·T·tf) div (20·T·tf + 6·T + 18·len·N)
+    *
+    * summed over matched query terms in DECIMAL(38,0) (44·T·tf·idf
+    * exceeds 2^63 on big corpora). Corpus pass mirrors [[lexicalTopK]]:
+    * one tokenize explode filtered to the broadcast query terms, tf per
+    * (doc, term), df over matched terms only, doc lengths ride along,
+    * distributed TakeOrdered — no corpus-wide state beyond N and T
+    * (two scalars).
+    */
+  def bm25TopK(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, queryText: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qTerms = queryText.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(qTerms.nonEmpty, "query must contain at least one term")
+    val toks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+      .select(col("id"), size(col("tk")).cast("long").as("len"), col("tk"))
+      .localCheckpoint(eager = false) // feeds N/T scalars + the match pass
+    val nt = toks.agg(count(lit(1)), sum(col("len"))).head()
+    val nDocs = nt.getLong(0)
+    val totTok = nt.getLong(1)
+    val matched = toks
+      .select(col("id"), col("len"), explode(col("tk")).as("term"))
+      .join(broadcast(qTerms.toDF("term")), Seq("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(first(col("len")).as("len"), count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false) // feeds df aggregate + score join
+    val dfreq = matched.groupBy("term")
+      .agg(count(lit(1)).as("df"))
+      .withColumn("idf_micro", expr(
+        s"CAST(round(1000000 * ln(1 + (${nDocs}L - df + 0.5) / (df + 0.5))) AS BIGINT)"))
+    val scored = matched
+      .join(broadcast(dfreq), Seq("term"))
+      // every factor lifts to DECIMAL(38,0) BEFORE multiplying — 44·T·tf
+      // alone passes 2^63 on a 100 TB corpus
+      .withColumn("ts", expr(
+        s"CAST(idf_micro AS DECIMAL(38,0)) * 44 * ${totTok}L * tf DIV " +
+          s"(CAST(20 AS DECIMAL(38,0)) * ${totTok}L * tf " +
+          s"+ CAST(6 AS DECIMAL(38,0)) * ${totTok}L " +
+          s"+ CAST(18 AS DECIMAL(38,0)) * len * ${nDocs}L)"))
+      .groupBy("id").agg(sum(col("ts")).cast("long").as("score"))
+    scored.orderBy(col("score").desc, col("id")).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("score").desc, col("id"))))
+      .select(col("rank"), col("id"), col("score"))
+  }
+
   /** Lexical top-k retrieval (the keyword search primitive): docs scored
     * by Σ over matched DISTINCT query terms of the integer idf weight
     * floor(1000·N / df) — rare terms dominate, exact integers keep the

@@ -2525,6 +2525,33 @@ class PipelineSpec extends SparkSpec {
     assert(Set("head", "middle", "tail").subsetOf(out.map(_._4).toSet))
   }
 
+  test("bm25: idf ranks rare above common, length norm ranks short above long, saturating tf, positive stopword idf") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "rare filler filler filler"),          // rare term, short doc
+      (2L, "rare filler filler filler extra extra extra extra"), // rare, longer
+      (3L, "common filler filler filler"),
+      (4L, "common common filler filler"),        // tf 2
+      (5L, "common common common common filler filler"), // tf 4
+      (6L, "filler junk junk junk")) ++
+      (7L to 12L).map(i => (i, "common pad pad pad")) // make 'common' common
+    val docs = corpus.toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", "text", "rare common", k = 12)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // idf: doc 1 (rare) outscores every common-only doc
+    assert(out(1L) > out(4L) && out(1L) > out(5L), out.toString)
+    // length normalization: same tf=1 of 'rare', shorter doc wins
+    assert(out(1L) > out(2L), out.toString)
+    // tf saturation: more tf still helps but with diminishing returns
+    // (per-unit gain shrinks)
+    assert(out(4L) > out(3L) && out(5L) > out(4L))
+    assert(out(4L) - out(3L) > (out(5L) - out(4L)) / 2)
+    // 'common' appears in 9 of 12 docs — Lucene idf stays positive
+    assert(out(3L) > 0L)
+    // no 'junk'-only doc sneaks in
+    assert(!out.contains(6L))
+  }
+
   test("margin mining: planted alignment passes, hub region fails, cells prune") {
     import spark.implicits._
     // cell 0: src 1 aligns with dst 11 (identical direction), while dst

@@ -197,6 +197,20 @@ class SketchSpec extends SparkSpec {
     assert(got.map(_._3) == got.map(_._3).sorted.reverse)
   }
 
+  test("topEventPaths: gap splits sessions, paths order by time, count ties rank by path") {
+    // u1: A,B then (gap) C  → paths "A>B" and "C"
+    // u2: A,B in one session → "A>B" again (count 2)
+    // u3: B,A out of order in arrival but t-ordered → "A>B"? no: t 5=B, 9=A → "B>A"
+    val ev = Seq(
+      (1L, 10L, "A"), (1L, 20L, "B"), (1L, 500L, "C"),
+      (2L, 100L, "A"), (2L, 150L, "B"),
+      (3L, 9L, "A"), (3L, 5L, "B")
+    ).toDF("u", "t", "et")
+    val got = EventOps.topEventPaths(ev, "u", "t", "et", gap = 100L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList
+    assert(got == List((1L, "A>B", 2L), (2L, "B>A", 1L), (3L, "C", 1L)))
+  }
+
   test("retention cohorts: hand case, offset-0 totality, multi-event days count once") {
     // day buckets of size 10: u1 first day 0, active days 0,1,3 (day 1
     // twice — counts once); u2 first day 1, active 1 only; u3 first day
