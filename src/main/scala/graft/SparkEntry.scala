@@ -948,6 +948,38 @@ object SparkEntry {
       graft.pipeline.Sketches.cmsLookup(sk, queries, "tok", d = 4, w = 512)
     }),
 
+    // Hybrid retrieval with the BM25 lexical arm: identical rank-sum
+    // fusion as p50, only the lexical pool's order changes — the
+    // fixed-point BM25 keeps the hybrid table engine-exact.
+    "p122_hybrid_bm25" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val emb = table(s, dir, "embeddings")
+      val qText = docs.filter(col("doc_id") === 0).select(col("text")).head()
+        .getString(0).toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty).take(8).mkString(" ")
+      val qVec = emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      graft.pipeline.Similarity.hybridTopKBm25(
+        docs.filter(col("doc_id") =!= 0), "doc_id", "text",
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        qText, qVec, k = 10, poolK = 20)
+        .select(col("rank").cast("long").as("rank"), col("id").as("doc_id"),
+          col("rank_sum"))
+    }),
+
+    // Pairwise KS drift matrix across sources on per-doc token count —
+    // the per-source drift data card; every window partitioned by pair.
+    "p123_ks_matrix" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Sketches.ksDriftMatrix(
+        table(s, dir, "documents")
+          .select(col("source"),
+            graft.pipeline.TextAnalysis.tokenCount(col("text")).cast("long")
+              .as("n_tokens")),
+        "n_tokens", "source")
+    }),
+
     // Top-20 session paths (product path analysis): 30-min gap sessions
     // (the q22 rule) rolled to ordered event-type strings, counted and
     // ranked — composition of the sessionize lineage.
@@ -3520,6 +3552,73 @@ object SparkEntry {
         |       FROM q, (SELECT unnest([0, 1, 2, 3]) AS r) rr)
         |SELECT tok, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
         |FROM qb LEFT JOIN cells USING (r, bucket) GROUP BY 1""".stripMargin,
+
+    "p122_hybrid_bm25" ->
+      """WITH q AS (SELECT DISTINCT unnest(list_distinct((regexp_extract_all(lower(text), '\S+'))[1:8])) AS term
+        |           FROM documents WHERE doc_id = 0),
+        |n AS (SELECT count(*) AS nd,
+        |        CAST(sum(len(regexp_extract_all(lower(text), '\S+'))) AS BIGINT) AS tt
+        |      FROM documents WHERE doc_id <> 0),
+        |t AS (SELECT doc_id,
+        |        CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS dl,
+        |        unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |      FROM documents WHERE doc_id <> 0),
+        |m AS (SELECT doc_id, term, max(dl) AS len, count(*) AS tf
+        |      FROM t JOIN q USING (term) GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM m GROUP BY 1),
+        |idf AS (SELECT term,
+        |          CAST(round(1000000 * ln(1 + ((SELECT nd FROM n) - df + 0.5)
+        |                                      / (df + 0.5))) AS BIGINT) AS idf
+        |        FROM dfq),
+        |sc AS (SELECT m.doc_id,
+        |         CAST(sum((CAST(idf AS HUGEINT) * 44 * (SELECT tt FROM n) * tf)
+        |              // (CAST(20 AS HUGEINT) * (SELECT tt FROM n) * tf
+        |                  + CAST(6 AS HUGEINT) * (SELECT tt FROM n)
+        |                  + CAST(18 AS HUGEINT) * len * (SELECT nd FROM n)))
+        |           AS BIGINT) AS score
+        |       FROM m JOIN idf USING (term) GROUP BY 1),
+        |lr0 AS (SELECT doc_id AS id, row_number() OVER (ORDER BY score DESC, doc_id) AS lrank FROM sc),
+        |lr AS (SELECT id, lrank FROM lr0 WHERE lrank <= 20),
+        |vs AS (SELECT vec_id,
+        |         list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS sim
+        |       FROM embeddings WHERE vec_id <> 0),
+        |vr0 AS (SELECT vec_id AS id, row_number() OVER (ORDER BY sim DESC, vec_id) AS vrank FROM vs),
+        |vr AS (SELECT id, vrank FROM vr0 WHERE vrank <= 20),
+        |f AS (SELECT COALESCE(lr.id, vr.id) AS id,
+        |             COALESCE(lrank, 21) + COALESCE(vrank, 21) AS rank_sum
+        |      FROM lr FULL JOIN vr ON lr.id = vr.id),
+        |r AS (SELECT id, rank_sum, row_number() OVER (ORDER BY rank_sum, id) AS rank FROM f)
+        |SELECT CAST(rank AS BIGINT) AS rank, id AS doc_id, CAST(rank_sum AS BIGINT) AS rank_sum
+        |FROM r WHERE rank <= 10""".stripMargin,
+
+    "p123_ks_matrix" ->
+      """WITH h AS (SELECT source AS g,
+        |             CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS v,
+        |             count(*) AS c
+        |           FROM documents GROUP BY 1, 2),
+        |pairs AS (SELECT a.g AS ga, b.g AS gb
+        |          FROM (SELECT DISTINCT g FROM h) a, (SELECT DISTINCT g FROM h) b
+        |          WHERE a.g < b.g),
+        |l AS (SELECT ga, gb, v, c AS ca FROM pairs JOIN h ON h.g = pairs.ga),
+        |rr AS (SELECT ga, gb, v, c AS cb FROM pairs JOIN h ON h.g = pairs.gb),
+        |j AS (SELECT coalesce(l.ga, rr.ga) AS ga, coalesce(l.gb, rr.gb) AS gb,
+        |             coalesce(l.v, rr.v) AS v,
+        |             coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |      FROM l FULL OUTER JOIN rr
+        |        ON l.ga = rr.ga AND l.gb = rr.gb AND l.v = rr.v),
+        |c AS (SELECT ga, gb, v,
+        |        sum(ca) OVER (PARTITION BY ga, gb ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+        |        sum(cb) OVER (PARTITION BY ga, gb ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb,
+        |        sum(ca) OVER (PARTITION BY ga, gb) AS na,
+        |        sum(cb) OVER (PARTITION BY ga, gb) AS nb FROM j),
+        |g AS (SELECT ga, gb, v, abs(cuma * nb - cumb * na) AS gap, na, nb FROM c),
+        |top AS (SELECT ga, gb, v, gap, na, nb,
+        |          row_number() OVER (PARTITION BY ga, gb ORDER BY gap DESC, v ASC) AS rn
+        |        FROM g)
+        |SELECT ga AS grp_a, gb AS grp_b, CAST(na AS BIGINT) AS n_a,
+        |       CAST(nb AS BIGINT) AS n_b, v AS at_value,
+        |       CAST(gap * 1000 // (na * nb) AS BIGINT) AS d_permille
+        |FROM top WHERE rn = 1""".stripMargin,
 
     "p121_event_paths" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et

@@ -1141,6 +1141,23 @@ object Similarity {
       k, poolK)
   }
 
+  /** [[hybridTopK]] with the BM25 lexical arm
+    * ([[TextAnalysis.bm25TopK]] — tf saturation + length normalization
+    * instead of the plain idf pool): identical rank-sum fusion, so
+    * swapping the lexical scorer changes ONLY the lexical pool's order;
+    * the fixed-point BM25 keeps the whole hybrid table engine-exact.
+    */
+  def hybridTopKBm25(docs: DataFrame, docIdCol: String, textCol: String,
+      emb: DataFrame, vecIdCol: String, vecCol: String,
+      queryText: String, queryVec: Array[Float], k: Int, poolK: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    rankFuse(
+      TextAnalysis.bm25TopK(docs, docIdCol, textCol, queryText, poolK),
+      bruteForceTopK(emb, vecIdCol, vecCol, Seq(Tuple1(queryVec)).toDF("q"), poolK),
+      k, poolK)
+  }
+
   /** [[hybridTopK]] with an IVF-RESTRICTED vector pool — the 100 TB
     * retrieval path: the vector side probes only the query's coarse cell
     * ([[ivfTopK]]; `queryDf` carries `q` + `qcell` exactly as there)

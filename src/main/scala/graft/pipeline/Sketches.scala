@@ -211,6 +211,53 @@ object Sketches {
         expr("CAST(m.gap * 1000 DIV (m.na * m.nb) AS BIGINT)").as("d_permille"))
   }
 
+  /** Pairwise [[ksDrift]] across every unordered pair of `groupCol`
+    * values (the per-source drift data card): one histogram aggregate
+    * over (group, value), a tiny group-pair frame, then cumulative
+    * windows PARTITIONED BY PAIR — unlike the two-corpus [[ksDrift]],
+    * nothing here is a global window, so the matrix scales to any
+    * number of sources whose histograms fit the value-domain contract.
+    * Returns (grp_a, grp_b, n_a, n_b, at_value, d_permille), grp_a <
+    * grp_b.
+    */
+  def ksDriftMatrix(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val h = df.groupBy(col(groupCol).as("g"),
+        col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // pairs/left/right all read it
+    val groups = h.select(col("g")).distinct()
+    val pairs = groups.select(col("g").as("ga"))
+      .crossJoin(groups.select(col("g").as("gb")))
+      .filter(col("ga") < col("gb"))
+    val left = pairs.join(
+      h.select(col("g").as("ga"), col("v"), col("c").as("ca")), Seq("ga"))
+    val right = pairs.join(
+      h.select(col("g").as("gb"), col("v"), col("c").as("cb")), Seq("gb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ga"), col("gb")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ga"), col("gb"))
+    left.join(right, Seq("ga", "gb", "v"), "full_outer")
+      .select(col("ga"), col("gb"), col("v"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .withColumn("cuma", sum(col("ca")).over(w).cast("decimal(38,0)"))
+      .withColumn("cumb", sum(col("cb")).over(w).cast("decimal(38,0)"))
+      .withColumn("na", sum(col("ca")).over(tot).cast("decimal(38,0)"))
+      .withColumn("nb", sum(col("cb")).over(tot).cast("decimal(38,0)"))
+      .withColumn("gap", abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+      .groupBy(col("ga").as("grp_a"), col("gb").as("grp_b"))
+      .agg(max(struct(col("gap"), (-col("v")).as("negv"),
+        col("na"), col("nb"))).as("m"))
+      .select(col("grp_a"), col("grp_b"),
+        col("m.na").cast("long").as("n_a"),
+        col("m.nb").cast("long").as("n_b"),
+        (-col("m.negv")).cast("long").as("at_value"),
+        expr("CAST(m.gap * 1000 DIV (m.na * m.nb) AS BIGINT)").as("d_permille"))
+  }
+
   /** Count-min sketch of token frequencies over `textCol`: d salted
     * hash rows × w buckets, cell = total occurrences of the tokens
     * mapping there. Output (row, bucket, cnt) — d·w rows at any corpus

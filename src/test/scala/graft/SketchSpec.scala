@@ -211,6 +211,24 @@ class SketchSpec extends SparkSpec {
     assert(got == List((1L, "A>B", 2L), (2L, "B>A", 1L), (3L, "C", 1L)))
   }
 
+  test("ksDriftMatrix: every pair equals the two-corpus ksDrift; no self/dup pairs") {
+    val df = (Seq.fill(30)(("a", 1L)) ++ Seq.fill(20)(("a", 5L)) ++
+      Seq.fill(25)(("b", 2L)) ++ Seq.fill(25)(("b", 5L)) ++
+      Seq.fill(40)(("c", 9L))).toDF("g", "v")
+    val m = Sketches.ksDriftMatrix(df, "v", "g")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(m.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    for (((ga, gb), got) <- m) {
+      val single = Sketches.ksDrift(
+        df.filter($"g" === ga), df.filter($"g" === gb), "v").collect().head
+      assert(got == ((single.getLong(0), single.getLong(1),
+        single.getLong(2), single.getLong(4))), s"pair ($ga,$gb)")
+    }
+    // disjoint pair saturates
+    assert(m(("a", "c"))._4 == 1000L && m(("b", "c"))._4 == 1000L)
+  }
+
   test("retention cohorts: hand case, offset-0 totality, multi-event days count once") {
     // day buckets of size 10: u1 first day 0, active days 0,1,3 (day 1
     // twice — counts once); u2 first day 1, active 1 only; u3 first day
