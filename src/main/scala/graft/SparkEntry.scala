@@ -948,6 +948,29 @@ object SparkEntry {
       graft.pipeline.Sketches.cmsLookup(sk, queries, "tok", d = 4, w = 512)
     }),
 
+    // CUSUM change-point over daily event volume: the bucket whose
+    // prefix count deviates most from the constant-rate expectation —
+    // integer-exact (|S_i·D − i·S|), the feed-health monitor.
+    "p124_changepoint" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Sketches.cusumChangePoint(
+        table(s, dir, "events")
+          .select(expr("(ts div 1000) div 86400000000").as("day")),
+        "day")
+    }),
+
+    // Exact dedup keeping the BEST copy (longest here) instead of the
+    // min id — the production keeper rule when duplicates differ in
+    // quality; one struct-argmax per content group.
+    "p125_dedup_keep_best" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      graft.pipeline.Dedup.exactKeepBest(
+        docs.withColumn("n_tokens",
+          graft.pipeline.TextAnalysis.tokenCount(col("text")).cast("long")),
+        "doc_id", "text", "n_tokens")
+    }),
+
     // Hybrid retrieval with the BM25 lexical arm: identical rank-sum
     // fusion as p50, only the lexical pool's order changes — the
     // fixed-point BM25 keeps the hybrid table engine-exact.
@@ -3552,6 +3575,35 @@ object SparkEntry {
         |       FROM q, (SELECT unnest([0, 1, 2, 3]) AS r) rr)
         |SELECT tok, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
         |FROM qb LEFT JOIN cells USING (r, bucket) GROUP BY 1""".stripMargin,
+
+    "p124_changepoint" ->
+      """WITH b AS (SELECT epoch_us(ts) // 86400000000 AS bucket, count(*) AS c
+        |           FROM events GROUP BY 1),
+        |x AS (SELECT bucket, c,
+        |        row_number() OVER (ORDER BY bucket) AS i,
+        |        sum(c) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS si,
+        |        count(*) OVER () AS d, sum(c) OVER () AS s
+        |      FROM b),
+        |g AS (SELECT bucket, abs(CAST(si AS HUGEINT) * d - CAST(i AS HUGEINT) * s) AS gap,
+        |             d, s FROM x),
+        |top AS (SELECT * FROM g ORDER BY gap DESC, bucket ASC LIMIT 1)
+        |SELECT CAST(d AS BIGINT) AS n_buckets, CAST(s AS BIGINT) AS total,
+        |       bucket AS at_bucket, CAST(gap AS BIGINT) AS dev_scaled,
+        |       CAST(gap * 1000 // (CAST(d AS HUGEINT) * s) AS BIGINT) AS dev_permille
+        |FROM top""".stripMargin,
+
+    "p125_dedup_keep_best" ->
+      """WITH d AS (SELECT doc_id,
+        |             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+        |             CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |r AS (SELECT doc_id, norm, n_tokens,
+        |        row_number() OVER (PARTITION BY norm
+        |                           ORDER BY n_tokens DESC, doc_id DESC) AS rn,
+        |        count(*) OVER (PARTITION BY norm) AS n_copies
+        |      FROM d)
+        |SELECT doc_id AS keep_id, n_tokens AS score, n_copies
+        |FROM r WHERE rn = 1""".stripMargin,
 
     "p122_hybrid_bm25" ->
       """WITH q AS (SELECT DISTINCT unnest(list_distinct((regexp_extract_all(lower(text), '\S+'))[1:8])) AS term

@@ -21,6 +21,24 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .drop("norm")
 
+  /** Exact dedup keeping the BEST copy instead of the min-id one: the
+    * keeper per normalized-text group maximizes (score, id) — the
+    * production pipelines' choice when duplicates differ in provenance
+    * quality (keep the longest / highest-classifier-score crawl of a
+    * page). Same one-shuffle cost model as [[exact]]; the argmax is a
+    * single struct-max (the overflow-free argmin/argmax idiom), ties
+    * break by id for determinism. Returns one row per distinct content:
+    * (keep_id, score, n_copies).
+    */
+  def exactKeepBest(df: DataFrame, idCol: String, textCol: String,
+      scoreCol: String): DataFrame =
+    df.groupBy(TextAnalysis.normalized(col(textCol)).as("norm"))
+      .agg(max(struct(col(scoreCol).cast("long").as("s"),
+        col(idCol).as("i"))).as("m"),
+        count(lit(1)).as("n_copies"))
+      .select(col("m.i").as("keep_id"), col("m.s").as("score"),
+        col("n_copies"))
+
   /** URL-level dedup (the RefinedWeb/CCNet crawl-frontier pass — the SAME
     * page arrives under tracking-param, port, fragment, case and
     * trailing-slash variants, and URL dedup removes them for free BEFORE

@@ -211,6 +211,41 @@ object Sketches {
         expr("CAST(m.gap * 1000 DIV (m.na * m.nb) AS BIGINT)").as("d_permille"))
   }
 
+  /** CUSUM-style change-point detection over a counted time series:
+    * bucket the rows by `bucketCol` (e.g. epoch day), index the present
+    * buckets 1..D in order, and find the bucket maximizing
+    * |S_i·D − i·S| — the deviation of the observed prefix count S_i
+    * from the constant-rate expectation i·S/D, cleared of division (the
+    * same integer-exactness move as [[ksDrift]]). A rate change at
+    * bucket c makes the statistic peak at c. One row out: (n_buckets,
+    * total, at_bucket, dev_scaled, dev_permille), dev_permille =
+    * 1000·max|…|/(D·S) ∈ [0, ~500] (0 = perfectly constant rate).
+    *
+    * The bucket-count aggregate is the only corpus pass; the windows
+    * run on the bucket table (the p91 bounded-domain contract). Decimal
+    * arithmetic keeps S_i·D exact past 2^63.
+    */
+  def cusumChangePoint(df: DataFrame, bucketCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+    val wRun = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+    df.select(col(bucketCol).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("si", sum(col("c")).over(wRun).cast("decimal(38,0)"))
+      .withColumn("d", count(lit(1)).over(tot).cast("decimal(38,0)"))
+      .withColumn("s", sum(col("c")).over(tot).cast("decimal(38,0)"))
+      .withColumn("gap", abs(col("si") * col("d") - col("i") * col("s")))
+      .select(max(struct(col("gap"), (-col("bucket")).as("negb"),
+        col("d"), col("s"))).as("m"))
+      .select(col("m.d").cast("long").as("n_buckets"),
+        col("m.s").cast("long").as("total"),
+        (-col("m.negb")).cast("long").as("at_bucket"),
+        col("m.gap").cast("long").as("dev_scaled"),
+        expr("CAST(m.gap * 1000 DIV (m.d * m.s) AS BIGINT)").as("dev_permille"))
+  }
+
   /** Pairwise [[ksDrift]] across every unordered pair of `groupCol`
     * values (the per-source drift data card): one histogram aggregate
     * over (group, value), a tiny group-pair frame, then cumulative

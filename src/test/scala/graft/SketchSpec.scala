@@ -211,6 +211,28 @@ class SketchSpec extends SparkSpec {
     assert(got == List((1L, "A>B", 2L), (2L, "B>A", 1L), (3L, "C", 1L)))
   }
 
+  test("cusum change point: planted rate shift peaks at the boundary; constant rate scores 0") {
+    // days 1..10 at 2 rows/day, days 11..20 at 10 rows/day
+    val shifted = ((1L to 10L).flatMap(d => Seq.fill(2)(d)) ++
+      (11L to 20L).flatMap(d => Seq.fill(10)(d))).toDF("day")
+    val r = Sketches.cusumChangePoint(shifted, "day").collect().head
+    assert(r.getLong(2) == 10L, s"at_bucket ${r.getLong(2)}") // the boundary
+    assert(r.getLong(0) == 20L && r.getLong(1) == 120L)
+    assert(r.getLong(4) > 200L) // strong signal
+    val const = (1L to 20L).flatMap(d => Seq.fill(5)(d)).toDF("day")
+    assert(Sketches.cusumChangePoint(const, "day").collect().head.getLong(4) == 0L)
+  }
+
+  test("exactKeepBest: keeps the highest-score copy, ties by id; uniques pass through") {
+    import graft.pipeline.Dedup
+    val docs = Seq(
+      (1L, "same text", 5L), (2L, "same  TEXT", 9L), (3L, "Same text", 9L),
+      (4L, "unique here", 7L)).toDF("doc_id", "text", "score")
+    val got = Dedup.exactKeepBest(docs, "doc_id", "text", "score")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(3L -> ((9L, 3L)), 4L -> ((7L, 1L))))
+  }
+
   test("ksDriftMatrix: every pair equals the two-corpus ksDrift; no self/dup pairs") {
     val df = (Seq.fill(30)(("a", 1L)) ++ Seq.fill(20)(("a", 5L)) ++
       Seq.fill(25)(("b", 2L)) ++ Seq.fill(25)(("b", 5L)) ++
