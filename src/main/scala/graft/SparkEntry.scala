@@ -948,6 +948,16 @@ object SparkEntry {
       graft.pipeline.Sketches.cmsLookup(sk, queries, "tok", d = 4, w = 512)
     }),
 
+    // Containment near-dup: the smaller shingle set mostly inside the
+    // larger (quote-inclusion / boilerplate duplication that symmetric
+    // Jaccard misses); same shared-shingle candidate plan, integer gate.
+    "p126_containment" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Dedup.containmentPairs(
+        table(s, dir, "documents"), "doc_id", "text", n = 3,
+        tauPermille = 800)
+    }),
+
     // CUSUM change-point over daily event volume: the bucket whose
     // prefix count deviates most from the constant-rate expectation —
     // integer-exact (|S_i·D − i·S|), the feed-health monitor.
@@ -3575,6 +3585,21 @@ object SparkEntry {
         |       FROM q, (SELECT unnest([0, 1, 2, 3]) AS r) rr)
         |SELECT tok, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
         |FROM qb LEFT JOIN cells USING (r, bucket) GROUP BY 1""".stripMargin,
+
+    "p126_containment" ->
+      """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |g AS (SELECT id, unnest(list_transform(generate_series(1, len(toks)-2),
+        |                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |      FROM t WHERE len(toks) >= 3),
+        |d AS (SELECT DISTINCT id, sh FROM g),
+        |sz AS (SELECT id, count(*) AS sz FROM d GROUP BY 1),
+        |p AS (SELECT a.id AS ia, b.id AS ib, count(*) AS inter
+        |      FROM d a JOIN d b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+        |j AS (SELECT ia, ib, inter, sa.sz AS sza, sb.sz AS szb
+        |      FROM p JOIN sz sa ON sa.id = ia JOIN sz sb ON sb.id = ib)
+        |SELECT ia, ib, inter, sza, szb,
+        |       CAST(inter * 1000 // least(sza, szb) AS BIGINT) AS containment_permille
+        |FROM j WHERE inter * 1000 >= least(sza, szb) * 800""".stripMargin,
 
     "p124_changepoint" ->
       """WITH b AS (SELECT epoch_us(ts) // 86400000000 AS bucket, count(*) AS c

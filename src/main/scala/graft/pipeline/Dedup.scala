@@ -149,7 +149,15 @@ object Dedup {
     * per frame before the main action; lazy keeps the compute-once
     * guarantee without the extra jobs the bench was charged for.
     */
-  def setOverlapPairs(raw: DataFrame, maxFreq: Option[Int] = None): DataFrame = {
+  def setOverlapPairs(raw: DataFrame, maxFreq: Option[Int] = None): DataFrame =
+    setOverlapPairsWithSizes(raw, maxFreq)
+      .select(col("ia"), col("ib"), col("inter"), col("uni"))
+
+  /** [[setOverlapPairs]] keeping the per-side set sizes — the relation
+    * asymmetric overlap measures (containment) need.
+    */
+  def setOverlapPairsWithSizes(raw: DataFrame,
+      maxFreq: Option[Int] = None): DataFrame = {
     val grouped0 = raw.groupBy("sh").agg(sort_array(collect_set(col("id"))).as("ids"))
     val grouped = maxFreq
       .map(f => grouped0.filter(size(col("ids")) <= f)).getOrElse(grouped0)
@@ -166,8 +174,29 @@ object Dedup {
     inter
       .join(sizes.withColumnsRenamed(Map("id" -> "ia", "sz" -> "sza")), Seq("ia"))
       .join(sizes.withColumnsRenamed(Map("id" -> "ib", "sz" -> "szb")), Seq("ib"))
-      .select(col("ia"), col("ib"), col("inter"),
+      .select(col("ia"), col("ib"), col("inter"), col("sza"), col("szb"),
         (col("sza") + col("szb") - col("inter")).as("uni"))
+  }
+
+  /** Containment near-dup (Broder): flag pairs where the SMALLER
+    * shingle set sits mostly inside the larger —
+    * inter/min(|A|,|B|) ≥ τ. Catches quote-inclusion and
+    * page-plus-boilerplate duplication that symmetric Jaccard
+    * structurally misses (a short doc embedded in a long one has low
+    * union overlap but full containment). Same candidate plan as
+    * [[jaccardPairs]] (shared-shingle emission, Σfreq², never
+    * all-pairs); the gate is integer (inter·1000 ≥ τ·min). Returns
+    * (ia, ib, inter, sza, szb, containment_permille).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, tauPermille: Int, maxDocFreq: Option[Int] = None,
+      hashShingles: Boolean = false): DataFrame = {
+    val raw0 = shinglesRaw(df, idCol, textCol, n)
+    val raw = if (hashShingles) raw0.withColumn("sh", xxhash64(col("sh"))) else raw0
+    setOverlapPairsWithSizes(raw, maxDocFreq)
+      .filter(col("inter") * 1000 >= least(col("sza"), col("szb")) * tauPermille)
+      .select(col("ia"), col("ib"), col("inter"), col("sza"), col("szb"),
+        expr("inter * 1000 DIV least(sza, szb)").as("containment_permille"))
   }
 
   /** Near-duplicate pairs with Jaccard ≥ num/den (integer arithmetic — no

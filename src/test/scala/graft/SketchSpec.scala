@@ -223,6 +223,26 @@ class SketchSpec extends SparkSpec {
     assert(Sketches.cusumChangePoint(const, "day").collect().head.getLong(4) == 0L)
   }
 
+  test("containment flags quote-inclusion that symmetric Jaccard misses") {
+    import graft.pipeline.Dedup
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, quote), // the short original
+      (2L, s"intro words here then $quote and a very long tail " +
+        "one two three four five six seven eight nine ten eleven twelve " +
+        "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"),
+      (3L, "completely unrelated content with nothing shared at all here"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", n = 3, tauPermille = 900)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    assert(cont.keySet == Set((1L, 2L)))
+    assert(cont((1L, 2L)) == 1000L) // every 3-gram of the quote is in doc 2
+    // symmetric Jaccard at the same strictness finds nothing
+    val jac = Dedup.nearDuplicates(docs, "doc_id", "text", 3, 9, 10)
+      .collect()
+    assert(jac.isEmpty)
+  }
+
   test("exactKeepBest: keeps the highest-score copy, ties by id; uniques pass through") {
     import graft.pipeline.Dedup
     val docs = Seq(
