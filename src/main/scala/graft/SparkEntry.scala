@@ -948,6 +948,29 @@ object SparkEntry {
       graft.pipeline.Sketches.cmsLookup(sk, queries, "tok", d = 4, w = 512)
     }),
 
+    // Robust per-source outlier flags: |v − median| > 3·MAD on token
+    // count — two histogram-median passes, all integers, no floats.
+    "p127_mad_outliers" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Sketches.madOutliers(
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            graft.pipeline.TextAnalysis.tokenCount(col("text")).cast("long")
+              .as("n_tokens")),
+        "doc_id", "n_tokens", "source", k = 3)
+    }),
+
+    // First-order event-type transition matrix per user timeline —
+    // ≤ types² rows, one lag window + one aggregate.
+    "p128_event_transitions" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.operators.EventOps.eventTransitions(
+        table(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("tus"),
+            col("event_type")),
+        "user_id", "tus", "event_type")
+    }),
+
     // Containment near-dup: the smaller shingle set mostly inside the
     // larger (quote-inclusion / boilerplate duplication that symmetric
     // Jaccard misses); same shared-shingle candidate plan, integer gate.
@@ -3585,6 +3608,35 @@ object SparkEntry {
         |       FROM q, (SELECT unnest([0, 1, 2, 3]) AS r) rr)
         |SELECT tok, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
         |FROM qb LEFT JOIN cells USING (r, bucket) GROUP BY 1""".stripMargin,
+
+    "p127_mad_outliers" ->
+      """WITH d AS (SELECT doc_id AS id, source AS grp,
+        |             CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS v
+        |           FROM documents),
+        |h AS (SELECT grp, v, count(*) AS c FROM d GROUP BY 1, 2),
+        |cm AS (SELECT grp, v,
+        |         sum(c) OVER (PARTITION BY grp ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |         sum(c) OVER (PARTITION BY grp) AS n FROM h),
+        |med AS (SELECT grp, min(v) AS med FROM cm WHERE cum >= (n + 1) // 2 GROUP BY 1),
+        |dev AS (SELECT d.id, d.grp, d.v, med.med, abs(d.v - med.med) AS adev
+        |        FROM d JOIN med USING (grp)),
+        |h2 AS (SELECT grp, adev, count(*) AS c FROM dev GROUP BY 1, 2),
+        |cm2 AS (SELECT grp, adev,
+        |          sum(c) OVER (PARTITION BY grp ORDER BY adev ROWS UNBOUNDED PRECEDING) AS cum,
+        |          sum(c) OVER (PARTITION BY grp) AS n FROM h2),
+        |mad AS (SELECT grp, min(adev) AS mad FROM cm2 WHERE cum >= (n + 1) // 2 GROUP BY 1)
+        |SELECT dev.id, dev.grp, dev.v, dev.med, mad.mad,
+        |       CAST(dev.adev > mad.mad * 3 AS BIGINT) AS outlier
+        |FROM dev JOIN mad USING (grp)""".stripMargin,
+
+    "p128_event_transitions" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et
+        |           FROM events),
+        |x AS (SELECT u, et,
+        |        lag(et) OVER (PARTITION BY u ORDER BY t, et) AS prev
+        |      FROM e)
+        |SELECT prev AS from_type, et AS to_type, count(*) AS n
+        |FROM x WHERE prev IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
     "p126_containment" ->
       """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),

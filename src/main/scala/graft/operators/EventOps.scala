@@ -107,6 +107,24 @@ object EventOps {
       .select(col("rank"), col("path"), col("n_sessions"))
   }
 
+  /** Event-type transition matrix (the first-order Markov behavior
+    * model): per user, consecutive event pairs in time order, counted
+    * per (from, to). One lag window per user + one hash-aggregate;
+    * ≤ types² output rows. A user's first event has no predecessor and
+    * emits nothing. Ties in time order break by type (deterministic
+    * under any partitioning). Returns (from_type, to_type, n).
+    */
+  def eventTransitions(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user")).orderBy(col("t"), col("et"))
+    events.select(col(userCol).as("user"), col(tsCol).cast("long").as("t"),
+        col(typeCol).as("et"))
+      .withColumn("prev", lag(col("et"), 1).over(wOrd))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("from_type"), col("et").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Retention cohorts: users bucketed by the time bucket of their FIRST
     * event (the cohort), counted once per (cohort, offset) bucket they
     * were active in. Returns (cohort, offset, n_users) — ≤ buckets² rows

@@ -211,6 +211,51 @@ object Sketches {
         expr("CAST(m.gap * 1000 DIV (m.na * m.nb) AS BIGINT)").as("d_permille"))
   }
 
+  /** Per-group exact lower median of an integer observable via the
+    * histogram trick: (group, value) counts, per-group cumulative
+    * window over the bounded value domain (the p91 contract), median =
+    * least value whose cumulative count reaches rank (n+1) div 2.
+    * Returns (grp, med). Never sorts raw rows — only the histogram.
+    */
+  def groupedMedian(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+    df.select(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
+      .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(tot))
+      .filter(expr("cum >= (n + 1) div 2"))
+      .groupBy(col("grp")).agg(min(col("v")).as("med"))
+  }
+
+  /** Robust per-group outlier flags: a row is an outlier when its
+    * absolute deviation from the group median exceeds k × the group's
+    * MAD (median absolute deviation) — the z-score's robust cousin,
+    * immune to the outliers it hunts, and ENTIRELY integer-exact (two
+    * [[groupedMedian]] passes + one comparison; no means, no stddevs,
+    * no floats). MAD 0 (over half the group identical) flags any
+    * deviation ≥ 1, the conventional degenerate reading. Returns every
+    * row: (id, grp, v, med, mad, outlier 0/1).
+    */
+  def madOutliers(df: DataFrame, idCol: String, valueCol: String,
+      groupCol: String, k: Int = 3): DataFrame = {
+    val d = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+        col(valueCol).cast("long").as("v"))
+      .localCheckpoint(false) // feeds both median passes + the final join
+    val med = groupedMedian(d, "v", "grp")
+    val dev = d.join(med, Seq("grp"))
+      .withColumn("adev", abs(col("v") - col("med")))
+      .localCheckpoint(false)
+    val mad = groupedMedian(dev, "adev", "grp")
+      .withColumnRenamed("med", "mad")
+    dev.join(mad, Seq("grp"))
+      .select(col("id"), col("grp"), col("v"), col("med"), col("mad"),
+        (col("adev") > col("mad") * k).cast("long").as("outlier"))
+  }
+
   /** CUSUM-style change-point detection over a counted time series:
     * bucket the rows by `bucketCol` (e.g. epoch day), index the present
     * buckets 1..D in order, and find the bucket maximizing

@@ -223,6 +223,34 @@ class SketchSpec extends SparkSpec {
     assert(Sketches.cusumChangePoint(const, "day").collect().head.getLong(4) == 0L)
   }
 
+  test("madOutliers: planted outlier flagged, bulk untouched, zero-MAD group degenerate rule") {
+    // group a: values around 50 (median 50, MAD 2) with one wild point
+    val a = Seq((1L, "a", 48L), (2L, "a", 50L), (3L, "a", 50L),
+      (4L, "a", 52L), (5L, "a", 53L), (6L, "a", 500L))
+    // group b: over half identical -> MAD 0; any deviation >= 1 flags
+    val b = Seq((11L, "b", 7L), (12L, "b", 7L), (13L, "b", 7L), (14L, "b", 8L))
+    val got = Sketches.madOutliers(
+      (a ++ b).toDF("id", "g", "v"), "id", "v", "g", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // group a: median 50, deviations {2,0,0,2,3,450} -> MAD 2; only 450 > 6
+    assert(got(6L) == ((50L, 2L, 1L)), got.toString)
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(got(_)._3 == 0L))
+    // group b: median 7, MAD 0 -> the deviation-1 point flags
+    assert(got(14L) == ((7L, 0L, 1L)) && got(11L)._3 == 0L)
+  }
+
+  test("eventTransitions: time-ordered lag pairs, first events emit nothing") {
+    val ev = Seq(
+      (1L, 10L, "A"), (1L, 20L, "B"), (1L, 30L, "A"),
+      (2L, 5L, "B"), (2L, 6L, "A"),
+      (3L, 1L, "C")
+    ).toDF("u", "t", "et")
+    val got = EventOps.eventTransitions(ev, "u", "t", "et")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("A", "B") -> 1L, ("B", "A") -> 2L))
+  }
+
   test("containment flags quote-inclusion that symmetric Jaccard misses") {
     import graft.pipeline.Dedup
     val quote = "alpha beta gamma delta epsilon zeta"
