@@ -393,15 +393,8 @@ object Bench {
     // event analytics: as-of attribution over the full event table
     // (union + per-key running last — the one-shuffle path)
     legDf("asof_join") {
-      val ev = CellEncodings.table(spark, sfDir, "events")
-        .select(col("user_id"), expr("ts div 1000").as("tus"),
-          col("event_type"), col("event_id"))
-      graft.operators.EventOps.asOfJoin(
-        ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("tus"), col("event_id").as("purchase_id")),
-        ev.filter(col("event_type") === "click")
-          .select(col("user_id"), col("tus"), col("event_id").as("click_id")),
-        Seq("user_id"), "tus")
+      val (purchases, clicks) = SparkEntry.attributionFrames(spark, sfDir)
+      graft.operators.EventOps.asOfJoin(purchases, clicks, Seq("user_id"), "tus")
     }
 
     // cleanup

@@ -94,6 +94,22 @@ object SparkEntry {
   private val MtSentinel1 = 2000000L
   private val MtSentinel2 = 3000000L
 
+  /** The purchase/click attribution inputs (µs times) shared by the
+    * p109/p118 gates AND the asof_join bench leg — one definition so
+    * the windowed and unwindowed gates and the benched query can never
+    * drift onto different lineages.
+    */
+  private[graft] def attributionFrames(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val ev = table(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("tus"),
+        col("event_type"), col("event_id"))
+    (ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tus"), col("event_id").as("purchase_id")),
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tus"), col("event_id").as("click_id")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -906,13 +922,7 @@ object SparkEntry {
     // same granularity.
     "p109_asof_attrib" -> ((s, dir) => {
       GraftFunctions.register(s)
-      val ev = table(s, dir, "events")
-        .select(col("user_id"), expr("ts div 1000").as("tus"),
-          col("event_type"), col("event_id"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("tus"), col("event_id").as("click_id"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("tus"), col("event_id").as("purchase_id"))
+      val (purchases, clicks) = attributionFrames(s, dir)
       graft.operators.EventOps.asOfJoin(purchases, clicks, Seq("user_id"), "tus")
         .select(col("purchase_id"),
           col("user_id").cast("bigint").as("uid"),
@@ -1081,14 +1091,8 @@ object SparkEntry {
     // click" — while the purchase row itself stays.
     "p118_asof_window" -> ((s, dir) => {
       GraftFunctions.register(s)
-      val ev = table(s, dir, "events")
-        .select(col("user_id"), expr("ts div 1000").as("tus"),
-          col("event_type"), col("event_id"))
-      graft.operators.EventOps.asOfJoin(
-        ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("tus"), col("event_id").as("purchase_id")),
-        ev.filter(col("event_type") === "click")
-          .select(col("user_id"), col("tus"), col("event_id").as("click_id")),
+      val (purchases, clicks) = attributionFrames(s, dir)
+      graft.operators.EventOps.asOfJoin(purchases, clicks,
         Seq("user_id"), "tus", maxLookback = 3600000000L)
         .select(col("purchase_id"),
           col("user_id").cast("bigint").as("uid"),
@@ -2591,6 +2595,36 @@ object SparkEntry {
       |SELECT CAST(r AS BIGINT) AS "row", bucket, count(*) AS cnt
       |FROM x GROUP BY 1, 2""".stripMargin
 
+  /** Shared DuckDB CTE prologue for the fixed-point BM25 score (doc_id,
+    * score in `sc`) — p120 ranks it directly, p122 fuses it with the
+    * vector arm. ONE definition so the k1/b rationals and the idf
+    * quantization cannot drift between the two gates.
+    */
+  private lazy val bm25CtesSql: String =
+    """q AS (SELECT DISTINCT unnest(list_distinct((regexp_extract_all(lower(text), '\S+'))[1:8])) AS term
+      |           FROM documents WHERE doc_id = 0),
+      |n AS (SELECT count(*) AS nd,
+      |        CAST(sum(len(regexp_extract_all(lower(text), '\S+'))) AS BIGINT) AS tt
+      |      FROM documents WHERE doc_id <> 0),
+      |t AS (SELECT doc_id,
+      |        CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS dl,
+      |        unnest(regexp_extract_all(lower(text), '\S+')) AS term
+      |      FROM documents WHERE doc_id <> 0),
+      |m AS (SELECT doc_id, term, max(dl) AS len, count(*) AS tf
+      |      FROM t JOIN q USING (term) GROUP BY 1, 2),
+      |dfq AS (SELECT term, count(*) AS df FROM m GROUP BY 1),
+      |idf AS (SELECT term,
+      |          CAST(round(1000000 * ln(1 + ((SELECT nd FROM n) - df + 0.5)
+      |                                      / (df + 0.5))) AS BIGINT) AS idf
+      |        FROM dfq),
+      |sc AS (SELECT m.doc_id,
+      |         CAST(sum((CAST(idf AS HUGEINT) * 44 * (SELECT tt FROM n) * tf)
+      |              // (CAST(20 AS HUGEINT) * (SELECT tt FROM n) * tf
+      |                  + CAST(6 AS HUGEINT) * (SELECT tt FROM n)
+      |                  + CAST(18 AS HUGEINT) * len * (SELECT nd FROM n)))
+      |           AS BIGINT) AS score
+      |       FROM m JOIN idf USING (term) GROUP BY 1)""".stripMargin
+
   private def hash60Sql(inner: String): String =
     (1 to 15).map { p =>
       s"(strpos('0123456789abcdef', substr(md5($inner), $p, 1)) - 1) * ${java.math.BigInteger.valueOf(16L).pow(15 - p)}::BIGINT"
@@ -3683,33 +3717,11 @@ object SparkEntry {
         |FROM r WHERE rn = 1""".stripMargin,
 
     "p122_hybrid_bm25" ->
-      """WITH q AS (SELECT DISTINCT unnest(list_distinct((regexp_extract_all(lower(text), '\S+'))[1:8])) AS term
-        |           FROM documents WHERE doc_id = 0),
-        |n AS (SELECT count(*) AS nd,
-        |        CAST(sum(len(regexp_extract_all(lower(text), '\S+'))) AS BIGINT) AS tt
-        |      FROM documents WHERE doc_id <> 0),
-        |t AS (SELECT doc_id,
-        |        CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS dl,
-        |        unnest(regexp_extract_all(lower(text), '\S+')) AS term
-        |      FROM documents WHERE doc_id <> 0),
-        |m AS (SELECT doc_id, term, max(dl) AS len, count(*) AS tf
-        |      FROM t JOIN q USING (term) GROUP BY 1, 2),
-        |dfq AS (SELECT term, count(*) AS df FROM m GROUP BY 1),
-        |idf AS (SELECT term,
-        |          CAST(round(1000000 * ln(1 + ((SELECT nd FROM n) - df + 0.5)
-        |                                      / (df + 0.5))) AS BIGINT) AS idf
-        |        FROM dfq),
-        |sc AS (SELECT m.doc_id,
-        |         CAST(sum((CAST(idf AS HUGEINT) * 44 * (SELECT tt FROM n) * tf)
-        |              // (CAST(20 AS HUGEINT) * (SELECT tt FROM n) * tf
-        |                  + CAST(6 AS HUGEINT) * (SELECT tt FROM n)
-        |                  + CAST(18 AS HUGEINT) * len * (SELECT nd FROM n)))
-        |           AS BIGINT) AS score
-        |       FROM m JOIN idf USING (term) GROUP BY 1),
+      s"""WITH $bm25CtesSql,
         |lr0 AS (SELECT doc_id AS id, row_number() OVER (ORDER BY score DESC, doc_id) AS lrank FROM sc),
         |lr AS (SELECT id, lrank FROM lr0 WHERE lrank <= 20),
         |vs AS (SELECT vec_id,
-        |         list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS sim
+        |         list_cosine_similarity(embedding::DOUBLE[], (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]) AS sim
         |       FROM embeddings WHERE vec_id <> 0),
         |vr0 AS (SELECT vec_id AS id, row_number() OVER (ORDER BY sim DESC, vec_id) AS vrank FROM vs),
         |vr AS (SELECT id, vrank FROM vr0 WHERE vrank <= 20),
@@ -3769,29 +3781,7 @@ object SparkEntry {
         |FROM r WHERE rank <= 20""".stripMargin,
 
     "p120_bm25_topk" ->
-      """WITH q AS (SELECT DISTINCT unnest(list_distinct((regexp_extract_all(lower(text), '\S+'))[1:8])) AS term
-        |           FROM documents WHERE doc_id = 0),
-        |n AS (SELECT count(*) AS nd,
-        |        CAST(sum(len(regexp_extract_all(lower(text), '\S+'))) AS BIGINT) AS tt
-        |      FROM documents WHERE doc_id <> 0),
-        |t AS (SELECT doc_id,
-        |        CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS dl,
-        |        unnest(regexp_extract_all(lower(text), '\S+')) AS term
-        |      FROM documents WHERE doc_id <> 0),
-        |m AS (SELECT doc_id, term, max(dl) AS len, count(*) AS tf
-        |      FROM t JOIN q USING (term) GROUP BY 1, 2),
-        |dfq AS (SELECT term, count(*) AS df FROM m GROUP BY 1),
-        |idf AS (SELECT term,
-        |          CAST(round(1000000 * ln(1 + ((SELECT nd FROM n) - df + 0.5)
-        |                                      / (df + 0.5))) AS BIGINT) AS idf
-        |        FROM dfq),
-        |sc AS (SELECT m.doc_id,
-        |         CAST(sum((CAST(idf AS HUGEINT) * 44 * (SELECT tt FROM n) * tf)
-        |              // (CAST(20 AS HUGEINT) * (SELECT tt FROM n) * tf
-        |                  + CAST(6 AS HUGEINT) * (SELECT tt FROM n)
-        |                  + CAST(18 AS HUGEINT) * len * (SELECT nd FROM n)))
-        |           AS BIGINT) AS score
-        |       FROM m JOIN idf USING (term) GROUP BY 1),
+      s"""WITH $bm25CtesSql,
         |r AS (SELECT doc_id, score,
         |        row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
         |SELECT CAST(rank AS BIGINT) AS rank, doc_id, score
@@ -3821,8 +3811,8 @@ object SparkEntry {
         |       (SELECT CAST(coalesce(max(t - tp), 0) AS BIGINT) FROM s4)""".stripMargin,
 
     "p118_asof_window" ->
-      """WITH c AS (SELECT user_id, epoch_us(ts) AS cus, event_id AS click_id
-        |           FROM events WHERE event_type = 'click'),
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS cus, max(event_id) AS click_id
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
         |p AS (SELECT user_id, epoch_us(ts) AS pus, event_id AS purchase_id
         |      FROM events WHERE event_type = 'purchase')
         |SELECT p.purchase_id, CAST(p.user_id AS BIGINT) AS uid,
@@ -3882,10 +3872,14 @@ object SparkEntry {
         |FROM a JOIN f ON a.u = f.u GROUP BY 1, 2""".stripMargin,
 
     // Independent algorithm check: DuckDB's native ASOF JOIN vs the
-    // engine's union+running-last shape.
+    // engine's union+running-last shape. The c CTE pre-collapses clicks
+    // to max(click_id) per (user, µs) — the engine's same-instant
+    // max-struct tiebreak made explicit, so a regenerated fixture with
+    // same-microsecond clicks cannot make native ASOF's unspecified tie
+    // choice diverge.
     "p109_asof_attrib" ->
-      """WITH c AS (SELECT user_id, epoch_us(ts) AS cus, event_id AS click_id
-        |           FROM events WHERE event_type = 'click'),
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS cus, max(event_id) AS click_id
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
         |p AS (SELECT user_id, epoch_us(ts) AS pus, event_id AS purchase_id
         |      FROM events WHERE event_type = 'purchase')
         |SELECT p.purchase_id, CAST(p.user_id AS BIGINT) AS uid,

@@ -204,6 +204,10 @@ object Sketches {
       // arg-max by (gap desc, v asc) via one struct-max — deterministic
       .select(max(struct(col("gap"), (-col("v")).as("negv"),
         col("na"), col("nb"))).as("m"))
+      // empty input → the global agg emits one all-null row; one-side-
+      // empty → na·nb = 0 and D is undefined. Both return ZERO rows
+      // (the SQL-lineage contract), never a null or divide-by-zero row.
+      .filter(col("m").isNotNull && col("m.na") > 0 && col("m.nb") > 0)
       .select(col("m.na").cast("long").as("n_a"),
         col("m.nb").cast("long").as("n_b"),
         (-col("m.negv")).cast("long").as("at_value"),
@@ -284,6 +288,7 @@ object Sketches {
       .withColumn("gap", abs(col("si") * col("d") - col("i") * col("s")))
       .select(max(struct(col("gap"), (-col("bucket")).as("negb"),
         col("d"), col("s"))).as("m"))
+      .filter(col("m").isNotNull) // empty input → zero rows, not nulls
       .select(col("m.d").cast("long").as("n_buckets"),
         col("m.s").cast("long").as("total"),
         (-col("m.negb")).cast("long").as("at_bucket"),

@@ -422,12 +422,19 @@ object PipelineStream {
     * per-register last (= max) value equals the batch register table for
     * ANY arrival order; state is one long per (group, register), bounded
     * by groups·2^b. Consumers compact with a max rollup (metrics-sized).
+    *
+    * Wire contract: the group rides as its CANONICAL STRING form (cast
+    * below), so any group type the batch path accepts (lang strings,
+    * epoch-day longs) streams without a caller-side pre-cast; the
+    * register/rho values are group-type-independent, so the compacted
+    * table equals the batch table after casting grp to string.
     */
   def hllStream(docs: DataFrame, keyCol: String, groupCol: String,
       b: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.pipeline.Sketches.hllObservables(docs, keyCol, groupCol, b)
+      .withColumn("grp", col("grp").cast("string"))
       .as[(String, Long, Long)]
       .groupByKey { case (grp, register, _) => (grp, register) }
       .flatMapGroupsWithState[Long, HllReg](

@@ -350,6 +350,11 @@ class SketchSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)) ==
       ((4L, 4L, 2L, 500L)))
     assert(r.getDecimal(3).longValueExact() == 8L)
+    // empty / one-side-empty inputs: zero rows, never a null or /0 row
+    val empty = Seq.empty[Long].toDF("v")
+    assert(Sketches.ksDrift(empty, a, "v").collect().isEmpty)
+    assert(Sketches.ksDrift(empty, empty, "v").collect().isEmpty)
+    assert(Sketches.cusumChangePoint(empty, "v").collect().isEmpty)
   }
 
   test("funnel: earliest qualifying time feeds the next stage (not any later one)") {
