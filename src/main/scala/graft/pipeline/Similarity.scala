@@ -113,8 +113,14 @@ object Similarity {
       col(vecCol).as("va"))
     val b = dst.select(col(cellCol).as("cell"), col(idCol).as("ib"),
       col(vecCol).as("vb"))
+    // zero-norm vectors make the cosine NaN, and round(NaN).cast(long)
+    // THROWS under codegen (CAST_OVERFLOW) — map NaN to the −2.0
+    // sentinel (below any real cosine): such pairs rank last everywhere
+    // and the τ>0 / den>0 gates exclude them from the output. An oracle
+    // over data containing zero vectors needs the same coalesce.
     val ranked = a.join(b, Seq("cell"))
-      .withColumn("s", round(cosine("va", "vb") * lit(1e6)).cast("long"))
+      .withColumn("s",
+        round(nanvl(cosine("va", "vb"), lit(-2.0)) * lit(1e6)).cast("long"))
       .select(col("ia"), col("ib"), col("s"))
       .withColumn("ra", row_number().over(
         Window.partitionBy(col("ia")).orderBy(col("s").desc, col("ib"))))

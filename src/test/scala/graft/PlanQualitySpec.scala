@@ -184,6 +184,39 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("WindowGroupLimit") && !plan.contains("Window "), plan.take(1500))
   }
 
+  test("sketch family plans: one exchange each, map-side combined, no sort-agg") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 40L).map(i => (i, s"tok${i % 5} alpha beta", s"g${i % 3}"))
+      .toDF("doc_id", "text", "lang")
+    // HLL registers: projection + one partial/final hash aggregate pair
+    val hll = planOf(graft.pipeline.Sketches.hllRegisters(
+      docs.select(col("lang"), col("doc_id").as("k")), "k", "lang", 6))
+    assert("Exchange hashpartitioning".r.findAllIn(hll).size == 1, hll.take(1500))
+    assert(!hll.contains("SortAggregate"), hll.take(1500))
+    // CMS: explode + one aggregate pair — still a single exchange
+    val cms = planOf(graft.pipeline.Sketches.countMinSketch(docs, "text", 4, 64))
+    assert("Exchange hashpartitioning".r.findAllIn(cms).size == 1, cms.take(1500))
+    // event transitions: one window shuffle + one aggregate on different
+    // keys — two exchanges and nothing else, no join anywhere
+    val tr = planOf(graft.operators.EventOps.eventTransitions(
+      (0L until 40L).map(i => (i % 5, i, s"t${i % 3}")).toDF("u", "t", "et"),
+      "u", "t", "et"))
+    assert("Exchange hashpartitioning".r.findAllIn(tr).size == 2, tr.take(1500))
+    assert(!tr.contains("Join"), tr.take(1500))
+  }
+
+  test("margin mining plan: equi-joins only, never cartesian or nested-loop") {
+    import spark.implicits._
+    val vecs = (0L until 30L).map(i =>
+      (i, i % 3, Array.fill(4)((i % 7).toFloat))).toDF("vec_id", "label", "embedding")
+    val plan = planOf(graft.pipeline.Similarity.marginMine(
+      vecs.filter($"vec_id" % 2 === 0), vecs.filter($"vec_id" % 2 === 1),
+      "vec_id", "embedding", "label", kMargin = 2, tauPermille = 1000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(2000))
+  }
+
   test("span dedup: hash aggregates and equi-joins only — no cartesian, no sort-agg") {
     import spark.implicits._
     val docs = (0L until 40L).map(i =>
