@@ -958,6 +958,15 @@ object SparkEntry {
       graft.pipeline.Sketches.cmsLookup(sk, queries, "tok", d = 4, w = 512)
     }),
 
+    // Segment-level language consistency (the CCNet per-paragraph
+    // check): segments disagreeing with the doc-level langId label —
+    // the mixed-language review queue.
+    "p129_mixed_language" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.TextAnalysis.languageConsistency(
+        table(s, dir, "documents"), "doc_id", "text", " merge ")
+    }),
+
     // Robust per-source outlier flags: |v − median| > 3·MAD on token
     // count — two histogram-median passes, all integers, no floats.
     "p127_mad_outliers" -> ((s, dir) => {
@@ -2595,6 +2604,22 @@ object SparkEntry {
       |SELECT CAST(r AS BIGINT) AS "row", bucket, count(*) AS cnt
       |FROM x GROUP BY 1, 2""".stripMargin
 
+  /** The p05 stopword-score langId CASE over an arbitrary text SQL
+    * expression — shared by the doc-level (p05) and segment-level
+    * (p129) labels so the heuristic cannot drift between grains.
+    */
+  private def langIdSql(t: String): String = {
+    def sc(words: String) =
+      s"len(regexp_extract_all(lower($t), '\\b($words)\\b'))"
+    val de = sc("der|die|und|das|ist|ein")
+    val en = sc("the|and|of|to|in|is")
+    val es = sc("el|la|de|que|y|en")
+    val fr = sc("le|la|de|et|les|un")
+    s"(CASE WHEN $de >= $en AND $de >= $es AND $de >= $fr THEN 'de' " +
+      s"WHEN $en >= $es AND $en >= $fr THEN 'en' " +
+      s"WHEN $es >= $fr THEN 'es' ELSE 'fr' END)"
+  }
+
   /** Shared DuckDB CTE prologue for the fixed-point BM25 score (doc_id,
     * score in `sc`) — p120 ranks it directly, p122 fuses it with the
     * vector arm. ONE definition so the k1/b rationals and the idf
@@ -3642,6 +3667,17 @@ object SparkEntry {
         |       FROM q, (SELECT unnest([0, 1, 2, 3]) AS r) rr)
         |SELECT tok, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
         |FROM qb LEFT JOIN cells USING (r, bucket) GROUP BY 1""".stripMargin,
+
+    "p129_mixed_language" ->
+      s"""WITH ps AS (SELECT doc_id, string_split_regex(text, ' merge ') AS arr
+        |            FROM documents),
+        |p0 AS (SELECT doc_id, trim(unnest(arr)) AS para FROM ps),
+        |p AS (SELECT * FROM p0 WHERE para <> ''),
+        |dl AS (SELECT doc_id, ${langIdSql("text")} AS doc_lang FROM documents)
+        |SELECT p.doc_id AS id, dl.doc_lang, count(*) AS n_segments,
+        |       CAST(sum(CASE WHEN ${langIdSql("para")} <> dl.doc_lang
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree
+        |FROM p JOIN dl USING (doc_id) GROUP BY 1, 2""".stripMargin,
 
     "p127_mad_outliers" ->
       """WITH d AS (SELECT doc_id AS id, source AS grp,

@@ -95,6 +95,28 @@ object TextAnalysis {
       .otherwise("fr")
   }
 
+  /** Segment-level language consistency (the CCNet practice of
+    * language-identifying PARAGRAPHS, because web documents mix
+    * languages and a doc-level label hides embedded foreign passages):
+    * each document's segments run the same [[langId]] heuristic, and
+    * the report counts segments disagreeing with the doc-level label.
+    * Returns (id, doc_lang, n_segments, n_disagree) — n_disagree > 0 is
+    * the mixed-language review queue. One split explode + one per-doc
+    * aggregate; every scoring expression is the shared langId
+    * definition, so doc and segment labels cannot drift.
+    */
+  def languageConsistency(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, delimRegex: String): org.apache.spark.sql.DataFrame =
+    Dedup.paragraphs(
+        df.select(col(idCol).as("id"), col(textCol).as("text")),
+        "id", "text", delimRegex)
+      .join(df.select(col(idCol).as("id"), langId(col(textCol)).as("doc_lang")),
+        Seq("id"))
+      .groupBy(col("id"), col("doc_lang"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum((langId(col("para")) =!= col("doc_lang")).cast("long"))
+          .as("n_disagree"))
+
   /** Integer quality features (exact, no float drift): char/alpha/digit/
     * whitespace counts + a keep flag (≥50 chars and ≥50% alphabetic).
     */

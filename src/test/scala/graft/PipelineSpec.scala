@@ -2552,6 +2552,22 @@ class PipelineSpec extends SparkSpec {
     assert(!out.contains(6L))
   }
 
+  test("language consistency: embedded foreign paragraph flags, pure docs stay clean") {
+    import spark.implicits._
+    val en = "the cat and the dog in the house is big and the end"
+    val de = "der hund und die katze ist ein tier und das haus"
+    val d = Seq(
+      (1L, s"$en ||| $en ||| $de"), // mixed: 2 en + 1 de, doc label en
+      (2L, s"$en ||| $en"),
+      (3L, de))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.languageConsistency(d, "doc_id", "text", "\\|\\|\\|")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == (("en", 3L, 1L)), got.toString)
+    assert(got(2L) == (("en", 2L, 0L)))
+    assert(got(3L) == (("de", 1L, 0L)))
+  }
+
   test("margin mining: planted alignment passes, hub region fails, cells prune") {
     import spark.implicits._
     // cell 0: src 1 aligns with dst 11 (identical direction), while dst
