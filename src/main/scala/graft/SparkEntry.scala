@@ -958,6 +958,25 @@ object SparkEntry {
       graft.pipeline.Sketches.cmsLookup(sk, queries, "tok", d = 4, w = 512)
     }),
 
+    // Streaming twin of p127: the trained med/mad artifact broadcasts
+    // against the doc feed, stateless per-arrival flags — gated under
+    // the SAME oracle (arrival-order-insensitive).
+    "p130_stream_outliers" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.pipeline.TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("n_tokens"))
+      val thresholds = graft.pipeline.Sketches
+        .madThresholds(docs, "n_tokens", "source")
+        .localCheckpoint() // the trained artifact: built once
+      runStream(s, "p130", dir, docs, 3)(st =>
+        graft.streaming.PipelineStream.outlierStream(
+          st, "doc_id", "n_tokens", "source", thresholds, k = 3))
+        .select(col("id"), col("grp"), col("v"), col("med"), col("mad"),
+          col("outlier"))
+    }),
+
     // Segment-level language consistency (the CCNet per-paragraph
     // check): segments disagreeing with the doc-level langId label —
     // the mixed-language review queue.
@@ -2604,6 +2623,30 @@ object SparkEntry {
       |SELECT CAST(r AS BIGINT) AS "row", bucket, count(*) AS cnt
       |FROM x GROUP BY 1, 2""".stripMargin
 
+  /** Shared DuckDB lineage for the per-source MAD outlier flags — p127
+    * gates the batch pass, p130 the streaming gate under the trained
+    * med/mad artifact (same flags for any arrival order).
+    */
+  private lazy val madOutliersOracleSql: String =
+    """WITH d AS (SELECT doc_id AS id, source AS grp,
+      |             CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS v
+      |           FROM documents),
+      |h AS (SELECT grp, v, count(*) AS c FROM d GROUP BY 1, 2),
+      |cm AS (SELECT grp, v,
+      |         sum(c) OVER (PARTITION BY grp ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+      |         sum(c) OVER (PARTITION BY grp) AS n FROM h),
+      |med AS (SELECT grp, min(v) AS med FROM cm WHERE cum >= (n + 1) // 2 GROUP BY 1),
+      |dev AS (SELECT d.id, d.grp, d.v, med.med, abs(d.v - med.med) AS adev
+      |        FROM d JOIN med USING (grp)),
+      |h2 AS (SELECT grp, adev, count(*) AS c FROM dev GROUP BY 1, 2),
+      |cm2 AS (SELECT grp, adev,
+      |          sum(c) OVER (PARTITION BY grp ORDER BY adev ROWS UNBOUNDED PRECEDING) AS cum,
+      |          sum(c) OVER (PARTITION BY grp) AS n FROM h2),
+      |mad AS (SELECT grp, min(adev) AS mad FROM cm2 WHERE cum >= (n + 1) // 2 GROUP BY 1)
+      |SELECT dev.id, dev.grp, dev.v, dev.med, mad.mad,
+      |       CAST(dev.adev > mad.mad * 3 AS BIGINT) AS outlier
+      |FROM dev JOIN mad USING (grp)""".stripMargin
+
   /** The p05 stopword-score langId CASE over an arbitrary text SQL
     * expression — shared by the doc-level (p05) and segment-level
     * (p129) labels so the heuristic cannot drift between grains.
@@ -3679,25 +3722,9 @@ object SparkEntry {
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree
         |FROM p JOIN dl USING (doc_id) GROUP BY 1, 2""".stripMargin,
 
-    "p127_mad_outliers" ->
-      """WITH d AS (SELECT doc_id AS id, source AS grp,
-        |             CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS v
-        |           FROM documents),
-        |h AS (SELECT grp, v, count(*) AS c FROM d GROUP BY 1, 2),
-        |cm AS (SELECT grp, v,
-        |         sum(c) OVER (PARTITION BY grp ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
-        |         sum(c) OVER (PARTITION BY grp) AS n FROM h),
-        |med AS (SELECT grp, min(v) AS med FROM cm WHERE cum >= (n + 1) // 2 GROUP BY 1),
-        |dev AS (SELECT d.id, d.grp, d.v, med.med, abs(d.v - med.med) AS adev
-        |        FROM d JOIN med USING (grp)),
-        |h2 AS (SELECT grp, adev, count(*) AS c FROM dev GROUP BY 1, 2),
-        |cm2 AS (SELECT grp, adev,
-        |          sum(c) OVER (PARTITION BY grp ORDER BY adev ROWS UNBOUNDED PRECEDING) AS cum,
-        |          sum(c) OVER (PARTITION BY grp) AS n FROM h2),
-        |mad AS (SELECT grp, min(adev) AS mad FROM cm2 WHERE cum >= (n + 1) // 2 GROUP BY 1)
-        |SELECT dev.id, dev.grp, dev.v, dev.med, mad.mad,
-        |       CAST(dev.adev > mad.mad * 3 AS BIGINT) AS outlier
-        |FROM dev JOIN mad USING (grp)""".stripMargin,
+    "p127_mad_outliers" -> madOutliersOracleSql,
+
+    "p130_stream_outliers" -> madOutliersOracleSql,
 
     "p128_event_transitions" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et

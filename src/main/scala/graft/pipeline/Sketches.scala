@@ -245,19 +245,28 @@ object Sketches {
     * row: (id, grp, v, med, mad, outlier 0/1).
     */
   def madOutliers(df: DataFrame, idCol: String, valueCol: String,
-      groupCol: String, k: Int = 3): DataFrame = {
-    val d = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+      groupCol: String, k: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"), col(groupCol).as("grp"),
         col(valueCol).cast("long").as("v"))
-      .localCheckpoint(false) // feeds both median passes + the final join
-    val med = groupedMedian(d, "v", "grp")
-    val dev = d.join(med, Seq("grp"))
-      .withColumn("adev", abs(col("v") - col("med")))
-      .localCheckpoint(false)
-    val mad = groupedMedian(dev, "adev", "grp")
-      .withColumnRenamed("med", "mad")
-    dev.join(mad, Seq("grp"))
+      .join(broadcast(madThresholds(df, valueCol, groupCol)), Seq("grp"))
       .select(col("id"), col("grp"), col("v"), col("med"), col("mad"),
-        (col("adev") > col("mad") * k).cast("long").as("outlier"))
+        (abs(col("v") - col("med")) > col("mad") * k).cast("long").as("outlier"))
+
+  /** The trained (grp, med, mad) artifact behind [[madOutliers]] —
+    * groups-sized, broadcastable, and the model a STREAMING gate
+    * ([[graft.streaming.PipelineStream.outlierStream]]) applies to a
+    * feed; one definition so batch and stream flags cannot drift.
+    */
+  def madThresholds(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val d = df.select(col(groupCol).as("grp"),
+        col(valueCol).cast("long").as("v"))
+      .localCheckpoint(false) // feeds both median passes
+    val med = groupedMedian(d, "v", "grp")
+    val mad = groupedMedian(
+      d.join(med, Seq("grp")).withColumn("adev", abs(col("v") - col("med"))),
+      "adev", "grp").withColumnRenamed("med", "mad")
+    med.join(mad, Seq("grp"))
   }
 
   /** CUSUM-style change-point detection over a counted time series:

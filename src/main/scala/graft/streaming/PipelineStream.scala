@@ -484,6 +484,23 @@ object PipelineStream {
       .toDF()
   }
 
+  /** Streaming MAD outlier gate — the trained
+    * [[graft.pipeline.Sketches.madThresholds]] artifact (groups-sized)
+    * broadcasts against the feed, and each arrival flags statelessly
+    * with the SAME comparison the batch [[graft.pipeline.Sketches.madOutliers]]
+    * applies — arrival-order-insensitive by construction, no state at
+    * all. Arrivals in groups absent from the artifact drop (inner
+    * join): a new source has no trained median yet and belongs in the
+    * next training pass, not silently unflagged.
+    */
+  def outlierStream(docs: DataFrame, idCol: String, valueCol: String,
+      groupCol: String, thresholds: DataFrame, k: Int = 3): DataFrame =
+    docs.select(col(idCol).as("id"), col(groupCol).as("grp"),
+        col(valueCol).cast("long").as("v"))
+      .join(broadcast(thresholds), Seq("grp"))
+      .select(col("id"), col("grp"), col("v"), col("med"), col("mad"),
+        (abs(col("v") - col("med")) > col("mad") * k).cast("long").as("outlier"))
+
   /** Streaming bigram-LM transition scoring: each arriving doc's
     * transitions join the STATIC trained model
     * ([[TextAnalysis.trainBigramLm]] artifact — a stream-static left
