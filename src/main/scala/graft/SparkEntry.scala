@@ -958,6 +958,17 @@ object SparkEntry {
       graft.pipeline.Sketches.cmsLookup(sk, queries, "tok", d = 4, w = 512)
     }),
 
+    // Content-defined chunking: rolling-hash boundaries (hash mod 64 ==
+    // 0) — chunk-grain dedup that survives insertions, unlike fixed
+    // token windows (the rsync/LBFS rule on text).
+    "p131_cdc_chunks" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Dedup.cdcChunks(
+        table(s, dir, "documents"), "doc_id", "text",
+        window = 16, mask = 64)
+        .select(col("id").as("doc_id"), col("start"), col("fp"))
+    }),
+
     // Streaming twin of p127: the trained med/mad artifact broadcasts
     // against the doc feed, stateless per-arrival flags — gated under
     // the SAME oracle (arrival-order-insensitive).
@@ -3710,6 +3721,25 @@ object SparkEntry {
         |       FROM q, (SELECT unnest([0, 1, 2, 3]) AS r) rr)
         |SELECT tok, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
         |FROM qb LEFT JOIN cells USING (r, bucket) GROUP BY 1""".stripMargin,
+
+    "p131_cdc_chunks" ->
+      s"""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+        |           FROM documents),
+        |b AS (SELECT doc_id, t, CAST(length(t) AS BIGINT) AS l,
+        |        list_filter(generate_series(1, greatest(length(t) - 15, 0)),
+        |          i -> i > 1 AND ${hash60Sql("substr(t, CAST(i AS INT), 16)")} % 64 = 0) AS cuts
+        |      FROM n),
+        |s AS (SELECT doc_id, t,
+        |        list_prepend(CAST(1 AS BIGINT), cuts) AS starts,
+        |        list_append(list_transform(cuts, c -> c - 1), l) AS ends
+        |      FROM b),
+        |z AS (SELECT doc_id,
+        |        unnest(list_transform(generate_series(1, len(starts)),
+        |          j -> {'start': starts[j],
+        |                'fp': md5(substr(t, CAST(starts[j] AS INT),
+        |                                 CAST(ends[j] - starts[j] + 1 AS INT)))})) AS ch
+        |      FROM s)
+        |SELECT doc_id, ch.start AS start, ch.fp AS fp FROM z""".stripMargin,
 
     "p129_mixed_language" ->
       s"""WITH ps AS (SELECT doc_id, string_split_regex(text, ' merge ') AS arr

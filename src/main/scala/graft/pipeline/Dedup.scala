@@ -178,6 +178,44 @@ object Dedup {
         (col("sza") + col("szb") - col("inter")).as("uni"))
   }
 
+  /** Content-defined chunking (the rsync/LBFS boundary rule applied to
+    * text): cut where the rolling window hash satisfies
+    * hash60(window) mod `mask` == 0, chunks = the spans between cuts.
+    * Unlike fixed token windows (p24/p90), the boundaries RE-SYNC after
+    * an edit — inserting a sentence shifts every fixed chunk after it
+    * but only perturbs the one CDC chunk containing the edit, so
+    * chunk-grain dedup stays exact under insertion (the property
+    * backup/dedup systems buy with this rule). Expected chunk length ≈
+    * mask chars. Whole computation is one projection over the
+    * normalized text (the p16 rolling-hash cost model: len window
+    * hashes per doc, no shuffle); docs shorter than `window` (or
+    * boundary-free) emit one whole-doc chunk. Returns one row per
+    * chunk: (id, start, fp).
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 16, mask: Int = 64): DataFrame = {
+    require(window >= 2 && mask >= 2, s"window=$window mask=$mask out of range")
+    val norm = TextAnalysis.normalized(col(textCol))
+    val base = df.select(col(idCol).as("id"), norm.as("t"))
+      .withColumn("l", length(col("t")).cast("long"))
+    // Spark's sequence(1, 0) counts DOWN — guard the short-doc case
+    val positions = when(col("l") >= window,
+      sequence(lit(1L), col("l") - (window - 1)))
+      .otherwise(array().cast("array<bigint>"))
+    base
+      .withColumn("cuts", filter(positions, i =>
+        i > 1L && TextAnalysis.hash60(
+          col("t").substr(i.cast("int"), lit(window))) % mask === 0L))
+      .withColumn("starts", concat(array(lit(1L)), col("cuts")))
+      .withColumn("ends", concat(
+        transform(col("cuts"), c => c - 1L), array(col("l"))))
+      .select(col("id"), posexplode(zip_with(col("starts"), col("ends"),
+        (s, e) => struct(s.as("start"),
+          md5(encode(col("t").substr(s.cast("int"),
+            (e - s + 1L).cast("int")), "UTF-8")).as("fp")))).as(Seq("_p", "ch")))
+      .select(col("id"), col("ch.start").as("start"), col("ch.fp").as("fp"))
+  }
+
   /** Containment near-dup (Broder): flag pairs where the SMALLER
     * shingle set sits mostly inside the larger —
     * inter/min(|A|,|B|) ≥ τ. Catches quote-inclusion and

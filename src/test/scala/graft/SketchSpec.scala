@@ -251,6 +251,32 @@ class SketchSpec extends SparkSpec {
     assert(got == Map(("A", "B") -> 1L, ("B", "A") -> 2L))
   }
 
+  test("cdc chunks: boundaries re-sync after an insertion; short docs emit one chunk") {
+    import graft.pipeline.Dedup
+    val rnd = new scala.util.Random(7)
+    val body = (0 until 400).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val edited = body.substring(0, 30) + " INSERTED CLAUSE HERE " + body.substring(30)
+    val docs = Seq((1L, body), (2L, edited), (3L, "tiny")).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(docs, "doc_id", "text", window = 16, mask = 32)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    val fp1 = ch.filter(_._1 == 1L).map(_._2)
+    val fp2 = ch.filter(_._1 == 2L).map(_._2)
+    // the tail chunks re-sync: most of doc 1's chunks survive verbatim in
+    // doc 2 even though every absolute position after char 30 shifted
+    val shared = fp1.toSet.intersect(fp2.toSet).size
+    assert(fp1.length >= 5, s"want several chunks, got ${fp1.length}")
+    assert(shared >= fp1.length - 2,
+      s"only $shared of ${fp1.length} chunks survived the insertion")
+    // a fixed-width chunking at the same grain shares NOTHING after the
+    // edit: every 32-char-aligned window past position 30 shifted
+    val fixed1 = body.grouped(32).toSeq
+    val fixed2 = edited.grouped(32).toSeq
+    assert(fixed1.toSet.intersect(fixed2.toSet).size <= 1)
+    // short doc: one whole-doc chunk at start 1
+    val tiny = ch.filter(_._1 == 3L)
+    assert(tiny.length == 1)
+  }
+
   test("containment flags quote-inclusion that symmetric Jaccard misses") {
     import graft.pipeline.Dedup
     val quote = "alpha beta gamma delta epsilon zeta"
