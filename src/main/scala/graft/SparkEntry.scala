@@ -969,6 +969,41 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("start"), col("fp"))
     }),
 
+    // CDC-grain dedup census: the p131 chunk relation rolled to one row
+    // per DISTINCT chunk (keeper = first occurrence, copy count) — the
+    // insertion-robust twin of the p90 fixed-window census.
+    "p132_cdc_census" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Dedup.cdcChunks(
+        table(s, dir, "documents"), "doc_id", "text",
+        window = 16, mask = 64)
+        .groupBy(col("fp"))
+        .agg(min(struct(col("id"), col("start"))).as("m"),
+          count(lit(1)).as("n_copies"))
+        .select(col("fp"), col("m.id").as("keep_doc"),
+          col("m.start").as("keep_start"), col("n_copies"))
+    }),
+
+    // Attributed-revenue rollup: each purchase's value credited to its
+    // last click's day (the p109 as-of lineage rolled to the business
+    // readout); values micro-quantized before the sum so the rollup is
+    // integer-exact. Unattributed purchases land in day -1.
+    "p133_attributed_revenue" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tus"),
+          col("event_type"), col("event_id"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tus"),
+          round(col("value") * 1e6).cast("long").as("rev_micro"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tus"), col("event_id").as("click_id"))
+      graft.operators.EventOps.asOfJoin(purchases, clicks, Seq("user_id"), "tus")
+        .groupBy(coalesce(expr("q_tus div 86400000000"), lit(-1L)).as("click_day"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("rev_micro")).as("revenue_micro"))
+    }),
+
     // Streaming twin of p127: the trained med/mad artifact broadcasts
     // against the doc feed, stateless per-arrival flags — gated under
     // the SAME oracle (arrival-order-insensitive).
@@ -3721,6 +3756,43 @@ object SparkEntry {
         |       FROM q, (SELECT unnest([0, 1, 2, 3]) AS r) rr)
         |SELECT tok, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
         |FROM qb LEFT JOIN cells USING (r, bucket) GROUP BY 1""".stripMargin,
+
+    "p132_cdc_census" ->
+      s"""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+        |           FROM documents),
+        |b AS (SELECT doc_id, t, CAST(length(t) AS BIGINT) AS l,
+        |        list_filter(generate_series(1, greatest(length(t) - 15, 0)),
+        |          i -> i > 1 AND ${hash60Sql("substr(t, CAST(i AS INT), 16)")} % 64 = 0) AS cuts
+        |      FROM n),
+        |s AS (SELECT doc_id, t,
+        |        list_prepend(CAST(1 AS BIGINT), cuts) AS starts,
+        |        list_append(list_transform(cuts, c -> c - 1), l) AS ends
+        |      FROM b),
+        |z AS (SELECT doc_id,
+        |        unnest(list_transform(generate_series(1, len(starts)),
+        |          j -> {'start': starts[j],
+        |                'fp': md5(substr(t, CAST(starts[j] AS INT),
+        |                                 CAST(ends[j] - starts[j] + 1 AS INT)))})) AS ch
+        |      FROM s),
+        |c AS (SELECT ch.fp AS fp, doc_id, ch.start AS start,
+        |        row_number() OVER (PARTITION BY ch.fp ORDER BY doc_id, ch.start) AS rn,
+        |        count(*) OVER (PARTITION BY ch.fp) AS n_copies
+        |      FROM z)
+        |SELECT fp, doc_id AS keep_doc, start AS keep_start, n_copies
+        |FROM c WHERE rn = 1""".stripMargin,
+
+    "p133_attributed_revenue" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS cus, max(event_id) AS click_id
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT user_id, epoch_us(ts) AS pus,
+        |        CAST(round(value * 1000000) AS BIGINT) AS rev_micro
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT coalesce(c.cus // 86400000000, -1) AS click_day,
+        |       count(*) AS n_purchases,
+        |       CAST(sum(p.rev_micro) AS BIGINT) AS revenue_micro
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.pus >= c.cus
+        |GROUP BY 1""".stripMargin,
 
     "p131_cdc_chunks" ->
       s"""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
