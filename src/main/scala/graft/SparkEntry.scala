@@ -969,6 +969,17 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("start"), col("fp"))
     }),
 
+    // Streaming CDC registry: first arrivals register per distinct
+    // content-defined chunk (one state row per DISTINCT chunk — the p96
+    // pattern at the insertion-robust grain).
+    "p134_stream_cdc_registry" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      runStream(s, "p134", dir,
+        table(s, dir, "documents").select(col("doc_id"), col("text")), 3)(st =>
+        graft.streaming.PipelineStream.cdcRegistry(
+          st, "doc_id", "text", window = 16, mask = 64))
+    }),
+
     // CDC-grain dedup census: the p131 chunk relation rolled to one row
     // per DISTINCT chunk (keeper = first occurrence, copy count) — the
     // insertion-robust twin of the p90 fixed-window census.
@@ -3756,6 +3767,24 @@ object SparkEntry {
         |       FROM q, (SELECT unnest([0, 1, 2, 3]) AS r) rr)
         |SELECT tok, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
         |FROM qb LEFT JOIN cells USING (r, bucket) GROUP BY 1""".stripMargin,
+
+    "p134_stream_cdc_registry" ->
+      s"""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+        |           FROM documents),
+        |b AS (SELECT doc_id, t, CAST(length(t) AS BIGINT) AS l,
+        |        list_filter(generate_series(1, greatest(length(t) - 15, 0)),
+        |          i -> i > 1 AND ${hash60Sql("substr(t, CAST(i AS INT), 16)")} % 64 = 0) AS cuts
+        |      FROM n),
+        |s AS (SELECT doc_id, t,
+        |        list_prepend(CAST(1 AS BIGINT), cuts) AS starts,
+        |        list_append(list_transform(cuts, c -> c - 1), l) AS ends
+        |      FROM b),
+        |z AS (SELECT doc_id,
+        |        unnest(list_transform(generate_series(1, len(starts)),
+        |          j -> md5(substr(t, CAST(starts[j] AS INT),
+        |                          CAST(ends[j] - starts[j] + 1 AS INT))))) AS fp
+        |      FROM s)
+        |SELECT DISTINCT fp FROM z""".stripMargin,
 
     "p132_cdc_census" ->
       s"""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t

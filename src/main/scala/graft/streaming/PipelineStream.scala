@@ -63,6 +63,21 @@ object PipelineStream {
       .dropDuplicates("fp")
       .select(col("fp"), col("n_tokens"))
 
+  /** Streaming CDC-chunk registry — the [[chunkRegistry]] pattern at the
+    * content-defined grain: arriving docs chunk through the batch
+    * [[graft.pipeline.Dedup.cdcChunks]] lineage (the ONE boundary
+    * definition) and first arrivals register per distinct chunk
+    * fingerprint; `dropDuplicates(fp)` keeps one state row per DISTINCT
+    * chunk, so re-crawled near-identical pages (the CDC insertion-robust
+    * case) add only their perturbed chunks to state. Emits (fp,
+    * chunk_len), arrival-order-insensitive by construction.
+    */
+  def cdcRegistry(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, mask: Int): DataFrame =
+    graft.pipeline.Dedup.cdcChunks(docs, idCol, textCol, window, mask)
+      .dropDuplicates("fp")
+      .select(col("fp"))
+
   /** Streaming quality gate: the batch keep-flag + repetition-free checks
     * as a stateless filter (no state at all — quality signals are
     * per-document expressions, so the gate composes with any stream).
