@@ -969,6 +969,17 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("start"), col("fp"))
     }),
 
+    // Flesch reading-ease in exact milli-points (fixed-point rational
+    // coefficients, truncating div both engines) — the classic
+    // readability quality feature.
+    "p135_readability" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.TextAnalysis.readability(
+        table(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"), col("flesch_milli"))
+    }),
+
     // Streaming CDC registry: first arrivals register per distinct
     // content-defined chunk (one state row per DISTINCT chunk — the p96
     // pattern at the insertion-robust grain).
@@ -3767,6 +3778,18 @@ object SparkEntry {
         |       FROM q, (SELECT unnest([0, 1, 2, 3]) AS r) rr)
         |SELECT tok, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
         |FROM qb LEFT JOIN cells USING (r, bucket) GROUP BY 1""".stripMargin,
+
+    "p135_readability" ->
+      """WITH d AS (SELECT doc_id,
+        |             CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n_words,
+        |             CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences,
+        |             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+        |           FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |       CASE WHEN n_words > 0 AND n_sentences > 0
+        |            THEN 206835 - (1015 * n_words) // n_sentences
+        |                 - (84600 * n_syllables) // n_words END AS flesch_milli
+        |FROM d""".stripMargin,
 
     "p134_stream_cdc_registry" ->
       s"""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t

@@ -95,6 +95,29 @@ object TextAnalysis {
       .otherwise("fr")
   }
 
+  /** Flesch reading-ease in exact MILLI-points — the classic
+    * readability quality feature with its rational coefficients kept in
+    * fixed point: flesch_milli = 206835 − (1015·W) div S − (84600·Y)
+    * div W, where W = whitespace words, S = sentence terminators
+    * ([.!?] runs), Y = syllable proxy (vowel-group [aeiouy]+ runs, the
+    * standard heuristic). Each term truncates (defined fixed-point
+    * semantics a SQL `//` mirrors on these non-negative counts);
+    * word-free or sentence-free docs yield NULL rather than an
+    * engine-dependent division error. Pure projection, no shuffle.
+    */
+  def readability(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("id"),
+        tokenCount(col(textCol)).cast("long").as("n_words"),
+        size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
+          .cast("long").as("n_sentences"),
+        size(regexp_extract_all(lower(col(textCol)), lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("n_syllables"))
+      .withColumn("flesch_milli",
+        when(col("n_words") > 0 && col("n_sentences") > 0,
+          lit(206835L) - expr("1015 * n_words div n_sentences")
+            - expr("84600 * n_syllables div n_words")))
+
   /** Segment-level language consistency (the CCNet practice of
     * language-identifying PARAGRAPHS, because web documents mix
     * languages and a doc-level label hides embedded foreign passages):

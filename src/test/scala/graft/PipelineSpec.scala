@@ -2552,6 +2552,23 @@ class PipelineSpec extends SparkSpec {
     assert(!out.contains(6L))
   }
 
+  test("readability: exact fixed-point Flesch, easy text above dense text, guards null") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "The cat sat. The dog ran. It is fun."),   // short words, short sentences
+      (2L, "Extraordinarily complicated terminological considerations " +
+        "necessitate exhaustive interdisciplinary collaboration."), // 1 sentence, long words
+      (3L, "no terminator here"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    // doc 1: W=9, S=3, Y=9 -> 206835 - 3045 - 84600 = 119190
+    assert(got(1L) == ((9L, Some(119190L))), got.toString)
+    assert(got(2L)._2.get < got(1L)._2.get) // dense text reads harder
+    assert(got(3L)._2.isEmpty && got(4L)._2.isEmpty) // no sentences / no words
+  }
+
   test("language consistency: embedded foreign paragraph flags, pure docs stay clean") {
     import spark.implicits._
     val en = "the cat and the dog in the house is big and the end"
