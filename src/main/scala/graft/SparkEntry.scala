@@ -969,6 +969,21 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("start"), col("fp"))
     }),
 
+    // Funnel segmented by acquisition cohort: each user's segment is
+    // the k-bucket of their FIRST event's props payload — per-segment
+    // conversion counts, stages × segments rows.
+    "p136_segmented_funnel" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.operators.EventOps.funnelSegmented(
+        table(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("tus"),
+            col("event_type"),
+            expr("CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) div 25")
+              .as("kseg")),
+        "user_id", "tus", "event_type", "kseg",
+        Seq("signup", "view", "click", "purchase"))
+    }),
+
     // Flesch reading-ease in exact milli-points (fixed-point rational
     // coefficients, truncating div both engines) — the classic
     // readability quality feature.
@@ -3779,6 +3794,29 @@ object SparkEntry {
         |SELECT tok, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
         |FROM qb LEFT JOIN cells USING (r, bucket) GROUP BY 1""".stripMargin,
 
+    "p136_segmented_funnel" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et,
+        |             CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) // 25 AS sv
+        |           FROM events),
+        |seg AS (SELECT u, (min({'t': t, 'sv': sv})).sv AS segment
+        |        FROM e GROUP BY 1),
+        |s1 AS (SELECT u, min(t) AS t FROM e WHERE et = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.u AS u, min(e.t) AS t FROM e JOIN s1 ON e.u = s1.u
+        |       AND e.t > s1.t WHERE e.et = 'view' GROUP BY 1),
+        |s3 AS (SELECT e.u AS u, min(e.t) AS t FROM e JOIN s2 ON e.u = s2.u
+        |       AND e.t > s2.t WHERE e.et = 'click' GROUP BY 1),
+        |s4 AS (SELECT e.u AS u, min(e.t) AS t FROM e JOIN s3 ON e.u = s3.u
+        |       AND e.t > s3.t WHERE e.et = 'purchase' GROUP BY 1)
+        |SELECT seg.segment, CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage,
+        |       count(*) AS n_users
+        |FROM s1 JOIN seg USING (u) GROUP BY 1
+        |UNION ALL SELECT seg.segment, 2, 'view', count(*)
+        |FROM s2 JOIN seg USING (u) GROUP BY 1
+        |UNION ALL SELECT seg.segment, 3, 'click', count(*)
+        |FROM s3 JOIN seg USING (u) GROUP BY 1
+        |UNION ALL SELECT seg.segment, 4, 'purchase', count(*)
+        |FROM s4 JOIN seg USING (u) GROUP BY 1""".stripMargin,
+
     "p135_readability" ->
       """WITH d AS (SELECT doc_id,
         |             CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n_words,
@@ -4162,7 +4200,7 @@ object SparkEntry {
         |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
         |      FROM embeddings a JOIN embeddings b
         |        ON a.label = b.label AND a.vec_id < b.vec_id
-        |      WHERE list_cosine_similarity(a.embedding, b.embedding) * 1000 >= 420),
+        |      WHERE list_cosine_similarity((a.embedding)::DOUBLE[], (b.embedding)::DOUBLE[]) * 1000 >= 420),
         |e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib AS a, ia AS b FROM p),
         |walk(id, comp) AS (
         |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
@@ -4233,14 +4271,14 @@ object SparkEntry {
 
     "p09_ann_topk" ->
       """WITH s AS (SELECT vec_id,
-        |  list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS sim
+        |  list_cosine_similarity((embedding)::DOUBLE[], ((SELECT embedding FROM embeddings WHERE vec_id = 0))::DOUBLE[]) AS sim
         |  FROM embeddings WHERE vec_id <> 0),
         |r AS (SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank FROM s)
         |SELECT rank, vec_id FROM r WHERE rank <= 10""".stripMargin,
 
     "p10_ann_ivf" ->
       """WITH s AS (SELECT vec_id,
-        |  list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS sim
+        |  list_cosine_similarity((embedding)::DOUBLE[], ((SELECT embedding FROM embeddings WHERE vec_id = 0))::DOUBLE[]) AS sim
         |  FROM embeddings
         |  WHERE vec_id <> 0 AND label = (SELECT label FROM embeddings WHERE vec_id = 0)),
         |r AS (SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank FROM s)
@@ -4249,7 +4287,7 @@ object SparkEntry {
     "p18_ann_batch" ->
       """WITH s AS (
         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
-        |         list_cosine_similarity(c.embedding, q.embedding) AS sim
+        |         list_cosine_similarity((c.embedding)::DOUBLE[], (q.embedding)::DOUBLE[]) AS sim
         |  FROM embeddings c, embeddings q
         |  WHERE q.vec_id < 5 AND c.vec_id >= 5),
         |r AS (SELECT qid, vec_id,
@@ -4260,7 +4298,7 @@ object SparkEntry {
     "p11_embed_pairs" ->
       """WITH p AS (
         |  SELECT a.label AS cell, a.vec_id AS ia, b.vec_id AS ib,
-        |         list_cosine_similarity(a.embedding, b.embedding) AS sim
+        |         list_cosine_similarity((a.embedding)::DOUBLE[], (b.embedding)::DOUBLE[]) AS sim
         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id),
         |r AS (SELECT cell, ia, ib,
         |        row_number() OVER (PARTITION BY cell ORDER BY sim DESC, ia, ib) AS rn FROM p)
@@ -4519,7 +4557,7 @@ object SparkEntry {
         |lr0 AS (SELECT doc_id AS id, row_number() OVER (ORDER BY score DESC, doc_id) AS lrank FROM sc),
         |lr AS (SELECT id, lrank FROM lr0 WHERE lrank <= 20),
         |vs AS (SELECT vec_id,
-        |         list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS sim
+        |         list_cosine_similarity((embedding)::DOUBLE[], ((SELECT embedding FROM embeddings WHERE vec_id = 0))::DOUBLE[]) AS sim
         |       FROM embeddings
         |       WHERE vec_id <> 0
         |         AND label = (SELECT label FROM embeddings WHERE vec_id = 0)),
@@ -4551,7 +4589,7 @@ object SparkEntry {
         |lr AS (SELECT qid, id, lrank FROM lr0 WHERE lrank <= 20),
         |qv AS (SELECT vec_id AS qid, embedding AS qe, label AS qcell
         |       FROM embeddings WHERE vec_id < 3),
-        |vs AS (SELECT qv.qid, c.vec_id, list_cosine_similarity(c.embedding, qv.qe) AS sim
+        |vs AS (SELECT qv.qid, c.vec_id, list_cosine_similarity((c.embedding)::DOUBLE[], (qv.qe)::DOUBLE[]) AS sim
         |       FROM embeddings c JOIN qv ON c.label = qv.qcell
         |       WHERE c.vec_id >= 3),
         |vr0 AS (SELECT qid, vec_id AS id,
@@ -4616,7 +4654,7 @@ object SparkEntry {
       """WITH e AS (SELECT embedding AS q FROM embeddings WHERE vec_id % 10 = 0),
         |t AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0)
         |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits
-        |FROM t JOIN e ON list_cosine_similarity(t.embedding, e.q) * 1000 >= 400
+        |FROM t JOIN e ON list_cosine_similarity((t.embedding)::DOUBLE[], (e.q)::DOUBLE[]) * 1000 >= 400
         |GROUP BY vec_id""".stripMargin,
 
     "p68_dup_profile" -> {
@@ -4632,7 +4670,7 @@ object SparkEntry {
       """SELECT a.vec_id AS snap_id, b.vec_id AS new_id
         |FROM embeddings a JOIN embeddings b
         |  ON a.label = b.label AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
-        |WHERE list_cosine_similarity(a.embedding, b.embedding) * 1000 >= 350""".stripMargin,
+        |WHERE list_cosine_similarity((a.embedding)::DOUBLE[], (b.embedding)::DOUBLE[]) * 1000 >= 350""".stripMargin,
 
     "p72_gopher_rules" ->
       """WITH d AS (SELECT doc_id,
@@ -4733,12 +4771,12 @@ object SparkEntry {
         |           FROM embeddings WHERE vec_id < 5),
         |c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 5),
         |es AS (SELECT q.qid, c.vec_id,
-        |         list_cosine_similarity(c.embedding, q.qv) AS sim FROM c, q),
+        |         list_cosine_similarity((c.embedding)::DOUBLE[], (q.qv)::DOUBLE[]) AS sim FROM c, q),
         |er AS (SELECT qid, vec_id,
         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
         |       FROM es),
         |asq AS (SELECT q.qid, c.vec_id,
-        |          list_cosine_similarity(c.embedding, q.qv) AS sim
+        |          list_cosine_similarity((c.embedding)::DOUBLE[], (q.qv)::DOUBLE[]) AS sim
         |        FROM c JOIN q ON c.label = q.qc),
         |ar AS (SELECT qid, vec_id,
         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
@@ -5015,7 +5053,7 @@ object SparkEntry {
         |lr0 AS (SELECT doc_id AS id, row_number() OVER (ORDER BY score DESC, doc_id) AS lrank FROM sc),
         |lr AS (SELECT id, lrank FROM lr0 WHERE lrank <= 20),
         |vs AS (SELECT vec_id,
-        |         list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS sim
+        |         list_cosine_similarity((embedding)::DOUBLE[], ((SELECT embedding FROM embeddings WHERE vec_id = 0))::DOUBLE[]) AS sim
         |       FROM embeddings WHERE vec_id <> 0),
         |vr0 AS (SELECT vec_id AS id, row_number() OVER (ORDER BY sim DESC, vec_id) AS vrank FROM vs),
         |vr AS (SELECT id, vrank FROM vr0 WHERE vrank <= 20),
