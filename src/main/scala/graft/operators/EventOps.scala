@@ -180,6 +180,32 @@ object EventOps {
         coalesce(max(col("gap")), lit(0L)).as("max_gap"))
     }
 
+  /** [[funnel]] segmented by a per-user cohort attribute: each user's
+    * segment is a column of their FIRST event (acquisition-cohort
+    * convention — ties by the segment value itself via struct-min, so
+    * the label is deterministic), and each stage rolls up per segment.
+    * Returns (segment, stage_idx, stage, n_users) — stages × segments
+    * rows. Cost = the funnel chain + one broadcast-sized (user,
+    * segment) aggregate joined into each stage rollup.
+    */
+  def funnelSegmented(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, segmentCol: String, stages: Seq[String]): DataFrame = {
+    val seg = events.select(col(userCol).as("user"),
+        col(tsCol).cast("long").as("t"), col(segmentCol).as("sv"))
+      .groupBy(col("user"))
+      .agg(min(struct(col("t"), col("sv"))).as("m"))
+      .select(col("user"), col("m.sv").as("segment"))
+      .localCheckpoint(false) // joined into every stage rollup
+    val frames = funnelStages(events, userCol, tsCol, typeCol, stages)
+    frames.zipWithIndex.map { case (df, i) =>
+      df.join(seg, Seq("user"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("segment"), lit(i + 1).cast("long").as("stage_idx"),
+          lit(stages(i)).as("stage"), col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
   /** The shared sequential-min stage chain: stage k's frame holds one
     * row per user who reached it — (user, t, gap), gap = t − t_{k−1}
     * (0 at stage 1). Each frame is lazily checkpointed: it feeds both

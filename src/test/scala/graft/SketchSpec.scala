@@ -383,6 +383,25 @@ class SketchSpec extends SparkSpec {
     assert(Sketches.cusumChangePoint(empty, "v").collect().isEmpty)
   }
 
+  test("funnelSegmented: per-segment counts sum to the plain funnel; first-event cohort label") {
+    // u1 (segment a) completes A,B; u2 (segment b) completes A;
+    // u3's first event carries segment a, later events b — label stays a
+    val ev = Seq(
+      (1L, 10L, "A", "a"), (1L, 20L, "B", "a"),
+      (2L, 10L, "A", "b"),
+      (3L, 5L, "A", "a"), (3L, 9L, "B", "b")
+    ).toDF("u", "t", "et", "sv")
+    val got = EventOps.funnelSegmented(ev, "u", "t", "et", "sv", Seq("A", "B"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got == Map(("a", 1L) -> 2L, ("b", 1L) -> 1L, ("a", 2L) -> 2L))
+    val plain = EventOps.funnel(ev, "u", "t", "et", Seq("A", "B"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(plain(1L) == 3L && plain(2L) == 2L)
+    // conservation: per-stage segment counts sum to the plain funnel
+    assert(got.collect { case ((_, 1L), n) => n }.sum == plain(1L))
+    assert(got.collect { case ((_, 2L), n) => n }.sum == plain(2L))
+  }
+
   test("funnel: earliest qualifying time feeds the next stage (not any later one)") {
     // A at 10; B at 15 and 40; C at 20. If stage B greedily took 40, C
     // at 20 would be missed — sequential-min must use B=15.
