@@ -969,6 +969,38 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("start"), col("fp"))
     }),
 
+    // Streaming twin of p109: clicks register in per-user quote state,
+    // purchases resolve against it at arrival. The feed writes click
+    // files at an earlier pinned mtime than purchase files, so quotes
+    // lead probes (the delivery contract under which stream ≡ batch —
+    // production buys the same with a probe-side watermark holdback).
+    "p137_stream_asof" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val (purchases, clicks) = attributionFrames(s, dir)
+      val q = clicks.select(col("user_id").as("k"), col("tus").as("ts"),
+        lit(0).as("tag"), col("click_id").as("id"))
+      val p = purchases.select(col("user_id").as("k"), col("tus").as("ts"),
+        lit(1).as("tag"), col("purchase_id").as("id"))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_p137_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      q.repartition(2).write.parquet(s"$base/in")
+      pinNewFiles(s, s"$base/in", 0L, MtReal)
+      p.repartition(2).write.mode("append").parquet(s"$base/in")
+      pinNewFiles(s, s"$base/in", MtReal, MtSentinel1)
+      val stream = s.readStream.schema(q.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val query = graft.streaming.PipelineStream.asofStream(stream)
+        .writeStream.option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").format("parquet").option("path", s"$base/out")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select(col("pid").as("purchase_id"), col("k").cast("bigint").as("uid"),
+          col("ts").as("purchase_us"), col("qid").as("click_id"),
+          col("qts").as("click_us"))
+    }),
+
     // Funnel segmented by acquisition cohort: each user's segment is
     // the k-bucket of their FIRST event's props payload — per-segment
     // conversion counts, stages × segments rows.
@@ -2706,6 +2738,23 @@ object SparkEntry {
       |SELECT CAST(r AS BIGINT) AS "row", bucket, count(*) AS cnt
       |FROM x GROUP BY 1, 2""".stripMargin
 
+  /** Shared DuckDB lineage for the purchase→last-click attribution —
+    * p109 gates the batch union+running-last shape, p137 the streaming
+    * quote-state twin (same rows when quotes lead probes, which the
+    * mtime-ordered file feed enforces). Native ASOF JOIN = an
+    * independent algorithm; the c CTE pre-collapses same-µs clicks to
+    * max(event_id), the engine's tie rule made explicit.
+    */
+  private lazy val asofOracleSql: String =
+    """WITH c AS (SELECT user_id, epoch_us(ts) AS cus, max(event_id) AS click_id
+      |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |p AS (SELECT user_id, epoch_us(ts) AS pus, event_id AS purchase_id
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT p.purchase_id, CAST(p.user_id AS BIGINT) AS uid,
+      |       p.pus AS purchase_us, c.click_id, c.cus AS click_us
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND p.pus >= c.cus""".stripMargin
+
   /** Shared DuckDB lineage for the per-source MAD outlier flags — p127
     * gates the batch pass, p130 the streaming gate under the trained
     * med/mad artifact (same flags for any arrival order).
@@ -4132,15 +4181,9 @@ object SparkEntry {
     // max-struct tiebreak made explicit, so a regenerated fixture with
     // same-microsecond clicks cannot make native ASOF's unspecified tie
     // choice diverge.
-    "p109_asof_attrib" ->
-      """WITH c AS (SELECT user_id, epoch_us(ts) AS cus, max(event_id) AS click_id
-        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
-        |p AS (SELECT user_id, epoch_us(ts) AS pus, event_id AS purchase_id
-        |      FROM events WHERE event_type = 'purchase')
-        |SELECT p.purchase_id, CAST(p.user_id AS BIGINT) AS uid,
-        |       p.pus AS purchase_us, c.click_id, c.cus AS click_us
-        |FROM p ASOF LEFT JOIN c
-        |  ON p.user_id = c.user_id AND p.pus >= c.cus""".stripMargin,
+    "p109_asof_attrib" -> asofOracleSql,
+
+    "p137_stream_asof" -> asofOracleSql,
 
     "p110_funnel" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et

@@ -499,6 +499,62 @@ object PipelineStream {
       .toDF()
   }
 
+  case class AsofMatch(k: Long, ts: Long, pid: Long,
+      qts: Option[Long], qid: Option[Long])
+
+  /** Streaming as-of attribution — the ingestion face of
+    * [[graft.operators.EventOps.asOfJoin]] for a feed where quotes
+    * (clicks) LEAD probes (purchases): rows arrive tagged (0 = quote,
+    * 1 = probe) as (k, ts, tag, id); per key the state holds the quote
+    * history sorted by (ts, id), and each probe resolves to the latest
+    * quote at-or-before its ts (same-instant visible, greatest id on
+    * ties — the batch rules exactly). Within a micro-batch rows process
+    * in (ts, tag, id) order, so a quote and probe arriving together
+    * still match.
+    *
+    * Delivery contract, stated honestly: output equals the batch as-of
+    * join WHEN every quote is delivered no later than the probes it
+    * should match (the mtime-ordered file feed the gate constructs; in
+    * production, a watermark holdback on the probe side buys the same
+    * guarantee). A probe arriving before its quote emits the
+    * best-known match at arrival — attribution-at-arrival semantics,
+    * never retracted. State grows with quote history per key; the
+    * production variant expires quotes older than the probe watermark
+    * minus the attribution window.
+    */
+  def asofStream(tagged: DataFrame): DataFrame = {
+    val spark = tagged.sparkSession
+    import spark.implicits._
+    tagged.select(col("k").cast("long"), col("ts").cast("long"),
+        col("tag").cast("int"), col("id").cast("long"))
+      .as[(Long, Long, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Vector[(Long, Long)], AsofMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (k, rows, state) =>
+          var quotes = state.getOption.getOrElse(Vector.empty) // (ts, id) sorted
+          val out = Vector.newBuilder[AsofMatch]
+          rows.toSeq.sortBy { case (_, ts, tag, id) => (ts, tag, id) }
+            .foreach { case (_, ts, tag, id) =>
+              if (tag == 0) {
+                val at = quotes.indexWhere(q => q._1 > ts || (q._1 == ts && q._2 > id))
+                quotes = if (at < 0) quotes :+ ((ts, id))
+                  else (quotes.take(at) :+ ((ts, id))) ++ quotes.drop(at)
+              } else {
+                val prior = quotes.takeWhile(_._1 <= ts)
+                if (prior.isEmpty) out += AsofMatch(k, ts, id, None, None)
+                else {
+                  val (qts, qid) = prior.last
+                  out += AsofMatch(k, ts, id, Some(qts), Some(qid))
+                }
+              }
+            }
+          state.update(quotes)
+          out.result().iterator
+      }
+      .toDF()
+  }
+
   /** Streaming MAD outlier gate — the trained
     * [[graft.pipeline.Sketches.madThresholds]] artifact (groups-sized)
     * broadcasts against the feed, and each arrival flags statelessly

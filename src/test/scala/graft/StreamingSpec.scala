@@ -585,6 +585,30 @@ class StreamingSpec extends SparkSpec {
     assert(compacted == batch)
   }
 
+  test("streaming asof: quotes-lead feed equals batch; same-batch disorder resolves; early probe honest") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Int, Long)]
+    val out = graft.streaming.PipelineStream.asofStream(
+      mem.toDS().toDF("k", "ts", "tag", "id"))
+    val q = out.writeStream.format("memory").queryName("sasof")
+      .outputMode("append").start()
+    try {
+      // batch 1: one user's quote AND probe arrive together, probe FIRST
+      // in arrival order — the per-batch (ts, tag, id) sort must match it
+      mem.addData((1L, 20L, 1, 900L), (1L, 10L, 0, 100L)); q.processAllAvailable()
+      // batch 2: a probe for user 2 arrives BEFORE its quote (next batch)
+      mem.addData((2L, 50L, 1, 901L)); q.processAllAvailable()
+      mem.addData((2L, 40L, 0, 200L), (2L, 60L, 1, 902L)); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sasof")
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(rows(900L) == 100L)  // same-batch disorder resolved by sort
+    assert(rows(901L) == -1L)   // attribution-at-arrival: quote not yet seen
+    assert(rows(902L) == 200L)  // later probe sees the registered quote
+  }
+
   test("windowed counts with watermark run on a cell stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
