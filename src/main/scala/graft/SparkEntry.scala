@@ -969,6 +969,28 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("start"), col("fp"))
     }),
 
+    // Markov in-sample fit: per from-type argmax next type and how many
+    // observed transitions it explains — the sanity readout over p128.
+    "p138_transition_fit" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.operators.EventOps.transitionFit(
+        table(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("tus"),
+            col("event_type")),
+        "user_id", "tus", "event_type")
+    }),
+
+    // Session-level type co-occurrence (basket analysis): sessions
+    // containing both types of each unordered pair.
+    "p139_session_cooccur" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.operators.EventOps.sessionCooccurrence(
+        table(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("tus"),
+            col("event_type")),
+        "user_id", "tus", "event_type", gap = 1800000000L)
+    }),
+
     // Streaming twin of p109: clicks register in per-user quote state,
     // purchases resolve against it at arrival. The feed writes click
     // files at an earlier pinned mtime than purchase files, so quotes
@@ -3975,6 +3997,37 @@ object SparkEntry {
         |      FROM e)
         |SELECT prev AS from_type, et AS to_type, count(*) AS n
         |FROM x WHERE prev IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    "p138_transition_fit" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et
+        |           FROM events),
+        |x AS (SELECT u, et,
+        |        lag(et) OVER (PARTITION BY u ORDER BY t, et) AS prev
+        |      FROM e),
+        |m AS (SELECT prev AS from_type, et AS to_type, count(*) AS n
+        |      FROM x WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |pr AS (SELECT from_type, (max({'n': n, 'tt': to_type})).tt AS predicted
+        |       FROM m GROUP BY 1)
+        |SELECT m.from_type, pr.predicted,
+        |       CAST(sum(n) AS BIGINT) AS n_total,
+        |       CAST(sum(CASE WHEN to_type = predicted THEN n ELSE 0 END) AS BIGINT) AS n_correct
+        |FROM m JOIN pr USING (from_type) GROUP BY 1, 2""".stripMargin,
+
+    "p139_session_cooccur" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et
+        |           FROM events),
+        |x AS (SELECT u, t, et,
+        |        CASE WHEN lag(t) OVER (PARTITION BY u ORDER BY t, et) IS NULL
+        |               OR t - lag(t) OVER (PARTITION BY u ORDER BY t, et) > 1800000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |s AS (SELECT u, et,
+        |        sum(brk) OVER (PARTITION BY u ORDER BY t, et ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM x),
+        |d AS (SELECT DISTINCT u, sid, et FROM s)
+        |SELECT a.et AS type_a, b.et AS type_b, count(*) AS n_sessions
+        |FROM d a JOIN d b ON a.u = b.u AND a.sid = b.sid AND a.et < b.et
+        |GROUP BY 1, 2""".stripMargin,
 
     "p126_containment" ->
       """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),

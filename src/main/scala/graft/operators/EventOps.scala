@@ -87,15 +87,7 @@ object EventOps {
     */
   def topEventPaths(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, gap: Long, k: Int): DataFrame = {
-    val e = events.select(col(userCol).as("user"),
-      col(tsCol).cast("long").as("t"), col(typeCol).as("et"))
-    val wOrd = Window.partitionBy(col("user")).orderBy(col("t"), col("et"))
-    val sessions = e
-      .withColumn("brk",
-        when(lag(col("t"), 1).over(wOrd).isNull ||
-          col("t") - lag(col("t"), 1).over(wOrd) > gap, 1).otherwise(0))
-      .withColumn("sid", sum(col("brk")).over(
-        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sessions = sessionized(events, userCol, tsCol, typeCol, gap)
       .groupBy(col("user"), col("sid"))
       .agg(concat_ws(">", transform(
         sort_array(collect_list(struct(col("t"), col("et")))),
@@ -105,6 +97,64 @@ object EventOps {
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n_sessions").desc, col("path"))).cast("long"))
       .select(col("rank"), col("path"), col("n_sessions"))
+  }
+
+  /** The shared gap-rule sessionizer (the q22 lineage): (user, sid, t,
+    * et) rows, session breaks where the inactivity gap exceeds `gap`.
+    */
+  private def sessionized(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String, gap: Long): DataFrame = {
+    val wOrd = Window.partitionBy(col("user")).orderBy(col("t"), col("et"))
+    events.select(col(userCol).as("user"),
+        col(tsCol).cast("long").as("t"), col(typeCol).as("et"))
+      .withColumn("brk",
+        when(lag(col("t"), 1).over(wOrd).isNull ||
+          col("t") - lag(col("t"), 1).over(wOrd) > gap, 1).otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user"), col("sid"), col("t"), col("et"))
+  }
+
+  /** Session-level type co-occurrence (the basket-analysis readout):
+    * for every unordered pair of event types appearing in the SAME
+    * session, the number of sessions containing both. Distinct types
+    * per session first (≤ types rows/session), then a per-session
+    * pair join — ≤ C(types, 2) pairs per session, ≤ types² output.
+    * Returns (type_a, type_b, n_sessions), type_a < type_b.
+    */
+  def sessionCooccurrence(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String, gap: Long): DataFrame = {
+    val st = sessionized(events, userCol, tsCol, typeCol, gap)
+      .select(col("user"), col("sid"), col("et")).distinct()
+      .localCheckpoint(false) // both sides of the pair join
+    st.select(col("user"), col("sid"), col("et").as("type_a"))
+      .join(st.select(col("user"), col("sid"), col("et").as("type_b")),
+        Seq("user", "sid"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_sessions"))
+  }
+
+  /** In-sample fit of the first-order Markov model (the sanity readout
+    * before anyone trusts the transition matrix): per from-type, the
+    * argmax next type (ties to the greater type via struct-max) and how
+    * many observed transitions it explains. Returns (from_type,
+    * predicted, n_total, n_correct) — all exact integers over the
+    * [[eventTransitions]] relation (types²-bounded; no second corpus
+    * pass).
+    */
+  def transitionFit(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String): DataFrame = {
+    val m = eventTransitions(events, userCol, tsCol, typeCol)
+      .localCheckpoint(false) // feeds the argmax and the rollup
+    val pred = m.groupBy(col("from_type"))
+      .agg(max(struct(col("n"), col("to_type"))).as("p"))
+      .select(col("from_type"), col("p.to_type").as("predicted"))
+    m.join(pred, Seq("from_type"))
+      .groupBy(col("from_type"), col("predicted"))
+      .agg(sum(col("n")).as("n_total"),
+        sum(when(col("to_type") === col("predicted"), col("n"))
+          .otherwise(0L)).as("n_correct"))
   }
 
   /** Event-type transition matrix (the first-order Markov behavior

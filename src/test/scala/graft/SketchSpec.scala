@@ -240,6 +240,31 @@ class SketchSpec extends SparkSpec {
     assert(got(14L) == ((7L, 0L, 1L)) && got(11L)._3 == 0L)
   }
 
+  test("transitionFit: argmax prediction, tie to greater type, correctness rollup exact") {
+    // from A: 2x->B, 1x->C (predict B, 2/3 correct); from B: 1x->A
+    val ev = Seq(
+      (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"), (1L, 4L, "B"),
+      (2L, 1L, "A"), (2L, 2L, "C")
+    ).toDF("u", "t", "et")
+    val got = EventOps.transitionFit(ev, "u", "t", "et")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("A") == (("B", 3L, 2L)), got.toString)
+    assert(got("B") == (("A", 1L, 1L)))
+  }
+
+  test("sessionCooccurrence: same-session pairs only, counted once per session") {
+    // u1 session1: A,B,A (pair A-B once); u1 session2: A,C;
+    // u2 session1: B,C
+    val ev = Seq(
+      (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"),
+      (1L, 500L, "A"), (1L, 501L, "C"),
+      (2L, 1L, "B"), (2L, 2L, "C")
+    ).toDF("u", "t", "et")
+    val got = EventOps.sessionCooccurrence(ev, "u", "t", "et", gap = 100L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("A", "B") -> 1L, ("A", "C") -> 1L, ("B", "C") -> 1L))
+  }
+
   test("eventTransitions: time-ordered lag pairs, first events emit nothing") {
     val ev = Seq(
       (1L, 10L, "A"), (1L, 20L, "B"), (1L, 30L, "A"),
