@@ -969,6 +969,18 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("start"), col("fp"))
     }),
 
+    // Retention segmented by acquisition cohort attribute (the p113 ×
+    // p136 cross): engagement matrix per first-event k-bucket.
+    "p140_segmented_retention" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.operators.EventOps.retentionSegmented(
+        table(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("tus"),
+            expr("CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) div 25")
+              .as("kseg")),
+        "user_id", "tus", "kseg", bucketSize = 86400000000L)
+    }),
+
     // Markov in-sample fit: per from-type argmax next type and how many
     // observed transitions it explains — the sanity readout over p128.
     "p138_transition_fit" -> ((s, dir) => {
@@ -3997,6 +4009,19 @@ object SparkEntry {
         |      FROM e)
         |SELECT prev AS from_type, et AS to_type, count(*) AS n
         |FROM x WHERE prev IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    "p140_segmented_retention" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t,
+        |             epoch_us(ts) // 86400000000 AS bucket,
+        |             CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) // 25 AS sv
+        |           FROM events),
+        |f AS (SELECT u, min(bucket) AS cohort,
+        |        (min({'t': t, 'sv': sv})).sv AS segment
+        |      FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT u, bucket FROM e)
+        |SELECT f.segment, f.cohort, a.bucket - f.cohort AS "offset",
+        |       count(*) AS n_users
+        |FROM a JOIN f ON a.u = f.u GROUP BY 1, 2, 3""".stripMargin,
 
     "p138_transition_fit" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et

@@ -198,6 +198,29 @@ object EventOps {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** [[retentionCohorts]] segmented by an acquisition attribute: the
+    * user's segment is a column of their FIRST event (same struct-min
+    * label rule as [[funnelSegmented]]), and the engagement matrix
+    * rolls up per segment — ≤ segments·buckets² rows. Cost adds one
+    * user-bounded segment aggregate to the plain retention plan.
+    */
+  def retentionSegmented(events: DataFrame, userCol: String, tsCol: String,
+      segmentCol: String, bucketSize: Long): DataFrame = {
+    require(bucketSize > 0, s"bucketSize $bucketSize must be positive")
+    val e = events.select(col(userCol).as("user"),
+      expr(s"CAST(`$tsCol` AS BIGINT) div ${bucketSize}L").as("bucket"),
+      col(tsCol).cast("long").as("t"), col(segmentCol).as("sv"))
+    val first = e.groupBy(col("user"))
+      .agg(min(col("bucket")).as("cohort"),
+        min(struct(col("t"), col("sv"))).as("m"))
+      .select(col("user"), col("cohort"), col("m.sv").as("segment"))
+    e.groupBy(col("user"), col("bucket")).agg(lit(1))
+      .join(first, Seq("user"))
+      .groupBy(col("segment"), col("cohort"),
+        (col("bucket") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Ordered-funnel conversion: how many users complete stage k of
     * `stages` in order, where stage k counts only at a ts STRICTLY after
     * the user's stage-(k−1) time and each stage time is the EARLIEST

@@ -350,6 +350,25 @@ class SketchSpec extends SparkSpec {
     assert(m(("a", "c"))._4 == 1000L && m(("b", "c"))._4 == 1000L)
   }
 
+  test("retentionSegmented: per-segment matrix conserves the plain retention") {
+    val ev = Seq(
+      (1L, 5L, "a"), (1L, 12L, "a"), (1L, 35L, "b"),
+      (2L, 15L, "b"),
+      (3L, 9L, "a"), (3L, 11L, "a")
+    ).toDF("u", "t", "sv")
+    val got = EventOps.retentionSegmented(ev, "u", "t", "sv", bucketSize = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    // u1 seg a (first event), cohorts as the plain case; u2 seg b; u3 seg a
+    assert(got == Map(("a", 0L, 0L) -> 2L, ("a", 0L, 1L) -> 2L,
+      ("a", 0L, 3L) -> 1L, ("b", 1L, 0L) -> 1L), got.toString)
+    // conservation vs the plain retention on the same events
+    val plain = EventOps.retentionCohorts(ev.select($"u", $"t"), "u", "t", 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rolled = got.groupBy { case ((_, c, o), _) => (c, o) }
+      .view.mapValues(_.values.sum).toMap
+    assert(rolled == plain)
+  }
+
   test("retention cohorts: hand case, offset-0 totality, multi-event days count once") {
     // day buckets of size 10: u1 first day 0, active days 0,1,3 (day 1
     // twice — counts once); u2 first day 1, active 1 only; u3 first day
