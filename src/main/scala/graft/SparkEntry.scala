@@ -969,6 +969,15 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("start"), col("fp"))
     }),
 
+    // Per-language count-min sketches: one d×w counter table per lang
+    // (the per-language token profile — stopword drift between corpora
+    // reads straight off the cell deltas), still one tokenize pass.
+    "p141_cms_by_lang" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Sketches.countMinSketchBy(
+        table(s, dir, "documents"), "text", "lang", d = 4, w = 512)
+    }),
+
     // Retention segmented by acquisition cohort attribute (the p113 ×
     // p136 cross): engagement matrix per first-event k-bucket.
     "p140_segmented_retention" -> ((s, dir) => {
@@ -4009,6 +4018,16 @@ object SparkEntry {
         |      FROM e)
         |SELECT prev AS from_type, et AS to_type, count(*) AS n
         |FROM x WHERE prev IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    "p141_cms_by_lang" ->
+      s"""WITH t AS (SELECT lang AS grp,
+        |             unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+        |           FROM documents),
+        |x AS (SELECT grp, r,
+        |        ${hash60Sql("CAST(r AS VARCHAR) || ':' || tok")} % 512 AS bucket
+        |      FROM t, (SELECT unnest([0, 1, 2, 3]) AS r) rr)
+        |SELECT grp, CAST(r AS BIGINT) AS "row", bucket, count(*) AS cnt
+        |FROM x GROUP BY 1, 2, 3""".stripMargin,
 
     "p140_segmented_retention" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t,

@@ -368,22 +368,36 @@ object Sketches {
       .groupBy(col("row"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** One count-min sketch PER `groupCol` value (per-language /
+    * per-source token profiles): same cells, keyed by group — still one
+    * tokenize pass and one map-side-combined aggregate, ≤ groups·d·w
+    * output rows, each group's slice merging by the same SUM law.
+    */
+  def countMinSketchBy(df: DataFrame, textCol: String, groupCol: String,
+      d: Int = 4, w: Int = 512): DataFrame =
+    cmsObservables(df.withColumnRenamed(groupCol, "grp"), textCol, d, w,
+      carry = Seq("grp"))
+      .groupBy(col("grp"), col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** The per-token-occurrence CMS observable BEFORE aggregation: one
     * (row, bucket) cell hit per (token, hash row) — the ONE definition
-    * the batch count ([[countMinSketch]]) and the streaming partials
-    * ([[graft.streaming.PipelineStream.cmsStream]]) both aggregate.
+    * the batch counts ([[countMinSketch]]/[[countMinSketchBy]]) and the
+    * streaming partials ([[graft.streaming.PipelineStream.cmsStream]])
+    * all aggregate. `carry` rides extra key columns through unchanged.
     */
   def cmsObservables(df: DataFrame, textCol: String, d: Int,
-      w: Int): DataFrame = {
+      w: Int, carry: Seq[String] = Nil): DataFrame = {
     require(d >= 1 && d <= 16, s"depth d=$d outside [1,16]")
     require(w >= 2, s"width w=$w < 2")
     val tok = explode(TextAnalysis.tokens(col(textCol))).as("tok")
     val buckets = array((0 until d).map { r =>
       TextAnalysis.hash60(concat(lit(s"$r:"), col("tok"))) % w
     }: _*)
-    df.select(tok)
-      .select(posexplode(buckets).as(Seq("row", "bucket")))
-      .select(col("row").cast("long").as("row"), col("bucket"))
+    df.select(carry.map(col) :+ tok: _*)
+      .select(carry.map(col) :+ posexplode(buckets).as(Seq("row", "bucket")): _*)
+      .select(carry.map(col) ++ Seq(col("row").cast("long").as("row"),
+        col("bucket")): _*)
   }
 
   /** Merge two count-min sketches of identical (d, w): cell-wise sum —

@@ -518,11 +518,17 @@ object PipelineStream {
     * production, a watermark holdback on the probe side buys the same
     * guarantee). A probe arriving before its quote emits the
     * best-known match at arrival — attribution-at-arrival semantics,
-    * never retracted. State grows with quote history per key; the
-    * production variant expires quotes older than the probe watermark
-    * minus the attribution window.
+    * never retracted.
+    *
+    * `maxQuotes` bounds per-key state to the NEWEST n quotes (by the
+    * same (ts, id) order): matches stay exact for any probe whose true
+    * match is within the last n quotes of its key — the attribution-
+    * window analog of a watermark eviction, trading unbounded history
+    * for a hard memory bound. Int.MaxValue (default) keeps everything.
     */
-  def asofStream(tagged: DataFrame): DataFrame = {
+  def asofStream(tagged: DataFrame,
+      maxQuotes: Int = Int.MaxValue): DataFrame = {
+    require(maxQuotes >= 1, s"maxQuotes $maxQuotes < 1")
     val spark = tagged.sparkSession
     import spark.implicits._
     tagged.select(col("k").cast("long"), col("ts").cast("long"),
@@ -540,6 +546,8 @@ object PipelineStream {
                 val at = quotes.indexWhere(q => q._1 > ts || (q._1 == ts && q._2 > id))
                 quotes = if (at < 0) quotes :+ ((ts, id))
                   else (quotes.take(at) :+ ((ts, id))) ++ quotes.drop(at)
+                if (quotes.length > maxQuotes)
+                  quotes = quotes.drop(quotes.length - maxQuotes)
               } else {
                 val prior = quotes.takeWhile(_._1 <= ts)
                 if (prior.isEmpty) out += AsofMatch(k, ts, id, None, None)

@@ -125,6 +125,20 @@ class SketchSpec extends SparkSpec {
     assert(m == cells)
   }
 
+  test("countMinSketchBy: group slices sum to the global sketch") {
+    val docs = (0 until 60).map(i =>
+      (i.toLong, s"tok${i % 7} shared", if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "text", "lang")
+    val by = Sketches.countMinSketchBy(docs, "text", "lang", d = 4, w = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(by.keys.map(_._1).toSet == Set("en", "de"))
+    val global = Sketches.countMinSketch(docs, "text", d = 4, w = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val summed = by.groupBy { case ((_, r, b), _) => (r, b) }
+      .view.mapValues(_.values.sum).toMap
+    assert(summed == global)
+  }
+
   test("cms lookup: token absent from the corpus estimates 0 when its cells are empty") {
     val docs = Seq((1L, "a a b")).toDF("id", "text")
     val sk = Sketches.countMinSketch(docs, "text", d = 4, w = 512)

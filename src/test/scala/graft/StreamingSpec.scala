@@ -609,6 +609,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows(902L) == 200L)  // later probe sees the registered quote
   }
 
+  test("streaming asof maxQuotes: exact within the horizon, evicted quote honestly forgotten") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Int, Long)]
+    val out = graft.streaming.PipelineStream.asofStream(
+      mem.toDS().toDF("k", "ts", "tag", "id"), maxQuotes = 2)
+    val q = out.writeStream.format("memory").queryName("sasofb")
+      .outputMode("append").start()
+    try {
+      // three quotes; the oldest (ts=10) evicts under maxQuotes=2
+      mem.addData((1L, 10L, 0, 100L), (1L, 20L, 0, 101L), (1L, 30L, 0, 102L))
+      q.processAllAvailable()
+      // probe at 35 matches inside the horizon (quote 30)
+      // probe at 15 would need the EVICTED quote 10 → honest None
+      mem.addData((1L, 35L, 1, 900L), (1L, 15L, 1, 901L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sasofb")
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(rows == Map(900L -> 102L, 901L -> -1L))
+  }
+
   test("windowed counts with watermark run on a cell stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
