@@ -969,6 +969,17 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("start"), col("fp"))
     }),
 
+    // Cluster topic report (the corpus map): refined k-means clusters
+    // over the embeddings (vec_id ≡ doc_id in this corpus) described by
+    // size + top-5 distinctive terms at cluster grain.
+    "p142_cluster_topics" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Similarity.clusterTopics(
+        table(s, dir, "embeddings"), "vec_id", "embedding",
+        table(s, dir, "documents"), "doc_id", "text",
+        k = 8, topTerms = 5)
+    }),
+
     // Per-language count-min sketches: one d×w counter table per lang
     // (the per-language token profile — stopword drift between corpora
     // reads straight off the cell deltas), still one tokenize pass.
@@ -3086,6 +3097,40 @@ object SparkEntry {
         |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, d2
         |FROM r WHERE rn = 1""".stripMargin
 
+  /** p142: the refined-assignment lineage (the indexRefreshOracleSql
+    * suffix with the whole corpus on both sides) rolled to per-cluster
+    * sizes + distinctive terms at cluster grain (the p30 scoring).
+    */
+  private lazy val clusterTopicsOracleSql: String =
+    kmeansOracleCtes("WHERE 1 = 1") +
+      """,
+        |st AS (SELECT cluster, pos, CAST(sum(m) AS BIGINT) AS s, count(*) AS n
+        |       FROM comp JOIN a USING (vec_id) GROUP BY 1, 2),
+        |rc AS (SELECT cluster, pos, (s - ((s % n + n) % n)) // n AS cm FROM st),
+        |d1 AS (SELECT comp.vec_id, rc.cluster,
+        |         CAST(sum((m - cm) * (m - cm)) AS BIGINT) AS d2
+        |       FROM comp JOIN rc USING (pos) GROUP BY 1, 2),
+        |r1 AS (SELECT vec_id, cluster, d2,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        |       FROM d1),
+        |a2 AS (SELECT vec_id, cluster FROM r1 WHERE rn = 1),
+        |lab AS (SELECT a2.cluster, dd.text
+        |        FROM a2 JOIN documents dd ON dd.doc_id = a2.vec_id),
+        |sz AS (SELECT cluster, count(*) AS n_docs FROM lab GROUP BY 1),
+        |tt AS (SELECT cluster, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |       FROM lab),
+        |tf AS (SELECT cluster, term, count(*) AS tf FROM tt GROUP BY 1, 2),
+        |dfq AS (SELECT cluster, term, tf,
+        |          count(*) OVER (PARTITION BY term) AS df FROM tf),
+        |sc AS (SELECT cluster, term, tf, df,
+        |         tf * 1000000000 // df AS score FROM dfq),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY cluster
+        |         ORDER BY score DESC, term) AS rn FROM sc)
+        |SELECT CAST(r2.cluster AS BIGINT) AS cluster, sz.n_docs, term,
+        |       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |       CAST(score AS BIGINT) AS score
+        |FROM r2 JOIN sz ON sz.cluster = r2.cluster WHERE rn <= 5""".stripMargin
+
   /** Shared by p35 (scoring) and p105 (agreement rollup against the
     * teacher label): one train+rescore replay, no drift.
     */
@@ -4018,6 +4063,8 @@ object SparkEntry {
         |      FROM e)
         |SELECT prev AS from_type, et AS to_type, count(*) AS n
         |FROM x WHERE prev IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    "p142_cluster_topics" -> clusterTopicsOracleSql,
 
     "p141_cms_by_lang" ->
       s"""WITH t AS (SELECT lang AS grp,

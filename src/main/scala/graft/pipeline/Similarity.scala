@@ -317,6 +317,34 @@ object Similarity {
       .agg(sum(col("m")).as("sum_micro"), count(lit(1)).as("n"))
       .select(col("cluster"), col("pos"), col("sum_micro"), col("n"))
 
+  /** Cluster topic report — the corpus map every embedding-clustered
+    * dataset ships with: the refined integer-k-means assignment joined
+    * back to the documents' text, each cluster described by its size
+    * and top distinctive terms ([[TextAnalysis.distinctiveTerms]] at
+    * CLUSTER grain — tf within cluster, df across clusters, exact
+    * rational score). Returns (cluster, n_docs, term, tf, df, score),
+    * ≤ k·topTerms rows. The corpus pays the k-means passes plus one
+    * tokenize aggregate; everything later is k-bounded.
+    */
+  def clusterTopics(emb: DataFrame, vecIdCol: String, vecCol: String,
+      docs: DataFrame, docIdCol: String, textCol: String, k: Int,
+      topTerms: Int): DataFrame = {
+    val refined = refinedCentroids(kmeansStepExact(emb, vecIdCol, vecCol, k))
+      .localCheckpoint(eager = false)
+    val assign = assignExact(emb, vecIdCol, vecCol, refined, k)
+      .select(col("id"), col("cluster"))
+    val labeled = docs.select(col(docIdCol).as("id"), col(textCol).as("text"))
+      .join(assign, Seq("id"))
+      .localCheckpoint(eager = false) // sizes + term scoring
+    val sizes = labeled.groupBy(col("cluster")).agg(count(lit(1)).as("n_docs"))
+    TextAnalysis.distinctiveTerms(
+        labeled.select(col("cluster"), col("text")), "cluster", "text", topTerms)
+      .withColumnRenamed("id", "cluster")
+      .join(sizes, Seq("cluster"))
+      .select(col("cluster"), col("n_docs"), col("term"), col("tf"),
+        col("df"), col("score"))
+  }
+
   /** Nearest-centroid assignment against an integer micro-component
     * centroid table `(cluster, pos, cm)` — the join-based counterpart of
     * [[assignCell]], usable with centroids that exist only as a DataFrame

@@ -2525,6 +2525,26 @@ class PipelineSpec extends SparkSpec {
     assert(Set("head", "middle", "tail").subsetOf(out.map(_._4).toSet))
   }
 
+  test("clusterTopics: separable clusters surface their own vocabulary, sizes exact") {
+    import spark.implicits._
+    def v(x: Double): Array[Float] = Array(x.toFloat, (1 - x).toFloat, 0f, 0f)
+    // ids 0..9 near (1,0): "alpha" docs; ids 10..19 near (0,1): "omega" docs
+    val emb = ((0L to 9L).map(i => (i, v(0.9 + 0.01 * i))) ++
+      (10L to 19L).map(i => (i, v(0.01 * (i - 10))))).toDF("vec_id", "embedding")
+    val docs = ((0L to 9L).map(i => (i, s"alpha beam common$i shared")) ++
+      (10L to 19L).map(i => (i, s"omega wave common$i shared"))).toDF("doc_id", "text")
+    val got = Similarity.clusterTopics(emb, "vec_id", "embedding",
+      docs, "doc_id", "text", k = 2, topTerms = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.map(_._2).forall(_ == 10L), got.mkString(","))  // 10 docs per cluster
+    val byCluster = got.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(byCluster.size == 2)
+    // each cluster's distinctive pair is its exclusive vocabulary, never
+    // the corpus-wide 'shared' term
+    assert(byCluster.values.toSet == Set(Set("alpha", "beam"), Set("omega", "wave")),
+      byCluster.toString)
+  }
+
   test("bm25: idf ranks rare above common, length norm ranks short above long, saturating tf, positive stopword idf") {
     import spark.implicits._
     val corpus = Seq(
