@@ -980,6 +980,22 @@ object SparkEntry {
         k = 8, topTerms = 5)
     }),
 
+    // Cluster-balanced sample (diversity sampling): a deterministic
+    // per-cluster quota over the refined assignment — the topic-balanced
+    // subset selector (p62's quota at cluster grain).
+    "p143_cluster_sample" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val emb = table(s, dir, "embeddings")
+      val refined = graft.pipeline.Similarity.refinedCentroids(
+        graft.pipeline.Similarity.kmeansStepExact(emb, "vec_id", "embedding", k = 8))
+        .localCheckpoint()
+      val assign = graft.pipeline.Similarity.assignExact(
+        emb, "vec_id", "embedding", refined, 8)
+        .select(col("id"), col("cluster"))
+      graft.pipeline.TextAnalysis.groupQuota(assign, "id", "cluster", k = 20)
+        .select(col("id").as("vec_id"), col("grp").as("cluster"), col("pick"))
+    }),
+
     // Per-language count-min sketches: one d×w counter table per lang
     // (the per-language token profile — stopword drift between corpora
     // reads straight off the cell deltas), still one tokenize pass.
@@ -3097,11 +3113,11 @@ object SparkEntry {
         |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, d2
         |FROM r WHERE rn = 1""".stripMargin
 
-  /** p142: the refined-assignment lineage (the indexRefreshOracleSql
-    * suffix with the whole corpus on both sides) rolled to per-cluster
-    * sizes + distinctive terms at cluster grain (the p30 scoring).
+  /** The whole-corpus refined-assignment lineage (second Lloyd
+    * iteration over every vector — a2 = (vec_id, cluster)) shared by
+    * p142 (topic rollup) and p143 (cluster-balanced quota).
     */
-  private lazy val clusterTopicsOracleSql: String =
+  private lazy val refinedAssignAllCtes: String =
     kmeansOracleCtes("WHERE 1 = 1") +
       """,
         |st AS (SELECT cluster, pos, CAST(sum(m) AS BIGINT) AS s, count(*) AS n
@@ -3113,7 +3129,14 @@ object SparkEntry {
         |r1 AS (SELECT vec_id, cluster, d2,
         |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
         |       FROM d1),
-        |a2 AS (SELECT vec_id, cluster FROM r1 WHERE rn = 1),
+        |a2 AS (SELECT vec_id, cluster FROM r1 WHERE rn = 1)""".stripMargin
+
+  /** p142: [[refinedAssignAllCtes]] rolled to per-cluster sizes +
+    * distinctive terms at cluster grain (the p30 scoring).
+    */
+  private lazy val clusterTopicsOracleSql: String =
+    refinedAssignAllCtes +
+      """,
         |lab AS (SELECT a2.cluster, dd.text
         |        FROM a2 JOIN documents dd ON dd.doc_id = a2.vec_id),
         |sz AS (SELECT cluster, count(*) AS n_docs FROM lab GROUP BY 1),
@@ -4065,6 +4088,17 @@ object SparkEntry {
         |FROM x WHERE prev IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
     "p142_cluster_topics" -> clusterTopicsOracleSql,
+
+    "p143_cluster_sample" ->
+      s"""$refinedAssignAllCtes,
+        |h AS (SELECT vec_id, cluster,
+        |        ${hash60Sql("CAST(vec_id AS VARCHAR)")} AS h FROM a2),
+        |r3 AS (SELECT vec_id, cluster,
+        |         row_number() OVER (PARTITION BY cluster ORDER BY h, vec_id) AS pick
+        |       FROM h)
+        |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+        |       CAST(pick AS BIGINT) AS pick
+        |FROM r3 WHERE pick <= 20""".stripMargin,
 
     "p141_cms_by_lang" ->
       s"""WITH t AS (SELECT lang AS grp,
