@@ -985,14 +985,10 @@ object SparkEntry {
     // subset selector (p62's quota at cluster grain).
     "p143_cluster_sample" -> ((s, dir) => {
       GraftFunctions.register(s)
-      val emb = table(s, dir, "embeddings")
-      val refined = graft.pipeline.Similarity.refinedCentroids(
-        graft.pipeline.Similarity.kmeansStepExact(emb, "vec_id", "embedding", k = 8))
-        .localCheckpoint()
-      val assign = graft.pipeline.Similarity.assignExact(
-        emb, "vec_id", "embedding", refined, 8)
-        .select(col("id"), col("cluster"))
-      graft.pipeline.TextAnalysis.groupQuota(assign, "id", "cluster", k = 20)
+      graft.pipeline.TextAnalysis.groupQuota(
+        graft.pipeline.Similarity.refinedAssign(
+          table(s, dir, "embeddings"), "vec_id", "embedding", k = 8),
+        "id", "cluster", k = 20)
         .select(col("id").as("vec_id"), col("grp").as("cluster"), col("pick"))
     }),
 
@@ -1012,7 +1008,7 @@ object SparkEntry {
       graft.operators.EventOps.retentionSegmented(
         table(s, dir, "events")
           .select(col("user_id"), expr("ts div 1000").as("tus"),
-            expr("CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) div 25")
+            expr("CAST(nullif(regexp_extract(props, '[0-9]+', 0), '') AS BIGINT) div 25")
               .as("kseg")),
         "user_id", "tus", "kseg", bucketSize = 86400000000L)
     }),
@@ -1080,7 +1076,7 @@ object SparkEntry {
         table(s, dir, "events")
           .select(col("user_id"), expr("ts div 1000").as("tus"),
             col("event_type"),
-            expr("CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) div 25")
+            expr("CAST(nullif(regexp_extract(props, '[0-9]+', 0), '') AS BIGINT) div 25")
               .as("kseg")),
         "user_id", "tus", "event_type", "kseg",
         Seq("signup", "view", "click", "purchase"))
@@ -2849,6 +2845,29 @@ object SparkEntry {
       |       CAST(dev.adev > mad.mad * 3 AS BIGINT) AS outlier
       |FROM dev JOIN mad USING (grp)""".stripMargin
 
+  /** Shared DuckDB CTE prologue for content-defined chunking (window 16,
+    * mask 64): `z` yields one {start, fp} struct per chunk per doc —
+    * p131 (chunk relation), p132 (census) and p134 (streaming registry)
+    * all read it, so the boundary rule has ONE definition.
+    */
+  private lazy val cdcChunkCtes: String =
+    s"""n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      |           FROM documents),
+      |b AS (SELECT doc_id, t, CAST(length(t) AS BIGINT) AS l,
+      |        list_filter(generate_series(1, greatest(length(t) - 15, 0)),
+      |          i -> i > 1 AND ${hash60Sql("substr(t, CAST(i AS INT), 16)")} % 64 = 0) AS cuts
+      |      FROM n),
+      |s AS (SELECT doc_id, t,
+      |        list_prepend(CAST(1 AS BIGINT), cuts) AS starts,
+      |        list_append(list_transform(cuts, c -> c - 1), l) AS ends
+      |      FROM b),
+      |z AS (SELECT doc_id,
+      |        unnest(list_transform(generate_series(1, len(starts)),
+      |          j -> {'start': starts[j],
+      |                'fp': md5(substr(t, CAST(starts[j] AS INT),
+      |                                 CAST(ends[j] - starts[j] + 1 AS INT)))})) AS ch
+      |      FROM s)""".stripMargin
+
   /** The p05 stopword-score langId CASE over an arbitrary text SQL
     * expression — shared by the doc-level (p05) and segment-level
     * (p129) labels so the heuristic cannot drift between grains.
@@ -3629,19 +3648,10 @@ object SparkEntry {
         |  (length(text) >= 50 AND 2 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) >= length(text)) AS keep
         |FROM documents""".stripMargin,
 
+    // the SAME shared langIdSql as the p129 segment labels — the
+    // doc-claims-one-definition guarantee, made literal
     "p05_langid" ->
-      """WITH s AS (SELECT doc_id,
-        |  len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|ein)\b')) AS s_de,
-        |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS s_en,
-        |  len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en)\b')) AS s_es,
-        |  len(regexp_extract_all(lower(text), '\b(le|la|de|et|les|un)\b')) AS s_fr
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
-        |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
-        |       WHEN s_es >= s_fr THEN 'es'
-        |       ELSE 'fr' END AS pred_lang
-        |FROM s""".stripMargin,
+      s"""SELECT doc_id, ${langIdSql("text")} AS pred_lang FROM documents""",
 
     "p83_langid_trained" ->
       s"""WITH s AS (SELECT doc_id, text,
@@ -3956,7 +3966,7 @@ object SparkEntry {
 
     "p136_segmented_funnel" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et,
-        |             CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) // 25 AS sv
+        |             TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) // 25 AS sv
         |           FROM events),
         |seg AS (SELECT u, (min({'t': t, 'sv': sv})).sv AS segment
         |        FROM e GROUP BY 1),
@@ -3990,40 +4000,11 @@ object SparkEntry {
         |FROM d""".stripMargin,
 
     "p134_stream_cdc_registry" ->
-      s"""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
-        |           FROM documents),
-        |b AS (SELECT doc_id, t, CAST(length(t) AS BIGINT) AS l,
-        |        list_filter(generate_series(1, greatest(length(t) - 15, 0)),
-        |          i -> i > 1 AND ${hash60Sql("substr(t, CAST(i AS INT), 16)")} % 64 = 0) AS cuts
-        |      FROM n),
-        |s AS (SELECT doc_id, t,
-        |        list_prepend(CAST(1 AS BIGINT), cuts) AS starts,
-        |        list_append(list_transform(cuts, c -> c - 1), l) AS ends
-        |      FROM b),
-        |z AS (SELECT doc_id,
-        |        unnest(list_transform(generate_series(1, len(starts)),
-        |          j -> md5(substr(t, CAST(starts[j] AS INT),
-        |                          CAST(ends[j] - starts[j] + 1 AS INT))))) AS fp
-        |      FROM s)
-        |SELECT DISTINCT fp FROM z""".stripMargin,
+      s"""WITH $cdcChunkCtes
+        |SELECT DISTINCT ch.fp AS fp FROM z""".stripMargin,
 
     "p132_cdc_census" ->
-      s"""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
-        |           FROM documents),
-        |b AS (SELECT doc_id, t, CAST(length(t) AS BIGINT) AS l,
-        |        list_filter(generate_series(1, greatest(length(t) - 15, 0)),
-        |          i -> i > 1 AND ${hash60Sql("substr(t, CAST(i AS INT), 16)")} % 64 = 0) AS cuts
-        |      FROM n),
-        |s AS (SELECT doc_id, t,
-        |        list_prepend(CAST(1 AS BIGINT), cuts) AS starts,
-        |        list_append(list_transform(cuts, c -> c - 1), l) AS ends
-        |      FROM b),
-        |z AS (SELECT doc_id,
-        |        unnest(list_transform(generate_series(1, len(starts)),
-        |          j -> {'start': starts[j],
-        |                'fp': md5(substr(t, CAST(starts[j] AS INT),
-        |                                 CAST(ends[j] - starts[j] + 1 AS INT)))})) AS ch
-        |      FROM s),
+      s"""WITH $cdcChunkCtes,
         |c AS (SELECT ch.fp AS fp, doc_id, ch.start AS start,
         |        row_number() OVER (PARTITION BY ch.fp ORDER BY doc_id, ch.start) AS rn,
         |        count(*) OVER (PARTITION BY ch.fp) AS n_copies
@@ -4045,22 +4026,7 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
 
     "p131_cdc_chunks" ->
-      s"""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
-        |           FROM documents),
-        |b AS (SELECT doc_id, t, CAST(length(t) AS BIGINT) AS l,
-        |        list_filter(generate_series(1, greatest(length(t) - 15, 0)),
-        |          i -> i > 1 AND ${hash60Sql("substr(t, CAST(i AS INT), 16)")} % 64 = 0) AS cuts
-        |      FROM n),
-        |s AS (SELECT doc_id, t,
-        |        list_prepend(CAST(1 AS BIGINT), cuts) AS starts,
-        |        list_append(list_transform(cuts, c -> c - 1), l) AS ends
-        |      FROM b),
-        |z AS (SELECT doc_id,
-        |        unnest(list_transform(generate_series(1, len(starts)),
-        |          j -> {'start': starts[j],
-        |                'fp': md5(substr(t, CAST(starts[j] AS INT),
-        |                                 CAST(ends[j] - starts[j] + 1 AS INT)))})) AS ch
-        |      FROM s)
+      s"""WITH $cdcChunkCtes
         |SELECT doc_id, ch.start AS start, ch.fp AS fp FROM z""".stripMargin,
 
     "p129_mixed_language" ->
@@ -4113,7 +4079,7 @@ object SparkEntry {
     "p140_segmented_retention" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t,
         |             epoch_us(ts) // 86400000000 AS bucket,
-        |             CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) // 25 AS sv
+        |             TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) // 25 AS sv
         |           FROM events),
         |f AS (SELECT u, min(bucket) AS cohort,
         |        (min({'t': t, 'sv': sv})).sv AS segment

@@ -106,7 +106,7 @@ object Similarity {
     */
   def marginMine(src: DataFrame, dst: DataFrame, idCol: String,
       vecCol: String, cellCol: String, kMargin: Int,
-      tauPermille: Int): DataFrame = {
+      tauPermille: Int, checkpointShared: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(src.sparkSession)
     require(kMargin >= 1, "kMargin >= 1")
     val a = src.select(col(cellCol).as("cell"), col(idCol).as("ia"),
@@ -118,7 +118,7 @@ object Similarity {
     // sentinel (below any real cosine): such pairs rank last everywhere
     // and the τ>0 / den>0 gates exclude them from the output. An oracle
     // over data containing zero vectors needs the same coalesce.
-    val ranked = a.join(b, Seq("cell"))
+    val ranked0 = a.join(b, Seq("cell"))
       .withColumn("s",
         round(nanvl(cosine("va", "vb"), lit(-2.0)) * lit(1e6)).cast("long"))
       .select(col("ia"), col("ib"), col("s"))
@@ -126,7 +126,10 @@ object Similarity {
         Window.partitionBy(col("ia")).orderBy(col("s").desc, col("ib"))))
       .withColumn("rb", row_number().over(
         Window.partitionBy(col("ib")).orderBy(col("s").desc, col("ia"))))
-      .localCheckpoint(false) // three consumers below — compute once
+    // three consumers below — compute once. checkpointShared=false exists
+    // for PLAN INSPECTION only (a checkpoint rewrites the lineage to
+    // Scan ExistingRDD, hiding the candidate join from plan assertions)
+    val ranked = if (checkpointShared) ranked0.localCheckpoint(false) else ranked0
     val sumA = ranked.filter(col("ra") <= kMargin).groupBy(col("ia"))
       .agg(sum(col("s")).as("suma"), count(lit(1)).as("ka"))
     val sumB = ranked.filter(col("rb") <= kMargin).groupBy(col("ib"))
@@ -329,12 +332,8 @@ object Similarity {
   def clusterTopics(emb: DataFrame, vecIdCol: String, vecCol: String,
       docs: DataFrame, docIdCol: String, textCol: String, k: Int,
       topTerms: Int): DataFrame = {
-    val refined = refinedCentroids(kmeansStepExact(emb, vecIdCol, vecCol, k))
-      .localCheckpoint(eager = false)
-    val assign = assignExact(emb, vecIdCol, vecCol, refined, k)
-      .select(col("id"), col("cluster"))
     val labeled = docs.select(col(docIdCol).as("id"), col(textCol).as("text"))
-      .join(assign, Seq("id"))
+      .join(refinedAssign(emb, vecIdCol, vecCol, k), Seq("id"))
       .localCheckpoint(eager = false) // sizes + term scoring
     val sizes = labeled.groupBy(col("cluster")).agg(count(lit(1)).as("n_docs"))
     TextAnalysis.distinctiveTerms(
@@ -343,6 +342,20 @@ object Similarity {
       .join(sizes, Seq("cluster"))
       .select(col("cluster"), col("n_docs"), col("term"), col("tf"),
         col("df"), col("score"))
+  }
+
+  /** The whole-corpus refined assignment (second Lloyd iteration:
+    * step → refined centroids → assignExact) as (id, cluster) — the ONE
+    * Spark-side definition the cluster-consuming compositions
+    * ([[clusterTopics]], the cluster-balanced sampler) share, mirroring
+    * the single refined-assignment CTE block their oracles share.
+    */
+  def refinedAssign(emb: DataFrame, vecIdCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val refined = refinedCentroids(kmeansStepExact(emb, vecIdCol, vecCol, k))
+      .localCheckpoint(eager = false)
+    assignExact(emb, vecIdCol, vecCol, refined, k)
+      .select(col("id"), col("cluster"))
   }
 
   /** Nearest-centroid assignment against an integer micro-component

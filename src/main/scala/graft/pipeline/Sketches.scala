@@ -245,10 +245,28 @@ object Sketches {
     * row: (id, grp, v, med, mad, outlier 0/1).
     */
   def madOutliers(df: DataFrame, idCol: String, valueCol: String,
-      groupCol: String, k: Int = 3): DataFrame =
-    df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+      groupCol: String, k: Int = 3): DataFrame = {
+    // ONE projection feeds the threshold training AND the row flags —
+    // df (often a computed-column lineage) scans once
+    val d = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
         col(valueCol).cast("long").as("v"))
-      .join(broadcast(madThresholds(df, valueCol, groupCol)), Seq("grp"))
+      .localCheckpoint(false)
+    applyMadThresholds(d, "id", "v", "grp",
+      madThresholdsFrom(d.select(col("grp"), col("v"))), k)
+  }
+
+  /** The ONE flag application batch ([[madOutliers]]) and stream
+    * ([[graft.streaming.PipelineStream.outlierStream]]) share: rows join
+    * the broadcast (grp, med, mad) artifact and flag
+    * |v − med| > k·MAD. Rows in groups absent from the artifact drop
+    * (inner join — an untrained group belongs in the next training
+    * pass, not silently unflagged).
+    */
+  def applyMadThresholds(rows: DataFrame, idCol: String, valueCol: String,
+      groupCol: String, thresholds: DataFrame, k: Int): DataFrame =
+    rows.select(col(idCol).as("id"), col(groupCol).as("grp"),
+        col(valueCol).cast("long").as("v"))
+      .join(broadcast(thresholds), Seq("grp"))
       .select(col("id"), col("grp"), col("v"), col("med"), col("mad"),
         (abs(col("v") - col("med")) > col("mad") * k).cast("long").as("outlier"))
 
@@ -258,10 +276,12 @@ object Sketches {
     * feed; one definition so batch and stream flags cannot drift.
     */
   def madThresholds(df: DataFrame, valueCol: String,
-      groupCol: String): DataFrame = {
-    val d = df.select(col(groupCol).as("grp"),
-        col(valueCol).cast("long").as("v"))
-      .localCheckpoint(false) // feeds both median passes
+      groupCol: String): DataFrame =
+    madThresholdsFrom(df.select(col(groupCol).as("grp"),
+      col(valueCol).cast("long").as("v")))
+
+  private def madThresholdsFrom(d0: DataFrame): DataFrame = {
+    val d = d0.localCheckpoint(false) // feeds both median passes
     val med = groupedMedian(d, "v", "grp")
     val mad = groupedMedian(
       d.join(med, Seq("grp")).withColumn("adev", abs(col("v") - col("med"))),

@@ -69,8 +69,8 @@ object PipelineStream {
     * definition) and first arrivals register per distinct chunk
     * fingerprint; `dropDuplicates(fp)` keeps one state row per DISTINCT
     * chunk, so re-crawled near-identical pages (the CDC insertion-robust
-    * case) add only their perturbed chunks to state. Emits (fp,
-    * chunk_len), arrival-order-insensitive by construction.
+    * case) add only their perturbed chunks to state. Emits one (fp) row
+    * per distinct chunk, arrival-order-insensitive by construction.
     */
   def cdcRegistry(docs: DataFrame, idCol: String, textCol: String,
       window: Int, mask: Int): DataFrame =
@@ -539,20 +539,38 @@ object PipelineStream {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (k, rows, state) =>
           var quotes = state.getOption.getOrElse(Vector.empty) // (ts, id) sorted
+          // binary searches keep per-event cost O(log n) in the quote
+          // history (a linear indexWhere made a hot key's batch quadratic)
+          def insertionPoint(ts: Long, id: Long): Int = {
+            var lo = 0; var hi = quotes.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1; val q = quotes(mid)
+              if (q._1 > ts || (q._1 == ts && q._2 > id)) hi = mid
+              else lo = mid + 1
+            }
+            lo
+          }
+          def lastAtOrBefore(ts: Long): Int = {
+            var lo = 0; var hi = quotes.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (quotes(mid)._1 <= ts) lo = mid + 1 else hi = mid
+            }
+            lo - 1
+          }
           val out = Vector.newBuilder[AsofMatch]
           rows.toSeq.sortBy { case (_, ts, tag, id) => (ts, tag, id) }
             .foreach { case (_, ts, tag, id) =>
               if (tag == 0) {
-                val at = quotes.indexWhere(q => q._1 > ts || (q._1 == ts && q._2 > id))
-                quotes = if (at < 0) quotes :+ ((ts, id))
-                  else (quotes.take(at) :+ ((ts, id))) ++ quotes.drop(at)
+                val at = insertionPoint(ts, id)
+                quotes = (quotes.take(at) :+ ((ts, id))) ++ quotes.drop(at)
                 if (quotes.length > maxQuotes)
                   quotes = quotes.drop(quotes.length - maxQuotes)
               } else {
-                val prior = quotes.takeWhile(_._1 <= ts)
-                if (prior.isEmpty) out += AsofMatch(k, ts, id, None, None)
+                val at = lastAtOrBefore(ts)
+                if (at < 0) out += AsofMatch(k, ts, id, None, None)
                 else {
-                  val (qts, qid) = prior.last
+                  val (qts, qid) = quotes(at)
                   out += AsofMatch(k, ts, id, Some(qts), Some(qid))
                 }
               }
@@ -574,11 +592,8 @@ object PipelineStream {
     */
   def outlierStream(docs: DataFrame, idCol: String, valueCol: String,
       groupCol: String, thresholds: DataFrame, k: Int = 3): DataFrame =
-    docs.select(col(idCol).as("id"), col(groupCol).as("grp"),
-        col(valueCol).cast("long").as("v"))
-      .join(broadcast(thresholds), Seq("grp"))
-      .select(col("id"), col("grp"), col("v"), col("med"), col("mad"),
-        (abs(col("v") - col("med")) > col("mad") * k).cast("long").as("outlier"))
+    graft.pipeline.Sketches.applyMadThresholds(
+      docs, idCol, valueCol, groupCol, thresholds, k)
 
   /** Streaming bigram-LM transition scoring: each arriving doc's
     * transitions join the STATIC trained model

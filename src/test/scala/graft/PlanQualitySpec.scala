@@ -210,11 +210,18 @@ class PlanQualitySpec extends SparkSpec {
     import spark.implicits._
     val vecs = (0L until 30L).map(i =>
       (i, i % 3, Array.fill(4)((i % 7).toFloat))).toDF("vec_id", "label", "embedding")
+    // checkpointShared=false: the shared-frame checkpoint rewrites the
+    // lineage to Scan ExistingRDD and would HIDE the candidate cell join
+    // from these assertions (the vacuous-test trap)
     val plan = planOf(graft.pipeline.Similarity.marginMine(
       vecs.filter($"vec_id" % 2 === 0), vecs.filter($"vec_id" % 2 === 1),
-      "vec_id", "embedding", "label", kMargin = 2, tauPermille = 1000))
+      "vec_id", "embedding", "label", kMargin = 2, tauPermille = 1000,
+      checkpointShared = false))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       plan.take(2000))
+    // the candidate join must actually be visible for the assertion to
+    // mean anything
+    assert(plan.contains("Join"), plan.take(2000))
   }
 
   test("span dedup: hash aggregates and equi-joins only — no cartesian, no sort-agg") {
