@@ -110,6 +110,64 @@ object SparkEntry {
         .select(col("user_id"), col("tus"), col("event_id").as("click_id")))
   }
 
+  /** The as-of stream feeds shared by p137 and p145. Two delivery
+    * disciplines, each matching its operator contract:
+    *  - `timeOrdered = false` (p137, unwindowed): ALL click files land
+    *    at an earlier pinned mtime than purchase files — quotes lead
+    *    probes, the contract under which the unwindowed stream equals
+    *    the batch join. (Eviction must stay off here: the quotes-first
+    *    order maximizes event-time disorder.)
+    *  - `timeOrdered = true` (p145, windowed): the union ships in three
+    *    event-time slices at increasing mtimes — the realistic log
+    *    tail, zero cross-batch disorder, where watermark EVICTION is
+    *    provably safe and the stream equals the batch join with the
+    *    same lookback.
+    */
+  private def runAsofStreamFeed(s: SparkSession, dir: String, tag: String,
+      maxLookback: Long, timeOrdered: Boolean): DataFrame = {
+    GraftFunctions.register(s)
+    val (purchases, clicks) = attributionFrames(s, dir)
+    val q = clicks.select(col("user_id").as("k"), col("tus").as("ts"),
+      lit(0).as("tag"), col("click_id").as("id"))
+    val p = purchases.select(col("user_id").as("k"), col("tus").as("ts"),
+      lit(1).as("tag"), col("purchase_id").as("id"))
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    if (timeOrdered) {
+      val u = q.unionByName(p).localCheckpoint() // sliced three ways below
+      val mm = u.agg(min(col("ts")), max(col("ts"))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val cut1 = lo + (hi - lo) / 3
+      val cut2 = lo + 2 * ((hi - lo) / 3)
+      u.filter(col("ts") <= cut1).repartition(1).write.parquet(s"$base/in")
+      pinNewFiles(s, s"$base/in", 0L, MtReal)
+      u.filter(col("ts") > cut1 && col("ts") <= cut2).repartition(1)
+        .write.mode("append").parquet(s"$base/in")
+      pinNewFiles(s, s"$base/in", MtReal, MtSentinel1)
+      u.filter(col("ts") > cut2).repartition(1)
+        .write.mode("append").parquet(s"$base/in")
+      pinNewFiles(s, s"$base/in", MtSentinel1, MtSentinel2)
+    } else {
+      q.repartition(2).write.parquet(s"$base/in")
+      pinNewFiles(s, s"$base/in", 0L, MtReal)
+      p.repartition(2).write.mode("append").parquet(s"$base/in")
+      pinNewFiles(s, s"$base/in", MtReal, MtSentinel1)
+    }
+    val stream = s.readStream.schema(q.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val query = graft.streaming.PipelineStream
+      .asofStream(stream, maxLookback = maxLookback)
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").format("parquet").option("path", s"$base/out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    s.read.parquet(s"$base/out")
+      .select(col("pid").as("purchase_id"), col("k").cast("bigint").as("uid"),
+        col("ts").as("purchase_us"), col("qid").as("click_id"),
+        col("qts").as("click_us"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1024,6 +1082,20 @@ object SparkEntry {
         "user_id", "tus", "event_type")
     }),
 
+    // Held-out Markov eval: the model trains on 80% of users and scores
+    // on the held-out 20% — the honest generalization number next to
+    // p138's in-sample fit.
+    "p144_transition_heldout" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tus"),
+          col("event_type"))
+      graft.operators.EventOps.transitionFitHeldOut(
+        ev.filter(col("user_id") % 5 =!= 0),
+        ev.filter(col("user_id") % 5 === 0),
+        "user_id", "tus", "event_type")
+    }),
+
     // Session-level type co-occurrence (basket analysis): sessions
     // containing both types of each unordered pair.
     "p139_session_cooccur" -> ((s, dir) => {
@@ -1040,32 +1112,16 @@ object SparkEntry {
     // files at an earlier pinned mtime than purchase files, so quotes
     // lead probes (the delivery contract under which stream ≡ batch —
     // production buys the same with a probe-side watermark holdback).
-    "p137_stream_asof" -> ((s, dir) => {
-      GraftFunctions.register(s)
-      val (purchases, clicks) = attributionFrames(s, dir)
-      val q = clicks.select(col("user_id").as("k"), col("tus").as("ts"),
-        lit(0).as("tag"), col("click_id").as("id"))
-      val p = purchases.select(col("user_id").as("k"), col("tus").as("ts"),
-        lit(1).as("tag"), col("purchase_id").as("id"))
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_p137_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(base), true)
-      q.repartition(2).write.parquet(s"$base/in")
-      pinNewFiles(s, s"$base/in", 0L, MtReal)
-      p.repartition(2).write.mode("append").parquet(s"$base/in")
-      pinNewFiles(s, s"$base/in", MtReal, MtSentinel1)
-      val stream = s.readStream.schema(q.schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
-      val query = graft.streaming.PipelineStream.asofStream(stream)
-        .writeStream.option("checkpointLocation", s"$base/ckpt")
-        .outputMode("append").format("parquet").option("path", s"$base/out")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      query.awaitTermination()
-      s.read.parquet(s"$base/out")
-        .select(col("pid").as("purchase_id"), col("k").cast("bigint").as("uid"),
-          col("ts").as("purchase_us"), col("qid").as("click_id"),
-          col("qts").as("click_us"))
-    }),
+    "p137_stream_asof" -> ((s, dir) =>
+      runAsofStreamFeed(s, dir, "p137", Long.MaxValue, timeOrdered = false)),
+
+    // Streaming twin of p118: the quote-state stream under the 1 h
+    // event-time attribution window on a TIME-ORDERED feed (the
+    // realistic log tail) — stale matches null AND quotes behind the
+    // horizon EVICT, with bounded state; gated under p118's oracle
+    // (the batch/stream × plain/window quadrant closed).
+    "p145_stream_asof_window" -> ((s, dir) =>
+      runAsofStreamFeed(s, dir, "p145", 3600000000L, timeOrdered = true)),
 
     // Funnel segmented by acquisition cohort: each user's segment is
     // the k-bucket of their FIRST event's props payload — per-segment
@@ -2821,6 +2877,23 @@ object SparkEntry {
       |FROM p ASOF LEFT JOIN c
       |  ON p.user_id = c.user_id AND p.pus >= c.cus""".stripMargin
 
+  /** Shared DuckDB lineage for the 1 h-windowed attribution — p118
+    * gates the batch lookback join, p145 the windowed streaming twin on
+    * a time-ordered feed (same rows; eviction is invisible to results
+    * when event time is ordered).
+    */
+  private lazy val asofWindowOracleSql: String =
+    """WITH c AS (SELECT user_id, epoch_us(ts) AS cus, max(event_id) AS click_id
+      |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |p AS (SELECT user_id, epoch_us(ts) AS pus, event_id AS purchase_id
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT p.purchase_id, CAST(p.user_id AS BIGINT) AS uid,
+      |       p.pus AS purchase_us,
+      |       CASE WHEN p.pus - c.cus <= 3600000000 THEN c.click_id END AS click_id,
+      |       CASE WHEN p.pus - c.cus <= 3600000000 THEN c.cus END AS click_us
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND p.pus >= c.cus""".stripMargin
+
   /** Shared DuckDB lineage for the per-source MAD outlier flags — p127
     * gates the batch pass, p130 the streaming gate under the trained
     * med/mad artifact (same flags for any arrival order).
@@ -4104,6 +4177,26 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN to_type = predicted THEN n ELSE 0 END) AS BIGINT) AS n_correct
         |FROM m JOIN pr USING (from_type) GROUP BY 1, 2""".stripMargin,
 
+    "p144_transition_heldout" ->
+      """WITH tr AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et
+        |            FROM events WHERE user_id % 5 <> 0),
+        |te AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et
+        |       FROM events WHERE user_id % 5 = 0),
+        |xtr AS (SELECT u, et, lag(et) OVER (PARTITION BY u ORDER BY t, et) AS prev
+        |        FROM tr),
+        |mtr AS (SELECT prev AS from_type, et AS to_type, count(*) AS n
+        |        FROM xtr WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |pr AS (SELECT from_type, (max({'n': n, 'tt': to_type})).tt AS predicted
+        |       FROM mtr GROUP BY 1),
+        |xte AS (SELECT u, et, lag(et) OVER (PARTITION BY u ORDER BY t, et) AS prev
+        |        FROM te),
+        |mte AS (SELECT prev AS from_type, et AS to_type, count(*) AS n
+        |        FROM xte WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT mte.from_type, pr.predicted,
+        |       CAST(sum(n) AS BIGINT) AS n_total,
+        |       CAST(sum(CASE WHEN to_type = predicted THEN n ELSE 0 END) AS BIGINT) AS n_correct
+        |FROM mte JOIN pr USING (from_type) GROUP BY 1, 2""".stripMargin,
+
     "p139_session_cooccur" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et
         |           FROM events),
@@ -4258,17 +4351,9 @@ object SparkEntry {
         |       (SELECT CAST(coalesce(sum(t - tp), 0) AS BIGINT) FROM s4),
         |       (SELECT CAST(coalesce(max(t - tp), 0) AS BIGINT) FROM s4)""".stripMargin,
 
-    "p118_asof_window" ->
-      """WITH c AS (SELECT user_id, epoch_us(ts) AS cus, max(event_id) AS click_id
-        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
-        |p AS (SELECT user_id, epoch_us(ts) AS pus, event_id AS purchase_id
-        |      FROM events WHERE event_type = 'purchase')
-        |SELECT p.purchase_id, CAST(p.user_id AS BIGINT) AS uid,
-        |       p.pus AS purchase_us,
-        |       CASE WHEN p.pus - c.cus <= 3600000000 THEN c.click_id END AS click_id,
-        |       CASE WHEN p.pus - c.cus <= 3600000000 THEN c.cus END AS click_us
-        |FROM p ASOF LEFT JOIN c
-        |  ON p.user_id = c.user_id AND p.pus >= c.cus""".stripMargin,
+    "p145_stream_asof_window" -> asofWindowOracleSql,
+
+    "p118_asof_window" -> asofWindowOracleSql,
 
     "p119_ks_drift" ->
       """WITH a AS (SELECT CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS v

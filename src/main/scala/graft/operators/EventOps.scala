@@ -147,15 +147,36 @@ object EventOps {
       typeCol: String): DataFrame = {
     val m = eventTransitions(events, userCol, tsCol, typeCol)
       .localCheckpoint(false) // feeds the argmax and the rollup
-    val pred = m.groupBy(col("from_type"))
+    scoreTransitions(m, argmaxNext(m))
+  }
+
+  /** Held-out evaluation of the Markov model (the honest version of
+    * [[transitionFit]]'s in-sample number): predictions train on
+    * `trainEvents`' transitions, accuracy scores on `testEvents`'
+    * (disjoint users — the leakage-safe split convention). From-types
+    * the training corpus never saw drop from the report (no prediction
+    * exists); same exact-integer rollup.
+    */
+  def transitionFitHeldOut(trainEvents: DataFrame, testEvents: DataFrame,
+      userCol: String, tsCol: String, typeCol: String): DataFrame =
+    scoreTransitions(
+      eventTransitions(testEvents, userCol, tsCol, typeCol),
+      argmaxNext(eventTransitions(trainEvents, userCol, tsCol, typeCol)))
+
+  /** Argmax next type per from-type (ties to the greater type via
+    * struct-max) — the model readout both fit variants share.
+    */
+  private def argmaxNext(m: DataFrame): DataFrame =
+    m.groupBy(col("from_type"))
       .agg(max(struct(col("n"), col("to_type"))).as("p"))
       .select(col("from_type"), col("p.to_type").as("predicted"))
+
+  private def scoreTransitions(m: DataFrame, pred: DataFrame): DataFrame =
     m.join(pred, Seq("from_type"))
       .groupBy(col("from_type"), col("predicted"))
       .agg(sum(col("n")).as("n_total"),
         sum(when(col("to_type") === col("predicted"), col("n"))
           .otherwise(0L)).as("n_correct"))
-  }
 
   /** Event-type transition matrix (the first-order Markov behavior
     * model): per user, consecutive event pairs in time order, counted

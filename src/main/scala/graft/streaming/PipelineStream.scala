@@ -525,10 +525,20 @@ object PipelineStream {
     * match is within the last n quotes of its key — the attribution-
     * window analog of a watermark eviction, trading unbounded history
     * for a hard memory bound. Int.MaxValue (default) keeps everything.
+    *
+    * `maxLookback` is the EVENT-TIME attribution window, matching the
+    * batch [[graft.operators.EventOps.asOfJoin]] parameter: matches
+    * older than probe ts − maxLookback null out, and quotes that can no
+    * longer match anything — older than the key's max seen event time
+    * minus the window — EVICT after each batch (the watermark-eviction
+    * contract: state stays bounded by the window's quote density, and
+    * results equal the batch join whenever event-time disorder within a
+    * key stays under the window).
     */
-  def asofStream(tagged: DataFrame,
-      maxQuotes: Int = Int.MaxValue): DataFrame = {
+  def asofStream(tagged: DataFrame, maxQuotes: Int = Int.MaxValue,
+      maxLookback: Long = Long.MaxValue): DataFrame = {
     require(maxQuotes >= 1, s"maxQuotes $maxQuotes < 1")
+    require(maxLookback >= 0, s"maxLookback $maxLookback < 0")
     val spark = tagged.sparkSession
     import spark.implicits._
     tagged.select(col("k").cast("long"), col("ts").cast("long"),
@@ -559,8 +569,10 @@ object PipelineStream {
             lo - 1
           }
           val out = Vector.newBuilder[AsofMatch]
+          var maxSeen = Long.MinValue
           rows.toSeq.sortBy { case (_, ts, tag, id) => (ts, tag, id) }
             .foreach { case (_, ts, tag, id) =>
+              maxSeen = math.max(maxSeen, ts)
               if (tag == 0) {
                 val at = insertionPoint(ts, id)
                 quotes = (quotes.take(at) :+ ((ts, id))) ++ quotes.drop(at)
@@ -571,10 +583,20 @@ object PipelineStream {
                 if (at < 0) out += AsofMatch(k, ts, id, None, None)
                 else {
                   val (qts, qid) = quotes(at)
-                  out += AsofMatch(k, ts, id, Some(qts), Some(qid))
+                  if (ts - qts <= maxLookback)
+                    out += AsofMatch(k, ts, id, Some(qts), Some(qid))
+                  else out += AsofMatch(k, ts, id, None, None)
                 }
               }
             }
+          // watermark eviction: quotes beyond the window behind the
+          // newest seen event time can never match again
+          if (maxLookback != Long.MaxValue && maxSeen != Long.MinValue) {
+            val horizon = maxSeen - maxLookback
+            var cut = 0
+            while (cut < quotes.length && quotes(cut)._1 < horizon) cut += 1
+            if (cut > 0) quotes = quotes.drop(cut)
+          }
           state.update(quotes)
           out.result().iterator
       }

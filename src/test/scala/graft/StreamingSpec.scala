@@ -632,6 +632,26 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Map(900L -> 102L, 901L -> -1L))
   }
 
+  test("streaming asof lookback: stale match nulls, state evicts behind the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Int, Long)]
+    val out = graft.streaming.PipelineStream.asofStream(
+      mem.toDS().toDF("k", "ts", "tag", "id"), maxLookback = 20L)
+    val q = out.writeStream.format("memory").queryName("sasofw")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 10L, 0, 100L), (1L, 50L, 0, 101L)); q.processAllAvailable()
+      // quote 10 is now 40 behind maxSeen=50 → evicted; probe at 60
+      // matches 101 (gap 10 ≤ 20), probe at 80 nulls (gap 30 > 20)
+      mem.addData((1L, 60L, 1, 900L), (1L, 80L, 1, 901L)); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sasofw")
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(rows == Map(900L -> 101L, 901L -> -1L))
+  }
+
   test("windowed counts with watermark run on a cell stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
