@@ -390,6 +390,26 @@ object Bench {
               col("cnt").as("rho")))
     }
 
+    // event analytics rollups: funnel + retention + transition matrix
+    // over the full event table in one leg — the per-user aggregate
+    // family's cost (co-partitioned min chains, bounded outputs)
+    legDf("event_analytics") {
+      val ev = CellEncodings.table(spark, sfDir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tus"),
+          col("event_type"))
+      graft.operators.EventOps.funnel(ev, "user_id", "tus", "event_type",
+          Seq("signup", "view", "click", "purchase"))
+        .select(col("stage_idx").as("a"), col("n_users").as("b"))
+        .unionByName(graft.operators.EventOps.retentionCohorts(
+          ev.select(col("user_id"), col("tus")), "user_id", "tus",
+          bucketSize = 86400000000L)
+          .select(col("cohort").as("a"), col("n_users").as("b")))
+        .unionByName(graft.operators.EventOps.eventTransitions(
+          ev, "user_id", "tus", "event_type")
+          .select(hash(col("from_type"), col("to_type")).cast("long").as("a"),
+            col("n").as("b")))
+    }
+
     // event analytics: as-of attribution over the full event table
     // (union + per-key running last — the one-shuffle path)
     legDf("asof_join") {
