@@ -1107,6 +1107,117 @@ object SparkEntry {
         "user_id", "tus", "event_type", gap = 1800000000L)
     }),
 
+    // Windowed CMS heavy-hitter drift: one count-min sketch of the
+    // props-payload tokens per day, consecutive-day cell-space L1
+    // deltas — the vocabulary-shift monitor at d·w integers/day.
+    "p146_cms_drift" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Sketches.cmsDriftSeries(
+        table(s, dir, "events")
+          .select(expr("ts div 1000 div 86400000000").as("day"), col("props")),
+        "props", "day", d = 4, w = 128)
+    }),
+
+    // Composite-key as-of join: attribution per (user, item) — the
+    // item is the props k-bucket — so a purchase of item i matches the
+    // user's latest click ON THAT ITEM, not any click. Same one-shuffle
+    // union + running-last shape, key = the composite; DuckDB's native
+    // two-equality ASOF join is the independent oracle.
+    "p147_asof_composite" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tus"),
+          col("event_type"), col("event_id"),
+          expr("CAST(nullif(regexp_extract(props, '[0-9]+', 0), '') AS BIGINT) % 10")
+            .as("item"))
+      graft.operators.EventOps.asOfJoin(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("item"), col("tus"),
+            col("event_id").as("purchase_id")),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("item"), col("tus"),
+            col("event_id").as("click_id")),
+        Seq("user_id", "item"), "tus")
+        .select(col("purchase_id"),
+          col("user_id").cast("bigint").as("uid"), col("item"),
+          col("tus").as("purchase_us"),
+          col("q_click_id").as("click_id"), col("q_tus").as("click_us"))
+    }),
+
+    // Unkeyed time-window join: per purchase, errors (any user) within
+    // ±6 h — bin decomposition (3× probe fanout, single equi-join on
+    // the bin), never a range join.
+    "p149_window_join" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), expr("ts div 1000").as("tus"),
+          col("event_type"))
+      graft.operators.EventOps.nearbyCount(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "error"),
+        "event_id", "tus", window = 21600000000L)
+    }),
+
+    // Integer fixed-point PageRank over the event-type transition
+    // graph (3 iterations, damping 0.85 at micro-scale) — every step
+    // floor arithmetic, so the oracle unrolls to pure SQL.
+    "p150_pagerank" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.operators.EventOps.pageRank(
+        graft.operators.EventOps.eventTransitions(
+          table(s, dir, "events")
+            .select(col("user_id"), expr("ts div 1000").as("tus"),
+              col("event_type")),
+          "user_id", "tus", "event_type"),
+        "from_type", "to_type", "n", iters = 3)
+    }),
+
+    // Pairwise total-variation drift of the language mix across
+    // sources — the categorical cousin of the p123 KS matrix.
+    "p151_tv_drift" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Sketches.tvDriftMatrix(
+        table(s, dir, "documents"), "lang", "source")
+    }),
+
+    // Cohort LTV curves: per (first-event-day cohort, day offset) the
+    // active users, micro-quantized revenue, running cumulative and
+    // floor per-acquired-user LTV.
+    "p152_cohort_ltv" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.operators.EventOps.cohortLtv(
+        table(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("tus"), col("value")),
+        "user_id", "tus", "value", bucketSize = 86400000000L)
+    }),
+
+    // Winsorized per-type value stats: exact p5/p95 cents thresholds
+    // from the value histogram, clamped sum/max — the outlier-immune
+    // revenue scale readout, no raw-row sort anywhere.
+    "p153_winsorized" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Sketches.winsorizedStats(
+        table(s, dir, "events")
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("cents")),
+        "cents", "event_type", loPct = 5, hiPct = 95)
+        .select(col("grp").as("event_type"), col("n"), col("lo"),
+          col("hi"), col("wsum"), col("wmax"))
+    }),
+
+    // Windowed telemetry dedup: repeated (user, type) events inside an
+    // hour-tumbling window collapse to the first occurrence with a
+    // dropped-copy census — the at-least-once ingest repair.
+    "p154_event_dedup_window" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.operators.EventOps.dedupEventsWindowed(
+        table(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            expr("ts div 1000").as("tus")),
+        Seq("user_id", "event_type"), "event_id", "tus",
+        window = 3600000000L)
+    }),
+
     // Streaming twin of p109: clicks register in per-user quote state,
     // purchases resolve against it at arrival. The feed writes click
     // files at an earlier pinned mtime than purchase files, so quotes
@@ -4212,6 +4323,157 @@ object SparkEntry {
         |SELECT a.et AS type_a, b.et AS type_b, count(*) AS n_sessions
         |FROM d a JOIN d b ON a.u = b.u AND a.sid = b.sid AND a.et < b.et
         |GROUP BY 1, 2""".stripMargin,
+
+    "p146_cms_drift" ->
+      s"""WITH t AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |             unnest(regexp_extract_all(lower(props), '\\S+')) AS tok
+        |           FROM events),
+        |x AS (SELECT day, r,
+        |        ${hash60Sql("CAST(r AS VARCHAR) || ':' || tok")} % 128 AS bk
+        |      FROM t, (SELECT unnest([0, 1, 2, 3]) AS r) rr),
+        |sk AS (SELECT day, CAST(r AS BIGINT) AS rw, bk, count(*) AS cnt
+        |       FROM x GROUP BY 1, 2, 3),
+        |days AS (SELECT day, lag(day) OVER (ORDER BY day) AS pd
+        |         FROM (SELECT DISTINCT day FROM sk)),
+        |pr AS (SELECT day, pd FROM days WHERE pd IS NOT NULL),
+        |cur AS (SELECT pr.day, pr.pd, sk.rw, sk.bk, sk.cnt AS ca
+        |        FROM pr JOIN sk ON sk.day = pr.day),
+        |prev AS (SELECT pr.day, pr.pd, sk.rw, sk.bk, sk.cnt AS cb
+        |         FROM pr JOIN sk ON sk.day = pr.pd),
+        |j AS (SELECT coalesce(cur.day, prev.day) AS day,
+        |        coalesce(cur.pd, prev.pd) AS pd,
+        |        coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |      FROM cur FULL JOIN prev
+        |        ON cur.day = prev.day AND cur.pd = prev.pd
+        |        AND cur.rw = prev.rw AND cur.bk = prev.bk)
+        |SELECT day AS bucket, pd AS prev_bucket,
+        |       CAST(sum(abs(ca - cb)) AS BIGINT) AS l1,
+        |       count(CASE WHEN ca <> cb THEN 1 END) AS cells_changed,
+        |       CAST(sum(ca) AS BIGINT) AS mass,
+        |       CAST(sum(cb) AS BIGINT) AS prev_mass
+        |FROM j GROUP BY 1, 2""".stripMargin,
+
+    "p147_asof_composite" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_type, event_id,
+        |              TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) % 10 AS item
+        |            FROM events),
+        |c AS (SELECT user_id, item, us AS cus, max(event_id) AS click_id
+        |      FROM ev WHERE event_type = 'click' GROUP BY 1, 2, 3),
+        |p AS (SELECT user_id, item, us AS pus, event_id AS purchase_id
+        |      FROM ev WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, CAST(p.user_id AS BIGINT) AS uid, p.item,
+        |       p.pus AS purchase_us, c.click_id, c.cus AS click_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.item = c.item AND p.pus >= c.cus""".stripMargin,
+
+    "p149_window_join" ->
+      """WITH p AS (SELECT event_id AS id, epoch_us(ts) AS t FROM events
+        |           WHERE event_type = 'purchase'),
+        |e AS (SELECT event_id AS eid, epoch_us(ts) AS te FROM events
+        |      WHERE event_type = 'error')
+        |SELECT p.id, p.t, count(e.eid) AS n_near
+        |FROM p LEFT JOIN e
+        |  ON abs(e.te - p.t) <= 21600000000 AND e.eid <> p.id
+        |GROUP BY 1, 2""".stripMargin,
+
+    "p150_pagerank" ->
+      """WITH e0 AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et
+        |            FROM events),
+        |x AS (SELECT u, et, lag(et) OVER (PARTITION BY u ORDER BY t, et) AS prev
+        |      FROM e0),
+        |m AS (SELECT prev AS src, et AS dst, CAST(count(*) AS HUGEINT) AS w
+        |      FROM x WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |nodes AS (SELECT src AS node FROM m UNION SELECT dst FROM m),
+        |o AS (SELECT src, sum(w) AS outw FROM m GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1000000 AS HUGEINT) AS r FROM nodes),
+        |c1 AS (SELECT m.dst AS node, sum(r0.r * m.w // o.outw) AS mm
+        |       FROM m JOIN o USING (src) JOIN r0 ON r0.node = m.src GROUP BY 1),
+        |r1 AS (SELECT n.node,
+        |         (150 * CAST(1000000 AS HUGEINT) + 850 * coalesce(c1.mm, 0)) // 1000 AS r
+        |       FROM nodes n LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT m.dst AS node, sum(r1.r * m.w // o.outw) AS mm
+        |       FROM m JOIN o USING (src) JOIN r1 ON r1.node = m.src GROUP BY 1),
+        |r2 AS (SELECT n.node,
+        |         (150 * CAST(1000000 AS HUGEINT) + 850 * coalesce(c2.mm, 0)) // 1000 AS r
+        |       FROM nodes n LEFT JOIN c2 USING (node)),
+        |c3 AS (SELECT m.dst AS node, sum(r2.r * m.w // o.outw) AS mm
+        |       FROM m JOIN o USING (src) JOIN r2 ON r2.node = m.src GROUP BY 1),
+        |r3 AS (SELECT n.node,
+        |         (150 * CAST(1000000 AS HUGEINT) + 850 * coalesce(c3.mm, 0)) // 1000 AS r
+        |       FROM nodes n LEFT JOIN c3 USING (node))
+        |SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r3""".stripMargin,
+
+    "p151_tv_drift" ->
+      """WITH h AS (SELECT source AS g, lang AS cat, count(*) AS c
+        |           FROM documents GROUP BY 1, 2),
+        |gg AS (SELECT DISTINCT g FROM h),
+        |pairs AS (SELECT a.g AS ga, b.g AS gb FROM gg a JOIN gg b ON a.g < b.g),
+        |l AS (SELECT ga, gb, cat, c AS ca FROM pairs JOIN h ON h.g = pairs.ga),
+        |r AS (SELECT ga, gb, cat, c AS cb FROM pairs JOIN h ON h.g = pairs.gb),
+        |j AS (SELECT coalesce(l.ga, r.ga) AS ga, coalesce(l.gb, r.gb) AS gb,
+        |        coalesce(l.cat, r.cat) AS cat,
+        |        coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |      FROM l FULL JOIN r
+        |        ON l.ga = r.ga AND l.gb = r.gb AND l.cat = r.cat),
+        |x AS (SELECT ga, gb, cat, ca, cb,
+        |        CAST(sum(ca) OVER (PARTITION BY ga, gb) AS HUGEINT) AS na,
+        |        CAST(sum(cb) OVER (PARTITION BY ga, gb) AS HUGEINT) AS nb
+        |      FROM j),
+        |y AS (SELECT ga, gb, cat, na, nb, abs(ca * nb - cb * na) AS dev,
+        |        sum(abs(ca * nb - cb * na)) OVER (PARTITION BY ga, gb) AS sdev
+        |      FROM x)
+        |SELECT ga AS grp_a, gb AS grp_b, cat,
+        |       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |       CAST(dev AS BIGINT) AS dev_scaled,
+        |       CAST(sdev * 1000 // (2 * na * nb) AS BIGINT) AS tv_permille
+        |FROM y WHERE na > 0 AND nb > 0""".stripMargin,
+
+    "p152_cohort_ltv" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) // 86400000000 AS bucket,
+        |             CAST(round(value * 1000000) AS BIGINT) AS rev
+        |           FROM events),
+        |f AS (SELECT u, min(bucket) AS cohort FROM e GROUP BY 1),
+        |sz AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY 1),
+        |p AS (SELECT f.cohort, e.bucket - f.cohort AS "offset",
+        |        count(DISTINCT e.u) AS n_users, sum(e.rev) AS rev_micro
+        |      FROM e JOIN f ON e.u = f.u GROUP BY 1, 2),
+        |c AS (SELECT p.cohort, p."offset", p.n_users, p.rev_micro,
+        |        sz.cohort_size,
+        |        sum(p.rev_micro) OVER (PARTITION BY p.cohort ORDER BY p."offset"
+        |                               ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM p JOIN sz USING (cohort))
+        |SELECT cohort, "offset", CAST(n_users AS BIGINT) AS n_users,
+        |       CAST(rev_micro AS BIGINT) AS rev_micro,
+        |       CAST(cum AS BIGINT) AS cum_micro,
+        |       CAST(cum // cohort_size AS BIGINT) AS ltv_micro
+        |FROM c""".stripMargin,
+
+    "p153_winsorized" ->
+      """WITH d AS (SELECT event_type AS grp,
+        |             CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |h AS (SELECT grp, v, count(*) AS c FROM d GROUP BY 1, 2),
+        |x AS (SELECT grp, v, c,
+        |        sum(c) OVER (PARTITION BY grp ORDER BY v
+        |                     ROWS UNBOUNDED PRECEDING) AS cum,
+        |        sum(c) OVER (PARTITION BY grp) AS n
+        |      FROM h),
+        |lo AS (SELECT grp, min(v) AS lo FROM x WHERE cum * 100 >= n * 5 GROUP BY 1),
+        |hi AS (SELECT grp, min(v) AS hi FROM x WHERE cum * 100 >= n * 95 GROUP BY 1)
+        |SELECT h.grp AS event_type, CAST(sum(c) AS BIGINT) AS n, lo.lo, hi.hi,
+        |       CAST(sum(c * greatest(lo.lo, least(hi.hi, v))) AS BIGINT) AS wsum,
+        |       CAST(max(greatest(lo.lo, least(hi.hi, v))) AS BIGINT) AS wmax
+        |FROM h JOIN lo USING (grp) JOIN hi USING (grp)
+        |GROUP BY 1, lo.lo, hi.hi""".stripMargin,
+
+    "p154_event_dedup_window" ->
+      """WITH e AS (SELECT user_id, event_type, event_id AS id,
+        |             epoch_us(ts) AS t FROM events)
+        |SELECT user_id, event_type,
+        |       (t // 3600000000) * 3600000000 AS wstart,
+        |       (min({'t': t, 'id': id})).id AS id,
+        |       (min({'t': t, 'id': id})).t AS t,
+        |       count(*) - 1 AS n_dups
+        |FROM e GROUP BY 1, 2, 3""".stripMargin,
 
     "p126_containment" ->
       """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),

@@ -336,4 +336,142 @@ object EventOps {
         lit(i + 1).cast("long").as("stage_idx") +: lit(stages(i)).as("stage") +:
           a.columns.toSeq.map(col): _*)
     }.reduce(_ unionByName _)
+
+  /** UNKEYED time-window join: for every probe row, how many `events`
+    * rows (ANY key) fall within ±`window` of its timestamp — "did the
+    * purchase coincide with an error burst", both sides corpus-sized,
+    * no equality key to shuffle on. Spark has no operator for this; the
+    * naive range join is |probe|·|events| before the bound filter.
+    *
+    * Shape: time-bin decomposition with bin = t div window. A probe in
+    * bin b can only meet events in bins {b−1, b, b+1} (|Δt| ≤ window ⇒
+    * bin distance ≤ 1), so the probe side explodes 3× into its
+    * neighbor bins and equi-joins the event side's SINGLE bin — each
+    * (probe, event) pair meets exactly once (no dedup pass), the
+    * shuffle is an ordinary hash exchange on the bin, and AQE's skew
+    * split handles a hot bin. LEFT join: a probe near nothing reports
+    * 0. Returns (id, t, n_near); the probe row itself is excluded when
+    * it appears in `events` (matched by `idCol` equality).
+    */
+  def nearbyCount(probe: DataFrame, events: DataFrame, idCol: String,
+      tsCol: String, window: Long): DataFrame = {
+    require(window > 0, s"window $window must be positive")
+    val p = probe.select(col(idCol).as("id"), col(tsCol).cast("long").as("t"))
+      .withColumn("bin", explode(array(
+        expr(s"t div ${window}L") - 1, expr(s"t div ${window}L"),
+        expr(s"t div ${window}L") + 1)))
+    val e = events.select(col(idCol).as("eid"),
+        col(tsCol).cast("long").as("te"))
+      .withColumn("bin", expr(s"te div ${window}L"))
+    p.join(e, Seq("bin"), "left")
+      .filter(col("te").isNull ||
+        (abs(col("te") - col("t")) <= window && col("eid") =!= col("id")))
+      .groupBy(col("id"), col("t"))
+      .agg(count(col("eid")).as("n_near"))
+  }
+
+  /** Integer fixed-point PageRank over a weighted edge list (src, dst,
+    * weight) — the behavior-graph centrality readout, engine-portable
+    * because every step is integer floor arithmetic: ranks live at
+    * `scale` micro-units, each iteration is
+    *   r'(v) = ((1000−damp)·scale + damp·Σ_u (r(u)·w_uv div out_u))
+    *           div 1000
+    * with out_u = Σ_v w_uv. Exactly `iters` iterations (the production
+    * convergence loop is a caller policy); dangling nodes keep
+    * receiving teleport mass but forward nothing (their mass drops —
+    * the simple-sink convention, documented rather than redistributed
+    * so the oracle unrolls to pure SQL).
+    *
+    * Each iteration = one broadcast-or-shuffle join of the rank vector
+    * (|V| rows) into the edge list + one hash-aggregate on dst — the
+    * classic Pregel step as Catalyst relational algebra; the edge list
+    * is read once and lazily checkpointed. Products run in
+    * DECIMAL(38,0) so rank·weight cannot overflow at web-graph counts.
+    * Returns (node, rank_micro).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iters: Int, dampPermille: Long = 850L,
+      scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters $iters outside [1,20]")
+    require(dampPermille >= 0 && dampPermille <= 1000,
+      s"dampPermille $dampPermille outside [0,1000]")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("decimal(38,0)").as("w"))
+      .localCheckpoint(false) // read every iteration
+    val out = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val ew = e.join(out, Seq("src")).localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false) // the teleport term every iteration
+    var ranks = nodes.withColumn("r", lit(scale).cast("decimal(38,0)"))
+    (1 to iters).foreach { _ =>
+      val contrib = ew
+        .join(ranks.select(col("node").as("src"), col("r")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("CAST(r * w DIV outw AS DECIMAL(38,0))")).as("m"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"CAST((${1000 - dampPermille} * CAST($scale AS DECIMAL(38,0))" +
+            s" + $dampPermille * coalesce(m, CAST(0 AS DECIMAL(38,0))))" +
+            " DIV 1000 AS DECIMAL(38,0))").as("r"))
+        .localCheckpoint(false) // pin each iteration: feeds the next
+    }
+    ranks.select(col("node"), col("r").cast("long").as("rank_micro"))
+  }
+
+  /** Cohort LTV curves (the revenue companion to [[retentionCohorts]]):
+    * users cohorted by first-event bucket, revenue micro-quantized
+    * (round(1e6·v) — exact-integer sums, the p133 convention) and
+    * rolled up per (cohort, offset), then the RUNNING cumulative
+    * revenue and the per-acquired-user LTV
+    * (cum div cohort_size, floor). Returns (cohort, offset, n_users,
+    * rev_micro, cum_micro, ltv_micro) — n_users = active users at that
+    * offset, ltv over the cohort's FULL acquired population.
+    *
+    * Corpus passes: the per-user first-bucket aggregate and the
+    * (cohort, offset) rollup — both key-bounded; the cumulative window
+    * partitions by cohort over ≤ buckets offsets (metrics space).
+    */
+  def cohortLtv(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, bucketSize: Long): DataFrame = {
+    require(bucketSize > 0, s"bucketSize $bucketSize must be positive")
+    val e = events.select(col(userCol).as("user"),
+      expr(s"CAST(`$tsCol` AS BIGINT) div ${bucketSize}L").as("bucket"),
+      round(col(valueCol) * 1e6).cast("long").as("rev"))
+    val first = e.groupBy(col("user")).agg(min(col("bucket")).as("cohort"))
+      .localCheckpoint(false) // joined into the rollup AND sized below
+    val sizes = first.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_size"))
+    val perOffset = e.join(first, Seq("user"))
+      .groupBy(col("cohort"), (col("bucket") - col("cohort")).as("offset"))
+      .agg(count_distinct(col("user")).as("n_users"),
+        sum(col("rev")).as("rev_micro"))
+    val wc = Window.partitionBy(col("cohort")).orderBy(col("offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perOffset.join(sizes, Seq("cohort"))
+      .withColumn("cum_micro", sum(col("rev_micro")).over(wc))
+      .select(col("cohort"), col("offset"), col("n_users"), col("rev_micro"),
+        col("cum_micro"),
+        expr("cum_micro div cohort_size").as("ltv_micro"))
+  }
+
+  /** Windowed telemetry dedup: collapse repeated (key, tumbling-window)
+    * events to the FIRST occurrence (min (t, id) — deterministic under
+    * any partitioning), counting the copies dropped — the
+    * at-least-once-ingest repair every event pipeline runs before
+    * analytics. One hash-aggregate on (keys, window); returns one row
+    * per kept event: (keyCols…, wstart, id, t, n_dups).
+    */
+  def dedupEventsWindowed(events: DataFrame, keyCols: Seq[String],
+      idCol: String, tsCol: String, window: Long): DataFrame = {
+    require(window > 0, s"window $window must be positive")
+    require(keyCols.nonEmpty, "dedupEventsWindowed needs key columns")
+    events.select(keyCols.map(col) ++ Seq(
+        col(idCol).as("id"), col(tsCol).cast("long").as("t")): _*)
+      .groupBy(keyCols.map(col) :+
+        (expr(s"t div ${window}L") * window).as("wstart"): _*)
+      .agg(min(struct(col("t"), col("id"))).as("keep"),
+        (count(lit(1)) - 1).as("n_dups"))
+      .select(keyCols.map(col) ++ Seq(col("wstart"),
+        col("keep.id").as("id"), col("keep.t").as("t"), col("n_dups")): _*)
+  }
 }

@@ -448,4 +448,155 @@ object Sketches {
       // a row/bucket absent from the sketch is a zero cell
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  /** Windowed CMS drift series (the heavy-hitter drift monitor): one
+    * count-min sketch per time bucket of `bucketCol`, then per
+    * consecutive-bucket pair the CELL-SPACE distance between the two
+    * sketches — `l1` = Σ|cell_t − cell_{t−1}| and `cells_changed` —
+    * plus both buckets' total mass. A vocabulary shift (new spam
+    * campaign, feed schema change, language mix flip) moves cell mass
+    * between buckets and spikes `l1` long before any exact top-k job
+    * would surface it, at d·w integers per bucket of state.
+    *
+    * One tokenize pass (the [[cmsObservables]] lineage with the bucket
+    * carried), one map-side-combined aggregate; the pairing runs on the
+    * SKETCH TABLE (≤ buckets·d·w rows — metrics space), via a
+    * full-outer join of each bucket's cells with its predecessor's
+    * (absent cell = 0). The predecessor is the previous PRESENT bucket
+    * (lag over the distinct-bucket list — a global window over ≤
+    * buckets rows, the p91 bounded-domain contract), so an empty bucket
+    * reads as a gap, not a zero sketch. Returns (bucket, prev_bucket,
+    * l1, cells_changed, mass, prev_mass); the first bucket emits
+    * nothing.
+    */
+  def cmsDriftSeries(df: DataFrame, textCol: String, bucketCol: String,
+      d: Int = 4, w: Int = 512): DataFrame = {
+    val sk = cmsObservables(
+        df.select(col(bucketCol).cast("long").as("grp"), col(textCol)),
+        textCol, d, w, carry = Seq("grp"))
+      .groupBy(col("grp"), col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // both sides of the consecutive-pair join
+    val wb = org.apache.spark.sql.expressions.Window.orderBy(col("grp"))
+    val pairs = sk.select(col("grp")).distinct()
+      .withColumn("pg", lag(col("grp"), 1).over(wb))
+      .filter(col("pg").isNotNull)
+      .localCheckpoint(false) // joined from both sides below
+    val cur = pairs.join(sk, Seq("grp"))
+      .select(col("grp"), col("pg"), col("row"), col("bucket"),
+        col("cnt").as("ca"))
+    val prev = pairs.join(
+        sk.select(col("grp").as("pg"), col("row"), col("bucket"),
+          col("cnt").as("cb")), Seq("pg"))
+      .select(col("grp"), col("pg"), col("row"), col("bucket"), col("cb"))
+    cur.join(prev, Seq("grp", "pg", "row", "bucket"), "full_outer")
+      .select(col("grp"), col("pg"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .groupBy(col("grp").as("bucket"), col("pg").as("prev_bucket"))
+      .agg(sum(abs(col("ca") - col("cb"))).as("l1"),
+        count(when(col("ca") =!= col("cb"), 1)).as("cells_changed"),
+        sum(col("ca")).as("mass"), sum(col("cb")).as("prev_mass"))
+  }
+
+  /** Pairwise total-variation drift across every unordered pair of
+    * `groupCol` values over a CATEGORICAL observable — the unordered
+    * cousin of [[ksDriftMatrix]] (KS needs an ordered domain; language
+    * / event-type / source mixes have none). Per pair and category the
+    * division-free deviation `dev_scaled = |c_a·n_b − c_b·n_a|`
+    * (DECIMAL(38,0) — exact past 2^63), and the pair's TV distance
+    * `tv_permille = 1000·Σdev / (2·n_a·n_b)` stamped on every row.
+    *
+    * One (group, category) histogram aggregate is the only corpus
+    * pass; the pair explosion runs on the histogram (≤ groups²·cats
+    * rows — metrics space). Categories absent on one side count 0
+    * (full-outer). Returns (grp_a, grp_b, cat, n_a, n_b, dev_scaled,
+    * tv_permille), grp_a < grp_b.
+    */
+  def tvDriftMatrix(df: DataFrame, catCol: String,
+      groupCol: String): DataFrame = {
+    val h = df.groupBy(col(groupCol).as("g"), col(catCol).as("cat"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // pairs/left/right all read it
+    val groups = h.select(col("g")).distinct()
+    val pairs = groups.select(col("g").as("ga"))
+      .crossJoin(groups.select(col("g").as("gb")))
+      .filter(col("ga") < col("gb"))
+    val left = pairs.join(
+      h.select(col("g").as("ga"), col("cat"), col("c").as("ca")), Seq("ga"))
+    val right = pairs.join(
+      h.select(col("g").as("gb"), col("cat"), col("c").as("cb")), Seq("gb"))
+    val tot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ga"), col("gb"))
+    left.join(right, Seq("ga", "gb", "cat"), "full_outer")
+      .select(col("ga"), col("gb"), col("cat"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .withColumn("na", sum(col("ca")).over(tot).cast("decimal(38,0)"))
+      .withColumn("nb", sum(col("cb")).over(tot).cast("decimal(38,0)"))
+      .withColumn("dev", abs(col("ca") * col("nb") - col("cb") * col("na")))
+      .withColumn("sdev", sum(col("dev")).over(tot))
+      .filter(col("na") > 0 && col("nb") > 0) // a one-sided pair has no TV
+      .select(col("ga").as("grp_a"), col("gb").as("grp_b"), col("cat"),
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        col("dev").cast("long").as("dev_scaled"),
+        expr("CAST(sdev * 1000 DIV (2 * na * nb) AS BIGINT)").as("tv_permille"))
+  }
+
+  /** Per-group exact `pct`-th percentile (least v with 100·cum ≥ pct·n)
+    * of an integer observable via the [[groupedMedian]] histogram trick
+    * — never sorts raw rows, only the bounded value domain. Returns
+    * (grp, q). pct ∈ [1, 100]; pct 50 is the UPPER-median convention
+    * (100·cum ≥ 50·n), deliberately distinct from [[groupedMedian]]'s
+    * lower median.
+    */
+  def groupedQuantile(df: DataFrame, valueCol: String, groupCol: String,
+      pct: Int): DataFrame = {
+    require(pct >= 1 && pct <= 100, s"pct $pct outside [1,100]")
+    quantileFromHistogram(histogramOf(df, valueCol, groupCol), pct)
+      .withColumnRenamed(s"q$pct", "q")
+  }
+
+  /** Winsorized per-group moments (the robust-mean readout): exact
+    * loPct/hiPct percentiles per group, every value clamped into
+    * [lo, hi], then n / clamped sum / clamped max — the outlier-immune
+    * scale observable next to [[madOutliers]]'s flags. ENTIRELY on the
+    * (group, value) histogram: one corpus aggregate, quantiles via
+    * per-group cumulative windows over the bounded value domain, the
+    * clamped sum as Σ c·clamp(v) on histogram rows — the raw corpus is
+    * never sorted or re-scanned. Returns (grp, n, lo, hi, wsum, wmax).
+    */
+  def winsorizedStats(df: DataFrame, valueCol: String, groupCol: String,
+      loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+    require(loPct >= 1 && hiPct <= 100 && loPct < hiPct,
+      s"percentile bounds [$loPct, $hiPct] invalid")
+    val h = histogramOf(df, valueCol, groupCol)
+      .localCheckpoint(false) // feeds both quantiles and the clamped sum
+    val bounds = quantileFromHistogram(h, loPct)
+      .join(quantileFromHistogram(h, hiPct), Seq("grp"))
+      .select(col("grp"), col(s"q$loPct").as("lo"), col(s"q$hiPct").as("hi"))
+    h.join(broadcast(bounds), Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(sum(col("c")).as("n"), first(col("lo")).as("lo"),
+        first(col("hi")).as("hi"),
+        sum(col("c") * greatest(col("lo"), least(col("hi"), col("v"))))
+          .as("wsum"),
+        max(greatest(col("lo"), least(col("hi"), col("v")))).as("wmax"))
+  }
+
+  private def histogramOf(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame =
+    df.select(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
+      .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("c"))
+
+  private def quantileFromHistogram(h: DataFrame, pct: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+    h.withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(tot))
+      .filter(col("cum") * 100 >= col("n") * pct)
+      .groupBy(col("grp")).agg(min(col("v")).as(s"q$pct"))
+  }
 }

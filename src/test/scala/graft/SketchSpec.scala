@@ -469,4 +469,148 @@ class SketchSpec extends SparkSpec {
       .collect().map(r => (r.getString(1), r.getLong(2))).toMap
     assert(got == Map("A" -> 1L, "B" -> 1L, "C" -> 1L))
   }
+
+  test("cmsDriftSeries: identical buckets zero l1; disjoint vocab l1 = both masses; gap buckets pair with previous present") {
+    // buckets 1 and 2 share the same text (zero drift), bucket 4 (gap at
+    // 3) flips vocabulary entirely
+    val df = Seq((1L, "aa bb"), (2L, "aa bb"), (4L, "cc dd"))
+      .toDF("b", "txt")
+    val got = Sketches.cmsDriftSeries(df, "txt", "b", d = 2, w = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // pair (2,1): identical sketches → l1 0, cells_changed 0, mass 4 each
+    assert(got((2L, 1L)) == ((0L, 0L, 4L, 4L)))
+    // pair (4,2): disjoint tokens → every cell changes hands; l1 = 8
+    // unless a cross-vocab cell collision cancels — with w=32 and these
+    // 4 tokens, verify against the reference cell tables
+    val cells = Seq("aa", "bb", "cc", "dd").flatMap(t =>
+      (0 until 2).map(r => (t, r.toLong, hash60Ref(s"$r:$t") % 32)))
+    val mA = cells.filter(c => Set("aa", "bb")(c._1)).groupBy(c => (c._2, c._3)).view.mapValues(_.size.toLong).toMap
+    val mB = cells.filter(c => Set("cc", "dd")(c._1)).groupBy(c => (c._2, c._3)).view.mapValues(_.size.toLong).toMap
+    val l1Ref = (mA.keySet ++ mB.keySet).toSeq
+      .map(k => math.abs(mA.getOrElse(k, 0L) - mB.getOrElse(k, 0L))).sum
+    assert(got((4L, 2L))._1 == l1Ref && got((4L, 2L))._3 == 4L && got((4L, 2L))._4 == 4L)
+    // first bucket emits nothing
+    assert(!got.contains((1L, 1L)) && got.size == 2)
+  }
+
+  test("tvDriftMatrix: identical mixes 0 permille, disjoint 1000; dev_scaled exact on a hand case") {
+    val df = Seq(
+      ("s1", "en"), ("s1", "en"), ("s1", "fr"),
+      ("s2", "en"), ("s2", "en"), ("s2", "fr"), // s2 ≡ s1 scaled 1×
+      ("s3", "de"), ("s3", "de")                // disjoint from both
+    ).toDF("src", "lang")
+    val got = Sketches.tvDriftMatrix(df, "lang", "src")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // s1 vs s2: identical distributions → all devs 0, tv 0
+    assert(got(("s1", "s2", "en")) == ((3L, 3L, 0L, 0L)))
+    assert(got(("s1", "s2", "fr")) == ((3L, 3L, 0L, 0L)))
+    // s1 vs s3: disjoint → tv_permille 1000; dev for en = |2·2 − 0·3| = 4
+    assert(got(("s1", "s3", "en")) == ((3L, 2L, 4L, 1000L)))
+    assert(got(("s1", "s3", "de")) == ((3L, 2L, 6L, 1000L)))
+    // 3 unordered pairs × their categories; no self pairs
+    assert(got.keySet.map(k => (k._1, k._2)) ==
+      Set(("s1", "s2"), ("s1", "s3"), ("s2", "s3")))
+  }
+
+  test("groupedQuantile / winsorizedStats: exact thresholds and clamped moments on a hand case") {
+    // group g: values 1..100 once each → p5 = 5, p95 = 95
+    val df = (1L to 100L).map(v => ("g", v)).toDF("grp", "v")
+    val q5 = Sketches.groupedQuantile(df, "v", "grp", 5).collect().head.getLong(1)
+    val q95 = Sketches.groupedQuantile(df, "v", "grp", 95).collect().head.getLong(1)
+    assert(q5 == 5L && q95 == 95L)
+    val r = Sketches.winsorizedStats(df, "v", "grp", 5, 95).collect().head
+    // wsum = 4·5 (1..4 clamped up) + Σ5..95 + 5·95 (96..100 clamped down)
+    val wsumRef = 4 * 5 + (5 to 95).sum + 5 * 95
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      ((100L, 5L, 95L, wsumRef.toLong, 95L)))
+    // an extreme outlier shifts the rank thresholds one value (n 100→101)
+    // and clamps to the new hi — exact: lo 6, hi 96,
+    // wsum = 5·6 + Σ6..96 + 4·96 + 96 = 5151
+    val spiked = df.union(Seq(("g", 1000000L)).toDF("grp", "v"))
+    val r2 = Sketches.winsorizedStats(spiked, "v", "grp", 5, 95).collect().head
+    assert((r2.getLong(1), r2.getLong(2), r2.getLong(3), r2.getLong(4), r2.getLong(5)) ==
+      ((101L, 6L, 96L, 5151L, 96L)))
+  }
+
+  test("nearbyCount: window edges inclusive, self excluded, isolated probe counts 0") {
+    val probes = Seq((1L, 100L), (2L, 500L)).toDF("id", "t")
+    val events = Seq((10L, 90L), (11L, 110L), (12L, 90L + 20L), // around p1
+      (13L, 1000L), (1L, 100L)).toDF("id", "t") // id 1 = the probe itself
+    val got = EventOps.nearbyCount(probes, events, "id", "t", window = 20L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // p1 at 100: events at 90 (|Δ|=10), 110 (10), 110 (=90+20 → |Δ|=10)
+    // all inside; its own id-1 twin excluded; p2 at 500 sees nothing
+    assert(got == Map(1L -> 3L, 2L -> 0L))
+    // exact boundary |Δt| = window is IN
+    val got2 = EventOps.nearbyCount(probes, Seq((20L, 120L)).toDF("id", "t"),
+      "id", "t", window = 20L).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got2(1L) == 1L)
+  }
+
+  test("pageRank: uniform cycle stays uniform; sink keeps teleport floor; mass bounded") {
+    // 3-cycle a→b→c→a, unit weights: perfectly symmetric, every rank
+    // stays exactly at scale through any number of iterations
+    val cyc = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L))
+      .toDF("s", "d", "w")
+    val rc = EventOps.pageRank(cyc, "s", "d", "w", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rc == Map("a" -> 1000000L, "b" -> 1000000L, "c" -> 1000000L))
+    // star a→b, a→c: b and c are sinks (forward nothing); a receives
+    // only teleport → after one iteration a = 150000, and b=c by symmetry
+    val star = Seq(("a", "b", 1L), ("a", "c", 1L)).toDF("s", "d", "w")
+    val rs = EventOps.pageRank(star, "s", "d", "w", iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rs("a") == 150000L && rs("b") == rs("c"))
+    // hand value: b gets (150·1e6 + 850·(1e6·1 div 2)) div 1000 = 575000
+    assert(rs("b") == 575000L)
+  }
+
+  test("cohortLtv: cumulative and per-user floor on a hand case; conservation with retention") {
+    // cohort 0: u1 (day0 rev 2.0, day1 rev 1.0), u2 (day0 rev 0) →
+    // size 2; cohort 1: u3 day1 rev 4.5
+    val ev = Seq((1L, 0L, 2.0), (1L, 150L, 1.0), (2L, 10L, 0.0), (3L, 120L, 4.5))
+      .toDF("u", "t", "v")
+    val got = EventOps.cohortLtv(ev, "u", "t", "v", bucketSize = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got((0L, 0L)) == ((2L, 2000000L, 2000000L, 1000000L)))
+    assert(got((0L, 1L)) == ((1L, 1000000L, 3000000L, 1500000L)))
+    assert(got((1L, 0L)) == ((1L, 4500000L, 4500000L, 4500000L)))
+    // n_users column IS the retention matrix
+    val ret = EventOps.retentionCohorts(ev, "u", "t", 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.view.mapValues(_._1).toMap == ret)
+  }
+
+  test("dedupEventsWindowed: keep-first per window, copy census, min-struct tie rule") {
+    val ev = Seq(
+      (1L, "a", 10L, 100L), (1L, "a", 11L, 150L), (1L, "a", 12L, 150L), // same window
+      (1L, "a", 13L, 250L), // next window
+      (2L, "a", 14L, 100L)  // other key
+    ).toDF("u", "et", "id", "t")
+    val got = EventOps.dedupEventsWindowed(ev, Seq("u", "et"), "id", "t", window = 100L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // window [100,200): keeps (100, id 10), drops 2; same-t ties would
+    // take the smaller id (min struct)
+    assert(got == Map(
+      (1L, "a", 100L) -> ((10L, 100L, 2L)),
+      (1L, "a", 200L) -> ((13L, 250L, 0L)),
+      (2L, "a", 100L) -> ((14L, 100L, 0L))))
+  }
+
+  test("asOfJoin composite keys: match requires BOTH keys; per-key independence") {
+    val quotes = Seq((1L, 10L, 100L, 900L), (1L, 20L, 110L, 901L),
+      (2L, 10L, 105L, 902L)).toDF("u", "item", "t", "qid")
+    val probes = Seq((1L, 10L, 120L, 1L), (1L, 20L, 115L, 2L),
+      (1L, 30L, 130L, 3L), (2L, 10L, 104L, 4L)).toDF("u", "item", "t", "pid")
+    val got = EventOps.asOfJoin(probes, quotes, Seq("u", "item"), "t")
+      .collect().map(r => r.getAs[Long]("pid") ->
+        Option(r.getAs[Any]("q_qid")).map(_.asInstanceOf[Long])).toMap
+    // probe 1 (u1,i10) → quote 900 (not u1,i20's 110 even though closer);
+    // probe 3 (u1,i30) no quote; probe 4 predates u2's quote
+    assert(got == Map(1L -> Some(900L), 2L -> Some(901L), 3L -> None, 4L -> None))
+  }
 }
