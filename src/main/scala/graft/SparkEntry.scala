@@ -1218,6 +1218,37 @@ object SparkEntry {
         window = 3600000000L)
     }),
 
+    // Streaming twin of p154: the same keep-first window census as a
+    // watermarked window aggregate — min-struct winners make the
+    // emissions arrival-order-insensitive, so the batch oracle gates
+    // the stream on any feed slicing; sentinels (filtered out) push
+    // the watermark past the last real window so Append mode closes
+    // every window (the q42 discipline).
+    "p148_stream_dedup_window" -> ((s, dir) => {
+      import s.implicits._
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("ts div 1000").as("tus"))
+      val bounds = ev.agg(min(col("tus")), max(col("tus"))).head()
+      val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
+      val dayUs = 86400000000L
+      val delayUs = (maxUs - minUs) + dayUs
+      val out = runStream(s, "p148", dir, ev, 3, prepareIn = { in =>
+        pinNewFiles(s, in, MtSentinel2, MtReal)
+        Seq((-1L, "__sentinel", -1L, maxUs + delayUs + dayUs))
+          .toDF("user_id", "event_type", "event_id", "tus")
+          .coalesce(1).write.mode("append").parquet(in)
+        pinNewFiles(s, in, MtSentinel2, MtSentinel1)
+        Seq((-1L, "__sentinel", -2L, maxUs + 2L * (delayUs + dayUs)))
+          .toDF("user_id", "event_type", "event_id", "tus")
+          .coalesce(1).write.mode("append").parquet(in)
+        pinNewFiles(s, in, MtSentinel2, MtSentinel2)
+      })(st => graft.streaming.PipelineStream.eventDedupStream(
+        st, Seq("user_id", "event_type"), "event_id", "tus",
+        windowMicros = 3600000000L, watermark = s"$delayUs microseconds"))
+      out.filter(col("event_type") =!= "__sentinel")
+    }),
+
     // Streaming twin of p109: clicks register in per-user quote state,
     // purchases resolve against it at arrival. The feed writes click
     // files at an earlier pinned mtime than purchase files, so quotes
@@ -2971,6 +3002,21 @@ object SparkEntry {
       |SELECT CAST(r AS BIGINT) AS "row", bucket, count(*) AS cnt
       |FROM x GROUP BY 1, 2""".stripMargin
 
+  /** Shared DuckDB lineage for the keep-first window census — p154
+    * gates the batch aggregate, p148 its watermarked streaming twin
+    * (min-struct winners are arrival-order-insensitive, so ONE oracle
+    * gates both paths and they cannot drift).
+    */
+  private lazy val eventDedupOracleSql: String =
+    """WITH e AS (SELECT user_id, event_type, event_id AS id,
+      |             epoch_us(ts) AS t FROM events)
+      |SELECT user_id, event_type,
+      |       (t // 3600000000) * 3600000000 AS wstart,
+      |       (min({'t': t, 'id': id})).id AS id,
+      |       (min({'t': t, 'id': id})).t AS t,
+      |       count(*) - 1 AS n_dups
+      |FROM e GROUP BY 1, 2, 3""".stripMargin
+
   /** Shared DuckDB lineage for the purchase→last-click attribution —
     * p109 gates the batch union+running-last shape, p137 the streaming
     * quote-state twin (same rows when quotes lead probes, which the
@@ -4465,15 +4511,8 @@ object SparkEntry {
         |FROM h JOIN lo USING (grp) JOIN hi USING (grp)
         |GROUP BY 1, lo.lo, hi.hi""".stripMargin,
 
-    "p154_event_dedup_window" ->
-      """WITH e AS (SELECT user_id, event_type, event_id AS id,
-        |             epoch_us(ts) AS t FROM events)
-        |SELECT user_id, event_type,
-        |       (t // 3600000000) * 3600000000 AS wstart,
-        |       (min({'t': t, 'id': id})).id AS id,
-        |       (min({'t': t, 'id': id})).t AS t,
-        |       count(*) - 1 AS n_dups
-        |FROM e GROUP BY 1, 2, 3""".stripMargin,
+    "p154_event_dedup_window" -> eventDedupOracleSql,
+    "p148_stream_dedup_window" -> eventDedupOracleSql,
 
     "p126_containment" ->
       """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),

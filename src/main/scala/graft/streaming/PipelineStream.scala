@@ -657,4 +657,37 @@ object PipelineStream {
       .join(broadcast(model), Seq("b"))
       .select(col("id"), col("llr_micro"))
   }
+
+  /** Streaming twin of [[graft.operators.EventOps.dedupEventsWindowed]]:
+    * the same keep-first-per-(key, tumbling-window) census as a
+    * WATERMARKED WINDOW AGGREGATE — min(struct(t, id)) and copy count
+    * per (keys, window), emitted append-mode when the watermark passes
+    * the window end. Because the winner is the min-struct (not the
+    * first ARRIVAL), the emitted rows are arrival-order-insensitive and
+    * equal the batch operator exactly for every window the watermark
+    * closes — the property that lets the batch oracle gate this stream
+    * on any feed slicing. State is one aggregation row per open (key,
+    * window), evicted at emission: bounded by key cardinality × the
+    * watermark horizon, the dropDuplicatesWithinWatermark law at
+    * aggregate grain. Timestamps are epoch µs in `tsCol`; windows are
+    * epoch-aligned, so `wstart = t div window · window` agrees with the
+    * batch convention.
+    */
+  def eventDedupStream(events: DataFrame, keyCols: Seq[String],
+      idCol: String, tsCol: String, windowMicros: Long,
+      watermark: String): DataFrame = {
+    require(windowMicros > 0, s"window $windowMicros must be positive")
+    require(keyCols.nonEmpty, "eventDedupStream needs key columns")
+    events.select(keyCols.map(col) ++ Seq(col(idCol).as("id"),
+        col(tsCol).cast("long").as("t"),
+        timestamp_micros(col(tsCol).cast("long")).as("__et")): _*)
+      .withWatermark("__et", watermark)
+      .groupBy(keyCols.map(col) :+
+        window(col("__et"), s"$windowMicros microseconds").as("__w"): _*)
+      .agg(min(struct(col("t"), col("id"))).as("keep"),
+        (count(lit(1)) - 1).as("n_dups"))
+      .select(keyCols.map(col) ++ Seq(
+        unix_micros(col("__w.start")).as("wstart"),
+        col("keep.id").as("id"), col("keep.t").as("t"), col("n_dups")): _*)
+  }
 }

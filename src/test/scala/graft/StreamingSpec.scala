@@ -652,6 +652,42 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Map(900L -> 101L, 901L -> -1L))
   }
 
+  test("eventDedupStream: min-struct winner on an ADVERSARIAL arrival order equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long, Long)]
+    val out = graft.streaming.PipelineStream.eventDedupStream(
+      mem.toDS().toDF("u", "et", "id", "t"), Seq("u", "et"), "id", "t",
+      windowMicros = 100L, watermark = "0 microseconds")
+    val q = out.writeStream.format("memory").queryName("sdw")
+      .outputMode("append").start()
+    try {
+      // the LATER copy (t=150) arrives FIRST — keep-first-by-time must
+      // still win for the earlier one (min-struct, not first-arrival)
+      mem.addData((1L, "a", 11L, 150L), (1L, "a", 10L, 120L))
+      q.processAllAvailable()
+      // watermark passes window [100,200) only once a later event shows
+      mem.addData((1L, "a", 12L, 350L))
+      q.processAllAvailable()
+      mem.addData((1L, "a", 13L, 990L)) // watermark → 990
+      q.processAllAvailable()
+      mem.addData((1L, "a", 14L, 2000L)) // closes [300,400)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sdw").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got((1L, "a", 100L)) == ((10L, 120L, 1L)))
+    assert(got((1L, "a", 300L)) == ((12L, 350L, 0L)))
+    // batch twin on the same closed windows agrees exactly
+    val batch = graft.operators.EventOps.dedupEventsWindowed(
+      Seq((1L, "a", 11L, 150L), (1L, "a", 10L, 120L), (1L, "a", 12L, 350L))
+        .toDF("u", "et", "id", "t"), Seq("u", "et"), "id", "t", 100L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(batch.forall { case (k, v) => got(k) == v })
+  }
+
   test("windowed counts with watermark run on a cell stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
