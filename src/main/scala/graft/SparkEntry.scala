@@ -1218,6 +1218,73 @@ object SparkEntry {
         window = 3600000000L)
     }),
 
+    // Per-event percentile rank of the value within its type (the
+    // feature-engineering readout): exact integers from the cents
+    // histogram, broadcast back to the rows — no raw-row sort.
+    "p156_value_percentile" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Sketches.valuePercentiles(
+        table(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            round(col("value") * 100).cast("long").as("cents")),
+        "event_id", "cents", "event_type")
+        .select(col("id").as("event_id"), col("grp").as("event_type"),
+          col("v").as("cents"), col("rank_permille"))
+    }),
+
+    // Hour-of-day activity heatmap per type with the division-free
+    // uniformity deviation — ≤ types·24 rows at any scale.
+    "p157_hourly_profile" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.operators.EventOps.hourlyProfile(
+        table(s, dir, "events")
+          .select(col("event_type"), expr("ts div 1000").as("tus")),
+        "event_type", "tus")
+    }),
+
+    // Per-type inter-arrival gap statistics (seconds): exact
+    // histogram-trick median/p90 over same-user consecutive gaps.
+    "p158_interarrival" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.operators.EventOps.interArrivalStats(
+        table(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("tus"),
+            col("event_type")),
+        "user_id", "tus", "event_type", unit = 1000000L)
+    }),
+
+    // Deadline funnel: signup → click → purchase where each step must
+    // land within 7 days of the previous (the "converted within a
+    // week" product readout).
+    "p160_funnel_within" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.operators.EventOps.funnelWithin(
+        table(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("tus"),
+            col("event_type")),
+        "user_id", "tus", "event_type",
+        Seq("signup", "click", "purchase"), maxGap = 604800000000L)
+    }),
+
+    // Streaming winsorize gate (the p130 shape for value clamping):
+    // arrivals join the broadcast trained (grp, lo, hi) artifact and
+    // emit clamped values — stateless, one clamp definition shared
+    // with the batch readout.
+    "p161_stream_winsorize" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val bounds = graft.pipeline.Sketches
+        .winsorBounds(ev, "cents", "event_type", loPct = 5, hiPct = 95)
+        .localCheckpoint() // the trained artifact: built once
+      runStream(s, "p161", dir, ev, 3)(st =>
+        graft.streaming.PipelineStream.winsorStream(
+          st, "event_id", "cents", "event_type", bounds))
+        .select(col("id").as("event_id"), col("grp").as("event_type"),
+          col("v").as("cents"), col("wv"))
+    }),
+
     // Streaming twin of p154: the same keep-first window census as a
     // watermarked window aggregate — min-struct winners make the
     // emissions arrival-order-insensitive, so the batch oracle gates
@@ -4513,6 +4580,84 @@ object SparkEntry {
 
     "p154_event_dedup_window" -> eventDedupOracleSql,
     "p148_stream_dedup_window" -> eventDedupOracleSql,
+
+    "p156_value_percentile" ->
+      """WITH d AS (SELECT event_id, event_type,
+        |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |h AS (SELECT event_type, cents, count(*) AS c FROM d GROUP BY 1, 2),
+        |x AS (SELECT event_type, cents,
+        |        sum(c) OVER (PARTITION BY event_type ORDER BY cents
+        |                     ROWS UNBOUNDED PRECEDING) - c AS below,
+        |        sum(c) OVER (PARTITION BY event_type) AS n
+        |      FROM h)
+        |SELECT d.event_id, d.event_type, d.cents,
+        |       CAST(below * 1000 // n AS BIGINT) AS rank_permille
+        |FROM d JOIN x ON d.event_type = x.event_type AND d.cents = x.cents""".stripMargin,
+
+    "p157_hourly_profile" ->
+      """WITH e AS (SELECT event_type,
+        |             (epoch_us(ts) // 3600000000) % 24 AS hour FROM events),
+        |h AS (SELECT event_type, hour, count(*) AS n FROM e GROUP BY 1, 2),
+        |x AS (SELECT event_type, hour, n,
+        |        sum(n) OVER (PARTITION BY event_type) AS total FROM h)
+        |SELECT event_type, hour, n,
+        |       CAST(abs(24 * n - total) AS BIGINT) AS dev_scaled,
+        |       CAST(n * 1000 // total AS BIGINT) AS share_permille
+        |FROM x""".stripMargin,
+
+    "p158_interarrival" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS et, epoch_us(ts) AS t
+        |           FROM events),
+        |x AS (SELECT u, et, t,
+        |        lag(t) OVER (PARTITION BY u, et ORDER BY t) AS prev FROM e),
+        |g AS (SELECT et, (t - prev) // 1000000 AS gap FROM x
+        |      WHERE prev IS NOT NULL),
+        |h AS (SELECT et, gap, count(*) AS c FROM g GROUP BY 1, 2),
+        |q AS (SELECT et, gap,
+        |        sum(c) OVER (PARTITION BY et ORDER BY gap
+        |                     ROWS UNBOUNDED PRECEDING) AS cum,
+        |        sum(c) OVER (PARTITION BY et) AS n
+        |      FROM h),
+        |med AS (SELECT et, min(gap) AS med FROM q
+        |        WHERE cum * 100 >= n * 50 GROUP BY 1),
+        |p90 AS (SELECT et, min(gap) AS p90 FROM q
+        |        WHERE cum * 100 >= n * 90 GROUP BY 1)
+        |SELECT g.et AS event_type, count(*) AS n_gaps, med.med, p90.p90,
+        |       max(g.gap) AS max_gap
+        |FROM g JOIN med ON med.et = g.et JOIN p90 ON p90.et = g.et
+        |GROUP BY 1, med.med, p90.p90""".stripMargin,
+
+    "p160_funnel_within" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et
+        |           FROM events),
+        |s1 AS (SELECT u, min(t) AS t FROM e WHERE et = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.u, min(e.t) AS t FROM e JOIN s1 ON e.u = s1.u
+        |       WHERE e.et = 'click' AND e.t > s1.t
+        |         AND e.t - s1.t <= 604800000000 GROUP BY 1),
+        |s3 AS (SELECT e.u, min(e.t) AS t FROM e JOIN s2 ON e.u = s2.u
+        |       WHERE e.et = 'purchase' AND e.t > s2.t
+        |         AND e.t - s2.t <= 604800000000 GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage,
+        |       count(*) AS n_users FROM s1
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'click', count(*) FROM s2
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3""".stripMargin,
+
+    "p161_stream_winsorize" ->
+      """WITH d AS (SELECT event_id, event_type,
+        |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |h AS (SELECT event_type, cents AS v, count(*) AS c FROM d GROUP BY 1, 2),
+        |x AS (SELECT event_type, v, c,
+        |        sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |                     ROWS UNBOUNDED PRECEDING) AS cum,
+        |        sum(c) OVER (PARTITION BY event_type) AS n
+        |      FROM h),
+        |lo AS (SELECT event_type, min(v) AS lo FROM x
+        |       WHERE cum * 100 >= n * 5 GROUP BY 1),
+        |hi AS (SELECT event_type, min(v) AS hi FROM x
+        |       WHERE cum * 100 >= n * 95 GROUP BY 1)
+        |SELECT d.event_id, d.event_type, d.cents,
+        |       greatest(lo.lo, least(hi.hi, d.cents)) AS wv
+        |FROM d JOIN lo USING (event_type) JOIN hi USING (event_type)""".stripMargin,
 
     "p126_containment" ->
       """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),

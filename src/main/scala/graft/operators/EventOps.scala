@@ -300,13 +300,33 @@ object EventOps {
     }.reduce(_ unionByName _)
   }
 
+  /** [[funnel]] with a per-step conversion deadline: stage k counts
+    * only at a ts strictly after stage k−1 AND within `maxGap` of it
+    * (the "converted within 7 days" product semantics). Stage times
+    * stay the earliest QUALIFYING event — a user whose only stage-k
+    * event misses the deadline drops there, exactly like the
+    * sequential-min rule with a bounded window. Same per-stage plan as
+    * [[funnel]]; the deadline is one extra per-row comparison.
+    */
+  def funnelWithin(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String], maxGap: Long): DataFrame = {
+    require(maxGap > 0, s"maxGap $maxGap must be positive")
+    rollupStages(stages,
+      funnelStages(events, userCol, tsCol, typeCol, stages, maxGap)) {
+      df => df.agg(count(lit(1)).as("n_users"))
+    }
+  }
+
   /** The shared sequential-min stage chain: stage k's frame holds one
     * row per user who reached it — (user, t, gap), gap = t − t_{k−1}
     * (0 at stage 1). Each frame is lazily checkpointed: it feeds both
     * stage k+1 and its own rollup (the subtree-duplication rule).
+    * `maxGap` bounds each step's conversion window ([[funnelWithin]]);
+    * Long.MaxValue = the unbounded classic.
     */
   private def funnelStages(events: DataFrame, userCol: String,
-      tsCol: String, typeCol: String, stages: Seq[String]): Seq[DataFrame] = {
+      tsCol: String, typeCol: String, stages: Seq[String],
+      maxGap: Long = Long.MaxValue): Seq[DataFrame] = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val e = events.select(col(userCol).as("user"),
       col(tsCol).cast("long").as("t"), col(typeCol).as("et"))
@@ -319,13 +339,64 @@ object EventOps {
     stages.drop(1).foreach { st =>
       reached = e.filter(col("et") === st)
         .join(reached.select(col("user"), col("t").as("tprev")), Seq("user"))
-        .filter(col("t") > col("tprev"))
+        .filter(col("t") > col("tprev") && col("t") - col("tprev") <= maxGap)
         .groupBy(col("user"))
         .agg(min(col("t")).as("t"), (min(col("t")) - first(col("tprev"))).as("gap"))
         .localCheckpoint(false)
       perStage += reached
     }
     perStage.result()
+  }
+
+  /** Hour-of-day activity profile per event type (the ops heatmap) with
+    * the division-free uniformity deviation: per (type, hour) the count
+    * n, `dev_scaled` = |24·n − total| (0 ⇔ perfectly flat) and
+    * `share_permille` = 1000·n div total. One hash-aggregate; ≤
+    * types·24 rows at any scale. Hours are UTC epoch hours mod 24.
+    */
+  def hourlyProfile(events: DataFrame, typeCol: String,
+      tsCol: String): DataFrame = {
+    val tot = Window.partitionBy(col("event_type"))
+    events.select(col(typeCol).as("event_type"),
+        expr(s"(CAST(`$tsCol` AS BIGINT) div 3600000000L) % 24").as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(tot))
+      .select(col("event_type"), col("hour"), col("n"),
+        abs(lit(24) * col("n") - col("total")).as("dev_scaled"),
+        expr("n * 1000 div total").as("share_permille"))
+  }
+
+  /** Per-type inter-arrival statistics: consecutive same-type events of
+    * the SAME user define the gaps (lag window per (user, type)); the
+    * rollup is exact integers — count, max, and the histogram-trick
+    * median / p90 ([[graft.pipeline.Sketches]] machinery — gaps are
+    * bucketed to `unit` so the histogram obeys the bounded-domain
+    * contract). Returns (event_type, n_gaps, med, p90, max_gap), gap
+    * values in `unit`s of the input timestamp (floor).
+    */
+  def interArrivalStats(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, unit: Long = 1000000L): DataFrame = {
+    require(unit > 0, s"unit $unit must be positive")
+    // tie ordering at equal t is irrelevant: the sorted t-sequence is
+    // unique as a multiset, so the gap multiset is deterministic
+    val wOrd = Window.partitionBy(col("user"), col("et")).orderBy(col("t"))
+    val gaps = events.select(col(userCol).as("user"),
+        col(tsCol).cast("long").as("t"), col(typeCol).as("et"))
+      .withColumn("prev", lag(col("t"), 1).over(wOrd))
+      .filter(col("prev").isNotNull)
+      .select(col("et"), expr(s"(t - prev) div ${unit}L").as("gap"))
+      .localCheckpoint(false) // feeds median, p90 and the count rollup
+    val med = graft.pipeline.Sketches.groupedQuantile(gaps, "gap", "et", 50)
+      .withColumnRenamed("q", "med")
+    val p90 = graft.pipeline.Sketches.groupedQuantile(gaps, "gap", "et", 90)
+      .withColumnRenamed("q", "p90")
+    gaps.groupBy(col("et").as("event_type"))
+      .agg(count(lit(1)).as("n_gaps"), max(col("gap")).as("max_gap"))
+      .join(med.select(col("grp").as("event_type"), col("med")), Seq("event_type"))
+      .join(p90.select(col("grp").as("event_type"), col("p90")), Seq("event_type"))
+      .select(col("event_type"), col("n_gaps"), col("med"), col("p90"),
+        col("max_gap"))
   }
 
   private def rollupStages(stages: Seq[String], frames: Seq[DataFrame])(

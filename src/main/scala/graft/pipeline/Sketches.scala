@@ -568,20 +568,76 @@ object Sketches {
     */
   def winsorizedStats(df: DataFrame, valueCol: String, groupCol: String,
       loPct: Int = 5, hiPct: Int = 95): DataFrame = {
-    require(loPct >= 1 && hiPct <= 100 && loPct < hiPct,
-      s"percentile bounds [$loPct, $hiPct] invalid")
     val h = histogramOf(df, valueCol, groupCol)
       .localCheckpoint(false) // feeds both quantiles and the clamped sum
-    val bounds = quantileFromHistogram(h, loPct)
-      .join(quantileFromHistogram(h, hiPct), Seq("grp"))
-      .select(col("grp"), col(s"q$loPct").as("lo"), col(s"q$hiPct").as("hi"))
-    h.join(broadcast(bounds), Seq("grp"))
+    h.join(broadcast(boundsFromHistogram(h, loPct, hiPct)), Seq("grp"))
       .groupBy(col("grp"))
       .agg(sum(col("c")).as("n"), first(col("lo")).as("lo"),
         first(col("hi")).as("hi"),
         sum(col("c") * greatest(col("lo"), least(col("hi"), col("v"))))
           .as("wsum"),
         max(greatest(col("lo"), least(col("hi"), col("v")))).as("wmax"))
+  }
+
+  /** The trained (grp, lo, hi) winsor-bounds artifact — groups-sized,
+    * broadcastable, and what a STREAMING clamp gate
+    * ([[graft.streaming.PipelineStream.winsorStream]]) applies to a
+    * feed; extracted from the same histogram lineage as
+    * [[winsorizedStats]] so the two paths cannot drift.
+    */
+  def winsorBounds(df: DataFrame, valueCol: String, groupCol: String,
+      loPct: Int = 5, hiPct: Int = 95): DataFrame =
+    boundsFromHistogram(histogramOf(df, valueCol, groupCol)
+      .localCheckpoint(false), loPct, hiPct)
+
+  /** The ONE clamp application a batch readout and the stream gate
+    * share: rows join the broadcast (grp, lo, hi) artifact and emit the
+    * winsorized value next to the raw one. Rows in groups absent from
+    * the artifact drop (inner join — the [[applyMadThresholds]]
+    * untrained-group rule).
+    */
+  def applyWinsorBounds(rows: DataFrame, idCol: String, valueCol: String,
+      groupCol: String, bounds: DataFrame): DataFrame =
+    rows.select(col(idCol).as("id"), col(groupCol).as("grp"),
+        col(valueCol).cast("long").as("v"))
+      .join(broadcast(bounds), Seq("grp"))
+      .select(col("id"), col("grp"), col("v"),
+        greatest(col("lo"), least(col("hi"), col("v"))).as("wv"))
+
+  /** Per-row exact percentile rank within its group — the
+    * feature-engineering readout ("this purchase is in the 97th
+    * percentile for its type"): `rank_permille` = 1000·(# group rows
+    * STRICTLY below v) div n, exact integers from the (grp, v)
+    * histogram. One histogram aggregate + one broadcast join back to
+    * the rows (the histogram is value-domain-bounded — the p91
+    * contract — so the join side is tiny); the raw corpus is scanned
+    * once and never sorted. Returns (id, grp, v, rank_permille).
+    */
+  def valuePercentiles(df: DataFrame, idCol: String, valueCol: String,
+      groupCol: String): DataFrame = {
+    val d = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+        col(valueCol).cast("long").as("v"))
+      .localCheckpoint(false) // one scan feeds histogram AND row join
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+    val ranks = d.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("below", sum(col("c")).over(w) - col("c"))
+      .withColumn("n", sum(col("c")).over(tot))
+      .select(col("grp"), col("v"),
+        expr("below * 1000 div n").as("rank_permille"))
+    d.join(broadcast(ranks), Seq("grp", "v"))
+      .select(col("id"), col("grp"), col("v"), col("rank_permille"))
+  }
+
+  private def boundsFromHistogram(h: DataFrame, loPct: Int,
+      hiPct: Int): DataFrame = {
+    require(loPct >= 1 && hiPct <= 100 && loPct < hiPct,
+      s"percentile bounds [$loPct, $hiPct] invalid")
+    quantileFromHistogram(h, loPct)
+      .join(quantileFromHistogram(h, hiPct), Seq("grp"))
+      .select(col("grp"), col(s"q$loPct").as("lo"), col(s"q$hiPct").as("hi"))
   }
 
   private def histogramOf(df: DataFrame, valueCol: String,

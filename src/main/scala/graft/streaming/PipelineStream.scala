@@ -658,6 +658,19 @@ object PipelineStream {
       .select(col("id"), col("llr_micro"))
   }
 
+  /** Streaming winsorize gate — the [[outlierStream]] shape for value
+    * clamping: each arriving row joins the broadcast trained
+    * (grp, lo, hi) artifact ([[graft.pipeline.Sketches.winsorBounds]])
+    * and emits its clamped value; stateless, arrival-order-free, ONE
+    * clamp definition ([[graft.pipeline.Sketches.applyWinsorBounds]])
+    * shared with the batch readout so the paths cannot drift. Untrained
+    * groups drop (inner join — next training pass picks them up).
+    */
+  def winsorStream(docs: DataFrame, idCol: String, valueCol: String,
+      groupCol: String, bounds: DataFrame): DataFrame =
+    graft.pipeline.Sketches.applyWinsorBounds(
+      docs, idCol, valueCol, groupCol, bounds)
+
   /** Streaming twin of [[graft.operators.EventOps.dedupEventsWindowed]]:
     * the same keep-first-per-(key, tumbling-window) census as a
     * WATERMARKED WINDOW AGGREGATE — min(struct(t, id)) and copy count

@@ -601,6 +601,74 @@ class SketchSpec extends SparkSpec {
       (2L, "a", 100L) -> ((14L, 100L, 0L))))
   }
 
+  test("valuePercentiles: rank = strict-below share; duplicates share a rank; singleton rank 0") {
+    val df = Seq((1L, "g", 10L), (2L, "g", 10L), (3L, "g", 20L), (4L, "g", 30L),
+      (5L, "h", 7L)).toDF("id", "grp", "v")
+    val got = Sketches.valuePercentiles(df, "id", "v", "grp")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // g: n=4 → v=10 below 0 → 0; v=20 below 2 → 500; v=30 below 3 → 750
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 500L, 4L -> 750L, 5L -> 0L))
+  }
+
+  test("winsorBounds + applyWinsorBounds: stream-shared clamp equals the stats readout; untrained group drops") {
+    val df = (1L to 100L).map(v => (v, "g", v)).toDF("id", "grp", "v")
+    val bounds = Sketches.winsorBounds(df, "v", "grp", 5, 95)
+    val b = bounds.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(b == Map("g" -> ((5L, 95L))))
+    val rows = df.union(Seq((200L, "unseen", 7L)).toDF("id", "grp", "v"))
+    val clamped = Sketches.applyWinsorBounds(rows, "id", "v", "grp", bounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(!clamped.contains(200L)) // untrained group drops
+    // Σ clamped row values == the winsorizedStats histogram wsum
+    val wsum = Sketches.winsorizedStats(df, "v", "grp", 5, 95)
+      .collect().head.getLong(4)
+    assert(clamped.values.sum == wsum)
+  }
+
+  test("hourlyProfile: counts per epoch-hour mod 24, flat profile dev 0, shares floor-sum") {
+    // type A: 24 events, one per hour → perfectly flat
+    val flat = (0L until 24L).map(h => ("A", h * 3600000000L))
+    val skew = Seq(("B", 0L), ("B", 1L), ("B", 3600000000L))
+    val got = EventOps.hourlyProfile((flat ++ skew).toDF("et", "t"), "et", "t")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    (0L until 24L).foreach { h =>
+      assert(got(("A", h)) == ((1L, 0L, 41L))) // |24·1−24| = 0; 1000/24 = 41
+    }
+    assert(got(("B", 0L)) == ((2L, 45L, 666L))) // |48−3| = 45
+    assert(got(("B", 1L)) == ((1L, 21L, 333L)))
+  }
+
+  test("interArrivalStats: gaps pair same (user, type) only; exact median/p90/max") {
+    // user 1 type A at 0,10,30,100 → gaps 10,20,70; user 2 type A at
+    // 0,5 → gap 5; type B single event → no gap, absent from output
+    val ev = Seq((1L, 0L, "A"), (1L, 10L, "A"), (1L, 30L, "A"), (1L, 100L, "A"),
+      (2L, 0L, "A"), (2L, 5L, "A"), (1L, 50L, "B"))
+      .toDF("u", "t", "et")
+    val got = EventOps.interArrivalStats(ev, "u", "t", "et", unit = 1L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // gaps sorted: 5,10,20,70 → med (cum·100 ≥ 50·4 → cum ≥ 2) = 10;
+    // p90 (cum ≥ 3.6) = 70
+    assert(got == Map("A" -> ((4L, 10L, 70L, 70L))))
+  }
+
+  test("funnelWithin: deadline drops late conversions the classic funnel keeps") {
+    // u1: A@0, B@5 (in time); u2: A@0, B@200 (misses maxGap 100);
+    // u3: A@0, B@50, C@120 — C within 100 of B, so all three stages
+    val ev = Seq((1L, 0L, "A"), (1L, 5L, "B"),
+      (2L, 0L, "A"), (2L, 200L, "B"),
+      (3L, 0L, "A"), (3L, 50L, "B"), (3L, 120L, "C"))
+      .toDF("u", "t", "et")
+    val bounded = EventOps.funnelWithin(ev, "u", "t", "et", Seq("A", "B", "C"), 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(bounded == Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+    // the unbounded classic keeps u2's late B
+    val classic = EventOps.funnel(ev, "u", "t", "et", Seq("A", "B", "C"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(classic == Map(1L -> 3L, 2L -> 3L, 3L -> 1L))
+  }
+
   test("asOfJoin composite keys: match requires BOTH keys; per-key independence") {
     val quotes = Seq((1L, 10L, 100L, 900L), (1L, 20L, 110L, 901L),
       (2L, 10L, 105L, 902L)).toDF("u", "item", "t", "qid")
