@@ -417,6 +417,35 @@ object Bench {
       graft.operators.EventOps.asOfJoin(purchases, clicks, Seq("user_id"), "tus")
     }
 
+    // unkeyed time-window join: purchases × errors within ±6 h via bin
+    // decomposition (3× probe fanout, one hash exchange on the bin) —
+    // the no-equality-key join family's cost
+    legDf("window_join") {
+      val ev = CellEncodings.table(spark, sfDir, "events")
+        .select(col("event_id"), expr("ts div 1000").as("tus"),
+          col("event_type"))
+      graft.operators.EventOps.nearbyCount(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "error"),
+        "event_id", "tus", window = 21600000000L)
+    }
+
+    // drift monitors: per-day CMS L1 drift series + per-type winsorized
+    // stats in one leg — the corpus-observability family (histogram
+    // aggregates + metrics-space windows, bounded outputs)
+    legDf("drift_monitors") {
+      val ev = CellEncodings.table(spark, sfDir, "events")
+      graft.pipeline.Sketches.cmsDriftSeries(
+        ev.select(expr("ts div 1000 div 86400000000").as("day"), col("props")),
+        "props", "day", d = 4, w = 128)
+        .select(col("bucket").as("a"), col("l1").as("b"))
+        .unionByName(graft.pipeline.Sketches.winsorizedStats(
+          ev.select(col("event_type"),
+            round(col("value") * 100).cast("long").as("cents")),
+          "cents", "event_type")
+          .select(col("lo").as("a"), col("wsum").as("b")))
+    }
+
     // cleanup
     try {
       import scala.reflect.io.Directory
