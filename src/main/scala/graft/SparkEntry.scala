@@ -1285,6 +1285,70 @@ object SparkEntry {
           col("v").as("cents"), col("wv"))
     }),
 
+    // Graded-ranking retrieval eval: nDCG@10 of the brute-force cosine
+    // ranking under label relevance — integer end to end (literal
+    // discount table shared with the oracle, micro-quantized ranking).
+    "p162_ndcg" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = table(s, dir, "embeddings")
+      graft.pipeline.Similarity.ndcgLabelEval(
+        e.filter(col("vec_id") % 50 =!= 0), "vec_id", "embedding", "label",
+        e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            col("label").as("qlabel")),
+        "qid", "qv", "qlabel", k = 10)
+    }),
+
+    // Session-grain engagement data card: session count + exact
+    // histogram-trick median/p90 of events-per-session and duration.
+    "p164_session_stats" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.operators.EventOps.sessionStats(
+        table(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("tus"),
+            col("event_type")),
+        "user_id", "tus", "event_type", gap = 1800000000L, unit = 1000000L)
+    }),
+
+    // Item-graph PageRank: the p150 machinery over the ~100-node item
+    // transition graph (props k payload) — the composition at a node
+    // count where teleport/damping actually discriminates.
+    "p166_item_pagerank" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.operators.EventOps.pageRank(
+        graft.operators.EventOps.eventTransitions(
+          table(s, dir, "events")
+            .select(col("user_id"), expr("ts div 1000").as("tus"),
+              expr("CAST(nullif(regexp_extract(props, '[0-9]+', 0), '') AS BIGINT)")
+                .as("item")),
+          "user_id", "tus", "item"),
+        "from_type", "to_type", "n", iters = 3)
+    }),
+
+    // Per-source document-length percentile ranks (the corpus-profile
+    // feature): p156's histogram machinery over n_chars by source.
+    "p169_source_length_pct" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Sketches.valuePercentiles(
+        table(s, dir, "documents"), "doc_id", "n_chars", "source")
+        .select(col("id").as("doc_id"), col("grp").as("source"),
+          col("v").as("n_chars"), col("rank_permille"))
+    }),
+
+    // Per-type CUSUM change-point matrix: one change-point row per
+    // event type, partitioned windows — the p124 statistic as a
+    // monitoring matrix over any number of series.
+    "p171_changepoint_by_type" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Sketches.cusumChangePointBy(
+        table(s, dir, "events")
+          .select(col("event_type"),
+            expr("ts div 1000 div 86400000000").as("day")),
+        "day", "event_type")
+        .select(col("grp").as("event_type"), col("n_buckets"), col("total"),
+          col("at_bucket"), col("dev_scaled"), col("dev_permille"))
+    }),
+
     // Streaming twin of p154: the same keep-first window census as a
     // watermarked window aggregate — min-struct winners make the
     // emissions arrival-order-insensitive, so the batch oracle gates
@@ -4641,6 +4705,124 @@ object SparkEntry {
         |       count(*) AS n_users FROM s1
         |UNION ALL SELECT CAST(2 AS BIGINT), 'click', count(*) FROM s2
         |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3""".stripMargin,
+
+    "p162_ndcg" ->
+      s"""WITH p AS (SELECT vec_id AS id, embedding AS v, label
+        |           FROM embeddings WHERE vec_id % 50 <> 0),
+        |q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+        |      FROM embeddings WHERE vec_id % 50 = 0),
+        |sc AS (SELECT q.qid, q.qlabel, p.id, p.label,
+        |         CAST(round(list_cosine_similarity(p.v::DOUBLE[], q.qv::DOUBLE[])
+        |                    * 1000000) AS BIGINT) AS sm
+        |       FROM p, q),
+        |r AS (SELECT qid, qlabel, id, label,
+        |        row_number() OVER (PARTITION BY qid ORDER BY sm DESC, id ASC) AS rnk
+        |      FROM sc),
+        |d AS (SELECT qid, qlabel,
+        |        CAST(sum(CASE WHEN label = qlabel
+        |                 THEN ${graft.pipeline.Similarity.ndcgDiscountSqlCase("rnk", 10)}
+        |                 ELSE 0 END) AS BIGINT) AS dcg_micro
+        |      FROM r WHERE rnk <= 10 GROUP BY 1, 2),
+        |nr AS (SELECT label AS qlabel, count(*) AS n_rel FROM p GROUP BY 1)
+        |SELECT d.qid, nr.n_rel, d.dcg_micro,
+        |       CAST((${graft.pipeline.Similarity.ndcgIdcgSqlList(10)})
+        |            [CAST(least(nr.n_rel, 10) AS INT)] AS BIGINT) AS idcg_micro,
+        |       CAST(d.dcg_micro * 1000000 //
+        |            (${graft.pipeline.Similarity.ndcgIdcgSqlList(10)})
+        |            [CAST(least(nr.n_rel, 10) AS INT)] AS BIGINT) AS ndcg_micro
+        |FROM d JOIN nr USING (qlabel) WHERE nr.n_rel > 0""".stripMargin,
+
+    "p164_session_stats" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et
+        |           FROM events),
+        |x AS (SELECT u, t, et,
+        |        CASE WHEN lag(t) OVER (PARTITION BY u ORDER BY t, et) IS NULL
+        |               OR t - lag(t) OVER (PARTITION BY u ORDER BY t, et) > 1800000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |s AS (SELECT u, t,
+        |        sum(brk) OVER (PARTITION BY u ORDER BY t, et ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM x),
+        |sess AS (SELECT u, sid, count(*) AS n_events,
+        |           (max(t) - min(t)) // 1000000 AS dur
+        |         FROM s GROUP BY 1, 2),
+        |he AS (SELECT n_events AS v, count(*) AS c FROM sess GROUP BY 1),
+        |qe AS (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |         sum(c) OVER () AS n FROM he),
+        |me AS (SELECT min(v) AS med_events FROM qe WHERE cum * 100 >= n * 50),
+        |pe AS (SELECT min(v) AS p90_events FROM qe WHERE cum * 100 >= n * 90),
+        |hd AS (SELECT dur AS v, count(*) AS c FROM sess GROUP BY 1),
+        |qd AS (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |         sum(c) OVER () AS n FROM hd),
+        |md AS (SELECT min(v) AS med_dur FROM qd WHERE cum * 100 >= n * 50),
+        |pd AS (SELECT min(v) AS p90_dur FROM qd WHERE cum * 100 >= n * 90)
+        |SELECT (SELECT count(*) FROM sess) AS n_sessions,
+        |       me.med_events, pe.p90_events, md.med_dur, pd.p90_dur
+        |FROM me, pe, md, pd""".stripMargin,
+
+    "p166_item_pagerank" ->
+      """WITH e0 AS (SELECT user_id AS u, epoch_us(ts) AS t,
+        |              TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS et
+        |            FROM events),
+        |x AS (SELECT u, et, lag(et) OVER (PARTITION BY u ORDER BY t, et) AS prev
+        |      FROM e0),
+        |m AS (SELECT prev AS src, et AS dst, CAST(count(*) AS HUGEINT) AS w
+        |      FROM x WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |nodes AS (SELECT src AS node FROM m UNION SELECT dst FROM m),
+        |o AS (SELECT src, sum(w) AS outw FROM m GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1000000 AS HUGEINT) AS r FROM nodes),
+        |c1 AS (SELECT m.dst AS node, sum(r0.r * m.w // o.outw) AS mm
+        |       FROM m JOIN o USING (src) JOIN r0 ON r0.node = m.src GROUP BY 1),
+        |r1 AS (SELECT n.node,
+        |         (150 * CAST(1000000 AS HUGEINT) + 850 * coalesce(c1.mm, 0)) // 1000 AS r
+        |       FROM nodes n LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT m.dst AS node, sum(r1.r * m.w // o.outw) AS mm
+        |       FROM m JOIN o USING (src) JOIN r1 ON r1.node = m.src GROUP BY 1),
+        |r2 AS (SELECT n.node,
+        |         (150 * CAST(1000000 AS HUGEINT) + 850 * coalesce(c2.mm, 0)) // 1000 AS r
+        |       FROM nodes n LEFT JOIN c2 USING (node)),
+        |c3 AS (SELECT m.dst AS node, sum(r2.r * m.w // o.outw) AS mm
+        |       FROM m JOIN o USING (src) JOIN r2 ON r2.node = m.src GROUP BY 1),
+        |r3 AS (SELECT n.node,
+        |         (150 * CAST(1000000 AS HUGEINT) + 850 * coalesce(c3.mm, 0)) // 1000 AS r
+        |       FROM nodes n LEFT JOIN c3 USING (node))
+        |SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r3""".stripMargin,
+
+    "p169_source_length_pct" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        |h AS (SELECT source, n_chars, count(*) AS c FROM d GROUP BY 1, 2),
+        |x AS (SELECT source, n_chars,
+        |        sum(c) OVER (PARTITION BY source ORDER BY n_chars
+        |                     ROWS UNBOUNDED PRECEDING) - c AS below,
+        |        sum(c) OVER (PARTITION BY source) AS n
+        |      FROM h)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |       CAST(below * 1000 // n AS BIGINT) AS rank_permille
+        |FROM d JOIN x ON d.source = x.source AND d.n_chars = x.n_chars""".stripMargin,
+
+    "p171_changepoint_by_type" ->
+      """WITH b AS (SELECT event_type AS grp, epoch_us(ts) // 86400000000 AS bucket,
+        |             count(*) AS c
+        |           FROM events GROUP BY 1, 2),
+        |x AS (SELECT grp, bucket, c,
+        |        row_number() OVER (PARTITION BY grp ORDER BY bucket) AS i,
+        |        sum(c) OVER (PARTITION BY grp ORDER BY bucket
+        |                     ROWS UNBOUNDED PRECEDING) AS si,
+        |        count(*) OVER (PARTITION BY grp) AS d,
+        |        sum(c) OVER (PARTITION BY grp) AS s
+        |      FROM b),
+        |g AS (SELECT grp, bucket,
+        |        abs(CAST(si AS HUGEINT) * d - CAST(i AS HUGEINT) * s) AS gap,
+        |        d, s FROM x),
+        |m AS (SELECT grp,
+        |        max({'gap': gap, 'negb': -bucket, 'd': d, 's': s}) AS mm
+        |      FROM g GROUP BY 1)
+        |SELECT grp AS event_type, CAST((mm).d AS BIGINT) AS n_buckets,
+        |       CAST((mm).s AS BIGINT) AS total,
+        |       -(mm).negb AS at_bucket, CAST((mm).gap AS BIGINT) AS dev_scaled,
+        |       CAST((mm).gap * 1000 // (CAST((mm).d AS HUGEINT) * (mm).s) AS BIGINT)
+        |         AS dev_permille
+        |FROM m""".stripMargin,
 
     "p161_stream_winsorize" ->
       """WITH d AS (SELECT event_id, event_type,

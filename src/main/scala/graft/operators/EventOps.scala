@@ -348,6 +348,39 @@ object EventOps {
     perStage.result()
   }
 
+  /** Session-grain summary statistics (the engagement data card): gap
+    * sessions rolled to (n_events, duration) each, then ONE row of
+    * exact corpus numbers — session count and the histogram-trick
+    * median / p90 of both observables (durations floored to `unit`s so
+    * the histogram obeys the bounded-domain contract). Returns
+    * (n_sessions, med_events, p90_events, med_dur, p90_dur).
+    *
+    * The per-session rollup is the [[sessionized]] lineage + one
+    * (user, sid) aggregate; every quantile runs on the (observable,
+    * count) histogram, never a raw-session sort.
+    */
+  def sessionStats(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, gap: Long, unit: Long = 1000000L): DataFrame = {
+    require(unit > 0, s"unit $unit must be positive")
+    val sess = sessionized(events, userCol, tsCol, typeCol, gap)
+      .groupBy(col("user"), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+        expr(s"(max(t) - min(t)) div ${unit}L").as("dur"))
+      .withColumn("g", lit("all"))
+      .localCheckpoint(false) // feeds four quantiles and the count
+    val qe50 = graft.pipeline.Sketches.groupedQuantile(sess, "n_events", "g", 50)
+    val qe90 = graft.pipeline.Sketches.groupedQuantile(sess, "n_events", "g", 90)
+    val qd50 = graft.pipeline.Sketches.groupedQuantile(sess, "dur", "g", 50)
+    val qd90 = graft.pipeline.Sketches.groupedQuantile(sess, "dur", "g", 90)
+    sess.groupBy(col("g")).agg(count(lit(1)).as("n_sessions"))
+      .join(qe50.select(col("grp").as("g"), col("q").as("med_events")), Seq("g"))
+      .join(qe90.select(col("grp").as("g"), col("q").as("p90_events")), Seq("g"))
+      .join(qd50.select(col("grp").as("g"), col("q").as("med_dur")), Seq("g"))
+      .join(qd90.select(col("grp").as("g"), col("q").as("p90_dur")), Seq("g"))
+      .select(col("n_sessions"), col("med_events"), col("p90_events"),
+        col("med_dur"), col("p90_dur"))
+  }
+
   /** Hour-of-day activity profile per event type (the ops heatmap) with
     * the division-free uniformity deviation: per (type, hour) the count
     * n, `dev_scaled` = |24·n − total| (0 ⇔ perfectly flat) and

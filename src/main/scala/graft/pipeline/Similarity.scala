@@ -80,6 +80,80 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"))
   }
 
+  /** The nDCG discount table at micro-scale: disc(i) = ⌊1e6 / log₂(i+1)⌋
+    * for ranks 1..k — computed ONCE at plan-build time and embedded as
+    * the SAME literal integers into both the Spark plan and the oracle
+    * SQL (via [[ndcgDiscountSqlCase]] / [[ndcgIdcgSqlList]]), so the
+    * transcendental log never runs inside either engine and the eval is
+    * exact integer arithmetic end to end.
+    */
+  private[graft] def dcgDiscountsMicro(k: Int): Array[Long] =
+    (1 to k).map(i =>
+      math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong).toArray
+
+  /** SQL CASE over the rank column with the [[dcgDiscountsMicro]]
+    * literals — the oracle-side face of the one discount table.
+    */
+  private[graft] def ndcgDiscountSqlCase(rankCol: String, k: Int): String =
+    dcgDiscountsMicro(k).zipWithIndex
+      .map { case (d, i) => s"WHEN ${i + 1} THEN $d" }
+      .mkString(s"CASE $rankCol ", " ", " ELSE 0 END")
+
+  /** SQL list literal of the CUMULATIVE discount sums (idcg of a query
+    * with j relevant docs = element j) — again the same integers.
+    */
+  private[graft] def ndcgIdcgSqlList(k: Int): String =
+    dcgDiscountsMicro(k).scanLeft(0L)(_ + _).drop(1)
+      .mkString("[", ", ", "]")
+
+  /** Graded-ranking retrieval eval: nDCG@k of the brute-force cosine
+    * ranking where a pool item is relevant iff it shares the query's
+    * `labelCol` (the standard labeled-corpus protocol). Per query:
+    * n_rel (relevant items in the POOL), dcg_micro = Σ rel_i·disc(i)
+    * over the top-k, idcg_micro = Σ_{i≤min(n_rel,k)} disc(i), and
+    * ndcg_micro = 1e6·dcg div idcg — ALL exact integers: similarities
+    * micro-quantize before ranking (ties break by id), the discount
+    * table is literal ([[dcgDiscountsMicro]]), and idcg is a literal
+    * cumulative-array lookup. Queries with n_rel = 0 drop (nDCG is
+    * undefined there). Returns (qid, n_rel, dcg_micro, idcg_micro,
+    * ndcg_micro).
+    *
+    * Scale shape: queries broadcast against one pool pass; ranking is
+    * the per-query WindowGroupLimit top-k; n_rel comes from a
+    * label-histogram join (labels-sized), never a second pool pass.
+    */
+  def ndcgLabelEval(pool: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, queryLabelCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k $k outside [1,1000]")
+    graft.functions.GraftFunctions.register(pool.sparkSession)
+    val disc = dcgDiscountsMicro(k)
+    val idcgArr = array(disc.scanLeft(0L)(_ + _).drop(1).map(lit): _*)
+    val discExpr = disc.zipWithIndex.foldLeft(lit(0L)) { case (acc, (d, i)) =>
+      when(col("rank") === (i + 1), lit(d)).otherwise(acc)
+    }
+    val p = pool.select(col(idCol).as("id"), col(vecCol).as("v"),
+      col(labelCol).as("label")).localCheckpoint(false) // scored + histogram
+    val q = queries.select(col(queryIdCol).as("qid"),
+      col(queryVecCol).as("qv"), col(queryLabelCol).as("qlabel"))
+    val ranked = p.crossJoin(broadcast(q))
+      .withColumn("sm", round(cosine("v", "qv") * 1e6).cast("long"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sm").desc, col("id"))))
+      .filter(col("rank") <= k)
+    val dcg = ranked.groupBy(col("qid"), col("qlabel"))
+      .agg(sum(when(col("label") === col("qlabel"), discExpr)
+        .otherwise(0L)).as("dcg_micro"))
+    val relCounts = p.groupBy(col("label").as("qlabel"))
+      .agg(count(lit(1)).as("n_rel"))
+    dcg.join(broadcast(relCounts), Seq("qlabel"))
+      .filter(col("n_rel") > 0)
+      .withColumn("idcg_micro",
+        element_at(idcgArr, least(col("n_rel"), lit(k.toLong)).cast("int")))
+      .select(col("qid"), col("n_rel"), col("dcg_micro"), col("idcg_micro"),
+        expr("dcg_micro * 1000000 div idcg_micro").as("ndcg_micro"))
+  }
+
   /** Cross-corpus margin-based alignment mining (the bitext-mining
     * criterion of Artetxe & Schwenk: a pair is aligned when its
     * similarity clearly exceeds what each side scores against its OTHER

@@ -325,6 +325,38 @@ object Sketches {
         expr("CAST(m.gap * 1000 DIV (m.d * m.s) AS BIGINT)").as("dev_permille"))
   }
 
+  /** Per-group [[cusumChangePoint]] (the monitoring matrix): one
+    * change-point row PER `groupCol` value, windows PARTITIONED BY
+    * GROUP over the (group, bucket) count table — nothing global, so
+    * the report scales to any number of monitored series (the
+    * [[ksDriftMatrix]] move applied to the CUSUM statistic). Returns
+    * (grp, n_buckets, total, at_bucket, dev_scaled, dev_permille).
+    */
+  def cusumChangePointBy(df: DataFrame, bucketCol: String,
+      groupCol: String): DataFrame = {
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("bucket"))
+    val wRun = wOrd.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+    df.select(col(groupCol).as("grp"), col(bucketCol).cast("long").as("bucket"))
+      .groupBy(col("grp"), col("bucket")).agg(count(lit(1)).as("c"))
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("si", sum(col("c")).over(wRun).cast("decimal(38,0)"))
+      .withColumn("d", count(lit(1)).over(tot).cast("decimal(38,0)"))
+      .withColumn("s", sum(col("c")).over(tot).cast("decimal(38,0)"))
+      .withColumn("gap", abs(col("si") * col("d") - col("i") * col("s")))
+      .groupBy(col("grp"))
+      .agg(max(struct(col("gap"), (-col("bucket")).as("negb"),
+        col("d"), col("s"))).as("m"))
+      .select(col("grp"),
+        col("m.d").cast("long").as("n_buckets"),
+        col("m.s").cast("long").as("total"),
+        (-col("m.negb")).cast("long").as("at_bucket"),
+        col("m.gap").cast("long").as("dev_scaled"),
+        expr("CAST(m.gap * 1000 DIV (m.d * m.s) AS BIGINT)").as("dev_permille"))
+  }
+
   /** Pairwise [[ksDrift]] across every unordered pair of `groupCol`
     * values (the per-source drift data card): one histogram aggregate
     * over (group, value), a tiny group-pair frame, then cumulative

@@ -669,6 +669,64 @@ class SketchSpec extends SparkSpec {
     assert(classic == Map(1L -> 3L, 2L -> 3L, 3L -> 1L))
   }
 
+  test("ndcgLabelEval: perfect ranking scores 1e6, relevant-at-bottom scores less; idcg truncates at k") {
+    import graft.pipeline.Similarity
+    // pool: 3 vectors of label X clustered near the query direction,
+    // 3 of label Y orthogonal-ish; query (label X) at e1
+    val pool = Seq(
+      (1L, Array(1.0f, 0.01f), "X"), (2L, Array(1.0f, 0.02f), "X"),
+      (3L, Array(1.0f, 0.03f), "X"),
+      (4L, Array(0.01f, 1.0f), "Y"), (5L, Array(0.02f, 1.0f), "Y"),
+      (6L, Array(0.03f, 1.0f), "Y")).toDF("id", "v", "label")
+    val q = Seq((100L, Array(1.0f, 0.0f), "X")).toDF("qid", "qv", "qlabel")
+    val r = Similarity.ndcgLabelEval(pool, "id", "v", "label",
+      q, "qid", "qv", "qlabel", k = 3).collect().head
+    // top-3 by cosine are exactly the 3 X vectors → dcg = idcg → nDCG 1
+    assert((r.getLong(1), r.getLong(4)) == ((3L, 1000000L)))
+    val disc = Similarity.dcgDiscountsMicro(3)
+    assert(r.getLong(2) == disc.sum && r.getLong(3) == disc.sum)
+    // flip relevance: query labeled Y ranks its 3 relevant docs at
+    // positions 4..6 (k=3 window has none) → dcg 0, nDCG 0
+    val qy = Seq((101L, Array(1.0f, 0.0f), "Y")).toDF("qid", "qv", "qlabel")
+    val ry = Similarity.ndcgLabelEval(pool, "id", "v", "label",
+      qy, "qid", "qv", "qlabel", k = 3).collect().head
+    assert(ry.getLong(2) == 0L && ry.getLong(4) == 0L)
+    // n_rel beyond k truncates idcg at k (disc sums, not n_rel terms)
+    assert(ry.getLong(3) == disc.sum)
+    // discount table is the closed form at micro-scale
+    assert(disc.toSeq == Seq(1000000L, 630929L, 500000L))
+  }
+
+  test("sessionStats: hand case — session boundaries, exact quantiles over two observables") {
+    // u1: events at 0,10,20 (one session, 3 events, dur 20), then 1000
+    // (second session, 1 event, dur 0); u2: 0,5 (one session, 2 events,
+    // dur 5). gap=100. Sessions: (3,20),(1,0),(2,5)
+    val ev = Seq((1L, 0L, "a"), (1L, 10L, "a"), (1L, 20L, "a"), (1L, 1000L, "a"),
+      (2L, 0L, "a"), (2L, 5L, "a")).toDF("u", "t", "et")
+    val r = EventOps.sessionStats(ev, "u", "t", "et", gap = 100L, unit = 1L)
+      .collect().head
+    // n_events sorted: 1,2,3 → med (cum·100 ≥ 150) = 2, p90 = 3
+    // dur sorted: 0,5,20 → med = 5, p90 = 20
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((3L, 2L, 3L, 5L, 20L)))
+  }
+
+  test("cusumChangePointBy: each group's row equals the global cusum of that group alone") {
+    val a = (1L to 10L).flatMap(b => Seq.fill(if (b > 5) 9 else 1)(("A", b)))
+    val bb = (1L to 10L).map(b => ("B", b)) // constant rate → dev 0
+    val df = (a ++ bb).toDF("g", "bucket")
+    val got = Sketches.cusumChangePointBy(df, "bucket", "g")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val globalA = Sketches.cusumChangePoint(a.toDF("g", "bucket"), "bucket")
+      .collect().head
+    assert(got("A") == ((globalA.getLong(0), globalA.getLong(1),
+      globalA.getLong(2), globalA.getLong(3), globalA.getLong(4))))
+    // planted rate jump after bucket 5 peaks there; constant B scores 0
+    assert(got("A")._3 == 5L && got("A")._5 > 0L)
+    assert(got("B")._5 == 0L)
+  }
+
   test("asOfJoin composite keys: match requires BOTH keys; per-key independence") {
     val quotes = Seq((1L, 10L, 100L, 900L), (1L, 20L, 110L, 901L),
       (2L, 10L, 105L, 902L)).toDF("u", "item", "t", "qid")
