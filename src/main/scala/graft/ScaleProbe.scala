@@ -275,6 +275,40 @@ object ScaleProbe {
         f"naive join+argmax=$dtN%5.2f s (identical matches)")
     }
 
+    // Unkeyed time-window join probe (round 10): nearbyCount's bin
+    // decomposition vs the naive inequality join Spark plans as a
+    // nested-loop (BroadcastNestedLoopJoin — |probe|·|events|
+    // comparisons before the bound filter). Checksum equality at
+    // 10k×10k pins the semantics; the binned path then runs 100k×100k
+    // (100× the pair work) — the naive shape is quadratic and CANNOT
+    // be run there, which is exactly the point.
+    locally {
+      def mk(n: Long, salt: Long) = spark.range(n).select(
+        (col("id") * salt % 10000000L).as("t"),
+        (col("id") + salt).as("id")).localCheckpoint()
+      def run(mk2: => org.apache.spark.sql.DataFrame): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val cs = mk2.agg(sum(col("id") * col("n_near"))).head().getLong(0)
+        ((System.nanoTime() - t0) / 1e9, cs)
+      }
+      val (p10, e10) = (mk(10000L, 7919L), mk(10000L, 104729L))
+      val w = 5000L
+      val (dtB10, csB10) = run(graft.operators.EventOps
+        .nearbyCount(p10, e10, "id", "t", w))
+      val (dtN10, csN10) = run {
+        p10.join(e10.select(col("id").as("eid"), col("t").as("te")), // no key: nested loop
+            abs(col("te") - col("t")) <= w && col("eid") =!= col("id"), "left")
+          .groupBy(col("id"), col("t")).agg(count(col("eid")).as("n_near"))
+      }
+      assert(csB10 == csN10, s"window-join checksum mismatch: $csB10 vs $csN10")
+      val (p100, e100) = (mk(100000L, 7919L), mk(100000L, 104729L))
+      val (dtB100, _) = run(graft.operators.EventOps
+        .nearbyCount(p100, e100, "id", "t", w))
+      println(f"[scale] window-join 10k x 10k: binned=$dtB10%5.2f s " +
+        f"naive-nested-loop=$dtN10%5.2f s (identical counts); " +
+        f"100k x 100k binned=$dtB100%5.2f s (naive is quadratic)")
+    }
+
     // Integer k-means scaling probe (round 9): the Lloyd step over 10k →
     // 40k → 160k synthetic 64-dim vectors, k=8. Cost model says ~linear
     // in n (component explode + broadcast join + two key-balanced

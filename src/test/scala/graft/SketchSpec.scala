@@ -193,6 +193,24 @@ class SketchSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(3000))
   }
 
+  test("nearbyCount plan: equi-join on the bin — no nested-loop, no cartesian") {
+    val probes = Seq((1L, 100L)).toDF("id", "t")
+    val events = Seq((2L, 150L)).toDF("id", "t")
+    val plan = EventOps.nearbyCount(probes, events, "id", "t", 50L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("Join"), plan.take(3000)) // a real equi-join happened
+  }
+
+  test("valuePercentiles plan: the histogram joins BROADCAST back to the rows") {
+    val df = (1L to 100L).map(v => (v, "g", v % 7L)).toDF("id", "grp", "v")
+    val plan = Sketches.valuePercentiles(df, "id", "v", "grp")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("funnel: sequential-min semantics — strictly-after, order, monotone counts") {
     // u1 completes all 3; u2 does B before A (B must not count);
     // u3 has B at the SAME ts as A (strictly-after excludes it);
