@@ -1285,6 +1285,59 @@ object SparkEntry {
           col("v").as("cents"), col("wv"))
     }),
 
+    // Funnel conversion-lag quantiles: exact histogram-trick median/p90
+    // of each stage's gap (seconds) — the distributional face of p117.
+    "p174_funnel_gap_quantiles" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.operators.EventOps.funnelGapQuantiles(
+        table(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("tus"),
+            col("event_type")),
+        "user_id", "tus", "event_type",
+        Seq("signup", "click", "purchase"), unit = 1000000L)
+    }),
+
+    // Time-partitioned event store: day-directory layout + windowed
+    // read-back — the O(window) recurring-job scan (PartitionFilters
+    // pruning is spec-asserted; this gate proves the round trip).
+    "p175_event_store" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("tus"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_p175_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.EventStore.writeTimePartitioned(ev, base, "tus", "user_id")
+      val d0 = ev.agg(min(expr("tus div 86400000000L"))).head().getLong(0)
+      graft.sources.EventStore.readDays(s, base, d0 + 3, d0 + 9)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    }),
+
+    // Exact daily heavy hitters: top-3 props items per day (what the
+    // p146 sketch approximates) — WindowGroupLimit top-k per bucket.
+    "p176_heavy_hitters" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.operators.EventOps.heavyHittersByBucket(
+        table(s, dir, "events")
+          .select(expr("ts div 1000 div 86400000000").as("day"),
+            expr("CAST(nullif(regexp_extract(props, '[0-9]+', 0), '') AS BIGINT)")
+              .as("item")),
+        "item", "day", k = 3)
+    }),
+
+    // Per-user hour-of-day regularity score (bot detection): integer
+    // deviation from uniform, normalized to the one-hot maximum.
+    "p177_user_regularity" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.operators.EventOps.userRegularity(
+        table(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("tus")),
+        "user_id", "tus")
+        .select(col("user").as("user_id"), col("n"), col("dev_scaled"),
+          col("reg_permille"))
+    }),
+
     // Graded-ranking retrieval eval: nDCG@10 of the brute-force cosine
     // ranking under label relevance — integer end to end (literal
     // discount table shared with the oracle, micro-quantized ranking).
@@ -4705,6 +4758,68 @@ object SparkEntry {
         |       count(*) AS n_users FROM s1
         |UNION ALL SELECT CAST(2 AS BIGINT), 'click', count(*) FROM s2
         |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3""".stripMargin,
+
+    "p174_funnel_gap_quantiles" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et
+        |           FROM events),
+        |s1 AS (SELECT u, min(t) AS t FROM e WHERE et = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.u, min(e.t) AS t FROM e JOIN s1 ON e.u = s1.u
+        |       WHERE e.et = 'click' AND e.t > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.u, min(e.t) AS t FROM e JOIN s2 ON e.u = s2.u
+        |       WHERE e.et = 'purchase' AND e.t > s2.t GROUP BY 1),
+        |g AS (SELECT 2 AS sidx, (s2.t - s1.t) // 1000000 AS g
+        |      FROM s2 JOIN s1 USING (u)
+        |      UNION ALL
+        |      SELECT 3 AS sidx, (s3.t - s2.t) // 1000000 AS g
+        |      FROM s3 JOIN s2 USING (u)),
+        |h AS (SELECT sidx, g, count(*) AS c FROM g GROUP BY 1, 2),
+        |q AS (SELECT sidx, g,
+        |        sum(c) OVER (PARTITION BY sidx ORDER BY g
+        |                     ROWS UNBOUNDED PRECEDING) AS cum,
+        |        sum(c) OVER (PARTITION BY sidx) AS n
+        |      FROM h),
+        |med AS (SELECT sidx, min(g) AS med_gap FROM q
+        |        WHERE cum * 100 >= n * 50 GROUP BY 1),
+        |p90 AS (SELECT sidx, min(g) AS p90_gap FROM q
+        |        WHERE cum * 100 >= n * 90 GROUP BY 1)
+        |SELECT CAST(g.sidx AS BIGINT) AS stage_idx,
+        |       CASE g.sidx WHEN 2 THEN 'click' ELSE 'purchase' END AS stage,
+        |       count(*) AS n_users, med.med_gap, p90.p90_gap
+        |FROM g JOIN med ON med.sidx = g.sidx JOIN p90 ON p90.sidx = g.sidx
+        |GROUP BY 1, 2, med.med_gap, p90.p90_gap""".stripMargin,
+
+    "p175_event_store" ->
+      """WITH d AS (SELECT min(epoch_us(ts) // 86400000000) AS d0 FROM events)
+        |SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events, d
+        |WHERE epoch_us(ts) // 86400000000 BETWEEN d.d0 + 3 AND d.d0 + 9
+        |GROUP BY 1""".stripMargin,
+
+    "p176_heavy_hitters" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS bucket,
+        |             TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS item
+        |           FROM events),
+        |h AS (SELECT bucket, item, count(*) AS n FROM e GROUP BY 1, 2),
+        |r AS (SELECT bucket, item, n,
+        |        row_number() OVER (PARTITION BY bucket ORDER BY n DESC, item) AS rnk
+        |      FROM h)
+        |SELECT bucket, CAST(rnk AS BIGINT) AS rank, item, n
+        |FROM r WHERE rnk <= 3""".stripMargin,
+
+    "p177_user_regularity" ->
+      """WITH e AS (SELECT user_id AS u,
+        |             (epoch_us(ts) // 3600000000) % 24 AS hour FROM events),
+        |h AS (SELECT u, hour, count(*) AS c FROM e GROUP BY 1, 2),
+        |x AS (SELECT u, hour, c, sum(c) OVER (PARTITION BY u) AS n FROM h),
+        |a AS (SELECT u, max(n) AS n, sum(abs(24 * c - n)) AS devp,
+        |        count(*) AS hours_present
+        |      FROM x GROUP BY 1)
+        |SELECT u AS user_id, CAST(n AS BIGINT) AS n,
+        |       CAST(devp + (24 - hours_present) * n AS BIGINT) AS dev_scaled,
+        |       CAST((devp + (24 - hours_present) * n) * 1000 // (46 * n) AS BIGINT)
+        |         AS reg_permille
+        |FROM a""".stripMargin,
 
     "p162_ndcg" ->
       s"""WITH p AS (SELECT vec_id AS id, embedding AS v, label

@@ -381,6 +381,85 @@ object EventOps {
         col("med_dur"), col("p90_dur"))
   }
 
+  /** Exact top-k heavy hitters per time bucket (what the CMS sketch
+    * approximates, where the full pass is affordable): per bucket the k
+    * most frequent `itemCol` values with counts, rank ties broken by
+    * item (deterministic). One hash-aggregate on (bucket, item) + a
+    * per-bucket rank window that the optimizer turns into
+    * WindowGroupLimit (top-k per group never materializes the full
+    * rank — plan-asserted). Returns (bucket, rank, item, n).
+    */
+  def heavyHittersByBucket(events: DataFrame, itemCol: String,
+      bucketCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k $k must be positive")
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("n").desc, col("item"))
+    events.select(col(bucketCol).cast("long").as("bucket"),
+        col(itemCol).as("item"))
+      .groupBy(col("bucket"), col("item")).agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("bucket"), col("rank"), col("item"), col("n"))
+  }
+
+  /** Per-user regularity score (the bot-detection readout): how far the
+    * user's hour-of-day histogram sits from uniform, as the exact
+    * integer deviation dev = Σ over all 24 hours of |24·n_h − n| (an
+    * absent hour contributes n), normalized to `reg_permille` =
+    * 1000·dev div (46·n) ∈ [0, 1000] — 46·n is the one-hot maximum
+    * (23·n from the hot hour + 23·n from the empty ones), so ~1000
+    * reads "fires at exactly the same hour every time" (cron), ~0
+    * "uniform across the clock" (organic/global). One (user, hour)
+    * hash-aggregate + one user rollup; returns (user, n, dev_scaled,
+    * reg_permille).
+    */
+  def userRegularity(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val tot = Window.partitionBy(col("user"))
+    events.select(col(userCol).as("user"),
+        expr(s"(CAST(`$tsCol` AS BIGINT) div 3600000000L) % 24").as("hour"))
+      .groupBy(col("user"), col("hour")).agg(count(lit(1)).as("c"))
+      // per-user window over the ≤24-row hour histogram (metrics space)
+      .withColumn("n", sum(col("c")).over(tot))
+      .groupBy(col("user"))
+      .agg(first(col("n")).as("n"),
+        sum(abs(lit(24) * col("c") - col("n"))).as("devp"),
+        count(lit(1)).as("hours_present"))
+      .select(col("user"), col("n"),
+        (col("devp") + (lit(24) - col("hours_present")) * col("n"))
+          .as("dev_scaled"),
+        expr("(devp + (24 - hours_present) * n) * 1000 div (46 * n)")
+          .as("reg_permille"))
+  }
+
+  /** [[funnelTiming]]'s distributional face: per stage ≥ 2 the exact
+    * histogram-trick median and p90 of the conversion gap (the numbers
+    * a product team actually quotes — "median signup→purchase is 2
+    * days, the tail is 9"). Gaps floor to `unit`s for the bounded
+    * histogram domain. Returns (stage_idx, stage, n_users, med_gap,
+    * p90_gap); stage 1 has no gap and emits nothing.
+    */
+  def funnelGapQuantiles(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String], unit: Long = 1000000L): DataFrame = {
+    require(unit > 0, s"unit $unit must be positive")
+    require(stages.size >= 2, "funnelGapQuantiles needs at least 2 stages")
+    val frames = funnelStages(events, userCol, tsCol, typeCol, stages)
+    val gaps = frames.zipWithIndex.drop(1).map { case (df, i) =>
+      df.select(lit(i + 1).cast("long").as("sidx"),
+        expr(s"gap div ${unit}L").as("g"))
+    }.reduce(_ unionByName _).localCheckpoint(false)
+    val med = graft.pipeline.Sketches.groupedQuantile(gaps, "g", "sidx", 50)
+      .select(col("grp").as("sidx"), col("q").as("med_gap"))
+    val p90 = graft.pipeline.Sketches.groupedQuantile(gaps, "g", "sidx", 90)
+      .select(col("grp").as("sidx"), col("q").as("p90_gap"))
+    gaps.groupBy(col("sidx")).agg(count(lit(1)).as("n_users"))
+      .join(med, Seq("sidx")).join(p90, Seq("sidx"))
+      .select(col("sidx").as("stage_idx"),
+        element_at(array(stages.map(lit): _*), col("sidx").cast("int"))
+          .as("stage"),
+        col("n_users"), col("med_gap"), col("p90_gap"))
+  }
+
   /** Hour-of-day activity profile per event type (the ops heatmap) with
     * the division-free uniformity deviation: per (type, hour) the count
     * n, `dev_scaled` = |24·n − total| (0 ⇔ perfectly flat) and

@@ -272,4 +272,37 @@ class PlanQualitySpec extends SparkSpec {
     assert(planOf(plain).linesIterator.count(_.contains("HashAggregate")) <
       gp.linesIterator.count(_.contains("HashAggregate")))
   }
+
+  test("EventStore: day-range read prunes directories (PartitionFilters) and round-trips") {
+    import spark.implicits._
+    val ev = (0L until 200L).map(i =>
+      (i, i % 7L, s"t${i % 3}", i * 43210987654L)) // ~0.5 day per step
+      .toDF("event_id", "user_id", "event_type", "tus")
+    val path = java.nio.file.Files.createTempDirectory("graft_evstore").toString
+    graft.sources.EventStore.writeTimePartitioned(ev, path, "tus", "user_id",
+      bucketSize = 86400000000L, filesPerDay = 2)
+    val read = graft.sources.EventStore.readDays(spark, path, 10L, 19L)
+    val plan = planOf(read)
+    // the day predicate lands in PartitionFilters — directory pruning,
+    // not a post-scan filter
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*day[^\\]]*\\].*"),
+      plan.take(2500))
+    // round trip: the windowed read equals the in-memory filter
+    val want = ev.filter(org.apache.spark.sql.functions
+        .expr("tus div 86400000000L between 10 and 19"))
+      .select($"event_id").collect().map(_.getLong(0)).toSet
+    val got = read.select($"event_id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    // files per day bounded by the shard count
+    val day10 = new java.io.File(s"$path/day=10")
+    assert(day10.listFiles().count(_.getName.endsWith(".parquet")) <= 2)
+  }
+
+  test("heavyHittersByBucket: WindowGroupLimit bounds the rank window (top-k per group)") {
+    import spark.implicits._
+    val ev = (0L until 1000L).map(i => (i % 5L, i % 13L)).toDF("b", "item")
+    val df = graft.operators.EventOps.heavyHittersByBucket(ev, "item", "b", 3)
+    val plan = planOf(df)
+    assert(plan.contains("WindowGroupLimit"), plan.take(2500))
+  }
 }

@@ -745,6 +745,42 @@ class SketchSpec extends SparkSpec {
     assert(got("B")._5 == 0L)
   }
 
+  test("userRegularity: one-hot user scores 1000 permille, uniform user 0; absent hours count") {
+    // cron bot: 48 events all at hour 0 → dev = 23·48 + 23·48 = 46·48
+    val bot = (0 until 48).map(i => (1L, i * 86400000000L))
+    // uniform user: 48 events, exactly 2 per hour → dev 0
+    val uni = (0 until 48).map(i => (2L, (i % 24) * 3600000000L + (i / 24) * 86400000000L))
+    val got = EventOps.userRegularity((bot ++ uni).toDF("u", "t"), "u", "t")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((48L, 46L * 48L, 1000L)))
+    assert(got(2L) == ((48L, 0L, 0L)))
+  }
+
+  test("funnelGapQuantiles: per-stage gap histogram quantiles on a hand case") {
+    // stage A→B gaps: u1 10, u2 20, u3 90 → med 20, p90 90
+    // stage B→C gaps: u1 5 → med=p90=5; u2/u3 never reach C
+    val ev = Seq(
+      (1L, 0L, "A"), (1L, 10L, "B"), (1L, 15L, "C"),
+      (2L, 0L, "A"), (2L, 20L, "B"),
+      (3L, 0L, "A"), (3L, 90L, "B")).toDF("u", "t", "et")
+    val got = EventOps.funnelGapQuantiles(ev, "u", "t", "et",
+      Seq("A", "B", "C"), unit = 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map((2L, "B") -> ((3L, 20L, 90L)), (3L, "C") -> ((1L, 5L, 5L))))
+  }
+
+  test("heavyHittersByBucket: exact counts, rank ties by item, k bound") {
+    val ev = Seq((1L, "x"), (1L, "x"), (1L, "y"), (1L, "y"), (1L, "z"),
+      (2L, "w")).toDF("b", "item")
+    val got = EventOps.heavyHittersByBucket(ev, "item", "b", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    // bucket 1: x and y tie at 2 — x ranks first (item asc); z cut by k=2
+    assert(got == Map((1L, 1L) -> (("x", 2L)), (1L, 2L) -> (("y", 2L)),
+      (2L, 1L) -> (("w", 1L))))
+  }
+
   test("asOfJoin composite keys: match requires BOTH keys; per-key independence") {
     val quotes = Seq((1L, 10L, 100L, 900L), (1L, 20L, 110L, 901L),
       (2L, 10L, 105L, 902L)).toDF("u", "item", "t", "qid")
