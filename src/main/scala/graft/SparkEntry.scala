@@ -110,6 +110,30 @@ object SparkEntry {
         .select(col("user_id"), col("tus"), col("event_id").as("click_id")))
   }
 
+  /** Write `df` under `base/in` as THREE event-time slices at
+    * increasing pinned mtimes — the time-ordered delivery contract
+    * (the realistic log tail: zero cross-batch event-time disorder)
+    * that p145's windowed as-of and p179's funnel state machine gate
+    * under. Shared so every "time-ordered feed" in the gate means the
+    * same discipline.
+    */
+  private def writeTimeOrderedFeed(s: SparkSession, base: String,
+      df: DataFrame, tsCol: String): Unit = {
+    val u = df.localCheckpoint() // sliced three ways below
+    val mm = u.agg(min(col(tsCol)), max(col(tsCol))).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val cut1 = lo + (hi - lo) / 3
+    val cut2 = lo + 2 * ((hi - lo) / 3)
+    u.filter(col(tsCol) <= cut1).repartition(1).write.parquet(s"$base/in")
+    pinNewFiles(s, s"$base/in", 0L, MtReal)
+    u.filter(col(tsCol) > cut1 && col(tsCol) <= cut2).repartition(1)
+      .write.mode("append").parquet(s"$base/in")
+    pinNewFiles(s, s"$base/in", MtReal, MtSentinel1)
+    u.filter(col(tsCol) > cut2).repartition(1)
+      .write.mode("append").parquet(s"$base/in")
+    pinNewFiles(s, s"$base/in", MtSentinel1, MtSentinel2)
+  }
+
   /** The as-of stream feeds shared by p137 and p145. Two delivery
     * disciplines, each matching its operator contract:
     *  - `timeOrdered = false` (p137, unwindowed): ALL click files land
@@ -135,19 +159,7 @@ object SparkEntry {
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
     if (timeOrdered) {
-      val u = q.unionByName(p).localCheckpoint() // sliced three ways below
-      val mm = u.agg(min(col("ts")), max(col("ts"))).head()
-      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-      val cut1 = lo + (hi - lo) / 3
-      val cut2 = lo + 2 * ((hi - lo) / 3)
-      u.filter(col("ts") <= cut1).repartition(1).write.parquet(s"$base/in")
-      pinNewFiles(s, s"$base/in", 0L, MtReal)
-      u.filter(col("ts") > cut1 && col("ts") <= cut2).repartition(1)
-        .write.mode("append").parquet(s"$base/in")
-      pinNewFiles(s, s"$base/in", MtReal, MtSentinel1)
-      u.filter(col("ts") > cut2).repartition(1)
-        .write.mode("append").parquet(s"$base/in")
-      pinNewFiles(s, s"$base/in", MtSentinel1, MtSentinel2)
+      writeTimeOrderedFeed(s, base, q.unionByName(p), "ts")
     } else {
       q.repartition(2).write.parquet(s"$base/in")
       pinNewFiles(s, s"$base/in", 0L, MtReal)
@@ -1283,6 +1295,36 @@ object SparkEntry {
           st, "event_id", "cents", "event_type", bounds))
         .select(col("id").as("event_id"), col("grp").as("event_type"),
           col("v").as("cents"), col("wv"))
+    }),
+
+    // Streaming funnel: the per-user stage state machine on a
+    // time-ordered feed — greedy advance ≡ sequential-min in global
+    // event-time order, so counting advances per stage reproduces the
+    // batch funnel exactly (gated under p110's oracle).
+    "p179_stream_funnel" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val stages = Seq("signup", "view", "click", "purchase")
+      val ev = table(s, dir, "events")
+        .select(col("user_id").cast("long").as("k"),
+          expr("ts div 1000").as("ts"), col("event_type").as("et"))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_p179_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      writeTimeOrderedFeed(s, base, ev, "ts")
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = graft.streaming.PipelineStream.funnelStream(stream, stages)
+        .writeStream.option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").format("parquet").option("path", s"$base/out")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .groupBy(col("stage_idx"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("stage_idx"),
+          element_at(array(stages.map(lit): _*),
+            col("stage_idx").cast("int")).as("stage"),
+          col("n_users"))
     }),
 
     // Funnel conversion-lag quantiles: exact histogram-trick median/p90
@@ -3185,6 +3227,27 @@ object SparkEntry {
       |      FROM t, (SELECT unnest([0, 1, 2, 3]) AS r) rr)
       |SELECT CAST(r AS BIGINT) AS "row", bucket, count(*) AS cnt
       |FROM x GROUP BY 1, 2""".stripMargin
+
+  /** Shared DuckDB lineage for the sequential-min funnel — p110 gates
+    * the batch chain, p179 its per-user state-machine streaming twin
+    * (greedy advance ≡ sequential-min on the time-ordered feed), so
+    * ONE oracle gates both and they cannot drift.
+    */
+  private lazy val funnelOracleSql: String =
+    """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et
+      |           FROM events),
+      |s1 AS (SELECT u, min(t) AS t FROM e WHERE et = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.u AS u, min(e.t) AS t FROM e JOIN s1 ON e.u = s1.u
+      |       AND e.t > s1.t WHERE e.et = 'view' GROUP BY 1),
+      |s3 AS (SELECT e.u AS u, min(e.t) AS t FROM e JOIN s2 ON e.u = s2.u
+      |       AND e.t > s2.t WHERE e.et = 'click' GROUP BY 1),
+      |s4 AS (SELECT e.u AS u, min(e.t) AS t FROM e JOIN s3 ON e.u = s3.u
+      |       AND e.t > s3.t WHERE e.et = 'purchase' GROUP BY 1)
+      |SELECT CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage,
+      |       (SELECT count(*) FROM s1) AS n_users
+      |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+      |UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+      |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)""".stripMargin
 
   /** Shared DuckDB lineage for the keep-first window census — p154
     * gates the batch aggregate, p148 its watermarked streaming twin
@@ -5157,21 +5220,8 @@ object SparkEntry {
 
     "p137_stream_asof" -> asofOracleSql,
 
-    "p110_funnel" ->
-      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et
-        |           FROM events),
-        |s1 AS (SELECT u, min(t) AS t FROM e WHERE et = 'signup' GROUP BY 1),
-        |s2 AS (SELECT e.u AS u, min(e.t) AS t FROM e JOIN s1 ON e.u = s1.u
-        |       AND e.t > s1.t WHERE e.et = 'view' GROUP BY 1),
-        |s3 AS (SELECT e.u AS u, min(e.t) AS t FROM e JOIN s2 ON e.u = s2.u
-        |       AND e.t > s2.t WHERE e.et = 'click' GROUP BY 1),
-        |s4 AS (SELECT e.u AS u, min(e.t) AS t FROM e JOIN s3 ON e.u = s3.u
-        |       AND e.t > s3.t WHERE e.et = 'purchase' GROUP BY 1)
-        |SELECT CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage,
-        |       (SELECT count(*) FROM s1) AS n_users
-        |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
-        |UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
-        |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)""".stripMargin,
+    "p110_funnel" -> funnelOracleSql,
+    "p179_stream_funnel" -> funnelOracleSql,
 
     "p39_span_dedup" ->
       """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks

@@ -658,6 +658,49 @@ object PipelineStream {
       .select(col("id"), col("llr_micro"))
   }
 
+  case class FunnelAdvance(user: Long, stage_idx: Long, t: Long)
+
+  /** Streaming funnel — the per-user STAGE STATE MACHINE face of
+    * [[graft.operators.EventOps.funnel]]: each user's state is (stages
+    * completed, last stage time); an arriving event advances the state
+    * iff it is the NEXT stage's type at a strictly later time, emitting
+    * one (user, stage_idx, t) row per advance. Counting emissions per
+    * stage_idx reproduces the batch funnel exactly ON A TIME-ORDERED
+    * FEED (the p145 delivery contract): processed in global event-time
+    * order, greedy advance ≡ sequential-min — the first qualifying
+    * stage-k event after t_{k−1} IS the earliest one. Rows sort by
+    * (t, et) inside each batch, so intra-batch disorder is repaired;
+    * cross-batch disorder is the feed's contract, exactly as asofStream.
+    * State is TWO numbers per user — bounded by the user population,
+    * not the event volume.
+    */
+  def funnelStream(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnelStream needs at least one stage")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("k").cast("long"), col("ts").cast("long"),
+        col("et").cast("string"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, Long), FunnelAdvance](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (u, rows, state) =>
+          var (k, tk) = state.getOption.getOrElse((0, Long.MinValue))
+          val out = Vector.newBuilder[FunnelAdvance]
+          rows.toSeq.sortBy { case (_, t, et) => (t, et) }
+            .foreach { case (_, t, et) =>
+              if (k < stages.length && et == stages(k) &&
+                  (k == 0 || t > tk)) {
+                k += 1; tk = t
+                out += FunnelAdvance(u, k.toLong, t)
+              }
+            }
+          state.update((k, tk))
+          out.result().iterator
+      }
+      .toDF()
+  }
+
   /** Streaming winsorize gate — the [[outlierStream]] shape for value
     * clamping: each arriving row joins the broadcast trained
     * (grp, lo, hi) artifact ([[graft.pipeline.Sketches.winsorBounds]])

@@ -688,6 +688,38 @@ class StreamingSpec extends SparkSpec {
     assert(batch.forall { case (k, v) => got(k) == v })
   }
 
+  test("funnelStream: intra-batch disorder repaired; cross-batch time order gives batch equality") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val out = graft.streaming.PipelineStream.funnelStream(
+      mem.toDS().toDF("k", "ts", "et"), Seq("A", "B", "C"))
+    val q = out.writeStream.format("memory").queryName("sfunnel")
+      .outputMode("append").start()
+    try {
+      // batch 1 arrives SHUFFLED within the batch: B@20 before A@10 —
+      // the sort must still advance A then B. u2 only reaches A.
+      mem.addData((1L, 20L, "B"), (1L, 10L, "A"), (2L, 15L, "A"))
+      q.processAllAvailable()
+      // batch 2 (later event times): u1 completes C; u2's B at a time
+      // NOT after its A-time... at 15 exactly → no advance; then at 30 → advance
+      mem.addData((1L, 40L, "C"), (2L, 15L, "B"), (2L, 30L, "B"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sfunnel").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 1L) -> 10L, (1L, 2L) -> 20L, (1L, 3L) -> 40L,
+      (2L, 1L) -> 15L, (2L, 2L) -> 30L))
+    // per-stage advance counts == the batch funnel on the union
+    val batch = graft.operators.EventOps.funnel(
+      Seq((1L, 20L, "B"), (1L, 10L, "A"), (2L, 15L, "A"),
+        (1L, 40L, "C"), (2L, 15L, "B"), (2L, 30L, "B")).toDF("u", "t", "et"),
+      "u", "t", "et", Seq("A", "B", "C"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val streamCounts = got.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(batch.forall { case (k, n) => streamCounts.getOrElse(k, 0L) == n })
+  }
+
   test("windowed counts with watermark run on a cell stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
