@@ -286,23 +286,27 @@ object ScaleProbe {
       def mk(n: Long, salt: Long) = spark.range(n).select(
         (col("id") * salt % 10000000L).as("t"),
         (col("id") + salt).as("id")).localCheckpoint()
-      def run(mk2: => org.apache.spark.sql.DataFrame): (Double, Long) = {
+      def run(mk2: => org.apache.spark.sql.DataFrame): (Double, Long, Long) = {
         val t0 = System.nanoTime()
-        val cs = mk2.agg(sum(col("id") * col("n_near"))).head().getLong(0)
-        ((System.nanoTime() - t0) / 1e9, cs)
+        // checksum AND row count: a zero-count probe contributes 0 to the
+        // checksum, so only the count equality catches silently DROPPED
+        // probes (the left-join contract)
+        val r = mk2.agg(sum(col("id") * col("n_near")), count(lit(1))).head()
+        ((System.nanoTime() - t0) / 1e9, r.getLong(0), r.getLong(1))
       }
       val (p10, e10) = (mk(10000L, 7919L), mk(10000L, 104729L))
       val w = 5000L
-      val (dtB10, csB10) = run(graft.operators.EventOps
+      val (dtB10, csB10, nB10) = run(graft.operators.EventOps
         .nearbyCount(p10, e10, "id", "t", w))
-      val (dtN10, csN10) = run {
+      val (dtN10, csN10, nN10) = run {
         p10.join(e10.select(col("id").as("eid"), col("t").as("te")), // no key: nested loop
             abs(col("te") - col("t")) <= w && col("eid") =!= col("id"), "left")
           .groupBy(col("id"), col("t")).agg(count(col("eid")).as("n_near"))
       }
       assert(csB10 == csN10, s"window-join checksum mismatch: $csB10 vs $csN10")
+      assert(nB10 == nN10, s"window-join row-count mismatch: $nB10 vs $nN10")
       val (p100, e100) = (mk(100000L, 7919L), mk(100000L, 104729L))
-      val (dtB100, _) = run(graft.operators.EventOps
+      val (dtB100, _, _) = run(graft.operators.EventOps
         .nearbyCount(p100, e100, "id", "t", w))
       println(f"[scale] window-join 10k x 10k: binned=$dtB10%5.2f s " +
         f"naive-nested-loop=$dtN10%5.2f s (identical counts); " +

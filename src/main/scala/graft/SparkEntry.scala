@@ -58,11 +58,18 @@ object SparkEntry {
     */
   private def runStream(s: SparkSession, tag: String, dir: String,
       input: DataFrame, nFiles: Int,
-      prepareIn: String => Unit = _ => ())(f: DataFrame => DataFrame): DataFrame = {
+      prepareIn: String => Unit = _ => (),
+      writeFeed: (String, DataFrame) => Unit = null)(
+      f: DataFrame => DataFrame): DataFrame = {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
-    input.repartition(nFiles).write.parquet(s"$base/in")
+    // default feed: nFiles arbitrary slices; a caller needing a delivery
+    // DISCIPLINE (time-ordered slices, leader/follower mtimes) supplies
+    // its own writer so the rest of the scaffold stays the one shared
+    // definition
+    if (writeFeed != null) writeFeed(s"$base/in", input)
+    else input.repartition(nFiles).write.parquet(s"$base/in")
     prepareIn(s"$base/in")
     val stream = s.readStream.schema(input.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
@@ -117,21 +124,21 @@ object SparkEntry {
     * under. Shared so every "time-ordered feed" in the gate means the
     * same discipline.
     */
-  private def writeTimeOrderedFeed(s: SparkSession, base: String,
+  private def writeTimeOrderedFeed(s: SparkSession, inPath: String,
       df: DataFrame, tsCol: String): Unit = {
     val u = df.localCheckpoint() // sliced three ways below
     val mm = u.agg(min(col(tsCol)), max(col(tsCol))).head()
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val cut1 = lo + (hi - lo) / 3
     val cut2 = lo + 2 * ((hi - lo) / 3)
-    u.filter(col(tsCol) <= cut1).repartition(1).write.parquet(s"$base/in")
-    pinNewFiles(s, s"$base/in", 0L, MtReal)
+    u.filter(col(tsCol) <= cut1).repartition(1).write.parquet(inPath)
+    pinNewFiles(s, inPath, 0L, MtReal)
     u.filter(col(tsCol) > cut1 && col(tsCol) <= cut2).repartition(1)
-      .write.mode("append").parquet(s"$base/in")
-    pinNewFiles(s, s"$base/in", MtReal, MtSentinel1)
+      .write.mode("append").parquet(inPath)
+    pinNewFiles(s, inPath, MtReal, MtSentinel1)
     u.filter(col(tsCol) > cut2).repartition(1)
-      .write.mode("append").parquet(s"$base/in")
-    pinNewFiles(s, s"$base/in", MtSentinel1, MtSentinel2)
+      .write.mode("append").parquet(inPath)
+    pinNewFiles(s, inPath, MtSentinel1, MtSentinel2)
   }
 
   /** The as-of stream feeds shared by p137 and p145. Two delivery
@@ -159,7 +166,7 @@ object SparkEntry {
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
     if (timeOrdered) {
-      writeTimeOrderedFeed(s, base, q.unionByName(p), "ts")
+      writeTimeOrderedFeed(s, s"$base/in", q.unionByName(p), "ts")
     } else {
       q.repartition(2).write.parquet(s"$base/in")
       pinNewFiles(s, s"$base/in", 0L, MtReal)
@@ -1302,29 +1309,24 @@ object SparkEntry {
     // event-time order, so counting advances per stage reproduces the
     // batch funnel exactly (gated under p110's oracle).
     "p179_stream_funnel" -> ((s, dir) => {
+      import s.implicits._
       GraftFunctions.register(s)
       val stages = Seq("signup", "view", "click", "purchase")
       val ev = table(s, dir, "events")
         .select(col("user_id").cast("long").as("k"),
           expr("ts div 1000").as("ts"), col("event_type").as("et"))
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_p179_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(base), true)
-      writeTimeOrderedFeed(s, base, ev, "ts")
-      val stream = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
-      val q = graft.streaming.PipelineStream.funnelStream(stream, stages)
-        .writeStream.option("checkpointLocation", s"$base/ckpt")
-        .outputMode("append").format("parquet").option("path", s"$base/out")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.read.parquet(s"$base/out")
-        .groupBy(col("stage_idx"))
-        .agg(count(lit(1)).as("n_users"))
+      val counts = runStream(s, "p179", dir, ev, 1,
+        writeFeed = (in, df) => writeTimeOrderedFeed(s, in, df, "ts"))(
+        st => graft.streaming.PipelineStream.funnelStream(st, stages))
+        .groupBy(col("stage_idx")).agg(count(lit(1)).as("n"))
+      // a stage NO user reaches must still report 0 (the oracle — and
+      // the batch rollup — always emit every stage row)
+      stages.indices.map(i => (i + 1).toLong).toDF("stage_idx")
+        .join(counts, Seq("stage_idx"), "left")
         .select(col("stage_idx"),
           element_at(array(stages.map(lit): _*),
             col("stage_idx").cast("int")).as("stage"),
-          col("n_users"))
+          coalesce(col("n"), lit(0L)).as("n_users"))
     }),
 
     // Funnel conversion-lag quantiles: exact histogram-trick median/p90

@@ -187,7 +187,10 @@ object EventOps {
     */
   def eventTransitions(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String): DataFrame = {
-    val wOrd = Window.partitionBy(col("user")).orderBy(col("t"), col("et"))
+    // nulls-last tie order: matches SQL engines' ASC default should a
+    // caller feed a nullable type column (p166's parsed item)
+    val wOrd = Window.partitionBy(col("user"))
+      .orderBy(col("t"), col("et").asc_nulls_last)
     events.select(col(userCol).as("user"), col(tsCol).cast("long").as("t"),
         col(typeCol).as("et"))
       .withColumn("prev", lag(col("et"), 1).over(wOrd))
@@ -367,16 +370,16 @@ object EventOps {
       .agg(count(lit(1)).as("n_events"),
         expr(s"(max(t) - min(t)) div ${unit}L").as("dur"))
       .withColumn("g", lit("all"))
-      .localCheckpoint(false) // feeds four quantiles and the count
-    val qe50 = graft.pipeline.Sketches.groupedQuantile(sess, "n_events", "g", 50)
-    val qe90 = graft.pipeline.Sketches.groupedQuantile(sess, "n_events", "g", 90)
-    val qd50 = graft.pipeline.Sketches.groupedQuantile(sess, "dur", "g", 50)
-    val qd90 = graft.pipeline.Sketches.groupedQuantile(sess, "dur", "g", 90)
+      .localCheckpoint(false) // feeds both histograms and the count
+    val qe = graft.pipeline.Sketches.groupedQuantiles(sess, "n_events", "g",
+      Seq(50, 90))
+    val qd = graft.pipeline.Sketches.groupedQuantiles(sess, "dur", "g",
+      Seq(50, 90))
     sess.groupBy(col("g")).agg(count(lit(1)).as("n_sessions"))
-      .join(qe50.select(col("grp").as("g"), col("q").as("med_events")), Seq("g"))
-      .join(qe90.select(col("grp").as("g"), col("q").as("p90_events")), Seq("g"))
-      .join(qd50.select(col("grp").as("g"), col("q").as("med_dur")), Seq("g"))
-      .join(qd90.select(col("grp").as("g"), col("q").as("p90_dur")), Seq("g"))
+      .join(qe.select(col("grp").as("g"), col("q50").as("med_events"),
+        col("q90").as("p90_events")), Seq("g"))
+      .join(qd.select(col("grp").as("g"), col("q50").as("med_dur"),
+        col("q90").as("p90_dur")), Seq("g"))
       .select(col("n_sessions"), col("med_events"), col("p90_events"),
         col("med_dur"), col("p90_dur"))
   }
@@ -392,8 +395,11 @@ object EventOps {
   def heavyHittersByBucket(events: DataFrame, itemCol: String,
       bucketCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k $k must be positive")
+    // NULLS LAST explicitly: Spark's ASC default is nulls-first, SQL
+    // engines' (the oracle's) is nulls-last — a null item tying into
+    // the top-k would otherwise rank differently per engine
     val w = Window.partitionBy(col("bucket"))
-      .orderBy(col("n").desc, col("item"))
+      .orderBy(col("n").desc, col("item").asc_nulls_last)
     events.select(col(bucketCol).cast("long").as("bucket"),
         col(itemCol).as("item"))
       .groupBy(col("bucket"), col("item")).agg(count(lit(1)).as("n"))
@@ -448,12 +454,12 @@ object EventOps {
       df.select(lit(i + 1).cast("long").as("sidx"),
         expr(s"gap div ${unit}L").as("g"))
     }.reduce(_ unionByName _).localCheckpoint(false)
-    val med = graft.pipeline.Sketches.groupedQuantile(gaps, "g", "sidx", 50)
-      .select(col("grp").as("sidx"), col("q").as("med_gap"))
-    val p90 = graft.pipeline.Sketches.groupedQuantile(gaps, "g", "sidx", 90)
-      .select(col("grp").as("sidx"), col("q").as("p90_gap"))
+    val q = graft.pipeline.Sketches.groupedQuantiles(gaps, "g", "sidx",
+        Seq(50, 90))
+      .select(col("grp").as("sidx"), col("q50").as("med_gap"),
+        col("q90").as("p90_gap"))
     gaps.groupBy(col("sidx")).agg(count(lit(1)).as("n_users"))
-      .join(med, Seq("sidx")).join(p90, Seq("sidx"))
+      .join(q, Seq("sidx"))
       .select(col("sidx").as("stage_idx"),
         element_at(array(stages.map(lit): _*), col("sidx").cast("int"))
           .as("stage"),
@@ -499,14 +505,12 @@ object EventOps {
       .filter(col("prev").isNotNull)
       .select(col("et"), expr(s"(t - prev) div ${unit}L").as("gap"))
       .localCheckpoint(false) // feeds median, p90 and the count rollup
-    val med = graft.pipeline.Sketches.groupedQuantile(gaps, "gap", "et", 50)
-      .withColumnRenamed("q", "med")
-    val p90 = graft.pipeline.Sketches.groupedQuantile(gaps, "gap", "et", 90)
-      .withColumnRenamed("q", "p90")
+    val q = graft.pipeline.Sketches.groupedQuantiles(gaps, "gap", "et",
+      Seq(50, 90))
     gaps.groupBy(col("et").as("event_type"))
       .agg(count(lit(1)).as("n_gaps"), max(col("gap")).as("max_gap"))
-      .join(med.select(col("grp").as("event_type"), col("med")), Seq("event_type"))
-      .join(p90.select(col("grp").as("event_type"), col("p90")), Seq("event_type"))
+      .join(q.select(col("grp").as("event_type"), col("q50").as("med"),
+        col("q90").as("p90")), Seq("event_type"))
       .select(col("event_type"), col("n_gaps"), col("med"), col("p90"),
         col("max_gap"))
   }
@@ -546,9 +550,13 @@ object EventOps {
     val e = events.select(col(idCol).as("eid"),
         col(tsCol).cast("long").as("te"))
       .withColumn("bin", expr(s"te div ${window}L"))
-    p.join(e, Seq("bin"), "left")
-      .filter(col("te").isNull ||
-        (abs(col("te") - col("t")) <= window && col("eid") =!= col("id")))
+    // the qualification predicate lives IN the join condition: a probe
+    // whose bins are populated only by non-qualifying events must still
+    // survive (as null-extended rows) and report 0 — a post-join filter
+    // would silently DROP it instead
+    p.join(e, p("bin") === e("bin") &&
+        abs(col("te") - col("t")) <= window && col("eid") =!= col("id"),
+        "left")
       .groupBy(col("id"), col("t"))
       .agg(count(col("eid")).as("n_near"))
   }
@@ -634,7 +642,11 @@ object EventOps {
       .withColumn("cum_micro", sum(col("rev_micro")).over(wc))
       .select(col("cohort"), col("offset"), col("n_users"), col("rev_micro"),
         col("cum_micro"),
-        expr("cum_micro div cohort_size").as("ltv_micro"))
+        // engine-portable FLOOR division (the refinedCentroids move):
+        // cum_micro can go negative under refunds, where Spark's
+        // truncating `div` and a SQL engine's flooring `//` disagree
+        expr("(cum_micro - ((cum_micro % cohort_size + cohort_size) % cohort_size)) div cohort_size")
+          .as("ltv_micro"))
   }
 
   /** Windowed telemetry dedup: collapse repeated (key, tumbling-window)

@@ -589,6 +589,22 @@ object Sketches {
       .withColumnRenamed(s"q$pct", "q")
   }
 
+  /** Several exact percentiles from ONE histogram pass: the corpus
+    * aggregates once (checkpointed), each pct is then a cheap window
+    * over the tiny histogram. Returns (grp, q<p1>, q<p2>, …) — use
+    * this instead of repeated [[groupedQuantile]] calls, which would
+    * re-aggregate the input per pct.
+    */
+  def groupedQuantiles(df: DataFrame, valueCol: String, groupCol: String,
+      pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts == pcts.distinct,
+      s"pcts $pcts must be non-empty and distinct")
+    pcts.foreach(p => require(p >= 1 && p <= 100, s"pct $p outside [1,100]"))
+    val h = histogramOf(df, valueCol, groupCol).localCheckpoint(false)
+    pcts.map(p => quantileFromHistogram(h, p))
+      .reduce(_.join(_, Seq("grp")))
+  }
+
   /** Winsorized per-group moments (the robust-mean readout): exact
     * loPct/hiPct percentiles per group, every value clamped into
     * [lo, hi], then n / clamped sum / clamped max — the outlier-immune

@@ -565,6 +565,13 @@ class SketchSpec extends SparkSpec {
     val got2 = EventOps.nearbyCount(probes, Seq((20L, 120L)).toDF("id", "t"),
       "id", "t", window = 20L).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(got2(1L) == 1L)
+    // a probe whose bins hold ONLY non-qualifying events (its own twin
+    // and out-of-window neighbors at bin distance 1) must still report
+    // 0 — not silently vanish (the left-join contract)
+    val near = Seq((1L, 50L), (8L, 29L), (7L, 71L)).toDF("id", "t")
+    val got3 = EventOps.nearbyCount(Seq((1L, 50L)).toDF("id", "t"), near,
+      "id", "t", window = 20L).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got3 == Map(1L -> 0L))
   }
 
   test("pageRank: uniform cycle stays uniform; sink keeps teleport floor; mass bounded") {
