@@ -1329,6 +1329,33 @@ object SparkEntry {
           coalesce(col("n"), lit(0L)).as("n_users"))
     }),
 
+    // Unkeyed interval × point join: errors (ANY user) landing inside
+    // each user session — the incident overlay, via interval-bin
+    // decomposition (the p149 family's second member).
+    "p180_session_incidents" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tus"),
+          col("event_type"))
+      graft.operators.EventOps.intervalPointCount(
+        graft.operators.EventOps.sessionIntervals(
+          ev, "user_id", "tus", "event_type", gap = 1800000000L),
+        Seq("user", "sid"), "start", "end",
+        ev.filter(col("event_type") === "error").select(col("tus")),
+        "tus", binSize = 3600000000L)
+        .select(col("user").as("user_id"), col("sid"), col("start"),
+          col("end"), col("n_points").as("n_errors"))
+    }),
+
+    // Collocation mining by exact integer lift (division-free PMI):
+    // adjacent pairs ≥ 5 occurrences whose lift clears 3× independence.
+    "p182_collocations" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.TextAnalysis.collocations(
+        table(s, dir, "documents"), "text",
+        minCount = 3L, minLiftPermille = 1500L)
+    }),
+
     // Funnel conversion-lag quantiles: exact histogram-trick median/p90
     // of each stage's gap (seconds) — the distributional face of p117.
     "p174_funnel_gap_quantiles" -> ((s, dir) => {
@@ -4823,6 +4850,45 @@ object SparkEntry {
         |       count(*) AS n_users FROM s1
         |UNION ALL SELECT CAST(2 AS BIGINT), 'click', count(*) FROM s2
         |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3""".stripMargin,
+
+    "p180_session_incidents" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et
+        |           FROM events),
+        |x AS (SELECT u, t, et,
+        |        CASE WHEN lag(t) OVER (PARTITION BY u ORDER BY t, et) IS NULL
+        |               OR t - lag(t) OVER (PARTITION BY u ORDER BY t, et) > 1800000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |s AS (SELECT u, t,
+        |        sum(brk) OVER (PARTITION BY u ORDER BY t, et ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM x),
+        |sess AS (SELECT u, sid, min(t) AS start, max(t) AS "end"
+        |         FROM s GROUP BY 1, 2),
+        |err AS (SELECT epoch_us(ts) AS t FROM events WHERE event_type = 'error')
+        |SELECT sess.u AS user_id, sess.sid, sess.start, sess."end",
+        |       count(err.t) AS n_errors
+        |FROM sess LEFT JOIN err ON err.t BETWEEN sess.start AND sess."end"
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "p182_collocations" ->
+      """WITH t AS (SELECT regexp_extract_all(lower(text), '\S+') AS toks
+        |           FROM documents),
+        |uni AS (SELECT unnest(toks) AS w FROM t),
+        |u AS (SELECT w, count(*) AS n FROM uni GROUP BY 1),
+        |nn AS (SELECT CAST(sum(n) AS HUGEINT) AS nn FROM u),
+        |bb AS (SELECT CAST(sum(len(toks) - 1) AS HUGEINT) AS bb FROM t
+        |       WHERE len(toks) >= 2),
+        |bi0 AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+        |                i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS p
+        |        FROM t WHERE len(toks) >= 2),
+        |bi AS (SELECT (p).w1 AS w1, (p).w2 AS w2, count(*) AS n_ab
+        |       FROM bi0 GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT bi.w1, bi.w2, bi.n_ab, a.n AS n_a, b.n AS n_b,
+        |       CAST(CAST(n_ab AS HUGEINT) * nn.nn * nn.nn * 1000
+        |            // (bb.bb * a.n * b.n) AS BIGINT) AS lift_permille
+        |FROM bi JOIN u a ON a.w = bi.w1 JOIN u b ON b.w = bi.w2, nn, bb
+        |WHERE CAST(n_ab AS HUGEINT) * nn.nn * nn.nn * 1000
+        |      // (bb.bb * a.n * b.n) >= 1500""".stripMargin,
 
     "p174_funnel_gap_quantiles" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et

@@ -561,6 +561,49 @@ object EventOps {
       .agg(count(col("eid")).as("n_near"))
   }
 
+  /** UNKEYED interval × point join: per interval, how many `points`
+    * rows fall inside [start, end] — the second member of the
+    * no-equality-key family next to [[nearbyCount]] ("how many error
+    * events landed during each session", sessions and errors from
+    * DIFFERENT keys). Same bin decomposition, mirrored: the INTERVAL
+    * side explodes into every bin it covers (fanout = length/binSize,
+    * bounded by the caller's bin choice), the point side keeps its one
+    * bin, the join is a plain hash exchange on the bin, and each
+    * (interval, point) pair meets exactly once (the point's bin is
+    * unique). LEFT semantics via the predicate IN the join condition —
+    * an interval covering no points reports 0, never drops. Returns
+    * idCols… + (start, end, n_points).
+    */
+  def intervalPointCount(intervals: DataFrame, idCols: Seq[String],
+      startCol: String, endCol: String, points: DataFrame, tsCol: String,
+      binSize: Long): DataFrame = {
+    require(binSize > 0, s"binSize $binSize must be positive")
+    require(idCols.nonEmpty, "intervalPointCount needs interval id columns")
+    val iv = intervals.select(idCols.map(col) ++ Seq(
+        col(startCol).cast("long").as("start"),
+        col(endCol).cast("long").as("end")): _*)
+      .withColumn("bin", explode(expr(
+        s"sequence(start div ${binSize}L, `end` div ${binSize}L)")))
+    val pt = points.select(col(tsCol).cast("long").as("t"))
+      .withColumn("pbin", expr(s"t div ${binSize}L"))
+    iv.join(pt, iv("bin") === pt("pbin") &&
+        col("t") >= col("start") && col("t") <= col("end"), "left")
+      .groupBy(idCols.map(col) ++ Seq(col("start"), col("end")): _*)
+      .agg(count(col("t")).as("n_points"))
+  }
+
+  /** Gap-rule session intervals — the [[sessionized]] lineage rolled to
+    * one (user, sid, start, end, n_events) row per session, the
+    * interval relation [[intervalPointCount]] and session-overlay
+    * analyses consume.
+    */
+  def sessionIntervals(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, gap: Long): DataFrame =
+    sessionized(events, userCol, tsCol, typeCol, gap)
+      .groupBy(col("user"), col("sid"))
+      .agg(min(col("t")).as("start"), max(col("t")).as("end"),
+        count(lit(1)).as("n_events"))
+
   /** Integer fixed-point PageRank over a weighted edge list (src, dst,
     * weight) — the behavior-graph centrality readout, engine-portable
     * because every step is integer floor arithmetic: ranks live at

@@ -1252,6 +1252,49 @@ object TextAnalysis {
       .drop("rn")
   }
 
+  /** Collocation mining by EXACT integer lift (the division-free PMI):
+    * for adjacent word pairs, lift = P(ab) / (P(a)·P(b)) =
+    * n_ab·N² / (B·n_a·n_b), reported as `lift_permille` =
+    * 1000·n_ab·N² div (B·n_a·n_b) in DECIMAL(38,0) — the log of PMI is
+    * monotone in this, so thresholding lift IS thresholding PMI with
+    * zero transcendentals. Pairs need n_ab ≥ `minCount` (rare-pair
+    * noise gate — lift explodes on hapax pairs) and lift_permille ≥
+    * `minLiftPermille` (1000 = independence). One tokenize pass feeds
+    * both the unigram and bigram aggregates; the unigram table joins by
+    * term (vocab-sized, deliberately NOT broadcast — the bigram-LM
+    * convention). Returns (w1, w2, n_ab, n_a, n_b, lift_permille).
+    */
+  def collocations(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      minCount: Long = 5L, minLiftPermille: Long = 3000L):
+      org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(tokens(col(textCol)).as("toks"))
+      .localCheckpoint(false) // unigram AND bigram aggregates read it
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // joined twice + the N rollup
+    val totals = uni.agg(sum(col("n")).cast("decimal(38,0)").as("nn"))
+      .crossJoin(
+        toks.select((size(col("toks")) - 1).as("b")).filter(col("b") > 0)
+          .agg(sum(col("b")).cast("decimal(38,0)").as("bb")))
+    val bi = toks
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
+      )).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    bi.join(uni.select(col("w").as("w1"), col("n").as("n_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("n").as("n_b")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lift_permille", expr(
+        "CAST(CAST(n_ab AS DECIMAL(38,0)) * nn * nn * 1000 DIV " +
+          "(bb * n_a * n_b) AS BIGINT)"))
+      .filter(col("lift_permille") >= minLiftPermille)
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        col("lift_permille"))
+  }
+
   // ---- BPE tokenizer training (merge learning) ----
 
   /** Character-level BPE start state: one row per TOKEN OCCURRENCE, the

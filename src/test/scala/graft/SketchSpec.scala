@@ -752,6 +752,48 @@ class SketchSpec extends SparkSpec {
     assert(got("B")._5 == 0L)
   }
 
+  test("intervalPointCount: inclusive bounds, empty interval reports 0, multi-bin spans count once") {
+    val iv = Seq((1L, 100L, 250L), (2L, 300L, 300L), (3L, 500L, 520L))
+      .toDF("iid", "s", "e")
+    // points: 100 (on start), 250 (on end), 180 (inside, bin differs
+    // from both ends at binSize 100), 299 (outside all), 300 (on the
+    // degenerate interval), none near iid 3
+    val pts = Seq(100L, 250L, 180L, 299L, 300L).toDF("t")
+    val got = EventOps.intervalPointCount(iv, Seq("iid"), "s", "e", pts, "t",
+      binSize = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 0L))
+  }
+
+  test("sessionIntervals: gap rule bounds, single-event session degenerate interval") {
+    val ev = Seq((1L, 0L, "a"), (1L, 50L, "b"), (1L, 500L, "a"), (2L, 7L, "a"))
+      .toDF("u", "t", "et")
+    val got = EventOps.sessionIntervals(ev, "u", "t", "et", gap = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map((1L, 1L) -> ((0L, 50L, 2L)), (1L, 2L) -> ((500L, 500L, 1L)),
+      (2L, 1L) -> ((7L, 7L, 1L))))
+  }
+
+  test("collocations: planted pair clears lift, independent filler does not; exact integers") {
+    import graft.pipeline.TextAnalysis
+    // "new york" always adjacent (planted collocation) inside varied filler
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"new york f$i g${i % 7} h${i % 5} k${i % 3}")).toDF("id", "text")
+    val got = TextAnalysis.collocations(docs, "text",
+        minCount = 3L, minLiftPermille = 1500L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(5))).toMap
+    assert(got.contains(("new", "york")))
+    val ((nab, lift)) = got(("new", "york"))
+    assert(nab == 40L && lift > 1500L)
+    // hand check: N = 240 unigrams, B = 200 bigrams, n_a = n_b = 40 →
+    // lift = 40·240²·1000 div (200·40·40) = 7200
+    assert(lift == 7200L)
+    // the frequent-but-independent fillers don't clear the gate
+    assert(!got.keys.exists { case (a, b) => a.startsWith("k") || b.startsWith("g") && a.startsWith("h") })
+  }
+
   test("userRegularity: one-hot user scores 1000 permille, uniform user 0; absent hours count") {
     // cron bot: 48 events all at hour 0 → dev = 23·48 + 23·48 = 46·48
     val bot = (0 until 48).map(i => (1L, i * 86400000000L))
