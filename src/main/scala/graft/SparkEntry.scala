@@ -1329,6 +1329,20 @@ object SparkEntry {
           coalesce(col("n"), lit(0L)).as("n_users"))
     }),
 
+    // Per-type Theil–Sen robust trend: median of pairwise daily-count
+    // slopes, micro-quantized with floor division — the outlier-immune
+    // growth detector next to the p171 change-point matrix.
+    "p183_theil_sen" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Sketches.theilSenTrend(
+        table(s, dir, "events")
+          .select(col("event_type"),
+            expr("ts div 1000 div 86400000000").as("day")),
+        "day", "event_type")
+        .select(col("grp").as("event_type"), col("n_buckets"),
+          col("n_pairs"), col("slope_micro_med"))
+    }),
+
     // Unkeyed interval × point join: errors (ANY user) landing inside
     // each user session — the incident overlay, via interval-bin
     // decomposition (the p149 family's second member).
@@ -4850,6 +4864,27 @@ object SparkEntry {
         |       count(*) AS n_users FROM s1
         |UNION ALL SELECT CAST(2 AS BIGINT), 'click', count(*) FROM s2
         |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3""".stripMargin,
+
+    "p183_theil_sen" ->
+      """WITH b AS (SELECT event_type AS grp, epoch_us(ts) // 86400000000 AS bucket,
+        |             count(*) AS c
+        |           FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.grp, a.bucket AS b1, a.c AS c1, z.bucket AS b2, z.c AS c2
+        |      FROM b a JOIN b z ON a.grp = z.grp AND a.bucket < z.bucket),
+        |sl AS (SELECT grp, 1000000 * (c2 - c1) // (b2 - b1) AS slope FROM p),
+        |h AS (SELECT grp, slope, count(*) AS c FROM sl GROUP BY 1, 2),
+        |q AS (SELECT grp, slope,
+        |        sum(c) OVER (PARTITION BY grp ORDER BY slope
+        |                     ROWS UNBOUNDED PRECEDING) AS cum,
+        |        sum(c) OVER (PARTITION BY grp) AS n
+        |      FROM h),
+        |med AS (SELECT grp, min(slope) AS slope_micro_med FROM q
+        |        WHERE cum >= (n + 1) // 2 GROUP BY 1),
+        |nb AS (SELECT grp, count(*) AS n_buckets FROM b GROUP BY 1),
+        |np AS (SELECT grp, count(*) AS n_pairs FROM sl GROUP BY 1)
+        |SELECT nb.grp AS event_type, nb.n_buckets, np.n_pairs,
+        |       med.slope_micro_med
+        |FROM nb JOIN np USING (grp) JOIN med USING (grp)""".stripMargin,
 
     "p180_session_incidents" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et

@@ -685,11 +685,10 @@ object EventOps {
       .withColumn("cum_micro", sum(col("rev_micro")).over(wc))
       .select(col("cohort"), col("offset"), col("n_users"), col("rev_micro"),
         col("cum_micro"),
-        // engine-portable FLOOR division (the refinedCentroids move):
-        // cum_micro can go negative under refunds, where Spark's
-        // truncating `div` and a SQL engine's flooring `//` disagree
-        expr("(cum_micro - ((cum_micro % cohort_size + cohort_size) % cohort_size)) div cohort_size")
-          .as("ltv_micro"))
+        // truncating div matches DuckDB's integer `//` exactly,
+        // INCLUDING negative cums (refunds): both truncate toward zero
+        // (measured; DuckDB floors only on float operands)
+        expr("cum_micro div cohort_size").as("ltv_micro"))
   }
 
   /** Windowed telemetry dedup: collapse repeated (key, tumbling-window)

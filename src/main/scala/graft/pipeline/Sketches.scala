@@ -325,6 +325,42 @@ object Sketches {
         expr("CAST(m.gap * 1000 DIV (m.d * m.s) AS BIGINT)").as("dev_permille"))
   }
 
+  /** Per-group Theil–Sen robust trend over a counted time series: daily
+    * counts per (group, bucket), then the MEDIAN of all pairwise slopes
+    * (c₂−c₁)/(b₂−b₁) — the slope estimator that shrugs off outlier
+    * days where least-squares chases them. Slopes micro-quantize with
+    * truncating integer division — MEASURED to agree between Spark's
+    * `div` and DuckDB's integer `//` on negatives (both truncate
+    * toward zero; DuckDB floors only on floats) — and the median is the
+    * [[groupedMedian]] histogram trick over the ≤ C(buckets,2) slope
+    * values per group — metrics space end to end after the one
+    * (group, bucket) corpus aggregate. Returns (grp, n_buckets,
+    * n_pairs, slope_micro_med); groups with a single bucket emit
+    * nothing (no pair exists).
+    */
+  def theilSenTrend(df: DataFrame, bucketCol: String,
+      groupCol: String): DataFrame = {
+    val b = df.select(col(groupCol).as("grp"),
+        col(bucketCol).cast("long").as("bucket"))
+      .groupBy(col("grp"), col("bucket")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // both sides of the pair join + the rollup
+    val pairs = b.select(col("grp"), col("bucket").as("b1"), col("c").as("c1"))
+      .join(b.select(col("grp"), col("bucket").as("b2"), col("c").as("c2")),
+        Seq("grp"))
+      .filter(col("b1") < col("b2"))
+      .select(col("grp"),
+        expr("1000000 * (c2 - c1) div (b2 - b1)").as("slope"))
+      .localCheckpoint(false) // feeds the median and the pair count
+    val med = groupedMedian(pairs, "slope", "grp")
+      .withColumnRenamed("med", "slope_micro_med")
+    b.groupBy(col("grp")).agg(count(lit(1)).as("n_buckets"))
+      .join(pairs.groupBy(col("grp")).agg(count(lit(1)).as("n_pairs")),
+        Seq("grp"))
+      .join(med, Seq("grp"))
+      .select(col("grp"), col("n_buckets"), col("n_pairs"),
+        col("slope_micro_med"))
+  }
+
   /** Per-group [[cusumChangePoint]] (the monitoring matrix): one
     * change-point row PER `groupCol` value, windows PARTITIONED BY
     * GROUP over the (group, bucket) count table — nothing global, so

@@ -752,6 +752,25 @@ class SketchSpec extends SparkSpec {
     assert(got("B")._5 == 0L)
   }
 
+  test("theilSenTrend: outlier day doesn't move the median slope; negative trend exact") {
+    // group A: counts 10,8,6,4,2 over days 1..5 (slope −2/day) with one
+    // outlier day of 100 events — the MEDIAN slope stays on the trend
+    val a = Seq((1L, 10), (2L, 8), (3L, 6), (4L, 4), (5L, 2), (6L, 100))
+      .flatMap { case (d, n) => Seq.fill(n)(("A", d)) }
+    val got = Sketches.theilSenTrend(a.toDF("g", "d"), "d", "g")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (nb, np, slope) = got("A")
+    assert(nb == 6L && np == 15L)
+    // pairwise slopes among days 1..5 are all −2e6; the 5 outlier pairs
+    // are huge positive — lower median of 15 sorted values (rank 8) is
+    // still −2e6 (10 trend pairs sort first)
+    assert(slope == -2000000L)
+    // single-bucket group emits nothing
+    assert(Sketches.theilSenTrend(Seq(("B", 1L), ("B", 1L)).toDF("g", "d"),
+      "d", "g").collect().isEmpty)
+  }
+
   test("intervalPointCount: inclusive bounds, empty interval reports 0, multi-bin spans count once") {
     val iv = Seq((1L, 100L, 250L), (2L, 300L, 300L), (3L, 500L, 520L))
       .toDF("iid", "s", "e")
