@@ -1329,6 +1329,49 @@ object SparkEntry {
           coalesce(col("n"), lit(0L)).as("n_users"))
     }),
 
+    // Event-store retention: expire day partitions behind the horizon
+    // (directory deletes, no rewrite), then read the surviving store —
+    // the nightly expiry task's round trip.
+    "p184_event_retention" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("tus"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_p184_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.EventStore.writeTimePartitioned(ev, base, "tus", "user_id")
+      val d0 = ev.agg(min(expr("tus div 86400000000L"))).head().getLong(0)
+      graft.sources.EventStore.expireDays(s, base, keepFromDay = d0 + 20)
+      graft.sources.EventStore.open(s, base)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    }),
+
+    // Revenue quantiles in the EstimatedHistogram bucket space: the
+    // p91 bridge for unbounded domains — approximate in value (~20%
+    // bucket resolution), exact integers in which bucket each
+    // percentile lands.
+    "p185_bucket_quantiles" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Sketches.bucketQuantiles(
+        table(s, dir, "events")
+          .select(col("event_type"),
+            round(col("value") * 1e6).cast("long").as("rev_micro")),
+        "rev_micro", "event_type", Seq(50, 90, 99))
+        .select(col("grp").as("event_type"), col("n"),
+          col("q50_hi"), col("q90_hi"), col("q99_hi"))
+    }),
+
+    // Exact trailing 7-day active users per day — what the p116 HLL
+    // sliding sketch approximates, at bounded explode cost.
+    "p186_rolling_actives" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.operators.EventOps.rollingActiveUsers(
+        table(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("tus")),
+        "user_id", "tus", bucketSize = 86400000000L, windowBuckets = 7)
+    }),
+
     // Per-type Theil–Sen robust trend: median of pairwise daily-count
     // slopes, micro-quantized with floor division — the outlier-immune
     // growth detector next to the p171 change-point matrix.
@@ -4864,6 +4907,46 @@ object SparkEntry {
         |       count(*) AS n_users FROM s1
         |UNION ALL SELECT CAST(2 AS BIGINT), 'click', count(*) FROM s2
         |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3""".stripMargin,
+
+    "p184_event_retention" ->
+      """WITH d AS (SELECT min(epoch_us(ts) // 86400000000) AS d0 FROM events)
+        |SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events, d
+        |WHERE epoch_us(ts) // 86400000000 >= d.d0 + 20
+        |GROUP BY 1""".stripMargin,
+
+    "p185_bucket_quantiles" -> {
+      val off = graft.util.EstimatedHistogram.bucketOffsets
+      val lst = off.mkString("[", ", ", "]")
+      def hi(q: String) =
+        s"CAST(($lst)[CAST(least($q + 1, ${off.length}) AS INT)] AS BIGINT)"
+      s"""WITH v AS (SELECT event_type AS grp,
+        |             CAST(round(value * 1000000) AS BIGINT) AS v FROM events),
+        |b AS (SELECT grp, CAST(len(list_filter($lst, o -> o <= v)) AS BIGINT) AS b
+        |      FROM v),
+        |h AS (SELECT grp, b, count(*) AS c FROM b GROUP BY 1, 2),
+        |q AS (SELECT grp, b,
+        |        sum(c) OVER (PARTITION BY grp ORDER BY b
+        |                     ROWS UNBOUNDED PRECEDING) AS cum,
+        |        sum(c) OVER (PARTITION BY grp) AS n
+        |      FROM h),
+        |nn AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+        |q50 AS (SELECT grp, min(b) AS q FROM q WHERE cum * 100 >= n * 50 GROUP BY 1),
+        |q90 AS (SELECT grp, min(b) AS q FROM q WHERE cum * 100 >= n * 90 GROUP BY 1),
+        |q99 AS (SELECT grp, min(b) AS q FROM q WHERE cum * 100 >= n * 99 GROUP BY 1)
+        |SELECT nn.grp AS event_type, nn.n,
+        |       ${hi("q50.q")} AS q50_hi, ${hi("q90.q")} AS q90_hi,
+        |       ${hi("q99.q")} AS q99_hi
+        |FROM nn JOIN q50 USING (grp) JOIN q90 USING (grp) JOIN q99 USING (grp)""".stripMargin
+    },
+
+    "p186_rolling_actives" ->
+      """WITH d AS (SELECT DISTINCT user_id AS u,
+        |             epoch_us(ts) // 86400000000 AS day FROM events),
+        |x AS (SELECT u, unnest(generate_series(day, day + 6)) AS day2 FROM d)
+        |SELECT day2 AS day, count(DISTINCT u) AS n_active
+        |FROM x GROUP BY 1""".stripMargin,
 
     "p183_theil_sen" ->
       """WITH b AS (SELECT event_type AS grp, epoch_us(ts) // 86400000000 AS bucket,

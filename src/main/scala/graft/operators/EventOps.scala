@@ -466,6 +466,29 @@ object EventOps {
         col("n_users"), col("med_gap"), col("p90_gap"))
   }
 
+  /** EXACT trailing-window distinct actives ("7-day active users,
+    * every day") — what [[graft.pipeline.Sketches.hllSliding]]
+    * approximates, where the full pass is affordable: each (user, day)
+    * activity row contributes to the `windowBuckets` window-END days
+    * it falls inside (a bounded explode — fanout = the window length),
+    * then one distinct-count per end day. Days with no activity in
+    * range simply don't appear; trailing windows extending past the
+    * last active day DO (the series' natural tail). Returns
+    * (day, n_active).
+    */
+  def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
+      bucketSize: Long, windowBuckets: Int): DataFrame = {
+    require(bucketSize > 0, s"bucketSize $bucketSize must be positive")
+    require(windowBuckets >= 1, s"windowBuckets $windowBuckets < 1")
+    events.select(col(userCol).as("user"),
+        expr(s"CAST(`$tsCol` AS BIGINT) div ${bucketSize}L").as("d"))
+      .distinct()
+      .select(col("user"),
+        explode(expr(s"sequence(d, d + ${windowBuckets - 1})")).as("day"))
+      .groupBy(col("day"))
+      .agg(count_distinct(col("user")).as("n_active"))
+  }
+
   /** Hour-of-day activity profile per event type (the ops heatmap) with
     * the division-free uniformity deviation: per (type, hour) the count
     * n, `dev_scaled` = |24·n − total| (0 ⇔ perfectly flat) and

@@ -715,6 +715,40 @@ object Sketches {
       .select(col("id"), col("grp"), col("v"), col("rank_permille"))
   }
 
+  /** Per-group quantiles for UNBOUNDED value domains: values map into
+    * the [[graft.util.EstimatedHistogram]] geometric bucket space
+    * (~170 buckets covering 1..2^63 at ~20% resolution) FIRST, then
+    * the exact histogram-quantile machinery runs over bucket ids —
+    * the p91 bridge for observables whose raw domain would break the
+    * bounded-histogram contract (revenue micros, latencies). Reported
+    * value = the bucket's UPPER bound (the EstimatedHistogram
+    * percentile convention): approximate in value (≤ ~20% high), but
+    * EXACT integer arithmetic end to end, so two engines agree
+    * bit-for-bit on which bucket each percentile lands in. Returns
+    * (grp, n, q<p>_hi per pct).
+    */
+  def bucketQuantiles(df: DataFrame, valueCol: String, groupCol: String,
+      pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts == pcts.distinct,
+      s"pcts $pcts must be non-empty and distinct")
+    pcts.foreach(p => require(p >= 1 && p <= 100, s"pct $p outside [1,100]"))
+    val off = graft.util.EstimatedHistogram.bucketOffsets
+    val offArr = array(off.map(lit(_)): _*)
+    val h = df.select(col(groupCol).as("grp"),
+        size(filter(offArr, o => o <= col(valueCol).cast("long")))
+          .cast("long").as("v"))
+      .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // one corpus pass feeds every pct
+    val withQs = pcts.map(p => quantileFromHistogram(h, p))
+      .reduce(_.join(_, Seq("grp")))
+    h.groupBy(col("grp")).agg(sum(col("c")).as("n"))
+      .join(withQs, Seq("grp"))
+      .select(col("grp") +: col("n") +: pcts.map(p =>
+        element_at(offArr,
+          least(col(s"q$p") + 1, lit(off.length.toLong)).cast("int"))
+          .as(s"q${p}_hi")): _*)
+  }
+
   private def boundsFromHistogram(h: DataFrame, loPct: Int,
       hiPct: Int): DataFrame = {
     require(loPct >= 1 && hiPct <= 100 && loPct < hiPct,

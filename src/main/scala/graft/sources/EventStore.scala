@@ -54,4 +54,27 @@ object EventStore {
   def readDays(spark: SparkSession, path: String, fromDay: Long,
       toDay: Long): DataFrame =
     open(spark, path).filter(col("day") >= fromDay && col("day") <= toDay)
+
+  /** Retention: drop every day partition BEFORE `keepFromDay` (the
+    * nightly expiry task — the maintenance analog of the fork's
+    * snapshot-retention cleanup, at event grain). Directory deletes
+    * only — no rewrite, no scan of surviving days; returns the number
+    * of day partitions removed. Readers see the post-expiry view
+    * immediately (each read lists directories fresh).
+    */
+  def expireDays(spark: SparkSession, path: String,
+      keepFromDay: Long): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0L
+    fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("day="))
+      .flatMap { st =>
+        val d = st.getPath.getName.stripPrefix("day=")
+        try Some((st.getPath, d.toLong)) catch { case _: Exception => None }
+      }
+      .filter(_._2 < keepFromDay)
+      .map { case (dir, _) => fs.delete(dir, true); 1L }
+      .sum
+  }
 }

@@ -298,6 +298,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(day10.listFiles().count(_.getName.endsWith(".parquet")) <= 2)
   }
 
+  test("EventStore.expireDays: partitions behind the horizon vanish, survivors read intact") {
+    import spark.implicits._
+    val ev = (0L until 100L).map(i => (i, i % 5L, "t", i * 86400000000L))
+      .toDF("event_id", "user_id", "event_type", "tus") // one event per day
+    val path = java.nio.file.Files.createTempDirectory("graft_evexp").toString
+    graft.sources.EventStore.writeTimePartitioned(ev, path, "tus", "user_id")
+    val removed = graft.sources.EventStore.expireDays(spark, path, keepFromDay = 90L)
+    assert(removed == 90L)
+    val left = graft.sources.EventStore.open(spark, path)
+      .select($"event_id").collect().map(_.getLong(0)).toSet
+    assert(left == (90L until 100L).toSet)
+    // idempotent: nothing more to expire at the same horizon
+    assert(graft.sources.EventStore.expireDays(spark, path, 90L) == 0L)
+  }
+
   test("heavyHittersByBucket: WindowGroupLimit bounds the rank window (top-k per group)") {
     import spark.implicits._
     val ev = (0L until 1000L).map(i => (i % 5L, i % 13L)).toDF("b", "item")

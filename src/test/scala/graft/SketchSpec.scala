@@ -752,6 +752,32 @@ class SketchSpec extends SparkSpec {
     assert(got("B")._5 == 0L)
   }
 
+  test("bucketQuantiles: percentiles land in the right geometric buckets; upper-bound convention") {
+    val off = graft.util.EstimatedHistogram.bucketOffsets
+    // 100 values 1..100 → p50 should land in the bucket containing 50
+    val df = (1L to 100L).map(v => ("g", v)).toDF("grp", "v")
+    val r = Sketches.bucketQuantiles(df, "v", "grp", Seq(50, 99)).collect().head
+    assert(r.getLong(1) == 100L)
+    val q50hi = r.getLong(2)
+    // hi of the bucket holding value 50: smallest offset > 50
+    val expected50 = off.find(_ > 50L).get
+    assert(q50hi == expected50, s"q50_hi $q50hi vs $expected50")
+    val q99hi = r.getLong(3)
+    assert(q99hi == off.find(_ > 99L).get)
+  }
+
+  test("rollingActiveUsers: window membership exact; multi-day users count once per window") {
+    // u1 active days 1 and 3; u2 active day 1 only. window 3:
+    // day1 windows covering it: 1,2,3; day3: 3,4,5
+    val ev = Seq((1L, 1L), (1L, 1L), (1L, 3L), (2L, 1L)).toDF("u", "d")
+    val got = EventOps.rollingActiveUsers(ev, "u", "d", bucketSize = 1L,
+      windowBuckets = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // day 1: u1,u2; day 2: u1,u2 (trailing); day 3: u1 (twice→once),u2;
+    // days 4,5: u1 only
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
+  }
+
   test("theilSenTrend: outlier day doesn't move the median slope; negative trend exact") {
     // group A: counts 10,8,6,4,2 over days 1..5 (slope −2/day) with one
     // outlier day of 100 events — the MEDIAN slope stays on the trend
