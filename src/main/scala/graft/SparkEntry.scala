@@ -1329,6 +1329,27 @@ object SparkEntry {
           coalesce(col("n"), lit(0L)).as("n_users"))
     }),
 
+    // Funnel conversion-rate readout: per stage the overall and
+    // step-wise conversion permille — exact divisions over the rollup.
+    "p187_funnel_rates" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.operators.EventOps.funnelRates(
+        table(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("tus"),
+            col("event_type")),
+        "user_id", "tus", "event_type",
+        Seq("signup", "view", "click", "purchase"))
+    }),
+
+    // Burst-day detection: days over 2× the median daily volume — the
+    // robust rate-spike monitor (median can't be masked by the burst).
+    "p188_burst_days" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.operators.EventOps.burstDays(
+        table(s, dir, "events").select(expr("ts div 1000").as("tus")),
+        "tus", bucketSize = 3600000000L, k = 2)
+    }),
+
     // Event-store retention: expire day partitions behind the horizon
     // (directory deletes, no rewrite), then read the surviving store —
     // the nightly expiry task's round trip.
@@ -4907,6 +4928,42 @@ object SparkEntry {
         |       count(*) AS n_users FROM s1
         |UNION ALL SELECT CAST(2 AS BIGINT), 'click', count(*) FROM s2
         |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3""".stripMargin,
+
+    "p187_funnel_rates" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et
+        |           FROM events),
+        |s1 AS (SELECT u, min(t) AS t FROM e WHERE et = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.u AS u, min(e.t) AS t FROM e JOIN s1 ON e.u = s1.u
+        |       AND e.t > s1.t WHERE e.et = 'view' GROUP BY 1),
+        |s3 AS (SELECT e.u AS u, min(e.t) AS t FROM e JOIN s2 ON e.u = s2.u
+        |       AND e.t > s2.t WHERE e.et = 'click' GROUP BY 1),
+        |s4 AS (SELECT e.u AS u, min(e.t) AS t FROM e JOIN s3 ON e.u = s3.u
+        |       AND e.t > s3.t WHERE e.et = 'purchase' GROUP BY 1),
+        |f AS (SELECT CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage,
+        |        (SELECT count(*) FROM s1) AS n_users
+        |      UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+        |      UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+        |      UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)),
+        |x AS (SELECT stage_idx, stage, n_users,
+        |        max(CASE WHEN stage_idx = 1 THEN n_users END) OVER () AS n1,
+        |        lag(n_users) OVER (ORDER BY stage_idx) AS prev
+        |      FROM f)
+        |SELECT stage_idx, stage, n_users,
+        |       CASE WHEN n1 > 0 THEN n_users * 1000 // n1 ELSE 0 END AS conv_permille,
+        |       CASE WHEN prev IS NULL THEN 1000
+        |            WHEN prev > 0 THEN n_users * 1000 // prev
+        |            ELSE 0 END AS step_permille
+        |FROM x""".stripMargin,
+
+    "p188_burst_days" ->
+      """WITH b AS (SELECT epoch_us(ts) // 3600000000 AS bucket, count(*) AS n
+        |           FROM events GROUP BY 1),
+        |h AS (SELECT n AS v, count(*) AS c FROM b GROUP BY 1),
+        |q AS (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |        sum(c) OVER () AS nn FROM h),
+        |med AS (SELECT min(v) AS med FROM q WHERE cum >= (nn + 1) // 2)
+        |SELECT b.bucket, b.n, med.med, b.n * 1000 // med.med AS burst_permille
+        |FROM b, med WHERE b.n > med.med * 2""".stripMargin,
 
     "p184_event_retention" ->
       """WITH d AS (SELECT min(epoch_us(ts) // 86400000000) AS d0 FROM events)

@@ -489,6 +489,51 @@ object EventOps {
       .agg(count_distinct(col("user")).as("n_active"))
   }
 
+  /** [[funnel]] with the conversion-rate readout a dashboard actually
+    * shows: per stage, `conv_permille` (vs stage 1) and
+    * `step_permille` (vs the previous stage) — exact integer divisions
+    * over the stages-row rollup (metrics space; the lag window runs on
+    * ≤ stages rows). Stage 1 reads 1000/1000 by definition. Returns
+    * (stage_idx, stage, n_users, conv_permille, step_permille).
+    */
+  def funnelRates(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    val w = Window.orderBy(col("stage_idx"))
+    funnel(events, userCol, tsCol, typeCol, stages)
+      .withColumn("n1", max(when(col("stage_idx") === 1, col("n_users")))
+        .over(Window.partitionBy()))
+      .withColumn("prev", lag(col("n_users"), 1).over(w))
+      .select(col("stage_idx"), col("stage"), col("n_users"),
+        when(col("n1") > 0, expr("n_users * 1000 div n1"))
+          .otherwise(0L).as("conv_permille"),
+        when(col("prev").isNull, lit(1000L))
+          .when(col("prev") > 0, expr("n_users * 1000 div prev"))
+          .otherwise(0L).as("step_permille"))
+  }
+
+  /** Burst-day detection: days whose event count exceeds `k` × the
+    * median daily count (the robust rate-spike monitor — median, not
+    * mean, so the burst can't mask itself). One bucket-count
+    * aggregate; the median via the histogram trick over daily counts
+    * (buckets-bounded). Returns flagged days only:
+    * (bucket, n, med, burst_permille = 1000·n div med).
+    */
+  def burstDays(events: DataFrame, tsCol: String, bucketSize: Long,
+      k: Int = 3): DataFrame = {
+    require(bucketSize > 0 && k >= 1, "bucketSize and k must be positive")
+    val daily = events.select(
+        expr(s"CAST(`$tsCol` AS BIGINT) div ${bucketSize}L").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .withColumn("g", lit("all"))
+      .localCheckpoint(false) // feeds the median and the flag pass
+    val med = graft.pipeline.Sketches.groupedMedian(daily, "n", "g")
+      .select(col("med"))
+    daily.crossJoin(broadcast(med))
+      .filter(col("n") > col("med") * k)
+      .select(col("bucket"), col("n"), col("med"),
+        expr("n * 1000 div med").as("burst_permille"))
+  }
+
   /** Hour-of-day activity profile per event type (the ops heatmap) with
     * the division-free uniformity deviation: per (type, hour) the count
     * n, `dev_scaled` = |24·n − total| (0 ⇔ perfectly flat) and

@@ -778,6 +778,30 @@ class SketchSpec extends SparkSpec {
     assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
   }
 
+  test("funnelRates: overall and step permilles exact; stage 1 is 1000/1000") {
+    // 4 users reach A, 2 reach B, 1 reaches C
+    val ev = Seq((1L, 0L, "A"), (1L, 1L, "B"), (1L, 2L, "C"),
+      (2L, 0L, "A"), (2L, 5L, "B"), (3L, 0L, "A"), (4L, 0L, "A"))
+      .toDF("u", "t", "et")
+    val got = EventOps.funnelRates(ev, "u", "t", "et", Seq("A", "B", "C"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(1L -> ((4L, 1000L, 1000L)), 2L -> ((2L, 500L, 500L)),
+      3L -> ((1L, 250L, 500L))))
+  }
+
+  test("burstDays: planted spike flagged over the unmoved median; quiet series flags nothing") {
+    // 9 buckets of 10 events + one of 100 → median stays 10; the spike
+    // reads 10000 permille
+    val ev = ((0L until 9L).flatMap(b => Seq.fill(10)(b * 100L)) ++
+      Seq.fill(100)(900L)).toDF("t")
+    val got = EventOps.burstDays(ev, "t", bucketSize = 100L, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((9L, 100L, 10L, 10000L)))
+    val quiet = (0L until 10L).flatMap(b => Seq.fill(10)(b * 100L)).toDF("t")
+    assert(EventOps.burstDays(quiet, "t", 100L, 3).collect().isEmpty)
+  }
+
   test("theilSenTrend: outlier day doesn't move the median slope; negative trend exact") {
     // group A: counts 10,8,6,4,2 over days 1..5 (slope −2/day) with one
     // outlier day of 100 events — the MEDIAN slope stays on the trend
