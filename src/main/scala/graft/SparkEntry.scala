@@ -59,17 +59,19 @@ object SparkEntry {
   private def runStream(s: SparkSession, tag: String, dir: String,
       input: DataFrame, nFiles: Int,
       prepareIn: String => Unit = _ => (),
-      writeFeed: (String, DataFrame) => Unit = null)(
+      writeFeed: Option[(String, DataFrame) => Unit] = None)(
       f: DataFrame => DataFrame): DataFrame = {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
-    // default feed: nFiles arbitrary slices; a caller needing a delivery
+    // default feed: nFiles arbitrary slices. A caller needing a delivery
     // DISCIPLINE (time-ordered slices, leader/follower mtimes) supplies
-    // its own writer so the rest of the scaffold stays the one shared
-    // definition
-    if (writeFeed != null) writeFeed(s"$base/in", input)
-    else input.repartition(nFiles).write.parquet(s"$base/in")
+    // its own writer — nFiles is then IGNORED; the rest of the scaffold
+    // stays the one shared definition.
+    writeFeed match {
+      case Some(w) => w(s"$base/in", input)
+      case None => input.repartition(nFiles).write.parquet(s"$base/in")
+    }
     prepareIn(s"$base/in")
     val stream = s.readStream.schema(input.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
@@ -1316,7 +1318,7 @@ object SparkEntry {
         .select(col("user_id").cast("long").as("k"),
           expr("ts div 1000").as("ts"), col("event_type").as("et"))
       val counts = runStream(s, "p179", dir, ev, 1,
-        writeFeed = (in, df) => writeTimeOrderedFeed(s, in, df, "ts"))(
+        writeFeed = Some((in, df) => writeTimeOrderedFeed(s, in, df, "ts")))(
         st => graft.streaming.PipelineStream.funnelStream(st, stages))
         .groupBy(col("stage_idx")).agg(count(lit(1)).as("n"))
       // a stage NO user reaches must still report 0 (the oracle — and
@@ -1341,11 +1343,12 @@ object SparkEntry {
         Seq("signup", "view", "click", "purchase"))
     }),
 
-    // Burst-day detection: days over 2× the median daily volume — the
-    // robust rate-spike monitor (median can't be masked by the burst).
-    "p188_burst_days" -> ((s, dir) => {
+    // Burst-hour detection: hours over 2× the median hourly volume —
+    // the robust rate-spike monitor (median can't be masked by the
+    // burst).
+    "p188_burst_hours" -> ((s, dir) => {
       GraftFunctions.register(s)
-      graft.operators.EventOps.burstDays(
+      graft.operators.EventOps.burstBuckets(
         table(s, dir, "events").select(expr("ts div 1000").as("tus")),
         "tus", bucketSize = 3600000000L, k = 2)
     }),
@@ -1426,7 +1429,8 @@ object SparkEntry {
     }),
 
     // Collocation mining by exact integer lift (division-free PMI):
-    // adjacent pairs ≥ 5 occurrences whose lift clears 3× independence.
+    // adjacent pairs ≥ 3 occurrences whose lift clears 1.5×
+    // independence (thresholds sized to this corpus's vocabulary).
     "p182_collocations" -> ((s, dir) => {
       GraftFunctions.register(s)
       graft.pipeline.TextAnalysis.collocations(
@@ -4955,7 +4959,7 @@ object SparkEntry {
         |            ELSE 0 END AS step_permille
         |FROM x""".stripMargin,
 
-    "p188_burst_days" ->
+    "p188_burst_hours" ->
       """WITH b AS (SELECT epoch_us(ts) // 3600000000 AS bucket, count(*) AS n
         |           FROM events GROUP BY 1),
         |h AS (SELECT n AS v, count(*) AS c FROM b GROUP BY 1),

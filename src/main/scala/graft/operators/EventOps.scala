@@ -511,14 +511,15 @@ object EventOps {
           .otherwise(0L).as("step_permille"))
   }
 
-  /** Burst-day detection: days whose event count exceeds `k` × the
-    * median daily count (the robust rate-spike monitor — median, not
+  /** Burst-bucket detection at the caller's time grain (`bucketSize` —
+    * hours, days, …): buckets whose event count exceeds `k` × the
+    * median bucket count (the robust rate-spike monitor — median, not
     * mean, so the burst can't mask itself). One bucket-count
-    * aggregate; the median via the histogram trick over daily counts
-    * (buckets-bounded). Returns flagged days only:
+    * aggregate; the median via the histogram trick over bucket counts
+    * (buckets-bounded). Returns flagged buckets only:
     * (bucket, n, med, burst_permille = 1000·n div med).
     */
-  def burstDays(events: DataFrame, tsCol: String, bucketSize: Long,
+  def burstBuckets(events: DataFrame, tsCol: String, bucketSize: Long,
       k: Int = 3): DataFrame = {
     require(bucketSize > 0 && k >= 1, "bucketSize and k must be positive")
     val daily = events.select(

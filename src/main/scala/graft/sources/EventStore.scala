@@ -74,7 +74,9 @@ object EventStore {
         try Some((st.getPath, d.toLong)) catch { case _: Exception => None }
       }
       .filter(_._2 < keepFromDay)
-      .map { case (dir, _) => fs.delete(dir, true); 1L }
+      // count only CONFIRMED deletes: a failed delete (permissions, a
+      // non-POSIX FS holding open files) must not report as expired
+      .map { case (dir, _) => if (fs.delete(dir, true)) 1L else 0L }
       .sum
   }
 }
