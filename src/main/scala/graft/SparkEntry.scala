@@ -2635,6 +2635,34 @@ object SparkEntry {
           col("rank").cast("long").as("rank"), col("id"), col("rank_sum"))
     }),
 
+    // nDCG@10 of the BATCHED HYBRID retriever (p82's fused ranks under
+    // p162's scorer — ONE ndcgOfRanking definition): how well fusion
+    // surfaces the query's label cohort.
+    "p189_ndcg_hybrid" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val emb = table(s, dir, "embeddings")
+      val queries = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"),
+          slice(graft.pipeline.TextAnalysis.tokens(col("text")), 1, 8).as("qterms"))
+        .join(emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding").as("q"),
+            col("label").as("qcell")), Seq("qid"))
+      val ranked = graft.pipeline.Similarity.hybridTopKIvfBatch(
+        docs.filter(col("doc_id") >= 3), "doc_id", "text",
+        emb.filter(col("vec_id") >= 3), "vec_id", "embedding", "label",
+        queries, k = 10, poolK = 20)
+        .select(col("qid").cast("long").as("qid"),
+          col("rank").cast("int").as("rank"), col("id"))
+      graft.pipeline.Similarity.ndcgOfRanking(ranked,
+        emb.filter(col("vec_id") >= 3)
+          .select(col("vec_id").as("id"), col("label")),
+        emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").cast("long").as("qid"),
+            col("label").as("qlabel")),
+        k = 10)
+    }),
+
     // Perceptual-dedup CLUSTERS over real decoded images: groups of 5
     // docs share one image (gid = doc_id - doc_id%5 drives the pixel
     // formula — the planted blank-page/black-frame mass case), identical
@@ -3338,6 +3366,43 @@ object SparkEntry {
       |      FROM t, (SELECT unnest([0, 1, 2, 3]) AS r) rr)
       |SELECT CAST(r AS BIGINT) AS "row", bucket, count(*) AS cnt
       |FROM x GROUP BY 1, 2""".stripMargin
+
+  /** Shared DuckDB lineage PREFIX for the batched hybrid retriever's
+    * fused ranks (CTE `r` = per-query rank over lexical+vector rank
+    * sums) — p82 gates the ranked list itself, p189 composes the nDCG
+    * scorer on top; one prefix so the two gates cannot drift onto
+    * different retrieval definitions.
+    */
+  private lazy val hybridBatchRankedCte: String =
+    """WITH qd AS (SELECT doc_id AS qid,
+      |              list_distinct((regexp_extract_all(lower(text), '\S+'))[1:8]) AS qterms
+      |            FROM documents WHERE doc_id < 3),
+      |q AS (SELECT qid, unnest(qterms) AS term FROM qd),
+      |n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id >= 3),
+      |t AS (SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '\S+'))) AS term
+      |      FROM documents WHERE doc_id >= 3),
+      |ts AS (SELECT DISTINCT term FROM q),
+      |md AS (SELECT t.doc_id, t.term FROM t JOIN ts USING (term)),
+      |df AS (SELECT term, count(*) AS df FROM md GROUP BY 1),
+      |m AS (SELECT q.qid, md.doc_id, md.term FROM md JOIN q USING (term)),
+      |sc AS (SELECT m.qid, m.doc_id, sum(((SELECT n_docs FROM n) * 1000) // df.df) AS score
+      |       FROM m JOIN df USING (term) GROUP BY 1, 2),
+      |lr0 AS (SELECT qid, doc_id AS id,
+      |          row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS lrank FROM sc),
+      |lr AS (SELECT qid, id, lrank FROM lr0 WHERE lrank <= 20),
+      |qv AS (SELECT vec_id AS qid, embedding AS qe, label AS qcell
+      |       FROM embeddings WHERE vec_id < 3),
+      |vs AS (SELECT qv.qid, c.vec_id, list_cosine_similarity((c.embedding)::DOUBLE[], (qv.qe)::DOUBLE[]) AS sim
+      |       FROM embeddings c JOIN qv ON c.label = qv.qcell
+      |       WHERE c.vec_id >= 3),
+      |vr0 AS (SELECT qid, vec_id AS id,
+      |          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS vrank FROM vs),
+      |vr AS (SELECT qid, id, vrank FROM vr0 WHERE vrank <= 20),
+      |f AS (SELECT COALESCE(lr.qid, vr.qid) AS qid, COALESCE(lr.id, vr.id) AS id,
+      |             COALESCE(lrank, 21) + COALESCE(vrank, 21) AS rank_sum
+      |      FROM lr FULL JOIN vr ON lr.qid = vr.qid AND lr.id = vr.id),
+      |r AS (SELECT qid, id, rank_sum,
+      |        row_number() OVER (PARTITION BY qid ORDER BY rank_sum, id) AS rank FROM f)""".stripMargin
 
   /** Shared DuckDB lineage for the sequential-min funnel — p110 gates
     * the batch chain, p179 its per-user state-machine streaming twin
@@ -5883,38 +5948,31 @@ object SparkEntry {
         |FROM r WHERE rank <= 10""".stripMargin,
 
     "p82_hybrid_batch" ->
-      """WITH qd AS (SELECT doc_id AS qid,
-        |              list_distinct((regexp_extract_all(lower(text), '\S+'))[1:8]) AS qterms
-        |            FROM documents WHERE doc_id < 3),
-        |q AS (SELECT qid, unnest(qterms) AS term FROM qd),
-        |n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id >= 3),
-        |t AS (SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '\S+'))) AS term
-        |      FROM documents WHERE doc_id >= 3),
-        |ts AS (SELECT DISTINCT term FROM q),
-        |md AS (SELECT t.doc_id, t.term FROM t JOIN ts USING (term)),
-        |df AS (SELECT term, count(*) AS df FROM md GROUP BY 1),
-        |m AS (SELECT q.qid, md.doc_id, md.term FROM md JOIN q USING (term)),
-        |sc AS (SELECT m.qid, m.doc_id, sum(((SELECT n_docs FROM n) * 1000) // df.df) AS score
-        |       FROM m JOIN df USING (term) GROUP BY 1, 2),
-        |lr0 AS (SELECT qid, doc_id AS id,
-        |          row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS lrank FROM sc),
-        |lr AS (SELECT qid, id, lrank FROM lr0 WHERE lrank <= 20),
-        |qv AS (SELECT vec_id AS qid, embedding AS qe, label AS qcell
-        |       FROM embeddings WHERE vec_id < 3),
-        |vs AS (SELECT qv.qid, c.vec_id, list_cosine_similarity((c.embedding)::DOUBLE[], (qv.qe)::DOUBLE[]) AS sim
-        |       FROM embeddings c JOIN qv ON c.label = qv.qcell
-        |       WHERE c.vec_id >= 3),
-        |vr0 AS (SELECT qid, vec_id AS id,
-        |          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS vrank FROM vs),
-        |vr AS (SELECT qid, id, vrank FROM vr0 WHERE vrank <= 20),
-        |f AS (SELECT COALESCE(lr.qid, vr.qid) AS qid, COALESCE(lr.id, vr.id) AS id,
-        |             COALESCE(lrank, 21) + COALESCE(vrank, 21) AS rank_sum
-        |      FROM lr FULL JOIN vr ON lr.qid = vr.qid AND lr.id = vr.id),
-        |r AS (SELECT qid, id, rank_sum,
-        |        row_number() OVER (PARTITION BY qid ORDER BY rank_sum, id) AS rank FROM f)
+      s"""$hybridBatchRankedCte
         |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank, id,
         |       CAST(rank_sum AS BIGINT) AS rank_sum
         |FROM r WHERE rank <= 10""".stripMargin,
+
+    "p189_ndcg_hybrid" ->
+      s"""$hybridBatchRankedCte,
+        |ranked AS (SELECT qid, rank, id FROM r WHERE rank <= 10),
+        |lab AS (SELECT vec_id AS id, label FROM embeddings WHERE vec_id >= 3),
+        |ql AS (SELECT vec_id AS qid, label AS qlabel FROM embeddings WHERE vec_id < 3),
+        |d AS (SELECT ranked.qid, ql.qlabel,
+        |        CAST(sum(CASE WHEN lab.label = ql.qlabel
+        |                 THEN ${graft.pipeline.Similarity.ndcgDiscountSqlCase("ranked.rank", 10)}
+        |                 ELSE 0 END) AS BIGINT) AS dcg_micro
+        |      FROM ranked JOIN ql ON ql.qid = ranked.qid
+        |      LEFT JOIN lab ON lab.id = ranked.id
+        |      GROUP BY 1, 2),
+        |nr AS (SELECT label AS qlabel, count(*) AS n_rel FROM lab GROUP BY 1)
+        |SELECT CAST(d.qid AS BIGINT) AS qid, nr.n_rel, d.dcg_micro,
+        |       CAST((${graft.pipeline.Similarity.ndcgIdcgSqlList(10)})
+        |            [CAST(least(nr.n_rel, 10) AS INT)] AS BIGINT) AS idcg_micro,
+        |       CAST(d.dcg_micro * 1000000 //
+        |            (${graft.pipeline.Similarity.ndcgIdcgSqlList(10)})
+        |            [CAST(least(nr.n_rel, 10) AS INT)] AS BIGINT) AS ndcg_micro
+        |FROM d JOIN nr USING (qlabel) WHERE nr.n_rel > 0""".stripMargin,
 
     "p58_dhash_clusters" -> dhashClustersOracleSql,
 

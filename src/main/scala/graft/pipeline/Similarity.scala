@@ -127,11 +127,6 @@ object Similarity {
       queryVecCol: String, queryLabelCol: String, k: Int): DataFrame = {
     require(k >= 1 && k <= 1000, s"k $k outside [1,1000]")
     graft.functions.GraftFunctions.register(pool.sparkSession)
-    val disc = dcgDiscountsMicro(k)
-    val idcgArr = array(disc.scanLeft(0L)(_ + _).drop(1).map(lit): _*)
-    val discExpr = disc.zipWithIndex.foldLeft(lit(0L)) { case (acc, (d, i)) =>
-      when(col("rank") === (i + 1), lit(d)).otherwise(acc)
-    }
     val p = pool.select(col(idCol).as("id"), col(vecCol).as("v"),
       col(labelCol).as("label")).localCheckpoint(false) // scored + histogram
     val q = queries.select(col(queryIdCol).as("qid"),
@@ -141,10 +136,34 @@ object Similarity {
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("sm").desc, col("id"))))
       .filter(col("rank") <= k)
-    val dcg = ranked.groupBy(col("qid"), col("qlabel"))
+      .select(col("qid"), col("rank"), col("id"))
+    ndcgOfRanking(ranked, p.select(col("id"), col("label")),
+      q.select(col("qid"), col("qlabel")), k)
+  }
+
+  /** The ONE nDCG scorer any ranking plugs into — [[ndcgLabelEval]]'s
+    * brute-force cosine and the hybrid retriever's fused ranks (p189)
+    * both score through this, so the discount arithmetic cannot drift
+    * between evals. `ranked` = (qid, rank, id) with rank 1-based ≤ k;
+    * `items` = (id, label) for the POOL (n_rel counts over it);
+    * `queries` = (qid, qlabel). Integer end to end — see
+    * [[dcgDiscountsMicro]].
+    */
+  def ndcgOfRanking(ranked: DataFrame, items: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k $k outside [1,1000]")
+    val disc = dcgDiscountsMicro(k)
+    val idcgArr = array(disc.scanLeft(0L)(_ + _).drop(1).map(lit): _*)
+    val discExpr = disc.zipWithIndex.foldLeft(lit(0L)) { case (acc, (d, i)) =>
+      when(col("rank") === (i + 1), lit(d)).otherwise(acc)
+    }
+    val dcg = ranked
+      .join(items.select(col("id"), col("label")), Seq("id"), "left")
+      .join(broadcast(queries.select(col("qid"), col("qlabel"))), Seq("qid"))
+      .groupBy(col("qid"), col("qlabel"))
       .agg(sum(when(col("label") === col("qlabel"), discExpr)
         .otherwise(0L)).as("dcg_micro"))
-    val relCounts = p.groupBy(col("label").as("qlabel"))
+    val relCounts = items.groupBy(col("label").as("qlabel"))
       .agg(count(lit(1)).as("n_rel"))
     dcg.join(broadcast(relCounts), Seq("qlabel"))
       .filter(col("n_rel") > 0)
