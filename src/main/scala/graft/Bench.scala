@@ -356,6 +356,16 @@ object Bench {
         hashShingles = true)
     }
 
+    // same leg WITH the maxDocFreq skew guard — the SCALE.md production
+    // contract: drop shingles shared by >10% of docs before pair
+    // emission (Σ C(df,2) is the superlinear term; the guard bounds it).
+    // Side-by-side with the bare leg so the guard's cost/benefit is a
+    // measured number instead of an argument.
+    legDf("jaccard_guarded") {
+      graft.pipeline.Dedup.nearDuplicates(docs, "doc_id", "text", 3, 4, 5,
+        hashShingles = true, maxDocFreq = Some(500))
+    }
+
     legDf("minhash_lsh") {
       graft.pipeline.Dedup.minhashNearDuplicates(docs, "doc_id", "text", 3, 32, 8, 4, 5)
     }
@@ -462,19 +472,20 @@ object Bench {
       "\"" + k + "\":" + m.toSeq.map { case (f, v) => "\"" + f + "\":" + v }
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    // The driver captures only a TAIL of stdout: round 8's single fat line
-    // (queries+rows+spread+io) overflowed it and the head — with the
-    // "metric" key — was truncated away (BENCH_r08 parsed:null). The io
-    // block (the round-8 addition that tipped it over) moves to its own
-    // PRECEDING line plus a sidecar file the end-of-round commit picks up;
-    // the final line keeps the round-7-sized queries/rows/spread maps that
-    // always parsed, stays LAST and bare on stdout (CLAUDE.md rule).
-    val detail = s"""{"detail":{"io":$io},"sf":"$sfDir"}"""
+    // The driver captures only a TAIL of stdout and its parser needs the
+    // "metric" key intact: round 8's single fat line (queries+rows+spread
+    // +io) overflowed the ~2 KB capture and parsed:null; round 9 moved io
+    // out but rows+spread still tipped r10 over as legs grew. The bare
+    // final line now carries ONLY metric/value/unit/queries/sf (~0.7 KB at
+    // 29 legs); rows, spread, and io all live in BENCH_SIDECAR.json (plus
+    // a preceding stdout line) that the end-of-round commit picks up.
+    val detail =
+      s"""{"detail":{"rows":$rs,"spread":$sp,"io":$io},"sf":"$sfDir"}"""
     try Files.write(java.nio.file.Paths.get("BENCH_SIDECAR.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(detail)
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"rows":$rs,"spread":$sp,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

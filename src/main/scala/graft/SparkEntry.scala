@@ -1146,11 +1146,16 @@ object SparkEntry {
     // two-equality ASOF join is the independent oracle.
     "p147_asof_composite" -> ((s, dir) => {
       GraftFunctions.register(s)
+      // NULL composite keys are excluded on BOTH sides: Spark's
+      // Window.partitionBy groups NULL items together (a null-item
+      // purchase would match a null-item click) while SQL ASOF equality
+      // never matches NULL — filtering makes the two semantics agree.
       val ev = table(s, dir, "events")
         .select(col("user_id"), expr("ts div 1000").as("tus"),
           col("event_type"), col("event_id"),
           expr("CAST(nullif(regexp_extract(props, '[0-9]+', 0), '') AS BIGINT) % 10")
             .as("item"))
+        .filter(col("item").isNotNull)
       graft.operators.EventOps.asOfJoin(
         ev.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("item"), col("tus"),
@@ -1343,6 +1348,19 @@ object SparkEntry {
         Seq("signup", "view", "click", "purchase"))
     }),
 
+    // Branching funnel: stage 2 admits click OR view — the
+    // alternative-paths product funnel, sequential-min semantics with
+    // each stage's equality filter widened to an In-predicate.
+    "p191_funnel_branching" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.operators.EventOps.funnelBranching(
+        table(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("tus"),
+            col("event_type")),
+        "user_id", "tus", "event_type",
+        Seq(Seq("signup"), Seq("click", "view"), Seq("purchase")))
+    }),
+
     // Burst-hour detection: hours over 2× the median hourly volume —
     // the robust rate-spike monitor (median can't be masked by the
     // burst).
@@ -1426,6 +1444,51 @@ object SparkEntry {
         "tus", binSize = 3600000000L)
         .select(col("user").as("user_id"), col("sid"), col("start"),
           col("end"), col("n_points").as("n_errors"))
+    }),
+
+    // Streaming interval × point join: the p180 incident overlay run
+    // LIVE — session intervals and the error feed each stream in as
+    // time-ordered slices, Spark's NATIVE stream-stream join runs on
+    // the bin decomposition (watermarked both sides, the range
+    // condition declared so state is evictable), and a bounded rollup
+    // zero-fills sessions no error touched. Gated under the SAME
+    // oracle as p180 (shared SQL val) so batch and stream can't drift.
+    "p190_stream_interval_join" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tus"),
+          col("event_type"))
+      val sessions = graft.operators.EventOps.sessionIntervals(
+          ev, "user_id", "tus", "event_type", gap = 1800000000L)
+        .select(col("user"), col("sid"), col("start"), col("end"))
+        .localCheckpoint() // streamed in AND the zero-fill frame
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("tus")).localCheckpoint()
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_p190_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      writeTimeOrderedFeed(s, s"$base/in_s", sessions, "start")
+      writeTimeOrderedFeed(s, s"$base/in_e", errors, "tus")
+      val ivSt = s.readStream.schema(sessions.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in_s")
+      val ptSt = s.readStream.schema(errors.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in_e")
+      val matchesSt = graft.streaming.PipelineStream.intervalJoinStream(
+        ivSt, ptSt, Seq("user", "sid"), "start", "end", "tus",
+        binSize = 3600000000L, maxIntervalMicros = 90L * 86400000000L,
+        watermark = "2 hours")
+      val q = matchesSt
+        .writeStream.option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").format("parquet").option("path", s"$base/out")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // schema-pinned read: a zero-match run leaves only _spark_metadata
+      val matches = s.read.schema(matchesSt.schema).parquet(s"$base/out")
+        .groupBy(col("user"), col("sid")).agg(count(lit(1)).as("n"))
+      sessions.join(matches, Seq("user", "sid"), "left")
+        .select(col("user").as("user_id"), col("sid"), col("start"),
+          col("end"), coalesce(col("n"), lit(0L)).as("n_errors"))
     }),
 
     // Collocation mining by exact integer lift (division-free PMI):
@@ -3425,6 +3488,32 @@ object SparkEntry {
       |UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
       |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)""".stripMargin
 
+  /** Shared DuckDB lineage for the session incident overlay — p180
+    * gates the batch interval×point join, p190 its stream-stream twin
+    * (bin-keyed symmetric hash join; matches are arrival-order-free and
+    * the rollup zero-fills), so ONE oracle gates both and they cannot
+    * drift. sid is a window sum → HUGEINT in DuckDB; the BIGINT cast is
+    * load-bearing (the driver's hasher stringifies HUGEINT as float).
+    */
+  private lazy val sessionIncidentsOracleSql: String =
+    """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et
+      |           FROM events),
+      |x AS (SELECT u, t, et,
+      |        CASE WHEN lag(t) OVER (PARTITION BY u ORDER BY t, et) IS NULL
+      |               OR t - lag(t) OVER (PARTITION BY u ORDER BY t, et) > 1800000000
+      |             THEN 1 ELSE 0 END AS brk
+      |      FROM e),
+      |s AS (SELECT u, t,
+      |        sum(brk) OVER (PARTITION BY u ORDER BY t, et ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM x),
+      |sess AS (SELECT u, sid, min(t) AS start, max(t) AS "end"
+      |         FROM s GROUP BY 1, 2),
+      |err AS (SELECT epoch_us(ts) AS t FROM events WHERE event_type = 'error')
+      |SELECT sess.u AS user_id, CAST(sess.sid AS BIGINT) AS sid, sess.start, sess."end",
+      |       count(err.t) AS n_errors
+      |FROM sess LEFT JOIN err ON err.t BETWEEN sess.start AND sess."end"
+      |GROUP BY 1, 2, 3, 4""".stripMargin
+
   /** Shared DuckDB lineage for the keep-first window census — p154
     * gates the batch aggregate, p148 its watermarked streaming twin
     * (min-struct winners are arrival-order-insensitive, so ONE oracle
@@ -4823,9 +4912,10 @@ object SparkEntry {
         |FROM j GROUP BY 1, 2""".stripMargin,
 
     "p147_asof_composite" ->
-      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_type, event_id,
-        |              TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) % 10 AS item
-        |            FROM events),
+      """WITH ev0 AS (SELECT user_id, epoch_us(ts) AS us, event_type, event_id,
+        |               TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) % 10 AS item
+        |             FROM events),
+        |ev AS (SELECT * FROM ev0 WHERE item IS NOT NULL),
         |c AS (SELECT user_id, item, us AS cus, max(event_id) AS click_id
         |      FROM ev WHERE event_type = 'click' GROUP BY 1, 2, 3),
         |p AS (SELECT user_id, item, us AS pus, event_id AS purchase_id
@@ -5095,24 +5185,22 @@ object SparkEntry {
         |       med.slope_micro_med
         |FROM nb JOIN np USING (grp) JOIN med USING (grp)""".stripMargin,
 
-    "p180_session_incidents" ->
+    "p180_session_incidents" -> sessionIncidentsOracleSql,
+
+    "p190_stream_interval_join" -> sessionIncidentsOracleSql,
+
+    "p191_funnel_branching" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et
         |           FROM events),
-        |x AS (SELECT u, t, et,
-        |        CASE WHEN lag(t) OVER (PARTITION BY u ORDER BY t, et) IS NULL
-        |               OR t - lag(t) OVER (PARTITION BY u ORDER BY t, et) > 1800000000
-        |             THEN 1 ELSE 0 END AS brk
-        |      FROM e),
-        |s AS (SELECT u, t,
-        |        sum(brk) OVER (PARTITION BY u ORDER BY t, et ROWS UNBOUNDED PRECEDING) AS sid
-        |      FROM x),
-        |sess AS (SELECT u, sid, min(t) AS start, max(t) AS "end"
-        |         FROM s GROUP BY 1, 2),
-        |err AS (SELECT epoch_us(ts) AS t FROM events WHERE event_type = 'error')
-        |SELECT sess.u AS user_id, sess.sid, sess.start, sess."end",
-        |       count(err.t) AS n_errors
-        |FROM sess LEFT JOIN err ON err.t BETWEEN sess.start AND sess."end"
-        |GROUP BY 1, 2, 3, 4""".stripMargin,
+        |s1 AS (SELECT u, min(t) AS t FROM e WHERE et = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.u AS u, min(e.t) AS t FROM e JOIN s1 ON e.u = s1.u
+        |       AND e.t > s1.t WHERE e.et IN ('click', 'view') GROUP BY 1),
+        |s3 AS (SELECT e.u AS u, min(e.t) AS t FROM e JOIN s2 ON e.u = s2.u
+        |       AND e.t > s2.t WHERE e.et = 'purchase' GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage,
+        |       (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'click|view', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
 
     "p182_collocations" ->
       """WITH t AS (SELECT regexp_extract_all(lower(text), '\S+') AS toks

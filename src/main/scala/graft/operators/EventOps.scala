@@ -320,6 +320,21 @@ object EventOps {
     }
   }
 
+  /** BRANCHING [[funnel]]: each stage admits ALTERNATIVE event types —
+    * signup → {click|view} → purchase counts a user as reaching stage 2
+    * on their earliest click OR view after signup. Stage labels join
+    * the alternatives with '|'. Semantics and plan are [[funnel]]'s
+    * sequential-min chain with each stage's equality filter widened to
+    * an In-predicate; a singleton at every stage reproduces [[funnel]]
+    * exactly (spec-pinned law).
+    */
+  def funnelBranching(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[Seq[String]]): DataFrame =
+    rollupStages(stages.map(_.mkString("|")),
+      funnelStagesAlt(events, userCol, tsCol, typeCol, stages)) {
+      df => df.agg(count(lit(1)).as("n_users"))
+    }
+
   /** The shared sequential-min stage chain: stage k's frame holds one
     * row per user who reached it — (user, t, gap), gap = t − t_{k−1}
     * (0 at stage 1). Each frame is lazily checkpointed: it feeds both
@@ -329,18 +344,35 @@ object EventOps {
     */
   private def funnelStages(events: DataFrame, userCol: String,
       tsCol: String, typeCol: String, stages: Seq[String],
+      maxGap: Long = Long.MaxValue): Seq[DataFrame] =
+    funnelStagesAlt(events, userCol, tsCol, typeCol,
+      stages.map(Seq(_)), maxGap)
+
+  /** [[funnelStages]] generalized to BRANCHING stages: stage k is a SET
+    * of event types any one of which advances the user (signup →
+    * {click|view} → purchase). Sequential-min semantics are unchanged —
+    * stage k's time is the user's earliest event of ANY admitted type
+    * strictly after stage k−1 — so the singleton case is exactly the
+    * classic chain. The alternative set is an `isin` filter (codegen'd
+    * In-predicate, pushed to the scan), not a union of per-type frames:
+    * one slice + one co-partitioned join per stage either way.
+    */
+  private def funnelStagesAlt(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String, stages: Seq[Seq[String]],
       maxGap: Long = Long.MaxValue): Seq[DataFrame] = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.forall(_.nonEmpty),
+      "every funnel stage needs at least one admitted event type")
     val e = events.select(col(userCol).as("user"),
       col(tsCol).cast("long").as("t"), col(typeCol).as("et"))
-    var reached = e.filter(col("et") === stages.head)
+    var reached = e.filter(col("et").isin(stages.head: _*))
       .groupBy(col("user")).agg(min(col("t")).as("t"))
       .withColumn("gap", lit(0L))
       .localCheckpoint(false)
     val perStage = Seq.newBuilder[DataFrame]
     perStage += reached
     stages.drop(1).foreach { st =>
-      reached = e.filter(col("et") === st)
+      reached = e.filter(col("et").isin(st: _*))
         .join(reached.select(col("user"), col("t").as("tprev")), Seq("user"))
         .filter(col("t") > col("tprev") && col("t") - col("tprev") <= maxGap)
         .groupBy(col("user"))
@@ -645,12 +677,26 @@ object EventOps {
     */
   def intervalPointCount(intervals: DataFrame, idCols: Seq[String],
       startCol: String, endCol: String, points: DataFrame, tsCol: String,
-      binSize: Long): DataFrame = {
+      binSize: Long, maxBinsPerInterval: Long = 1L << 20): DataFrame = {
     require(binSize > 0, s"binSize $binSize must be positive")
     require(idCols.nonEmpty, "intervalPointCount needs interval id columns")
+    require(maxBinsPerInterval >= 1,
+      s"maxBinsPerInterval $maxBinsPerInterval must be >= 1")
     val iv = intervals.select(idCols.map(col) ++ Seq(
         col(startCol).cast("long").as("start"),
         col(endCol).cast("long").as("end")): _*)
+      // fanout bound: the explode emits (length div binSize + 1) rows
+      // per interval, fine for gap-rule sessions but unbounded if
+      // intervals come from user input — a months-long interval at an
+      // hour bin would silently fan out thousands of rows. Fail LOUDLY
+      // past the cap instead (assert_true returns NULL when the
+      // predicate holds, so the filter keeps every compliant row).
+      .filter(expr(
+        s"""assert_true((`end` div ${binSize}L) - (start div ${binSize}L)
+           | < ${maxBinsPerInterval}L,
+           | 'intervalPointCount: interval spans more than
+           | $maxBinsPerInterval bins; raise binSize or
+           | maxBinsPerInterval') IS NULL""".stripMargin.replace("\n", "")))
       .withColumn("bin", explode(expr(
         s"sequence(start div ${binSize}L, `end` div ${binSize}L)")))
     val pt = points.select(col(tsCol).cast("long").as("t"))

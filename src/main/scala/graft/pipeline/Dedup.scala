@@ -238,11 +238,16 @@ object Dedup {
   }
 
   /** Near-duplicate pairs with Jaccard ≥ num/den (integer arithmetic — no
-    * float threshold drift between engines).
+    * float threshold drift between engines). `maxDocFreq` passes through
+    * to [[jaccardPairs]]'s skew guard — the production contract at scale
+    * (a shingle in f docs emits C(f,2) candidate pairs; ultra-frequent
+    * shingles carry no similarity signal and only quadratic cost).
     */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String, n: Int,
-      num: Int, den: Int, hashShingles: Boolean = false): DataFrame =
-    jaccardPairs(df, idCol, textCol, n, hashShingles = hashShingles)
+      num: Int, den: Int, hashShingles: Boolean = false,
+      maxDocFreq: Option[Int] = None): DataFrame =
+    jaccardPairs(df, idCol, textCol, n, maxDocFreq = maxDocFreq,
+        hashShingles = hashShingles)
       .filter(col("inter") * den >= col("uni") * num)
 
   /** MinHash signatures: numHashes seeded xxhash64 min-aggregates over the

@@ -1272,10 +1272,20 @@ object TextAnalysis {
     val uni = toks.select(explode(col("toks")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .localCheckpoint(false) // joined twice + the N rollup
+    // Corpus-size bound: the lift numerator is 1000·n_ab·N² with
+    // n_ab < N, so N ≤ 4.6e11 tokens guarantees it fits DECIMAL(38,0)
+    // for EVERY pair. Past that, Spark would silently NULL the product
+    // (dropping pairs) while DuckDB raises — divergent failure modes —
+    // so the guard makes Spark fail loudly too. Larger corpora should
+    // shard (lift is a ratio of per-shard-summable counts).
     val totals = uni.agg(sum(col("n")).cast("decimal(38,0)").as("nn"))
       .crossJoin(
         toks.select((size(col("toks")) - 1).as("b")).filter(col("b") > 0)
           .agg(sum(col("b")).cast("decimal(38,0)").as("bb")))
+      .withColumn("nn", expr(
+        "IF(assert_true(nn <= CAST(460000000000 AS DECIMAL(38,0)), " +
+          "'collocations: corpus exceeds 4.6e11 tokens; " +
+          "lift numerator would overflow DECIMAL(38,0)') IS NULL, nn, nn)"))
     val bi = toks
       .filter(size(col("toks")) >= 2)
       .select(explode(expr(

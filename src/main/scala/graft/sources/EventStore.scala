@@ -34,18 +34,53 @@ object EventStore {
       filesPerDay: Int = 4): Unit = {
     require(bucketSize > 0, s"bucketSize $bucketSize must be positive")
     require(filesPerDay >= 1, s"filesPerDay $filesPerDay must be >= 1")
-    events
+    val withDay = events
       .withColumn("day", expr(s"CAST(`$tsCol` AS BIGINT) div ${bucketSize}L"))
+    withDay
       .repartition(col("day"), pmod(hash(col(userCol)), lit(filesPerDay)))
       .sortWithinPartitions(col(userCol), col(tsCol))
       .write.mode("overwrite").partitionBy("day").parquet(path)
+    // Schema sidecar: lets `open` return an EMPTY frame (not an
+    // unable-to-infer-schema failure) after retention expires every day
+    // partition — the nightly expireDays round trip must survive a
+    // keepFromDay beyond the newest day. expireDays deletes only day=
+    // dirs, so the sidecar persists.
+    val p = new org.apache.hadoop.fs.Path(path, SchemaSidecar)
+    val fs = p.getFileSystem(events.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(withDay.schema.json.getBytes("UTF-8")) finally out.close()
   }
 
+  private val SchemaSidecar = "_graft_schema.json"
+
   /** Open the store. Day predicates prune directories; everything else
-    * is an ordinary parquet scan with pushdown.
+    * is an ordinary parquet scan with pushdown. A store whose day
+    * partitions have ALL been expired opens as an empty frame with the
+    * schema recorded at write time (day typed BIGINT there; a live read
+    * infers the partition column's type from directory values).
     */
-  def open(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  def open(spark: SparkSession, path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasDays = fs.exists(root) && fs.listStatus(root).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("day="))
+    if (hasDays) spark.read.parquet(path)
+    else {
+      val sp = new org.apache.hadoop.fs.Path(root, SchemaSidecar)
+      require(fs.exists(sp),
+        s"EventStore at $path has no day= partitions and no schema sidecar")
+      val in = fs.open(sp)
+      val json = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        buf.toString("UTF-8")
+      } finally in.close()
+      val schema = org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+  }
 
   /** The windowed read every recurring job starts from: days in
     * [fromDay, toDay] — a PartitionFilters-pruned scan, O(window) at

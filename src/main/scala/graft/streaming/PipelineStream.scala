@@ -729,6 +729,71 @@ object PipelineStream {
     * epoch-aligned, so `wstart = t div window · window` agrees with the
     * batch convention.
     */
+  /** Streaming UNKEYED interval × point join — the live face of
+    * [[graft.operators.EventOps.intervalPointCount]]: intervals (e.g.
+    * closed session windows) arrive on one stream, points (e.g. error
+    * events, ANY key) on another, and each (interval, point) pair with
+    * start ≤ t ≤ end emits one row. There is no equality key, so the
+    * same time-bin decomposition as the batch operator MAKES one: the
+    * interval side explodes into its covering bins, the point side
+    * computes its single bin, and Spark's native stream-stream join
+    * runs on bin equality — each pair meets exactly once (the point's
+    * bin is unique), and the join is an ordinary symmetric hash join in
+    * the state store, partitioned by bin.
+    *
+    * State cleanup is DECLARED to the engine, not hand-rolled: both
+    * sides are watermarked and the join condition carries the
+    * event-time range `pt ∈ [st, st + maxIntervalMicros]` — Spark
+    * derives from it that a point is dead state once the interval-side
+    * watermark passes its timestamp (no future interval may start
+    * before it) and an interval is dead once the point-side watermark
+    * passes start + maxIntervalMicros. Under the time-ordered feed
+    * discipline (zero cross-batch event-time disorder, the p145
+    * contract) eviction is provably lossless for any `watermark` ≥ the
+    * intra-batch disorder bound. `maxIntervalMicros` is the bounded-
+    * interval contract every streaming interval join needs (state for
+    * an unbounded interval could never be evicted); intervals over the
+    * bound fail loudly rather than silently fan out.
+    *
+    * Emits one APPEND row per match: (idCols*, start, end, t) — matches
+    * emit as they happen, so the rollup to per-interval counts is the
+    * caller's (a bounded post-pass or a downstream windowed aggregate);
+    * zero-match intervals appear only in that rollup's left join, the
+    * same LEFT-semantics split as the batch operator's.
+    */
+  def intervalJoinStream(intervals: DataFrame, points: DataFrame,
+      idCols: Seq[String], startCol: String, endCol: String,
+      tsCol: String, binSize: Long, maxIntervalMicros: Long,
+      watermark: String): DataFrame = {
+    require(binSize > 0, s"binSize $binSize must be positive")
+    require(maxIntervalMicros > 0,
+      s"maxIntervalMicros $maxIntervalMicros must be positive")
+    require(idCols.nonEmpty, "intervalJoinStream needs interval id columns")
+    val iv = intervals.select(idCols.map(col) ++ Seq(
+        col(startCol).cast("long").as("start"),
+        col(endCol).cast("long").as("end")): _*)
+      .withColumn("__st", timestamp_micros(col("start")))
+      .withWatermark("__st", watermark)
+      .filter(expr(
+        s"assert_true(`end` - start <= ${maxIntervalMicros}L, " +
+          s"'intervalJoinStream: interval longer than $maxIntervalMicros " +
+          "micros; raise maxIntervalMicros') IS NULL"))
+      .withColumn("bin", explode(expr(
+        s"sequence(start div ${binSize}L, `end` div ${binSize}L)")))
+    val pt = points.select(col(tsCol).cast("long").as("t"))
+      .withColumn("__pt", timestamp_micros(col("t")))
+      .withWatermark("__pt", watermark)
+      .withColumn("pbin", expr(s"t div ${binSize}L"))
+    iv.join(pt,
+        col("bin") === col("pbin") &&
+          col("t") >= col("start") && col("t") <= col("end") &&
+          col("__pt") >= col("__st") &&
+          col("__pt") <= col("__st") +
+            expr(s"INTERVAL $maxIntervalMicros MICROSECOND"))
+      .select(idCols.map(col) ++
+        Seq(col("start"), col("end"), col("t")): _*)
+  }
+
   def eventDedupStream(events: DataFrame, keyCols: Seq[String],
       idCol: String, tsCol: String, windowMicros: Long,
       watermark: String): DataFrame = {

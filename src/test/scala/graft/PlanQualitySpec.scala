@@ -311,6 +311,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(left == (90L until 100L).toSet)
     // idempotent: nothing more to expire at the same horizon
     assert(graft.sources.EventStore.expireDays(spark, path, 90L) == 0L)
+    // full expiry: a horizon beyond the newest day empties the store,
+    // and open still works — empty frame with the write-time schema
+    // (NOT an unable-to-infer-schema failure)
+    assert(graft.sources.EventStore.expireDays(spark, path, 1000L) == 10L)
+    val empty = graft.sources.EventStore.open(spark, path)
+    assert(empty.count() == 0L)
+    assert(empty.columns.toSet ==
+      Set("event_id", "user_id", "event_type", "tus", "day"))
+    // and the windowed read composes on the empty frame too
+    assert(graft.sources.EventStore.readDays(spark, path, 0L, 99L).count() == 0L)
   }
 
   test("heavyHittersByBucket: WindowGroupLimit bounds the rank window (top-k per group)") {

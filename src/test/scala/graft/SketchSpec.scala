@@ -229,6 +229,54 @@ class SketchSpec extends SparkSpec {
     assert(got.map(_._3) == got.map(_._3).sorted.reverse)
   }
 
+  test("funnelBranching: alternative stage types advance on the earliest of ANY; singleton law") {
+    // u1: signup then view (no click) then purchase — the view branch
+    //     carries it through stage 2;
+    // u2: signup, then click AND view after — stage-2 time is the
+    //     EARLIEST of the two (the click at 20, not the view at 25),
+    //     purchase at 22 is after click but the sequential-min time is
+    //     20, so 22 > 20 counts;
+    // u3: view BEFORE signup only — stage 2 must not count it;
+    // u4: signup only.
+    val ev = Seq(
+      (1L, 10L, "signup"), (1L, 30L, "view"), (1L, 40L, "purchase"),
+      (2L, 10L, "signup"), (2L, 20L, "click"), (2L, 25L, "view"),
+      (2L, 22L, "purchase"),
+      (3L, 5L, "view"), (3L, 10L, "signup"),
+      (4L, 10L, "signup")
+    ).toDF("u", "t", "et")
+    val got = EventOps.funnelBranching(ev, "u", "t", "et",
+      Seq(Seq("signup"), Seq("click", "view"), Seq("purchase")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toList.sortBy(_._1)
+    assert(got == List((1L, "signup", 4L), (2L, "click|view", 2L),
+      (3L, "purchase", 2L)))
+    // singleton law: every-stage-singleton branching IS the classic funnel
+    val classic = EventOps.funnel(ev, "u", "t", "et",
+      Seq("signup", "view", "purchase")).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    val single = EventOps.funnelBranching(ev, "u", "t", "et",
+      Seq(Seq("signup"), Seq("view"), Seq("purchase"))).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(single == classic)
+  }
+
+  test("intervalPointCount: over-long interval fails loudly at the fanout cap") {
+    val iv = Seq((1L, 0L, 1000L)).toDF("iid", "s", "e")
+    val pts = Seq(5L).toDF("t")
+    val e = intercept[Exception] {
+      EventOps.intervalPointCount(iv, Seq("iid"), "s", "e", pts, "t",
+        binSize = 10L, maxBinsPerInterval = 50L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("intervalPointCount")), e.getMessage)
+    // and the compliant case still works at the same cap
+    assert(EventOps.intervalPointCount(iv, Seq("iid"), "s", "e", pts, "t",
+      binSize = 10L, maxBinsPerInterval = 200L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap == Map(1L -> 1L))
+  }
+
   test("topEventPaths: gap splits sessions, paths order by time, count ties rank by path") {
     // u1: A,B then (gap) C  → paths "A>B" and "C"
     // u2: A,B in one session → "A>B" again (count 2)

@@ -688,6 +688,60 @@ class StreamingSpec extends SparkSpec {
     assert(batch.forall { case (k, v) => got(k) == v })
   }
 
+  test("intervalJoinStream: cross-arrival disorder matches exactly; rollup equals batch; state evicts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val miv = MemoryStream[(Long, Long, Long, Long)] // user, sid, start, end
+    val mpt = MemoryStream[Long]
+    val out = graft.streaming.PipelineStream.intervalJoinStream(
+      miv.toDS().toDF("user", "sid", "start", "end"),
+      mpt.toDS().toDF("t"),
+      Seq("user", "sid"), "start", "end", "t",
+      binSize = 100L, maxIntervalMicros = 300L, watermark = "0 microseconds")
+    val q = out.writeStream.format("memory").queryName("sivj")
+      .outputMode("append").start()
+    try {
+      // batch 1: points arrive BEFORE any interval (710 before its
+      // interval even exists) — symmetric state must hold them
+      mpt.addData(120L, 250L, 710L)
+      q.processAllAvailable()
+      // batch 2: the interval covering the early points, the interval
+      // covering the pre-arrived 710, a zero-match interval, and one
+      // more point for the fresh interval — both arrival orders
+      miv.addData((1L, 1L, 100L, 260L), (2L, 1L, 700L, 720L),
+        (3L, 1L, 400L, 450L))
+      mpt.addData(705L)
+      q.processAllAvailable()
+      // batch 3: far-future both sides → the watermark advances and the
+      // declared range condition lets Spark evict the old state
+      miv.addData((9L, 1L, 100000L, 100010L))
+      mpt.addData(100005L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sivj").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(got == Set((1L, 1L, 120L), (1L, 1L, 250L), (2L, 1L, 705L),
+      (2L, 1L, 710L), (9L, 1L, 100005L)))
+    // zero-filled rollup (the caller contract) equals the batch operator
+    val ivDf = Seq((1L, 1L, 100L, 260L), (2L, 1L, 700L, 720L),
+      (3L, 1L, 400L, 450L), (9L, 1L, 100000L, 100010L))
+      .toDF("user", "sid", "start", "end")
+    val ptDf = Seq(120L, 250L, 710L, 705L, 100005L).toDF("t")
+    val batch = graft.operators.EventOps.intervalPointCount(
+      ivDf, Seq("user", "sid"), "start", "end", ptDf, "t", binSize = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(batch == Map((1L, 1L) -> 2L, (2L, 1L) -> 2L, (3L, 1L) -> 0L,
+      (9L, 1L) -> 1L))
+    val counts = got.groupBy(k => (k._1, k._2)).view.mapValues(_.size.toLong)
+    assert(batch.forall { case (k, n) =>
+      counts.getOrElse(k, 0L) == n || n == 0L })
+    // eviction really happened: total state rows < everything ever fed
+    // (5 exploded interval-bin rows + 5 points); the batch-3 watermark
+    // clears the batch-1/2 era on both sides
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    assert(stateRows < 10L, s"state rows $stateRows — nothing evicted?")
+  }
+
   test("funnelStream: intra-batch disorder repaired; cross-batch time order gives batch equality") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

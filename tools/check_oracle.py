@@ -12,6 +12,20 @@ import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# Output-column types whose stringification diverges between the driver's
+# hasher (pandas .df(): HUGEINT/DECIMAL -> float64 -> "3.0") and plain
+# fetchall (python int -> "3"). An oracle emitting one of these can pass
+# this local gate yet fail the driver's hash compare (round-10 p180:
+# uncast `sum(...) OVER (...)` is HUGEINT). Always CAST to BIGINT/DOUBLE.
+UNSAFE_TYPE_PREFIXES = ("HUGEINT", "UHUGEINT", "DECIMAL", "UBIGINT")
+
+
+def lint_types(con, name, sql):
+    """Return list of (col, type) output columns with driver-hash-unsafe types."""
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    return [(c, t) for c, t, *_ in desc
+            if any(t.upper().startswith(p) for p in UNSAFE_TYPE_PREFIXES)]
+
 
 def canon(rows, cols):
     # driver compare: sort columns by name, then sort rows; stringify values
@@ -37,6 +51,12 @@ def main(sf_dir, out_dir):
     failed = []
     for name, sql in sorted(oracle.items()):
         try:
+            bad_types = lint_types(con, name, sql)
+            if bad_types:
+                print(f"FAIL {name}: driver-hash-unsafe oracle output types {bad_types}"
+                      " (CAST to BIGINT/DOUBLE)")
+                failed.append(name)
+                continue
             ocur = con.execute(sql)
             ocols = [d[0].lower() for d in ocur.description]
             orows = ocur.fetchall()
