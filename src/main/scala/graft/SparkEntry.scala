@@ -1361,6 +1361,76 @@ object SparkEntry {
         Seq(Seq("signup"), Seq("click", "view"), Seq("purchase")))
     }),
 
+    // Streaming branching funnel: the per-user state machine with
+    // alternative stage sets on the time-ordered feed — greedy
+    // advance-on-any-member ≡ earliest-of-any sequential-min, gated
+    // under the SAME oracle as p191 (shared SQL val, the p179 route).
+    "p193_stream_funnel_branching" -> ((s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val stages = Seq(Seq("signup"), Seq("click", "view"), Seq("purchase"))
+      val ev = table(s, dir, "events")
+        .select(col("user_id").cast("long").as("k"),
+          expr("ts div 1000").as("ts"), col("event_type").as("et"))
+      val counts = runStream(s, "p193", dir, ev, 1,
+        writeFeed = Some((in, df) => writeTimeOrderedFeed(s, in, df, "ts")))(
+        st => graft.streaming.PipelineStream.funnelStreamBranching(st, stages))
+        .groupBy(col("stage_idx")).agg(count(lit(1)).as("n"))
+      val labels = stages.map(_.mkString("|"))
+      stages.indices.map(i => (i + 1).toLong).toDF("stage_idx")
+        .join(counts, Seq("stage_idx"), "left")
+        .select(col("stage_idx"),
+          element_at(array(labels.map(lit): _*),
+            col("stage_idx").cast("int")).as("stage"),
+          coalesce(col("n"), lit(0L)).as("n_users"))
+    }),
+
+    // Per-node triangle counts on the item co-transition graph —
+    // degree-oriented wedge enumeration (each triangle found once at
+    // its lowest-degree corner; Σ outdeg² = O(m^1.5), hub-proof).
+    "p192_item_triangles" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.operators.EventOps.triangleCounts(
+        graft.operators.EventOps.eventTransitions(
+          table(s, dir, "events")
+            .select(col("user_id"), expr("ts div 1000").as("tus"),
+              expr("CAST(nullif(regexp_extract(props, '[0-9]+', 0), '') AS BIGINT)")
+                .as("item")),
+          "user_id", "tus", "item"),
+        "from_type", "to_type")
+    }),
+
+    // Multi-touch linear attribution: each purchase's revenue splits
+    // equally over its 7-day click window in exact micro-units, the
+    // division remainder riding the latest touch — Σ attributed ≡ Σ
+    // revenue; unattributed purchases land whole in day -1 (the p133
+    // last-touch convention, position-agnostic counterpart).
+    "p194_linear_attribution" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tus"),
+          col("event_type"), col("event_id"), col("value"))
+      graft.operators.EventOps.linearAttribution(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("tus"), col("event_id"),
+            round(col("value") * 1e6).cast("long").as("rev_micro")),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("tus"), col("event_id").as("cid")),
+        "user_id", "tus", "event_id", "rev_micro", "tus", "cid",
+        lookback = 604800000000L)
+    }),
+
+    // Key-skew profile over the event log's user key: the top-20
+    // hottest keys with exact permille share and cumulative
+    // concentration — the readout to consult before keying a 100 TB
+    // shuffle on a column.
+    "p195_key_skew" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.operators.EventOps.keySkewProfile(
+        table(s, dir, "events").select(col("user_id").as("key")),
+        "key", k = 20)
+    }),
+
     // Burst-hour detection: hours over 2× the median hourly volume —
     // the robust rate-spike monitor (median can't be masked by the
     // burst).
@@ -3488,6 +3558,25 @@ object SparkEntry {
       |UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
       |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)""".stripMargin
 
+  /** Shared DuckDB lineage for the BRANCHING sequential-min funnel —
+    * p191 gates the batch chain (In-predicate stage widening), p193 its
+    * state-machine streaming twin (greedy advance-on-any-member ≡
+    * earliest-of-any sequential-min on the time-ordered feed), so ONE
+    * oracle gates both and they cannot drift.
+    */
+  private lazy val branchingFunnelOracleSql: String =
+    """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et
+      |           FROM events),
+      |s1 AS (SELECT u, min(t) AS t FROM e WHERE et = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.u AS u, min(e.t) AS t FROM e JOIN s1 ON e.u = s1.u
+      |       AND e.t > s1.t WHERE e.et IN ('click', 'view') GROUP BY 1),
+      |s3 AS (SELECT e.u AS u, min(e.t) AS t FROM e JOIN s2 ON e.u = s2.u
+      |       AND e.t > s2.t WHERE e.et = 'purchase' GROUP BY 1)
+      |SELECT CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage,
+      |       (SELECT count(*) FROM s1) AS n_users
+      |UNION ALL SELECT 2, 'click|view', (SELECT count(*) FROM s2)
+      |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin
+
   /** Shared DuckDB lineage for the session incident overlay — p180
     * gates the batch interval×point join, p190 its stream-stream twin
     * (bin-keyed symmetric hash join; matches are arrival-order-free and
@@ -5189,18 +5278,78 @@ object SparkEntry {
 
     "p190_stream_interval_join" -> sessionIncidentsOracleSql,
 
-    "p191_funnel_branching" ->
-      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et
-        |           FROM events),
-        |s1 AS (SELECT u, min(t) AS t FROM e WHERE et = 'signup' GROUP BY 1),
-        |s2 AS (SELECT e.u AS u, min(e.t) AS t FROM e JOIN s1 ON e.u = s1.u
-        |       AND e.t > s1.t WHERE e.et IN ('click', 'view') GROUP BY 1),
-        |s3 AS (SELECT e.u AS u, min(e.t) AS t FROM e JOIN s2 ON e.u = s2.u
-        |       AND e.t > s2.t WHERE e.et = 'purchase' GROUP BY 1)
-        |SELECT CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage,
-        |       (SELECT count(*) FROM s1) AS n_users
-        |UNION ALL SELECT 2, 'click|view', (SELECT count(*) FROM s2)
-        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
+    "p191_funnel_branching" -> branchingFunnelOracleSql,
+
+    "p193_stream_funnel_branching" -> branchingFunnelOracleSql,
+
+    "p192_item_triangles" ->
+      """WITH e0 AS (SELECT user_id AS u, epoch_us(ts) AS t,
+        |              TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS et
+        |            FROM events),
+        |x AS (SELECT u, et, lag(et) OVER (PARTITION BY u ORDER BY t, et) AS prev
+        |      FROM e0),
+        |m AS (SELECT prev AS src, et AS dst FROM x WHERE prev IS NOT NULL
+        |      GROUP BY 1, 2),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |        FROM m WHERE src <> dst AND src IS NOT NULL AND dst IS NOT NULL),
+        |deg AS (SELECT n, count(*) AS d FROM
+        |          (SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und) q
+        |        GROUP BY 1),
+        |ed AS (SELECT CASE WHEN (da.d, und.a) < (db.d, und.b) THEN und.a
+        |                   ELSE und.b END AS s,
+        |              CASE WHEN (da.d, und.a) < (db.d, und.b) THEN und.b
+        |                   ELSE und.a END AS t,
+        |              CASE WHEN (da.d, und.a) < (db.d, und.b) THEN db.d
+        |                   ELSE da.d END AS dt
+        |       FROM und JOIN deg da ON da.n = und.a
+        |                JOIN deg db ON db.n = und.b),
+        |w AS (SELECT l.s AS apex,
+        |             CASE WHEN (l.dt, l.t) < (r.dt, r.t) THEN l.t ELSE r.t END AS x,
+        |             CASE WHEN (l.dt, l.t) < (r.dt, r.t) THEN r.t ELSE l.t END AS y
+        |      FROM ed l JOIN ed r ON l.s = r.s AND l.t < r.t),
+        |tri AS (SELECT apex, x, y FROM w JOIN ed ON ed.s = w.x AND ed.t = w.y),
+        |pn AS (SELECT n, count(*) AS c FROM
+        |         (SELECT apex AS n FROM tri UNION ALL SELECT x AS n FROM tri
+        |          UNION ALL SELECT y AS n FROM tri) q
+        |       GROUP BY 1)
+        |SELECT deg.n AS node, deg.d AS degree,
+        |       coalesce(pn.c, 0) AS n_triangles
+        |FROM deg LEFT JOIN pn ON pn.n = deg.n""".stripMargin,
+
+    "p194_linear_attribution" ->
+      """WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS tus, event_type,
+        |              event_id, value FROM events),
+        |p AS (SELECT u, tus AS ptus, event_id AS pid,
+        |        CAST(round(value * 1000000) AS BIGINT) AS rev
+        |      FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT u, tus AS ctus, event_id AS cid
+        |      FROM ev WHERE event_type = 'click'),
+        |j AS (SELECT p.pid, p.rev, c.cid, c.ctus FROM p LEFT JOIN c
+        |      ON c.u = p.u AND c.ctus <= p.ptus
+        |      AND p.ptus - c.ctus <= 604800000000),
+        |x AS (SELECT pid, rev, cid, ctus,
+        |        count(cid) OVER (PARTITION BY pid) AS nt,
+        |        row_number() OVER (PARTITION BY pid
+        |          ORDER BY ctus DESC NULLS LAST, cid DESC NULLS LAST) AS rn
+        |      FROM j),
+        |sh AS (SELECT ctus, CASE WHEN nt = 0 THEN rev
+        |                         WHEN rn = 1 THEN rev - (nt - 1) * (rev // nt)
+        |                         ELSE rev // nt END AS share FROM x)
+        |SELECT coalesce(ctus // 86400000000, -1) AS click_day,
+        |       count(*) AS n_rows, CAST(sum(share) AS BIGINT) AS attributed_micro
+        |FROM sh GROUP BY 1""".stripMargin,
+
+    "p195_key_skew" ->
+      """WITH c AS (SELECT user_id AS key, count(*) AS n FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+        |r AS (SELECT key, n,
+        |        row_number() OVER (ORDER BY n DESC, key) AS rank FROM c),
+        |k AS (SELECT * FROM r WHERE rank <= 20)
+        |SELECT CAST(rank AS BIGINT) AS rank, key, n,
+        |       n * 1000 // t AS share_permille,
+        |       CAST(sum(n) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
+        |            * 1000 // t AS BIGINT) AS cum_permille
+        |FROM k CROSS JOIN tot""".stripMargin,
 
     "p182_collocations" ->
       """WITH t AS (SELECT regexp_extract_all(lower(text), '\S+') AS toks

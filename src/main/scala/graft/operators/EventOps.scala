@@ -806,6 +806,134 @@ object EventOps {
         expr("cum_micro div cohort_size").as("ltv_micro"))
   }
 
+  /** Per-node triangle counts over an undirected graph given as (src,
+    * dst) edge rows (directed/multi edges are canonicalized: self-loops
+    * drop, (u,v)/(v,u) collapse to one). The join-machinery shape is
+    * the classic DEGREE-ORIENTED enumeration: orient every edge from
+    * its lower (degree, node) endpoint to the higher, so each triangle
+    * is discovered exactly once at its lowest-degree corner — the
+    * wedge self-join's fanout is Σ outdeg² = O(m^1.5) instead of the
+    * unoriented Σ deg² that a hub node makes quadratic. All joins are
+    * equi-joins on node ids (hash exchanges; AQE handles residual
+    * skew); no adjacency list ever materializes on one row. Returns
+    * (node, degree, n_triangles) for EVERY node (0 when untouched).
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b") &&
+        col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+      .localCheckpoint(false) // degrees AND orientation read it
+    val deg = und.select(col("a").as("n"))
+      .unionAll(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(false) // orientation (×2), wedge canon (×2), readout
+    // oriented edge (s → t): s is the lexicographically-smaller
+    // (degree, node); dt rides along so the wedge step can canonicalize
+    // its closing pair without another degree join
+    val ed = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("s"), col("b").as("t"), col("db").as("dt")))
+          .otherwise(
+            struct(col("b").as("s"), col("a").as("t"), col("da").as("dt")))
+          .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+      .localCheckpoint(false) // wedge self-join (×2) + closure probe
+    // wedges at the apex; closing pair canonicalized by (degree, node)
+    // so it probes the oriented edge set directly
+    val l = ed.select(col("s"), col("t").as("u"), col("dt").as("du"))
+    val r = ed.select(col("s"), col("t").as("v"), col("dt").as("dv"))
+    val tri = l.join(r, Seq("s")).filter(col("u") < col("v"))
+      .select(col("s").as("apex"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("x"), col("v").as("y")))
+          .otherwise(struct(col("v").as("x"), col("u").as("y"))).as("p"))
+      .join(ed.select(col("s").as("x"), col("t").as("y")),
+        col("p.x") === col("x") && col("p.y") === col("y"))
+      .select(col("apex"), col("p.x").as("u"), col("p.y").as("v"))
+    val perNode = tri.select(explode(array(col("apex"), col("u"),
+        col("v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("n"), "left")
+      .select(col("n").as("node"), col("d").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
+  /** Multi-touch LINEAR attribution — the position-agnostic counterpart
+    * of the as-of (last-touch) attribution: each purchase's revenue
+    * splits EQUALLY over every click of the same user at ctus ≤ ptus
+    * within `lookback`, in exact integer micro-units: every touch gets
+    * rev div n and the LATEST touch (max (ctus, click_id) — the
+    * deterministic tie rule) additionally absorbs the division
+    * remainder, so Σ attributed ≡ Σ revenue to the micro. Purchases
+    * with NO in-window touch land in the `-1` day bucket whole (the
+    * p133 convention). One equality join on user + per-purchase window
+    * (purchase-id partitions are touch-count-sized); returns
+    * (click_day, n_rows, attributed_micro).
+    */
+  def linearAttribution(purchases: DataFrame, clicks: DataFrame,
+      userCol: String, purchaseTsCol: String, purchaseIdCol: String,
+      revenueCol: String, clickTsCol: String, clickIdCol: String,
+      lookback: Long, dayMicros: Long = 86400000000L): DataFrame = {
+    require(lookback > 0, s"lookback $lookback must be positive")
+    val p = purchases.select(col(userCol).as("user"),
+      col(purchaseTsCol).cast("long").as("ptus"),
+      col(purchaseIdCol).as("pid"), col(revenueCol).cast("long").as("rev"))
+    val c = clicks.select(col(userCol).as("user"),
+      col(clickTsCol).cast("long").as("ctus"),
+      col(clickIdCol).as("cid"))
+    val j = p.join(c,
+      p("user") === c("user") && col("ctus") <= col("ptus") &&
+        col("ptus") - col("ctus") <= lookback, "left")
+    val w = Window.partitionBy(col("pid"))
+    val wr = Window.partitionBy(col("pid"))
+      .orderBy(col("ctus").desc_nulls_last, col("cid").desc_nulls_last)
+    j.withColumn("nt", count(col("cid")).over(w))
+      .withColumn("rn", row_number().over(wr).cast("long"))
+      .withColumn("share", expr(
+        "CASE WHEN nt = 0 THEN rev " +
+          "WHEN rn = 1 THEN rev - (nt - 1) * (rev div nt) " +
+          "ELSE rev div nt END"))
+      .groupBy(coalesce(expr(s"ctus div ${dayMicros}L"), lit(-1L))
+        .as("click_day"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("share")).as("attributed_micro"))
+  }
+
+  /** Key-skew profile — the shuffle-planning observability readout: the
+    * top-k hottest keys with exact counts, per-key permille share, and
+    * cumulative concentration. THE number to look at before keying a
+    * 100 TB join/aggregation on a column: cum_permille(k) near 1000 at
+    * small k means salting or a broadcast re-plan, flat shares mean the
+    * hash exchange is fine. Count aggregate (map-side partial) →
+    * distributed TakeOrdered of k rows → rank/cum windows on the
+    * k-row result only (never a corpus-wide single-partition window).
+    * Ties rank by key ascending (deterministic). Returns
+    * (rank, key, n, share_permille, cum_permille).
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k $k must be positive")
+    val counts = df.select(col(keyCol).as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // total AND top-k read it
+    val total = counts.agg(sum(col("n")).as("t"))
+    val top = counts
+      .orderBy(col("n").desc, col("key").asc_nulls_last).limit(k)
+    val wRank = Window.orderBy(col("n").desc, col("key").asc_nulls_last)
+    top.withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("cum_n",
+        sum(col("n")).over(wRank.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("key"), col("n"),
+        expr("n * 1000 div t").as("share_permille"),
+        expr("cum_n * 1000 div t").as("cum_permille"))
+  }
+
   /** Windowed telemetry dedup: collapse repeated (key, tumbling-window)
     * events to the FIRST occurrence (min (t, id) — deterministic under
     * any partitioning), counting the copies dropped — the

@@ -674,8 +674,22 @@ object PipelineStream {
     * State is TWO numbers per user — bounded by the user population,
     * not the event volume.
     */
-  def funnelStream(events: DataFrame, stages: Seq[String]): DataFrame = {
+  def funnelStream(events: DataFrame, stages: Seq[String]): DataFrame =
+    funnelStreamBranching(events, stages.map(Seq(_)))
+
+  /** [[funnelStream]] generalized to BRANCHING stages (the state-machine
+    * twin of [[graft.operators.EventOps.funnelBranching]]): stage k is a
+    * SET of event types, any one of which advances the user. On the
+    * time-ordered feed greedy advance-on-first-member ≡ earliest-of-any
+    * sequential-min, so the batch branching funnel's oracle gates this
+    * stream unchanged. Same two numbers of state per user.
+    */
+  def funnelStreamBranching(events: DataFrame,
+      stages: Seq[Seq[String]]): DataFrame = {
     require(stages.nonEmpty, "funnelStream needs at least one stage")
+    require(stages.forall(_.nonEmpty),
+      "every funnel stage needs at least one admitted event type")
+    val stageSets = stages.map(_.toSet)
     val spark = events.sparkSession
     import spark.implicits._
     events.select(col("k").cast("long"), col("ts").cast("long"),
@@ -689,7 +703,7 @@ object PipelineStream {
           val out = Vector.newBuilder[FunnelAdvance]
           rows.toSeq.sortBy { case (_, t, et) => (t, et) }
             .foreach { case (_, t, et) =>
-              if (k < stages.length && et == stages(k) &&
+              if (k < stageSets.length && stageSets(k).contains(et) &&
                   (k == 0 || t > tk)) {
                 k += 1; tk = t
                 out += FunnelAdvance(u, k.toLong, t)

@@ -277,6 +277,60 @@ class SketchSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap == Map(1L -> 1L))
   }
 
+  test("triangleCounts: K4 exact, star hub zero, direction/multiplicity/self-loop canonicalized") {
+    // K4 on {1,2,3,4}: C(4,3)=4 triangles, every node in exactly 3 —
+    // fed as DIRECTED MULTI edges (both directions, dups, a self-loop)
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b))
+    val edges = (k4 ++ Seq((1L, 2L), (3L, 3L))).toDF("s", "d")
+    val got = EventOps.triangleCounts(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == (1L to 4L).map(_ -> ((3L, 3L))).toMap)
+    // star: hub 0 connected to 1..5 — no triangles anywhere, but every
+    // node still reports a row (zero-fill), hub degree 5
+    val star = (1L to 5L).map(i => (0L, i)).toDF("s", "d")
+    val g2 = EventOps.triangleCounts(star, "s", "d")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(g2(0L) == ((5L, 0L)) && (1L to 5L).forall(i => g2(i) == ((1L, 0L))))
+    // one triangle hanging off the star closes exactly one
+    val g3 = EventOps.triangleCounts(
+      (star.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq :+ (1L, 2L))
+        .toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(g3 == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 0L, 5L -> 0L))
+  }
+
+  test("linearAttribution: equal split + remainder on latest touch, window excludes, conservation") {
+    // purchase P1 (rev 10) by u1 at t=100: touches at 90, 95, 99 →
+    //   10 div 3 = 3 each, remainder 1 rides the t=99 touch (day 0);
+    // purchase P2 (rev 7) by u2 at t=100: its only click is at t=5,
+    //   95 > lookback 50 → unattributed, whole 7 in day -1;
+    // purchase P3 (rev 5) by u1 at t=200: single touch at 180 → 5.
+    val purchases = Seq((1L, 100L, 101L, 10L), (2L, 100L, 102L, 7L),
+      (1L, 200L, 103L, 5L)).toDF("u", "pt", "pid", "rev")
+    val clicks = Seq((1L, 90L, 11L), (1L, 95L, 12L), (1L, 99L, 13L),
+      (2L, 5L, 14L), (1L, 180L, 15L)).toDF("u", "ct", "cid")
+    val got = EventOps.linearAttribution(purchases, clicks,
+      "u", "pt", "pid", "rev", "ct", "cid", lookback = 50L, dayMicros = 100L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // day 0 holds P1's three shares (3+3+4); day 1 holds P3's 5
+    assert(got == Map(0L -> ((3L, 10L)), 1L -> ((1L, 5L)), -1L -> ((1L, 7L))))
+    // conservation: attributed sums to total revenue exactly
+    assert(got.values.map(_._2).sum == 22L)
+  }
+
+  test("keySkewProfile: exact shares, cumulative concentration, tie rank by key") {
+    // counts: a=6, b=3, c=3, d=1 (total 13); ties b/c rank by key asc
+    val rows = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++
+      Seq("d")).toDF("k")
+    val got = EventOps.keySkewProfile(rows, "k", k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList.sortBy(_._1)
+    assert(got == List(
+      (1L, "a", 6L, 6000 / 13L, 6000 / 13L),
+      (2L, "b", 3L, 3000 / 13L, 9000 / 13L),
+      (3L, "c", 3L, 3000 / 13L, 12000 / 13L)))
+  }
+
   test("topEventPaths: gap splits sessions, paths order by time, count ties rank by path") {
     // u1: A,B then (gap) C  → paths "A>B" and "C"
     // u2: A,B in one session → "A>B" again (count 2)

@@ -688,6 +688,41 @@ class StreamingSpec extends SparkSpec {
     assert(batch.forall { case (k, v) => got(k) == v })
   }
 
+  test("funnelStreamBranching: any admitted type advances; earliest-of-any on ordered feed equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stages = Seq(Seq("A"), Seq("B", "C"), Seq("D"))
+    val mem = MemoryStream[(Long, Long, String)]
+    val out = graft.streaming.PipelineStream.funnelStreamBranching(
+      mem.toDS().toDF("k", "ts", "et"), stages)
+    val q = out.writeStream.format("memory").queryName("sbfunnel")
+      .outputMode("append").start()
+    try {
+      // u1 advances stage 2 on C (no B ever); u2 sees C then B after A —
+      // the EARLIEST of the two (C@20) must be its stage-2 time; u3's
+      // B arrives before its A and must not count
+      mem.addData((1L, 10L, "A"), (1L, 30L, "C"), (2L, 10L, "A"),
+        (3L, 5L, "B"), (3L, 10L, "A"))
+      q.processAllAvailable()
+      mem.addData((1L, 40L, "D"), (2L, 20L, "C"), (2L, 25L, "B"),
+        (2L, 35L, "D"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sbfunnel").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 1L) -> 10L, (1L, 2L) -> 30L, (1L, 3L) -> 40L,
+      (2L, 1L) -> 10L, (2L, 2L) -> 20L, (2L, 3L) -> 35L, (3L, 1L) -> 10L))
+    // per-stage counts equal the batch branching funnel on the union
+    val batch = graft.operators.EventOps.funnelBranching(
+      Seq((1L, 10L, "A"), (1L, 30L, "C"), (2L, 10L, "A"), (3L, 5L, "B"),
+        (3L, 10L, "A"), (1L, 40L, "D"), (2L, 20L, "C"), (2L, 25L, "B"),
+        (2L, 35L, "D")).toDF("u", "t", "et"),
+      "u", "t", "et", stages)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val streamCounts = got.keys.groupBy(_._2).view.mapValues(_.size.toLong)
+    assert(batch.forall { case (k, n) => streamCounts.getOrElse(k, 0L) == n })
+  }
+
   test("intervalJoinStream: cross-arrival disorder matches exactly; rollup equals batch; state evicts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
