@@ -456,6 +456,35 @@ object Bench {
           .select(col("lo").as("a"), col("wsum").as("b")))
     }
 
+    // event-graph analytics: degree-oriented triangle counting on the
+    // item co-transition graph + multi-touch linear attribution in one
+    // leg — the round-11 event additions (wedge joins + the per-purchase
+    // touch-window split)
+    legDf("event_graph") {
+      val ev = CellEncodings.table(spark, sfDir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tus"),
+          col("event_type"), col("event_id"), col("value"),
+          expr("CAST(nullif(regexp_extract(props, '[0-9]+', 0), '') AS BIGINT)")
+            .as("item"))
+        .localCheckpoint(false) // graph AND attribution read it
+      val tri = graft.operators.EventOps.triangleCounts(
+        graft.operators.EventOps.eventTransitions(
+          ev.select(col("user_id"), col("tus"), col("item")),
+          "user_id", "tus", "item"),
+        "from_type", "to_type")
+        .select(col("node").as("a"), col("n_triangles").as("b"))
+      val attrib = graft.operators.EventOps.linearAttribution(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("tus"), col("event_id"),
+            round(col("value") * 1e6).cast("long").as("rev_micro")),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("tus"), col("event_id").as("cid")),
+        "user_id", "tus", "event_id", "rev_micro", "tus", "cid",
+        lookback = 604800000000L)
+        .select(col("click_day").as("a"), col("attributed_micro").as("b"))
+      tri.unionByName(attrib)
+    }
+
     // cleanup
     try {
       import scala.reflect.io.Directory

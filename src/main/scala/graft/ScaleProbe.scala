@@ -313,6 +313,59 @@ object ScaleProbe {
         f"100k x 100k binned=$dtB100%5.2f s (naive is quadratic)")
     }
 
+    // Triangle-counting probe (round 11): degree-oriented wedge
+    // enumeration vs the naive all-direction wedge join on a HUB graph
+    // (one node adjacent to everything — the shape that breaks
+    // unoriented enumeration: C(deg,2) wedges at the hub). Per-node
+    // checksums asserted identical at hub=2k; the oriented path then
+    // runs hub=200k (C(200k,2) = 2e10 naive wedges — unrunnable), where
+    // orientation emits ZERO wedges at the hub because every hub edge
+    // points INTO it.
+    locally {
+      def hubGraph(n: Long, rand: Long) = {
+        val hub = spark.range(1L, n + 1L)
+          .select(lit(0L).as("s"), col("id").as("d"))
+        val rnd = spark.range(rand).select(
+          (abs(xxhash64(col("id"))) % n + 1L).as("s"),
+          (abs(xxhash64(col("id") + 1000000007L)) % n + 1L).as("d"))
+        hub.unionAll(rnd).localCheckpoint()
+      }
+      def run(mk: => org.apache.spark.sql.DataFrame): (Double, Long, Long) = {
+        val t0 = System.nanoTime()
+        val r = mk.agg(sum(col("node") * col("n_triangles")),
+          sum(col("n_triangles"))).head()
+        ((System.nanoTime() - t0) / 1e9, r.getLong(0), r.getLong(1))
+      }
+      val small = hubGraph(2000L, 4000L)
+      val (dtO, csO, ntO) = run(
+        graft.operators.EventOps.triangleCounts(small, "s", "d"))
+      val (dtN, csN, ntN) = run {
+        val und = small.select(least(col("s"), col("d")).as("a"),
+            greatest(col("s"), col("d")).as("b"))
+          .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+        val adj = und.select(col("a").as("u"), col("b").as("v"))
+          .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+        val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+        val l = adj.select(col("u"), col("v").as("x"))
+        val r = adj.select(col("u"), col("v").as("y"))
+        deg.join(
+          l.join(r, Seq("u")).filter(col("x") < col("y"))
+            .join(und, col("a") === col("x") && col("b") === col("y"))
+            .groupBy(col("u")).agg(count(lit(1)).as("nt")),
+          Seq("u"), "left")
+          .select(col("u").as("node"),
+            coalesce(col("nt"), lit(0L)).as("n_triangles"))
+      }
+      assert(csO == csN && ntO == ntN,
+        s"triangle checksum mismatch: ($csO,$ntO) vs ($csN,$ntN)")
+      val big = hubGraph(200000L, 400000L)
+      val (dtBig, _, ntBig) = run(
+        graft.operators.EventOps.triangleCounts(big, "s", "d"))
+      println(f"[scale] triangles hub=2k+4k edges: oriented=$dtO%5.2f s " +
+        f"naive-wedges=$dtN%5.2f s (identical per-node counts, $ntO%d corners); " +
+        f"hub=200k+400k oriented=$dtBig%5.2f s ($ntBig%d corners; naive is 2e10 wedges)")
+    }
+
     // Integer k-means scaling probe (round 9): the Lloyd step over 10k →
     // 40k → 160k synthetic 64-dim vectors, k=8. Cost model says ~linear
     // in n (component explode + broadcast join + two key-balanced

@@ -1612,6 +1612,39 @@ object SparkEntry {
         "item", "day", k = 3)
     }),
 
+    // Streaming heavy hitters: watermarked per-(day, item) count
+    // aggregate emitting on window close (arrival-order-insensitive),
+    // ranked through the ONE shared topKByBucket definition — gated
+    // under the SAME oracle as p176 (shared SQL val). Sentinel pair +
+    // pinned mtimes flush every real window (the p148 discipline).
+    "p196_stream_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val ev = table(s, dir, "events")
+        .select(
+          expr("CAST(nullif(regexp_extract(props, '[0-9]+', 0), '') AS BIGINT)")
+            .as("item"),
+          expr("ts div 1000").as("tus"))
+      val bounds = ev.agg(min(col("tus")), max(col("tus"))).head()
+      val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
+      val dayUs = 86400000000L
+      val delayUs = (maxUs - minUs) + dayUs
+      val counts = runStream(s, "p196", dir, ev, 3, prepareIn = { in =>
+        pinNewFiles(s, in, MtSentinel2, MtReal)
+        Seq((-1L, maxUs + delayUs + dayUs)).toDF("item", "tus")
+          .coalesce(1).write.mode("append").parquet(in)
+        pinNewFiles(s, in, MtSentinel2, MtSentinel1)
+        Seq((-1L, maxUs + 2L * (delayUs + dayUs))).toDF("item", "tus")
+          .coalesce(1).write.mode("append").parquet(in)
+        pinNewFiles(s, in, MtSentinel2, MtSentinel2)
+      })(st => graft.streaming.PipelineStream.bucketCountStream(
+        st, "item", "tus", windowMicros = dayUs,
+        watermark = s"$delayUs microseconds"))
+      graft.operators.EventOps.topKByBucket(
+        counts.filter(!col("item").eqNullSafe(-1L)), k = 3)
+        .select(col("bucket"), col("rank"), col("item"), col("n"))
+    }),
+
     // Per-user hour-of-day regularity score (bot detection): integer
     // deviation from uniform, normalized to the one-hot maximum.
     "p177_user_regularity" -> ((s, dir) => {
@@ -3558,6 +3591,23 @@ object SparkEntry {
       |UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
       |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)""".stripMargin
 
+  /** Shared DuckDB lineage for the per-bucket heavy hitters — p176
+    * gates the batch count+rank, p196 its watermarked streaming twin
+    * (window-close count emission is arrival-order-insensitive; the
+    * readout ranks through the ONE shared topKByBucket definition), so
+    * ONE oracle gates both and they cannot drift.
+    */
+  private lazy val heavyHittersOracleSql: String =
+    """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS bucket,
+      |             TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS item
+      |           FROM events),
+      |h AS (SELECT bucket, item, count(*) AS n FROM e GROUP BY 1, 2),
+      |r AS (SELECT bucket, item, n,
+      |        row_number() OVER (PARTITION BY bucket ORDER BY n DESC, item) AS rnk
+      |      FROM h)
+      |SELECT bucket, CAST(rnk AS BIGINT) AS rank, item, n
+      |FROM r WHERE rnk <= 3""".stripMargin
+
   /** Shared DuckDB lineage for the BRANCHING sequential-min funnel —
     * p191 gates the batch chain (In-predicate stage widening), p193 its
     * state-machine streaming twin (greedy advance-on-any-member ≡
@@ -5408,16 +5458,9 @@ object SparkEntry {
         |WHERE epoch_us(ts) // 86400000000 BETWEEN d.d0 + 3 AND d.d0 + 9
         |GROUP BY 1""".stripMargin,
 
-    "p176_heavy_hitters" ->
-      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS bucket,
-        |             TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS item
-        |           FROM events),
-        |h AS (SELECT bucket, item, count(*) AS n FROM e GROUP BY 1, 2),
-        |r AS (SELECT bucket, item, n,
-        |        row_number() OVER (PARTITION BY bucket ORDER BY n DESC, item) AS rnk
-        |      FROM h)
-        |SELECT bucket, CAST(rnk AS BIGINT) AS rank, item, n
-        |FROM r WHERE rnk <= 3""".stripMargin,
+    "p176_heavy_hitters" -> heavyHittersOracleSql,
+
+    "p196_stream_heavy_hitters" -> heavyHittersOracleSql,
 
     "p177_user_regularity" ->
       """WITH e AS (SELECT user_id AS u,

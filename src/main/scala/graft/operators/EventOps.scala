@@ -425,16 +425,26 @@ object EventOps {
     * rank — plan-asserted). Returns (bucket, rank, item, n).
     */
   def heavyHittersByBucket(events: DataFrame, itemCol: String,
-      bucketCol: String, k: Int): DataFrame = {
+      bucketCol: String, k: Int): DataFrame =
+    topKByBucket(
+      events.select(col(bucketCol).cast("long").as("bucket"),
+          col(itemCol).as("item"))
+        .groupBy(col("bucket"), col("item")).agg(count(lit(1)).as("n")),
+      k)
+
+  /** The rank-and-cut half of [[heavyHittersByBucket]], shared so the
+    * streaming twin's readout ranks through the SAME definition: top-k
+    * rows of a (bucket, item, n) count relation per bucket, WindowGroupLimit
+    * bounding the rank window. NULLS LAST explicitly: Spark's ASC
+    * default is nulls-first, SQL engines' (the oracle's) is nulls-last —
+    * a null item tying into the top-k would otherwise rank differently
+    * per engine.
+    */
+  def topKByBucket(counts: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k $k must be positive")
-    // NULLS LAST explicitly: Spark's ASC default is nulls-first, SQL
-    // engines' (the oracle's) is nulls-last — a null item tying into
-    // the top-k would otherwise rank differently per engine
     val w = Window.partitionBy(col("bucket"))
       .orderBy(col("n").desc, col("item").asc_nulls_last)
-    events.select(col(bucketCol).cast("long").as("bucket"),
-        col(itemCol).as("item"))
-      .groupBy(col("bucket"), col("item")).agg(count(lit(1)).as("n"))
+    counts
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("bucket"), col("rank"), col("item"), col("n"))

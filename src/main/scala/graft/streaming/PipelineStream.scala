@@ -743,6 +743,31 @@ object PipelineStream {
     * epoch-aligned, so `wstart = t div window · window` agrees with the
     * batch convention.
     */
+  /** Streaming windowed item counts — the count half of the heavy-hitter
+    * readout ([[graft.operators.EventOps.heavyHittersByBucket]]) as a
+    * WATERMARKED WINDOW AGGREGATE: (tumbling-window bucket, item) counts
+    * emitted append-mode when the watermark closes the window. Counts
+    * are arrival-order-insensitive, so the batch heavy-hitter oracle
+    * gates the stream (rank the emitted counts through the ONE shared
+    * [[graft.operators.EventOps.topKByBucket]] definition) on any feed
+    * slicing once every window is flushed. State is one aggregation row
+    * per open (window, item) — bucket-vocabulary-sized within the
+    * watermark horizon, evicted at emission. Buckets are epoch-aligned
+    * (`bucket = t div window`, the batch convention).
+    */
+  def bucketCountStream(events: DataFrame, itemCol: String, tsCol: String,
+      windowMicros: Long, watermark: String): DataFrame = {
+    require(windowMicros > 0, s"window $windowMicros must be positive")
+    events.select(col(itemCol).as("item"),
+        timestamp_micros(col(tsCol).cast("long")).as("__et"))
+      .withWatermark("__et", watermark)
+      .groupBy(window(col("__et"), s"$windowMicros microseconds").as("__w"),
+        col("item"))
+      .agg(count(lit(1)).as("n"))
+      .select(expr(s"unix_micros(__w.start) div ${windowMicros}L")
+        .as("bucket"), col("item"), col("n"))
+  }
+
   /** Streaming UNKEYED interval × point join — the live face of
     * [[graft.operators.EventOps.intervalPointCount]]: intervals (e.g.
     * closed session windows) arrive on one stream, points (e.g. error

@@ -688,6 +688,49 @@ class StreamingSpec extends SparkSpec {
     assert(batch.forall { case (k, v) => got(k) == v })
   }
 
+  test("bucketCountStream: window-close counts on adversarial slicing rank to the batch heavy hitters") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)] // item, t
+    // second-scale timestamps: Spark tracks watermarks in MILLIseconds,
+    // so sub-millisecond toy values would pin the watermark at 0 forever
+    val M = 1000000L
+    val out = graft.streaming.PipelineStream.bucketCountStream(
+      mem.toDS().toDF("item", "t"), "item", "t",
+      windowMicros = 100L * M, watermark = "0 microseconds")
+    val q = out.writeStream.format("memory").queryName("sbhh")
+      .outputMode("append").start()
+    try {
+      // bucket 1 split across batches, late-within-batch disorder
+      mem.addData((7L, 110L * M), (7L, 150L * M), (8L, 120L * M))
+      q.processAllAvailable()
+      mem.addData((7L, 199L * M), (8L, 130L * M), (8L, 140L * M),
+        (9L, 101L * M))
+      q.processAllAvailable()
+      mem.addData((5L, 310L * M)) // watermark → 310 s: closes bucket 1
+      q.processAllAvailable()
+      mem.addData((5L, 990L * M)) // closes bucket 3
+      q.processAllAvailable()
+    } finally q.stop()
+    val counts = spark.table("sbhh")
+    val got = counts.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 7L) -> 3L, (1L, 8L) -> 3L, (1L, 9L) -> 1L,
+      (3L, 5L) -> 1L))
+    // ranked through the shared definition ≡ the batch heavy hitters
+    val ranked = graft.operators.EventOps.topKByBucket(counts, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(ranked == Map((1L, 1L) -> ((7L, 3L)), (1L, 2L) -> ((8L, 3L)),
+      (3L, 1L) -> ((5L, 1L))))
+    val batch = graft.operators.EventOps.heavyHittersByBucket(
+      Seq((7L, 1L), (7L, 1L), (8L, 1L), (7L, 1L), (8L, 1L), (8L, 1L),
+        (9L, 1L), (5L, 3L)).toDF("item", "b"), "item", "b", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(batch == ranked)
+  }
+
   test("funnelStreamBranching: any admitted type advances; earliest-of-any on ordered feed equals batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
