@@ -1431,6 +1431,42 @@ object SparkEntry {
         "key", k = 20)
     }),
 
+    // Association rules on session baskets: directional support/
+    // confidence/lift in exact integer permille over the p139
+    // sessionize lineage (shared basket CTE prefix in the oracle).
+    "p197_association_rules" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.operators.EventOps.associationRules(
+        table(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("tus"),
+            col("event_type")),
+        "user_id", "tus", "event_type", gap = 1800000000L)
+    }),
+
+    // SCD type-2 validity intervals from the event log viewed as a
+    // change feed: per user, runs of the same event type collapse to
+    // versions with [valid_from, valid_to) ranges — the dimension-
+    // history build.
+    "p198_scd_intervals" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.operators.EventOps.scdIntervals(
+        table(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("tus"),
+            col("event_type")),
+        "user_id", "tus", "event_type")
+    }),
+
+    // A/B experiment readout: md5-prefix hash split (the sampling
+    // family's deterministic gate), per-variant distinct converters,
+    // exact conv/lift permille.
+    "p199_ab_readout" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.operators.EventOps.abReadout(
+        table(s, dir, "events")
+          .select(col("user_id"), col("event_type")),
+        "user_id", "event_type", goalType = "purchase", variants = 2)
+    }),
+
     // Burst-hour detection: hours over 2× the median hourly volume —
     // the robust rate-spike monitor (median can't be masked by the
     // burst).
@@ -3591,6 +3627,24 @@ object SparkEntry {
       |UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
       |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)""".stripMargin
 
+  /** Shared DuckDB session-basket CTE prefix — the gap-rule sessionizer
+    * rolled to DISTINCT (user, session, type) rows, used by BOTH the
+    * p139 co-occurrence and the p197 association-rule oracles so the
+    * two basket readouts sessionize identically by construction.
+    */
+  private lazy val sessionBasketCtesSql: String =
+    """e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et
+      |           FROM events),
+      |x AS (SELECT u, t, et,
+      |        CASE WHEN lag(t) OVER (PARTITION BY u ORDER BY t, et) IS NULL
+      |               OR t - lag(t) OVER (PARTITION BY u ORDER BY t, et) > 1800000000
+      |             THEN 1 ELSE 0 END AS brk
+      |      FROM e),
+      |s AS (SELECT u, et,
+      |        sum(brk) OVER (PARTITION BY u ORDER BY t, et ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM x),
+      |d AS (SELECT DISTINCT u, sid, et FROM s)""".stripMargin
+
   /** Shared DuckDB lineage for the per-bucket heavy hitters — p176
     * gates the batch count+rank, p196 its watermarked streaming twin
     * (window-close count emission is arrival-order-insensitive; the
@@ -5006,20 +5060,60 @@ object SparkEntry {
         |FROM mte JOIN pr USING (from_type) GROUP BY 1, 2""".stripMargin,
 
     "p139_session_cooccur" ->
-      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et
-        |           FROM events),
-        |x AS (SELECT u, t, et,
-        |        CASE WHEN lag(t) OVER (PARTITION BY u ORDER BY t, et) IS NULL
-        |               OR t - lag(t) OVER (PARTITION BY u ORDER BY t, et) > 1800000000
-        |             THEN 1 ELSE 0 END AS brk
-        |      FROM e),
-        |s AS (SELECT u, et,
-        |        sum(brk) OVER (PARTITION BY u ORDER BY t, et ROWS UNBOUNDED PRECEDING) AS sid
-        |      FROM x),
-        |d AS (SELECT DISTINCT u, sid, et FROM s)
+      s"""WITH $sessionBasketCtesSql
         |SELECT a.et AS type_a, b.et AS type_b, count(*) AS n_sessions
         |FROM d a JOIN d b ON a.u = b.u AND a.sid = b.sid AND a.et < b.et
         |GROUP BY 1, 2""".stripMargin,
+
+    "p197_association_rules" ->
+      s"""WITH $sessionBasketCtesSql,
+        |nn AS (SELECT count(*) AS nn FROM (SELECT DISTINCT u, sid FROM d) q),
+        |it AS (SELECT et, count(*) AS ni FROM d GROUP BY 1),
+        |pr AS (SELECT a.et AS ant, b.et AS con, count(*) AS n_ab
+        |       FROM d a JOIN d b ON a.u = b.u AND a.sid = b.sid
+        |                         AND a.et <> b.et
+        |       GROUP BY 1, 2)
+        |SELECT pr.ant AS antecedent, pr.con AS consequent, pr.n_ab,
+        |       ia.ni AS n_a, ib.ni AS n_b,
+        |       pr.n_ab * 1000 // nn.nn AS support_permille,
+        |       pr.n_ab * 1000 // ia.ni AS confidence_permille,
+        |       CAST(CAST(pr.n_ab AS HUGEINT) * 1000 * nn.nn
+        |            // (ia.ni * ib.ni) AS BIGINT) AS lift_permille
+        |FROM pr JOIN it ia ON ia.et = pr.ant
+        |        JOIN it ib ON ib.et = pr.con
+        |CROSS JOIN nn""".stripMargin,
+
+    "p198_scd_intervals" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, event_type AS v
+        |           FROM events),
+        |x AS (SELECT k, t, v, lag(v) OVER (PARTITION BY k ORDER BY t, v) AS pv,
+        |        row_number() OVER (PARTITION BY k ORDER BY t, v) AS rn
+        |      FROM e),
+        |c AS (SELECT k, t, v FROM x WHERE rn = 1 OR v IS DISTINCT FROM pv)
+        |SELECT k AS key, v AS value,
+        |       CAST(row_number() OVER (PARTITION BY k ORDER BY t, v) AS BIGINT)
+        |         AS version,
+        |       t AS valid_from,
+        |       lead(t) OVER (PARTITION BY k ORDER BY t, v) AS valid_to
+        |FROM c""".stripMargin,
+
+    "p199_ab_readout" ->
+      s"""WITH u AS (SELECT user_id AS k,
+        |             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |               AS conv
+        |           FROM events GROUP BY 1),
+        |v AS (SELECT ${hash60Sql("CAST(k AS VARCHAR)")} % 2 AS variant, conv
+        |      FROM u),
+        |g AS (SELECT variant, count(*) AS n_users,
+        |        CAST(sum(conv) AS BIGINT) AS n_converted
+        |      FROM v GROUP BY 1),
+        |c0 AS (SELECT n_users AS u0, n_converted AS c0 FROM g
+        |       WHERE variant = 0)
+        |SELECT g.variant, g.n_users, g.n_converted,
+        |       g.n_converted * 1000 // g.n_users AS conv_permille,
+        |       CAST(CAST(g.n_converted AS HUGEINT) * 1000 * c0.u0
+        |            // nullif(g.n_users * c0.c0, 0) AS BIGINT) AS lift_permille
+        |FROM g CROSS JOIN c0""".stripMargin,
 
     "p146_cms_drift" ->
       s"""WITH t AS (SELECT epoch_us(ts) // 86400000000 AS day,

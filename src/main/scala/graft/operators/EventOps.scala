@@ -729,6 +729,106 @@ object EventOps {
       .agg(min(col("t")).as("start"), max(col("t")).as("end"),
         count(lit(1)).as("n_events"))
 
+  /** Association rules over session baskets — the directional readout
+    * on top of [[sessionCooccurrence]]'s distinct (user, sid, type)
+    * frame: for every ordered type pair a→b,
+    * support = P(ab), confidence = P(b|a), lift = P(ab)/(P(a)·P(b)),
+    * all as EXACT integer permille (support·1000 div N etc.; the lift
+    * product runs in DECIMAL(38,0) so 1e11-session corpora can't
+    * overflow, then lands in BIGINT because lift ≤ 1000·N). One
+    * sessionize pass feeds the item counts, the pair counts, and the
+    * session total. `minSessions` is the standard support floor (a
+    * hapax pair's lift explodes). Returns (antecedent, consequent,
+    * n_ab, n_a, n_b, support_permille, confidence_permille,
+    * lift_permille).
+    */
+  def associationRules(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, gap: Long, minSessions: Long = 1L): DataFrame = {
+    require(minSessions >= 1, s"minSessions $minSessions must be >= 1")
+    val st = sessionized(events, userCol, tsCol, typeCol, gap)
+      .select(col("user"), col("sid"), col("et")).distinct()
+      .localCheckpoint(false) // totals, item counts, AND both pair sides
+    val totals = st.select(col("user"), col("sid")).distinct()
+      .agg(count(lit(1)).as("nn"))
+    val items = st.groupBy(col("et")).agg(count(lit(1)).as("ni"))
+      .localCheckpoint(false) // joined per rule end
+    st.select(col("user"), col("sid"), col("et").as("antecedent"))
+      .join(st.select(col("user"), col("sid"), col("et").as("consequent")),
+        Seq("user", "sid"))
+      .filter(col("antecedent") =!= col("consequent"))
+      .groupBy(col("antecedent"), col("consequent"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSessions)
+      .join(items.select(col("et").as("antecedent"), col("ni").as("n_a")),
+        Seq("antecedent"))
+      .join(items.select(col("et").as("consequent"), col("ni").as("n_b")),
+        Seq("consequent"))
+      .crossJoin(broadcast(totals))
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        col("n_a"), col("n_b"),
+        expr("n_ab * 1000 div nn").as("support_permille"),
+        expr("n_ab * 1000 div n_a").as("confidence_permille"),
+        expr("CAST(CAST(n_ab AS DECIMAL(38,0)) * 1000 * nn DIV (n_a * n_b)" +
+          " AS BIGINT)").as("lift_permille"))
+  }
+
+  /** Slowly-changing-dimension (type 2) intervals from a change log:
+    * per key, consecutive runs of the same value collapse to one
+    * VERSION with [valid_from, valid_to) validity — valid_to is the
+    * next version's start, NULL for the current one. The classic
+    * dimension-history build: two window passes on the key partitioning
+    * (lag to find change points, lead/row_number on the change rows),
+    * deterministic under the (t, value) tie order, null-safe value
+    * comparison (NULL→X and X→NULL are changes; NULL→NULL is not).
+    * Returns (key, value, version, valid_from, valid_to).
+    */
+  def scdIntervals(changes: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("v").asc_nulls_last)
+    changes.select(col(keyCol).as("k"), col(tsCol).cast("long").as("t"),
+        col(valueCol).as("v"))
+      .withColumn("pv", lag(col("v"), 1).over(w))
+      .withColumn("isFirst",
+        row_number().over(w) === 1) // NULL value can't mark the run start
+      .filter(col("isFirst") || !(col("v") <=> col("pv")))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead(col("t"), 1).over(w))
+      .select(col("k").as("key"), col("v").as("value"), col("version"),
+        col("t").as("valid_from"), col("valid_to"))
+  }
+
+  /** Hash-split experiment readout (the A/B harness over the event
+    * log): each user lands in variant = hash60(user) mod `variants` —
+    * the SAME deterministic md5-prefix gate the sampling family uses,
+    * so assignment is reproducible across engines and runs and
+    * uncorrelated with user-id structure (a plain `id % k` split
+    * inherits whatever the id sequence encodes). Per variant: distinct
+    * users, distinct converters (≥1 `goalType` event), exact
+    * conv_permille, and lift vs variant 0 in permille (DECIMAL(38,0)
+    * product; NULL when variant 0 has no converters — engines disagree
+    * on x/0 otherwise). Returns (variant, n_users, n_converted,
+    * conv_permille, lift_permille).
+    */
+  def abReadout(events: DataFrame, userCol: String, typeCol: String,
+      goalType: String, variants: Int = 2): DataFrame = {
+    require(variants >= 2, s"variants $variants must be >= 2")
+    val perUser = events.select(col(userCol).as("k"), col(typeCol).as("et"))
+      .groupBy(col("k"))
+      .agg(max(when(col("et") === goalType, 1L).otherwise(0L)).as("conv"))
+      .withColumn("variant",
+        pmod(graft.pipeline.TextAnalysis.hash60(col("k")), lit(variants)))
+    val g = perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_converted"))
+      .localCheckpoint(false) // itself AND the variant-0 reference
+    g.crossJoin(broadcast(g.filter(col("variant") === 0)
+        .select(col("n_users").as("u0"), col("n_converted").as("c0"))))
+      .select(col("variant"), col("n_users"), col("n_converted"),
+        expr("n_converted * 1000 div n_users").as("conv_permille"),
+        expr("CAST(CAST(n_converted AS DECIMAL(38,0)) * 1000 * u0 DIV " +
+          "nullif(n_users * c0, 0) AS BIGINT)").as("lift_permille"))
+  }
+
   /** Integer fixed-point PageRank over a weighted edge list (src, dst,
     * weight) — the behavior-graph centrality readout, engine-portable
     * because every step is integer floor arithmetic: ranks live at

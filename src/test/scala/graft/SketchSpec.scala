@@ -331,6 +331,67 @@ class SketchSpec extends SparkSpec {
       (3L, "c", 3L, 3000 / 13L, 12000 / 13L)))
   }
 
+  test("associationRules: exact permilles, directional confidence, symmetric pair counts") {
+    // 4 sessions (gap 100): s1{A,B}, s2{A,B}, s3{A}, s4{B,C} →
+    // N=4, n_A=3, n_B=3, n_C=1, n_AB=2, n_BC=1
+    val ev = Seq(
+      (1L, 0L, "A"), (1L, 10L, "B"),            // s1
+      (1L, 500L, "A"), (1L, 510L, "B"),         // s2
+      (2L, 0L, "A"),                            // s3
+      (3L, 0L, "B"), (3L, 10L, "C"), (3L, 20L, "B") // s4 (B twice: distinct)
+    ).toDF("u", "t", "et")
+    val got = EventOps.associationRules(ev, "u", "t", "et", gap = 100L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))).toMap
+    // A→B: sup 2000/4=500, conf 2000/3=666, lift 2000·4/(3·3)=888
+    assert(got(("A", "B")) == ((2L, 3L, 3L, 500L, 666L, 888L)))
+    // B→A mirrors counts but swaps n_a/n_b (same conf here since equal)
+    assert(got(("B", "A")) == ((2L, 3L, 3L, 500L, 666L, 888L)))
+    // B→C vs C→B: same pair count, DIFFERENT confidence (directional)
+    assert(got(("B", "C")) == ((1L, 3L, 1L, 250L, 333L, 1333L)))
+    assert(got(("C", "B")) == ((1L, 1L, 3L, 250L, 1000L, 1333L)))
+    // pair counts agree with the co-occurrence readout on the same input
+    val co = EventOps.sessionCooccurrence(ev, "u", "t", "et", 100L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(co.forall { case ((a, b), n) => got((a, b))._1 == n })
+  }
+
+  test("scdIntervals: runs collapse to versions, open-ended current, null-safe transitions") {
+    val log = Seq(
+      (1L, 10L, Some("x")), (1L, 20L, Some("x")), (1L, 30L, Some("y")),
+      (1L, 40L, Some("y")), (1L, 50L, Some("x")),
+      (2L, 10L, None), (2L, 20L, None), (2L, 30L, Some("z")), (2L, 40L, None)
+    ).toDF("k", "t", "v")
+    val got = EventOps.scdIntervals(log, "k", "t", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(2)) ->
+        (Option(r.getString(1)), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(got == Map(
+      (1L, 1L) -> ((Some("x"), 10L, Some(30L))),
+      (1L, 2L) -> ((Some("y"), 30L, Some(50L))),
+      (1L, 3L) -> ((Some("x"), 50L, None)), // value RECURS as a new version
+      (2L, 1L) -> ((None, 10L, Some(30L))), // leading NULL run kept
+      (2L, 2L) -> ((Some("z"), 30L, Some(40L))),
+      (2L, 3L) -> ((None, 40L, None)))) // X→NULL is a change
+  }
+
+  test("abReadout: variants partition users, permilles exact, self-lift 1000") {
+    val ev = (1L to 200L).flatMap { u =>
+      Seq((u, "view")) ++ (if (u % 3 == 0) Seq((u, "purchase")) else Nil)
+    }.toDF("u", "et")
+    val rows = EventOps.abReadout(ev, "u", "et", "purchase", variants = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet == Set(0L, 1L))
+    // the hash split partitions the population exactly
+    assert(rows.values.map(_._1).sum == 200L)
+    assert(rows.values.map(_._2).sum == (1L to 200L).count(_ % 3 == 0))
+    // per-row formulas exact; variant 0's self-lift is exactly 1000
+    rows.foreach { case (_, (u, c, p, _)) => assert(p == c * 1000 / u) }
+    assert(rows(0L)._4 == 1000L)
+  }
+
   test("topEventPaths: gap splits sessions, paths order by time, count ties rank by path") {
     // u1: A,B then (gap) C  → paths "A>B" and "C"
     // u2: A,B in one session → "A>B" again (count 2)
