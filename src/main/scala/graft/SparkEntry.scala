@@ -1467,6 +1467,19 @@ object SparkEntry {
         "user_id", "event_type", goalType = "purchase", variants = 2)
     }),
 
+    // Z-order (Morton) key over (user, hour) — the multi-dimensional
+    // clustering key of the OPTIMIZE ZORDER layout analog; pure bit
+    // arithmetic (mask-spread ladder), bijective per 16-bit cell.
+    "p200_zorder_key" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = table(s, dir, "events")
+        .select(col("event_id"),
+          (col("user_id") % 65536L).as("a"),
+          (expr("ts div 1000 div 3600000000") % 65536L).as("b"))
+      e.select(col("event_id"), col("a"), col("b"),
+        graft.sources.ZOrder.zorderKey(col("a"), col("b")).as("zkey"))
+    }),
+
     // Burst-hour detection: hours over 2× the median hourly volume —
     // the robust rate-spike monitor (median can't be masked by the
     // burst).
@@ -5096,6 +5109,20 @@ object SparkEntry {
         |       t AS valid_from,
         |       lead(t) OVER (PARTITION BY k ORDER BY t, v) AS valid_to
         |FROM c""".stripMargin,
+
+    "p200_zorder_key" ->
+      """WITH e AS (SELECT event_id, CAST(user_id % 65536 AS BIGINT) AS a,
+        |             CAST((epoch_us(ts) // 3600000000) % 65536 AS BIGINT) AS b
+        |           FROM events),
+        |s1 AS (SELECT *, (a | (a << 8)) & 16711935 AS x1,
+        |               (b | (b << 8)) & 16711935 AS y1 FROM e),
+        |s2 AS (SELECT *, (x1 | (x1 << 4)) & 252645135 AS x2,
+        |               (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
+        |s3 AS (SELECT *, (x2 | (x2 << 2)) & 858993459 AS x3,
+        |               (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+        |s4 AS (SELECT *, (x3 | (x3 << 1)) & 1431655765 AS x4,
+        |               (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3)
+        |SELECT event_id, a, b, x4 | (y4 << 1) AS zkey FROM s4""".stripMargin,
 
     "p199_ab_readout" ->
       s"""WITH u AS (SELECT user_id AS k,

@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) clustering — multi-dimensional data layout for
+  * min/max pruning, the analog of Delta/Iceberg's OPTIMIZE ZORDER
+  * applied to plain parquet. A table sorted on ONE column prunes range
+  * predicates on that column only; a 2-D query rectangle (user range ×
+  * time range) over a user-sorted 100 TB table still scans every file
+  * the user range touches at EVERY time. Interleaving the bits of both
+  * dimensions into one sort key makes files cover axis-aligned
+  * quadrants: every power-of-2-aligned 2^k × 2^k cell is a CONTIGUOUS
+  * zkey range (spec-pinned), so per-file min/max stats of the PLAIN
+  * COLUMNS tighten in both dimensions at once and parquet row-group /
+  * file skipping works for rectangles, not just one axis.
+  *
+  * The key is built from pure codegen'd bit arithmetic (the classic
+  * mask-spread: 4 shift-and steps per dimension, no UDFs, no loops), so
+  * it costs a handful of ALU ops per row at write time and NOTHING at
+  * read time — readers filter on the original columns and never see the
+  * key. Caller contract: dimension values are pre-scaled to
+  * [0, 2^bits); the op masks defensively.
+  */
+object ZOrder {
+
+  /** Spread the low 16 bits of `x` so bit i lands at position 2i —
+    * the standard Morton mask ladder, each step a codegen'd long op.
+    */
+  private def spread16(x: Column): Column = {
+    val m0 = lit(0x0000FFFFL)
+    val s1 = (x.bitwiseAND(m0)) // defensive clamp to 16 bits
+    val s2 = s1.bitwiseOR(shiftleft(s1, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val s3 = s2.bitwiseOR(shiftleft(s2, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val s4 = s3.bitwiseOR(shiftleft(s3, 2)).bitwiseAND(lit(0x33333333L))
+    s4.bitwiseOR(shiftleft(s4, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** The 2-D Morton key: a's bits at even positions, b's at odd —
+    * 16 bits per dimension (the caller scales real domains down to
+    * 65536 buckets; finer than any practical file count).
+    */
+  def zorderKey(a: Column, b: Column): Column =
+    spread16(a.cast("long")).bitwiseOR(shiftleft(spread16(b.cast("long")), 1))
+
+  /** Inverse of [[spread16]]: collapse bits 0,2,4,… back to 0..15. */
+  private def unspread16(x: Column): Column = {
+    val s0 = x.bitwiseAND(lit(0x55555555L))
+    val s1 = s0.bitwiseOR(shiftright(s0, 1)).bitwiseAND(lit(0x33333333L))
+    val s2 = s1.bitwiseOR(shiftright(s1, 2)).bitwiseAND(lit(0x0F0F0F0FL))
+    val s3 = s2.bitwiseOR(shiftright(s2, 4)).bitwiseAND(lit(0x00FF00FFL))
+    s3.bitwiseOR(shiftright(s3, 8)).bitwiseAND(lit(0x0000FFFFL))
+  }
+
+  /** Decode a 2-D Morton key back to its (a, b) cell — the bijection
+    * witness the spec pins; also what a z-range query planner would use
+    * to skip gap runs (BIGMIN), kept here as the decode primitive.
+    */
+  def zorderDecode(z: Column): (Column, Column) =
+    (unspread16(z), unspread16(shiftright(z, 1)))
+
+  /** Write `df` clustered by the 2-D Morton key of (`colA`, `colB`)
+    * (each pre-scaled by the given expressions to [0, 65536)):
+    * range-repartition on the key so files cover disjoint key ranges,
+    * sort within partitions so row groups subdivide them. The key is
+    * dropped before writing — the layout is the product; readers
+    * filter the ORIGINAL columns and parquet min/max stats do the
+    * pruning in both dimensions.
+    */
+  def writeZOrdered(df: DataFrame, path: String, aExpr: Column,
+      bExpr: Column, numFiles: Int): Unit = {
+    require(numFiles >= 1, s"numFiles $numFiles must be >= 1")
+    df.withColumn("__zkey", zorderKey(aExpr, bExpr))
+      .repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+}

@@ -323,6 +323,66 @@ class PlanQualitySpec extends SparkSpec {
     assert(graft.sources.EventStore.readDays(spark, path, 0L, 99L).count() == 0L)
   }
 
+  test("ZOrder: bijective roundtrip; aligned quadrants are contiguous key ranges") {
+    import spark.implicits._
+    // roundtrip on adversarial bit patterns + a random sweep
+    val vals = spark.range(2000L).select(
+      (org.apache.spark.sql.functions.abs(org.apache.spark.sql.functions.xxhash64($"id")) % 65536L).as("a"),
+      (org.apache.spark.sql.functions.abs(org.apache.spark.sql.functions.xxhash64($"id" + 7L)) % 65536L).as("b"))
+      .union(Seq((0L, 0L), (65535L, 65535L), (0L, 65535L), (65535L, 0L),
+        (21845L, 43690L)).toDF("a", "b"))
+    val (da, db) = graft.sources.ZOrder.zorderDecode(
+      graft.sources.ZOrder.zorderKey($"a", $"b"))
+    assert(vals.filter(!(da === $"a" && db === $"b")).count() == 0L)
+    // every power-of-2-aligned 16×16 quadrant maps to one CONTIGUOUS
+    // zkey range (the property that makes per-file min/max stats prune
+    // rectangles): 256 distinct keys, max − min + 1 == 256
+    val quad = spark.range(256L).select(
+      (org.apache.spark.sql.functions.lit(37L * 16L) + $"id" % 16L).as("a"),
+      (org.apache.spark.sql.functions.lit(95L * 16L) + $"id" / 16L).as("b"))
+      .select(graft.sources.ZOrder.zorderKey($"a", $"b").as("z"))
+    val r = quad.agg(org.apache.spark.sql.functions.min($"z"),
+      org.apache.spark.sql.functions.max($"z"),
+      org.apache.spark.sql.functions.countDistinct($"z")).head()
+    assert(r.getLong(2) == 256L && r.getLong(1) - r.getLong(0) + 1L == 256L)
+  }
+
+  test("ZOrder layout: 2-D rectangle touches far fewer files than a 1-D-sorted layout") {
+    import spark.implicits._
+    // 100k rows uniform over a 1024×1024 (u, t) grid
+    val data = spark.range(100000L).select(
+      (org.apache.spark.sql.functions.abs(org.apache.spark.sql.functions.xxhash64($"id")) % 1024L).as("u"),
+      (org.apache.spark.sql.functions.abs(org.apache.spark.sql.functions.xxhash64($"id" + 13L)) % 1024L).as("t"),
+      $"id")
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    graft.sources.ZOrder.writeZOrdered(data, s"$base/z", $"u", $"t", 64)
+    data.repartitionByRange(64, $"u").sortWithinPartitions($"u", $"t")
+      .write.parquet(s"$base/lin")
+    // per-FILE min/max boxes — exactly the stats parquet footer pruning
+    // uses; a file is "touched" iff its box intersects the rectangle
+    def touched(path: String): (Long, Long) = {
+      val boxes = spark.read.parquet(path)
+        .groupBy(org.apache.spark.sql.functions.input_file_name().as("f"))
+        .agg(org.apache.spark.sql.functions.min($"u").as("ul"),
+          org.apache.spark.sql.functions.max($"u").as("uh"),
+          org.apache.spark.sql.functions.min($"t").as("tl"),
+          org.apache.spark.sql.functions.max($"t").as("th"))
+      (boxes.filter($"uh" >= 256L && $"ul" <= 511L &&
+        $"th" >= 256L && $"tl" <= 511L).count(), boxes.count())
+    }
+    val (zTouch, zTotal) = touched(s"$base/z")
+    val (lTouch, lTotal) = touched(s"$base/lin")
+    assert(zTotal >= 32L && lTotal >= 32L) // both layouts really split
+    // the rectangle is 1/16 of the area: the u-sorted layout can prune
+    // only the u axis (~1/4 of files survive); z-order prunes both
+    assert(zTouch * 2 <= lTouch,
+      s"z-order touched $zTouch/$zTotal vs linear $lTouch/$lTotal")
+    // and both layouts return the identical rectangle
+    def rect(path: String): Long = spark.read.parquet(path)
+      .filter($"u".between(256L, 511L) && $"t".between(256L, 511L)).count()
+    assert(rect(s"$base/z") == rect(s"$base/lin"))
+  }
+
   test("heavyHittersByBucket: WindowGroupLimit bounds the rank window (top-k per group)") {
     import spark.implicits._
     val ev = (0L until 1000L).map(i => (i % 5L, i % 13L)).toDF("b", "item")
