@@ -1467,6 +1467,28 @@ object SparkEntry {
         "user_id", "event_type", goalType = "purchase", variants = 2)
     }),
 
+    // Corpus data-card cube: (source × lang) doc/token rollup with all
+    // subtotal planes in one grouping-sets pass — the release data card
+    // as a relation.
+    "p201_corpus_cube" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.TextAnalysis.corpusCube(
+        table(s, dir, "documents"), "source", "lang", "text")
+    }),
+
+    // Recency-decayed per-type activity scores: the decay weight table
+    // (floor(1e6·0.9^age)) computed exactly at plan build and embedded
+    // as a literal in BOTH engines — integer sums only, no runtime pow.
+    "p202_decayed_scores" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = table(s, dir, "events")
+        .select(col("event_type").as("key"),
+          expr("ts div 1000 div 86400000000").as("day"))
+      val refDay = e.agg(max(col("day"))).head().getLong(0)
+      graft.operators.EventOps.decayedEventScores(
+        e, "key", "day", refDay, decayPermille = 900, horizonDays = 60)
+    }),
+
     // Z-order (Morton) key over (user, hour) — the multi-dimensional
     // clustering key of the OPTIMIZE ZORDER layout analog; pure bit
     // arithmetic (mask-spread ladder), bijective per 16-bit cell.
@@ -5109,6 +5131,30 @@ object SparkEntry {
         |       t AS valid_from,
         |       lead(t) OVER (PARTITION BY k ORDER BY t, v) AS valid_to
         |FROM c""".stripMargin,
+
+    "p201_corpus_cube" ->
+      """WITH d AS (SELECT source, lang,
+        |             CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT)
+        |               AS ntok
+        |           FROM documents)
+        |SELECT coalesce(source, '<all>') AS source,
+        |       coalesce(lang, '<all>') AS lang,
+        |       count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS sum_tokens
+        |FROM d GROUP BY CUBE(source, lang)""".stripMargin,
+
+    "p202_decayed_scores" -> {
+      val wt = graft.operators.EventOps.decayWeightTable(900, 60)
+        .map { case (d, w) => s"($d, $w)" }.mkString(", ")
+      s"""WITH e AS (SELECT event_type AS key,
+        |             epoch_us(ts) // 86400000000 AS day FROM events),
+        |mx AS (SELECT max(day) AS refday FROM e),
+        |c AS (SELECT key, day, count(*) AS c FROM e GROUP BY 1, 2),
+        |wt(age, w) AS (VALUES $wt)
+        |SELECT c.key, CAST(sum(c.c * wt.w) AS BIGINT) AS score_micro
+        |FROM c CROSS JOIN mx JOIN wt ON wt.age = mx.refday - c.day
+        |WHERE c.day <= mx.refday AND c.day > mx.refday - 60
+        |GROUP BY 1""".stripMargin
+    },
 
     "p200_zorder_key" ->
       """WITH e AS (SELECT event_id, CAST(user_id % 65536 AS BIGINT) AS a,

@@ -1044,6 +1044,51 @@ object EventOps {
         expr("cum_n * 1000 div t").as("cum_permille"))
   }
 
+  /** Exponentially-decayed per-key event scores with the transcendental
+    * killed at PLAN BUILD (the p162 discount-table move): the per-age
+    * weight w_d = floor(1e6 · (decayPermille/1000)^d) is computed
+    * EXACTLY in BigDecimal here and embedded as a literal (age, weight)
+    * table in the plan — so the distributed job is per-(key, day)
+    * counts joined to a broadcast ≤`horizonDays`-row table and an
+    * integer sum, bit-stable on any engine that embeds the same table
+    * (the oracle does). Ages beyond the horizon weigh 0 (documented
+    * cutoff — pick the horizon where the weight underflows 1 micro).
+    * Returns (key, score_micro): Σ_d count_d · w_{refDay−d}.
+    */
+  def decayedEventScores(events: DataFrame, keyCol: String, dayCol: String,
+      refDay: Long, decayPermille: Int, horizonDays: Int): DataFrame = {
+    require(decayPermille >= 1 && decayPermille <= 999,
+      s"decayPermille $decayPermille outside [1,999]")
+    require(horizonDays >= 1 && horizonDays <= 4096,
+      s"horizonDays $horizonDays outside [1,4096]")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val weights = decayWeightTable(decayPermille, horizonDays)
+      .toDF("age", "w")
+    events.select(col(keyCol).as("key"), col(dayCol).cast("long").as("day"))
+      .filter(col("day") <= refDay && col("day") > refDay - horizonDays)
+      .groupBy(col("key"), col("day")).agg(count(lit(1)).as("c"))
+      .withColumn("age", lit(refDay) - col("day"))
+      .join(broadcast(weights), Seq("age"))
+      .groupBy(col("key"))
+      .agg(sum(col("c") * col("w")).as("score_micro"))
+  }
+
+  /** The exact literal weight table both engines embed: age d →
+    * floor(1e6 · r^d) with r = decayPermille/1000 evaluated in exact
+    * decimal arithmetic (r^d is a terminating decimal, so floor is
+    * exact — no float anywhere).
+    */
+  def decayWeightTable(decayPermille: Int,
+      horizonDays: Int): Seq[(Long, Long)] = {
+    val r = java.math.BigDecimal.valueOf(decayPermille.toLong, 3)
+    val mega = new java.math.BigDecimal(1000000)
+    (0 until horizonDays).map { d =>
+      (d.toLong, r.pow(d).multiply(mega)
+        .setScale(0, java.math.RoundingMode.FLOOR).longValueExact())
+    }
+  }
+
   /** Windowed telemetry dedup: collapse repeated (key, tumbling-window)
     * events to the FIRST occurrence (min (t, id) — deterministic under
     * any partitioning), counting the copies dropped — the

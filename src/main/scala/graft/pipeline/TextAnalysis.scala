@@ -1252,6 +1252,25 @@ object TextAnalysis {
       .drop("rn")
   }
 
+  /** Corpus data-card CUBE: doc counts and token totals per (dimA ×
+    * dimB) WITH all subtotal planes — per-dimA, per-dimB, and the grand
+    * total — in one pass (Catalyst expands the cube into grouping sets;
+    * one shuffle, map-side partial aggregation for every plane).
+    * Subtotal rows label the collapsed dimension `<all>` (real values
+    * are never null in a curated card, so the label is unambiguous and
+    * the SQL-oracle compare needs no grouping-id plumbing). The data
+    * card every corpus release ships, as a relation.
+    */
+  def corpusCube(docs: org.apache.spark.sql.DataFrame, dimA: String,
+      dimB: String, textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(dimA).as("a"), col(dimB).as("b"),
+        size(tokens(col(textCol))).cast("long").as("ntok"))
+      .cube(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("sum_tokens"))
+      .select(coalesce(col("a"), lit("<all>")).as(dimA),
+        coalesce(col("b"), lit("<all>")).as(dimB),
+        col("n_docs"), col("sum_tokens"))
+
   /** Collocation mining by EXACT integer lift (the division-free PMI):
     * for adjacent word pairs, lift = P(ab) / (P(a)·P(b)) =
     * n_ab·N² / (B·n_a·n_b), reported as `lift_permille` =

@@ -392,6 +392,40 @@ class SketchSpec extends SparkSpec {
     assert(rows(0L)._4 == 1000L)
   }
 
+  test("corpusCube: subtotal planes conserve the grand total; <all> labels") {
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      ("web", "en", "a b c"), ("web", "en", "d e"), ("web", "de", "f"),
+      ("book", "en", "g h i j")
+    ).toDF("source", "lang", "text")
+    val got = TextAnalysis.corpusCube(docs, "source", "lang", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got(("web", "en")) == ((2L, 5L)))
+    assert(got(("web", "<all>")) == ((3L, 6L)))
+    assert(got(("<all>", "en")) == ((3L, 9L)))
+    assert(got(("<all>", "<all>")) == ((4L, 10L)))
+    // every plane sums to the grand total (doc and token conservation)
+    val cells = got.filter { case ((a, b), _) => a != "<all>" && b != "<all>" }
+    assert(cells.values.map(_._1).sum == 4L && cells.values.map(_._2).sum == 10L)
+    assert(got.size == 3 + 2 + 2 + 1) // cells + row/col subtotals + total
+  }
+
+  test("decayedEventScores: exact literal weights, horizon cutoff, per-key sums") {
+    // weights at 900‰: w0=1000000, w1=900000, w2=810000 (exact decimals)
+    val w = EventOps.decayWeightTable(900, 5).toMap
+    assert(w(0L) == 1000000L && w(1L) == 900000L && w(2L) == 810000L &&
+      w(3L) == 729000L && w(4L) == 656100L)
+    // key A: 2 events today + 1 two days ago; key B: 1 event at the
+    // horizon edge (age 4, counted) and 1 beyond it (age 5, cut)
+    val ev = Seq(("A", 100L), ("A", 100L), ("A", 98L),
+      ("B", 96L), ("B", 95L)).toDF("k", "day")
+    val got = EventOps.decayedEventScores(ev, "k", "day",
+      refDay = 100L, decayPermille = 900, horizonDays = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("A" -> (2L * 1000000L + 810000L), "B" -> 656100L))
+  }
+
   test("topEventPaths: gap splits sessions, paths order by time, count ties rank by path") {
     // u1: A,B then (gap) C  → paths "A>B" and "C"
     // u2: A,B in one session → "A>B" again (count 2)
