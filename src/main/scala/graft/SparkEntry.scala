@@ -60,26 +60,45 @@ object SparkEntry {
       input: DataFrame, nFiles: Int,
       prepareIn: String => Unit = _ => (),
       writeFeed: Option[(String, DataFrame) => Unit] = None)(
-      f: DataFrame => DataFrame): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      f: DataFrame => DataFrame): DataFrame =
     // default feed: nFiles arbitrary slices. A caller needing a delivery
     // DISCIPLINE (time-ordered slices, leader/follower mtimes) supplies
     // its own writer — nFiles is then IGNORED; the rest of the scaffold
     // stays the one shared definition.
-    writeFeed match {
-      case Some(w) => w(s"$base/in", input)
-      case None => input.repartition(nFiles).write.parquet(s"$base/in")
+    runStreams(s, tag, dir,
+      Seq(("in", input, writeFeed.getOrElse(
+        (p: String, df: DataFrame) => df.repartition(nFiles).write.parquet(p)))),
+      prepareIn)(sts => f(sts.head))
+
+  /** The ONE streaming-gate scaffold (tmp base, feed writes, readStream
+    * sources, checkpointed AvailableNow run, schema-pinned read-back),
+    * shared by every single-feed gate via [[runStream]] and by the
+    * stream-stream joins that need SEVERAL independent feeds (p190).
+    * Each feed is (subdir, frame, writer); `prepareIn` runs against the
+    * FIRST feed's directory (the sentinel-injection hook). The output
+    * read is pinned to the composed stream's schema, so a zero-output
+    * run (only _spark_metadata on disk) still reads as an empty frame.
+    */
+  private def runStreams(s: SparkSession, tag: String, dir: String,
+      feeds: Seq[(String, DataFrame, (String, DataFrame) => Unit)],
+      prepareIn: String => Unit = _ => ())(
+      f: Seq[DataFrame] => DataFrame): DataFrame = {
+    require(feeds.nonEmpty, "runStreams needs at least one feed")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    feeds.foreach { case (sub, df, write) => write(s"$base/$sub", df) }
+    prepareIn(s"$base/${feeds.head._1}")
+    val streams = feeds.map { case (sub, df, _) =>
+      s.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/$sub")
     }
-    prepareIn(s"$base/in")
-    val stream = s.readStream.schema(input.schema)
-      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
-    val q = f(stream).writeStream.option("checkpointLocation", s"$base/ckpt")
+    val out = f(streams)
+    val q = out.writeStream.option("checkpointLocation", s"$base/ckpt")
       .outputMode("append").format("parquet").option("path", s"$base/out")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.read.parquet(s"$base/out")
+    s.read.schema(out.schema).parquet(s"$base/out")
   }
 
   /** Pin the parquet files under `path` whose mod time exceeds `afterMs`
@@ -1605,27 +1624,17 @@ object SparkEntry {
         .localCheckpoint() // streamed in AND the zero-fill frame
       val errors = ev.filter(col("event_type") === "error")
         .select(col("tus")).localCheckpoint()
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_p190_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      val fs = org.apache.hadoop.fs.FileSystem
-        .get(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(base), true)
-      writeTimeOrderedFeed(s, s"$base/in_s", sessions, "start")
-      writeTimeOrderedFeed(s, s"$base/in_e", errors, "tus")
-      val ivSt = s.readStream.schema(sessions.schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$base/in_s")
-      val ptSt = s.readStream.schema(errors.schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$base/in_e")
-      val matchesSt = graft.streaming.PipelineStream.intervalJoinStream(
-        ivSt, ptSt, Seq("user", "sid"), "start", "end", "tus",
-        binSize = 3600000000L, maxIntervalMicros = 90L * 86400000000L,
-        watermark = "2 hours")
-      val q = matchesSt
-        .writeStream.option("checkpointLocation", s"$base/ckpt")
-        .outputMode("append").format("parquet").option("path", s"$base/out")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      // schema-pinned read: a zero-match run leaves only _spark_metadata
-      val matches = s.read.schema(matchesSt.schema).parquet(s"$base/out")
+      val matches = runStreams(s, "p190", dir, Seq(
+          ("in_s", sessions,
+            (p: String, df: DataFrame) => writeTimeOrderedFeed(s, p, df, "start")),
+          ("in_e", errors,
+            (p: String, df: DataFrame) => writeTimeOrderedFeed(s, p, df, "tus")))) {
+          case Seq(ivSt, ptSt) =>
+            graft.streaming.PipelineStream.intervalJoinStream(
+              ivSt, ptSt, Seq("user", "sid"), "start", "end", "tus",
+              binSize = 3600000000L, maxIntervalMicros = 90L * 86400000000L,
+              watermark = "2 hours")
+        }
         .groupBy(col("user"), col("sid")).agg(count(lit(1)).as("n"))
       sessions.join(matches, Seq("user", "sid"), "left")
         .select(col("user").as("user_id"), col("sid"), col("start"),
@@ -5113,7 +5122,7 @@ object SparkEntry {
         |       pr.n_ab * 1000 // nn.nn AS support_permille,
         |       pr.n_ab * 1000 // ia.ni AS confidence_permille,
         |       CAST(CAST(pr.n_ab AS HUGEINT) * 1000 * nn.nn
-        |            // (ia.ni * ib.ni) AS BIGINT) AS lift_permille
+        |            // (CAST(ia.ni AS HUGEINT) * ib.ni) AS BIGINT) AS lift_permille
         |FROM pr JOIN it ia ON ia.et = pr.ant
         |        JOIN it ib ON ib.et = pr.con
         |CROSS JOIN nn""".stripMargin,
@@ -5185,7 +5194,8 @@ object SparkEntry {
         |SELECT g.variant, g.n_users, g.n_converted,
         |       g.n_converted * 1000 // g.n_users AS conv_permille,
         |       CAST(CAST(g.n_converted AS HUGEINT) * 1000 * c0.u0
-        |            // nullif(g.n_users * c0.c0, 0) AS BIGINT) AS lift_permille
+        |            // nullif(CAST(g.n_users AS HUGEINT) * c0.c0, 0)
+        |            AS BIGINT) AS lift_permille
         |FROM g CROSS JOIN c0""".stripMargin,
 
     "p146_cms_drift" ->

@@ -768,8 +768,11 @@ object EventOps {
         col("n_a"), col("n_b"),
         expr("n_ab * 1000 div nn").as("support_permille"),
         expr("n_ab * 1000 div n_a").as("confidence_permille"),
-        expr("CAST(CAST(n_ab AS DECIMAL(38,0)) * 1000 * nn DIV (n_a * n_b)" +
-          " AS BIGINT)").as("lift_permille"))
+        // divisor promoted BEFORE its multiply: a long*long n_a*n_b
+        // overflows past ~3e9-session types (ANSI throw / silent wrap)
+        expr("CAST(CAST(n_ab AS DECIMAL(38,0)) * 1000 * nn DIV " +
+          "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
+          .as("lift_permille"))
   }
 
   /** Slowly-changing-dimension (type 2) intervals from a change log:
@@ -825,8 +828,11 @@ object EventOps {
         .select(col("n_users").as("u0"), col("n_converted").as("c0"))))
       .select(col("variant"), col("n_users"), col("n_converted"),
         expr("n_converted * 1000 div n_users").as("conv_permille"),
+        // divisor promoted BEFORE its multiply (same overflow law as
+        // associationRules' lift divisor)
         expr("CAST(CAST(n_converted AS DECIMAL(38,0)) * 1000 * u0 DIV " +
-          "nullif(n_users * c0, 0) AS BIGINT)").as("lift_permille"))
+          "nullif(CAST(n_users AS DECIMAL(38,0)) * c0, 0) AS BIGINT)")
+          .as("lift_permille"))
   }
 
   /** Integer fixed-point PageRank over a weighted edge list (src, dst,

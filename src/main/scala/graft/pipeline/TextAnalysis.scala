@@ -1301,10 +1301,15 @@ object TextAnalysis {
       .crossJoin(
         toks.select((size(col("toks")) - 1).as("b")).filter(col("b") > 0)
           .agg(sum(col("b")).cast("decimal(38,0)").as("bb")))
-      .withColumn("nn", expr(
-        "IF(assert_true(nn <= CAST(460000000000 AS DECIMAL(38,0)), " +
+      // FILTER form, not an IF-wrapped column: Catalyst's
+      // SimplifyConditionals deletes IF(assert_true(..) IS NULL, nn, nn)
+      // because both branches are equal, silently disarming the guard
+      // (measured — round-11 review); the filter's assert survives
+      // optimization and fires.
+      .filter(expr(
+        "assert_true(nn <= CAST(460000000000 AS DECIMAL(38,0)), " +
           "'collocations: corpus exceeds 4.6e11 tokens; " +
-          "lift numerator would overflow DECIMAL(38,0)') IS NULL, nn, nn)"))
+          "lift numerator would overflow DECIMAL(38,0)') IS NULL"))
     val bi = toks
       .filter(size(col("toks")) >= 2)
       .select(explode(expr(

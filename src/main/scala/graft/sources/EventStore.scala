@@ -54,31 +54,38 @@ object EventStore {
   private val SchemaSidecar = "_graft_schema.json"
 
   /** Open the store. Day predicates prune directories; everything else
-    * is an ordinary parquet scan with pushdown. A store whose day
-    * partitions have ALL been expired opens as an empty frame with the
-    * schema recorded at write time (day typed BIGINT there; a live read
-    * infers the partition column's type from directory values).
+    * is an ordinary parquet scan with pushdown. The sidecar schema is
+    * applied on BOTH the live and the fully-expired path — partition
+    * TYPE INFERENCE would otherwise type `day` from the surviving
+    * directory values (IntegerType for small days) while the expired
+    * path replays the write-time BIGINT, and a consumer compiled against
+    * one shape would break when retention flips the store to the other.
+    * Pre-sidecar stores (no `_graft_schema.json`) fall back to plain
+    * inference when live and fail loudly when empty.
     */
   def open(spark: SparkSession, path: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasDays = fs.exists(root) && fs.listStatus(root).exists(st =>
       st.isDirectory && st.getPath.getName.startsWith("day="))
-    if (hasDays) spark.read.parquet(path)
-    else {
-      val sp = new org.apache.hadoop.fs.Path(root, SchemaSidecar)
-      require(fs.exists(sp),
-        s"EventStore at $path has no day= partitions and no schema sidecar")
+    val sp = new org.apache.hadoop.fs.Path(root, SchemaSidecar)
+    val schema = if (fs.exists(sp)) {
       val in = fs.open(sp)
       val json = try {
         val buf = new java.io.ByteArrayOutputStream()
         org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
         buf.toString("UTF-8")
       } finally in.close()
-      val schema = org.apache.spark.sql.types.DataType.fromJson(json)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      Some(org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    } else None
+    (hasDays, schema) match {
+      case (true, Some(sc)) => spark.read.schema(sc).parquet(path)
+      case (true, None) => spark.read.parquet(path)
+      case (false, Some(sc)) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+      case (false, None) => throw new IllegalStateException(
+        s"EventStore at $path has no day= partitions and no schema sidecar")
     }
   }
 

@@ -306,8 +306,8 @@ class PlanQualitySpec extends SparkSpec {
     graft.sources.EventStore.writeTimePartitioned(ev, path, "tus", "user_id")
     val removed = graft.sources.EventStore.expireDays(spark, path, keepFromDay = 90L)
     assert(removed == 90L)
-    val left = graft.sources.EventStore.open(spark, path)
-      .select($"event_id").collect().map(_.getLong(0)).toSet
+    val live = graft.sources.EventStore.open(spark, path)
+    val left = live.select($"event_id").collect().map(_.getLong(0)).toSet
     assert(left == (90L until 100L).toSet)
     // idempotent: nothing more to expire at the same horizon
     assert(graft.sources.EventStore.expireDays(spark, path, 90L) == 0L)
@@ -319,6 +319,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(empty.count() == 0L)
     assert(empty.columns.toSet ==
       Set("event_id", "user_id", "event_type", "tus", "day"))
+    // the day column's TYPE must not drift across the retention flip:
+    // live reads apply the sidecar schema too (partition inference would
+    // type small day values as INT while the sidecar says BIGINT)
+    assert(empty.schema("day").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(live.schema("day").dataType == empty.schema("day").dataType)
     // and the windowed read composes on the empty frame too
     assert(graft.sources.EventStore.readDays(spark, path, 0L, 99L).count() == 0L)
   }
