@@ -1508,6 +1508,38 @@ object SparkEntry {
         e, "key", "day", refDay, decayPermille = 900, horizonDays = 60)
     }),
 
+    // Streaming decayed scores: the p196 windowed count stream at
+    // (event type, day) grain, scored through the ONE shared
+    // decayedFromCounts weight table — gated under p202's oracle
+    // (shared SQL val). Counts emit on window close, so the readout is
+    // arrival-order-free.
+    "p203_stream_decayed_scores" -> ((s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val ev = table(s, dir, "events")
+        .select(col("event_type").as("key"), expr("ts div 1000").as("tus"))
+      val bounds = ev.agg(min(col("tus")), max(col("tus"))).head()
+      val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
+      val dayUs = 86400000000L
+      val delayUs = (maxUs - minUs) + dayUs
+      val counts = runStream(s, "p203", dir, ev, 3, prepareIn = { in =>
+        pinNewFiles(s, in, MtSentinel2, MtReal)
+        Seq(("__sentinel", maxUs + delayUs + dayUs)).toDF("key", "tus")
+          .coalesce(1).write.mode("append").parquet(in)
+        pinNewFiles(s, in, MtSentinel2, MtSentinel1)
+        Seq(("__sentinel", maxUs + 2L * (delayUs + dayUs))).toDF("key", "tus")
+          .coalesce(1).write.mode("append").parquet(in)
+        pinNewFiles(s, in, MtSentinel2, MtSentinel2)
+      })(st => graft.streaming.PipelineStream.bucketCountStream(
+        st, "key", "tus", windowMicros = dayUs,
+        watermark = s"$delayUs microseconds"))
+        .filter(col("item") =!= "__sentinel")
+      graft.operators.EventOps.decayedFromCounts(
+        counts.select(col("item").as("key"), col("bucket").as("day"),
+          col("n").as("c")),
+        refDay = maxUs / dayUs, decayPermille = 900, horizonDays = 60)
+    }),
+
     // Z-order (Morton) key over (user, hour) — the multi-dimensional
     // clustering key of the OPTIMIZE ZORDER layout analog; pure bit
     // arithmetic (mask-spread ladder), bijective per 16-bit cell.
@@ -3671,6 +3703,27 @@ object SparkEntry {
       |UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
       |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)""".stripMargin
 
+  /** Shared DuckDB lineage for the recency-decayed activity scores —
+    * p202 gates the batch rollup, p203 its streaming twin (window-close
+    * per-(key, day) counts are arrival-order-insensitive; the readout
+    * applies the SAME literal weight table), so ONE oracle gates both.
+    * The weight VALUES are generated from the same exact-BigDecimal
+    * Scala table the engine broadcasts.
+    */
+  private lazy val decayedScoresOracleSql: String = {
+    val wt = graft.operators.EventOps.decayWeightTable(900, 60)
+      .map { case (d, w) => s"($d, $w)" }.mkString(", ")
+    s"""WITH e AS (SELECT event_type AS key,
+      |             epoch_us(ts) // 86400000000 AS day FROM events),
+      |mx AS (SELECT max(day) AS refday FROM e),
+      |c AS (SELECT key, day, count(*) AS c FROM e GROUP BY 1, 2),
+      |wt(age, w) AS (VALUES $wt)
+      |SELECT c.key, CAST(sum(c.c * wt.w) AS BIGINT) AS score_micro
+      |FROM c CROSS JOIN mx JOIN wt ON wt.age = mx.refday - c.day
+      |WHERE c.day <= mx.refday AND c.day > mx.refday - 60
+      |GROUP BY 1""".stripMargin
+  }
+
   /** Shared DuckDB session-basket CTE prefix — the gap-rule sessionizer
     * rolled to DISTINCT (user, session, type) rows, used by BOTH the
     * p139 co-occurrence and the p197 association-rule oracles so the
@@ -5151,19 +5204,9 @@ object SparkEntry {
         |       count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS sum_tokens
         |FROM d GROUP BY CUBE(source, lang)""".stripMargin,
 
-    "p202_decayed_scores" -> {
-      val wt = graft.operators.EventOps.decayWeightTable(900, 60)
-        .map { case (d, w) => s"($d, $w)" }.mkString(", ")
-      s"""WITH e AS (SELECT event_type AS key,
-        |             epoch_us(ts) // 86400000000 AS day FROM events),
-        |mx AS (SELECT max(day) AS refday FROM e),
-        |c AS (SELECT key, day, count(*) AS c FROM e GROUP BY 1, 2),
-        |wt(age, w) AS (VALUES $wt)
-        |SELECT c.key, CAST(sum(c.c * wt.w) AS BIGINT) AS score_micro
-        |FROM c CROSS JOIN mx JOIN wt ON wt.age = mx.refday - c.day
-        |WHERE c.day <= mx.refday AND c.day > mx.refday - 60
-        |GROUP BY 1""".stripMargin
-    },
+    "p202_decayed_scores" -> decayedScoresOracleSql,
+
+    "p203_stream_decayed_scores" -> decayedScoresOracleSql,
 
     "p200_zorder_key" ->
       """WITH e AS (SELECT event_id, CAST(user_id % 65536 AS BIGINT) AS a,

@@ -1062,18 +1062,29 @@ object EventOps {
     * Returns (key, score_micro): Σ_d count_d · w_{refDay−d}.
     */
   def decayedEventScores(events: DataFrame, keyCol: String, dayCol: String,
-      refDay: Long, decayPermille: Int, horizonDays: Int): DataFrame = {
+      refDay: Long, decayPermille: Int, horizonDays: Int): DataFrame =
+    decayedFromCounts(
+      events.select(col(keyCol).as("key"), col(dayCol).cast("long").as("day"))
+        .groupBy(col("key"), col("day")).agg(count(lit(1)).as("c")),
+      refDay, decayPermille, horizonDays)
+
+  /** The weight-apply half of [[decayedEventScores]], shared so the
+    * streaming twin's readout (window-close per-(key, day) counts)
+    * scores through the SAME literal weight table: input is a
+    * (key, day, c) count relation, output (key, score_micro).
+    */
+  def decayedFromCounts(counts: DataFrame, refDay: Long,
+      decayPermille: Int, horizonDays: Int): DataFrame = {
     require(decayPermille >= 1 && decayPermille <= 999,
       s"decayPermille $decayPermille outside [1,999]")
     require(horizonDays >= 1 && horizonDays <= 4096,
       s"horizonDays $horizonDays outside [1,4096]")
-    val spark = events.sparkSession
+    val spark = counts.sparkSession
     import spark.implicits._
     val weights = decayWeightTable(decayPermille, horizonDays)
       .toDF("age", "w")
-    events.select(col(keyCol).as("key"), col(dayCol).cast("long").as("day"))
+    counts.select(col("key"), col("day").cast("long").as("day"), col("c"))
       .filter(col("day") <= refDay && col("day") > refDay - horizonDays)
-      .groupBy(col("key"), col("day")).agg(count(lit(1)).as("c"))
       .withColumn("age", lit(refDay) - col("day"))
       .join(broadcast(weights), Seq("age"))
       .groupBy(col("key"))
