@@ -1508,6 +1508,27 @@ object SparkEntry {
         e, "key", "day", refDay, decayPermille = 900, horizonDays = 60)
     }),
 
+    // Point-in-time dimension enrichment: each purchase picks the
+    // user's item-bucket SCD2 version valid AT purchase time — the
+    // scdIntervals × asOfJoin composition (intervals tile time, so the
+    // as-of pick IS the covering version; no range join).
+    "p204_point_in_time" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tus"),
+          col("event_type"), col("event_id"),
+          expr("CAST(nullif(regexp_extract(props, '[0-9]+', 0), '') AS BIGINT) % 10")
+            .as("item"))
+      graft.operators.EventOps.pointInTimeLookup(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("tus"), col("event_id").as("pid")),
+        ev.select(col("user_id"), col("tus"), col("item")),
+        "user_id", "tus", "item")
+        .select(col("pid"), col("user_id").cast("bigint").as("uid"),
+          col("tus").as("purchase_us"), col("q_value").as("item_at"),
+          col("q_tus").as("since_us"), col("q_version").as("version_at"))
+    }),
+
     // Streaming decayed scores: the p196 windowed count stream at
     // (event type, day) grain, scored through the ONE shared
     // decayedFromCounts weight table — gated under p202's oracle
@@ -5193,6 +5214,25 @@ object SparkEntry {
         |       t AS valid_from,
         |       lead(t) OVER (PARTITION BY k ORDER BY t, v) AS valid_to
         |FROM c""".stripMargin,
+
+    "p204_point_in_time" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, event_type, event_id,
+        |             TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) % 10
+        |               AS item
+        |           FROM events),
+        |o AS (SELECT k, t, min(item) AS v FROM e WHERE item IS NOT NULL
+        |      GROUP BY 1, 2),
+        |x AS (SELECT k, t, v, lag(v) OVER (PARTITION BY k ORDER BY t, v) AS pv,
+        |        row_number() OVER (PARTITION BY k ORDER BY t, v) AS rn FROM o),
+        |c AS (SELECT k, t, v FROM x WHERE rn = 1 OR v IS DISTINCT FROM pv),
+        |d AS (SELECT k, t, v,
+        |        CAST(row_number() OVER (PARTITION BY k ORDER BY t, v) AS BIGINT)
+        |          AS ver
+        |      FROM c),
+        |f AS (SELECT event_id AS pid, k, t FROM e WHERE event_type = 'purchase')
+        |SELECT f.pid, CAST(f.k AS BIGINT) AS uid, f.t AS purchase_us,
+        |       d.v AS item_at, d.t AS since_us, d.ver AS version_at
+        |FROM f ASOF LEFT JOIN d ON f.k = d.k AND f.t >= d.t""".stripMargin,
 
     "p201_corpus_cube" ->
       """WITH d AS (SELECT source, lang,

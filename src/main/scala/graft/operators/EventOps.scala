@@ -801,6 +801,31 @@ object EventOps {
         col("t").as("valid_from"), col("valid_to"))
   }
 
+  /** Point-in-time (AS OF) dimension enrichment — the standard
+    * warehouse lookup against an SCD2 history, composed from two gated
+    * lineages: the change log rolls to [[scdIntervals]] versions, and
+    * each fact row picks the version whose validity covers its
+    * timestamp via [[asOfJoin]] on (key, valid_from). Because SCD2
+    * intervals TILE time per key (valid_to = the next valid_from), the
+    * as-of pick IS the covering interval — no range join, one exchange
+    * (the asOfJoin plan). Change observations dedupe to one per
+    * (key, ts) by min(value) and NULL values are excluded (the
+    * null-composite-key rule), so the pick is deterministic. Facts
+    * before any observation null-extend. Output = fact columns +
+    * `q_`-prefixed (tsCol → valid_from, value, version).
+    */
+  def pointInTimeLookup(facts: DataFrame, changeLog: DataFrame,
+      keyCol: String, tsCol: String, valueCol: String): DataFrame = {
+    val obs = changeLog.select(col(keyCol).as("key"),
+        col(tsCol).cast("long").as("t"), col(valueCol).as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("key"), col("t")).agg(min(col("v")).as("v"))
+    val dim = scdIntervals(obs, "key", "t", "v")
+      .select(col("key").as(keyCol), col("valid_from").as(tsCol),
+        col("value"), col("version"))
+    asOfJoin(facts, dim, Seq(keyCol), tsCol)
+  }
+
   /** Hash-split experiment readout (the A/B harness over the event
     * log): each user lands in variant = hash60(user) mod `variants` —
     * the SAME deterministic md5-prefix gate the sampling family uses,

@@ -426,6 +426,27 @@ class SketchSpec extends SparkSpec {
     assert(got == Map("A" -> (2L * 1000000L + 810000L), "B" -> 656100L))
   }
 
+  test("pointInTimeLookup: facts pick the covering SCD2 version; pre-history nulls; min tie rule") {
+    // key 1: value x from t=10, y from t=30, x again from t=50;
+    // at t=20 two observations (z and a) — min picks "a" as a version
+    val log = Seq((1L, 10L, "x"), (1L, 30L, "y"), (1L, 50L, "x"),
+      (2L, 20L, "z"), (2L, 20L, "a")).toDF("k", "t", "v")
+    val facts = Seq((1L, 15L, 100L), (1L, 30L, 101L), (1L, 49L, 102L),
+      (1L, 60L, 103L), (1L, 5L, 104L), (2L, 25L, 105L))
+      .toDF("k", "t", "fid")
+    val got = EventOps.pointInTimeLookup(facts, log, "k", "t", "v")
+      .collect().map(r => r.getLong(2) -> // cols: k, t, fid, q_t, q_value, q_version
+        (Option(r.getString(4)), if (r.isNullAt(5)) -1L else r.getLong(5)))
+      .toMap
+    assert(got == Map(
+      100L -> ((Some("x"), 1L)), // inside version 1
+      101L -> ((Some("y"), 2L)), // exactly at a version start
+      102L -> ((Some("y"), 2L)), // just before the next change
+      103L -> ((Some("x"), 3L)), // the recurring value is version 3
+      104L -> ((None, -1L)),     // before any observation
+      105L -> ((Some("a"), 1L)))) // min tie rule at the duplicate ts
+  }
+
   test("topEventPaths: gap splits sessions, paths order by time, count ties rank by path") {
     // u1: A,B then (gap) C  → paths "A>B" and "C"
     // u2: A,B in one session → "A>B" again (count 2)
