@@ -1685,7 +1685,7 @@ object SparkEntry {
           case Seq(ivSt, ptSt) =>
             graft.streaming.PipelineStream.intervalJoinStream(
               ivSt, ptSt, Seq("user", "sid"), "start", "end", "tus",
-              binSize = 3600000000L, maxIntervalMicros = 90L * 86400000000L,
+              binSize = 3600000000L, maxIntervalMicros = 86400000000L,
               watermark = "2 hours")
         }
         .groupBy(col("user"), col("sid")).agg(count(lit(1)).as("n"))

@@ -241,7 +241,53 @@ object StreamBench {
       s"out-of-order streamed $oooSessions sessions, batch computes $batchSessions")
     val oooRate = events.length / oooElapsed
 
-    println(f"""{"metric":"stream_ingest","rows":$total,"sec":$elapsed%.3f,"rows_per_sec":$rate%.0f,"batches":${durs.size},"batch_ms_p50":${pct(0.5)}%.0f,"batch_ms_max":${durs.lastOption.getOrElse(0.0)}%.0f,"batch_ms_p50_est":${hist.percentile(0.5)},"batch_ms_p95_est":${hist.percentile(0.95)},"batch_ms_p99_est":${hist.percentile(0.99)},"batch_ms_mean_est":${hist.mean},"stateful_sec":$stateElapsed%.3f,"throttle_slept_ms":${throttle.map(_.sleptNanos / 1000000L).getOrElse(0L)},"stateful_rows_per_sec":$stateRate%.0f,"dedup_docs_in":$dedupIn,"dedup_docs_kept":$dedupOut,"dedup_docs_per_sec":$dedupRate%.0f,"neardup_docs_per_sec":$nearRate%.0f,"neardup_pairs":$nearPairs,"neardup_state_rows":$nearState,"session_events_per_sec":$sessRate%.0f,"sessions":$sessionsOut,"session_state_rows":$sessState,"session_ooo_events_per_sec":$oooRate%.0f,"sf":"$sfDir"}""")
+    // Streaming interval join leg (round 11): session intervals + the
+    // error feed through the NATIVE stream-stream bin join
+    // (intervalJoinStream), both feeds in time order so the declared
+    // range condition evicts state as the watermark advances. The match
+    // count is pinned to the batch interval×point join's total.
+    val ivRows = graft.operators.EventOps.sessionIntervals(
+        CellEncodings.table(spark, sfDir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("tus"),
+            col("event_type")),
+        "user_id", "tus", "event_type", gap = 1800000000L)
+      .select(col("user"), col("sid"), col("start"), col("end"))
+      .orderBy("start").as[(Long, Long, Long, Long)].collect()
+    val ptRows = CellEncodings.table(spark, sfDir, "events")
+      .filter(col("event_type") === "error")
+      .select(expr("ts div 1000").as("tus")).orderBy("tus")
+      .as[Long].collect()
+    val memI = MemoryStream[(Long, Long, Long, Long)]
+    val memP = MemoryStream[Long]
+    val ivjQ = graft.streaming.PipelineStream.intervalJoinStream(
+        memI.toDS().toDF("user", "sid", "start", "end"),
+        memP.toDS().toDF("t"), Seq("user", "sid"), "start", "end", "t",
+        binSize = 3600000000L, maxIntervalMicros = 86400000000L,
+        watermark = "2 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_streambench_ivjoin")
+      .option("checkpointLocation", s"$dir/ckpt_ivj").start()
+    val t6 = System.nanoTime()
+    val ivSlices = ivRows.grouped((ivRows.length + 4) / 5).toSeq
+    val ptSlices = ptRows.grouped((ptRows.length + 4) / 5).toSeq
+    (0 until 5).foreach { i =>
+      ivSlices.lift(i).foreach(b => memI.addData(b.toIndexedSeq))
+      ptSlices.lift(i).foreach(b => memP.addData(b.toIndexedSeq))
+      ivjQ.processAllAvailable()
+    }
+    val ivjElapsed = (System.nanoTime() - t6) / 1e9
+    val ivjState = ivjQ.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    ivjQ.stop()
+    val ivjMatches = spark.table("graft_streambench_ivjoin").count()
+    val batchMatches = graft.operators.EventOps.intervalPointCount(
+        ivRows.toSeq.toDF("user", "sid", "start", "end"), Seq("user", "sid"),
+        "start", "end", ptRows.toSeq.toDF("t"), "t", binSize = 3600000000L)
+      .agg(sum(col("n_points"))).head().getLong(0)
+    assert(ivjMatches == batchMatches,
+      s"streamed $ivjMatches interval-join matches, batch computes $batchMatches")
+    val ivjRate = (ivRows.length + ptRows.length) / ivjElapsed
+
+    println(f"""{"metric":"stream_ingest","rows":$total,"sec":$elapsed%.3f,"rows_per_sec":$rate%.0f,"batches":${durs.size},"batch_ms_p50":${pct(0.5)}%.0f,"batch_ms_max":${durs.lastOption.getOrElse(0.0)}%.0f,"batch_ms_p50_est":${hist.percentile(0.5)},"batch_ms_p95_est":${hist.percentile(0.95)},"batch_ms_p99_est":${hist.percentile(0.99)},"batch_ms_mean_est":${hist.mean},"stateful_sec":$stateElapsed%.3f,"throttle_slept_ms":${throttle.map(_.sleptNanos / 1000000L).getOrElse(0L)},"stateful_rows_per_sec":$stateRate%.0f,"dedup_docs_in":$dedupIn,"dedup_docs_kept":$dedupOut,"dedup_docs_per_sec":$dedupRate%.0f,"neardup_docs_per_sec":$nearRate%.0f,"neardup_pairs":$nearPairs,"neardup_state_rows":$nearState,"session_events_per_sec":$sessRate%.0f,"sessions":$sessionsOut,"session_state_rows":$sessState,"session_ooo_events_per_sec":$oooRate%.0f,"ivjoin_rows_per_sec":$ivjRate%.0f,"ivjoin_matches":$ivjMatches,"ivjoin_state_rows":$ivjState,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
