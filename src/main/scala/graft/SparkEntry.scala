@@ -1508,6 +1508,19 @@ object SparkEntry {
         e, "key", "day", refDay, decayPermille = 900, horizonDays = 60)
     }),
 
+    // Per-day chi-square drift of the event-type mix vs the pooled
+    // distribution — the classic homogeneity statistic in exact
+    // micro-units, completing the drift family (KS, TV, CUSUM,
+    // Theil–Sen, CMS-L1 + χ²).
+    "p205_chi_square_drift" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Sketches.chiSquareDrift(
+        table(s, dir, "events")
+          .select(expr("ts div 1000 div 86400000000").as("day"),
+            col("event_type")),
+        "day", "event_type")
+    }),
+
     // Point-in-time dimension enrichment: each purchase picks the
     // user's item-bucket SCD2 version valid AT purchase time — the
     // scdIntervals × asOfJoin composition (intervals tile time, so the
@@ -5214,6 +5227,25 @@ object SparkEntry {
         |       t AS valid_from,
         |       lead(t) OVER (PARTITION BY k ORDER BY t, v) AS valid_to
         |FROM c""".stripMargin,
+
+    "p205_chi_square_drift" ->
+      """WITH o AS (SELECT epoch_us(ts) // 86400000000 AS bucket,
+        |             event_type AS cat, count(*) AS o
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT bucket, CAST(sum(o) AS HUGEINT) AS r FROM o GROUP BY 1),
+        |c AS (SELECT cat, CAST(sum(o) AS HUGEINT) AS c FROM o GROUP BY 1),
+        |n AS (SELECT CAST(sum(o) AS HUGEINT) AS nn FROM o),
+        |cell AS (SELECT r.bucket, c.cat, r.r, c.c,
+        |           CAST(coalesce(o.o, 0) AS HUGEINT) AS o
+        |         FROM r CROSS JOIN c
+        |         LEFT JOIN o ON o.bucket = r.bucket AND o.cat = c.cat),
+        |t AS (SELECT bucket, o,
+        |        1000000 * (o * nn - r * c) * (o * nn - r * c)
+        |          // (nn * r * c) AS term
+        |      FROM cell CROSS JOIN n)
+        |SELECT bucket, CAST(sum(o) AS BIGINT) AS n,
+        |       CAST(sum(term) AS BIGINT) AS chi2_micro
+        |FROM t GROUP BY 1""".stripMargin,
 
     "p204_point_in_time" ->
       """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, event_type, event_id,

@@ -581,6 +581,52 @@ object Sketches {
     * (full-outer). Returns (grp_a, grp_b, cat, n_a, n_b, dev_scaled,
     * tv_permille), grp_a < grp_b.
     */
+  /** Per-bucket chi-square drift — the classic homogeneity statistic
+    * over the (bucket × category) contingency table, EXACT integers:
+    * each cell contributes 1e6·(o·N − r·c)² div (N·r·c) (the expected
+    * count e = r·c/N cleared of its fraction), rolled up per bucket so
+    * Σ over buckets is the full-table χ²·1e6. Products run in
+    * DECIMAL(38,0); (o·N − r·c)² caps the validity at N ≤ 3e9 rows per
+    * table (loud guard) — one contingency table per drift window, so
+    * the bound is per-window, not per-corpus. Joins: cell counts ×
+    * bucket totals (co-keyed) × a category-count broadcast × the N
+    * scalar — contingency-sized, never corpus-sized. Returns
+    * (bucket, n, chi2_micro); the caller compares buckets or sums for
+    * the table statistic (df = (buckets−1)·(cats−1)).
+    */
+  def chiSquareDrift(df: DataFrame, bucketCol: String,
+      catCol: String): DataFrame = {
+    val o = df.groupBy(col(bucketCol).cast("long").as("bucket"),
+        col(catCol).as("cat"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(false) // cells, bucket totals, cat totals, N
+    val r = o.groupBy(col("bucket")).agg(sum(col("o")).as("r"))
+    val c = o.groupBy(col("cat")).agg(sum(col("o")).as("c"))
+    val n = o.agg(sum(col("o")).cast("decimal(38,0)").as("nn"))
+      .filter(expr(
+        "assert_true(nn <= CAST(3000000000 AS DECIMAL(38,0)), " +
+          "'chiSquareDrift: table exceeds 3e9 rows; cell terms would " +
+          "overflow DECIMAL(38,0)') IS NULL"))
+    // COMPLETE the table before scoring: a category absent from a
+    // bucket is an o=0 cell contributing (0−e)²/e = e — dropping it
+    // (the naive observed-cells-only join) silently undercounts χ²
+    // exactly where drift is strongest (spec-caught: the full-flip
+    // table scored half its true statistic)
+    val cells = r.select(col("bucket"), col("r"))
+      .crossJoin(broadcast(c))
+      .join(o, Seq("bucket", "cat"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    cells.crossJoin(broadcast(n))
+      .withColumn("term", expr(
+        "CAST(1000000 AS DECIMAL(38,0)) * " +
+          "(CAST(o AS DECIMAL(38,0)) * nn - CAST(r AS DECIMAL(38,0)) * c) * " +
+          "(CAST(o AS DECIMAL(38,0)) * nn - CAST(r AS DECIMAL(38,0)) * c) " +
+          "DIV (nn * r * c)"))
+      .groupBy(col("bucket"))
+      .agg(min(col("r")).as("n"), // the bucket total rides every cell row
+        sum(col("term")).cast("long").as("chi2_micro"))
+  }
+
   def tvDriftMatrix(df: DataFrame, catCol: String,
       groupCol: String): DataFrame = {
     val h = df.groupBy(col(groupCol).as("g"), col(catCol).as("cat"))

@@ -392,6 +392,24 @@ class SketchSpec extends SparkSpec {
     assert(rows(0L)._4 == 1000L)
   }
 
+  test("chiSquareDrift: uniform table is zero; full flip gives chi2 = N; exact micro terms") {
+    import graft.pipeline.Sketches
+    // uniform 2x2: expected == observed everywhere → 0
+    val uni = (Seq.fill(10)((1L, "a")) ++ Seq.fill(10)((1L, "b")) ++
+      Seq.fill(10)((2L, "a")) ++ Seq.fill(10)((2L, "b"))).toDF("b", "cat")
+    val g0 = Sketches.chiSquareDrift(uni, "b", "cat")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(g0 == Map(1L -> ((20L, 0L)), 2L -> ((20L, 0L))))
+    // complete flip [[20,0],[0,20]]: chi2 == N == 40, split evenly —
+    // each cell contributes 1e6·(o·N−r·c)²/(N·r·c) = 10e6 exactly
+    val flip = (Seq.fill(20)((1L, "a")) ++ Seq.fill(20)((2L, "b")))
+      .toDF("b", "cat")
+    val g1 = Sketches.chiSquareDrift(flip, "b", "cat")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(g1 == Map(1L -> ((20L, 20000000L)), 2L -> ((20L, 20000000L))))
+    assert(g1.values.map(_._2).sum == 40L * 1000000L) // Σ buckets = χ²·1e6 = N·1e6
+  }
+
   test("corpusCube: subtotal planes conserve the grand total; <all> labels") {
     import graft.pipeline.TextAnalysis
     val docs = Seq(
