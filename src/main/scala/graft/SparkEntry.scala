@@ -1696,9 +1696,14 @@ object SparkEntry {
           ("in_e", errors,
             (p: String, df: DataFrame) => writeTimeOrderedFeed(s, p, df, "tus")))) {
           case Seq(ivSt, ptSt) =>
+            // 7-day interval bound: generous headroom over the ~1.1 h
+            // max gap-rule session (a continuously-active bot could
+            // chain longer — the bound must fit the OPERATOR contract,
+            // not the current dataset) while still ≪ the 30-day span,
+            // so state eviction stays demonstrable on the bench leg
             graft.streaming.PipelineStream.intervalJoinStream(
               ivSt, ptSt, Seq("user", "sid"), "start", "end", "tus",
-              binSize = 3600000000L, maxIntervalMicros = 86400000000L,
+              binSize = 3600000000L, maxIntervalMicros = 7L * 86400000000L,
               watermark = "2 hours")
         }
         .groupBy(col("user"), col("sid")).agg(count(lit(1)).as("n"))

@@ -262,14 +262,17 @@ object StreamBench {
     val ivjQ = graft.streaming.PipelineStream.intervalJoinStream(
         memI.toDS().toDF("user", "sid", "start", "end"),
         memP.toDS().toDF("t"), Seq("user", "sid"), "start", "end", "t",
-        binSize = 3600000000L, maxIntervalMicros = 86400000000L,
+        binSize = 3600000000L, maxIntervalMicros = 7L * 86400000000L,
         watermark = "2 hours")
       .writeStream.outputMode("append").format("memory")
       .queryName("graft_streambench_ivjoin")
       .option("checkpointLocation", s"$dir/ckpt_ivj").start()
     val t6 = System.nanoTime()
-    val ivSlices = ivRows.grouped((ivRows.length + 4) / 5).toSeq
-    val ptSlices = ptRows.grouped((ptRows.length + 4) / 5).toSeq
+    // max(1, …): grouped(0) throws on an empty feed (a dataset with no
+    // error events must degrade to a zero-match leg, not kill the bench
+    // before its single JSON line prints)
+    val ivSlices = ivRows.grouped(math.max(1, (ivRows.length + 4) / 5)).toSeq
+    val ptSlices = ptRows.grouped(math.max(1, (ptRows.length + 4) / 5)).toSeq
     (0 until 5).foreach { i =>
       ivSlices.lift(i).foreach(b => memI.addData(b.toIndexedSeq))
       ptSlices.lift(i).foreach(b => memP.addData(b.toIndexedSeq))
@@ -282,7 +285,7 @@ object StreamBench {
     val batchMatches = graft.operators.EventOps.intervalPointCount(
         ivRows.toSeq.toDF("user", "sid", "start", "end"), Seq("user", "sid"),
         "start", "end", ptRows.toSeq.toDF("t"), "t", binSize = 3600000000L)
-      .agg(sum(col("n_points"))).head().getLong(0)
+      .agg(coalesce(sum(col("n_points")), lit(0L))).head().getLong(0)
     assert(ivjMatches == batchMatches,
       s"streamed $ivjMatches interval-join matches, batch computes $batchMatches")
     val ivjRate = (ivRows.length + ptRows.length) / ivjElapsed

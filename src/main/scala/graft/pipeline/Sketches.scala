@@ -586,9 +586,11 @@ object Sketches {
     * each cell contributes 1e6·(o·N − r·c)² div (N·r·c) (the expected
     * count e = r·c/N cleared of its fraction), rolled up per bucket so
     * Σ over buckets is the full-table χ²·1e6. Products run in
-    * DECIMAL(38,0); (o·N − r·c)² caps the validity at N ≤ 3e9 rows per
-    * table (loud guard) — one contingency table per drift window, so
-    * the bound is per-window, not per-corpus. Joins: cell counts ×
+    * DECIMAL(38,0); the 1e6·(o·N − r·c)² intermediate (|o·N − r·c| can
+    * reach N²) caps the validity at N ≤ 1e8 rows per table (loud
+    * guard) — one contingency table per drift window, so the bound is
+    * per-window, not per-corpus; wider windows shard by time first.
+    * Joins: cell counts ×
     * bucket totals (co-keyed) × a category-count broadcast × the N
     * scalar — contingency-sized, never corpus-sized. Returns
     * (bucket, n, chi2_micro); the caller compares buckets or sums for
@@ -602,10 +604,17 @@ object Sketches {
       .localCheckpoint(false) // cells, bucket totals, cat totals, N
     val r = o.groupBy(col("bucket")).agg(sum(col("o")).as("r"))
     val c = o.groupBy(col("cat")).agg(sum(col("o")).as("c"))
-    val n = o.agg(sum(col("o")).cast("decimal(38,0)").as("nn"))
+    // coalesce: an empty window must yield an empty frame, not a NULL
+    // tripping the guard with a misleading overflow message. Bound:
+    // 1e6·(o·N−r·c)² with |o·N−r·c| ≤ N² needs 1e6·N⁴ ≤ 1e38 ⇒ N ≤ 1e8
+    // (the first 3e9 bound forgot the 1e6 scale and the square of the
+    // FULL residual — Spark would silently NULL overflowed cell terms
+    // and sum() would skip them, understating χ² under strong drift).
+    val n = o.agg(coalesce(sum(col("o")), lit(0L))
+        .cast("decimal(38,0)").as("nn"))
       .filter(expr(
-        "assert_true(nn <= CAST(3000000000 AS DECIMAL(38,0)), " +
-          "'chiSquareDrift: table exceeds 3e9 rows; cell terms would " +
+        "assert_true(nn <= CAST(100000000 AS DECIMAL(38,0)), " +
+          "'chiSquareDrift: table exceeds 1e8 rows; cell terms would " +
           "overflow DECIMAL(38,0)') IS NULL"))
     // COMPLETE the table before scoring: a category absent from a
     // bucket is an o=0 cell contributing (0−e)²/e = e — dropping it
