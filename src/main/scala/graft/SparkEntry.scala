@@ -1521,6 +1521,35 @@ object SparkEntry {
         "day", "event_type")
     }),
 
+    // Streaming chi-square drift: the SAME (type, day) windowed count
+    // stream as p203, scored through the ONE shared completed-table
+    // chi-square arithmetic — gated under p205's oracle (shared val).
+    "p206_stream_chi_square" -> ((s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val ev = table(s, dir, "events")
+        .select(col("event_type").as("key"), expr("ts div 1000").as("tus"))
+      val bounds = ev.agg(min(col("tus")), max(col("tus"))).head()
+      val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
+      val dayUs = 86400000000L
+      val delayUs = (maxUs - minUs) + dayUs
+      val counts = runStream(s, "p206", dir, ev, 3, prepareIn = { in =>
+        pinNewFiles(s, in, MtSentinel2, MtReal)
+        Seq(("__sentinel", maxUs + delayUs + dayUs)).toDF("key", "tus")
+          .coalesce(1).write.mode("append").parquet(in)
+        pinNewFiles(s, in, MtSentinel2, MtSentinel1)
+        Seq(("__sentinel", maxUs + 2L * (delayUs + dayUs))).toDF("key", "tus")
+          .coalesce(1).write.mode("append").parquet(in)
+        pinNewFiles(s, in, MtSentinel2, MtSentinel2)
+      })(st => graft.streaming.PipelineStream.bucketCountStream(
+        st, "key", "tus", windowMicros = dayUs,
+        watermark = s"$delayUs microseconds"))
+        .filter(col("item") =!= "__sentinel")
+      graft.pipeline.Sketches.chiSquareFromCounts(
+        counts.select(col("bucket"), col("item").as("cat"),
+          col("n").as("o")))
+    }),
+
     // Point-in-time dimension enrichment: each purchase picks the
     // user's item-bucket SCD2 version valid AT purchase time — the
     // scdIntervals × asOfJoin composition (intervals tile time, so the
@@ -3742,6 +3771,31 @@ object SparkEntry {
       |UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
       |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)""".stripMargin
 
+  /** Shared DuckDB lineage for the per-day chi-square drift — p205
+    * gates the batch statistic, p206 its streaming twin (window-close
+    * (day, type) counts are arrival-order-insensitive; the readout
+    * scores through the ONE shared chiSquareFromCounts completed-table
+    * arithmetic), so ONE oracle gates both.
+    */
+  private lazy val chiSquareOracleSql: String =
+    """WITH o AS (SELECT epoch_us(ts) // 86400000000 AS bucket,
+      |             event_type AS cat, count(*) AS o
+      |           FROM events GROUP BY 1, 2),
+      |r AS (SELECT bucket, CAST(sum(o) AS HUGEINT) AS r FROM o GROUP BY 1),
+      |c AS (SELECT cat, CAST(sum(o) AS HUGEINT) AS c FROM o GROUP BY 1),
+      |n AS (SELECT CAST(sum(o) AS HUGEINT) AS nn FROM o),
+      |cell AS (SELECT r.bucket, c.cat, r.r, c.c,
+      |           CAST(coalesce(o.o, 0) AS HUGEINT) AS o
+      |         FROM r CROSS JOIN c
+      |         LEFT JOIN o ON o.bucket = r.bucket AND o.cat = c.cat),
+      |t AS (SELECT bucket, o,
+      |        1000000 * (o * nn - r * c) * (o * nn - r * c)
+      |          // (nn * r * c) AS term
+      |      FROM cell CROSS JOIN n)
+      |SELECT bucket, CAST(sum(o) AS BIGINT) AS n,
+      |       CAST(sum(term) AS BIGINT) AS chi2_micro
+      |FROM t GROUP BY 1""".stripMargin
+
   /** Shared DuckDB lineage for the recency-decayed activity scores —
     * p202 gates the batch rollup, p203 its streaming twin (window-close
     * per-(key, day) counts are arrival-order-insensitive; the readout
@@ -5233,24 +5287,9 @@ object SparkEntry {
         |       lead(t) OVER (PARTITION BY k ORDER BY t, v) AS valid_to
         |FROM c""".stripMargin,
 
-    "p205_chi_square_drift" ->
-      """WITH o AS (SELECT epoch_us(ts) // 86400000000 AS bucket,
-        |             event_type AS cat, count(*) AS o
-        |           FROM events GROUP BY 1, 2),
-        |r AS (SELECT bucket, CAST(sum(o) AS HUGEINT) AS r FROM o GROUP BY 1),
-        |c AS (SELECT cat, CAST(sum(o) AS HUGEINT) AS c FROM o GROUP BY 1),
-        |n AS (SELECT CAST(sum(o) AS HUGEINT) AS nn FROM o),
-        |cell AS (SELECT r.bucket, c.cat, r.r, c.c,
-        |           CAST(coalesce(o.o, 0) AS HUGEINT) AS o
-        |         FROM r CROSS JOIN c
-        |         LEFT JOIN o ON o.bucket = r.bucket AND o.cat = c.cat),
-        |t AS (SELECT bucket, o,
-        |        1000000 * (o * nn - r * c) * (o * nn - r * c)
-        |          // (nn * r * c) AS term
-        |      FROM cell CROSS JOIN n)
-        |SELECT bucket, CAST(sum(o) AS BIGINT) AS n,
-        |       CAST(sum(term) AS BIGINT) AS chi2_micro
-        |FROM t GROUP BY 1""".stripMargin,
+    "p205_chi_square_drift" -> chiSquareOracleSql,
+
+    "p206_stream_chi_square" -> chiSquareOracleSql,
 
     "p204_point_in_time" ->
       """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, event_type, event_id,

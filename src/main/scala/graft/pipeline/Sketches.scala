@@ -597,10 +597,20 @@ object Sketches {
     * the table statistic (df = (buckets−1)·(cats−1)).
     */
   def chiSquareDrift(df: DataFrame, bucketCol: String,
-      catCol: String): DataFrame = {
-    val o = df.groupBy(col(bucketCol).cast("long").as("bucket"),
-        col(catCol).as("cat"))
-      .agg(count(lit(1)).as("o"))
+      catCol: String): DataFrame =
+    chiSquareFromCounts(
+      df.groupBy(col(bucketCol).cast("long").as("bucket"),
+          col(catCol).as("cat"))
+        .agg(count(lit(1)).as("o")))
+
+  /** The scoring half of [[chiSquareDrift]], shared so the streaming
+    * twin (window-close per-(bucket, cat) counts) scores through the
+    * SAME completed-table arithmetic: input is a (bucket, cat, o)
+    * count relation, output (bucket, n, chi2_micro).
+    */
+  def chiSquareFromCounts(counts: DataFrame): DataFrame = {
+    val o = counts.select(col("bucket").cast("long").as("bucket"),
+        col("cat"), col("o"))
       .localCheckpoint(false) // cells, bucket totals, cat totals, N
     val r = o.groupBy(col("bucket")).agg(sum(col("o")).as("r"))
     val c = o.groupBy(col("cat")).agg(sum(col("o")).as("c"))
