@@ -1521,6 +1521,18 @@ object SparkEntry {
         "day", "event_type")
     }),
 
+    // Day-over-day quantile shift of the value distribution (cents):
+    // q50/q90 per day from ONE histogram pass + consecutive-day |Δq| —
+    // the p90-creep monitor the mean hides.
+    "p207_quantile_shift" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Sketches.quantileShift(
+        table(s, dir, "events")
+          .select(expr("ts div 1000 div 86400000000").as("day"),
+            round(col("value") * 100).cast("long").as("cents")),
+        "cents", "day", pcts = Seq(50, 90))
+    }),
+
     // Streaming chi-square drift: the SAME (type, day) windowed count
     // stream as p203, scored through the ONE shared completed-table
     // chi-square arithmetic — gated under p205's oracle (shared val).
@@ -5290,6 +5302,25 @@ object SparkEntry {
     "p205_chi_square_drift" -> chiSquareOracleSql,
 
     "p206_stream_chi_square" -> chiSquareOracleSql,
+
+    "p207_quantile_shift" ->
+      """WITH h AS (SELECT epoch_us(ts) // 86400000000 AS grp,
+        |             CAST(round(value * 100) AS BIGINT) AS v, count(*) AS c
+        |           FROM events GROUP BY 1, 2),
+        |q AS (SELECT grp, v,
+        |        sum(c) OVER (PARTITION BY grp ORDER BY v
+        |                     ROWS UNBOUNDED PRECEDING) AS cum,
+        |        sum(c) OVER (PARTITION BY grp) AS n
+        |      FROM h),
+        |q50 AS (SELECT grp, min(v) AS q50 FROM q
+        |        WHERE cum * 100 >= n * 50 GROUP BY 1),
+        |q90 AS (SELECT grp, min(v) AS q90 FROM q
+        |        WHERE cum * 100 >= n * 90 GROUP BY 1),
+        |j AS (SELECT q50.grp, q50.q50, q90.q90 FROM q50 JOIN q90 USING (grp))
+        |SELECT grp AS bucket, q50,
+        |       abs(q50 - lag(q50) OVER (ORDER BY grp)) AS d_q50,
+        |       q90, abs(q90 - lag(q90) OVER (ORDER BY grp)) AS d_q90
+        |FROM j""".stripMargin,
 
     "p204_point_in_time" ->
       """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, event_type, event_id,

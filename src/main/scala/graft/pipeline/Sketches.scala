@@ -696,6 +696,28 @@ object Sketches {
     * this instead of repeated [[groupedQuantile]] calls, which would
     * re-aggregate the input per pct.
     */
+  /** Day-over-day quantile-shift monitor — [[groupedQuantiles]] per
+    * time bucket plus the consecutive-bucket |Δq| for each percentile:
+    * the distribution-shift readout that catches a value distribution
+    * drifting at specific quantiles (a p90 creep the mean hides). One
+    * histogram pass (shared with groupedQuantiles), then a lag window
+    * over the BUCKET rows only — metrics space, bounded by days, so the
+    * single-partition ordering is fine at any corpus size. The first
+    * bucket's deltas are NULL (no predecessor). Returns
+    * (bucket, q<p>…, d_q<p>…).
+    */
+  def quantileShift(df: DataFrame, valueCol: String, bucketCol: String,
+      pcts: Seq[Int]): DataFrame = {
+    val q = groupedQuantiles(
+      df.select(col(valueCol), col(bucketCol).cast("long").as("__bk")),
+      valueCol, "__bk", pcts)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("grp"))
+    pcts.foldLeft(q) { (acc, p) =>
+      acc.withColumn(s"d_q$p", abs(col(s"q$p") - lag(col(s"q$p"), 1).over(w)))
+    }.select(col("grp").as("bucket") +:
+      pcts.flatMap(p => Seq(col(s"q$p"), col(s"d_q$p"))): _*)
+  }
+
   def groupedQuantiles(df: DataFrame, valueCol: String, groupCol: String,
       pcts: Seq[Int]): DataFrame = {
     require(pcts.nonEmpty && pcts == pcts.distinct,

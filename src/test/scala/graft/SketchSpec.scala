@@ -392,6 +392,19 @@ class SketchSpec extends SparkSpec {
     assert(rows(0L)._4 == 1000L)
   }
 
+  test("quantileShift: exact per-bucket quantiles, consecutive deltas, first bucket null") {
+    import graft.pipeline.Sketches
+    // day 1: 1..10 (q50 = 5, q90 = 9); day 2: 11..20 (+10 shift each)
+    val rows = ((1L to 10L).map((1L, _)) ++ (11L to 20L).map((2L, _)))
+      .toDF("day", "v")
+    val got = Sketches.quantileShift(rows, "v", "day", Seq(50, 90))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(got == Map(1L -> ((5L, -1L, 9L, -1L)),
+      2L -> ((15L, 10L, 19L, 10L))))
+  }
+
   test("chiSquareDrift: uniform table is zero; full flip gives chi2 = N; exact micro terms") {
     import graft.pipeline.Sketches
     // uniform 2x2: expected == observed everywhere → 0
