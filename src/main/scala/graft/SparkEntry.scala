@@ -1475,6 +1475,25 @@ object SparkEntry {
         "user_id", "tus", "event_type")
     }),
 
+    // Streaming SCD2: the per-key change-detector state machine on the
+    // time-ordered feed; valid_to derives from the emitted version rows
+    // (version-ordered lead at version grain). Gated under the SAME
+    // oracle as p198 (shared SQL val).
+    "p208_stream_scd" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val ev = table(s, dir, "events")
+        .select(col("user_id").cast("long").as("k"),
+          expr("ts div 1000").as("ts"), col("event_type").as("v"))
+      val changes = runStream(s, "p208", dir, ev, 1,
+        writeFeed = Some((in, df) => writeTimeOrderedFeed(s, in, df, "ts")))(
+        st => graft.streaming.PipelineStream.scdStream(st))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key")).orderBy(col("version"))
+      changes.withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .select(col("key"), col("value"), col("version"),
+          col("valid_from"), col("valid_to"))
+    }),
+
     // A/B experiment readout: md5-prefix hash split (the sampling
     // family's deterministic gate), per-variant distinct converters,
     // exact conv/lift permille.
@@ -3783,6 +3802,26 @@ object SparkEntry {
       |UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
       |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)""".stripMargin
 
+  /** Shared DuckDB lineage for the SCD2 dimension history — p198 gates
+    * the batch window build, p208 its per-key state-machine streaming
+    * twin (on the time-ordered feed, change-on-arrival ≡ the lag-based
+    * change detection; valid_to/version derive from the emitted change
+    * rows), so ONE oracle gates both.
+    */
+  private lazy val scdIntervalsOracleSql: String =
+    """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, event_type AS v
+      |           FROM events),
+      |x AS (SELECT k, t, v, lag(v) OVER (PARTITION BY k ORDER BY t, v) AS pv,
+      |        row_number() OVER (PARTITION BY k ORDER BY t, v) AS rn
+      |      FROM e),
+      |c AS (SELECT k, t, v FROM x WHERE rn = 1 OR v IS DISTINCT FROM pv)
+      |SELECT k AS key, v AS value,
+      |       CAST(row_number() OVER (PARTITION BY k ORDER BY t, v) AS BIGINT)
+      |         AS version,
+      |       t AS valid_from,
+      |       lead(t) OVER (PARTITION BY k ORDER BY t, v) AS valid_to
+      |FROM c""".stripMargin
+
   /** Shared DuckDB lineage for the per-day chi-square drift — p205
     * gates the batch statistic, p206 its streaming twin (window-close
     * (day, type) counts are arrival-order-insensitive; the readout
@@ -5285,19 +5324,9 @@ object SparkEntry {
         |        JOIN it ib ON ib.et = pr.con
         |CROSS JOIN nn""".stripMargin,
 
-    "p198_scd_intervals" ->
-      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, event_type AS v
-        |           FROM events),
-        |x AS (SELECT k, t, v, lag(v) OVER (PARTITION BY k ORDER BY t, v) AS pv,
-        |        row_number() OVER (PARTITION BY k ORDER BY t, v) AS rn
-        |      FROM e),
-        |c AS (SELECT k, t, v FROM x WHERE rn = 1 OR v IS DISTINCT FROM pv)
-        |SELECT k AS key, v AS value,
-        |       CAST(row_number() OVER (PARTITION BY k ORDER BY t, v) AS BIGINT)
-        |         AS version,
-        |       t AS valid_from,
-        |       lead(t) OVER (PARTITION BY k ORDER BY t, v) AS valid_to
-        |FROM c""".stripMargin,
+    "p198_scd_intervals" -> scdIntervalsOracleSql,
+
+    "p208_stream_scd" -> scdIntervalsOracleSql,
 
     "p205_chi_square_drift" -> chiSquareOracleSql,
 

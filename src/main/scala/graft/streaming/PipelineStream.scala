@@ -660,6 +660,47 @@ object PipelineStream {
 
   case class FunnelAdvance(user: Long, stage_idx: Long, t: Long)
 
+  case class ScdChange(key: Long, value: String, version: Long,
+    valid_from: Long)
+
+  /** Streaming SCD2 change detector — the per-key state-machine twin of
+    * [[graft.operators.EventOps.scdIntervals]]: state is (last value,
+    * version counter) per key; an arriving observation emits a new
+    * version row iff its value differs null-safely from the last. On
+    * the time-ordered feed (the p179 contract) change-on-arrival ≡ the
+    * batch lag-based change detection, including the (t, value
+    * nulls-last) intra-batch tie repair — so the batch oracle gates the
+    * stream, with `valid_to` derived from the emitted rows by a
+    * version-ordered lead at readout (version-grain, not event-grain).
+    * State is two fields per key — bounded by key population.
+    */
+  def scdStream(changes: DataFrame): DataFrame = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    changes.select(col("k").cast("long"), col("ts").cast("long"),
+        col("v").cast("string"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Boolean, String, Long), ScdChange](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (k, rows, state) =>
+          var (has, last, ver) = state.getOption
+            .getOrElse((false, null: String, 0L))
+          val out = Vector.newBuilder[ScdChange]
+          rows.toSeq
+            .sortBy { case (_, t, v) => (t, v == null, Option(v).getOrElse("")) }
+            .foreach { case (_, t, v) =>
+              if (!has || !java.util.Objects.equals(v, last)) {
+                ver += 1; has = true; last = v
+                out += ScdChange(k, v, ver, t)
+              }
+            }
+          state.update((has, last, ver))
+          out.result().iterator
+      }
+      .toDF()
+  }
+
   /** Streaming funnel — the per-user STAGE STATE MACHINE face of
     * [[graft.operators.EventOps.funnel]]: each user's state is (stages
     * completed, last stage time); an arriving event advances the state

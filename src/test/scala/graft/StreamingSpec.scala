@@ -688,6 +688,42 @@ class StreamingSpec extends SparkSpec {
     assert(batch.forall { case (k, v) => got(k) == v })
   }
 
+  test("scdStream: intra-batch disorder repaired; null-safe changes; versions equal batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val out = graft.streaming.PipelineStream.scdStream(
+      mem.toDS().toDF("k", "ts", "v"))
+    val q = out.writeStream.format("memory").queryName("sscd")
+      .outputMode("append").start()
+    try {
+      // batch 1 SHUFFLED within the batch: x@20 before x@10 — the sort
+      // must collapse them into ONE version starting at 10; u2 opens
+      // with a NULL value (kept as version 1)
+      mem.addData((1L, 20L, "x"), (1L, 10L, "x"), (2L, 10L, null))
+      q.processAllAvailable()
+      // batch 2 (later event times): u1 changes to y then BACK to x
+      // (recurring value = new version); u2 null→z is a change
+      mem.addData((1L, 30L, "y"), (1L, 50L, "x"), (2L, 30L, "z"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sscd").collect()
+      .map(r => (r.getLong(0), r.getLong(2)) ->
+        (Option(r.getString(1)), r.getLong(3))).toMap
+    assert(got == Map(
+      (1L, 1L) -> ((Some("x"), 10L)), (1L, 2L) -> ((Some("y"), 30L)),
+      (1L, 3L) -> ((Some("x"), 50L)),
+      (2L, 1L) -> ((None, 10L)), (2L, 2L) -> ((Some("z"), 30L))))
+    // change rows equal the batch operator's on the union
+    val batch = graft.operators.EventOps.scdIntervals(
+      Seq((1L, 20L, "x"), (1L, 10L, "x"), (2L, 10L, null: String),
+        (1L, 30L, "y"), (1L, 50L, "x"), (2L, 30L, "z")).toDF("k", "t", "v"),
+      "k", "t", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(2)) ->
+        (Option(r.getString(1)), r.getLong(3))).toMap
+    assert(batch == got)
+  }
+
   test("bucketCountStream: window-close counts on adversarial slicing rank to the batch heavy hitters") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
