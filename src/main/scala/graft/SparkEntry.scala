@@ -1475,6 +1475,18 @@ object SparkEntry {
         "user_id", "tus", "event_type")
     }),
 
+    // CUPED variance-reduced A/B: θ micro-quantized first, then pure
+    // integer truncated divisions — the covariate-adjusted conversion
+    // next to the raw p199 readout.
+    "p209_ab_cuped" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.operators.EventOps.abReadoutCuped(
+        table(s, dir, "events")
+          .select(col("user_id"), col("event_type")),
+        "user_id", "event_type", goalType = "purchase",
+        covariateType = "view", variants = 2)
+    }),
+
     // Streaming SCD2: the per-key change-detector state machine on the
     // time-ordered feed; valid_to derives from the emitted version rows
     // (version-ordered lead at version grain). Gated under the SAME
@@ -5397,6 +5409,37 @@ object SparkEntry {
         |s4 AS (SELECT *, (x3 | (x3 << 1)) & 1431655765 AS x4,
         |               (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3)
         |SELECT event_id, a, b, x4 | (y4 << 1) AS zkey FROM s4""".stripMargin,
+
+    "p209_ab_cuped" ->
+      s"""WITH u AS (SELECT user_id AS k,
+        |             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |               AS y,
+        |             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |               AS BIGINT) AS x
+        |           FROM events GROUP BY 1),
+        |v AS (SELECT ${hash60Sql("CAST(k AS VARCHAR)")} % 2 AS variant, y, x
+        |      FROM u),
+        |p AS (SELECT CAST(count(*) AS HUGEINT) AS nn,
+        |        CAST(sum(x) AS HUGEINT) AS sx,
+        |        CAST(sum(y) AS HUGEINT) AS sy,
+        |        CAST(sum(x * y) AS HUGEINT) AS sxy,
+        |        CAST(sum(x * x) AS HUGEINT) AS sxx
+        |      FROM v),
+        |th AS (SELECT coalesce(CAST((nn * sxy - sx * sy) * 1000000
+        |                // nullif(nn * sxx - sx * sx, 0) AS BIGINT), 0)
+        |         AS theta_micro, nn, sx FROM p),
+        |g AS (SELECT variant, CAST(count(*) AS HUGEINT) AS nv,
+        |        CAST(sum(y) AS HUGEINT) AS syv,
+        |        CAST(sum(x) AS HUGEINT) AS sxv
+        |      FROM v GROUP BY 1)
+        |SELECT g.variant, CAST(nv AS BIGINT) AS n_users,
+        |       CAST(syv AS BIGINT) AS sum_y, CAST(sxv AS BIGINT) AS sum_x,
+        |       th.theta_micro,
+        |       CAST(syv * 1000000 // nv AS BIGINT) AS raw_micro,
+        |       CAST(syv * 1000000 // nv
+        |            - theta_micro * (nn * sxv - nv * sx) // (nv * nn)
+        |            AS BIGINT) AS adj_micro
+        |FROM g CROSS JOIN th""".stripMargin,
 
     "p199_ab_readout" ->
       s"""WITH u AS (SELECT user_id AS k,

@@ -801,6 +801,58 @@ object EventOps {
         col("t").as("valid_from"), col("valid_to"))
   }
 
+  /** CUPED variance-reduced [[abReadout]] — the covariate-adjusted
+    * experiment metric, engine-portable because the one genuinely
+    * fractional quantity (θ = Cov(Y,X)/Var(X)) is micro-quantized
+    * FIRST and everything else is integer arithmetic:
+    *   θ_micro = (N·Σxy − Σx·Σy)·1e6 div (N·Σx² − (Σx)²)
+    *   adj_micro(v) = 1e6·Σy_v div n_v
+    *                  − θ_micro·(N·Σx_v − n_v·Σx) div (n_v·N)
+    * (the classic Ŷ − θ·(X − X̄) per variant, both divisions truncating
+    * identically on both engines, negatives included). Y = converted
+    * (0/1 on `goalType`), X = the user's `covariateType` event count —
+    * the pre-period activity that soaks up between-user variance.
+    * Zero-variance X degenerates to the raw metric (θ = 0 via
+    * nullif/coalesce — not a crash, and never an engine-divergent x/0).
+    * Products run in DECIMAL(38,0)/HUGEINT. Returns
+    * (variant, n_users, sum_y, sum_x, theta_micro, raw_micro,
+    * adj_micro).
+    */
+  def abReadoutCuped(events: DataFrame, userCol: String, typeCol: String,
+      goalType: String, covariateType: String,
+      variants: Int = 2): DataFrame = {
+    require(variants >= 2, s"variants $variants must be >= 2")
+    val perUser = events.select(col(userCol).as("k"), col(typeCol).as("et"))
+      .groupBy(col("k"))
+      .agg(max(when(col("et") === goalType, 1L).otherwise(0L)).as("y"),
+        sum(when(col("et") === covariateType, 1L).otherwise(0L)).as("x"))
+      .withColumn("variant",
+        pmod(graft.pipeline.TextAnalysis.hash60(col("k")), lit(variants)))
+      .localCheckpoint(false) // pooled moments AND per-variant rollup
+    val pooled = perUser.agg(
+      count(lit(1)).cast("decimal(38,0)").as("nn"),
+      sum(col("x")).cast("decimal(38,0)").as("sx"),
+      sum(col("y")).cast("decimal(38,0)").as("sy"),
+      sum(col("x") * col("y")).cast("decimal(38,0)").as("sxy"),
+      sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"))
+      .withColumn("theta_micro", coalesce(expr(
+        "CAST((nn * sxy - sx * sy) * 1000000 DIV " +
+          "nullif(nn * sxx - sx * sx, 0) AS BIGINT)"), lit(0L)))
+    perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("nv"),
+        sum(col("y")).cast("decimal(38,0)").as("syv"),
+        sum(col("x")).cast("decimal(38,0)").as("sxv"))
+      .crossJoin(broadcast(pooled))
+      .select(col("variant"), col("nv").cast("long").as("n_users"),
+        col("syv").cast("long").as("sum_y"),
+        col("sxv").cast("long").as("sum_x"),
+        col("theta_micro"),
+        expr("CAST(syv * 1000000 DIV nv AS BIGINT)").as("raw_micro"),
+        expr("CAST(syv * 1000000 DIV nv - " +
+          "theta_micro * (nn * sxv - nv * sx) DIV (nv * nn) AS BIGINT)")
+          .as("adj_micro"))
+  }
+
   /** Point-in-time (AS OF) dimension enrichment — the standard
     * warehouse lookup against an SCD2 history, composed from two gated
     * lineages: the change log rolls to [[scdIntervals]] versions, and

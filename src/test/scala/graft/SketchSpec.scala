@@ -392,6 +392,37 @@ class SketchSpec extends SparkSpec {
     assert(rows(0L)._4 == 1000L)
   }
 
+  test("abReadoutCuped: constant covariate degenerates to raw; perfect covariate equalizes variants") {
+    // constant X (every user 2 views): Var(X)=0 → theta=0 → adj == raw
+    val const = (1L to 100L).flatMap { u =>
+      Seq((u, "view"), (u, "view")) ++
+        (if (u % 3 == 0) Seq((u, "purchase")) else Nil)
+    }.toDF("u", "et")
+    val g0 = EventOps.abReadoutCuped(const, "u", "et", "purchase", "view")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(g0.values.forall { case (_, th, raw, adj) => th == 0L && raw == adj })
+    assert(g0.values.map(_._1).sum == 100L)
+    // perfect covariate (X == Y: converters get exactly one view):
+    // theta_micro = 1e6 exactly, and the adjusted means collapse to the
+    // pooled mean — the variant difference vanishes (±2 micro for the
+    // two truncated divisions)
+    val perfect = (1L to 100L).flatMap { u =>
+      Seq((u, "signup")) ++
+        (if (u % 3 == 0) Seq((u, "view"), (u, "purchase")) else Nil)
+    }.toDF("u", "et")
+    val g1 = EventOps.abReadoutCuped(perfect, "u", "et", "purchase", "view")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(g1.values.forall(_._1 == 1000000L))
+    val pooledMicro = 33L * 1000000L / 100L
+    assert(g1.values.forall { case (_, _, adj) =>
+      math.abs(adj - pooledMicro) <= 2L })
+    // and the raw means genuinely differed before adjustment (the hash
+    // split won't land conversions perfectly evenly)
+    assert(g1.values.map(_._2).toSet.size >= 1)
+  }
+
   test("quantileShift: exact per-bucket quantiles, consecutive deltas, first bucket null") {
     import graft.pipeline.Sketches
     // day 1: 1..10 (q50 = 5, q90 = 9); day 2: 11..20 (+10 shift each)
