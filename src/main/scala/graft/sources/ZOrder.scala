@@ -59,6 +59,53 @@ object ZOrder {
   def zorderDecode(z: Column): (Column, Column) =
     (unspread16(z), unspread16(shiftright(z, 1)))
 
+  /** Contiguous zkey ranges covering EXACTLY the axis-aligned rectangle
+    * [aLo, aHi] × [bLo, bHi] — the query-planner half of the layout:
+    * a reader scanning a zkey-sorted store issues one range scan per
+    * returned pair and touches no key outside the rectangle (the
+    * BIGMIN/quadrant-decomposition idea). Recursive descent over
+    * aligned quadrants: a quadrant fully inside the rectangle emits its
+    * whole (contiguous — the spec-pinned property) key range; a
+    * partial overlap splits into the four subquadrants IN ASCENDING
+    * KEY ORDER ((a₀b₀), (a₁b₀), (a₀b₁), (a₁b₁) — a rides the even
+    * bits), so emitted ranges arrive sorted and adjacent ones merge on
+    * the way out. Exactness law (spec-pinned): Σ(hi−lo+1) over the
+    * ranges equals the rectangle's area — full coverage, zero
+    * overcoverage. Range count is O(perimeter · log side), driver-side
+    * planning cost only.
+    */
+  def zRanges(aLo: Long, aHi: Long, bLo: Long, bHi: Long): Seq[(Long, Long)] = {
+    require(0 <= aLo && aLo <= aHi && aHi < 65536 &&
+      0 <= bLo && bLo <= bHi && bHi < 65536,
+      s"rectangle [$aLo,$aHi]x[$bLo,$bHi] outside the 16-bit domain")
+    def z(a: Long, b: Long): Long = {
+      def spread(x0: Long): Long = {
+        var x = x0 & 0x0000FFFFL
+        x = (x | (x << 8)) & 0x00FF00FFL
+        x = (x | (x << 4)) & 0x0F0F0F0FL
+        x = (x | (x << 2)) & 0x33333333L
+        (x | (x << 1)) & 0x55555555L
+      }
+      spread(a) | (spread(b) << 1)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def emit(lo: Long, hi: Long): Unit =
+      if (out.nonEmpty && out.last._2 + 1 == lo)
+        out(out.length - 1) = (out.last._1, hi)
+      else out += ((lo, hi))
+    def rec(aMin: Long, aMax: Long, bMin: Long, bMax: Long): Unit = {
+      if (aMax < aLo || aMin > aHi || bMax < bLo || bMin > bHi) return
+      if (aMin >= aLo && aMax <= aHi && bMin >= bLo && bMax <= bHi) {
+        emit(z(aMin, bMin), z(aMax, bMax)); return
+      }
+      val (am, bm) = ((aMin + aMax) / 2, (bMin + bMax) / 2)
+      rec(aMin, am, bMin, bm); rec(am + 1, aMax, bMin, bm)
+      rec(aMin, am, bm + 1, bMax); rec(am + 1, aMax, bm + 1, bMax)
+    }
+    rec(0L, 65535L, 0L, 65535L)
+    out.toSeq
+  }
+
   /** Write `df` clustered by the 2-D Morton key of (`colA`, `colB`)
     * (each pre-scaled by the given expressions to [0, 65536)):
     * range-repartition on the key so files cover disjoint key ranges,

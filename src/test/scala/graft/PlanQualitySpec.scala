@@ -353,6 +353,40 @@ class PlanQualitySpec extends SparkSpec {
     assert(r.getLong(2) == 256L && r.getLong(1) - r.getLong(0) + 1L == 256L)
   }
 
+  test("ZOrder.zRanges: exact coverage (area law), sorted disjoint, far fewer ranges than cells") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2026)
+    for (_ <- 1 to 25) {
+      val (a0, b0) = (rnd.nextInt(65520).toLong, rnd.nextInt(65520).toLong)
+      val (a1, b1) = (a0 + rnd.nextInt(40), b0 + rnd.nextInt(40))
+      val ranges = graft.sources.ZOrder.zRanges(a0, a1, b0, b1)
+      // sorted, disjoint, non-adjacent (merged)
+      ranges.sliding(2).foreach {
+        case Seq((_, h), (l2, _)) => assert(h + 1 < l2, s"$h, $l2")
+        case _ => ()
+      }
+      ranges.foreach { case (l, h) => assert(l <= h) }
+      // area law: Σ range sizes == rectangle area (full coverage AND
+      // zero overcoverage in one equation)
+      assert(ranges.map { case (l, h) => h - l + 1 }.sum ==
+        (a1 - a0 + 1) * (b1 - b0 + 1))
+      // every cell's key falls in some range (spot the coverage side)
+      val inRange = (z: Long) => ranges.exists { case (l, h) => l <= z && z <= h }
+      for (a <- a0 to a1; b <- b0 to b1 if rnd.nextInt(10) == 0) {
+        val z = spark.range(1).select(graft.sources.ZOrder
+          .zorderKey(org.apache.spark.sql.functions.lit(a),
+            org.apache.spark.sql.functions.lit(b)))
+          .head().getLong(0)
+        assert(inRange(z), s"cell ($a,$b) key $z uncovered")
+      }
+    }
+    // planner efficiency: a big aligned-ish rectangle needs FAR fewer
+    // range scans than cells (the point of the decomposition)
+    val big = graft.sources.ZOrder.zRanges(256L, 767L, 512L, 1023L)
+    assert(big.map { case (l, h) => h - l + 1 }.sum == 512L * 512L)
+    assert(big.length < 64, s"${big.length} ranges for 262144 cells")
+  }
+
   test("ZOrder layout: 2-D rectangle touches far fewer files than a 1-D-sorted layout") {
     import spark.implicits._
     // 100k rows uniform over a 1024×1024 (u, t) grid
