@@ -148,7 +148,8 @@ object Bench {
         .multigetSlice((1L until 100L).map(i => f"$i%010d"), None, SliceRange(count = 5)).count()
       val wdocs = CellEncodings.table(spark, sfDir, "documents").limit(400)
       graft.pipeline.Dedup.nearDuplicates(wdocs, "doc_id", "text", 3, 4, 5,
-        hashShingles = true).count() // warm the SAME path the timed run measures
+        hashShingles = true, maxDocFreq = None)
+        .count() // warm the SAME path the timed run measures
       graft.pipeline.Dedup.minhashNearDuplicates(wdocs, "doc_id", "text", 3, 32, 8, 4, 5).count()
       SparkEntry.queries("q22_sessionize")(spark, sfDir).limit(10).count()
       try new scala.reflect.io.Directory(new java.io.File(wtmp)).deleteRecursively()
@@ -351,12 +352,15 @@ object Bench {
     val docs = CellEncodings.table(spark, sfDir, "documents")
     legDf("jaccard_neardup") {
       // scale path: 8-byte hashed shingle shuffle keys (oracle queries
-      // keep exact strings; spec asserts equal results)
+      // keep exact strings; spec asserts equal results). maxDocFreq=None
+      // OPTS OUT of the default-on skew guard so this leg keeps
+      // measuring the unguarded shape next to jaccard_guarded below.
       graft.pipeline.Dedup.nearDuplicates(docs, "doc_id", "text", 3, 4, 5,
-        hashShingles = true)
+        hashShingles = true, maxDocFreq = None)
     }
 
-    // same leg WITH the maxDocFreq skew guard — the SCALE.md production
+    // same leg WITH the maxDocFreq skew guard (the library DEFAULT —
+    // Dedup.DefaultMaxDocFreq) — the SCALE.md production
     // contract: drop shingles shared by >10% of docs before pair
     // emission (Σ C(df,2) is the superlinear term; the guard bounds it).
     // Side-by-side with the bare leg so the guard's cost/benefit is a

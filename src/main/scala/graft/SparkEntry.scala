@@ -1659,6 +1659,51 @@ object SparkEntry {
         graft.sources.ZOrder.zorderKey(col("a"), col("b")).as("zkey"))
     }),
 
+    // Z-range SCAN — the planner half wired to the layout half: write
+    // the events z-ordered by (user, hour), then answer an axis-aligned
+    // rectangle query by seeking the PERSISTED zkey through the
+    // planner's range decomposition (OR-of-BETWEENs pushed to the
+    // parquet footer) + the decoded residual filter. Must equal the
+    // plain 2-D filter over the raw table — the oracle IS that filter.
+    "p210_zrange_scan" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = table(s, dir, "events")
+        .select(col("event_id"),
+          (col("user_id") % 65536L).as("a"),
+          (expr("ts div 1000 div 3600000000") % 65536L).as("b"))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_p210_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ZOrder.writeZOrdered(e, base, col("a"), col("b"), 16)
+      graft.sources.ZOrder.zRangeScan(s, base, 3L, 80L, 14650L, 15100L)
+        .select(col("event_id"), col("a"), col("b"))
+    }),
+
+    // Streaming z-ordered ingest: the event feed arrives in micro-
+    // batches, each flushing as one z-ordered run (the memtable→sorted-
+    // SSTable move applied to the 2-D layout); the read-back union of
+    // runs must reproduce the batch key table bit-exactly (shared p200
+    // oracle).
+    "p211_stream_zorder_ingest" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = table(s, dir, "events")
+        .select(col("event_id"),
+          (col("user_id") % 65536L).as("a"),
+          (expr("ts div 1000 div 3600000000") % 65536L).as("b"))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_p211_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      e.repartition(3).write.parquet(s"$base/in")
+      val st = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = graft.sources.ZOrder
+        .zorderedIngest(st, s"$base/store", col("a"), col("b"), 4)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/store")
+        .select(col("event_id"), col("a"), col("b"), col("zkey"))
+    }),
+
     // Burst-hour detection: hours over 2× the median hourly volume —
     // the robust rate-spike monitor (median can't be masked by the
     // burst).
@@ -3342,6 +3387,20 @@ object SparkEntry {
         .select(col("pick"), col("id").as("doc_id"), col("key_micro"))
     }),
 
+    // Weighted sampling WITHOUT replacement (Efraimidis–Schwenk) ∝
+    // token count: the exponential-race key with the one float (ln)
+    // micro-quantized before a pure-integer division — top-50 set and
+    // order bit-stable across engines; TakeOrderedAndProject, never a
+    // global sort.
+    "p212_weighted_sample" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val w = table(s, dir, "documents").select(col("doc_id"),
+        (graft.pipeline.TextAnalysis.tokenCount(col("text")) + 1)
+          .cast("long").as("wt"))
+      graft.pipeline.TextAnalysis.weightedSample(w, "doc_id", "wt", k = 50)
+        .select(col("pick"), col("id").as("doc_id"), col("w"), col("key"))
+    }),
+
     // URL-level dedup over deterministically synthesized crawl variants
     // (case/www/port/trailing-slash/utm/fragment noise keyed by doc_id
     // residues): canonicalize, then keeper + variant census per canonical
@@ -3904,6 +3963,26 @@ object SparkEntry {
     * readout ranks through the ONE shared topKByBucket definition), so
     * ONE oracle gates both and they cannot drift.
     */
+  /** The Morton-key table oracle shared by the batch layout key gate
+    * (p200) and the streaming z-ordered ingest gate (p211) — ONE SQL
+    * definition of the spread ladder, initial &65535 clamp matching
+    * the Scala spread16's defensive mask.
+    */
+  private lazy val zorderKeyOracleSql: String =
+    """WITH e AS (SELECT event_id, CAST(user_id % 65536 AS BIGINT) AS a,
+      |             CAST((epoch_us(ts) // 3600000000) % 65536 AS BIGINT) AS b
+      |           FROM events),
+      |s0 AS (SELECT *, a & 65535 AS a0, b & 65535 AS b0 FROM e),
+      |s1 AS (SELECT *, (a0 | (a0 << 8)) & 16711935 AS x1,
+      |               (b0 | (b0 << 8)) & 16711935 AS y1 FROM s0),
+      |s2 AS (SELECT *, (x1 | (x1 << 4)) & 252645135 AS x2,
+      |               (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
+      |s3 AS (SELECT *, (x2 | (x2 << 2)) & 858993459 AS x3,
+      |               (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+      |s4 AS (SELECT *, (x3 | (x3 << 1)) & 1431655765 AS x4,
+      |               (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3)
+      |SELECT event_id, a, b, x4 | (y4 << 1) AS zkey FROM s4""".stripMargin
+
   private lazy val heavyHittersOracleSql: String =
     """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS bucket,
       |             TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS item
@@ -5396,19 +5475,20 @@ object SparkEntry {
 
     "p203_stream_decayed_scores" -> decayedScoresOracleSql,
 
-    "p200_zorder_key" ->
-      """WITH e AS (SELECT event_id, CAST(user_id % 65536 AS BIGINT) AS a,
-        |             CAST((epoch_us(ts) // 3600000000) % 65536 AS BIGINT) AS b
-        |           FROM events),
-        |s1 AS (SELECT *, (a | (a << 8)) & 16711935 AS x1,
-        |               (b | (b << 8)) & 16711935 AS y1 FROM e),
-        |s2 AS (SELECT *, (x1 | (x1 << 4)) & 252645135 AS x2,
-        |               (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
-        |s3 AS (SELECT *, (x2 | (x2 << 2)) & 858993459 AS x3,
-        |               (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
-        |s4 AS (SELECT *, (x3 | (x3 << 1)) & 1431655765 AS x4,
-        |               (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3)
-        |SELECT event_id, a, b, x4 | (y4 << 1) AS zkey FROM s4""".stripMargin,
+    "p200_zorder_key" -> zorderKeyOracleSql,
+
+    // p211 gates the STREAMING z-ordered ingest under the SAME
+    // key-bijection oracle (shared val): flush-as-runs preserves rows
+    // and the persisted zkey, so the read-back union must reproduce the
+    // batch key table exactly.
+    "p211_stream_zorder_ingest" -> zorderKeyOracleSql,
+
+    "p210_zrange_scan" ->
+      """SELECT event_id, CAST(user_id % 65536 AS BIGINT) AS a,
+        |       CAST((epoch_us(ts) // 3600000000) % 65536 AS BIGINT) AS b
+        |FROM events
+        |WHERE user_id % 65536 BETWEEN 3 AND 80
+        |  AND (epoch_us(ts) // 3600000000) % 65536 BETWEEN 14650 AND 15100""".stripMargin,
 
     "p209_ab_cuped" ->
       s"""WITH u AS (SELECT user_id AS k,
@@ -7013,6 +7093,20 @@ object SparkEntry {
          |r AS (SELECT row_number() OVER (ORDER BY key_micro DESC, doc_id) AS pick,
          |        doc_id, key_micro FROM k)
          |SELECT CAST(pick AS BIGINT) AS pick, doc_id, key_micro
+         |FROM r WHERE pick <= 50""".stripMargin,
+
+    "p212_weighted_sample" ->
+      s"""WITH w AS (SELECT doc_id,
+         |        CAST(len(regexp_extract_all(lower(text), '\\S+')) + 1 AS BIGINT) AS w
+         |      FROM documents),
+         |k AS (SELECT doc_id, w,
+         |        CAST(round(-ln((${hash60Sql("'wswr|' || CAST(doc_id AS VARCHAR)")} + 0.5)
+         |          / 1152921504606846976.0) * 1000000) AS BIGINT) AS lmicro
+         |      FROM w),
+         |k2 AS (SELECT doc_id, w, lmicro * 1000000000 // w AS key FROM k),
+         |r AS (SELECT row_number() OVER (ORDER BY key, doc_id) AS pick,
+         |        doc_id, w, key FROM k2)
+         |SELECT CAST(pick AS BIGINT) AS pick, doc_id, w, CAST(key AS BIGINT) AS key
          |FROM r WHERE pick <= 50""".stripMargin,
 
     "p66_quantize_int8" ->

@@ -75,8 +75,10 @@ object Dedup {
     * (ia, ib, inter, uni) with ia < ib. The shared-shingle equi-join is the
     * candidate generator — pairs sharing nothing never materialize, so cost
     * is Σ_shingle freq², not |docs|². (Skewed ultra-frequent shingles would
-    * dominate at scale; pass maxDocFreq to drop them — a standard LSH-side
-    * stoplist — at the cost of slightly under-counting inter.)
+    * dominate at scale; `maxDocFreq` — the standard LSH-side stoplist,
+    * ON by default at [[DefaultMaxDocFreq]] — drops them at the cost of
+    * slightly under-counting inter. Pass `maxDocFreq = None` only for
+    * brute-force-parity comparisons.)
     */
   /** Raw (id, shingle) pairs WITHOUT the distinct — set semantics are
     * recovered downstream by collect_set / count_distinct aggregates,
@@ -112,6 +114,17 @@ object Dedup {
       )).as("sh"))
   }
 
+  /** Default document-frequency skew guard for the shared-shingle
+    * candidate family: a shingle in f docs nominates C(f,2) pairs, so
+    * boilerplate shared by 10k docs alone emits ~5e7 — superlinear
+    * cost carrying no similarity signal. 500 is SCALE.md's production
+    * contract value (the measured `jaccard_guarded` bench leg). The
+    * guard is ON by default; brute-force-parity paths (oracle
+    * comparisons, tiny corpora) opt OUT explicitly with
+    * `maxDocFreq = None`.
+    */
+  val DefaultMaxDocFreq: Int = 500
+
   /** @param hashShingles replace each shingle string with its xxhash64
     *   BEFORE the shuffles: the shuffle key shrinks from a ~20-byte
     *   3-gram string to 8 bytes — the scale path for 100 TB corpora.
@@ -120,7 +133,7 @@ object Dedup {
     *   comparing against a string-keyed external oracle.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
-      maxDocFreq: Option[Int] = None, hashShingles: Boolean = false,
+      maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq), hashShingles: Boolean = false,
       stoplist: Option[DataFrame] = None): DataFrame = {
     val rawStr0 = shinglesRaw(df, idCol, textCol, n)
     // external stoplist (e.g. corpusStoplist's top-k frequent n-grams,
@@ -227,7 +240,8 @@ object Dedup {
     * (ia, ib, inter, sza, szb, containment_permille).
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, tauPermille: Int, maxDocFreq: Option[Int] = None,
+      n: Int, tauPermille: Int,
+      maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq),
       hashShingles: Boolean = false): DataFrame = {
     val raw0 = shinglesRaw(df, idCol, textCol, n)
     val raw = if (hashShingles) raw0.withColumn("sh", xxhash64(col("sh"))) else raw0
@@ -245,7 +259,7 @@ object Dedup {
     */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String, n: Int,
       num: Int, den: Int, hashShingles: Boolean = false,
-      maxDocFreq: Option[Int] = None): DataFrame =
+      maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame =
     jaccardPairs(df, idCol, textCol, n, maxDocFreq = maxDocFreq,
         hashShingles = hashShingles)
       .filter(col("inter") * den >= col("uni") * num)
@@ -391,7 +405,7 @@ object Dedup {
     * nominating pairs at all.
     */
   def sharedShingleCandidates(df: DataFrame, idCol: String, textCol: String,
-      n: Int, maxDocFreq: Option[Int] = None): DataFrame = {
+      n: Int, maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
     val grouped0 = shinglesRaw(df, idCol, textCol, n)
       .groupBy("sh").agg(sort_array(collect_set(col("id"))).as("ids"))
     emitPairs(
@@ -412,7 +426,7 @@ object Dedup {
     */
   def editDistanceNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       n: Int, maxDist: Int, prefixChars: Int,
-      maxDocFreq: Option[Int] = None): DataFrame = {
+      maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
     val cand = sharedShingleCandidates(df, idCol, textCol, n, maxDocFreq)
     // tiny (id, prefix) frame referenced on BOTH sides of the pair join —
     // lazy-checkpointed or the tokenize runs in two plan branches

@@ -312,12 +312,29 @@ object Similarity {
     df.withColumn("cell", least(cands: _*).getField("cell"))
   }
 
-  /** Train a k-centroid codebook with Lloyd iterations expressed as
-    * DataFrame aggregations: assign (expression argmin) → elementwise mean
-    * per cell (posexplode + avg) → collect the k×dim codebook (tiny).
-    * Deterministic: seeds are the first k vectors in id order.
+  /** Largest k [[trainCodebook]] accepts: it collects a k×dim float
+    * codebook to the driver PER ITERATION and assigns through a k-wide
+    * literal expression, so it is a SMALL-k tool by construction.
+    * Larger codebooks must use the integer sufficient-statistics family
+    * ([[kmeansStepExact]] / [[kmeansRefineDelta]] — the p86/p87/p92
+    * path): shard-mergeable sums+counts, no driver vectors, exact
+    * cross-engine arithmetic.
+    */
+  val SmallKMax: Int = 4096
+
+  /** Train a SMALL-k centroid codebook with Lloyd iterations expressed
+    * as DataFrame aggregations: assign (expression argmin) → elementwise
+    * mean per cell (posexplode + avg) → collect the k×dim codebook
+    * (tiny). Deterministic: seeds are the first k vectors in id order.
+    * Bounded at [[SmallKMax]] — the loud gate steering large-k callers
+    * to [[kmeansStepExact]]/[[kmeansRefineDelta]], which never collect
+    * vectors to the driver.
     */
   def trainCodebook(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): Array[Array[Float]] = {
+    require(k >= 1 && k <= SmallKMax,
+      s"trainCodebook collects k x dim floats to the driver per iteration; " +
+        s"k=$k exceeds SmallKMax=$SmallKMax - use the integer " +
+        "kmeansStepExact/kmeansRefineDelta family for large codebooks")
     var centroids = df.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray)

@@ -609,8 +609,15 @@ object Sketches {
     * count relation, output (bucket, n, chi2_micro).
     */
   def chiSquareFromCounts(counts: DataFrame): DataFrame = {
+    // Re-aggregate at entry: a caller passing duplicate (bucket, cat)
+    // rows (a replayed stream readout, non-aggregated counts) would
+    // otherwise inflate r/c/N AND emit duplicate cell rows through the
+    // left join — sum-merging here makes the contract "any count
+    // relation", duplicates included, at the cost of one map-side
+    // combinable shuffle on an already contingency-sized input.
     val o = counts.select(col("bucket").cast("long").as("bucket"),
         col("cat"), col("o"))
+      .groupBy(col("bucket"), col("cat")).agg(sum(col("o")).as("o"))
       .localCheckpoint(false) // cells, bucket totals, cat totals, N
     val r = o.groupBy(col("bucket")).agg(sum(col("o")).as("r"))
     val c = o.groupBy(col("cat")).agg(sum(col("o")).as("c"))

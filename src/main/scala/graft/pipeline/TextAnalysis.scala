@@ -1265,6 +1265,15 @@ object TextAnalysis {
       dimB: String, textCol: String): org.apache.spark.sql.DataFrame =
     docs.select(col(dimA).as("a"), col(dimB).as("b"),
         size(tokens(col(textCol))).cast("long").as("ntok"))
+      // A NULL dim value would be indistinguishable from the cube's
+      // collapsed-dimension subtotal plane once both are labelled
+      // '<all>' — fail loudly instead of silently folding real rows
+      // into subtotals. (Filter form: Catalyst DELETES the self-equal
+      // IF(assert_true..) column form.)
+      .filter(expr(
+        "assert_true(a IS NOT NULL AND b IS NOT NULL, " +
+          "'corpusCube: NULL dimension value would collide with the " +
+          "<all> subtotal label; clean or relabel dims first') IS NULL"))
       .cube(col("a"), col("b"))
       .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("sum_tokens"))
       .select(coalesce(col("a"), lit("<all>")).as(dimA),
@@ -1853,6 +1862,62 @@ object TextAnalysis {
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("key_micro").desc, col("id"))).cast("long").as("pick"),
       col("id"), col("key_micro"))
+  }
+
+  /** Per-item race keys for [[weightedSample]] — Efraimidis–Schwenk
+    * (2006) weighted sampling WITHOUT replacement ∝ w, in its
+    * exponential-race form: item i draws E_i = −ln(u_i)/w_i and the k
+    * SMALLEST win (equivalently the classic u^(1/w) top-k; P(i wins the
+    * race) = w_i/Σw — the min of independent Exp(w_i) clocks). The race
+    * is derandomized and integerized the way every sampling gate here
+    * is: u = (hash60(seed‖id)+0.5)/2^60, the log micro-quantized ONCE
+    * (l_micro = round(1e6·(−ln u)) — the [[dsirResample]] Gumbel-key
+    * move), then the division is pure integer arithmetic:
+    * key = l_micro·1e9 DIV w. No float ever crosses an engine boundary
+    * un-quantized, so the selected set and its order are bit-stable
+    * across engines, partitionings and reruns. (An exact integer ln is
+    * impossible; quantize-then-integer-divide is the p95 rational-α
+    * pattern applied to the log — the one float step is the same one
+    * the gated DSIR key already takes.) Bounds: l_micro ≤ ~4.3e7
+    * (−ln(0.5/2^60) ≈ 42.2), ×1e9 ≈ 4.3e16 < 2^63 — no overflow at any
+    * weight. Weights must be ≥ 1 (loud guard: a zero weight would make
+    * DIV by w undefined-by-zero on one engine and an error on the
+    * other).
+    */
+  def weightedSampleKeys(df: org.apache.spark.sql.DataFrame, idCol: String,
+      weightCol: String, seed: String = "wswr"):
+      org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+        col(weightCol).cast("long").as("w"))
+      .filter(expr(
+        "assert_true(w >= 1, 'weightedSample: weights must be >= 1 " +
+          "(shift or clamp zero/negative weights before sampling)') IS NULL"))
+    val u = (hash60(concat(lit(seed + "|"), col("id").cast("string")))
+      .cast("double") + 0.5) / math.pow(2.0, 60)
+    base
+      .withColumn("lmicro", round(-log(u) * 1e6).cast("long"))
+      .withColumn("key", expr("lmicro * 1000000000L DIV w"))
+      .select(col("id"), col("w"), col("key"))
+  }
+
+  /** Weighted sampling without replacement — the k winners of the
+    * [[weightedSampleKeys]] race, ordered (key asc, id asc — the id
+    * tie-break makes equal-key picks deterministic). orderBy+limit
+    * compiles to TakeOrderedAndProject (per-partition k-heaps, driver
+    * merges k×partitions rows — no global sort at any corpus size).
+    * Returns (pick ∈ [1,k], id, w, key).
+    */
+  def weightedSample(df: org.apache.spark.sql.DataFrame, idCol: String,
+      weightCol: String, k: Int, seed: String = "wswr"):
+      org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "k >= 1")
+    weightedSampleKeys(df, idCol, weightCol, seed)
+      .orderBy(col("key"), col("id"))
+      .limit(k)
+      .select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("key"), col("id"))).cast("long").as("pick"),
+        col("id"), col("w"), col("key"))
   }
 
   /** Blocklist safety signals (the C4 "bad words" pass — Raffel et al.

@@ -110,17 +110,90 @@ object ZOrder {
     * (each pre-scaled by the given expressions to [0, 65536)):
     * range-repartition on the key so files cover disjoint key ranges,
     * sort within partitions so row groups subdivide them. The key is
-    * dropped before writing — the layout is the product; readers
-    * filter the ORIGINAL columns and parquet min/max stats do the
-    * pruning in both dimensions.
+    * PERSISTED as column `zkey`: readers that filter the ORIGINAL
+    * columns still prune via parquet min/max stats on them, and a
+    * z-range reader ([[zRangeScan]]) seeks by the key itself — files
+    * cover disjoint, sorted key ranges, so a key-range predicate
+    * touches exactly the covering runs (the sampled-index seek of the
+    * reference's IndexSummary: locate, then read only the covering
+    * runs — `io/IndexSummary.java:1-150`).
     */
   def writeZOrdered(df: DataFrame, path: String, aExpr: Column,
       bExpr: Column, numFiles: Int): Unit = {
     require(numFiles >= 1, s"numFiles $numFiles must be >= 1")
-    df.withColumn("__zkey", zorderKey(aExpr, bExpr))
-      .repartitionByRange(numFiles, col("__zkey"))
-      .sortWithinPartitions(col("__zkey"))
-      .drop("__zkey")
+    df.withColumn("zkey", zorderKey(aExpr, bExpr))
+      .repartitionByRange(numFiles, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Cap a sorted disjoint range list at `maxRanges` by bridging the
+    * SMALLEST inter-range gaps first (keep the `maxRanges−1` largest
+    * gaps as separators) — the classic seek-budget trade: each bridged
+    * gap admits overcoverage proportional to its width, and the
+    * smallest-gap order admits the least total. Exactness is restored
+    * downstream by the residual rectangle filter, so merging only
+    * trades extra scanned keys for fewer range predicates.
+    */
+  def mergeRanges(ranges: Seq[(Long, Long)], maxRanges: Int): Seq[(Long, Long)] = {
+    require(maxRanges >= 1, s"maxRanges $maxRanges must be >= 1")
+    if (ranges.length <= maxRanges) return ranges
+    // gap i sits between ranges(i) and ranges(i+1); keep the largest
+    // maxRanges-1 as separators
+    val gaps = ranges.sliding(2).zipWithIndex.map {
+      case (Seq((_, h), (l2, _)), i) => (l2 - h, i)
+    }.toSeq
+    val keep = gaps.sortBy { case (w, i) => (-w, i) }
+      .take(maxRanges - 1).map(_._2).toSet
+    val out = scala.collection.mutable.ArrayBuffer((ranges.head._1, ranges.head._2))
+    ranges.tail.zipWithIndex.foreach { case ((l, h), i) =>
+      if (keep(i)) out += ((l, h))
+      else out(out.length - 1) = (out.last._1, h)
+    }
+    out.toSeq
+  }
+
+  /** Read the rectangle [aLo, aHi] × [bLo, bHi] from a
+    * [[writeZOrdered]] store by SEEKING the persisted `zkey`: the
+    * planner's ranges (capped at `maxRanges` via [[mergeRanges]])
+    * become an OR-of-BETWEENs pushed to the parquet scan — files and
+    * row groups whose zkey min/max miss every range are skipped
+    * footer-only, in BOTH dimensions at once — and the exact rectangle
+    * is restored by a residual filter on the DECODED key (so merging's
+    * overcoverage can never leak a row). Self-contained: needs only
+    * `zkey`, not the original dimension columns.
+    */
+  def zRangeScan(spark: org.apache.spark.sql.SparkSession, path: String,
+      aLo: Long, aHi: Long, bLo: Long, bHi: Long,
+      maxRanges: Int = 64): DataFrame = {
+    val ranges = mergeRanges(zRanges(aLo, aHi, bLo, bHi), maxRanges)
+    val zPred = ranges.map { case (l, h) => col("zkey").between(l, h) }
+      .reduce(_ or _)
+    val (da, db) = zorderDecode(col("zkey"))
+    spark.read.parquet(path)
+      .filter(zPred)
+      .filter(da.between(aLo, aHi) && db.between(bLo, bHi))
+  }
+
+  /** Streaming z-ordered ingest — each micro-batch flushes as ONE
+    * z-ordered RUN under `basePath/run=<batchId>/` via
+    * [[writeZOrdered]]: the streaming analog of a memtable flush
+    * producing a sorted SSTable (runs are individually zkey-clustered;
+    * files cover disjoint key ranges WITHIN a run). Readers open the
+    * union (`spark.read.parquet(basePath)` discovers `run` as a
+    * partition column) and [[zRangeScan]] seeks every run's files
+    * independently — pruning holds per run exactly as per SSTable; a
+    * later compaction merges runs the way the size-tiered compactor
+    * merges sorted tables. Overwrite-by-batch-id makes redelivery
+    * idempotent (at-least-once safe): a replayed batch rewrites its own
+    * run in place. Returns the configured writer — the caller sets
+    * checkpoint location and trigger and starts it.
+    */
+  def zorderedIngest(stream: DataFrame, basePath: String, aExpr: Column,
+      bExpr: Column, filesPerRun: Int):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty)
+        writeZOrdered(batch, s"$basePath/run=$id", aExpr, bExpr, filesPerRun)
+    }
 }

@@ -687,8 +687,22 @@ object PipelineStream {
           var (has, last, ver) = state.getOption
             .getOrElse((false, null: String, 0L))
           val out = Vector.newBuilder[ScdChange]
+          // Intra-batch tie key must order ties the way the batch twin
+          // and the DuckDB oracle do — UTF-8 BYTE order, not JVM
+          // String (UTF-16 code unit) order; they diverge on
+          // supplementary-plane characters.
+          val utf8NullsLast = new Ordering[String] {
+            def compare(a: String, b: String): Int =
+              if (a == null && b == null) 0
+              else if (a == null) 1
+              else if (b == null) -1
+              else java.util.Arrays.compareUnsigned(
+                a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
           rows.toSeq
-            .sortBy { case (_, t, v) => (t, v == null, Option(v).getOrElse("")) }
+            .sortBy { case (_, t, v) => (t, v) }(
+              Ordering.Tuple2(Ordering.Long, utf8NullsLast))
             .foreach { case (_, t, v) =>
               if (!has || !java.util.Objects.equals(v, last)) {
                 ver += 1; has = true; last = v

@@ -47,6 +47,23 @@ class PipelineSpec extends SparkSpec {
     assert(capped.count() == 0) // the only shared shingle has doc-freq 3
   }
 
+  test("skew guard is ON by default: a boilerplate flood past DefaultMaxDocFreq nominates no pairs") {
+    import spark.implicits._
+    // DefaultMaxDocFreq + 100 docs all sharing ONE boilerplate trigram;
+    // everything else unique. Unguarded, that single shingle nominates
+    // C(600,2) = 179,700 pairs — the Σ C(df,2) blowup. The DEFAULT call
+    // must bound it to zero; the brute-force-parity path opts out with
+    // an explicit None and sees the flood.
+    val nDocs = Dedup.DefaultMaxDocFreq + 100
+    val d = spark.range(nDocs.toLong).selectExpr("id AS doc_id",
+      "concat('shared boiler plate u', id, ' v', id) AS text")
+    assert(Dedup.sharedShingleCandidates(d, "doc_id", "text", 3).count() == 0L)
+    assert(Dedup.jaccardPairs(d, "doc_id", "text", n = 3).count() == 0L)
+    val unguarded = Dedup.sharedShingleCandidates(d, "doc_id", "text", 3,
+      maxDocFreq = None).count()
+    assert(unguarded == nDocs.toLong * (nDocs - 1) / 2, s"$unguarded")
+  }
+
   test("persisted corpus stoplist artifact cuts jaccard candidates like maxDocFreq") {
     import spark.implicits._
     val d = Seq(
@@ -210,6 +227,51 @@ class PipelineSpec extends SparkSpec {
     val keptMin = (0L until 4L).map(sepScores).min
     val dropMax = (10L until 14L).map(sepScores).max
     assert(keptMin > dropMax, s"kept min $keptMin vs dropped max $dropMax")
+  }
+
+  test("weightedSample race: P(win) = w/Σw on 2-horse toys; no global sort; zero weight loud") {
+    import spark.implicits._
+    // 4000 independent 2-horse races with weights 1 vs 3 — the min of
+    // Exp(1) and Exp(3) clocks picks the heavy horse with P = 3/4
+    // (closed form). The race is hash-derandomized, so this is a FIXED
+    // number, not a flaky draw; the band is ±4σ around 3000.
+    val horses = spark.range(4000L).select(explode(array(
+      struct(concat(lit("L"), $"id").as("rid"), lit(1L).as("w")),
+      struct(concat(lit("H"), $"id").as("rid"), lit(3L).as("w")))).as("s"))
+      .select($"s.rid".as("rid"), $"s.w".as("w"))
+    val keys = graft.pipeline.TextAnalysis
+      .weightedSampleKeys(horses, "rid", "w")
+      .withColumn("g", substring($"id", 2, 10))
+    val heavyWins = keys.groupBy($"g")
+      .agg(min(struct($"key", $"id")).getField("id").as("winner"))
+      .filter($"winner".startsWith("H")).count()
+    assert(heavyWins >= 2880 && heavyWins <= 3120, s"heavy won $heavyWins/4000")
+    // top-k is a TakeOrderedAndProject (per-partition heaps), never a
+    // global sort
+    val sample = graft.pipeline.TextAnalysis
+      .weightedSample(horses, "rid", "w", k = 10)
+    assert(sample.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+    assert(sample.count() == 10L)
+    // picks are the k smallest keys in (key, id) order
+    val picks = sample.orderBy($"pick").collect().map(_.getLong(3))
+    assert(picks.sameElements(picks.sorted))
+    // a zero weight fails loudly instead of silently diverging engines
+    val bad = Seq(("a", 0L)).toDF("rid", "w")
+    val e = intercept[Exception] {
+      graft.pipeline.TextAnalysis.weightedSampleKeys(bad, "rid", "w").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("trainCodebook is a small-k tool: k past SmallKMax fails loudly toward the integer path") {
+    import spark.implicits._
+    val vecs = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.trainCodebook(vecs, "vec_id", "embedding",
+        k = Similarity.SmallKMax + 1, iters = 1)
+    }
+    assert(e.getMessage.contains("kmeansStepExact"), e.getMessage)
   }
 
   test("semantic dedup: planted twin collapses within its IVF cell, rest survive") {

@@ -423,6 +423,50 @@ class PlanQualitySpec extends SparkSpec {
     assert(rect(s"$base/z") == rect(s"$base/lin"))
   }
 
+  test("ZOrder.zRangeScan: key seek ≡ plain 2-D filter; touches no more files than box pruning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val data = spark.range(100000L).select(
+      (abs(xxhash64($"id")) % 1024L).as("u"),
+      (abs(xxhash64($"id" + 13L)) % 1024L).as("t"),
+      $"id")
+    val base = java.nio.file.Files.createTempDirectory("graft_zscan").toString
+    graft.sources.ZOrder.writeZOrdered(data, base, $"u", $"t", 64)
+    val (aLo, aHi, bLo, bHi) = (256L, 511L, 256L, 511L)
+    val scanned = graft.sources.ZOrder.zRangeScan(spark, base, aLo, aHi, bLo, bHi)
+    val plain = spark.read.parquet(base)
+      .filter($"u".between(aLo, aHi) && $"t".between(bLo, bHi))
+    // exactness both ways (merging overcoverage may never leak a row)
+    assert(scanned.select($"id").exceptAll(plain.select($"id")).count() == 0L)
+    assert(plain.select($"id").exceptAll(scanned.select($"id")).count() == 0L)
+    // the key ranges are PUSHED to the scan (footer-only skipping)
+    val plan = planOf(scanned)
+    assert(plan.contains("PushedFilters") && plan.contains("zkey"),
+      plan.take(2500))
+    // seek bound: files whose zkey min/max intersect the planner's
+    // (merged) ranges are a SUBSET of files whose (u, t) box intersects
+    // the rectangle — the key seek is at least as selective as the p200
+    // layout's per-file box pruning, because every kept key decodes
+    // INTO the rectangle while a box can straddle it with no row inside
+    val ranges = graft.sources.ZOrder.mergeRanges(
+      graft.sources.ZOrder.zRanges(aLo, aHi, bLo, bHi), 64)
+    val boxes = spark.read.parquet(base)
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"zkey").as("zl"), max($"zkey").as("zh"),
+        min($"u").as("ul"), max($"u").as("uh"),
+        min($"t").as("tl"), max($"t").as("th"))
+      .collect()
+    val zTouched = boxes.count(r => ranges.exists { case (l, h) =>
+      r.getAs[Long]("zl") <= h && r.getAs[Long]("zh") >= l })
+    val boxTouched = boxes.count(r =>
+      r.getAs[Long]("uh") >= aLo && r.getAs[Long]("ul") <= aHi &&
+        r.getAs[Long]("th") >= bLo && r.getAs[Long]("tl") <= bHi)
+    assert(zTouched <= boxTouched,
+      s"zkey seek touched $zTouched files vs box pruning $boxTouched of ${boxes.length}")
+    assert(zTouched < boxes.length / 2,
+      s"zkey seek touched $zTouched of ${boxes.length} — no skipping happened")
+  }
+
   test("heavyHittersByBucket: WindowGroupLimit bounds the rank window (top-k per group)") {
     import spark.implicits._
     val ev = (0L until 1000L).map(i => (i % 5L, i % 13L)).toDF("b", "item")

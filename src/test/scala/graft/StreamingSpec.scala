@@ -905,4 +905,49 @@ class StreamingSpec extends SparkSpec {
     val n = spark.table("win").agg(sum("n")).head().getLong(0)
     assert(n == 3L)
   }
+
+  test("zorderedIngest: batches flush as z-ordered runs; seek equals filter; per-run files prune") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_zingest").toString
+    val mem = MemoryStream[(Long, Long, Long)]
+    val in = mem.toDS().toDF("u", "t", "id")
+    val q = graft.sources.ZOrder
+      .zorderedIngest(in, s"$base/store", col("u"), col("t"), 4)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 20000).map(i =>
+      (rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong, i.toLong))
+    try {
+      rows.grouped(10000).foreach { g => mem.addData(g); q.processAllAvailable() }
+    } finally q.stop()
+    val store = spark.read.parquet(s"$base/store")
+    // two micro-batches → two independent z-ordered runs
+    assert(store.select($"run").distinct().count() == 2L)
+    assert(store.count() == 20000L)
+    // the zRangeScan seek over the MULTI-RUN store equals the plain 2-D
+    // filter — run is just a partition column; pruning composes per run
+    val scanned = graft.sources.ZOrder
+      .zRangeScan(spark, s"$base/store", 256L, 511L, 256L, 511L)
+      .select($"id")
+    val plain = store.filter($"u".between(256L, 511L) && $"t".between(256L, 511L))
+      .select($"id")
+    assert(scanned.exceptAll(plain).count() == 0L)
+    assert(plain.exceptAll(scanned).count() == 0L)
+    // per-run file skipping: within EACH run, files whose zkey min/max
+    // miss every planner range are skippable — the rectangle is 1/16 of
+    // the key space, so well under half the files survive
+    val ranges = graft.sources.ZOrder.mergeRanges(
+      graft.sources.ZOrder.zRanges(256L, 511L, 256L, 511L), 64)
+    val boxes = store
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"zkey").as("zl"), max($"zkey").as("zh"))
+      .collect()
+    val touched = boxes.count(r => ranges.exists { case (l, h) =>
+      r.getAs[Long]("zl") <= h && r.getAs[Long]("zh") >= l })
+    assert(boxes.length >= 6, s"only ${boxes.length} files — runs did not split")
+    assert(touched * 2 < boxes.length,
+      s"zkey seek touched $touched of ${boxes.length} run files — no pruning")
+  }
 }
