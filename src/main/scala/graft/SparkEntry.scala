@@ -127,6 +127,19 @@ object SparkEntry {
     * the windowed and unwindowed gates and the benched query can never
     * drift onto different lineages.
     */
+  /** The item co-transition edge list shared by the triangle gates —
+    * p192's full recompute and p213's base/delta split read the SAME
+    * lineage, so the two can never disagree on what the graph is.
+    */
+  private def itemTransitionEdges(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventOps.eventTransitions(
+      table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tus"),
+          expr("CAST(nullif(regexp_extract(props, '[0-9]+', 0), '') AS BIGINT)")
+            .as("item")),
+      "user_id", "tus", "item")
+      .select(col("from_type"), col("to_type"))
+
   private[graft] def attributionFrames(s: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
     val ev = table(s, dir, "events")
@@ -1410,13 +1423,28 @@ object SparkEntry {
     "p192_item_triangles" -> ((s, dir) => {
       GraftFunctions.register(s)
       graft.operators.EventOps.triangleCounts(
-        graft.operators.EventOps.eventTransitions(
-          table(s, dir, "events")
-            .select(col("user_id"), expr("ts div 1000").as("tus"),
-              expr("CAST(nullif(regexp_extract(props, '[0-9]+', 0), '') AS BIGINT)")
-                .as("item")),
-          "user_id", "tus", "item"),
-        "from_type", "to_type")
+        itemTransitionEdges(s, dir), "from_type", "to_type")
+    }),
+
+    // Incremental triangle maintenance: the transition graph hash-split
+    // into a standing base (~80%) and an edge delta (~20%); the
+    // maintained artifact (base counts) plus triangleDelta's increments
+    // must equal the full recompute — gated under p192's oracle on the
+    // recombined graph.
+    "p213_triangle_delta" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val edges = itemTransitionEdges(s, dir)
+        .localCheckpoint(false) // split read twice
+      val isDelta = graft.pipeline.TextAnalysis.hash60(
+        concat(least(col("from_type"), col("to_type")).cast("string"),
+          lit(":"),
+          greatest(col("from_type"), col("to_type")).cast("string"))) % 5 === 0
+      val base = edges.filter(!isDelta)
+      val delta = edges.filter(isDelta)
+      graft.operators.EventOps.applyTriangleDelta(
+        graft.operators.EventOps.triangleCounts(base, "from_type", "to_type"),
+        graft.operators.EventOps.triangleDelta(base, delta,
+          "from_type", "to_type"))
     }),
 
     // Multi-touch linear attribution: each purchase's revenue splits
@@ -3983,6 +4011,44 @@ object SparkEntry {
       |               (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3)
       |SELECT event_id, a, b, x4 | (y4 << 1) AS zkey FROM s4""".stripMargin
 
+  /** Per-node triangle-count oracle over the item co-transition graph
+    * — shared by the full recompute (p192) and the incremental
+    * maintenance contract (p213), which must reproduce it exactly.
+    */
+  private lazy val triangleCountsOracleSql: String =
+    """WITH e0 AS (SELECT user_id AS u, epoch_us(ts) AS t,
+        |              TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS et
+        |            FROM events),
+        |x AS (SELECT u, et, lag(et) OVER (PARTITION BY u ORDER BY t, et) AS prev
+        |      FROM e0),
+        |m AS (SELECT prev AS src, et AS dst FROM x WHERE prev IS NOT NULL
+        |      GROUP BY 1, 2),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |        FROM m WHERE src <> dst AND src IS NOT NULL AND dst IS NOT NULL),
+        |deg AS (SELECT n, count(*) AS d FROM
+        |          (SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und) q
+        |        GROUP BY 1),
+        |ed AS (SELECT CASE WHEN (da.d, und.a) < (db.d, und.b) THEN und.a
+        |                   ELSE und.b END AS s,
+        |              CASE WHEN (da.d, und.a) < (db.d, und.b) THEN und.b
+        |                   ELSE und.a END AS t,
+        |              CASE WHEN (da.d, und.a) < (db.d, und.b) THEN db.d
+        |                   ELSE da.d END AS dt
+        |       FROM und JOIN deg da ON da.n = und.a
+        |                JOIN deg db ON db.n = und.b),
+        |w AS (SELECT l.s AS apex,
+        |             CASE WHEN (l.dt, l.t) < (r.dt, r.t) THEN l.t ELSE r.t END AS x,
+        |             CASE WHEN (l.dt, l.t) < (r.dt, r.t) THEN r.t ELSE l.t END AS y
+        |      FROM ed l JOIN ed r ON l.s = r.s AND l.t < r.t),
+        |tri AS (SELECT apex, x, y FROM w JOIN ed ON ed.s = w.x AND ed.t = w.y),
+        |pn AS (SELECT n, count(*) AS c FROM
+        |         (SELECT apex AS n FROM tri UNION ALL SELECT x AS n FROM tri
+        |          UNION ALL SELECT y AS n FROM tri) q
+        |       GROUP BY 1)
+        |SELECT deg.n AS node, deg.d AS degree,
+        |       coalesce(pn.c, 0) AS n_triangles
+        |FROM deg LEFT JOIN pn ON pn.n = deg.n""".stripMargin
+
   private lazy val heavyHittersOracleSql: String =
     """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS bucket,
       |             TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS item
@@ -5851,39 +5917,14 @@ object SparkEntry {
 
     "p193_stream_funnel_branching" -> branchingFunnelOracleSql,
 
-    "p192_item_triangles" ->
-      """WITH e0 AS (SELECT user_id AS u, epoch_us(ts) AS t,
-        |              TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS et
-        |            FROM events),
-        |x AS (SELECT u, et, lag(et) OVER (PARTITION BY u ORDER BY t, et) AS prev
-        |      FROM e0),
-        |m AS (SELECT prev AS src, et AS dst FROM x WHERE prev IS NOT NULL
-        |      GROUP BY 1, 2),
-        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-        |        FROM m WHERE src <> dst AND src IS NOT NULL AND dst IS NOT NULL),
-        |deg AS (SELECT n, count(*) AS d FROM
-        |          (SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und) q
-        |        GROUP BY 1),
-        |ed AS (SELECT CASE WHEN (da.d, und.a) < (db.d, und.b) THEN und.a
-        |                   ELSE und.b END AS s,
-        |              CASE WHEN (da.d, und.a) < (db.d, und.b) THEN und.b
-        |                   ELSE und.a END AS t,
-        |              CASE WHEN (da.d, und.a) < (db.d, und.b) THEN db.d
-        |                   ELSE da.d END AS dt
-        |       FROM und JOIN deg da ON da.n = und.a
-        |                JOIN deg db ON db.n = und.b),
-        |w AS (SELECT l.s AS apex,
-        |             CASE WHEN (l.dt, l.t) < (r.dt, r.t) THEN l.t ELSE r.t END AS x,
-        |             CASE WHEN (l.dt, l.t) < (r.dt, r.t) THEN r.t ELSE l.t END AS y
-        |      FROM ed l JOIN ed r ON l.s = r.s AND l.t < r.t),
-        |tri AS (SELECT apex, x, y FROM w JOIN ed ON ed.s = w.x AND ed.t = w.y),
-        |pn AS (SELECT n, count(*) AS c FROM
-        |         (SELECT apex AS n FROM tri UNION ALL SELECT x AS n FROM tri
-        |          UNION ALL SELECT y AS n FROM tri) q
-        |       GROUP BY 1)
-        |SELECT deg.n AS node, deg.d AS degree,
-        |       coalesce(pn.c, 0) AS n_triangles
-        |FROM deg LEFT JOIN pn ON pn.n = deg.n""".stripMargin,
+    "p192_item_triangles" -> triangleCountsOracleSql,
+
+    // p213 gates incremental maintenance under the SAME oracle: the
+    // hash-split base+delta recombine to the full transition graph, so
+    // applyTriangleDelta(triangleCounts(base), triangleDelta(base, d))
+    // must reproduce the full recompute bit-exactly.
+    "p213_triangle_delta" -> triangleCountsOracleSql,
+
 
     "p194_linear_attribution" ->
       """WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS tus, event_type,

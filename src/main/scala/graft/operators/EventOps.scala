@@ -1058,6 +1058,83 @@ object EventOps {
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
+  /** Incremental triangle maintenance — the per-node (Δdegree,
+    * Δtriangles) increments a batch of NEW edges adds to a standing
+    * graph, without re-running the superlinear wedge enumeration over
+    * the whole graph. A new triangle contains ≥1 new edge; with edges
+    * oriented by NODE ID (insertion-stable, unlike [[triangleCounts]]'
+    * degree orientation, which flips edges as degrees grow) each
+    * triangle x<y<z is the wedge (x,y),(x,z) closed by (y,z), found
+    * exactly once, and the new ones split disjointly into
+    *   A: a new WEDGE edge — new×union wedges at the shared apex (when
+    *      both wedge edges are new, the lower-t one claims it), closed
+    *      against the union; and
+    *   B: both wedge edges old, CLOSING edge new — each new (u,v)
+    *      probes old edges into u, then hash-checks (s,v) old.
+    * Every join is an id equi-join whose delta side is |Δ|-sized: cost
+    * is Σ_Δ deg-bounded plus LINEAR passes over the standing edges
+    * (degree update, join probes) — never the Σ outdeg² wedge blowup
+    * of a recompute (ScaleProbe measures the gap). At warehouse scale
+    * the standing edge table would be bucketed by its join keys so the
+    * linear probes are also shuffle-free. Returns (node, d_degree,
+    * d_triangles) — one row per node any increment touches.
+    */
+  def triangleDelta(baseEdges: DataFrame, deltaEdges: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    def canon(e: DataFrame, s: String, d: String): DataFrame = e
+      .select(least(col(s), col(d)).as("a"), greatest(col(s), col(d)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val old = canon(baseEdges, srcCol, dstCol)
+      .localCheckpoint(false) // anti-join, wedge sides, closure probes
+    val nw = canon(deltaEdges, srcCol, dstCol)
+      .join(old, Seq("a", "b"), "left_anti")
+      .localCheckpoint(false) // degree inc, A wedges, B closings
+    val ed = old.select(col("a"), col("b"), lit(false).as("nu"))
+      .unionByName(nw.select(col("a"), col("b"), lit(true).as("nu")))
+      .localCheckpoint(false) // A's any-side + both closure probes
+    // A: wedge edge new. l = new (s, x); r = any (s, y); when r is new
+    // too, x < y keeps exactly one of the two orderings.
+    val aTri = nw.select(col("a").as("s"), col("b").as("x"))
+      .join(ed.select(col("a").as("s"), col("b").as("y"), col("nu")), Seq("s"))
+      .filter(col("x") =!= col("y") && (!col("nu") || col("x") < col("y")))
+      .select(col("s"),
+        least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))
+      .join(ed.select(col("a").as("u"), col("b").as("v")), Seq("u", "v"))
+      .select(col("s"), col("u"), col("v"))
+    // B: both wedge edges old, closing edge new: (u,v) ∈ Δ, s→u and
+    // s→v old (s < u < v by orientation).
+    val bTri = old.select(col("a").as("s"), col("b").as("u"))
+      .join(nw.select(col("a").as("u"), col("b").as("v")), Seq("u"))
+      .join(old.select(col("a").as("s"), col("b").as("v")), Seq("s", "v"))
+      .select(col("s"), col("u"), col("v"))
+    val dTri = aTri.unionByName(bTri)
+      .select(explode(array(col("s"), col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("d_triangles"))
+    val dDeg = nw.select(col("a").as("node"))
+      .unionAll(nw.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d_degree"))
+    dDeg.join(dTri, Seq("node"), "full_outer")
+      .select(col("node"), coalesce(col("d_degree"), lit(0L)).as("d_degree"),
+        coalesce(col("d_triangles"), lit(0L)).as("d_triangles"))
+  }
+
+  /** Apply [[triangleDelta]] increments to a maintained
+    * [[triangleCounts]] artifact: full-outer merge so brand-new nodes
+    * appear and untouched nodes pass through — the contract
+    * `applyTriangleDelta(triangleCounts(base), triangleDelta(base, Δ))
+    * ≡ triangleCounts(base ∪ Δ)` is oracle-gated (p213).
+    */
+  def applyTriangleDelta(baseCounts: DataFrame,
+      increments: DataFrame): DataFrame =
+    baseCounts.select(col("node"), col("degree"), col("n_triangles"))
+      .join(increments, Seq("node"), "full_outer")
+      .select(col("node"),
+        (coalesce(col("degree"), lit(0L)) +
+          coalesce(col("d_degree"), lit(0L))).as("degree"),
+        (coalesce(col("n_triangles"), lit(0L)) +
+          coalesce(col("d_triangles"), lit(0L))).as("n_triangles"))
+
   /** Multi-touch LINEAR attribution — the position-agnostic counterpart
     * of the as-of (last-touch) attribution: each purchase's revenue
     * splits EQUALLY over every click of the same user at ctus ≤ ptus
