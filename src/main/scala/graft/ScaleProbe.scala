@@ -388,6 +388,10 @@ object ScaleProbe {
     // also runnable alone via `runMain graft.PrefilterProbe`.
     semdedupPrefilterProbe(spark)
 
+    // Incremental triangle maintenance probe (round 13) — see
+    // [[triangleDeltaProbe]]; also alone via `runMain graft.TriangleProbe`.
+    triangleDeltaProbe(spark)
+
     // Shuffle-elimination probe: major compaction over the bucketed
     // catalog layout vs over plain parquet runs, measured in actual
     // shuffle-write bytes (task metrics). The bucketed path's reconcile +
@@ -673,6 +677,50 @@ object ScaleProbe {
     println(f"[scale] semdedup prefilter d=$dim%4d h=32 (3M pairs): exact=$dtExact%5.2f s " +
       f"prefiltered=$dtPre%5.2f s pairs=${exact.size}%d (sets identical)")
     corpus.unpersist()
+  }
+  /** Incremental-triangle probe backing triangleDelta's scaling claim:
+    * at FIXED |Δ| (~1k edges), maintenance cost must stay ~flat as the
+    * standing graph grows 10× (its joins are |Δ|·deg-bounded plus linear
+    * passes over the standing edges), while the full recompute re-pays
+    * the superlinear wedge enumeration every time. Counts are asserted
+    * identical (maintained ≡ recompute on base ∪ Δ) before timing is
+    * trusted. Random multigraph on 20k nodes so densification (not just
+    * edge count) grows the wedge space.
+    */
+  def triangleDeltaProbe(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import graft.operators.EventOps
+    def graph(edges: Long, salt: Long) = spark.range(edges).select(
+        (abs(xxhash64(col("id") + lit(salt))) % 20000L).as("s"),
+        (abs(xxhash64(col("id") * 31 + lit(salt) + 7L)) % 20000L).as("d"))
+      .filter(col("s") =!= col("d")).localCheckpoint()
+    val delta = graph(1200L, 999999L)
+    def sums(df: org.apache.spark.sql.DataFrame): (Double, Long, Long) = {
+      val t0 = System.nanoTime()
+      val r = df.agg(sum(col("node") * col("n_triangles")),
+        sum(col("n_triangles"))).head()
+      ((System.nanoTime() - t0) / 1e9, r.getLong(0), r.getLong(1))
+    }
+    Seq(80000L, 800000L).foreach { m =>
+      val base = graph(m, 1L)
+      val baseCounts = EventOps.triangleCounts(base, "s", "d").localCheckpoint()
+      val (dtDelta, csD, ntD) = sums(EventOps.applyTriangleDelta(
+        baseCounts, EventOps.triangleDelta(base, delta, "s", "d")))
+      val (dtFull, csF, ntF) = sums(
+        EventOps.triangleCounts(base.unionAll(delta), "s", "d"))
+      assert(csD == csF && ntD == ntF,
+        s"maintained ≠ recompute at m=$m: ($csD,$ntD) vs ($csF,$ntF)")
+      println(f"[scale] triangle-delta m=$m%7d |delta|=1.2k: maintain=$dtDelta%5.2f s " +
+        f"recompute=$dtFull%5.2f s (identical counts, $ntF%,d corners)")
+    }
+  }
+}
+
+/** Focused runner for the incremental-triangle maintenance probe. */
+object TriangleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.create(taskSideCommit = true)
+    ScaleProbe.triangleDeltaProbe(spark)
+    spark.stop()
   }
 }
 

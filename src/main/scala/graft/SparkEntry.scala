@@ -1699,7 +1699,11 @@ object SparkEntry {
         .select(col("event_id"),
           (col("user_id") % 65536L).as("a"),
           (expr("ts div 1000 div 3600000000") % 65536L).as("b"))
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_p210_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      // per-invocation suffix: concurrent sessions (bench ∥ verify) must
+      // not race on overwrite-while-read; deleteOnExit reclaims the store
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_p210_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${java.util.UUID.randomUUID().toString.take(8)}"
+      val fs210 = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs210.deleteOnExit(new org.apache.hadoop.fs.Path(base))
       graft.sources.ZOrder.writeZOrdered(e, base, col("a"), col("b"), 16)
       graft.sources.ZOrder.zRangeScan(s, base, 3L, 80L, 14650L, 15100L)
         .select(col("event_id"), col("a"), col("b"))
@@ -1716,9 +1720,10 @@ object SparkEntry {
         .select(col("event_id"),
           (col("user_id") % 65536L).as("a"),
           (expr("ts div 1000 div 3600000000") % 65536L).as("b"))
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_p211_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_p211_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${java.util.UUID.randomUUID().toString.take(8)}"
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      fs.deleteOnExit(new org.apache.hadoop.fs.Path(base))
       e.repartition(3).write.parquet(s"$base/in")
       val st = s.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
@@ -2194,7 +2199,7 @@ object SparkEntry {
       GraftFunctions.register(s)
       graft.pipeline.Dedup.containmentPairs(
         table(s, dir, "documents"), "doc_id", "text", n = 3,
-        tauPermille = 800)
+        tauPermille = 800, maxDocFreq = None) // oracle is unguarded — opt out
     }),
 
     // CUSUM change-point over daily event volume: the bucket whose
@@ -2482,7 +2487,8 @@ object SparkEntry {
     "p06_jaccard_neardup" -> ((s, dir) => {
       GraftFunctions.register(s)
       graft.pipeline.Dedup.nearDuplicates(table(s, dir, "documents"),
-        "doc_id", "text", n = 3, num = 4, den = 5)
+        "doc_id", "text", n = 3, num = 4, den = 5,
+        maxDocFreq = None) // oracle is unguarded — opt out of the skew guard
         .select(col("ia"), col("ib"), col("inter"), col("uni"))
     }),
 
@@ -2495,7 +2501,8 @@ object SparkEntry {
       val stop = graft.pipeline.Dedup.corpusStoplist(docs, "doc_id", "text",
         n = 3, k = 20)
       graft.pipeline.Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
-        stoplist = Some(stop))
+        stoplist = Some(stop),
+        maxDocFreq = None) // oracle models only the stoplist cut — opt out
         .filter(col("inter") * lit(2) >= col("uni"))
         .select(col("ia"), col("ib"), col("inter"), col("uni"))
     }),
@@ -2625,7 +2632,8 @@ object SparkEntry {
     "p43_edit_neardup" -> ((s, dir) => {
       GraftFunctions.register(s)
       graft.pipeline.Dedup.editDistanceNearDuplicates(table(s, dir, "documents"),
-        "doc_id", "text", n = 3, maxDist = 50, prefixChars = 200)
+        "doc_id", "text", n = 3, maxDist = 50, prefixChars = 200,
+        maxDocFreq = None) // oracle is unguarded — opt out of the skew guard
     }),
 
     // SimHash 64-bit sketches over md5-derived token hashes — the hash is

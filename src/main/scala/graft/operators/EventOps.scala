@@ -1135,6 +1135,116 @@ object EventOps {
         (coalesce(col("n_triangles"), lit(0L)) +
           coalesce(col("d_triangles"), lit(0L))).as("n_triangles"))
 
+  /** Standing-side layout for shuffle-free incremental triangle
+    * maintenance: the SYMMETRIC adjacency — both directions (au→av and
+    * av→au) of every canonical undirected edge — written as a catalog
+    * table bucketed AND sorted by (au, av). Keying every edge by BOTH
+    * endpoints is what lets each of [[triangleDeltaBucketed]]'s probes
+    * (membership, wedge partners at the apex, closures, edges-into-u)
+    * be an equi-join whose keys INCLUDE the bucket column `au`, so the
+    * standing table is never exchanged — only Δ-derived (small) sides
+    * shuffle, each onto the table's own bucketing. The in-bucket
+    * (au, av) sort order matches every probe's sort-merge key order, so
+    * the scans need no re-sort either. 2× the storage of a one-way edge
+    * list — the price of never shuffling 100 TB of edges per
+    * maintenance batch. Mirrors [[graft.sources.CellStore.writeBucketed]].
+    */
+  def writeAdjacencyBucketed(edges: DataFrame, srcCol: String,
+      dstCol: String, tableName: String, buckets: Int): Unit = {
+    require(buckets >= 1, s"buckets $buckets must be >= 1")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    und.select(col("a").as("au"), col("b").as("av"))
+      .unionByName(und.select(col("b").as("au"), col("a").as("av")))
+      .write
+      .bucketBy(buckets, "au")
+      .sortBy("au", "av")
+      .format("parquet")
+      .mode("overwrite")
+      .saveAsTable(tableName)
+  }
+
+  /** [[triangleDelta]] against a STANDING graph stored as a
+    * [[writeAdjacencyBucketed]] table — the warehouse-scale variant the
+    * plain version's doc comment promises: all three linear probes of
+    * the standing edges (delta-membership anti-join, wedge partners at
+    * each delta apex, closure lookups, plus case B's edges-into-u scan)
+    * run WITHOUT exchanging the standing side. Every probe joins on
+    * keys that include the bucket column `au`, and the session is
+    * switched to `spark.sql.requireAllClusterKeysForCoPartition=false`
+    * (left set; it only ever ADMITS subset co-partitioning when one
+    * side already satisfies it — measured on this Spark: the bucketed
+    * scan plans `Bucketed: true` with zero Exchange while the Δ side
+    * shuffles on `au` alone; with the default `true` BOTH sides
+    * re-shuffle on the full key pair). No `localCheckpoint` on the
+    * standing side (executor-pinned lineage is what the plain variant
+    * concedes at scale) — only the |Δ|-sized canonical delta is
+    * checkpointed for its four reuses. Semantics are exactly
+    * [[triangleDelta]]'s; the equivalence is spec-pinned.
+    */
+  def triangleDeltaBucketed(spark: org.apache.spark.sql.SparkSession,
+      adjTable: String, deltaEdges: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    val adj = spark.table(adjTable)
+    // canonical (min-keyed) and max-keyed views of the same edge set —
+    // standing columns KEEP the names au/av through every join below so
+    // a plan audit can prove no Exchange ever repartitions them
+    val old = adj.filter(col("au") < col("av"))
+    val oldIn = adj.filter(col("av") < col("au"))
+    val dn = deltaEdges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+      .localCheckpoint(false) // |Δ|-sized; reused by anti-join + A + B
+    val nw = dn.join(old, col("a") === col("au") && col("b") === col("av"),
+        "left_anti")
+      .localCheckpoint(false) // |Δ|-sized; degree inc, A wedges, closings
+    // A: wedge edge new. Partner from the STANDING edges (keep all
+    // x ≠ y) probed at the apex bucket…
+    val aPairsOld = nw.select(col("a").as("s"), col("b").as("x"))
+      .join(old, col("s") === col("au"))
+      .select(col("s"), col("x"), col("av").as("y"))
+      .filter(col("x") =!= col("y"))
+    // …or from the delta itself (x < y keeps one of the two orderings)
+    val aPairsNew = nw.select(col("a").as("s"), col("b").as("x"))
+      .join(nw.select(col("a").as("s2"), col("b").as("y")),
+        col("s") === col("s2"))
+      .filter(col("x") < col("y"))
+      .select(col("s"), col("x"), col("y"))
+    val cand = aPairsOld.unionByName(aPairsNew)
+      .select(col("s"), least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+    // closure: (u,v) stands (probed at its min-endpoint bucket) or is new
+    // — nw is anti-joined, so a pair matches exactly one side, never both
+    val aTri = cand.join(old, col("u") === col("au") && col("v") === col("av"))
+      .select(col("s"), col("u"), col("v"))
+      .unionByName(cand.join(
+        nw.select(col("a").as("u2"), col("b").as("v2")),
+        col("u") === col("u2") && col("v") === col("v2"))
+        .select(col("s"), col("u"), col("v")))
+    // B: both wedge edges old, closing (u,v) new — standing edges INTO u
+    // come max-keyed from oldIn (au = u, av = s < u), then the (s,v) leg
+    // is checked min-keyed
+    val bTri = oldIn.join(nw, col("au") === col("a"))
+      .select(col("av").as("s"), col("a").as("u"), col("b").as("v"))
+      .join(old, col("s") === col("au") && col("v") === col("av"))
+      .select(col("s"), col("u"), col("v"))
+    val dTri = aTri.unionByName(bTri)
+      .select(explode(array(col("s"), col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("d_triangles"))
+    val dDeg = nw.select(col("a").as("node"))
+      .unionAll(nw.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d_degree"))
+    dDeg.join(dTri, Seq("node"), "full_outer")
+      .select(col("node"), coalesce(col("d_degree"), lit(0L)).as("d_degree"),
+        coalesce(col("d_triangles"), lit(0L)).as("d_triangles"))
+  }
+
   /** Multi-touch LINEAR attribution — the position-agnostic counterpart
     * of the as-of (last-touch) attribution: each purchase's revenue
     * splits EQUALLY over every click of the same user at ctus ≤ ptus

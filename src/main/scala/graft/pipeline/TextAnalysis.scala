@@ -1882,7 +1882,14 @@ object TextAnalysis {
     * (−ln(0.5/2^60) ≈ 42.2), ×1e9 ≈ 4.3e16 < 2^63 — no overflow at any
     * weight. Weights must be ≥ 1 (loud guard: a zero weight would make
     * DIV by w undefined-by-zero on one engine and an error on the
-    * other).
+    * other). Residual boundary risk (shared with every dsirResample-
+    * family gate): JVM Math.log and DuckDB's libm ln are each ~1-ulp
+    * accurate, so a −ln(u) landing within ~1e-11 of a .5·1e-6 rounding
+    * boundary COULD quantize to adjacent micros on the two engines and
+    * flip a key; with hash-derandomized u the event is data-independent
+    * and has never fired across the gated corpora, but strict
+    * cross-engine stability at adversarial inputs would need an
+    * integer-only ln approximation (documented, not implemented).
     */
   def weightedSampleKeys(df: org.apache.spark.sql.DataFrame, idCol: String,
       weightCol: String, seed: String = "wswr"):

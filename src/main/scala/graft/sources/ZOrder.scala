@@ -121,6 +121,10 @@ object ZOrder {
   def writeZOrdered(df: DataFrame, path: String, aExpr: Column,
       bExpr: Column, numFiles: Int): Unit = {
     require(numFiles >= 1, s"numFiles $numFiles must be >= 1")
+    require(!df.columns.contains("zkey"),
+      "writeZOrdered persists a 'zkey' column; the input already has one " +
+        "— rename it, or it would be silently overwritten and shadow the " +
+        "layout key for every reader of this store")
     df.withColumn("zkey", zorderKey(aExpr, bExpr))
       .repartitionByRange(numFiles, col("zkey"))
       .sortWithinPartitions(col("zkey"))

@@ -178,6 +178,52 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_pq_domb")
   }
 
+  test("bucketed adjacency: triangleDelta probes never exchange the standing edges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val loc = new java.io.File("spark-warehouse/graft_pq_adj")
+    if (loc.exists()) new scala.reflect.io.Directory(loc).deleteRecursively()
+    spark.sql("DROP TABLE IF EXISTS graft_pq_adj")
+    // dense-ish standing graph + a delta that fires both the new-wedge
+    // and new-closing branches
+    val base = (for { a <- 1L to 40L; b <- (a + 1) to 40L
+      if (a * 31 + b) % 5 == 0 } yield (a, b)).toDF("s", "d")
+    val delta = (for { a <- 1L to 40L; b <- (a + 1) to 40L
+      if (a * 17 + b) % 7 == 0 } yield (a, b)).toDF("s", "d")
+    graft.operators.EventOps.writeAdjacencyBucketed(base, "s", "d",
+      "graft_pq_adj", buckets = 4)
+    val prevBjt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force the at-scale join shape (SMJ against the bucketed table) —
+    // with broadcasts on, toy-sized sides all go BHJ and bucketed
+    // reading is planner-disabled, proving nothing about 100 TB
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val inc = graft.operators.EventOps.triangleDeltaBucketed(
+        spark, "graft_pq_adj", delta, "s", "d")
+      // ≡ the plain (shuffle) variant on identical inputs
+      val got = inc.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val want = graft.operators.EventOps.triangleDelta(base, delta, "s", "d")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == want, s"bucketed ≠ plain: ${got.toSeq.sorted} vs ${want.toSeq.sorted}")
+      assert(got.values.map(_._2).sum > 0, "planted graph produced no new triangles")
+      // the standing columns au/av keep their names through every probe,
+      // so an Exchange repartitioning standing data would name au# — none may
+      val plan = planOf(inc)
+      val standingEx = plan.linesIterator
+        .filter(l => l.contains("Exchange hashpartitioning") && l.contains("au#")).toSeq
+      assert(standingEx.isEmpty,
+        s"standing adjacency must never shuffle:\n${standingEx.mkString("\n")}")
+      // and the adjacency scans really plan bucketed (the subset-key
+      // co-partition admission is live, not silently fallen back)
+      assert(plan.contains("SelectedBucketsCount"),
+        plan.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBjt)
+      spark.sql("DROP TABLE IF EXISTS graft_pq_adj")
+    }
+  }
+
   test("unlimited slices skip the rank window entirely") {
     val plan = planOf(
       lens.rangeSliceByKeys(None, None, None, SliceRange(count = Int.MaxValue), Int.MaxValue))

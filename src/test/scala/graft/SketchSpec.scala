@@ -299,6 +299,57 @@ class SketchSpec extends SparkSpec {
     assert(g3 == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 0L, 5L -> 0L))
   }
 
+  test("triangleDelta: A/B branch split, both-new-wedge dedup, new nodes, maintained ≡ recompute") {
+    // Planted so each disjoint branch fires at least once (orientation is
+    // by node id, triangle x<y<z found as wedge (x,y),(x,z) + closing (y,z)):
+    //   {1,2,3}:    wedges (1,2),(1,3) OLD, closing (2,3) NEW      — case B
+    //   {4,5,6}:    wedge (4,6) NEW + closing (5,6) NEW            — case A
+    //   {7,8,9}:    wedge (7,9) NEW, closing (8,9) OLD             — case A
+    //   {10,11,12}: ALL THREE new — BOTH wedge edges new at apex 10,
+    //               the x<y rule must count the wedge exactly once
+    //   {13,14,15}: both wedges NEW, closing (14,15) OLD — x<y dedup
+    //               against an old closure
+    // plus delta noise the canonicalizer/anti-join must drop (reversed
+    // duplicate, self-loop, already-in-base edge) and a disconnected
+    // base edge (20,21) that must pass through the merge untouched.
+    val base = Seq((1L, 2L), (1L, 3L), (4L, 5L), (7L, 8L), (8L, 9L),
+      (14L, 15L), (20L, 21L)).toDF("s", "d")
+    val delta = Seq((2L, 3L), (4L, 6L), (5L, 6L), (7L, 9L), (10L, 11L),
+      (10L, 12L), (11L, 12L), (13L, 14L), (13L, 15L),
+      (3L, 2L), (5L, 5L), (1L, 2L)).toDF("s", "d")
+    val inc = EventOps.triangleDelta(base, delta, "s", "d")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // d_degree counts surviving NEW canonical edges only (9 of the 12
+    // delta rows: reversed dup, self-loop and in-base edge are dropped);
+    // d_triangles is 1 at every corner of the five planted triangles —
+    // the both-new-wedge cases would read 2 if the x<y dedup failed
+    assert(inc == Map(
+      1L -> ((0L, 1L)), 2L -> ((1L, 1L)), 3L -> ((1L, 1L)),
+      4L -> ((1L, 1L)), 5L -> ((1L, 1L)), 6L -> ((2L, 1L)),
+      7L -> ((1L, 1L)), 8L -> ((0L, 1L)), 9L -> ((1L, 1L)),
+      10L -> ((2L, 1L)), 11L -> ((2L, 1L)), 12L -> ((2L, 1L)),
+      13L -> ((2L, 1L)), 14L -> ((1L, 1L)), 15L -> ((1L, 1L))))
+    // the maintained artifact ≡ the full recompute on base ∪ delta —
+    // including nodes 6/10/11/12/13 that did not exist in the base
+    // (full-outer merge) and the untouched (20,21) passthrough
+    val maintained = EventOps.applyTriangleDelta(
+      EventOps.triangleCounts(base, "s", "d"),
+      EventOps.triangleDelta(base, delta, "s", "d"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val full = EventOps.triangleCounts(base.unionAll(delta), "s", "d")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(maintained == full)
+    assert(maintained(10L) == ((2L, 1L)) && maintained(20L) == ((1L, 0L)))
+    // an EMPTY delta increments nothing: maintained view is unchanged
+    val noop = EventOps.applyTriangleDelta(
+      EventOps.triangleCounts(base, "s", "d"),
+      EventOps.triangleDelta(base, base.limit(1), "s", "d"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val baseOnly = EventOps.triangleCounts(base, "s", "d")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(noop == baseOnly)
+  }
+
   test("linearAttribution: equal split + remainder on latest touch, window excludes, conservation") {
     // purchase P1 (rev 10) by u1 at t=100: touches at 90, 95, 99 →
     //   10 div 3 = 3 each, remainder 1 rides the t=99 touch (day 0);
