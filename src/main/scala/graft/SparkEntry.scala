@@ -1737,6 +1737,38 @@ object SparkEntry {
         .select(col("event_id"), col("a"), col("b"), col("zkey"))
     }),
 
+    // Z-run compaction: the p211 ingest's lifecycle half — micro-batch
+    // runs size-tiered and merged into fewer z-ordered runs
+    // (publish-then-delete with heal, the reference compactor's
+    // protocol), after which the read-back union must STILL reproduce
+    // the batch key table bit-exactly (shared p200 oracle).
+    "p214_zrun_compaction" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = table(s, dir, "events")
+        .select(col("event_id"),
+          (col("user_id") % 65536L).as("a"),
+          (expr("ts div 1000 div 3600000000") % 65536L).as("b"))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_p214_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${java.util.UUID.randomUUID().toString.take(8)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      fs.deleteOnExit(new org.apache.hadoop.fs.Path(base))
+      e.repartition(3).write.parquet(s"$base/in")
+      val st = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = graft.sources.ZOrder
+        .zorderedIngest(st, s"$base/store", col("a"), col("b"), 4)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val merged = graft.sources.ZOrder.compactZRuns(s, s"$base/store",
+        targetFileBytes = 1L << 20)
+      require(merged.nonEmpty, "p214: compaction merged no runs — the " +
+        "similar-size micro-batch runs must tier into one bucket")
+      s.read.parquet(s"$base/store")
+        .select(col("event_id"), col("a"), col("b"), col("zkey"))
+    }),
+
     // Burst-hour detection: hours over 2× the median hourly volume —
     // the robust rate-spike monitor (median can't be masked by the
     // burst).
@@ -3437,6 +3469,26 @@ object SparkEntry {
         .select(col("pick"), col("id").as("doc_id"), col("w"), col("key"))
     }),
 
+    // Streaming twin of p212: documents arrive as a feed and gate
+    // STATELESSLY against the standing batch race's k-th-winner
+    // threshold artifact (broadcast 1-row); the bounded readout assigns
+    // picks via the SHARED ordering. Same oracle as p212 — the gate
+    // admits exactly the batch winner set regardless of arrival order.
+    "p215_stream_weighted_sample" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val w = table(s, dir, "documents").select(col("doc_id"),
+        (graft.pipeline.TextAnalysis.tokenCount(col("text")) + 1)
+          .cast("long").as("wt"))
+      val threshold = graft.pipeline.TextAnalysis.weightedSampleThreshold(
+        w, "doc_id", "wt", k = 50)
+        .localCheckpoint() // the standing artifact: race once, not per batch
+      graft.pipeline.TextAnalysis.assignSamplePicks(
+        runStream(s, "p215", dir, w, 3)(st =>
+          graft.streaming.PipelineStream.weightedSampleGate(
+            st, "doc_id", "wt", threshold)))
+        .select(col("pick"), col("id").as("doc_id"), col("w"), col("key"))
+    }),
+
     // URL-level dedup over deterministically synthesized crawl variants
     // (case/www/port/trailing-slash/utm/fragment noise keyed by doc_id
     // residues): canonicalize, then keeper + variant census per canonical
@@ -4004,6 +4056,22 @@ object SparkEntry {
     * definition of the spread ladder, initial &65535 clamp matching
     * the Scala spread16's defensive mask.
     */
+  // the Efraimidis–Schwenk race, shared by p212 (batch) and p215 (the
+  // streaming threshold gate twin — admission = membership in this top-k)
+  private lazy val weightedSampleOracleSql: String =
+    s"""WITH w AS (SELECT doc_id,
+       |        CAST(len(regexp_extract_all(lower(text), '\\S+')) + 1 AS BIGINT) AS w
+       |      FROM documents),
+       |k AS (SELECT doc_id, w,
+       |        CAST(round(-ln((${hash60Sql("'wswr|' || CAST(doc_id AS VARCHAR)")} + 0.5)
+       |          / 1152921504606846976.0) * 1000000) AS BIGINT) AS lmicro
+       |      FROM w),
+       |k2 AS (SELECT doc_id, w, lmicro * 1000000000 // w AS key FROM k),
+       |r AS (SELECT row_number() OVER (ORDER BY key, doc_id) AS pick,
+       |        doc_id, w, key FROM k2)
+       |SELECT CAST(pick AS BIGINT) AS pick, doc_id, w, CAST(key AS BIGINT) AS key
+       |FROM r WHERE pick <= 50""".stripMargin
+
   private lazy val zorderKeyOracleSql: String =
     """WITH e AS (SELECT event_id, CAST(user_id % 65536 AS BIGINT) AS a,
       |             CAST((epoch_us(ts) // 3600000000) % 65536 AS BIGINT) AS b
@@ -5556,6 +5624,10 @@ object SparkEntry {
     // and the persisted zkey, so the read-back union must reproduce the
     // batch key table exactly.
     "p211_stream_zorder_ingest" -> zorderKeyOracleSql,
+
+    // p214 gates run COMPACTION under the same oracle: merging runs
+    // must preserve every row and every persisted key.
+    "p214_zrun_compaction" -> zorderKeyOracleSql,
 
     "p210_zrange_scan" ->
       """SELECT event_id, CAST(user_id % 65536 AS BIGINT) AS a,
@@ -7144,19 +7216,12 @@ object SparkEntry {
          |SELECT CAST(pick AS BIGINT) AS pick, doc_id, key_micro
          |FROM r WHERE pick <= 50""".stripMargin,
 
-    "p212_weighted_sample" ->
-      s"""WITH w AS (SELECT doc_id,
-         |        CAST(len(regexp_extract_all(lower(text), '\\S+')) + 1 AS BIGINT) AS w
-         |      FROM documents),
-         |k AS (SELECT doc_id, w,
-         |        CAST(round(-ln((${hash60Sql("'wswr|' || CAST(doc_id AS VARCHAR)")} + 0.5)
-         |          / 1152921504606846976.0) * 1000000) AS BIGINT) AS lmicro
-         |      FROM w),
-         |k2 AS (SELECT doc_id, w, lmicro * 1000000000 // w AS key FROM k),
-         |r AS (SELECT row_number() OVER (ORDER BY key, doc_id) AS pick,
-         |        doc_id, w, key FROM k2)
-         |SELECT CAST(pick AS BIGINT) AS pick, doc_id, w, CAST(key AS BIGINT) AS key
-         |FROM r WHERE pick <= 50""".stripMargin,
+    // ONE shared oracle for the batch race (p212) and its streaming
+    // gate twin (p215): the gate's admission predicate is membership in
+    // this very top-k, so both surfaces must reproduce it exactly.
+    "p212_weighted_sample" -> weightedSampleOracleSql,
+
+    "p215_stream_weighted_sample" -> weightedSampleOracleSql,
 
     "p66_quantize_int8" ->
       """WITH s AS (SELECT vec_id, embedding,

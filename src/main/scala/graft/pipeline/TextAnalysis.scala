@@ -1918,14 +1918,42 @@ object TextAnalysis {
       weightCol: String, k: Int, seed: String = "wswr"):
       org.apache.spark.sql.DataFrame = {
     require(k >= 1, "k >= 1")
-    weightedSampleKeys(df, idCol, weightCol, seed)
-      .orderBy(col("key"), col("id"))
-      .limit(k)
-      .select(
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("key"), col("id"))).cast("long").as("pick"),
-        col("id"), col("w"), col("key"))
+    assignSamplePicks(
+      weightedSampleKeys(df, idCol, weightCol, seed)
+        .orderBy(col("key"), col("id"))
+        .limit(k))
   }
+
+  /** Pick assignment over an admitted race set — the ONE ordering
+    * definition [[weightedSample]] and the streaming gate's readout
+    * share: (key asc, id asc), pick ∈ [1, n]. Input contract: already
+    * bounded (≤ k rows) — the single-partition window is the readout of
+    * a tiny winner set, never a corpus-wide sort.
+    */
+  def assignSamplePicks(keyed: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame =
+    keyed.select(
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("key"), col("id"))).cast("long").as("pick"),
+      col("id"), col("w"), col("key"))
+
+  /** Admission-threshold artifact for the STREAMING weighted-sample
+    * gate ([[graft.streaming.PipelineStream.weightedSampleGate]]): the
+    * k-th winner's (key, id) from the standing batch race. The race is
+    * hash-derandomized, so membership in the batch top-k is exactly the
+    * stateless predicate (key, id) ≤ (t_key, t_id) lexicographically —
+    * the same one-artifact-then-gate move as the p88 temperature rates
+    * and p130 MAD thresholds. One row; a corpus smaller than k yields
+    * its maximum (the gate then admits everything, which IS the batch
+    * sample).
+    */
+  def weightedSampleThreshold(df: org.apache.spark.sql.DataFrame,
+      idCol: String, weightCol: String, k: Int, seed: String = "wswr"):
+      org.apache.spark.sql.DataFrame =
+    weightedSample(df, idCol, weightCol, k, seed)
+      .orderBy(col("pick").desc)
+      .limit(1)
+      .select(col("key").as("t_key"), col("id").as("t_id"))
 
   /** Blocklist safety signals (the C4 "bad words" pass — Raffel et al.
     * 2020 §2.2 drop documents containing any listed word; shipping the

@@ -125,11 +125,19 @@ object ZOrder {
       "writeZOrdered persists a 'zkey' column; the input already has one " +
         "— rename it, or it would be silently overwritten and shadow the " +
         "layout key for every reader of this store")
-    df.withColumn("zkey", zorderKey(aExpr, bExpr))
-      .repartitionByRange(numFiles, col("zkey"))
+    writeRun(df.withColumn("zkey", zorderKey(aExpr, bExpr)), path, numFiles)
+  }
+
+  /** Cluster a frame that ALREADY carries its `zkey` into one z-ordered
+    * run: range-repartition (files cover disjoint key ranges) + in-file
+    * sort (row groups subdivide them). Shared by [[writeZOrdered]] and
+    * [[compactZRuns]] so layout invariants can't drift between the
+    * flush path and the merge path.
+    */
+  private def writeRun(df: DataFrame, path: String, numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, col("zkey"))
       .sortWithinPartitions(col("zkey"))
       .write.mode("overwrite").parquet(path)
-  }
 
   /** Cap a sorted disjoint range list at `maxRanges` by bridging the
     * SMALLEST inter-range gaps first (keep the `maxRanges−1` largest
@@ -200,4 +208,123 @@ object ZOrder {
       if (!batch.isEmpty)
         writeZOrdered(batch, s"$basePath/run=$id", aExpr, bExpr, filesPerRun)
     }
+
+  private val ManifestName = "_compacted_from"
+
+  /** The `run=<id>` directories of a [[zorderedIngest]] store, by id. */
+  private def runDirs(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    fs.listStatus(base).toSeq.filter(_.isDirectory).flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("run="))
+        scala.util.Try(n.drop(4).toLong).toOption.map(_ -> st.getPath)
+      else None
+    }
+
+  /** Size-tiered bucketing of (id, bytes) runs — the
+    * `CompactionManager.getBuckets` rule (reference
+    * `db/CompactionManager.java:614-660`): walk runs by ascending size,
+    * a run joins the current bucket while it stays within
+    * [avg·low, avg·high] of the bucket's running average (tiny runs
+    * under `minRunBytes` always group); otherwise it starts a new tier.
+    * Exposed for the spec; order inside a bucket is ascending size.
+    */
+  def sizeTieredBuckets(sizes: Seq[(Long, Long)], low: Double = 0.5,
+      high: Double = 1.5, minRunBytes: Long = 4L << 20): Seq[Seq[Long]] = {
+    val sorted = sizes.sortBy { case (id, bytes) => (bytes, id) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+    sorted.foreach { case (id, bytes) =>
+      val fits = out.lastOption.exists { b =>
+        val avg = b.map(_._2).sum.toDouble / b.length
+        (bytes >= avg * low && bytes <= avg * high) ||
+          (bytes < minRunBytes && avg < minRunBytes)
+      }
+      if (fits) out.last += ((id, bytes))
+      else out += scala.collection.mutable.ArrayBuffer((id, bytes))
+    }
+    out.map(_.map(_._1).toSeq).toSeq
+  }
+
+  /** Size-tiered compaction of a [[zorderedIngest]] store — the
+    * lifecycle half the ingest path defers to: without it a long-running
+    * stream accumulates one run per micro-batch forever and
+    * [[zRangeScan]] degrades linearly in run count (every run's files
+    * are probed per range). Buckets runs of similar size
+    * ([[sizeTieredBuckets]] — the reference's size-tiered rule), merges
+    * each bucket of ≥ `minRunsPerBucket` runs into ONE new z-ordered run
+    * sized by `targetFileBytes` (merged runs grow, so file COUNT grows
+    * with data rather than file size), and deletes the sources. Crash
+    * safety is the reference compactor's publish-then-delete protocol:
+    * the merged run is written to a dot-prefixed temp dir (invisible to
+    * parquet discovery), a `_compacted_from` manifest naming the source
+    * run ids is placed INSIDE it, and only then is it renamed into
+    * `run=<negative id>` (compacted runs use the negative id namespace —
+    * stream batch ids are ≥ 0, so redelivered batches can never collide
+    * with a compacted run) and the sources removed. A crash before
+    * publish leaves only an ignored temp dir; a crash mid-delete leaves
+    * sources that the NEXT call heals (any on-disk run named by a
+    * surviving manifest is finished off before planning), so readers
+    * never double-count and rerunning is idempotent. Caller contract
+    * (same as [[zorderedIngest]]'s redelivery rule): the stream's
+    * checkpoint must live as long as the store — a FRESH checkpoint
+    * restarts batch ids at 0 and would collide with ids the manifests
+    * remember. Returns (newRunId, mergedSourceIds) per merged bucket;
+    * empty when nothing qualifies (idempotent fixed point).
+    */
+  def compactZRuns(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, targetFileBytes: Long = 128L << 20,
+      minRunsPerBucket: Int = 2, low: Double = 0.5, high: Double = 1.5,
+      minRunBytes: Long = 4L << 20): Seq[(Long, Seq[Long])] = {
+    require(minRunsPerBucket >= 2, "minRunsPerBucket must be >= 2")
+    require(targetFileBytes >= 1, "targetFileBytes must be >= 1")
+    val base = new org.apache.hadoop.fs.Path(basePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return Seq.empty
+    // heal: finish interrupted publish-then-delete cycles — a stale temp
+    // dir never published is discarded; a source run still on disk but
+    // named in a published manifest was already merged, so reading it
+    // again would double-count
+    fs.listStatus(base).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith(".compacting-"))
+        fs.delete(st.getPath, true)
+    }
+    runDirs(fs, base).foreach { case (_, dir) =>
+      val mf = new org.apache.hadoop.fs.Path(dir, ManifestName)
+      if (fs.exists(mf)) {
+        val in = fs.open(mf)
+        val ids = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).map(_.toLong).toSeq
+        finally in.close()
+        ids.foreach { sid =>
+          val p = new org.apache.hadoop.fs.Path(base, s"run=$sid")
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+      }
+    }
+    // plan: size-tier the surviving runs
+    val sized = runDirs(fs, base).map { case (id, p) =>
+      (id, fs.getContentSummary(p).getLength)
+    }
+    val buckets = sizeTieredBuckets(sized, low, high, minRunBytes)
+      .filter(_.length >= minRunsPerBucket)
+    if (buckets.isEmpty) return Seq.empty
+    var nextId = math.min(-1L, sized.map(_._1).min - 1L)
+    val byId = sized.toMap
+    buckets.map { srcIds =>
+      val newId = nextId
+      nextId -= 1
+      val srcPaths = srcIds.map(id => new org.apache.hadoop.fs.Path(base, s"run=$id"))
+      val bytes = srcIds.map(byId).sum
+      val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val tmp = new org.apache.hadoop.fs.Path(base, s".compacting-run-$newId")
+      writeRun(spark.read.parquet(srcPaths.map(_.toString): _*), tmp.toString, nFiles)
+      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, ManifestName), true)
+      try out.write(srcIds.mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+      require(fs.rename(tmp, new org.apache.hadoop.fs.Path(base, s"run=$newId")),
+        s"compactZRuns: publish rename failed for run=$newId")
+      srcPaths.foreach(p => fs.delete(p, true))
+      (newId, srcIds)
+    }
+  }
 }

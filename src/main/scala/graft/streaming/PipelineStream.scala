@@ -306,6 +306,26 @@ object PipelineStream {
       rates: DataFrame): DataFrame =
     TextAnalysis.applyTemperatureRates(docs, idCol, groupCol, rates)
 
+  /** Streaming twin of the Efraimidis–Schwenk weighted sample: each
+    * row's race key is a pure hash of (seed, id) — STATELESS — so a
+    * feed gates against the standing top-k's threshold artifact
+    * ([[graft.pipeline.TextAnalysis.weightedSampleThreshold]], a 1-row
+    * broadcast): admitted iff (key, id) ≤ (t_key, t_id)
+    * lexicographically, which is exactly membership in the batch winner
+    * set — the p88/p130 broadcast-artifact pattern. No state, no
+    * watermark: arrival order and batch slicing can't change the
+    * admitted set. Readout assigns picks to the ≤ k admitted rows via
+    * the SHARED [[graft.pipeline.TextAnalysis.assignSamplePicks]]
+    * ordering. Returns (id, w, key).
+    */
+  def weightedSampleGate(docs: DataFrame, idCol: String, weightCol: String,
+      threshold: DataFrame, seed: String = "wswr"): DataFrame =
+    TextAnalysis.weightedSampleKeys(docs, idCol, weightCol, seed)
+      .crossJoin(broadcast(threshold))
+      .filter(col("key") < col("t_key") ||
+        (col("key") === col("t_key") && col("id") <= col("t_id")))
+      .select(col("id"), col("w"), col("key"))
+
   /** Streaming nearest-centroid assignment — the ANN index serving a
     * vector FEED: new vectors assign against the persisted integer
     * codebook ([[graft.pipeline.Similarity.refinedCentroids]] output,

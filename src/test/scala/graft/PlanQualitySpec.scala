@@ -513,6 +513,73 @@ class PlanQualitySpec extends SparkSpec {
       s"zkey seek touched $zTouched of ${boxes.length} — no skipping happened")
   }
 
+  test("ZOrder.compactZRuns: fewer files probed, data identical, rerun+heal idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_zcompact").toString
+    // 5 similar-size runs — the accumulating-micro-batch shape
+    (0 until 5).foreach { r =>
+      val part = spark.range(r * 20000L, (r + 1) * 20000L).select(
+        (abs(xxhash64($"id")) % 1024L).as("u"),
+        (abs(xxhash64($"id" + 13L)) % 1024L).as("t"),
+        $"id")
+      graft.sources.ZOrder.writeZOrdered(part, s"$base/run=$r", $"u", $"t", 8)
+    }
+    val (aLo, aHi, bLo, bHi) = (256L, 511L, 256L, 511L)
+    val ranges = graft.sources.ZOrder.mergeRanges(
+      graft.sources.ZOrder.zRanges(aLo, aHi, bLo, bHi), 64)
+    def zTouched(): (Long, Long) = {
+      val boxes = spark.read.parquet(base)
+        .groupBy(input_file_name().as("f"))
+        .agg(min($"zkey").as("zl"), max($"zkey").as("zh")).collect()
+      (boxes.count(r => ranges.exists { case (l, h) =>
+        r.getAs[Long]("zl") <= h && r.getAs[Long]("zh") >= l }).toLong,
+        boxes.length.toLong)
+    }
+    def scanIds(): Set[Long] = graft.sources.ZOrder
+      .zRangeScan(spark, base, aLo, aHi, bLo, bHi)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    val plainIds = spark.read.parquet(base)
+      .filter($"u".between(aLo, aHi) && $"t".between(bLo, bHi))
+      .select($"id").collect().map(_.getLong(0)).toSet
+    val preIds = scanIds()
+    val (preTouched, preFiles) = zTouched()
+    assert(preIds == plainIds)
+    // keep a source run aside to later simulate an interrupted delete
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val saved = new org.apache.hadoop.fs.Path(s"$base/.saved-run-2")
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$base/run=2"), fs, saved, false,
+      spark.sparkContext.hadoopConfiguration)
+    // compact: similar sizes → ONE bucket of 5 → one merged run
+    val merged = graft.sources.ZOrder.compactZRuns(spark, base,
+      targetFileBytes = 256L << 10)
+    assert(merged.length == 1 && merged.head._2.toSet == Set(0L, 1L, 2L, 3L, 4L),
+      merged.toString)
+    assert(merged.head._1 < 0L, s"compacted run id must be negative: $merged")
+    val (postTouched, postFiles) = zTouched()
+    assert(scanIds() == plainIds, "compaction changed the scan result")
+    // the degradation the compactor exists to stop: per-run probing means
+    // the SAME rectangle touched ~5× the files before the merge
+    assert(postFiles < preFiles, s"file count did not drop: $preFiles -> $postFiles")
+    assert(postTouched < preTouched,
+      s"files probed did not drop: $preTouched -> $postTouched")
+    // idempotent fixed point: a single surviving run can't bucket again
+    assert(graft.sources.ZOrder.compactZRuns(spark, base,
+      targetFileBytes = 256L << 10).isEmpty)
+    assert(scanIds() == plainIds)
+    // heal: resurrect a merged source (crash between publish and delete)
+    // — the next call must finish the delete instead of double-counting
+    org.apache.hadoop.fs.FileUtil.copy(fs, saved, fs,
+      new org.apache.hadoop.fs.Path(s"$base/run=2"), false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(spark.read.parquet(base).count() > 100000L, "resurrection no-op?")
+    assert(graft.sources.ZOrder.compactZRuns(spark, base,
+      targetFileBytes = 256L << 10).isEmpty)
+    assert(spark.read.parquet(base).count() == 100000L, "heal did not delete")
+    assert(scanIds() == plainIds, "heal left the store inconsistent")
+  }
+
   test("heavyHittersByBucket: WindowGroupLimit bounds the rank window (top-k per group)") {
     import spark.implicits._
     val ev = (0L until 1000L).map(i => (i % 5L, i % 13L)).toDF("b", "item")

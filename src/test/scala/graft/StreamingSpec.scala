@@ -455,6 +455,38 @@ class StreamingSpec extends SparkSpec {
     assert(batchKept.nonEmpty && batchKept.size < 120)
   }
 
+  test("weightedSampleGate: adversarial arrival orders admit exactly the batch winners") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0L until 300L).map(i => (i, i % 17L + 1L))
+    val batch = graft.pipeline.TextAnalysis.weightedSample(
+      docs.toDF("doc_id", "wt"), "doc_id", "wt", k = 40)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(batch.length == 40)
+    val threshold = graft.pipeline.TextAnalysis.weightedSampleThreshold(
+      docs.toDF("doc_id", "wt"), "doc_id", "wt", k = 40).localCheckpoint()
+    // forward and reversed feeds, different slicings → identical output,
+    // bit-for-bit equal to the batch race (stateless gate: no state to
+    // depend on order)
+    Seq(("fwd", docs, 75), ("rev", docs.reverse, 111)).foreach {
+      case (tag, order, slice) =>
+        val mem = MemoryStream[(Long, Long)]
+        val out = graft.streaming.PipelineStream.weightedSampleGate(
+          mem.toDS().toDF("doc_id", "wt"), "doc_id", "wt", threshold)
+        val q = out.writeStream.format("memory").queryName(s"swsk_$tag")
+          .outputMode("append").start()
+        try order.grouped(slice).foreach { b => mem.addData(b); q.processAllAvailable() }
+        finally q.stop()
+        val streamed = graft.pipeline.TextAnalysis.assignSamplePicks(
+          spark.table(s"swsk_$tag"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+        assert(streamed == batch,
+          s"$tag arrival diverged: ${streamed.diff(batch)} / ${batch.diff(streamed)}")
+    }
+  }
+
   test("watermark-bounded streaming dedup: dups inside the delay drop, state expires") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
