@@ -292,6 +292,31 @@ object SparkEntry {
         None, SliceRange(count = 2), 50))
     }),
 
+    // q06's EXACT query served from the z-ordered cell-store layout
+    // (CellStore.writeZOrdered — key bucket × orderkey-column bucket):
+    // the zRectangle seek prefilters files in both dimensions, the lens
+    // re-applies the exact bounds/slice, the ORACLE IS q06's — the
+    // layout may never change an answer.
+    "q44_zorder_range" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val cells = ordersCells(s, dir).unionByName(ordersStatusFTombstones(s, dir))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q44_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${java.util.UUID.randomUUID().toString.take(8)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.deleteOnExit(new org.apache.hadoop.fs.Path(base))
+      // monotone coarse buckets: the numeric custkey (clamped) and the
+      // orderkey column span div 16 (Long comparator order)
+      graft.sources.CellStore.writeZOrdered(cells, ordersMeta, base,
+        least(col("key").cast("long"), lit(65535L)),
+        least(floor(beLong(col("col_name")) / 16).cast("long"), lit(65535L)),
+        numFiles = 16)
+      val pruned = graft.sources.CellStore.zRectangle(
+        s, base, keyBucketLo = 100L, keyBucketHi = 300L,
+        colBucketLo = 0L, colBucketHi = 65535L)
+      val lens = new CassandraLens(pruned, ordersMeta)
+      ordersDecoded(lens.rangeSliceByKeys(Some("0000000100"), Some("0000000300"),
+        None, SliceRange(count = 2), 50))
+    }),
+
     // Q6 over the fork's OdklDomainPartitioner token order (domain-sharded
     // placement, dht/OdklDomainPartitioner.java:36-120).
     "q07_range_domain" -> ((s, dir) => {
@@ -4056,6 +4081,18 @@ object SparkEntry {
     * definition of the spread ladder, initial &65535 clamp matching
     * the Scala spread16's defensive mask.
     */
+  // q06's range-slice semantics, shared with q44 (z-ordered layout)
+  private lazy val rangeBoundsOracleSql: String =
+    """WITH live AS (
+      |  SELECT lpad(CAST(o_custkey AS VARCHAR),10,'0') AS k, o_custkey, o_orderkey, o_orderstatus
+      |  FROM orders WHERE o_orderstatus <> 'F' AND o_custkey BETWEEN 100 AND 300),
+      |pick AS (SELECT k FROM (SELECT DISTINCT k FROM live) ORDER BY k LIMIT 50),
+      |r AS (SELECT l.*, row_number() OVER (PARTITION BY l.k ORDER BY l.o_orderkey) AS rn
+      |      FROM live l JOIN pick USING (k))
+      |SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
+      |       o_orderstatus AS status
+      |FROM r WHERE rn <= 2""".stripMargin
+
   // the Efraimidis–Schwenk race, shared by p212 (batch) and p215 (the
   // streaming threshold gate twin — admission = membership in this top-k)
   private lazy val weightedSampleOracleSql: String =
@@ -4763,16 +4800,11 @@ object SparkEntry {
       """SELECT CAST(o_custkey AS BIGINT) AS custkey, count(*) AS n
         |FROM orders WHERE o_orderstatus <> 'F' GROUP BY 1""".stripMargin,
 
-    "q06_range_bounds" ->
-      """WITH live AS (
-        |  SELECT lpad(CAST(o_custkey AS VARCHAR),10,'0') AS k, o_custkey, o_orderkey, o_orderstatus
-        |  FROM orders WHERE o_orderstatus <> 'F' AND o_custkey BETWEEN 100 AND 300),
-        |pick AS (SELECT k FROM (SELECT DISTINCT k FROM live) ORDER BY k LIMIT 50),
-        |r AS (SELECT l.*, row_number() OVER (PARTITION BY l.k ORDER BY l.o_orderkey) AS rn
-        |      FROM live l JOIN pick USING (k))
-        |SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
-        |       o_orderstatus AS status
-        |FROM r WHERE rn <= 2""".stripMargin,
+    // shared by q06 (1-D sorted-run layout) and q44 (the SAME query over
+    // the z-ordered layout): the layout may never change an answer
+    "q06_range_bounds" -> rangeBoundsOracleSql,
+
+    "q44_zorder_range" -> rangeBoundsOracleSql,
 
     "q07_range_domain" ->
       """WITH live AS (

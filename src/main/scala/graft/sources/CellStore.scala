@@ -71,6 +71,42 @@ object CellStore {
   def readDomainSplit(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Z-ordered cell-store layout — the reference's 2-D read pattern (row
+    * key × comparator-ordered column: the IndexSummary key seek composed
+    * with the 64KB intra-row column index, `io/IndexHelper.java:75-150`)
+    * mapped onto the Morton layout: files cluster by the interleave of a
+    * KEY bucket and a COLUMN-sortkey bucket, so a key-range ×
+    * column-slice query prunes files in BOTH dimensions at once — where
+    * the 1-D [[write]] layout prunes keys only and rescans every key's
+    * full column span. `keyBucket`/`colBucket` are caller-supplied maps
+    * into [0, 65536), MONOTONE in key order / comparator order
+    * respectively; they are deliberately COARSE — exactness always comes
+    * from the lens's own key and slice predicates downstream, so bucket
+    * collisions and clamps are safe (nulls bucket to 0). The persisted
+    * `zkey` is the seek column ([[ZOrder.zRangeScan]]); the original
+    * columns keep their own min/max stats for plain readers.
+    */
+  def writeZOrdered(cells: DataFrame, meta: CfMeta, path: String,
+      keyBucket: org.apache.spark.sql.Column,
+      colBucket: org.apache.spark.sql.Column, numFiles: Int): Unit =
+    ZOrder.writeZOrdered(cells, path,
+      coalesce(keyBucket, lit(0L)), coalesce(colBucket, lit(0L)), numFiles)
+
+  /** Coarse rectangle seek over a [[writeZOrdered]] store: the cells
+    * whose (key, column) BUCKETS fall inside the rectangle, planned as
+    * zkey range predicates (footer-only skipping in both dimensions,
+    * capped at `maxRanges` seeks). The result is a cell frame — wrap it
+    * in a lens and issue the EXACT query; bucket overcoverage never
+    * leaks because the lens re-applies the precise key bounds and slice
+    * filter. The 100 TB contract: this is the scan-avoidance half
+    * (which files open at all); the lens is the correctness half.
+    */
+  def zRectangle(spark: SparkSession, path: String,
+      keyBucketLo: Long, keyBucketHi: Long,
+      colBucketLo: Long, colBucketHi: Long, maxRanges: Int = 64): DataFrame =
+    ZOrder.zRangeScan(spark, path, keyBucketLo, keyBucketHi,
+      colBucketLo, colBucketHi, maxRanges).drop("zkey")
+
   /** Write the store PLUS the tombstone-horizon sidecar: the per-key and
     * per-supercolumn deletion horizons are tiny (they are deletes), and
     * persisting them means every read joins two small tables instead of

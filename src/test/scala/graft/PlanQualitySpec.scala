@@ -513,6 +513,67 @@ class PlanQualitySpec extends SparkSpec {
       s"zkey seek touched $zTouched of ${boxes.length} — no skipping happened")
   }
 
+  test("z-ordered cell store: key×column rectangle prunes files the 1-D layout cannot") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.{beBytes, beLong}
+    graft.functions.GraftFunctions.register(spark)
+    // wide store: 128 keys × 256 Long-comparator columns — the reference's
+    // (row key × column) plane
+    def be(v: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8).putLong(v).array()
+    val wide = spark.range(256L * 256L).select(
+      format_string("k%04d", (col("id") / 256L).cast("int")).as("key"),
+      lit(null).cast("binary").as("super_name"),
+      beBytes(col("id") % 256L).as("col_name"),
+      encode(lit("v"), "UTF-8").as("value"),
+      lit(1L).as("ts"), lit(false).as("tombstone"), lit(0).as("local_del_time"))
+    val meta = CfMeta("wide", comparator = graft.model.ComparatorType.Long_)
+    val d1 = java.nio.file.Files.createTempDirectory("graft_zcell_1d").toString
+    val dz = java.nio.file.Files.createTempDirectory("graft_zcell_z").toString
+    graft.sources.CellStore.write(wide, meta, d1, numPartitions = 128)
+    graft.sources.CellStore.writeZOrdered(wide, meta, dz,
+      substring($"key", 2, 4).cast("long"), beLong($"col_name"), numFiles = 128)
+    // eighth × eighth rectangle: keys 32..63, columns 64..95 — the
+    // narrow-in-both-dims shape where 1-D sorting loses hardest
+    val (kLo, kHi, cLo, cHi) = (32L, 63L, 64L, 95L)
+    def touched(path: String): (Long, Long) = {
+      val boxes = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(substring($"key", 2, 4).cast("long")).as("kl"),
+          max(substring($"key", 2, 4).cast("long")).as("kh"),
+          min(beLong($"col_name")).as("cl"), max(beLong($"col_name")).as("ch"))
+        .collect()
+      (boxes.count(r => r.getAs[Long]("kh") >= kLo && r.getAs[Long]("kl") <= kHi &&
+        r.getAs[Long]("ch") >= cLo && r.getAs[Long]("cl") <= cHi).toLong,
+        boxes.length.toLong)
+    }
+    val (t1, n1) = touched(d1)
+    val (tz, nz) = touched(dz)
+    // the 1-D layout sorts (key, col): every file holding an in-range key
+    // spans the full column range, so the column bounds prune ~nothing;
+    // the z layout's quarter×quarter rectangle touches ~1/16 + perimeter
+    assert(tz * 2 <= t1,
+      s"z layout touched $tz of $nz files vs 1-D $t1 of $n1 — no 2-D win")
+    // and the answers are identical: same slice over both layouts
+    val pred = graft.operators.SliceRange(start = be(cLo), finish = be(cHi), count = 1000)
+    val from1d = liveValuesOf(new CassandraLens(
+      spark.read.parquet(d1), meta)
+      .rangeSliceByKeys(Some(f"k$kLo%04d"), Some(f"k$kHi%04d"), None, pred, 1000))
+    val fromZ = liveValuesOf(new CassandraLens(
+      graft.sources.CellStore.zRectangle(spark, dz, kLo, kHi, cLo, cHi), meta)
+      .rangeSliceByKeys(Some(f"k$kLo%04d"), Some(f"k$kHi%04d"), None, pred, 1000))
+    assert(from1d.nonEmpty && from1d == fromZ,
+      s"layouts disagree: ${from1d.size} vs ${fromZ.size} rows")
+  }
+
+  private def liveValuesOf(df: org.apache.spark.sql.DataFrame): Set[(String, Long)] = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.beLong
+    df.select(col("key"), beLong(col("col_name")).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+  }
+
   test("ZOrder.compactZRuns: fewer files probed, data identical, rerun+heal idempotent") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
