@@ -3494,6 +3494,40 @@ object SparkEntry {
         .select(col("pick"), col("id").as("doc_id"), col("w"), col("key"))
     }),
 
+    // Stratified (per-language) weighted sampling without replacement:
+    // the SAME race keys as p212, per-group top-10 via the
+    // WindowGroupLimit rank shape — "k docs per language, long docs
+    // favored", the mixture-corpus sampler.
+    "p216_grouped_weighted_sample" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val w = table(s, dir, "documents").select(col("doc_id"), col("lang"),
+        (graft.pipeline.TextAnalysis.tokenCount(col("text")) + 1)
+          .cast("long").as("wt"))
+      graft.pipeline.TextAnalysis.weightedSampleByGroup(
+        w, "doc_id", "lang", "wt", k = 10)
+        .select(col("grp"), col("pick"), col("id").as("doc_id"), col("w"),
+          col("key"))
+    }),
+
+    // Streaming twin of p216: per-group k-th-winner thresholds broadcast
+    // into a stream-static join on the group; same oracle — each
+    // group's admitted set IS its batch winner set.
+    "p217_stream_grouped_sample" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val w = table(s, dir, "documents").select(col("doc_id"), col("lang"),
+        (graft.pipeline.TextAnalysis.tokenCount(col("text")) + 1)
+          .cast("long").as("wt"))
+      val thresholds = graft.pipeline.TextAnalysis
+        .weightedSampleGroupThresholds(w, "doc_id", "lang", "wt", k = 10)
+        .localCheckpoint() // the standing artifact: race once, not per batch
+      graft.pipeline.TextAnalysis.assignGroupSamplePicks(
+        runStream(s, "p217", dir, w, 3)(st =>
+          graft.streaming.PipelineStream.weightedSampleGateByGroup(
+            st, "doc_id", "lang", "wt", thresholds)))
+        .select(col("grp"), col("pick"), col("id").as("doc_id"), col("w"),
+          col("key"))
+    }),
+
     // Streaming twin of p212: documents arrive as a feed and gate
     // STATELESSLY against the standing batch race's k-th-winner
     // threshold artifact (broadcast 1-row); the bounded readout assigns
@@ -4092,6 +4126,23 @@ object SparkEntry {
       |SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
       |       o_orderstatus AS status
       |FROM r WHERE rn <= 2""".stripMargin
+
+  // the per-group race, shared by p216 (batch) and p217 (the streaming
+  // per-group threshold gate twin)
+  private lazy val groupedWeightedSampleOracleSql: String =
+    s"""WITH w AS (SELECT doc_id, lang,
+       |        CAST(len(regexp_extract_all(lower(text), '\\S+')) + 1 AS BIGINT) AS w
+       |      FROM documents),
+       |k AS (SELECT doc_id, lang, w,
+       |        CAST(round(-ln((${hash60Sql("'wswr|' || CAST(doc_id AS VARCHAR)")} + 0.5)
+       |          / 1152921504606846976.0) * 1000000) AS BIGINT) AS lmicro
+       |      FROM w),
+       |k2 AS (SELECT doc_id, lang, w, lmicro * 1000000000 // w AS key FROM k),
+       |r AS (SELECT lang, row_number() OVER (PARTITION BY lang ORDER BY key, doc_id) AS pick,
+       |        doc_id, w, key FROM k2)
+       |SELECT lang AS grp, CAST(pick AS BIGINT) AS pick, doc_id, w,
+       |       CAST(key AS BIGINT) AS key
+       |FROM r WHERE pick <= 10""".stripMargin
 
   // the Efraimidis–Schwenk race, shared by p212 (batch) and p215 (the
   // streaming threshold gate twin — admission = membership in this top-k)
@@ -7254,6 +7305,12 @@ object SparkEntry {
     "p212_weighted_sample" -> weightedSampleOracleSql,
 
     "p215_stream_weighted_sample" -> weightedSampleOracleSql,
+
+    // ONE shared oracle for the grouped race (p216) and its streaming
+    // per-group gate twin (p217)
+    "p216_grouped_weighted_sample" -> groupedWeightedSampleOracleSql,
+
+    "p217_stream_grouped_sample" -> groupedWeightedSampleOracleSql,
 
     "p66_quantize_int8" ->
       """WITH s AS (SELECT vec_id, embedding,

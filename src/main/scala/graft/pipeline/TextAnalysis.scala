@@ -1892,10 +1892,10 @@ object TextAnalysis {
     * integer-only ln approximation (documented, not implemented).
     */
   def weightedSampleKeys(df: org.apache.spark.sql.DataFrame, idCol: String,
-      weightCol: String, seed: String = "wswr"):
-      org.apache.spark.sql.DataFrame = {
-    val base = df.select(col(idCol).as("id"),
-        col(weightCol).cast("long").as("w"))
+      weightCol: String, seed: String = "wswr",
+      carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    val base = df.select((col(idCol).as("id") +: col(weightCol).cast("long")
+        .as("w") +: carry.map(col)): _*)
       .filter(expr(
         "assert_true(w >= 1, 'weightedSample: weights must be >= 1 " +
           "(shift or clamp zero/negative weights before sampling)') IS NULL"))
@@ -1904,7 +1904,7 @@ object TextAnalysis {
     base
       .withColumn("lmicro", round(-log(u) * 1e6).cast("long"))
       .withColumn("key", expr("lmicro * 1000000000L DIV w"))
-      .select(col("id"), col("w"), col("key"))
+      .select((col("id") +: col("w") +: col("key") +: carry.map(col)): _*)
   }
 
   /** Weighted sampling without replacement — the k winners of the
@@ -1954,6 +1954,58 @@ object TextAnalysis {
       .orderBy(col("pick").desc)
       .limit(1)
       .select(col("key").as("t_key"), col("id").as("t_id"))
+
+  /** Per-GROUP Efraimidis–Schwenk sampling without replacement — k
+    * winners per group ∝ weight (stratified corpus sampling: "50 docs
+    * per language, long docs favored"). SAME race keys as
+    * [[weightedSample]] (one key definition, shared seed namespace);
+    * the per-group top-k is a rank-filtered window that Catalyst
+    * executes as WindowGroupLimit (map-side per-group k-heaps before
+    * the shuffle — the p176 heavy-hitters shape), so a whale group
+    * costs k state, never a group-wide sort buffer. Returns
+    * (grp, pick ∈ [1, k], id, w, key), deterministic ((key, id) order).
+    */
+  def weightedSampleByGroup(df: org.apache.spark.sql.DataFrame,
+      idCol: String, groupCol: String, weightCol: String, k: Int,
+      seed: String = "wswr"): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "k >= 1")
+    weightedSampleKeys(df, idCol, weightCol, seed, carry = Seq(groupCol))
+      .withColumn("pick",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol)).orderBy(col("key"), col("id")))
+          .cast("long"))
+      .filter(col("pick") <= k)
+      .select(col(groupCol).as("grp"), col("pick"), col("id"), col("w"),
+        col("key"))
+  }
+
+  /** Grouped sibling of [[assignSamplePicks]] — the shared readout
+    * ordering for a per-group admitted set (expects a `grp` column;
+    * input bounded at ≤ k rows per group).
+    */
+  def assignGroupSamplePicks(keyed: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame =
+    keyed.select(col("grp"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("grp")).orderBy(col("key"), col("id")))
+        .cast("long").as("pick"),
+      col("id"), col("w"), col("key"))
+
+  /** Per-group admission thresholds for the STREAMING grouped-sample
+    * gate: each group's k-th winner (grp, t_key, t_id) — the grouped
+    * sibling of [[weightedSampleThreshold]] (≤ one row per group; a
+    * group smaller than k thresholds at its maximum, admitting all of
+    * it, which is that group's whole batch sample).
+    */
+  def weightedSampleGroupThresholds(df: org.apache.spark.sql.DataFrame,
+      idCol: String, groupCol: String, weightCol: String, k: Int,
+      seed: String = "wswr"): org.apache.spark.sql.DataFrame =
+    weightedSampleByGroup(df, idCol, groupCol, weightCol, k, seed)
+      .withColumn("last",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("grp")).orderBy(col("pick").desc)))
+      .filter(col("last") === 1)
+      .select(col("grp"), col("key").as("t_key"), col("id").as("t_id"))
 
   /** Blocklist safety signals (the C4 "bad words" pass — Raffel et al.
     * 2020 §2.2 drop documents containing any listed word; shipping the

@@ -326,6 +326,25 @@ object PipelineStream {
         (col("key") === col("t_key") && col("id") <= col("t_id")))
       .select(col("id"), col("w"), col("key"))
 
+  /** Grouped sibling of [[weightedSampleGate]]: the per-group k-th
+    * winner artifact ([[graft.pipeline.TextAnalysis
+    * .weightedSampleGroupThresholds]], ≤ one row per group) broadcasts
+    * into a stream-static equi-join on the group, and the same
+    * lexicographic (key, id) predicate admits exactly each group's
+    * batch winners. Groups unseen at threshold time carry no row and
+    * are DROPPED by the inner join — the temperatureGate convention (an
+    * unbudgeted group has no quota). Returns (grp, id, w, key).
+    */
+  def weightedSampleGateByGroup(docs: DataFrame, idCol: String,
+      groupCol: String, weightCol: String, thresholds: DataFrame,
+      seed: String = "wswr"): DataFrame =
+    TextAnalysis.weightedSampleKeys(docs, idCol, weightCol, seed,
+        carry = Seq(groupCol))
+      .join(broadcast(thresholds), col(groupCol) === col("grp"))
+      .filter(col("key") < col("t_key") ||
+        (col("key") === col("t_key") && col("id") <= col("t_id")))
+      .select(col("grp"), col("id"), col("w"), col("key"))
+
   /** Streaming nearest-centroid assignment — the ANN index serving a
     * vector FEED: new vectors assign against the persisted integer
     * codebook ([[graft.pipeline.Similarity.refinedCentroids]] output,

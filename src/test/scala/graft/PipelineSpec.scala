@@ -264,6 +264,40 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("weightedSampleByGroup: per-group k winners ≡ per-group global race; WindowGroupLimit plan") {
+    import spark.implicits._
+    // 3 groups of distinct sizes (one below k) with varied weights
+    val docs = (0L until 120L).map(i =>
+      (i, if (i < 60) "a" else if (i < 115) "b" else "c", i % 7L + 1L))
+      .toDF("doc_id", "grp0", "w0")
+    val grouped = graft.pipeline.TextAnalysis.weightedSampleByGroup(
+      docs, "doc_id", "grp0", "w0", k = 8)
+    val got = grouped.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // law: each group's winners are exactly weightedSample run on that
+    // group alone (same keys — the group never enters the race key)
+    val want = Seq("a", "b", "c").flatMap { g =>
+      graft.pipeline.TextAnalysis.weightedSample(
+        docs.filter($"grp0" === g), "doc_id", "w0", k = 8)
+        .collect().map(r => (g, r.getLong(0), r.getLong(1)))
+    }.toSet
+    assert(got == want, s"extra=${got.diff(want)} missing=${want.diff(got)}")
+    // the under-k group returns all its rows
+    assert(got.count(_._1 == "c") == 5)
+    // the rank filter plans as WindowGroupLimit (map-side k-heaps — a
+    // whale group costs k state, never a group-wide sort buffer)
+    assert(grouped.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"))
+    // thresholds are each group's k-th (or last) winner
+    val th = graft.pipeline.TextAnalysis.weightedSampleGroupThresholds(
+      docs, "doc_id", "grp0", "w0", k = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val lastPick = grouped.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.maxBy(_._2)._3).toMap
+    assert(th == lastPick, s"$th vs $lastPick")
+  }
+
   test("trainCodebook is a small-k tool: k past SmallKMax fails loudly toward the integer path") {
     import spark.implicits._
     val vecs = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
