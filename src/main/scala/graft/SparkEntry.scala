@@ -3494,6 +3494,18 @@ object SparkEntry {
         .select(col("pick"), col("id").as("doc_id"), col("w"), col("key"))
     }),
 
+    // Weighted sampling WITH replacement: 20 independent derandomized
+    // races over token-weighted documents — the multinomial draw
+    // (epoch/mixture sampling where a doc may repeat across draws).
+    "p218_weighted_draws" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val w = table(s, dir, "documents").select(col("doc_id"),
+        (graft.pipeline.TextAnalysis.tokenCount(col("text")) + 1)
+          .cast("long").as("wt"))
+      graft.pipeline.TextAnalysis.weightedDraws(w, "doc_id", "wt", nDraws = 20)
+        .select(col("draw"), col("id").as("doc_id"), col("w"), col("key"))
+    }),
+
     // Stratified (per-language) weighted sampling without replacement:
     // the SAME race keys as p212, per-group top-10 via the
     // WindowGroupLimit rank shape — "k docs per language, long docs
@@ -7311,6 +7323,23 @@ object SparkEntry {
     "p216_grouped_weighted_sample" -> groupedWeightedSampleOracleSql,
 
     "p217_stream_grouped_sample" -> groupedWeightedSampleOracleSql,
+
+    "p218_weighted_draws" ->
+      s"""WITH w AS (SELECT doc_id,
+         |        CAST(len(regexp_extract_all(lower(text), '\\S+')) + 1 AS BIGINT) AS w
+         |      FROM documents),
+         |d AS (SELECT range AS draw FROM range(1, 21)),
+         |k AS (SELECT d.draw, w.doc_id, w.w,
+         |        CAST(round(-ln((${hash60Sql(
+            "'wswr|' || CAST(d.draw AS VARCHAR) || '|' || CAST(w.doc_id AS VARCHAR)")} + 0.5)
+         |          / 1152921504606846976.0) * 1000000) AS BIGINT) AS lmicro
+         |      FROM w CROSS JOIN d),
+         |k2 AS (SELECT draw, doc_id, w, lmicro * 1000000000 // w AS key FROM k),
+         |r AS (SELECT draw, doc_id, w, key,
+         |        row_number() OVER (PARTITION BY draw ORDER BY key, doc_id) AS rn
+         |      FROM k2)
+         |SELECT CAST(draw AS BIGINT) AS draw, doc_id, w, CAST(key AS BIGINT) AS key
+         |FROM r WHERE rn = 1""".stripMargin,
 
     "p66_quantize_int8" ->
       """WITH s AS (SELECT vec_id, embedding,

@@ -1891,19 +1891,33 @@ object TextAnalysis {
     * cross-engine stability at adversarial inputs would need an
     * integer-only ln approximation (documented, not implemented).
     */
+  /** The ONE race-key derivation every weighted sampler shares: u from
+    * hash60 of the caller's tag, −ln u micro-quantized once, then pure
+    * integer division by the `w` column. Appends `key` (and the
+    * intermediate `lmicro`).
+    */
+  private def withRaceKey(df: org.apache.spark.sql.DataFrame,
+      tag: Column): org.apache.spark.sql.DataFrame =
+    df.withColumn("lmicro",
+        round(-log((hash60(tag).cast("double") + 0.5) / math.pow(2.0, 60))
+          * 1e6).cast("long"))
+      .withColumn("key", expr("lmicro * 1000000000L DIV w"))
+
+  /** Loud ≥1 weight guard shared by the samplers (a zero weight would
+    * make DIV-by-w engine-divergent instead of an error).
+    */
+  private def positiveWeights(df: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame =
+    df.filter(expr(
+      "assert_true(w >= 1, 'weightedSample: weights must be >= 1 " +
+        "(shift or clamp zero/negative weights before sampling)') IS NULL"))
+
   def weightedSampleKeys(df: org.apache.spark.sql.DataFrame, idCol: String,
       weightCol: String, seed: String = "wswr",
       carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
-    val base = df.select((col(idCol).as("id") +: col(weightCol).cast("long")
-        .as("w") +: carry.map(col)): _*)
-      .filter(expr(
-        "assert_true(w >= 1, 'weightedSample: weights must be >= 1 " +
-          "(shift or clamp zero/negative weights before sampling)') IS NULL"))
-    val u = (hash60(concat(lit(seed + "|"), col("id").cast("string")))
-      .cast("double") + 0.5) / math.pow(2.0, 60)
-    base
-      .withColumn("lmicro", round(-log(u) * 1e6).cast("long"))
-      .withColumn("key", expr("lmicro * 1000000000L DIV w"))
+    val base = positiveWeights(df.select((col(idCol).as("id") +:
+      col(weightCol).cast("long").as("w") +: carry.map(col)): _*))
+    withRaceKey(base, concat(lit(seed + "|"), col("id").cast("string")))
       .select((col("id") +: col("w") +: col("key") +: carry.map(col)): _*)
   }
 
@@ -1990,6 +2004,37 @@ object TextAnalysis {
         .partitionBy(col("grp")).orderBy(col("key"), col("id")))
         .cast("long").as("pick"),
       col("id"), col("w"), col("key"))
+
+  /** Weighted sampling WITH replacement — `nDraws` INDEPENDENT
+    * derandomized races (multinomial ∝ w: the same document may win
+    * several draws — epoch/mixture draws, bootstrap resamples). Draw
+    * d's winner is argmin over items of the race key tagged
+    * (seed, d, id); independence across draws comes from d entering
+    * the hash, and per draw P(i wins) = w_i/Σw is the same
+    * min-of-Exp(w) law [[weightedSampleKeys]] documents. Shape: the
+    * per-item key fan-out is ×nDraws BEFORE the aggregate, but the
+    * min-struct aggregate collapses every partition to nDraws rows
+    * map-side — CPU amplification only, never shuffle amplification;
+    * bounded-draw contract enforced loudly. Returns
+    * (draw ∈ [1, nDraws], id, w, key), deterministic.
+    */
+  def weightedDraws(df: org.apache.spark.sql.DataFrame, idCol: String,
+      weightCol: String, nDraws: Int, seed: String = "wswr"):
+      org.apache.spark.sql.DataFrame = {
+    require(nDraws >= 1 && nDraws <= 100000,
+      s"nDraws $nDraws outside [1, 100000] — the per-row fan-out is " +
+        "×nDraws; larger draw counts want a different plan")
+    val base = positiveWeights(df.select(col(idCol).as("id"),
+      col(weightCol).cast("long").as("w")))
+      .select(col("id"), col("w"),
+        explode(expr(s"sequence(1L, ${nDraws}L)")).as("draw"))
+    withRaceKey(base, concat(lit(seed + "|"), col("draw").cast("string"),
+        lit("|"), col("id").cast("string")))
+      .groupBy(col("draw"))
+      .agg(min(struct(col("key"), col("id"), col("w"))).as("m"))
+      .select(col("draw"), col("m.id").as("id"), col("m.w").as("w"),
+        col("m.key").as("key"))
+  }
 
   /** Per-group admission thresholds for the STREAMING grouped-sample
     * gate: each group's k-th winner (grp, t_key, t_id) — the grouped

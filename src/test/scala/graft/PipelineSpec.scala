@@ -298,6 +298,32 @@ class PipelineSpec extends SparkSpec {
     assert(th == lastPick, s"$th vs $lastPick")
   }
 
+  test("weightedDraws: P(win) = w/Σw per draw; repeats allowed; map-side collapse; bounds loud") {
+    import spark.implicits._
+    // 2 items, weights 1 vs 3: over 4000 independent draws the heavy
+    // item wins ~3000 (derandomized — a FIXED count; band ±4σ)
+    val two = Seq(("L", 1L), ("H", 3L)).toDF("rid", "w0")
+    val draws = graft.pipeline.TextAnalysis.weightedDraws(
+      two, "rid", "w0", nDraws = 4000)
+    val rows = draws.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length == 4000 && rows.map(_._1).toSet.size == 4000)
+    val heavy = rows.count(_._2 == "H")
+    assert(heavy >= 2880 && heavy <= 3120, s"heavy won $heavy/4000")
+    // WITH replacement: both items repeat across draws
+    assert(rows.map(_._2).toSet == Set("L", "H"))
+    // the fan-out collapses map-side: a partial-mode aggregate sits
+    // below the exchange (shuffle carries nDraws-sized data, not
+    // corpus × draws)
+    val plan = draws.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min") || plan.contains("Partial"),
+      plan.take(2000))
+    // draw-count contract is loud
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.TextAnalysis.weightedDraws(two, "rid", "w0", 100001)
+    }
+    assert(e.getMessage.contains("nDraws"))
+  }
+
   test("trainCodebook is a small-k tool: k past SmallKMax fails loudly toward the integer path") {
     import spark.implicits._
     val vecs = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
