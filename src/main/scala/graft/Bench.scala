@@ -489,6 +489,22 @@ object Bench {
       tri.unionByName(attrib)
     }
 
+    // Z-order seek: axis-aligned rectangle read over the Morton-clustered
+    // event layout (the p210/p214 machinery) — OR-of-BETWEENs pushed on
+    // the persisted zkey + codegen'd decode residual. Store written once
+    // untimed (the write path is covered by the insert legs); the leg
+    // measures the 2-D seek end-to-end.
+    locally {
+      val e = CellEncodings.table(spark, sfDir, "events")
+        .select(col("event_id"), (col("user_id") % 65536L).as("a"),
+          (expr("ts div 1000 div 3600000000") % 65536L).as("b"))
+      graft.sources.ZOrder.writeZOrdered(e, s"$tmp/zstore", col("a"), col("b"), 16)
+    }
+    legDf("zorder_seek") {
+      graft.sources.ZOrder.zRangeScan(spark, s"$tmp/zstore",
+        3L, 80L, 14650L, 15100L).select(col("event_id"))
+    }
+
     // cleanup
     try {
       import scala.reflect.io.Directory
