@@ -1794,6 +1794,34 @@ object SparkEntry {
         .select(col("event_id"), col("a"), col("b"), col("zkey"))
     }),
 
+    // The full streaming lifecycle: ingest-with-auto-compaction — 5
+    // micro-batches flush as z-ordered runs, the in-loop compactor
+    // (threshold 3) folds them size-tiered between batches; read-back
+    // must STILL be the exact batch key table (shared p200 oracle).
+    "p219_stream_zorder_compacting" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = table(s, dir, "events")
+        .select(col("event_id"),
+          (col("user_id") % 65536L).as("a"),
+          (expr("ts div 1000 div 3600000000") % 65536L).as("b"))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_p219_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${java.util.UUID.randomUUID().toString.take(8)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      fs.deleteOnExit(new org.apache.hadoop.fs.Path(base))
+      e.repartition(5).write.parquet(s"$base/in")
+      val st = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = graft.sources.ZOrder
+        .zorderedIngestCompacting(st, s"$base/store", col("a"), col("b"),
+          filesPerRun = 4, compactAtRuns = 3, targetFileBytes = 1L << 20)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/store")
+        .select(col("event_id"), col("a"), col("b"), col("zkey"))
+    }),
+
     // Burst-hour detection: hours over 2× the median hourly volume —
     // the robust rate-spike monitor (median can't be masked by the
     // burst).
@@ -5723,6 +5751,9 @@ object SparkEntry {
     // p214 gates run COMPACTION under the same oracle: merging runs
     // must preserve every row and every persisted key.
     "p214_zrun_compaction" -> zorderKeyOracleSql,
+
+    // p219 gates the composed ingest+auto-compaction lifecycle under it
+    "p219_stream_zorder_compacting" -> zorderKeyOracleSql,
 
     "p210_zrange_scan" ->
       """SELECT event_id, CAST(user_id % 65536 AS BIGINT) AS a,

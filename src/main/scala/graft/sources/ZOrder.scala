@@ -209,6 +209,35 @@ object ZOrder {
         writeZOrdered(batch, s"$basePath/run=$id", aExpr, bExpr, filesPerRun)
     }
 
+  /** [[zorderedIngest]] composed with its lifecycle half: after each
+    * micro-batch flush, if the store holds ≥ `compactAtRuns` run
+    * directories, [[compactZRuns]] folds them size-tiered — the
+    * reference's memtable-flush → minor-compaction loop as one
+    * streaming pipeline. Compaction runs INSIDE foreachBatch (between
+    * batches, never concurrent with a flush, same as the reference's
+    * single compaction executor per CF); a crash mid-compaction heals
+    * on the next batch's call. Readers stay correct at every point:
+    * flush publishes whole runs, compaction publishes-then-deletes.
+    */
+  def zorderedIngestCompacting(stream: DataFrame, basePath: String,
+      aExpr: Column, bExpr: Column, filesPerRun: Int,
+      compactAtRuns: Int = 8, targetFileBytes: Long = 128L << 20):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(compactAtRuns >= 2, "compactAtRuns must be >= 2")
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty) {
+        writeZOrdered(batch, s"$basePath/run=$id", aExpr, bExpr, filesPerRun)
+        val base = new org.apache.hadoop.fs.Path(basePath)
+        val fs = base.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        if (runDirs(fs, base).length >= compactAtRuns) {
+          compactZRuns(batch.sparkSession, basePath, targetFileBytes)
+          ()
+        }
+      }
+    }
+  }
+
   private val ManifestName = "_compacted_from"
 
   /** The `run=<id>` directories of a [[zorderedIngest]] store, by id. */

@@ -982,4 +982,43 @@ class StreamingSpec extends SparkSpec {
     assert(touched * 2 < boxes.length,
       s"zkey seek touched $touched of ${boxes.length} run files — no pruning")
   }
+
+  test("zorderedIngestCompacting: in-loop compaction folds runs mid-stream; data exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_zingestc").toString
+    val mem = MemoryStream[(Long, Long, Long)]
+    val in = mem.toDS().toDF("u", "t", "id")
+    val q = graft.sources.ZOrder
+      .zorderedIngestCompacting(in, s"$base/store", col("u"), col("t"),
+        filesPerRun = 2, compactAtRuns = 3, targetFileBytes = 1L << 20)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 6000).map(i =>
+      (rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong, i.toLong))
+    try {
+      // 6 micro-batches of 1000 — the threshold-3 compactor must fire at
+      // least twice along the way
+      rows.grouped(1000).foreach { g => mem.addData(g); q.processAllAvailable() }
+    } finally q.stop()
+    val store = spark.read.parquet(s"$base/store")
+    // every row survives flush ∘ compaction cycles exactly once
+    assert(store.count() == 6000L)
+    assert(store.select($"id").distinct().count() == 6000L)
+    // compaction really folded: far fewer runs than the 6 batches, and
+    // at least one surviving run is a compacted (negative-id) one
+    // `run` is a discovered partition column — inferred INT when values
+    // fit; cast for a stable read
+    val runs = store.select($"run".cast("long")).distinct().collect()
+      .map(_.getLong(0))
+    assert(runs.length < 4, s"runs ${runs.toSeq.sorted} — compactor never fired")
+    assert(runs.exists(_ < 0L), s"no compacted run among ${runs.toSeq.sorted}")
+    // and the seek still equals the plain filter over the folded store
+    val scanned = graft.sources.ZOrder
+      .zRangeScan(spark, s"$base/store", 0L, 255L, 0L, 255L).select($"id")
+    val plain = store.filter($"u" <= 255L && $"t" <= 255L).select($"id")
+    assert(scanned.exceptAll(plain).count() == 0L)
+    assert(plain.exceptAll(scanned).count() == 0L)
+  }
 }
