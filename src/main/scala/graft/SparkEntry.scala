@@ -1255,6 +1255,26 @@ object SparkEntry {
         "from_type", "to_type", "n", iters = 3)
     }),
 
+    // WARM-START PageRank: 1 cold iteration's ranks artifact continued
+    // for 2 more via the warm path — the incremental-maintenance shape
+    // (yesterday's ranks + the delta graph → a few re-settling steps).
+    // The integer arithmetic makes the composition EXACT, so the oracle
+    // is the SAME unrolled 3-iteration SQL as p150.
+    "p220_pagerank_warm" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val g = graft.operators.EventOps.eventTransitions(
+        table(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("tus"),
+            col("event_type")),
+        "user_id", "tus", "event_type")
+        .localCheckpoint() // the standing graph: both phases read it
+      val prev = graft.operators.EventOps.pageRank(
+        g, "from_type", "to_type", "n", iters = 1)
+        .localCheckpoint() // the persisted ranks artifact
+      graft.operators.EventOps.pageRankFrom(
+        g, "from_type", "to_type", "n", prev, iters = 2)
+    }),
+
     // Pairwise total-variation drift of the language mix across
     // sources — the categorical cousin of the p123 KS matrix.
     "p151_tv_drift" -> ((s, dir) => {
@@ -4167,6 +4187,34 @@ object SparkEntry {
       |       o_orderstatus AS status
       |FROM r WHERE rn <= 2""".stripMargin
 
+  // the unrolled 3-iteration integer PageRank, shared by p150 and p220
+  private lazy val pageRankOracleSql: String =
+      """WITH e0 AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et
+        |            FROM events),
+        |x AS (SELECT u, et, lag(et) OVER (PARTITION BY u ORDER BY t, et) AS prev
+        |      FROM e0),
+        |m AS (SELECT prev AS src, et AS dst, CAST(count(*) AS HUGEINT) AS w
+        |      FROM x WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |nodes AS (SELECT src AS node FROM m UNION SELECT dst FROM m),
+        |o AS (SELECT src, sum(w) AS outw FROM m GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1000000 AS HUGEINT) AS r FROM nodes),
+        |c1 AS (SELECT m.dst AS node, sum(r0.r * m.w // o.outw) AS mm
+        |       FROM m JOIN o USING (src) JOIN r0 ON r0.node = m.src GROUP BY 1),
+        |r1 AS (SELECT n.node,
+        |         (150 * CAST(1000000 AS HUGEINT) + 850 * coalesce(c1.mm, 0)) // 1000 AS r
+        |       FROM nodes n LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT m.dst AS node, sum(r1.r * m.w // o.outw) AS mm
+        |       FROM m JOIN o USING (src) JOIN r1 ON r1.node = m.src GROUP BY 1),
+        |r2 AS (SELECT n.node,
+        |         (150 * CAST(1000000 AS HUGEINT) + 850 * coalesce(c2.mm, 0)) // 1000 AS r
+        |       FROM nodes n LEFT JOIN c2 USING (node)),
+        |c3 AS (SELECT m.dst AS node, sum(r2.r * m.w // o.outw) AS mm
+        |       FROM m JOIN o USING (src) JOIN r2 ON r2.node = m.src GROUP BY 1),
+        |r3 AS (SELECT n.node,
+        |         (150 * CAST(1000000 AS HUGEINT) + 850 * coalesce(c3.mm, 0)) // 1000 AS r
+        |       FROM nodes n LEFT JOIN c3 USING (node))
+        |SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r3""".stripMargin
+
   // the per-group race, shared by p216 (batch) and p217 (the streaming
   // per-group threshold gate twin)
   private lazy val groupedWeightedSampleOracleSql: String =
@@ -5865,32 +5913,12 @@ object SparkEntry {
         |  ON abs(e.te - p.t) <= 21600000000 AND e.eid <> p.id
         |GROUP BY 1, 2""".stripMargin,
 
-    "p150_pagerank" ->
-      """WITH e0 AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et
-        |            FROM events),
-        |x AS (SELECT u, et, lag(et) OVER (PARTITION BY u ORDER BY t, et) AS prev
-        |      FROM e0),
-        |m AS (SELECT prev AS src, et AS dst, CAST(count(*) AS HUGEINT) AS w
-        |      FROM x WHERE prev IS NOT NULL GROUP BY 1, 2),
-        |nodes AS (SELECT src AS node FROM m UNION SELECT dst FROM m),
-        |o AS (SELECT src, sum(w) AS outw FROM m GROUP BY 1),
-        |r0 AS (SELECT node, CAST(1000000 AS HUGEINT) AS r FROM nodes),
-        |c1 AS (SELECT m.dst AS node, sum(r0.r * m.w // o.outw) AS mm
-        |       FROM m JOIN o USING (src) JOIN r0 ON r0.node = m.src GROUP BY 1),
-        |r1 AS (SELECT n.node,
-        |         (150 * CAST(1000000 AS HUGEINT) + 850 * coalesce(c1.mm, 0)) // 1000 AS r
-        |       FROM nodes n LEFT JOIN c1 USING (node)),
-        |c2 AS (SELECT m.dst AS node, sum(r1.r * m.w // o.outw) AS mm
-        |       FROM m JOIN o USING (src) JOIN r1 ON r1.node = m.src GROUP BY 1),
-        |r2 AS (SELECT n.node,
-        |         (150 * CAST(1000000 AS HUGEINT) + 850 * coalesce(c2.mm, 0)) // 1000 AS r
-        |       FROM nodes n LEFT JOIN c2 USING (node)),
-        |c3 AS (SELECT m.dst AS node, sum(r2.r * m.w // o.outw) AS mm
-        |       FROM m JOIN o USING (src) JOIN r2 ON r2.node = m.src GROUP BY 1),
-        |r3 AS (SELECT n.node,
-        |         (150 * CAST(1000000 AS HUGEINT) + 850 * coalesce(c3.mm, 0)) // 1000 AS r
-        |       FROM nodes n LEFT JOIN c3 USING (node))
-        |SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r3""".stripMargin,
+    // p150 (cold start) and p220 (the warm-start code path continuing
+    // from the 1-iteration artifact) share this unrolled 3-iteration
+    // oracle — the exact composition law makes them the same number.
+    "p150_pagerank" -> pageRankOracleSql,
+
+    "p220_pagerank_warm" -> pageRankOracleSql,
 
     "p151_tv_drift" ->
       """WITH h AS (SELECT source AS g, lang AS cat, count(*) AS c

@@ -933,7 +933,33 @@ object EventOps {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, iters: Int, dampPermille: Long = 850L,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L): DataFrame =
+    pageRankSteps(edges, srcCol, dstCol, weightCol, None, iters,
+      dampPermille, scale)
+
+  /** WARM-START PageRank — continue the [[pageRank]] iteration from a
+    * prior (node, rank_micro) artifact instead of the uniform start:
+    * the incremental-maintenance move for a slowly-changing graph
+    * (yesterday's ranks + today's edge delta → a FEW iterations instead
+    * of a cold rerun; power iteration converges from any start, and a
+    * near-fixed-point start needs few steps to re-settle). Nodes absent
+    * from `initRanks` (NEW nodes the delta introduced) start at the
+    * uniform `scale`; `initRanks` nodes that left the graph drop out
+    * (ranks are defined over the CURRENT edge set). The arithmetic is
+    * the same integer fixed-point step, so the exact composition law
+    * `pageRankFrom(edges, pageRank(edges, a), b) ≡ pageRank(edges,
+    * a + b)` holds bit-for-bit — spec-pinned, and p220 gates the warm
+    * path under the SAME unrolled SQL oracle as p150 through it.
+    */
+  def pageRankFrom(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, initRanks: DataFrame, iters: Int,
+      dampPermille: Long = 850L, scale: Long = 1000000L): DataFrame =
+    pageRankSteps(edges, srcCol, dstCol, weightCol, Some(initRanks), iters,
+      dampPermille, scale)
+
+  private def pageRankSteps(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, init: Option[DataFrame], iters: Int,
+      dampPermille: Long, scale: Long): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters $iters outside [1,20]")
     require(dampPermille >= 0 && dampPermille <= 1000,
       s"dampPermille $dampPermille outside [0,1000]")
@@ -945,7 +971,15 @@ object EventOps {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(false) // the teleport term every iteration
-    var ranks = nodes.withColumn("r", lit(scale).cast("decimal(38,0)"))
+    var ranks = init match {
+      case None => nodes.withColumn("r", lit(scale).cast("decimal(38,0)"))
+      case Some(ir) => nodes
+        .join(ir.select(col("node"), col("rank_micro")), Seq("node"), "left")
+        .select(col("node"), coalesce(
+          col("rank_micro").cast("decimal(38,0)"),
+          lit(scale).cast("decimal(38,0)")).as("r"))
+        .localCheckpoint(false) // the warm start: materialized once
+    }
     (1 to iters).foreach { _ =>
       val contrib = ew
         .join(ranks.select(col("node").as("src"), col("r")), Seq("src"))

@@ -350,6 +350,36 @@ class SketchSpec extends SparkSpec {
     assert(noop == baseOnly)
   }
 
+  test("pageRankFrom: warm-start composition is exact; new nodes seed uniform; cold ≡ pageRank") {
+    // weighted multigraph with a sink and a hub — every structural case
+    val edges = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 2L), (3L, 1L, 1L),
+      (4L, 1L, 5L)).toDF("s", "d", "n")
+    def ranksOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // composition law: a cold iterations then b warm ≡ a+b cold — the
+    // integer fixed-point step makes this bit-exact, not approximate
+    for ((a, b) <- Seq((1, 2), (2, 3))) {
+      val warm = ranksOf(EventOps.pageRankFrom(edges, "s", "d", "n",
+        EventOps.pageRank(edges, "s", "d", "n", iters = a), iters = b))
+      val cold = ranksOf(EventOps.pageRank(edges, "s", "d", "n", iters = a + b))
+      assert(warm == cold, s"a=$a b=$b: $warm vs $cold")
+    }
+    // a node the init never saw (graph grew) starts at the uniform scale:
+    // warm-starting the GROWN graph from the old artifact equals cold
+    // ranks when the old artifact was itself the uniform start's ranks
+    val grown = edges.unionByName(Seq((5L, 2L, 1L)).toDF("s", "d", "n"))
+    val oldArtifact = EventOps.pageRank(edges, "s", "d", "n", iters = 1)
+    val warmGrown = ranksOf(EventOps.pageRankFrom(grown, "s", "d", "n",
+      oldArtifact, iters = 1))
+    // node 5 exists in the output (uniform-seeded) and every node has a rank
+    assert(warmGrown.contains(5L) && warmGrown.size == 5)
+    // and a departed node drops out: ranks are over the CURRENT edges
+    val shrunk = edges.filter(col("s") =!= 4L)
+    val warmShrunk = ranksOf(EventOps.pageRankFrom(shrunk, "s", "d", "n",
+      oldArtifact, iters = 1))
+    assert(!warmShrunk.contains(4L) && warmShrunk.size == 3)
+  }
+
   test("linearAttribution: equal split + remainder on latest touch, window excludes, conservation") {
     // purchase P1 (rev 10) by u1 at t=100: touches at 90, 95, 99 →
     //   10 div 3 = 3 each, remainder 1 rides the t=99 touch (day 0);
