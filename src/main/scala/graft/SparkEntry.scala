@@ -56,6 +56,29 @@ object SparkEntry {
     * before the stream starts (sentinel-file injection + mtime pinning
     * for the watermark-flush entries).
     */
+  /** Per-invocation tmp store path for the layout-building entries:
+    * UUID-suffixed so concurrent sessions (bench ∥ verify) never race
+    * on overwrite-while-read, deleteOnExit for clean shutdowns, PLUS
+    * age-based reaping of leaked same-prefix siblings — deleteOnExit
+    * never fires in a KILLED JVM, so without the reap every
+    * kill-restart cycle would strand one full store in tmpdir forever.
+    * The 1-hour cutoff is far beyond any live invocation, so a
+    * concurrent run's minutes-old store is never touched.
+    */
+  private def freshTmpStore(s: SparkSession, tag: String, dir: String): String = {
+    val prefix = s"graft_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val tmpRoot = new org.apache.hadoop.fs.Path(System.getProperty("java.io.tmpdir"))
+    val cutoff = System.currentTimeMillis() - 3600L * 1000
+    try fs.listStatus(tmpRoot).foreach { st =>
+      if (st.getPath.getName.startsWith(prefix) &&
+        st.getModificationTime < cutoff) fs.delete(st.getPath, true)
+    } catch { case _: java.io.IOException => () }
+    val p = s"${System.getProperty("java.io.tmpdir")}/${prefix}_${java.util.UUID.randomUUID().toString.take(8)}"
+    fs.deleteOnExit(new org.apache.hadoop.fs.Path(p))
+    p
+  }
+
   private def runStream(s: SparkSession, tag: String, dir: String,
       input: DataFrame, nFiles: Int,
       prepareIn: String => Unit = _ => (),
@@ -300,12 +323,10 @@ object SparkEntry {
     "q44_zorder_range" -> ((s, dir) => {
       GraftFunctions.register(s)
       val cells = ordersCells(s, dir).unionByName(ordersStatusFTombstones(s, dir))
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q44_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${java.util.UUID.randomUUID().toString.take(8)}"
-      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      fs.deleteOnExit(new org.apache.hadoop.fs.Path(base))
+      val base = freshTmpStore(s, "q44", dir)
       // monotone coarse buckets: the numeric custkey (clamped) and the
       // orderkey column span div 16 (Long comparator order)
-      graft.sources.CellStore.writeZOrdered(cells, ordersMeta, base,
+      graft.sources.CellStore.writeZOrdered(cells, base,
         least(col("key").cast("long"), lit(65535L)),
         least(floor(beLong(col("col_name")) / 16).cast("long"), lit(65535L)),
         numFiles = 16)
@@ -1744,11 +1765,7 @@ object SparkEntry {
         .select(col("event_id"),
           (col("user_id") % 65536L).as("a"),
           (expr("ts div 1000 div 3600000000") % 65536L).as("b"))
-      // per-invocation suffix: concurrent sessions (bench ∥ verify) must
-      // not race on overwrite-while-read; deleteOnExit reclaims the store
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_p210_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${java.util.UUID.randomUUID().toString.take(8)}"
-      val fs210 = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      fs210.deleteOnExit(new org.apache.hadoop.fs.Path(base))
+      val base = freshTmpStore(s, "p210", dir)
       graft.sources.ZOrder.writeZOrdered(e, base, col("a"), col("b"), 16)
       graft.sources.ZOrder.zRangeScan(s, base, 3L, 80L, 14650L, 15100L)
         .select(col("event_id"), col("a"), col("b"))
@@ -1765,10 +1782,7 @@ object SparkEntry {
         .select(col("event_id"),
           (col("user_id") % 65536L).as("a"),
           (expr("ts div 1000 div 3600000000") % 65536L).as("b"))
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_p211_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${java.util.UUID.randomUUID().toString.take(8)}"
-      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(base), true)
-      fs.deleteOnExit(new org.apache.hadoop.fs.Path(base))
+      val base = freshTmpStore(s, "p211", dir)
       e.repartition(3).write.parquet(s"$base/in")
       val st = s.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
@@ -1793,10 +1807,7 @@ object SparkEntry {
         .select(col("event_id"),
           (col("user_id") % 65536L).as("a"),
           (expr("ts div 1000 div 3600000000") % 65536L).as("b"))
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_p214_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${java.util.UUID.randomUUID().toString.take(8)}"
-      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(base), true)
-      fs.deleteOnExit(new org.apache.hadoop.fs.Path(base))
+      val base = freshTmpStore(s, "p214", dir)
       e.repartition(3).write.parquet(s"$base/in")
       val st = s.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
@@ -1824,10 +1835,7 @@ object SparkEntry {
         .select(col("event_id"),
           (col("user_id") % 65536L).as("a"),
           (expr("ts div 1000 div 3600000000") % 65536L).as("b"))
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_p219_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${java.util.UUID.randomUUID().toString.take(8)}"
-      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(base), true)
-      fs.deleteOnExit(new org.apache.hadoop.fs.Path(base))
+      val base = freshTmpStore(s, "p219", dir)
       e.repartition(5).write.parquet(s"$base/in")
       val st = s.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/in")

@@ -1186,6 +1186,10 @@ object EventOps {
   def writeAdjacencyBucketed(edges: DataFrame, srcCol: String,
       dstCol: String, tableName: String, buckets: Int): Unit = {
     require(buckets >= 1, s"buckets $buckets must be >= 1")
+    // the in-memory catalog is per-session: a prior session's managed
+    // location survives its DROP, so clear it first (CLAUDE.md rule;
+    // same move as every CellStore.writeBucketed call site)
+    graft.sources.CellStore.dropManaged(edges.sparkSession, tableName)
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -1207,13 +1211,18 @@ object EventOps {
     * the standing edges (delta-membership anti-join, wedge partners at
     * each delta apex, closure lookups, plus case B's edges-into-u scan)
     * run WITHOUT exchanging the standing side. Every probe joins on
-    * keys that include the bucket column `au`, and the session is
-    * switched to `spark.sql.requireAllClusterKeysForCoPartition=false`
-    * (left set; it only ever ADMITS subset co-partitioning when one
-    * side already satisfies it — measured on this Spark: the bucketed
-    * scan plans `Bucketed: true` with zero Exchange while the Δ side
-    * shuffles on `au` alone; with the default `true` BOTH sides
-    * re-shuffle on the full key pair). No `localCheckpoint` on the
+    * keys that include the bucket column `au`, which needs the SESSION
+    * to run with `spark.sql.requireAllClusterKeysForCoPartition=false`
+    * — required LOUDLY here rather than set behind the caller's back,
+    * because the admission is session-wide planner behavior (it only
+    * ever ADMITS subset co-partitioning when one side already satisfies
+    * it, but partitioning on fewer keys can skew other queries' joins,
+    * so the session owner opts in). Measured on this Spark: with the
+    * conf false the bucketed scan plans `Bucketed: true` with zero
+    * Exchange while the Δ side shuffles on `au` alone; with the default
+    * `true` BOTH sides re-shuffle on the full key pair. The conf is
+    * read at EXECUTION time, so it must stay set until the returned
+    * frame's action completes. No `localCheckpoint` on the
     * standing side (executor-pinned lineage is what the plain variant
     * concedes at scale) — only the |Δ|-sized canonical delta is
     * checkpointed for its four reuses. Semantics are exactly
@@ -1222,7 +1231,12 @@ object EventOps {
   def triangleDeltaBucketed(spark: org.apache.spark.sql.SparkSession,
       adjTable: String, deltaEdges: DataFrame,
       srcCol: String, dstCol: String): DataFrame = {
-    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    require(spark.conf.get(
+        "spark.sql.requireAllClusterKeysForCoPartition", "true") == "false",
+      "triangleDeltaBucketed needs spark.sql.requireAllClusterKeysForCoPartition=false " +
+        "(subset-key co-partitioning against the bucketed adjacency; " +
+        "session-wide planner admission, so the session owner sets it — " +
+        "and it must stay set until the returned frame's action runs)")
     val adj = spark.table(adjTable)
     // canonical (min-keyed) and max-keyed views of the same edge set —
     // standing columns KEEP the names au/av through every join below so

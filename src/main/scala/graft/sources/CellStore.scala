@@ -86,7 +86,7 @@ object CellStore {
     * `zkey` is the seek column ([[ZOrder.zRangeScan]]); the original
     * columns keep their own min/max stats for plain readers.
     */
-  def writeZOrdered(cells: DataFrame, meta: CfMeta, path: String,
+  def writeZOrdered(cells: DataFrame, path: String,
       keyBucket: org.apache.spark.sql.Column,
       colBucket: org.apache.spark.sql.Column, numFiles: Int): Unit =
     ZOrder.writeZOrdered(cells, path,

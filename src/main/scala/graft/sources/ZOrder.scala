@@ -240,6 +240,43 @@ object ZOrder {
 
   private val ManifestName = "_compacted_from"
 
+  /** Finish interrupted compaction cycles — the startup-recovery step
+    * (reference: compaction-marked SSTables deleted at startup). A stale
+    * never-published temp dir is discarded; a source run still on disk
+    * but named by a PUBLISHED run's manifest was already merged, so
+    * reading it again would double-count — delete it. Idempotent; call
+    * after an unclean shutdown before trusting plain reads of the store
+    * (compactZRuns and every zorderedIngestCompacting batch heal first
+    * automatically).
+    */
+  def healZRuns(spark: org.apache.spark.sql.SparkSession,
+      basePath: String): Unit = {
+    val base = new org.apache.hadoop.fs.Path(basePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) healZRuns(fs, base)
+  }
+
+  private def healZRuns(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path): Unit = {
+    fs.listStatus(base).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith(".compacting-"))
+        fs.delete(st.getPath, true)
+    }
+    runDirs(fs, base).foreach { case (_, dir) =>
+      val mf = new org.apache.hadoop.fs.Path(dir, ManifestName)
+      if (fs.exists(mf)) {
+        val in = fs.open(mf)
+        val ids = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).map(_.toLong).toSeq
+        finally in.close()
+        ids.foreach { sid =>
+          val p = new org.apache.hadoop.fs.Path(base, s"run=$sid")
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+      }
+    }
+  }
+
   /** The `run=<id>` directories of a [[zorderedIngest]] store, by id. */
   private def runDirs(fs: org.apache.hadoop.fs.FileSystem,
       base: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
@@ -290,10 +327,16 @@ object ZOrder {
     * `run=<negative id>` (compacted runs use the negative id namespace —
     * stream batch ids are ≥ 0, so redelivered batches can never collide
     * with a compacted run) and the sources removed. A crash before
-    * publish leaves only an ignored temp dir; a crash mid-delete leaves
-    * sources that the NEXT call heals (any on-disk run named by a
-    * surviving manifest is finished off before planning), so readers
-    * never double-count and rerunning is idempotent. Caller contract
+    * publish leaves only an ignored temp dir (readers unaffected); a
+    * crash BETWEEN publish and the source deletes leaves both the
+    * merged run and its sources on disk — plain readers over that
+    * window WOULD double-count, so the recovery contract is the
+    * reference compactor's: run [[healZRuns]] (or any compactZRuns /
+    * [[zorderedIngestCompacting]] batch, which heal first) after an
+    * unclean shutdown BEFORE trusting reads, exactly as the reference
+    * deletes compaction-marked SSTables at startup
+    * (`io/SSTable.deleteIfCompacted`). Healing is idempotent and
+    * rerunning compaction is a fixed point. Caller contract
     * (same as [[zorderedIngest]]'s redelivery rule): the stream's
     * checkpoint must live as long as the store — a FRESH checkpoint
     * restarts batch ids at 0 and would collide with ids the manifests
@@ -309,27 +352,7 @@ object ZOrder {
     val base = new org.apache.hadoop.fs.Path(basePath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return Seq.empty
-    // heal: finish interrupted publish-then-delete cycles — a stale temp
-    // dir never published is discarded; a source run still on disk but
-    // named in a published manifest was already merged, so reading it
-    // again would double-count
-    fs.listStatus(base).foreach { st =>
-      if (st.isDirectory && st.getPath.getName.startsWith(".compacting-"))
-        fs.delete(st.getPath, true)
-    }
-    runDirs(fs, base).foreach { case (_, dir) =>
-      val mf = new org.apache.hadoop.fs.Path(dir, ManifestName)
-      if (fs.exists(mf)) {
-        val in = fs.open(mf)
-        val ids = try scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().filter(_.nonEmpty).map(_.toLong).toSeq
-        finally in.close()
-        ids.foreach { sid =>
-          val p = new org.apache.hadoop.fs.Path(base, s"run=$sid")
-          if (fs.exists(p)) fs.delete(p, true)
-        }
-      }
-    }
+    healZRuns(fs, base)
     // plan: size-tier the surviving runs
     val sized = runDirs(fs, base).map { case (id, p) =>
       (id, fs.getContentSummary(p).getLength)

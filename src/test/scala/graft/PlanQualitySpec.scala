@@ -181,11 +181,9 @@ class PlanQualitySpec extends SparkSpec {
   test("bucketed adjacency: triangleDelta probes never exchange the standing edges") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
-    val loc = new java.io.File("spark-warehouse/graft_pq_adj")
-    if (loc.exists()) new scala.reflect.io.Directory(loc).deleteRecursively()
-    spark.sql("DROP TABLE IF EXISTS graft_pq_adj")
     // dense-ish standing graph + a delta that fires both the new-wedge
-    // and new-closing branches
+    // and new-closing branches (writeAdjacencyBucketed clears any stale
+    // managed location itself)
     val base = (for { a <- 1L to 40L; b <- (a + 1) to 40L
       if (a * 31 + b) % 5 == 0 } yield (a, b)).toDF("s", "d")
     val delta = (for { a <- 1L to 40L; b <- (a + 1) to 40L
@@ -197,6 +195,9 @@ class PlanQualitySpec extends SparkSpec {
     // with broadcasts on, toy-sized sides all go BHJ and bucketed
     // reading is planner-disabled, proving nothing about 100 TB
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // the operator REQUIRES the session opt-in (it reads at execution
+    // time); restore after the actions complete
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     try {
       val inc = graft.operators.EventOps.triangleDeltaBucketed(
         spark, "graft_pq_adj", delta, "s", "d")
@@ -220,8 +221,16 @@ class PlanQualitySpec extends SparkSpec {
         plan.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBjt)
+      spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
       spark.sql("DROP TABLE IF EXISTS graft_pq_adj")
     }
+    // without the session opt-in the operator refuses loudly instead of
+    // silently planning the both-sides reshuffle
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.EventOps.triangleDeltaBucketed(
+        spark, "graft_pq_adj", delta, "s", "d")
+    }
+    assert(e.getMessage.contains("requireAllClusterKeysForCoPartition"))
   }
 
   test("unlimited slices skip the rank window entirely") {
@@ -532,7 +541,7 @@ class PlanQualitySpec extends SparkSpec {
     val d1 = java.nio.file.Files.createTempDirectory("graft_zcell_1d").toString
     val dz = java.nio.file.Files.createTempDirectory("graft_zcell_z").toString
     graft.sources.CellStore.write(wide, meta, d1, numPartitions = 128)
-    graft.sources.CellStore.writeZOrdered(wide, meta, dz,
+    graft.sources.CellStore.writeZOrdered(wide, dz,
       substring($"key", 2, 4).cast("long"), beLong($"col_name"), numFiles = 128)
     // eighth × eighth rectangle: keys 32..63, columns 64..95 — the
     // narrow-in-both-dims shape where 1-D sorting loses hardest
