@@ -1513,6 +1513,28 @@ object SparkEntry {
           "from_type", "to_type"))
     }),
 
+    // STREAMING triangle maintenance: the transition graph arrives as
+    // an edge feed in micro-batches; each batch applies triangleDelta
+    // against the standing runs and versions the maintained artifact
+    // (replay-safe: a batch recomputes its version from the same
+    // predecessor). The final artifact must equal the full recompute —
+    // the SAME p192 oracle.
+    "p221_stream_triangles" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val edges = itemTransitionEdges(s, dir)
+      val base = freshTmpStore(s, "p221", dir)
+      edges.repartition(3).write.parquet(s"$base/in")
+      val st = s.readStream.schema(edges.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = graft.operators.EventOps
+        .triangleMaintainIngest(st, s"$base/store", "from_type", "to_type")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.EventOps.readTriangleCounts(s, s"$base/store")
+    }),
+
     // Multi-touch linear attribution: each purchase's revenue splits
     // equally over its 7-day click window in exact micro-units, the
     // division remainder riding the latest touch — Σ attributed ≡ Σ
@@ -6166,6 +6188,10 @@ object SparkEntry {
     // applyTriangleDelta(triangleCounts(base), triangleDelta(base, d))
     // must reproduce the full recompute bit-exactly.
     "p213_triangle_delta" -> triangleCountsOracleSql,
+
+    // p221 gates the STREAMING maintenance loop under it too: the
+    // versioned artifact after the last batch IS the full recompute.
+    "p221_stream_triangles" -> triangleCountsOracleSql,
 
 
     "p194_linear_attribution" ->

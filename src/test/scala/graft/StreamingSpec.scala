@@ -983,6 +983,37 @@ class StreamingSpec extends SparkSpec {
       s"zkey seek touched $touched of ${boxes.length} run files — no pruning")
   }
 
+  test("triangleMaintainIngest: maintained artifact equals full recompute; dups absorbed; versions GC'd") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_tmaint").toString
+    val mem = MemoryStream[(Long, Long)]
+    val in = mem.toDS().toDF("s", "d")
+    val q = graft.operators.EventOps
+      .triangleMaintainIngest(in, s"$base/store", "s", "d")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    // three batches with cross-batch duplicate edges, reversals, a
+    // self-loop, and triangles that only close across batches
+    val b1 = Seq((1L, 2L), (1L, 3L), (4L, 5L), (7L, 8L))
+    val b2 = Seq((2L, 3L), (3L, 1L), (5L, 5L), (8L, 9L), (4L, 6L))
+    val b3 = Seq((5L, 6L), (7L, 9L), (1L, 2L), (10L, 11L))
+    try {
+      Seq(b1, b2, b3).foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val got = graft.operators.EventOps.readTriangleCounts(spark, s"$base/store")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = graft.operators.EventOps.triangleCounts(
+      (b1 ++ b2 ++ b3).toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want, s"maintained ≠ recompute: $got vs $want")
+    assert(got.values.map(_._2).sum > 0, "no triangles closed across batches")
+    // GC keeps at most the current version and its replay predecessor
+    val vs = new java.io.File(s"$base/store/counts").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(vs.length <= 2 && vs.nonEmpty, s"count versions on disk: $vs")
+  }
+
   test("zorderedIngestCompacting: in-loop compaction folds runs mid-stream; data exact") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
