@@ -69,10 +69,16 @@ object SparkEntry {
     val prefix = s"graft_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     val tmpRoot = new org.apache.hadoop.fs.Path(System.getProperty("java.io.tmpdir"))
-    val cutoff = System.currentTimeMillis() - 3600L * 1000
+    // 4h cutoff: any live invocation (verify/bench sessions run minutes)
+    // is orders of magnitude younger; the trailing "_" keeps one entry
+    // family's reap from matching another whose sanitized dir merely
+    // extends this one (…sf0_1 vs …sf0_10); per-entry Try so one
+    // undeletable leftover can't silently disable the whole reap
+    val cutoff = System.currentTimeMillis() - 4L * 3600 * 1000
     try fs.listStatus(tmpRoot).foreach { st =>
-      if (st.getPath.getName.startsWith(prefix) &&
-        st.getModificationTime < cutoff) fs.delete(st.getPath, true)
+      if (st.getPath.getName.startsWith(prefix + "_") &&
+        st.getModificationTime < cutoff)
+        scala.util.Try(fs.delete(st.getPath, true))
     } catch { case _: java.io.IOException => () }
     val p = s"${System.getProperty("java.io.tmpdir")}/${prefix}_${java.util.UUID.randomUUID().toString.take(8)}"
     fs.deleteOnExit(new org.apache.hadoop.fs.Path(p))

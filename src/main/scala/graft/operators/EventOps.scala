@@ -1314,7 +1314,28 @@ object EventOps {
     * canonicalizer. Cost per batch: the |Δ|-bounded joins plus linear
     * passes over the standing runs — at warehouse scale the standing
     * side graduates to the [[writeAdjacencyBucketed]] layout.
+    *
+    * Caller contract (the [[zorderedIngest]] rule, load-bearing here):
+    * the stream's CHECKPOINT must live as long as the store. A fresh
+    * checkpoint restarts batch ids at 0 against the existing runs —
+    * batch 0 would see an empty standing set, clobber `edges/run=0`,
+    * and GC every counts version: silent divergence, not an error.
     */
+  /** The ONE version-directory listing shared by the maintenance loop
+    * and [[readTriangleCounts]] (ids of `<prefix><long>` subdirs of
+    * `base/<dir>`; non-parsing names — dot-temp dirs included — are
+    * skipped).
+    */
+  private def listIdDirs(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path, dir: String,
+      prefix: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(base, dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .flatMap(st => scala.util.Try(
+        st.getPath.getName.stripPrefix(prefix).toLong).toOption)
+  }
+
   def triangleMaintainIngest(stream: DataFrame, basePath: String,
       srcCol: String, dstCol: String):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -1323,20 +1344,13 @@ object EventOps {
         val s = batch.sparkSession
         val base = new org.apache.hadoop.fs.Path(basePath)
         val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
-        def subIds(dir: String, prefix: String): Seq[Long] = {
-          val p = new org.apache.hadoop.fs.Path(base, dir)
-          if (!fs.exists(p)) Seq.empty
-          else fs.listStatus(p).toSeq.filter(_.isDirectory)
-            .flatMap(st => scala.util.Try(
-              st.getPath.getName.stripPrefix(prefix).toLong).toOption)
-        }
-        val priorRuns = subIds("edges", "run=").filter(_ < id)
+        val priorRuns = listIdDirs(fs, base, "edges", "run=").filter(_ < id)
         val standing =
           if (priorRuns.isEmpty) batch.limit(0)
           else s.read.parquet(priorRuns.map(r =>
             s"$basePath/edges/run=$r"): _*)
         val inc = triangleDelta(standing, batch, srcCol, dstCol)
-        val prevV = subIds("counts", "v=").filter(_ < id) match {
+        val prevV = listIdDirs(fs, base, "counts", "v=").filter(_ < id) match {
           case Seq() => None
           case vs => Some(vs.max)
         }
@@ -1345,12 +1359,24 @@ object EventOps {
             lit(0L).as("n_triangles")).limit(0)
           case Some(v) => s.read.parquet(s"$basePath/counts/v=$v")
         }
+        // publish the artifact ATOMICALLY: write to a dot-temp dir
+        // (invisible to the version listing — its name never parses),
+        // then rename into place, so readTriangleCounts' max-version
+        // pick can never see a partially-written dir (the
+        // compactZRuns/compactWithHorizons publish protocol)
+        val tmp = new org.apache.hadoop.fs.Path(base, s"counts/.publishing-v=$id")
+        fs.delete(tmp, true)
         applyTriangleDelta(prevCounts, inc)
-          .write.mode("overwrite").parquet(s"$basePath/counts/v=$id")
+          .write.mode("overwrite").parquet(tmp.toString)
+        val dst = new org.apache.hadoop.fs.Path(base, s"counts/v=$id")
+        fs.delete(dst, true) // a replayed batch republishes its version
+        require(fs.rename(tmp, dst),
+          s"triangleMaintainIngest: publish rename failed for v=$id")
         batch.write.mode("overwrite").parquet(s"$basePath/edges/run=$id")
         // GC: keep current and its predecessor (the replay window), drop
         // the rest
-        subIds("counts", "v=").filter(v => v != id && !prevV.contains(v))
+        listIdDirs(fs, base, "counts", "v=")
+          .filter(v => v != id && !prevV.contains(v))
           .foreach(v => fs.delete(
             new org.apache.hadoop.fs.Path(base, s"counts/v=$v"), true))
       }
@@ -1358,16 +1384,14 @@ object EventOps {
 
   /** The current maintained artifact of a [[triangleMaintainIngest]]
     * store: the highest counts version (empty frame with the right
-    * schema if nothing ingested yet).
+    * schema if nothing ingested yet). Versions publish by
+    * rename-into-place, so the max version is always complete.
     */
   def readTriangleCounts(spark: org.apache.spark.sql.SparkSession,
       basePath: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(s"$basePath/counts")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val vs = if (!fs.exists(p)) Seq.empty
-      else fs.listStatus(p).toSeq.filter(_.isDirectory)
-        .flatMap(st => scala.util.Try(
-          st.getPath.getName.stripPrefix("v=").toLong).toOption)
+    val base = new org.apache.hadoop.fs.Path(basePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = listIdDirs(fs, base, "counts", "v=")
     if (vs.isEmpty)
       spark.range(0).select(col("id").as("node"), lit(0L).as("degree"),
         lit(0L).as("n_triangles"))
