@@ -3012,7 +3012,8 @@ object SparkEntry {
     "p14_dup_clusters" -> ((s, dir) => {
       GraftFunctions.register(s)
       graft.pipeline.Dedup.dupClusters(table(s, dir, "documents"),
-        "doc_id", "text", n = 3, num = 4, den = 5)
+        "doc_id", "text", n = 3, num = 4, den = 5,
+        maxDocFreq = None) // oracle is unguarded — opt out
     }),
 
     // Leakage-safe 80/10/10 split: the split hashes the near-dup CLUSTER
@@ -3021,7 +3022,8 @@ object SparkEntry {
       GraftFunctions.register(s)
       graft.pipeline.Dedup.leakageSafeSplit(table(s, dir, "documents"),
         "doc_id", "text", n = 3, num = 4, den = 5,
-        trainPermille = 800, valPermille = 100)
+        trainPermille = 800, valPermille = 100,
+        maxDocFreq = None) // oracle is unguarded — opt out
     }),
 
     // End-to-end corpus dedup: keep one representative per near-dup
@@ -3029,7 +3031,8 @@ object SparkEntry {
     "p21_deduplicated" -> ((s, dir) => {
       GraftFunctions.register(s)
       graft.pipeline.Dedup.deduplicated(table(s, dir, "documents"),
-        "doc_id", "text", n = 3, num = 4, den = 5)
+        "doc_id", "text", n = 3, num = 4, den = 5,
+        maxDocFreq = None) // oracle is unguarded — opt out
         .select(col("doc_id"), col("source"))
     }),
 
@@ -3369,7 +3372,8 @@ object SparkEntry {
     "p68_dup_profile" -> ((s, dir) => {
       GraftFunctions.register(s)
       graft.pipeline.Dedup.duplicationProfile(table(s, dir, "documents"),
-        "doc_id", "text", n = 3, num = 4, den = 5)
+        "doc_id", "text", n = 3, num = 4, den = 5,
+        maxDocFreq = None) // oracle is unguarded — opt out
     }),
 
     // Incremental SEMANTIC near-dup vs a persisted snapshot (embedding
@@ -3460,7 +3464,8 @@ object SparkEntry {
       graft.pipeline.Dedup.cleanseFunnel(
         docs.filter(col("doc_id") % 20 =!= 0),
         docs.filter(col("doc_id") % 20 === 0),
-        "doc_id", "text")
+        "doc_id", "text",
+        maxDocFreq = None) // oracle is unguarded — opt out
     }),
 
     // VIDEO near-dup by frame-hash overlap: videos = synthesized frame

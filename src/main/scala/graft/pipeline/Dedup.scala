@@ -494,8 +494,10 @@ object Dedup {
     * "keep one per cluster" step of corpus dedup.
     */
   def dupClusters(df: DataFrame, idCol: String, textCol: String, n: Int,
-      num: Int, den: Int): DataFrame = {
-    val cc = connectedComponents(nearDuplicates(df, idCol, textCol, n, num, den))
+      num: Int, den: Int,
+      maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
+    val cc = connectedComponents(
+      nearDuplicates(df, idCol, textCol, n, num, den, maxDocFreq = maxDocFreq))
     df.select(col(idCol).as("id"))
       .join(cc, Seq("id"), "left")
       .select(col("id").as(idCol), coalesce(col("comp"), col("id")).as("cluster"))
@@ -509,8 +511,9 @@ object Dedup {
     * cluster assignment — the histogram is at most |distinct sizes| rows.
     */
   def duplicationProfile(df: DataFrame, idCol: String, textCol: String,
-      n: Int, num: Int, den: Int): DataFrame =
-    dupClusters(df, idCol, textCol, n, num, den)
+      n: Int, num: Int, den: Int,
+      maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame =
+    dupClusters(df, idCol, textCol, n, num, den, maxDocFreq)
       .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
       .groupBy(col("sz"))
       .agg(count(lit(1)).as("n_clusters"))
@@ -527,11 +530,12 @@ object Dedup {
     * mixtureSample). Output: (id, cluster, split).
     */
   def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String, n: Int,
-      num: Int, den: Int, trainPermille: Int, valPermille: Int): DataFrame = {
+      num: Int, den: Int, trainPermille: Int, valPermille: Int,
+      maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
     require(trainPermille >= 0 && valPermille >= 0
       && trainPermille + valPermille <= 1000, "permille fractions must fit in 1000")
     val h = TextAnalysis.hash60(col("cluster")) % 1000
-    dupClusters(df, idCol, textCol, n, num, den)
+    dupClusters(df, idCol, textCol, n, num, den, maxDocFreq)
       .select(col(idCol), col("cluster"),
         when(h < trainPermille, "train")
           .when(h < trainPermille + valPermille, "val")
@@ -573,8 +577,9 @@ object Dedup {
   }
 
   def deduplicated(df: DataFrame, idCol: String, textCol: String, n: Int,
-      num: Int, den: Int): DataFrame = {
-    val clusters = dupClusters(df, idCol, textCol, n, num, den)
+      num: Int, den: Int,
+      maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
+    val clusters = dupClusters(df, idCol, textCol, n, num, den, maxDocFreq)
     df.join(
       clusters.filter(col(idCol) === col("cluster")).select(idCol),
       Seq(idCol), "left_semi")
@@ -618,7 +623,8 @@ object Dedup {
     */
   def cleanseFunnel(docs: DataFrame, evalDocs: DataFrame, idCol: String,
       textCol: String, n: Int = 3, num: Int = 4, den: Int = 5,
-      minTokens: Int = 15, evalGramN: Int = 5): DataFrame = {
+      minTokens: Int = 15, evalGramN: Int = 5,
+      maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
     val s0 = docs.select(col(idCol).as("id"), col(textCol).as("text"))
       .localCheckpoint(eager = false)
     val s1 = s0.withColumn("_k", min(col("id")).over(
@@ -626,7 +632,7 @@ object Dedup {
           .partitionBy(TextAnalysis.normalized(col("text")))))
       .filter(col("id") === col("_k")).select(col("id"), col("text"))
       .localCheckpoint(eager = false)
-    val s2 = deduplicated(s1, "id", "text", n, num, den)
+    val s2 = deduplicated(s1, "id", "text", n, num, den, maxDocFreq)
       .localCheckpoint(eager = false)
     val s3 = s2.filter(size(TextAnalysis.tokens(col("text"))) >= minTokens)
       .localCheckpoint(eager = false)
