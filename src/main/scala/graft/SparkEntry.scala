@@ -3016,6 +3016,30 @@ object SparkEntry {
         maxDocFreq = None) // oracle is unguarded — opt out
     }),
 
+    // INCREMENTAL near-dup clustering: the pair list hash-split into a
+    // standing base (~80%) whose components are the persisted labeling,
+    // and a delta (~20%) folded in via the rep-graph closure — the
+    // maintained doc labeling must be IDENTICAL to the full p14
+    // clustering (same oracle): min-id labels survive incremental
+    // maintenance exactly.
+    "p222_incremental_clusters" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val pairs = graft.pipeline.Dedup.nearDuplicates(docs,
+        "doc_id", "text", n = 3, num = 4, den = 5, maxDocFreq = None)
+        .localCheckpoint(false) // split read twice
+      val isDelta = graft.pipeline.TextAnalysis.hash60(
+        concat(col("ia").cast("string"), lit(":"),
+          col("ib").cast("string"))) % 5 === 0
+      val labels = graft.pipeline.Dedup.connectedComponentsDelta(
+        graft.pipeline.Dedup.connectedComponents(pairs.filter(!isDelta)),
+        pairs.filter(isDelta))
+      docs.select(col("doc_id").as("id"))
+        .join(labels, Seq("id"), "left")
+        .select(col("id").as("doc_id"),
+          coalesce(col("comp"), col("id")).as("cluster"))
+    }),
+
     // Leakage-safe 80/10/10 split: the split hashes the near-dup CLUSTER
     // representative, so near-duplicates can never straddle train/eval.
     "p40_leakage_safe_split" -> ((s, dir) => {
@@ -6852,6 +6876,10 @@ object SparkEntry {
         |FROM r WHERE rn <= 3""".stripMargin,
 
     "p14_dup_clusters" -> dupClustersOracle,
+
+    // p222 gates INCREMENTAL cluster maintenance under the same oracle:
+    // base components + delta rep-closure ≡ the full clustering.
+    "p222_incremental_clusters" -> dupClustersOracle,
 
     "p40_leakage_safe_split" ->
       s"""WITH base AS ($dupClustersOracle)

@@ -488,6 +488,47 @@ object Dedup {
     labels
   }
 
+  /** INCREMENTAL connected components — fold a batch of NEW pairs into
+    * a standing (id, comp) labeling without re-closing the whole graph
+    * (the cluster-maintenance move for a continuously-ingested corpus:
+    * yesterday's dedup clusters + today's near-dup pairs):
+    *  1. map each delta endpoint to its standing component rep (left
+    *     join; an unseen node is its own rep),
+    *  2. close the REP-GRAPH delta with [[connectedComponents]] — a
+    *     graph of ≤ 2|Δ| nodes (the merge structure, never the corpus),
+    *     so transitive merges across several standing components
+    *     resolve there,
+    *  3. compose: standing ids relabel through one comp-keyed join
+    *     (only swallowed components change), delta-introduced nodes
+    *     append.
+    * Labels stay min-id (a standing rep IS its component's min, so the
+    * rep-graph min is the union's min) — the incremental labeling is
+    * IDENTICAL to `connectedComponents(basePairs ∪ newPairs)`, not
+    * merely isomorphic; spec-pinned and oracle-gated (p222). Cost: one
+    * linear pass over the standing labels plus the |Δ|-sized closure —
+    * never the O(log n) pointer-jumping rounds over the full corpus.
+    */
+  def connectedComponentsDelta(labels: DataFrame, newPairs: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val lab = labels.select(col("id"), col("comp"))
+      .localCheckpoint(eager = false) // rep-mapping, relabel, anti-join
+    val repPairs = newPairs.select(col("ia"), col("ib"))
+      .join(lab.select(col("id").as("ia"), col("comp").as("ra")),
+        Seq("ia"), "left")
+      .join(lab.select(col("id").as("ib"), col("comp").as("rb")),
+        Seq("ib"), "left")
+      .select(coalesce(col("ra"), col("ia")).as("ia"),
+        coalesce(col("rb"), col("ib")).as("ib"))
+      .filter(col("ia") =!= col("ib")) // intra-component pairs are no-ops
+    val merged = connectedComponents(repPairs, maxIter)
+      .localCheckpoint(eager = false) // relabel join + new-node anti-join
+    lab
+      .join(merged.select(col("id").as("comp"), col("comp").as("ncomp")),
+        Seq("comp"), "left")
+      .select(col("id"), coalesce(col("ncomp"), col("comp")).as("comp"))
+      .unionByName(merged.join(lab.select(col("id")), Seq("id"), "left_anti"))
+  }
+
   /** Near-duplicate clusters: Jaccard pairs → connected components →
     * every document labeled with its cluster representative (min doc id;
     * docs with no near-dup are their own singleton cluster). This is the

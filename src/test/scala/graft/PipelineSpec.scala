@@ -298,6 +298,36 @@ class PipelineSpec extends SparkSpec {
     assert(th == lastPick, s"$th vs $lastPick")
   }
 
+  test("connectedComponentsDelta: incremental labels identical to full closure on adversarial merges") {
+    import spark.implicits._
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // standing: {1,2,3}, {10,11}, {20,21}, {30} (via 30-31? no — 30,31}
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (30L, 31L))
+      .toDF("ia", "ib")
+    val standing = graft.pipeline.Dedup.connectedComponents(base)
+    // delta exercises every branch at once:
+    //  (3,10): merges two standing components through NON-rep endpoints
+    //  (11,20): chains a THIRD component in — transitive through the
+    //           rep graph, {1,2,3,10,11,20,21} must all land on comp 1
+    //  (40,41): a brand-new component from unseen nodes
+    //  (21,40): ...which then merges into the big one transitively
+    //  (30,31): entirely internal to a standing component (no-op)
+    //  (2,3):   internal duplicate of a base pair (no-op)
+    val delta = Seq((3L, 10L), (11L, 20L), (40L, 41L), (21L, 40L),
+      (30L, 31L), (2L, 3L)).toDF("ia", "ib")
+    val inc = labelsOf(
+      graft.pipeline.Dedup.connectedComponentsDelta(standing, delta))
+    val full = labelsOf(
+      graft.pipeline.Dedup.connectedComponents(base.unionByName(delta)))
+    assert(inc == full, s"extra=${inc.toSet.diff(full.toSet)} missing=${full.toSet.diff(inc.toSet)}")
+    assert(inc(41L) == 1L && inc(21L) == 1L && inc(30L) == 30L)
+    // an all-internal delta is a fixed point
+    val noop = labelsOf(graft.pipeline.Dedup.connectedComponentsDelta(
+      standing, Seq((1L, 3L)).toDF("ia", "ib")))
+    assert(noop == labelsOf(standing))
+  }
+
   test("weightedDraws: P(win) = w/Σw per draw; repeats allowed; map-side collapse; bounds loud") {
     import spark.implicits._
     // 2 items, weights 1 vs 3: over 4000 independent draws the heavy
