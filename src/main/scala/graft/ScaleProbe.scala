@@ -392,6 +392,10 @@ object ScaleProbe {
     // [[triangleDeltaProbe]]; also alone via `runMain graft.TriangleProbe`.
     triangleDeltaProbe(spark)
 
+    // Incremental connected-components probe (round 13) — see
+    // [[ccDeltaProbe]]; also alone via `runMain graft.CcDeltaProbe`.
+    ccDeltaProbe(spark)
+
     // Shuffle-elimination probe: major compaction over the bucketed
     // catalog layout vs over plain parquet runs, measured in actual
     // shuffle-write bytes (task metrics). The bucketed path's reconcile +
@@ -678,6 +682,50 @@ object ScaleProbe {
       f"prefiltered=$dtPre%5.2f s pairs=${exact.size}%d (sets identical)")
     corpus.unpersist()
   }
+  /** Incremental-CC probe backing connectedComponentsDelta's scaling
+    * claim: at FIXED |Δ| the fold is one linear relabel pass plus a
+    * |Δ|-sized closure, while the full closure re-pays its O(log n)
+    * pointer-jumping rounds over the whole graph. Labels asserted
+    * identical before timing is trusted.
+    */
+  def ccDeltaProbe(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import graft.pipeline.Dedup
+    // 1000-node chains: diameter 1000 forces the full closure through
+    // ~10 pointer-jumping rounds, each two shuffles over ALL n rows —
+    // the cost the fold's linear relabel avoids. (A random short-chain
+    // graph closes in 3 rounds and the full path wins on fixed
+    // overhead at local scale — measured before settling on this
+    // shape; the probe exists to exercise the regime where rounds ×
+    // corpus dominates.)
+    def chains(n: Long) = spark.range(n)
+      .filter((col("id") + 1L) % 1000L =!= 0L)
+      .select(col("id").as("ia"), (col("id") + 1L).as("ib"))
+      .localCheckpoint()
+    val delta = spark.range(1000L).select(
+        (abs(xxhash64(col("id") + 7L)) % 4000000L).as("ia"),
+        (abs(xxhash64(col("id") * 13 + 11L)) % 4000000L).as("ib"))
+      .filter(col("ia") =!= col("ib")).localCheckpoint()
+    def checksum(df: org.apache.spark.sql.DataFrame): (Double, String) = {
+      val t0 = System.nanoTime()
+      // id·comp products reach ~1.6e13 over millions of rows — a BIGINT
+      // sum overflows (ANSI errors); DECIMAL(38,0) is exact
+      val c = df.agg(sum((col("id") * col("comp")).cast("decimal(38,0)")))
+        .head().getDecimal(0).toPlainString
+      ((System.nanoTime() - t0) / 1e9, c)
+    }
+    Seq(400000L, 4000000L).foreach { n =>
+      val base = chains(n)
+      val standing = Dedup.connectedComponents(base).localCheckpoint()
+      val d = delta.filter(col("ia") < n && col("ib") < n).localCheckpoint()
+      val (dtInc, csI) = checksum(Dedup.connectedComponentsDelta(standing, d))
+      val (dtFull, csF) = checksum(
+        Dedup.connectedComponents(base.unionByName(d)))
+      assert(csI == csF, s"cc-delta ≠ full at n=$n: $csI vs $csF")
+      println(f"[scale] cc-delta n=$n%8d |delta|=1k: fold=$dtInc%5.2f s " +
+        f"full-closure=$dtFull%5.2f s (identical labels)")
+    }
+  }
+
   /** Incremental-triangle probe backing triangleDelta's scaling claim:
     * at FIXED |Δ| (~1k edges), maintenance cost must stay ~flat as the
     * standing graph grows 10× (its joins are |Δ|·deg-bounded plus linear
@@ -720,6 +768,15 @@ object TriangleProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create(taskSideCommit = true)
     ScaleProbe.triangleDeltaProbe(spark)
+    spark.stop()
+  }
+}
+
+/** Focused runner for the incremental connected-components probe. */
+object CcDeltaProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.create(taskSideCommit = true)
+    ScaleProbe.ccDeltaProbe(spark)
     spark.stop()
   }
 }
