@@ -690,20 +690,22 @@ object ScaleProbe {
     */
   def ccDeltaProbe(spark: org.apache.spark.sql.SparkSession): Unit = {
     import graft.pipeline.Dedup
-    // 1000-node chains: diameter 1000 forces the full closure through
-    // ~10 pointer-jumping rounds, each two shuffles over ALL n rows —
-    // the cost the fold's linear relabel avoids. (A random short-chain
-    // graph closes in 3 rounds and the full path wins on fixed
-    // overhead at local scale — measured before settling on this
-    // shape; the probe exists to exercise the regime where rounds ×
-    // corpus dominates.)
-    def chains(n: Long) = spark.range(n)
-      .filter((col("id") + 1L) % 1000L =!= 0L)
-      .select(col("id").as("ia"), (col("id") + 1L).as("ib"))
-      .localCheckpoint()
+    // the operator's actual domain: a sea of SMALL clusters (near-dup
+    // groups of ~4 docs — shallow, closes in few rounds). The fold's
+    // claim is corpus-pass avoidance, so the probe grows the corpus 10×
+    // at fixed |Δ|: full closure re-pays rounds × (2 shuffles over ALL
+    // edges); the fold pays one linear relabel + a |Δ|-sized closure.
+    // (First attempts used a 1000-node-chain graph: label-propagation
+    // cc does NOT close deep graphs with position-uncorrelated ids —
+    // >200 rounds — see the connectedComponents doc; that shape is
+    // outside the operator's contract, not a probe target.)
+    def clusters(n: Long) = spark.range(n).select(
+        ((col("id") / 4L) * 4L + (abs(xxhash64(col("id"))) % 4L)).as("ia"),
+        ((col("id") / 4L) * 4L + (abs(xxhash64(col("id") + 3L)) % 4L)).as("ib"))
+      .filter(col("ia") =!= col("ib")).localCheckpoint()
     val delta = spark.range(1000L).select(
-        (abs(xxhash64(col("id") + 7L)) % 4000000L).as("ia"),
-        (abs(xxhash64(col("id") * 13 + 11L)) % 4000000L).as("ib"))
+        (abs(xxhash64(col("id") + 7L)) % 40000000L).as("ia"),
+        (abs(xxhash64(col("id") * 13 + 11L)) % 40000000L).as("ib"))
       .filter(col("ia") =!= col("ib")).localCheckpoint()
     def checksum(df: org.apache.spark.sql.DataFrame): (Double, String) = {
       val t0 = System.nanoTime()
@@ -713,8 +715,8 @@ object ScaleProbe {
         .head().getDecimal(0).toPlainString
       ((System.nanoTime() - t0) / 1e9, c)
     }
-    Seq(400000L, 4000000L).foreach { n =>
-      val base = chains(n)
+    Seq(4000000L, 16000000L).foreach { n =>
+      val base = clusters(n)
       val standing = Dedup.connectedComponents(base).localCheckpoint()
       val d = delta.filter(col("ia") < n && col("ib") < n).localCheckpoint()
       val (dtInc, csI) = checksum(Dedup.connectedComponentsDelta(standing, d))

@@ -443,12 +443,37 @@ object Dedup {
 
   /** Connected components over an undirected pair list (ia, ib) →
     * (id, comp) with comp = min id reachable. Min-label propagation plus
-    * pointer jumping (comp := comp(comp)) per round, which converges in
-    * O(log n) rounds instead of O(diameter) — the property that matters
-    * when a 100 TB corpus chains near-dups into long paths. Each round is
-    * two shuffles (neighbor min + jump join); lineage is truncated with
-    * localCheckpoint so plans don't grow with iterations.
+    * pointer jumping (comp := comp(comp)) per round. Round count, honestly
+    * (measured, round 13): the jump follows ID-pointers, not graph edges,
+    * so it accelerates to O(log diameter) when labels correlate with
+    * graph position (monotone-id chains: a 20k-chain closes in ~15
+    * rounds) and on the shallow, near-clique cluster graphs this
+    * operator's dedup domain produces (2-4 rounds); on an ADVERSARIAL
+    * high-diameter graph whose ids are uncorrelated with position it
+    * degrades toward O(diameter) — a 400-segment path with random-id
+    * cross-links did not close in 200 rounds. The maxIter guard refuses
+    * loudly rather than ship partial labels; raise it only when the
+    * graph is known-deep. Each round is two shuffles (neighbor min +
+    * jump join); lineage is truncated with [[checkpointFreshStats]] so
+    * neither plans NOR carried statistics grow with iterations.
     */
+  /** Eager localCheckpoint that DROPS the carried plan statistics.
+    * Spark 4's `localCheckpoint` copies the child plan's stats onto the
+    * LogicalRDD (`rewriteStatsAndConstraints`), so in an iterative
+    * SELF-JOIN loop the carried sizeInBytes SQUARES every round —
+    * planning cost grows exponentially with the round count and the
+    * BigInt stats overflow `BigInteger`'s supported range around round
+    * 25 (measured: the cc-delta probe's long-chain closure died inside
+    * round-~25 stats estimation before any result). Rebuilding the
+    * frame from the checkpointed RDD resets to default stats; the loop
+    * frames are corpus-sized, so losing broadcast eligibility for them
+    * is the correct conservative outcome anyway.
+    */
+  private def checkpointFreshStats(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val adj = pairs.select(col("ia").as("a"), col("ib").as("b"))
       .union(pairs.select(col("ib").as("a"), col("ia").as("b")))
@@ -467,13 +492,12 @@ object Dedup {
       val propagated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("comp").as("ocomp"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-      val jumped = propagated.alias("l")
+      val jumped = checkpointFreshStats(propagated.alias("l")
         .join(propagated.select(col("id").as("cid"), col("comp").as("ccomp")).alias("r"),
           col("l.comp") === col("r.cid"), "left")
         .select(col("l.id").as("id"),
           coalesce(col("ccomp"), col("l.comp")).as("comp"),
-          (coalesce(col("ccomp"), col("l.comp")) =!= col("l.ocomp")).as("changed"))
-        .localCheckpoint()
+          (coalesce(col("ccomp"), col("l.comp")) =!= col("l.ocomp")).as("changed")))
       // probe reads the just-cached blocks: Scan ExistingRDD + Filter, no
       // Exchange, no recompute (ConnectedComponents probe-plan spec)
       converged = jumped.where(col("changed")).isEmpty
@@ -511,22 +535,41 @@ object Dedup {
   def connectedComponentsDelta(labels: DataFrame, newPairs: DataFrame,
       maxIter: Int = 25): DataFrame = {
     val lab = labels.select(col("id"), col("comp"))
-      .localCheckpoint(eager = false) // rep-mapping, relabel, anti-join
-    val repPairs = newPairs.select(col("ia"), col("ib"))
-      .join(lab.select(col("id").as("ia"), col("comp").as("ra")),
+      .localCheckpoint(eager = false) // endpoint-rep pass + relabel pass
+    val dn = newPairs.select(col("ia"), col("ib"))
+      .localCheckpoint(eager = false) // |Δ|-sized, reused thrice
+    // The standing side must never SHUFFLE — a naive `delta LEFT JOIN
+    // labels` cannot broadcast its (big) right side, so Spark would
+    // sort-merge the whole label table per endpoint column (measured:
+    // the fold's cost grew with corpus size through exactly that).
+    // Instead every standing access is a streamed pass probing a
+    // broadcast Δ-derived build side:
+    //   pass 1 — the delta endpoints' standing reps (≤ 2|Δ| rows out);
+    //   pass 2 — the relabel, probing the merged rep map.
+    val ends = dn.select(col("ia").as("id"))
+      .union(dn.select(col("ib").as("id"))).distinct()
+      .localCheckpoint(eager = false)
+    val endReps = lab.join(broadcast(ends), Seq("id"))
+      .localCheckpoint(eager = false) // standing pass 1
+    val repPairs = dn
+      .join(broadcast(endReps.select(col("id").as("ia"), col("comp").as("ra"))),
         Seq("ia"), "left")
-      .join(lab.select(col("id").as("ib"), col("comp").as("rb")),
+      .join(broadcast(endReps.select(col("id").as("ib"), col("comp").as("rb"))),
         Seq("ib"), "left")
       .select(coalesce(col("ra"), col("ia")).as("ia"),
         coalesce(col("rb"), col("ib")).as("ib"))
       .filter(col("ia") =!= col("ib")) // intra-component pairs are no-ops
     val merged = connectedComponents(repPairs, maxIter)
-      .localCheckpoint(eager = false) // relabel join + new-node anti-join
+      .localCheckpoint(eager = false) // relabel map + new-node pick
+    // delta endpoints the standing labeling has never seen — their
+    // merged rows append as brand-new membership (all-small frames)
+    val newEndIds = ends.join(broadcast(endReps.select(col("id"))),
+      Seq("id"), "left_anti")
     lab
-      .join(merged.select(col("id").as("comp"), col("comp").as("ncomp")),
-        Seq("comp"), "left")
+      .join(broadcast(merged.select(col("id").as("comp"), col("comp").as("ncomp"))),
+        Seq("comp"), "left") // standing pass 2
       .select(col("id"), coalesce(col("ncomp"), col("comp")).as("comp"))
-      .unionByName(merged.join(lab.select(col("id")), Seq("id"), "left_anti"))
+      .unionByName(merged.join(broadcast(newEndIds), Seq("id"), "left_semi"))
   }
 
   /** Near-duplicate clusters: Jaccard pairs → connected components →

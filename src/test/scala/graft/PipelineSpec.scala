@@ -326,6 +326,15 @@ class PipelineSpec extends SparkSpec {
     val noop = labelsOf(graft.pipeline.Dedup.connectedComponentsDelta(
       standing, Seq((1L, 3L)).toDF("ia", "ib")))
     assert(noop == labelsOf(standing))
+    // plan shape: the standing labels must never shuffle — every standing
+    // access streams against a broadcast Δ-derived build side, so the
+    // fold's plan contains no sort-merge join at any size (a naive
+    // delta-LEFT-JOIN-labels shape would SMJ the whole label table)
+    val plan = graft.pipeline.Dedup
+      .connectedComponentsDelta(standing, delta)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      plan.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
 
   test("weightedDraws: P(win) = w/Σw per draw; repeats allowed; map-side collapse; bounds loud") {
