@@ -3040,6 +3040,33 @@ object SparkEntry {
           coalesce(col("comp"), col("id")).as("cluster"))
     }),
 
+    // STREAMING cluster maintenance: the near-dup pair list arrives in
+    // micro-batches, each folding into the versioned standing labeling
+    // (replay-safe, labels-only artifact); the final labeling composed
+    // over documents must be IDENTICAL to the full p14 clustering
+    // (same oracle).
+    "p223_stream_clusters" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val pairs = graft.pipeline.Dedup.nearDuplicates(docs,
+        "doc_id", "text", n = 3, num = 4, den = 5, maxDocFreq = None)
+      val base = freshTmpStore(s, "p223", dir)
+      pairs.repartition(3).write.parquet(s"$base/in")
+      val st = s.readStream.schema(pairs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = graft.streaming.PipelineStream
+        .clusterMaintainIngest(st, s"$base/store")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      docs.select(col("doc_id").as("id"))
+        .join(graft.streaming.PipelineStream.readClusterLabels(s, s"$base/store"),
+          Seq("id"), "left")
+        .select(col("id").as("doc_id"),
+          coalesce(col("comp"), col("id")).as("cluster"))
+    }),
+
     // Leakage-safe 80/10/10 split: the split hashes the near-dup CLUSTER
     // representative, so near-duplicates can never straddle train/eval.
     "p40_leakage_safe_split" -> ((s, dir) => {
@@ -6880,6 +6907,9 @@ object SparkEntry {
     // p222 gates INCREMENTAL cluster maintenance under the same oracle:
     // base components + delta rep-closure ≡ the full clustering.
     "p222_incremental_clusters" -> dupClustersOracle,
+
+    // p223 gates the STREAMING maintenance loop under it as well.
+    "p223_stream_clusters" -> dupClustersOracle,
 
     "p40_leakage_safe_split" ->
       s"""WITH base AS ($dupClustersOracle)

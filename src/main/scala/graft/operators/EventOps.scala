@@ -1326,7 +1326,7 @@ object EventOps {
     * `base/<dir>`; non-parsing names — dot-temp dirs included — are
     * skipped).
     */
-  private def listIdDirs(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def listIdDirs(fs: org.apache.hadoop.fs.FileSystem,
       base: org.apache.hadoop.fs.Path, dir: String,
       prefix: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(base, dir)

@@ -335,6 +335,67 @@ object PipelineStream {
     * are DROPPED by the inner join — the temperatureGate convention (an
     * unbudgeted group has no quota). Returns (grp, id, w, key).
     */
+  /** STREAMING cluster maintenance — near-dup (or any) PAIRS arrive in
+    * micro-batches and fold into a standing (id, comp) labeling via
+    * [[graft.pipeline.Dedup.connectedComponentsDelta]]. Unlike the
+    * triangle loop, the labeling alone is a SUFFICIENT artifact — the
+    * delta fold never re-reads past pairs — so the store is just
+    * `labels/v=<batchId>`: versioned by batch (a replayed batch
+    * recomputes from the same predecessor — the
+    * [[graft.operators.EventOps.triangleMaintainIngest]] protocol),
+    * published by temp+rename (the max version is always complete),
+    * predecessor kept for the crash-replay window, older versions GC'd.
+    * The first batch folds into an EMPTY labeling, which is exactly the
+    * full closure of that batch. Caller contract: the checkpoint must
+    * outlive the store (fresh checkpoint ⇒ batch ids restart ⇒ silent
+    * divergence).
+    */
+  def clusterMaintainIngest(pairs: DataFrame, basePath: String,
+      maxIter: Int = 25):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    pairs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty) {
+        val s = batch.sparkSession
+        val base = new org.apache.hadoop.fs.Path(basePath)
+        val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val prevV = graft.operators.EventOps
+          .listIdDirs(fs, base, "labels", "v=").filter(_ < id) match {
+            case Seq() => None
+            case vs => Some(vs.max)
+          }
+        val prev = prevV match {
+          case None => batch.select(col("ia").as("id"), col("ia").as("comp"))
+            .limit(0)
+          case Some(v) => s.read.parquet(s"$basePath/labels/v=$v")
+        }
+        val tmp = new org.apache.hadoop.fs.Path(base, s"labels/.publishing-v=$id")
+        fs.delete(tmp, true)
+        graft.pipeline.Dedup.connectedComponentsDelta(prev, batch, maxIter)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val dst = new org.apache.hadoop.fs.Path(base, s"labels/v=$id")
+        fs.delete(dst, true) // a replayed batch republishes its version
+        require(fs.rename(tmp, dst),
+          s"clusterMaintainIngest: publish rename failed for v=$id")
+        graft.operators.EventOps.listIdDirs(fs, base, "labels", "v=")
+          .filter(v => v != id && !prevV.contains(v))
+          .foreach(v => fs.delete(
+            new org.apache.hadoop.fs.Path(base, s"labels/v=$v"), true))
+      }
+    }
+
+  /** The current labeling of a [[clusterMaintainIngest]] store (empty
+    * (id, comp) frame if nothing ingested yet).
+    */
+  def readClusterLabels(spark: org.apache.spark.sql.SparkSession,
+      basePath: String): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(basePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = graft.operators.EventOps.listIdDirs(fs, base, "labels", "v=")
+    if (vs.isEmpty)
+      spark.range(0).select(col("id"), col("id").as("comp"))
+    else spark.read.parquet(s"$basePath/labels/v=${vs.max}")
+  }
+
   def weightedSampleGateByGroup(docs: DataFrame, idCol: String,
       groupCol: String, weightCol: String, thresholds: DataFrame,
       seed: String = "wswr"): DataFrame =

@@ -1017,6 +1017,41 @@ class StreamingSpec extends SparkSpec {
     assert(vs.length <= 2 && vs.nonEmpty, s"count versions on disk: $vs")
   }
 
+  test("clusterMaintainIngest: streamed pair folds equal full closure; labels-only store; versions GC'd") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_cmaint").toString
+    val mem = MemoryStream[(Long, Long)]
+    val in = mem.toDS().toDF("ia", "ib")
+    val q = graft.streaming.PipelineStream
+      .clusterMaintainIngest(in, s"$base/store")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    // components that only connect ACROSS batches + duplicates + a
+    // cross-batch 3-way merge through the rep graph
+    val b1 = Seq((1L, 2L), (10L, 11L), (20L, 21L))
+    val b2 = Seq((2L, 3L), (11L, 20L), (30L, 31L), (1L, 2L))
+    val b3 = Seq((3L, 10L), (40L, 41L), (21L, 40L))
+    try {
+      Seq(b1, b2, b3).foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val got = graft.streaming.PipelineStream
+      .readClusterLabels(spark, s"$base/store")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = graft.pipeline.Dedup.connectedComponents(
+      (b1 ++ b2 ++ b3).toDF("ia", "ib"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"stream ≠ full: $got vs $want")
+    assert(got(41L) == 1L && got(30L) == 30L)
+    // labels-only store (no pair runs kept) and ≤2 versions survive GC
+    val dirs = new java.io.File(s"$base/store").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(dirs == Seq("labels"), s"store dirs: $dirs")
+    val vs = new java.io.File(s"$base/store/labels").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(vs.length <= 2 && vs.nonEmpty, s"label versions on disk: $vs")
+  }
+
   test("zorderedIngestCompacting: in-loop compaction folds runs mid-stream; data exact") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
