@@ -360,6 +360,35 @@ object SparkEntry {
       ordersDecoded(lens.rangeSliceByToken(Some(start), None, None, SliceRange(count = 1), 20))
     }),
 
+    // q08's EXACT hash-token range query over the z-ordered layout: the
+    // z key dimension is the md5-token PREFIX (monotone in token order,
+    // NOT key order — the RandomPartitioner analog of q44), so a token
+    // range prunes files by hash placement while the column dimension
+    // stays available for slices; the lens re-applies the exact token
+    // predicate, and the ORACLE IS q08's.
+    "q45_zorder_token_range" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val cells = ordersCells(s, dir).unionByName(ordersStatusFTombstones(s, dir))
+      val base = freshTmpStore(s, "q45", dir)
+      graft.sources.CellStore.writeZOrdered(cells, base,
+        expr("CAST(conv(substring(md5(CAST(key AS BINARY)), 1, 4), 16, 10) AS BIGINT)"),
+        least(floor(beLong(col("col_name")) / 16).cast("long"), lit(65535L)),
+        numFiles = 16)
+      // the start token's 16-bit bucket, computed the same way driver-side
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val startBucket = java.lang.Long.parseLong(
+        md.digest("0000000050".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(4), 16)
+      val pruned = graft.sources.CellStore.zRectangle(
+        s, base, keyBucketLo = startBucket, keyBucketHi = 65535L,
+        colBucketLo = 0L, colBucketHi = 65535L)
+      val lens = new CassandraLens(pruned,
+        ordersMeta.copy(partitioner = PartitionerType.Md5Hex))
+      val start = org.apache.spark.sql.functions.md5(encode(lit("0000000050"), "UTF-8"))
+      ordersDecoded(lens.rangeSliceByToken(Some(start), None, None,
+        SliceRange(count = 1), 20))
+    }),
+
     // Q8/Q9 deletion matrix: column tombstones + whole-ROW tombstone
     // markers shadowing older cells (removeDeleted semantics,
     // db/ColumnFamilyStore.java:663-717).
@@ -4267,6 +4296,19 @@ object SparkEntry {
     * definition of the spread ladder, initial &65535 clamp matching
     * the Scala spread16's defensive mask.
     */
+  // q08's hash-token range semantics, shared with q45 (z-ordered layout)
+  private lazy val rangeMd5OracleSql: String =
+    """WITH live AS (
+      |  SELECT lpad(CAST(o_custkey AS VARCHAR),10,'0') AS k, o_custkey, o_orderkey, o_orderstatus
+      |  FROM orders WHERE o_orderstatus <> 'F'),
+      |tk AS (SELECT k, md5(k) AS token FROM (SELECT DISTINCT k FROM live)),
+      |pick AS (SELECT k FROM tk WHERE token > md5('0000000050') ORDER BY token, k LIMIT 20),
+      |r AS (SELECT l.*, row_number() OVER (PARTITION BY l.k ORDER BY l.o_orderkey) AS rn
+      |      FROM live l JOIN pick USING (k))
+      |SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
+      |       o_orderstatus AS status
+      |FROM r WHERE rn <= 1""".stripMargin
+
   // q06's range-slice semantics, shared with q44 (z-ordered layout)
   private lazy val rangeBoundsOracleSql: String =
     """WITH live AS (
@@ -5049,17 +5091,11 @@ object SparkEntry {
         |       o_orderstatus AS status
         |FROM r WHERE rn <= 1""".stripMargin,
 
-    "q08_range_md5" ->
-      """WITH live AS (
-        |  SELECT lpad(CAST(o_custkey AS VARCHAR),10,'0') AS k, o_custkey, o_orderkey, o_orderstatus
-        |  FROM orders WHERE o_orderstatus <> 'F'),
-        |tk AS (SELECT k, md5(k) AS token FROM (SELECT DISTINCT k FROM live)),
-        |pick AS (SELECT k FROM tk WHERE token > md5('0000000050') ORDER BY token, k LIMIT 20),
-        |r AS (SELECT l.*, row_number() OVER (PARTITION BY l.k ORDER BY l.o_orderkey) AS rn
-        |      FROM live l JOIN pick USING (k))
-        |SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
-        |       o_orderstatus AS status
-        |FROM r WHERE rn <= 1""".stripMargin,
+    // shared by q08 (1-D layout) and q45 (the SAME hash-token range
+    // over the z-ordered layout)
+    "q08_range_md5" -> rangeMd5OracleSql,
+
+    "q45_zorder_token_range" -> rangeMd5OracleSql,
 
     // same live slice as q03/q29 — the layout must not change results
     "q35_domain_bucketed" ->
