@@ -62,7 +62,7 @@ object SparkEntry {
     * age-based reaping of leaked same-prefix siblings — deleteOnExit
     * never fires in a KILLED JVM, so without the reap every
     * kill-restart cycle would strand one full store in tmpdir forever.
-    * The 1-hour cutoff is far beyond any live invocation, so a
+    * The 4-hour cutoff is far beyond any live invocation, so a
     * concurrent run's minutes-old store is never touched.
     */
   private def freshTmpStore(s: SparkSession, tag: String, dir: String): String = {

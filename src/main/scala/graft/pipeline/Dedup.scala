@@ -528,16 +528,31 @@ object Dedup {
     * Labels stay min-id (a standing rep IS its component's min, so the
     * rep-graph min is the union's min) — the incremental labeling is
     * IDENTICAL to `connectedComponents(basePairs ∪ newPairs)`, not
-    * merely isomorphic; spec-pinned and oracle-gated (p222). Cost: one
-    * linear pass over the standing labels plus the |Δ|-sized closure —
-    * never the O(log n) pointer-jumping rounds over the full corpus.
+    * merely isomorphic (self-loop pairs (x, x) included: a delta node
+    * seen only in a self-loop appends as its own singleton, same as the
+    * full closure labels it); spec-pinned and oracle-gated (p222).
+    * Cost: one linear pass over the standing labels plus the |Δ|-sized
+    * closure — never the O(log n) star rounds over the full corpus.
+    *
+    * Bounded-Δ contract, enforced loudly: every Δ-derived frame (ends,
+    * endReps, merged — each ≤ 2|Δ| two-long rows) is force-broadcast so
+    * the standing side never shuffles; `maxDeltaPairs` caps |Δ| well
+    * under the 8 GB broadcast hard limit (50M pairs → ≤100M broadcast
+    * rows ≈ low-GB hash maps). A larger batch should be folded in
+    * slices or re-closed in full — degrading silently to a standing-
+    * side shuffle join would defeat the operator's whole point.
     */
   def connectedComponentsDelta(labels: DataFrame, newPairs: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, maxDeltaPairs: Long = 50000000L): DataFrame = {
     val lab = labels.select(col("id"), col("comp"))
       .localCheckpoint(eager = false) // endpoint-rep pass + relabel pass
     val dn = newPairs.select(col("ia"), col("ib"))
-      .localCheckpoint(eager = false) // |Δ|-sized, reused thrice
+      .localCheckpoint() // |Δ|-sized, reused thrice; eager: counted next
+    val nDelta = dn.count()
+    require(nDelta <= maxDeltaPairs,
+      s"connectedComponentsDelta: |delta| = $nDelta pairs exceeds " +
+        s"maxDeltaPairs = $maxDeltaPairs — the fold force-broadcasts " +
+        "delta-derived frames; fold this batch in slices or re-close in full")
     // The standing side must never SHUFFLE — a naive `delta LEFT JOIN
     // labels` cannot broadcast its (big) right side, so Spark would
     // sort-merge the whole label table per endpoint column (measured:
@@ -569,7 +584,12 @@ object Dedup {
       .join(broadcast(merged.select(col("id").as("comp"), col("comp").as("ncomp"))),
         Seq("comp"), "left") // standing pass 2
       .select(col("id"), coalesce(col("ncomp"), col("comp")).as("comp"))
-      .unionByName(merged.join(broadcast(newEndIds), Seq("id"), "left_semi"))
+      // left join, not semi: a new node seen ONLY in a self-loop pair has
+      // no repPairs row (the ia ≠ ib filter drops (x, x)), so it is absent
+      // from `merged` — it still gets its singleton (id, id) row here,
+      // exactly as the full closure labels it
+      .unionByName(newEndIds.join(broadcast(merged), Seq("id"), "left")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("comp")))
   }
 
   /** Near-duplicate clusters: Jaccard pairs → connected components →

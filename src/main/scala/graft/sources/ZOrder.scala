@@ -215,9 +215,18 @@ object ZOrder {
     * reference's memtable-flush → minor-compaction loop as one
     * streaming pipeline. Compaction runs INSIDE foreachBatch (between
     * batches, never concurrent with a flush, same as the reference's
-    * single compaction executor per CF); a crash mid-compaction heals
-    * on the next batch's call. Readers stay correct at every point:
-    * flush publishes whole runs, compaction publishes-then-deletes.
+    * single compaction executor per CF). Every batch ends with a HEALED
+    * store: [[healZRuns]] runs unconditionally after each flush (one
+    * directory listing), not only when the compaction threshold is
+    * crossed — a crash between a compaction's source-run deletes and
+    * the stream checkpoint commit makes the replayed batch rewrite a
+    * run that is already inside the published compacted run, and the
+    * unconditional heal deletes that resurrected run in the SAME batch
+    * instead of leaving readers double-counting until a later batch
+    * crosses the threshold. The residual window is within one
+    * foreachBatch call (between the replayed flush and its heal);
+    * batch boundaries always expose a consistent store: flush
+    * publishes whole runs, compaction publishes-then-deletes.
     */
   def zorderedIngestCompacting(stream: DataFrame, basePath: String,
       aExpr: Column, bExpr: Column, filesPerRun: Int,
@@ -230,6 +239,11 @@ object ZOrder {
         val base = new org.apache.hadoop.fs.Path(basePath)
         val fs = base.getFileSystem(
           batch.sparkSession.sparkContext.hadoopConfiguration)
+        // unconditional: a replayed batch may have just resurrected a
+        // run that a published compacted run already contains — heal
+        // NOW, not at the next threshold crossing (heal before the run
+        // count so an already-merged resurrected run can't inflate it)
+        healZRuns(fs, base)
         if (runDirs(fs, base).length >= compactAtRuns) {
           compactZRuns(batch.sparkSession, basePath, targetFileBytes)
           ()

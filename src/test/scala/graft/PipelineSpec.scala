@@ -326,6 +326,21 @@ class PipelineSpec extends SparkSpec {
     val noop = labelsOf(graft.pipeline.Dedup.connectedComponentsDelta(
       standing, Seq((1L, 3L)).toDF("ia", "ib")))
     assert(noop == labelsOf(standing))
+    // self-loop pairs: a delta node seen ONLY in (x, x) still gets its
+    // singleton row, identical to the full closure (and a standing
+    // node's self-loop stays a no-op)
+    val selfDelta = Seq((50L, 50L), (1L, 1L)).toDF("ia", "ib")
+    val incSelf = labelsOf(
+      graft.pipeline.Dedup.connectedComponentsDelta(standing, selfDelta))
+    val fullSelf = labelsOf(
+      graft.pipeline.Dedup.connectedComponents(base.unionByName(selfDelta)))
+    assert(incSelf == fullSelf && incSelf(50L) == 50L, s"$incSelf")
+    // bounded-Δ broadcast contract is loud, not a silent shuffle
+    val tooBig = intercept[IllegalArgumentException] {
+      graft.pipeline.Dedup.connectedComponentsDelta(standing, delta,
+        maxDeltaPairs = 2L)
+    }
+    assert(tooBig.getMessage.contains("maxDeltaPairs"))
     // plan shape: the standing labels must never shuffle — every standing
     // access streams against a broadcast Δ-derived build side, so the
     // fold's plan contains no sort-merge join at any size (a naive
