@@ -478,11 +478,12 @@ object ScaleProbe {
     println(s"[scale] range-pick ReadSchema old: ${readSchemas(oldPick)}")
     println(s"[scale] range-pick ReadSchema new: ${readSchemas(newPick)}")
 
-    // Connected-components round shape: since round 7 the convergence
-    // check is a `changed` column inside each round's ONE materializing
-    // job — the probe just scans the freshly cached labels (no join, no
-    // shuffle). Count jobs and the shuffle traffic of single-stage jobs
-    // (the probes) on a 20k-node chain + 5k isolated pairs.
+    // Connected-components round shape (star rounds since round 14):
+    // each round materializes the contracted edge set once; the per-round
+    // count probe reads the freshly checkpointed blocks (zero shuffle)
+    // and the set-equality except probe only runs once counts stabilize.
+    // Count jobs and the shuffle traffic split on a 20k-node chain + 5k
+    // isolated pairs.
     locally {
       import scala.jdk.CollectionConverters._
       val stagesByJob = new java.util.concurrent.ConcurrentHashMap[Int, Seq[Int]]()
@@ -515,8 +516,8 @@ object ScaleProbe {
       val dtCc = (System.nanoTime() - t0cc) / 1e9
       org.apache.spark.graft.ListenerDrain.waitUntilEmpty(spark.sparkContext)
       spark.sparkContext.removeSparkListener(listener)
-      // a convergence probe scans only the round's cached labels: zero
-      // shuffle traffic across all its stages (AQE materialization jobs
+      // count probes read only the round's checkpointed edge blocks: zero
+      // shuffle traffic across all their stages (AQE materialization jobs
       // always carry shuffle bytes, so this classification separates them)
       val jobs = stagesByJob.asScala.toSeq
       def shuffled(stages: Seq[Int]): Long =
@@ -526,7 +527,7 @@ object ScaleProbe {
         js.map { case (id, _) => Option(durByJob.get(id)).map(_.longValue).getOrElse(0L) }.sum
       println(f"[scale] cc 20k-chain+5k-pairs: components=$nComps%,d in $dtCc%5.2f s; " +
         f"jobs=${jobs.size} zero-shuffle probe jobs=${probes.size} taking ${totalMs(probes)}%,d ms " +
-        f"vs ${totalMs(heavy)}%,d ms shuffle-bearing (convergence folded into the round's cached labels)")
+        f"vs ${totalMs(heavy)}%,d ms shuffle-bearing (star rounds; counts probe cached blocks)")
     }
 
     // Streaming near-dup state growth: how the per-band-bucket state
@@ -684,9 +685,9 @@ object ScaleProbe {
   }
   /** Incremental-CC probe backing connectedComponentsDelta's scaling
     * claim: at FIXED |Δ| the fold is one linear relabel pass plus a
-    * |Δ|-sized closure, while the full closure re-pays its O(log n)
-    * pointer-jumping rounds over the whole graph. Labels asserted
-    * identical before timing is trusted.
+    * |Δ|-sized closure, while the full closure re-pays its star rounds
+    * over the whole graph. Labels asserted identical before timing is
+    * trusted.
     */
   def ccDeltaProbe(spark: org.apache.spark.sql.SparkSession): Unit = {
     import graft.pipeline.Dedup
@@ -695,10 +696,8 @@ object ScaleProbe {
     // claim is corpus-pass avoidance, so the probe grows the corpus 10×
     // at fixed |Δ|: full closure re-pays rounds × (2 shuffles over ALL
     // edges); the fold pays one linear relabel + a |Δ|-sized closure.
-    // (First attempts used a 1000-node-chain graph: label-propagation
-    // cc does NOT close deep graphs with position-uncorrelated ids —
-    // >200 rounds — see the connectedComponents doc; that shape is
-    // outside the operator's contract, not a probe target.)
+    // (Deep position-uncorrelated graphs are ccPathProbe's target; this
+    // probe measures the fold-vs-full-closure gap on the dedup shape.)
     def clusters(n: Long) = spark.range(n).select(
         ((col("id") / 4L) * 4L + (abs(xxhash64(col("id"))) % 4L)).as("ia"),
         ((col("id") / 4L) * 4L + (abs(xxhash64(col("id") + 3L)) % 4L)).as("ib"))
@@ -726,6 +725,33 @@ object ScaleProbe {
       println(f"[scale] cc-delta n=$n%8d |delta|=1k: fold=$dtInc%5.2f s " +
         f"full-closure=$dtFull%5.2f s (identical labels)")
     }
+  }
+
+  /** Pathological-depth probe backing connectedComponents' convergence
+    * claim: a 100k-segment PATH whose node ids are position-uncorrelated
+    * (hash-permuted) — the worst shape for label propagation (the old
+    * pointer-jumping implementation measured >200 rounds without closing
+    * a 400-segment version; star rounds rewrite edges, so depth falls
+    * geometrically regardless of id placement). The probe closes it
+    * under an explicit 20-round cap (≈ log₂ 100k = 17) and asserts one
+    * component before trusting the timing.
+    */
+  def ccPathProbe(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import graft.pipeline.Dedup
+    val n = 100000L
+    // xxhash64 over 0..n is a near-permutation (collisions ~n²/2⁶⁴ ≈ 0);
+    // a collision would only merge two path nodes — still one component
+    val path = spark.range(n)
+      .select(xxhash64(col("id")).as("ia"), xxhash64(col("id") + 1L).as("ib"))
+      .localCheckpoint()
+    val t0 = System.nanoTime()
+    val comps = Dedup.connectedComponents(path, maxIter = 20)
+      .agg(countDistinct(col("comp"))).head().getLong(0)
+    val dt = (System.nanoTime() - t0) / 1e9
+    assert(comps == 1L, s"cc-path: expected one component, got $comps")
+    println(f"[scale] cc-path n=$n%,d segments random-id: closed to " +
+      f"$comps component in $dt%5.2f s within 20 star rounds " +
+      "(old label propagation: >200 rounds on 1/250th of this)")
   }
 
   /** Incremental-triangle probe backing triangleDelta's scaling claim:
@@ -779,6 +805,15 @@ object CcDeltaProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create(taskSideCommit = true)
     ScaleProbe.ccDeltaProbe(spark)
+    spark.stop()
+  }
+}
+
+/** Focused runner for the pathological-depth connected-components probe. */
+object CcPathProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.create(taskSideCommit = true)
+    ScaleProbe.ccPathProbe(spark)
     spark.stop()
   }
 }

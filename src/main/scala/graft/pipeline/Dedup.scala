@@ -442,20 +442,27 @@ object Dedup {
   }
 
   /** Connected components over an undirected pair list (ia, ib) →
-    * (id, comp) with comp = min id reachable. Min-label propagation plus
-    * pointer jumping (comp := comp(comp)) per round. Round count, honestly
-    * (measured, round 13): the jump follows ID-pointers, not graph edges,
-    * so it accelerates to O(log diameter) when labels correlate with
-    * graph position (monotone-id chains: a 20k-chain closes in ~15
-    * rounds) and on the shallow, near-clique cluster graphs this
-    * operator's dedup domain produces (2-4 rounds); on an ADVERSARIAL
-    * high-diameter graph whose ids are uncorrelated with position it
-    * degrades toward O(diameter) — a 400-segment path with random-id
-    * cross-links did not close in 200 rounds. The maxIter guard refuses
-    * loudly rather than ship partial labels; raise it only when the
-    * graph is known-deep. Each round is two shuffles (neighbor min +
-    * jump join); lineage is truncated with [[checkpointFreshStats]] so
-    * neither plans NOR carried statistics grow with iterations.
+    * (id, comp) with comp = min id reachable; self-loop pairs label
+    * their node a singleton. Alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014): each round CONTRACTS the edge set toward a forest of
+    * min-rooted stars —
+    *  - large-star(u): hang every LARGER neighbor of u onto
+    *    m = min(Γ(u) ∪ {u});
+    *  - small-star(u): hang u and all its SMALLER neighbors onto their
+    *    minimum.
+    * Unlike the pointer-jumping label propagation this replaced (round
+    * 14), the rounds rewrite EDGES, not id-pointers, so convergence is
+    * O(log² n) worst-case (≈ log n in practice) REGARDLESS of how ids
+    * correlate with graph position — the shape that broke the old code
+    * (a deep path with position-uncorrelated random ids: >200 rounds,
+    * measured; ScaleProbe's cc-path leg now closes it in default
+    * maxIter). Converged = the edge set is a star forest (no parent is
+    * also a child — one semi-join probe per round); the maxIter guard
+    * still refuses loudly rather than ship partial labels. Each round
+    * is a handful of edge-proportional shuffles; lineage is truncated
+    * with [[checkpointFreshStats]] so neither plans nor carried
+    * statistics grow with iterations.
     */
   /** Eager localCheckpoint that DROPS the carried plan statistics.
     * Spark 4's `localCheckpoint` copies the child plan's stats onto the
@@ -474,42 +481,74 @@ object Dedup {
     cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
   }
 
+  /** large-star: for every node u (over the symmetrized edge view),
+    * attach each neighbor v > u to m = min(Γ(u) ∪ {u}). Every output
+    * edge has child > parent; connectivity is preserved (each input
+    * edge is re-emitted from its smaller endpoint's group).
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("x"))
+    e.union(e.select(col("y").as("x"), col("x").as("y")))
+      .withColumn("m", least(min(col("y")).over(w), col("x")))
+      .filter(col("y") > col("x"))
+      .select(col("y").as("x"), col("m").as("y"))
+      .distinct()
+  }
+
+  /** small-star: orient each edge child-from-larger, then attach every
+    * node and its smaller neighbors onto the minimum of that group.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("x"))
+    val dir = e.select(greatest(col("x"), col("y")).as("x"),
+      least(col("x"), col("y")).as("y"))
+    val withM = dir.withColumn("m", min(col("y")).over(w))
+    withM.select(col("y").as("x"), col("m").as("y"))
+      .union(withM.select(col("x"), col("m").as("y")))
+      .filter(col("x") =!= col("y"))
+      .distinct()
+  }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val adj = pairs.select(col("ia").as("a"), col("ib").as("b"))
-      .union(pairs.select(col("ib").as("a"), col("ia").as("b")))
-      .distinct().localCheckpoint()
-    var labels = adj.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+    // node set from the RAW pairs (self-loop-only nodes included), edges
+    // with self-loops dropped — a singleton labels itself at the end
+    val nodes = pairs.select(col("ia").as("id"))
+      .union(pairs.select(col("ib").as("id"))).distinct().localCheckpoint()
+    var edges = pairs.select(col("ia").as("x"), col("ib").as("y"))
+      .filter(col("x") =!= col("y")).distinct().localCheckpoint()
     var iter = 0
-    var converged = false
+    var converged = edges.isEmpty
+    var edgeCnt = if (converged) 0L else edges.count()
     while (!converged && iter < maxIter) {
-      val nbrMin = adj
-        .join(labels.select(col("id").as("b"), col("comp").as("bcomp")), Seq("b"))
-        .groupBy(col("a").as("id")).agg(min(col("bcomp")).as("nmin"))
-      // carry the round's OLD label through, so the convergence check is a
-      // column computed inside this round's one materializing job — not a
-      // second old-vs-new join job per round (which doubled round latency)
-      val propagated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("comp").as("ocomp"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-      val jumped = checkpointFreshStats(propagated.alias("l")
-        .join(propagated.select(col("id").as("cid"), col("comp").as("ccomp")).alias("r"),
-          col("l.comp") === col("r.cid"), "left")
-        .select(col("l.id").as("id"),
-          coalesce(col("ccomp"), col("l.comp")).as("comp"),
-          (coalesce(col("ccomp"), col("l.comp")) =!= col("l.ocomp")).as("changed")))
-      // probe reads the just-cached blocks: Scan ExistingRDD + Filter, no
-      // Exchange, no recompute (ConnectedComponents probe-plan spec)
-      converged = jumped.where(col("changed")).isEmpty
-      labels = jumped.select(col("id"), col("comp"))
+      val next = checkpointFreshStats(smallStar(largeStar(edges)))
+      val nextCnt = next.count()
+      // the paper's criterion: the round changed nothing (set equality —
+      // count match short-circuits the except probe in early rounds)
+      converged = nextCnt == edgeCnt && next.except(edges).isEmpty
+      edges = next
+      edgeCnt = nextCnt
       iter += 1
     }
     // partial labels would silently split real clusters downstream —
-    // refuse them (pointer jumping reaches diameter ~2^maxIter, so this
-    // fires only on a genuinely pathological graph or a too-small cap)
+    // refuse them (star rounds close n nodes within ~log² n rounds, so
+    // this fires only at a genuinely absurd scale or a too-small cap)
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge within $maxIter rounds")
-    labels
+    if (edgeCnt > 0L) {
+      // one-time structural validation of the fixed point: a min-rooted
+      // star forest has one parent per child and no parent that is also
+      // a child — anything else must refuse loudly, never mislabel
+      val multiParent = !edges.groupBy(col("x"))
+        .agg(countDistinct(col("y")).as("np")).filter(col("np") > 1).isEmpty
+      val parentIsChild = !edges
+        .join(edges.select(col("x").as("y")).distinct(), Seq("y"), "left_semi")
+        .isEmpty
+      if (multiParent || parentIsChild) throw new IllegalStateException(
+        "connectedComponents: converged edge set is not a star forest")
+    }
+    nodes
+      .join(edges.select(col("x").as("id"), col("y").as("comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
   /** INCREMENTAL connected components — fold a batch of NEW pairs into

@@ -555,6 +555,20 @@ class PipelineSpec extends SparkSpec {
     assert(comps(6L) == 6L && comps(7L) == 6L)
   }
 
+  test("connected components close a deep path with position-uncorrelated ids") {
+    import spark.implicits._
+    // the measured round-13 failure shape: a 400-segment path whose node
+    // ids are a random permutation (no id/position correlation) — the old
+    // pointer-jumping label propagation did not close this in 200 rounds;
+    // star rounds must close it within the DEFAULT maxIter
+    val rnd = new scala.util.Random(11)
+    val ids = rnd.shuffle((0L to 400L).toVector)
+    val pairs = (0 until 400).map(i => (ids(i), ids(i + 1))).toDF("ia", "ib")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size == 401 && comps.values.toSet == Set(0L))
+  }
+
   test("connected components match driver-side union-find on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
