@@ -389,6 +389,19 @@ object SparkEntry {
         SliceRange(count = 1), 20))
     }),
 
+    // describe_splits over the reference's SAMPLED key-index path
+    // (io/IndexSummary.java:1-150 keeps every 128th entry;
+    // StorageService.getSplits walks that sample): here the sample is
+    // content-deterministic — hash60(key) ≡ 0 mod interval — so DuckDB
+    // reproduces it exactly; ranks ride the same pid-offset machinery
+    // as q12's exact path (no single-partition window).
+    "q46_splits_sampled" -> ((s, dir) => {
+      val lens = ordersLiveLens(s, dir)
+      lens.describeSplitsSampled(4, interval = 8)
+        .select(col("split_id"),
+          col("est_keys").cast("bigint").as("est_keys"), col("end_key"))
+    }),
+
     // Q8/Q9 deletion matrix: column tombstones + whole-ROW tombstone
     // markers shadowing older cells (removeDeleted semantics,
     // db/ColumnFamilyStore.java:663-717).
@@ -5166,6 +5179,16 @@ object SparkEntry {
         |t AS (SELECT key, ntile(8) OVER (ORDER BY key) AS split_id FROM k)
         |SELECT CAST(split_id AS BIGINT) AS split_id, count(*) AS n_keys,
         |       min(key) AS start_key, max(key) AS end_key
+        |FROM t GROUP BY 1""".stripMargin,
+
+    "q46_splits_sampled" ->
+      s"""WITH k AS (SELECT DISTINCT lpad(CAST(o_custkey AS VARCHAR),10,'0') AS key
+        |           FROM orders WHERE o_orderstatus <> 'F'),
+        |s AS (SELECT key FROM k WHERE ${hash60Sql("key")} % 8 = 0),
+        |t AS (SELECT key, ntile(4) OVER (ORDER BY key) AS split_id FROM s)
+        |SELECT CAST(split_id AS BIGINT) AS split_id,
+        |       CAST(count(*) * 8 AS BIGINT) AS est_keys,
+        |       max(key) AS end_key
         |FROM t GROUP BY 1""".stripMargin,
 
     "q13_upsert_lww" ->

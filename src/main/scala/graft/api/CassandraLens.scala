@@ -449,19 +449,28 @@ class CassandraLens(
     case None => liveColumns(cells)
   }
 
+  /** The (token, key) frame both split computations rank — exposed
+    * package-private so PlanQualitySpec can assert its value-free scan
+    * contract directly (describeSplits executes its ranking eagerly
+    * behind a checkpoint, so the contract is no longer visible in the
+    * RESULT frame's plan).
+    */
+  private[graft] def splitsKeyFrame: DataFrame =
+    // no distinct here — describeSplits distincts (token, key) itself
+    withToken(liveNames.select(col("key")))
+
   /** describe_splits(n) (thrift:429-463, CassandraServer.java:644-655) —
     * value-free: splits depend on the live key population only.
     */
   def describeSplits(n: Int): DataFrame =
-    // no distinct here — describeSplits distincts (token, key) itself
-    RangeScan.describeSplits(withToken(liveNames.select(col("key"))), n)
+    RangeScan.describeSplits(splitsKeyFrame, n)
 
   /** describe_splits from a deterministic key SAMPLE (the reference's
     * IndexSummary path, io/IndexSummary.java:1-150) — the 100× variant of
     * `describeSplits`: no global window over the full key population.
     */
   def describeSplitsSampled(n: Int, interval: Int = 128): DataFrame =
-    RangeScan.describeSplitsSampled(withToken(liveNames.select(col("key"))), n, interval)
+    RangeScan.describeSplitsSampled(splitsKeyFrame, n, interval)
 
   /** ColumnsMayExistQueryFilter (fork, db/filter/ColumnsMayExistQueryFilter
     * .java:28-157): bulk existence probe for (key, col_name) pairs. The

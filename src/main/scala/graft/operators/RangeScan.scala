@@ -74,47 +74,72 @@ object RangeScan {
       .limit(maxKeys)
       .select(col("key"))
 
+  /** Exact NTILE(n) split assignment over the (token, key) population
+    * WITHOUT a single-partition window: global ranks come from the
+    * pid-offset machinery ([[graft.pipeline.TextAnalysis.exactRankBuckets]]
+    * — range-repartition, pinned bounds, per-partition offsets, local
+    * row_number), then split_id reproduces NTILE's exact fill rule from
+    * (rank, N): the first N mod n splits hold ⌈N/n⌉ keys, the rest
+    * ⌊N/n⌋ — bit-identical to `ntile(n) OVER (ORDER BY token, key)`, so
+    * the SQL oracle still gates it, but every stage stays partitioned
+    * (no task ever sees more than one range partition of keys).
+    */
+  private def ntileRanked(keys: DataFrame, n: Int): DataFrame = {
+    val ranked = graft.pipeline.TextAnalysis
+      .exactRankBuckets(keys, Seq(col("token").asc, col("key").asc), 1)
+      .drop("bucket")
+    val nk = ranked.count() // the pinned frame — one cheap scan
+    val q = nk / n
+    val r = nk % n
+    // else-branch divisor clamped: when q = 0 every rank takes the THEN
+    // branch (rank <= r = N), so the clamp is never observed — it only
+    // keeps an unevaluated DIV-by-zero literal out of the plan
+    val qSafe = math.max(q, 1L)
+    ranked.withColumn("split_id", expr(
+      s"CAST(CASE WHEN rank <= ${r * (q + 1)}L THEN (rank - 1) DIV ${q + 1}L " +
+        s"ELSE ${r}L + (rank - 1 - ${r * (q + 1)}L) DIV ${qSafe}L END + 1 AS BIGINT)"))
+  }
+
   /** describe_splits(n): decompose the key population into n contiguous
     * token ranges of ~equal key count — exact ntile quantiles (deterministic,
     * so it is SQL-oracle checkable; the reference samples its key index
-    * instead, StorageService.getSplits). The global window runs over the
-    * DISTINCT KEY projection (|keys|, after a map-side distinct), not the
-    * cells; at 100 TB the sampled path is `repartitionByRange(n, token)`,
-    * which this method's output co-locates with.
+    * instead, StorageService.getSplits). Ranks run over the DISTINCT KEY
+    * projection (|keys|, after a map-side distinct), not the cells, and
+    * come from the pid-offset machinery — no single-partition Exchange
+    * anywhere in the plan (PlanQualitySpec-pinned), so the exact path
+    * survives a 100× key population; at 100 TB the sampled sibling
+    * ([[describeSplitsSampled]]) shrinks the ranked set itself.
     */
-  def describeSplits(live: DataFrame, n: Int): DataFrame = {
-    val keys = live.select(col("token"), col("key")).distinct()
-    val w = Window.orderBy(col("token"), col("key"))
-    keys
-      .withColumn("split_id", ntile(n).over(w))
+  def describeSplits(live: DataFrame, n: Int): DataFrame =
+    ntileRanked(live.select(col("token"), col("key")).distinct(), n)
       .groupBy(col("split_id"))
       .agg(
         count(lit(1)).as("n_keys"),
         min(col("key")).as("start_key"),
         max(col("key")).as("end_key"))
-  }
 
   /** describe_splits over a SAMPLED key population — the production path
     * at scale (the reference computes splits from its sampled key index,
     * io/IndexSummary.java:1-150 keeps every 128th index entry;
     * StorageService.getSplits walks that sample, never the full key set).
     *
-    * The sample is content-deterministic — keys whose xxhash64 lands in
-    * 1/interval of the hash space — so it is reproducible across runs and
-    * engines, unbiased for any token order, and computed by a map-side
-    * filter: the exact path's global window over ALL distinct keys shrinks
-    * to one over |keys|/interval sampled rows, the same memory contract as
-    * the reference's index summary (10^9 keys at interval 128 → ~8M
-    * sample rows). Split i covers the token arc (end_{i-1}, end_i], with
-    * split 1 open below and split n open above; `est_keys` estimates the
-    * split's population as sample-count × interval.
+    * The sample is content-deterministic — keys whose 60-bit md5 hash
+    * ([[graft.pipeline.TextAnalysis.hash60]], the engine's cross-engine-
+    * reproducible sampling hash) lands in 1/interval of the hash space —
+    * so it is reproducible across runs AND engines (oracle-gated, q46),
+    * unbiased for any token order, and computed by a map-side filter:
+    * the exact path's ranked set over ALL distinct keys shrinks to
+    * |keys|/interval sampled rows, the same memory contract as the
+    * reference's index summary (10^9 keys at interval 128 → ~8M sample
+    * rows); ranks use the same pid-offset machinery as the exact path.
+    * Split i covers the token arc (end_{i-1}, end_i], with split 1 open
+    * below and split n open above; `est_keys` estimates the split's
+    * population as sample-count × interval.
     */
   def describeSplitsSampled(live: DataFrame, n: Int, interval: Int = 128): DataFrame = {
     val sample = live.select(col("token"), col("key")).distinct()
-      .filter(pmod(xxhash64(col("key")), lit(interval)) === 0)
-    val w = Window.orderBy(col("token"), col("key"))
-    sample
-      .withColumn("split_id", ntile(n).over(w))
+      .filter(graft.pipeline.TextAnalysis.hash60(col("key")) % interval === 0)
+    ntileRanked(sample, n)
       .groupBy(col("split_id"))
       .agg(
         (count(lit(1)) * interval).as("est_keys"),

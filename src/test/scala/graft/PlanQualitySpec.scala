@@ -48,18 +48,36 @@ class PlanQualitySpec extends SparkSpec {
     // from every scan the pick performs
     assert(schemas.forall(!_.contains("value")), schemas.mkString("\n"))
     // get_count, existence probes, and describe_splits ride the same
-    // value-free frame
+    // value-free frame (describe_splits ranks eagerly behind a
+    // checkpoint, so its CONTRACT frame — the (token, key) population
+    // both split paths rank — is what carries the scan to assert)
     import spark.implicits._
     val probes = Seq(
       stored.getCount(Seq("k001", "k002"), None),
       stored.rowsExist(Seq("k001").toDF("key")),
-      stored.describeSplits(2))
+      stored.splitsKeyFrame)
     probes.foreach { df =>
       val ss = df.queryExecution
         .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
         .linesIterator.filter(_.contains("ReadSchema")).toSeq
       assert(ss.nonEmpty && ss.forall(!_.contains("value")), ss.mkString("\n"))
     }
+  }
+
+  test("describe_splits: no single-partition exchange; exact ntile fill reproduced") {
+    val splits = lens.describeSplits(3)
+    val plan = planOf(splits)
+    // the old implementation funneled ALL distinct keys through one task
+    // (ntile over a global ORDER BY); the pid-offset machinery must keep
+    // every stage partitioned
+    assert(!plan.contains("SinglePartition"), plan.take(3000))
+    // and the rank window is pid-local, never global
+    assert(plan.linesIterator.exists(l => l.contains("Window") && l.contains("__pid")),
+      plan.take(3000))
+    // 50 keys into 3 splits: NTILE's exact fill rule = 17/17/16
+    val got = splits.orderBy("split_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 17L), (2L, 17L), (3L, 16L)), got.mkString(","))
   }
 
   test("value-free liveness equals the full reconcile on random cell soups") {
