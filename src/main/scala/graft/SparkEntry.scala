@@ -1344,6 +1344,31 @@ object SparkEntry {
         g, "from_type", "to_type", "n", prev, iters = 2)
     }),
 
+    // DELTA-MAINTAINED PageRank: the standing transition-graph edge
+    // artifact (src, dst, w, outw) folded with a row delta — untouched
+    // sources stream through, touched sources re-aggregate over their
+    // own rows only — then ranked. The fold is row-identical to the
+    // recomputed artifact (multigraph union-all), so the oracle is the
+    // SAME unrolled 3-iteration SQL as p150/p220. The 1-in-4 hash row
+    // split makes the delta touch SOME sources and leave others'
+    // standing outw byte-untouched — both fold branches execute.
+    "p224_pagerank_delta" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val g = graft.operators.EventOps.eventTransitions(
+        table(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("tus"),
+            col("event_type")),
+        "user_id", "tus", "event_type")
+        .localCheckpoint() // split twice below
+      val isDelta = pmod(graft.pipeline.TextAnalysis.hash60(
+        concat_ws("|", col("from_type"), col("to_type"))), lit(4)) === 0
+      val standingArt = graft.operators.EventOps.pageRankEdgeArtifact(
+        g.filter(!isDelta), "from_type", "to_type", "n")
+      graft.operators.EventOps.pageRankDelta(
+        standingArt, g.filter(isDelta), "from_type", "to_type", "n",
+        iters = 3)
+    }),
+
     // Pairwise total-variation drift of the language mix across
     // sources — the categorical cousin of the p123 KS matrix.
     "p151_tv_drift" -> ((s, dir) => {
@@ -6070,6 +6095,7 @@ object SparkEntry {
     "p150_pagerank" -> pageRankOracleSql,
 
     "p220_pagerank_warm" -> pageRankOracleSql,
+    "p224_pagerank_delta" -> pageRankOracleSql,
 
     "p151_tv_drift" ->
       """WITH h AS (SELECT source AS g, lang AS cat, count(*) AS c

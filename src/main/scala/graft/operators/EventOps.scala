@@ -957,12 +957,78 @@ object EventOps {
     pageRankSteps(edges, srcCol, dstCol, weightCol, Some(initRanks), iters,
       dampPermille, scale)
 
+  /** The standing edge ARTIFACT the [[pageRank]] iterations consume —
+    * (src, dst, w, outw) with outw = Σ w over the src's rows (the
+    * out-weight the per-edge contribution divides by). Callers persist
+    * it and [[pageRankDelta]] maintains it under edge deltas without
+    * re-aggregating the standing rows. Multigraph semantics: duplicate
+    * (src, dst) rows each contribute (their weights effectively add).
+    */
+  def pageRankEdgeArtifact(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("decimal(38,0)").as("w"))
+    e.join(e.groupBy(col("src")).agg(sum(col("w")).as("outw")), Seq("src"))
+  }
+
+  /** DELTA-MAINTAINED PageRank — fold a batch of new edge rows into a
+    * standing [[pageRankEdgeArtifact]] and rank the combined graph,
+    * never re-aggregating the standing edges (the p222 fold pattern
+    * applied to the rank pipeline's edge-side state):
+    *  1. sources the delta touches are extracted (≤ |Δ| keys,
+    *     broadcast);
+    *  2. untouched standing rows pass through in ONE streamed scan
+    *     (broadcast anti-join — their outw is already correct: no
+    *     delta row changes their out-weight);
+    *  3. touched sources re-aggregate over (their standing rows ∪ the
+    *     delta rows) only — work bounded by the touched sources'
+    *     degree, not the corpus;
+    *  4. iterations run the SAME integer fixed-point step over the
+    *     folded artifact, warm-started from `initRanks` when given.
+    * The folded artifact is row-identical to
+    * `pageRankEdgeArtifact(standing ∪ delta)`, so ranks are
+    * bit-identical to [[pageRank]] over the union (multigraph
+    * union-all semantics) — oracle-gated (p224) under the SAME
+    * unrolled SQL as p150. The iterations themselves remain
+    * edge-linear per step (every edge contributes every round — that
+    * is PageRank, not a fold artifact); what the fold buys at scale is
+    * the artifact maintenance (no full-corpus groupBy per batch) and
+    * the warm start (few re-settling steps instead of a cold rerun).
+    * Bounded-Δ contract enforced loudly, like connectedComponentsDelta.
+    */
+  def pageRankDelta(standingArtifact: DataFrame, deltaEdges: DataFrame,
+      srcCol: String, dstCol: String, weightCol: String,
+      initRanks: Option[DataFrame] = None, iters: Int = 3,
+      dampPermille: Long = 850L, scale: Long = 1000000L,
+      maxDeltaEdges: Long = 50000000L): DataFrame = {
+    val d = deltaEdges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("decimal(38,0)").as("w"))
+      .localCheckpoint() // |Δ|-sized; counted, then reused
+    val nDelta = d.count()
+    require(nDelta <= maxDeltaEdges,
+      s"pageRankDelta: |delta| = $nDelta edges exceeds maxDeltaEdges = " +
+        s"$maxDeltaEdges — the fold broadcasts delta-derived keys; fold in " +
+        "slices or rebuild the artifact in full")
+    val standing = standingArtifact
+      .select(col("src"), col("dst"), col("w"), col("outw"))
+    val dSrc = d.select(col("src")).distinct()
+    val untouched = standing.join(broadcast(dSrc), Seq("src"), "left_anti")
+    val touched = standing.join(broadcast(dSrc), Seq("src"), "left_semi")
+      .select(col("src"), col("dst"), col("w"))
+      .unionByName(d)
+    val ew = untouched.unionByName(
+      touched.join(touched.groupBy(col("src")).agg(sum(col("w")).as("outw")),
+        Seq("src")))
+      .localCheckpoint(false) // read every iteration
+    val nodes = ew.select(col("src").as("node"))
+      .union(ew.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false) // the teleport term every iteration
+    pageRankIterate(ew, nodes, initRanks, iters, dampPermille, scale)
+  }
+
   private def pageRankSteps(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, init: Option[DataFrame], iters: Int,
       dampPermille: Long, scale: Long): DataFrame = {
-    require(iters >= 1 && iters <= 20, s"iters $iters outside [1,20]")
-    require(dampPermille >= 0 && dampPermille <= 1000,
-      s"dampPermille $dampPermille outside [0,1000]")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(weightCol).cast("decimal(38,0)").as("w"))
       .localCheckpoint(false) // read every iteration
@@ -971,6 +1037,20 @@ object EventOps {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(false) // the teleport term every iteration
+    pageRankIterate(ew, nodes, init, iters, dampPermille, scale)
+  }
+
+  /** The shared iteration core: `iters` integer fixed-point steps over
+    * a prebuilt (src, dst, w, outw) artifact and node set — [[pageRank]]
+    * / [[pageRankFrom]] build both from raw edges; [[pageRankDelta]]
+    * folds a delta into a standing artifact first.
+    */
+  private def pageRankIterate(ew: DataFrame, nodes: DataFrame,
+      init: Option[DataFrame], iters: Int,
+      dampPermille: Long, scale: Long): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters $iters outside [1,20]")
+    require(dampPermille >= 0 && dampPermille <= 1000,
+      s"dampPermille $dampPermille outside [0,1000]")
     var ranks = init match {
       case None => nodes.withColumn("r", lit(scale).cast("decimal(38,0)"))
       case Some(ir) => nodes

@@ -380,6 +380,36 @@ class SketchSpec extends SparkSpec {
     assert(!warmShrunk.contains(4L) && warmShrunk.size == 3)
   }
 
+  test("pageRankDelta: folded artifact ranks ≡ full recompute; warm composition; loud bound") {
+    // standing graph with a sink and a hub; delta touches an existing
+    // source (2), adds a parallel row for an existing edge (1→2), and
+    // introduces a brand-new source AND node (5→6)
+    val standing = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 2L),
+      (3L, 1L, 1L), (4L, 1L, 5L)).toDF("s", "d", "n")
+    val delta = Seq((2L, 1L, 4L), (1L, 2L, 2L), (5L, 6L, 1L)).toDF("s", "d", "n")
+    val union = standing.unionByName(delta)
+    def ranksOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val art = EventOps.pageRankEdgeArtifact(standing, "s", "d", "n")
+      .localCheckpoint()
+    // the folded artifact is row-identical to the recomputed one
+    val folded = EventOps.pageRankDelta(art, delta, "s", "d", "n", iters = 3)
+    assert(ranksOf(folded) == ranksOf(
+      EventOps.pageRank(union, "s", "d", "n", iters = 3)))
+    // warm composition through the fold: a cold iterations on the union,
+    // then b warm via the fold ≡ a+b cold on the union (bit-exact)
+    val prev = EventOps.pageRank(union, "s", "d", "n", iters = 1)
+    assert(ranksOf(EventOps.pageRankDelta(art, delta, "s", "d", "n",
+        initRanks = Some(prev), iters = 2))
+      == ranksOf(EventOps.pageRank(union, "s", "d", "n", iters = 3)))
+    // an empty-ish delta bound refuses loudly
+    val tooBig = intercept[IllegalArgumentException] {
+      EventOps.pageRankDelta(art, delta, "s", "d", "n", iters = 1,
+        maxDeltaEdges = 1L)
+    }
+    assert(tooBig.getMessage.contains("maxDeltaEdges"))
+  }
+
   test("linearAttribution: equal split + remainder on latest touch, window excludes, conservation") {
     // purchase P1 (rev 10) by u1 at t=100: touches at 90, 95, 99 →
     //   10 div 3 = 3 each, remainder 1 rides the t=99 touch (day 0);
