@@ -77,7 +77,12 @@ object Bench {
       def once(): (Double, Long) = {
         val t0 = System.nanoTime()
         val n = f
-        ((System.nanoTime() - t0) / 1e9, n)
+        val dtNanos = System.nanoTime() - t0
+        // every timed run feeds the per-op latency registry (the fork's
+        // StoreLatencyTrackerAspect surface) — the sidecar reports
+        // p50/p95/p99 per op over all runs, exact max beside them
+        graft.stat.StoreLatency.record(name, dtNanos / 1000L)
+        (dtNanos / 1e9, n)
       }
       val runs = Seq(once(), once(), once())
       val ts = runs.map(_._1).sorted
@@ -99,7 +104,9 @@ object Bench {
         val df = mk
         val n = df.queryExecution.toRdd.count()
         last = df
-        ((System.nanoTime() - t0) / 1e9, n)
+        val dtNanos = System.nanoTime() - t0
+        graft.stat.StoreLatency.record(name, dtNanos / 1000L)
+        (dtNanos / 1e9, n)
       }
       val runs = Seq(once(), once(), once())
       val ts = runs.map(_._1).sorted
@@ -528,8 +535,16 @@ object Bench {
     // final line now carries ONLY metric/value/unit/queries/sf (~0.7 KB at
     // 29 legs); rows, spread, and io all live in BENCH_SIDECAR.json (plus
     // a preceding stdout line) that the end-of-round commit picks up.
+    // per-op latency registry (leg runs + the lens's per-page coordinator
+    // samples recorded during them): count + p50/p95/p99/mean (bucket
+    // resolution) + exact max, all µs — the stat/ exporter's table shape
+    val lat = graft.stat.StoreLatency.report().map { case (op, s) =>
+      "\"" + op + "\":{\"count\":" + s.count + ",\"p50us\":" + s.p50Micros +
+        ",\"p95us\":" + s.p95Micros + ",\"p99us\":" + s.p99Micros +
+        ",\"meanUs\":" + s.meanMicros + ",\"maxUs\":" + s.maxMicros + "}"
+    }.mkString("{", ",", "}")
     val detail =
-      s"""{"detail":{"rows":$rs,"spread":$sp,"io":$io},"sf":"$sfDir"}"""
+      s"""{"detail":{"rows":$rs,"spread":$sp,"io":$io,"latency":$lat},"sf":"$sfDir"}"""
     try Files.write(java.nio.file.Paths.get("BENCH_SIDECAR.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

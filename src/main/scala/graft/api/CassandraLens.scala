@@ -314,8 +314,12 @@ class CassandraLens(
       // exactly this per get_range_slices page): the picking plan runs
       // ONCE as an action instead of being re-executed inside every
       // branch of the slice pass, and the key list pushes into the
-      // parquet scan as an In filter (blooms + row-group pruning)
-      val keys = picked.collect().map(_.getString(0)).toSeq
+      // parquet scan as an In filter (blooms + row-group pruning).
+      // Recorded per page — the coordinator-latency sample the fork's
+      // StoreLatencyTrackerAspect would take around this call.
+      val keys = graft.stat.StoreLatency.timed("range.page_pick") {
+        picked.collect().map(_.getString(0)).toSeq
+      }
       val restricted =
         if (keys.isEmpty) pre.filter(lit(false))
         else pre.filter(col("key").isin(keys: _*))
@@ -339,7 +343,9 @@ class CassandraLens(
       .select(col("key"))
     if (maxKeys <= 10000) {
       // same eager page materialization as the cold path (see NOTE above)
-      val keys = picked.collect().map(_.getString(0)).toSeq
+      val keys = graft.stat.StoreLatency.timed("range.page_pick_cached") {
+        picked.collect().map(_.getString(0)).toSeq
+      }
       if (keys.isEmpty) withToken(c.filter(lit(false)))
       else withToken(c.filter(col("key").isin(keys: _*)))
     } else withToken(c.join(broadcast(picked), Seq("key"), "left_semi"))

@@ -78,6 +78,26 @@ class HistogramSpec extends AnyFunSuite {
     assert(a.count == 0L)
   }
 
+  test("StoreLatency: per-op histograms, percentile/mean bucket-resolution, exact max") {
+    import graft.stat.StoreLatency
+    StoreLatency.clear()
+    // two ops; op A gets a skewed sample set so p50 ≠ p99
+    (1 to 90).foreach(_ => StoreLatency.record("a", 100L))
+    (1 to 9).foreach(_ => StoreLatency.record("a", 10000L))
+    StoreLatency.record("a", 1234567L)
+    assert(StoreLatency.timed("b") { 7 } == 7) // timed returns the value
+    val rep = StoreLatency.report().toMap
+    val a = rep("a")
+    assert(a.count == 100 && a.maxMicros == 1234567L)
+    // bucket resolution: within ~20% of the exact quantiles
+    assert(a.p50Micros >= 100 && a.p50Micros <= 120, a.toString)
+    assert(a.p99Micros >= 10000 && a.p99Micros <= 12000, a.toString)
+    assert(a.p50Micros <= a.p95Micros && a.p95Micros <= a.p99Micros)
+    assert(rep("b").count == 1)
+    StoreLatency.clear()
+    assert(StoreLatency.report().isEmpty)
+  }
+
   test("RateControl: fast producer paced to the limit, slow producer never slept") {
     import graft.util.RateControl
     // virtual clock: each op arrives 1 ms apart against a 100 ops/s limit
