@@ -347,6 +347,72 @@ class Keyspace(val spark: SparkSession, val name: String) {
       }
     }
   }
+
+  // ---- archived mutation log (the fork's commit-log archive surface:
+  // CommitLog.java:670-680 copies a discarded segment into the archive
+  // destination; maint/CleanArchivedLogsTask.java:34-120 deletes archived
+  // `CommitLog-<millis>.log` files older than N days each maintenance
+  // window). Segments here are parquet mutation-cell batches named by
+  // their stamp; replay is the ts-bounded reconcile CassandraLens.replayAt
+  // already provides, so an archive replay is read → filter → lens. ----
+
+  private def logArchiveRoot: Path = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    new Path(wh.stripSuffix("/") + "/" + name + ".db/__logarchive")
+  }
+
+  /** Archive one discarded mutation-log segment: the cell batch written
+    * under `CommitLog-<segmentMillis>` (CommitLog.java:674 naming). An
+    * existing segment of the same stamp is replaced (re-archive of the
+    * same discarded segment is idempotent).
+    */
+  def archiveMutationLog(cells: DataFrame, segmentMillis: Long): Unit =
+    cells.write.mode("overwrite")
+      .parquet(new Path(logArchiveRoot, s"CommitLog-$segmentMillis").toString)
+
+  /** Archived segment stamps, ascending; names the task cannot parse are
+    * skipped, never deleted (CleanArchivedLogsTask's FileFilter contract).
+    */
+  def archivedLogSegments(): Seq[Long] = {
+    val fs = logArchiveRoot.getFileSystem(hconf)
+    if (!fs.exists(logArchiveRoot)) return Seq.empty
+    fs.listStatus(logArchiveRoot).filter(_.isDirectory).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("CommitLog-"))
+        scala.util.Try(n.stripPrefix("CommitLog-").toLong).toOption
+      else None
+    }.sorted
+  }
+
+  /** Point-in-time replay from the archive (tools/ReplayLogs.java over the
+    * archive directory): union every archived segment, bound at `maxTs`
+    * via the lens's replayAt reconcile. Throws if the archive is empty —
+    * replaying nothing silently would masquerade as an empty store.
+    */
+  def replayArchivedLogs(meta: CfMeta, maxTs: Long): CassandraLens = {
+    val segs = archivedLogSegments()
+    require(segs.nonEmpty, s"no archived log segments under $logArchiveRoot")
+    val cells = spark.read.parquet(
+      segs.map(m => new Path(logArchiveRoot, s"CommitLog-$m").toString): _*)
+    new CassandraLens(cells, meta).replayAt(maxTs)
+  }
+
+  /** Retention: delete archived segments whose stamp <= `nowMillis` minus
+    * `daysOld` days — CleanArchivedLogsTask.earliestLogFile's cutoff rule,
+    * inclusive like the reference's `<=`. Unparseable names are skipped
+    * (warned in the reference, never deleted). Returns deleted segment
+    * stamps; rerun is a no-op.
+    */
+  def cleanArchivedLogs(daysOld: Int, nowMillis: Long): Seq[Long] = {
+    require(daysOld >= 0, s"daysOld $daysOld must be >= 0")
+    val cutoff = nowMillis - daysOld.toLong * 86400000L
+    val fs = logArchiveRoot.getFileSystem(hconf)
+    if (!fs.exists(logArchiveRoot)) return Seq.empty
+    archivedLogSegments().filter(_ <= cutoff).map { m =>
+      fs.delete(new Path(logArchiveRoot, s"CommitLog-$m"), true)
+      m
+    }
+  }
 }
 
 object Keyspace {

@@ -24,6 +24,40 @@ class KeyspaceSpec extends SparkSpec {
     } finally ks.drop()
   }
 
+  test("archived mutation log: replay-at, daysOld retention cutoff, junk skipped") {
+    val loc = new java.io.File("spark-warehouse/graft_ksla.db")
+    if (loc.exists()) new scala.reflect.io.Directory(loc).deleteRecursively()
+    val ks = Keyspace(spark, "graft_ksla")
+    try {
+      val meta = CfMeta("cf1")
+      val day = 86400000L
+      // three discarded segments at day stamps 1/2/3 (ts inside matches)
+      ks.archiveMutationLog(cellsDf(Seq(ins("k1", "c1", "v1", 1 * day))), 1 * day)
+      ks.archiveMutationLog(cellsDf(Seq(ins("k1", "c1", "v2", 2 * day))), 2 * day)
+      ks.archiveMutationLog(cellsDf(Seq(ins("k2", "c1", "w", 3 * day),
+        del("k1", "c1", 3 * day))), 3 * day)
+      assert(ks.archivedLogSegments() == Seq(1 * day, 2 * day, 3 * day))
+      // PIT replay: at ts 2·day the LWW winner is v2 and k2/tombstone absent
+      val at2 = ks.replayArchivedLogs(meta, 2 * day)
+      assert(liveValues(at2.getSlice("k1", None,
+        graft.operators.SliceRange(count = 10))) == Map("c1" -> "v2"))
+      // full replay: k1.c1 tombstoned away, k2 live
+      val at3 = ks.replayArchivedLogs(meta, 3 * day)
+      assert(liveValues(at3.getSlice("k2", None,
+        graft.operators.SliceRange(count = 10))) == Map("c1" -> "w"))
+      assert(at3.getSlice("k1", None,
+        graft.operators.SliceRange(count = 10)).isEmpty)
+      // junk dir in the archive is skipped, never deleted
+      val junk = new java.io.File(loc, "__logarchive/not-a-log")
+      junk.mkdirs()
+      // retention at now = 4·day, daysOld = 2: cutoff 2·day INCLUSIVE →
+      // segments 1 and 2 go, 3 stays; rerun is a no-op
+      assert(ks.cleanArchivedLogs(2, 4 * day) == Seq(1 * day, 2 * day))
+      assert(ks.cleanArchivedLogs(2, 4 * day).isEmpty)
+      assert(ks.archivedLogSegments() == Seq(3 * day) && junk.exists())
+    } finally ks.drop()
+  }
+
   test("multi-CF batch_mutate: one batch lands in every column family's view") {
     val loc = new java.io.File("spark-warehouse/graft_ks2.db")
     if (loc.exists()) new scala.reflect.io.Directory(loc).deleteRecursively()
