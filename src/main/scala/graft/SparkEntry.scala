@@ -2492,6 +2492,37 @@ object SparkEntry {
           col("score"))
     }),
 
+    // Standing BM25 inverted index + append-only delta fold: 3/4 of the
+    // corpus builds the persisted postings/doc-lens artifacts, the
+    // remaining 1/4 folds in as a pure append (disjoint doc ids — no
+    // standing row rewrites), and the query probes the folded index on
+    // its terms only. Ranks are bit-identical to the ad-hoc p120 path
+    // over the same corpus, so the ORACLE IS p120's (shared val).
+    "p225_bm25_index_delta" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val qText = docs.filter(col("doc_id") === 0).select(col("text")).head()
+        .getString(0).toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty).take(8).mkString(" ")
+      val corpus = docs.filter(col("doc_id") =!= 0)
+      val isDelta = pmod(graft.pipeline.TextAnalysis.hash60(col("doc_id")), lit(4)) === 0
+      val standingP = graft.pipeline.TextAnalysis
+        .bm25Postings(corpus.filter(!isDelta), "doc_id", "text")
+        .localCheckpoint() // the persisted standing index
+      val standingL = graft.pipeline.TextAnalysis
+        .bm25DocLens(corpus.filter(!isDelta), "doc_id", "text")
+        .localCheckpoint()
+      val delta = corpus.filter(isDelta)
+      graft.pipeline.TextAnalysis.bm25TopKIndexed(
+        standingP.unionByName(graft.pipeline.TextAnalysis
+          .bm25Postings(delta, "doc_id", "text")),
+        standingL.unionByName(graft.pipeline.TextAnalysis
+          .bm25DocLens(delta, "doc_id", "text")),
+        qText, k = 10)
+        .select(col("rank").cast("long").as("rank"), col("id").as("doc_id"),
+          col("score"))
+    }),
+
     // Funnel with conversion-lag observables: per stage, the count plus
     // exact integer sum/max of (stage time − previous-stage time) over
     // converting users — avg lag = sum div n stays engine-portable.
@@ -4646,6 +4677,16 @@ object SparkEntry {
     * vector arm. ONE definition so the k1/b rationals and the idf
     * quantization cannot drift between the two gates.
     */
+  // ONE oracle for the ad-hoc BM25 (p120) and the standing-index delta
+  // fold (p225): the indexed path is bit-identical by construction, and
+  // the shared val makes the gate literal.
+  private lazy val bm25TopKOracleSql: String =
+    s"""WITH $bm25CtesSql,
+      |r AS (SELECT doc_id, score,
+      |        row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
+      |SELECT CAST(rank AS BIGINT) AS rank, doc_id, score
+      |FROM r WHERE rank <= 10""".stripMargin
+
   private lazy val bm25CtesSql: String =
     """q AS (SELECT DISTINCT unnest(list_distinct((regexp_extract_all(lower(text), '\S+'))[1:8])) AS term
       |           FROM documents WHERE doc_id = 0),
@@ -6694,12 +6735,8 @@ object SparkEntry {
         |SELECT CAST(rank AS BIGINT) AS rank, path, n_sessions
         |FROM r WHERE rank <= 20""".stripMargin,
 
-    "p120_bm25_topk" ->
-      s"""WITH $bm25CtesSql,
-        |r AS (SELECT doc_id, score,
-        |        row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
-        |SELECT CAST(rank AS BIGINT) AS rank, doc_id, score
-        |FROM r WHERE rank <= 10""".stripMargin,
+    "p120_bm25_topk" -> bm25TopKOracleSql,
+    "p225_bm25_index_delta" -> bm25TopKOracleSql,
 
     "p117_funnel_timing" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et

@@ -1497,9 +1497,7 @@ object TextAnalysis {
       textCol: String, queryText: String, k: Int): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val qTerms = queryText.toLowerCase(java.util.Locale.ROOT)
-      .split("\\s+").filter(_.nonEmpty).distinct.toSeq
-    require(qTerms.nonEmpty, "query must contain at least one term")
+    val qTerms = parseQueryTerms(queryText)
     val toks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
       .select(col("id"), size(col("tk")).cast("long").as("len"), col("tk"))
       .localCheckpoint(eager = false) // feeds N/T scalars + the match pass
@@ -1511,6 +1509,25 @@ object TextAnalysis {
       .join(broadcast(qTerms.toDF("term")), Seq("term"))
       .groupBy(col("id"), col("term"))
       .agg(first(col("len")).as("len"), count(lit(1)).as("tf"))
+    bm25Rank(matched, nDocs, totTok, k)
+  }
+
+  private def parseQueryTerms(queryText: String): Seq[String] = {
+    val qTerms = queryText.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(qTerms.nonEmpty, "query must contain at least one term")
+    qTerms
+  }
+
+  /** The shared BM25 scoring tail over a matched postings probe
+    * (id, term, len, tf): df per query term, Lucene-positive idf
+    * micro-quantized, the all-integer k1=6/5 b=3/4 score, distributed
+    * top-k. [[bm25TopK]] feeds it from a per-query tokenize pass;
+    * [[bm25TopKIndexed]] from a standing postings artifact.
+    */
+  private def bm25Rank(matchedIn: org.apache.spark.sql.DataFrame,
+      nDocs: Long, totTok: Long, k: Int): org.apache.spark.sql.DataFrame = {
+    val matched = matchedIn
       .localCheckpoint(eager = false) // feeds df aggregate + score join
     val dfreq = matched.groupBy("term")
       .agg(count(lit(1)).as("df"))
@@ -1530,6 +1547,53 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("score").desc, col("id"))))
       .select(col("rank"), col("id"), col("score"))
+  }
+
+  /** Standing BM25 index artifacts — the persisted inverted-index form
+    * of the tokenize pass [[bm25TopK]] pays per query: postings
+    * (term, id, tf, len), one row per (doc, distinct term). New-document
+    * maintenance is a pure APPEND (doc ids are disjoint, so no standing
+    * row or aggregate ever rewrites — the index analog of the engine's
+    * flush-new-runs story); df / N / T are read from the folded
+    * artifacts at query time, and only over the query's terms.
+    */
+  def bm25Postings(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+      .select(col("id"), size(col("tk")).cast("long").as("len"),
+        explode(col("tk")).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(first(col("len")).as("len"), count(lit(1)).as("tf"))
+      .select(col("term"), col("id"), col("tf"), col("len"))
+
+  /** The postings' sibling artifact: (id, len) for EVERY document —
+    * token-less docs carry no postings but still weight N and T
+    * (bm25TopK counts them), so the corpus stats live here.
+    */
+  def bm25DocLens(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).as("id"),
+      size(tokens(col(textCol))).cast("long").as("len"))
+
+  /** BM25 top-k over a standing (delta-folded) index: N/T from the
+    * docLens artifact, postings probed on the query terms only
+    * (broadcast — a term-keyed index scan, never a corpus tokenize),
+    * then the SAME integer scoring tail as [[bm25TopK]] — ranks are
+    * bit-identical to the ad-hoc path over the same documents, so the
+    * index+fold composition gates under p120's oracle (p225).
+    */
+  def bm25TopKIndexed(postings: org.apache.spark.sql.DataFrame,
+      docLens: org.apache.spark.sql.DataFrame, queryText: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val qTerms = parseQueryTerms(queryText)
+    val nt = docLens.agg(count(lit(1)), sum(col("len"))).head()
+    val nDocs = nt.getLong(0)
+    require(nDocs > 0, "empty index: no documents in docLens")
+    val matched = postings.select(col("id"), col("term"), col("len"), col("tf"))
+      .join(broadcast(qTerms.toDF("term")), Seq("term"))
+    bm25Rank(matched, nDocs, nt.getLong(1), k)
   }
 
   /** Lexical top-k retrieval (the keyword search primitive): docs scored

@@ -2762,6 +2762,33 @@ class PipelineSpec extends SparkSpec {
     assert(!out.contains(6L))
   }
 
+  test("bm25 standing index: indexed ≡ ad-hoc; delta fold is a pure append; empty docs weight N") {
+    import spark.implicits._
+    val corpus = (Seq(
+      (1L, "rare filler filler filler"),
+      (2L, "rare filler filler filler extra extra extra extra"),
+      (3L, "common filler filler filler"),
+      (4L, "common common filler filler"),
+      (5L, ""), // token-less doc: no postings, still weights N
+      (6L, "filler junk junk junk")) ++
+      (7L to 12L).map(i => (i, "common pad pad pad"))).toDF("doc_id", "text")
+    val adhoc = TextAnalysis.bm25TopK(corpus, "doc_id", "text", "rare common", k = 12)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    // standing 3/4 + delta 1/4 fold ≡ index built on the whole corpus
+    val standing = corpus.filter(col("doc_id") % 4 =!= 0)
+    val delta = corpus.filter(col("doc_id") % 4 === 0)
+    val foldedP = TextAnalysis.bm25Postings(standing, "doc_id", "text")
+      .unionByName(TextAnalysis.bm25Postings(delta, "doc_id", "text"))
+    val foldedL = TextAnalysis.bm25DocLens(standing, "doc_id", "text")
+      .unionByName(TextAnalysis.bm25DocLens(delta, "doc_id", "text"))
+    val indexed = TextAnalysis.bm25TopKIndexed(foldedP, foldedL, "rare common", k = 12)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(indexed == adhoc, s"$indexed vs $adhoc")
+    // N counts the token-less doc through docLens (12 docs, 1 empty)
+    assert(foldedL.count() == 12 &&
+      foldedP.select(col("id")).distinct().count() == 11)
+  }
+
   test("readability: exact fixed-point Flesch, easy text above dense text, guards null") {
     import spark.implicits._
     val d = Seq(
