@@ -2523,6 +2523,37 @@ object SparkEntry {
           col("score"))
     }),
 
+    // Streaming BM25 index maintenance: the corpus arrives in
+    // micro-batches, each flushing an append-only postings/doc-lens run
+    // (the p225 fold law streamed; zorderedIngest's flush contract);
+    // the readout scores the SAME query over the unioned runs through
+    // bm25TopKIndexed — bit-identical to the ad-hoc batch scorer, so
+    // the ORACLE IS p120's (shared val).
+    "p226_stream_bm25_index" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val qText = docs.filter(col("doc_id") === 0).select(col("text")).head()
+        .getString(0).toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty).take(8).mkString(" ")
+      val corpus = docs.filter(col("doc_id") =!= 0)
+        .select(col("doc_id"), col("text"))
+      val base = freshTmpStore(s, "p226", dir)
+      corpus.repartition(3).write.parquet(s"$base/in")
+      val st = s.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = graft.streaming.PipelineStream
+        .bm25IndexIngest(st, "doc_id", "text", s"$base/store")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.pipeline.TextAnalysis.bm25TopKIndexed(
+        s.read.parquet(s"$base/store/postings"),
+        s.read.parquet(s"$base/store/doclens"), qText, k = 10)
+        .select(col("rank").cast("long").as("rank"), col("id").as("doc_id"),
+          col("score"))
+    }),
+
     // Funnel with conversion-lag observables: per stage, the count plus
     // exact integer sum/max of (stage time − previous-stage time) over
     // converting users — avg lag = sum div n stays engine-portable.
@@ -6737,6 +6768,7 @@ object SparkEntry {
 
     "p120_bm25_topk" -> bm25TopKOracleSql,
     "p225_bm25_index_delta" -> bm25TopKOracleSql,
+    "p226_stream_bm25_index" -> bm25TopKOracleSql,
 
     "p117_funnel_timing" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et

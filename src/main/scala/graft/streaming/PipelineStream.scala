@@ -37,6 +37,33 @@ object PipelineStream {
       .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming BM25 index maintenance — the p225 append-only fold law
+    * as an ingestion pipeline: each micro-batch of documents flushes
+    * its postings and doc-lens rows as ONE run under
+    * `base/postings/run=<id>` and `base/doclens/run=<id>`, computed
+    * through the batch [[graft.pipeline.TextAnalysis.bm25Postings]] /
+    * bm25DocLens lineage (the ONE index definition). Doc ids are
+    * disjoint across arrivals, so maintenance is pure append — no
+    * standing run ever rewrites — and overwrite-by-batch-id makes
+    * redelivery idempotent (at-least-once safe), exactly the
+    * zorderedIngest flush contract. Readout:
+    * `bm25TopKIndexed(read(base/postings), read(base/doclens), q, k)`
+    * over the unioned runs is bit-identical to the ad-hoc batch scorer
+    * over every ingested document (p226 gates under p120's oracle).
+    */
+  def bm25IndexIngest(docs: DataFrame, idCol: String, textCol: String,
+      basePath: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty) {
+        val b = batch.localCheckpoint() // tokenized twice below
+        TextAnalysis.bm25Postings(b, idCol, textCol)
+          .write.mode("overwrite").parquet(s"$basePath/postings/run=$id")
+        TextAnalysis.bm25DocLens(b, idCol, textCol)
+          .write.mode("overwrite").parquet(s"$basePath/doclens/run=$id")
+      }
+    }
+
   /** Streaming passage-fingerprint registry — the ingestion-state twin
     * of batch [[graft.pipeline.Dedup.dedupChunks]]: chunk each arriving
     * document (the same chunkByTokens lineage), fingerprint each chunk,

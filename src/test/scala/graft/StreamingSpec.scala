@@ -938,6 +938,41 @@ class StreamingSpec extends SparkSpec {
     assert(n == 3L)
   }
 
+  test("bm25IndexIngest: per-batch postings runs; indexed readout ≡ batch scorer; empty batch skipped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_bm25ing").toString
+    val mem = MemoryStream[(Long, String)]
+    val in = mem.toDS().toDF("doc_id", "text")
+    val q = graft.streaming.PipelineStream
+      .bm25IndexIngest(in, "doc_id", "text", s"$base/store")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    val docs = Seq(
+      (1L, "rare filler filler filler"),
+      (2L, "rare filler filler filler extra extra extra extra"),
+      (3L, "common filler filler filler"),
+      (4L, ""), // token-less: doclens row only
+      (5L, "common common filler filler"),
+      (6L, "common pad pad pad"))
+    try {
+      docs.grouped(3).foreach { g => mem.addData(g); q.processAllAvailable() }
+    } finally q.stop()
+    // two micro-batches → two append-only runs per artifact
+    val postings = spark.read.parquet(s"$base/store/postings")
+    val doclens = spark.read.parquet(s"$base/store/doclens")
+    assert(postings.select($"run").distinct().count() == 2L)
+    assert(doclens.count() == 6L) // the token-less doc still weights N
+    // readout over the unioned runs ≡ the ad-hoc batch scorer
+    def rks(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val streamed = rks(graft.pipeline.TextAnalysis.bm25TopKIndexed(
+      postings, doclens, "rare common", k = 6))
+    val adhoc = rks(graft.pipeline.TextAnalysis.bm25TopK(
+      docs.toDF("doc_id", "text"), "doc_id", "text", "rare common", k = 6))
+    assert(streamed == adhoc, s"$streamed vs $adhoc")
+  }
+
   test("zorderedIngest: batches flush as z-ordered runs; seek equals filter; per-run files prune") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
