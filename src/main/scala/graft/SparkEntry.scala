@@ -2693,6 +2693,19 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // Per-group budget selection: B tokens PER LANGUAGE (the
+    // mixture-building cut) — each group's kept set is a prefix of its
+    // hash order, running totals via exactGroupPrefixSums (a head group
+    // spans partitions; no per-group window funnel).
+    "p227_group_budget_select" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.TextAnalysis.budgetSelectByGroup(
+        table(s, dir, "documents"), "doc_id", "lang", "text",
+        tokenBudgetPerGroup = 6000L)
+        .select(col("grp"), col("id").as("doc_id"), col("n_tokens"),
+          col("cum"))
+    }),
+
     // Budget-constrained deterministic selection: a reproducible B-token
     // subset — docs in hash order until the running token total hits the
     // budget. Prefix sums via exactPrefixSums (range repartition +
@@ -5598,6 +5611,17 @@ object SparkEntry {
         |      FROM t)
         |SELECT doc_id, n_tokens, cum FROM r
         |WHERE cum - n_tokens < 20000""".stripMargin,
+
+    "p227_group_budget_select" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+        |        CAST(len(regexp_extract_all(lower(text), '\\S+')) AS BIGINT) AS n_tokens,
+        |        ${hash60Sql("CAST(doc_id AS VARCHAR)")} AS hk
+        |      FROM documents),
+        |r AS (SELECT lang, doc_id, n_tokens,
+        |        CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY hk, doc_id) AS BIGINT) AS cum
+        |      FROM t)
+        |SELECT lang AS grp, doc_id, n_tokens, cum FROM r
+        |WHERE cum - n_tokens < 6000""".stripMargin,
 
     "p98_length_quantiles" ->
       """WITH t AS (SELECT doc_id,

@@ -856,6 +856,77 @@ object TextAnalysis {
       .select(outCols: _*)
   }
 
+  /** Per-GROUP exact inclusive prefix sums, scalably —
+    * [[exactPrefixSums]] generalized the way [[exactGroupRanks]]
+    * generalizes [[exactRankBuckets]]: range-repartition on
+    * (group, sort key), pin the partitioning, read per-(partition,
+    * group) VALUE sums (≤ #partitions × #groups rows — driver-bounded
+    * for mixture-sized group cardinalities), then cum = (pid, group)
+    * offset + within-(pid, group) running sum. A `PARTITION BY group`
+    * window would funnel each group through one task; here a head group
+    * spans as many range partitions as its mass needs. Appends `cum`
+    * (inclusive). Callers pass a total order; `valueCol` must be
+    * integral. NULL groups are a group like any other (null-safe join).
+    */
+  def exactGroupPrefixSums(df: org.apache.spark.sql.DataFrame,
+      groupCol: String, sortExprs: Seq[Column],
+      valueCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val ranged = pinnedRanged(df, col(groupCol) +: sortExprs)
+    val sums = ranged.groupBy(col("__pid"), col(groupCol))
+      .agg(sum(col(valueCol)).cast("long").as("s"))
+      .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+    val outCols = df.columns.map(col).toSeq :+ col("cum")
+    if (sums.isEmpty) // empty in, empty out
+      return ranged.withColumn("cum", lit(0L)).select(outCols: _*)
+    val offRows = sums.sortBy(_._1).groupBy(_._2).toSeq.flatMap {
+      case (g, rows) =>
+        rows.map(_._3).scanLeft(0L)(_ + _).init.zip(rows).map {
+          case (off, (pid, _, _)) => org.apache.spark.sql.Row(pid, g, off)
+        }
+    }
+    val gField = df.schema(groupCol)
+    val offs = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__opid",
+          org.apache.spark.sql.types.IntegerType),
+        gField.copy(name = "__ogrp", nullable = true),
+        org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.LongType))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid"), col(groupCol)).orderBy(sortExprs: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    ranged.join(broadcast(offs),
+      col("__pid") === col("__opid") && col(groupCol) <=> col("__ogrp"))
+      .withColumn("cum",
+        sum(col(valueCol)).over(w).cast("long") + col("__off"))
+      .select(outCols: _*)
+  }
+
+  /** Per-group budget-constrained selection — [[budgetSelect]] with the
+    * budget applied WITHIN each group ("B tokens per language/source",
+    * the mixture-building cut): docs order by the reproducible hash
+    * (hash60(id), id) within their group and a doc is kept iff it
+    * STARTS strictly inside its group's budget (cum − n_tokens < B), so
+    * each group's kept set is a prefix of its hash order exceeding B by
+    * at most one document. Running totals per group via
+    * [[exactGroupPrefixSums]] — no per-group window funnel. Returns
+    * (grp, id, n_tokens, cum).
+    */
+  def budgetSelectByGroup(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, groupCol: String, textCol: String,
+      tokenBudgetPerGroup: Long): org.apache.spark.sql.DataFrame = {
+    require(tokenBudgetPerGroup > 0, "tokenBudgetPerGroup > 0")
+    val src = docs.select(col(idCol).as("id"), col(groupCol).as("grp"),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"),
+      hash60(col(idCol)).as("hk"))
+    exactGroupPrefixSums(src, "grp", Seq(col("hk").asc, col("id").asc),
+      "n_tokens")
+      .filter(col("cum") - col("n_tokens") < tokenBudgetPerGroup)
+      .select(col("grp"), col("id"), col("n_tokens"), col("cum"))
+  }
+
   /** Exact-count stratified split (train/val/test): within each group,
     * docs order by the deterministic hash (hash60(id), id — a total
     * order) and split boundaries sit at the FLOORED CUMULATIVE permille

@@ -2404,6 +2404,42 @@ class PipelineSpec extends SparkSpec {
       d.filter(col("doc_id") < 0), "doc_id", "text", budget).count() == 0L)
   }
 
+  test("grouped budget select: per-group hash-order prefix; groups isolated; null group kept") {
+    import spark.implicits._
+    val d = (0 until 60).map { i =>
+      val grp = i % 3 match {
+        case 0 => "en"; case 1 => "de"; case 2 => null
+      }
+      (i.toLong, grp, Seq.fill(3 + i % 7)("w").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val budget = 40L
+    val out = TextAnalysis.budgetSelectByGroup(d, "doc_id", "lang", "text", budget)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // reference per group: hash order + running sum in plain Scala
+    val hashed = d.select(col("lang"), col("doc_id"),
+        TextAnalysis.hash60(col("doc_id")).as("hk"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = hashed.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+      rows.sortBy(t => (t._3, t._2))
+        .scanLeft((Option.empty[String], 0L, 0L, 0L)) {
+          case ((_, _, _, cum), (gg, id, _, n)) => (gg, id, n, cum + n)
+        }.tail
+        .takeWhile { case (_, _, n, cum) => cum - n < budget }
+    }.toSet
+    assert(out.toSet == expected, s"extra=${out.toSet.diff(expected)} missing=${expected.diff(out.toSet)}")
+    // every group (the NULL one included) covers its budget independently
+    Seq(Some("en"), Some("de"), None).foreach { g =>
+      val tok = out.filter(_._1 == g).map(_._3).sum
+      assert(tok >= budget, s"group $g under budget: $tok")
+    }
+    // deterministic on any partitioning
+    val again = TextAnalysis.budgetSelectByGroup(
+      d.repartition(7), "doc_id", "lang", "text", budget)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSet == out.toSet)
+  }
+
   test("length quantiles: exact equi-depth tiers with boundary lengths from the sorted order") {
     import spark.implicits._
     val lens = Seq(0, 1, 1, 2, 3, 5, 8, 8, 8, 13, 21, 34, 55)
