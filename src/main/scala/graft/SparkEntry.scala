@@ -2706,6 +2706,27 @@ object SparkEntry {
           col("cum"))
     }),
 
+    // Streaming twin of p227: documents arrive as a feed and gate
+    // STATELESSLY against the standing per-group budget thresholds
+    // (broadcast ≤1 row/group); admission = per-group hash-order prefix
+    // membership, so arrival order can't change the set. The readout
+    // re-derives cums via the SHARED assignGroupBudgetCums ordering —
+    // same oracle as p227.
+    "p228_stream_budget_gate" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val thresholds = graft.pipeline.TextAnalysis.budgetGroupThresholds(
+        docs, "doc_id", "lang", "text", tokenBudgetPerGroup = 6000L)
+        .localCheckpoint() // the standing artifact: cut once, not per batch
+      graft.pipeline.TextAnalysis.assignGroupBudgetCums(
+        runStream(s, "p228", dir, docs, 3)(st =>
+          graft.streaming.PipelineStream.budgetGateByGroup(
+            st, "doc_id", "lang", "text", thresholds)))
+        .select(col("grp"), col("id").as("doc_id"), col("n_tokens"),
+          col("cum"))
+    }),
+
     // Budget-constrained deterministic selection: a reproducible B-token
     // subset — docs in hash order until the running token total hits the
     // budget. Prefix sums via exactPrefixSums (range repartition +
@@ -4721,6 +4742,20 @@ object SparkEntry {
     * vector arm. ONE definition so the k1/b rationals and the idf
     * quantization cannot drift between the two gates.
     */
+  // ONE oracle for the batch per-group budget cut (p227) and its
+  // streaming threshold gate (p228): the gate admits exactly the batch
+  // prefix, and the shared readout re-derives the same cums.
+  private lazy val groupBudgetOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, lang,
+      |        CAST(len(regexp_extract_all(lower(text), '\\S+')) AS BIGINT) AS n_tokens,
+      |        ${hash60Sql("CAST(doc_id AS VARCHAR)")} AS hk
+      |      FROM documents),
+      |r AS (SELECT lang, doc_id, n_tokens,
+      |        CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY hk, doc_id) AS BIGINT) AS cum
+      |      FROM t)
+      |SELECT lang AS grp, doc_id, n_tokens, cum FROM r
+      |WHERE cum - n_tokens < 6000""".stripMargin
+
   // ONE oracle for the ad-hoc BM25 (p120) and the standing-index delta
   // fold (p225): the indexed path is bit-identical by construction, and
   // the shared val makes the gate literal.
@@ -5612,16 +5647,8 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, cum FROM r
         |WHERE cum - n_tokens < 20000""".stripMargin,
 
-    "p227_group_budget_select" ->
-      s"""WITH t AS (SELECT doc_id, lang,
-        |        CAST(len(regexp_extract_all(lower(text), '\\S+')) AS BIGINT) AS n_tokens,
-        |        ${hash60Sql("CAST(doc_id AS VARCHAR)")} AS hk
-        |      FROM documents),
-        |r AS (SELECT lang, doc_id, n_tokens,
-        |        CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY hk, doc_id) AS BIGINT) AS cum
-        |      FROM t)
-        |SELECT lang AS grp, doc_id, n_tokens, cum FROM r
-        |WHERE cum - n_tokens < 6000""".stripMargin,
+    "p227_group_budget_select" -> groupBudgetOracleSql,
+    "p228_stream_budget_gate" -> groupBudgetOracleSql,
 
     "p98_length_quantiles" ->
       """WITH t AS (SELECT doc_id,

@@ -927,6 +927,35 @@ object TextAnalysis {
       .select(col("grp"), col("id"), col("n_tokens"), col("cum"))
   }
 
+  /** Per-group admission thresholds for the STREAMING budget gate
+    * ([[graft.streaming.PipelineStream.budgetGateByGroup]]): each
+    * group's LAST admitted (hk, id). [[budgetSelectByGroup]]'s kept set
+    * is a PREFIX of the (hash60(id), id) order within its group, so
+    * "(hk, id) ≤ threshold lexicographically" IS batch membership —
+    * the weightedSampleThreshold move for budgets. ≤ one row per group.
+    */
+  def budgetGroupThresholds(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, groupCol: String, textCol: String,
+      tokenBudgetPerGroup: Long): org.apache.spark.sql.DataFrame =
+    budgetSelectByGroup(docs, idCol, groupCol, textCol, tokenBudgetPerGroup)
+      .groupBy(col("grp"))
+      .agg(max(struct(hash60(col("id")).as("t_hk"), col("id").as("t_id"))).as("m"))
+      .select(col("grp"), col("m.t_hk").as("t_hk"), col("m.t_id").as("t_id"))
+
+  /** The shared readout ordering for a gate-admitted budget set:
+    * running totals re-derived over the admitted rows — the admitted
+    * set is a per-group prefix of the (hk, id) order, so prefix sums
+    * over it EQUAL the full batch's cums (the one ordering batch and
+    * stream share). Input: (grp, id, n_tokens).
+    */
+  def assignGroupBudgetCums(admitted: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame =
+    exactGroupPrefixSums(
+      admitted.select(col("grp"), col("id"), col("n_tokens"),
+        hash60(col("id")).as("hk")),
+      "grp", Seq(col("hk").asc, col("id").asc), "n_tokens")
+      .select(col("grp"), col("id"), col("n_tokens"), col("cum"))
+
   /** Exact-count stratified split (train/val/test): within each group,
     * docs order by the deterministic hash (hash60(id), id — a total
     * order) and split boundaries sit at the FLOORED CUMULATIVE permille

@@ -423,6 +423,28 @@ object PipelineStream {
     else spark.read.parquet(s"$basePath/labels/v=${vs.max}")
   }
 
+  /** Streaming per-group BUDGET gate — the stateless twin of
+    * [[graft.pipeline.TextAnalysis.budgetSelectByGroup]]: arriving docs
+    * admit iff their (hash60(id), id) is lexicographically ≤ their
+    * group's standing threshold ([[graft.pipeline.TextAnalysis
+    * .budgetGroupThresholds]], broadcast stream-static join), which is
+    * exactly batch membership — the admitted set is a per-group prefix
+    * of the hash order, so arrival order and batch slicing cannot
+    * change it. NULL groups join null-safely (a group like any other);
+    * groups with no threshold row carry no budget and drop. Returns
+    * (grp, id, n_tokens); the readout re-derives cums via the SHARED
+    * [[graft.pipeline.TextAnalysis.assignGroupBudgetCums]] ordering.
+    */
+  def budgetGateByGroup(docs: DataFrame, idCol: String, groupCol: String,
+      textCol: String, thresholds: DataFrame): DataFrame =
+    docs.select(col(idCol).as("id"), col(groupCol).as("__g"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"),
+        TextAnalysis.hash60(col(idCol)).as("hk"))
+      .join(broadcast(thresholds), col("__g") <=> col("grp"))
+      .filter(col("hk") < col("t_hk") ||
+        (col("hk") === col("t_hk") && col("id") <= col("t_id")))
+      .select(col("grp"), col("id"), col("n_tokens"))
+
   def weightedSampleGateByGroup(docs: DataFrame, idCol: String,
       groupCol: String, weightCol: String, thresholds: DataFrame,
       seed: String = "wswr"): DataFrame =

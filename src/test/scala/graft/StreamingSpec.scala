@@ -487,6 +487,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("budgetGateByGroup: arrival orders admit exactly the batch prefix; cums re-derive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 3 groups incl. NULL, variable doc lengths
+    val docs = (0L until 120L).map { i =>
+      val grp = i % 3 match { case 0 => "en"; case 1 => "de"; case 2 => null }
+      (i, grp, Seq.fill(3 + (i % 7).toInt)("w").mkString(" "))
+    }
+    val d = docs.toDF("doc_id", "lang", "text")
+    val budget = 50L
+    val batch = graft.pipeline.TextAnalysis
+      .budgetSelectByGroup(d, "doc_id", "lang", "text", budget)
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val thresholds = graft.pipeline.TextAnalysis.budgetGroupThresholds(
+      d, "doc_id", "lang", "text", budget).localCheckpoint()
+    Seq(("fwd", docs, 40), ("rev", docs.reverse, 33)).foreach {
+      case (tag, order, slice) =>
+        val mem = MemoryStream[(Long, String, String)]
+        val out = graft.streaming.PipelineStream.budgetGateByGroup(
+          mem.toDS().toDF("doc_id", "lang", "text"), "doc_id", "lang",
+          "text", thresholds)
+        val q = out.writeStream.format("memory").queryName(s"sbud_$tag")
+          .outputMode("append").start()
+        try order.grouped(slice).foreach { b => mem.addData(b); q.processAllAvailable() }
+        finally q.stop()
+        val streamed = graft.pipeline.TextAnalysis.assignGroupBudgetCums(
+          spark.table(s"sbud_$tag"))
+          .collect()
+          .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+        assert(streamed == batch,
+          s"$tag diverged: extra=${streamed.diff(batch)} missing=${batch.diff(streamed)}")
+    }
+  }
+
   test("watermark-bounded streaming dedup: dups inside the delay drop, state expires") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
