@@ -381,6 +381,28 @@ object Bench {
       graft.pipeline.Dedup.minhashNearDuplicates(docs, "doc_id", "text", 3, 32, 8, 4, 5)
     }
 
+    // retrieval: the ad-hoc BM25 pass (tokenize the corpus per query)
+    // next to the standing inverted index's term-keyed probe over the
+    // SAME query — the p225 maintenance story's payoff measured side by
+    // side; the index build itself is untimed (the once-per-corpus
+    // artifact, maintained by pure appends thereafter).
+    locally {
+      val bmQ = docs.filter(col("doc_id") === 0).select(col("text")).head()
+        .getString(0).toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty).take(8).mkString(" ")
+      val bmCorpus = docs.filter(col("doc_id") =!= 0)
+      legDf("bm25_adhoc") {
+        graft.pipeline.TextAnalysis.bm25TopK(bmCorpus, "doc_id", "text", bmQ, 10)
+      }
+      val postings = graft.pipeline.TextAnalysis
+        .bm25Postings(bmCorpus, "doc_id", "text").localCheckpoint()
+      val doclens = graft.pipeline.TextAnalysis
+        .bm25DocLens(bmCorpus, "doc_id", "text").localCheckpoint()
+      legDf("bm25_indexed") {
+        graft.pipeline.TextAnalysis.bm25TopKIndexed(postings, doclens, bmQ, 10)
+      }
+    }
+
     val emb = CellEncodings.table(spark, sfDir, "embeddings")
     leg("ann_topk") {
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q"))
