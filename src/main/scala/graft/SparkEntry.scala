@@ -3277,6 +3277,18 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("text_dedup"))
     }),
 
+    // Per-source boilerplate strip (CCNet/RefinedWeb site-footer pass):
+    // paragraphs repeated across ≥2 DISTINCT docs of the SAME source
+    // strip everywhere (keep none — unlike p23's keep-first), docs
+    // reassemble in order.
+    "p229_boilerplate_strip" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Dedup.stripBoilerplate(table(s, dir, "documents"),
+        "doc_id", "source", "text", delimRegex = " merge ", minDocs = 2)
+        .select(col("id").as("doc_id"), col("src").as("source"),
+          col("text_clean"))
+    }),
+
     // Token-window chunking: 32-token windows every 16 tokens (the
     // context-length preparation fan-out), final partial window kept.
     "p24_token_chunks" -> ((s, dir) => {
@@ -7187,6 +7199,19 @@ object SparkEntry {
         |      FROM p)
         |SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text_dedup
         |FROM w WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+
+    "p229_boilerplate_strip" ->
+      """WITH ps AS (
+        |  SELECT doc_id, source, string_split_regex(text, ' merge ') AS arr FROM documents),
+        |p0 AS (
+        |  SELECT doc_id, source, trim(unnest(arr)) AS para, unnest(range(len(arr))) AS pos FROM ps),
+        |p AS (SELECT * FROM p0 WHERE para <> ''),
+        |bp AS (SELECT source, para FROM p GROUP BY 1, 2
+        |       HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT p.doc_id, p.source, string_agg(p.para, chr(10) ORDER BY p.pos) AS text_clean
+        |FROM p LEFT JOIN bp ON p.source = bp.source AND p.para = bp.para
+        |WHERE bp.para IS NULL
+        |GROUP BY 1, 2""".stripMargin,
 
     "p24_token_chunks" ->
       """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks

@@ -867,6 +867,40 @@ object Dedup {
         expr("transform(sort_array(collect_list(struct(pos, para))), s -> s.para)"))
         .as("text_dedup"))
 
+  /** Per-source boilerplate removal (the CCNet/RefinedWeb "strip lines
+    * repeated across many documents of a site" pass): a paragraph is
+    * boilerplate WITHIN its source when it appears in ≥ `minDocs`
+    * DISTINCT documents of that source, and every occurrence strips —
+    * unlike [[dedupParagraphs]] (keep FIRST occurrence corpus-wide),
+    * boilerplate keeps NONE, and the doc-frequency is per-source, so a
+    * navigation footer on site A never affects site B. Documents
+    * reassemble from surviving paragraphs in original order; docs left
+    * empty drop (the dedupParagraphs convention). Cost: one paragraph
+    * explode feeding BOTH the (source, para) distinct-doc aggregate and
+    * the strip anti-join — boilerplate tables are (distinct
+    * paragraphs)-sized and the anti-join keys on (source, para), so
+    * nothing is ever all-pairs. Returns (id, src, text_clean).
+    */
+  def stripBoilerplate(df: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, delimRegex: String, minDocs: Long,
+      joinWith: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs $minDocs must be >= 2 (1 strips everything)")
+    val p = df.select(col(idCol).as("id"), col(sourceCol).as("src"),
+        posexplode(split(col(textCol), delimRegex)).as(Seq("pos", "para")))
+      .withColumn("para", trim(col("para")))
+      .filter(col("para") =!= "")
+      .localCheckpoint(eager = false) // feeds the df aggregate + the strip
+    val bp = p.groupBy(col("src"), col("para"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("src"), col("para"))
+    p.join(bp, Seq("src", "para"), "left_anti")
+      .groupBy(col("id"), col("src"))
+      .agg(concat_ws(joinWith,
+        expr("transform(sort_array(collect_list(struct(pos, para))), s -> s.para)"))
+        .as("text_clean"))
+  }
+
   /** Exact repeated-SPAN dedup (substring-level — the "deduplicating
     * training data makes LMs better" pass; Lee et al. 2022 operate on raw
     * byte suffixes, this is the token-window variant every Spark-shaped

@@ -592,6 +592,33 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("stripBoilerplate: per-source footer strips everywhere; other sources untouched; emptied docs drop") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "A", "intro|FOOTER|body one"),
+      (2L, "A", "FOOTER|body two"),
+      (3L, "A", "body three"),
+      (4L, "B", "FOOTER|other site"),     // FOOTER unique WITHIN B — stays
+      (5L, "A", "FOOTER"),                // all-boilerplate doc → drops
+      (6L, "B", "x|y")).toDF("doc_id", "source", "text")
+    val got = graft.pipeline.Dedup.stripBoilerplate(
+      d, "doc_id", "source", "text", delimRegex = "\\|", minDocs = 2,
+      joinWith = "|")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got == Map(
+      1L -> ("A", "intro|body one"),
+      2L -> ("A", "body two"),
+      3L -> ("A", "body three"),
+      4L -> ("B", "FOOTER|other site"), // B's df for FOOTER is 1
+      6L -> ("B", "x|y")), got.toString)
+    // minDocs floor is loud
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Dedup.stripBoilerplate(d, "doc_id", "source", "text",
+        "\\|", minDocs = 1)
+    }
+    assert(e.getMessage.contains("minDocs"))
+  }
+
   test("dup clusters: planted dups share a cluster, singletons keep their id") {
     val cl = Dedup.dupClusters(docs, "doc_id", "text", n = 3, num = 4, den = 5)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
