@@ -7209,7 +7209,8 @@ object SparkEntry {
         |bp AS (SELECT source, para FROM p GROUP BY 1, 2
         |       HAVING count(DISTINCT doc_id) >= 2)
         |SELECT p.doc_id, p.source, string_agg(p.para, chr(10) ORDER BY p.pos) AS text_clean
-        |FROM p LEFT JOIN bp ON p.source = bp.source AND p.para = bp.para
+        |FROM p LEFT JOIN bp
+        |  ON p.source IS NOT DISTINCT FROM bp.source AND p.para = bp.para
         |WHERE bp.para IS NULL
         |GROUP BY 1, 2""".stripMargin,
 

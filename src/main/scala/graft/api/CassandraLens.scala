@@ -467,6 +467,11 @@ class CassandraLens(
 
   /** describe_splits(n) (thrift:429-463, CassandraServer.java:644-655) —
     * value-free: splits depend on the live key population only.
+    * EXECUTES EAGERLY: the pid-offset ranking pins its range bounds and
+    * reads per-partition counts when the frame is CONSTRUCTED (round
+    * 14), so calling this runs jobs even if the result is never acted
+    * on — the reference's describe_splits is likewise a served call,
+    * not a deferred plan.
     */
   def describeSplits(n: Int): DataFrame =
     RangeScan.describeSplits(splitsKeyFrame, n)

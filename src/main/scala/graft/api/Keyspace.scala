@@ -400,17 +400,18 @@ class Keyspace(val spark: SparkSession, val name: String) {
   /** Retention: delete archived segments whose stamp <= `nowMillis` minus
     * `daysOld` days — CleanArchivedLogsTask.earliestLogFile's cutoff rule,
     * inclusive like the reference's `<=`. Unparseable names are skipped
-    * (warned in the reference, never deleted). Returns deleted segment
-    * stamps; rerun is a no-op.
+    * (warned in the reference, never deleted). Returns CONFIRMED-deleted
+    * segment stamps (the expireDays convention — a failed delete is not
+    * reported as applied, and the segment reappears in the next run's
+    * candidates); rerun after full success is a no-op.
     */
   def cleanArchivedLogs(daysOld: Int, nowMillis: Long): Seq[Long] = {
     require(daysOld >= 0, s"daysOld $daysOld must be >= 0")
     val cutoff = nowMillis - daysOld.toLong * 86400000L
     val fs = logArchiveRoot.getFileSystem(hconf)
     if (!fs.exists(logArchiveRoot)) return Seq.empty
-    archivedLogSegments().filter(_ <= cutoff).map { m =>
+    archivedLogSegments().filter(_ <= cutoff).filter { m =>
       fs.delete(new Path(logArchiveRoot, s"CommitLog-$m"), true)
-      m
     }
   }
 }

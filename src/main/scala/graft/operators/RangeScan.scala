@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.{PartitionerType, Tokens}
@@ -85,10 +84,8 @@ object RangeScan {
     * (no task ever sees more than one range partition of keys).
     */
   private def ntileRanked(keys: DataFrame, n: Int): DataFrame = {
-    val ranked = graft.pipeline.TextAnalysis
-      .exactRankBuckets(keys, Seq(col("token").asc, col("key").asc), 1)
-      .drop("bucket")
-    val nk = ranked.count() // the pinned frame — one cheap scan
+    val (ranked, nk) = graft.pipeline.TextAnalysis
+      .exactRanksWithTotal(keys, Seq(col("token").asc, col("key").asc))
     val q = nk / n
     val r = nk % n
     // else-branch divisor clamped: when q = 0 every rank takes the THEN

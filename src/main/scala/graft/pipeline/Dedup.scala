@@ -893,8 +893,13 @@ object Dedup {
     val bp = p.groupBy(col("src"), col("para"))
       .agg(countDistinct(col("id")).as("nd"))
       .filter(col("nd") >= minDocs)
-      .select(col("src"), col("para"))
-    p.join(bp, Seq("src", "para"), "left_anti")
+      .select(col("src").as("__bsrc"), col("para").as("__bpara"))
+    // null-safe source match: a NULL source is a source like any other
+    // (the exactGroupPrefixSums convention) — a plain equi-anti-join
+    // would keep NULL-source boilerplate forever
+    p.join(bp,
+        col("src") <=> col("__bsrc") && col("para") === col("__bpara"),
+        "left_anti")
       .groupBy(col("id"), col("src"))
       .agg(concat_ws(joinWith,
         expr("transform(sort_array(collect_list(struct(pos, para))), s -> s.para)"))

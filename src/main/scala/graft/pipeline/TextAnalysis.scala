@@ -724,25 +724,36 @@ object TextAnalysis {
     sorted.map(_._1).zip(sorted.map(_._2).scanLeft(0L)(_ + _).init)
   }
 
-  def exactRankBuckets(df: org.apache.spark.sql.DataFrame,
-      sortExprs: Seq[Column], nBuckets: Int): org.apache.spark.sql.DataFrame = {
-    require(nBuckets >= 1, "nBuckets >= 1")
+  /** The rank half of [[exactRankBuckets]], with the population size it
+    * already derived from the per-partition counts exposed to callers
+    * that need N for their own fill rule (describe_splits' exact NTILE)
+    * — no second pass over the ranked frame to recount.
+    */
+  def exactRanksWithTotal(df: org.apache.spark.sql.DataFrame,
+      sortExprs: Seq[Column]): (org.apache.spark.sql.DataFrame, Long) = {
     val ranged = pinnedRanged(df, sortExprs)
     val cnts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     val n = cnts.map(_._2).sum
     if (n == 0) // empty in, empty out — like every other operator (and the SQL twin)
-      return ranged.withColumn("rank", lit(0L)).withColumn("bucket", lit(0L))
-        .drop("__pid")
+      return (ranged.withColumn("rank", lit(0L)).drop("__pid"), 0L)
     val offMap = map(pidOffsets(cnts)
       .flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid")).orderBy(sortExprs: _*)
-    ranged
+    (ranged
       .withColumn("rank",
         row_number().over(w).cast("long") + element_at(offMap, col("__pid")))
-      .withColumn("bucket", expr(s"CAST((rank - 1) * $nBuckets DIV ${n}L AS BIGINT)"))
-      .drop("__pid")
+      .drop("__pid"), n)
+  }
+
+  def exactRankBuckets(df: org.apache.spark.sql.DataFrame,
+      sortExprs: Seq[Column], nBuckets: Int): org.apache.spark.sql.DataFrame = {
+    require(nBuckets >= 1, "nBuckets >= 1")
+    val (ranked, n) = exactRanksWithTotal(df, sortExprs)
+    if (n == 0) ranked.withColumn("bucket", lit(0L))
+    else ranked.withColumn("bucket",
+      expr(s"CAST((rank - 1) * $nBuckets DIV ${n}L AS BIGINT)"))
   }
 
   /** Exact global (inclusive) prefix sum WITHOUT a single-partition
@@ -814,6 +825,35 @@ object TextAnalysis {
     * within group) and `n` (group total). Callers pass a total order
     * (append a unique id to the sort key) for deterministic ranks.
     */
+  /** Shared driver-side step of the GROUPED pid-offset family
+    * ([[exactGroupRanks]] / [[exactGroupPrefixSums]]): turn the
+    * collected per-(pid, group) Long aggregate into the broadcastable
+    * offsets frame (__opid, __ogrp, __off, n) — exclusive running
+    * offsets in pid order within each group plus the group total.
+    */
+  private def pidGroupOffsets(spark: org.apache.spark.sql.SparkSession,
+      gField: org.apache.spark.sql.types.StructField,
+      agg: Array[(Int, Any, Long)]): org.apache.spark.sql.DataFrame = {
+    val totals = agg.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val offRows = agg.sortBy(_._1).groupBy(_._2).toSeq.flatMap {
+      case (g, rows) =>
+        rows.map(_._3).scanLeft(0L)(_ + _).init.zip(rows).map {
+          case (off, (pid, _, _)) => org.apache.spark.sql.Row(
+            pid, g, off, totals(g))
+        }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__opid",
+          org.apache.spark.sql.types.IntegerType),
+        gField.copy(name = "__ogrp", nullable = true),
+        org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType))))
+  }
+
   def exactGroupRanks(df: org.apache.spark.sql.DataFrame, groupCol: String,
       sortExprs: Seq[Column]): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
@@ -825,26 +865,7 @@ object TextAnalysis {
     if (cnts.isEmpty) // empty in, empty out
       return ranged.withColumn("rank", lit(0L)).withColumn("n", lit(0L))
         .select(outCols: _*)
-    // per-group totals and per-(group, pid) offsets in pid order
-    val totals = cnts.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
-    val offRows = cnts.sortBy(_._1).groupBy(_._2).toSeq.flatMap {
-      case (g, rows) =>
-        rows.map(_._3).scanLeft(0L)(_ + _).init.zip(rows).map {
-          case (off, (pid, _, _)) => org.apache.spark.sql.Row(
-            pid, g, off, totals(g))
-        }
-    }
-    val gField = df.schema(groupCol)
-    val offs = spark.createDataFrame(
-      spark.sparkContext.parallelize(offRows, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__opid",
-          org.apache.spark.sql.types.IntegerType),
-        gField.copy(name = "__ogrp", nullable = true),
-        org.apache.spark.sql.types.StructField("__off",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("n",
-          org.apache.spark.sql.types.LongType))))
+    val offs = pidGroupOffsets(spark, df.schema(groupCol), cnts)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid"), col(groupCol)).orderBy(sortExprs: _*)
     // null-safe group equality: a NULL group is a group like any other
@@ -879,21 +900,9 @@ object TextAnalysis {
     val outCols = df.columns.map(col).toSeq :+ col("cum")
     if (sums.isEmpty) // empty in, empty out
       return ranged.withColumn("cum", lit(0L)).select(outCols: _*)
-    val offRows = sums.sortBy(_._1).groupBy(_._2).toSeq.flatMap {
-      case (g, rows) =>
-        rows.map(_._3).scanLeft(0L)(_ + _).init.zip(rows).map {
-          case (off, (pid, _, _)) => org.apache.spark.sql.Row(pid, g, off)
-        }
-    }
-    val gField = df.schema(groupCol)
-    val offs = spark.createDataFrame(
-      spark.sparkContext.parallelize(offRows, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__opid",
-          org.apache.spark.sql.types.IntegerType),
-        gField.copy(name = "__ogrp", nullable = true),
-        org.apache.spark.sql.types.StructField("__off",
-          org.apache.spark.sql.types.LongType))))
+    // shared offsets scaffold; the group-total column `n` rides along
+    // unused (outCols excludes it)
+    val offs = pidGroupOffsets(spark, df.schema(groupCol), sums)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid"), col(groupCol)).orderBy(sortExprs: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

@@ -600,7 +600,9 @@ class PipelineSpec extends SparkSpec {
       (3L, "A", "body three"),
       (4L, "B", "FOOTER|other site"),     // FOOTER unique WITHIN B — stays
       (5L, "A", "FOOTER"),                // all-boilerplate doc → drops
-      (6L, "B", "x|y")).toDF("doc_id", "source", "text")
+      (6L, "B", "x|y"),
+      (7L, null, "NFOOT|seven"),          // NULL source is a source like
+      (8L, null, "NFOOT|eight")).toDF("doc_id", "source", "text") // any other
     val got = graft.pipeline.Dedup.stripBoilerplate(
       d, "doc_id", "source", "text", delimRegex = "\\|", minDocs = 2,
       joinWith = "|")
@@ -610,7 +612,9 @@ class PipelineSpec extends SparkSpec {
       2L -> ("A", "body two"),
       3L -> ("A", "body three"),
       4L -> ("B", "FOOTER|other site"), // B's df for FOOTER is 1
-      6L -> ("B", "x|y")), got.toString)
+      6L -> ("B", "x|y"),
+      7L -> ((null, "seven")),          // NULL-source boilerplate strips too
+      8L -> ((null, "eight"))), got.toString)
     // minDocs floor is loud
     val e = intercept[IllegalArgumentException] {
       graft.pipeline.Dedup.stripBoilerplate(d, "doc_id", "source", "text",
