@@ -3289,6 +3289,24 @@ object SparkEntry {
           col("text_clean"))
     }),
 
+    // Streaming twin of p229: arriving docs strip their source's
+    // STANDING boilerplate table (broadcast per-source artifact, one
+    // stateless per-row array filter — no shuffle, no state); same
+    // oracle as p229.
+    "p230_stream_boilerplate_gate" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val artifact = graft.pipeline.Dedup.boilerplateArtifact(
+        docs, "doc_id", "source", "text", delimRegex = " merge ",
+        minDocs = 2).localCheckpoint() // the standing table: built once
+      runStream(s, "p230", dir, docs, 3)(st =>
+        graft.pipeline.Dedup.stripBoilerplateGate(
+          st, "doc_id", "source", "text", " merge ", artifact))
+        .select(col("id").as("doc_id"), col("src").as("source"),
+          col("text_clean"))
+    }),
+
     // Token-window chunking: 32-token windows every 16 tokens (the
     // context-length preparation fan-out), final partial window kept.
     "p24_token_chunks" -> ((s, dir) => {
@@ -4754,6 +4772,23 @@ object SparkEntry {
     * vector arm. ONE definition so the k1/b rationals and the idf
     * quantization cannot drift between the two gates.
     */
+  // ONE oracle for the batch per-source boilerplate strip (p229) and
+  // its streaming artifact gate (p230): the gate strips exactly the
+  // standing table, statelessly per row.
+  private lazy val boilerplateOracleSql: String =
+    """WITH ps AS (
+      |  SELECT doc_id, source, string_split_regex(text, ' merge ') AS arr FROM documents),
+      |p0 AS (
+      |  SELECT doc_id, source, trim(unnest(arr)) AS para, unnest(range(len(arr))) AS pos FROM ps),
+      |p AS (SELECT * FROM p0 WHERE para <> ''),
+      |bp AS (SELECT source, para FROM p GROUP BY 1, 2
+      |       HAVING count(DISTINCT doc_id) >= 2)
+      |SELECT p.doc_id, p.source, string_agg(p.para, chr(10) ORDER BY p.pos) AS text_clean
+      |FROM p LEFT JOIN bp
+      |  ON p.source IS NOT DISTINCT FROM bp.source AND p.para = bp.para
+      |WHERE bp.para IS NULL
+      |GROUP BY 1, 2""".stripMargin
+
   // ONE oracle for the batch per-group budget cut (p227) and its
   // streaming threshold gate (p228): the gate admits exactly the batch
   // prefix, and the shared readout re-derives the same cums.
@@ -7200,19 +7235,8 @@ object SparkEntry {
         |SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text_dedup
         |FROM w WHERE rn = 1 GROUP BY doc_id""".stripMargin,
 
-    "p229_boilerplate_strip" ->
-      """WITH ps AS (
-        |  SELECT doc_id, source, string_split_regex(text, ' merge ') AS arr FROM documents),
-        |p0 AS (
-        |  SELECT doc_id, source, trim(unnest(arr)) AS para, unnest(range(len(arr))) AS pos FROM ps),
-        |p AS (SELECT * FROM p0 WHERE para <> ''),
-        |bp AS (SELECT source, para FROM p GROUP BY 1, 2
-        |       HAVING count(DISTINCT doc_id) >= 2)
-        |SELECT p.doc_id, p.source, string_agg(p.para, chr(10) ORDER BY p.pos) AS text_clean
-        |FROM p LEFT JOIN bp
-        |  ON p.source IS NOT DISTINCT FROM bp.source AND p.para = bp.para
-        |WHERE bp.para IS NULL
-        |GROUP BY 1, 2""".stripMargin,
+    "p229_boilerplate_strip" -> boilerplateOracleSql,
+    "p230_stream_boilerplate_gate" -> boilerplateOracleSql,
 
     "p24_token_chunks" ->
       """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks

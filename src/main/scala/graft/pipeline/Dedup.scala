@@ -906,6 +906,52 @@ object Dedup {
         .as("text_clean"))
   }
 
+  /** The standing boilerplate artifact for the STREAMING strip gate:
+    * one row per source with its boilerplate paragraphs collected
+    * sorted (≤ distinct-boilerplate-sized — broadcastable by the same
+    * premise as every threshold artifact). The batch [[stripBoilerplate]]
+    * df rule is the ONE definition; this just pivots it per source.
+    */
+  def boilerplateArtifact(df: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, delimRegex: String, minDocs: Long): DataFrame = {
+    require(minDocs >= 2, s"minDocs $minDocs must be >= 2 (1 strips everything)")
+    df.select(col(idCol).as("id"), col(sourceCol).as("src"),
+        explode(split(col(textCol), delimRegex)).as("para"))
+      .withColumn("para", trim(col("para")))
+      .filter(col("para") =!= "")
+      .groupBy(col("src"), col("para"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .groupBy(col("src"))
+      .agg(sort_array(collect_list(col("para"))).as("bp"))
+  }
+
+  /** Streaming twin of [[stripBoilerplate]]: arriving docs strip their
+    * source's standing boilerplate STATELESSLY — a broadcast join to
+    * the per-source [[boilerplateArtifact]] (null-safe: a NULL source
+    * is a source like any other; sources with no boilerplate row keep
+    * everything) plus one per-row array filter, so arrival order and
+    * batch slicing cannot change any output row. Docs left empty drop
+    * (the batch convention). Returns (id, src, text_clean) — identical
+    * to the batch strip over the same corpus (p230 gates under p229's
+    * oracle). Per-row cost is |paras| × |source's boilerplate| — the
+    * artifact is tiny by construction, and the gate never shuffles.
+    */
+  def stripBoilerplateGate(docs: DataFrame, idCol: String,
+      sourceCol: String, textCol: String, delimRegex: String,
+      artifact: DataFrame, joinWith: String = "\n"): DataFrame =
+    docs.select(col(idCol).as("id"), col(sourceCol).as("src"),
+        split(col(textCol), delimRegex).as("paras"))
+      .join(broadcast(artifact.select(col("src").as("__bsrc"), col("bp"))),
+        col("src") <=> col("__bsrc"), "left")
+      .select(col("id"), col("src"),
+        concat_ws(joinWith, filter(
+          transform(col("paras"), p => trim(p)),
+          p => p =!= "" && !coalesce(
+            array_contains(col("bp"), p), lit(false))))
+          .as("text_clean"))
+      .filter(col("text_clean") =!= "")
+
   /** Exact repeated-SPAN dedup (substring-level — the "deduplicating
     * training data makes LMs better" pass; Lee et al. 2022 operate on raw
     * byte suffixes, this is the token-window variant every Spark-shaped

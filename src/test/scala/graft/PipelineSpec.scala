@@ -621,6 +621,14 @@ class PipelineSpec extends SparkSpec {
         "\\|", minDocs = 1)
     }
     assert(e.getMessage.contains("minDocs"))
+    // the stateless gate against the standing artifact strips the SAME
+    // rows (per-row expression — arrival order can't matter; p230's law)
+    val art = graft.pipeline.Dedup.boilerplateArtifact(
+      d, "doc_id", "source", "text", "\\|", minDocs = 2)
+    val gated = graft.pipeline.Dedup.stripBoilerplateGate(
+      d, "doc_id", "source", "text", "\\|", art, joinWith = "|")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(gated == got, s"$gated vs $got")
   }
 
   test("dup clusters: planted dups share a cluster, singletons keep their id") {
