@@ -1565,6 +1565,17 @@ object SparkEntry {
         itemTransitionEdges(s, dir), "from_type", "to_type")
     }),
 
+    // k-core peeling on the item graph (k=10, exactly 3 rounds — the
+    // pageRank exactly-iters contract, so the oracle is a finite
+    // unroll): dense-cohort extraction between triangles and
+    // communities.
+    "p231_kcore" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.operators.EventOps.kCorePeel(
+        itemTransitionEdges(s, dir), "from_type", "to_type",
+        k = 10, rounds = 3)
+    }),
+
     // Incremental triangle maintenance: the transition graph hash-split
     // into a standing base (~80%) and an edge delta (~20%); the
     // maintained artifact (base counts) plus triangleDelta's increments
@@ -4565,16 +4576,43 @@ object SparkEntry {
     * — shared by the full recompute (p192) and the incremental
     * maintenance contract (p213), which must reproduce it exactly.
     */
+  // the ONE item-co-transition undirected-graph lineage, shared by the
+  // triangle oracle (p192/p213/p221) and the k-core oracle (p231)
+  private lazy val itemUndirectedCtes: String =
+    """e0 AS (SELECT user_id AS u, epoch_us(ts) AS t,
+      |              TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS et
+      |            FROM events),
+      |x AS (SELECT u, et, lag(et) OVER (PARTITION BY u ORDER BY t, et) AS prev
+      |      FROM e0),
+      |m AS (SELECT prev AS src, et AS dst FROM x WHERE prev IS NOT NULL
+      |      GROUP BY 1, 2),
+      |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |        FROM m WHERE src <> dst AND src IS NOT NULL AND dst IS NOT NULL)""".stripMargin
+
+  private lazy val kCoreOracleSql: String = {
+    def round(i: Int): String = {
+      val prev = s"g${i - 1}"
+      s"""d$i AS (SELECT n, count(*) AS d FROM
+         |         (SELECT x AS n FROM $prev UNION ALL SELECT y AS n FROM $prev) q
+         |       GROUP BY 1),
+         |k$i AS (SELECT n FROM d$i WHERE d >= 10),
+         |g$i AS (SELECT $prev.x, $prev.y FROM $prev
+         |        JOIN k$i ka ON $prev.x = ka.n JOIN k$i kb ON $prev.y = kb.n)""".stripMargin
+    }
+    s"""WITH $itemUndirectedCtes,
+       |g0 AS (SELECT a AS x, b AS y FROM und),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |fd AS (SELECT n, count(*) AS dg FROM
+       |         (SELECT x AS n FROM g3 UNION ALL SELECT y AS n FROM g3) q
+       |       GROUP BY 1)
+       |SELECT k3.n AS node, CAST(coalesce(fd.dg, 0) AS BIGINT) AS degree
+       |FROM k3 LEFT JOIN fd ON fd.n = k3.n""".stripMargin
+  }
+
   private lazy val triangleCountsOracleSql: String =
-    """WITH e0 AS (SELECT user_id AS u, epoch_us(ts) AS t,
-        |              TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS et
-        |            FROM events),
-        |x AS (SELECT u, et, lag(et) OVER (PARTITION BY u ORDER BY t, et) AS prev
-        |      FROM e0),
-        |m AS (SELECT prev AS src, et AS dst FROM x WHERE prev IS NOT NULL
-        |      GROUP BY 1, 2),
-        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-        |        FROM m WHERE src <> dst AND src IS NOT NULL AND dst IS NOT NULL),
+    s"""WITH $itemUndirectedCtes,
         |deg AS (SELECT n, count(*) AS d FROM
         |          (SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und) q
         |        GROUP BY 1),
@@ -6499,6 +6537,7 @@ object SparkEntry {
     "p193_stream_funnel_branching" -> branchingFunnelOracleSql,
 
     "p192_item_triangles" -> triangleCountsOracleSql,
+    "p231_kcore" -> kCoreOracleSql,
 
     // p213 gates incremental maintenance under the SAME oracle: the
     // hash-split base+delta recombine to the full transition graph, so

@@ -1113,6 +1113,49 @@ object EventOps {
         expr("cum_micro div cohort_size").as("ltv_micro"))
   }
 
+  /** k-core PEELING over an undirected graph — exactly `rounds` rounds
+    * of the classic degeneracy peel (each round: compute degrees,
+    * drop every node with degree < k, drop its edges), the subgraph
+    * density primitive between triangles and communities (dense-cohort
+    * extraction, spam-ring candidates). Exactly-`rounds` semantics like
+    * [[pageRank]]'s exactly-`iters` (the fixpoint loop is a caller
+    * policy; peeling removes ≥1 node per non-converged round, so
+    * `rounds` ≥ the expected peel depth converges) — which also keeps
+    * the SQL oracle a finite unroll. Directed/multi edges canonicalize
+    * (self-loops drop, (u,v)/(v,u) collapse); each round is two
+    * node-keyed semi-joins plus one degree aggregate — never an
+    * adjacency materialization; lineage and carried stats reset per
+    * round (the iterative-loop contract). Returns (node, degree) for
+    * the surviving nodes with degrees over the SURVIVING edge set — a
+    * survivor whose neighbors were all peeled this round reports what
+    * round `rounds`+1 would see (possibly < k, even 0).
+    */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    require(rounds >= 1 && rounds <= 20, s"rounds $rounds outside [1,20]")
+    var e = edges.select(col(srcCol).as("x0"), col(dstCol).as("y0"))
+      .filter(col("x0") =!= col("y0"))
+      .select(least(col("x0"), col("y0")).as("x"),
+        greatest(col("x0"), col("y0")).as("y"))
+      .distinct().localCheckpoint()
+    def degrees(ed: DataFrame): DataFrame =
+      ed.select(col("x").as("node")).union(ed.select(col("y").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+    var keep = e.sparkSession.emptyDataFrame
+    (1 to rounds).foreach { _ =>
+      keep = degrees(e).filter(col("dg") >= k).select(col("node"))
+        .localCheckpoint() // e joins it twice below
+      e = graft.pipeline.Dedup.checkpointFreshStats(
+        e.join(keep.select(col("node").as("x")), Seq("x"), "left_semi")
+          .join(keep.select(col("node").as("y")), Seq("y"), "left_semi"))
+    }
+    keep
+      .join(degrees(e).withColumnRenamed("dg", "degree"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("degree"), lit(0L)).cast("long")
+        .as("degree"))
+  }
+
   /** Per-node triangle counts over an undirected graph given as (src,
     * dst) edge rows (directed/multi edges are canonicalized: self-loops
     * drop, (u,v)/(v,u) collapse to one). The join-machinery shape is

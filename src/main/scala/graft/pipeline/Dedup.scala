@@ -476,7 +476,7 @@ object Dedup {
     * frames are corpus-sized, so losing broadcast eligibility for them
     * is the correct conservative outcome anyway.
     */
-  private def checkpointFreshStats(df: DataFrame): DataFrame = {
+  private[graft] def checkpointFreshStats(df: DataFrame): DataFrame = {
     val cp = df.localCheckpoint()
     cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
   }

@@ -380,6 +380,24 @@ class SketchSpec extends SparkSpec {
     assert(!warmShrunk.contains(4L) && warmShrunk.size == 3)
   }
 
+  test("kCorePeel: cascade peels a chain round by round; clique survives; exact-rounds contract") {
+    // K4 on {1,2,3,4} plus a pendant chain 4-5-6: at k=2 the chain peels
+    // one node per round (6 first, then 5), K4 never peels
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val g = (k4 ++ Seq((4L, 5L), (5L, 6L), (6L, 6L), (2L, 1L))) // self-loop + reverse dup absorbed
+      .toDF("s", "d")
+    def run(rounds: Int) = EventOps.kCorePeel(g, "s", "d", k = 2, rounds = rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1: only 6 has degree < 2 → peels; 5 keeps but its degree
+    // drops to 1 (the exactly-rounds readout shows what round 2 sees)
+    assert(run(1) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L, 5L -> 1L))
+    // round 2 peels 5; round 3 is a fixed point (K4 alone, all degree 3)
+    val k4Only = Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)
+    assert(run(2) == k4Only && run(3) == k4Only)
+    // a too-high k empties the graph (no survivors, empty frame)
+    assert(EventOps.kCorePeel(g, "s", "d", k = 5, rounds = 2).isEmpty)
+  }
+
   test("pageRankDelta: folded artifact ranks ≡ full recompute; warm composition; loud bound") {
     // standing graph with a sink and a hub; delta touches an existing
     // source (2), adds a parallel row for an existing edge (1→2), and
