@@ -3288,6 +3288,17 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("text_dedup"))
     }),
 
+    // Pairwise source vocabulary overlap — the corpus-mix redundancy
+    // report (exact integer Jaccard over per-source distinct token
+    // sets; token-keyed pair join, never document pairs).
+    "p232_source_vocab_overlap" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.TextAnalysis.sourceVocabOverlap(
+        table(s, dir, "documents"), "source", "text")
+        .select(col("src_a"), col("src_b"), col("inter"), col("uni"),
+          col("jaccard_permille"))
+    }),
+
     // Per-source boilerplate strip (CCNet/RefinedWeb site-footer pass):
     // paragraphs repeated across ≥2 DISTINCT docs of the SAME source
     // strip everywhere (keep none — unlike p23's keep-first), docs
@@ -7275,6 +7286,24 @@ object SparkEntry {
         |FROM w WHERE rn = 1 GROUP BY doc_id""".stripMargin,
 
     "p229_boilerplate_strip" -> boilerplateOracleSql,
+
+    "p232_source_vocab_overlap" ->
+      """WITH st AS (SELECT DISTINCT src, tok FROM
+        |              (SELECT source AS src,
+        |                 unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |               FROM documents)),
+        |sz AS (SELECT src, count(*) AS n FROM st GROUP BY 1),
+        |pr AS (SELECT a.src AS src_a, a.n AS na, b.src AS src_b, b.n AS nb
+        |       FROM sz a JOIN sz b ON a.src < b.src),
+        |iv AS (SELECT l.src AS src_a, r.src AS src_b, count(*) AS inter
+        |       FROM st l JOIN st r ON l.tok = r.tok AND l.src < r.src
+        |       GROUP BY 1, 2)
+        |SELECT pr.src_a, pr.src_b,
+        |       CAST(coalesce(iv.inter, 0) AS BIGINT) AS inter,
+        |       CAST(pr.na + pr.nb - coalesce(iv.inter, 0) AS BIGINT) AS uni,
+        |       CAST(coalesce(iv.inter, 0) * 1000
+        |            // (pr.na + pr.nb - coalesce(iv.inter, 0)) AS BIGINT) AS jaccard_permille
+        |FROM pr LEFT JOIN iv ON pr.src_a = iv.src_a AND pr.src_b = iv.src_b""".stripMargin,
     "p230_stream_boilerplate_gate" -> boilerplateOracleSql,
 
     "p24_token_chunks" ->

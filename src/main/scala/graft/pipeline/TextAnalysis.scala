@@ -877,6 +877,41 @@ object TextAnalysis {
       .select(outCols: _*)
   }
 
+  /** Pairwise vocabulary overlap between sources — the corpus-mix
+    * redundancy report (is crawl B lexically novel against crawl A, or
+    * the same sites again?): per source the DISTINCT token set, then
+    * per ordered pair (sa < sb) the intersection size via a token-keyed
+    * self-join of the (source, token) projection — pair work is Σ over
+    * tokens of C(sources-with-token, 2), bounded by the SOURCE count
+    * squared per token, never document pairs — union by
+    * |A| + |B| − |A∩B|, and exact integer Jaccard permille. Sources
+    * with no shared token still get their row (cross of the per-source
+    * size table, inter = 0). Returns
+    * (src_a, src_b, inter, uni, jaccard_permille).
+    */
+  def sourceVocabOverlap(docs: org.apache.spark.sql.DataFrame,
+      sourceCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val st = docs.select(col(sourceCol).as("src"),
+        explode(tokens(col(textCol))).as("tok"))
+      .distinct()
+      .localCheckpoint(eager = false) // sizes + the pair join
+    val sizes = st.groupBy(col("src")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false) // pair frame + two lookups
+    val pairs = sizes.select(col("src").as("src_a"), col("n").as("na"))
+      .join(sizes.select(col("src").as("src_b"), col("n").as("nb")),
+        col("src_a") < col("src_b"))
+    val inter = st.select(col("src").as("src_a"), col("tok"))
+      .join(st.select(col("src").as("src_b"), col("tok")), Seq("tok"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("inter"))
+    pairs.join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("inter"), lit(0L)).as("inter"),
+        (col("na") + col("nb") - coalesce(col("inter"), lit(0L))).as("uni"),
+        expr("coalesce(inter, 0L) * 1000 DIV (na + nb - coalesce(inter, 0L))")
+          .as("jaccard_permille"))
+  }
+
   /** Per-GROUP exact inclusive prefix sums, scalably —
     * [[exactPrefixSums]] generalized the way [[exactGroupRanks]]
     * generalizes [[exactRankBuckets]]: range-repartition on

@@ -592,6 +592,23 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("sourceVocabOverlap: exact jaccard per pair; zero-overlap pair still reported") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "A", "alpha beta gamma"),
+      (2L, "A", "beta delta"),          // A vocab: {alpha,beta,gamma,delta}
+      (3L, "B", "beta gamma zeta"),     // B vocab: {beta,gamma,zeta}
+      (4L, "C", "omega")).toDF("doc_id", "source", "text")
+    val got = graft.pipeline.TextAnalysis.sourceVocabOverlap(d, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // A∩B = {beta,gamma} = 2; |A∪B| = 4+3-2 = 5 → 400‰
+    assert(got(("A", "B")) == ((2L, 5L, 400L)), got.toString)
+    // zero overlap still gets its row (C shares nothing)
+    assert(got(("A", "C")) == ((0L, 5L, 0L)) && got(("B", "C")) == ((0L, 4L, 0L)))
+    assert(got.size == 3)
+  }
+
   test("stripBoilerplate: per-source footer strips everywhere; other sources untouched; emptied docs drop") {
     import spark.implicits._
     val d = Seq(
