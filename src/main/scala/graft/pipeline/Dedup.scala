@@ -881,18 +881,35 @@ object Dedup {
     * paragraphs)-sized and the anti-join keys on (source, para), so
     * nothing is ever all-pairs. Returns (id, src, text_clean).
     */
-  def stripBoilerplate(df: DataFrame, idCol: String, sourceCol: String,
-      textCol: String, delimRegex: String, minDocs: Long,
-      joinWith: String = "\n"): DataFrame = {
+  /** The ONE boilerplate rule both the batch strip and the standing
+    * artifact derive from: (src, para) pairs whose paragraph appears in
+    * ≥ `minDocs` DISTINCT documents of that source. `paras` must be the
+    * exploded (id, src, pos, para) frame (trimmed, empties dropped).
+    */
+  private def boilerplateTable(paras: DataFrame, minDocs: Long): DataFrame = {
     require(minDocs >= 2, s"minDocs $minDocs must be >= 2 (1 strips everything)")
-    val p = df.select(col(idCol).as("id"), col(sourceCol).as("src"),
+    paras.groupBy(col("src"), col("para"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("src"), col("para"))
+  }
+
+  /** Documents exploded into the (id, src, pos, para) frame the
+    * boilerplate family shares (trimmed, empty fragments dropped).
+    */
+  private def sourceParagraphs(df: DataFrame, idCol: String,
+      sourceCol: String, textCol: String, delimRegex: String): DataFrame =
+    df.select(col(idCol).as("id"), col(sourceCol).as("src"),
         posexplode(split(col(textCol), delimRegex)).as(Seq("pos", "para")))
       .withColumn("para", trim(col("para")))
       .filter(col("para") =!= "")
+
+  def stripBoilerplate(df: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, delimRegex: String, minDocs: Long,
+      joinWith: String = "\n"): DataFrame = {
+    val p = sourceParagraphs(df, idCol, sourceCol, textCol, delimRegex)
       .localCheckpoint(eager = false) // feeds the df aggregate + the strip
-    val bp = p.groupBy(col("src"), col("para"))
-      .agg(countDistinct(col("id")).as("nd"))
-      .filter(col("nd") >= minDocs)
+    val bp = boilerplateTable(p, minDocs)
       .select(col("src").as("__bsrc"), col("para").as("__bpara"))
     // null-safe source match: a NULL source is a source like any other
     // (the exactGroupPrefixSums convention) — a plain equi-anti-join
@@ -913,18 +930,11 @@ object Dedup {
     * df rule is the ONE definition; this just pivots it per source.
     */
   def boilerplateArtifact(df: DataFrame, idCol: String, sourceCol: String,
-      textCol: String, delimRegex: String, minDocs: Long): DataFrame = {
-    require(minDocs >= 2, s"minDocs $minDocs must be >= 2 (1 strips everything)")
-    df.select(col(idCol).as("id"), col(sourceCol).as("src"),
-        explode(split(col(textCol), delimRegex)).as("para"))
-      .withColumn("para", trim(col("para")))
-      .filter(col("para") =!= "")
-      .groupBy(col("src"), col("para"))
-      .agg(countDistinct(col("id")).as("nd"))
-      .filter(col("nd") >= minDocs)
+      textCol: String, delimRegex: String, minDocs: Long): DataFrame =
+    boilerplateTable(
+      sourceParagraphs(df, idCol, sourceCol, textCol, delimRegex), minDocs)
       .groupBy(col("src"))
       .agg(sort_array(collect_list(col("para"))).as("bp"))
-  }
 
   /** Streaming twin of [[stripBoilerplate]]: arriving docs strip their
     * source's standing boilerplate STATELESSLY — a broadcast join to
@@ -934,8 +944,12 @@ object Dedup {
     * batch slicing cannot change any output row. Docs left empty drop
     * (the batch convention). Returns (id, src, text_clean) — identical
     * to the batch strip over the same corpus (p230 gates under p229's
-    * oracle). Per-row cost is |paras| × |source's boilerplate| — the
-    * artifact is tiny by construction, and the gate never shuffles.
+    * oracle) UNDER the document-feed contract every ingest twin here
+    * assumes: one input row per (id, source). A duplicated id is one
+    * merged document to the batch GROUP BY but two rows to a stateless
+    * gate — dedupe upstream if the feed can repeat ids. Per-row cost is
+    * |paras| × |source's boilerplate| — the artifact is tiny by
+    * construction, and the gate never shuffles.
     */
   def stripBoilerplateGate(docs: DataFrame, idCol: String,
       sourceCol: String, textCol: String, delimRegex: String,
