@@ -3299,6 +3299,31 @@ object SparkEntry {
           col("jaccard_permille"))
     }),
 
+    // Boilerplate-artifact MAINTENANCE: the standing (src, para, nd)
+    // df table (3/4 of the docs) folds a crawl batch (1/4) by addition
+    // — untouched keys stream via broadcast anti-join, only touched
+    // keys re-sum — then thresholds to the strip artifact and strips
+    // the full corpus through the p230 gate. Fold ≡ full-table by
+    // construction, so the ORACLE IS p229's.
+    "p233_boilerplate_df_fold" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val isDelta = pmod(graft.pipeline.TextAnalysis.hash60(col("doc_id")),
+        lit(4)) === 0
+      val standing = graft.pipeline.Dedup.boilerplateDfTable(
+        docs.filter(!isDelta), "doc_id", "source", "text", " merge ")
+        .localCheckpoint() // the persisted standing table
+      val folded = graft.pipeline.Dedup.foldBoilerplateDf(standing,
+        graft.pipeline.Dedup.boilerplateDfTable(
+          docs.filter(isDelta), "doc_id", "source", "text", " merge "))
+      graft.pipeline.Dedup.stripBoilerplateGate(
+        docs, "doc_id", "source", "text", " merge ",
+        graft.pipeline.Dedup.boilerplateArtifactFromDf(folded, minDocs = 2))
+        .select(col("id").as("doc_id"), col("src").as("source"),
+          col("text_clean"))
+    }),
+
     // Per-source boilerplate strip (CCNet/RefinedWeb site-footer pass):
     // paragraphs repeated across ≥2 DISTINCT docs of the SAME source
     // strip everywhere (keep none — unlike p23's keep-first), docs
@@ -7305,6 +7330,7 @@ object SparkEntry {
         |            // (pr.na + pr.nb - coalesce(iv.inter, 0)) AS BIGINT) AS jaccard_permille
         |FROM pr LEFT JOIN iv ON pr.src_a = iv.src_a AND pr.src_b = iv.src_b""".stripMargin,
     "p230_stream_boilerplate_gate" -> boilerplateOracleSql,
+    "p233_boilerplate_df_fold" -> boilerplateOracleSql,
 
     "p24_token_chunks" ->
       """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks

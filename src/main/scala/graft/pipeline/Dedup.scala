@@ -936,6 +936,58 @@ object Dedup {
       .groupBy(col("src"))
       .agg(sort_array(collect_list(col("para"))).as("bp"))
 
+  /** The MAINTAINABLE form of the boilerplate rule: the UNthresholded
+    * (src, para, nd) doc-frequency table. Under new-document batches it
+    * folds by ADDITION (doc ids are disjoint across batches — the
+    * document-feed contract — so per-batch distinct-doc counts sum
+    * exactly), and thresholding to the strip table is a READOUT policy
+    * ([[boilerplateArtifactFromDf]]) — folds compose under any future
+    * minDocs.
+    */
+  def boilerplateDfTable(df: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, delimRegex: String): DataFrame =
+    sourceParagraphs(df, idCol, sourceCol, textCol, delimRegex)
+      .groupBy(col("src"), col("para"))
+      .agg(countDistinct(col("id")).as("nd"))
+
+  /** Fold a delta batch's df table into the standing one WITHOUT
+    * shuffling the standing side (the p224 artifact-fold shape):
+    * untouched (src, para) rows stream through a broadcast anti-join —
+    * no delta row changes their count — and only the touched keys
+    * re-sum over (their standing row ∪ the delta rows). Row-identical
+    * to `boilerplateDfTable(standing docs ∪ delta docs)` when doc ids
+    * are disjoint; bounded-Δ contract enforced loudly.
+    */
+  def foldBoilerplateDf(standing: DataFrame, delta: DataFrame,
+      maxDeltaRows: Long = 50000000L): DataFrame = {
+    val d = delta.select(col("src"), col("para"), col("nd"))
+      .localCheckpoint() // counted, then keys + merge
+    val nDelta = d.count()
+    require(nDelta <= maxDeltaRows,
+      s"foldBoilerplateDf: |delta| = $nDelta rows exceeds maxDeltaRows = " +
+        s"$maxDeltaRows — fold in slices or rebuild the table in full")
+    val dKeys = d.select(col("src").as("__dsrc"), col("para").as("__dpara"))
+      .distinct()
+    val matchKeys = col("src") <=> col("__dsrc") && col("para") === col("__dpara")
+    val s = standing.select(col("src"), col("para"), col("nd"))
+    val untouched = s.join(broadcast(dKeys), matchKeys, "left_anti")
+    val touched = s.join(broadcast(dKeys), matchKeys, "left_semi")
+      .unionByName(d)
+      .groupBy(col("src"), col("para"))
+      .agg(sum(col("nd")).cast("long").as("nd"))
+    untouched.unionByName(touched)
+  }
+
+  /** Readout: threshold a (src, para, nd) df table into the per-source
+    * strip artifact [[stripBoilerplateGate]] consumes.
+    */
+  def boilerplateArtifactFromDf(dfTable: DataFrame, minDocs: Long): DataFrame = {
+    require(minDocs >= 2, s"minDocs $minDocs must be >= 2 (1 strips everything)")
+    dfTable.filter(col("nd") >= minDocs)
+      .groupBy(col("src"))
+      .agg(sort_array(collect_list(col("para"))).as("bp"))
+  }
+
   /** Streaming twin of [[stripBoilerplate]]: arriving docs strip their
     * source's standing boilerplate STATELESSLY — a broadcast join to
     * the per-source [[boilerplateArtifact]] (null-safe: a NULL source

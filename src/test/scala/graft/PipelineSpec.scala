@@ -646,6 +646,22 @@ class PipelineSpec extends SparkSpec {
       d, "doc_id", "source", "text", "\\|", art, joinWith = "|")
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
     assert(gated == got, s"$gated vs $got")
+    // df-table fold law: standing(evens) + delta(odds) ≡ the full table
+    // (touched keys re-sum, untouched stream; NULL-source keys fold too)
+    def tbl(df: org.apache.spark.sql.DataFrame) = graft.pipeline.Dedup
+      .boilerplateDfTable(df, "doc_id", "source", "text", "\\|")
+    val folded = graft.pipeline.Dedup.foldBoilerplateDf(
+      tbl(d.filter(col("doc_id") % 2 === 0)),
+      tbl(d.filter(col("doc_id") % 2 === 1)))
+      .collect().map(r => (Option(r.getString(0)), r.getString(1)) -> r.getLong(2)).toMap
+    val full = tbl(d)
+      .collect().map(r => (Option(r.getString(0)), r.getString(1)) -> r.getLong(2)).toMap
+    assert(folded == full, s"extra=${folded.toSet.diff(full.toSet)} missing=${full.toSet.diff(folded.toSet)}")
+    // and the loud delta bound
+    val big = intercept[IllegalArgumentException] {
+      graft.pipeline.Dedup.foldBoilerplateDf(tbl(d), tbl(d), maxDeltaRows = 1L)
+    }
+    assert(big.getMessage.contains("maxDeltaRows"))
   }
 
   test("dup clusters: planted dups share a cluster, singletons keep their id") {
