@@ -2807,6 +2807,31 @@ object SparkEntry {
         .select(col("ia"), col("ib"), col("inter"), col("uni"))
     }),
 
+    // Stoplist-artifact MAINTENANCE: the standing (gram, occurrences,
+    // doc_freq) census (3/4 of the docs) folds a crawl batch (1/4) by
+    // addition — untouched grams stream via broadcast anti-join — then
+    // the top-20 READOUT is the same stoplist p33 computes per run, so
+    // the pair set (and ORACLE) is p33's.
+    "p234_stoplist_fold" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val isDelta = pmod(graft.pipeline.TextAnalysis.hash60(col("doc_id")),
+        lit(4)) === 0
+      val standing = graft.pipeline.TextAnalysis.ngramStatsTable(
+        docs.filter(!isDelta), "doc_id", "text", n = 3)
+        .localCheckpoint() // the persisted standing census
+      val folded = graft.pipeline.TextAnalysis.foldNgramStats(standing,
+        graft.pipeline.TextAnalysis.ngramStatsTable(
+          docs.filter(isDelta), "doc_id", "text", n = 3))
+      val stop = graft.pipeline.TextAnalysis.ngramTopK(folded, 20)
+        .select(col("gram").as("sh"))
+      graft.pipeline.Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+        stoplist = Some(stop),
+        maxDocFreq = None) // oracle models only the stoplist cut
+        .filter(col("inter") * lit(2) >= col("uni"))
+        .select(col("ia"), col("ib"), col("inter"), col("uni"))
+    }),
+
     // Jaccard near-dup with the PERSISTED corpus-stoplist artifact: the
     // top-20 most frequent trigrams are anti-joined out of candidate
     // generation (the reproducible cut, vs p20's per-run doc-freq cap).
@@ -4846,6 +4871,24 @@ object SparkEntry {
     * vector arm. ONE definition so the k1/b rationals and the idf
     * quantization cannot drift between the two gates.
     */
+  // ONE oracle for the per-run corpus-stoplist jaccard (p33) and the
+  // maintained-gram-table fold (p234): the folded table's top-20 is the
+  // same stoplist, so the pair set is identical.
+  private lazy val stoplistJaccardOracleSql: String =
+    """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+      |g AS (SELECT id, unnest(list_transform(generate_series(1, len(toks)-2),
+      |                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |      FROM t WHERE len(toks) >= 3),
+      |stop AS (SELECT sh FROM (SELECT sh, count(*) AS occ FROM g GROUP BY 1)
+      |         ORDER BY occ DESC, sh LIMIT 20),
+      |d AS (SELECT DISTINCT id, sh FROM g WHERE sh NOT IN (SELECT sh FROM stop)),
+      |sz AS (SELECT id, count(*) AS sz FROM d GROUP BY 1),
+      |p AS (SELECT a.id AS ia, b.id AS ib, count(*) AS inter
+      |      FROM d a JOIN d b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+      |j AS (SELECT ia, ib, inter, sa.sz + sb.sz - inter AS uni
+      |      FROM p JOIN sz sa ON sa.id = ia JOIN sz sb ON sb.id = ib)
+      |SELECT ia, ib, inter, uni FROM j WHERE inter * 2 >= uni""".stripMargin
+
   // ONE oracle for the batch per-source boilerplate strip (p229) and
   // its streaming artifact gate (p230): the gate strips exactly the
   // standing table, statelessly per row.
@@ -5862,20 +5905,8 @@ object SparkEntry {
         |    // greatest(CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT), 1) AS stop_per_mille
         |FROM documents""".stripMargin,
 
-    "p33_jaccard_corpus_stoplist" ->
-      """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
-        |g AS (SELECT id, unnest(list_transform(generate_series(1, len(toks)-2),
-        |                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-        |      FROM t WHERE len(toks) >= 3),
-        |stop AS (SELECT sh FROM (SELECT sh, count(*) AS occ FROM g GROUP BY 1)
-        |         ORDER BY occ DESC, sh LIMIT 20),
-        |d AS (SELECT DISTINCT id, sh FROM g WHERE sh NOT IN (SELECT sh FROM stop)),
-        |sz AS (SELECT id, count(*) AS sz FROM d GROUP BY 1),
-        |p AS (SELECT a.id AS ia, b.id AS ib, count(*) AS inter
-        |      FROM d a JOIN d b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
-        |j AS (SELECT ia, ib, inter, sa.sz + sb.sz - inter AS uni
-        |      FROM p JOIN sz sa ON sa.id = ia JOIN sz sb ON sb.id = ib)
-        |SELECT ia, ib, inter, uni FROM j WHERE inter * 2 >= uni""".stripMargin,
+    "p33_jaccard_corpus_stoplist" -> stoplistJaccardOracleSql,
+    "p234_stoplist_fold" -> stoplistJaccardOracleSql,
 
     "p34_dedup_snapshot" ->
       """WITH snap AS (

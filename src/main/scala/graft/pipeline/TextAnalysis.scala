@@ -1333,6 +1333,17 @@ object TextAnalysis {
     */
   def ngramStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, n: Int, k: Int): org.apache.spark.sql.DataFrame =
+    ngramTopK(ngramStatsTable(docs, idCol, textCol, n), k)
+
+  /** The MAINTAINABLE form of [[ngramStats]]: the full
+    * (gram, occurrences, doc_freq) table, both columns ADDITIVE under
+    * disjoint-document batches (the document-feed contract), so a
+    * standing corpus's gram census folds a crawl batch without
+    * re-tokenizing past docs ([[foldNgramStats]]); ranking/top-k is a
+    * READOUT policy ([[ngramTopK]]) so folds compose under any k.
+    */
+  def ngramStatsTable(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int): org.apache.spark.sql.DataFrame =
     docs
       .select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
       .filter(size(col("_toks")) >= n)
@@ -1343,8 +1354,40 @@ object TextAnalysis {
       .agg(count(lit(1)).as("c"))
       .groupBy(col("gram"))
       .agg(sum(col("c")).as("occurrences"), count(lit(1)).as("doc_freq"))
-      .orderBy(col("occurrences").desc, col("gram"))
-      .limit(k)
+
+  /** Fold a delta batch's gram table into the standing one without
+    * shuffling the standing side (the p224/p233 artifact-fold shape):
+    * untouched grams stream through a broadcast anti-join, touched
+    * grams re-sum both counters over (standing row ∪ delta rows).
+    * Row-identical to `ngramStatsTable(standing ∪ delta docs)` for
+    * disjoint doc ids; bounded-Δ contract enforced loudly.
+    */
+  def foldNgramStats(standing: org.apache.spark.sql.DataFrame,
+      delta: org.apache.spark.sql.DataFrame,
+      maxDeltaRows: Long = 50000000L): org.apache.spark.sql.DataFrame = {
+    val d = delta.select(col("gram"), col("occurrences"), col("doc_freq"))
+      .localCheckpoint() // counted, then keys + merge
+    val nDelta = d.count()
+    require(nDelta <= maxDeltaRows,
+      s"foldNgramStats: |delta| = $nDelta rows exceeds maxDeltaRows = " +
+        s"$maxDeltaRows — fold in slices or rebuild the table in full")
+    val dKeys = d.select(col("gram")).distinct()
+    val s = standing.select(col("gram"), col("occurrences"), col("doc_freq"))
+    s.join(broadcast(dKeys), Seq("gram"), "left_anti")
+      .unionByName(
+        s.join(broadcast(dKeys), Seq("gram"), "left_semi")
+          .unionByName(d)
+          .groupBy(col("gram"))
+          .agg(sum(col("occurrences")).cast("long").as("occurrences"),
+            sum(col("doc_freq")).cast("long").as("doc_freq")))
+  }
+
+  /** Readout: deterministic top-k of a gram table — occurrences desc,
+    * gram asc ties (the [[ngramStats]] order).
+    */
+  def ngramTopK(table: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame =
+    table.orderBy(col("occurrences").desc, col("gram")).limit(k)
 
   /** Corpus profile (the data-card numbers): per detected language, doc
     * count, total token count, and the EXACT median doc length (lower

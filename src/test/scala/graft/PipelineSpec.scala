@@ -592,6 +592,30 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ngram stats fold: standing + delta census ≡ full table; top-k readout stable") {
+    import spark.implicits._
+    val d = (0L until 24L).map { i =>
+      (i, Seq.fill(5)(s"w${i % 4}").mkString(" ") + " shared tail gram")
+    }.toDF("doc_id", "text")
+    def tbl(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.ngramStatsTable(df, "doc_id", "text", 3)
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val folded = TextAnalysis.foldNgramStats(
+      tbl(d.filter(col("doc_id") % 3 === 0)),
+      tbl(d.filter(col("doc_id") % 3 =!= 0)))
+    assert(m(folded) == m(tbl(d)))
+    // readout top-k over the folded table ≡ ngramStats over the corpus
+    val a = TextAnalysis.ngramTopK(folded, 4).collect().map(_.getString(0)).toSeq
+    val b = TextAnalysis.ngramStats(d, "doc_id", "text", 3, 4)
+      .collect().map(_.getString(0)).toSeq
+    assert(a == b, s"$a vs $b")
+    val big = intercept[IllegalArgumentException] {
+      TextAnalysis.foldNgramStats(tbl(d), tbl(d), maxDeltaRows = 1L)
+    }
+    assert(big.getMessage.contains("maxDeltaRows"))
+  }
+
   test("sourceVocabOverlap: exact jaccard per pair; zero-overlap pair still reported") {
     import spark.implicits._
     val d = Seq(
