@@ -70,14 +70,78 @@ object Shell {
   private val Get = """get\s+(\w+)\['([^']*)'\](?:\s+limit\s+(\d+))?""".r
   private val Count = """count\s+(\w+)\['([^']*)'\]""".r
   private val Range = """range\s+(\w+)\['([^']*)':'([^']*)'\](?:\s+limit\s+(\d+))?""".r
+  private val Set = """set\s+(\w+)\['([^']*)'\]\['([^']*)'\]\s*=\s*'([^']*)'""".r
+  private val DelCol = """del\s+(\w+)\['([^']*)'\]\['([^']*)'\]""".r
+  private val DelRow = """del\s+(\w+)\['([^']*)'\]""".r
 
   private val HelpText = Seq(
     "show keyspaces                           List column families.",
     "get <cf>['<key>'] [limit <n>]            Get a slice of columns.",
     "get <cf>['<key>']['<col>']               Get a column value.",
+    "set <cf>['<key>']['<col>'] = '<value>'   Insert/update a column.",
+    "del <cf>['<key>']['<col>']               Delete a column.",
+    "del <cf>['<key>']                        Delete a whole record.",
     "count <cf>['<key>']                      Count columns in record.",
     "range <cf>['<start>':'<end>'] [limit n]  Slice a key range.",
     "quit                                     Exit this session.")
+
+  /** One interactive session — the CLI's CONNECTION state: `set`/`del`
+    * swap the mutated lens back into the CF map (mutations return a new
+    * store view, CliClient.executeSet/executeDelete semantics), reads
+    * delegate to the stateless [[eval]]. `now` supplies mutation
+    * timestamps (millis — the CLI uses the wall clock; specs inject a
+    * counter for determinism).
+    */
+  final class Session(initial: Map[String, ShellCf],
+      now: () => Long = () => System.currentTimeMillis()) {
+    private val cfs = scala.collection.mutable.Map(initial.toSeq: _*)
+
+    def eval(line: String): Seq[String] = {
+      def withCf(name: String)(f: ShellCf => Seq[String]): Seq[String] =
+        cfs.get(name) match {
+          case Some(cf) => try f(cf) catch {
+            case e: IllegalArgumentException => Seq(s"error: ${e.getMessage}")
+          }
+          case None => Seq(s"unknown column family: $name (try 'show keyspaces')")
+        }
+      line.trim match {
+        case Set(cfName, key, colName, value) => withCf(cfName) { cf =>
+          val spark = cf.lens.cells.sparkSession
+          import spark.implicits._
+          val ts = now()
+          val mut = Seq((key, nameToBytes(colName, cf.comparator),
+              value.getBytes("UTF-8"), ts))
+            .toDF("key", "col_name", "value", "ts")
+            .withColumn("super_name",
+              org.apache.spark.sql.functions.lit(null).cast("binary"))
+          cfs(cfName) = cf.copy(lens = cf.lens.insert(mut))
+          Seq("Value inserted.")
+        }
+        case DelCol(cfName, key, colName) => withCf(cfName) { cf =>
+          val spark = cf.lens.cells.sparkSession
+          import spark.implicits._
+          val ts = now()
+          val del = Seq((key, nameToBytes(colName, cf.comparator), ts))
+            .toDF("key", "col_name", "ts")
+            .withColumn("super_name",
+              org.apache.spark.sql.functions.lit(null).cast("binary"))
+          cfs(cfName) = cf.copy(lens =
+            cf.lens.removeColumns(del, (ts / 1000L).toInt))
+          Seq("column removed.")
+        }
+        case DelRow(cfName, key) => withCf(cfName) { cf =>
+          val spark = cf.lens.cells.sparkSession
+          import spark.implicits._
+          val ts = now()
+          val del = Seq((key, ts)).toDF("key", "ts")
+          cfs(cfName) = cf.copy(lens =
+            cf.lens.removeRows(del, (ts / 1000L).toInt))
+          Seq("row removed.")
+        }
+        case _ => Shell.eval(cfs.toMap, line)
+      }
+    }
+  }
 
   /** Evaluate one shell line against the open CFs → output lines. */
   def eval(cfs: Map[String, ShellCf], line: String): Seq[String] = {
@@ -144,11 +208,11 @@ object Shell {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = GraftSession.create()
-    val cfs = openTestdata(spark, dir)
+    val session = new Session(openTestdata(spark, dir))
     println(s"[shell] connected to $dir — 'help' lists statements")
     Iterator.continually(scala.io.StdIn.readLine())
       .takeWhile(l => l != null && l.trim != "quit" && l.trim != "exit")
-      .foreach(l => eval(cfs, l).foreach(println))
+      .foreach(l => session.eval(l).foreach(println))
     println("bye")
     spark.stop()
   }

@@ -48,6 +48,26 @@ class ShellSpec extends SparkSpec {
       "Returned 2 results."))
   }
 
+  test("session writes: set upserts (LWW), del removes column and row, state persists") {
+    var t = 100L
+    val sess = new Shell.Session(Map("t" -> cf), now = () => { t += 1; t })
+    assert(sess.eval("set t['kb']['c2'] = 'fresh'") == Seq("Value inserted."))
+    assert(sess.eval("get t['kb']['c2']").head.contains("value=fresh"))
+    // LWW: a later set overwrites
+    assert(sess.eval("set t['kb']['c2'] = 'fresher'") == Seq("Value inserted."))
+    assert(sess.eval("get t['kb']['c2']").head.contains("value=fresher"))
+    // column delete tombstones it away; the rest of the row survives
+    assert(sess.eval("del t['kb']['c2']") == Seq("column removed."))
+    assert(sess.eval("get t['kb']['c2']") == Seq("Value not found."))
+    assert(sess.eval("get t['kb']['c1']").head.contains("value=x"))
+    // row delete shadows everything under the key
+    assert(sess.eval("del t['ka']") == Seq("row removed."))
+    assert(sess.eval("get t['ka']") == Seq("Returned 0 results."))
+    // reads still flow through the shared interpreter
+    assert(sess.eval("count t['kc']") == Seq("1 columns"))
+    assert(sess.eval("set nope['k']['c'] = 'v'").head.startsWith("unknown column family"))
+  }
+
   test("count, show keyspaces, errors and help are answered") {
     assert(out("count t['ka']") == Seq("1 columns"))
     assert(out("show keyspaces") == Seq("t (comparator=Bytes)"))
