@@ -4178,6 +4178,29 @@ object SparkEntry {
         .select(col("gram"), col("occurrences"), col("doc_freq"))
     }),
 
+    // Streaming n-gram census: the corpus arrives in micro-batches,
+    // each flushing its own additive census run (the p234 fold law
+    // streamed; bm25IndexIngest's flush contract); the readout sums
+    // the runs and takes the same deterministic top-50 — oracle IS
+    // p31's.
+    "p235_stream_ngram_census" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val base = freshTmpStore(s, "p235", dir)
+      docs.repartition(3).write.parquet(s"$base/in")
+      val st = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = graft.streaming.PipelineStream
+        .ngramCensusIngest(st, "doc_id", "text", 3, s"$base/store")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.pipeline.TextAnalysis.ngramTopK(
+        graft.streaming.PipelineStream.readNgramCensus(s, s"$base/store"), 50)
+        .select(col("gram"), col("occurrences"), col("doc_freq"))
+    }),
+
     // Multimodal plumbing: opaque binary column → batched feature
     // extraction (decode step STUBBED — see Multimodal.decodeStub).
     // REAL image decode (javax.imageio): per-doc deterministic gray PNG
@@ -4871,6 +4894,22 @@ object SparkEntry {
     * vector arm. ONE definition so the k1/b rationals and the idf
     * quantization cannot drift between the two gates.
     */
+  // ONE oracle for the batch gram census (p31) and the streaming census
+  // ingest (p235): counters are additive across disjoint-doc batches,
+  // so the summed-runs readout top-50 is the same table.
+  private lazy val ngramStatsOracleSql: String =
+    """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      |           FROM documents),
+      |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+      |        i -> array_to_string(toks[i:i+2], ' '))) AS gram
+      |      FROM t WHERE len(toks) >= 3),
+      |c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+      |a AS (SELECT gram, CAST(sum(c) AS BIGINT) AS occurrences,
+      |             CAST(count(*) AS BIGINT) AS doc_freq
+      |      FROM c GROUP BY 1)
+      |SELECT gram, occurrences, doc_freq FROM a
+      |ORDER BY occurrences DESC, gram LIMIT 50""".stripMargin
+
   // ONE oracle for the per-run corpus-stoplist jaccard (p33) and the
   // maintained-gram-table fold (p234): the folded table's top-20 is the
   // same stoplist, so the pair set is identical.
@@ -8066,18 +8105,8 @@ object SparkEntry {
         |         AS median_tokens
         |FROM w GROUP BY 1""".stripMargin,
 
-    "p31_ngram_stats" ->
-      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
-        |           FROM documents),
-        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
-        |        i -> array_to_string(toks[i:i+2], ' '))) AS gram
-        |      FROM t WHERE len(toks) >= 3),
-        |c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
-        |a AS (SELECT gram, CAST(sum(c) AS BIGINT) AS occurrences,
-        |             CAST(count(*) AS BIGINT) AS doc_freq
-        |      FROM c GROUP BY 1)
-        |SELECT gram, occurrences, doc_freq FROM a
-        |ORDER BY occurrences DESC, gram LIMIT 50""".stripMargin,
+    "p31_ngram_stats" -> ngramStatsOracleSql,
+    "p235_stream_ngram_census" -> ngramStatsOracleSql,
 
     "p12_multimodal" ->
       """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),

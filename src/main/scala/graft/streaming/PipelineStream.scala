@@ -64,6 +64,36 @@ object PipelineStream {
       }
     }
 
+  /** Streaming n-gram census maintenance — the p234 additive-fold law
+    * as an ingestion pipeline (the bm25IndexIngest shape at gram
+    * grain): each micro-batch flushes its own
+    * [[graft.pipeline.TextAnalysis.ngramStatsTable]] as one run under
+    * `base/census/run=<id>`; both counters are ADDITIVE across
+    * disjoint-document batches, so the standing census is just the
+    * per-gram SUM over runs ([[readNgramCensus]]) and
+    * overwrite-by-batch-id keeps redelivery idempotent. Readout top-k
+    * over the summed runs ≡ ngramStats over everything ingested (p235
+    * gates under p31's oracle).
+    */
+  def ngramCensusIngest(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, basePath: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty)
+        TextAnalysis.ngramStatsTable(batch, idCol, textCol, n)
+          .write.mode("overwrite").parquet(s"$basePath/census/run=$id")
+    }
+
+  /** The standing census of a [[ngramCensusIngest]] store: per-gram sum
+    * over the runs (the additive fold, evaluated at read).
+    */
+  def readNgramCensus(spark: org.apache.spark.sql.SparkSession,
+      basePath: String): DataFrame =
+    spark.read.parquet(s"$basePath/census")
+      .groupBy(col("gram"))
+      .agg(sum(col("occurrences")).cast("long").as("occurrences"),
+        sum(col("doc_freq")).cast("long").as("doc_freq"))
+
   /** Streaming passage-fingerprint registry — the ingestion-state twin
     * of batch [[graft.pipeline.Dedup.dedupChunks]]: chunk each arriving
     * document (the same chunkByTokens lineage), fingerprint each chunk,

@@ -1010,6 +1010,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == adhoc, s"$streamed vs $adhoc")
   }
 
+  test("ngramCensusIngest: per-batch census runs sum to the batch table; top-k readout matches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_census").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.PipelineStream.ngramCensusIngest(
+      mem.toDS().toDF("doc_id", "text"), "doc_id", "text", 3, s"$base/store")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    val docs = (0L until 12L).map(i =>
+      (i, Seq.fill(4)(s"w${i % 3}").mkString(" ") + " shared tail gram"))
+    try {
+      docs.grouped(6).foreach { g => mem.addData(g); q.processAllAvailable() }
+    } finally q.stop()
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val standing = graft.streaming.PipelineStream
+      .readNgramCensus(spark, s"$base/store")
+    assert(m(standing) == m(graft.pipeline.TextAnalysis.ngramStatsTable(
+      docs.toDF("doc_id", "text"), "doc_id", "text", 3)))
+    assert(m(graft.pipeline.TextAnalysis.ngramTopK(standing, 3))
+      == m(graft.pipeline.TextAnalysis.ngramStats(
+        docs.toDF("doc_id", "text"), "doc_id", "text", 3, 3)))
+  }
+
   test("zorderedIngest: batches flush as z-ordered runs; seek equals filter; per-run files prune") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
