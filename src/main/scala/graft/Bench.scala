@@ -29,6 +29,9 @@ import graft.sources.{CellEncodings, CellStore}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // the latency registry is process-global: drop anything an earlier
+    // caller in this JVM recorded so the sidecar reports ONLY this run
+    graft.stat.StoreLatency.clear()
     val spark = GraftSession.create(taskSideCommit = true)
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()

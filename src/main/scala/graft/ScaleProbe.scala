@@ -396,6 +396,9 @@ object ScaleProbe {
     // [[ccDeltaProbe]]; also alone via `runMain graft.CcDeltaProbe`.
     ccDeltaProbe(spark)
 
+    // Skewed-hub star-contraction probe (round 15) — see [[ccHubProbe]].
+    ccHubProbe(spark)
+
     // Shuffle-elimination probe: major compaction over the bucketed
     // catalog layout vs over plain parquet runs, measured in actual
     // shuffle-write bytes (task metrics). The bucketed path's reconcile +
@@ -754,6 +757,35 @@ object ScaleProbe {
       "(old label propagation: >200 rounds on 1/250th of this)")
   }
 
+  /** Skewed-hub probe for the star-contraction CC rounds: ONE hub node
+    * adjacent to 2M spokes, with the hub the group's MAXIMUM id so both
+    * star operators must move its whole adjacency (the post-contraction
+    * shape of any giant dup-cluster: the min node's degree ≈ cluster
+    * size). The per-node min inside large/small-star is a groupBy
+    * aggregate joined back — map-side combine collapses each map
+    * partition's hub rows to ONE partial, and the join-back is an equi
+    * join AQE can skew-split; the Window.partitionBy(node) formulation
+    * this replaced (round 15) funneled the hub's full 2M-row symmetrized
+    * adjacency through a single sorting task every round.
+    */
+  def ccHubProbe(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import graft.pipeline.Dedup
+    val n = 2000000L
+    val hubId = Long.MaxValue / 2
+    val star = spark.range(n)
+      .select(lit(hubId).as("ia"), abs(xxhash64(col("id"))).as("ib"))
+      .filter(col("ib") =!= hubId) // xxhash collision with the hub (~0)
+      .localCheckpoint()
+    val t0 = System.nanoTime()
+    val comps = Dedup.connectedComponents(star, maxIter = 20)
+      .agg(countDistinct(col("comp"))).head().getLong(0)
+    val dt = (System.nanoTime() - t0) / 1e9
+    assert(comps == 1L, s"cc-hub: expected one component, got $comps")
+    println(f"[scale] cc-hub n=$n%,d spokes, max-id hub: closed to " +
+      f"$comps component in $dt%5.2f s (per-node min = map-side-combined " +
+      "aggregate; a window would single-task the hub group)")
+  }
+
   /** Incremental-triangle probe backing triangleDelta's scaling claim:
     * at FIXED |Δ| (~1k edges), maintenance cost must stay ~flat as the
     * standing graph grows 10× (its joins are |Δ|·deg-bounded plus linear
@@ -810,6 +842,15 @@ object CcDeltaProbe {
 }
 
 /** Focused runner for the pathological-depth connected-components probe. */
+/** Focused runner for the skewed-hub star-contraction probe. */
+object CcHubProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.create(taskSideCommit = true)
+    ScaleProbe.ccHubProbe(spark)
+    spark.stop()
+  }
+}
+
 object CcPathProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create(taskSideCommit = true)

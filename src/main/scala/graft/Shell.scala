@@ -2,22 +2,32 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.api.CassandraLens
+import graft.api.{CassandraLens, JComparators}
 import graft.model.ComparatorType
 import graft.operators.{SliceByNames, SliceRange}
 import graft.sources.CellEncodings
 
 /** Interactive shell — the packaged analog of the reference's CLI
   * (`cli/CliClient.java`, grammar `cli/Cli.g`, entry `cli/CliMain.java`):
-  * a line-based session answering the ad-hoc read surface over the
+  * a line-based session answering the ad-hoc read/write surface over the
   * engine's column families. Grammar (0.6-CLI-flavored; single quotes
   * around keys/columns, LongType column literals are decimal):
   *
   * {{{
   *   show keyspaces                          -- list CFs + metadata
-  *   get <cf>['<key>'] [limit <n>]           -- get_slice (first n columns)
-  *   get <cf>['<key>']['<col>']              -- get one column
+  *   get <cf>['<key>'] [limit <n>]           -- get_slice (first n columns,
+  *                                              or supercolumns on a super CF)
+  *   get <cf>['<key>']['<col>']              -- one column (standard CF)
+  *   get <cf>['<key>']['<super>']            -- whole supercolumn (super CF)
+  *   get <cf>['<key>']['<super>']['<col>']   -- one subcolumn (super CF)
+  *   set <cf>['<key>']['<col>'] = '<v>'      -- insert/update (standard CF)
+  *   set <cf>['<key>']['<s>']['<c>'] = '<v>' -- insert/update (super CF)
+  *   del <cf>['<key>']                       -- delete a whole record
+  *   del <cf>['<key>']['<col>']              -- delete a column (standard CF)
+  *   del <cf>['<key>']['<super>']            -- delete a supercolumn (super CF)
+  *   del <cf>['<key>']['<super>']['<col>']   -- delete a subcolumn (super CF)
   *   count <cf>['<key>']                     -- get_count
+  *   count <cf>['<key>']['<super>']          -- subcolumn count (super CF)
   *   range <cf>['<start>':'<end>'] [limit n] -- get_range_slices key bounds
   *   help | quit
   * }}}
@@ -26,16 +36,27 @@ import graft.sources.CellEncodings
   * lines out) so a scripted session is spec-testable without a TTY;
   * `main` wires stdin over the standard testdata keyspaces. Output rows
   * are rendered in the reference's `=> (column=…, value=…, timestamp=…)`
-  * shape, comparator-typed column names decoded like the CLI's
-  * `AbstractType.getString`.
+  * shape — supercolumns in the CLI's nested
+  * `=> (super_column=…, (column=…, …), …)` shape (CliClient.java:125-134
+  * super paths) — comparator-typed column names decoded like the CLI's
+  * `AbstractType.getString`, and rows ordered by the COMPARATOR's sort
+  * (JComparators), not the rendered string.
   */
 object Shell {
 
   /** One openable column family: its lens plus how to parse/render
     * column names at the shell boundary (the comparator's getString /
-    * fromString contract).
+    * fromString contract). `tsUnitPerMilli` converts the session clock's
+    * epoch-millis into the CF's native cell-timestamp unit (1 = the CF
+    * stores millis; the events fixtures store NANOS → 1,000,000): a
+    * mutation stamped in the wrong unit silently loses LWW to existing
+    * cells (a millis write can never shadow a nanos cell).
     */
-  final case class ShellCf(lens: CassandraLens, comparator: ComparatorType.Value)
+  final case class ShellCf(lens: CassandraLens, comparator: ComparatorType.Value,
+      tsUnitPerMilli: Long = 1L) {
+    def isSuper: Boolean = lens.meta.isSuper
+    def subComparator: ComparatorType.Value = lens.meta.subComparator
+  }
 
   private def nameToBytes(s: String, cmp: ComparatorType.Value): Array[Byte] =
     cmp match {
@@ -51,8 +72,22 @@ object Shell {
       case _ => new String(b, "UTF-8")
     }
 
-  /** The standard testdata keyspace: the orders and events CFs every
-    * driver artifact uses (CellEncodings fixtures).
+  /** Comparator byte order lifted over the nullable shell-row fields
+    * (null/absent sorts first, like the reference's empty-name rule).
+    */
+  private def nullFirst(cmp: ComparatorType.Value): Ordering[Array[Byte]] = {
+    val ord = JComparators.ordering(cmp)
+    (a: Array[Byte], b: Array[Byte]) =>
+      if (a == null && b == null) 0
+      else if (a == null) -1
+      else if (b == null) 1
+      else ord.compare(a, b)
+  }
+
+  /** The standard testdata keyspace: the orders, events and super
+    * lineitem CFs every driver artifact uses (CellEncodings fixtures).
+    * events cells carry event-time NANOS, so its shell mutations scale
+    * the wall clock by 1e6 to stay in the CF's LWW timeline.
     */
   def openTestdata(spark: SparkSession, dir: String): Map[String, ShellCf] = Map(
     "orders" -> ShellCf(
@@ -64,33 +99,48 @@ object Shell {
     "events" -> ShellCf(
       new CassandraLens(CellEncodings.eventsCells(spark, dir),
         CellEncodings.eventsMeta),
-      CellEncodings.eventsMeta.comparator))
+      CellEncodings.eventsMeta.comparator,
+      tsUnitPerMilli = 1000000L),
+    "lineitems" -> ShellCf(
+      new CassandraLens(CellEncodings.lineitemSuperCells(spark, dir),
+        CellEncodings.lineitemSuperMeta),
+      CellEncodings.lineitemSuperMeta.comparator))
 
+  private val Get3 = """get\s+(\w+)\['([^']*)'\]\['([^']*)'\]\['([^']*)'\]""".r
   private val GetCol = """get\s+(\w+)\['([^']*)'\]\['([^']*)'\]""".r
   private val Get = """get\s+(\w+)\['([^']*)'\](?:\s+limit\s+(\d+))?""".r
+  private val Count2 = """count\s+(\w+)\['([^']*)'\]\['([^']*)'\]""".r
   private val Count = """count\s+(\w+)\['([^']*)'\]""".r
   private val Range = """range\s+(\w+)\['([^']*)':'([^']*)'\](?:\s+limit\s+(\d+))?""".r
+  private val Set3 = """set\s+(\w+)\['([^']*)'\]\['([^']*)'\]\['([^']*)'\]\s*=\s*'([^']*)'""".r
   private val Set = """set\s+(\w+)\['([^']*)'\]\['([^']*)'\]\s*=\s*'([^']*)'""".r
+  private val Del3 = """del\s+(\w+)\['([^']*)'\]\['([^']*)'\]\['([^']*)'\]""".r
   private val DelCol = """del\s+(\w+)\['([^']*)'\]\['([^']*)'\]""".r
   private val DelRow = """del\s+(\w+)\['([^']*)'\]""".r
 
   private val HelpText = Seq(
     "show keyspaces                           List column families.",
-    "get <cf>['<key>'] [limit <n>]            Get a slice of columns.",
+    "get <cf>['<key>'] [limit <n>]            Get a slice of (super)columns.",
     "get <cf>['<key>']['<col>']               Get a column value.",
+    "get <cf>['<key>']['<super>']             Get a whole supercolumn.",
+    "get <cf>['<key>']['<super>']['<col>']    Get a subcolumn value.",
     "set <cf>['<key>']['<col>'] = '<value>'   Insert/update a column.",
-    "del <cf>['<key>']['<col>']               Delete a column.",
+    "set <cf>['<key>']['<s>']['<c>'] = '<v>'  Insert/update a subcolumn.",
+    "del <cf>['<key>']['<col>']               Delete a column/supercolumn.",
+    "del <cf>['<key>']['<s>']['<c>']          Delete a subcolumn.",
     "del <cf>['<key>']                        Delete a whole record.",
     "count <cf>['<key>']                      Count columns in record.",
+    "count <cf>['<key>']['<super>']           Count subcolumns.",
     "range <cf>['<start>':'<end>'] [limit n]  Slice a key range.",
     "quit                                     Exit this session.")
 
   /** One interactive session — the CLI's CONNECTION state: `set`/`del`
     * swap the mutated lens back into the CF map (mutations return a new
     * store view, CliClient.executeSet/executeDelete semantics), reads
-    * delegate to the stateless [[eval]]. `now` supplies mutation
-    * timestamps (millis — the CLI uses the wall clock; specs inject a
-    * counter for determinism).
+    * delegate to the stateless [[eval]]. `now` supplies the wall clock in
+    * epoch MILLIS (specs inject a counter for determinism); each CF's
+    * `tsUnitPerMilli` scales it into that CF's native cell-timestamp
+    * unit, and tombstone localDeletionTime stays wall-clock SECONDS.
     */
   final class Session(initial: Map[String, ShellCf],
       now: () => Long = () => System.currentTimeMillis()) {
@@ -104,38 +154,81 @@ object Shell {
           }
           case None => Seq(s"unknown column family: $name (try 'show keyspaces')")
         }
+      def clock(cf: ShellCf): (Long, Int) = {
+        val ms = now()
+        (ms * cf.tsUnitPerMilli, (ms / 1000L).toInt)
+      }
       line.trim match {
+        case Set3(cfName, key, superName, colName, value) => withCf(cfName) { cf =>
+          if (!cf.isSuper) Seq(s"error: $cfName is not a super column family")
+          else {
+            val spark = cf.lens.cells.sparkSession
+            import spark.implicits._
+            val (ts, _) = clock(cf)
+            val mut = Seq((key, nameToBytes(superName, cf.comparator),
+                nameToBytes(colName, cf.subComparator),
+                value.getBytes("UTF-8"), ts))
+              .toDF("key", "super_name", "col_name", "value", "ts")
+            cfs(cfName) = cf.copy(lens = cf.lens.insert(mut))
+            Seq("Value inserted.")
+          }
+        }
         case Set(cfName, key, colName, value) => withCf(cfName) { cf =>
-          val spark = cf.lens.cells.sparkSession
-          import spark.implicits._
-          val ts = now()
-          val mut = Seq((key, nameToBytes(colName, cf.comparator),
-              value.getBytes("UTF-8"), ts))
-            .toDF("key", "col_name", "value", "ts")
-            .withColumn("super_name",
-              org.apache.spark.sql.functions.lit(null).cast("binary"))
-          cfs(cfName) = cf.copy(lens = cf.lens.insert(mut))
-          Seq("Value inserted.")
+          if (cf.isSuper)
+            Seq(s"error: $cfName is a super column family — " +
+              s"set $cfName['<key>']['<super>']['<col>'] = '<value>'")
+          else {
+            val spark = cf.lens.cells.sparkSession
+            import spark.implicits._
+            val (ts, _) = clock(cf)
+            val mut = Seq((key, nameToBytes(colName, cf.comparator),
+                value.getBytes("UTF-8"), ts))
+              .toDF("key", "col_name", "value", "ts")
+              .withColumn("super_name",
+                org.apache.spark.sql.functions.lit(null).cast("binary"))
+            cfs(cfName) = cf.copy(lens = cf.lens.insert(mut))
+            Seq("Value inserted.")
+          }
+        }
+        case Del3(cfName, key, superName, colName) => withCf(cfName) { cf =>
+          if (!cf.isSuper) Seq(s"error: $cfName is not a super column family")
+          else {
+            val spark = cf.lens.cells.sparkSession
+            import spark.implicits._
+            val (ts, ldt) = clock(cf)
+            val del = Seq((key, nameToBytes(superName, cf.comparator),
+                nameToBytes(colName, cf.subComparator), ts))
+              .toDF("key", "super_name", "col_name", "ts")
+            cfs(cfName) = cf.copy(lens = cf.lens.removeColumns(del, ldt))
+            Seq("column removed.")
+          }
         }
         case DelCol(cfName, key, colName) => withCf(cfName) { cf =>
           val spark = cf.lens.cells.sparkSession
           import spark.implicits._
-          val ts = now()
-          val del = Seq((key, nameToBytes(colName, cf.comparator), ts))
-            .toDF("key", "col_name", "ts")
-            .withColumn("super_name",
-              org.apache.spark.sql.functions.lit(null).cast("binary"))
-          cfs(cfName) = cf.copy(lens =
-            cf.lens.removeColumns(del, (ts / 1000L).toInt))
-          Seq("column removed.")
+          val (ts, ldt) = clock(cf)
+          if (cf.isSuper) {
+            // two-bracket del on a super CF addresses the SUPERCOLUMN
+            // (Deletion with super_column set, no predicate)
+            val del = Seq((key, nameToBytes(colName, cf.comparator), ts))
+              .toDF("key", "super_name", "ts")
+            cfs(cfName) = cf.copy(lens = cf.lens.removeSuperColumns(del, ldt))
+            Seq("supercolumn removed.")
+          } else {
+            val del = Seq((key, nameToBytes(colName, cf.comparator), ts))
+              .toDF("key", "col_name", "ts")
+              .withColumn("super_name",
+                org.apache.spark.sql.functions.lit(null).cast("binary"))
+            cfs(cfName) = cf.copy(lens = cf.lens.removeColumns(del, ldt))
+            Seq("column removed.")
+          }
         }
         case DelRow(cfName, key) => withCf(cfName) { cf =>
           val spark = cf.lens.cells.sparkSession
           import spark.implicits._
-          val ts = now()
+          val (ts, ldt) = clock(cf)
           val del = Seq((key, ts)).toDF("key", "ts")
-          cfs(cfName) = cf.copy(lens =
-            cf.lens.removeRows(del, (ts / 1000L).toInt))
+          cfs(cfName) = cf.copy(lens = cf.lens.removeRows(del, ldt))
           Seq("row removed.")
         }
         case _ => Shell.eval(cfs.toMap, line)
@@ -152,40 +245,109 @@ object Shell {
         }
         case None => Seq(s"unknown column family: $name (try 'show keyspaces')")
       }
-    def render(cf: ShellCf, rows: Array[org.apache.spark.sql.Row],
-        withKey: Boolean): Seq[String] = {
-      val cells = rows.map { r =>
-        (r.getAs[String]("key"),
-          nameToString(r.getAs[Array[Byte]]("col_name"), cf.comparator),
+    // collected cells in comparator order: (key, super bytes, col bytes,
+    // value, ts) sorted by key, then super under the top comparator
+    // (null first), then column under the name comparator
+    def sortedCells(cf: ShellCf, rows: Array[org.apache.spark.sql.Row])
+        : Array[(String, Array[Byte], Array[Byte], String, Long)] = {
+      val supOrd = nullFirst(cf.comparator)
+      val colOrd = nullFirst(if (cf.isSuper) cf.subComparator else cf.comparator)
+      rows.map { r =>
+        (r.getAs[String]("key"), r.getAs[Array[Byte]]("super_name"),
+          r.getAs[Array[Byte]]("col_name"),
           new String(r.getAs[Array[Byte]]("value"), "UTF-8"),
           r.getAs[Long]("ts"))
-      }.sortBy { case (k, n, _, _) =>
-        // a decimal-rendered Long name sorts numerically via padding
-        (k, if (n.nonEmpty && n.forall(_.isDigit)) f"${BigInt(n)}%030d" else n)
+      }.sortWith { case ((ka, sa, ca, _, _), (kb, sb, cb, _, _)) =>
+        val k = ka.compareTo(kb)
+        if (k != 0) k < 0
+        else {
+          val s = supOrd.compare(sa, sb)
+          if (s != 0) s < 0 else colOrd.compare(ca, cb) < 0
+        }
       }
-      cells.map { case (k, n, v, ts) =>
+    }
+    def renderStandard(cf: ShellCf, rows: Array[org.apache.spark.sql.Row],
+        withKey: Boolean): Seq[String] = {
+      val cells = sortedCells(cf, rows)
+      cells.map { case (k, _, c, v, ts) =>
         val prefix = if (withKey) s"key=$k " else ""
-        s"=> ($prefix" + s"column=$n, value=$v, timestamp=$ts)"
+        s"=> ($prefix" +
+          s"column=${nameToString(c, cf.comparator)}, value=$v, timestamp=$ts)"
       } :+ s"Returned ${cells.length} results."
     }
+    // the CLI's nested supercolumn shape: one line per supercolumn with
+    // its subcolumns inline; the count counts SUPERCOLUMNS (the sliced
+    // entities), like the reference's result list
+    def renderSuper(cf: ShellCf, rows: Array[org.apache.spark.sql.Row],
+        withKey: Boolean): Seq[String] = {
+      val cells = sortedCells(cf, rows)
+      val groups = scala.collection.mutable.LinkedHashMap
+        .empty[(String, String), scala.collection.mutable.ArrayBuffer[String]]
+      cells.foreach { case (k, s, c, v, ts) =>
+        groups.getOrElseUpdate((k, nameToString(s, cf.comparator)),
+          scala.collection.mutable.ArrayBuffer.empty[String]) +=
+          s"(column=${nameToString(c, cf.subComparator)}, value=$v, timestamp=$ts)"
+      }
+      groups.toSeq.map { case ((k, s), subs) =>
+        val prefix = if (withKey) s"key=$k " else ""
+        s"=> ($prefix" + s"super_column=$s, ${subs.mkString(", ")})"
+      } :+ s"Returned ${groups.size} results."
+    }
+    def render(cf: ShellCf, rows: Array[org.apache.spark.sql.Row],
+        withKey: Boolean): Seq[String] =
+      if (cf.isSuper) renderSuper(cf, rows, withKey)
+      else renderStandard(cf, rows, withKey)
     line.trim match {
       case "" => Seq.empty
       case "help" => HelpText
       case "quit" | "exit" => Seq("bye")
       case "show keyspaces" =>
         cfs.toSeq.sortBy(_._1).map { case (n, cf) =>
-          s"$n (comparator=${cf.comparator})"
+          if (cf.isSuper)
+            s"$n (super, comparator=${cf.comparator}, subcomparator=${cf.subComparator})"
+          else s"$n (comparator=${cf.comparator})"
         }
+      case Get3(cfName, key, superName, colName) => withCf(cfName) { cf =>
+        if (!cf.isSuper) Seq(s"error: $cfName is not a super column family")
+        else {
+          val rows = cf.lens.get(key, Some(nameToBytes(superName, cf.comparator)),
+            nameToBytes(colName, cf.subComparator)).collect()
+          if (rows.isEmpty) Seq("Value not found.")
+          else {
+            val (_, _, c, v, ts) = sortedCells(cf, rows).head
+            Seq(s"=> (column=${nameToString(c, cf.subComparator)}, " +
+              s"value=$v, timestamp=$ts)")
+          }
+        }
+      }
       case GetCol(cfName, key, colName) => withCf(cfName) { cf =>
-        val rows = cf.lens.get(key, None,
-          nameToBytes(colName, cf.comparator)).collect()
-        if (rows.isEmpty) Seq("Value not found.")
-        else render(cf, rows, withKey = false).init // single cell, no count line
+        if (cf.isSuper) {
+          // two-bracket get on a super CF addresses the SUPERCOLUMN
+          // (ColumnPath with super_column only, CassandraServer get path)
+          val rows = cf.lens.getSuperColumn(key,
+            nameToBytes(colName, cf.comparator)).collect()
+          if (rows.isEmpty) Seq("Value not found.")
+          else renderSuper(cf, rows, withKey = false).init
+        } else {
+          val rows = cf.lens.get(key, None,
+            nameToBytes(colName, cf.comparator)).collect()
+          if (rows.isEmpty) Seq("Value not found.")
+          else renderStandard(cf, rows, withKey = false).init // single cell, no count line
+        }
       }
       case Get(cfName, key, limit) => withCf(cfName) { cf =>
         val n = Option(limit).map(_.toInt).getOrElse(100)
         render(cf, cf.lens.getSlice(key, None,
           SliceRange(count = n)).collect(), withKey = false)
+      }
+      case Count2(cfName, key, superName) => withCf(cfName) { cf =>
+        if (!cf.isSuper) Seq(s"error: $cfName is not a super column family")
+        else {
+          val rows = cf.lens.getCount(Seq(key),
+            Some(nameToBytes(superName, cf.comparator))).collect()
+          val n = rows.headOption.map(_.getAs[Long]("n")).getOrElse(0L)
+          Seq(s"$n columns")
+        }
       }
       case Count(cfName, key) => withCf(cfName) { cf =>
         val rows = cf.lens.getCount(Seq(key), None).collect()

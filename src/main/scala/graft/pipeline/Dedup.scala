@@ -485,26 +485,34 @@ object Dedup {
     * attach each neighbor v > u to m = min(Γ(u) ∪ {u}). Every output
     * edge has child > parent; connectivity is preserved (each input
     * edge is re-emitted from its smaller endpoint's group).
+    *
+    * The per-node minimum is a groupBy aggregate joined back, NOT a
+    * `Window.partitionBy(x)`: a window funnels a high-degree hub's whole
+    * symmetrized adjacency through ONE sorting task every round (a large
+    * dup-cluster's min node has degree ≈ cluster size), while the
+    * aggregate map-side-combines to one row per node per map partition
+    * and the join-back is an equi join AQE can skew-split.
     */
   private def largeStar(e: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("x"))
-    e.union(e.select(col("y").as("x"), col("x").as("y")))
-      .withColumn("m", least(min(col("y")).over(w), col("x")))
+    val sym = e.union(e.select(col("y").as("x"), col("x").as("y")))
+    val mins = sym.groupBy(col("x")).agg(min(col("y")).as("__mn"))
+    sym.join(mins, Seq("x"))
       .filter(col("y") > col("x"))
-      .select(col("y").as("x"), col("m").as("y"))
+      .select(col("y").as("x"), least(col("__mn"), col("x")).as("y"))
       .distinct()
   }
 
   /** small-star: orient each edge child-from-larger, then attach every
     * node and its smaller neighbors onto the minimum of that group.
+    * Same map-side-combined min + join-back shape as [[largeStar]].
     */
   private def smallStar(e: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("x"))
     val dir = e.select(greatest(col("x"), col("y")).as("x"),
       least(col("x"), col("y")).as("y"))
-    val withM = dir.withColumn("m", min(col("y")).over(w))
-    withM.select(col("y").as("x"), col("m").as("y"))
-      .union(withM.select(col("x"), col("m").as("y")))
+    val withM = dir.join(
+      dir.groupBy(col("x")).agg(min(col("y")).as("__mn")), Seq("x"))
+    withM.select(col("y").as("x"), col("__mn").as("y"))
+      .union(withM.select(col("x"), col("__mn").as("y")))
       .filter(col("x") =!= col("y"))
       .distinct()
   }

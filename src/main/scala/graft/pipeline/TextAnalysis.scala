@@ -831,6 +831,28 @@ object TextAnalysis {
     * offsets frame (__opid, __ogrp, __off, n) — exclusive running
     * offsets in pid order within each group plus the group total.
     */
+  /** Driver-bounded collect of the per-(pid, group) Long aggregate that
+    * feeds [[pidGroupOffsets]]. The grouped pid-offset family serves
+    * MIXTURE-sized group cardinalities (languages, sources, quality
+    * buckets): the collect is ≤ #partitions × #groups rows, which is tiny
+    * under that premise — but the premise must fail LOUDLY, not blow the
+    * driver: a caller grouping by URL host or fingerprint would otherwise
+    * silently collect millions of rows. The limit+1 probe bounds driver
+    * memory to the cap itself; above the cap, reduce the group
+    * cardinality first (bucket the groups) or rank per-group slices.
+    */
+  private def boundedPidGroupCollect(agg: org.apache.spark.sql.DataFrame,
+      op: String, groupCol: String, maxCells: Long): Array[(Int, Any, Long)] = {
+    require(maxCells > 0 && maxCells < Int.MaxValue, "maxOffsetCells out of range")
+    val rows = agg.limit(maxCells.toInt + 1).collect()
+    require(rows.length <= maxCells,
+      s"$op: more than $maxCells (partition, $groupCol) offset cells — the " +
+        "grouped pid-offset family collects #partitions x #groups rows to " +
+        "the driver and serves mixture-sized group cardinalities; bucket " +
+        "the groups below the bound or raise maxOffsetCells deliberately")
+    rows.map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+  }
+
   private def pidGroupOffsets(spark: org.apache.spark.sql.SparkSession,
       gField: org.apache.spark.sql.types.StructField,
       agg: Array[(Int, Any, Long)]): org.apache.spark.sql.DataFrame = {
@@ -855,12 +877,13 @@ object TextAnalysis {
   }
 
   def exactGroupRanks(df: org.apache.spark.sql.DataFrame, groupCol: String,
-      sortExprs: Seq[Column]): org.apache.spark.sql.DataFrame = {
+      sortExprs: Seq[Column], maxOffsetCells: Long = 1000000L)
+      : org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     val ranged = pinnedRanged(df, col(groupCol) +: sortExprs)
-    val cnts = ranged.groupBy(col("__pid"), col(groupCol))
-      .agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+    val cnts = boundedPidGroupCollect(
+      ranged.groupBy(col("__pid"), col(groupCol)).agg(count(lit(1)).as("c")),
+      "exactGroupRanks", groupCol, maxOffsetCells)
     val outCols = df.columns.map(col).toSeq :+ col("rank") :+ col("n")
     if (cnts.isEmpty) // empty in, empty out
       return ranged.withColumn("rank", lit(0L)).withColumn("n", lit(0L))
@@ -926,12 +949,14 @@ object TextAnalysis {
     */
   def exactGroupPrefixSums(df: org.apache.spark.sql.DataFrame,
       groupCol: String, sortExprs: Seq[Column],
-      valueCol: String): org.apache.spark.sql.DataFrame = {
+      valueCol: String, maxOffsetCells: Long = 1000000L)
+      : org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     val ranged = pinnedRanged(df, col(groupCol) +: sortExprs)
-    val sums = ranged.groupBy(col("__pid"), col(groupCol))
-      .agg(sum(col(valueCol)).cast("long").as("s"))
-      .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+    val sums = boundedPidGroupCollect(
+      ranged.groupBy(col("__pid"), col(groupCol))
+        .agg(sum(col(valueCol)).cast("long").as("s")),
+      "exactGroupPrefixSums", groupCol, maxOffsetCells)
     val outCols = df.columns.map(col).toSeq :+ col("cum")
     if (sums.isEmpty) // empty in, empty out
       return ranged.withColumn("cum", lit(0L)).select(outCols: _*)

@@ -2310,6 +2310,24 @@ class PipelineSpec extends SparkSpec {
       s"got $outN")
   }
 
+  test("grouped pid-offset family refuses unbounded group cardinality loudly") {
+    import spark.implicits._
+    // every row its own group: #offset cells >= #groups = 6 > the bound —
+    // the driver collect must refuse, not silently grow with cardinality
+    val d = (1L to 6L).map(i => (i, s"host$i", i)).toDF("id", "g", "k")
+    val e1 = intercept[IllegalArgumentException] {
+      TextAnalysis.exactGroupRanks(d, "g", Seq(col("k")), maxOffsetCells = 3L)
+    }
+    assert(e1.getMessage.contains("offset cells"))
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.exactGroupPrefixSums(d, "g", Seq(col("k")), "k",
+        maxOffsetCells = 3L)
+    }
+    assert(e2.getMessage.contains("offset cells"))
+    // at the default bound the same input ranks fine
+    assert(TextAnalysis.exactGroupRanks(d, "g", Seq(col("k"))).count() == 6L)
+  }
+
   test("stratified exact split: per-group counts hit the floored permille marks exactly") {
     import spark.implicits._
     val sizes = Seq("en" -> 137, "de" -> 40, "fr" -> 7, "zz" -> 1)
