@@ -150,6 +150,8 @@ object SparkEntry {
   private val MtReal = 1000000L      // 1970-01-01T00:16:40Z
   private val MtSentinel1 = 2000000L
   private val MtSentinel2 = 3000000L
+  private val MtSentinel3 = 4000000L
+  private val MtSentinel4 = 5000000L
 
   /** The purchase/click attribution inputs (µs times) shared by the
     * p109/p118 gates AND the asof_join bench leg — one definition so
@@ -245,6 +247,69 @@ object SparkEntry {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     query.awaitTermination()
     s.read.parquet(s"$base/out")
+      .select(col("pid").as("purchase_id"), col("k").cast("bigint").as("uid"),
+        col("ts").as("purchase_us"), col("qid").as("click_id"),
+        col("qts").as("click_us"))
+  }
+
+  /** The ADVERSARIALLY DISORDERED as-of feed (p236): the attribution
+    * union ships in three event-time slices at increasing mtimes, but
+    * every row with pmod(xxhash64(id), 4) == 0 is DISPLACED one slice
+    * later — ~25% of clicks arrive AFTER purchases they must match
+    * (the delivery shape that breaks [[graft.streaming.PipelineStream
+    * .asofStream]]'s attribution-at-arrival), with event-time disorder
+    * bounded by one slice span. Two sentinel quote files on a dummy key
+    * then push the watermark past every real event so held probes drain
+    * before AvailableNow terminates (the standing append-mode tail
+    * move). The holdback delay is slice span + slack, covering the
+    * displacement: the stream must still equal p109's batch oracle.
+    */
+  private def runAsofHoldbackFeed(s: SparkSession, dir: String,
+      tag: String): DataFrame = {
+    GraftFunctions.register(s)
+    val (purchases, clicks) = attributionFrames(s, dir)
+    val q = clicks.select(col("user_id").as("k"), col("tus").as("ts"),
+      lit(0).as("tag"), col("click_id").as("id"))
+    val p = purchases.select(col("user_id").as("k"), col("tus").as("ts"),
+      lit(1).as("tag"), col("purchase_id").as("id"))
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val in = s"$base/in"
+    val u = q.unionByName(p).localCheckpoint() // sliced three ways below
+    val mm = u.agg(min(col("ts")), max(col("ts"))).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val span = math.max(hi - lo, 3L) / 3
+    val (cut1, cut2) = (lo + span, lo + 2 * span)
+    // disorder bound: one slice span (+ms-floor slack) — displaced rows
+    // are late by at most the span of the slice they skipped
+    val disorderUs = span + span / 2 + 2000L
+    val sliced = u.withColumn("__slice", least(lit(3),
+      when(col("ts") <= cut1, 1).when(col("ts") <= cut2, 2).otherwise(3) +
+        when(pmod(xxhash64(col("id")), lit(4)) === 0, 1).otherwise(0)))
+    val mts = Seq(MtReal, MtSentinel1, MtSentinel2)
+    (1 to 3).foreach { i =>
+      sliced.filter(col("__slice") === i).drop("__slice")
+        .repartition(1).write.mode("append").parquet(in)
+      pinNewFiles(s, in, if (i == 1) 0L else mts(i - 2), mts(i - 1))
+    }
+    Seq((0L, MtSentinel2, MtSentinel3), (1L, MtSentinel3, MtSentinel4))
+      .foreach { case (sid, after, mt) =>
+        s.range(sid, sid + 1).select(lit(-1L).as("k"),
+            (lit(hi + 2 * disorderUs) + col("id") * 1000000L).as("ts"),
+            lit(0).as("tag"), col("id").as("id"))
+          .repartition(1).write.mode("append").parquet(in)
+        pinNewFiles(s, in, after, mt)
+      }
+    val stream = s.readStream.schema(q.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val query = graft.streaming.PipelineStream
+      .asofStreamHoldback(stream, disorderUs)
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").format("parquet").option("path", s"$base/out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    s.read.parquet(s"$base/out").filter(col("k") =!= -1L)
       .select(col("pid").as("purchase_id"), col("k").cast("bigint").as("uid"),
         col("ts").as("purchase_us"), col("qid").as("click_id"),
         col("qts").as("click_us"))
@@ -2287,6 +2352,15 @@ object SparkEntry {
     // (the batch/stream × plain/window quadrant closed).
     "p145_stream_asof_window" -> ((s, dir) =>
       runAsofStreamFeed(s, dir, "p145", 3600000000L, timeOrdered = true)),
+
+    // Probe-side watermark HOLDBACK as-of on the ADVERSARIALLY
+    // DISORDERED feed (~25% of rows displaced one delivery slice later,
+    // clicks arriving after the purchases they match): probes buffer
+    // until the event-time watermark passes them, so the stream equals
+    // p109's batch oracle under bounded disorder — the production
+    // contract attribution-at-arrival (p137) cannot give.
+    "p236_stream_asof_holdback" -> ((s, dir) =>
+      runAsofHoldbackFeed(s, dir, "p236")),
 
     // Funnel segmented by acquisition cohort: each user's segment is
     // the k-bucket of their FIRST event's props payload — per-segment
@@ -7098,6 +7172,7 @@ object SparkEntry {
     "p109_asof_attrib" -> asofOracleSql,
 
     "p137_stream_asof" -> asofOracleSql,
+    "p236_stream_asof_holdback" -> asofOracleSql,
 
     "p110_funnel" -> funnelOracleSql,
     "p179_stream_funnel" -> funnelOracleSql,

@@ -782,6 +782,133 @@ object PipelineStream {
       .toDF()
   }
 
+  case class AsofHoldState(quotes: Vector[(Long, Long)],
+      pending: Vector[(Long, Long)])
+
+  /** Streaming as-of attribution with PROBE-SIDE WATERMARK HOLDBACK —
+    * the production variant of [[asofStream]] for feeds with BOUNDED
+    * EVENT-TIME DISORDER instead of quote-leads-probe delivery: probes
+    * (purchases) buffer in state until the engine's event-time watermark
+    * passes their timestamp, and only then resolve against the quote
+    * history. The watermark delay is `disorderBoundUs`: once the
+    * watermark passes t, every event with event time ≤ t has arrived
+    * (that is exactly what a watermark of delay D guarantees for
+    * disorder ≤ D), so a probe resolving at watermark ≥ its ts sees its
+    * COMPLETE quote horizon — output equals the batch
+    * [[graft.operators.EventOps.asOfJoin]] under ANY arrival order with
+    * disorder within the bound, where [[asofStream]] is batch-equal only
+    * when quotes lead probes.
+    *
+    * Mechanics: per key the state holds (quote history sorted by
+    * (ts, id), pending probes sorted by (ts, id)). Each invocation
+    * ingests the batch, resolves every pending probe at-or-below the
+    * current watermark (same match rules as the batch join: latest
+    * quote at-or-before, same-instant visible, greatest id on ties,
+    * `maxLookback` event-time window), and re-arms an event-time
+    * timeout just above the watermark so the key re-resolves as the
+    * watermark advances even with no further input (the engine's
+    * no-data batches drive the drain). A probe arriving with ts already
+    * at-or-below the watermark (late beyond the bound — a contract
+    * violation the engine may or may not have dropped) resolves at
+    * arrival, deterministically.
+    *
+    * State eviction: with a finite `maxLookback`, quotes older than
+    * watermark − maxLookback can never match a future probe (all still
+    * resolve-able probes have ts > watermark) and evict each batch; an
+    * eviction timeout keeps draining quote-only keys. Pending probes
+    * always drain by watermark passage, so per-key state is bounded by
+    * the window's quote density plus in-flight disorder — no unbounded
+    * growth on either side. With maxLookback = ∞, quote history is the
+    * key's full lifetime (exactly the batch join's requirement).
+    *
+    * `ts` is event-time MICROSECONDS (the feed convention here);
+    * watermarks tick in engine milliseconds, so sub-millisecond event
+    * spacing holds back an extra ms — resolution only ever happens
+    * LATER than strictly necessary, never earlier, which preserves
+    * batch equality.
+    */
+  def asofStreamHoldback(tagged: DataFrame, disorderBoundUs: Long,
+      maxLookback: Long = Long.MaxValue): DataFrame = {
+    require(disorderBoundUs >= 0, s"disorderBoundUs $disorderBoundUs < 0")
+    require(maxLookback >= 0, s"maxLookback $maxLookback < 0")
+    val spark = tagged.sparkSession
+    import spark.implicits._
+    tagged.select(col("k").cast("long"), col("ts").cast("long"),
+        col("tag").cast("int"), col("id").cast("long"),
+        timestamp_micros(col("ts").cast("long")).as("__et"))
+      .withWatermark("__et", s"$disorderBoundUs microseconds")
+      .as[(Long, Long, Int, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AsofHoldState, AsofMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (k, rows, state) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmUs = wmMs * 1000L
+          val st = state.getOption.getOrElse(
+            AsofHoldState(Vector.empty, Vector.empty))
+          var quotes = st.quotes
+          var pending = st.pending
+          def insertSorted(v: Vector[(Long, Long)], ts: Long, id: Long)
+              : Vector[(Long, Long)] = {
+            var lo = 0; var hi = v.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1; val q = v(mid)
+              if (q._1 > ts || (q._1 == ts && q._2 > id)) hi = mid
+              else lo = mid + 1
+            }
+            (v.take(lo) :+ ((ts, id))) ++ v.drop(lo)
+          }
+          rows.foreach { case (_, ts, tag, id, _) =>
+            if (tag == 0) quotes = insertSorted(quotes, ts, id)
+            else pending = insertSorted(pending, ts, id)
+          }
+          // resolve every probe whose event time the watermark passed:
+          // its quote horizon is complete under the disorder bound
+          val (ripe, hold) = pending.partition(_._1 <= wmUs)
+          pending = hold
+          def lastAtOrBefore(ts: Long): Int = {
+            var lo = 0; var hi = quotes.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (quotes(mid)._1 <= ts) lo = mid + 1 else hi = mid
+            }
+            lo - 1
+          }
+          val out = ripe.map { case (ts, id) =>
+            val at = lastAtOrBefore(ts)
+            if (at < 0) AsofMatch(k, ts, id, None, None)
+            else {
+              val (qts, qid) = quotes(at)
+              if (ts - qts <= maxLookback) AsofMatch(k, ts, id, Some(qts), Some(qid))
+              else AsofMatch(k, ts, id, None, None)
+            }
+          }
+          // quotes below watermark − lookback can never match again: all
+          // unresolved probes (held or unarrived) have ts > watermark
+          if (maxLookback != Long.MaxValue && wmUs != 0L) {
+            val horizon = wmUs - maxLookback
+            var cut = 0
+            while (cut < quotes.length && quotes(cut)._1 < horizon) cut += 1
+            if (cut > 0) quotes = quotes.drop(cut)
+          }
+          if (quotes.isEmpty && pending.isEmpty) state.remove()
+          else {
+            state.update(AsofHoldState(quotes, pending))
+            if (pending.nonEmpty)
+              // re-arm just above the watermark: any advance re-invokes
+              // this key so held probes drain without further input
+              state.setTimeoutTimestamp(
+                math.max(pending.head._1 / 1000L, wmMs) + 1L)
+            else if (maxLookback != Long.MaxValue)
+              // quote-only key: wake when the earliest quote expires
+              state.setTimeoutTimestamp(math.max(
+                quotes.head._1 / 1000L + maxLookback / 1000L, wmMs) + 1L)
+          }
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** Streaming MAD outlier gate — the trained
     * [[graft.pipeline.Sketches.madThresholds]] artifact (groups-sized)
     * broadcasts against the feed, and each arrival flags statelessly

@@ -721,6 +721,64 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Map(900L -> 101L, 901L -> -1L))
   }
 
+  test("asof holdback: probe-before-quote across batches still matches (watermark resolution)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Int, Long)]
+    // second-scale µs event times: watermarks tick in engine MILLIseconds
+    val out = graft.streaming.PipelineStream.asofStreamHoldback(
+      mem.toDS().toDF("k", "ts", "tag", "id"), disorderBoundUs = 5000000L)
+    val q = out.writeStream.format("memory").queryName("sasofh")
+      .outputMode("append").start()
+    try {
+      // the delivery shape attribution-at-arrival CANNOT attribute: the
+      // probe (ts=20s) arrives a full batch BEFORE its quote (ts=17s)
+      mem.addData((1L, 20000000L, 1, 900L)); q.processAllAvailable()
+      // quote arrives late-but-in-bound (wm is now 15s; 17s > 15s);
+      // flusher quotes on another key then walk the watermark past 20s
+      mem.addData((1L, 17000000L, 0, 100L), (9L, 40000000L, 0, 500L))
+      q.processAllAvailable()
+      mem.addData((9L, 60000000L, 0, 501L)); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sasofh")
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(rows == Map(900L -> 100L), s"got $rows")
+  }
+
+  test("asof holdback lookback: held probes drain, stale match nulls, quote state evicts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Int, Long)]
+    val out = graft.streaming.PipelineStream.asofStreamHoldback(
+      mem.toDS().toDF("k", "ts", "tag", "id"),
+      disorderBoundUs = 5000000L, maxLookback = 10000000L)
+    val q = out.writeStream.format("memory").queryName("sasofhw")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 10000000L, 0, 100L), (1L, 13000000L, 1, 900L),
+        (1L, 30000000L, 1, 901L))
+      q.processAllAvailable()
+      // wm walks to 25s in the data batch (resolving probe 13s) and the
+      // engine's NO-DATA batch walks it to 35s right after, draining the
+      // 30s probe too — held probes resolve as the watermark passes them
+      mem.addData((9L, 40000000L, 0, 500L)); q.processAllAvailable()
+      val midRows = spark.table("sasofhw").count()
+      assert(midRows >= 1L, s"no held probe drained, got $midRows")
+      // wm 35s: probe 30s resolves NULL (gap 20s > lookback); quote 10s
+      // is behind wm − lookback = 25s and must evict; key 1 state empties
+      mem.addData((9L, 70000000L, 0, 501L)); q.processAllAvailable()
+      mem.addData((9L, 100000000L, 0, 502L)); q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+      // only key 9's in-window quotes may remain
+      assert(stateRows <= 2L, s"state did not evict: $stateRows rows")
+    } finally q.stop()
+    val rows = spark.table("sasofhw")
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(rows == Map(900L -> 100L, 901L -> -1L), s"got $rows")
+  }
+
   test("eventDedupStream: min-struct winner on an ADVERSARIAL arrival order equals batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
