@@ -2957,6 +2957,26 @@ object SparkEntry {
         "doc_id", "text", k = 5, minDocs = 2, hashSpans = false)
     }),
 
+    // MAXIMAL repeated spans (Lee et al. 2022 grain): duplicated-window
+    // coverage merged per doc into maximal contiguous islands — the
+    // gaps-and-islands pass over p39's lineage.
+    "p237_span_islands" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Dedup.maximalRepeatedSpans(table(s, dir, "documents"),
+        "doc_id", "text", minTokens = 5, minDocs = 2, hashSpans = false)
+    }),
+
+    // Maximal-span dedup: island occurrences grouped by exact content,
+    // min-(doc, start) keeper untouched, every other occurrence removed
+    // WHOLE — island-atomic cuts where p39's window grain leaves
+    // mid-span fragments, and one full copy always survives.
+    "p238_span_dedup_maximal" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Dedup.removeRepeatedSpansMaximal(
+        table(s, dir, "documents"),
+        "doc_id", "text", minTokens = 5, minDocs = 2, hashSpans = false)
+    }),
+
     // Classifier with a PERSISTED weight artifact: train bucket-contrast
     // weights on the even-id half (label: doc_id % 3 == 0), save/reload
     // the parquet weight table, score the whole corpus through the
@@ -7193,6 +7213,60 @@ object SparkEntry {
         |         SELECT s.id, s.start + unnest([0, 1, 2, 3, 4]) AS pos
         |         FROM sg s JOIN st ON s.span = st.span
         |         WHERE st.nd >= 2 AND s.id <> st.mind)),
+        |kept AS (SELECT tok.id, tok.pos, tok.tok
+        |         FROM tok LEFT JOIN rm ON tok.id = rm.id AND tok.pos = rm.pos
+        |         WHERE rm.id IS NULL),
+        |agg AS (SELECT id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        |        FROM kept GROUP BY 1)
+        |SELECT t.id AS doc_id, coalesce(agg.clean_text, '') AS clean_text
+        |FROM t LEFT JOIN agg USING (id)""".stripMargin,
+
+    "p237_span_islands" ->
+      """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks
+        |           FROM documents),
+        |sg AS (SELECT id, unnest(generate_series(1, len(toks) - 4)) - 1 AS start,
+        |              unnest(list_transform(generate_series(1, len(toks) - 4),
+        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |                     toks[i+3] || ' ' || toks[i+4])) AS span
+        |       FROM t WHERE len(toks) >= 5),
+        |st AS (SELECT span FROM sg GROUP BY 1 HAVING count(DISTINCT id) >= 2),
+        |cov AS (SELECT DISTINCT id, pos FROM (
+        |         SELECT s.id, s.start + unnest([0, 1, 2, 3, 4]) AS pos
+        |         FROM sg s JOIN st ON s.span = st.span)),
+        |isl AS (SELECT id, pos,
+        |               pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS grp
+        |        FROM cov)
+        |SELECT id AS doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |       CAST(max(pos) AS BIGINT) AS span_end, count(*) AS n_tokens
+        |FROM isl GROUP BY id, grp""".stripMargin,
+
+    "p238_span_dedup_maximal" ->
+      """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks
+        |           FROM documents),
+        |tok AS (SELECT id, unnest(toks) AS tok,
+        |               unnest(generate_series(1, len(toks))) - 1 AS pos FROM t),
+        |sg AS (SELECT id, unnest(generate_series(1, len(toks) - 4)) - 1 AS start,
+        |              unnest(list_transform(generate_series(1, len(toks) - 4),
+        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |                     toks[i+3] || ' ' || toks[i+4])) AS span
+        |       FROM t WHERE len(toks) >= 5),
+        |st AS (SELECT span FROM sg GROUP BY 1 HAVING count(DISTINCT id) >= 2),
+        |cov AS (SELECT DISTINCT id, pos FROM (
+        |         SELECT s.id, s.start + unnest([0, 1, 2, 3, 4]) AS pos
+        |         FROM sg s JOIN st ON s.span = st.span)),
+        |isl AS (SELECT id, pos,
+        |               pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS grp
+        |        FROM cov),
+        |islt AS (SELECT i.id, i.pos, i.grp, tok.tok
+        |         FROM isl i JOIN tok ON i.id = tok.id AND i.pos = tok.pos),
+        |occ AS (SELECT id, grp, min(pos) AS s, max(pos) AS e,
+        |               string_agg(tok, ' ' ORDER BY pos) AS content
+        |        FROM islt GROUP BY 1, 2),
+        |kp AS (SELECT content, min(struct_pack(i := id, s := s)) AS kp
+        |       FROM occ GROUP BY 1),
+        |rm AS (SELECT o.id, unnest(generate_series(o.s, o.e)) AS pos
+        |       FROM occ o JOIN kp ON o.content = kp.content
+        |       WHERE NOT (o.id = kp.kp.i AND o.s = kp.kp.s)),
         |kept AS (SELECT tok.id, tok.pos, tok.tok
         |         FROM tok LEFT JOIN rm ON tok.id = rm.id AND tok.pos = rm.pos
         |         WHERE rm.id IS NULL),

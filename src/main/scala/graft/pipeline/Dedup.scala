@@ -1049,13 +1049,19 @@ object Dedup {
     *   path); keep off when comparing against a string-keyed external
     *   oracle. Spec asserts both paths produce identical output.
     */
-  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
-      k: Int, minDocs: Int = 2, hashSpans: Boolean = true): DataFrame = {
-    require(k >= 1 && minDocs >= 2, "k >= 1; minDocs >= 2")
-    // toks feeds the position explode AND the span explode; spans feeds
-    // the repeated-span aggregate AND the removal join — lazy-checkpoint
-    // both shared frames or the tokenize subtree executes once per branch
-    // (the subtree-duplication trap jaccardPairs documents)
+  /** Shared token/position/window lineage of the span-dedup family
+    * ([[removeRepeatedSpans]], [[maximalRepeatedSpans]],
+    * [[removeRepeatedSpansMaximal]]): ONE tokenize pass feeds the
+    * position explode AND the span explode; toks and spans each feed two
+    * branches, so both lazy-checkpoint (the subtree-duplication trap
+    * jaccardPairs documents). `pos` is cheap re-derivation over the
+    * checkpointed toks, so consumers may use it more than once without
+    * materializing the token-grain frame. Span `start` is the 0-based
+    * token position of the window's first token; `sp` the window key
+    * (string, or 8-byte xxhash64 on the 100 TB shuffle path).
+    */
+  private def spanLineage(df: DataFrame, idCol: String, textCol: String,
+      k: Int, hashSpans: Boolean): (DataFrame, DataFrame) = {
     val toks = df.select(col(idCol).as("id"),
       TextAnalysis.tokens(col(textCol)).as("_toks"))
       .localCheckpoint(eager = false)
@@ -1067,6 +1073,27 @@ object Dedup {
       )).as(Seq("start", "sp")))
     val spans = (if (hashSpans) spanStr.withColumn("sp", xxhash64(col("sp"))) else spanStr)
       .localCheckpoint(eager = false)
+    (pos, spans)
+  }
+
+  /** Positions covered by ≥ `minDocs`-duplicated k-windows — every
+    * occurrence, keeper docs included (the coverage the maximal-span
+    * ops merge into islands).
+    */
+  private def dupCoverage(spans: DataFrame, k: Int, minDocs: Int): DataFrame = {
+    val repeated = spans.groupBy("sp")
+      .agg(count_distinct(col("id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+    spans.join(repeated.select("sp"), Seq("sp"))
+      .select(col("id"),
+        explode(sequence(col("start"), col("start") + lit(k - 1))).as("pos"))
+      .distinct()
+  }
+
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minDocs: Int = 2, hashSpans: Boolean = true): DataFrame = {
+    require(k >= 1 && minDocs >= 2, "k >= 1; minDocs >= 2")
+    val (pos, spans) = spanLineage(df, idCol, textCol, k, hashSpans)
     // one aggregate per span: how many distinct docs carry it + who keeps it
     val repeated = spans.groupBy("sp")
       .agg(count_distinct(col("id")).as("nd"), min(col("id")).as("mind"))
@@ -1087,6 +1114,100 @@ object Dedup {
     df.select(col(idCol).as("id"))
       .join(cleaned, Seq("id"), "left")
       .select(col("id").as(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** MAXIMAL repeated spans — the Lee et al. 2022 reporting grain
+    * ("Deduplicating Training Data Makes Language Models Better" removes
+    * maximal duplicated substrings ≥ minTokens, not fixed windows):
+    * positions covered by ≥ `minDocs`-duplicated `minTokens`-windows,
+    * merged per document into maximal contiguous islands by a
+    * gaps-and-islands pass (covered window starts are consecutive inside
+    * a duplicated region, so pos − row_number is constant per island).
+    * Returns (idCol, span_start, span_end, n_tokens), one row per
+    * maximal duplicated region per document — the duplication-surface
+    * report [[removeRepeatedSpansMaximal]] cuts by.
+    *
+    * Scale shape: the only window is per-DOCUMENT (bounded by document
+    * length — millions of tiny groups, never a corpus funnel); coverage
+    * is the p39 lineage's aggregate + join, never a self-join.
+    */
+  def maximalRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int, minDocs: Int = 2, hashSpans: Boolean = true): DataFrame = {
+    require(minTokens >= 1 && minDocs >= 2, "minTokens >= 1; minDocs >= 2")
+    val (_, spans) = spanLineage(df, idCol, textCol, minTokens, hashSpans)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    dupCoverage(spans, minTokens, minDocs)
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col("id"), col("__grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        max(col("pos")).cast("long").as("span_end"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"),
+        col("n_tokens"))
+  }
+
+  /** Maximal-span dedup — [[removeRepeatedSpans]] lifted to the
+    * [[maximalRepeatedSpans]] grain: island occurrences are grouped by
+    * their exact CONTENT (the covered token sequence) and every
+    * occurrence except the lexicographically first (min (doc, start))
+    * is removed WHOLE. Two guarantees window-grain removal cannot give:
+    *
+    *  - island-atomic cuts: a document never keeps a mid-span FRAGMENT.
+    *    Window-grain keeps each window in that window's own min-id doc,
+    *    so when doc 1 shares only a long span's PREFIX while docs 2 and
+    *    3 share the whole span, doc 2 keeps a fluency-destroying
+    *    mid-span suffix and no document keeps the full span;
+    *  - one full copy always survives: the keeper of every island
+    *    content is untouched, so no duplicated region's text can be
+    *    split across documents or lost entirely.
+    *
+    * The price, stated honestly: removal is exact at island grain — an
+    * occurrence is removed only when an IDENTICAL island occurs
+    * elsewhere, so nested/extended variants (doc A carrying S1·S2
+    * adjacent where B carries S1 and C carries S2) are distinct
+    * contents and each keeps one copy — strictly conservative,
+    * never removing the last copy of anything. Output is
+    * (idCol, clean_text), reassembled like [[removeRepeatedSpans]]
+    * (single-spaced lowercase; emptied docs survive as "").
+    *
+    * Scale shape: per-document windows only; the island content key is
+    * an 8-byte hash on the scale path (`hashSpans`) so the
+    * occurrence-group shuffle never carries span text; removal is a
+    * left-anti join at (doc, pos) grain.
+    */
+  def removeRepeatedSpansMaximal(df: DataFrame, idCol: String,
+      textCol: String, minTokens: Int, minDocs: Int = 2,
+      hashSpans: Boolean = true): DataFrame = {
+    require(minTokens >= 1 && minDocs >= 2, "minTokens >= 1; minDocs >= 2")
+    val (pos, spans) = spanLineage(df, idCol, textCol, minTokens, hashSpans)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    // island occurrences with their content (the covered token sequence)
+    val occ = dupCoverage(spans, minTokens, minDocs)
+      .join(pos, Seq("id", "pos"))
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col("id"), col("__grp"))
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("e"),
+        concat_ws(" ",
+          expr("transform(sort_array(collect_list(struct(pos, tok))), x -> x.tok)"))
+          .as("content"))
+    val keyed = (if (hashSpans) occ.withColumn("content", xxhash64(col("content")))
+      else occ).localCheckpoint(eager = false) // keeper pass + removal join
+    val keeper = keyed.groupBy(col("content"))
+      .agg(min(struct(col("id"), col("s"))).as("kp"))
+    val removePos = keyed.join(keeper, Seq("content"))
+      .filter(!(col("id") === col("kp.id") && col("s") === col("kp.s")))
+      .select(col("id"), explode(sequence(col("s"), col("e"))).as("pos"))
+    val cleaned = pos.join(removePos, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(concat_ws(" ",
+        expr("transform(sort_array(collect_list(struct(pos, tok))), s -> s.tok)"))
+        .as("clean_text"))
+    df.select(col(idCol).as("id"))
+      .join(cleaned, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
   /** 64-bit token hash from the first 16 hex chars of md5, decoded

@@ -150,6 +150,43 @@ class PipelineSpec extends SparkSpec {
     assert(soloOut == "x y z w v x y z w v")
   }
 
+  test("maximal-span dedup: island-atomic cuts where window grain leaves fragments") {
+    import spark.implicits._
+    // the planted long-span fixture: doc 1 shares only the PREFIX of the
+    // span docs 2 and 3 carry in full — per-window keepers split between
+    // doc 1 (prefix windows) and doc 2 (suffix windows)
+    val corpus = Seq(
+      (1L, "a1 a2 a3 a4 a5"),
+      (2L, "x2 a1 a2 a3 a4 a5 a6 a7 a8 y2"),
+      (3L, "x3 a1 a2 a3 a4 a5 a6 a7 a8 y3")).toDF("doc_id", "text")
+    // window grain: doc 2 keeps a mid-span FRAGMENT (a6 a7 a8) and no
+    // document keeps the full span — the defect the maximal grain fixes
+    val frag = Dedup.removeRepeatedSpans(corpus, "doc_id", "text",
+      k = 3, minDocs = 2, hashSpans = false)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(frag(2L) == "x2 a6 a7 a8 y2", s"got '${frag(2L)}'")
+    // maximal islands report: one merged region per doc, not windows
+    val islands = Dedup.maximalRepeatedSpans(corpus, "doc_id", "text",
+      minTokens = 3, minDocs = 2, hashSpans = false)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(islands == Map(1L -> ((0L, 4L, 5L)), 2L -> ((1L, 8L, 8L)),
+      3L -> ((1L, 8L, 8L))), s"got $islands")
+    def runMax(hash: Boolean): Map[Long, String] =
+      Dedup.removeRepeatedSpansMaximal(corpus, "doc_id", "text",
+        minTokens = 3, minDocs = 2, hashSpans = hash)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = runMax(hash = false)
+    // island-atomic: doc 2 (the full span's keeper) stays INTACT, doc 3's
+    // identical island is removed whole, doc 1 keeps its distinct prefix
+    assert(out == Map(
+      1L -> "a1 a2 a3 a4 a5",
+      2L -> "x2 a1 a2 a3 a4 a5 a6 a7 a8 y2",
+      3L -> "x3 y3"), s"got $out")
+    // the hashed-content scale path is output-identical
+    assert(runMax(hash = true) == out)
+  }
+
   test("trained weight artifact: contrast weights, broadcast scoring, unseen weighs 0") {
     import spark.implicits._
     val labeled = Seq(
