@@ -4234,6 +4234,25 @@ object SparkEntry {
           col("cnt"))
     }),
 
+    // Unigram-LM tokenizer training (SentencePiece-style): ONE Viterbi
+    // hard-EM step gated exactly — seed substring vocab (counts >= 30 or
+    // char fallback), micro-quantized log-prob weights, per-word
+    // max-likelihood segmentation (longest-last-piece tie-break), and
+    // the expected piece counts the M-step re-normalizes from. The loop
+    // (unigramTrainLoop) is spec-gated like BPE's trainer; the oracle
+    // replays the DP as unrolled per-position CTEs (the p150 move).
+    "p239_unigram_em" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val words = graft.pipeline.TextAnalysis.unigramWords(
+        table(s, dir, "documents"), "text", maxWordLen = 12)
+        .localCheckpoint(eager = false) // feeds the seed vocab AND the DP
+      graft.pipeline.TextAnalysis.unigramViterbiCounts(words,
+        graft.pipeline.TextAnalysis.unigramWeights(
+          graft.pipeline.TextAnalysis.unigramSeedVocab(
+            words, maxPieceLen = 4, minCount = 30L)),
+        maxPieceLen = 4)
+    }),
+
     // Bigram-LM perplexity-proxy scoring (the KenLM-filter shape of
     // CCNet/RedPajama, integer-exact): self-trained corpus bigram model,
     // per-doc sum of floor(1000*c(w1,w2)/c(w1·)) over transitions.
@@ -4893,6 +4912,64 @@ object SparkEntry {
     * independent algorithm; the c CTE pre-collapses same-µs clicks to
     * max(event_id), the engine's tie rule made explicit.
     */
+  /** DuckDB twin of the unigram-LM Viterbi hard-EM step (p239): the
+    * per-word DP and backtrace replayed as UNROLLED per-position CTEs
+    * (maxWordLen dp levels + maxWordLen backtrace steps — the p150
+    * unrolled-oracle move; recursive CTEs cannot aggregate over the
+    * recursive term, so bounded unrolling IS the relational encoding).
+    * Tie-break parity: the engine backtrace takes the maximizer with the
+    * smallest start (array_sort by `i`); the CTE takes
+    * row_number() OVER (ORDER BY e.i) = 1.
+    */
+  private def unigramEmOracleSql(maxWordLen: Int, maxPieceLen: Int,
+      minCount: Long): String = {
+    val sub = "list_transform(generate_series(1, length(word)), i -> " +
+      s"list_transform(generate_series(i, least(length(word), i + ${maxPieceLen - 1})), j -> "
+    val dpChain = (1 to maxWordLen).map { k =>
+      s"""dp$k AS MATERIALIZED (SELECT e.word, CAST($k AS BIGINT) AS pos, max(d.sc + e.wgt) AS sc
+         |       FROM dpall${k - 1} d JOIN ed e ON e.word = d.word AND e.j = $k AND e.i = d.pos
+         |       GROUP BY 1),
+         |dpall$k AS MATERIALIZED (SELECT * FROM dpall${k - 1} UNION ALL SELECT * FROM dp$k)""".stripMargin
+    }.mkString(",\n")
+    val btChain = (1 to maxWordLen).map { t =>
+      s"""bt$t AS MATERIALIZED (SELECT b.word, e.i AS pos, di.sc, e.piece
+         |       FROM bt${t - 1} b
+         |       JOIN ed e ON e.word = b.word AND e.j = b.pos
+         |       JOIN dpall$maxWordLen di ON di.word = b.word AND di.pos = e.i
+         |            AND di.sc + e.wgt = b.sc
+         |       WHERE b.pos > 0
+         |       QUALIFY row_number() OVER (PARTITION BY b.word ORDER BY e.i) = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    val pieces = (1 to maxWordLen)
+      .map(t => s"SELECT word, piece FROM bt$t").mkString(" UNION ALL ")
+    s"""WITH w AS MATERIALIZED (SELECT substring(tok, 1, $maxWordLen) AS word, count(*) AS freq
+       |           FROM (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+       |                 FROM documents) GROUP BY 1),
+       |wd AS MATERIALIZED (SELECT DISTINCT word FROM w),
+       |v0 AS MATERIALIZED (SELECT freq, unnest(flatten(${sub}substring(word, CAST(i AS INT), CAST(j - i + 1 AS INT)))))) AS piece
+       |       FROM w),
+       |v AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM v0 GROUP BY 1
+       |      HAVING sum(freq) >= $minCount OR length(piece) = 1),
+       |tot AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM v),
+       |vw AS MATERIALIZED (SELECT piece, CAST(round(1000000 * ln(CAST(cnt AS DOUBLE) /
+       |              CAST((SELECT t FROM tot) AS DOUBLE))) AS BIGINT) AS wgt FROM v),
+       |ed0 AS MATERIALIZED (SELECT word, unnest(flatten(${sub}struct_pack(i := i - 1, j := j,
+       |              piece := substring(word, CAST(i AS INT), CAST(j - i + 1 AS INT))))))) AS e
+       |        FROM wd),
+       |ed AS MATERIALIZED (SELECT d.word, CAST((d.e).i AS BIGINT) AS i, CAST((d.e).j AS BIGINT) AS j,
+       |              (d.e).piece AS piece, vw.wgt
+       |       FROM ed0 d JOIN vw ON (d.e).piece = vw.piece),
+       |dpall0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS sc FROM wd),
+       |$dpChain,
+       |bt0 AS MATERIALIZED (SELECT d.word, d.pos, d.sc FROM wd JOIN dpall$maxWordLen d
+       |        ON d.word = wd.word AND d.pos = length(wd.word)),
+       |$btChain,
+       |pc AS ($pieces)
+       |SELECT piece, CAST(sum(freq) AS BIGINT) AS e_cnt
+       |FROM pc JOIN w USING (word) GROUP BY 1""".stripMargin
+  }
+
   private lazy val asofOracleSql: String =
     """WITH c AS (SELECT user_id, epoch_us(ts) AS cus, max(event_id) AS click_id
       |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
@@ -8171,6 +8248,8 @@ object SparkEntry {
         |WHERE rank <= 50""".stripMargin,
 
     "p52_bigram_lm" -> bigramLmOracleSql,
+
+    "p239_unigram_em" -> unigramEmOracleSql(12, 4, 30L),
 
     "p49_lexical_topk" ->
       """WITH q AS (SELECT DISTINCT unnest(list_distinct((regexp_extract_all(lower(text), '\S+'))[1:8])) AS term

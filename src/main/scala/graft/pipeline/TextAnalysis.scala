@@ -1682,6 +1682,153 @@ object TextAnalysis {
       .agg(sum(size(col("subwords"))).cast("long").as("n_subwords"),
         count(lit(1)).as("n_words"))
 
+  // ---- Unigram-LM tokenizer training (SentencePiece-style) ----
+
+  /** Word-frequency table for subword training: whitespace-lowercased
+    * token occurrences truncated to `maxWordLen` chars (the truncation
+    * bounds every per-word DP below to a fixed depth — the standard
+    * long-token clamp), rolled to (word, freq). Vocabulary-sized, not
+    * corpus-sized: the whole training pipeline downstream works at word
+    * grain weighted by freq, the move that makes tokenizer training
+    * cheap at any corpus scale.
+    */
+  def unigramWords(df: org.apache.spark.sql.DataFrame, textCol: String,
+      maxWordLen: Int = 12): org.apache.spark.sql.DataFrame = {
+    require(maxWordLen >= 1, "maxWordLen >= 1")
+    df.select(explode(tokens(col(textCol))).as("tok"))
+      .select(substring(col("tok"), 1, maxWordLen).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+  }
+
+  /** Unigram-LM SEED vocabulary — the candidate set EM prunes (Kudo
+    * 2018, "Subword Regularization", the SentencePiece unigram model):
+    * every substring of length 1..maxPieceLen of every word, counted
+    * with positional multiplicity weighted by word freq; substrings
+    * under `minCount` drop EXCEPT single chars (the fallback that keeps
+    * every word segmentable). Returns (piece, cnt).
+    */
+  def unigramSeedVocab(words: org.apache.spark.sql.DataFrame,
+      maxPieceLen: Int, minCount: Long): org.apache.spark.sql.DataFrame = {
+    require(maxPieceLen >= 1 && minCount >= 1, "maxPieceLen >= 1; minCount >= 1")
+    words.select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)), i ->
+           |  transform(sequence(i, least(length(word), i + ${maxPieceLen - 1})), j ->
+           |    substring(word, i, j - i + 1))))""".stripMargin)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      .filter(col("cnt") >= minCount || length(col("piece")) === 1)
+  }
+
+  /** Micro-quantized unigram log-probabilities — the model cells of the
+    * EM step, quantized AT THE MODEL BOUNDARY (round(1e6·ln(cnt/total)),
+    * the BM25-idf move) so every comparison downstream is integer-exact
+    * and one oracle covers the whole step. Returns (piece, cnt, w).
+    */
+  def unigramWeights(vocab: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tot = vocab.agg(sum(col("cnt")).cast("long").as("__tot"))
+    vocab.crossJoin(broadcast(tot))
+      .select(col("piece"), col("cnt"),
+        round(log(col("cnt").cast("double") / col("__tot").cast("double")) * 1e6)
+          .cast("long").as("w"))
+  }
+
+  private val UnigramMinScore = -1152921504606846976L // -(2^60): unreachable
+
+  /** One VITERBI HARD-EM step of unigram-LM training: segment every
+    * word by the max-likelihood segmentation under the current weighted
+    * vocab (per-word DP over candidate pieces ≤ maxPieceLen maximizing
+    * Σ w; ties broken toward the LONGEST last piece — the smallest
+    * start among maximizers — deterministically in both engines), then
+    * expected counts e_cnt(piece) = Σ word-freq over chosen pieces.
+    * This is the hard-EM E+M count pass (SentencePiece's soft-EM
+    * forward–backward marginals are float-valued and not oracle-exact;
+    * the Viterbi variant is count-exact, and is also exactly the
+    * tokenizer's INFERENCE rule, so the gated step doubles as the
+    * apply-side contract).
+    *
+    * Scale shape: the DP is a per-ROW expression over each word's
+    * candidate-edge list (bounded: maxWordLen × maxPieceLen edges) on
+    * the vocabulary-sized words frame — no shuffle beyond the edge join
+    * (keyed by piece, the token-like volume) and the final count
+    * aggregate; the dp column is checkpointed so project-collapse
+    * cannot inline its aggregate into every backtrace reference. Words
+    * containing a char absent from the vocab contribute nothing (guard
+    * sentinel; the seed vocab of the same corpus always carries its
+    * chars). Returns (piece, e_cnt).
+    */
+  def unigramViterbiCounts(words: org.apache.spark.sql.DataFrame,
+      weights: org.apache.spark.sql.DataFrame,
+      maxPieceLen: Int): org.apache.spark.sql.DataFrame = {
+    require(maxPieceLen >= 1, "maxPieceLen >= 1")
+    val MIN = UnigramMinScore
+    val cand = words.select(col("word"), col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)), i ->
+           |  transform(sequence(i, least(length(word), i + ${maxPieceLen - 1})), j ->
+           |    named_struct('i', i - 1, 'j', j,
+           |      'piece', substring(word, i, j - i + 1)))))""".stripMargin)).as("e"))
+      .select(col("word"), col("freq"),
+        col("e.i").as("i"), col("e.j").as("j"), col("e.piece").as("piece"))
+    val edges = cand.join(weights.select(col("piece"), col("w")), Seq("piece"))
+      .groupBy(col("word"), col("freq"))
+      .agg(collect_list(struct(col("i"), col("j"), col("w"), col("piece")))
+        .as("edges"))
+    // forward DP: dp[pos+1] = best score of word[0..pos), MIN = unreachable
+    val dp = edges.withColumn("dp", expr(
+      s"""aggregate(sequence(1, length(word)), array(0L),
+         |  (acc, j) -> array_append(acc,
+         |    coalesce(array_max(transform(
+         |      filter(edges, e -> e.j = j AND element_at(acc, e.i + 1) > ${MIN}L),
+         |      e -> element_at(acc, e.i + 1) + e.w)), ${MIN}L)))""".stripMargin))
+      .localCheckpoint(eager = false) // pin dp: referenced 2× per backtrace step
+    // backtrace: walk from the end, taking the maximizer with the
+    // smallest start (array_sort on the edge struct orders by i first)
+    val seg = dp.withColumn("seg", expr(
+      s"""aggregate(sequence(1, length(word)),
+         |  named_struct(
+         |    'pos', IF(element_at(dp, length(word) + 1) <= ${MIN}L, -1, length(word)),
+         |    'ps', cast(array() as array<string>)),
+         |  (acc, x) -> IF(acc.pos <= 0, acc,
+         |    named_struct(
+         |      'pos', element_at(array_sort(filter(edges,
+         |          e -> e.j = acc.pos AND element_at(dp, e.i + 1) > ${MIN}L
+         |               AND element_at(dp, e.i + 1) + e.w = element_at(dp, acc.pos + 1))), 1).i,
+         |      'ps', array_append(acc.ps, element_at(array_sort(filter(edges,
+         |          e -> e.j = acc.pos AND element_at(dp, e.i + 1) > ${MIN}L
+         |               AND element_at(dp, e.i + 1) + e.w = element_at(dp, acc.pos + 1))), 1).piece))))"""
+        .stripMargin))
+    seg.select(col("freq"), explode(col("seg.ps")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).cast("long").as("e_cnt"))
+  }
+
+  /** Unigram-LM training loop — EM steps composed: each round
+    * re-weights the vocab from the last round's expected counts and
+    * re-segments (M then E). Unused multi-char pieces PRUNE (they drew
+    * zero expected count — the SentencePiece prune analog at its
+    * harshest); single-char fallbacks persist at a count floor of 1 so
+    * every word stays segmentable forever. Per-step mechanics are the
+    * oracle-gated [[unigramViterbiCounts]]; the loop is spec-gated like
+    * BPE's trainer. Returns the trained (piece, cnt) vocab.
+    */
+  def unigramTrainLoop(words: org.apache.spark.sql.DataFrame,
+      maxPieceLen: Int, minCount: Long, iters: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(iters >= 1, "iters >= 1")
+    var vocab = unigramSeedVocab(words, maxPieceLen, minCount).localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val counts = unigramViterbiCounts(words, unigramWeights(vocab), maxPieceLen)
+        .localCheckpoint() // chars pass + multi-char pass below
+      val chars = vocab.filter(length(col("piece")) === 1).select(col("piece"))
+      vocab = chars.join(counts, Seq("piece"), "left")
+        .select(col("piece"), coalesce(col("e_cnt"), lit(1L)).as("cnt"))
+        .unionByName(counts.filter(length(col("piece")) > 1)
+          .select(col("piece"), col("e_cnt").as("cnt")))
+        .localCheckpoint()
+      i += 1
+    }
+    vocab
+  }
+
   /** BM25 top-k retrieval — the de facto lexical ranking standard
     * (Robertson–Spärck Jones idf, tf saturation k1, length
     * normalization b), in FIXED-POINT integer arithmetic so the ranking

@@ -187,6 +187,38 @@ class PipelineSpec extends SparkSpec {
     assert(runMax(hash = true) == out)
   }
 
+  test("unigram-LM Viterbi EM step: best segmentation counts, char fallback, conservation") {
+    import spark.implicits._
+    val docs = Seq((0L, "abab abab ab"), (1L, "abab cd cd"), (2L, "qq xy"))
+      .toDF("doc_id", "text")
+    val words = TextAnalysis.unigramWords(docs, "text", maxWordLen = 12)
+    val wm = words.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wm == Map("abab" -> 3L, "ab" -> 1L, "cd" -> 2L, "qq" -> 1L, "xy" -> 1L))
+    val vocab = TextAnalysis.unigramSeedVocab(words, maxPieceLen = 2, minCount = 2)
+    val vm = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sub-minCount multi-char pieces (qq, xy) drop; chars always survive
+    assert(vm("ab") == 7L && vm("ba") == 3L && vm("cd") == 2L)
+    assert(!vm.contains("qq") && !vm.contains("xy") && vm.contains("q") && vm.contains("x"))
+    val counts = TextAnalysis.unigramViterbiCounts(
+      words, TextAnalysis.unigramWeights(vocab), maxPieceLen = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 'abab' segments ab|ab (2 pieces of mass 7 beat 4 chars of mass 7),
+    // 'cd' keeps its bigram, 'qq'/'xy' fall back to chars
+    assert(counts("ab") == 7L && counts("cd") == 2L, s"got $counts")
+    assert(counts("q") == 2L && counts("x") == 1L && counts("y") == 1L)
+    assert(!counts.contains("ba") && !counts.contains("a"))
+    // conservation: every char of every word occurrence covered exactly once
+    val covered = counts.map { case (p, c) => p.length * c }.sum
+    val chars = wm.map { case (w, f) => w.length * f }.sum
+    assert(covered == chars, s"covered $covered != corpus chars $chars")
+    // trained loop: unused pieces prune, char fallbacks persist at floor 1,
+    // the winning subwords keep their expected counts (stable fixed point)
+    val trained = TextAnalysis.unigramTrainLoop(words, 2, 2, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(trained("ab") == 7L && trained("cd") == 2L)
+    assert(!trained.contains("ba") && trained("a") == 1L && trained("q") == 2L)
+  }
+
   test("trained weight artifact: contrast weights, broadcast scoring, unseen weighs 0") {
     import spark.implicits._
     val labeled = Seq(
