@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-probe data amplifier: writes a `mult`× copy of a testdata
+  * scale factor under an output dir (NEVER under /root/testdata) so the
+  * bench suite can be run one scale factor up and slopes recorded in
+  * SCALE.md. Amplification is key-shifted so cardinalities actually
+  * scale (a naive union of identical rows would just deepen LWW piles):
+  *
+  *  - orders/lineitem: order/customer keys offset per replica (lineitem
+  *    stays join-consistent with orders);
+  *  - events: user_id/event_id offset — 10× users over the same time
+  *    range (a bigger site, not a longer history);
+  *  - documents: doc_id offset; replica 0 keeps its text, replicas > 0
+  *    get a per-replica deterministic token SHUFFLE (sort by
+  *    xxhash64(token ‖ replica)) — same token statistics, distinct
+  *    n-gram shingles, so dedup legs see a mostly-distinct corpus like
+  *    a real 10× crawl instead of a 10-deep duplicate pile;
+  *  - embeddings: vec_id offset, vectors kept (ANN/k-means cost scales
+  *    with row count, not vector identity);
+  *  - dims (region/nation/customer/supplier/part): copied through
+  *    (part/customer/supplier also key-offset for cardinality).
+  *
+  * Usage: `runMain graft.Amplify <srcSfDir> <outDir> <mult>`.
+  */
+object Amplify {
+  private def replicas(spark: SparkSession, mult: Int): DataFrame =
+    spark.range(mult).select(col("id").cast("long").as("__rep"))
+
+  /** Union of `mult` key-shifted copies: each column in `offsets` gets
+    * `+ __rep * (max(col) + 1)` so replica key spaces never collide.
+    */
+  private def amplify(spark: SparkSession, df: DataFrame, mult: Int,
+      offsets: Seq[String]): DataFrame = {
+    val aggs = offsets.map(c => max(col(c)).as(c))
+    val mx = df.agg(aggs.head, aggs.tail: _*).head()
+    val shifted = offsets.zipWithIndex.foldLeft(
+      df.crossJoin(replicas(spark, mult))) { case (d, (c, i)) =>
+      d.withColumn(c, col(c) + col("__rep") * lit(mx.getLong(i) + 1L))
+    }
+    shifted.drop("__rep")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, multS) = args.take(3)
+    val mult = multS.toInt
+    require(!out.startsWith("/root/testdata"), "never write under testdata")
+    val spark = GraftSession.create(taskSideCommit = true)
+
+    def write(name: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[amplify] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
+    }
+    def tbl(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+
+    write("orders", amplify(spark, tbl("orders"), mult,
+      Seq("o_orderkey", "o_custkey")))
+    write("lineitem", amplify(spark, tbl("lineitem"), mult, Seq("l_orderkey")))
+    write("events", amplify(spark, tbl("events"), mult,
+      Seq("event_id", "user_id")))
+    // documents: shuffle tokens per replica > 0 (deterministic) so the
+    // amplified corpus is shingle-distinct, then recompute n_chars
+    val docs = amplify(spark, tbl("documents"), mult, Seq("doc_id"))
+      .withColumn("__rep", col("doc_id")) // replica id folded into doc_id already
+    val docMax = tbl("documents").agg(max("doc_id")).head().getLong(0)
+    val shuffled = docs
+      .withColumn("__r", (col("doc_id") / lit(docMax + 1L)).cast("long"))
+      .withColumn("text", when(col("__r") === 0L, col("text")).otherwise(
+        expr("""concat_ws(' ', transform(array_sort(transform(
+               |  split(text, '\\s+'),
+               |  t -> struct(xxhash64(concat(t, CAST(__r AS STRING))) AS h, t AS t))),
+               |  s -> s.t))""".stripMargin)))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("__rep", "__r")
+    write("documents", shuffled)
+    write("embeddings", amplify(spark, tbl("embeddings"), mult, Seq("vec_id")))
+    write("customer", tbl("customer"))
+    write("supplier", tbl("supplier"))
+    write("part", tbl("part"))
+    write("region", tbl("region"))
+    write("nation", tbl("nation"))
+    spark.stop()
+  }
+}

@@ -76,7 +76,14 @@ object Bench {
     // with ZERO code change (BENCH_r05 vs r06). The median is the reported
     // cost; the printed spread makes a wide run self-identify as noise so
     // a regression is attributable to code, not the container.
-    def leg(name: String)(f: => Long): Unit = {
+    // SPARK_GRAFT_BENCH_SKIP (comma-separated leg names) drops legs from
+    // the run — the sf1 scaling probe uses it to step past the
+    // deliberately-unguarded oracle twins that (by design) do not
+    // survive a 10× corpus; the driver never sets it.
+    val skipLegs: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    def leg(name: String)(f: => Long): Unit = if (!skipLegs.contains(name)) {
       def once(): (Double, Long) = {
         val t0 = System.nanoTime()
         val n = f
@@ -100,7 +107,7 @@ object Bench {
     // (queryExecution.toRdd.count() — same distributed row count as
     // .count(), minus the final 1-row agg), so per-leg scan/shuffle metrics
     // can be harvested from the executed plan of the LAST run.
-    def legDf(name: String)(mk: => DataFrame): Unit = {
+    def legDf(name: String)(mk: => DataFrame): Unit = if (!skipLegs.contains(name)) {
       var last: DataFrame = null
       def once(): (Double, Long) = {
         val t0 = System.nanoTime()

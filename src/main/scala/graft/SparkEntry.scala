@@ -1641,6 +1641,31 @@ object SparkEntry {
         k = 10, rounds = 3)
     }),
 
+    // INCREMENTAL k-core: the transition graph hash-split into a
+    // standing base (~80%, peeled to a rounds artifact) and an edge
+    // delta (~20%) folded via the locality ball re-peel — survivors +
+    // in-core degrees over the recombined graph must equal the full
+    // recompute, gated under p231's oracle.
+    "p240_kcore_delta" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val edges = itemTransitionEdges(s, dir)
+        .localCheckpoint(eager = false) // split read twice + readout
+      val isDelta = graft.pipeline.TextAnalysis.hash60(
+        concat(least(col("from_type"), col("to_type")).cast("string"),
+          lit(":"),
+          greatest(col("from_type"), col("to_type")).cast("string"))) % 5 === 0
+      val base = edges.filter(!isDelta)
+      val delta = edges.filter(isDelta)
+      val art = graft.operators.EventOps.kCoreRounds(
+        base, "from_type", "to_type", k = 10, rounds = 3)
+      val folded = graft.operators.EventOps.kCoreDelta(
+        art, base, delta, "from_type", "to_type", k = 10, rounds = 3)
+      graft.operators.EventOps.kCoreSurvivors(folded,
+        edges.select(least(col("from_type"), col("to_type")).as("x"),
+          greatest(col("from_type"), col("to_type")).as("y"))
+          .filter(col("x") =!= col("y")).distinct())
+    }),
+
     // Incremental triangle maintenance: the transition graph hash-split
     // into a standing base (~80%) and an edge delta (~20%); the
     // maintained artifact (base counts) plus triangleDelta's increments
@@ -6815,6 +6840,7 @@ object SparkEntry {
 
     "p192_item_triangles" -> triangleCountsOracleSql,
     "p231_kcore" -> kCoreOracleSql,
+    "p240_kcore_delta" -> kCoreOracleSql,
 
     // p213 gates incremental maintenance under the SAME oracle: the
     // hash-split base+delta recombine to the full transition graph, so

@@ -1132,28 +1132,171 @@ object EventOps {
     */
   def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
       k: Int, rounds: Int): DataFrame = {
-    require(k >= 1, s"k $k must be >= 1")
-    require(rounds >= 1 && rounds <= 20, s"rounds $rounds outside [1,20]")
-    var e = edges.select(col(srcCol).as("x0"), col(dstCol).as("y0"))
+    val e = canonicalUndirected(edges, srcCol, dstCol)
+      .localCheckpoint(eager = false) // rounds loop + survivors readout
+    kCoreSurvivors(kCoreRounds(e, "x", "y", k, rounds), e)
+  }
+
+  /** Canonical undirected edge view (x < y): self-loops drop,
+    * (u,v)/(v,u)/multi edges collapse — the shared front of the k-core
+    * family (and the same rule the triangle/CC ops apply).
+    */
+  private def canonicalUndirected(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges.select(col(srcCol).as("x0"), col(dstCol).as("y0"))
       .filter(col("x0") =!= col("y0"))
       .select(least(col("x0"), col("y0")).as("x"),
         greatest(col("x0"), col("y0")).as("y"))
-      .distinct().localCheckpoint()
-    def degrees(ed: DataFrame): DataFrame =
-      ed.select(col("x").as("node")).union(ed.select(col("y").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("dg"))
-    var keep = e.sparkSession.emptyDataFrame
-    (1 to rounds).foreach { _ =>
-      keep = degrees(e).filter(col("dg") >= k).select(col("node"))
-        .localCheckpoint() // e joins it twice below
+      .distinct()
+
+  private def undirectedDegrees(ed: DataFrame): DataFrame =
+    ed.select(col("x").as("node")).union(ed.select(col("y").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+
+  /** k-core peel with per-node removal ROUNDS — the MAINTAINABLE form
+    * of [[kCorePeel]]: one row per node of the canonical graph with
+    * `removed_round` = the 1-based peel round that removed it, or NULL
+    * for survivors of all `rounds` rounds. A node alive at the start of
+    * round r (removed_round IS NULL OR removed_round >= r) is exactly
+    * what a neighbor's round-r degree counts, so this artifact carries
+    * everything [[kCoreDelta]]'s boundary re-peel needs. [[kCorePeel]]
+    * is the survivors readout over this loop — ONE peel definition.
+    */
+  def kCoreRounds(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    require(rounds >= 1 && rounds <= 20, s"rounds $rounds outside [1,20]")
+    var e = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
+    val allNodes = e.select(col("x").as("node"))
+      .union(e.select(col("y").as("node"))).distinct().localCheckpoint()
+    var alive = allNodes
+    var removed: Option[DataFrame] = None
+    (1 to rounds).foreach { r =>
+      // isolated-but-alive nodes have no degree row: degree 0 < k removes
+      val kept = alive.join(undirectedDegrees(e), Seq("node"), "left")
+        .filter(coalesce(col("dg"), lit(0L)) >= k).select(col("node"))
+        .localCheckpoint() // e joins it twice + the anti probe
+      val rem = alive.join(kept, Seq("node"), "left_anti")
+        .select(col("node"), lit(r).cast("int").as("removed_round"))
+      removed = Some(removed.fold(rem)(_.unionByName(rem)))
+      alive = kept
       e = graft.pipeline.Dedup.checkpointFreshStats(
-        e.join(keep.select(col("node").as("x")), Seq("x"), "left_semi")
-          .join(keep.select(col("node").as("y")), Seq("y"), "left_semi"))
+        e.join(kept.select(col("node").as("x")), Seq("x"), "left_semi")
+          .join(kept.select(col("node").as("y")), Seq("y"), "left_semi"))
     }
-    keep
-      .join(degrees(e).withColumnRenamed("dg", "degree"), Seq("node"), "left")
+    allNodes.join(removed.get, Seq("node"), "left")
+      .select(col("node"), col("removed_round"))
+  }
+
+  /** Survivors + in-core degrees readout from a rounds artifact: the
+    * edges among survivors ARE the peeled graph (an edge survives every
+    * round iff both endpoints do), so kCorePeel's (node, degree) shape
+    * falls out of one semi-join pass + one aggregate.
+    */
+  def kCoreSurvivors(artifact: DataFrame, canonicalEdges: DataFrame): DataFrame = {
+    val surv = artifact.filter(col("removed_round").isNull)
+      .select(col("node")).localCheckpoint(eager = false) // 3 probes below
+    val core = canonicalEdges
+      .join(surv.select(col("node").as("x")), Seq("x"), "left_semi")
+      .join(surv.select(col("node").as("y")), Seq("y"), "left_semi")
+    surv.join(undirectedDegrees(core).withColumnRenamed("dg", "degree"),
+        Seq("node"), "left")
       .select(col("node"), coalesce(col("degree"), lit(0L)).cast("long")
         .as("degree"))
+  }
+
+  /** INCREMENTAL k-core — fold an edge DELTA into a standing
+    * [[kCoreRounds]] artifact without re-peeling the whole graph.
+    * Exactness comes from peel LOCALITY: with exactly `rounds` rounds,
+    * a node's outcome depends only on its (rounds−1)-hop neighborhood
+    * (round 1 reads incident edges; round r reads neighbors' round-r−1
+    * status), so only the ball of radius rounds−1 around the delta
+    * endpoints (grown over the UNION graph) can change. Nodes outside
+    * the ball keep their standing rows verbatim; the ball re-peels with
+    * BOUNDARY degrees read from the old artifact — an outside neighbor
+    * of a ball node is ≥ rounds hops from every delta edge, so its old
+    * per-round aliveness (removed_round IS NULL OR >= r) is exact for
+    * every round ≤ rounds.
+    *
+    * Bounded-Δ contract, enforced loudly: the ball is broadcast on
+    * every standing-side pass (BFS growth, subgraph and boundary
+    * extraction — the standing edges never shuffle), so `maxBallNodes`
+    * caps it; a delta whose cascade region approaches the graph should
+    * re-peel in full instead — degrading silently to standing-side
+    * shuffles would defeat the operator. Ball-sized frames do the
+    * actual re-peel. Returns the new (node, removed_round) artifact,
+    * row-identical to kCoreRounds(standing ∪ delta).
+    */
+  def kCoreDelta(artifact: DataFrame, standingEdges: DataFrame,
+      deltaEdges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int, maxBallNodes: Long = 5000000L): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 20, "k >= 1; rounds in [1,20]")
+    val stand = canonicalUndirected(standingEdges, srcCol, dstCol)
+      .localCheckpoint(eager = false) // BFS passes + subgraph + boundary
+    val delta = canonicalUndirected(deltaEdges, srcCol, dstCol)
+      .join(stand, Seq("x", "y"), "left_anti") // genuinely new edges only
+      .localCheckpoint()
+    val union = stand.unionByName(delta).localCheckpoint(eager = false)
+    def loudBall(b: DataFrame): DataFrame = {
+      require(b.count() <= maxBallNodes,
+        s"kCoreDelta: cascade ball exceeds maxBallNodes = $maxBallNodes — " +
+          "the fold force-broadcasts the ball; re-peel in full instead")
+      b
+    }
+    var ball = loudBall(delta.select(col("x").as("node"))
+      .union(delta.select(col("y").as("node"))).distinct().localCheckpoint())
+    (1 until rounds).foreach { _ =>
+      val nbrs = union.join(broadcast(ball.select(col("node").as("x"))),
+          Seq("x"), "left_semi").select(col("y").as("node"))
+        .union(union.join(broadcast(ball.select(col("node").as("y"))),
+          Seq("y"), "left_semi").select(col("x").as("node")))
+      ball = loudBall(ball.union(nbrs).distinct().localCheckpoint())
+    }
+    val bx = broadcast(ball.select(col("node").as("x")))
+    val by = broadcast(ball.select(col("node").as("y")))
+    val ballEdges = union.join(bx, Seq("x"), "left_semi")
+      .join(by, Seq("y"), "left_semi").localCheckpoint()
+    // boundary edges (exactly one endpoint in the ball) with the out
+    // node's OLD removal round; delta edges are always both-in-ball, so
+    // every out node exists in the standing artifact
+    val boundary = union.join(bx, Seq("x"), "left_semi")
+      .join(by, Seq("y"), "left_anti")
+      .select(col("x").as("node"), col("y").as("out"))
+      .unionByName(union.join(by, Seq("y"), "left_semi")
+        .join(bx, Seq("x"), "left_anti")
+        .select(col("y").as("node"), col("x").as("out")))
+      .join(artifact.select(col("node").as("out"),
+        col("removed_round").as("out_round")), Seq("out"), "left")
+    // per-round boundary aliveness counts: out is alive entering round r
+    // iff it survived or was removed at round >= r
+    val bndAggs = (1 to rounds).map(r =>
+      sum(when(col("out_round").isNull || col("out_round") >= r, 1L)
+        .otherwise(0L)).as(s"b$r"))
+    val bnd = boundary.groupBy(col("node"))
+      .agg(bndAggs.head, bndAggs.tail: _*).localCheckpoint()
+    // re-peel the ball with boundary degrees folded in per round
+    var alive = ball
+    var e = ballEdges
+    var removed: Option[DataFrame] = None
+    (1 to rounds).foreach { r =>
+      val kept = alive.join(undirectedDegrees(e), Seq("node"), "left")
+        .join(bnd, Seq("node"), "left")
+        .filter(coalesce(col("dg"), lit(0L)) +
+          coalesce(col(s"b$r"), lit(0L)) >= k)
+        .select(col("node")).localCheckpoint()
+      val rem = alive.join(kept, Seq("node"), "left_anti")
+        .select(col("node"), lit(r).cast("int").as("removed_round"))
+      removed = Some(removed.fold(rem)(_.unionByName(rem)))
+      alive = kept
+      e = graft.pipeline.Dedup.checkpointFreshStats(
+        e.join(kept.select(col("node").as("x")), Seq("x"), "left_semi")
+          .join(kept.select(col("node").as("y")), Seq("y"), "left_semi"))
+    }
+    val ballArt = ball.join(removed.get, Seq("node"), "left")
+      .select(col("node"), col("removed_round"))
+    artifact.join(broadcast(ball), Seq("node"), "left_anti")
+      .select(col("node"), col("removed_round"))
+      .unionByName(ballArt)
   }
 
   /** Per-node triangle counts over an undirected graph given as (src,

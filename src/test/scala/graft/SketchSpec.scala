@@ -398,6 +398,52 @@ class SketchSpec extends SparkSpec {
     assert(EventOps.kCorePeel(g, "s", "d", k = 5, rounds = 2).isEmpty)
   }
 
+  test("kCoreDelta: rescue cascade crosses the ball, fold ≡ full, noop delta, loud bound") {
+    // standing: square 1-2-3-4 (survives forever at k=2) + pendant chain
+    // 1-7-6-5 peeling one node per round (5@r1, 6@r2, 7@r3)
+    val standing = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (1L, 7L), (7L, 6L), (6L, 5L)).toDF("s", "d")
+    def art(df: org.apache.spark.sql.DataFrame) =
+      EventOps.kCoreRounds(df, "s", "d", k = 2, rounds = 3)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) 0 else r.getInt(1))).toMap
+    assert(art(standing) == Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 0,
+      5L -> 1, 6L -> 2, 7L -> 3))
+    // delta: triangle 5-8-9 rescues 5; the rescue cascades 2 hops (6 at
+    // round 2, 7 at round 3) — exactly the rounds−1 ball radius; node 1
+    // stays OUTSIDE the ball and feeds the re-peel as boundary state
+    val delta = Seq((5L, 8L), (5L, 9L), (8L, 9L)).toDF("s", "d")
+    val standingArt = EventOps.kCoreRounds(standing, "s", "d", 2, 3)
+    def toMapArt(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) 0 else r.getInt(1))).toMap
+    val folded = toMapArt(EventOps.kCoreDelta(
+      standingArt, standing, delta, "s", "d", k = 2, rounds = 3))
+    val full = art(standing.unionByName(delta))
+    assert(folded == full, s"folded $folded != full $full")
+    assert(full.values.forall(_ == 0), "everything survives after the rescue")
+    // the survivors readout matches kCorePeel on the union graph
+    val union = standing.unionByName(delta)
+    val canon = union.select(least(col("s"), col("d")).as("x"),
+      greatest(col("s"), col("d")).as("y")).distinct()
+    val viaFold = EventOps.kCoreSurvivors(EventOps.kCoreDelta(
+        standingArt, standing, delta, "s", "d", 2, 3), canon)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaFull = EventOps.kCorePeel(union, "s", "d", 2, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaFold == viaFull)
+    // noop delta (already-standing edges) returns the artifact verbatim
+    val noop = toMapArt(EventOps.kCoreDelta(standingArt, standing,
+      Seq((1L, 2L), (2L, 1L)).toDF("s", "d"), "s", "d", 2, 3))
+    assert(noop == art(standing))
+    // the cascade ball must refuse loudly above the bound
+    val e = intercept[IllegalArgumentException] {
+      EventOps.kCoreDelta(standingArt, standing, delta, "s", "d", 2, 3,
+        maxBallNodes = 2L)
+    }
+    assert(e.getMessage.contains("maxBallNodes"))
+  }
+
   test("pageRankDelta: folded artifact ranks ≡ full recompute; warm composition; loud bound") {
     // standing graph with a sink and a hub; delta touches an existing
     // source (2), adds a parallel row for an existing edge (1→2), and
