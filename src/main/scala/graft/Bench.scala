@@ -483,6 +483,19 @@ object Bench {
         "event_id", "tus", window = 21600000000L)
     }
 
+    // the density-proof ECDF/rank twin next to the bin path — the sf1
+    // slope table's fix measured side by side (bin pairs are quadratic
+    // in event density; ranks stay ~linear)
+    legDf("window_join_rank") {
+      val ev = CellEncodings.table(spark, sfDir, "events")
+        .select(col("event_id"), expr("ts div 1000").as("tus"),
+          col("event_type"))
+      graft.operators.EventOps.nearbyCountRank(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "error"),
+        "event_id", "tus", window = 21600000000L)
+    }
+
     // drift monitors: per-day CMS L1 drift series + per-type winsorized
     // stats in one leg — the corpus-observability family (histogram
     // aggregates + metrics-space windows, bounded outputs)

@@ -1057,6 +1057,37 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cluster"), col("d2"))
     }),
 
+    // IVF index MAINTENANCE as a standing artifact (the p224 fold shape
+    // at ANN grain): persist the base index (id, cell, embedding) under
+    // the frozen p92 codebook, fold the new batch by loud disjoint
+    // APPEND, and probe the query's cell through the folded index — the
+    // result must equal an index built over the full corpus with the
+    // same codebook (the oracle recomputes codebook, assignment and the
+    // in-cell cosine top-k in SQL).
+    "p241_ivf_index_fold" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = table(s, dir, "embeddings")
+        .localCheckpoint(eager = false) // base/delta/query splits
+      val base = e.filter(col("vec_id") % 10 =!= 0)
+      val delta = e.filter(col("vec_id") % 10 === 0 && col("vec_id") =!= 0)
+      val codebook = graft.pipeline.Similarity.refinedCentroids(
+        graft.pipeline.Similarity.kmeansStepExact(base, "vec_id", "embedding", k = 8))
+        .localCheckpoint() // FROZEN: indexes both sides + assigns the query
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_p241_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.pipeline.Similarity.ivfIndexTable(base, "vec_id", "embedding", codebook, 8)
+        .write.mode("overwrite").parquet(s"$path/index")
+      val folded = graft.pipeline.Similarity.foldIvfIndex(
+        s.read.parquet(s"$path/index"),
+        graft.pipeline.Similarity.ivfIndexTable(delta, "vec_id", "embedding", codebook, 8))
+      val q0 = e.filter(col("vec_id") === 0)
+      val q = graft.pipeline.Similarity.assignExact(
+          q0, "vec_id", "embedding", codebook, 8)
+        .join(q0.select(col("vec_id").as("id"), col("embedding")), Seq("id"))
+        .select(col("embedding").as("q"), col("cluster").as("qcell"))
+      graft.pipeline.Similarity.ivfTopK(folded, "id", "embedding", "cell", q, 10)
+        .select(col("rank").cast("long").as("rank"), col("id").as("vec_id"))
+    }),
+
     // Token-length histogram in the EstimatedHistogram bucket space:
     // the reference's ~20% geometric buckets over a corpus statistic —
     // ~90 rows at any corpus size, shard-summable. Oracle shares the
@@ -1370,6 +1401,22 @@ object SparkEntry {
         .select(col("event_id"), expr("ts div 1000").as("tus"),
           col("event_type"))
       graft.operators.EventOps.nearbyCount(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "error"),
+        "event_id", "tus", window = 21600000000L)
+    }),
+
+    // The DENSITY-PROOF twin of p149: the same ±6 h counts through the
+    // error ECDF (two signed rank lookups per purchase over ONE
+    // exactPrefixSums pass) — row-identical under p149's oracle; the
+    // sf1 slope table is why it exists (bin pairs go quadratic in
+    // event density, ranks stay ~linear).
+    "p242_window_join_rank" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), expr("ts div 1000").as("tus"),
+          col("event_type"))
+      graft.operators.EventOps.nearbyCountRank(
         ev.filter(col("event_type") === "purchase"),
         ev.filter(col("event_type") === "error"),
         "event_id", "tus", window = 21600000000L)
@@ -4995,6 +5042,20 @@ object SparkEntry {
        |FROM pc JOIN w USING (word) GROUP BY 1""".stripMargin
   }
 
+  /** Shared DuckDB lineage for the unkeyed ±6 h window count — p149
+    * gates the bin-decomposition path, p242 the density-proof ECDF/rank
+    * path (same rows by construction).
+    */
+  private lazy val windowJoinOracleSql: String =
+    """WITH p AS (SELECT event_id AS id, epoch_us(ts) AS t FROM events
+      |           WHERE event_type = 'purchase'),
+      |e AS (SELECT event_id AS eid, epoch_us(ts) AS te FROM events
+      |      WHERE event_type = 'error')
+      |SELECT p.id, p.t, count(e.eid) AS n_near
+      |FROM p LEFT JOIN e
+      |  ON abs(e.te - p.t) <= 21600000000 AND e.eid <> p.id
+      |GROUP BY 1, 2""".stripMargin
+
   private lazy val asofOracleSql: String =
     """WITH c AS (SELECT user_id, epoch_us(ts) AS cus, max(event_id) AS click_id
       |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
@@ -5407,6 +5468,40 @@ object SparkEntry {
         |      FROM d1)
         |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, d2
         |FROM r WHERE rn = 1""".stripMargin
+
+  /** p241: the IVF-index fold probed end-to-end in SQL — refined
+    * codebook from the base split (p92's lineage), assignment of EVERY
+    * vector against it, then the cosine top-10 within the QUERY's
+    * assigned cell (p10's ranking tail). The engine's folded index must
+    * reproduce this exactly — the fold law is "probe ≡ full-corpus
+    * index under the same frozen codebook".
+    */
+  private lazy val ivfIndexFoldOracleSql: String =
+    kmeansOracleCtes("WHERE vec_id % 10 <> 0") +
+      """,
+        |st AS (SELECT cluster, pos, CAST(sum(m) AS BIGINT) AS s, count(*) AS n
+        |       FROM comp JOIN a USING (vec_id) GROUP BY 1, 2),
+        |rc AS (SELECT cluster, pos, (s - ((s % n + n) % n)) // n AS cm FROM st),
+        |ca AS (SELECT vec_id,
+        |         unnest(generate_series(0, len(embedding) - 1)) AS pos,
+        |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS m
+        |       FROM e),
+        |dall AS (SELECT ca.vec_id, rc.cluster,
+        |           CAST(sum((m - cm) * (m - cm)) AS BIGINT) AS d2
+        |         FROM ca JOIN rc USING (pos) GROUP BY 1, 2),
+        |aall AS (SELECT vec_id, cluster FROM (
+        |           SELECT vec_id, cluster,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        |           FROM dall) WHERE rn = 1),
+        |vs AS (SELECT e.vec_id,
+        |         list_cosine_similarity((embedding)::DOUBLE[],
+        |           ((SELECT embedding FROM embeddings WHERE vec_id = 0))::DOUBLE[]) AS sim
+        |       FROM e JOIN aall USING (vec_id)
+        |       WHERE e.vec_id <> 0
+        |         AND aall.cluster = (SELECT cluster FROM aall WHERE vec_id = 0)),
+        |rk AS (SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+        |       FROM vs)
+        |SELECT CAST(rank AS BIGINT) AS rank, vec_id FROM rk WHERE rank <= 10""".stripMargin
 
   /** The whole-corpus refined-assignment lineage (second Lloyd
     * iteration over every vector — a2 = (vec_id, cluster)) shared by
@@ -5961,6 +6056,7 @@ object SparkEntry {
         |SELECT doc_id AS id, lang AS pred_lang, score FROM r WHERE rn = 1""".stripMargin,
 
     "p92_index_refresh" -> indexRefreshOracleSql,
+    "p241_ivf_index_fold" -> ivfIndexFoldOracleSql,
 
     // p106 streams the SAME persisted-codebook assignment p92 computes
     // in batch (stateless broadcast argmin, arrival-order-insensitive
@@ -6589,15 +6685,8 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.item = c.item AND p.pus >= c.cus""".stripMargin,
 
-    "p149_window_join" ->
-      """WITH p AS (SELECT event_id AS id, epoch_us(ts) AS t FROM events
-        |           WHERE event_type = 'purchase'),
-        |e AS (SELECT event_id AS eid, epoch_us(ts) AS te FROM events
-        |      WHERE event_type = 'error')
-        |SELECT p.id, p.t, count(e.eid) AS n_near
-        |FROM p LEFT JOIN e
-        |  ON abs(e.te - p.t) <= 21600000000 AND e.eid <> p.id
-        |GROUP BY 1, 2""".stripMargin,
+    "p149_window_join" -> windowJoinOracleSql,
+    "p242_window_join_rank" -> windowJoinOracleSql,
 
     // p150 (cold start) and p220 (the warm-start code path continuing
     // from the 1-iteration artifact) share this unrolled 3-iteration

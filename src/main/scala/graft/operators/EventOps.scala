@@ -672,6 +672,59 @@ object EventOps {
       .agg(count(col("eid")).as("n_near"))
   }
 
+  /** [[nearbyCount]] recomputed DENSITY-PROOF through the event ECDF:
+    * counting events in [t − w, t + w] never needs the (probe, event)
+    * pairs — it is two rank lookups into the events' time order. Each
+    * probe contributes two signed lookup points, (t + w, +1) and
+    * (t − w − 1, −1); ONE [[graft.pipeline.TextAnalysis.exactPrefixSums]]
+    * pass over events ∪ lookups (events sort BEFORE lookups at equal
+    * time, so a lookup's running sum is exactly #events at-or-before
+    * its x) makes the whole job an O((n+m) log) sort — no pair ever
+    * materializes. The id-equality self-exclusion is a separate
+    * ID-KEYED join correction (equi-join, cheap). Output is
+    * row-identical to [[nearbyCount]] (p242 gates it under p149's
+    * oracle, duplicate-probe double-count convention included).
+    *
+    * Why it exists: the bin decomposition's per-bin pair work is
+    * QUADRATIC in event density — at 10× events over the same time
+    * span it pays ~100× (measured: the sf1 slope table in SCALE.md ran
+    * window_join at 54.8×/10×), while this path scales with rows, not
+    * pairs. The bin path remains right when the caller needs the
+    * matched PAIRS, not counts.
+    */
+  def nearbyCountRank(probe: DataFrame, events: DataFrame, idCol: String,
+      tsCol: String, window: Long): DataFrame = {
+    require(window > 0, s"window $window must be positive")
+    val p = probe.select(col(idCol).as("id"), col(tsCol).cast("long").as("t"))
+      .localCheckpoint(eager = false) // lookup explode + self-correction
+    val e = events.select(col(idCol).as("eid"),
+        col(tsCol).cast("long").as("te"))
+      .localCheckpoint(eager = false) // ECDF union + self-correction
+    val idType = p.schema("id").dataType
+    val lookups = p.select(col("id"), col("t"), explode(array(
+        struct((col("t") + window).as("x"), lit(1L).as("sgn")),
+        struct((col("t") - window - 1L).as("x"), lit(-1L).as("sgn")))).as("l"))
+      .select(col("l.x").as("x"), lit(1).as("kind"), lit(0L).as("v"),
+        col("id"), col("t"), col("l.sgn").as("sgn"))
+    val unioned = e.select(col("te").as("x"), lit(0).as("kind"),
+        lit(1L).as("v"), lit(null).cast(idType).as("id"),
+        lit(null).cast("long").as("t"), lit(0L).as("sgn"))
+      .unionByName(lookups)
+    val cum = graft.pipeline.TextAnalysis.exactPrefixSums(unioned,
+      Seq(col("x").asc, col("kind").asc, col("sgn").asc, col("id").asc), "v")
+    val raw = cum.filter(col("kind") === 1)
+      .groupBy(col("id"), col("t"))
+      .agg(sum(col("sgn") * col("cum")).as("n_raw"))
+    // self-exclusion: events sharing the probe's id inside the window
+    val selfCnt = p.join(e,
+        col("eid") === col("id") && abs(col("te") - col("t")) <= window,
+        "left")
+      .groupBy(col("id"), col("t")).agg(count(col("eid")).as("n_self"))
+    raw.join(selfCnt, Seq("id", "t"))
+      .select(col("id"), col("t"),
+        (col("n_raw") - col("n_self")).cast("long").as("n_near"))
+  }
+
   /** UNKEYED interval × point join: per interval, how many `points`
     * rows fall inside [start, end] — the second member of the
     * no-equality-key family next to [[nearbyCount]] ("how many error

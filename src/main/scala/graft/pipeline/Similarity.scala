@@ -481,6 +481,48 @@ object Similarity {
     assignComp(microComp(df, idCol, vecCol, "id", "m"), centroidComp)
   }
 
+  /** Standing IVF index TABLE — the persisted ANN artifact
+    * (id, cell, embedding): every vector assigned to its nearest
+    * codebook centroid ([[assignExact]]), carrying its raw vector for
+    * the in-cell re-rank. This is what a 100 TB corpus keeps standing:
+    * queries probe ONE cell's rows (the [[ivfTopK]] shape), and ingest
+    * folds new batches by APPEND ([[foldIvfIndex]]) — never a corpus
+    * re-scan, never a re-assignment of standing rows.
+    */
+  def ivfIndexTable(df: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, k: Int): DataFrame =
+    assignExact(df, idCol, vecCol, codebook, k)
+      .join(df.select(col(idCol).as("id"), col(vecCol).as("embedding")),
+        Seq("id"))
+      .select(col("id"), col("cluster").as("cell"), col("embedding"))
+
+  /** Fold a NEW batch into a standing IVF index — the artifact-fold law
+    * at ANN grain: the codebook is FROZEN (cells stay comparable;
+    * re-training the codebook is a REINDEX, not a fold), so maintenance
+    * is a pure append of disjoint ids and the folded index probes
+    * identically to one built over the full corpus with the same
+    * codebook. Disjointness IS the fold's correctness and is enforced
+    * loudly (broadcast probe of the bounded delta against standing ids
+    * — the standing side never shuffles); a colliding id means an
+    * upstream dedupe or a reindex, never a silent duplicate that would
+    * double-count a vector in every future probe.
+    */
+  def foldIvfIndex(index: DataFrame, newRows: DataFrame,
+      maxDeltaRows: Long = 50000000L): DataFrame = {
+    val d = newRows.select(col("id"), col("cell"), col("embedding"))
+      .localCheckpoint() // counted + collision probe + union
+    val n = d.count()
+    require(n <= maxDeltaRows,
+      s"foldIvfIndex: |delta| = $n exceeds maxDeltaRows = $maxDeltaRows — " +
+        "the fold broadcasts the delta against the standing ids; fold in " +
+        "slices or reindex")
+    require(index.join(broadcast(d.select(col("id"))), Seq("id"), "left_semi")
+        .isEmpty,
+      "foldIvfIndex: delta ids collide with the standing index — dedupe " +
+        "the batch or reindex")
+    index.select(col("id"), col("cell"), col("embedding")).unionByName(d)
+  }
+
   /** Second Lloyd iteration ENTIRELY in integer space + the migration
     * report: refined centroids are the floor-divided means of the first
     * iteration's sufficient statistics (floor semantics spelled out as

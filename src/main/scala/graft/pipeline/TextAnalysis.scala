@@ -813,9 +813,10 @@ object TextAnalysis {
   /** Per-GROUP exact rank, scalably — [[exactRankBuckets]] generalized
     * to a partitioned rank: range-repartition on (group, sort key), pin
     * the partitioning, read per-(partition, group) counts (≤ #partitions
-    * × #groups rows — the driver collect stays bounded for the
-    * mixture-sized group cardinalities this serves, same premise as
-    * [[temperatureRates]]), then rank = (pid, group) offset +
+    * × #groups rows — mixture-sized group cardinalities, the same
+    * premise as [[temperatureRates]], enforced LOUDLY by the
+    * `maxOffsetCells` bound on the driver collect), then rank =
+    * (pid, group) offset +
     * within-(pid, group) row_number. A plain `PARTITION BY group` window
     * would funnel each group through ONE task — a head group holding
     * half the corpus becomes a half-corpus sort on one core; here every

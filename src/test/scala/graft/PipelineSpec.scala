@@ -219,6 +219,50 @@ class PipelineSpec extends SparkSpec {
     assert(!trained.contains("ba") && trained("a") == 1L && trained("q") == 2L)
   }
 
+  test("IVF index fold: append law, probe ≡ full index, loud collision and bound") {
+    import spark.implicits._
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val base = Seq((1L, v(1, 0)), (2L, v(0.9, 0.1)), (3L, v(0, 1)),
+      (4L, v(0.1, 0.9))).toDF("vec_id", "embedding")
+    val delta = Seq((5L, v(0.95, 0.05)), (6L, v(0.05, 0.95)))
+      .toDF("vec_id", "embedding")
+    val codebook = Similarity.refinedCentroids(
+      Similarity.kmeansStepExact(base, "vec_id", "embedding", 2)).localCheckpoint()
+    val idx = Similarity.ivfIndexTable(base, "vec_id", "embedding", codebook, 2)
+    val folded = Similarity.foldIvfIndex(idx,
+      Similarity.ivfIndexTable(delta, "vec_id", "embedding", codebook, 2))
+    val full = Similarity.ivfIndexTable(base.unionByName(delta),
+      "vec_id", "embedding", codebook, 2)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("cell")).collect()
+        .map(r => r.getLong(0) -> r.get(1).toString).toSet
+    assert(cells(folded) == cells(full)) // fold ≡ full under the frozen codebook
+    // probe the query's cell through both indexes — identical ranking,
+    // and only the x-cluster's vectors are candidates
+    val q0 = Seq((0L, v(0.98, 0.02))).toDF("vec_id", "embedding")
+    val q = Similarity.assignExact(q0, "vec_id", "embedding", codebook, 2)
+      .join(q0.select(col("vec_id").as("id"), col("embedding")), Seq("id"))
+      .select(col("embedding").as("q"), col("cluster").as("qcell"))
+      .localCheckpoint()
+    def probe(ix: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopK(ix, "id", "embedding", "cell", q, 3)
+        .collect().map(r => r.getAs[Long]("id")).toSeq
+    val got = probe(folded)
+    assert(got == probe(full))
+    assert(got.toSet.subsetOf(Set(1L, 2L, 5L)), s"got $got")
+    // colliding ids refuse loudly (an append fold must never double-count)
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.foldIvfIndex(folded, idx).count()
+    }
+    assert(e1.getMessage.contains("collide"))
+    // the delta bound refuses loudly
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.foldIvfIndex(idx, Similarity.ivfIndexTable(delta,
+        "vec_id", "embedding", codebook, 2), maxDeltaRows = 1L)
+    }
+    assert(e2.getMessage.contains("maxDeltaRows"))
+  }
+
   test("trained weight artifact: contrast weights, broadcast scoring, unseen weighs 0") {
     import spark.implicits._
     val labeled = Seq(

@@ -1029,6 +1029,29 @@ class SketchSpec extends SparkSpec {
     assert(got3 == Map(1L -> 0L))
   }
 
+  test("nearbyCountRank: identical to nearbyCount — edges, self-exclusion, zero probes") {
+    // the density-proof ECDF path must reproduce the bin path row by
+    // row on every semantic corner the bin spec pins
+    val probes = Seq((1L, 100L), (2L, 500L)).toDF("id", "t")
+    val events = Seq((10L, 90L), (11L, 110L), (12L, 110L),
+      (13L, 1000L), (1L, 100L)).toDF("id", "t")
+    def both(p: org.apache.spark.sql.DataFrame,
+        e: org.apache.spark.sql.DataFrame, w: Long) = (
+      EventOps.nearbyCount(p, e, "id", "t", w)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap,
+      EventOps.nearbyCountRank(p, e, "id", "t", w)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap)
+    val (bin1, rank1) = both(probes, events, 20L)
+    assert(rank1 == bin1 && rank1 == Map((1L, 100L) -> 3L, (2L, 500L) -> 0L))
+    // exact boundary |Δt| = window is IN on both paths
+    val (bin2, rank2) = both(probes, Seq((20L, 120L)).toDF("id", "t"), 20L)
+    assert(rank2 == bin2 && rank2((1L, 100L)) == 1L)
+    // zero-match probe reports 0 (never vanishes); self twin excluded
+    val near = Seq((1L, 50L), (8L, 29L), (7L, 71L)).toDF("id", "t")
+    val (bin3, rank3) = both(Seq((1L, 50L)).toDF("id", "t"), near, 20L)
+    assert(rank3 == bin3 && rank3 == Map((1L, 50L) -> 0L))
+  }
+
   test("pageRank: uniform cycle stays uniform; sink keeps teleport floor; mass bounded") {
     // 3-cycle a→b→c→a, unit weights: perfectly symmetric, every rank
     // stays exactly at scale through any number of iterations
