@@ -391,6 +391,14 @@ object Bench {
       graft.pipeline.Dedup.minhashNearDuplicates(docs, "doc_id", "text", 3, 32, 8, 4, 5)
     }
 
+    // bucket-capped twin (the band-grain skew guard the sf1 slope table
+    // motivated): degenerate band buckets are dropped whole before the
+    // candidate self-join — measured next to the uncapped leg
+    legDf("minhash_guarded") {
+      graft.pipeline.Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+        3, 32, 8, 4, 5, maxBucket = Some(64))
+    }
+
     // retrieval: the ad-hoc BM25 pass (tokenize the corpus per query)
     // next to the standing inverted index's term-keyed probe over the
     // SAME query — the p225 maintenance story's payoff measured side by

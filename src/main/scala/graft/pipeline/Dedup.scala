@@ -291,15 +291,40 @@ object Dedup {
   /** LSH candidate pairs: split the signature into `bands` bands of
     * numHashes/bands rows, hash each band, bucket-join — pairs agreeing on
     * at least one full band become candidates.
+    *
+    * `maxBucket` is the bucket-grain SKEW GUARD (the [[jaccardPairs]]
+    * maxDocFreq move at band grain): a bucket holding m members yields
+    * C(m, 2) candidate pairs, so one degenerate bucket — boilerplate-
+    * heavy shards, near-constant documents, a template flood — owns a
+    * quadratic share of the whole join (measured: the sf1 slope table
+    * ran the uncapped leg at 30× for 10× docs). Buckets larger than the
+    * cap are dropped WHOLE before the self-join. Recall contract, stated
+    * honestly: a true near-dup pair is missed only if EVERY band bucket
+    * it shares is over the cap — for genuinely near-duplicate pairs that
+    * means every band collides with ≥ maxBucket other docs, i.e. the
+    * pair sits inside a duplication blob the size of the cap, which is
+    * exact-dedup's domain (run [[exact]] first), not near-dup's. Oracle-
+    * gated call sites pass None (the DuckDB twins are uncapped).
     */
-  def lshCandidates(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  def lshCandidates(sig: DataFrame, numHashes: Int, bands: Int,
+      maxBucket: Option[Int] = None): DataFrame = {
     // materialize the banded signatures once: the bucket self-join below
     // references them on BOTH sides, and without this the full signature
     // aggregation (the min-hash pass over every shingle) is in two plan
     // branches — tiny table (docs × bands rows), big recompute saved
     val exploded = bandedBuckets(sig, numHashes, bands).localCheckpoint(eager = false)
-    exploded.select(col("id").as("ia"), col("band"), col("bh"))
-      .join(exploded.select(col("id").as("ib"), col("band"), col("bh")), Seq("band", "bh"))
+    val src = maxBucket match {
+      case Some(m) =>
+        require(m >= 2, s"maxBucket $m must be >= 2 (a pair needs a bucket of 2)")
+        val ok = exploded.groupBy(col("band"), col("bh"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") <= m)
+          .select(col("band"), col("bh"))
+        exploded.join(ok, Seq("band", "bh"), "left_semi")
+          .localCheckpoint(eager = false) // both self-join sides
+      case None => exploded
+    }
+    src.select(col("id").as("ia"), col("band"), col("bh"))
+      .join(src.select(col("id").as("ib"), col("band"), col("bh")), Seq("band", "bh"))
       .filter(col("ia") < col("ib"))
       .select("ia", "ib").distinct()
   }
@@ -325,12 +350,14 @@ object Dedup {
     * → exact-verify → threshold.
     */
   def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
-      n: Int, numHashes: Int, bands: Int, num: Int, den: Int): DataFrame = {
+      n: Int, numHashes: Int, bands: Int, num: Int, den: Int,
+      maxBucket: Option[Int] = None): DataFrame = {
     // one tokenize+explode+distinct pass: the shingle set feeds the
     // signature aggregation AND three joins inside verification — without
     // the checkpoint it re-derives in every branch
     val sh = shingles(df, idCol, textCol, n).localCheckpoint(eager = false)
-    val cand = lshCandidates(minhashSignatures(sh, numHashes), numHashes, bands)
+    val cand = lshCandidates(minhashSignatures(sh, numHashes), numHashes,
+      bands, maxBucket)
     verifyCandidates(cand, sh)
       .filter(col("inter") * den >= col("uni") * num)
   }

@@ -645,6 +645,31 @@ class PipelineSpec extends SparkSpec {
     assert(lsh == brute, s"LSH missed ${(brute -- lsh).take(5)}")
   }
 
+  test("minhash maxBucket guard: degenerate blob skipped whole, honest pairs survive") {
+    import spark.implicits._
+    // a 12-doc IDENTICAL blob (every band bucket holds all 12 — C(12,2)
+    // pairs per band uncapped) next to one honest near-dup pair
+    val blob = (0 until 12).map(i =>
+      (100L + i, "zig zag zog zeb zub zam zin zon zur zat"))
+    val pairDocs = Seq( // J = 12/14 ≈ 0.857 ≥ 4/5
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu xi omicron pi"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu xi omicron rho"))
+    val corpus = (blob ++ pairDocs).toDF("doc_id", "text")
+    def pairs(cap: Option[Int]) =
+      Dedup.minhashNearDuplicates(corpus, "doc_id", "text", 3, 32, 8, 4, 5,
+        maxBucket = cap)
+        .select("ia", "ib").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(None)
+    assert(uncapped.size == 66 + 1, s"got ${uncapped.size}") // C(12,2) + the pair
+    val capped = pairs(Some(8))
+    // the blob's buckets (12 members) exceed the cap and are dropped
+    // whole — exact-dedup's domain; the honest pair's buckets (2) stay
+    assert(capped == Set((1L, 2L)), s"got $capped")
+    // cap above every bucket size = identical to uncapped
+    assert(pairs(Some(100)) == uncapped)
+  }
+
   test("simhash: near-dups land within small hamming distance, unrelated far") {
     val pairs = Dedup.simhashNearDuplicates(docs, "doc_id", "text", maxHamming = 8)
       .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
