@@ -265,7 +265,7 @@ object SparkEntry {
     * displacement: the stream must still equal p109's batch oracle.
     */
   private def runAsofHoldbackFeed(s: SparkSession, dir: String,
-      tag: String): DataFrame = {
+      tag: String, maxLookback: Long = Long.MaxValue): DataFrame = {
     GraftFunctions.register(s)
     val (purchases, clicks) = attributionFrames(s, dir)
     val q = clicks.select(col("user_id").as("k"), col("tus").as("ts"),
@@ -304,7 +304,7 @@ object SparkEntry {
     val stream = s.readStream.schema(q.schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
     val query = graft.streaming.PipelineStream
-      .asofStreamHoldback(stream, disorderUs)
+      .asofStreamHoldback(stream, disorderUs, maxLookback)
       .writeStream.option("checkpointLocation", s"$base/ckpt")
       .outputMode("append").format("parquet").option("path", s"$base/out")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -2433,6 +2433,15 @@ object SparkEntry {
     // contract attribution-at-arrival (p137) cannot give.
     "p236_stream_asof_holdback" -> ((s, dir) =>
       runAsofHoldbackFeed(s, dir, "p236")),
+
+    // The holdback × lookback quadrant: the same adversarially
+    // disordered feed under the 1 h attribution window — held probes
+    // resolve against the complete horizon AND stale matches null, with
+    // quote state evicting behind watermark − lookback; gated under
+    // p118's windowed oracle (where p145 needed a time-ordered feed to
+    // be batch-equal, holdback needs only bounded disorder).
+    "p243_stream_asof_holdback_window" -> ((s, dir) =>
+      runAsofHoldbackFeed(s, dir, "p243", maxLookback = 3600000000L)),
 
     // Funnel segmented by acquisition cohort: each user's segment is
     // the k-bucket of their FIRST event's props payload — per-segment
@@ -7385,6 +7394,7 @@ object SparkEntry {
 
     "p137_stream_asof" -> asofOracleSql,
     "p236_stream_asof_holdback" -> asofOracleSql,
+    "p243_stream_asof_holdback_window" -> asofWindowOracleSql,
 
     "p110_funnel" -> funnelOracleSql,
     "p179_stream_funnel" -> funnelOracleSql,
