@@ -1801,6 +1801,68 @@ object TextAnalysis {
       .groupBy(col("piece")).agg(sum(col("freq")).cast("long").as("e_cnt"))
   }
 
+  /** SOFT-EM expected counts — the forward–backward E-step of
+    * SentencePiece's unigram trainer proper, next to the oracle-gated
+    * Viterbi hard-EM ([[unigramViterbiCounts]]): per word, alpha[j] =
+    * Σ over segmentations of the prefix (product of piece
+    * probabilities), beta[i] the suffix mirror, and each candidate
+    * piece occurrence contributes its POSTERIOR marginal
+    * alpha[i]·p·beta[j]/alpha[n] instead of an all-or-nothing Viterbi
+    * pick. Expected counts are corpus sums of freq-weighted marginals.
+    *
+    * Float contract, stated honestly: marginals are double-valued —
+    * products over ≤ maxWordLen pieces of probabilities ≥ 1/Σcnt never
+    * underflow a double at the clamped word lengths, and the per-word
+    * edge lists are SORTED so summation order (and therefore the exact
+    * float result) is deterministic across runs and partitionings — but
+    * a cross-engine oracle would need transcendental-free arithmetic,
+    * so this variant is SPEC-gated (brute-force posterior enumeration
+    * on small words + the conservation law Σ e_soft·len(piece) =
+    * corpus chars), the same batch/spec split every float-model op
+    * here uses. Words containing a piece-less char (alpha[n] = 0)
+    * contribute nothing, loudly visible as missing mass against the
+    * conservation law. Returns (piece, e_soft DOUBLE).
+    */
+  def unigramSoftCounts(words: org.apache.spark.sql.DataFrame,
+      weights: org.apache.spark.sql.DataFrame,
+      maxPieceLen: Int): org.apache.spark.sql.DataFrame = {
+    require(maxPieceLen >= 1, "maxPieceLen >= 1")
+    val tot = weights.agg(sum(col("cnt")).cast("double").as("__tot"))
+    val wp = weights.crossJoin(broadcast(tot))
+      .select(col("piece"), (col("cnt").cast("double") / col("__tot")).as("p"))
+    val cand = words.select(col("word"), col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)), i ->
+           |  transform(sequence(i, least(length(word), i + ${maxPieceLen - 1})), j ->
+           |    named_struct('i', i - 1, 'j', j,
+           |      'piece', substring(word, i, j - i + 1)))))""".stripMargin)).as("e"))
+      .select(col("word"), col("freq"),
+        col("e.i").as("i"), col("e.j").as("j"), col("e.piece").as("piece"))
+    // sorted edge lists pin float summation order (determinism)
+    val edges = cand.join(wp, Seq("piece"))
+      .groupBy(col("word"), col("freq"))
+      .agg(sort_array(collect_list(
+        struct(col("i"), col("j"), col("p"), col("piece")))).as("edges"))
+    val fb = edges.withColumn("alpha", expr(
+      """aggregate(sequence(1, length(word)), array(cast(1.0 as double)),
+        |  (acc, j) -> array_append(acc,
+        |    aggregate(filter(edges, e -> e.j = j), cast(0.0 as double),
+        |      (s, e) -> s + element_at(acc, e.i + 1) * e.p)))""".stripMargin))
+      .withColumn("beta", expr(
+      """aggregate(sequence(length(word) - 1, 0, -1), array(cast(1.0 as double)),
+        |  (acc, i) -> concat(array(
+        |    aggregate(filter(edges, e -> e.i = i), cast(0.0 as double),
+        |      (s, e) -> s + e.p * element_at(acc, e.j - i))), acc))""".stripMargin))
+      .localCheckpoint(eager = false) // alpha/beta referenced per edge below
+    fb.filter(expr("element_at(alpha, length(word) + 1) > 0"))
+      .select(col("freq"), explode(expr(
+        """transform(edges, e -> named_struct(
+          |  'piece', e.piece,
+          |  'm', element_at(alpha, e.i + 1) * e.p * element_at(beta, e.j + 1)
+          |       / element_at(alpha, length(word) + 1)))""".stripMargin)).as("em"))
+      .groupBy(col("em.piece").as("piece"))
+      .agg(sum(col("freq").cast("double") * col("em.m")).as("e_soft"))
+  }
+
   /** Unigram-LM training loop — EM steps composed: each round
     * re-weights the vocab from the last round's expected counts and
     * re-segments (M then E). Unused multi-char pieces PRUNE (they drew

@@ -263,6 +263,53 @@ class PipelineSpec extends SparkSpec {
     assert(e2.getMessage.contains("maxDeltaRows"))
   }
 
+  test("unigram-LM soft-EM: marginals equal brute-force posterior enumeration; conservation") {
+    import spark.implicits._
+    val docs = Seq((0L, "abab abab ab"), (1L, "abab cd cd"), (2L, "qq xy"))
+      .toDF("doc_id", "text")
+    val words = TextAnalysis.unigramWords(docs, "text", maxWordLen = 12)
+    val vocab = TextAnalysis.unigramSeedVocab(words, maxPieceLen = 2, minCount = 2)
+    val weights = TextAnalysis.unigramWeights(vocab)
+    val got = TextAnalysis.unigramSoftCounts(words, weights, maxPieceLen = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // brute-force posterior enumeration over all segmentations
+    val cnt = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tot = cnt.values.sum.toDouble
+    val probs = cnt.map { case (p, c) => p -> c / tot }
+    def segs(w: String): Seq[(Seq[String], Double)] =
+      if (w.isEmpty) Seq((Nil, 1.0))
+      else (1 to math.min(2, w.length)).flatMap { l =>
+        val p = w.take(l)
+        probs.get(p).toSeq.flatMap(pp =>
+          segs(w.drop(l)).map { case (ps, m) => (p +: ps, pp * m) })
+      }
+    val freqs = words.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+    freqs.foreach { case (w, f) =>
+      val ss = segs(w)
+      val z = ss.map(_._2).sum
+      ss.foreach { case (ps, m) =>
+        ps.foreach(p => want(p) += f * m / z) }
+    }
+    assert(got.keySet == want.keySet, s"pieces ${got.keySet} vs ${want.keySet}")
+    got.foreach { case (p, v) =>
+      assert(math.abs(v - want(p)) < 1e-9, s"$p: $v vs ${want(p)}") }
+    // conservation: every char of every word occurrence covered once in
+    // expectation — Σ e_soft · len(piece) = corpus chars
+    val covered = got.map { case (p, v) => p.length * v }.sum
+    val chars = freqs.map { case (w, f) => w.length * f }.sum
+    assert(math.abs(covered - chars) < 1e-6, s"covered $covered vs $chars")
+    // a word with a piece-less char contributes nothing (no NaN), and
+    // the conservation deficit is exactly its chars
+    val gotNoQ = TextAnalysis.unigramSoftCounts(words,
+      weights.filter(col("piece") =!= "q"), maxPieceLen = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gotNoQ.values.forall(v => !v.isNaN))
+    assert(!gotNoQ.contains("q"))
+    val coveredNoQ = gotNoQ.map { case (p, v) => p.length * v }.sum
+    assert(math.abs(coveredNoQ - (chars - 2)) < 1e-6, s"got $coveredNoQ")
+  }
+
   test("trained weight artifact: contrast weights, broadcast scoring, unseen weighs 0") {
     import spark.implicits._
     val labeled = Seq(
