@@ -21,7 +21,9 @@ import org.apache.spark.sql.functions._
   *  - embeddings: vec_id offset, vectors kept (ANN/k-means cost scales
   *    with row count, not vector identity);
   *  - dims (region/nation/customer/supplier/part): copied through
-  *    (part/customer/supplier also key-offset for cardinality).
+  *    UNCHANGED — amplified orders reference customer keys that do not
+  *    exist in the copied dim (no bench leg joins them today; a future
+  *    dim-join leg must amplify customer with the o_custkey stride).
   *
   * Usage: `runMain graft.Amplify <srcSfDir> <outDir> <mult>`.
   */
@@ -29,19 +31,21 @@ object Amplify {
   private def replicas(spark: SparkSession, mult: Int): DataFrame =
     spark.range(mult).select(col("id").cast("long").as("__rep"))
 
-  /** Union of `mult` key-shifted copies: each column in `offsets` gets
-    * `+ __rep * (max(col) + 1)` so replica key spaces never collide.
+  /** Union of `mult` key-shifted copies: each (column, base) gets
+    * `+ __rep * base` so replica key spaces never collide. Bases are
+    * passed in (not derived per table) so columns that must stay
+    * JOIN-CONSISTENT across tables — l_orderkey vs o_orderkey — shift
+    * by the SAME stride.
     */
   private def amplify(spark: SparkSession, df: DataFrame, mult: Int,
-      offsets: Seq[String]): DataFrame = {
-    val aggs = offsets.map(c => max(col(c)).as(c))
-    val mx = df.agg(aggs.head, aggs.tail: _*).head()
-    val shifted = offsets.zipWithIndex.foldLeft(
-      df.crossJoin(replicas(spark, mult))) { case (d, (c, i)) =>
-      d.withColumn(c, col(c) + col("__rep") * lit(mx.getLong(i) + 1L))
-    }
-    shifted.drop("__rep")
-  }
+      offsets: Seq[(String, Long)]): DataFrame =
+    offsets.foldLeft(df.crossJoin(replicas(spark, mult))) {
+      case (d, (c, base)) =>
+        d.withColumn(c, col(c) + col("__rep") * lit(base))
+    }.drop("__rep")
+
+  private def keyBase(df: DataFrame, c: String): Long =
+    df.agg(max(col(c))).head().getLong(0) + 1L
 
   def main(args: Array[String]): Unit = {
     val Array(src, out, multS) = args.take(3)
@@ -55,27 +59,33 @@ object Amplify {
     }
     def tbl(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
 
+    // ONE orderkey stride shared by orders and lineitem so the amplified
+    // tables stay join-consistent replica by replica
+    val orderBase = keyBase(tbl("orders"), "o_orderkey")
     write("orders", amplify(spark, tbl("orders"), mult,
-      Seq("o_orderkey", "o_custkey")))
-    write("lineitem", amplify(spark, tbl("lineitem"), mult, Seq("l_orderkey")))
+      Seq("o_orderkey" -> orderBase,
+        "o_custkey" -> keyBase(tbl("orders"), "o_custkey"))))
+    write("lineitem", amplify(spark, tbl("lineitem"), mult,
+      Seq("l_orderkey" -> orderBase)))
     write("events", amplify(spark, tbl("events"), mult,
-      Seq("event_id", "user_id")))
+      Seq("event_id" -> keyBase(tbl("events"), "event_id"),
+        "user_id" -> keyBase(tbl("events"), "user_id"))))
     // documents: shuffle tokens per replica > 0 (deterministic) so the
     // amplified corpus is shingle-distinct, then recompute n_chars
-    val docs = amplify(spark, tbl("documents"), mult, Seq("doc_id"))
-      .withColumn("__rep", col("doc_id")) // replica id folded into doc_id already
-    val docMax = tbl("documents").agg(max("doc_id")).head().getLong(0)
+    val docBase = keyBase(tbl("documents"), "doc_id")
+    val docs = amplify(spark, tbl("documents"), mult, Seq("doc_id" -> docBase))
     val shuffled = docs
-      .withColumn("__r", (col("doc_id") / lit(docMax + 1L)).cast("long"))
+      .withColumn("__r", (col("doc_id") / lit(docBase)).cast("long"))
       .withColumn("text", when(col("__r") === 0L, col("text")).otherwise(
         expr("""concat_ws(' ', transform(array_sort(transform(
                |  split(text, '\\s+'),
                |  t -> struct(xxhash64(concat(t, CAST(__r AS STRING))) AS h, t AS t))),
                |  s -> s.t))""".stripMargin)))
       .withColumn("n_chars", length(col("text")).cast("long"))
-      .drop("__rep", "__r")
+      .drop("__r")
     write("documents", shuffled)
-    write("embeddings", amplify(spark, tbl("embeddings"), mult, Seq("vec_id")))
+    write("embeddings", amplify(spark, tbl("embeddings"), mult,
+      Seq("vec_id" -> keyBase(tbl("embeddings"), "vec_id"))))
     write("customer", tbl("customer"))
     write("supplier", tbl("supplier"))
     write("part", tbl("part"))

@@ -841,7 +841,6 @@ object CcDeltaProbe {
   }
 }
 
-/** Focused runner for the pathological-depth connected-components probe. */
 /** Focused runner for the skewed-hub star-contraction probe. */
 object CcHubProbe {
   def main(args: Array[String]): Unit = {
@@ -851,6 +850,7 @@ object CcHubProbe {
   }
 }
 
+/** Focused runner for the pathological-depth connected-components probe. */
 object CcPathProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create(taskSideCommit = true)

@@ -277,20 +277,26 @@ object Shell {
     }
     // the CLI's nested supercolumn shape: one line per supercolumn with
     // its subcolumns inline; the count counts SUPERCOLUMNS (the sliced
-    // entities), like the reference's result list
+    // entities), like the reference's result list. Grouping is by the
+    // RAW name bytes — two byte-distinct supercolumns whose names render
+    // to the same string (e.g. invalid UTF-8 → U+FFFD) must stay two
+    // rows; rendering happens only at display
     def renderSuper(cf: ShellCf, rows: Array[org.apache.spark.sql.Row],
         withKey: Boolean): Seq[String] = {
       val cells = sortedCells(cf, rows)
       val groups = scala.collection.mutable.LinkedHashMap
-        .empty[(String, String), scala.collection.mutable.ArrayBuffer[String]]
+        .empty[(String, scala.collection.immutable.ArraySeq[Byte]),
+          scala.collection.mutable.ArrayBuffer[String]]
       cells.foreach { case (k, s, c, v, ts) =>
-        groups.getOrElseUpdate((k, nameToString(s, cf.comparator)),
+        groups.getOrElseUpdate(
+          (k, scala.collection.immutable.ArraySeq.unsafeWrapArray(s)),
           scala.collection.mutable.ArrayBuffer.empty[String]) +=
           s"(column=${nameToString(c, cf.subComparator)}, value=$v, timestamp=$ts)"
       }
       groups.toSeq.map { case ((k, s), subs) =>
         val prefix = if (withKey) s"key=$k " else ""
-        s"=> ($prefix" + s"super_column=$s, ${subs.mkString(", ")})"
+        val name = nameToString(s.unsafeArray.asInstanceOf[Array[Byte]], cf.comparator)
+        s"=> ($prefix" + s"super_column=$name, ${subs.mkString(", ")})"
       } :+ s"Returned ${groups.size} results."
     }
     def render(cf: ShellCf, rows: Array[org.apache.spark.sql.Row],

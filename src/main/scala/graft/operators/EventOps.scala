@@ -1186,8 +1186,8 @@ object EventOps {
   def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
       k: Int, rounds: Int): DataFrame = {
     val e = canonicalUndirected(edges, srcCol, dstCol)
-      .localCheckpoint(eager = false) // rounds loop + survivors readout
-    kCoreSurvivors(kCoreRounds(e, "x", "y", k, rounds), e)
+      .localCheckpoint() // rounds loop + survivors readout, canonical ONCE
+    kCoreSurvivors(kCoreRoundsCanonical(e, k, rounds), e)
   }
 
   /** Canonical undirected edge view (x < y): self-loops drop,
@@ -1216,10 +1216,19 @@ object EventOps {
     * is the survivors readout over this loop — ONE peel definition.
     */
   def kCoreRounds(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame =
+    kCoreRoundsCanonical(
+      canonicalUndirected(edges, srcCol, dstCol).localCheckpoint(), k, rounds)
+
+  /** [[kCoreRounds]] over an ALREADY-CANONICAL (x, y) edge frame —
+    * callers holding the canonical view ([[kCorePeel]]) skip the second
+    * least/greatest + distinct pass.
+    */
+  private def kCoreRoundsCanonical(canonical: DataFrame,
       k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k $k must be >= 1")
     require(rounds >= 1 && rounds <= 20, s"rounds $rounds outside [1,20]")
-    var e = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
+    var e = canonical
     val allNodes = e.select(col("x").as("node"))
       .union(e.select(col("y").as("node"))).distinct().localCheckpoint()
     var alive = allNodes

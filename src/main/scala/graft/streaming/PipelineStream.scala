@@ -822,10 +822,11 @@ object PipelineStream {
     * key's full lifetime (exactly the batch join's requirement).
     *
     * `ts` is event-time MICROSECONDS (the feed convention here);
-    * watermarks tick in engine milliseconds, so sub-millisecond event
-    * spacing holds back an extra ms — resolution only ever happens
-    * LATER than strictly necessary, never earlier, which preserves
-    * batch equality.
+    * watermarks tick in engine milliseconds, so the registered delay is
+    * CEILED to ms (+1 ms slack — the engine also floors the tracked max
+    * event time): holdback is only ever LONGER than the bound, never
+    * shorter, which preserves batch equality at the cost of up to ~2 ms
+    * extra latency.
     */
   def asofStreamHoldback(tagged: DataFrame, disorderBoundUs: Long,
       maxLookback: Long = Long.MaxValue): DataFrame = {
@@ -836,7 +837,14 @@ object PipelineStream {
     tagged.select(col("k").cast("long"), col("ts").cast("long"),
         col("tag").cast("int"), col("id").cast("long"),
         timestamp_micros(col("ts").cast("long")).as("__et"))
-      .withWatermark("__et", s"$disorderBoundUs microseconds")
+      // the engine floors BOTH the delay and the tracked max event time
+      // to MILLISECONDS — registering the raw microsecond bound could
+      // leave the effective holdback up to ~1 ms SHORT of it (probes
+      // resolving before their horizon completes); ceil to ms + 1 ms
+      // slack so holdback is only ever longer than the bound, never
+      // shorter (resolution later than necessary preserves batch
+      // equality; earlier breaks it)
+      .withWatermark("__et", s"${disorderBoundUs / 1000L + 2L} milliseconds")
       .as[(Long, Long, Int, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[AsofHoldState, AsofMatch](
