@@ -55,9 +55,15 @@ object Amplify {
 
     def write(name: String, df: DataFrame): Unit = {
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
-      println(s"[amplify] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
+      // count from footer metadata, not a second full scan of the output
+      val n = spark.read.parquet(s"$out/$name.parquet").count()
+      println(s"[amplify] $name: $n rows")
     }
-    def tbl(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+    // each source is read by the key-base aggregate AND the amplified
+    // write — one lazy checkpoint per table instead of a rescan each use
+    val tblCache = scala.collection.mutable.Map.empty[String, DataFrame]
+    def tbl(name: String): DataFrame = tblCache.getOrElseUpdate(name,
+      spark.read.parquet(s"$src/$name.parquet").localCheckpoint(eager = false))
 
     // ONE orderkey stride shared by orders and lineitem so the amplified
     // tables stay join-consistent replica by replica

@@ -219,8 +219,13 @@ object SparkEntry {
     *    provably safe and the stream equals the batch join with the
     *    same lookback.
     */
-  private def runAsofStreamFeed(s: SparkSession, dir: String, tag: String,
-      maxLookback: Long, timeOrdered: Boolean): DataFrame = {
+  /** The attribution (k, ts, tag, id) quote/probe frames and a fresh
+    * feed dir — the ONE front every as-of stream runner shares (so the
+    * p137/p145 and p236/p243 gates can never drift onto different
+    * lineages).
+    */
+  private def asofFeedSetup(s: SparkSession, dir: String, tag: String)
+      : (DataFrame, DataFrame, String) = {
     GraftFunctions.register(s)
     val (purchases, clicks) = attributionFrames(s, dir)
     val q = clicks.select(col("user_id").as("k"), col("tus").as("ts"),
@@ -230,6 +235,33 @@ object SparkEntry {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    (q, p, base)
+  }
+
+  /** Run `op` over the feed at base/in as an AvailableNow stream and
+    * read the output back in the gate's 5-column attribution shape —
+    * the ONE stream wiring + output contract all as-of runners share
+    * (sentinel rows on the dummy key −1 are dropped at readout).
+    */
+  private def runAsofQuery(s: SparkSession, base: String,
+      schema: org.apache.spark.sql.types.StructType,
+      op: DataFrame => DataFrame): DataFrame = {
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val query = op(stream)
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").format("parquet").option("path", s"$base/out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    s.read.parquet(s"$base/out").filter(col("k") =!= -1L)
+      .select(col("pid").as("purchase_id"), col("k").cast("bigint").as("uid"),
+        col("ts").as("purchase_us"), col("qid").as("click_id"),
+        col("qts").as("click_us"))
+  }
+
+  private def runAsofStreamFeed(s: SparkSession, dir: String, tag: String,
+      maxLookback: Long, timeOrdered: Boolean): DataFrame = {
+    val (q, p, base) = asofFeedSetup(s, dir, tag)
     if (timeOrdered) {
       writeTimeOrderedFeed(s, s"$base/in", q.unionByName(p), "ts")
     } else {
@@ -238,18 +270,8 @@ object SparkEntry {
       p.repartition(2).write.mode("append").parquet(s"$base/in")
       pinNewFiles(s, s"$base/in", MtReal, MtSentinel1)
     }
-    val stream = s.readStream.schema(q.schema)
-      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
-    val query = graft.streaming.PipelineStream
-      .asofStream(stream, maxLookback = maxLookback)
-      .writeStream.option("checkpointLocation", s"$base/ckpt")
-      .outputMode("append").format("parquet").option("path", s"$base/out")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    query.awaitTermination()
-    s.read.parquet(s"$base/out")
-      .select(col("pid").as("purchase_id"), col("k").cast("bigint").as("uid"),
-        col("ts").as("purchase_us"), col("qid").as("click_id"),
-        col("qts").as("click_us"))
+    runAsofQuery(s, base, q.schema, st => graft.streaming.PipelineStream
+      .asofStream(st, maxLookback = maxLookback))
   }
 
   /** The ADVERSARIALLY DISORDERED as-of feed (p236): the attribution
@@ -266,15 +288,7 @@ object SparkEntry {
     */
   private def runAsofHoldbackFeed(s: SparkSession, dir: String,
       tag: String, maxLookback: Long = Long.MaxValue): DataFrame = {
-    GraftFunctions.register(s)
-    val (purchases, clicks) = attributionFrames(s, dir)
-    val q = clicks.select(col("user_id").as("k"), col("tus").as("ts"),
-      lit(0).as("tag"), col("click_id").as("id"))
-    val p = purchases.select(col("user_id").as("k"), col("tus").as("ts"),
-      lit(1).as("tag"), col("purchase_id").as("id"))
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val (q, p, base) = asofFeedSetup(s, dir, tag)
     val in = s"$base/in"
     val u = q.unionByName(p).localCheckpoint() // sliced three ways below
     val mm = u.agg(min(col("ts")), max(col("ts"))).head()
@@ -301,18 +315,8 @@ object SparkEntry {
           .repartition(1).write.mode("append").parquet(in)
         pinNewFiles(s, in, after, mt)
       }
-    val stream = s.readStream.schema(q.schema)
-      .option("maxFilesPerTrigger", 1).parquet(in)
-    val query = graft.streaming.PipelineStream
-      .asofStreamHoldback(stream, disorderUs, maxLookback)
-      .writeStream.option("checkpointLocation", s"$base/ckpt")
-      .outputMode("append").format("parquet").option("path", s"$base/out")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    query.awaitTermination()
-    s.read.parquet(s"$base/out").filter(col("k") =!= -1L)
-      .select(col("pid").as("purchase_id"), col("k").cast("bigint").as("uid"),
-        col("ts").as("purchase_us"), col("qid").as("click_id"),
-        col("qts").as("click_us"))
+    runAsofQuery(s, base, q.schema, st => graft.streaming.PipelineStream
+      .asofStreamHoldback(st, disorderUs, maxLookback))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1812,14 +1812,17 @@ object TextAnalysis {
     *
     * Float contract, stated honestly: marginals are double-valued —
     * products over ≤ maxWordLen pieces of probabilities ≥ 1/Σcnt never
-    * underflow a double at the clamped word lengths, and the per-word
-    * edge lists are SORTED so summation order (and therefore the exact
-    * float result) is deterministic across runs and partitionings — but
-    * a cross-engine oracle would need transcendental-free arithmetic,
-    * so this variant is SPEC-gated (brute-force posterior enumeration
-    * on small words + the conservation law Σ e_soft·len(piece) =
-    * corpus chars), the same batch/spec split every float-model op
-    * here uses. Words containing a piece-less char (alpha[n] = 0)
+    * underflow a double at the clamped word lengths. The per-word edge
+    * lists are SORTED so each word's marginals are order-pinned, but
+    * the final corpus aggregate sums doubles across words in
+    * partition-dependent order like any distributed float sum — e_soft
+    * is reproducible only to float-accumulation order (last-ulp
+    * wobble across partitionings), so comparisons are tolerance-based,
+    * never byte-exact, and a cross-engine oracle would need
+    * transcendental-free arithmetic anyway; this variant is SPEC-gated
+    * (brute-force posterior enumeration on small words + the
+    * conservation law Σ e_soft·len(piece) = corpus chars), the same
+    * batch/spec split every float-model op here uses. Words containing a piece-less char (alpha[n] = 0)
     * contribute nothing, loudly visible as missing mass against the
     * conservation law. Returns (piece, e_soft DOUBLE).
     */
