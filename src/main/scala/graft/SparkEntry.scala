@@ -1410,6 +1410,17 @@ object SparkEntry {
         "event_id", "tus", window = 21600000000L)
     }),
 
+    // KEYED ±1 h neighbor counts: per event, how many OTHER events of
+    // the SAME user land within the hour — the engine-native range-frame
+    // window (one key exchange, per-key sort, no bins, no pair join).
+    "p244_window_count_keyed" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.operators.EventOps.windowCountByKey(
+        table(s, dir, "events")
+          .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus")),
+        "user_id", "event_id", "tus", window = 3600000000L)
+    }),
+
     // The DENSITY-PROOF twin of p149: the same ±6 h counts through the
     // error ECDF (two signed rank lookups per purchase over ONE
     // exactPrefixSums pass) — row-identical under p149's oracle; the
@@ -6700,6 +6711,14 @@ object SparkEntry {
 
     "p149_window_join" -> windowJoinOracleSql,
     "p242_window_join_rank" -> windowJoinOracleSql,
+
+    "p244_window_count_keyed" ->
+      """WITH e AS (SELECT user_id AS k, event_id AS id, epoch_us(ts) AS t
+        |           FROM events)
+        |SELECT a.k, a.id, a.t, count(b.id) AS n_near
+        |FROM e a LEFT JOIN e b
+        |  ON a.k = b.k AND abs(b.t - a.t) <= 3600000000 AND b.id <> a.id
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // p150 (cold start) and p220 (the warm-start code path continuing
     // from the 1-iteration artifact) share this unrolled 3-iteration

@@ -725,6 +725,32 @@ object EventOps {
         (col("n_raw") - col("n_self")).cast("long").as("n_near"))
   }
 
+  /** KEYED ±window event count — [[nearbyCount]]'s keyed sibling: for
+    * every row, how many OTHER rows of the SAME key fall within
+    * ±`window` of its timestamp ("how bursty is this user around each
+    * of their events"). With an equality key the engine-native answer
+    * is a RANGE-frame window: one hash exchange on the key, a per-key
+    * time sort, and count over rangeBetween(−w, w) — no bins, no pair
+    * join, output exactly one row per input row. Skew boundary is the
+    * usual per-key one (a hot key's rows sort in one task — salt
+    * upstream if one key is a whole-corpus stream); there is no
+    * unkeyed funnel anywhere.
+    *
+    * Contract: `idCol` must be unique per row (an event feed's id) —
+    * the row itself is excluded by subtracting the self count, exactly
+    * the `eid <> id` rule of the unkeyed sibling.
+    */
+  def windowCountByKey(df: DataFrame, keyCol: String, idCol: String,
+      tsCol: String, window: Long): DataFrame = {
+    require(window > 0, s"window $window must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("t"))
+      .rangeBetween(-window, window)
+    df.select(col(keyCol).as("k"), col(idCol).as("id"),
+        col(tsCol).cast("long").as("t"))
+      .withColumn("n_near", (count(lit(1)).over(w) - lit(1L)).cast("long"))
+  }
+
   /** UNKEYED interval × point join: per interval, how many `points`
     * rows fall inside [start, end] — the second member of the
     * no-equality-key family next to [[nearbyCount]] ("how many error

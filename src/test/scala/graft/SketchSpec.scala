@@ -1052,6 +1052,27 @@ class SketchSpec extends SparkSpec {
     assert(rank3 == bin3 && rank3 == Map((1L, 50L) -> 0L))
   }
 
+  test("windowCountByKey: key isolation, inclusive edges, self excluded, same-ts rows") {
+    val ev = Seq(
+      (1L, 10L, 100L), (1L, 11L, 110L), (1L, 12L, 120L), // key 1: tight run
+      (1L, 13L, 500L),                                   // key 1: isolated
+      (2L, 20L, 100L),                                   // key 2: alone at t=100
+      (3L, 30L, 50L), (3L, 31L, 50L))                    // key 3: same-ts pair
+      .toDF("k", "id", "t")
+    val got = EventOps.windowCountByKey(ev, "k", "id", "t", window = 20L)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // key 1: 100/110/120 all within ±20 of each other → 2 neighbors each;
+    // isolated 500 → 0; key 2 never sees key 1's rows; same-ts pair → 1
+    assert(got == Map(10L -> 2L, 11L -> 2L, 12L -> 2L, 13L -> 0L,
+      20L -> 0L, 30L -> 1L, 31L -> 1L), s"got $got")
+    // exact boundary |Δt| = window is IN (range frame is inclusive)
+    val edge = EventOps.windowCountByKey(
+      Seq((1L, 1L, 100L), (1L, 2L, 120L)).toDF("k", "id", "t"),
+      "k", "id", "t", window = 20L)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(edge == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("pageRank: uniform cycle stays uniform; sink keeps teleport floor; mass bounded") {
     // 3-cycle a→b→c→a, unit weights: perfectly symmetric, every rank
     // stays exactly at scale through any number of iterations
