@@ -2193,6 +2193,25 @@ object SparkEntry {
           col("end"), col("n_points").as("n_errors"))
     }),
 
+    // The density-proof twin of p180: the same session incident counts
+    // through the error ECDF (two signed rank lookups per interval, one
+    // exactPrefixSums pass) — no per-bin pair work, no interval-fanout
+    // bound at all; gated under p180's oracle.
+    "p245_session_incidents_rank" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tus"),
+          col("event_type"))
+      graft.operators.EventOps.intervalPointCountRank(
+        graft.operators.EventOps.sessionIntervals(
+          ev, "user_id", "tus", "event_type", gap = 1800000000L),
+        Seq("user", "sid"), "start", "end",
+        ev.filter(col("event_type") === "error").select(col("tus")),
+        "tus")
+        .select(col("user").as("user_id"), col("sid"), col("start"),
+          col("end"), col("n_points").as("n_errors"))
+    }),
+
     // Streaming interval × point join: the p180 incident overlay run
     // LIVE — session intervals and the error feed each stream in as
     // time-ordered slices, Spark's NATIVE stream-stream join runs on
@@ -6952,6 +6971,7 @@ object SparkEntry {
         |FROM nb JOIN np USING (grp) JOIN med USING (grp)""".stripMargin,
 
     "p180_session_incidents" -> sessionIncidentsOracleSql,
+    "p245_session_incidents_rank" -> sessionIncidentsOracleSql,
 
     "p190_stream_interval_join" -> sessionIncidentsOracleSql,
 

@@ -796,6 +796,50 @@ object EventOps {
       .agg(count(col("t")).as("n_points"))
   }
 
+  /** [[intervalPointCount]] through the point ECDF — the
+    * [[nearbyCountRank]] move for the interval member of the unkeyed
+    * family: #points in [start, end] is rank(end) − rank(start − 1), so
+    * each interval contributes TWO signed lookups into one
+    * [[graft.pipeline.TextAnalysis.exactPrefixSums]] pass over
+    * points ∪ lookups (points sort before lookups at equal time) and
+    * the whole job is an O((n+m) log) sort. Two structural wins over
+    * the bin path: no per-bin pair work (quadratic in point density —
+    * the sf1 window_join lesson), and NO fanout bound at all — a
+    * months-long interval costs exactly 2 rows where the bin explode
+    * needed a loud maxBinsPerInterval cap. LEFT semantics are free
+    * (every interval emits its lookups; zero-point intervals report 0).
+    * Row-identical to the bin path (p245 gates it under p180's oracle).
+    */
+  def intervalPointCountRank(intervals: DataFrame, idCols: Seq[String],
+      startCol: String, endCol: String, points: DataFrame,
+      tsCol: String): DataFrame = {
+    require(idCols.nonEmpty, "intervalPointCountRank needs interval id columns")
+    val iv = intervals.select(idCols.map(col) ++ Seq(
+        col(startCol).cast("long").as("start"),
+        col(endCol).cast("long").as("end")): _*)
+    val lookups = iv.select(idCols.map(col) ++ Seq(col("start"), col("end"),
+        explode(array(
+          struct(col("end").as("x"), lit(1L).as("sgn")),
+          struct((col("start") - 1L).as("x"), lit(-1L).as("sgn")))).as("l")): _*)
+      .select(idCols.map(col) ++ Seq(col("start"), col("end"),
+        col("l.x").as("x"), lit(1).as("kind"), lit(0L).as("v"),
+        col("l.sgn").as("sgn")): _*)
+    val ptRows = points.select(col(tsCol).cast("long").as("x"))
+      .withColumn("kind", lit(0)).withColumn("v", lit(1L))
+      .withColumn("sgn", lit(0L))
+    val lkSchema = lookups.schema
+    val ptFull = (idCols ++ Seq("start", "end")).foldLeft(ptRows) { (d, c) =>
+      d.withColumn(c, lit(null).cast(lkSchema(c).dataType))
+    }
+    val unioned = ptFull.unionByName(lookups.select(ptFull.columns.map(col): _*))
+    val cum = graft.pipeline.TextAnalysis.exactPrefixSums(unioned,
+      Seq(col("x").asc, col("kind").asc, col("sgn").asc) ++
+        idCols.map(c => col(c).asc), "v")
+    cum.filter(col("kind") === 1)
+      .groupBy(idCols.map(col) ++ Seq(col("start"), col("end")): _*)
+      .agg(sum(col("sgn") * col("cum")).cast("long").as("n_points"))
+  }
+
   /** Gap-rule session intervals — the [[sessionized]] lineage rolled to
     * one (user, sid, start, end, n_events) row per session, the
     * interval relation [[intervalPointCount]] and session-overlay

@@ -1073,6 +1073,25 @@ class SketchSpec extends SparkSpec {
     assert(edge == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("intervalPointCountRank: identical to the bin path — edges, zero-point, long interval") {
+    val ivs = Seq((1L, 1L, 100L, 200L), (1L, 2L, 500L, 600L),
+      (2L, 1L, 0L, 1000000L)) // a LONG interval the bin path must cap
+      .toDF("user", "sid", "start", "end")
+    val pts = Seq(100L, 150L, 200L, 201L, 499L, 777777L).toDF("t")
+    val bin = EventOps.intervalPointCount(ivs, Seq("user", "sid"),
+      "start", "end", pts, "t", binSize = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    val rank = EventOps.intervalPointCountRank(ivs, Seq("user", "sid"),
+      "start", "end", pts, "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    // [100,200] holds 100/150/200 (both ends inclusive, 201 out);
+    // [500,600] holds nothing (LEFT semantics: 0, never dropped);
+    // the long interval holds 100..201,499,777777 = 6 points
+    assert(rank == Map((1L, 1L) -> 3L, (1L, 2L) -> 0L, (2L, 1L) -> 6L),
+      s"got $rank")
+    assert(rank == bin)
+  }
+
   test("pageRank: uniform cycle stays uniform; sink keeps teleport floor; mass bounded") {
     // 3-cycle a→b→c→a, unit weights: perfectly symmetric, every rank
     // stays exactly at scale through any number of iterations
