@@ -167,7 +167,8 @@ object Bench {
       graft.pipeline.Dedup.nearDuplicates(wdocs, "doc_id", "text", 3, 4, 5,
         hashShingles = true, maxDocFreq = None)
         .count() // warm the SAME path the timed run measures
-      graft.pipeline.Dedup.minhashNearDuplicates(wdocs, "doc_id", "text", 3, 32, 8, 4, 5).count()
+      graft.pipeline.Dedup.minhashNearDuplicates(wdocs, "doc_id", "text", 3, 32, 8, 4, 5,
+        maxBucket = None).count() // warms the uncapped minhash_lsh leg
       SparkEntry.queries("q22_sessionize")(spark, sfDir).limit(10).count()
       try new scala.reflect.io.Directory(new java.io.File(wtmp)).deleteRecursively()
       catch { case _: Throwable => () }
@@ -387,16 +388,20 @@ object Bench {
         hashShingles = true, maxDocFreq = Some(500))
     }
 
+    // uncapped twin (the oracle/DuckDB-parity path, maxBucket = None —
+    // production default is the guarded path benched next) so the
+    // BASELINE series stays like-for-like across the default flip
     legDf("minhash_lsh") {
-      graft.pipeline.Dedup.minhashNearDuplicates(docs, "doc_id", "text", 3, 32, 8, 4, 5)
+      graft.pipeline.Dedup.minhashNearDuplicates(docs, "doc_id", "text", 3, 32, 8, 4, 5,
+        maxBucket = None)
     }
 
-    // bucket-capped twin (the band-grain skew guard the sf1 slope table
-    // motivated): degenerate band buckets are dropped whole before the
-    // candidate self-join — measured next to the uncapped leg
+    // bucket-capped twin — THE DEFAULT path since round 16 (maxBucket =
+    // Some(DefaultMaxBucket)): degenerate band buckets are dropped whole
+    // before the candidate self-join — measured next to the uncapped leg
     legDf("minhash_guarded") {
       graft.pipeline.Dedup.minhashNearDuplicates(docs, "doc_id", "text",
-        3, 32, 8, 4, 5, maxBucket = Some(64))
+        3, 32, 8, 4, 5)
     }
 
     // retrieval: the ad-hoc BM25 pass (tokenize the corpus per query)

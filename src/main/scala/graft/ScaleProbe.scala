@@ -551,9 +551,11 @@ object ScaleProbe {
         val out =
           if (watermarked) graft.streaming.PipelineStream.nearDupPairsWithinWatermark(
             src, "doc_id", "text", "ets", "30 minutes", n = 3, numHashes = 16,
-            bands = 4, num = 4, den = 5)
+            bands = 4, num = 4, den = 5,
+            maxBucket = None) // eviction-plateau probe: keep the story un-capped
           else graft.streaming.PipelineStream.nearDupPairs(
-            src, "doc_id", "text", n = 3, numHashes = 16, bands = 4, num = 4, den = 5)
+            src, "doc_id", "text", n = 3, numHashes = 16, bands = 4, num = 4, den = 5,
+            maxBucket = None)
         val name = if (watermarked) "sp_ndwm" else "sp_nd"
         val q = out.writeStream.format("memory").queryName(name)
           .outputMode("append").start()
@@ -624,15 +626,16 @@ object ScaleProbe {
       val shard = docs.filter(col("doc_id") % 10 === 0)
       val tmp = java.nio.file.Files.createTempDirectory("graft_snap_probe").toString
       val tSave = System.nanoTime()
-      Dedup.saveMinhashSnapshot(corpus, "doc_id", "text", 3, 32, 8, s"$tmp/snap")
+      Dedup.saveMinhashSnapshot(corpus, "doc_id", "text", 3, 32, 8, s"$tmp/snap",
+        maxBucket = None) // equality probe vs the uncapped full rerun
       val dtSave = (System.nanoTime() - tSave) / 1e9
       val tInc = System.nanoTime()
       val incPairs = Dedup.nearDupsAgainstSnapshot(shard, "doc_id", "text",
-        s"$tmp/snap", 3, 32, 8, 4, 5).count()
+        s"$tmp/snap", 3, 32, 8, 4, 5, maxBucket = None).count()
       val dtInc = (System.nanoTime() - tInc) / 1e9
       val tFull = System.nanoTime()
       val fullPairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
-        3, 32, 8, 4, 5).count()
+        3, 32, 8, 4, 5, maxBucket = None).count()
       val dtFull2 = (System.nanoTime() - tFull) / 1e9
       println(f"[scale] snapshot ingest (10%% shard vs full rerun): snapshot-build=$dtSave%5.2f s " +
         f"shard-check=$dtInc%5.2f s ($incPairs pairs) full-rerun=$dtFull2%5.2f s ($fullPairs pairs)")

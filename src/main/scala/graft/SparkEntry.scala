@@ -3135,7 +3135,8 @@ object SparkEntry {
     "p07_minhash_lsh" -> ((s, dir) => {
       GraftFunctions.register(s)
       graft.pipeline.Dedup.minhashNearDuplicates(table(s, dir, "documents"),
-        "doc_id", "text", n = 3, numHashes = 32, bands = 8, num = 4, den = 5)
+        "doc_id", "text", n = 3, numHashes = 32, bands = 8, num = 4, den = 5,
+        maxBucket = None) // oracle twin: the DuckDB side is uncapped
         .select(col("ia"), col("ib"), col("inter"), col("uni"))
     }),
 
@@ -3158,10 +3159,11 @@ object SparkEntry {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_p45_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
       graft.pipeline.Dedup.saveMinhashSnapshot(
         docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
-        n = 3, numHashes = 32, bands = 8, path = s"$path/snap")
+        n = 3, numHashes = 32, bands = 8, path = s"$path/snap",
+        maxBucket = None) // oracle twin: the DuckDB side is uncapped
       graft.pipeline.Dedup.nearDupsAgainstSnapshot(
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", s"$path/snap",
-        n = 3, numHashes = 32, bands = 8, num = 4, den = 5)
+        n = 3, numHashes = 32, bands = 8, num = 4, den = 5, maxBucket = None)
     }),
 
     // Canonical text normalization (NFC + lowercase + whitespace collapse):
@@ -3686,7 +3688,8 @@ object SparkEntry {
       runStream(s, "p48", dir,
         table(s, dir, "documents").select(col("doc_id"), col("text")), 3)(
         st => graft.streaming.PipelineStream.nearDupPairs(st, "doc_id", "text",
-          n = 3, numHashes = 32, bands = 8, num = 4, den = 5))
+          n = 3, numHashes = 32, bands = 8, num = 4, den = 5,
+          maxBucket = None)) // oracle twin: gated against uncapped p07
         .select(col("ia"), col("ib"), col("inter"), col("uni")).distinct()
     }),
 

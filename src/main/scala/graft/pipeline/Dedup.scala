@@ -125,6 +125,22 @@ object Dedup {
     */
   val DefaultMaxDocFreq: Int = 500
 
+  /** Band-bucket occupancy cap for the MinHash-LSH family — the
+    * [[DefaultMaxDocFreq]] move at band grain. The sf1 slope table
+    * (SCALE.md) measured the uncapped candidate self-join 30x
+    * superlinear at 10x docs (bucket density owns a quadratic share of
+    * the join) and cap 64 cut the sf1 leg 56.2 -> 22.0 s, so the guard
+    * is ON by default everywhere a near-dup path buckets: batch
+    * ([[lshCandidates]]/[[minhashNearDuplicates]]), the persisted
+    * snapshot pair ([[saveMinhashSnapshot]]/[[nearDupsAgainstSnapshot]]),
+    * and the streaming twins
+    * ([[graft.streaming.PipelineStream.nearDupPairs]] /
+    * `nearDupPairsWithinWatermark`). Oracle comparisons and tiny
+    * corpora opt OUT explicitly with `maxBucket = None` (their DuckDB
+    * twins are uncapped).
+    */
+  val DefaultMaxBucket: Int = 64
+
   /** @param hashShingles replace each shingle string with its xxhash64
     *   BEFORE the shuffles: the shuffle key shrinks from a ~20-byte
     *   3-gram string to 8 bytes — the scale path for 100 TB corpora.
@@ -303,11 +319,12 @@ object Dedup {
     * it shares is over the cap — for genuinely near-duplicate pairs that
     * means every band collides with ≥ maxBucket other docs, i.e. the
     * pair sits inside a duplication blob the size of the cap, which is
-    * exact-dedup's domain (run [[exact]] first), not near-dup's. Oracle-
+    * exact-dedup's domain (run [[exact]] first), not near-dup's. ON by
+    * default at [[DefaultMaxBucket]] (the measured sf1 knob); oracle-
     * gated call sites pass None (the DuckDB twins are uncapped).
     */
   def lshCandidates(sig: DataFrame, numHashes: Int, bands: Int,
-      maxBucket: Option[Int] = None): DataFrame = {
+      maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
     // materialize the banded signatures once: the bucket self-join below
     // references them on BOTH sides, and without this the full signature
     // aggregation (the min-hash pass over every shingle) is in two plan
@@ -351,7 +368,7 @@ object Dedup {
     */
   def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, bands: Int, num: Int, den: Int,
-      maxBucket: Option[Int] = None): DataFrame = {
+      maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
     // one tokenize+explode+distinct pass: the shingle set feeds the
     // signature aggregation AND three joins inside verification — without
     // the checkpoint it re-derives in every branch
@@ -369,15 +386,33 @@ object Dedup {
     *   sizes/    (id, sz)       — shingle-set sizes (exact Jaccard denom)
     * The corpus text itself is never needed again: one ingest batch costs
     * the bucket join plus the matched candidates' shingle rows.
+    *
+    * `maxBucket` (ON by default, [[lshCandidates]]' skew guard) drops
+    * corpus buckets over the cap WHOLE before the write: a degenerate
+    * bucket in the ARTIFACT would otherwise tax every future ingest
+    * batch that touches it. Must match the probe side's cap — a capped
+    * snapshot probed uncapped silently under-counts combined occupancy.
     */
   def saveMinhashSnapshot(df: DataFrame, idCol: String, textCol: String,
-      n: Int, numHashes: Int, bands: Int, path: String): Unit = {
+      n: Int, numHashes: Int, bands: Int, path: String,
+      maxBucket: Option[Int] = Some(DefaultMaxBucket)): Unit = {
     val sh = shingles(df, idCol, textCol, n).localCheckpoint(eager = false)
+    val bk0 = bandedBuckets(minhashSignatures(sh, numHashes), numHashes, bands)
+    val bk = maxBucket match {
+      case Some(m) =>
+        require(m >= 2, s"maxBucket $m must be >= 2 (a pair needs a bucket of 2)")
+        val bkc = bk0.localCheckpoint(eager = false) // guard agg + semi-join sides
+        val ok = bkc.groupBy(col("band"), col("bh"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") <= m)
+          .select(col("band"), col("bh"))
+        bkc.join(ok, Seq("band", "bh"), "left_semi")
+      case None => bk0
+    }
     // both artifacts are laid out range-partitioned + sorted on their join
     // key: parquet row-group min/max stats then let the ingest-side joins
     // (and Spark's injected runtime bloom filters) SKIP the corpus rows a
     // given shard never touches, instead of scanning the whole artifact
-    bandedBuckets(minhashSignatures(sh, numHashes), numHashes, bands)
+    bk
       .repartitionByRange(col("bh")).sortWithinPartitions("bh")
       .write.mode("overwrite").parquet(s"$path/buckets")
     sh.repartitionByRange(col("id")).sortWithinPartitions("id")
@@ -392,17 +427,44 @@ object Dedup {
     * its (tiny) bucket rows to the candidate join and the shingle rows of
     * MATCHED candidates only (left-semi pruning) — never a rescan, never
     * an all-pairs product. Sketch parameters must match the snapshot's.
+    *
+    * `maxBucket` (ON by default) guards COMBINED occupancy: per touched
+    * (band, bh), shard members + surviving corpus members must fit the
+    * cap or the bucket drops whole before the candidate join — the same
+    * quadratic-share argument as [[lshCandidates]], here paid per ingest
+    * batch. With the snapshot saved at the same cap this reproduces the
+    * full-corpus guard's view of any bucket the shard touches.
     */
   def nearDupsAgainstSnapshot(newDf: DataFrame, idCol: String, textCol: String,
       path: String, n: Int, numHashes: Int, bands: Int,
-      num: Int, den: Int): DataFrame = {
+      num: Int, den: Int,
+      maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
     val spark = newDf.sparkSession
     val newSh = shingles(newDf, idCol, textCol, n).localCheckpoint(eager = false)
-    val newBk = bandedBuckets(minhashSignatures(newSh, numHashes), numHashes, bands)
+    val newBk0 = bandedBuckets(minhashSignatures(newSh, numHashes), numHashes, bands)
+    val corpusBk0 = spark.read.parquet(s"$path/buckets")
+    val (newBk, corpusBk) = maxBucket match {
+      case Some(m) =>
+        require(m >= 2, s"maxBucket $m must be >= 2 (a pair needs a bucket of 2)")
+        val nbk = newBk0.localCheckpoint(eager = false) // occupancy agg + join side
+        // corpus rows only matter in buckets the shard touches — prune
+        // before counting so the guard never aggregates the whole artifact
+        val cbk = corpusBk0
+          .join(nbk.select("band", "bh").distinct(), Seq("band", "bh"), "left_semi")
+          .localCheckpoint(eager = false)
+        val ok = nbk.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("__nn"))
+          .join(cbk.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("__nc")),
+            Seq("band", "bh"), "left")
+          .filter(col("__nn") + coalesce(col("__nc"), lit(0L)) <= m)
+          .select(col("band"), col("bh"))
+        (nbk.join(ok, Seq("band", "bh"), "left_semi"),
+          cbk.join(ok, Seq("band", "bh"), "left_semi"))
+      case None => (newBk0, corpusBk0)
+    }
     // candidate pairs feed the semi-join AND the intersection count —
     // lazy-checkpointed so the bucket join runs once in the final action
     val cand = newBk.select(col("id").as("nid"), col("band"), col("bh"))
-      .join(spark.read.parquet(s"$path/buckets")
+      .join(corpusBk
         .select(col("id").as("cid"), col("band"), col("bh")), Seq("band", "bh"))
       .select("nid", "cid").distinct()
       .localCheckpoint(eager = false)

@@ -203,10 +203,16 @@ object PipelineStream {
     *  - re-delivered ids are ignored (exactly-once per bucket under
     *    at-least-once feeds),
     *  - state is the bucket's (id, shingle-hash set) list — bounded by
-    *    bucket occupancy, which LSH keeps small by construction (a hot
-    *    bucket means those docs ARE near-dups of each other; cap growth
-    *    upstream with the stoplist/gating passes if a boilerplate-heavy
-    *    feed bends that assumption).
+    *    bucket occupancy, and `maxBucket` (ON by default at
+    *    [[graft.pipeline.Dedup.DefaultMaxBucket]], the batch
+    *    lshCandidates guard) HARD-bounds it: the arrival that would push
+    *    a bucket past the cap marks it overflowed — members are freed,
+    *    the flag alone persists, and later arrivals to that bucket are
+    *    ignored. Streaming can't retract, so pairs emitted among the
+    *    first cap members before the overflow stand (the batch guard
+    *    drops the bucket's pairs entirely); the recall contract is
+    *    otherwise the batch one — only cap-sized duplication blobs stop
+    *    nominating, which is exact-dedup's domain.
     */
   /** (id, band, bh, shh[, carried cols]) banded per-row signatures:
     * h_k = min over shingles of xxhash64(k, shingle) — identical values
@@ -239,33 +245,42 @@ object PipelineStream {
   }
 
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
-      numHashes: Int, bands: Int, num: Int, den: Int): DataFrame = {
+      numHashes: Int, bands: Int, num: Int, den: Int,
+      maxBucket: Option[Int] = Some(graft.pipeline.Dedup.DefaultMaxBucket)): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    maxBucket.foreach(m => require(m >= 2,
+      s"maxBucket $m must be >= 2 (a pair needs a bucket of 2)"))
+    val cap = maxBucket.getOrElse(Int.MaxValue)
     val banded = bandedSignatures(docs, idCol, textCol, n, numHashes, bands)
       .as[(Long, Int, Long, Seq[Long])]
     banded
       .groupByKey { case (_, band, bh, _) => (band, bh) }
-      .flatMapGroupsWithState[Seq[(Long, Seq[Long])], NearDupPair](
+      .flatMapGroupsWithState[(Seq[(Long, Seq[Long])], Boolean), NearDupPair](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (_, rows, state) =>
-          var seen = state.getOption.getOrElse(Seq.empty)
+          var (seen, over) = state.getOption.getOrElse((Seq.empty[(Long, Seq[Long])], false))
           val out = Seq.newBuilder[NearDupPair]
           rows.foreach { case (id, _, _, shh) =>
-            if (!seen.exists(_._1 == id)) {
-              val rs = shh.toSet
-              seen.foreach { case (oid, oshh) =>
-                val inter = oshh.count(rs.contains)
-                val uni = rs.size + oshh.size - inter
-                if (inter.toLong * den >= uni.toLong * num) {
-                  val (ia, ib) = if (oid < id) (oid, id) else (id, oid)
-                  out += NearDupPair(ia, ib, inter.toLong, uni.toLong)
+            if (!over && !seen.exists(_._1 == id)) {
+              // the arrival that would make occupancy cap+1 overflows the
+              // bucket: free the members (the state cost), keep the flag
+              if (seen.size >= cap) { over = true; seen = Seq.empty }
+              else {
+                val rs = shh.toSet
+                seen.foreach { case (oid, oshh) =>
+                  val inter = oshh.count(rs.contains)
+                  val uni = rs.size + oshh.size - inter
+                  if (inter.toLong * den >= uni.toLong * num) {
+                    val (ia, ib) = if (oid < id) (oid, id) else (id, oid)
+                    out += NearDupPair(ia, ib, inter.toLong, uni.toLong)
+                  }
                 }
+                seen = seen :+ ((id, rs.toSeq))
               }
-              seen = seen :+ ((id, rs.toSeq))
             }
           }
-          state.update(seen)
+          state.update((seen, over))
           out.result().iterator
       }
       .toDF()
@@ -282,12 +297,23 @@ object PipelineStream {
     * like a new document. Empty/expired buckets remove their state row
     * entirely via the event-time timeout, so state size tracks the
     * in-window document count, not the corpus.
+    *
+    * `maxBucket` (ON by default) is [[nearDupPairs]]' overflow guard with
+    * a watermark-scoped reset: an overflowed bucket keeps only its flag,
+    * ignores further arrivals, and re-arms its timeout to each batch's
+    * newest arrival — once the feed leaves it quiet for the delay, the
+    * timeout reaps the flag and the bucket starts fresh (the gcGrace
+    * analog for the guard itself).
     */
   def nearDupPairsWithinWatermark(docs: DataFrame, idCol: String,
       textCol: String, eventTimeCol: String, delay: String, n: Int,
-      numHashes: Int, bands: Int, num: Int, den: Int): DataFrame = {
+      numHashes: Int, bands: Int, num: Int, den: Int,
+      maxBucket: Option[Int] = Some(graft.pipeline.Dedup.DefaultMaxBucket)): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    maxBucket.foreach(m => require(m >= 2,
+      s"maxBucket $m must be >= 2 (a pair needs a bucket of 2)"))
+    val cap = maxBucket.getOrElse(Int.MaxValue)
     val withWm = docs
       // cast BEFORE the watermark: a cast after it would produce a fresh
       // attribute without the event-time tag (EventTimeTimeout then fails
@@ -300,35 +326,47 @@ object PipelineStream {
       .as[(Long, Int, Long, Seq[Long], java.sql.Timestamp)]
     banded
       .groupByKey { case (_, band, bh, _, _) => (band, bh) }
-      .flatMapGroupsWithState[Seq[(Long, Seq[Long], Long)], NearDupPair](
+      .flatMapGroupsWithState[(Seq[(Long, Seq[Long], Long)], Boolean), NearDupPair](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (_, rows, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val wm = state.getCurrentWatermarkMs()
-            var seen = state.getOption.getOrElse(Seq.empty).filter(_._3 >= wm)
+            var (seen0, over) = state.getOption
+              .getOrElse((Seq.empty[(Long, Seq[Long], Long)], false))
+            var seen = seen0.filter(_._3 >= wm)
+            var lastEt = Long.MinValue
             val out = Seq.newBuilder[NearDupPair]
             rows.foreach { case (id, _, _, shh, et) =>
-              if (!seen.exists(_._1 == id)) {
-                val rs = shh.toSet
-                seen.foreach { case (oid, oshh, _) =>
-                  val inter = oshh.count(rs.contains)
-                  val uni = rs.size + oshh.size - inter
-                  if (inter.toLong * den >= uni.toLong * num) {
-                    val (ia, ib) = if (oid < id) (oid, id) else (id, oid)
-                    out += NearDupPair(ia, ib, inter.toLong, uni.toLong)
+              lastEt = math.max(lastEt, et.getTime)
+              if (!over && !seen.exists(_._1 == id)) {
+                // overflow on the cap+1'th member: free members, keep flag
+                if (seen.size >= cap) { over = true; seen = Seq.empty }
+                else {
+                  val rs = shh.toSet
+                  seen.foreach { case (oid, oshh, _) =>
+                    val inter = oshh.count(rs.contains)
+                    val uni = rs.size + oshh.size - inter
+                    if (inter.toLong * den >= uni.toLong * num) {
+                      val (ia, ib) = if (oid < id) (oid, id) else (id, oid)
+                      out += NearDupPair(ia, ib, inter.toLong, uni.toLong)
+                    }
                   }
+                  seen = seen :+ ((id, rs.toSeq, et.getTime))
                 }
-                seen = seen :+ ((id, rs.toSeq, et.getTime))
               }
             }
-            if (seen.isEmpty) state.remove()
+            if (seen.isEmpty && !over) state.remove()
             else {
-              state.update(seen)
+              state.update((seen, over))
               // the whole bucket expires when the watermark passes its
               // NEWEST member (each member is individually filtered above
-              // on earlier visits; the timeout reaps untouched buckets)
-              state.setTimeoutTimestamp(math.max(seen.map(_._3).max, wm + 1))
+              // on earlier visits; the timeout reaps untouched buckets).
+              // An overflowed bucket has no members — its flag expires
+              // once the watermark passes the newest ARRIVAL it ignored.
+              val newest =
+                if (seen.nonEmpty) seen.map(_._3).max else lastEt
+              state.setTimeoutTimestamp(math.max(newest, wm + 1))
             }
             out.result().iterator
           }

@@ -1868,6 +1868,40 @@ class PipelineSpec extends SparkSpec {
     assert(out == Set((1L, 2L, 27L, 29L)), s"got $out")
   }
 
+  test("minhash snapshot maxBucket: combined occupancy drops blob, capped snapshot prunes artifact") {
+    import spark.implicits._
+    // 12-doc identical blob split 6 corpus / 6 shard: every blob bucket's
+    // COMBINED occupancy is 12 even though each side alone is 6 — the
+    // guard must count both sides. One honest cross pair rides along.
+    val blobText = "zig zag zog zeb zub zam zin zon zur zat"
+    val base = (1 to 30).map(i => s"a$i").mkString(" ")
+    val edited = ((1 to 29).map(i => s"a$i") :+ "zz").mkString(" ")
+    val corpus = ((200 until 206).map(i => (i.toLong, blobText)) :+ ((2L, base)))
+      .toDF("doc_id", "text")
+    val shard = ((300 until 306).map(i => (i.toLong, blobText)) :+ ((1L, edited)))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_snapcap_spec").toString
+    Dedup.saveMinhashSnapshot(corpus, "doc_id", "text",
+      n = 3, numHashes = 32, bands = 8, path = s"$dir/full", maxBucket = None)
+    def probe(snap: String, cap: Option[Int]) =
+      Dedup.nearDupsAgainstSnapshot(shard, "doc_id", "text", s"$dir/$snap",
+        n = 3, numHashes = 32, bands = 8, num = 4, den = 5, maxBucket = cap)
+        .select("nid", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cross = (for (a <- 300 until 306; b <- 200 until 206)
+      yield (a.toLong, b.toLong)).toSet
+    assert(probe("full", None) == cross + ((1L, 2L)))
+    // probe-side guard: 6 shard + 6 corpus members > 8 → blob buckets
+    // drop whole before the candidate join; the honest pair (2 members)
+    // survives untouched
+    assert(probe("full", Some(8)) == Set((1L, 2L)))
+    // snapshot-side guard: corpus blob buckets (occupancy 6 > 4) never
+    // reach the artifact, so even an UNCAPPED probe can't pair into them
+    Dedup.saveMinhashSnapshot(corpus, "doc_id", "text",
+      n = 3, numHashes = 32, bands = 8, path = s"$dir/capped", maxBucket = Some(4))
+    assert(probe("capped", None) == Set((1L, 2L)))
+  }
+
   test("normalizeText: NFC composes, case folds, whitespace collapses") {
     import spark.implicits._
     // "é" decomposed (e + U+0301) must compose to the single NFC code

@@ -430,6 +430,65 @@ class StreamingSpec extends SparkSpec {
     assert(stateRows <= 3 * 8, s"state must hold only in-window buckets: $stateRows")
   }
 
+  test("streaming near-dup maxBucket: overflowed bucket stops emitting, honest pair unaffected") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val blobText = "zig zag zog zeb zub zam zin zon zur zat"
+    val honest = Seq( // J = 12/14 ≥ 4/5, different buckets than the blob
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu xi omicron pi"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu xi omicron rho"))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.PipelineStream.nearDupPairs(
+      mem.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      n = 3, numHashes = 32, bands = 8, num = 4, den = 5, maxBucket = Some(4))
+      .writeStream.format("memory").queryName("snd_guard")
+      .outputMode("append").start()
+    try {
+      // exactly cap members: pairs among them emit (streaming can't retract)
+      mem.addData((100L to 103L).map(i => (i, blobText)): _*); q.processAllAvailable()
+      // the cap+1'th member overflows every blob bucket: no pair with it
+      mem.addData((104L, blobText)); q.processAllAvailable()
+      // post-overflow arrivals ignored; the honest pair (other buckets) found
+      mem.addData(Seq((105L, blobText)) ++ honest: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("snd_guard").select("ia", "ib").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val firstFour = (100L to 103L)
+    val blobPairs = (for { a <- firstFour; b <- firstFour if a < b } yield (a, b)).toSet
+    assert(got == blobPairs + ((1L, 2L)), s"got $got")
+  }
+
+  test("watermarked near-dup maxBucket: overflow flag expires once the feed leaves it quiet") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val blobText = "zig zag zog zeb zub zam zin zon zur zat"
+    val other = "a completely different document about spark catalyst optimizer internals"
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = graft.streaming.PipelineStream.nearDupPairsWithinWatermark(
+      mem.toDS().toDF("doc_id", "text", "ets"), "doc_id", "text",
+      "ets", "10 minutes", n = 3, numHashes = 32, bands = 8, num = 4, den = 5,
+      maxBucket = Some(2))
+      .writeStream.format("memory").queryName("swnd_guard")
+      .outputMode("append").start()
+    try {
+      mem.addData((100L, blobText, ts(0)), (101L, blobText, ts(0)))
+      q.processAllAvailable() // pair (100,101) — at cap, not over it
+      mem.addData((102L, blobText, ts(1)), (103L, blobText, ts(2)))
+      q.processAllAvailable() // 3rd member overflows: members freed, flag kept
+      // push the watermark past the flag's newest ignored arrival (min 2):
+      // the event-time timeout reaps the flag row itself
+      mem.addData((50L, other, ts(120)))
+      q.processAllAvailable()
+      // fresh window: the bucket starts clean and pairs again
+      mem.addData((104L, blobText, ts(125)), (105L, blobText, ts(126)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("swnd_guard").select("ia", "ib").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 101L), (104L, 105L)), s"got $got")
+  }
+
   test("streaming sample gate admits exactly the batch mixtureSample ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -3,7 +3,13 @@
 runs DuckDB on each oracle_sql.json entry over the sf tables and compares
 against the parquet the engine's Verify main dumped.
 
-Usage: python3 tools/check_oracle.py <sfDir> <outDir>
+Usage: python3 tools/check_oracle.py <sfDir> <outDir> [only]
+
+`only` (optional, comma-separated entry names) restricts the compare to
+those oracle entries — the selective gate for per-commit iteration on a
+changed lineage (pair it with Verify's matching 3rd arg so the dump has
+the same subset). The driver and the round-close ritual always run the
+FULL set: selective passes never substitute for the full sf0.01 gate.
 """
 import json
 import sys
@@ -43,11 +49,19 @@ def canon(rows, cols):
     return out
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        names = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = names - set(oracle)
+        if unknown:
+            print(f"FAIL unknown entry names in --only: {sorted(unknown)}")
+            return 1
+        oracle = {k: v for k, v in oracle.items() if k in names}
+        print(f"[selective] {len(oracle)} of the full set — NOT the round gate")
     failed = []
     for name, sql in sorted(oracle.items()):
         try:
@@ -87,4 +101,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
