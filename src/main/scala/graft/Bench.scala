@@ -83,6 +83,12 @@ object Bench {
     val skipLegs: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
+    // a skipped run must SELF-IDENTIFY: without this, a bench JSON with
+    // missing legs (stray env var) is indistinguishable from a build that
+    // never had them — stderr line here, "skipped" list in the sidecar
+    if (skipLegs.nonEmpty)
+      System.err.println(
+        s"[bench] SPARK_GRAFT_BENCH_SKIP active — skipping legs: ${skipLegs.toSeq.sorted.mkString(",")}")
     def leg(name: String)(f: => Long): Unit = if (!skipLegs.contains(name)) {
       def once(): (Double, Long) = {
         val t0 = System.nanoTime()
@@ -601,8 +607,9 @@ object Bench {
         ",\"p95us\":" + s.p95Micros + ",\"p99us\":" + s.p99Micros +
         ",\"meanUs\":" + s.meanMicros + ",\"maxUs\":" + s.maxMicros + "}"
     }.mkString("{", ",", "}")
+    val skipped = skipLegs.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detail =
-      s"""{"detail":{"rows":$rs,"spread":$sp,"io":$io,"latency":$lat},"sf":"$sfDir"}"""
+      s"""{"detail":{"rows":$rs,"spread":$sp,"io":$io,"latency":$lat,"skipped":$skipped},"sf":"$sfDir"}"""
     try Files.write(java.nio.file.Paths.get("BENCH_SIDECAR.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

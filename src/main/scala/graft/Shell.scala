@@ -275,10 +275,14 @@ object Shell {
           s"column=${nameToString(c, cf.comparator)}, value=$v, timestamp=$ts)"
       } :+ s"Returned ${cells.length} results."
     }
-    // the CLI's nested supercolumn shape: one line per supercolumn with
-    // its subcolumns inline; the count counts SUPERCOLUMNS (the sliced
-    // entities), like the reference's result list. Grouping is by the
-    // RAW name bytes — two byte-distinct supercolumns whose names render
+    // the CLI's nested supercolumn shape, as a SINGLE-LINE adaptation:
+    // the reference (cli/CliClient.java) prints each subcolumn on its
+    // own indented line under the supercolumn header; here the
+    // subcolumns render inline, comma-separated, so the line-based
+    // ShellSpec scripts can assert one row per sliced entity. Content
+    // and ordering match the reference; only the line layout differs.
+    // The count counts SUPERCOLUMNS (the sliced entities), like the
+    // reference's result list. Grouping is by the RAW name bytes — two byte-distinct supercolumns whose names render
     // to the same string (e.g. invalid UTF-8 → U+FFFD) must stay two
     // rows; rendering happens only at display
     def renderSuper(cf: ShellCf, rows: Array[org.apache.spark.sql.Row],

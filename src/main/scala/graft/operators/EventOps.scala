@@ -1398,14 +1398,26 @@ object EventOps {
         .join(bx, Seq("x"), "left_anti")
         .select(col("y").as("node"), col("x").as("out")))
       .join(artifact.select(col("node").as("out"),
-        col("removed_round").as("out_round")), Seq("out"), "left")
+        col("removed_round").as("out_round"), lit(1L).as("__cov")),
+        Seq("out"), "left")
     // per-round boundary aliveness counts: out is alive entering round r
-    // iff it survived or was removed at round >= r
+    // iff it survived or was removed at round >= r. `__cov` separates
+    // "survivor" (artifact row, removed_round NULL) from "node ABSENT
+    // from the artifact" — the left join alone conflates them, and an
+    // artifact that doesn't cover every standing node would silently
+    // count absentees as alive; the loud require below (the maxBallNodes
+    // style) fails instead.
     val bndAggs = (1 to rounds).map(r =>
       sum(when(col("out_round").isNull || col("out_round") >= r, 1L)
-        .otherwise(0L)).as(s"b$r"))
+        .otherwise(0L)).as(s"b$r")) :+
+      sum(when(col("__cov").isNull, 1L).otherwise(0L)).as("__bad")
     val bnd = boundary.groupBy(col("node"))
       .agg(bndAggs.head, bndAggs.tail: _*).localCheckpoint()
+    val uncovered = bnd.agg(coalesce(sum(col("__bad")), lit(0L))).head.getLong(0)
+    require(uncovered == 0,
+      s"kCoreDelta: $uncovered boundary edges reference nodes absent from " +
+        "the standing artifact — the artifact must cover every standing " +
+        "node (kCoreRounds emits all of them); rebuild it in full instead")
     // re-peel the ball with boundary degrees folded in per round
     var alive = ball
     var e = ballEdges

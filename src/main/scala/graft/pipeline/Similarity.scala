@@ -506,9 +506,17 @@ object Similarity {
     * — the standing side never shuffles); a colliding id means an
     * upstream dedupe or a reindex, never a silent duplicate that would
     * double-count a vector in every future probe.
+    *
+    * `maxDeltaRows` prices the guard itself: the collision probe
+    * BROADCASTS the delta's id column to every executor and runs an
+    * eager job per fold, so the default (5M ids ≈ 40 MB serialized,
+    * comfortably under the 8 GB broadcast hard cap and a few hundred ms
+    * to ship) keeps the "bounded delta" contract cheap. Raise it
+    * deliberately if a fold batch is genuinely larger — at 50M ids the
+    * broadcast is ~400 MB on every executor — or fold in slices.
     */
   def foldIvfIndex(index: DataFrame, newRows: DataFrame,
-      maxDeltaRows: Long = 50000000L): DataFrame = {
+      maxDeltaRows: Long = 5000000L): DataFrame = {
     val d = newRows.select(col("id"), col("cell"), col("embedding"))
       .localCheckpoint() // counted + collision probe + union
     val n = d.count()

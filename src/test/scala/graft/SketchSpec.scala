@@ -442,6 +442,15 @@ class SketchSpec extends SparkSpec {
         maxBallNodes = 2L)
     }
     assert(e.getMessage.contains("maxBallNodes"))
+    // an artifact that does NOT cover every standing node must fail
+    // loudly, not silently count the absentee as alive boundary state:
+    // node 1 is outside the ball (pure boundary) — drop its artifact row
+    val holey = standingArt.filter(col("node") =!= 1L)
+    val cov = intercept[IllegalArgumentException] {
+      EventOps.kCoreDelta(holey, standing, delta, "s", "d", 2, 3).collect()
+    }
+    assert(cov.getMessage.contains("absent from the standing artifact"),
+      s"got: ${cov.getMessage}")
   }
 
   test("pageRankDelta: folded artifact ranks ≡ full recompute; warm composition; loud bound") {
