@@ -1726,7 +1726,10 @@ object TextAnalysis {
     */
   def unigramWeights(vocab: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val tot = vocab.agg(sum(col("cnt")).cast("long").as("__tot"))
+    // double total: value-identical for integer vocabs (corpus sums sit
+    // far below 2^53) and keeps the soft-EM loop's fractional counts
+    // un-truncated when its vocab feeds back in
+    val tot = vocab.agg(sum(col("cnt")).cast("double").as("__tot"))
     vocab.crossJoin(broadcast(tot))
       .select(col("piece"), col("cnt"),
         round(log(col("cnt").cast("double") / col("__tot").cast("double")) * 1e6)
@@ -1871,22 +1874,37 @@ object TextAnalysis {
     * re-segments (M then E). Unused multi-char pieces PRUNE (they drew
     * zero expected count — the SentencePiece prune analog at its
     * harshest); single-char fallbacks persist at a count floor of 1 so
-    * every word stays segmentable forever. Per-step mechanics are the
-    * oracle-gated [[unigramViterbiCounts]]; the loop is spec-gated like
-    * BPE's trainer. Returns the trained (piece, cnt) vocab.
+    * every word stays segmentable forever.
+    *
+    * `em` selects the E-step: `"viterbi"` (default) composes the
+    * oracle-gated hard-EM [[unigramViterbiCounts]] — integer counts,
+    * cnt LONG; `"soft"` composes [[unigramSoftCounts]] — SentencePiece's
+    * production forward–backward expected counts, cnt DOUBLE under that
+    * op's float contract (order-pinned per word, corpus sums to
+    * float-accumulation order), so the soft loop is spec-gated like
+    * BPE's trainer with the conservation law asserted per iteration,
+    * never hash-oracled. Returns the trained (piece, cnt) vocab.
     */
   def unigramTrainLoop(words: org.apache.spark.sql.DataFrame,
-      maxPieceLen: Int, minCount: Long, iters: Int)
+      maxPieceLen: Int, minCount: Long, iters: Int,
+      em: String = "viterbi")
       : org.apache.spark.sql.DataFrame = {
     require(iters >= 1, "iters >= 1")
+    require(em == "viterbi" || em == "soft", s"em must be viterbi|soft, got $em")
     var vocab = unigramSeedVocab(words, maxPieceLen, minCount).localCheckpoint()
     var i = 0
     while (i < iters) {
-      val counts = unigramViterbiCounts(words, unigramWeights(vocab), maxPieceLen)
+      val counts = (if (em == "soft")
+          unigramSoftCounts(words, unigramWeights(vocab), maxPieceLen)
+            .select(col("piece"), col("e_soft").as("e_cnt"))
+        else unigramViterbiCounts(words, unigramWeights(vocab), maxPieceLen))
         .localCheckpoint() // chars pass + multi-char pass below
       val chars = vocab.filter(length(col("piece")) === 1).select(col("piece"))
+      // the char floor in the E-step's own count type (LONG hard-EM,
+      // DOUBLE soft-EM); the union below then stays type-homogeneous
+      val floor = if (em == "soft") lit(1.0d) else lit(1L)
       vocab = chars.join(counts, Seq("piece"), "left")
-        .select(col("piece"), coalesce(col("e_cnt"), lit(1L)).as("cnt"))
+        .select(col("piece"), coalesce(col("e_cnt"), floor).as("cnt"))
         .unionByName(counts.filter(length(col("piece")) > 1)
           .select(col("piece"), col("e_cnt").as("cnt")))
         .localCheckpoint()

@@ -310,6 +310,47 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(coveredNoQ - (chars - 2)) < 1e-6, s"got $coveredNoQ")
   }
 
+  test("unigramTrainLoop soft mode: per-iteration conservation, sharpening, fixed point") {
+    import spark.implicits._
+    val docs = Seq((0L, "abab abab ab"), (1L, "abab cd cd"), (2L, "qq xy"))
+      .toDF("doc_id", "text")
+    val words = TextAnalysis.unigramWords(docs, "text", maxWordLen = 12)
+    val freqs = words.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val chars = freqs.map { case (w, f) => w.length * f }.sum
+    def trained(iters: Int) =
+      TextAnalysis.unigramTrainLoop(words, 2, 2, iters, em = "soft")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the conservation law holds at EVERY iterate's model: expected
+    // counts generated FROM each trained vocab cover each corpus char
+    // exactly once in expectation (the floored chars add vocab mass but
+    // the law is a property of the E-step over that vocab)
+    (1 to 3).foreach { it =>
+      val v = TextAnalysis.unigramTrainLoop(words, 2, 2, it, em = "soft")
+      val cov = TextAnalysis.unigramSoftCounts(
+          words, TextAnalysis.unigramWeights(v), maxPieceLen = 2)
+        .collect().map(r => r.getString(0).length * r.getDouble(1)).sum
+      assert(math.abs(cov - chars) < 1e-6, s"iter $it: covered $cov vs $chars")
+    }
+    val t1 = trained(1)
+    val t3 = trained(3)
+    // soft keeps fractional mass on every REACHED piece (ba survives,
+    // unlike hard-EM's all-or-nothing prune) and re-weighting sharpens:
+    // the dominant subword's expected count grows round over round
+    assert(t1.contains("ba") && t1("ab") < 7.0)
+    assert(t3("ab") > t1("ab") - 1e-9 && t3("ab") < 7.0 + 1e-9,
+      s"ab: ${t1("ab")} -> ${t3("ab")}")
+    // fixed point: an unambiguous corpus (maxPieceLen 1 — one
+    // segmentation per word) converges in one round, exactly; soft
+    // counts there equal the hard-EM integers
+    val plainWords = TextAnalysis.unigramWords(
+      Seq((0L, "a b c a"), (1L, "b a")).toDF("doc_id", "text"), "text")
+    def plain(iters: Int) =
+      TextAnalysis.unigramTrainLoop(plainWords, 1, 1, iters, em = "soft")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(plain(1) == plain(3))
+    assert(plain(1) == Map("a" -> 3.0, "b" -> 2.0, "c" -> 1.0))
+  }
+
   test("trained weight artifact: contrast weights, broadcast scoring, unseen weighs 0") {
     import spark.implicits._
     val labeled = Seq(
