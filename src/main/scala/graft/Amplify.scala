@@ -17,7 +17,15 @@ import org.apache.spark.sql.functions._
   *    get a per-replica deterministic token SHUFFLE (sort by
   *    xxhash64(token ‖ replica)) — same token statistics, distinct
   *    n-gram shingles, so dedup legs see a mostly-distinct corpus like
-  *    a real 10× crawl instead of a 10-deep duplicate pile;
+  *    a real 10× crawl instead of a 10-deep duplicate pile. The
+  *    optional `salt` mode instead REMAPS each replica's vocabulary
+  *    (token → token‖"_r" per replica > 0): replicas share NO tokens,
+  *    so cross-replica near-dup/bucket density drops to zero — the
+  *    honest model of "10× more DISTINCT content". Shuffle keeps token
+  *    statistics (and thus inflates shingle/bucket collision density at
+  *    10×, overstating dedup slopes); salt keeps per-replica zipf shape
+  *    but makes vocabulary grow with corpus. Record BOTH slopes: real
+  *    crawls sit between them;
   *  - embeddings: vec_id offset, vectors kept (ANN/k-means cost scales
   *    with row count, not vector identity);
   *  - dims (region/nation/customer/supplier/part): copied through
@@ -25,7 +33,7 @@ import org.apache.spark.sql.functions._
   *    exist in the copied dim (no bench leg joins them today; a future
   *    dim-join leg must amplify customer with the o_custkey stride).
   *
-  * Usage: `runMain graft.Amplify <srcSfDir> <outDir> <mult>`.
+  * Usage: `runMain graft.Amplify <srcSfDir> <outDir> <mult> [shuffle|salt]`.
   */
 object Amplify {
   private def replicas(spark: SparkSession, mult: Int): DataFrame =
@@ -50,6 +58,9 @@ object Amplify {
   def main(args: Array[String]): Unit = {
     val Array(src, out, multS) = args.take(3)
     val mult = multS.toInt
+    val textMode = if (args.length > 3) args(3) else "shuffle"
+    require(textMode == "shuffle" || textMode == "salt",
+      s"text mode must be shuffle|salt, got $textMode")
     require(!out.startsWith("/root/testdata"), "never write under testdata")
     val spark = GraftSession.create(taskSideCommit = true)
 
@@ -80,16 +91,21 @@ object Amplify {
     // amplified corpus is shingle-distinct, then recompute n_chars
     val docBase = keyBase(tbl("documents"), "doc_id")
     val docs = amplify(spark, tbl("documents"), mult, Seq("doc_id" -> docBase))
-    val shuffled = docs
+    val reText = if (textMode == "salt")
+      // disjoint per-replica vocabulary: token -> token_r<replica>
+      expr("""concat_ws(' ', transform(split(text, '\\s+'),
+             |  t -> concat(t, '_r', CAST(__r AS STRING))))""".stripMargin)
+    else
+      expr("""concat_ws(' ', transform(array_sort(transform(
+             |  split(text, '\\s+'),
+             |  t -> struct(xxhash64(concat(t, CAST(__r AS STRING))) AS h, t AS t))),
+             |  s -> s.t))""".stripMargin)
+    val reworded = docs
       .withColumn("__r", (col("doc_id") / lit(docBase)).cast("long"))
-      .withColumn("text", when(col("__r") === 0L, col("text")).otherwise(
-        expr("""concat_ws(' ', transform(array_sort(transform(
-               |  split(text, '\\s+'),
-               |  t -> struct(xxhash64(concat(t, CAST(__r AS STRING))) AS h, t AS t))),
-               |  s -> s.t))""".stripMargin)))
+      .withColumn("text", when(col("__r") === 0L, col("text")).otherwise(reText))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .drop("__r")
-    write("documents", shuffled)
+    write("documents", reworded)
     write("embeddings", amplify(spark, tbl("embeddings"), mult,
       Seq("vec_id" -> keyBase(tbl("embeddings"), "vec_id"))))
     write("customer", tbl("customer"))

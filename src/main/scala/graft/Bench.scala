@@ -515,6 +515,17 @@ object Bench {
         "event_id", "tus", window = 21600000000L)
     }
 
+    // KEYED ±1 h per-user neighbor counts (p244): the engine-native
+    // rangeBetween window — ONE exchange on the key, per-key sort, no
+    // bins, no pair join; the one-exchange claim gets a recorded number
+    // next to the unkeyed bin/rank legs
+    legDf("window_join_keyed") {
+      graft.operators.EventOps.windowCountByKey(
+        CellEncodings.table(spark, sfDir, "events")
+          .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus")),
+        "user_id", "event_id", "tus", window = 3600000000L)
+    }
+
     // drift monitors: per-day CMS L1 drift series + per-type winsorized
     // stats in one leg — the corpus-observability family (histogram
     // aggregates + metrics-space windows, bounded outputs)

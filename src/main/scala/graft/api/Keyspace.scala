@@ -418,6 +418,47 @@ class Keyspace(val spark: SparkSession, val name: String) {
 
 object Keyspace {
   def apply(spark: SparkSession, name: String): Keyspace = new Keyspace(spark, name)
+
+  /** The deprecated property-getter meta-API
+    * (interface/cassandra.thrift:429-437 →
+    * thrift/CassandraServer.java:463-502), mapped onto engine-native
+    * facts — the last uncited Thrift methods, closing the §2.1 surface:
+    *  - "cluster name" → the Spark application name (the
+    *    DatabaseDescriptor.getClusterName analog);
+    *  - "config file"  → the session's runtime conf rendered as sorted
+    *    `key=value` lines (the reference streams storage-conf.xml off
+    *    disk; the session conf IS this engine's config source);
+    *  - "token map"    → JSON token→endpoint map. A single-engine build
+    *    owns the whole ring, so the map is one entry: the partitioner's
+    *    minimum token against the Spark master endpoint (the
+    *    getStringEndpointMap shape at cluster size 1);
+    *  - "version"      → the Thrift API version the surface speaks
+    *    (gen-java Constants.VERSION = "2.2.0");
+    *  - anything else  → "?" (the reference's literal fallback).
+    */
+  def getStringProperty(spark: SparkSession, property: String): String =
+    property match {
+      case "cluster name" => spark.sparkContext.appName
+      case "config file" =>
+        spark.conf.getAll.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=$v" }.mkString("\n")
+      case "token map" =>
+        val master = spark.sparkContext.master
+        s"""{"0":"${master.replace("\"", "\\\"")}"}"""
+      case "version" => "2.2.0"
+      case _ => "?"
+    }
+
+  /** get_string_list_property (thrift:436, CassandraServer.java:504-510):
+    * "keyspaces" lists the defined namespaces from the catalog (the
+    * DatabaseDescriptor.getTables analog); every other property is the
+    * reference's literal empty list.
+    */
+  def getStringListProperty(spark: SparkSession, property: String): Seq[String] =
+    property match {
+      case "keyspaces" => spark.catalog.listDatabases().collect().map(_.name).toSeq
+      case _ => Seq.empty
+    }
 }
 
 /** Thrift-shaped result materialization (SURVEY §1.4): rows as

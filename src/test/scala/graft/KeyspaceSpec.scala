@@ -421,4 +421,25 @@ class KeyspaceSpec extends SparkSpec {
     assert(names(reversed = false) == Seq("a", "b", "c"))
     assert(names(reversed = true) == Seq("c", "b", "a"))
   }
+
+  test("get_string_property / get_string_list_property analogs") {
+    assert(Keyspace.getStringProperty(spark, "cluster name")
+      == spark.sparkContext.appName)
+    val conf = Keyspace.getStringProperty(spark, "config file")
+    assert(conf.linesIterator.nonEmpty && conf.contains("spark.sql.shuffle.partitions="))
+    // lines are sorted key=value (deterministic render of the live conf)
+    val keys = conf.linesIterator.map(_.takeWhile(_ != '=')).toSeq
+    assert(keys == keys.sorted)
+    // single-engine ring: one token, this engine's master endpoint
+    val tokenMap = Keyspace.getStringProperty(spark, "token map")
+    assert(tokenMap == s"""{"0":"${spark.sparkContext.master}"}""")
+    assert(Keyspace.getStringProperty(spark, "version") == "2.2.0")
+    assert(Keyspace.getStringProperty(spark, "no such thing") == "?")
+    val ks = Keyspace(spark, "graft_prop_spec_ks")
+    try {
+      assert(Keyspace.getStringListProperty(spark, "keyspaces")
+        .contains("graft_prop_spec_ks"))
+      assert(Keyspace.getStringListProperty(spark, "anything else").isEmpty)
+    } finally ks.drop()
+  }
 }
