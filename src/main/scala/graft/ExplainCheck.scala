@@ -64,6 +64,20 @@ object ExplainCheck {
       "doc_id", "text", s"$tmp/snap", n = 3, numHashes = 32, bands = 8, num = 4, den = 5)
       .explain("formatted")
 
+    println("\n================ DRIFT MONITORS (where does the sort live?) ================")
+    // the bench leg's two lineages, explained separately: the CMS drift
+    // series (corpus tokens × d through a hash aggregate into day×w
+    // cells) and the winsorized stats (corpus → (grp, v) histogram);
+    // any Sort/Window over a corpus-sized frame here is a scale bug —
+    // sorts are only legitimate on metrics-space frames (days, cells)
+    val ev = CellEncodings.table(spark, dir, "events")
+    graft.pipeline.Sketches.cmsDriftSeries(
+      ev.select(expr("ts div 1000 div 86400000000").as("day"), col("props")),
+      "props", "day", d = 4, w = 128).explain("formatted")
+    graft.pipeline.Sketches.winsorizedStats(
+      ev.select(col("event_type"), round(col("value") * 100).cast("long").as("cents")),
+      "cents", "event_type").explain("formatted")
+
     spark.stop()
   }
 }
