@@ -3081,6 +3081,23 @@ object SparkEntry {
         "doc_id", "text", minTokens = 5, minDocs = 2, hashSpans = false)
     }),
 
+    // Incremental maximal-span report: even-id docs are the persisted
+    // SPAN REGISTRY (windows by sp/id + per-window dfs + standing
+    // islands), odd-id docs the shard folded against it — corpus text
+    // never re-read; only docs holding a threshold-CROSSING window
+    // re-derive. Oracle = p237's full-corpus recompute, row-identical.
+    "p246_span_islands_registry" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_p246_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.pipeline.Dedup.saveSpanRegistry(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        minTokens = 5, minDocs = 2, path = s"$path/reg", hashSpans = false)
+      graft.pipeline.Dedup.spanIslandsAgainstRegistry(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", s"$path/reg",
+        minTokens = 5, minDocs = 2, hashSpans = false)
+    }),
+
     // Maximal-span dedup: island occurrences grouped by exact content,
     // min-(doc, start) keeper untouched, every other occurrence removed
     // WHOLE — island-atomic cuts where p39's window grain leaves
@@ -4609,6 +4626,25 @@ object SparkEntry {
     * p107 gates the batch aggregate, p111 the streaming changelog's max
     * compaction (same registers for any arrival order).
     */
+  private lazy val spanIslandsOracleSql: String =
+    """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks
+      |           FROM documents),
+      |sg AS (SELECT id, unnest(generate_series(1, len(toks) - 4)) - 1 AS start,
+      |              unnest(list_transform(generate_series(1, len(toks) - 4),
+      |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |                     toks[i+3] || ' ' || toks[i+4])) AS span
+      |       FROM t WHERE len(toks) >= 5),
+      |st AS (SELECT span FROM sg GROUP BY 1 HAVING count(DISTINCT id) >= 2),
+      |cov AS (SELECT DISTINCT id, pos FROM (
+      |         SELECT s.id, s.start + unnest([0, 1, 2, 3, 4]) AS pos
+      |         FROM sg s JOIN st ON s.span = st.span)),
+      |isl AS (SELECT id, pos,
+      |               pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS grp
+      |        FROM cov)
+      |SELECT id AS doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+      |       CAST(max(pos) AS BIGINT) AS span_end, count(*) AS n_tokens
+      |FROM isl GROUP BY id, grp""".stripMargin
+
   private lazy val hllOracleSql: String =
     s"""WITH d AS (SELECT lang,
       |             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
@@ -7469,24 +7505,10 @@ object SparkEntry {
         |SELECT t.id AS doc_id, coalesce(agg.clean_text, '') AS clean_text
         |FROM t LEFT JOIN agg USING (id)""".stripMargin,
 
-    "p237_span_islands" ->
-      """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks
-        |           FROM documents),
-        |sg AS (SELECT id, unnest(generate_series(1, len(toks) - 4)) - 1 AS start,
-        |              unnest(list_transform(generate_series(1, len(toks) - 4),
-        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
-        |                     toks[i+3] || ' ' || toks[i+4])) AS span
-        |       FROM t WHERE len(toks) >= 5),
-        |st AS (SELECT span FROM sg GROUP BY 1 HAVING count(DISTINCT id) >= 2),
-        |cov AS (SELECT DISTINCT id, pos FROM (
-        |         SELECT s.id, s.start + unnest([0, 1, 2, 3, 4]) AS pos
-        |         FROM sg s JOIN st ON s.span = st.span)),
-        |isl AS (SELECT id, pos,
-        |               pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS grp
-        |        FROM cov)
-        |SELECT id AS doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-        |       CAST(max(pos) AS BIGINT) AS span_end, count(*) AS n_tokens
-        |FROM isl GROUP BY id, grp""".stripMargin,
+    "p237_span_islands" -> spanIslandsOracleSql,
+    // the registry probe is gated under the SAME full-recompute oracle:
+    // fold ≡ full is the operator's whole contract
+    "p246_span_islands_registry" -> spanIslandsOracleSql,
 
     "p238_span_dedup_maximal" ->
       """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks

@@ -1224,16 +1224,143 @@ object Dedup {
       minTokens: Int, minDocs: Int = 2, hashSpans: Boolean = true): DataFrame = {
     require(minTokens >= 1 && minDocs >= 2, "minTokens >= 1; minDocs >= 2")
     val (_, spans) = spanLineage(df, idCol, textCol, minTokens, hashSpans)
+    coverageIslands(dupCoverage(spans, minTokens, minDocs))
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** Merge covered (id, pos) rows into maximal contiguous islands per
+    * document — the ONE gaps-and-islands definition (pos − row_number
+    * per doc) [[maximalRepeatedSpans]] and the registry probe share, so
+    * the incremental path can never diverge from the batch report.
+    * Returns (id, span_start, span_end, n_tokens).
+    */
+  private def coverageIslands(covered: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("pos"))
-    dupCoverage(spans, minTokens, minDocs)
+    covered
       .withColumn("__grp", col("pos") - row_number().over(w))
       .groupBy(col("id"), col("__grp"))
       .agg(min(col("pos")).cast("long").as("span_start"),
         max(col("pos")).cast("long").as("span_end"),
         count(lit(1)).as("n_tokens"))
-      .select(col("id").as(idCol), col("span_start"), col("span_end"),
-        col("n_tokens"))
+      .select(col("id"), col("span_start"), col("span_end"), col("n_tokens"))
+  }
+
+  /** Persist the standing state of incremental maximal-span reporting —
+    * the [[saveMinhashSnapshot]] move at span grain:
+    *   windows_by_sp/ (sp, id, start) — window occurrences laid out by
+    *     window key: an ingest batch reads ONLY the rows of windows its
+    *     delta pushed over the threshold (row-group pruning + runtime
+    *     filters on sp);
+    *   windows_by_id/ (sp, id, start) — the same rows laid out by doc,
+    *     for rebuilding the touched documents' coverage without
+    *     re-tokenizing corpus text;
+    *   dfs/     (sp, nd) — per-window distinct-doc counts, the fold's
+    *     additive half (doc ids are disjoint across batches, so
+    *     nd_total = nd_standing + nd_delta);
+    *   islands/ (id, span_start, span_end, n_tokens) — the standing
+    *     report, carried verbatim for every untouched document;
+    *   ids/     (id) — the standing doc ids, for the loud disjointness
+    *     probe (a re-ingested id would double-count every window df).
+    * Sketch parameters (minTokens, hashSpans) must match the probe's.
+    */
+  def saveSpanRegistry(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int, minDocs: Int, path: String,
+      hashSpans: Boolean = true): Unit = {
+    require(minTokens >= 1 && minDocs >= 2, "minTokens >= 1; minDocs >= 2")
+    val (_, spans0) = spanLineage(df, idCol, textCol, minTokens, hashSpans)
+    val spans = spans0.select(col("sp"), col("id"), col("start"))
+      .localCheckpoint(eager = false) // four artifacts, one window pass
+    spans.repartitionByRange(col("sp")).sortWithinPartitions("sp")
+      .write.mode("overwrite").parquet(s"$path/windows_by_sp")
+    spans.repartitionByRange(col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(s"$path/windows_by_id")
+    spans.groupBy(col("sp")).agg(count_distinct(col("id")).as("nd"))
+      .write.mode("overwrite").parquet(s"$path/dfs")
+    coverageIslands(dupCoverage(spans, minTokens, minDocs))
+      .write.mode("overwrite").parquet(s"$path/islands")
+    df.select(col(idCol).as("id")).distinct()
+      .write.mode("overwrite").parquet(s"$path/ids")
+  }
+
+  /** Incremental maximal-span report: the [[maximalRepeatedSpans]] of
+    * corpus ∪ shard, computed from a [[saveSpanRegistry]] artifact and
+    * the new shard ONLY — the corpus text is never re-read. The fold
+    * law at span grain:
+    *
+    *  - window doc-frequencies are ADDITIVE over disjoint doc ids, so
+    *    the shard's per-window counts fold onto dfs/ by one join;
+    *  - coverage never shrinks on append, and a standing document's
+    *    coverage changes ONLY where a window it carries CROSSED the
+    *    minDocs threshold because of the shard — so exactly the docs
+    *    holding a crossing window re-derive their islands (from
+    *    windows_by_id/, a pruned keyed read), every other standing doc
+    *    keeps its islands/ row verbatim, and shard docs derive fresh
+    *    against the folded counts.
+    *
+    * `maxTouchedDocs` bounds the re-derive set loudly (the kCoreDelta
+    * move): a shard that re-opens more standing docs than the bound —
+    * a boilerplate flood crossing thousands of windows at once — fails
+    * with instructions to rebuild, never silently explodes the probe.
+    * Returns (idCol, span_start, span_end, n_tokens), row-identical to
+    * the full-corpus recompute.
+    */
+  def spanIslandsAgainstRegistry(newDf: DataFrame, idCol: String,
+      textCol: String, path: String, minTokens: Int, minDocs: Int,
+      hashSpans: Boolean = true, maxTouchedDocs: Long = 100000L): DataFrame = {
+    require(minTokens >= 1 && minDocs >= 2, "minTokens >= 1; minDocs >= 2")
+    val spark = newDf.sparkSession
+    val (_, newSpans0) = spanLineage(newDf, idCol, textCol, minTokens, hashSpans)
+    val newSpans = newSpans0.localCheckpoint(eager = false) // dfs + coverage
+    require(spark.read.parquet(s"$path/ids")
+        .join(newDf.select(col(idCol).as("id")).distinct(), Seq("id"), "left_semi")
+        .isEmpty,
+      "spanIslandsAgainstRegistry: shard doc ids collide with the standing " +
+        "registry — dedupe the batch or rebuild the registry")
+    val newDfs = newSpans.groupBy(col("sp"))
+      .agg(count_distinct(col("id")).as("nd_new"))
+      .localCheckpoint(eager = false) // shard coverage + crossing probe
+    val stdDfs = spark.read.parquet(s"$path/dfs")
+    // folded counts for every window the shard touches (standing windows
+    // the shard never mentions keep their coverage status unchanged)
+    val folded = newDfs
+      .join(stdDfs.withColumnRenamed("nd", "nd_std"), Seq("sp"), "left")
+      .select(col("sp"), coalesce(col("nd_std"), lit(0L)).as("nd_std"),
+        (col("nd_new") + coalesce(col("nd_std"), lit(0L))).as("nd_tot"))
+      .localCheckpoint(eager = false) // shard coverage + crossing windows
+    // shard docs: covered where the FOLDED count clears the threshold
+    val newCovered = newSpans
+      .join(folded.filter(col("nd_tot") >= minDocs).select("sp"), Seq("sp"))
+      .select(col("id"),
+        explode(sequence(col("start"), col("start") + lit(minTokens - 1))).as("pos"))
+      .distinct()
+    // windows the shard pushed over the threshold → the touched docs
+    val crossing = folded
+      .filter(col("nd_std") < minDocs && col("nd_tot") >= minDocs)
+      .select(col("sp"))
+    val touched = spark.read.parquet(s"$path/windows_by_sp")
+      .join(crossing, Seq("sp"), "left_semi")
+      .select(col("id")).distinct().localCheckpoint()
+    val nTouched = touched.count()
+    require(nTouched <= maxTouchedDocs,
+      s"spanIslandsAgainstRegistry: shard re-opens $nTouched standing docs " +
+        s"> maxTouchedDocs = $maxTouchedDocs — the re-derive set broadcasts; " +
+        "rebuild the registry in full instead")
+    // touched standing docs re-derive coverage from their own window
+    // rows (keyed pruned read) against the folded counts; their windows
+    // all exist in dfs/, so only the shard delta needs the left join
+    val touchedCovered = spark.read.parquet(s"$path/windows_by_id")
+      .join(broadcast(touched), Seq("id"), "left_semi")
+      .join(stdDfs, Seq("sp"))
+      .join(newDfs, Seq("sp"), "left")
+      .filter(col("nd") + coalesce(col("nd_new"), lit(0L)) >= minDocs)
+      .select(col("id"),
+        explode(sequence(col("start"), col("start") + lit(minTokens - 1))).as("pos"))
+      .distinct()
+    spark.read.parquet(s"$path/islands")
+      .join(broadcast(touched), Seq("id"), "left_anti")
+      .unionByName(coverageIslands(newCovered.unionByName(touchedCovered)))
+      .withColumnRenamed("id", idCol)
   }
 
   /** Maximal-span dedup — [[removeRepeatedSpans]] lifted to the

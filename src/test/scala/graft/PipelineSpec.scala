@@ -1909,6 +1909,54 @@ class PipelineSpec extends SparkSpec {
     assert(out == Set((1L, 2L, 27L, 29L)), s"got $out")
   }
 
+  test("span registry: fold ≡ full recompute, crossing re-derives, loud bounds") {
+    import spark.implicits._
+    // corpus: doc 1 holds a span UNIQUE in the corpus (no island yet);
+    // docs 2/3 share one (standing islands); doc 5 shares nothing
+    val corpus = Seq(
+      (1L, "a b c d e x1 x2 x3"),
+      (2L, "p q r s t u"),
+      (3L, "p q r s t v"),
+      (5L, "w1 w2 w3 w4 w5")).toDF("doc_id", "text")
+    // shard: doc 11 CROSSES doc 1's span over the threshold; docs 13/15
+    // repeat a span within the shard alone; doc 17 is clean
+    val shard = Seq(
+      (11L, "a b c d e y1 y2"),
+      (13L, "m n o k1"),
+      (15L, "m n o k2"),
+      (17L, "z1 z2 z3 z4")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_spanreg_spec").toString
+    Dedup.saveSpanRegistry(corpus, "doc_id", "text",
+      minTokens = 3, minDocs = 2, path = s"$dir/reg")
+    def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val folded = toSet(Dedup.spanIslandsAgainstRegistry(shard, "doc_id", "text",
+      s"$dir/reg", minTokens = 3, minDocs = 2))
+    val full = toSet(Dedup.maximalRepeatedSpans(corpus.unionByName(shard),
+      "doc_id", "text", minTokens = 3, minDocs = 2))
+    assert(folded == full, s"folded $folded != full $full")
+    // the crossing actually happened: doc 1's island exists ONLY after
+    // the fold (the standing report had no row for it)
+    assert(spark.read.parquet(s"$dir/reg/islands")
+      .filter(col("id") === 1L).isEmpty)
+    assert(folded.contains((1L, 0L, 4L, 5L)) && folded.contains((11L, 0L, 4L, 5L)))
+    assert(folded.contains((13L, 0L, 2L, 3L)) && folded.contains((15L, 0L, 2L, 3L)))
+    assert(!folded.exists(r => r._1 == 5L || r._1 == 17L))
+    // loud bound: the crossing re-opens one standing doc, cap 0 refuses
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.spanIslandsAgainstRegistry(shard, "doc_id", "text", s"$dir/reg",
+        minTokens = 3, minDocs = 2, maxTouchedDocs = 0L)
+    }
+    assert(e1.getMessage.contains("maxTouchedDocs"))
+    // loud disjointness: a re-ingested standing id refuses
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.spanIslandsAgainstRegistry(
+        Seq((2L, "p q r s t u")).toDF("doc_id", "text"), "doc_id", "text",
+        s"$dir/reg", minTokens = 3, minDocs = 2)
+    }
+    assert(e2.getMessage.contains("collide"))
+  }
+
   test("minhash snapshot maxBucket: combined occupancy drops blob, capped snapshot prunes artifact") {
     import spark.implicits._
     // 12-doc identical blob split 6 corpus / 6 shard: every blob bucket's
