@@ -3157,6 +3157,17 @@ object SparkEntry {
         .select(col("ia"), col("ib"), col("inter"), col("uni"))
     }),
 
+    // Broder CONTAINMENT near-dups: directed sub⊆sup pairs at
+    // containment ≥ 4/5 — the quote/excerpt/superset detector
+    // symmetric Jaccard under-scores; superset of p06's pairs (each as
+    // two directed rows) since containment ≥ resemblance.
+    "p247_containment" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Dedup.containmentNearDuplicates(
+        table(s, dir, "documents"), "doc_id", "text", n = 3, num = 4, den = 5,
+        maxDocFreq = None) // oracle twin: uncapped like p06's
+    }),
+
     // Incremental NEAR-dup ingest: even-id docs are the persisted corpus
     // (MinHash snapshot: buckets + shingles + sizes), odd-id docs the new
     // shard checked against it without rescanning corpus text. Oracle =
@@ -4388,6 +4399,23 @@ object SparkEntry {
         maxPieceLen = 4)
     }),
 
+    // Tokenizer APPLY surface: each distinct word's max-likelihood
+    // segmentation under the SAME seed vocab/weights as p239 — (word,
+    // ord, piece); p239's counts are exactly the freq-weighted
+    // aggregate of these rows (one shared seg frame in the engine, one
+    // shared DP CTE prefix in the oracle).
+    "p248_unigram_segment" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val words = graft.pipeline.TextAnalysis.unigramWords(
+        table(s, dir, "documents"), "text", maxWordLen = 12)
+        .localCheckpoint(eager = false) // feeds the seed vocab AND the DP
+      graft.pipeline.TextAnalysis.unigramSegment(words,
+        graft.pipeline.TextAnalysis.unigramWeights(
+          graft.pipeline.TextAnalysis.unigramSeedVocab(
+            words, maxPieceLen = 4, minCount = 30L)),
+        maxPieceLen = 4)
+    }),
+
     // Bigram-LM perplexity-proxy scoring (the KenLM-filter shape of
     // CCNet/RedPajama, integer-exact): self-trained corpus bigram model,
     // per-doc sum of floor(1000*c(w1,w2)/c(w1·)) over transitions.
@@ -5075,7 +5103,12 @@ object SparkEntry {
     * smallest start (array_sort by `i`); the CTE takes
     * row_number() OVER (ORDER BY e.i) = 1.
     */
-  private def unigramEmOracleSql(maxWordLen: Int, maxPieceLen: Int,
+  /** The shared DuckDB CTE prefix of the unigram-LM oracles: seed
+    * vocab + weights + candidate edges + the unrolled per-position DP
+    * and backtrace chains. p239 composes the count tail over it, p248
+    * the segmentation tail — one DP definition on the oracle side too.
+    */
+  private def unigramDpCtes(maxWordLen: Int, maxPieceLen: Int,
       minCount: Long): String = {
     val sub = "list_transform(generate_series(1, length(word)), i -> " +
       s"list_transform(generate_series(i, least(length(word), i + ${maxPieceLen - 1})), j -> "
@@ -5095,8 +5128,6 @@ object SparkEntry {
          |       QUALIFY row_number() OVER (PARTITION BY b.word ORDER BY e.i) = 1)"""
         .stripMargin
     }.mkString(",\n")
-    val pieces = (1 to maxWordLen)
-      .map(t => s"SELECT word, piece FROM bt$t").mkString(" UNION ALL ")
     s"""WITH w AS MATERIALIZED (SELECT substring(tok, 1, $maxWordLen) AS word, count(*) AS freq
        |           FROM (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
        |                 FROM documents) GROUP BY 1),
@@ -5118,10 +5149,31 @@ object SparkEntry {
        |$dpChain,
        |bt0 AS MATERIALIZED (SELECT d.word, d.pos, d.sc FROM wd JOIN dpall$maxWordLen d
        |        ON d.word = wd.word AND d.pos = length(wd.word)),
-       |$btChain,
+       |$btChain""".stripMargin
+  }
+
+  private def unigramEmOracleSql(maxWordLen: Int, maxPieceLen: Int,
+      minCount: Long): String = {
+    val pieces = (1 to maxWordLen)
+      .map(t => s"SELECT word, piece FROM bt$t").mkString(" UNION ALL ")
+    s"""${unigramDpCtes(maxWordLen, maxPieceLen, minCount)},
        |pc AS ($pieces)
        |SELECT piece, CAST(sum(freq) AS BIGINT) AS e_cnt
        |FROM pc JOIN w USING (word) GROUP BY 1""".stripMargin
+  }
+
+  /** Segmentation tail over the shared DP prefix: each bt$t step holds
+    * the t-th piece FROM THE WORD'S END, so ord = (pieces in word) − t.
+    */
+  private def unigramSegmentOracleSql(maxWordLen: Int, maxPieceLen: Int,
+      minCount: Long): String = {
+    val pieces = (1 to maxWordLen)
+      .map(t => s"SELECT word, piece, $t AS t FROM bt$t").mkString(" UNION ALL ")
+    s"""${unigramDpCtes(maxWordLen, maxPieceLen, minCount)},
+       |pc AS ($pieces),
+       |tm AS (SELECT word, max(t) AS tmax FROM pc GROUP BY 1)
+       |SELECT pc.word, CAST(tm.tmax - pc.t AS BIGINT) AS ord, pc.piece
+       |FROM pc JOIN tm USING (word)""".stripMargin
   }
 
   /** Shared DuckDB lineage for the unkeyed ±6 h window count — p149
@@ -7601,6 +7653,23 @@ object SparkEntry {
         |      FROM p JOIN sz sa ON sa.id = ia JOIN sz sb ON sb.id = ib)
         |SELECT ia, ib, inter, uni FROM j WHERE inter * 5 >= uni * 4""".stripMargin,
 
+    "p247_containment" ->
+      """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |g AS (SELECT id, unnest(list_transform(generate_series(1, len(toks)-2),
+        |                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |      FROM t WHERE len(toks) >= 3),
+        |d AS (SELECT DISTINCT id, sh FROM g),
+        |sz AS (SELECT id, count(*) AS sz FROM d GROUP BY 1),
+        |p AS (SELECT a.id AS ia, b.id AS ib, count(*) AS inter
+        |      FROM d a JOIN d b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+        |pj AS (SELECT ia, ib, inter, sa.sz AS sza, sb.sz AS szb
+        |       FROM p JOIN sz sa ON sa.id = ia JOIN sz sb ON sb.id = ib)
+        |SELECT ia AS sub_id, ib AS sup_id, inter, sza AS sub_sz
+        |FROM pj WHERE inter * 5 >= sza * 4
+        |UNION ALL
+        |SELECT ib AS sub_id, ia AS sup_id, inter, szb AS sub_sz
+        |FROM pj WHERE inter * 5 >= szb * 4""".stripMargin,
+
     // claim under test: exact-verified LSH equals brute force at J>=0.8
     "p07_minhash_lsh" ->
       """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
@@ -8443,6 +8512,7 @@ object SparkEntry {
     "p52_bigram_lm" -> bigramLmOracleSql,
 
     "p239_unigram_em" -> unigramEmOracleSql(12, 4, 30L),
+    "p248_unigram_segment" -> unigramSegmentOracleSql(12, 4, 30L),
 
     "p49_lexical_topk" ->
       """WITH q AS (SELECT DISTINCT unnest(list_distinct((regexp_extract_all(lower(text), '\S+'))[1:8])) AS term

@@ -502,6 +502,47 @@ object Dedup {
       .distinct()
   }
 
+  /** Shingle-CONTAINMENT near-dups — Broder's containment next to the
+    * resemblance the Jaccard ops measure (AltaVista dedup, 1997):
+    * directed pairs where at least num/den of the SUB document's
+    * shingle set occurs in the SUP document. This is the
+    * quote/excerpt/superset detector symmetric Jaccard under-scores: a
+    * paragraph quoted verbatim inside a book has J ≈ 0 against it but
+    * containment 1 — exactly the "document A is inside document B"
+    * signal a training-data pipeline needs before dropping the
+    * fragment and keeping the superset.
+    *
+    * Shape: candidates from the same per-shingle combination emission
+    * as [[nearDuplicates]] (never a doc self-join; `maxDocFreq` skew
+    * guard ON by default), ONE exact intersection count per unordered
+    * candidate, then both directions emit from it. Containment ≥
+    * resemblance always, so at equal thresholds the result is a
+    * superset of the Jaccard pairs (each as two directed rows).
+    * Returns (sub_id, sup_id, inter, sub_sz).
+    */
+  def containmentNearDuplicates(df: DataFrame, idCol: String,
+      textCol: String, n: Int, num: Int, den: Int,
+      maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
+    require(num >= 1 && den >= 1 && num <= den, "need 0 < num/den <= 1")
+    val sh = shingles(df, idCol, textCol, n).localCheckpoint(eager = false)
+    val cand = sharedShingleCandidates(df, idCol, textCol, n, maxDocFreq)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+      .localCheckpoint(eager = false) // joined once per direction
+    val inter = cand
+      .join(sh.select(col("id").as("ia"), col("sh")), Seq("ia"))
+      .join(sh.select(col("id").as("ib"), col("sh")), Seq("ib", "sh"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnsRenamed(Map("id" -> "ia", "sz" -> "sza")), Seq("ia"))
+      .join(sizes.withColumnsRenamed(Map("id" -> "ib", "sz" -> "szb")), Seq("ib"))
+      .localCheckpoint(eager = false) // both directed emissions below
+    inter.filter(col("inter") * den >= col("sza") * num)
+      .select(col("ia").as("sub_id"), col("ib").as("sup_id"),
+        col("inter"), col("sza").as("sub_sz"))
+      .unionByName(inter.filter(col("inter") * den >= col("szb") * num)
+        .select(col("ib").as("sub_id"), col("ia").as("sup_id"),
+          col("inter"), col("szb").as("sub_sz")))
+  }
+
   /** Edit-distance fuzzy near-dup: shared-shingle candidates verified by
     * levenshtein over the first `prefixChars` chars of the
     * token-normalized text (lowercased, single-spaced — the same

@@ -1762,6 +1762,41 @@ object TextAnalysis {
     */
   def unigramViterbiCounts(words: org.apache.spark.sql.DataFrame,
       weights: org.apache.spark.sql.DataFrame,
+      maxPieceLen: Int): org.apache.spark.sql.DataFrame =
+    viterbiSegments(words, weights, maxPieceLen)
+      .select(col("freq"), explode(col("seg.ps")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).cast("long").as("e_cnt"))
+
+  /** Viterbi SEGMENTATION readout — the tokenizer's apply/inference
+    * surface over a trained weighted vocab: each distinct word's
+    * max-likelihood segmentation as (word, ord, piece) rows, ord the
+    * 0-based piece position from the word's start. Same DP + backtrace
+    * as [[unigramViterbiCounts]] (one definition via the shared seg
+    * frame — counts are exactly the freq-weighted aggregate of these
+    * rows), so the oracle-gated count step doubles as this op's
+    * correctness anchor and both are gated directly. Vocabulary-sized
+    * work: segment the distinct-words frame once, then apply to a
+    * corpus by joining tokens → words — never re-run the DP per token
+    * occurrence. Words containing a vocab-less char emit no rows
+    * (unreachable DP — the count op's rule).
+    */
+  def unigramSegment(words: org.apache.spark.sql.DataFrame,
+      weights: org.apache.spark.sql.DataFrame,
+      maxPieceLen: Int): org.apache.spark.sql.DataFrame =
+    viterbiSegments(words, weights, maxPieceLen)
+      // ps is built walking from the END of the word; reverse for
+      // reading order before numbering
+      .select(col("word"),
+        posexplode(reverse(col("seg.ps"))).as(Seq("ord", "piece")))
+      .select(col("word"), col("ord").cast("long").as("ord"), col("piece"))
+
+  /** The shared per-word Viterbi DP + backtrace: (word, freq, seg)
+    * where seg.ps lists the chosen pieces END-first. The ONE
+    * segmentation definition [[unigramViterbiCounts]] and
+    * [[unigramSegment]] read.
+    */
+  private def viterbiSegments(words: org.apache.spark.sql.DataFrame,
+      weights: org.apache.spark.sql.DataFrame,
       maxPieceLen: Int): org.apache.spark.sql.DataFrame = {
     require(maxPieceLen >= 1, "maxPieceLen >= 1")
     val MIN = UnigramMinScore
@@ -1800,8 +1835,7 @@ object TextAnalysis {
          |          e -> e.j = acc.pos AND element_at(dp, e.i + 1) > ${MIN}L
          |               AND element_at(dp, e.i + 1) + e.w = element_at(dp, acc.pos + 1))), 1).piece))))"""
         .stripMargin))
-    seg.select(col("freq"), explode(col("seg.ps")).as("piece"))
-      .groupBy(col("piece")).agg(sum(col("freq")).cast("long").as("e_cnt"))
+    seg.select(col("word"), col("freq"), col("seg"))
   }
 
   /** SOFT-EM expected counts — the forward–backward E-step of

@@ -1909,6 +1909,49 @@ class PipelineSpec extends SparkSpec {
     assert(out == Set((1L, 2L, 27L, 29L)), s"got $out")
   }
 
+  test("containment near-dups: quote found directed, invisible to Jaccard, guard applies") {
+    import spark.implicits._
+    val book = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12 t13 t14 t15 t16 t17 t18 t19 t20"
+    val quote = "t5 t6 t7 t8 t9 t10" // contiguous excerpt: all 4 of its 3-shingles in the book
+    val docs = Seq((1L, book), (2L, quote),
+      (3L, "u1 u2 u3 u4 u5")).toDF("doc_id", "text")
+    val got = Dedup.containmentNearDuplicates(docs, "doc_id", "text",
+      n = 3, num = 4, den = 5, maxDocFreq = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // quote ⊆ book: containment 4/4 = 1; book ⊄ quote (4/18); doc 3 nowhere
+    assert(got == Set((2L, 1L, 4L, 4L)), s"got $got")
+    // the same pair is INVISIBLE to symmetric Jaccard at the same bar
+    assert(Dedup.nearDuplicates(docs, "doc_id", "text", 3, 4, 5,
+      maxDocFreq = None).isEmpty)
+    // the df skew guard gates candidate nomination here too
+    assert(Dedup.containmentNearDuplicates(docs, "doc_id", "text",
+      n = 3, num = 4, den = 5, maxDocFreq = Some(1)).isEmpty)
+  }
+
+  test("unigramSegment: reading-order pieces; counts are the freq-weighted aggregate") {
+    import spark.implicits._
+    val docs = Seq((0L, "abab abab ab"), (1L, "abab cd cd"), (2L, "qq xy"))
+      .toDF("doc_id", "text")
+    val words = TextAnalysis.unigramWords(docs, "text", maxWordLen = 12)
+    val weights = TextAnalysis.unigramWeights(
+      TextAnalysis.unigramSeedVocab(words, maxPieceLen = 2, minCount = 2))
+    val seg = TextAnalysis.unigramSegment(words, weights, maxPieceLen = 2)
+    val got = seg.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("abab", 0L, "ab"), ("abab", 1L, "ab"),
+      ("ab", 0L, "ab"), ("cd", 0L, "cd"),
+      ("qq", 0L, "q"), ("qq", 1L, "q"),
+      ("xy", 0L, "x"), ("xy", 1L, "y")), s"got $got")
+    // one definition: the count step equals Σ freq over segment rows
+    val viaSeg = seg.join(words, Seq("word"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("e_cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = TextAnalysis.unigramViterbiCounts(words, weights, maxPieceLen = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSeg == counts, s"$viaSeg vs $counts")
+  }
+
   test("span registry: fold ≡ full recompute, crossing re-derives, loud bounds") {
     import spark.implicits._
     // corpus: doc 1 holds a span UNIQUE in the corpus (no island yet);
