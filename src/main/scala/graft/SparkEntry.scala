@@ -4416,6 +4416,38 @@ object SparkEntry {
         maxPieceLen = 4)
     }),
 
+    // WordPiece greedy apply (BERT's tokenizer) under a train/apply
+    // split: the ##-marked vocab counted from EVEN-id docs only, every
+    // distinct corpus word segmented longest-match-first — odd-doc
+    // words with chars the vocab corpus never saw exercise the
+    // all-or-nothing [UNK] rule cross-engine.
+    "p249_wordpiece_segment" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      graft.pipeline.TextAnalysis.wordpieceSegment(
+        graft.pipeline.TextAnalysis.unigramWords(docs, "text", maxWordLen = 12),
+        graft.pipeline.TextAnalysis.wordpieceVocab(
+          graft.pipeline.TextAnalysis.unigramWords(
+            docs.filter(col("doc_id") % 2 === 0), "text", maxWordLen = 12),
+          maxPieceLen = 4, minCount = 30L),
+        maxPieceLen = 4)
+    }),
+
+    // Corpus token-cost readout under the same vocab: per-doc piece
+    // totals ([UNK] counts 1, like the real tokenizer's output) — "how
+    // many tokens is this corpus under MY BERT tokenizer", the
+    // estimator a data-mixture budget runs before training.
+    "p250_wordpiece_tokcount" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      graft.pipeline.TextAnalysis.wordpieceTokenCount(docs, "doc_id", "text",
+        graft.pipeline.TextAnalysis.wordpieceVocab(
+          graft.pipeline.TextAnalysis.unigramWords(
+            docs.filter(col("doc_id") % 2 === 0), "text", maxWordLen = 12),
+          maxPieceLen = 4, minCount = 30L),
+        maxPieceLen = 4)
+    }),
+
     // Bigram-LM perplexity-proxy scoring (the KenLM-filter shape of
     // CCNet/RedPajama, integer-exact): self-trained corpus bigram model,
     // per-doc sum of floor(1000*c(w1,w2)/c(w1·)) over transitions.
@@ -5175,6 +5207,74 @@ object SparkEntry {
        |SELECT pc.word, CAST(tm.tmax - pc.t AS BIGINT) AS ord, pc.piece
        |FROM pc JOIN tm USING (word)""".stripMargin
   }
+
+  /** Shared DuckDB prefix of the WordPiece oracles (p249/p250): the
+    * even-doc ##-marked vocab, the all-words best-edge table (LONGEST
+    * vocab piece per cursor via QUALIFY j DESC — the engine's
+    * (i asc, j desc) array_sort pick), and the unrolled greedy cursor
+    * walk (maxWordLen step CTEs — greedy is a bounded left fold, so
+    * unrolling IS the relational encoding; a dead-end cursor pins
+    * pos = -1, the all-or-nothing [UNK] rule, and sticks there).
+    */
+  private def wordpieceCtes(maxWordLen: Int, maxPieceLen: Int,
+      minCount: Long): String = {
+    val marked = "CASE WHEN i = 1 THEN substring(word, CAST(i AS INT), CAST(j - i + 1 AS INT)) " +
+      "ELSE '##' || substring(word, CAST(i AS INT), CAST(j - i + 1 AS INT)) END"
+    val sub = "list_transform(generate_series(1, length(word)), i -> " +
+      s"list_transform(generate_series(i, least(length(word), i + ${maxPieceLen - 1})), j -> "
+    val stChain = (1 to maxWordLen).map { t =>
+      s"""st$t AS MATERIALIZED (SELECT s.word,
+         |       CASE WHEN s.pos <= 0 OR s.pos > length(s.word) THEN s.pos
+         |            WHEN b.j IS NULL THEN CAST(-1 AS BIGINT)
+         |            ELSE b.j + 1 END AS pos,
+         |       CASE WHEN s.pos <= 0 OR s.pos > length(s.word) OR b.j IS NULL THEN s.ps
+         |            ELSE list_append(s.ps, b.piece) END AS ps
+         |       FROM st${t - 1} s LEFT JOIN be b ON b.word = s.word AND b.i = s.pos)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS MATERIALIZED (SELECT substring(tok, 1, $maxWordLen) AS word, count(*) AS freq
+       |           FROM (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+       |                 FROM documents) GROUP BY 1),
+       |wd AS MATERIALIZED (SELECT DISTINCT word FROM w),
+       |wt AS (SELECT substring(tok, 1, $maxWordLen) AS word, count(*) AS freq
+       |       FROM (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+       |             FROM documents WHERE doc_id % 2 = 0) GROUP BY 1),
+       |v0 AS (SELECT freq, unnest(flatten(${sub}${marked})))) AS piece
+       |       FROM wt),
+       |v AS MATERIALIZED (SELECT piece FROM v0 GROUP BY 1
+       |      HAVING sum(freq) >= $minCount OR length(piece) = 1
+       |          OR (piece LIKE '##%' AND length(piece) = 3)),
+       |ed0 AS (SELECT word, unnest(flatten(${sub}struct_pack(i := i, j := j,
+       |              piece := ${marked}))))) AS e
+       |        FROM wd),
+       |be AS MATERIALIZED (SELECT d.word, CAST((d.e).i AS BIGINT) AS i,
+       |              CAST((d.e).j AS BIGINT) AS j, (d.e).piece AS piece
+       |       FROM ed0 d JOIN v ON (d.e).piece = v.piece
+       |       QUALIFY row_number() OVER (PARTITION BY d.word, (d.e).i
+       |                                  ORDER BY (d.e).j DESC) = 1),
+       |st0 AS (SELECT word, CAST(1 AS BIGINT) AS pos, CAST([] AS VARCHAR[]) AS ps FROM wd),
+       |$stChain""".stripMargin
+  }
+
+  private def wordpieceSegmentOracleSql(maxWordLen: Int, maxPieceLen: Int,
+      minCount: Long): String =
+    s"""${wordpieceCtes(maxWordLen, maxPieceLen, minCount)}
+       |SELECT word, CAST(o - 1 AS BIGINT) AS ord, piece FROM (
+       |  SELECT word,
+       |    unnest(CASE WHEN pos < 0 THEN ['[UNK]'] ELSE ps END) AS piece,
+       |    unnest(generate_series(1, CASE WHEN pos < 0 THEN 1 ELSE len(ps) END)) AS o
+       |  FROM st$maxWordLen)""".stripMargin
+
+  private def wordpieceTokcountOracleSql(maxWordLen: Int, maxPieceLen: Int,
+      minCount: Long): String =
+    s"""${wordpieceCtes(maxWordLen, maxPieceLen, minCount)},
+       |np AS (SELECT word, CASE WHEN pos < 0 THEN 1 ELSE len(ps) END AS np
+       |       FROM st$maxWordLen),
+       |tk AS (SELECT doc_id AS id,
+       |         substring(unnest(regexp_extract_all(lower(text), '\\S+')), 1, $maxWordLen) AS word
+       |       FROM documents)
+       |SELECT id, CAST(sum(np) AS BIGINT) AS n_pieces, count(*) AS n_words
+       |FROM tk JOIN np USING (word) GROUP BY 1""".stripMargin
 
   /** Shared DuckDB lineage for the unkeyed ±6 h window count — p149
     * gates the bin-decomposition path, p242 the density-proof ECDF/rank
@@ -8513,6 +8613,8 @@ object SparkEntry {
 
     "p239_unigram_em" -> unigramEmOracleSql(12, 4, 30L),
     "p248_unigram_segment" -> unigramSegmentOracleSql(12, 4, 30L),
+    "p249_wordpiece_segment" -> wordpieceSegmentOracleSql(12, 4, 30L),
+    "p250_wordpiece_tokcount" -> wordpieceTokcountOracleSql(12, 4, 30L),
 
     "p49_lexical_topk" ->
       """WITH q AS (SELECT DISTINCT unnest(list_distinct((regexp_extract_all(lower(text), '\S+'))[1:8])) AS term

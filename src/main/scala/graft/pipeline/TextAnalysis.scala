@@ -1616,11 +1616,18 @@ object TextAnalysis {
     * for later occurrences in the same pass. Column LITERALS throughout —
     * corpus symbols never reach a SQL parser.
     */
-  private def fuseMerge(c: Column, l: String, r: String): Column = {
+  private def fuseMerge(c: Column, l: String, r: String): Column =
+    fuseMergeAs(c, l, r, s"$l$r")
+
+  /** The same doubled-delimiter fuse with an explicit fused symbol —
+    * WordPiece merges rename ("h" + "##e" → "he"), BPE concatenates.
+    */
+  private def fuseMergeAs(c: Column, l: String, r: String,
+      fused: String): Column = {
     val rep = (src: Column, search: String, to: String) =>
       org.apache.spark.sql.functions.replace(src, lit(search), lit(to))
     val doubled = concat(lit(" "), rep(c, " ", "  "), lit(" "))
-    trim(rep(rep(doubled, s" $l  $r ", s" $l$r "), "  ", " "))
+    trim(rep(rep(doubled, s" $l  $r ", s" $fused "), "  ", " "))
   }
 
   def trainBpeMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
@@ -1945,6 +1952,183 @@ object TextAnalysis {
       i += 1
     }
     vocab
+  }
+
+  // ---- WordPiece tokenizer (BERT-style greedy longest-match) ----
+
+  /** WordPiece frequency vocabulary over [[unigramWords]] — the
+    * position-MARKED analog of [[unigramSeedVocab]] (Schuster &
+    * Nakajima 2012, the BERT tokenizer family): every substring of
+    * length 1..maxPieceLen of every word, word-INITIAL occurrences kept
+    * raw and word-INTERNAL ones "##"-prefixed (the continuation marker
+    * that makes greedy longest-match position-aware), counted with
+    * positional multiplicity weighted by word freq. Pieces under
+    * `minCount` drop EXCEPT the single-char fallbacks that keep every
+    * in-corpus word segmentable; the fallback rule keys on the MARKED
+    * string (length 1, or ##-prefixed length 3) — a literal
+    * word-initial "##x" substring rides along, the same stringly grain
+    * BERT vocab files live at. Vocabulary-sized output from one
+    * token-grain pass. Returns (piece, cnt).
+    */
+  def wordpieceVocab(words: org.apache.spark.sql.DataFrame,
+      maxPieceLen: Int, minCount: Long): org.apache.spark.sql.DataFrame = {
+    require(maxPieceLen >= 1 && minCount >= 1, "maxPieceLen >= 1; minCount >= 1")
+    words.select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)), i ->
+           |  transform(sequence(i, least(length(word), i + ${maxPieceLen - 1})), j ->
+           |    IF(i = 1, substring(word, i, j - i + 1),
+           |       concat('##', substring(word, i, j - i + 1))))))""".stripMargin))
+        .as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      .filter(col("cnt") >= minCount || length(col("piece")) === 1 ||
+        (col("piece").startsWith("##") && length(col("piece")) === 3))
+  }
+
+  /** WordPiece APPLY — BERT's greedy longest-match-first tokenization
+    * of each distinct word under a piece vocabulary: from the word
+    * start, repeatedly take the LONGEST vocab piece matching at the
+    * cursor (word-initial raw, continuations ##-marked); if no piece
+    * matches at some cursor the WHOLE word maps to a single [UNK] row —
+    * the all-or-nothing no-backtrack rule of the reference
+    * implementation (a greedy dead end is NOT retried shorter).
+    * Returns (word, ord, piece), ord 0-based reading order.
+    *
+    * Scale shape mirrors [[unigramSegment]]: candidate edges join the
+    * vocab keyed by piece, per-word edge lists array_sort (start asc,
+    * end desc) so the greedy pick is element_at(filter(..), 1), and the
+    * cursor walk is one bounded aggregate HOF over the
+    * VOCABULARY-sized words frame — apply to a corpus by joining tokens
+    * → words, never re-running the walk per occurrence.
+    */
+  def wordpieceSegment(words: org.apache.spark.sql.DataFrame,
+      vocab: org.apache.spark.sql.DataFrame,
+      maxPieceLen: Int): org.apache.spark.sql.DataFrame = {
+    require(maxPieceLen >= 1, "maxPieceLen >= 1")
+    val cand = words.select(col("word"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)), i ->
+           |  transform(sequence(i, least(length(word), i + ${maxPieceLen - 1})), j ->
+           |    named_struct('i', i, 'j', j,
+           |      'piece', IF(i = 1, substring(word, i, j - i + 1),
+           |        concat('##', substring(word, i, j - i + 1)))))))""".stripMargin))
+        .as("e"))
+      .select(col("word"), col("e.i").as("i"), col("e.j").as("j"),
+        col("e.piece").as("piece"))
+    val edges = cand.join(vocab.select(col("piece")), Seq("piece"))
+      .groupBy(col("word"))
+      .agg(expr("array_sort(collect_list(struct(i, -j AS nj, j, piece))) AS edges"))
+    // left join + typed empty fallback: a word with NO vocab edge at all
+    // (chars unseen by the vocab's corpus) must still emit its [UNK] row
+    val seg = words.select(col("word")).join(edges, Seq("word"), "left")
+      .withColumn("edges", coalesce(col("edges"),
+        expr("cast(array() as array<struct<i:int,nj:int,j:int,piece:string>>)")))
+      .withColumn("seg", expr(
+        s"""aggregate(sequence(1, length(word)),
+           |  named_struct('pos', 1, 'ps', cast(array() as array<string>)),
+           |  (acc, x) -> CASE
+           |    WHEN acc.pos <= 0 OR acc.pos > length(word) THEN acc
+           |    WHEN size(filter(edges, e -> e.i = acc.pos)) = 0 THEN
+           |      named_struct('pos', -1, 'ps', cast(array() as array<string>))
+           |    ELSE named_struct(
+           |      'pos', element_at(filter(edges, e -> e.i = acc.pos), 1).j + 1,
+           |      'ps', array_append(acc.ps,
+           |        element_at(filter(edges, e -> e.i = acc.pos), 1).piece))
+           |  END)""".stripMargin))
+    seg.select(col("word"), posexplode(
+        when(col("seg.pos") < 0, array(lit("[UNK]"))).otherwise(col("seg.ps")))
+        .as(Seq("ord", "piece")))
+      .select(col("word"), col("ord").cast("long").as("ord"), col("piece"))
+  }
+
+  /** Per-doc piece count under a WordPiece vocab — the training-cost
+    * estimator ("how many tokens is this corpus under MY BERT
+    * tokenizer"): segment the DISTINCT words once via
+    * [[wordpieceSegment]], then join token occurrences → per-word piece
+    * counts and sum per doc ([UNK] counts as 1, like the real
+    * tokenizer's output length). Returns (id, n_pieces, n_words).
+    */
+  def wordpieceTokenCount(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      vocab: org.apache.spark.sql.DataFrame, maxPieceLen: Int,
+      maxWordLen: Int = 12): org.apache.spark.sql.DataFrame = {
+    val words = unigramWords(docs, textCol, maxWordLen)
+    val np = wordpieceSegment(words, vocab, maxPieceLen)
+      .groupBy(col("word")).agg(count(lit(1)).as("np"))
+    docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .select(col("id"), substring(col("tok"), 1, maxWordLen).as("word"))
+      .join(np, Seq("word"))
+      .groupBy(col("id"))
+      .agg(sum(col("np")).cast("long").as("n_pieces"),
+        count(lit(1)).as("n_words"))
+  }
+
+  /** WordPiece TRAINING — likelihood-scored merges over the ##-marked
+    * character symbolization (Schuster & Nakajima 2012 §III; the rule
+    * HuggingFace's trainer implements): repeatedly fuse the adjacent
+    * symbol pair maximizing score = cnt(pair) / (cnt(l) · cnt(r)) — the
+    * corpus-likelihood GAIN of the merge — where BPE argmaxes raw
+    * cnt(pair); rare-but-exclusive pairs beat frequent coincidences.
+    * Fusing drops the right symbol's continuation marker ("h" + "##e" →
+    * "he"). Scores are double ratios of exact counts (ties broken score
+    * desc, pair asc — deterministic within the engine; the trainer is
+    * SPEC-gated like the BPE/unigram loops, the float-model split).
+    * Stops early when no pair occurs twice. Returns the learned
+    * vocabulary — base symbols (corpus chars, raw + ##-marked) sorted,
+    * then each merge's fused symbol in learn order: exactly the vocab
+    * file a BERT tokenizer ships, ready for [[wordpieceSegment]].
+    *
+    * Cost contract mirrors [[trainBpeMerges]]: two aggregations per
+    * merge over the (sampled) symbolization; production vocabs train on
+    * the deterministic content-hashed `samplePermille` sample.
+    */
+  def wordpieceTrainVocab(df: org.apache.spark.sql.DataFrame,
+      textCol: String, merges: Int,
+      samplePermille: Int = 1000): Seq[String] = {
+    require(samplePermille > 0 && samplePermille <= 1000,
+      "samplePermille must be in (0, 1000]")
+    val sampled =
+      if (samplePermille >= 1000) df
+      else df.filter(hash60(col(textCol)) % 1000 < samplePermille)
+    var repr = sampled.select(explode(tokens(col(textCol))).as("tok"))
+      .select(concat_ws(" ", expr(
+        """transform(sequence(1, length(tok)), i ->
+          |  IF(i = 1, substring(tok, i, 1),
+          |     concat('##', substring(tok, i, 1))))""".stripMargin)).as("repr"))
+      .localCheckpoint()
+    val base = repr.select(explode(split(col("repr"), " ")).as("s"))
+      .distinct().orderBy(col("s")).collect().map(_.getString(0)).toSeq
+    val out = Seq.newBuilder[String]
+    var done = false
+    for (_ <- 0 until merges if !done) {
+      val syms = repr.select(explode(split(col("repr"), " ")).as("s"))
+        .groupBy(col("s")).agg(count(lit(1)).as("c"))
+      val top = repr.select(split(col("repr"), " ").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"
+        )).as("p"))
+        .groupBy(col("p.l").as("sym_l"), col("p.r").as("sym_r"))
+        .agg(count(lit(1)).as("cnt"))
+        // singleton pairs are noise, not vocabulary — and their scores
+        // are deceptively high (cnt/(cl·cr) favors the rare), so the
+        // floor must come BEFORE the argmax, not after
+        .filter(col("cnt") >= 2)
+        .join(syms.select(col("s").as("sym_l"), col("c").as("cl")), Seq("sym_l"))
+        .join(syms.select(col("s").as("sym_r"), col("c").as("cr")), Seq("sym_r"))
+        .withColumn("score", col("cnt").cast("double") /
+          (col("cl").cast("double") * col("cr").cast("double")))
+        .orderBy(col("score").desc, col("sym_l"), col("sym_r")).limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val l = top.head.getAs[String]("sym_l")
+        val r = top.head.getAs[String]("sym_r")
+        val fused = l + (if (r.startsWith("##")) r.drop(2) else r)
+        out += fused
+        repr = repr.select(fuseMergeAs(col("repr"), l, r, fused).as("repr"))
+          .localCheckpoint()
+      }
+    }
+    base ++ out.result()
   }
 
   /** BM25 top-k retrieval — the de facto lexical ranking standard

@@ -1952,6 +1952,62 @@ class PipelineSpec extends SparkSpec {
     assert(viaSeg == counts, s"$viaSeg vs $counts")
   }
 
+  test("wordpieceSegment: greedy longest match, all-or-nothing UNK, continuation marks") {
+    import spark.implicits._
+    val words = Seq(("abc", 1L), ("aba", 1L), ("xyz", 1L)).toDF("word", "freq")
+    val vocab = Seq("a", "ab", "##b", "##c").toDF("piece")
+    val got = TextAnalysis.wordpieceSegment(words, vocab, maxPieceLen = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set(
+      // greedy takes "ab" (longest at cursor 1), then the continuation
+      ("abc", 0L, "ab"), ("abc", 1L, "##c"),
+      // greedy dead end: "ab" consumes, "##a" missing -> NO backtrack to
+      // "a"+"##b"+... : the whole word is [UNK] (BERT's rule)
+      ("aba", 0L, "[UNK]"),
+      // no vocab edge at all (chars unseen): still one [UNK] row
+      ("xyz", 0L, "[UNK]")), s"got $got")
+  }
+
+  test("wordpieceVocab: position marking + marked-string single-char fallback") {
+    import spark.implicits._
+    val words = Seq(("aab", 2L)).toDF("word", "freq")
+    val got = TextAnalysis.wordpieceVocab(words, maxPieceLen = 2, minCount = 3L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // all counts are 2 < minCount: only the single-char fallbacks stay,
+    // in marked form ("a" word-initial; "##a"/"##b" continuations)
+    assert(got == Set(("a", 2L), ("##a", 2L), ("##b", 2L)), s"got $got")
+  }
+
+  test("wordpieceTrainVocab: likelihood argmax beats raw count; vocab feeds segment") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab ab cd cd az zb")).toDF("doc_id", "text")
+    // pair counts: (a,##b)=3, (c,##d)=2, (a,##z)=1, (z,##b)=1
+    // symbol counts: a=4, ##b=4, c=2, ##d=2, z=1, ##z=1
+    // BPE would fuse (a,##b) (count 3); WordPiece scores
+    // 3/(4*4)=0.1875 < 2/(2*2)=0.5 and fuses "cd" FIRST
+    val vocab = TextAnalysis.wordpieceTrainVocab(docs, "text", merges = 2)
+    assert(vocab == Seq("##b", "##d", "##z", "a", "c", "z", "cd", "ab"),
+      s"got $vocab")
+    // the learned vocab drives greedy apply directly
+    val seg = TextAnalysis.wordpieceSegment(
+      Seq(("cd", 1L), ("az", 1L)).toDF("word", "freq"),
+      vocab.toDF("piece"), maxPieceLen = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(seg == Set(("cd", 0L, "cd"), ("az", 0L, "a"), ("az", 1L, "##z")),
+      s"got $seg")
+  }
+
+  test("wordpieceTokenCount: per-doc piece totals; [UNK] counts 1") {
+    import spark.implicits._
+    val docs = Seq((1L, "abc abc xyz"), (2L, "ab")).toDF("doc_id", "text")
+    val vocab = Seq("a", "ab", "##b", "##c").toDF("piece")
+    val got = TextAnalysis.wordpieceTokenCount(docs, "doc_id", "text",
+      vocab, maxPieceLen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1: abc=2 pieces x2 occurrences + xyz=[UNK]=1 -> 5 over 3 words
+    assert(got == Set((1L, 5L, 3L), (2L, 1L, 1L)), s"got $got")
+  }
+
   test("span registry: fold ≡ full recompute, crossing re-derives, loud bounds") {
     import spark.implicits._
     // corpus: doc 1 holds a span UNIQUE in the corpus (no island yet);
