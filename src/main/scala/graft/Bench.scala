@@ -410,6 +410,27 @@ object Bench {
         3, 32, 8, 4, 5)
     }
 
+    // directed containment (sub ⊆ sup) on the production path: default
+    // maxDocFreq guard + 8-byte hashed shingle keys — one
+    // setOverlapPairsWithSizes pass, two directed emissions from it
+    legDf("containment") {
+      graft.pipeline.Dedup.containmentNearDuplicates(docs, "doc_id", "text",
+        3, 4, 5, hashShingles = true)
+    }
+
+    // WordPiece greedy apply over the corpus vocabulary — the
+    // vocabulary-sized tokenizer claim measured: vocab count pass +
+    // distinct-word greedy walk, never per-token-occurrence work
+    legDf("wordpiece_segment") {
+      val words = graft.pipeline.TextAnalysis
+        .unigramWords(docs, "text", maxWordLen = 12)
+        .localCheckpoint(eager = false) // feeds the vocab AND the walk
+      graft.pipeline.TextAnalysis.wordpieceSegment(words,
+        graft.pipeline.TextAnalysis.wordpieceVocab(words,
+          maxPieceLen = 4, minCount = 30L),
+        maxPieceLen = 4)
+    }
+
     // retrieval: the ad-hoc BM25 pass (tokenize the corpus per query)
     // next to the standing inverted index's term-keyed probe over the
     // SAME query — the p225 maintenance story's payoff measured side by

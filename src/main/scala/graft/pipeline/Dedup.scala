@@ -512,33 +512,30 @@ object Dedup {
     * signal a training-data pipeline needs before dropping the
     * fragment and keeping the superset.
     *
-    * Shape: candidates from the same per-shingle combination emission
-    * as [[nearDuplicates]] (never a doc self-join; `maxDocFreq` skew
-    * guard ON by default), ONE exact intersection count per unordered
-    * candidate, then both directions emit from it. Containment ≥
+    * Shape: ONE [[setOverlapPairsWithSizes]] pass (the shared
+    * candidate-emission + exact-intersection core every set-overlap op
+    * here rides — never a doc self-join; `maxDocFreq` skew guard ON by
+    * default; `hashShingles` = the 8-byte-key scale path), then both
+    * directions emit from the checkpointed pair frame. Containment ≥
     * resemblance always, so at equal thresholds the result is a
-    * superset of the Jaccard pairs (each as two directed rows).
+    * superset of the Jaccard pairs (each as two directed rows). Unlike
+    * [[containmentPairs]]' symmetric min-side permille gate, the
+    * directed rows say WHICH doc is the fragment — the drop decision.
     * Returns (sub_id, sup_id, inter, sub_sz).
     */
   def containmentNearDuplicates(df: DataFrame, idCol: String,
       textCol: String, n: Int, num: Int, den: Int,
-      maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
+      maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq),
+      hashShingles: Boolean = false): DataFrame = {
     require(num >= 1 && den >= 1 && num <= den, "need 0 < num/den <= 1")
-    val sh = shingles(df, idCol, textCol, n).localCheckpoint(eager = false)
-    val cand = sharedShingleCandidates(df, idCol, textCol, n, maxDocFreq)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-      .localCheckpoint(eager = false) // joined once per direction
-    val inter = cand
-      .join(sh.select(col("id").as("ia"), col("sh")), Seq("ia"))
-      .join(sh.select(col("id").as("ib"), col("sh")), Seq("ib", "sh"))
-      .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnsRenamed(Map("id" -> "ia", "sz" -> "sza")), Seq("ia"))
-      .join(sizes.withColumnsRenamed(Map("id" -> "ib", "sz" -> "szb")), Seq("ib"))
+    val raw0 = shinglesRaw(df, idCol, textCol, n)
+    val raw = if (hashShingles) raw0.withColumn("sh", xxhash64(col("sh"))) else raw0
+    val p = setOverlapPairsWithSizes(raw, maxDocFreq)
       .localCheckpoint(eager = false) // both directed emissions below
-    inter.filter(col("inter") * den >= col("sza") * num)
+    p.filter(col("inter") * den >= col("sza") * num)
       .select(col("ia").as("sub_id"), col("ib").as("sup_id"),
         col("inter"), col("sza").as("sub_sz"))
-      .unionByName(inter.filter(col("inter") * den >= col("szb") * num)
+      .unionByName(p.filter(col("inter") * den >= col("szb") * num)
         .select(col("ib").as("sub_id"), col("ia").as("sup_id"),
           col("inter"), col("szb").as("sub_sz")))
   }
