@@ -3168,6 +3168,25 @@ object SparkEntry {
         maxDocFreq = None) // oracle twin: uncapped like p06's
     }),
 
+    // Incremental CONTAINMENT ingest: even-id docs persist as a shingle
+    // POSTING artifact (minhash buckets would nominate by resemblance
+    // and miss the J≈0 quote-in-book pairs), odd-id docs probe it —
+    // one posting join yields candidates AND exact intersections, both
+    // directions emit. Oracle = directed containment over the pairs
+    // crossing the even/odd split.
+    "p251_containment_snapshot" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_p251_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.pipeline.Dedup.saveShinglePostings(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        n = 3, path = s"$path/snap")
+      graft.pipeline.Dedup.containmentAgainstSnapshot(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", s"$path/snap",
+        n = 3, num = 4, den = 5,
+        maxDocFreq = None) // oracle twin: the DuckDB side is unguarded
+    }),
+
     // Incremental NEAR-dup ingest: even-id docs are the persisted corpus
     // (MinHash snapshot: buckets + shingles + sizes), odd-id docs the new
     // shard checked against it without rescanning corpus text. Oracle =
@@ -7752,6 +7771,24 @@ object SparkEntry {
         |j AS (SELECT ia, ib, inter, sa.sz + sb.sz - inter AS uni
         |      FROM p JOIN sz sa ON sa.id = ia JOIN sz sb ON sb.id = ib)
         |SELECT ia, ib, inter, uni FROM j WHERE inter * 5 >= uni * 4""".stripMargin,
+
+    "p251_containment_snapshot" ->
+      """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |g AS (SELECT id, unnest(list_transform(generate_series(1, len(toks)-2),
+        |                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |      FROM t WHERE len(toks) >= 3),
+        |d AS (SELECT DISTINCT id, sh FROM g),
+        |sz AS (SELECT id, count(*) AS sz FROM d GROUP BY 1),
+        |p AS (SELECT a.id AS na, b.id AS cb, count(*) AS inter
+        |      FROM d a JOIN d b ON a.sh = b.sh AND a.id % 2 = 1 AND b.id % 2 = 0
+        |      GROUP BY 1, 2),
+        |pj AS (SELECT na, cb, inter, sn.sz AS szn, sc.sz AS szc
+        |       FROM p JOIN sz sn ON sn.id = na JOIN sz sc ON sc.id = cb)
+        |SELECT na AS sub_id, cb AS sup_id, inter, szn AS sub_sz
+        |FROM pj WHERE inter * 5 >= szn * 4
+        |UNION ALL
+        |SELECT cb AS sub_id, na AS sup_id, inter, szc AS sub_sz
+        |FROM pj WHERE inter * 5 >= szc * 4""".stripMargin,
 
     "p247_containment" ->
       """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),

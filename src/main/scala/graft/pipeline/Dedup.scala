@@ -540,6 +540,87 @@ object Dedup {
           col("inter"), col("szb").as("sub_sz")))
   }
 
+  /** Persisted shingle-POSTING corpus artifact for incremental
+    * containment: (sh, id) postings range-laid-out by sh (row-group
+    * min/max stats + Spark's runtime bloom filters let a shard probe
+    * skip postings it never touches) plus per-doc distinct-shingle
+    * sizes. This is the correct standing index for ASYMMETRIC
+    * containment — minhash LSH buckets ([[saveMinhashSnapshot]])
+    * nominate by resemblance and structurally miss the quote-in-book
+    * pairs containment exists to catch (J ≈ 0, containment ≈ 1) —
+    * so the probe joins postings directly and the df guard bounds
+    * fan-out the way LSH caps bound buckets.
+    */
+  def saveShinglePostings(df: DataFrame, idCol: String, textCol: String,
+      n: Int, path: String): Unit = {
+    val sh = shingles(df, idCol, textCol, n).localCheckpoint(eager = false)
+    sh.select(col("sh"), col("id"))
+      .repartitionByRange(col("sh")).sortWithinPartitions("sh")
+      .write.mode("overwrite").parquet(s"$path/postings")
+    sh.groupBy("id").agg(count(lit(1)).as("sz"))
+      .write.mode("overwrite").parquet(s"$path/sizes")
+  }
+
+  /** Directed containment pairs of a new shard against a persisted
+    * [[saveShinglePostings]] corpus, never rescanning corpus text: the
+    * shard's shingles key into the posting layout, candidates AND exact
+    * intersections come out of ONE posting join, and both directions
+    * emit — (shard ⊆ corpus) catches a re-crawled fragment of a
+    * standing superset, (corpus ⊆ shard) a standing fragment now
+    * arriving inside its superset. `maxDocFreq` guards COMBINED df per
+    * TOUCHED shingle (shard + corpus occurrences, the corpus side
+    * pruned by the shard's shingles BEFORE counting — the
+    * [[nearDupsAgainstSnapshot]] pattern) so a stock phrase never fans
+    * out quadratically at probe time. Guarded-mode honesty: sizes stay
+    * the artifact's FULL distinct counts (the artifact cannot re-count
+    * under a shard-dependent cut), where the batch twin's sizes are
+    * post-guard — denominators here are ≥ batch, so a guarded probe
+    * only under-flags, never over-flags. With `maxDocFreq = None` the
+    * fold law is exact: probe rows ≡ the full-corpus
+    * [[containmentNearDuplicates]] rows crossing the shard/corpus
+    * split (spec + oracle-gated, p251). Returns
+    * (sub_id, sup_id, inter, sub_sz).
+    */
+  def containmentAgainstSnapshot(newDf: DataFrame, idCol: String,
+      textCol: String, path: String, n: Int, num: Int, den: Int,
+      maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
+    require(num >= 1 && den >= 1 && num <= den, "need 0 < num/den <= 1")
+    val spark = newDf.sparkSession
+    val newSh = shingles(newDf, idCol, textCol, n).localCheckpoint(eager = false)
+    val touched = spark.read.parquet(s"$path/postings")
+      .join(newSh.select("sh").distinct(), Seq("sh"), "left_semi")
+      .localCheckpoint(eager = false) // guard agg + posting join sides
+    val (shardSh, corpSh) = maxDocFreq match {
+      case Some(f) =>
+        require(f >= 1, s"maxDocFreq $f must be >= 1")
+        val ok = newSh.groupBy("sh").agg(count(lit(1)).as("__nn"))
+          .join(touched.groupBy("sh").agg(count(lit(1)).as("__nc")),
+            Seq("sh"), "left")
+          .filter(col("__nn") + coalesce(col("__nc"), lit(0L)) <= f)
+          .select("sh")
+        (newSh.join(ok, Seq("sh"), "left_semi"),
+          touched.join(ok, Seq("sh"), "left_semi"))
+      case None => (newSh, touched)
+    }
+    val inter = shardSh.select(col("id").as("nid"), col("sh"))
+      .join(corpSh.select(col("id").as("cid"), col("sh")), Seq("sh"))
+      .groupBy("nid", "cid").agg(count(lit(1)).as("inter"))
+      .localCheckpoint(eager = false) // sizes semi-join + both emissions
+    val nsz = newSh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val csz = spark.read.parquet(s"$path/sizes")
+      .join(inter.select(col("cid").as("id")), Seq("id"), "left_semi")
+    val sized = inter
+      .join(nsz.withColumnsRenamed(Map("id" -> "nid", "sz" -> "szn")), Seq("nid"))
+      .join(csz.withColumnsRenamed(Map("id" -> "cid", "sz" -> "szc")), Seq("cid"))
+      .localCheckpoint(eager = false) // both directed emissions below
+    sized.filter(col("inter") * den >= col("szn") * num)
+      .select(col("nid").as("sub_id"), col("cid").as("sup_id"),
+        col("inter"), col("szn").as("sub_sz"))
+      .unionByName(sized.filter(col("inter") * den >= col("szc") * num)
+        .select(col("cid").as("sub_id"), col("nid").as("sup_id"),
+          col("inter"), col("szc").as("sub_sz")))
+  }
+
   /** Edit-distance fuzzy near-dup: shared-shingle candidates verified by
     * levenshtein over the first `prefixChars` chars of the
     * token-normalized text (lowercased, single-spaced — the same

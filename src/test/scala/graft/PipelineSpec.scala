@@ -1952,6 +1952,35 @@ class PipelineSpec extends SparkSpec {
     assert(viaSeg == counts, s"$viaSeg vs $counts")
   }
 
+  test("containment snapshot probe: both directions, fold law, combined-df guard") {
+    import spark.implicits._
+    val book = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12 t13 t14 t15 t16 t17 t18 t19 t20"
+    val frag = "u5 u6 u7 u8 u9"
+    val corpus = Seq( // even ids = the standing corpus
+      (2L, book), // superset of the arriving quote (shard ⊆ corpus)
+      (4L, frag), // fragment of an arriving superset (corpus ⊆ shard)
+      (6L, "w1 w2 w3 w4 w5")).toDF("doc_id", "text")
+    val shard = Seq( // odd ids = the arriving shard
+      (1L, "t5 t6 t7 t8 t9 t10"), // quote from the book
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12 u13 u14 u15"),
+      (5L, "x1 x2 x3 x4 x5")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("contsnap").toString
+    Dedup.saveShinglePostings(corpus, "doc_id", "text", n = 3, path = path)
+    val got = Dedup.containmentAgainstSnapshot(shard, "doc_id", "text", path,
+      n = 3, num = 4, den = 5, maxDocFreq = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((1L, 2L, 4L, 4L), (4L, 3L, 3L, 3L)), s"got $got")
+    // fold law: probe ≡ the batch rows crossing the shard/corpus split
+    val batch = Dedup.containmentNearDuplicates(corpus.unionByName(shard),
+      "doc_id", "text", n = 3, num = 4, den = 5, maxDocFreq = None)
+      .filter(col("sub_id") % 2 =!= col("sup_id") % 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == batch, s"probe $got vs batch $batch")
+    // combined-df guard: cap 1 kills every shared shingle -> no pairs
+    assert(Dedup.containmentAgainstSnapshot(shard, "doc_id", "text", path,
+      n = 3, num = 4, den = 5, maxDocFreq = Some(1)).isEmpty)
+  }
+
   test("wordpieceSegment: greedy longest match, all-or-nothing UNK, continuation marks") {
     import spark.implicits._
     val words = Seq(("abc", 1L), ("aba", 1L), ("xyz", 1L)).toDF("word", "freq")
