@@ -3187,6 +3187,34 @@ object SparkEntry {
         maxDocFreq = None) // oracle twin: the DuckDB side is unguarded
     }),
 
+    // Streaming twin of p251: the odd-id shard arrives as a 3-file
+    // stream, each micro-batch probes the standing posting artifact
+    // statelessly, runs union at read — ≡ the one-batch probe, so the
+    // p251 oracle gates it unchanged.
+    "p252_stream_containment" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val base = freshTmpStore(s, "p252", dir)
+      graft.pipeline.Dedup.saveShinglePostings(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        n = 3, path = s"$base/snap")
+      val shard = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+      shard.repartition(3).write.parquet(s"$base/in")
+      val st = s.readStream.schema(shard.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = graft.streaming.PipelineStream.containmentIngest(
+        st, "doc_id", "text", s"$base/snap", n = 3, num = 4, den = 5,
+        basePath = s"$base/store",
+        maxDocFreq = None) // oracle twin: the DuckDB side is unguarded
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/store/pairs")
+        .select(col("sub_id"), col("sup_id"), col("inter"), col("sub_sz"))
+    }),
+
     // Incremental NEAR-dup ingest: even-id docs are the persisted corpus
     // (MinHash snapshot: buckets + shingles + sizes), odd-id docs the new
     // shard checked against it without rescanning corpus text. Oracle =
@@ -5274,6 +5302,29 @@ object SparkEntry {
        |st0 AS (SELECT word, CAST(1 AS BIGINT) AS pos, CAST([] AS VARCHAR[]) AS ps FROM wd),
        |$stChain""".stripMargin
   }
+
+  /** Shared DuckDB lineage for the incremental containment probe —
+    * directed sub⊆sup pairs CROSSING the odd(shard)/even(corpus) split;
+    * p251 gates the batch snapshot probe, p252 the stateless streaming
+    * ingest (row-identical: each micro-batch probes independently).
+    */
+  private val containmentSplitOracleSql: String =
+    """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+      |g AS (SELECT id, unnest(list_transform(generate_series(1, len(toks)-2),
+      |                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |      FROM t WHERE len(toks) >= 3),
+      |d AS (SELECT DISTINCT id, sh FROM g),
+      |sz AS (SELECT id, count(*) AS sz FROM d GROUP BY 1),
+      |p AS (SELECT a.id AS na, b.id AS cb, count(*) AS inter
+      |      FROM d a JOIN d b ON a.sh = b.sh AND a.id % 2 = 1 AND b.id % 2 = 0
+      |      GROUP BY 1, 2),
+      |pj AS (SELECT na, cb, inter, sn.sz AS szn, sc.sz AS szc
+      |       FROM p JOIN sz sn ON sn.id = na JOIN sz sc ON sc.id = cb)
+      |SELECT na AS sub_id, cb AS sup_id, inter, szn AS sub_sz
+      |FROM pj WHERE inter * 5 >= szn * 4
+      |UNION ALL
+      |SELECT cb AS sub_id, na AS sup_id, inter, szc AS sub_sz
+      |FROM pj WHERE inter * 5 >= szc * 4""".stripMargin
 
   private def wordpieceSegmentOracleSql(maxWordLen: Int, maxPieceLen: Int,
       minCount: Long): String =
@@ -7772,23 +7823,9 @@ object SparkEntry {
         |      FROM p JOIN sz sa ON sa.id = ia JOIN sz sb ON sb.id = ib)
         |SELECT ia, ib, inter, uni FROM j WHERE inter * 5 >= uni * 4""".stripMargin,
 
-    "p251_containment_snapshot" ->
-      """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
-        |g AS (SELECT id, unnest(list_transform(generate_series(1, len(toks)-2),
-        |                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-        |      FROM t WHERE len(toks) >= 3),
-        |d AS (SELECT DISTINCT id, sh FROM g),
-        |sz AS (SELECT id, count(*) AS sz FROM d GROUP BY 1),
-        |p AS (SELECT a.id AS na, b.id AS cb, count(*) AS inter
-        |      FROM d a JOIN d b ON a.sh = b.sh AND a.id % 2 = 1 AND b.id % 2 = 0
-        |      GROUP BY 1, 2),
-        |pj AS (SELECT na, cb, inter, sn.sz AS szn, sc.sz AS szc
-        |       FROM p JOIN sz sn ON sn.id = na JOIN sz sc ON sc.id = cb)
-        |SELECT na AS sub_id, cb AS sup_id, inter, szn AS sub_sz
-        |FROM pj WHERE inter * 5 >= szn * 4
-        |UNION ALL
-        |SELECT cb AS sub_id, na AS sup_id, inter, szc AS sub_sz
-        |FROM pj WHERE inter * 5 >= szc * 4""".stripMargin,
+    "p251_containment_snapshot" -> containmentSplitOracleSql,
+    // the streaming twin is row-identical by the stateless-probe law
+    "p252_stream_containment" -> containmentSplitOracleSql,
 
     "p247_containment" ->
       """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),

@@ -84,6 +84,32 @@ object PipelineStream {
           .write.mode("overwrite").parquet(s"$basePath/census/run=$id")
     }
 
+  /** Streaming containment screening — each arriving micro-batch probes
+    * the standing [[graft.pipeline.Dedup.saveShinglePostings]] corpus
+    * independently: the probe is per-doc, so a batch's directed pairs
+    * depend only on its own docs vs the artifact and the op is
+    * STATELESS — no state store, no watermark; the union over runs ≡
+    * one batch probe over everything ingested (p252 gates under p251's
+    * oracle). Results flush as overwrite-by-batch-id runs (redelivery
+    * idempotent — the bm25IndexIngest contract). Guarded mode inherits
+    * the probe's combined-df contract PER BATCH: the shard side of
+    * each shingle's df count is the batch's own occurrences, so a
+    * phrase spread thinly across batches sees a smaller combined count
+    * than one big batch would — the honest per-ingest view (guards
+    * bound the work each ingest does, not a global property).
+    */
+  def containmentIngest(docs: DataFrame, idCol: String, textCol: String,
+      snapshotPath: String, n: Int, num: Int, den: Int, basePath: String,
+      maxDocFreq: Option[Int] =
+        Some(graft.pipeline.Dedup.DefaultMaxDocFreq)):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty)
+        graft.pipeline.Dedup.containmentAgainstSnapshot(batch, idCol,
+          textCol, snapshotPath, n, num, den, maxDocFreq)
+          .write.mode("overwrite").parquet(s"$basePath/pairs/run=$id")
+    }
+
   /** The standing census of a [[ngramCensusIngest]] store: per-gram sum
     * over the runs (the additive fold, evaluated at read).
     */

@@ -196,6 +196,39 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(0L, 1L, 3L), s"dup doc 2 must be dropped, got $ids")
   }
 
+  test("streaming containment ingest: per-batch probes union to the one-shot probe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val book = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12 t13 t14 t15 t16 t17 t18 t19 t20"
+    val corpus = Seq((2L, book), (4L, "u5 u6 u7 u8 u9")).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("contingest").toString
+    graft.pipeline.Dedup.saveShinglePostings(
+      corpus, "doc_id", "text", n = 3, path = s"$base/snap")
+    val shard = Seq(
+      (1L, "t5 t6 t7 t8 t9 t10"), // batch 1: quote of the standing book
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12 u13 u14 u15"), // batch 2
+      (5L, "x1 x2 x3 x4 x5")) // batch 2: matches nothing
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.PipelineStream.containmentIngest(
+      mem.toDS().toDF("doc_id", "text"), "doc_id", "text", s"$base/snap",
+      n = 3, num = 4, den = 5, basePath = s"$base/store", maxDocFreq = None)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      mem.addData(shard.head)
+      q.processAllAvailable()
+      mem.addData(shard(1), shard(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$base/store/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val oneShot = graft.pipeline.Dedup.containmentAgainstSnapshot(
+      shard.toDF("doc_id", "text"), "doc_id", "text", s"$base/snap",
+      n = 3, num = 4, den = 5, maxDocFreq = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == oneShot, s"stream $got vs one-shot $oneShot")
+    assert(got == Set((1L, 2L, 4L, 4L), (4L, 3L, 3L, 3L)), s"got $got")
+  }
+
   test("streaming chunk registry: passages register once, contents equal the batch census") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
