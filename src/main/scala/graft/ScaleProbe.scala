@@ -640,7 +640,59 @@ object ScaleProbe {
       println(f"[scale] snapshot ingest (10%% shard vs full rerun): snapshot-build=$dtSave%5.2f s " +
         f"shard-check=$dtInc%5.2f s ($incPairs pairs) full-rerun=$dtFull2%5.2f s ($fullPairs pairs)")
     }
+    containmentIngestProbe(spark, dir)
     spark.stop()
+  }
+
+  /** Incremental-containment ingest probe: a FIXED 10% shard probed
+    * against a 1× posting artifact and a 9× one whose added content is
+    * VOCABULARY-SALTED (per-replica token remap — shares no shingles
+    * with anything, the honest "more distinct content" model). Directed
+    * pairs must be IDENTICAL across artifact sizes (the added postings
+    * are untouchable by the shard); the timing split shows what the
+    * artifact buys: the probe pays the (pruned) posting join only,
+    * while the batch rerun re-shingles and re-pairs the whole grown
+    * corpus per ingest.
+    */
+  def containmentIngestProbe(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    import graft.pipeline.Dedup
+    val docs = CellEncodings.table(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val shard = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val big = corpus.unionByName(
+      spark.range(1, 9).crossJoin(corpus)
+        .select((col("doc_id") + col("id") * 1000000L).as("doc_id"),
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("r"), col("id").cast("string"), lit("$1"))).as("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cont_probe").toString
+    def timed[A](f: => A): (Double, A) = {
+      val t = System.nanoTime(); val a = f; ((System.nanoTime() - t) / 1e9, a)
+    }
+    val (dtS1, _) = timed(Dedup.saveShinglePostings(
+      corpus, "doc_id", "text", n = 3, path = s"$tmp/one"))
+    val (dtS9, _) = timed(Dedup.saveShinglePostings(
+      big, "doc_id", "text", n = 3, path = s"$tmp/big"))
+    def probe(path: String): Set[(Long, Long)] =
+      Dedup.containmentAgainstSnapshot(shard, "doc_id", "text", path,
+        n = 3, num = 4, den = 5, maxDocFreq = None)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    probe(s"$tmp/one") // warm (codegen + file listing)
+    val (dt1, p1) = timed(probe(s"$tmp/one"))
+    val (dt9, p9) = timed(probe(s"$tmp/big"))
+    assert(p1 == p9,
+      s"salted growth changed directed pairs: ${p1.size} vs ${p9.size}")
+    val (dtRerun, _) = timed(Dedup.containmentNearDuplicates(
+      big.unionByName(shard), "doc_id", "text", n = 3, num = 4, den = 5,
+      maxDocFreq = None, hashShingles = true).count())
+    val rows1 = spark.read.parquet(s"$tmp/one/postings").count()
+    val rows9 = spark.read.parquet(s"$tmp/big/postings").count()
+    println(f"[scale] containment ingest (fixed 10%% shard; salted 9x growth): " +
+      f"build 1x=$dtS1%5.2f s/9x=$dtS9%5.2f s ($rows1%,d -> $rows9%,d postings); " +
+      f"probe 1x=$dt1%5.2f s 9x=$dt9%5.2f s (${p1.size}%d pairs IDENTICAL); " +
+      f"batch rerun over grown corpus=$dtRerun%5.2f s")
   }
 
   /** SemDeDup prefilter probe: within-cell pair mining at a REALISTIC
@@ -858,6 +910,15 @@ object CcPathProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create(taskSideCommit = true)
     ScaleProbe.ccPathProbe(spark)
+    spark.stop()
+  }
+}
+
+/** Focused runner for the incremental-containment ingest probe. */
+object ContainmentIngestProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.create(taskSideCommit = true)
+    ScaleProbe.containmentIngestProbe(spark, "/root/testdata/sf0.1")
     spark.stop()
   }
 }
