@@ -89,7 +89,13 @@ object Bench {
     if (skipLegs.nonEmpty)
       System.err.println(
         s"[bench] SPARK_GRAFT_BENCH_SKIP active — skipping legs: ${skipLegs.toSeq.sorted.mkString(",")}")
-    def leg(name: String)(f: => Long): Unit = if (!skipLegs.contains(name)) {
+    // the sidecar records what was ACTUALLY skipped (leg-name literals —
+    // JSON-safe by construction) separately from skip entries that
+    // matched nothing (a typo'd name that silently skips nothing would
+    // otherwise defeat the self-identification this exists for)
+    val hitSkips = scala.collection.mutable.TreeSet.empty[String]
+    val seenLegs = scala.collection.mutable.TreeSet.empty[String]
+    def leg(name: String)(f: => Long): Unit = { seenLegs += name; if (!skipLegs.contains(name)) {
       def once(): (Double, Long) = {
         val t0 = System.nanoTime()
         val n = f
@@ -107,13 +113,13 @@ object Bench {
       // whose row count varied between runs would otherwise mis-attribute)
       rows += name -> runs.sortBy(_._1).apply(1)._2
       spreads += name -> ((ts.head, ts.last))
-    }
+    } else hitSkips += name }
 
     // Like `leg`, but the workload is a DataFrame whose OWN plan is executed
     // (queryExecution.toRdd.count() — same distributed row count as
     // .count(), minus the final 1-row agg), so per-leg scan/shuffle metrics
     // can be harvested from the executed plan of the LAST run.
-    def legDf(name: String)(mk: => DataFrame): Unit = if (!skipLegs.contains(name)) {
+    def legDf(name: String)(mk: => DataFrame): Unit = { seenLegs += name; if (!skipLegs.contains(name)) {
       var last: DataFrame = null
       def once(): (Double, Long) = {
         val t0 = System.nanoTime()
@@ -130,7 +136,7 @@ object Bench {
       rows += name -> runs.sortBy(_._1).apply(1)._2
       spreads += name -> ((ts.head, ts.last))
       ios += name -> harvest(last)
-    }
+    } else hitSkips += name }
 
     // Untimed warmup over reduced inputs: first execution of each operator
     // shape pays classloading + whole-stage-codegen compilation + parquet
@@ -639,9 +645,15 @@ object Bench {
         ",\"p95us\":" + s.p95Micros + ",\"p99us\":" + s.p99Micros +
         ",\"meanUs\":" + s.meanMicros + ",\"maxUs\":" + s.maxMicros + "}"
     }.mkString("{", ",", "}")
-    val skipped = skipLegs.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // only names that actually matched a leg (code literals, JSON-safe);
+    // entries that matched nothing are reported sanitized so a typo or a
+    // quote-mangled env value can neither hide nor break the JSON
+    val skipped = hitSkips.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val skipUnmatched = (skipLegs -- seenLegs).toSeq.sorted
+      .map(s => "\"" + s.replaceAll("[^A-Za-z0-9_]", "?") + "\"")
+      .mkString("[", ",", "]")
     val detail =
-      s"""{"detail":{"rows":$rs,"spread":$sp,"io":$io,"latency":$lat,"skipped":$skipped},"sf":"$sfDir"}"""
+      s"""{"detail":{"rows":$rs,"spread":$sp,"io":$io,"latency":$lat,"skipped":$skipped,"skip_unmatched":$skipUnmatched},"sf":"$sfDir"}"""
     try Files.write(java.nio.file.Paths.get("BENCH_SIDECAR.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

@@ -662,9 +662,13 @@ object ScaleProbe {
       .select(col("doc_id"), col("text")).localCheckpoint()
     val shard = docs.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), col("text")).localCheckpoint()
+    // replica id stride derived from the REAL max id — a fixed constant
+    // would collide with corpus ids on a large sf dir and corrupt the
+    // artifact joins silently
+    val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
     val big = corpus.unionByName(
       spark.range(1, 9).crossJoin(corpus)
-        .select((col("doc_id") + col("id") * 1000000L).as("doc_id"),
+        .select((col("doc_id") + col("id") * stride).as("doc_id"),
           regexp_replace(col("text"), lit("(\\S+)"),
             concat(lit("r"), col("id").cast("string"), lit("$1"))).as("text")))
     val tmp = java.nio.file.Files.createTempDirectory("graft_cont_probe").toString

@@ -3089,7 +3089,7 @@ object SparkEntry {
     "p246_span_islands_registry" -> ((s, dir) => {
       GraftFunctions.register(s)
       val docs = table(s, dir, "documents")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_p246_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = freshTmpStore(s, "p246", dir)
       graft.pipeline.Dedup.saveSpanRegistry(
         docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
         minTokens = 5, minDocs = 2, path = s"$path/reg", hashSpans = false)
@@ -3177,7 +3177,7 @@ object SparkEntry {
     "p251_containment_snapshot" -> ((s, dir) => {
       GraftFunctions.register(s)
       val docs = table(s, dir, "documents")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_p251_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = freshTmpStore(s, "p251", dir)
       graft.pipeline.Dedup.saveShinglePostings(
         docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
         n = 3, path = s"$path/snap")
@@ -3230,8 +3230,7 @@ object SparkEntry {
     "p45_neardup_snapshot" -> ((s, dir) => {
       GraftFunctions.register(s)
       val docs = table(s, dir, "documents")
-      // deterministic per-sf path + overwrite (no tmp-dir leak per run)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_p45_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = freshTmpStore(s, "p45", dir)
       graft.pipeline.Dedup.saveMinhashSnapshot(
         docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
         n = 3, numHashes = 32, bands = 8, path = s"$path/snap",

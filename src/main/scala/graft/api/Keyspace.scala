@@ -427,7 +427,12 @@ object Keyspace {
     *    DatabaseDescriptor.getClusterName analog);
     *  - "config file"  → the session's runtime conf rendered as sorted
     *    `key=value` lines (the reference streams storage-conf.xml off
-    *    disk; the session conf IS this engine's config source);
+    *    disk; the session conf IS this engine's config source).
+    *    Credential-bearing keys are REDACTED (the `spark.redaction.regex`
+    *    default pattern: secret/password/token/access.key, case-blind) —
+    *    the reference's file never held session credentials, and Spark's
+    *    own UI/event log redact the same way, so a Shell caller must
+    *    never see more than the UI would;
     *  - "token map"    → JSON token→endpoint map. A single-engine build
     *    owns the whole ring, so the map is one entry: the partitioner's
     *    minimum token against the Spark master endpoint (the
@@ -440,8 +445,15 @@ object Keyspace {
     property match {
       case "cluster name" => spark.sparkContext.appName
       case "config file" =>
+        // Spark's spark.redaction.regex default, applied to KEYS: a
+        // matching key renders the UI's literal placeholder, not the value
+        val redact = java.util.regex.Pattern
+          .compile("(?i)secret|password|token|access[.]key")
         spark.conf.getAll.toSeq.sortBy(_._1)
-          .map { case (k, v) => s"$k=$v" }.mkString("\n")
+          .map { case (k, v) =>
+            if (redact.matcher(k).find()) s"$k=*********(redacted)"
+            else s"$k=$v"
+          }.mkString("\n")
       case "token map" =>
         val master = spark.sparkContext.master
         s"""{"0":"${master.replace("\"", "\\\"")}"}"""

@@ -419,6 +419,14 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/shingles")
     sh.groupBy("id").agg(count(lit(1)).as("sz"))
       .write.mode("overwrite").parquet(s"$path/sizes")
+    // the sketch params AND the write-time cap travel WITH the artifact:
+    // a probe under different params silently mis-buckets / mis-guards,
+    // so nearDupsAgainstSnapshot require-matches this row (loud-guard
+    // style). maxBucket encodes None as -1.
+    df.sparkSession.range(1).select(lit(n).as("n"),
+        lit(numHashes).as("num_hashes"), lit(bands).as("bands"),
+        lit(maxBucket.map(_.toLong).getOrElse(-1L)).as("max_bucket"))
+      .write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Near-dup pairs (new doc, corpus doc) of a new shard against a
@@ -440,6 +448,21 @@ object Dedup {
       num: Int, den: Int,
       maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
     val spark = newDf.sparkSession
+    // the artifact's persisted SKETCH params must match the probe's —
+    // a mismatch silently mis-buckets (different signatures never
+    // collide) and returns plausible-but-wrong pairs; enforced loudly
+    // (snapshots predating the meta row fail loudly too). The CAP is
+    // deliberately NOT required to match: the effective guard composes
+    // (write-time cap on the artifact ∩ probe-time cap on combined
+    // occupancy — both directions spec-pinned); the meta row records
+    // the write-time cap as provenance for exactly that reasoning.
+    val m = spark.read.parquet(s"$path/meta").head()
+    require(m.getAs[Int]("n") == n && m.getAs[Int]("num_hashes") == numHashes &&
+        m.getAs[Int]("bands") == bands,
+      s"snapshot sketch params (n=${m.getAs[Int]("n")}, " +
+        s"numHashes=${m.getAs[Int]("num_hashes")}, bands=${m.getAs[Int]("bands")}) " +
+        s"do not match probe params (n=$n, numHashes=$numHashes, bands=$bands) — " +
+        "re-save the snapshot or probe with the saved params")
     val newSh = shingles(newDf, idCol, textCol, n).localCheckpoint(eager = false)
     val newBk0 = bandedBuckets(minhashSignatures(newSh, numHashes), numHashes, bands)
     val corpusBk0 = spark.read.parquet(s"$path/buckets")

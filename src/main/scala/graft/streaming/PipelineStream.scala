@@ -270,6 +270,14 @@ object PipelineStream {
         col("shh")) ++ carryCols: _*)
   }
 
+  /** State-schema note (round 16): adding the overflow flag changed the
+    * flatMapGroupsWithState state type from Seq[(Long, Seq[Long])] to
+    * (Seq[(Long, Seq[Long])], Boolean) — HERE and in the watermarked
+    * twin. A long-lived query restarted from a checkpoint written by a
+    * pre-flag build fails to decode its state: discard the old
+    * checkpoint (and accept re-seen pairs) on upgrade; there is no
+    * in-place migration.
+    */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
       numHashes: Int, bands: Int, num: Int, den: Int,
       maxBucket: Option[Int] = Some(graft.pipeline.Dedup.DefaultMaxBucket)): DataFrame = {

@@ -430,6 +430,14 @@ class KeyspaceSpec extends SparkSpec {
     // lines are sorted key=value (deterministic render of the live conf)
     val keys = conf.linesIterator.map(_.takeWhile(_ != '=')).toSeq
     assert(keys == keys.sorted)
+    // credential-bearing keys render redacted, never the value
+    spark.conf.set("spark.graft.test.secret", "hunter2")
+    try {
+      val red = Keyspace.getStringProperty(spark, "config file")
+      assert(red.contains("spark.graft.test.secret=*********(redacted)"),
+        "secret key must be redacted")
+      assert(!red.contains("hunter2"), "secret value must not appear")
+    } finally spark.conf.unset("spark.graft.test.secret")
     // single-engine ring: one token, this engine's master endpoint
     val tokenMap = Keyspace.getStringProperty(spark, "token map")
     assert(tokenMap == s"""{"0":"${spark.sparkContext.master}"}""")

@@ -2117,6 +2117,15 @@ class PipelineSpec extends SparkSpec {
     Dedup.saveMinhashSnapshot(corpus, "doc_id", "text",
       n = 3, numHashes = 32, bands = 8, path = s"$dir/capped", maxBucket = Some(4))
     assert(probe("capped", None) == Set((1L, 2L)))
+    // sketch-param provenance: probing under different n/hashes/bands
+    // would mis-bucket silently — the persisted meta row fails it loudly
+    // (cap mismatch stays legal: both directions asserted above)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.nearDupsAgainstSnapshot(shard, "doc_id", "text", s"$dir/full",
+        n = 3, numHashes = 32, bands = 4, num = 4, den = 5,
+        maxBucket = None).collect()
+    }
+    assert(e.getMessage.contains("sketch params"), e.getMessage)
   }
 
   test("normalizeText: NFC composes, case folds, whitespace collapses") {

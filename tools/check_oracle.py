@@ -56,6 +56,11 @@ def main(sf_dir, out_dir, only=None):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     if only:
         names = {n.strip() for n in only.split(",") if n.strip()}
+        # a truthy-but-empty filter (",", " ") must NOT become a vacuous
+        # 0/0 pass of the gate — fail loudly instead
+        if not names:
+            print("FAIL selective filter given but empty — refusing a 0-entry gate")
+            return 1
         unknown = names - set(oracle)
         if unknown:
             print(f"FAIL unknown entry names in --only: {sorted(unknown)}")
