@@ -307,6 +307,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortAggregate"), plan.take(1500))
   }
 
+  test("wordpiece + containment plans: hash aggregates, equi-joins, no cartesian") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 40L).map(i =>
+      (i, s"tok$i alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    // the greedy walk is a per-row expression over the vocabulary-sized
+    // words frame: aggregates are hash-based, joins equi, no cartesian,
+    // and nothing collapses to a single partition
+    val words = graft.pipeline.TextAnalysis.unigramWords(docs, "text", 12)
+    val wp = planOf(graft.pipeline.TextAnalysis.wordpieceSegment(words,
+      graft.pipeline.TextAnalysis.wordpieceVocab(words, 4, 2L), 4))
+    assert(!wp.contains("CartesianProduct") && !wp.contains("BroadcastNestedLoop"),
+      wp.take(1500))
+    assert(!wp.contains("SinglePartition"), wp.take(1500))
+    // directed containment rides the shared set-overlap core: pair
+    // emission via per-shingle combinations, never a doc self-join
+    val cp = planOf(graft.pipeline.Dedup.containmentNearDuplicates(
+      docs, "doc_id", "text", 3, 4, 5, maxDocFreq = None))
+    assert(!cp.contains("CartesianProduct") && !cp.contains("BroadcastNestedLoop"),
+      cp.take(1500))
+    assert(!cp.contains("SortAggregate"), cp.take(1500))
+  }
+
   test("normalizeText and audioWindows stay shuffle-free; lexicalTopK ends in TakeOrdered") {
     import spark.implicits._
     val docs = (0L until 40L).map(i => (i, s"alpha beta doc$i gamma")).toDF("doc_id", "text")
