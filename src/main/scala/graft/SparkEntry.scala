@@ -4479,6 +4479,21 @@ object SparkEntry {
         maxPieceLen = 4)
     }),
 
+    // Corpus encoding to integer piece ids under the same vocab — the
+    // artifact a pretraining run consumes: (doc, token pos, piece pos,
+    // id), [UNK] = 0, vocab pieces 1..V in sort order. Distinct words
+    // segment once; one token join fans onto occurrences.
+    "p253_wordpiece_encode" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      graft.pipeline.TextAnalysis.wordpieceEncode(docs, "doc_id", "text",
+        graft.pipeline.TextAnalysis.wordpieceVocab(
+          graft.pipeline.TextAnalysis.unigramWords(
+            docs.filter(col("doc_id") % 2 === 0), "text", maxWordLen = 12),
+          maxPieceLen = 4, minCount = 30L),
+        maxPieceLen = 4)
+    }),
+
     // Corpus token-cost readout under the same vocab: per-doc piece
     // totals ([UNK] counts 1, like the real tokenizer's output) — "how
     // many tokens is this corpus under MY BERT tokenizer", the
@@ -5344,6 +5359,31 @@ object SparkEntry {
        |       FROM documents)
        |SELECT id, CAST(sum(np) AS BIGINT) AS n_pieces, count(*) AS n_words
        |FROM tk JOIN np USING (word) GROUP BY 1""".stripMargin
+
+  /** Encode tail over the shared greedy prefix: vocab pieces numbered
+    * 1..V in sort order, [UNK] ALWAYS 0 (even against a literal "[UNK]"
+    * vocab piece — the engine's rule), token positions 0-based in
+    * reading order.
+    */
+  private def wordpieceEncodeOracleSql(maxWordLen: Int, maxPieceLen: Int,
+      minCount: Long): String =
+    s"""${wordpieceCtes(maxWordLen, maxPieceLen, minCount)},
+       |pid AS (SELECT piece, CAST(row_number() OVER (ORDER BY piece) AS BIGINT) AS piece_id
+       |        FROM v),
+       |wpc AS (SELECT word,
+       |          unnest(CASE WHEN pos < 0 THEN ['[UNK]'] ELSE ps END) AS piece,
+       |          CAST(unnest(generate_series(1, CASE WHEN pos < 0 THEN 1 ELSE len(ps) END)) AS BIGINT) - 1 AS ord
+       |        FROM st$maxWordLen),
+       |wseg AS (SELECT wpc.word, wpc.ord,
+       |           CASE WHEN wpc.piece = '[UNK]' THEN 0 ELSE pid.piece_id END AS piece_id
+       |         FROM wpc LEFT JOIN pid ON pid.piece = wpc.piece),
+       |tk AS (SELECT doc_id AS id,
+       |         unnest(list_transform(regexp_extract_all(lower(text), '\\S+'),
+       |                t -> substring(t, 1, $maxWordLen))) AS word,
+       |         CAST(unnest(generate_series(1, len(regexp_extract_all(lower(text), '\\S+')))) AS BIGINT) - 1 AS tok_pos
+       |       FROM documents)
+       |SELECT tk.id, tk.tok_pos, w.ord, w.piece_id
+       |FROM tk JOIN wseg w USING (word)""".stripMargin
 
   /** Shared DuckDB lineage for the unkeyed ±6 h window count — p149
     * gates the bin-decomposition path, p242 the density-proof ECDF/rank
@@ -8688,6 +8728,7 @@ object SparkEntry {
     "p248_unigram_segment" -> unigramSegmentOracleSql(12, 4, 30L),
     "p249_wordpiece_segment" -> wordpieceSegmentOracleSql(12, 4, 30L),
     "p250_wordpiece_tokcount" -> wordpieceTokcountOracleSql(12, 4, 30L),
+    "p253_wordpiece_encode" -> wordpieceEncodeOracleSql(12, 4, 30L),
 
     "p49_lexical_topk" ->
       """WITH q AS (SELECT DISTINCT unnest(list_distinct((regexp_extract_all(lower(text), '\S+'))[1:8])) AS term

@@ -2061,6 +2061,39 @@ object TextAnalysis {
         count(lit(1)).as("n_words"))
   }
 
+  /** Corpus ENCODING under a WordPiece vocab — the artifact a
+    * pretraining run actually consumes: one row per (doc, token
+    * position, piece position) carrying the piece's integer id. Ids
+    * follow the vocab-file convention: [UNK] = 0 (ALWAYS — a literal
+    * "[UNK]" vocab piece also encodes 0), vocab pieces numbered 1..V in
+    * piece sort order. Work shape: segment the DISTINCT words once
+    * (vocabulary-sized), number the vocab once (a window over the
+    * V-row piece frame — model-sized, never corpus-sized), then ONE
+    * token-grain join fans per-word rows onto occurrences.
+    * Returns (id, tok_pos, ord, piece_id), both positions 0-based.
+    */
+  def wordpieceEncode(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      vocab: org.apache.spark.sql.DataFrame, maxPieceLen: Int,
+      maxWordLen: Int = 12): org.apache.spark.sql.DataFrame = {
+    val words = unigramWords(docs, textCol, maxWordLen)
+    val pieceIds = vocab.select(col("piece")).distinct()
+      .withColumn("piece_id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("piece")))
+        .cast("long"))
+    val seg = wordpieceSegment(words, vocab, maxPieceLen)
+      .join(broadcast(pieceIds), Seq("piece"), "left")
+      .select(col("word"), col("ord"),
+        when(col("piece") === "[UNK]", 0L)
+          .otherwise(col("piece_id")).as("piece_id"))
+    docs.select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("tok_pos", "tok")))
+      .select(col("id"), col("tok_pos").cast("long").as("tok_pos"),
+        substring(col("tok"), 1, maxWordLen).as("word"))
+      .join(seg, Seq("word"))
+      .select(col("id"), col("tok_pos"), col("ord"), col("piece_id"))
+  }
+
   /** WordPiece TRAINING — likelihood-scored merges over the ##-marked
     * character symbolization (Schuster & Nakajima 2012 §III; the rule
     * HuggingFace's trainer implements): repeatedly fuse the adjacent

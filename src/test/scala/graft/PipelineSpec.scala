@@ -2026,6 +2026,24 @@ class PipelineSpec extends SparkSpec {
       s"got $seg")
   }
 
+  test("wordpieceEncode: sort-order ids, [UNK]=0 wins even over a literal piece") {
+    import spark.implicits._
+    val docs = Seq((1L, "abc xyz abc")).toDF("doc_id", "text")
+    // binary sort order ('#'=35 < '['=91 < 'a'=97): ##c=1, [UNK]=2,
+    // a=3, ab=4; the engine's [UNK] ROWS must encode 0, NOT the literal
+    // "[UNK]" piece's own id 2
+    val vocab = Seq("a", "ab", "##c", "[UNK]").toDF("piece")
+    val got = TextAnalysis.wordpieceEncode(docs, "doc_id", "text", vocab,
+      maxPieceLen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // abc -> ab(4) + ##c(1); xyz -> [UNK](0)
+    assert(got == Set(
+      (1L, 0L, 0L, 4L), (1L, 0L, 1L, 1L),
+      (1L, 1L, 0L, 0L),
+      (1L, 2L, 0L, 4L), (1L, 2L, 1L, 1L)), s"got $got")
+  }
+
   test("wordpieceTokenCount: per-doc piece totals; [UNK] counts 1") {
     import spark.implicits._
     val docs = Seq((1L, "abc abc xyz"), (2L, "ab")).toDF("doc_id", "text")
