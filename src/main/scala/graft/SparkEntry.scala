@@ -1504,6 +1504,15 @@ object SparkEntry {
         table(s, dir, "documents"), "lang", "source")
     }),
 
+    // PSI drift matrix — the model-monitoring standard next to TV/KS/χ²:
+    // add-one-smoothed (p−q)·ln(p/q) per category, micro-quantized per
+    // term so the pair total is an exact integer sum.
+    "p254_psi_drift" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Sketches.psiDriftMatrix(
+        table(s, dir, "documents"), "lang", "source")
+    }),
+
     // Cohort LTV curves: per (first-event-day cohort, day offset) the
     // active users, micro-quantized revenue, running cumulative and
     // floor per-acquired-user LTV.
@@ -3185,6 +3194,16 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", s"$path/snap",
         n = 3, num = 4, den = 5,
         maxDocFreq = None) // oracle twin: the DuckDB side is unguarded
+    }),
+
+    // The containment KEEPER readout: surviving ids after dropping
+    // strictly-contained fragments and the larger id of each mutual
+    // (near-identical) pair — the decision a pipeline executes.
+    "p255_drop_fragments" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Dedup.dropContainedFragments(
+        table(s, dir, "documents"), "doc_id", "text", n = 3, num = 4, den = 5,
+        maxDocFreq = None) // oracle twin: uncapped like p247's
     }),
 
     // Streaming twin of p251: the odd-id shard arrives as a 3-file
@@ -7072,6 +7091,32 @@ object SparkEntry {
         |       CAST(sdev * 1000 // (2 * na * nb) AS BIGINT) AS tv_permille
         |FROM y WHERE na > 0 AND nb > 0""".stripMargin,
 
+    "p254_psi_drift" ->
+      """WITH h AS (SELECT source AS g, lang AS cat, count(*) AS c
+        |           FROM documents GROUP BY 1, 2),
+        |gg AS (SELECT DISTINCT g FROM h),
+        |pairs AS (SELECT a.g AS ga, b.g AS gb FROM gg a JOIN gg b ON a.g < b.g),
+        |l AS (SELECT ga, gb, cat, c AS ca FROM pairs JOIN h ON h.g = pairs.ga),
+        |r AS (SELECT ga, gb, cat, c AS cb FROM pairs JOIN h ON h.g = pairs.gb),
+        |j AS (SELECT coalesce(l.ga, r.ga) AS ga, coalesce(l.gb, r.gb) AS gb,
+        |        coalesce(l.cat, r.cat) AS cat,
+        |        coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |      FROM l FULL JOIN r
+        |        ON l.ga = r.ga AND l.gb = r.gb AND l.cat = r.cat),
+        |x AS (SELECT ga, gb, cat, ca, cb,
+        |        sum(ca) OVER (PARTITION BY ga, gb) AS na,
+        |        sum(cb) OVER (PARTITION BY ga, gb) AS nb,
+        |        count(*) OVER (PARTITION BY ga, gb) AS ncat
+        |      FROM j),
+        |y AS (SELECT ga, gb, cat, ca, cb,
+        |        CAST(round(((ca + 1.0) / (na + ncat) - (cb + 1.0) / (nb + ncat))
+        |          * ln(((ca + 1.0) / (na + ncat)) / ((cb + 1.0) / (nb + ncat)))
+        |          * 1000000) AS BIGINT) AS term_micro
+        |      FROM x)
+        |SELECT ga AS grp_a, gb AS grp_b, cat, ca AS c_a, cb AS c_b, term_micro,
+        |       CAST(sum(term_micro) OVER (PARTITION BY ga, gb) AS BIGINT) AS psi_micro
+        |FROM y""".stripMargin,
+
     "p152_cohort_ltv" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts) // 86400000000 AS bucket,
         |             CAST(round(value * 1000000) AS BIGINT) AS rev
@@ -7865,6 +7910,28 @@ object SparkEntry {
     "p251_containment_snapshot" -> containmentSplitOracleSql,
     // the streaming twin is row-identical by the stateless-probe law
     "p252_stream_containment" -> containmentSplitOracleSql,
+
+    "p255_drop_fragments" ->
+      """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |g AS (SELECT id, unnest(list_transform(generate_series(1, len(toks)-2),
+        |                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |      FROM t WHERE len(toks) >= 3),
+        |d AS (SELECT DISTINCT id, sh FROM g),
+        |sz AS (SELECT id, count(*) AS sz FROM d GROUP BY 1),
+        |p AS (SELECT a.id AS ia, b.id AS ib, count(*) AS inter
+        |      FROM d a JOIN d b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+        |pj AS (SELECT ia, ib, inter, sa.sz AS sza, sb.sz AS szb
+        |       FROM p JOIN sz sa ON sa.id = ia JOIN sz sb ON sb.id = ib),
+        |dp AS (SELECT ia AS sub_id, ib AS sup_id FROM pj WHERE inter * 5 >= sza * 4
+        |       UNION ALL
+        |       SELECT ib AS sub_id, ia AS sup_id FROM pj WHERE inter * 5 >= szb * 4),
+        |m AS (SELECT a.sub_id, a.sup_id FROM dp a
+        |      JOIN dp b ON a.sub_id = b.sup_id AND a.sup_id = b.sub_id),
+        |s AS (SELECT sub_id, sup_id FROM dp EXCEPT SELECT sub_id, sup_id FROM m),
+        |drops AS (SELECT sub_id AS id FROM s
+        |          UNION SELECT sub_id FROM m WHERE sub_id > sup_id)
+        |SELECT DISTINCT doc_id AS id FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM drops)""".stripMargin,
 
     "p247_containment" ->
       """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),

@@ -563,6 +563,37 @@ object Dedup {
           col("inter"), col("szb").as("sub_sz")))
   }
 
+  /** The keep/drop decision a pipeline executes over
+    * [[containmentNearDuplicates]]: drop every doc that appears as a
+    * contained FRAGMENT — strictly contained in anything, or mutually
+    * contained (both directions ≥ the bar, i.e. near-identical sets)
+    * with a SMALLER-id partner (the exact-dedup first-wins convention).
+    * A deterministic LOCAL rule, not an iterative fixpoint: in a chain
+    * A ⊂ B ⊂ C both A and B drop and C survives; at thresholds < 1 a
+    * fragment's superset may itself drop without a transitive pair
+    * guaranteeing the fragment's content survives — the same
+    * representativeness caveat every near-dedup keeper rule carries
+    * (at threshold = 1 set-containment IS transitive and one full copy
+    * always survives). Returns the surviving ids as (id).
+    */
+  def dropContainedFragments(df: DataFrame, idCol: String,
+      textCol: String, n: Int, num: Int, den: Int,
+      maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq),
+      hashShingles: Boolean = false): DataFrame = {
+    val pairs = containmentNearDuplicates(df, idCol, textCol, n, num, den,
+      maxDocFreq, hashShingles)
+      .select(col("sub_id"), col("sup_id"))
+      .localCheckpoint(eager = false) // mutual intersect + strict except
+    val mutual = pairs.intersect(pairs
+      .select(col("sup_id").as("sub_id"), col("sub_id").as("sup_id")))
+    val drops = pairs.except(mutual).select(col("sub_id").as("id"))
+      .unionByName(mutual.filter(col("sub_id") > col("sup_id"))
+        .select(col("sub_id").as("id")))
+      .distinct()
+    df.select(col(idCol).as("id")).distinct()
+      .join(drops, Seq("id"), "left_anti")
+  }
+
   /** Persisted shingle-POSTING corpus artifact for incremental
     * containment: (sh, id) postings range-laid-out by sh (row-group
     * min/max stats + Spark's runtime bloom filters let a shard probe

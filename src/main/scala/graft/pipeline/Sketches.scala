@@ -653,7 +653,12 @@ object Sketches {
         sum(col("term")).cast("long").as("chi2_micro"))
   }
 
-  def tvDriftMatrix(df: DataFrame, catCol: String,
+  /** The paired per-category count scaffold every pairwise categorical
+    * drift score reads: (ga, gb, cat, ca, cb) over the pair's category
+    * UNION (full outer — a category absent on one side counts 0).
+    * ONE definition for [[tvDriftMatrix]] and [[psiDriftMatrix]].
+    */
+  private def pairedCategoryCounts(df: DataFrame, catCol: String,
       groupCol: String): DataFrame = {
     val h = df.groupBy(col(groupCol).as("g"), col(catCol).as("cat"))
       .agg(count(lit(1)).as("c"))
@@ -666,12 +671,17 @@ object Sketches {
       h.select(col("g").as("ga"), col("cat"), col("c").as("ca")), Seq("ga"))
     val right = pairs.join(
       h.select(col("g").as("gb"), col("cat"), col("c").as("cb")), Seq("gb"))
-    val tot = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("ga"), col("gb"))
     left.join(right, Seq("ga", "gb", "cat"), "full_outer")
       .select(col("ga"), col("gb"), col("cat"),
         coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
+  }
+
+  def tvDriftMatrix(df: DataFrame, catCol: String,
+      groupCol: String): DataFrame = {
+    val tot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ga"), col("gb"))
+    pairedCategoryCounts(df, catCol, groupCol)
       .withColumn("na", sum(col("ca")).over(tot).cast("decimal(38,0)"))
       .withColumn("nb", sum(col("cb")).over(tot).cast("decimal(38,0)"))
       .withColumn("dev", abs(col("ca") * col("nb") - col("cb") * col("na")))
@@ -681,6 +691,40 @@ object Sketches {
         col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
         col("dev").cast("long").as("dev_scaled"),
         expr("CAST(sdev * 1000 DIV (2 * na * nb) AS BIGINT)").as("tv_permille"))
+  }
+
+  /** PSI drift matrix — the Population Stability Index, the
+    * model-monitoring industry's categorical drift score next to TV/KS/χ²:
+    * PSI(a,b) = Σ_cat (p_i − q_i)·ln(p_i/q_i) with ADD-ONE (Laplace)
+    * smoothing over the pair's category union — zero-count bins
+    * otherwise blow the log up, and smoothing is the standard fix that
+    * keeps the score finite (p_i = (ca+1)/(na+|cats|)). The one float
+    * is micro-quantized at the model boundary per CATEGORY
+    * (round(1e6·term) — the bm25-idf move), so each pair's total is an
+    * exact integer sum of per-cat integers and one oracle covers the
+    * whole score. Returns (grp_a, grp_b, cat, c_a, c_b, term_micro,
+    * psi_micro); rule of thumb reading: psi_micro < 100000 stable,
+    * > 250000 action (the classic 0.1/0.25 thresholds in micro units).
+    */
+  def psiDriftMatrix(df: DataFrame, catCol: String,
+      groupCol: String): DataFrame = {
+    val tot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ga"), col("gb"))
+    pairedCategoryCounts(df, catCol, groupCol)
+      .withColumn("na", sum(col("ca")).over(tot))
+      .withColumn("nb", sum(col("cb")).over(tot))
+      .withColumn("ncat", count(lit(1)).over(tot))
+      .withColumn("p", (col("ca") + 1).cast("double") /
+        (col("na") + col("ncat")).cast("double"))
+      .withColumn("q", (col("cb") + 1).cast("double") /
+        (col("nb") + col("ncat")).cast("double"))
+      .withColumn("term_micro",
+        round((col("p") - col("q")) * log(col("p") / col("q")) * 1e6)
+          .cast("long"))
+      .withColumn("psi_micro", sum(col("term_micro")).over(tot))
+      .select(col("ga").as("grp_a"), col("gb").as("grp_b"), col("cat"),
+        col("ca").as("c_a"), col("cb").as("c_b"),
+        col("term_micro"), col("psi_micro"))
   }
 
   /** Per-group exact `pct`-th percentile (least v with 100·cum ≥ pct·n)

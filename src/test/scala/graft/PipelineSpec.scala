@@ -1952,6 +1952,22 @@ class PipelineSpec extends SparkSpec {
     assert(viaSeg == counts, s"$viaSeg vs $counts")
   }
 
+  test("dropContainedFragments: strict drops, mutual keeps smaller id, chain collapses") {
+    import spark.implicits._
+    val book = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12 t13 t14 t15 t16 t17 t18 t19 t20"
+    val docs = Seq(
+      (1L, book),
+      (2L, "t5 t6 t7 t8 t9 t10"), // strict fragment of 1 -> drops
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8"),
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8"), // mutual with 3 -> larger id drops
+      (6L, "u3 u4 u5 u6 u7"), // fragment of BOTH 3 and 4 -> drops
+      (5L, "x1 x2 x3 x4 x5")).toDF("doc_id", "text")
+    val got = Dedup.dropContainedFragments(docs, "doc_id", "text",
+      n = 3, num = 4, den = 5, maxDocFreq = None)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L, 5L), s"got $got")
+  }
+
   test("containment snapshot probe: both directions, fold law, combined-df guard") {
     import spark.implicits._
     val book = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12 t13 t14 t15 t16 t17 t18 t19 t20"

@@ -996,6 +996,24 @@ class SketchSpec extends SparkSpec {
       Set(("s1", "s2"), ("s1", "s3"), ("s2", "s3")))
   }
 
+  test("psiDriftMatrix: hand-computed smoothed terms; identical mixes score 0") {
+    val df = Seq(
+      ("a", "x"), ("a", "x"), ("a", "x"), ("a", "y"), // a: x=3, y=1
+      ("b", "x"), ("b", "y"), ("b", "y"), ("b", "y"), // b: x=1, y=3
+      ("c", "x"), ("c", "x"), ("c", "x"), ("c", "y")  // c ≡ a
+    ).toDF("src", "lang")
+    val got = Sketches.psiDriftMatrix(df, "lang", "src")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // a vs b, cat x: p=(3+1)/(4+2)=2/3, q=(1+1)/6=1/3 →
+    // term = (1/3)·ln 2 = 0.23104906… → 231049 micro; y mirrors it
+    assert(got(("a", "b", "x")) == ((3L, 1L, 231049L, 462098L)), got.toString)
+    assert(got(("a", "b", "y")) == ((1L, 3L, 231049L, 462098L)))
+    // identical distributions: p = q on every cat → terms and total 0
+    assert(got(("a", "c", "x")) == ((3L, 3L, 0L, 0L)))
+    assert(got(("a", "c", "y")) == ((1L, 1L, 0L, 0L)))
+  }
+
   test("groupedQuantile / winsorizedStats: exact thresholds and clamped moments on a hand case") {
     // group g: values 1..100 once each → p5 = 5, p95 = 95
     val df = (1L to 100L).map(v => ("g", v)).toDF("grp", "v")
