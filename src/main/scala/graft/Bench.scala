@@ -437,6 +437,19 @@ object Bench {
         maxPieceLen = 4)
     }
 
+    // the full corpus→ids encode: the segment work above plus the
+    // token-grain fan join — the pretraining-artifact write path; ONE
+    // shared words frame feeds vocab AND segmentation
+    legDf("wordpiece_encode") {
+      val words = graft.pipeline.TextAnalysis
+        .unigramWords(docs, "text", maxWordLen = 12)
+        .localCheckpoint(eager = false)
+      graft.pipeline.TextAnalysis.wordpieceEncode(docs, "doc_id", "text",
+        graft.pipeline.TextAnalysis.wordpieceVocab(words,
+          maxPieceLen = 4, minCount = 30L),
+        maxPieceLen = 4, words = Some(words))
+    }
+
     // retrieval: the ad-hoc BM25 pass (tokenize the corpus per query)
     // next to the standing inverted index's term-keyed probe over the
     // SAME query — the p225 maintenance story's payoff measured side by

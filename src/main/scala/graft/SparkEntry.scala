@@ -7930,8 +7930,9 @@ object SparkEntry {
         |s AS (SELECT sub_id, sup_id FROM dp EXCEPT SELECT sub_id, sup_id FROM m),
         |drops AS (SELECT sub_id AS id FROM s
         |          UNION SELECT sub_id FROM m WHERE sub_id > sup_id)
-        |SELECT DISTINCT doc_id AS id FROM documents
-        |WHERE doc_id NOT IN (SELECT id FROM drops)""".stripMargin,
+        |SELECT DISTINCT d0.doc_id AS id FROM documents d0
+        |LEFT JOIN drops ON drops.id = d0.doc_id
+        |WHERE drops.id IS NULL""".stripMargin,
 
     "p247_containment" ->
       """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),

@@ -2075,13 +2075,20 @@ object TextAnalysis {
   def wordpieceEncode(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String,
       vocab: org.apache.spark.sql.DataFrame, maxPieceLen: Int,
-      maxWordLen: Int = 12): org.apache.spark.sql.DataFrame = {
-    val words = unigramWords(docs, textCol, maxWordLen)
+      maxWordLen: Int = 12,
+      words: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    // the segment walk reads the words frame twice (edges + the UNK
+    // left join) — checkpoint so the corpus tokenize never runs twice;
+    // callers that already hold the frame (a vocab trained on the SAME
+    // corpus) pass it in instead of paying a second derivation
+    val wordsDf = words.getOrElse(unigramWords(docs, textCol, maxWordLen))
+      .localCheckpoint(eager = false)
     val pieceIds = vocab.select(col("piece")).distinct()
       .withColumn("piece_id", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("piece")))
         .cast("long"))
-    val seg = wordpieceSegment(words, vocab, maxPieceLen)
+    val seg = wordpieceSegment(wordsDf, vocab, maxPieceLen)
       .join(broadcast(pieceIds), Seq("piece"), "left")
       .select(col("word"), col("ord"),
         when(col("piece") === "[UNK]", 0L)
