@@ -3196,6 +3196,36 @@ object SparkEntry {
         maxDocFreq = None) // oracle twin: the DuckDB side is unguarded
     }),
 
+    // Exact phrase search (positional-index algorithm): the 3-token
+    // phrase at doc 0's positions 3..5, every occurrence corpus-wide as
+    // (id, start) via the k-way anchor join — doc 0 itself guarantees
+    // ≥1 match, shared words add more.
+    "p256_phrase_search" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val phrase = docs.filter(col("doc_id") === 0).select(col("text")).head()
+        .getString(0).toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty).slice(3, 6).mkString(" ")
+      graft.pipeline.TextAnalysis.phraseMatches(docs, "doc_id", "text", phrase)
+    }),
+
+    // Same rows off the PERSISTED positional artifact (range-laid by
+    // term: a phrase probe reads its k terms' row groups, not the
+    // corpus) — the standing-index twin under the same oracle.
+    "p257_phrase_indexed" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val phrase = docs.filter(col("doc_id") === 0).select(col("text")).head()
+        .getString(0).toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty).slice(3, 6).mkString(" ")
+      val base = freshTmpStore(s, "p257", dir)
+      graft.pipeline.TextAnalysis.positionalPostings(docs, "doc_id", "text")
+        .repartitionByRange(col("term")).sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(s"$base/postings")
+      graft.pipeline.TextAnalysis.phraseMatchesIndexed(
+        s.read.parquet(s"$base/postings"), phrase)
+    }),
+
     // The containment KEEPER readout: surviving ids after dropping
     // strictly-contained fragments and the larger id of each mutual
     // (near-identical) pair — the decision a pipeline executes.
@@ -5335,6 +5365,24 @@ object SparkEntry {
        |st0 AS (SELECT word, CAST(1 AS BIGINT) AS pos, CAST([] AS VARCHAR[]) AS ps FROM wd),
        |$stChain""".stripMargin
   }
+
+  /** Shared DuckDB lineage for the phrase search (p256 ad-hoc, p257
+    * indexed — row-identical by construction): the 3-token phrase at
+    * doc 0's 0-based token positions 3..5, matched by the same
+    * consecutive-position conjunction the engine's anchor join runs.
+    */
+  private val phraseSearchOracleSql: String =
+    """WITH ph AS (SELECT (regexp_extract_all(lower(text), '\S+'))[4:6] AS ts
+      |            FROM documents WHERE doc_id = 0),
+      |tk AS (SELECT doc_id AS id,
+      |         unnest(regexp_extract_all(lower(text), '\S+')) AS term,
+      |         CAST(unnest(generate_series(1, len(regexp_extract_all(lower(text), '\S+')))) AS BIGINT) - 1 AS pos
+      |       FROM documents)
+      |SELECT t0.id, t0.pos AS start
+      |FROM tk t0, tk t1, tk t2, ph
+      |WHERE t0.term = ts[1] AND t1.term = ts[2] AND t2.term = ts[3]
+      |  AND t1.id = t0.id AND t1.pos = t0.pos + 1
+      |  AND t2.id = t0.id AND t2.pos = t0.pos + 2""".stripMargin
 
   /** Shared DuckDB lineage for the incremental containment probe —
     * directed sub⊆sup pairs CROSSING the odd(shard)/even(corpus) split;
@@ -7910,6 +7958,10 @@ object SparkEntry {
     "p251_containment_snapshot" -> containmentSplitOracleSql,
     // the streaming twin is row-identical by the stateless-probe law
     "p252_stream_containment" -> containmentSplitOracleSql,
+
+    "p256_phrase_search" -> phraseSearchOracleSql,
+    // the indexed twin is row-identical: same join, persisted postings
+    "p257_phrase_indexed" -> phraseSearchOracleSql,
 
     "p255_drop_fragments" ->
       """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),

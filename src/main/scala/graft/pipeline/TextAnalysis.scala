@@ -2061,6 +2061,47 @@ object TextAnalysis {
         count(lit(1)).as("n_words"))
   }
 
+  /** Positional postings — the phrase-search artifact next to the BM25
+    * bag-of-words index: one row per token OCCURRENCE as (term, id,
+    * pos). Persist range-laid by `term` (repartitionByRange + sort) and
+    * a k-term phrase probe reads only its k terms' row groups.
+    */
+  def positionalPostings(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+      .select(col("term"), col("id"), col("pos").cast("long").as("pos"))
+
+  /** Exact phrase search — consecutive-position conjunction over a
+    * positional posting relation (the classic positional-index phrase
+    * algorithm): occurrences of term_i anchor at (id, pos − i), and a
+    * phrase match is the k-way equi-join of the anchors. k−1 joins on
+    * (id, start), each side pre-filtered to ONE term's postings —
+    * never a scan-per-term of raw text, and overlapping matches and
+    * repeated phrase terms fall out of the join semantics. Returns
+    * (id, start), one row per occurrence, start 0-based.
+    */
+  def phraseMatchesIndexed(postings: org.apache.spark.sql.DataFrame,
+      phrase: String): org.apache.spark.sql.DataFrame = {
+    val terms = phrase.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty)
+    require(terms.nonEmpty, "phrase must contain at least one token")
+    terms.zipWithIndex.map { case (t, i) =>
+      postings.filter(col("term") === t)
+        .select(col("id"), (col("pos") - i).as("start"))
+    }.reduce(_.join(_, Seq("id", "start")))
+      .select(col("id"), col("start"))
+  }
+
+  /** Ad-hoc phrase search: [[phraseMatchesIndexed]] over postings built
+    * in-line — ONE tokenize pass, then the same k-way anchor join.
+    */
+  def phraseMatches(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, phrase: String): org.apache.spark.sql.DataFrame =
+    phraseMatchesIndexed(
+      positionalPostings(docs, idCol, textCol).localCheckpoint(eager = false),
+      phrase)
+
   /** Corpus ENCODING under a WordPiece vocab — the artifact a
     * pretraining run actually consumes: one row per (doc, token
     * position, piece position) carrying the piece's integer id. Ids

@@ -1952,6 +1952,29 @@ class PipelineSpec extends SparkSpec {
     assert(viaSeg == counts, s"$viaSeg vs $counts")
   }
 
+  test("phraseMatches: overlapping occurrences, repeated terms, indexed twin identical") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"),   // "a b a" matches at 0 AND 2 (overlap)
+      (2L, "x a b a y"),   // at 1
+      (3L, "a b c"),       // prefix only: no match
+      (4L, "the the the")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows(TextAnalysis.phraseMatches(docs, "doc_id", "text", "a b a"))
+    assert(got == Set((1L, 0L), (1L, 2L), (2L, 1L)), s"got $got")
+    // repeated-term phrase: anchors must not self-collide
+    val rep = rows(TextAnalysis.phraseMatches(docs, "doc_id", "text", "the the"))
+    assert(rep == Set((4L, 0L), (4L, 1L)), s"got $rep")
+    // the persisted-artifact twin is row-identical
+    val tmp = java.nio.file.Files.createTempDirectory("phrix").toString
+    TextAnalysis.positionalPostings(docs, "doc_id", "text")
+      .write.parquet(s"$tmp/postings")
+    val idx = rows(TextAnalysis.phraseMatchesIndexed(
+      spark.read.parquet(s"$tmp/postings"), "a b a"))
+    assert(idx == got, s"indexed $idx vs adhoc $got")
+  }
+
   test("dropContainedFragments: strict drops, mutual keeps smaller id, chain collapses") {
     import spark.implicits._
     val book = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12 t13 t14 t15 t16 t17 t18 t19 t20"
