@@ -3226,6 +3226,20 @@ object SparkEntry {
         s.read.parquet(s"$base/postings"), phrase)
     }),
 
+    // Proximity (NEAR/6) search over the same positional lineage: all
+    // occurrence pairs of doc 0's tokens #3 and #5 within 6 positions,
+    // either order — doc 0 itself guarantees one at distance 2.
+    "p258_proximity" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val toks = docs.filter(col("doc_id") === 0).select(col("text")).head()
+        .getString(0).toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty)
+      graft.pipeline.TextAnalysis.proximityMatches(
+        graft.pipeline.TextAnalysis.positionalPostings(docs, "doc_id", "text"),
+        toks(3), toks(5), window = 6)
+    }),
+
     // The containment KEEPER readout: surviving ids after dropping
     // strictly-contained fragments and the larger id of each mutual
     // (near-identical) pair — the decision a pipeline executes.
@@ -7962,6 +7976,19 @@ object SparkEntry {
     "p256_phrase_search" -> phraseSearchOracleSql,
     // the indexed twin is row-identical: same join, persisted postings
     "p257_phrase_indexed" -> phraseSearchOracleSql,
+
+    "p258_proximity" ->
+      """WITH ph AS (SELECT (regexp_extract_all(lower(text), '\S+'))[4] AS ta,
+        |              (regexp_extract_all(lower(text), '\S+'))[6] AS tb
+        |            FROM documents WHERE doc_id = 0),
+        |tk AS (SELECT doc_id AS id,
+        |         unnest(regexp_extract_all(lower(text), '\S+')) AS term,
+        |         CAST(unnest(generate_series(1, len(regexp_extract_all(lower(text), '\S+')))) AS BIGINT) - 1 AS pos
+        |       FROM documents)
+        |SELECT a.id, a.pos AS pos_a, b.pos AS pos_b
+        |FROM tk a, tk b, ph
+        |WHERE a.term = ta AND b.term = tb AND a.id = b.id
+        |  AND abs(a.pos - b.pos) <= 6 AND a.pos <> b.pos""".stripMargin,
 
     "p255_drop_fragments" ->
       """WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),

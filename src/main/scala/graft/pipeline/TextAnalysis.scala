@@ -2093,6 +2093,26 @@ object TextAnalysis {
       .select(col("id"), col("start"))
   }
 
+  /** Proximity search — the positional index's NEAR/k query: every
+    * occurrence pair of `termA` and `termB` within `window` token
+    * positions of each other (either order; same-position excluded so
+    * termA == termB doesn't self-pair). One equi-join on id, each side
+    * one term's postings; per-doc cost is tf_a·tf_b — the classic
+    * merge-of-sorted-lists bound, paid here as a join the per-term
+    * filters keep tiny. Returns (id, pos_a, pos_b).
+    */
+  def proximityMatches(postings: org.apache.spark.sql.DataFrame,
+      termA: String, termB: String,
+      window: Int): org.apache.spark.sql.DataFrame = {
+    require(window >= 1, "window >= 1")
+    postings.filter(col("term") === termA.toLowerCase(java.util.Locale.ROOT))
+      .select(col("id"), col("pos").as("pos_a"))
+      .join(postings.filter(col("term") === termB.toLowerCase(java.util.Locale.ROOT))
+        .select(col("id"), col("pos").as("pos_b")), Seq("id"))
+      .filter(abs(col("pos_a") - col("pos_b")) <= window &&
+        col("pos_a") =!= col("pos_b"))
+  }
+
   /** Ad-hoc phrase search: [[phraseMatchesIndexed]] over postings built
     * in-line — ONE tokenize pass, then the same k-way anchor join.
     */

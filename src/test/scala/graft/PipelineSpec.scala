@@ -1973,6 +1973,22 @@ class PipelineSpec extends SparkSpec {
     val idx = rows(TextAnalysis.phraseMatchesIndexed(
       spark.read.parquet(s"$tmp/postings"), "a b a"))
     assert(idx == got, s"indexed $idx vs adhoc $got")
+    // NEAR/k: either order inside the window — y@4 and x@0 in doc 2 sit
+    // at distance 4: outside window 3, inside window 4
+    val near = TextAnalysis.proximityMatches(
+      TextAnalysis.positionalPostings(docs, "doc_id", "text"), "y", "x", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(near == Set.empty, s"got $near")
+    val near4 = TextAnalysis.proximityMatches(
+      TextAnalysis.positionalPostings(docs, "doc_id", "text"), "y", "x", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(near4 == Set((2L, 4L, 0L)), s"got $near4")
+    // same term NEAR itself: pairs exist, self-position excluded
+    val selfN = TextAnalysis.proximityMatches(
+      TextAnalysis.positionalPostings(docs, "doc_id", "text"), "the", "the", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(selfN == Set((4L, 0L, 1L), (4L, 0L, 2L), (4L, 1L, 0L), (4L, 1L, 2L),
+      (4L, 2L, 0L), (4L, 2L, 1L)), s"got $selfN")
   }
 
   test("dropContainedFragments: strict drops, mutual keeps smaller id, chain collapses") {
