@@ -330,6 +330,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(!cp.contains("SortAggregate"), cp.take(1500))
   }
 
+  test("phrase probe pushes term equality into the postings scan") {
+    import spark.implicits._
+    val docs = (0L until 20L).map(i => (i, s"alpha beta gamma d$i"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("phrplan").toString
+    graft.pipeline.TextAnalysis.positionalPostings(docs, "doc_id", "text")
+      .repartitionByRange(org.apache.spark.sql.functions.col("term"))
+      .sortWithinPartitions("term")
+      .write.parquet(s"$tmp/postings")
+    val plan = planOf(graft.pipeline.TextAnalysis.phraseMatchesIndexed(
+      spark.read.parquet(s"$tmp/postings"), "alpha beta"))
+    // each per-term filter must reach the parquet scan: k tiny pruned
+    // reads, never a full-postings scan per term
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(term,alpha)"), plan.take(2000))
+    assert(plan.contains("EqualTo(term,beta)"), plan.take(2000))
+  }
+
   test("normalizeText and audioWindows stay shuffle-free; lexicalTopK ends in TakeOrdered") {
     import spark.implicits._
     val docs = (0L until 40L).map(i => (i, s"alpha beta doc$i gamma")).toDF("doc_id", "text")
