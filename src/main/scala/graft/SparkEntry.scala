@@ -3226,6 +3226,27 @@ object SparkEntry {
         s.read.parquet(s"$base/postings"), phrase)
     }),
 
+    // Positional-index MAINTENANCE: the corpus arrives as two disjoint
+    // folds (even docs then odd docs), each its own append-only run;
+    // the phrase probe over the unioned store is row-identical to the
+    // ad-hoc search — p256's oracle gates the fold law.
+    "p259_phrase_index_delta" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val phrase = docs.filter(col("doc_id") === 0).select(col("text")).head()
+        .getString(0).toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty).slice(3, 6).mkString(" ")
+      val base = freshTmpStore(s, "p259", dir)
+      graft.pipeline.TextAnalysis.appendPositionalPostings(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        s"$base/postings", runTag = "0")
+      graft.pipeline.TextAnalysis.appendPositionalPostings(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        s"$base/postings", runTag = "1")
+      graft.pipeline.TextAnalysis.phraseMatchesIndexed(
+        s.read.parquet(s"$base/postings"), phrase)
+    }),
+
     // Proximity (NEAR/6) search over the same positional lineage: all
     // occurrence pairs of doc 0's tokens #3 and #5 within 6 positions,
     // either order — doc 0 itself guarantees one at distance 2.
@@ -7976,6 +7997,8 @@ object SparkEntry {
     "p256_phrase_search" -> phraseSearchOracleSql,
     // the indexed twin is row-identical: same join, persisted postings
     "p257_phrase_indexed" -> phraseSearchOracleSql,
+    // the two-fold store unions to the same rows (disjoint-doc law)
+    "p259_phrase_index_delta" -> phraseSearchOracleSql,
 
     "p258_proximity" ->
       """WITH ph AS (SELECT (regexp_extract_all(lower(text), '\S+'))[4] AS ta,

@@ -2093,6 +2093,37 @@ object TextAnalysis {
       .select(col("id"), col("start"))
   }
 
+  /** Append a disjoint doc batch to a standing positional-postings
+    * store as its own run directory (`base/run=<tag>`) — the
+    * bm25IndexIngest maintenance law at position grain: postings of
+    * disjoint docs are disjoint ROWS, so the standing index is the
+    * plain union over runs, folds never rewrite, and
+    * overwrite-by-run-tag keeps redelivery idempotent. A loud
+    * disjointness probe (broadcast semi-join of the batch's ids against
+    * the store) fails an id collision instead of silently doubling a
+    * doc's positions. Probe with
+    * [[phraseMatchesIndexed]](spark.read.parquet(base), phrase) —
+    * row-identical to the ad-hoc search over everything appended
+    * (p259 gates under p256's oracle).
+    */
+  def appendPositionalPostings(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, base: String, runTag: String): Unit = {
+    val spark = docs.sparkSession
+    val ids = docs.select(col(idCol).as("id")).distinct()
+      .localCheckpoint(eager = false) // collision probe + nothing else
+    val existing = scala.util.Try(spark.read.parquet(base)).toOption
+    existing.foreach { st =>
+      val clash = st.select(col("id"))
+        .join(broadcast(ids), Seq("id"), "left_semi").limit(1).count()
+      require(clash == 0L,
+        s"appendPositionalPostings: batch ids collide with the standing " +
+          s"store at $base — folds must be disjoint (re-ingest under a new id space)")
+    }
+    positionalPostings(docs, idCol, textCol)
+      .repartitionByRange(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$base/run=$runTag")
+  }
+
   /** Proximity search — the positional index's NEAR/k query: every
     * occurrence pair of `termA` and `termB` within `window` token
     * positions of each other (either order; same-position excluded so

@@ -1989,6 +1989,21 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(selfN == Set((4L, 0L, 1L), (4L, 0L, 2L), (4L, 1L, 0L), (4L, 1L, 2L),
       (4L, 2L, 0L), (4L, 2L, 1L)), s"got $selfN")
+    // append-only fold: two disjoint runs probe ≡ ad-hoc; a colliding
+    // re-ingest fails loudly instead of doubling positions
+    val fb = java.nio.file.Files.createTempDirectory("phrfold").toString
+    TextAnalysis.appendPositionalPostings(
+      docs.filter(col("doc_id") <= 2L), "doc_id", "text", s"$fb/p", "0")
+    TextAnalysis.appendPositionalPostings(
+      docs.filter(col("doc_id") > 2L), "doc_id", "text", s"$fb/p", "1")
+    val folded = rows(TextAnalysis.phraseMatchesIndexed(
+      spark.read.parquet(s"$fb/p"), "a b a"))
+    assert(folded == got, s"folded $folded vs adhoc $got")
+    val clash = intercept[IllegalArgumentException] {
+      TextAnalysis.appendPositionalPostings(
+        docs.filter(col("doc_id") === 1L), "doc_id", "text", s"$fb/p", "2")
+    }
+    assert(clash.getMessage.contains("collide"), clash.getMessage)
   }
 
   test("dropContainedFragments: strict drops, mutual keeps smaller id, chain collapses") {
