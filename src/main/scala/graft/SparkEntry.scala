@@ -4546,6 +4546,31 @@ object SparkEntry {
         maxPieceLen = 4)
     }),
 
+    // SentencePiece-side corpus surfaces under the p239/p248 vocab —
+    // the unigram twins of p250/p253: per-doc piece totals (unreachable
+    // word = 1, the <unk> convention) and the integer-id encoding.
+    "p260_unigram_tokcount" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val words = graft.pipeline.TextAnalysis.unigramWords(docs, "text", maxWordLen = 12)
+      graft.pipeline.TextAnalysis.unigramTokenCount(docs, "doc_id", "text",
+        graft.pipeline.TextAnalysis.unigramWeights(
+          graft.pipeline.TextAnalysis.unigramSeedVocab(
+            words, maxPieceLen = 4, minCount = 30L)),
+        maxPieceLen = 4)
+    }),
+
+    "p261_unigram_encode" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val words = graft.pipeline.TextAnalysis.unigramWords(docs, "text", maxWordLen = 12)
+      graft.pipeline.TextAnalysis.unigramEncode(docs, "doc_id", "text",
+        graft.pipeline.TextAnalysis.unigramWeights(
+          graft.pipeline.TextAnalysis.unigramSeedVocab(
+            words, maxPieceLen = 4, minCount = 30L)),
+        maxPieceLen = 4)
+    }),
+
     // WordPiece greedy apply (BERT's tokenizer) under a train/apply
     // split: the ##-marked vocab counted from EVEN-id docs only, every
     // distinct corpus word segmented longest-match-first — odd-doc
@@ -5351,6 +5376,52 @@ object SparkEntry {
        |tm AS (SELECT word, max(t) AS tmax FROM pc GROUP BY 1)
        |SELECT pc.word, CAST(tm.tmax - pc.t AS BIGINT) AS ord, pc.piece
        |FROM pc JOIN tm USING (word)""".stripMargin
+  }
+
+  /** Count tail over the shared unigram DP prefix — the SentencePiece
+    * twin of the wordpiece tokcount tail: per-word piece counts from
+    * the bt chain, unreachable words coalesce to 1 (<unk>).
+    */
+  private def unigramTokcountOracleSql(maxWordLen: Int, maxPieceLen: Int,
+      minCount: Long): String = {
+    val pieces = (1 to maxWordLen)
+      .map(t => s"SELECT word, piece FROM bt$t").mkString(" UNION ALL ")
+    s"""${unigramDpCtes(maxWordLen, maxPieceLen, minCount)},
+       |pc AS ($pieces),
+       |np AS (SELECT word, count(*) AS np FROM pc GROUP BY 1),
+       |tk AS (SELECT doc_id AS id,
+       |         substring(unnest(regexp_extract_all(lower(text), '\\S+')), 1, $maxWordLen) AS word
+       |       FROM documents)
+       |SELECT id, CAST(sum(coalesce(np, 1)) AS BIGINT) AS n_pieces,
+       |       count(*) AS n_words
+       |FROM tk LEFT JOIN np USING (word) GROUP BY 1""".stripMargin
+  }
+
+  /** Encode tail over the shared unigram DP prefix: vocab pieces
+    * numbered 1..V in binary sort order, unreachable words emit the
+    * single id-0 row (<unk>), token positions 0-based.
+    */
+  private def unigramEncodeOracleSql(maxWordLen: Int, maxPieceLen: Int,
+      minCount: Long): String = {
+    val pieces = (1 to maxWordLen)
+      .map(t => s"SELECT word, piece, $t AS t FROM bt$t").mkString(" UNION ALL ")
+    s"""${unigramDpCtes(maxWordLen, maxPieceLen, minCount)},
+       |pc AS ($pieces),
+       |tm AS (SELECT word, max(t) AS tmax FROM pc GROUP BY 1),
+       |pid AS (SELECT piece, CAST(row_number() OVER (ORDER BY piece) AS BIGINT) AS piece_id
+       |        FROM v),
+       |ws AS (SELECT pc.word, CAST(tm.tmax - pc.t AS BIGINT) AS ord, pid.piece_id
+       |       FROM pc JOIN tm USING (word) JOIN pid ON pid.piece = pc.piece),
+       |unk AS (SELECT wd.word, CAST(0 AS BIGINT) AS ord, CAST(0 AS BIGINT) AS piece_id
+       |        FROM wd LEFT JOIN tm ON tm.word = wd.word WHERE tm.word IS NULL),
+       |allseg AS (SELECT * FROM ws UNION ALL SELECT * FROM unk),
+       |tk AS (SELECT doc_id AS id,
+       |         unnest(list_transform(regexp_extract_all(lower(text), '\\S+'),
+       |                t -> substring(t, 1, $maxWordLen))) AS word,
+       |         CAST(unnest(generate_series(1, len(regexp_extract_all(lower(text), '\\S+')))) AS BIGINT) - 1 AS tok_pos
+       |       FROM documents)
+       |SELECT tk.id, tk.tok_pos, a.ord, a.piece_id
+       |FROM tk JOIN allseg a USING (word)""".stripMargin
   }
 
   /** Shared DuckDB prefix of the WordPiece oracles (p249/p250): the
@@ -8896,6 +8967,8 @@ object SparkEntry {
 
     "p239_unigram_em" -> unigramEmOracleSql(12, 4, 30L),
     "p248_unigram_segment" -> unigramSegmentOracleSql(12, 4, 30L),
+    "p260_unigram_tokcount" -> unigramTokcountOracleSql(12, 4, 30L),
+    "p261_unigram_encode" -> unigramEncodeOracleSql(12, 4, 30L),
     "p249_wordpiece_segment" -> wordpieceSegmentOracleSql(12, 4, 30L),
     "p250_wordpiece_tokcount" -> wordpieceTokcountOracleSql(12, 4, 30L),
     "p253_wordpiece_encode" -> wordpieceEncodeOracleSql(12, 4, 30L),

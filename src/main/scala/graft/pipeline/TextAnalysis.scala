@@ -1797,6 +1797,61 @@ object TextAnalysis {
         posexplode(reverse(col("seg.ps"))).as(Seq("ord", "piece")))
       .select(col("word"), col("ord").cast("long").as("ord"), col("piece"))
 
+  /** Per-doc piece count under a weighted unigram vocab — the
+    * SentencePiece twin of [[wordpieceTokenCount]]: distinct words
+    * segment once via the Viterbi DP, token occurrences join the
+    * per-word piece counts. A word with a vocab-less char (unreachable
+    * DP — no segment rows) counts 1, the <unk> convention, matching
+    * the WordPiece surface's [UNK]=1. Returns (id, n_pieces, n_words).
+    */
+  def unigramTokenCount(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      weights: org.apache.spark.sql.DataFrame, maxPieceLen: Int,
+      maxWordLen: Int = 12): org.apache.spark.sql.DataFrame = {
+    val words = unigramWords(docs, textCol, maxWordLen)
+    val np = unigramSegment(words, weights, maxPieceLen)
+      .groupBy(col("word")).agg(count(lit(1)).as("np"))
+    docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .select(col("id"), substring(col("tok"), 1, maxWordLen).as("word"))
+      .join(np, Seq("word"), "left")
+      .groupBy(col("id"))
+      .agg(sum(coalesce(col("np"), lit(1L))).cast("long").as("n_pieces"),
+        count(lit(1)).as("n_words"))
+  }
+
+  /** Corpus ENCODING under a weighted unigram vocab — the SentencePiece
+    * twin of [[wordpieceEncode]]: (doc, token pos, piece pos, integer
+    * id); vocab pieces numbered 1..V in binary sort order, a word with
+    * a vocab-less char encodes as the single id-0 row (the <unk>
+    * convention). Distinct words segment once; one token join fans the
+    * per-word rows onto occurrences. Returns (id, tok_pos, ord,
+    * piece_id), both positions 0-based.
+    */
+  def unigramEncode(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      weights: org.apache.spark.sql.DataFrame, maxPieceLen: Int,
+      maxWordLen: Int = 12): org.apache.spark.sql.DataFrame = {
+    val words = unigramWords(docs, textCol, maxWordLen)
+      .localCheckpoint(eager = false) // segment + the unk anti-join
+    val pieceIds = weights.select(col("piece")).distinct()
+      .withColumn("piece_id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("piece")))
+        .cast("long"))
+    val seg = unigramSegment(words, weights, maxPieceLen)
+      .join(broadcast(pieceIds), Seq("piece")) // every chosen piece is in-vocab
+      .select(col("word"), col("ord"), col("piece_id"))
+      .localCheckpoint(eager = false) // read twice: rows + the unk anti-join
+    val unk = words.select(col("word"))
+      .join(seg.select(col("word")), Seq("word"), "left_anti")
+      .select(col("word"), lit(0L).as("ord"), lit(0L).as("piece_id"))
+    docs.select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("tok_pos", "tok")))
+      .select(col("id"), col("tok_pos").cast("long").as("tok_pos"),
+        substring(col("tok"), 1, maxWordLen).as("word"))
+      .join(seg.unionByName(unk), Seq("word"))
+      .select(col("id"), col("tok_pos"), col("ord"), col("piece_id"))
+  }
+
   /** The shared per-word Viterbi DP + backtrace: (word, freq, seg)
     * where seg.ps lists the chosen pieces END-first. The ONE
     * segmentation definition [[unigramViterbiCounts]] and

@@ -2096,6 +2096,31 @@ class PipelineSpec extends SparkSpec {
       s"got $seg")
   }
 
+  test("unigramTokenCount/unigramEncode: <unk> word counts 1 and encodes id 0") {
+    import spark.implicits._
+    val docs = Seq((1L, "abab zz abab")).toDF("doc_id", "text")
+    // weights trained on a DIFFERENT corpus without 'z': "zz" is
+    // unreachable (no segment rows) -> counts 1, encodes (0, 0)
+    val trainWords = TextAnalysis.unigramWords(
+      Seq((9L, "abab abab ab")).toDF("doc_id", "text"), "text", maxWordLen = 12)
+    val weights = TextAnalysis.unigramWeights(
+      TextAnalysis.unigramSeedVocab(trainWords, maxPieceLen = 2, minCount = 2))
+    val tc = TextAnalysis.unigramTokenCount(docs, "doc_id", "text", weights,
+      maxPieceLen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // abab -> 2 pieces ("ab","ab") x2 occurrences + zz -> 1 = 5 over 3
+    assert(tc == Set((1L, 5L, 3L)), s"got $tc")
+    val enc = TextAnalysis.unigramEncode(docs, "doc_id", "text", weights,
+      maxPieceLen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // vocab sort order: a=1, ab=2, b=3 ('a' < 'ab' < 'b')
+    assert(enc == Set(
+      (1L, 0L, 0L, 2L), (1L, 0L, 1L, 2L),
+      (1L, 1L, 0L, 0L),
+      (1L, 2L, 0L, 2L), (1L, 2L, 1L, 2L)), s"got $enc")
+  }
+
   test("wordpieceEncode: sort-order ids, [UNK]=0 wins even over a literal piece") {
     import spark.implicits._
     val docs = Seq((1L, "abc xyz abc")).toDF("doc_id", "text")
