@@ -658,8 +658,8 @@ object ScaleProbe {
     // parquet reader EMITS after pushdown + row-group pruning — the
     // cross-plan-comparable pruning measure (task inputMetrics bytes
     // are unreliable across vectorized-reader paths)
-    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
-      df.queryExecution.toRdd.count()
+    def scanRows(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val outRows = df.queryExecution.toRdd.count() // ONE execution
       def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
           Seq[org.apache.spark.sql.execution.SparkPlan] = {
         val kids = p.children ++ (p match {
@@ -672,25 +672,22 @@ object ScaleProbe {
         })
         p +: (kids ++ p.subqueries).flatMap(allNodes)
       }
-      allNodes(df.queryExecution.executedPlan).iterator
+      val emitted = allNodes(df.queryExecution.executedPlan).iterator
         .filter(_.getClass.getSimpleName.contains("Scan"))
         .flatMap(_.metrics.get("numOutputRows")).map(_.value)
         .filter(_ >= 0L).sum
+      (outRows, emitted)
     }
     val docs = CellEncodings.table(spark, dir, "documents")
-    val phrase = docs.filter(col("doc_id") === 0).select(col("text")).head()
-      .getString(0).toLowerCase(java.util.Locale.ROOT)
-      .split("\\s+").filter(_.nonEmpty).slice(3, 6).mkString(" ")
+    val phrase = SparkEntry.doc0Tokens(docs).slice(3, 6).mkString(" ")
     val tmp = java.nio.file.Files.createTempDirectory("graft_phr_probe").toString
     graft.pipeline.TextAnalysis.positionalPostings(docs, "doc_id", "text")
       .repartitionByRange(col("term")).sortWithinPartitions("term")
       .write.parquet(s"$tmp/postings")
     val postings = spark.read.parquet(s"$tmp/postings")
     val total = postings.count()
-    val probeDf = graft.pipeline.TextAnalysis
-      .phraseMatchesIndexed(postings, phrase)
-    val hits = probeDf.count()
-    val emitted = scanRows(probeDf)
+    val (hits, emitted) = scanRows(graft.pipeline.TextAnalysis
+      .phraseMatchesIndexed(postings, phrase))
     // unpushed baseline: the probe runs THREE scans, each would emit
     // every posting — 3·total rows cross the reader boundary
     println(f"[scale] phrase probe pruning: $total%,d standing postings; " +

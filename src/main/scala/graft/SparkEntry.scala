@@ -65,6 +65,21 @@ object SparkEntry {
     * The 4-hour cutoff is far beyond any live invocation, so a
     * concurrent run's minutes-old store is never touched.
     */
+  /** Doc 0's whitespace-lowercased tokens — the ONE definition the
+    * phrase/proximity entries AND their DuckDB oracles' ts[4:6]-style
+    * slices must stay in lockstep with (ScaleProbe's phrase probe reads
+    * it too). Loud on a short doc 0: a silent short slice would make
+    * the engine search a different phrase than the oracle.
+    */
+  private[graft] def doc0Tokens(docs: org.apache.spark.sql.DataFrame): Array[String] = {
+    val toks = docs.filter(col("doc_id") === 0).select(col("text")).head()
+      .getString(0).toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty)
+    require(toks.length >= 6,
+      s"doc 0 has ${toks.length} tokens — the phrase/proximity oracles need >= 6")
+    toks
+  }
+
   private def freshTmpStore(s: SparkSession, tag: String, dir: String): String = {
     val prefix = s"graft_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
@@ -3203,9 +3218,7 @@ object SparkEntry {
     "p256_phrase_search" -> ((s, dir) => {
       GraftFunctions.register(s)
       val docs = table(s, dir, "documents")
-      val phrase = docs.filter(col("doc_id") === 0).select(col("text")).head()
-        .getString(0).toLowerCase(java.util.Locale.ROOT)
-        .split("\\s+").filter(_.nonEmpty).slice(3, 6).mkString(" ")
+      val phrase = doc0Tokens(docs).slice(3, 6).mkString(" ")
       graft.pipeline.TextAnalysis.phraseMatches(docs, "doc_id", "text", phrase)
     }),
 
@@ -3215,9 +3228,7 @@ object SparkEntry {
     "p257_phrase_indexed" -> ((s, dir) => {
       GraftFunctions.register(s)
       val docs = table(s, dir, "documents")
-      val phrase = docs.filter(col("doc_id") === 0).select(col("text")).head()
-        .getString(0).toLowerCase(java.util.Locale.ROOT)
-        .split("\\s+").filter(_.nonEmpty).slice(3, 6).mkString(" ")
+      val phrase = doc0Tokens(docs).slice(3, 6).mkString(" ")
       val base = freshTmpStore(s, "p257", dir)
       graft.pipeline.TextAnalysis.positionalPostings(docs, "doc_id", "text")
         .repartitionByRange(col("term")).sortWithinPartitions("term")
@@ -3233,9 +3244,7 @@ object SparkEntry {
     "p259_phrase_index_delta" -> ((s, dir) => {
       GraftFunctions.register(s)
       val docs = table(s, dir, "documents")
-      val phrase = docs.filter(col("doc_id") === 0).select(col("text")).head()
-        .getString(0).toLowerCase(java.util.Locale.ROOT)
-        .split("\\s+").filter(_.nonEmpty).slice(3, 6).mkString(" ")
+      val phrase = doc0Tokens(docs).slice(3, 6).mkString(" ")
       val base = freshTmpStore(s, "p259", dir)
       graft.pipeline.TextAnalysis.appendPositionalPostings(
         docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
@@ -3253,11 +3262,10 @@ object SparkEntry {
     "p258_proximity" -> ((s, dir) => {
       GraftFunctions.register(s)
       val docs = table(s, dir, "documents")
-      val toks = docs.filter(col("doc_id") === 0).select(col("text")).head()
-        .getString(0).toLowerCase(java.util.Locale.ROOT)
-        .split("\\s+").filter(_.nonEmpty)
+      val toks = doc0Tokens(docs)
       graft.pipeline.TextAnalysis.proximityMatches(
-        graft.pipeline.TextAnalysis.positionalPostings(docs, "doc_id", "text"),
+        graft.pipeline.TextAnalysis.positionalPostings(docs, "doc_id", "text")
+          .localCheckpoint(eager = false), // both per-term filters read it
         toks(3), toks(5), window = 6)
     }),
 
@@ -4552,23 +4560,27 @@ object SparkEntry {
     "p260_unigram_tokcount" -> ((s, dir) => {
       GraftFunctions.register(s)
       val docs = table(s, dir, "documents")
-      val words = graft.pipeline.TextAnalysis.unigramWords(docs, "text", maxWordLen = 12)
+      val words = graft.pipeline.TextAnalysis
+        .unigramWords(docs, "text", maxWordLen = 12)
+        .localCheckpoint(eager = false) // feeds the seed vocab AND the count
       graft.pipeline.TextAnalysis.unigramTokenCount(docs, "doc_id", "text",
         graft.pipeline.TextAnalysis.unigramWeights(
           graft.pipeline.TextAnalysis.unigramSeedVocab(
             words, maxPieceLen = 4, minCount = 30L)),
-        maxPieceLen = 4)
+        maxPieceLen = 4, words = Some(words))
     }),
 
     "p261_unigram_encode" -> ((s, dir) => {
       GraftFunctions.register(s)
       val docs = table(s, dir, "documents")
-      val words = graft.pipeline.TextAnalysis.unigramWords(docs, "text", maxWordLen = 12)
+      val words = graft.pipeline.TextAnalysis
+        .unigramWords(docs, "text", maxWordLen = 12)
+        .localCheckpoint(eager = false) // feeds the seed vocab AND the encode
       graft.pipeline.TextAnalysis.unigramEncode(docs, "doc_id", "text",
         graft.pipeline.TextAnalysis.unigramWeights(
           graft.pipeline.TextAnalysis.unigramSeedVocab(
             words, maxPieceLen = 4, minCount = 30L)),
-        maxPieceLen = 4)
+        maxPieceLen = 4, words = Some(words))
     }),
 
     // WordPiece greedy apply (BERT's tokenizer) under a train/apply

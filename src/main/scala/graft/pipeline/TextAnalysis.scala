@@ -1807,9 +1807,11 @@ object TextAnalysis {
   def unigramTokenCount(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String,
       weights: org.apache.spark.sql.DataFrame, maxPieceLen: Int,
-      maxWordLen: Int = 12): org.apache.spark.sql.DataFrame = {
-    val words = unigramWords(docs, textCol, maxWordLen)
-    val np = unigramSegment(words, weights, maxPieceLen)
+      maxWordLen: Int = 12,
+      words: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val wordsDf = words.getOrElse(unigramWords(docs, textCol, maxWordLen))
+    val np = unigramSegment(wordsDf, weights, maxPieceLen)
       .groupBy(col("word")).agg(count(lit(1)).as("np"))
     docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
       .select(col("id"), substring(col("tok"), 1, maxWordLen).as("word"))
@@ -1830,18 +1832,20 @@ object TextAnalysis {
   def unigramEncode(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String,
       weights: org.apache.spark.sql.DataFrame, maxPieceLen: Int,
-      maxWordLen: Int = 12): org.apache.spark.sql.DataFrame = {
-    val words = unigramWords(docs, textCol, maxWordLen)
+      maxWordLen: Int = 12,
+      words: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val wordsDf = words.getOrElse(unigramWords(docs, textCol, maxWordLen))
       .localCheckpoint(eager = false) // segment + the unk anti-join
     val pieceIds = weights.select(col("piece")).distinct()
       .withColumn("piece_id", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("piece")))
         .cast("long"))
-    val seg = unigramSegment(words, weights, maxPieceLen)
+    val seg = unigramSegment(wordsDf, weights, maxPieceLen)
       .join(broadcast(pieceIds), Seq("piece")) // every chosen piece is in-vocab
       .select(col("word"), col("ord"), col("piece_id"))
       .localCheckpoint(eager = false) // read twice: rows + the unk anti-join
-    val unk = words.select(col("word"))
+    val unk = wordsDf.select(col("word"))
       .join(seg.select(col("word")), Seq("word"), "left_anti")
       .select(col("word"), lit(0L).as("ord"), lit(0L).as("piece_id"))
     docs.select(col(idCol).as("id"),
@@ -2166,9 +2170,17 @@ object TextAnalysis {
     val spark = docs.sparkSession
     val ids = docs.select(col(idCol).as("id")).distinct()
       .localCheckpoint(eager = false) // collision probe + nothing else
-    val existing = scala.util.Try(spark.read.parquet(base)).toOption
-    existing.foreach { st =>
-      val clash = st.select(col("id"))
+    // explicit existence check — only path-absence may skip the probe; a
+    // transient FS/footer error must propagate, never silently disable
+    // the guard (a swallowed error here would double positions silently)
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(basePath)) {
+      // exclude THIS tag's run: redelivering the same tag must stay
+      // idempotent (overwrite-by-run-tag), so only OTHER runs' ids count
+      val others = spark.read.parquet(base)
+        .filter(col("run").cast("string") =!= runTag)
+      val clash = others.select(col("id"))
         .join(broadcast(ids), Seq("id"), "left_semi").limit(1).count()
       require(clash == 0L,
         s"appendPositionalPostings: batch ids collide with the standing " +

@@ -2004,6 +2004,13 @@ class PipelineSpec extends SparkSpec {
         docs.filter(col("doc_id") === 1L), "doc_id", "text", s"$fb/p", "2")
     }
     assert(clash.getMessage.contains("collide"), clash.getMessage)
+    // redelivery of the SAME run tag is idempotent: the probe excludes
+    // the tag being overwritten, and the store's rows don't double
+    TextAnalysis.appendPositionalPostings(
+      docs.filter(col("doc_id") <= 2L), "doc_id", "text", s"$fb/p", "0")
+    val redelivered = rows(TextAnalysis.phraseMatchesIndexed(
+      spark.read.parquet(s"$fb/p"), "a b a"))
+    assert(redelivered == got, s"redelivered $redelivered vs adhoc $got")
   }
 
   test("dropContainedFragments: strict drops, mutual keeps smaller id, chain collapses") {
