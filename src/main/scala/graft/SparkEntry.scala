@@ -3256,6 +3256,25 @@ object SparkEntry {
         s.read.parquet(s"$base/postings"), phrase)
     }),
 
+    // The lifecycle's other half: the two-fold store COMPACTED back to
+    // one range-laid store (publish-then-swap), probe rows unchanged —
+    // p256's oracle gates the whole append→compact→probe cycle.
+    "p262_phrase_compacted" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val phrase = doc0Tokens(docs).slice(3, 6).mkString(" ")
+      val base = freshTmpStore(s, "p262", dir)
+      graft.pipeline.TextAnalysis.appendPositionalPostings(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        s"$base/postings", runTag = "0")
+      graft.pipeline.TextAnalysis.appendPositionalPostings(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        s"$base/postings", runTag = "1")
+      graft.pipeline.TextAnalysis.compactPositionalPostings(s, s"$base/postings")
+      graft.pipeline.TextAnalysis.phraseMatchesIndexed(
+        s.read.parquet(s"$base/postings"), phrase)
+    }),
+
     // Proximity (NEAR/6) search over the same positional lineage: all
     // occurrence pairs of doc 0's tokens #3 and #5 within 6 positions,
     // either order — doc 0 itself guarantees one at distance 2.
@@ -8082,6 +8101,8 @@ object SparkEntry {
     "p257_phrase_indexed" -> phraseSearchOracleSql,
     // the two-fold store unions to the same rows (disjoint-doc law)
     "p259_phrase_index_delta" -> phraseSearchOracleSql,
+    // compaction is layout-only: probe rows unchanged
+    "p262_phrase_compacted" -> phraseSearchOracleSql,
 
     "p258_proximity" ->
       """WITH ph AS (SELECT (regexp_extract_all(lower(text), '\S+'))[4] AS ta,

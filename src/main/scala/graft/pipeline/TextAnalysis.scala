@@ -2191,6 +2191,36 @@ object TextAnalysis {
       .write.mode("overwrite").parquet(s"$base/run=$runTag")
   }
 
+  /** Major compaction for a positional-postings store: fold the
+    * accumulated `run=` directories back into ONE range-laid store —
+    * the append-only lifecycle's other half (the cell store's
+    * publish-then-delete healing shape): many small runs re-sort into
+    * term-contiguous row groups so probes stop paying per-run scan
+    * overhead, rows byte-identical (postings are immutable facts — no
+    * reconcile, only layout). The result keeps the `run=` layout as the
+    * single `run=compacted` partition so later appends (and their
+    * collision probe, which reads `run`) keep working — a flat rewrite
+    * would break partition discovery for the next fold. Publishes to
+    * `<base>__compact` first, swaps by rename, deletes the old store
+    * LAST — a crash leaves either the old runs or the full compacted
+    * store, never neither.
+    */
+  def compactPositionalPostings(spark: org.apache.spark.sql.SparkSession,
+      base: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpOut = new org.apache.hadoop.fs.Path(base + "__compact")
+    spark.read.parquet(base)
+      .select(col("term"), col("id"), col("pos"))
+      .repartitionByRange(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$tmpOut/run=compacted")
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val old = new org.apache.hadoop.fs.Path(base + "__old")
+    require(fs.rename(basePath, old), s"compact: could not retire $base")
+    require(fs.rename(tmpOut, basePath), s"compact: could not publish $tmpOut")
+    fs.delete(old, true) // last — the published store is already live
+  }
+
   /** Proximity search — the positional index's NEAR/k query: every
     * occurrence pair of `termA` and `termB` within `window` token
     * positions of each other (either order; same-position excluded so

@@ -2011,6 +2011,19 @@ class PipelineSpec extends SparkSpec {
     val redelivered = rows(TextAnalysis.phraseMatchesIndexed(
       spark.read.parquet(s"$fb/p"), "a b a"))
     assert(redelivered == got, s"redelivered $redelivered vs adhoc $got")
+    // compaction is layout-only: runs fold to the single run=compacted
+    // partition, probe unchanged, and the lifecycle CONTINUES — a fresh
+    // append + its collision probe still work against the compacted store
+    TextAnalysis.compactPositionalPostings(spark, s"$fb/p")
+    val compacted = spark.read.parquet(s"$fb/p")
+    assert(compacted.select("run").distinct().collect()
+      .map(_.get(0).toString).toSet == Set("compacted"))
+    assert(rows(TextAnalysis.phraseMatchesIndexed(compacted, "a b a")) == got)
+    TextAnalysis.appendPositionalPostings(
+      Seq((9L, "a b a")).toDF("doc_id", "text"), "doc_id", "text", s"$fb/p", "5")
+    val grown = rows(TextAnalysis.phraseMatchesIndexed(
+      spark.read.parquet(s"$fb/p"), "a b a"))
+    assert(grown == got + ((9L, 0L)), s"got $grown")
   }
 
   test("dropContainedFragments: strict drops, mutual keeps smaller id, chain collapses") {
