@@ -2203,7 +2203,10 @@ object TextAnalysis {
     * would break partition discovery for the next fold. Publishes to
     * `<base>__compact` first, swaps by rename, deletes the old store
     * LAST — a crash leaves either the old runs or the full compacted
-    * store, never neither.
+    * store, never neither. (The swap's atomicity is the filesystem's
+    * directory rename — real on HDFS/POSIX; on an object store rename
+    * is copy+delete, so run compaction there behind the same external
+    * coordination any rename-swap pattern needs.)
     */
   def compactPositionalPostings(spark: org.apache.spark.sql.SparkSession,
       base: String): Unit = {
