@@ -1528,6 +1528,21 @@ object SparkEntry {
         table(s, dir, "documents"), "lang", "source")
     }),
 
+    // PSI as a READOUT over a FOLDED standing census: the corpus
+    // arrives as two disjoint batches whose (g, cat, c) censuses fold
+    // by addition — the report off the folded table is bit-identical
+    // to the full-corpus p254 (its oracle gates the fold law).
+    "p263_psi_census_fold" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val even = graft.pipeline.Sketches.categoryCensusTable(
+        docs.filter(col("doc_id") % 2 === 0), "lang", "source")
+      val odd = graft.pipeline.Sketches.categoryCensusTable(
+        docs.filter(col("doc_id") % 2 === 1), "lang", "source")
+      graft.pipeline.Sketches.psiDriftFromCensus(
+        graft.pipeline.Sketches.foldCategoryCensus(even, odd))
+    }),
+
     // Cohort LTV curves: per (first-event-day cohort, day offset) the
     // active users, micro-quantized revenue, running cumulative and
     // floor per-acquired-user LTV.
@@ -5409,6 +5424,37 @@ object SparkEntry {
        |FROM pc JOIN tm USING (word)""".stripMargin
   }
 
+  /** Shared DuckDB lineage for PSI drift — p254 gates the direct
+    * matrix, p263 the fold-then-readout twin (censuses are additive
+    * over disjoint doc batches, so the folded readout is
+    * row-identical by construction).
+    */
+  private val psiDriftOracleSql: String =
+"""WITH h AS (SELECT source AS g, lang AS cat, count(*) AS c
+        |           FROM documents GROUP BY 1, 2),
+        |gg AS (SELECT DISTINCT g FROM h),
+        |pairs AS (SELECT a.g AS ga, b.g AS gb FROM gg a JOIN gg b ON a.g < b.g),
+        |l AS (SELECT ga, gb, cat, c AS ca FROM pairs JOIN h ON h.g = pairs.ga),
+        |r AS (SELECT ga, gb, cat, c AS cb FROM pairs JOIN h ON h.g = pairs.gb),
+        |j AS (SELECT coalesce(l.ga, r.ga) AS ga, coalesce(l.gb, r.gb) AS gb,
+        |        coalesce(l.cat, r.cat) AS cat,
+        |        coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |      FROM l FULL JOIN r
+        |        ON l.ga = r.ga AND l.gb = r.gb AND l.cat = r.cat),
+        |x AS (SELECT ga, gb, cat, ca, cb,
+        |        sum(ca) OVER (PARTITION BY ga, gb) AS na,
+        |        sum(cb) OVER (PARTITION BY ga, gb) AS nb,
+        |        count(*) OVER (PARTITION BY ga, gb) AS ncat
+        |      FROM j),
+        |y AS (SELECT ga, gb, cat, ca, cb,
+        |        CAST(round(((ca + 1.0) / (na + ncat) - (cb + 1.0) / (nb + ncat))
+        |          * ln(((ca + 1.0) / (na + ncat)) / ((cb + 1.0) / (nb + ncat)))
+        |          * 1000000) AS BIGINT) AS term_micro
+        |      FROM x)
+        |SELECT ga AS grp_a, gb AS grp_b, cat, ca AS c_a, cb AS c_b, term_micro,
+        |       CAST(sum(term_micro) OVER (PARTITION BY ga, gb) AS BIGINT) AS psi_micro
+        |FROM y""".stripMargin
+
   /** Count tail over the shared unigram DP prefix — the SentencePiece
     * twin of the wordpiece tokcount tail: per-word piece counts from
     * the bt chain, unreachable words coalesce to 1 (<unk>).
@@ -7276,31 +7322,9 @@ object SparkEntry {
         |       CAST(sdev * 1000 // (2 * na * nb) AS BIGINT) AS tv_permille
         |FROM y WHERE na > 0 AND nb > 0""".stripMargin,
 
-    "p254_psi_drift" ->
-      """WITH h AS (SELECT source AS g, lang AS cat, count(*) AS c
-        |           FROM documents GROUP BY 1, 2),
-        |gg AS (SELECT DISTINCT g FROM h),
-        |pairs AS (SELECT a.g AS ga, b.g AS gb FROM gg a JOIN gg b ON a.g < b.g),
-        |l AS (SELECT ga, gb, cat, c AS ca FROM pairs JOIN h ON h.g = pairs.ga),
-        |r AS (SELECT ga, gb, cat, c AS cb FROM pairs JOIN h ON h.g = pairs.gb),
-        |j AS (SELECT coalesce(l.ga, r.ga) AS ga, coalesce(l.gb, r.gb) AS gb,
-        |        coalesce(l.cat, r.cat) AS cat,
-        |        coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
-        |      FROM l FULL JOIN r
-        |        ON l.ga = r.ga AND l.gb = r.gb AND l.cat = r.cat),
-        |x AS (SELECT ga, gb, cat, ca, cb,
-        |        sum(ca) OVER (PARTITION BY ga, gb) AS na,
-        |        sum(cb) OVER (PARTITION BY ga, gb) AS nb,
-        |        count(*) OVER (PARTITION BY ga, gb) AS ncat
-        |      FROM j),
-        |y AS (SELECT ga, gb, cat, ca, cb,
-        |        CAST(round(((ca + 1.0) / (na + ncat) - (cb + 1.0) / (nb + ncat))
-        |          * ln(((ca + 1.0) / (na + ncat)) / ((cb + 1.0) / (nb + ncat)))
-        |          * 1000000) AS BIGINT) AS term_micro
-        |      FROM x)
-        |SELECT ga AS grp_a, gb AS grp_b, cat, ca AS c_a, cb AS c_b, term_micro,
-        |       CAST(sum(term_micro) OVER (PARTITION BY ga, gb) AS BIGINT) AS psi_micro
-        |FROM y""".stripMargin,
+    "p254_psi_drift" -> psiDriftOracleSql,
+    // the fold twin: censuses are additive, the readout is identical
+    "p263_psi_census_fold" -> psiDriftOracleSql,
 
     "p152_cohort_ltv" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts) // 86400000000 AS bucket,

@@ -658,11 +658,38 @@ object Sketches {
     * UNION (full outer — a category absent on one side counts 0).
     * ONE definition for [[tvDriftMatrix]] and [[psiDriftMatrix]].
     */
-  private def pairedCategoryCounts(df: DataFrame, catCol: String,
-      groupCol: String): DataFrame = {
-    val h = df.groupBy(col(groupCol).as("g"), col(catCol).as("cat"))
+  /** The additive category census every pairwise drift score reads:
+    * (g, cat, c) occurrence counts. ADDITIVE over disjoint row batches
+    * (plain sums — the ngramStatsTable fold law at category grain), so
+    * a standing census folds by [[foldCategoryCensus]] and the drift
+    * scores are READOUTS over the folded table — drift monitoring
+    * without re-scanning the corpus per report.
+    */
+  def categoryCensusTable(df: DataFrame, catCol: String,
+      groupCol: String): DataFrame =
+    df.groupBy(col(groupCol).as("g"), col(catCol).as("cat"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(false) // pairs/left/right all read it
+
+  /** Fold a batch census into a standing one: per-(g, cat) ADDITION
+    * (both counters additive over disjoint rows; untouched keys pass
+    * through the full-outer join unchanged).
+    */
+  def foldCategoryCensus(standing: DataFrame, batch: DataFrame): DataFrame =
+    standing.select(col("g"), col("cat"), col("c").as("__cs"))
+      .join(batch.select(col("g"), col("cat"), col("c").as("__cb")),
+        Seq("g", "cat"), "full_outer")
+      .select(col("g"), col("cat"),
+        (coalesce(col("__cs"), lit(0L)) + coalesce(col("__cb"), lit(0L))).as("c"))
+
+  private def pairedCategoryCounts(df: DataFrame, catCol: String,
+      groupCol: String): DataFrame =
+    pairedFromCounts(categoryCensusTable(df, catCol, groupCol))
+
+  /** [[pairedCategoryCounts]] from an existing (g, cat, c) census —
+    * the readout entry point a folded standing census probes.
+    */
+  private def pairedFromCounts(census: DataFrame): DataFrame = {
+    val h = census.localCheckpoint(false) // pairs/left/right all read it
     val groups = h.select(col("g")).distinct()
     val pairs = groups.select(col("g").as("ga"))
       .crossJoin(groups.select(col("g").as("gb")))
@@ -707,10 +734,18 @@ object Sketches {
     * > 250000 action (the classic 0.1/0.25 thresholds in micro units).
     */
   def psiDriftMatrix(df: DataFrame, catCol: String,
-      groupCol: String): DataFrame = {
+      groupCol: String): DataFrame =
+    psiDriftFromCensus(categoryCensusTable(df, catCol, groupCol))
+
+  /** [[psiDriftMatrix]] as a READOUT over a (folded) standing census —
+    * the drift-monitoring maintenance story: census folds additively
+    * per batch, PSI reports come off the table (p263 gates
+    * fold-then-readout bit-identical to the full-corpus p254).
+    */
+  def psiDriftFromCensus(census: DataFrame): DataFrame = {
     val tot = org.apache.spark.sql.expressions.Window
       .partitionBy(col("ga"), col("gb"))
-    pairedCategoryCounts(df, catCol, groupCol)
+    pairedFromCounts(census)
       .withColumn("na", sum(col("ca")).over(tot))
       .withColumn("nb", sum(col("cb")).over(tot))
       .withColumn("ncat", count(lit(1)).over(tot))

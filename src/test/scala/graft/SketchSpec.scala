@@ -1012,6 +1012,15 @@ class SketchSpec extends SparkSpec {
     // identical distributions: p = q on every cat → terms and total 0
     assert(got(("a", "c", "x")) == ((3L, 3L, 0L, 0L)))
     assert(got(("a", "c", "y")) == ((1L, 1L, 0L, 0L)))
+    // census fold law: two disjoint halves fold by addition and the
+    // readout is row-identical to the direct matrix
+    val h1 = Sketches.categoryCensusTable(df.limit(6), "lang", "src")
+    val h2 = Sketches.categoryCensusTable(df.exceptAll(df.limit(6)), "lang", "src")
+    val folded = Sketches.psiDriftFromCensus(
+      Sketches.foldCategoryCensus(h1, h2))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(folded == got, s"folded $folded vs direct $got")
   }
 
   test("groupedQuantile / winsorizedStats: exact thresholds and clamped moments on a hand case") {
