@@ -1543,6 +1543,29 @@ object SparkEntry {
         graft.pipeline.Sketches.foldCategoryCensus(even, odd))
     }),
 
+    // Streaming category-census maintenance: the corpus arrives in
+    // micro-batches, each flushing its own additive (g, cat, c) census
+    // run (the p263 fold law streamed; ngramCensusIngest's flush
+    // contract); the PSI report reads the per-key sum over runs —
+    // bit-identical to the one-shot p254, whose oracle gates it.
+    "p264_stream_psi_census" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        col("lang"), col("source"))
+      val base = freshTmpStore(s, "p264", dir)
+      docs.repartition(3).write.parquet(s"$base/in")
+      val st = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = graft.streaming.PipelineStream
+        .categoryCensusIngest(st, "lang", "source", s"$base/store")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.pipeline.Sketches.psiDriftFromCensus(
+        graft.streaming.PipelineStream.readCategoryCensus(s, s"$base/store"))
+    }),
+
     // Cohort LTV curves: per (first-event-day cohort, day offset) the
     // active users, micro-quantized revenue, running cumulative and
     // floor per-acquired-user LTV.
@@ -4552,6 +4575,43 @@ object SparkEntry {
           col("cnt"))
     }),
 
+    // Byte-level BPE (GPT-2's byte remapping in front of the merge
+    // machinery): pair stats of the byte-symbol start state — every
+    // token space-prefixed (add_prefix_space), bytes mapped through the
+    // bytes_to_unicode table, so boundary pairs (Ġ, x) count as merge
+    // targets. The oracle rebuilds the symbolization from hex(encode())
+    // through the same 256-row table.
+    "p265_bytebpe_pairs" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.TextAnalysis.bpePairStats(
+        graft.pipeline.TextAnalysis.byteBpeInitRepr(
+          table(s, dir, "documents"), "text"),
+        "repr", k = 50)
+        .select(col("rank").cast("long").as("rank"), col("sym_l"), col("sym_r"),
+          col("cnt"))
+    }),
+
+    // Byte-level BPE apply: per-doc subword totals under a fixed
+    // rank-ordered merge list (the p54 gate at byte grain — the oracle
+    // replays each doubled-separator fuse on the byte symbolization).
+    "p266_bytebpe_tokcount" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.TextAnalysis.byteBpeTokenCount(
+        table(s, dir, "documents"), "doc_id", "text", byteBpeMergeList)
+        .select(col("id"), col("n_subwords"),
+          col("n_words").cast("long").as("n_words"))
+    }),
+
+    // Byte-level integer-id encoding: ids 0–255 = base bytes, 256+rank =
+    // merged symbols; every piece is in-vocab by construction (the
+    // no-<unk> contrast to p253's [UNK]=0 convention).
+    "p267_bytebpe_encode" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.TextAnalysis.byteBpeEncode(
+        table(s, dir, "documents"), "doc_id", "text", byteBpeMergeList)
+        .select(col("id"), col("tok_pos"), col("ord"), col("piece_id"))
+    }),
+
     // Unigram-LM tokenizer training (SentencePiece-style): ONE Viterbi
     // hard-EM step gated exactly — seed substring vocab (counts >= 30 or
     // char fallback), micro-quantized log-prob weights, per-word
@@ -4809,6 +4869,66 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** Rank-ordered byte-level merges for the p266/p267 apply gates:
+    * exercises boundary-marked symbols (Ġt), hierarchical merges
+    * (Ġt + he → Ġthe built from earlier outputs), and plain char
+    * fuses — fixed literals so the oracle can replay the exact chain.
+    */
+  private lazy val byteBpeMergeList: Seq[(String, String)] = {
+    val gSp = graft.pipeline.TextAnalysis.ByteSymbols(32) // Ġ
+    Seq(gSp -> "t", "h" -> "e", "i" -> "n", (gSp + "t") -> "he", "e" -> "r")
+  }
+
+  private def sqlQuoteEsc(s: String): String = s.replace("'", "''")
+
+  /** The GPT-2 bytes_to_unicode table as a DuckDB VALUES list
+    * (hex pair, symbol) — ONE Scala definition (ByteSymbols) feeds the
+    * engine's literal map and the oracle's lookup CTE.
+    */
+  private lazy val byteMapValuesSql: String =
+    (0 until 256).map { b =>
+      f"('$b%02X', '${sqlQuoteEsc(graft.pipeline.TextAnalysis.ByteSymbols(b))}%s')"
+    }.mkString(", ")
+
+  /** One doubled-separator fuse step as DuckDB SQL over column `r`,
+    * keyed by (doc_id, j) — the exact fuseMerge semantics (double
+    * separators, one non-overlapping replace, undouble, trim).
+    */
+  private def byteFuseStepSql(prev: String, l: String, r: String): String = {
+    val (el, er, ef) = (sqlQuoteEsc(l), sqlQuoteEsc(r), sqlQuoteEsc(l + r))
+    s"SELECT doc_id, j, trim(replace(replace(' ' || replace(r, ' ', '  ') " +
+      s"|| ' ', ' $el  $er ', ' $ef '), '  ', ' ')) AS r FROM $prev"
+  }
+
+  /** Shared DuckDB prefix of the byte-BPE apply oracles: the byte
+    * symbolization of every space-prefixed token occurrence (keyed
+    * (doc_id, j)) followed by the fixed merge chain, ending in CTE
+    * `mN` with the fused repr.
+    */
+  private lazy val byteBpeApplyCtes: String = {
+    val chain = byteBpeMergeList.zipWithIndex.map { case ((l, r), i) =>
+      val prev = if (i == 0) "s0" else s"m$i"
+      s"m${i + 1} AS (${byteFuseStepSql(prev, l, r)})"
+    }.mkString(",\n")
+    s"""WITH bm(hx, sym) AS (VALUES $byteMapValuesSql),
+       |a AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS arr
+       |      FROM documents),
+       |t AS (SELECT doc_id, unnest(generate_series(1, len(arr))) AS j,
+       |             ' ' || unnest(arr) AS tok
+       |      FROM a WHERE len(arr) > 0),
+       |b AS (SELECT doc_id, j, tok,
+       |             unnest(generate_series(1, octet_length(encode(tok)))) AS i
+       |      FROM t),
+       |sy AS (SELECT b.doc_id, b.j, b.i, bm.sym
+       |       FROM b JOIN bm
+       |         ON bm.hx = substr(upper(hex(encode(b.tok))), CAST(2*b.i-1 AS INT), 2)),
+       |s0 AS (SELECT doc_id, j, string_agg(sym, ' ' ORDER BY i) AS r
+       |       FROM sy GROUP BY 1, 2),
+       |$chain""".stripMargin
+  }
+
+  private lazy val byteBpeFinalCte: String = s"m${byteBpeMergeList.size}"
+
   /** DuckDB twin of Dedup.simhash with Dedup.md5Hash64 token hashes: the
     * engine's 64-bit hash is the big-endian read of md5's first 16 hex
     * chars, so bit j lives in hex char 16 - j/4 at nibble bit j%4 — each
@@ -7325,6 +7445,7 @@ object SparkEntry {
     "p254_psi_drift" -> psiDriftOracleSql,
     // the fold twin: censuses are additive, the readout is identical
     "p263_psi_census_fold" -> psiDriftOracleSql,
+    "p264_stream_psi_census" -> psiDriftOracleSql,
 
     "p152_cohort_ltv" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts) // 86400000000 AS bucket,
@@ -9019,6 +9140,49 @@ object SparkEntry {
         |       FROM c)
         |SELECT CAST(rank AS BIGINT) AS rank, sym_l, sym_r, cnt FROM rk
         |WHERE rank <= 50""".stripMargin,
+
+    "p265_bytebpe_pairs" ->
+      s"""WITH bm(hx, sym) AS (VALUES $byteMapValuesSql),
+         |t AS (SELECT ' ' || unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+         |      FROM documents),
+         |h AS (SELECT upper(hex(encode(tok))) AS hs, octet_length(encode(tok)) AS nb
+         |      FROM t),
+         |i AS (SELECT hs, unnest(generate_series(1, nb - 1)) AS i
+         |      FROM h WHERE nb >= 2),
+         |p AS (SELECT substr(hs, CAST(2*i-1 AS INT), 2) AS hl,
+         |             substr(hs, CAST(2*i+1 AS INT), 2) AS hr FROM i),
+         |c AS (SELECT bl.sym AS sym_l, br.sym AS sym_r, count(*) AS cnt
+         |      FROM p JOIN bm bl ON bl.hx = p.hl
+         |             JOIN bm br ON br.hx = p.hr
+         |      GROUP BY 1, 2),
+         |rk AS (SELECT sym_l, sym_r, CAST(cnt AS BIGINT) AS cnt,
+         |              row_number() OVER (ORDER BY cnt DESC, sym_l, sym_r) AS rank
+         |       FROM c)
+         |SELECT CAST(rank AS BIGINT) AS rank, sym_l, sym_r, cnt FROM rk
+         |WHERE rank <= 50""".stripMargin,
+
+    "p266_bytebpe_tokcount" ->
+      s"""$byteBpeApplyCtes
+         |SELECT doc_id AS id,
+         |       CAST(sum(len(string_split(r, ' '))) AS BIGINT) AS n_subwords,
+         |       count(*) AS n_words
+         |FROM $byteBpeFinalCte GROUP BY 1""".stripMargin,
+
+    "p267_bytebpe_encode" -> {
+      val vocabValues = ((0 until 256).map { b =>
+        s"('${sqlQuoteEsc(graft.pipeline.TextAnalysis.ByteSymbols(b))}', $b)"
+      } ++ byteBpeMergeList.zipWithIndex.map { case ((l, r), i) =>
+        s"('${sqlQuoteEsc(l + r)}', ${256 + i})"
+      }).mkString(", ")
+      s"""$byteBpeApplyCtes,
+         |vm(piece, pid) AS (VALUES $vocabValues),
+         |e AS (SELECT doc_id, j, unnest(string_split(r, ' ')) AS piece,
+         |             unnest(generate_series(1, len(string_split(r, ' ')))) AS o
+         |      FROM $byteBpeFinalCte)
+         |SELECT e.doc_id AS id, CAST(e.j - 1 AS BIGINT) AS tok_pos,
+         |       CAST(e.o - 1 AS BIGINT) AS ord, CAST(vm.pid AS BIGINT) AS piece_id
+         |FROM e JOIN vm ON vm.piece = e.piece""".stripMargin
+    },
 
     "p52_bigram_lm" -> bigramLmOracleSql,
 

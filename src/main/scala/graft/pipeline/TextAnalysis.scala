@@ -1631,13 +1631,34 @@ object TextAnalysis {
   }
 
   def trainBpeMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
-      merges: Int, samplePermille: Int = 1000): Seq[(String, String, Long)] = {
+      merges: Int, samplePermille: Int = 1000): Seq[(String, String, Long)] =
+    trainMergesOverRepr(
+      bpeInitRepr(sampleByContent(df, textCol, samplePermille), textCol),
+      merges)
+
+  /** The deterministic content-hashed doc sample every tokenizer trainer
+    * uses (hash60(text) mod 1000 < samplePermille — reproducible across
+    * engines, partitionings, and reruns, never a row-order coin flip).
+    */
+  private def sampleByContent(df: org.apache.spark.sql.DataFrame,
+      textCol: String, samplePermille: Int): org.apache.spark.sql.DataFrame = {
     require(samplePermille > 0 && samplePermille <= 1000,
       "samplePermille must be in (0, 1000]")
-    val sampled =
-      if (samplePermille >= 1000) df
-      else df.filter(hash60(col(textCol)) % 1000 < samplePermille)
-    var repr = bpeInitRepr(sampled, textCol).localCheckpoint()
+    if (samplePermille >= 1000) df
+    else df.filter(hash60(col(textCol)) % 1000 < samplePermille)
+  }
+
+  /** The merge-learning driver loop shared by [[trainBpeMerges]] and
+    * [[trainByteBpeMerges]]: count adjacent symbol pairs, fuse the
+    * (count desc, pair asc) argmax corpus-wide, repeat; stop early when
+    * no pair occurs at least twice (singleton pairs are noise, not
+    * vocabulary). Each step localCheckpoints the rewritten
+    * symbolization (the driver loop reads pair stats immediately, and
+    * plans must not grow with merge count).
+    */
+  private def trainMergesOverRepr(init: org.apache.spark.sql.DataFrame,
+      merges: Int): Seq[(String, String, Long)] = {
+    var repr = init.localCheckpoint()
     val out = Seq.newBuilder[(String, String, Long)]
     var done = false
     for (_ <- 0 until merges if !done) {
@@ -1667,16 +1688,31 @@ object TextAnalysis {
   def applyBpe(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, merges: Seq[(String, String)],
       checkpointEvery: Int = 64): org.apache.spark.sql.DataFrame = {
-    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
-    var repr = df
+    val repr = df
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
       .select(col("id"), concat_ws(" ", expr(
         "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))")).as("repr"))
+    foldMergeChunks(repr, Seq("id"), merges, checkpointEvery)
+      .select(col("id"), split(col("repr"), " ").as("subwords"))
+  }
+
+  /** Rank-order merge fold shared by every BPE apply surface: each
+    * `checkpointEvery`-sized chunk of merges folds into ONE expression
+    * chain over the `repr` column (map-only, codegen'd), then
+    * localCheckpoints so plan depth stays bounded for long merge lists.
+    * `carryCols` pass through untouched.
+    */
+  private def foldMergeChunks(repr0: org.apache.spark.sql.DataFrame,
+      carryCols: Seq[String], merges: Seq[(String, String)],
+      checkpointEvery: Int): org.apache.spark.sql.DataFrame = {
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    var repr = repr0
     merges.grouped(checkpointEvery).foreach { chunk =>
       val folded = chunk.foldLeft(col("repr")) { case (c, (l, r)) => fuseMerge(c, l, r) }
-      repr = repr.select(col("id"), folded.as("repr")).localCheckpoint(eager = false)
+      repr = repr.select(carryCols.map(col) :+ folded.as("repr"): _*)
+        .localCheckpoint(eager = false)
     }
-    repr.select(col("id"), split(col("repr"), " ").as("subwords"))
+    repr
   }
 
   /** Per-doc subword count under a trained merge list — the exact
@@ -1690,7 +1726,145 @@ object TextAnalysis {
       .agg(sum(size(col("subwords"))).cast("long").as("n_subwords"),
         count(lit(1)).as("n_words"))
 
-  // ---- Unigram-LM tokenizer training (SentencePiece-style) ----
+  // ---- Byte-level BPE (GPT-2-style byte remapping) ----
+
+  /** GPT-2's byte→unicode remap (Radford et al. 2019 `encoder.py`
+    * `bytes_to_unicode`, public): printable/latin bytes (33–126,
+    * 161–172, 174–255) map to their own codepoint, the rest to
+    * U+0100+n in ascending byte order — so EVERY byte has a printable
+    * single-char symbol (space 0x20 → 'Ġ' U+0120) and byte-level BPE
+    * is CLOSED over any input: no <unk> exists, decode is lossless
+    * (the p253 [UNK] contrast). Index = byte value.
+    */
+  val ByteSymbols: IndexedSeq[String] = {
+    val keep = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var n = 0
+    (0 until 256).map { b =>
+      if (keep(b)) new String(Character.toChars(b))
+      else { val s = new String(Character.toChars(256 + n)); n += 1; s }
+    }
+  }
+
+  // 512-entry literal maps (hex pair ↔ symbol); pure expression trees,
+  // safe to share across plans and sessions
+  private lazy val byteSymMap: Column =
+    map((0 until 256).flatMap(b =>
+      Seq(lit(f"$b%02X"), lit(ByteSymbols(b)))): _*)
+  private lazy val symByteHexMap: Column =
+    map((0 until 256).flatMap(b =>
+      Seq(lit(ByteSymbols(b)), lit(f"$b%02X"))): _*)
+
+  /** The UTF-8 bytes of a string column as GPT-2 byte symbols
+    * (array<string>), via the hex rendering — two hex chars per byte
+    * looked up in the 256-entry literal table. Expression-only (no
+    * UDF); `upper` on both engines' hex keeps the key casing pinned.
+    */
+  def byteSymbols(c: Column): Column = {
+    val bin = encode(c, "UTF-8")
+    val hx = upper(hex(bin))
+    when(octet_length(bin) === 0, typedLit(Seq.empty[String]))
+      .otherwise(transform(sequence(lit(1), octet_length(bin)),
+        i => element_at(byteSymMap, hx.substr(i * 2 - 1, lit(2)))))
+  }
+
+  /** Byte-level BPE start state: one row per TOKEN OCCURRENCE with a
+    * LEADING SPACE (add_prefix_space — the Ġ-marking convention: word
+    * boundaries become part of the learned vocabulary, so "Ġthe" and
+    * mid-word "the" are distinct merge targets exactly as in GPT-2),
+    * the prefixed token's UTF-8 bytes space-joined as symbols. Reuses
+    * [[bpePairStats]] / [[fuseMerge]] unchanged — byte-level differs
+    * from char-level ONLY in the start symbolization.
+    */
+  def byteBpeInitRepr(df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(explode(tokens(col(textCol))).as("tok"))
+      .select(concat_ws(" ",
+        byteSymbols(concat(lit(" "), col("tok")))).as("repr"))
+
+  /** Learn up to `merges` byte-level BPE merges — [[trainBpeMerges]]
+    * over the byte symbolization (same loop, same early stop, same
+    * deterministic content-hash sampling contract).
+    */
+  def trainByteBpeMerges(df: org.apache.spark.sql.DataFrame,
+      textCol: String, merges: Int,
+      samplePermille: Int = 1000): Seq[(String, String, Long)] =
+    trainMergesOverRepr(
+      byteBpeInitRepr(sampleByContent(df, textCol, samplePermille), textCol),
+      merges)
+
+  /** Byte-level BPE application: symbolize each (space-prefixed) token
+    * occurrence to byte symbols and fold the learned merges in rank
+    * order. Returns (id, subwords) per token occurrence — the byte
+    * twin of [[applyBpe]].
+    */
+  def applyByteBpe(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, merges: Seq[(String, String)],
+      checkpointEvery: Int = 64): org.apache.spark.sql.DataFrame = {
+    val repr = df
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .select(col("id"), concat_ws(" ",
+        byteSymbols(concat(lit(" "), col("tok")))).as("repr"))
+    foldMergeChunks(repr, Seq("id"), merges, checkpointEvery)
+      .select(col("id"), split(col("repr"), " ").as("subwords"))
+  }
+
+  /** Per-doc subword count under a byte-level merge list — the exact
+    * "how many tokens is this corpus under MY tokenizer" estimator at
+    * byte grain (fertility readouts divide n_subwords by n_words).
+    */
+  def byteBpeTokenCount(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame =
+    applyByteBpe(df, idCol, textCol, merges)
+      .groupBy(col("id"))
+      .agg(sum(size(col("subwords"))).cast("long").as("n_subwords"),
+        count(lit(1)).as("n_words"))
+
+  /** Integer-id encoding under a byte-level merge list: ids 0–255 are
+    * the base byte symbols in BYTE order (always present — byte-level
+    * BPE is closed over any input, so unlike [[wordpieceEncode]] no
+    * id-0 <unk> convention is needed), merged symbols take 256+rank in
+    * merge order — exactly GPT-2's vocabulary numbering. Returns
+    * (id, tok_pos, ord, piece_id); every piece is in-vocab by
+    * construction (a subword is either a base symbol or a fused merge
+    * output), so a NULL piece_id can only mean a broken merge list —
+    * and would fail the hash gate rather than pass silently.
+    */
+  def byteBpeEncode(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, merges: Seq[(String, String)],
+      checkpointEvery: Int = 64): org.apache.spark.sql.DataFrame = {
+    val vocabPairs: Seq[(String, Long)] =
+      ByteSymbols.zipWithIndex.map { case (s, i) => (s, i.toLong) } ++
+        merges.zipWithIndex.map { case ((l, r), i) => (l + r, 256L + i) }
+    require(vocabPairs.map(_._1).distinct.size == vocabPairs.size,
+      "byteBpeEncode: two merges fuse to the same symbol — ids would " +
+        "be ambiguous (and CreateMap would reject the duplicate key)")
+    val vmap = map(vocabPairs.flatMap { case (s, id) =>
+      Seq(lit(s), lit(id)) }: _*)
+    val repr = df
+      .select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("tok_pos", "tok")))
+      .select(col("id"), col("tok_pos").cast("long").as("tok_pos"),
+        concat_ws(" ", byteSymbols(concat(lit(" "), col("tok")))).as("repr"))
+    foldMergeChunks(repr, Seq("id", "tok_pos"), merges, checkpointEvery)
+      .select(col("id"), col("tok_pos"),
+        posexplode(split(col("repr"), " ")).as(Seq("ord", "piece")))
+      .select(col("id"), col("tok_pos"), col("ord").cast("long").as("ord"),
+        element_at(vmap, col("piece")).as("piece_id"))
+  }
+
+  /** Lossless inverse of the byte symbolization: each subword (base or
+    * merged — merges CONCATENATE, so any subword is a char string of
+    * base symbols) maps char-by-char back to its bytes, and the byte
+    * string decodes as UTF-8. `byteBpeDecode(concat of a token's
+    * subwords) == ' ' ++ token` for ANY input — the no-<unk> roundtrip
+    * law the spec pins (PipelineSpec, incl. non-ASCII + emoji).
+    */
+  def byteBpeDecode(subwords: Column): Column = {
+    val chars = flatten(transform(subwords, w => split(w, "(?!^)")))
+    decode(unhex(concat_ws("",
+      transform(chars, ch => element_at(symByteHexMap, ch)))), "UTF-8")
+  }
 
   /** Word-frequency table for subword training: whitespace-lowercased
     * token occurrences truncated to `maxWordLen` chars (the truncation

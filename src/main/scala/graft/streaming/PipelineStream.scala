@@ -120,6 +120,37 @@ object PipelineStream {
       .agg(sum(col("occurrences")).cast("long").as("occurrences"),
         sum(col("doc_freq")).cast("long").as("doc_freq"))
 
+  /** Streaming category-census maintenance — the p263 additive-fold law
+    * as an ingestion pipeline (the [[ngramCensusIngest]] shape at
+    * category grain): each micro-batch flushes its own
+    * [[graft.pipeline.Sketches.categoryCensusTable]] as one run under
+    * `base/census/run=<id>`; the (g, cat, c) counter is ADDITIVE across
+    * disjoint row batches, so the standing census is the per-(g, cat)
+    * SUM over runs ([[readCategoryCensus]]) and overwrite-by-batch-id
+    * keeps redelivery idempotent. Drift scores (PSI/TV) are READOUTS
+    * over the summed table — `psiDriftFromCensus(readCategoryCensus(…))`
+    * over everything ingested ≡ one-shot `psiDriftMatrix` over the full
+    * corpus (gated under p254's oracle), so a drift monitor never
+    * re-scans the corpus per report.
+    */
+  def categoryCensusIngest(rows: DataFrame, catCol: String,
+      groupCol: String, basePath: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty)
+        graft.pipeline.Sketches.categoryCensusTable(batch, catCol, groupCol)
+          .write.mode("overwrite").parquet(s"$basePath/census/run=$id")
+    }
+
+  /** The standing census of a [[categoryCensusIngest]] store: per-(g,
+    * cat) sum over the runs (the additive fold, evaluated at read).
+    */
+  def readCategoryCensus(spark: org.apache.spark.sql.SparkSession,
+      basePath: String): DataFrame =
+    spark.read.parquet(s"$basePath/census")
+      .groupBy(col("g"), col("cat"))
+      .agg(sum(col("c")).cast("long").as("c"))
+
   /** Streaming passage-fingerprint registry — the ingestion-state twin
     * of batch [[graft.pipeline.Dedup.dedupChunks]]: chunk each arriving
     * document (the same chunkByTokens lineage), fingerprint each chunk,

@@ -1759,6 +1759,61 @@ class PipelineSpec extends SparkSpec {
     assert(sampled.head._3 == kept * 3, s"got ${sampled.head}")
   }
 
+  test("byte-level BPE: GPT-2 remap, Ġ-boundary merges, lossless roundtrip, ids") {
+    import spark.implicits._
+    // the remap table pins GPT-2's bytes_to_unicode: printable bytes map
+    // to themselves, space → Ġ (U+0120), and multi-byte UTF-8 splits
+    // ("é" = C3 A9 → Ã ©)
+    assert(TextAnalysis.ByteSymbols(97) == "a")
+    assert(TextAnalysis.ByteSymbols(32) == "Ġ") // Ġ
+    assert(TextAnalysis.ByteSymbols.distinct.size == 256)
+    val symRow = Seq(Tuple1("é")).toDF("s")
+      .select(TextAnalysis.byteSymbols(col("s"))).head()
+    assert(symRow.getSeq[String](0) == Seq("Ã", "©"), s"got $symRow")
+
+    // trainer at byte grain: " ab" symbolizes to [Ġ a b] — boundary
+    // pairs COUNT. a-b ties Ġ-a at 4 and wins the pair-asc tie-break
+    // ("a" < "Ġ" in UTF-8 byte order); merge 2 is the boundary fuse
+    // (Ġ, ab) — the word-initial vocabulary GPT-2 actually learns
+    val docs = Seq((1L, "ab ab ab cd cd abd")).toDF("doc_id", "text")
+    val merges = TextAnalysis.trainByteBpeMerges(docs, "text", merges = 3)
+    assert(merges == Seq(("a", "b", 4L), ("Ġ", "ab", 4L), ("c", "d", 2L)),
+      s"got $merges")
+
+    // lossless roundtrip on non-ASCII + emoji, AFTER merges: decoding a
+    // token's concatenated subwords reproduces ' ' ++ token exactly —
+    // byte-level has no <unk>, any input is in-vocab
+    val uni = Seq((1L, "héllo wörld 😀 ab")).toDF("doc_id", "text")
+    val rt = TextAnalysis.applyByteBpe(uni, "doc_id", "text",
+        merges.map { case (l, r, _) => (l, r) })
+      .select(TextAnalysis.byteBpeDecode(col("subwords")).as("back"))
+      .collect().map(_.getString(0)).toSet
+    assert(rt == Set(" héllo", " wörld", " 😀", " ab"), s"got $rt")
+
+    // integer ids: base symbols carry their byte value (a=0x61=97,
+    // Ġ=32), merged symbols take 256+rank in merge order
+    val enc = TextAnalysis.byteBpeEncode(Seq((7L, "ab cd x")).toDF("doc_id", "text"),
+        "doc_id", "text", Seq("a" -> "b", "Ġ" -> "ab"))
+      .orderBy(col("tok_pos"), col("ord"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    assert(enc == List((0L, 0L, 257L), // " ab" → [Ġab]
+      (1L, 0L, 32L), (1L, 1L, 99L), (1L, 2L, 100L), // " cd" → [Ġ c d]
+      (2L, 0L, 32L), (2L, 1L, 120L)), s"got $enc") // " x" → [Ġ x]
+
+    // duplicate fused symbol (two paths to "abc") refuses loudly
+    intercept[IllegalArgumentException] {
+      TextAnalysis.byteBpeEncode(uni, "doc_id", "text",
+        Seq("a" -> "b", "ab" -> "c", "b" -> "c", "a" -> "bc"))
+    }
+
+    // tokcount = char-level count + nothing surprising on pure ASCII
+    // with no merges beyond the Ġ prefix: every token costs its byte
+    // length + 1 (the Ġ)
+    val tc = TextAnalysis.byteBpeTokenCount(docs, "doc_id", "text", Seq.empty)
+      .head()
+    assert(tc.getLong(1) == 13L + 6L && tc.getLong(2) == 6L, s"got $tc")
+  }
+
   test("bigram LM: hand-computed conditionals; fluent beats shuffled; hard-zero unseen") {
     import spark.implicits._
     val corpus = Seq(
