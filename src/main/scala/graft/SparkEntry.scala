@@ -3476,6 +3476,19 @@ object SparkEntry {
         .select(col("ia"), col("ib"), col("hamming").cast("long").as("hamming"))
     }),
 
+    // Edit-distance CONFIRM stage over the p13 simhash candidates:
+    // banded Levenshtein at maxDist=40 (O(len·maxDist), length-diff
+    // refute in O(1)); report shape — refuted pairs visible as -1.
+    "p268_edit_verify" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      graft.pipeline.Dedup.editVerifiedPairs(
+        graft.pipeline.Dedup.simhashNearDuplicates(docs, "doc_id", "text",
+          maxHamming = 6, tokenHash = graft.pipeline.Dedup.md5Hash64),
+        docs, "doc_id", "text", maxDist = 40)
+        .select(col("ia"), col("ib"), col("edit_dist"))
+    }),
+
     // Bucketed catalog-table layout (the ring analog / 100 TB default):
     // write bucketBy(key), slice through the shuffle-free reconcile —
     // results must be identical to the sorted-runs path (q03 oracle).
@@ -4612,6 +4625,37 @@ object SparkEntry {
         .select(col("id"), col("tok_pos"), col("ord"), col("piece_id"))
     }),
 
+    // Tokenizer fertility by source: per-group subwords-per-word under
+    // the fixed byte-level merges — the data-mixing readout for "which
+    // sources does this vocab serve badly".
+    "p269_bytebpe_fertility" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.TextAnalysis.byteBpeFertility(
+        table(s, dir, "documents"), "doc_id", "text", "source",
+        byteBpeMergeList)
+        .select(col("grp"), col("n_docs"), col("n_words"), col("n_subwords"),
+          col("fertility_permille"))
+    }),
+
+    // PII scrub: typed-placeholder replacement with counts on the
+    // progressively scrubbed text. The corpus carries no PII, so both
+    // engines AUGMENT each doc with the same deterministic
+    // doc_id-derived email/phone/IP tail first — the scrub logic (not
+    // a no-op roundtrip) is what the hash gates.
+    "p270_pii_scrub" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents").withColumn("aug",
+        concat(col("text"), lit(" reach user"),
+          col("doc_id").cast("string"), lit("@example.com"),
+          when(col("doc_id") % 3 === 0, lit(" tel 555-123-4567"))
+            .otherwise(lit("")),
+          lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), ((col("doc_id") * 7) % 256).cast("string")))
+      graft.pipeline.TextAnalysis.piiScrub(docs, "doc_id", "aug")
+        .select(col("id"), col("n_emails"), col("n_phones"), col("n_ips"),
+          col("text_clean"))
+    }),
+
     // Unigram-LM tokenizer training (SentencePiece-style): ONE Viterbi
     // hard-EM step gated exactly — seed substring vocab (counts >= 30 or
     // char fallback), micro-quantized log-prob weights, per-word
@@ -4928,6 +4972,18 @@ object SparkEntry {
   }
 
   private lazy val byteBpeFinalCte: String = s"m${byteBpeMergeList.size}"
+
+  /** The p13 banding over [[simhashOracleCte]]'s sketches — shared by
+    * the pairs gate and the edit-distance verification tail (p268).
+    */
+  private lazy val simhashBandedCtes: String =
+    s"""$simhashOracleCte,
+       |banded AS (
+       |  -- band masks as signed-long literals: DuckDB overflow-checks <<
+       |  -- and band 3's mask (0xFFFF << 48) wraps the sign bit
+       |  SELECT doc_id, simhash, b.band, simhash & b.mask AS bh
+       |  FROM sim, (SELECT unnest([${(0 until 4).map(b => s"{'band': $b, 'mask': ${0xFFFFL << (16 * b)}::BIGINT}").mkString(", ")}],
+       |                           recursive := true)) b)""".stripMargin
 
   /** DuckDB twin of Dedup.simhash with Dedup.md5Hash64 token hashes: the
     * engine's 64-bit hash is the big-endian read of md5's first 16 hex
@@ -8321,17 +8377,29 @@ object SparkEntry {
         |SELECT doc_id, simhash FROM sim""".stripMargin,
 
     "p13_simhash_pairs" ->
-      s"""$simhashOracleCte,
-        |banded AS (
-        |  -- band masks as signed-long literals: DuckDB overflow-checks <<
-        |  -- and band 3's mask (0xFFFF << 48) wraps the sign bit
-        |  SELECT doc_id, simhash, b.band, simhash & b.mask AS bh
-        |  FROM sim, (SELECT unnest([${(0 until 4).map(b => s"{'band': $b, 'mask': ${0xFFFFL << (16 * b)}::BIGINT}").mkString(", ")}],
-        |                           recursive := true)) b)
+      s"""$simhashBandedCtes
         |SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         |FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin,
+
+    // Edit-distance verification of the p13 simhash candidates: the
+    // confirm stage (sketches nominate, Levenshtein confirms) as a
+    // report — exact distance when <= 40, -1 refuted (refuted pairs
+    // stay visible, so "nothing confirmed" != "nothing nominated").
+    "p268_edit_verify" ->
+      s"""$simhashBandedCtes,
+        |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        |         FROM banded a JOIN banded b
+        |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        |         WHERE bit_count(xor(a.simhash, b.simhash)) <= 6)
+        |SELECT c.ia, c.ib,
+        |       CAST(CASE WHEN abs(length(ta.text) - length(tb.text)) > 40 THEN -1
+        |                 WHEN levenshtein(ta.text, tb.text) <= 40
+        |                   THEN levenshtein(ta.text, tb.text)
+        |                 ELSE -1 END AS BIGINT) AS edit_dist
+        |FROM cand c JOIN documents ta ON ta.doc_id = c.ia
+        |            JOIN documents tb ON tb.doc_id = c.ib""".stripMargin,
 
     "p09_ann_topk" ->
       """WITH s AS (SELECT vec_id,
@@ -9183,6 +9251,39 @@ object SparkEntry {
          |       CAST(e.o - 1 AS BIGINT) AS ord, CAST(vm.pid AS BIGINT) AS piece_id
          |FROM e JOIN vm ON vm.piece = e.piece""".stripMargin
     },
+
+    "p269_bytebpe_fertility" ->
+      s"""$byteBpeApplyCtes,
+         |dc AS (SELECT doc_id,
+         |              CAST(sum(len(string_split(r, ' '))) AS BIGINT) AS n_subwords,
+         |              count(*) AS n_words
+         |       FROM $byteBpeFinalCte GROUP BY 1),
+         |g AS (SELECT d.source AS grp, count(*) AS n_docs,
+         |             CAST(sum(dc.n_words) AS BIGINT) AS n_words,
+         |             CAST(sum(dc.n_subwords) AS BIGINT) AS n_subwords
+         |      FROM dc JOIN documents d USING (doc_id) GROUP BY 1)
+         |SELECT grp, n_docs, n_words, n_subwords,
+         |       1000 * n_subwords // n_words AS fertility_permille
+         |FROM g""".stripMargin,
+
+    "p270_pii_scrub" ->
+      """WITH a AS (SELECT doc_id,
+        |  text || ' reach user' || doc_id || '@example.com'
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' tel 555-123-4567' ELSE '' END
+        |    || ' host 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) AS t
+        |  FROM documents),
+        |e AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM a),
+        |p AS (SELECT doc_id, n_emails,
+        |  CAST(len(regexp_extract_all(t1, '[0-9]{3}-[0-9]{3,4}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  regexp_replace(t1, '[0-9]{3}-[0-9]{3,4}-[0-9]{4}', '<PHONE>', 'g') AS t2
+        |  FROM e)
+        |SELECT doc_id AS id, n_emails, n_phones,
+        |  CAST(len(regexp_extract_all(t2, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        |  regexp_replace(t2, '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS text_clean
+        |FROM p""".stripMargin,
 
     "p52_bigram_lm" -> bigramLmOracleSql,
 

@@ -1680,4 +1680,34 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Exact edit-distance VERIFICATION of candidate near-dup pairs — the
+    * confirm stage every sketch-nominated dedup pipeline ends with:
+    * sketches (minhash/simhash bands) NOMINATE cheaply with false
+    * positives, Levenshtein CONFIRMS exactly. `pairs` carries (ia, ib);
+    * each id joins back to its text through a keyed hash join, and the
+    * distance runs BANDED at `maxDist` (O(len·maxDist), not O(len²):
+    * the engine's thresholded levenshtein early-exits — a length
+    * difference beyond maxDist alone refutes in O(1), since every edit
+    * changes length by at most 1). Returns a verification REPORT
+    * (ia, ib, edit_dist): the exact distance when ≤ maxDist, −1 when
+    * refuted — refuted pairs stay visible (filtering them is the
+    * caller's one-line readout), so "nothing confirmed" is
+    * distinguishable from "nothing nominated".
+    *
+    * Scale shape: work is candidate-pair-bounded (the nominating
+    * sketch's maxBucket/maxDocFreq guards bound it), never corpus
+    * all-pairs; the text column rides exactly two hash joins at pair
+    * grain.
+    */
+  def editVerifiedPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    val texts = docs.select(col(idCol).as("__vid"), col(textCol).as("__vt"))
+    pairs.select(col("ia"), col("ib"))
+      .join(texts.select(col("__vid").as("ia"), col("__vt").as("__ta")), Seq("ia"))
+      .join(texts.select(col("__vid").as("ib"), col("__vt").as("__tb")), Seq("ib"))
+      .select(col("ia"), col("ib"),
+        levenshtein(col("__ta"), col("__tb"), maxDist).cast("long").as("edit_dist"))
+  }
 }

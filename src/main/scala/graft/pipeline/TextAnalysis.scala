@@ -1866,6 +1866,65 @@ object TextAnalysis {
       transform(chars, ch => element_at(symByteHexMap, ch)))), "UTF-8")
   }
 
+  /** Tokenizer FERTILITY by group (source/language) — the
+    * data-mixing readout "how many subwords does a word cost HERE":
+    * per-group doc/word/subword totals under a byte-level merge list
+    * plus integer permille fertility (1000·subwords DIV words). High
+    * fertility marks a group the tokenizer serves badly (each word
+    * shatters into many pieces) — the standard signal for rebalancing
+    * mixture weights or retraining the vocab. Counts cover
+    * token-bearing docs (a whitespace-only doc has no occurrences on
+    * either engine). Group-grain output: vocabulary-of-groups-sized,
+    * never corpus-sized.
+    */
+  def byteBpeFertility(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, groupCol: String,
+      merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame =
+    byteBpeTokenCount(df, idCol, textCol, merges)
+      .join(df.select(col(idCol).as("id"), col(groupCol).as("grp")), Seq("id"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).cast("long").as("n_words"),
+        sum(col("n_subwords")).cast("long").as("n_subwords"))
+      .withColumn("fertility_permille",
+        expr("1000 * n_subwords DIV n_words"))
+
+  // ---- PII scrubbing ----
+
+  /** Conservative ASCII PII patterns with IDENTICAL semantics in Java
+    * regex and RE2 (no \d, \b, or lookaround — the dialect-divergence
+    * traps): email local@domain.tld, dashed phone 3-3/4-4, IPv4.
+    * Public-knowledge shapes (the C4/CCNet-style scrub list), not
+    * exhaustive validators — a scrub pass wants recall on the common
+    * shapes, downstream audits catch the rest.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** PII scrub pass: replace emails, then dashed phones, then IPv4s
+    * with typed placeholders, counting each kind ON THE PROGRESSIVELY
+    * SCRUBBED text (phones are counted after emails are gone, IPs
+    * after both) — so a digit run inside an email never double-counts
+    * as a phone/IP, and the counts are exactly "placeholders
+    * inserted". Returns (id, n_emails, n_phones, n_ips, text_clean).
+    * Expression-only (regexp_extract_all + regexp_replace, codegen'd);
+    * embarrassingly parallel over docs — no shuffle anywhere.
+    */
+  def piiScrub(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("id"), col(textCol).as("t"))
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("t1", regexp_replace(col("t"), EmailRe, "<EMAIL>"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col("t1"), lit(PhoneRe), lit(0))).cast("long"))
+      .withColumn("t2", regexp_replace(col("t1"), PhoneRe, "<PHONE>"))
+      .withColumn("n_ips",
+        size(regexp_extract_all(col("t2"), lit(Ipv4Re), lit(0))).cast("long"))
+      .select(col("id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        regexp_replace(col("t2"), Ipv4Re, "<IP>").as("text_clean"))
+
   /** Word-frequency table for subword training: whitespace-lowercased
     * token occurrences truncated to `maxWordLen` chars (the truncation
     * bounds every per-word DP below to a fixed depth — the standard

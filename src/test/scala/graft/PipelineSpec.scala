@@ -1759,6 +1759,45 @@ class PipelineSpec extends SparkSpec {
     assert(sampled.head._3 == kept * 3, s"got ${sampled.head}")
   }
 
+  test("PII scrub: typed placeholders, progressive counts, no double-count") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a.b+c@ex-1.co.uk or x@y.io call 555-123-4567 from 10.0.0.1"),
+      (2L, "no pii here, just version 1.2 and pi 3.14"),
+      (3L, "digits in email u123@h99.net must not count as phone/ip")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(1L) == ((2L, 1L, 1L,
+      "mail <EMAIL> or <EMAIL> call <PHONE> from <IP>")), s"got ${out(1L)}")
+    assert(out(2L) == ((0L, 0L, 0L,
+      "no pii here, just version 1.2 and pi 3.14")), s"got ${out(2L)}")
+    // the email's digits are scrubbed BEFORE phone/IP counting runs
+    assert(out(3L) == ((1L, 0L, 0L,
+      "digits in email <EMAIL> must not count as phone/ip")), s"got ${out(3L)}")
+  }
+
+  test("edit-distance verification: banded confirm/refute report over candidate pairs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcdef"), (2L, "abcxef"), // d=1 substitution
+      (3L, "abcdef"), // d=0 exact dup
+      (4L, "zzzzzz"), // d=6, refuted at maxDist=4
+      (5L, "ab") // d=4 via length alone — the length-prune boundary
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("ia", "ib")
+    val out = Dedup.editVerifiedPairs(pairs, docs, "doc_id", "text", maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // refuted pairs stay VISIBLE as -1 (report, not filter)
+    assert(out == Set((1L, 2L, 1L), (1L, 3L, 0L), (1L, 4L, -1L), (1L, 5L, 4L)),
+      s"got $out")
+    // boundary: distance EXACTLY maxDist confirms (<=, not <)
+    val b = Dedup.editVerifiedPairs(Seq((1L, 4L)).toDF("ia", "ib"), docs,
+      "doc_id", "text", maxDist = 6).head().getLong(2)
+    assert(b == 6L, s"got $b")
+  }
+
   test("byte-level BPE: GPT-2 remap, Ġ-boundary merges, lossless roundtrip, ids") {
     import spark.implicits._
     // the remap table pins GPT-2's bytes_to_unicode: printable bytes map
