@@ -4637,6 +4637,33 @@ object SparkEntry {
           col("fertility_permille"))
     }),
 
+    // N-gram novelty against a standing census (decontamination): the
+    // reference census is the even-doc gram table (the p234 artifact
+    // shape), novelty scored over the odd docs — occurrence-weighted
+    // share of grams absent from the reference.
+    "p271_ngram_novelty" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      graft.pipeline.TextAnalysis.ngramNovelty(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        graft.pipeline.TextAnalysis.ngramStatsTable(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", n = 3),
+        n = 3)
+        .select(col("id"), col("n_grams"), col("n_seen"),
+          col("novelty_permille"))
+    }),
+
+    // Keep-BEST dedup: one doc per near-dup cluster, keeper = argmax
+    // n_chars (ties → min id) — the keep-the-longest-copy policy, vs
+    // p21's blind min-id representative.
+    "p272_dedup_keepbest" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Dedup.deduplicatedKeepBest(
+        table(s, dir, "documents"), "doc_id", "text", "n_chars",
+        n = 3, num = 4, den = 5, maxDocFreq = None)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+    }),
+
     // PII scrub: typed-placeholder replacement with counts on the
     // progressively scrubbed text. The corpus carries no PII, so both
     // engines AUGMENT each doc with the same deterministic
@@ -9265,6 +9292,31 @@ object SparkEntry {
          |SELECT grp, n_docs, n_words, n_subwords,
          |       1000 * n_subwords // n_words AS fertility_permille
          |FROM g""".stripMargin,
+
+    "p271_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+        |        i -> array_to_string(toks[i:i+2], ' '))) AS gram
+        |      FROM t WHERE len(toks) >= 3),
+        |ref AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0),
+        |c AS (SELECT doc_id, gram, count(*) AS c FROM g
+        |      WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+        |m AS (SELECT c.doc_id, CAST(sum(c.c) AS BIGINT) AS n_grams,
+        |             CAST(sum(CASE WHEN ref.gram IS NULL THEN 0 ELSE c.c END) AS BIGINT) AS n_seen
+        |      FROM c LEFT JOIN ref ON ref.gram = c.gram GROUP BY 1)
+        |SELECT doc_id AS id, n_grams, n_seen,
+        |       1000 * (n_grams - n_seen) // n_grams AS novelty_permille
+        |FROM m""".stripMargin,
+
+    "p272_dedup_keepbest" ->
+      s"""WITH base AS ($dupClustersOracle),
+        |q AS (SELECT b.doc_id, b.cluster, d.n_chars,
+        |             row_number() OVER (PARTITION BY b.cluster
+        |               ORDER BY d.n_chars DESC, b.doc_id) AS rk
+        |      FROM base b JOIN documents d USING (doc_id))
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM q WHERE rk = 1""".stripMargin,
 
     "p270_pii_scrub" ->
       """WITH a AS (SELECT doc_id,

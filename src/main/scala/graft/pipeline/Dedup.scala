@@ -998,6 +998,30 @@ object Dedup {
       Seq(idCol), "left_semi")
   }
 
+  /** Keep-BEST dedup: one document per near-dup cluster, the keeper
+    * chosen by an integer quality column (argmax; ties → min id)
+    * instead of [[deduplicated]]'s blind min-id representative — real
+    * pipelines keep the longest / highest-quality copy, not whichever
+    * crawled first. One max-struct aggregate at cluster grain (the
+    * derandomized-race idiom: no per-cluster sort, map-side combined),
+    * then a keeper semi-join. Same scale shape as [[deduplicated]].
+    * (The tie-break negates ids inside the struct ordering — any id
+    * above Long.MinValue is fine.)
+    */
+  def deduplicatedKeepBest(df: DataFrame, idCol: String, textCol: String,
+      qualityCol: String, n: Int, num: Int, den: Int,
+      maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
+    val clusters = dupClusters(df, idCol, textCol, n, num, den, maxDocFreq)
+    val keepers = clusters
+      .join(df.select(col(idCol), col(qualityCol).cast("long").as("__q")),
+        Seq(idCol))
+      .groupBy(col("cluster"))
+      .agg(max(struct(col("__q").as("q"),
+        (-col(idCol)).cast("long").as("nid"))).as("__w"))
+      .select((-col("__w.nid")).cast("long").as(idCol))
+    df.join(keepers, Seq(idCol), "left_semi")
+  }
+
   /** Corpus snapshot DELTA census — the crawl-to-crawl diff a recurring
     * ingestion run reports before reprocessing: fingerprint both corpus
     * versions at the exact-dedup grain ([[TextAnalysis.fingerprint]])

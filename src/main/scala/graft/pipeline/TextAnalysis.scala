@@ -1370,6 +1370,15 @@ object TextAnalysis {
     */
   def ngramStatsTable(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, n: Int): org.apache.spark.sql.DataFrame =
+    docGramCounts(docs, idCol, textCol, n)
+      .groupBy(col("gram"))
+      .agg(sum(col("c")).as("occurrences"), count(lit(1)).as("doc_freq"))
+
+  /** Per-doc n-gram occurrence counts (id, gram, c) — the doc-grain
+    * half of [[ngramStatsTable]], shared with the novelty readout.
+    */
+  def docGramCounts(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int): org.apache.spark.sql.DataFrame =
     docs
       .select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
       .filter(size(col("_toks")) >= n)
@@ -1378,8 +1387,29 @@ object TextAnalysis {
           i => concat_ws(" ", slice(col("_toks"), i, lit(n))))).as("gram"))
       .groupBy(col("id"), col("gram"))
       .agg(count(lit(1)).as("c"))
-      .groupBy(col("gram"))
-      .agg(sum(col("c")).as("occurrences"), count(lit(1)).as("doc_freq"))
+
+  /** N-gram NOVELTY against a standing census — the decontamination /
+    * "how much of this batch is actually new text" readout (the
+    * GPT-3-style n-gram overlap check, occurrence-weighted): per doc,
+    * the share of its n-gram occurrences ABSENT from the reference
+    * census (any (gram, …) table — [[ngramStatsTable]] or a
+    * [[foldNgramStats]]-maintained standing artifact, so contamination
+    * reports come off the fold without re-scanning the reference).
+    * Returns (id, n_grams, n_seen, novelty_permille); 1000 = fully
+    * novel, 0 = fully seen. Docs with < n tokens have no grams and
+    * report no row. One gram-keyed hash join at batch-gram grain —
+    * the reference side never re-aggregates.
+    */
+  def ngramNovelty(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, census: org.apache.spark.sql.DataFrame,
+      n: Int): org.apache.spark.sql.DataFrame =
+    docGramCounts(docs, idCol, textCol, n)
+      .join(census.select(col("gram"), lit(1L).as("__seen")), Seq("gram"), "left")
+      .groupBy(col("id"))
+      .agg(sum(col("c")).cast("long").as("n_grams"),
+        sum(col("c") * coalesce(col("__seen"), lit(0L))).cast("long").as("n_seen"))
+      .withColumn("novelty_permille",
+        expr("1000 * (n_grams - n_seen) DIV n_grams"))
 
   /** Fold a delta batch's gram table into the standing one without
     * shuffling the standing side (the p224/p233 artifact-fold shape):

@@ -1759,6 +1759,43 @@ class PipelineSpec extends SparkSpec {
     assert(sampled.head._3 == kept * 3, s"got ${sampled.head}")
   }
 
+  test("n-gram novelty: occurrence-weighted overlap against a census") {
+    import spark.implicits._
+    val census = TextAnalysis.ngramStatsTable(
+      Seq((0L, "a b c d")).toDF("doc_id", "text"), "doc_id", "text", 3)
+    val probes = Seq(
+      (1L, "a b c x y"), // grams: "a b c"(seen), "b c x", "c x y" → 1/3
+      (2L, "a b c d"), // both grams seen → novelty 0
+      (3L, "p q r"), // fully novel → 1000
+      (4L, "a b") // < n tokens: no grams, no row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(probes, "doc_id", "text", census, 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(1L -> ((3L, 1L, 666L)), 2L -> ((2L, 2L, 0L)),
+      3L -> ((1L, 0L, 1000L))), s"got $out")
+    // repeated grams weigh by OCCURRENCE: "a b c a b c" has "a b c" x2
+    // (seen) + "b c a" + "c a b" → 2 seen of 4
+    val rep = TextAnalysis.ngramNovelty(
+      Seq((7L, "a b c a b c")).toDF("doc_id", "text"), "doc_id", "text",
+      census, 3).head()
+    assert((rep.getLong(1), rep.getLong(2), rep.getLong(3)) == ((4L, 2L, 500L)),
+      s"got $rep")
+  }
+
+  test("keep-best dedup: argmax-quality keeper, min-id tie, singleton kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "w x y z w x y z", 5L), (2L, "w x y z w x y z", 9L), // keeper 2 (quality)
+      (5L, "m n o p q r", 7L), (6L, "m n o p q r", 7L), // tie → keeper 5 (min id)
+      (9L, "solo text never repeated here", 1L) // singleton kept
+    ).toDF("doc_id", "text", "q")
+    val kept = Dedup.deduplicatedKeepBest(docs, "doc_id", "text", "q",
+        n = 3, num = 4, den = 5, maxDocFreq = None)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 5L, 9L), s"got $kept")
+  }
+
   test("PII scrub: typed placeholders, progressive counts, no double-count") {
     import spark.implicits._
     val docs = Seq(
