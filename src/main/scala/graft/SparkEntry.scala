@@ -1107,6 +1107,24 @@ object SparkEntry {
         .select(col("rank").cast("long").as("rank"), col("id").as("vec_id"))
     }),
 
+    // k-NN graph over the standing IVF index: every vector's 5 nearest
+    // in-cell neighbors by exact cosine — one per-cell self-join
+    // (bounded by cell occupancy, never all-pairs), per-id rank window.
+    // Oracle recomputes codebook, every assignment, and every in-cell
+    // pairwise ranking in SQL.
+    "p274_knn_graph" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = table(s, dir, "embeddings")
+        .localCheckpoint(eager = false) // codebook + index both read it
+      val codebook = graft.pipeline.Similarity.refinedCentroids(
+        graft.pipeline.Similarity.kmeansStepExact(e, "vec_id", "embedding", k = 8))
+        .localCheckpoint() // FROZEN codebook
+      graft.pipeline.Similarity.knnGraphIvf(
+        graft.pipeline.Similarity.ivfIndexTable(e, "vec_id", "embedding",
+          codebook, 8),
+        kNbrs = 5)
+    }),
+
     // Token-length histogram in the EstimatedHistogram bucket space:
     // the reference's ~20% geometric buckets over a corpus statistic —
     // ~90 rows at any corpus size, shard-summable. Oracle shares the
@@ -4653,6 +4671,32 @@ object SparkEntry {
           col("novelty_permille"))
     }),
 
+    // Streaming decontamination: odd docs arrive in micro-batches, each
+    // scored statelessly against the SAVED even-doc census artifact;
+    // the union over runs ≡ the one-shot p271 (its oracle gates it).
+    "p273_stream_novelty" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val base = freshTmpStore(s, "p273", dir)
+      graft.pipeline.TextAnalysis.ngramStatsTable(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", n = 3)
+        .write.parquet(s"$base/census")
+      val feed = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+      feed.repartition(3).write.parquet(s"$base/in")
+      val st = s.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = graft.streaming.PipelineStream
+        .noveltyIngest(st, "doc_id", "text", s"$base/census", 3, s"$base/store")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/store/novelty")
+        .select(col("id"), col("n_grams"), col("n_seen"),
+          col("novelty_permille"))
+    }),
+
     // Keep-BEST dedup: one doc per near-dup cluster, keeper = argmax
     // n_chars (ties → min id) — the keep-the-longest-copy policy, vs
     // p21's blind min-id representative.
@@ -4999,6 +5043,27 @@ object SparkEntry {
   }
 
   private lazy val byteBpeFinalCte: String = s"m${byteBpeMergeList.size}"
+
+  /** ONE oracle for the batch n-gram novelty readout (p271) and its
+    * stateless streaming ingest twin (p273): the stream scores each
+    * batch against the same saved census, so the union over runs is
+    * the one-shot readout row for row.
+    */
+  private lazy val ngramNoveltyOracleSql: String =
+    """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      |           FROM documents),
+      |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+      |        i -> array_to_string(toks[i:i+2], ' '))) AS gram
+      |      FROM t WHERE len(toks) >= 3),
+      |ref AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0),
+      |c AS (SELECT doc_id, gram, count(*) AS c FROM g
+      |      WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+      |m AS (SELECT c.doc_id, CAST(sum(c.c) AS BIGINT) AS n_grams,
+      |             CAST(sum(CASE WHEN ref.gram IS NULL THEN 0 ELSE c.c END) AS BIGINT) AS n_seen
+      |      FROM c LEFT JOIN ref ON ref.gram = c.gram GROUP BY 1)
+      |SELECT doc_id AS id, n_grams, n_seen,
+      |       1000 * (n_grams - n_seen) // n_grams AS novelty_permille
+      |FROM m""".stripMargin
 
   /** The p13 banding over [[simhashOracleCte]]'s sketches — shared by
     * the pairs gate and the edit-distance verification tail (p268).
@@ -6853,6 +6918,31 @@ object SparkEntry {
 
     "p92_index_refresh" -> indexRefreshOracleSql,
     "p241_ivf_index_fold" -> ivfIndexFoldOracleSql,
+
+    "p274_knn_graph" ->
+      (kmeansOracleCtes("WHERE 1 = 1") +
+        """,
+          |st AS (SELECT cluster, pos, CAST(sum(m) AS BIGINT) AS s, count(*) AS n
+          |       FROM comp JOIN a USING (vec_id) GROUP BY 1, 2),
+          |rc AS (SELECT cluster, pos, (s - ((s % n + n) % n)) // n AS cm FROM st),
+          |dall AS (SELECT comp.vec_id, rc.cluster,
+          |           CAST(sum((m - cm) * (m - cm)) AS BIGINT) AS d2
+          |         FROM comp JOIN rc USING (pos) GROUP BY 1, 2),
+          |aall AS (SELECT vec_id, cluster FROM (
+          |           SELECT vec_id, cluster,
+          |             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+          |           FROM dall) WHERE rn = 1),
+          |v AS (SELECT e.vec_id, aall.cluster AS cell,
+          |             (e.embedding)::DOUBLE[] AS vv
+          |      FROM e JOIN aall USING (vec_id)),
+          |pr AS (SELECT x.vec_id AS id, y.vec_id AS nbr,
+          |         list_cosine_similarity(x.vv, y.vv) AS sim
+          |       FROM v x JOIN v y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+          |rk AS (SELECT id, nbr,
+          |         row_number() OVER (PARTITION BY id ORDER BY sim DESC, nbr) AS rank
+          |       FROM pr)
+          |SELECT id, CAST(rank AS BIGINT) AS rank, nbr
+          |FROM rk WHERE rank <= 5""".stripMargin),
 
     // p106 streams the SAME persisted-codebook assignment p92 computes
     // in batch (stateless broadcast argmin, arrival-order-insensitive
@@ -9293,21 +9383,8 @@ object SparkEntry {
          |       1000 * n_subwords // n_words AS fertility_permille
          |FROM g""".stripMargin,
 
-    "p271_ngram_novelty" ->
-      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
-        |           FROM documents),
-        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
-        |        i -> array_to_string(toks[i:i+2], ' '))) AS gram
-        |      FROM t WHERE len(toks) >= 3),
-        |ref AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0),
-        |c AS (SELECT doc_id, gram, count(*) AS c FROM g
-        |      WHERE doc_id % 2 = 1 GROUP BY 1, 2),
-        |m AS (SELECT c.doc_id, CAST(sum(c.c) AS BIGINT) AS n_grams,
-        |             CAST(sum(CASE WHEN ref.gram IS NULL THEN 0 ELSE c.c END) AS BIGINT) AS n_seen
-        |      FROM c LEFT JOIN ref ON ref.gram = c.gram GROUP BY 1)
-        |SELECT doc_id AS id, n_grams, n_seen,
-        |       1000 * (n_grams - n_seen) // n_grams AS novelty_permille
-        |FROM m""".stripMargin,
+    "p271_ngram_novelty" -> ngramNoveltyOracleSql,
+    "p273_stream_novelty" -> ngramNoveltyOracleSql,
 
     "p272_dedup_keepbest" ->
       s"""WITH base AS ($dupClustersOracle),

@@ -496,6 +496,35 @@ object Similarity {
         Seq("id"))
       .select(col("id"), col("cluster").as("cell"), col("embedding"))
 
+  /** k-NN GRAPH over a standing IVF index — the batch
+    * all-nearest-neighbors substrate (semantic-dedup clustering,
+    * diversity sampling, graph-based retrieval): every indexed
+    * vector's `kNbrs` nearest IN-CELL neighbors by exact cosine.
+    * ONE per-cell self-join — cost Σ|cell|², bounded by codebook
+    * balance, never corpus all-pairs (the [[ivfTopK]] cost model
+    * applied all-points-at-once); per-id top-k via a rank window, so
+    * WindowGroupLimit pre-filters each map partition to kNbrs
+    * candidates per id before the shuffle. IVF recall caveat: true
+    * neighbors in OTHER cells are unseen — [[recallAtK]] measures
+    * exactly that trade; raise k (smaller cells ⇒ cheaper join, lower
+    * recall) or probe neighboring cells downstream when it matters.
+    * Returns (id, rank, nbr).
+    */
+  def knnGraphIvf(index: DataFrame, kNbrs: Int): DataFrame = {
+    require(kNbrs >= 1, "kNbrs >= 1")
+    graft.functions.GraftFunctions.register(index.sparkSession)
+    val v = index.select(col("cell"), col("id"), col("embedding"))
+      .localCheckpoint(eager = false) // both sides of the in-cell join
+    v.join(v.select(col("cell"), col("id").as("nbr"),
+        col("embedding").as("q")), Seq("cell"))
+      .filter(col("id") =!= col("nbr"))
+      .withColumn("sim", cosine("embedding", "q"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("sim").desc, col("nbr"))))
+      .filter(col("rank") <= kNbrs)
+      .select(col("id"), col("rank").cast("long").as("rank"), col("nbr"))
+  }
+
   /** Fold a NEW batch into a standing IVF index — the artifact-fold law
     * at ANN grain: the codebook is FROZEN (cells stay comparable;
     * re-training the codebook is a REINDEX, not a fold), so maintenance

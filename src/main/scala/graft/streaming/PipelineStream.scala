@@ -142,6 +142,29 @@ object PipelineStream {
           .write.mode("overwrite").parquet(s"$basePath/census/run=$id")
     }
 
+  /** Streaming decontamination screening — each arriving micro-batch
+    * scores its docs' n-gram novelty against the standing census
+    * artifact (an [[graft.pipeline.TextAnalysis.ngramStatsTable]] /
+    * [[graft.pipeline.TextAnalysis.foldNgramStats]] parquet): per-doc
+    * novelty depends only on the doc and the census, so the op is
+    * STATELESS — no state store, no watermark; the union over runs ≡
+    * one batch [[graft.pipeline.TextAnalysis.ngramNovelty]] over
+    * everything ingested (p273 gates under p271's oracle). Results
+    * flush as overwrite-by-batch-id runs (redelivery idempotent — the
+    * bm25IndexIngest contract). The census reads fresh per batch, so
+    * a concurrently-folded artifact is picked up at the next batch —
+    * each batch scores against ONE consistent census version.
+    */
+  def noveltyIngest(docs: DataFrame, idCol: String, textCol: String,
+      censusPath: String, n: Int, basePath: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty)
+        TextAnalysis.ngramNovelty(batch, idCol, textCol,
+          batch.sparkSession.read.parquet(censusPath), n)
+          .write.mode("overwrite").parquet(s"$basePath/novelty/run=$id")
+    }
+
   /** The standing census of a [[categoryCensusIngest]] store: per-(g,
     * cat) sum over the runs (the additive fold, evaluated at read).
     */
