@@ -1125,6 +1125,23 @@ object SparkEntry {
         kNbrs = 5)
     }),
 
+    // Multi-probe kNN graph: each vector probes its 2 nearest cells
+    // (candidates stay in their home cell — the standing index is
+    // unchanged); recall recovers near-boundary neighbors, cost grows
+    // ×2 on the probe side only.
+    "p275_knn_multiprobe" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = table(s, dir, "embeddings")
+        .localCheckpoint(eager = false) // codebook + index both read it
+      val codebook = graft.pipeline.Similarity.refinedCentroids(
+        graft.pipeline.Similarity.kmeansStepExact(e, "vec_id", "embedding", k = 8))
+        .localCheckpoint() // FROZEN codebook
+      graft.pipeline.Similarity.knnGraphMultiProbe(
+        graft.pipeline.Similarity.ivfIndexTable(e, "vec_id", "embedding",
+          codebook, 8),
+        codebook, k = 8, nProbe = 2, kNbrs = 5)
+    }),
+
     // Token-length histogram in the EstimatedHistogram bucket space:
     // the reference's ~20% geometric buckets over a corpus statistic —
     // ~90 rows at any corpus size, shard-summable. Oracle shares the
@@ -1582,6 +1599,20 @@ object SparkEntry {
       q.awaitTermination()
       graft.pipeline.Sketches.psiDriftFromCensus(
         graft.streaming.PipelineStream.readCategoryCensus(s, s"$base/store"))
+    }),
+
+    // TV as a READOUT over the same folded standing census as p263:
+    // one additive (g, cat, c) table serves TV AND PSI (and any future
+    // pairwise categorical score) — p151's oracle gates the fold law.
+    "p277_tv_census_fold" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val even = graft.pipeline.Sketches.categoryCensusTable(
+        docs.filter(col("doc_id") % 2 === 0), "lang", "source")
+      val odd = graft.pipeline.Sketches.categoryCensusTable(
+        docs.filter(col("doc_id") % 2 === 1), "lang", "source")
+      graft.pipeline.Sketches.tvDriftFromCensus(
+        graft.pipeline.Sketches.foldCategoryCensus(even, odd))
     }),
 
     // Cohort LTV curves: per (first-event-day cohort, day offset) the
@@ -5044,6 +5075,35 @@ object SparkEntry {
 
   private lazy val byteBpeFinalCte: String = s"m${byteBpeMergeList.size}"
 
+  /** ONE oracle for the one-shot TV drift matrix (p151) and its
+    * census-fold readout twin (p277) — same law as psiDriftOracleSql's
+    * p254/p263 pairing.
+    */
+  private lazy val tvDriftOracleSql: String =
+    """WITH h AS (SELECT source AS g, lang AS cat, count(*) AS c
+      |           FROM documents GROUP BY 1, 2),
+      |gg AS (SELECT DISTINCT g FROM h),
+      |pairs AS (SELECT a.g AS ga, b.g AS gb FROM gg a JOIN gg b ON a.g < b.g),
+      |l AS (SELECT ga, gb, cat, c AS ca FROM pairs JOIN h ON h.g = pairs.ga),
+      |r AS (SELECT ga, gb, cat, c AS cb FROM pairs JOIN h ON h.g = pairs.gb),
+      |j AS (SELECT coalesce(l.ga, r.ga) AS ga, coalesce(l.gb, r.gb) AS gb,
+      |        coalesce(l.cat, r.cat) AS cat,
+      |        coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+      |      FROM l FULL JOIN r
+      |        ON l.ga = r.ga AND l.gb = r.gb AND l.cat = r.cat),
+      |x AS (SELECT ga, gb, cat, ca, cb,
+      |        CAST(sum(ca) OVER (PARTITION BY ga, gb) AS HUGEINT) AS na,
+      |        CAST(sum(cb) OVER (PARTITION BY ga, gb) AS HUGEINT) AS nb
+      |      FROM j),
+      |y AS (SELECT ga, gb, cat, na, nb, abs(ca * nb - cb * na) AS dev,
+      |        sum(abs(ca * nb - cb * na)) OVER (PARTITION BY ga, gb) AS sdev
+      |      FROM x)
+      |SELECT ga AS grp_a, gb AS grp_b, cat,
+      |       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |       CAST(dev AS BIGINT) AS dev_scaled,
+      |       CAST(sdev * 1000 // (2 * na * nb) AS BIGINT) AS tv_permille
+      |FROM y WHERE na > 0 AND nb > 0""".stripMargin
+
   /** ONE oracle for the batch n-gram novelty readout (p271) and its
     * stateless streaming ingest twin (p273): the stream scores each
     * batch against the same saved census, so the union over runs is
@@ -6944,6 +7004,33 @@ object SparkEntry {
           |SELECT id, CAST(rank AS BIGINT) AS rank, nbr
           |FROM rk WHERE rank <= 5""".stripMargin),
 
+    "p275_knn_multiprobe" ->
+      (kmeansOracleCtes("WHERE 1 = 1") +
+        """,
+          |st AS (SELECT cluster, pos, CAST(sum(m) AS BIGINT) AS s, count(*) AS n
+          |       FROM comp JOIN a USING (vec_id) GROUP BY 1, 2),
+          |rc AS (SELECT cluster, pos, (s - ((s % n + n) % n)) // n AS cm FROM st),
+          |dall AS (SELECT comp.vec_id, rc.cluster,
+          |           CAST(sum((m - cm) * (m - cm)) AS BIGINT) AS d2
+          |         FROM comp JOIN rc USING (pos) GROUP BY 1, 2),
+          |ap AS (SELECT vec_id, cluster,
+          |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+          |       FROM dall),
+          |home AS (SELECT vec_id, cluster AS cell FROM ap WHERE rn = 1),
+          |probe AS (SELECT vec_id, cluster AS cell FROM ap WHERE rn <= 2),
+          |v AS (SELECT e.vec_id, home.cell, (e.embedding)::DOUBLE[] AS vv
+          |      FROM e JOIN home USING (vec_id)),
+          |pv AS (SELECT e.vec_id, probe.cell, (e.embedding)::DOUBLE[] AS vv
+          |       FROM e JOIN probe ON probe.vec_id = e.vec_id),
+          |pr AS (SELECT x.vec_id AS id, y.vec_id AS nbr,
+          |         list_cosine_similarity(x.vv, y.vv) AS sim
+          |       FROM pv x JOIN v y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+          |rk AS (SELECT id, nbr,
+          |         row_number() OVER (PARTITION BY id ORDER BY sim DESC, nbr) AS rank
+          |       FROM pr)
+          |SELECT id, CAST(rank AS BIGINT) AS rank, nbr
+          |FROM rk WHERE rank <= 5""".stripMargin),
+
     // p106 streams the SAME persisted-codebook assignment p92 computes
     // in batch (stateless broadcast argmin, arrival-order-insensitive
     // integer arithmetic) — one oracle, no drift.
@@ -7590,30 +7677,9 @@ object SparkEntry {
     "p220_pagerank_warm" -> pageRankOracleSql,
     "p224_pagerank_delta" -> pageRankOracleSql,
 
-    "p151_tv_drift" ->
-      """WITH h AS (SELECT source AS g, lang AS cat, count(*) AS c
-        |           FROM documents GROUP BY 1, 2),
-        |gg AS (SELECT DISTINCT g FROM h),
-        |pairs AS (SELECT a.g AS ga, b.g AS gb FROM gg a JOIN gg b ON a.g < b.g),
-        |l AS (SELECT ga, gb, cat, c AS ca FROM pairs JOIN h ON h.g = pairs.ga),
-        |r AS (SELECT ga, gb, cat, c AS cb FROM pairs JOIN h ON h.g = pairs.gb),
-        |j AS (SELECT coalesce(l.ga, r.ga) AS ga, coalesce(l.gb, r.gb) AS gb,
-        |        coalesce(l.cat, r.cat) AS cat,
-        |        coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
-        |      FROM l FULL JOIN r
-        |        ON l.ga = r.ga AND l.gb = r.gb AND l.cat = r.cat),
-        |x AS (SELECT ga, gb, cat, ca, cb,
-        |        CAST(sum(ca) OVER (PARTITION BY ga, gb) AS HUGEINT) AS na,
-        |        CAST(sum(cb) OVER (PARTITION BY ga, gb) AS HUGEINT) AS nb
-        |      FROM j),
-        |y AS (SELECT ga, gb, cat, na, nb, abs(ca * nb - cb * na) AS dev,
-        |        sum(abs(ca * nb - cb * na)) OVER (PARTITION BY ga, gb) AS sdev
-        |      FROM x)
-        |SELECT ga AS grp_a, gb AS grp_b, cat,
-        |       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-        |       CAST(dev AS BIGINT) AS dev_scaled,
-        |       CAST(sdev * 1000 // (2 * na * nb) AS BIGINT) AS tv_permille
-        |FROM y WHERE na > 0 AND nb > 0""".stripMargin,
+    "p151_tv_drift" -> tvDriftOracleSql,
+    // the fold twin: censuses are additive, the readout is identical
+    "p277_tv_census_fold" -> tvDriftOracleSql,
 
     "p254_psi_drift" -> psiDriftOracleSql,
     // the fold twin: censuses are additive, the readout is identical

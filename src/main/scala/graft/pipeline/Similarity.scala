@@ -390,6 +390,26 @@ object Similarity {
       .agg(min(struct(col("d2"), col("cluster"))).as("km"))
       .select(col("id"), col("km.cluster").as("cluster"), col("km.d2").as("d2"))
 
+  /** The `nProbe` nearest centroids per vector (not just the argmin) —
+    * the multi-probe assignment: (id, cluster, crank) with crank 1 =
+    * the home cell ([[assignExact]]'s answer), ties broken by cluster
+    * id exactly like the argmin struct. Same exact-integer distance
+    * lineage; the rank window is per-id over ≤ k rows.
+    */
+  def assignExactTopCells(df: DataFrame, idCol: String, vecCol: String,
+      centroidComp: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= k, "1 <= nProbe <= k")
+    microComp(df, idCol, vecCol, "id", "m")
+      .join(broadcast(centroidComp), Seq("pos"))
+      .groupBy(col("id"), col("cluster"))
+      .agg(sum((col("m") - col("cm")) * (col("m") - col("cm"))).as("d2"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("d2"), col("cluster")))
+        .cast("long"))
+      .filter(col("crank") <= nProbe)
+      .select(col("id"), col("cluster"), col("crank"))
+  }
+
   /** One DISTRIBUTED Lloyd iteration in exact integer arithmetic — the
     * form that survives both 100 TB and a cross-engine oracle. Where
     * [[trainCodebook]] assigns through a k-wide literal expression and
@@ -516,6 +536,34 @@ object Similarity {
     val v = index.select(col("cell"), col("id"), col("embedding"))
       .localCheckpoint(eager = false) // both sides of the in-cell join
     v.join(v.select(col("cell"), col("id").as("nbr"),
+        col("embedding").as("q")), Seq("cell"))
+      .filter(col("id") =!= col("nbr"))
+      .withColumn("sim", cosine("embedding", "q"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("sim").desc, col("nbr"))))
+      .filter(col("rank") <= kNbrs)
+      .select(col("id"), col("rank").cast("long").as("rank"), col("nbr"))
+  }
+
+  /** Multi-probe [[knnGraphIvf]]: each vector PROBES its `nProbe`
+    * nearest cells ([[assignExactTopCells]]) while candidates still
+    * live in their single home cell — the standing index is UNCHANGED,
+    * recall recovers the near-boundary neighbors single-probe misses,
+    * and cost grows ×nProbe on the probe side only. A neighbor's home
+    * cell is unique, so (id, nbr) candidate pairs never duplicate
+    * across probed cells — no dedup stage. Returns (id, rank, nbr);
+    * nProbe = 1 degenerates to [[knnGraphIvf]] exactly.
+    */
+  def knnGraphMultiProbe(index: DataFrame, codebook: DataFrame, k: Int,
+      nProbe: Int, kNbrs: Int): DataFrame = {
+    require(kNbrs >= 1, "kNbrs >= 1")
+    graft.functions.GraftFunctions.register(index.sparkSession)
+    val vecs = index.select(col("id"), col("embedding"))
+      .localCheckpoint(eager = false) // probe assignment + probe-side vectors
+    val probes = assignExactTopCells(vecs, "id", "embedding", codebook,
+      k, nProbe).select(col("id"), col("cluster").as("cell"))
+    probes.join(vecs, Seq("id"))
+      .join(index.select(col("cell"), col("id").as("nbr"),
         col("embedding").as("q")), Seq("cell"))
       .filter(col("id") =!= col("nbr"))
       .withColumn("sim", cosine("embedding", "q"))

@@ -705,10 +705,19 @@ object Sketches {
   }
 
   def tvDriftMatrix(df: DataFrame, catCol: String,
-      groupCol: String): DataFrame = {
+      groupCol: String): DataFrame =
+    tvDriftFromCensus(categoryCensusTable(df, catCol, groupCol))
+
+  /** [[tvDriftMatrix]] as a READOUT over a (folded) standing census —
+    * the [[psiDriftFromCensus]] twin: every pairwise categorical drift
+    * score reads the same additive (g, cat, c) table, so ONE folded
+    * census serves TV, PSI, and any future score without re-scanning
+    * the corpus (p277 gates fold-then-readout ≡ p151's one-shot).
+    */
+  def tvDriftFromCensus(census: DataFrame): DataFrame = {
     val tot = org.apache.spark.sql.expressions.Window
       .partitionBy(col("ga"), col("gb"))
-    pairedCategoryCounts(df, catCol, groupCol)
+    pairedFromCounts(census)
       .withColumn("na", sum(col("ca")).over(tot).cast("decimal(38,0)"))
       .withColumn("nb", sum(col("cb")).over(tot).cast("decimal(38,0)"))
       .withColumn("dev", abs(col("ca") * col("nb") - col("cb") * col("na")))

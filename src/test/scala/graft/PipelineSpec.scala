@@ -1092,6 +1092,41 @@ class PipelineSpec extends SparkSpec {
     assert(mean >= 0.8, s"clustered-data PQ recall@10 should be high, got $mean ($recalls)")
   }
 
+  test("kNN graph: single-probe degenerate law and full-probe exactness") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 18).map { i =>
+      (i.toLong, Array.fill(4)(rnd.nextFloat() * 2f - 1f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val codebook = Similarity.refinedCentroids(
+      Similarity.kmeansStepExact(df, "vec_id", "embedding", k = 3))
+      .localCheckpoint()
+    val index = Similarity.ivfIndexTable(df, "vec_id", "embedding", codebook, 3)
+      .localCheckpoint()
+    def rows(d: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // nProbe = 1 degenerates to the single-probe graph exactly
+    assert(rows(Similarity.knnGraphMultiProbe(index, codebook, 3, 1, 2)) ==
+      rows(Similarity.knnGraphIvf(index, 2)))
+    // nProbe = k probes every cell → the EXACT kNN graph (Scala brute
+    // force with the same double cosine + (sim desc, nbr) order)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val exact = vecs.flatMap { case (id, v) =>
+      vecs.filter(_._1 != id)
+        .map { case (nbr, w) => (nbr, cos(v, w)) }
+        .sortBy { case (nbr, sim) => (-sim, nbr) }
+        .take(2).zipWithIndex
+        .map { case ((nbr, _), i) => (id, (i + 1).toLong, nbr) }
+    }.toSet
+    assert(rows(Similarity.knnGraphMultiProbe(index, codebook, 3, 3, 2)) == exact)
+  }
+
   test("recallAtK: cell restriction misses cross-cell neighbors honestly") {
     import spark.implicits._
     val corpus = Seq(

@@ -330,6 +330,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(!cp.contains("SortAggregate"), cp.take(1500))
   }
 
+  test("kNN graph + edit verify plans: equi-joins only, no cartesian") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the in-cell self-join must be an equi-join on cell — never a
+    // corpus cartesian — and the per-id rank must not single-partition
+    val vecs = (0 until 24).map(i =>
+      (i.toLong, Array.fill(4)((i % 5).toFloat + 0.1f))).toDF("vec_id", "embedding")
+    val codebook = graft.pipeline.Similarity.refinedCentroids(
+      graft.pipeline.Similarity.kmeansStepExact(vecs, "vec_id", "embedding", 3))
+    val index = graft.pipeline.Similarity.ivfIndexTable(
+      vecs, "vec_id", "embedding", codebook, 3)
+    val kp = planOf(graft.pipeline.Similarity.knnGraphIvf(index, 2))
+    assert(!kp.contains("CartesianProduct") && !kp.contains("BroadcastNestedLoop"),
+      kp.take(1500))
+    assert(!kp.contains("SinglePartition"), kp.take(1500))
+    // edit verify: two keyed text joins at pair grain, no cartesian
+    val docs = (0L until 20L).map(i => (i, s"alpha beta gamma d$i"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("ia", "ib")
+    val ep = planOf(graft.pipeline.Dedup.editVerifiedPairs(
+      pairs, docs, "doc_id", "text", 10))
+    assert(!ep.contains("CartesianProduct") && !ep.contains("BroadcastNestedLoop"),
+      ep.take(1500))
+  }
+
   test("phrase probe pushes term equality into the postings scan") {
     import spark.implicits._
     val docs = (0L until 20L).map(i => (i, s"alpha beta gamma d$i"))
