@@ -642,7 +642,73 @@ object ScaleProbe {
     }
     containmentIngestProbe(spark, dir)
     phrasePruneProbe(spark, dir)
+    knnGraphProbe(spark, dir)
+    noveltyProbe(spark, dir)
     spark.stop()
+  }
+
+  /** kNN-graph probe (round 16): the in-cell self-join cost model and
+    * the single-vs-multi-probe recall trade, measured. The exact graph
+    * is nProbe=k (probing every cell covers every home cell — the
+    * spec-pinned law), so recall here is TRUE recall, not an estimate.
+    * Scale story: single-probe cost is Σ|cell|² ≈ n²/k (balanced),
+    * multi-probe ×nProbe on the probe side only — the knob trades
+    * wall-clock for near-boundary recall without touching the index.
+    */
+  def knnGraphProbe(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import graft.pipeline.Similarity
+    val emb = CellEncodings.table(spark, dir, "embeddings")
+      .localCheckpoint(eager = false)
+    val n = emb.count()
+    val codebook = Similarity.refinedCentroids(
+      Similarity.kmeansStepExact(emb, "vec_id", "embedding", k = 16))
+      .localCheckpoint()
+    val index = Similarity.ivfIndexTable(emb, "vec_id", "embedding", codebook, 16)
+      .localCheckpoint()
+    def timed(f: => org.apache.spark.sql.DataFrame): (Double, org.apache.spark.sql.DataFrame) = {
+      val t0 = System.nanoTime()
+      val d = f.localCheckpoint() // materialize
+      ((System.nanoTime() - t0) / 1e9, d)
+    }
+    val (dt1, g1) = timed(Similarity.knnGraphIvf(index, 10))
+    val (dt2, g2) = timed(Similarity.knnGraphMultiProbe(index, codebook, 16, 2, 10))
+    val (dtX, gx) = timed(Similarity.knnGraphMultiProbe(index, codebook, 16, 16, 10))
+    def recall(g: org.apache.spark.sql.DataFrame): Double = {
+      val hits = g.select(col("id"), col("nbr"))
+        .join(gx.select(col("id"), col("nbr")), Seq("id", "nbr"), "left_semi")
+        .count()
+      hits.toDouble / gx.count()
+    }
+    println(f"[scale] knn-graph n=$n%,d k=16 top-10: single=$dt1%5.2f s " +
+      f"recall=${recall(g1)}%5.3f; nprobe=2 $dt2%5.2f s recall=${recall(g2)}%5.3f; " +
+      f"exact(nprobe=16)=$dtX%5.2f s")
+  }
+
+  /** Novelty-probe cost (round 16): scoring a 10%% shard against the
+    * STANDING n-gram census vs rebuilding the census over the grown
+    * corpus — the decontamination maintenance story (probe pays
+    * shard-grams × one hash join; the rebuild re-scans everything).
+    */
+  def noveltyProbe(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import graft.pipeline.TextAnalysis
+    val docs = CellEncodings.table(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val shard = docs.filter(col("doc_id") % 10 === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_novelty_probe").toString
+    val tSave = System.nanoTime()
+    TextAnalysis.ngramStatsTable(corpus, "doc_id", "text", 3)
+      .write.parquet(s"$tmp/census")
+    val dtSave = (System.nanoTime() - tSave) / 1e9
+    val census = spark.read.parquet(s"$tmp/census")
+    val tProbe = System.nanoTime()
+    val scored = TextAnalysis.ngramNovelty(shard, "doc_id", "text", census, 3).count()
+    val dtProbe = (System.nanoTime() - tProbe) / 1e9
+    val tFull = System.nanoTime()
+    val rebuilt = TextAnalysis.ngramStatsTable(docs, "doc_id", "text", 3).count()
+    val dtFull = (System.nanoTime() - tFull) / 1e9
+    println(f"[scale] novelty ingest (10%% shard): census-build=$dtSave%5.2f s " +
+      f"shard-score=$dtProbe%5.2f s ($scored docs) " +
+      f"census-rebuild=$dtFull%5.2f s ($rebuilt grams)")
   }
 
   /** Phrase-probe IO pruning measured: a k-term phrase over the
@@ -997,6 +1063,16 @@ object PrefilterProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create(taskSideCommit = true)
     ScaleProbe.semdedupPrefilterProbe(spark)
+    spark.stop()
+  }
+}
+
+/** Focused runner for the kNN-graph and novelty-ingest probes. */
+object KnnNoveltyProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.create(taskSideCommit = true)
+    ScaleProbe.knnGraphProbe(spark, "/root/testdata/sf0.1")
+    ScaleProbe.noveltyProbe(spark, "/root/testdata/sf0.1")
     spark.stop()
   }
 }
