@@ -475,14 +475,22 @@ object Bench {
       // row groups — phrasePruneProbe measured 10.6% of unpushed scan
       // volume); the store build is untimed like bm25's index (the
       // once-per-corpus artifact, maintained by appends thereafter)
-      val phrase = bmQ.split(" ").slice(3, 6).mkString(" ")
-      graft.pipeline.TextAnalysis.positionalPostings(docs, "doc_id", "text")
-        .repartitionByRange(col("term")).sortWithinPartitions("term")
-        .write.mode("overwrite").parquet(s"$tmp/postings")
-      legDf("phrase_indexed") {
-        graft.pipeline.TextAnalysis.phraseMatchesIndexed(
-          spark.read.parquet(s"$tmp/postings"), phrase)
-      }
+      // doc 0 guards the probe: <6 tokens falls back to its first 3 so
+      // the phrase is never empty (an empty phrase would abort the run);
+      // a truly token-free doc 0 skips the leg LOUDLY instead
+      val bmToks = bmQ.split(" ").filter(_.nonEmpty)
+      val phrase = (if (bmToks.length >= 6) bmToks.slice(3, 6)
+        else bmToks.take(3)).mkString(" ")
+      if (phrase.nonEmpty) {
+        graft.pipeline.TextAnalysis.positionalPostings(docs, "doc_id", "text")
+          .repartitionByRange(col("term")).sortWithinPartitions("term")
+          .write.mode("overwrite").parquet(s"$tmp/postings")
+        legDf("phrase_indexed") {
+          graft.pipeline.TextAnalysis.phraseMatchesIndexed(
+            spark.read.parquet(s"$tmp/postings"), phrase)
+        }
+      } else System.err.println(
+        "[bench] phrase_indexed skipped: doc 0 has no tokens")
     }
 
     val emb = CellEncodings.table(spark, sfDir, "embeddings")

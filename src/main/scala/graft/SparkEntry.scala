@@ -6996,7 +6996,8 @@ object SparkEntry {
           |             (e.embedding)::DOUBLE[] AS vv
           |      FROM e JOIN aall USING (vec_id)),
           |pr AS (SELECT x.vec_id AS id, y.vec_id AS nbr,
-          |         list_cosine_similarity(x.vv, y.vv) AS sim
+          |         CASE WHEN isnan(list_cosine_similarity(x.vv, y.vv)) THEN -2.0
+          |              ELSE list_cosine_similarity(x.vv, y.vv) END AS sim
           |       FROM v x JOIN v y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
           |rk AS (SELECT id, nbr,
           |         row_number() OVER (PARTITION BY id ORDER BY sim DESC, nbr) AS rank
@@ -7023,7 +7024,8 @@ object SparkEntry {
           |pv AS (SELECT e.vec_id, probe.cell, (e.embedding)::DOUBLE[] AS vv
           |       FROM e JOIN probe ON probe.vec_id = e.vec_id),
           |pr AS (SELECT x.vec_id AS id, y.vec_id AS nbr,
-          |         list_cosine_similarity(x.vv, y.vv) AS sim
+          |         CASE WHEN isnan(list_cosine_similarity(x.vv, y.vv)) THEN -2.0
+          |              ELSE list_cosine_similarity(x.vv, y.vv) END AS sim
           |       FROM pv x JOIN v y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
           |rk AS (SELECT id, nbr,
           |         row_number() OVER (PARTITION BY id ORDER BY sim DESC, nbr) AS rank

@@ -1005,8 +1005,9 @@ object Dedup {
     * crawled first. One max-struct aggregate at cluster grain (the
     * derandomized-race idiom: no per-cluster sort, map-side combined),
     * then a keeper semi-join. Same scale shape as [[deduplicated]].
-    * (The tie-break negates ids inside the struct ordering — any id
-    * above Long.MinValue is fine.)
+    * (The min-struct negates the QUALITY — already contract-cast to
+    * long, so any orderable id type works, unlike an id negation;
+    * quality must exceed Long.MinValue, trivially true for scores.)
     */
   def deduplicatedKeepBest(df: DataFrame, idCol: String, textCol: String,
       qualityCol: String, n: Int, num: Int, den: Int,
@@ -1016,9 +1017,8 @@ object Dedup {
       .join(df.select(col(idCol), col(qualityCol).cast("long").as("__q")),
         Seq(idCol))
       .groupBy(col("cluster"))
-      .agg(max(struct(col("__q").as("q"),
-        (-col(idCol)).cast("long").as("nid"))).as("__w"))
-      .select((-col("__w.nid")).cast("long").as(idCol))
+      .agg(min(struct((-col("__q")).as("nq"), col(idCol).as("kid"))).as("__w"))
+      .select(col("__w.kid").as(idCol))
     df.join(keepers, Seq(idCol), "left_semi")
   }
 

@@ -538,7 +538,10 @@ object Similarity {
     v.join(v.select(col("cell"), col("id").as("nbr"),
         col("embedding").as("q")), Seq("cell"))
       .filter(col("id") =!= col("nbr"))
-      .withColumn("sim", cosine("embedding", "q"))
+      // nanvl: a zero-norm vector's cosine is NaN, which Spark orders
+      // ABOVE every real sim — unguarded it becomes everyone's rank-1
+      // neighbor (the allPairsCos guard, review-caught here)
+      .withColumn("sim", nanvl(cosine("embedding", "q"), lit(-2.0)))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("sim").desc, col("nbr"))))
       .filter(col("rank") <= kNbrs)
@@ -566,7 +569,8 @@ object Similarity {
       .join(index.select(col("cell"), col("id").as("nbr"),
         col("embedding").as("q")), Seq("cell"))
       .filter(col("id") =!= col("nbr"))
-      .withColumn("sim", cosine("embedding", "q"))
+      // same zero-norm NaN guard as knnGraphIvf
+      .withColumn("sim", nanvl(cosine("embedding", "q"), lit(-2.0)))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("sim").desc, col("nbr"))))
       .filter(col("rank") <= kNbrs)

@@ -1397,14 +1397,19 @@ object TextAnalysis {
     * reports come off the fold without re-scanning the reference).
     * Returns (id, n_grams, n_seen, novelty_permille); 1000 = fully
     * novel, 0 = fully seen. Docs with < n tokens have no grams and
-    * report no row. One gram-keyed hash join at batch-gram grain —
-    * the reference side never re-aggregates.
+    * report no row. One gram-keyed hash join at batch-gram grain; the
+    * census side reduces to DISTINCT gram keys first — a census whose
+    * gram appears on multiple rows (e.g. an ngramCensusIngest run
+    * store read raw, one row per run) would otherwise multiply each
+    * matching doc-gram row once per duplicate and silently inflate
+    * both counters (review-caught).
     */
   def ngramNovelty(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, census: org.apache.spark.sql.DataFrame,
       n: Int): org.apache.spark.sql.DataFrame =
     docGramCounts(docs, idCol, textCol, n)
-      .join(census.select(col("gram"), lit(1L).as("__seen")), Seq("gram"), "left")
+      .join(census.select(col("gram")).distinct()
+        .withColumn("__seen", lit(1L)), Seq("gram"), "left")
       .groupBy(col("id"))
       .agg(sum(col("c")).cast("long").as("n_grams"),
         sum(col("c") * coalesce(col("__seen"), lit(0L))).cast("long").as("n_seen"))
@@ -1797,19 +1802,25 @@ object TextAnalysis {
         i => element_at(byteSymMap, hx.substr(i * 2 - 1, lit(2)))))
   }
 
-  /** Byte-level BPE start state: one row per TOKEN OCCURRENCE with a
-    * LEADING SPACE (add_prefix_space — the Ġ-marking convention: word
+  /** The byte symbolization of one token column `tok` with a LEADING
+    * SPACE (add_prefix_space — the Ġ-marking convention: word
     * boundaries become part of the learned vocabulary, so "Ġthe" and
-    * mid-word "the" are distinct merge targets exactly as in GPT-2),
-    * the prefixed token's UTF-8 bytes space-joined as symbols. Reuses
-    * [[bpePairStats]] / [[fuseMerge]] unchanged — byte-level differs
-    * from char-level ONLY in the start symbolization.
+    * mid-word "the" are distinct merge targets exactly as in GPT-2).
+    * ONE definition of the convention — init/apply/encode all read it.
+    */
+  private def byteTokRepr: Column =
+    concat_ws(" ", byteSymbols(concat(lit(" "), col("tok"))))
+
+  /** Byte-level BPE start state: one row per TOKEN OCCURRENCE, the
+    * space-prefixed token's UTF-8 bytes space-joined as symbols
+    * ([[byteTokRepr]]). Reuses [[bpePairStats]] / [[fuseMerge]]
+    * unchanged — byte-level differs from char-level ONLY in the start
+    * symbolization.
     */
   def byteBpeInitRepr(df: org.apache.spark.sql.DataFrame,
       textCol: String): org.apache.spark.sql.DataFrame =
     df.select(explode(tokens(col(textCol))).as("tok"))
-      .select(concat_ws(" ",
-        byteSymbols(concat(lit(" "), col("tok")))).as("repr"))
+      .select(byteTokRepr.as("repr"))
 
   /** Learn up to `merges` byte-level BPE merges — [[trainBpeMerges]]
     * over the byte symbolization (same loop, same early stop, same
@@ -1832,8 +1843,7 @@ object TextAnalysis {
       checkpointEvery: Int = 64): org.apache.spark.sql.DataFrame = {
     val repr = df
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
-      .select(col("id"), concat_ws(" ",
-        byteSymbols(concat(lit(" "), col("tok")))).as("repr"))
+      .select(col("id"), byteTokRepr.as("repr"))
     foldMergeChunks(repr, Seq("id"), merges, checkpointEvery)
       .select(col("id"), split(col("repr"), " ").as("subwords"))
   }
@@ -1875,7 +1885,7 @@ object TextAnalysis {
       .select(col(idCol).as("id"),
         posexplode(tokens(col(textCol))).as(Seq("tok_pos", "tok")))
       .select(col("id"), col("tok_pos").cast("long").as("tok_pos"),
-        concat_ws(" ", byteSymbols(concat(lit(" "), col("tok")))).as("repr"))
+        byteTokRepr.as("repr"))
     foldMergeChunks(repr, Seq("id", "tok_pos"), merges, checkpointEvery)
       .select(col("id"), col("tok_pos"),
         posexplode(split(col("repr"), " ")).as(Seq("ord", "piece")))
