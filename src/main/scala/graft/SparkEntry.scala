@@ -3538,6 +3538,50 @@ object SparkEntry {
         .select(col("ia"), col("ib"), col("edit_dist"))
     }),
 
+    // Incremental nominate+confirm ingest: odd docs probe the
+    // persisted even-doc simhash band store (corpus never re-sketched)
+    // then confirm against the corpus text store — ≡ the full
+    // nominate+confirm restricted to cross-split pairs.
+    "p279_edit_verify_snapshot" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val base = freshTmpStore(s, "p279", dir)
+      graft.pipeline.Dedup.saveSimhashCorpus(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        s"$base/snap", tokenHash = graft.pipeline.Dedup.md5Hash64)
+      graft.pipeline.Dedup.editVerifyAgainstSnapshot(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        s"$base/snap", maxHamming = 6, maxDist = 40,
+        tokenHash = graft.pipeline.Dedup.md5Hash64)
+        .select(col("ia"), col("ib"), col("edit_dist"))
+    }),
+
+    // Streaming twin: the odd docs arrive in micro-batches, each
+    // probing the same standing artifact statelessly; union over runs
+    // ≡ the one-shot p279 (shared oracle).
+    "p280_stream_edit_verify" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val base = freshTmpStore(s, "p280", dir)
+      graft.pipeline.Dedup.saveSimhashCorpus(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        s"$base/snap", tokenHash = graft.pipeline.Dedup.md5Hash64)
+      val feed = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+      feed.repartition(3).write.parquet(s"$base/in")
+      val st = s.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = graft.streaming.PipelineStream.editVerifyIngest(st,
+        "doc_id", "text", s"$base/snap", 6, 40, s"$base/store",
+        tokenHash = graft.pipeline.Dedup.md5Hash64)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/store/pairs")
+        .select(col("ia"), col("ib"), col("edit_dist"))
+    }),
+
     // Bucketed catalog-table layout (the ring analog / 100 TB default):
     // write bucketBy(key), slice through the shuffle-free reconcile —
     // results must be identical to the sorted-runs path (q03 oracle).
@@ -5136,6 +5180,26 @@ object SparkEntry {
        |  SELECT doc_id, simhash, b.band, simhash & b.mask AS bh
        |  FROM sim, (SELECT unnest([${(0 until 4).map(b => s"{'band': $b, 'mask': ${0xFFFFL << (16 * b)}::BIGINT}").mkString(", ")}],
        |                           recursive := true)) b)""".stripMargin
+
+  /** Cross-split nominate+confirm over [[simhashBandedCtes]] — ONE
+    * oracle for the one-shot snapshot probe (p279) and its streaming
+    * twin (p280): candidates pair even-doc (corpus) bands with odd-doc
+    * (batch) bands, then the banded-Levenshtein report at maxDist 40.
+    */
+  private lazy val editVerifySnapshotOracleSql: String =
+    s"""$simhashBandedCtes,
+      |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+      |         FROM banded a JOIN banded b
+      |           ON a.band = b.band AND a.bh = b.bh
+      |          AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+      |         WHERE bit_count(xor(a.simhash, b.simhash)) <= 6)
+      |SELECT c.ia, c.ib,
+      |       CAST(CASE WHEN abs(length(ta.text) - length(tb.text)) > 40 THEN -1
+      |                 WHEN levenshtein(ta.text, tb.text) <= 40
+      |                   THEN levenshtein(ta.text, tb.text)
+      |                 ELSE -1 END AS BIGINT) AS edit_dist
+      |FROM cand c JOIN documents ta ON ta.doc_id = c.ia
+      |            JOIN documents tb ON tb.doc_id = c.ib""".stripMargin
 
   /** DuckDB twin of Dedup.simhash with Dedup.md5Hash64 token hashes: the
     * engine's 64-bit hash is the big-endian read of md5's first 16 hex
@@ -9481,6 +9545,12 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(t2, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
         |  regexp_replace(t2, '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS text_clean
         |FROM p""".stripMargin,
+
+    // ONE oracle for the one-shot snapshot probe (p279) and its
+    // stateless streaming twin (p280): cross-split nominate+confirm,
+    // ia = corpus (even), ib = batch (odd).
+    "p279_edit_verify_snapshot" -> editVerifySnapshotOracleSql,
+    "p280_stream_edit_verify" -> editVerifySnapshotOracleSql,
 
     "p52_bigram_lm" -> bigramLmOracleSql,
 

@@ -1687,14 +1687,22 @@ object Dedup {
     * intact; beyond 3 recall is the banding heuristic), exact bit_count
     * verification of candidates only. Never all-pairs.
     */
+  /** The 4×16-bit band expansion of a 64-bit sketch table — (id, h,
+    * band, bh), 4 rows per id. ONE definition for the batch pair join
+    * and the persisted band store.
+    */
+  private def bandExpand(hashes: DataFrame, idCol: String,
+      hashCol: String): DataFrame =
+    hashes.select(col(idCol).as("id"), col(hashCol).cast("long").as("h"))
+      .select(col("id"), col("h"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            col("h").bitwiseAND(lit(0xFFFFL << (16 * b))).as("bh"))): _*)).as("bd"))
+      .select(col("id"), col("h"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+
   def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int): DataFrame = {
-    val sh = hashes.select(col(idCol).as("id"), col(hashCol).cast("long").as("h"))
-    val banded = sh.select(col("id"), col("h"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          col("h").bitwiseAND(lit(0xFFFFL << (16 * b))).as("bh"))): _*)).as("bd"))
-      .select(col("id"), col("h"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+    val banded = bandExpand(hashes, idCol, hashCol)
     banded.select(col("id").as("ia"), col("h").as("sa"), col("band"), col("bh"))
       .join(banded.select(col("id").as("ib"), col("h").as("sb"), col("band"), col("bh")),
         Seq("band", "bh"))
@@ -1703,6 +1711,61 @@ object Dedup {
         bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Persist the simhash CORPUS artifact for incremental near-dup
+    * ingest — the dedup-maintenance trio's third member (next to
+    * [[saveMinhashSnapshot]] and [[saveShinglePostings]]): the 4-band
+    * sketch expansion (band, bh, id, simhash) range-laid by (band, bh)
+    * so a probe batch's bucket join prunes to its own buckets' row
+    * groups, plus the raw (id, text) store the exact confirm re-reads
+    * at PAIR grain only. Corpus text is never re-sketched at probe
+    * time.
+    */
+  def saveSimhashCorpus(df: DataFrame, idCol: String, textCol: String,
+      path: String, tokenHash: Column => Column = xxhash64(_)): Unit = {
+    bandExpand(simhash(df, idCol, textCol, tokenHash), "id", "simhash")
+      .select(col("band"), col("bh"), col("id"), col("h").as("simhash"))
+      .repartitionByRange(col("band"), col("bh"))
+      .sortWithinPartitions("band", "bh")
+      .write.mode("overwrite").parquet(s"$path/bands")
+    df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .write.mode("overwrite").parquet(s"$path/texts")
+  }
+
+  /** Incremental near-dup ingest with EXACT confirm — nominate by
+    * sketch, confirm by edit distance, against a persisted
+    * [[saveSimhashCorpus]] artifact: the batch sketches itself
+    * (batch-sized work), bucket-joins the band store (matching buckets
+    * only), hamming-filters candidates, then runs the banded
+    * Levenshtein against the corpus TEXT store at pair grain — the
+    * [[editVerifiedPairs]] report shape with ia = corpus id, ib =
+    * batch id, edit_dist −1 = refuted. With disjoint batch/corpus ids
+    * the probe's pairs ≡ the full-corpus nominate+confirm restricted
+    * to pairs crossing the split (spec + oracle-gated, p279).
+    */
+  def editVerifyAgainstSnapshot(batch: DataFrame, idCol: String,
+      textCol: String, path: String, maxHamming: Int, maxDist: Int,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    val spark = batch.sparkSession
+    val bsk = bandExpand(simhash(batch, idCol, textCol, tokenHash),
+      "id", "simhash")
+    val cand = spark.read.parquet(s"$path/bands")
+      .join(bsk.select(col("band"), col("bh"), col("id").as("ib"),
+        col("h").as("sb")), Seq("band", "bh"))
+      .filter(col("id") =!= col("ib")) // identity guard if ids overlap
+      .select(col("id").as("ia"), col("ib"),
+        bit_count(col("simhash").bitwiseXOR(col("sb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+    cand
+      .join(spark.read.parquet(s"$path/texts")
+        .select(col("id").as("ia"), col("text").as("__ta")), Seq("ia"))
+      .join(batch.select(col(idCol).as("ib"), col(textCol).as("__tb")),
+        Seq("ib"))
+      .select(col("ia"), col("ib"),
+        levenshtein(col("__ta"), col("__tb"), maxDist).cast("long").as("edit_dist"))
   }
 
   /** Exact edit-distance VERIFICATION of candidate near-dup pairs — the

@@ -165,6 +165,27 @@ object PipelineStream {
           .write.mode("overwrite").parquet(s"$basePath/novelty/run=$id")
     }
 
+  /** Streaming nominate+confirm dedup ingest — each arriving
+    * micro-batch probes the standing
+    * [[graft.pipeline.Dedup.saveSimhashCorpus]] artifact independently
+    * (sketch-bucket nomination + banded-Levenshtein confirm, the
+    * [[containmentIngest]] shape at sketch grain): per-doc pairs
+    * depend only on the doc and the artifact, so the op is STATELESS
+    * and the union over runs ≡ one batch probe over everything
+    * ingested (p280 gates under p279's oracle). Overwrite-by-batch-id
+    * runs keep redelivery idempotent.
+    */
+  def editVerifyIngest(docs: DataFrame, idCol: String, textCol: String,
+      snapshotPath: String, maxHamming: Int, maxDist: Int, basePath: String,
+      tokenHash: Column => Column = xxhash64(_)):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty)
+        graft.pipeline.Dedup.editVerifyAgainstSnapshot(batch, idCol,
+          textCol, snapshotPath, maxHamming, maxDist, tokenHash)
+          .write.mode("overwrite").parquet(s"$basePath/pairs/run=$id")
+    }
+
   /** The standing census of a [[categoryCensusIngest]] store: per-(g,
     * cat) sum over the runs (the additive fold, evaluated at read).
     */

@@ -1850,6 +1850,37 @@ class PipelineSpec extends SparkSpec {
       "digits in email <EMAIL> must not count as phone/ip")), s"got ${out(3L)}")
   }
 
+  test("edit-verify snapshot probe ≡ cross-split one-shot nominate+confirm") {
+    import spark.implicits._
+    // near-dup pairs must clear a 16-bit band: identical docs guarantee
+    // it; the cross pair (2, 3) differs by one token
+    val docs = Seq(
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (4L, "one two three four five six seven eight"),
+      (5L, "one two three four five six seven eight"),
+      (6L, "totally unrelated content nothing shared here at all"),
+      (7L, "other text entirely different again nothing common")
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ev_snap").toString
+    Dedup.saveSimhashCorpus(docs.filter($"doc_id" % 2 === 0), "doc_id", "text",
+      s"$tmp/snap")
+    val probe = Dedup.editVerifyAgainstSnapshot(
+      docs.filter($"doc_id" % 2 === 1), "doc_id", "text", s"$tmp/snap",
+      maxHamming = 10, maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // one-shot: nominate over ALL docs, confirm, keep cross-split pairs
+    // reoriented (corpus=even first)
+    val oneShot = Dedup.editVerifiedPairs(
+      Dedup.simhashNearDuplicates(docs, "doc_id", "text", maxHamming = 10),
+      docs, "doc_id", "text", maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter { case (a, b, _) => (a % 2 == 0) != (b % 2 == 0) }
+      .map { case (a, b, d) => if (a % 2 == 0) (a, b, d) else (b, a, d) }
+      .toSet
+    assert(probe == oneShot && probe.contains((4L, 5L, 0L)), s"got $probe vs $oneShot")
+  }
+
   test("edit-distance verification: banded confirm/refute report over candidate pairs") {
     import spark.implicits._
     val docs = Seq(
