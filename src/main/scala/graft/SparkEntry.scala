@@ -1142,6 +1142,60 @@ object SparkEntry {
         codebook, k = 8, nProbe = 2, kNbrs = 5)
     }),
 
+    // k-NN graph DELTA fold: the standing graph + index are built from
+    // the base split (90%), the 10% delta folds in by re-deriving ONLY
+    // its touched cells (carried rows untouched, loud disjointness +
+    // touched-rows bounds) — the result must equal a full rebuild over
+    // the folded index under the same frozen codebook (the oracle
+    // recomputes exactly that in SQL).
+    "p281_knn_graph_delta" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = table(s, dir, "embeddings")
+        .localCheckpoint(eager = false) // base/delta splits + codebook
+      val base = e.filter(col("vec_id") % 10 =!= 0)
+      val delta = e.filter(col("vec_id") % 10 === 0)
+      val codebook = graft.pipeline.Similarity.refinedCentroids(
+        graft.pipeline.Similarity.kmeansStepExact(base, "vec_id", "embedding", k = 8))
+        .localCheckpoint() // FROZEN: indexes base AND assigns the delta
+      val idx = graft.pipeline.Similarity
+        .ivfIndexTable(base, "vec_id", "embedding", codebook, 8)
+        .localCheckpoint(eager = false) // standing graph + delta fold both read it
+      graft.pipeline.Similarity.knnGraphDelta(
+        graft.pipeline.Similarity.knnGraphTable(idx, 5), idx,
+        graft.pipeline.Similarity
+          .ivfIndexTable(delta, "vec_id", "embedding", codebook, 8),
+        kNbrs = 5)
+    }),
+
+    // Streaming k-NN graph maintenance: the embeddings feed arrives in
+    // micro-batches under the SAME frozen base-split codebook; each
+    // batch appends an index run and re-derives only its touched
+    // cells' graph rows against the standing run prefix (no carried
+    // copy ever rewrites); the latest-run-per-cell readout ≡ p281's
+    // one-shot fold (its oracle gates it).
+    "p282_stream_knn_graph" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = table(s, dir, "embeddings")
+        .localCheckpoint(eager = false) // codebook + feed
+      val codebook = graft.pipeline.Similarity.refinedCentroids(
+        graft.pipeline.Similarity.kmeansStepExact(
+          e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding", k = 8))
+        .localCheckpoint() // FROZEN codebook, trained in batch (p106 pattern)
+      val basePath = freshTmpStore(s, "p282", dir)
+      val feed = e.select(col("vec_id"), col("embedding"))
+      feed.repartition(3).write.parquet(s"$basePath/in")
+      val st = s.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$basePath/in")
+      val q = graft.streaming.PipelineStream
+        .knnGraphIngest(st, "vec_id", "embedding", codebook, k = 8,
+          kNbrs = 5, basePath = s"$basePath/store")
+        .option("checkpointLocation", s"$basePath/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.PipelineStream.readKnnGraph(s, s"$basePath/store")
+    }),
+
     // Token-length histogram in the EstimatedHistogram bucket space:
     // the reference's ~20% geometric buckets over a corpus statistic —
     // ~90 rows at any corpus size, shard-summable. Oracle shares the
@@ -6332,6 +6386,43 @@ object SparkEntry {
       |       FROM d),
       |a AS (SELECT vec_id, cluster FROM ar WHERE rn = 1)""".stripMargin
 
+  /** The ONE in-cell k-NN-graph replay shared by p274 (full-corpus
+    * codebook, rows without the artifact cell) and p281/p282
+    * (base-split codebook — the delta-fold / streaming-ingest gates,
+    * rows WITH the cell): refined codebook from `baseWhere`'s split,
+    * EVERY vector assigned against it, per-cell pairwise cosine with
+    * the zero-norm −2.0 guard, per-id (sim DESC, nbr) rank ≤ 5.
+    */
+  private def knnGraphOracleSql(baseWhere: String, withCell: Boolean): String =
+    kmeansOracleCtes(baseWhere) +
+      s""",
+        |st AS (SELECT cluster, pos, CAST(sum(m) AS BIGINT) AS s, count(*) AS n
+        |       FROM comp JOIN a USING (vec_id) GROUP BY 1, 2),
+        |rc AS (SELECT cluster, pos, (s - ((s % n + n) % n)) // n AS cm FROM st),
+        |ca AS (SELECT vec_id,
+        |         unnest(generate_series(0, len(embedding) - 1)) AS pos,
+        |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS m
+        |       FROM e),
+        |dall AS (SELECT ca.vec_id, rc.cluster,
+        |           CAST(sum((m - cm) * (m - cm)) AS BIGINT) AS d2
+        |         FROM ca JOIN rc USING (pos) GROUP BY 1, 2),
+        |aall AS (SELECT vec_id, cluster FROM (
+        |           SELECT vec_id, cluster,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        |           FROM dall) WHERE rn = 1),
+        |v AS (SELECT e.vec_id, aall.cluster AS cell,
+        |             (e.embedding)::DOUBLE[] AS vv
+        |      FROM e JOIN aall USING (vec_id)),
+        |pr AS (SELECT x.vec_id AS id, x.cell, y.vec_id AS nbr,
+        |         CASE WHEN isnan(list_cosine_similarity(x.vv, y.vv)) THEN -2.0
+        |              ELSE list_cosine_similarity(x.vv, y.vv) END AS sim
+        |       FROM v x JOIN v y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+        |rk AS (SELECT id, cell, nbr,
+        |         row_number() OVER (PARTITION BY id ORDER BY sim DESC, nbr) AS rank
+        |       FROM pr)
+        |SELECT ${if (withCell) "CAST(cell AS BIGINT) AS cell, " else ""}id, CAST(rank AS BIGINT) AS rank, nbr
+        |FROM rk WHERE rank <= 5""".stripMargin
+
   /** Shared by p84 (batch) and p88 (streaming twin): one oracle
     * definition, no drift (the p52/p55 pattern).
     */
@@ -7043,31 +7134,17 @@ object SparkEntry {
     "p92_index_refresh" -> indexRefreshOracleSql,
     "p241_ivf_index_fold" -> ivfIndexFoldOracleSql,
 
-    "p274_knn_graph" ->
-      (kmeansOracleCtes("WHERE 1 = 1") +
-        """,
-          |st AS (SELECT cluster, pos, CAST(sum(m) AS BIGINT) AS s, count(*) AS n
-          |       FROM comp JOIN a USING (vec_id) GROUP BY 1, 2),
-          |rc AS (SELECT cluster, pos, (s - ((s % n + n) % n)) // n AS cm FROM st),
-          |dall AS (SELECT comp.vec_id, rc.cluster,
-          |           CAST(sum((m - cm) * (m - cm)) AS BIGINT) AS d2
-          |         FROM comp JOIN rc USING (pos) GROUP BY 1, 2),
-          |aall AS (SELECT vec_id, cluster FROM (
-          |           SELECT vec_id, cluster,
-          |             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
-          |           FROM dall) WHERE rn = 1),
-          |v AS (SELECT e.vec_id, aall.cluster AS cell,
-          |             (e.embedding)::DOUBLE[] AS vv
-          |      FROM e JOIN aall USING (vec_id)),
-          |pr AS (SELECT x.vec_id AS id, y.vec_id AS nbr,
-          |         CASE WHEN isnan(list_cosine_similarity(x.vv, y.vv)) THEN -2.0
-          |              ELSE list_cosine_similarity(x.vv, y.vv) END AS sim
-          |       FROM v x JOIN v y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
-          |rk AS (SELECT id, nbr,
-          |         row_number() OVER (PARTITION BY id ORDER BY sim DESC, nbr) AS rank
-          |       FROM pr)
-          |SELECT id, CAST(rank AS BIGINT) AS rank, nbr
-          |FROM rk WHERE rank <= 5""".stripMargin),
+    "p274_knn_graph" -> knnGraphOracleSql("WHERE 1 = 1", withCell = false),
+
+    // p281/p282: the SAME in-cell graph ranking with the codebook
+    // trained on the base split only — the delta fold's "≡ full
+    // rebuild over the folded index" law (batch carry + touched
+    // recompute, and the streaming run store's latest-run readout)
+    // both gate against this one definition.
+    "p281_knn_graph_delta" ->
+      knnGraphOracleSql("WHERE vec_id % 10 <> 0", withCell = true),
+    "p282_stream_knn_graph" ->
+      knnGraphOracleSql("WHERE vec_id % 10 <> 0", withCell = true),
 
     "p275_knn_multiprobe" ->
       (kmeansOracleCtes("WHERE 1 = 1") +

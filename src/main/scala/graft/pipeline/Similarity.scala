@@ -528,9 +528,22 @@ object Similarity {
     * neighbors in OTHER cells are unseen — [[recallAtK]] measures
     * exactly that trade; raise k (smaller cells ⇒ cheaper join, lower
     * recall) or probe neighboring cells downstream when it matters.
-    * Returns (id, rank, nbr).
+    * Returns (id, rank, nbr) — the readout of [[knnGraphTable]] (the
+    * ONE graph definition) with the artifact's cell column dropped.
     */
-  def knnGraphIvf(index: DataFrame, kNbrs: Int): DataFrame = {
+  def knnGraphIvf(index: DataFrame, kNbrs: Int): DataFrame =
+    knnGraphTable(index, kNbrs).select(col("id"), col("rank"), col("nbr"))
+
+  /** The k-NN graph as a STANDING ARTIFACT: [[knnGraphIvf]]'s rows
+    * keyed by the cell they were derived in — (cell, id, rank, nbr).
+    * The cell column is what makes the graph MAINTAINABLE: edges only
+    * ever connect ids in the same cell, so appending new vectors
+    * invalidates exactly the touched cells' rows and nothing else
+    * ([[knnGraphDelta]]); persist range-laid by cell and a delta fold
+    * reads only touched row groups (the positionalPostings layout
+    * argument at graph grain).
+    */
+  def knnGraphTable(index: DataFrame, kNbrs: Int): DataFrame = {
     require(kNbrs >= 1, "kNbrs >= 1")
     graft.functions.GraftFunctions.register(index.sparkSession)
     val v = index.select(col("cell"), col("id"), col("embedding"))
@@ -545,7 +558,78 @@ object Similarity {
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("sim").desc, col("nbr"))))
       .filter(col("rank") <= kNbrs)
-      .select(col("id"), col("rank").cast("long").as("rank"), col("nbr"))
+      .select(col("cell").cast("long").as("cell"), col("id"),
+        col("rank").cast("long").as("rank"), col("nbr"))
+  }
+
+  /** Recomputed [[knnGraphTable]] rows for exactly the cells a delta
+    * batch touches: the graph-maintenance WORK UNIT shared by the
+    * batch fold ([[knnGraphDelta]]) and the streaming ingest
+    * ([[graft.streaming.PipelineStream.knnGraphIngest]]) — one
+    * definition of "what a touched cell's rows become". The touched
+    * cell list collects (≤ codebook size — the bounded-literal rule),
+    * so the standing-index read is a STATIC `cell IN (…)` filter that
+    * prunes a cell-laid parquet artifact to touched row groups; the
+    * recompute joins only Σ|touched cell|² pairs. `maxTouchedRows`
+    * bounds that quadratic loudly — a delta that lands in a
+    * pathologically hot cell fails with the bound, never a silent
+    * multi-hour join (the maxBallNodes pattern at ANN grain).
+    */
+  def knnGraphTouched(index: DataFrame, delta: DataFrame, kNbrs: Int,
+      maxTouchedRows: Long = 5000000L): DataFrame = {
+    val d = delta.select(col("id"), col("cell"), col("embedding"))
+      .localCheckpoint() // cells collect + union below
+    val cells = d.select(col("cell")).distinct().collect().map(_.get(0)).toSeq
+    if (cells.isEmpty) return knnGraphTable(index.limit(0), kNbrs)
+    val touched = index.select(col("id"), col("cell"), col("embedding"))
+      .unionByName(d)
+      .filter(col("cell").isin(cells: _*))
+      .localCheckpoint(eager = false) // counted + both join sides
+    val n = touched.count()
+    require(n <= maxTouchedRows,
+      s"knnGraphTouched: $n rows in the ${cells.size} touched cells exceed " +
+        s"maxTouchedRows = $maxTouchedRows — the in-cell recompute is " +
+        "quadratic per cell; fold smaller deltas, raise the bound " +
+        "deliberately, or reindex with a finer codebook")
+    knnGraphTable(touched, kNbrs)
+  }
+
+  /** Fold a delta batch into a standing k-NN graph — the
+    * [[foldIvfIndex]] law lifted to graph grain: under the frozen
+    * codebook, edges live strictly inside cells, so
+    * `knnGraphDelta(knnGraphTable(index), index, delta)` ≡
+    * `knnGraphTable(foldIvfIndex(index, delta))` with only the touched
+    * cells re-derived ([[knnGraphTouched]]) and every untouched cell's
+    * rows CARRIED unchanged. Delta ids must be disjoint from the
+    * standing index (loud broadcast probe, [[foldIvfIndex]]'s wording —
+    * a collision means an upstream dedupe or a reindex); `delta` rows
+    * are (id, cell, embedding) already assigned under the SAME codebook
+    * as the index (a re-trained codebook is a REINDEX: cells would no
+    * longer be comparable and the carry would be silently wrong).
+    * At scale, prefer the append-only run store
+    * ([[graft.streaming.PipelineStream.knnGraphIngest]]) over
+    * materializing the carried copy per fold — the carry here is a
+    * full-graph rewrite, which is the right shape for an in-memory
+    * fold but not for a 100 TB standing artifact.
+    */
+  def knnGraphDelta(graphTable: DataFrame, index: DataFrame,
+      delta: DataFrame, kNbrs: Int, maxTouchedRows: Long = 5000000L,
+      maxDeltaRows: Long = 5000000L): DataFrame = {
+    val d = delta.select(col("id"), col("cell"), col("embedding"))
+      .localCheckpoint() // counted + collision probe + touched recompute
+    val n = d.count()
+    require(n <= maxDeltaRows,
+      s"knnGraphDelta: |delta| = $n exceeds maxDeltaRows = $maxDeltaRows — " +
+        "the collision probe broadcasts the delta ids; fold in slices " +
+        "or reindex")
+    require(index.join(broadcast(d.select(col("id"))), Seq("id"), "left_semi")
+        .isEmpty,
+      "knnGraphDelta: delta ids collide with the standing index — dedupe " +
+        "the batch or reindex")
+    val cells = d.select(col("cell")).distinct().collect().map(_.get(0)).toSeq
+    if (cells.isEmpty) return graphTable
+    graphTable.filter(!col("cell").isin(cells: _*))
+      .unionByName(knnGraphTouched(index, d, kNbrs, maxTouchedRows))
   }
 
   /** Multi-probe [[knnGraphIvf]]: each vector PROBES its `nProbe`

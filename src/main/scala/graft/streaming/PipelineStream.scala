@@ -195,6 +195,72 @@ object PipelineStream {
       .groupBy(col("g"), col("cat"))
       .agg(sum(col("c")).cast("long").as("c"))
 
+  /** Streaming k-NN graph maintenance — an LSM-shaped twin of batch
+    * [[graft.pipeline.Similarity.knnGraphDelta]] that NEVER rewrites
+    * the carried graph: each micro-batch of vectors assigns under the
+    * frozen codebook ([[graft.pipeline.Similarity.ivfIndexTable]]
+    * lineage), appends its index rows as `index/run=<id>`, and writes
+    * ONE graph run `graph/run=<id>` holding the re-derived
+    * [[graft.pipeline.Similarity.knnGraphTouched]] rows for exactly
+    * the cells this batch touched, computed against the standing index
+    * (runs `< id` — a replayed batch sees the same prefix, so
+    * overwrite-by-batch-id keeps redelivery idempotent; the graph run
+    * is a pure function of the index prefix plus the batch, no
+    * predecessor-graph read, so no version chain to protect). Readout
+    * ([[readKnnGraph]]) takes each cell's LATEST run: a cell's
+    * resident set only grows, so its newest recompute supersedes all
+    * earlier ones — the append-only fold law at graph grain
+    * (p282 gates the readout under p281's one-shot oracle).
+    * Caller contract: ids disjoint across arrivals (the
+    * [[bm25IndexIngest]] wording — a redelivered id would double a
+    * vector in every touched cell) and ONE writer per store.
+    */
+  def knnGraphIngest(vecs: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, k: Int, kNbrs: Int, basePath: String,
+      maxTouchedRows: Long = 5000000L):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty) {
+        val s = batch.sparkSession
+        val d = graft.pipeline.Similarity
+          .ivfIndexTable(batch, idCol, vecCol, codebook, k)
+          .localCheckpoint() // standing union + its own run flush
+        val base = new org.apache.hadoop.fs.Path(basePath)
+        val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val priorRuns = graft.operators.EventOps
+          .listIdDirs(fs, base, "index", "run=").filter(_ < id)
+        val standing =
+          if (priorRuns.isEmpty) d.limit(0)
+          else s.read.parquet(
+            priorRuns.map(v => s"$basePath/index/run=$v"): _*)
+        graft.pipeline.Similarity
+          .knnGraphTouched(standing, d, kNbrs, maxTouchedRows)
+          .write.mode("overwrite").parquet(s"$basePath/graph/run=$id")
+        d.write.mode("overwrite").parquet(s"$basePath/index/run=$id")
+      }
+    }
+
+  /** The current graph of a [[knnGraphIngest]] store: per cell, the
+    * rows of the LATEST run that recomputed it (a cell's residents only
+    * grow, so a newer recompute always supersedes; a cell whose latest
+    * touch left it a singleton has no rows in that run AND had none in
+    * any earlier run — monotonicity closes the zero-row fallback
+    * hazard). The run-max table is ≤ #cells rows and broadcasts.
+    */
+  def readKnnGraph(spark: org.apache.spark.sql.SparkSession,
+      basePath: String): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(basePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (graft.operators.EventOps.listIdDirs(fs, base, "graph", "run=").isEmpty)
+      return spark.range(0).select(col("id").as("cell"), col("id"),
+        col("id").as("rank"), col("id").as("nbr"))
+    val g = spark.read.parquet(s"$basePath/graph")
+    g.join(broadcast(g.groupBy(col("cell"))
+        .agg(max(col("run")).as("run"))),
+        Seq("cell", "run"))
+      .select(col("cell"), col("id"), col("rank"), col("nbr"))
+  }
+
   /** Streaming passage-fingerprint registry — the ingestion-state twin
     * of batch [[graft.pipeline.Dedup.dedupChunks]]: chunk each arriving
     * document (the same chunkByTokens lineage), fingerprint each chunk,

@@ -1127,6 +1127,44 @@ class PipelineSpec extends SparkSpec {
     assert(rows(Similarity.knnGraphMultiProbe(index, codebook, 3, 3, 2)) == exact)
   }
 
+  test("knnGraphDelta: touched-cells fold ≡ full rebuild; loud collision and touched bounds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val all = (0 until 24).map { i =>
+      (i.toLong, Array.fill(4)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "embedding").localCheckpoint()
+    val base = all.filter($"vec_id" % 4 =!= 0)
+    val delta = all.filter($"vec_id" % 4 === 0)
+    val codebook = Similarity.refinedCentroids(
+      Similarity.kmeansStepExact(base, "vec_id", "embedding", k = 3))
+      .localCheckpoint()
+    val idx = Similarity.ivfIndexTable(base, "vec_id", "embedding", codebook, 3)
+      .localCheckpoint()
+    val dIdx = Similarity.ivfIndexTable(delta, "vec_id", "embedding", codebook, 3)
+      .localCheckpoint()
+    def rows(d: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+      d.select("cell", "id", "rank", "nbr").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val g0 = Similarity.knnGraphTable(idx, 2)
+    val folded = rows(Similarity.knnGraphTable(
+      Similarity.foldIvfIndex(idx, dIdx), 2))
+    assert(rows(Similarity.knnGraphDelta(g0, idx, dIdx, 2)) == folded)
+    // the readout drops the artifact cell and nothing else
+    assert(Similarity.knnGraphIvf(idx, 2).columns.toSeq == Seq("id", "rank", "nbr"))
+    // colliding delta ids fail loudly (the foldIvfIndex wording)
+    val boom = intercept[IllegalArgumentException] {
+      Similarity.knnGraphDelta(g0, idx, idx.limit(1), 2)
+    }
+    assert(boom.getMessage.contains("collide"))
+    // a hot touched cell trips the quadratic bound, never a silent join
+    val hot = intercept[IllegalArgumentException] {
+      Similarity.knnGraphDelta(g0, idx, dIdx, 2, maxTouchedRows = 1L)
+    }
+    assert(hot.getMessage.contains("maxTouchedRows"))
+    // empty delta is the identity fold
+    assert(rows(Similarity.knnGraphDelta(g0, idx, dIdx.limit(0), 2)) == rows(g0))
+  }
+
   test("recallAtK: cell restriction misses cross-cell neighbors honestly") {
     import spark.implicits._
     val corpus = Seq(

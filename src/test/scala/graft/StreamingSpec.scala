@@ -1160,6 +1160,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == adhoc, s"$streamed vs $adhoc")
   }
 
+  test("knnGraphIngest: append-only runs, latest-run-per-cell readout ≡ one-shot graph") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_knning").toString
+    val rnd = new scala.util.Random(29)
+    val all = (0 until 21).map { i =>
+      (i.toLong, Array.fill(4)(rnd.nextFloat() * 2f - 1f))
+    }
+    val df = all.toDF("vec_id", "embedding").localCheckpoint()
+    val codebook = graft.pipeline.Similarity.refinedCentroids(
+      graft.pipeline.Similarity.kmeansStepExact(df, "vec_id", "embedding", k = 3))
+      .localCheckpoint()
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.PipelineStream.knnGraphIngest(
+      mem.toDS().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      codebook, k = 3, kNbrs = 2, basePath = s"$base/store")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try {
+      // 3 batches over 3 cells: later batches RE-touch earlier cells,
+      // so the readout must supersede their stale runs
+      all.grouped(7).foreach { g => mem.addData(g); q.processAllAvailable() }
+    } finally q.stop()
+    val runs = spark.read.parquet(s"$base/store/index")
+      .select($"run").distinct().count()
+    assert(runs == 3L, s"expected 3 append-only index runs, got $runs")
+    def rows(d: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+      d.select("cell", "id", "rank", "nbr").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val oneShot = graft.pipeline.Similarity.knnGraphTable(
+      graft.pipeline.Similarity.ivfIndexTable(df, "vec_id", "embedding",
+        codebook, 3), 2)
+    assert(rows(graft.streaming.PipelineStream.readKnnGraph(spark, s"$base/store"))
+      == rows(oneShot))
+    // nothing ingested yet → empty graph, not a crash
+    assert(graft.streaming.PipelineStream
+      .readKnnGraph(spark, s"$base/empty").isEmpty)
+  }
+
   test("ngramCensusIngest: per-batch census runs sum to the batch table; top-k readout matches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
