@@ -643,6 +643,7 @@ object ScaleProbe {
     containmentIngestProbe(spark, dir)
     phrasePruneProbe(spark, dir)
     knnGraphProbe(spark, dir)
+    knnMaintProbe(spark, dir)
     noveltyProbe(spark, dir)
     spark.stop()
   }
@@ -682,6 +683,59 @@ object ScaleProbe {
     println(f"[scale] knn-graph n=$n%,d k=16 top-10: single=$dt1%5.2f s " +
       f"recall=${recall(g1)}%5.3f; nprobe=2 $dt2%5.2f s recall=${recall(g2)}%5.3f; " +
       f"exact(nprobe=16)=$dtX%5.2f s")
+  }
+
+  /** kNN-graph MAINTENANCE probe (round 16): (1) cell-occupancy skew
+    * of the IVF index on the real embeddings — the decision metric for
+    * a two-level (coarse→fine) split: if Σ|cell|² ≫ the balanced n²/k
+    * or one hot cell dominates, the in-cell quadratic needs a second
+    * level; (2) the delta fold's measured win — knnGraphDelta on a 10%
+    * delta (touched cells only) vs a full knnGraphTable rebuild over
+    * the folded index, with the touched-row fraction printed so the
+    * speedup is attributable.
+    */
+  def knnMaintProbe(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import graft.pipeline.Similarity
+    val emb = CellEncodings.table(spark, dir, "embeddings")
+      .localCheckpoint(eager = false)
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    val codebook = Similarity.refinedCentroids(
+      Similarity.kmeansStepExact(base, "vec_id", "embedding", k = 16))
+      .localCheckpoint()
+    val idx = Similarity.ivfIndexTable(base, "vec_id", "embedding", codebook, 16)
+      .localCheckpoint()
+    val dIdx = Similarity.ivfIndexTable(delta, "vec_id", "embedding", codebook, 16)
+      .localCheckpoint()
+    val occ = idx.groupBy(col("cell")).count()
+      .select(col("count")).collect().map(_.getLong(0)).sorted
+    val n = occ.sum
+    val sumSq = occ.map(c => c * c).sum
+    val balanced = (n.toDouble / 16) * (n.toDouble / 16) * 16
+    println(f"[scale] knn-maint cells: n=$n%,d k=16 max=${occ.last}%,d " +
+      f"mean=${n / 16}%,d sumsq=${sumSq}%,d balanced=${balanced}%.0f " +
+      f"skew=${sumSq / balanced}%4.2f max_share=${occ.last.toDouble / n}%5.3f")
+    def timed[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val g0 = Similarity.knnGraphTable(idx, 10).localCheckpoint()
+    val touched = dIdx.select(col("cell")).distinct().count()
+    val dtFull = timed(Similarity.knnGraphTable(
+      Similarity.foldIvfIndex(idx, dIdx), 10).localCheckpoint())
+    val dtDelta = timed(Similarity.knnGraphDelta(g0, idx, dIdx, 10)
+      .localCheckpoint())
+    println(f"[scale] knn-maint fold 10%% delta: touched_cells=$touched%d/16 " +
+      f"full-rebuild=$dtFull%5.2f s delta-fold=$dtDelta%5.2f s")
+    // the localized arrival (new content concentrated in 2 of 16
+    // topics): the carry skips 14 cells' quadratic — the win the
+    // touched-cells contract is FOR; a spread delta (above) re-derives
+    // everything and honestly shows none
+    val dLoc = dIdx.filter(col("cell") < 2).localCheckpoint()
+    val locRows = dLoc.count()
+    val dtLoc = timed(Similarity.knnGraphDelta(g0, idx, dLoc, 10)
+      .localCheckpoint())
+    println(f"[scale] knn-maint fold localized delta ($locRows%,d rows, " +
+      f"2/16 cells): delta-fold=$dtLoc%5.2f s (vs full $dtFull%5.2f s)")
   }
 
   /** Novelty-probe cost (round 16): scoring a 10%% shard against the
@@ -1072,6 +1126,7 @@ object KnnNoveltyProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create(taskSideCommit = true)
     ScaleProbe.knnGraphProbe(spark, "/root/testdata/sf0.1")
+    ScaleProbe.knnMaintProbe(spark, "/root/testdata/sf0.1")
     ScaleProbe.noveltyProbe(spark, "/root/testdata/sf0.1")
     spark.stop()
   }
