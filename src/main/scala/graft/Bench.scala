@@ -450,6 +450,21 @@ object Bench {
         maxPieceLen = 4, words = Some(words))
     }
 
+    // byte-level BPE train→apply: learn 6 merges on a 10% content-hash
+    // sample (each merge = one pair-stats pass over the sampled byte
+    // symbolization — the driver-loop cost), then count every doc's
+    // subwords under them (the corpus-pass apply: one regex fuse per
+    // merge over every token occurrence). The family's one recorded
+    // number: trainer passes are sample-sized, apply is the inherent
+    // merges × corpus pass.
+    legDf("bytebpe_tokcount") {
+      val merges = graft.pipeline.TextAnalysis
+        .trainByteBpeMerges(docs, "text", merges = 6, samplePermille = 100)
+        .map { case (l, r, _) => (l, r) }
+      graft.pipeline.TextAnalysis.byteBpeTokenCount(docs, "doc_id", "text",
+        merges)
+    }
+
     // retrieval: the ad-hoc BM25 pass (tokenize the corpus per query)
     // next to the standing inverted index's term-keyed probe over the
     // SAME query — the p225 maintenance story's payoff measured side by

@@ -1714,22 +1714,24 @@ object TextAnalysis {
     * [[trainBpeMerges]]: symbolize each token occurrence to characters
     * and fold the learned merges over it IN RANK ORDER (BPE apply is
     * rank-greedy: earlier merges rewrite before later ones see the
-    * string — the same order training discovered them). The whole fold
-    * is an EXPRESSION CHAIN — no shuffle, no UDF, embarrassingly
-    * parallel over docs; `checkpointEvery` bounds plan depth for long
-    * merge lists (a 30k-merge production vocab is ~2k checkpoint
-    * segments — each a map-only stage).
+    * string — the same order training discovered them), then join the
+    * fused repr back to the occurrences. The fuse is a pure function
+    * of the token string, so the merge passes run at VOCABULARY grain
+    * ([[fusePerDistinctTok]] — the wordpiece/unigram distinct-word
+    * rule): a 30k-merge production vocab costs ~500 map-only
+    * expression passes over the vocab plus ONE corpus join, not ~500
+    * corpus-sized passes. `checkpointEvery` bounds plan depth per
+    * chunk.
     */
   def applyBpe(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, merges: Seq[(String, String)],
-      checkpointEvery: Int = 64): org.apache.spark.sql.DataFrame = {
-    val repr = df
-      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
-      .select(col("id"), concat_ws(" ", expr(
-        "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))")).as("repr"))
-    foldMergeChunks(repr, Seq("id"), merges, checkpointEvery)
+      checkpointEvery: Int = 64): org.apache.spark.sql.DataFrame =
+    fusePerDistinctTok(
+      df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok")),
+      concat_ws(" ", expr(
+        "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))")),
+      merges, checkpointEvery)
       .select(col("id"), split(col("repr"), " ").as("subwords"))
-  }
 
   /** Rank-order merge fold shared by every BPE apply surface: each
     * `checkpointEvery`-sized chunk of merges folds into ONE expression
@@ -1749,6 +1751,26 @@ object TextAnalysis {
     }
     repr
   }
+
+  /** Fold a merge list over each DISTINCT token's symbolization, then
+    * join the fused repr back to the occurrence rows — the shared
+    * vocabulary-grain core of every BPE apply surface: the fuse chain
+    * (merges × regex passes) runs over |vocab| rows, and the corpus
+    * pays exactly ONE equi-join on the token string (broadcast when
+    * the vocab is small, shuffle otherwise — either is dwarfed by
+    * per-occurrence fusing at production merge counts). `occ` carries
+    * any caller columns plus `tok`; rows multiply only by the join's
+    * 1:1 vocab match, so per-occurrence counts are preserved.
+    */
+  private def fusePerDistinctTok(occ: org.apache.spark.sql.DataFrame,
+      tokRepr: Column, merges: Seq[(String, String)],
+      checkpointEvery: Int): org.apache.spark.sql.DataFrame =
+    occ.join(
+      foldMergeChunks(
+        occ.select(col("tok")).distinct().select(col("tok"),
+          tokRepr.as("repr")),
+        Seq("tok"), merges, checkpointEvery),
+      Seq("tok"))
 
   /** Per-doc subword count under a trained merge list — the exact
     * training-cost estimator ("how many tokens is this corpus under MY
@@ -1833,20 +1855,19 @@ object TextAnalysis {
       byteBpeInitRepr(sampleByContent(df, textCol, samplePermille), textCol),
       merges)
 
-  /** Byte-level BPE application: symbolize each (space-prefixed) token
-    * occurrence to byte symbols and fold the learned merges in rank
-    * order. Returns (id, subwords) per token occurrence — the byte
-    * twin of [[applyBpe]].
+  /** Byte-level BPE application: symbolize each (space-prefixed)
+    * DISTINCT token to byte symbols, fold the learned merges in rank
+    * order at vocabulary grain, and join back
+    * ([[fusePerDistinctTok]]). Returns (id, subwords) per token
+    * occurrence — the byte twin of [[applyBpe]].
     */
   def applyByteBpe(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, merges: Seq[(String, String)],
-      checkpointEvery: Int = 64): org.apache.spark.sql.DataFrame = {
-    val repr = df
-      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
-      .select(col("id"), byteTokRepr.as("repr"))
-    foldMergeChunks(repr, Seq("id"), merges, checkpointEvery)
+      checkpointEvery: Int = 64): org.apache.spark.sql.DataFrame =
+    fusePerDistinctTok(
+      df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok")),
+      byteTokRepr, merges, checkpointEvery)
       .select(col("id"), split(col("repr"), " ").as("subwords"))
-  }
 
   /** Per-doc subword count under a byte-level merge list — the exact
     * "how many tokens is this corpus under MY tokenizer" estimator at
@@ -1881,12 +1902,12 @@ object TextAnalysis {
         "be ambiguous (and CreateMap would reject the duplicate key)")
     val vmap = map(vocabPairs.flatMap { case (s, id) =>
       Seq(lit(s), lit(id)) }: _*)
-    val repr = df
-      .select(col(idCol).as("id"),
+    fusePerDistinctTok(
+      df.select(col(idCol).as("id"),
         posexplode(tokens(col(textCol))).as(Seq("tok_pos", "tok")))
-      .select(col("id"), col("tok_pos").cast("long").as("tok_pos"),
-        byteTokRepr.as("repr"))
-    foldMergeChunks(repr, Seq("id", "tok_pos"), merges, checkpointEvery)
+        .select(col("id"), col("tok_pos").cast("long").as("tok_pos"),
+          col("tok")),
+      byteTokRepr, merges, checkpointEvery)
       .select(col("id"), col("tok_pos"),
         posexplode(split(col("repr"), " ")).as(Seq("ord", "piece")))
       .select(col("id"), col("tok_pos"), col("ord").cast("long").as("ord"),
