@@ -4979,6 +4979,23 @@ object SparkEntry {
           col("n_bigrams").cast("long").as("n_bigrams"))
     }),
 
+    // Stupid-backoff trigram LM (Brants et al. 2007): model trained on
+    // the even-doc reference split, odd docs scored — unseen
+    // transitions cascade trigram → 0.4·bigram → 0.16·unigram → 0
+    // (integer-exact, backoff pre-scaled in the artifact). The split is
+    // the production shape AND what makes the gate bite: a self-trained
+    // corpus never backs off.
+    "p283_backoff_lm" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      graft.pipeline.TextAnalysis.backoffLmScore(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        graft.pipeline.TextAnalysis.trainBackoffLm(
+          docs.filter(col("doc_id") % 2 === 0), "text"))
+        .select(col("id"), col("lm_sum").cast("long").as("lm_sum"),
+          col("n_trigrams").cast("long").as("n_trigrams"))
+    }),
+
     // Top-3 distinctive terms per doc by exact-integer tf/df score.
     "p30_distinctive_terms" -> ((s, dir) => {
       GraftFunctions.register(s)
@@ -6689,6 +6706,50 @@ object SparkEntry {
       |SELECT g.doc_id AS id, CAST(sum(coalesce(m.w, 0)) AS BIGINT) AS lm_sum,
       |       count(*) AS n_bigrams
       |FROM g LEFT JOIN m USING (gram) GROUP BY g.doc_id""".stripMargin
+
+  /** p283: the stupid-backoff replay — model counts from the even-doc
+    * reference split at all three orders (continuation-sum
+    * denominators, backoff pre-scaled ×1000/×400/×160), odd docs'
+    * trigram transitions coalesce down the orders.
+    */
+  private val backoffLmOracleSql: String =
+    """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+      |tr AS (SELECT toks FROM t WHERE doc_id % 2 = 0),
+      |g3r AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
+      |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+      |        FROM tr WHERE len(toks) >= 3),
+      |tri AS (SELECT gram, CAST(count(*) AS BIGINT) AS c3 FROM g3r GROUP BY 1),
+      |d3 AS (SELECT array_to_string(string_split(gram, ' ')[1:2], ' ') AS ctx,
+      |         CAST(sum(c3) AS BIGINT) AS den
+      |       FROM tri GROUP BY 1),
+      |m3 AS (SELECT gram, (c3 * 1000) // den AS w FROM tri
+      |       JOIN d3 ON array_to_string(string_split(tri.gram, ' ')[1:2], ' ') = d3.ctx),
+      |g2r AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+      |          i -> toks[i] || ' ' || toks[i+1])) AS gram
+      |        FROM tr WHERE len(toks) >= 2),
+      |bi AS (SELECT gram, CAST(count(*) AS BIGINT) AS c2 FROM g2r GROUP BY 1),
+      |d2 AS (SELECT split_part(gram, ' ', 1) AS ctx, CAST(sum(c2) AS BIGINT) AS den
+      |       FROM bi GROUP BY 1),
+      |m2 AS (SELECT gram, (c2 * 400) // den AS w FROM bi
+      |       JOIN d2 ON split_part(bi.gram, ' ', 1) = d2.ctx),
+      |g1r AS (SELECT unnest(toks) AS gram FROM tr),
+      |un AS (SELECT gram, CAST(count(*) AS BIGINT) AS c1 FROM g1r GROUP BY 1),
+      |nn AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM un),
+      |m1 AS (SELECT gram, (c1 * 160) // n AS w FROM un CROSS JOIN nn),
+      |q AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+      |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g3
+      |      FROM t WHERE doc_id % 2 = 1 AND len(toks) >= 3),
+      |qq AS (SELECT doc_id, g3,
+      |         array_to_string(string_split(g3, ' ')[2:3], ' ') AS g2,
+      |         string_split(g3, ' ')[3] AS g1
+      |       FROM q)
+      |SELECT qq.doc_id AS id,
+      |       CAST(sum(coalesce(m3.w, m2.w, m1.w, 0)) AS BIGINT) AS lm_sum,
+      |       count(*) AS n_trigrams
+      |FROM qq LEFT JOIN m3 ON qq.g3 = m3.gram
+      |        LEFT JOIN m2 ON qq.g2 = m2.gram
+      |        LEFT JOIN m1 ON qq.g1 = m1.gram
+      |GROUP BY 1""".stripMargin
 
   /** Shared by p58 (batch) and p59 (streaming): both compute the same
     * cluster assignment over the same planted image groups — one oracle
@@ -9630,6 +9691,7 @@ object SparkEntry {
     "p280_stream_edit_verify" -> editVerifySnapshotOracleSql,
 
     "p52_bigram_lm" -> bigramLmOracleSql,
+    "p283_backoff_lm" -> backoffLmOracleSql,
 
     "p239_unigram_em" -> unigramEmOracleSql(12, 4, 30L),
     "p248_unigram_segment" -> unigramSegmentOracleSql(12, 4, 30L),

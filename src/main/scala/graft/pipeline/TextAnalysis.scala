@@ -1332,6 +1332,78 @@ object TextAnalysis {
       textCol: String): org.apache.spark.sql.DataFrame =
     bigramLmScore(docs, idCol, textCol, trainBigramLm(docs, textCol))
 
+  /** Stupid-backoff trigram LM training (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the web-scale score
+    * KenLM-style perplexity filters approximate): one model table
+    * (n, gram, w_permille) holding all three orders with the backoff
+    * factor PRE-APPLIED in exact integers —
+    * n=3: 1000·c3(w1w2w3) div Σ_w3'c3(w1w2w3'),
+    * n=2: 400·c2(w2w3) div Σ_w3'c2(w2w3') (α=0.4 → ×400),
+    * n=1: 160·c1(w3) div N (α² → ×160).
+    * Denominators are CONTINUATION sums (the [[trainBigramLm]]
+    * conditioning — each context's masses total ≤ the scale exactly,
+    * no end-of-doc fudge), and non-negative operands make Spark's
+    * truncating `div` equal DuckDB's flooring `//`. The artifact is
+    * corpus-vocabulary-sized (one row per distinct 1/2/3-gram):
+    * persist once, feed every scoring run.
+    */
+  def trainBackoffLm(docs: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val d = docs.select(col(textCol))
+      .localCheckpoint(eager = false) // three n-gram passes
+    def counts(n: Int): org.apache.spark.sql.DataFrame = d
+      .select(explode(wordNgrams(col(textCol), n)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c"))
+    def scaled(cnt: org.apache.spark.sql.DataFrame, n: Int, scale: Int,
+        ctx: Column): org.apache.spark.sql.DataFrame = {
+      val den = cnt.withColumn("ctx", ctx)
+        .groupBy(col("ctx")).agg(sum(col("c")).as("den"))
+      cnt.withColumn("ctx", ctx).join(den, Seq("ctx"))
+        .select(lit(n).as("n"), col("gram"),
+          expr(s"c * ${scale}L div den").as("w_permille"))
+    }
+    val uni = counts(1)
+    scaled(counts(3), 3, 1000,
+        concat_ws(" ", slice(split(col("gram"), " "), 1, 2)))
+      .unionByName(scaled(counts(2), 2, 400,
+        element_at(split(col("gram"), " "), 1)))
+      .unionByName(scaled(uni, 1, 160, lit("")))
+  }
+
+  /** Stupid-backoff scoring: each doc's trigram transitions take the
+    * HIGHEST-order model hit — seen trigram, else α·bigram, else
+    * α²·unigram, else 0 (all pre-scaled in the artifact, so the pick
+    * is one coalesce over three left joins on vocab-sized model
+    * slices; absence of a row IS the zero count, which is exactly the
+    * backoff condition). A self-trained corpus never backs off (every
+    * trigram is its own evidence) — the production shape trains on a
+    * REFERENCE corpus and scores candidates, where unseen transitions
+    * cascade down the orders. Docs with <3 tokens have no transitions
+    * and produce no row. Returns (id, lm_sum, n_trigrams).
+    */
+  def backoffLmScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String,
+      model: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val m = model.localCheckpoint(eager = false) // sliced three ways
+    def slice(n: Int, out: String): org.apache.spark.sql.DataFrame =
+      m.filter(col("n") === n)
+        .select(col("gram").as(s"g$n"), col("w_permille").as(out))
+    docs
+      .select(col(idCol).as("id"),
+        explode(wordNgrams(col(textCol), 3)).as("g3"))
+      .withColumn("g2",
+        concat_ws(" ", org.apache.spark.sql.functions.slice(
+          split(col("g3"), " "), 2, 2)))
+      .withColumn("g1", element_at(split(col("g3"), " "), 3))
+      .join(slice(3, "s3"), Seq("g3"), "left")
+      .join(slice(2, "s2"), Seq("g2"), "left")
+      .join(slice(1, "s1"), Seq("g1"), "left")
+      .groupBy(col("id"))
+      .agg(sum(coalesce(col("s3"), col("s2"), col("s1"), lit(0L)))
+          .as("lm_sum"),
+        count(lit(1)).as("n_trigrams"))
+  }
+
   /** Deterministic global shuffle + sharding (training-order
     * randomization): shard = hash60(id) mod nShards, position = rank of
     * (hash60, id) WITHIN the shard. Per-shard windows, never a global

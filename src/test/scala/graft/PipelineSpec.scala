@@ -2025,6 +2025,39 @@ class PipelineSpec extends SparkSpec {
     assert(fluent.getLong(1) * garbled.getLong(2) > garbled.getLong(1) * fluent.getLong(2))
   }
 
+  test("stupid backoff: hand-computed cascade through all three orders") {
+    import spark.implicits._
+    // reference corpus: toks a b c a b d  (N=6)
+    // trigrams: "a b c" 1, "b c a" 1, "c a b" 1, "a b d" 1
+    //   ctx "a b" den=2; ctx "b c" den=1; ctx "c a" den=1
+    // bigrams: "a b" 2, "b c" 1, "c a" 1, "b d" 1
+    //   ctx a den=2; ctx b den=2; ctx c den=1
+    // unigrams: a 2, b 2, c 1, d 1
+    val ref = Seq((0L, "a b c a b d")).toDF("doc_id", "text")
+    val model = TextAnalysis.trainBackoffLm(ref, "text")
+    val m = model.collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m((3, "a b c")) == 500L && m((3, "a b d")) == 500L &&
+      m((3, "b c a")) == 1000L, s"got $m")
+    assert(m((2, "a b")) == 400L && m((2, "b c")) == 200L &&
+      m((2, "b d")) == 200L && m((2, "c a")) == 400L)
+    assert(m((1, "a")) == 53L && m((1, "c")) == 26L)
+    // scored doc "c x a b c": transitions
+    //  "c x a": g3 miss, g2 "x a" miss, g1 "a" -> 53
+    //  "x a b": g3 miss, g2 "a b" -> 400
+    //  "a b c": g3 hit -> 500
+    val got = TextAnalysis.backoffLmScore(
+      Seq((1L, "c x a b c")).toDF("doc_id", "text"), "doc_id", "text",
+      model).head()
+    assert(got.getLong(1) == 53L + 400L + 500L && got.getLong(2) == 3L,
+      s"got $got")
+    // fully-unseen transition scores 0; <3 tokens -> no row
+    val zero = TextAnalysis.backoffLmScore(
+      Seq((2L, "x y z"), (3L, "a b")).toDF("doc_id", "text"), "doc_id",
+      "text", model).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(zero == Map(2L -> 0L))
+  }
+
   test("lexical + hybrid retrieval: integer idf, rank-sum fusion with penalties") {
     import spark.implicits._
     val docs = Seq(
