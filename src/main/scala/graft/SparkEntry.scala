@@ -1196,6 +1196,43 @@ object SparkEntry {
       graft.streaming.PipelineStream.readKnnGraph(s, s"$basePath/store")
     }),
 
+    // Mutual-kNN sparsification: a pair survives iff EACH ranks the
+    // other in its top 5 — hub bridges vanish, dense regions stay.
+    "p284_mutual_knn" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = table(s, dir, "embeddings")
+        .localCheckpoint(eager = false) // codebook + index both read it
+      val codebook = graft.pipeline.Similarity.refinedCentroids(
+        graft.pipeline.Similarity.kmeansStepExact(e, "vec_id", "embedding", k = 8))
+        .localCheckpoint()
+      graft.pipeline.Similarity.mutualKnnEdges(
+        graft.pipeline.Similarity.knnGraphIvf(
+          graft.pipeline.Similarity.ivfIndexTable(e, "vec_id", "embedding",
+            codebook, 8),
+          kNbrs = 5))
+    }),
+
+    // SNN (shared/mutual-neighbor) components: connected components
+    // over the mutual edges — the Jarvis–Patrick clustering shape on
+    // the standing kNN graph; min-id labels, nodes with no mutual
+    // edge emit no row (not clusterable by this criterion).
+    "p285_snn_clusters" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = table(s, dir, "embeddings")
+        .localCheckpoint(eager = false)
+      val codebook = graft.pipeline.Similarity.refinedCentroids(
+        graft.pipeline.Similarity.kmeansStepExact(e, "vec_id", "embedding", k = 8))
+        .localCheckpoint()
+      graft.pipeline.Dedup.connectedComponents(
+        graft.pipeline.Similarity.mutualKnnEdges(
+          graft.pipeline.Similarity.knnGraphIvf(
+            graft.pipeline.Similarity.ivfIndexTable(e, "vec_id", "embedding",
+              codebook, 8),
+            kNbrs = 5))
+          .select(col("id").as("ia"), col("nbr").as("ib")))
+        .select(col("id"), col("comp").cast("long").as("comp"))
+    }),
+
     // Token-length histogram in the EstimatedHistogram bucket space:
     // the reference's ~20% geometric buckets over a corpus statistic —
     // ~90 rows at any corpus size, shard-summable. Oracle shares the
@@ -6410,7 +6447,7 @@ object SparkEntry {
     * EVERY vector assigned against it, per-cell pairwise cosine with
     * the zero-norm −2.0 guard, per-id (sim DESC, nbr) rank ≤ 5.
     */
-  private def knnGraphOracleSql(baseWhere: String, withCell: Boolean): String =
+  private def knnGraphOracleCtes(baseWhere: String): String =
     kmeansOracleCtes(baseWhere) +
       s""",
         |st AS (SELECT cluster, pos, CAST(sum(m) AS BIGINT) AS s, count(*) AS n
@@ -6436,9 +6473,42 @@ object SparkEntry {
         |       FROM v x JOIN v y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
         |rk AS (SELECT id, cell, nbr,
         |         row_number() OVER (PARTITION BY id ORDER BY sim DESC, nbr) AS rank
-        |       FROM pr)
+        |       FROM pr)""".stripMargin
+
+  private def knnGraphOracleSql(baseWhere: String, withCell: Boolean): String =
+    knnGraphOracleCtes(baseWhere) +
+      s"""
         |SELECT ${if (withCell) "CAST(cell AS BIGINT) AS cell, " else ""}id, CAST(rank AS BIGINT) AS rank, nbr
         |FROM rk WHERE rank <= 5""".stripMargin
+
+  /** p284/p285: the mutual-edge sparsification of the p274 graph —
+    * a pair survives iff each ranks the other in its top 5 — and the
+    * SNN components over those edges (min-id closure, the
+    * dhashClusters recursive-walk pattern).
+    */
+  private def mutualKnnCtes(baseWhere: String): String =
+    knnGraphOracleCtes(baseWhere) +
+      """,
+        |rk5 AS (SELECT id, nbr FROM rk WHERE rank <= 5),
+        |mu AS (SELECT a.id, a.nbr FROM rk5 a JOIN rk5 b
+        |       ON b.id = a.nbr AND b.nbr = a.id
+        |       WHERE a.id < a.nbr)""".stripMargin
+
+  private lazy val mutualKnnOracleSql: String =
+    mutualKnnCtes("WHERE 1 = 1") + "\nSELECT id, nbr FROM mu"
+
+  private lazy val snnClustersOracleSql: String =
+    "WITH RECURSIVE" +
+      (mutualKnnCtes("WHERE 1 = 1") +
+        """,
+          |e2 AS (SELECT id AS a, nbr AS b FROM mu
+          |       UNION SELECT nbr, id FROM mu),
+          |walk(id, comp) AS (
+          |  SELECT a, a FROM (SELECT DISTINCT a FROM e2)
+          |  UNION
+          |  SELECT e2.b, walk.comp FROM walk JOIN e2 ON e2.a = walk.id)
+          |SELECT id, CAST(min(comp) AS BIGINT) AS comp
+          |FROM walk GROUP BY id""".stripMargin).stripPrefix("WITH")
 
   /** Shared by p84 (batch) and p88 (streaming twin): one oracle
     * definition, no drift (the p52/p55 pattern).
@@ -7206,6 +7276,8 @@ object SparkEntry {
       knnGraphOracleSql("WHERE vec_id % 10 <> 0", withCell = true),
     "p282_stream_knn_graph" ->
       knnGraphOracleSql("WHERE vec_id % 10 <> 0", withCell = true),
+    "p284_mutual_knn" -> mutualKnnOracleSql,
+    "p285_snn_clusters" -> snnClustersOracleSql,
 
     "p275_knn_multiprobe" ->
       (kmeansOracleCtes("WHERE 1 = 1") +

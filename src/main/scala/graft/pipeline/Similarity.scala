@@ -594,6 +594,25 @@ object Similarity {
     knnGraphTable(touched, kNbrs)
   }
 
+  /** MUTUAL (reciprocal) k-NN edges over a [[knnGraphTable]] /
+    * [[knnGraphIvf]] graph: keep a pair iff EACH is in the other's
+    * top-k list — the standard sparsifier for neighborhood-based
+    * clustering (Jarvis–Patrick / SNN): a hub that everyone ranks
+    * highly but that ranks none of them back contributes NO edges, so
+    * dense regions stay connected while hub bridges vanish. One
+    * self-semi-join on the (id, nbr) edge set — graph-sized, never
+    * corpus-pairs. Returns (id, nbr) with id < nbr, one row per
+    * mutual pair; cluster it with
+    * [[graft.pipeline.Dedup.connectedComponents]] for SNN components.
+    */
+  def mutualKnnEdges(graph: DataFrame): DataFrame = {
+    val e = graph.select(col("id"), col("nbr"))
+      .localCheckpoint(eager = false) // both orientations of the semi-join
+    e.join(e.select(col("nbr").as("id"), col("id").as("nbr")),
+        Seq("id", "nbr"), "left_semi")
+      .filter(col("id") < col("nbr"))
+  }
+
   /** Fold a delta batch into a standing k-NN graph — the
     * [[foldIvfIndex]] law lifted to graph grain: under the frozen
     * codebook, edges live strictly inside cells, so

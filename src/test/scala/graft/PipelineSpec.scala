@@ -1127,6 +1127,23 @@ class PipelineSpec extends SparkSpec {
     assert(rows(Similarity.knnGraphMultiProbe(index, codebook, 3, 3, 2)) == exact)
   }
 
+  test("mutualKnnEdges: reciprocal pairs only, one row per pair, hub edges vanish") {
+    import spark.implicits._
+    // top-k lists: 1→[2,9], 2→[1,9], 9→[3,4] (9 is a hub others rank
+    // but that ranks none of them back), 3→[9,4], 4→[3,9]
+    val g = Seq(
+      (1L, 1L, 2L), (1L, 2L, 9L),
+      (2L, 1L, 1L), (2L, 2L, 9L),
+      (9L, 1L, 3L), (9L, 2L, 4L),
+      (3L, 1L, 9L), (3L, 2L, 4L),
+      (4L, 1L, 3L), (4L, 2L, 9L)).toDF("id", "rank", "nbr")
+    val mu = Similarity.mutualKnnEdges(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // mutual: (1,2); (9,3) and (9,4) reciprocal; (3,4) reciprocal;
+    // (1,9)/(2,9) one-directional — gone
+    assert(mu == Set((1L, 2L), (3L, 9L), (4L, 9L), (3L, 4L)), s"got $mu")
+  }
+
   test("knnGraphDelta: touched-cells fold ≡ full rebuild; loud collision and touched bounds") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
