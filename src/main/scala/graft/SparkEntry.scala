@@ -1196,6 +1196,30 @@ object SparkEntry {
       graft.streaming.PipelineStream.readKnnGraph(s, s"$basePath/store")
     }),
 
+    // kNN-store lifecycle: two bulk appends → compact (consolidate
+    // runs, numeric ids preserved) → a third append against the
+    // compacted prefix — the p262 publish-then-swap law at ANN grain;
+    // the final readout must still equal the one-shot graph.
+    "p286_knn_compacted" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = table(s, dir, "embeddings")
+        .localCheckpoint(eager = false) // codebook + three fold splits
+      val codebook = graft.pipeline.Similarity.refinedCentroids(
+        graft.pipeline.Similarity.kmeansStepExact(
+          e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding", k = 8))
+        .localCheckpoint() // FROZEN codebook (the p281/p282 contract)
+      val store = s"${freshTmpStore(s, "p286", dir)}/store"
+      def fold(f: DataFrame, runId: Long): Unit =
+        graft.streaming.PipelineStream.knnGraphBatchFold(f, "vec_id",
+          "embedding", codebook, k = 8, kNbrs = 5, basePath = store,
+          runId = runId)
+      fold(e.filter(col("vec_id") % 3 === 0), 0L)
+      fold(e.filter(col("vec_id") % 3 === 1), 1L)
+      graft.streaming.PipelineStream.compactKnnStore(s, store)
+      fold(e.filter(col("vec_id") % 3 === 2), 2L)
+      graft.streaming.PipelineStream.readKnnGraph(s, store)
+    }),
+
     // Mutual-kNN sparsification: a pair survives iff EACH ranks the
     // other in its top 5 — hub bridges vanish, dense regions stay.
     "p284_mutual_knn" -> ((s, dir) => {
@@ -7278,6 +7302,8 @@ object SparkEntry {
       knnGraphOracleSql("WHERE vec_id % 10 <> 0", withCell = true),
     "p284_mutual_knn" -> mutualKnnOracleSql,
     "p285_snn_clusters" -> snnClustersOracleSql,
+    "p286_knn_compacted" ->
+      knnGraphOracleSql("WHERE vec_id % 10 <> 0", withCell = true),
 
     "p275_knn_multiprobe" ->
       (kmeansOracleCtes("WHERE 1 = 1") +

@@ -220,25 +220,83 @@ object PipelineStream {
       maxTouchedRows: Long = 5000000L):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
-      if (!batch.isEmpty) {
-        val s = batch.sparkSession
-        val d = graft.pipeline.Similarity
-          .ivfIndexTable(batch, idCol, vecCol, codebook, k)
-          .localCheckpoint() // standing union + its own run flush
-        val base = new org.apache.hadoop.fs.Path(basePath)
-        val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val priorRuns = graft.operators.EventOps
-          .listIdDirs(fs, base, "index", "run=").filter(_ < id)
-        val standing =
-          if (priorRuns.isEmpty) d.limit(0)
-          else s.read.parquet(
-            priorRuns.map(v => s"$basePath/index/run=$v"): _*)
-        graft.pipeline.Similarity
-          .knnGraphTouched(standing, d, kNbrs, maxTouchedRows)
-          .write.mode("overwrite").parquet(s"$basePath/graph/run=$id")
-        d.write.mode("overwrite").parquet(s"$basePath/index/run=$id")
-      }
+      if (!batch.isEmpty)
+        knnGraphBatchFold(batch, idCol, vecCol, codebook, k, kNbrs,
+          basePath, id, maxTouchedRows)
     }
+
+  /** One [[knnGraphIngest]] fold as a BATCH call — assign the batch
+    * under the frozen codebook, derive the touched cells' graph rows
+    * against the standing index prefix (runs `< runId`), flush both
+    * runs. The ingest's foreachBatch body IS this function (one
+    * definition); callers doing scheduled bulk appends use it directly
+    * with their own monotone `runId`s (later appends must use larger
+    * ids — the prefix rule is what keeps replay deterministic).
+    */
+  def knnGraphBatchFold(batch: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, k: Int, kNbrs: Int, basePath: String,
+      runId: Long, maxTouchedRows: Long = 5000000L): Unit = {
+    val s = batch.sparkSession
+    val d = graft.pipeline.Similarity
+      .ivfIndexTable(batch, idCol, vecCol, codebook, k)
+      .localCheckpoint() // standing union + its own run flush
+    val base = new org.apache.hadoop.fs.Path(basePath)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val priorRuns = graft.operators.EventOps
+      .listIdDirs(fs, base, "index", "run=").filter(_ < runId)
+    val standing =
+      if (priorRuns.isEmpty) d.limit(0)
+      else s.read.parquet(
+        priorRuns.map(v => s"$basePath/index/run=$v"): _*)
+    graft.pipeline.Similarity
+      .knnGraphTouched(standing, d, kNbrs, maxTouchedRows)
+      .write.mode("overwrite").parquet(s"$basePath/graph/run=$runId")
+    d.write.mode("overwrite").parquet(s"$basePath/index/run=$runId")
+  }
+
+  /** Compact a [[knnGraphIngest]] store — the p262 publish-then-swap
+    * fold at ANN grain: consolidate every index run into ONE run
+    * (range-laid by cell, so a future fold's static `cell IN (…)`
+    * filter prunes to touched row groups) and every graph run into ONE
+    * run holding the latest-per-cell rows ([[readKnnGraph]]'s own
+    * readout — compaction IS materializing the readout). Both
+    * consolidated runs keep the NUMERIC id of the largest run they
+    * absorb, so the prefix rule (`runs < runId`) and the
+    * latest-run-per-cell readout hold unchanged and the lifecycle
+    * continues: later appends just use larger ids. Offline
+    * maintenance — stop the writer first (the swap window is not
+    * concurrent-reader-safe, same as compactPositionalPostings).
+    */
+  def compactKnnStore(spark: org.apache.spark.sql.SparkSession,
+      basePath: String): Unit = {
+    val base = new org.apache.hadoop.fs.Path(basePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idxRuns = graft.operators.EventOps.listIdDirs(fs, base, "index", "run=")
+    val gRuns = graft.operators.EventOps.listIdDirs(fs, base, "graph", "run=")
+    require(idxRuns.nonEmpty && gRuns.nonEmpty,
+      "compactKnnStore: nothing to compact")
+    // write both consolidated stores BEFORE any swap
+    spark.read.parquet(s"$basePath/index")
+      .select(col("id"), col("cell"), col("embedding"))
+      .repartitionByRange(col("cell")).sortWithinPartitions("cell")
+      .write.mode("overwrite")
+      .parquet(s"$basePath/index__compact/run=${idxRuns.max}")
+    readKnnGraph(spark, basePath)
+      .repartitionByRange(col("cell")).sortWithinPartitions("cell")
+      .write.mode("overwrite")
+      .parquet(s"$basePath/graph__compact/run=${gRuns.max}")
+    def swap(sub: String): Unit = {
+      val live = new org.apache.hadoop.fs.Path(base, sub)
+      val old = new org.apache.hadoop.fs.Path(base, sub + "__old")
+      val next = new org.apache.hadoop.fs.Path(base, sub + "__compact")
+      fs.delete(old, true)
+      require(fs.rename(live, old), s"compactKnnStore: could not retire $live")
+      require(fs.rename(next, live), s"compactKnnStore: could not publish $next")
+      fs.delete(old, true) // last — the published store is already live
+    }
+    swap("index")
+    swap("graph")
+  }
 
   /** The current graph of a [[knnGraphIngest]] store: per cell, the
     * rows of the LATEST run that recomputed it (a cell's residents only

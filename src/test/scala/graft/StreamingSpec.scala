@@ -1197,6 +1197,25 @@ class StreamingSpec extends SparkSpec {
     // nothing ingested yet → empty graph, not a crash
     assert(graft.streaming.PipelineStream
       .readKnnGraph(spark, s"$base/empty").isEmpty)
+    // compact: runs consolidate under the max numeric id, readout
+    // unchanged; a later batch fold continues the lifecycle
+    graft.streaming.PipelineStream.compactKnnStore(spark, s"$base/store")
+    assert(spark.read.parquet(s"$base/store/index")
+      .select($"run").distinct().count() == 1L)
+    assert(rows(graft.streaming.PipelineStream
+      .readKnnGraph(spark, s"$base/store")) == rows(oneShot))
+    val more = (21 until 25).map { i =>
+      (i.toLong, Array.fill(4)(rnd.nextFloat() * 2f - 1f))
+    }
+    graft.streaming.PipelineStream.knnGraphBatchFold(
+      more.toDF("vec_id", "embedding"), "vec_id", "embedding", codebook,
+      k = 3, kNbrs = 2, basePath = s"$base/store", runId = 99L)
+    val grown = graft.pipeline.Similarity.knnGraphTable(
+      graft.pipeline.Similarity.ivfIndexTable(
+        (all ++ more).toDF("vec_id", "embedding"), "vec_id", "embedding",
+        codebook, 3), 2)
+    assert(rows(graft.streaming.PipelineStream
+      .readKnnGraph(spark, s"$base/store")) == rows(grown))
   }
 
   test("ngramCensusIngest: per-batch census runs sum to the batch table; top-k readout matches") {
