@@ -3164,6 +3164,18 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_tokens"), col("cum"))
     }),
 
+    // Quality-ordered budget selection: best docs first (n_chars as the
+    // integer quality score) until the 20k-token budget — the
+    // classifier-filtered "top-quality subset" shape next to p99's
+    // reproducible-uniform one.
+    "p287_quality_budget" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.TextAnalysis.budgetSelectByQuality(
+        table(s, dir, "documents"), "doc_id", "text", "n_chars",
+        tokenBudget = 20000L)
+        .select(col("id").as("doc_id"), col("q"), col("n_tokens"), col("cum"))
+    }),
+
     // Data-card length quantiles: exact equi-depth deciles of per-doc
     // token count with exact boundary lengths — the inverse view of the
     // p91 histogram (fixed depths instead of fixed buckets). 10 rows at
@@ -7415,6 +7427,16 @@ object SparkEntry {
         |        CAST(sum(n_tokens) OVER (ORDER BY hk, doc_id) AS BIGINT) AS cum
         |      FROM t)
         |SELECT doc_id, n_tokens, cum FROM r
+        |WHERE cum - n_tokens < 20000""".stripMargin,
+
+    "p287_quality_budget" ->
+      """WITH t AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS q,
+        |        CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n_tokens
+        |      FROM documents),
+        |r AS (SELECT doc_id, q, n_tokens,
+        |        CAST(sum(n_tokens) OVER (ORDER BY q DESC, doc_id) AS BIGINT) AS cum
+        |      FROM t)
+        |SELECT doc_id, q, n_tokens, cum FROM r
         |WHERE cum - n_tokens < 20000""".stripMargin,
 
     "p227_group_budget_select" -> groupBudgetOracleSql,

@@ -810,6 +810,30 @@ object TextAnalysis {
       .select(col("id"), col("n_tokens"), col("cum"))
   }
 
+  /** QUALITY-ordered budget selection — [[budgetSelect]] with "best
+    * first" instead of "hash order": take documents by (quality DESC,
+    * id ASC) until the running token total reaches the budget — the
+    * "top-quality B-token subset" selection of classifier-filtered
+    * pretraining pipelines (score every doc, keep the best mass that
+    * fits). Same exact-prefix-sum machinery (range repartition +
+    * per-partition offsets, no global-window funnel), same
+    * starts-strictly-inside-budget cut convention (the kept set
+    * exceeds B by at most one document). Quality is the caller's
+    * integer score column — a float score micro-quantizes first (the
+    * house integer contract). Returns (id, q, n_tokens, cum).
+    */
+  def budgetSelectByQuality(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, qualityCol: String,
+      tokenBudget: Long): org.apache.spark.sql.DataFrame = {
+    require(tokenBudget > 0, "tokenBudget > 0")
+    val src = docs.select(col(idCol).as("id"),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"),
+      col(qualityCol).cast("long").as("q"))
+    exactPrefixSums(src, Seq(col("q").desc, col("id").asc), "n_tokens")
+      .filter(col("cum") - col("n_tokens") < tokenBudget)
+      .select(col("id"), col("q"), col("n_tokens"), col("cum"))
+  }
+
   /** Per-GROUP exact rank, scalably — [[exactRankBuckets]] generalized
     * to a partitioned rank: range-repartition on (group, sort key), pin
     * the partitioning, read per-(partition, group) counts (≤ #partitions

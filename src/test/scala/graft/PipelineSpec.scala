@@ -3381,6 +3381,27 @@ class PipelineSpec extends SparkSpec {
       d.filter(col("doc_id") < 0), "doc_id", "text", budget).count() == 0L)
   }
 
+  test("quality budget select: best-first prefix, id tie-break, overrun at most one doc") {
+    import spark.implicits._
+    // quality descending 9..0, each doc 4 tokens; ties planted at q=7
+    val d = (0 until 12).map { i =>
+      (i.toLong, (if (i < 10) 9 - i else 7).toLong, "w w w w")
+    }.toDF("doc_id", "q", "text")
+    val out = TextAnalysis.budgetSelectByQuality(d, "doc_id", "text", "q",
+        tokenBudget = 18L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .sortBy(_._3)
+    // order: q=9 (doc 0), 8 (1), 7 (2, then ties 10, 11 by id), 6 (3)…
+    // cums 4,8,12,16,20 — doc 20 starts at 16 < 18 → kept (overrun ≤ 1)
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 10L, 11L), s"got ${out.toSeq}")
+    assert(out.last._3 == 20L)
+    // deterministic on any partitioning
+    val again = TextAnalysis.budgetSelectByQuality(d.repartition(5),
+        "doc_id", "text", "q", tokenBudget = 18L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(_._3)
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("grouped budget select: per-group hash-order prefix; groups isolated; null group kept") {
     import spark.implicits._
     val d = (0 until 60).map { i =>
