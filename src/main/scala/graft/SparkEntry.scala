@@ -1678,6 +1678,15 @@ object SparkEntry {
         table(s, dir, "documents"), "lang", "source")
     }),
 
+    // Jensen–Shannon drift: the third readout off the SAME (g, cat, c)
+    // census artifact as TV (p277) and PSI (p254/p263) — symmetric,
+    // bounded ln 2, same add-one smoothing + micro-quantized terms.
+    "p288_js_drift" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Sketches.jsDriftMatrix(
+        table(s, dir, "documents"), "lang", "source")
+    }),
+
     // PSI as a READOUT over a FOLDED standing census: the corpus
     // arrives as two disjoint batches whose (g, cat, c) censuses fold
     // by addition — the report off the folded table is bit-identical
@@ -5991,6 +6000,39 @@ object SparkEntry {
         |       CAST(sum(term_micro) OVER (PARTITION BY ga, gb) AS BIGINT) AS psi_micro
         |FROM y""".stripMargin
 
+  /** p288: the JS replay — same paired-census CTEs as PSI's, the
+    * symmetric mixture-log formula in the term.
+    */
+  private val jsDriftOracleSql: String =
+"""WITH h AS (SELECT source AS g, lang AS cat, count(*) AS c
+        |           FROM documents GROUP BY 1, 2),
+        |gg AS (SELECT DISTINCT g FROM h),
+        |pairs AS (SELECT a.g AS ga, b.g AS gb FROM gg a JOIN gg b ON a.g < b.g),
+        |l AS (SELECT ga, gb, cat, c AS ca FROM pairs JOIN h ON h.g = pairs.ga),
+        |r AS (SELECT ga, gb, cat, c AS cb FROM pairs JOIN h ON h.g = pairs.gb),
+        |j AS (SELECT coalesce(l.ga, r.ga) AS ga, coalesce(l.gb, r.gb) AS gb,
+        |        coalesce(l.cat, r.cat) AS cat,
+        |        coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |      FROM l FULL JOIN r
+        |        ON l.ga = r.ga AND l.gb = r.gb AND l.cat = r.cat),
+        |x AS (SELECT ga, gb, cat, ca, cb,
+        |        sum(ca) OVER (PARTITION BY ga, gb) AS na,
+        |        sum(cb) OVER (PARTITION BY ga, gb) AS nb,
+        |        count(*) OVER (PARTITION BY ga, gb) AS ncat
+        |      FROM j),
+        |p AS (SELECT ga, gb, cat, ca, cb,
+        |        (ca + 1.0) / (na + ncat) AS pd,
+        |        (cb + 1.0) / (nb + ncat) AS qd
+        |      FROM x),
+        |y AS (SELECT ga, gb, cat, ca, cb,
+        |        CAST(round((pd * ln(2 * pd / (pd + qd))
+        |          + qd * ln(2 * qd / (pd + qd))) * 0.5 * 1000000) AS BIGINT)
+        |          AS term_micro
+        |      FROM p)
+        |SELECT ga AS grp_a, gb AS grp_b, cat, ca AS c_a, cb AS c_b, term_micro,
+        |       CAST(sum(term_micro) OVER (PARTITION BY ga, gb) AS BIGINT) AS js_micro
+        |FROM y""".stripMargin
+
   /** Count tail over the shared unigram DP prefix — the SentencePiece
     * twin of the wordpiece tokcount tail: per-word piece counts from
     * the bt chain, unreachable words coalesce to 1 (<unk>).
@@ -8006,6 +8048,7 @@ object SparkEntry {
     "p277_tv_census_fold" -> tvDriftOracleSql,
 
     "p254_psi_drift" -> psiDriftOracleSql,
+    "p288_js_drift" -> jsDriftOracleSql,
     // the fold twin: censuses are additive, the readout is identical
     "p263_psi_census_fold" -> psiDriftOracleSql,
     "p264_stream_psi_census" -> psiDriftOracleSql,

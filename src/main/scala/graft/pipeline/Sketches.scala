@@ -746,6 +746,42 @@ object Sketches {
       groupCol: String): DataFrame =
     psiDriftFromCensus(categoryCensusTable(df, catCol, groupCol))
 
+  /** Jensen–Shannon drift matrix — the third readout off the SAME
+    * standing (g, cat, c) census as TV and PSI: symmetric, bounded
+    * [0, ln 2], the divergence mixture-shift monitors usually report.
+    * Same add-one smoothing and micro-quantization as
+    * [[psiDriftFromCensus]] (per-term integers sum exactly);
+    * js_micro ≈ 693147 is maximal divergence. Returns (grp_a, grp_b,
+    * cat, c_a, c_b, term_micro, js_micro).
+    */
+  def jsDriftMatrix(df: DataFrame, catCol: String,
+      groupCol: String): DataFrame =
+    jsDriftFromCensus(categoryCensusTable(df, catCol, groupCol))
+
+  /** [[jsDriftMatrix]] as a READOUT over a (folded) standing census —
+    * one additive artifact serves TV, PSI and JS reports.
+    */
+  def jsDriftFromCensus(census: DataFrame): DataFrame = {
+    val tot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ga"), col("gb"))
+    pairedFromCounts(census)
+      .withColumn("na", sum(col("ca")).over(tot))
+      .withColumn("nb", sum(col("cb")).over(tot))
+      .withColumn("ncat", count(lit(1)).over(tot))
+      .withColumn("p", (col("ca") + 1).cast("double") /
+        (col("na") + col("ncat")).cast("double"))
+      .withColumn("q", (col("cb") + 1).cast("double") /
+        (col("nb") + col("ncat")).cast("double"))
+      .withColumn("term_micro",
+        round((col("p") * log(lit(2.0) * col("p") / (col("p") + col("q"))) +
+            col("q") * log(lit(2.0) * col("q") / (col("p") + col("q"))))
+          * 0.5 * 1e6).cast("long"))
+      .withColumn("js_micro", sum(col("term_micro")).over(tot))
+      .select(col("ga").as("grp_a"), col("gb").as("grp_b"), col("cat"),
+        col("ca").as("c_a"), col("cb").as("c_b"),
+        col("term_micro"), col("js_micro"))
+  }
+
   /** [[psiDriftMatrix]] as a READOUT over a (folded) standing census —
     * the drift-monitoring maintenance story: census folds additively
     * per batch, PSI reports come off the table (p263 gates

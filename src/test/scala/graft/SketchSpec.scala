@@ -1023,6 +1023,32 @@ class SketchSpec extends SparkSpec {
     assert(folded == got, s"folded $folded vs direct $got")
   }
 
+  test("jsDriftMatrix: hand-computed symmetric terms; identical mixes score 0; census readout folds") {
+    val df = Seq(
+      ("a", "x"), ("a", "x"), ("a", "x"), ("a", "y"), // a: x=3, y=1
+      ("b", "x"), ("b", "y"), ("b", "y"), ("b", "y"), // b: x=1, y=3
+      ("c", "x"), ("c", "x"), ("c", "x"), ("c", "y")  // c ≡ a
+    ).toDF("src", "lang")
+    val got = Sketches.jsDriftMatrix(df, "lang", "src")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // a vs b, cat x: p=2/3, q=1/3, m=1/2 →
+    // term = ½(p·ln(p/m) + q·ln(q/m)) = 0.02831650… → 28317 micro;
+    // cat y swaps p and q — SAME term (JS is symmetric)
+    assert(got(("a", "b", "x")) == ((3L, 1L, 28317L, 56634L)), got.toString)
+    assert(got(("a", "b", "y")) == ((1L, 3L, 28317L, 56634L)))
+    assert(got(("a", "c", "x")) == ((3L, 3L, 0L, 0L)))
+    assert(got(("a", "c", "y")) == ((1L, 1L, 0L, 0L)))
+    // one census artifact serves the readout: folded halves ≡ direct
+    val h1 = Sketches.categoryCensusTable(df.limit(6), "lang", "src")
+    val h2 = Sketches.categoryCensusTable(df.exceptAll(df.limit(6)), "lang", "src")
+    val folded = Sketches.jsDriftFromCensus(
+      Sketches.foldCategoryCensus(h1, h2))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(folded == got, s"folded $folded vs direct $got")
+  }
+
   test("groupedQuantile / winsorizedStats: exact thresholds and clamped moments on a hand case") {
     // group g: values 1..100 once each → p5 = 5, p95 = 95
     val df = (1L to 100L).map(v => ("g", v)).toDF("grp", "v")
