@@ -2958,6 +2958,67 @@ object SparkEntry {
           col("score"))
     }),
 
+    // BM25 index DELETES: standing runs never rewrite — a delete is one
+    // more append-only tombstone run, and the READ side shadows (ids
+    // drop from postings AND doc-lens, so N/T/df/idf are post-delete
+    // with no rebuild). Odd docs tombstoned; the oracle scores the
+    // even corpus directly.
+    "p289_bm25_deletes" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val qText = doc0Tokens(docs).take(8).mkString(" ")
+      val corpus = docs.filter(col("doc_id") =!= 0)
+        .localCheckpoint(eager = false) // two run splits + the delete list
+      val store = s"${freshTmpStore(s, "p289", dir)}/store"
+      Seq(0, 1).foreach { r =>
+        val part = corpus.filter(pmod(col("doc_id"), lit(2)) === r)
+        graft.pipeline.TextAnalysis.bm25Postings(part, "doc_id", "text")
+          .write.parquet(s"$store/postings/run=$r")
+        graft.pipeline.TextAnalysis.bm25DocLens(part, "doc_id", "text")
+          .write.parquet(s"$store/doclens/run=$r")
+      }
+      graft.streaming.PipelineStream.bm25DeleteDocs(
+        corpus.filter(col("doc_id") % 2 === 1).select(col("doc_id").as("id")),
+        store, runId = 2L)
+      graft.pipeline.TextAnalysis.bm25TopKIndexed(
+        graft.streaming.PipelineStream.readBm25Postings(s, store),
+        graft.streaming.PipelineStream.readBm25DocLens(s, store),
+        qText, k = 10)
+        .select(col("rank").cast("long").as("rank"), col("id").as("doc_id"),
+          col("score"))
+    }),
+
+    // The tombstone GC: compaction consolidates the LIVE rows (deletes
+    // applied) into one term-laid postings run + one doc-lens run and
+    // drops the tombstones — single-writer stores need no gcGrace wait
+    // (nothing can resurrect a deleted doc). Readout after GC must be
+    // bit-identical to the masked readout (same oracle as p289).
+    "p290_bm25_delete_gc" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val qText = doc0Tokens(docs).take(8).mkString(" ")
+      val corpus = docs.filter(col("doc_id") =!= 0)
+        .localCheckpoint(eager = false)
+      val store = s"${freshTmpStore(s, "p290", dir)}/store"
+      Seq(0, 1).foreach { r =>
+        val part = corpus.filter(pmod(col("doc_id"), lit(2)) === r)
+        graft.pipeline.TextAnalysis.bm25Postings(part, "doc_id", "text")
+          .write.parquet(s"$store/postings/run=$r")
+        graft.pipeline.TextAnalysis.bm25DocLens(part, "doc_id", "text")
+          .write.parquet(s"$store/doclens/run=$r")
+      }
+      graft.streaming.PipelineStream.bm25DeleteDocs(
+        corpus.filter(col("doc_id") % 2 === 1).select(col("doc_id").as("id")),
+        store, runId = 2L)
+      graft.streaming.PipelineStream.compactBm25Store(s, store)
+      graft.pipeline.TextAnalysis.bm25TopKIndexed(
+        graft.streaming.PipelineStream.readBm25Postings(s, store),
+        graft.streaming.PipelineStream.readBm25DocLens(s, store),
+        qText, k = 10)
+        .select(col("rank").cast("long").as("rank"), col("id").as("doc_id"),
+          col("score"))
+    }),
+
     // Streaming BM25 index maintenance: the corpus arrives in
     // micro-batches, each flushing an append-only postings/doc-lens run
     // (the p225 fold law streamed; zorderedIngest's flush contract);
@@ -6397,16 +6458,33 @@ object SparkEntry {
       |SELECT CAST(rank AS BIGINT) AS rank, doc_id, score
       |FROM r WHERE rank <= 10""".stripMargin
 
-  private lazy val bm25CtesSql: String =
-    """q AS (SELECT DISTINCT unnest(list_distinct((regexp_extract_all(lower(text), '\S+'))[1:8])) AS term
+  private lazy val bm25CtesSql: String = bm25CtesSqlFor("doc_id <> 0")
+
+  /** ONE oracle for the tombstone-masked readout (p289) and the
+    * post-GC readout (p290): the top-10 over the post-delete corpus.
+    */
+  private lazy val bm25DeletesOracleSql: String =
+    s"""WITH ${bm25CtesSqlFor("doc_id <> 0 AND doc_id % 2 = 0")},
+      |r AS (SELECT doc_id, score,
+      |        row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
+      |SELECT CAST(rank AS BIGINT) AS rank, doc_id, score
+      |FROM r WHERE rank <= 10""".stripMargin
+
+  /** The BM25 scoring CTEs with a parameterizable corpus predicate —
+    * `bm25CtesSql` is the standard `doc_id <> 0` instance; the
+    * tombstone gate (p289/p290) scores the SAME query over the
+    * post-delete corpus.
+    */
+  private def bm25CtesSqlFor(corpusWhere: String): String =
+    s"""q AS (SELECT DISTINCT unnest(list_distinct((regexp_extract_all(lower(text), '\\S+'))[1:8])) AS term
       |           FROM documents WHERE doc_id = 0),
       |n AS (SELECT count(*) AS nd,
-      |        CAST(sum(len(regexp_extract_all(lower(text), '\S+'))) AS BIGINT) AS tt
-      |      FROM documents WHERE doc_id <> 0),
+      |        CAST(sum(len(regexp_extract_all(lower(text), '\\S+'))) AS BIGINT) AS tt
+      |      FROM documents WHERE $corpusWhere),
       |t AS (SELECT doc_id,
-      |        CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS dl,
-      |        unnest(regexp_extract_all(lower(text), '\S+')) AS term
-      |      FROM documents WHERE doc_id <> 0),
+      |        CAST(len(regexp_extract_all(lower(text), '\\S+')) AS BIGINT) AS dl,
+      |        unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+      |      FROM documents WHERE $corpusWhere),
       |m AS (SELECT doc_id, term, max(dl) AS len, count(*) AS tf
       |      FROM t JOIN q USING (term) GROUP BY 1, 2),
       |dfq AS (SELECT term, count(*) AS df FROM m GROUP BY 1),
@@ -8630,6 +8708,8 @@ object SparkEntry {
 
     "p120_bm25_topk" -> bm25TopKOracleSql,
     "p225_bm25_index_delta" -> bm25TopKOracleSql,
+    "p289_bm25_deletes" -> bm25DeletesOracleSql,
+    "p290_bm25_delete_gc" -> bm25DeletesOracleSql,
     "p226_stream_bm25_index" -> bm25TopKOracleSql,
 
     "p117_funnel_timing" ->

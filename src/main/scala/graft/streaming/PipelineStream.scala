@@ -64,6 +64,92 @@ object PipelineStream {
       }
     }
 
+  /** TOMBSTONE a set of document ids in a [[bm25IndexIngest]] store —
+    * the engine's delete concept at retrieval-artifact grain: standing
+    * postings/doc-lens runs never rewrite (they are immutable, exactly
+    * like SSTables); a delete is one more append-only run under
+    * `base/deletes/run=<runId>`, and the READ side shadows — deleted
+    * ids drop out of postings AND doc-lens, so N, total length, df and
+    * idf all reflect the post-delete corpus with no index rebuild
+    * ([[readBm25Postings]]/[[readBm25DocLens]]).
+    * [[compactBm25Store]] is the tombstone GC. Caller runIds are
+    * monotone per store (the knnGraphBatchFold contract).
+    */
+  def bm25DeleteDocs(ids: DataFrame, basePath: String, runId: Long): Unit =
+    ids.select(col("id"))
+      .write.mode("overwrite").parquet(s"$basePath/deletes/run=$runId")
+
+  private def bm25Deletes(spark: org.apache.spark.sql.SparkSession,
+      basePath: String): Option[DataFrame] = {
+    val base = new org.apache.hadoop.fs.Path(basePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (graft.operators.EventOps.listIdDirs(fs, base, "deletes", "run=")
+        .isEmpty) None
+    else Some(spark.read.parquet(s"$basePath/deletes").select(col("id")))
+  }
+
+  /** The live postings of a [[bm25IndexIngest]] store: unioned runs
+    * with tombstoned ids shadowed out (anti-join on the delete runs —
+    * absent deletes cost nothing).
+    */
+  def readBm25Postings(spark: org.apache.spark.sql.SparkSession,
+      basePath: String): DataFrame = {
+    val p = spark.read.parquet(s"$basePath/postings")
+      .select(col("term"), col("id"), col("tf"), col("len"))
+    bm25Deletes(spark, basePath).fold(p)(d =>
+      p.join(d, Seq("id"), "left_anti"))
+  }
+
+  /** The live doc-lens of a [[bm25IndexIngest]] store — deletes shadow
+    * here too, so the corpus stats (N, total length) are post-delete.
+    */
+  def readBm25DocLens(spark: org.apache.spark.sql.SparkSession,
+      basePath: String): DataFrame = {
+    val l = spark.read.parquet(s"$basePath/doclens")
+      .select(col("id"), col("len"))
+    bm25Deletes(spark, basePath).fold(l)(d =>
+      l.join(d, Seq("id"), "left_anti"))
+  }
+
+  /** Compact a [[bm25IndexIngest]] store — consolidate the live rows
+    * (tombstones APPLIED) into one postings run range-laid by term
+    * (the term-probe prune layout) and one doc-lens run, then drop the
+    * delete runs: single-writer tombstone GC is safe immediately —
+    * there is no replica that could resurrect a deleted doc, so no
+    * gcGrace wait (the contrast with the cell-store's grace-period
+    * contract is deliberate and documented here). Same publish-then-
+    * swap + max-numeric-run-id protocol as [[compactKnnStore]];
+    * offline maintenance, stop the writer first.
+    */
+  def compactBm25Store(spark: org.apache.spark.sql.SparkSession,
+      basePath: String): Unit = {
+    val base = new org.apache.hadoop.fs.Path(basePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pRuns = graft.operators.EventOps.listIdDirs(fs, base, "postings", "run=")
+    val lRuns = graft.operators.EventOps.listIdDirs(fs, base, "doclens", "run=")
+    require(pRuns.nonEmpty && lRuns.nonEmpty,
+      "compactBm25Store: nothing to compact")
+    readBm25Postings(spark, basePath)
+      .repartitionByRange(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite")
+      .parquet(s"$basePath/postings__compact/run=${pRuns.max}")
+    readBm25DocLens(spark, basePath)
+      .write.mode("overwrite")
+      .parquet(s"$basePath/doclens__compact/run=${lRuns.max}")
+    def swap(sub: String): Unit = {
+      val live = new org.apache.hadoop.fs.Path(base, sub)
+      val old = new org.apache.hadoop.fs.Path(base, sub + "__old")
+      val next = new org.apache.hadoop.fs.Path(base, sub + "__compact")
+      fs.delete(old, true)
+      require(fs.rename(live, old), s"compactBm25Store: could not retire $live")
+      require(fs.rename(next, live), s"compactBm25Store: could not publish $next")
+      fs.delete(old, true)
+    }
+    swap("postings")
+    swap("doclens")
+    fs.delete(new org.apache.hadoop.fs.Path(base, "deletes"), true)
+  }
+
   /** Streaming n-gram census maintenance — the p234 additive-fold law
     * as an ingestion pipeline (the bm25IndexIngest shape at gram
     * grain): each micro-batch flushes its own

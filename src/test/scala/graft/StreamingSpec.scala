@@ -1218,6 +1218,51 @@ class StreamingSpec extends SparkSpec {
       .readKnnGraph(spark, s"$base/store")) == rows(grown))
   }
 
+  test("bm25 tombstones: masked readout ≡ survivor scorer; compaction GCs the tombstones") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_bm25del").toString
+    val store = s"$base/store"
+    val docs = Seq(
+      (1L, "rare filler filler filler"),
+      (2L, "rare filler filler filler extra extra extra extra"),
+      (3L, "common filler filler filler"),
+      (4L, ""), // token-less: its doc-lens row weights N until deleted
+      (5L, "common common filler filler"),
+      (6L, "common pad pad pad"))
+    val df = docs.toDF("doc_id", "text")
+    Seq(0, 1).foreach { r =>
+      val part = df.filter($"doc_id" % 2 === r)
+      graft.pipeline.TextAnalysis.bm25Postings(part, "doc_id", "text")
+        .write.parquet(s"$store/postings/run=$r")
+      graft.pipeline.TextAnalysis.bm25DocLens(part, "doc_id", "text")
+        .write.parquet(s"$store/doclens/run=$r")
+    }
+    graft.streaming.PipelineStream.bm25DeleteDocs(
+      Seq(3L, 4L).toDF("id"), store, runId = 2L)
+    def rks(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    def masked() = rks(graft.pipeline.TextAnalysis.bm25TopKIndexed(
+      graft.streaming.PipelineStream.readBm25Postings(spark, store),
+      graft.streaming.PipelineStream.readBm25DocLens(spark, store),
+      "rare common", k = 6))
+    // ≡ the ad-hoc scorer over the survivors: N, T, df, idf all
+    // post-delete (doc 4's token-less doc-lens row must drop too)
+    val adhoc = rks(graft.pipeline.TextAnalysis.bm25TopK(
+      df.filter(!$"doc_id".isin(3L, 4L)), "doc_id", "text",
+      "rare common", k = 6))
+    assert(masked() == adhoc, s"${masked()} vs $adhoc")
+    // compaction: live rows consolidate, tombstones GC'd, readout fixed
+    graft.streaming.PipelineStream.compactBm25Store(spark, store)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/deletes")))
+    assert(spark.read.parquet(s"$store/postings")
+      .select($"run").distinct().count() == 1L)
+    assert(spark.read.parquet(s"$store/doclens")
+      .filter($"id".isin(3L, 4L)).isEmpty)
+    assert(masked() == adhoc)
+  }
+
   test("ngramCensusIngest: per-batch census runs sum to the batch table; top-k readout matches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
