@@ -1220,6 +1220,34 @@ object SparkEntry {
       graft.streaming.PipelineStream.readKnnGraph(s, store)
     }),
 
+    // kNN-store DELETES: tombstone a slice of the indexed vectors —
+    // deleted ids must vanish as nodes AND as neighbors (rank-6
+    // candidates promote), so the delete re-derives its touched cells
+    // over the survivors and the manifest-based readout supersedes
+    // their stale rows. Readout ≡ one-shot graph over the survivor
+    // corpus (corpusWhere in the shared oracle).
+    "p291_knn_deleted" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = table(s, dir, "embeddings")
+        .localCheckpoint(eager = false) // codebook + folds + delete list
+      val codebook = graft.pipeline.Similarity.refinedCentroids(
+        graft.pipeline.Similarity.kmeansStepExact(
+          e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding", k = 8))
+        .localCheckpoint() // FROZEN codebook (the p281/p282 contract)
+      val store = s"${freshTmpStore(s, "p291", dir)}/store"
+      def fold(f: DataFrame, runId: Long): Unit =
+        graft.streaming.PipelineStream.knnGraphBatchFold(f, "vec_id",
+          "embedding", codebook, k = 8, kNbrs = 5, basePath = store,
+          runId = runId)
+      fold(e.filter(col("vec_id") % 3 === 0), 0L)
+      fold(e.filter(col("vec_id") % 3 === 1), 1L)
+      fold(e.filter(col("vec_id") % 3 === 2), 2L)
+      graft.streaming.PipelineStream.knnStoreDelete(s, store,
+        e.filter(col("vec_id") % 4 === 2).select(col("vec_id").as("id")),
+        kNbrs = 5, runId = 3L)
+      graft.streaming.PipelineStream.readKnnGraph(s, store)
+    }),
+
     // Mutual-kNN sparsification: a pair survives iff EACH ranks the
     // other in its top 5 — hub bridges vanish, dense regions stay.
     "p284_mutual_knn" -> ((s, dir) => {
@@ -6603,7 +6631,8 @@ object SparkEntry {
     * EVERY vector assigned against it, per-cell pairwise cosine with
     * the zero-norm −2.0 guard, per-id (sim DESC, nbr) rank ≤ 5.
     */
-  private def knnGraphOracleCtes(baseWhere: String): String =
+  private def knnGraphOracleCtes(baseWhere: String,
+      corpusWhere: String = "1 = 1"): String =
     kmeansOracleCtes(baseWhere) +
       s""",
         |st AS (SELECT cluster, pos, CAST(sum(m) AS BIGINT) AS s, count(*) AS n
@@ -6622,7 +6651,7 @@ object SparkEntry {
         |           FROM dall) WHERE rn = 1),
         |v AS (SELECT e.vec_id, aall.cluster AS cell,
         |             (e.embedding)::DOUBLE[] AS vv
-        |      FROM e JOIN aall USING (vec_id)),
+        |      FROM e JOIN aall USING (vec_id) WHERE $corpusWhere),
         |pr AS (SELECT x.vec_id AS id, x.cell, y.vec_id AS nbr,
         |         CASE WHEN isnan(list_cosine_similarity(x.vv, y.vv)) THEN -2.0
         |              ELSE list_cosine_similarity(x.vv, y.vv) END AS sim
@@ -6631,8 +6660,9 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY id ORDER BY sim DESC, nbr) AS rank
         |       FROM pr)""".stripMargin
 
-  private def knnGraphOracleSql(baseWhere: String, withCell: Boolean): String =
-    knnGraphOracleCtes(baseWhere) +
+  private def knnGraphOracleSql(baseWhere: String, withCell: Boolean,
+      corpusWhere: String = "1 = 1"): String =
+    knnGraphOracleCtes(baseWhere, corpusWhere) +
       s"""
         |SELECT ${if (withCell) "CAST(cell AS BIGINT) AS cell, " else ""}id, CAST(rank AS BIGINT) AS rank, nbr
         |FROM rk WHERE rank <= 5""".stripMargin
@@ -7432,6 +7462,8 @@ object SparkEntry {
       knnGraphOracleSql("WHERE vec_id % 10 <> 0", withCell = true),
     "p282_stream_knn_graph" ->
       knnGraphOracleSql("WHERE vec_id % 10 <> 0", withCell = true),
+    "p291_knn_deleted" -> knnGraphOracleSql("WHERE vec_id % 10 <> 0",
+      withCell = true, corpusWhere = "vec_id % 4 <> 2"),
     "p284_mutual_knn" -> mutualKnnOracleSql,
     "p285_snn_clusters" -> snnClustersOracleSql,
     "p286_knn_compacted" ->

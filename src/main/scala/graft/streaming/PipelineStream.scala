@@ -326,18 +326,77 @@ object PipelineStream {
     val d = graft.pipeline.Similarity
       .ivfIndexTable(batch, idCol, vecCol, codebook, k)
       .localCheckpoint() // standing union + its own run flush
-    val base = new org.apache.hadoop.fs.Path(basePath)
-    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val priorRuns = graft.operators.EventOps
-      .listIdDirs(fs, base, "index", "run=").filter(_ < runId)
-    val standing =
-      if (priorRuns.isEmpty) d.limit(0)
-      else s.read.parquet(
-        priorRuns.map(v => s"$basePath/index/run=$v"): _*)
-    graft.pipeline.Similarity
-      .knnGraphTouched(standing, d, kNbrs, maxTouchedRows)
-      .write.mode("overwrite").parquet(s"$basePath/graph/run=$runId")
+    val touched = graft.pipeline.Similarity
+      .knnGraphTouched(readKnnIndex(s, basePath, d.limit(0), runId), d,
+        kNbrs, maxTouchedRows)
+    touched.write.mode("overwrite").parquet(s"$basePath/graph/run=$runId")
+    d.select(col("cell").cast("long").as("cell")).distinct()
+      .write.mode("overwrite").parquet(s"$basePath/graphcells/run=$runId")
     d.write.mode("overwrite").parquet(s"$basePath/index/run=$runId")
+  }
+
+  /** The LIVE standing index of a [[knnGraphIngest]] store as of
+    * `beforeRun`: index runs `< beforeRun` with tombstoned ids
+    * ([[knnStoreDelete]] runs `< beforeRun`) shadowed out. `empty`
+    * supplies the schema when nothing is standing yet.
+    */
+  private def readKnnIndex(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, empty: DataFrame, beforeRun: Long): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(basePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val runs = graft.operators.EventOps
+      .listIdDirs(fs, base, "index", "run=").filter(_ < beforeRun)
+    val standing =
+      if (runs.isEmpty) empty
+      else spark.read.parquet(runs.map(v => s"$basePath/index/run=$v"): _*)
+    val delRuns = graft.operators.EventOps
+      .listIdDirs(fs, base, "deletes", "run=").filter(_ < beforeRun)
+    if (delRuns.isEmpty) standing
+    else standing.join(
+      spark.read.parquet(delRuns.map(v => s"$basePath/deletes/run=$v"): _*)
+        .select(col("id")),
+      Seq("id"), "left_anti")
+  }
+
+  /** DELETE vectors from a [[knnGraphIngest]] store — the tombstone
+    * concept at ANN grain (compliance removals from a standing
+    * embedding index): a deleted vector must vanish as a NODE and as a
+    * NEIGHBOR (rank-(k+1) candidates promote into freed slots), so a
+    * delete re-derives exactly the cells holding deleted vectors over
+    * the post-delete residents and flushes them as one more graph run,
+    * plus the tombstone run every future index read shadows. Deletion
+    * BREAKS the append-era monotone-residents argument (a touched
+    * cell's recompute can now be EMPTY while older runs have rows),
+    * which is why every graph run carries a `graphcells` manifest and
+    * [[readKnnGraph]] resolves latest-run-per-cell from MANIFESTS, not
+    * from surviving rows. `runId` shares the store's monotone id space
+    * (the knnGraphBatchFold contract).
+    */
+  def knnStoreDelete(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, ids: DataFrame, kNbrs: Int, runId: Long,
+      maxTouchedRows: Long = 5000000L): Unit = {
+    val del = ids.select(col("id")).localCheckpoint() // probe + flush
+    val emptyIdx = spark.range(0).select(col("id"),
+      col("id").cast("int").as("cell"),
+      array().cast("array<float>").as("embedding"))
+    val standing = readKnnIndex(spark, basePath, emptyIdx, runId)
+      .localCheckpoint(eager = false) // touched probe + live recompute
+    val touchedCells = standing.join(del, Seq("id"), "left_semi")
+      .select(col("cell")).distinct().localCheckpoint()
+    val cells = touchedCells.collect().map(_.get(0)).toSeq
+    if (cells.nonEmpty) {
+      val live = standing.join(del, Seq("id"), "left_anti")
+        .filter(col("cell").isin(cells: _*))
+        .localCheckpoint(eager = false) // counted + both join sides
+      require(live.count() <= maxTouchedRows,
+        s"knnStoreDelete: touched cells exceed maxTouchedRows = " +
+          s"$maxTouchedRows — delete in slices")
+      graft.pipeline.Similarity.knnGraphTable(live, kNbrs)
+        .write.mode("overwrite").parquet(s"$basePath/graph/run=$runId")
+      touchedCells.select(col("cell").cast("long").as("cell"))
+        .write.mode("overwrite").parquet(s"$basePath/graphcells/run=$runId")
+    }
+    del.write.mode("overwrite").parquet(s"$basePath/deletes/run=$runId")
   }
 
   /** Compact a [[knnGraphIngest]] store — the p262 publish-then-swap
@@ -358,50 +417,66 @@ object PipelineStream {
     val base = new org.apache.hadoop.fs.Path(basePath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val idxRuns = graft.operators.EventOps.listIdDirs(fs, base, "index", "run=")
-    val gRuns = graft.operators.EventOps.listIdDirs(fs, base, "graph", "run=")
+    val gRuns = graft.operators.EventOps
+      .listIdDirs(fs, base, "graphcells", "run=")
     require(idxRuns.nonEmpty && gRuns.nonEmpty,
       "compactKnnStore: nothing to compact")
-    // write both consolidated stores BEFORE any swap
-    spark.read.parquet(s"$basePath/index")
-      .select(col("id"), col("cell"), col("embedding"))
-      .repartitionByRange(col("cell")).sortWithinPartitions("cell")
+    // write every consolidated store BEFORE any swap; tombstones are
+    // APPLIED here and GC'd after (single writer — no grace wait, the
+    // compactBm25Store argument at ANN grain)
+    val emptyIdx = spark.range(0).select(col("id"),
+      col("id").cast("int").as("cell"),
+      array().cast("array<float>").as("embedding"))
+    val live = readKnnIndex(spark, basePath, emptyIdx, Long.MaxValue)
+      .localCheckpoint(eager = false) // index flush + manifest
+    live.repartitionByRange(col("cell")).sortWithinPartitions("cell")
       .write.mode("overwrite")
       .parquet(s"$basePath/index__compact/run=${idxRuns.max}")
     readKnnGraph(spark, basePath)
       .repartitionByRange(col("cell")).sortWithinPartitions("cell")
       .write.mode("overwrite")
       .parquet(s"$basePath/graph__compact/run=${gRuns.max}")
+    // manifest = the consolidated index's populated cells: any cell a
+    // delete emptied has no residents, no surviving rows in any run
+    // after the swap, and needs no manifest entry
+    live.select(col("cell").cast("long").as("cell")).distinct()
+      .write.mode("overwrite")
+      .parquet(s"$basePath/graphcells__compact/run=${gRuns.max}")
     def swap(sub: String): Unit = {
-      val live = new org.apache.hadoop.fs.Path(base, sub)
+      val liveDir = new org.apache.hadoop.fs.Path(base, sub)
       val old = new org.apache.hadoop.fs.Path(base, sub + "__old")
       val next = new org.apache.hadoop.fs.Path(base, sub + "__compact")
       fs.delete(old, true)
-      require(fs.rename(live, old), s"compactKnnStore: could not retire $live")
-      require(fs.rename(next, live), s"compactKnnStore: could not publish $next")
+      require(fs.rename(liveDir, old), s"compactKnnStore: could not retire $liveDir")
+      require(fs.rename(next, liveDir), s"compactKnnStore: could not publish $next")
       fs.delete(old, true) // last — the published store is already live
     }
     swap("index")
     swap("graph")
+    swap("graphcells")
+    fs.delete(new org.apache.hadoop.fs.Path(base, "deletes"), true)
   }
 
   /** The current graph of a [[knnGraphIngest]] store: per cell, the
-    * rows of the LATEST run that recomputed it (a cell's residents only
-    * grow, so a newer recompute always supersedes; a cell whose latest
-    * touch left it a singleton has no rows in that run AND had none in
-    * any earlier run — monotonicity closes the zero-row fallback
-    * hazard). The run-max table is ≤ #cells rows and broadcasts.
+    * rows of the LATEST run that recomputed it — resolved from the
+    * `graphcells` MANIFESTS, not from surviving rows, because a
+    * [[knnStoreDelete]] recompute can legitimately leave a touched
+    * cell EMPTY (every resident deleted, or one left) and the readout
+    * must NOT fall back to that cell's stale older rows. The
+    * manifest-max table is ≤ #cells rows and broadcasts.
     */
   def readKnnGraph(spark: org.apache.spark.sql.SparkSession,
       basePath: String): DataFrame = {
     val base = new org.apache.hadoop.fs.Path(basePath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (graft.operators.EventOps.listIdDirs(fs, base, "graph", "run=").isEmpty)
+    if (graft.operators.EventOps
+        .listIdDirs(fs, base, "graphcells", "run=").isEmpty)
       return spark.range(0).select(col("id").as("cell"), col("id"),
         col("id").as("rank"), col("id").as("nbr"))
-    val g = spark.read.parquet(s"$basePath/graph")
-    g.join(broadcast(g.groupBy(col("cell"))
-        .agg(max(col("run")).as("run"))),
-        Seq("cell", "run"))
+    val latest = spark.read.parquet(s"$basePath/graphcells")
+      .groupBy(col("cell")).agg(max(col("run")).as("run"))
+    spark.read.parquet(s"$basePath/graph")
+      .join(broadcast(latest), Seq("cell", "run"))
       .select(col("cell"), col("id"), col("rank"), col("nbr"))
   }
 

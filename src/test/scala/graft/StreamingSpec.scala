@@ -1218,6 +1218,59 @@ class StreamingSpec extends SparkSpec {
       .readKnnGraph(spark, s"$base/store")) == rows(grown))
   }
 
+  test("knnStoreDelete: survivors re-derive, singleton cell goes EMPTY (manifest, no stale fallback), lifecycle continues") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_knndel").toString
+    val store = s"$base/store"
+    // 3 well-separated clusters; seeds = ids 0,1,2 land one per cluster.
+    // Cluster C has exactly TWO members (2, 9) — deleting 9 leaves a
+    // singleton cell whose recompute is EMPTY while run 0 had rows.
+    def v(c: Int, jit: Float) = Array.tabulate(4)(i =>
+      (if (i == c) 10f else 0f) + (if (i == 3) jit else 0f))
+    val pts = Seq(
+      (0L, v(0, 0.1f)), (3L, v(0, 0.2f)), (6L, v(0, 0.3f)),
+      (1L, v(1, 0.1f)), (4L, v(1, 0.2f)), (7L, v(1, 0.3f)),
+      (2L, v(2, 0.1f)), (9L, v(2, 0.2f)))
+    val df = pts.toDF("vec_id", "embedding").localCheckpoint()
+    val codebook = graft.pipeline.Similarity.refinedCentroids(
+      graft.pipeline.Similarity.kmeansStepExact(df, "vec_id", "embedding", k = 3))
+      .localCheckpoint()
+    graft.streaming.PipelineStream.knnGraphBatchFold(df, "vec_id",
+      "embedding", codebook, k = 3, kNbrs = 2, basePath = store, runId = 0L)
+    def rows(d: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+      d.select("cell", "id", "rank", "nbr").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def oneShot(corpus: Seq[(Long, Array[Float])]) =
+      rows(graft.pipeline.Similarity.knnGraphTable(
+        graft.pipeline.Similarity.ivfIndexTable(
+          corpus.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          codebook, 3), 2))
+    graft.streaming.PipelineStream.knnStoreDelete(spark, store,
+      Seq(9L).toDF("id"), kNbrs = 2, runId = 1L)
+    val afterDel = rows(graft.streaming.PipelineStream
+      .readKnnGraph(spark, store))
+    assert(afterDel == oneShot(pts.filterNot(_._1 == 9L)), s"got $afterDel")
+    // the singleton cell: id 2 has no rows and is nobody's neighbor —
+    // the manifest prevented fallback to run 0's stale (2, 9) rows
+    assert(!afterDel.exists(t => t._2 == 2L || t._4 == 2L))
+    assert(!afterDel.exists(t => t._2 == 9L || t._4 == 9L))
+    // lifecycle continues: a later batch repopulates the emptied cell
+    val more = Seq((20L, v(2, 0.4f)), (21L, v(2, 0.5f)))
+    graft.streaming.PipelineStream.knnGraphBatchFold(
+      more.toDF("vec_id", "embedding"), "vec_id", "embedding", codebook,
+      k = 3, kNbrs = 2, basePath = store, runId = 2L)
+    val grown = oneShot(pts.filterNot(_._1 == 9L) ++ more)
+    assert(rows(graft.streaming.PipelineStream.readKnnGraph(spark, store))
+      == grown)
+    // compaction applies + GCs the tombstones; readout unchanged
+    graft.streaming.PipelineStream.compactKnnStore(spark, store)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/deletes")))
+    assert(rows(graft.streaming.PipelineStream.readKnnGraph(spark, store))
+      == grown)
+  }
+
   test("bm25 tombstones: masked readout ≡ survivor scorer; compaction GCs the tombstones") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_bm25del").toString
