@@ -525,6 +525,19 @@ object Bench {
       graft.pipeline.Similarity.kmeansStepExact(emb, "vec_id", "embedding", k = 8)
     }
 
+    // all-nearest-neighbors over the standing IVF index (codebook +
+    // index + in-cell self-join + per-id rank) — the batch substrate
+    // of semantic dedup / diversity sampling; the knnMaintProbe slope
+    // rows pin its Σ|cell|² cost model
+    legDf("knn_graph") {
+      val codebook = graft.pipeline.Similarity.refinedCentroids(
+        graft.pipeline.Similarity.kmeansStepExact(emb, "vec_id",
+          "embedding", k = 16)).localCheckpoint()
+      graft.pipeline.Similarity.knnGraphIvf(
+        graft.pipeline.Similarity.ivfIndexTable(emb, "vec_id",
+          "embedding", codebook, 16), kNbrs = 10)
+    }
+
     // sketch observability: both corpus sketches in one leg (HLL register
     // max-agg + CMS cell sum-agg — the per-shard census cost)
     legDf("sketches") {

@@ -5167,6 +5167,33 @@ object SparkEntry {
           col("n_trigrams").cast("long").as("n_trigrams"))
     }),
 
+    // Streaming stupid-backoff scoring: odd docs arrive in
+    // micro-batches, each scored statelessly against the SAVED
+    // even-doc model artifact; the union over runs ≡ the one-shot
+    // p283 (its oracle gates it).
+    "p292_stream_backoff_lm" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val base = freshTmpStore(s, "p292", dir)
+      graft.pipeline.TextAnalysis.trainBackoffLm(
+        docs.filter(col("doc_id") % 2 === 0), "text")
+        .write.parquet(s"$base/model")
+      val feed = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+      feed.repartition(3).write.parquet(s"$base/in")
+      val st = s.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = graft.streaming.PipelineStream
+        .backoffLmIngest(st, "doc_id", "text", s"$base/model", s"$base/store")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/store/scores")
+        .select(col("id"), col("lm_sum").cast("long").as("lm_sum"),
+          col("n_trigrams").cast("long").as("n_trigrams"))
+    }),
+
     // Top-3 distinctive terms per doc by exact-integer tf/df score.
     "p30_distinctive_terms" -> ((s, dir) => {
       GraftFunctions.register(s)
@@ -9967,6 +9994,7 @@ object SparkEntry {
 
     "p52_bigram_lm" -> bigramLmOracleSql,
     "p283_backoff_lm" -> backoffLmOracleSql,
+    "p292_stream_backoff_lm" -> backoffLmOracleSql,
 
     "p239_unigram_em" -> unigramEmOracleSql(12, 4, 30L),
     "p248_unigram_segment" -> unigramSegmentOracleSql(12, 4, 30L),

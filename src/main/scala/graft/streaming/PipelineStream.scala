@@ -251,6 +251,28 @@ object PipelineStream {
           .write.mode("overwrite").parquet(s"$basePath/novelty/run=$id")
     }
 
+  /** Streaming stupid-backoff LM scoring — each arriving micro-batch
+    * scores its docs' trigram transitions against the STANDING model
+    * artifact (a persisted [[graft.pipeline.TextAnalysis
+    * .trainBackoffLm]] table): per-doc scores depend only on the doc
+    * and the model, so the op is STATELESS — no state store, no
+    * watermark; the union over runs ≡ one batch
+    * [[graft.pipeline.TextAnalysis.backoffLmScore]] over everything
+    * ingested (p292 gates under p283's oracle). Results flush as
+    * overwrite-by-batch-id runs (redelivery idempotent — the
+    * bm25IndexIngest contract); the model reads fresh per batch, so a
+    * re-trained artifact is picked up at the next batch.
+    */
+  def backoffLmIngest(docs: DataFrame, idCol: String, textCol: String,
+      modelPath: String, basePath: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty)
+        TextAnalysis.backoffLmScore(batch, idCol, textCol,
+          batch.sparkSession.read.parquet(modelPath))
+          .write.mode("overwrite").parquet(s"$basePath/scores/run=$id")
+    }
+
   /** Streaming nominate+confirm dedup ingest — each arriving
     * micro-batch probes the standing
     * [[graft.pipeline.Dedup.saveSimhashCorpus]] artifact independently

@@ -353,6 +353,21 @@ class PlanQualitySpec extends SparkSpec {
       pairs, docs, "doc_id", "text", 10))
     assert(!ep.contains("CartesianProduct") && !ep.contains("BroadcastNestedLoop"),
       ep.take(1500))
+    // delta fold: the carried side is a STATIC NOT-IN filter and the
+    // recompute joins only on cell — no cartesian, no single partition
+    val delta = graft.pipeline.Similarity.ivfIndexTable(
+      Seq((100L, Array(0.1f, 0.1f, 0.1f, 0.1f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", codebook, 3)
+    val dp = planOf(graft.pipeline.Similarity.knnGraphDelta(
+      graft.pipeline.Similarity.knnGraphTable(index, 2), index, delta, 2))
+    assert(!dp.contains("CartesianProduct") && !dp.contains("BroadcastNestedLoop"),
+      dp.take(1500))
+    assert(!dp.contains("SinglePartition"), dp.take(1500))
+    // mutual edges: a self equi-join on (id, nbr), never nested-loop
+    val mp = planOf(graft.pipeline.Similarity.mutualKnnEdges(
+      graft.pipeline.Similarity.knnGraphIvf(index, 2)))
+    assert(!mp.contains("CartesianProduct") && !mp.contains("BroadcastNestedLoop"),
+      mp.take(1500))
   }
 
   test("phrase probe pushes term equality into the postings scan") {
