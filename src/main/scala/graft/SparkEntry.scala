@@ -5167,6 +5167,15 @@ object SparkEntry {
           col("n_trigrams").cast("long").as("n_trigrams"))
     }),
 
+    // Vocabulary richness per source: bias-corrected Chao1 unseen-type
+    // estimate + Good–Turing unseen probability mass — the data-card
+    // "how much more vocabulary is out there" numbers, exact integers.
+    "p293_vocab_richness" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.TextAnalysis.vocabRichness(
+        table(s, dir, "documents"), "source", "text")
+    }),
+
     // Streaming stupid-backoff scoring: odd docs arrive in
     // micro-batches, each scored statelessly against the SAVED
     // even-doc model artifact; the union over runs ≡ the one-shot
@@ -9995,6 +10004,23 @@ object SparkEntry {
     "p52_bigram_lm" -> bigramLmOracleSql,
     "p283_backoff_lm" -> backoffLmOracleSql,
     "p292_stream_backoff_lm" -> backoffLmOracleSql,
+
+    "p293_vocab_richness" ->
+      """WITH tt AS (SELECT source AS grp,
+        |        unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |      FROM documents),
+        |c AS (SELECT grp, term, count(*) AS c FROM tt GROUP BY 1, 2),
+        |a AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |        CAST(count(*) AS BIGINT) AS n_types,
+        |        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |        CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |      FROM c GROUP BY 1)
+        |SELECT grp, n_tokens, n_types, f1, f2,
+        |       CAST(n_types * 1000000
+        |         + (CAST(f1 AS HUGEINT) * (f1 - 1) * 1000000) // (2 * (f2 + 1))
+        |         AS BIGINT) AS chao1_micro,
+        |       CAST(f1 * 1000 // n_tokens AS BIGINT) AS unseen_permille
+        |FROM a""".stripMargin,
 
     "p239_unigram_em" -> unigramEmOracleSql(12, 4, 30L),
     "p248_unigram_segment" -> unigramSegmentOracleSql(12, 4, 30L),

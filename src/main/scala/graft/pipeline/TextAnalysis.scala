@@ -1572,6 +1572,37 @@ object TextAnalysis {
           .as("median_tokens"))
   }
 
+  /** Vocabulary-richness estimators per group (the data-card "how much
+    * MORE vocabulary is out there" numbers): bias-corrected Chao1
+    * species-richness estimate D + f1(f1−1)/(2(f2+1)) (Chao 1984 —
+    * singletons/doubletons predict the unseen-type count; the +1 keeps
+    * it defined with no doubletons) and the Good–Turing unseen
+    * probability mass f1/N (the chance the NEXT token is a new type —
+    * the classic coverage diagnostic for "have we tokenized enough of
+    * this source"). Exact integers: chao1_micro floors the correction
+    * term once; unseen_permille = 1000·f1 div N. One (group, term)
+    * count pass, then group-sized aggregates — never a sort. Returns
+    * (grp, n_tokens, n_types, f1, f2, chao1_micro, unseen_permille);
+    * token-less groups emit no row (no tokens, nothing to estimate).
+    */
+  def vocabRichness(docs: org.apache.spark.sql.DataFrame, groupCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(groupCol).as("grp"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("grp"), col("term")).agg(count(lit(1)).as("c"))
+      .groupBy(col("grp"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("grp"), col("n_tokens"), col("n_types"), col("f1"),
+        col("f2"),
+        // f1² · 1e6 overflows BIGINT past f1 ≈ 3M singletons — the
+        // correction runs in DECIMAL(38,0) (the temperatureRates move)
+        expr("CAST(n_types * 1000000 + CAST(f1 AS DECIMAL(38,0)) * (f1 - 1)" +
+          " * 1000000 DIV (2 * (f2 + 1)) AS BIGINT)").as("chao1_micro"),
+        expr("f1 * 1000 div n_tokens").as("unseen_permille"))
+
   /** Top-k distinctive terms per document, scored by the EXACT rational
     * tf/df (integer-scaled; tf and df ride along so any idf weighting is
     * derivable downstream — a float tf·idf would not survive cross-engine

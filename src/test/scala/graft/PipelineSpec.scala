@@ -2042,6 +2042,23 @@ class PipelineSpec extends SparkSpec {
     assert(fluent.getLong(1) * garbled.getLong(2) > garbled.getLong(1) * fluent.getLong(2))
   }
 
+  test("vocabRichness: hand-computed Chao1 and Good-Turing mass; zero-doubleton case defined") {
+    import spark.implicits._
+    // group g: counts a=1 b=1 c=2 d=3 → N=7 D=4 f1=2 f2=1
+    //   chao1 = 4 + 2·1/(2·2) = 4.5 → 4,500,000 micro; unseen = 2000/7 = 285
+    // group h: counts x=1 y=1 → N=2 D=2 f1=2 f2=0
+    //   chao1 = 2 + 2·1/2 = 3.0 (the +1 keeps f2=0 defined); unseen 1000
+    val docs = Seq(
+      ("g", "a b c"), ("g", "c d d d"),
+      ("h", "x y")).toDF("source", "text")
+    val got = TextAnalysis.vocabRichness(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(got("g") == ((7L, 4L, 2L, 1L, 4500000L, 285L)), got.toString)
+    assert(got("h") == ((2L, 2L, 2L, 0L, 3000000L, 1000L)))
+  }
+
   test("stupid backoff: hand-computed cascade through all three orders") {
     import spark.implicits._
     // reference corpus: toks a b c a b d  (N=6)
