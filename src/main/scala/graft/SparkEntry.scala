@@ -5167,6 +5167,15 @@ object SparkEntry {
           col("n_trigrams").cast("long").as("n_trigrams"))
     }),
 
+    // Zipf rank–frequency slope per source: exact-integer least squares
+    // over micro-quantized (ln rank, ln freq) — natural text ≈ −1e6
+    // micro; ranks via exactGroupRanks (no per-group funnel).
+    "p294_zipf_slope" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.TextAnalysis.zipfSlope(
+        table(s, dir, "documents"), "source", "text")
+    }),
+
     // Vocabulary richness per source: bias-corrected Chao1 unseen-type
     // estimate + Good–Turing unseen probability mass — the data-card
     // "how much more vocabulary is out there" numbers, exact integers.
@@ -10004,6 +10013,31 @@ object SparkEntry {
     "p52_bigram_lm" -> bigramLmOracleSql,
     "p283_backoff_lm" -> backoffLmOracleSql,
     "p292_stream_backoff_lm" -> backoffLmOracleSql,
+
+    "p294_zipf_slope" ->
+      """WITH tt AS (SELECT source AS grp,
+        |        unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |      FROM documents),
+        |c AS (SELECT grp, term, count(*) AS c FROM tt GROUP BY 1, 2),
+        |rk AS (SELECT grp, c,
+        |         row_number() OVER (PARTITION BY grp ORDER BY c DESC, term) AS rank
+        |       FROM c),
+        |xy AS (SELECT grp,
+        |         CAST(round(1000000 * ln(rank)) AS BIGINT) AS x,
+        |         CAST(round(1000000 * ln(c)) AS BIGINT) AS y
+        |       FROM rk),
+        |a AS (SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+        |        CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |        CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |        CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |        CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        |      FROM xy GROUP BY 1),
+        |nd AS (SELECT grp, n, 1000000::HUGEINT * (n * sxy - sx * sy) AS num,
+        |         n * sxx - sx * sx AS den
+        |       FROM a WHERE n >= 2)
+        |SELECT grp, CAST(n AS BIGINT) AS n_types,
+        |       CAST((num - ((num % den + den) % den)) // den AS BIGINT) AS slope_micro
+        |FROM nd""".stripMargin,
 
     "p293_vocab_richness" ->
       """WITH tt AS (SELECT source AS grp,

@@ -1603,6 +1603,46 @@ object TextAnalysis {
           " * 1000000 DIV (2 * (f2 + 1)) AS BIGINT)").as("chao1_micro"),
         expr("f1 * 1000 div n_tokens").as("unseen_permille"))
 
+  /** Zipf rank–frequency slope per group — the data-card "is this
+    * source natural language" diagnostic (natural text slopes ≈ −1;
+    * boilerplate/spam/code deviate): least-squares slope of
+    * ln(freq) on ln(rank) over the group's term distribution, EXACT
+    * in integers — both logs micro-quantize per term first, the
+    * normal-equation sums run in DECIMAL(38,0), and the final division
+    * uses the engine-portable floored spelling (negative slopes:
+    * Spark's DIV truncates toward zero, DuckDB's // floors — the
+    * refinedCentroids rule). Ranks come from [[exactGroupRanks]]
+    * (range-partitioned + pid offsets — a head group never funnels
+    * through one task; loud `maxOffsetCells`). Groups with < 2 types
+    * emit no row (slope undefined). Returns (grp, n_types,
+    * slope_micro) — slope_micro ≈ −1000000 is the Zipf ideal.
+    */
+  def zipfSlope(docs: org.apache.spark.sql.DataFrame, groupCol: String,
+      textCol: String,
+      maxOffsetCells: Long = 1000000L): org.apache.spark.sql.DataFrame = {
+    val counts = docs
+      .select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("grp"), col("term")).agg(count(lit(1)).as("c"))
+    exactGroupRanks(counts, "grp", Seq(col("c").desc, col("term").asc),
+        maxOffsetCells)
+      .select(col("grp"),
+        expr("CAST(round(1000000 * ln(rank)) AS BIGINT)").as("x"),
+        expr("CAST(round(1000000 * ln(c)) AS BIGINT)").as("y"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+      .filter(col("n_types") >= 2)
+      .withColumn("num",
+        expr("CAST(1000000 AS DECIMAL(38,0)) * (n_types * sxy - sx * sy)"))
+      .withColumn("den", expr("n_types * sxx - sx * sx"))
+      .select(col("grp"), col("n_types"),
+        expr("CAST((num - ((num % den + den) % den)) DIV den AS BIGINT)")
+          .as("slope_micro"))
+  }
+
   /** Top-k distinctive terms per document, scored by the EXACT rational
     * tf/df (integer-scaled; tf and df ride along so any idf weighting is
     * derivable downstream — a float tf·idf would not survive cross-engine

@@ -2059,6 +2059,27 @@ class PipelineSpec extends SparkSpec {
     assert(got("h") == ((2L, 2L, 2L, 0L, 3000000L, 1000L)))
   }
 
+  test("zipfSlope: exact integer least squares matches a BigInt reference; singleton group emits no row") {
+    import spark.implicits._
+    // group g: counts a=4 b=2 c=1 (ranks 1,2,3); group h: one type only
+    val docs = Seq(("g", "a a a a b b c"), ("h", "solo")).toDF("source", "text")
+    val rows = TextAnalysis.zipfSlope(docs, "source", "text").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def mi(d: Double) = BigInt(math.round(d * 1e6))
+    val x = Seq(1, 2, 3).map(r => mi(math.log(r)))
+    val y = Seq(4, 2, 1).map(c => mi(math.log(c)))
+    val n = BigInt(3)
+    val (sx, sy) = (x.sum, y.sum)
+    val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+    val sxx = x.map(a => a * a).sum
+    val num = BigInt(1000000) * (n * sxy - sx * sy)
+    val den = n * sxx - sx * sx
+    val expected = (num - ((num % den + den) % den)) / den
+    assert(rows("g") == ((3L, expected.toLong)), s"got $rows expected $expected")
+    assert(expected < 0, "zipf slope must be negative")
+    assert(!rows.contains("h"))
+  }
+
   test("stupid backoff: hand-computed cascade through all three orders") {
     import spark.implicits._
     // reference corpus: toks a b c a b d  (N=6)
