@@ -5167,6 +5167,35 @@ object SparkEntry {
           col("n_trigrams").cast("long").as("n_trigrams"))
     }),
 
+    // Vocabulary diagnostics as READOUTS over the folded term census:
+    // the corpus arrives as two disjoint halves whose (g, term, c)
+    // censuses fold by addition — richness off the folded table is
+    // row-identical to the one-shot p293 (its oracle gates the fold).
+    "p295_vocab_richness_fold" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+        .localCheckpoint(eager = false) // two half-censuses
+      graft.pipeline.TextAnalysis.vocabRichnessFromCensus(
+        graft.pipeline.Sketches.foldCategoryCensus(
+          graft.pipeline.TextAnalysis.termCensus(
+            docs.filter(col("doc_id") % 2 === 0), "source", "text"),
+          graft.pipeline.TextAnalysis.termCensus(
+            docs.filter(col("doc_id") % 2 === 1), "source", "text")))
+    }),
+
+    // Same fold law for the Zipf slope readout (p294's oracle).
+    "p296_zipf_fold" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+        .localCheckpoint(eager = false)
+      graft.pipeline.TextAnalysis.zipfSlopeFromCensus(
+        graft.pipeline.Sketches.foldCategoryCensus(
+          graft.pipeline.TextAnalysis.termCensus(
+            docs.filter(col("doc_id") % 2 === 0), "source", "text"),
+          graft.pipeline.TextAnalysis.termCensus(
+            docs.filter(col("doc_id") % 2 === 1), "source", "text")))
+    }),
+
     // Zipf rank–frequency slope per source: exact-integer least squares
     // over micro-quantized (ln rank, ln freq) — natural text ≈ −1e6
     // micro; ranks via exactGroupRanks (no per-group funnel).
@@ -6133,6 +6162,58 @@ object SparkEntry {
         |SELECT ga AS grp_a, gb AS grp_b, cat, ca AS c_a, cb AS c_b, term_micro,
         |       CAST(sum(term_micro) OVER (PARTITION BY ga, gb) AS BIGINT) AS psi_micro
         |FROM y""".stripMargin
+
+  /** ONE oracle for the direct vocab-richness readout (p293) and its
+    * census-fold twin (p295): folding two disjoint halves' term
+    * censuses is count addition, so the readout replays identically.
+    */
+  private lazy val vocabRichnessOracleSql: String =
+    """WITH tt AS (SELECT source AS grp,
+      |        unnest(regexp_extract_all(lower(text), '\S+')) AS term
+      |      FROM documents),
+      |c AS (SELECT grp, term, count(*) AS c FROM tt GROUP BY 1, 2),
+      |a AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |        CAST(count(*) AS BIGINT) AS n_types,
+      |        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |        CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      |      FROM c GROUP BY 1)
+      |SELECT grp, n_tokens, n_types, f1, f2,
+      |       CAST(n_types * 1000000
+      |         + (CAST(f1 AS HUGEINT) * (f1 - 1) * 1000000) // (2 * (f2 + 1))
+      |         AS BIGINT) AS chao1_micro,
+      |       CAST(f1 * 1000 // n_tokens AS BIGINT) AS unseen_permille
+      |FROM a""".stripMargin
+
+  /** ONE oracle for the direct Zipf-slope readout (p294) and its
+    * census-fold twin (p296). Gotcha pinned here: DuckDB's `//`
+    * TRUNCATES on integer operands (floors only on doubles), so the
+    * negative slope needs the floored-division spelling on this side
+    * too, matching the engine's DECIMAL DIV spelling.
+    */
+  private lazy val zipfSlopeOracleSql: String =
+    """WITH tt AS (SELECT source AS grp,
+      |        unnest(regexp_extract_all(lower(text), '\S+')) AS term
+      |      FROM documents),
+      |c AS (SELECT grp, term, count(*) AS c FROM tt GROUP BY 1, 2),
+      |rk AS (SELECT grp, c,
+      |         row_number() OVER (PARTITION BY grp ORDER BY c DESC, term) AS rank
+      |       FROM c),
+      |xy AS (SELECT grp,
+      |         CAST(round(1000000 * ln(rank)) AS BIGINT) AS x,
+      |         CAST(round(1000000 * ln(c)) AS BIGINT) AS y
+      |       FROM rk),
+      |a AS (SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+      |        CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+      |        CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+      |        CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+      |        CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      |      FROM xy GROUP BY 1),
+      |nd AS (SELECT grp, n, 1000000::HUGEINT * (n * sxy - sx * sy) AS num,
+      |         n * sxx - sx * sx AS den
+      |       FROM a WHERE n >= 2)
+      |SELECT grp, CAST(n AS BIGINT) AS n_types,
+      |       CAST((num - ((num % den + den) % den)) // den AS BIGINT) AS slope_micro
+      |FROM nd""".stripMargin
 
   /** p288: the JS replay — same paired-census CTEs as PSI's, the
     * symmetric mixture-log formula in the term.
@@ -10014,48 +10095,11 @@ object SparkEntry {
     "p283_backoff_lm" -> backoffLmOracleSql,
     "p292_stream_backoff_lm" -> backoffLmOracleSql,
 
-    "p294_zipf_slope" ->
-      """WITH tt AS (SELECT source AS grp,
-        |        unnest(regexp_extract_all(lower(text), '\S+')) AS term
-        |      FROM documents),
-        |c AS (SELECT grp, term, count(*) AS c FROM tt GROUP BY 1, 2),
-        |rk AS (SELECT grp, c,
-        |         row_number() OVER (PARTITION BY grp ORDER BY c DESC, term) AS rank
-        |       FROM c),
-        |xy AS (SELECT grp,
-        |         CAST(round(1000000 * ln(rank)) AS BIGINT) AS x,
-        |         CAST(round(1000000 * ln(c)) AS BIGINT) AS y
-        |       FROM rk),
-        |a AS (SELECT grp, CAST(count(*) AS HUGEINT) AS n,
-        |        CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
-        |        CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
-        |        CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
-        |        CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
-        |      FROM xy GROUP BY 1),
-        |nd AS (SELECT grp, n, 1000000::HUGEINT * (n * sxy - sx * sy) AS num,
-        |         n * sxx - sx * sx AS den
-        |       FROM a WHERE n >= 2)
-        |SELECT grp, CAST(n AS BIGINT) AS n_types,
-        |       CAST((num - ((num % den + den) % den)) // den AS BIGINT) AS slope_micro
-        |FROM nd""".stripMargin,
+    "p294_zipf_slope" -> zipfSlopeOracleSql,
+    "p296_zipf_fold" -> zipfSlopeOracleSql,
 
-    "p293_vocab_richness" ->
-      """WITH tt AS (SELECT source AS grp,
-        |        unnest(regexp_extract_all(lower(text), '\S+')) AS term
-        |      FROM documents),
-        |c AS (SELECT grp, term, count(*) AS c FROM tt GROUP BY 1, 2),
-        |a AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n_tokens,
-        |        CAST(count(*) AS BIGINT) AS n_types,
-        |        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
-        |        CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
-        |      FROM c GROUP BY 1)
-        |SELECT grp, n_tokens, n_types, f1, f2,
-        |       CAST(n_types * 1000000
-        |         + (CAST(f1 AS HUGEINT) * (f1 - 1) * 1000000) // (2 * (f2 + 1))
-        |         AS BIGINT) AS chao1_micro,
-        |       CAST(f1 * 1000 // n_tokens AS BIGINT) AS unseen_permille
-        |FROM a""".stripMargin,
-
+    "p293_vocab_richness" -> vocabRichnessOracleSql,
+    "p295_vocab_richness_fold" -> vocabRichnessOracleSql,
     "p239_unigram_em" -> unigramEmOracleSql(12, 4, 30L),
     "p248_unigram_segment" -> unigramSegmentOracleSql(12, 4, 30L),
     "p260_unigram_tokcount" -> unigramTokcountOracleSql(12, 4, 30L),

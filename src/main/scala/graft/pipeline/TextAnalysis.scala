@@ -1587,9 +1587,30 @@ object TextAnalysis {
     */
   def vocabRichness(docs: org.apache.spark.sql.DataFrame, groupCol: String,
       textCol: String): org.apache.spark.sql.DataFrame =
-    docs.select(col(groupCol).as("grp"),
-        explode(tokens(col(textCol))).as("term"))
-      .groupBy(col("grp"), col("term")).agg(count(lit(1)).as("c"))
+    vocabRichnessFromCensus(termCensus(docs, groupCol, textCol))
+
+  /** The per-group TERM census — [[graft.pipeline.Sketches
+    * .categoryCensusTable]] at (group, token) grain: (g, cat, c) with
+    * cat = the token. ADDITIVE over disjoint doc batches (plain
+    * sums), so a standing artifact folds by
+    * [[graft.pipeline.Sketches.foldCategoryCensus]] and the vocabulary
+    * diagnostics ([[vocabRichnessFromCensus]],
+    * [[zipfSlopeFromCensus]]) are READOUTS over the folded table —
+    * corpus-language monitoring without re-tokenizing per report.
+    */
+  def termCensus(docs: org.apache.spark.sql.DataFrame, groupCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    graft.pipeline.Sketches.categoryCensusTable(
+      docs.select(col(groupCol).as("g"),
+        explode(tokens(col(textCol))).as("cat")),
+      "cat", "g")
+
+  /** [[vocabRichness]] as a readout over a (folded) standing term
+    * census (p295 gates fold-then-readout ≡ direct).
+    */
+  def vocabRichnessFromCensus(census: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    census.select(col("g").as("grp"), col("cat").as("term"), col("c"))
       .groupBy(col("grp"))
       .agg(sum(col("c")).cast("long").as("n_tokens"),
         count(lit(1)).as("n_types"),
@@ -1619,10 +1640,16 @@ object TextAnalysis {
     */
   def zipfSlope(docs: org.apache.spark.sql.DataFrame, groupCol: String,
       textCol: String,
+      maxOffsetCells: Long = 1000000L): org.apache.spark.sql.DataFrame =
+    zipfSlopeFromCensus(termCensus(docs, groupCol, textCol), maxOffsetCells)
+
+  /** [[zipfSlope]] as a readout over a (folded) standing term census
+    * (p296 gates fold-then-readout ≡ direct).
+    */
+  def zipfSlopeFromCensus(census: org.apache.spark.sql.DataFrame,
       maxOffsetCells: Long = 1000000L): org.apache.spark.sql.DataFrame = {
-    val counts = docs
-      .select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("term"))
-      .groupBy(col("grp"), col("term")).agg(count(lit(1)).as("c"))
+    val counts = census
+      .select(col("g").as("grp"), col("cat").as("term"), col("c"))
     exactGroupRanks(counts, "grp", Seq(col("c").desc, col("term").asc),
         maxOffsetCells)
       .select(col("grp"),
