@@ -732,10 +732,13 @@ object ScaleProbe {
     // everything and honestly shows none
     val dLoc = dIdx.filter(col("cell") < 2).localCheckpoint()
     val locRows = dLoc.count()
+    // measured, not assumed: an unlucky codebook numbering could leave
+    // cells 0-1 delta-free and the "win" would be the identity fold
+    val locCells = dLoc.select(col("cell")).distinct().count()
     val dtLoc = timed(Similarity.knnGraphDelta(g0, idx, dLoc, 10)
       .localCheckpoint())
     println(f"[scale] knn-maint fold localized delta ($locRows%,d rows, " +
-      f"2/16 cells): delta-fold=$dtLoc%5.2f s (vs full $dtFull%5.2f s)")
+      f"$locCells%d/16 cells): delta-fold=$dtLoc%5.2f s (vs full $dtFull%5.2f s)")
   }
 
   /** Novelty-probe cost (round 16): scoring a 10%% shard against the

@@ -80,6 +80,53 @@ object SparkEntry {
     toks
   }
 
+  /** ONE definition of the p289/p290 tombstoned BM25 store: two run
+    * splits written batch-side, odd docs tombstoned — the GC gate
+    * (p290) must stay bit-identical to the masked gate (p289), so they
+    * share this builder and [[bm25TombstoneReadout]].
+    */
+  private def bm25TombstoneStore(s: SparkSession, dir: String,
+      tag: String): (String, String) = {
+    val docs = table(s, dir, "documents")
+    val qText = doc0Tokens(docs).take(8).mkString(" ")
+    val corpus = docs.filter(col("doc_id") =!= 0)
+      .localCheckpoint(eager = false) // two run splits + the delete list
+    val store = s"${freshTmpStore(s, tag, dir)}/store"
+    Seq(0, 1).foreach { r =>
+      val part = corpus.filter(pmod(col("doc_id"), lit(2)) === r)
+      graft.pipeline.TextAnalysis.bm25Postings(part, "doc_id", "text")
+        .write.parquet(s"$store/postings/run=$r")
+      graft.pipeline.TextAnalysis.bm25DocLens(part, "doc_id", "text")
+        .write.parquet(s"$store/doclens/run=$r")
+    }
+    graft.streaming.PipelineStream.bm25DeleteDocs(
+      corpus.filter(col("doc_id") % 2 === 1).select(col("doc_id").as("id")),
+      store, runId = 2L)
+    (store, qText)
+  }
+
+  private def bm25TombstoneReadout(s: SparkSession, store: String,
+      qText: String): DataFrame =
+    graft.pipeline.TextAnalysis.bm25TopKIndexed(
+      graft.streaming.PipelineStream.readBm25Postings(s, store),
+      graft.streaming.PipelineStream.readBm25DocLens(s, store),
+      qText, k = 10)
+      .select(col("rank").cast("long").as("rank"), col("id").as("doc_id"),
+        col("score"))
+
+  /** ONE definition of the p295/p296 folded term census: the corpus as
+    * two disjoint halves whose (g, term, c) censuses fold by addition.
+    */
+  private def foldedTermCensus(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .localCheckpoint(eager = false) // two half-censuses
+    graft.pipeline.Sketches.foldCategoryCensus(
+      graft.pipeline.TextAnalysis.termCensus(
+        docs.filter(col("doc_id") % 2 === 0), "source", "text"),
+      graft.pipeline.TextAnalysis.termCensus(
+        docs.filter(col("doc_id") % 2 === 1), "source", "text"))
+  }
+
   private def freshTmpStore(s: SparkSession, tag: String, dir: String): String = {
     val prefix = s"graft_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
@@ -2993,27 +3040,8 @@ object SparkEntry {
     // even corpus directly.
     "p289_bm25_deletes" -> ((s, dir) => {
       GraftFunctions.register(s)
-      val docs = table(s, dir, "documents")
-      val qText = doc0Tokens(docs).take(8).mkString(" ")
-      val corpus = docs.filter(col("doc_id") =!= 0)
-        .localCheckpoint(eager = false) // two run splits + the delete list
-      val store = s"${freshTmpStore(s, "p289", dir)}/store"
-      Seq(0, 1).foreach { r =>
-        val part = corpus.filter(pmod(col("doc_id"), lit(2)) === r)
-        graft.pipeline.TextAnalysis.bm25Postings(part, "doc_id", "text")
-          .write.parquet(s"$store/postings/run=$r")
-        graft.pipeline.TextAnalysis.bm25DocLens(part, "doc_id", "text")
-          .write.parquet(s"$store/doclens/run=$r")
-      }
-      graft.streaming.PipelineStream.bm25DeleteDocs(
-        corpus.filter(col("doc_id") % 2 === 1).select(col("doc_id").as("id")),
-        store, runId = 2L)
-      graft.pipeline.TextAnalysis.bm25TopKIndexed(
-        graft.streaming.PipelineStream.readBm25Postings(s, store),
-        graft.streaming.PipelineStream.readBm25DocLens(s, store),
-        qText, k = 10)
-        .select(col("rank").cast("long").as("rank"), col("id").as("doc_id"),
-          col("score"))
+      val (store, qText) = bm25TombstoneStore(s, dir, "p289")
+      bm25TombstoneReadout(s, store, qText)
     }),
 
     // The tombstone GC: compaction consolidates the LIVE rows (deletes
@@ -3023,28 +3051,9 @@ object SparkEntry {
     // bit-identical to the masked readout (same oracle as p289).
     "p290_bm25_delete_gc" -> ((s, dir) => {
       GraftFunctions.register(s)
-      val docs = table(s, dir, "documents")
-      val qText = doc0Tokens(docs).take(8).mkString(" ")
-      val corpus = docs.filter(col("doc_id") =!= 0)
-        .localCheckpoint(eager = false)
-      val store = s"${freshTmpStore(s, "p290", dir)}/store"
-      Seq(0, 1).foreach { r =>
-        val part = corpus.filter(pmod(col("doc_id"), lit(2)) === r)
-        graft.pipeline.TextAnalysis.bm25Postings(part, "doc_id", "text")
-          .write.parquet(s"$store/postings/run=$r")
-        graft.pipeline.TextAnalysis.bm25DocLens(part, "doc_id", "text")
-          .write.parquet(s"$store/doclens/run=$r")
-      }
-      graft.streaming.PipelineStream.bm25DeleteDocs(
-        corpus.filter(col("doc_id") % 2 === 1).select(col("doc_id").as("id")),
-        store, runId = 2L)
+      val (store, qText) = bm25TombstoneStore(s, dir, "p290")
       graft.streaming.PipelineStream.compactBm25Store(s, store)
-      graft.pipeline.TextAnalysis.bm25TopKIndexed(
-        graft.streaming.PipelineStream.readBm25Postings(s, store),
-        graft.streaming.PipelineStream.readBm25DocLens(s, store),
-        qText, k = 10)
-        .select(col("rank").cast("long").as("rank"), col("id").as("doc_id"),
-          col("score"))
+      bm25TombstoneReadout(s, store, qText)
     }),
 
     // Streaming BM25 index maintenance: the corpus arrives in
@@ -5173,27 +5182,15 @@ object SparkEntry {
     // row-identical to the one-shot p293 (its oracle gates the fold).
     "p295_vocab_richness_fold" -> ((s, dir) => {
       GraftFunctions.register(s)
-      val docs = table(s, dir, "documents")
-        .localCheckpoint(eager = false) // two half-censuses
       graft.pipeline.TextAnalysis.vocabRichnessFromCensus(
-        graft.pipeline.Sketches.foldCategoryCensus(
-          graft.pipeline.TextAnalysis.termCensus(
-            docs.filter(col("doc_id") % 2 === 0), "source", "text"),
-          graft.pipeline.TextAnalysis.termCensus(
-            docs.filter(col("doc_id") % 2 === 1), "source", "text")))
+        foldedTermCensus(s, dir))
     }),
 
     // Same fold law for the Zipf slope readout (p294's oracle).
     "p296_zipf_fold" -> ((s, dir) => {
       GraftFunctions.register(s)
-      val docs = table(s, dir, "documents")
-        .localCheckpoint(eager = false)
       graft.pipeline.TextAnalysis.zipfSlopeFromCensus(
-        graft.pipeline.Sketches.foldCategoryCensus(
-          graft.pipeline.TextAnalysis.termCensus(
-            docs.filter(col("doc_id") % 2 === 0), "source", "text"),
-          graft.pipeline.TextAnalysis.termCensus(
-            docs.filter(col("doc_id") % 2 === 1), "source", "text")))
+        foldedTermCensus(s, dir))
     }),
 
     // Zipf rank–frequency slope per source: exact-integer least squares

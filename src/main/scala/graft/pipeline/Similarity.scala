@@ -579,10 +579,26 @@ object Similarity {
       maxTouchedRows: Long = 5000000L): DataFrame = {
     val d = delta.select(col("id"), col("cell"), col("embedding"))
       .localCheckpoint() // cells collect + union below
-    val cells = d.select(col("cell")).distinct().collect().map(_.get(0)).toSeq
+    knnGraphTouchedWithCells(index, d, deltaCells(d), kNbrs, maxTouchedRows)
+  }
+
+  /** The collected distinct cells of an already-CHECKPOINTED delta
+    * frame — ≤ codebook size (the bounded-literal rule). Shared so the
+    * fold paths collect it exactly once per fold.
+    */
+  private[graft] def deltaCells(d: DataFrame): Seq[Any] =
+    d.select(col("cell")).distinct().collect().map(_.get(0)).toSeq
+
+  /** [[knnGraphTouched]] with the delta pre-checkpointed and its cell
+    * list pre-collected — the shared core, so knnGraphDelta and the
+    * streaming fold pay ONE checkpoint and ONE cells collect per fold.
+    */
+  private[graft] def knnGraphTouchedWithCells(index: DataFrame,
+      d: DataFrame, cells: Seq[Any], kNbrs: Int,
+      maxTouchedRows: Long): DataFrame = {
     if (cells.isEmpty) return knnGraphTable(index.limit(0), kNbrs)
     val touched = index.select(col("id"), col("cell"), col("embedding"))
-      .unionByName(d)
+      .unionByName(d.select(col("id"), col("cell"), col("embedding")))
       .filter(col("cell").isin(cells: _*))
       .localCheckpoint(eager = false) // counted + both join sides
     val n = touched.count()
@@ -645,10 +661,11 @@ object Similarity {
         .isEmpty,
       "knnGraphDelta: delta ids collide with the standing index — dedupe " +
         "the batch or reindex")
-    val cells = d.select(col("cell")).distinct().collect().map(_.get(0)).toSeq
+    val cells = deltaCells(d)
     if (cells.isEmpty) return graphTable
     graphTable.filter(!col("cell").isin(cells: _*))
-      .unionByName(knnGraphTouched(index, d, kNbrs, maxTouchedRows))
+      .unionByName(
+        knnGraphTouchedWithCells(index, d, cells, kNbrs, maxTouchedRows))
   }
 
   /** Multi-probe [[knnGraphIvf]]: each vector PROBES its `nProbe`

@@ -319,9 +319,10 @@ object PipelineStream {
     * resident set only grows, so its newest recompute supersedes all
     * earlier ones — the append-only fold law at graph grain
     * (p282 gates the readout under p281's one-shot oracle).
-    * Caller contract: ids disjoint across arrivals (the
-    * [[bm25IndexIngest]] wording — a redelivered id would double a
-    * vector in every touched cell) and ONE writer per store.
+    * Ids must be disjoint across arrivals and there is ONE writer per
+    * store; disjointness is enforced LOUDLY per batch (the
+    * knnGraphDelta broadcast probe — a doubled vector would silently
+    * shift every rank in its cell).
     */
   def knnGraphIngest(vecs: DataFrame, idCol: String, vecCol: String,
       codebook: DataFrame, k: Int, kNbrs: Int, basePath: String,
@@ -345,14 +346,24 @@ object PipelineStream {
       codebook: DataFrame, k: Int, kNbrs: Int, basePath: String,
       runId: Long, maxTouchedRows: Long = 5000000L): Unit = {
     val s = batch.sparkSession
+    import s.implicits._
     val d = graft.pipeline.Similarity
       .ivfIndexTable(batch, idCol, vecCol, codebook, k)
       .localCheckpoint() // standing union + its own run flush
-    val touched = graft.pipeline.Similarity
-      .knnGraphTouched(readKnnIndex(s, basePath, d.limit(0), runId), d,
-        kNbrs, maxTouchedRows)
-    touched.write.mode("overwrite").parquet(s"$basePath/graph/run=$runId")
-    d.select(col("cell").cast("long").as("cell")).distinct()
+    val standing = readKnnIndex(s, basePath, d.limit(0), runId)
+      .localCheckpoint(eager = false) // collision probe + touched recompute
+    // loud disjointness — a redelivered id would sit in its cell TWICE
+    // (its own sim-1.0 neighbor, every rank shifted) with no error;
+    // same broadcast probe and wording as knnGraphDelta
+    require(standing
+        .join(broadcast(d.select(col("id"))), Seq("id"), "left_semi").isEmpty,
+      "knnGraphBatchFold: batch ids collide with the standing index — " +
+        "dedupe the feed or reindex")
+    val cells = graft.pipeline.Similarity.deltaCells(d)
+    graft.pipeline.Similarity
+      .knnGraphTouchedWithCells(standing, d, cells, kNbrs, maxTouchedRows)
+      .write.mode("overwrite").parquet(s"$basePath/graph/run=$runId")
+    cells.map(_.asInstanceOf[Number].longValue).toDF("cell")
       .write.mode("overwrite").parquet(s"$basePath/graphcells/run=$runId")
     d.write.mode("overwrite").parquet(s"$basePath/index/run=$runId")
   }
