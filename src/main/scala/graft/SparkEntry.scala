@@ -1766,6 +1766,17 @@ object SparkEntry {
           "source", "text"))
     }),
 
+    // The JS readout over the SAME term census slice as p297 — one
+    // standing vocabulary census serves every divergence report.
+    "p298_term_drift_js" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Sketches.jsDriftFromCensus(
+        graft.pipeline.TextAnalysis.termCensus(
+          table(s, dir, "documents")
+            .filter(col("source").isin("src0", "src1")),
+          "source", "text"))
+    }),
+
     // Jensen–Shannon drift: the third readout off the SAME (g, cat, c)
     // census artifact as TV (p277) and PSI (p254/p263) — symmetric,
     // bounded ln 2, same add-one smoothing + micro-quantized terms.
@@ -8325,6 +8336,41 @@ object SparkEntry {
         |SELECT ga AS grp_a, gb AS grp_b, cat, ca AS c_a, cb AS c_b, term_micro,
         |       CAST(sum(term_micro) OVER (PARTITION BY ga, gb) AS BIGINT) AS psi_micro
         |FROM y""".stripMargin,
+
+    // p298: the p297 slice with the JS term (the p288 formula) — same
+    // paired-census CTEs, different readout tail.
+    "p298_term_drift_js" ->
+"""WITH h AS (SELECT source AS g,
+        |        unnest(regexp_extract_all(lower(text), '\S+')) AS cat
+        |      FROM documents WHERE source IN ('src0', 'src1')),
+        |hc AS (SELECT g, cat, count(*) AS c FROM h GROUP BY 1, 2),
+        |gg AS (SELECT DISTINCT g FROM hc),
+        |pairs AS (SELECT a.g AS ga, b.g AS gb FROM gg a JOIN gg b ON a.g < b.g),
+        |l AS (SELECT ga, gb, cat, c AS ca FROM pairs JOIN hc ON hc.g = pairs.ga),
+        |r AS (SELECT ga, gb, cat, c AS cb FROM pairs JOIN hc ON hc.g = pairs.gb),
+        |j AS (SELECT coalesce(l.ga, r.ga) AS ga, coalesce(l.gb, r.gb) AS gb,
+        |        coalesce(l.cat, r.cat) AS cat,
+        |        coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |      FROM l FULL JOIN r
+        |        ON l.ga = r.ga AND l.gb = r.gb AND l.cat = r.cat),
+        |x AS (SELECT ga, gb, cat, ca, cb,
+        |        sum(ca) OVER (PARTITION BY ga, gb) AS na,
+        |        sum(cb) OVER (PARTITION BY ga, gb) AS nb,
+        |        count(*) OVER (PARTITION BY ga, gb) AS ncat
+        |      FROM j),
+        |p AS (SELECT ga, gb, cat, ca, cb,
+        |        (ca + 1.0) / (na + ncat) AS pd,
+        |        (cb + 1.0) / (nb + ncat) AS qd
+        |      FROM x),
+        |y AS (SELECT ga, gb, cat, ca, cb,
+        |        CAST(round((pd * ln(2 * pd / (pd + qd))
+        |          + qd * ln(2 * qd / (pd + qd))) * 0.5 * 1000000) AS BIGINT)
+        |          AS term_micro
+        |      FROM p)
+        |SELECT ga AS grp_a, gb AS grp_b, cat, ca AS c_a, cb AS c_b, term_micro,
+        |       CAST(sum(term_micro) OVER (PARTITION BY ga, gb) AS BIGINT) AS js_micro
+        |FROM y""".stripMargin,
+
     // the fold twin: censuses are additive, the readout is identical
     "p263_psi_census_fold" -> psiDriftOracleSql,
     "p264_stream_psi_census" -> psiDriftOracleSql,
