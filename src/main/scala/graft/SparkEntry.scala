@@ -5045,12 +5045,14 @@ object SparkEntry {
     // progressively scrubbed text. The corpus carries no PII, so both
     // engines AUGMENT each doc with the same deterministic
     // doc_id-derived email/phone/IP tail first — the scrub logic (not
-    // a no-op roundtrip) is what the hash gates.
+    // a no-op roundtrip) is what the hash gates. The email is
+    // MIXED-CASE so the gate exercises the A-Za-z classes: a
+    // lowercase-only pattern would miss it AND re-count its digits.
     "p270_pii_scrub" -> ((s, dir) => {
       GraftFunctions.register(s)
       val docs = table(s, dir, "documents").withColumn("aug",
-        concat(col("text"), lit(" reach user"),
-          col("doc_id").cast("string"), lit("@example.com"),
+        concat(col("text"), lit(" reach User"),
+          col("doc_id").cast("string"), lit("@Example.COM"),
           when(col("doc_id") % 3 === 0, lit(" tel 555-123-4567"))
             .otherwise(lit("")),
           lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
@@ -10154,13 +10156,13 @@ object SparkEntry {
 
     "p270_pii_scrub" ->
       """WITH a AS (SELECT doc_id,
-        |  text || ' reach user' || doc_id || '@example.com'
+        |  text || ' reach User' || doc_id || '@Example.COM'
         |    || CASE WHEN doc_id % 3 = 0 THEN ' tel 555-123-4567' ELSE '' END
         |    || ' host 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) AS t
         |  FROM documents),
         |e AS (SELECT doc_id,
-        |  CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
-        |  regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
         |  FROM a),
         |p AS (SELECT doc_id, n_emails,
         |  CAST(len(regexp_extract_all(t1, '[0-9]{3}-[0-9]{3,4}-[0-9]{4}')) AS BIGINT) AS n_phones,

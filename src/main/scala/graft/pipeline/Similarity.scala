@@ -531,8 +531,42 @@ object Similarity {
     * Returns (id, rank, nbr) — the readout of [[knnGraphTable]] (the
     * ONE graph definition) with the artifact's cell column dropped.
     */
-  def knnGraphIvf(index: DataFrame, kNbrs: Int): DataFrame =
-    knnGraphTable(index, kNbrs).select(col("id"), col("rank"), col("nbr"))
+  def knnGraphIvf(index: DataFrame, kNbrs: Int,
+      maxPairs: Long = DefaultMaxGraphPairs): DataFrame =
+    knnGraphTable(index, kNbrs, maxPairs)
+      .select(col("id"), col("rank"), col("nbr"))
+
+  /** Default loud bound on the FULL graph build's in-cell candidate-pair
+    * volume: Σ|cell|² ≤ 5e9 ≈ a few minutes of codegen'd cosine work on
+    * one executor-ful of cores — the [[knnGraphTouched]] maxTouchedRows
+    * spirit applied where it actually bites, the pair count. At the
+    * bench's frozen k = 16, 2M vectors are ~2.5e11 pairs: over the bound
+    * by 50×, exactly the silent multi-hour join the guard exists to stop.
+    */
+  val DefaultMaxGraphPairs: Long = 5000000000L
+
+  /** Codebook size that keeps a FULL [[knnGraphTable]] build under
+    * `maxPairs` candidate pairs: balanced cells give Σ|cell|² ≈ n²/k, so
+    * k ≥ skew · n² / maxPairs. `skew` is the measured Σ|cell|² /
+    * balanced ratio — knnMaintProbe reads 1.01 on the sf0.1 embeddings
+    * (near-isotropic corpus, max cell share 0.073 ≈ 1/16); the default
+    * 1.5 is headroom for mildly clustered real corpora. This turns
+    * "reindex with a finer codebook" from a scaladoc sentence into a
+    * computed decision: at n = 2M and the default bound, suggestK ⇒
+    * k = 1200 (cells of ~1.7k rows) instead of the bench's frozen 16.
+    */
+  def suggestK(n: Long, maxPairs: Long = DefaultMaxGraphPairs,
+      skew: Double = 1.5): Int = {
+    require(n >= 0, "n >= 0")
+    require(maxPairs >= 1, "maxPairs >= 1")
+    require(skew >= 1.0, "skew >= 1.0 (balanced cells are the floor)")
+    if (n == 0) 1
+    else {
+      val k = math.ceil(skew * n.toDouble * n.toDouble / maxPairs.toDouble)
+      // never more cells than vectors; never 0; clamp to Int range
+      math.max(1L, math.min(k.toLong, math.min(n, Int.MaxValue.toLong))).toInt
+    }
+  }
 
   /** The k-NN graph as a STANDING ARTIFACT: [[knnGraphIvf]]'s rows
     * keyed by the cell they were derived in — (cell, id, rank, nbr).
@@ -542,12 +576,42 @@ object Similarity {
     * ([[knnGraphDelta]]); persist range-laid by cell and a delta fold
     * reads only touched row groups (the positionalPostings layout
     * argument at graph grain).
+    *
+    * The in-cell self-join is Σ|cell|² candidate pairs — fine under the
+    * "k grows with the corpus" contract, but nothing upstream enforces
+    * it, so the build GUARDS it loudly: one cheap occupancy aggregate
+    * (map-side-combined groupBy count over the already-checkpointed
+    * index) prices the join before it runs, and a build over the bound
+    * fails with the measured pair count, the hottest cell, and the
+    * [[suggestK]] codebook size that would fix it — never a silent
+    * quadratic multi-hour job. The delta paths inherit the guard through
+    * their touched-cells recompute (their maxTouchedRows bound caps rows;
+    * this one caps the pairs those rows imply).
     */
-  def knnGraphTable(index: DataFrame, kNbrs: Int): DataFrame = {
+  def knnGraphTable(index: DataFrame, kNbrs: Int,
+      maxPairs: Long = DefaultMaxGraphPairs): DataFrame = {
     require(kNbrs >= 1, "kNbrs >= 1")
     graft.functions.GraftFunctions.register(index.sparkSession)
     val v = index.select(col("cell"), col("id"), col("embedding"))
       .localCheckpoint(eager = false) // both sides of the in-cell join
+    // decimal(38,0): Σ of long² sums can overflow BIGINT past ~3e9 rows
+    // in one cell — the Chao1 lesson applied to the guard itself
+    val occ = v.groupBy(col("cell")).count()
+      .agg(
+        coalesce(sum(col("count").cast("decimal(38,0)") * col("count")),
+          lit(0).cast("decimal(38,0)")).as("pairs"),
+        coalesce(max(col("count")), lit(0L)).as("hottest"),
+        coalesce(sum(col("count")), lit(0L)).as("n"))
+      .collect()(0)
+    val pairs = occ.getDecimal(0)
+    val n = occ.getLong(2)
+    require(pairs.compareTo(java.math.BigDecimal.valueOf(maxPairs)) <= 0,
+      s"knnGraphTable: Σ|cell|² = $pairs candidate pairs (n = $n rows, " +
+        s"hottest cell ${occ.getLong(1)} rows) exceeds maxPairs = " +
+        s"$maxPairs — the in-cell self-join is quadratic per cell; " +
+        s"reindex with a finer codebook (suggestK($n) = " +
+        s"${suggestK(n, maxPairs)} centroids holds balanced cells under " +
+        "the bound), fold smaller slices, or raise the bound deliberately")
     v.join(v.select(col("cell"), col("id").as("nbr"),
         col("embedding").as("q")), Seq("cell"))
       .filter(col("id") =!= col("nbr"))

@@ -2151,9 +2151,13 @@ object TextAnalysis {
     * traps): email local@domain.tld, dashed phone 3-3/4-4, IPv4.
     * Public-knowledge shapes (the C4/CCNet-style scrub list), not
     * exhaustive validators — a scrub pass wants recall on the common
-    * shapes, downstream audits catch the rest.
+    * shapes, downstream audits catch the rest. Email matches BOTH cases
+    * via explicit A-Za-z classes (not `(?i)`, the most dialect-inert
+    * spelling): John.Doe@Example.COM is among the commonest real shapes,
+    * and a case-blind miss would also let its digits re-count as
+    * phone/IP downstream — a privacy operator can't be lowercase-only.
     */
-  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhoneRe = "[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
   val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
 

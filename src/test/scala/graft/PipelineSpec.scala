@@ -1182,6 +1182,29 @@ class PipelineSpec extends SparkSpec {
     assert(rows(Similarity.knnGraphDelta(g0, idx, dIdx.limit(0), 2)) == rows(g0))
   }
 
+  test("knnGraphTable: Σ|cell|² occupancy guard trips loudly; suggestK policy") {
+    import spark.implicits._
+    // 6 vectors all in ONE cell → Σ|cell|² = 36 pairs
+    val idx = (0 until 6).map(i => (i.toLong, 0L, Array(i.toFloat, 1f)))
+      .toDF("id", "cell", "embedding")
+    val boom = intercept[IllegalArgumentException] {
+      Similarity.knnGraphTable(idx, 2, maxPairs = 35L)
+    }
+    assert(boom.getMessage.contains("maxPairs"))
+    assert(boom.getMessage.contains("36"), s"measured pair count: $boom")
+    assert(boom.getMessage.contains("suggestK"))
+    // at the bound exactly, the build runs (6 ids × 2 nbrs)
+    assert(Similarity.knnGraphTable(idx, 2, maxPairs = 36L).count() == 12L)
+    // suggestK: balanced-cell policy — k cells of n/k rows hold
+    // skew·n²/k ≤ maxPairs
+    assert(Similarity.suggestK(0) == 1)
+    assert(Similarity.suggestK(2000000L) == 1200) // the scaladoc example
+    val k = Similarity.suggestK(100000L, maxPairs = 1000000L, skew = 1.0)
+    assert(k.toLong * 1000000L >= 100000L * 100000L) // n²/k ≤ maxPairs
+    // never more cells than vectors
+    assert(Similarity.suggestK(3L, maxPairs = 1L, skew = 1.0) == 3)
+  }
+
   test("recallAtK: cell restriction misses cross-cell neighbors honestly") {
     import spark.implicits._
     val corpus = Seq(
@@ -1891,13 +1914,17 @@ class PipelineSpec extends SparkSpec {
     val docs = Seq(
       (1L, "mail a.b+c@ex-1.co.uk or x@y.io call 555-123-4567 from 10.0.0.1"),
       (2L, "no pii here, just version 1.2 and pi 3.14"),
-      (3L, "digits in email u123@h99.net must not count as phone/ip")
+      (3L, "digits in email u123@h99.net must not count as phone/ip"),
+      (4L, "mixed case John.Doe@Example.COM is the common real shape")
     ).toDF("doc_id", "text")
     val out = TextAnalysis.piiScrub(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
     assert(out(1L) == ((2L, 1L, 1L,
       "mail <EMAIL> or <EMAIL> call <PHONE> from <IP>")), s"got ${out(1L)}")
+    // a privacy operator can't be lowercase-only (ADVICE r16)
+    assert(out(4L) == ((1L, 0L, 0L,
+      "mixed case <EMAIL> is the common real shape")), s"got ${out(4L)}")
     assert(out(2L) == ((0L, 0L, 0L,
       "no pii here, just version 1.2 and pi 3.14")), s"got ${out(2L)}")
     // the email's digits are scrubbed BEFORE phone/IP counting runs
