@@ -1295,6 +1295,48 @@ object SparkEntry {
       graft.streaming.PipelineStream.readKnnGraph(s, store)
     }),
 
+    // TWO-SOURCE streaming kNN-store maintenance: a vector feed and a
+    // delete-id feed drive ONE store through one query (one writer,
+    // one monotone run-id space — deletes at 2·batch, adds at
+    // 2·batch+1). Phase 1 ingests every vector in micro-batches;
+    // phase 2 (same checkpoint, a second AvailableNow pass — the
+    // arrival order that makes the final state deterministic) feeds
+    // the delete ids, each batch tombstoning + re-deriving its
+    // touched cells. Readout ≡ one-shot survivor graph (p291's
+    // oracle).
+    "p299_stream_knn_two_source" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = table(s, dir, "embeddings")
+        .localCheckpoint(eager = false) // codebook + feed + delete list
+      val codebook = graft.pipeline.Similarity.refinedCentroids(
+        graft.pipeline.Similarity.kmeansStepExact(
+          e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding", k = 8))
+        .localCheckpoint() // FROZEN codebook (the p281/p282 contract)
+      val basePath = freshTmpStore(s, "p299", dir)
+      val feed = e.select(col("vec_id"), col("embedding"))
+      feed.repartition(3).write.parquet(s"$basePath/vin")
+      val delFeed = e.select(col("vec_id").as("del_id"))
+      delFeed.limit(0).write.parquet(s"$basePath/din") // dir exists, empty
+      def drive(): Unit = {
+        val vst = s.readStream.schema(feed.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$basePath/vin")
+        val dst = s.readStream.schema(delFeed.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$basePath/din")
+        val q = graft.streaming.PipelineStream
+          .knnStoreIngest(vst, "vec_id", "embedding", dst, "del_id",
+            codebook, k = 8, kNbrs = 5, basePath = s"$basePath/store")
+          .option("checkpointLocation", s"$basePath/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drive()
+      e.filter(col("vec_id") % 4 === 2).select(col("vec_id").as("del_id"))
+        .repartition(2).write.mode("append").parquet(s"$basePath/din")
+      drive()
+      graft.streaming.PipelineStream.readKnnGraph(s, s"$basePath/store")
+    }),
+
     // Mutual-kNN sparsification: a pair survives iff EACH ranks the
     // other in its top 5 — hub bridges vanish, dense regions stay.
     "p284_mutual_knn" -> ((s, dir) => {
@@ -7613,6 +7655,11 @@ object SparkEntry {
       knnGraphOracleSql("WHERE vec_id % 10 <> 0", withCell = true),
     "p291_knn_deleted" -> knnGraphOracleSql("WHERE vec_id % 10 <> 0",
       withCell = true, corpusWhere = "vec_id % 4 <> 2"),
+    // p299: the two-source streaming ingest lands on the SAME survivor
+    // graph as p291's batch delete — one oracle, no drift.
+    "p299_stream_knn_two_source" -> knnGraphOracleSql(
+      "WHERE vec_id % 10 <> 0", withCell = true,
+      corpusWhere = "vec_id % 4 <> 2"),
     "p284_mutual_knn" -> mutualKnnOracleSql,
     "p285_snn_clusters" -> snnClustersOracleSql,
     "p286_knn_compacted" ->

@@ -118,8 +118,11 @@ object PipelineStream {
     * there is no replica that could resurrect a deleted doc, so no
     * gcGrace wait (the contrast with the cell-store's grace-period
     * contract is deliberate and documented here). Same publish-then-
-    * swap + max-numeric-run-id protocol as [[compactKnnStore]];
-    * offline maintenance, stop the writer first.
+    * swap + max-numeric-run-id protocol as [[compactKnnStore]] —
+    * including its documented CRASH-RECOVERY rule: a crash mid-swap
+    * leaves a substore with no live dir; rename its `__old` back (or
+    * publish the complete `__compact`) and rerun. Offline maintenance,
+    * stop the writer first.
     */
   def compactBm25Store(spark: org.apache.spark.sql.SparkSession,
       basePath: String): Unit = {
@@ -360,18 +363,84 @@ object PipelineStream {
       "knnGraphBatchFold: batch ids collide with the standing index — " +
         "dedupe the feed or reindex")
     val cells = graft.pipeline.Similarity.deltaCells(d)
+    // write order = derivation order: index run first (the graph is a
+    // function of it), graph second, graphcells manifest LAST — a
+    // reader between writes never sees graph edges for vectors absent
+    // from the standing index, and the readout (manifest-resolved)
+    // never sees a manifest without its graph run. Replay-safe: the
+    // standing read filters runs < runId, so a crash mid-batch leaves
+    // partial run=runId dirs that the rerun overwrites and no earlier
+    // read ever includes. Full consistency is still only guaranteed at
+    // batch boundaries (single-writer contract).
+    d.write.mode("overwrite").parquet(s"$basePath/index/run=$runId")
     graft.pipeline.Similarity
       .knnGraphTouchedWithCells(standing, d, cells, kNbrs, maxTouchedRows)
       .write.mode("overwrite").parquet(s"$basePath/graph/run=$runId")
     cells.map(_.asInstanceOf[Number].longValue).toDF("cell")
       .write.mode("overwrite").parquet(s"$basePath/graphcells/run=$runId")
-    d.write.mode("overwrite").parquet(s"$basePath/index/run=$runId")
+  }
+
+  /** TWO-SOURCE streaming kNN-store maintenance — the production
+    * protocol [[knnGraphIngest]] lacks: a vector feed AND a delete-id
+    * feed driving ONE store through ONE query (one writer, one
+    * checkpoint, one monotone run-id space — two concurrent queries
+    * would collide batch ids and break the single-writer contract).
+    * The two streams union into a typed event feed (`op` = add | del);
+    * each micro-batch applies its DELETES FIRST at run `2·batchId`
+    * ([[knnStoreDelete]]: tombstone run + touched-cells recompute over
+    * survivors) and then folds its ADDS at run `2·batchId + 1`
+    * ([[knnGraphBatchFold]] against the prefix that now includes this
+    * batch's tombstones) — so within one batch a delete+re-add of the
+    * same id lands as delete-then-insert, and across batches a
+    * re-inserted id survives because the index read's tombstone shadow
+    * is run-order-aware (a delete at run r kills runs ≤ r only; see
+    * [[readKnnIndex]]). Both run writes are pure functions of the run
+    * prefix plus the batch and overwrite by run id, so redelivery is
+    * idempotent exactly as in the single-source ingest. Ids must be
+    * unique among LIVE vectors; adding an id that is currently
+    * standing (never deleted, or re-added without an intervening
+    * delete) trips the fold's loud collision probe.
+    * Gated by p299 under the p291 survivor-graph oracle; the
+    * delete-then-insert-same-id lifecycle is spec-pinned in
+    * StreamingSpec.
+    */
+  def knnStoreIngest(vecs: DataFrame, idCol: String, vecCol: String,
+      deletes: DataFrame, delIdCol: String, codebook: DataFrame, k: Int,
+      kNbrs: Int, basePath: String, maxTouchedRows: Long = 5000000L):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val vecType = vecs.schema(vecCol).dataType
+    val events = vecs.select(col(idCol).as("id"),
+        col(vecCol).as("embedding"), lit("add").as("op"))
+      .unionByName(deletes.select(col(delIdCol).as("id"),
+        lit(null).cast(vecType).as("embedding"), lit("del").as("op")))
+    events.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty) {
+        val b = batch.localCheckpoint() // split into dels + adds below
+        val dels = b.filter(col("op") === "del").select(col("id"))
+        val adds = b.filter(col("op") === "add")
+          .select(col("id"), col("embedding"))
+        if (!dels.isEmpty)
+          knnStoreDelete(b.sparkSession, basePath, dels, kNbrs,
+            2 * id, maxTouchedRows)
+        if (!adds.isEmpty)
+          knnGraphBatchFold(adds, "id", "embedding", codebook, k, kNbrs,
+            basePath, 2 * id + 1, maxTouchedRows)
+      }
+    }
   }
 
   /** The LIVE standing index of a [[knnGraphIngest]] store as of
     * `beforeRun`: index runs `< beforeRun` with tombstoned ids
-    * ([[knnStoreDelete]] runs `< beforeRun`) shadowed out. `empty`
-    * supplies the schema when nothing is standing yet.
+    * ([[knnStoreDelete]] runs `< beforeRun`) shadowed out. The shadow
+    * is RUN-ORDER-AWARE (the LWW rule at run grain, exactly the
+    * reference's timestamped tombstones, db/RowMutation.java:202-216):
+    * a delete at run r kills index rows of the same id from runs ≤ r
+    * and NOTHING later, so a re-insert of a previously deleted id at a
+    * larger run id survives — the delete-then-insert-same-id lifecycle
+    * the two-source ingest ([[knnStoreIngest]]) needs. Both reads are
+    * partition-discovered (`run=` dirs) with a static `run < beforeRun`
+    * filter, so only prefix runs' files are touched. `empty` supplies
+    * the schema when nothing is standing yet.
     */
   private def readKnnIndex(spark: org.apache.spark.sql.SparkSession,
       basePath: String, empty: DataFrame, beforeRun: Long): DataFrame = {
@@ -379,16 +448,23 @@ object PipelineStream {
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val runs = graft.operators.EventOps
       .listIdDirs(fs, base, "index", "run=").filter(_ < beforeRun)
-    val standing =
-      if (runs.isEmpty) empty
-      else spark.read.parquet(runs.map(v => s"$basePath/index/run=$v"): _*)
+    if (runs.isEmpty) return empty
+    val standing = spark.read.parquet(s"$basePath/index")
+      .filter(col("run") < beforeRun)
     val delRuns = graft.operators.EventOps
       .listIdDirs(fs, base, "deletes", "run=").filter(_ < beforeRun)
-    if (delRuns.isEmpty) standing
-    else standing.join(
-      spark.read.parquet(delRuns.map(v => s"$basePath/deletes/run=$v"): _*)
-        .select(col("id")),
-      Seq("id"), "left_anti")
+    if (delRuns.isEmpty)
+      standing.select(col("id"), col("cell"), col("embedding"))
+    else {
+      // one row per tombstoned id: its newest delete run — ≤ distinct
+      // deleted ids, map-side-combined before the join
+      val dels = spark.read.parquet(s"$basePath/deletes")
+        .filter(col("run") < beforeRun)
+        .groupBy(col("id")).agg(max(col("run")).as("del_run"))
+      standing.join(dels, Seq("id"), "left_outer")
+        .filter(col("del_run").isNull || col("del_run") < col("run"))
+        .select(col("id"), col("cell"), col("embedding"))
+    }
   }
 
   /** DELETE vectors from a [[knnGraphIngest]] store — the tombstone
@@ -444,6 +520,21 @@ object PipelineStream {
     * continues: later appends just use larger ids. Offline
     * maintenance — stop the writer first (the swap window is not
     * concurrent-reader-safe, same as compactPositionalPostings).
+    *
+    * CRASH RECOVERY: every consolidated store is fully written under
+    * `__compact` suffixes BEFORE any swap, so a crash before the first
+    * swap loses nothing (rerun compacts again). The swaps themselves
+    * are three sequential live→`__old`→publish renames (index, graph,
+    * graphcells): a crash between the two renames inside one swap
+    * leaves that substore with NO live directory, and a crash between
+    * swaps leaves the three mutually inconsistent. Recovery is manual
+    * and total: for each substore, if the live dir is missing rename
+    * its `__old` back (or, if `__compact` is complete, publish it),
+    * then rerun compaction — `__old` is deleted only after its
+    * replacement is live, so one of the two always exists. A single
+    * versioned pointer file would make the publish one atomic rename;
+    * at this store's compaction cadence (rare, offline, single
+    * operator) the documented manual path is the deliberate trade.
     */
   def compactKnnStore(spark: org.apache.spark.sql.SparkSession,
       basePath: String): Unit = {

@@ -1271,6 +1271,70 @@ class StreamingSpec extends SparkSpec {
       == grown)
   }
 
+  test("knnStoreIngest: two-source feed — deletes fold per batch, delete-then-insert-same-id survives") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_knn2src").toString
+    val store = s"$base/store"
+    def v(c: Int, jit: Float) = Array.tabulate(4)(i =>
+      (if (i == c) 10f else 0f) + (if (i == 3) jit else 0f))
+    val pts = Seq(
+      (0L, v(0, 0.1f)), (3L, v(0, 0.2f)), (6L, v(0, 0.3f)),
+      (1L, v(1, 0.1f)), (4L, v(1, 0.2f)), (7L, v(1, 0.3f)),
+      (2L, v(2, 0.1f)), (9L, v(2, 0.2f)))
+    val codebook = graft.pipeline.Similarity.refinedCentroids(
+      graft.pipeline.Similarity.kmeansStepExact(
+        pts.toDF("vec_id", "embedding"), "vec_id", "embedding", k = 3))
+      .localCheckpoint()
+    val memV = MemoryStream[(Long, Array[Float])]
+    val memD = MemoryStream[Long]
+    val q = graft.streaming.PipelineStream.knnStoreIngest(
+      memV.toDS().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      memD.toDS().toDF("del_id"), "del_id", codebook, k = 3, kNbrs = 2,
+      basePath = store)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    def rows(d: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+      d.select("cell", "id", "rank", "nbr").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def oneShot(corpus: Seq[(Long, Array[Float])]) =
+      rows(graft.pipeline.Similarity.knnGraphTable(
+        graft.pipeline.Similarity.ivfIndexTable(
+          corpus.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          codebook, 3), 2))
+    try {
+      // batch: all adds
+      memV.addData(pts); q.processAllAvailable()
+      assert(rows(graft.streaming.PipelineStream.readKnnGraph(spark, store))
+        == oneShot(pts))
+      // batch: pure delete — 9 vanishes as node AND neighbor
+      memD.addData(9L); q.processAllAvailable()
+      val afterDel = rows(graft.streaming.PipelineStream.readKnnGraph(spark, store))
+      assert(afterDel == oneShot(pts.filterNot(_._1 == 9L)))
+      assert(!afterDel.exists(t => t._2 == 9L || t._4 == 9L))
+      // batch: RE-INSERT the deleted id with a new vector — the
+      // run-order-aware shadow must let it survive the old tombstone
+      val nine2 = (9L, v(2, 0.6f))
+      memV.addData(nine2); q.processAllAvailable()
+      assert(rows(graft.streaming.PipelineStream.readKnnGraph(spark, store))
+        == oneShot(pts.filterNot(_._1 == 9L) :+ nine2))
+      // one batch carrying BOTH a delete and a re-add of the same id:
+      // deletes apply first, so the re-add lands on the survivor store
+      val two2 = (2L, v(2, 0.9f))
+      memD.addData(2L); memV.addData(two2); q.processAllAvailable()
+      val mixed = rows(graft.streaming.PipelineStream.readKnnGraph(spark, store))
+      assert(mixed ==
+        oneShot(pts.filterNot(p => p._1 == 9L || p._1 == 2L) :+ nine2 :+ two2),
+        s"got $mixed")
+    } finally q.stop()
+    // compaction applies + GCs tombstones; readout unchanged, and the
+    // consolidated index holds exactly the live ids (re-adds included)
+    graft.streaming.PipelineStream.compactKnnStore(spark, store)
+    assert(rows(graft.streaming.PipelineStream.readKnnGraph(spark, store))
+      == oneShot(pts.filterNot(p => p._1 == 9L || p._1 == 2L) :+ (9L, v(2, 0.6f))
+        :+ (2L, v(2, 0.9f))))
+  }
+
   test("bm25 tombstones: masked readout ≡ survivor scorer; compaction GCs the tombstones") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_bm25del").toString
