@@ -741,6 +741,34 @@ object ScaleProbe {
       f"$locCells%d/16 cells): delta-fold=$dtLoc%5.2f s (vs full $dtFull%5.2f s)")
   }
 
+  /** Batched-BPE trainer probe (round 17): the driver-loop scale
+    * hazard measured — sequential training runs ONE Spark job per
+    * merge (a 30k-merge production vocab = 30k jobs of per-job
+    * scheduling overhead on top of the corpus passes), while the
+    * batched greedy admits a rank-prefix of symbol-disjoint merges per
+    * pass and folds them into one expression chain. Prints wall-clock
+    * at merges = 64 for batchSize 1 vs 64 plus the measured pass count
+    * and merge-sequence agreement (byte-level trainer, the production
+    * variant).
+    */
+  def bpeTrainProbe(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import graft.pipeline.TextAnalysis
+    val docs = CellEncodings.table(spark, dir, "documents").localCheckpoint()
+    def timed[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime(); val a = f; ((System.nanoTime() - t0) / 1e9, a)
+    }
+    val (dtSeq, mSeq) = timed(
+      TextAnalysis.trainByteBpeMerges(docs, "text", merges = 64))
+    val (dtBat, mBat) = timed(
+      TextAnalysis.trainByteBpeMerges(docs, "text", merges = 64,
+        batchSize = 64))
+    val agree = mSeq.map(m => (m._1, m._2)).toSet
+      .intersect(mBat.map(m => (m._1, m._2)).toSet).size
+    println(f"[scale] bpe-train merges=64: sequential=$dtSeq%6.2f s (64 jobs) " +
+      f"batched(64)=$dtBat%6.2f s agree=$agree/64 " +
+      f"(seq=${mSeq.size} bat=${mBat.size} learned)")
+  }
+
   /** Novelty-probe cost (round 16): scoring a 10%% shard against the
     * STANDING n-gram census vs rebuilding the census over the grown
     * corpus — the decontamination maintenance story (probe pays
@@ -1131,6 +1159,15 @@ object KnnNoveltyProbe {
     ScaleProbe.knnGraphProbe(spark, "/root/testdata/sf0.1")
     ScaleProbe.knnMaintProbe(spark, "/root/testdata/sf0.1")
     ScaleProbe.noveltyProbe(spark, "/root/testdata/sf0.1")
+    spark.stop()
+  }
+}
+
+/** Focused runner for the batched-BPE trainer probe. */
+object BpeTrainProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.create(taskSideCommit = true)
+    ScaleProbe.bpeTrainProbe(spark, "/root/testdata/sf0.1")
     spark.stop()
   }
 }

@@ -1860,10 +1860,11 @@ object TextAnalysis {
   }
 
   def trainBpeMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
-      merges: Int, samplePermille: Int = 1000): Seq[(String, String, Long)] =
+      merges: Int, samplePermille: Int = 1000,
+      batchSize: Int = 1): Seq[(String, String, Long)] =
     trainMergesOverRepr(
       bpeInitRepr(sampleByContent(df, textCol, samplePermille), textCol),
-      merges)
+      merges, batchSize)
 
   /** The deterministic content-hashed doc sample every tokenizer trainer
     * uses (hash60(text) mod 1000 < samplePermille — reproducible across
@@ -1884,21 +1885,63 @@ object TextAnalysis {
     * vocabulary). Each step localCheckpoints the rewritten
     * symbolization (the driver loop reads pair stats immediately, and
     * plans must not grow with merge count).
+    *
+    * `batchSize` is the multi-merge throttle on the loop's ONE scale
+    * hazard — one Spark job per merge, so a 30k-merge production vocab
+    * at batchSize = 1 is 30k sequential jobs. Each pass ranks the top
+    * `batchSize` pairs and admits the maximal RANK-PREFIX of pairwise
+    * symbol-disjoint pairs (classic batched greedy): a pair joins the
+    * batch only while its left, right, AND fused string collide with no
+    * earlier admitted pair's left/right/fused — disjoint merges commute
+    * (each one's occurrences and counts are untouched by the others),
+    * so fusing the whole batch in one pass rewrites the corpus exactly
+    * as applying them one-by-one would. The prefix STOPS at the first
+    * overlap (never skips past it): an overlapping pair's count is
+    * stale after the earlier fuse, and — the subtler case — the fuse
+    * can create a NEW pair (e.g. ("ab", "c") after ("a", "b")) that
+    * outranks the stale one; stopping lets the next pass re-rank both.
+    * Equality contract, spec-pinned: on the admitted overlap-free
+    * prefix, batched ≡ sequential greedy. Across passes the sequences
+    * can diverge from exact sequential ONLY where a newly-created pair
+    * would out-count a later ADMITTED batch member — the standard
+    * distributed-BPE approximation; train with batchSize = 1 when
+    * merge-rank fidelity to reference tokenizers matters (the oracle
+    * entries do).
     */
   private def trainMergesOverRepr(init: org.apache.spark.sql.DataFrame,
-      merges: Int): Seq[(String, String, Long)] = {
+      merges: Int, batchSize: Int = 1): Seq[(String, String, Long)] = {
+    require(batchSize >= 1, "batchSize >= 1")
     var repr = init.localCheckpoint()
     val out = Seq.newBuilder[(String, String, Long)]
+    var learned = 0
     var done = false
-    for (_ <- 0 until merges if !done) {
-      val top = bpePairStats(repr, "repr", 1).collect()
-      if (top.isEmpty || top.head.getAs[Long]("cnt") < 2L) done = true
+    while (learned < merges && !done) {
+      val want = math.min(batchSize, merges - learned)
+      val top = bpePairStats(repr, "repr", want).collect()
+        .filter(_.getAs[Long]("cnt") >= 2L)
+      if (top.isEmpty) done = true
       else {
-        val (l, r, c) = (top.head.getAs[String]("sym_l"),
-          top.head.getAs[String]("sym_r"), top.head.getAs[Long]("cnt"))
-        out += ((l, r, c))
-        repr = repr.select(fuseMerge(col("repr"), l, r).as("repr"))
-          .localCheckpoint()
+        val used = scala.collection.mutable.Set.empty[String]
+        val admitted = Seq.newBuilder[(String, String, Long)]
+        var stop = false
+        for (row <- top if !stop) {
+          val l = row.getAs[String]("sym_l")
+          val r = row.getAs[String]("sym_r")
+          if (used(l) || used(r) || used(l + r)) stop = true
+          else {
+            admitted += ((l, r, row.getAs[Long]("cnt")))
+            used += l += r += (l + r)
+          }
+        }
+        val adm = admitted.result()
+        out ++= adm
+        learned += adm.size
+        // disjoint merges fold into ONE map-only expression chain —
+        // one corpus pass per batch, not per merge
+        val folded = adm.foldLeft(col("repr")) {
+          case (c, (l, r, _)) => fuseMerge(c, l, r)
+        }
+        repr = repr.select(folded.as("repr")).localCheckpoint()
       }
     }
     out.result()
@@ -2044,10 +2087,11 @@ object TextAnalysis {
     */
   def trainByteBpeMerges(df: org.apache.spark.sql.DataFrame,
       textCol: String, merges: Int,
-      samplePermille: Int = 1000): Seq[(String, String, Long)] =
+      samplePermille: Int = 1000,
+      batchSize: Int = 1): Seq[(String, String, Long)] =
     trainMergesOverRepr(
       byteBpeInitRepr(sampleByContent(df, textCol, samplePermille), textCol),
-      merges)
+      merges, batchSize)
 
   /** Byte-level BPE application: symbolize each (space-prefixed)
     * DISTINCT token to byte symbols, fold the learned merges in rank

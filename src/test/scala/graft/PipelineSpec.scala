@@ -1872,6 +1872,35 @@ class PipelineSpec extends SparkSpec {
     assert(sampled.head._3 == kept * 3, s"got ${sampled.head}")
   }
 
+  test("batched BPE training: overlap-free prefix ≡ sequential greedy; prefix stops at overlap") {
+    import spark.implicits._
+    // three DISJOINT top pairs: (x,y)=10, (q,r)=8, (x,z)=5 — the third
+    // shares x with the first, so a batch of 3 admits exactly 2
+    val docs = (
+      Seq.fill(10)("xy") ++ Seq.fill(8)("qr") ++ Seq.fill(5)("xz")
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val seqG = TextAnalysis.trainBpeMerges(docs, "text", merges = 3)
+    val batched = TextAnalysis.trainBpeMerges(docs, "text", merges = 3,
+      batchSize = 3)
+    assert(seqG.map(m => (m._1, m._2)) == Seq(("x", "y"), ("q", "r"), ("x", "z")))
+    assert(batched == seqG, s"batched $batched vs sequential $seqG")
+    // the NEW-PAIR case: "abc" makes (a,b) and (b,c) tie at 6; the
+    // prefix stops after (a,b) (shared b), and the next pass sees the
+    // CREATED pair ("ab","c") — exactly what sequential greedy picks.
+    // Skipping-instead-of-stopping would have admitted the stale (b,c).
+    val abc = (0 until 6).map(i => (i.toLong, "abc")).toDF("doc_id", "text")
+    val seqAbc = TextAnalysis.trainBpeMerges(abc, "text", merges = 2)
+    val batAbc = TextAnalysis.trainBpeMerges(abc, "text", merges = 2,
+      batchSize = 4)
+    assert(seqAbc.map(m => (m._1, m._2)) == Seq(("a", "b"), ("ab", "c")))
+    assert(batAbc == seqAbc, s"batched $batAbc vs sequential $seqAbc")
+    // byte-level twin threads the same knob through the same loop
+    val bSeq = TextAnalysis.trainByteBpeMerges(docs, "text", merges = 3)
+    val bBat = TextAnalysis.trainByteBpeMerges(docs, "text", merges = 3,
+      batchSize = 3)
+    assert(bBat == bSeq, s"byte batched $bBat vs sequential $bSeq")
+  }
+
   test("n-gram novelty: occurrence-weighted overlap against a census") {
     import spark.implicits._
     val census = TextAnalysis.ngramStatsTable(
