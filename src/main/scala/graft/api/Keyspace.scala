@@ -414,6 +414,27 @@ class Keyspace(val spark: SparkSession, val name: String) {
       fs.delete(new Path(logArchiveRoot, s"CommitLog-$m"), true)
     }
   }
+
+  /** Run-integrity report for a CF's physical stores — the
+    * `tools/SSTableValidator.java:40-70` / SSTableRepair analog: scan
+    * the CF's data files AND its horizon-sidecar tables, footer-decode
+    * every parquet file (`deep = true` additionally decodes every page
+    * — the validator's full-scan mode), and report unreadable files or
+    * layout inconsistencies WITHOUT touching the read path. Returns
+    * (store, path, kind, status, detail); an empty non-ok subset means
+    * the CF is clean. See [[graft.sources.RunIntegrity.validateStore]]
+    * for the checks and the quarantine recipe.
+    */
+  def validateRuns(cf: String, deep: Boolean = false): DataFrame = {
+    val stores = Seq(tableName(cf), hrowTable(cf), hscTable(cf))
+      .filter(t => spark.catalog.tableExists(t))
+      .map(t => (t, tableLocation(t).toString))
+    require(stores.nonEmpty, s"validateRuns: no stores for CF '$cf'")
+    stores.map { case (t, loc) =>
+      graft.sources.RunIntegrity.validateStore(spark, loc, label = t,
+        deep = deep)
+    }.reduce(_ unionByName _)
+  }
 }
 
 object Keyspace {

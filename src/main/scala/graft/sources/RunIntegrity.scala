@@ -1,0 +1,200 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Run-integrity validation — the maintenance surface an operator
+  * reaches for after a bad deploy or an unclean shutdown at 100 TB:
+  * scan a store's parquet runs, horizon sidecars, and manifests and
+  * REPORT what is broken, orphaned, or inconsistent WITHOUT failing
+  * (or being part of) the read path. The analog of the reference's
+  * `tools/SSTableValidator.java:40-70` (scan data files, report broken
+  * ones) + `tools/SSTableRepair.java` (quarantine guidance), mapped
+  * onto the parquet-run conventions every graft store shares:
+  *
+  *  - DATA files (`*.parquet`): each file's FOOTER is opened — a
+  *    truncated, zero-length, or corrupt file fails footer decode and
+  *    reports `unreadable` with the cause. Footer decode is the
+  *    cheapest per-file proof the file is scannable (schema + row
+  *    groups + row count); pass `deep = true` to additionally decode
+  *    every page of every column chunk (the SSTableValidator full-scan
+  *    rule — catches mid-file corruption a footer read cannot).
+  *    Validation is DISTRIBUTED: the file list parallelizes over
+  *    executors, so a million-file store validates at cluster speed.
+  *  - `graphcells/run=N` manifests ([[graft.streaming.PipelineStream]]
+  *    kNN stores): a manifest whose `graph/run=N` is missing reports
+  *    `orphaned` (the readout would join rows away silently); a graph
+  *    run with no manifest reports `mismatch` (readKnnGraph will never
+  *    surface it).
+  *  - `_compacted_from` manifests ([[ZOrder]] z-run stores): a source
+  *    run named by a PUBLISHED run's manifest but still on disk
+  *    reports `mismatch` (double-count hazard — run
+  *    [[ZOrder.healZRuns]]); an unparseable manifest reports
+  *    `unreadable`.
+  *  - Interrupted-compaction residue: `*__old` / `*__compact` /
+  *    `.compacting-*` / `horizons_*_next` directories report
+  *    `orphaned`, and a `*__old` with NO live sibling reports
+  *    `mismatch` (the compactKnnStore crash window — rename `__old`
+  *    back).
+  *
+  * Returns (store, path, kind, status, detail); `status = "ok"` rows
+  * carry the footer row count so the report doubles as a run census.
+  * Quarantine recipe (NOTES.md): move `unreadable` files into a
+  * `_quarantine/` sibling (readers never list it), re-run the
+  * validator, then restore the affected runs from snapshots or
+  * re-fold the delta that produced them.
+  */
+object RunIntegrity {
+
+  /** One report row. */
+  private val Cols = Seq("store", "path", "kind", "status", "detail")
+
+  /** Validate every store convention found under `basePath` (see object
+    * doc). Never throws on broken content — broken content IS the
+    * report. `label` names the store in the report (defaults to the
+    * path itself).
+    */
+  def validateStore(spark: SparkSession, basePath: String,
+      label: String = "", deep: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val store = if (label.nonEmpty) label else basePath
+    val base = new Path(basePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base))
+      return Seq((store, basePath, "dir", "mismatch", "store path missing"))
+        .toDF(Cols: _*)
+
+    val rows = Seq.newBuilder[(String, String, String, String, String)]
+
+    // ---- directory-shape checks (driver-side: metadata-scale) ----
+    def ls(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (fs.exists(p)) fs.listStatus(p).toSeq else Nil
+    val topDirs = ls(base).filter(_.isDirectory).map(_.getPath)
+    val topNames = topDirs.map(_.getName).toSet
+    topDirs.foreach { d =>
+      val n = d.getName
+      if (n.endsWith("__old")) {
+        val live = n.stripSuffix("__old")
+        if (topNames(live))
+          rows += ((store, d.toString, "dir", "orphaned",
+            "retired pre-swap copy left behind — safe to delete once the " +
+              "live store is verified"))
+        else
+          rows += ((store, d.toString, "dir", "mismatch",
+            s"no live '$live' sibling — interrupted swap; rename this " +
+              "__old back (compactKnnStore crash-recovery rule)"))
+      } else if (n.endsWith("__compact") || n.startsWith(".compacting-") ||
+        n.endsWith("_next")) {
+        rows += ((store, d.toString, "dir", "orphaned",
+          "interrupted-compaction residue — never published; safe to delete"))
+      }
+    }
+
+    def runIds(sub: String): Set[Long] =
+      ls(new Path(base, sub)).filter(_.isDirectory)
+        .flatMap(st => scala.util.Try(
+          st.getPath.getName.stripPrefix("run=").toLong).toOption).toSet
+    // kNN-store manifest agreement (graphcells names graph runs)
+    if (topNames("graphcells") || topNames("graph")) {
+      val manifests = runIds("graphcells")
+      val graphs = runIds("graph")
+      (manifests -- graphs).toSeq.sorted.foreach { r =>
+        rows += ((store, s"$basePath/graphcells/run=$r", "manifest",
+          "orphaned", s"names graph/run=$r which does not exist — the " +
+            "latest-per-cell readout would silently drop its cells"))
+      }
+      (graphs -- manifests).toSeq.sorted.foreach { r =>
+        rows += ((store, s"$basePath/graph/run=$r", "run", "mismatch",
+          s"no graphcells/run=$r manifest — readKnnGraph will never " +
+            "surface this run"))
+      }
+    }
+
+    // z-run _compacted_from manifests: published merges whose source
+    // runs were resurrected (crash between publish and delete)
+    def walkDirs(p: Path): Seq[Path] =
+      p +: ls(p).filter(_.isDirectory).map(_.getPath).flatMap(walkDirs)
+    val allDirs = walkDirs(base)
+    allDirs.foreach { d =>
+      val mf = new Path(d, "_compacted_from")
+      if (fs.exists(mf)) {
+        val parent = d.getParent
+        scala.util.Try {
+          val in = fs.open(mf)
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().filter(_.nonEmpty).map(_.trim.toLong).toList
+          finally in.close()
+        } match {
+          case scala.util.Failure(e) =>
+            rows += ((store, mf.toString, "manifest", "unreadable",
+              s"cannot parse: ${e.getMessage}"))
+          case scala.util.Success(ids) =>
+            ids.filter(sid => fs.exists(new Path(parent, s"run=$sid")))
+              .foreach { sid =>
+                rows += ((store, s"$parent/run=$sid", "run", "mismatch",
+                  s"source run named by ${d.getName}'s _compacted_from " +
+                    "still on disk — double-count hazard; run " +
+                    "ZOrder.healZRuns"))
+              }
+        }
+      }
+    }
+
+    // ---- data-file checks (distributed: one footer/page decode per
+    // file, parallelized over executors) ----
+    val dataFiles = allDirs
+      .filterNot(d => d.getName.endsWith("__old") ||
+        d.getName.endsWith("__compact") || d.getName.startsWith(".compacting-"))
+      .flatMap(d => ls(d).filter(_.isFile).map(_.getPath))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.toString)
+    val kindOf = (p: String) =>
+      if (p.contains("/horizons_")) "sidecar"
+      else if (p.contains("/graphcells/")) "manifest"
+      else "data"
+    val checked =
+      if (dataFiles.isEmpty) Nil
+      else {
+        val slices = math.min(dataFiles.size,
+          spark.sparkContext.defaultParallelism * 4)
+        val doDeep = deep
+        spark.sparkContext.parallelize(dataFiles, slices)
+          .map { f =>
+            val res = scala.util.Try {
+              // fresh task-side conf: footer decode needs only the FS
+              // defaults (validator files are store-local paths)
+              val conf = new org.apache.hadoop.conf.Configuration()
+              val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+                org.apache.parquet.hadoop.util.HadoopInputFile
+                  .fromPath(new Path(f), conf))
+              try {
+                val n = rd.getRecordCount
+                if (doDeep) {
+                  val cols = rd.getFooter.getFileMetaData.getSchema.getColumns
+                  var rg = rd.readNextRowGroup()
+                  while (rg != null) {
+                    (0 until cols.size()).foreach { i =>
+                      val pr = rg.getPageReader(cols.get(i))
+                      var pg = pr.readPage()
+                      while (pg != null) pg = pr.readPage()
+                    }
+                    rg = rd.readNextRowGroup()
+                  }
+                }
+                n
+              } finally rd.close()
+            }
+            res match {
+              case scala.util.Success(n) => (f, "ok", s"rows=$n")
+              case scala.util.Failure(e) =>
+                (f, "unreadable", Option(e.getMessage).getOrElse(
+                  e.getClass.getSimpleName).take(200))
+            }
+          }.collect().toSeq
+      }
+    checked.foreach { case (f, status, detail) =>
+      rows += ((store, f, kindOf(f), status, detail))
+    }
+    rows.result().toDF(Cols: _*)
+  }
+}

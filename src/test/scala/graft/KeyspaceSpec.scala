@@ -450,4 +450,64 @@ class KeyspaceSpec extends SparkSpec {
       assert(Keyspace.getStringListProperty(spark, "anything else").isEmpty)
     } finally ks.drop()
   }
+
+  test("validateRuns: truncated file, orphaned manifest, resurrected z-run source all report; clean CF is clean") {
+    val loc = new java.io.File("spark-warehouse/graft_ksvr.db")
+    if (loc.exists()) new scala.reflect.io.Directory(loc).deleteRecursively()
+    val ks = Keyspace(spark, "graft_ksvr")
+    try {
+      val meta = CfMeta("cfv")
+      ks.saveColumnFamily(cellsDf(Seq(
+        ins("k1", "c1", "v1", 1), ins("k2", "c1", "w", 1),
+        ins("k3", "c1", "x", 2))),
+        meta, buckets = 4)
+      // clean store: every row ok (with footer row counts), deep too
+      val clean = ks.validateRuns("cfv").collect()
+      assert(clean.nonEmpty && clean.forall(_.getString(3) == "ok"),
+        s"got ${clean.mkString("\n")}")
+      assert(clean.exists(r => r.getString(0).endsWith("__hrow")),
+        "horizon sidecar stores must be in the report")
+      assert(ks.validateRuns("cfv", deep = true).collect()
+        .forall(_.getString(3) == "ok"))
+      // plant a TRUNCATED data file (half its bytes): footer decode fails
+      val dataDir = new java.io.File(loc, "cfv")
+      val pq = dataDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val bytes = java.nio.file.Files.readAllBytes(pq.toPath)
+      java.nio.file.Files.write(pq.toPath, bytes.take(bytes.length / 2))
+      val report = ks.validateRuns("cfv").collect()
+      val bad = report.filter(_.getString(3) == "unreadable")
+      assert(bad.length == 1 && bad.head.getString(1).endsWith(pq.getName),
+        s"got ${bad.mkString("\n")}")
+      // the read path is untouched by validation (merge-on-read would
+      // fail on the broken file — validateRuns itself must not throw)
+      java.nio.file.Files.write(pq.toPath, bytes) // restore
+      assert(ks.validateRuns("cfv").collect().forall(_.getString(3) == "ok"))
+    } finally ks.drop()
+
+    // store-level conventions on a scratch run store
+    val base = java.nio.file.Files.createTempDirectory("graft_ri").toString
+    import spark.implicits._
+    Seq((1L, 0L, 2L, 5L)).toDF("cell", "id", "rank", "nbr")
+      .write.parquet(s"$base/graph/run=0")
+    Seq(1L).toDF("cell").write.parquet(s"$base/graphcells/run=0")
+    Seq(2L).toDF("cell").write.parquet(s"$base/graphcells/run=7") // orphan
+    Seq((3L, "x")).toDF("a", "b").write.parquet(s"$base/runs/run=1")
+    Seq((4L, "y")).toDF("a", "b").write.parquet(s"$base/runs/run=3")
+    // run=3 claims it absorbed run=1, but run=1 is still on disk
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/runs/run=3/_compacted_from"),
+      "1\n".getBytes("UTF-8"))
+    new java.io.File(s"$base/index__old").mkdirs() // no live sibling
+    val rep = graft.sources.RunIntegrity.validateStore(spark, base)
+      .collect().map(r => (r.getString(1), r.getString(3), r.getString(4)))
+    def one(status: String, pathHas: String, detailHas: String): Unit =
+      assert(rep.exists(r => r._2 == status && r._1.contains(pathHas)
+        && r._3.contains(detailHas)), s"missing ($status, $pathHas): " +
+        rep.mkString("\n"))
+    one("orphaned", "graphcells/run=7", "does not exist")
+    one("mismatch", "runs/run=1", "still on disk")
+    one("mismatch", "index__old", "no live 'index' sibling")
+    // the intact pieces still report ok
+    assert(rep.exists(r => r._1.contains("graph/run=0") && r._2 == "ok"))
+  }
 }
