@@ -538,6 +538,30 @@ object Bench {
           "embedding", codebook, 16), kNbrs = 10)
     }
 
+    // the PRODUCTION kNN-graph claim is maintenance, not rebuild: fold
+    // a localized delta (the 5% arrivals landing in cells 0-1 under
+    // the frozen codebook) into a standing graph — only the touched
+    // cells re-derive; the collision probe + cells collect are part of
+    // the honest fold cost. Standing artifacts build once, untimed.
+    {
+      val kdCodebook = graft.pipeline.Similarity.refinedCentroids(
+        graft.pipeline.Similarity.kmeansStepExact(
+          emb.filter(col("vec_id") % 20 =!= 0), "vec_id", "embedding",
+          k = 16)).localCheckpoint()
+      val kdIdx = graft.pipeline.Similarity.ivfIndexTable(
+        emb.filter(col("vec_id") % 20 =!= 0), "vec_id", "embedding",
+        kdCodebook, 16).localCheckpoint()
+      val kdG0 = graft.pipeline.Similarity.knnGraphTable(kdIdx, 10)
+        .localCheckpoint()
+      val kdDelta = graft.pipeline.Similarity.ivfIndexTable(
+        emb.filter(col("vec_id") % 20 === 0), "vec_id", "embedding",
+        kdCodebook, 16).filter(col("cell") < 2).localCheckpoint()
+      legDf("knn_delta") {
+        graft.pipeline.Similarity.knnGraphDelta(kdG0, kdIdx, kdDelta,
+          kNbrs = 10)
+      }
+    }
+
     // sketch observability: both corpus sketches in one leg (HLL register
     // max-agg + CMS cell sum-agg — the per-shard census cost)
     legDf("sketches") {

@@ -687,9 +687,35 @@ object Sketches {
 
   /** [[pairedCategoryCounts]] from an existing (g, cat, c) census —
     * the readout entry point a folded standing census probes.
+    *
+    * MEMORY/VOLUME CONTRACT (the categoryCensusTable convention): the
+    * pair frame holds one row per (ga, gb, cat) with cat in the pair's
+    * category UNION — Σ_{a<b} |V_a ∪ V_b| ≤ (G−1)·|census| rows total,
+    * where G = distinct groups. At CATEGORY grain (langs, sources,
+    * buckets) that is trivially small; at TERM grain
+    * ([[graft.pipeline.TextAnalysis.termCensus]] — p297/p298's
+    * vocabulary drift) it multiplies a vocabulary-sized census by the
+    * group count: 100 sources × a 10M-term census is ~1e9 pair cells,
+    * and every downstream score windows by (ga, gb) — each pair's
+    * union vocabulary sorts in ONE task. Both hazards are bounded
+    * LOUDLY here via the computed (G−1)·|census| upper bound: an
+    * over-bound readout fails naming the fix (readout per pair slice,
+    * restrict the census to top-K terms per group, or raise the bound
+    * deliberately) instead of shuffling for hours.
     */
-  private def pairedFromCounts(census: DataFrame): DataFrame = {
+  private def pairedFromCounts(census: DataFrame,
+      maxPairCells: Long = 2000000000L): DataFrame = {
     val h = census.localCheckpoint(false) // pairs/left/right all read it
+    val stats = h.agg(countDistinct(col("g")).as("ng"),
+      count(lit(1)).as("rows")).collect()(0)
+    // BigInt: the product overflows Long exactly when it matters most
+    val bound = BigInt(math.max(0L, stats.getLong(0) - 1L)) *
+      BigInt(stats.getLong(1))
+    require(bound <= BigInt(maxPairCells),
+      s"pairedFromCounts: ${stats.getLong(0)} groups × ${stats.getLong(1)} " +
+        s"census rows bound the pair frame by $bound cells > maxPairCells " +
+        s"= $maxPairCells — score pair slices separately, restrict the " +
+        "census to top-K terms per group, or raise the bound deliberately")
     val groups = h.select(col("g")).distinct()
     val pairs = groups.select(col("g").as("ga"))
       .crossJoin(groups.select(col("g").as("gb")))
@@ -714,10 +740,11 @@ object Sketches {
     * census serves TV, PSI, and any future score without re-scanning
     * the corpus (p277 gates fold-then-readout ≡ p151's one-shot).
     */
-  def tvDriftFromCensus(census: DataFrame): DataFrame = {
+  def tvDriftFromCensus(census: DataFrame,
+      maxPairCells: Long = 2000000000L): DataFrame = {
     val tot = org.apache.spark.sql.expressions.Window
       .partitionBy(col("ga"), col("gb"))
-    pairedFromCounts(census)
+    pairedFromCounts(census, maxPairCells)
       .withColumn("na", sum(col("ca")).over(tot).cast("decimal(38,0)"))
       .withColumn("nb", sum(col("cb")).over(tot).cast("decimal(38,0)"))
       .withColumn("dev", abs(col("ca") * col("nb") - col("cb") * col("na")))
@@ -761,10 +788,11 @@ object Sketches {
   /** [[jsDriftMatrix]] as a READOUT over a (folded) standing census —
     * one additive artifact serves TV, PSI and JS reports.
     */
-  def jsDriftFromCensus(census: DataFrame): DataFrame = {
+  def jsDriftFromCensus(census: DataFrame,
+      maxPairCells: Long = 2000000000L): DataFrame = {
     val tot = org.apache.spark.sql.expressions.Window
       .partitionBy(col("ga"), col("gb"))
-    pairedFromCounts(census)
+    pairedFromCounts(census, maxPairCells)
       .withColumn("na", sum(col("ca")).over(tot))
       .withColumn("nb", sum(col("cb")).over(tot))
       .withColumn("ncat", count(lit(1)).over(tot))
@@ -787,10 +815,11 @@ object Sketches {
     * per batch, PSI reports come off the table (p263 gates
     * fold-then-readout bit-identical to the full-corpus p254).
     */
-  def psiDriftFromCensus(census: DataFrame): DataFrame = {
+  def psiDriftFromCensus(census: DataFrame,
+      maxPairCells: Long = 2000000000L): DataFrame = {
     val tot = org.apache.spark.sql.expressions.Window
       .partitionBy(col("ga"), col("gb"))
-    pairedFromCounts(census)
+    pairedFromCounts(census, maxPairCells)
       .withColumn("na", sum(col("ca")).over(tot))
       .withColumn("nb", sum(col("cb")).over(tot))
       .withColumn("ncat", count(lit(1)).over(tot))

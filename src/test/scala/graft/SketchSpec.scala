@@ -1047,6 +1047,16 @@ class SketchSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
         (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
     assert(folded == got, s"folded $folded vs direct $got")
+    // pair-frame volume contract: the (G−1)·|census| bound trips loudly
+    // for an over-cap census (the term-grain hazard), names the cap
+    val census = Sketches.categoryCensusTable(df, "lang", "src")
+    val boom = intercept[IllegalArgumentException] {
+      Sketches.jsDriftFromCensus(census, maxPairCells = 1L)
+    }
+    assert(boom.getMessage.contains("maxPairCells"), boom.getMessage)
+    // at the computed bound exactly ((3−1)·6 = 12 cells) it runs
+    assert(Sketches.jsDriftFromCensus(census, maxPairCells = 12L)
+      .count() == 6L)
   }
 
   test("groupedQuantile / winsorizedStats: exact thresholds and clamped moments on a hand case") {
