@@ -1337,6 +1337,39 @@ object SparkEntry {
       graft.streaming.PipelineStream.readKnnGraph(s, s"$basePath/store")
     }),
 
+    // kNN-store REINDEX: folds + a delete under the base-split
+    // codebook, then re-train on the FULL corpus and reindex the live
+    // store under the new codebook (tombstones applied, graph rebuilt,
+    // swap-published, lifecycle ids preserved). Readout ≡ one-shot
+    // survivor graph under the NEW codebook — the baseWhere flips to
+    // the full corpus while corpusWhere keeps the survivors.
+    "p300_knn_reindex" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = table(s, dir, "embeddings")
+        .localCheckpoint(eager = false) // codebooks + folds + delete list
+      val oldCodebook = graft.pipeline.Similarity.refinedCentroids(
+        graft.pipeline.Similarity.kmeansStepExact(
+          e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding", k = 8))
+        .localCheckpoint() // FROZEN for the fold era
+      val store = s"${freshTmpStore(s, "p300", dir)}/store"
+      def fold(f: DataFrame, runId: Long): Unit =
+        graft.streaming.PipelineStream.knnGraphBatchFold(f, "vec_id",
+          "embedding", oldCodebook, k = 8, kNbrs = 5, basePath = store,
+          runId = runId)
+      fold(e.filter(col("vec_id") % 3 === 0), 0L)
+      fold(e.filter(col("vec_id") % 3 === 1), 1L)
+      fold(e.filter(col("vec_id") % 3 === 2), 2L)
+      graft.streaming.PipelineStream.knnStoreDelete(s, store,
+        e.filter(col("vec_id") % 4 === 2).select(col("vec_id").as("id")),
+        kNbrs = 5, runId = 3L)
+      val newCodebook = graft.pipeline.Similarity.refinedCentroids(
+        graft.pipeline.Similarity.kmeansStepExact(e, "vec_id", "embedding",
+          k = 8)).localCheckpoint()
+      graft.streaming.PipelineStream.reindexKnnStore(s, store, newCodebook,
+        k = 8, kNbrs = 5)
+      graft.streaming.PipelineStream.readKnnGraph(s, store)
+    }),
+
     // Mutual-kNN sparsification: a pair survives iff EACH ranks the
     // other in its top 5 — hub bridges vanish, dense regions stay.
     "p284_mutual_knn" -> ((s, dir) => {
@@ -7660,6 +7693,10 @@ object SparkEntry {
     "p299_stream_knn_two_source" -> knnGraphOracleSql(
       "WHERE vec_id % 10 <> 0", withCell = true,
       corpusWhere = "vec_id % 4 <> 2"),
+    // p300: after the reindex the codebook is the FULL-corpus one and
+    // the residents are the delete's survivors.
+    "p300_knn_reindex" -> knnGraphOracleSql("WHERE 1 = 1",
+      withCell = true, corpusWhere = "vec_id % 4 <> 2"),
     "p284_mutual_knn" -> mutualKnnOracleSql,
     "p285_snn_clusters" -> snnClustersOracleSql,
     "p286_knn_compacted" ->

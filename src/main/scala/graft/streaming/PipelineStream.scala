@@ -581,6 +581,82 @@ object PipelineStream {
     fs.delete(new org.apache.hadoop.fs.Path(base, "deletes"), true)
   }
 
+  /** REINDEX a [[knnGraphIngest]] store under a NEW codebook — the
+    * operation every fold/delete scaladoc defers to ("a re-trained
+    * codebook is a REINDEX"): when [[graft.pipeline.Similarity.suggestK]]
+    * says the frozen codebook is too coarse (or drift re-trained it),
+    * the store cannot be folded forward — cells under different
+    * codebooks are not comparable — so the whole live corpus
+    * re-assigns ONCE. Reads the live index (tombstones applied),
+    * assigns every vector to its nearest NEW centroid, rebuilds the
+    * full graph over the new cells (one [[graft.pipeline.Similarity
+    * .knnGraphTable]] pass — the occupancy guard prices it loudly
+    * before it runs: reindexing INTO a still-too-coarse codebook fails
+    * with the suggestK message, never a silent quadratic), and
+    * publishes index + graph + graphcells via the [[compactKnnStore]]
+    * swap protocol under the store's max run id — the prefix rule and
+    * lifecycle continue, tombstones are applied and GC'd. Offline
+    * maintenance: stop the writer first; same crash-recovery rule as
+    * compactKnnStore. Later folds MUST assign against the new codebook
+    * (the caller owns codebook versioning — persist it next to the
+    * store).
+    */
+  def reindexKnnStore(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, codebook: DataFrame, k: Int, kNbrs: Int,
+      maxPairs: Long = graft.pipeline.Similarity.DefaultMaxGraphPairs): Unit = {
+    val base = new org.apache.hadoop.fs.Path(basePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idxRuns = graft.operators.EventOps.listIdDirs(fs, base, "index", "run=")
+    require(idxRuns.nonEmpty, "reindexKnnStore: nothing to reindex")
+    val runId = math.max(idxRuns.max,
+      graft.operators.EventOps.listIdDirs(fs, base, "graphcells", "run=")
+        .foldLeft(0L)(math.max))
+    val emptyIdx = spark.range(0).select(col("id"),
+      col("id").cast("int").as("cell"),
+      array().cast("array<float>").as("embedding"))
+    val live = readKnnIndex(spark, basePath, emptyIdx, Long.MaxValue)
+      .select(col("id"), col("embedding"))
+      .localCheckpoint(eager = false) // assignment + vector join
+    val newIdx = graft.pipeline.Similarity
+      .assignExact(live, "id", "embedding", codebook, k)
+      .join(live, Seq("id"))
+      .select(col("id"), col("cluster").as("cell"), col("embedding"))
+      .localCheckpoint(eager = false) // index flush + graph build + manifest
+    // build the graph frame FIRST: knnGraphTable's occupancy guard is
+    // eager, so a too-coarse target codebook fails here before any
+    // __compact residue is written
+    val newGraph = graft.pipeline.Similarity
+      .knnGraphTable(newIdx, kNbrs, maxPairs)
+    newIdx.repartitionByRange(col("cell")).sortWithinPartitions("cell")
+      .write.mode("overwrite").parquet(s"$basePath/index__compact/run=$runId")
+    newGraph
+      .repartitionByRange(col("cell")).sortWithinPartitions("cell")
+      .write.mode("overwrite").parquet(s"$basePath/graph__compact/run=$runId")
+    newIdx.select(col("cell").cast("long").as("cell")).distinct()
+      .write.mode("overwrite")
+      .parquet(s"$basePath/graphcells__compact/run=$runId")
+    def swap(sub: String): Unit = {
+      val liveDir = new org.apache.hadoop.fs.Path(base, sub)
+      val old = new org.apache.hadoop.fs.Path(base, sub + "__old")
+      val next = new org.apache.hadoop.fs.Path(base, sub + "__compact")
+      fs.delete(old, true)
+      require(fs.rename(liveDir, old), s"reindexKnnStore: could not retire $liveDir")
+      require(fs.rename(next, liveDir), s"reindexKnnStore: could not publish $next")
+      fs.delete(old, true)
+    }
+    swap("index")
+    // graph/graphcells may not exist yet on an index-only store
+    if (fs.exists(new org.apache.hadoop.fs.Path(base, "graph"))) swap("graph")
+    else require(fs.rename(new org.apache.hadoop.fs.Path(base, "graph__compact"),
+      new org.apache.hadoop.fs.Path(base, "graph")), "reindexKnnStore: publish graph")
+    if (fs.exists(new org.apache.hadoop.fs.Path(base, "graphcells"))) swap("graphcells")
+    else require(fs.rename(
+      new org.apache.hadoop.fs.Path(base, "graphcells__compact"),
+      new org.apache.hadoop.fs.Path(base, "graphcells")),
+      "reindexKnnStore: publish graphcells")
+    fs.delete(new org.apache.hadoop.fs.Path(base, "deletes"), true)
+  }
+
   /** The current graph of a [[knnGraphIngest]] store: per cell, the
     * rows of the LATEST run that recomputed it — resolved from the
     * `graphcells` MANIFESTS, not from surviving rows, because a

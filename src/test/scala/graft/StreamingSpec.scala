@@ -1335,6 +1335,62 @@ class StreamingSpec extends SparkSpec {
         :+ (2L, v(2, 0.9f))))
   }
 
+  test("reindexKnnStore: live store re-assigns under a new codebook; lifecycle continues; guard prices the rebuild") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_knnre").toString
+    val store = s"$base/store"
+    def v(c: Int, jit: Float) = Array.tabulate(4)(i =>
+      (if (i == c) 10f else 0f) + (if (i == 3) jit else 0f))
+    val pts = Seq(
+      (0L, v(0, 0.1f)), (3L, v(0, 0.2f)), (6L, v(0, 0.3f)),
+      (1L, v(1, 0.1f)), (4L, v(1, 0.2f)), (7L, v(1, 0.3f)),
+      (2L, v(2, 0.1f)), (9L, v(2, 0.2f)))
+    val df = pts.toDF("vec_id", "embedding").localCheckpoint()
+    // fold era: a COARSE k=2 codebook trained on clusters 0/1 only
+    val oldCb = graft.pipeline.Similarity.refinedCentroids(
+      graft.pipeline.Similarity.kmeansStepExact(
+        df.filter($"vec_id" % 3 =!= 2), "vec_id", "embedding", k = 2))
+      .localCheckpoint()
+    graft.streaming.PipelineStream.knnGraphBatchFold(df, "vec_id",
+      "embedding", oldCb, k = 2, kNbrs = 2, basePath = store, runId = 0L)
+    graft.streaming.PipelineStream.knnStoreDelete(spark, store,
+      Seq(9L).toDF("id"), kNbrs = 2, runId = 1L)
+    // reindex under the full k=3 codebook: survivors re-assign, graph
+    // rebuilds, tombstones GC
+    val newCb = graft.pipeline.Similarity.refinedCentroids(
+      graft.pipeline.Similarity.kmeansStepExact(df, "vec_id", "embedding",
+        k = 3)).localCheckpoint()
+    graft.streaming.PipelineStream.reindexKnnStore(spark, store, newCb,
+      k = 3, kNbrs = 2)
+    def rows(d: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+      d.select("cell", "id", "rank", "nbr").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def oneShot(corpus: Seq[(Long, Array[Float])]) =
+      rows(graft.pipeline.Similarity.knnGraphTable(
+        graft.pipeline.Similarity.ivfIndexTable(
+          corpus.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          newCb, 3), 2))
+    val survivors = pts.filterNot(_._1 == 9L)
+    assert(rows(graft.streaming.PipelineStream.readKnnGraph(spark, store))
+      == oneShot(survivors))
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/deletes")))
+    // lifecycle continues under the NEW codebook with larger run ids
+    val more = Seq((20L, v(2, 0.4f)), (21L, v(2, 0.5f)))
+    graft.streaming.PipelineStream.knnGraphBatchFold(
+      more.toDF("vec_id", "embedding"), "vec_id", "embedding", newCb,
+      k = 3, kNbrs = 2, basePath = store, runId = 9L)
+    assert(rows(graft.streaming.PipelineStream.readKnnGraph(spark, store))
+      == oneShot(survivors ++ more))
+    // reindexing INTO a too-coarse codebook trips the occupancy guard
+    val boom = intercept[IllegalArgumentException] {
+      graft.streaming.PipelineStream.reindexKnnStore(spark, store,
+        newCb.filter($"cluster" === 0), k = 1, kNbrs = 2, maxPairs = 10L)
+    }
+    assert(boom.getMessage.contains("maxPairs"), boom.getMessage)
+  }
+
   test("bm25 tombstones: masked readout ≡ survivor scorer; compaction GCs the tombstones") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_bm25del").toString
