@@ -714,7 +714,9 @@ object ScaleProbe {
     val balanced = (n.toDouble / 16) * (n.toDouble / 16) * 16
     println(f"[scale] knn-maint cells: n=$n%,d k=16 max=${occ.last}%,d " +
       f"mean=${n / 16}%,d sumsq=${sumSq}%,d balanced=${balanced}%.0f " +
-      f"skew=${sumSq / balanced}%4.2f max_share=${occ.last.toDouble / n}%5.3f")
+      f"skew=${sumSq / balanced}%4.2f max_share=${occ.last.toDouble / n}%5.3f " +
+      f"suggestK(n)=${Similarity.suggestK(n)} " + // the reindex policy
+      f"suggestK(2M)=${Similarity.suggestK(2000000L)}")
     def timed[A](f: => A): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
