@@ -3155,6 +3155,43 @@ object SparkEntry {
       bm25TombstoneReadout(s, store, qText)
     }),
 
+    // TWO-SOURCE streaming BM25 maintenance: document feed + delete-id
+    // feed through ONE query (deletes at 2·batch, docs at 2·batch+1 —
+    // the p299 protocol at retrieval grain). Phase 1 ingests the whole
+    // corpus in micro-batches; phase 2 (same checkpoint, second
+    // AvailableNow pass) feeds the odd ids as deletes. Readout ≡ the
+    // survivor-corpus scorer (p289's oracle).
+    "p301_stream_bm25_two_source" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val qText = doc0Tokens(docs).take(8).mkString(" ")
+      val corpus = docs.filter(col("doc_id") =!= 0)
+        .localCheckpoint(eager = false) // feed + delete list
+      val basePath = freshTmpStore(s, "p301", dir)
+      val feed = corpus.select(col("doc_id"), col("text"))
+      feed.repartition(3).write.parquet(s"$basePath/vin")
+      val delFeed = corpus.select(col("doc_id").as("del_id"))
+      delFeed.limit(0).write.parquet(s"$basePath/din") // dir exists, empty
+      def drive(): Unit = {
+        val vst = s.readStream.schema(feed.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$basePath/vin")
+        val dst = s.readStream.schema(delFeed.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$basePath/din")
+        val q = graft.streaming.PipelineStream
+          .bm25StoreIngest(vst, "doc_id", "text", dst, "del_id",
+            s"$basePath/store")
+          .option("checkpointLocation", s"$basePath/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drive()
+      corpus.filter(col("doc_id") % 2 === 1).select(col("doc_id").as("del_id"))
+        .repartition(2).write.mode("append").parquet(s"$basePath/din")
+      drive()
+      bm25TombstoneReadout(s, s"$basePath/store", qText)
+    }),
+
     // Streaming BM25 index maintenance: the corpus arrives in
     // micro-batches, each flushing an append-only postings/doc-lens run
     // (the p225 fold law streamed; zorderedIngest's flush contract);
@@ -9040,6 +9077,9 @@ object SparkEntry {
     "p225_bm25_index_delta" -> bm25TopKOracleSql,
     "p289_bm25_deletes" -> bm25DeletesOracleSql,
     "p290_bm25_delete_gc" -> bm25DeletesOracleSql,
+    // p301: the two-source stream lands on the SAME survivor corpus
+    // as p289's batch tombstones — one oracle, no drift.
+    "p301_stream_bm25_two_source" -> bm25DeletesOracleSql,
     "p226_stream_bm25_index" -> bm25TopKOracleSql,
 
     "p117_funnel_timing" ->

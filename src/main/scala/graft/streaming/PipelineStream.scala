@@ -79,36 +79,90 @@ object PipelineStream {
     ids.select(col("id"))
       .write.mode("overwrite").parquet(s"$basePath/deletes/run=$runId")
 
+  /** One row per tombstoned id: its NEWEST delete run — the
+    * run-order-aware shadow key (the readKnnIndex rule at retrieval
+    * grain).
+    */
   private def bm25Deletes(spark: org.apache.spark.sql.SparkSession,
       basePath: String): Option[DataFrame] = {
     val base = new org.apache.hadoop.fs.Path(basePath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (graft.operators.EventOps.listIdDirs(fs, base, "deletes", "run=")
         .isEmpty) None
-    else Some(spark.read.parquet(s"$basePath/deletes").select(col("id")))
+    else Some(spark.read.parquet(s"$basePath/deletes")
+      .groupBy(col("id")).agg(max(col("run")).as("del_run")))
   }
 
+  /** Run-order-aware tombstone shadow: a delete at run r kills same-id
+    * rows from runs ≤ r and NOTHING later, so a re-inserted document
+    * survives its old tombstone (LWW at run grain — the
+    * [[knnStoreIngest]] rule; a delete-era global anti-join would
+    * silently shadow re-inserts forever).
+    */
+  private def shadowByRun(rows: DataFrame, dels: Option[DataFrame]): DataFrame =
+    dels.fold(rows.drop("run"))(d =>
+      rows.join(d, Seq("id"), "left_outer")
+        .filter(col("del_run").isNull || col("del_run") < col("run"))
+        .drop("run", "del_run"))
+
   /** The live postings of a [[bm25IndexIngest]] store: unioned runs
-    * with tombstoned ids shadowed out (anti-join on the delete runs —
-    * absent deletes cost nothing).
+    * with tombstoned ids shadowed out run-order-aware (absent deletes
+    * cost nothing).
     */
   def readBm25Postings(spark: org.apache.spark.sql.SparkSession,
-      basePath: String): DataFrame = {
-    val p = spark.read.parquet(s"$basePath/postings")
-      .select(col("term"), col("id"), col("tf"), col("len"))
-    bm25Deletes(spark, basePath).fold(p)(d =>
-      p.join(d, Seq("id"), "left_anti"))
-  }
+      basePath: String): DataFrame =
+    shadowByRun(
+      spark.read.parquet(s"$basePath/postings")
+        .select(col("term"), col("id"), col("tf"), col("len"), col("run")),
+      bm25Deletes(spark, basePath))
 
   /** The live doc-lens of a [[bm25IndexIngest]] store — deletes shadow
     * here too, so the corpus stats (N, total length) are post-delete.
     */
   def readBm25DocLens(spark: org.apache.spark.sql.SparkSession,
-      basePath: String): DataFrame = {
-    val l = spark.read.parquet(s"$basePath/doclens")
-      .select(col("id"), col("len"))
-    bm25Deletes(spark, basePath).fold(l)(d =>
-      l.join(d, Seq("id"), "left_anti"))
+      basePath: String): DataFrame =
+    shadowByRun(
+      spark.read.parquet(s"$basePath/doclens")
+        .select(col("id"), col("len"), col("run")),
+      bm25Deletes(spark, basePath))
+
+  /** TWO-SOURCE streaming BM25 maintenance — the [[knnStoreIngest]]
+    * protocol at retrieval grain: a document feed and a delete-id feed
+    * drive one store through ONE query (one writer, one monotone
+    * run-id space). Each micro-batch lands its deletes FIRST as a
+    * tombstone run at `2·batchId` and its documents as postings +
+    * doc-lens runs at `2·batchId + 1`, so a same-batch delete+re-add
+    * of one doc id resolves as delete-then-insert and a re-inserted id
+    * survives its old tombstone (run-order-aware shadow,
+    * [[shadowByRun]]). Every run write is a pure function of the batch
+    * and overwrites by run id — redelivery idempotent. LIVE ids must
+    * stay unique (re-adding a never-deleted id would double-count it
+    * in df/N; the feed contract, as in [[bm25IndexIngest]]).
+    */
+  def bm25StoreIngest(docs: DataFrame, idCol: String, textCol: String,
+      deletes: DataFrame, delIdCol: String, basePath: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val events = docs.select(col(idCol).as("id"),
+        col(textCol).as("text"), lit("add").as("op"))
+      .unionByName(deletes.select(col(delIdCol).as("id"),
+        lit(null).cast("string").as("text"), lit("del").as("op")))
+    events.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty) {
+        val b = batch.localCheckpoint() // split + tokenize below
+        val dels = b.filter(col("op") === "del").select(col("id"))
+        val adds = b.filter(col("op") === "add").select(col("id"), col("text"))
+        if (!dels.isEmpty)
+          bm25DeleteDocs(dels, basePath, 2 * id)
+        if (!adds.isEmpty) {
+          TextAnalysis.bm25Postings(adds, "id", "text")
+            .write.mode("overwrite")
+            .parquet(s"$basePath/postings/run=${2 * id + 1}")
+          TextAnalysis.bm25DocLens(adds, "id", "text")
+            .write.mode("overwrite")
+            .parquet(s"$basePath/doclens/run=${2 * id + 1}")
+        }
+      }
+    }
   }
 
   /** Compact a [[bm25IndexIngest]] store — consolidate the live rows

@@ -1391,6 +1391,58 @@ class StreamingSpec extends SparkSpec {
     assert(boom.getMessage.contains("maxPairs"), boom.getMessage)
   }
 
+  test("bm25StoreIngest: two-source feed — survivor stats per batch, delete-then-reinsert serves the NEW text") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_bm252src").toString
+    val store = s"$base/store"
+    val memD = MemoryStream[(Long, String)]
+    val memX = MemoryStream[Long]
+    val q = graft.streaming.PipelineStream.bm25StoreIngest(
+      memD.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      memX.toDS().toDF("del_id"), "del_id", basePath = store)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    def keyed(d: org.apache.spark.sql.DataFrame) =
+      d.select("term", "id", "tf", "len").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    def lens(d: org.apache.spark.sql.DataFrame) =
+      d.select("id", "len").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def liveRows(): (Set[(String, Long, Long, Long)], Set[(Long, Long)]) = (
+      keyed(graft.streaming.PipelineStream.readBm25Postings(spark, store)),
+      lens(graft.streaming.PipelineStream.readBm25DocLens(spark, store)))
+    def batchRows(docs: Seq[(Long, String)]) = (
+      keyed(graft.pipeline.TextAnalysis.bm25Postings(
+        docs.toDF("doc_id", "text"), "doc_id", "text")),
+      lens(graft.pipeline.TextAnalysis.bm25DocLens(
+        docs.toDF("doc_id", "text"), "doc_id", "text")))
+    val d1 = Seq((1L, "rare words here"), (2L, "common words twice twice"),
+      (3L, "common filler"))
+    try {
+      memD.addData(d1: _*); q.processAllAvailable()
+      assert(liveRows() == batchRows(d1))
+      // delete doc 2: postings AND doc-lens drop it (N, df post-delete)
+      memX.addData(2L); q.processAllAvailable()
+      assert(liveRows() == batchRows(d1.filterNot(_._1 == 2L)))
+      // re-insert doc 2 with NEW text in a later batch: the run-order-
+      // aware shadow serves the new rows, not the tombstone
+      val d2new = (2L, "fresh replacement text")
+      memD.addData(d2new); q.processAllAvailable()
+      assert(liveRows() == batchRows(d1.filterNot(_._1 == 2L) :+ d2new))
+      // same-batch delete + re-add of one id: deletes apply first
+      val d3new = (3L, "rewritten third doc")
+      memX.addData(3L); memD.addData(d3new); q.processAllAvailable()
+      val expect = Seq(d1.head, d2new, d3new)
+      assert(liveRows() == batchRows(expect))
+    } finally q.stop()
+    // compaction (writer stopped) applies + GCs; readout unchanged
+    graft.streaming.PipelineStream.compactBm25Store(spark, store)
+    assert(liveRows() == batchRows(Seq(d1.head,
+      (2L, "fresh replacement text"), (3L, "rewritten third doc"))))
+  }
+
   test("bm25 tombstones: masked readout ≡ survivor scorer; compaction GCs the tombstones") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_bm25del").toString
