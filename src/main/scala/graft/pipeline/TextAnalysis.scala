@@ -2847,12 +2847,20 @@ object TextAnalysis {
     * Cost contract mirrors [[trainBpeMerges]]: two aggregations per
     * merge over the (sampled) symbolization; production vocabs train on
     * the deterministic content-hashed `samplePermille` sample.
+    * `batchSize` is the BPE trainer's multi-merge throttle applied to
+    * the likelihood score: a pair's score cnt/(cl·cr) depends only on
+    * its own pair count and its two symbols' unigram counts, so pairs
+    * whose left/right/fused strings are mutually fresh have scores the
+    * other fuses cannot move — the admitted rank-prefix commutes
+    * exactly as in [[trainMergesOverRepr]], the prefix stops at the
+    * first overlap, and all admitted merges fold in ONE pass.
     */
   def wordpieceTrainVocab(df: org.apache.spark.sql.DataFrame,
       textCol: String, merges: Int,
-      samplePermille: Int = 1000): Seq[String] = {
+      samplePermille: Int = 1000, batchSize: Int = 1): Seq[String] = {
     require(samplePermille > 0 && samplePermille <= 1000,
       "samplePermille must be in (0, 1000]")
+    require(batchSize >= 1, "batchSize >= 1")
     val sampled =
       if (samplePermille >= 1000) df
       else df.filter(hash60(col(textCol)) % 1000 < samplePermille)
@@ -2865,8 +2873,10 @@ object TextAnalysis {
     val base = repr.select(explode(split(col("repr"), " ")).as("s"))
       .distinct().orderBy(col("s")).collect().map(_.getString(0)).toSeq
     val out = Seq.newBuilder[String]
+    var learned = 0
     var done = false
-    for (_ <- 0 until merges if !done) {
+    while (learned < merges && !done) {
+      val want = math.min(batchSize, merges - learned)
       val syms = repr.select(explode(split(col("repr"), " ")).as("s"))
         .groupBy(col("s")).agg(count(lit(1)).as("c"))
       val top = repr.select(split(col("repr"), " ").as("syms"))
@@ -2884,16 +2894,27 @@ object TextAnalysis {
         .join(syms.select(col("s").as("sym_r"), col("c").as("cr")), Seq("sym_r"))
         .withColumn("score", col("cnt").cast("double") /
           (col("cl").cast("double") * col("cr").cast("double")))
-        .orderBy(col("score").desc, col("sym_l"), col("sym_r")).limit(1)
+        .orderBy(col("score").desc, col("sym_l"), col("sym_r")).limit(want)
         .collect()
       if (top.isEmpty) done = true
       else {
-        val l = top.head.getAs[String]("sym_l")
-        val r = top.head.getAs[String]("sym_r")
-        val fused = l + (if (r.startsWith("##")) r.drop(2) else r)
-        out += fused
-        repr = repr.select(fuseMergeAs(col("repr"), l, r, fused).as("repr"))
-          .localCheckpoint()
+        val used = scala.collection.mutable.Set.empty[String]
+        val adm = Seq.newBuilder[(String, String, String)]
+        var stop = false
+        for (row <- top if !stop) {
+          val l = row.getAs[String]("sym_l")
+          val r = row.getAs[String]("sym_r")
+          val fused = l + (if (r.startsWith("##")) r.drop(2) else r)
+          if (used(l) || used(r) || used(fused)) stop = true
+          else { adm += ((l, r, fused)); used += l += r += fused }
+        }
+        val admitted = adm.result()
+        out ++= admitted.map(_._3)
+        learned += admitted.size
+        val folded = admitted.foldLeft(col("repr")) {
+          case (c, (l, r, fused)) => fuseMergeAs(c, l, r, fused)
+        }
+        repr = repr.select(folded.as("repr")).localCheckpoint()
       }
     }
     base ++ out.result()

@@ -1899,6 +1899,13 @@ class PipelineSpec extends SparkSpec {
     val bBat = TextAnalysis.trainByteBpeMerges(docs, "text", merges = 3,
       batchSize = 3)
     assert(bBat == bSeq, s"byte batched $bBat vs sequential $bSeq")
+    // WordPiece: the likelihood score cnt/(cl·cr) is just as immobile
+    // under disjoint fuses — same prefix rule, same equality
+    val wSeq = TextAnalysis.wordpieceTrainVocab(docs, "text", merges = 3)
+    val wBat = TextAnalysis.wordpieceTrainVocab(docs, "text", merges = 3,
+      batchSize = 3)
+    assert(wBat == wSeq, s"wordpiece batched $wBat vs sequential $wSeq")
+    assert(wSeq.takeRight(3) == Seq("qr", "xy", "xz"), wSeq.toString)
   }
 
   test("n-gram novelty: occurrence-weighted overlap against a census") {
