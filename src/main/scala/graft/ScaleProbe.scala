@@ -743,6 +743,42 @@ object ScaleProbe {
       f"$locCells%d/16 cells): delta-fold=$dtLoc%5.2f s (vs full $dtFull%5.2f s)")
   }
 
+  /** knn_delta slope probe (round 17): the bench leg's exact shape —
+    * standing index/graph over 95% of the embeddings (k=16 frozen
+    * codebook), then time (a) the LOCALIZED 5% fold (arrivals in cells
+    * 0-1: knnGraphDelta re-derives only the touched cells) and (b) the
+    * full knnGraphTable rebuild over the folded index. The fold's cost
+    * follows the touched cells' Σ|cell|², so at 10× corpus the fold
+    * should scale like the touched share while the rebuild scales like
+    * the whole graph.
+    */
+  def knnDeltaProbe(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import graft.pipeline.Similarity
+    val emb = CellEncodings.table(spark, dir, "embeddings")
+      .localCheckpoint(eager = false)
+    val base = emb.filter(col("vec_id") % 20 =!= 0)
+    val codebook = Similarity.refinedCentroids(
+      Similarity.kmeansStepExact(base, "vec_id", "embedding", k = 16))
+      .localCheckpoint()
+    val idx = Similarity.ivfIndexTable(base, "vec_id", "embedding", codebook, 16)
+      .localCheckpoint()
+    val g0 = Similarity.knnGraphTable(idx, 10).localCheckpoint()
+    val dLoc = Similarity.ivfIndexTable(
+      emb.filter(col("vec_id") % 20 === 0), "vec_id", "embedding",
+      codebook, 16).filter(col("cell") < 2).localCheckpoint()
+    def timed[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val n = idx.count()
+    val dn = dLoc.count()
+    val dtFold = timed(Similarity.knnGraphDelta(g0, idx, dLoc, 10)
+      .localCheckpoint())
+    val dtFull = timed(Similarity.knnGraphTable(
+      Similarity.foldIvfIndex(idx, dLoc), 10).localCheckpoint())
+    println(f"[scale] knn-delta $dir: standing=$n%,d delta=$dn%,d (cells<2) " +
+      f"fold=$dtFold%5.2f s full-rebuild=$dtFull%5.2f s")
+  }
+
   /** Batched-BPE trainer probe (round 17): the driver-loop scale
     * hazard measured — sequential training runs ONE Spark job per
     * merge (a 30k-merge production vocab = 30k jobs of per-job
@@ -1161,6 +1197,23 @@ object KnnNoveltyProbe {
     ScaleProbe.knnGraphProbe(spark, "/root/testdata/sf0.1")
     ScaleProbe.knnMaintProbe(spark, "/root/testdata/sf0.1")
     ScaleProbe.noveltyProbe(spark, "/root/testdata/sf0.1")
+    spark.stop()
+  }
+}
+
+/** Focused runner for the knn_delta bench leg's sf-slope row: the
+  * standing-store + localized-5%-fold shape at two scales (pass dirs
+  * as args; defaults sf0.1 + /tmp/sf1 when present).
+  */
+object KnnDeltaProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.create(taskSideCommit = true)
+    val dirs =
+      if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.1") ++
+        (if (new java.io.File("/tmp/sf1/embeddings.parquet").exists())
+          Seq("/tmp/sf1") else Nil)
+    dirs.foreach(ScaleProbe.knnDeltaProbe(spark, _))
     spark.stop()
   }
 }
