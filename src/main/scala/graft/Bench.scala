@@ -544,16 +544,18 @@ object Bench {
     // cells re-derive; the collision probe + cells collect are part of
     // the honest fold cost. Standing artifacts build once, untimed.
     {
-      val kdCodebook = graft.pipeline.Similarity.refinedCentroids(
+      // lazy: a skipped leg must not pay the standing-artifact builds
+      // (eager checkpoints incl. a full knnGraphTable pass)
+      lazy val kdCodebook = graft.pipeline.Similarity.refinedCentroids(
         graft.pipeline.Similarity.kmeansStepExact(
           emb.filter(col("vec_id") % 20 =!= 0), "vec_id", "embedding",
           k = 16)).localCheckpoint()
-      val kdIdx = graft.pipeline.Similarity.ivfIndexTable(
+      lazy val kdIdx = graft.pipeline.Similarity.ivfIndexTable(
         emb.filter(col("vec_id") % 20 =!= 0), "vec_id", "embedding",
         kdCodebook, 16).localCheckpoint()
-      val kdG0 = graft.pipeline.Similarity.knnGraphTable(kdIdx, 10)
+      lazy val kdG0 = graft.pipeline.Similarity.knnGraphTable(kdIdx, 10)
         .localCheckpoint()
-      val kdDelta = graft.pipeline.Similarity.ivfIndexTable(
+      lazy val kdDelta = graft.pipeline.Similarity.ivfIndexTable(
         emb.filter(col("vec_id") % 20 === 0), "vec_id", "embedding",
         kdCodebook, 16).filter(col("cell") < 2).localCheckpoint()
       legDf("knn_delta") {

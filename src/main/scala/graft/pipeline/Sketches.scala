@@ -712,10 +712,11 @@ object Sketches {
     val bound = BigInt(math.max(0L, stats.getLong(0) - 1L)) *
       BigInt(stats.getLong(1))
     require(bound <= BigInt(maxPairCells),
-      s"pairedFromCounts: ${stats.getLong(0)} groups × ${stats.getLong(1)} " +
-        s"census rows bound the pair frame by $bound cells > maxPairCells " +
-        s"= $maxPairCells — score pair slices separately, restrict the " +
-        "census to top-K terms per group, or raise the bound deliberately")
+      s"pairedFromCounts: (${stats.getLong(0)} groups − 1) × " +
+        s"${stats.getLong(1)} census rows bound the pair frame by $bound " +
+        s"cells > maxPairCells = $maxPairCells — score pair slices " +
+        "separately, restrict the census to top-K terms per group, or " +
+        "raise the bound deliberately")
     val groups = h.select(col("g")).distinct()
     val pairs = groups.select(col("g").as("ga"))
       .crossJoin(groups.select(col("g").as("gb")))

@@ -111,9 +111,22 @@ object RunIntegrity {
     }
 
     // z-run _compacted_from manifests: published merges whose source
-    // runs were resurrected (crash between publish and delete)
+    // runs were resurrected (crash between publish and delete).
+    // The walk sees exactly what a Spark reader would: hidden
+    // ('_'/'.'-prefixed) subtrees are invisible to readers — including
+    // the documented `_quarantine/` recipe and a crashed write's
+    // `_temporary` attempt files — and retired/unpublished residue
+    // (`__old`/`__compact`/`_next`) is already reported as a DIR
+    // finding above; footer-checking their contents would report a
+    // healthy live store as corrupt.
+    def visible(p: Path): Boolean = {
+      val n = p.getName
+      !n.startsWith("_") && !n.startsWith(".") &&
+        !n.endsWith("__old") && !n.endsWith("__compact") && !n.endsWith("_next")
+    }
     def walkDirs(p: Path): Seq[Path] =
-      p +: ls(p).filter(_.isDirectory).map(_.getPath).flatMap(walkDirs)
+      p +: ls(p).filter(_.isDirectory).map(_.getPath)
+        .filter(visible).flatMap(walkDirs)
     val allDirs = walkDirs(base)
     allDirs.foreach { d =>
       val mf = new Path(d, "_compacted_from")
@@ -143,10 +156,9 @@ object RunIntegrity {
     // ---- data-file checks (distributed: one footer/page decode per
     // file, parallelized over executors) ----
     val dataFiles = allDirs
-      .filterNot(d => d.getName.endsWith("__old") ||
-        d.getName.endsWith("__compact") || d.getName.startsWith(".compacting-"))
       .flatMap(d => ls(d).filter(_.isFile).map(_.getPath))
-      .filter(_.getName.endsWith(".parquet"))
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
       .map(_.toString)
     val kindOf = (p: String) =>
       if (p.contains("/horizons_")) "sidecar"
@@ -158,12 +170,17 @@ object RunIntegrity {
         val slices = math.min(dataFiles.size,
           spark.sparkContext.defaultParallelism * 4)
         val doDeep = deep
+        // ship the REAL hadoop conf to executors: an object-store FS
+        // (s3a credentials, endpoints, kerberos) is configured via
+        // spark.hadoop.* — a fresh Configuration() would fail every
+        // open and report a healthy store as corrupt
+        val confBc = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sparkContext.hadoopConfiguration))
         spark.sparkContext.parallelize(dataFiles, slices)
           .map { f =>
             val res = scala.util.Try {
-              // fresh task-side conf: footer decode needs only the FS
-              // defaults (validator files are store-local paths)
-              val conf = new org.apache.hadoop.conf.Configuration()
+              val conf = confBc.value.value
               val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
                 org.apache.parquet.hadoop.util.HadoopInputFile
                   .fromPath(new Path(f), conf))

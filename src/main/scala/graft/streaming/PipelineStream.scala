@@ -79,6 +79,43 @@ object PipelineStream {
     ids.select(col("id"))
       .write.mode("overwrite").parquet(s"$basePath/deletes/run=$runId")
 
+  /** The live→`__old`→publish rename pair every store
+    * compaction/reindex shares — ONE copy of the swap protocol (and of
+    * its crash-recovery contract: a crash between the two renames
+    * leaves the substore with no live dir; rename `__old` back, or
+    * publish the complete `__compact`, and rerun).
+    */
+  private def swapStoreDir(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path, sub: String, op: String): Unit = {
+    val liveDir = new org.apache.hadoop.fs.Path(base, sub)
+    val old = new org.apache.hadoop.fs.Path(base, sub + "__old")
+    val next = new org.apache.hadoop.fs.Path(base, sub + "__compact")
+    fs.delete(old, true)
+    require(fs.rename(liveDir, old), s"$op: could not retire $liveDir")
+    require(fs.rename(next, liveDir), s"$op: could not publish $next")
+    fs.delete(old, true) // last — the published store is already live
+  }
+
+  /** [[swapStoreDir]] that tolerates a substore with no live dir yet
+    * (an index-only store gaining its first graph run).
+    */
+  private def publishStoreDir(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path, sub: String, op: String): Unit =
+    if (fs.exists(new org.apache.hadoop.fs.Path(base, sub)))
+      swapStoreDir(fs, base, sub, op)
+    else require(fs.rename(
+      new org.apache.hadoop.fs.Path(base, sub + "__compact"),
+      new org.apache.hadoop.fs.Path(base, sub)),
+      s"$op: could not publish $sub")
+
+  /** The (id, cell, embedding) schema-only frame every kNN-store read
+    * seeds an empty standing index with — one definition.
+    */
+  private def emptyKnnIndex(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.range(0).select(col("id"),
+      col("id").cast("int").as("cell"),
+      array().cast("array<float>").as("embedding"))
+
   /** One row per tombstoned id: its NEWEST delete run — the
     * run-order-aware shadow key (the readKnnIndex rule at retrieval
     * grain).
@@ -193,17 +230,8 @@ object PipelineStream {
     readBm25DocLens(spark, basePath)
       .write.mode("overwrite")
       .parquet(s"$basePath/doclens__compact/run=${lRuns.max}")
-    def swap(sub: String): Unit = {
-      val live = new org.apache.hadoop.fs.Path(base, sub)
-      val old = new org.apache.hadoop.fs.Path(base, sub + "__old")
-      val next = new org.apache.hadoop.fs.Path(base, sub + "__compact")
-      fs.delete(old, true)
-      require(fs.rename(live, old), s"compactBm25Store: could not retire $live")
-      require(fs.rename(next, live), s"compactBm25Store: could not publish $next")
-      fs.delete(old, true)
-    }
-    swap("postings")
-    swap("doclens")
+    swapStoreDir(fs, base, "postings", "compactBm25Store")
+    swapStoreDir(fs, base, "doclens", "compactBm25Store")
     fs.delete(new org.apache.hadoop.fs.Path(base, "deletes"), true)
   }
 
@@ -539,10 +567,7 @@ object PipelineStream {
       basePath: String, ids: DataFrame, kNbrs: Int, runId: Long,
       maxTouchedRows: Long = 5000000L): Unit = {
     val del = ids.select(col("id")).localCheckpoint() // probe + flush
-    val emptyIdx = spark.range(0).select(col("id"),
-      col("id").cast("int").as("cell"),
-      array().cast("array<float>").as("embedding"))
-    val standing = readKnnIndex(spark, basePath, emptyIdx, runId)
+    val standing = readKnnIndex(spark, basePath, emptyKnnIndex(spark), runId)
       .localCheckpoint(eager = false) // touched probe + live recompute
     val touchedCells = standing.join(del, Seq("id"), "left_semi")
       .select(col("cell")).distinct().localCheckpoint()
@@ -602,10 +627,7 @@ object PipelineStream {
     // write every consolidated store BEFORE any swap; tombstones are
     // APPLIED here and GC'd after (single writer — no grace wait, the
     // compactBm25Store argument at ANN grain)
-    val emptyIdx = spark.range(0).select(col("id"),
-      col("id").cast("int").as("cell"),
-      array().cast("array<float>").as("embedding"))
-    val live = readKnnIndex(spark, basePath, emptyIdx, Long.MaxValue)
+    val live = readKnnIndex(spark, basePath, emptyKnnIndex(spark), Long.MaxValue)
       .localCheckpoint(eager = false) // index flush + manifest
     live.repartitionByRange(col("cell")).sortWithinPartitions("cell")
       .write.mode("overwrite")
@@ -620,18 +642,9 @@ object PipelineStream {
     live.select(col("cell").cast("long").as("cell")).distinct()
       .write.mode("overwrite")
       .parquet(s"$basePath/graphcells__compact/run=${gRuns.max}")
-    def swap(sub: String): Unit = {
-      val liveDir = new org.apache.hadoop.fs.Path(base, sub)
-      val old = new org.apache.hadoop.fs.Path(base, sub + "__old")
-      val next = new org.apache.hadoop.fs.Path(base, sub + "__compact")
-      fs.delete(old, true)
-      require(fs.rename(liveDir, old), s"compactKnnStore: could not retire $liveDir")
-      require(fs.rename(next, liveDir), s"compactKnnStore: could not publish $next")
-      fs.delete(old, true) // last — the published store is already live
-    }
-    swap("index")
-    swap("graph")
-    swap("graphcells")
+    swapStoreDir(fs, base, "index", "compactKnnStore")
+    swapStoreDir(fs, base, "graph", "compactKnnStore")
+    swapStoreDir(fs, base, "graphcells", "compactKnnStore")
     fs.delete(new org.apache.hadoop.fs.Path(base, "deletes"), true)
   }
 
@@ -665,10 +678,7 @@ object PipelineStream {
     val runId = math.max(idxRuns.max,
       graft.operators.EventOps.listIdDirs(fs, base, "graphcells", "run=")
         .foldLeft(0L)(math.max))
-    val emptyIdx = spark.range(0).select(col("id"),
-      col("id").cast("int").as("cell"),
-      array().cast("array<float>").as("embedding"))
-    val live = readKnnIndex(spark, basePath, emptyIdx, Long.MaxValue)
+    val live = readKnnIndex(spark, basePath, emptyKnnIndex(spark), Long.MaxValue)
       .select(col("id"), col("embedding"))
       .localCheckpoint(eager = false) // assignment + vector join
     val newIdx = graft.pipeline.Similarity
@@ -689,25 +699,10 @@ object PipelineStream {
     newIdx.select(col("cell").cast("long").as("cell")).distinct()
       .write.mode("overwrite")
       .parquet(s"$basePath/graphcells__compact/run=$runId")
-    def swap(sub: String): Unit = {
-      val liveDir = new org.apache.hadoop.fs.Path(base, sub)
-      val old = new org.apache.hadoop.fs.Path(base, sub + "__old")
-      val next = new org.apache.hadoop.fs.Path(base, sub + "__compact")
-      fs.delete(old, true)
-      require(fs.rename(liveDir, old), s"reindexKnnStore: could not retire $liveDir")
-      require(fs.rename(next, liveDir), s"reindexKnnStore: could not publish $next")
-      fs.delete(old, true)
-    }
-    swap("index")
+    swapStoreDir(fs, base, "index", "reindexKnnStore")
     // graph/graphcells may not exist yet on an index-only store
-    if (fs.exists(new org.apache.hadoop.fs.Path(base, "graph"))) swap("graph")
-    else require(fs.rename(new org.apache.hadoop.fs.Path(base, "graph__compact"),
-      new org.apache.hadoop.fs.Path(base, "graph")), "reindexKnnStore: publish graph")
-    if (fs.exists(new org.apache.hadoop.fs.Path(base, "graphcells"))) swap("graphcells")
-    else require(fs.rename(
-      new org.apache.hadoop.fs.Path(base, "graphcells__compact"),
-      new org.apache.hadoop.fs.Path(base, "graphcells")),
-      "reindexKnnStore: publish graphcells")
+    publishStoreDir(fs, base, "graph", "reindexKnnStore")
+    publishStoreDir(fs, base, "graphcells", "reindexKnnStore")
     fs.delete(new org.apache.hadoop.fs.Path(base, "deletes"), true)
   }
 

@@ -509,5 +509,21 @@ class KeyspaceSpec extends SparkSpec {
     one("mismatch", "index__old", "no live 'index' sibling")
     // the intact pieces still report ok
     assert(rep.exists(r => r._1.contains("graph/run=0") && r._2 == "ok"))
+    // the validator sees what a READER sees: quarantined and
+    // residue-subtree files are never footer-checked (the recipe
+    // converges; a retired __old's broken bytes are not a live problem)
+    val qd = new java.io.File(s"$base/_quarantine"); qd.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/_quarantine/broken.parquet"),
+      "junk".getBytes("UTF-8"))
+    new java.io.File(s"$base/index__old/run=0").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/index__old/run=0/part-0.parquet"),
+      "junk".getBytes("UTF-8"))
+    val rep2 = graft.sources.RunIntegrity.validateStore(spark, base)
+      .collect().map(r => (r.getString(1), r.getString(3)))
+    assert(!rep2.exists(r => r._1.contains("_quarantine")), rep2.mkString("\n"))
+    assert(!rep2.exists(r => r._1.contains("index__old") && r._2 == "unreadable"),
+      rep2.mkString("\n"))
   }
 }
