@@ -1841,6 +1841,23 @@ object SparkEntry {
           "source", "text"))
     }),
 
+    // PSI drift over the TOP-10-terms-per-source restriction of the
+    // p297 census — the head-of-vocabulary monitoring readout (and the
+    // computed fix the pair-frame bound names): (G−1)·K pair cells
+    // instead of (G−1)·|vocab|, same smoothing, same micro terms. K=10
+    // so the restriction BITES at gate scale (the pair's union vocab
+    // is ~31 terms — a K above it would gate a no-op).
+    "p302_term_drift_topk" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.pipeline.Sketches.psiDriftFromCensus(
+        graft.pipeline.Sketches.topKCensus(
+          graft.pipeline.TextAnalysis.termCensus(
+            table(s, dir, "documents")
+              .filter(col("source").isin("src0", "src1")),
+            "source", "text"),
+          k = 10))
+    }),
+
     // The JS readout over the SAME term census slice as p297 — one
     // standing vocabulary census serves every divergence report.
     "p298_term_drift_js" -> ((s, dir) => {
@@ -6267,6 +6284,49 @@ object SparkEntry {
        |FROM pc JOIN tm USING (word)""".stripMargin
   }
 
+  /** The p254 PSI replay at TERM grain over the src0/src1 pair —
+    * p297 gates the full-vocabulary census, p302 the top-K-per-group
+    * restriction (row_number over (c DESC, cat), exactly
+    * Sketches.topKCensus's deterministic ordering).
+    */
+  private def termDriftPsiOracleSql(topK: Option[Int]): String = {
+    val hc = topK match {
+      case None => "hc AS (SELECT g, cat, count(*) AS c FROM h GROUP BY 1, 2)"
+      case Some(k) =>
+        s"""hc0 AS (SELECT g, cat, count(*) AS c FROM h GROUP BY 1, 2),
+           |hc AS (SELECT g, cat, c FROM (
+           |        SELECT g, cat, c,
+           |          row_number() OVER (PARTITION BY g ORDER BY c DESC, cat) AS rk
+           |        FROM hc0) WHERE rk <= $k)""".stripMargin
+    }
+    s"""WITH h AS (SELECT source AS g,
+        |        unnest(regexp_extract_all(lower(text), '\\S+')) AS cat
+        |      FROM documents WHERE source IN ('src0', 'src1')),
+        |$hc,
+        |gg AS (SELECT DISTINCT g FROM hc),
+        |pairs AS (SELECT a.g AS ga, b.g AS gb FROM gg a JOIN gg b ON a.g < b.g),
+        |l AS (SELECT ga, gb, cat, c AS ca FROM pairs JOIN hc ON hc.g = pairs.ga),
+        |r AS (SELECT ga, gb, cat, c AS cb FROM pairs JOIN hc ON hc.g = pairs.gb),
+        |j AS (SELECT coalesce(l.ga, r.ga) AS ga, coalesce(l.gb, r.gb) AS gb,
+        |        coalesce(l.cat, r.cat) AS cat,
+        |        coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |      FROM l FULL JOIN r
+        |        ON l.ga = r.ga AND l.gb = r.gb AND l.cat = r.cat),
+        |x AS (SELECT ga, gb, cat, ca, cb,
+        |        sum(ca) OVER (PARTITION BY ga, gb) AS na,
+        |        sum(cb) OVER (PARTITION BY ga, gb) AS nb,
+        |        count(*) OVER (PARTITION BY ga, gb) AS ncat
+        |      FROM j),
+        |y AS (SELECT ga, gb, cat, ca, cb,
+        |        CAST(round(((ca + 1.0) / (na + ncat) - (cb + 1.0) / (nb + ncat))
+        |          * ln(((ca + 1.0) / (na + ncat)) / ((cb + 1.0) / (nb + ncat)))
+        |          * 1000000) AS BIGINT) AS term_micro
+        |      FROM x)
+        |SELECT ga AS grp_a, gb AS grp_b, cat, ca AS c_a, cb AS c_b, term_micro,
+        |       CAST(sum(term_micro) OVER (PARTITION BY ga, gb) AS BIGINT) AS psi_micro
+        |FROM y""".stripMargin
+  }
+
   /** Shared DuckDB lineage for PSI drift — p254 gates the direct
     * matrix, p263 the fold-then-readout twin (censuses are additive
     * over disjoint doc batches, so the folded readout is
@@ -8431,34 +8491,11 @@ object SparkEntry {
     "p288_js_drift" -> jsDriftOracleSql,
 
     // p297: the p254 PSI replay with h at TERM grain over one source
-    // pair — same smoothing, same micro terms.
-    "p297_term_drift" ->
-"""WITH h AS (SELECT source AS g,
-        |        unnest(regexp_extract_all(lower(text), '\S+')) AS cat
-        |      FROM documents WHERE source IN ('src0', 'src1')),
-        |hc AS (SELECT g, cat, count(*) AS c FROM h GROUP BY 1, 2),
-        |gg AS (SELECT DISTINCT g FROM hc),
-        |pairs AS (SELECT a.g AS ga, b.g AS gb FROM gg a JOIN gg b ON a.g < b.g),
-        |l AS (SELECT ga, gb, cat, c AS ca FROM pairs JOIN hc ON hc.g = pairs.ga),
-        |r AS (SELECT ga, gb, cat, c AS cb FROM pairs JOIN hc ON hc.g = pairs.gb),
-        |j AS (SELECT coalesce(l.ga, r.ga) AS ga, coalesce(l.gb, r.gb) AS gb,
-        |        coalesce(l.cat, r.cat) AS cat,
-        |        coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
-        |      FROM l FULL JOIN r
-        |        ON l.ga = r.ga AND l.gb = r.gb AND l.cat = r.cat),
-        |x AS (SELECT ga, gb, cat, ca, cb,
-        |        sum(ca) OVER (PARTITION BY ga, gb) AS na,
-        |        sum(cb) OVER (PARTITION BY ga, gb) AS nb,
-        |        count(*) OVER (PARTITION BY ga, gb) AS ncat
-        |      FROM j),
-        |y AS (SELECT ga, gb, cat, ca, cb,
-        |        CAST(round(((ca + 1.0) / (na + ncat) - (cb + 1.0) / (nb + ncat))
-        |          * ln(((ca + 1.0) / (na + ncat)) / ((cb + 1.0) / (nb + ncat)))
-        |          * 1000000) AS BIGINT) AS term_micro
-        |      FROM x)
-        |SELECT ga AS grp_a, gb AS grp_b, cat, ca AS c_a, cb AS c_b, term_micro,
-        |       CAST(sum(term_micro) OVER (PARTITION BY ga, gb) AS BIGINT) AS psi_micro
-        |FROM y""".stripMargin,
+    // pair — same smoothing, same micro terms. p302 = the SAME replay
+    // over the top-50-per-group census restriction (row_number over
+    // (c DESC, cat), exactly topKCensus's ordering).
+    "p297_term_drift" -> termDriftPsiOracleSql(topK = None),
+    "p302_term_drift_topk" -> termDriftPsiOracleSql(topK = Some(10)),
 
     // p298: the p297 slice with the JS term (the p288 formula) — same
     // paired-census CTEs, different readout tail.

@@ -731,6 +731,25 @@ object Sketches {
         coalesce(col("cb"), lit(0L)).as("cb"))
   }
 
+  /** Restrict a (g, cat, c) census to each group's K heaviest
+    * categories (count desc, cat asc — deterministic) — the computed
+    * fix [[pairedFromCounts]]'s bound names: a vocabulary-sized census
+    * pairs in ≤ (G−1)·G·K cells instead of (G−1)·|census|. Drift
+    * readouts over the restriction measure the HEAD's divergence — the
+    * standard monitoring trade (tail terms carry negligible probability
+    * mass under add-one smoothing); the output keeps the census shape,
+    * so it composes with every FromCensus readout unchanged. The
+    * window partitions by group — each partition sorts ONE group's
+    * vocabulary, the same bound the census itself already implies.
+    */
+  def topKCensus(census: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    census.withColumn("__rk", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+        .orderBy(col("c").desc, col("cat"))))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
   def tvDriftMatrix(df: DataFrame, catCol: String,
       groupCol: String): DataFrame =
     tvDriftFromCensus(categoryCensusTable(df, catCol, groupCol))

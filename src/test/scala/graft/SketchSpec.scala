@@ -1057,6 +1057,16 @@ class SketchSpec extends SparkSpec {
     // at the computed bound exactly ((3−1)·6 = 12 cells) it runs
     assert(Sketches.jsDriftFromCensus(census, maxPairCells = 12L)
       .count() == 6L)
+    // topKCensus: the named fix — per-group head by (c desc, cat asc),
+    // deterministic at ties, census shape preserved
+    val big = Seq(("a", "x", 5L), ("a", "y", 3L), ("a", "z", 3L),
+      ("a", "w", 1L), ("b", "x", 9L), ("b", "q", 2L))
+      .toDF("g", "cat", "c")
+    val kept = Sketches.topKCensus(big, 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // group a's tie at c=3 breaks cat-asc: y kept, z dropped
+    assert(kept == Set(("a", "x", 5L), ("a", "y", 3L),
+      ("b", "x", 9L), ("b", "q", 2L)), kept.toString)
   }
 
   test("groupedQuantile / winsorizedStats: exact thresholds and clamped moments on a hand case") {
