@@ -1370,6 +1370,36 @@ object SparkEntry {
       graft.streaming.PipelineStream.readKnnGraph(s, store)
     }),
 
+    // The ONLINE ANN read path over the maintained store: after folds
+    // + a delete, probe the store with the LIVE residents themselves
+    // (nProbe=1, excludeSelf) — the law is that the ad-hoc query path
+    // reproduces the standing graph readout exactly (same oracle as
+    // p291 without the artifact cell), so online serving and the
+    // precomputed artifact cannot drift.
+    "p303_knn_store_query" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = table(s, dir, "embeddings")
+        .localCheckpoint(eager = false) // codebook + folds + queries
+      val codebook = graft.pipeline.Similarity.refinedCentroids(
+        graft.pipeline.Similarity.kmeansStepExact(
+          e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding", k = 8))
+        .localCheckpoint() // FROZEN codebook (the p281/p282 contract)
+      val store = s"${freshTmpStore(s, "p303", dir)}/store"
+      def fold(f: DataFrame, runId: Long): Unit =
+        graft.streaming.PipelineStream.knnGraphBatchFold(f, "vec_id",
+          "embedding", codebook, k = 8, kNbrs = 5, basePath = store,
+          runId = runId)
+      fold(e.filter(col("vec_id") % 3 === 0), 0L)
+      fold(e.filter(col("vec_id") % 3 === 1), 1L)
+      fold(e.filter(col("vec_id") % 3 === 2), 2L)
+      graft.streaming.PipelineStream.knnStoreDelete(s, store,
+        e.filter(col("vec_id") % 4 === 2).select(col("vec_id").as("id")),
+        kNbrs = 5, runId = 3L)
+      graft.streaming.PipelineStream.knnStoreQuery(s, store,
+        e.filter(col("vec_id") % 4 =!= 2), "vec_id", "embedding",
+        codebook, k = 8, nProbe = 1, topK = 5, excludeSelf = true)
+    }),
+
     // Mutual-kNN sparsification: a pair survives iff EACH ranks the
     // other in its top 5 — hub bridges vanish, dense regions stay.
     "p284_mutual_knn" -> ((s, dir) => {
@@ -7794,6 +7824,10 @@ object SparkEntry {
     // the residents are the delete's survivors.
     "p300_knn_reindex" -> knnGraphOracleSql("WHERE 1 = 1",
       withCell = true, corpusWhere = "vec_id % 4 <> 2"),
+    // p303: the online query path with the live residents reproduces
+    // the survivor graph — p291's oracle without the artifact cell.
+    "p303_knn_store_query" -> knnGraphOracleSql("WHERE vec_id % 10 <> 0",
+      withCell = false, corpusWhere = "vec_id % 4 <> 2"),
     "p284_mutual_knn" -> mutualKnnOracleSql,
     "p285_snn_clusters" -> snnClustersOracleSql,
     "p286_knn_compacted" ->

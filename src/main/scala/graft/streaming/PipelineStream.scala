@@ -706,6 +706,48 @@ object PipelineStream {
     fs.delete(new org.apache.hadoop.fs.Path(base, "deletes"), true)
   }
 
+  /** Ad-hoc ANN QUERY against a standing kNN store — the ONLINE read
+    * path next to the precomputed graph artifact: each query vector
+    * assigns to its `nProbe` nearest cells under the store's FROZEN
+    * codebook ([[graft.pipeline.Similarity.assignExactTopCells]]),
+    * candidates come from the LIVE standing index (tombstones applied,
+    * re-inserts resolved — [[readKnnIndex]]'s shadow), and exact
+    * cosine re-ranks top-k per query. Cost: the query batch fans
+    * ×nProbe onto cell-pruned candidate sets — never a corpus scan;
+    * the standing side is read once and joined on cell. `excludeSelf`
+    * drops a candidate whose id equals the query's (probing the store
+    * with its own residents). LAW (p303 + spec): querying with the
+    * live residents at nProbe = 1 with excludeSelf ≡ the standing
+    * graph readout [[readKnnGraph]] minus the cell column — the
+    * online path and the artifact cannot drift.
+    */
+  def knnStoreQuery(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, queries: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, k: Int, nProbe: Int, topK: Int,
+      excludeSelf: Boolean = false): DataFrame = {
+    require(topK >= 1, "topK >= 1")
+    graft.functions.GraftFunctions.register(spark)
+    val live = readKnnIndex(spark, basePath, emptyKnnIndex(spark),
+      Long.MaxValue)
+    val q = queries.select(col(idCol).as("id"), col(vecCol).as("qv"))
+      .localCheckpoint(eager = false) // probe assignment + vector join
+    val probes = graft.pipeline.Similarity
+      .assignExactTopCells(q, "id", "qv", codebook, k, nProbe)
+      .select(col("id"), col("cluster").as("cell"))
+    probes.join(q, Seq("id"))
+      .join(live.select(col("cell"), col("id").as("nbr"),
+        col("embedding")), Seq("cell"))
+      .filter(if (excludeSelf) col("id") =!= col("nbr") else lit(true))
+      .withColumn("sim", nanvl(
+        call_function("graft_cosine", col("qv"), col("embedding")),
+        lit(-2.0)))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("sim").desc, col("nbr"))))
+      .filter(col("rank") <= topK)
+      .select(col("id"), col("rank").cast("long").as("rank"), col("nbr"))
+  }
+
   /** The current graph of a [[knnGraphIngest]] store: per cell, the
     * rows of the LATEST run that recomputed it — resolved from the
     * `graphcells` MANIFESTS, not from surviving rows, because a

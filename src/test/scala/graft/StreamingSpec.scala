@@ -1383,6 +1383,21 @@ class StreamingSpec extends SparkSpec {
       k = 3, kNbrs = 2, basePath = store, runId = 9L)
     assert(rows(graft.streaming.PipelineStream.readKnnGraph(spark, store))
       == oneShot(survivors ++ more))
+    // the ONLINE query path with the live residents reproduces the
+    // standing graph readout exactly (p303's law)
+    val viaQuery = graft.streaming.PipelineStream.knnStoreQuery(spark,
+      store, (survivors ++ more).toDF("vec_id", "embedding"), "vec_id",
+      "embedding", newCb, k = 3, nProbe = 1, topK = 2, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaQuery == rows(graft.streaming.PipelineStream
+      .readKnnGraph(spark, store)).map(t => (t._2, t._3, t._4)),
+      s"query path diverged: $viaQuery")
+    // an EXTERNAL query vector (not indexed) probes its nearest cell
+    val ext = graft.streaming.PipelineStream.knnStoreQuery(spark, store,
+      Seq((99L, v(2, 0.15f))).toDF("vec_id", "embedding"), "vec_id",
+      "embedding", newCb, k = 3, nProbe = 3, topK = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ext.length == 1 && ext.head._1 == 99L, ext.mkString(","))
     // reindexing INTO a too-coarse codebook trips the occupancy guard
     val boom = intercept[IllegalArgumentException] {
       graft.streaming.PipelineStream.reindexKnnStore(spark, store,
