@@ -368,6 +368,18 @@ class PlanQualitySpec extends SparkSpec {
       graft.pipeline.Similarity.knnGraphIvf(index, 2)))
     assert(!mp.contains("CartesianProduct") && !mp.contains("BroadcastNestedLoop"),
       mp.take(1500))
+    // online store query: probe side joins candidates on cell only —
+    // no cartesian, and the per-query rank never single-partitions
+    val store = java.nio.file.Files.createTempDirectory("knnqplan").toString
+    graft.streaming.PipelineStream.knnGraphBatchFold(vecs, "vec_id",
+      "embedding", codebook, k = 3, kNbrs = 2,
+      basePath = s"$store/s", runId = 0L)
+    val qp = planOf(graft.streaming.PipelineStream.knnStoreQuery(spark,
+      s"$store/s", vecs, "vec_id", "embedding", codebook, k = 3,
+      nProbe = 2, topK = 2))
+    assert(!qp.contains("CartesianProduct") && !qp.contains("BroadcastNestedLoop"),
+      qp.take(1500))
+    assert(!qp.contains("SinglePartition"), qp.take(1500))
   }
 
   test("phrase probe pushes term equality into the postings scan") {
