@@ -186,6 +186,40 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // ---- contention sentinel (VERDICT r17 task 1a): FIXED work — open
+    // all 64 footers of a tiny store written once here — timed at suite
+    // start / middle / end. The driver box has repeatedly printed 3-17×
+    // on small-file legs with byte-identical io blocks while quiet local
+    // minima sat at reference level; "sentinel_ms" in BENCH_SIDECAR puts
+    // the box's own small-file IO latency INSIDE the artifact, so a
+    // contended run self-identifies without cross-round archaeology
+    // (quiet local prints ~10-40 ms per sample; a contended/slow-storage
+    // box scales all three together, independent of any leg's code).
+    val sentinelDir = Files.createTempDirectory("graft_sentinel").toString
+    spark.range(6400).repartition(64).write.mode("overwrite")
+      .parquet(s"$sentinelDir/s")
+    val sentinelFiles = {
+      val p = new org.apache.hadoop.fs.Path(s"$sentinelDir/s")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
+    }
+    val sentinels = scala.collection.mutable.ArrayBuffer[Long]()
+    def sentinel(): Unit = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val t0 = System.nanoTime()
+      var n = 0L
+      sentinelFiles.foreach { f =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try n += rd.getRecordCount finally rd.close()
+      }
+      val dt = (System.nanoTime() - t0) / 1000000L
+      require(n == 6400L, s"sentinel store corrupt: $n rows")
+      sentinels += dt
+    }
+    sentinel() // suite start
+
     val ordersLens = new CassandraLens(
       CellEncodings.ordersCells(spark, sfDir)
         .unionByName(CellEncodings.ordersStatusFTombstones(spark, sfDir)),
@@ -378,6 +412,8 @@ object Bench {
       ordersLens.compact(gcBeforeSeconds = 1000000000).cells.count()
     }
 
+    sentinel() // suite middle (after the write-heavy cell-store legs)
+
     // pipeline headliners
     val docs = CellEncodings.table(spark, sfDir, "documents")
     legDf("jaccard_neardup") {
@@ -558,9 +594,31 @@ object Bench {
       lazy val kdDelta = graft.pipeline.Similarity.ivfIndexTable(
         emb.filter(col("vec_id") % 20 === 0), "vec_id", "embedding",
         kdCodebook, 16).filter(col("cell") < 2).localCheckpoint()
+      // ADVICE r17: force the standing artifacts UNTIMED (the lazy vals
+      // are eager localCheckpoints — left unforced, the leg's first
+      // timed run paid the one-time codebook/index/full-graph builds and
+      // the spread max reported build cost, not fold cost); same skip
+      // guard so a skipped leg still pays nothing
+      if (!skipLegs.contains("knn_delta")) { kdG0; kdDelta; () }
       legDf("knn_delta") {
         graft.pipeline.Similarity.knnGraphDelta(kdG0, kdIdx, kdDelta,
           kNbrs = 10)
+      }
+      // online ANN query against a standing ON-DISK kNN store (the p303
+      // path — VERDICT r17 task 6: the online read path had a plan pin
+      // but no recorded number). Store = the kd index published as one
+      // run (untimed — the standing artifact the store protocol
+      // maintains); the leg measures the full online path: query-batch
+      // assign to nProbe cells under the frozen codebook → cell-pruned
+      // candidate join against the live index read → exact cosine
+      // re-rank top-k. ~1/30 of the corpus as the query batch.
+      if (!skipLegs.contains("knn_query"))
+        kdIdx.write.mode("overwrite").parquet(s"$tmp/knnstore/index/run=0")
+      legDf("knn_query") {
+        graft.streaming.PipelineStream.knnStoreQuery(spark, s"$tmp/knnstore",
+          emb.filter(col("vec_id") % 30 === 0)
+            .select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", kdCodebook, 16, nProbe = 2, topK = 10)
       }
     }
 
@@ -702,10 +760,13 @@ object Bench {
         3L, 80L, 14650L, 15100L).select(col("event_id"))
     }
 
+    sentinel() // suite end
+
     // cleanup
     try {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(tmp)).deleteRecursively()
+      new Directory(new java.io.File(sentinelDir)).deleteRecursively()
     } catch { case _: Throwable => () }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
@@ -740,8 +801,11 @@ object Bench {
     val skipUnmatched = (skipLegs -- seenLegs).toSeq.sorted
       .map(s => "\"" + s.replaceAll("[^A-Za-z0-9_]", "?") + "\"")
       .mkString("[", ",", "]")
+    // start/middle/end fixed-work IO probe (ms) — the contention
+    // adjudication datum (see the sentinel scaladoc above)
+    val sentStr = sentinels.map(_.toString).mkString("[", ",", "]")
     val detail =
-      s"""{"detail":{"rows":$rs,"spread":$sp,"io":$io,"latency":$lat,"skipped":$skipped,"skip_unmatched":$skipUnmatched},"sf":"$sfDir"}"""
+      s"""{"detail":{"rows":$rs,"spread":$sp,"io":$io,"latency":$lat,"skipped":$skipped,"skip_unmatched":$skipUnmatched,"sentinel_ms":$sentStr},"sf":"$sfDir"}"""
     try Files.write(java.nio.file.Paths.get("BENCH_SIDECAR.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

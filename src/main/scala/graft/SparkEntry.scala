@@ -1400,6 +1400,43 @@ object SparkEntry {
         codebook, k = 8, nProbe = 1, topK = 5, excludeSelf = true)
     }),
 
+    // Run-store SNAPSHOT/RESTORE lifecycle (the q43 hard-link
+    // machinery at ANN-artifact grain): build p291's exact store
+    // (3 folds + the %4==2 delete), snapshot it, mutate the live store
+    // past recognition (a second delete + a compaction that advances
+    // the generation pointer), then restore — the readout must be the
+    // snapshot's state bit-for-bit, i.e. p291's shared survivor-graph
+    // oracle. Snapshot is hard-links of the max-run-id cut; restore is
+    // one atomic pointer commit (a reader never sees a mix).
+    "p304_knn_restored" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = table(s, dir, "embeddings")
+        .localCheckpoint(eager = false) // codebook + folds + delete lists
+      val codebook = graft.pipeline.Similarity.refinedCentroids(
+        graft.pipeline.Similarity.kmeansStepExact(
+          e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding", k = 8))
+        .localCheckpoint() // FROZEN codebook (the p281/p282 contract)
+      val store = s"${freshTmpStore(s, "p304", dir)}/store"
+      def fold(f: DataFrame, runId: Long): Unit =
+        graft.streaming.PipelineStream.knnGraphBatchFold(f, "vec_id",
+          "embedding", codebook, k = 8, kNbrs = 5, basePath = store,
+          runId = runId)
+      fold(e.filter(col("vec_id") % 3 === 0), 0L)
+      fold(e.filter(col("vec_id") % 3 === 1), 1L)
+      fold(e.filter(col("vec_id") % 3 === 2), 2L)
+      graft.streaming.PipelineStream.knnStoreDelete(s, store,
+        e.filter(col("vec_id") % 4 === 2).select(col("vec_id").as("id")),
+        kNbrs = 5, runId = 3L)
+      graft.streaming.PipelineStream.snapshotRunStore(s, store, "pre")
+      // mutate: a further delete + compaction (generation 1 publishes)
+      graft.streaming.PipelineStream.knnStoreDelete(s, store,
+        e.filter(col("vec_id") % 4 === 1).select(col("vec_id").as("id")),
+        kNbrs = 5, runId = 4L)
+      graft.streaming.PipelineStream.compactKnnStore(s, store)
+      graft.streaming.PipelineStream.restoreRunStore(s, store, "pre")
+      graft.streaming.PipelineStream.readKnnGraph(s, store)
+    }),
+
     // Mutual-kNN sparsification: a pair survives iff EACH ranks the
     // other in its top 5 — hub bridges vanish, dense regions stay.
     "p284_mutual_knn" -> ((s, dir) => {
@@ -7815,6 +7852,10 @@ object SparkEntry {
       knnGraphOracleSql("WHERE vec_id % 10 <> 0", withCell = true),
     "p291_knn_deleted" -> knnGraphOracleSql("WHERE vec_id % 10 <> 0",
       withCell = true, corpusWhere = "vec_id % 4 <> 2"),
+    // p304: snapshot → mutate → restore lands back on p291's exact
+    // survivor graph — one oracle, the restore cannot drift.
+    "p304_knn_restored" -> knnGraphOracleSql("WHERE vec_id % 10 <> 0",
+      withCell = true, corpusWhere = "vec_id % 4 <> 2"),
     // p299: the two-source streaming ingest lands on the SAME survivor
     // graph as p291's batch delete — one oracle, no drift.
     "p299_stream_knn_two_source" -> knnGraphOracleSql(
@@ -8526,7 +8567,7 @@ object SparkEntry {
 
     // p297: the p254 PSI replay with h at TERM grain over one source
     // pair — same smoothing, same micro terms. p302 = the SAME replay
-    // over the top-50-per-group census restriction (row_number over
+    // over the top-10-per-group census restriction (row_number over
     // (c DESC, cat), exactly topKCensus's ordering).
     "p297_term_drift" -> termDriftPsiOracleSql(topK = None),
     "p302_term_drift_topk" -> termDriftPsiOracleSql(topK = Some(10)),

@@ -44,7 +44,13 @@ class CassandraLens(
       * compaction RowProcessor chain, listeners run ONLY when attached:
       * the unhooked write path is byte-identical to before.
       */
-    private val applyListeners: Seq[DataFrame => DataFrame] = Nil) {
+    private val applyListeners: Seq[DataFrame => DataFrame] = Nil,
+    /** The frame `.cache()` was actually called on when it differs from
+      * the served view (the hot-key partial cache serves a union whose
+      * cached child this tracks) — [[dropRowCache]] must unpersist the
+      * real cache, not the derived union.
+      */
+    private val cachedFrame: Option[DataFrame] = None) {
   GraftFunctions.register(cells.sparkSession)
 
   def this(cells: DataFrame, meta: CfMeta, horizons: Option[(DataFrame, DataFrame)]) =
@@ -57,7 +63,8 @@ class CassandraLens(
     * mutations and derived lenses, in attach order.
     */
   def withApplyListener(listener: DataFrame => DataFrame): CassandraLens =
-    new CassandraLens(cells, meta, horizons, cachedLive, applyListeners :+ listener)
+    new CassandraLens(cells, meta, horizons, cachedLive,
+      applyListeners :+ listener, cachedFrame)
 
   /** Run the attached listener chain over one mutation batch, then re-conform
     * to the canonical cell schema (a transform may add helper columns; the
@@ -79,6 +86,53 @@ class CassandraLens(
   def withRowCache(): CassandraLens =
     new CassandraLens(cells, meta, horizons, Some(live.cache()), applyListeners)
 
+  /** HOT-KEY row cache — the PARTIAL cache the reference actually runs
+    * (the row cache is sized, not total: cache/InstrumentedCache.java
+    * capacity + ColumnFamilyStore.cacheRow admits per key): pin only
+    * `hotKeys`' reconciled rows in executor memory; every other key
+    * falls through to the reconcile path INSIDE the same plan (the
+    * cached hot slice unioned with the cold remainder — Catalyst
+    * pushes a keyed read's predicate into both branches, so a hot read
+    * is an InMemoryTableScan hit and a cold read prunes the cached
+    * side empty and runs the ordinary pruned scan+reconcile). At
+    * 100 TB the whole reconciled view cannot be pinned; a bounded hot
+    * set can — pair with [[saveCachedKeys]]/[[loadCachedKeys]] for
+    * restart pre-warming. `hotKeys` becomes one IN-list predicate:
+    * keep it cache-sized (≤ ~1e5 keys, the reference's key-cache
+    * order), not corpus-sized.
+    */
+  def withRowCache(hotKeys: Seq[String]): CassandraLens = {
+    require(hotKeys.nonEmpty, "withRowCache(hotKeys): empty hot set")
+    val hot = live.filter(col("key").isin(hotKeys: _*)).cache()
+    val cold = live.filter(!col("key").isin(hotKeys: _*))
+    new CassandraLens(cells, meta, horizons, Some(hot.unionByName(cold)),
+      applyListeners, cachedFrame = Some(hot))
+  }
+
+  /** Persist the cached KEY SET (not the rows) — the reference's
+    * key-cache save (db/ColumnFamilyStore.java:305 submitKeyCacheWrite
+    * writes the cached keys at shutdown; :257-264 readSavedCache
+    * pre-warms from them at startup). Saves exactly what is CACHED:
+    * the hot set on a partial cache, every key on a full one. One tiny
+    * sorted string column; a fresh session re-warms DETERMINISTICALLY
+    * via [[loadCachedKeys]] + the hot-key `withRowCache` overload
+    * without having observed the previous session's traffic.
+    */
+  def saveCachedKeys(path: String): Unit = {
+    require(cachedLive.nonEmpty, "no row cache attached — call withRowCache() first")
+    cachedFrame.orElse(cachedLive).get.select(col("key")).distinct()
+      .repartition(1).sortWithinPartitions("key")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveCachedKeys]] hot-key set (readSavedCache analog).
+    * Driver-side by design: the artifact is cache-sized, and the hot
+    * set becomes an in-plan predicate.
+    */
+  def loadCachedKeys(path: String): Seq[String] =
+    cells.sparkSession.read.parquet(path)
+      .select(col("key")).collect().map(_.getString(0)).toSeq
+
   /** Release this lens's row cache (InstrumentedCache eviction analog).
     * Mutations drop the cache REFERENCE automatically but cannot unpersist
     * it — the caller owns the cache lifetime, exactly like the reference's
@@ -86,7 +140,7 @@ class CassandraLens(
     * in a long-lived session.
     */
   def dropRowCache(): CassandraLens = {
-    cachedLive.foreach(_.unpersist())
+    cachedFrame.orElse(cachedLive).foreach(_.unpersist())
     new CassandraLens(cells, meta, horizons, None, applyListeners)
   }
 

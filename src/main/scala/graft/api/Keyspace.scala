@@ -175,7 +175,7 @@ class Keyspace(val spark: SparkSession, val name: String) {
   // (immutability is what makes both correct). A manifest records the
   // CfMeta + bucket count so restore needs nothing but the snapshot dir.
 
-  import org.apache.hadoop.fs.{FileUtil, Path}
+  import org.apache.hadoop.fs.Path
 
   private def hconf = spark.sparkContext.hadoopConfiguration
 
@@ -189,30 +189,11 @@ class Keyspace(val spark: SparkSession, val name: String) {
       spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
 
   /** Recursively clone `src` into `dst`, hard-linking files when the
-    * filesystem supports it (local/posix), copying otherwise.
+    * filesystem supports it (local/posix), copying otherwise — the
+    * shared [[graft.util.FsTrees.linkTree]].
     */
-  private def linkTree(src: Path, dst: Path): Unit = {
-    val fs = src.getFileSystem(hconf)
-    fs.mkdirs(dst)
-    fs.listStatus(src).foreach { st =>
-      val target = new Path(dst, st.getPath.getName)
-      if (st.isDirectory) linkTree(st.getPath, target)
-      else {
-        val linkable = {
-          val s = st.getPath.toUri.getScheme
-          (s == null || s == "file") && target.toUri.getScheme == st.getPath.toUri.getScheme
-        }
-        def copy(): Unit =
-          FileUtil.copy(fs, st.getPath, target.getFileSystem(hconf), target, false, hconf)
-        if (linkable)
-          try java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(target.toUri.getPath),
-            java.nio.file.Paths.get(st.getPath.toUri.getPath))
-          catch { case _: UnsupportedOperationException | _: java.io.IOException => copy() }
-        else copy()
-      }
-    }
-  }
+  private def linkTree(src: Path, dst: Path): Unit =
+    graft.util.FsTrees.linkTree(src, dst, hconf)
 
   private def writeManifest(dir: Path, meta: CfMeta, buckets: Int): Unit = {
     val fs = dir.getFileSystem(hconf)
@@ -434,6 +415,137 @@ class Keyspace(val spark: SparkSession, val name: String) {
       graft.sources.RunIntegrity.validateStore(spark, loc, label = t,
         deep = deep)
     }.reduce(_ unionByName _)
+  }
+
+  /** Per-CF store census — the `nodetool cfstats` analog
+    * (tools/NodeCmd.java:295-380 printColumnFamilyStats: SSTable count,
+    * live disk space, key estimate, cache stats per CF), the readout an
+    * operator consults BEFORE scheduling compaction at 100 TB: is this
+    * store fragmented (files ≫ buckets), how much of it is tombstone
+    * mass, is the horizon sidecar stale. One row per physical store
+    * (`data` + the two horizon sidecars when present):
+    *
+    *  - `files` / `bytes` / `rows`: visible parquet files, their total
+    *    size, and their FOOTER row counts (the footer is the cheapest
+    *    per-file proof + census — no data pages read; distributed via
+    *    [[graft.sources.RunIntegrity.footerRows]]). `unreadable_files`
+    *    counts footers that fail to decode (non-zero ⇒ run
+    *    [[validateRuns]] for the detail report).
+    *  - `domain_dirs`: domain partition directories (the domainSplit
+    *    layout's fan-out; 0 for flat stores).
+    *  - `max_mtime`: newest file's modification time. `sidecar_fresh`
+    *    (data row only, null when no sidecar): every sidecar's newest
+    *    file is at least as new as the data store's — the write paths
+    *    (saveColumnFamily, compactColumnFamily) always write data THEN
+    *    horizons, so a data store newer than its sidecar means the
+    *    horizons were not refreshed after the last data change.
+    *  - `snapshots`: how many snapshots under this keyspace contain
+    *    this CF (the backup-coverage readout).
+    *  - `withCellStats = true` adds one column-pruned aggregate over
+    *    the data store (key/col_name/tombstone columns only — at scale
+    *    this reads three thin columns, never values): `keys_est`
+    *    (approx distinct keys — NodeCmd's "Number of Keys (estimate)"),
+    *    `value_cells` (live column versions), `deleted_cells`
+    *    (tombstoned columns), `marker_cells` (row/SC deletion markers)
+    *    — the live-vs-tombstone ratio that schedules compaction.
+    *    Cache occupancy (the cfstats row-cache block) lives on the
+    *    lens, not the catalog — see [[CassandraLens.withRowCache]].
+    */
+  def storeStats(cf: String, withCellStats: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val stores = Seq((tableName(cf), "data"), (hrowTable(cf), "hrow"),
+      (hscTable(cf), "hsc")).filter { case (t, _) => spark.catalog.tableExists(t) }
+    require(stores.nonEmpty, s"storeStats: no stores for CF '$cf'")
+    val snapCount = {
+      val fs = snapshotsRoot.getFileSystem(hconf)
+      if (!fs.exists(snapshotsRoot)) 0L
+      else fs.listStatus(snapshotsRoot).count(st => st.isDirectory &&
+        fs.exists(new Path(st.getPath, cf))).toLong
+    }
+    def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
+    // one listing pass per store: visible parquet files (path, len,
+    // mtime) + domain-directory fan-out — metadata-scale, like the
+    // reference's MBean reads
+    def listing(loc: Path): (Seq[(String, Long, Long)], Long) = {
+      val fs = loc.getFileSystem(hconf)
+      if (!fs.exists(loc)) return (Nil, 0L)
+      def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+        fs.listStatus(p).toSeq.filter(st => visible(st.getPath.getName))
+          .flatMap(st => if (st.isDirectory) walk(st.getPath) else Seq(st))
+      val files = walk(loc).filter(_.getPath.getName.endsWith(".parquet"))
+        .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
+      val domains = fs.listStatus(loc).count(st => st.isDirectory &&
+        st.getPath.getName.startsWith("domain=")).toLong
+      (files, domains)
+    }
+    val listed = stores.map { case (t, role) =>
+      val (files, domains) = listing(tableLocation(t))
+      (t, role, files, domains)
+    }
+    // ONE distributed footer pass over every store's files
+    val rowsByFile = graft.sources.RunIntegrity.footerRows(spark,
+      listed.flatMap(_._3.map(_._1))).toMap
+    val dataMtime = listed.find(_._2 == "data")
+      .map(_._3.map(_._3).foldLeft(0L)(math.max)).getOrElse(0L)
+    val sidecarFresh: Option[Boolean] =
+      if (listed.count(_._2 != "data") < 2) None
+      // a fileless sidecar (no horizons of that kind) has nothing stale
+      else Some(listed.filter(_._2 != "data").forall(s =>
+        s._3.isEmpty || s._3.map(_._3).foldLeft(0L)(math.max) >= dataMtime))
+    val cellStats: Option[(Long, Long, Long, Long)] =
+      if (!withCellStats) None
+      else {
+        val r = spark.table(tableName(cf)).agg(
+          approx_count_distinct(col("key")).as("keys_est"),
+          coalesce(sum(when(col("col_name").isNotNull && !col("tombstone"),
+            1L).otherwise(0L)), lit(0L)),
+          coalesce(sum(when(col("col_name").isNotNull && col("tombstone"),
+            1L).otherwise(0L)), lit(0L)),
+          coalesce(sum(when(col("col_name").isNull, 1L).otherwise(0L)),
+            lit(0L))).head()
+        Some((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }
+    listed.map { case (t, role, files, domains) =>
+      val counted = files.map(f => rowsByFile.getOrElse(f._1, None))
+      (t, role, files.size.toLong, files.map(_._2).sum,
+        counted.flatten.sum, counted.count(_.isEmpty).toLong, domains,
+        files.map(_._3).foldLeft(0L)(math.max), snapCount,
+        if (role == "data") sidecarFresh else None,
+        if (role == "data") cellStats.map(_._1) else None,
+        if (role == "data") cellStats.map(_._2) else None,
+        if (role == "data") cellStats.map(_._3) else None,
+        if (role == "data") cellStats.map(_._4) else None)
+    }.toDF("store", "role", "files", "bytes", "rows", "unreadable_files",
+      "domain_dirs", "max_mtime", "snapshots", "sidecar_fresh", "keys_est",
+      "value_cells", "deleted_cells", "marker_cells")
+  }
+
+  /** Enumerate one run's decorated keys in token order — the
+    * `bin/sstablekeys` analog (tools/SSTableExport.enumeratekeys:149-163
+    * walks one SSTable's index file printing each decorated key). A
+    * "run" here is one parquet file of the CF's data store (the
+    * SSTable-grain physical unit); pass its file name (or full path) as
+    * listed by [[storeStats]]/[[validateRuns]]. Returns (token, key)
+    * distinct, ordered by the CF partitioner's token — exactly the
+    * on-disk decoration the reference prints.
+    */
+  def runKeys(cf: String, run: String): DataFrame = {
+    val meta = columnFamilyMeta(cf)
+    val loc = tableLocation(tableName(cf))
+    val fs = loc.getFileSystem(hconf)
+    def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
+    def walk(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.filter(st => visible(st.getPath.getName))
+        .flatMap(st => if (st.isDirectory) walk(st.getPath) else Seq(st.getPath))
+    val matches = walk(loc)
+      .filter(p => p.getName == run || p.toString == run)
+    require(matches.nonEmpty, s"runKeys: no file '$run' under $loc")
+    spark.read.parquet(matches.map(_.toString): _*)
+      .select(col("key")).distinct()
+      .withColumn("token",
+        graft.model.Tokens.token(meta.partitioner, col("key")))
+      .select(col("token"), col("key"))
+      .orderBy(col("token"), col("key"))
   }
 }
 

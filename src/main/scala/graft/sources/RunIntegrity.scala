@@ -34,8 +34,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - Interrupted-compaction residue: `*__old` / `*__compact` /
   *    `.compacting-*` / `horizons_*_next` directories report
   *    `orphaned`, and a `*__old` with NO live sibling reports
-  *    `mismatch` (the compactKnnStore crash window — rename `__old`
-  *    back).
+  *    `mismatch` (the legacy pre-pointer swap's crash window — rename
+  *    `__old` back).
+  *  - Generation-pointer stores (`CURRENT.<gen>` — the atomic-publish
+  *    protocol of compactKnnStore/compactBm25Store/reindexKnnStore):
+  *    substore dirs of non-live generations, and plain legacy dirs
+  *    once a generation is committed, report `orphaned` (crash-before-
+  *    commit or incomplete post-commit GC — readers never open them,
+  *    so they are reported, not footer-checked).
   *
   * Returns (store, path, kind, status, detail); `status = "ok"` rows
   * carry the footer row count so the report doubles as a run census.
@@ -48,6 +54,33 @@ object RunIntegrity {
 
   /** One report row. */
   private val Cols = Seq("store", "path", "kind", "status", "detail")
+
+  /** Footer row-counts for a file set — the census substrate
+    * [[graft.api.Keyspace.storeStats]] shares with [[validateStore]]:
+    * one ParquetFileReader footer decode per file, DISTRIBUTED over
+    * executors (a million-file store censuses at cluster speed), with
+    * the real hadoop conf shipped (the object-store rule below). A file
+    * whose footer fails decoding returns None — the caller counts it
+    * unreadable instead of failing the census.
+    */
+  def footerRows(spark: SparkSession,
+      files: Seq[String]): Seq[(String, Option[Long])] = {
+    if (files.isEmpty) return Nil
+    val slices = math.min(files.size,
+      spark.sparkContext.defaultParallelism * 4)
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    spark.sparkContext.parallelize(files, slices).map { f =>
+      val res = scala.util.Try {
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(f), confBc.value.value))
+        try rd.getRecordCount finally rd.close()
+      }
+      (f, res.toOption)
+    }.collect().toSeq
+  }
 
   /** Validate every store convention found under `basePath` (see object
     * doc). Never throws on broken content — broken content IS the
@@ -90,22 +123,61 @@ object RunIntegrity {
       }
     }
 
+    // ---- generation-pointer stores (the compactKnnStore/compactBm25Store
+    // atomic-publish protocol): `CURRENT.<gen>` names the live
+    // generation; substore dirs of OTHER generations — and the plain
+    // legacy dirs once any generation is committed — are unreferenced
+    // residue (crash before commit, or incomplete post-commit GC):
+    // report them, never footer-check them (same rule as __old).
+    val curGen = graft.streaming.PipelineStream.currentGen(fs, base)
+    val GenDir = "^(.+)\\.g([0-9]+)$".r
+    def genResidue(n: String): Boolean = n match {
+      case GenDir(_, g) => g.toLong != curGen
+      case _ => curGen > 0L // plain dir under a gen-committed store
+    }
+    topDirs.foreach { d =>
+      val n = d.getName
+      // hidden subtrees (quarantine, _temporary) are invisible to
+      // readers and stay out of the generation classification too
+      val residueAlready = n.endsWith("__old") || n.endsWith("__compact") ||
+        n.endsWith("_next") || n.startsWith("_") || n.startsWith(".")
+      if (!residueAlready) n match {
+        case GenDir(_, g) if g.toLong > curGen =>
+          rows += ((store, d.toString, "dir", "orphaned",
+            s"unpublished generation $g residue (crash before its " +
+              s"CURRENT.$g pointer commit) — safe to delete"))
+        case GenDir(_, g) if g.toLong < curGen =>
+          rows += ((store, d.toString, "dir", "orphaned",
+            s"superseded generation $g (post-commit gc incomplete) — " +
+              "safe to delete"))
+        case GenDir(_, _) => () // the live generation
+        case _ if curGen > 0L =>
+          rows += ((store, d.toString, "dir", "orphaned",
+            s"legacy pre-pointer dir superseded by generation $curGen — " +
+              "safe to delete"))
+        case _ => ()
+      }
+    }
+
     def runIds(sub: String): Set[Long] =
       ls(new Path(base, sub)).filter(_.isDirectory)
         .flatMap(st => scala.util.Try(
           st.getPath.getName.stripPrefix("run=").toLong).toOption).toSet
-    // kNN-store manifest agreement (graphcells names graph runs)
-    if (topNames("graphcells") || topNames("graph")) {
-      val manifests = runIds("graphcells")
-      val graphs = runIds("graph")
+    // kNN-store manifest agreement (graphcells names graph runs) — over
+    // the LIVE generation's pair only (residue gens are reported above)
+    val gSuffix = if (curGen == 0L) "" else s".g$curGen"
+    val (gcDir, gDir) = (s"graphcells$gSuffix", s"graph$gSuffix")
+    if (topNames(gcDir) || topNames(gDir)) {
+      val manifests = runIds(gcDir)
+      val graphs = runIds(gDir)
       (manifests -- graphs).toSeq.sorted.foreach { r =>
-        rows += ((store, s"$basePath/graphcells/run=$r", "manifest",
-          "orphaned", s"names graph/run=$r which does not exist — the " +
+        rows += ((store, s"$basePath/$gcDir/run=$r", "manifest",
+          "orphaned", s"names $gDir/run=$r which does not exist — the " +
             "latest-per-cell readout would silently drop its cells"))
       }
       (graphs -- manifests).toSeq.sorted.foreach { r =>
-        rows += ((store, s"$basePath/graph/run=$r", "run", "mismatch",
-          s"no graphcells/run=$r manifest — readKnnGraph will never " +
+        rows += ((store, s"$basePath/$gDir/run=$r", "run", "mismatch",
+          s"no $gcDir/run=$r manifest — readKnnGraph will never " +
             "surface this run"))
       }
     }
@@ -127,7 +199,11 @@ object RunIntegrity {
     def walkDirs(p: Path): Seq[Path] =
       p +: ls(p).filter(_.isDirectory).map(_.getPath)
         .filter(visible).flatMap(walkDirs)
-    val allDirs = walkDirs(base)
+    // top level additionally drops non-live generations and (under a
+    // committed pointer) the superseded legacy dirs — a reader resolves
+    // through the pointer and never opens them
+    val allDirs = base +: topDirs
+      .filter(d => visible(d) && !genResidue(d.getName)).flatMap(walkDirs)
     allDirs.foreach { d =>
       val mf = new Path(d, "_compacted_from")
       if (fs.exists(mf)) {
@@ -162,7 +238,7 @@ object RunIntegrity {
       .map(_.toString)
     val kindOf = (p: String) =>
       if (p.contains("/horizons_")) "sidecar"
-      else if (p.contains("/graphcells/")) "manifest"
+      else if (p.contains("/graphcells")) "manifest"
       else "data"
     val checked =
       if (dataFiles.isEmpty) Nil

@@ -57,10 +57,13 @@ object PipelineStream {
     docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       if (!batch.isEmpty) {
         val b = batch.localCheckpoint() // tokenized twice below
+        val s = b.sparkSession
         TextAnalysis.bm25Postings(b, idCol, textCol)
-          .write.mode("overwrite").parquet(s"$basePath/postings/run=$id")
+          .write.mode("overwrite")
+          .parquet(s"${resolveSubPath(s, basePath, "postings")}/run=$id")
         TextAnalysis.bm25DocLens(b, idCol, textCol)
-          .write.mode("overwrite").parquet(s"$basePath/doclens/run=$id")
+          .write.mode("overwrite")
+          .parquet(s"${resolveSubPath(s, basePath, "doclens")}/run=$id")
       }
     }
 
@@ -77,36 +80,123 @@ object PipelineStream {
     */
   def bm25DeleteDocs(ids: DataFrame, basePath: String, runId: Long): Unit =
     ids.select(col("id"))
-      .write.mode("overwrite").parquet(s"$basePath/deletes/run=$runId")
+      .write.mode("overwrite")
+      .parquet(
+        s"${resolveSubPath(ids.sparkSession, basePath, "deletes")}/run=$runId")
 
-  /** The live→`__old`→publish rename pair every store
-    * compaction/reindex shares — ONE copy of the swap protocol (and of
-    * its crash-recovery contract: a crash between the two renames
-    * leaves the substore with no live dir; rename `__old` back, or
-    * publish the complete `__compact`, and rerun).
+  /** The ATOMIC store-publish protocol every multi-substore maintenance
+    * op (compactKnnStore / compactBm25Store / reindexKnnStore) commits
+    * through — VERDICT r17 task 4, replacing the three sequential
+    * live→`__old`→publish renames whose crash windows could leave the
+    * substores mutually inconsistent (or one with no live dir at all).
+    *
+    * A maintenance op writes every consolidated substore under
+    * GENERATION-suffixed directories (`index.g<gen>`, `graph.g<gen>`,
+    * …) and then commits ONE pointer file `CURRENT.<gen>` (written to a
+    * hidden tmp name, published by a single atomic rename). Every
+    * reader and ingest writer resolves a substore's live directory
+    * through the newest pointer ([[subDirName]]); a store that has
+    * never compacted has no pointer and resolves to the plain legacy
+    * dirs, so pre-pointer stores read unchanged.
+    *
+    * CRASH RECOVERY is re-read-the-pointer, never hand-renames: a
+    * crash anywhere BEFORE the pointer rename leaves the new
+    * generation's dirs unreferenced (readers still see the old store
+    * whole; the garbage is removed by the next maintenance run's
+    * [[gcGenerations]]); a crash AFTER the rename leaves the old
+    * generation's dirs unreferenced (readers see the new store whole).
+    * There is NO intermediate state in which a reader sees a mix —
+    * the spec plants every boundary state and proves it.
+    *
+    * Tombstone GC falls out of the same commit: a new generation
+    * simply has no `deletes.g<gen>` directory, so the delete runs
+    * vanish from the resolved view at the instant the pointer lands.
     */
-  private def swapStoreDir(fs: org.apache.hadoop.fs.FileSystem,
-      base: org.apache.hadoop.fs.Path, sub: String, op: String): Unit = {
-    val liveDir = new org.apache.hadoop.fs.Path(base, sub)
-    val old = new org.apache.hadoop.fs.Path(base, sub + "__old")
-    val next = new org.apache.hadoop.fs.Path(base, sub + "__compact")
-    fs.delete(old, true)
-    require(fs.rename(liveDir, old), s"$op: could not retire $liveDir")
-    require(fs.rename(next, liveDir), s"$op: could not publish $next")
-    fs.delete(old, true) // last — the published store is already live
+  private val PointerPrefix = "CURRENT."
+
+  private def pointerGen(name: String): Option[Long] =
+    if (!name.startsWith(PointerPrefix)) None
+    else scala.util.Try(name.stripPrefix(PointerPrefix).toLong).toOption
+
+  /** Newest committed generation under `base` (0 = no pointer: the
+    * legacy plain-dir layout is live).
+    */
+  private[graft] def currentGen(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path): Long =
+    if (!fs.exists(base)) 0L
+    else fs.listStatus(base).iterator.filter(_.isFile)
+      .flatMap(st => pointerGen(st.getPath.getName)).foldLeft(0L)(math.max)
+
+  /** A substore's live directory NAME under the pointer protocol. */
+  private def subDirName(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path, sub: String): String = {
+    val g = currentGen(fs, base)
+    if (g == 0L) sub else s"$sub.g$g"
   }
 
-  /** [[swapStoreDir]] that tolerates a substore with no live dir yet
-    * (an index-only store gaining its first graph run).
+  /** A substore's live directory PATH (string form every read/write
+    * path builds on). PUBLIC: tools (snapshot, integrity, specs)
+    * resolve a store's physical layout through this, never by
+    * hard-coding the plain dir names.
     */
-  private def publishStoreDir(fs: org.apache.hadoop.fs.FileSystem,
-      base: org.apache.hadoop.fs.Path, sub: String, op: String): Unit =
-    if (fs.exists(new org.apache.hadoop.fs.Path(base, sub)))
-      swapStoreDir(fs, base, sub, op)
-    else require(fs.rename(
-      new org.apache.hadoop.fs.Path(base, sub + "__compact"),
-      new org.apache.hadoop.fs.Path(base, sub)),
-      s"$op: could not publish $sub")
+  def resolveSubPath(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, sub: String): String = {
+    val base = new org.apache.hadoop.fs.Path(basePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    s"$basePath/${subDirName(fs, base, sub)}"
+  }
+
+  /** Commit generation `gen`: ONE atomic rename publishes the pointer.
+    * The file's JSON body (generation + substore names) is for humans
+    * and tools; resolution needs only the file NAME.
+    */
+  private def commitGen(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path, gen: Long, subs: Seq[String],
+      op: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(base, s".$PointerPrefix$gen.tmp")
+    val out = fs.create(tmp, true)
+    out.write((s"""{"gen":$gen,"subs":[""" +
+      subs.map("\"" + _ + "\"").mkString(",") + "]}").getBytes("UTF-8"))
+    out.close()
+    require(fs.rename(tmp,
+      new org.apache.hadoop.fs.Path(base, PointerPrefix + gen)),
+      s"$op: pointer commit failed for generation $gen")
+  }
+
+  /** Clear a generation's dirs BEFORE writing it — a crashed earlier
+    * attempt at the same (deterministic) generation number may have
+    * left partial run dirs that a rerun's overwrite-by-run-id would
+    * not replace if its run ids differ (e.g. a fold landed between the
+    * crash and the rerun); the new generation must hold exactly the
+    * rerun's output.
+    */
+  private def clearGen(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path, gen: Long,
+      subs: Seq[String]): Unit =
+    subs.foreach(sub => fs.delete(
+      new org.apache.hadoop.fs.Path(base, s"$sub.g$gen"), true))
+
+  /** Best-effort garbage collection AFTER a pointer commit: drop
+    * superseded pointer files, superseded generations' dirs, and the
+    * legacy plain dirs. A failure here leaves garbage (reported by
+    * RunIntegrity as superseded-generation residue), never an
+    * inconsistent store — the pointer is already live.
+    */
+  private def gcGenerations(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path, keepGen: Long,
+      subs: Seq[String]): Unit =
+    fs.listStatus(base).foreach { st =>
+      val n = st.getPath.getName
+      val stale =
+        pointerGen(n).exists(_ < keepGen) ||
+          (st.isDirectory && subs.exists(s =>
+            n == s || scala.util.Try(
+              n.stripPrefix(s + ".g").toLong).toOption.exists(g =>
+              n.startsWith(s + ".g") && g != keepGen)))
+      if (stale)
+        try fs.delete(st.getPath, true)
+        catch { case _: java.io.IOException => () }
+    }
 
   /** The (id, cell, embedding) schema-only frame every kNN-store read
     * seeds an empty standing index with — one definition.
@@ -124,9 +214,10 @@ object PipelineStream {
       basePath: String): Option[DataFrame] = {
     val base = new org.apache.hadoop.fs.Path(basePath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (graft.operators.EventOps.listIdDirs(fs, base, "deletes", "run=")
+    val delDir = subDirName(fs, base, "deletes")
+    if (graft.operators.EventOps.listIdDirs(fs, base, delDir, "run=")
         .isEmpty) None
-    else Some(spark.read.parquet(s"$basePath/deletes")
+    else Some(spark.read.parquet(s"$basePath/$delDir")
       .groupBy(col("id")).agg(max(col("run")).as("del_run")))
   }
 
@@ -149,7 +240,7 @@ object PipelineStream {
   def readBm25Postings(spark: org.apache.spark.sql.SparkSession,
       basePath: String): DataFrame =
     shadowByRun(
-      spark.read.parquet(s"$basePath/postings")
+      spark.read.parquet(resolveSubPath(spark, basePath, "postings"))
         .select(col("term"), col("id"), col("tf"), col("len"), col("run")),
       bm25Deletes(spark, basePath))
 
@@ -159,7 +250,7 @@ object PipelineStream {
   def readBm25DocLens(spark: org.apache.spark.sql.SparkSession,
       basePath: String): DataFrame =
     shadowByRun(
-      spark.read.parquet(s"$basePath/doclens")
+      spark.read.parquet(resolveSubPath(spark, basePath, "doclens"))
         .select(col("id"), col("len"), col("run")),
       bm25Deletes(spark, basePath))
 
@@ -191,12 +282,13 @@ object PipelineStream {
         if (!dels.isEmpty)
           bm25DeleteDocs(dels, basePath, 2 * id)
         if (!adds.isEmpty) {
+          val s = b.sparkSession
           TextAnalysis.bm25Postings(adds, "id", "text")
             .write.mode("overwrite")
-            .parquet(s"$basePath/postings/run=${2 * id + 1}")
+            .parquet(s"${resolveSubPath(s, basePath, "postings")}/run=${2 * id + 1}")
           TextAnalysis.bm25DocLens(adds, "id", "text")
             .write.mode("overwrite")
-            .parquet(s"$basePath/doclens/run=${2 * id + 1}")
+            .parquet(s"${resolveSubPath(s, basePath, "doclens")}/run=${2 * id + 1}")
         }
       }
     }
@@ -208,31 +300,37 @@ object PipelineStream {
     * delete runs: single-writer tombstone GC is safe immediately —
     * there is no replica that could resurrect a deleted doc, so no
     * gcGrace wait (the contrast with the cell-store's grace-period
-    * contract is deliberate and documented here). Same publish-then-
-    * swap + max-numeric-run-id protocol as [[compactKnnStore]] —
-    * including its documented CRASH-RECOVERY rule: a crash mid-swap
-    * leaves a substore with no live dir; rename its `__old` back (or
-    * publish the complete `__compact`) and rerun. Offline maintenance,
-    * stop the writer first.
+    * contract is deliberate and documented here). Publishes through
+    * the ATOMIC pointer protocol under the store's max numeric run id
+    * (see [[commitGen]] — one rename, no hand-recovery crash windows),
+    * so the prefix rule and the lifecycle continue unchanged. Offline
+    * maintenance, stop the writer first.
     */
   def compactBm25Store(spark: org.apache.spark.sql.SparkSession,
       basePath: String): Unit = {
     val base = new org.apache.hadoop.fs.Path(basePath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val pRuns = graft.operators.EventOps.listIdDirs(fs, base, "postings", "run=")
-    val lRuns = graft.operators.EventOps.listIdDirs(fs, base, "doclens", "run=")
+    val pRuns = graft.operators.EventOps.listIdDirs(fs, base,
+      subDirName(fs, base, "postings"), "run=")
+    val lRuns = graft.operators.EventOps.listIdDirs(fs, base,
+      subDirName(fs, base, "doclens"), "run=")
     require(pRuns.nonEmpty && lRuns.nonEmpty,
       "compactBm25Store: nothing to compact")
+    val gen = currentGen(fs, base) + 1
+    clearGen(fs, base, gen, Seq("postings", "doclens", "deletes"))
+    // consolidated substores fully written BEFORE the one-rename commit;
+    // tombstones APPLIED here, and the new generation simply has no
+    // deletes dir — delete-run GC is part of the same atomic publish
     readBm25Postings(spark, basePath)
       .repartitionByRange(col("term")).sortWithinPartitions("term")
       .write.mode("overwrite")
-      .parquet(s"$basePath/postings__compact/run=${pRuns.max}")
+      .parquet(s"$basePath/postings.g$gen/run=${pRuns.max}")
     readBm25DocLens(spark, basePath)
       .write.mode("overwrite")
-      .parquet(s"$basePath/doclens__compact/run=${lRuns.max}")
-    swapStoreDir(fs, base, "postings", "compactBm25Store")
-    swapStoreDir(fs, base, "doclens", "compactBm25Store")
-    fs.delete(new org.apache.hadoop.fs.Path(base, "deletes"), true)
+      .parquet(s"$basePath/doclens.g$gen/run=${lRuns.max}")
+    commitGen(fs, base, gen, Seq("postings", "doclens", "deletes"),
+      "compactBm25Store")
+    gcGenerations(fs, base, gen, Seq("postings", "doclens", "deletes"))
   }
 
   /** Streaming n-gram census maintenance — the p234 additive-fold law
@@ -454,12 +552,15 @@ object PipelineStream {
     // partial run=runId dirs that the rerun overwrites and no earlier
     // read ever includes. Full consistency is still only guaranteed at
     // batch boundaries (single-writer contract).
-    d.write.mode("overwrite").parquet(s"$basePath/index/run=$runId")
+    d.write.mode("overwrite")
+      .parquet(s"${resolveSubPath(s, basePath, "index")}/run=$runId")
     graft.pipeline.Similarity
       .knnGraphTouchedWithCells(standing, d, cells, kNbrs, maxTouchedRows)
-      .write.mode("overwrite").parquet(s"$basePath/graph/run=$runId")
+      .write.mode("overwrite")
+      .parquet(s"${resolveSubPath(s, basePath, "graph")}/run=$runId")
     cells.map(_.asInstanceOf[Number].longValue).toDF("cell")
-      .write.mode("overwrite").parquet(s"$basePath/graphcells/run=$runId")
+      .write.mode("overwrite")
+      .parquet(s"${resolveSubPath(s, basePath, "graphcells")}/run=$runId")
   }
 
   /** TWO-SOURCE streaming kNN-store maintenance — the production
@@ -528,19 +629,21 @@ object PipelineStream {
       basePath: String, empty: DataFrame, beforeRun: Long): DataFrame = {
     val base = new org.apache.hadoop.fs.Path(basePath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idxDir = subDirName(fs, base, "index")
+    val delDir = subDirName(fs, base, "deletes")
     val runs = graft.operators.EventOps
-      .listIdDirs(fs, base, "index", "run=").filter(_ < beforeRun)
+      .listIdDirs(fs, base, idxDir, "run=").filter(_ < beforeRun)
     if (runs.isEmpty) return empty
-    val standing = spark.read.parquet(s"$basePath/index")
+    val standing = spark.read.parquet(s"$basePath/$idxDir")
       .filter(col("run") < beforeRun)
     val delRuns = graft.operators.EventOps
-      .listIdDirs(fs, base, "deletes", "run=").filter(_ < beforeRun)
+      .listIdDirs(fs, base, delDir, "run=").filter(_ < beforeRun)
     if (delRuns.isEmpty)
       standing.select(col("id"), col("cell"), col("embedding"))
     else {
       // one row per tombstoned id: its newest delete run — ≤ distinct
       // deleted ids, map-side-combined before the join
-      val dels = spark.read.parquet(s"$basePath/deletes")
+      val dels = spark.read.parquet(s"$basePath/$delDir")
         .filter(col("run") < beforeRun)
         .groupBy(col("id")).agg(max(col("run")).as("del_run"))
       standing.join(dels, Seq("id"), "left_outer")
@@ -580,11 +683,14 @@ object PipelineStream {
         s"knnStoreDelete: touched cells exceed maxTouchedRows = " +
           s"$maxTouchedRows — delete in slices")
       graft.pipeline.Similarity.knnGraphTable(live, kNbrs)
-        .write.mode("overwrite").parquet(s"$basePath/graph/run=$runId")
+        .write.mode("overwrite")
+        .parquet(s"${resolveSubPath(spark, basePath, "graph")}/run=$runId")
       touchedCells.select(col("cell").cast("long").as("cell"))
-        .write.mode("overwrite").parquet(s"$basePath/graphcells/run=$runId")
+        .write.mode("overwrite")
+        .parquet(s"${resolveSubPath(spark, basePath, "graphcells")}/run=$runId")
     }
-    del.write.mode("overwrite").parquet(s"$basePath/deletes/run=$runId")
+    del.write.mode("overwrite")
+      .parquet(s"${resolveSubPath(spark, basePath, "deletes")}/run=$runId")
   }
 
   /** Compact a [[knnGraphIngest]] store — the p262 publish-then-swap
@@ -600,52 +706,50 @@ object PipelineStream {
     * maintenance — stop the writer first (the swap window is not
     * concurrent-reader-safe, same as compactPositionalPostings).
     *
-    * CRASH RECOVERY: every consolidated store is fully written under
-    * `__compact` suffixes BEFORE any swap, so a crash before the first
-    * swap loses nothing (rerun compacts again). The swaps themselves
-    * are three sequential live→`__old`→publish renames (index, graph,
-    * graphcells): a crash between the two renames inside one swap
-    * leaves that substore with NO live directory, and a crash between
-    * swaps leaves the three mutually inconsistent. Recovery is manual
-    * and total: for each substore, if the live dir is missing rename
-    * its `__old` back (or, if `__compact` is complete, publish it),
-    * then rerun compaction — `__old` is deleted only after its
-    * replacement is live, so one of the two always exists. A single
-    * versioned pointer file would make the publish one atomic rename;
-    * at this store's compaction cadence (rare, offline, single
-    * operator) the documented manual path is the deliberate trade.
+    * CRASH RECOVERY: every consolidated substore is fully written
+    * under the next generation's dirs BEFORE the single pointer rename
+    * publishes them ([[commitGen]]) — a crash before the rename leaves
+    * readers on the old store whole, a crash after leaves them on the
+    * new store whole; there is no state in which the three substores
+    * mix. Recovery is re-read-the-pointer (i.e. nothing): rerun
+    * compaction and the orphaned generation dirs are collected by
+    * [[gcGenerations]].
     */
   def compactKnnStore(spark: org.apache.spark.sql.SparkSession,
       basePath: String): Unit = {
     val base = new org.apache.hadoop.fs.Path(basePath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val idxRuns = graft.operators.EventOps.listIdDirs(fs, base, "index", "run=")
-    val gRuns = graft.operators.EventOps
-      .listIdDirs(fs, base, "graphcells", "run=")
+    val idxRuns = graft.operators.EventOps.listIdDirs(fs, base,
+      subDirName(fs, base, "index"), "run=")
+    val gRuns = graft.operators.EventOps.listIdDirs(fs, base,
+      subDirName(fs, base, "graphcells"), "run=")
     require(idxRuns.nonEmpty && gRuns.nonEmpty,
       "compactKnnStore: nothing to compact")
-    // write every consolidated store BEFORE any swap; tombstones are
-    // APPLIED here and GC'd after (single writer — no grace wait, the
-    // compactBm25Store argument at ANN grain)
+    val gen = currentGen(fs, base) + 1
+    clearGen(fs, base, gen, Seq("index", "graph", "graphcells", "deletes"))
+    // write every consolidated substore BEFORE the one-rename commit;
+    // tombstones are APPLIED here, and the new generation has no
+    // deletes dir (single writer — no grace wait, the compactBm25Store
+    // argument at ANN grain)
     val live = readKnnIndex(spark, basePath, emptyKnnIndex(spark), Long.MaxValue)
       .localCheckpoint(eager = false) // index flush + manifest
     live.repartitionByRange(col("cell")).sortWithinPartitions("cell")
       .write.mode("overwrite")
-      .parquet(s"$basePath/index__compact/run=${idxRuns.max}")
+      .parquet(s"$basePath/index.g$gen/run=${idxRuns.max}")
     readKnnGraph(spark, basePath)
       .repartitionByRange(col("cell")).sortWithinPartitions("cell")
       .write.mode("overwrite")
-      .parquet(s"$basePath/graph__compact/run=${gRuns.max}")
+      .parquet(s"$basePath/graph.g$gen/run=${gRuns.max}")
     // manifest = the consolidated index's populated cells: any cell a
     // delete emptied has no residents, no surviving rows in any run
-    // after the swap, and needs no manifest entry
+    // after the publish, and needs no manifest entry
     live.select(col("cell").cast("long").as("cell")).distinct()
       .write.mode("overwrite")
-      .parquet(s"$basePath/graphcells__compact/run=${gRuns.max}")
-    swapStoreDir(fs, base, "index", "compactKnnStore")
-    swapStoreDir(fs, base, "graph", "compactKnnStore")
-    swapStoreDir(fs, base, "graphcells", "compactKnnStore")
-    fs.delete(new org.apache.hadoop.fs.Path(base, "deletes"), true)
+      .parquet(s"$basePath/graphcells.g$gen/run=${gRuns.max}")
+    commitGen(fs, base, gen,
+      Seq("index", "graph", "graphcells", "deletes"), "compactKnnStore")
+    gcGenerations(fs, base, gen,
+      Seq("index", "graph", "graphcells", "deletes"))
   }
 
   /** REINDEX a [[knnGraphIngest]] store under a NEW codebook — the
@@ -673,11 +777,15 @@ object PipelineStream {
       maxPairs: Long = graft.pipeline.Similarity.DefaultMaxGraphPairs): Unit = {
     val base = new org.apache.hadoop.fs.Path(basePath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val idxRuns = graft.operators.EventOps.listIdDirs(fs, base, "index", "run=")
+    val idxRuns = graft.operators.EventOps.listIdDirs(fs, base,
+      subDirName(fs, base, "index"), "run=")
     require(idxRuns.nonEmpty, "reindexKnnStore: nothing to reindex")
     val runId = math.max(idxRuns.max,
-      graft.operators.EventOps.listIdDirs(fs, base, "graphcells", "run=")
+      graft.operators.EventOps.listIdDirs(fs, base,
+        subDirName(fs, base, "graphcells"), "run=")
         .foldLeft(0L)(math.max))
+    val gen = currentGen(fs, base) + 1
+    clearGen(fs, base, gen, Seq("index", "graph", "graphcells", "deletes"))
     val live = readKnnIndex(spark, basePath, emptyKnnIndex(spark), Long.MaxValue)
       .select(col("id"), col("embedding"))
       .localCheckpoint(eager = false) // assignment + vector join
@@ -688,22 +796,23 @@ object PipelineStream {
       .localCheckpoint(eager = false) // index flush + graph build + manifest
     // build the graph frame FIRST: knnGraphTable's occupancy guard is
     // eager, so a too-coarse target codebook fails here before any
-    // __compact residue is written
+    // unpublished-generation residue is written
     val newGraph = graft.pipeline.Similarity
       .knnGraphTable(newIdx, kNbrs, maxPairs)
     newIdx.repartitionByRange(col("cell")).sortWithinPartitions("cell")
-      .write.mode("overwrite").parquet(s"$basePath/index__compact/run=$runId")
+      .write.mode("overwrite").parquet(s"$basePath/index.g$gen/run=$runId")
     newGraph
       .repartitionByRange(col("cell")).sortWithinPartitions("cell")
-      .write.mode("overwrite").parquet(s"$basePath/graph__compact/run=$runId")
+      .write.mode("overwrite").parquet(s"$basePath/graph.g$gen/run=$runId")
     newIdx.select(col("cell").cast("long").as("cell")).distinct()
       .write.mode("overwrite")
-      .parquet(s"$basePath/graphcells__compact/run=$runId")
-    swapStoreDir(fs, base, "index", "reindexKnnStore")
-    // graph/graphcells may not exist yet on an index-only store
-    publishStoreDir(fs, base, "graph", "reindexKnnStore")
-    publishStoreDir(fs, base, "graphcells", "reindexKnnStore")
-    fs.delete(new org.apache.hadoop.fs.Path(base, "deletes"), true)
+      .parquet(s"$basePath/graphcells.g$gen/run=$runId")
+    // one atomic publish — an index-only store (no graph yet) needs no
+    // special case: the new generation defines all three substores
+    commitGen(fs, base, gen,
+      Seq("index", "graph", "graphcells", "deletes"), "reindexKnnStore")
+    gcGenerations(fs, base, gen,
+      Seq("index", "graph", "graphcells", "deletes"))
   }
 
   /** Ad-hoc ANN QUERY against a standing kNN store — the ONLINE read
@@ -760,15 +869,167 @@ object PipelineStream {
       basePath: String): DataFrame = {
     val base = new org.apache.hadoop.fs.Path(basePath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gcDir = subDirName(fs, base, "graphcells")
     if (graft.operators.EventOps
-        .listIdDirs(fs, base, "graphcells", "run=").isEmpty)
+        .listIdDirs(fs, base, gcDir, "run=").isEmpty)
       return spark.range(0).select(col("id").as("cell"), col("id"),
         col("id").as("rank"), col("id").as("nbr"))
-    val latest = spark.read.parquet(s"$basePath/graphcells")
+    val latest = spark.read.parquet(s"$basePath/$gcDir")
       .groupBy(col("cell")).agg(max(col("run")).as("run"))
-    spark.read.parquet(s"$basePath/graph")
+    spark.read.parquet(resolveSubPath(spark, basePath, "graph"))
       .join(broadcast(latest), Seq("cell", "run"))
       .select(col("cell"), col("id"), col("rank"), col("nbr"))
+  }
+
+  // ---- run-store snapshot / restore (VERDICT r17 task 3): the q43
+  // hard-link machinery extended to the standing pipeline artifacts
+  // (kNN index/graph/manifests, BM25 postings, positional postings,
+  // censuses — any store whose substores hold `run=<id>` children,
+  // including single-dir stores whose base IS the run dir). Reference
+  // analog: maint/ClusterSnapshotTask.java snapshots every CF;
+  // db/ColumnFamilyStore.java:1283-1330 hard-links immutable SSTables.
+
+  private val SnapshotsDir = "_snapshots"
+
+  /** The store's LIVE substore names (plain, generation-normalized) —
+    * dirs the current pointer references (or the plain legacy dirs at
+    * generation 0), hidden/residue dirs excluded.
+    */
+  private def liveSubs(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path): Seq[(String, org.apache.hadoop.fs.Path)] = {
+    val g = currentGen(fs, base)
+    fs.listStatus(base).toSeq.filter(_.isDirectory).map(_.getPath)
+      .flatMap { d =>
+        val n = d.getName
+        val residue = n.startsWith("_") || n.startsWith(".") ||
+          n.endsWith("__old") || n.endsWith("__compact") || n.endsWith("_next")
+        if (residue) None
+        else if (g == 0L) {
+          // legacy layout: plain dirs are live; any .g dirs are residue
+          if ("^(.+)\\.g([0-9]+)$".r.findFirstIn(n).isDefined) None
+          else Some((n, d))
+        } else if (n.endsWith(s".g$g")) Some((n.stripSuffix(s".g$g"), d))
+        else None
+      }
+  }
+
+  /** Snapshot a run store into `<base>/_snapshots/<name>/` by HARD
+    * LINK ([[graft.util.FsTrees.linkTree]] — O(#files), no data IO;
+    * immutable runs make a link a consistent full copy that survives
+    * later compaction/GC). The snapshot is GENERATION-NORMALIZED: it
+    * holds the live substores under their PLAIN names, so it reads
+    * directly as a legacy-layout store (`readKnnGraph(spark,
+    * snapshotPath)` just works) and restores onto any later
+    * generation.
+    *
+    * CONSISTENCY — the max-run-id cut: numeric run ids are listed
+    * across every live substore at ENTRY, R = their max; only runs
+    * with id ≤ R are linked, so an append landing mid-snapshot (its id
+    * is > R by the monotone-run-id contract) can not leave a torn
+    * suffix. DELETE batches write their tombstone run last, so run
+    * snapshots, like the store's own maintenance ops, are declared
+    * offline: stop the writer (the same single-writer contract as
+    * compaction — a snapshot that raced a delete batch could hold the
+    * recomputed graph without its tombstone run). Non-numeric run
+    * tags (the positional store's `run=compacted`) are always
+    * included. Idempotent per name: an existing snapshot of the same
+    * name is replaced. Returns the snapshot path.
+    */
+  def snapshotRunStore(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, name: String): String = {
+    require(name.nonEmpty && !name.contains("/"),
+      s"snapshotRunStore: bad snapshot name '$name'")
+    val base = new org.apache.hadoop.fs.Path(basePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(base), s"snapshotRunStore: no store at $basePath")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val snapDir = new org.apache.hadoop.fs.Path(base, s"$SnapshotsDir/$name")
+    fs.delete(snapDir, true)
+    def runDirs(d: org.apache.hadoop.fs.Path) =
+      fs.listStatus(d).toSeq.filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("run=")).map(_.getPath)
+    def runId(p: org.apache.hadoop.fs.Path): Option[Long] =
+      scala.util.Try(p.getName.stripPrefix("run=").toLong).toOption
+    // single-dir store: the base itself holds run= children
+    val baseRuns = runDirs(base)
+    val subs: Seq[(String, Seq[org.apache.hadoop.fs.Path])] =
+      if (baseRuns.nonEmpty) Seq(("", baseRuns))
+      else liveSubs(fs, base).map { case (plain, dir) => (plain, runDirs(dir)) }
+    require(subs.exists(_._2.nonEmpty),
+      s"snapshotRunStore: no run dirs under $basePath")
+    val cut = subs.flatMap(_._2).flatMap(runId).foldLeft(Long.MinValue)(math.max)
+    subs.foreach { case (plain, runs) =>
+      val dst = if (plain.isEmpty) snapDir
+        else new org.apache.hadoop.fs.Path(snapDir, plain)
+      runs.filter(r => runId(r).forall(_ <= cut)).foreach(r =>
+        graft.util.FsTrees.linkTree(r,
+          new org.apache.hadoop.fs.Path(dst, r.getName), conf))
+    }
+    snapDir.toString
+  }
+
+  /** Restore a run store from a [[snapshotRunStore]] snapshot. For a
+    * substore-layout store the restore is ATOMIC: the snapshot's runs
+    * are linked in as the NEXT generation and one pointer commit
+    * publishes them ([[commitGen]] — a reader sees the pre-restore
+    * store or the snapshot, never a mix; a crash mid-restore leaves
+    * the store untouched). A single-dir store (positional postings)
+    * restores by retire-and-link under the same stop-the-readers
+    * contract as its own compaction swap. Post-restore appends
+    * continue the lifecycle: run ids in the snapshot keep their
+    * numbers, so the monotone-id contract holds for ids above the
+    * snapshot's max.
+    */
+  def restoreRunStore(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, name: String): Unit = {
+    val base = new org.apache.hadoop.fs.Path(basePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val snapDir = new org.apache.hadoop.fs.Path(base, s"$SnapshotsDir/$name")
+    require(fs.exists(snapDir), s"restoreRunStore: no snapshot '$name' under $basePath")
+    val snapRuns = fs.listStatus(snapDir).toSeq.filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith("run=")).map(_.getPath)
+    if (snapRuns.nonEmpty) {
+      // single-dir store: retire the live run dirs, link the snapshot's
+      val old = new org.apache.hadoop.fs.Path(basePath + "__old")
+      fs.delete(old, true)
+      fs.mkdirs(old)
+      fs.listStatus(base).filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("run=")).foreach(st =>
+        require(fs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(old, st.getPath.getName)),
+          s"restoreRunStore: could not retire ${st.getPath}"))
+      snapRuns.foreach(r => graft.util.FsTrees.linkTree(r,
+        new org.apache.hadoop.fs.Path(base, r.getName), conf))
+      fs.delete(old, true)
+    } else {
+      val subs = fs.listStatus(snapDir).toSeq.filter(_.isDirectory)
+        .map(_.getPath)
+      require(subs.nonEmpty, s"restoreRunStore: empty snapshot '$name'")
+      val gen = currentGen(fs, base) + 1
+      val subNames = subs.map(_.getName)
+      clearGen(fs, base, gen, subNames)
+      subs.foreach(sd => graft.util.FsTrees.linkTree(sd,
+        new org.apache.hadoop.fs.Path(base, s"${sd.getName}.g$gen"), conf))
+      commitGen(fs, base, gen, subNames, "restoreRunStore")
+      // collect the replaced generation — the snapshot's substores plus
+      // the conventional names cover substores the snapshot lacks (a
+      // pre-restore deletes dir must not linger; anything truly exotic
+      // left behind is reported by RunIntegrity as superseded residue)
+      gcGenerations(fs, base, gen, (subNames ++
+        Seq("index", "graph", "graphcells", "deletes", "postings",
+          "doclens")).distinct)
+    }
+  }
+
+  /** List a store's [[snapshotRunStore]] snapshots by name. */
+  def listRunStoreSnapshots(spark: org.apache.spark.sql.SparkSession,
+      basePath: String): Seq[String] = {
+    val snaps = new org.apache.hadoop.fs.Path(basePath, SnapshotsDir)
+    val fs = snaps.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(snaps)) Seq.empty
+    else fs.listStatus(snaps).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
   }
 
   /** Streaming passage-fingerprint registry — the ingestion-state twin

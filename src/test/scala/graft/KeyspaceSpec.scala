@@ -526,4 +526,68 @@ class KeyspaceSpec extends SparkSpec {
     assert(!rep2.exists(r => r._1.contains("index__old") && r._2 == "unreadable"),
       rep2.mkString("\n"))
   }
+
+  test("storeStats: cfstats census over a store with known composition") {
+    val loc = new java.io.File("spark-warehouse/graft_ks9.db")
+    if (loc.exists()) new scala.reflect.io.Directory(loc).deleteRecursively()
+    val ks = Keyspace(spark, "graft_ks9")
+    try {
+      val meta = CfMeta("cfx")
+      // known composition: 3 value cells, 1 column tombstone, 1 row marker
+      ks.saveColumnFamily(cellsDf(Seq(
+        ins("k1", "c1", "v1", 1), ins("k1", "c2", "v2", 1),
+        ins("k2", "c1", "v3", 1), del("k2", "c9", 5), delRow("k3", 5))),
+        meta, buckets = 2)
+      ks.snapshot("cfx", "night", atMillis = 2000L)
+      val stats = ks.storeStats("cfx", withCellStats = true).collect()
+        .map(r => r.getString(1) -> r).toMap
+      assert(stats.keySet == Set("data", "hrow", "hsc"), stats.keySet)
+      val d = stats("data")
+      assert(d.getLong(2) > 0 && d.getLong(3) > 0, "files/bytes > 0")
+      assert(d.getLong(4) == 5, s"footer rows ${d.getLong(4)} != 5 cells")
+      assert(d.getLong(5) == 0, "no unreadable files")
+      assert(d.getLong(6) == 0, "flat store: no domain dirs")
+      assert(d.getLong(8) == 1, "one snapshot contains cfx")
+      assert(!d.isNullAt(9) && d.getBoolean(9), "sidecar written after data = fresh")
+      assert(d.getLong(10) == 3, "keys_est exact at this size: k1 k2 k3")
+      assert(d.getLong(11) == 3 && d.getLong(12) == 1 && d.getLong(13) == 1,
+        s"value/deleted/marker = ${(d.getLong(11), d.getLong(12), d.getLong(13))}")
+      // sidecar rows: 1 row horizon, 0 super horizons; CF-grain columns null
+      assert(stats("hrow").getLong(4) == 1 && stats("hsc").getLong(4) == 0)
+      assert(stats("hrow").isNullAt(9) && stats("hrow").isNullAt(10))
+      // metadata-only call works without the cell-stat aggregate
+      val cheap = ks.storeStats("cfx").collect().map(r => r.getString(1) -> r).toMap
+      assert(cheap("data").isNullAt(10) && cheap("data").getLong(4) == 5)
+      // staleness: clobber the data table without refreshing sidecars —
+      // saveColumnFamily refreshes them, so write into the table directly
+      Thread.sleep(5) // mtime granularity
+      spark.sql("INSERT INTO graft_ks9.cfx SELECT * FROM graft_ks9.cfx LIMIT 1")
+      val after = ks.storeStats("cfx").collect().map(r => r.getString(1) -> r).toMap
+      assert(!after("data").isNullAt(9) && !after("data").getBoolean(9),
+        "data newer than sidecar must report stale")
+    } finally ks.drop()
+  }
+
+  test("runKeys: one run's distinct decorated keys in token order; union covers the CF") {
+    val loc = new java.io.File("spark-warehouse/graft_ksa.db")
+    if (loc.exists()) new scala.reflect.io.Directory(loc).deleteRecursively()
+    val ks = Keyspace(spark, "graft_ksa")
+    try {
+      val meta = CfMeta("cfk")
+      ks.saveColumnFamily(cellsDf(Seq(
+        ins("k3", "c1", "v", 1), ins("k1", "c1", "v", 1), ins("k1", "c2", "v", 1),
+        ins("k2", "c1", "v", 1), delRow("k4", 5))), meta, buckets = 2)
+      val files = new java.io.File(loc, "cfk").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
+      assert(files.nonEmpty)
+      val perRun = files.map(f => ks.runKeys("cfk", f).collect()
+        .map(_.getString(1)).toSeq)
+      // distinct within a run (k1 has two cells), token-ordered
+      // (OrderPreserving: token = key), union = every key incl. the
+      // marker-only k4 (sstablekeys prints tombstoned rows' keys too)
+      perRun.foreach(ksq => assert(ksq == ksq.distinct.sorted, ksq))
+      assert(perRun.flatten.toSet == Set("k1", "k2", "k3", "k4"))
+      intercept[IllegalArgumentException](ks.runKeys("cfk", "nope.parquet"))
+    } finally ks.drop()
+  }
 }

@@ -114,6 +114,33 @@ class MaintenanceSpec extends SparkSpec {
     assert(!after.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
   }
 
+  test("hot-key row cache: save keys, fresh lens pre-warms, hot hits cache, cold falls through") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_keycache").toString
+    // warm session: hot set = the keys traffic actually touched
+    val warm = lens.withRowCache(Seq("a", "b"))
+    val plain = lens.getSlice("a", None, graft.operators.SliceRange(count = 10))
+    val hot = warm.getSlice("a", None, graft.operators.SliceRange(count = 10))
+    assert(liveValues(hot) == liveValues(plain))
+    assert(hot.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "hot key must serve from the cache")
+    // a COLD key still answers correctly through the same lens
+    val cold = warm.getSlice("c", None, graft.operators.SliceRange(count = 10))
+    assert(liveValues(cold) == Map("c1" -> "v"))
+    // shutdown: persist the CACHED key set (hot only, not the corpus)
+    warm.saveCachedKeys(s"$dir/keys")
+    warm.dropRowCache()
+    // restart: a FRESH lens pre-warms deterministically from the file
+    val fresh = new CassandraLens(cellsDf(cells), CfMeta("t"))
+    val loaded = fresh.loadCachedKeys(s"$dir/keys")
+    assert(loaded.sorted == Seq("a", "b"))
+    val rewarmed = fresh.withRowCache(loaded)
+    val re = rewarmed.getSlice("a", None, graft.operators.SliceRange(count = 10))
+    assert(liveValues(re) == liveValues(plain))
+    assert(re.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "re-warmed cache must serve hot reads")
+    rewarmed.dropRowCache()
+  }
+
   test("ReadColumnsLimit guard raises on pathological wide rows") {
     val wide = (1 to 20).map(i => ins("w", f"c$i%03d", "v", 1))
     val live = new CassandraLens(cellsDf(wide), CfMeta("t")).live

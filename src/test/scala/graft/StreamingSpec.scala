@@ -1200,7 +1200,8 @@ class StreamingSpec extends SparkSpec {
     // compact: runs consolidate under the max numeric id, readout
     // unchanged; a later batch fold continues the lifecycle
     graft.streaming.PipelineStream.compactKnnStore(spark, s"$base/store")
-    assert(spark.read.parquet(s"$base/store/index")
+    assert(spark.read.parquet(graft.streaming.PipelineStream
+        .resolveSubPath(spark, s"$base/store", "index"))
       .select($"run").distinct().count() == 1L)
     assert(rows(graft.streaming.PipelineStream
       .readKnnGraph(spark, s"$base/store")) == rows(oneShot))
@@ -1333,6 +1334,243 @@ class StreamingSpec extends SparkSpec {
     assert(rows(graft.streaming.PipelineStream.readKnnGraph(spark, store))
       == oneShot(pts.filterNot(p => p._1 == 9L || p._1 == 2L) :+ (9L, v(2, 0.6f))
         :+ (2L, v(2, 0.9f))))
+  }
+
+  test("atomic store publish: readers see the old or the new generation, never a mix") {
+    import spark.implicits._
+    val PS = graft.streaming.PipelineStream
+    val base = Files.createTempDirectory("graft_atomic").toString
+    val store = s"$base/store"
+    def v(c: Int, jit: Float) = Array.tabulate(4)(i =>
+      (if (i == c) 10f else 0f) + (if (i == 3) jit else 0f))
+    val pts = Seq(
+      (0L, v(0, 0.1f)), (3L, v(0, 0.2f)), (6L, v(0, 0.3f)),
+      (1L, v(1, 0.1f)), (4L, v(1, 0.2f)), (7L, v(1, 0.3f)))
+    val codebook = graft.pipeline.Similarity.refinedCentroids(
+      graft.pipeline.Similarity.kmeansStepExact(
+        pts.toDF("vec_id", "embedding"), "vec_id", "embedding", k = 2))
+      .localCheckpoint()
+    PS.knnGraphBatchFold(pts.take(3).toDF("vec_id", "embedding"), "vec_id",
+      "embedding", codebook, k = 2, kNbrs = 2, basePath = store, runId = 0L)
+    PS.knnGraphBatchFold(pts.drop(3).toDF("vec_id", "embedding"), "vec_id",
+      "embedding", codebook, k = 2, kNbrs = 2, basePath = store, runId = 1L)
+    def rows(d: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+      d.select("cell", "id", "rank", "nbr").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val before = rows(PS.readKnnGraph(spark, store))
+    assert(before.nonEmpty)
+    // a DELIBERATELY DIFFERENT generation 1 (one extra vector) so old
+    // and new readouts are distinguishable — planted dir by dir, the
+    // exact on-disk states a compaction/reindex crash passes through
+    val grown = pts :+ (9L, v(1, 0.4f))
+    val newIdx = graft.pipeline.Similarity.ivfIndexTable(
+      grown.toDF("vec_id", "embedding"), "vec_id", "embedding", codebook, 2)
+      .localCheckpoint()
+    val newGraph = graft.pipeline.Similarity.knnGraphTable(newIdx, 2)
+      .localCheckpoint()
+    val after = newGraph.select(col("cell"), col("id"), col("rank"),
+      col("nbr")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(after != before)
+    def readBoth(): (Set[(Long, Long, Long, Long)], Long) = {
+      val g = rows(PS.readKnnGraph(spark, store))
+      val n = PS.knnStoreQuery(spark, store,
+        grown.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        codebook, k = 2, nProbe = 2, topK = 1).count()
+      (g, n)
+    }
+    // boundary 1-3: generation dirs land one at a time, NO pointer yet
+    // — every read still resolves the legacy store, whole
+    newIdx.write.parquet(s"$store/index.g1/run=1")
+    assert(readBoth()._1 == before, "index.g1 alone must be invisible")
+    newGraph.write.parquet(s"$store/graph.g1/run=1")
+    assert(readBoth()._1 == before, "graph.g1 without pointer must be invisible")
+    newIdx.select(col("cell").cast("long").as("cell")).distinct()
+      .write.parquet(s"$store/graphcells.g1/run=1")
+    val (g3, n3) = readBoth()
+    assert(g3 == before, "complete but uncommitted generation must be invisible")
+    // RunIntegrity: the uncommitted generation reports as residue, the
+    // legacy store reports clean rows
+    val rep = graft.sources.RunIntegrity.validateStore(spark, store).collect()
+      .map(r => (r.getString(1), r.getString(3), r.getString(4)))
+    assert(rep.exists(r => r._1.contains("index.g1") && r._2 == "orphaned"
+      && r._3.contains("unpublished generation")), rep.mkString("\n"))
+    // THE commit boundary: one pointer file appears atomically
+    val fsp = new org.apache.hadoop.fs.Path(store)
+    val fs = fsp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(fsp, "CURRENT.1"), true)
+    out.write("""{"gen":1}""".getBytes("UTF-8")); out.close()
+    val (g4, n4) = readBoth()
+    assert(g4 == after, "committed generation must serve whole")
+    assert(n4 == grown.size.toLong)
+    // post-commit: the legacy dirs are now superseded residue
+    val rep2 = graft.sources.RunIntegrity.validateStore(spark, store).collect()
+      .map(r => (r.getString(1), r.getString(3), r.getString(4)))
+    assert(rep2.exists(r => r._1.endsWith("/index") && r._2 == "orphaned"
+      && r._3.contains("superseded")), rep2.mkString("\n"))
+    assert(!rep2.exists(r => r._1.contains("index.g1") && r._2 != "ok"),
+      rep2.mkString("\n"))
+  }
+
+  test("compactKnnStore end-to-end under the pointer: commit, GC, crashed-attempt rerun") {
+    import spark.implicits._
+    val PS = graft.streaming.PipelineStream
+    val base = Files.createTempDirectory("graft_atomic2").toString
+    val store = s"$base/store"
+    def v(c: Int, jit: Float) = Array.tabulate(4)(i =>
+      (if (i == c) 10f else 0f) + (if (i == 3) jit else 0f))
+    val pts = Seq(
+      (0L, v(0, 0.1f)), (3L, v(0, 0.2f)), (6L, v(0, 0.3f)),
+      (1L, v(1, 0.1f)), (4L, v(1, 0.2f)), (7L, v(1, 0.3f)))
+    val codebook = graft.pipeline.Similarity.refinedCentroids(
+      graft.pipeline.Similarity.kmeansStepExact(
+        pts.toDF("vec_id", "embedding"), "vec_id", "embedding", k = 2))
+      .localCheckpoint()
+    PS.knnGraphBatchFold(pts.take(3).toDF("vec_id", "embedding"), "vec_id",
+      "embedding", codebook, k = 2, kNbrs = 2, basePath = store, runId = 0L)
+    PS.knnGraphBatchFold(pts.drop(3).toDF("vec_id", "embedding"), "vec_id",
+      "embedding", codebook, k = 2, kNbrs = 2, basePath = store, runId = 1L)
+    PS.knnStoreDelete(spark, store, Seq(7L).toDF("id"), kNbrs = 2, runId = 2L)
+    def rows(d: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+      d.select("cell", "id", "rank", "nbr").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val before = rows(PS.readKnnGraph(spark, store))
+    // a CRASHED earlier attempt left garbage inside the upcoming
+    // generation — the rerun must clear it, not union it in
+    Seq((99L, 5L)).toDF("a", "b").write.parquet(s"$store/index.g1/run=77")
+    PS.compactKnnStore(spark, store)
+    val fsp = new org.apache.hadoop.fs.Path(store)
+    val fs = fsp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(fsp, "CURRENT.1")))
+    // GC: legacy dirs and tombstones gone; crashed-attempt run gone
+    for (d <- Seq("index", "graph", "graphcells", "deletes",
+        "index.g1/run=77", "deletes.g1"))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(fsp, d)), s"$d survives")
+    assert(rows(PS.readKnnGraph(spark, store)) == before)
+    // lifecycle continues INTO the generation dirs; second compaction
+    // advances the pointer and collects generation 1
+    val more = Seq((20L, v(0, 0.4f)), (21L, v(0, 0.5f)))
+    PS.knnGraphBatchFold(more.toDF("vec_id", "embedding"), "vec_id",
+      "embedding", codebook, k = 2, kNbrs = 2, basePath = store, runId = 9L)
+    val grown = rows(PS.readKnnGraph(spark, store))
+    PS.compactBm25Store _ // (unused ref guard against typos)
+    PS.compactKnnStore(spark, store)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(fsp, "CURRENT.2")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(fsp, "CURRENT.1")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(fsp, "index.g1")))
+    assert(rows(PS.readKnnGraph(spark, store)) == grown)
+    // the compacted store is CLEAN: integrity reports no non-ok rows
+    val rep = graft.sources.RunIntegrity.validateStore(spark, store)
+      .filter(col("status") =!= "ok").collect()
+    assert(rep.isEmpty, rep.mkString("\n"))
+  }
+
+  test("snapshotRunStore/restoreRunStore: kNN store round trip — snapshot, mutate, atomic restore, lifecycle continues") {
+    import spark.implicits._
+    val PS = graft.streaming.PipelineStream
+    val base = Files.createTempDirectory("graft_snaprt").toString
+    val store = s"$base/store"
+    def v(c: Int, jit: Float) = Array.tabulate(4)(i =>
+      (if (i == c) 10f else 0f) + (if (i == 3) jit else 0f))
+    val pts = Seq(
+      (0L, v(0, 0.1f)), (3L, v(0, 0.2f)), (6L, v(0, 0.3f)),
+      (1L, v(1, 0.1f)), (4L, v(1, 0.2f)), (7L, v(1, 0.3f)),
+      (2L, v(2, 0.1f)), (9L, v(2, 0.2f)))
+    val codebook = graft.pipeline.Similarity.refinedCentroids(
+      graft.pipeline.Similarity.kmeansStepExact(
+        pts.toDF("vec_id", "embedding"), "vec_id", "embedding", k = 3))
+      .localCheckpoint()
+    PS.knnGraphBatchFold(pts.take(4).toDF("vec_id", "embedding"), "vec_id",
+      "embedding", codebook, k = 3, kNbrs = 2, basePath = store, runId = 0L)
+    PS.knnGraphBatchFold(pts.drop(4).toDF("vec_id", "embedding"), "vec_id",
+      "embedding", codebook, k = 3, kNbrs = 2, basePath = store, runId = 1L)
+    PS.knnStoreDelete(spark, store, Seq(9L).toDF("id"), kNbrs = 2, runId = 2L)
+    def rows(d: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+      d.select("cell", "id", "rank", "nbr").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val before = rows(PS.readKnnGraph(spark, store))
+    val snap = PS.snapshotRunStore(spark, store, "pre")
+    assert(PS.listRunStoreSnapshots(spark, store) == Seq("pre"))
+    // the snapshot reads DIRECTLY as a (legacy-layout) store — deletes
+    // runs included, so the tombstone still shadows
+    assert(rows(PS.readKnnGraph(spark, snap)) == before)
+    // mutate the live store past recognition: another delete + compact
+    // (the store advances to generation 1)
+    PS.knnStoreDelete(spark, store, Seq(0L, 3L).toDF("id"), kNbrs = 2,
+      runId = 3L)
+    PS.compactKnnStore(spark, store)
+    assert(rows(PS.readKnnGraph(spark, store)) != before)
+    // atomic restore: publishes the snapshot as generation 2
+    PS.restoreRunStore(spark, store, "pre")
+    assert(rows(PS.readKnnGraph(spark, store)) == before)
+    // the snapshot survives the restore's GC (hard links keep inodes)
+    assert(rows(PS.readKnnGraph(spark, snap)) == before)
+    // lifecycle continues above the restored max run id
+    val more = Seq((20L, v(2, 0.4f)))
+    PS.knnGraphBatchFold(more.toDF("vec_id", "embedding"), "vec_id",
+      "embedding", codebook, k = 3, kNbrs = 2, basePath = store, runId = 9L)
+    assert(rows(PS.readKnnGraph(spark, store)) ==
+      rows(graft.pipeline.Similarity.knnGraphTable(
+        graft.pipeline.Similarity.ivfIndexTable(
+          (pts.filterNot(_._1 == 9L) ++ more).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", codebook, 3), 2)))
+    // integrity: the restored store is clean (snapshots are hidden)
+    val rep = graft.sources.RunIntegrity.validateStore(spark, store)
+      .filter(col("status") =!= "ok").collect()
+    assert(rep.isEmpty, rep.mkString("\n"))
+  }
+
+  test("snapshotRunStore: BM25 store and single-dir positional store round trips") {
+    import spark.implicits._
+    val PS = graft.streaming.PipelineStream
+    // ---- BM25 store ----
+    val base = Files.createTempDirectory("graft_snapbm").toString
+    val store = s"$base/store"
+    val docs = Seq((1L, "rare filler filler"), (2L, "rare extra extra"),
+      (3L, "common filler filler"), (5L, "common common filler"))
+    val df = docs.toDF("doc_id", "text")
+    Seq(0, 1).foreach { r =>
+      val part = df.filter($"doc_id" % 2 === r)
+      graft.pipeline.TextAnalysis.bm25Postings(part, "doc_id", "text")
+        .write.parquet(s"$store/postings/run=$r")
+      graft.pipeline.TextAnalysis.bm25DocLens(part, "doc_id", "text")
+        .write.parquet(s"$store/doclens/run=$r")
+    }
+    PS.bm25DeleteDocs(Seq(3L).toDF("id"), store, runId = 2L)
+    def rks() = graft.pipeline.TextAnalysis.bm25TopKIndexed(
+      PS.readBm25Postings(spark, store), PS.readBm25DocLens(spark, store),
+      "rare common", k = 6).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val before = rks()
+    PS.snapshotRunStore(spark, store, "nightly")
+    // mutate: delete another doc AND compact (generation advances)
+    PS.bm25DeleteDocs(Seq(1L).toDF("id"), store, runId = 3L)
+    PS.compactBm25Store(spark, store)
+    assert(rks() != before)
+    PS.restoreRunStore(spark, store, "nightly")
+    assert(rks() == before)
+
+    // ---- single-dir positional postings store ----
+    val pbase = Files.createTempDirectory("graft_snappos").toString
+    val pstore = s"$pbase/postings"
+    val pdocs = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"))
+    graft.pipeline.TextAnalysis.appendPositionalPostings(
+      pdocs.toDF("doc_id", "text"), "doc_id", "text", pstore, runTag = "0")
+    // compact first so the snapshot carries a NON-NUMERIC run tag (the
+    // max-run-id cut must include it)
+    graft.pipeline.TextAnalysis.compactPositionalPostings(spark, pstore)
+    def phrase() = graft.pipeline.TextAnalysis.phraseMatchesIndexed(
+      spark.read.parquet(pstore), "beta gamma").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val pBefore = phrase()
+    assert(pBefore == Seq(1L, 2L))
+    PS.snapshotRunStore(spark, pstore, "pre")
+    graft.pipeline.TextAnalysis.appendPositionalPostings(
+      Seq((9L, "beta gamma")).toDF("doc_id", "text"), "doc_id", "text",
+      pstore, runTag = "9")
+    assert(phrase() == Seq(1L, 2L, 9L))
+    PS.restoreRunStore(spark, pstore, "pre")
+    assert(phrase() == pBefore)
   }
 
   test("reindexKnnStore: live store re-assigns under a new codebook; lifecycle continues; guard prices the rebuild") {
@@ -1496,9 +1734,12 @@ class StreamingSpec extends SparkSpec {
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/deletes")))
-    assert(spark.read.parquet(s"$store/postings")
+    def sub(n: String) =
+      graft.streaming.PipelineStream.resolveSubPath(spark, store, n)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(sub("deletes"))))
+    assert(spark.read.parquet(sub("postings"))
       .select($"run").distinct().count() == 1L)
-    assert(spark.read.parquet(s"$store/doclens")
+    assert(spark.read.parquet(sub("doclens"))
       .filter($"id".isin(3L, 4L)).isEmpty)
     assert(masked() == adhoc)
   }
