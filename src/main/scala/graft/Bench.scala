@@ -205,6 +205,7 @@ object Bench {
         .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
     }
     val sentinels = scala.collection.mutable.ArrayBuffer[Long]()
+    val jobSentinels = scala.collection.mutable.ArrayBuffer[Long]()
     def sentinel(): Unit = {
       val conf = spark.sparkContext.hadoopConfiguration
       val t0 = System.nanoTime()
@@ -217,6 +218,18 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1000000L
       require(n == 6400L, s"sentinel store corrupt: $n rows")
       sentinels += dt
+      // second component: the SAME fixed work as a Spark job (64-file
+      // scan + tiny shuffle) — CPU/scheduler contention shows here
+      // where the driver-side footer loop only sees storage latency
+      // (the contended-vs-quiet local cross-check moved the footer loop
+      // barely 1.2× while legs swung 3×+). refreshByPath defeats the
+      // session FileStatusCache so listing is paid every sample.
+      spark.catalog.refreshByPath(s"$sentinelDir/s")
+      val t1 = System.nanoTime()
+      val c = spark.read.parquet(s"$sentinelDir/s")
+        .groupBy(col("id") % 7).count().count()
+      require(c == 7L, s"sentinel job wrong: $c groups")
+      jobSentinels += (System.nanoTime() - t1) / 1000000L
     }
     sentinel() // suite start
 
@@ -804,8 +817,9 @@ object Bench {
     // start/middle/end fixed-work IO probe (ms) — the contention
     // adjudication datum (see the sentinel scaladoc above)
     val sentStr = sentinels.map(_.toString).mkString("[", ",", "]")
+    val sentJobStr = jobSentinels.map(_.toString).mkString("[", ",", "]")
     val detail =
-      s"""{"detail":{"rows":$rs,"spread":$sp,"io":$io,"latency":$lat,"skipped":$skipped,"skip_unmatched":$skipUnmatched,"sentinel_ms":$sentStr},"sf":"$sfDir"}"""
+      s"""{"detail":{"rows":$rs,"spread":$sp,"io":$io,"latency":$lat,"skipped":$skipped,"skip_unmatched":$skipUnmatched,"sentinel_ms":$sentStr,"sentinel_job_ms":$sentJobStr},"sf":"$sfDir"}"""
     try Files.write(java.nio.file.Paths.get("BENCH_SIDECAR.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
