@@ -155,6 +155,13 @@ class CassandraLens(
     */
   def saveRowCache(path: String): Unit = {
     require(cachedLive.nonEmpty, "no row cache attached — call withRowCache() first")
+    // a hot-key PARTIAL cache must not save here: cachedLive is the
+    // hot∪cold union, so this write would materialize the whole
+    // reconciled view (corpus-sized at 100 TB) and a later
+    // withRowCacheFrom would serve ONLY the saved subset as if it were
+    // the full view — the partial cache's save unit is its KEY SET
+    require(cachedFrame.isEmpty, "partial hot-key cache: persist the key " +
+      "set via saveCachedKeys and re-warm with withRowCache(hotKeys)")
     cachedLive.get.sortWithinPartitions("key", "super_name", "col_name")
       .write.mode("overwrite").parquet(path)
   }
@@ -588,7 +595,9 @@ class CassandraLens(
   def compactWithCacheRefresh(gcBeforeSeconds: Int,
       savedCachePath: Option[String] = None,
       processors: Seq[Compaction.RowProcessor] = Nil): CassandraLens = {
-    cachedLive.foreach(_.unpersist())
+    // unpersist the REAL cache (the hot frame on a partial cache — the
+    // served union was never .cache()d), same rule as dropRowCache
+    cachedFrame.orElse(cachedLive).foreach(_.unpersist())
     val refreshed = compact(gcBeforeSeconds, processors).withRowCache()
     savedCachePath.foreach(refreshed.saveRowCache)
     refreshed

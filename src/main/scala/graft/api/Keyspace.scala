@@ -462,17 +462,15 @@ class Keyspace(val spark: SparkSession, val name: String) {
       else fs.listStatus(snapshotsRoot).count(st => st.isDirectory &&
         fs.exists(new Path(st.getPath, cf))).toLong
     }
-    def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
     // one listing pass per store: visible parquet files (path, len,
     // mtime) + domain-directory fan-out — metadata-scale, like the
-    // reference's MBean reads
+    // reference's MBean reads; the walker (and its hidden/residue name
+    // conventions) is the shared graft.util.FsTrees definition
     def listing(loc: Path): (Seq[(String, Long, Long)], Long) = {
       val fs = loc.getFileSystem(hconf)
       if (!fs.exists(loc)) return (Nil, 0L)
-      def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
-        fs.listStatus(p).toSeq.filter(st => visible(st.getPath.getName))
-          .flatMap(st => if (st.isDirectory) walk(st.getPath) else Seq(st))
-      val files = walk(loc).filter(_.getPath.getName.endsWith(".parquet"))
+      val files = graft.util.FsTrees.walkFiles(fs, loc)
+        .filter(_.getPath.getName.endsWith(".parquet"))
         .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
       val domains = fs.listStatus(loc).count(st => st.isDirectory &&
         st.getPath.getName.startsWith("domain=")).toLong
@@ -533,13 +531,16 @@ class Keyspace(val spark: SparkSession, val name: String) {
     val meta = columnFamilyMeta(cf)
     val loc = tableLocation(tableName(cf))
     val fs = loc.getFileSystem(hconf)
-    def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
-    def walk(p: Path): Seq[Path] =
-      fs.listStatus(p).toSeq.filter(st => visible(st.getPath.getName))
-        .flatMap(st => if (st.isDirectory) walk(st.getPath) else Seq(st.getPath))
-    val matches = walk(loc)
+    val matches = graft.util.FsTrees.walkFiles(fs, loc).map(_.getPath)
       .filter(p => p.getName == run || p.toString == run)
     require(matches.nonEmpty, s"runKeys: no file '$run' under $loc")
+    // sstablekeys enumerates ONE run: a bare name that matches several
+    // files (domainSplit writes identical part names into every
+    // domain= dir) would silently merge runs — demand the full path
+    require(matches.size == 1, s"runKeys: '$run' is ambiguous (" +
+      s"${matches.size} files — a domainSplit layout repeats part " +
+      s"names across domains); pass the full path: " +
+      matches.take(3).mkString(", "))
     spark.read.parquet(matches.map(_.toString): _*)
       .select(col("key")).distinct()
       .withColumn("token",

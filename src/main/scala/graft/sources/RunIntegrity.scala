@@ -114,8 +114,8 @@ object RunIntegrity {
               "live store is verified"))
         else
           rows += ((store, d.toString, "dir", "mismatch",
-            s"no live '$live' sibling — interrupted swap; rename this " +
-              "__old back (compactKnnStore crash-recovery rule)"))
+            s"no live '$live' sibling — interrupted legacy swap or " +
+              "single-dir restore; rename this __old back"))
       } else if (n.endsWith("__compact") || n.startsWith(".compacting-") ||
         n.endsWith("_next")) {
         rows += ((store, d.toString, "dir", "orphaned",
@@ -193,8 +193,7 @@ object RunIntegrity {
     // healthy live store as corrupt.
     def visible(p: Path): Boolean = {
       val n = p.getName
-      !n.startsWith("_") && !n.startsWith(".") &&
-        !n.endsWith("__old") && !n.endsWith("__compact") && !n.endsWith("_next")
+      graft.util.FsTrees.readerVisible(n) && !graft.util.FsTrees.residueName(n)
     }
     def walkDirs(p: Path): Seq[Path] =
       p +: ls(p).filter(_.isDirectory).map(_.getPath)

@@ -58,12 +58,16 @@ object PipelineStream {
       if (!batch.isEmpty) {
         val b = batch.localCheckpoint() // tokenized twice below
         val s = b.sparkSession
+        val sfx = genSuffix(
+          new org.apache.hadoop.fs.Path(basePath).getFileSystem(
+            s.sparkContext.hadoopConfiguration),
+          new org.apache.hadoop.fs.Path(basePath))
         TextAnalysis.bm25Postings(b, idCol, textCol)
           .write.mode("overwrite")
-          .parquet(s"${resolveSubPath(s, basePath, "postings")}/run=$id")
+          .parquet(s"$basePath/postings$sfx/run=$id")
         TextAnalysis.bm25DocLens(b, idCol, textCol)
           .write.mode("overwrite")
-          .parquet(s"${resolveSubPath(s, basePath, "doclens")}/run=$id")
+          .parquet(s"$basePath/doclens$sfx/run=$id")
       }
     }
 
@@ -127,12 +131,23 @@ object PipelineStream {
     else fs.listStatus(base).iterator.filter(_.isFile)
       .flatMap(st => pointerGen(st.getPath.getName)).foldLeft(0L)(math.max)
 
+  /** "" at generation 0, ".g<gen>" under a committed pointer. Resolve
+    * ONCE per fold/maintenance invocation (one base listing) and derive
+    * every substore path from it — the generation cannot change
+    * mid-batch under the single-writer contract, and per-path
+    * resolution would cost one listing RPC per substore per batch on
+    * an object store.
+    */
+  private def genSuffix(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path): String = {
+    val g = currentGen(fs, base)
+    if (g == 0L) "" else s".g$g"
+  }
+
   /** A substore's live directory NAME under the pointer protocol. */
   private def subDirName(fs: org.apache.hadoop.fs.FileSystem,
-      base: org.apache.hadoop.fs.Path, sub: String): String = {
-    val g = currentGen(fs, base)
-    if (g == 0L) sub else s"$sub.g$g"
-  }
+      base: org.apache.hadoop.fs.Path, sub: String): String =
+    sub + genSuffix(fs, base)
 
   /** A substore's live directory PATH (string form every read/write
     * path builds on). PUBLIC: tools (snapshot, integrity, specs)
@@ -189,6 +204,11 @@ object PipelineStream {
       val n = st.getPath.getName
       val stale =
         pointerGen(n).exists(_ < keepGen) ||
+          // a commit crashed between create and rename leaves the
+          // hidden tmp pointer — collect it here (readers never parse
+          // it, but the protocol reports or removes ALL residue)
+          (st.isFile && n.startsWith("." + PointerPrefix) &&
+            n.endsWith(".tmp")) ||
           (st.isDirectory && subs.exists(s =>
             n == s || scala.util.Try(
               n.stripPrefix(s + ".g").toLong).toOption.exists(g =>
@@ -283,12 +303,16 @@ object PipelineStream {
           bm25DeleteDocs(dels, basePath, 2 * id)
         if (!adds.isEmpty) {
           val s = b.sparkSession
+          val sfx = genSuffix(
+            new org.apache.hadoop.fs.Path(basePath).getFileSystem(
+              s.sparkContext.hadoopConfiguration),
+            new org.apache.hadoop.fs.Path(basePath))
           TextAnalysis.bm25Postings(adds, "id", "text")
             .write.mode("overwrite")
-            .parquet(s"${resolveSubPath(s, basePath, "postings")}/run=${2 * id + 1}")
+            .parquet(s"$basePath/postings$sfx/run=${2 * id + 1}")
           TextAnalysis.bm25DocLens(adds, "id", "text")
             .write.mode("overwrite")
-            .parquet(s"${resolveSubPath(s, basePath, "doclens")}/run=${2 * id + 1}")
+            .parquet(s"$basePath/doclens$sfx/run=${2 * id + 1}")
         }
       }
     }
@@ -552,15 +576,19 @@ object PipelineStream {
     // partial run=runId dirs that the rerun overwrites and no earlier
     // read ever includes. Full consistency is still only guaranteed at
     // batch boundaries (single-writer contract).
+    val sfx = genSuffix(
+      new org.apache.hadoop.fs.Path(basePath).getFileSystem(
+        s.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(basePath))
     d.write.mode("overwrite")
-      .parquet(s"${resolveSubPath(s, basePath, "index")}/run=$runId")
+      .parquet(s"$basePath/index$sfx/run=$runId")
     graft.pipeline.Similarity
       .knnGraphTouchedWithCells(standing, d, cells, kNbrs, maxTouchedRows)
       .write.mode("overwrite")
-      .parquet(s"${resolveSubPath(s, basePath, "graph")}/run=$runId")
+      .parquet(s"$basePath/graph$sfx/run=$runId")
     cells.map(_.asInstanceOf[Number].longValue).toDF("cell")
       .write.mode("overwrite")
-      .parquet(s"${resolveSubPath(s, basePath, "graphcells")}/run=$runId")
+      .parquet(s"$basePath/graphcells$sfx/run=$runId")
   }
 
   /** TWO-SOURCE streaming kNN-store maintenance — the production
@@ -669,6 +697,10 @@ object PipelineStream {
   def knnStoreDelete(spark: org.apache.spark.sql.SparkSession,
       basePath: String, ids: DataFrame, kNbrs: Int, runId: Long,
       maxTouchedRows: Long = 5000000L): Unit = {
+    val sfx = genSuffix(
+      new org.apache.hadoop.fs.Path(basePath).getFileSystem(
+        spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(basePath))
     val del = ids.select(col("id")).localCheckpoint() // probe + flush
     val standing = readKnnIndex(spark, basePath, emptyKnnIndex(spark), runId)
       .localCheckpoint(eager = false) // touched probe + live recompute
@@ -684,13 +716,13 @@ object PipelineStream {
           s"$maxTouchedRows — delete in slices")
       graft.pipeline.Similarity.knnGraphTable(live, kNbrs)
         .write.mode("overwrite")
-        .parquet(s"${resolveSubPath(spark, basePath, "graph")}/run=$runId")
+        .parquet(s"$basePath/graph$sfx/run=$runId")
       touchedCells.select(col("cell").cast("long").as("cell"))
         .write.mode("overwrite")
-        .parquet(s"${resolveSubPath(spark, basePath, "graphcells")}/run=$runId")
+        .parquet(s"$basePath/graphcells$sfx/run=$runId")
     }
     del.write.mode("overwrite")
-      .parquet(s"${resolveSubPath(spark, basePath, "deletes")}/run=$runId")
+      .parquet(s"$basePath/deletes$sfx/run=$runId")
   }
 
   /** Compact a [[knnGraphIngest]] store — the p262 publish-then-swap
@@ -922,17 +954,16 @@ object PipelineStream {
     * snapshotPath)` just works) and restores onto any later
     * generation.
     *
-    * CONSISTENCY — the max-run-id cut: numeric run ids are listed
-    * across every live substore at ENTRY, R = their max; only runs
-    * with id ≤ R are linked, so an append landing mid-snapshot (its id
-    * is > R by the monotone-run-id contract) can not leave a torn
-    * suffix. DELETE batches write their tombstone run last, so run
-    * snapshots, like the store's own maintenance ops, are declared
-    * offline: stop the writer (the same single-writer contract as
-    * compaction — a snapshot that raced a delete batch could hold the
+    * CONSISTENCY — the entry-time run cut: every live substore's run
+    * set is LISTED at entry, before any link, so an append landing
+    * mid-snapshot (always a larger run id under the monotone
+    * contract) is simply not in the listed set and can not leave a
+    * torn suffix. Cross-substore atomicity within one batch is the
+    * OFFLINE contract: stop the writer (the same single-writer rule
+    * as compaction — a snapshot racing a delete batch could hold the
     * recomputed graph without its tombstone run). Non-numeric run
-    * tags (the positional store's `run=compacted`) are always
-    * included. Idempotent per name: an existing snapshot of the same
+    * tags (the positional store's `run=compacted`) are included like
+    * any other. Idempotent per name: an existing snapshot of the same
     * name is replaced. Returns the snapshot path.
     */
   def snapshotRunStore(spark: org.apache.spark.sql.SparkSession,
@@ -948,8 +979,6 @@ object PipelineStream {
     def runDirs(d: org.apache.hadoop.fs.Path) =
       fs.listStatus(d).toSeq.filter(st => st.isDirectory &&
         st.getPath.getName.startsWith("run=")).map(_.getPath)
-    def runId(p: org.apache.hadoop.fs.Path): Option[Long] =
-      scala.util.Try(p.getName.stripPrefix("run=").toLong).toOption
     // single-dir store: the base itself holds run= children
     val baseRuns = runDirs(base)
     val subs: Seq[(String, Seq[org.apache.hadoop.fs.Path])] =
@@ -957,11 +986,15 @@ object PipelineStream {
       else liveSubs(fs, base).map { case (plain, dir) => (plain, runDirs(dir)) }
     require(subs.exists(_._2.nonEmpty),
       s"snapshotRunStore: no run dirs under $basePath")
-    val cut = subs.flatMap(_._2).flatMap(runId).foldLeft(Long.MinValue)(math.max)
+    // the cut IS the entry-time listing: every substore's run set was
+    // materialized above before any link, so a run landing after entry
+    // (always a larger id under the monotone contract) is simply not in
+    // `subs`. Atomicity across substores within one batch is the
+    // OFFLINE contract (stop the writer), same as compaction.
     subs.foreach { case (plain, runs) =>
       val dst = if (plain.isEmpty) snapDir
         else new org.apache.hadoop.fs.Path(snapDir, plain)
-      runs.filter(r => runId(r).forall(_ <= cut)).foreach(r =>
+      runs.foreach(r =>
         graft.util.FsTrees.linkTree(r,
           new org.apache.hadoop.fs.Path(dst, r.getName), conf))
     }
@@ -1008,7 +1041,14 @@ object PipelineStream {
       require(subs.nonEmpty, s"restoreRunStore: empty snapshot '$name'")
       val gen = currentGen(fs, base) + 1
       val subNames = subs.map(_.getName)
-      clearGen(fs, base, gen, subNames)
+      // clear the CONVENTIONAL substores too, not just the snapshot's:
+      // a crashed earlier restore of a DIFFERENT snapshot at this same
+      // generation number may have left a substore (e.g. deletes.g<gen>)
+      // this snapshot doesn't carry — publishing would atomically
+      // resurrect its tombstones over the restored view
+      clearGen(fs, base, gen, (subNames ++
+        Seq("index", "graph", "graphcells", "deletes", "postings",
+          "doclens")).distinct)
       subs.foreach(sd => graft.util.FsTrees.linkTree(sd,
         new org.apache.hadoop.fs.Path(base, s"${sd.getName}.g$gen"), conf))
       commitGen(fs, base, gen, subNames, "restoreRunStore")

@@ -17,6 +17,32 @@ import org.apache.hadoop.fs.{FileUtil, Path}
   */
 object FsTrees {
 
+  /** Reader-visible name: hidden (`_`/`.`-prefixed) entries are
+    * invisible to Spark readers — the ONE definition every walker
+    * (integrity, census, key enumeration) shares.
+    */
+  def readerVisible(n: String): Boolean =
+    !n.startsWith("_") && !n.startsWith(".")
+
+  /** Maintenance-residue dir names (retired/unpublished output a
+    * reader never opens): legacy swap leftovers and staging dirs.
+    */
+  def residueName(n: String): Boolean =
+    n.endsWith("__old") || n.endsWith("__compact") || n.endsWith("_next")
+
+  /** All reader-visible FILES under `p`, recursing only into
+    * reader-visible, non-residue directories.
+    */
+  def walkFiles(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (!readerVisible(n) || residueName(n)) Nil
+      else if (st.isDirectory) walkFiles(fs, st.getPath)
+      else Seq(st)
+    }
+
   /** Recursively clone `src` into `dst`, hard-linking files when the
     * filesystem supports it (local/posix), copying otherwise.
     */
