@@ -5510,6 +5510,30 @@ object SparkEntry {
         .select(col("gram"), col("occurrences"), col("doc_freq"))
     }),
 
+    // Run-store snapshot/restore at PLAIN-READER grain (the p304
+    // machinery on a census store): the p235 additive census as two
+    // runs, snapshotted, then CORRUPTED by a duplicate run (sums would
+    // double-count half the corpus), then restored by retire-and-link
+    // (census readers open plain dir names — the pointer path is for
+    // pointer-aware stores only). Readout ≡ p235/p31's oracle.
+    "p305_census_restored" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        .localCheckpoint(eager = false) // two halves + the mutation run
+      val store = s"${freshTmpStore(s, "p305", dir)}/store"
+      def run(f: DataFrame, id: Long): Unit =
+        graft.pipeline.TextAnalysis.ngramStatsTable(f, "doc_id", "text", 3)
+          .write.mode("overwrite").parquet(s"$store/census/run=$id")
+      run(docs.filter(col("doc_id") % 2 === 0), 0L)
+      run(docs.filter(col("doc_id") % 2 === 1), 1L)
+      graft.streaming.PipelineStream.snapshotRunStore(s, store, "pre")
+      run(docs.filter(col("doc_id") % 2 === 1), 2L) // double-count mutation
+      graft.streaming.PipelineStream.restoreRunStore(s, store, "pre")
+      graft.pipeline.TextAnalysis.ngramTopK(
+        graft.streaming.PipelineStream.readNgramCensus(s, store), 50)
+        .select(col("gram"), col("occurrences"), col("doc_freq"))
+    }),
+
     // Multimodal plumbing: opaque binary column → batched feature
     // extraction (decode step STUBBED — see Multimodal.decodeStub).
     // REAL image decode (javax.imageio): per-doc deterministic gray PNG
@@ -10516,6 +10540,9 @@ object SparkEntry {
 
     "p31_ngram_stats" -> ngramStatsOracleSql,
     "p235_stream_ngram_census" -> ngramStatsOracleSql,
+    // p305: snapshot → duplicate-run corruption → restore lands back on
+    // the additive census — same oracle as p31/p235.
+    "p305_census_restored" -> ngramStatsOracleSql,
 
     "p12_multimodal" ->
       """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),

@@ -1002,16 +1002,18 @@ object PipelineStream {
   }
 
   /** Restore a run store from a [[snapshotRunStore]] snapshot. For a
-    * substore-layout store the restore is ATOMIC: the snapshot's runs
-    * are linked in as the NEXT generation and one pointer commit
-    * publishes them ([[commitGen]] — a reader sees the pre-restore
-    * store or the snapshot, never a mix; a crash mid-restore leaves
-    * the store untouched). A single-dir store (positional postings)
-    * restores by retire-and-link under the same stop-the-readers
-    * contract as its own compaction swap. Post-restore appends
-    * continue the lifecycle: run ids in the snapshot keep their
-    * numbers, so the monotone-id contract holds for ids above the
-    * snapshot's max.
+    * POINTER-AWARE store (the kNN/BM25 substore families, or any store
+    * already generation-committed) the restore is ATOMIC: the
+    * snapshot's runs are linked in as the NEXT generation and one
+    * pointer commit publishes them ([[commitGen]] — a reader sees the
+    * pre-restore store or the snapshot, never a mix; a crash
+    * mid-restore leaves the store untouched). A PLAIN-READER store
+    * (censuses, registries — their readers open plain dir names) and a
+    * single-dir store (positional postings) restore by retire-and-link
+    * under the stop-the-readers contract their own maintenance already
+    * carries. Post-restore appends continue the lifecycle: run ids in
+    * the snapshot keep their numbers, so the monotone-id contract
+    * holds for ids above the snapshot's max.
     */
   def restoreRunStore(spark: org.apache.spark.sql.SparkSession,
       basePath: String, name: String): Unit = {
@@ -1039,26 +1041,41 @@ object PipelineStream {
       val subs = fs.listStatus(snapDir).toSeq.filter(_.isDirectory)
         .map(_.getPath)
       require(subs.nonEmpty, s"restoreRunStore: empty snapshot '$name'")
-      val gen = currentGen(fs, base) + 1
       val subNames = subs.map(_.getName)
-      // clear the CONVENTIONAL substores too, not just the snapshot's:
-      // a crashed earlier restore of a DIFFERENT snapshot at this same
-      // generation number may have left a substore (e.g. deletes.g<gen>)
-      // this snapshot doesn't carry — publishing would atomically
-      // resurrect its tombstones over the restored view
-      clearGen(fs, base, gen, (subNames ++
-        Seq("index", "graph", "graphcells", "deletes", "postings",
-          "doclens")).distinct)
-      subs.foreach(sd => graft.util.FsTrees.linkTree(sd,
-        new org.apache.hadoop.fs.Path(base, s"${sd.getName}.g$gen"), conf))
-      commitGen(fs, base, gen, subNames, "restoreRunStore")
-      // collect the replaced generation — the snapshot's substores plus
-      // the conventional names cover substores the snapshot lacks (a
-      // pre-restore deletes dir must not linger; anything truly exotic
-      // left behind is reported by RunIntegrity as superseded residue)
-      gcGenerations(fs, base, gen, (subNames ++
-        Seq("index", "graph", "graphcells", "deletes", "postings",
-          "doclens")).distinct)
+      // The ATOMIC pointer path is only correct for stores whose READERS
+      // resolve the pointer (the kNN and BM25 families, plus any store
+      // already generation-committed). A plain-reader store (census,
+      // novelty, registries — their readers open the plain dir names)
+      // restores by retire-and-link instead: same stop-the-readers
+      // contract as the single-dir path above.
+      val pointerAware = Set("index", "graph", "graphcells", "deletes",
+        "postings", "doclens")
+      if (currentGen(fs, base) > 0L || subNames.forall(pointerAware)) {
+        val gen = currentGen(fs, base) + 1
+        // clear the CONVENTIONAL substores too, not just the snapshot's:
+        // a crashed earlier restore of a DIFFERENT snapshot at this same
+        // generation number may have left a substore (e.g. deletes.g<gen>)
+        // this snapshot doesn't carry — publishing would atomically
+        // resurrect its tombstones over the restored view
+        clearGen(fs, base, gen, (subNames ++ pointerAware.toSeq).distinct)
+        subs.foreach(sd => graft.util.FsTrees.linkTree(sd,
+          new org.apache.hadoop.fs.Path(base, s"${sd.getName}.g$gen"), conf))
+        commitGen(fs, base, gen, subNames, "restoreRunStore")
+        // collect the replaced generation — the snapshot's substores plus
+        // the conventional names cover substores the snapshot lacks (a
+        // pre-restore deletes dir must not linger; anything truly exotic
+        // left behind is reported by RunIntegrity as superseded residue)
+        gcGenerations(fs, base, gen, (subNames ++ pointerAware.toSeq).distinct)
+      } else subs.foreach { sd =>
+        val live = new org.apache.hadoop.fs.Path(base, sd.getName)
+        val old = new org.apache.hadoop.fs.Path(base, sd.getName + "__old")
+        fs.delete(old, true)
+        if (fs.exists(live))
+          require(fs.rename(live, old),
+            s"restoreRunStore: could not retire $live")
+        graft.util.FsTrees.linkTree(sd, live, conf)
+        fs.delete(old, true)
+      }
     }
   }
 

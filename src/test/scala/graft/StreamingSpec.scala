@@ -1571,6 +1571,31 @@ class StreamingSpec extends SparkSpec {
     assert(phrase() == Seq(1L, 2L, 9L))
     PS.restoreRunStore(spark, pstore, "pre")
     assert(phrase() == pBefore)
+
+    // ---- plain-reader census store: restore must NOT commit a pointer
+    // (readNgramCensus opens the plain dir name) — retire-and-link path
+    val cbase = Files.createTempDirectory("graft_snapcen").toString
+    val cstore = s"$cbase/store"
+    val cdocs = Seq((1L, "a b c a b"), (2L, "b c d")).toDF("doc_id", "text")
+    def crun(f: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      graft.pipeline.TextAnalysis.ngramStatsTable(f, "doc_id", "text", 1)
+        .write.mode("overwrite").parquet(s"$cstore/census/run=$id")
+    crun(cdocs.filter($"doc_id" === 1L), 0L)
+    crun(cdocs.filter($"doc_id" === 2L), 1L)
+    def census() = PS.readNgramCensus(spark, cstore).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val cBefore = census()
+    PS.snapshotRunStore(spark, cstore, "pre")
+    crun(cdocs.filter($"doc_id" === 2L), 2L) // double-count corruption
+    assert(census() != cBefore)
+    PS.restoreRunStore(spark, cstore, "pre")
+    assert(census() == cBefore)
+    val cfs = new org.apache.hadoop.fs.Path(cstore)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(cfs.exists(new org.apache.hadoop.fs.Path(s"$cstore/census")),
+      "plain-reader store must keep its plain dir")
+    assert(!cfs.exists(new org.apache.hadoop.fs.Path(s"$cstore/CURRENT.1")),
+      "plain-reader restore must not commit a pointer")
   }
 
   test("reindexKnnStore: live store re-assigns under a new codebook; lifecycle continues; guard prices the rebuild") {
