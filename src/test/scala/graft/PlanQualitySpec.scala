@@ -196,6 +196,29 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_pq_domb")
   }
 
+  test("hot-key partial cache: hot reads hit the cache; cold reads still push the key to the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_hotkey").toString
+    graft.sources.CellStore.write(cellsDf(cells), CfMeta("t"), s"$dir/store",
+      numPartitions = 4)
+    val plens = new CassandraLens(spark.read.parquet(s"$dir/store"), CfMeta("t"))
+    val warm = plens.withRowCache(Seq("k001", "k002"))
+    try {
+      // hot key: served from the cached branch
+      val hot = warm.multigetSlice(Seq("k001"), None, SliceRange(count = 3))
+      assert(planOf(hot).contains("InMemoryTableScan"), planOf(hot).take(2000))
+      assert(liveValues(hot) == Map("c1" -> "a", "c2" -> "b", "c3" -> "c"))
+      // cold key: the union's cold branch must still reach the parquet
+      // scan with the KEY predicate pushed — a partial cache that
+      // defeated pushdown would re-reconcile the corpus per cold read
+      val cold = warm.multigetSlice(Seq("k010"), None, SliceRange(count = 3))
+      val fplan = cold.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(fplan.contains("PushedFilters") && fplan.contains("k010"),
+        fplan.take(2500))
+      assert(liveValues(cold) == Map("c1" -> "a", "c2" -> "b", "c3" -> "c"))
+    } finally warm.dropRowCache()
+  }
+
   test("bucketed adjacency: triangleDelta probes never exchange the standing edges") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
