@@ -2739,7 +2739,14 @@ object TextAnalysis {
     * would break partition discovery for the next fold. Publishes to
     * `<base>__compact` first, swaps by rename, deletes the old store
     * LAST — a crash leaves either the old runs or the full compacted
-    * store, never neither. (The swap's atomicity is the filesystem's
+    * store, never neither. `_snapshots`
+    * ([[graft.streaming.PipelineStream.snapshotRunStore]] lives INSIDE
+    * the store) is carried across the swap before `__old` is deleted —
+    * routine compaction must not destroy the store's backups; a crash
+    * between publish and carry leaves them intact in `__old`, and the
+    * next compaction's entry heal merges `__old/_snapshots` forward
+    * before collecting the residue.
+    * (The swap's atomicity is the filesystem's
     * directory rename — real on HDFS/POSIX; on an object store rename
     * is copy+delete, so run compaction there behind the same external
     * coordination any rename-swap pattern needs.)
@@ -2748,6 +2755,28 @@ object TextAnalysis {
       base: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val basePath0 = new org.apache.hadoop.fs.Path(base)
+    val old0 = new org.apache.hadoop.fs.Path(base + "__old")
+    // heal a previous run's crash-after-publish residue: the store is
+    // live but __old (holding the pre-compaction runs AND possibly the
+    // uncarried _snapshots) was never collected — carry snapshots whose
+    // names the live store doesn't already have, then collect. A crash
+    // BETWEEN retire and publish (base missing) stays a loud manual
+    // heal (rename __old back), as before.
+    if (fs.exists(old0) && fs.exists(basePath0)) {
+      val oldSnaps0 = new org.apache.hadoop.fs.Path(old0, "_snapshots")
+      if (fs.exists(oldSnaps0)) {
+        val liveSnaps = new org.apache.hadoop.fs.Path(basePath0, "_snapshots")
+        fs.mkdirs(liveSnaps)
+        fs.listStatus(oldSnaps0).foreach { st =>
+          val dst = new org.apache.hadoop.fs.Path(liveSnaps, st.getPath.getName)
+          if (!fs.exists(dst))
+            require(fs.rename(st.getPath, dst),
+              s"compact: could not carry snapshot ${st.getPath}")
+        }
+      }
+      fs.delete(old0, true)
+    }
     val tmpOut = new org.apache.hadoop.fs.Path(base + "__compact")
     spark.read.parquet(base)
       .select(col("term"), col("id"), col("pos"))
@@ -2757,6 +2786,14 @@ object TextAnalysis {
     val old = new org.apache.hadoop.fs.Path(base + "__old")
     require(fs.rename(basePath, old), s"compact: could not retire $base")
     require(fs.rename(tmpOut, basePath), s"compact: could not publish $tmpOut")
+    // carry the store's snapshots across the swap BEFORE deleting the
+    // retired tree — they ride inside the base dir, and deleting __old
+    // with them still in it would silently destroy every backup
+    val oldSnaps = new org.apache.hadoop.fs.Path(old, "_snapshots")
+    if (fs.exists(oldSnaps))
+      require(fs.rename(oldSnaps,
+        new org.apache.hadoop.fs.Path(basePath, "_snapshots")),
+        s"compact: could not carry _snapshots from $oldSnaps")
     fs.delete(old, true) // last — the published store is already live
   }
 

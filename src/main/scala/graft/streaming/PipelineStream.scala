@@ -152,7 +152,11 @@ object PipelineStream {
   /** A substore's live directory PATH (string form every read/write
     * path builds on). PUBLIC: tools (snapshot, integrity, specs)
     * resolve a store's physical layout through this, never by
-    * hard-coding the plain dir names.
+    * hard-coding the plain dir names. NOT for multi-substore reads:
+    * each call re-lists the pointer, so a plan touching two substores
+    * must resolve ONCE ([[genSuffixOf]]) and derive both paths from
+    * that single suffix — otherwise a pointer commit landing between
+    * the two listings mixes generations.
     */
   def resolveSubPath(spark: org.apache.spark.sql.SparkSession,
       basePath: String, sub: String): String = {
@@ -228,17 +232,33 @@ object PipelineStream {
 
   /** One row per tombstoned id: its NEWEST delete run — the
     * run-order-aware shadow key (the readKnnIndex rule at retrieval
-    * grain).
+    * grain). Takes the caller's already-resolved generation suffix so
+    * postings and deletes are read from ONE generation (resolving here
+    * would re-list the pointer — a commit landing between the two
+    * listings would join old-gen postings against new-gen deletes).
     */
   private def bm25Deletes(spark: org.apache.spark.sql.SparkSession,
-      basePath: String): Option[DataFrame] = {
+      basePath: String, sfx: String): Option[DataFrame] = {
     val base = new org.apache.hadoop.fs.Path(basePath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val delDir = subDirName(fs, base, "deletes")
+    val delDir = "deletes" + sfx
     if (graft.operators.EventOps.listIdDirs(fs, base, delDir, "run=")
         .isEmpty) None
     else Some(spark.read.parquet(s"$basePath/$delDir")
       .groupBy(col("id")).agg(max(col("run")).as("del_run")))
+  }
+
+  /** Resolve a store's generation suffix ONCE for a whole read/plan —
+    * every substore path in that plan must derive from this single
+    * listing, never from per-substore [[resolveSubPath]] calls: a
+    * pointer commit landing between two listings would otherwise build
+    * a cross-generation plan (old-gen manifests joined against new-gen
+    * rows silently drops rows).
+    */
+  private def genSuffixOf(spark: org.apache.spark.sql.SparkSession,
+      basePath: String): String = {
+    val base = new org.apache.hadoop.fs.Path(basePath)
+    genSuffix(base.getFileSystem(spark.sparkContext.hadoopConfiguration), base)
   }
 
   /** Run-order-aware tombstone shadow: a delete at run r kills same-id
@@ -258,21 +278,25 @@ object PipelineStream {
     * cost nothing).
     */
   def readBm25Postings(spark: org.apache.spark.sql.SparkSession,
-      basePath: String): DataFrame =
+      basePath: String): DataFrame = {
+    val sfx = genSuffixOf(spark, basePath) // ONE resolution for the plan
     shadowByRun(
-      spark.read.parquet(resolveSubPath(spark, basePath, "postings"))
+      spark.read.parquet(s"$basePath/postings$sfx")
         .select(col("term"), col("id"), col("tf"), col("len"), col("run")),
-      bm25Deletes(spark, basePath))
+      bm25Deletes(spark, basePath, sfx))
+  }
 
   /** The live doc-lens of a [[bm25IndexIngest]] store — deletes shadow
     * here too, so the corpus stats (N, total length) are post-delete.
     */
   def readBm25DocLens(spark: org.apache.spark.sql.SparkSession,
-      basePath: String): DataFrame =
+      basePath: String): DataFrame = {
+    val sfx = genSuffixOf(spark, basePath) // ONE resolution for the plan
     shadowByRun(
-      spark.read.parquet(resolveSubPath(spark, basePath, "doclens"))
+      spark.read.parquet(s"$basePath/doclens$sfx")
         .select(col("id"), col("len"), col("run")),
-      bm25Deletes(spark, basePath))
+      bm25Deletes(spark, basePath, sfx))
+  }
 
   /** TWO-SOURCE streaming BM25 maintenance — the [[knnStoreIngest]]
     * protocol at retrieval grain: a document feed and a delete-id feed
@@ -657,8 +681,11 @@ object PipelineStream {
       basePath: String, empty: DataFrame, beforeRun: Long): DataFrame = {
     val base = new org.apache.hadoop.fs.Path(basePath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val idxDir = subDirName(fs, base, "index")
-    val delDir = subDirName(fs, base, "deletes")
+    // ONE pointer resolution for the whole read: index and deletes must
+    // come from the same generation (see genSuffixOf)
+    val sfx = genSuffix(fs, base)
+    val idxDir = "index" + sfx
+    val delDir = "deletes" + sfx
     val runs = graft.operators.EventOps
       .listIdDirs(fs, base, idxDir, "run=").filter(_ < beforeRun)
     if (runs.isEmpty) return empty
@@ -901,14 +928,17 @@ object PipelineStream {
       basePath: String): DataFrame = {
     val base = new org.apache.hadoop.fs.Path(basePath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val gcDir = subDirName(fs, base, "graphcells")
+    // ONE pointer resolution for the whole readout: manifests and graph
+    // rows must come from the same generation (see genSuffixOf)
+    val sfx = genSuffix(fs, base)
+    val gcDir = "graphcells" + sfx
     if (graft.operators.EventOps
         .listIdDirs(fs, base, gcDir, "run=").isEmpty)
       return spark.range(0).select(col("id").as("cell"), col("id"),
         col("id").as("rank"), col("id").as("nbr"))
     val latest = spark.read.parquet(s"$basePath/$gcDir")
       .groupBy(col("cell")).agg(max(col("run")).as("run"))
-    spark.read.parquet(resolveSubPath(spark, basePath, "graph"))
+    spark.read.parquet(s"$basePath/graph$sfx")
       .join(broadcast(latest), Seq("cell", "run"))
       .select(col("cell"), col("id"), col("rank"), col("nbr"))
   }
@@ -1025,8 +1055,14 @@ object PipelineStream {
     val snapRuns = fs.listStatus(snapDir).toSeq.filter(st =>
       st.isDirectory && st.getPath.getName.startsWith("run=")).map(_.getPath)
     if (snapRuns.nonEmpty) {
-      // single-dir store: retire the live run dirs, link the snapshot's
-      val old = new org.apache.hadoop.fs.Path(basePath + "__old")
+      // single-dir store: retire the live run dirs, link the snapshot's.
+      // The retire dir is HIDDEN and INSIDE the store (Path(parent,name),
+      // never string concatenation — a trailing slash in basePath must
+      // not change where it lands): readers' partition discovery skips
+      // dot-dirs, and a crash between retire and link leaves residue
+      // RunIntegrity's base listing can actually surface, unlike a
+      // stringly-named sibling outside the store.
+      val old = new org.apache.hadoop.fs.Path(base, "._restore_old")
       fs.delete(old, true)
       fs.mkdirs(old)
       fs.listStatus(base).filter(st => st.isDirectory &&

@@ -1571,6 +1571,19 @@ class StreamingSpec extends SparkSpec {
     assert(phrase() == Seq(1L, 2L, 9L))
     PS.restoreRunStore(spark, pstore, "pre")
     assert(phrase() == pBefore)
+    // compaction must CARRY the snapshots across its whole-base swap
+    // (ADVICE r18: the retire-rename used to take _snapshots with it and
+    // the delete-last step destroyed every backup)
+    graft.pipeline.TextAnalysis.appendPositionalPostings(
+      Seq((9L, "beta gamma")).toDF("doc_id", "text"), "doc_id", "text",
+      pstore, runTag = "9")
+    graft.pipeline.TextAnalysis.compactPositionalPostings(spark, pstore)
+    assert(PS.listRunStoreSnapshots(spark, pstore) == Seq("pre"),
+      "compaction must not destroy the store's snapshots")
+    assert(phrase() == Seq(1L, 2L, 9L))
+    PS.restoreRunStore(spark, pstore, "pre")
+    assert(phrase() == pBefore,
+      "post-compaction restore from the carried snapshot")
 
     // ---- plain-reader census store: restore must NOT commit a pointer
     // (readNgramCensus opens the plain dir name) — retire-and-link path
