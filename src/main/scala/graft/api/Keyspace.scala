@@ -548,6 +548,122 @@ class Keyspace(val spark: SparkSession, val name: String) {
       .select(col("token"), col("key"))
       .orderBy(col("token"), col("key"))
   }
+
+  /** Bucket-id suffix in a Spark bucketed part-file name
+    * (`part-00000-<uuid>_00007.c000.snappy.parquet` → bucket 7): the
+    * file-to-shard map the advice planner groups by.
+    */
+  private val BucketIdRe = "_([0-9]{5})\\.c[0-9]+".r
+
+  /** Compaction-trigger policy — the `submitMinorIfNeeded` decision
+    * (reference db/CompactionManager.java:87-141: every memtable flush
+    * asks "would compaction be useful?"; db/ColumnFamilyStore.java:558-640
+    * wires it into the flush path) computed as a READOUT over the CF's
+    * physical state, replacing the NOTES-recipe "consult storeStats
+    * first" with an operator. Advice kinds, one row each:
+    *
+    *  - `minor`: per (domain-dir, bucket-id) shard — a Spark bucket is
+    *    this engine's ring shard, so files WITHIN one bucket are the
+    *    SSTables of one mini-CF and the merge unit — size-tiered groups
+    *    ([[graft.operators.Compaction.minorCompactionPlan]], the
+    *    getBuckets:614-660 rule) of at least `minThreshold` similar-size
+    *    files, capped at `maxThreshold` per job. A freshly-compacted
+    *    store (one file per bucket) produces no group and no advice.
+    *  - `gc`: tombstone/marker cells whose deletion time has passed the
+    *    gcGrace horizon at `nowSec` (getDefaultGcBefore = now − grace):
+    *    compaction would actually reclaim them. Counted by ONE
+    *    column-pruned aggregate (col_name/tombstone/local_del_time —
+    *    three thin columns, never values; the storeStats cell-census
+    *    move). Zero reclaimable ⇒ no row: tombstones still inside grace
+    *    are not advice, they are the contract.
+    *  - `sidecar`: the horizon sidecar is STALE (data store's newest
+    *    file newer than a sidecar's — the storeStats freshness rule);
+    *    [[compactColumnFamily]] refreshes it.
+    *
+    * Empty result = nothing to do. `nowSec` is explicit so the decision
+    * is deterministic and testable (the reference's implicit clock).
+    */
+  def compactionAdvice(cf: String, nowSec: Int, minThreshold: Int = 4,
+      maxThreshold: Int = 32, minSmall: Long = 50L << 20): DataFrame = {
+    import spark.implicits._
+    val meta = columnFamilyMeta(cf)
+    val loc = tableLocation(tableName(cf))
+    val fs = loc.getFileSystem(hconf)
+    val files = graft.util.FsTrees.walkFiles(fs, loc)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    // minor: size-tiered plan per (parent dir, bucket id) shard
+    val minor = files.groupBy { st =>
+      val bucket = BucketIdRe.findFirstMatchIn(st.getPath.getName)
+        .map(_.group(1)).getOrElse("")
+      (st.getPath.getParent.toString, bucket)
+    }.toSeq.sortBy(_._1).flatMap { case ((dir, bucket), members) =>
+      graft.operators.Compaction.minorCompactionPlan(
+        members.map(st => (st.getPath.getName, st.getLen)),
+        minThreshold, maxThreshold, minSmall)
+        .map { group =>
+          val bytes = members.filter(st => group.contains(st.getPath.getName))
+            .map(_.getLen).sum
+          val shard = if (bucket.isEmpty) dir else s"bucket $bucket"
+          ("minor", s"$shard: ${group.size} similar-size files would merge " +
+            s"into one", group.size.toLong, bytes, 0L)
+        }
+    }
+    // gc: reclaimable tombstone mass under the CF's own grace at nowSec
+    val gcBefore = nowSec - meta.gcGraceSeconds
+    val reclaimable = spark.table(tableName(cf))
+      .filter((col("tombstone") || col("col_name").isNull) &&
+        col("local_del_time") < gcBefore)
+      .count()
+    val gc = if (reclaimable == 0L) Nil
+      else Seq(("gc", s"$reclaimable tombstone/marker cells past the " +
+        s"gcGrace horizon (gcBefore = $gcBefore) would purge", 0L, 0L,
+        reclaimable))
+    // sidecar: newest data file vs newest sidecar file (mtime listing only)
+    def newest(t: String): Option[Long] =
+      if (!spark.catalog.tableExists(t)) None
+      else {
+        val l = tableLocation(t)
+        val f = l.getFileSystem(hconf)
+        if (!f.exists(l)) None
+        else Some(graft.util.FsTrees.walkFiles(f, l)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(_.getModificationTime).foldLeft(0L)(math.max))
+      }
+    val dataM = files.map(_.getModificationTime).foldLeft(0L)(math.max)
+    val stale = Seq(hrowTable(cf), hscTable(cf))
+      .flatMap(newest).exists(m => m > 0L && m < dataM)
+    val sidecar = if (!stale) Nil
+      else Seq(("sidecar", "horizon sidecar older than the data store — " +
+        "refresh (compactColumnFamily rewrites it incrementally)", 0L, 0L, 0L))
+    (minor ++ gc ++ sidecar)
+      .toDF("kind", "reason", "files", "bytes", "cells")
+  }
+
+  /** Act on [[compactionAdvice]] — the full `submitMinorIfNeeded` loop:
+    * when any advice row exists, compact the CF in place
+    * ([[compactColumnFamily]] with gcBefore = nowSec − gcGrace, the
+    * reference's getDefaultGcBefore) and return the advice acted on;
+    * an empty return means the store was already tight and NOTHING was
+    * rewritten. The DECISION grain is the reference's (size-tiered
+    * buckets, thresholds); the MECHANISM is this engine's: the bucketed
+    * in-place rewrite merges every advised group in one shuffle-free
+    * job (each Spark bucket rewrites locally), rather than one job per
+    * SSTable group — at 100 TB the per-bucket rewrite is embarrassingly
+    * parallel across executors and touches each row exactly once.
+    */
+  def compactIfNeeded(cf: String, nowSec: Int, minThreshold: Int = 4,
+      maxThreshold: Int = 32, minSmall: Long = 50L << 20): DataFrame = {
+    val advice = compactionAdvice(cf, nowSec, minThreshold, maxThreshold,
+      minSmall).localCheckpoint()
+    if (!advice.isEmpty) {
+      val meta = columnFamilyMeta(cf)
+      val buckets = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(tableName(cf)))
+        .bucketSpec.map(_.numBuckets).getOrElse(32)
+      compactColumnFamily(meta, nowSec - meta.gcGraceSeconds, buckets)
+    }
+    advice
+  }
 }
 
 object Keyspace {

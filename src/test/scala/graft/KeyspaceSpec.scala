@@ -568,6 +568,50 @@ class KeyspaceSpec extends SparkSpec {
     } finally ks.drop()
   }
 
+  test("compactionAdvice/compactIfNeeded: fragmented store advises and compacts; tight store advises nothing") {
+    val loc = new java.io.File("spark-warehouse/graft_ksc.db")
+    if (loc.exists()) new scala.reflect.io.Directory(loc).deleteRecursively()
+    val ks = Keyspace(spark, "graft_ksc")
+    try {
+      val meta = CfMeta("cfa") // gcGrace default 864000; tombstone ldt 1000
+      ks.saveColumnFamily(cellsDf(Seq(
+        ins("k1", "c1", "v1", 1), ins("k2", "c1", "v2", 1),
+        del("k2", "c9", 5))), meta, buckets = 2)
+      // fresh store, tombstone still inside grace: NO advice of any kind
+      val quietNow = 500 + meta.gcGraceSeconds // gcBefore 500 < ldt 1000
+      assert(ks.compactionAdvice("cfa", quietNow).isEmpty,
+        "freshly-saved store must advise nothing")
+      // fragment: each INSERT INTO appends one more file per populated
+      // bucket (the flush-per-batch shape a streaming ingest produces)
+      (0 until 4).foreach { _ =>
+        spark.sql("INSERT INTO graft_ksc.cfa SELECT * FROM graft_ksc.cfa LIMIT 2")
+      }
+      val lateNow = 1001 + meta.gcGraceSeconds // gcBefore 1001 > ldt 1000
+      val advice = ks.compactionAdvice("cfa", lateNow).collect()
+      val kinds = advice.map(_.getString(0)).toSet
+      assert(kinds.contains("minor"),
+        s"fragmented bucket must advise a minor merge: ${advice.mkString("; ")}")
+      assert(kinds.contains("gc"),
+        s"past-grace tombstone must advise gc: ${advice.mkString("; ")}")
+      assert(kinds.contains("sidecar"),
+        s"direct insert left the sidecar stale: ${advice.mkString("; ")}")
+      advice.filter(_.getString(0) == "minor").foreach(r =>
+        assert(r.getLong(2) >= 4 && r.getLong(3) > 0, r.toString))
+      assert(advice.find(_.getString(0) == "gc").get.getLong(4) >= 1)
+      // act: compactIfNeeded returns the advice it acted on …
+      assert(ks.compactIfNeeded("cfa", lateNow).count() == advice.length)
+      // … and the compacted store advises nothing at the SAME clock
+      assert(ks.compactionAdvice("cfa", lateNow).isEmpty,
+        "freshly-compacted store must advise nothing")
+      // the rewrite preserved the live data (tombstoned c9 purged)
+      val lens = ks.columnFamily("cfa")
+      assert(liveValues(lens.getSlice("k1", None,
+        graft.operators.SliceRange(count = 10))) == Map("c1" -> "v1"))
+      // no-op call on the tight store rewrites nothing
+      assert(ks.compactIfNeeded("cfa", lateNow).isEmpty)
+    } finally ks.drop()
+  }
+
   test("runKeys: one run's distinct decorated keys in token order; union covers the CF") {
     val loc = new java.io.File("spark-warehouse/graft_ksa.db")
     if (loc.exists()) new scala.reflect.io.Directory(loc).deleteRecursively()
