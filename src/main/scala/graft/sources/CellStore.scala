@@ -45,6 +45,83 @@ object CellStore {
   def mergeOnRead(base: DataFrame, delta: DataFrame): DataFrame =
     base.unionByName(delta)
 
+  /** Read a cell store written either FLAT (legacy
+    * [[graft.streaming.CellStream.writeToStore]] appends) or as
+    * `run=<id>` directories (its `compactAtRuns` mode): partition
+    * discovery surfaces the run id as a column on the latter — drop it
+    * so readers always see the plain cell schema.
+    */
+  def readRuns(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    if (df.columns.contains("run")) df.drop("run") else df
+  }
+
+  /** Minor compaction of a `run=<id>` CELL store — the size-tiered
+    * fold of [[graft.sources.ZOrder.compactZRuns]] applied to the
+    * primary cell store's streaming runs, with the cell-specific merge
+    * in the middle: each bucket of similar-size runs reconciles
+    * ([[graft.operators.Compaction.compact]] — LWW + container
+    * shadowing) into ONE key-clustered run. Same crash protocol
+    * ([[RunFold]]): temp write → `_compacted_from` manifest → rename
+    * publish → delete sources; negative id namespace so replayed
+    * stream batches never collide; heal-first so residue from an
+    * earlier crash is collected before planning.
+    *
+    * TOMBSTONE PURGE RULE: `gcBeforeSeconds` is applied ONLY when the
+    * fold covers EVERY run in the store. A purge from a subset could
+    * drop a tombstone whose shadowed value lives in an unfolded run —
+    * the value would resurrect at read. The reference's minor
+    * compactions guard the same hazard per-key with bloom-filter
+    * checks against the other SSTables
+    * (db/CompactionManager.java:427-440); this is the conservative
+    * store-grain version: partial folds reconcile without purging,
+    * and GC happens on full folds and major compactions.
+    */
+  def compactCellRuns(spark: SparkSession, basePath: String,
+      gcBeforeSeconds: Int = Int.MinValue,
+      targetFileBytes: Long = 128L << 20, minRunsPerBucket: Int = 2,
+      low: Double = 0.5, high: Double = 1.5,
+      minRunBytes: Long = 4L << 20): Seq[(Long, Seq[Long])] = {
+    require(minRunsPerBucket >= 2, "minRunsPerBucket must be >= 2")
+    require(targetFileBytes >= 1, "targetFileBytes must be >= 1")
+    val base = new org.apache.hadoop.fs.Path(basePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return Seq.empty
+    RunFold.heal(fs, base)
+    val sized = RunFold.runDirs(fs, base).map { case (id, p) =>
+      (id, fs.getContentSummary(p).getLength)
+    }
+    val buckets = ZOrder.sizeTieredBuckets(sized, low, high, minRunBytes)
+      .filter(_.length >= minRunsPerBucket)
+    if (buckets.isEmpty) return Seq.empty
+    var nextId = math.min(-1L, sized.map(_._1).min - 1L)
+    val byId = sized.toMap
+    val allIds = sized.map(_._1).toSet
+    buckets.map { srcIds =>
+      val newId = nextId
+      nextId -= 1
+      val srcPaths = srcIds.map(id =>
+        new org.apache.hadoop.fs.Path(base, s"run=$id"))
+      val bytes = srcIds.map(byId).sum
+      val nFiles = math.max(1L,
+        (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      // purge only on a full fold (see the rule above)
+      val gcUse = if (srcIds.toSet == allIds) gcBeforeSeconds
+        else Int.MinValue
+      val merged = graft.operators.Compaction.compact(
+        spark.read.parquet(srcPaths.map(_.toString): _*), gcUse)
+      val tmp = new org.apache.hadoop.fs.Path(base, s".compacting-run-$newId")
+      merged
+        .repartitionByRange(nFiles, col("key"))
+        .sortWithinPartitions(col("key"), col("super_name"), col("col_name"))
+        .write
+        .option("parquet.bloom.filter.enabled#key", "true")
+        .mode("overwrite").parquet(tmp.toString)
+      RunFold.publish(fs, base, newId, tmp, srcIds)
+      (newId, srcIds)
+    }
+  }
+
   /** Domain-split layout (fork CFMetaData.domainSplit,
     * config/CFMetaData.java:49-53 + dht/OdklDomainPartitioner): the 2-char
     * key domain becomes a parquet PARTITION COLUMN — the Spark moral

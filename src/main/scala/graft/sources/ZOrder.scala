@@ -252,7 +252,7 @@ object ZOrder {
     }
   }
 
-  private val ManifestName = "_compacted_from"
+  private val ManifestName = RunFold.ManifestName
 
   /** Finish interrupted compaction cycles — the startup-recovery step
     * (reference: compaction-marked SSTables deleted at startup). A stale
@@ -271,35 +271,12 @@ object ZOrder {
   }
 
   private def healZRuns(fs: org.apache.hadoop.fs.FileSystem,
-      base: org.apache.hadoop.fs.Path): Unit = {
-    fs.listStatus(base).foreach { st =>
-      if (st.isDirectory && st.getPath.getName.startsWith(".compacting-"))
-        fs.delete(st.getPath, true)
-    }
-    runDirs(fs, base).foreach { case (_, dir) =>
-      val mf = new org.apache.hadoop.fs.Path(dir, ManifestName)
-      if (fs.exists(mf)) {
-        val in = fs.open(mf)
-        val ids = try scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().filter(_.nonEmpty).map(_.toLong).toSeq
-        finally in.close()
-        ids.foreach { sid =>
-          val p = new org.apache.hadoop.fs.Path(base, s"run=$sid")
-          if (fs.exists(p)) fs.delete(p, true)
-        }
-      }
-    }
-  }
+      base: org.apache.hadoop.fs.Path): Unit = RunFold.heal(fs, base)
 
   /** The `run=<id>` directories of a [[zorderedIngest]] store, by id. */
   private def runDirs(fs: org.apache.hadoop.fs.FileSystem,
       base: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
-    fs.listStatus(base).toSeq.filter(_.isDirectory).flatMap { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("run="))
-        scala.util.Try(n.drop(4).toLong).toOption.map(_ -> st.getPath)
-      else None
-    }
+    RunFold.runDirs(fs, base)
 
   /** Size-tiered bucketing of (id, bytes) runs — the
     * `CompactionManager.getBuckets` rule (reference
@@ -384,12 +361,7 @@ object ZOrder {
       val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
       val tmp = new org.apache.hadoop.fs.Path(base, s".compacting-run-$newId")
       writeRun(spark.read.parquet(srcPaths.map(_.toString): _*), tmp.toString, nFiles)
-      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, ManifestName), true)
-      try out.write(srcIds.mkString("", "\n", "\n").getBytes("UTF-8"))
-      finally out.close()
-      require(fs.rename(tmp, new org.apache.hadoop.fs.Path(base, s"run=$newId")),
-        s"compactZRuns: publish rename failed for run=$newId")
-      srcPaths.foreach(p => fs.delete(p, true))
+      RunFold.publish(fs, base, newId, tmp, srcIds)
       (newId, srcIds)
     }
   }

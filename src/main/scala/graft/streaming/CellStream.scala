@@ -35,17 +35,67 @@ object CellStream {
     * handoff); here foreachBatch replays carry the same batchId and the
     * checkpoint WAL makes the append exactly-once, so listeners must
     * simply be deterministic.
+    *
+    * `compactAtRuns` ≥ 2 switches the store to the `run=<batchId>`
+    * layout and closes the flush → minor-compaction loop (see the
+    * in-body comment); 0 (default) keeps the legacy flat append.
     */
   def writeToStore(mutations: DataFrame, path: String, checkpoint: String,
-      listeners: Seq[DataFrame => DataFrame] = Nil): DataStreamWriter[Row] =
-    mutations.writeStream
-      .option("checkpointLocation", checkpoint)
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        listeners.foldLeft(batch)((df, l) => l(df))
-          .sortWithinPartitions(col("key"), col("super_name"), col("col_name"))
-          .write.mode("append").parquet(path)
-      }
+      listeners: Seq[DataFrame => DataFrame] = Nil,
+      compactAtRuns: Int = 0, gcBeforeSeconds: Int = Int.MinValue,
+      targetFileBytes: Long = 128L << 20): DataStreamWriter[Row] =
+    if (compactAtRuns == 0)
+      mutations.writeStream
+        .option("checkpointLocation", checkpoint)
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          listeners.foldLeft(batch)((df, l) => l(df))
+            .sortWithinPartitions(col("key"), col("super_name"), col("col_name"))
+            .write.mode("append").parquet(path)
+        }
+    else {
+      // The flush → minor-compaction loop CLOSED for the primary cell
+      // store — the reference's flush path always ends in
+      // CompactionManager.submitMinorIfNeeded
+      // (db/ColumnFamilyStore.java:558-640), and without this an
+      // unbounded mutation feed accumulates one run per micro-batch
+      // forever. Pattern and crash contract are
+      // [[graft.sources.ZOrder.zorderedIngestCompacting]]'s, shared via
+      // [[graft.sources.RunFold]]: each batch flushes as its own
+      // `run=<batchId>` (overwrite-by-id ⇒ redelivery idempotent,
+      // unlike the flat append above whose replays rely on the
+      // checkpoint WAL), the store HEALS unconditionally after every
+      // flush (a replayed batch may have just resurrected a run a
+      // published compacted run already contains — collect it in the
+      // SAME batch), and when the surviving run count reaches
+      // `compactAtRuns` the size-tiered fold
+      // ([[graft.sources.CellStore.compactCellRuns]]) merges inside
+      // foreachBatch — between batches, never concurrent with a flush,
+      // the reference's one-compaction-executor-per-CF rule. Read the
+      // store with [[graft.sources.CellStore.readRuns]] (drops the
+      // discovered run column). Tombstones purge only on full folds
+      // (the compactCellRuns rule); majors still own unconditional GC.
+      require(compactAtRuns >= 2, "compactAtRuns must be >= 2")
+      mutations.writeStream
+        .option("checkpointLocation", checkpoint)
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          if (!batch.isEmpty) {
+            listeners.foldLeft(batch)((df, l) => l(df))
+              .sortWithinPartitions(col("key"), col("super_name"), col("col_name"))
+              .write.mode("overwrite").parquet(s"$path/run=$id")
+            val base = new org.apache.hadoop.fs.Path(path)
+            val fs = base.getFileSystem(
+              batch.sparkSession.sparkContext.hadoopConfiguration)
+            graft.sources.RunFold.heal(fs, base)
+            if (graft.sources.RunFold.runDirs(fs, base).length >= compactAtRuns) {
+              graft.sources.CellStore.compactCellRuns(batch.sparkSession,
+                path, gcBeforeSeconds, targetFileBytes)
+              ()
+            }
+          }
+        }
+    }
 
   /** Streaming reconciled view of one key's newest cells held in state:
     * keeps the winning version per column per key as mutations arrive —

@@ -34,6 +34,50 @@ class StreamingSpec extends SparkSpec {
     assert(liveValues(live) == Map("c2" -> "v2", "c1" -> "w"))
   }
 
+  test("writeToStore compactAtRuns: run count stays bounded mid-stream, reconciled view exact, purge only on full folds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_streamc").toString
+    val store = s"$dir/store"
+    val mem = MemoryStream[Cell]
+    // gcBefore 20 > the tombstone's ldt 10: a FULL fold may purge it
+    val q = CellStream.writeToStore(mem.toDS().toDF(), store, s"$dir/ckpt",
+      compactAtRuns = 3, gcBeforeSeconds = 20).start()
+    def runCount = new java.io.File(store).listFiles()
+      .count(_.getName.startsWith("run="))
+    val counts = scala.collection.mutable.ArrayBuffer[Int]()
+    try {
+      (0 until 6).foreach { i =>
+        if (i == 0)
+          mem.addData(ins("k0", "c0", "v0", 1), ins("kk", "w", "w0", 1),
+            del("k0", "c0", 100, ldt = 10))
+        else
+          mem.addData(ins(s"k$i", s"c$i", s"v$i", 1),
+            ins("kk", "w", s"w$i", i + 1))
+        q.processAllAvailable()
+        counts += runCount
+      }
+    } finally q.stop()
+    // bounded: six flushed batches, but the threshold-3 fold keeps the
+    // live run count at or under the threshold the whole stream
+    assert(counts.forall(_ <= 3), s"run counts $counts")
+    // the reader drops the discovered run partition column
+    val stored = CellStore.readRuns(spark, store)
+    assert(!stored.columns.contains("run"))
+    // exactly once: the reconciled view over the folded store equals the
+    // batch reconcile of every mutation ever fed — k0.c0 tombstoned away,
+    // kk.w LWW-resolved to the newest write
+    assert(liveValues(Reconcile.liveView(stored)) ==
+      Map("c1" -> "v1", "c2" -> "v2", "c3" -> "v3", "c4" -> "v4",
+        "c5" -> "v5", "w" -> "w5"))
+    // the batch-2 fold covered ALL runs, so the past-grace tombstone (and
+    // the value it shadowed) purged — no tombstone survives in the store
+    assert(stored.filter(col("tombstone")).count() == 0,
+      "full fold must purge the past-grace tombstone")
+    assert(stored.filter(col("key") === "k0").count() == 0,
+      "shadowed value must not resurrect after the purge")
+  }
+
   test("session_window sessionize: exact-tie gap merges, gap+1 splits, late events drop") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
