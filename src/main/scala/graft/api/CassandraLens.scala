@@ -97,14 +97,33 @@ class CassandraLens(
     * side empty and runs the ordinary pruned scan+reconcile). At
     * 100 TB the whole reconciled view cannot be pinned; a bounded hot
     * set can — pair with [[saveCachedKeys]]/[[loadCachedKeys]] for
-    * restart pre-warming. `hotKeys` becomes one IN-list predicate:
-    * keep it cache-sized (≤ ~1e5 keys, the reference's key-cache
-    * order), not corpus-sized.
+    * restart pre-warming. Hot sets up to the IN-list convention
+    * (10,000 keys, the same bound as the range-scan page pick) become
+    * one pushed-down IN predicate; larger sets split hot from cold by
+    * a BROADCAST semi/anti join instead — a restart pre-warm from a
+    * big saved key set must not build a mega-predicate the optimizer
+    * re-walks on every plan. `MaxHotKeys` bounds the set loudly: the
+    * hot set must stay cache-sized (driver list + broadcast +
+    * executor-pinned rows), never corpus-sized.
     */
   def withRowCache(hotKeys: Seq[String]): CassandraLens = {
     require(hotKeys.nonEmpty, "withRowCache(hotKeys): empty hot set")
-    val hot = live.filter(col("key").isin(hotKeys: _*)).cache()
-    val cold = live.filter(!col("key").isin(hotKeys: _*))
+    require(hotKeys.size <= CassandraLens.MaxHotKeys,
+      s"withRowCache(hotKeys): ${hotKeys.size} keys exceed MaxHotKeys = " +
+        s"${CassandraLens.MaxHotKeys} — a hot set is cache-sized, not " +
+        "corpus-sized; cache fewer keys or use withRowCache() on a " +
+        "store small enough to pin whole")
+    val (hot, cold) =
+      if (hotKeys.size <= 10000)
+        (live.filter(col("key").isin(hotKeys: _*)).cache(),
+          live.filter(!col("key").isin(hotKeys: _*)))
+      else {
+        val spark = cells.sparkSession
+        import spark.implicits._
+        val keys = hotKeys.toDF("key")
+        (live.join(broadcast(keys), Seq("key"), "left_semi").cache(),
+          live.join(broadcast(keys), Seq("key"), "left_anti"))
+      }
     new CassandraLens(cells, meta, horizons, Some(hot.unionByName(cold)),
       applyListeners, cachedFrame = Some(hot))
   }
@@ -608,6 +627,17 @@ class CassandraLens(
   * request validation and for property-testing the Column sort keys against
   * the same vectors (db/NameSortTest, db/TimeSortTest, TypeCompareTest).
   */
+object CassandraLens {
+  /** Loud ceiling on a hot-key cache set ([[CassandraLens.withRowCache]]):
+    * the set lives as a driver list, broadcasts to executors, and pins
+    * its rows in memory — 1e6 keys is already ~10× the reference's
+    * key-cache order and far past any sensible "hot" working set; a
+    * larger ask is a corpus-sized mistake the require names instead of
+    * an executor OOM hours later.
+    */
+  val MaxHotKeys = 1000000
+}
+
 object JComparators {
   private val unsignedLex: Ordering[Array[Byte]] = (a: Array[Byte], b: Array[Byte]) => {
     // FBUtilities.compareByteArrays semantics

@@ -141,6 +141,30 @@ class MaintenanceSpec extends SparkSpec {
     rewarmed.dropRowCache()
   }
 
+  test("hot-key row cache guard: >10k keys switch to broadcast semi-join, MaxHotKeys bounds loudly") {
+    // a saved key set past the IN-list convention must not become a
+    // mega-predicate: the plan splits hot/cold by broadcast join instead
+    val bigHot = (1 to 10001).map(i => f"h$i%05d") :+ "a"
+    val warm = lens.withRowCache(bigHot)
+    val viaCache = warm.getSlice("a", None, graft.operators.SliceRange(count = 10))
+    val plain = lens.getSlice("a", None, graft.operators.SliceRange(count = 10))
+    assert(liveValues(viaCache) == liveValues(plain))
+    val plan = viaCache.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"hot key must still serve from the cache:\n${plan.take(1500)}")
+    assert(!plan.contains("h09999"),
+      "the hot set must not appear as an IN-list literal in the plan")
+    // cold keys still answer through the anti-join branch
+    assert(liveValues(warm.getSlice("c", None,
+      graft.operators.SliceRange(count = 10))) == Map("c1" -> "v"))
+    warm.dropRowCache()
+    // corpus-sized ask fails loudly, naming the bound
+    val e = intercept[IllegalArgumentException] {
+      lens.withRowCache((1 to CassandraLens.MaxHotKeys + 1).map(_.toString))
+    }
+    assert(e.getMessage.contains("MaxHotKeys"))
+  }
+
   test("ReadColumnsLimit guard raises on pathological wide rows") {
     val wide = (1 to 20).map(i => ins("w", f"c$i%03d", "v", 1))
     val live = new CassandraLens(cellsDf(wide), CfMeta("t")).live
