@@ -414,6 +414,16 @@ object Bench {
       val keys = (1L until 12000L by 4L).map(i => f"$i%010d")
       superLens.multigetSlice(keys, None, SliceRange(count = 5))
     }
+    legDf("rangeslice_super") {
+      // stress.py's third super-mode workload (stress.py:235-260): a
+      // token-ordered PAGED range scan addressed INTO one supercolumn
+      // (ColumnParent('Super1', 'S<j>')) — the 1000-key page runs the
+      // range pick + per-key two-level slice assembly with the
+      // sub-column predicate applied under supercolumn linenumber 1
+      val sup = java.nio.ByteBuffer.allocate(8).putLong(1L).array()
+      superLens.rangeSliceByKeys(Some("0000000001"), None, Some(sup),
+        SliceRange(count = 5), 1000)
+    }
 
     // 4b. sessionize: gap-based session windows over 100k events
     leg("sessionize") {

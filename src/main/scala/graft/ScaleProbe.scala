@@ -645,7 +645,51 @@ object ScaleProbe {
     knnGraphProbe(spark, dir)
     knnMaintProbe(spark, dir)
     noveltyProbe(spark, dir)
+    runStoreSnapshotProbe(spark, dir)
     spark.stop()
+  }
+
+  /** Run-store snapshot/restore probe (round 19): the O(#files)
+    * hard-link claim MEASURED against the alternative a deployment
+    * actually faces — rebuilding the store from the corpus. Builds the
+    * sf0.1 kNN store in four folds (a multi-run, multi-substore store:
+    * index + graph + graphcells), then times snapshotRunStore (link
+    * pass, no data IO), restoreRunStore (link + one atomic pointer
+    * commit), and the four-fold rebuild. At 100 TB the fold rebuild
+    * scales with corpus bytes while snapshot/restore scale with FILE
+    * COUNT — the probe prints both next to the store's size so the
+    * SCALE.md row states a measured ratio, not an argument.
+    */
+  def runStoreSnapshotProbe(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    import graft.pipeline.Similarity
+    import graft.streaming.PipelineStream
+    val emb = CellEncodings.table(spark, dir, "embeddings")
+      .localCheckpoint(eager = false)
+    val codebook = Similarity.refinedCentroids(
+      Similarity.kmeansStepExact(emb, "vec_id", "embedding", k = 16))
+      .localCheckpoint()
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_snapprobe").toString + "/store"
+    def timed[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def build(): Double = timed((0 until 4).foreach { i =>
+      PipelineStream.knnGraphBatchFold(
+        emb.filter(col("vec_id") % 4 === i), "vec_id", "embedding",
+        codebook, 16, 10, base, runId = i.toLong)
+    })
+    val dtBuild = build()
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = graft.util.FsTrees.walkFiles(fs,
+      new org.apache.hadoop.fs.Path(base))
+    val (nFiles, bytes) = (files.size, files.map(_.getLen).sum)
+    val dtSnap = timed(PipelineStream.snapshotRunStore(spark, base, "probe"))
+    val dtRestore = timed(PipelineStream.restoreRunStore(spark, base, "probe"))
+    println(f"[scale] run-store snapshot sf0.1 knn store ($nFiles%d files, " +
+      f"$bytes%,d B): build-4-folds=$dtBuild%5.2f s snapshot=$dtSnap%5.2f s " +
+      f"restore=$dtRestore%5.2f s (link+pointer, no data IO)")
   }
 
   /** kNN-graph probe (round 16): the in-cell self-join cost model and
@@ -1223,6 +1267,15 @@ object BpeTrainProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create(taskSideCommit = true)
     ScaleProbe.bpeTrainProbe(spark, "/root/testdata/sf0.1")
+    spark.stop()
+  }
+}
+
+/** Focused runner for the run-store snapshot/restore timing probe. */
+object SnapshotProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.create(taskSideCommit = true)
+    ScaleProbe.runStoreSnapshotProbe(spark, "/root/testdata/sf0.1")
     spark.stop()
   }
 }

@@ -29,6 +29,8 @@ import graft.sources.CellEncodings
   *   count <cf>['<key>']                     -- get_count
   *   count <cf>['<key>']['<super>']          -- subcolumn count (super CF)
   *   range <cf>['<start>':'<end>'] [limit n] -- get_range_slices key bounds
+  *   describe splits <cf> <n>                -- describe_splits ring points
+  *   stats <cf>                              -- cfstats-shaped census
   *   help | quit
   * }}}
   *
@@ -112,6 +114,8 @@ object Shell {
   private val Count2 = """count\s+(\w+)\['([^']*)'\]\['([^']*)'\]""".r
   private val Count = """count\s+(\w+)\['([^']*)'\]""".r
   private val Range = """range\s+(\w+)\['([^']*)':'([^']*)'\](?:\s+limit\s+(\d+))?""".r
+  private val Splits = """describe\s+splits\s+(\w+)\s+(\d+)""".r
+  private val Stats = """stats\s+(\w+)""".r
   private val Set3 = """set\s+(\w+)\['([^']*)'\]\['([^']*)'\]\['([^']*)'\]\s*=\s*'([^']*)'""".r
   private val Set = """set\s+(\w+)\['([^']*)'\]\['([^']*)'\]\s*=\s*'([^']*)'""".r
   private val Del3 = """del\s+(\w+)\['([^']*)'\]\['([^']*)'\]\['([^']*)'\]""".r
@@ -132,6 +136,8 @@ object Shell {
     "count <cf>['<key>']                      Count columns in record.",
     "count <cf>['<key>']['<super>']           Count subcolumns.",
     "range <cf>['<start>':'<end>'] [limit n]  Slice a key range.",
+    "describe splits <cf> <n>                 Token-ring split points.",
+    "stats <cf>                               Column family statistics.",
     "quit                                     Exit this session.")
 
   /** One interactive session — the CLI's CONNECTION state: `set`/`del`
@@ -363,6 +369,39 @@ object Shell {
         val rows = cf.lens.getCount(Seq(key), None).collect()
         val n = rows.headOption.map(_.getAs[Long]("n")).getOrElse(0L)
         Seq(s"$n columns")
+      }
+      // the ops readouts next to the data commands — the nodetool /
+      // browser surface (tools/NodeCmd.java:295-380 printColumnFamilyStats,
+      // contrib/cassandra_browser pages by ring ranges)
+      case Splits(cfName, n) => withCf(cfName) { cf =>
+        val splits = cf.lens.describeSplits(n.toInt)
+          .orderBy(org.apache.spark.sql.functions.col("split_id")).collect()
+        splits.map { r =>
+          s"split ${r.get(0)}: keys=${r.get(1)} " +
+            s"['${r.get(2)}':'${r.get(3)}']"
+        }.toSeq :+ s"${splits.length} splits"
+      }
+      case Stats(cfName) => withCf(cfName) { cf =>
+        import org.apache.spark.sql.functions._
+        // ONE column-pruned aggregate over the raw cells (key/col_name/
+        // tombstone only — the storeStats cell-census move); NodeCmd
+        // prints the same shape from MBean counters
+        val r = cf.lens.cells.agg(
+          approx_count_distinct(col("key")),
+          coalesce(sum(when(col("col_name").isNotNull && !col("tombstone"),
+            1L).otherwise(0L)), lit(0L)),
+          coalesce(sum(when(col("col_name").isNotNull && col("tombstone"),
+            1L).otherwise(0L)), lit(0L)),
+          coalesce(sum(when(col("col_name").isNull, 1L).otherwise(0L)),
+            lit(0L)),
+          count(lit(1))).head()
+        Seq(
+          s"Column Family: $cfName",
+          s"Number of Keys (estimate): ${r.getLong(0)}",
+          s"Cell count: ${r.getLong(4)}",
+          s"Live cells: ${r.getLong(1)}",
+          s"Tombstoned cells: ${r.getLong(2)}",
+          s"Deletion markers: ${r.getLong(3)}")
       }
       case Range(cfName, startKey, endKey, limit) => withCf(cfName) { cf =>
         val n = Option(limit).map(_.toInt).getOrElse(100)

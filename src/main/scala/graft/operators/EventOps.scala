@@ -1597,8 +1597,8 @@ object EventOps {
       dstCol: String, tableName: String, buckets: Int): Unit = {
     require(buckets >= 1, s"buckets $buckets must be >= 1")
     // the in-memory catalog is per-session: a prior session's managed
-    // location survives its DROP, so clear it first (CLAUDE.md rule;
-    // same move as every CellStore.writeBucketed call site)
+    // location survives its DROP, so clear it first (same move as every
+    // CellStore.writeBucketed call site)
     graft.sources.CellStore.dropManaged(edges.sparkSession, tableName)
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),

@@ -50,6 +50,27 @@ class ShellSpec extends SparkSpec {
       "Returned 2 results."))
   }
 
+  test("ops readouts: describe splits and stats answer next to the data commands") {
+    // describe_splits over the 3 live keys at n=2: the exact NTILE fill
+    // (2 then 1) with OrderPreserving token = key
+    assert(out("describe splits t 2") == Seq(
+      "split 1: keys=2 ['ka':'kb']",
+      "split 2: keys=1 ['kc':'kc']",
+      "2 splits"))
+    // cfstats-shaped census over the RAW cells: 6 cells, 3 keys, one
+    // column tombstone, no row markers — NodeCmd's printColumnFamilyStats
+    // shape from one column-pruned aggregate
+    assert(out("stats t") == Seq(
+      "Column Family: t",
+      "Number of Keys (estimate): 3",
+      "Cell count: 6",
+      "Live cells: 5",
+      "Tombstoned cells: 1",
+      "Deletion markers: 0"))
+    assert(out("stats nope") ==
+      Seq("unknown column family: nope (try 'show keyspaces')"))
+  }
+
   test("session writes: set upserts (LWW), del removes column and row, state persists") {
     var t = 100L
     val sess = new Shell.Session(Map("t" -> cf), now = () => { t += 1; t })
