@@ -147,6 +147,27 @@ object SparkEntry {
     p
   }
 
+  /** The q41/q47 LWW mutation feed: base orders cells plus three upsert
+    * waves — ts+2 ('X' wins on time), two equal-ts waves ('Z' wins the
+    * unsigned value tie-break, 'A' loses it to most statuses) — ONE
+    * definition under one oracle for both the state path (q41,
+    * latestPerKey) and the store path (q47, run-dir flush + in-loop
+    * compaction).
+    */
+  private def lwwMutationFeed(s: SparkSession, dir: String): DataFrame = {
+    val o = table(s, dir, "orders")
+    def up(pred: Column, v: String, dts: Long) = Mutations.asInserts(
+      o.filter(pred).select(
+        key10(col("o_custkey")).as("key"),
+        GraftFunctions.beBytes(col("o_orderkey")).as("col_name"),
+        encode(lit(v), "UTF-8").as("value"),
+        (unix_millis(col("o_orderdate").cast("timestamp")) + dts).as("ts")))
+    ordersCells(s, dir)
+      .unionByName(up(col("o_custkey") % 7 === 0, "X", 2L))
+      .unionByName(up(col("o_custkey") % 13 === 0, "Z", 0L))
+      .unionByName(up(col("o_custkey") % 17 === 0, "A", 0L))
+  }
+
   private def runStream(s: SparkSession, tag: String, dir: String,
       input: DataFrame, nFiles: Int,
       prepareIn: String => Unit = _ => (),
@@ -896,20 +917,35 @@ object SparkEntry {
     // order-insensitive, so arbitrary file-batch boundaries are safe).
     "q41_stream_lww" -> ((s, dir) => {
       import s.implicits._
-      val o = table(s, dir, "orders")
-      def up(pred: Column, v: String, dts: Long) = Mutations.asInserts(
-        o.filter(pred).select(
-          key10(col("o_custkey")).as("key"),
-          GraftFunctions.beBytes(col("o_orderkey")).as("col_name"),
-          encode(lit(v), "UTF-8").as("value"),
-          (unix_millis(col("o_orderdate").cast("timestamp")) + dts).as("ts")))
-      val all = ordersCells(s, dir)
-        .unionByName(up(col("o_custkey") % 7 === 0, "X", 2L))
-        .unionByName(up(col("o_custkey") % 13 === 0, "Z", 0L))
-        .unionByName(up(col("o_custkey") % 17 === 0, "A", 0L))
+      val all = lwwMutationFeed(s, dir)
       val out = runStream(s, "q41", dir, all, 3)(st =>
         graft.streaming.CellStream.latestPerKey(st.as[Cell]).toDF())
       val lens = new CassandraLens(out, ordersMeta)
+      ordersDecoded(lens.rangeSliceByKeys(None, None, None,
+        SliceRange(count = Int.MaxValue), Int.MaxValue))
+    }),
+
+    // q41's mutation feed through the STORE path with the round-19
+    // flush→minor-compaction loop ON: each micro-batch flushes as its
+    // own run dir and the in-loop size-tiered fold fires mid-stream
+    // (compactAtRuns = 2 over a 3-file feed ⇒ at least two folds), so
+    // the gate proves the folded store's reconciled read ≡ the batch
+    // reconcile — q41's oracle, the reference's flush-always-calls-
+    // submitMinorIfNeeded loop end to end.
+    "q47_stream_compacting" -> ((s, dir) => {
+      val all = lwwMutationFeed(s, dir)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q47_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      all.repartition(3).write.parquet(s"$base/in")
+      val stream = s.readStream.schema(Cell.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = graft.streaming.CellStream.writeToStore(
+        stream, s"$base/store", s"$base/ckpt", compactAtRuns = 2)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val lens = new CassandraLens(
+        graft.sources.CellStore.readRuns(s, s"$base/store"), ordersMeta)
       ordersDecoded(lens.rangeSliceByKeys(None, None, None,
         SliceRange(count = Int.MaxValue), Int.MaxValue))
     }),
@@ -7756,6 +7792,14 @@ object SparkEntry {
         |FROM orders""".stripMargin,
 
     "q41_stream_lww" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
+        |       CASE WHEN o_custkey % 7 = 0 THEN 'X'
+        |            WHEN o_custkey % 13 = 0 THEN 'Z'
+        |            WHEN o_custkey % 17 = 0 THEN greatest(o_orderstatus, 'A')
+        |            ELSE o_orderstatus END AS status
+        |FROM orders""".stripMargin,
+
+    "q47_stream_compacting" ->
       """SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
         |       CASE WHEN o_custkey % 7 = 0 THEN 'X'
         |            WHEN o_custkey % 13 = 0 THEN 'Z'
