@@ -106,13 +106,17 @@ object SparkEntry {
   }
 
   private def bm25TombstoneReadout(s: SparkSession, store: String,
-      qText: String): DataFrame =
-    graft.pipeline.TextAnalysis.bm25TopKIndexed(
-      graft.streaming.PipelineStream.readBm25Postings(s, store),
-      graft.streaming.PipelineStream.readBm25DocLens(s, store),
-      qText, k = 10)
+      qText: String): DataFrame = {
+    // the PAIRED read entry: postings and doclens from ONE pointer
+    // resolution (a compaction commit between two independent reads
+    // would mix generations)
+    val (postings, doclens) =
+      graft.streaming.PipelineStream.readBm25Store(s, store)
+    graft.pipeline.TextAnalysis.bm25TopKIndexed(postings, doclens,
+        qText, k = 10)
       .select(col("rank").cast("long").as("rank"), col("id").as("doc_id"),
         col("score"))
+  }
 
   /** ONE definition of the p295/p296 folded term census: the corpus as
     * two disjoint halves whose (g, term, c) censuses fold by addition.
@@ -166,6 +170,32 @@ object SparkEntry {
       .unionByName(up(col("o_custkey") % 7 === 0, "X", 2L))
       .unionByName(up(col("o_custkey") % 13 === 0, "Z", 0L))
       .unionByName(up(col("o_custkey") % 17 === 0, "A", 0L))
+  }
+
+  /** The cell-STORE streaming scaffold (q38/q47's shape next to
+    * [[runStreams]]'s sink-shaped one): fresh tmp base per (tag, dir),
+    * `nFiles`-sliced parquet feed, Cell-schema readStream at
+    * maxFilesPerTrigger = 1, and an AvailableNow run of the caller's
+    * [[graft.streaming.CellStream.writeToStore]]-shaped writer (which
+    * picks its own store path under the returned base). ONE definition
+    * of the feed/checkpoint/trigger plumbing for every gate whose sink
+    * is a foreachBatch STORE rather than a parquet stream sink.
+    */
+  private def runCellStoreStream(s: SparkSession, tag: String, dir: String,
+      cells: DataFrame, nFiles: Int)(
+      writer: (DataFrame, String) => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): String = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    // checkpoint state must not survive across invocations (a stale WAL
+    // would mark the input files already-committed and skip the append)
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    cells.repartition(nFiles).write.parquet(s"$base/in")
+    val stream = s.readStream.schema(Cell.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val q = writer(stream, base)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    base
   }
 
   private def runStream(s: SparkSession, tag: String, dir: String,
@@ -853,20 +883,11 @@ object SparkEntry {
           GraftFunctions.beBytes(col("o_orderkey")).as("col_name"),
           encode(lit("W"), "UTF-8").as("value"),
           (unix_millis(col("o_orderdate").cast("timestamp")) + 5L).as("ts")))
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q38_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      // checkpoint state must not survive across invocations (a stale WAL
-      // would mark the input files already-committed and skip the append)
-      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(base), true)
-      muts.repartition(3).write.parquet(s"$base/in")
-      val stream = s.readStream.schema(Cell.schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
-      val q = graft.streaming.CellStream.writeToStore(
-        stream, s"$base/delta", s"$base/ckpt", Seq(
-          _.filter(substring(col("key"), 10, 1) =!= "0"),
-          _.withColumn("value", concat(col("value"), encode(lit("+"), "UTF-8")))))
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      val base = runCellStoreStream(s, "q38", dir, muts, 3)((stream, b) =>
+        graft.streaming.CellStream.writeToStore(
+          stream, s"$b/delta", s"$b/ckpt", Seq(
+            _.filter(substring(col("key"), 10, 1) =!= "0"),
+            _.withColumn("value", concat(col("value"), encode(lit("+"), "UTF-8"))))))
       val lens = new CassandraLens(
         ordersCells(s, dir).unionByName(s.read.parquet(s"$base/delta")), ordersMeta)
       ordersDecoded(lens.rangeSliceByKeys(None, None, None,
@@ -933,17 +954,10 @@ object SparkEntry {
     // reconcile — q41's oracle, the reference's flush-always-calls-
     // submitMinorIfNeeded loop end to end.
     "q47_stream_compacting" -> ((s, dir) => {
-      val all = lwwMutationFeed(s, dir)
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q47_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(base), true)
-      all.repartition(3).write.parquet(s"$base/in")
-      val stream = s.readStream.schema(Cell.schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
-      val q = graft.streaming.CellStream.writeToStore(
-        stream, s"$base/store", s"$base/ckpt", compactAtRuns = 2)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      val base = runCellStoreStream(s, "q47", dir,
+        lwwMutationFeed(s, dir), 3)((stream, b) =>
+        graft.streaming.CellStream.writeToStore(
+          stream, s"$b/store", s"$b/ckpt", compactAtRuns = 2))
       val lens = new CassandraLens(
         graft.sources.CellStore.readRuns(s, s"$base/store"), ordersMeta)
       ordersDecoded(lens.rangeSliceByKeys(None, None, None,

@@ -136,6 +136,14 @@ class CassandraLens(
     * sorted string column; a fresh session re-warms DETERMINISTICALLY
     * via [[loadCachedKeys]] + the hot-key `withRowCache` overload
     * without having observed the previous session's traffic.
+    *
+    * RE-WARM CONTRACT by cache kind: a PARTIAL cache's saved set is
+    * hot-sized by construction — re-warm with `withRowCache(keys)`.
+    * A FULL cache on a big store can save MORE than
+    * [[CassandraLens.MaxHotKeys]] keys; such a store re-warms with the
+    * no-arg `withRowCache()` (it fit in executor memory last session,
+    * pin it whole again — the key list adds nothing) and the hot-key
+    * overload's bound is deliberately NOT a path around that.
     */
   def saveCachedKeys(path: String): Unit = {
     require(cachedLive.nonEmpty, "no row cache attached — call withRowCache() first")

@@ -644,7 +644,11 @@ class Keyspace(val spark: SparkSession, val name: String) {
     * ([[compactColumnFamily]] with gcBefore = nowSec − gcGrace, the
     * reference's getDefaultGcBefore) and return the advice acted on;
     * an empty return means the store was already tight and NOTHING was
-    * rewritten. The DECISION grain is the reference's (size-tiered
+    * rewritten. A SIDECAR-ONLY advice (stale horizons, tight data
+    * store) refreshes the two horizon tables from the store's
+    * value-free marker branches and rewrites no data — at 100 TB a
+    * metadata-freshness fix must never cost a full-store rewrite.
+    * The DECISION grain is the reference's (size-tiered
     * buckets, thresholds); the MECHANISM is this engine's: the bucketed
     * in-place rewrite merges every advised group in one shuffle-free
     * job (each Spark bucket rewrites locally), rather than one job per
@@ -655,7 +659,20 @@ class Keyspace(val spark: SparkSession, val name: String) {
       maxThreshold: Int = 32, minSmall: Long = 50L << 20): DataFrame = {
     val advice = compactionAdvice(cf, nowSec, minThreshold, maxThreshold,
       minSmall).localCheckpoint()
-    if (!advice.isEmpty) {
+    val kinds = advice.select(col("kind")).collect().map(_.getString(0)).toSet
+    if (kinds == Set("sidecar")) {
+      // staleness alone needs no data rewrite: recompute the horizons
+      // from the store's MARKER branches (value-free, column-pruned —
+      // two thin aggregates) instead of rewriting every bucket of a
+      // possibly-huge CF to fix metadata freshness
+      val cells = spark.table(tableName(cf))
+      if (spark.catalog.tableExists(hrowTable(cf)))
+        CellStore.replaceTable(spark, hrowTable(cf),
+          graft.operators.Reconcile.rowTombstones(cells))
+      if (spark.catalog.tableExists(hscTable(cf)))
+        CellStore.replaceTable(spark, hscTable(cf),
+          graft.operators.Reconcile.superTombstones(cells))
+    } else if (kinds.nonEmpty) {
       val meta = columnFamilyMeta(cf)
       val buckets = spark.sessionState.catalog.getTableMetadata(
         spark.sessionState.sqlParser.parseTableIdentifier(tableName(cf)))

@@ -81,46 +81,19 @@ object CellStore {
       gcBeforeSeconds: Int = Int.MinValue,
       targetFileBytes: Long = 128L << 20, minRunsPerBucket: Int = 2,
       low: Double = 0.5, high: Double = 1.5,
-      minRunBytes: Long = 4L << 20): Seq[(Long, Seq[Long])] = {
-    require(minRunsPerBucket >= 2, "minRunsPerBucket must be >= 2")
-    require(targetFileBytes >= 1, "targetFileBytes must be >= 1")
-    val base = new org.apache.hadoop.fs.Path(basePath)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(base)) return Seq.empty
-    RunFold.heal(fs, base)
-    val sized = RunFold.runDirs(fs, base).map { case (id, p) =>
-      (id, fs.getContentSummary(p).getLength)
-    }
-    val buckets = ZOrder.sizeTieredBuckets(sized, low, high, minRunBytes)
-      .filter(_.length >= minRunsPerBucket)
-    if (buckets.isEmpty) return Seq.empty
-    var nextId = math.min(-1L, sized.map(_._1).min - 1L)
-    val byId = sized.toMap
-    val allIds = sized.map(_._1).toSet
-    buckets.map { srcIds =>
-      val newId = nextId
-      nextId -= 1
-      val srcPaths = srcIds.map(id =>
-        new org.apache.hadoop.fs.Path(base, s"run=$id"))
-      val bytes = srcIds.map(byId).sum
-      val nFiles = math.max(1L,
-        (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      minRunBytes: Long = 4L << 20): Seq[(Long, Seq[Long])] =
+    RunFold.foldSizeTiered(spark, basePath, targetFileBytes,
+      minRunsPerBucket, low, high, minRunBytes) { (srcPaths, tmp, nFiles, isFullFold) =>
       // purge only on a full fold (see the rule above)
-      val gcUse = if (srcIds.toSet == allIds) gcBeforeSeconds
-        else Int.MinValue
-      val merged = graft.operators.Compaction.compact(
-        spark.read.parquet(srcPaths.map(_.toString): _*), gcUse)
-      val tmp = new org.apache.hadoop.fs.Path(base, s".compacting-run-$newId")
-      merged
+      val gcUse = if (isFullFold) gcBeforeSeconds else Int.MinValue
+      graft.operators.Compaction.compact(
+          spark.read.parquet(srcPaths.map(_.toString): _*), gcUse)
         .repartitionByRange(nFiles, col("key"))
         .sortWithinPartitions(col("key"), col("super_name"), col("col_name"))
         .write
         .option("parquet.bloom.filter.enabled#key", "true")
         .mode("overwrite").parquet(tmp.toString)
-      RunFold.publish(fs, base, newId, tmp, srcIds)
-      (newId, srcIds)
     }
-  }
 
   /** Domain-split layout (fork CFMetaData.domainSplit,
     * config/CFMetaData.java:49-53 + dht/OdklDomainPartitioner): the 2-char

@@ -72,4 +72,49 @@ private[graft] object RunFold {
       s"run-fold publish rename failed for run=$newId")
     srcIds.foreach(sid => fs.delete(new Path(base, s"run=$sid"), true))
   }
+
+  /** The whole size-tiered plan-and-publish skeleton, shared by the
+    * z-ordered store and the cell store (the two differ ONLY in how a
+    * merged run's rows are written): heal first, size the surviving
+    * runs, bucket them ([[ZOrder.sizeTieredBuckets]] — the reference's
+    * getBuckets rule), and for each qualifying bucket allocate the next
+    * NEGATIVE id, hand (sources, temp dir, file budget, full-fold flag)
+    * to `writeMerged`, and publish-then-delete through [[publish]].
+    * `isFullFold` is true when the bucket covers every surviving run —
+    * the cell store's tombstone-purge precondition. Returns
+    * (newRunId, mergedSourceIds) per merged bucket; empty when nothing
+    * qualifies (idempotent fixed point).
+    */
+  def foldSizeTiered(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, targetFileBytes: Long, minRunsPerBucket: Int,
+      low: Double, high: Double, minRunBytes: Long)(
+      writeMerged: (Seq[Path], Path, Int, Boolean) => Unit): Seq[(Long, Seq[Long])] = {
+    require(minRunsPerBucket >= 2, "minRunsPerBucket must be >= 2")
+    require(targetFileBytes >= 1, "targetFileBytes must be >= 1")
+    val base = new Path(basePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return Seq.empty
+    heal(fs, base)
+    val sized = runDirs(fs, base).map { case (id, p) =>
+      (id, fs.getContentSummary(p).getLength)
+    }
+    val buckets = ZOrder.sizeTieredBuckets(sized, low, high, minRunBytes)
+      .filter(_.length >= minRunsPerBucket)
+    if (buckets.isEmpty) return Seq.empty
+    var nextId = math.min(-1L, sized.map(_._1).min - 1L)
+    val byId = sized.toMap
+    val allIds = sized.map(_._1).toSet
+    buckets.map { srcIds =>
+      val newId = nextId
+      nextId -= 1
+      val srcPaths = srcIds.map(id => new Path(base, s"run=$id"))
+      val bytes = srcIds.map(byId).sum
+      val nFiles = math.max(1L,
+        (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val tmp = new Path(base, s".compacting-run-$newId")
+      writeMerged(srcPaths, tmp, nFiles, srcIds.toSet == allIds)
+      publish(fs, base, newId, tmp, srcIds)
+      (newId, srcIds)
+    }
+  }
 }

@@ -252,8 +252,6 @@ object ZOrder {
     }
   }
 
-  private val ManifestName = RunFold.ManifestName
-
   /** Finish interrupted compaction cycles — the startup-recovery step
     * (reference: compaction-marked SSTables deleted at startup). A stale
     * never-published temp dir is discarded; a source run still on disk
@@ -337,32 +335,10 @@ object ZOrder {
   def compactZRuns(spark: org.apache.spark.sql.SparkSession,
       basePath: String, targetFileBytes: Long = 128L << 20,
       minRunsPerBucket: Int = 2, low: Double = 0.5, high: Double = 1.5,
-      minRunBytes: Long = 4L << 20): Seq[(Long, Seq[Long])] = {
-    require(minRunsPerBucket >= 2, "minRunsPerBucket must be >= 2")
-    require(targetFileBytes >= 1, "targetFileBytes must be >= 1")
-    val base = new org.apache.hadoop.fs.Path(basePath)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(base)) return Seq.empty
-    healZRuns(fs, base)
-    // plan: size-tier the surviving runs
-    val sized = runDirs(fs, base).map { case (id, p) =>
-      (id, fs.getContentSummary(p).getLength)
+      minRunBytes: Long = 4L << 20): Seq[(Long, Seq[Long])] =
+    RunFold.foldSizeTiered(spark, basePath, targetFileBytes,
+      minRunsPerBucket, low, high, minRunBytes) { (srcPaths, tmp, nFiles, _) =>
+      writeRun(spark.read.parquet(srcPaths.map(_.toString): _*),
+        tmp.toString, nFiles)
     }
-    val buckets = sizeTieredBuckets(sized, low, high, minRunBytes)
-      .filter(_.length >= minRunsPerBucket)
-    if (buckets.isEmpty) return Seq.empty
-    var nextId = math.min(-1L, sized.map(_._1).min - 1L)
-    val byId = sized.toMap
-    buckets.map { srcIds =>
-      val newId = nextId
-      nextId -= 1
-      val srcPaths = srcIds.map(id => new org.apache.hadoop.fs.Path(base, s"run=$id"))
-      val bytes = srcIds.map(byId).sum
-      val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-      val tmp = new org.apache.hadoop.fs.Path(base, s".compacting-run-$newId")
-      writeRun(spark.read.parquet(srcPaths.map(_.toString): _*), tmp.toString, nFiles)
-      RunFold.publish(fs, base, newId, tmp, srcIds)
-      (newId, srcIds)
-    }
-  }
 }

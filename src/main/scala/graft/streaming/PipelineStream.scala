@@ -280,10 +280,29 @@ object PipelineStream {
   def readBm25Postings(spark: org.apache.spark.sql.SparkSession,
       basePath: String): DataFrame = {
     val sfx = genSuffixOf(spark, basePath) // ONE resolution for the plan
+    readBm25PostingsAt(spark, basePath, sfx)
+  }
+
+  private def readBm25PostingsAt(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, sfx: String): DataFrame =
     shadowByRun(
       spark.read.parquet(s"$basePath/postings$sfx")
         .select(col("term"), col("id"), col("tf"), col("len"), col("run")),
       bm25Deletes(spark, basePath, sfx))
+
+  /** BOTH live views of a BM25 store — (postings, doclens) — resolved
+    * from ONE pointer listing. A scorer needs the pair, and two
+    * independent [[readBm25Postings]]/[[readBm25DocLens]] calls each
+    * re-resolve the pointer, so a compaction commit landing between
+    * them would join old-generation postings against new-generation
+    * corpus stats (silently dropped docs / skewed idf). This is the
+    * read entry point for any plan that touches both.
+    */
+  def readBm25Store(spark: org.apache.spark.sql.SparkSession,
+      basePath: String): (DataFrame, DataFrame) = {
+    val sfx = genSuffixOf(spark, basePath)
+    (readBm25PostingsAt(spark, basePath, sfx),
+      readBm25DocLensAt(spark, basePath, sfx))
   }
 
   /** The live doc-lens of a [[bm25IndexIngest]] store — deletes shadow
@@ -292,11 +311,15 @@ object PipelineStream {
   def readBm25DocLens(spark: org.apache.spark.sql.SparkSession,
       basePath: String): DataFrame = {
     val sfx = genSuffixOf(spark, basePath) // ONE resolution for the plan
+    readBm25DocLensAt(spark, basePath, sfx)
+  }
+
+  private def readBm25DocLensAt(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, sfx: String): DataFrame =
     shadowByRun(
       spark.read.parquet(s"$basePath/doclens$sfx")
         .select(col("id"), col("len"), col("run")),
       bm25Deletes(spark, basePath, sfx))
-  }
 
   /** TWO-SOURCE streaming BM25 maintenance — the [[knnStoreIngest]]
     * protocol at retrieval grain: a document feed and a delete-id feed
@@ -368,12 +391,15 @@ object PipelineStream {
     clearGen(fs, base, gen, Seq("postings", "doclens", "deletes"))
     // consolidated substores fully written BEFORE the one-rename commit;
     // tombstones APPLIED here, and the new generation simply has no
-    // deletes dir — delete-run GC is part of the same atomic publish
-    readBm25Postings(spark, basePath)
+    // deletes dir — delete-run GC is part of the same atomic publish.
+    // Paired read: one pointer resolution (also the single-writer case,
+    // but the pair API costs nothing and saves a listing)
+    val (postings, doclens) = readBm25Store(spark, basePath)
+    postings
       .repartitionByRange(col("term")).sortWithinPartitions("term")
       .write.mode("overwrite")
       .parquet(s"$basePath/postings.g$gen/run=${pRuns.max}")
-    readBm25DocLens(spark, basePath)
+    doclens
       .write.mode("overwrite")
       .parquet(s"$basePath/doclens.g$gen/run=${lRuns.max}")
     commitGen(fs, base, gen, Seq("postings", "doclens", "deletes"),
@@ -953,6 +979,36 @@ object PipelineStream {
 
   private val SnapshotsDir = "_snapshots"
 
+  /** Adopt snapshots stranded in `<base>__old` by a whole-base-swap
+    * compaction that crashed between its publish rename and its
+    * snapshot carry (compactPositionalPostings' crash window): move
+    * each stranded snapshot whose name the live store doesn't already
+    * have into the live `_snapshots` tree. Without this,
+    * [[restoreRunStore]] would fail its exists-require and
+    * [[listRunStoreSnapshots]] would return empty at EXACTLY the
+    * moment an operator reaches for the backup — recovery must not
+    * require knowing to run a full compaction (a data rewrite) first.
+    * Only the snapshots move; the rest of `__old` stays for the next
+    * compaction's entry heal to collect.
+    */
+  private def adoptStrandedSnapshots(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path): Unit = {
+    // normalized Path.toString — a trailing slash in the caller's base
+    // string must not relocate the sibling
+    val old = new org.apache.hadoop.fs.Path(base.toString + "__old")
+    val oldSnaps = new org.apache.hadoop.fs.Path(old, SnapshotsDir)
+    if (fs.exists(base) && fs.exists(oldSnaps)) {
+      val liveSnaps = new org.apache.hadoop.fs.Path(base, SnapshotsDir)
+      fs.mkdirs(liveSnaps)
+      fs.listStatus(oldSnaps).foreach { st =>
+        val dst = new org.apache.hadoop.fs.Path(liveSnaps, st.getPath.getName)
+        if (!fs.exists(dst))
+          require(fs.rename(st.getPath, dst),
+            s"adoptStrandedSnapshots: could not adopt ${st.getPath}")
+      }
+    }
+  }
+
   /** The store's LIVE substore names (plain, generation-normalized) —
     * dirs the current pointer references (or the plain legacy dirs at
     * generation 0), hidden/residue dirs excluded.
@@ -1050,6 +1106,7 @@ object PipelineStream {
     val base = new org.apache.hadoop.fs.Path(basePath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val conf = spark.sparkContext.hadoopConfiguration
+    adoptStrandedSnapshots(fs, base)
     val snapDir = new org.apache.hadoop.fs.Path(base, s"$SnapshotsDir/$name")
     require(fs.exists(snapDir), s"restoreRunStore: no snapshot '$name' under $basePath")
     val snapRuns = fs.listStatus(snapDir).toSeq.filter(st =>
@@ -1115,11 +1172,16 @@ object PipelineStream {
     }
   }
 
-  /** List a store's [[snapshotRunStore]] snapshots by name. */
+  /** List a store's [[snapshotRunStore]] snapshots by name (adopting
+    * any crash-stranded in `__old` first — see
+    * [[adoptStrandedSnapshots]]).
+    */
   def listRunStoreSnapshots(spark: org.apache.spark.sql.SparkSession,
       basePath: String): Seq[String] = {
-    val snaps = new org.apache.hadoop.fs.Path(basePath, SnapshotsDir)
-    val fs = snaps.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(basePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    adoptStrandedSnapshots(fs, base)
+    val snaps = new org.apache.hadoop.fs.Path(base, SnapshotsDir)
     if (!fs.exists(snaps)) Seq.empty
     else fs.listStatus(snaps).toSeq.filter(_.isDirectory)
       .map(_.getPath.getName).sorted

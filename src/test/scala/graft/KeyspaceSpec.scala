@@ -609,6 +609,22 @@ class KeyspaceSpec extends SparkSpec {
         graft.operators.SliceRange(count = 10))) == Map("c1" -> "v1"))
       // no-op call on the tight store rewrites nothing
       assert(ks.compactIfNeeded("cfa", lateNow).isEmpty)
+      // SIDECAR-ONLY advice must refresh the horizon tables WITHOUT a
+      // data rewrite: one direct insert makes the sidecar stale (one
+      // extra file per touched bucket stays under minThreshold, no new
+      // tombstones → no minor, no gc)
+      Thread.sleep(5) // mtime granularity
+      spark.sql("INSERT INTO graft_ksc.cfa SELECT * FROM graft_ksc.cfa LIMIT 1")
+      def dataFiles() = new java.io.File(loc, "cfa").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+      val before = dataFiles()
+      val acted = ks.compactIfNeeded("cfa", lateNow).collect()
+      assert(acted.map(_.getString(0)).toSet == Set("sidecar"),
+        acted.mkString("; "))
+      assert(dataFiles() == before,
+        "sidecar-only advice must not rewrite the data store")
+      assert(ks.compactionAdvice("cfa", lateNow).isEmpty,
+        "refreshed sidecar advises nothing")
     } finally ks.drop()
   }
 

@@ -1628,6 +1628,20 @@ class StreamingSpec extends SparkSpec {
     PS.restoreRunStore(spark, pstore, "pre")
     assert(phrase() == pBefore,
       "post-compaction restore from the carried snapshot")
+    // crash-after-publish residue: snapshots stranded in <base>__old must
+    // be visible to list/restore WITHOUT running a compaction first
+    val pfs = new org.apache.hadoop.fs.Path(pstore)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val strandedOld = new org.apache.hadoop.fs.Path(pstore + "__old")
+    pfs.mkdirs(strandedOld)
+    assert(pfs.rename(new org.apache.hadoop.fs.Path(pstore, "_snapshots"),
+      new org.apache.hadoop.fs.Path(strandedOld, "_snapshots")))
+    assert(PS.listRunStoreSnapshots(spark, pstore) == Seq("pre"),
+      "stranded snapshots must be adopted, not invisible")
+    PS.restoreRunStore(spark, pstore, "pre")
+    assert(phrase() == pBefore, "restore from the adopted snapshot")
+    assert(pfs.exists(strandedOld),
+      "adoption moves only the snapshots; __old residue stays for the heal")
 
     // ---- plain-reader census store: restore must NOT commit a pointer
     // (readNgramCensus opens the plain dir name) — retire-and-link path
