@@ -1,0 +1,316 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.{CellEncodings, CellStore}
+
+/** Round-19 optimization probe: per-stage wall-clock attribution for the
+  * expensive bench legs (guide §1 "measure first"). Each piece is timed
+  * with the noop sink so the computation — not the sink — is measured;
+  * every piece runs twice and the SECOND (warm) time is reported so
+  * codegen/classload noise doesn't masquerade as compute. Output lines
+  * are `[probe] <name> <sec>` — grep-friendly, never parsed by the
+  * driver.
+  */
+object OptProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.create(taskSideCommit = true)
+    val only: Set[String] = args.toSet
+
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    def probe(name: String)(f: => Unit): Unit =
+      if (only.isEmpty || only.exists(name.startsWith)) {
+        spark.sparkContext.setJobDescription(name)
+        f // warm (codegen + classload)
+        val t0 = System.nanoTime()
+        f
+        println(f"[probe] $name ${(System.nanoTime() - t0) / 1e9}%.3f")
+        spark.sparkContext.setJobDescription(null)
+      }
+
+    val tmp = Files.createTempDirectory("graft_probe").toString
+
+    // ---- insert_super decomposition ----
+    val superMeta = CellEncodings.lineitemSuperMeta
+    probe("insert_super/src_noop") {
+      noop(CellEncodings.lineitemSuperCells(spark, sfDir))
+    }
+    probe("insert_super/full") {
+      CellStore.write(CellEncodings.lineitemSuperCells(spark, sfDir),
+        superMeta, s"$tmp/li_super", numPartitions = GraftSession.cpus.toInt)
+      spark.read.parquet(s"$tmp/li_super").count()
+    }
+    probe("insert_super/write_only") {
+      CellStore.write(CellEncodings.lineitemSuperCells(spark, sfDir),
+        superMeta, s"$tmp/li_super2", numPartitions = GraftSession.cpus.toInt)
+    }
+    probe("insert_super/write_nobloom") {
+      val sk = graft.model.Comparators.sortKey(superMeta.comparator, col("col_name"))
+      CellEncodings.lineitemSuperCells(spark, sfDir)
+        .withColumn("token", graft.model.Tokens.token(superMeta.partitioner, col("key")))
+        .repartitionByRange(GraftSession.cpus.toInt, col("token"), col("key"))
+        .sortWithinPartitions(col("token"), col("key"), col("super_name"), sk)
+        .drop("token")
+        .write.mode("overwrite").parquet(s"$tmp/li_super3")
+    }
+    probe("insert_super/write_bloom_ndv") {
+      // explicit expected-NDV bloom sizing vs parquet's adaptive default:
+      // key ~75k distinct per output file, col_name 4 distinct (ordinals)
+      val sk = graft.model.Comparators.sortKey(superMeta.comparator, col("col_name"))
+      CellEncodings.lineitemSuperCells(spark, sfDir)
+        .withColumn("token", graft.model.Tokens.token(superMeta.partitioner, col("key")))
+        .repartitionByRange(GraftSession.cpus.toInt, col("token"), col("key"))
+        .sortWithinPartitions(col("token"), col("key"), col("super_name"), sk)
+        .drop("token")
+        .write
+        .option("parquet.bloom.filter.enabled#key", "true")
+        .option("parquet.bloom.filter.enabled#col_name", "true")
+        .option("parquet.bloom.filter.expected.ndv#key", "131072")
+        .option("parquet.bloom.filter.expected.ndv#col_name", "1024")
+        .mode("overwrite").parquet(s"$tmp/li_super5")
+    }
+    probe("insert_super/write_nosort_hash") {
+      CellEncodings.lineitemSuperCells(spark, sfDir)
+        .repartition(GraftSession.cpus.toInt, col("key"))
+        .write.mode("overwrite").parquet(s"$tmp/li_super4")
+    }
+    probe("insert_super/readback_count") {
+      spark.read.parquet(s"$tmp/li_super").count()
+    }
+
+    // ---- insert (orders) ----
+    probe("insert/full") {
+      CellStore.write(CellEncodings.ordersCells(spark, sfDir),
+        CellEncodings.ordersMeta, s"$tmp/orders_cells",
+        numPartitions = GraftSession.cpus.toInt)
+      spark.read.parquet(s"$tmp/orders_cells").count()
+    }
+
+    // ---- insert_domain decomposition ----
+    val domainMeta = CellEncodings.ordersMeta.copy(domainSplit = true)
+    val domainSrc = CellEncodings.ordersCells(spark, sfDir)
+      .unionByName(CellEncodings.ordersStatusFTombstones(spark, sfDir))
+    probe("insert_domain/src_noop") { noop(domainSrc) }
+    probe("insert_domain/full") {
+      CellStore.writeDomainSplit(domainSrc, domainMeta, s"$tmp/orders_domain")
+      spark.read.parquet(s"$tmp/orders_domain").count()
+    }
+    probe("insert_domain/write_only") {
+      CellStore.writeDomainSplit(domainSrc, domainMeta, s"$tmp/orders_domain2")
+    }
+    probe("insert_domain/readback_count") {
+      spark.read.parquet(s"$tmp/orders_domain").count()
+    }
+
+    // ---- jaccard decomposition (unguarded twin) ----
+    val docs = CellEncodings.table(spark, sfDir, "documents")
+    probe("jaccard/tokens_noop") {
+      noop(docs.select(graft.pipeline.TextAnalysis.tokens(col("text")).as("t")))
+    }
+    probe("jaccard/shingles_hashed_noop") {
+      val raw = docs.select(col("doc_id").as("id"),
+        explode(graft.pipeline.TextAnalysis.wordNgrams(col("text"), 3)).as("sh"))
+        .withColumn("sh", xxhash64(col("sh")))
+      noop(raw)
+    }
+    probe("jaccard/grouped_noop") {
+      val raw = docs.select(col("doc_id").as("id"),
+        explode(graft.pipeline.TextAnalysis.wordNgrams(col("text"), 3)).as("sh"))
+        .withColumn("sh", xxhash64(col("sh")))
+      noop(raw.groupBy("sh").agg(sort_array(collect_set(col("id"))).as("ids")))
+    }
+    probe("jaccard/pairs_inter_noop") {
+      val raw = docs.select(col("doc_id").as("id"),
+        explode(graft.pipeline.TextAnalysis.wordNgrams(col("text"), 3)).as("sh"))
+        .withColumn("sh", xxhash64(col("sh")))
+      val grouped = raw.groupBy("sh").agg(sort_array(collect_set(col("id"))).as("ids"))
+      val pairs = grouped.select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS ia, y AS ib))))"
+      )).as("p")).select(col("p.ia").as("ia"), col("p.ib").as("ib"))
+      noop(pairs.groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("inter")))
+    }
+    probe("jaccard/pairs_inter_gen2") {
+      // codegen candidate: two GenerateExec passes (posexplode + explode of
+      // a slice) instead of the interpreted flatten(transform(transform))
+      val raw = docs.select(col("doc_id").as("id"),
+        explode(graft.pipeline.TextAnalysis.wordNgrams(col("text"), 3)).as("sh"))
+        .withColumn("sh", xxhash64(col("sh")))
+      val grouped = raw.groupBy("sh").agg(sort_array(collect_set(col("id"))).as("ids"))
+      val pairs = grouped
+        .select(posexplode(col("ids")).as(Seq("i", "ia")), col("ids"))
+        .select(col("ia"), explode(expr("slice(ids, i + 2, size(ids))")).as("ib"))
+      noop(pairs.groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("inter")))
+    }
+    probe("jaccard/full") {
+      noop(graft.pipeline.Dedup.nearDuplicates(docs, "doc_id", "text", 3, 4, 5,
+        hashShingles = true, maxDocFreq = None))
+    }
+    probe("jaccard/full_guarded") {
+      noop(graft.pipeline.Dedup.nearDuplicates(docs, "doc_id", "text", 3, 4, 5,
+        hashShingles = true, maxDocFreq = Some(500)))
+    }
+    probe("containment/full") {
+      noop(graft.pipeline.Dedup.containmentNearDuplicates(docs, "doc_id", "text",
+        3, 4, 5, hashShingles = true))
+    }
+
+    // ---- minhash decomposition ----
+    probe("minhash/shingles_noop") {
+      noop(graft.pipeline.Dedup.shingles(docs, "doc_id", "text", 3))
+    }
+    probe("minhash/signatures_noop") {
+      val sh = graft.pipeline.Dedup.shingles(docs, "doc_id", "text", 3)
+      noop(graft.pipeline.Dedup.minhashSignatures(sh, 32))
+    }
+    probe("minhash/full_uncapped") {
+      noop(graft.pipeline.Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+        3, 32, 8, 4, 5, maxBucket = None))
+    }
+    probe("minhash/full_guarded") {
+      noop(graft.pipeline.Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+        3, 32, 8, 4, 5))
+    }
+
+    // ---- bytebpe decomposition ----
+    probe("bytebpe/sample_noop") {
+      noop(docs.filter(
+        graft.pipeline.TextAnalysis.hash60(col("text")) % 1000 < 100))
+    }
+    probe("bytebpe/initrepr_noop") {
+      noop(graft.pipeline.TextAnalysis.byteBpeInitRepr(
+        docs.filter(graft.pipeline.TextAnalysis.hash60(col("text")) % 1000 < 100),
+        "text"))
+    }
+    probe("bytebpe/pairstats_once") {
+      graft.pipeline.TextAnalysis.bpePairStats(
+        graft.pipeline.TextAnalysis.byteBpeInitRepr(
+          docs.filter(graft.pipeline.TextAnalysis.hash60(col("text")) % 1000 < 100),
+          "text"),
+        "repr", 1).collect()
+    }
+    probe("bytebpe/train_only") {
+      graft.pipeline.TextAnalysis.trainByteBpeMerges(docs, "text",
+        merges = 6, samplePermille = 100)
+    }
+    probe("bytebpe/train_narrow") {
+      // coalesce(1) defeats isNarrowScan -> the pre-widening single-core
+      // trainer shape, for an in-session A/B against train_only
+      graft.pipeline.TextAnalysis.trainByteBpeMerges(docs.coalesce(1), "text",
+        merges = 6, samplePermille = 100)
+    }
+    probe("bytebpe/apply_narrow") {
+      val merges = graft.pipeline.TextAnalysis.trainByteBpeMerges(
+        docs.coalesce(1), "text", merges = 6, samplePermille = 100)
+        .map { case (l, r, _) => (l, r) }
+      noop(graft.pipeline.TextAnalysis.byteBpeTokenCount(
+        docs.coalesce(1), "doc_id", "text", merges))
+    }
+    locally {
+      val merges = graft.pipeline.TextAnalysis.trainByteBpeMerges(docs, "text",
+        merges = 6, samplePermille = 100).map { case (l, r, _) => (l, r) }
+      probe("bytebpe/occ_noop") {
+        noop(docs.select(col("doc_id").as("id"),
+          explode(graft.pipeline.TextAnalysis.tokens(col("text"))).as("tok")))
+      }
+      probe("bytebpe/apply_only") {
+        noop(graft.pipeline.TextAnalysis.byteBpeTokenCount(docs, "doc_id", "text", merges))
+      }
+    }
+
+    // ---- wordpiece ----
+    probe("wordpiece/segment_full") {
+      val words = graft.pipeline.TextAnalysis
+        .unigramWords(docs, "text", maxWordLen = 12)
+        .localCheckpoint(eager = false)
+      noop(graft.pipeline.TextAnalysis.wordpieceSegment(words,
+        graft.pipeline.TextAnalysis.wordpieceVocab(words, maxPieceLen = 4, minCount = 30L),
+        maxPieceLen = 4))
+    }
+
+    // ---- sketches decomposition ----
+    probe("sketches/hll_noop") {
+      noop(graft.pipeline.Sketches.hllRegisters(
+        docs.select(col("lang"),
+          graft.pipeline.TextAnalysis.fingerprint(col("text")).as("fp")),
+        "fp", "lang", b = 6))
+    }
+    probe("sketches/cms_noop") {
+      noop(graft.pipeline.Sketches.countMinSketch(docs, "text", d = 4, w = 512))
+    }
+
+    // ---- drift_monitors decomposition ----
+    val ev = CellEncodings.table(spark, sfDir, "events")
+    probe("drift/cms_series_noop") {
+      noop(graft.pipeline.Sketches.cmsDriftSeries(
+        ev.select(expr("ts div 1000 div 86400000000").as("day"), col("props")),
+        "props", "day", d = 4, w = 128))
+    }
+    probe("drift/winsorized_noop") {
+      noop(graft.pipeline.Sketches.winsorizedStats(
+        ev.select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents")),
+        "cents", "event_type"))
+    }
+
+    // ---- knn_graph decomposition ----
+    val emb = CellEncodings.table(spark, sfDir, "embeddings")
+    probe("knn/kmeans_step_noop") {
+      noop(graft.pipeline.Similarity.kmeansStepExact(emb, "vec_id", "embedding", k = 16))
+    }
+    locally {
+      lazy val codebook = graft.pipeline.Similarity.refinedCentroids(
+        graft.pipeline.Similarity.kmeansStepExact(emb, "vec_id",
+          "embedding", k = 16)).localCheckpoint()
+      probe("knn/ivf_index_noop") {
+        noop(graft.pipeline.Similarity.ivfIndexTable(emb, "vec_id",
+          "embedding", codebook, 16))
+      }
+      probe("knn/graph_from_index") {
+        noop(graft.pipeline.Similarity.knnGraphIvf(
+          graft.pipeline.Similarity.ivfIndexTable(emb, "vec_id",
+            "embedding", codebook, 16), kNbrs = 10))
+      }
+    }
+    probe("knn/graph_full") {
+      val codebook = graft.pipeline.Similarity.refinedCentroids(
+        graft.pipeline.Similarity.kmeansStepExact(emb, "vec_id",
+          "embedding", k = 16)).localCheckpoint()
+      noop(graft.pipeline.Similarity.knnGraphIvf(
+        graft.pipeline.Similarity.ivfIndexTable(emb, "vec_id",
+          "embedding", codebook, 16), kNbrs = 10))
+    }
+
+    // ---- event_graph decomposition ----
+    probe("event_graph/transitions_noop") {
+      val e = ev.select(col("user_id"), expr("ts div 1000").as("tus"),
+        expr("CAST(nullif(regexp_extract(props, '[0-9]+', 0), '') AS BIGINT)").as("item"))
+      noop(graft.operators.EventOps.eventTransitions(e, "user_id", "tus", "item"))
+    }
+    probe("event_graph/triangles_noop") {
+      val e = ev.select(col("user_id"), expr("ts div 1000").as("tus"),
+        expr("CAST(nullif(regexp_extract(props, '[0-9]+', 0), '') AS BIGINT)").as("item"))
+      noop(graft.operators.EventOps.triangleCounts(
+        graft.operators.EventOps.eventTransitions(e, "user_id", "tus", "item"),
+        "from_type", "to_type"))
+    }
+
+    // ---- compaction / reconcile ----
+    val ordersLens = new graft.api.CassandraLens(
+      CellEncodings.ordersCells(spark, sfDir)
+        .unionByName(CellEncodings.ordersStatusFTombstones(spark, sfDir)),
+      CellEncodings.ordersMeta)
+    probe("compaction/full") {
+      noop(ordersLens.compact(gcBeforeSeconds = 1000000000).cells)
+    }
+
+    try new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+    catch { case _: Throwable => () }
+    spark.stop()
+  }
+}

@@ -62,7 +62,10 @@ object Dedup {
     * text. Documents shorter than n tokens produce no shingles.
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("_toks"))
+    // tokenize+shingle+hash is the operator's dominant pre-shuffle cost:
+    // run it wide even when the corpus arrives as one row group
+    val toks = graft.util.Widen.widenNarrowScan(df)
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("_toks"))
     toks
       .filter(size(col("_toks")) >= n)
       .select(col("id"), explode(expr(
@@ -106,7 +109,9 @@ object Dedup {
       .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
 
   private def shinglesRaw(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("_toks"))
+    // same widening rationale as [[shingles]]
+    val toks = graft.util.Widen.widenNarrowScan(df)
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("_toks"))
     toks
       .filter(size(col("_toks")) >= n)
       .select(col("id"), explode(expr(

@@ -482,7 +482,9 @@ object Sketches {
     val buckets = array((0 until d).map { r =>
       TextAnalysis.hash60(concat(lit(s"$r:"), col("tok"))) % w
     }: _*)
-    df.select(carry.map(col) :+ tok: _*)
+    // d md5 hashes per token occurrence dominate the pre-aggregate cost:
+    // widen a narrow-scan corpus so the hashing runs on every core
+    graft.util.Widen.widenNarrowScan(df).select(carry.map(col) :+ tok: _*)
       .select(carry.map(col) :+ posexplode(buckets).as(Seq("row", "bucket")): _*)
       .select(carry.map(col) ++ Seq(col("row").cast("long").as("row"),
         col("bucket")): _*)

@@ -1799,19 +1799,28 @@ object TextAnalysis {
     */
   def bpePairStats(repr: org.apache.spark.sql.DataFrame, reprCol: String,
       k: Int): org.apache.spark.sql.DataFrame = {
-    val ordered = repr.select(split(col(reprCol), " ").as("syms"))
+    val ordered = pairCountsOrdered(repr, reprCol).limit(k)
+    ordered.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("sym_l"), col("sym_r"))))
+      .select(col("rank"), col("sym_l"), col("sym_r"), col("cnt"))
+  }
+
+  /** The (count desc, pair asc)-ordered adjacent-pair counts behind
+    * [[bpePairStats]] — shared with the trainer's internal top-k collect
+    * (which skips the rank window: orderBy+limit+collect plans as ONE
+    * TakeOrdered job, and the rank is implied by array order).
+    */
+  private def pairCountsOrdered(repr: org.apache.spark.sql.DataFrame,
+      reprCol: String): org.apache.spark.sql.DataFrame =
+    repr.select(split(col(reprCol), " ").as("syms"))
       .filter(size(col("syms")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(syms) - 1), i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"
       )).as("p"))
       .groupBy(col("p.l").as("sym_l"), col("p.r").as("sym_r"))
       .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("sym_l"), col("sym_r")).limit(k)
-    ordered.withColumn("rank", row_number().over(
-      org.apache.spark.sql.expressions.Window
-        .orderBy(col("cnt").desc, col("sym_l"), col("sym_r"))))
-      .select(col("rank"), col("sym_l"), col("sym_r"), col("cnt"))
-  }
+      .orderBy(col("cnt").desc, col("sym_l"), col("sym_r"))
 
   /** Learn up to `merges` BPE merges: count adjacent symbol pairs, fuse
     * the (count desc, pair asc) argmax corpus-wide, repeat. The fuse
@@ -1912,12 +1921,23 @@ object TextAnalysis {
       merges: Int, batchSize: Int = 1): Seq[(String, String, Long)] = {
     require(batchSize >= 1, "batchSize >= 1")
     var repr = init.localCheckpoint()
+    // merges folded LAZILY since the last materialization: each pass's
+    // pair-stats job evaluates the pending fuse chain inline (map-only
+    // string work, far cheaper than the pass's explode+aggregate), so a
+    // merge costs ONE Spark job, not two (stats + eager checkpoint —
+    // round-19 measured the per-merge checkpoint job as ~half the
+    // trainer's wall). Materialize every few merges so neither plan
+    // depth nor recompute grows with the merge count.
+    var pendingFuses = 0
     val out = Seq.newBuilder[(String, String, Long)]
     var learned = 0
     var done = false
     while (learned < merges && !done) {
       val want = math.min(batchSize, merges - learned)
-      val top = bpePairStats(repr, "repr", want).collect()
+      // orderBy+limit+collect = one TakeOrdered job; the public
+      // bpePairStats adds a rank window (an extra stage) the loop
+      // never needed — rank order IS the array order here
+      val top = pairCountsOrdered(repr, "repr").limit(want).collect()
         .filter(_.getAs[Long]("cnt") >= 2L)
       if (top.isEmpty) done = true
       else {
@@ -1941,11 +1961,25 @@ object TextAnalysis {
         val folded = adm.foldLeft(col("repr")) {
           case (c, (l, r, _)) => fuseMerge(c, l, r)
         }
-        repr = repr.select(folded.as("repr")).localCheckpoint()
+        repr = repr.select(folded.as("repr"))
+        pendingFuses += adm.size
+        if (pendingFuses >= TrainFuseCheckpointEvery && learned < merges) {
+          repr = repr.localCheckpoint()
+          pendingFuses = 0
+        }
       }
     }
     out.result()
   }
+
+  /** How many admitted merges may stay un-materialized between the
+    * trainer's eager checkpoints: bounds both plan depth (≤ this many
+    * fuse chains stacked on the last checkpoint) and recompute (a pass
+    * re-evaluates at most this many pending fuses inline). 8 keeps the
+    * inline fuse work well under each pass's explode+aggregate cost
+    * while cutting the job count from 2/merge to ~1.12/merge.
+    */
+  private val TrainFuseCheckpointEvery: Int = 8
 
   /** BPE tokenizer APPLICATION — the inference side of
     * [[trainBpeMerges]]: symbolize each token occurrence to characters
@@ -2002,6 +2036,10 @@ object TextAnalysis {
   private def fusePerDistinctTok(occ: org.apache.spark.sql.DataFrame,
       tokRepr: Column, merges: Seq[(String, String)],
       checkpointEvery: Int): org.apache.spark.sql.DataFrame =
+    // NOT widened (round-19 A/B): the occurrence explode is cheap next
+    // to the join+aggregate exchanges that follow, and the extra
+    // round-robin shuffle of every token occurrence cost more than the
+    // parallel tokenize saved on the bench corpus
     occ.join(
       foldMergeChunks(
         occ.select(col("tok")).distinct().select(col("tok"),
@@ -2078,6 +2116,10 @@ object TextAnalysis {
     */
   def byteBpeInitRepr(df: org.apache.spark.sql.DataFrame,
       textCol: String): org.apache.spark.sql.DataFrame =
+    // deliberately NOT widened (round-19 in-session A/B: widening the
+    // trainer's sample-sized input made the 6-merge train 2x SLOWER —
+    // the trainer is many tiny sequential jobs whose per-pass task
+    // overhead dominates; the sample is permille-bounded by contract)
     df.select(explode(tokens(col(textCol))).as("tok"))
       .select(byteTokRepr.as("repr"))
 
@@ -2239,6 +2281,10 @@ object TextAnalysis {
   def unigramWords(df: org.apache.spark.sql.DataFrame, textCol: String,
       maxWordLen: Int = 12): org.apache.spark.sql.DataFrame = {
     require(maxWordLen >= 1, "maxWordLen >= 1")
+    // NOT widened (round-19 bench A/B): the groupBy's map-side partial
+    // aggregation compresses occurrences to vocab grain BEFORE the
+    // exchange, so pre-shuffling every occurrence cost more than the
+    // parallel tokenize saved (wordpiece legs read slower widened)
     df.select(explode(tokens(col(textCol))).as("tok"))
       .select(substring(col("tok"), 1, maxWordLen).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
@@ -2663,7 +2709,8 @@ object TextAnalysis {
     */
   def positionalPostings(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
-    docs.select(col(idCol).as("id"),
+    graft.util.Widen.widenNarrowScan(docs)
+      .select(col(idCol).as("id"),
         posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
       .select(col("term"), col("id"), col("pos").cast("long").as("pos"))
 
@@ -2985,6 +3032,8 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val qTerms = parseQueryTerms(queryText)
+    // not widened (round-19 bench A/B: bm25_adhoc read slower widened —
+    // the query-term semi-join drops most occurrences map-side)
     val toks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
       .select(col("id"), size(col("tk")).cast("long").as("len"), col("tk"))
       .localCheckpoint(eager = false) // feeds N/T scalars + the match pass

@@ -34,6 +34,12 @@ object CellEncodings {
         df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
       case _ => df
     }
+    // NO blanket repartition here (round-19 measured it): widening EVERY
+    // consumer taxes the cheap ones — point reads, window/event legs, and
+    // the tombstone-overlay unions inside read queries each paid an extra
+    // exchange + sort-before-repartition PER PLAN BRANCH, regressing the
+    // read legs 1.5-2x. Heavy per-row operators widen their own narrow
+    // scan inputs instead ([[graft.util.Widen.widenNarrowScan]]).
   }
 
   def key10(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -110,7 +116,11 @@ object CellEncodings {
     * (quantity, extendedprice-cents, discount-cents, returnflag).
     */
   def lineitemSuperCells(spark: SparkSession, dir: String): DataFrame = {
-    val li = table(spark, dir, "lineitem")
+    // widen BEFORE the 4-way explode + byte/string encoding: downstream
+    // of a one-row-group scan that per-cell work is the single-core wall
+    // (CellStore.write's own widen would land above the explode, after
+    // the expensive part) — round-19 measured insert_super ~2x on this
+    val li = graft.util.Widen.widenNarrowScan(table(spark, dir, "lineitem"))
     val cents = (c: org.apache.spark.sql.Column) => round(c * 100).cast("long").cast("string")
     li.select(
       key10(col("l_orderkey")).as("key"),

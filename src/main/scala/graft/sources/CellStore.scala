@@ -26,7 +26,11 @@ object CellStore {
 
   def write(cells: DataFrame, meta: CfMeta, path: String, numPartitions: Int = 32): Unit = {
     val sk = Comparators.sortKey(meta.comparator, col("col_name"))
-    cells
+    // widen a narrow-scan source (guide §2.5): the cell encoding and the
+    // range exchange's SAMPLING pass otherwise both run single-core when
+    // the source is one row group — round-19 measured insert_super 2.4x
+    // slower without this. No-op for production-width sources.
+    graft.util.Widen.widenNarrowScan(cells)
       .withColumn("token", Tokens.token(meta.partitioner, col("key")))
       .repartitionByRange(numPartitions, col("token"), col("key"))
       .sortWithinPartitions(col("token"), col("key"), col("super_name"), sk)
@@ -104,7 +108,9 @@ object CellStore {
     */
   def writeDomainSplit(cells: DataFrame, meta: CfMeta, path: String): Unit = {
     val sk = Comparators.sortKey(meta.comparator, col("col_name"))
-    cells
+    // widen before the domain exchange: the cell encoding runs wide on a
+    // one-row-group source instead of on the single scan core
+    graft.util.Widen.widenNarrowScan(cells)
       .withColumn("domain", substring(col("key"), -2, 2))
       .repartition(col("domain"))
       .sortWithinPartitions(col("key"), col("super_name"), sk)
@@ -254,9 +260,24 @@ object CellStore {
     * hash distribution). This is the Spark-native equivalent of the ring:
     * placement by key hash, reads local to the owning bucket.
     */
-  def writeBucketed(cells: DataFrame, meta: CfMeta, tableName: String, buckets: Int): Unit = {
+  /** @param preClustered the input is ALREADY distributed by the bucket
+    *   hash on `key` (e.g. [[compactBucketed]]'s read of the bucketed
+    *   table itself, whose aggregate preserves the scan's bucketing):
+    *   skip the clustering exchange so the in-place rewrite stays
+    *   zero-movement — the 100 TB major-compaction contract.
+    */
+  def writeBucketed(cells: DataFrame, meta: CfMeta, tableName: String, buckets: Int,
+      preClustered: Boolean = false): Unit = {
     val sk = Comparators.sortKey(meta.comparator, col("col_name"))
-    cells
+    // cluster by the bucket function BEFORE the bucketed write: Spark's
+    // v1 bucketed insert enforces no distribution, so every input task
+    // writes one file per bucket it touches — input tasks x buckets
+    // files of which blooms are a fixed per-file tax (round-19 measured
+    // a 32-task input producing 4096 files, 1.5 GB, and a 4x slower
+    // bucketed read). repartition(buckets, key) IS the bucket hash
+    // (pmod(Murmur3) on both sides), so each task holds exactly one
+    // bucket and the table comes out one file per bucket.
+    (if (preClustered) cells else cells.repartition(buckets, col("key")))
       .write
       .bucketBy(buckets, "key")
       .sortBy("key")
@@ -346,8 +367,11 @@ object CellStore {
     val compacted = graft.operators.Compaction.compact(
       spark.table(tableName).select(graft.model.Cell.columns.map(org.apache.spark.sql.functions.col): _*),
       gcBeforeSeconds, processors)
+    // preClustered: the aggregate reads the bucketed table and groups on
+    // keys INCLUDING `key`, so its output keeps the scan's bucket-hash
+    // distribution — re-clustering would re-shuffle the whole CF
     if (meta.domainSplit) writeDomainBucketed(compacted, meta, staged, buckets)
-    else writeBucketed(compacted, meta, staged, buckets)
+    else writeBucketed(compacted, meta, staged, buckets, preClustered = true)
     // a partitioned table's per-partition locations are registered in the
     // catalog ABSOLUTELY and survive the rename unchanged, so after each
     // rename the moved table's entries point at the PREVIOUS directory —
