@@ -198,6 +198,14 @@ object OptProbe {
       graft.pipeline.TextAnalysis.trainByteBpeMerges(docs, "text",
         merges = 6, samplePermille = 100)
     }
+    probe("bytebpe/train_ckpt1") {
+      // eager checkpoint after EVERY merge (the pre-round-19 cadence,
+      // keeping the TakeOrdered collect) — in-session A/B vs train_only
+      sys.props.update("graft.train.ckptEvery", "1")
+      try graft.pipeline.TextAnalysis.trainByteBpeMerges(docs, "text",
+        merges = 6, samplePermille = 100)
+      finally sys.props.remove("graft.train.ckptEvery")
+    }
     probe("bytebpe/train_narrow") {
       // coalesce(1) defeats isNarrowScan -> the pre-widening single-core
       // trainer shape, for an in-session A/B against train_only

@@ -1921,13 +1921,9 @@ object TextAnalysis {
       merges: Int, batchSize: Int = 1): Seq[(String, String, Long)] = {
     require(batchSize >= 1, "batchSize >= 1")
     var repr = init.localCheckpoint()
-    // merges folded LAZILY since the last materialization: each pass's
-    // pair-stats job evaluates the pending fuse chain inline (map-only
-    // string work, far cheaper than the pass's explode+aggregate), so a
-    // merge costs ONE Spark job, not two (stats + eager checkpoint —
-    // round-19 measured the per-merge checkpoint job as ~half the
-    // trainer's wall). Materialize every few merges so neither plan
-    // depth nor recompute grows with the merge count.
+    // fused merges materialize every [[TrainFuseCheckpointEvery]]
+    // admitted merges (default: every merge — the measured-fastest
+    // cadence; see that val's doc for the lazy-chain A/B)
     var pendingFuses = 0
     val out = Seq.newBuilder[(String, String, Long)]
     var learned = 0
@@ -1973,13 +1969,17 @@ object TextAnalysis {
   }
 
   /** How many admitted merges may stay un-materialized between the
-    * trainer's eager checkpoints: bounds both plan depth (≤ this many
-    * fuse chains stacked on the last checkpoint) and recompute (a pass
-    * re-evaluates at most this many pending fuses inline). 8 keeps the
-    * inline fuse work well under each pass's explode+aggregate cost
-    * while cutting the job count from 2/merge to ~1.12/merge.
+    * trainer's eager checkpoints. Round-19 A/B'd 8 (lazy chains, half
+    * the jobs) against 1 (the original eager-per-merge cadence): the
+    * lazy form re-evaluates up to 7 pending fuse chains inside every
+    * stats pass — O(merges²) string churn between checkpoints — and
+    * measured ~15-20% SLOWER on the bench train despite fewer jobs, so
+    * the default stays 1. Production multi-merge training throttles by
+    * `batchSize` (one fold+checkpoint per BATCH) where the job count
+    * actually bites; the cadence stays overridable for experiments.
     */
-  private val TrainFuseCheckpointEvery: Int = 8
+  private def TrainFuseCheckpointEvery: Int =
+    sys.props.get("graft.train.ckptEvery").map(_.toInt).getOrElse(1)
 
   /** BPE tokenizer APPLICATION — the inference side of
     * [[trainBpeMerges]]: symbolize each token occurrence to characters

@@ -24,13 +24,33 @@ import graft.model.{CfMeta, Comparators, Tokens}
   */
 object CellStore {
 
+  /** Expected distinct values per output file for the store's parquet
+    * bloom filters. Without an explicit NDV parquet sizes blooms
+    * ADAPTIVELY — several candidate bitsets per column, every value
+    * inserted into all of them — which round-19 measured at ~25% of
+    * insert_super's write wall; an explicit bound keeps ONE bitset.
+    * Over-provisioning is cheap (2^17 at the default 1% fpp ≈ 157 KB
+    * per file) and blooms have no false negatives, so an
+    * under-provisioned filter only degrades its false-positive rate —
+    * deployments writing more distinct keys per file than this raise
+    * `spark.graft.bloom.expectedNdv` alongside their row-group sizing.
+    */
+  val DefaultBloomExpectedNdv: Long = 1L << 17
+
+  private def bloomNdv(spark: SparkSession): String =
+    spark.conf.get("spark.graft.bloom.expectedNdv",
+      DefaultBloomExpectedNdv.toString)
+
   def write(cells: DataFrame, meta: CfMeta, path: String, numPartitions: Int = 32): Unit = {
     val sk = Comparators.sortKey(meta.comparator, col("col_name"))
-    // widen a narrow-scan source (guide §2.5): the cell encoding and the
-    // range exchange's SAMPLING pass otherwise both run single-core when
-    // the source is one row group — round-19 measured insert_super 2.4x
-    // slower without this. No-op for production-width sources.
-    graft.util.Widen.widenNarrowScan(cells)
+    // NOT widened here (round-19 battery): the range exchange right below
+    // already spreads the sort+write, and pre-shuffling a CHEAP-encode
+    // source (plain orders cells) regressed the insert leg ~1.7x. Sources
+    // whose encoding is the expensive part widen themselves BELOW their
+    // heavy expressions (lineitemSuperCells widens before its 4-way
+    // explode — that placement, not this one, is what insert_super's 2x
+    // win came from).
+    cells
       .withColumn("token", Tokens.token(meta.partitioner, col("key")))
       .repartitionByRange(numPartitions, col("token"), col("key"))
       .sortWithinPartitions(col("token"), col("key"), col("super_name"), sk)
@@ -38,6 +58,8 @@ object CellStore {
       .write
       .option("parquet.bloom.filter.enabled#key", "true")
       .option("parquet.bloom.filter.enabled#col_name", "true")
+      .option("parquet.bloom.filter.expected.ndv#key", bloomNdv(cells.sparkSession))
+      .option("parquet.bloom.filter.expected.ndv#col_name", bloomNdv(cells.sparkSession))
       .mode("overwrite")
       .parquet(path)
   }
@@ -96,6 +118,7 @@ object CellStore {
         .sortWithinPartitions(col("key"), col("super_name"), col("col_name"))
         .write
         .option("parquet.bloom.filter.enabled#key", "true")
+        .option("parquet.bloom.filter.expected.ndv#key", bloomNdv(spark))
         .mode("overwrite").parquet(tmp.toString)
     }
 
@@ -108,15 +131,17 @@ object CellStore {
     */
   def writeDomainSplit(cells: DataFrame, meta: CfMeta, path: String): Unit = {
     val sk = Comparators.sortKey(meta.comparator, col("col_name"))
-    // widen before the domain exchange: the cell encoding runs wide on a
-    // one-row-group source instead of on the single scan core
-    graft.util.Widen.widenNarrowScan(cells)
+    // not widened — same battery evidence as [[write]]: the domain
+    // exchange below already parallelizes, and the extra pre-shuffle of
+    // a cheap-encode source bought nothing measurable
+    cells
       .withColumn("domain", substring(col("key"), -2, 2))
       .repartition(col("domain"))
       .sortWithinPartitions(col("key"), col("super_name"), sk)
       .write
       .partitionBy("domain")
       .option("parquet.bloom.filter.enabled#key", "true")
+      .option("parquet.bloom.filter.expected.ndv#key", bloomNdv(cells.sparkSession))
       .mode("overwrite")
       .parquet(path)
   }
@@ -282,6 +307,7 @@ object CellStore {
       .bucketBy(buckets, "key")
       .sortBy("key")
       .option("parquet.bloom.filter.enabled#key", "true")
+      .option("parquet.bloom.filter.expected.ndv#key", bloomNdv(cells.sparkSession))
       .format("parquet")
       .mode("overwrite")
       .saveAsTable(tableName)
@@ -441,6 +467,7 @@ object CellStore {
       .bucketBy(buckets, "key")
       .sortBy("key")
       .option("parquet.bloom.filter.enabled#key", "true")
+      .option("parquet.bloom.filter.expected.ndv#key", bloomNdv(cells.sparkSession))
       .format("parquet")
       .mode("overwrite")
       .saveAsTable(tableName)
