@@ -83,6 +83,41 @@ object Bench {
     val skipLegs: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
+
+    // ---- per-leg contention window + bounded retry (round 20, VERDICT
+    // r19 task 1). The suite-grain sentinels (below) catch a contended RUN
+    // but let nothing be discounted: BENCH_r19's 8362 ms mid-suite
+    // sentinel made the whole round unadjudicatable while only a roving
+    // window of legs was actually affected. Every leg now times a FIXED
+    // cpu+scheduler probe (2M-row hash count, quiet ~60-200 ms on this
+    // box) immediately before and after its timed runs. After the suite,
+    // any leg whose window was out of band (either probe > 3x the run's
+    // own probe floor + 50 ms slack) is re-measured ONCE — the windows
+    // rove, so the retry usually lands quiet. A clean-window retry
+    // REPLACES the first measurement; if both windows are dirty the
+    // smaller median is kept and the leg is listed in "contended_legs" on
+    // the bare JSON line, so the driver can discount exactly the affected
+    // legs instead of the round. Probes and retries run OUTSIDE the timed
+    // regions: per-leg methodology (median-of-3, same actions) and the
+    // JSON contract are unchanged — contended_legs is additive.
+    val legProbes = scala.collection.mutable.ArrayBuffer[Long]()
+    def contentionProbe(): Long = {
+      val t0 = System.nanoTime()
+      val c = spark.range(0L, 1L << 21, 1L, 8)
+        .select((col("id") % 9973L).as("m"))
+        .groupBy(col("m")).count().where(col("count") > 0L).count()
+      require(c == 9973L, s"contention probe wrong: $c groups")
+      val dt = (System.nanoTime() - t0) / 1000000L
+      legProbes += dt
+      dt
+    }
+    case class LegRun(med: Double, rows: Long, lo: Double, hi: Double,
+        io: Option[Map[String, Long]], pBefore: Long, pAfter: Long)
+    val thunks = scala.collection.mutable.LinkedHashMap[String, () => LegRun]()
+    val acceptedRuns = scala.collection.mutable.LinkedHashMap[String, LegRun]()
+    // cleanups that must wait until after the retry pass (dropping a
+    // table/cache a retried leg still reads would break the retry)
+    val postRetryCleanups = scala.collection.mutable.ArrayBuffer[() => Unit]()
     // a skipped run must SELF-IDENTIFY: without this, a bench JSON with
     // missing legs (stray env var) is indistinguishable from a build that
     // never had them — stderr line here, "skipped" list in the sidecar
@@ -95,6 +130,17 @@ object Bench {
     // otherwise defeat the self-identification this exists for)
     val hitSkips = scala.collection.mutable.TreeSet.empty[String]
     val seenLegs = scala.collection.mutable.TreeSet.empty[String]
+    // accept a measurement: LinkedHashMap update of an existing key keeps
+    // its position, so a retry overwrite preserves leg order in the JSON
+    def accept(name: String, r: LegRun): Unit = {
+      acceptedRuns += name -> r
+      results += name -> r.med
+      // rows from the MEDIAN-time run, matching the reported time (a leg
+      // whose row count varied between runs would otherwise mis-attribute)
+      rows += name -> r.rows
+      spreads += name -> ((r.lo, r.hi))
+      r.io.foreach(m => ios += name -> m)
+    }
     def leg(name: String)(f: => Long): Unit = { seenLegs += name; if (!skipLegs.contains(name)) {
       def once(): (Double, Long) = {
         val t0 = System.nanoTime()
@@ -106,13 +152,15 @@ object Bench {
         graft.stat.StoreLatency.record(name, dtNanos / 1000L)
         (dtNanos / 1e9, n)
       }
-      val runs = Seq(once(), once(), once())
-      val ts = runs.map(_._1).sorted
-      results += name -> ts(1)
-      // rows from the MEDIAN-time run, matching the reported time (a leg
-      // whose row count varied between runs would otherwise mis-attribute)
-      rows += name -> runs.sortBy(_._1).apply(1)._2
-      spreads += name -> ((ts.head, ts.last))
+      val thunk = () => {
+        val pb = contentionProbe()
+        val runs = Seq(once(), once(), once())
+        val pa = contentionProbe()
+        val ts = runs.map(_._1).sorted
+        LegRun(ts(1), runs.sortBy(_._1).apply(1)._2, ts.head, ts.last, None, pb, pa)
+      }
+      thunks += name -> thunk
+      accept(name, thunk())
     } else hitSkips += name }
 
     // Like `leg`, but the workload is a DataFrame whose OWN plan is executed
@@ -120,22 +168,26 @@ object Bench {
     // .count(), minus the final 1-row agg), so per-leg scan/shuffle metrics
     // can be harvested from the executed plan of the LAST run.
     def legDf(name: String)(mk: => DataFrame): Unit = { seenLegs += name; if (!skipLegs.contains(name)) {
-      var last: DataFrame = null
-      def once(): (Double, Long) = {
-        val t0 = System.nanoTime()
-        val df = mk
-        val n = df.queryExecution.toRdd.count()
-        last = df
-        val dtNanos = System.nanoTime() - t0
-        graft.stat.StoreLatency.record(name, dtNanos / 1000L)
-        (dtNanos / 1e9, n)
+      val thunk = () => {
+        var last: DataFrame = null
+        def once(): (Double, Long) = {
+          val t0 = System.nanoTime()
+          val df = mk
+          val n = df.queryExecution.toRdd.count()
+          last = df
+          val dtNanos = System.nanoTime() - t0
+          graft.stat.StoreLatency.record(name, dtNanos / 1000L)
+          (dtNanos / 1e9, n)
+        }
+        val pb = contentionProbe()
+        val runs = Seq(once(), once(), once())
+        val pa = contentionProbe()
+        val ts = runs.map(_._1).sorted
+        LegRun(ts(1), runs.sortBy(_._1).apply(1)._2, ts.head, ts.last,
+          Some(harvest(last)), pb, pa)
       }
-      val runs = Seq(once(), once(), once())
-      val ts = runs.map(_._1).sorted
-      results += name -> ts(1)
-      rows += name -> runs.sortBy(_._1).apply(1)._2
-      spreads += name -> ((ts.head, ts.last))
-      ios += name -> harvest(last)
+      thunks += name -> thunk
+      accept(name, thunk())
     } else hitSkips += name }
 
     // Untimed warmup over reduced inputs: first execution of each operator
@@ -285,7 +337,9 @@ object Bench {
       legDf("read_gaussian_cached") {
         cached.multigetSlice(gaussianKeys(), None, SliceRange(count = 5))
       }
-      cached.dropRowCache()
+      // keep the cache alive until after the retry pass (a retried run
+      // against an unpersisted cache would time the rebuild, not the hit)
+      postRetryCleanups += (() => { cached.dropRowCache(); () })
     }
 
     // 2d. the same hot reads against a DEEP store — 64 versions per cell,
@@ -306,7 +360,7 @@ object Bench {
       legDf("read_gaussian_deep_cached") {
         cachedDeep.multigetSlice(gaussianKeys(), None, SliceRange(count = 5))
       }
-      cachedDeep.dropRowCache()
+      postRetryCleanups += (() => { cachedDeep.dropRowCache(); () })
     }
 
     // 3. rangeslice: token-ordered scan, 1000-key batch, count=5 slices
@@ -341,7 +395,8 @@ object Bench {
       val keys = (0L until 3000L by 20L).map(i => f"$i%010d")
       bucketLens.multigetSlice(keys, None, SliceRange(count = 5))
     }
-    spark.sql("DROP TABLE IF EXISTS graft_bench_bucketed")
+    postRetryCleanups +=
+      (() => { spark.sql("DROP TABLE IF EXISTS graft_bench_bucketed"); () })
 
     // 3c. domainSplit layout (fork CFMetaData.domainSplit): the 2-char key
     // domain is a parquet partition column; keyed reads derive domains from
@@ -377,7 +432,8 @@ object Bench {
       val keys = (0L until 3000L by 20L).map(i => f"$i%010d")
       dbLens.multigetSlice(keys, None, SliceRange(count = 5))
     }
-    spark.sql("DROP TABLE IF EXISTS graft_bench_domain_bucketed")
+    postRetryCleanups +=
+      (() => { spark.sql("DROP TABLE IF EXISTS graft_bench_domain_bucketed"); () })
 
     // 3d. horizon-sidecar store: runs + precomputed deletion horizons;
     // reads join two tiny tables instead of re-aggregating marker cells
@@ -785,6 +841,30 @@ object Bench {
 
     sentinel() // suite end
 
+    // ---- bounded retry of contended legs (see the probe scaladoc at the
+    // top). The floor comes from the MAIN pass's own probes — even in a
+    // contaminated run most probes are quiet because the windows rove, so
+    // min() is a robust quiet-box reference; the 20 ms clamp guards a
+    // freak fast sample. A leg retries at most ONCE.
+    val probeFloor = math.max(20L, legProbes.min)
+    def inBand(ms: Long): Boolean = ms <= probeFloor * 3 + 50
+    val contendedLegs = scala.collection.mutable.ArrayBuffer[String]()
+    val retriedLegs = scala.collection.mutable.ArrayBuffer[String]()
+    acceptedRuns.keys.toSeq.foreach { name =>
+      val first = acceptedRuns(name)
+      if (!inBand(first.pBefore) || !inBand(first.pAfter)) {
+        retriedLegs += name
+        val second = thunks(name)()
+        if (inBand(second.pBefore) && inBand(second.pAfter)) accept(name, second)
+        else {
+          // both windows dirty: keep the better evidence, flag the leg
+          if (second.med < first.med) accept(name, second)
+          contendedLegs += name
+        }
+      }
+    }
+    postRetryCleanups.foreach(c => try c() catch { case _: Throwable => () })
+
     // cleanup
     try {
       import scala.reflect.io.Directory
@@ -828,13 +908,21 @@ object Bench {
     // adjudication datum (see the sentinel scaladoc above)
     val sentStr = sentinels.map(_.toString).mkString("[", ",", "]")
     val sentJobStr = jobSentinels.map(_.toString).mkString("[", ",", "]")
+    // per-leg probe windows of the ACCEPTED measurement + retry audit —
+    // the contended_legs adjudication data, sidecar-only (the bare line
+    // stays small)
+    val windowsStr = acceptedRuns.map { case (k, r) =>
+      "\"" + k + "\":[" + r.pBefore + "," + r.pAfter + "]"
+    }.mkString("{", ",", "}")
+    val retriedStr = retriedLegs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val contendedStr = contendedLegs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detail =
-      s"""{"detail":{"rows":$rs,"spread":$sp,"io":$io,"latency":$lat,"skipped":$skipped,"skip_unmatched":$skipUnmatched,"sentinel_ms":$sentStr,"sentinel_job_ms":$sentJobStr},"sf":"$sfDir"}"""
+      s"""{"detail":{"rows":$rs,"spread":$sp,"io":$io,"latency":$lat,"skipped":$skipped,"skip_unmatched":$skipUnmatched,"sentinel_ms":$sentStr,"sentinel_job_ms":$sentJobStr,"leg_probe_ms":$windowsStr,"probe_floor_ms":$probeFloor,"retried":$retriedStr,"contended":$contendedStr},"sf":"$sfDir"}"""
     try Files.write(java.nio.file.Paths.get("BENCH_SIDECAR.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(detail)
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"contended_legs":$contendedStr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -317,6 +317,93 @@ object OptProbe {
       noop(ordersLens.compact(gcBeforeSeconds = 1000000000).cells)
     }
 
+    // ---- round-20 probes ----
+    // cost of a key-pruned approx_count_distinct pass per writer source
+    // (the bloom expected-NDV derivation candidate, VERDICT r19 task 2)
+    probe("ndv/orders_keys") {
+      CellEncodings.ordersCells(spark, sfDir)
+        .agg(approx_count_distinct(col("key")),
+          approx_count_distinct(col("col_name"))).head()
+    }
+    probe("ndv/super_keys") {
+      CellEncodings.lineitemSuperCells(spark, sfDir)
+        .agg(approx_count_distinct(col("key")),
+          approx_count_distinct(col("col_name"))).head()
+    }
+
+    // reconcile_scan decomposition (VERDICT r19 task 3): where does the
+    // time go — the reconcile aggregate, the horizon joins, or the
+    // slice window?
+    locally {
+      import graft.operators.{Reconcile, Slice, SliceRange}
+      val tmpStore = s"$tmp/orders_cells_rs"
+      CellStore.write(CellEncodings.ordersCells(spark, sfDir),
+        CellEncodings.ordersMeta, tmpStore, numPartitions = GraftSession.cpus.toInt)
+      val stored = spark.read.parquet(tmpStore)
+        .unionByName(CellEncodings.ordersStatusFTombstones(spark, sfDir))
+      probe("reconcile_scan/latest_noop") {
+        noop(Reconcile.latestCells(stored))
+      }
+      probe("reconcile_scan/live_noop") {
+        noop(Reconcile.liveView(stored))
+      }
+      probe("reconcile_scan/full_slice") {
+        noop(Slice(Reconcile.liveView(stored),
+          CellEncodings.ordersMeta.comparator, "col_name",
+          SliceRange(count = 3)))
+      }
+      val lens = new graft.api.CassandraLens(stored, CellEncodings.ordersMeta)
+      probe("reconcile_scan/lens_full") {
+        noop(lens.rangeSliceByKeys(None, None, None, SliceRange(count = 3),
+          Int.MaxValue))
+      }
+      // rangeslice decomposition (VERDICT r19 task 5): the eager page
+      // pick vs the restricted slice pass
+      probe("rangeslice/page_pick_only") {
+        lens.rangeSliceByKeys(Some("0000000000"), None, None,
+          SliceRange(count = 5), 1000) // builds the frame: pick runs eagerly
+      }
+      probe("rangeslice/lens_full") {
+        noop(lens.rangeSliceByKeys(Some("0000000000"), None, None,
+          SliceRange(count = 5), 1000))
+      }
+    }
+
+    // knn_graph job-count floor (VERDICT r19 task 4): count actual jobs
+    // per leg execution via the status tracker
+    locally {
+      def jobsDuring(name: String)(f: => Unit): Unit =
+        if (only.isEmpty || only.exists(name.startsWith)) {
+          spark.sparkContext.setJobDescription(name)
+          f // warm
+          val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+          val t0 = System.nanoTime()
+          f
+          val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+          println(f"[probe] $name ${(System.nanoTime() - t0) / 1e9}%.3f jobs=${after - before}")
+          spark.sparkContext.setJobDescription(null)
+        }
+      jobsDuring("knn/graph_leg_jobs") {
+        val codebook = graft.pipeline.Similarity.refinedCentroids(
+          graft.pipeline.Similarity.kmeansStepExact(emb, "vec_id",
+            "embedding", k = 16)).localCheckpoint()
+        graft.pipeline.Similarity.knnGraphIvf(
+          graft.pipeline.Similarity.ivfIndexTable(emb, "vec_id",
+            "embedding", codebook, 16), kNbrs = 10)
+          .queryExecution.toRdd.count()
+      }
+      jobsDuring("knn/kmeans_jobs") {
+        graft.pipeline.Similarity.kmeansStepExact(emb, "vec_id", "embedding",
+          k = 16).queryExecution.toRdd.count()
+      }
+      jobsDuring("knn/query_jobs") {
+        graft.pipeline.Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          emb.filter(col("vec_id") === 0).select(col("embedding").as("q")),
+          10).queryExecution.toRdd.count()
+      }
+    }
+
     try new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
     catch { case _: Throwable => () }
     spark.stop()

@@ -35,7 +35,12 @@ def main(paths):
     for p in paths:
         with open(p) as f:
             runs.append(json.load(f)["queries"])
-    legs = list(runs[0].keys())
+    # intersect leg sets across runs (ADVICE r19: a later run missing a
+    # leg present in run 1 raised KeyError), keep run-1 order
+    common = set(runs[0])
+    for r in runs[1:]:
+        common &= set(r)
+    legs = [l for l in runs[0] if l in common]
     print(f"{'leg':28s} {'base':>6s} {'med':>6s} {'min':>6s} {'med/b':>6s} {'min/b':>6s}")
     tot_b = tot_m = tot_n = 0.0
     for leg in legs:
@@ -43,11 +48,13 @@ def main(paths):
         med = statistics.median(vals)
         mn = min(vals)
         b = BASELINE.get(leg)
-        tot_m += med
-        tot_n += mn
         if b is None:
+            # not in BASELINE: shown, but excluded from EVERY total so the
+            # 'TOTAL (common legs)' ratios stay like-for-like (ADVICE r19)
             print(f"{leg:28s} {'--':>6s} {med:6.3f} {mn:6.3f}")
             continue
+        tot_m += med
+        tot_n += mn
         tot_b += b
         print(f"{leg:28s} {b:6.3f} {med:6.3f} {mn:6.3f} {med/b:6.2f} {mn/b:6.2f}")
     print(f"{'TOTAL (common legs)':28s} {tot_b:6.2f} {tot_m:6.2f} {tot_n:6.2f} "
