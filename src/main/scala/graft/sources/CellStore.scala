@@ -24,22 +24,60 @@ import graft.model.{CfMeta, Comparators, Tokens}
   */
 object CellStore {
 
-  /** Expected distinct values per output file for the store's parquet
-    * bloom filters. Without an explicit NDV parquet sizes blooms
-    * ADAPTIVELY — several candidate bitsets per column, every value
-    * inserted into all of them — which round-19 measured at ~25% of
-    * insert_super's write wall; an explicit bound keeps ONE bitset.
-    * Over-provisioning is cheap (2^17 at the default 1% fpp ≈ 157 KB
-    * per file) and blooms have no false negatives, so an
-    * under-provisioned filter only degrades its false-positive rate —
-    * deployments writing more distinct keys per file than this raise
-    * `spark.graft.bloom.expectedNdv` alongside their row-group sizing.
+  /** Parquet bloom expected-NDV hints, DERIVED from the write's own key
+    * population (round 20, VERDICT r19 task 2 — reference parity:
+    * SSTableWriter sizes its blooms from the exact per-file key count,
+    * `BloomFilter.getFilter(numElements, …)`). Without an explicit NDV
+    * parquet sizes blooms ADAPTIVELY — several candidate bitsets per
+    * column, every value inserted into all of them — which round-19
+    * measured at ~25% of insert_super's write wall; and round 19's fixed
+    * 2^17 hint silently degraded the false-positive rate for any file
+    * holding more distinct keys (the read-side failure mode that never
+    * shows at sf0.1). Each writer now runs ONE approx_count_distinct
+    * aggregate over the frame (column-pruned to key/col_name/domain) and
+    * divides by its own expected file count. `spark.graft.bloom.
+    * expectedNdv`, when set, pins every hint and skips the pass — the
+    * deployment override for known row-group sizing. 2x headroom absorbs
+    * placement imbalance; blooms have no false negatives, so an
+    * under-provisioned filter only degrades its false-positive rate.
+    * Clamp floor 2^10 keeps degenerate estimates sane, ceiling 2^21
+    * bounds the per-file bitset (~2.5 MB at the default 1% fpp).
     */
-  val DefaultBloomExpectedNdv: Long = 1L << 17
+  val BloomNdvFloor: Long = 1L << 10
+  val BloomNdvCeiling: Long = 1L << 21
 
-  private def bloomNdv(spark: SparkSession): String =
-    spark.conf.get("spark.graft.bloom.expectedNdv",
-      DefaultBloomExpectedNdv.toString)
+  private def clampNdv(perFile: Long): String =
+    math.min(BloomNdvCeiling,
+      math.max(BloomNdvFloor, 2L * math.max(perFile, 1L))).toString
+
+  private def pinnedNdv(spark: SparkSession): Option[String] = {
+    val v = spark.conf.get("spark.graft.bloom.expectedNdv", "")
+    if (v.isEmpty) None else Some(v)
+  }
+
+  /** (key-hint, col_name-hint) for a write producing `files` files. */
+  private def derivedNdv(cells: DataFrame, files: Int): (String, String) =
+    pinnedNdv(cells.sparkSession) match {
+      case Some(v) => (v, v)
+      case None =>
+        val r = cells.agg(
+          approx_count_distinct(col("key")),
+          approx_count_distinct(col("col_name"))).head()
+        // col_name: the name SET repeats in every file — per-file ≈ global
+        (clampNdv(r.getLong(0) / math.max(1, files)), clampNdv(r.getLong(1)))
+    }
+
+  /** Key hint for a DOMAIN-partitioned write: files-per-key-population is
+    * the domain fan-out (times `bucketsPerDomain` when also bucketed).
+    */
+  private def derivedDomainNdv(cells: DataFrame, bucketsPerDomain: Int): String =
+    pinnedNdv(cells.sparkSession).getOrElse {
+      val r = cells.agg(
+        approx_count_distinct(col("key")),
+        approx_count_distinct(substring(col("key"), -2, 2))).head()
+      val files = math.max(1L, r.getLong(1)) * math.max(1, bucketsPerDomain)
+      clampNdv(r.getLong(0) / files)
+    }
 
   def write(cells: DataFrame, meta: CfMeta, path: String, numPartitions: Int = 32): Unit = {
     val sk = Comparators.sortKey(meta.comparator, col("col_name"))
@@ -50,6 +88,7 @@ object CellStore {
     // heavy expressions (lineitemSuperCells widens before its 4-way
     // explode — that placement, not this one, is what insert_super's 2x
     // win came from).
+    val (keyNdv, colNdv) = derivedNdv(cells, numPartitions)
     cells
       .withColumn("token", Tokens.token(meta.partitioner, col("key")))
       .repartitionByRange(numPartitions, col("token"), col("key"))
@@ -58,8 +97,8 @@ object CellStore {
       .write
       .option("parquet.bloom.filter.enabled#key", "true")
       .option("parquet.bloom.filter.enabled#col_name", "true")
-      .option("parquet.bloom.filter.expected.ndv#key", bloomNdv(cells.sparkSession))
-      .option("parquet.bloom.filter.expected.ndv#col_name", bloomNdv(cells.sparkSession))
+      .option("parquet.bloom.filter.expected.ndv#key", keyNdv)
+      .option("parquet.bloom.filter.expected.ndv#col_name", colNdv)
       .mode("overwrite")
       .parquet(path)
   }
@@ -112,13 +151,20 @@ object CellStore {
       minRunsPerBucket, low, high, minRunBytes) { (srcPaths, tmp, nFiles, isFullFold) =>
       // purge only on a full fold (see the rule above)
       val gcUse = if (isFullFold) gcBeforeSeconds else Int.MinValue
-      graft.operators.Compaction.compact(
-          spark.read.parquet(srcPaths.map(_.toString): _*), gcUse)
+      val merged = graft.operators.Compaction.compact(
+        spark.read.parquet(srcPaths.map(_.toString): _*), gcUse)
+      // NDV pass over the RAW runs (cheap pruned scan), not the merged
+      // frame — deriving from the aggregate would re-run the reconcile
+      val keyNdv = pinnedNdv(spark).getOrElse(clampNdv(
+        spark.read.parquet(srcPaths.map(_.toString): _*)
+          .agg(approx_count_distinct(col("key"))).head().getLong(0) /
+          math.max(1, nFiles)))
+      merged
         .repartitionByRange(nFiles, col("key"))
         .sortWithinPartitions(col("key"), col("super_name"), col("col_name"))
         .write
         .option("parquet.bloom.filter.enabled#key", "true")
-        .option("parquet.bloom.filter.expected.ndv#key", bloomNdv(spark))
+        .option("parquet.bloom.filter.expected.ndv#key", keyNdv)
         .mode("overwrite").parquet(tmp.toString)
     }
 
@@ -134,6 +180,7 @@ object CellStore {
     // not widened — same battery evidence as [[write]]: the domain
     // exchange below already parallelizes, and the extra pre-shuffle of
     // a cheap-encode source bought nothing measurable
+    val keyNdv = derivedDomainNdv(cells, bucketsPerDomain = 1)
     cells
       .withColumn("domain", substring(col("key"), -2, 2))
       .repartition(col("domain"))
@@ -141,7 +188,7 @@ object CellStore {
       .write
       .partitionBy("domain")
       .option("parquet.bloom.filter.enabled#key", "true")
-      .option("parquet.bloom.filter.expected.ndv#key", bloomNdv(cells.sparkSession))
+      .option("parquet.bloom.filter.expected.ndv#key", keyNdv)
       .mode("overwrite")
       .parquet(path)
   }
@@ -302,12 +349,15 @@ object CellStore {
     // bucketed read). repartition(buckets, key) IS the bucket hash
     // (pmod(Murmur3) on both sides), so each task holds exactly one
     // bucket and the table comes out one file per bucket.
+    val keyNdv = pinnedNdv(cells.sparkSession).getOrElse(clampNdv(
+      cells.agg(approx_count_distinct(col("key"))).head().getLong(0) /
+        math.max(1, buckets)))
     (if (preClustered) cells else cells.repartition(buckets, col("key")))
       .write
       .bucketBy(buckets, "key")
       .sortBy("key")
       .option("parquet.bloom.filter.enabled#key", "true")
-      .option("parquet.bloom.filter.expected.ndv#key", bloomNdv(cells.sparkSession))
+      .option("parquet.bloom.filter.expected.ndv#key", keyNdv)
       .format("parquet")
       .mode("overwrite")
       .saveAsTable(tableName)
@@ -395,9 +445,15 @@ object CellStore {
       gcBeforeSeconds, processors)
     // preClustered: the aggregate reads the bucketed table and groups on
     // keys INCLUDING `key`, so its output keeps the scan's bucket-hash
-    // distribution — re-clustering would re-shuffle the whole CF
+    // distribution — re-clustering would re-shuffle the whole CF. ONLY
+    // when no processors are attached, though (ADVICE r19): a processor
+    // chain goes through groupByKey(_.key).flatMapGroups, which exchanges
+    // on a lambda-derived key at spark.sql.shuffle.partitions — that
+    // output is NOT clustered by the bucket function, and skipping the
+    // repartition would re-introduce the tasks×buckets file explosion.
     if (meta.domainSplit) writeDomainBucketed(compacted, meta, staged, buckets)
-    else writeBucketed(compacted, meta, staged, buckets, preClustered = true)
+    else writeBucketed(compacted, meta, staged, buckets,
+      preClustered = processors.isEmpty)
     // a partitioned table's per-partition locations are registered in the
     // catalog ABSOLUTELY and survive the rename unchanged, so after each
     // rename the moved table's entries point at the PREVIOUS directory —
@@ -459,6 +515,7 @@ object CellStore {
     */
   def writeDomainBucketed(cells: DataFrame, meta: CfMeta, tableName: String,
       buckets: Int): Unit = {
+    val keyNdv = derivedDomainNdv(cells, bucketsPerDomain = buckets)
     cells
       .withColumn("domain", substring(col("key"), -2, 2))
       .repartition(col("domain"))
@@ -467,7 +524,7 @@ object CellStore {
       .bucketBy(buckets, "key")
       .sortBy("key")
       .option("parquet.bloom.filter.enabled#key", "true")
-      .option("parquet.bloom.filter.expected.ndv#key", bloomNdv(cells.sparkSession))
+      .option("parquet.bloom.filter.expected.ndv#key", keyNdv)
       .format("parquet")
       .mode("overwrite")
       .saveAsTable(tableName)
