@@ -330,6 +330,32 @@ object OptProbe {
         .agg(approx_count_distinct(col("key")),
           approx_count_distinct(col("col_name"))).head()
     }
+    // full write A/B: round-19 fixed hint (conf pinned) vs round-20
+    // derived sizing (conf unset -> NDV pass + right-sized bitsets)
+    probe("ndv/write_orders_pinned") {
+      spark.conf.set("spark.graft.bloom.expectedNdv", "131072")
+      try CellStore.write(CellEncodings.ordersCells(spark, sfDir),
+        CellEncodings.ordersMeta, s"$tmp/ndv_o1",
+        numPartitions = GraftSession.cpus.toInt)
+      finally spark.conf.unset("spark.graft.bloom.expectedNdv")
+    }
+    probe("ndv/write_orders_derived") {
+      CellStore.write(CellEncodings.ordersCells(spark, sfDir),
+        CellEncodings.ordersMeta, s"$tmp/ndv_o2",
+        numPartitions = GraftSession.cpus.toInt)
+    }
+    probe("ndv/write_super_pinned") {
+      spark.conf.set("spark.graft.bloom.expectedNdv", "131072")
+      try CellStore.write(CellEncodings.lineitemSuperCells(spark, sfDir),
+        CellEncodings.lineitemSuperMeta, s"$tmp/ndv_s1",
+        numPartitions = GraftSession.cpus.toInt)
+      finally spark.conf.unset("spark.graft.bloom.expectedNdv")
+    }
+    probe("ndv/write_super_derived") {
+      CellStore.write(CellEncodings.lineitemSuperCells(spark, sfDir),
+        CellEncodings.lineitemSuperMeta, s"$tmp/ndv_s2",
+        numPartitions = GraftSession.cpus.toInt)
+    }
 
     // reconcile_scan decomposition (VERDICT r19 task 3): where does the
     // time go — the reconcile aggregate, the horizon joins, or the
@@ -363,9 +389,89 @@ object OptProbe {
         lens.rangeSliceByKeys(Some("0000000000"), None, None,
           SliceRange(count = 5), 1000) // builds the frame: pick runs eagerly
       }
+      // in-session A/B: the round-19 single-phase pick (full-range
+      // value-free liveness aggregate + TakeOrdered + collect) vs the
+      // round-20 two-phase pick above — the box's roving contention makes
+      // cross-session probe numbers incomparable
+      probe("rangeslice/pick_old_1phase") {
+        import graft.operators.RangeScan
+        val pre = stored.filter(
+          RangeScan.keyBoundsPredicate(col("key"), Some("0000000000"), None))
+        val tok = (df: org.apache.spark.sql.DataFrame) =>
+          df.withColumn("token", graft.model.Tokens.token(
+            CellEncodings.ordersMeta.partitioner, col("key")))
+        tok(lens.liveKeySet(pre))
+          .orderBy(RangeScan.ringOrder(col("token"), None), col("key"))
+          .limit(1000)
+          .select(col("key")).collect()
+      }
       probe("rangeslice/lens_full") {
         noop(lens.rangeSliceByKeys(Some("0000000000"), None, None,
           SliceRange(count = 5), 1000))
+      }
+      // the two-phase pick's individual jobs (same session as the
+      // 1-phase probe above so the numbers are comparable)
+      probe("rangeslice/pick_rollup_1phase") {
+        import graft.operators.RangeScan
+        val pre = stored.filter(
+          RangeScan.keyBoundsPredicate(col("key"), Some("0000000000"), None))
+        val tok = (df: org.apache.spark.sql.DataFrame) =>
+          df.withColumn("token", graft.model.Tokens.token(
+            CellEncodings.ordersMeta.partitioner, col("key")))
+        tok(lens.liveKeySetRollup(pre))
+          .orderBy(RangeScan.ringOrder(col("token"), None), col("key"))
+          .limit(1000)
+          .select(col("key")).collect()
+      }
+      probe("rangeslice/pick_new_phase1") {
+        stored.filter(col("key") >= "0000000000")
+          .select(col("key")).distinct()
+          .orderBy(col("key")).limit(4000)
+          .agg(count(lit(1)), max(col("key"))).head()
+      }
+      probe("rangeslice/pick_new_phase2") {
+        import graft.operators.RangeScan
+        val pre = stored.filter(col("key") >= "0000000000" &&
+          col("key") <= "0000008000")
+        val tok = (df: org.apache.spark.sql.DataFrame) =>
+          df.withColumn("token", graft.model.Tokens.token(
+            CellEncodings.ordersMeta.partitioner, col("key")))
+        tok(lens.liveKeySet(pre))
+          .orderBy(RangeScan.ringOrder(col("token"), None), col("key"))
+          .limit(1000)
+          .select(col("key")).collect()
+      }
+    }
+
+    // cached-read probe (VERDICT r19 task 7): is the cache-hit multiget
+    // an InMemoryTableScan, and does its plan rebuild the cache or flip a
+    // build side between executions?
+    locally {
+      import graft.operators.SliceRange
+      val tmpStore = s"$tmp/orders_cells_cache"
+      if (only.isEmpty || only.exists("cached".startsWith)) {
+        CellStore.write(CellEncodings.ordersCells(spark, sfDir),
+          CellEncodings.ordersMeta, tmpStore, numPartitions = GraftSession.cpus.toInt)
+        val storedLens = new graft.api.CassandraLens(
+          spark.read.parquet(tmpStore)
+            .unionByName(CellEncodings.ordersStatusFTombstones(spark, sfDir)),
+          CellEncodings.ordersMeta)
+        val cached = storedLens.withRowCache()
+        cached.live.count() // build untimed, same as the bench
+        def gaussianKeys(): Seq[String] = {
+          val rnd = new java.util.Random(42)
+          Seq.fill(600)(
+            math.max(0L, math.min(2999L, math.round(1500.0 + rnd.nextGaussian() * 300.0))))
+            .distinct.map(i => f"$i%010d")
+        }
+        probe("cached/multiget_hit") {
+          noop(cached.multigetSlice(gaussianKeys(), None, SliceRange(count = 5)))
+        }
+        val plan = cached.multigetSlice(gaussianKeys(), None, SliceRange(count = 5))
+          .queryExecution.executedPlan.toString
+        println(s"[probe] cached/plan_has_imts ${plan.contains("InMemoryTableScan")}")
+        println(s"[probe] cached/plan_has_filescan ${plan.contains("Scan parquet")}")
+        cached.dropRowCache()
       }
     }
 

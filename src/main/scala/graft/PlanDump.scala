@@ -46,6 +46,15 @@ object PlanDump {
         .sortWithinPartitions(col("token"), col("key"), col("super_name"), sk)
         .drop("token")
     }
+    // bucketed insert: the v1 bucketed write is a command (no DataFrame
+    // action to explain); dump the pre-write clustering frame — the
+    // plan's ONE exchange. The writer itself adds only a per-partition
+    // sort by (bucketId, key), no further exchange.
+    dump("insert_bucketed") {
+      CellEncodings.ordersCells(spark, sfDir)
+        .unionByName(CellEncodings.ordersStatusFTombstones(spark, sfDir))
+        .repartition(GraftSession.cpus.toInt, col("key"))
+    }
     val domainMeta = CellEncodings.ordersMeta.copy(domainSplit = true)
     dump("insert_domain") {
       val sk = graft.model.Comparators.sortKey(domainMeta.comparator, col("col_name"))

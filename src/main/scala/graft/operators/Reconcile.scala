@@ -128,6 +128,27 @@ object Reconcile {
   def liveViewGiven(cells: DataFrame, rowDel: DataFrame, scDel: DataFrame): DataFrame =
     shadowByContainersGiven(latestCells(cells), rowDel, scDel).filter(!col("tombstone"))
 
+  /** [[liveView]] for a KEY-BOUNDED cell set (round 20) — point reads,
+    * multigets, materialized range pages: repartition the restricted
+    * cells by `key` ONCE. HashPartitioning(key) clusters the reconcile
+    * aggregate, both horizon aggregates, the container-shadow joins, and
+    * the caller's per-key slice window, so they all stack behind that
+    * single exchange — and the three branches are IDENTICAL exchange
+    * subtrees, so ReuseExchange scans and shuffles the restriction once
+    * instead of three times (the r19 keyed-read plan carried 5 scans,
+    * 3 shuffle exchanges and 2 broadcast builds for a 150-key multiget).
+    * KEY-BOUNDED ONLY: the full-CF [[liveView]] keeps map-side partial
+    * aggregation ahead of its exchange — shuffling raw versions of a
+    * 100 TB CF would forfeit that compression — while a keyed read's
+    * row volume is bounded by the 10k-key page convention, so its raw
+    * keyed shuffle is small by construction at any corpus size.
+    */
+  def liveViewKeyed(cells: DataFrame): DataFrame = {
+    val c = cells.repartition(col("key"))
+    shadowByContainersGiven(latestCells(c), rowTombstones(c), superTombstones(c))
+      .filter(!col("tombstone"))
+  }
+
   /** Compaction output view (SURVEY §2.7): winning versions with tombstones
     * RETAINED unless expired — a tombstone (column-level or marker) is
     * purged only when local_del_time < gcBefore (db/CompactionManager.java:

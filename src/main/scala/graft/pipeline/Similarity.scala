@@ -383,7 +383,17 @@ object Similarity {
     * d2·k+cluster key, cannot overflow however large k·dim·|micro| grow.
     */
   private def assignComp(comp: DataFrame, centroidComp: DataFrame): DataFrame =
-    comp.join(broadcast(centroidComp), Seq("pos"))
+    // repartition by id FIRST (round 20): HashPartitioning(id) satisfies
+    // both downstream aggregates' clustering, so the (id, cluster)
+    // distance sum and the per-id argmin stack in ONE stage behind ONE
+    // exchange — the r19 shape paid two aggregate exchanges (n·k then n
+    // rows). The raw exchange ships n·dim component rows instead of
+    // n·k partial-aggregated distances: at production codebook sizes
+    // (suggestK ⇒ k ≈ 1200 ≫ dim) that is FEWER bytes as well as fewer
+    // stages; results are bit-identical (exact integer sums, struct
+    // argmin unchanged).
+    comp.repartition(col("id"))
+      .join(broadcast(centroidComp), Seq("pos"))
       .groupBy(col("id"), col("cluster"))
       .agg(sum((col("m") - col("cm")) * (col("m") - col("cm"))).as("d2"))
       .groupBy(col("id"))
@@ -399,7 +409,10 @@ object Similarity {
   def assignExactTopCells(df: DataFrame, idCol: String, vecCol: String,
       centroidComp: DataFrame, k: Int, nProbe: Int): DataFrame = {
     require(nProbe >= 1 && nProbe <= k, "1 <= nProbe <= k")
+    // same one-exchange stacking as assignComp: the distance aggregate
+    // AND the per-id rank window both run behind the single id exchange
     microComp(df, idCol, vecCol, "id", "m")
+      .repartition(col("id"))
       .join(broadcast(centroidComp), Seq("pos"))
       .groupBy(col("id"), col("cluster"))
       .agg(sum((col("m") - col("cm")) * (col("m") - col("cm"))).as("d2"))
@@ -593,6 +606,12 @@ object Similarity {
     require(kNbrs >= 1, "kNbrs >= 1")
     graft.functions.GraftFunctions.register(index.sparkSession)
     val v = index.select(col("cell"), col("id"), col("embedding"))
+      // cell-partition BEFORE the checkpoint (round 20): both sides of
+      // the in-cell self-join read the SAME checkpointed partitioning
+      // (LogicalRDD preserves it), so the join is co-partitioned — the
+      // r19 plan exchanged BOTH sides by cell; the occupancy-guard
+      // aggregate below rides the same distribution exchange-free
+      .repartition(col("cell"))
       .localCheckpoint(eager = false) // both sides of the in-cell join
     // decimal(38,0): Σ of long² sums can overflow BIGINT past ~3e9 rows
     // in one cell — the Chao1 lesson applied to the guard itself

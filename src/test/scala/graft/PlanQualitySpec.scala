@@ -112,6 +112,13 @@ class PlanQualitySpec extends SparkSpec {
       val got = names(lens.liveColumns(df).collect())
       assert(got == expected,
         s"value-free diverged: extra=${got.diff(expected)} missing=${expected.diff(got)}")
+      // the round-20 three-level rollup (liveKeySetRollup — one exchange,
+      // no horizon joins) must agree at KEY grain on the same soups
+      val expectedKeys = expected.map(_._1)
+      val rollupKeys = lens.liveKeySetRollup(df).collect().map(_.getString(0)).toSet
+      assert(rollupKeys == expectedKeys,
+        s"rollup diverged: extra=${rollupKeys.diff(expectedKeys)} " +
+          s"missing=${expectedKeys.diff(rollupKeys)}")
     }
   }
 
