@@ -605,13 +605,16 @@ object Similarity {
       maxPairs: Long = DefaultMaxGraphPairs): DataFrame = {
     require(kNbrs >= 1, "kNbrs >= 1")
     graft.functions.GraftFunctions.register(index.sparkSession)
+    // Round-20 A/B, kept as documentation: three attempts to co-partition
+    // the in-cell self-join (repartition(cell) below a lazy checkpoint,
+    // above it, and below an EAGER checkpoint) all still planned two
+    // join-side exchanges — a checkpoint under AQE surfaces
+    // UnknownPartitioning to the consumer plan (plan-dump verified each
+    // form), and a repartition above the checkpoint is defeated by the
+    // rename project being pushed under the second side's exchange. The
+    // r19 shape (select + lazy checkpoint, join plans its own
+    // exchanges) is therefore kept as-is.
     val v = index.select(col("cell"), col("id"), col("embedding"))
-      // cell-partition BEFORE the checkpoint (round 20): both sides of
-      // the in-cell self-join read the SAME checkpointed partitioning
-      // (LogicalRDD preserves it), so the join is co-partitioned — the
-      // r19 plan exchanged BOTH sides by cell; the occupancy-guard
-      // aggregate below rides the same distribution exchange-free
-      .repartition(col("cell"))
       .localCheckpoint(eager = false) // both sides of the in-cell join
     // decimal(38,0): Σ of long² sums can overflow BIGINT past ~3e9 rows
     // in one cell — the Chao1 lesson applied to the guard itself
