@@ -850,16 +850,25 @@ object Bench {
     def inBand(ms: Long): Boolean = ms <= probeFloor * 3 + 50
     val contendedLegs = scala.collection.mutable.ArrayBuffer[String]()
     val retriedLegs = scala.collection.mutable.ArrayBuffer[String]()
-    acceptedRuns.keys.toSeq.foreach { name =>
+    // read legs retry BEFORE write legs: a retried insert overwrites its
+    // store, and a reader lens built over the old file set would fail on
+    // the stale listing (FileNotFound — bit the first c8 run). A retry
+    // that still throws keeps the first measurement and flags the leg.
+    acceptedRuns.keys.toSeq.sortBy(_.startsWith("insert")).foreach { name =>
       val first = acceptedRuns(name)
       if (!inBand(first.pBefore) || !inBand(first.pAfter)) {
         retriedLegs += name
-        val second = thunks(name)()
-        if (inBand(second.pBefore) && inBand(second.pAfter)) accept(name, second)
-        else {
-          // both windows dirty: keep the better evidence, flag the leg
-          if (second.med < first.med) accept(name, second)
-          contendedLegs += name
+        scala.util.Try(thunks(name)()) match {
+          case scala.util.Success(second) =>
+            if (inBand(second.pBefore) && inBand(second.pAfter)) accept(name, second)
+            else {
+              // both windows dirty: keep the better evidence, flag the leg
+              if (second.med < first.med) accept(name, second)
+              contendedLegs += name
+            }
+          case scala.util.Failure(e) =>
+            System.err.println(s"[bench] retry of $name failed (${e.getClass.getSimpleName}); keeping first measurement")
+            contendedLegs += name
         }
       }
     }

@@ -383,6 +383,29 @@ object OptProbe {
         noop(lens.rangeSliceByKeys(None, None, None, SliceRange(count = 3),
           Int.MaxValue))
       }
+      // keyed multiget A/B (round 20): the single-exchange keyed
+      // reconcile (liveViewKeyed, what multigetSlice now plans) vs the
+      // r19 liveView shape, same session, same store
+      locally {
+        import graft.operators.{Reconcile, Slice, SliceRange}
+        val keys = (0L until 3000L by 20L).map(i => f"$i%010d")
+        val keyPred = col("key").isin(keys: _*)
+        probe("read/multiget_keyed_r20") {
+          noop(Slice(
+            Reconcile.liveViewKeyed(stored.filter(keyPred))
+              .filter(col("super_name").isNull),
+            CellEncodings.ordersMeta.comparator, "col_name",
+            SliceRange(count = 5)))
+        }
+        probe("read/multiget_old_r19") {
+          noop(Slice(
+            Reconcile.liveView(stored.filter(keyPred))
+              .filter(col("super_name").isNull),
+            CellEncodings.ordersMeta.comparator, "col_name",
+            SliceRange(count = 5)))
+        }
+      }
+
       // rangeslice decomposition (VERDICT r19 task 5): the eager page
       // pick vs the restricted slice pass
       probe("rangeslice/page_pick_only") {
@@ -497,6 +520,30 @@ object OptProbe {
           graft.pipeline.Similarity.ivfIndexTable(emb, "vec_id",
             "embedding", codebook, 16), kNbrs = 10)
           .queryExecution.toRdd.count()
+      }
+      // in-session A/B of the assignment exchange shapes (round 20): the
+      // r19 two-aggregate-exchange form vs the round-20 repartition(id)
+      // single-exchange form, replicated inline (assignComp is private)
+      locally {
+        val comp = emb.select(col("vec_id").as("id"),
+            posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select(col("id"), col("pos").cast("long").as("pos"),
+            round(col("x").cast("double") * lit(1e6)).cast("long").as("m"))
+        val seed = emb.orderBy(col("vec_id")).limit(16)
+          .withColumn("cluster", org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("vec_id")))
+            .cast("long") - 1L)
+          .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select(col("cluster"), col("pos").cast("long").as("pos"),
+            round(col("x").cast("double") * lit(1e6)).cast("long").as("cm"))
+        def agg(c: org.apache.spark.sql.DataFrame) = c
+          .join(broadcast(seed), Seq("pos"))
+          .groupBy(col("id"), col("cluster"))
+          .agg(sum((col("m") - col("cm")) * (col("m") - col("cm"))).as("d2"))
+          .groupBy(col("id"))
+          .agg(min(struct(col("d2"), col("cluster"))).as("km"))
+        probe("knn/assign_2exchange_r19") { noop(agg(comp)) }
+        probe("knn/assign_1exchange_r20") { noop(agg(comp.repartition(col("id")))) }
       }
       jobsDuring("knn/kmeans_jobs") {
         graft.pipeline.Similarity.kmeansStepExact(emb, "vec_id", "embedding",

@@ -55,16 +55,71 @@ object CellStore {
     if (v.isEmpty) None else Some(v)
   }
 
-  /** (key-hint, col_name-hint) for a write producing `files` files. */
+  /** Upper bound on the frame's DISTINCT key count from leaf metadata —
+    * zero Spark jobs (ADVICE r19: "derive expected NDV from an estimated
+    * rows-per-file bound where available"). Sound for any lineage whose
+    * key values derive per input row (projections, filters, generates,
+    * unions, joins, aggregates — none mint more distinct keys than the
+    * leaves have rows): distinct keys ≤ Σ leaf row counts. Parquet leaf
+    * rows come from footers (driver-side, one IO per file, capped at
+    * [[MaxFooterReads]] files so a giant store falls back to the
+    * aggregate pass); local relations and ranges count directly. None
+    * when any leaf is opaque (an RDD checkpoint, a stream) or the file
+    * count exceeds the cap — the caller then pays one
+    * approx_count_distinct job instead.
+    */
+  val MaxFooterReads = 256
+
+  private def leafRowBound(cells: DataFrame): Option[Long] = {
+    val leaves = cells.queryExecution.analyzed.collectLeaves()
+    var total = 0L
+    var files = 0
+    val conf = cells.sparkSession.sparkContext.hadoopConfiguration
+    val ok = leaves.forall {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            val paths = h.location.inputFiles.filter(_.endsWith(".parquet"))
+            files += paths.length
+            files <= MaxFooterReads && paths.forall { p =>
+              try {
+                val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+                  org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                    new org.apache.hadoop.fs.Path(p), conf))
+                try { total += rd.getRecordCount; true } finally rd.close()
+              } catch { case _: Throwable => false }
+            }
+          case _ => false
+        }
+      case r: org.apache.spark.sql.catalyst.plans.logical.Range =>
+        total += math.max(0L, r.numElements.toLong); true
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        total += lr.data.size.toLong; true
+      case _ => false
+    }
+    if (ok) Some(total) else None
+  }
+
+  /** (key-hint, col_name-hint) for a write producing `files` files:
+    * leaf-row bound when readable (free), else one
+    * approx_count_distinct pass.
+    */
   private def derivedNdv(cells: DataFrame, files: Int): (String, String) =
     pinnedNdv(cells.sparkSession) match {
       case Some(v) => (v, v)
-      case None =>
-        val r = cells.agg(
-          approx_count_distinct(col("key")),
-          approx_count_distinct(col("col_name"))).head()
-        // col_name: the name SET repeats in every file — per-file ≈ global
-        (clampNdv(r.getLong(0) / math.max(1, files)), clampNdv(r.getLong(1)))
+      case None => leafRowBound(cells) match {
+        case Some(bound) =>
+          // rows-per-file bounds BOTH per-file distinct keys and
+          // per-file distinct names (range placement balances rows)
+          val h = clampNdv(bound / math.max(1, files))
+          (h, h)
+        case None =>
+          val r = cells.agg(
+            approx_count_distinct(col("key")),
+            approx_count_distinct(col("col_name"))).head()
+          // col_name: the name SET repeats in every file — per-file ≈ global
+          (clampNdv(r.getLong(0) / math.max(1, files)), clampNdv(r.getLong(1)))
+      }
     }
 
   /** Key hint for a DOMAIN-partitioned write: files-per-key-population is
@@ -153,12 +208,10 @@ object CellStore {
       val gcUse = if (isFullFold) gcBeforeSeconds else Int.MinValue
       val merged = graft.operators.Compaction.compact(
         spark.read.parquet(srcPaths.map(_.toString): _*), gcUse)
-      // NDV pass over the RAW runs (cheap pruned scan), not the merged
-      // frame — deriving from the aggregate would re-run the reconcile
-      val keyNdv = pinnedNdv(spark).getOrElse(clampNdv(
-        spark.read.parquet(srcPaths.map(_.toString): _*)
-          .agg(approx_count_distinct(col("key"))).head().getLong(0) /
-          math.max(1, nFiles)))
+      // NDV from the RAW runs (footer row bound — free), not the merged
+      // frame: deriving from the aggregate would re-run the reconcile
+      val keyNdv = derivedNdv(
+        spark.read.parquet(srcPaths.map(_.toString): _*), nFiles)._1
       merged
         .repartitionByRange(nFiles, col("key"))
         .sortWithinPartitions(col("key"), col("super_name"), col("col_name"))
@@ -349,9 +402,7 @@ object CellStore {
     // bucketed read). repartition(buckets, key) IS the bucket hash
     // (pmod(Murmur3) on both sides), so each task holds exactly one
     // bucket and the table comes out one file per bucket.
-    val keyNdv = pinnedNdv(cells.sparkSession).getOrElse(clampNdv(
-      cells.agg(approx_count_distinct(col("key"))).head().getLong(0) /
-        math.max(1, buckets)))
+    val keyNdv = derivedNdv(cells, buckets)._1
     (if (preClustered) cells else cells.repartition(buckets, col("key")))
       .write
       .bucketBy(buckets, "key")
